@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, all expressed as
+  * shuffle-minimal DataFrame transforms:
+  *
+  *  - exact: one hash-groupBy (map-side partial agg, single shuffle);
+  *  - MinHash+LSH: shingle → minhash signature (map-only) → band buckets
+  *    (one shuffle on band key) → candidate pairs verified by true Jaccard.
+  *    At 100 TB only the (band, hash) buckets shuffle — never N² pairs;
+  *  - SimHash: 64-bit signature, map-only; near-dup = same signature bucket
+  *    (or Hamming-adjacent probes);
+  *  - n-gram Jaccard: exact verification used inside LSH buckets, also
+  *    exposed standalone with a blocking key to bound the quadratic term.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest id (stable
+    * canonical representative). Returns (keep_id, n_dups). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** k-token shingles of a text column. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextFunctions.tokens(text)
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+  }
+
+  /** MinHash signature: for each of `n` hash families, the min of
+    * xxhash64(seed_j, shingle). Pure column expression, map-only. */
+  def minhashSignature(shinglesCol: Column, n: Int): Column =
+    array((0 until n).map { j =>
+      array_min(transform(shinglesCol, sh => xxhash64(lit(j), sh)))
+    }: _*)
+
+  /** LSH band keys: split an n-length signature into `bands` bands and
+    * hash each. Emits array of (band_idx, band_hash) structs. */
+  def lshBands(signature: Column, n: Int, bands: Int): Column = {
+    val rows = n / bands
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(signature, b * rows + 1, rows).cast("string")).as("bucket"))
+    }: _*)
+  }
+
+  /** Exact Jaccard similarity between two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      greatest(size(array_union(a, b)).cast("double"), lit(1.0))
+
+  /** MinHash+LSH near-duplicate pairs: returns (id_a, id_b, jaccard) with
+    * id_a < id_b and true Jaccard >= threshold.
+    *
+    * Plan shape at scale: one map stage (shingle+sign), one explode, one
+    * shuffle on (band, bucket), a self-join confined to same-bucket rows
+    * (bucket cardinality is bounded), then exact verification. */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 16, bands: Int = 4,
+                 shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = sh
+      .withColumn("bb", explode(lshBands(col("sig"), numHashes, bands)))
+      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** 64-bit SimHash of the token stream: bit j is the sign of
+    * sum_i(+1/-1 by bit j of xxhash64(token_i)). Single pass, map-only:
+    * one aggregate per bit over the hashed-token array. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    (0 until 64).map { j =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(bitSum > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** SimHash near-dup groups: documents sharing an identical signature.
+    * (Hamming-distance-1 probing = 64 extra bucket keys per doc; not
+    * needed for the corpus, same plan shape.) */
+  def simhashDups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keep_id"))
+      .filter(col("n_docs") > 1)
+
+  /** Exact n-gram Jaccard near-dups within a blocking key (here: language
+    * + token-count band). The block bounds the quadratic verification the
+    * way LSH buckets do; use [[minhashLsh]] when no natural block exists. */
+  def ngramJaccardDups(df: DataFrame, idCol: String, textCol: String,
+                       blockCol: Column, shingleK: Int = 3,
+                       threshold: Double = 0.5): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      blockCol.as("block"), shingles(col(textCol), shingleK).as("sh"))
+    val a = base.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding-cosine near-duplicates: pairs above a cosine threshold,
+    * blocked by an LSH bucket from [[Vectors.lshBucket]] so the pairwise
+    * term stays per-bucket. */
+  def embeddingCosineDups(df: DataFrame, idCol: String, vecCol: String,
+                          planes: Int = 8, threshold: Double = 0.95): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", Vectors.lshBucket(col("v"), planes))
+    val a = base.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = base.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Vectors.cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

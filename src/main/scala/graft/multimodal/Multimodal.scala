@@ -1,0 +1,86 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media are opaque `binary` columns travelling next to a typed metadata
+  * struct. The Spark-side contract — schema, partition sizing, batched
+  * per-partition decode loop, feature schema — is real and tested; the
+  * actual codec call is STUBBED (this container has no image/audio
+  * libraries) behind [[StubDecoder.decode]], a clearly-marked deterministic
+  * fake. Swapping in a real decoder (JNI ffmpeg/opencv or an Arrow-batched
+  * python worker) changes ONE function, none of the plumbing.
+  */
+object Multimodal {
+
+  /** Typed media row: id + opaque payload + declared metadata. */
+  case class MediaRow(doc_id: Long, payload: Array[Byte],
+                      format: String, width: Int, height: Int)
+
+  /** Extracted features (what a decode/resize/feature stage emits). */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, frame_hash: Long,
+                           mean_luma: Double, thumb_w: Int, thumb_h: Int)
+
+  /** Attach a deterministic fake payload + metadata to the documents table
+    * (the corpus ships no binary media; payload = UTF-8 bytes of the text,
+    * metadata derived from doc_id). Schema matches what a real ingest
+    * (e.g. image tarballs → binary column) would produce. */
+  def attachPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      lit("fake/rgb8").as("format"),
+      (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height"))
+
+  /** STUB decoder — deterministic fake standing in for a real codec.
+    * A real implementation would decode `payload` (JPEG/WAV/MP4) here;
+    * the fake derives stable pseudo-features from the bytes so tests can
+    * assert exact values and the distributed plumbing stays honest. */
+  object StubDecoder {
+    def decode(r: MediaRow): MediaFeatures = {
+      // ??? <- real codec goes here; everything below is the deterministic fake
+      var h = 1125899906842597L
+      var i = 0
+      var sum = 0L
+      while (i < r.payload.length) {
+        h = h * 31 + (r.payload(i) & 0xff)
+        sum += (r.payload(i) & 0xff)
+        i += 1
+      }
+      val luma = if (r.payload.length == 0) 0.0
+                 else sum.toDouble / r.payload.length / 255.0
+      MediaFeatures(r.doc_id, r.payload.length.toLong, h, luma,
+        math.max(r.width / 2, 1), math.max(r.height / 2, 1))
+    }
+  }
+
+  /** Batched per-partition decode/feature-extract — the Scala analog of
+    * `mapInPandas`: one decoder context per partition (real codecs are
+    * expensive to init), streaming iterator in/out, never materializing a
+    * partition in memory. Partition count (not row count) bounds peak
+    * memory, so at 100 TB the knob is `spark.sql.files.maxPartitionBytes`. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "payload", "format", "width", "height")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition decoder init would happen here
+        rows.map(StubDecoder.decode)
+      }
+  }
+
+  /** Deterministic frame sampling plumbing for video-like payloads: emit
+    * every k-th block of the payload as a "frame" row (explode = the real
+    * shape of frame extraction; block slicing stands in for the codec). */
+  def sampleFrames(media: DataFrame, everyK: Int, blockBytes: Int = 64): DataFrame =
+    media
+      .withColumn("n_blocks",
+        greatest(floor(length(col("payload")).cast("double") / blockBytes).cast("int"), lit(1)))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_blocks") - 1, lit(everyK))))
+      .select(col("doc_id"), col("frame_idx"),
+        col("payload").substr(col("frame_idx") * blockBytes + 1, lit(blockBytes)).as("frame_bytes"))
+}

@@ -1,0 +1,242 @@
+package graft.queries
+
+import graft.operators.{CoordinateSelector, MdioDataset}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 operator inventory (P/O/A/SET/F families) exercised through
+  * the [[graft.operators.MdioDataset]] API against the harness corpus.
+  *
+  * The corpus is relational, so the MDIO grid view is: `lineitem` as a 2-D
+  * dataset over dims (l_orderkey, l_linenumber) whose data variables are
+  * the measures, with `orders` providing 1-D coordinate variables over the
+  * l_orderkey dimension (o_orderdate, o_totalprice, o_orderpriority) —
+  * exactly the reference's dimension-coordinate shape (SURVEY §1.1).
+  */
+object Mdio {
+
+  /** lineitem as a labeled 2-D MDIO dataset. Domain upper bounds are "the
+    * store's declared shape" — generous static bounds; isel clamps into
+    * them (reference clamp semantics, mdio/variable.h:1211-1232). */
+  def grid(s: SparkSession, d: String): MdioDataset = {
+    val ords = orders(s, d).withColumnRenamed("o_orderkey", "l_orderkey")
+    MdioDataset(
+      data = lineitem(s, d),
+      dims = Seq("l_orderkey", "l_linenumber"),
+      domain = Map("l_orderkey" -> (0L, 1L << 40), "l_linenumber" -> (0L, 1L << 40)),
+      coords = Map(
+        "o_orderdate"     -> (Seq("l_orderkey"), ords.select(col("l_orderkey"), col("o_orderdate"))),
+        "o_totalprice"    -> (Seq("l_orderkey"), ords.select(col("l_orderkey"), col("o_totalprice"))),
+        "o_orderpriority" -> (Seq("l_orderkey"), ords.select(col("l_orderkey"), col("o_orderpriority")))))
+  }
+
+  /** events as a 1-D MDIO dataset over event_id. */
+  def eventsGrid(s: SparkSession, d: String): MdioDataset =
+    MdioDataset(events(s, d), Seq("event_id"), Map("event_id" -> (0L, 1L << 40)))
+
+  // P4/P5 — index slicing with clamping (upper bounds beyond the domain).
+  val qIselSlice: Q = (s, d) =>
+    grid(s, d)
+      .isel("l_orderkey", 1000L, 3000L)
+      .isel("l_linenumber", 0L, 4L)
+      .isel("no_such_dim", 5L, 6L) // reference: unknown label = no-op
+      .data
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  val qIselSliceSql: String = s"""
+    SELECT COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey >= 1000 AND l_orderkey < 3000
+      AND l_linenumber >= 0 AND l_linenumber < 4"""
+
+  // P6 — strided slice.
+  val qIselStride: Q = (s, d) =>
+    grid(s, d)
+      .isel("l_orderkey", 0L, 1L << 40, step = 4L)
+      .data
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+
+  val qIselStrideSql: String = s"""
+    SELECT COUNT(*) AS n, ${sqlDsum("l_extendedprice")} AS sum_price
+    FROM lineitem WHERE l_orderkey % 4 = 0"""
+
+  // SET1 — duplicate labels in one isel call = slice concat (union).
+  val qIselConcat: Q = (s, d) =>
+    grid(s, d)
+      .isel(Seq(("l_orderkey", 100L, 600L), ("l_orderkey", 5000L, 5500L)))
+      .data
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  val qIselConcatSql: String = s"""
+    SELECT COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+    FROM lineitem
+    WHERE (l_orderkey >= 100 AND l_orderkey < 600)
+       OR (l_orderkey >= 5000 AND l_orderkey < 5500)"""
+
+  // P7 — sel by coordinate value (all occurrences; semi-join gather).
+  val qSelValue: Q = (s, d) =>
+    grid(s, d)
+      .sel("o_orderpriority", lit("1-URGENT"))
+      .data
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+
+  val qSelValueSql: String = s"""
+    SELECT COUNT(*) AS n, ${sqlDsum("l_extendedprice")} AS sum_price
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')"""
+
+  // P8 — sel by value range, STOP-INCLUSIVE (reference mdio/dataset.h:872-876).
+  val qSelRange: Q = (s, d) =>
+    grid(s, d)
+      .selRange("o_orderdate",
+        lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+      .data
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+
+  val qSelRangeSql: String = s"""
+    SELECT COUNT(*) AS n, ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate <= TIMESTAMP '1996-12-31')"""
+
+  // P9 — sel by list of values (Unimplemented in the reference; complete here).
+  val qSelList: Q = (s, d) =>
+    grid(s, d)
+      .selList("o_orderpriority", Seq("1-URGENT", "5-LOW"))
+      .withCoordinate("o_orderpriority")
+      .data
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  val qSelListSql: String = s"""
+    SELECT o_orderpriority, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    GROUP BY o_orderpriority"""
+
+  // P1 — variable selection: project one variable + dims (column pruning).
+  val qSelectVariable: Q = (s, d) =>
+    grid(s, d).selectVariable("l_quantity").data
+
+  val qSelectVariableSql: String =
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"
+
+  // P3 — struct-field selection (nested pruning path).
+  val qSelectField: Q = (s, d) => {
+    val g = grid(s, d)
+    val withHdr = g.copy(data = g.data.withColumn("hdr",
+      struct(col("l_discount").as("discount"), col("l_tax").as("tax"))))
+    withHdr.selectField("hdr", "tax")
+      .agg(dsum(col("hdr_tax")).as("sum_tax"), count(lit(1)).as("n"))
+  }
+
+  val qSelectFieldSql: String = s"""
+    SELECT ${sqlDsum("l_tax")} AS sum_tax, COUNT(*) AS n FROM lineitem"""
+
+  // P2 — typed get with dtype cast.
+  val qCastTyped: Q = (s, d) =>
+    grid(s, d).getAs("l_quantity", "int")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty_int"), count(lit(1)).as("n"))
+
+  val qCastTypedSql: String = """
+    SELECT CAST(SUM(CAST(CAST(l_quantity AS INT) AS BIGINT)) AS BIGINT) AS sum_qty_int,
+           COUNT(*) AS n
+    FROM lineitem"""
+
+  // P11 — interval/domain introspection: per-dim extents from the data.
+  val qIntervals: Q = (s, d) =>
+    grid(s, d).data.agg(
+      min(col("l_orderkey")).as("orderkey_min"), max(col("l_orderkey")).as("orderkey_max"),
+      min(col("l_linenumber")).cast("long").as("linenumber_min"),
+      max(col("l_linenumber")).cast("long").as("linenumber_max"))
+
+  val qIntervalsSql: String = """
+    SELECT MIN(l_orderkey) AS orderkey_min, MAX(l_orderkey) AS orderkey_max,
+           CAST(MIN(l_linenumber) AS BIGINT) AS linenumber_min,
+           CAST(MAX(l_linenumber) AS BIGINT) AS linenumber_max
+    FROM lineitem"""
+
+  // A1 — statsV1 one-pass summary (count/min/max/sum/sumSquares).
+  val qStatsV1: Q = (s, d) => grid(s, d).statsV1("l_quantity")
+
+  val qStatsV1Sql: String = s"""
+    SELECT COUNT(l_quantity) AS "count", MIN(l_quantity) AS "min", MAX(l_quantity) AS "max",
+           ${sqlDsum("l_quantity")} AS "sum", ${sqlDsumsq("l_quantity")} AS "sumSquares"
+    FROM lineitem"""
+
+  // A2 — centered-bin histogram (bin center spacing 5 on l_quantity).
+  val qHistogramCentered: Q = (s, d) =>
+    grid(s, d).data
+      .select(floor(col("l_quantity") / lit(5.0) + lit(0.5)).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+
+  val qHistogramCenteredSql: String = """
+    SELECT CAST(FLOOR(l_quantity / 5.0 + 0.5) AS BIGINT) AS bin, COUNT(*) AS n
+    FROM lineitem GROUP BY 1"""
+
+  // F2 — fill-value materialization on missing cells (left join → fill).
+  val qFillValue: Q = (s, d) =>
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"),
+        coalesce(col("o_totalprice"), lit(0.0)).as("filled_price"),
+        when(col("o_orderkey").isNull, 1L).otherwise(0L).as("was_filled"))
+      .groupBy(col("c_mktsegment"))
+      .agg(dsum(col("filled_price")).as("sum_filled"), sum(col("was_filled")).as("n_filled"))
+
+  val qFillValueSql: String = s"""
+    SELECT c_mktsegment, ${sqlDsum("COALESCE(o_totalprice, 0.0)")} AS sum_filled,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment"""
+
+  // P10 + O1/O2 + SET2 — CoordinateSelector: filter, multi-key sort, gather.
+  val qCoordSelector: Q = (s, d) =>
+    CoordinateSelector(eventsGrid(s, d))
+      .filterByCoordinate(col("event_type") === "purchase")
+      .filterByCoordinate(col("user_id") >= 10 && col("user_id") < 60)
+      .sortByKey(col("value").desc)
+      .sortByKey(col("user_id"))
+      .readSelection(Seq("user_id", "value"))
+      .limit(50)
+
+  val qCoordSelectorSql: String = """
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE event_type = 'purchase' AND user_id >= 10 AND user_id < 60
+    ORDER BY value DESC, user_id, event_id LIMIT 50"""
+
+  val queries: Map[String, Q] = Map(
+    "mdio_isel_slice"       -> qIselSlice,
+    "mdio_isel_stride"      -> qIselStride,
+    "mdio_isel_concat"      -> qIselConcat,
+    "mdio_sel_value"        -> qSelValue,
+    "mdio_sel_range"        -> qSelRange,
+    "mdio_sel_list"         -> qSelList,
+    "mdio_select_variable"  -> qSelectVariable,
+    "mdio_select_field"     -> qSelectField,
+    "mdio_cast_typed"       -> qCastTyped,
+    "mdio_intervals"        -> qIntervals,
+    "mdio_stats_v1"         -> qStatsV1,
+    "mdio_histogram_centered" -> qHistogramCentered,
+    "mdio_fill_value"       -> qFillValue,
+    "mdio_coordselector"    -> qCoordSelector,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "mdio_isel_slice"       -> qIselSliceSql,
+    "mdio_isel_stride"      -> qIselStrideSql,
+    "mdio_isel_concat"      -> qIselConcatSql,
+    "mdio_sel_value"        -> qSelValueSql,
+    "mdio_sel_range"        -> qSelRangeSql,
+    "mdio_sel_list"         -> qSelListSql,
+    "mdio_select_variable"  -> qSelectVariableSql,
+    "mdio_select_field"     -> qSelectFieldSql,
+    "mdio_cast_typed"       -> qCastTypedSql,
+    "mdio_intervals"        -> qIntervalsSql,
+    "mdio_stats_v1"         -> qStatsV1Sql,
+    "mdio_histogram_centered" -> qHistogramCenteredSql,
+    "mdio_fill_value"       -> qFillValueSql,
+    "mdio_coordselector"    -> qCoordSelectorSql,
+  )
+}

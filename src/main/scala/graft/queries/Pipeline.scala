@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.functions.{Dedup, TextFunctions => TF, Vectors}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents` and `embeddings`:
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+  * cosine), similarity search (brute force + LSH + IVF), text analysis,
+  * multimodal plumbing.
+  *
+  * Queries whose semantics are SQL-expressible carry a DuckDB oracle;
+  * signature-based ops (minhash/simhash/LSH — xxhash64 has no DuckDB
+  * equivalent) are declared without oracle → the driver records the
+  * weaker rows-only check, and ScalaTest pins their exact behavior.
+  */
+object Pipeline {
+
+  // ---- dedup ---------------------------------------------------------------
+
+  val qDedupExact: Q = (s, d) =>
+    Dedup.exact(documents(s, d), "doc_id", "text")
+
+  val qDedupExactSql: String = """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1"""
+
+  /** MinHash+LSH near-dup pairs (no oracle: xxhash64 signatures). */
+  val qDedupMinhashLsh: Q = (s, d) =>
+    Dedup.minhashLsh(documents(s, d), "doc_id", "text",
+      numHashes = 16, bands = 8, shingleK = 2, threshold = 0.4)
+      .agg(count(lit(1)).as("n_pairs"),
+           coalesce(min(col("id_a")), lit(-1L)).as("min_id"))
+
+  /** SimHash duplicate groups (no oracle). */
+  val qDedupSimhash: Q = (s, d) =>
+    Dedup.simhashDups(documents(s, d), "doc_id", "text")
+      .agg(count(lit(1)).as("n_groups"),
+           coalesce(sum(col("n_docs")), lit(0L)).as("n_docs_in_groups"))
+
+  /** Exact n-gram Jaccard near-dups, blocked by language. */
+  val qDedupNgramJaccard: Q = (s, d) =>
+    Dedup.ngramJaccardDups(documents(s, d), "doc_id", "text",
+      blockCol = col("lang"), shingleK = 2, threshold = 0.25)
+      .agg(count(lit(1)).as("n_pairs"))
+
+  val qDedupNgramJaccardSql: String = """
+    WITH sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, len(string_split(trim(text), ' ')) - 0),
+               i -> string_split(trim(text), ' ')[i] || ' ' ||
+                    string_split(trim(text), ' ')[i+1])) AS grams
+      FROM documents)
+    SELECT COUNT(*) AS n_pairs
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+          GREATEST(CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 1.0) >= 0.25"""
+
+  /** Embedding-cosine near-dup pairs via LSH blocking (no oracle). */
+  val qDedupEmbedding: Q = (s, d) =>
+    Dedup.embeddingCosineDups(embeddings(s, d), "vec_id", "embedding",
+      planes = 6, threshold = 0.9)
+      .agg(count(lit(1)).as("n_pairs"))
+
+  // ---- similarity search ---------------------------------------------------
+
+  /** Deterministic 64-d query vector for ANN queries (unit basis blend). */
+  val annQuery: Seq[Double] = (0 until 64).map(i => math.sin(i + 1).abs / 8.0 + 0.01)
+
+  /** Brute-force exact cosine top-k — the ANN correctness baseline. */
+  val qAnnBruteForce: Q = (s, d) =>
+    Vectors.bruteForceTopK(embeddings(s, d), "vec_id", "embedding", annQuery, 20)
+      .select(col("vec_id")) // ids only: float-sum scores are not engine-portable
+
+  val qAnnBruteForceSql: String = {
+    val q = annQuery.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+    s"""
+    SELECT vec_id FROM (
+      SELECT vec_id,
+        list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), $q) /
+        GREATEST(sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                       list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                 * sqrt(list_dot_product($q, $q)), 1e-300) AS cos
+      FROM embeddings
+      ORDER BY cos DESC, vec_id LIMIT 20) t"""
+  }
+
+  /** LSH-bucketed approximate top-k (no oracle; recall pinned in tests). */
+  val qAnnLsh: Q = (s, d) =>
+    Vectors.lshTopK(embeddings(s, d), "vec_id", "embedding", annQuery,
+      k = 20, planes = 4).select(col("vec_id"))
+
+  // ---- text analysis -------------------------------------------------------
+
+  val qTextTokens: Q = (s, d) =>
+    documents(s, d)
+      .select(col("lang"), TF.tokenCount(col("text")).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+           max(col("n_tokens")).as("max_tokens"))
+
+  val qTextTokensSql: String = """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS total_tokens,
+           CAST(MAX(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS max_tokens
+    FROM documents GROUP BY lang"""
+
+  val qTextQuality: Q = (s, d) =>
+    documents(s, d)
+      .select(col("lang"), TF.qualityScore(col("text")).as("q"))
+      .groupBy(col("lang"))
+      .agg(dsum(col("q")).as("sum_quality"), count(lit(1)).as("n"))
+
+  /** Language-ID heuristic vs the labeled lang column (confusion counts;
+    * no oracle — the heuristic's stopword tables live in Scala). */
+  val qTextLangId: Q = (s, d) =>
+    documents(s, d)
+      .select(col("lang").as("labeled"), TF.langId(col("text")).as("predicted"))
+      .groupBy(col("labeled"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Order-insensitive fingerprint dedup (token-bag md5). */
+  val qTextFingerprint: Q = (s, d) =>
+    documents(s, d)
+      .select(TF.fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_distinct_fp"), max(col("n")).as("max_group"))
+
+  val qTextFingerprintSql: String = """
+    SELECT COUNT(*) AS n_distinct_fp, MAX(n) AS max_group FROM (
+      SELECT md5(array_to_string(list_sort(list_distinct(
+               regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fp,
+             COUNT(*) AS n
+      FROM documents GROUP BY 1) t"""
+
+  /** Rolling-hash (order-sensitive) fingerprint (no oracle: xxhash64). */
+  val qTextRollingHash: Q = (s, d) =>
+    documents(s, d)
+      .select(TF.rollingHash(col("text")).as("rh"))
+      .agg(countDistinct(col("rh")).as("n_distinct"), count(lit(1)).as("n_docs"))
+
+  // ---- multimodal ----------------------------------------------------------
+
+  /** Binary-column plumbing: payload size oracle-checked; decode features
+    * themselves come from the stub (tested in MultimodalSpec). */
+  val qMultimodalBytes: Q = (s, d) =>
+    Multimodal.attachPayload(documents(s, d))
+      .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"))
+
+  val qMultimodalBytesSql: String = """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents"""
+
+  /** Full feature-extraction pass through the stub decoder (no oracle). */
+  val qMultimodalFeatures: Q = (s, d) =>
+    Multimodal.extractFeatures(s, Multimodal.attachPayload(documents(s, d)))
+      .toDF()
+      .agg(count(lit(1)).as("n"), dsum(col("mean_luma")).as("sum_luma"),
+           sum(col("n_bytes")).as("total_bytes"))
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact"          -> qDedupExact,
+    "dedup_minhash_lsh"    -> qDedupMinhashLsh,
+    "dedup_simhash"        -> qDedupSimhash,
+    "dedup_ngram_jaccard"  -> qDedupNgramJaccard,
+    "dedup_embedding"      -> qDedupEmbedding,
+    "ann_brute_force"      -> qAnnBruteForce,
+    "ann_lsh"              -> qAnnLsh,
+    "text_tokens"          -> qTextTokens,
+    "text_quality"         -> qTextQuality,
+    "text_langid"          -> qTextLangId,
+    "text_fingerprint"     -> qTextFingerprint,
+    "text_rolling_hash"    -> qTextRollingHash,
+    "multimodal_bytes"     -> qMultimodalBytes,
+    "multimodal_features"  -> qMultimodalFeatures,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact"         -> qDedupExactSql,
+    "dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
+    "ann_brute_force"     -> qAnnBruteForceSql,
+    "text_tokens"         -> qTextTokensSql,
+    "text_fingerprint"    -> qTextFingerprintSql,
+    "multimodal_bytes"    -> qMultimodalBytesSql,
+  )
+}
