@@ -190,6 +190,75 @@ object Mdio {
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment"""
 
+  // S1-S9 — the Zarr connector exercised end-to-end against the corpus:
+  // lineitem is folded onto a dense 32×8 grid (exact decimal cell sums),
+  // written through the chunk-aligned writer, read back via format("mdio").
+
+  private val builtGrids = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build (once per JVM per sfDir) a 32×8 MDIO dataset derived from
+    * lineitem; returns its path. */
+  def zarrGrid(s: SparkSession, d: String): String = builtGrids.getOrElseUpdate(d, {
+    val path = s"/tmp/graft_zarr_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val spec = graft.spec.MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "lineitem_grid", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "inline", "dataType": "int64",
+        |     "dimensions": [{"name": "inline", "size": 32}]},
+        |    {"name": "crossline", "dataType": "int64",
+        |     "dimensions": [{"name": "crossline", "size": 8}]},
+        |    {"name": "image", "dataType": "float64",
+        |     "dimensions": [{"name": "inline", "size": 32}, {"name": "crossline", "size": 8}],
+        |     "compressor": {"name": "zstd"},
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8, 4]}}}}
+        |  ]
+        |}""".stripMargin)
+    graft.sources.MdioWriter.delete0(path)
+    graft.sources.MdioWriter.create(spec, path)
+    val agg = lineitem(s, d)
+      .groupBy((col("l_orderkey") % 32).as("inline"),
+               (col("l_linenumber").cast("long") % 8).as("crossline"))
+      .agg(sum(col("l_quantity").cast("decimal(27,6)")).cast("double").as("image"))
+    val full = s.range(32).select(col("id").as("inline"))
+      .crossJoin(s.range(8).select(col("id").as("crossline")))
+    val cells = full.join(agg, Seq("inline", "crossline"), "left")
+      .select(col("inline"), col("crossline"), coalesce(col("image"), lit(0.0)).as("image"))
+    graft.sources.MdioWriter.writeVariable(s, cells, path, "image")
+    path
+  })
+
+  /** S2+S6+S1+S5 — create → chunked write → DSv2 read → aggregate. */
+  val qZarrRoundtrip: Q = (s, d) =>
+    s.read.format("mdio").load(zarrGrid(s, d))
+      .agg(dsum(col("image")).as("total"), count(lit(1)).as("n"))
+
+  val qZarrRoundtripSql: String = """
+    WITH agg AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS image
+      FROM lineitem GROUP BY 1, 2)
+    SELECT CAST(SUM(CAST(COALESCE(image, 0.0) AS DECIMAL(27,6))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j)"""
+
+  /** Chunk-pruned read: dim-range filters pushed into the connector select
+    * 4 of 8 chunks (inline chunks 1-2 × crossline chunk 0). */
+  val qZarrPushdown: Q = (s, d) =>
+    s.read.format("mdio").load(zarrGrid(s, d))
+      .filter(col("inline") >= 8 && col("inline") < 24 && col("crossline") < 4)
+      .agg(dsum(col("image")).as("total"), count(lit(1)).as("n"))
+
+  val qZarrPushdownSql: String = """
+    WITH agg AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS image
+      FROM lineitem GROUP BY 1, 2)
+    SELECT CAST(SUM(CAST(COALESCE(image, 0.0) AS DECIMAL(27,6))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j)
+    WHERE i >= 8 AND i < 24 AND j < 4"""
+
   // P10 + O1/O2 + SET2 — CoordinateSelector: filter, multi-key sort, gather.
   val qCoordSelector: Q = (s, d) =>
     CoordinateSelector(eventsGrid(s, d))
@@ -221,6 +290,8 @@ object Mdio {
     "mdio_histogram_centered" -> qHistogramCentered,
     "mdio_fill_value"       -> qFillValue,
     "mdio_coordselector"    -> qCoordSelector,
+    "zarr_roundtrip"        -> qZarrRoundtrip,
+    "zarr_pushdown"         -> qZarrPushdown,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -238,5 +309,7 @@ object Mdio {
     "mdio_histogram_centered" -> qHistogramCenteredSql,
     "mdio_fill_value"       -> qFillValueSql,
     "mdio_coordselector"    -> qCoordSelectorSql,
+    "zarr_roundtrip"        -> qZarrRoundtripSql,
+    "zarr_pushdown"         -> qZarrPushdownSql,
   )
 }

@@ -1,0 +1,362 @@
+package graft.sources
+
+import graft.zarr.{ChunkCodec, ZarrMeta}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.nio.file.{Files, Path}
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 connector `format("mdio")`: reads an MDIO/Zarr-v2 dataset
+  * as a long-form DataFrame — one row per grid cell, integer dimension-index
+  * columns followed by one column per data variable (SURVEY §1.1, §2.1 S1/S5).
+  *
+  * Layout read: consolidated `.zmetadata` (or directory listing fallback),
+  * per-variable `.zarray` + `.zattrs` with the xarray `_ARRAY_DIMENSIONS`
+  * convention the reference writes (mdio/variable.h labeled dims).
+  *
+  * Scale design:
+  *  - one InputPartition per chunk intersecting the pushed dim ranges —
+  *    the Spark analog of the reference's "only chunks inside the slice are
+  *    read" (USER_GUIDE.md Read; mdio/variable.h:1348-1351);
+  *  - `SupportsPushDownFilters`: per-dimension range predicates are absorbed
+  *    entirely (chunk pruning + exact in-chunk ranges), so a 100 TB store
+  *    sliced to one inline only ever opens that inline's chunk files;
+  *  - `SupportsPushDownRequiredColumns`: unprojected variables' chunk files
+  *    are never opened (per-variable stores = free column pruning,
+  *    mdio/dataset.h:896-925);
+  *  - planning streams chunk descriptors without materializing cells; the
+  *    driver holds one small object per surviving chunk (SURVEY §7.4.6).
+  */
+class MdioDataSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "mdio"
+
+  private def load(options: CaseInsensitiveStringMap): MdioTable = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("format(\"mdio\") requires .load(path)"))
+    val wanted = Option(options.get("variables")).map(_.split(",").map(_.trim).toSeq)
+    MdioTable(path, wanted)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    load(options).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    load(new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+/** One MDIO dataset directory as a Spark Table. */
+final case class MdioTable(path: String, wanted: Option[Seq[String]]) extends Table with SupportsRead {
+
+  // driver-side metadata read (S1): consolidated or listing
+  private lazy val (groupAttrs, arrays) = ZarrMeta.readGroup(ZarrMeta.path(path))
+
+  /** name -> (meta, dims) for arrays carrying _ARRAY_DIMENSIONS. */
+  private lazy val labeled: Map[String, (ZarrMeta.ArrayMeta, Seq[String])] =
+    arrays.flatMap { case (name, (meta, attrs)) =>
+      attrs.flatMap(MdioTableUtil.arrayDimensions).map(d => name -> (meta, d))
+    }
+
+  /** The table's dimension tuple = dims of the selected data variables
+    * (all must agree, as in the reference's shared-domain model). */
+  lazy val (dims: Seq[String], variables: Seq[String]) = {
+    val dataVars = labeled.filter { case (name, (_, d)) => !(d.size == 1 && d.head == name) }
+    val selected = wanted match {
+      case Some(names) =>
+        val missing = names.filterNot(dataVars.contains)
+        require(missing.isEmpty, s"unknown variables: ${missing.mkString(", ")}")
+        names
+      case None => dataVars.keys.toSeq.sorted
+    }
+    require(selected.nonEmpty, s"no data variables found in $path")
+    val dimSets = selected.map(v => labeled(v)._2).distinct
+    require(dimSets.size == 1,
+      s"selected variables span different dimension tuples: ${dimSets.mkString(" vs ")}")
+    val chunkSets = selected.map(v => labeled(v)._1.chunks).distinct
+    require(chunkSets.size == 1,
+      s"selected variables have different chunkShapes: ${chunkSets.mkString(" vs ")}")
+    (dimSets.head, selected)
+  }
+
+  override def schema(): StructType = {
+    val dimFields = dims.map(d => StructField(d, LongType, nullable = false))
+    val varFields = variables.map { v =>
+      StructField(v, MdioTableUtil.sparkTypeOf(labeled(v)._1.dtype))
+    }
+    StructType(dimFields ++ varFields)
+  }
+
+  override def name(): String = s"mdio:$path"
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MdioScanBuilder(path, dims, variables.map(v => v -> labeled(v)._1).toMap, schema())
+}
+
+object MdioTableUtil {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  def arrayDimensions(zattrs: String): Option[Seq[String]] = {
+    implicit val fmts: Formats = DefaultFormats
+    JsonMethods.parse(zattrs) \ "_ARRAY_DIMENSIONS" match {
+      case JArray(items) => Some(items.map(_.extract[String]))
+      case _ => None
+    }
+  }
+
+  /** Connector dtype → Spark type (same widening policy as MdioSpec;
+    * u64/complex unsupported in the connector v1). */
+  def sparkTypeOf(dtype: String): DataType = dtype.charAt(dtype.length - 2) match {
+    case 'b' => BooleanType
+    case 'f' => if (dtype.endsWith("4")) FloatType else DoubleType
+    case 'i' => dtype.last match {
+      case '1' => ByteType; case '2' => ShortType; case '4' => IntegerType; case _ => LongType
+    }
+    case 'u' => dtype.last match {
+      case '1' => ShortType; case '2' => IntegerType; case '4' => LongType
+      case _ => throw new IllegalArgumentException("uint64 unsupported in connector; use int64")
+    }
+    case k => throw new IllegalArgumentException(s"unsupported dtype kind '$k'")
+  }
+}
+
+/** Pushdown: absorbs per-dimension range filters; prunes variables. */
+final class MdioScanBuilder(path: String, dims: Seq[String],
+                            metas: Map[String, ZarrMeta.ArrayMeta],
+                            fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val dimSet = dims.toSet
+  // label -> [lo, hi) accumulated from pushed filters
+  private var ranges: Map[String, (Long, Long)] = Map.empty
+  private var pushed: Array[Filter] = Array.empty
+  private var requiredSchema: StructType = fullSchema
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  private def narrow(dim: String, lo: Long, hi: Long): Unit = {
+    val (clo, chi) = ranges.getOrElse(dim, (Long.MinValue, Long.MaxValue))
+    ranges = ranges.updated(dim, (math.max(clo, lo), math.min(chi, hi)))
+  }
+
+  /** A filter we can absorb completely into chunk + cell ranges. */
+  private def absorb(f: Filter): Boolean = f match {
+    case EqualTo(a, v) if dimSet(a) => asLong(v).exists { x => narrow(a, x, x + 1); true }
+    case GreaterThan(a, v) if dimSet(a) => asLong(v).exists { x => narrow(a, x + 1, Long.MaxValue); true }
+    case GreaterThanOrEqual(a, v) if dimSet(a) => asLong(v).exists { x => narrow(a, x, Long.MaxValue); true }
+    case LessThan(a, v) if dimSet(a) => asLong(v).exists { x => narrow(a, Long.MinValue, x); true }
+    case LessThanOrEqual(a, v) if dimSet(a) => asLong(v).exists { x => narrow(a, Long.MinValue, x + 1); true }
+    case And(l, r) => // both sides must absorb; range narrowing is conjunctive
+      val okL = absorb(l); val okR = absorb(r); okL && okR
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (abs, rest) = filters.partition(absorb)
+    pushed = abs
+    rest // leftover for Spark to evaluate
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(required: StructType): Unit = {
+    // keep dim columns needed plus requested variables; reader emits in
+    // required order.
+    requiredSchema = required
+  }
+
+  override def build(): Scan =
+    MdioScan(path, dims, metas, requiredSchema, ranges)
+}
+
+final case class MdioScan(path: String, dims: Seq[String],
+                          metas: Map[String, ZarrMeta.ArrayMeta],
+                          requiredSchema: StructType,
+                          ranges: Map[String, (Long, Long)]) extends Scan with Batch {
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"MdioScan($path, ranges=${ranges.map { case (d, (a, b)) => s"$d:[$a,$b)" }.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val anchor = metas.values.head
+    val shape = anchor.shape
+    val chunks = anchor.chunks
+    // clamp pushed ranges into the domain (reference clamp semantics)
+    val bounds: Seq[(Long, Long)] = dims.zipWithIndex.map { case (d, i) =>
+      val (lo, hi) = ranges.getOrElse(d, (0L, shape(i)))
+      (math.max(lo, 0L), math.min(hi, shape(i)))
+    }
+    if (bounds.exists { case (lo, hi) => lo >= hi }) return Array.empty
+
+    // chunk-coordinate ranges intersecting the bounds, enumerated in C-order
+    val chunkLo = bounds.zip(chunks).map { case ((lo, _), c) => lo / c }
+    val chunkHi = bounds.zip(chunks).map { case ((_, hi), c) => (hi - 1) / c }
+    val neededVars = requiredSchema.fieldNames.filter(metas.contains)
+
+    def enumerate(dim: Int, acc: Vector[Long]): Iterator[Vector[Long]] =
+      if (dim == dims.size) Iterator.single(acc)
+      else (chunkLo(dim) to chunkHi(dim)).iterator.flatMap(c => enumerate(dim + 1, acc :+ c))
+
+    enumerate(0, Vector.empty).map { cc =>
+      // cell range inside this chunk (global coords)
+      val cell = cc.zipWithIndex.map { case (c, i) =>
+        val lo = math.max(bounds(i)._1, c * chunks(i))
+        val hi = math.min(bounds(i)._2, (c + 1) * chunks(i))
+        (lo, hi)
+      }
+      MdioInputPartition(path, cc.toArray, cell.map(_._1).toArray, cell.map(_._2).toArray,
+        neededVars, neededVars.map(v => metas(v)).toArray): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    MdioReaderFactory(dims.toArray, requiredSchema)
+}
+
+final case class MdioInputPartition(path: String, chunk: Array[Long],
+                                    cellLo: Array[Long], cellHi: Array[Long],
+                                    vars: Array[String],
+                                    metas: Array[ZarrMeta.ArrayMeta]) extends InputPartition
+
+final case class MdioReaderFactory(dims: Array[String], schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new MdioPartitionReader(p.asInstanceOf[MdioInputPartition], dims, schema)
+}
+
+/** Decodes one chunk per variable, then iterates the in-chunk cell ranges in
+  * C-order emitting long-form rows. Missing chunk files materialize the fill
+  * value (reference fill semantics, mdio/dataset_factory.h:500-545). */
+final class MdioPartitionReader(p: MdioInputPartition, dims: Array[String], schema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val rank = dims.length
+  private val meta0 = p.metas.headOption.getOrElse(
+    ZarrMeta.ArrayMeta(Seq.fill(rank)(0L), Seq.fill(rank)(1L), "<f8", None, None))
+  private val chunkShape: Array[Long] = meta0.chunks.toArray
+  // in-chunk strides (C-order, based on full chunk shape)
+  private val strides: Array[Long] = {
+    val s = new Array[Long](rank)
+    var acc = 1L
+    var i = rank - 1
+    while (i >= 0) { s(i) = acc; acc *= chunkShape(i); i -= 1 }
+    s
+  }
+
+  // decoded per-variable buffers (null => whole chunk missing -> fill)
+  private val buffers: Array[AnyRef] = p.vars.indices.map { vi =>
+    val m = p.metas(vi)
+    val file = ZarrMeta.path(p.path).resolve(p.vars(vi)).resolve(ZarrMeta.chunkKey(p.chunk.toSeq))
+    if (!Files.exists(file)) null
+    else {
+      val rawSize = (m.chunks.product * m.elemSize).toInt
+      val raw = ChunkCodec.decompress(Files.readAllBytes(file), m.compressor, rawSize)
+      val kindChar = m.dtype.charAt(m.dtype.length - 2)
+      if (kindChar == 'f') ChunkCodec.decodeDoubles(raw, m.dtype)
+      else ChunkCodec.decodeLongs(raw, m.dtype)
+    }
+  }.toArray
+
+  // current global coords; start just "before" the first cell
+  private val cur: Array[Long] = new Array[Long](rank)
+  private var started = false
+  private var done = false
+  locally {
+    var i = 0
+    while (i < rank) {
+      cur(i) = p.cellLo(i)
+      if (p.cellLo(i) >= p.cellHi(i)) done = true // empty range => nothing to read
+      i += 1
+    }
+  }
+
+  private val row = new GenericInternalRow(schema.length)
+  private val fieldIsDim: Array[Int] = schema.fieldNames.map(f => dims.indexOf(f))
+  private val fieldVarIdx: Array[Int] = schema.fieldNames.map(f => p.vars.indexOf(f))
+
+  override def next(): Boolean = {
+    if (done) return false
+    if (!started) { started = true; return true }
+    // odometer over [cellLo, cellHi) in C-order (last dim fastest)
+    var i = rank - 1
+    while (i >= 0) {
+      cur(i) += 1
+      if (cur(i) < p.cellHi(i)) return true
+      cur(i) = p.cellLo(i)
+      i -= 1
+    }
+    done = true
+    false
+  }
+
+  override def get(): InternalRow = {
+    // flat offset within the chunk
+    var off = 0L
+    var i = 0
+    while (i < rank) {
+      off += (cur(i) - p.chunk(i) * chunkShape(i)) * strides(i)
+      i += 1
+    }
+    var f = 0
+    while (f < schema.length) {
+      val di = fieldIsDim(f)
+      if (di >= 0) row.update(f, cur(di))
+      else {
+        val vi = fieldVarIdx(f)
+        val m = p.metas(vi)
+        val buf = buffers(vi)
+        val dt = schema.fields(f).dataType
+        val value: Any = buf match {
+          case null =>
+            val fill = m.fillValue.getOrElse(Double.NaN)
+            castTo(fill, dt)
+          case d: Array[Double] => castTo(d(off.toInt), dt)
+          case l: Array[Long] => castLongTo(l(off.toInt), dt)
+        }
+        row.update(f, value)
+      }
+      f += 1
+    }
+    row
+  }
+
+  private def castTo(v: Double, dt: DataType): Any = dt match {
+    case FloatType => v.toFloat
+    case DoubleType => v
+    case LongType => v.toLong
+    case IntegerType => v.toInt
+    case ShortType => v.toShort
+    case ByteType => v.toByte
+    case BooleanType => v != 0.0
+    case _ => v
+  }
+  private def castLongTo(v: Long, dt: DataType): Any = dt match {
+    case LongType => v
+    case IntegerType => v.toInt
+    case ShortType => v.toShort
+    case ByteType => v.toByte
+    case BooleanType => v != 0L
+    case FloatType => v.toFloat
+    case DoubleType => v.toDouble
+    case _ => v
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,211 @@
+package graft.sources
+
+import graft.spec.MdioSpec
+import graft.zarr.{ChunkCodec, ZarrMeta}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+import scala.jdk.CollectionConverters._
+
+/** MDIO dataset lifecycle: create-from-spec, chunk-aligned distributed
+  * variable writes, metadata commit, trim, delete (SURVEY §2.1
+  * S2/S6/S9/S10/S11/S12).
+  *
+  * The reference makes misaligned writes undefined behavior
+  * (USER_GUIDE.md "Efficient Assignment"); here alignment is a SHUFFLE
+  * CONTRACT instead: [[writeVariable]] repartitions rows by chunk id, so
+  * exactly one task owns each chunk file — no torn chunks, no
+  * read-modify-write races, at any cluster size. Metadata writes happen on
+  * the driver after all tasks succeed (the reference's WaitAllFuture
+  * all-or-nothing shape, mdio/dataset.h:1030-1040).
+  */
+object MdioWriter {
+
+  /** S2 — create a dataset from a validated JSON spec: all array metadata +
+    * group attrs + consolidated metadata; no chunk data yet. */
+  def create(spec: MdioSpec.Dataset, path: String): Unit = {
+    MdioSpec.validate(spec)
+    val root = ZarrMeta.path(path)
+    val groupAttrs =
+      s"""{"name": ${JsonMethods.compact(JString(spec.name))},
+         | "apiVersion": ${spec.apiVersion},
+         | "createdOn": ${JsonMethods.compact(JString(spec.createdOn))},
+         | "attributes": ${spec.attributes.map(JsonMethods.compact).getOrElse("{}")}}""".stripMargin
+    ZarrMeta.writeGroup(root, Some(groupAttrs))
+    spec.variables.foreach { v =>
+      val meta = ZarrMeta.ArrayMeta(
+        shape = v.shape, chunks = v.chunks,
+        dtype = MdioSpec.zarrDtype(v.dataType),
+        compressor = v.compressor,
+        fillValue = MdioSpec.fillValue(v.dataType) match {
+          case f: Float => Some(f.toDouble)
+          case d: Double => Some(d)
+          case b: Boolean => Some(if (b) 1.0 else 0.0)
+          case n: Number => Some(n.doubleValue())
+          case _ => None
+        })
+      val dimsJson = v.dimensions.map(d => s""""${d.name}"""").mkString("[", ", ", "]")
+      val extra = v.metadata.map(m => s""", "metadata": ${JsonMethods.compact(m)}""").getOrElse("")
+      val longName = v.longName.map(ln => s""", "long_name": ${JsonMethods.compact(JString(ln))}""").getOrElse("")
+      val coords = if (v.coordinates.nonEmpty)
+        s""", "coordinates": "${v.coordinates.mkString(" ")}"""" else ""
+      ZarrMeta.writeArray(root, v.name, meta,
+        Some(s"""{"_ARRAY_DIMENSIONS": $dimsJson$longName$coords$extra}"""))
+    }
+    ZarrMeta.consolidate(root)
+  }
+
+  /** S6 — distributed chunk-aligned write of one variable.
+    *
+    * `df` columns: the variable's dimension columns (long) + a value column
+    * named after the variable. Rows outside the domain error; absent cells
+    * materialize the fill value.
+    *
+    * Plan shape: one narrow map computing the chunk id, one shuffle
+    * clustering rows by chunk (single writer per chunk file), encode+write
+    * per task. At 100 TB the shuffle payload is the data itself once —
+    * matching any columnar writer's cost — and chunk files stream out in
+    * parallel across all executors. */
+  def writeVariable(spark: SparkSession, df: DataFrame, path: String, variable: String): Unit = {
+    val root = ZarrMeta.path(path)
+    val (_, arrays) = ZarrMeta.readGroup(root)
+    val (meta, attrs) = arrays.getOrElse(variable,
+      throw new IllegalArgumentException(s"no variable '$variable' at $path"))
+    val dims = attrs.flatMap(MdioTableUtil.arrayDimensions).getOrElse(
+      throw new IllegalArgumentException(s"variable '$variable' lacks _ARRAY_DIMENSIONS"))
+    val shape = meta.shape.toArray
+    val chunks = meta.chunks.toArray
+    val grid = meta.chunkGrid.toArray
+    val dtype = meta.dtype
+    val compressor = meta.compressor
+    val fill = meta.fillValue.getOrElse(Double.NaN)
+    val pathStr = path
+    val rank = dims.size
+
+    // chunk id = C-order linearized chunk coordinate
+    val chunkId = dims.zipWithIndex.map { case (d, i) =>
+      (col(d).cast("long") / lit(chunks(i))).cast("long") *
+        lit(grid.drop(i + 1).product)
+    }.reduce(_ + _)
+
+    val projected = df.select(
+      (dims.map(d => col(d).cast("long").as(d)) :+ col(variable).cast("double").as("__v")): _*)
+      .withColumn("__chunk", chunkId)
+
+    val nChunks = grid.product
+    val parts = math.min(nChunks, math.max(spark.sparkContext.defaultParallelism.toLong, 1L)).toInt
+
+    projected
+      .repartition(parts, col("__chunk"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        // group this partition's rows by chunk; one buffer per chunk at a time
+        val byChunk = scala.collection.mutable.Map[Long, Array[Double]]()
+        val chunkLen = chunks.product.toInt
+        rows.foreach { r =>
+          val cid = r.getLong(rank + 1)
+          val buf = byChunk.getOrElseUpdate(cid, Array.fill(chunkLen)(fill))
+          var off = 0L
+          var i = 0
+          var stride = 1L
+          // C-order in-chunk offset
+          var o = 0L
+          i = rank - 1
+          stride = 1L
+          while (i >= 0) {
+            val coord = r.getLong(i)
+            require(coord >= 0 && coord < shape(i),
+              s"coordinate $coord out of domain [0, ${shape(i)}) on dim ${dims(i)}")
+            o += (coord % chunks(i)) * stride
+            stride *= chunks(i)
+            i -= 1
+          }
+          off = o
+          buf(off.toInt) = r.getDouble(rank)
+        }
+        byChunk.foreach { case (cid, buf) =>
+          // chunk id -> chunk coords
+          val cc = new Array[Long](rank)
+          var rem = cid
+          var i = rank - 1
+          while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
+          val raw = ChunkCodec.encodeDoubles(buf, dtype)
+          val out = ChunkCodec.compress(raw, compressor)
+          val file = ZarrMeta.path(pathStr).resolve(variable).resolve(ZarrMeta.chunkKey(cc.toSeq))
+          Files.createDirectories(file.getParent)
+          Files.write(file, out)
+        }
+      }
+  }
+
+  /** S10 / F5 — update a variable's (or the group's, variable="") user
+    * attributes with RFC 7386 merge-patch semantics, then re-consolidate
+    * (the reference's UpdateAttributes + CommitMetadata,
+    * mdio/variable.h:881-910, mdio/dataset.h:1269-1416). */
+  def updateAttributes(path: String, variable: String, patch: String): Unit = {
+    val root = ZarrMeta.path(path)
+    val target = if (variable.isEmpty) root.resolve(".zattrs")
+                 else root.resolve(variable).resolve(".zattrs")
+    val current = if (Files.exists(target)) JsonMethods.parse(Files.readString(target)) else JObject()
+    val merged = mergePatch(current, JsonMethods.parse(patch))
+    Files.writeString(target, JsonMethods.compact(merged))
+    ZarrMeta.consolidate(root)
+  }
+
+  /** RFC 7386 JSON merge-patch (reference uses nlohmann merge_patch). */
+  def mergePatch(target: JValue, patch: JValue): JValue = patch match {
+    case JObject(pf) =>
+      val tf = target match { case JObject(f) => f.toMap; case _ => Map.empty[String, JValue] }
+      val merged = pf.foldLeft(tf) {
+        case (acc, (k, JNull)) => acc - k
+        case (acc, (k, v)) => acc.updated(k, mergePatch(acc.getOrElse(k, JObject()), v))
+      }
+      JObject(merged.toList)
+    case other => other
+  }
+
+  /** S11 — trim: shrink a dimension on disk, optionally deleting orphaned
+    * chunk files, and republish metadata (mdio/utils/trim.h:45-117). */
+  def trim(path: String, dim: String, newSize: Long, deleteChunks: Boolean = true): Unit = {
+    val root = ZarrMeta.path(path)
+    val (_, arrays) = ZarrMeta.readGroup(root)
+    arrays.foreach { case (name, (meta, attrs)) =>
+      val dims = attrs.flatMap(MdioTableUtil.arrayDimensions).getOrElse(Nil)
+      val di = dims.indexOf(dim)
+      if (di >= 0) {
+        require(newSize <= meta.shape(di), s"trim grows dimension '$dim'")
+        val newMeta = meta.copy(shape = meta.shape.updated(di, newSize))
+        Files.writeString(root.resolve(name).resolve(".zarray"),
+          ZarrMeta.renderArrayMeta(newMeta))
+        if (deleteChunks) {
+          val keepChunks = (newSize + meta.chunks(di) - 1) / meta.chunks(di)
+          val dirP = root.resolve(name)
+          Files.list(dirP).iterator().asScala
+            .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
+            .foreach { p =>
+              val coords = p.getFileName.toString.split("\\.").map(_.toLong)
+              if (coords.length == dims.size && coords(di) >= keepChunks) Files.delete(p)
+            }
+        }
+      }
+    }
+    ZarrMeta.consolidate(root)
+  }
+
+  /** Best-effort delete for scratch paths: no-op when absent or not MDIO. */
+  def delete0(path: String): Unit =
+    if (Files.exists(ZarrMeta.path(path).resolve(".zgroup")) ||
+        Files.exists(ZarrMeta.path(path).resolve(".zmetadata"))) delete(path)
+
+  /** S12 — delete a dataset after validating it is one
+    * (mdio/utils/delete.h:38-81 validates before DeleteRange). */
+  def delete(path: String): Unit = {
+    val root = ZarrMeta.path(path)
+    require(Files.exists(root.resolve(".zmetadata")) || Files.exists(root.resolve(".zgroup")),
+      s"$path is not an MDIO dataset; refusing to delete")
+    Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.delete)
+  }
+}

@@ -1,0 +1,41 @@
+package graft.tools
+
+import graft.sources.MdioWriter
+import graft.spec.MdioSpec
+import org.apache.spark.sql.SparkSession
+
+/** Writes a small demo MDIO/Zarr-v2 dataset to argv(0) (default
+  * /tmp/mdio_demo) — used by the cross-implementation interop check
+  * (tools/check_zarr_interop.py) that re-reads the chunks with numpy,
+  * mirroring the reference's xarray-compatibility regression tests. */
+object MdioDemo {
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse("/tmp/mdio_demo")
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val spec = MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "demo", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "inline", "dataType": "int64",
+        |     "dimensions": [{"name": "inline", "size": 6}]},
+        |    {"name": "crossline", "dataType": "int64",
+        |     "dimensions": [{"name": "crossline", "size": 4}]},
+        |    {"name": "image", "dataType": "float32",
+        |     "dimensions": [{"name": "inline", "size": 6}, {"name": "crossline", "size": 4}],
+        |     "compressor": {"name": "zlib"},
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [3, 2]}}}}
+        |  ]
+        |}""".stripMargin)
+    MdioWriter.delete0(path)
+    MdioWriter.create(spec, path)
+    val cells = for { i <- 0L until 6L; x <- 0L until 4L } yield (i, x, (i * 100 + x).toFloat)
+    MdioWriter.writeVariable(spark, cells.toDF("inline", "crossline", "image"), path, "image")
+    println(s"[demo] wrote $path")
+    spark.stop()
+  }
+}

@@ -1,0 +1,236 @@
+package graft.zarr
+
+import com.github.luben.zstd.Zstd
+import net.jpountz.lz4.LZ4Factory
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{Deflater, Inflater}
+
+/** Zarr v2 chunk encode/decode: C-order little-endian element buffers with
+  * a numcodecs compressor envelope.
+  *
+  * Pure-JVM codecs only (the container has no native blosc):
+  *  - `null` — raw buffer;
+  *  - `zlib` — java.util.zip (numcodecs "zlib");
+  *  - `zstd` — zstd-jni, ships with Spark (numcodecs "zstd" = raw frame);
+  *  - `lz4`  — lz4-java (numcodecs "lz4" = 4-byte LE original size + block);
+  *  - `blosc` — DECODE only, for interop with reference-written data
+  *    (blosc1 frame: 16-byte header + optional block-start table; backends
+  *    lz4/zstd/zlib + byte-shuffle). Writers here never emit blosc.
+  *
+  * Values travel as JVM doubles/longs at the connector boundary; the typed
+  * read/write keeps unsigned widening consistent (SURVEY §1.2).
+  */
+object ChunkCodec {
+
+  def elemSize(dtype: String): Int = dtype.last match {
+    case '1' => 1
+    case '2' => 2
+    case '4' => 4
+    case '8' => 8
+    case _ => throw new IllegalArgumentException(s"bad dtype '$dtype'")
+  }
+
+  private def kind(dtype: String): Char = {
+    // strip byte-order prefix: "<f4" -> 'f', "|b1" -> 'b'
+    require(dtype.length >= 2, s"bad dtype '$dtype'")
+    require(!dtype.startsWith(">"), s"big-endian dtype '$dtype' not supported")
+    dtype.charAt(dtype.length - 2)
+  }
+
+  // ---- typed decode to doubles (for f/u) or longs (for i/b) ----------------
+
+  /** Decode a raw (decompressed) chunk buffer into per-element doubles.
+    * Lossless for every supported dtype except int64/uint64 above 2^53 —
+    * use [[decodeLongs]] for those. */
+  def decodeDoubles(raw: Array[Byte], dtype: String): Array[Double] = {
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val n = raw.length / elemSize(dtype)
+    val out = new Array[Double](n)
+    var i = 0
+    (kind(dtype), elemSize(dtype)) match {
+      case ('f', 4) => while (i < n) { out(i) = bb.getFloat(i * 4).toDouble; i += 1 }
+      case ('f', 8) => while (i < n) { out(i) = bb.getDouble(i * 8); i += 1 }
+      case ('i', 1) => while (i < n) { out(i) = bb.get(i).toDouble; i += 1 }
+      case ('i', 2) => while (i < n) { out(i) = bb.getShort(i * 2).toDouble; i += 1 }
+      case ('i', 4) => while (i < n) { out(i) = bb.getInt(i * 4).toDouble; i += 1 }
+      case ('i', 8) => while (i < n) { out(i) = bb.getLong(i * 8).toDouble; i += 1 }
+      case ('u', 1) => while (i < n) { out(i) = (bb.get(i) & 0xff).toDouble; i += 1 }
+      case ('u', 2) => while (i < n) { out(i) = (bb.getShort(i * 2) & 0xffff).toDouble; i += 1 }
+      case ('u', 4) => while (i < n) { out(i) = (bb.getInt(i * 4) & 0xffffffffL).toDouble; i += 1 }
+      case ('u', 8) => while (i < n) {
+        val v = bb.getLong(i * 8)
+        out(i) = if (v >= 0) v.toDouble else v.toDouble + 1.8446744073709552E19
+        i += 1
+      }
+      case ('b', 1) => while (i < n) { out(i) = if (raw(i) != 0) 1.0 else 0.0; i += 1 }
+      case other => throw new IllegalArgumentException(s"unsupported dtype '$dtype'")
+    }
+    out
+  }
+
+  /** Decode integer dtypes losslessly into longs (u8/u16/u32 widened,
+    * u64 wrapped two's-complement — connector widens to decimal). */
+  def decodeLongs(raw: Array[Byte], dtype: String): Array[Long] = {
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val n = raw.length / elemSize(dtype)
+    val out = new Array[Long](n)
+    var i = 0
+    (kind(dtype), elemSize(dtype)) match {
+      case ('i', 1) => while (i < n) { out(i) = bb.get(i).toLong; i += 1 }
+      case ('i', 2) => while (i < n) { out(i) = bb.getShort(i * 2).toLong; i += 1 }
+      case ('i', 4) => while (i < n) { out(i) = bb.getInt(i * 4).toLong; i += 1 }
+      case ('i', 8) => while (i < n) { out(i) = bb.getLong(i * 8); i += 1 }
+      case ('u', 1) => while (i < n) { out(i) = (bb.get(i) & 0xff).toLong; i += 1 }
+      case ('u', 2) => while (i < n) { out(i) = (bb.getShort(i * 2) & 0xffff).toLong; i += 1 }
+      case ('u', 4) => while (i < n) { out(i) = bb.getInt(i * 4) & 0xffffffffL; i += 1 }
+      case ('u', 8) => while (i < n) { out(i) = bb.getLong(i * 8); i += 1 }
+      case ('b', 1) => while (i < n) { out(i) = if (raw(i) != 0) 1L else 0L; i += 1 }
+      case _ => throw new IllegalArgumentException(s"dtype '$dtype' is not integral")
+    }
+    out
+  }
+
+  /** Encode doubles into a raw little-endian buffer of the given dtype. */
+  def encodeDoubles(values: Array[Double], dtype: String): Array[Byte] = {
+    val es = elemSize(dtype)
+    val raw = new Array[Byte](values.length * es)
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    (kind(dtype), es) match {
+      case ('f', 4) => while (i < values.length) { bb.putFloat(i * 4, values(i).toFloat); i += 1 }
+      case ('f', 8) => while (i < values.length) { bb.putDouble(i * 8, values(i)); i += 1 }
+      case ('i', 1) => while (i < values.length) { bb.put(i, values(i).toByte); i += 1 }
+      case ('i', 2) => while (i < values.length) { bb.putShort(i * 2, values(i).toShort); i += 1 }
+      case ('i', 4) => while (i < values.length) { bb.putInt(i * 4, values(i).toInt); i += 1 }
+      case ('i', 8) => while (i < values.length) { bb.putLong(i * 8, values(i).toLong); i += 1 }
+      case ('u', 1) => while (i < values.length) { bb.put(i, (values(i).toLong & 0xff).toByte); i += 1 }
+      case ('u', 2) => while (i < values.length) { bb.putShort(i * 2, (values(i).toLong & 0xffff).toShort); i += 1 }
+      case ('u', 4) => while (i < values.length) { bb.putInt(i * 4, (values(i).toLong & 0xffffffffL).toInt); i += 1 }
+      case ('u', 8) => while (i < values.length) { bb.putLong(i * 8, values(i).toLong); i += 1 }
+      case ('b', 1) => while (i < values.length) { raw(i) = if (values(i) != 0.0) 1 else 0; i += 1 }
+      case _ => throw new IllegalArgumentException(s"unsupported dtype '$dtype'")
+    }
+    raw
+  }
+
+  // ---- compressor envelope --------------------------------------------------
+
+  def compress(raw: Array[Byte], codec: Option[String]): Array[Byte] = codec match {
+    case None => raw
+    case Some("zlib") =>
+      val d = new Deflater()
+      d.setInput(raw); d.finish()
+      val out = new ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    case Some("zstd") => Zstd.compress(raw, 3)
+    case Some("lz4") =>
+      val c = LZ4Factory.fastestJavaInstance().fastCompressor()
+      val comp = c.compress(raw)
+      val out = ByteBuffer.allocate(4 + comp.length).order(ByteOrder.LITTLE_ENDIAN)
+      out.putInt(raw.length).put(comp)
+      out.array()
+    case Some(other) => throw new IllegalArgumentException(s"unsupported compressor '$other' for write")
+  }
+
+  def decompress(data: Array[Byte], codec: Option[String], rawSize: Int): Array[Byte] = codec match {
+    case None => data
+    case Some("zlib") | Some("gzip") =>
+      val inf = new Inflater()
+      inf.setInput(data)
+      val out = new Array[Byte](rawSize)
+      var off = 0
+      while (off < rawSize && !inf.finished()) off += inf.inflate(out, off, rawSize - off)
+      inf.end()
+      require(off == rawSize, s"zlib chunk decoded $off of $rawSize bytes")
+      out
+    case Some("zstd") => Zstd.decompress(data, rawSize)
+    case Some("lz4") =>
+      val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+      val n = bb.getInt(0)
+      require(n == rawSize, s"lz4 header size $n != expected $rawSize")
+      val out = new Array[Byte](n)
+      LZ4Factory.fastestJavaInstance().fastDecompressor()
+        .decompress(data, 4, out, 0, n)
+      out
+    case Some("blosc") => bloscDecode(data, rawSize)
+    case Some(other) => throw new IllegalArgumentException(s"unsupported compressor '$other'")
+  }
+
+  /** Blosc1 frame decode (read-only interop; format is public and stable):
+    * header[0]=version, [1]=codec version, [2]=flags (bit0 byte-shuffle,
+    * bit1 pure-memcpy, bits5-7 codec id), [3]=typesize, [4-8) nbytes,
+    * [8-12) blocksize, [12-16) cbytes, then per-block int32 compressed
+    * starts unless memcpy. Codec ids: 0 blosclz(unsupported), 1 lz4/lz4hc,
+    * 4 zlib, 5 zstd. */
+  private def bloscDecode(data: Array[Byte], expected: Int): Array[Byte] = {
+    val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val flags = data(2) & 0xff
+    val typesize = data(3) & 0xff
+    val nbytes = bb.getInt(4)
+    val blocksize = bb.getInt(8)
+    require(nbytes == expected, s"blosc nbytes $nbytes != expected $expected")
+    val shuffled = (flags & 0x1) != 0
+    val memcpyed = (flags & 0x2) != 0
+    require((flags & 0x4) == 0, "blosc bit-shuffle not supported")
+    val codecId = (flags >> 5) & 0x7
+
+    val out = new Array[Byte](nbytes)
+    if (memcpyed) {
+      // blosc memcpys the ORIGINAL buffer when compression doesn't pay,
+      // so no unshuffle applies here.
+      System.arraycopy(data, 16, out, 0, nbytes)
+    } else {
+      val nblocks = (nbytes + blocksize - 1) / blocksize
+      var b = 0
+      while (b < nblocks) {
+        val bstart = bb.getInt(16 + 4 * b)
+        val outOff = b * blocksize
+        val thisBlock = math.min(blocksize, nbytes - outOff)
+        val csize = bb.getInt(bstart) // per-block: int32 compressed size then payload
+        if (csize == thisBlock) {     // stored uncompressed
+          System.arraycopy(data, bstart + 4, out, outOff, thisBlock)
+        } else codecId match {
+          case 1 =>
+            LZ4Factory.fastestJavaInstance().fastDecompressor()
+              .decompress(data, bstart + 4, out, outOff, thisBlock)
+          case 5 =>
+            val dec = Zstd.decompress(java.util.Arrays.copyOfRange(data, bstart + 4, bstart + 4 + csize), thisBlock)
+            System.arraycopy(dec, 0, out, outOff, thisBlock)
+          case 4 =>
+            val inf = new Inflater()
+            inf.setInput(data, bstart + 4, csize)
+            var off = 0
+            while (off < thisBlock && !inf.finished()) off += inf.inflate(out, outOff + off, thisBlock - off)
+            inf.end()
+          case other => throw new IllegalArgumentException(s"blosc codec id $other not supported")
+        }
+        // shuffle is applied PER BLOCK in blosc — undo it per block.
+        if (shuffled && typesize > 1 && thisBlock % typesize == 0)
+          unshuffleInPlace(out, outOff, thisBlock, typesize)
+        b += 1
+      }
+    }
+    out
+  }
+
+  /** Blosc byte-shuffle inverse over one block: block layout is
+    * [all byte-0s][all byte-1s]… per typesize-element; restore interleaving. */
+  private def unshuffleInPlace(buf: Array[Byte], off: Int, len: Int, typesize: Int): Unit = {
+    val n = len / typesize
+    val tmp = new Array[Byte](len)
+    var j = 0
+    while (j < typesize) {
+      var i = 0
+      while (i < n) {
+        tmp(i * typesize + j) = buf(off + j * n + i)
+        i += 1
+      }
+      j += 1
+    }
+    System.arraycopy(tmp, 0, buf, off, len)
+  }
+}

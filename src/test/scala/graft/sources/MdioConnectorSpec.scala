@@ -1,0 +1,131 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.spec.MdioSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end connector lifecycle: create from spec → distributed
+  * chunk-aligned write → DSv2 read with pushdown → trim → delete
+  * (the reference's dataset_test.cc create/write/reopen/verify cycles). */
+class MdioConnectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val specJson =
+    """{
+      |  "metadata": {"name": "toy", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+      |  "variables": [
+      |    {"name": "inline", "dataType": "int64",
+      |     "dimensions": [{"name": "inline", "size": 8}]},
+      |    {"name": "crossline", "dataType": "int64",
+      |     "dimensions": [{"name": "crossline", "size": 6}]},
+      |    {"name": "image", "dataType": "float32",
+      |     "dimensions": [{"name": "inline", "size": 8}, {"name": "crossline", "size": 6}],
+      |     "compressor": {"name": "zstd"},
+      |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [4, 3]}}}},
+      |    {"name": "mask", "dataType": "int32",
+      |     "dimensions": [{"name": "inline", "size": 8}, {"name": "crossline", "size": 6}],
+      |     "compressor": {"name": "zlib"},
+      |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [4, 3]}}}}
+      |  ]
+      |}""".stripMargin
+
+  private def freshDataset(): String = {
+    val dir = Files.createTempDirectory("mdio_test").resolve("toy.mdio").toString
+    val spec = MdioSpec.fromJson(specJson)
+    MdioWriter.create(spec, dir)
+    // image(i, x) = i*10 + x ; mask = (i + x) % 2
+    val cells = for { i <- 0L until 8L; x <- 0L until 6L } yield (i, x, (i * 10 + x).toFloat, ((i + x) % 2).toInt)
+    val df = cells.toDF("inline", "crossline", "image", "mask")
+    MdioWriter.writeVariable(spark, df.select($"inline", $"crossline", $"image"), dir, "image")
+    MdioWriter.writeVariable(spark, df.select($"inline", $"crossline", col("mask").cast("double").as("mask")), dir, "mask")
+    dir
+  }
+
+  test("create writes zarr v2 metadata incl. consolidated .zmetadata") {
+    val dir = freshDataset()
+    val root = java.nio.file.Paths.get(dir)
+    assert(Files.exists(root.resolve(".zgroup")))
+    assert(Files.exists(root.resolve(".zmetadata")))
+    assert(Files.exists(root.resolve("image").resolve(".zarray")))
+    val (groupAttrs, arrays) = graft.zarr.ZarrMeta.readGroup(root)
+    assert(arrays.keySet == Set("inline", "crossline", "image", "mask"))
+    assert(arrays("image")._1.chunks == Seq(4L, 3L))
+    MdioWriter.delete(dir)
+  }
+
+  test("round-trip: every written cell reads back exactly") {
+    val dir = freshDataset()
+    val got = spark.read.format("mdio").load(dir)
+      .select("inline", "crossline", "image", "mask")
+      .as[(Long, Long, Float, Int)].collect().toSet
+    val want = (for { i <- 0L until 8L; x <- 0L until 6L }
+      yield (i, x, (i * 10 + x).toFloat, ((i + x) % 2).toInt)).toSet
+    assert(got == want)
+    MdioWriter.delete(dir)
+  }
+
+  test("dim-range filters prune chunks (pushdown) and return exact cells") {
+    val dir = freshDataset()
+    val df = spark.read.format("mdio").load(dir)
+      .filter($"inline" >= 2 && $"inline" < 5 && $"crossline" === 1)
+    // partition pruning: only chunks intersecting [2,5)x[1,2) → inline
+    // chunks {0,1} × crossline chunk {0} = 2 of 4 chunks
+    assert(df.rdd.getNumPartitions == 2)
+    val got = df.select("inline", "crossline", "image")
+      .as[(Long, Long, Float)].collect().toSet
+    val want = (for { i <- 2L until 5L } yield (i, 1L, (i * 10 + 1).toFloat)).toSet
+    assert(got == want)
+    MdioWriter.delete(dir)
+  }
+
+  test("column pruning: unprojected variables are not decoded") {
+    val dir = freshDataset()
+    // delete all of mask's chunk files; reading only image must still work
+    val maskDir = java.nio.file.Paths.get(dir).resolve("mask")
+    Files.list(maskDir).iterator().forEachRemaining { p =>
+      if (!p.getFileName.toString.startsWith(".")) Files.delete(p)
+    }
+    val sum = spark.read.format("mdio").load(dir)
+      .select("image").agg(sum_distinct(lit(0)), count(lit(1))).collect()(0).getLong(1)
+    assert(sum == 48)
+    // and reading mask now yields the fill value, not an error (S5 fill path)
+    val fills = spark.read.format("mdio").load(dir).select("mask").distinct().as[Int].collect()
+    assert(fills.toSeq == Seq(Int.MaxValue))
+    MdioWriter.delete(dir)
+  }
+
+  test("updateAttributes merge-patches and survives re-consolidation (S10)") {
+    val dir = freshDataset()
+    MdioWriter.updateAttributes(dir, "image",
+      """{"statsV1": {"count": 48, "min": 0.0, "max": 75.0}, "unitsV1": {"length": "m"}}""")
+    MdioWriter.updateAttributes(dir, "image", """{"statsV1": {"max": 80.0}}""")
+    val (_, arrays) = graft.zarr.ZarrMeta.readGroup(java.nio.file.Paths.get(dir))
+    val attrs = arrays("image")._2.get
+    assert(attrs.contains("\"max\":80.0") && attrs.contains("\"count\":48"))
+    assert(attrs.contains("_ARRAY_DIMENSIONS")) // merge-patch preserved dims
+    MdioWriter.delete(dir)
+  }
+
+  test("trim shrinks a dimension and deletes orphaned chunks (S11)") {
+    val dir = freshDataset()
+    MdioWriter.trim(dir, "inline", 4L)
+    val df = spark.read.format("mdio").load(dir)
+    assert(df.agg(max($"inline")).as[Long].head() == 3L)
+    assert(df.count() == 24)
+    // orphaned inline-chunk-1 files are gone
+    val imageFiles = Files.list(java.nio.file.Paths.get(dir).resolve("image"))
+      .iterator().asScala.map(_.getFileName.toString).filterNot(_.startsWith(".")).toSet
+    assert(imageFiles == Set("0.0", "0.1"))
+    MdioWriter.delete(dir)
+  }
+
+  test("delete refuses non-MDIO directories (S12)") {
+    val plain = Files.createTempDirectory("not_mdio")
+    intercept[IllegalArgumentException](MdioWriter.delete(plain.toString))
+  }
+
+  private implicit class IterOps[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
+  }
+}

@@ -1,0 +1,104 @@
+package graft.spec
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+
+/** Spec-layer parity with the reference's validator/factory
+  * (mdio/dataset_validator.h, mdio/dataset_factory.h). */
+class MdioSpecSpec extends AnyFunSuite {
+
+  private val good =
+    """{
+      |  "metadata": {"name": "toy", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+      |  "variables": [
+      |    {"name": "inline", "dataType": "uint32",
+      |     "dimensions": [{"name": "inline", "size": 4}]},
+      |    {"name": "crossline", "dataType": "uint32",
+      |     "dimensions": [{"name": "crossline", "size": 6}]},
+      |    {"name": "cdp-x", "dataType": "float64",
+      |     "dimensions": [{"name": "inline", "size": 4}, {"name": "crossline", "size": 6}]},
+      |    {"name": "image", "dataType": "float32",
+      |     "dimensions": [{"name": "inline", "size": 4}, {"name": "crossline", "size": 6}],
+      |     "coordinates": ["cdp-x"],
+      |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [2, 3]}}}}
+      |  ]
+      |}""".stripMargin
+
+  test("parses a valid spec: dims, chunks, coordinates") {
+    val ds = MdioSpec.fromJson(good)
+    assert(ds.name == "toy" && ds.apiVersion == 1)
+    assert(ds.dimensions == Map("inline" -> 4L, "crossline" -> 6L))
+    val img = ds.variable("image")
+    assert(img.chunks == Seq(2L, 3L))
+    assert(img.coordinates == Seq("cdp-x"))
+    assert(ds.variable("inline").isDimensionCoordinate)
+    // cdp-x is listed as a coordinate of image, so data variables = [image]
+    assert(ds.dataVariables.map(_.name) == Seq("image"))
+  }
+
+  test("missing required fields error (schema rules)") {
+    intercept[IllegalArgumentException](
+      MdioSpec.fromJson("""{"metadata": {"name": "x"}, "variables": []}"""))
+    intercept[IllegalArgumentException](MdioSpec.fromJson(
+      """{"metadata": {"name": "x", "apiVersion": 1, "createdOn": "t"},
+        |"variables": [{"name": "v", "dimensions": []}]}""".stripMargin))
+  }
+
+  test("v0 specs rejected (mdio/dataset.h:1047-1055)") {
+    intercept[IllegalArgumentException](MdioSpec.fromJson(
+      """{"metadata": {"name": "x", "apiVersion": "v0.1", "createdOn": "t"},
+        |"variables": [{"name": "d", "dataType": "int32", "dimensions": [{"name": "d", "size": 2}]}]}""".stripMargin))
+  }
+
+  test("conflicting dimension sizes rejected (get_dimensions)") {
+    val bad = good.replace("""{"name": "crossline", "size": 6}],
+     |""".stripMargin, "")
+    intercept[IllegalArgumentException](MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "t", "apiVersion": 1, "createdOn": "t"},
+        |  "variables": [
+        |    {"name": "d", "dataType": "int32", "dimensions": [{"name": "d", "size": 2}]},
+        |    {"name": "a", "dataType": "int32", "dimensions": [{"name": "d", "size": 3}]}
+        |  ]
+        |}""".stripMargin))
+  }
+
+  test("dimension without dimension-coordinate variable rejected") {
+    intercept[IllegalArgumentException](MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "t", "apiVersion": 1, "createdOn": "t"},
+        |  "variables": [
+        |    {"name": "a", "dataType": "int32", "dimensions": [{"name": "d", "size": 3}]}
+        |  ]
+        |}""".stripMargin))
+  }
+
+  test("unknown listed coordinate rejected") {
+    intercept[IllegalArgumentException](MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "t", "apiVersion": 1, "createdOn": "t"},
+        |  "variables": [
+        |    {"name": "d", "dataType": "int32", "dimensions": [{"name": "d", "size": 2}]},
+        |    {"name": "a", "dataType": "int32", "dimensions": [{"name": "d", "size": 2}],
+        |     "coordinates": ["ghost"]}
+        |  ]
+        |}""".stripMargin))
+  }
+
+  test("dtype widening policy (SURVEY §1.2)") {
+    assert(MdioSpec.sparkType("uint8") == ShortType)
+    assert(MdioSpec.sparkType("uint16") == IntegerType)
+    assert(MdioSpec.sparkType("uint32") == LongType)
+    assert(MdioSpec.sparkType("uint64") == DecimalType(20, 0))
+    assert(MdioSpec.sparkType("float16") == FloatType)
+    assert(MdioSpec.sparkType("complex64").isInstanceOf[StructType])
+    intercept[IllegalArgumentException](MdioSpec.sparkType("float128"))
+  }
+
+  test("fill values match mdio-python parity (floats NaN, ints max)") {
+    assert(MdioSpec.fillValue("float32").asInstanceOf[Float].isNaN)
+    assert(MdioSpec.fillValue("int32") == Int.MaxValue)
+    assert(MdioSpec.fillValue("uint16") == 65535)
+    assert(MdioSpec.fillValue("bool") == false)
+  }
+}

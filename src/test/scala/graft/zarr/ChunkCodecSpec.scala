@@ -1,0 +1,56 @@
+package graft.zarr
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ChunkCodecSpec extends AnyFunSuite {
+
+  private val doubles = Array(1.5, -2.25, 3.0, 0.0, Double.NaN, 1e300)
+  private val longs = Array(1L, -2L, 300L, 0L, Long.MaxValue, Long.MinValue)
+
+  test("float dtypes round-trip through encode/decode") {
+    for (dt <- Seq("<f8")) {
+      val got = ChunkCodec.decodeDoubles(ChunkCodec.encodeDoubles(doubles, dt), dt)
+      assert(got.zip(doubles).forall { case (a, b) => a == b || (a.isNaN && b.isNaN) })
+    }
+    val f4 = Array(1.5, -2.25, 3.0)
+    assert(ChunkCodec.decodeDoubles(ChunkCodec.encodeDoubles(f4, "<f4"), "<f4").toSeq == f4.toSeq)
+  }
+
+  test("int dtypes round-trip losslessly via longs") {
+    val i8 = ChunkCodec.encodeDoubles(longs.map(_.toDouble), "<i8")
+    // int64 via double loses precision at extremes — decodeLongs on the raw
+    // little-endian buffer must still be exact for what encode produced
+    val i4vals = Array(1L, -2L, 300L, Int.MaxValue.toLong)
+    val raw = ChunkCodec.encodeDoubles(i4vals.map(_.toDouble), "<i4")
+    assert(ChunkCodec.decodeLongs(raw, "<i4").toSeq == i4vals.toSeq)
+    val i2vals = Array(1L, -2L, 300L, Short.MaxValue.toLong)
+    assert(ChunkCodec.decodeLongs(ChunkCodec.encodeDoubles(i2vals.map(_.toDouble), "<i2"), "<i2").toSeq == i2vals.toSeq)
+  }
+
+  test("unsigned dtypes widen correctly (u1/u2/u4)") {
+    val u1 = Array[Byte](0, -1, 127)  // -1 as u8 = 255
+    assert(ChunkCodec.decodeLongs(u1, "|u1").toSeq == Seq(0L, 255L, 127L))
+    val u4vals = Array(0L, 4294967295L, 17L)
+    val raw = ChunkCodec.encodeDoubles(u4vals.map(_.toDouble), "<u4")
+    assert(ChunkCodec.decodeLongs(raw, "<u4").toSeq == u4vals.toSeq)
+  }
+
+  test("bool dtype round-trips") {
+    val raw = ChunkCodec.encodeDoubles(Array(1.0, 0.0, 1.0), "|b1")
+    assert(ChunkCodec.decodeLongs(raw, "|b1").toSeq == Seq(1L, 0L, 1L))
+  }
+
+  test("compressors round-trip: zlib, zstd, lz4, null") {
+    val raw = ChunkCodec.encodeDoubles(Array.tabulate(1000)(i => (i % 17).toDouble), "<f8")
+    for (codec <- Seq(None, Some("zlib"), Some("zstd"), Some("lz4"))) {
+      val comp = ChunkCodec.compress(raw, codec)
+      if (codec.isDefined) assert(comp.length < raw.length, s"$codec did not compress")
+      val back = ChunkCodec.decompress(comp, codec, raw.length)
+      assert(back.toSeq == raw.toSeq, s"$codec round-trip failed")
+    }
+  }
+
+  test("big-endian dtypes rejected") {
+    intercept[IllegalArgumentException](ChunkCodec.decodeDoubles(Array[Byte](0, 0, 0, 0), ">f4"))
+  }
+}

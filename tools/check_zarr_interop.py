@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Cross-implementation interop check: re-read a graft-written MDIO/Zarr-v2
+dataset using only numpy + stdlib (no zarr dependency in this container),
+following the Zarr v2 spec directly — the same role as the reference's
+xarray-compatibility regression tests.
+
+Usage: python3 tools/check_zarr_interop.py /tmp/mdio_demo
+"""
+import json, sys, zlib, pathlib
+import numpy as np
+
+
+def read_array(root: pathlib.Path, name: str) -> np.ndarray:
+    meta = json.loads((root / name / ".zarray").read_text())
+    assert meta["zarr_format"] == 2, meta
+    shape, chunks, dtype = meta["shape"], meta["chunks"], np.dtype(meta["dtype"])
+    comp = meta["compressor"]
+    fill = meta["fill_value"]
+    fill = np.nan if fill == "NaN" else fill
+    out = np.full(shape, fill, dtype=dtype)
+    grid = [-(-s // c) for s, c in zip(shape, chunks)]
+    for idx in np.ndindex(*grid):
+        f = root / name / ".".join(map(str, idx))
+        if not f.exists():
+            continue
+        raw = f.read_bytes()
+        if comp is not None:
+            assert comp["id"] == "zlib", f"unexpected codec {comp}"
+            raw = zlib.decompress(raw)
+        block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
+        sl = tuple(slice(i * c, min((i + 1) * c, s))
+                   for i, c, s in zip(idx, chunks, shape))
+        out[sl] = block[tuple(slice(0, sl[d].stop - sl[d].start)
+                              for d in range(len(shape)))]
+    return out
+
+
+def main(path: str) -> int:
+    root = pathlib.Path(path)
+    zmeta = json.loads((root / ".zmetadata").read_text())
+    assert zmeta["zarr_consolidated_format"] == 1
+    assert ".zgroup" in zmeta["metadata"] and "image/.zarray" in zmeta["metadata"]
+    attrs = zmeta["metadata"]["image/.zattrs"]
+    assert attrs["_ARRAY_DIMENSIONS"] == ["inline", "crossline"], attrs
+
+    img = read_array(root, "image")
+    want = (np.arange(6)[:, None] * 100 + np.arange(4)[None, :]).astype("<f4")
+    if not np.array_equal(img, want):
+        print("FAIL image mismatch\n", img, "\nwant\n", want)
+        return 1
+    print(f"ok   zarr-v2 interop: image {img.shape} {img.dtype} matches, "
+          f"consolidated metadata + _ARRAY_DIMENSIONS present")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1]))
