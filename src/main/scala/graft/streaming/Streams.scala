@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.8).
+  *
+  * The reference is strictly batch (all-async but no watermarks/state
+  * anywhere in its tree); these are the streaming counterparts a
+  * trace-by-trace ingest pipeline needs, built on the engine's own
+  * operators so batch and streaming share semantics:
+  *  - [[tumblingCounts]] / [[slidingCounts]] — event-time windowed
+  *    aggregation with watermark-bounded state;
+  *  - [[sessionize]] — gap-based sessions via flatMapGroupsWithState
+  *    (the streaming twin of Relational.qEventsSessionize);
+  *  - [[dedupStream]] — watermarked exact dedup (state = one key per id
+  *    inside the watermark horizon, bounded memory at any throughput);
+  *  - [[chunkAlignedSink]] — foreachBatch writer that lands each
+  *    micro-batch into the MDIO store chunk-aligned (the reference's
+  *    SEG-Y-ingest shape, regression_tests/multidimio_compatibility_test.py).
+  *
+  * All state is keyed + watermark-bounded, so at cluster scale the state
+  * store grows with (keys in horizon), not stream length.
+  */
+object Streams {
+
+  /** Event schema shared with the batch `events` table. */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     n_events: Long, total_value: Double)
+
+  /** Per-user open-session state for [[sessionize]]. */
+  case class SessState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Tumbling event-time windows with late-data tolerance. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Sliding windows (length, slide). */
+  def slidingCounts(events: DataFrame, length: String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), length, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Gap-based sessionization: a session closes after `gapSeconds` of
+    * inactivity (processing-time timeout closes stragglers). Emits one row
+    * per closed session. */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+                 gapSeconds: Long = 1800L): Dataset[Session] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessState]) =>
+          // events within a micro-batch are not ordered — sort this user's slice
+          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[Session]()
+          evs.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(st) if t - st.last <= gapSeconds * 1000 =>
+                cur = Some(st.copy(last = t, n = st.n + 1, total = st.total + e.value))
+              case Some(st) =>
+                closed += Session(userId, new java.sql.Timestamp(st.start), st.n, st.total)
+                cur = Some(SessState(t, t, 1L, e.value))
+              case None =>
+                cur = Some(SessState(t, t, 1L, e.value))
+            }
+          }
+          cur match {
+            case Some(st) => state.update(st)
+            case None => ()
+          }
+          closed.iterator
+      }
+  }
+
+  /** Watermarked exact dedup on an id column: duplicates arriving within
+    * the watermark horizon are dropped; state stays bounded. */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+                  watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(idCol, "ts")
+
+  /** foreachBatch sink landing micro-batches into an MDIO variable,
+    * chunk-aligned (single-writer-per-chunk holds per micro-batch because
+    * writeVariable repartitions by chunk id before writing). */
+  def chunkAlignedSink(spark: SparkSession, path: String, variable: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    graft.sources.MdioWriter.writeVariable(spark, batch, path, variable)
+}

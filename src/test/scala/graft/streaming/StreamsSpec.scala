@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming semantics driven through MemoryStream micro-batches. */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // offset well above epoch: the initial watermark is 0, and rows AT the
+  // watermark are considered late by stateful dedup
+  private def ts(minute: Int): Timestamp = new Timestamp(60000L * (minute + 100000))
+
+  private def ev(id: Long, minute: Int, user: Long, typ: String, v: Double) =
+    Streams.Event(id, ts(minute), user, typ, v)
+
+  test("tumblingCounts groups by event-time window across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.Event]
+    val q = Streams.tumblingCounts(in.toDF(), window_ = "10 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("tumbling").outputMode("complete").start()
+    try {
+      in.addData(ev(1, 1, 1, "click", 1.0), ev(2, 5, 1, "click", 2.0))
+      q.processAllAvailable()
+      in.addData(ev(3, 11, 2, "click", 3.0), ev(4, 12, 2, "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select(col("window.start").cast("long").as("w"), col("event_type"), col("n"))
+        .as[(Long, String, Long)].collect().toSet
+      val base = 100000L * 60L
+      assert(rows == Set((base, "click", 2L), (base + 600L, "click", 1L), (base + 600L, "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session after the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.Event]
+    val q = Streams.sessionize(spark, in.toDS(), gapSeconds = 600)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: events at minute 0 and 5 (one session), then minute 30
+      // (gap 25 min > 10 min -> first session closes on arrival)
+      in.addData(ev(1, 0, 1, "click", 1.0), ev(2, 5, 1, "click", 2.0))
+      q.processAllAvailable()
+      in.addData(ev(3, 30, 1, "click", 4.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[Streams.Session].collect()
+      assert(sessions.length == 1)
+      assert(sessions(0).n_events == 2 && sessions(0).total_value == 3.0)
+      assert(sessions(0).session_start == ts(0))
+    } finally q.stop()
+  }
+
+  test("dedupStream drops duplicate ids within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.Event]
+    val q = Streams.dedupStream(in.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      in.addData(ev(1, 0, 1, "click", 1.0), ev(1, 0, 1, "click", 1.0), ev(2, 1, 1, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(ev(2, 1, 1, "view", 2.0), ev(3, 2, 2, "click", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() == 3)
+    } finally q.stop()
+  }
+
+  test("chunkAlignedSink lands micro-batches into the MDIO store") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("mdio_stream").resolve("s.mdio").toString
+    graft.sources.MdioWriter.create(graft.spec.MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "s", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "cell", "dataType": "int64", "dimensions": [{"name": "cell", "size": 16}]},
+        |    {"name": "v", "dataType": "float64", "dimensions": [{"name": "cell", "size": 16}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [4]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    val in = MemoryStream[(Long, Double)]
+    val q = in.toDF().toDF("cell", "v")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streams.chunkAlignedSink(spark, dir, "v")(b, id)
+      }
+      .start()
+    try {
+      in.addData((0L, 1.5), (5L, 2.5))
+      q.processAllAvailable()
+      in.addData((10L, 3.5))
+      q.processAllAvailable()
+      val got = spark.read.format("mdio").load(dir)
+        .filter(!isnan(col("v"))).select("cell", "v")
+        .as[(Long, Double)].collect().toSet
+      assert(got == Set((0L, 1.5), (5L, 2.5), (10L, 3.5)))
+    } finally q.stop()
+    graft.sources.MdioWriter.delete(dir)
+  }
+}
