@@ -58,22 +58,36 @@ object Dedup {
     *
     * Plan shape at scale: one map stage (shingle+sign), one explode, one
     * shuffle on (band, bucket), a self-join confined to same-bucket rows
-    * (bucket cardinality is bounded), then exact verification. */
+    * (bucket cardinality is bounded), then exact verification. Candidate
+    * pairs are DEDUPED BEFORE verification — a pair colliding in many
+    * bands is verified once, not once per band — and a size-ratio
+    * prefilter drops pairs that provably cannot reach the threshold
+    * (J(A,B) >= t implies |A| >= t|B| and |B| >= t|A|). */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 16, bands: Int = 4,
                  shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // persist the tiny (id, band, bucket) table so the candidate self-join
+    // does not recompute the shingle+sign stage per side (same pattern as
+    // Spark MLlib's approxSimilarityJoin)
     val banded = sh
       .withColumn("bb", explode(lshBands(col("sig"), numHashes, bands)))
-      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sets = sh.select(col("id"), col("sh"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .filter(size(col("sh_a")) >= lit(threshold) * size(col("sh_b")) &&
+              size(col("sh_b")) >= lit(threshold) * size(col("sh_a")))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .distinct()
   }
 
   /** 64-bit SimHash of the token stream: bit j is the sign of
@@ -97,19 +111,35 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keep_id"))
       .filter(col("n_docs") > 1)
 
-  /** Exact n-gram Jaccard near-dups within a blocking key (here: language
-    * + token-count band). The block bounds the quadratic verification the
-    * way LSH buckets do; use [[minhashLsh]] when no natural block exists. */
+  /** Exact n-gram Jaccard near-dups within a blocking key, via an INVERTED
+    * INDEX instead of a quadratic block self-join: explode each document's
+    * distinct shingles into postings, join postings on (block, shingle),
+    * and count co-occurrences — |A∩B| arrives from the group-by, and
+    * |A∪B| = |A|+|B|-|A∩B|, so no per-pair array intersection ever runs
+    * and only pairs sharing at least one shingle materialize at all.
+    *
+    * At 100 TB this is the standard exact-verification shape: the posting
+    * join shuffles on (block, shingle) — skew on ultra-common shingles is
+    * the known hazard, handled by AQE skew-join splitting; results are
+    * identical to the naive quadratic definition. */
   def ngramJaccardDups(df: DataFrame, idCol: String, textCol: String,
                        blockCol: Column, shingleK: Int = 3,
                        threshold: Double = 0.5): DataFrame = {
     val base = df.select(col(idCol).as("id"),
       blockCol.as("block"), shingles(col(textCol), shingleK).as("sh"))
-    val a = base.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = base.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("block"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .withColumn("sz", size(col("sh")))
+    val posting = base.select(col("block"), col("id"), col("sz"), explode(col("sh")).as("g"))
+    posting.alias("a")
+      .join(posting.alias("b"),
+        col("a.block") === col("b.block") && col("a.g") === col("b.g") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+               col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          greatest((col("sz_a") + col("sz_b") - col("inter")).cast("double"), lit(1.0)))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -60,10 +60,11 @@ final case class MdioTable(path: String, wanted: Option[Seq[String]]) extends Ta
   // driver-side metadata read (S1): consolidated or listing
   private lazy val (groupAttrs, arrays) = ZarrMeta.readGroup(ZarrMeta.path(path))
 
-  /** name -> (meta, dims) for arrays carrying _ARRAY_DIMENSIONS. */
+  /** name -> (meta, dims): v3 `dimension_names`, else v2 `_ARRAY_DIMENSIONS`. */
   private lazy val labeled: Map[String, (ZarrMeta.ArrayMeta, Seq[String])] =
     arrays.flatMap { case (name, (meta, attrs)) =>
-      attrs.flatMap(MdioTableUtil.arrayDimensions).map(d => name -> (meta, d))
+      meta.dimNames.orElse(attrs.flatMap(MdioTableUtil.arrayDimensions))
+        .map(d => name -> (meta, d))
     }
 
   /** The table's dimension tuple = dims of the selected data variables
@@ -263,7 +264,7 @@ final class MdioPartitionReader(p: MdioInputPartition, dims: Array[String], sche
   // decoded per-variable buffers (null => whole chunk missing -> fill)
   private val buffers: Array[AnyRef] = p.vars.indices.map { vi =>
     val m = p.metas(vi)
-    val file = ZarrMeta.path(p.path).resolve(p.vars(vi)).resolve(ZarrMeta.chunkKey(p.chunk.toSeq))
+    val file = m.chunkFile(ZarrMeta.path(p.path).resolve(p.vars(vi)), p.chunk.toSeq)
     if (!Files.exists(file)) null
     else {
       val rawSize = (m.chunks.product * m.elemSize).toInt

@@ -25,16 +25,19 @@ import scala.jdk.CollectionConverters._
 object MdioWriter {
 
   /** S2 — create a dataset from a validated JSON spec: all array metadata +
-    * group attrs + consolidated metadata; no chunk data yet. */
-  def create(spec: MdioSpec.Dataset, path: String): Unit = {
+    * group attrs + (v2) consolidated metadata; no chunk data yet.
+    * `version` selects the on-disk format, as the reference's
+    * `from_json(..., ZarrVersion)` does (mdio/dataset.h:312-403). */
+  def create(spec: MdioSpec.Dataset, path: String, version: Int = 2): Unit = {
     MdioSpec.validate(spec)
+    require(version == 2 || version == 3, s"zarr version must be 2 or 3, got $version")
     val root = ZarrMeta.path(path)
     val groupAttrs =
       s"""{"name": ${JsonMethods.compact(JString(spec.name))},
          | "apiVersion": ${spec.apiVersion},
          | "createdOn": ${JsonMethods.compact(JString(spec.createdOn))},
          | "attributes": ${spec.attributes.map(JsonMethods.compact).getOrElse("{}")}}""".stripMargin
-    ZarrMeta.writeGroup(root, Some(groupAttrs))
+    ZarrMeta.writeGroup(root, Some(groupAttrs), version)
     spec.variables.foreach { v =>
       val meta = ZarrMeta.ArrayMeta(
         shape = v.shape, chunks = v.chunks,
@@ -46,7 +49,9 @@ object MdioWriter {
           case b: Boolean => Some(if (b) 1.0 else 0.0)
           case n: Number => Some(n.doubleValue())
           case _ => None
-        })
+        },
+        version = version,
+        dimNames = Some(v.dimensions.map(_.name)))
       val dimsJson = v.dimensions.map(d => s""""${d.name}"""").mkString("[", ", ", "]")
       val extra = v.metadata.map(m => s""", "metadata": ${JsonMethods.compact(m)}""").getOrElse("")
       val longName = v.longName.map(ln => s""", "long_name": ${JsonMethods.compact(JString(ln))}""").getOrElse("")
@@ -55,7 +60,7 @@ object MdioWriter {
       ZarrMeta.writeArray(root, v.name, meta,
         Some(s"""{"_ARRAY_DIMENSIONS": $dimsJson$longName$coords$extra}"""))
     }
-    ZarrMeta.consolidate(root)
+    if (version == 2) ZarrMeta.consolidate(root)
   }
 
   /** S6 — distributed chunk-aligned write of one variable.
@@ -133,7 +138,7 @@ object MdioWriter {
           while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
           val raw = ChunkCodec.encodeDoubles(buf, dtype)
           val out = ChunkCodec.compress(raw, compressor)
-          val file = ZarrMeta.path(pathStr).resolve(variable).resolve(ZarrMeta.chunkKey(cc.toSeq))
+          val file = meta.chunkFile(ZarrMeta.path(pathStr).resolve(variable), cc.toSeq)
           Files.createDirectories(file.getParent)
           Files.write(file, out)
         }
@@ -146,12 +151,25 @@ object MdioWriter {
     * mdio/variable.h:881-910, mdio/dataset.h:1269-1416). */
   def updateAttributes(path: String, variable: String, patch: String): Unit = {
     val root = ZarrMeta.path(path)
-    val target = if (variable.isEmpty) root.resolve(".zattrs")
-                 else root.resolve(variable).resolve(".zattrs")
-    val current = if (Files.exists(target)) JsonMethods.parse(Files.readString(target)) else JObject()
-    val merged = mergePatch(current, JsonMethods.parse(patch))
-    Files.writeString(target, JsonMethods.compact(merged))
-    ZarrMeta.consolidate(root)
+    if (ZarrMeta.detectVersion(root) == 3) {
+      // v3: attributes live inside the node's zarr.json
+      val target = (if (variable.isEmpty) root else root.resolve(variable)).resolve("zarr.json")
+      val node = JsonMethods.parse(Files.readString(target))
+      val merged = mergePatch(node \ "attributes", JsonMethods.parse(patch))
+      val updated = node match {
+        case JObject(fields) =>
+          JObject(fields.filterNot(_._1 == "attributes") :+ ("attributes" -> merged))
+        case other => other
+      }
+      Files.writeString(target, JsonMethods.pretty(updated))
+    } else {
+      val target = if (variable.isEmpty) root.resolve(".zattrs")
+                   else root.resolve(variable).resolve(".zattrs")
+      val current = if (Files.exists(target)) JsonMethods.parse(Files.readString(target)) else JObject()
+      val merged = mergePatch(current, JsonMethods.parse(patch))
+      Files.writeString(target, JsonMethods.compact(merged))
+      ZarrMeta.consolidate(root)
+    }
   }
 
   /** RFC 7386 JSON merge-patch (reference uses nlohmann merge_patch). */
@@ -177,12 +195,23 @@ object MdioWriter {
       if (di >= 0) {
         require(newSize <= meta.shape(di), s"trim grows dimension '$dim'")
         val newMeta = meta.copy(shape = meta.shape.updated(di, newSize))
-        Files.writeString(root.resolve(name).resolve(".zarray"),
-          ZarrMeta.renderArrayMeta(newMeta))
+        val arrayDir = root.resolve(name)
+        if (meta.version == 3)
+          Files.writeString(arrayDir.resolve("zarr.json"),
+            ZarrMeta.renderArrayMetaV3(newMeta, attrs))
+        else
+          Files.writeString(arrayDir.resolve(".zarray"), ZarrMeta.renderArrayMeta(newMeta))
         if (deleteChunks) {
           val keepChunks = (newSize + meta.chunks(di) - 1) / meta.chunks(di)
-          val dirP = root.resolve(name)
-          Files.list(dirP).iterator().asScala
+          if (meta.version == 3) {
+            val cDir = arrayDir.resolve("c")
+            if (Files.exists(cDir)) Files.walk(cDir).iterator().asScala
+              .filter(Files.isRegularFile(_))
+              .foreach { p =>
+                val coords = cDir.relativize(p).toString.split("/").map(_.toLong)
+                if (coords.length == dims.size && coords(di) >= keepChunks) Files.delete(p)
+              }
+          } else Files.list(arrayDir).iterator().asScala
             .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
             .foreach { p =>
               val coords = p.getFileName.toString.split("\\.").map(_.toLong)
@@ -191,20 +220,22 @@ object MdioWriter {
         }
       }
     }
-    ZarrMeta.consolidate(root)
+    if (ZarrMeta.detectVersion(root) == 2) ZarrMeta.consolidate(root)
   }
+
+  private def isDataset(root: Path): Boolean =
+    Files.exists(root.resolve(".zgroup")) || Files.exists(root.resolve(".zmetadata")) ||
+      Files.exists(root.resolve("zarr.json"))
 
   /** Best-effort delete for scratch paths: no-op when absent or not MDIO. */
   def delete0(path: String): Unit =
-    if (Files.exists(ZarrMeta.path(path).resolve(".zgroup")) ||
-        Files.exists(ZarrMeta.path(path).resolve(".zmetadata"))) delete(path)
+    if (isDataset(ZarrMeta.path(path))) delete(path)
 
   /** S12 — delete a dataset after validating it is one
     * (mdio/utils/delete.h:38-81 validates before DeleteRange). */
   def delete(path: String): Unit = {
     val root = ZarrMeta.path(path)
-    require(Files.exists(root.resolve(".zmetadata")) || Files.exists(root.resolve(".zgroup")),
-      s"$path is not an MDIO dataset; refusing to delete")
+    require(isDataset(root), s"$path is not an MDIO dataset; refusing to delete")
     Files.walk(root).sorted(Comparator.reverseOrder[Path]())
       .iterator().asScala.foreach(Files.delete)
   }

@@ -5,12 +5,17 @@ import org.json4s.jackson.JsonMethods
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
-/** Zarr v2 on-disk metadata: `.zgroup`, `.zarray`, `.zattrs`, consolidated
-  * `.zmetadata` — the same layout the reference writes
-  * (mdio/zarr/zarr_v2.h:221-367 WriteDatasetMetadata, GetZarray at 67-97)
-  * re-expressed as plain-JVM file I/O. Storage drivers: local paths here;
-  * `s3a://`/`gs://` URIs go through Hadoop FS in the connector (free in
-  * Spark — SURVEY §2.1 S7).
+/** Zarr on-disk metadata, both format versions the reference supports
+  * (mdio/zarr/zarr.h:18-44):
+  *  - v2: `.zgroup`/`.zarray`/`.zattrs` + consolidated `.zmetadata`
+  *    (mdio/zarr/zarr_v2.h:221-367 WriteDatasetMetadata, GetZarray 67-97);
+  *  - v3: one `zarr.json` per node, arrays discovered by listing
+  *    (mdio/zarr/zarr_v3.h:185-206 candidates, 638-653 discovery), chunk
+  *    keys under `c/` with `/` separators.
+  * Version detection probes `zarr.json` then `.zgroup`, defaulting v2
+  * (S8, mdio/zarr/zarr_driver.h:97-128). Storage drivers: local paths
+  * here; `s3a://`/`gs://` URIs go through Hadoop FS in the connector
+  * (free in Spark — SURVEY §2.1 S7).
   */
 object ZarrMeta {
 
@@ -20,11 +25,38 @@ object ZarrMeta {
       dtype: String,                       // numpy typestring, e.g. "<f4"
       compressor: Option[String],          // None | "zlib" | "zstd" | "lz4"
       fillValue: Option[Double],
-      order: String = "C") {
+      order: String = "C",
+      version: Int = 2,
+      dimNames: Option[Seq[String]] = None) {
     def rank: Int = shape.size
     /** Number of chunks along each dimension. */
     def chunkGrid: Seq[Long] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     def elemSize: Int = ChunkCodec.elemSize(dtype)
+    /** Chunk file path inside the array dir: v2 `1.2`, v3 `c/1/2`. */
+    def chunkFile(arrayDir: Path, coords: Seq[Long]): Path =
+      if (version == 3) arrayDir.resolve("c").resolve(coords.mkString("/"))
+      else arrayDir.resolve(coords.mkString("."))
+  }
+
+  /** v3 data_type name ↔ numpy typestring. */
+  def v3DtypeName(np: String): String = {
+    val k = np.charAt(np.length - 2); val sz = np.last
+    (k, sz) match {
+      case ('b', _) => "bool"
+      case ('i', s) => s"int${(s - '0') * 8}"
+      case ('u', s) => s"uint${(s - '0') * 8}"
+      case ('f', '4') => "float32"
+      case ('f', '8') => "float64"
+      case _ => throw new IllegalArgumentException(s"no v3 name for '$np'")
+    }
+  }
+
+  def v3DtypeToNumpy(name: String): String = name match {
+    case "bool" => "|b1"
+    case "int8" => "|i1"; case "int16" => "<i2"; case "int32" => "<i4"; case "int64" => "<i8"
+    case "uint8" => "|u1"; case "uint16" => "<u2"; case "uint32" => "<u4"; case "uint64" => "<u8"
+    case "float32" => "<f4"; case "float64" => "<f8"
+    case other => throw new IllegalArgumentException(s"unsupported v3 data_type '$other'")
   }
 
   private implicit val fmts: Formats = DefaultFormats
@@ -79,19 +111,104 @@ object ZarrMeta {
   /** Chunk file key, C-order: "0.0", "1.2", … (zarr v2 default separator). */
   def chunkKey(coords: Seq[Long]): String = coords.mkString(".")
 
+  // ---- zarr v3 -------------------------------------------------------------
+
+  /** v3 array `zarr.json`. Codecs emitted: little-endian bytes + optional
+    * zstd (v3 has no raw-zlib codec, so v3 writes allow None/zstd only). */
+  def renderArrayMetaV3(m: ArrayMeta, attributes: Option[String]): String = {
+    val fill = m.fillValue match {
+      case None => "null"
+      case Some(f) if f.isNaN => "\"NaN\""
+      case Some(f) if f == f.floor && !f.isInfinite && math.abs(f) < 1e15 => f.toLong.toString
+      case Some(f) => f.toString
+    }
+    val codecs = m.compressor match {
+      case None => """[{"name": "bytes", "configuration": {"endian": "little"}}]"""
+      case Some("zstd") =>
+        """[{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "zstd", "configuration": {"level": 3}}]"""
+      case Some(other) =>
+        throw new IllegalArgumentException(s"zarr v3 write supports None/zstd codecs, not '$other'")
+    }
+    val dims = m.dimNames.map(d => d.map(n => s""""$n"""").mkString("[", ", ", "]")).getOrElse("null")
+    s"""{
+       |  "zarr_format": 3,
+       |  "node_type": "array",
+       |  "shape": [${m.shape.mkString(", ")}],
+       |  "data_type": "${v3DtypeName(m.dtype)}",
+       |  "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${m.chunks.mkString(", ")}]}},
+       |  "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+       |  "fill_value": $fill,
+       |  "codecs": $codecs,
+       |  "dimension_names": $dims,
+       |  "attributes": ${attributes.getOrElse("{}")}
+       |}""".stripMargin
+  }
+
+  def parseArrayMetaV3(json: String): (ArrayMeta, Option[String]) = {
+    val j = JsonMethods.parse(json)
+    require((j \ "node_type").extractOrElse[String]("array") == "array", "not a v3 array node")
+    val shape = (j \ "shape").extract[Seq[Long]]
+    val chunks = (j \ "chunk_grid" \ "configuration" \ "chunk_shape").extract[Seq[Long]]
+    val dtype = v3DtypeToNumpy((j \ "data_type").extract[String])
+    val codecNames = (j \ "codecs") match {
+      case JArray(items) => items.map(c => (c \ "name").extract[String])
+      case _ => Nil
+    }
+    val comp = codecNames.filterNot(Set("bytes", "endian")).headOption.map {
+      case "gzip" => "zlib" // payload is inflate-compatible only for zlib-framed data
+      case other => other
+    }
+    codecNames.foreach { n =>
+      require(Set("bytes", "endian", "zstd", "gzip", "blosc").contains(n),
+        s"unsupported v3 codec '$n'")
+    }
+    val fill = (j \ "fill_value") match {
+      case JString("NaN") => Some(Double.NaN)
+      case JDouble(d) => Some(d)
+      case JInt(i) => Some(i.toDouble)
+      case JLong(l) => Some(l.toDouble)
+      case JBool(b) => Some(if (b) 1.0 else 0.0)
+      case _ => None
+    }
+    val dims = (j \ "dimension_names") match {
+      case JArray(items) => Some(items.map(_.extract[String]))
+      case _ => None
+    }
+    val attrs = (j \ "attributes") match {
+      case JObject(Nil) | JNothing | JNull => None
+      case o => Some(JsonMethods.compact(o))
+    }
+    (ArrayMeta(shape, chunks, dtype, comp, fill, "C", 3, dims), attrs)
+  }
+
+  /** S8 — version detection: probe `zarr.json`, then `.zgroup`; default v2
+    * (mdio/zarr/zarr_driver.h:97-128). */
+  def detectVersion(root: Path): Int =
+    if (Files.exists(root.resolve("zarr.json"))) 3
+    else 2
+
   // ---- local-filesystem group I/O ------------------------------------------
 
-  def writeGroup(root: Path, attrs: Option[String]): Unit = {
+  def writeGroup(root: Path, attrs: Option[String], version: Int = 2): Unit = {
     Files.createDirectories(root)
-    Files.writeString(root.resolve(".zgroup"), """{"zarr_format": 2}""")
-    attrs.foreach(a => Files.writeString(root.resolve(".zattrs"), a))
+    if (version == 3)
+      Files.writeString(root.resolve("zarr.json"),
+        s"""{"zarr_format": 3, "node_type": "group", "attributes": ${attrs.getOrElse("{}")}}""")
+    else {
+      Files.writeString(root.resolve(".zgroup"), """{"zarr_format": 2}""")
+      attrs.foreach(a => Files.writeString(root.resolve(".zattrs"), a))
+    }
   }
 
   def writeArray(root: Path, name: String, meta: ArrayMeta, attrs: Option[String]): Unit = {
     val dir = root.resolve(name)
     Files.createDirectories(dir)
-    Files.writeString(dir.resolve(".zarray"), renderArrayMeta(meta))
-    attrs.foreach(a => Files.writeString(dir.resolve(".zattrs"), a))
+    if (meta.version == 3)
+      Files.writeString(dir.resolve("zarr.json"), renderArrayMetaV3(meta, attrs))
+    else {
+      Files.writeString(dir.resolve(".zarray"), renderArrayMeta(meta))
+      attrs.foreach(a => Files.writeString(dir.resolve(".zattrs"), a))
+    }
   }
 
   /** Consolidated metadata (.zmetadata): every .zgroup/.zarray/.zattrs under
@@ -116,11 +233,13 @@ object ZarrMeta {
          |}""".stripMargin)
   }
 
-  /** Read consolidated metadata if present; else discover arrays by listing
-    * (the reference's v2-consolidated vs v3-listing duality,
-    * mdio/zarr/zarr_v2.h:467-489 / zarr_v3.h:638-653). Returns
+  /** Read a dataset's metadata, auto-detecting the format version:
+    * v2 via consolidated `.zmetadata` (or directory listing fallback),
+    * v3 by listing children with `zarr.json` array nodes (the reference's
+    * duality, mdio/zarr/zarr_v2.h:467-489 / zarr_v3.h:638-653). Returns
     * (groupAttrs, arrayName -> (meta, attrs)). */
   def readGroup(root: Path): (Option[String], Map[String, (ArrayMeta, Option[String])]) = {
+    if (detectVersion(root) == 3) return readGroupV3(root)
     val zmeta = root.resolve(".zmetadata")
     if (Files.exists(zmeta)) {
       val j = JsonMethods.parse(Files.readString(zmeta))
@@ -151,6 +270,21 @@ object ZarrMeta {
         }.toMap
       (groupAttrs, arrays)
     }
+  }
+
+  private def readGroupV3(root: Path): (Option[String], Map[String, (ArrayMeta, Option[String])]) = {
+    val groupJson = JsonMethods.parse(Files.readString(root.resolve("zarr.json")))
+    val groupAttrs = (groupJson \ "attributes") match {
+      case JObject(Nil) | JNothing | JNull => None
+      case o => Some(JsonMethods.compact(o))
+    }
+    val arrays = Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("zarr.json")))
+      .flatMap { dir =>
+        val (meta, attrs) = parseArrayMetaV3(Files.readString(dir.resolve("zarr.json")))
+        Some(dir.getFileName.toString -> (meta, attrs))
+      }.toMap
+    (groupAttrs, arrays)
   }
 
   def path(s: String): Path = Paths.get(s)

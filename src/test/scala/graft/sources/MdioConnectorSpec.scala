@@ -120,6 +120,40 @@ class MdioConnectorSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("zarr v3: create/write/read round-trip with version auto-detection (S8)") {
+    val dir = Files.createTempDirectory("mdio_v3").resolve("toy3.mdio").toString
+    val spec = MdioSpec.fromJson(specJson.replace(""""name": "zstd"""", """"name": "zstd""""))
+    // v3 writes allow None/zstd codecs only; the spec uses zstd+zlib — switch mask to no compressor
+    val spec3 = spec.copy(variables = spec.variables.map(v =>
+      if (v.compressor.contains("zlib")) v.copy(compressor = None) else v))
+    MdioWriter.create(spec3, dir, version = 3)
+    val root = java.nio.file.Paths.get(dir)
+    assert(Files.exists(root.resolve("zarr.json")))
+    assert(Files.exists(root.resolve("image").resolve("zarr.json")))
+    assert(!Files.exists(root.resolve(".zgroup")))
+    assert(graft.zarr.ZarrMeta.detectVersion(root) == 3)
+
+    val cells = for { i <- 0L until 8L; x <- 0L until 6L } yield (i, x, (i * 10 + x).toFloat)
+    MdioWriter.writeVariable(spark, cells.toDF("inline", "crossline", "image"), dir, "image")
+    // v3 chunk keys are nested under c/
+    assert(Files.exists(root.resolve("image").resolve("c").resolve("0").resolve("0")))
+
+    val got = spark.read.format("mdio").load(dir)
+      .filter($"inline" >= 2 && $"inline" < 5)
+      .select("inline", "crossline", "image")
+      .as[(Long, Long, Float)].collect().toSet
+    val want = (for { i <- 2L until 5L; x <- 0L until 6L } yield (i, x, (i * 10 + x).toFloat)).toSet
+    assert(got == want)
+
+    MdioWriter.updateAttributes(dir, "image", """{"statsV1": {"count": 48}}""")
+    val (_, arrays) = graft.zarr.ZarrMeta.readGroup(root)
+    assert(arrays("image")._2.get.contains("\"count\":48"))
+
+    MdioWriter.trim(dir, "inline", 4L)
+    assert(spark.read.format("mdio").load(dir).count() == 24)
+    MdioWriter.delete(dir)
+  }
+
   test("delete refuses non-MDIO directories (S12)") {
     val plain = Files.createTempDirectory("not_mdio")
     intercept[IllegalArgumentException](MdioWriter.delete(plain.toString))
