@@ -19,6 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
+      graft.queries.Relational2.queries ++
       graft.queries.Mdio.queries ++
       graft.queries.Pipeline.queries
 
@@ -26,6 +27,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
+      graft.queries.Relational2.oracleSql ++
       graft.queries.Mdio.oracleSql ++
       graft.queries.Pipeline.oracleSql
 }

@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second tranche of the general surface: remaining window-function forms,
+  * outer/cross joins, exact percentiles, covariance/correlation from
+  * decimal-exact sums, and the array/map/json scalar families
+  * (SURVEY §2.5/§2.7 "absent in reference → Spark built-ins").
+  */
+object Relational2 {
+
+  // ---- windows: value-offset + frame varieties ----------------------------
+
+  /** first/last/nth value over a partitioned ordered frame. */
+  val qWindowFirstLast: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events(s, d)
+      .withColumn("first_type", first(col("event_type")).over(w))
+      .withColumn("last_type", last(col("event_type")).over(w))
+      .withColumn("second_value", nth_value(col("value"), 2).over(w))
+      .groupBy(col("first_type"), col("last_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("second_value")).as("sum_second"))
+  }
+
+  val qWindowFirstLastSql: String = s"""
+    SELECT first_type, last_type, COUNT(*) AS n, ${sqlDsum("second_value")} AS sum_second
+    FROM (
+      SELECT user_id,
+             FIRST_VALUE(event_type) OVER w AS first_type,
+             LAST_VALUE(event_type)  OVER w AS last_type,
+             NTH_VALUE(value, 2)     OVER w AS second_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) t
+    GROUP BY first_type, last_type"""
+
+  /** RANGE frame: sum of order totals within ±5000 of each order's price. */
+  val qWindowRangeFrame: Q = (s, d) => {
+    val w = Window.orderBy(col("o_totalprice")).rangeBetween(-5000L, 5000L)
+    orders(s, d)
+      .withColumn("nearby", count(lit(1)).over(w))
+      .agg(max(col("nearby")).as("max_nearby"), count(lit(1)).as("n"))
+  }
+
+  val qWindowRangeFrameSql: String = """
+    SELECT MAX(nearby) AS max_nearby, COUNT(*) AS n FROM (
+      SELECT COUNT(*) OVER (ORDER BY o_totalprice
+               RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) AS nearby
+      FROM orders) t"""
+
+  /** rank + dense_rank + lead (gap detection on ranks). */
+  val qWindowRanks: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .filter(col("rnk") <= 5)
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("rnk")).as("max_rnk"), max(col("drnk")).as("max_drnk"),
+           dsum(col("next_price")).as("sum_next"))
+  }
+
+  val qWindowRanksSql: String = s"""
+    SELECT o_orderpriority, MAX(rnk) AS max_rnk, MAX(drnk) AS max_drnk,
+           ${sqlDsum("next_price")} AS sum_next
+    FROM (
+      SELECT o_orderpriority,
+             RANK()       OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk,
+             LEAD(o_totalprice, 1) OVER w AS next_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)) t
+    WHERE rnk <= 5
+    GROUP BY o_orderpriority"""
+
+  // ---- joins: outer + cross ------------------------------------------------
+
+  /** FULL OUTER join between two aggregate sides. */
+  val qJoinFullOuter: Q = (s, d) => {
+    val bySupp = lineitem(s, d).filter(col("l_returnflag") === "R")
+      .groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("n_returned"))
+    val byPart = lineitem(s, d).filter(col("l_quantity") > 45)
+      .groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("n_bulk"))
+    bySupp.join(byPart, Seq("k"), "full_outer")
+      .agg(count(lit(1)).as("n_keys"),
+           sum(when(col("n_returned").isNull, 1L).otherwise(0L)).as("only_bulk"),
+           sum(when(col("n_bulk").isNull, 1L).otherwise(0L)).as("only_returned"))
+  }
+
+  val qJoinFullOuterSql: String = """
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(CASE WHEN n_returned IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_bulk,
+           CAST(SUM(CASE WHEN n_bulk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_returned
+    FROM (SELECT l_suppkey AS k, COUNT(*) AS n_returned FROM lineitem
+          WHERE l_returnflag = 'R' GROUP BY 1) a
+    FULL OUTER JOIN (SELECT l_suppkey AS k, COUNT(*) AS n_bulk FROM lineitem
+          WHERE l_quantity > 45 GROUP BY 1) b USING (k)"""
+
+  /** Cross join of two tiny dimensions (explicitly declared). */
+  val qJoinCross: Q = (s, d) =>
+    region(s, d).select(col("r_name"))
+      .crossJoin(nation(s, d).select(col("n_name")))
+      .agg(count(lit(1)).as("n"), min(concat(col("r_name"), lit("|"), col("n_name"))).as("first_pair"))
+
+  val qJoinCrossSql: String = """
+    SELECT COUNT(*) AS n, MIN(r_name || '|' || n_name) AS first_pair
+    FROM region CROSS JOIN nation"""
+
+  // ---- aggregates: percentiles, corr/covar from exact sums ----------------
+
+  /** Exact percentiles (linear interpolation — Spark `percentile` and
+    * DuckDB `quantile_cont` share the definition). */
+  val qAggPercentile: Q = (s, d) =>
+    lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, array(0.25, 0.75))").as("p_arr"))
+      .select(col("l_returnflag"), col("p50"),
+        col("p_arr")(0).as("p25"), col("p_arr")(1).as("p75"))
+
+  val qAggPercentileSql: String = """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag"""
+
+  /** Pearson correlation & covariance assembled from decimal-exact sums —
+    * order-independent, engine-exact (built-in corr() accumulates doubles
+    * in partition order, which is not reproducible across engines).
+    * Columns chosen so every per-row product's double ULP stays below the
+    * decimal(…,6) quantum — the engine-portability boundary. */
+  val qAggCorr: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("l_quantity")).as("sx"),
+        dsum(col("l_discount")).as("sy"),
+        dsumsq(col("l_quantity")).as("sxx"),
+        sum((col("l_quantity") * col("l_discount")).cast("decimal(30,6)")).cast("double").as("sxy"),
+        sum((col("l_discount") * col("l_discount")).cast("decimal(30,6)")).cast("double").as("syy"))
+      .select(col("l_returnflag"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1)).as("covar_samp"))
+
+  val qAggCorrSql: String = s"""
+    SELECT l_returnflag,
+           (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr,
+           (sxy - sx * sy / n) / (n - 1) AS covar_samp
+    FROM (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             ${sqlDsum("l_quantity")} AS sx,
+             ${sqlDsum("l_discount")} AS sy,
+             ${sqlDsumsq("l_quantity")} AS sxx,
+             CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag) t"""
+
+  /** Conditional aggregation: count_if / any / every. */
+  val qAggConditional: Q = (s, d) =>
+    orders(s, d).groupBy(col("o_orderpriority"))
+      .agg(
+        count_if(col("o_totalprice") > 200000).as("n_big"),
+        some(col("o_orderstatus") === "F").as("has_f"),
+        every(col("o_totalprice") > 0).as("all_positive"))
+
+  val qAggConditionalSql: String = """
+    SELECT o_orderpriority,
+           count_if(o_totalprice > 200000) AS n_big,
+           bool_or(o_orderstatus = 'F') AS has_f,
+           bool_and(o_totalprice > 0) AS all_positive
+    FROM orders GROUP BY o_orderpriority"""
+
+  // ---- scalar families: array / json / datetime ---------------------------
+
+  /** Array functions: collect + sort + slice + aggregate over groups.
+    * sort_array gives deterministic order before joining. */
+  val qFnArray: Q = (s, d) =>
+    lineitem(s, d).filter(col("l_orderkey") < 100)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_linenumber").cast("long"))).as("lines"))
+      .select(col("l_orderkey"),
+        size(col("lines")).cast("long").as("n_lines"),
+        col("lines")(0).as("first_line"),
+        array_join(transform(col("lines"), x => x.cast("string")), ",").as("lines_csv"))
+
+  val qFnArraySql: String = """
+    SELECT l_orderkey,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           lines[1] AS first_line,
+           array_to_string(lines, ',') AS lines_csv
+    FROM (SELECT l_orderkey, list_sort(list(CAST(l_linenumber AS BIGINT))) AS lines
+          FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey) t"""
+
+  /** JSON extraction from the props column (get_json_object path syntax
+    * matches DuckDB's json_extract_string ->> semantics). */
+  val qFnJson: Q = (s, d) =>
+    events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        get_json_object(col("props"), "$.source").as("src"))
+      .groupBy(col("event_type"), col("src"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+
+  val qFnJsonSql: String = """
+    SELECT event_type, props ->> '$.source' AS src, COUNT(*) AS n,
+           CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY 1, 2"""
+
+  /** Datetime arithmetic: add_months / last_day / extract dow. */
+  val qFnDatetime: Q = (s, d) =>
+    orders(s, d)
+      .select(
+        add_months(col("o_orderdate"), 3).cast("timestamp").as("plus3m"),
+        last_day(col("o_orderdate")).cast("timestamp").as("eom"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n"), min(col("plus3m")).as("min_plus3m"), max(col("eom")).as("max_eom"))
+
+  val qFnDatetimeSql: String = """
+    SELECT CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow, COUNT(*) AS n,
+           MIN(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP)) AS min_plus3m,
+           MAX(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)) AS max_eom
+    FROM orders GROUP BY 1"""
+
+  /** String edit-distance + phonetics-free similarity (levenshtein shares
+    * its definition across engines). */
+  val qFnLevenshtein: Q = (s, d) =>
+    nation(s, d)
+      .select(col("n_name"), levenshtein(col("n_name"), lit("UNITED STATES")).cast("long").as("dist"))
+      .orderBy(col("dist"), col("n_name")).limit(5)
+
+  val qFnLevenshteinSql: String = """
+    SELECT n_name, CAST(levenshtein(n_name, 'UNITED STATES') AS BIGINT) AS dist
+    FROM nation ORDER BY dist, n_name LIMIT 5"""
+
+  // ---- approximate aggregates (scale path; rows-only — sketch internals
+  // differ across engines by design) --------------------------------------
+
+  /** HLL distinct + approximate percentile: the 100 TB path where exact
+    * distinct/percentile shuffles would dominate. Bounds are asserted in
+    * RelationalSpec against exact values; no cross-engine oracle exists
+    * for sketch internals. */
+  val qAggApprox: Q = (s, d) =>
+    lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+
+  val queries: Map[String, Q] = Map(
+    "window_first_last"  -> qWindowFirstLast,
+    "window_range_frame" -> qWindowRangeFrame,
+    "window_ranks"       -> qWindowRanks,
+    "join_full_outer"    -> qJoinFullOuter,
+    "join_cross"         -> qJoinCross,
+    "agg_percentile"     -> qAggPercentile,
+    "agg_corr"           -> qAggCorr,
+    "agg_conditional"    -> qAggConditional,
+    "agg_approx"         -> qAggApprox,
+    "fn_array"           -> qFnArray,
+    "fn_json"            -> qFnJson,
+    "fn_datetime"        -> qFnDatetime,
+    "fn_levenshtein"     -> qFnLevenshtein,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "window_first_last"  -> qWindowFirstLastSql,
+    "window_range_frame" -> qWindowRangeFrameSql,
+    "window_ranks"       -> qWindowRanksSql,
+    "join_full_outer"    -> qJoinFullOuterSql,
+    "join_cross"         -> qJoinCrossSql,
+    "agg_percentile"     -> qAggPercentileSql,
+    "agg_corr"           -> qAggCorrSql,
+    "agg_conditional"    -> qAggConditionalSql,
+    "fn_array"           -> qFnArraySql,
+    "fn_json"            -> qFnJsonSql,
+    "fn_datetime"        -> qFnDatetimeSql,
+    "fn_levenshtein"     -> qFnLevenshteinSql,
+  )
+}
