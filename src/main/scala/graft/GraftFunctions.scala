@@ -1,0 +1,45 @@
+package graft
+
+import graft.expressions.{CosineVec, DotVec, SimHash64}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of the native kernel expressions.
+  *
+  * Two routes, same builders:
+  *  - [[GraftFunctions.register]] — imperative, call once per session
+  *    (what the query layer does; works on sessions the caller created);
+  *  - [[GraftExtensions]] — `spark.sql.extensions=graft.GraftExtensions`
+  *    injection for externally-configured sessions.
+  */
+object GraftFunctions {
+
+  private val fns: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("simhash64", "64-bit SimHash of a token array",
+      (es: Seq[Expression]) => SimHash64(es.head)),
+    ("dot_vec", "dot product of two float vectors (double)",
+      (es: Seq[Expression]) => DotVec(es(0), es(1))),
+    ("cosine_vec", "one-pass cosine similarity of two float vectors",
+      (es: Seq[Expression]) => CosineVec(es(0), es(1))))
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, usage, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft.expressions", name, usage),
+      builder)
+  }
+
+  private[graft] def injectAll(ext: SparkSessionExtensions): Unit =
+    fns.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.expressions", name, usage), builder))
+    }
+}
+
+/** `spark.sql.extensions=graft.GraftExtensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.injectAll(ext)
+}

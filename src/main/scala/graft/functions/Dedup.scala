@@ -103,13 +103,19 @@ object Dedup {
   }
 
   /** SimHash near-dup groups: documents sharing an identical signature.
+    * Uses the native single-pass `simhash64` Catalyst expression
+    * ([[graft.expressions.SimHash64]]) — one JVM loop per row instead of
+    * 64 interpreted lambda aggregates, inside whole-stage codegen.
     * (Hamming-distance-1 probing = 64 extra bucket keys per doc; not
     * needed for the corpus, same plan shape.) */
-  def simhashDups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+  def simhashDups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+        call_function("simhash64", TextFunctions.tokens(col(textCol))).as("sig"))
       .groupBy(col("sig"))
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keep_id"))
       .filter(col("n_docs") > 1)
+  }
 
   /** Exact n-gram Jaccard near-dups within a blocking key, via an INVERTED
     * INDEX instead of a quadratic block self-join: explode each document's
@@ -148,13 +154,15 @@ object Dedup {
     * term stays per-bucket. */
   def embeddingCosineDups(df: DataFrame, idCol: String, vecCol: String,
                           planes: Int = 8, threshold: Double = 0.95): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", Vectors.lshBucket(col("v"), planes))
+      .withColumn("bucket", Vectors.lshBucketNative(col("v"), planes))
     val a = base.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = base.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), Vectors.cosine(col("v_a"), col("v_b")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        call_function("cosine_vec", col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -27,13 +27,17 @@ object Vectors {
   /** Brute-force exact top-k by cosine to a constant query vector — the
     * correctness baseline. At scale this is one map stage + a
     * TakeOrderedAndProject (per-partition top-k, then k·P merge on the
-    * driver): no shuffle of the full table. */
+    * driver): no shuffle of the full table. Scoring runs through the
+    * native one-pass `cosine_vec` expression (float elements widened per
+    * element — bit-identical to the lambda formulation). */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
-                     query: Seq[Double], k: Int): DataFrame =
+                     query: Seq[Double], k: Int): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol),
-        cosine(col(vecCol), typedLit(query)).as("cos"))
+        call_function("cosine_vec", col(vecCol), typedLit(query)).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
 
   /** Deterministic pseudo-random hyperplanes (fixed seed) for sign-LSH. */
   def hyperplanes(dim: Int, planes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
@@ -68,12 +72,23 @@ object Vectors {
     val probes: Seq[Long] =
       if (multiProbe) qBucket +: (0 until planes).map(j => qBucket ^ (1L << j))
       else Seq(qBucket)
+    graft.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol), col(vecCol).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), planes, query.size))
+      .withColumn("bucket", lshBucketNative(col("v"), planes, query.size))
       .filter(col("bucket").isin(probes: _*))
-      .select(col(idCol), cosine(col("v"), typedLit(query)).as("cos"))
+      .select(col(idCol), call_function("cosine_vec", col("v"), typedLit(query)).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
+
+  /** [[lshBucket]] built on the native dot_vec expression (caller must
+    * have run [[graft.GraftFunctions.register]] on the session). */
+  def lshBucketNative(v: Column, planes: Int, dim: Int = 64, seed: Long = 42L): Column = {
+    val hp = hyperplanes(dim, planes, seed)
+    (0 until planes).map { j =>
+      when(call_function("dot_vec", v, typedLit(hp(j))) >= 0, shiftleft(lit(1L), j))
+        .otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
   }
 
   /** IVF-style coarse quantization: assign each vector to the nearest of

@@ -1,0 +1,50 @@
+package graft.expressions
+
+import graft.SparkSpec
+import graft.functions.{Dedup, TextFunctions, Vectors}
+import org.apache.spark.sql.functions._
+
+/** Native Catalyst kernels must agree bit-for-bit with the portable
+  * higher-order-function formulations they replace. */
+class KernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("simhash64 expression == lambda simhash on the corpus") {
+    graft.GraftFunctions.register(spark)
+    val docs = graft.Tables.documents(spark, sf).limit(200)
+    val mismatch = docs.select(
+        Dedup.simhash(col("text")).as("lambda"),
+        call_function("simhash64", TextFunctions.tokens(col("text"))).as("native"))
+      .filter(col("lambda") =!= col("native")).count()
+    assert(mismatch == 0)
+  }
+
+  test("cosine_vec == lambda cosine on float vectors and double literals") {
+    graft.GraftFunctions.register(spark)
+    val emb = graft.Tables.embeddings(spark, sf).limit(200)
+    val q = graft.queries.Pipeline.annQuery
+    val mismatch = emb.select(
+        Vectors.cosine(col("embedding"), typedLit(q)).as("lambda"),
+        call_function("cosine_vec", col("embedding"), typedLit(q)).as("native"))
+      .filter(col("lambda") =!= col("native")).count()
+    assert(mismatch == 0)
+  }
+
+  test("dot_vec == lambda dot, float x float") {
+    graft.GraftFunctions.register(spark)
+    val df = Seq((Seq(1.5f, -2.0f, 3.25f), Seq(0.5f, 4.0f, -1.0f))).toDF("a", "b")
+    val r = df.select(
+      Vectors.dot(col("a"), col("b")).as("lambda"),
+      call_function("dot_vec", col("a"), col("b")).as("native")).head()
+    assert(r.getDouble(0) == r.getDouble(1))
+  }
+
+  test("expressions participate in codegen (no interpreter fallback errors)") {
+    graft.GraftFunctions.register(spark)
+    // run through a wholestage-codegen'd aggregate to force doGenCode
+    val n = graft.Tables.embeddings(spark, sf).limit(100)
+      .select(call_function("cosine_vec", col("embedding"), col("embedding")).as("c"))
+      .agg(sum(col("c"))).as[Double].head()
+    assert(math.abs(n - 100.0) < 1e-9) // self-cosine = 1 per row
+  }
+}
