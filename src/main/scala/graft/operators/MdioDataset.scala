@@ -27,6 +27,51 @@ import org.apache.spark.sql.functions._
   *    Unimplemented (`mdio/dataset.h:676-684`); here it is complete;
   *  - `sel` requires a 1-D coordinate (`mdio/dataset.h:676-723`).
   */
+object MdioDataset {
+
+  /** Open an on-disk MDIO/Zarr dataset (v2 or v3) as a labeled dataset:
+    * data variables come through `format("mdio")` in long form; dimension
+    * coordinates (1-D arrays named after their dim) and listed coordinate
+    * variables load as coordinate DataFrames keyed by their dims — the
+    * full reference Dataset shape (`mdio/dataset.h:941-963` Open +
+    * `mdio/dataset.h:913-922` coordinate attachment), so isel/sel/
+    * CoordinateSelector run against real chunked storage with pushdown. */
+  def open(spark: org.apache.spark.sql.SparkSession, path: String): MdioDataset = {
+    import org.apache.spark.sql.functions.col
+    val (_, arrays) = graft.zarr.ZarrMeta.readGroup(graft.zarr.ZarrMeta.path(path))
+    val labeled = arrays.flatMap { case (name, (meta, attrs)) =>
+      meta.dimNames.orElse(attrs.flatMap(graft.sources.MdioTableUtil.arrayDimensions))
+        .map(d => name -> (meta, d, attrs))
+    }
+    val dimCoords = labeled.collect {
+      case (name, (_, d, _)) if d.size == 1 && d.head == name => name
+    }.toSet
+    val listedCoords = labeled.values.flatMap { case (_, _, attrs) =>
+      attrs.toSeq.flatMap(graft.sources.MdioTableUtil.coordinatesAttr)
+    }.toSet
+    val dataVars = labeled.keys.filterNot(n => dimCoords(n) || listedCoords(n)).toSeq.sorted
+    require(dataVars.nonEmpty, s"no data variables at $path")
+    val dims = labeled(dataVars.head)._2
+    val domain = dims.zipWithIndex.map { case (dname, i) =>
+      dname -> (0L, labeled(dataVars.head)._1.shape(i))
+    }.toMap
+
+    def loadCoord(name: String): (Seq[String], DataFrame) = {
+      val cdims = labeled(name)._2
+      // dimension coordinates keep the `__value` alias — their natural name
+      // is taken by the dim-index column (see MdioDataset.coordValueCol)
+      (cdims, spark.read.format("mdio").option("variables", name).load(path))
+    }
+    val coords = (dimCoords ++ listedCoords).filter(labeled.contains)
+      .map(n => n -> loadCoord(n)).toMap
+
+    MdioDataset(
+      data = spark.read.format("mdio")
+        .option("variables", dataVars.mkString(",")).load(path),
+      dims = dims, domain = domain, coords = coords)
+  }
+}
+
 final case class MdioDataset(
     data: DataFrame,
     dims: Seq[String],
@@ -87,12 +132,17 @@ final case class MdioDataset(
     (cdims.head, cdf)
   }
 
+  /** A dimension coordinate's value column is aliased `<name>__value`
+    * because its natural name is taken by the dim-index column. */
+  private def coordValueCol(name: String, dim: String): String =
+    if (name == dim) s"${name}__value" else name
+
   /** Value-based selection: every index where the 1-D coordinate equals the
     * value is kept (reference emits one unit slice per hit then isels —
     * `mdio/dataset.h:552-629`; here: a broadcast semi-join on the dim). */
   def sel(coordName: String, value: Column): MdioDataset = {
     val (dim, cdf) = require1D(coordName)
-    val hits = cdf.filter(col(coordName) === value).select(col(dim))
+    val hits = cdf.filter(col(coordValueCol(coordName, dim)) === value).select(col(dim))
     copy(data = data.join(broadcast(hits), Seq(dim), "left_semi"))
   }
 
@@ -101,16 +151,18 @@ final case class MdioDataset(
     * wanting strict parity use [[selRangeStrict]]. */
   def selRange(coordName: String, start: Column, stop: Column): MdioDataset = {
     val (dim, cdf) = require1D(coordName)
-    val hits = cdf.filter(col(coordName) >= start && col(coordName) <= stop).select(col(dim))
+    val v = col(coordValueCol(coordName, dim))
+    val hits = cdf.filter(v >= start && v <= stop).select(col(dim))
     copy(data = data.join(broadcast(hits), Seq(dim), "left_semi"))
   }
 
   /** Strict reference parity for sel ranges: endpoint values must occur
     * exactly once in the coordinate (`mdio/dataset.h:823-846`), else error. */
   def selRangeStrict(coordName: String, start: Any, stop: Any): MdioDataset = {
-    val (_, cdf) = require1D(coordName)
-    val dup = cdf.filter(col(coordName).isin(start, stop))
-      .groupBy(col(coordName)).count()
+    val (dim0, cdf) = require1D(coordName)
+    val v0 = col(coordValueCol(coordName, dim0))
+    val dup = cdf.filter(v0.isin(start, stop))
+      .groupBy(v0).count()
     val rows = dup.collect()
     rows.foreach { r =>
       require(r.getLong(1) == 1L,
@@ -124,7 +176,7 @@ final case class MdioDataset(
     * UnimplementedError; complete here via isin semi-join). */
   def selList(coordName: String, values: Seq[Any]): MdioDataset = {
     val (dim, cdf) = require1D(coordName)
-    val hits = cdf.filter(col(coordName).isin(values: _*)).select(col(dim))
+    val hits = cdf.filter(col(coordValueCol(coordName, dim)).isin(values: _*)).select(col(dim))
     copy(data = data.join(broadcast(hits), Seq(dim), "left_semi"))
   }
 

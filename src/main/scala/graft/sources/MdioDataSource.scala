@@ -68,12 +68,16 @@ final case class MdioTable(path: String, wanted: Option[Seq[String]]) extends Ta
     }
 
   /** The table's dimension tuple = dims of the selected data variables
-    * (all must agree, as in the reference's shared-domain model). */
+    * (all must agree, as in the reference's shared-domain model).
+    * Explicitly-requested names may be ANY labeled array, including 1-D
+    * dimension coordinates (so coordinate variables load through the same
+    * connector, reference mdio/dataset.h:913-922); the default set is the
+    * data variables only. */
   lazy val (dims: Seq[String], variables: Seq[String]) = {
     val dataVars = labeled.filter { case (name, (_, d)) => !(d.size == 1 && d.head == name) }
     val selected = wanted match {
       case Some(names) =>
-        val missing = names.filterNot(dataVars.contains)
+        val missing = names.filterNot(labeled.contains)
         require(missing.isEmpty, s"unknown variables: ${missing.mkString(", ")}")
         names
       case None => dataVars.keys.toSeq.sorted
@@ -90,8 +94,11 @@ final case class MdioTable(path: String, wanted: Option[Seq[String]]) extends Ta
 
   override def schema(): StructType = {
     val dimFields = dims.map(d => StructField(d, LongType, nullable = false))
+    // a dimension coordinate's value column would collide with its own
+    // dim-index column — surface it as `<name>__value`
     val varFields = variables.map { v =>
-      StructField(v, MdioTableUtil.sparkTypeOf(labeled(v)._1.dtype))
+      val fieldName = if (dims.contains(v)) s"${v}__value" else v
+      StructField(fieldName, MdioTableUtil.sparkTypeOf(labeled(v)._1.dtype))
     }
     StructType(dimFields ++ varFields)
   }
@@ -113,6 +120,17 @@ object MdioTableUtil {
     JsonMethods.parse(zattrs) \ "_ARRAY_DIMENSIONS" match {
       case JArray(items) => Some(items.map(_.extract[String]))
       case _ => None
+    }
+  }
+
+  /** The space-separated `coordinates` attribute (xarray convention the
+    * reference serializes, mdio/dataset_factory.h:611-626). */
+  def coordinatesAttr(zattrs: String): Seq[String] = {
+    implicit val fmts: Formats = DefaultFormats
+    JsonMethods.parse(zattrs) \ "coordinates" match {
+      case JString(s) => s.split("\\s+").toSeq.filter(_.nonEmpty)
+      case JArray(items) => items.map(_.extract[String])
+      case _ => Nil
     }
   }
 
@@ -209,7 +227,8 @@ final case class MdioScan(path: String, dims: Seq[String],
     // chunk-coordinate ranges intersecting the bounds, enumerated in C-order
     val chunkLo = bounds.zip(chunks).map { case ((lo, _), c) => lo / c }
     val chunkHi = bounds.zip(chunks).map { case ((_, hi), c) => (hi - 1) / c }
-    val neededVars = requiredSchema.fieldNames.filter(metas.contains)
+    val neededVars = requiredSchema.fieldNames
+      .map(_.stripSuffix("__value")).distinct.filter(metas.contains)
 
     def enumerate(dim: Int, acc: Vector[Long]): Iterator[Vector[Long]] =
       if (dim == dims.size) Iterator.single(acc)
@@ -290,7 +309,8 @@ final class MdioPartitionReader(p: MdioInputPartition, dims: Array[String], sche
 
   private val row = new GenericInternalRow(schema.length)
   private val fieldIsDim: Array[Int] = schema.fieldNames.map(f => dims.indexOf(f))
-  private val fieldVarIdx: Array[Int] = schema.fieldNames.map(f => p.vars.indexOf(f))
+  private val fieldVarIdx: Array[Int] =
+    schema.fieldNames.map(f => p.vars.indexOf(f.stripSuffix("__value")))
 
   override def next(): Boolean = {
     if (done) return false

@@ -66,7 +66,9 @@ object MdioWriter {
   /** S6 — distributed chunk-aligned write of one variable.
     *
     * `df` columns: the variable's dimension columns (long) + a value column
-    * named after the variable. Rows outside the domain error; absent cells
+    * named after the variable — or `<name>__value` when the variable IS a
+    * dimension coordinate (its name equals its dim column, mirroring the
+    * reader's aliasing). Rows outside the domain error; absent cells
     * materialize the fill value.
     *
     * Plan shape: one narrow map computing the chunk id, one shuffle
@@ -96,8 +98,9 @@ object MdioWriter {
         lit(grid.drop(i + 1).product)
     }.reduce(_ + _)
 
+    val valueCol = if (dims.contains(variable)) s"${variable}__value" else variable
     val projected = df.select(
-      (dims.map(d => col(d).cast("long").as(d)) :+ col(variable).cast("double").as("__v")): _*)
+      (dims.map(d => col(d).cast("long").as(d)) :+ col(valueCol).cast("double").as("__v")): _*)
       .withColumn("__chunk", chunkId)
 
     val nChunks = grid.product
