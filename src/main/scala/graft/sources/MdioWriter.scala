@@ -226,6 +226,47 @@ object MdioWriter {
     if (ZarrMeta.detectVersion(root) == 2) ZarrMeta.consolidate(root)
   }
 
+  /** S13 — header variables: metadata-only content (e.g. a SEG-Y file
+    * header) whose payload lives entirely in attributes; array read/write
+    * is an error in the reference (mdio/header_variable.h:100-248). Here a
+    * header variable is a node with attrs but no array metadata, carrying
+    * `_mdio_header_only: true` — the same classification the reference
+    * applies to specs (mdio/dataset.h:990-1004). */
+  def writeHeader(path: String, name: String, contentJson: String): Unit = {
+    val root = ZarrMeta.path(path)
+    val dir = root.resolve(name)
+    Files.createDirectories(dir)
+    val body = s"""{"_mdio_header_only": true, "content": $contentJson}"""
+    if (ZarrMeta.detectVersion(root) == 3)
+      Files.writeString(dir.resolve("zarr.json"),
+        s"""{"zarr_format": 3, "node_type": "group", "attributes": $body}""")
+    else {
+      Files.writeString(dir.resolve(".zattrs"), body)
+      ZarrMeta.consolidate(root)
+    }
+  }
+
+  /** Read a header variable's content JSON; None if absent or not a
+    * header-only node. */
+  def readHeader(path: String, name: String): Option[String] = {
+    val root = ZarrMeta.path(path)
+    val dir = root.resolve(name)
+    val attrs =
+      if (ZarrMeta.detectVersion(root) == 3) {
+        val f = dir.resolve("zarr.json")
+        if (Files.exists(f)) Some(JsonMethods.parse(Files.readString(f)) \ "attributes") else None
+      } else {
+        val f = dir.resolve(".zattrs")
+        if (Files.exists(f)) Some(JsonMethods.parse(Files.readString(f))) else None
+      }
+    attrs.flatMap { a =>
+      (a \ "_mdio_header_only") match {
+        case JBool(true) => Some(JsonMethods.compact(a \ "content"))
+        case _ => None
+      }
+    }
+  }
+
   private def isDataset(root: Path): Boolean =
     Files.exists(root.resolve(".zgroup")) || Files.exists(root.resolve(".zmetadata")) ||
       Files.exists(root.resolve("zarr.json"))
