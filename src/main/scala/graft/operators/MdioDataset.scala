@@ -90,12 +90,14 @@ final case class MdioDataset(
     require(start <= stop, s"isel $label: start $start > stop $stop")
     require(step >= 1, s"isel $label: step must be >= 1, got $step")
     val (lo, hi) = domain(label)
-    val s0 = math.max(start, lo)
-    val s1 = math.min(stop, hi)
+    // clamp BOTH endpoints into [lo, hi] (reference sliceInRange clamps a
+    // fully-out-of-domain slice to an empty range at the boundary)
+    val s0 = math.min(math.max(start, lo), hi)
+    val s1 = math.min(math.max(stop, s0), hi)
     val base = col(label) >= s0 && col(label) < s1
     val pred = if (step == 1L) base
                else base && (col(label) - lit(s0)) % lit(step) === 0L
-    copy(data = data.filter(pred), domain = domain.updated(label, (s0, math.max(s0, s1))))
+    copy(data = data.filter(pred), domain = domain.updated(label, (s0, s1)))
   }
 
   /** Multi-range isel; duplicate labels union their sub-slices (reference
@@ -114,9 +116,9 @@ final case class MdioDataset(
     }.reduce(_ && _)
     val newDomain = byLabel.foldLeft(domain) { case (dom, (label, rs)) =>
       val (lo, hi) = dom(label)
-      val s0 = math.max(rs.map(_._2).min, lo)
-      val s1 = math.min(rs.map(_._3).max, hi)
-      dom.updated(label, (s0, math.max(s0, s1)))
+      val s0 = math.min(math.max(rs.map(_._2).min, lo), hi)
+      val s1 = math.min(math.max(rs.map(_._3).max, s0), hi)
+      dom.updated(label, (s0, s1))
     }
     copy(data = data.filter(pred), domain = newDomain)
   }
