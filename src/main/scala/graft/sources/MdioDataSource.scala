@@ -134,19 +134,25 @@ object MdioTableUtil {
     }
   }
 
-  /** Connector dtype → Spark type (same widening policy as MdioSpec;
-    * u64/complex unsupported in the connector v1). */
-  def sparkTypeOf(dtype: String): DataType = dtype.charAt(dtype.length - 2) match {
-    case 'b' => BooleanType
-    case 'f' => if (dtype.endsWith("4")) FloatType else DoubleType
-    case 'i' => dtype.last match {
-      case '1' => ByteType; case '2' => ShortType; case '4' => IntegerType; case _ => LongType
+  /** Connector dtype → Spark type (same widening policy as MdioSpec:
+    * u64 → decimal(20,0); complex → struct(re, im)). */
+  def sparkTypeOf(dtype: String): DataType = {
+    if (MdioPartitionReader.isComplex(dtype)) {
+      val half = if (dtype.endsWith("16")) DoubleType else FloatType
+      return StructType(Seq(StructField("re", half), StructField("im", half)))
     }
-    case 'u' => dtype.last match {
-      case '1' => ShortType; case '2' => IntegerType; case '4' => LongType
-      case _ => throw new IllegalArgumentException("uint64 unsupported in connector; use int64")
+    dtype.charAt(dtype.length - 2) match {
+      case 'b' => BooleanType
+      case 'f' => if (dtype.endsWith("4")) FloatType else DoubleType
+      case 'i' => dtype.last match {
+        case '1' => ByteType; case '2' => ShortType; case '4' => IntegerType; case _ => LongType
+      }
+      case 'u' => dtype.last match {
+        case '1' => ShortType; case '2' => IntegerType; case '4' => LongType
+        case _ => DecimalType(20, 0)
+      }
+      case k => throw new IllegalArgumentException(s"unsupported dtype kind '$k'")
     }
-    case k => throw new IllegalArgumentException(s"unsupported dtype kind '$k'")
   }
 }
 
@@ -288,11 +294,14 @@ final class MdioPartitionReader(p: MdioInputPartition, dims: Array[String], sche
     else {
       val rawSize = (m.chunks.product * m.elemSize).toInt
       val raw = ChunkCodec.decompress(Files.readAllBytes(file), m.compressor, rawSize)
-      val kindChar = m.dtype.charAt(m.dtype.length - 2)
-      if (kindChar == 'f') ChunkCodec.decodeDoubles(raw, m.dtype)
+      if (MdioPartitionReader.isComplex(m.dtype)) ChunkCodec.decodeComplex(raw, m.dtype)
+      else if (m.dtype.charAt(m.dtype.length - 2) == 'f') ChunkCodec.decodeDoubles(raw, m.dtype)
       else ChunkCodec.decodeLongs(raw, m.dtype)
     }
   }.toArray
+
+  private val varIsComplex: Array[Boolean] =
+    p.metas.map(m => MdioPartitionReader.isComplex(m.dtype))
 
   // current global coords; start just "before" the first cell
   private val cur: Array[Long] = new Array[Long](rank)
@@ -344,13 +353,28 @@ final class MdioPartitionReader(p: MdioInputPartition, dims: Array[String], sche
         val m = p.metas(vi)
         val buf = buffers(vi)
         val dt = schema.fields(f).dataType
-        val value: Any = buf match {
-          case null =>
-            val fill = m.fillValue.getOrElse(Double.NaN)
-            castTo(fill, dt)
-          case d: Array[Double] => castTo(d(off.toInt), dt)
-          case l: Array[Long] => castLongTo(l(off.toInt), dt)
-        }
+        val value: Any =
+          if (varIsComplex(vi)) {
+            val elemDt = dt.asInstanceOf[StructType].fields(0).dataType
+            buf match {
+              case null =>
+                val fill = m.fillValue.getOrElse(Double.NaN)
+                new GenericInternalRow(Array[Any](castTo(fill, elemDt), castTo(fill, elemDt)))
+              case d: Array[Double] =>
+                new GenericInternalRow(Array[Any](
+                  castTo(d(off.toInt * 2), elemDt), castTo(d(off.toInt * 2 + 1), elemDt)))
+            }
+          } else buf match {
+            case null =>
+              val fill = m.fillValue.getOrElse(Double.NaN)
+              dt match {
+                case _: DecimalType => // u64 fill = type max
+                  org.apache.spark.sql.types.Decimal(BigDecimal("18446744073709551615"), 20, 0)
+                case _ => castTo(fill, dt)
+              }
+            case d: Array[Double] => castTo(d(off.toInt), dt)
+            case l: Array[Long] => castLongTo(l(off.toInt), dt)
+          }
         row.update(f, value)
       }
       f += 1
@@ -376,8 +400,19 @@ final class MdioPartitionReader(p: MdioInputPartition, dims: Array[String], sche
     case BooleanType => v != 0L
     case FloatType => v.toFloat
     case DoubleType => v.toDouble
+    case _: DecimalType => // u64: unwrap two's complement to [0, 2^64)
+      if (v >= 0) org.apache.spark.sql.types.Decimal(BigDecimal(v), 20, 0)
+      else org.apache.spark.sql.types.Decimal(
+        BigDecimal(v) + BigDecimal("18446744073709551616"), 20, 0)
     case _ => v
   }
 
   override def close(): Unit = ()
+}
+
+object MdioPartitionReader {
+  /** "<c8" ('c' at len-2) or "<c16" ('c' at len-3). */
+  def isComplex(dtype: String): Boolean =
+    dtype.length >= 3 &&
+      (dtype.charAt(dtype.length - 2) == 'c' || dtype.charAt(dtype.length - 3) == 'c')
 }

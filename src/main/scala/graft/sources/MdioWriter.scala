@@ -99,9 +99,36 @@ object MdioWriter {
     }.reduce(_ + _)
 
     val valueCol = if (dims.contains(variable)) s"${variable}__value" else variable
-    val projected = df.select(
-      (dims.map(d => col(d).cast("long").as(d)) :+ col(valueCol).cast("double").as("__v")): _*)
-      .withColumn("__chunk", chunkId)
+    // dtype family decides the value representation end-to-end:
+    //  'f'       → double column, encodeDoubles
+    //  'i'/'u'/'b' → long column (lossless for int64; uint64 arrives as
+    //               decimal and wraps to two's complement), encodeLongs
+    //  'c'       → struct(re, im) flattened to two double columns,
+    //               encodeComplex — so no integral value ever rides a double
+    val kindChar =
+      if (MdioPartitionReader.isComplex(dtype)) 'c'
+      else dtype.charAt(dtype.length - 2)
+    val isU64 = kindChar == 'u' && dtype.endsWith("8")
+    val dimCols = dims.map(d => col(d).cast("long").as(d))
+    val valueCols: Seq[org.apache.spark.sql.Column] = kindChar match {
+      case 'f' => Seq(col(valueCol).cast("double").as("__v"))
+      case 'c' => Seq(col(valueCol).getField("re").cast("double").as("__re"),
+                      col(valueCol).getField("im").cast("double").as("__im"))
+      case _ if isU64 =>
+        // wrap [2^63, 2^64) into negative two's-complement longs
+        val v = col(valueCol).cast("decimal(21,0)")
+        Seq(when(v >= lit(BigDecimal("9223372036854775808")),
+              (v - lit(BigDecimal("18446744073709551616"))).cast("long"))
+            .otherwise(v.cast("long")).as("__v"))
+      case _ => Seq(col(valueCol).cast("long").as("__v"))
+    }
+    val projected = df.select(dimCols ++ valueCols: _*).withColumn("__chunk", chunkId)
+    val isComplex = kindChar == 'c'
+    val valueWidth = if (isComplex) 2 else 1
+    val isFloat = kindChar == 'f' || isComplex
+    val longFill: Long =
+      if (isU64 && fill > 9.2e18) -1L // u64 max fill, two's complement
+      else if (fill.isNaN) 0L else fill.toLong
 
     val nChunks = grid.product
     val parts = math.min(nChunks, math.max(spark.sparkContext.defaultParallelism.toLong, 1L)).toInt
@@ -110,18 +137,14 @@ object MdioWriter {
       .repartition(parts, col("__chunk"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         // group this partition's rows by chunk; one buffer per chunk at a time
-        val byChunk = scala.collection.mutable.Map[Long, Array[Double]]()
-        val chunkLen = chunks.product.toInt
+        val byChunkD = scala.collection.mutable.Map[Long, Array[Double]]()
+        val byChunkL = scala.collection.mutable.Map[Long, Array[Long]]()
+        val chunkLen = chunks.product.toInt * valueWidth
         rows.foreach { r =>
-          val cid = r.getLong(rank + 1)
-          val buf = byChunk.getOrElseUpdate(cid, Array.fill(chunkLen)(fill))
-          var off = 0L
-          var i = 0
-          var stride = 1L
-          // C-order in-chunk offset
+          val cid = r.getLong(rank + valueWidth)
           var o = 0L
-          i = rank - 1
-          stride = 1L
+          var stride = 1L
+          var i = rank - 1
           while (i >= 0) {
             val coord = r.getLong(i)
             require(coord >= 0 && coord < shape(i),
@@ -130,21 +153,32 @@ object MdioWriter {
             stride *= chunks(i)
             i -= 1
           }
-          off = o
-          buf(off.toInt) = r.getDouble(rank)
+          if (isFloat) {
+            val buf = byChunkD.getOrElseUpdate(cid, Array.fill(chunkLen)(fill))
+            if (isComplex) {
+              buf(o.toInt * 2) = r.getDouble(rank)
+              buf(o.toInt * 2 + 1) = r.getDouble(rank + 1)
+            } else buf(o.toInt) = r.getDouble(rank)
+          } else {
+            val buf = byChunkL.getOrElseUpdate(cid, Array.fill(chunkLen)(longFill))
+            buf(o.toInt) = r.getLong(rank)
+          }
         }
-        byChunk.foreach { case (cid, buf) =>
-          // chunk id -> chunk coords
+        def emit(cid: Long, raw: Array[Byte]): Unit = {
           val cc = new Array[Long](rank)
           var rem = cid
           var i = rank - 1
           while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
-          val raw = ChunkCodec.encodeDoubles(buf, dtype)
           val out = ChunkCodec.compress(raw, compressor)
           val file = meta.chunkFile(ZarrMeta.path(pathStr).resolve(variable), cc.toSeq)
           Files.createDirectories(file.getParent)
           Files.write(file, out)
         }
+        byChunkD.foreach { case (cid, buf) =>
+          emit(cid, if (isComplex) ChunkCodec.encodeComplex(buf, dtype)
+                    else ChunkCodec.encodeDoubles(buf, dtype))
+        }
+        byChunkL.foreach { case (cid, buf) => emit(cid, ChunkCodec.encodeLongs(buf, dtype)) }
       }
   }
 

@@ -96,6 +96,8 @@ object MdioSpec {
     case "uint64" => "<u8"
     case "float32" => "<f4"
     case "float64" => "<f8"
+    case "complex64"  => "<c8"
+    case "complex128" => "<c16"
     case other => throw new IllegalArgumentException(s"no zarr dtype for '$other'")
   }
 
@@ -113,6 +115,7 @@ object MdioSpec {
     case "uint64"  => BigDecimal("18446744073709551615")
     case "float16" | "float32" => Float.NaN
     case "float64" => Double.NaN
+    case "complex64" | "complex128" => Double.NaN // [NaN, NaN] per component
     case other => throw new IllegalArgumentException(s"no fill value for '$other'")
   }
 

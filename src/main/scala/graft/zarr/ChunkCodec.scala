@@ -23,19 +23,23 @@ import java.util.zip.{Deflater, Inflater}
   */
 object ChunkCodec {
 
-  def elemSize(dtype: String): Int = dtype.last match {
-    case '1' => 1
-    case '2' => 2
-    case '4' => 4
-    case '8' => 8
-    case _ => throw new IllegalArgumentException(s"bad dtype '$dtype'")
+  def elemSize(dtype: String): Int = {
+    if (kind(dtype) == 'c') return if (dtype.endsWith("16")) 16 else 8
+    dtype.last match {
+      case '1' => 1
+      case '2' => 2
+      case '4' => 4
+      case '8' => 8
+      case _ => throw new IllegalArgumentException(s"bad dtype '$dtype'")
+    }
   }
 
   private def kind(dtype: String): Char = {
-    // strip byte-order prefix: "<f4" -> 'f', "|b1" -> 'b'
+    // strip byte-order prefix: "<f4" -> 'f', "|b1" -> 'b'; "<c16" -> 'c'
     require(dtype.length >= 2, s"bad dtype '$dtype'")
     require(!dtype.startsWith(">"), s"big-endian dtype '$dtype' not supported")
-    dtype.charAt(dtype.length - 2)
+    if (dtype.length >= 3 && dtype.charAt(dtype.length - 3) == 'c') 'c'
+    else dtype.charAt(dtype.length - 2)
   }
 
   // ---- typed decode to doubles (for f/u) or longs (for i/b) ----------------
@@ -67,6 +71,51 @@ object ChunkCodec {
       case other => throw new IllegalArgumentException(s"unsupported dtype '$dtype'")
     }
     out
+  }
+
+  /** Decode complex chunks into interleaved (re, im) doubles — 2n values
+    * for n elements. */
+  def decodeComplex(raw: Array[Byte], dtype: String): Array[Double] = {
+    require(kind(dtype) == 'c', s"'$dtype' is not complex")
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val half = elemSize(dtype) / 2
+    val n2 = raw.length / half
+    val out = new Array[Double](n2)
+    var i = 0
+    if (half == 4) while (i < n2) { out(i) = bb.getFloat(i * 4).toDouble; i += 1 }
+    else while (i < n2) { out(i) = bb.getDouble(i * 8); i += 1 }
+    out
+  }
+
+  /** Encode interleaved (re, im) doubles as a complex chunk. */
+  def encodeComplex(values: Array[Double], dtype: String): Array[Byte] = {
+    require(kind(dtype) == 'c', s"'$dtype' is not complex")
+    val half = elemSize(dtype) / 2
+    val raw = new Array[Byte](values.length * half)
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    if (half == 4) while (i < values.length) { bb.putFloat(i * 4, values(i).toFloat); i += 1 }
+    else while (i < values.length) { bb.putDouble(i * 8, values(i)); i += 1 }
+    raw
+  }
+
+  /** Encode longs losslessly into an integral little-endian buffer — the
+    * write path for signed/unsigned ints and bool (a double round-trip
+    * would corrupt int64 and uint64 above 2^53). */
+  def encodeLongs(values: Array[Long], dtype: String): Array[Byte] = {
+    val es = elemSize(dtype)
+    val raw = new Array[Byte](values.length * es)
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    (kind(dtype), es) match {
+      case ('i' | 'u', 1) => while (i < values.length) { bb.put(i, values(i).toByte); i += 1 }
+      case ('i' | 'u', 2) => while (i < values.length) { bb.putShort(i * 2, values(i).toShort); i += 1 }
+      case ('i' | 'u', 4) => while (i < values.length) { bb.putInt(i * 4, values(i).toInt); i += 1 }
+      case ('i' | 'u', 8) => while (i < values.length) { bb.putLong(i * 8, values(i)); i += 1 }
+      case ('b', 1) => while (i < values.length) { raw(i) = if (values(i) != 0L) 1 else 0; i += 1 }
+      case _ => throw new IllegalArgumentException(s"dtype '$dtype' is not integral")
+    }
+    raw
   }
 
   /** Decode integer dtypes losslessly into longs (u8/u16/u32 widened,
