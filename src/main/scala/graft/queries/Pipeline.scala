@@ -141,6 +141,66 @@ object Pipeline {
       .select(TF.rollingHash(col("text")).as("rh"))
       .agg(countDistinct(col("rh")).as("n_distinct"), count(lit(1)).as("n_docs"))
 
+  /** Global top-10 bigrams with counts — the n-gram frequency sweep
+    * (non-distinct grams: counting, unlike dedup's set semantics). */
+  val qTextTopNgrams: Q = (s, d) => {
+    val toks = TF.tokens(col("text"))
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - 2, lit(0))),
+      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+    documents(s, d)
+      .filter(size(TF.tokens(col("text"))) >= 2)
+      .select(explode(grams).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(10)
+  }
+
+  val qTextTopNgramsSql: String = """
+    WITH t AS (SELECT string_split(trim(text), ' ') AS w FROM documents
+               WHERE len(string_split(trim(text), ' ')) >= 2),
+    g AS (SELECT unnest(list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i+1])) AS gram FROM t)
+    SELECT gram, COUNT(*) AS n
+    FROM g GROUP BY 1 ORDER BY n DESC, gram LIMIT 10"""
+
+  /** Rational TF-IDF (score = tf · N / df — log-free so the arithmetic is
+    * integer-derived and engine-exact): top term per language by summed
+    * score, ignoring high-document-frequency stop terms. */
+  val qTextTfidf: Q = (s, d) => {
+    val docs = documents(s, d)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(TF.tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(dfreq, Seq("tok")).crossJoin(broadcast(n))
+      .filter(col("df") * 4 < col("n_docs")) // drop stop-terms (df >= 25%)
+      .select(col("lang"), col("tok"),
+        (col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double")).as("score"))
+      .groupBy(col("lang"))
+      .agg(max_by(col("tok"), struct(col("score"), col("tok"))).as("top_term"),
+           max(col("score")).as("top_score"))
+  }
+
+  val qTextTfidfSql: String = """
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents),
+    tf AS (SELECT lang, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT lang, tok,
+             CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+      FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+      WHERE df * 4 < n_docs)
+    SELECT lang, tok AS top_term, score AS top_score FROM (
+      SELECT lang, tok, score,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, tok DESC) AS rn
+      FROM scored) t
+    WHERE rn = 1"""
+
   // ---- multimodal ----------------------------------------------------------
 
   /** Binary-column plumbing: payload size oracle-checked; decode features
@@ -173,6 +233,8 @@ object Pipeline {
     "text_langid"          -> qTextLangId,
     "text_fingerprint"     -> qTextFingerprint,
     "text_rolling_hash"    -> qTextRollingHash,
+    "text_top_ngrams"      -> qTextTopNgrams,
+    "text_tfidf"           -> qTextTfidf,
     "multimodal_bytes"     -> qMultimodalBytes,
     "multimodal_features"  -> qMultimodalFeatures,
   )
@@ -183,6 +245,8 @@ object Pipeline {
     "ann_brute_force"     -> qAnnBruteForceSql,
     "text_tokens"         -> qTextTokensSql,
     "text_fingerprint"    -> qTextFingerprintSql,
+    "text_top_ngrams"     -> qTextTopNgramsSql,
+    "text_tfidf"          -> qTextTfidfSql,
     "multimodal_bytes"    -> qMultimodalBytesSql,
   )
 }

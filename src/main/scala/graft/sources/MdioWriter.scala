@@ -260,6 +260,44 @@ object MdioWriter {
     if (ZarrMeta.detectVersion(root) == 2) ZarrMeta.consolidate(root)
   }
 
+  /** Current metadata generation of a dataset (0 when never stamped).
+    * The Spark-side answer to the reference's TimestampedStorageGeneration
+    * (mdio/variable.h:1522; SURVEY §7.4.5): attribute commits are
+    * last-writer-wins, and callers needing conflict DETECTION pass the
+    * generation they read to [[updateAttributesIf]]. */
+  def generation(path: String): Long = {
+    val root = ZarrMeta.path(path)
+    val attrs =
+      if (ZarrMeta.detectVersion(root) == 3)
+        JsonMethods.parse(Files.readString(root.resolve("zarr.json"))) \ "attributes"
+      else {
+        val f = root.resolve(".zattrs")
+        if (Files.exists(f)) JsonMethods.parse(Files.readString(f)) else JObject()
+      }
+    (attrs \ "_mdio_generation") match {
+      case JInt(i) => i.toLong
+      case JLong(l) => l
+      case _ => 0L
+    }
+  }
+
+  /** Optimistic-concurrency attribute commit: applies the patch only if the
+    * dataset's generation still equals `expected`, then bumps it. Returns
+    * the new generation, or throws on conflict. (Local/object stores give
+    * no true CAS; the window is read-check-write — same as the reference's
+    * generation-conditioned .zmetadata rewrite.) */
+  def updateAttributesIf(path: String, variable: String, patch: String,
+                         expected: Long): Long = {
+    val cur = generation(path)
+    if (cur != expected)
+      throw new java.util.ConcurrentModificationException(
+        s"metadata generation moved: expected $expected, found $cur")
+    updateAttributes(path, variable, patch)
+    val next = cur + 1
+    updateAttributes(path, "", s"""{"_mdio_generation": $next}""")
+    next
+  }
+
   /** S13 — header variables: metadata-only content (e.g. a SEG-Y file
     * header) whose payload lives entirely in attributes; array read/write
     * is an error in the reference (mdio/header_variable.h:100-248). Here a

@@ -67,4 +67,27 @@ class MdioStatsSpec extends SparkSpec {
     assert(MdioWriter.readHeader(dir, "d").isEmpty) // real arrays are not headers
     MdioWriter.delete(dir)
   }
+
+  test("generation-checked attribute commit detects concurrent writers") {
+    val dir = Files.createTempDirectory("mdio_gen").resolve("g.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "g", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "d", "dataType": "int64", "dimensions": [{"name": "d", "size": 2}]},
+        |    {"name": "v", "dataType": "float64", "dimensions": [{"name": "d", "size": 2}]}
+        |  ]
+        |}""".stripMargin), dir)
+    assert(MdioWriter.generation(dir) == 0L)
+    val g1 = MdioWriter.updateAttributesIf(dir, "v", """{"a": 1}""", expected = 0L)
+    assert(g1 == 1L && MdioWriter.generation(dir) == 1L)
+    // a second writer still holding generation 0 must be rejected
+    intercept[java.util.ConcurrentModificationException] {
+      MdioWriter.updateAttributesIf(dir, "v", """{"a": 2}""", expected = 0L)
+    }
+    // and the winning writer's value survived
+    val (_, arrays) = graft.zarr.ZarrMeta.readGroup(java.nio.file.Paths.get(dir))
+    assert(arrays("v")._2.get.contains("\"a\":1"))
+    MdioWriter.delete(dir)
+  }
 }
