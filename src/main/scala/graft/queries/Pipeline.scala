@@ -92,6 +92,27 @@ object Pipeline {
     Vectors.lshTopK(embeddings(s, d), "vec_id", "embedding", annQuery,
       k = 20, planes = 4).select(col("vec_id"))
 
+  /** IVF-style coarse-quantized search: assign every vector to its nearest
+    * deterministic centroid, scan only the query's cell (the 100 TB path:
+    * the per-cell partition bounds the scan). No oracle — cell geometry is
+    * engine-internal; plumbing pinned in VectorsSpec. */
+  val qAnnIvf: Q = (s, d) => {
+    val centroids = (0 until 8).map(c => (0 until 64).map(j => math.cos(c * 64 + j) / 8.0))
+    val qCell = centroids.zipWithIndex.maxBy { case (c, _) =>
+      val dot = c.zip(annQuery).map { case (x, y) => x * y }.sum
+      val nc = math.sqrt(c.map(x => x * x).sum)
+      val nq = math.sqrt(annQuery.map(x => x * x).sum)
+      dot / math.max(nc * nq, 1e-300)
+    }._2
+    graft.GraftFunctions.register(s)
+    Vectors.ivfAssign(embeddings(s, d), "embedding", centroids)
+      .filter(col("cell") === qCell)
+      .select(col("vec_id"),
+        call_function("cosine_vec", col("embedding"), typedLit(annQuery)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(20)
+      .select("vec_id")
+  }
+
   // ---- text analysis -------------------------------------------------------
 
   val qTextTokens: Q = (s, d) =>
@@ -228,6 +249,7 @@ object Pipeline {
     "dedup_embedding"      -> qDedupEmbedding,
     "ann_brute_force"      -> qAnnBruteForce,
     "ann_lsh"              -> qAnnLsh,
+    "ann_ivf"              -> qAnnIvf,
     "text_tokens"          -> qTextTokens,
     "text_quality"         -> qTextQuality,
     "text_langid"          -> qTextLangId,

@@ -254,7 +254,47 @@ object Relational2 {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
 
+  /** Ordered funnel: users who signed up, then clicked after signing up,
+    * then purchased after that click. Three conditional-min stages — each
+    * stage is one aggregation over the (already user-partitioned) events,
+    * no self-joins of the raw fact table. */
+  val qEventsFunnel: Q = (s, d) => {
+    val ev = events(s, d)
+    val t1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id"), col("t1")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    t1.select(lit("1_signup").as("stage"), col("user_id"))
+      .unionByName(t2.select(lit("2_click_after").as("stage"), col("user_id")))
+      .unionByName(t3.select(lit("3_purchase_after").as("stage"), col("user_id")))
+      .groupBy(col("stage")).agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val qEventsFunnelSql: String = """
+    WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, t1.t1, MIN(e.ts) AS t2
+           FROM events e JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click' AND e.ts > t1.t1
+           GROUP BY e.user_id, t1.t1),
+    t3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+           FROM events e JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+           GROUP BY e.user_id)
+    SELECT stage, COUNT(DISTINCT user_id) AS n_users FROM (
+      SELECT '1_signup' AS stage, user_id FROM t1
+      UNION ALL SELECT '2_click_after', user_id FROM t2
+      UNION ALL SELECT '3_purchase_after', user_id FROM t3) u
+    GROUP BY stage"""
+
   val queries: Map[String, Q] = Map(
+    "events_funnel"      -> qEventsFunnel,
     "window_first_last"  -> qWindowFirstLast,
     "window_range_frame" -> qWindowRangeFrame,
     "window_ranks"       -> qWindowRanks,
@@ -271,6 +311,7 @@ object Relational2 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_funnel"      -> qEventsFunnelSql,
     "window_first_last"  -> qWindowFirstLastSql,
     "window_range_frame" -> qWindowRangeFrameSql,
     "window_ranks"       -> qWindowRanksSql,
