@@ -1,0 +1,195 @@
+package graft.sources
+
+import graft.zarr.{ChunkCodec, ZarrMeta}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.SortOrder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** DSv2 write path: `df.write.format("mdio").mode("append").save(path)`.
+  *
+  * Chunk alignment contract: the ideal declaration — clustering on
+  * `dim - (dim % chunkSize)` — is not expressible to Spark 4.1's write
+  * planner (`V2ExpressionUtils.toCatalyst` translates references/
+  * transforms only, not GeneralScalarExpression arithmetic). So the
+  * contract inverts the reference's: where the reference makes misaligned
+  * writes UNDEFINED BEHAVIOR (USER_GUIDE.md "Efficient Assignment"), here
+  * the DEFAULT write is safe-but-serial (`requiredNumPartitions = 1`; one
+  * task owns every chunk), and the parallel path is explicit:
+  *
+  * {{{
+  *   MdioWriter.repartitionByChunk(df, path)
+  *     .write.format("mdio").option("aligned", "true").save(path)
+  * }}}
+  *
+  * With `aligned=true` the writer trusts the caller's partitioning; lying
+  * reproduces the reference's UB (a chunk written by two tasks —
+  * last-writer-wins). [[MdioWriter.writeVariable]] remains the internally
+  * aligned one-call path.
+  *
+  * Cell-level merge semantics match the reference's accessor writes: a
+  * chunk file is rewritten whole, with unwritten cells taking the fill
+  * value. Partial-chunk read-modify-write is future work (documented).
+  */
+final case class MdioWriteBuilder(path: String, dims: Seq[String],
+                                  metas: Map[String, ZarrMeta.ArrayMeta],
+                                  schema: StructType,
+                                  aligned: Boolean) extends WriteBuilder
+    with SupportsTruncate {
+
+  override def truncate(): WriteBuilder = this // whole-chunk rewrite either way
+
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    override def requiredDistribution(): Distribution =
+      if (aligned) Distributions.unspecified()
+      // constant clustering key + 1 partition = every chunk owned by the
+      // single writer (numPartitions cannot pair with `unspecified`)
+      else Distributions.clustered(Array(
+        org.apache.spark.sql.connector.expressions.Expressions.literal(1)))
+    override def requiredNumPartitions(): Int = if (aligned) 0 else 1
+    override def requiredOrdering(): Array[SortOrder] = Array.empty
+    override def toBatch: BatchWrite = MdioBatchWrite(path, dims, metas, schema)
+  }
+}
+
+final case class MdioBatchWrite(path: String, dims: Seq[String],
+                                metas: Map[String, ZarrMeta.ArrayMeta],
+                                schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    MdioDataWriterFactory(path, dims.toArray, schema,
+      schema.fieldNames.filter(metas.contains).map(v => v -> metas(v)))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // all tasks succeeded; (v2) refresh consolidated metadata on the driver
+    // — the WaitAllFuture-then-publish shape
+    val root = ZarrMeta.path(path)
+    if (ZarrMeta.detectVersion(root) == 2) ZarrMeta.consolidate(root)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class MdioDataWriterFactory(path: String, dims: Array[String],
+                                       schema: StructType,
+                                       vars: Array[(String, ZarrMeta.ArrayMeta)])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new MdioDataWriter(path, dims, schema, vars)
+}
+
+private object MdioDone extends WriterCommitMessage
+
+/** Buffers every owned chunk per variable; flushes chunk files on commit.
+  * Thanks to the declared clustering, a chunk is owned by exactly one
+  * task — no cross-task merge is ever needed. */
+final class MdioDataWriter(path: String, dims: Array[String], schema: StructType,
+                           vars: Array[(String, ZarrMeta.ArrayMeta)])
+    extends DataWriter[InternalRow] {
+
+  private val rank = dims.length
+  private val dimIdx: Array[Int] = dims.map(schema.fieldIndex)
+  private val varIdx: Array[Int] = vars.map { case (v, _) =>
+    val fieldName = if (dims.contains(v)) s"${v}__value" else v
+    schema.fieldIndex(fieldName)
+  }
+  private val anchor = vars.head._2
+  private val chunks: Array[Long] = anchor.chunks.toArray
+  private val shape: Array[Long] = anchor.shape.toArray
+  private val grid: Array[Long] = anchor.chunkGrid.toArray
+  private val chunkLen = chunks.product.toInt
+
+  // per variable: chunkId -> buffer (doubles cover f/c; longs cover i/u/b)
+  private val bufD = Array.fill(vars.length)(scala.collection.mutable.Map[Long, Array[Double]]())
+  private val bufL = Array.fill(vars.length)(scala.collection.mutable.Map[Long, Array[Long]]())
+
+  private def kindOf(m: ZarrMeta.ArrayMeta): Char =
+    if (MdioPartitionReader.isComplex(m.dtype)) 'c'
+    else m.dtype.charAt(m.dtype.length - 2)
+
+  override def write(row: InternalRow): Unit = {
+    var off = 0L
+    var cid = 0L
+    var stride = 1L
+    var i = rank - 1
+    while (i >= 0) {
+      val coord = row.getLong(dimIdx(i))
+      require(coord >= 0 && coord < shape(i),
+        s"coordinate $coord out of domain [0, ${shape(i)}) on dim ${dims(i)}")
+      off += (coord % chunks(i)) * stride
+      stride *= chunks(i)
+      i -= 1
+    }
+    i = rank - 1
+    var gstride = 1L
+    while (i >= 0) {
+      cid += (row.getLong(dimIdx(i)) / chunks(i)) * gstride
+      gstride *= grid(i)
+      i -= 1
+    }
+    var v = 0
+    while (v < vars.length) {
+      val m = vars(v)._2
+      val fill = m.fillValue.getOrElse(Double.NaN)
+      kindOf(m) match {
+        case 'f' =>
+          val buf = bufD(v).getOrElseUpdate(cid, Array.fill(chunkLen)(fill))
+          buf(off.toInt) = schema.fields(varIdx(v)).dataType match {
+            case FloatType => row.getFloat(varIdx(v)).toDouble
+            case _ => row.getDouble(varIdx(v))
+          }
+        case 'c' =>
+          val buf = bufD(v).getOrElseUpdate(cid, Array.fill(chunkLen * 2)(fill))
+          val s = row.getStruct(varIdx(v), 2)
+          val isF4 = !m.dtype.endsWith("16")
+          buf(off.toInt * 2) = if (isF4) s.getFloat(0).toDouble else s.getDouble(0)
+          buf(off.toInt * 2 + 1) = if (isF4) s.getFloat(1).toDouble else s.getDouble(1)
+        case _ =>
+          val isU64 = m.dtype.charAt(m.dtype.length - 2) == 'u' && m.dtype.endsWith("8")
+          val longFill = if (isU64 && fill > 9.2e18) -1L
+                         else if (fill.isNaN) 0L else fill.toLong
+          val buf = bufL(v).getOrElseUpdate(cid, Array.fill(chunkLen)(longFill))
+          buf(off.toInt) = schema.fields(varIdx(v)).dataType match {
+            case LongType => row.getLong(varIdx(v))
+            case IntegerType => row.getInt(varIdx(v)).toLong
+            case ShortType => row.getShort(varIdx(v)).toLong
+            case ByteType => row.getByte(varIdx(v)).toLong
+            case BooleanType => if (row.getBoolean(varIdx(v))) 1L else 0L
+            case dt: DecimalType => // u64 two's-complement wrap
+              row.getDecimal(varIdx(v), dt.precision, dt.scale)
+                .toJavaBigDecimal.toBigInteger.longValue()
+            case _ => row.getLong(varIdx(v))
+          }
+      }
+      v += 1
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    var v = 0
+    while (v < vars.length) {
+      val (name, m) = vars(v)
+      def emit(cid: Long, raw: Array[Byte]): Unit = {
+        val cc = new Array[Long](rank)
+        var rem = cid
+        var i = rank - 1
+        while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
+        val out = ChunkCodec.compress(raw, m.compressor)
+        val file = m.chunkFile(ZarrMeta.path(path).resolve(name), cc.toSeq)
+        Files.createDirectories(file.getParent)
+        Files.write(file, out)
+      }
+      val isC = kindOf(m) == 'c'
+      bufD(v).foreach { case (cid, buf) =>
+        emit(cid, if (isC) ChunkCodec.encodeComplex(buf, m.dtype)
+                  else ChunkCodec.encodeDoubles(buf, m.dtype))
+      }
+      bufL(v).foreach { case (cid, buf) => emit(cid, ChunkCodec.encodeLongs(buf, m.dtype)) }
+      v += 1
+    }
+    MdioDone
+  }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}

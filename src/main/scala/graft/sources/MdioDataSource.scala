@@ -3,7 +3,8 @@ package graft.sources
 import graft.zarr.{ChunkCodec, ZarrMeta}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
@@ -55,7 +56,8 @@ class MdioDataSource extends TableProvider with org.apache.spark.sql.sources.Dat
 }
 
 /** One MDIO dataset directory as a Spark Table. */
-final case class MdioTable(path: String, wanted: Option[Seq[String]]) extends Table with SupportsRead {
+final case class MdioTable(path: String, wanted: Option[Seq[String]])
+    extends Table with SupportsRead with SupportsWrite {
 
   // driver-side metadata read (S1): consolidated or listing
   private lazy val (groupAttrs, arrays) = ZarrMeta.readGroup(ZarrMeta.path(path))
@@ -105,10 +107,15 @@ final case class MdioTable(path: String, wanted: Option[Seq[String]]) extends Ta
 
   override def name(): String = s"mdio:$path"
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MdioScanBuilder(path, dims, variables.map(v => v -> labeled(v)._1).toMap, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    MdioWriteBuilder(path, dims, variables.map(v => v -> labeled(v)._1).toMap, info.schema(),
+      aligned = Option(info.options.get("aligned")).exists(_.toBoolean))
 }
 
 object MdioTableUtil {

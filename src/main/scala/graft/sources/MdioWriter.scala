@@ -260,6 +260,26 @@ object MdioWriter {
     if (ZarrMeta.detectVersion(root) == 2) ZarrMeta.consolidate(root)
   }
 
+  /** Repartition a long-form DataFrame so each task owns whole chunks of
+    * the dataset at `path` — the explicit alignment step for the parallel
+    * DSv2 write (`.option("aligned", "true")`). Clustering key = the
+    * per-dim chunk starts `dim - (dim % chunkSize)`. */
+  def repartitionByChunk(df: DataFrame, path: String, partitions: Int = 0): DataFrame = {
+    val (_, arrays) = ZarrMeta.readGroup(ZarrMeta.path(path))
+    val labeled = arrays.flatMap { case (name, (meta, attrs)) =>
+      meta.dimNames.orElse(attrs.flatMap(MdioTableUtil.arrayDimensions)).map(d => name -> (meta, d))
+    }
+    val anchor = labeled.collectFirst {
+      case (name, (meta, d)) if !(d.size == 1 && d.head == name) => (meta, d)
+    }.getOrElse(throw new IllegalArgumentException(s"no data variables at $path"))
+    val keys = anchor._2.zipWithIndex.map { case (d, i) =>
+      col(d).cast("long") - (col(d).cast("long") % lit(anchor._1.chunks(i)))
+    }
+    val n = if (partitions > 0) partitions
+            else df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(n, keys: _*)
+  }
+
   /** Current metadata generation of a dataset (0 when never stamped).
     * The Spark-side answer to the reference's TimestampedStorageGeneration
     * (mdio/variable.h:1522; SURVEY §7.4.5): attribute commits are

@@ -1,0 +1,65 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.spec.MdioSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The DSv2 write path: df.write.format("mdio") with the declared
+  * chunk-aligned clustering distribution. */
+class MdioWritePathSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def create(): String = {
+    val dir = Files.createTempDirectory("mdio_w").resolve("w.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "w", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "inline", "dataType": "int64",
+        |     "dimensions": [{"name": "inline", "size": 8}]},
+        |    {"name": "crossline", "dataType": "int64",
+        |     "dimensions": [{"name": "crossline", "size": 6}]},
+        |    {"name": "image", "dataType": "float64",
+        |     "dimensions": [{"name": "inline", "size": 8}, {"name": "crossline", "size": 6}],
+        |     "compressor": {"name": "zstd"},
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [4, 3]}}}},
+        |    {"name": "mask", "dataType": "int32",
+        |     "dimensions": [{"name": "inline", "size": 8}, {"name": "crossline", "size": 6}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [4, 3]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    dir
+  }
+
+  test("aligned parallel write: repartitionByChunk + option(aligned) round-trips") {
+    val dir = create()
+    val cells = for { i <- 0L until 8L; x <- 0L until 6L }
+      yield (i, x, (i * 10 + x).toDouble, ((i + x) % 2).toInt)
+    val scrambled = cells.toDF("inline", "crossline", "image", "mask").repartition(7)
+    MdioWriter.repartitionByChunk(scrambled, dir)
+      .write.format("mdio").option("aligned", "true").mode("append").save(dir)
+    val got = spark.read.format("mdio").load(dir)
+      .select("inline", "crossline", "image", "mask")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == cells.toSet)
+    // chunk files exist for all 4 chunks of each variable
+    val imageFiles = Files.list(java.nio.file.Paths.get(dir).resolve("image"))
+      .iterator()
+    var names = Set.empty[String]
+    while (imageFiles.hasNext) names += imageFiles.next().getFileName.toString
+    assert(Set("0.0", "0.1", "1.0", "1.1").subsetOf(names))
+    MdioWriter.delete(dir)
+  }
+
+  test("default write is the safe single-partition path (no torn chunks)") {
+    val dir = create()
+    val cells = for { i <- 0L until 8L; x <- 0L until 6L }
+      yield (i, x, 1.0, 1)
+    val df = cells.toDF("inline", "crossline", "image", "mask").repartition(5)
+    df.write.format("mdio").mode("append").save(dir)
+    // a single writer owns every chunk — no torn chunks: re-read equals input
+    assert(spark.read.format("mdio").load(dir).count() == 48)
+    MdioWriter.delete(dir)
+  }
+}
