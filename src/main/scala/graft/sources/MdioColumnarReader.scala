@@ -1,0 +1,142 @@
+package graft.sources
+
+import graft.zarr.{ChunkCodec, ZarrMeta}
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+import java.nio.file.Files
+
+/** Vectorized chunk reader: decodes each variable's chunk once, then fills
+  * OnHeapColumnVectors in batches of up to [[MdioColumnarReader.BatchRows]]
+  * cells (C-order over the pushed cell ranges, same iteration as the row
+  * reader). Primitive dtypes only — complex/u64 take the row path. */
+final class MdioColumnarReader(p: MdioInputPartition, dims: Array[String], schema: StructType)
+    extends PartitionReader[ColumnarBatch] {
+
+  private val rank = dims.length
+  private val meta0 = p.metas.headOption.getOrElse(
+    ZarrMeta.ArrayMeta(Seq.fill(rank)(0L), Seq.fill(rank)(1L), "<f8", None, None))
+  private val chunkShape: Array[Long] = meta0.chunks.toArray
+  private val strides: Array[Long] = {
+    val s = new Array[Long](rank)
+    var acc = 1L
+    var i = rank - 1
+    while (i >= 0) { s(i) = acc; acc *= chunkShape(i); i -= 1 }
+    s
+  }
+
+  private val buffers: Array[AnyRef] = p.vars.indices.map { vi =>
+    val m = p.metas(vi)
+    val file = m.chunkFile(ZarrMeta.path(p.path).resolve(p.vars(vi)), p.chunk.toSeq)
+    if (!Files.exists(file)) null
+    else {
+      val rawSize = (m.chunks.product * m.elemSize).toInt
+      val raw = ChunkCodec.decompress(Files.readAllBytes(file), m.compressor, rawSize)
+      if (m.dtype.charAt(m.dtype.length - 2) == 'f') ChunkCodec.decodeDoubles(raw, m.dtype)
+      else ChunkCodec.decodeLongs(raw, m.dtype)
+    }
+  }.toArray
+
+  private val fieldIsDim: Array[Int] = schema.fieldNames.map(f => dims.indexOf(f))
+  private val fieldVarIdx: Array[Int] =
+    schema.fieldNames.map(f => p.vars.indexOf(f.stripSuffix("__value")))
+
+  private val cur: Array[Long] = new Array[Long](rank)
+  private var exhausted = false
+  locally {
+    var i = 0
+    while (i < rank) {
+      cur(i) = p.cellLo(i)
+      if (p.cellLo(i) >= p.cellHi(i)) exhausted = true
+      i += 1
+    }
+  }
+
+  private val vectors: Array[OnHeapColumnVector] =
+    schema.fields.map(f => new OnHeapColumnVector(MdioColumnarReader.BatchRows, f.dataType))
+  private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
+  private var batchReady = false
+
+  /** Advance the odometer; false when the range is exhausted. */
+  private def advance(): Boolean = {
+    var i = rank - 1
+    while (i >= 0) {
+      cur(i) += 1
+      if (cur(i) < p.cellHi(i)) return true
+      cur(i) = p.cellLo(i)
+      i -= 1
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    if (exhausted) return false
+    var n = 0
+    vectors.foreach(_.reset())
+    var more = true
+    while (more && n < MdioColumnarReader.BatchRows) {
+      var off = 0L
+      var i = 0
+      while (i < rank) {
+        off += (cur(i) - p.chunk(i) * chunkShape(i)) * strides(i)
+        i += 1
+      }
+      var f = 0
+      while (f < schema.length) {
+        val di = fieldIsDim(f)
+        val vec = vectors(f)
+        if (di >= 0) vec.putLong(n, cur(di))
+        else {
+          val vi = fieldVarIdx(f)
+          val dt = schema.fields(f).dataType
+          buffers(vi) match {
+            case null =>
+              val fill = p.metas(vi).fillValue.getOrElse(Double.NaN)
+              putDouble(vec, n, fill, dt)
+            case d: Array[Double] => putDouble(vec, n, d(off.toInt), dt)
+            case l: Array[Long] => putLong(vec, n, l(off.toInt), dt)
+          }
+        }
+        f += 1
+      }
+      n += 1
+      more = advance()
+    }
+    exhausted = !more
+    batch.setNumRows(n)
+    batchReady = n > 0
+    batchReady
+  }
+
+  private def putDouble(vec: OnHeapColumnVector, row: Int, v: Double, dt: DataType): Unit =
+    dt match {
+      case FloatType => vec.putFloat(row, v.toFloat)
+      case DoubleType => vec.putDouble(row, v)
+      case LongType => vec.putLong(row, v.toLong)
+      case IntegerType => vec.putInt(row, v.toInt)
+      case ShortType => vec.putShort(row, v.toShort)
+      case ByteType => vec.putByte(row, v.toByte)
+      case BooleanType => vec.putBoolean(row, v != 0.0)
+      case _ => throw new IllegalStateException(s"columnar path does not cover $dt")
+    }
+
+  private def putLong(vec: OnHeapColumnVector, row: Int, v: Long, dt: DataType): Unit =
+    dt match {
+      case LongType => vec.putLong(row, v)
+      case IntegerType => vec.putInt(row, v.toInt)
+      case ShortType => vec.putShort(row, v.toShort)
+      case ByteType => vec.putByte(row, v.toByte)
+      case BooleanType => vec.putBoolean(row, v != 0L)
+      case FloatType => vec.putFloat(row, v.toFloat)
+      case DoubleType => vec.putDouble(row, v.toDouble)
+      case _ => throw new IllegalStateException(s"columnar path does not cover $dt")
+    }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = batch.close()
+}
+
+object MdioColumnarReader {
+  val BatchRows: Int = 4096
+}

@@ -272,6 +272,21 @@ final case class MdioReaderFactory(dims: Array[String], schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new MdioPartitionReader(p.asInstanceOf[MdioInputPartition], dims, schema)
+
+  // vectorized path: decoded chunks land directly in column vectors, so the
+  // scan feeds whole-stage codegen batches instead of row-at-a-time
+  // iterator calls (SURVEY "codegen-friendly": widen the codegen spans)
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    schema.fields.forall { f =>
+      f.dataType match {
+        case _: StructType | _: DecimalType => false // row path for complex/u64
+        case _ => true
+      }
+    }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new MdioColumnarReader(p.asInstanceOf[MdioInputPartition], dims, schema)
 }
 
 /** Decodes one chunk per variable, then iterates the in-chunk cell ranges in
