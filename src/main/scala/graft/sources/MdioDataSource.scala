@@ -100,7 +100,13 @@ final case class MdioTable(path: String, wanted: Option[Seq[String]])
     // dim-index column — surface it as `<name>__value`
     val varFields = variables.map { v =>
       val fieldName = if (dims.contains(v)) s"${v}__value" else v
-      StructField(fieldName, MdioTableUtil.sparkTypeOf(labeled(v)._1.dtype))
+      val m = labeled(v)._1
+      val dt = m.fields match {
+        case Some(fs) => StructType(fs.map { case (n, t) =>
+          StructField(n, MdioTableUtil.sparkTypeOf(t)) })
+        case None => MdioTableUtil.sparkTypeOf(m.dtype)
+      }
+      StructField(fieldName, dt)
     }
     StructType(dimFields ++ varFields)
   }
@@ -150,7 +156,7 @@ object MdioTableUtil {
     }
     dtype.charAt(dtype.length - 2) match {
       case 'b' => BooleanType
-      case 'f' => if (dtype.endsWith("4")) FloatType else DoubleType
+      case 'f' => if (dtype.endsWith("2") || dtype.endsWith("4")) FloatType else DoubleType
       case 'i' => dtype.last match {
         case '1' => ByteType; case '2' => ShortType; case '4' => IntegerType; case _ => LongType
       }
@@ -316,9 +322,13 @@ final class MdioPartitionReader(p: MdioInputPartition, dims: Array[String], sche
     else {
       val rawSize = (m.chunks.product * m.elemSize).toInt
       val raw = ChunkCodec.decompress(Files.readAllBytes(file), m.compressor, rawSize)
-      if (MdioPartitionReader.isComplex(m.dtype)) ChunkCodec.decodeComplex(raw, m.dtype)
-      else if (m.dtype.charAt(m.dtype.length - 2) == 'f') ChunkCodec.decodeDoubles(raw, m.dtype)
-      else ChunkCodec.decodeLongs(raw, m.dtype)
+      m.fields match {
+        case Some(fs) => ChunkCodec.decodeFields(raw, fs)
+        case None =>
+          if (MdioPartitionReader.isComplex(m.dtype)) ChunkCodec.decodeComplex(raw, m.dtype)
+          else if (m.dtype.charAt(m.dtype.length - 2) == 'f') ChunkCodec.decodeDoubles(raw, m.dtype)
+          else ChunkCodec.decodeLongs(raw, m.dtype)
+      }
     }
   }.toArray
 
@@ -376,7 +386,26 @@ final class MdioPartitionReader(p: MdioInputPartition, dims: Array[String], sche
         val buf = buffers(vi)
         val dt = schema.fields(f).dataType
         val value: Any =
-          if (varIsComplex(vi)) {
+          if (m.fields.isDefined) {
+            // record dtype: build struct(field0, field1, …) from per-field arrays
+            val sdt = dt.asInstanceOf[StructType]
+            val out = new Array[Any](sdt.length)
+            buf match {
+              case null => // reference struct fill = zero bytes -> zero per field
+                var k = 0
+                while (k < sdt.length) { out(k) = castLongTo(0L, sdt.fields(k).dataType); k += 1 }
+              case arrs: Array[AnyRef] =>
+                var k = 0
+                while (k < sdt.length) {
+                  out(k) = arrs(k) match {
+                    case d: Array[Double] => castTo(d(off.toInt), sdt.fields(k).dataType)
+                    case l: Array[Long] => castLongTo(l(off.toInt), sdt.fields(k).dataType)
+                  }
+                  k += 1
+                }
+            }
+            new GenericInternalRow(out)
+          } else if (varIsComplex(vi)) {
             val elemDt = dt.asInstanceOf[StructType].fields(0).dataType
             buf match {
               case null =>

@@ -94,6 +94,7 @@ object MdioSpec {
     case "uint16" => "<u2"
     case "uint32" => "<u4"
     case "uint64" => "<u8"
+    case "float16" => "<f2"
     case "float32" => "<f4"
     case "float64" => "<f8"
     case "complex64"  => "<c8"

@@ -53,6 +53,7 @@ object ChunkCodec {
     val out = new Array[Double](n)
     var i = 0
     (kind(dtype), elemSize(dtype)) match {
+      case ('f', 2) => while (i < n) { out(i) = halfToFloat(bb.getShort(i * 2)).toDouble; i += 1 }
       case ('f', 4) => while (i < n) { out(i) = bb.getFloat(i * 4).toDouble; i += 1 }
       case ('f', 8) => while (i < n) { out(i) = bb.getDouble(i * 8); i += 1 }
       case ('i', 1) => while (i < n) { out(i) = bb.get(i).toDouble; i += 1 }
@@ -147,6 +148,7 @@ object ChunkCodec {
     val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     var i = 0
     (kind(dtype), es) match {
+      case ('f', 2) => while (i < values.length) { bb.putShort(i * 2, floatToHalf(values(i).toFloat)); i += 1 }
       case ('f', 4) => while (i < values.length) { bb.putFloat(i * 4, values(i).toFloat); i += 1 }
       case ('f', 8) => while (i < values.length) { bb.putDouble(i * 8, values(i)); i += 1 }
       case ('i', 1) => while (i < values.length) { bb.put(i, values(i).toByte); i += 1 }
@@ -161,6 +163,88 @@ object ChunkCodec {
       case _ => throw new IllegalArgumentException(s"unsupported dtype '$dtype'")
     }
     raw
+  }
+
+  // ---- structured (record) dtypes -----------------------------------------
+
+  /** Decode a record-dtype chunk into per-field arrays: each field comes
+    * back as Array[Double] ('f' kinds) or Array[Long] (integral kinds),
+    * extracted by striding over the packed little-endian records
+    * (reference "void" arrays, mdio/zarr/zarr_v2.h:109-120). */
+  def decodeFields(raw: Array[Byte], fields: Seq[(String, String)]): Array[AnyRef] = {
+    val recSize = fields.map(f => elemSize(f._2)).sum
+    val n = raw.length / recSize
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    var offset = 0
+    fields.map { case (_, ft) =>
+      val es = elemSize(ft)
+      val base = offset
+      offset += es
+      val out: AnyRef =
+        if (kind(ft) == 'f') {
+          val a = new Array[Double](n)
+          var i = 0
+          es match {
+            case 2 => while (i < n) { a(i) = halfToFloat(bb.getShort(i * recSize + base)).toDouble; i += 1 }
+            case 4 => while (i < n) { a(i) = bb.getFloat(i * recSize + base).toDouble; i += 1 }
+            case _ => while (i < n) { a(i) = bb.getDouble(i * recSize + base); i += 1 }
+          }
+          a
+        } else {
+          val a = new Array[Long](n)
+          var i = 0
+          (kind(ft), es) match {
+            case ('i', 1) => while (i < n) { a(i) = bb.get(i * recSize + base).toLong; i += 1 }
+            case ('i', 2) => while (i < n) { a(i) = bb.getShort(i * recSize + base).toLong; i += 1 }
+            case ('i', 4) => while (i < n) { a(i) = bb.getInt(i * recSize + base).toLong; i += 1 }
+            case ('i', 8) => while (i < n) { a(i) = bb.getLong(i * recSize + base); i += 1 }
+            case ('u', 1) => while (i < n) { a(i) = (bb.get(i * recSize + base) & 0xff).toLong; i += 1 }
+            case ('u', 2) => while (i < n) { a(i) = (bb.getShort(i * recSize + base) & 0xffff).toLong; i += 1 }
+            case ('u', 4) => while (i < n) { a(i) = bb.getInt(i * recSize + base) & 0xffffffffL; i += 1 }
+            case ('b', 1) => while (i < n) { a(i) = if (raw(i * recSize + base) != 0) 1L else 0L; i += 1 }
+            case other => throw new IllegalArgumentException(s"record field dtype '$ft' unsupported")
+          }
+          a
+        }
+      out
+    }.toArray
+  }
+
+  // ---- float16 (IEEE 754 binary16 — Spark/JVM have no half type, widen
+  // to float per SURVEY §1.2; JDK 21's Float.float16ToFloat is unavailable
+  // on JDK 17, so the bit conversion is spelled out) ------------------------
+
+  def halfToFloat(h: Short): Float = {
+    val bits = h & 0xffff
+    val sign = (bits & 0x8000) << 16
+    val exp = (bits >>> 10) & 0x1f
+    val mant = bits & 0x3ff
+    val f =
+      if (exp == 0) {
+        if (mant == 0) sign
+        else { // subnormal: normalize
+          var m = mant; var e = -1
+          while ((m & 0x400) == 0) { m <<= 1; e += 1 }
+          sign | ((127 - 15 - e) << 23) | ((m & 0x3ff) << 13)
+        }
+      } else if (exp == 0x1f) sign | 0x7f800000 | (mant << 13) // inf/nan
+      else sign | ((exp - 15 + 127) << 23) | (mant << 13)
+    java.lang.Float.intBitsToFloat(f)
+  }
+
+  def floatToHalf(f: Float): Short = {
+    val bits = java.lang.Float.floatToIntBits(f)
+    val sign = (bits >>> 16) & 0x8000
+    val exp = ((bits >>> 23) & 0xff) - 127 + 15
+    val mant = bits & 0x7fffff
+    val h =
+      if (((bits >>> 23) & 0xff) == 0xff) sign | 0x7c00 | (if (mant != 0) 0x200 else 0) // inf/nan
+      else if (exp >= 0x1f) sign | 0x7c00                        // overflow -> inf
+      else if (exp <= 0) {
+        if (exp < -10) sign                                      // underflow -> 0
+        else sign | (((mant | 0x800000) >>> (1 - exp + 13)) & 0x3ff) // subnormal
+      } else sign | (exp << 10) | (mant >>> 13)
+    h.toShort
   }
 
   // ---- compressor envelope --------------------------------------------------

@@ -27,11 +27,18 @@ object ZarrMeta {
       fillValue: Option[Double],
       order: String = "C",
       version: Int = 2,
-      dimNames: Option[Seq[String]] = None) {
+      dimNames: Option[Seq[String]] = None,
+      /** Structured (record) dtype: numpy field list [[name, typestr], …]
+        * (reference "void" arrays, mdio/zarr/zarr_v2.h:109-120). When set,
+        * `dtype` is "|V<n>" and cells decode per field. */
+      fields: Option[Seq[(String, String)]] = None) {
     def rank: Int = shape.size
     /** Number of chunks along each dimension. */
     def chunkGrid: Seq[Long] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
-    def elemSize: Int = ChunkCodec.elemSize(dtype)
+    def elemSize: Int = fields match {
+      case Some(fs) => fs.map(f => ChunkCodec.elemSize(f._2)).sum
+      case None => ChunkCodec.elemSize(dtype)
+    }
     /** Chunk file path inside the array dir: v2 `1.2`, v3 `c/1/2`. */
     def chunkFile(arrayDir: Path, coords: Seq[Long]): Path =
       if (version == 3) arrayDir.resolve("c").resolve(coords.mkString("/"))
@@ -66,6 +73,10 @@ object ZarrMeta {
       case None => "null"
       case Some(id) => s"""{"id": "$id"}"""
     }
+    val dtypeJson = m.fields match {
+      case Some(fs) => fs.map { case (n, t) => s"""["$n", "$t"]""" }.mkString("[", ", ", "]")
+      case None => s""""${m.dtype}""""
+    }
     val fill = m.fillValue match {
       case None => "null"
       case Some(f) if f.isNaN => "\"NaN\""
@@ -76,7 +87,7 @@ object ZarrMeta {
        |  "zarr_format": 2,
        |  "shape": [${m.shape.mkString(", ")}],
        |  "chunks": [${m.chunks.mkString(", ")}],
-       |  "dtype": "${m.dtype}",
+       |  "dtype": $dtypeJson,
        |  "compressor": $comp,
        |  "fill_value": $fill,
        |  "order": "${m.order}",
@@ -88,7 +99,16 @@ object ZarrMeta {
     val j = JsonMethods.parse(json)
     val shape = (j \ "shape").extract[Seq[Long]]
     val chunks = (j \ "chunks").extract[Seq[Long]]
-    val dtype = (j \ "dtype").extract[String]
+    val (dtype, fields) = (j \ "dtype") match {
+      case JArray(items) => // structured record dtype: [[name, typestr], …]
+        val fs = items.map {
+          case JArray(List(JString(n), JString(t))) => (n, t)
+          case other => throw new IllegalArgumentException(s"bad dtype field $other")
+        }
+        (s"|V${fs.map(f => ChunkCodec.elemSize(f._2)).sum}", Some(fs))
+      case JString(s) => (s, None)
+      case other => throw new IllegalArgumentException(s"bad dtype $other")
+    }
     val comp = (j \ "compressor") match {
       case JNull | JNothing => None
       case obj => Some((obj \ "id").extract[String])
@@ -105,7 +125,7 @@ object ZarrMeta {
       case _ => None
     }
     val order = (j \ "order").extractOrElse[String]("C")
-    ArrayMeta(shape, chunks, dtype, comp, fill, order)
+    ArrayMeta(shape, chunks, dtype, comp, fill, order, fields = fields)
   }
 
   /** Chunk file key, C-order: "0.0", "1.2", … (zarr v2 default separator). */

@@ -1,0 +1,57 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.zarr.{ChunkCodec, ZarrMeta}
+import org.apache.spark.sql.functions._
+import java.nio.ByteBuffer
+import java.nio.ByteOrder
+import java.nio.file.Files
+
+/** Structured ("void") record arrays: numpy field-list dtype decoded into
+  * Spark structs (reference mdio/zarr/zarr_v2.h:109-120; the storage form
+  * behind SelectField P3). Read-only in v1. */
+class MdioRecordDtypeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def build(): String = {
+    val root = Files.createTempDirectory("mdio_rec").resolve("r.mdio")
+    ZarrMeta.writeGroup(root, Some("""{"name": "r"}"""))
+    // trace dim coordinate
+    ZarrMeta.writeArray(root, "trace",
+      ZarrMeta.ArrayMeta(Seq(4L), Seq(4L), "<i8", None, Some(0.0)),
+      Some("""{"_ARRAY_DIMENSIONS": ["trace"]}"""))
+    Files.write(root.resolve("trace").resolve("0"),
+      ChunkCodec.encodeLongs(Array(0L, 1L, 2L, 3L), "<i8"))
+    // record variable: headers(trace) with fields cdp-x:<i4, elev:<f4
+    val fields = Seq("cdp-x" -> "<i4", "elev" -> "<f4")
+    ZarrMeta.writeArray(root, "headers",
+      ZarrMeta.ArrayMeta(Seq(4L), Seq(4L), "|V8", None, None, fields = Some(fields)),
+      Some("""{"_ARRAY_DIMENSIONS": ["trace"]}"""))
+    val bb = ByteBuffer.allocate(4 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until 4).foreach { i => bb.putInt(1000 + i); bb.putFloat(i * 1.5f) }
+    Files.write(root.resolve("headers").resolve("0"), bb.array())
+    ZarrMeta.consolidate(root)
+    root.toString
+  }
+
+  test("record dtype round-trips through .zarray metadata") {
+    val dir = build()
+    val (_, arrays) = ZarrMeta.readGroup(java.nio.file.Paths.get(dir))
+    val m = arrays("headers")._1
+    assert(m.fields.contains(Seq("cdp-x" -> "<i4", "elev" -> "<f4")))
+    assert(m.elemSize == 8)
+    MdioWriter.delete(dir)
+  }
+
+  test("record variable reads as struct; nested fields project (P3)") {
+    val dir = build()
+    val df = spark.read.format("mdio").load(dir)
+    assert(df.schema("headers").dataType.simpleString == "struct<cdp-x:int,elev:float>")
+    val rows = df.orderBy("trace")
+      .select(col("trace"), col("headers").getField("cdp-x").as("x"),
+        col("headers").getField("elev").as("e"))
+      .as[(Long, Int, Float)].collect().toSeq
+    assert(rows == (0 until 4).map(i => (i.toLong, 1000 + i, i * 1.5f)))
+    MdioWriter.delete(dir)
+  }
+}

@@ -53,4 +53,17 @@ class ChunkCodecSpec extends AnyFunSuite {
   test("big-endian dtypes rejected") {
     intercept[IllegalArgumentException](ChunkCodec.decodeDoubles(Array[Byte](0, 0, 0, 0), ">f4"))
   }
+
+  test("float16 round-trips through half conversion (representable values)") {
+    val vals = Array(0.0, 1.0, -2.5, 0.5, 65504.0, Double.NaN)
+    val raw = ChunkCodec.encodeDoubles(vals, "<f2")
+    assert(raw.length == vals.length * 2)
+    val back = ChunkCodec.decodeDoubles(raw, "<f2")
+    assert(back.zip(vals).forall { case (a, b) => a == b || (a.isNaN && b.isNaN) })
+    // subnormal half and overflow-to-inf behavior
+    val tiny = ChunkCodec.decodeDoubles(ChunkCodec.encodeDoubles(Array(6.0e-8), "<f2"), "<f2")(0)
+    assert(tiny > 0 && tiny < 1e-7)
+    val inf = ChunkCodec.decodeDoubles(ChunkCodec.encodeDoubles(Array(1e6), "<f2"), "<f2")(0)
+    assert(inf.isPosInfinity)
+  }
 }
