@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineVec, DotVec, SimHash64}
+import graft.expressions.{CosineVec, DotVec, MinHashSig, SimHash64, WordNGrams}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -21,7 +21,11 @@ object GraftFunctions {
     ("dot_vec", "dot product of two float vectors (double)",
       (es: Seq[Expression]) => DotVec(es(0), es(1))),
     ("cosine_vec", "one-pass cosine similarity of two float vectors",
-      (es: Seq[Expression]) => CosineVec(es(0), es(1))))
+      (es: Seq[Expression]) => CosineVec(es(0), es(1))),
+    ("word_ngrams", "space-joined word n-grams of a token array",
+      (es: Seq[Expression]) => WordNGrams(es(0), es(1))),
+    ("minhash_sig", "k-family MinHash signature of a shingle array",
+      (es: Seq[Expression]) => MinHashSig(es(0), es(1))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = fns.foreach { case (name, usage, builder) =>

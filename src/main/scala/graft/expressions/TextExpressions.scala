@@ -1,0 +1,114 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text kernels (same rationale as [[Kernels]]: one JVM loop per
+  * row inside whole-stage codegen instead of per-element interpreted
+  * lambdas from `transform`/`sequence`/`slice` compositions). */
+object TextKernels {
+
+  /** All word n-grams of a token array, space-joined, in order
+    * (non-distinct — counting semantics; wrap with array_distinct for set
+    * semantics). Arrays shorter than n yield one gram of all tokens,
+    * matching the column formulation used by Dedup.shingles. */
+  def ngrams(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    val count = math.max(len - n + 1, if (len > 0) 1 else 0)
+    val out = new Array[AnyRef](count)
+    var i = 0
+    while (i < count) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      val hi = math.min(i + n, len)
+      var k = i
+      while (k < hi) {
+        if (j > 0) sb.append(' ')
+        if (!tokens.isNullAt(k)) sb.append(tokens.getUTF8String(k).toString)
+        j += 1
+        k += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature: for each of k hash families, the min over shingles
+    * of Spark-xxhash64(j, shingle) — bit-identical to
+    * `array_min(transform(sh, s => xxhash64(lit(j), s)))`, computed in one
+    * pass over the shingle array with precomputed per-family seeds. */
+  def minhash(shingles: ArrayData, k: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    val seeds = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      // the column formulation is xxhash64(lit(j), shingle) with j an INT
+      // literal — match its int-typed seed chaining exactly
+      seeds(j) = XxHash64Function.hash(j, IntegerType, 42L)
+      j += 1
+    }
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val s = shingles.getUTF8String(i)
+        j = 0
+        while (j < k) {
+          val h = XxHash64Function.hash(s, StringType, seeds(j))
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(Long.box: Long => java.lang.Long).asInstanceOf[Array[AnyRef]])
+  }
+}
+
+/** word_ngrams(array<string>, n) -> array<string> */
+case class WordNGrams(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams needs (array<string>, int), got (${l.simpleString}, ${r.simpleString})")
+  }
+
+  override protected def nullSafeEval(toks: Any, n: Any): Any =
+    TextKernels.ngrams(toks.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"graft.expressions.TextKernels.ngrams($t, $n)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WordNGrams =
+    copy(left = l, right = r)
+}
+
+/** minhash_sig(array<string>, k) -> array<long> */
+case class MinHashSig(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig needs (array<string>, int), got (${l.simpleString}, ${r.simpleString})")
+  }
+
+  override protected def nullSafeEval(sh: Any, k: Any): Any =
+    TextKernels.minhash(sh.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, k) => s"graft.expressions.TextKernels.minhash($s, $k)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashSig =
+    copy(left = l, right = r)
+}

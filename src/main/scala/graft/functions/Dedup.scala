@@ -66,8 +66,11 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 16, bands: Int = 4,
                  shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    graft.GraftFunctions.register(df.sparkSession)
+    val sh = df.select(col(idCol).as("id"),
+        array_distinct(call_function("word_ngrams",
+          TextFunctions.tokens(col(textCol)), lit(shingleK))).as("sh"))
+      .withColumn("sig", call_function("minhash_sig", col("sh"), lit(numHashes)))
     // persist the tiny (id, band, bucket) table so the candidate self-join
     // does not recompute the shingle+sign stage per side (same pattern as
     // Spark MLlib's approxSimilarityJoin)
@@ -131,8 +134,11 @@ object Dedup {
   def ngramJaccardDups(df: DataFrame, idCol: String, textCol: String,
                        blockCol: Column, shingleK: Int = 3,
                        threshold: Double = 0.5): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"),
-      blockCol.as("block"), shingles(col(textCol), shingleK).as("sh"))
+      blockCol.as("block"),
+      array_distinct(call_function("word_ngrams",
+        TextFunctions.tokens(col(textCol)), lit(shingleK))).as("sh"))
       .withColumn("sz", size(col("sh")))
     val posting = base.select(col("block"), col("id"), col("sz"), explode(col("sh")).as("g"))
     posting.alias("a")

@@ -165,13 +165,11 @@ object Pipeline {
   /** Global top-10 bigrams with counts — the n-gram frequency sweep
     * (non-distinct grams: counting, unlike dedup's set semantics). */
   val qTextTopNgrams: Q = (s, d) => {
+    graft.GraftFunctions.register(s)
     val toks = TF.tokens(col("text"))
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - 2, lit(0))),
-      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
     documents(s, d)
-      .filter(size(TF.tokens(col("text"))) >= 2)
-      .select(explode(grams).as("gram"))
+      .filter(size(toks) >= 2)
+      .select(explode(call_function("word_ngrams", toks, lit(2))).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram")).limit(10)
   }

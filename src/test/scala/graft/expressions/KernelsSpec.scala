@@ -47,4 +47,26 @@ class KernelsSpec extends SparkSpec {
       .agg(sum(col("c"))).as[Double].head()
     assert(math.abs(n - 100.0) < 1e-9) // self-cosine = 1 per row
   }
+
+  test("word_ngrams expression == lambda shingles formulation") {
+    graft.GraftFunctions.register(spark)
+    val docs = graft.Tables.documents(spark, sf).limit(200)
+    val mismatch = docs.select(
+        Dedup.shingles(col("text"), 2).as("lambda"),
+        array_distinct(call_function("word_ngrams",
+          TextFunctions.tokens(col("text")), lit(2))).as("native"))
+      .filter(col("lambda") =!= col("native")).count()
+    assert(mismatch == 0)
+  }
+
+  test("minhash_sig expression == lambda minhashSignature") {
+    graft.GraftFunctions.register(spark)
+    val docs = graft.Tables.documents(spark, sf).limit(200)
+    val sh = Dedup.shingles(col("text"), 2)
+    val mismatch = docs.select(
+        Dedup.minhashSignature(sh, 16).as("lambda"),
+        call_function("minhash_sig", sh, lit(16)).as("native"))
+      .filter(col("lambda") =!= col("native")).count()
+    assert(mismatch == 0)
+  }
 }
