@@ -49,9 +49,13 @@ object MdioDataset {
     val listedCoords = labeled.values.flatMap { case (_, _, attrs) =>
       attrs.toSeq.flatMap(graft.sources.MdioTableUtil.coordinatesAttr)
     }.toSet
-    val dataVars = labeled.keys.filterNot(n => dimCoords(n) || listedCoords(n)).toSeq.sorted
-    require(dataVars.nonEmpty, s"no data variables at $path")
-    val dims = labeled(dataVars.head)._2
+    val allDataVars = labeled.keys.filterNot(n => dimCoords(n) || listedCoords(n)).toSeq.sorted
+    require(allDataVars.nonEmpty, s"no data variables at $path")
+    // the main grid = the highest-rank dimension tuple (most vars breaks
+    // ties); variables on other tuples attach via [[attachVariable]]
+    val byDims = allDataVars.groupBy(v => labeled(v)._2)
+    val (dims, dataVars) = byDims.toSeq
+      .maxBy { case (d, vs) => (d.size, vs.size) }
     val domain = dims.zipWithIndex.map { case (dname, i) =>
       dname -> (0L, labeled(dataVars.head)._1.shape(i))
     }.toMap
@@ -69,6 +73,27 @@ object MdioDataset {
       data = spark.read.format("mdio")
         .option("variables", dataVars.mkString(",")).load(path),
       dims = dims, domain = domain, coords = coords)
+  }
+
+  /** J1 — dimension alignment across variables with DIFFERENT dimension
+    * subsets (reference: all variables sharing a dim name are implicitly
+    * aligned on integer index, mdio/dataset_factory.h:676-701). Reads
+    * `variable` with its own dims from the same store and broadcast-joins
+    * it onto `ds` on the shared dimension columns — e.g. a 1-D
+    * velocity(depth) profile attached to a 3-D image(inline, crossline,
+    * depth). The smaller per-variable table broadcasts; the grid never
+    * shuffles. */
+  def attachVariable(spark: org.apache.spark.sql.SparkSession, ds: MdioDataset,
+                     path: String, variable: String): MdioDataset = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val vdf0 = spark.read.format("mdio").option("variables", variable).load(path)
+    val vdims = vdf0.columns.filterNot(c => c == variable || c == s"${variable}__value").toSeq
+    val shared = vdims.filter(ds.dims.contains)
+    require(shared.nonEmpty,
+      s"variable '$variable' shares no dimensions with the dataset (${ds.dims.mkString(",")})")
+    val valueCol = if (vdims.contains(variable)) s"${variable}__value" else variable
+    val vdf = vdf0.select((shared.map(col) :+ col(valueCol).as(variable)): _*)
+    ds.copy(data = ds.data.join(broadcast(vdf), shared))
   }
 }
 

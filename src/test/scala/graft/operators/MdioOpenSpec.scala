@@ -84,4 +84,37 @@ class MdioOpenSpec extends SparkSpec {
     assert(joined.count() == 24)
     MdioWriter.delete(dir)
   }
+
+  test("attachVariable aligns a lower-rank variable on shared dims (J1)") {
+    val dir = Files.createTempDirectory("mdio_j1").resolve("j.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "j", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "inline", "dataType": "int64",
+        |     "dimensions": [{"name": "inline", "size": 4}]},
+        |    {"name": "depth", "dataType": "int64",
+        |     "dimensions": [{"name": "depth", "size": 3}]},
+        |    {"name": "velocity", "dataType": "float64",
+        |     "dimensions": [{"name": "depth", "size": 3}]},
+        |    {"name": "image", "dataType": "float64",
+        |     "dimensions": [{"name": "inline", "size": 4}, {"name": "depth", "size": 3}]}
+        |  ]
+        |}""".stripMargin), dir)
+    val cells = for { i <- 0L until 4L; z <- 0L until 3L } yield (i, z, i * 10.0 + z)
+    MdioWriter.writeVariable(spark, cells.toDF("inline", "depth", "image"), dir, "image")
+    MdioWriter.writeVariable(spark,
+      (0L until 3L).map(z => (z, 1500.0 + z * 100)).toDF("depth", "velocity"), dir, "velocity")
+
+    // open() grids on the highest-rank tuple (image); velocity attaches
+    val ds = MdioDataset.open(spark, dir)
+    assert(ds.dims == Seq("inline", "depth"))
+    assert(ds.data.columns.contains("image") && !ds.data.columns.contains("velocity"))
+    val joined = MdioDataset.attachVariable(spark, ds, dir, "velocity")
+    assert(joined.data.count() == 12)
+    val bad = joined.data
+      .filter(col("velocity") =!= (lit(1500.0) + col("depth") * 100)).count()
+    assert(bad == 0)
+    MdioWriter.delete(dir)
+  }
 }
