@@ -36,19 +36,25 @@ object Relational2 {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) t
     GROUP BY first_type, last_type"""
 
-  /** RANGE frame: sum of order totals within ±5000 of each order's price. */
+  /** RANGE frame: orders within ±5000 of each order's price, windowed PER
+    * PRIORITY — a partitioned range frame shuffles once on the partition
+    * key; a global one would single-partition at scale. */
   val qWindowRangeFrame: Q = (s, d) => {
-    val w = Window.orderBy(col("o_totalprice")).rangeBetween(-5000L, 5000L)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice")).rangeBetween(-5000L, 5000L)
     orders(s, d)
       .withColumn("nearby", count(lit(1)).over(w))
+      .groupBy(col("o_orderpriority"))
       .agg(max(col("nearby")).as("max_nearby"), count(lit(1)).as("n"))
   }
 
   val qWindowRangeFrameSql: String = """
-    SELECT MAX(nearby) AS max_nearby, COUNT(*) AS n FROM (
-      SELECT COUNT(*) OVER (ORDER BY o_totalprice
+    SELECT o_orderpriority, MAX(nearby) AS max_nearby, COUNT(*) AS n FROM (
+      SELECT o_orderpriority, COUNT(*) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice
                RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) AS nearby
-      FROM orders) t"""
+      FROM orders) t
+    GROUP BY o_orderpriority"""
 
   /** rank + dense_rank + lead (gap detection on ranks). */
   val qWindowRanks: Q = (s, d) => {
