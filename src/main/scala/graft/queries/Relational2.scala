@@ -169,6 +169,21 @@ object Relational2 {
              CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS syy
       FROM lineitem GROUP BY l_returnflag) t"""
 
+  /** PIVOT: order totals per priority, one column per status (explicit
+    * value list keeps the schema static — the scale-safe pivot form). */
+  val qAggPivot: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum(col("o_totalprice")))
+
+  val qAggPivotSql: String = s"""
+    SELECT o_orderpriority,
+           ${sqlDsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS F,
+           ${sqlDsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS O,
+           ${sqlDsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS P
+    FROM orders GROUP BY o_orderpriority"""
+
   /** Conditional aggregation: count_if / any / every. */
   val qAggConditional: Q = (s, d) =>
     orders(s, d).groupBy(col("o_orderpriority"))
@@ -307,6 +322,7 @@ object Relational2 {
     "join_full_outer"    -> qJoinFullOuter,
     "join_cross"         -> qJoinCross,
     "agg_percentile"     -> qAggPercentile,
+    "agg_pivot"          -> qAggPivot,
     "agg_corr"           -> qAggCorr,
     "agg_conditional"    -> qAggConditional,
     "agg_approx"         -> qAggApprox,
@@ -324,6 +340,7 @@ object Relational2 {
     "join_full_outer"    -> qJoinFullOuterSql,
     "join_cross"         -> qJoinCrossSql,
     "agg_percentile"     -> qAggPercentileSql,
+    "agg_pivot"          -> qAggPivotSql,
     "agg_corr"           -> qAggCorrSql,
     "agg_conditional"    -> qAggConditionalSql,
     "fn_array"           -> qFnArraySql,
