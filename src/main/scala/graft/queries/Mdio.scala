@@ -164,6 +164,26 @@ object Mdio {
            ${sqlDsum("l_quantity")} AS "sum", ${sqlDsumsq("l_quantity")} AS "sumSquares"
     FROM lineitem"""
 
+  // A1+A2 via the one-pass typed Aggregator (operators/MdioStats.scala):
+  // the custom Aggregator's own output on the oracle gate. Only its
+  // order-independent fields are compared (count/min/max/bin counts —
+  // the double sums accumulate in partition order by design).
+  val qStatsAggregator: Q = (s, d) => {
+    import s.implicits._
+    val stats = graft.operators.MdioStats.compute(
+      s, grid(s, d), "l_quantity", histLo = 0.0, histWidth = 10.0, histBins = 6)
+    Seq((stats.count, stats.min, stats.max,
+      stats.histogram.counts(0), stats.histogram.counts(1), stats.histogram.counts(5)))
+      .toDF("count", "min", "max", "bin0", "bin1", "bin5")
+  }
+
+  val qStatsAggregatorSql: String = """
+    SELECT COUNT(l_quantity) AS "count", MIN(l_quantity) AS "min", MAX(l_quantity) AS "max",
+           CAST(SUM(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS BIGINT) AS bin0,
+           CAST(SUM(CASE WHEN l_quantity >= 10 AND l_quantity < 20 THEN 1 ELSE 0 END) AS BIGINT) AS bin1,
+           CAST(SUM(CASE WHEN l_quantity >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS bin5
+    FROM lineitem"""
+
   // A2 — centered-bin histogram (bin center spacing 5 on l_quantity).
   val qHistogramCentered: Q = (s, d) =>
     grid(s, d).data
@@ -287,6 +307,7 @@ object Mdio {
     "mdio_cast_typed"       -> qCastTyped,
     "mdio_intervals"        -> qIntervals,
     "mdio_stats_v1"         -> qStatsV1,
+    "mdio_stats_aggregator" -> qStatsAggregator,
     "mdio_histogram_centered" -> qHistogramCentered,
     "mdio_fill_value"       -> qFillValue,
     "mdio_coordselector"    -> qCoordSelector,
@@ -306,6 +327,7 @@ object Mdio {
     "mdio_cast_typed"       -> qCastTypedSql,
     "mdio_intervals"        -> qIntervalsSql,
     "mdio_stats_v1"         -> qStatsV1Sql,
+    "mdio_stats_aggregator" -> qStatsAggregatorSql,
     "mdio_histogram_centered" -> qHistogramCenteredSql,
     "mdio_fill_value"       -> qFillValueSql,
     "mdio_coordselector"    -> qCoordSelectorSql,
