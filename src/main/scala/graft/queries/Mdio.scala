@@ -253,6 +253,43 @@ object Mdio {
     s.read.format("mdio").load(zarrGrid(s, d))
       .agg(dsum(col("image")).as("total"), count(lit(1)).as("n"))
 
+  /** Same gate through the Zarr v3 on-disk format (S8 version duality). */
+  def zarrGridV3(s: SparkSession, d: String): String =
+    builtGrids.getOrElseUpdate(d + "#v3", {
+      val path = s"/tmp/graft_zarr3_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val spec = graft.spec.MdioSpec.fromJson(
+        """{
+          |  "metadata": {"name": "lineitem_grid3", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+          |  "variables": [
+          |    {"name": "inline", "dataType": "int64",
+          |     "dimensions": [{"name": "inline", "size": 32}]},
+          |    {"name": "crossline", "dataType": "int64",
+          |     "dimensions": [{"name": "crossline", "size": 8}]},
+          |    {"name": "image", "dataType": "float64",
+          |     "dimensions": [{"name": "inline", "size": 32}, {"name": "crossline", "size": 8}],
+          |     "compressor": {"name": "zstd"},
+          |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8, 4]}}}}
+          |  ]
+          |}""".stripMargin)
+      graft.sources.MdioWriter.delete0(path)
+      graft.sources.MdioWriter.create(spec, path, version = 3)
+      val agg = lineitem(s, d)
+        .groupBy((col("l_orderkey") % 32).as("inline"),
+                 (col("l_linenumber").cast("long") % 8).as("crossline"))
+        .agg(sum(col("l_quantity").cast("decimal(27,6)")).cast("double").as("image"))
+      val full = s.range(32).select(col("id").as("inline"))
+        .crossJoin(s.range(8).select(col("id").as("crossline")))
+      val cells = full.join(agg, Seq("inline", "crossline"), "left")
+        .select(col("inline"), col("crossline"), coalesce(col("image"), lit(0.0)).as("image"))
+      graft.sources.MdioWriter.writeVariable(s, cells, path, "image")
+      path
+    })
+
+  val qZarrV3Roundtrip: Q = (s, d) =>
+    s.read.format("mdio").load(zarrGridV3(s, d))
+      .filter(col("inline") >= 8 && col("inline") < 24 && col("crossline") < 4)
+      .agg(dsum(col("image")).as("total"), count(lit(1)).as("n"))
+
   val qZarrRoundtripSql: String = """
     WITH agg AS (
       SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
@@ -313,6 +350,7 @@ object Mdio {
     "mdio_coordselector"    -> qCoordSelector,
     "zarr_roundtrip"        -> qZarrRoundtrip,
     "zarr_pushdown"         -> qZarrPushdown,
+    "zarr_v3_roundtrip"     -> qZarrV3Roundtrip,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -333,5 +371,6 @@ object Mdio {
     "mdio_coordselector"    -> qCoordSelectorSql,
     "zarr_roundtrip"        -> qZarrRoundtripSql,
     "zarr_pushdown"         -> qZarrPushdownSql,
+    "zarr_v3_roundtrip"     -> qZarrPushdownSql, // same cells, same slice, v3 format
   )
 }
