@@ -194,6 +194,32 @@ object Mdio {
     SELECT CAST(FLOOR(l_quantity / 5.0 + 0.5) AS BIGINT) AS bin, COUNT(*) AS n
     FROM lineitem GROUP BY 1"""
 
+  // A2 — EdgeDefinedHistogram with NON-uniform binEdges (the reference's
+  // second histogram kind, mdio/stats.h:163-227): explicit edge list,
+  // stop-inclusive last edge.
+  val qHistogramEdges: Q = (s, d) => {
+    val edges = Seq(1.0, 5.0, 15.0, 30.0, 51.0) // 4 bins, non-uniform widths
+    val bin = edges.sliding(2).zipWithIndex.foldLeft(lit(-1L)) {
+      case (acc, (Seq(lo, hi), i)) =>
+        when(col("l_quantity") >= lo && col("l_quantity") < hi, i.toLong).otherwise(acc)
+    }
+    grid(s, d).data
+      .select(bin.as("bin"))
+      .filter(col("bin") >= 0)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+  }
+
+  val qHistogramEdgesSql: String = """
+    SELECT bin, COUNT(*) AS n FROM (
+      SELECT CASE
+        WHEN l_quantity >= 30.0 AND l_quantity < 51.0 THEN 3
+        WHEN l_quantity >= 15.0 AND l_quantity < 30.0 THEN 2
+        WHEN l_quantity >= 5.0  AND l_quantity < 15.0 THEN 1
+        WHEN l_quantity >= 1.0  AND l_quantity < 5.0  THEN 0
+        ELSE -1 END AS bin
+      FROM lineitem) t
+    WHERE bin >= 0 GROUP BY bin"""
+
   // F2 — fill-value materialization on missing cells (left join → fill).
   val qFillValue: Q = (s, d) =>
     customer(s, d)
@@ -346,6 +372,7 @@ object Mdio {
     "mdio_stats_v1"         -> qStatsV1,
     "mdio_stats_aggregator" -> qStatsAggregator,
     "mdio_histogram_centered" -> qHistogramCentered,
+    "mdio_histogram_edges"  -> qHistogramEdges,
     "mdio_fill_value"       -> qFillValue,
     "mdio_coordselector"    -> qCoordSelector,
     "zarr_roundtrip"        -> qZarrRoundtrip,
@@ -367,6 +394,7 @@ object Mdio {
     "mdio_stats_v1"         -> qStatsV1Sql,
     "mdio_stats_aggregator" -> qStatsAggregatorSql,
     "mdio_histogram_centered" -> qHistogramCenteredSql,
+    "mdio_histogram_edges"  -> qHistogramEdgesSql,
     "mdio_fill_value"       -> qFillValueSql,
     "mdio_coordselector"    -> qCoordSelectorSql,
     "zarr_roundtrip"        -> qZarrRoundtripSql,
