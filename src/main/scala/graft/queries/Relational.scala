@@ -566,6 +566,23 @@ object Relational {
            COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
     FROM events GROUP BY 1, 2"""
 
+  /** Sliding event-time windows in batch (1 h length, 15 min slide):
+    * `window()` works in a batch groupBy exactly as in streaming — each
+    * event lands in 4 overlapping windows. Oracle: the closed form
+    * start_k = bucket_15min(ts) - k·15min for k ∈ 0..3. */
+  val qStreamSliding: Q = (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("n"), col("sum_value"))
+
+  val qStreamSlidingSql: String = s"""
+    SELECT time_bucket(INTERVAL 15 MINUTES, CAST(ts AS TIMESTAMP))
+             - k * INTERVAL 15 MINUTES AS ws,
+           COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+    FROM events CROSS JOIN range(0, 4) r(k)
+    GROUP BY 1"""
+
   /** Gap-based sessionization (30-min inactivity) via windowed cumsum —
     * the batch analog of flatMapGroupsWithState sessionization. */
   val qEventsSessionize: Q = (s, d) => {
@@ -630,6 +647,7 @@ object Relational {
     "fn_math"              -> qFnMath,
     "fn_case"              -> qFnCase,
     "stream_tumbling"      -> qStreamTumbling,
+    "stream_sliding"       -> qStreamSliding,
     "events_sessionize"    -> qEventsSessionize,
   )
 
@@ -666,6 +684,7 @@ object Relational {
     "fn_math"              -> qFnMathSql,
     "fn_case"              -> qFnCaseSql,
     "stream_tumbling"      -> qStreamTumblingSql,
+    "stream_sliding"       -> qStreamSlidingSql,
     "events_sessionize"    -> qEventsSessionizeSql,
   )
 }
