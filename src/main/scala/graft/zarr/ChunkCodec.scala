@@ -266,7 +266,44 @@ object ChunkCodec {
       val out = ByteBuffer.allocate(4 + comp.length).order(ByteOrder.LITTLE_ENDIAN)
       out.putInt(raw.length).put(comp)
       out.array()
+    case Some("blosc") => bloscEncode(raw)
     case Some(other) => throw new IllegalArgumentException(s"unsupported compressor '$other' for write")
+  }
+
+  /** Blosc1 single-block lz4 encode (the reference's default codec family):
+    * 16-byte header, one block-start entry, then [int32 csize][payload].
+    * No byte-shuffle on write (flag 0); falls back to the memcpy frame when
+    * lz4 does not reduce. Symmetric with [[bloscDecode]]. */
+  private def bloscEncode(raw: Array[Byte]): Array[Byte] = {
+    require(raw.length > 0 && raw.length <= Int.MaxValue - 64, "blosc single-block size limit")
+    val comp = LZ4Factory.fastestJavaInstance().fastCompressor().compress(raw)
+    val useMemcpy = comp.length + 4 >= raw.length
+    if (useMemcpy) {
+      val out = ByteBuffer.allocate(16 + raw.length).order(ByteOrder.LITTLE_ENDIAN)
+      out.put(0, 2.toByte)                    // blosc format version
+      out.put(1, 1.toByte)                    // codec format version
+      out.put(2, 0x2.toByte)                  // flags: memcpy
+      out.put(3, 1.toByte)                    // typesize (opaque bytes)
+      out.putInt(4, raw.length)               // nbytes
+      out.putInt(8, raw.length)               // blocksize
+      out.putInt(12, 16 + raw.length)         // cbytes
+      System.arraycopy(raw, 0, out.array(), 16, raw.length)
+      out.array()
+    } else {
+      val total = 16 + 4 + 4 + comp.length    // header + bstart + csize + payload
+      val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+      out.put(0, 2.toByte)
+      out.put(1, 1.toByte)
+      out.put(2, (1 << 5).toByte)             // flags: codec id 1 = lz4, no shuffle
+      out.put(3, 1.toByte)
+      out.putInt(4, raw.length)
+      out.putInt(8, raw.length)               // single block
+      out.putInt(12, total)
+      out.putInt(16, 20)                      // bstart[0] -> right after the table
+      out.putInt(20, comp.length)             // per-block csize
+      System.arraycopy(comp, 0, out.array(), 24, comp.length)
+      out.array()
+    }
   }
 
   def decompress(data: Array[Byte], codec: Option[String], rawSize: Int): Array[Byte] = codec match {

@@ -71,6 +71,8 @@ object ZarrMeta {
   def renderArrayMeta(m: ArrayMeta): String = {
     val comp = m.compressor match {
       case None => "null"
+      case Some("blosc") => // full numcodecs object so zarr-python decodes it
+        """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 0}"""
       case Some(id) => s"""{"id": "$id"}"""
     }
     val dtypeJson = m.fields match {

@@ -66,4 +66,18 @@ class ChunkCodecSpec extends AnyFunSuite {
     val inf = ChunkCodec.decodeDoubles(ChunkCodec.encodeDoubles(Array(1e6), "<f2"), "<f2")(0)
     assert(inf.isPosInfinity)
   }
+
+  test("blosc single-block frame round-trips (lz4 and memcpy fallback)") {
+    // compressible payload -> lz4 block
+    val rep = ChunkCodec.encodeDoubles(Array.tabulate(2000)(i => (i % 7).toDouble), "<f8")
+    val cRep = ChunkCodec.compress(rep, Some("blosc"))
+    assert(cRep.length < rep.length)
+    assert(ChunkCodec.decompress(cRep, Some("blosc"), rep.length).toSeq == rep.toSeq)
+    // incompressible payload -> memcpy frame
+    val rnd = new scala.util.Random(3)
+    val noise = Array.fill(512)(rnd.nextInt().toByte)
+    val cNoise = ChunkCodec.compress(noise, Some("blosc"))
+    assert((cNoise(2) & 0x2) != 0, "expected memcpy flag for incompressible data")
+    assert(ChunkCodec.decompress(cNoise, Some("blosc"), noise.length).toSeq == noise.toSeq)
+  }
 }
