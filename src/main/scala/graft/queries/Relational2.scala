@@ -251,6 +251,27 @@ object Relational2 {
            MAX(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)) AS max_eom
     FROM orders GROUP BY 1"""
 
+  /** Map functions: build a status→count map per priority from collected
+    * entries, then element_at lookups (missing key → null on both sides). */
+  val qFnMap: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("o_orderstatus"), col("cnt")))))
+        .as("m"))
+      .select(col("o_orderpriority"),
+        element_at(col("m"), "F").as("n_f"),
+        element_at(col("m"), "O").as("n_o"),
+        size(map_keys(col("m"))).cast("long").as("n_statuses"))
+
+  val qFnMapSql: String = """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders GROUP BY o_orderpriority"""
+
   /** String edit-distance + phonetics-free similarity (levenshtein shares
     * its definition across engines). */
   val qFnLevenshtein: Q = (s, d) =>
@@ -329,6 +350,7 @@ object Relational2 {
     "fn_array"           -> qFnArray,
     "fn_json"            -> qFnJson,
     "fn_datetime"        -> qFnDatetime,
+    "fn_map"             -> qFnMap,
     "fn_levenshtein"     -> qFnLevenshtein,
   )
 
@@ -346,6 +368,7 @@ object Relational2 {
     "fn_array"           -> qFnArraySql,
     "fn_json"            -> qFnJsonSql,
     "fn_datetime"        -> qFnDatetimeSql,
+    "fn_map"             -> qFnMapSql,
     "fn_levenshtein"     -> qFnLevenshteinSql,
   )
 }
