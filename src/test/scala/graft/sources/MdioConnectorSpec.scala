@@ -162,4 +162,38 @@ class MdioConnectorSpec extends SparkSpec {
   private implicit class IterOps[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
+
+  test("unknown variables and mismatched chunk shapes error clearly") {
+    val dir = freshDataset()
+    // unknown variable name
+    val e1 = intercept[IllegalArgumentException] {
+      spark.read.format("mdio").option("variables", "ghost").load(dir).schema
+    }
+    assert(e1.getMessage.contains("unknown variables"))
+    // force a chunkShape mismatch between selected variables
+    val maskMeta = java.nio.file.Paths.get(dir).resolve("mask").resolve(".zarray")
+    Files.writeString(maskMeta,
+      Files.readString(maskMeta).replace("[4, 3]", "[2, 3]"))
+    graft.zarr.ZarrMeta.consolidate(java.nio.file.Paths.get(dir))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("mdio").option("variables", "image,mask").load(dir).schema
+    }
+    assert(e2.getMessage.contains("chunkShapes"))
+    MdioWriter.delete(dir)
+  }
+
+  test("format(mdio) without a path errors with guidance") {
+    val e = intercept[Exception] {
+      spark.read.format("mdio").load()
+    }
+    assert(e.getMessage.toLowerCase.contains("path"))
+  }
+
+  test("GraftFunctions.register is idempotent") {
+    graft.GraftFunctions.register(spark)
+    graft.GraftFunctions.register(spark) // second call must not throw
+    import org.apache.spark.sql.functions._
+    assert(spark.range(1).select(call_function("simhash64",
+      array(lit("a"), lit("b")))).count() == 1)
+  }
 }
