@@ -105,6 +105,9 @@ object MdioWriter {
     //               decimal and wraps to two's complement), encodeLongs
     //  'c'       → struct(re, im) flattened to two double columns,
     //               encodeComplex — so no integral value ever rides a double
+    if (meta.fields.isDefined)
+      return writeRecordVariable(spark, df, path, variable, meta, dims, chunkId)
+
     val kindChar =
       if (MdioPartitionReader.isComplex(dtype)) 'c'
       else dtype.charAt(dtype.length - 2)
@@ -258,6 +261,92 @@ object MdioWriter {
       }
     }
     if (ZarrMeta.detectVersion(root) == 2) ZarrMeta.consolidate(root)
+  }
+
+  /** Chunk-aligned write of a structured (record) variable: the value
+    * column is a struct whose field names match the record dtype; each
+    * task packs its chunks' records into zero-filled byte buffers
+    * (reference struct fill = zero bytes) and writes them whole. */
+  private def writeRecordVariable(spark: SparkSession, df: DataFrame, path: String,
+                                  variable: String, meta: ZarrMeta.ArrayMeta,
+                                  dims: Seq[String],
+                                  chunkId: org.apache.spark.sql.Column): Unit = {
+    val fields = meta.fields.get
+    val shape = meta.shape.toArray
+    val chunks = meta.chunks.toArray
+    val grid = meta.chunkGrid.toArray
+    val compressor = meta.compressor
+    val pathStr = path
+    val rank = dims.size
+    val fieldKinds: Array[Char] = fields.map(f => f._2.charAt(f._2.length - 2)).toArray
+    val fieldSizes: Array[Int] = fields.map(f => ChunkCodec.elemSize(f._2)).toArray
+    val recSize = fieldSizes.sum
+
+    val dimCols = dims.map(d => col(d).cast("long").as(d))
+    val fieldCols = fields.zipWithIndex.map { case ((name, ft), i) =>
+      val c = col(variable).getField(name)
+      if (ft.charAt(ft.length - 2) == 'f') c.cast("double").as(s"__f$i")
+      else c.cast("long").as(s"__f$i")
+    }
+    val projected = df.select(dimCols ++ fieldCols: _*).withColumn("__chunk", chunkId)
+    val nChunks = grid.product
+    val parts = math.min(nChunks, math.max(spark.sparkContext.defaultParallelism.toLong, 1L)).toInt
+
+    projected
+      .repartition(parts, col("__chunk"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        import java.nio.{ByteBuffer, ByteOrder}
+        val byChunk = scala.collection.mutable.Map[Long, Array[Byte]]()
+        val chunkBytes = chunks.product.toInt * recSize
+        rows.foreach { r =>
+          val cid = r.getLong(rank + fields.size)
+          val buf = byChunk.getOrElseUpdate(cid, new Array[Byte](chunkBytes))
+          var o = 0L
+          var stride = 1L
+          var i = rank - 1
+          while (i >= 0) {
+            val coord = r.getLong(i)
+            require(coord >= 0 && coord < shape(i),
+              s"coordinate $coord out of domain [0, ${shape(i)}) on dim ${dims(i)}")
+            o += (coord % chunks(i)) * stride
+            stride *= chunks(i)
+            i -= 1
+          }
+          val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+          var base = o.toInt * recSize
+          var k = 0
+          while (k < fields.size) {
+            if (fieldKinds(k) == 'f') {
+              val v = r.getDouble(rank + k)
+              fieldSizes(k) match {
+                case 2 => bb.putShort(base, ChunkCodec.floatToHalf(v.toFloat))
+                case 4 => bb.putFloat(base, v.toFloat)
+                case _ => bb.putDouble(base, v)
+              }
+            } else {
+              val v = r.getLong(rank + k)
+              fieldSizes(k) match {
+                case 1 => bb.put(base, v.toByte)
+                case 2 => bb.putShort(base, v.toShort)
+                case 4 => bb.putInt(base, v.toInt)
+                case _ => bb.putLong(base, v)
+              }
+            }
+            base += fieldSizes(k)
+            k += 1
+          }
+        }
+        byChunk.foreach { case (cid, buf) =>
+          val cc = new Array[Long](rank)
+          var rem = cid
+          var i = rank - 1
+          while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
+          val out = ChunkCodec.compress(buf, compressor)
+          val file = meta.chunkFile(ZarrMeta.path(pathStr).resolve(variable), cc.toSeq)
+          Files.createDirectories(file.getParent)
+          Files.write(file, out)
+        }
+      }
   }
 
   /** Repartition a long-form DataFrame so each task owns whole chunks of

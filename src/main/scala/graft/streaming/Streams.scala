@@ -86,6 +86,26 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join: each purchase matches the same user's
+    * clicks from the preceding `windowSeconds`. Both sides watermark, and
+    * the time-bound condition lets Spark expire join state — without it a
+    * stream-stream join buffers forever (the canonical unbounded-state
+    * hazard). */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+                      windowSeconds: Long = 3600L,
+                      watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowSeconds SECONDS"))
+  }
+
   /** Watermarked exact dedup on an id column: duplicates arriving within
     * the watermark horizon are dropped; state stays bounded. */
   def dedupStream(events: DataFrame, idCol: String = "event_id",

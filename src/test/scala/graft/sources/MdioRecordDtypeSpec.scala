@@ -54,4 +54,29 @@ class MdioRecordDtypeSpec extends SparkSpec {
     assert(rows == (0 until 4).map(i => (i.toLong, 1000 + i, i * 1.5f)))
     MdioWriter.delete(dir)
   }
+
+  test("record variable WRITE path: distributed struct write round-trips") {
+    val root = Files.createTempDirectory("mdio_recw").resolve("w.mdio")
+    ZarrMeta.writeGroup(root, Some("""{"name": "w"}"""))
+    ZarrMeta.writeArray(root, "trace",
+      ZarrMeta.ArrayMeta(Seq(6L), Seq(3L), "<i8", None, Some(0.0)),
+      Some("""{"_ARRAY_DIMENSIONS": ["trace"]}"""))
+    val fields = Seq("cdp-x" -> "<i4", "elev" -> "<f4")
+    ZarrMeta.writeArray(root, "headers",
+      ZarrMeta.ArrayMeta(Seq(6L), Seq(3L), "|V8", Some("zstd"), None, fields = Some(fields)),
+      Some("""{"_ARRAY_DIMENSIONS": ["trace"]}"""))
+    ZarrMeta.consolidate(root)
+
+    val df = (0L until 6L).map(i => (i, (2000 + i).toInt, i * 0.25f))
+      .toDF("trace", "x", "e")
+      .select(col("trace"), struct(col("x").as("cdp-x"), col("e").as("elev")).as("headers"))
+    MdioWriter.writeVariable(spark, df, root.toString, "headers")
+
+    val got = spark.read.format("mdio").load(root.toString)
+      .orderBy("trace")
+      .select(col("trace"), col("headers.`cdp-x`"), col("headers.elev"))
+      .as[(Long, Int, Float)].collect().toSeq
+    assert(got == (0L until 6L).map(i => (i, (2000 + i).toInt, i * 0.25f)))
+    MdioWriter.delete(root.toString)
+  }
 }

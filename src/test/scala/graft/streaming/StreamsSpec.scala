@@ -98,4 +98,23 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
     graft.sources.MdioWriter.delete(dir)
   }
+
+  test("stream-stream interval join matches clicks to later purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Streams.Event]
+    val purchases = MemoryStream[Streams.Event]
+    val q = Streams.clickToPurchase(clicks.toDF(), purchases.toDF(),
+        windowSeconds = 600, watermark = "1 hour")
+      .writeStream.format("memory").queryName("c2p").outputMode("append").start()
+    try {
+      clicks.addData(ev(1, 0, 7, "click", 0.0), ev(2, 5, 7, "click", 0.0),
+                     ev(3, 0, 9, "click", 0.0))
+      purchases.addData(ev(10, 8, 7, "purchase", 49.0),  // joins clicks 1+2 (within 10 min)
+                        ev(11, 30, 9, "purchase", 5.0))  // click 3 is 30 min old -> no match
+      q.processAllAvailable()
+      val rows = spark.table("c2p")
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(rows == Set((10L, 1L), (10L, 2L)))
+    } finally q.stop()
+  }
 }
