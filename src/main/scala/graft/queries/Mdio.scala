@@ -271,6 +271,14 @@ object Mdio {
     val cells = full.join(agg, Seq("inline", "crossline"), "left")
       .select(col("inline"), col("crossline"), coalesce(col("image"), lit(0.0)).as("image"))
     graft.sources.MdioWriter.writeVariable(s, cells, path, "image")
+    // dimension-coordinate values: inline index i ↦ 1000 + 10·i (a realistic
+    // survey numbering so value-based sel differs from index-based isel)
+    graft.sources.MdioWriter.writeVariable(s,
+      s.range(32).select(col("id").as("inline"), (lit(1000) + col("id") * 10).cast("double").as("inline__value")),
+      path, "inline")
+    graft.sources.MdioWriter.writeVariable(s,
+      s.range(8).select(col("id").as("crossline"), col("id").cast("double").as("crossline__value")),
+      path, "crossline")
     path
   })
 
@@ -325,6 +333,19 @@ object Mdio {
            COUNT(*) AS n
     FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j)"""
 
+  /** The full reference read path against real storage on the gate:
+    * MdioDataset.open → value-based selRange on the inline dimension
+    * coordinate (values 1080..1230 ↦ indices 8..23, stop-inclusive) →
+    * isel → aggregate. Same cells as zarr_pushdown, reached through
+    * coordinate VALUES instead of indices. */
+  val qMdioOpenSel: Q = (s, d) => {
+    val ds = graft.operators.MdioDataset.open(s, zarrGrid(s, d))
+    ds.selRange("inline", lit(1080L), lit(1230L))
+      .isel("crossline", 0L, 4L)
+      .data
+      .agg(dsum(col("image")).as("total"), count(lit(1)).as("n"))
+  }
+
   /** Chunk-pruned read: dim-range filters pushed into the connector select
     * 4 of 8 chunks (inline chunks 1-2 × crossline chunk 0). */
   val qZarrPushdown: Q = (s, d) =>
@@ -378,6 +399,7 @@ object Mdio {
     "zarr_roundtrip"        -> qZarrRoundtrip,
     "zarr_pushdown"         -> qZarrPushdown,
     "zarr_v3_roundtrip"     -> qZarrV3Roundtrip,
+    "mdio_open_sel"         -> qMdioOpenSel,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -400,5 +422,6 @@ object Mdio {
     "zarr_roundtrip"        -> qZarrRoundtripSql,
     "zarr_pushdown"         -> qZarrPushdownSql,
     "zarr_v3_roundtrip"     -> qZarrPushdownSql, // same cells, same slice, v3 format
+    "mdio_open_sel"         -> qZarrPushdownSql, // same cells via coordinate VALUES
   )
 }
