@@ -62,4 +62,36 @@ class MdioWritePathSpec extends SparkSpec {
     assert(spark.read.format("mdio").load(dir).count() == 48)
     MdioWriter.delete(dir)
   }
+
+  test("aligned parallel write at 100k cells keeps every chunk intact") {
+    val dir = Files.createTempDirectory("mdio_big").resolve("big.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "big", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "inline", "dataType": "int64",
+        |     "dimensions": [{"name": "inline", "size": 400}]},
+        |    {"name": "crossline", "dataType": "int64",
+        |     "dimensions": [{"name": "crossline", "size": 250}]},
+        |    {"name": "image", "dataType": "float64",
+        |     "dimensions": [{"name": "inline", "size": 400}, {"name": "crossline", "size": 250}],
+        |     "compressor": {"name": "zstd"},
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [64, 64]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    import spark.implicits._
+    val df = spark.range(100000).select(
+      (col("id") / 250).cast("long").as("inline"),
+      (col("id") % 250).as("crossline"),
+      (col("id") * 0.5).as("image")).repartition(13) // deliberately scrambled
+    MdioWriter.repartitionByChunk(df, dir, partitions = 8)
+      .write.format("mdio").option("aligned", "true").mode("append").save(dir)
+    val back = spark.read.format("mdio").load(dir)
+    assert(back.count() == 100000)
+    // spot-exact: decimal sums match (order-independent)
+    val sum = back.agg(org.apache.spark.sql.functions.sum(col("image").cast("decimal(27,6)")))
+      .collect()(0).getDecimal(0)
+    assert(sum == new java.math.BigDecimal("2499975000.0").setScale(6))
+    MdioWriter.delete(dir)
+  }
 }
