@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.{expressions => connector_expressions}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -226,11 +227,51 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
 final case class MdioScan(path: String, dims: Seq[String],
                           metas: Map[String, ZarrMeta.ArrayMeta],
                           requiredSchema: StructType,
-                          ranges: Map[String, (Long, Long)]) extends Scan with Batch {
+                          ranges: Map[String, (Long, Long)]) extends Scan with Batch
+    with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"MdioScan($path, ranges=${ranges.map { case (d, (a, b)) => s"$d:[$a,$b)" }.mkString(",")})"
+
+  // ---- runtime filtering (S/P dynamic pruning): when a dim column feeds a
+  // selective join (e.g. sel's coordinate semi-join), Spark hands the built
+  // side's IN-set here before partition planning; chunks containing none of
+  // the values are skipped. Any superset is safe — the join re-filters rows.
+  private var runtimeValues: Map[String, Array[Long]] = Map.empty
+
+  override def filterAttributes(): Array[connector_expressions.NamedReference] =
+    dims.filter(requiredSchema.fieldNames.contains) // only dims this scan outputs
+      .map(d => connector_expressions.Expressions.column(d)).toArray
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().nonEmpty) {
+        (p.children()(0), p.children().drop(1)) match {
+          case (ref: connector_expressions.NamedReference, lits) if dims.contains(ref.fieldNames.mkString(".")) =>
+            val dim = ref.fieldNames.mkString(".")
+            val vals = lits.flatMap {
+              case l: connector_expressions.Literal[_] => l.value match {
+                case i: java.lang.Integer => Some(i.longValue())
+                case l2: java.lang.Long => Some(l2.longValue())
+                case s: java.lang.Short => Some(s.longValue())
+                case _ => None
+              }
+              case _ => None
+            }
+            if (vals.length == lits.length && vals.nonEmpty)
+              runtimeValues = runtimeValues.updated(dim, vals.sorted)
+          case _ => ()
+        }
+      }
+    }
+
+  /** Does any runtime value fall inside [lo, hi)? (sorted array probe) */
+  private def anyValueIn(vals: Array[Long], lo: Long, hi: Long): Boolean = {
+    var i = java.util.Arrays.binarySearch(vals, lo)
+    if (i < 0) i = -i - 1
+    i < vals.length && vals(i) < hi
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val anchor = metas.values.head
@@ -253,15 +294,21 @@ final case class MdioScan(path: String, dims: Seq[String],
       if (dim == dims.size) Iterator.single(acc)
       else (chunkLo(dim) to chunkHi(dim)).iterator.flatMap(c => enumerate(dim + 1, acc :+ c))
 
-    enumerate(0, Vector.empty).map { cc =>
+    enumerate(0, Vector.empty).flatMap { cc =>
       // cell range inside this chunk (global coords)
       val cell = cc.zipWithIndex.map { case (c, i) =>
         val lo = math.max(bounds(i)._1, c * chunks(i))
         val hi = math.min(bounds(i)._2, (c + 1) * chunks(i))
         (lo, hi)
       }
-      MdioInputPartition(path, cc.toArray, cell.map(_._1).toArray, cell.map(_._2).toArray,
-        neededVars, neededVars.map(v => metas(v)).toArray): InputPartition
+      // runtime (join-driven) pruning: skip chunks holding none of the
+      // dynamically provided dim values
+      val pruned = dims.zipWithIndex.exists { case (d, i) =>
+        runtimeValues.get(d).exists(vals => !anyValueIn(vals, cell(i)._1, cell(i)._2))
+      }
+      if (pruned) None
+      else Some(MdioInputPartition(path, cc.toArray, cell.map(_._1).toArray, cell.map(_._2).toArray,
+        neededVars, neededVars.map(v => metas(v)).toArray): InputPartition)
     }.toArray
   }
 

@@ -196,4 +196,23 @@ class MdioConnectorSpec extends SparkSpec {
     assert(spark.range(1).select(call_function("simhash64",
       array(lit("a"), lit("b")))).count() == 1)
   }
+
+  test("runtime IN-filter prunes chunks (SupportsRuntimeV2Filtering)") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.types.LongType
+    val dir = freshDataset()
+    val scan = MdioScan(dir, Seq("inline", "crossline"),
+      Map("image" -> graft.zarr.ZarrMeta.readGroup(java.nio.file.Paths.get(dir))._2("image")._1),
+      new org.apache.spark.sql.types.StructType()
+        .add("inline", LongType).add("image", org.apache.spark.sql.types.FloatType),
+      Map.empty)
+    assert(scan.planInputPartitions().length == 4) // 2x2 chunk grid
+    // dynamic IN-set from a (simulated) selective join build side: inline ∈ {1, 2}
+    scan.filter(Array(new Predicate("IN", Array(
+      Expressions.column("inline"),
+      Expressions.literal(1L), Expressions.literal(2L)))))
+    assert(scan.planInputPartitions().length == 2) // only inline-chunk 0 survives
+    MdioWriter.delete(dir)
+  }
 }
