@@ -599,7 +599,7 @@ object Relational {
   }
 
   val qEventsSessionizeSql: String = """
-    SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
     FROM (
       SELECT user_id,
              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id

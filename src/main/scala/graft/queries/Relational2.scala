@@ -194,7 +194,7 @@ object Relational2 {
 
   val qAggConditionalSql: String = """
     SELECT o_orderpriority,
-           count_if(o_totalprice > 200000) AS n_big,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
            bool_or(o_orderstatus = 'F') AS has_f,
            bool_and(o_totalprice > 0) AS all_positive
     FROM orders GROUP BY o_orderpriority"""

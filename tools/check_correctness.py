@@ -74,6 +74,21 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             failures += 1
             continue
+        # Driver hash is dtype-sensitive: DuckDB HUGEINT aggregates (count_if,
+        # SUM over ints) materialize as float64 in pandas while Spark emits
+        # int64 — values compare equal but hashes differ. Fail on kind drift.
+        kind_bad = None
+        for c in got.columns:
+            gk, wk = got[c].dtype.kind, want[c].dtype.kind
+            if gk != wk and {gk, wk} <= {"i", "u", "f"} and "f" in {gk, wk}:
+                kind_bad = (c, got[c].dtype, want[c].dtype)
+                break
+        if kind_bad:
+            c, gd, wd = kind_bad
+            print(f"FAIL {name}: dtype kind mismatch col={c}: spark={gd} duckdb={wd}"
+                  " (cast HUGEINT aggregates to BIGINT in oracle SQL)")
+            failures += 1
+            continue
         bad = None
         for c in got.columns:
             gv, wv = got[c].tolist(), want[c].tolist()
