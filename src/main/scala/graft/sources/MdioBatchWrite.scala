@@ -6,7 +6,6 @@ import org.apache.spark.sql.connector.distributions.{Distribution, Distributions
 import org.apache.spark.sql.connector.expressions.SortOrder
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
-import java.nio.file.Files
 
 /** DSv2 write path: `df.write.format("mdio").mode("append").save(path)`.
   *
@@ -176,8 +175,7 @@ final class MdioDataWriter(path: String, dims: Array[String], schema: StructType
         while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
         val out = ChunkCodec.compress(raw, m.compressor)
         val file = m.chunkFile(ZarrMeta.path(path).resolve(name), cc.toSeq)
-        Files.createDirectories(file.getParent)
-        Files.write(file, out)
+        file.write(out)
       }
       val isC = kindOf(m) == 'c'
       bufD(v).foreach { case (cid, buf) =>

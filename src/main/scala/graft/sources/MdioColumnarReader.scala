@@ -5,7 +5,6 @@ import org.apache.spark.sql.connector.read.PartitionReader
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
-import java.nio.file.Files
 
 /** Vectorized chunk reader: decodes each variable's chunk once, then fills
   * OnHeapColumnVectors in batches of up to [[MdioColumnarReader.BatchRows]]
@@ -29,10 +28,11 @@ final class MdioColumnarReader(p: MdioInputPartition, dims: Array[String], schem
   private val buffers: Array[AnyRef] = p.vars.indices.map { vi =>
     val m = p.metas(vi)
     val file = m.chunkFile(ZarrMeta.path(p.path).resolve(p.vars(vi)), p.chunk.toSeq)
-    if (!Files.exists(file)) null
+    val bytes = file.readBytesOrNull()
+    if (bytes == null) null
     else {
       val rawSize = (m.chunks.product * m.elemSize).toInt
-      val raw = ChunkCodec.decompress(Files.readAllBytes(file), m.compressor, rawSize)
+      val raw = ChunkCodec.decompress(bytes, m.compressor, rawSize)
       if (m.dtype.charAt(m.dtype.length - 2) == 'f') ChunkCodec.decodeDoubles(raw, m.dtype)
       else ChunkCodec.decodeLongs(raw, m.dtype)
     }

@@ -11,7 +11,6 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import java.nio.file.{Files, Path}
 import java.util
 import scala.jdk.CollectionConverters._
 
@@ -365,10 +364,11 @@ final class MdioPartitionReader(p: MdioInputPartition, dims: Array[String], sche
   private val buffers: Array[AnyRef] = p.vars.indices.map { vi =>
     val m = p.metas(vi)
     val file = m.chunkFile(ZarrMeta.path(p.path).resolve(p.vars(vi)), p.chunk.toSeq)
-    if (!Files.exists(file)) null
+    val bytes = file.readBytesOrNull()
+    if (bytes == null) null
     else {
       val rawSize = (m.chunks.product * m.elemSize).toInt
-      val raw = ChunkCodec.decompress(Files.readAllBytes(file), m.compressor, rawSize)
+      val raw = ChunkCodec.decompress(bytes, m.compressor, rawSize)
       m.fields match {
         case Some(fs) => ChunkCodec.decodeFields(raw, fs)
         case None =>

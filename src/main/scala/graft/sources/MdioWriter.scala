@@ -6,9 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
-import java.nio.file.{Files, Path}
-import java.util.Comparator
-import scala.jdk.CollectionConverters._
+import graft.zarr.VPath
 
 /** MDIO dataset lifecycle: create-from-spec, chunk-aligned distributed
   * variable writes, metadata commit, trim, delete (SURVEY §2.1
@@ -174,8 +172,7 @@ object MdioWriter {
           while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
           val out = ChunkCodec.compress(raw, compressor)
           val file = meta.chunkFile(ZarrMeta.path(pathStr).resolve(variable), cc.toSeq)
-          Files.createDirectories(file.getParent)
-          Files.write(file, out)
+          file.write(out)
         }
         byChunkD.foreach { case (cid, buf) =>
           emit(cid, if (isComplex) ChunkCodec.encodeComplex(buf, dtype)
@@ -194,20 +191,20 @@ object MdioWriter {
     if (ZarrMeta.detectVersion(root) == 3) {
       // v3: attributes live inside the node's zarr.json
       val target = (if (variable.isEmpty) root else root.resolve(variable)).resolve("zarr.json")
-      val node = JsonMethods.parse(Files.readString(target))
+      val node = JsonMethods.parse(target.readString())
       val merged = mergePatch(node \ "attributes", JsonMethods.parse(patch))
       val updated = node match {
         case JObject(fields) =>
           JObject(fields.filterNot(_._1 == "attributes") :+ ("attributes" -> merged))
         case other => other
       }
-      Files.writeString(target, JsonMethods.pretty(updated))
+      target.writeString(JsonMethods.pretty(updated))
     } else {
       val target = if (variable.isEmpty) root.resolve(".zattrs")
                    else root.resolve(variable).resolve(".zattrs")
-      val current = if (Files.exists(target)) JsonMethods.parse(Files.readString(target)) else JObject()
+      val current = if (target.exists) JsonMethods.parse(target.readString()) else JObject()
       val merged = mergePatch(current, JsonMethods.parse(patch))
-      Files.writeString(target, JsonMethods.compact(merged))
+      target.writeString(JsonMethods.compact(merged))
       ZarrMeta.consolidate(root)
     }
   }
@@ -237,25 +234,23 @@ object MdioWriter {
         val newMeta = meta.copy(shape = meta.shape.updated(di, newSize))
         val arrayDir = root.resolve(name)
         if (meta.version == 3)
-          Files.writeString(arrayDir.resolve("zarr.json"),
+          arrayDir.resolve("zarr.json").writeString(
             ZarrMeta.renderArrayMetaV3(newMeta, attrs))
         else
-          Files.writeString(arrayDir.resolve(".zarray"), ZarrMeta.renderArrayMeta(newMeta))
+          arrayDir.resolve(".zarray").writeString(ZarrMeta.renderArrayMeta(newMeta))
         if (deleteChunks) {
           val keepChunks = (newSize + meta.chunks(di) - 1) / meta.chunks(di)
           if (meta.version == 3) {
             val cDir = arrayDir.resolve("c")
-            if (Files.exists(cDir)) Files.walk(cDir).iterator().asScala
-              .filter(Files.isRegularFile(_))
-              .foreach { p =>
-                val coords = cDir.relativize(p).toString.split("/").map(_.toLong)
-                if (coords.length == dims.size && coords(di) >= keepChunks) Files.delete(p)
-              }
-          } else Files.list(arrayDir).iterator().asScala
-            .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
+            cDir.listFilesRecursive().foreach { p =>
+              val coords = cDir.relativize(p).split("/").map(_.toLong)
+              if (coords.length == dims.size && coords(di) >= keepChunks) p.delete()
+            }
+          } else arrayDir.list()
+            .filter(p => p.isFile && !p.name.startsWith("."))
             .foreach { p =>
-              val coords = p.getFileName.toString.split("\\.").map(_.toLong)
-              if (coords.length == dims.size && coords(di) >= keepChunks) Files.delete(p)
+              val coords = p.name.split("\\.").map(_.toLong)
+              if (coords.length == dims.size && coords(di) >= keepChunks) p.delete()
             }
         }
       }
@@ -343,8 +338,7 @@ object MdioWriter {
           while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
           val out = ChunkCodec.compress(buf, compressor)
           val file = meta.chunkFile(ZarrMeta.path(pathStr).resolve(variable), cc.toSeq)
-          Files.createDirectories(file.getParent)
-          Files.write(file, out)
+          file.write(out)
         }
       }
   }
@@ -378,10 +372,10 @@ object MdioWriter {
     val root = ZarrMeta.path(path)
     val attrs =
       if (ZarrMeta.detectVersion(root) == 3)
-        JsonMethods.parse(Files.readString(root.resolve("zarr.json"))) \ "attributes"
+        JsonMethods.parse(root.resolve("zarr.json").readString()) \ "attributes"
       else {
         val f = root.resolve(".zattrs")
-        if (Files.exists(f)) JsonMethods.parse(Files.readString(f)) else JObject()
+        if (f.exists) JsonMethods.parse(f.readString()) else JObject()
       }
     (attrs \ "_mdio_generation") match {
       case JInt(i) => i.toLong
@@ -416,13 +410,13 @@ object MdioWriter {
   def writeHeader(path: String, name: String, contentJson: String): Unit = {
     val root = ZarrMeta.path(path)
     val dir = root.resolve(name)
-    Files.createDirectories(dir)
+    dir.mkdirs()
     val body = s"""{"_mdio_header_only": true, "content": $contentJson}"""
     if (ZarrMeta.detectVersion(root) == 3)
-      Files.writeString(dir.resolve("zarr.json"),
+      dir.resolve("zarr.json").writeString(
         s"""{"zarr_format": 3, "node_type": "group", "attributes": $body}""")
     else {
-      Files.writeString(dir.resolve(".zattrs"), body)
+      dir.resolve(".zattrs").writeString(body)
       ZarrMeta.consolidate(root)
     }
   }
@@ -435,10 +429,10 @@ object MdioWriter {
     val attrs =
       if (ZarrMeta.detectVersion(root) == 3) {
         val f = dir.resolve("zarr.json")
-        if (Files.exists(f)) Some(JsonMethods.parse(Files.readString(f)) \ "attributes") else None
+        if (f.exists) Some(JsonMethods.parse(f.readString()) \ "attributes") else None
       } else {
         val f = dir.resolve(".zattrs")
-        if (Files.exists(f)) Some(JsonMethods.parse(Files.readString(f))) else None
+        if (f.exists) Some(JsonMethods.parse(f.readString())) else None
       }
     attrs.flatMap { a =>
       (a \ "_mdio_header_only") match {
@@ -448,9 +442,9 @@ object MdioWriter {
     }
   }
 
-  private def isDataset(root: Path): Boolean =
-    Files.exists(root.resolve(".zgroup")) || Files.exists(root.resolve(".zmetadata")) ||
-      Files.exists(root.resolve("zarr.json"))
+  private def isDataset(root: VPath): Boolean =
+    root.resolve(".zgroup").exists || root.resolve(".zmetadata").exists ||
+      root.resolve("zarr.json").exists
 
   /** Best-effort delete for scratch paths: no-op when absent or not MDIO. */
   def delete0(path: String): Unit =
@@ -461,7 +455,6 @@ object MdioWriter {
   def delete(path: String): Unit = {
     val root = ZarrMeta.path(path)
     require(isDataset(root), s"$path is not an MDIO dataset; refusing to delete")
-    Files.walk(root).sorted(Comparator.reverseOrder[Path]())
-      .iterator().asScala.foreach(Files.delete)
+    root.deleteRecursive()
   }
 }

@@ -1,0 +1,106 @@
+package graft.zarr
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import java.io.FileNotFoundException
+import java.nio.charset.StandardCharsets
+
+/** URI-addressed storage path backed by the Hadoop `FileSystem` API — the
+  * S7 storage-driver layer. Scheme selection mirrors the reference's driver
+  * inference from the path (mdio/zarr/zarr_driver.h:225-231: no scheme /
+  * `file://` → local, `s3://` → S3, `gs://` → GCS): Hadoop resolves the
+  * concrete FileSystem from the URI scheme (`file:`, `s3a:`, `gs:`, `hdfs:`,
+  * …) and the active Spark session's Hadoop configuration, so cloud
+  * credentials configured via `spark.hadoop.*` flow through untouched.
+  *
+  * Serializable by construction: only the URI string crosses the
+  * driver→executor boundary; the `FileSystem` handle is resolved lazily per
+  * JVM (Hadoop caches instances per scheme+authority, so this is cheap).
+  */
+final class VPath private (val uri: String) extends Serializable {
+  @transient private lazy val hp: HPath = new HPath(uri)
+  @transient private lazy val fs: FileSystem = hp.getFileSystem(VPath.conf)
+
+  def resolve(child: String): VPath = new VPath(new HPath(hp, child).toString)
+  def parent: VPath = new VPath(hp.getParent.toString)
+  def name: String = hp.getName
+
+  def exists: Boolean = fs.exists(hp)
+  def isDirectory: Boolean =
+    try fs.getFileStatus(hp).isDirectory catch { case _: FileNotFoundException => false }
+  def isFile: Boolean =
+    try fs.getFileStatus(hp).isFile catch { case _: FileNotFoundException => false }
+
+  /** Read the whole file; null when absent — one round-trip for the hot
+    * chunk-read path (no separate exists() probe per chunk). */
+  def readBytesOrNull(): Array[Byte] =
+    try {
+      val len = fs.getFileStatus(hp).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(hp)
+      try in.readFully(0, buf) finally in.close()
+      buf
+    } catch { case _: FileNotFoundException => null }
+
+  def readAllBytes(): Array[Byte] = {
+    val b = readBytesOrNull()
+    if (b == null) throw new FileNotFoundException(uri)
+    b
+  }
+
+  def readString(): String = new String(readAllBytes(), StandardCharsets.UTF_8)
+
+  /** Create/overwrite (parent directories are created implicitly). */
+  def write(bytes: Array[Byte]): Unit = {
+    val out = fs.create(hp, true)
+    try out.write(bytes) finally out.close()
+  }
+  def writeString(s: String): Unit = write(s.getBytes(StandardCharsets.UTF_8))
+
+  def mkdirs(): Unit = fs.mkdirs(hp)
+
+  /** Immediate children (empty when absent). */
+  def list(): Seq[VPath] =
+    try fs.listStatus(hp).toSeq.map(st => new VPath(st.getPath.toString))
+    catch { case _: FileNotFoundException => Nil }
+
+  /** All regular files under this path, recursively (empty when absent). */
+  def listFilesRecursive(): Seq[VPath] =
+    try {
+      val it = fs.listFiles(hp, true)
+      val out = Seq.newBuilder[VPath]
+      while (it.hasNext) out += new VPath(it.next().getPath.toString)
+      out.result()
+    } catch { case _: FileNotFoundException => Nil }
+
+  /** Path of `descendant` relative to this path, '/'-separated. */
+  def relativize(descendant: VPath): String = {
+    val base = hp.toUri.getPath.stripSuffix("/")
+    val other = descendant.hp.toUri.getPath
+    other.stripPrefix(base).stripPrefix("/")
+  }
+
+  def delete(): Unit = fs.delete(hp, false)
+  def deleteRecursive(): Unit = fs.delete(hp, true)
+
+  override def toString: String = uri
+  override def equals(o: Any): Boolean = o match {
+    case v: VPath => v.uri == uri
+    case _ => false
+  }
+  override def hashCode(): Int = uri.hashCode
+}
+
+object VPath {
+  def apply(s: String): VPath = new VPath(s)
+
+  /** Hadoop conf: the active/default Spark session's (carries
+    * `spark.hadoop.*` overrides — cloud creds, endpoints); plain
+    * `Configuration` off the classpath otherwise (executors of a real
+    * cluster, plain JVM tools). */
+  private[zarr] def conf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+}

@@ -2,8 +2,6 @@ package graft.zarr
 
 import org.json4s._
 import org.json4s.jackson.JsonMethods
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
 
 /** Zarr on-disk metadata, both format versions the reference supports
   * (mdio/zarr/zarr.h:18-44):
@@ -13,9 +11,11 @@ import scala.jdk.CollectionConverters._
   *    (mdio/zarr/zarr_v3.h:185-206 candidates, 638-653 discovery), chunk
   *    keys under `c/` with `/` separators.
   * Version detection probes `zarr.json` then `.zgroup`, defaulting v2
-  * (S8, mdio/zarr/zarr_driver.h:97-128). Storage drivers: local paths
-  * here; `s3a://`/`gs://` URIs go through Hadoop FS in the connector
-  * (free in Spark — SURVEY §2.1 S7).
+  * (S8, mdio/zarr/zarr_driver.h:97-128). Storage drivers (S7): every
+  * path goes through [[VPath]] — the Hadoop FileSystem layer — so
+  * `file:`, `s3a://`, `gs://`, `hdfs://` URIs and plain local paths all
+  * resolve the way the reference infers its driver from the path
+  * (mdio/zarr/zarr_driver.h:225-231).
   */
 object ZarrMeta {
 
@@ -40,7 +40,7 @@ object ZarrMeta {
       case None => ChunkCodec.elemSize(dtype)
     }
     /** Chunk file path inside the array dir: v2 `1.2`, v3 `c/1/2`. */
-    def chunkFile(arrayDir: Path, coords: Seq[Long]): Path =
+    def chunkFile(arrayDir: VPath, coords: Seq[Long]): VPath =
       if (version == 3) arrayDir.resolve("c").resolve(coords.mkString("/"))
       else arrayDir.resolve(coords.mkString("."))
   }
@@ -205,48 +205,47 @@ object ZarrMeta {
 
   /** S8 — version detection: probe `zarr.json`, then `.zgroup`; default v2
     * (mdio/zarr/zarr_driver.h:97-128). */
-  def detectVersion(root: Path): Int =
-    if (Files.exists(root.resolve("zarr.json"))) 3
+  def detectVersion(root: VPath): Int =
+    if (root.resolve("zarr.json").exists) 3
     else 2
 
-  // ---- local-filesystem group I/O ------------------------------------------
+  // ---- group I/O (any Hadoop-FS-backed store) ------------------------------
 
-  def writeGroup(root: Path, attrs: Option[String], version: Int = 2): Unit = {
-    Files.createDirectories(root)
+  def writeGroup(root: VPath, attrs: Option[String], version: Int = 2): Unit = {
+    root.mkdirs()
     if (version == 3)
-      Files.writeString(root.resolve("zarr.json"),
+      root.resolve("zarr.json").writeString(
         s"""{"zarr_format": 3, "node_type": "group", "attributes": ${attrs.getOrElse("{}")}}""")
     else {
-      Files.writeString(root.resolve(".zgroup"), """{"zarr_format": 2}""")
-      attrs.foreach(a => Files.writeString(root.resolve(".zattrs"), a))
+      root.resolve(".zgroup").writeString("""{"zarr_format": 2}""")
+      attrs.foreach(a => root.resolve(".zattrs").writeString(a))
     }
   }
 
-  def writeArray(root: Path, name: String, meta: ArrayMeta, attrs: Option[String]): Unit = {
+  def writeArray(root: VPath, name: String, meta: ArrayMeta, attrs: Option[String]): Unit = {
     val dir = root.resolve(name)
-    Files.createDirectories(dir)
+    dir.mkdirs()
     if (meta.version == 3)
-      Files.writeString(dir.resolve("zarr.json"), renderArrayMetaV3(meta, attrs))
+      dir.resolve("zarr.json").writeString(renderArrayMetaV3(meta, attrs))
     else {
-      Files.writeString(dir.resolve(".zarray"), renderArrayMeta(meta))
-      attrs.foreach(a => Files.writeString(dir.resolve(".zattrs"), a))
+      dir.resolve(".zarray").writeString(renderArrayMeta(meta))
+      attrs.foreach(a => dir.resolve(".zattrs").writeString(a))
     }
   }
 
   /** Consolidated metadata (.zmetadata): every .zgroup/.zarray/.zattrs under
     * the root, exactly the keys zarr-python consolidates. */
-  def consolidate(root: Path): Unit = {
-    val keys = Files.walk(root).iterator().asScala
-      .filter(p => Files.isRegularFile(p))
-      .map(p => root.relativize(p).toString.replace('\\', '/'))
+  def consolidate(root: VPath): Unit = {
+    val keys = root.listFilesRecursive()
+      .map(p => root.relativize(p))
       .filter(k => k.endsWith(".zgroup") || k.endsWith(".zarray") || k.endsWith(".zattrs"))
-      .toSeq.sorted
+      .sorted
     val entries = keys.map { k =>
-      val v = Files.readString(root.resolve(k))
+      val v = root.resolve(k).readString()
       s""""$k": ${v.trim}"""
     }
     val body = entries.mkString(",\n    ")
-    Files.writeString(root.resolve(".zmetadata"),
+    root.resolve(".zmetadata").writeString(
       s"""{
          |  "zarr_consolidated_format": 1,
          |  "metadata": {
@@ -260,11 +259,12 @@ object ZarrMeta {
     * v3 by listing children with `zarr.json` array nodes (the reference's
     * duality, mdio/zarr/zarr_v2.h:467-489 / zarr_v3.h:638-653). Returns
     * (groupAttrs, arrayName -> (meta, attrs)). */
-  def readGroup(root: Path): (Option[String], Map[String, (ArrayMeta, Option[String])]) = {
+  def readGroup(root: VPath): (Option[String], Map[String, (ArrayMeta, Option[String])]) = {
     if (detectVersion(root) == 3) return readGroupV3(root)
     val zmeta = root.resolve(".zmetadata")
-    if (Files.exists(zmeta)) {
-      val j = JsonMethods.parse(Files.readString(zmeta))
+    val zmetaStr = zmeta.readBytesOrNull()
+    if (zmetaStr != null) {
+      val j = JsonMethods.parse(new String(zmetaStr, java.nio.charset.StandardCharsets.UTF_8))
       val entries = (j \ "metadata") match {
         case JObject(fields) => fields.toMap
         case _ => Map.empty[String, JValue]
@@ -278,36 +278,35 @@ object ZarrMeta {
       }.toMap
       (groupAttrs, arrays)
     } else {
-      val groupAttrs = {
-        val p = root.resolve(".zattrs")
-        if (Files.exists(p)) Some(Files.readString(p)) else None
-      }
-      val arrays = Files.list(root).iterator().asScala
-        .filter(p => Files.isDirectory(p) && Files.exists(p.resolve(".zarray")))
+      val groupAttrs =
+        Option(root.resolve(".zattrs").readBytesOrNull())
+          .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+      val arrays = root.list()
+        .filter(p => p.isDirectory && p.resolve(".zarray").exists)
         .map { dir =>
-          val meta = parseArrayMeta(Files.readString(dir.resolve(".zarray")))
-          val ap = dir.resolve(".zattrs")
-          val attrs = if (Files.exists(ap)) Some(Files.readString(ap)) else None
-          dir.getFileName.toString -> (meta, attrs)
+          val meta = parseArrayMeta(dir.resolve(".zarray").readString())
+          val attrs = Option(dir.resolve(".zattrs").readBytesOrNull())
+            .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+          dir.name -> (meta, attrs)
         }.toMap
       (groupAttrs, arrays)
     }
   }
 
-  private def readGroupV3(root: Path): (Option[String], Map[String, (ArrayMeta, Option[String])]) = {
-    val groupJson = JsonMethods.parse(Files.readString(root.resolve("zarr.json")))
+  private def readGroupV3(root: VPath): (Option[String], Map[String, (ArrayMeta, Option[String])]) = {
+    val groupJson = JsonMethods.parse(root.resolve("zarr.json").readString())
     val groupAttrs = (groupJson \ "attributes") match {
       case JObject(Nil) | JNothing | JNull => None
       case o => Some(JsonMethods.compact(o))
     }
-    val arrays = Files.list(root).iterator().asScala
-      .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("zarr.json")))
+    val arrays = root.list()
+      .filter(p => p.isDirectory && p.resolve("zarr.json").exists)
       .flatMap { dir =>
-        val (meta, attrs) = parseArrayMetaV3(Files.readString(dir.resolve("zarr.json")))
-        Some(dir.getFileName.toString -> (meta, attrs))
+        val (meta, attrs) = parseArrayMetaV3(dir.resolve("zarr.json").readString())
+        Some(dir.name -> (meta, attrs))
       }.toMap
     (groupAttrs, arrays)
   }
 
-  def path(s: String): Path = Paths.get(s)
+  def path(s: String): VPath = VPath(s)
 }

@@ -39,7 +39,7 @@ class MdioStatsSpec extends SparkSpec {
     val ds = MdioDataset.open(spark, dir)
     val s = MdioStats.compute(spark, ds, "v", 0.0, 2.0, 4)
     MdioStats.attach(dir, "v", s)
-    val (_, arrays) = graft.zarr.ZarrMeta.readGroup(java.nio.file.Paths.get(dir))
+    val (_, arrays) = graft.zarr.ZarrMeta.readGroup(graft.zarr.ZarrMeta.path(dir))
     val attrs = arrays("v")._2.get
     assert(attrs.contains("\"statsV1\"") && attrs.contains("\"count\":4"))
     assert(attrs.contains("_ARRAY_DIMENSIONS")) // merge-patch preserved
@@ -86,7 +86,7 @@ class MdioStatsSpec extends SparkSpec {
       MdioWriter.updateAttributesIf(dir, "v", """{"a": 2}""", expected = 0L)
     }
     // and the winning writer's value survived
-    val (_, arrays) = graft.zarr.ZarrMeta.readGroup(java.nio.file.Paths.get(dir))
+    val (_, arrays) = graft.zarr.ZarrMeta.readGroup(graft.zarr.ZarrMeta.path(dir))
     assert(arrays("v")._2.get.contains("\"a\":1"))
     MdioWriter.delete(dir)
   }

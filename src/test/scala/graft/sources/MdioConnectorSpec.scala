@@ -44,10 +44,10 @@ class MdioConnectorSpec extends SparkSpec {
 
   test("create writes zarr v2 metadata incl. consolidated .zmetadata") {
     val dir = freshDataset()
-    val root = java.nio.file.Paths.get(dir)
-    assert(Files.exists(root.resolve(".zgroup")))
-    assert(Files.exists(root.resolve(".zmetadata")))
-    assert(Files.exists(root.resolve("image").resolve(".zarray")))
+    val root = graft.zarr.ZarrMeta.path(dir)
+    assert(root.resolve(".zgroup").exists)
+    assert(root.resolve(".zmetadata").exists)
+    assert(root.resolve("image").resolve(".zarray").exists)
     val (groupAttrs, arrays) = graft.zarr.ZarrMeta.readGroup(root)
     assert(arrays.keySet == Set("inline", "crossline", "image", "mask"))
     assert(arrays("image")._1.chunks == Seq(4L, 3L))
@@ -82,9 +82,9 @@ class MdioConnectorSpec extends SparkSpec {
   test("column pruning: unprojected variables are not decoded") {
     val dir = freshDataset()
     // delete all of mask's chunk files; reading only image must still work
-    val maskDir = java.nio.file.Paths.get(dir).resolve("mask")
-    Files.list(maskDir).iterator().forEachRemaining { p =>
-      if (!p.getFileName.toString.startsWith(".")) Files.delete(p)
+    val maskDir = graft.zarr.ZarrMeta.path(dir).resolve("mask")
+    maskDir.list().foreach { p =>
+      if (!p.name.startsWith(".")) p.delete()
     }
     val sum = spark.read.format("mdio").load(dir)
       .select("image").agg(sum_distinct(lit(0)), count(lit(1))).collect()(0).getLong(1)
@@ -100,7 +100,7 @@ class MdioConnectorSpec extends SparkSpec {
     MdioWriter.updateAttributes(dir, "image",
       """{"statsV1": {"count": 48, "min": 0.0, "max": 75.0}, "unitsV1": {"length": "m"}}""")
     MdioWriter.updateAttributes(dir, "image", """{"statsV1": {"max": 80.0}}""")
-    val (_, arrays) = graft.zarr.ZarrMeta.readGroup(java.nio.file.Paths.get(dir))
+    val (_, arrays) = graft.zarr.ZarrMeta.readGroup(graft.zarr.ZarrMeta.path(dir))
     val attrs = arrays("image")._2.get
     assert(attrs.contains("\"max\":80.0") && attrs.contains("\"count\":48"))
     assert(attrs.contains("_ARRAY_DIMENSIONS")) // merge-patch preserved dims
@@ -114,8 +114,8 @@ class MdioConnectorSpec extends SparkSpec {
     assert(df.agg(max($"inline")).as[Long].head() == 3L)
     assert(df.count() == 24)
     // orphaned inline-chunk-1 files are gone
-    val imageFiles = Files.list(java.nio.file.Paths.get(dir).resolve("image"))
-      .iterator().asScala.map(_.getFileName.toString).filterNot(_.startsWith(".")).toSet
+    val imageFiles = graft.zarr.ZarrMeta.path(dir).resolve("image")
+      .list().map(_.name).filterNot(_.startsWith(".")).toSet
     assert(imageFiles == Set("0.0", "0.1"))
     MdioWriter.delete(dir)
   }
@@ -127,16 +127,16 @@ class MdioConnectorSpec extends SparkSpec {
     val spec3 = spec.copy(variables = spec.variables.map(v =>
       if (v.compressor.contains("zlib")) v.copy(compressor = None) else v))
     MdioWriter.create(spec3, dir, version = 3)
-    val root = java.nio.file.Paths.get(dir)
-    assert(Files.exists(root.resolve("zarr.json")))
-    assert(Files.exists(root.resolve("image").resolve("zarr.json")))
-    assert(!Files.exists(root.resolve(".zgroup")))
+    val root = graft.zarr.ZarrMeta.path(dir)
+    assert(root.resolve("zarr.json").exists)
+    assert(root.resolve("image").resolve("zarr.json").exists)
+    assert(!root.resolve(".zgroup").exists)
     assert(graft.zarr.ZarrMeta.detectVersion(root) == 3)
 
     val cells = for { i <- 0L until 8L; x <- 0L until 6L } yield (i, x, (i * 10 + x).toFloat)
     MdioWriter.writeVariable(spark, cells.toDF("inline", "crossline", "image"), dir, "image")
     // v3 chunk keys are nested under c/
-    assert(Files.exists(root.resolve("image").resolve("c").resolve("0").resolve("0")))
+    assert(root.resolve("image").resolve("c").resolve("0").resolve("0").exists)
 
     val got = spark.read.format("mdio").load(dir)
       .filter($"inline" >= 2 && $"inline" < 5)
@@ -171,10 +171,10 @@ class MdioConnectorSpec extends SparkSpec {
     }
     assert(e1.getMessage.contains("unknown variables"))
     // force a chunkShape mismatch between selected variables
-    val maskMeta = java.nio.file.Paths.get(dir).resolve("mask").resolve(".zarray")
-    Files.writeString(maskMeta,
-      Files.readString(maskMeta).replace("[4, 3]", "[2, 3]"))
-    graft.zarr.ZarrMeta.consolidate(java.nio.file.Paths.get(dir))
+    val maskMeta = graft.zarr.ZarrMeta.path(dir).resolve("mask").resolve(".zarray")
+    maskMeta.writeString(
+      maskMeta.readString().replace("[4, 3]", "[2, 3]"))
+    graft.zarr.ZarrMeta.consolidate(graft.zarr.ZarrMeta.path(dir))
     val e2 = intercept[IllegalArgumentException] {
       spark.read.format("mdio").option("variables", "image,mask").load(dir).schema
     }
@@ -203,7 +203,7 @@ class MdioConnectorSpec extends SparkSpec {
     import org.apache.spark.sql.types.LongType
     val dir = freshDataset()
     val scan = MdioScan(dir, Seq("inline", "crossline"),
-      Map("image" -> graft.zarr.ZarrMeta.readGroup(java.nio.file.Paths.get(dir))._2("image")._1),
+      Map("image" -> graft.zarr.ZarrMeta.readGroup(graft.zarr.ZarrMeta.path(dir))._2("image")._1),
       new org.apache.spark.sql.types.StructType()
         .add("inline", LongType).add("image", org.apache.spark.sql.types.FloatType),
       Map.empty)

@@ -14,13 +14,13 @@ class MdioRecordDtypeSpec extends SparkSpec {
   import spark.implicits._
 
   private def build(): String = {
-    val root = Files.createTempDirectory("mdio_rec").resolve("r.mdio")
+    val root = ZarrMeta.path(Files.createTempDirectory("mdio_rec").resolve("r.mdio").toString)
     ZarrMeta.writeGroup(root, Some("""{"name": "r"}"""))
     // trace dim coordinate
     ZarrMeta.writeArray(root, "trace",
       ZarrMeta.ArrayMeta(Seq(4L), Seq(4L), "<i8", None, Some(0.0)),
       Some("""{"_ARRAY_DIMENSIONS": ["trace"]}"""))
-    Files.write(root.resolve("trace").resolve("0"),
+    root.resolve("trace").resolve("0").write(
       ChunkCodec.encodeLongs(Array(0L, 1L, 2L, 3L), "<i8"))
     // record variable: headers(trace) with fields cdp-x:<i4, elev:<f4
     val fields = Seq("cdp-x" -> "<i4", "elev" -> "<f4")
@@ -29,14 +29,14 @@ class MdioRecordDtypeSpec extends SparkSpec {
       Some("""{"_ARRAY_DIMENSIONS": ["trace"]}"""))
     val bb = ByteBuffer.allocate(4 * 8).order(ByteOrder.LITTLE_ENDIAN)
     (0 until 4).foreach { i => bb.putInt(1000 + i); bb.putFloat(i * 1.5f) }
-    Files.write(root.resolve("headers").resolve("0"), bb.array())
+    root.resolve("headers").resolve("0").write(bb.array())
     ZarrMeta.consolidate(root)
     root.toString
   }
 
   test("record dtype round-trips through .zarray metadata") {
     val dir = build()
-    val (_, arrays) = ZarrMeta.readGroup(java.nio.file.Paths.get(dir))
+    val (_, arrays) = ZarrMeta.readGroup(graft.zarr.ZarrMeta.path(dir))
     val m = arrays("headers")._1
     assert(m.fields.contains(Seq("cdp-x" -> "<i4", "elev" -> "<f4")))
     assert(m.elemSize == 8)
@@ -56,7 +56,7 @@ class MdioRecordDtypeSpec extends SparkSpec {
   }
 
   test("record variable WRITE path: distributed struct write round-trips") {
-    val root = Files.createTempDirectory("mdio_recw").resolve("w.mdio")
+    val root = ZarrMeta.path(Files.createTempDirectory("mdio_recw").resolve("w.mdio").toString)
     ZarrMeta.writeGroup(root, Some("""{"name": "w"}"""))
     ZarrMeta.writeArray(root, "trace",
       ZarrMeta.ArrayMeta(Seq(6L), Seq(3L), "<i8", None, Some(0.0)),

@@ -44,10 +44,8 @@ class MdioWritePathSpec extends SparkSpec {
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(got == cells.toSet)
     // chunk files exist for all 4 chunks of each variable
-    val imageFiles = Files.list(java.nio.file.Paths.get(dir).resolve("image"))
-      .iterator()
-    var names = Set.empty[String]
-    while (imageFiles.hasNext) names += imageFiles.next().getFileName.toString
+    val names = graft.zarr.ZarrMeta.path(dir).resolve("image")
+      .list().map(_.name).toSet
     assert(Set("0.0", "0.1", "1.0", "1.1").subsetOf(names))
     MdioWriter.delete(dir)
   }
