@@ -173,7 +173,7 @@ final class MdioDataWriter(path: String, dims: Array[String], schema: StructType
         var rem = cid
         var i = rank - 1
         while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
-        val out = ChunkCodec.compress(raw, m.compressor)
+        val out = ChunkCodec.compress(raw, m.compressor, m.elemSize, m.blosc)
         val file = m.chunkFile(ZarrMeta.path(path).resolve(name), cc.toSeq)
         file.write(out)
       }

@@ -49,7 +49,8 @@ object MdioWriter {
           case _ => None
         },
         version = version,
-        dimNames = Some(v.dimensions.map(_.name)))
+        dimNames = Some(v.dimensions.map(_.name)),
+        blosc = v.blosc)
       val dimsJson = v.dimensions.map(d => s""""${d.name}"""").mkString("[", ", ", "]")
       val extra = v.metadata.map(m => s""", "metadata": ${JsonMethods.compact(m)}""").getOrElse("")
       val longName = v.longName.map(ln => s""", "long_name": ${JsonMethods.compact(JString(ln))}""").getOrElse("")
@@ -86,6 +87,8 @@ object MdioWriter {
     val grid = meta.chunkGrid.toArray
     val dtype = meta.dtype
     val compressor = meta.compressor
+    val bloscSettings = meta.blosc
+    val elemSz = meta.elemSize
     val fill = meta.fillValue.getOrElse(Double.NaN)
     val pathStr = path
     val rank = dims.size
@@ -170,7 +173,7 @@ object MdioWriter {
           var rem = cid
           var i = rank - 1
           while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
-          val out = ChunkCodec.compress(raw, compressor)
+          val out = ChunkCodec.compress(raw, compressor, elemSz, bloscSettings)
           val file = meta.chunkFile(ZarrMeta.path(pathStr).resolve(variable), cc.toSeq)
           file.write(out)
         }
@@ -271,6 +274,7 @@ object MdioWriter {
     val chunks = meta.chunks.toArray
     val grid = meta.chunkGrid.toArray
     val compressor = meta.compressor
+    val bloscSettings = meta.blosc
     val pathStr = path
     val rank = dims.size
     val fieldKinds: Array[Char] = fields.map(f => f._2.charAt(f._2.length - 2)).toArray
@@ -336,7 +340,7 @@ object MdioWriter {
           var rem = cid
           var i = rank - 1
           while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
-          val out = ChunkCodec.compress(buf, compressor)
+          val out = ChunkCodec.compress(buf, compressor, recSize, bloscSettings)
           val file = meta.chunkFile(ZarrMeta.path(pathStr).resolve(variable), cc.toSeq)
           file.write(out)
         }

@@ -33,9 +33,13 @@ object MdioSpec {
       dimensions: Seq[Dimension],
       longName: Option[String] = None,
       chunkShape: Option[Seq[Long]] = None,   // default: whole shape, one chunk
-      compressor: Option[String] = None,      // None | zlib | zstd | lz4
+      compressor: Option[String] = None,      // None | blosc | zlib | zstd | lz4
       coordinates: Seq[String] = Nil,
-      metadata: Option[JValue] = None) {
+      metadata: Option[JValue] = None,
+      /** cname/clevel/shuffle when compressor == Some("blosc") — the only
+        * compressor the reference's spec layer accepts
+        * (mdio/dataset_factory.h:288-367). */
+      blosc: Option[graft.zarr.ChunkCodec.Blosc] = None) {
     def shape: Seq[Long] = dimensions.map(_.size)
     def chunks: Seq[Long] = chunkShape.getOrElse(shape)
     def isDimensionCoordinate: Boolean =
@@ -181,6 +185,30 @@ object MdioSpec {
       require(c.forall(_ > 0), s"variable '$name': chunkShape must be positive")
     }
     val compressor = (j \ "compressor" \ "name").toOption.map(_.extract[String])
+    // Blosc settings, with the reference's aliases and defaults
+    // (mdio/dataset_factory.h: "cname"/"algorithm", "clevel"/"level",
+    //  shuffle as string enum or legacy int; defaults lz4/5/shuffle)
+    val blosc = compressor.filter(_ == "blosc").map { _ =>
+      val c = j \ "compressor"
+      val cname = (c \ "cname").toOption.orElse((c \ "algorithm").toOption)
+        .map(_.extract[String]).getOrElse("lz4")
+      val clevel = (c \ "clevel").toOption.orElse((c \ "level").toOption)
+        .map(_.extract[Int]).getOrElse(5)
+      require(clevel >= 0 && clevel <= 9,
+        s"variable '$name': compressor level must be between 0 and 9, got $clevel")
+      val shuffle = (c \ "shuffle") match {
+        case JString("noshuffle") => 0
+        case JString("bitshuffle") => 2
+        case JString(_) => 1
+        case JInt(i) => i.toInt
+        case _ => 1
+      }
+      require(Set("lz4", "lz4hc", "zlib", "zstd").contains(cname),
+        s"variable '$name': blosc cname '$cname' unsupported (lz4/lz4hc/zlib/zstd)")
+      require(shuffle == 0 || shuffle == 1,
+        s"variable '$name': blosc bitshuffle not supported; use shuffle noshuffle|shuffle")
+      graft.zarr.ChunkCodec.Blosc(cname, clevel, shuffle)
+    }
     val coords = (j \ "coordinates") match {
       case JArray(items) => items.map(_.extract[String])
       case JString(s) => s.split("\\s+").toSeq.filter(_.nonEmpty) // space-separated form
@@ -189,7 +217,7 @@ object MdioSpec {
     Variable(name, dataType, dims,
       longName = (j \ "longName").toOption.map(_.extract[String]),
       chunkShape = chunks, compressor = compressor, coordinates = coords,
-      metadata = (j \ "metadata").toOption)
+      metadata = (j \ "metadata").toOption, blosc = blosc)
   }
 
   /** Structural validation (reference validate_dataset,

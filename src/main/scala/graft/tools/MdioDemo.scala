@@ -28,6 +28,10 @@ object MdioDemo {
         |    {"name": "image", "dataType": "float32",
         |     "dimensions": [{"name": "inline", "size": 6}, {"name": "crossline", "size": 4}],
         |     "compressor": {"name": "zlib"},
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [3, 2]}}}},
+        |    {"name": "image_blosc", "dataType": "float32",
+        |     "dimensions": [{"name": "inline", "size": 6}, {"name": "crossline", "size": 4}],
+        |     "compressor": {"name": "blosc", "cname": "zlib", "clevel": 5, "shuffle": 1},
         |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [3, 2]}}}}
         |  ]
         |}""".stripMargin)
@@ -35,6 +39,8 @@ object MdioDemo {
     MdioWriter.create(spec, path)
     val cells = for { i <- 0L until 6L; x <- 0L until 4L } yield (i, x, (i * 100 + x).toFloat)
     MdioWriter.writeVariable(spark, cells.toDF("inline", "crossline", "image"), path, "image")
+    MdioWriter.writeVariable(spark,
+      cells.toDF("inline", "crossline", "image_blosc"), path, "image_blosc")
     println(s"[demo] wrote $path")
     spark.stop()
   }

@@ -2,9 +2,9 @@ package graft.zarr
 
 import com.github.luben.zstd.Zstd
 import net.jpountz.lz4.LZ4Factory
-import java.io.ByteArrayOutputStream
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
-import java.util.zip.{Deflater, Inflater}
+import java.util.zip.{Deflater, GZIPInputStream, Inflater}
 
 /** Zarr v2 chunk encode/decode: C-order little-endian element buffers with
   * a numcodecs compressor envelope.
@@ -14,14 +14,22 @@ import java.util.zip.{Deflater, Inflater}
   *  - `zlib` — java.util.zip (numcodecs "zlib");
   *  - `zstd` — zstd-jni, ships with Spark (numcodecs "zstd" = raw frame);
   *  - `lz4`  — lz4-java (numcodecs "lz4" = 4-byte LE original size + block);
-  *  - `blosc` — DECODE only, for interop with reference-written data
-  *    (blosc1 frame: 16-byte header + optional block-start table; backends
-  *    lz4/zstd/zlib + byte-shuffle). Writers here never emit blosc.
+  *  - `blosc` — full encode/decode (blosc1 frame: 16-byte header +
+  *    optional block-start table; backends lz4/lz4hc/zstd/zlib +
+  *    byte-shuffle). The reference's spec layer accepts ONLY blosc and
+  *    honors cname/clevel/shuffle (mdio/dataset_factory.h:288-367);
+  *    [[Blosc]] carries those settings through the write path.
   *
   * Values travel as JVM doubles/longs at the connector boundary; the typed
   * read/write keeps unsigned widening consistent (SURVEY §1.2).
   */
 object ChunkCodec {
+
+  /** Blosc compressor settings, the reference's resolved defaults
+    * (mdio/dataset_factory.h:237-276: cname lz4, clevel 5, shuffle on,
+    * automatic blocksize). shuffle: 0 none, 1 byte-shuffle, 2 bit-shuffle
+    * (rejected on write — no JVM bitshuffle). */
+  final case class Blosc(cname: String = "lz4", clevel: Int = 5, shuffle: Int = 1)
 
   def elemSize(dtype: String): Int = {
     if (kind(dtype) == 'c') return if (dtype.endsWith("16")) 16 else 8
@@ -249,7 +257,8 @@ object ChunkCodec {
 
   // ---- compressor envelope --------------------------------------------------
 
-  def compress(raw: Array[Byte], codec: Option[String]): Array[Byte] = codec match {
+  def compress(raw: Array[Byte], codec: Option[String], typesize: Int = 1,
+               blosc: Option[Blosc] = None): Array[Byte] = codec match {
     case None => raw
     case Some("zlib") =>
       val d = new Deflater()
@@ -266,36 +275,71 @@ object ChunkCodec {
       val out = ByteBuffer.allocate(4 + comp.length).order(ByteOrder.LITTLE_ENDIAN)
       out.putInt(raw.length).put(comp)
       out.array()
-    case Some("blosc") => bloscEncode(raw)
+    case Some("blosc") => bloscEncode(raw, typesize, blosc.getOrElse(Blosc()))
     case Some(other) => throw new IllegalArgumentException(s"unsupported compressor '$other' for write")
   }
 
-  /** Blosc1 single-block lz4 encode (the reference's default codec family):
+  /** Backend compress of one (possibly shuffled) block; returns the payload
+    * and the blosc codec id. clevel maps per backend: zstd level = clevel,
+    * Deflater level = clevel, lz4 switches to lz4hc above clevel 7 (both
+    * decode as codec id 1, like c-blosc's lz4/lz4hc pair). */
+  private def bloscBackend(block: Array[Byte], b: Blosc): (Array[Byte], Int) =
+    b.cname match {
+      case "lz4" | "lz4hc" =>
+        val f = LZ4Factory.fastestJavaInstance()
+        val c = if (b.cname == "lz4hc" || b.clevel >= 8) f.highCompressor() else f.fastCompressor()
+        (c.compress(block), 1)
+      case "zlib" =>
+        val d = new Deflater(math.max(1, math.min(9, b.clevel)))
+        d.setInput(block); d.finish()
+        val out = new ByteArrayOutputStream(block.length / 2 + 64)
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        d.end()
+        (out.toByteArray, 4)
+      case "zstd" => (Zstd.compress(block, math.max(1, math.min(9, b.clevel))), 5)
+      case other => throw new IllegalArgumentException(
+        s"blosc cname '$other' unsupported for write (lz4/lz4hc/zlib/zstd)")
+    }
+
+  /** Blosc1 single-block encode honoring cname + clevel + byte-shuffle
+    * (the reference's spec-layer settings, mdio/dataset_factory.h:288-367):
     * 16-byte header, one block-start entry, then [int32 csize][payload].
-    * No byte-shuffle on write (flag 0); falls back to the memcpy frame when
-    * lz4 does not reduce. Symmetric with [[bloscDecode]]. */
-  private def bloscEncode(raw: Array[Byte]): Array[Byte] = {
+    * Falls back to the memcpy frame of the ORIGINAL buffer when compression
+    * does not reduce (decoders skip unshuffle on memcpy frames, matching
+    * c-blosc). clevel 0 = store uncompressed. Symmetric with
+    * [[bloscDecode]]. */
+  private def bloscEncode(raw: Array[Byte], typesize: Int, b: Blosc): Array[Byte] = {
     require(raw.length > 0 && raw.length <= Int.MaxValue - 64, "blosc single-block size limit")
-    val comp = LZ4Factory.fastestJavaInstance().fastCompressor().compress(raw)
-    val useMemcpy = comp.length + 4 >= raw.length
-    if (useMemcpy) {
+    require(b.shuffle != 2, "blosc bitshuffle not supported for write; use shuffle=1")
+    val ts = math.max(1, typesize)
+    val doShuffle = b.shuffle == 1 && ts > 1 && raw.length % ts == 0
+    def memcpyFrame(): Array[Byte] = {
       val out = ByteBuffer.allocate(16 + raw.length).order(ByteOrder.LITTLE_ENDIAN)
       out.put(0, 2.toByte)                    // blosc format version
       out.put(1, 1.toByte)                    // codec format version
       out.put(2, 0x2.toByte)                  // flags: memcpy
-      out.put(3, 1.toByte)                    // typesize (opaque bytes)
+      out.put(3, ts.toByte)
       out.putInt(4, raw.length)               // nbytes
       out.putInt(8, raw.length)               // blocksize
       out.putInt(12, 16 + raw.length)         // cbytes
       System.arraycopy(raw, 0, out.array(), 16, raw.length)
       out.array()
-    } else {
+    }
+    if (b.clevel <= 0) return memcpyFrame()
+    val block =
+      if (doShuffle) { val s = raw.clone(); shuffleInPlace(s, 0, s.length, ts); s }
+      else raw
+    val (comp, codecId) = bloscBackend(block, b)
+    if (comp.length + 8 >= raw.length) memcpyFrame()
+    else {
       val total = 16 + 4 + 4 + comp.length    // header + bstart + csize + payload
       val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
       out.put(0, 2.toByte)
       out.put(1, 1.toByte)
-      out.put(2, (1 << 5).toByte)             // flags: codec id 1 = lz4, no shuffle
-      out.put(3, 1.toByte)
+      val flags = (codecId << 5) | (if (doShuffle) 0x1 else 0x0)
+      out.put(2, flags.toByte)
+      out.put(3, ts.toByte)
       out.putInt(4, raw.length)
       out.putInt(8, raw.length)               // single block
       out.putInt(12, total)
@@ -308,7 +352,7 @@ object ChunkCodec {
 
   def decompress(data: Array[Byte], codec: Option[String], rawSize: Int): Array[Byte] = codec match {
     case None => data
-    case Some("zlib") | Some("gzip") =>
+    case Some("zlib") =>
       val inf = new Inflater()
       inf.setInput(data)
       val out = new Array[Byte](rawSize)
@@ -316,6 +360,20 @@ object ChunkCodec {
       while (off < rawSize && !inf.finished()) off += inf.inflate(out, off, rawSize - off)
       inf.end()
       require(off == rawSize, s"zlib chunk decoded $off of $rawSize bytes")
+      out
+    case Some("gzip") =>
+      // RFC-1952 gzip frames — what zarr-python's v3 gzip codec and
+      // numcodecs "gzip" write. A raw-zlib Inflater rejects these.
+      val in = new GZIPInputStream(new ByteArrayInputStream(data))
+      val out = new Array[Byte](rawSize)
+      var off = 0
+      var n = 0
+      while (off < rawSize && n >= 0) {
+        n = in.read(out, off, rawSize - off)
+        if (n > 0) off += n
+      }
+      in.close()
+      require(off == rawSize, s"gzip chunk decoded $off of $rawSize bytes")
       out
     case Some("zstd") => Zstd.decompress(data, rawSize)
     case Some("lz4") =>
@@ -397,6 +455,23 @@ object ChunkCodec {
       var i = 0
       while (i < n) {
         tmp(i * typesize + j) = buf(off + j * n + i)
+        i += 1
+      }
+      j += 1
+    }
+    System.arraycopy(tmp, 0, buf, off, len)
+  }
+
+  /** Blosc byte-shuffle forward: gather byte j of every element into the
+    * j-th plane — the transform compressors then exploit. */
+  private def shuffleInPlace(buf: Array[Byte], off: Int, len: Int, typesize: Int): Unit = {
+    val n = len / typesize
+    val tmp = new Array[Byte](len)
+    var j = 0
+    while (j < typesize) {
+      var i = 0
+      while (i < n) {
+        tmp(j * n + i) = buf(off + i * typesize + j)
         i += 1
       }
       j += 1

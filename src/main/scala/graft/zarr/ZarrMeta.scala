@@ -31,7 +31,11 @@ object ZarrMeta {
       /** Structured (record) dtype: numpy field list [[name, typestr], …]
         * (reference "void" arrays, mdio/zarr/zarr_v2.h:109-120). When set,
         * `dtype` is "|V<n>" and cells decode per field. */
-      fields: Option[Seq[(String, String)]] = None) {
+      fields: Option[Seq[(String, String)]] = None,
+      /** Blosc cname/clevel/shuffle when compressor == Some("blosc") —
+        * the reference's only spec-layer compressor
+        * (mdio/dataset_factory.h:288-367). */
+      blosc: Option[ChunkCodec.Blosc] = None) {
     def rank: Int = shape.size
     /** Number of chunks along each dimension. */
     def chunkGrid: Seq[Long] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
@@ -72,7 +76,8 @@ object ZarrMeta {
     val comp = m.compressor match {
       case None => "null"
       case Some("blosc") => // full numcodecs object so zarr-python decodes it
-        """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 0}"""
+        val b = m.blosc.getOrElse(ChunkCodec.Blosc())
+        s"""{"id": "blosc", "cname": "${b.cname}", "clevel": ${b.clevel}, "shuffle": ${b.shuffle}, "blocksize": 0}"""
       case Some(id) => s"""{"id": "$id"}"""
     }
     val dtypeJson = m.fields match {
@@ -111,9 +116,15 @@ object ZarrMeta {
       case JString(s) => (s, None)
       case other => throw new IllegalArgumentException(s"bad dtype $other")
     }
-    val comp = (j \ "compressor") match {
-      case JNull | JNothing => None
-      case obj => Some((obj \ "id").extract[String])
+    val (comp, blosc) = (j \ "compressor") match {
+      case JNull | JNothing => (None, None)
+      case obj =>
+        val id = (obj \ "id").extract[String]
+        val b = if (id == "blosc") Some(ChunkCodec.Blosc(
+          cname = (obj \ "cname").extractOrElse[String]("lz4"),
+          clevel = (obj \ "clevel").extractOrElse[Int](5),
+          shuffle = (obj \ "shuffle").extractOrElse[Int](1))) else None
+        (Some(id), b)
     }
     val fill = (j \ "fill_value") match {
       case JNull | JNothing => None
@@ -127,7 +138,7 @@ object ZarrMeta {
       case _ => None
     }
     val order = (j \ "order").extractOrElse[String]("C")
-    ArrayMeta(shape, chunks, dtype, comp, fill, order, fields = fields)
+    ArrayMeta(shape, chunks, dtype, comp, fill, order, fields = fields, blosc = blosc)
   }
 
   /** Chunk file key, C-order: "0.0", "1.2", … (zarr v2 default separator). */
@@ -136,7 +147,9 @@ object ZarrMeta {
   // ---- zarr v3 -------------------------------------------------------------
 
   /** v3 array `zarr.json`. Codecs emitted: little-endian bytes + optional
-    * zstd (v3 has no raw-zlib codec, so v3 writes allow None/zstd only). */
+    * zstd or blosc — the reference's v3 path always emits `[bytes, blosc]`
+    * with cname/clevel/shuffle (mdio/dataset_factory.h:288-324,
+    * mdio/zarr/zarr_v3.h codec pipeline); v3 has no raw-zlib codec. */
   def renderArrayMetaV3(m: ArrayMeta, attributes: Option[String]): String = {
     val fill = m.fillValue match {
       case None => "null"
@@ -148,8 +161,16 @@ object ZarrMeta {
       case None => """[{"name": "bytes", "configuration": {"endian": "little"}}]"""
       case Some("zstd") =>
         """[{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "zstd", "configuration": {"level": 3}}]"""
+      case Some("blosc") =>
+        val b = m.blosc.getOrElse(ChunkCodec.Blosc())
+        val shuffleStr = b.shuffle match {
+          case 0 => "noshuffle"; case 2 => "bitshuffle"; case _ => "shuffle"
+        }
+        s"""[{"name": "bytes", "configuration": {"endian": "little"}}, """ +
+          s"""{"name": "blosc", "configuration": {"cname": "${b.cname}", "clevel": ${b.clevel}, """ +
+          s""""shuffle": "$shuffleStr", "typesize": ${m.elemSize}, "blocksize": 0}}]"""
       case Some(other) =>
-        throw new IllegalArgumentException(s"zarr v3 write supports None/zstd codecs, not '$other'")
+        throw new IllegalArgumentException(s"zarr v3 write supports None/zstd/blosc codecs, not '$other'")
     }
     val dims = m.dimNames.map(d => d.map(n => s""""$n"""").mkString("[", ", ", "]")).getOrElse("null")
     s"""{
@@ -172,17 +193,29 @@ object ZarrMeta {
     val shape = (j \ "shape").extract[Seq[Long]]
     val chunks = (j \ "chunk_grid" \ "configuration" \ "chunk_shape").extract[Seq[Long]]
     val dtype = v3DtypeToNumpy((j \ "data_type").extract[String])
-    val codecNames = (j \ "codecs") match {
-      case JArray(items) => items.map(c => (c \ "name").extract[String])
+    val codecItems = (j \ "codecs") match {
+      case JArray(items) => items.map(c => ((c \ "name").extract[String], c \ "configuration"))
       case _ => Nil
     }
-    val comp = codecNames.filterNot(Set("bytes", "endian")).headOption.map {
-      case "gzip" => "zlib" // payload is inflate-compatible only for zlib-framed data
-      case other => other
-    }
+    val codecNames = codecItems.map(_._1)
     codecNames.foreach { n =>
       require(Set("bytes", "endian", "zstd", "gzip", "blosc").contains(n),
         s"unsupported v3 codec '$n'")
+    }
+    // "gzip" decodes as real RFC-1952 frames (what zarr-python writes)
+    val comp = codecNames.filterNot(Set("bytes", "endian")).headOption
+    val blosc = codecItems.collectFirst { case ("blosc", cfg) =>
+      val shuffle = (cfg \ "shuffle") match {
+        case JString("noshuffle") => 0
+        case JString("bitshuffle") => 2
+        case JString(_) => 1
+        case JInt(i) => i.toInt
+        case _ => 1
+      }
+      ChunkCodec.Blosc(
+        cname = (cfg \ "cname").extractOrElse[String]("lz4"),
+        clevel = (cfg \ "clevel").extractOrElse[Int](5),
+        shuffle = shuffle)
     }
     val fill = (j \ "fill_value") match {
       case JString("NaN") => Some(Double.NaN)
@@ -200,7 +233,7 @@ object ZarrMeta {
       case JObject(Nil) | JNothing | JNull => None
       case o => Some(JsonMethods.compact(o))
     }
-    (ArrayMeta(shape, chunks, dtype, comp, fill, "C", 3, dims), attrs)
+    (ArrayMeta(shape, chunks, dtype, comp, fill, "C", 3, dims, blosc = blosc), attrs)
   }
 
   /** S8 — version detection: probe `zarr.json`, then `.zgroup`; default v2

@@ -154,6 +154,50 @@ class MdioConnectorSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("blosc write parity: reference spec forms round-trip v2 and v3") {
+    // the reference's spec layer accepts ONLY blosc, honoring
+    // cname/clevel/shuffle with legacy aliases algorithm/level
+    // (mdio/dataset_factory.h:288-367)
+    val bloscSpec = MdioSpec.fromJson(specJson
+      .replace("""{"name": "zstd"}""",
+        """{"name": "blosc", "algorithm": "zstd", "level": 7, "shuffle": "shuffle"}""")
+      .replace("""{"name": "zlib"}""",
+        """{"name": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1}"""))
+    assert(bloscSpec.variable("image").blosc.contains(graft.zarr.ChunkCodec.Blosc("zstd", 7, 1)))
+    assert(bloscSpec.variable("mask").blosc.contains(graft.zarr.ChunkCodec.Blosc("lz4", 5, 1)))
+
+    for (version <- Seq(2, 3)) {
+      val dir = Files.createTempDirectory(s"mdio_blosc_v$version").resolve("b.mdio").toString
+      MdioWriter.create(bloscSpec, dir, version = version)
+      val root = graft.zarr.ZarrMeta.path(dir)
+      if (version == 2) {
+        val zarray = root.resolve("image").resolve(".zarray").readString()
+        assert(zarray.contains("\"id\": \"blosc\"") && zarray.contains("\"cname\": \"zstd\"")
+          && zarray.contains("\"clevel\": 7") && zarray.contains("\"shuffle\": 1"))
+      } else {
+        val zjson = root.resolve("image").resolve("zarr.json").readString()
+        assert(zjson.contains("\"name\": \"bytes\"") && zjson.contains("\"name\": \"blosc\""),
+          "v3 must emit the [bytes, blosc] codec pipeline")
+        assert(zjson.contains("\"shuffle\": \"shuffle\"") && zjson.contains("\"typesize\": 4"))
+      }
+      // metadata round-trips through the reader with the same settings
+      val (_, arrays) = graft.zarr.ZarrMeta.readGroup(root)
+      assert(arrays("image")._1.compressor.contains("blosc"))
+      assert(arrays("image")._1.blosc.contains(graft.zarr.ChunkCodec.Blosc("zstd", 7, 1)))
+
+      val cells = for { i <- 0L until 8L; x <- 0L until 6L } yield (i, x, (i * 10 + x).toFloat, ((i + x) % 2).toInt)
+      val df = cells.toDF("inline", "crossline", "image", "mask")
+      MdioWriter.writeVariable(spark, df.select($"inline", $"crossline", $"image"), dir, "image")
+      MdioWriter.writeVariable(spark, df.select($"inline", $"crossline",
+        col("mask").cast("double").as("mask")), dir, "mask")
+      val got = spark.read.format("mdio").load(dir)
+        .select("inline", "crossline", "image", "mask")
+        .as[(Long, Long, Float, Int)].collect().toSet
+      assert(got == cells.toSet, s"v$version blosc round-trip")
+      MdioWriter.delete(dir)
+    }
+  }
+
   test("delete refuses non-MDIO directories (S12)") {
     val plain = Files.createTempDirectory("not_mdio")
     intercept[IllegalArgumentException](MdioWriter.delete(plain.toString))

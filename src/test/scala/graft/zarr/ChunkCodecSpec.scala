@@ -80,4 +80,45 @@ class ChunkCodecSpec extends AnyFunSuite {
     assert((cNoise(2) & 0x2) != 0, "expected memcpy flag for incompressible data")
     assert(ChunkCodec.decompress(cNoise, Some("blosc"), noise.length).toSeq == noise.toSeq)
   }
+
+  test("blosc byte-shuffle round-trips at every element size × cname") {
+    // slowly-varying values: shuffle groups the near-constant high bytes,
+    // so the shuffled frame must also WIN on size for multi-byte types
+    val rnd = new scala.util.Random(7)
+    for (ts <- Seq(1, 2, 4, 8, 16); cname <- Seq("lz4", "lz4hc", "zlib", "zstd")) {
+      val n = 600 * ts
+      val raw = Array.tabulate(n)(i => ((i / ts) % 31 + rnd.nextInt(2)).toByte)
+      val b = ChunkCodec.Blosc(cname = cname, clevel = 5, shuffle = 1)
+      val comp = ChunkCodec.compress(raw, Some("blosc"), ts, Some(b))
+      if (ts > 1) // byte-shuffle is a no-op at typesize 1, flag stays clear
+        assert((comp(2) & 0x1) != 0 || (comp(2) & 0x2) != 0, s"ts=$ts $cname: no shuffle flag")
+      assert(comp(3) == ts.toByte || (comp(2) & 0x2) != 0)
+      val back = ChunkCodec.decompress(comp, Some("blosc"), raw.length)
+      assert(back.toSeq == raw.toSeq, s"ts=$ts $cname shuffle round-trip failed")
+    }
+  }
+
+  test("blosc clevel 0 stores uncompressed; bitshuffle write rejected") {
+    val raw = Array.tabulate(256)(_.toByte)
+    val stored = ChunkCodec.compress(raw, Some("blosc"), 4,
+      Some(ChunkCodec.Blosc(clevel = 0)))
+    assert((stored(2) & 0x2) != 0) // memcpy frame
+    assert(ChunkCodec.decompress(stored, Some("blosc"), raw.length).toSeq == raw.toSeq)
+    intercept[IllegalArgumentException] {
+      ChunkCodec.compress(raw, Some("blosc"), 4, Some(ChunkCodec.Blosc(shuffle = 2)))
+    }
+  }
+
+  test("gzip codec decodes RFC-1952 frames (zarr-python v3 gzip)") {
+    val raw = ChunkCodec.encodeDoubles(Array.tabulate(500)(i => (i % 13).toDouble), "<f8")
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    val back = ChunkCodec.decompress(bos.toByteArray, Some("gzip"), raw.length)
+    assert(back.toSeq == raw.toSeq)
+    // and a raw-zlib frame under the gzip label must fail loudly, not decode garbage
+    intercept[Exception] {
+      ChunkCodec.decompress(ChunkCodec.compress(raw, Some("zlib")), Some("gzip"), raw.length)
+    }
+  }
 }

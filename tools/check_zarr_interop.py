@@ -9,6 +9,9 @@ Usage: python3 tools/check_zarr_interop.py /tmp/mdio_demo
 import json, sys, zlib, pathlib
 import numpy as np
 
+sys.path.insert(0, str(pathlib.Path(__file__).parent))
+import blosc_py
+
 
 def read_array(root: pathlib.Path, name: str) -> np.ndarray:
     meta = json.loads((root / name / ".zarray").read_text())
@@ -19,12 +22,15 @@ def read_array(root: pathlib.Path, name: str) -> np.ndarray:
     fill = np.nan if fill == "NaN" else fill
     out = np.full(shape, fill, dtype=dtype)
     grid = [-(-s // c) for s, c in zip(shape, chunks)]
+    nbytes_chunk = int(np.prod(chunks)) * dtype.itemsize
     for idx in np.ndindex(*grid):
         f = root / name / ".".join(map(str, idx))
         if not f.exists():
             continue
         raw = f.read_bytes()
-        if comp is not None:
+        if comp is not None and comp["id"] == "blosc":
+            raw = blosc_py.decode(raw, nbytes_chunk)
+        elif comp is not None:
             assert comp["id"] == "zlib", f"unexpected codec {comp}"
             raw = zlib.decompress(raw)
         block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
@@ -48,7 +54,16 @@ def main(path: str) -> int:
     if not np.array_equal(img, want):
         print("FAIL image mismatch\n", img, "\nwant\n", want)
         return 1
+    # blosc+shuffle variable: decoded with the INDEPENDENT python blosc codec
+    bmeta = json.loads((root / "image_blosc" / ".zarray").read_text())
+    assert bmeta["compressor"]["id"] == "blosc", bmeta["compressor"]
+    assert bmeta["compressor"]["shuffle"] == 1, bmeta["compressor"]
+    blosc_img = read_array(root, "image_blosc")
+    if not np.array_equal(blosc_img, want):
+        print("FAIL image_blosc mismatch\n", blosc_img, "\nwant\n", want)
+        return 1
     print(f"ok   zarr-v2 interop: image {img.shape} {img.dtype} matches, "
+          f"blosc+shuffle chunks decode independently, "
           f"consolidated metadata + _ARRAY_DIMENSIONS present")
     return 0
 
