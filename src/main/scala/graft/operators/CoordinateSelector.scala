@@ -26,18 +26,22 @@ final case class CoordinateSelector(ds: MdioDataset, filters: Seq[Column] = Nil,
   def filterByCoordinate(pred: Column): CoordinateSelector =
     copy(filters = filters :+ pred)
 
-  /** Add a sort key; earlier keys dominate (reference applies later keys
-    * with stable sort — lexicographic composition, same result). */
+  /** Add a sort key. The reference applies each sortSelectionByKey as a
+    * sequential std::stable_sort (`coordinate_selector.h:122-188`), so the
+    * LAST-applied key dominates and earlier orders survive only in ties. */
   def sortByKey(key: Column): CoordinateSelector =
     copy(sortKeys = sortKeys :+ key)
 
   /** Gather the requested variables for the selection, in selection order
-    * (reference ReadDataVariables + readSelection). */
+    * (reference ReadDataVariables + readSelection). Stable-sort chaining is
+    * reproduced in ONE distributed sort by reversing the key list (latest
+    * key primary, earlier keys as tie-breakers) — equivalent to running the
+    * reference's per-key stable sorts in order. */
   def readSelection(outputs: Seq[String]): DataFrame = {
     val filtered = filters.foldLeft(ds.data)((df, p) => df.filter(p))
     val ordered =
       if (sortKeys.isEmpty) filtered
-      else filtered.orderBy(sortKeys ++ ds.dims.map(col): _*)
+      else filtered.orderBy(sortKeys.reverse ++ ds.dims.map(col): _*)
     ordered.select((ds.dims.map(col) ++ outputs.map(col)): _*)
   }
 }

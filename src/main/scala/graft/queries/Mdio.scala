@@ -373,11 +373,12 @@ object Mdio {
       .readSelection(Seq("user_id", "value"))
       .limit(50)
 
+  // last-applied sort key (user_id) dominates — stable-sort chaining
   val qCoordSelectorSql: String = """
     SELECT event_id, user_id, value
     FROM events
     WHERE event_type = 'purchase' AND user_id >= 10 AND user_id < 60
-    ORDER BY value DESC, user_id, event_id LIMIT 50"""
+    ORDER BY user_id, value DESC, event_id LIMIT 50"""
 
   val queries: Map[String, Q] = Map(
     "mdio_isel_slice"       -> qIselSlice,

@@ -98,13 +98,23 @@ final class MdioDataWriter(path: String, dims: Array[String], schema: StructType
   private val grid: Array[Long] = anchor.chunkGrid.toArray
   private val chunkLen = chunks.product.toInt
 
-  // per variable: chunkId -> buffer (doubles cover f/c; longs cover i/u/b)
+  // per variable: chunkId -> buffer (doubles cover f/c; longs cover i/u/b;
+  // packed little-endian bytes cover record dtypes, zero-filled like the
+  // reference's struct fill)
   private val bufD = Array.fill(vars.length)(scala.collection.mutable.Map[Long, Array[Double]]())
   private val bufL = Array.fill(vars.length)(scala.collection.mutable.Map[Long, Array[Long]]())
+  private val bufB = Array.fill(vars.length)(scala.collection.mutable.Map[Long, Array[Byte]]())
 
   private def kindOf(m: ZarrMeta.ArrayMeta): Char =
-    if (MdioPartitionReader.isComplex(m.dtype)) 'c'
+    if (m.fields.isDefined) 'V'
+    else if (MdioPartitionReader.isComplex(m.dtype)) 'c'
     else m.dtype.charAt(m.dtype.length - 2)
+
+  // record-dtype layout per variable (null when not a record dtype)
+  private val recFields: Array[Seq[(String, String)]] = vars.map(_._2.fields.orNull)
+  private val recSizes: Array[Int] = vars.map { case (_, m) =>
+    m.fields.map(_.map(f => ChunkCodec.elemSize(f._2)).sum).getOrElse(0)
+  }
 
   override def write(row: InternalRow): Unit = {
     var off = 0L
@@ -143,6 +153,47 @@ final class MdioDataWriter(path: String, dims: Array[String], schema: StructType
           val isF4 = !m.dtype.endsWith("16")
           buf(off.toInt * 2) = if (isF4) s.getFloat(0).toDouble else s.getDouble(0)
           buf(off.toInt * 2 + 1) = if (isF4) s.getFloat(1).toDouble else s.getDouble(1)
+        case 'V' => // record dtype: pack struct fields little-endian
+          val fs = recFields(v)
+          val recSize = recSizes(v)
+          val buf = bufB(v).getOrElseUpdate(cid, new Array[Byte](chunkLen * recSize))
+          val bb = java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val s = row.getStruct(varIdx(v), fs.size)
+          val sdt = schema.fields(varIdx(v)).dataType.asInstanceOf[StructType]
+          var base = off.toInt * recSize
+          var k = 0
+          while (k < fs.size) {
+            val ft = fs(k)._2
+            val es = ChunkCodec.elemSize(ft)
+            if (ft.charAt(ft.length - 2) == 'f') {
+              val d = sdt.fields(k).dataType match {
+                case FloatType => s.getFloat(k).toDouble
+                case _ => s.getDouble(k)
+              }
+              es match {
+                case 2 => bb.putShort(base, ChunkCodec.floatToHalf(d.toFloat))
+                case 4 => bb.putFloat(base, d.toFloat)
+                case _ => bb.putDouble(base, d)
+              }
+            } else {
+              val l = sdt.fields(k).dataType match {
+                case LongType => s.getLong(k)
+                case IntegerType => s.getInt(k).toLong
+                case ShortType => s.getShort(k).toLong
+                case ByteType => s.getByte(k).toLong
+                case BooleanType => if (s.getBoolean(k)) 1L else 0L
+                case _ => s.getLong(k)
+              }
+              es match {
+                case 1 => bb.put(base, l.toByte)
+                case 2 => bb.putShort(base, l.toShort)
+                case 4 => bb.putInt(base, l.toInt)
+                case _ => bb.putLong(base, l)
+              }
+            }
+            base += es
+            k += 1
+          }
         case _ =>
           val isU64 = m.dtype.charAt(m.dtype.length - 2) == 'u' && m.dtype.endsWith("8")
           val longFill = if (isU64 && fill > 9.2e18) -1L
@@ -183,6 +234,7 @@ final class MdioDataWriter(path: String, dims: Array[String], schema: StructType
                   else ChunkCodec.encodeDoubles(buf, m.dtype))
       }
       bufL(v).foreach { case (cid, buf) => emit(cid, ChunkCodec.encodeLongs(buf, m.dtype)) }
+      bufB(v).foreach { case (cid, buf) => emit(cid, buf) } // record: already packed
       v += 1
     }
     MdioDone

@@ -93,9 +93,11 @@ object MdioWriter {
     val pathStr = path
     val rank = dims.size
 
-    // chunk id = C-order linearized chunk coordinate
+    // chunk id = C-order linearized chunk coordinate. `div` is exact
+    // integer division — SQL `/` would detour through double and can
+    // misplace rows for coordinates above 2^53.
     val chunkId = dims.zipWithIndex.map { case (d, i) =>
-      (col(d).cast("long") / lit(chunks(i))).cast("long") *
+      expr(s"CAST(`$d` AS BIGINT) div ${chunks(i)}") *
         lit(grid.drop(i + 1).product)
     }.reduce(_ + _)
 

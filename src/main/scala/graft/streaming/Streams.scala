@@ -53,36 +53,54 @@ object Streams {
       .agg(count(lit(1)).as("n"))
 
   /** Gap-based sessionization: a session closes after `gapSeconds` of
-    * inactivity (processing-time timeout closes stragglers). Emits one row
-    * per closed session. */
+    * inactivity. An EVENT-TIME timeout closes stragglers: when the
+    * watermark passes a user's `last event + gap`, the open session is
+    * emitted and its state dropped — so trailing sessions of quiet users
+    * are not lost, state stays watermark-bounded, and the behavior is
+    * deterministic in event time (a processing-time timeout would both
+    * depend on wall-clock and keep scheduling no-data batches). Emits one
+    * row per closed session. */
   def sessionize(spark: SparkSession, events: Dataset[Event],
-                 gapSeconds: Long = 1800L): Dataset[Session] = {
+                 gapSeconds: Long = 1800L,
+                 watermark: String = "2 hours"): Dataset[Session] = {
     import spark.implicits._
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessState]) =>
-          // events within a micro-batch are not ordered — sort this user's slice
-          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val closed = scala.collection.mutable.ArrayBuffer[Session]()
-          evs.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(st) if t - st.last <= gapSeconds * 1000 =>
-                cur = Some(st.copy(last = t, n = st.n + 1, total = st.total + e.value))
-              case Some(st) =>
-                closed += Session(userId, new java.sql.Timestamp(st.start), st.n, st.total)
-                cur = Some(SessState(t, t, 1L, e.value))
-              case None =>
-                cur = Some(SessState(t, t, 1L, e.value))
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: close the session
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(userId, new java.sql.Timestamp(st.start), st.n, st.total))
+          } else {
+            // events within a micro-batch are not ordered — sort this user's slice
+            val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer[Session]()
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.last <= gapSeconds * 1000 =>
+                  cur = Some(st.copy(last = t, n = st.n + 1, total = st.total + e.value))
+                case Some(st) =>
+                  closed += Session(userId, new java.sql.Timestamp(st.start), st.n, st.total)
+                  cur = Some(SessState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessState(t, t, 1L, e.value))
+              }
             }
+            cur.foreach { st =>
+              state.update(st)
+              // deadline must sit beyond the current watermark: a late-but-
+              // allowed event can leave last+gap already behind it, in which
+              // case the session closes at the next watermark advance
+              state.setTimeoutTimestamp(
+                math.max(st.last + gapSeconds * 1000, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
           }
-          cur match {
-            case Some(st) => state.update(st)
-            case None => ()
-          }
-          closed.iterator
       }
   }
 
@@ -106,11 +124,14 @@ object Streams {
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowSeconds SECONDS"))
   }
 
-  /** Watermarked exact dedup on an id column: duplicates arriving within
-    * the watermark horizon are dropped; state stays bounded. */
+  /** Watermarked exact dedup on an id column: a duplicate id arriving
+    * within the watermark horizon is dropped even when its timestamp
+    * differs (true id-only dedup — dropDuplicatesWithinWatermark keys
+    * state on the id alone and expires it with the watermark, so state
+    * stays bounded). */
   def dedupStream(events: DataFrame, idCol: String = "event_id",
                   watermark: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates(idCol, "ts")
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCol)
 
   /** foreachBatch sink landing micro-batches into an MDIO variable,
     * chunk-aligned (single-writer-per-chunk holds per micro-batch because

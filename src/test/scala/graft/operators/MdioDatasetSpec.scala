@@ -93,4 +93,24 @@ class MdioDatasetSpec extends SparkSpec {
     val df = grid.withCoordinate("xc").data
     assert(df.filter(col("x") === 3 && col("xc") =!= 300.0).count() == 0)
   }
+
+  test("sortByKey chains like sequential stable sorts: last key dominates") {
+    // reference coordinate_selector.h:122-188 — each sortSelectionByKey is a
+    // std::stable_sort, so the LAST key is primary, earlier keys break ties
+    val ds = MdioDataset(
+      Seq((0L, 3.0, 1.0), (1L, 1.0, 2.0), (2L, 3.0, 0.5), (3L, 1.0, 0.1), (4L, 2.0, 9.0))
+        .toDF("i", "a", "b"),
+      Seq("i"), Map("i" -> (0L, 5L)))
+    val got = CoordinateSelector(ds)
+      .sortByKey(col("b").desc) // applied first -> tie-breaker
+      .sortByKey(col("a"))      // applied last  -> primary
+      .readSelection(Seq("a", "b"))
+      .select("i").as[Long].collect().toSeq
+    // sequential stable sort oracle: sort by b desc, then stable by a asc
+    val oracle = Seq((0L, 3.0, 1.0), (1L, 1.0, 2.0), (2L, 3.0, 0.5), (3L, 1.0, 0.1), (4L, 2.0, 9.0))
+      .sortBy { case (_, _, b) => -b }
+      .sortBy { case (_, a, _) => a }(Ordering.Double.TotalOrdering) // scala sortBy is stable
+      .map(_._1)
+    assert(got == oracle)
+  }
 }

@@ -79,4 +79,31 @@ class MdioRecordDtypeSpec extends SparkSpec {
     assert(got == (0L until 6L).map(i => (i, (2000 + i).toInt, i * 0.25f)))
     MdioWriter.delete(root.toString)
   }
+
+  test("record dtype through the DSv2 sink: df.write.format(\"mdio\") round-trips") {
+    val root = ZarrMeta.path(Files.createTempDirectory("mdio_recs").resolve("s.mdio").toString)
+    ZarrMeta.writeGroup(root, Some("""{"name": "s"}"""))
+    ZarrMeta.writeArray(root, "trace",
+      ZarrMeta.ArrayMeta(Seq(6L), Seq(3L), "<i8", None, Some(0.0)),
+      Some("""{"_ARRAY_DIMENSIONS": ["trace"]}"""))
+    val fields = Seq("cdp-x" -> "<i4", "elev" -> "<f4", "flag" -> "|u1")
+    ZarrMeta.writeArray(root, "headers",
+      ZarrMeta.ArrayMeta(Seq(6L), Seq(3L), "|V9", Some("zstd"), None, fields = Some(fields)),
+      Some("""{"_ARRAY_DIMENSIONS": ["trace"]}"""))
+    ZarrMeta.consolidate(root)
+
+    val df = (0L until 6L).map(i => (i, (3000 + i).toInt, i * 0.5f, (i % 2).toInt))
+      .toDF("trace", "x", "e", "f")
+      .select(col("trace"),
+        struct(col("x").as("cdp-x"), col("e").as("elev"),
+          col("f").cast("short").as("flag")).as("headers"))
+    df.write.format("mdio").mode("append").save(root.toString)
+
+    val got = spark.read.format("mdio").load(root.toString)
+      .orderBy("trace")
+      .select(col("trace"), col("headers.`cdp-x`"), col("headers.elev"), col("headers.flag"))
+      .as[(Long, Int, Float, Short)].collect().toSeq
+    assert(got == (0L until 6L).map(i => (i, (3000 + i).toInt, i * 0.5f, (i % 2).toShort)))
+    MdioWriter.delete(root.toString)
+  }
 }

@@ -53,6 +53,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize emits the trailing session when the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.Event]
+    val q = Streams.sessionize(spark, in.toDS(), gapSeconds = 600, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("trailing_sessions").outputMode("append").start()
+    try {
+      in.addData(ev(1, 0, 1, "click", 1.0), ev(2, 5, 1, "click", 2.0))
+      q.processAllAvailable()
+      // a much later event from ANOTHER user advances the watermark past
+      // user 1's last+gap (minute 15): the event-time timeout must close
+      // user 1's session even though user 1 never spoke again
+      in.addData(ev(3, 60, 2, "click", 9.0))
+      q.processAllAvailable()
+      in.addData(ev(4, 61, 2, "click", 1.0)) // one more batch so the timeout fires
+      q.processAllAvailable()
+      val sessions = spark.table("trailing_sessions").as[Streams.Session].collect()
+        .filter(_.user_id == 1L)
+      assert(sessions.length == 1)
+      assert(sessions(0).n_events == 2 && sessions(0).total_value == 3.0)
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate ids within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streams.Event]
