@@ -155,18 +155,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Embedding-cosine near-duplicates: pairs above a cosine threshold,
-    * blocked by an LSH bucket from [[Vectors.lshBucket]] so the pairwise
-    * term stays per-bucket. */
+  /** Embedding-cosine near-duplicates via BANDED hyperplane signatures —
+    * the same blocking shape as [[minhashLsh]]: each band hashes the
+    * vector with its own independent set of `bitsPerBand` hyperplanes,
+    * candidates are pairs colliding in ANY band, deduped before the
+    * (expensive) exact cosine verification.
+    *
+    * Scale math: one band of b bits partitions N vectors into 2^b buckets,
+    * so the within-bucket join is ~N²/2^b — banding lets b grow (small
+    * buckets, sub-quadratic) while `bands` independent probes restore
+    * recall (miss probability (1-p^b)^bands for per-bit agreement p).
+    * A single wide bucket key would trade recall for nothing: this is the
+    * standard sign-LSH banding from the MinHash literature applied to
+    * random hyperplanes. */
   def embeddingCosineDups(df: DataFrame, idCol: String, vecCol: String,
-                          planes: Int = 8, threshold: Double = 0.95): DataFrame = {
+                          bands: Int = 8, bitsPerBand: Int = 12,
+                          threshold: Double = 0.95, dim: Int = 64): DataFrame = {
     graft.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", Vectors.lshBucketNative(col("v"), planes))
-    val a = base.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = base.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+    // independent hyperplane family per band (seed offset), one explode —
+    // the banded table is tiny (id, band, bucket) and persists so the
+    // candidate self-join reads it twice without recomputing signatures
+    val banded = base
+      .withColumn("bb", explode(array((0 until bands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          Vectors.lshBucketNative(col("v"), bitsPerBand, dim,
+            seed = 42L + 7919L * bnd).as("bucket"))
+      }: _*)))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         call_function("cosine_vec", col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)

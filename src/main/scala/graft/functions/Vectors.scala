@@ -93,12 +93,101 @@ object Vectors {
 
   /** IVF-style coarse quantization: assign each vector to the nearest of
     * `centroids`; search scans only the query's cell (+neighbor cells).
-    * Centroids would come from a sampled k-means at scale; here they are
-    * supplied (deterministic) — the plan shape is the deliverable. */
+    * Lambda-expression variant kept for small centroid sets; use
+    * [[ivfAssignNative]] for trained quantizers (native one-pass kernel
+    * per centroid). */
   def ivfAssign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       struct(cosine(col(vecCol), typedLit(c)).as("score"), lit(i).as("cell"))
     }
     df.withColumn("cell", array_max(array(scored: _*)).getField("cell"))
+  }
+
+  /** [[ivfAssign]] on the native `cosine_vec` kernel — one codegen'd
+    * struct-array argmax per row, viable at O(√N) centroid counts. Ties
+    * break to the HIGHEST cell index (array_max on (score, cell) structs);
+    * [[nearestCells]] matches this exactly. */
+  def ivfAssignNative(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]]): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(call_function("cosine_vec", col(vecCol), typedLit(c)).as("score"),
+        lit(i).as("cell"))
+    }
+    df.withColumn("cell", array_max(array(scored: _*)).getField("cell"))
+  }
+
+  /** Train an IVF coarse quantizer with deterministic sampled spherical
+    * k-means: hash-ordered sample of `sampleN` vectors to the driver
+    * (at 100 TB a fixed-size sample is still the standard way to train a
+    * coarse quantizer — training cost is independent of corpus size),
+    * then `iters` Lloyd rounds with cosine assignment (unit-normalized
+    * means). Fully deterministic: the sample order is xxhash64(id, seed)
+    * and ties break to the lowest cell. */
+  def trainIvfCentroids(df: DataFrame, idCol: String, vecCol: String,
+                        cells: Int = 64, iters: Int = 8,
+                        sampleN: Int = 4096, seed: Long = 42L): Seq[Seq[Double]] = {
+    val sample: Array[Array[Double]] = df
+      .select(col(vecCol).cast("array<double>").as("v"), col(idCol).as("id"))
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(sampleN)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train IVF centroids on an empty table")
+    def normalize(x: Array[Double]): Array[Double] = {
+      val n = math.sqrt(x.map(v => v * v).sum)
+      if (n < 1e-300) x else x.map(_ / n)
+    }
+    val unit = sample.map(normalize)
+    val k = math.min(cells, unit.length)
+    var cents: Array[Array[Double]] = unit.take(k).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](unit.head.length))
+      val counts = new Array[Int](k)
+      unit.foreach { x =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < x.length) { d += x(j) * cents(c)(j); j += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < x.length) { sums(best)(j) += x(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+        else normalize(sums(c))
+      }
+    }
+    cents.map(_.toSeq).toSeq
+  }
+
+  /** The `nprobe` cells nearest to a query under the same scoring and
+    * tie-breaking as [[ivfAssignNative]]. */
+  def nearestCells(centroids: Seq[Seq[Double]], query: Seq[Double], nprobe: Int): Seq[Int] = {
+    val nq = math.sqrt(query.map(x => x * x).sum).max(1e-300)
+    centroids.zipWithIndex.map { case (c, i) =>
+      val nc = math.sqrt(c.map(x => x * x).sum).max(1e-300)
+      val d = c.zip(query).map { case (x, y) => x * y }.sum
+      (d / (nc * nq), i)
+    }.sortBy { case (s, i) => (-s, -i) }.take(nprobe).map(_._2)
+  }
+
+  /** IVF search: score only the `nprobe` cells nearest to the query —
+    * with √N cells and nprobe probes the scan covers ~nprobe/cells of the
+    * corpus. At deployment the cell id is a partition column so pruning
+    * happens at the source; recall vs [[bruteForceTopK]] is the gate
+    * (VectorsSpec). */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, centroids: Seq[Seq[Double]],
+              nprobe: Int = 8): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
+    val probes = nearestCells(centroids, query, nprobe)
+    ivfAssignNative(df, vecCol, centroids)
+      .filter(col("cell").isin(probes: _*))
+      .select(col(idCol), call_function("cosine_vec", col(vecCol), typedLit(query)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
   }
 }

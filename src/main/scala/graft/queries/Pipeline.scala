@@ -58,10 +58,14 @@ object Pipeline {
     WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
           GREATEST(CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 1.0) >= 0.25"""
 
-  /** Embedding-cosine near-dup pairs via LSH blocking (no oracle). */
+  /** Embedding-cosine near-dup pairs via banded hyperplane LSH: 8 bands ×
+    * 8 bits — per-band buckets of ~N/256 (sub-quadratic verification) at
+    * ~0.94 recall for cos ≥ 0.9 pairs, vs ~0.4 for the old single
+    * 6-bit bucket (no oracle — probabilistic recall; shape pinned in
+    * DedupSpec). */
   val qDedupEmbedding: Q = (s, d) =>
     Dedup.embeddingCosineDups(embeddings(s, d), "vec_id", "embedding",
-      planes = 6, threshold = 0.9)
+      bands = 8, bitsPerBand = 8, threshold = 0.9)
       .agg(count(lit(1)).as("n_pairs"))
 
   // ---- similarity search ---------------------------------------------------
@@ -92,24 +96,17 @@ object Pipeline {
     Vectors.lshTopK(embeddings(s, d), "vec_id", "embedding", annQuery,
       k = 20, planes = 4).select(col("vec_id"))
 
-  /** IVF-style coarse-quantized search: assign every vector to its nearest
-    * deterministic centroid, scan only the query's cell (the 100 TB path:
-    * the per-cell partition bounds the scan). No oracle — cell geometry is
-    * engine-internal; plumbing pinned in VectorsSpec. */
+  /** Real IVF search: coarse quantizer trained by deterministic sampled
+    * spherical k-means (64 cells), then an nprobe=16 probe (~25% scan on
+    * this corpus). Recall ≥0.9 at a 1/8 scan is gated in VectorsSpec on
+    * clustered data — the corpus embeddings are ~uniform, where recall ≈
+    * scan fraction is the ceiling for any quantizer. No oracle — cell
+    * geometry is engine-internal. */
   val qAnnIvf: Q = (s, d) => {
-    val centroids = (0 until 8).map(c => (0 until 64).map(j => math.cos(c * 64 + j) / 8.0))
-    val qCell = centroids.zipWithIndex.maxBy { case (c, _) =>
-      val dot = c.zip(annQuery).map { case (x, y) => x * y }.sum
-      val nc = math.sqrt(c.map(x => x * x).sum)
-      val nq = math.sqrt(annQuery.map(x => x * x).sum)
-      dot / math.max(nc * nq, 1e-300)
-    }._2
-    graft.GraftFunctions.register(s)
-    Vectors.ivfAssign(embeddings(s, d), "embedding", centroids)
-      .filter(col("cell") === qCell)
-      .select(col("vec_id"),
-        call_function("cosine_vec", col("embedding"), typedLit(annQuery)).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id")).limit(20)
+    val emb = embeddings(s, d)
+    val centroids = Vectors.trainIvfCentroids(emb, "vec_id", "embedding", cells = 64)
+    Vectors.ivfTopK(emb, "vec_id", "embedding", annQuery, k = 20,
+      centroids, nprobe = 16)
       .select("vec_id")
   }
 

@@ -75,8 +75,31 @@ class DedupSpec extends SparkSpec {
       (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f))
     ).toDF("vec_id", "embedding")
     val pairs = Dedup.embeddingCosineDups(vecs, "vec_id", "embedding",
-      planes = 2, threshold = 0.99)
+      bands = 4, bitsPerBand = 2, threshold = 0.99)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
+  }
+
+  test("banded embedding LSH recall: finds the near-dup pairs a full scan finds") {
+    // 40 vectors in 8 near-identical clusters of 5 + noise directions;
+    // every within-cluster pair has cos >= 0.99 and must be recovered
+    // through the banded blocking (8 bands x 8 bits, the query's config)
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(8)(Seq.fill(16)(rnd.nextGaussian()))
+    val vecs = (for {
+      c <- 0 until 8; j <- 0 until 5
+    } yield {
+      val jitter = base(c).map(x => (x + rnd.nextGaussian() * 0.01).toFloat)
+      ((c * 5 + j).toLong, jitter)
+    }).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingCosineDups(vecs, "vec_id", "embedding",
+      bands = 8, bitsPerBand = 8, threshold = 0.99, dim = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = (for {
+      c <- 0 until 8; i <- 0 until 5; j <- i + 1 until 5
+    } yield ((c * 5 + i).toLong, (c * 5 + j).toLong)).toSet
+    // all pairs found are within-cluster, and recall is essentially total
+    assert(got.subsetOf(want))
+    assert(got.size >= want.size - 2, s"recall too low: ${got.size}/${want.size}")
   }
 }
