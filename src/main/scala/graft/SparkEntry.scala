@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Relational2.queries ++
       graft.queries.Mdio.queries ++
-      graft.queries.Pipeline.queries
+      graft.queries.Pipeline.queries ++
+      graft.queries.StreamingExec.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
@@ -29,5 +30,6 @@ object SparkEntry {
     graft.queries.Relational.oracleSql ++
       graft.queries.Relational2.oracleSql ++
       graft.queries.Mdio.oracleSql ++
-      graft.queries.Pipeline.oracleSql
+      graft.queries.Pipeline.oracleSql ++
+      graft.queries.StreamingExec.oracleSql
 }

@@ -39,4 +39,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** `events` as a STREAMING DataFrame (file source over the same parquet,
+    * same ns → µs conversion as [[events]]). `maxFilesPerTrigger` is left
+    * default so the whole directory is one micro-batch locally; at scale
+    * the same pipeline tails a landing directory incrementally. */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    // the file source wants a directory: stream the sf dir, globbed to the
+    // events file
+    s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
 }

@@ -69,10 +69,16 @@ object MdioDataset {
     val coords = (dimCoords ++ listedCoords).filter(labeled.contains)
       .map(n => n -> loadCoord(n)).toMap
 
+    val unitsByVar = arrays.flatMap { case (name, (_, attrs)) =>
+      attrs.map(a => name -> (
+        try graft.sources.MdioTableUtil.unitsAttr(a)
+        catch { case _: IllegalArgumentException => Nil }))
+    }.filter(_._2.nonEmpty)
+
     MdioDataset(
       data = spark.read.format("mdio")
         .option("variables", dataVars.mkString(",")).load(path),
-      dims = dims, domain = domain, coords = coords)
+      dims = dims, domain = domain, coords = coords, units = unitsByVar)
   }
 
   /** J1 — dimension alignment across variables with DIFFERENT dimension
@@ -101,7 +107,15 @@ final case class MdioDataset(
     data: DataFrame,
     dims: Seq[String],
     domain: Map[String, (Long, Long)],          // label -> [min, maxExclusive)
-    coords: Map[String, (Seq[String], DataFrame)] = Map.empty) {
+    coords: Map[String, (Seq[String], DataFrame)] = Map.empty,
+    /** F6 — typed unitsV1 (category, unit) pairs per variable, validated
+      * against the reference vocabulary (mdio/impl.h:78-118). */
+    units: Map[String, Seq[(String, String)]] = Map.empty) {
+
+  /** Typed units accessor (reference getUnits on UserAttributes,
+    * mdio/stats.h:499-520): Nil when the variable declares none. */
+  def unitsOf(variable: String): Seq[(String, String)] =
+    units.getOrElse(variable, Nil)
 
   /** One half-open index range over a labeled dimension. */
   case class DimRange(label: String, start: Long, stop: Long, step: Long = 1L)

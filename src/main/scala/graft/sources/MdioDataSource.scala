@@ -106,7 +106,11 @@ final case class MdioTable(path: String, wanted: Option[Seq[String]])
           StructField(n, MdioTableUtil.sparkTypeOf(t)) })
         case None => MdioTableUtil.sparkTypeOf(m.dtype)
       }
-      StructField(fieldName, dt)
+      // typed unitsV1 surfaces as column metadata (F6) so downstream
+      // DataFrame consumers see the units without re-reading .zattrs
+      val fieldMeta = arrays.get(v).flatMap(_._2)
+        .map(MdioTableUtil.unitsMetadata).getOrElse(Metadata.empty)
+      StructField(fieldName, dt, nullable = true, metadata = fieldMeta)
     }
     StructType(dimFields ++ varFields)
   }
@@ -133,6 +137,23 @@ object MdioTableUtil {
     JsonMethods.parse(zattrs) \ "_ARRAY_DIMENSIONS" match {
       case JArray(items) => Some(items.map(_.extract[String]))
       case _ => None
+    }
+  }
+
+  /** unitsV1 pairs from a variable's .zattrs (nested under "metadata", as
+    * [[MdioWriter.create]] serializes the spec's variable metadata). */
+  def unitsAttr(zattrs: String): Seq[(String, String)] =
+    graft.spec.UnitsV1.parse(JsonMethods.parse(zattrs) \ "metadata" \ "unitsV1")
+
+  /** Spark column Metadata carrying the unitsV1 pairs (empty when none). */
+  def unitsMetadata(zattrs: String): org.apache.spark.sql.types.Metadata = {
+    val pairs = try unitsAttr(zattrs) catch { case _: IllegalArgumentException => Nil }
+    if (pairs.isEmpty) org.apache.spark.sql.types.Metadata.empty
+    else {
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      val ub = new org.apache.spark.sql.types.MetadataBuilder()
+      pairs.foreach { case (cat, unit) => ub.putString(if (cat.isEmpty) "unit" else cat, unit) }
+      mb.putMetadata("unitsV1", ub.build()).build()
     }
   }
 

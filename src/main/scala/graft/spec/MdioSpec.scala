@@ -40,6 +40,9 @@ object MdioSpec {
         * compressor the reference's spec layer accepts
         * (mdio/dataset_factory.h:288-367). */
       blosc: Option[graft.zarr.ChunkCodec.Blosc] = None) {
+    /** Typed unitsV1 pairs (F6): validated against the reference
+      * vocabulary (mdio/impl.h:78-118) on access and in [[validate]]. */
+    def units: Seq[(String, String)] = UnitsV1.fromMetadata(metadata, s"variable '$name'")
     def shape: Seq[Long] = dimensions.map(_.size)
     def chunks: Seq[Long] = chunkShape.getOrElse(shape)
     def isDimensionCoordinate: Boolean =
@@ -176,6 +179,16 @@ object MdioSpec {
       }
       case other => throw new IllegalArgumentException(s"bad dimensions $other")
     }
+    // only regular chunk grids are realizable: the schema also defines
+    // RectilinearChunkGrid (mdio/dataset_schema.h:538-557) but the engine's
+    // chunked storage (like the reference's zarr driver) has uniform chunks
+    (j \ "metadata" \ "chunkGrid" \ "name") match {
+      case JString(grid) if grid != "regular" =>
+        throw new IllegalArgumentException(
+          s"variable '$name': chunkGrid '$grid' unsupported (only 'regular'; " +
+            "rectilinear grids are schema-defined but not realizable in zarr)")
+      case _ => ()
+    }
     val chunks = (j \ "metadata" \ "chunkGrid" \ "configuration" \ "chunkShape") match {
       case JArray(items) => Some(items.map(_.extract[Long]))
       case _ => None
@@ -249,5 +262,8 @@ object MdioSpec {
       val bad = v.coordinates.filterNot(names.contains)
       require(bad.isEmpty, s"variable '${v.name}' lists unknown coordinates: ${bad.mkString(", ")}")
     }
+
+    // unitsV1 vocabulary (F6, mdio/dataset_schema.h unit models)
+    ds.variables.foreach(_.units)
   }
 }

@@ -45,6 +45,32 @@ class MdioOpenSpec extends SparkSpec {
     dir
   }
 
+  test("unitsV1 round-trips: typed accessor + StructField metadata (F6)") {
+    val dir = build().stripSuffix("g.mdio") + "u.mdio"
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "u", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "depth", "dataType": "int64",
+        |     "dimensions": [{"name": "depth", "size": 4}],
+        |     "metadata": {"unitsV1": {"length": "m"}}},
+        |    {"name": "velocity", "dataType": "float64",
+        |     "dimensions": [{"name": "depth", "size": 4}],
+        |     "metadata": {"unitsV1": [{"speed": "m/s"}]}}
+        |  ]
+        |}""".stripMargin), dir)
+    MdioWriter.writeVariable(spark,
+      (0L until 4L).map(d => (d, d * 1500.0)).toDF("depth", "velocity"), dir, "velocity")
+    val ds = MdioDataset.open(spark, dir)
+    assert(ds.unitsOf("velocity") == Seq("speed" -> "m/s"))
+    assert(ds.unitsOf("depth") == Seq("length" -> "m"))
+    assert(ds.unitsOf("nope") == Nil)
+    // and the connector surfaces units as column metadata
+    val f = spark.read.format("mdio").load(dir).schema("velocity")
+    assert(f.metadata.getMetadata("unitsV1").getString("speed") == "m/s")
+    MdioWriter.delete(dir)
+  }
+
   test("open exposes data vars, dims, domain, and coordinate variables") {
     val dir = build()
     val ds = MdioDataset.open(spark, dir)

@@ -101,4 +101,51 @@ class MdioSpecSpec extends AnyFunSuite {
     assert(MdioSpec.fillValue("uint16") == 65535)
     assert(MdioSpec.fillValue("bool") == false)
   }
+
+  test("unitsV1 parses all schema forms and validates the vocabulary (F6)") {
+    import org.json4s.jackson.JsonMethods
+    // object form (the schema's unit models)
+    assert(UnitsV1.parse(JsonMethods.parse("""{"length": "m"}""")) == Seq("length" -> "m"))
+    // array-of-objects and bare-string forms (mdio/stats.h:450-470)
+    assert(UnitsV1.parse(JsonMethods.parse("""[{"length": "ft"}, {"time": "ms"}]"""))
+      == Seq("length" -> "ft", "time" -> "ms"))
+    assert(UnitsV1.parse(JsonMethods.parse(""""m/s"""")) == Seq("" -> "m/s"))
+    // vocabulary enforcement (mdio/impl.h:78-118)
+    UnitsV1.validate(Seq("speed" -> "ft/s", "voltage" -> "mV"), "t")
+    intercept[IllegalArgumentException](UnitsV1.validate(Seq("length" -> "furlong"), "t"))
+    intercept[IllegalArgumentException](UnitsV1.validate(Seq("sound" -> "dB"), "t"))
+  }
+
+  test("unitsV1 round-trips through a spec variable and fails validation when bad") {
+    val withUnits = good.replace(
+      """"metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [2, 3]}}}""",
+      """"metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [2, 3]}},
+        | "unitsV1": {"length": "m"}}""".stripMargin)
+    assert(MdioSpec.fromJson(withUnits).variable("image").units == Seq("length" -> "m"))
+    val badUnits = withUnits.replace(""""length": "m"""", """"length": "parsec"""")
+    intercept[IllegalArgumentException](MdioSpec.fromJson(badUnits))
+  }
+
+  test("rectilinear chunk grids rejected (schema-defined, not realizable)") {
+    val rect = good.replace(""""chunkGrid": {"name": "regular"""",
+      """"chunkGrid": {"name": "rectilinear"""")
+    val e = intercept[IllegalArgumentException](MdioSpec.fromJson(rect))
+    assert(e.getMessage.contains("rectilinear"))
+  }
+
+  test("blosc compressor object shape validated (dataset_factory.h:288-367)") {
+    def withComp(comp: String) = good.replace(
+      """"coordinates": ["cdp-x"],""",
+      s""""coordinates": ["cdp-x"], "compressor": $comp,""")
+    // reference aliases + defaults resolve
+    val v = MdioSpec.fromJson(withComp("""{"name": "blosc"}""")).variable("image")
+    assert(v.blosc.contains(graft.zarr.ChunkCodec.Blosc("lz4", 5, 1)))
+    // clevel out of range / unsupported cname / bitshuffle all reject
+    intercept[IllegalArgumentException](
+      MdioSpec.fromJson(withComp("""{"name": "blosc", "clevel": 12}""")))
+    intercept[IllegalArgumentException](
+      MdioSpec.fromJson(withComp("""{"name": "blosc", "cname": "snappy"}""")))
+    intercept[IllegalArgumentException](
+      MdioSpec.fromJson(withComp("""{"name": "blosc", "shuffle": "bitshuffle"}""")))
+  }
 }
