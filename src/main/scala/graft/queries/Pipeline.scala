@@ -236,7 +236,75 @@ object Pipeline {
       .agg(count(lit(1)).as("n"), dsum(col("mean_luma")).as("sum_luma"),
            sum(col("n_bytes")).as("total_bytes"))
 
+  // ---- geodetic (F7) -------------------------------------------------------
+
+  /** UTM → lat/lon corner math over deterministic survey-corner points
+    * (the reference seismic_reader example's workflow, utm.hh:82-147,
+    * corrected to the Snyder form — see [[graft.functions.Geo.utmToGeo]]).
+    * Rounded to 5 decimals (~1 m) so last-ulp libm trig differences
+    * between engines cannot flip the comparison. */
+  val qGeoUtm: Q = (s, d) => {
+    val pts = graft.Tables.events(s, d)
+      .select(col("user_id")).filter(col("user_id") < 5).distinct()
+      .withColumn("e", lit(350000.0) + col("user_id") * lit(50000.0))
+      .withColumn("n", lit(7600000.0) + col("user_id") * lit(200000.0))
+    pts.select(col("user_id"), graft.functions.Geo.utmToGeo(col("e"), col("n")).as("g"))
+      .select(col("user_id"),
+        round(col("g.lat"), 5).as("lat"), round(col("g.lon"), 5).as("lon"))
+  }
+
+  val qGeoUtmSql: String = {
+    import graft.functions.Geo.{mgaZone51 => z}
+    val e2 = z.e2; val ep2 = z.ePrime2
+    val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    val muDen = z.a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256)
+    val j1 = 3 * e1 / 2 - 27 * e1 * e1 * e1 / 32
+    val j2 = 21 * e1 * e1 / 16 - 55 * e1 * e1 * e1 * e1 / 32
+    val j3 = 151 * e1 * e1 * e1 / 96
+    val j4 = 1097 * e1 * e1 * e1 * e1 / 512
+    s"""
+    WITH pts AS (
+      SELECT DISTINCT user_id,
+             350000.0 + user_id * 50000.0 AS e,
+             7600000.0 + user_id * 200000.0 AS n
+      FROM events WHERE user_id < 5),
+    s3 AS (
+      SELECT user_id, e - ${z.falseEasting} AS x,
+             ((n - ${z.falseNorthing}) / ${z.k0}) / $muDen AS mu
+      FROM pts),
+    s4 AS (
+      SELECT user_id, x,
+             mu + $j1*sin(2*mu) + $j2*sin(4*mu) + $j3*sin(6*mu) + $j4*sin(8*mu) AS fp
+      FROM s3),
+    s5 AS (
+      SELECT user_id, x, fp, cos(fp) AS cosfp, sin(fp) AS sinfp, tan(fp) AS tanfp
+      FROM s4),
+    s6 AS (
+      SELECT user_id, x, fp, cosfp, tanfp,
+             $ep2 * cosfp * cosfp AS c1, tanfp * tanfp AS t1,
+             ${z.a * (1 - e2)} / pow(1 - $e2 * sinfp * sinfp, 1.5) AS r1,
+             ${z.a} / sqrt(1 - $e2 * sinfp * sinfp) AS n1
+      FROM s5),
+    s7 AS (SELECT *, x / (n1 * ${z.k0}) AS dd FROM s6),
+    s8 AS (
+      SELECT user_id,
+             fp - (n1 * tanfp / r1) * (
+               dd*dd/2
+               - (5 + 3*t1 + 10*c1 - 4*c1*c1 - ${9 * ep2}) * pow(dd, 4) / 24
+               + (61 + 90*t1 + 298*c1 + 45*t1*t1 - ${252 * ep2} - 3*c1*c1) * pow(dd, 6) / 720
+             ) AS latrad,
+             ${math.toRadians(z.centralMeridianDeg)} + (
+               dd
+               - (1 + 2*t1 + c1) * pow(dd, 3) / 6
+               + (5 - 2*c1 + 28*t1 - 3*c1*c1 + ${8 * ep2} + 24*t1*t1) * pow(dd, 5) / 120
+             ) / cosfp AS lonrad
+      FROM s7)
+    SELECT user_id, ROUND(degrees(latrad), 5) AS lat, ROUND(degrees(lonrad), 5) AS lon
+    FROM s8"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "geo_utm"              -> qGeoUtm,
     "dedup_exact"          -> qDedupExact,
     "dedup_minhash_lsh"    -> qDedupMinhashLsh,
     "dedup_simhash"        -> qDedupSimhash,
@@ -257,6 +325,7 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "geo_utm"             -> qGeoUtmSql,
     "dedup_exact"         -> qDedupExactSql,
     "dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     "ann_brute_force"     -> qAnnBruteForceSql,
