@@ -28,9 +28,10 @@ import org.apache.spark.sql.types._
   * last-writer-wins). [[MdioWriter.writeVariable]] remains the internally
   * aligned one-call path.
   *
-  * Cell-level merge semantics match the reference's accessor writes: a
-  * chunk file is rewritten whole, with unwritten cells taking the fill
-  * value. Partial-chunk read-modify-write is future work (documented).
+  * Cell-level merge semantics match the reference's accessor writes:
+  * partial-chunk writes READ-MODIFY-WRITE — an existing chunk's
+  * untouched cells are preserved (seeded from the decoded chunk), and
+  * only absent chunks are fill-initialized.
   */
 final case class MdioWriteBuilder(path: String, dims: Seq[String],
                                   metas: Map[String, ZarrMeta.ArrayMeta],
@@ -110,6 +111,44 @@ final class MdioDataWriter(path: String, dims: Array[String], schema: StructType
     else if (MdioPartitionReader.isComplex(m.dtype)) 'c'
     else m.dtype.charAt(m.dtype.length - 2)
 
+  private def chunkPath(name: String, m: ZarrMeta.ArrayMeta, cid: Long) = {
+    val cc = new Array[Long](rank)
+    var rem = cid
+    var i = rank - 1
+    while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
+    m.chunkFile(ZarrMeta.path(path).resolve(name), cc.toSeq)
+  }
+
+  // read-modify-write seeds: a partial write through the sink preserves
+  // the untouched cells of an existing chunk (fill only where no chunk
+  // file exists), matching MdioWriter.writeVariable and the reference's
+  // merging accessor writes.
+  private def existingRaw(v: Int, cid: Long, rawSize: Int): Array[Byte] = {
+    val (name, m) = vars(v)
+    val bytes = chunkPath(name, m, cid).readBytesOrNull()
+    if (bytes == null) null else ChunkCodec.decompress(bytes, m.compressor, rawSize)
+  }
+
+  private def seedD(v: Int, cid: Long, fill: Double, width: Int): Array[Double] = {
+    val m = vars(v)._2
+    val raw = existingRaw(v, cid, chunkLen * m.elemSize)
+    if (raw == null) Array.fill(chunkLen * width)(fill)
+    else if (width == 2) ChunkCodec.decodeComplex(raw, m.dtype)
+    else ChunkCodec.decodeDoubles(raw, m.dtype)
+  }
+
+  private def seedL(v: Int, cid: Long, longFill: Long): Array[Long] = {
+    val m = vars(v)._2
+    val raw = existingRaw(v, cid, chunkLen * m.elemSize)
+    if (raw == null) Array.fill(chunkLen)(longFill)
+    else ChunkCodec.decodeLongs(raw, m.dtype)
+  }
+
+  private def seedB(v: Int, cid: Long, recSize: Int): Array[Byte] = {
+    val raw = existingRaw(v, cid, chunkLen * recSize)
+    if (raw == null) new Array[Byte](chunkLen * recSize) else raw
+  }
+
   // record-dtype layout per variable (null when not a record dtype)
   private val recFields: Array[Seq[(String, String)]] = vars.map(_._2.fields.orNull)
   private val recSizes: Array[Int] = vars.map { case (_, m) =>
@@ -142,13 +181,13 @@ final class MdioDataWriter(path: String, dims: Array[String], schema: StructType
       val fill = m.fillValue.getOrElse(Double.NaN)
       kindOf(m) match {
         case 'f' =>
-          val buf = bufD(v).getOrElseUpdate(cid, Array.fill(chunkLen)(fill))
+          val buf = bufD(v).getOrElseUpdate(cid, seedD(v, cid, fill, 1))
           buf(off.toInt) = schema.fields(varIdx(v)).dataType match {
             case FloatType => row.getFloat(varIdx(v)).toDouble
             case _ => row.getDouble(varIdx(v))
           }
         case 'c' =>
-          val buf = bufD(v).getOrElseUpdate(cid, Array.fill(chunkLen * 2)(fill))
+          val buf = bufD(v).getOrElseUpdate(cid, seedD(v, cid, fill, 2))
           val s = row.getStruct(varIdx(v), 2)
           val isF4 = !m.dtype.endsWith("16")
           buf(off.toInt * 2) = if (isF4) s.getFloat(0).toDouble else s.getDouble(0)
@@ -156,7 +195,7 @@ final class MdioDataWriter(path: String, dims: Array[String], schema: StructType
         case 'V' => // record dtype: pack struct fields little-endian
           val fs = recFields(v)
           val recSize = recSizes(v)
-          val buf = bufB(v).getOrElseUpdate(cid, new Array[Byte](chunkLen * recSize))
+          val buf = bufB(v).getOrElseUpdate(cid, seedB(v, cid, recSize))
           val bb = java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
           val s = row.getStruct(varIdx(v), fs.size)
           val sdt = schema.fields(varIdx(v)).dataType.asInstanceOf[StructType]
@@ -198,7 +237,7 @@ final class MdioDataWriter(path: String, dims: Array[String], schema: StructType
           val isU64 = m.dtype.charAt(m.dtype.length - 2) == 'u' && m.dtype.endsWith("8")
           val longFill = if (isU64 && fill > 9.2e18) -1L
                          else if (fill.isNaN) 0L else fill.toLong
-          val buf = bufL(v).getOrElseUpdate(cid, Array.fill(chunkLen)(longFill))
+          val buf = bufL(v).getOrElseUpdate(cid, seedL(v, cid, longFill))
           buf(off.toInt) = schema.fields(varIdx(v)).dataType match {
             case LongType => row.getLong(varIdx(v))
             case IntegerType => row.getInt(varIdx(v)).toLong
@@ -219,15 +258,9 @@ final class MdioDataWriter(path: String, dims: Array[String], schema: StructType
     var v = 0
     while (v < vars.length) {
       val (name, m) = vars(v)
-      def emit(cid: Long, raw: Array[Byte]): Unit = {
-        val cc = new Array[Long](rank)
-        var rem = cid
-        var i = rank - 1
-        while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
-        val out = ChunkCodec.compress(raw, m.compressor, m.elemSize, m.blosc)
-        val file = m.chunkFile(ZarrMeta.path(path).resolve(name), cc.toSeq)
-        file.write(out)
-      }
+      def emit(cid: Long, raw: Array[Byte]): Unit =
+        chunkPath(name, m, cid).write(
+          ChunkCodec.compress(raw, m.compressor, m.elemSize, m.blosc))
       val isC = kindOf(m) == 'c'
       bufD(v).foreach { case (cid, buf) =>
         emit(cid, if (isC) ChunkCodec.encodeComplex(buf, m.dtype)

@@ -146,6 +146,32 @@ object MdioWriter {
         val byChunkD = scala.collection.mutable.Map[Long, Array[Double]]()
         val byChunkL = scala.collection.mutable.Map[Long, Array[Long]]()
         val chunkLen = chunks.product.toInt * valueWidth
+        def chunkPath(cid: Long) = {
+          val cc = new Array[Long](rank)
+          var rem = cid
+          var i = rank - 1
+          while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
+          meta.chunkFile(ZarrMeta.path(pathStr).resolve(variable), cc.toSeq)
+        }
+        // READ-MODIFY-WRITE seed: a partial write must preserve the
+        // untouched cells of an existing chunk (the reference's accessor
+        // writes merge through tensorstore; whole-chunk-with-fill would
+        // clobber them). Absent chunk -> fill-initialized buffer.
+        def seedD(cid: Long): Array[Double] = {
+          val bytes = chunkPath(cid).readBytesOrNull()
+          if (bytes == null) Array.fill(chunkLen)(fill)
+          else {
+            val raw = ChunkCodec.decompress(bytes, compressor, chunks.product.toInt * elemSz)
+            if (isComplex) ChunkCodec.decodeComplex(raw, dtype)
+            else ChunkCodec.decodeDoubles(raw, dtype)
+          }
+        }
+        def seedL(cid: Long): Array[Long] = {
+          val bytes = chunkPath(cid).readBytesOrNull()
+          if (bytes == null) Array.fill(chunkLen)(longFill)
+          else ChunkCodec.decodeLongs(
+            ChunkCodec.decompress(bytes, compressor, chunks.product.toInt * elemSz), dtype)
+        }
         rows.foreach { r =>
           val cid = r.getLong(rank + valueWidth)
           var o = 0L
@@ -160,24 +186,19 @@ object MdioWriter {
             i -= 1
           }
           if (isFloat) {
-            val buf = byChunkD.getOrElseUpdate(cid, Array.fill(chunkLen)(fill))
+            val buf = byChunkD.getOrElseUpdate(cid, seedD(cid))
             if (isComplex) {
               buf(o.toInt * 2) = r.getDouble(rank)
               buf(o.toInt * 2 + 1) = r.getDouble(rank + 1)
             } else buf(o.toInt) = r.getDouble(rank)
           } else {
-            val buf = byChunkL.getOrElseUpdate(cid, Array.fill(chunkLen)(longFill))
+            val buf = byChunkL.getOrElseUpdate(cid, seedL(cid))
             buf(o.toInt) = r.getLong(rank)
           }
         }
         def emit(cid: Long, raw: Array[Byte]): Unit = {
-          val cc = new Array[Long](rank)
-          var rem = cid
-          var i = rank - 1
-          while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
           val out = ChunkCodec.compress(raw, compressor, elemSz, bloscSettings)
-          val file = meta.chunkFile(ZarrMeta.path(pathStr).resolve(variable), cc.toSeq)
-          file.write(out)
+          chunkPath(cid).write(out)
         }
         byChunkD.foreach { case (cid, buf) =>
           emit(cid, if (isComplex) ChunkCodec.encodeComplex(buf, dtype)
@@ -299,9 +320,22 @@ object MdioWriter {
         import java.nio.{ByteBuffer, ByteOrder}
         val byChunk = scala.collection.mutable.Map[Long, Array[Byte]]()
         val chunkBytes = chunks.product.toInt * recSize
+        def chunkPath(cid: Long) = {
+          val cc = new Array[Long](rank)
+          var rem = cid
+          var i = rank - 1
+          while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
+          meta.chunkFile(ZarrMeta.path(pathStr).resolve(variable), cc.toSeq)
+        }
+        // read-modify-write: preserve existing records on partial writes
+        def seed(cid: Long): Array[Byte] = {
+          val bytes = chunkPath(cid).readBytesOrNull()
+          if (bytes == null) new Array[Byte](chunkBytes)
+          else ChunkCodec.decompress(bytes, compressor, chunkBytes)
+        }
         rows.foreach { r =>
           val cid = r.getLong(rank + fields.size)
-          val buf = byChunk.getOrElseUpdate(cid, new Array[Byte](chunkBytes))
+          val buf = byChunk.getOrElseUpdate(cid, seed(cid))
           var o = 0L
           var stride = 1L
           var i = rank - 1

@@ -50,6 +50,40 @@ class MdioWritePathSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("partial writes read-modify-write: untouched cells survive (both paths)") {
+    val dir = create()
+    val cells = for { i <- 0L until 8L; x <- 0L until 6L } yield (i, x, (i * 10 + x).toDouble)
+    MdioWriter.writeVariable(spark,
+      cells.toDF("inline", "crossline", "image"), dir, "image")
+    // 1) writeVariable path: overwrite ONLY the cells with crossline < 2
+    //    (part of each chunk) — the rest must keep its old values, not
+    //    collapse to fill (the reference's merging accessor writes)
+    val patch = for { i <- 0L until 8L; x <- 0L until 2L } yield (i, x, 999.0)
+    MdioWriter.writeVariable(spark,
+      patch.toDF("inline", "crossline", "image"), dir, "image")
+    def readAll(): Map[(Long, Long), Double] =
+      spark.read.format("mdio").load(dir)
+        .select("inline", "crossline", "image").as[(Long, Long, Double)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val after1 = readAll()
+    for { i <- 0L until 8L; x <- 0L until 6L } {
+      val want = if (x < 2) 999.0 else (i * 10 + x).toDouble
+      assert(after1((i, x)) == want, s"writeVariable RMW at ($i,$x)")
+    }
+    // 2) DSv2 sink path: patch a single cell through df.write
+    Seq((3L, 5L, -1.0)).toDF("inline", "crossline", "image")
+      .write.format("mdio").mode("append").save(dir)
+    val after2 = readAll()
+    for { i <- 0L until 8L; x <- 0L until 6L } {
+      val want =
+        if ((i, x) == (3L, 5L)) -1.0
+        else if (x < 2) 999.0
+        else (i * 10 + x).toDouble
+      assert(after2((i, x)) == want, s"sink RMW at ($i,$x)")
+    }
+    MdioWriter.delete(dir)
+  }
+
   test("default write is the safe single-partition path (no torn chunks)") {
     val dir = create()
     val cells = for { i <- 0L until 8L; x <- 0L until 6L }
