@@ -47,4 +47,27 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("join_semi")
     assert(p.contains("LeftSemi"), p.take(400))
   }
+
+  test("dedup_embedding: banded LSH joins on (band, bucket), no cartesian") {
+    val p = plan("dedup_embedding")
+    assert(!p.contains("CartesianProduct"), "banded LSH must never go quadratic")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "banded LSH must join on keys")
+    // candidate pairs dedupe before verification: a distinct aggregate exists
+    assert(p.contains("partial_") || p.contains("HashAggregate"), p.take(400))
+  }
+
+  test("ann_ivf: cell probe keeps one scan of embeddings per stage, codegen'd") {
+    val p = plan("ann_ivf")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
+  test("geo_utm: conversion stays inside whole-stage codegen") {
+    // FormattedMode on an un-executed AQE plan omits codegen stage markers —
+    // CodegenMode reports the compiled subtrees directly
+    val df = graft.SparkEntry.queries("geo_utm")(spark, sf)
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(p.contains("WholeStageCodegen"), "geo math must be codegen'd:\n" + p.take(400))
+    assert(!p.contains("BatchEvalPython"), "no python UDFs in the geo path")
+  }
 }

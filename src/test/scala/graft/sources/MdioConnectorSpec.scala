@@ -198,6 +198,26 @@ class MdioConnectorSpec extends SparkSpec {
     }
   }
 
+  test("SQL DDL surface: CREATE TABLE ... USING mdio + pure-SQL query") {
+    val dir = freshDataset()
+    spark.sql(s"CREATE TABLE mdio_toy USING mdio OPTIONS (path '$dir')")
+    try {
+      val got = spark.sql(
+        """SELECT inline, SUM(CAST(image AS DOUBLE)) AS s
+          |FROM mdio_toy WHERE crossline < 3 GROUP BY inline ORDER BY inline""".stripMargin)
+        .as[(Long, Double)].collect().toSeq
+      val want = (0L until 8L).map(i => (i, (0 until 3).map(x => i * 10.0 + x).sum))
+      assert(got == want)
+      // pushdown works through the SQL path too
+      val p = spark.sql("SELECT image FROM mdio_toy WHERE inline = 2 AND crossline = 2")
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("ranges=inline:[2,3),crossline:[2,3)"), p.take(600))
+    } finally {
+      spark.sql("DROP TABLE mdio_toy")
+      MdioWriter.delete(dir)
+    }
+  }
+
   test("delete refuses non-MDIO directories (S12)") {
     val plain = Files.createTempDirectory("not_mdio")
     intercept[IllegalArgumentException](MdioWriter.delete(plain.toString))
