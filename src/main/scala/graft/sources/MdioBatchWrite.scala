@@ -41,6 +41,13 @@ final case class MdioWriteBuilder(path: String, dims: Seq[String],
 
   override def truncate(): WriteBuilder = this // whole-chunk rewrite either way
 
+  // sharded (sharding_indexed) variables need shard-granular ownership —
+  // MdioWriter.writeVariable shuffles on the shard id; the row-at-a-time
+  // sink writes chunk objects and would tear shard files
+  require(metas.values.forall(_.shard.isEmpty),
+    s"df.write.format(\"mdio\") does not support sharded variables; " +
+      "use MdioWriter.writeVariable (shard-aligned shuffle write)")
+
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
     override def requiredDistribution(): Distribution =
       if (aligned) Distributions.unspecified()

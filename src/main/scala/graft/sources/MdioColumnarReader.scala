@@ -28,7 +28,11 @@ final class MdioColumnarReader(p: MdioInputPartition, dims: Array[String], schem
   private val buffers: Array[AnyRef] = p.vars.indices.map { vi =>
     val m = p.metas(vi)
     val file = m.chunkFile(ZarrMeta.path(p.path).resolve(p.vars(vi)), p.chunk.toSeq)
-    val bytes = file.readBytesOrNull()
+    // sharded v3 arrays: the file is the shard object; range-read the
+    // inner chunk through the footer index
+    val bytes =
+      if (m.shard.isDefined) ZarrMeta.readInnerChunk(file, m, p.chunk.toSeq)
+      else file.readBytesOrNull()
     if (bytes == null) null
     else {
       val rawSize = (m.chunks.product * m.elemSize).toInt

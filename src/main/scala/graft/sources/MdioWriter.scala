@@ -50,7 +50,10 @@ object MdioWriter {
         },
         version = version,
         dimNames = Some(v.dimensions.map(_.name)),
-        blosc = v.blosc)
+        blosc = v.blosc,
+        shard = v.shardShape)
+      if (v.shardShape.isDefined)
+        require(version == 3, s"variable '${v.name}': sharding requires zarr v3")
       val dimsJson = v.dimensions.map(d => s""""${d.name}"""").mkString("[", ", ", "]")
       val extra = v.metadata.map(m => s""", "metadata": ${JsonMethods.compact(m)}""").getOrElse("")
       val longName = v.longName.map(ln => s""", "long_name": ${JsonMethods.compact(JString(ln))}""").getOrElse("")
@@ -110,6 +113,8 @@ object MdioWriter {
     //               encodeComplex — so no integral value ever rides a double
     if (meta.fields.isDefined)
       return writeRecordVariable(spark, df, path, variable, meta, dims, chunkId)
+    if (meta.shard.isDefined)
+      return writeShardedVariable(spark, df, path, variable, meta, dims)
 
     val kindChar =
       if (MdioPartitionReader.isComplex(dtype)) 'c'
@@ -379,6 +384,149 @@ object MdioWriter {
           val out = ChunkCodec.compress(buf, compressor, recSize, bloscSettings)
           val file = meta.chunkFile(ZarrMeta.path(pathStr).resolve(variable), cc.toSeq)
           file.write(out)
+        }
+      }
+  }
+
+  /** Sharded (zarr v3 `sharding_indexed`) distributed write: rows shuffle
+    * on the SHARD id — one task owns each shard OBJECT — and the task
+    * packs its inner chunks, carries over untouched inner chunks of an
+    * existing shard byte-for-byte (read-modify-write without re-encoding),
+    * and writes data + footer index (+crc32c) in one put. At 100 TB this
+    * is what keeps object counts sane: billions of inner chunks, millions
+    * of shard objects. Float + integral dtypes (complex/record stay
+    * unsharded in v1). */
+  private def writeShardedVariable(spark: SparkSession, df: DataFrame, path: String,
+                                   variable: String, meta: ZarrMeta.ArrayMeta,
+                                   dims: Seq[String]): Unit = {
+    val shape = meta.shape.toArray
+    val chunks = meta.chunks.toArray
+    val shardShape = meta.shard.get.toArray
+    val ips = meta.innerPerShard.toArray
+    val sGrid = meta.shardGrid.toArray
+    val dtype = meta.dtype
+    val compressor = meta.compressor
+    val bloscSettings = meta.blosc
+    val elemSz = meta.elemSize
+    val fill = meta.fillValue.getOrElse(Double.NaN)
+    val metaB = meta
+    val pathStr = path
+    val rank = dims.size
+    val kindChar = dtype.charAt(dtype.length - 2)
+    require(kindChar != 'c' && metaB.fields.isEmpty,
+      s"sharded write supports float/integral dtypes, not '$dtype'")
+    val isFloat = kindChar == 'f'
+    val isU64 = kindChar == 'u' && dtype.endsWith("8")
+    val longFill: Long =
+      if (isU64 && fill > 9.2e18) -1L
+      else if (fill.isNaN) 0L else fill.toLong
+
+    val shardId = dims.zipWithIndex.map { case (d, i) =>
+      expr(s"CAST(`$d` AS BIGINT) div ${shardShape(i)}") *
+        lit(sGrid.drop(i + 1).product)
+    }.reduce(_ + _)
+    val valueCol = if (dims.contains(variable)) s"${variable}__value" else variable
+    val dimCols = dims.map(d => col(d).cast("long").as(d))
+    val vCol =
+      if (isFloat) col(valueCol).cast("double").as("__v")
+      else if (isU64) {
+        val v = col(valueCol).cast("decimal(21,0)")
+        when(v >= lit(BigDecimal("9223372036854775808")),
+          (v - lit(BigDecimal("18446744073709551616"))).cast("long"))
+          .otherwise(v.cast("long")).as("__v")
+      } else col(valueCol).cast("long").as("__v")
+    val projected = df.select(dimCols :+ vCol: _*).withColumn("__shard", shardId)
+    val nShards = sGrid.product
+    val parts = math.min(nShards, math.max(spark.sparkContext.defaultParallelism.toLong, 1L)).toInt
+
+    projected
+      .repartition(parts, col("__shard"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val chunkLen = chunks.product.toInt
+        val innerCount = ips.product.toInt
+        def shardPath(sid: Long) = {
+          val sc = new Array[Long](rank)
+          var rem = sid
+          var i = rank - 1
+          while (i >= 0) { sc(i) = rem % sGrid(i); rem /= sGrid(i); i -= 1 }
+          // shard coords == inner-chunk coords scaled: chunkFile divides out
+          metaB.chunkFile(ZarrMeta.path(pathStr).resolve(variable),
+            sc.toSeq.zipWithIndex.map { case (c, i2) => c * ips(i2) })
+        }
+        // per shard: existing raw shard bytes (null if absent) + touched
+        // inner-chunk buffers
+        val existing = scala.collection.mutable.Map[Long, Array[Byte]]()
+        val touchedD = scala.collection.mutable.Map[(Long, Int), Array[Double]]()
+        val touchedL = scala.collection.mutable.Map[(Long, Int), Array[Long]]()
+        def seedD(sid: Long, idx: Int): Array[Double] = {
+          val raw = existingInner(sid, idx)
+          if (raw == null) Array.fill(chunkLen)(fill)
+          else ChunkCodec.decodeDoubles(
+            ChunkCodec.decompress(raw, compressor, chunkLen * elemSz), dtype)
+        }
+        def seedL(sid: Long, idx: Int): Array[Long] = {
+          val raw = existingInner(sid, idx)
+          if (raw == null) Array.fill(chunkLen)(longFill)
+          else ChunkCodec.decodeLongs(
+            ChunkCodec.decompress(raw, compressor, chunkLen * elemSz), dtype)
+        }
+        def existingInner(sid: Long, idx: Int): Array[Byte] = {
+          val bytes = existing.getOrElseUpdate(sid, {
+            val b = shardPath(sid).readBytesOrNull()
+            if (b == null) Array.emptyByteArray else b
+          })
+          if (bytes.isEmpty) null
+          else {
+            val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val idxBase = bytes.length - (16 * innerCount + 4)
+            val off = bb.getLong(idxBase + idx * 16)
+            val nb = bb.getLong(idxBase + idx * 16 + 8)
+            if (off == -1L && nb == -1L) null
+            else java.util.Arrays.copyOfRange(bytes, off.toInt, (off + nb).toInt)
+          }
+        }
+        rows.foreach { r =>
+          val sid = r.getLong(rank + 1)
+          // inner-chunk index within the shard + cell offset within chunk
+          var idx = 0L
+          var off = 0L
+          var stride = 1L
+          var i = rank - 1
+          while (i >= 0) {
+            val coord = r.getLong(i)
+            require(coord >= 0 && coord < shape(i),
+              s"coordinate $coord out of domain [0, ${shape(i)}) on dim ${dims(i)}")
+            off += (coord % chunks(i)) * stride
+            stride *= chunks(i)
+            i -= 1
+          }
+          i = 0
+          while (i < rank) {
+            idx = idx * ips(i) + (r.getLong(i) / chunks(i)) % ips(i)
+            i += 1
+          }
+          if (isFloat) {
+            val buf = touchedD.getOrElseUpdate((sid, idx.toInt), seedD(sid, idx.toInt))
+            buf(off.toInt) = r.getDouble(rank)
+          } else {
+            val buf = touchedL.getOrElseUpdate((sid, idx.toInt), seedL(sid, idx.toInt))
+            buf(off.toInt) = r.getLong(rank)
+          }
+        }
+        val shards = (touchedD.keys.map(_._1) ++ touchedL.keys.map(_._1)).toSet
+        shards.foreach { sid =>
+          val parts2 = new Array[Array[Byte]](innerCount)
+          var idx = 0
+          while (idx < innerCount) {
+            val enc: Array[Byte] =
+              touchedD.get((sid, idx)).map(b => ChunkCodec.encodeDoubles(b, dtype))
+                .orElse(touchedL.get((sid, idx)).map(b => ChunkCodec.encodeLongs(b, dtype)))
+                .map(raw => ChunkCodec.compress(raw, compressor, elemSz, bloscSettings))
+                .getOrElse(existingInner(sid, idx)) // untouched: carry bytes over
+            parts2(idx) = enc
+            idx += 1
+          }
+          shardPath(sid).write(ZarrMeta.buildShard(parts2))
         }
       }
   }

@@ -39,7 +39,10 @@ object MdioSpec {
       /** cname/clevel/shuffle when compressor == Some("blosc") — the only
         * compressor the reference's spec layer accepts
         * (mdio/dataset_factory.h:288-367). */
-      blosc: Option[graft.zarr.ChunkCodec.Blosc] = None) {
+      blosc: Option[graft.zarr.ChunkCodec.Blosc] = None,
+      /** zarr v3 sharding_indexed shard shape (beyond-reference scale
+        * extension; must be a multiple of chunkShape). */
+      shardShape: Option[Seq[Long]] = None) {
     /** Typed unitsV1 pairs (F6): validated against the reference
       * vocabulary (mdio/impl.h:78-118) on access and in [[validate]]. */
     def units: Seq[(String, String)] = UnitsV1.fromMetadata(metadata, s"variable '$name'")
@@ -197,6 +200,19 @@ object MdioSpec {
       require(c.size == dims.size, s"variable '$name': chunkShape rank ${c.size} != ${dims.size}")
       require(c.forall(_ > 0), s"variable '$name': chunkShape must be positive")
     }
+    // beyond-reference extension: zarr v3 sharding_indexed — shardShape
+    // groups inner chunks into shard objects (must be a chunk multiple)
+    val shardShape = (j \ "metadata" \ "chunkGrid" \ "configuration" \ "shardShape") match {
+      case JArray(items) => Some(items.map(_.extract[Long]))
+      case _ => None
+    }
+    shardShape.foreach { sh =>
+      val c = chunks.getOrElse(throw new IllegalArgumentException(
+        s"variable '$name': shardShape requires an explicit chunkShape"))
+      require(sh.size == dims.size, s"variable '$name': shardShape rank ${sh.size} != ${dims.size}")
+      require(sh.zip(c).forall { case (a, b) => a > 0 && a % b == 0 },
+        s"variable '$name': shardShape must be a positive multiple of chunkShape")
+    }
     val compressor = (j \ "compressor" \ "name").toOption.map(_.extract[String])
     // Blosc settings, with the reference's aliases and defaults
     // (mdio/dataset_factory.h: "cname"/"algorithm", "clevel"/"level",
@@ -230,7 +246,7 @@ object MdioSpec {
     Variable(name, dataType, dims,
       longName = (j \ "longName").toOption.map(_.extract[String]),
       chunkShape = chunks, compressor = compressor, coordinates = coords,
-      metadata = (j \ "metadata").toOption, blosc = blosc)
+      metadata = (j \ "metadata").toOption, blosc = blosc, shardShape = shardShape)
   }
 
   /** Structural validation (reference validate_dataset,

@@ -48,6 +48,20 @@ final class VPath private (val uri: String) extends Serializable {
     b
   }
 
+  /** File length; -1 when absent. */
+  def length(): Long =
+    try fs.getFileStatus(hp).getLen catch { case _: FileNotFoundException => -1L }
+
+  /** Positioned range read — the object-store access pattern for shard
+    * indexes and inner chunks (S3/GCS range GETs via the Hadoop
+    * connectors; plain seek locally). */
+  def readRange(offset: Long, len: Int): Array[Byte] = {
+    val buf = new Array[Byte](len)
+    val in = fs.open(hp)
+    try in.readFully(offset, buf) finally in.close()
+    buf
+  }
+
   def readString(): String = new String(readAllBytes(), StandardCharsets.UTF_8)
 
   /** Create/overwrite (parent directories are created implicitly). */

@@ -35,18 +35,48 @@ object ZarrMeta {
       /** Blosc cname/clevel/shuffle when compressor == Some("blosc") —
         * the reference's only spec-layer compressor
         * (mdio/dataset_factory.h:288-367). */
-      blosc: Option[ChunkCodec.Blosc] = None) {
+      blosc: Option[ChunkCodec.Blosc] = None,
+      /** zarr v3 `sharding_indexed`: the SHARD shape (one storage object
+        * per shard; `chunks` is then the INNER chunk shape). At 100 TB
+        * this is the feature that keeps object counts sane — inner chunks
+        * are range-read out of large shard objects via a footer index. */
+      shard: Option[Seq[Long]] = None) {
     def rank: Int = shape.size
-    /** Number of chunks along each dimension. */
+    /** Number of (inner) chunks along each dimension. */
     def chunkGrid: Seq[Long] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
     def elemSize: Int = fields match {
       case Some(fs) => fs.map(f => ChunkCodec.elemSize(f._2)).sum
       case None => ChunkCodec.elemSize(dtype)
     }
-    /** Chunk file path inside the array dir: v2 `1.2`, v3 `c/1/2`. */
-    def chunkFile(arrayDir: VPath, coords: Seq[Long]): VPath =
-      if (version == 3) arrayDir.resolve("c").resolve(coords.mkString("/"))
-      else arrayDir.resolve(coords.mkString("."))
+    /** Inner chunks per shard along each dimension (1s when unsharded). */
+    def innerPerShard: Seq[Long] =
+      shard.map(_.zip(chunks).map { case (s, c) => s / c }).getOrElse(Seq.fill(rank)(1L))
+    /** Number of shards along each dimension. */
+    def shardGrid: Seq[Long] =
+      shard.map(sh => shape.zip(sh).map { case (s, c) => (s + c - 1) / c })
+        .getOrElse(chunkGrid)
+    /** Chunk file path inside the array dir: v2 `1.2`, v3 `c/1/2`; when
+      * sharded, the file is the SHARD object holding the chunk. */
+    def chunkFile(arrayDir: VPath, coords: Seq[Long]): VPath = {
+      val key = shard match {
+        case Some(_) =>
+          coords.zip(innerPerShard).map { case (c, ips) => c / ips }
+        case None => coords
+      }
+      if (version == 3) arrayDir.resolve("c").resolve(key.mkString("/"))
+      else arrayDir.resolve(key.mkString("."))
+    }
+    /** C-order index of chunk `coords` inside its shard's footer index. */
+    def innerIndex(coords: Seq[Long]): Int = {
+      val ips = innerPerShard
+      var idx = 0L
+      var i = 0
+      while (i < rank) {
+        idx = idx * ips(i) + (coords(i) % ips(i))
+        i += 1
+      }
+      idx.toInt
+    }
   }
 
   /** v3 data_type name ↔ numpy typestring. */
@@ -149,7 +179,10 @@ object ZarrMeta {
   /** v3 array `zarr.json`. Codecs emitted: little-endian bytes + optional
     * zstd or blosc — the reference's v3 path always emits `[bytes, blosc]`
     * with cname/clevel/shuffle (mdio/dataset_factory.h:288-324,
-    * mdio/zarr/zarr_v3.h codec pipeline); v3 has no raw-zlib codec. */
+    * mdio/zarr/zarr_v3.h codec pipeline); v3 has no raw-zlib codec.
+    * With `m.shard` set, the pipeline is wrapped in `sharding_indexed`
+    * (zarr v3 spec): the outer chunk grid is the SHARD shape, inner
+    * chunks sit behind a crc32c-guarded footer index. */
   def renderArrayMetaV3(m: ArrayMeta, attributes: Option[String]): String = {
     val fill = m.fillValue match {
       case None => "null"
@@ -157,7 +190,7 @@ object ZarrMeta {
       case Some(f) if f == f.floor && !f.isInfinite && math.abs(f) < 1e15 => f.toLong.toString
       case Some(f) => f.toString
     }
-    val codecs = m.compressor match {
+    val innerCodecs = m.compressor match {
       case None => """[{"name": "bytes", "configuration": {"endian": "little"}}]"""
       case Some("zstd") =>
         """[{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "zstd", "configuration": {"level": 3}}]"""
@@ -172,13 +205,26 @@ object ZarrMeta {
       case Some(other) =>
         throw new IllegalArgumentException(s"zarr v3 write supports None/zstd/blosc codecs, not '$other'")
     }
+    val (gridShape, codecs) = m.shard match {
+      case None => (m.chunks, innerCodecs)
+      case Some(sh) =>
+        require(sh.zip(m.chunks).forall { case (s, c) => s % c == 0 },
+          s"shard shape ${sh.mkString("x")} must be a multiple of chunk shape ${m.chunks.mkString("x")}")
+        val sharded =
+          s"""[{"name": "sharding_indexed", "configuration": {""" +
+            s""""chunk_shape": [${m.chunks.mkString(", ")}], """ +
+            s""""codecs": $innerCodecs, """ +
+            s""""index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "crc32c"}], """ +
+            s""""index_location": "end"}}]"""
+        (sh, sharded)
+    }
     val dims = m.dimNames.map(d => d.map(n => s""""$n"""").mkString("[", ", ", "]")).getOrElse("null")
     s"""{
        |  "zarr_format": 3,
        |  "node_type": "array",
        |  "shape": [${m.shape.mkString(", ")}],
        |  "data_type": "${v3DtypeName(m.dtype)}",
-       |  "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${m.chunks.mkString(", ")}]}},
+       |  "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${gridShape.mkString(", ")}]}},
        |  "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
        |  "fill_value": $fill,
        |  "codecs": $codecs,
@@ -191,11 +237,36 @@ object ZarrMeta {
     val j = JsonMethods.parse(json)
     require((j \ "node_type").extractOrElse[String]("array") == "array", "not a v3 array node")
     val shape = (j \ "shape").extract[Seq[Long]]
-    val chunks = (j \ "chunk_grid" \ "configuration" \ "chunk_shape").extract[Seq[Long]]
+    val gridChunks = (j \ "chunk_grid" \ "configuration" \ "chunk_shape").extract[Seq[Long]]
     val dtype = v3DtypeToNumpy((j \ "data_type").extract[String])
-    val codecItems = (j \ "codecs") match {
+    val outerCodecs = (j \ "codecs") match {
       case JArray(items) => items.map(c => ((c \ "name").extract[String], c \ "configuration"))
       case _ => Nil
+    }
+    // sharding_indexed wraps the real pipeline: grid chunk_shape is the
+    // SHARD shape, the inner chunk shape + codecs live in its config
+    val shardCfg = outerCodecs.collectFirst { case ("sharding_indexed", cfg) => cfg }
+    val (chunks, shard, codecItems) = shardCfg match {
+      case None => (gridChunks, None, outerCodecs)
+      case Some(cfg) =>
+        (cfg \ "index_location") match {
+          case JString(loc) => require(loc == "end", s"index_location '$loc' unsupported (end only)")
+          case _ => ()
+        }
+        val inner = (cfg \ "chunk_shape").extract[Seq[Long]]
+        require(gridChunks.zip(inner).forall { case (s, c) => s % c == 0 },
+          "shard shape must be a multiple of inner chunk shape")
+        val innerCodecs = (cfg \ "codecs") match {
+          case JArray(items) => items.map(c => ((c \ "name").extract[String], c \ "configuration"))
+          case _ => Nil
+        }
+        val idxCodecs = (cfg \ "index_codecs") match {
+          case JArray(items) => items.map(c => (c \ "name").extract[String])
+          case _ => Seq("bytes", "crc32c")
+        }
+        require(idxCodecs.contains("crc32c"),
+          "sharding_indexed without a crc32c index codec is unsupported")
+        (inner, Some(gridChunks), innerCodecs)
     }
     val codecNames = codecItems.map(_._1)
     codecNames.foreach { n =>
@@ -233,7 +304,76 @@ object ZarrMeta {
       case JObject(Nil) | JNothing | JNull => None
       case o => Some(JsonMethods.compact(o))
     }
-    (ArrayMeta(shape, chunks, dtype, comp, fill, "C", 3, dims, blosc = blosc), attrs)
+    (ArrayMeta(shape, chunks, dtype, comp, fill, "C", 3, dims, blosc = blosc,
+      shard = shard), attrs)
+  }
+
+  // ---- sharding_indexed binary layout (zarr v3 spec) -----------------------
+
+  /** Parse a shard's footer index: `n` (offset, nbytes) uint64-LE pairs
+    * (+ trailing crc32c when `crc` is set), read from the END of the shard
+    * object. Missing inner chunks carry 2^64-1 sentinels (returned as
+    * (-1, -1)). */
+  def readShardIndex(file: VPath, n: Int, crc: Boolean = true): Option[Array[(Long, Long)]] = {
+    val len = file.length()
+    if (len < 0) return None
+    val idxBytes = 16L * n + (if (crc) 4 else 0)
+    require(len >= idxBytes, s"shard ${file.uri} shorter than its index")
+    val raw = file.readRange(len - idxBytes, idxBytes.toInt)
+    if (crc) {
+      val c = new java.util.zip.CRC32C
+      c.update(raw, 0, 16 * n)
+      val stored = java.nio.ByteBuffer.wrap(raw, 16 * n, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      require(c.getValue.toInt == stored, s"shard index crc32c mismatch in ${file.uri}")
+    }
+    val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Some(Array.tabulate(n)(i => (bb.getLong(i * 16), bb.getLong(i * 16 + 8))))
+  }
+
+  /** Assemble a shard object: concatenated encoded inner chunks followed
+    * by the footer index (+crc32c). `parts(i)` == null ⇒ missing chunk
+    * (2^64-1 sentinels). */
+  def buildShard(parts: Array[Array[Byte]], crc: Boolean = true): Array[Byte] = {
+    val n = parts.length
+    val dataLen = parts.iterator.filter(_ != null).map(_.length.toLong).sum
+    val idxLen = 16 * n + (if (crc) 4 else 0)
+    val out = new Array[Byte](dataLen.toInt + idxLen)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 0L
+    var i = 0
+    while (i < n) {
+      val p = parts(i)
+      if (p == null) {
+        bb.putLong(dataLen.toInt + i * 16, -1L)         // 2^64-1 sentinel
+        bb.putLong(dataLen.toInt + i * 16 + 8, -1L)
+      } else {
+        System.arraycopy(p, 0, out, off.toInt, p.length)
+        bb.putLong(dataLen.toInt + i * 16, off)
+        bb.putLong(dataLen.toInt + i * 16 + 8, p.length.toLong)
+        off += p.length
+      }
+      i += 1
+    }
+    if (crc) {
+      val c = new java.util.zip.CRC32C
+      c.update(out, dataLen.toInt, 16 * n)
+      bb.putInt(dataLen.toInt + 16 * n, c.getValue.toInt)
+    }
+    out
+  }
+
+  /** Read one inner chunk's compressed payload out of a shard object;
+    * null when the shard or the inner chunk is absent. */
+  def readInnerChunk(file: VPath, meta: ArrayMeta, coords: Seq[Long]): Array[Byte] = {
+    val n = meta.innerPerShard.product.toInt
+    readShardIndex(file, n) match {
+      case None => null
+      case Some(index) =>
+        val (off, nbytes) = index(meta.innerIndex(coords))
+        if (off == -1L && nbytes == -1L) null
+        else file.readRange(off, nbytes.toInt)
+    }
   }
 
   /** S8 — version detection: probe `zarr.json`, then `.zgroup`; default v2

@@ -1,0 +1,113 @@
+package graft.zarr
+
+import graft.SparkSpec
+import graft.sources.MdioWriter
+import graft.spec.MdioSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** zarr v3 `sharding_indexed` (beyond-reference scale extension): inner
+  * chunks packed into shard objects with a crc32c-guarded footer index —
+  * at 100 TB this keeps object counts sane (billions of inner chunks,
+  * millions of shard objects) while reads stay range-GETs. */
+class ShardingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def specJson =
+    """{
+      |  "metadata": {"name": "sh", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+      |  "variables": [
+      |    {"name": "inline", "dataType": "int64",
+      |     "dimensions": [{"name": "inline", "size": 8}]},
+      |    {"name": "crossline", "dataType": "int64",
+      |     "dimensions": [{"name": "crossline", "size": 6}]},
+      |    {"name": "image", "dataType": "float32",
+      |     "dimensions": [{"name": "inline", "size": 8}, {"name": "crossline", "size": 6}],
+      |     "compressor": {"name": "blosc", "cname": "zstd", "clevel": 5, "shuffle": 1},
+      |     "metadata": {"chunkGrid": {"name": "regular", "configuration":
+      |       {"chunkShape": [2, 3], "shardShape": [4, 6]}}}}
+      |  ]
+      |}""".stripMargin
+
+  test("shard index round-trips with crc32c and missing-chunk sentinels") {
+    val tmp = VPath(Files.createTempDirectory("shard").resolve("s.bin").toString)
+    val parts = Array[Array[Byte]](Array[Byte](1, 2, 3), null, Array[Byte](4, 5))
+    tmp.write(ZarrMeta.buildShard(parts))
+    val idx = ZarrMeta.readShardIndex(tmp, 3).get
+    assert(idx(0) == (0L, 3L) && idx(1) == (-1L, -1L) && idx(2) == (3L, 2L))
+    assert(tmp.readRange(idx(2)._1, idx(2)._2.toInt).toSeq == Seq[Byte](4, 5))
+    // corrupt one index byte -> crc must catch it
+    val bytes = tmp.readAllBytes()
+    bytes(bytes.length - 10) = (bytes(bytes.length - 10) ^ 0x1).toByte
+    tmp.write(bytes)
+    intercept[IllegalArgumentException](ZarrMeta.readShardIndex(tmp, 3))
+  }
+
+  test("sharded create/write/read round-trip with pushdown and fill") {
+    val dir = Files.createTempDirectory("mdio_shard").resolve("sh.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(specJson), dir, version = 3)
+
+    val root = ZarrMeta.path(dir)
+    val zjson = root.resolve("image").resolve("zarr.json").readString()
+    assert(zjson.contains("sharding_indexed") && zjson.contains("\"chunk_shape\": [2, 3]"))
+    assert(zjson.contains("\"chunk_shape\": [4, 6]")) // outer grid = shard shape
+    val (_, arrays) = ZarrMeta.readGroup(root)
+    val m = arrays("image")._1
+    assert(m.chunks == Seq(2L, 3L) && m.shard.contains(Seq(4L, 6L)))
+    assert(m.innerPerShard == Seq(2L, 2L) && m.shardGrid == Seq(2L, 1L))
+
+    // write only inlines 0..5 -> shard (1,0) has inner chunks with no data
+    val cells = for { i <- 0L until 6L; x <- 0L until 6L } yield (i, x, (i * 10 + x).toFloat)
+    MdioWriter.writeVariable(spark, cells.toDF("inline", "crossline", "image"), dir, "image")
+
+    // exactly 2 shard objects, not 8 chunk files
+    val keys = root.resolve("image").resolve("c").listFilesRecursive()
+      .map(p => root.resolve("image").resolve("c").relativize(p)).sorted
+    assert(keys == Seq("0/0", "1/0"))
+
+    val df = spark.read.format("mdio").load(dir)
+    // full read: written cells exact, unwritten cells = fill (NaN)
+    val got = df.select("inline", "crossline", "image")
+      .as[(Long, Long, Float)].collect()
+    assert(got.length == 48)
+    got.foreach { case (i, x, v) =>
+      if (i < 6) assert(v == (i * 10 + x).toFloat, s"($i,$x)")
+      else assert(v.isNaN, s"($i,$x) should be fill")
+    }
+    // pushdown still prunes at INNER-chunk granularity
+    val p = df.filter($"inline" >= 2 && $"inline" < 4 && $"crossline" < 3)
+    assert(p.count() == 6)
+    assert(p.select(sum($"image".cast("double"))).as[Double].head() ==
+      (for { i <- 2 until 4; x <- 0 until 3 } yield i * 10.0 + x).sum)
+    MdioWriter.delete(dir)
+  }
+
+  test("sharded partial write read-modify-writes inner chunks and carries untouched bytes") {
+    val dir = Files.createTempDirectory("mdio_shard_rmw").resolve("sh.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(specJson), dir, version = 3)
+    val cells = for { i <- 0L until 8L; x <- 0L until 6L } yield (i, x, (i * 10 + x).toFloat)
+    MdioWriter.writeVariable(spark, cells.toDF("inline", "crossline", "image"), dir, "image")
+    // patch one cell: only its inner chunk re-encodes; all other cells survive
+    MdioWriter.writeVariable(spark,
+      Seq((5L, 5L, -7.0f)).toDF("inline", "crossline", "image"), dir, "image")
+    val got = spark.read.format("mdio").load(dir)
+      .select("inline", "crossline", "image").as[(Long, Long, Float)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    for { i <- 0L until 8L; x <- 0L until 6L } {
+      val want = if ((i, x) == (5L, 5L)) -7.0f else (i * 10 + x).toFloat
+      assert(got((i, x)) == want, s"RMW at ($i,$x)")
+    }
+    MdioWriter.delete(dir)
+  }
+
+  test("DSv2 sink rejects sharded variables with a clear message") {
+    val dir = Files.createTempDirectory("mdio_shard_sink").resolve("sh.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(specJson), dir, version = 3)
+    val e = intercept[IllegalArgumentException] {
+      Seq((0L, 0L, 1.0f)).toDF("inline", "crossline", "image")
+        .write.format("mdio").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("writeVariable"))
+    MdioWriter.delete(dir)
+  }
+}
