@@ -324,6 +324,47 @@ object Mdio {
       .filter(col("inline") >= 8 && col("inline") < 24 && col("crossline") < 4)
       .agg(dsum(col("image")).as("total"), count(lit(1)).as("n"))
 
+  /** Same cells through a SHARDED v3 store (sharding_indexed: 16x8 shards
+    * of 8x4 inner chunks — 4 shard objects instead of 8 chunk files);
+    * pushdown prunes at inner-chunk granularity, reads are range-GETs
+    * through the crc32c footer index. */
+  def zarrGridSharded(s: SparkSession, d: String): String =
+    builtGrids.getOrElseUpdate(d + "#shard", {
+      val path = s"/tmp/graft_zarrsh_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val spec = graft.spec.MdioSpec.fromJson(
+        """{
+          |  "metadata": {"name": "lineitem_grid_sh", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+          |  "variables": [
+          |    {"name": "inline", "dataType": "int64",
+          |     "dimensions": [{"name": "inline", "size": 32}]},
+          |    {"name": "crossline", "dataType": "int64",
+          |     "dimensions": [{"name": "crossline", "size": 8}]},
+          |    {"name": "image", "dataType": "float64",
+          |     "dimensions": [{"name": "inline", "size": 32}, {"name": "crossline", "size": 8}],
+          |     "compressor": {"name": "blosc", "cname": "zstd", "clevel": 5, "shuffle": 1},
+          |     "metadata": {"chunkGrid": {"name": "regular", "configuration":
+          |       {"chunkShape": [8, 4], "shardShape": [16, 8]}}}}
+          |  ]
+          |}""".stripMargin)
+      graft.sources.MdioWriter.delete0(path)
+      graft.sources.MdioWriter.create(spec, path, version = 3)
+      val agg = lineitem(s, d)
+        .groupBy((col("l_orderkey") % 32).as("inline"),
+                 (col("l_linenumber").cast("long") % 8).as("crossline"))
+        .agg(sum(col("l_quantity").cast("decimal(27,6)")).cast("double").as("image"))
+      val full = s.range(32).select(col("id").as("inline"))
+        .crossJoin(s.range(8).select(col("id").as("crossline")))
+      val cells = full.join(agg, Seq("inline", "crossline"), "left")
+        .select(col("inline"), col("crossline"), coalesce(col("image"), lit(0.0)).as("image"))
+      graft.sources.MdioWriter.writeVariable(s, cells, path, "image")
+      path
+    })
+
+  val qZarrShardedRoundtrip: Q = (s, d) =>
+    s.read.format("mdio").load(zarrGridSharded(s, d))
+      .filter(col("inline") >= 8 && col("inline") < 24 && col("crossline") < 4)
+      .agg(dsum(col("image")).as("total"), count(lit(1)).as("n"))
+
   val qZarrRoundtripSql: String = """
     WITH agg AS (
       SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
@@ -400,6 +441,7 @@ object Mdio {
     "zarr_roundtrip"        -> qZarrRoundtrip,
     "zarr_pushdown"         -> qZarrPushdown,
     "zarr_v3_roundtrip"     -> qZarrV3Roundtrip,
+    "zarr_sharded_roundtrip" -> qZarrShardedRoundtrip,
     "mdio_open_sel"         -> qMdioOpenSel,
   )
 
@@ -423,6 +465,7 @@ object Mdio {
     "zarr_roundtrip"        -> qZarrRoundtripSql,
     "zarr_pushdown"         -> qZarrPushdownSql,
     "zarr_v3_roundtrip"     -> qZarrPushdownSql, // same cells, same slice, v3 format
+    "zarr_sharded_roundtrip" -> qZarrPushdownSql, // same slice through sharded storage
     "mdio_open_sel"         -> qZarrPushdownSql, // same cells via coordinate VALUES
   )
 }
