@@ -42,6 +42,29 @@ object MdioDemo {
     MdioWriter.writeVariable(spark,
       cells.toDF("inline", "crossline", "image_blosc"), path, "image_blosc")
     println(s"[demo] wrote $path")
+
+    // v3 SHARDED twin for the cross-implementation check
+    // (tools/check_zarr_v3_interop.py re-reads shards with numpy + stdlib)
+    val path3 = path + "_v3sharded"
+    val spec3 = MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "demo3", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "inline", "dataType": "int64",
+        |     "dimensions": [{"name": "inline", "size": 6}]},
+        |    {"name": "crossline", "dataType": "int64",
+        |     "dimensions": [{"name": "crossline", "size": 4}]},
+        |    {"name": "image", "dataType": "float32",
+        |     "dimensions": [{"name": "inline", "size": 6}, {"name": "crossline", "size": 4}],
+        |     "compressor": {"name": "blosc", "cname": "zlib", "clevel": 5, "shuffle": 1},
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration":
+        |       {"chunkShape": [3, 2], "shardShape": [6, 4]}}}}
+        |  ]
+        |}""".stripMargin)
+    MdioWriter.delete0(path3)
+    MdioWriter.create(spec3, path3, version = 3)
+    MdioWriter.writeVariable(spark, cells.toDF("inline", "crossline", "image"), path3, "image")
+    println(s"[demo] wrote $path3")
     spark.stop()
   }
 }
