@@ -258,7 +258,8 @@ object MdioWriter {
     val root = ZarrMeta.path(path)
     val (_, arrays) = ZarrMeta.readGroup(root)
     arrays.foreach { case (name, (meta, attrs)) =>
-      val dims = attrs.flatMap(MdioTableUtil.arrayDimensions).getOrElse(Nil)
+      val dims = meta.dimNames
+        .orElse(attrs.flatMap(MdioTableUtil.arrayDimensions)).getOrElse(Nil)
       val di = dims.indexOf(dim)
       if (di >= 0) {
         require(newSize <= meta.shape(di), s"trim grows dimension '$dim'")
@@ -270,18 +271,21 @@ object MdioWriter {
         else
           arrayDir.resolve(".zarray").writeString(ZarrMeta.renderArrayMeta(newMeta))
         if (deleteChunks) {
-          val keepChunks = (newSize + meta.chunks(di) - 1) / meta.chunks(di)
+          // file keys are shard-granular when sharded — a kept shard may
+          // still hold inner chunks past the new size; reads clamp them out
+          val unit = meta.shard.map(_(di)).getOrElse(meta.chunks(di))
+          val keep = (newSize + unit - 1) / unit
           if (meta.version == 3) {
             val cDir = arrayDir.resolve("c")
             cDir.listFilesRecursive().foreach { p =>
               val coords = cDir.relativize(p).split("/").map(_.toLong)
-              if (coords.length == dims.size && coords(di) >= keepChunks) p.delete()
+              if (coords.length == dims.size && coords(di) >= keep) p.delete()
             }
           } else arrayDir.list()
             .filter(p => p.isFile && !p.name.startsWith("."))
             .foreach { p =>
               val coords = p.name.split("\\.").map(_.toLong)
-              if (coords.length == dims.size && coords(di) >= keepChunks) p.delete()
+              if (coords.length == dims.size && coords(di) >= keep) p.delete()
             }
         }
       }

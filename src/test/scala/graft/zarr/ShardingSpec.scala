@@ -100,6 +100,28 @@ class ShardingSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("trim on a sharded array deletes at shard granularity, reads clamp") {
+    val dir = Files.createTempDirectory("mdio_shard_trim").resolve("sh.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(specJson), dir, version = 3)
+    val cells = for { i <- 0L until 8L; x <- 0L until 6L } yield (i, x, (i * 10 + x).toFloat)
+    MdioWriter.writeVariable(spark, cells.toDF("inline", "crossline", "image"), dir, "image")
+    val root = ZarrMeta.path(dir)
+    assert(root.resolve("image").resolve("c").listFilesRecursive().size == 2)
+    // trim inline 8 -> 6: shard 1 (inlines 4..7) still holds kept inlines
+    // 4..5, so the shard file must SURVIVE; reads clamp inlines 6..7 away
+    MdioWriter.trim(dir, "inline", 6L)
+    assert(root.resolve("image").resolve("c").listFilesRecursive().size == 2)
+    val df = spark.read.format("mdio").load(dir)
+    assert(df.count() == 36)
+    assert(df.agg(max($"inline")).as[Long].head() == 5L)
+    // trim inline 6 -> 4: shard 1 is now fully orphaned and gets deleted
+    MdioWriter.trim(dir, "inline", 4L)
+    assert(root.resolve("image").resolve("c").listFilesRecursive()
+      .map(p => root.resolve("image").resolve("c").relativize(p)).sorted == Seq("0/0"))
+    assert(spark.read.format("mdio").load(dir).count() == 24)
+    MdioWriter.delete(dir)
+  }
+
   test("DSv2 sink rejects sharded variables with a clear message") {
     val dir = Files.createTempDirectory("mdio_shard_sink").resolve("sh.mdio").toString
     MdioWriter.create(MdioSpec.fromJson(specJson), dir, version = 3)
