@@ -118,7 +118,7 @@ final case class MdioTable(path: String, wanted: Option[Seq[String]])
   override def name(): String = s"mdio:$path"
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.TRUNCATE).asJava
+        TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MdioScanBuilder(path, dims, variables.map(v => v -> labeled(v)._1).toMap, schema())
@@ -334,6 +334,11 @@ final case class MdioScan(path: String, dims: Seq[String],
 
   override def createReaderFactory(): PartitionReaderFactory =
     MdioReaderFactory(dims.toArray, requiredSchema)
+
+  // streaming read: tail newly appended chunk objects (MdioMicroBatchStream)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new MdioMicroBatchStream(path, dims, metas, requiredSchema, ranges)
 }
 
 final case class MdioInputPartition(path: String, chunk: Array[Long],

@@ -1,0 +1,80 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.spec.MdioSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Streaming SOURCE over a growing MDIO store: `readStream.format("mdio")`
+  * tails chunk objects appended along the leading dimension (the ingest
+  * pattern the reference's SEG-Y pipeline produces), delivering each chunk
+  * exactly once as a micro-batch of long-form rows. */
+class MdioStreamSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def create(): String = {
+    val dir = Files.createTempDirectory("mdio_src").resolve("s.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "s", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "inline", "dataType": "int64",
+        |     "dimensions": [{"name": "inline", "size": 8}]},
+        |    {"name": "crossline", "dataType": "int64",
+        |     "dimensions": [{"name": "crossline", "size": 6}]},
+        |    {"name": "image", "dataType": "float64",
+        |     "dimensions": [{"name": "inline", "size": 8}, {"name": "crossline", "size": 6}],
+        |     "compressor": {"name": "zstd"},
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [4, 3]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    dir
+  }
+
+  private def writeInlines(dir: String, lo: Long, hi: Long): Unit = {
+    val cells = for { i <- lo until hi; x <- 0L until 6L } yield (i, x, (i * 10 + x).toDouble)
+    MdioWriter.writeVariable(spark,
+      cells.toDF("inline", "crossline", "image"), dir, "image")
+  }
+
+  test("readStream tails appended chunks exactly once across micro-batches") {
+    val dir = create()
+    writeInlines(dir, 0L, 4L) // chunk row 0: chunks (0,0) and (0,1)
+
+    val q = spark.readStream.format("mdio").load(dir)
+      .writeStream.format("memory").queryName("mdio_tail").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mdio_tail").count() == 24)
+
+      // ingest appends the next inline block -> chunks (1,0), (1,1) appear
+      writeInlines(dir, 4L, 8L)
+      q.processAllAvailable()
+      val rows = spark.table("mdio_tail")
+        .select("inline", "crossline", "image").as[(Long, Long, Double)].collect()
+      assert(rows.length == 48, "each chunk delivered exactly once")
+      assert(rows.toSet ==
+        (for { i <- 0L until 8L; x <- 0L until 6L } yield (i, x, (i * 10 + x).toDouble)).toSet)
+
+      // no data, no new batch rows
+      q.processAllAvailable()
+      assert(spark.table("mdio_tail").count() == 48)
+    } finally q.stop()
+    MdioWriter.delete(dir)
+  }
+
+  test("streaming source honors pushed dim-range filters") {
+    val dir = create()
+    writeInlines(dir, 0L, 8L)
+    val q = spark.readStream.format("mdio").load(dir)
+      .filter($"crossline" < 3) // prunes chunk column 1 entirely
+      .writeStream.format("memory").queryName("mdio_tail_f").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("mdio_tail_f").select("inline", "crossline")
+        .as[(Long, Long)].collect().toSet
+      assert(got == (for { i <- 0L until 8L; x <- 0L until 3L } yield (i, x)).toSet)
+    } finally q.stop()
+    MdioWriter.delete(dir)
+  }
+}
