@@ -125,19 +125,74 @@ object Pipeline {
            CAST(MAX(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS max_tokens
     FROM documents GROUP BY lang"""
 
-  val qTextQuality: Q = (s, d) =>
+  /** Quality-scoring components per language, INTEGER-exact so the DuckDB
+    * oracle certifies them bit-for-bit: length-band membership, stopword-
+    * density band (the double ratio compares identically in any IEEE
+    * engine; only the integer verdict is aggregated), lexical diversity
+    * numerators. The blended [0,1] score itself (TF.qualityScore) is the
+    * same expressions weighted — pinned in TextFunctionsSpec. */
+  val qTextQuality: Q = (s, d) => {
+    val toks = TF.tokens(col("text"))
+    val n = size(toks)
+    val stopRatio = TF.stopwordRatio(col("text"), "en")
     documents(s, d)
-      .select(col("lang"), TF.qualityScore(col("text")).as("q"))
+      .select(col("lang"), n.as("n"), size(array_distinct(toks)).as("nd"),
+        when(stopRatio >= 0.05 && stopRatio <= 0.6, 1L).otherwise(0L).as("stop_ok"),
+        when(n >= 20 && n <= 1000, 1L).otherwise(0L).as("len_ok"))
       .groupBy(col("lang"))
-      .agg(dsum(col("q")).as("sum_quality"), count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len_ok")).as("n_len_good"),
+        sum(col("stop_ok")).as("n_stop_good"),
+        sum(col("nd").cast("long")).as("sum_distinct_toks"),
+        sum(col("n").cast("long")).as("sum_toks"))
+  }
 
-  /** Language-ID heuristic vs the labeled lang column (confusion counts;
-    * no oracle — the heuristic's stopword tables live in Scala). */
+  val qTextQualitySql: String = """
+    WITH t AS (
+      SELECT lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+    u AS (
+      SELECT lang, len(toks) AS n, len(list_distinct(toks)) AS nd,
+             len(list_filter(toks, t -> list_contains(
+               ['the','a','of','and','to','in','is','it','that','for'], t))) AS ns
+      FROM t)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(count_if(n >= 20 AND n <= 1000) AS BIGINT) AS n_len_good,
+           CAST(count_if(CAST(ns AS DOUBLE) / GREATEST(CAST(n AS DOUBLE), 1.0) >= 0.05
+                AND CAST(ns AS DOUBLE) / GREATEST(CAST(n AS DOUBLE), 1.0) <= 0.6) AS BIGINT) AS n_stop_good,
+           CAST(SUM(nd) AS BIGINT) AS sum_distinct_toks,
+           CAST(SUM(n) AS BIGINT) AS sum_toks
+    FROM u GROUP BY lang"""
+
+  /** Language-ID heuristic vs the labeled lang column (confusion counts).
+    * Oracle-checked: the stopword tables are embedded in the SQL, and the
+    * argmax tie-break (max score, then lexicographically LARGEST language
+    * code — struct-max semantics) is reproduced by the CASE ladder. */
   val qTextLangId: Q = (s, d) =>
     documents(s, d)
       .select(col("lang").as("labeled"), TF.langId(col("text")).as("predicted"))
       .groupBy(col("labeled"), col("predicted"))
       .agg(count(lit(1)).as("n"))
+
+  val qTextLangIdSql: String = """
+    WITH t AS (
+      SELECT lang AS labeled, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents),
+    sc AS (
+      SELECT labeled,
+        len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS s_en,
+        len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','los','se','no'], x))) AS s_es,
+        len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','zu','den','nicht','von'], x))) AS s_de,
+        len(list_filter(toks, x -> list_contains(['le','la','les','de','et','un','est','que','pour','dans'], x))) AS s_fr,
+        len(list_filter(toks, x -> list_contains(['的','是','不','了','在','人','有','我','他','这'], x))) AS s_zh
+      FROM t)
+    SELECT labeled,
+      CASE WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+           WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+           WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+           WHEN s_en >= s_de THEN 'en'
+           ELSE 'de' END AS predicted,
+      COUNT(*) AS n
+    FROM sc GROUP BY 1, 2"""
 
   /** Order-insensitive fingerprint dedup (token-bag md5). */
   val qTextFingerprint: Q = (s, d) =>
@@ -326,6 +381,8 @@ object Pipeline {
 
   val oracleSql: Map[String, String] = Map(
     "geo_utm"             -> qGeoUtmSql,
+    "text_quality"        -> qTextQualitySql,
+    "text_langid"         -> qTextLangIdSql,
     "dedup_exact"         -> qDedupExactSql,
     "dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     "ann_brute_force"     -> qAnnBruteForceSql,
