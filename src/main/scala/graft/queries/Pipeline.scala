@@ -358,8 +358,43 @@ object Pipeline {
     FROM s8"""
   }
 
+  /** The composed training-data pipeline in one plan — quality gate →
+    * exact dedup (keep smallest id per content hash) → per-language token
+    * accounting. This is the shape a 100 TB curation job runs: two narrow
+    * map stages, one dedup groupBy, one broadcast-able semi-join on the
+    * keeper set, one final aggregation — no self-joins, nothing quadratic. */
+  val qPipelineCompose: Q = (s, d) => {
+    val toks = TF.tokens(col("text"))
+    val n = size(toks)
+    val stopRatio = TF.stopwordRatio(col("text"), "en")
+    val gated = documents(s, d)
+      .filter(n >= 5 && n <= 1000 && stopRatio <= 0.6)
+      .select(col("doc_id"), col("lang"), col("text"), n.cast("long").as("n_toks"))
+    val keepers = gated
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    gated.join(keepers, gated("doc_id") === keepers("keep_id"), "left_semi")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"))
+  }
+
+  val qPipelineComposeSql: String = """
+    WITH gated AS (
+      SELECT doc_id, lang, text,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_toks,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE)
+               / GREATEST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0) AS sr
+      FROM documents),
+    g2 AS (SELECT * FROM gated WHERE n_toks >= 5 AND n_toks <= 1000 AND sr <= 0.6),
+    keepers AS (SELECT MIN(doc_id) AS keep_id FROM g2 GROUP BY md5(text))
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS sum_toks
+    FROM g2 WHERE doc_id IN (SELECT keep_id FROM keepers)
+    GROUP BY lang"""
+
   val queries: Map[String, Q] = Map(
     "geo_utm"              -> qGeoUtm,
+    "pipeline_compose"     -> qPipelineCompose,
     "dedup_exact"          -> qDedupExact,
     "dedup_minhash_lsh"    -> qDedupMinhashLsh,
     "dedup_simhash"        -> qDedupSimhash,
@@ -381,6 +416,7 @@ object Pipeline {
 
   val oracleSql: Map[String, String] = Map(
     "geo_utm"             -> qGeoUtmSql,
+    "pipeline_compose"    -> qPipelineComposeSql,
     "text_quality"        -> qTextQualitySql,
     "text_langid"         -> qTextLangIdSql,
     "dedup_exact"         -> qDedupExactSql,

@@ -62,6 +62,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(400))
   }
 
+  test("pipeline_compose: dedup semi-join, partial aggs, no cartesian") {
+    val p = plan("pipeline_compose")
+    assert(p.contains("LeftSemi"), "keeper filter must be a semi join")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(p.contains("partial_"), "final agg needs a map-side phase")
+  }
+
   test("geo_utm: conversion stays inside whole-stage codegen") {
     // FormattedMode on an un-executed AQE plan omits codegen stage markers —
     // CodegenMode reports the compiled subtrees directly
