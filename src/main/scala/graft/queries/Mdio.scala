@@ -365,6 +365,23 @@ object Mdio {
       .filter(col("inline") >= 8 && col("inline") < 24 && col("crossline") < 4)
       .agg(dsum(col("image")).as("total"), count(lit(1)).as("n"))
 
+  /** Metadata-only extents: COUNT(*)/MIN/MAX over dims push completely
+    * into the connector (MdioAggScan) — no chunk file opened, the O(1)
+    * path for "how big is this 100 TB store". */
+  val qZarrExtents: Q = (s, d) =>
+    s.read.format("mdio").load(zarrGrid(s, d))
+      .filter(col("inline") >= 8 && col("inline") < 24)
+      .agg(count(lit(1)).as("n"),
+        min(col("inline")).as("min_inline"), max(col("inline")).as("max_inline"),
+        min(col("crossline")).as("min_crossline"), max(col("crossline")).as("max_crossline"))
+
+  val qZarrExtentsSql: String = """
+    SELECT COUNT(*) AS n,
+           MIN(i) AS min_inline, MAX(i) AS max_inline,
+           MIN(j) AS min_crossline, MAX(j) AS max_crossline
+    FROM range(32) r1(i) CROSS JOIN range(8) r2(j)
+    WHERE i >= 8 AND i < 24"""
+
   val qZarrRoundtripSql: String = """
     WITH agg AS (
       SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
@@ -442,6 +459,7 @@ object Mdio {
     "zarr_pushdown"         -> qZarrPushdown,
     "zarr_v3_roundtrip"     -> qZarrV3Roundtrip,
     "zarr_sharded_roundtrip" -> qZarrShardedRoundtrip,
+    "zarr_extents"          -> qZarrExtents,
     "mdio_open_sel"         -> qMdioOpenSel,
   )
 
@@ -466,6 +484,7 @@ object Mdio {
     "zarr_pushdown"         -> qZarrPushdownSql,
     "zarr_v3_roundtrip"     -> qZarrPushdownSql, // same cells, same slice, v3 format
     "zarr_sharded_roundtrip" -> qZarrPushdownSql, // same slice through sharded storage
+    "zarr_extents"          -> qZarrExtentsSql,
     "mdio_open_sel"         -> qZarrPushdownSql, // same cells via coordinate VALUES
   )
 }

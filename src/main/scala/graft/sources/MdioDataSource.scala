@@ -190,17 +190,57 @@ object MdioTableUtil {
   }
 }
 
-/** Pushdown: absorbs per-dimension range filters; prunes variables. */
+/** Pushdown: absorbs per-dimension range filters; prunes variables; and
+  * COMPLETELY answers COUNT(*)/MIN(dim)/MAX(dim) aggregations from the
+  * chunk-grid metadata — the long-form grid is dense by construction
+  * (absent chunks materialize fill), so extents and cardinality of a
+  * 100 TB store are O(1) metadata lookups, no chunk file ever opened. */
 final class MdioScanBuilder(path: String, dims: Seq[String],
                             metas: Map[String, ZarrMeta.ArrayMeta],
                             fullSchema: StructType)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private val dimSet = dims.toSet
   // label -> [lo, hi) accumulated from pushed filters
   private var ranges: Map[String, (Long, Long)] = Map.empty
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = fullSchema
+  // accepted metadata-answerable aggregation: ("count", "") | ("min"/"max", dim)
+  private var pushedAggs: Option[Seq[(String, String)]] = None
+
+  private def translateAggs(agg: connector_expressions.aggregate.Aggregation)
+      : Option[Seq[(String, String)]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val out = agg.aggregateExpressions.map {
+      case _: connector_expressions.aggregate.CountStar => ("count", "")
+      case m: connector_expressions.aggregate.Min => m.column match {
+        case r: connector_expressions.NamedReference
+          if r.fieldNames.length == 1 && dimSet(r.fieldNames.head) =>
+          ("min", r.fieldNames.head)
+        case _ => return None
+      }
+      case m: connector_expressions.aggregate.Max => m.column match {
+        case r: connector_expressions.NamedReference
+          if r.fieldNames.length == 1 && dimSet(r.fieldNames.head) =>
+          ("max", r.fieldNames.head)
+        case _ => return None
+      }
+      case _ => return None
+    }
+    Some(out.toSeq)
+  }
+
+  override def supportCompletePushDown(
+      agg: connector_expressions.aggregate.Aggregation): Boolean =
+    translateAggs(agg).isDefined
+
+  override def pushAggregation(
+      agg: connector_expressions.aggregate.Aggregation): Boolean =
+    translateAggs(agg) match {
+      case Some(t) => pushedAggs = Some(t); true
+      case None => false
+    }
 
   private def asLong(v: Any): Option[Long] = v match {
     case i: Int => Some(i.toLong)
@@ -240,8 +280,59 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
     requiredSchema = required
   }
 
-  override def build(): Scan =
-    MdioScan(path, dims, metas, requiredSchema, ranges)
+  override def build(): Scan = pushedAggs match {
+    case Some(aggs) => MdioAggScan(dims, metas, ranges, aggs)
+    case None => MdioScan(path, dims, metas, requiredSchema, ranges)
+  }
+}
+
+/** Metadata-only scan for completely-pushed COUNT(*)/MIN(dim)/MAX(dim):
+  * one partition, one row, computed from the chunk grid and the clamped
+  * pushed ranges. Dense-grid semantics make this exact: every in-domain
+  * cell exists (fill-materialized when its chunk file is absent). */
+final case class MdioAggScan(dims: Seq[String],
+                             metas: Map[String, ZarrMeta.ArrayMeta],
+                             ranges: Map[String, (Long, Long)],
+                             aggs: Seq[(String, String)]) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(aggs.zipWithIndex.map { case ((f, d), i) =>
+      StructField(if (f == "count") s"count_$i" else s"${f}_${d}_$i", LongType,
+        nullable = f != "count")
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"MdioAggScan(metadata-only: ${aggs.map { case (f, d) => s"$f($d)" }.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val shape = metas.values.head.shape
+    val bounds: Seq[(Long, Long)] = dims.zipWithIndex.map { case (d, i) =>
+      val (lo, hi) = ranges.getOrElse(d, (0L, shape(i)))
+      (math.max(lo, 0L), math.min(hi, shape(i)))
+    }
+    val empty = bounds.exists { case (lo, hi) => lo >= hi }
+    val values: Array[Any] = aggs.map {
+      case ("count", _) =>
+        if (empty) 0L else bounds.map { case (lo, hi) => hi - lo }.product
+      case ("min", d) => if (empty) null else bounds(dims.indexOf(d))._1
+      case ("max", d) => if (empty) null else bounds(dims.indexOf(d))._2 - 1
+    }.toArray
+    Array(MdioAggPartition(values))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = MdioAggReaderFactory()
+}
+
+final case class MdioAggPartition(values: Array[Any]) extends InputPartition
+
+final case class MdioAggReaderFactory() extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      private val row = new GenericInternalRow(p.asInstanceOf[MdioAggPartition].values)
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
 }
 
 final case class MdioScan(path: String, dims: Seq[String],

@@ -1,0 +1,78 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.spec.MdioSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Aggregate pushdown: COUNT(*)/MIN(dim)/MAX(dim) answered entirely from
+  * chunk-grid metadata — exact under dense-grid semantics, zero chunk
+  * files opened (the O(1) extents-of-a-100TB-store path). */
+class MdioAggPushdownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def create(): String = {
+    val dir = Files.createTempDirectory("mdio_agg").resolve("a.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "a", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "inline", "dataType": "int64",
+        |     "dimensions": [{"name": "inline", "size": 32}]},
+        |    {"name": "crossline", "dataType": "int64",
+        |     "dimensions": [{"name": "crossline", "size": 8}]},
+        |    {"name": "image", "dataType": "float64",
+        |     "dimensions": [{"name": "inline", "size": 32}, {"name": "crossline", "size": 8}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8, 4]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    dir // NOTE: no chunk data written at all — metadata must suffice
+  }
+
+  test("count/min/max over dims come from metadata, even with zero chunk files") {
+    val dir = create()
+    val df = spark.read.format("mdio").load(dir)
+    val r = df.agg(count(lit(1)).as("n"),
+        min($"inline").as("mn"), max($"inline").as("mx"),
+        max($"crossline").as("cx"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((256L, 0L, 31L, 7L)))
+    // the plan is the metadata-only scan, not a cell scan
+    val p = df.agg(count(lit(1))).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("MdioAggScan"), p.take(600))
+    MdioWriter.delete(dir)
+  }
+
+  test("pushed dim-range filters narrow the metadata answer") {
+    val dir = create()
+    val df = spark.read.format("mdio").load(dir)
+      .filter($"inline" >= 8 && $"inline" < 24 && $"crossline" < 4)
+    val r = df.agg(count(lit(1)).as("n"), min($"inline").as("mn"), max($"inline").as("mx"))
+      .as[(Long, Long, Long)].head()
+    assert(r == ((64L, 8L, 23L)))
+    // empty slice -> count 0, null extents
+    val e = spark.read.format("mdio").load(dir)
+      .filter($"inline" >= 100)
+      .agg(count(lit(1)), min($"inline"))
+      .collect()(0)
+    assert(e.getLong(0) == 0L && e.isNullAt(1))
+    MdioWriter.delete(dir)
+  }
+
+  test("aggregates the metadata cannot answer still run on cells") {
+    val dir = create()
+    // write real data so the value aggregate has content
+    val cells = for { i <- 0L until 32L; x <- 0L until 8L } yield (i, x, (i + x).toDouble)
+    MdioWriter.writeVariable(spark,
+      cells.toDF("inline", "crossline", "image"), dir, "image")
+    val df = spark.read.format("mdio").load(dir)
+    // SUM over a data variable is not metadata-answerable -> normal scan
+    val s = df.agg(sum($"image")).as[Double].head()
+    assert(s == cells.map(_._3).sum)
+    val p = df.agg(sum($"image")).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("MdioAggScan"))
+    MdioWriter.delete(dir)
+  }
+}
