@@ -339,9 +339,29 @@ final case class MdioScan(path: String, dims: Seq[String],
                           metas: Map[String, ZarrMeta.ArrayMeta],
                           requiredSchema: StructType,
                           ranges: Map[String, (Long, Long)]) extends Scan with Batch
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering with SupportsReportStatistics {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+
+  /** Exact statistics from the chunk-grid metadata (dense-grid semantics):
+    * rows = clamped-bounds product, bytes = rows × projected row width.
+    * Catalyst uses these for join-strategy choices — a sliced mdio table
+    * under the broadcast threshold broadcasts instead of shuffling. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val shape = metas.values.head.shape
+    private val rows: Long = {
+      val bounds = dims.zipWithIndex.map { case (d, i) =>
+        val (lo, hi) = ranges.getOrElse(d, (0L, shape(i)))
+        (math.max(lo, 0L), math.min(hi, shape(i)))
+      }
+      if (bounds.exists { case (lo, hi) => lo >= hi }) 0L
+      else bounds.map { case (lo, hi) => hi - lo }.product
+    }
+    private val rowBytes: Long = requiredSchema.fields.map(_.dataType.defaultSize.toLong).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * math.max(rowBytes, 1L))
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+  }
   override def description(): String =
     s"MdioScan($path, ranges=${ranges.map { case (d, (a, b)) => s"$d:[$a,$b)" }.mkString(",")})"
 

@@ -60,6 +60,20 @@ class MdioAggPushdownSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("connector reports exact metadata statistics; sliced scans broadcast") {
+    val dir = create()
+    val df = spark.read.format("mdio").load(dir).filter($"inline" < 8)
+    // force planning so the scan's reported stats land in the optimized plan
+    val stats = df.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(64)), s"rowCount ${stats.rowCount}")
+    // a small sliced mdio table joined against a big side must broadcast
+    val big = spark.range(100000).select($"id".as("inline"))
+    val p = big.join(df, Seq("inline")).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    MdioWriter.delete(dir)
+  }
+
   test("aggregates the metadata cannot answer still run on cells") {
     val dir = create()
     // write real data so the value aggregate has content
