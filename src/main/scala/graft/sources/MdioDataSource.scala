@@ -199,7 +199,7 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
                             metas: Map[String, ZarrMeta.ArrayMeta],
                             fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private val dimSet = dims.toSet
   // label -> [lo, hi) accumulated from pushed filters
@@ -208,6 +208,16 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
   private var requiredSchema: StructType = fullSchema
   // accepted metadata-answerable aggregation: ("count", "") | ("min"/"max", dim)
   private var pushedAggs: Option[Seq[(String, String)]] = None
+  // LIMIT hint: enumerate only enough chunks to cover this many cells —
+  // df.limit(k) on a 100 TB store plans a handful of partitions instead
+  // of millions. Partial pushdown: Spark still applies the final limit.
+  private var limitCells: Option[Int] = None
+
+  override def pushLimit(limit: Int): Boolean = {
+    limitCells = Some(limit)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   private def translateAggs(agg: connector_expressions.aggregate.Aggregation)
       : Option[Seq[(String, String)]] = {
@@ -282,7 +292,7 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
 
   override def build(): Scan = pushedAggs match {
     case Some(aggs) => MdioAggScan(dims, metas, ranges, aggs)
-    case None => MdioScan(path, dims, metas, requiredSchema, ranges)
+    case None => MdioScan(path, dims, metas, requiredSchema, ranges, limitCells)
   }
 }
 
@@ -338,7 +348,8 @@ final case class MdioAggReaderFactory() extends PartitionReaderFactory {
 final case class MdioScan(path: String, dims: Seq[String],
                           metas: Map[String, ZarrMeta.ArrayMeta],
                           requiredSchema: StructType,
-                          ranges: Map[String, (Long, Long)]) extends Scan with Batch
+                          ranges: Map[String, (Long, Long)],
+                          limitCells: Option[Int] = None) extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -425,7 +436,7 @@ final case class MdioScan(path: String, dims: Seq[String],
       if (dim == dims.size) Iterator.single(acc)
       else (chunkLo(dim) to chunkHi(dim)).iterator.flatMap(c => enumerate(dim + 1, acc :+ c))
 
-    enumerate(0, Vector.empty).flatMap { cc =>
+    val it = enumerate(0, Vector.empty).flatMap { cc =>
       // cell range inside this chunk (global coords)
       val cell = cc.zipWithIndex.map { case (c, i) =>
         val lo = math.max(bounds(i)._1, c * chunks(i))
@@ -438,9 +449,25 @@ final case class MdioScan(path: String, dims: Seq[String],
         runtimeValues.get(d).exists(vals => !anyValueIn(vals, cell(i)._1, cell(i)._2))
       }
       if (pruned) None
-      else Some(MdioInputPartition(path, cc.toArray, cell.map(_._1).toArray, cell.map(_._2).toArray,
-        neededVars, neededVars.map(v => metas(v)).toArray): InputPartition)
-    }.toArray
+      else Some((MdioInputPartition(path, cc.toArray, cell.map(_._1).toArray, cell.map(_._2).toArray,
+        neededVars, neededVars.map(v => metas(v)).toArray): InputPartition,
+        cell.map { case (lo, hi) => hi - lo }.product))
+    }
+    limitCells match {
+      // runtime IN-filters re-filter rows inside chunks, so a cell-count
+      // cap could under-deliver; plan everything in that (join-side) case
+      case Some(limit) if runtimeValues.isEmpty =>
+        val out = Vector.newBuilder[InputPartition]
+        var cells = 0L
+        val iter = it
+        while (cells < limit && iter.hasNext) {
+          val (p, n) = iter.next()
+          out += p
+          cells += n
+        }
+        out.result().toArray
+      case _ => it.map(_._1).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

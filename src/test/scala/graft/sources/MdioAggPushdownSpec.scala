@@ -74,6 +74,28 @@ class MdioAggPushdownSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("limit pushdown plans a handful of chunks, not the whole grid") {
+    val dir = create()
+    val df = spark.read.format("mdio").load(dir)
+    def scanPartitions(d: org.apache.spark.sql.DataFrame): Int = {
+      val plan = d.queryExecution.executedPlan
+      plan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }.sum
+    }
+    // full grid = 32 chunks of 8x4 = 256 cells; limit(5) needs one chunk
+    val limited = df.limit(5)
+    assert(limited.count() == 5)
+    assert(scanPartitions(limited) == 1, s"limit(5) planned ${scanPartitions(limited)} chunks")
+    // crossing a chunk boundary plans exactly as many chunks as needed
+    val two = df.limit(40) // 32 cells/chunk -> 2 chunks
+    assert(two.count() == 40 && scanPartitions(two) == 2)
+    // no limit -> the full 8-chunk grid plans (sanity that the cap is real)
+    assert(scanPartitions(df.filter($"inline" >= 0)) == 8)
+    MdioWriter.delete(dir)
+  }
+
   test("aggregates the metadata cannot answer still run on cells") {
     val dir = create()
     // write real data so the value aggregate has content
