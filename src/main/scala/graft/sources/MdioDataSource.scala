@@ -199,7 +199,8 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
                             metas: Map[String, ZarrMeta.ArrayMeta],
                             fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private val dimSet = dims.toSet
   // label -> [lo, hi) accumulated from pushed filters
@@ -218,6 +219,28 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
     true
   }
   override def isPartiallyPushed(): Boolean = true
+
+  // TOP-N hint: ORDER BY <dims...> LIMIT k. Only complete slabs of the
+  // LEADING sort dimension need planning — the leading key dominates the
+  // lexicographic order, so every true top-k row lives in the first
+  // slab(s) covering >= k cells (partial pushdown: Spark re-sorts the
+  // reduced set). (dim asc-or-desc, leading key arbitrary dim.)
+  private var topN: Option[(String, Boolean, Int)] = None // (dim, descending, k)
+
+  override def pushTopN(orders: Array[connector_expressions.SortOrder], limit: Int): Boolean = {
+    val dimsOnly = orders.forall(_.expression() match {
+      case r: connector_expressions.NamedReference =>
+        r.fieldNames.length == 1 && dimSet(r.fieldNames.head)
+      case _ => false
+    })
+    if (!dimsOnly || orders.isEmpty) return false
+    val lead = orders.head
+    val leadDim = lead.expression().asInstanceOf[connector_expressions.NamedReference]
+      .fieldNames.head
+    topN = Some((leadDim,
+      lead.direction() == connector_expressions.SortDirection.DESCENDING, limit))
+    true
+  }
 
   private def translateAggs(agg: connector_expressions.aggregate.Aggregation)
       : Option[Seq[(String, String)]] = {
@@ -292,7 +315,7 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
 
   override def build(): Scan = pushedAggs match {
     case Some(aggs) => MdioAggScan(dims, metas, ranges, aggs)
-    case None => MdioScan(path, dims, metas, requiredSchema, ranges, limitCells)
+    case None => MdioScan(path, dims, metas, requiredSchema, ranges, limitCells, topN)
   }
 }
 
@@ -349,7 +372,8 @@ final case class MdioScan(path: String, dims: Seq[String],
                           metas: Map[String, ZarrMeta.ArrayMeta],
                           requiredSchema: StructType,
                           ranges: Map[String, (Long, Long)],
-                          limitCells: Option[Int] = None) extends Scan with Batch
+                          limitCells: Option[Int] = None,
+                          topN: Option[(String, Boolean, Int)] = None) extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -436,7 +460,7 @@ final case class MdioScan(path: String, dims: Seq[String],
       if (dim == dims.size) Iterator.single(acc)
       else (chunkLo(dim) to chunkHi(dim)).iterator.flatMap(c => enumerate(dim + 1, acc :+ c))
 
-    val it = enumerate(0, Vector.empty).flatMap { cc =>
+    def partitionFor(cc: Vector[Long]): Option[(InputPartition, Long)] = {
       // cell range inside this chunk (global coords)
       val cell = cc.zipWithIndex.map { case (c, i) =>
         val lo = math.max(bounds(i)._1, c * chunks(i))
@@ -453,20 +477,50 @@ final case class MdioScan(path: String, dims: Seq[String],
         neededVars, neededVars.map(v => metas(v)).toArray): InputPartition,
         cell.map { case (lo, hi) => hi - lo }.product))
     }
-    limitCells match {
-      // runtime IN-filters re-filter rows inside chunks, so a cell-count
-      // cap could under-deliver; plan everything in that (join-side) case
-      case Some(limit) if runtimeValues.isEmpty =>
+
+    topN match {
+      // ORDER BY <dims> LIMIT k: plan complete slabs of the LEADING sort
+      // dim (in its direction) until >= k cells are covered — the leading
+      // key dominates, so the true top-k rows all live in those slabs.
+      // Spark re-sorts the reduced set (partial pushdown).
+      case Some((dim, desc, k)) if runtimeValues.isEmpty =>
+        val j = dims.indexOf(dim)
+        val cjs = if (desc) chunkHi(j) to chunkLo(j) by -1 else chunkLo(j) to chunkHi(j)
+        val others = dims.indices.filterNot(_ == j).toList
+        def enumOthers(rem: List[Int], acc: Map[Int, Long]): Iterator[Map[Int, Long]] =
+          rem match {
+            case Nil => Iterator.single(acc)
+            case d :: tail =>
+              (chunkLo(d) to chunkHi(d)).iterator.flatMap(c => enumOthers(tail, acc + (d -> c)))
+          }
         val out = Vector.newBuilder[InputPartition]
         var cells = 0L
-        val iter = it
-        while (cells < limit && iter.hasNext) {
-          val (p, n) = iter.next()
-          out += p
-          cells += n
+        val slabIter = cjs.iterator
+        while (cells < k && slabIter.hasNext) {
+          val cj = slabIter.next()
+          enumOthers(others, Map(j -> cj)).foreach { m =>
+            partitionFor(Vector.tabulate(dims.size)(m)).foreach { case (p, n) =>
+              out += p; cells += n
+            }
+          }
         }
         out.result().toArray
-      case _ => it.map(_._1).toArray
+      case _ =>
+        val it = enumerate(0, Vector.empty).flatMap(partitionFor)
+        limitCells match {
+          // runtime IN-filters re-filter rows inside chunks, so a
+          // cell-count cap could under-deliver; plan everything then
+          case Some(limit) if runtimeValues.isEmpty =>
+            val out = Vector.newBuilder[InputPartition]
+            var cells = 0L
+            while (cells < limit && it.hasNext) {
+              val (p, n) = it.next()
+              out += p
+              cells += n
+            }
+            out.result().toArray
+          case _ => it.map(_._1).toArray
+        }
     }
   }
 

@@ -96,6 +96,30 @@ class MdioAggPushdownSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("topN pushdown: ORDER BY dim LIMIT k plans leading-dim slabs only") {
+    val dir = create()
+    val cells = for { i <- 0L until 32L; x <- 0L until 8L } yield (i, x, (i * 8 + x).toDouble)
+    MdioWriter.writeVariable(spark,
+      cells.toDF("inline", "crossline", "image"), dir, "image")
+    def scanPartitions(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }.sum
+    val df = spark.read.format("mdio").load(dir)
+    // ascending: first inline slab (8x4 chunks -> 2 chunks of the 8 total)
+    val asc = df.orderBy($"inline", $"crossline").limit(5)
+    assert(scanPartitions(asc) == 2, s"asc planned ${scanPartitions(asc)}")
+    assert(asc.select("inline", "crossline", "image").as[(Long, Long, Double)].collect().toSeq ==
+      (for { x <- 0L until 5L } yield (0L, x, x.toDouble)))
+    // descending: LAST inline slab
+    val desc = df.orderBy($"inline".desc, $"crossline".desc).limit(3)
+    assert(scanPartitions(desc) == 2, s"desc planned ${scanPartitions(desc)}")
+    assert(desc.select("inline", "crossline").as[(Long, Long)].collect().toSeq ==
+      Seq((31L, 7L), (31L, 6L), (31L, 5L)))
+    MdioWriter.delete(dir)
+  }
+
   test("aggregates the metadata cannot answer still run on cells") {
     val dir = create()
     // write real data so the value aggregate has content
