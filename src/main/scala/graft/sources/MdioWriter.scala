@@ -399,7 +399,9 @@ object MdioWriter {
     * and writes data + footer index (+crc32c) in one put. At 100 TB this
     * is what keeps object counts sane: billions of inner chunks, millions
     * of shard objects. Float + integral dtypes (complex/record stay
-    * unsharded in v1). */
+    * unsharded in v1). A shard is assembled in task memory — size shards
+    * to the usual object-store sweet spot (≲1 GB), which also keeps the
+    * JVM arrays under the 2 GB Array[Byte] ceiling. */
   private def writeShardedVariable(spark: SparkSession, df: DataFrame, path: String,
                                    variable: String, meta: ZarrMeta.ArrayMeta,
                                    dims: Seq[String]): Unit = {
