@@ -25,6 +25,11 @@ class ShardingSpec extends SparkSpec {
       |     "dimensions": [{"name": "inline", "size": 8}, {"name": "crossline", "size": 6}],
       |     "compressor": {"name": "blosc", "cname": "zstd", "clevel": 5, "shuffle": 1},
       |     "metadata": {"chunkGrid": {"name": "regular", "configuration":
+      |       {"chunkShape": [2, 3], "shardShape": [4, 6]}}}},
+      |    {"name": "mask", "dataType": "int32",
+      |     "dimensions": [{"name": "inline", "size": 8}, {"name": "crossline", "size": 6}],
+      |     "compressor": {"name": "zstd"},
+      |     "metadata": {"chunkGrid": {"name": "regular", "configuration":
       |       {"chunkShape": [2, 3], "shardShape": [4, 6]}}}}
       |  ]
       |}""".stripMargin
@@ -59,6 +64,11 @@ class ShardingSpec extends SparkSpec {
     // write only inlines 0..5 -> shard (1,0) has inner chunks with no data
     val cells = for { i <- 0L until 6L; x <- 0L until 6L } yield (i, x, (i * 10 + x).toFloat)
     MdioWriter.writeVariable(spark, cells.toDF("inline", "crossline", "image"), dir, "image")
+    // integral sharded path: int32 mask through the same shard layout
+    MdioWriter.writeVariable(spark,
+      cells.map { case (i, x, _) => (i, x, ((i + x) % 7).toInt) }
+        .toDF("inline", "crossline", "mask").select(col("inline"), col("crossline"),
+          col("mask").cast("double").as("mask")), dir, "mask")
 
     // exactly 2 shard objects, not 8 chunk files
     val keys = root.resolve("image").resolve("c").listFilesRecursive()
@@ -66,13 +76,18 @@ class ShardingSpec extends SparkSpec {
     assert(keys == Seq("0/0", "1/0"))
 
     val df = spark.read.format("mdio").load(dir)
-    // full read: written cells exact, unwritten cells = fill (NaN)
-    val got = df.select("inline", "crossline", "image")
-      .as[(Long, Long, Float)].collect()
+    // full read: written cells exact, unwritten cells = fill (NaN / i32 max)
+    val got = df.select("inline", "crossline", "image", "mask")
+      .as[(Long, Long, Float, Int)].collect()
     assert(got.length == 48)
-    got.foreach { case (i, x, v) =>
-      if (i < 6) assert(v == (i * 10 + x).toFloat, s"($i,$x)")
-      else assert(v.isNaN, s"($i,$x) should be fill")
+    got.foreach { case (i, x, v, m) =>
+      if (i < 6) {
+        assert(v == (i * 10 + x).toFloat, s"($i,$x)")
+        assert(m == ((i + x) % 7).toInt, s"mask ($i,$x)")
+      } else {
+        assert(v.isNaN, s"($i,$x) should be fill")
+        assert(m == Int.MaxValue, s"mask fill ($i,$x)")
+      }
     }
     // pushdown still prunes at INNER-chunk granularity
     val p = df.filter($"inline" >= 2 && $"inline" < 4 && $"crossline" < 3)
