@@ -1,0 +1,31 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Catch-all plan hygiene over the ENTIRE query inventory: no query may
+  * plan a cartesian product or nested-loop join unless it is one by
+  * definition — the class of regression that stays invisible at sf0.01
+  * and detonates at 100 TB. */
+class PlanHygieneSpec extends SparkSpec {
+
+  // deliberate exceptions: join_cross IS a cross join; text_tfidf attaches
+  // the corpus doc count via crossJoin(broadcast(<one-row aggregate>)) —
+  // a single-row build side is O(rows), the canonical scalar attach
+  private val allowCartesian = Set("join_cross", "text_tfidf")
+
+  test("no accidental cartesian/nested-loop joins across the inventory") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, sf).queryExecution
+            .explainString(org.apache.spark.sql.execution.SimpleMode)
+          catch { case e: Throwable => s"BUILD FAILED: ${e.getMessage}" }
+        if (plan.startsWith("BUILD FAILED")) Some(name -> plan.take(120))
+        else if (!allowCartesian(name) &&
+          (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")))
+          Some(name -> "cartesian/nested-loop join in plan")
+        else None
+    }
+    assert(offenders.isEmpty, offenders.map { case (n, w) => s"$n: $w" }.mkString("\n"))
+  }
+}
