@@ -66,7 +66,8 @@ final case class MdioBatchWrite(path: String, dims: Seq[String],
                                 schema: StructType) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     MdioDataWriterFactory(path, dims.toArray, schema,
-      schema.fieldNames.filter(metas.contains).map(v => v -> metas(v)))
+      schema.fieldNames.filter(metas.contains).map(v => v -> metas(v)),
+      graft.zarr.HConf.capture())
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // all tasks succeeded; (v2) refresh consolidated metadata on the driver
@@ -79,10 +80,13 @@ final case class MdioBatchWrite(path: String, dims: Seq[String],
 
 final case class MdioDataWriterFactory(path: String, dims: Array[String],
                                        schema: StructType,
-                                       vars: Array[(String, ZarrMeta.ArrayMeta)])
+                                       vars: Array[(String, ZarrMeta.ArrayMeta)],
+                                       hconf: graft.zarr.HConf)
     extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    graft.zarr.VPath.install(hconf.value) // executor JVMs have no SparkSession
     new MdioDataWriter(path, dims, schema, vars)
+  }
 }
 
 private object MdioDone extends WriterCommitMessage

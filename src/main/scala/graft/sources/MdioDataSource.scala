@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.zarr.{ChunkCodec, ZarrMeta}
+import graft.zarr.{ChunkCodec, HConf, VPath, ZarrMeta}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
@@ -23,9 +23,12 @@ import scala.jdk.CollectionConverters._
   * convention the reference writes (mdio/variable.h labeled dims).
   *
   * Scale design:
-  *  - one InputPartition per chunk intersecting the pushed dim ranges —
+  *  - partitions cover only chunks intersecting the pushed dim ranges —
   *    the Spark analog of the reference's "only chunks inside the slice are
-  *    read" (USER_GUIDE.md Read; mdio/variable.h:1348-1351);
+  *    read" (USER_GUIDE.md Read; mdio/variable.h:1348-1351) — and the plain
+  *    full-scan path COALESCES C-order-adjacent chunks into per-task ranges
+  *    (~targetPartitionBytes each), so the driver plans O(bytes/target)
+  *    partitions, never one control object per chunk;
   *  - `SupportsPushDownFilters`: per-dimension range predicates are absorbed
   *    entirely (chunk pruning + exact in-chunk ranges), so a 100 TB store
   *    sliced to one inline only ever opens that inline's chunk files;
@@ -506,11 +509,11 @@ final case class MdioScan(path: String, dims: Seq[String],
         }
         out.result().toArray
       case _ =>
-        val it = enumerate(0, Vector.empty).flatMap(partitionFor)
         limitCells match {
           // runtime IN-filters re-filter rows inside chunks, so a
           // cell-count cap could under-deliver; plan everything then
           case Some(limit) if runtimeValues.isEmpty =>
+            val it = enumerate(0, Vector.empty).flatMap(partitionFor)
             val out = Vector.newBuilder[InputPartition]
             var cells = 0L
             while (cells < limit && it.hasNext) {
@@ -519,13 +522,46 @@ final case class MdioScan(path: String, dims: Seq[String],
               cells += n
             }
             out.result().toArray
-          case _ => it.map(_._1).toArray
+          case None if runtimeValues.isEmpty =>
+            // ---- coalesced chunk-range planning (the plain full-scan
+            // path). One InputPartition per contiguous C-order RANGE of
+            // chunks, sized to ~targetPartitionBytes of projected output
+            // per task — a billion-chunk store plans O(bytes/target)
+            // partitions, never one driver-side control object per chunk
+            // (SURVEY §7.4.6; the reference iterates chunks inside the
+            // read, mdio/variable.h:1078-1103, rather than materializing
+            // per-chunk control structures on a coordinator). Small grids
+            // still fan out to the cluster's parallelism, so correctness
+            // tests and small stores keep their per-chunk behavior.
+            val extents: Array[Long] =
+              dims.indices.map(i => chunkHi(i) - chunkLo(i) + 1).toArray
+            val totalChunks = extents.product
+            val totalCells = bounds.map { case (lo, hi) => hi - lo }.product
+            val rowBytes =
+              math.max(1L, requiredSchema.fields.map(_.dataType.defaultSize.toLong).sum)
+            val session = org.apache.spark.sql.SparkSession.getActiveSession
+              .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+            val targetBytes = session
+              .map(_.conf.get("spark.graft.scan.targetPartitionBytes", "134217728").toLong)
+              .getOrElse(134217728L)
+            val targetCells = math.max(1L, targetBytes / rowBytes)
+            val idealTasks = (totalCells + targetCells - 1) / targetCells
+            val par = session.map(_.sparkContext.defaultParallelism.toLong).getOrElse(1L)
+            val tasks = math.max(1L, math.min(totalChunks, math.max(idealTasks, par)))
+            val chunksPerTask = (totalChunks + tasks - 1) / tasks
+            (0L until totalChunks by chunksPerTask).map { s =>
+              MdioChunkRangePartition(path, chunkLo.toArray, extents, chunks.toArray,
+                s, math.min(s + chunksPerTask, totalChunks),
+                bounds.map(_._1).toArray, bounds.map(_._2).toArray,
+                neededVars, neededVars.map(v => metas(v)).toArray): InputPartition
+            }.toArray
+          case _ => enumerate(0, Vector.empty).flatMap(partitionFor).map(_._1).toArray
         }
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    MdioReaderFactory(dims.toArray, requiredSchema)
+    MdioReaderFactory(dims.toArray, requiredSchema, HConf.capture())
 
   // streaming read: tail newly appended chunk objects (MdioMicroBatchStream)
   override def toMicroBatchStream(checkpointLocation: String)
@@ -538,10 +574,74 @@ final case class MdioInputPartition(path: String, chunk: Array[Long],
                                     vars: Array[String],
                                     metas: Array[ZarrMeta.ArrayMeta]) extends InputPartition
 
-final case class MdioReaderFactory(dims: Array[String], schema: StructType)
+/** A contiguous C-order RANGE of chunks: `[startIdx, endIdx)` flat indices
+  * within the chunk-coordinate box `[chunkLo, chunkLo + extents)`. O(1)
+  * driver-side footprint regardless of how many chunks the task owns — the
+  * executor reconstructs each chunk's coordinates and clamped cell bounds
+  * from the range arithmetic. */
+final case class MdioChunkRangePartition(path: String,
+                                         chunkLo: Array[Long], extents: Array[Long],
+                                         chunkShape: Array[Long],
+                                         startIdx: Long, endIdx: Long,
+                                         boundLo: Array[Long], boundHi: Array[Long],
+                                         vars: Array[String],
+                                         metas: Array[ZarrMeta.ArrayMeta]) extends InputPartition
+
+/** Sequentially drives one per-chunk reader over a [[MdioChunkRangePartition]]
+  * (row or columnar, via `mk`): decode chunk coords from the flat C-order
+  * index, clamp cell bounds, delegate. */
+final class MdioChunkRangeReader[T](rp: MdioChunkRangePartition,
+                                    mk: MdioInputPartition => PartitionReader[T])
+    extends PartitionReader[T] {
+  private val rank = rp.chunkLo.length
+  private var idx = rp.startIdx
+  private var cur: PartitionReader[T] = null
+
+  private def chunkPartition(flat: Long): MdioInputPartition = {
+    val cc = new Array[Long](rank)
+    var rem = flat
+    var i = rank - 1
+    while (i >= 0) { cc(i) = rp.chunkLo(i) + rem % rp.extents(i); rem /= rp.extents(i); i -= 1 }
+    val lo = new Array[Long](rank)
+    val hi = new Array[Long](rank)
+    i = 0
+    while (i < rank) {
+      lo(i) = math.max(rp.boundLo(i), cc(i) * rp.chunkShape(i))
+      hi(i) = math.min(rp.boundHi(i), (cc(i) + 1) * rp.chunkShape(i))
+      i += 1
+    }
+    MdioInputPartition(rp.path, cc, lo, hi, rp.vars, rp.metas)
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (idx >= rp.endIdx) return false
+        cur = mk(chunkPartition(idx))
+        idx += 1
+      }
+      if (cur.next()) return true
+      cur.close()
+      cur = null
+    }
+    false // unreachable
+  }
+
+  override def get(): T = cur.get()
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+}
+
+final case class MdioReaderFactory(dims: Array[String], schema: StructType,
+                                   hconf: HConf)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new MdioPartitionReader(p.asInstanceOf[MdioInputPartition], dims, schema)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    VPath.install(hconf.value) // executor JVMs have no SparkSession
+    p match {
+      case cp: MdioInputPartition => new MdioPartitionReader(cp, dims, schema)
+      case rp: MdioChunkRangePartition =>
+        new MdioChunkRangeReader[InternalRow](rp, cp => new MdioPartitionReader(cp, dims, schema))
+    }
+  }
 
   // vectorized path: decoded chunks land directly in column vectors, so the
   // scan feeds whole-stage codegen batches instead of row-at-a-time
@@ -555,8 +655,15 @@ final case class MdioReaderFactory(dims: Array[String], schema: StructType)
     }
 
   override def createColumnarReader(p: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new MdioColumnarReader(p.asInstanceOf[MdioInputPartition], dims, schema)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    VPath.install(hconf.value)
+    p match {
+      case cp: MdioInputPartition => new MdioColumnarReader(cp, dims, schema)
+      case rp: MdioChunkRangePartition =>
+        new MdioChunkRangeReader[org.apache.spark.sql.vectorized.ColumnarBatch](
+          rp, cp => new MdioColumnarReader(cp, dims, schema))
+    }
+  }
 }
 
 /** Decodes one chunk per variable, then iterates the in-chunk cell ranges in

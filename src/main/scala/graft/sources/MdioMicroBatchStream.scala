@@ -110,5 +110,5 @@ final class MdioMicroBatchStream(path: String, dims: Seq[String],
   }
 
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
-    MdioReaderFactory(dims.toArray, requiredSchema)
+    MdioReaderFactory(dims.toArray, requiredSchema, graft.zarr.HConf.capture())
 }

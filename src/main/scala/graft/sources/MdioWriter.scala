@@ -143,10 +143,12 @@ object MdioWriter {
 
     val nChunks = grid.product
     val parts = math.min(nChunks, math.max(spark.sparkContext.defaultParallelism.toLong, 1L)).toInt
+    val hc = graft.zarr.HConf.capture() // executor JVMs have no SparkSession
 
     projected
       .repartition(parts, col("__chunk"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        VPath.install(hc.value)
         // group this partition's rows by chunk; one buffer per chunk at a time
         val byChunkD = scala.collection.mutable.Map[Long, Array[Double]]()
         val byChunkL = scala.collection.mutable.Map[Long, Array[Long]]()
@@ -322,10 +324,12 @@ object MdioWriter {
     val projected = df.select(dimCols ++ fieldCols: _*).withColumn("__chunk", chunkId)
     val nChunks = grid.product
     val parts = math.min(nChunks, math.max(spark.sparkContext.defaultParallelism.toLong, 1L)).toInt
+    val hc = graft.zarr.HConf.capture()
 
     projected
       .repartition(parts, col("__chunk"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        VPath.install(hc.value)
         import java.nio.{ByteBuffer, ByteOrder}
         val byChunk = scala.collection.mutable.Map[Long, Array[Byte]]()
         val chunkBytes = chunks.product.toInt * recSize
@@ -444,10 +448,12 @@ object MdioWriter {
     val projected = df.select(dimCols :+ vCol: _*).withColumn("__shard", shardId)
     val nShards = sGrid.product
     val parts = math.min(nShards, math.max(spark.sparkContext.defaultParallelism.toLong, 1L)).toInt
+    val hc = graft.zarr.HConf.capture()
 
     projected
       .repartition(parts, col("__shard"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        VPath.install(hc.value)
         val chunkLen = chunks.product.toInt
         val innerCount = ips.product.toInt
         def shardPath(sid: Long) = {

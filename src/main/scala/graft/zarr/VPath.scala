@@ -108,13 +108,27 @@ final class VPath private (val uri: String) extends Serializable {
 object VPath {
   def apply(s: String): VPath = new VPath(s)
 
+  // driver-captured configuration installed by task-side readers/writers
+  // (see HConf): on a real cluster executors have no SparkSession, and a
+  // bare `new Configuration()` would lose every spark.hadoop.* override
+  @volatile private var installedConf: Configuration = null
+
+  /** Install a driver-captured configuration as this JVM's fallback for
+    * all subsequent VPath filesystem resolution (idempotent; called from
+    * reader/writer factories before any task-side I/O). */
+  private[graft] def install(c: Configuration): Unit =
+    if (c != null) installedConf = c
+
   /** Hadoop conf: the active/default Spark session's (carries
-    * `spark.hadoop.*` overrides — cloud creds, endpoints); plain
-    * `Configuration` off the classpath otherwise (executors of a real
-    * cluster, plain JVM tools). */
-  private[zarr] def conf: Configuration =
+    * `spark.hadoop.*` overrides — cloud creds, endpoints); else a
+    * driver-captured [[install]]ed conf (executors of a real cluster);
+    * else a plain `Configuration` off the classpath (bare JVM tools). */
+  private[graft] def conf: Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+      .getOrElse {
+        val c = installedConf
+        if (c != null) c else new Configuration()
+      }
 }

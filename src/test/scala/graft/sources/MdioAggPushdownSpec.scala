@@ -91,8 +91,10 @@ class MdioAggPushdownSpec extends SparkSpec {
     // crossing a chunk boundary plans exactly as many chunks as needed
     val two = df.limit(40) // 32 cells/chunk -> 2 chunks
     assert(two.count() == 40 && scanPartitions(two) == 2)
-    // no limit -> the full 8-chunk grid plans (sanity that the cap is real)
-    assert(scanPartitions(df.filter($"inline" >= 0)) == 8)
+    // no limit -> the full grid plans, coalesced into range partitions
+    // capped at the cluster parallelism (sanity that the cap is real)
+    assert(scanPartitions(df.filter($"inline" >= 0)) ==
+      spark.sparkContext.defaultParallelism)
     MdioWriter.delete(dir)
   }
 

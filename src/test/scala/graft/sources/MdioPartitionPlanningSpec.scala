@@ -1,0 +1,103 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.spec.MdioSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{FloatType, LongType, StructType}
+import java.nio.file.Files
+
+/** Chunk-range coalescing in partition planning (SURVEY §7.4.6): a
+  * many-chunk store must NOT plan one driver-side InputPartition per chunk
+  * on the full-scan path — ranges of C-order-adjacent chunks group into
+  * ~targetPartitionBytes tasks, while filters, pruning, and results stay
+  * exact. The reference never materializes per-chunk control structures on
+  * a coordinator (mdio/variable.h:1078-1103 iterates chunks inside the
+  * read). */
+class MdioPartitionPlanningSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4096 cells in 1024 chunks of 4 — enough chunks that per-chunk
+  // planning is visibly different from coalesced planning
+  private val specJson =
+    """{
+      |  "metadata": {"name": "many", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+      |  "variables": [
+      |    {"name": "trace", "dataType": "int64",
+      |     "dimensions": [{"name": "trace", "size": 4096}]},
+      |    {"name": "value", "dataType": "float32",
+      |     "dimensions": [{"name": "trace", "size": 4096}],
+      |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [4]}}}}
+      |  ]
+      |}""".stripMargin
+
+  private def freshStore(): String = {
+    val dir = Files.createTempDirectory("mdio_plan").resolve("many.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(specJson), dir)
+    val df = (0L until 4096L).map(i => (i, i.toFloat)).toDF("trace", "value")
+    MdioWriter.writeVariable(spark, df, dir, "value")
+    dir
+  }
+
+  private def scanFor(dir: String, ranges: Map[String, (Long, Long)]) = {
+    val meta = graft.zarr.ZarrMeta.readGroup(graft.zarr.ZarrMeta.path(dir))._2("value")._1
+    MdioScan(dir, Seq("trace"), Map("value" -> meta),
+      new StructType().add("trace", LongType).add("value", FloatType), ranges)
+  }
+
+  test("full scan coalesces 1024 chunks into ~defaultParallelism range partitions") {
+    val dir = freshStore()
+    val parts = scanFor(dir, Map.empty).planInputPartitions()
+    val par = spark.sparkContext.defaultParallelism
+    assert(parts.length == par, s"expected $par coalesced partitions, got ${parts.length}")
+    assert(parts.forall(_.isInstanceOf[MdioChunkRangePartition]))
+    // ranges tile [0, 1024) without overlap
+    val ranges = parts.map(_.asInstanceOf[MdioChunkRangePartition])
+      .map(p => (p.startIdx, p.endIdx)).sortBy(_._1)
+    assert(ranges.head._1 == 0L && ranges.last._2 == 1024L)
+    assert(ranges.sliding(2).forall { case Array((_, e), (s, _)) => e == s; case _ => true })
+    MdioWriter.delete(dir)
+  }
+
+  test("coalesced full scan reads every cell exactly once") {
+    val dir = freshStore()
+    val df = spark.read.format("mdio").load(dir)
+    val row = df.agg(count("*"), sum($"value".cast("double")),
+      min($"value"), max($"value")).head
+    assert(row.getLong(0) == 4096L)
+    assert(row.getDouble(1) == 4096.0 * 4095.0 / 2.0)
+    assert(row.getFloat(2) == 0f && row.getFloat(3) == 4095f)
+    MdioWriter.delete(dir)
+  }
+
+  test("pushed ranges still prune before coalescing") {
+    val dir = freshStore()
+    // trace >= 4000 → only chunks 1000..1023 (24 chunks) → ≤ parallelism tasks
+    val parts = scanFor(dir, Map("trace" -> (4000L, Long.MaxValue))).planInputPartitions()
+    assert(parts.length <= spark.sparkContext.defaultParallelism)
+    val covered = parts.map(_.asInstanceOf[MdioChunkRangePartition])
+      .map(p => p.endIdx - p.startIdx).sum
+    assert(covered == 24L)
+    val got = spark.read.format("mdio").load(dir).filter($"trace" >= 4000)
+    assert(got.count() == 96L)
+    assert(got.agg(sum($"value".cast("double"))).head.getDouble(0) ==
+      (4000 until 4096).map(_.toDouble).sum)
+    MdioWriter.delete(dir)
+  }
+
+  test("targetPartitionBytes dials the partition count up to per-chunk") {
+    val dir = freshStore()
+    spark.conf.set("spark.graft.scan.targetPartitionBytes", "1")
+    try {
+      val parts = scanFor(dir, Map.empty).planInputPartitions()
+      assert(parts.length == 1024) // one chunk per task at the floor
+    } finally spark.conf.unset("spark.graft.scan.targetPartitionBytes")
+    // and a mid-size target lands in between: projected row width is
+    // 12 bytes (long dim + float value), so 512 cells/task → 8 tasks
+    spark.conf.set("spark.graft.scan.targetPartitionBytes", (512 * 12).toString)
+    try {
+      val parts = scanFor(dir, Map.empty).planInputPartitions()
+      assert(parts.length == 8, s"got ${parts.length}")
+    } finally spark.conf.unset("spark.graft.scan.targetPartitionBytes")
+    MdioWriter.delete(dir)
+  }
+}
