@@ -32,6 +32,12 @@ import org.apache.spark.sql.types._
   * partial-chunk writes READ-MODIFY-WRITE — an existing chunk's
   * untouched cells are preserved (seeded from the decoded chunk), and
   * only absent chunks are fill-initialized.
+  *
+  * NULL values mean "leave this cell untouched". Spark's DSv2 append
+  * resolution expands the input to the full table schema with nulls for
+  * columns the DataFrame doesn't carry, so partial-VARIABLE writes are
+  * the normal case — the null-skip is what keeps the unmentioned
+  * variables' data intact.
   */
 final case class MdioWriteBuilder(path: String, dims: Seq[String],
                                   metas: Map[String, ZarrMeta.ArrayMeta],
@@ -41,14 +47,11 @@ final case class MdioWriteBuilder(path: String, dims: Seq[String],
 
   override def truncate(): WriteBuilder = this // whole-chunk rewrite either way
 
-  // sharded (sharding_indexed) variables need shard-granular ownership —
-  // MdioWriter.writeVariable shuffles on the shard id; the row-at-a-time
-  // sink writes chunk objects and would tear shard files
-  require(metas.values.forall(_.shard.isEmpty),
-    s"df.write.format(\"mdio\") does not support sharded variables; " +
-      "use MdioWriter.writeVariable (shard-aligned shuffle write)")
-
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    if (!aligned) MdioWriteBuilder.log.warn(
+      s"mdio sink at $path: writing SERIALLY (one task owns every chunk). " +
+        "For a parallel write use MdioWriter.insertAligned(df, path) — or " +
+        "MdioWriter.repartitionByChunk(df, path) with .option(\"aligned\", \"true\").")
     override def requiredDistribution(): Distribution =
       if (aligned) Distributions.unspecified()
       // constant clustering key + 1 partition = every chunk owned by the
@@ -59,6 +62,10 @@ final case class MdioWriteBuilder(path: String, dims: Seq[String],
     override def requiredOrdering(): Array[SortOrder] = Array.empty
     override def toBatch: BatchWrite = MdioBatchWrite(path, dims, metas, schema)
   }
+}
+
+object MdioWriteBuilder {
+  private[sources] val log = org.slf4j.LoggerFactory.getLogger(classOf[MdioWriteBuilder])
 }
 
 final case class MdioBatchWrite(path: String, dims: Seq[String],
@@ -188,7 +195,21 @@ final class MdioDataWriter(path: String, dims: Array[String], schema: StructType
     }
     var v = 0
     while (v < vars.length) {
+      // NULL means "leave this cell untouched": Spark's append resolution
+      // null-expands table columns the input DataFrame doesn't carry, so a
+      // partial-VARIABLE write arrives with the other variables all-null —
+      // skipping nulls is what keeps those variables' data intact.
+      if (row.isNullAt(varIdx(v))) { v += 1 }
+      else {
       val m = vars(v)._2
+      // sharded (sharding_indexed) variables need shard-granular ownership
+      // (MdioWriter.writeVariable shuffles on the shard id); the chunk-
+      // object sink would tear shard files. Checked here, on the first
+      // actual value, so a sharded variable merely PRESENT in the table
+      // (null-expanded) never blocks its unsharded peers.
+      require(m.shard.isEmpty,
+        s"df.write.format(\"mdio\") does not support writing sharded variable " +
+          s"'${vars(v)._1}'; use MdioWriter.writeVariable (shard-aligned shuffle write)")
       val fill = m.fillValue.getOrElse(Double.NaN)
       kindOf(m) match {
         case 'f' =>
@@ -262,6 +283,7 @@ final class MdioDataWriter(path: String, dims: Array[String], schema: StructType
           }
       }
       v += 1
+      }
     }
   }
 

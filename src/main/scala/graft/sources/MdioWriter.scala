@@ -543,6 +543,18 @@ object MdioWriter {
       }
   }
 
+  /** The pit-of-success parallel DSv2 write: repartitions `df` so each
+    * task owns whole chunks ([[repartitionByChunk]]), then writes with the
+    * alignment contract declared — one call, >1 writer task, no torn
+    * chunks. Equivalent to
+    * `repartitionByChunk(df, path).write.format("mdio")
+    * .option("aligned", "true").mode(mode).save(path)`; the bare
+    * `df.write.format("mdio")` remains the safe-but-serial fallback (and
+    * logs a warning saying to use this instead). */
+  def insertAligned(df: DataFrame, path: String, mode: String = "append"): Unit =
+    repartitionByChunk(df, path)
+      .write.format("mdio").option("aligned", "true").mode(mode).save(path)
+
   /** Repartition a long-form DataFrame so each task owns whole chunks of
     * the dataset at `path` — the explicit alignment step for the parallel
     * DSv2 write (`.option("aligned", "true")`). Clustering key = the

@@ -95,6 +95,92 @@ class MdioWritePathSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("insertAligned: one call, >1 writer task, bit-identical to the serial path") {
+    val serialDir = create()
+    val alignedDir = create()
+    val cells = for { i <- 0L until 8L; x <- 0L until 6L }
+      yield (i, x, (i * 3 + x).toDouble, ((i * x) % 3).toInt)
+    val df = cells.toDF("inline", "crossline", "image", "mask").repartition(7)
+    // serial twin: the bare sink (single writer task)
+    df.write.format("mdio").mode("append").save(serialDir)
+    // pit-of-success call: repartitions by chunk + aligned internally
+    assert(MdioWriter.repartitionByChunk(df, alignedDir).rdd.getNumPartitions > 1,
+      "alignment repartition must fan out to >1 writer task")
+    MdioWriter.insertAligned(df, alignedDir)
+    // bit-identical chunk files, variable by variable
+    for (v <- Seq("image", "mask")) {
+      val s = graft.zarr.ZarrMeta.path(serialDir).resolve(v)
+      val a = graft.zarr.ZarrMeta.path(alignedDir).resolve(v)
+      val chunkNames = s.list().map(_.name).filterNot(_.startsWith(".")).sorted
+      assert(chunkNames.nonEmpty)
+      for (c <- chunkNames)
+        assert(java.util.Arrays.equals(
+          s.resolve(c).readAllBytes(), a.resolve(c).readAllBytes()),
+          s"chunk $v/$c differs between serial and aligned writes")
+    }
+    MdioWriter.delete(serialDir)
+    MdioWriter.delete(alignedDir)
+  }
+
+  test("a sharded variable elsewhere in the table does not block unsharded writes") {
+    val dir = Files.createTempDirectory("mdio_shmix").resolve("mix.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "mix", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "inline", "dataType": "int64",
+        |     "dimensions": [{"name": "inline", "size": 8}]},
+        |    {"name": "crossline", "dataType": "int64",
+        |     "dimensions": [{"name": "crossline", "size": 6}]},
+        |    {"name": "wave", "dataType": "float64",
+        |     "dimensions": [{"name": "inline", "size": 8}, {"name": "crossline", "size": 6}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration":
+        |       {"chunkShape": [4, 3], "shardShape": [8, 6]}}}},
+        |    {"name": "mask", "dataType": "int32",
+        |     "dimensions": [{"name": "inline", "size": 8}, {"name": "crossline", "size": 6}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [4, 3]}}}}
+        |  ]
+        |}""".stripMargin), dir, version = 3)
+    val cells = for { i <- 0L until 8L; x <- 0L until 6L } yield (i, x, ((i + x) % 2).toInt)
+    // write of the UNSHARDED variable must succeed…
+    cells.toDF("inline", "crossline", "mask")
+      .write.format("mdio").mode("append").save(dir)
+    val got = spark.read.format("mdio").load(dir).select("inline", "crossline", "mask")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == cells.toSet)
+    // …without touching the sharded peer (no shard objects materialize)
+    assert(graft.zarr.ZarrMeta.path(dir).resolve("wave").resolve("c")
+      .listFilesRecursive().isEmpty)
+    // …while a write carrying actual SHARDED data still refuses with a pointer
+    val e = intercept[Exception] {
+      (for { i <- 0L until 8L; x <- 0L until 6L } yield (i, x, 1.0))
+        .toDF("inline", "crossline", "wave")
+        .write.format("mdio").mode("append").save(dir)
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("sharded"), messages.take(500))
+    MdioWriter.delete(dir)
+  }
+
+  test("sink partial-variable write leaves the unmentioned variable intact") {
+    val dir = create()
+    val cells = for { i <- 0L until 8L; x <- 0L until 6L }
+      yield (i, x, (i * 10 + x).toDouble, ((i + x) % 2).toInt)
+    cells.toDF("inline", "crossline", "image", "mask")
+      .write.format("mdio").mode("append").save(dir)
+    // a mask-only patch must not clobber image cells (Spark null-expands
+    // the missing image column; null = leave untouched)
+    (for { i <- 0L until 8L; x <- 0L until 6L } yield (i, x, 7))
+      .toDF("inline", "crossline", "mask")
+      .write.format("mdio").mode("append").save(dir)
+    val got = spark.read.format("mdio").load(dir)
+      .select("inline", "crossline", "image", "mask")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.forall { case (i, x, img, m) => img == (i * 10 + x).toDouble && m == 7 })
+    MdioWriter.delete(dir)
+  }
+
   test("aligned parallel write at 100k cells keeps every chunk intact") {
     val dir = Files.createTempDirectory("mdio_big").resolve("big.mdio").toString
     MdioWriter.create(MdioSpec.fromJson(

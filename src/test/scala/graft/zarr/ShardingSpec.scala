@@ -140,11 +140,15 @@ class ShardingSpec extends SparkSpec {
   test("DSv2 sink rejects sharded variables with a clear message") {
     val dir = Files.createTempDirectory("mdio_shard_sink").resolve("sh.mdio").toString
     MdioWriter.create(MdioSpec.fromJson(specJson), dir, version = 3)
-    val e = intercept[IllegalArgumentException] {
+    // rejected at runtime on the first actual value (a sharded variable
+    // merely PRESENT in the table no longer blocks its unsharded peers)
+    val e = intercept[Exception] {
       Seq((0L, 0L, 1.0f)).toDF("inline", "crossline", "image")
         .write.format("mdio").mode("append").save(dir)
     }
-    assert(e.getMessage.contains("writeVariable"))
+    val messages = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("writeVariable"), messages.take(500))
     MdioWriter.delete(dir)
   }
 }
