@@ -589,9 +589,11 @@ final case class MdioChunkRangePartition(path: String,
 
 /** Sequentially drives one per-chunk reader over a [[MdioChunkRangePartition]]
   * (row or columnar, via `mk`): decode chunk coords from the flat C-order
-  * index, clamp cell bounds, delegate. */
+  * index, clamp cell bounds, delegate. Owns the task's [[ShardCache]] so
+  * shard handles persist across the chunks of the range. */
 final class MdioChunkRangeReader[T](rp: MdioChunkRangePartition,
-                                    mk: MdioInputPartition => PartitionReader[T])
+                                    mk: MdioInputPartition => PartitionReader[T],
+                                    cache: graft.zarr.ShardCache = null)
     extends PartitionReader[T] {
   private val rank = rp.chunkLo.length
   private var idx = rp.startIdx
@@ -628,7 +630,10 @@ final class MdioChunkRangeReader[T](rp: MdioChunkRangePartition,
   }
 
   override def get(): T = cur.get()
-  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+  override def close(): Unit = {
+    if (cur != null) { cur.close(); cur = null }
+    if (cache != null) cache.close()
+  }
 }
 
 final case class MdioReaderFactory(dims: Array[String], schema: StructType,
@@ -639,20 +644,19 @@ final case class MdioReaderFactory(dims: Array[String], schema: StructType,
     p match {
       case cp: MdioInputPartition => new MdioPartitionReader(cp, dims, schema)
       case rp: MdioChunkRangePartition =>
-        new MdioChunkRangeReader[InternalRow](rp, cp => new MdioPartitionReader(cp, dims, schema))
+        val cache = new graft.zarr.ShardCache
+        new MdioChunkRangeReader[InternalRow](rp,
+          cp => new MdioPartitionReader(cp, dims, schema, cache), cache)
     }
   }
 
   // vectorized path: decoded chunks land directly in column vectors, so the
   // scan feeds whole-stage codegen batches instead of row-at-a-time
-  // iterator calls (SURVEY "codegen-friendly": widen the codegen spans)
-  override def supportColumnarReads(p: InputPartition): Boolean =
-    schema.fields.forall { f =>
-      f.dataType match {
-        case _: StructType | _: DecimalType => false // row path for complex/u64
-        case _ => true
-      }
-    }
+  // iterator calls (SURVEY "codegen-friendly": widen the codegen spans).
+  // The columnar reader covers the full dtype matrix — primitives, complex
+  // and record structs (child vectors), u64 (Decimal(20,0)) — so every
+  // partition takes it.
+  override def supportColumnarReads(p: InputPartition): Boolean = true
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -660,8 +664,9 @@ final case class MdioReaderFactory(dims: Array[String], schema: StructType,
     p match {
       case cp: MdioInputPartition => new MdioColumnarReader(cp, dims, schema)
       case rp: MdioChunkRangePartition =>
+        val cache = new graft.zarr.ShardCache
         new MdioChunkRangeReader[org.apache.spark.sql.vectorized.ColumnarBatch](
-          rp, cp => new MdioColumnarReader(cp, dims, schema))
+          rp, cp => new MdioColumnarReader(cp, dims, schema, cache), cache)
     }
   }
 }
@@ -669,8 +674,14 @@ final case class MdioReaderFactory(dims: Array[String], schema: StructType,
 /** Decodes one chunk per variable, then iterates the in-chunk cell ranges in
   * C-order emitting long-form rows. Missing chunk files materialize the fill
   * value (reference fill semantics, mdio/dataset_factory.h:500-545). */
-final class MdioPartitionReader(p: MdioInputPartition, dims: Array[String], schema: StructType)
+final class MdioPartitionReader(p: MdioInputPartition, dims: Array[String], schema: StructType,
+                                sharedCache: graft.zarr.ShardCache = null)
     extends PartitionReader[InternalRow] {
+
+  // shard handles reused across inner-chunk reads; owned here only when
+  // not provided by an enclosing chunk-range reader
+  private val shardCache = if (sharedCache != null) sharedCache else new graft.zarr.ShardCache
+  private val ownsCache = sharedCache == null
 
   private val rank = dims.length
   private val meta0 = p.metas.headOption.getOrElse(
@@ -692,7 +703,7 @@ final class MdioPartitionReader(p: MdioInputPartition, dims: Array[String], sche
     // sharded v3 arrays: the file is the shard object; range-read the
     // inner chunk through the footer index
     val bytes =
-      if (m.shard.isDefined) ZarrMeta.readInnerChunk(file, m, p.chunk.toSeq)
+      if (m.shard.isDefined) shardCache.readInnerChunk(file, m, p.chunk.toSeq)
       else file.readBytesOrNull()
     if (bytes == null) null
     else {
@@ -834,7 +845,7 @@ final class MdioPartitionReader(p: MdioInputPartition, dims: Array[String], sche
     case _ => v
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = if (ownsCache) shardCache.close()
 }
 
 object MdioPartitionReader {

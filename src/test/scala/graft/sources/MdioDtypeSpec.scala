@@ -70,4 +70,17 @@ class MdioDtypeSpec extends SparkSpec {
     assert(got == Seq("18446744073709551615"))
     MdioWriter.delete(dir)
   }
+
+  test("complex and u64 scans take the VECTORIZED path (ColumnarToRow in plan)") {
+    for (dtype <- Seq("uint64", "complex64")) {
+      val dir = make(dtype)
+      val df = spark.read.format("mdio").load(dir).select("i", "v")
+      val hasColumnar = df.queryExecution.executedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.ColumnarToRowExec])
+      assert(hasColumnar, s"$dtype read did not go columnar:\n" +
+        df.queryExecution.executedPlan.treeString.take(800))
+      df.collect() // and the batch actually materializes
+      MdioWriter.delete(dir)
+    }
+  }
 }

@@ -104,6 +104,11 @@ class MdioRecordDtypeSpec extends SparkSpec {
       .select(col("trace"), col("headers.`cdp-x`"), col("headers.elev"), col("headers.flag"))
       .as[(Long, Int, Float, Short)].collect().toSeq
     assert(got == (0L until 6L).map(i => (i, (3000 + i).toInt, i * 0.5f, (i % 2).toShort)))
+    // record structs now take the vectorized read path too
+    val plan = spark.read.format("mdio").load(root.toString)
+      .select("trace", "headers").queryExecution.executedPlan
+    assert(plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.ColumnarToRowExec]),
+      plan.treeString.take(800))
     MdioWriter.delete(root.toString)
   }
 }
