@@ -54,13 +54,18 @@ final class VPath private (val uri: String) extends Serializable {
 
   /** Positioned range read — the object-store access pattern for shard
     * indexes and inner chunks (S3/GCS range GETs via the Hadoop
-    * connectors; plain seek locally). */
+    * connectors; plain seek locally). One-shot open/close; readers that
+    * revisit the same object should hold a [[ShardCache]] handle instead. */
   def readRange(offset: Long, len: Int): Array[Byte] = {
     val buf = new Array[Byte](len)
     val in = fs.open(hp)
     try in.readFully(offset, buf) finally in.close()
     buf
   }
+
+  /** Open a positioned-read stream the CALLER owns (must close). Throws
+    * FileNotFoundException when absent — probe with [[length]] first. */
+  private[graft] def openStream(): org.apache.hadoop.fs.FSDataInputStream = fs.open(hp)
 
   def readString(): String = new String(readAllBytes(), StandardCharsets.UTF_8)
 

@@ -319,16 +319,21 @@ object ZarrMeta {
     if (len < 0) return None
     val idxBytes = 16L * n + (if (crc) 4 else 0)
     require(len >= idxBytes, s"shard ${file.uri} shorter than its index")
-    val raw = file.readRange(len - idxBytes, idxBytes.toInt)
+    Some(parseShardIndex(file.readRange(len - idxBytes, idxBytes.toInt), n, crc, file.uri))
+  }
+
+  /** Parse raw footer-index bytes (crc32c-checked when `crc`). */
+  private[graft] def parseShardIndex(raw: Array[Byte], n: Int, crc: Boolean,
+                                     uri: String): Array[(Long, Long)] = {
     if (crc) {
       val c = new java.util.zip.CRC32C
       c.update(raw, 0, 16 * n)
       val stored = java.nio.ByteBuffer.wrap(raw, 16 * n, 4)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-      require(c.getValue.toInt == stored, s"shard index crc32c mismatch in ${file.uri}")
+      require(c.getValue.toInt == stored, s"shard index crc32c mismatch in $uri")
     }
     val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    Some(Array.tabulate(n)(i => (bb.getLong(i * 16), bb.getLong(i * 16 + 8))))
+    Array.tabulate(n)(i => (bb.getLong(i * 16), bb.getLong(i * 16 + 8)))
   }
 
   /** Assemble a shard object: concatenated encoded inner chunks followed
@@ -338,6 +343,10 @@ object ZarrMeta {
     val n = parts.length
     val dataLen = parts.iterator.filter(_ != null).map(_.length.toLong).sum
     val idxLen = 16 * n + (if (crc) 4 else 0)
+    // shards assemble in one JVM array: fail early and clearly instead of
+    // a NegativeArraySizeException when a shardShape is configured too big
+    require(dataLen + idxLen <= Int.MaxValue,
+      s"shard exceeds the 2 GB JVM array limit ($dataLen data bytes); reduce shardShape")
     val out = new Array[Byte](dataLen.toInt + idxLen)
     val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var off = 0L

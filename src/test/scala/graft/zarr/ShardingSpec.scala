@@ -137,6 +137,43 @@ class ShardingSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("ShardCache opens each shard object at most once per task") {
+    val dir = Files.createTempDirectory("mdio_shard_cache").resolve("sh.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(specJson), dir, version = 3)
+    val cells = for { i <- 0L until 8L; x <- 0L until 6L } yield (i, x, (i * 10 + x).toFloat)
+    MdioWriter.writeVariable(spark, cells.toDF("inline", "crossline", "image"), dir, "image")
+    val root = ZarrMeta.path(dir)
+    val m = ZarrMeta.readGroup(root)._2("image")._1
+    val file0 = m.chunkFile(root.resolve("image"), Seq(0L, 0L)) // shard (0,0)
+    val file1 = m.chunkFile(root.resolve("image"), Seq(2L, 0L)) // shard (1,0)
+    assert(file0.uri != file1.uri)
+    val cache = new ShardCache
+    try {
+      // all 4 inner chunks of shard 0, then 4 of shard 1, then shard 0 again
+      for (cc <- Seq(Seq(0L, 0L), Seq(0L, 1L), Seq(1L, 0L), Seq(1L, 1L)))
+        assert(cache.readInnerChunk(file0, m, cc) != null)
+      for (cc <- Seq(Seq(2L, 0L), Seq(2L, 1L), Seq(3L, 0L), Seq(3L, 1L)))
+        assert(cache.readInnerChunk(file1, m, cc) != null)
+      assert(cache.readInnerChunk(file0, m, Seq(0L, 0L)) != null)
+      assert(cache.opens == 2, s"expected 2 opens (one per shard), got ${cache.opens}")
+    } finally cache.close()
+    // and the payloads match the one-shot read path byte for byte
+    val oneShot = ZarrMeta.readInnerChunk(file0, m, Seq(0L, 1L))
+    val cached = { val c = new ShardCache; try c.readInnerChunk(file0, m, Seq(0L, 1L)) finally c.close() }
+    assert(java.util.Arrays.equals(oneShot, cached))
+    MdioWriter.delete(dir)
+  }
+
+  test("oversized shard assembly fails with a clear message, not an array error") {
+    // one 16 KB buffer referenced 135k times: summed lengths pass 2 GB
+    // while the guard fires before any real allocation happens
+    val shared = new Array[Byte](16000)
+    val e = intercept[IllegalArgumentException] {
+      ZarrMeta.buildShard(Array.fill(135000)(shared)) // ~2.16 GB declared
+    }
+    assert(e.getMessage.contains("shardShape"))
+  }
+
   test("DSv2 sink rejects sharded variables with a clear message") {
     val dir = Files.createTempDirectory("mdio_shard_sink").resolve("sh.mdio").toString
     MdioWriter.create(MdioSpec.fromJson(specJson), dir, version = 3)
