@@ -73,7 +73,10 @@ object Dedup {
       .withColumn("sig", call_function("minhash_sig", col("sh"), lit(numHashes)))
     // persist the tiny (id, band, bucket) table so the candidate self-join
     // does not recompute the shingle+sign stage per side (same pattern as
-    // Spark MLlib's approxSimilarityJoin)
+    // Spark MLlib's approxSimilarityJoin); the deduped candidate set is
+    // then materialized eagerly (it is small by construction) so the
+    // cached banded table can be RELEASED here rather than leaking for
+    // the session's lifetime
     val banded = sh
       .withColumn("bb", explode(lshBands(col("sig"), numHashes, bands)))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -83,6 +86,8 @@ object Dedup {
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      .localCheckpoint(true)
+    banded.unpersist()
     val sets = sh.select(col("id"), col("sh"))
     cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -133,14 +138,32 @@ object Dedup {
     * identical to the naive quadratic definition. */
   def ngramJaccardDups(df: DataFrame, idCol: String, textCol: String,
                        blockCol: Column, shingleK: Int = 3,
-                       threshold: Double = 0.5): DataFrame = {
+                       threshold: Double = 0.5,
+                       maxShingleDf: Int = 0): DataFrame = {
     graft.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"),
       blockCol.as("block"),
       array_distinct(call_function("word_ngrams",
         TextFunctions.tokens(col(textCol)), lit(shingleK))).as("sh"))
       .withColumn("sz", size(col("sh")))
-    val posting = base.select(col("block"), col("id"), col("sz"), explode(col("sh")).as("g"))
+    val allPostings = base.select(col("block"), col("id"), col("sz"), explode(col("sh")).as("g"))
+    // optional document-frequency cap (`maxShingleDf` > 0): drop postings
+    // of grams appearing in more than that many documents of a block —
+    // the standard stop-shingle filter. BOUNDS the worst-case posting
+    // join (a gram's join contribution is df², so the cap caps per-key
+    // work at maxShingleDf² regardless of corpus skew). Results are
+    // IDENTICAL to the exact definition when no gram exceeds the cap;
+    // when one does, pairs sharing only ultra-common grams are dropped
+    // (documented approximation, the usual trade at 100 TB).
+    val posting =
+      if (maxShingleDf <= 0) allPostings
+      else {
+        val rare = allPostings.groupBy(col("block"), col("g"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf)
+          .select("block", "g")
+        allPostings.join(rare, Seq("block", "g"), "left_semi")
+      }
     posting.alias("a")
       .join(posting.alias("b"),
         col("a.block") === col("b.block") && col("a.g") === col("b.g") &&
@@ -184,11 +207,16 @@ object Dedup {
       }: _*)))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (small) deduped candidate set eagerly, then release
+    // the cached banded table — otherwise every invocation leaks a cached
+    // RDD for the session's lifetime
     val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      .localCheckpoint(true)
+    banded.unpersist()
     cand
       .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))

@@ -82,9 +82,16 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
-  /** Rolling hash over tokens — order-SENSITIVE fingerprint: the hash
-    * state is chained through every token (h_i = xxhash64(h_{i-1}, t_i)),
-    * one left-to-right pass, overflow-free under ANSI mode. */
-  def rollingHash(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+  /** Rolling hash — order-SENSITIVE fingerprint: a Rabin–Karp polynomial
+    * over the whitespace-normalized character stream,
+    * h_i = (h_{i-1}·131 + codepoint_i) mod (2^31−1), one left-to-right
+    * pass. Engine-portable by construction (integer arithmetic over
+    * Unicode codepoints — no engine-private hash), so the DuckDB oracle
+    * certifies it bit-for-bit; max intermediate is < 2^39, overflow-free
+    * under ANSI mode. */
+  def rollingHash(text: Column): Column = {
+    val norm = regexp_replace(trim(text), "\\s+", " ")
+    aggregate(split(norm, ""), lit(0L),
+      (acc, c) => (acc * lit(131L) + ascii(c)) % lit(2147483647L))
+  }
 }

@@ -208,11 +208,30 @@ object Pipeline {
              COUNT(*) AS n
       FROM documents GROUP BY 1) t"""
 
-  /** Rolling-hash (order-sensitive) fingerprint (no oracle: xxhash64). */
+  /** Rolling-hash (order-sensitive) fingerprint — oracle-certified: the
+    * Rabin–Karp polynomial is plain integer arithmetic over codepoints,
+    * reproduced exactly by DuckDB's list_reduce. */
   val qTextRollingHash: Q = (s, d) =>
     documents(s, d)
       .select(TF.rollingHash(col("text")).as("rh"))
-      .agg(countDistinct(col("rh")).as("n_distinct"), count(lit(1)).as("n_docs"))
+      .agg(countDistinct(col("rh")).as("n_distinct"), count(lit(1)).as("n_docs"),
+           min(col("rh")).as("min_rh"), max(col("rh")).as("max_rh"),
+           sum(col("rh")).as("sum_rh"))
+
+  val qTextRollingHashSql: String = """
+    WITH h AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ''),
+                   c -> CAST(unicode(c) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 2147483647) AS rh
+      FROM documents)
+    SELECT CAST(COUNT(DISTINCT rh) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(rh) AS min_rh, MAX(rh) AS max_rh,
+           CAST(SUM(rh) AS BIGINT) AS sum_rh
+    FROM h"""
 
   /** Global top-10 bigrams with counts — the n-gram frequency sweep
     * (non-distinct grams: counting, unlike dedup's set semantics). */
@@ -284,12 +303,40 @@ object Pipeline {
     SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
     FROM documents"""
 
-  /** Full feature-extraction pass through the stub decoder (no oracle). */
+  /** Full feature-extraction pass through the stub decoder — oracle-
+    * certified where the stub is arithmetic (mean-luma = payload byte sum
+    * / length / 255, thumbnail halving, byte counts): DuckDB reproduces
+    * the UTF-8 payload bytes via hex-pair extraction over encode(text).
+    * Only frame_hash (wrapping int64 polynomial) stays ScalaTest-pinned —
+    * DuckDB BIGINT overflow throws rather than wraps. */
   val qMultimodalFeatures: Q = (s, d) =>
     Multimodal.extractFeatures(s, Multimodal.attachPayload(documents(s, d)))
       .toDF()
       .agg(count(lit(1)).as("n"), dsum(col("mean_luma")).as("sum_luma"),
-           sum(col("n_bytes")).as("total_bytes"))
+           sum(col("n_bytes")).as("total_bytes"),
+           sum(col("thumb_w").cast("long")).as("sum_thumb_w"),
+           sum(col("thumb_h").cast("long")).as("sum_thumb_h"))
+
+  val qMultimodalFeaturesSql: String = s"""
+    WITH f AS (
+      SELECT octet_length(encode(text)) AS n_bytes,
+             list_sum(list_transform(range(0, octet_length(encode(text))),
+               i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT))) AS byte_sum,
+             GREATEST((doc_id % 64 + 16) // 2, 1) AS thumb_w,
+             GREATEST((doc_id % 48 + 16) // 2, 1) AS thumb_h
+      FROM documents),
+    g AS (
+      SELECT n_bytes, thumb_w, thumb_h,
+             CASE WHEN n_bytes = 0 THEN 0.0
+                  ELSE CAST(byte_sum AS DOUBLE) / CAST(n_bytes AS DOUBLE) / 255.0
+             END AS mean_luma
+      FROM f)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ${sqlDsum("mean_luma")} AS sum_luma,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(thumb_w) AS BIGINT) AS sum_thumb_w,
+           CAST(SUM(thumb_h) AS BIGINT) AS sum_thumb_h
+    FROM g"""
 
   // ---- geodetic (F7) -------------------------------------------------------
 
@@ -424,8 +471,10 @@ object Pipeline {
     "ann_brute_force"     -> qAnnBruteForceSql,
     "text_tokens"         -> qTextTokensSql,
     "text_fingerprint"    -> qTextFingerprintSql,
+    "text_rolling_hash"   -> qTextRollingHashSql,
     "text_top_ngrams"     -> qTextTopNgramsSql,
     "text_tfidf"          -> qTextTfidfSql,
     "multimodal_bytes"    -> qMultimodalBytesSql,
+    "multimodal_features" -> qMultimodalFeaturesSql,
   )
 }

@@ -68,6 +68,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => (a <= 3) == (b <= 3) })
   }
 
+  test("maxShingleDf caps posting skew without changing results below the cap") {
+    // "zz tail" appears in EVERY doc (the skewed mega-gram); docs 1/2 are
+    // real near-dups, docs 10/11 share ONLY the mega-gram
+    val skewed = Seq(
+      (1L, "alpha beta gamma delta zz tail"),
+      (2L, "alpha beta gamma delta epsilon zz tail"),
+      (10L, "one two three four five zz tail"),
+      (11L, "six seven eight nine ten zz tail")
+    ).toDF("doc_id", "text")
+    def pairs(cap: Int) = Dedup.ngramJaccardDups(skewed, "doc_id", "text",
+      blockCol = lit("x"), shingleK = 2, threshold = 0.05, maxShingleDf = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = pairs(0)
+    assert(exact.contains((1L, 2L)))
+    assert(exact.contains((10L, 11L))) // connected via the mega-gram alone
+    // a cap no gram exceeds (every gram df <= 4 here) changes NOTHING
+    assert(pairs(4) == exact)
+    // a binding cap (df <= 3 keeps all but the mega-gram) drops only the
+    // pairs connected through the ultra-common gram; 1-2 still found via
+    // their four shared rare grams
+    val capped = pairs(3)
+    assert(capped.contains((1L, 2L)))
+    assert(!capped.exists { case (a, b) => a >= 10L || b >= 10L })
+  }
+
   test("embeddingCosineDups finds only high-cosine pairs") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),

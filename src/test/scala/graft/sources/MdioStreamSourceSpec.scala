@@ -63,6 +63,33 @@ class MdioStreamSourceSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("below-boundary backfill cannot shift offsets into duplicates") {
+    val dir = create()
+    writeInlines(dir, 4L, 8L) // only chunk ROW 1 present: chunks (1,0), (1,1)
+    val meta = graft.zarr.ZarrMeta.readGroup(graft.zarr.ZarrMeta.path(dir))._2("image")._1
+    val stream = new MdioMicroBatchStream(dir, Seq("inline", "crossline"),
+      Map("image" -> meta),
+      new org.apache.spark.sql.types.StructType()
+        .add("inline", org.apache.spark.sql.types.LongType)
+        .add("crossline", org.apache.spark.sql.types.LongType)
+        .add("image", org.apache.spark.sql.types.DoubleType),
+      Map.empty)
+    val start = stream.initialOffset().asInstanceOf[MdioStreamOffset]
+    val committed = stream.latestOffset().asInstanceOf[MdioStreamOffset]
+    assert(committed.key == Vector(1L, 1L)) // max present chunk key
+    assert(stream.planInputPartitions(start, committed).length == 2)
+    // BACKFILL below the boundary: chunk row 0 appears after the commit.
+    // A count-based offset would shift indices and re-deliver row-1 chunks;
+    // the keyed offset neither re-delivers nor advances.
+    writeInlines(dir, 0L, 4L)
+    val after = stream.latestOffset().asInstanceOf[MdioStreamOffset]
+    assert(after.key == committed.key, "max key unchanged by below-boundary backfill")
+    assert(stream.planInputPartitions(committed, after).isEmpty)
+    // offsets survive their JSON round-trip
+    assert(stream.deserializeOffset(committed.json()) == committed)
+    MdioWriter.delete(dir)
+  }
+
   test("streaming source honors pushed dim-range filters") {
     val dir = create()
     writeInlines(dir, 0L, 8L)
