@@ -52,10 +52,62 @@ object Bench {
     val results = pass2.map { case (name, t2) =>
       name -> math.min(pass1.getOrElse(name, t2), t2)
     }
+    // Per-query wall-clock budget: a query running >5x its round-2 sf0.1
+    // time (2 s floor for noise on sub-second queries) is a REGRESSION,
+    // surfaced loudly on stderr so it reads as a red bench, not a vibe.
+    val regressions = results.collect {
+      case (name, t) if budget.get(name).exists(b => t > math.max(5.0 * b, 2.0)) =>
+        System.err.println(
+          f"[bench] REGRESSION $name: $t%.2fs > 5x r2 baseline ${budget(name)}%.2fs")
+        name
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val regs = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"regressions":$regs,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Round-2 per-query seconds at sf0.1 / 32 cpus (BENCH_r02) — the
+    * regression budget baseline. Queries added after round 2 are
+    * unbudgeted until their first recorded round. */
+  private val budget: Map[String, Double] = Map(
+    "ann_brute_force" -> 0.183, "ann_ivf" -> 0.571, "ann_lsh" -> 0.169,
+    "dedup_embedding" -> 0.794, "dedup_exact" -> 0.313,
+    "dedup_minhash_lsh" -> 4.789, "dedup_ngram_jaccard" -> 10.653,
+    "dedup_simhash" -> 0.868, "events_funnel" -> 2.521,
+    "events_sessionize" -> 0.719, "fn_array" -> 0.387, "fn_case" -> 0.259,
+    "fn_date" -> 0.483, "fn_datetime" -> 0.482, "fn_json" -> 1.075,
+    "fn_levenshtein" -> 0.176, "fn_map" -> 0.617, "fn_math" -> 0.564,
+    "fn_regex" -> 0.495, "fn_string" -> 0.319, "geo_utm" -> 0.887,
+    "join_anti" -> 0.620, "join_asof" -> 0.612, "join_cross" -> 0.421,
+    "join_full_outer" -> 0.731, "join_left_outer" -> 0.648,
+    "join_range" -> 0.752, "join_semi" -> 0.426, "mdio_cast_typed" -> 0.345,
+    "mdio_coordselector" -> 0.217, "mdio_fill_value" -> 0.784,
+    "mdio_histogram_centered" -> 0.368, "mdio_histogram_edges" -> 0.498,
+    "mdio_intervals" -> 0.296, "mdio_isel_concat" -> 0.482,
+    "mdio_isel_slice" -> 0.311, "mdio_isel_stride" -> 0.398,
+    "mdio_open_sel" -> 0.238, "mdio_sel_list" -> 0.802,
+    "mdio_sel_range" -> 0.540, "mdio_sel_value" -> 0.502,
+    "mdio_select_field" -> 0.463, "mdio_select_variable" -> 0.221,
+    "mdio_stats_aggregator" -> 0.458, "mdio_stats_v1" -> 0.506,
+    "multimodal_bytes" -> 0.122, "multimodal_features" -> 0.271,
+    "pipeline_compose" -> 0.746, "q10_returned_items" -> 1.002,
+    "q1_pricing_summary" -> 1.381, "q3_shipping_priority" -> 0.820,
+    "q5_region_revenue" -> 1.389, "q6_forecast_revenue" -> 0.337,
+    "set_except" -> 0.736, "set_intersect" -> 0.658, "set_union" -> 0.381,
+    "sort_multikey" -> 0.178, "sort_topk" -> 0.187,
+    "stream_dedup_exec" -> 5.869, "stream_sliding" -> 0.640,
+    "stream_tumbling" -> 0.389, "stream_tumbling_exec" -> 1.871,
+    "text_fingerprint" -> 0.437, "text_langid" -> 0.688,
+    "text_quality" -> 0.514, "text_rolling_hash" -> 0.476,
+    "text_tfidf" -> 0.990, "text_tokens" -> 0.358,
+    "text_top_ngrams" -> 0.478, "window_first_last" -> 0.711,
+    "window_lag_delta" -> 0.541, "window_moving_avg" -> 0.618,
+    "window_percent_rank" -> 0.349, "window_range_frame" -> 1.808,
+    "window_ranks" -> 0.723, "window_running_sum" -> 0.515,
+    "window_topk_per_group" -> 0.418, "zarr_extents" -> 0.054,
+    "zarr_pushdown" -> 0.157, "zarr_roundtrip" -> 0.072,
+    "zarr_sharded_roundtrip" -> 0.086, "zarr_v3_roundtrip" -> 0.087)
 }
