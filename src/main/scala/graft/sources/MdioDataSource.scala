@@ -555,7 +555,23 @@ final case class MdioScan(path: String, dims: Seq[String],
                 bounds.map(_._1).toArray, bounds.map(_._2).toArray,
                 neededVars, neededVars.map(v => metas(v)).toArray): InputPartition
             }.toArray
-          case _ => enumerate(0, Vector.empty).flatMap(partitionFor).map(_._1).toArray
+          case _ =>
+            // runtime (join-driven) IN-filters: enumerate ONLY the chunks
+            // containing provided values on their filtered dims — O(values)
+            // driver work, not an O(grid) sweep of a billion-chunk store
+            val perDim: Seq[IndexedSeq[Long]] = dims.zipWithIndex.map { case (d, i) =>
+              runtimeValues.get(d) match {
+                case Some(vals) =>
+                  vals.iterator.map(_ / chunks(i))
+                    .filter(c => c >= chunkLo(i) && c <= chunkHi(i))
+                    .toIndexedSeq.distinct.sorted
+                case None => chunkLo(i) to chunkHi(i)
+              }
+            }
+            def enumCand(dim: Int, acc: Vector[Long]): Iterator[Vector[Long]] =
+              if (dim == dims.size) Iterator.single(acc)
+              else perDim(dim).iterator.flatMap(c => enumCand(dim + 1, acc :+ c))
+            enumCand(0, Vector.empty).flatMap(partitionFor).map(_._1).toArray
         }
     }
   }

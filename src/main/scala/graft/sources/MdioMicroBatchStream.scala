@@ -41,20 +41,40 @@ final class MdioMicroBatchStream(path: String, dims: Seq[String],
   private val anchorVar = neededVars.headOption.getOrElse(metas.keys.min)
   private val anchorMeta = metas(anchorVar)
 
+  // floor for listing-time pruning: once a batch commits, no key at or
+  // below its max can ever be planned again, so subtrees entirely below
+  // it need not even be LISTED (object-store listing is the per-batch
+  // cost at scale; a 10^8-chunk store must not re-list its history)
+  @volatile private var committedFloor: Vector[Long] = Vector.empty
+
   /** Present chunk coordinates of the anchor variable, sorted
     * lexicographically (= C-order). Shard objects expand to their inner
-    * chunks, clamped to the chunk grid. */
-  private def presentCoords(): IndexedSeq[Vector[Long]] = {
+    * chunks, clamped to the chunk grid. `floorKey` (a chunk key) prunes
+    * the v3 hierarchical listing: leading-dimension directories whose
+    * whole subtree sorts strictly below it are skipped — the append
+    * pattern (new chunks along the leading dim) makes the per-batch
+    * listing O(new data), not O(history). v2 chunk keys are a flat
+    * namespace (`i.j` files) and list in full. */
+  private def presentCoords(floorKey: Vector[Long]): IndexedSeq[Vector[Long]] = {
     val arrayDir = ZarrMeta.path(path).resolve(anchorVar)
     val rank = dims.size
     val fileCoords: Seq[Vector[Long]] =
       if (anchorMeta.version == 3) {
         val cDir = arrayDir.resolve("c")
-        cDir.listFilesRecursive()
-          .map(p => cDir.relativize(p).split("/").toVector)
-          .collect { case parts if parts.length == rank && parts.forall(_.forall(_.isDigit)) =>
-            parts.map(_.toLong)
-          }
+        // leading file-coord floor: shard units divide out (a shard dir
+        // s0 holds chunk coords [s0*ips0, (s0+1)*ips0))
+        val unit0 = anchorMeta.shard.map(_ => anchorMeta.innerPerShard.head).getOrElse(1L)
+        val floor0 = if (floorKey.isEmpty) Long.MinValue else floorKey.head / unit0
+        val tops = cDir.list().filter(_.name.forall(_.isDigit))
+          .filter(_.name.toLong >= floor0)
+        if (rank == 1) tops.map(p => Vector(p.name.toLong))
+        else tops.flatMap { top =>
+          top.listFilesRecursive()
+            .map(p => top.name +: top.relativize(p).split("/").toVector)
+            .collect { case parts if parts.length == rank && parts.forall(_.forall(_.isDigit)) =>
+              parts.map(_.toLong)
+            }
+        }
       } else {
         arrayDir.list()
           .filter(p => p.isFile && !p.name.startsWith("."))
@@ -83,16 +103,17 @@ final class MdioMicroBatchStream(path: String, dims: Seq[String],
 
   override def initialOffset(): Offset = MdioStreamOffset(Vector.empty)
   override def latestOffset(): Offset = {
-    val coords = presentCoords()
-    if (coords.isEmpty) MdioStreamOffset(Vector.empty)
-    else MdioStreamOffset(coords.last) // sorted: last = lexicographic max
+    val coords = presentCoords(committedFloor)
+    if (coords.isEmpty) MdioStreamOffset(committedFloor)
+    else MdioStreamOffset(Seq(committedFloor, coords.last).max) // lexicographic max
   }
   override def deserializeOffset(json: String): Offset = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     MdioStreamOffset((org.json4s.jackson.JsonMethods.parse(json) \ "key")
       .extract[Vector[Long]])
   }
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    committedFloor = end.asInstanceOf[MdioStreamOffset].key
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -106,7 +127,7 @@ final class MdioMicroBatchStream(path: String, dims: Seq[String],
       (math.max(lo, 0L), math.min(hi, shape(i)))
     }
     // exactly the keys in (start, end] — key-ranged, immune to index shift
-    presentCoords()
+    presentCoords(s)
       .filter(cc => (s.isEmpty || cc > s) && cc <= e)
       .flatMap { cc =>
         val cell = cc.zipWithIndex.map { case (c, i) =>

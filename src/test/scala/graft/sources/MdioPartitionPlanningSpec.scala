@@ -84,6 +84,21 @@ class MdioPartitionPlanningSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("runtime IN-filters plan O(values) partitions, not an O(grid) sweep") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    val dir = freshStore()
+    val scan = scanFor(dir, Map.empty)
+    // a selective join hands 3 values over a 1024-chunk grid: exactly the
+    // 3 containing chunks plan (values 8, 2000, 4090 → chunks 2, 500, 1022)
+    scan.filter(Array(new Predicate("IN", Array(
+      Expressions.column("trace"),
+      Expressions.literal(8L), Expressions.literal(2000L), Expressions.literal(4090L)))))
+    val parts = scan.planInputPartitions()
+    assert(parts.length == 3, s"expected 3 value-derived chunks, got ${parts.length}")
+    MdioWriter.delete(dir)
+  }
+
   test("targetPartitionBytes dials the partition count up to per-chunk") {
     val dir = freshStore()
     spark.conf.set("spark.graft.scan.targetPartitionBytes", "1")
