@@ -39,6 +39,46 @@ object Vectors {
       .limit(k)
   }
 
+  /** Symmetric per-vector int8 quantization — the standard memory-
+    * reduction path for 100 TB-scale similarity search (4x smaller than
+    * f32, integer dot products downstream). Returns integer-VALUED
+    * doubles in [-127, 127]: q_i = round(v_i · 127 / max|v|), zero vector
+    * unchanged. Every op is IEEE-exact (+,·,/, round-half-away-from-zero),
+    * so quantized values are bit-identical in any IEEE engine — which is
+    * what lets the quantized ANN query sit on the DuckDB oracle. */
+  def quantizeInt8(vec: Column): Column = {
+    val d = transform(vec, _.cast("double"))
+    val maxabs = array_max(transform(d, x => abs(x)))
+    when(maxabs === 0.0, d)
+      .otherwise(transform(d, x => round(x * lit(127.0) / maxabs)))
+  }
+
+  /** Scala-side twin of [[quantizeInt8]] for constant query vectors
+    * (HALF_UP = away-from-zero, matching SQL ROUND in both engines). */
+  def quantizeInt8Local(v: Seq[Double]): Seq[Double] = {
+    val m = v.map(math.abs).max
+    if (m == 0.0) v
+    else v.map(x => BigDecimal(x * 127.0 / m)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  /** Brute-force top-k by cosine over int8-QUANTIZED vectors: the
+    * quantization scales cancel in the cosine, so the score is pure
+    * integer sums + sqrt + division — exact cross-engine, ~4x less data
+    * scanned at deployment (the quantized column is what a 100 TB corpus
+    * stores; the float originals stay in cold storage). */
+  def int8TopK(df: DataFrame, idCol: String, vecCol: String,
+               query: Seq[Double], k: Int): DataFrame = {
+    val qq = quantizeInt8Local(query)
+    val qnorm = math.sqrt(qq.map(x => x * x).sum)
+    df.select(col(idCol), quantizeInt8(col(vecCol)).as("qv"))
+      .select(col(idCol),
+        (dot(col("qv"), typedLit(qq)) /
+          greatest(norm(col("qv")) * lit(qnorm), lit(1e-300))).as("qcos"))
+      .orderBy(col("qcos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed) for sign-LSH. */
   def hyperplanes(dim: Int, planes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

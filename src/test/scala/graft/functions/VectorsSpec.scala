@@ -34,6 +34,29 @@ class VectorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("int8 quantization: exact values, zero-vector passthrough") {
+    val df = Seq((Seq(0.5f, -1.0f, 0.25f), Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("v", "z")
+    // max|v| = 1.0 → q = round(v·127): [64, -127, 32] (63.5 rounds away to 64)
+    assert(df.select(Vectors.quantizeInt8(col("v"))).as[Seq[Double]].head()
+      == Seq(64.0, -127.0, 32.0))
+    assert(df.select(Vectors.quantizeInt8(col("z"))).as[Seq[Double]].head()
+      == Seq(0.0, 0.0, 0.0))
+    // Scala twin agrees with the column form
+    assert(Vectors.quantizeInt8Local(Seq(0.5, -1.0, 0.25)) == Seq(64.0, -127.0, 32.0))
+  }
+
+  test("int8TopK recall vs float brute force on the corpus") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val q = graft.queries.Pipeline.annQuery
+    val exact = Vectors.bruteForceTopK(emb, "vec_id", "embedding", q, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val quant = Vectors.int8TopK(emb, "vec_id", "embedding", q, 20)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact intersect quant).size / 20.0
+    assert(recall >= 0.85, s"int8 recall $recall too low") // ~0.4% per-element error
+  }
+
   test("hyperplanes are deterministic under a fixed seed") {
     assert(Vectors.hyperplanes(8, 4) == Vectors.hyperplanes(8, 4))
   }

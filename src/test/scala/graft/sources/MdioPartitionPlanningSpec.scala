@@ -99,6 +99,55 @@ class MdioPartitionPlanningSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("petacell store: planning O(target), O(1) extents, slice-only reads") {
+    // 10^12 cells in 10^6 chunks — METADATA ONLY (no chunk files ever
+    // written): the shapes a 100 TB deployment actually has. Everything
+    // below must complete without enumerating, listing, or opening chunks.
+    val dir = Files.createTempDirectory("mdio_peta").resolve("peta.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "peta", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "inline", "dataType": "int64",
+        |     "dimensions": [{"name": "inline", "size": 1000000}]},
+        |    {"name": "crossline", "dataType": "int64",
+        |     "dimensions": [{"name": "crossline", "size": 1000000}]},
+        |    {"name": "image", "dataType": "float32",
+        |     "dimensions": [{"name": "inline", "size": 1000000}, {"name": "crossline", "size": 1000000}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [1000, 1000]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    val df = spark.read.format("mdio").load(dir)
+    // metadata-only COUNT over a trillion cells: no chunk file exists,
+    // none is needed (dense-grid semantics)
+    assert(df.count() == 1000000000000L)
+    // full-scan planning coalesces the 10^6-chunk grid into a bounded
+    // partition array, and does it in O(tasks), not O(chunks)
+    spark.conf.set("spark.graft.scan.targetPartitionBytes", (1L << 50).toString)
+    try {
+      val t0 = System.nanoTime()
+      val parts = scanFor2(dir).planInputPartitions()
+      val ms = (System.nanoTime() - t0) / 1e6
+      assert(parts.length == spark.sparkContext.defaultParallelism)
+      assert(ms < 5000, s"planning took $ms ms")
+      val covered = parts.map(_.asInstanceOf[MdioChunkRangePartition])
+        .map(p => p.endIdx - p.startIdx).sum
+      assert(covered == 1000000L * 1000000L / (1000L * 1000L))
+    } finally spark.conf.unset("spark.graft.scan.targetPartitionBytes")
+    // a point slice plans exactly one chunk and materializes the fill
+    val row = df.filter($"inline" === 123456L && $"crossline" === 654321L)
+      .select("image").collect()
+    assert(row.length == 1 && row(0).getFloat(0).isNaN)
+    MdioWriter.delete(dir)
+  }
+
+  private def scanFor2(dir: String) = {
+    val meta = graft.zarr.ZarrMeta.readGroup(graft.zarr.ZarrMeta.path(dir))._2("image")._1
+    MdioScan(dir, Seq("inline", "crossline"), Map("image" -> meta),
+      new StructType().add("inline", LongType).add("crossline", LongType)
+        .add("image", org.apache.spark.sql.types.FloatType), Map.empty)
+  }
+
   test("targetPartitionBytes dials the partition count up to per-chunk") {
     val dir = freshStore()
     spark.conf.set("spark.graft.scan.targetPartitionBytes", "1")
