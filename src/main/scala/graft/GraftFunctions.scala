@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineVec, DotVec, MinHashSig, SimHash64, WordNGrams}
+import graft.expressions.{CosineVec, DotVec, MinHashPolySig, MinHashSig, SimHash64, SimHashPoly, WordNGrams}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -25,7 +25,11 @@ object GraftFunctions {
     ("word_ngrams", "space-joined word n-grams of a token array",
       (es: Seq[Expression]) => WordNGrams(es(0), es(1))),
     ("minhash_sig", "k-family MinHash signature of a shingle array",
-      (es: Seq[Expression]) => MinHashSig(es(0), es(1))))
+      (es: Seq[Expression]) => MinHashSig(es(0), es(1))),
+    ("minhash_poly", "k-family MinHash over the portable polynomial hash",
+      (es: Seq[Expression]) => MinHashPolySig(es(0), es(1))),
+    ("simhash_poly", "62-bit SimHash over the portable polynomial hash",
+      (es: Seq[Expression]) => SimHashPoly(es.head)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = fns.foreach { case (name, usage, builder) =>

@@ -38,6 +38,79 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  // ---- engine-portable polynomial hash family ------------------------------
+  // H(s) = fold over Unicode codepoints of (h·131 + cp) mod (2^31−1);
+  // family member j: G_j(H) = ((2j+1)·H + j·1013904223) mod (2^31−1).
+  // Plain integer arithmetic DuckDB reproduces with list_reduce /
+  // list_transform — which is what puts minhash/simhash dedup on the
+  // oracle (xxhash64 has no cross-engine equivalent). Max intermediate
+  // < 2^39: overflow-free in long arithmetic on both engines.
+
+  final val PolyP: Long = 2147483647L // 2^31 − 1
+  final val PolyHalf: Long = 1073741823L // P integer-div 2
+
+  /** Portable polynomial string hash over Unicode codepoints. */
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 131 + cp) % PolyP
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** MinHash signature over the PORTABLE hash family: sig_j = min over
+    * shingles of G_j(H(shingle)); empty input yields Long.MaxValue
+    * sentinels (callers exclude empty shingle sets). */
+  def minhashPoly(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val h = polyHash(shingles.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val g = ((2L * j + 1L) * h + j * 1013904223L) % PolyP
+          if (g < mins(j)) mins(j) = g
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(Long.box: Long => java.lang.Long).asInstanceOf[Array[AnyRef]])
+  }
+
+  /** 62-bit SimHash over the portable family: bit j set when the count of
+    * tokens with G_j(H) ≥ P/2 exceeds the count below (votes +1/−1). */
+  def simhashPoly(tokens: ArrayData): Long = {
+    val votes = new Array[Int](62)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = polyHash(tokens.getUTF8String(i))
+        var j = 0
+        while (j < 62) {
+          val g = ((2L * j + 1L) * h + j * 1013904223L) % PolyP
+          if (g >= PolyHalf) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 62) {
+      if (votes(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
   /** MinHash signature: for each of k hash families, the min over shingles
     * of Spark-xxhash64(j, shingle) — bit-identical to
     * `array_min(transform(sh, s => xxhash64(lit(j), s)))`, computed in one
@@ -90,6 +163,48 @@ case class WordNGrams(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): WordNGrams =
     copy(left = l, right = r)
+}
+
+/** minhash_poly(array<string>, k) -> array<long> — portable hash family. */
+case class MinHashPolySig(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_poly"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"minhash_poly needs (array<string>, int), got (${l.simpleString}, ${r.simpleString})")
+  }
+
+  override protected def nullSafeEval(sh: Any, k: Any): Any =
+    TextKernels.minhashPoly(sh.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, k) => s"graft.expressions.TextKernels.minhashPoly($s, $k)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashPolySig =
+    copy(left = l, right = r)
+}
+
+/** simhash_poly(array<string>) -> long — 62-bit portable simhash. */
+case class SimHashPoly(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_poly"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash_poly needs array<string>, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(toks: Any): Any =
+    TextKernels.simhashPoly(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expressions.TextKernels.simhashPoly($t)")
+
+  override protected def withNewChildInternal(c: Expression): SimHashPoly = copy(child = c)
 }
 
 /** minhash_sig(array<string>, k) -> array<long> */

@@ -67,19 +67,28 @@ object Dedup {
                  numHashes: Int = 16, bands: Int = 4,
                  shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
     graft.GraftFunctions.register(df.sparkSession)
+    // minhash_poly = the PORTABLE polynomial hash family (not xxhash64),
+    // so the whole pipeline — signatures, band keys, verified pairs — is
+    // reproducible in DuckDB SQL and sits on the oracle; docs with no
+    // shingles cannot collide and are excluded up front (both engines)
     val sh = df.select(col(idCol).as("id"),
         array_distinct(call_function("word_ngrams",
           TextFunctions.tokens(col(textCol)), lit(shingleK))).as("sh"))
-      .withColumn("sig", call_function("minhash_sig", col("sh"), lit(numHashes)))
+      .filter(size(col("sh")) >= 1)
+      .withColumn("sig", call_function("minhash_poly", col("sh"), lit(numHashes)))
     // persist the tiny (id, band, bucket) table so the candidate self-join
     // does not recompute the shingle+sign stage per side (same pattern as
     // Spark MLlib's approxSimilarityJoin); the deduped candidate set is
     // then materialized eagerly (it is small by construction) so the
     // cached banded table can be RELEASED here rather than leaking for
     // the session's lifetime
+    val rows = numHashes / bands
     val banded = sh
-      .withColumn("bb", explode(lshBands(col("sig"), numHashes, bands)))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .withColumn("band", explode(array((0 until bands).map(lit(_)): _*)))
+      // band key = the raw signature slice (portable; no re-hash needed —
+      // array equality is the bucket identity in Spark and DuckDB alike)
+      .withColumn("bucket", slice(col("sig"), col("band") * rows + 1, lit(rows)))
+      .select(col("id"), col("band"), col("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
@@ -118,8 +127,10 @@ object Dedup {
     * needed for the corpus, same plan shape.) */
   def simhashDups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.GraftFunctions.register(df.sparkSession)
+    // simhash_poly = the portable polynomial family (62-bit), so the
+    // signature — and therefore the groups — reproduce in DuckDB SQL
     df.select(col(idCol).as("id"),
-        call_function("simhash64", TextFunctions.tokens(col(textCol))).as("sig"))
+        call_function("simhash_poly", TextFunctions.tokens(col(textCol))).as("sig"))
       .groupBy(col("sig"))
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keep_id"))
       .filter(col("n_docs") > 1)

@@ -99,19 +99,24 @@ object Vectors {
     * bucket (multi-probe: optionally the Hamming-1 neighbor buckets).
     * Recall/latency trade is the `planes` knob; recall measured against
     * [[bruteForceTopK]] in VectorsSpec. */
+  /** The query's LSH bucket plus (optionally) its Hamming-1 neighbor
+    * buckets — shared by [[lshTopK]] and the DuckDB oracle SQL so both
+    * engines probe the identical bucket set. */
+  def lshProbes(query: Seq[Double], planes: Int,
+                multiProbe: Boolean = true, seed: Long = 42L): Seq[Long] = {
+    val hp = hyperplanes(query.size, planes, seed)
+    val qBucket = (0 until planes).map { j =>
+      val d = hp(j).zip(query).map { case (x, y) => x * y }.sum
+      if (d >= 0) 1L << j else 0L
+    }.reduce(_ | _)
+    if (multiProbe) qBucket +: (0 until planes).map(j => qBucket ^ (1L << j))
+    else Seq(qBucket)
+  }
+
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], k: Int, planes: Int = 4,
               multiProbe: Boolean = true): DataFrame = {
-    val qBucket = {
-      val hp = hyperplanes(query.size, planes)
-      (0 until planes).map { j =>
-        val d = hp(j).zip(query).map { case (x, y) => x * y }.sum
-        if (d >= 0) 1L << j else 0L
-      }.reduce(_ | _)
-    }
-    val probes: Seq[Long] =
-      if (multiProbe) qBucket +: (0 until planes).map(j => qBucket ^ (1L << j))
-      else Seq(qBucket)
+    val probes: Seq[Long] = lshProbes(query, planes, multiProbe)
     graft.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol), col(vecCol).as("v"))
       .withColumn("bucket", lshBucketNative(col("v"), planes, query.size))

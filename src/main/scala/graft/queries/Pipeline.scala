@@ -26,18 +26,87 @@ object Pipeline {
     SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
     FROM documents GROUP BY 1"""
 
-  /** MinHash+LSH near-dup pairs (no oracle: xxhash64 signatures). */
+  /** MinHash+LSH near-dup pairs — ORACLE-CHECKED: signatures come from
+    * the portable polynomial hash family, band keys are raw signature
+    * slices, and verification is exact Jaccard — every step integer
+    * arithmetic DuckDB reproduces bit-for-bit. */
   val qDedupMinhashLsh: Q = (s, d) =>
     Dedup.minhashLsh(documents(s, d), "doc_id", "text",
       numHashes = 16, bands = 8, shingleK = 2, threshold = 0.4)
       .agg(count(lit(1)).as("n_pairs"),
            coalesce(min(col("id_a")), lit(-1L)).as("min_id"))
 
-  /** SimHash duplicate groups (no oracle). */
+  /** Portable polynomial hash of a string expr (chars → codepoints →
+    * h·131+cp mod 2^31−1) as DuckDB SQL — the [[graft.expressions
+    * .TextKernels.polyHash]] twin. Empty strings filter to the empty fold
+    * (DuckDB's unicode('') is −1, the kernel's empty loop is 0). */
+  private def sqlPolyHash(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(list_filter(string_split($e, ''), c -> c <> ''),
+       |    c -> CAST(unicode(c) AS BIGINT))),
+       |  (acc, x) -> (acc * 131 + x) % 2147483647)""".stripMargin
+
+  /** word_ngrams(toks, 2) twin: len≥2 → the len−1 bigrams; shorter → one
+    * gram of all tokens (the kernel's contract). */
+  private val sqlBigrams: String =
+    """CASE WHEN len(toks) >= 2
+      |  THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
+
+  val qDedupMinhashLshSql: String = s"""
+    WITH t AS (
+      SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents),
+    sh AS (
+      SELECT id, list_distinct($sqlBigrams) AS grams FROM t),
+    sg AS (
+      SELECT id, grams,
+             list_transform(range(0, 16), j ->
+               list_min(list_transform(
+                 list_transform(grams, g -> ${sqlPolyHash("g")}),
+                 h -> ((2*j+1)*h + j*1013904223) % 2147483647))) AS sig
+      FROM sh WHERE len(grams) >= 1),
+    b AS (
+      SELECT id, bd.b AS band, list_slice(sig, 2*bd.b + 1, 2*bd.b + 2) AS bucket
+      FROM sg, (SELECT unnest(range(0, 8)) AS b) bd),
+    cand AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+    v AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+             GREATEST(CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE), 1.0) AS j
+      FROM cand JOIN sh ga ON ga.id = cand.id_a JOIN sh gb ON gb.id = cand.id_b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           COALESCE(MIN(id_a), -1) AS min_id
+    FROM v WHERE j >= 0.4"""
+
+  /** SimHash duplicate groups — ORACLE-CHECKED (62-bit portable simhash,
+    * reproduced in SQL with nested lambdas and bit shifts). */
   val qDedupSimhash: Q = (s, d) =>
     Dedup.simhashDups(documents(s, d), "doc_id", "text")
       .agg(count(lit(1)).as("n_groups"),
            coalesce(sum(col("n_docs")), lit(0L)).as("n_docs_in_groups"))
+
+  val qDedupSimhashSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents),
+    h AS (
+      SELECT doc_id, list_transform(toks, tk -> ${sqlPolyHash("tk")}) AS hs
+      FROM t),
+    s AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(0, 62), j ->
+               CASE WHEN list_sum(list_transform(hs, hh ->
+                      CASE WHEN ((2*j+1)*hh + j*1013904223) % 2147483647 >= 1073741823
+                           THEN 1 ELSE -1 END)) > 0
+                    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS sig
+      FROM h),
+    g AS (SELECT sig, COUNT(*) AS n_docs FROM s GROUP BY 1 HAVING COUNT(*) > 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           COALESCE(CAST(SUM(n_docs) AS BIGINT), 0) AS n_docs_in_groups
+    FROM g"""
 
   /** Exact n-gram Jaccard near-dups, blocked by language. */
   val qDedupNgramJaccard: Q = (s, d) =>
@@ -60,13 +129,50 @@ object Pipeline {
 
   /** Embedding-cosine near-dup pairs via banded hyperplane LSH: 8 bands ×
     * 8 bits — per-band buckets of ~N/256 (sub-quadratic verification) at
-    * ~0.94 recall for cos ≥ 0.9 pairs, vs ~0.4 for the old single
-    * 6-bit bucket (no oracle — probabilistic recall; shape pinned in
-    * DedupSpec). */
+    * ~0.94 recall for cos ≥ 0.9 pairs. ORACLE-CHECKED: the hyperplanes
+    * are deterministic literals and every step (sign of a sequential dot
+    * product, bucket equality, exact cosine verification) is IEEE
+    * arithmetic DuckDB reproduces bit-for-bit. */
   val qDedupEmbedding: Q = (s, d) =>
     Dedup.embeddingCosineDups(embeddings(s, d), "vec_id", "embedding",
       bands = 8, bitsPerBand = 8, threshold = 0.9)
       .agg(count(lit(1)).as("n_pairs"))
+
+  /** `[d0, d1, ...]` double-literal list (Double.toString round-trips). */
+  private def sqlVec(v: Seq[Double]): String = v.mkString("[", ", ", "]")
+
+  /** Sign-LSH bucket as SQL: bit j set when v · plane_j >= 0 (sequential
+    * list_dot_product = the kernels' left-to-right fold). */
+  private def sqlBucket(vExpr: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product($vExpr, ${sqlVec(p)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def sqlCos(a: String, b: String): String =
+    s"list_dot_product($a, $b) / GREATEST(sqrt(list_dot_product($a, $a)) * " +
+      s"sqrt(list_dot_product($b, $b)), 1e-300)"
+
+  val qDedupEmbeddingSql: String = {
+    val bandSelects = (0 until 8).map { bnd =>
+      val planes = Vectors.hyperplanes(64, 8, seed = 42L + 7919L * bnd)
+      s"SELECT vec_id, $bnd AS band, ${sqlBucket("v", planes)} AS bucket FROM e"
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    b AS (
+      $bandSelects),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
+        AND l.vec_id < r.vec_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.id_a
+    JOIN e eb ON eb.vec_id = c.id_b
+    WHERE ${sqlCos("ea.v", "eb.v")} >= 0.9"""
+  }
 
   // ---- similarity search ---------------------------------------------------
 
@@ -91,10 +197,27 @@ object Pipeline {
       ORDER BY cos DESC, vec_id LIMIT 20) t"""
   }
 
-  /** LSH-bucketed approximate top-k (no oracle; recall pinned in tests). */
+  /** LSH-bucketed approximate top-k — ORACLE-CHECKED: hyperplane literals,
+    * sign-bit buckets, the shared Hamming-1 probe set, and the exact
+    * cosine re-rank are all IEEE arithmetic DuckDB reproduces exactly. */
   val qAnnLsh: Q = (s, d) =>
     Vectors.lshTopK(embeddings(s, d), "vec_id", "embedding", annQuery,
       k = 20, planes = 4).select(col("vec_id"))
+
+  val qAnnLshSql: String = {
+    val planes = Vectors.hyperplanes(annQuery.size, 4)
+    val probes = Vectors.lshProbes(annQuery, 4).mkString(", ")
+    val q = annQuery.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+    s"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    b AS (SELECT vec_id, v, ${sqlBucket("v", planes)} AS bucket FROM e)
+    SELECT vec_id FROM (
+      SELECT vec_id, ${sqlCos("v", q)} AS cos
+      FROM b WHERE bucket IN ($probes)
+      ORDER BY cos DESC, vec_id LIMIT 20) t"""
+  }
 
   /** int8-quantized brute-force top-k — the 4x-smaller storage path for
     * 100 TB similarity search, ORACLE-CHECKED: quantization and quantized
@@ -498,6 +621,10 @@ object Pipeline {
     "dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     "ann_brute_force"     -> qAnnBruteForceSql,
     "ann_int8"            -> qAnnInt8Sql,
+    "ann_lsh"             -> qAnnLshSql,
+    "dedup_embedding"     -> qDedupEmbeddingSql,
+    "dedup_minhash_lsh"   -> qDedupMinhashLshSql,
+    "dedup_simhash"       -> qDedupSimhashSql,
     "text_tokens"         -> qTextTokensSql,
     "text_fingerprint"    -> qTextFingerprintSql,
     "text_rolling_hash"   -> qTextRollingHashSql,

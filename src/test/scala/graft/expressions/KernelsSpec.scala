@@ -69,4 +69,37 @@ class KernelsSpec extends SparkSpec {
       .filter(col("lambda") =!= col("native")).count()
     assert(mismatch == 0)
   }
+
+  test("polyHash: hand-computed values and the empty fold") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // 'ab': (0·131+97)·131+98 = 12805; chained mod 2^31−1
+    assert(TextKernels.polyHash(UTF8String.fromString("ab")) == 12805L)
+    assert(TextKernels.polyHash(UTF8String.fromString("cd")) == 13069L)
+    assert(TextKernels.polyHash(UTF8String.fromString("")) == 0L)
+    // BMP codepoint (的 = 30340) folds as a single value
+    assert(TextKernels.polyHash(UTF8String.fromString("的")) == 30340L)
+  }
+
+  test("minhash_poly: affine-family minima, hand-computed") {
+    graft.GraftFunctions.register(spark)
+    val sig = Seq(Seq("ab", "cd")).toDF("sh")
+      .select(call_function("minhash_poly", col("sh"), lit(4)))
+      .as[Seq[Long]].head()
+    // j=0: min(12805, 13069); j=1: min((3·12805+1013904223)%P, (3·13069+1013904223)%P)
+    assert(sig(0) == 12805L)
+    assert(sig(1) == 1013942638L)
+    assert(sig.length == 4)
+  }
+
+  test("simhash_poly: deterministic, 62-bit, separates distinct content") {
+    graft.GraftFunctions.register(spark)
+    val df = Seq(
+      ("a", "the quick brown fox"), ("b", "the quick brown fox"),
+      ("c", "completely different words entirely")).toDF("id", "t")
+      .select(col("id"), call_function("simhash_poly", TextFunctions.tokens(col("t"))).as("sig"))
+    val m = df.as[(String, Long)].collect().toMap
+    assert(m("a") == m("b"))
+    assert(m("a") != m("c"))
+    assert(m.values.forall(s => s >= 0 && s < (1L << 62)))
+  }
 }
