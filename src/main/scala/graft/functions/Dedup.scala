@@ -38,16 +38,6 @@ object Dedup {
       array_min(transform(shinglesCol, sh => xxhash64(lit(j), sh)))
     }: _*)
 
-  /** LSH band keys: split an n-length signature into `bands` bands and
-    * hash each. Emits array of (band_idx, band_hash) structs. */
-  def lshBands(signature: Column, n: Int, bands: Int): Column = {
-    val rows = n / bands
-    array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(signature, b * rows + 1, rows).cast("string")).as("bucket"))
-    }: _*)
-  }
-
   /** Exact Jaccard similarity between two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
@@ -62,7 +52,13 @@ object Dedup {
     * pairs are DEDUPED BEFORE verification — a pair colliding in many
     * bands is verified once, not once per band — and a size-ratio
     * prefilter drops pairs that provably cannot reach the threshold
-    * (J(A,B) >= t implies |A| >= t|B| and |B| >= t|A|). */
+    * (J(A,B) >= t implies |A| >= t|B| and |B| >= t|A|).
+    *
+    * NOTE: constructing this DataFrame runs the candidate-generation job
+    * EAGERLY (banding self-join → small materialized candidate set via
+    * localCheckpoint) so the cached banded table can be released
+    * immediately — the deliberate trade against leaking a
+    * session-lifetime cache entry per invocation. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 16, bands: Int = 4,
                  shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
@@ -201,7 +197,9 @@ object Dedup {
     * recall (miss probability (1-p^b)^bands for per-bit agreement p).
     * A single wide bucket key would trade recall for nothing: this is the
     * standard sign-LSH banding from the MinHash literature applied to
-    * random hyperplanes. */
+    * random hyperplanes. Like [[minhashLsh]], CONSTRUCTION eagerly
+    * materializes the (small) candidate set so the cached banded table
+    * releases immediately instead of leaking for the session. */
   def embeddingCosineDups(df: DataFrame, idCol: String, vecCol: String,
                           bands: Int = 8, bitsPerBand: Int = 12,
                           threshold: Double = 0.95, dim: Int = 64): DataFrame = {

@@ -373,7 +373,9 @@ object Pipeline {
       SELECT list_reduce(
                list_prepend(CAST(0 AS BIGINT),
                  list_transform(
-                   string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ''),
+                   list_filter(
+                     string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ''),
+                     c -> c <> ''),
                    c -> CAST(unicode(c) AS BIGINT))),
                (acc, x) -> (acc * 131 + x) % 2147483647) AS rh
       FROM documents)

@@ -74,8 +74,20 @@ final class MdioColumnarReader(p: MdioInputPartition, dims: Array[String], schem
     }
   }
 
+  // batch capacity: never larger than the cell range itself, so a task
+  // iterating many SMALL chunks (the coalesced-range shape) does not
+  // allocate 4096-row vector sets per 4-cell chunk
+  private val capacity: Int = {
+    var cells = 1L
+    var i = 0
+    while (i < rank && cells < MdioColumnarReader.BatchRows) {
+      cells *= math.max(p.cellHi(i) - p.cellLo(i), 0L)
+      i += 1
+    }
+    math.max(1, math.min(cells, MdioColumnarReader.BatchRows.toLong).toInt)
+  }
   private val vectors: Array[OnHeapColumnVector] =
-    schema.fields.map(f => new OnHeapColumnVector(MdioColumnarReader.BatchRows, f.dataType))
+    schema.fields.map(f => new OnHeapColumnVector(capacity, f.dataType))
   private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
 
   /** Advance the odometer; false when the range is exhausted. */
@@ -95,7 +107,7 @@ final class MdioColumnarReader(p: MdioInputPartition, dims: Array[String], schem
     var n = 0
     vectors.foreach(_.reset())
     var more = true
-    while (more && n < MdioColumnarReader.BatchRows) {
+    while (more && n < capacity) {
       var off = 0L
       var i = 0
       while (i < rank) {

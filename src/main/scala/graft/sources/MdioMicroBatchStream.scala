@@ -65,13 +65,17 @@ final class MdioMicroBatchStream(path: String, dims: Seq[String],
         // s0 holds chunk coords [s0*ips0, (s0+1)*ips0))
         val unit0 = anchorMeta.shard.map(_ => anchorMeta.innerPerShard.head).getOrElse(1L)
         val floor0 = if (floorKey.isEmpty) Long.MinValue else floorKey.head / unit0
-        val tops = cDir.list().filter(_.name.forall(_.isDigit))
+        // a name must be nonempty digits: `forall(_.isDigit)` alone is
+        // vacuously true for "" (e.g. a stray FILE named c/7 in a rank-2
+        // store relativizes to "" and must be skipped, not crash)
+        def numeric(s: String): Boolean = s.nonEmpty && s.forall(_.isDigit)
+        val tops = cDir.list().filter(p => numeric(p.name))
           .filter(_.name.toLong >= floor0)
         if (rank == 1) tops.map(p => Vector(p.name.toLong))
         else tops.flatMap { top =>
           top.listFilesRecursive()
             .map(p => top.name +: top.relativize(p).split("/").toVector)
-            .collect { case parts if parts.length == rank && parts.forall(_.forall(_.isDigit)) =>
+            .collect { case parts if parts.length == rank && parts.forall(numeric) =>
               parts.map(_.toLong)
             }
         }
@@ -109,8 +113,16 @@ final class MdioMicroBatchStream(path: String, dims: Seq[String],
   }
   override def deserializeOffset(json: String): Offset = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    MdioStreamOffset((org.json4s.jackson.JsonMethods.parse(json) \ "key")
-      .extract[Vector[Long]])
+    val parsed = org.json4s.jackson.JsonMethods.parse(json)
+    (parsed \ "key") match {
+      case org.json4s.JNothing =>
+        // pre-key (count-based) checkpoint: fail loudly — silently mapping
+        // a count to a key would re-deliver or skip chunks
+        throw new IllegalStateException(
+          s"unsupported mdio stream offset $json (count-format checkpoint from " +
+            "an older version); restart the stream from a fresh checkpoint")
+      case key => MdioStreamOffset(key.extract[Vector[Long]])
+    }
   }
   override def commit(end: Offset): Unit =
     committedFloor = end.asInstanceOf[MdioStreamOffset].key

@@ -44,9 +44,15 @@ final class ShardCache extends AutoCloseable {
     require(len >= idxBytes, s"shard ${file.uri} shorter than its index")
     opens += 1
     val in = file.openStream()
-    val raw = new Array[Byte](idxBytes.toInt)
-    in.readFully(len - idxBytes, raw)
-    new Entry(in, ZarrMeta.parseShardIndex(raw, n, crc = true, file.uri))
+    try {
+      val raw = new Array[Byte](idxBytes.toInt)
+      in.readFully(len - idxBytes, raw)
+      new Entry(in, ZarrMeta.parseShardIndex(raw, n, crc = true, file.uri))
+    } catch {
+      // a truncated/corrupt index must not leak the open handle (each
+      // task retry would otherwise leak one connection on object stores)
+      case t: Throwable => in.close(); throw t
+    }
   }
 
   /** Read one inner chunk's compressed payload out of a shard object;
