@@ -208,6 +208,10 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
   private val dimSet = dims.toSet
   // label -> [lo, hi) accumulated from pushed filters
   private var ranges: Map[String, (Long, Long)] = Map.empty
+  // label -> static IN-list values (PARTIAL pushdown: chunks containing
+  // none of the values are pruned, Spark still applies the row filter —
+  // chunk ranges cannot express value holes)
+  private var inValues: Map[String, Array[Long]] = Map.empty
   private var pushed: Array[Filter] = Array.empty
   private var requiredSchema: StructType = fullSchema
   // accepted metadata-answerable aggregation: ("count", "") | ("min"/"max", dim)
@@ -305,7 +309,25 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (abs, rest) = filters.partition(absorb)
-    pushed = abs
+    // static IN over a dim: prune chunks by value (partial pushdown —
+    // the filter stays in `rest` so Spark re-filters rows inside the
+    // surviving chunks). A 2-value IN over a billion-chunk store plans
+    // 2 chunks instead of scanning the grid.
+    rest.foreach {
+      case In(a, vs) if dimSet(a) && vs.nonEmpty =>
+        val longs = vs.flatMap(asLong)
+        if (longs.length == vs.length) {
+          val sorted = longs.distinct.sorted
+          inValues = inValues.updatedWith(a) {
+            case Some(prev) => Some(prev.intersect(sorted)) // conjunctive
+            case None => Some(sorted)
+          }
+        }
+      case _ => ()
+    }
+    pushed = abs ++ rest.collect {
+      case f @ In(a, _) if inValues.contains(a) => f // partial: shown in EXPLAIN
+    }
     rest // leftover for Spark to evaluate
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -318,7 +340,8 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
 
   override def build(): Scan = pushedAggs match {
     case Some(aggs) => MdioAggScan(dims, metas, ranges, aggs)
-    case None => MdioScan(path, dims, metas, requiredSchema, ranges, limitCells, topN)
+    case None =>
+      MdioScan(path, dims, metas, requiredSchema, ranges, limitCells, topN, inValues)
   }
 }
 
@@ -376,7 +399,9 @@ final case class MdioScan(path: String, dims: Seq[String],
                           requiredSchema: StructType,
                           ranges: Map[String, (Long, Long)],
                           limitCells: Option[Int] = None,
-                          topN: Option[(String, Boolean, Int)] = None) extends Scan with Batch
+                          topN: Option[(String, Boolean, Int)] = None,
+                          staticIn: Map[String, Array[Long]] = Map.empty)
+    extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -407,7 +432,9 @@ final case class MdioScan(path: String, dims: Seq[String],
   // selective join (e.g. sel's coordinate semi-join), Spark hands the built
   // side's IN-set here before partition planning; chunks containing none of
   // the values are skipped. Any superset is safe — the join re-filters rows.
-  private var runtimeValues: Map[String, Array[Long]] = Map.empty
+  // Seeded with the STATIC IN-lists the scan builder absorbed partially
+  // (same pruning mechanics; Spark re-filters rows either way).
+  private var runtimeValues: Map[String, Array[Long]] = staticIn
 
   override def filterAttributes(): Array[connector_expressions.NamedReference] =
     dims.filter(requiredSchema.fieldNames.contains) // only dims this scan outputs
@@ -428,8 +455,13 @@ final case class MdioScan(path: String, dims: Seq[String],
               }
               case _ => None
             }
-            if (vals.length == lits.length && vals.nonEmpty)
-              runtimeValues = runtimeValues.updated(dim, vals.sorted)
+            if (vals.length == lits.length && vals.nonEmpty) {
+              val sorted = vals.distinct.sorted
+              runtimeValues = runtimeValues.updatedWith(dim) {
+                case Some(prev) => Some(prev.intersect(sorted)) // conjunctive with static INs
+                case None => Some(sorted)
+              }
+            }
           case _ => ()
         }
       }

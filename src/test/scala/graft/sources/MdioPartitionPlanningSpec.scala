@@ -148,6 +148,22 @@ class MdioPartitionPlanningSpec extends SparkSpec {
         .add("image", org.apache.spark.sql.types.FloatType), Map.empty)
   }
 
+  test("static IN-list filters prune chunks end to end (partial pushdown)") {
+    val dir = freshStore()
+    val df = spark.read.format("mdio").load(dir)
+      .filter($"trace".isin(8L, 2000L, 4090L))
+    // exactly the 3 containing chunks plan; Spark's residual filter trims
+    // the chunk cells down to the 3 requested rows
+    val parts = df.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.size
+    }.sum
+    assert(parts == 3, s"IN(3 values) planned $parts partitions")
+    val got = df.select("trace", "value").as[(Long, Float)].collect().toSet
+    assert(got == Set((8L, 8f), (2000L, 2000f), (4090L, 4090f)))
+    MdioWriter.delete(dir)
+  }
+
   test("targetPartitionBytes dials the partition count up to per-chunk") {
     val dir = freshStore()
     spark.conf.set("spark.graft.scan.targetPartitionBytes", "1")
