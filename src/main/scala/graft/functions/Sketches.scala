@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Portable cardinality sketches.
+  *
+  * Spark's own `approx_count_distinct` is a fine HLL++ — but its hash and
+  * register encoding are engine-internal, so its output can never be
+  * verified against an independent engine. This module implements a plain
+  * HyperLogLog (Flajolet et al. 2007) over a PORTABLE hash whose every step
+  * is exact integer / dyadic-rational arithmetic, reproducible bit-for-bit
+  * in any engine with 64-bit integers (the DuckDB oracle recomputes it from
+  * scratch in SQL and the estimates hash-match).
+  *
+  * Scale shape: registers are `MAX` per (keys, bucket) — a two-level
+  * codegen hash aggregate with map-side partial combine. Shuffle volume is
+  * capped at 2^p rows per group per mapper regardless of input size, and
+  * the register merge (MAX) is associative/commutative, so the sketch is
+  * mergeable across partitions, stages, or incremental runs by
+  * construction. No UDAF, no object hash aggregate — the whole pipeline
+  * stays in whole-stage codegen.
+  *
+  * Reference surface: mdio-cpp exposes summary statistics over huge arrays
+  * (mdio/stats.h histogram/summary machinery); distinct-cardinality at
+  * 100 TB needs the same one-pass, fixed-state treatment — exact distinct
+  * would shuffle every value.
+  */
+object Sketches {
+
+  /** Mersenne prime 2^31-1: products of two residues fit in a Long, so the
+    * chain never overflows — the property that makes the hash portable to
+    * engines (DuckDB) whose BIGINT arithmetic throws on overflow rather
+    * than wrapping.
+    */
+  private val M = 2147483647L
+
+  /** Two rounds of (affine mod M, xor-shift). The xor-shift between the
+    * affine rounds breaks the arithmetic-progression structure that a pure
+    * LCG chain preserves (sequential keys hash to an AP, which biases
+    * trailing-zero ranks); two rounds measure ≤ ~5% HLL error at p=8
+    * across 2e2..1e5 cardinalities, within the 1.04/sqrt(m) theory bound.
+    */
+  def portableMix(v: Column): Column = {
+    val h0 = (lit(1103515245L) * (v % M) + lit(12345L)) % M
+    val h1 = h0.bitwiseXOR(shiftright(h0, 15))
+    val h2 = (lit(1013904223L) * h1 + lit(390451572L)) % M
+    h2.bitwiseXOR(shiftright(h2, 13))
+  }
+
+  /** HLL distinct-count estimate of `value` per `keys` group.
+    *
+    * p register-index bits (m = 2^p registers, standard error
+    * 1.04/sqrt(m)); the remaining 31-p hash bits feed the rank. The rank
+    * is the trailing-zero count + 1, tracked as the lowest-set-bit VALUE
+    * (a power of two) so `MAX` orders registers and `1/(2*maxl)` yields
+    * the exact dyadic 2^-rank — every partial sum is an exact double, so
+    * the estimate is independent of aggregation order. Small-range
+    * correction (linear counting) below 2.5m follows the paper; its `ln`
+    * is the one non-exact step, absorbed by rounding to 4 decimals.
+    */
+  def hllDistinct(df: DataFrame, keys: Seq[String], value: Column,
+                  p: Int = 8, out: String = "hll_distinct"): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val h = portableMix(value.cast("long"))
+    val t = shiftright(h, p) // 31-p rank bits, decorrelated from the bucket
+    val lowbit = when(t === 0L, lit(1L << (31 - p)))
+      .otherwise(t.bitwiseAND(-t))
+    val keyCols = keys.map(col)
+
+    val regs = df
+      .select(keyCols :+ (h % m).as("__bucket") :+ lowbit.as("__l"): _*)
+      .groupBy(keyCols :+ col("__bucket"): _*)
+      .agg(max(col("__l")).as("__maxl"))
+
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    regs
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__present"),
+        sum(lit(1.0) / (lit(2.0) * col("__maxl"))).as("__sump"))
+      .withColumn("__zeros", lit(m.toLong) - col("__present"))
+      .withColumn("__raw",
+        lit(alpha) * lit(m.toDouble * m) / (col("__sump") + (lit(m.toLong) - col("__present"))))
+      .withColumn(out,
+        round(when(col("__raw") <= lit(2.5 * m) && col("__zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("__zeros")))
+          .otherwise(col("__raw")), 4))
+      .select(keyCols :+ col(out): _*)
+  }
+
+  /** The DuckDB recomputation of [[hllDistinct]] for the oracle. Kept
+    * adjacent to the Spark arithmetic so the two stay in lockstep.
+    */
+  def hllDistinctSql(table: String, keys: Seq[String], valueExpr: String,
+                     p: Int = 8, out: String = "hll_distinct"): String = {
+    val m = 1 << p
+    val ks = keys.mkString(", ")
+    s"""
+    WITH m1 AS (
+      SELECT $ks, ((CAST(1103515245 AS BIGINT) * (($valueExpr) % 2147483647) + 12345) % 2147483647) AS a
+      FROM $table
+    ), m2 AS (
+      SELECT $ks, (CAST(1013904223 AS BIGINT) * xor(a, a >> 15) + 390451572) % 2147483647 AS c FROM m1
+    ), h AS (
+      SELECT $ks, xor(c, c >> 13) AS h FROM m2
+    ), reg AS (
+      SELECT $ks, h % $m AS bucket,
+             MAX(CASE WHEN (h >> $p) = 0 THEN ${1L << (31 - p)}
+                      ELSE (h >> $p) & (-(h >> $p)) END) AS maxl
+      FROM h GROUP BY $ks, bucket
+    ), est AS (
+      SELECT $ks, COUNT(*) AS present,
+             SUM(CAST(1.0 AS DOUBLE) / (CAST(2.0 AS DOUBLE) * maxl)) AS sump
+      FROM reg GROUP BY $ks
+    )
+    SELECT $ks,
+           ROUND(CASE WHEN raw <= ${2.5 * m}e0 AND zeros > 0
+                      THEN ${m}e0 * LN(${m}e0 / zeros) ELSE raw END, 4) AS $out
+    FROM (
+      SELECT $ks,
+             (0.7213e0 / (1.0e0 + 1.079e0 / ${m}e0)) * ${m.toLong * m}e0 / (sump + ($m - present)) AS raw,
+             $m - present AS zeros
+      FROM est
+    ) t"""
+  }
+}

@@ -296,6 +296,19 @@ object Relational2 {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
 
+  /** The same distinct-cardinality problem solved with graft's PORTABLE
+    * HLL ([[graft.functions.Sketches.hllDistinct]]): identical sketch
+    * arithmetic recomputed independently by the DuckDB oracle, so unlike
+    * `approx_count_distinct` the approximate answer itself hash-matches
+    * cross-engine. Same 100 TB shape — fixed 2^p state per group,
+    * map-side combine, mergeable registers. */
+  val qAggHllPortable: Q = (s, d) =>
+    graft.functions.Sketches.hllDistinct(
+      lineitem(s, d), Seq("l_returnflag"), col("l_partkey"))
+
+  val qAggHllPortableSql: String =
+    graft.functions.Sketches.hllDistinctSql("lineitem", Seq("l_returnflag"), "l_partkey")
+
   /** Ordered funnel: users who signed up, then clicked after signing up,
     * then purchased after that click. Three conditional-min stages — each
     * stage is one aggregation over the (already user-partitioned) events,
@@ -347,6 +360,7 @@ object Relational2 {
     "agg_corr"           -> qAggCorr,
     "agg_conditional"    -> qAggConditional,
     "agg_approx"         -> qAggApprox,
+    "agg_hll_portable"   -> qAggHllPortable,
     "fn_array"           -> qFnArray,
     "fn_json"            -> qFnJson,
     "fn_datetime"        -> qFnDatetime,
@@ -365,6 +379,7 @@ object Relational2 {
     "agg_pivot"          -> qAggPivotSql,
     "agg_corr"           -> qAggCorrSql,
     "agg_conditional"    -> qAggConditionalSql,
+    "agg_hll_portable"   -> qAggHllPortableSql,
     "fn_array"           -> qFnArraySql,
     "fn_json"            -> qFnJsonSql,
     "fn_datetime"        -> qFnDatetimeSql,

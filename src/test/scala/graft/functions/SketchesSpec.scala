@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Portable HLL: estimate quality vs exact distinct, the sketch invariants
+  * (duplicate-blind, partition-order-independent), and the plan shape
+  * (pure hash aggregates — no object agg, no UDF).
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def li = Tables.lineitem(spark, sf)
+
+  test("estimate within HLL error bound of exact distinct per group") {
+    val est = Sketches.hllDistinct(li, Seq("l_returnflag"), col("l_partkey"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val rel = math.abs(est(k) - n) / n.toDouble
+      // 1.04/sqrt(256) = 6.5% std error; allow 3 sigma
+      assert(rel < 0.20, s"$k: est=${est(k)} exact=$n rel=$rel")
+    }
+  }
+
+  test("duplicating every row leaves the estimate bit-identical") {
+    val once = Sketches.hllDistinct(li, Seq("l_returnflag"), col("l_partkey"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val twice = Sketches.hllDistinct(li.union(li), Seq("l_returnflag"), col("l_partkey"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(once == twice)
+  }
+
+  test("estimate independent of partitioning (register merge is exact)") {
+    val a = Sketches.hllDistinct(li.repartition(7), Seq("l_returnflag"), col("l_partkey"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val b = Sketches.hllDistinct(li.coalesce(1), Seq("l_returnflag"), col("l_partkey"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(a == b)
+  }
+
+  test("linear-counting regime (m >> n) is near-exact") {
+    // 200 distinct partkeys per flag at sf0.001; p=12 gives 4096 registers,
+    // so the small-range correction applies and the estimate tightens to
+    // the linear-counting bound (~1/sqrt(m) relative).
+    val est = Sketches.hllDistinct(li, Seq("l_returnflag"), col("l_partkey"), p = 12)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    est.values.foreach { e =>
+      assert(math.abs(e - 200.0) / 200.0 < 0.05, s"est=$e for n=200 at p=12")
+    }
+  }
+
+  test("plan is two codegen hash aggregates — no UDAF, no object agg") {
+    val plan = Sketches.hllDistinct(li, Seq("l_returnflag"), col("l_partkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("ObjectHashAggregate"), "sketch must stay codegen")
+    assert(!plan.toLowerCase.contains("udf"))
+  }
+}
