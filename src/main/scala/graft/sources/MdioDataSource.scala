@@ -295,13 +295,20 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
     ranges = ranges.updated(dim, (math.max(clo, lo), math.min(chi, hi)))
   }
 
+  // saturating successor: `Long.MaxValue + 1` would wrap to MinValue and
+  // silently turn a no-op bound (`dim <= Long.MaxValue`) into an empty
+  // scan, or `dim > Long.MaxValue` into a full scan — the one spot where
+  // pushdown could change answers. Indices are always < Long.MaxValue
+  // (max index = shape-1), so saturation is exact at the domain edge.
+  private def satInc(x: Long): Long = if (x == Long.MaxValue) x else x + 1
+
   /** A filter we can absorb completely into chunk + cell ranges. */
   private def absorb(f: Filter): Boolean = f match {
-    case EqualTo(a, v) if dimSet(a) => asLong(v).exists { x => narrow(a, x, x + 1); true }
-    case GreaterThan(a, v) if dimSet(a) => asLong(v).exists { x => narrow(a, x + 1, Long.MaxValue); true }
+    case EqualTo(a, v) if dimSet(a) => asLong(v).exists { x => narrow(a, x, satInc(x)); true }
+    case GreaterThan(a, v) if dimSet(a) => asLong(v).exists { x => narrow(a, satInc(x), Long.MaxValue); true }
     case GreaterThanOrEqual(a, v) if dimSet(a) => asLong(v).exists { x => narrow(a, x, Long.MaxValue); true }
     case LessThan(a, v) if dimSet(a) => asLong(v).exists { x => narrow(a, Long.MinValue, x); true }
-    case LessThanOrEqual(a, v) if dimSet(a) => asLong(v).exists { x => narrow(a, Long.MinValue, x + 1); true }
+    case LessThanOrEqual(a, v) if dimSet(a) => asLong(v).exists { x => narrow(a, Long.MinValue, satInc(x)); true }
     case And(l, r) => // both sides must absorb; range narrowing is conjunctive
       val okL = absorb(l); val okR = absorb(r); okL && okR
     case _ => false

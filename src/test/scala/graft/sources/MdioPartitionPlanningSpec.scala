@@ -84,6 +84,17 @@ class MdioPartitionPlanningSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("domain-edge bounds saturate: <= Long.MaxValue is a no-op, not an empty scan") {
+    val dir = freshStore()
+    val df = spark.read.format("mdio").load(dir)
+    // pre-fix, absorb computed MaxValue+1 → wrap → empty range → 0 rows
+    assert(df.filter($"trace" <= Long.MaxValue).count() == 4096L)
+    assert(df.filter($"trace" < Long.MaxValue).count() == 4096L)
+    // and the dual: > MaxValue must be empty, not a full scan
+    assert(df.filter($"trace" > Long.MaxValue).count() == 0L)
+    MdioWriter.delete(dir)
+  }
+
   test("runtime IN-filters plan O(values) partitions, not an O(grid) sweep") {
     import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.connector.expressions.filter.Predicate
