@@ -250,14 +250,55 @@ object Pipeline {
     * spherical k-means (64 cells), then an nprobe=16 probe (~25% scan on
     * this corpus). Recall ≥0.9 at a 1/8 scan is gated in VectorsSpec on
     * clustered data — the corpus embeddings are ~uniform, where recall ≈
-    * scan fraction is the ceiling for any quantizer. No oracle — cell
-    * geometry is engine-internal. */
+    * scan fraction is the ceiling for any quantizer.
+    *
+    * ORACLE-CHECKED via centroid literals: training is deterministic per
+    * corpus but data-dependent, so the trained centroids are stashed here
+    * and [[oracleSql]] (a def, re-read by Verify AFTER all queries ran in
+    * the same JVM) embeds them as SQL literals — the same pattern
+    * [[qDedupEmbeddingSql]] uses for its hyperplanes. The oracle then
+    * independently reproduces cell assignment (argmax cosine, ties to the
+    * highest cell), the nprobe cell filter, and the exact cosine re-rank. */
   val qAnnIvf: Q = (s, d) => {
     val emb = embeddings(s, d)
     val centroids = Vectors.trainIvfCentroids(emb, "vec_id", "embedding", cells = 64)
+    ivfTrained = Some(centroids)
     Vectors.ivfTopK(emb, "vec_id", "embedding", annQuery, k = 20,
       centroids, nprobe = 16)
       .select("vec_id")
+  }
+
+  /** Centroids trained by the last [[qAnnIvf]] run in this JVM (one Verify
+    * invocation runs all queries against one corpus, then dumps SQL). */
+  @volatile private var ivfTrained: Option[Seq[Seq[Double]]] = None
+
+  /** IVF search re-spelled in DuckDB over literal centroids: score every
+    * (vector, cell) pair with the shared IEEE cosine form, keep each
+    * vector's argmax cell (score DESC, cell DESC = array_max on
+    * (score, cell) structs in [[Vectors.ivfAssignNative]]), filter to the
+    * Scala-computed nprobe probe cells, exact-cosine re-rank. */
+  private def qAnnIvfSql(cents: Seq[Seq[Double]]): String = {
+    val probes = Vectors.nearestCells(cents, annQuery, 16).mkString(", ")
+    val q = annQuery.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+    val centRows = cents.zipWithIndex
+      .map { case (c, i) => s"($i, ${sqlVec(c)})" }.mkString(",\n      ")
+    s"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    cents(cell, c) AS (VALUES
+      $centRows),
+    assigned AS (
+      SELECT vec_id, v, cell
+      FROM (SELECT e.vec_id, e.v, cents.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${sqlCos("e.v", "cents.c")} DESC, cents.cell DESC) AS rn
+            FROM e CROSS JOIN cents)
+      WHERE rn = 1)
+    SELECT vec_id FROM (
+      SELECT vec_id, ${sqlCos("v", q)} AS cos
+      FROM assigned WHERE cell IN ($probes)
+      ORDER BY cos DESC, vec_id LIMIT 20) t"""
   }
 
   // ---- text analysis -------------------------------------------------------
@@ -614,7 +655,12 @@ object Pipeline {
     "multimodal_features"  -> qMultimodalFeatures,
   )
 
-  val oracleSql: Map[String, String] = Map(
+  /** A def, not a val: the `ann_ivf` entry exists only once [[qAnnIvf]]
+    * has trained centroids in this JVM (Verify runs queries, THEN dumps). */
+  def oracleSql: Map[String, String] =
+    staticOracleSql ++ ivfTrained.map(c => "ann_ivf" -> qAnnIvfSql(c))
+
+  private val staticOracleSql: Map[String, String] = Map(
     "geo_utm"             -> qGeoUtmSql,
     "pipeline_compose"    -> qPipelineComposeSql,
     "text_quality"        -> qTextQualitySql,
