@@ -30,6 +30,16 @@ final case class MdioStreamOffset(key: Vector[Long]) extends Offset {
   * rewritten chunks are NOT re-emitted (each chunk is delivered once).
   * Sharded arrays enumerate the inner chunks of newly appeared shard
   * objects. */
+/** Listing-cost observability (the ShardCache.opens pattern): how many
+  * names the last store listing returned vs how many survived the
+  * committed-floor prune — specs pin that long-lived tails keep the
+  * driver-side planning set O(new data), not O(history). Test-only
+  * counters; last-writer-wins under concurrent streams is acceptable. */
+object MdioMicroBatchStream {
+  @volatile private[sources] var lastListed: Int = 0
+  @volatile private[sources] var lastRetained: Int = 0
+}
+
 final class MdioMicroBatchStream(path: String, dims: Seq[String],
                                  metas: Map[String, ZarrMeta.ArrayMeta],
                                  requiredSchema: org.apache.spark.sql.types.StructType,
@@ -54,7 +64,10 @@ final class MdioMicroBatchStream(path: String, dims: Seq[String],
     * whole subtree sorts strictly below it are skipped — the append
     * pattern (new chunks along the leading dim) makes the per-batch
     * listing O(new data), not O(history). v2 chunk keys are a flat
-    * namespace (`i.j` files) and list in full. */
+    * namespace (`i.j` files): one LIST RPC still covers the directory
+    * (there is no hierarchy to skip), but the same leading-component
+    * floor drops below-floor names at parse, so the driver-side
+    * parse/sort/plan set is O(new data) on a long-lived tail too. */
   private def presentCoords(floorKey: Vector[Long]): IndexedSeq[Vector[Long]] = {
     val arrayDir = ZarrMeta.path(path).resolve(anchorVar)
     val rank = dims.size
@@ -69,23 +82,36 @@ final class MdioMicroBatchStream(path: String, dims: Seq[String],
         // vacuously true for "" (e.g. a stray FILE named c/7 in a rank-2
         // store relativizes to "" and must be skipped, not crash)
         def numeric(s: String): Boolean = s.nonEmpty && s.forall(_.isDigit)
-        val tops = cDir.list().filter(p => numeric(p.name))
-          .filter(_.name.toLong >= floor0)
-        if (rank == 1) tops.map(p => Vector(p.name.toLong))
-        else tops.flatMap { top =>
-          top.listFilesRecursive()
-            .map(p => top.name +: top.relativize(p).split("/").toVector)
-            .collect { case parts if parts.length == rank && parts.forall(numeric) =>
-              parts.map(_.toLong)
-            }
-        }
+        val all = cDir.list().filter(p => numeric(p.name))
+        MdioMicroBatchStream.lastListed = all.size
+        val tops = all.filter(_.name.toLong >= floor0)
+        val coords =
+          if (rank == 1) tops.map(p => Vector(p.name.toLong))
+          else tops.flatMap { top =>
+            top.listFilesRecursive()
+              .map(p => top.name +: top.relativize(p).split("/").toVector)
+              .collect { case parts if parts.length == rank && parts.forall(numeric) =>
+                parts.map(_.toLong)
+              }
+          }
+        MdioMicroBatchStream.lastRetained = coords.size
+        coords
       } else {
-        arrayDir.list()
-          .filter(p => p.isFile && !p.name.startsWith("."))
+        // v2 floor is in chunk units directly (no shards in v2): a name
+        // whose first component is below the floor's head names a key
+        // strictly below the floor — below-floor keys can never plan
+        // again, so drop them before parse/sort
+        val floor0 = if (floorKey.isEmpty) Long.MinValue else floorKey.head
+        val names = arrayDir.list().filter(p => p.isFile && !p.name.startsWith("."))
+        MdioMicroBatchStream.lastListed = names.size
+        val coords = names
           .map(_.name.split("\\.").toVector)
           .collect { case parts if parts.length == rank && parts.forall(_.forall(_.isDigit)) =>
             parts.map(_.toLong)
           }
+          .filter(_.head >= floor0)
+        MdioMicroBatchStream.lastRetained = coords.size
+        coords
       }
     val chunkCoords: Seq[Vector[Long]] = anchorMeta.shard match {
       case None => fileCoords

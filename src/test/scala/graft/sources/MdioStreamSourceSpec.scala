@@ -90,6 +90,36 @@ class MdioStreamSourceSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("v2 tail prunes below-floor names at parse: planning set is O(new data)") {
+    val dir = create() // v2 store: flat `i.j` chunk namespace
+    writeInlines(dir, 0L, 8L) // all 4 chunks of the 2x2 grid present
+    val meta = graft.zarr.ZarrMeta.readGroup(graft.zarr.ZarrMeta.path(dir))._2("image")._1
+    assert(meta.version == 2)
+    val stream = new MdioMicroBatchStream(dir, Seq("inline", "crossline"),
+      Map("image" -> meta),
+      new org.apache.spark.sql.types.StructType()
+        .add("inline", org.apache.spark.sql.types.LongType)
+        .add("crossline", org.apache.spark.sql.types.LongType)
+        .add("image", org.apache.spark.sql.types.DoubleType),
+      Map.empty)
+    val first = stream.latestOffset().asInstanceOf[MdioStreamOffset]
+    assert(first.key == Vector(1L, 1L))
+    assert(MdioMicroBatchStream.lastListed == 4 && MdioMicroBatchStream.lastRetained == 4)
+    stream.commit(first)
+    // history (chunk row 0 and the committed row 1) must drop at parse on
+    // the next listing: only names at/above the floor's leading component
+    // survive into the sort/plan set
+    stream.latestOffset()
+    assert(MdioMicroBatchStream.lastListed == 4, "flat namespace still lists in full")
+    assert(MdioMicroBatchStream.lastRetained == 2,
+      s"below-floor names must drop at parse, retained ${MdioMicroBatchStream.lastRetained}")
+    // and a below-floor backfill row never re-plans even while retained=row1
+    val after = stream.latestOffset().asInstanceOf[MdioStreamOffset]
+    assert(after.key == first.key)
+    assert(stream.planInputPartitions(first, after).isEmpty)
+    MdioWriter.delete(dir)
+  }
+
   test("streaming source honors pushed dim-range filters") {
     val dir = create()
     writeInlines(dir, 0L, 8L)
