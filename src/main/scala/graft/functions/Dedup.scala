@@ -59,33 +59,38 @@ object Dedup {
     * localCheckpoint) so the cached banded table can be released
     * immediately — the deliberate trade against leaking a
     * session-lifetime cache entry per invocation. */
-  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-                 numHashes: Int = 16, bands: Int = 4,
-                 shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
+  /** (id, band, bucket) banding of minhash signatures: band key = the raw
+    * signature slice (portable; no re-hash needed — array equality is the
+    * bucket identity in Spark and DuckDB alike). `sh` must carry (id, sig).
+    * private[graft] so DedupSpec can count candidates at two corpus sizes
+    * — the empirical sub-quadratic gate. */
+  private[graft] def minhashBanded(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sh.withColumn("band", explode(array((0 until bands).map(lit(_)): _*)))
+      .withColumn("bucket", slice(col("sig"), col("band") * rows + 1, lit(rows)))
+      .select(col("id"), col("band"), col("bucket"))
+  }
+
+  /** (id, sig) minhash signatures over distinct word shingles; docs with
+    * no shingles are excluded up front (both engines). */
+  private[graft] def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                                       numHashes: Int, shingleK: Int): DataFrame = {
     graft.GraftFunctions.register(df.sparkSession)
-    // minhash_poly = the PORTABLE polynomial hash family (not xxhash64),
-    // so the whole pipeline — signatures, band keys, verified pairs — is
-    // reproducible in DuckDB SQL and sits on the oracle; docs with no
-    // shingles cannot collide and are excluded up front (both engines)
-    val sh = df.select(col(idCol).as("id"),
+    df.select(col(idCol).as("id"),
         array_distinct(call_function("word_ngrams",
           TextFunctions.tokens(col(textCol)), lit(shingleK))).as("sh"))
       .filter(size(col("sh")) >= 1)
       .withColumn("sig", call_function("minhash_poly", col("sh"), lit(numHashes)))
-    // persist the tiny (id, band, bucket) table so the candidate self-join
-    // does not recompute the shingle+sign stage per side (same pattern as
-    // Spark MLlib's approxSimilarityJoin); the deduped candidate set is
-    // then materialized eagerly (it is small by construction) so the
-    // cached banded table can be RELEASED here rather than leaking for
-    // the session's lifetime
-    val rows = numHashes / bands
-    val banded = sh
-      .withColumn("band", explode(array((0 until bands).map(lit(_)): _*)))
-      // band key = the raw signature slice (portable; no re-hash needed —
-      // array equality is the bucket identity in Spark and DuckDB alike)
-      .withColumn("bucket", slice(col("sig"), col("band") * rows + 1, lit(rows)))
-      .select(col("id"), col("band"), col("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Deduped same-(band, bucket) candidate pairs (id_a < id_b) from an
+    * (id, band, bucket) table. The banded table persists for the
+    * two-sided self-join, the (small by construction) candidate set
+    * materializes eagerly (localCheckpoint), and the cache releases
+    * immediately — the deliberate trade against leaking a
+    * session-lifetime cache entry per invocation. */
+  private[graft] def candidatePairs(banded0: DataFrame): DataFrame = {
+    val banded = banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
@@ -93,6 +98,17 @@ object Dedup {
       .select("id_a", "id_b").distinct()
       .localCheckpoint(true)
     banded.unpersist()
+    cand
+  }
+
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 16, bands: Int = 4,
+                 shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // minhash_poly = the PORTABLE polynomial hash family (not xxhash64),
+    // so the whole pipeline — signatures, band keys, verified pairs — is
+    // reproducible in DuckDB SQL and sits on the oracle
+    val sh = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
+    val cand = candidatePairs(minhashBanded(sh, numHashes, bands))
     val sets = sh.select(col("id"), col("sh"))
     cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -200,33 +216,23 @@ object Dedup {
     * random hyperplanes. Like [[minhashLsh]], CONSTRUCTION eagerly
     * materializes the (small) candidate set so the cached banded table
     * releases immediately instead of leaking for the session. */
-  def embeddingCosineDups(df: DataFrame, idCol: String, vecCol: String,
-                          bands: Int = 8, bitsPerBand: Int = 12,
-                          threshold: Double = 0.95, dim: Int = 64): DataFrame = {
-    graft.GraftFunctions.register(df.sparkSession)
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // independent hyperplane family per band (seed offset), one explode —
-    // the banded table is tiny (id, band, bucket) and persists so the
-    // candidate self-join reads it twice without recomputing signatures
-    val banded = base
-      .withColumn("bb", explode(array((0 until bands).map { bnd =>
+  /** (id, band, bucket) sign-LSH banding of an (id, v) embedding table:
+    * independent hyperplane family per band (seed offset), one explode. */
+  private[graft] def embeddingBanded(base: DataFrame, bands: Int,
+                                     bitsPerBand: Int, dim: Int): DataFrame =
+    base.withColumn("bb", explode(array((0 until bands).map { bnd =>
         struct(lit(bnd).as("band"),
           Vectors.lshBucketNative(col("v"), bitsPerBand, dim,
             seed = 42L + 7919L * bnd).as("bucket"))
       }: _*)))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the (small) deduped candidate set eagerly, then release
-    // the cached banded table — otherwise every invocation leaks a cached
-    // RDD for the session's lifetime
-    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-      .localCheckpoint(true)
-    banded.unpersist()
-    cand
+
+  def embeddingCosineDups(df: DataFrame, idCol: String, vecCol: String,
+                          bands: Int = 8, bitsPerBand: Int = 12,
+                          threshold: Double = 0.95, dim: Int = 64): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    candidatePairs(embeddingBanded(base, bands, bitsPerBand, dim))
       .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -138,4 +138,54 @@ class DedupSpec extends SparkSpec {
     assert(got.subsetOf(want))
     assert(got.size >= want.size - 2, s"recall too low: ${got.size}/${want.size}")
   }
+
+  test("LSH candidate sets grow linearly with corpus size, not quadratically") {
+    // clustered corpora whose cluster COUNT doubles with N (cluster size
+    // fixed at 4): true near-dup pairs grow linearly, so a bucketed
+    // candidate generator must too — an all-pairs generator would grow
+    // ~4x on a 2x corpus. The 3.0 bound splits the regimes with headroom
+    // for stray cross-cluster bucket collisions (which the verification
+    // stage later discards). This pins the "banded, never N^2" design
+    // claim as a regression-proof invariant.
+    graft.GraftFunctions.register(spark)
+    val vocab = Vector.tabulate(500)(i => s"tok${i}x${(i * 2654435761L % 997)}")
+    def corpus(nClusters: Int): Seq[(Long, String)] = {
+      val r = new scala.util.Random(13)
+      (0 until nClusters).flatMap { c =>
+        val words = Vector.fill(30)(vocab(r.nextInt(vocab.size)))
+        (0 until 4).map { m =>
+          val w = if (m == 0) words else words.updated(29, vocab(r.nextInt(vocab.size)))
+          ((c * 4 + m).toLong, w.mkString(" "))
+        }
+      }
+    }
+    def minhashCand(nClusters: Int): Long =
+      Dedup.candidatePairs(Dedup.minhashBanded(
+        Dedup.minhashSignatures(corpus(nClusters).toDF("doc_id", "text"),
+          "doc_id", "text", numHashes = 16, shingleK = 3),
+        numHashes = 16, bands = 4)).count()
+    val m1 = minhashCand(40)
+    val m2 = minhashCand(80)
+    assert(m1 >= 40L, s"clusters must collide in buckets: $m1 candidates")
+    assert(m2 <= 3.0 * m1, s"minhash candidates $m1 -> $m2 on a 2x corpus: super-linear")
+
+    def vecCorpus(nClusters: Int): Seq[(Long, Seq[Float])] = {
+      val r = new scala.util.Random(29)
+      (0 until nClusters).flatMap { c =>
+        val center = Array.fill(64)(r.nextGaussian())
+        (0 until 4).map { m =>
+          ((c * 4 + m).toLong,
+            center.map(x => (x + 0.01 * r.nextGaussian()).toFloat).toSeq)
+        }
+      }
+    }
+    def embCand(nClusters: Int): Long =
+      Dedup.candidatePairs(Dedup.embeddingBanded(
+        vecCorpus(nClusters).toDF("id", "v"), bands = 8, bitsPerBand = 12,
+        dim = 64)).count()
+    val e1 = embCand(40)
+    val e2 = embCand(80)
+    assert(e1 >= 40L, s"clusters must collide in buckets: $e1 candidates")
+    assert(e2 <= 3.0 * e1, s"embedding candidates $e1 -> $e2 on a 2x corpus: super-linear")
+  }
 }
