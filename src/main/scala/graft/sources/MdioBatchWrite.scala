@@ -42,23 +42,38 @@ import org.apache.spark.sql.types._
 final case class MdioWriteBuilder(path: String, dims: Seq[String],
                                   metas: Map[String, ZarrMeta.ArrayMeta],
                                   schema: StructType,
-                                  aligned: Boolean) extends WriteBuilder
+                                  aligned: Boolean,
+                                  chunkTransform: Boolean = false) extends WriteBuilder
     with SupportsTruncate {
 
   override def truncate(): WriteBuilder = this // whole-chunk rewrite either way
 
   override def build(): Write = new Write with RequiresDistributionAndOrdering {
-    if (!aligned) MdioWriteBuilder.log.warn(
+    if (!aligned && !chunkTransform) MdioWriteBuilder.log.warn(
       s"mdio sink at $path: writing SERIALLY (one task owns every chunk). " +
-        "For a parallel write use MdioWriter.insertAligned(df, path) — or " +
-        "MdioWriter.repartitionByChunk(df, path) with .option(\"aligned\", \"true\").")
+        "For a parallel write use MdioWriter.insertAligned(df, path), " +
+        "MdioWriter.repartitionByChunk(df, path) with .option(\"aligned\", \"true\"), " +
+        "or write through the mdio catalog (spark.sql.catalog.<name>) for " +
+        "parallel-aligned-by-default.")
     override def requiredDistribution(): Distribution =
-      if (aligned) Distributions.unspecified()
+      if (chunkTransform) {
+        // loaded via MdioCatalog: its FunctionCatalog resolves the `chunk`
+        // transform, so declare true chunk ownership — Spark's shuffle IS
+        // the alignment (each chunk's rows meet in exactly one task). All
+        // selected variables share one chunkShape (enforced at load).
+        val chunkSizes = metas.values.head.chunks
+        import org.apache.spark.sql.connector.expressions.Expressions
+        Distributions.clustered(dims.zip(chunkSizes).map { case (d, cs) =>
+          Expressions.apply("chunk", Expressions.column(d), Expressions.literal(cs))
+            : org.apache.spark.sql.connector.expressions.Expression
+        }.toArray)
+      }
+      else if (aligned) Distributions.unspecified()
       // constant clustering key + 1 partition = every chunk owned by the
       // single writer (numPartitions cannot pair with `unspecified`)
       else Distributions.clustered(Array(
         org.apache.spark.sql.connector.expressions.Expressions.literal(1)))
-    override def requiredNumPartitions(): Int = if (aligned) 0 else 1
+    override def requiredNumPartitions(): Int = if (aligned || chunkTransform) 0 else 1
     override def requiredOrdering(): Array[SortOrder] = Array.empty
     override def toBatch: BatchWrite = MdioBatchWrite(path, dims, metas, schema)
   }

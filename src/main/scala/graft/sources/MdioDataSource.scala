@@ -58,8 +58,13 @@ class MdioDataSource extends TableProvider with org.apache.spark.sql.sources.Dat
   override def supportsExternalMetadata(): Boolean = false
 }
 
-/** One MDIO dataset directory as a Spark Table. */
-final case class MdioTable(path: String, wanted: Option[Seq[String]])
+/** One MDIO dataset directory as a Spark Table. `chunkTransformWrite` is
+  * set when the table was loaded through [[MdioCatalog]], whose
+  * FunctionCatalog lets the write planner resolve the `chunk` transform —
+  * catalog writes are then parallel-aligned by default (path-based loads
+  * have no FunctionCatalog, so the transform could never resolve there). */
+final case class MdioTable(path: String, wanted: Option[Seq[String]],
+                           chunkTransformWrite: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
 
   // driver-side metadata read (S1): consolidated or listing
@@ -128,7 +133,8 @@ final case class MdioTable(path: String, wanted: Option[Seq[String]])
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     MdioWriteBuilder(path, dims, variables.map(v => v -> labeled(v)._1).toMap, info.schema(),
-      aligned = Option(info.options.get("aligned")).exists(_.toBoolean))
+      aligned = Option(info.options.get("aligned")).exists(_.toBoolean),
+      chunkTransform = chunkTransformWrite)
 }
 
 object MdioTableUtil {
