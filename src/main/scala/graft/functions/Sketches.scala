@@ -89,6 +89,107 @@ object Sketches {
       .select(keyCols :+ col(out): _*)
   }
 
+  /** Row-seeded portable bucket for the count-min sketch: an affine
+    * re-seed of [[portableMix]] per sketch row ((2r+1)·h + r·c mod M,
+    * the minhash_poly family shape), folded to `width` buckets. All
+    * integer, overflow-free (h < 2^31, 2r+1 ≤ 2·depth+1), bit-equal in
+    * any 64-bit-integer engine. */
+  private def cmBucket(h: Column, r: Int, width: Int): Column =
+    ((lit(2L * r + 1) * h + lit(r.toLong * 1013904223L)) % M) % width
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) of `value`
+    * frequencies per `keys` group, AS A TABLE: one row per
+    * (keys, sketch row, bucket) with its collision-summed count.
+    *
+    * Scale shape: `depth` hashed copies per input row, then ONE hash
+    * aggregate — shuffle volume is capped at depth·width rows per group
+    * per mapper regardless of input size, and counters merge by SUM, so
+    * sketches from different partitions, days, or incremental runs
+    * combine with a further groupBy-sum. Point-frequency estimates
+    * ([[cmEstimate]]) read min over rows; estimates only ever
+    * OVER-count (by ≤ e·N/width with prob 1-(1/e)^depth), never under.
+    * A 100 TB frequency table this way is depth·width counters, not a
+    * distinct-count shuffle. */
+  def countMin(df: DataFrame, keys: Seq[String], value: Column,
+               depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth in [1,16], got $depth")
+    require(width >= 2, s"width >= 2, got $width")
+    val keyCols = keys.map(col)
+    val h = portableMix(value.cast("long"))
+    df.select(keyCols :+ h.as("__h"): _*)
+      .select(keyCols :+ col("__h") :+
+        explode(array((0 until depth).map(lit(_)): _*)).as("__r"): _*)
+      .withColumn("__bucket",
+        (0 until depth).foldLeft(lit(-1L)) { (acc, r) =>
+          when(col("__r") === r, cmBucket(col("__h"), r, width)).otherwise(acc)
+        })
+      .groupBy(keyCols :+ col("__r") :+ col("__bucket"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+  }
+
+  /** Point-frequency estimates from an ungrouped [[countMin]] sketch for
+    * the given probe values: min over sketch rows, 0 for never-seen
+    * buckets. Probe buckets are computed driver-side with the SAME
+    * integer arithmetic as the sketch (the sketch is tiny; the probe
+    * join broadcasts). For a grouped sketch, filter to one group first —
+    * a right join cannot carry group keys for absent buckets. */
+  def cmEstimate(sketch: DataFrame, probes: Seq[Long],
+                 depth: Int = 4, width: Int = 1024,
+                 out: String = "cm_est"): DataFrame = {
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    def mixScala(v: Long): Long = {
+      val h0 = (1103515245L * (v % M) + 12345L) % M
+      val h1 = h0 ^ (h0 >> 15)
+      val h2 = (1013904223L * h1 + 390451572L) % M
+      h2 ^ (h2 >> 13)
+    }
+    val rows = for { p <- probes; r <- 0 until depth } yield
+      (p, r, ((2L * r + 1) * mixScala(p) + r.toLong * 1013904223L) % M % width)
+    val probeDf = rows.toDF("__probe", "__r", "__bucket")
+    sketch
+      .join(broadcast(probeDf), Seq("__r", "__bucket"), "right")
+      .groupBy(col("__probe"))
+      .agg(min(coalesce(col("__cnt"), lit(0L))).as(out))
+  }
+
+  /** The DuckDB recomputation of [[countMin]]+[[cmEstimate]] for the
+    * oracle: the same mix, the same row-seeded buckets, the same
+    * sketch-then-min — bit-exact (pure integer arithmetic). */
+  def cmEstimateSql(table: String, valueExpr: String, probes: Seq[Long],
+                    depth: Int = 4, width: Int = 1024,
+                    out: String = "cm_est"): String = {
+    val probeList = probes.mkString(", ")
+    s"""
+    WITH m1 AS (
+      SELECT ((CAST(1103515245 AS BIGINT) * (($valueExpr) % 2147483647) + 12345) % 2147483647) AS a
+      FROM $table
+    ), m2 AS (
+      SELECT (CAST(1013904223 AS BIGINT) * xor(a, a >> 15) + 390451572) % 2147483647 AS c FROM m1
+    ), h AS (
+      SELECT xor(c, c >> 13) AS h FROM m2
+    ), sketch AS (
+      SELECT r, ((CAST(2*r+1 AS BIGINT) * h + CAST(r AS BIGINT) * 1013904223) % 2147483647) % $width AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM h CROSS JOIN (SELECT unnest(range($depth)) AS r)
+      GROUP BY r, bucket
+    ), pm1 AS (
+      SELECT p, ((CAST(1103515245 AS BIGINT) * (p % 2147483647) + 12345) % 2147483647) AS a
+      FROM (SELECT unnest([$probeList]) AS p)
+    ), pm2 AS (
+      SELECT p, (CAST(1013904223 AS BIGINT) * xor(a, a >> 15) + 390451572) % 2147483647 AS c FROM pm1
+    ), ph AS (
+      SELECT p, xor(c, c >> 13) AS h FROM pm2
+    ), probes AS (
+      SELECT p, r, ((CAST(2*r+1 AS BIGINT) * h + CAST(r AS BIGINT) * 1013904223) % 2147483647) % $width AS bucket
+      FROM ph CROSS JOIN (SELECT unnest(range($depth)) AS r)
+    )
+    SELECT probes.p AS __probe,
+           CAST(MIN(COALESCE(sketch.cnt, 0)) AS BIGINT) AS $out
+    FROM probes LEFT JOIN sketch ON probes.r = sketch.r AND probes.bucket = sketch.bucket
+    GROUP BY probes.p"""
+  }
+
   /** The DuckDB recomputation of [[hllDistinct]] for the oracle. Kept
     * adjacent to the Spark arithmetic so the two stay in lockstep.
     */

@@ -309,6 +309,23 @@ object Relational2 {
   val qAggHllPortableSql: String =
     graft.functions.Sketches.hllDistinctSql("lineitem", Seq("l_returnflag"), "l_partkey")
 
+  /** Portable count-min sketch: supplier-frequency estimates for a fixed
+    * probe set, sketch built then point-queried
+    * ([[graft.functions.Sketches.countMin]]/[[Sketches.cmEstimate]]).
+    * Pure integer arithmetic → the DuckDB oracle recomputes sketch AND
+    * estimates bit-for-bit. 100 TB shape: depth·width counters per
+    * group, SUM-mergeable across partitions/days/runs. */
+  val qAggCmsPortable: Q = (s, d) => {
+    val sk = graft.functions.Sketches.countMin(
+      lineitem(s, d), Nil, col("l_suppkey"), depth = 4, width = 256)
+    graft.functions.Sketches.cmEstimate(
+      sk, Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L), depth = 4, width = 256)
+  }
+
+  val qAggCmsPortableSql: String =
+    graft.functions.Sketches.cmEstimateSql("lineitem", "l_suppkey",
+      Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L), depth = 4, width = 256)
+
   /** Ordered funnel: users who signed up, then clicked after signing up,
     * then purchased after that click. Three conditional-min stages — each
     * stage is one aggregation over the (already user-partitioned) events,
@@ -361,6 +378,7 @@ object Relational2 {
     "agg_conditional"    -> qAggConditional,
     "agg_approx"         -> qAggApprox,
     "agg_hll_portable"   -> qAggHllPortable,
+    "agg_cms_portable"   -> qAggCmsPortable,
     "fn_array"           -> qFnArray,
     "fn_json"            -> qFnJson,
     "fn_datetime"        -> qFnDatetime,
@@ -380,6 +398,7 @@ object Relational2 {
     "agg_corr"           -> qAggCorrSql,
     "agg_conditional"    -> qAggConditionalSql,
     "agg_hll_portable"   -> qAggHllPortableSql,
+    "agg_cms_portable"   -> qAggCmsPortableSql,
     "fn_array"           -> qFnArraySql,
     "fn_json"            -> qFnJsonSql,
     "fn_datetime"        -> qFnDatetimeSql,

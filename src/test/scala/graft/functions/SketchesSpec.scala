@@ -61,4 +61,34 @@ class SketchesSpec extends SparkSpec {
     assert(!plan.contains("ObjectHashAggregate"), "sketch must stay codegen")
     assert(!plan.toLowerCase.contains("udf"))
   }
+
+  test("count-min never under-counts, is exact at generous width, and merges by sum") {
+    import spark.implicits._
+    val probes = Seq(1L, 2L, 3L, 5L, 8L, 999999L)
+    val exact = li.groupBy(col("l_suppkey")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def estimates(depth: Int, width: Int): Map[Long, Long] = {
+      val sk = Sketches.countMin(li, Nil, col("l_suppkey"), depth, width)
+      Sketches.cmEstimate(sk, probes, depth, width)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // the one-sided error guarantee: estimate >= true count, always
+    val narrow = estimates(depth = 4, width = 32)
+    probes.foreach { p =>
+      assert(narrow(p) >= exact.getOrElse(p, 0L), s"CM under-counted key $p")
+    }
+    // width >> distinct keys: every probe resolves exactly (incl. absent -> 0)
+    val wide = estimates(depth = 4, width = 4096)
+    probes.foreach { p =>
+      assert(wide(p) == exact.getOrElse(p, 0L), s"wide CM not exact for $p: ${wide(p)}")
+    }
+    // mergeability: sum of two half-corpus sketches == whole-corpus sketch
+    val parts = li.randomSplit(Array(0.5, 0.5), seed = 7)
+    val merged = Sketches.countMin(parts(0), Nil, col("l_suppkey"), 4, 256)
+      .unionAll(Sketches.countMin(parts(1), Nil, col("l_suppkey"), 4, 256))
+      .groupBy(col("__r"), col("__bucket")).agg(sum(col("__cnt")).as("__cnt"))
+    val whole = Sketches.countMin(li, Nil, col("l_suppkey"), 4, 256)
+    assert(merged.select("__r", "__bucket", "__cnt").as[(Int, Long, Long)].collect().toSet ==
+      whole.select("__r", "__bucket", "__cnt").as[(Int, Long, Long)].collect().toSet)
+  }
 }
