@@ -301,6 +301,24 @@ object Pipeline {
       ORDER BY cos DESC, vec_id LIMIT 20) t"""
   }
 
+  /** Deterministic train/val/test assignment by id hash
+    * ([[graft.functions.Sampling.assignSplit]]): a pure map — no rand(),
+    * no shuffle, stable under re-runs/resumes/engines — and the oracle
+    * recomputes every assignment bit-for-bit (portable mix). */
+  val qPipelineSplit: Q = (s, d) =>
+    graft.functions.Sampling.assignSplit(documents(s, d), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  val qPipelineSplitSql: String = {
+    val case_ = graft.functions.Sampling.splitSql("doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    s"""
+    SELECT $case_ AS split, lang, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1, 2"""
+  }
+
   // ---- text analysis -------------------------------------------------------
 
   val qTextTokens: Q = (s, d) =>
@@ -635,6 +653,7 @@ object Pipeline {
   val queries: Map[String, Q] = Map(
     "geo_utm"              -> qGeoUtm,
     "pipeline_compose"     -> qPipelineCompose,
+    "pipeline_split"       -> qPipelineSplit,
     "dedup_exact"          -> qDedupExact,
     "dedup_minhash_lsh"    -> qDedupMinhashLsh,
     "dedup_simhash"        -> qDedupSimhash,
@@ -663,6 +682,7 @@ object Pipeline {
   private val staticOracleSql: Map[String, String] = Map(
     "geo_utm"             -> qGeoUtmSql,
     "pipeline_compose"    -> qPipelineComposeSql,
+    "pipeline_split"      -> qPipelineSplitSql,
     "text_quality"        -> qTextQualitySql,
     "text_langid"         -> qTextLangIdSql,
     "dedup_exact"         -> qDedupExactSql,

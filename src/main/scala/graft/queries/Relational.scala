@@ -412,6 +412,24 @@ object Relational {
     SELECT o_orderkey, o_totalprice, o_orderpriority
     FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15"""
 
+  /** Z-order (Morton) sort key ([[graft.functions.ZOrder.zvalue]]): the
+    * space-filling-curve ordering that gives multi-dim file/row-group
+    * locality at 100 TB. Pure bit interleave — the oracle recomputes
+    * z-values exactly; top-k by z stays TakeOrderedAndProject. */
+  val qSortZorder: Q = (s, d) =>
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        graft.functions.ZOrder.zvalue(Seq(col("l_orderkey"), col("l_suppkey")), 8).as("z"))
+      .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  val qSortZorderSql: String = {
+    val z = graft.functions.ZOrder.zvalueSql(Seq("l_orderkey", "l_suppkey"), 8)
+    s"""
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, $z AS z
+    FROM lineitem ORDER BY z, l_orderkey, l_linenumber LIMIT 100"""
+  }
+
   /** Multi-key stable ordering with deterministic tie-break (SURVEY §2.5
     * O1/O2: sortSelectionByKey lexicographic multi-key sort). */
   val qSortMultikey: Q = (s, d) =>
@@ -637,6 +655,7 @@ object Relational {
     "window_moving_avg"    -> qWindowMovingAvg,
     "window_percent_rank"  -> qWindowPercentRank,
     "sort_topk"            -> qSortTopk,
+    "sort_zorder"          -> qSortZorder,
     "sort_multikey"        -> qSortMultikey,
     "set_intersect"        -> qSetIntersect,
     "set_except"           -> qSetExcept,
@@ -674,6 +693,7 @@ object Relational {
     "window_moving_avg"    -> qWindowMovingAvgSql,
     "window_percent_rank"  -> qWindowPercentRankSql,
     "sort_topk"            -> qSortTopkSql,
+    "sort_zorder"          -> qSortZorderSql,
     "sort_multikey"        -> qSortMultikeySql,
     "set_intersect"        -> qSetIntersectSql,
     "set_except"           -> qSetExceptSql,

@@ -1,0 +1,70 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting ([[Sampling]]) and Z-order clustering
+  * ([[ZOrder]]) — the training-pipeline primitives whose whole value is
+  * determinism and locality, so that is what the spec pins. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ids = (0L until 10000L).toDF("id")
+
+  test("assignSplit fractions land near targets and depend only on the id") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val counts = Sampling.assignSplit(ids, col("id"), splits)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") - 8000L) < 300, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 1000L) < 150, s"val=${counts("val")}")
+    assert(math.abs(counts("test") - 1000L) < 150, s"test=${counts("test")}")
+    // partitioning must not matter: identical per-id assignment
+    val a = Sampling.assignSplit(ids.repartition(13), col("id"), splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.assignSplit(ids.coalesce(1), col("id"), splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+  }
+
+  test("sampleByHash is a stable subset: rate 0.1 ⊂ rate 0.2, same rows every run") {
+    val s10 = Sampling.sampleByHash(ids, col("id"), 0.1).as[Long].collect().toSet
+    val s20 = Sampling.sampleByHash(ids, col("id"), 0.2).as[Long].collect().toSet
+    assert(s10.subsetOf(s20), "smaller rate must nest inside larger")
+    assert(math.abs(s10.size - 1000) < 150 && math.abs(s20.size - 2000) < 200)
+    assert(Sampling.sampleByHash(ids, col("id"), 0.1).as[Long].collect().toSet == s10)
+  }
+
+  test("zvalue interleaves bits: known codes, and order groups both dims") {
+    // (x=3, y=1) with 2 bits: x bits at even positions, y at odd ->
+    // z = (1<<0) + (1<<2) [x=0b11] + (1<<1) [y=0b01] = 0b0111 = 7
+    val z = Seq((3L, 1L)).toDF("x", "y")
+      .select(ZOrder.zvalue(Seq(col("x"), col("y")), 2).as("z"))
+      .as[Long].head()
+    assert(z == 7L, s"expected 7, got $z")
+    // locality: within a 2^k-aligned square, all z-values are contiguous —
+    // the defining property that makes min/max stats selective on BOTH dims
+    val grid = (for { x <- 0L until 16L; y <- 0L until 16L } yield (x, y)).toDF("x", "y")
+    val zs = grid.select(col("x"), col("y"),
+        ZOrder.zvalue(Seq(col("x"), col("y")), 4).as("z"))
+      .as[(Long, Long, Long)].collect()
+    assert(zs.map(_._3).distinct.length == 256) // bijective on the grid
+    for (qx <- 0 until 2; qy <- 0 until 2) {
+      val quad = zs.filter(t => t._1 / 8 == qx && t._2 / 8 == qy).map(_._3)
+      assert(quad.max - quad.min == 63, "each 8x8 quadrant is one contiguous z-range")
+    }
+  }
+
+  test("cluster range-partitions by z and sorts within partitions") {
+    val grid = (for { x <- 0L until 32L; y <- 0L until 32L } yield (x, y)).toDF("x", "y")
+    val clustered = ZOrder.cluster(grid, Seq(col("x"), col("y")), 5, 4)
+    val perPart = clustered
+      .select(ZOrder.zvalue(Seq(col("x"), col("y")), 5).as("z"),
+        spark_partition_id().as("p"))
+      .as[(Long, Int)].collect().groupBy(_._2).values.toSeq
+    assert(perPart.size == 4)
+    // partitions cover disjoint z-ranges and are internally sorted
+    val ranges = perPart.map(rows => (rows.map(_._1).min, rows.map(_._1).max)).sortBy(_._1)
+    assert(ranges.sliding(2).forall { case Seq((_, hi), (lo, _)) => hi < lo; case _ => true })
+    perPart.foreach { rows => assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted) }
+  }
+}
