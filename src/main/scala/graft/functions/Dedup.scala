@@ -119,6 +119,49 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental MinHash-LSH: near-dup pairs introduced by a NEW batch —
+    * new-vs-existing and new-vs-new — without re-banding or re-verifying
+    * the existing corpus against itself. `existing` carries (id, sh, sig)
+    * rows as produced by [[minhashSignatures]] (persist that projection
+    * from prior runs; signatures are deterministic, so stored and fresh
+    * ones agree). This is the nightly-crawl shape at 100 TB: each
+    * increment costs O(new + touched buckets), not O(corpus²) — the
+    * existing side is only ever probed through the banded equi-join, and
+    * only existing docs sharing a bucket with a new doc are verified.
+    * Returns (id_new, id_other, jaccard) with true Jaccard >= threshold;
+    * for new-vs-new pairs id_new < id_other. */
+  def minhashLshIncremental(newDf: DataFrame, idCol: String, textCol: String,
+                            existing: DataFrame,
+                            numHashes: Int = 16, bands: Int = 4,
+                            shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val shNew = minhashSignatures(newDf, idCol, textCol, numHashes, shingleK)
+    val bandedNew = minhashBanded(shNew, numHashes, bands)
+    val bandedOld = minhashBanded(existing.select(col("id"), col("sig")), numHashes, bands)
+      .withColumn("is_new", lit(false))
+    val probe = bandedNew.withColumn("is_new", lit(true)).unionByName(bandedOld)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one banded equi-join, anchored on the new side: new-new pairs once
+    // (id <), new-old pairs in (new, old) orientation
+    val cand = probe.filter(col("is_new"))
+      .select(col("band"), col("bucket"), col("id").as("id_new"))
+      .join(probe.select(col("band"), col("bucket"), col("id").as("id_other"),
+        col("is_new").as("other_new")), Seq("band", "bucket"))
+      .filter(!col("other_new") || col("id_new") < col("id_other"))
+      .select("id_new", "id_other").distinct()
+      .localCheckpoint(true)
+    probe.unpersist()
+    val newSets = shNew.select(col("id"), col("sh"))
+    val allSets = newSets.unionByName(existing.select(col("id"), col("sh")))
+    cand
+      .join(newSets.select(col("id").as("id_new"), col("sh").as("sh_a")), Seq("id_new"))
+      .join(allSets.select(col("id").as("id_other"), col("sh").as("sh_b")), Seq("id_other"))
+      .filter(size(col("sh_a")) >= lit(threshold) * size(col("sh_b")) &&
+              size(col("sh_b")) >= lit(threshold) * size(col("sh_a")))
+      .select(col("id_new"), col("id_other"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash of the token stream: bit j is the sign of
     * sum_i(+1/-1 by bit j of xxhash64(token_i)). Single pass, map-only:
     * one aggregate per bit over the hashed-token array. */

@@ -139,6 +139,41 @@ class DedupSpec extends SparkSpec {
     assert(got.size >= want.size - 2, s"recall too low: ${got.size}/${want.size}")
   }
 
+  test("incremental minhash-LSH equals the full run restricted to new-touching pairs") {
+    import org.apache.spark.sql.DataFrame
+    // 12 clusters of 3 near-dup docs; first 8 clusters are the existing
+    // corpus, last 4 plus one extra member of cluster 2 arrive as the
+    // new batch — so the increment must find new-new AND new-old pairs
+    val vocab = Vector.tabulate(300)(i => s"w${i}q${(i * 48271) % 611}")
+    val r = new scala.util.Random(41)
+    val docs: Seq[(Long, String)] = (0 until 12).flatMap { c =>
+      val words = Vector.fill(25)(vocab(r.nextInt(vocab.size)))
+      (0 until 3).map { m =>
+        val w = if (m == 0) words else words.updated(24, vocab(r.nextInt(vocab.size)))
+        ((c * 3 + m).toLong, w.mkString(" "))
+      }
+    }
+    val crossDoc = (100L, docs.find(_._1 == 6L).get._2) // near-dup of cluster-2 doc
+    val oldDocs = docs.filter(_._1 < 24L)
+    val newDocs = docs.filter(_._1 >= 24L) :+ crossDoc
+    val oldDf = oldDocs.toDF("doc_id", "text")
+    val newDf = newDocs.toDF("doc_id", "text")
+    val allDf = (oldDocs ++ newDocs).toDF("doc_id", "text")
+    def norm(df: DataFrame, a: String, b: String) =
+      df.select(col(a), col(b)).as[(Long, Long)].collect()
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val full = norm(Dedup.minhashLsh(allDf, "doc_id", "text", threshold = 0.5), "id_a", "id_b")
+    val newIds = newDocs.map(_._1).toSet
+    val expected = full.filter(p => newIds.contains(p._1) || newIds.contains(p._2))
+    assert(expected.nonEmpty && expected.exists(p => p._1 < 24L || p._2 < 24L),
+      "fixture must produce new-old pairs")
+    val existing = Dedup.minhashSignatures(oldDf, "doc_id", "text", 16, 3)
+      .select("id", "sh", "sig")
+    val inc = norm(Dedup.minhashLshIncremental(newDf, "doc_id", "text", existing,
+      threshold = 0.5), "id_new", "id_other")
+    assert(inc == expected, s"incremental=$inc expected=$expected")
+  }
+
   test("LSH candidate sets grow linearly with corpus size, not quadratically") {
     // clustered corpora whose cluster COUNT doubles with N (cluster size
     // fixed at 4): true near-dup pairs grow linearly, so a bucketed
