@@ -153,6 +153,33 @@ object Sketches {
       .agg(min(coalesce(col("__cnt"), lit(0L))).as(out))
   }
 
+  /** [[cmEstimate]] for a GROUPED sketch: estimates per (group, probe),
+    * including zero rows for (group, probe) pairs whose buckets were
+    * never touched — built by crossing the sketch's distinct group keys
+    * with the probe set (both tiny) and left-joining the counters. */
+  def cmEstimateGrouped(sketch: DataFrame, keys: Seq[String], probes: Seq[Long],
+                        depth: Int = 4, width: Int = 1024,
+                        out: String = "cm_est"): DataFrame = {
+    require(keys.nonEmpty, "use cmEstimate for an ungrouped sketch")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    def mixScala(v: Long): Long = {
+      val h0 = (1103515245L * (v % M) + 12345L) % M
+      val h1 = h0 ^ (h0 >> 15)
+      val h2 = (1013904223L * h1 + 390451572L) % M
+      h2 ^ (h2 >> 13)
+    }
+    val rows = for { p <- probes; r <- 0 until depth } yield
+      (p, r, ((2L * r + 1) * mixScala(p) + r.toLong * 1013904223L) % M % width)
+    val probeDf = rows.toDF("__probe", "__r", "__bucket")
+    val keyCols = keys.map(col)
+    sketch.select(keyCols: _*).distinct()
+      .crossJoin(broadcast(probeDf))
+      .join(sketch, keys ++ Seq("__r", "__bucket"), "left")
+      .groupBy(keyCols :+ col("__probe"): _*)
+      .agg(min(coalesce(col("__cnt"), lit(0L))).as(out))
+  }
+
   /** The DuckDB recomputation of [[countMin]]+[[cmEstimate]] for the
     * oracle: the same mix, the same row-seeded buckets, the same
     * sketch-then-min — bit-exact (pure integer arithmetic). */

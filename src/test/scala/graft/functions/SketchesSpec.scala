@@ -82,6 +82,16 @@ class SketchesSpec extends SparkSpec {
     probes.foreach { p =>
       assert(wide(p) == exact.getOrElse(p, 0L), s"wide CM not exact for $p: ${wide(p)}")
     }
+    // grouped estimates: per-flag counts, exact at generous width
+    val gSk = Sketches.countMin(li, Seq("l_returnflag"), col("l_suppkey"), 4, 4096)
+    val gEst = Sketches.cmEstimateGrouped(gSk, Seq("l_returnflag"), probes, 4, 4096)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val gExact = li.groupBy(col("l_returnflag"), col("l_suppkey")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val flags = li.select("l_returnflag").distinct().as[String].collect()
+    for (f <- flags; p <- probes)
+      assert(gEst((f, p)) == gExact.getOrElse((f, p), 0L),
+        s"grouped CM wrong for ($f, $p)")
     // mergeability: sum of two half-corpus sketches == whole-corpus sketch
     val parts = li.randomSplit(Array(0.5, 0.5), seed = 7)
     val merged = Sketches.countMin(parts(0), Nil, col("l_suppkey"), 4, 256)
