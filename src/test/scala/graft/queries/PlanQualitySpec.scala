@@ -69,6 +69,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_"), "final agg needs a map-side phase")
   }
 
+  test("sort_zorder: z-value top-k is TakeOrderedAndProject, key codegen'd") {
+    val p = plan("sort_zorder")
+    assert(p.contains("TakeOrderedAndProject"), "z-order top-k must not global-sort")
+    assert(!p.contains("Exchange") || p.contains("TakeOrderedAndProject"),
+      "no shuffle beyond the top-k gather")
+  }
+
+  test("pipeline_split: assignment is a pure map — one aggregation, no rand") {
+    val p = plan("pipeline_split")
+    assert(!p.toLowerCase.contains("rand"), "split must be deterministic, not rand()")
+    assert(p.contains("partial_") || p.contains("HashAggregate"),
+      "count needs a map-side partial phase")
+    // exactly one shuffle: the groupBy(split, lang) — assignment adds none
+    assert(p.split("Exchange").length - 1 <= 2, // partial->final pair under AQE
+      "hash-split assignment must not introduce extra exchanges:\n" + p.take(600))
+  }
+
+  test("agg_cms_portable: sketch is codegen hash aggregates + broadcast probe join") {
+    val p = plan("agg_cms_portable")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("ObjectHashAggregate"), "sketch must stay codegen")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "probe set must broadcast, not shuffle the sketch:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("geo_utm: conversion stays inside whole-stage codegen") {
     // FormattedMode on an un-executed AQE plan omits codegen stage markers —
     // CodegenMode reports the compiled subtrees directly
