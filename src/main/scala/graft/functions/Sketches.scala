@@ -111,20 +111,24 @@ object Sketches {
     * A 100 TB frequency table this way is depth·width counters, not a
     * distinct-count shuffle. */
   def countMin(df: DataFrame, keys: Seq[String], value: Column,
-               depth: Int = 4, width: Int = 1024): DataFrame = {
+               depth: Int = 4, width: Int = 1024,
+               weight: Column = lit(1L)): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth in [1,16], got $depth")
     require(width >= 2, s"width >= 2, got $width")
     val keyCols = keys.map(col)
     val h = portableMix(value.cast("long"))
-    df.select(keyCols :+ h.as("__h"): _*)
-      .select(keyCols :+ col("__h") :+
+    df.select(keyCols :+ h.as("__h") :+ weight.cast("long").as("__w"): _*)
+      .select(keyCols :+ col("__h") :+ col("__w") :+
         explode(array((0 until depth).map(lit(_)): _*)).as("__r"): _*)
       .withColumn("__bucket",
         (0 until depth).foldLeft(lit(-1L)) { (acc, r) =>
           when(col("__r") === r, cmBucket(col("__h"), r, width)).otherwise(acc)
         })
       .groupBy(keyCols :+ col("__r") :+ col("__bucket"): _*)
-      .agg(count(lit(1)).as("__cnt"))
+      // weight defaults to 1 (plain frequency); a weight column (token
+      // counts, bytes) makes this a weighted-frequency sketch — same
+      // one-sided guarantee, since weights are nonnegative
+      .agg(sum(col("__w")).as("__cnt"))
   }
 
   /** Point-frequency estimates from an ungrouped [[countMin]] sketch for

@@ -45,11 +45,13 @@ class MdioCatalog extends TableCatalog with FunctionCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val path = pathOf(ident)
-    try MdioTable(path, None, chunkTransformWrite = true)
-    catch { case e: Exception =>
+    // only an ABSENT store maps to NoSuchTable; a present-but-broken one
+    // must surface its real error (corrupt metadata, auth, IO), not be
+    // masked as "table not found"
+    if (!graft.zarr.VPath(path).exists)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName, path))
-    }
+    MdioTable(path, None, chunkTransformWrite = true)
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =

@@ -82,6 +82,17 @@ class SketchesSpec extends SparkSpec {
     probes.foreach { p =>
       assert(wide(p) == exact.getOrElse(p, 0L), s"wide CM not exact for $p: ${wide(p)}")
     }
+    // weighted sketch: quantity-weighted supplier mass, exact at width
+    val wSk = Sketches.countMin(li, Nil, col("l_suppkey"), 4, 4096,
+      weight = col("l_quantity").cast("long"))
+    val wEst = Sketches.cmEstimate(wSk, probes, 4, 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wExact = li.groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    probes.foreach { p =>
+      assert(wEst(p) == wExact.getOrElse(p, 0L), s"weighted CM wrong for $p")
+    }
     // grouped estimates: per-flag counts, exact at generous width
     val gSk = Sketches.countMin(li, Seq("l_returnflag"), col("l_suppkey"), 4, 4096)
     val gEst = Sketches.cmEstimateGrouped(gSk, Seq("l_returnflag"), probes, 4, 4096)

@@ -72,6 +72,12 @@ class MdioCatalogSpec extends SparkSpec {
     MdioWriter.delete(catDir)
   }
 
+  test("absent store is table-not-found; present-but-broken is not masked") {
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.table("mdio_cat.`/tmp/graft_definitely/missing.mdio`").collect()
+    }
+  }
+
   test("catalog rejects unknown functions and unsupported DDL") {
     intercept[Exception] {
       spark.sql("SELECT mdio_cat.nope(1)").collect()
