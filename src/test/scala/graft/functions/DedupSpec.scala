@@ -139,6 +139,35 @@ class DedupSpec extends SparkSpec {
     assert(got.size >= want.size - 2, s"recall too low: ${got.size}/${want.size}")
   }
 
+  test("prefix-filtered ngram jaccard equals the naive quadratic definition") {
+    // dense random corpus over a tiny vocabulary — heavy gram sharing, the
+    // regime where a prefix-filter bug (too-short prefix, wrong order,
+    // float ceil edge) would actually lose pairs
+    graft.GraftFunctions.register(spark)
+    val r = new scala.util.Random(97)
+    val vocab = Vector.tabulate(60)(i => s"t$i")
+    val docs = (0 until 60).map { i =>
+      val n = 6 + r.nextInt(20)
+      (i.toLong, Vector.fill(n)(vocab(r.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id").as("id"),
+        array_distinct(call_function("word_ngrams",
+          TextFunctions.tokens(col("text")), lit(2))).as("sh"))
+      .filter(size(col("sh")) >= 1)
+    def inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
+    def uni = (size(col("a.sh")) + size(col("b.sh"))).cast("double") - inter
+    for (t <- Seq(0.2, 0.35, 0.5, 0.8)) {
+      val fast = Dedup.ngramJaccardDups(docs, "doc_id", "text",
+          blockCol = lit("x"), shingleK = 2, threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val naive = sh.alias("a").crossJoin(sh.alias("b"))
+        .filter(col("a.id") < col("b.id") && inter / greatest(uni, lit(1.0)) >= t)
+        .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+      assert(fast == naive,
+        s"t=$t: missing=${naive -- fast} extra=${fast -- naive}")
+    }
+  }
+
   test("incremental minhash-LSH equals the full run restricted to new-touching pairs") {
     import org.apache.spark.sql.DataFrame
     // 12 clusters of 3 near-dup docs; first 8 clusters are the existing
