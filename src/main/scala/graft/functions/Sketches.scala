@@ -221,6 +221,74 @@ object Sketches {
     GROUP BY probes.p"""
   }
 
+  /** Histogram-CDF quantile estimates per `keys` group: count values into
+    * `bins` uniform buckets over [lo, lo + bins*width) (outliers clamp to
+    * the edge bins, the [[graft.operators.MdioStats]] convention), then
+    * for each requested quantile q report the UPPER EDGE of the first
+    * bucket whose cumulative count reaches ceil(q*n). Resolution is
+    * `width`; everything else is exact integer counting plus one shared
+    * IEEE edge expression — so unlike `percentile_approx` (whose KLL-ish
+    * state is engine-internal) the approximate answer itself is
+    * reproducible bit-for-bit in the DuckDB oracle ([[histQuantilesSql]]).
+    * Mergeable by construction: bucket counts SUM across partitions,
+    * days, or incremental runs. One codegen hash aggregate of at most
+    * `bins` rows per group per mapper — the fixed-state one-pass shape a
+    * 100 TB quantile needs. */
+  def histQuantiles(df: DataFrame, keys: Seq[String], value: Column,
+                    lo: Double, width: Double, bins: Int,
+                    qs: Seq[Double], out: String = "q_est"): DataFrame = {
+    require(bins >= 1 && width > 0 && qs.nonEmpty && qs.forall(q => q > 0 && q <= 1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyCols = keys.map(col)
+    val bucket = least(greatest(floor((value.cast("double") - lit(lo)) / lit(width)), lit(0L))
+      .cast("long"), lit(bins.toLong - 1))
+    val counts = df.select(keyCols :+ bucket.as("__b"): _*)
+      .groupBy(keyCols :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*).orderBy(col("__b"))
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)))
+    val qDf = broadcast(qs.toDF("__q"))
+    cum.crossJoin(qDf)
+      .filter(col("__cum") >= ceil(col("__q") * col("__n")).cast("long"))
+      .groupBy(keyCols :+ col("__q"): _*)
+      .agg(min(col("__b")).as("__qb"))
+      .withColumn(out, lit(lo) + (col("__qb") + lit(1L)).cast("double") * lit(width))
+      .select(keyCols :+ col("__q") :+ col(out): _*)
+  }
+
+  /** The DuckDB recomputation of [[histQuantiles]] for the oracle. */
+  def histQuantilesSql(table: String, keys: Seq[String], valueExpr: String,
+                       lo: Double, width: Double, bins: Int,
+                       qs: Seq[Double], out: String = "q_est"): String = {
+    val ks = keys.mkString(", ")
+    val kq = if (keys.isEmpty) "" else s"$ks, "
+    val qList = qs.mkString(", ")
+    s"""
+    WITH b AS (
+      SELECT $kq LEAST(GREATEST(CAST(FLOOR((CAST($valueExpr AS DOUBLE) - CAST($lo AS DOUBLE)) / CAST($width AS DOUBLE)) AS BIGINT), 0), ${bins - 1}) AS bk
+      FROM $table
+    ), c AS (
+      SELECT $kq bk, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY ${if (keys.isEmpty) "bk" else s"$ks, bk"}
+    ), cum AS (
+      SELECT $kq bk, cnt,
+             CAST(SUM(cnt) OVER (${if (keys.isEmpty) "ORDER BY bk" else s"PARTITION BY $ks ORDER BY bk"}) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (${if (keys.isEmpty) "" else s"PARTITION BY $ks"}) AS BIGINT) AS n
+      FROM c
+    )
+    SELECT $kq __q, CAST($lo AS DOUBLE) + CAST(qb + 1 AS DOUBLE) * CAST($width AS DOUBLE) AS $out
+    FROM (
+      SELECT $kq __q, MIN(bk) AS qb
+      FROM cum CROSS JOIN (SELECT unnest([$qList]) AS __q)
+      WHERE cum >= CAST(CEIL(__q * n) AS BIGINT)
+      GROUP BY ${if (keys.isEmpty) "__q" else s"$ks, __q"}
+    ) t"""
+  }
+
   /** The DuckDB recomputation of [[hllDistinct]] for the oracle. Kept
     * adjacent to the Spark arithmetic so the two stay in lockstep.
     */

@@ -309,6 +309,21 @@ object Relational2 {
   val qAggHllPortableSql: String =
     graft.functions.Sketches.hllDistinctSql("lineitem", Seq("l_returnflag"), "l_partkey")
 
+  /** Portable histogram-CDF quantiles: the `percentile_approx` problem
+    * with engine-portable state ([[graft.functions.Sketches.histQuantiles]]
+    * — integer bucket counting + one shared IEEE edge expression), so the
+    * approximate answers themselves hash-match the oracle. Fixed
+    * bins-per-group state, SUM-mergeable. */
+  val qAggQuantilePortable: Q = (s, d) =>
+    graft.functions.Sketches.histQuantiles(
+      lineitem(s, d), Seq("l_returnflag"), col("l_extendedprice"),
+      lo = 900.0, width = 1024.0, bins = 128, qs = Seq(0.25, 0.5, 0.9))
+
+  val qAggQuantilePortableSql: String =
+    graft.functions.Sketches.histQuantilesSql("lineitem", Seq("l_returnflag"),
+      "l_extendedprice", lo = 900.0, width = 1024.0, bins = 128,
+      qs = Seq(0.25, 0.5, 0.9))
+
   /** Portable count-min sketch: supplier-frequency estimates for a fixed
     * probe set, sketch built then point-queried
     * ([[graft.functions.Sketches.countMin]]/[[Sketches.cmEstimate]]).
@@ -379,6 +394,7 @@ object Relational2 {
     "agg_approx"         -> qAggApprox,
     "agg_hll_portable"   -> qAggHllPortable,
     "agg_cms_portable"   -> qAggCmsPortable,
+    "agg_quantile_portable" -> qAggQuantilePortable,
     "fn_array"           -> qFnArray,
     "fn_json"            -> qFnJson,
     "fn_datetime"        -> qFnDatetime,
@@ -399,6 +415,7 @@ object Relational2 {
     "agg_conditional"    -> qAggConditionalSql,
     "agg_hll_portable"   -> qAggHllPortableSql,
     "agg_cms_portable"   -> qAggCmsPortableSql,
+    "agg_quantile_portable" -> qAggQuantilePortableSql,
     "fn_array"           -> qFnArraySql,
     "fn_json"            -> qFnJsonSql,
     "fn_datetime"        -> qFnDatetimeSql,

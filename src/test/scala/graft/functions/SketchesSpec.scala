@@ -62,6 +62,28 @@ class SketchesSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("udf"))
   }
 
+  test("histogram quantiles bracket the exact quantile within one bucket width") {
+    import spark.implicits._
+    val (lo, width, bins) = (900.0, 1024.0, 128)
+    val qs = Seq(0.25, 0.5, 0.9)
+    val est = Sketches.histQuantiles(li, Seq("l_returnflag"), col("l_extendedprice"),
+        lo, width, bins, qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val flags = li.select("l_returnflag").distinct().as[String].collect()
+    for (f <- flags; q <- qs) {
+      val exact = li.filter(col("l_returnflag") === f)
+        .stat.approxQuantile("l_extendedprice", Array(q), 0.0).head
+      val e = est((f, q))
+      assert(exact <= e && e - exact <= width + 1e-6,
+        s"q=$q flag=$f: exact=$exact est=$e (must be upper edge of exact's bucket)")
+    }
+    // partitioning independence: bucket counting is exact arithmetic
+    val a = Sketches.histQuantiles(li.repartition(11), Seq("l_returnflag"),
+      col("l_extendedprice"), lo, width, bins, qs).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(a == est)
+  }
+
   test("count-min never under-counts, is exact at generous width, and merges by sum") {
     import spark.implicits._
     val probes = Seq(1L, 2L, 3L, 5L, 8L, 999999L)
