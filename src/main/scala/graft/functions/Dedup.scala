@@ -162,6 +162,54 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs: the step that turns
+    * pairwise dedup output into KEEP/DROP decisions (all transitively
+    * linked docs form one cluster; keep the min id). Iterative min-label
+    * propagation: each round, every node takes the min of its own and
+    * its neighbors' labels — converges in O(component diameter) rounds
+    * (dup clusters are dense, so diameter is small). Each round is one
+    * join + one aggregate; `localCheckpoint` cuts the growing lineage
+    * (the standard Spark iterative-algorithm discipline). Deterministic:
+    * labels are min ids, independent of partitioning and iteration
+    * internals. Throws if `maxIter` rounds don't reach the fixpoint —
+    * loud, never silently wrong.
+    *
+    * Returns (id, label) for every id appearing in `pairs`, where label
+    * = the component's minimum id. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    def checksum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("label")).cast("decimal(38,0)")).head.getDecimal(0)
+    var sumNow = checksum(labels)
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("v"), col("label").as("vl")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("vl")).as("nl"))
+      val next = labels
+        .join(neighborMin.select(col("u").as("id"), col("nl")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      // labels only ever decrease, so an unchanged sum IS the fixpoint
+      val sumNext = checksum(next)
+      converged = sumNext.compareTo(sumNow) == 0
+      sumNow = sumNext
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — component " +
+        "diameter exceeds maxIter; raise it")
+    labels
+  }
+
   /** 64-bit SimHash of the token stream: bit j is the sign of
     * sum_i(+1/-1 by bit j of xxhash64(token_i)). Single pass, map-only:
     * one aggregate per bit over the hashed-token array. */

@@ -127,6 +127,41 @@ object Pipeline {
     WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
           GREATEST(CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 1.0) >= 0.25"""
 
+  /** Pairs → clusters: connected components over the exact n-gram
+    * Jaccard pairs ([[graft.functions.Dedup.connectedComponents]],
+    * iterative min-label propagation), per-component membership counts.
+    * The oracle recomputes the closure independently with a RECURSIVE
+    * CTE — transitive reachability min, the same deterministic labels. */
+  val qDedupComponents: Q = (s, d) => {
+    val pairs = Dedup.ngramJaccardDups(documents(s, d), "doc_id", "text",
+      blockCol = col("lang"), shingleK = 2, threshold = 0.25)
+    Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"))
+  }
+
+  val qDedupComponentsSql: String = """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, len(string_split(trim(text), ' ')) - 0),
+               i -> string_split(trim(text), ' ')[i] || ' ' ||
+                    string_split(trim(text), ' ')[i+1])) AS grams
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+            GREATEST(CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 1.0) >= 0.25),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    r(id, x) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.id, e.v FROM r JOIN edges e ON r.x = e.u),
+    comp AS (SELECT id, MIN(x) AS label FROM r GROUP BY id)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members FROM comp GROUP BY label"""
+
   /** Embedding-cosine near-dup pairs via banded hyperplane LSH: 8 bands ×
     * 8 bits — per-band buckets of ~N/256 (sub-quadratic verification) at
     * ~0.94 recall for cos ≥ 0.9 pairs. ORACLE-CHECKED: the hyperplanes
@@ -658,6 +693,7 @@ object Pipeline {
     "dedup_minhash_lsh"    -> qDedupMinhashLsh,
     "dedup_simhash"        -> qDedupSimhash,
     "dedup_ngram_jaccard"  -> qDedupNgramJaccard,
+    "dedup_components"     -> qDedupComponents,
     "dedup_embedding"      -> qDedupEmbedding,
     "ann_brute_force"      -> qAnnBruteForce,
     "ann_lsh"              -> qAnnLsh,
@@ -687,6 +723,7 @@ object Pipeline {
     "text_langid"         -> qTextLangIdSql,
     "dedup_exact"         -> qDedupExactSql,
     "dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
+    "dedup_components"    -> qDedupComponentsSql,
     "ann_brute_force"     -> qAnnBruteForceSql,
     "ann_int8"            -> qAnnInt8Sql,
     "ann_lsh"             -> qAnnLshSql,

@@ -139,6 +139,23 @@ class DedupSpec extends SparkSpec {
     assert(got.size >= want.size - 2, s"recall too low: ${got.size}/${want.size}")
   }
 
+  test("connected components: chains, cliques, isolated pairs; non-convergence is loud") {
+    // a 10-node chain (diameter 9 — exercises the iteration), a clique,
+    // and an isolated pair
+    val edges = ((0L until 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))).toDF("a", "b")
+    val labels = Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    (0L to 9L).foreach(i => assert(labels(i) == 0L, s"chain node $i"))
+    Seq(20L, 21L, 22L).foreach(i => assert(labels(i) == 20L))
+    Seq(30L, 31L).foreach(i => assert(labels(i) == 30L))
+    assert(labels.size == 15)
+    // a diameter larger than maxIter must throw, never return wrong labels
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(edges, "a", "b", maxIter = 3)
+    }
+  }
+
   test("prefix-filtered ngram jaccard equals the naive quadratic definition") {
     // dense random corpus over a tiny vocabulary — heavy gram sharing, the
     // regime where a prefix-filter bug (too-short prefix, wrong order,
