@@ -252,8 +252,9 @@ object Sketches {
       .withColumn("__cum", sum(col("__c")).over(w))
       .withColumn("__n", sum(col("__c")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)))
-    val qDf = broadcast(qs.toDF("__q"))
-    cum.crossJoin(qDf)
+    // attach the quantile probes by exploding a literal array — a pure
+    // projection, not a (nested-loop) join against a literal table
+    cum.withColumn("__q", explode(array(qs.map(lit(_)): _*)))
       .filter(col("__cum") >= ceil(col("__q") * col("__n")).cast("long"))
       .groupBy(keyCols :+ col("__q"): _*)
       .agg(min(col("__b")).as("__qb"))
