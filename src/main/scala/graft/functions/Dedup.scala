@@ -268,51 +268,73 @@ object Dedup {
     // (a gram's join contribution is df², so the cap caps per-key work
     // at maxShingleDf² regardless of corpus skew). Results are IDENTICAL
     // to the exact definition when no gram exceeds the cap; when one
-    // does, pairs sharing only ultra-common grams are dropped (documented
-    // approximation, the usual trade at 100 TB) — surviving pairs keep
-    // their EXACT jaccard (verification reads the full shingle arrays).
-    val eligible =
-      if (maxShingleDf <= 0) allPostings.join(dfTab, Seq("block", "g"))
-      else allPostings.join(dfTab.filter(col("df") <= maxShingleDf), Seq("block", "g"))
-    // candidate generation: AllPairs/PPJoin PREFIX filtering (Bayardo et
-    // al. 2007) on the exact path — under the global (df, gram) order, a
-    // pair with J >= t must share a gram within BOTH docs' first
-    // (sz - ceil(t*sz) + 1) grams, so only those (the doc's RAREST grams)
-    // are indexed: the df² hot keys of the posting self-join largely
-    // vanish from the index, while results stay exact. The 1e-9 guard
-    // rounds ceil's argument DOWN at float boundaries — a longer prefix
-    // is always safe, a shorter one is not. With a df cap the index is
-    // already skew-bounded, so all eligible postings are kept (prefix
-    // truncation under a cap could miss capped-pair survivors).
-    val prefix =
-      if (maxShingleDf > 0) eligible
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("block"), col("id")).orderBy(col("df"), col("g"))
-        eligible.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <=
-            col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)).cast("int") + 1)
-      }
-    // size-ratio prefilter inside the join: J >= t forces t*|B| <= |A|
-    val cand = prefix.alias("a")
-      .join(prefix.alias("b"),
-        col("a.block") === col("b.block") && col("a.g") === col("b.g") &&
-          col("a.id") < col("b.id") &&
-          col("a.sz") >= lit(threshold) * col("b.sz") &&
-          col("b.sz") >= lit(threshold) * col("a.sz"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    // exact verification on the full shingle arrays (deduped candidates:
-    // one array intersection per pair, not one per shared gram)
-    val sets = base.select(col("id"), col("sh"))
-    cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          greatest((size(col("sh_a")) + size(col("sh_b")) -
-            size(array_intersect(col("sh_a"), col("sh_b")))).cast("double"), lit(1.0)))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // does, pairs sharing only ultra-common grams are dropped and capped
+    // shared grams leave the intersection count (documented
+    // approximation, the usual trade at 100 TB).
+    if (threshold >= 0.5 && maxShingleDf <= 0) {
+      // SELECTIVE regime — AllPairs/PPJoin PREFIX filtering (Bayardo et
+      // al. 2007): under the global (df, gram) order, a pair with J >= t
+      // must share a gram within BOTH docs' first (sz - ceil(t*sz) + 1)
+      // grams, so only those (the doc's RAREST grams) are indexed — the
+      // df² hot keys of the posting self-join largely vanish from the
+      // index while results stay exact (equivalence with the naive
+      // definition is spec-pinned). The 1e-9 guard rounds ceil's argument
+      // DOWN at float boundaries — a longer prefix is always safe, a
+      // shorter one is not. Below t=0.5 the prefix keeps most postings
+      // and candidate density dominates anyway, so the posting-count
+      // branch below is the faster EXACT plan there (measured).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("block"), col("id")).orderBy(col("df"), col("g"))
+      val prefix = allPostings.join(dfTab, Seq("block", "g"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <=
+          col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)).cast("int") + 1)
+        .select(col("block"), col("g"), col("id"), col("sz"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // size-ratio prefilter inside the join: J >= t forces t*|B| <= |A|
+      val cand = prefix.alias("a")
+        .join(prefix.alias("b"),
+          col("a.block") === col("b.block") && col("a.g") === col("b.g") &&
+            col("a.id") < col("b.id") &&
+            col("a.sz") >= lit(threshold) * col("b.sz") &&
+            col("b.sz") >= lit(threshold) * col("a.sz"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+        .localCheckpoint(true)
+      prefix.unpersist()
+      // exact verification on the full shingle arrays (deduped candidates:
+      // one array intersection per pair, not one per shared gram)
+      val sets = base.select(col("id"), col("sh"))
+      cand
+        .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            greatest((size(col("sh_a")) + size(col("sh_b")) -
+              size(array_intersect(col("sh_a"), col("sh_b")))).cast("double"), lit(1.0)))
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    } else {
+      // DENSE regime (low threshold, where most pairs are candidates
+      // anyway) and capped runs: count shared grams directly in the
+      // posting-join aggregation — |A∩B| from the group-by, |A∪B| =
+      // |A|+|B|-|A∩B|, no per-pair array intersection, no second pass.
+      val posting =
+        if (maxShingleDf <= 0) allPostings
+        else allPostings.join(dfTab.filter(col("df") <= maxShingleDf)
+          .select("block", "g"), Seq("block", "g"), "left_semi")
+      posting.alias("a")
+        .join(posting.alias("b"),
+          col("a.block") === col("b.block") && col("a.g") === col("b.g") &&
+            col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+                 col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+        .agg(count(lit(1)).as("inter"))
+        .select(col("id_a"), col("id_b"),
+          (col("inter").cast("double") /
+            greatest((col("sz_a") + col("sz_b") - col("inter")).cast("double"), lit(1.0)))
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
   }
 
   /** Embedding-cosine near-duplicates via BANDED hyperplane signatures —

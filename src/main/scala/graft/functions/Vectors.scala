@@ -39,6 +39,31 @@ object Vectors {
       .limit(k)
   }
 
+  /** BATCHED brute-force top-k: score the corpus against MANY query
+    * vectors in ONE pass — the realistic retrieval shape (a probe set,
+    * an eval batch) where per-query scans would re-read the corpus Q
+    * times. Queries attach as an exploded literal array (a pure
+    * projection — no join, no extra scan), then a per-query window
+    * top-k. One corpus scan, one shuffle on the Q query ids. Returns
+    * (qid, id, cos) with ties broken by id, rank <= k per query. */
+  def batchTopK(df: DataFrame, idCol: String, vecCol: String,
+                queries: Seq[Seq[Double]], k: Int): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
+    require(queries.nonEmpty)
+    val probes = explode(array(queries.zipWithIndex.map { case (q, i) =>
+      struct(lit(i).as("qid"), typedLit(q).as("qv"))
+    }: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
+    df.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__p", probes)
+      .select(col("__p.qid").as("qid"), col(idCol),
+        call_function("cosine_vec", col("__v"), col("__p.qv")).as("cos"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("qid"), col(idCol), col("cos"))
+  }
+
   /** Symmetric per-vector int8 quantization — the standard memory-
     * reduction path for 100 TB-scale similarity search (4x smaller than
     * f32, integer dot products downstream). Returns integer-VALUED

@@ -254,6 +254,35 @@ object Pipeline {
       ORDER BY cos DESC, vec_id LIMIT 20) t"""
   }
 
+  /** Three deterministic probe vectors for the batched ANN query: the
+    * base query, its reverse, and an alternating-sign variant (exact
+    * element reuse — no new float arithmetic). */
+  val annBatchQueries: Seq[Seq[Double]] = Seq(
+    annQuery, annQuery.reverse,
+    annQuery.zipWithIndex.map { case (v, i) => if (i % 2 == 0) v else -v })
+
+  /** Batched exact top-k: many probes, ONE corpus scan
+    * ([[Vectors.batchTopK]] — probes attach as an exploded literal, a
+    * per-query window ranks). ORACLE-CHECKED per probe (ids only; ranking
+    * ties break on vec_id in both engines). */
+  val qAnnBatch: Q = (s, d) =>
+    Vectors.batchTopK(embeddings(s, d), "vec_id", "embedding",
+      annBatchQueries, k = 20)
+      .select(col("qid"), col("vec_id"))
+
+  val qAnnBatchSql: String = {
+    val subs = annBatchQueries.zipWithIndex.map { case (q, i) =>
+      val ql = q.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+      s"""
+      SELECT qid, vec_id FROM (
+        SELECT $i AS qid, vec_id,
+               ROW_NUMBER() OVER (ORDER BY ${sqlCos("list_transform(embedding, x -> CAST(x AS DOUBLE))", ql)} DESC, vec_id) AS rk
+        FROM embeddings) t
+      WHERE rk <= 20"""
+    }
+    subs.mkString("\n      UNION ALL ")
+  }
+
   /** int8-quantized brute-force top-k — the 4x-smaller storage path for
     * 100 TB similarity search, ORACLE-CHECKED: quantization and quantized
     * cosine are pure IEEE arithmetic (round-half-away, integer dots, sqrt,
@@ -699,6 +728,7 @@ object Pipeline {
     "ann_lsh"              -> qAnnLsh,
     "ann_ivf"              -> qAnnIvf,
     "ann_int8"             -> qAnnInt8,
+    "ann_batch"            -> qAnnBatch,
     "text_tokens"          -> qTextTokens,
     "text_quality"         -> qTextQuality,
     "text_langid"          -> qTextLangId,
@@ -726,6 +756,7 @@ object Pipeline {
     "dedup_components"    -> qDedupComponentsSql,
     "ann_brute_force"     -> qAnnBruteForceSql,
     "ann_int8"            -> qAnnInt8Sql,
+    "ann_batch"           -> qAnnBatchSql,
     "ann_lsh"             -> qAnnLshSql,
     "dedup_embedding"     -> qDedupEmbeddingSql,
     "dedup_minhash_lsh"   -> qDedupMinhashLshSql,

@@ -23,6 +23,21 @@ class VectorsSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L))
   }
 
+  test("batchTopK equals per-query bruteForceTopK in one corpus pass") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val queries = Seq(
+      (0 until 64).map(i => math.sin(i + 1).abs / 8.0 + 0.01),
+      (0 until 64).map(i => math.cos(i + 1).abs / 4.0))
+    val batch = Vectors.batchTopK(emb, "vec_id", "embedding", queries, k = 10)
+      .select("qid", "vec_id").as[(Int, Long)].collect()
+      .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+    queries.zipWithIndex.foreach { case (q, i) =>
+      val single = Vectors.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+        .select("vec_id").as[Long].collect().toSet
+      assert(batch(i) == single, s"query $i diverges from the single-query path")
+    }
+  }
+
   test("lshTopK recall vs brute force on the corpus (multi-probe)") {
     val emb = graft.Tables.embeddings(spark, sf)
     val q = graft.queries.Pipeline.annQuery
