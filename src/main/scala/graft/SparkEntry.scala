@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.Relational2.queries ++
       graft.queries.Mdio.queries ++
       graft.queries.Pipeline.queries ++
+      graft.queries.Pipeline2.queries ++
       graft.queries.StreamingExec.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.Relational2.oracleSql ++
       graft.queries.Mdio.oracleSql ++
       graft.queries.Pipeline.oracleSql ++
+      graft.queries.Pipeline2.oracleSql ++
       graft.queries.StreamingExec.oracleSql
 }

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs after dedup:
+  * benchmark decontamination, repetition scoring, sequence packing, and
+  * deterministic weighted sampling.
+  *
+  * Everything here is engine-portable arithmetic (integer folds, IEEE-exact
+  * double ops) over codegen'd column expressions — no UDFs — so the full
+  * pipeline stays inside whole-stage codegen AND the DuckDB oracle can
+  * certify results bit-for-bit (same discipline as [[TextFunctions]]).
+  */
+object Curation {
+
+  /** Train-vs-benchmark n-gram overlap (decontamination): documents of
+    * `train` that share at least `minOverlap` DISTINCT word k-grams with
+    * any document of `eval` — the standard train/test contamination sweep
+    * run before every model training job.
+    *
+    * Returns (idCol, n_shared) for flagged documents.
+    *
+    * Scale shape: the benchmark side is tiny relative to the corpus (eval
+    * suites are thousands of documents; the corpus is billions), so its
+    * distinct gram set is collected into a broadcast hash join — the sweep
+    * over 100 TB of train text is ONE map-side join + one partial/final
+    * count-distinct aggregation, no all-to-all shuffle of the corpus. */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+                    idCol: String, textCol: String,
+                    k: Int = 3, minOverlap: Long = 3L): DataFrame = {
+    graft.GraftFunctions.register(train.sparkSession)
+    def grams(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+        explode(array_distinct(call_function("word_ngrams",
+          TextFunctions.tokens(col(textCol)), lit(k)))).as("gram"))
+    val evalGrams = grams(eval).select(col("gram")).distinct()
+    grams(train)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
+  /** Intra-document repetition ratio in [0,1]: 1 − |distinct tokens| /
+    * |tokens| (0 = every token unique, →1 = heavy repetition). The
+    * Gopher-style repetition quality gate, as a map-only column
+    * expression: IEEE-exact division, engine-portable. */
+  def repetitionRatio(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    lit(1.0) - size(array_distinct(toks)).cast("double") /
+      greatest(size(toks).cast("double"), lit(1.0))
+  }
+
+  /** Greedy in-order sequence packing: assign each document a bin id such
+    * that consecutive documents (ordered by `orderCol` within a
+    * `partCols` group) accumulate into bins of ~`targetTokens` tokens —
+    * the standard pretraining sequence-packing pass (documents
+    * concatenated into fixed-token training windows).
+    *
+    * bin = floor(tokens-before-this-doc / targetTokens), so a document
+    * starts a new bin once the running total crosses the target; bins can
+    * overflow by at most one document (greedy packing never splits).
+    *
+    * Returns the input plus (n_tok, bin).
+    *
+    * Scale shape: ONE window aggregation partitioned by `partCols` — each
+    * group sorts locally after a hash shuffle, no global sort. Callers
+    * choose `partCols` granularity (e.g. lang × source × shard) so groups
+    * fit an executor; packing quality only needs in-group order. */
+  def packSequences(df: DataFrame, textCol: String, orderCol: String,
+                    partCols: Seq[String], targetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("n_tok", TextFunctions.tokenCount(col(textCol)))
+      .withColumn("bin",
+        floor(((sum(col("n_tok")).over(w) - col("n_tok")).cast("double")) /
+          lit(targetTokens.toDouble)).cast("long"))
+  }
+
+  /** Deterministic per-category weighted sampling: keep a row iff
+    * H(id) mod 1000 < rate‰ for its category — the domain-mixing /
+    * up-down-sampling pass of a pretraining data recipe. H is the
+    * portable Rabin–Karp fold over the id's decimal digits
+    * ([[TextFunctions.rollingHash]]), so the kept set is reproducible
+    * across engines and runs — re-running the pipeline on a grown corpus
+    * keeps exactly the previously-kept rows (no RNG, no seed state).
+    *
+    * `ratesPermille`: category → keep-rate in ‰; `defaultPermille`
+    * applies to unlisted categories. Map-only: filter + no shuffle. */
+  def sampleWeighted(df: DataFrame, idCol: String, categoryCol: String,
+                     ratesPermille: Map[String, Int],
+                     defaultPermille: Int): DataFrame = {
+    val rate = ratesPermille.toSeq.sortBy(_._1).foldRight(
+      lit(defaultPermille): Column) { case ((cat, r), acc) =>
+      when(col(categoryCol) === cat, lit(r)).otherwise(acc)
+    }
+    val h = TextFunctions.rollingHash(col(idCol).cast("string")) % 1000L
+    df.filter(h < rate.cast("long"))
+  }
+}

@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.functions.{Curation, TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation queries (the [[graft.functions.Curation]] family):
+  * decontamination, repetition gating, sequence packing, weighted
+  * sampling — the passes a pretraining-data recipe runs after dedup.
+  *
+  * Every query here is oracle-checked: the operators are built from
+  * engine-portable arithmetic (polynomial folds, IEEE-exact doubles,
+  * integer window sums), so DuckDB reproduces them bit-for-bit.
+  */
+object Pipeline2 {
+
+  // ---- decontamination -----------------------------------------------------
+
+  /** Benchmark contamination sweep: documents sharing ≥3 distinct word
+    * trigrams with the held-out benchmark slice (doc_id ≡ 0 mod 97 stands
+    * in for an eval suite). Broadcast the benchmark gram set; one
+    * map-side join over the corpus. */
+  val qTextDecontaminate: Q = (s, d) => {
+    val docs = documents(s, d)
+    Curation.decontaminate(
+      train = docs.filter(col("doc_id") % 97 =!= 0),
+      eval = docs.filter(col("doc_id") % 97 === 0),
+      idCol = "doc_id", textCol = "text", k = 3, minOverlap = 3L)
+      .agg(count(lit(1)).as("n_contaminated"),
+           coalesce(sum(col("n_shared")), lit(0L)).as("total_shared"),
+           coalesce(min(col("doc_id")), lit(-1L)).as("first_doc"))
+  }
+
+  /** word_ngrams(toks, 3) twin: len≥3 → the len−2 trigrams; shorter →
+    * one gram of all tokens (the kernel's contract). */
+  private val sqlTrigrams: String =
+    """CASE WHEN len(toks) >= 3
+      |  THEN list_transform(range(1, len(toks) - 1),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
+
+  val qTextDecontaminateSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct($sqlTrigrams)) AS gram FROM t),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
+    ov AS (
+      SELECT doc_id, COUNT(DISTINCT gram) AS n_shared
+      FROM tr JOIN ev USING (gram)
+      GROUP BY 1 HAVING COUNT(DISTINCT gram) >= 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+           COALESCE(CAST(SUM(n_shared) AS BIGINT), 0) AS total_shared,
+           COALESCE(MIN(doc_id), -1) AS first_doc
+    FROM ov"""
+
+  // ---- repetition gate -----------------------------------------------------
+
+  /** Distribution of the intra-document repetition ratio (1 − distinct/
+    * total tokens), bucketed into deciles — the Gopher-style repetition
+    * quality gate as a map + one aggregation. */
+  val qTextRepetition: Q = (s, d) =>
+    documents(s, d)
+      .select(least(floor(Curation.repetitionRatio(col("text")) * lit(10.0))
+        .cast("long"), lit(9L)).as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n"))
+
+  val qTextRepetitionSql: String = """
+    WITH r AS (
+      SELECT 1.0 - CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+                 / GREATEST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0) AS rep
+      FROM documents)
+    SELECT LEAST(CAST(FLOOR(rep * 10.0) AS BIGINT), 9) AS decile,
+           COUNT(*) AS n
+    FROM r GROUP BY 1"""
+
+  // ---- sequence packing ----------------------------------------------------
+
+  /** Greedy sequence packing into ~512-token training windows within
+    * (lang, source) groups, reported per language: bins used, documents
+    * and tokens packed. Bins are contiguous 0..max per group, so
+    * n_bins = Σ(max+1) — no multi-column distinct needed. */
+  val qPipelinePack: Q = (s, d) => {
+    val packed = Curation.packSequences(documents(s, d),
+      textCol = "text", orderCol = "doc_id",
+      partCols = Seq("lang", "source"), targetTokens = 512L)
+    packed
+      .groupBy(col("lang"), col("source"))
+      .agg((max(col("bin")) + lit(1L)).as("nb"),
+           count(lit(1)).as("nd"), sum(col("n_tok")).as("tt"))
+      .groupBy(col("lang"))
+      .agg(sum(col("nb")).as("n_bins"), sum(col("nd")).as("n_docs"),
+           sum(col("tt")).as("total_tokens"))
+  }
+
+  val qPipelinePackSql: String = """
+    WITH t AS (
+      SELECT lang, source, doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents),
+    p AS (
+      SELECT lang, source, n_tok,
+             CAST(FLOOR(CAST(SUM(n_tok) OVER (
+                 PARTITION BY lang, source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+               AS DOUBLE) / 512.0) AS BIGINT) AS bin
+      FROM t),
+    g AS (
+      SELECT lang, source, MAX(bin) + 1 AS nb, COUNT(*) AS nd, SUM(n_tok) AS tt
+      FROM p GROUP BY 1, 2)
+    SELECT lang, CAST(SUM(nb) AS BIGINT) AS n_bins,
+           CAST(SUM(nd) AS BIGINT) AS n_docs,
+           CAST(SUM(tt) AS BIGINT) AS total_tokens
+    FROM g GROUP BY lang"""
+
+  // ---- weighted sampling ---------------------------------------------------
+
+  /** Deterministic domain-mixing sample: per-source keep rates (src0 keep
+    * all, src1 half, src2 quarter, rest 10%), membership decided by the
+    * portable digit-fold hash of doc_id — reproducible across engines
+    * and corpus growth. */
+  val qPipelineSampleWeighted: Q = (s, d) =>
+    Curation.sampleWeighted(documents(s, d), idCol = "doc_id",
+      categoryCol = "source",
+      ratesPermille = Map("src0" -> 1000, "src1" -> 500, "src2" -> 250),
+      defaultPermille = 100)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+
+  val qPipelineSampleWeightedSql: String = """
+    WITH h AS (
+      SELECT source, n_chars,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_filter(string_split(CAST(doc_id AS VARCHAR), ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 2147483647) % 1000 AS hh,
+             CASE WHEN source = 'src0' THEN 1000
+                  WHEN source = 'src1' THEN 500
+                  WHEN source = 'src2' THEN 250
+                  ELSE 100 END AS rate
+      FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM h WHERE hh < rate GROUP BY source"""
+
+  val queries: Map[String, Q] = Map(
+    "text_decontaminate"       -> qTextDecontaminate,
+    "text_repetition"          -> qTextRepetition,
+    "pipeline_pack"            -> qPipelinePack,
+    "pipeline_sample_weighted" -> qPipelineSampleWeighted,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_decontaminate"       -> qTextDecontaminateSql,
+    "text_repetition"          -> qTextRepetitionSql,
+    "pipeline_pack"            -> qPipelinePackSql,
+    "pipeline_sample_weighted" -> qPipelineSampleWeightedSql,
+  )
+}

@@ -1,0 +1,102 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate flags documents sharing >= minOverlap distinct k-grams") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      // shares 3 distinct trigrams with the benchmark doc
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      // shares exactly 1 trigram — below the threshold
+      (2L, "alpha beta gamma xyz qqq www"),
+      // shares nothing
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, bench, "doc_id", "text",
+      k = 3, minOverlap = 3L).collect()
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 3L))
+  }
+
+  test("decontaminate at minOverlap=1 catches any shared gram") {
+    val bench = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma tail"),
+      (2L, "no overlap here at all")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, bench, "doc_id", "text",
+      k = 3, minOverlap = 1L).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("repetitionRatio: 0 for all-distinct, high for repeated tokens") {
+    val df = Seq(
+      (1L, "a b c d"),          // 0.0
+      (2L, "a a a a"),          // 1 - 1/4 = 0.75
+      (3L, "a a b b")           // 1 - 2/4 = 0.5
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), Curation.repetitionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.0 && out(2L) == 0.75 && out(3L) == 0.5)
+  }
+
+  test("packSequences: greedy bins advance when the running total crosses the target") {
+    // tokens per doc: 3, 3, 3 with target 4:
+    //   doc 1 starts at 0  -> bin 0
+    //   doc 2 starts at 3  -> bin 0 (3 < 4: greedy overflow allowed)
+    //   doc 3 starts at 6  -> bin 1
+    val df = Seq(
+      (1L, "g", "a b c"), (2L, "g", "d e f"), (3L, "g", "g h i")
+    ).toDF("doc_id", "grp", "text")
+    val out = Curation.packSequences(df, "text", "doc_id", Seq("grp"), 4L)
+      .select(col("doc_id"), col("bin")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("packSequences packs independently per partition group") {
+    val df = Seq(
+      (1L, "x", "a b"), (2L, "x", "c d"),
+      (10L, "y", "e f"), (11L, "y", "g h")
+    ).toDF("doc_id", "grp", "text")
+    val out = Curation.packSequences(df, "text", "doc_id", Seq("grp"), 3L)
+      .select(col("grp"), col("doc_id"), col("bin")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // each group restarts at bin 0: 2 tokens -> bin 0, next doc starts at 2 -> bin 0
+    // (2 < 3), third token total crosses only within the second doc.
+    assert(out(("x", 1L)) == 0L && out(("y", 10L)) == 0L)
+    assert(out(("x", 2L)) == 0L && out(("y", 11L)) == 0L)
+  }
+
+  test("sampleWeighted is deterministic and monotone in the rate") {
+    val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b", i))
+      .toDF("doc_id", "source", "payload")
+    val half = Curation.sampleWeighted(df, "doc_id", "source",
+      Map("a" -> 500, "b" -> 500), 100)
+    val all = Curation.sampleWeighted(df, "doc_id", "source",
+      Map("a" -> 1000, "b" -> 1000), 100)
+    val halfIds = half.select("doc_id").as[Long].collect().toSet
+    val allIds = all.select("doc_id").as[Long].collect().toSet
+    assert(allIds.size == 400, "rate 1000 permille must keep everything")
+    assert(halfIds.subsetOf(allIds))
+    // roughly half survive (hash spread, not exact): wide tolerance
+    assert(halfIds.size > 100 && halfIds.size < 300, s"got ${halfIds.size}")
+    // deterministic: a second run selects the identical set
+    val again = Curation.sampleWeighted(df, "doc_id", "source",
+      Map("a" -> 500, "b" -> 500), 100).select("doc_id").as[Long].collect().toSet
+    assert(again == halfIds)
+  }
+
+  test("sampleWeighted applies per-category rates and the default") {
+    val df = (0L until 300L).map(i =>
+      (i, Seq("keep", "drop", "other")(i.toInt % 3))).toDF("doc_id", "source")
+    val out = Curation.sampleWeighted(df, "doc_id", "source",
+      Map("keep" -> 1000, "drop" -> 0), 100)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("keep") == 100L)
+    assert(!out.contains("drop"))
+    assert(out.getOrElse("other", 0L) < 40L) // ~10% of 100
+  }
+}
