@@ -89,6 +89,8 @@ object Bench {
     "agg_rollup" -> 0.949, "ann_int8" -> 0.759, "pipeline_split" -> 0.232,
     "sort_zorder" -> 0.245, "agg_quantile_portable" -> 0.625,
     "dedup_components" -> 10.853, "ann_batch" -> 0.492,
+    "text_decontaminate" -> 0.900, "text_repetition" -> 0.315,
+    "pipeline_pack" -> 0.424, "pipeline_sample_weighted" -> 0.298,
     "ann_brute_force" -> 0.183, "ann_ivf" -> 0.571, "ann_lsh" -> 0.169,
     "dedup_embedding" -> 0.794, "dedup_exact" -> 0.313,
     "dedup_minhash_lsh" -> 4.789, "dedup_ngram_jaccard" -> 10.653,
