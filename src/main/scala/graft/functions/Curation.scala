@@ -78,6 +78,28 @@ object Curation {
           lit(targetTokens.toDouble)).cast("long"))
   }
 
+  /** Per-category token-budget quota: keep each category's documents in
+    * deterministic hash-priority order until the category's cumulative
+    * token count reaches `budgetTokens` — the "cap each domain's
+    * contribution" pass of a data recipe (rate sampling bounds the
+    * FRACTION kept; this bounds the TOKENS kept, whatever the domain's
+    * size). Priority is the portable digit-fold hash of the id (ties to
+    * the id), so the kept set is a stable pseudo-random sample that only
+    * shrinks as a domain grows past its budget.
+    *
+    * Returns the input plus (n_tok, priority, cum_tok), filtered to the
+    * kept rows. One window sum per category after a hash shuffle — same
+    * scale shape as [[packSequences]]. */
+  def quotaCap(df: DataFrame, idCol: String, categoryCol: String,
+               textCol: String, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col(categoryCol))
+      .orderBy(col("priority"), col(idCol))
+    df.withColumn("n_tok", TextFunctions.tokenCount(col(textCol)))
+      .withColumn("priority", TextFunctions.rollingHash(col(idCol).cast("string")))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budgetTokens)
+  }
+
   /** Deterministic per-category weighted sampling: keep a row iff
     * H(id) mod 1000 < rate‰ for its category — the domain-mixing /
     * up-down-sampling pass of a pretraining data recipe. H is the

@@ -145,7 +145,41 @@ object Pipeline2 {
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM h WHERE hh < rate GROUP BY source"""
 
+  // ---- token-budget quota --------------------------------------------------
+
+  /** Cap every source at 20k tokens, kept in hash-priority order:
+    * per-source kept docs / kept tokens / last-kept priority. The window
+    * runs per source after a hash shuffle (no global sort); the filter is
+    * keep-while-under-budget, so each source contributes ≤ the cap. */
+  val qPipelineQuota: Q = (s, d) =>
+    Curation.quotaCap(documents(s, d), idCol = "doc_id",
+      categoryCol = "source", textCol = "text", budgetTokens = 20000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tokens_kept"),
+           max(col("priority")).as("last_priority"))
+
+  val qPipelineQuotaSql: String = """
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_filter(string_split(CAST(doc_id AS VARCHAR), ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 2147483647) AS priority
+      FROM documents),
+    c AS (
+      SELECT source, n_tok, priority,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY priority, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+      FROM t)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
+           MAX(priority) AS last_priority
+    FROM c WHERE cum_tok <= 20000 GROUP BY source"""
+
   val queries: Map[String, Q] = Map(
+    "pipeline_quota"           -> qPipelineQuota,
     "text_decontaminate"       -> qTextDecontaminate,
     "text_repetition"          -> qTextRepetition,
     "pipeline_pack"            -> qPipelinePack,
@@ -153,6 +187,7 @@ object Pipeline2 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_quota"           -> qPipelineQuotaSql,
     "text_decontaminate"       -> qTextDecontaminateSql,
     "text_repetition"          -> qTextRepetitionSql,
     "pipeline_pack"            -> qPipelinePackSql,

@@ -69,6 +69,38 @@ class CurationSpec extends SparkSpec {
     assert(out(("x", 2L)) == 0L && out(("y", 11L)) == 0L)
   }
 
+  test("quotaCap keeps hash-priority prefix until the token budget") {
+    // 4 docs of 3 tokens each in one category with a 7-token budget:
+    // exactly the 2 lowest-priority-hash docs survive (3+3=6 <= 7 < 9).
+    val df = Seq(
+      (1L, "s", "a b c"), (2L, "s", "d e f"),
+      (3L, "s", "g h i"), (4L, "s", "j k l")).toDF("doc_id", "source", "text")
+    val kept = Curation.quotaCap(df, "doc_id", "source", "text", 7L)
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    assert(ids.size == 2, s"7-token budget over 3-token docs keeps 2, got $ids")
+    // determinism + priority order: re-running keeps the identical set,
+    // and it is the 2 smallest by (rollingHash(id), id)
+    val pri = df.select(col("doc_id"),
+      graft.functions.TextFunctions.rollingHash(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = pri.toSeq.sortBy { case (id, h) => (h, id) }.take(2).map(_._1).toSet
+    assert(ids == expect)
+    val again = Curation.quotaCap(df, "doc_id", "source", "text", 7L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == ids)
+  }
+
+  test("quotaCap budgets each category independently") {
+    val df = Seq(
+      (1L, "x", "a b c d e"), (2L, "x", "f g h i j"),
+      (10L, "y", "k l"), (11L, "y", "m n")).toDF("doc_id", "source", "text")
+    // budget 5: category x keeps exactly one 5-token doc; y keeps both 2-token docs
+    val out = Curation.quotaCap(df, "doc_id", "source", "text", 5L)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("x" -> 1L, "y" -> 2L))
+  }
+
   test("sampleWeighted is deterministic and monotone in the rate") {
     val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b", i))
       .toDF("doc_id", "source", "payload")

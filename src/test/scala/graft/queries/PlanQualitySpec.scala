@@ -95,6 +95,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("text_decontaminate: benchmark gram set broadcasts, corpus never shuffles for the join") {
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the eval gram set must broadcast — a shuffle join moves the corpus:\n" + p.take(600))
+    assert(!p.contains("SortMergeJoin"), "corpus-side sort-merge join defeats the broadcast design")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("pipeline_pack: window packs within hash-partitioned groups, no global sort") {
+    val p = plan("pipeline_pack")
+    assert(p.contains("Window"), p.take(400))
+    assert(!p.contains("rangepartitioning"),
+      "packing must hash-partition by group, not range-partition globally:\n" + p.take(600))
+  }
+
+  test("pipeline_quota: budget window is hash-partitioned per category, no global sort") {
+    val p = plan("pipeline_quota")
+    assert(p.contains("Window"), p.take(400))
+    assert(!p.contains("rangepartitioning"),
+      "quota must hash-partition by category, not range-partition globally:\n" + p.take(600))
+    assert(!p.toLowerCase.contains("rand"), "quota priority must be deterministic")
+  }
+
+  test("pipeline_sample_weighted: the keep filter is a pure map before the agg") {
+    val p = plan("pipeline_sample_weighted")
+    assert(!p.toLowerCase.contains("rand"), "sampling must be deterministic, not rand()")
+    assert(p.contains("partial_") || p.contains("HashAggregate"))
+    // one shuffle pair (partial->final groupBy); the filter itself adds none
+    assert(p.split("Exchange").length - 1 <= 2,
+      "hash-gated sampling must not introduce extra exchanges:\n" + p.take(600))
+  }
+
   test("geo_utm: conversion stays inside whole-stage codegen") {
     // FormattedMode on an un-executed AQE plan omits codegen stage markers —
     // CodegenMode reports the compiled subtrees directly
