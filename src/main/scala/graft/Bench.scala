@@ -91,7 +91,7 @@ object Bench {
     "dedup_components" -> 10.853, "ann_batch" -> 0.492,
     "text_decontaminate" -> 0.900, "text_repetition" -> 0.315,
     "pipeline_pack" -> 0.424, "pipeline_sample_weighted" -> 0.298,
-    "pipeline_quota" -> 0.551,
+    "pipeline_quota" -> 0.551, "pipeline_recipe" -> 1.094,
     "ann_brute_force" -> 0.183, "ann_ivf" -> 0.571, "ann_lsh" -> 0.169,
     "dedup_embedding" -> 0.794, "dedup_exact" -> 0.313,
     "dedup_minhash_lsh" -> 4.789, "dedup_ngram_jaccard" -> 10.653,

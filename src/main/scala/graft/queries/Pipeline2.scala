@@ -178,7 +178,73 @@ object Pipeline2 {
            MAX(priority) AS last_priority
     FROM c WHERE cum_tok <= 20000 GROUP BY source"""
 
+  // ---- composed curation recipe --------------------------------------------
+
+  /** The full curation recipe as ONE flow — weighted domain sampling →
+    * per-domain token quota → sequence packing — reported per language:
+    * documents and tokens that made the cut, training windows produced.
+    * Each stage keeps its scale shape (map filter → per-category window →
+    * per-group window); nothing materializes between stages. */
+  val qPipelineRecipe: Q = (s, d) => {
+    val sampled = Curation.sampleWeighted(documents(s, d), idCol = "doc_id",
+      categoryCol = "source",
+      ratesPermille = Map("src0" -> 1000, "src1" -> 500, "src2" -> 250),
+      defaultPermille = 100)
+    val capped = Curation.quotaCap(sampled, idCol = "doc_id",
+      categoryCol = "source", textCol = "text", budgetTokens = 15000L)
+      .drop("n_tok", "priority", "cum_tok")
+    val packed = Curation.packSequences(capped, textCol = "text",
+      orderCol = "doc_id", partCols = Seq("lang", "source"),
+      targetTokens = 512L)
+    packed
+      .groupBy(col("lang"), col("source"))
+      .agg((max(col("bin")) + lit(1L)).as("nb"),
+           count(lit(1)).as("nd"), sum(col("n_tok")).as("tt"))
+      .groupBy(col("lang"))
+      .agg(sum(col("nb")).as("n_bins"), sum(col("nd")).as("n_docs"),
+           sum(col("tt")).as("total_tokens"))
+  }
+
+  val qPipelineRecipeSql: String = """
+    WITH t AS (
+      SELECT doc_id, lang, source, text,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_filter(string_split(CAST(doc_id AS VARCHAR), ''), c -> c <> ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 2147483647) AS h
+      FROM documents),
+    sampled AS (
+      SELECT * FROM t
+      WHERE h % 1000 < CASE WHEN source = 'src0' THEN 1000
+                            WHEN source = 'src1' THEN 500
+                            WHEN source = 'src2' THEN 250
+                            ELSE 100 END),
+    capped AS (
+      SELECT doc_id, lang, source, n_tok FROM (
+        SELECT doc_id, lang, source, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        FROM sampled) c
+      WHERE cum_tok <= 15000),
+    packed AS (
+      SELECT lang, source, n_tok,
+             CAST(FLOOR(CAST(SUM(n_tok) OVER (
+                 PARTITION BY lang, source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+               AS DOUBLE) / 512.0) AS BIGINT) AS bin
+      FROM capped),
+    g AS (
+      SELECT lang, source, MAX(bin) + 1 AS nb, COUNT(*) AS nd, SUM(n_tok) AS tt
+      FROM packed GROUP BY 1, 2)
+    SELECT lang, CAST(SUM(nb) AS BIGINT) AS n_bins,
+           CAST(SUM(nd) AS BIGINT) AS n_docs,
+           CAST(SUM(tt) AS BIGINT) AS total_tokens
+    FROM g GROUP BY lang"""
+
   val queries: Map[String, Q] = Map(
+    "pipeline_recipe"          -> qPipelineRecipe,
     "pipeline_quota"           -> qPipelineQuota,
     "text_decontaminate"       -> qTextDecontaminate,
     "text_repetition"          -> qTextRepetition,
@@ -187,6 +253,7 @@ object Pipeline2 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_recipe"          -> qPipelineRecipeSql,
     "pipeline_quota"           -> qPipelineQuotaSql,
     "text_decontaminate"       -> qTextDecontaminateSql,
     "text_repetition"          -> qTextRepetitionSql,

@@ -101,6 +101,20 @@ class CurationSpec extends SparkSpec {
     assert(out == Map("x" -> 1L, "y" -> 2L))
   }
 
+  test("edge cases: empty benchmark, zero budget, single-doc pack") {
+    val docs = Seq((1L, "g", "a b c")).toDF("doc_id", "grp", "text")
+    val noBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Curation.decontaminate(
+      docs.toDF("doc_id", "grp", "text").withColumnRenamed("grp", "unused"),
+      noBench, "doc_id", "text").count() == 0,
+      "empty benchmark flags nothing")
+    assert(Curation.quotaCap(docs, "doc_id", "grp", "text", 0L).count() == 0,
+      "zero budget keeps nothing")
+    val packed = Curation.packSequences(docs, "text", "doc_id", Seq("grp"), 512L)
+      .select("bin").as[Long].collect()
+    assert(packed.sameElements(Array(0L)), "a single doc packs into bin 0")
+  }
+
   test("sampleWeighted is deterministic and monotone in the rate") {
     val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b", i))
       .toDF("doc_id", "source", "payload")
