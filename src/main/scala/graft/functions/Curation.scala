@@ -78,6 +78,35 @@ object Curation {
           lit(targetTokens.toDouble)).cast("long"))
   }
 
+  /** Document chunking: split each document into fixed-token windows with
+    * overlap — the pass that feeds embedding generation / retrieval
+    * indexing (documents are too long to embed whole; consecutive chunks
+    * share `overlap` tokens so no boundary context is lost).
+    *
+    * Chunk starts are 0, stride, 2·stride, … (stride = chunkTokens −
+    * overlap) while start < token count; the last chunk may be short.
+    * Returns one row per chunk: input columns + (chunk_idx, chunk_text,
+    * chunk_tokens). Map-only: sequence + explode + slice, no shuffle —
+    * the 100 TB shape is a pure flatMap that scales with output size. */
+  def chunkDocuments(df: DataFrame, textCol: String,
+                     chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = TextFunctions.tokens(col(textCol))
+    df.withColumn("__n", size(toks))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          floor(greatest(col("__n") - 1, lit(0)).cast("double") / lit(stride.toDouble)).cast("int"),
+          lit(1))))
+      .withColumn("__start", col("chunk_idx") * lit(stride))
+      .filter(col("__start") < col("__n"))
+      .withColumn("chunk_text",
+        array_join(slice(toks, col("__start") + 1, lit(chunkTokens)), " "))
+      .withColumn("chunk_tokens",
+        least(col("__n") - col("__start"), lit(chunkTokens)))
+      .drop("__n", "__start")
+  }
+
   /** Per-category token-budget quota: keep each category's documents in
     * deterministic hash-priority order until the category's cumulative
     * token count reaches `budgetTokens` — the "cap each domain's

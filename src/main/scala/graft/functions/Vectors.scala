@@ -39,6 +39,23 @@ object Vectors {
       .limit(k)
   }
 
+  /** Per-group elementwise centroids of an embedding column, as
+    * (group, pos, mean) rows — the distributed vector aggregation behind
+    * cluster analysis, class prototypes, and IVF-style training at
+    * corpus scale.
+    *
+    * Shape: posexplode to (group, pos, val) then ONE partial+final
+    * aggregation on (group, pos) — the map-side partial collapses each
+    * partition to |groups|·dim rows, so the shuffle never scales with
+    * corpus size, only with groups × dimensions. Means use the decimal
+    * accumulation pattern (graft.queries.dsum rationale): exact,
+    * order-independent, engine-portable. */
+  def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol).as("group"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("group"), col("pos"))
+      .agg((sum(col("v").cast("double").cast("decimal(27,6)")).cast("double") /
+        count(col("v")).cast("double")).as("mean"))
+
   /** BATCHED brute-force top-k: score the corpus against MANY query
     * vectors in ONE pass — the realistic retrieval shape (a probe set,
     * an eval batch) where per-query scans would re-read the corpus Q

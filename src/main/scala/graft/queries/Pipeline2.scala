@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Curation, TextFunctions => TF}
+import graft.functions.{Curation, Vectors, TextFunctions => TF}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation queries (the [[graft.functions.Curation]] family):
@@ -178,6 +178,64 @@ object Pipeline2 {
            MAX(priority) AS last_priority
     FROM c WHERE cum_tok <= 20000 GROUP BY source"""
 
+  // ---- document chunking ---------------------------------------------------
+
+  /** 64-token chunks with 16-token overlap over every document: chunk
+    * counts, boundary arithmetic, and an order-sensitive fold over the
+    * first chunk's text certify the chunk CONTENT, not just the counts. */
+  val qTextChunk: Q = (s, d) =>
+    Curation.chunkDocuments(documents(s, d), textCol = "text",
+      chunkTokens = 64, overlap = 16)
+      .agg(count(lit(1)).as("n_chunks"),
+           countDistinct(col("doc_id")).as("n_docs"),
+           sum(col("chunk_tokens").cast("long")).as("sum_chunk_tokens"),
+           max(col("chunk_idx")).cast("long").as("max_chunk_idx"),
+           sum(when(col("chunk_idx") === 0,
+             TF.rollingHash(col("chunk_text"))).otherwise(lit(0L))).as("first_chunk_hash_sum"))
+
+  val qTextChunkSql: String = """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, len(toks) AS n, unnest(range(0, len(toks), 48)) AS start, toks
+      FROM t),
+    ch AS (
+      SELECT doc_id, start // 48 AS chunk_idx,
+             LEAST(n - start, 64) AS chunk_tokens,
+             array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text
+      FROM c)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(chunk_tokens) AS BIGINT) AS sum_chunk_tokens,
+           CAST(MAX(chunk_idx) AS BIGINT) AS max_chunk_idx,
+           CAST(SUM(CASE WHEN chunk_idx = 0 THEN
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_filter(string_split(regexp_replace(trim(chunk_text), '\s+', ' ', 'g'), ''), cc -> cc <> ''),
+                 cc -> CAST(unicode(cc) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 2147483647)
+             ELSE 0 END) AS BIGINT) AS first_chunk_hash_sum
+    FROM ch"""
+
+  // ---- embedding centroids -------------------------------------------------
+
+  /** Per-label embedding centroids (first 8 dimensions): the class-
+    * prototype / cluster-analysis aggregation, shuffle bounded by
+    * labels × dims, means decimal-exact across engines. */
+  val qAggEmbeddingCentroid: Q = (s, d) =>
+    Vectors.centroids(embeddings(s, d), groupCol = "label", vecCol = "embedding")
+      .filter(col("pos") < 8)
+      .select(col("group").cast("long").as("label"),
+        col("pos").cast("long").as("pos"), col("mean"))
+
+  val qAggEmbeddingCentroidSql: String = """
+    SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS pos,
+           CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean
+    FROM embeddings, (SELECT unnest(range(1, 9)) AS i) idx
+    GROUP BY label, i"""
+
   // ---- composed curation recipe --------------------------------------------
 
   /** The full curation recipe as ONE flow — weighted domain sampling →
@@ -244,6 +302,8 @@ object Pipeline2 {
     FROM g GROUP BY lang"""
 
   val queries: Map[String, Q] = Map(
+    "text_chunk"               -> qTextChunk,
+    "agg_embedding_centroid"   -> qAggEmbeddingCentroid,
     "pipeline_recipe"          -> qPipelineRecipe,
     "pipeline_quota"           -> qPipelineQuota,
     "text_decontaminate"       -> qTextDecontaminate,
@@ -253,6 +313,8 @@ object Pipeline2 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "text_chunk"               -> qTextChunkSql,
+    "agg_embedding_centroid"   -> qAggEmbeddingCentroidSql,
     "pipeline_recipe"          -> qPipelineRecipeSql,
     "pipeline_quota"           -> qPipelineQuotaSql,
     "text_decontaminate"       -> qTextDecontaminateSql,

@@ -101,6 +101,26 @@ class CurationSpec extends SparkSpec {
     assert(out == Map("x" -> 1L, "y" -> 2L))
   }
 
+  test("chunkDocuments: boundaries, overlap, and short tails") {
+    // 10 tokens, chunk 4, overlap 2 -> stride 2: starts 0,2,4,6,8
+    val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(df, "text", chunkTokens = 4, overlap = 2)
+      .select("chunk_idx", "chunk_text", "chunk_tokens").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+    assert(out.length == 5)
+    assert(out(0) == ((0, "t0 t1 t2 t3", 4)))
+    assert(out(1) == ((1, "t2 t3 t4 t5", 4)), "consecutive chunks share the overlap")
+    assert(out(4) == ((4, "t8 t9", 2)), "the tail chunk may be short")
+  }
+
+  test("chunkDocuments: a doc shorter than one chunk yields exactly one chunk") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(df, "text", chunkTokens = 64, overlap = 16)
+      .select("chunk_idx", "chunk_text", "chunk_tokens").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq == Seq((0, "a b", 2)))
+  }
+
   test("edge cases: empty benchmark, zero budget, single-doc pack") {
     val docs = Seq((1L, "g", "a b c")).toDF("doc_id", "grp", "text")
     val noBench = Seq.empty[(Long, String)].toDF("doc_id", "text")

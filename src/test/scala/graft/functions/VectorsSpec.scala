@@ -120,6 +120,16 @@ class VectorsSpec extends SparkSpec {
     assert(assigned > 32, s"corpus occupies only $assigned cells")
   }
 
+  test("centroids: per-group elementwise means, exact on known vectors") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), "a"), (2L, Seq(3.0f, 6.0f), "a"),
+      (3L, Seq(10.0f, 20.0f), "b")).toDF("vec_id", "embedding", "label")
+    val out = Vectors.centroids(df, "label", "embedding").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out(("a", 0)) == 2.0 && out(("a", 1)) == 4.0)
+    assert(out(("b", 0)) == 10.0 && out(("b", 1)) == 20.0)
+  }
+
   test("IVF on the (uniform) corpus: recall tracks scan fraction, pinned") {
     // the synthetic embeddings table is ~uniform on the sphere — no
     // cluster structure for ANY coarse quantizer to exploit, so recall ≈
