@@ -56,6 +56,41 @@ object Vectors {
       .agg((sum(col("v").cast("double").cast("decimal(27,6)")).cast("double") /
         count(col("v")).cast("double")).as("mean"))
 
+  /** Per-group centroids as FULL double vectors — one partial/final
+    * aggregation of `dim` decimal-exact elementwise means per group (no
+    * explode: one pass, 64 agg expressions wide). The result is tiny
+    * (groups × dim), built to broadcast back against the corpus. */
+  def centroidVectors(df: DataFrame, groupCol: String, vecCol: String,
+                      dim: Int): DataFrame =
+    df.groupBy(col(groupCol).as("group"))
+      .agg(array((0 until dim).map { i =>
+        sum(element_at(col(vecCol), i + 1).cast("double").cast("decimal(27,6)"))
+          .cast("double") / count(lit(1)).cast("double")
+      }: _*).as("centroid"))
+
+  /** Embedding outlier detection: the `k` vectors of each group FARTHEST
+    * from their group centroid by cosine — the "probably mislabeled /
+    * junk embedding" sweep of an embedding-quality pass.
+    *
+    * Scale shape: centroid aggregation collapses the corpus to
+    * groups × dim, which broadcasts back for a map-side join; scoring is
+    * a codegen'd fold per row; the per-group bottom-k is one window over
+    * the (group, cos) shuffle. No corpus self-join anywhere. */
+  def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
+                        groupCol: String, k: Int, dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroidVectors(df, groupCol, vecCol, dim)
+    val scored = df
+      .join(broadcast(cents), col(groupCol) === cents("group"))
+      .select(col(groupCol), col(idCol),
+        cosine(col(vecCol), col("centroid")).as("cos"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("cos").asc, col(idCol).asc)))
+      .filter(col("rnk") <= k)
+      .drop("rnk")
+  }
+
   /** BATCHED brute-force top-k: score the corpus against MANY query
     * vectors in ONE pass — the realistic retrieval shape (a probe set,
     * an eval batch) where per-query scans would re-read the corpus Q

@@ -236,6 +236,43 @@ object Pipeline2 {
     FROM embeddings, (SELECT unnest(range(1, 9)) AS i) idx
     GROUP BY label, i"""
 
+  // ---- embedding outliers --------------------------------------------------
+
+  /** Per-label embedding outliers: the 3 vectors of each label farthest
+    * (lowest cosine) from their label centroid — the mislabeled/junk
+    * embedding sweep. Ids only: raw float-fold cosines are not
+    * engine-portable (the ann_brute_force discipline); the kept SET is
+    * stable because distinct random vectors never tie within an ulp. */
+  val qEmbeddingOutliers: Q = (s, d) =>
+    Vectors.embeddingOutliers(embeddings(s, d), idCol = "vec_id",
+      vecCol = "embedding", groupCol = "label", k = 3, dim = 64)
+      .select(col("label").cast("long").as("label"), col("vec_id"))
+
+  val qEmbeddingOutliersSql: String = {
+    val means = (1 to 64).map(i =>
+      s"CAST(SUM(CAST(CAST(embedding[$i] AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE)" +
+        " / CAST(COUNT(*) AS DOUBLE)").mkString(", ")
+    s"""
+    WITH c AS (
+      SELECT label, [$means] AS centroid
+      FROM embeddings GROUP BY label),
+    e AS (
+      SELECT label, vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    s AS (
+      SELECT e.label, e.vec_id,
+             list_dot_product(v, centroid) /
+             GREATEST(sqrt(list_dot_product(v, v)) *
+                      sqrt(list_dot_product(centroid, centroid)), 1e-300) AS cos
+      FROM e JOIN c ON e.label = c.label),
+    r AS (
+      SELECT label, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos ASC, vec_id ASC) AS rnk
+      FROM s)
+    SELECT CAST(label AS BIGINT) AS label, vec_id FROM r WHERE rnk <= 3"""
+  }
+
   // ---- composed curation recipe --------------------------------------------
 
   /** The full curation recipe as ONE flow — weighted domain sampling →
@@ -304,6 +341,7 @@ object Pipeline2 {
   val queries: Map[String, Q] = Map(
     "text_chunk"               -> qTextChunk,
     "agg_embedding_centroid"   -> qAggEmbeddingCentroid,
+    "embedding_outliers"       -> qEmbeddingOutliers,
     "pipeline_recipe"          -> qPipelineRecipe,
     "pipeline_quota"           -> qPipelineQuota,
     "text_decontaminate"       -> qTextDecontaminate,
@@ -315,6 +353,7 @@ object Pipeline2 {
   val oracleSql: Map[String, String] = Map(
     "text_chunk"               -> qTextChunkSql,
     "agg_embedding_centroid"   -> qAggEmbeddingCentroidSql,
+    "embedding_outliers"       -> qEmbeddingOutliersSql,
     "pipeline_recipe"          -> qPipelineRecipeSql,
     "pipeline_quota"           -> qPipelineQuotaSql,
     "text_decontaminate"       -> qTextDecontaminateSql,

@@ -130,6 +130,19 @@ class VectorsSpec extends SparkSpec {
     assert(out(("b", 0)) == 10.0 && out(("b", 1)) == 20.0)
   }
 
+  test("embeddingOutliers flags the vector farthest from its group centroid") {
+    // group "a": three near-identical vectors plus one pointing away
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), "a"), (2L, Seq(0.99f, 0.01f), "a"),
+      (3L, Seq(0.98f, 0.02f), "a"), (4L, Seq(-1.0f, 0.5f), "a"),
+      (10L, Seq(0.0f, 1.0f), "b"), (11L, Seq(0.1f, 1.0f), "b")).toDF("vec_id", "embedding", "label")
+    val out = Vectors.embeddingOutliers(df, "vec_id", "embedding", "label", k = 1, dim = 2)
+      .select("label", "vec_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") == 4L, s"the anti-aligned vector must be the outlier, got $out")
+    assert(out.contains("b") && out.size == 2)
+  }
+
   test("IVF on the (uniform) corpus: recall tracks scan fraction, pinned") {
     // the synthetic embeddings table is ~uniform on the sphere — no
     // cluster structure for ANY coarse quantizer to exploit, so recall ≈
