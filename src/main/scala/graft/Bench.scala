@@ -93,7 +93,8 @@ object Bench {
     "pipeline_pack" -> 0.424, "pipeline_sample_weighted" -> 0.298,
     "pipeline_quota" -> 0.551, "pipeline_recipe" -> 1.094,
     "text_chunk" -> 1.100, "agg_embedding_centroid" -> 0.400,
-    "embedding_outliers" -> 1.100,
+    "embedding_outliers" -> 1.100, "text_fluency" -> 0.911,
+    "pipeline_sample_stratified" -> 0.326,
     "ann_brute_force" -> 0.183, "ann_ivf" -> 0.571, "ann_lsh" -> 0.169,
     "dedup_embedding" -> 0.794, "dedup_exact" -> 0.313,
     "dedup_minhash_lsh" -> 4.789, "dedup_ngram_jaccard" -> 10.653,

@@ -129,6 +129,30 @@ object Curation {
       .filter(col("cum_tok") <= budgetTokens)
   }
 
+  /** Unigram-frequency fluency score: each document's mean corpus
+    * relative frequency over its token occurrences — the cheap
+    * perplexity proxy (gibberish and boilerplate both sit far from the
+    * corpus unigram distribution; log-free so the arithmetic is
+    * engine-exact). Returns (idCol, score).
+    *
+    * Scale shape: one vocabulary aggregation (partial+final, bounded by
+    * |vocab|), broadcast back over the exploded token stream, one
+    * per-document aggregation. Accumulation uses the decimal pattern
+    * (graft.queries.dsum rationale) so scores are order-independent and
+    * bit-identical across engines. */
+  def unigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks
+      .join(broadcast(counts), Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg((sum((col("cnt").cast("double") / col("n_total").cast("double"))
+        .cast("decimal(27,18)")).cast("double") /
+        count(lit(1)).cast("double")).as("score"))
+  }
+
   /** Deterministic per-category weighted sampling: keep a row iff
     * H(id) mod 1000 < rate‰ for its category — the domain-mixing /
     * up-down-sampling pass of a pretraining data recipe. H is the

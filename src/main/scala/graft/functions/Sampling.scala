@@ -45,9 +45,26 @@ object Sampling {
     df.filter(bucketOf(id) < math.round(fraction * D))
   }
 
-  /** The DuckDB recomputation of [[assignSplit]]'s bucket for the oracle:
-    * same mix, same denominator — assignments match bit-for-bit. */
-  def bucketSql(idExpr: String): String =
+  /** EXACT-COUNT stratified sampling: the `n` rows of each category with
+    * the smallest id-hash priority — "exactly n documents per domain",
+    * where [[sampleByHash]] only bounds the expected fraction. Stable:
+    * the kept set is a deterministic function of the ids present (a new
+    * id enters only by evicting the current max-priority member). One
+    * row_number window per category after a hash shuffle — no global
+    * sort, same scale shape as a grouped top-k. */
+  def sampleStratified(df: DataFrame, id: Column, categoryCol: String,
+                       n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(categoryCol)).orderBy(col("__pri"), id)
+    df.withColumn("__pri", Sketches.portableMix(id.cast("long")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__pri", "__rn")
+  }
+
+  /** The raw portable mix as DuckDB SQL (the [[Sketches.portableMix]]
+    * twin; [[bucketSql]] = this mod the split denominator). */
+  def mixSql(idExpr: String): String =
     s"""xor(
        |  (CAST(1013904223 AS BIGINT) *
        |     xor(((CAST(1103515245 AS BIGINT) * (($idExpr) % 2147483647) + 12345) % 2147483647),
@@ -56,7 +73,11 @@ object Sampling {
        |  ((CAST(1013904223 AS BIGINT) *
        |     xor(((CAST(1103515245 AS BIGINT) * (($idExpr) % 2147483647) + 12345) % 2147483647),
        |         ((CAST(1103515245 AS BIGINT) * (($idExpr) % 2147483647) + 12345) % 2147483647) >> 15)
-       |   + 390451572) % 2147483647) >> 13) % $D""".stripMargin
+       |   + 390451572) % 2147483647) >> 13)""".stripMargin
+
+  /** The DuckDB recomputation of [[assignSplit]]'s bucket for the oracle:
+    * same mix, same denominator — assignments match bit-for-bit. */
+  def bucketSql(idExpr: String): String = s"(${mixSql(idExpr)}) % $D"
 
   /** The split-name CASE expression for the oracle (mirrors
     * [[assignSplit]]'s cumulative thresholds exactly). */

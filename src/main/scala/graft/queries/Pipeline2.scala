@@ -236,6 +236,56 @@ object Pipeline2 {
     FROM embeddings, (SELECT unnest(range(1, 9)) AS i) idx
     GROUP BY label, i"""
 
+  // ---- fluency score -------------------------------------------------------
+
+  /** Distribution of the unigram-fluency score (mean corpus relative
+    * frequency per document), bucketed at 1/1000 resolution. */
+  val qTextFluency: Q = (s, d) =>
+    Curation.unigramScore(documents(s, d), idCol = "doc_id", textCol = "text")
+      .select(floor(col("score") * lit(1000.0)).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
+  val qTextFluencySql: String = """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents),
+    cnts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_total FROM toks),
+    per AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)
+               AS DECIMAL(27,18))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS score
+      FROM toks JOIN cnts USING (tok) CROSS JOIN tot
+      GROUP BY doc_id)
+    SELECT CAST(FLOOR(score * 1000.0) AS BIGINT) AS bucket, COUNT(*) AS n
+    FROM per GROUP BY 1"""
+
+  // ---- stratified sampling -------------------------------------------------
+
+  /** Exactly 15 documents per source by hash priority — the exact-count
+    * stratified sample ("n docs per domain"), vs the rate-based
+    * pipeline_sample_weighted. */
+  val qPipelineSampleStratified: Q = (s, d) =>
+    graft.functions.Sampling.sampleStratified(documents(s, d),
+      id = col("doc_id"), categoryCol = "source", n = 15)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"),
+           sum(col("n_chars")).as("sum_chars"))
+
+  val qPipelineSampleStratifiedSql: String = {
+    val mix = graft.functions.Sampling.mixSql("doc_id")
+    s"""
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY $mix, doc_id) AS rn
+      FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM r WHERE rn <= 15 GROUP BY source"""
+  }
+
   // ---- embedding outliers --------------------------------------------------
 
   /** Per-label embedding outliers: the 3 vectors of each label farthest
@@ -342,6 +392,8 @@ object Pipeline2 {
     "text_chunk"               -> qTextChunk,
     "agg_embedding_centroid"   -> qAggEmbeddingCentroid,
     "embedding_outliers"       -> qEmbeddingOutliers,
+    "text_fluency"             -> qTextFluency,
+    "pipeline_sample_stratified" -> qPipelineSampleStratified,
     "pipeline_recipe"          -> qPipelineRecipe,
     "pipeline_quota"           -> qPipelineQuota,
     "text_decontaminate"       -> qTextDecontaminate,
@@ -354,6 +406,8 @@ object Pipeline2 {
     "text_chunk"               -> qTextChunkSql,
     "agg_embedding_centroid"   -> qAggEmbeddingCentroidSql,
     "embedding_outliers"       -> qEmbeddingOutliersSql,
+    "text_fluency"             -> qTextFluencySql,
+    "pipeline_sample_stratified" -> qPipelineSampleStratifiedSql,
     "pipeline_recipe"          -> qPipelineRecipeSql,
     "pipeline_quota"           -> qPipelineQuotaSql,
     "text_decontaminate"       -> qTextDecontaminateSql,

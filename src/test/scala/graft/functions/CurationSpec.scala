@@ -121,6 +121,17 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq == Seq((0, "a b", 2)))
   }
 
+  test("unigramScore: common-token docs score higher than rare-token docs") {
+    // corpus: "x" appears 6 times of 8 tokens; "q r" are singletons
+    val df = Seq(
+      (1L, "x x x"), (2L, "x x x"), (3L, "q r")).toDF("doc_id", "text")
+    val out = Curation.unigramScore(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.75 && out(2L) == 0.75, s"x freq 6/8 -> score 0.75: $out")
+    assert(out(3L) == 0.125, s"singleton freq 1/8 -> score 0.125: $out")
+    assert(out(1L) > out(3L), "fluent (common) text must outscore gibberish")
+  }
+
   test("edge cases: empty benchmark, zero budget, single-doc pack") {
     val docs = Seq((1L, "g", "a b c")).toDF("doc_id", "grp", "text")
     val noBench = Seq.empty[(Long, String)].toDF("doc_id", "text")

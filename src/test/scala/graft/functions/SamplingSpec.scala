@@ -34,6 +34,33 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sampleByHash(ids, col("id"), 0.1).as[Long].collect().toSet == s10)
   }
 
+  test("sampleStratified keeps exactly n per category, stable, priority-ordered") {
+    val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "cat")
+    val kept = Sampling.sampleStratified(df, col("id"), "cat", n = 10)
+    val byCat = kept.groupBy("cat").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCat == Map("a" -> 10L, "b" -> 10L))
+    // stable: a rerun keeps the identical ids
+    val ids = kept.select("id").as[Long].collect().toSet
+    val again = Sampling.sampleStratified(df, col("id"), "cat", n = 10)
+      .select("id").as[Long].collect().toSet
+    assert(again == ids)
+    // exactly the n smallest by (portableMix(id), id) within each category
+    val pri = df.select(col("id"), col("cat"),
+      graft.functions.Sketches.portableMix(col("id")).as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = pri.groupBy(_._2).values.flatMap { rows =>
+      rows.sortBy(t => (t._3, t._1)).take(10).map(_._1)
+    }.toSet
+    assert(ids == expect)
+  }
+
+  test("a category with fewer than n rows keeps all of them") {
+    val df = Seq((1L, "tiny"), (2L, "tiny")).toDF("id", "cat")
+    assert(Sampling.sampleStratified(df, col("id"), "cat", n = 10).count() == 2)
+  }
+
   test("zvalue interleaves bits: known codes, and order groups both dims") {
     // (x=3, y=1) with 2 bits: x bits at even positions, y at odd ->
     // z = (1<<0) + (1<<2) [x=0b11] + (1<<1) [y=0b01] = 0b0111 = 7
