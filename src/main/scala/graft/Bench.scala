@@ -120,7 +120,8 @@ object Bench {
     "q5_region_revenue" -> 1.389, "q6_forecast_revenue" -> 0.337,
     "set_except" -> 0.736, "set_intersect" -> 0.658, "set_union" -> 0.381,
     "sort_multikey" -> 0.178, "sort_topk" -> 0.187,
-    "stream_dedup_exec" -> 5.869, "stream_sliding" -> 0.640,
+    "stream_dedup_exec" -> 5.869, "stream_curation_exec" -> 2.216,
+    "stream_sliding" -> 0.640,
     "stream_tumbling" -> 0.389, "stream_tumbling_exec" -> 1.871,
     "text_fingerprint" -> 0.437, "text_langid" -> 0.688,
     "text_quality" -> 0.514, "text_rolling_hash" -> 0.476,

@@ -54,4 +54,13 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
+
+  /** `documents` as a STREAMING DataFrame — the crawl-landing-directory
+    * shape: locally one micro-batch over the corpus file; at scale the
+    * same pipeline tails the landing directory incrementally. */
+  def documentsStream(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    s.readStream.schema(schema).option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+  }
 }

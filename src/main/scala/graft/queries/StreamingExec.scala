@@ -60,11 +60,49 @@ object StreamingExec {
     SELECT event_type, COUNT(DISTINCT event_id) AS n
     FROM events GROUP BY 1"""
 
+  /** Streaming CURATION INGEST executed as a stream: the crawl-tail shape
+    * — documents arrive, a quality gate filters (token band + stopword
+    * ratio, the pipeline_compose gate), and a stateful aggregation groups
+    * surviving docs by (lang, content hash), yielding the live dedup
+    * group table. One stateful operator (streaming aggregations don't
+    * chain), complete mode; counts are exact and order-independent, so
+    * the streaming engine's own output sits on the DuckDB oracle. */
+  val qStreamCurationExec: Q = (s, d) => {
+    import graft.functions.{TextFunctions => TF}
+    val docs = Tables.documentsStream(s, d)
+    val toks = TF.tokens(col("text"))
+    val gated = docs
+      .withColumn("n_toks", size(toks).cast("long"))
+      .withColumn("sr", TF.stopwordRatio(col("text"), "en"))
+      .filter(col("n_toks") >= 5 && col("n_toks") <= 1000 && col("sr") <= 0.6)
+    val groups = gated
+      .groupBy(col("lang"), md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), sum(col("n_toks")).as("sum_toks"))
+    runToMemory(groups, "complete")
+  }
+
+  val qStreamCurationExecSql: String = """
+    WITH gated AS (
+      SELECT lang, text,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE)
+               / GREATEST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0) AS sr
+      FROM documents)
+    SELECT lang, md5(text) AS content_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(SUM(n_toks) AS BIGINT) AS sum_toks
+    FROM gated
+    WHERE n_toks >= 5 AND n_toks <= 1000 AND sr <= 0.6
+    GROUP BY lang, md5(text)"""
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling_exec" -> qStreamTumblingExec,
-    "stream_dedup_exec"    -> qStreamDedupExec)
+    "stream_dedup_exec"    -> qStreamDedupExec,
+    "stream_curation_exec" -> qStreamCurationExec)
 
   val oracleSql: Map[String, String] = Map(
     "stream_tumbling_exec" -> qStreamTumblingExecSql,
-    "stream_dedup_exec"    -> qStreamDedupExecSql)
+    "stream_dedup_exec"    -> qStreamDedupExecSql,
+    "stream_curation_exec" -> qStreamCurationExecSql)
 }
