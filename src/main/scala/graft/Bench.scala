@@ -105,7 +105,8 @@ object Bench {
     "fn_regex" -> 0.495, "fn_string" -> 0.319, "geo_utm" -> 0.887,
     "join_anti" -> 0.620, "join_asof" -> 0.612, "join_cross" -> 0.421,
     "join_full_outer" -> 0.731, "join_left_outer" -> 0.648,
-    "join_range" -> 0.752, "join_semi" -> 0.426, "mdio_cast_typed" -> 0.345,
+    "join_range" -> 0.752, "join_semi" -> 0.426, "join_interval" -> 1.441,
+    "mdio_cast_typed" -> 0.345,
     "mdio_coordselector" -> 0.217, "mdio_fill_value" -> 0.784,
     "mdio_histogram_centered" -> 0.368, "mdio_histogram_edges" -> 0.498,
     "mdio_intervals" -> 0.296, "mdio_isel_concat" -> 0.482,

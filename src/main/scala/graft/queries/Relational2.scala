@@ -380,7 +380,56 @@ object Relational2 {
       UNION ALL SELECT '3_purchase_after', user_id FROM t3) u
     GROUP BY stage"""
 
+  // ---- interval-overlap join (no equi key) --------------------------------
+
+  /** Overlap join between per-(user, day) activity spans and per-(type,
+    * day) event spans — NO equality predicate exists, so the naive plan
+    * is a nested loop; [[graft.functions.Intervals.overlapJoin]]
+    * bucketizes both sides into hour buckets and equi-joins on the
+    * bucket id instead (exact: the overlap predicate decides, buckets
+    * only route). The oracle runs the naive quadratic definition. */
+  val qJoinInterval: Q = (s, d) => {
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts)").as("us"), to_date(col("ts")).as("day"))
+    val a = ev.groupBy(col("user_id"), col("day"))
+      .agg(min(col("us")).as("a_start"), max(col("us")).as("a_end"))
+      .select(concat_ws("|", col("user_id"), col("day")).as("a_id"),
+        col("a_start"), col("a_end"))
+    val b = ev.groupBy(col("event_type"), col("day"))
+      .agg(min(col("us")).as("b_start"), max(col("us")).as("b_end"))
+      .select(concat_ws("|", col("event_type"), col("day")).as("b_id"),
+        col("b_start"), col("b_end"))
+    graft.functions.Intervals.overlapJoin(
+      a, "a_id", "a_start", "a_end", b, "b_id", "b_start", "b_end",
+      bucket = 3600L * 1000000L)
+      .agg(count(lit(1)).as("n_pairs"),
+           countDistinct(col("a_id")).as("n_user_days"),
+           countDistinct(col("b_id")).as("n_type_days"))
+  }
+
+  val qJoinIntervalSql: String = """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events),
+    a AS (
+      SELECT CAST(user_id AS VARCHAR) || '|' || CAST(day AS VARCHAR) AS a_id,
+             MIN(us) AS a_start, MAX(us) AS a_end
+      FROM ev GROUP BY user_id, day),
+    b AS (
+      SELECT event_type || '|' || CAST(day AS VARCHAR) AS b_id,
+             MIN(us) AS b_start, MAX(us) AS b_end
+      FROM ev GROUP BY event_type, day),
+    p AS (
+      SELECT a_id, b_id FROM a JOIN b
+      ON a_start <= b_end AND b_start <= a_end)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT a_id) AS BIGINT) AS n_user_days,
+           CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_type_days
+    FROM p"""
+
   val queries: Map[String, Q] = Map(
+    "join_interval"      -> qJoinInterval,
     "events_funnel"      -> qEventsFunnel,
     "window_first_last"  -> qWindowFirstLast,
     "window_range_frame" -> qWindowRangeFrame,
@@ -403,6 +452,7 @@ object Relational2 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "join_interval"      -> qJoinIntervalSql,
     "events_funnel"      -> qEventsFunnelSql,
     "window_first_last"  -> qWindowFirstLastSql,
     "window_range_frame" -> qWindowRangeFrameSql,

@@ -8,10 +8,11 @@ import graft.SparkSpec
   * and detonates at 100 TB. */
 class PlanHygieneSpec extends SparkSpec {
 
-  // deliberate exceptions: join_cross IS a cross join; text_tfidf attaches
-  // the corpus doc count via crossJoin(broadcast(<one-row aggregate>)) —
-  // a single-row build side is O(rows), the canonical scalar attach
-  private val allowCartesian = Set("join_cross", "text_tfidf")
+  // deliberate exceptions: join_cross IS a cross join; text_tfidf and
+  // text_fluency attach the corpus token/doc count via
+  // crossJoin(broadcast(<one-row aggregate>)) — a single-row build side
+  // is O(rows), the canonical scalar attach
+  private val allowCartesian = Set("join_cross", "text_tfidf", "text_fluency")
 
   test("no accidental cartesian/nested-loop joins across the inventory") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
