@@ -71,7 +71,10 @@ object Curation {
     * fit an executor; packing quality only needs in-group order. */
   def packSequences(df: DataFrame, textCol: String, orderCol: String,
                     partCols: Seq[String], targetTokens: Long): DataFrame = {
+    // explicit ROWS frame: the default RANGE frame would sum order-key
+    // PEERS together, silently mis-binning under a non-unique orderCol
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("n_tok", TextFunctions.tokenCount(col(textCol)))
       .withColumn("bin",
         floor(((sum(col("n_tok")).over(w) - col("n_tok")).cast("double")) /
@@ -123,6 +126,7 @@ object Curation {
                textCol: String, budgetTokens: Long): DataFrame = {
     val w = Window.partitionBy(col(categoryCol))
       .orderBy(col("priority"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("n_tok", TextFunctions.tokenCount(col(textCol)))
       .withColumn("priority", TextFunctions.rollingHash(col(idCol).cast("string")))
       .withColumn("cum_tok", sum(col("n_tok")).over(w))
@@ -137,7 +141,10 @@ object Curation {
     *
     * Scale shape: one vocabulary aggregation (partial+final, bounded by
     * |vocab|), broadcast back over the exploded token stream, one
-    * per-document aggregation. Accumulation uses the decimal pattern
+    * per-document aggregation. The broadcast assumes a closed-ish
+    * vocabulary (true of whitespace unigrams); for open vocabularies
+    * drop the broadcast hint and let the planner shuffle-join on the
+    * token. Accumulation uses the decimal pattern
     * (graft.queries.dsum rationale) so scores are order-independent and
     * bit-identical across engines. */
   def unigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
