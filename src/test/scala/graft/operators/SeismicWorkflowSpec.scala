@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.tools.SeismicDemo
+import org.apache.spark.sql.functions._
+
+/** The reference's canonical seismic workflow (examples/seismic_reader.cc
+  * shape) end to end: cube build → aligned parallel write → labeled open
+  * with 2-D geometry alignment → section/slice reads → statsV1 attach →
+  * UTM corner inversion. Values pinned against the synthetic wavefield. */
+class SeismicWorkflowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir =
+    java.nio.file.Files.createTempDirectory("seismic").resolve("survey.mdio").toString
+  private lazy val cube = {
+    SeismicDemo.build(spark, dir)
+    SeismicDemo.open(spark, dir)
+  }
+
+  test("every cell of an inline section reads back exactly") {
+    val got = cube.isel("inline", 12L, 13L).data
+      .select("crossline", "depth", "amplitude")
+      .as[(Long, Long, Float)].collect().map { case (x, z, a) => (x, z) -> a }.toMap
+    assert(got.size == (SeismicDemo.nXl * SeismicDemo.nZ).toInt)
+    for (x <- 0L until SeismicDemo.nXl; z <- 0L until SeismicDemo.nZ)
+      assert(got((x, z)) == SeismicDemo.amplitude(12L, x, z), s"cell ($x,$z)")
+  }
+
+  test("depth-slice means match the wavefield, computed in one aggregation") {
+    val got = cube.data.groupBy(col("depth"))
+      .agg(avg(col("amplitude").cast("double")).as("m"))
+      .as[(Long, Double)].collect().toMap
+    val z = 7L
+    val want = (for { il <- 0L until SeismicDemo.nIl; xl <- 0L until SeismicDemo.nXl }
+      yield SeismicDemo.amplitude(il, xl, z).toDouble).sum /
+      (SeismicDemo.nIl * SeismicDemo.nXl)
+    assert(math.abs(got(z) - want) < 1e-9, s"slice $z: ${got(z)} vs $want")
+    assert(got.size == SeismicDemo.nZ.toInt)
+  }
+
+  test("UTM survey corners invert to plausible zone-51-south lat/lon") {
+    val g = cube.data.agg(
+      min(col("cdp_x")).as("e0"), max(col("cdp_x")).as("e1"),
+      min(col("cdp_y")).as("n0"), max(col("cdp_y")).as("n1")).first()
+    assert(g.getDouble(0) == 350000.0 && g.getDouble(1) == 350000.0 + 25.0 * 31)
+    assert(g.getDouble(2) == 7600000.0 && g.getDouble(3) == 7600000.0 + 25.0 * 31)
+    val corner = Seq((g.getDouble(0), g.getDouble(2))).toDF("e", "n")
+      .select(graft.functions.Geo.utmToGeo(col("e"), col("n")).as("g"))
+      .select("g.lat", "g.lon").as[(Double, Double)].head()
+    // MGA zone 51 south, northing 7.6e6 ≈ 21.7°S, central meridian 123°E
+    assert(corner._1 < -15 && corner._1 > -30, s"lat ${corner._1}")
+    assert(corner._2 > 120 && corner._2 < 126, s"lon ${corner._2}")
+  }
+
+  test("statsV1 attaches into variable attributes and survives re-read") {
+    val stats = MdioStats.compute(spark, cube, "amplitude",
+      histLo = -2.0, histWidth = 0.5, histBins = 16)
+    assert(stats.count == SeismicDemo.nIl * SeismicDemo.nXl * SeismicDemo.nZ)
+    MdioStats.attach(dir, "amplitude", stats)
+    val attrs = graft.zarr.ZarrMeta.readGroup(graft.zarr.ZarrMeta.path(dir))
+      ._2("amplitude")._2.map(_.toString).getOrElse("")
+    assert(attrs.contains("statsV1") && attrs.contains("\"count\""),
+      s"statsV1 missing from attributes: ${attrs.take(200)}")
+  }
+}
