@@ -543,30 +543,50 @@ object MdioWriter {
       }
   }
 
+  /** The variables of `path` that `df`'s columns actually cover (data
+    * variables whose name appears in the schema), used to scope DSv2
+    * writes on MULTI-TUPLE stores: without the restriction, schema
+    * inference sees variables on different dimension tuples (a 3-D cube
+    * plus its 2-D geometry) and has no single table shape to offer. */
+  private def writeTargets(df: DataFrame, path: String): Seq[String] = {
+    val (_, arrays) = ZarrMeta.readGroup(ZarrMeta.path(path))
+    val cols = df.columns.toSet
+    arrays.flatMap { case (name, (meta, attrs)) =>
+      meta.dimNames.orElse(attrs.flatMap(MdioTableUtil.arrayDimensions)).map(d => name -> d)
+    }.collect {
+      case (name, d) if cols(name) && !(d.size == 1 && d.head == name) => name
+    }.toSeq.sorted
+  }
+
   /** The pit-of-success parallel DSv2 write: repartitions `df` so each
     * task owns whole chunks ([[repartitionByChunk]]), then writes with the
     * alignment contract declared — one call, >1 writer task, no torn
-    * chunks. Equivalent to
-    * `repartitionByChunk(df, path).write.format("mdio")
-    * .option("aligned", "true").mode(mode).save(path)`; the bare
-    * `df.write.format("mdio")` remains the safe-but-serial fallback (and
-    * logs a warning saying to use this instead). */
+    * chunks. The write is scoped to the variables present in `df`'s
+    * schema, so it works unchanged on stores whose variables span several
+    * dimension tuples. The bare `df.write.format("mdio")` remains the
+    * safe-but-serial fallback (and logs a warning saying to use this). */
   def insertAligned(df: DataFrame, path: String, mode: String = "append"): Unit =
     repartitionByChunk(df, path)
-      .write.format("mdio").option("aligned", "true").mode(mode).save(path)
+      .write.format("mdio").option("aligned", "true")
+      .option("variables", writeTargets(df, path).mkString(","))
+      .mode(mode).save(path)
 
   /** Repartition a long-form DataFrame so each task owns whole chunks of
     * the dataset at `path` — the explicit alignment step for the parallel
     * DSv2 write (`.option("aligned", "true")`). Clustering key = the
-    * per-dim chunk starts `dim - (dim % chunkSize)`. */
+    * per-dim chunk starts `dim - (dim % chunkSize)`, anchored on a
+    * variable `df` actually carries (highest-rank when several do). */
   def repartitionByChunk(df: DataFrame, path: String, partitions: Int = 0): DataFrame = {
     val (_, arrays) = ZarrMeta.readGroup(ZarrMeta.path(path))
     val labeled = arrays.flatMap { case (name, (meta, attrs)) =>
       meta.dimNames.orElse(attrs.flatMap(MdioTableUtil.arrayDimensions)).map(d => name -> (meta, d))
     }
-    val anchor = labeled.collectFirst {
-      case (name, (meta, d)) if !(d.size == 1 && d.head == name) => (meta, d)
-    }.getOrElse(throw new IllegalArgumentException(s"no data variables at $path"))
+    val dataVars = labeled.filterNot { case (name, (_, d)) => d.size == 1 && d.head == name }
+    val cols = df.columns.toSet
+    val carried = dataVars.filter { case (name, _) => cols(name) }
+    val anchor = (if (carried.nonEmpty) carried else dataVars).values
+      .toSeq.sortBy(-_._2.size).headOption
+      .getOrElse(throw new IllegalArgumentException(s"no data variables at $path"))
     val keys = anchor._2.zipWithIndex.map { case (d, i) =>
       col(d).cast("long") - (col(d).cast("long") % lit(anchor._1.chunks(i)))
     }

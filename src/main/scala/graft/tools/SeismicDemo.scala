@@ -74,11 +74,9 @@ object SeismicDemo {
     val cells = (for { il <- 0L until nIl; xl <- 0L until nXl; z <- 0L until nZ }
       yield (il, xl, z, amplitude(il, xl, z)))
       .toDF("inline", "crossline", "depth", "amplitude")
-    // parallel aligned write, restricted to the 3-D tuple (the store also
-    // carries the 2-D geometry variables, written above)
-    MdioWriter.repartitionByChunk(cells, path)
-      .write.format("mdio").option("aligned", "true")
-      .option("variables", "amplitude").mode("append").save(path)
+    // one-call parallel aligned write: scoped automatically to the 3-D
+    // tuple df carries (the store also holds the 2-D geometry variables)
+    MdioWriter.insertAligned(cells, path)
     cells
   }
 

@@ -53,6 +53,25 @@ class SeismicWorkflowSpec extends SparkSpec {
     assert(corner._2 > 120 && corner._2 < 126, s"lon ${corner._2}")
   }
 
+  test("bare insertAligned works on a multi-tuple store (scoped to df's variables)") {
+    // the build above already used insertAligned on a store holding a 3-D
+    // amplitude plus 2-D geometry; overwrite one chunk-aligned slab and
+    // check both the slab and the geometry survive
+    val slab = (for { il <- 0L until 16L; xl <- 0L until 16L; z <- 0L until 32L }
+      yield (il, xl, z, 9.5f)).toDF("inline", "crossline", "depth", "amplitude")
+    graft.sources.MdioWriter.insertAligned(slab, dir)
+    val reopened = SeismicDemo.open(spark, dir)
+    val probe = reopened.data
+      .filter(col("inline") === 3 && col("crossline") === 3 && col("depth") === 3)
+      .select("amplitude", "cdp_x").as[(Float, Double)].head()
+    assert(probe._1 == 9.5f, "slab write must land")
+    assert(probe._2 == 350000.0 + 25.0 * 3, "geometry must survive the slab write")
+    val untouched = reopened.data
+      .filter(col("inline") === 20 && col("crossline") === 20 && col("depth") === 40)
+      .select("amplitude").as[Float].head()
+    assert(untouched == SeismicDemo.amplitude(20, 20, 40), "other chunks untouched")
+  }
+
   test("statsV1 attaches into variable attributes and survives re-read") {
     val stats = MdioStats.compute(spark, cube, "amplitude",
       histLo = -2.0, histWidth = 0.5, histBins = 16)
