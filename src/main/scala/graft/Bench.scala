@@ -94,6 +94,7 @@ object Bench {
     "pipeline_quota" -> 0.551, "pipeline_recipe" -> 1.094,
     "text_chunk" -> 1.100, "agg_embedding_centroid" -> 0.400,
     "embedding_outliers" -> 1.100, "text_fluency" -> 0.911,
+    "text_boilerplate" -> 0.429, "events_retention" -> 0.578,
     "pipeline_sample_stratified" -> 0.326,
     "ann_brute_force" -> 0.183, "ann_ivf" -> 0.571, "ann_lsh" -> 0.169,
     "dedup_embedding" -> 0.794, "dedup_exact" -> 0.313,

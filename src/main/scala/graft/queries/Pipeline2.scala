@@ -236,6 +236,40 @@ object Pipeline2 {
     FROM embeddings, (SELECT unnest(range(1, 9)) AS i) idx
     GROUP BY label, i"""
 
+  // ---- boilerplate detection -----------------------------------------------
+
+  /** Boilerplate prefixes: identical first-2-token prefixes shared by ≥2
+    * documents of one source — the repeated-header/template sweep run
+    * before near-dup dedup (boilerplate inflates shingle similarity).
+    * Map + one aggregation; the prefix key bounds state at |distinct
+    * prefixes|, never pairwise. (Production runs use longer prefixes;
+    * the synthetic corpus has no real templates, so the query pins the
+    * short-prefix operating point that has signal.) */
+  val qTextBoilerplate: Q = (s, d) =>
+    documents(s, d)
+      .select(col("source"),
+        array_join(slice(TF.tokens(col("text")), 1, 2), " ").as("prefix"))
+      .groupBy(col("source"), col("prefix"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_boilerplate_prefixes"),
+           sum(col("n_docs")).as("n_docs_affected"),
+           max(col("n_docs")).as("worst"))
+
+  val qTextBoilerplateSql: String = """
+    WITH p AS (
+      SELECT source,
+             array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 2), ' ') AS prefix
+      FROM documents),
+    g AS (
+      SELECT source, prefix, COUNT(*) AS n_docs
+      FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_boilerplate_prefixes,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs_affected,
+           CAST(MAX(n_docs) AS BIGINT) AS worst
+    FROM g GROUP BY source"""
+
   // ---- fluency score -------------------------------------------------------
 
   /** Distribution of the unigram-fluency score (mean corpus relative
@@ -393,6 +427,7 @@ object Pipeline2 {
     "agg_embedding_centroid"   -> qAggEmbeddingCentroid,
     "embedding_outliers"       -> qEmbeddingOutliers,
     "text_fluency"             -> qTextFluency,
+    "text_boilerplate"         -> qTextBoilerplate,
     "pipeline_sample_stratified" -> qPipelineSampleStratified,
     "pipeline_recipe"          -> qPipelineRecipe,
     "pipeline_quota"           -> qPipelineQuota,
@@ -407,6 +442,7 @@ object Pipeline2 {
     "agg_embedding_centroid"   -> qAggEmbeddingCentroidSql,
     "embedding_outliers"       -> qEmbeddingOutliersSql,
     "text_fluency"             -> qTextFluencySql,
+    "text_boilerplate"         -> qTextBoilerplateSql,
     "pipeline_sample_stratified" -> qPipelineSampleStratifiedSql,
     "pipeline_recipe"          -> qPipelineRecipeSql,
     "pipeline_quota"           -> qPipelineQuotaSql,

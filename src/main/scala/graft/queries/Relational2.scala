@@ -380,6 +380,33 @@ object Relational2 {
       UNION ALL SELECT '3_purchase_after', user_id FROM t3) u
     GROUP BY stage"""
 
+  // ---- cohort retention ---------------------------------------------------
+
+  /** Classic cohort retention: users grouped by first-activity day, then
+    * distinct active users per (cohort, day-offset). Two aggregations +
+    * one broadcast of the (small) per-user cohort table — the events
+    * table never self-joins. */
+  val qEventsRetention: Q = (s, d) => {
+    val ev = events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    ev.join(broadcast(cohorts), Seq("user_id"))
+      .select(col("user_id"), col("cohort"), datediff(col("day"), col("cohort")).as("offset"))
+      .groupBy(col("cohort").cast("string").as("cohort"), col("offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .filter(col("offset") <= 7)
+  }
+
+  val qEventsRetentionSql: String = """
+    WITH ev AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+    c AS (SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY 1),
+    j AS (
+      SELECT ev.user_id, c.cohort, date_diff('day', c.cohort, ev.day) AS "offset"
+      FROM ev JOIN c ON ev.user_id = c.user_id)
+    SELECT CAST(cohort AS VARCHAR) AS cohort, CAST("offset" AS INT) AS "offset",
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM j WHERE "offset" <= 7 GROUP BY 1, 2"""
+
   // ---- interval-overlap join (no equi key) --------------------------------
 
   /** Overlap join between per-(user, day) activity spans and per-(type,
@@ -430,6 +457,7 @@ object Relational2 {
 
   val queries: Map[String, Q] = Map(
     "join_interval"      -> qJoinInterval,
+    "events_retention"   -> qEventsRetention,
     "events_funnel"      -> qEventsFunnel,
     "window_first_last"  -> qWindowFirstLast,
     "window_range_frame" -> qWindowRangeFrame,
@@ -453,6 +481,7 @@ object Relational2 {
 
   val oracleSql: Map[String, String] = Map(
     "join_interval"      -> qJoinIntervalSql,
+    "events_retention"   -> qEventsRetentionSql,
     "events_funnel"      -> qEventsFunnelSql,
     "window_first_last"  -> qWindowFirstLastSql,
     "window_range_frame" -> qWindowRangeFrameSql,
