@@ -86,7 +86,8 @@ object Bench {
     "agg_conditional" -> 0.302, "agg_corr" -> 1.579, "agg_cube" -> 0.584,
     "agg_distinct" -> 0.626, "agg_grouping_sets" -> 0.261, "agg_histogram" -> 0.277,
     "agg_hll_portable" -> 0.451, "agg_percentile" -> 0.334, "agg_pivot" -> 0.441,
-    "agg_rollup" -> 0.949, "ann_int8" -> 0.759, "pipeline_split" -> 0.232,
+    "agg_rollup" -> 0.949, "agg_moments" -> 1.379,
+    "ann_int8" -> 0.759, "pipeline_split" -> 0.232,
     "sort_zorder" -> 0.245, "agg_quantile_portable" -> 0.625,
     "dedup_components" -> 10.853, "ann_batch" -> 0.492,
     "text_decontaminate" -> 0.900, "text_repetition" -> 0.315,

@@ -380,6 +380,60 @@ object Relational2 {
       UNION ALL SELECT '3_purchase_after', user_id FROM t3) u
     GROUP BY stage"""
 
+  // ---- portable higher moments --------------------------------------------
+
+  /** Skewness/kurtosis from EXACT power sums: Spark's built-in
+    * `skewness`/`kurtosis` accumulate doubles in partition order
+    * (nondeterministic, engine-private); here the four power sums are
+    * decimal-exact, and the moment formulas after them are single-valued
+    * IEEE arithmetic (+,-,*,/,sqrt) — so the estimates are bit-identical
+    * across engines AND runs. One codegen hash aggregate. */
+  val qAggMoments: Q = (s, d) => {
+    val x = col("l_quantity").cast("double")
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(x.cast("decimal(27,6)")).cast("double").as("s1"),
+        sum((x * x).cast("decimal(30,6)")).cast("double").as("s2"),
+        sum((x * x * x).cast("decimal(33,6)")).cast("double").as("s3"),
+        sum((x * x * x * x).cast("decimal(38,6)")).cast("double").as("s4"))
+      .select(col("l_returnflag"),
+        (col("s1") / col("n")).as("mean"), col("n").as("n_rows"),
+        col("s2"), col("s3"), col("s4"))
+      .withColumn("m2", col("s2") / col("n_rows") - col("mean") * col("mean"))
+      .withColumn("skew",
+        (col("s3") / col("n_rows") - lit(3.0) * col("mean") * (col("s2") / col("n_rows"))
+          + lit(2.0) * col("mean") * col("mean") * col("mean"))
+          / (col("m2") * sqrt(col("m2"))))
+      .withColumn("kurt",
+        (col("s4") / col("n_rows")
+          - lit(4.0) * col("mean") * (col("s3") / col("n_rows"))
+          + lit(6.0) * col("mean") * col("mean") * (col("s2") / col("n_rows"))
+          - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+          / (col("m2") * col("m2")) - lit(3.0))
+      .select(col("l_returnflag"), col("mean"), col("skew"), col("kurt"))
+  }
+
+  val qAggMomentsSql: String = """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST((CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS DECIMAL(30,6))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST((CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS DECIMAL(33,6))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST((CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY 1),
+    m AS (
+      SELECT l_returnflag, s1 / n AS mean, n, s2, s3, s4,
+             s2 / n - (s1 / n) * (s1 / n) AS m2
+      FROM s)
+    SELECT l_returnflag, mean,
+           (s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean)
+             / (m2 * sqrt(m2)) AS skew,
+           (s4 / n - 4.0 * mean * (s3 / n) + 6.0 * mean * mean * (s2 / n)
+             - 3.0 * mean * mean * mean * mean) / (m2 * m2) - 3.0 AS kurt
+    FROM m"""
+
   // ---- cohort retention ---------------------------------------------------
 
   /** Classic cohort retention: users grouped by first-activity day, then
@@ -458,6 +512,7 @@ object Relational2 {
   val queries: Map[String, Q] = Map(
     "join_interval"      -> qJoinInterval,
     "events_retention"   -> qEventsRetention,
+    "agg_moments"        -> qAggMoments,
     "events_funnel"      -> qEventsFunnel,
     "window_first_last"  -> qWindowFirstLast,
     "window_range_frame" -> qWindowRangeFrame,
@@ -482,6 +537,7 @@ object Relational2 {
   val oracleSql: Map[String, String] = Map(
     "join_interval"      -> qJoinIntervalSql,
     "events_retention"   -> qEventsRetentionSql,
+    "agg_moments"        -> qAggMomentsSql,
     "events_funnel"      -> qEventsFunnelSql,
     "window_first_last"  -> qWindowFirstLastSql,
     "window_range_frame" -> qWindowRangeFrameSql,
