@@ -81,7 +81,7 @@ object Bench {
     * baseline: round-2 values (BENCH_r02) for the original inventory,
     * plus first-recorded round-4 warm values for queries added since, so
     * EVERY query is covered by the >5x gate. */
-  private val budget: Map[String, Double] = Map(
+  private[graft] val budget: Map[String, Double] = Map(
     "agg_approx" -> 0.541, "agg_argmax" -> 0.385, "agg_cms_portable" -> 0.647,
     "agg_conditional" -> 0.302, "agg_corr" -> 1.579, "agg_cube" -> 0.584,
     "agg_distinct" -> 0.626, "agg_grouping_sets" -> 0.261, "agg_histogram" -> 0.277,

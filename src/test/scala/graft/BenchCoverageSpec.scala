@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's >5x regression gate only covers queries with a budget
+  * entry — this spec makes "every query is budgeted" a compile-adjacent
+  * invariant, so a new query cannot silently ship ungated. */
+class BenchCoverageSpec extends AnyFunSuite {
+
+  test("every SparkEntry query has a Bench budget entry") {
+    val missing = SparkEntry.queries.keySet -- Bench.budget.keySet
+    assert(missing.isEmpty,
+      s"unbudgeted queries (add first-recorded sf0.1 warm values): $missing")
+  }
+
+  test("no budget entry is orphaned (query renamed or removed)") {
+    val orphans = Bench.budget.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"budget entries with no query: $orphans")
+  }
+
+  test("every query has oracle SQL or is a documented rows-only entry") {
+    val rowsOnly = Set("agg_approx") // engine-internal HLL++ state; portable
+                                     // twin agg_hll_portable IS oracle-checked
+    val trainedLater = Set("ann_ivf") // oracle SQL embeds trained centroids,
+                                      // produced once the query has run
+                                      // (Verify runs queries, THEN dumps)
+    val missing = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- rowsOnly -- trainedLater
+    assert(missing.isEmpty, s"queries with neither oracle SQL nor a documented waiver: $missing")
+  }
+}
