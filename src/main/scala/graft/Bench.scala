@@ -103,6 +103,7 @@ object Bench {
     "dedup_simhash" -> 0.868, "events_funnel" -> 2.521,
     "events_sessionize" -> 0.719, "fn_array" -> 0.387, "fn_case" -> 0.259,
     "fn_date" -> 0.483, "fn_datetime" -> 0.482, "fn_json" -> 1.075,
+    "fn_bitwise" -> 0.361,
     "fn_levenshtein" -> 0.176, "fn_map" -> 0.617, "fn_math" -> 0.564,
     "fn_regex" -> 0.495, "fn_string" -> 0.319, "geo_utm" -> 0.887,
     "join_anti" -> 0.620, "join_asof" -> 0.612, "join_cross" -> 0.421,

@@ -380,6 +380,43 @@ object Relational2 {
       UNION ALL SELECT '3_purchase_after', user_id FROM t3) u
     GROUP BY stage"""
 
+  // ---- bitwise scalar family ----------------------------------------------
+
+  /** Bitwise ops (&, |, xor, shifts, bit_count) — exact integer semantics
+    * shared by both engines. Keys fold to a small bucket space; the
+    * aggregate pins every operator's output. */
+  val qFnBitwise: Q = (s, d) =>
+    orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
+      .select(
+        (col("k").bitwiseAND(lit(63L))).as("lo"),
+        (col("k").bitwiseOR(col("c")).bitwiseAND(lit(255L))).as("mix"),
+        (col("k").bitwiseXOR(col("c")).bitwiseAND(lit(255L))).as("x"),
+        shiftleft(col("k").bitwiseAND(lit(7L)), 2).as("shl"),
+        shiftright(col("k"), 3).bitwiseAND(lit(15L)).as("shr"),
+        bit_count(col("k").bitwiseAND(lit(1023L))).cast("long").as("pop"))
+      .groupBy((col("lo") % lit(8L)).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("mix")).as("sum_mix"),
+           sum(col("x")).as("sum_xor"), sum(col("shl")).as("sum_shl"),
+           sum(col("shr")).as("sum_shr"), sum(col("pop")).as("sum_pop"))
+
+  val qFnBitwiseSql: String = """
+    WITH t AS (
+      SELECT o_orderkey & 63 AS lo,
+             (o_orderkey | o_custkey) & 255 AS mix,
+             xor(o_orderkey, o_custkey) & 255 AS x,
+             (o_orderkey & 7) << 2 AS shl,
+             (o_orderkey >> 3) & 15 AS shr,
+             bit_count(CAST(o_orderkey & 1023 AS BIT)) AS pop
+      FROM orders)
+    SELECT lo % 8 AS bucket, COUNT(*) AS n,
+           CAST(SUM(mix) AS BIGINT) AS sum_mix,
+           CAST(SUM(x) AS BIGINT) AS sum_xor,
+           CAST(SUM(shl) AS BIGINT) AS sum_shl,
+           CAST(SUM(shr) AS BIGINT) AS sum_shr,
+           CAST(SUM(pop) AS BIGINT) AS sum_pop
+    FROM t GROUP BY 1"""
+
   // ---- portable higher moments --------------------------------------------
 
   /** Skewness/kurtosis from EXACT power sums: Spark's built-in
@@ -513,6 +550,7 @@ object Relational2 {
     "join_interval"      -> qJoinInterval,
     "events_retention"   -> qEventsRetention,
     "agg_moments"        -> qAggMoments,
+    "fn_bitwise"         -> qFnBitwise,
     "events_funnel"      -> qEventsFunnel,
     "window_first_last"  -> qWindowFirstLast,
     "window_range_frame" -> qWindowRangeFrame,
@@ -538,6 +576,7 @@ object Relational2 {
     "join_interval"      -> qJoinIntervalSql,
     "events_retention"   -> qEventsRetentionSql,
     "agg_moments"        -> qAggMomentsSql,
+    "fn_bitwise"         -> qFnBitwiseSql,
     "events_funnel"      -> qEventsFunnelSql,
     "window_first_last"  -> qWindowFirstLastSql,
     "window_range_frame" -> qWindowRangeFrameSql,

@@ -146,6 +146,16 @@ class CurationSpec extends SparkSpec {
     assert(packed.sameElements(Array(0L)), "a single doc packs into bin 0")
   }
 
+  test("argument contracts fail fast") {
+    val df = Seq((1L, "g", "a b")).toDF("doc_id", "grp", "text")
+    intercept[IllegalArgumentException] {
+      Curation.chunkDocuments(df, "text", chunkTokens = 4, overlap = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.chunkDocuments(df, "text", chunkTokens = 4, overlap = -1)
+    }
+  }
+
   test("sampleWeighted is deterministic and monotone in the rate") {
     val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b", i))
       .toDF("doc_id", "source", "payload")
