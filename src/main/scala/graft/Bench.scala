@@ -125,6 +125,7 @@ object Bench {
     "set_except" -> 0.736, "set_intersect" -> 0.658, "set_union" -> 0.381,
     "sort_multikey" -> 0.178, "sort_topk" -> 0.187,
     "stream_dedup_exec" -> 5.869, "stream_curation_exec" -> 2.216,
+    "stream_mdio_exec" -> 2.148,
     "stream_sliding" -> 0.640,
     "stream_tumbling" -> 0.389, "stream_tumbling_exec" -> 1.871,
     "text_fingerprint" -> 0.437, "text_langid" -> 0.688,

@@ -96,13 +96,70 @@ object StreamingExec {
     WHERE n_toks >= 5 AND n_toks <= 1000 AND sr <= 0.6
     GROUP BY lang, md5(text)"""
 
+  /** The MDIO STREAMING SOURCE itself on the oracle: build a store from
+    * the orders table (one chunk per o_orderkey band), tail it with
+    * `readStream.format("mdio")` through a real streaming run, and
+    * aggregate the delivered long-form rows — certifying exactly-once
+    * chunk delivery and decode against DuckDB's direct aggregation of
+    * the same source rows. Store construction is deterministic per
+    * (sfDir, content), so repeated runs rebuild identical stores. */
+  val qStreamMdioExec: Q = (s, d) => {
+    import graft.sources.MdioWriter
+    import graft.spec.MdioSpec
+    val n = 512L
+    // dense idx = rank of the 512 lowest orderkeys: every written chunk is
+    // contiguous, and store content is a deterministic function of the data
+    val first = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice").cast("double").as("price"))
+      .orderBy(col("o_orderkey")).limit(n.toInt)
+    val idx = first.withColumn("idx",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_orderkey"))).cast("long") - 1L)
+    val dir = java.nio.file.Files.createTempDirectory("mdio_stream_q")
+      .resolve("orders.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      s"""{
+         |  "metadata": {"name": "orders", "apiVersion": "v1.0",
+         |               "createdOn": "2026-01-01T00:00:00Z"},
+         |  "variables": [
+         |    {"name": "idx", "dataType": "int64",
+         |     "dimensions": [{"name": "idx", "size": $n}]},
+         |    {"name": "price", "dataType": "float64",
+         |     "dimensions": [{"name": "idx", "size": $n}],
+         |     "metadata": {"chunkGrid": {"name": "regular",
+         |       "configuration": {"chunkShape": [64]}}}}
+         |  ]
+         |}""".stripMargin), dir)
+    MdioWriter.writeVariable(s, idx.select("idx", "price"), dir, "price")
+    // tail the store as a stream; cells beyond the data in the last chunk
+    // read as fill (0.0) — corpus prices are strictly positive, so the
+    // present-cell predicate is exact
+    val stream = s.readStream.format("mdio").load(dir)
+      .filter(col("price") =!= 0.0)
+      .groupBy((col("idx") % 7L).as("band"))
+      .agg(count(lit(1)).as("n_present"), dsum(col("price")).as("sum_price"))
+    runToMemory(stream, "complete")
+  }
+
+  val qStreamMdioExecSql: String = s"""
+    WITH f AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS price, o_orderkey
+      FROM orders ORDER BY o_orderkey LIMIT 512),
+    i AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx, price FROM f)
+    SELECT idx % 7 AS band, CAST(COUNT(*) AS BIGINT) AS n_present,
+           ${sqlDsum("price")} AS sum_price
+    FROM i GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling_exec" -> qStreamTumblingExec,
     "stream_dedup_exec"    -> qStreamDedupExec,
-    "stream_curation_exec" -> qStreamCurationExec)
+    "stream_curation_exec" -> qStreamCurationExec,
+    "stream_mdio_exec"     -> qStreamMdioExec)
 
   val oracleSql: Map[String, String] = Map(
     "stream_tumbling_exec" -> qStreamTumblingExecSql,
     "stream_dedup_exec"    -> qStreamDedupExecSql,
-    "stream_curation_exec" -> qStreamCurationExecSql)
+    "stream_curation_exec" -> qStreamCurationExecSql,
+    "stream_mdio_exec"     -> qStreamMdioExecSql)
 }
