@@ -115,7 +115,7 @@ object Bench {
     "mdio_intervals" -> 0.296, "mdio_isel_concat" -> 0.482,
     "mdio_isel_slice" -> 0.311, "mdio_isel_stride" -> 0.398,
     "mdio_open_sel" -> 0.238, "mdio_sel_list" -> 0.802,
-    "mdio_sel_range" -> 0.540, "mdio_sel_value" -> 0.502,
+    "mdio_sel_range" -> 0.540, "mdio_smooth_dim" -> 1.511, "mdio_sel_value" -> 0.502,
     "mdio_select_field" -> 0.463, "mdio_select_variable" -> 0.221,
     "mdio_stats_aggregator" -> 0.458, "mdio_stats_v1" -> 0.506,
     "multimodal_bytes" -> 0.122, "multimodal_features" -> 0.271,

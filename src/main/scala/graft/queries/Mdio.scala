@@ -438,7 +438,49 @@ object Mdio {
     WHERE event_type = 'purchase' AND user_id >= 10 AND user_id < 60
     ORDER BY user_id, value DESC, event_id LIMIT 50"""
 
+  // Dimension-wise smoothing: a centered 3-tap moving average along one
+  // dimension per trace (the seismic filter-along-depth shape; the grid
+  // analog of xarray's rolling mean). The corpus carries duplicate
+  // (orderkey, linenumber) rows, so cells aggregate FIRST (the grid
+  // semantic: one value per index — ROWS frames over tied order keys
+  // would be nondeterministic); then one window per trace after a hash
+  // shuffle on the partition dim — no global sort at any scale. All
+  // accumulation decimal: sliding-frame float updates (sum + new − old)
+  // are not reproducible across engines.
+  val qSmoothDim: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      .rowsBetween(-1, 1)
+    grid(s, d).data
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(dsum(col("l_quantity")).as("q"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (sum(col("q").cast("decimal(27,6)")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("sm"))
+      .agg(count(lit(1)).as("n"), dsum(col("sm")).as("sum_smoothed"),
+           dsum(when(col("l_linenumber") === 1, col("sm")).otherwise(lit(0.0)))
+             .as("sum_first_taps"))
+  }
+
+  val qSmoothDimSql: String = s"""
+    WITH cells AS (
+      SELECT l_orderkey, l_linenumber, ${sqlDsum("l_quantity")} AS q
+      FROM lineitem GROUP BY 1, 2),
+    sm AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(SUM(CAST(q AS DECIMAL(27,6))) OVER (
+               PARTITION BY l_orderkey ORDER BY l_linenumber
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+             / CAST(COUNT(*) OVER (
+               PARTITION BY l_orderkey ORDER BY l_linenumber
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS sm
+      FROM cells)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, ${sqlDsum("sm")} AS sum_smoothed,
+           ${sqlDsum("CASE WHEN l_linenumber = 1 THEN sm ELSE 0.0 END")} AS sum_first_taps
+    FROM sm"""
+
   val queries: Map[String, Q] = Map(
+    "mdio_smooth_dim"       -> qSmoothDim,
     "mdio_isel_slice"       -> qIselSlice,
     "mdio_isel_stride"      -> qIselStride,
     "mdio_isel_concat"      -> qIselConcat,
@@ -464,6 +506,7 @@ object Mdio {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "mdio_smooth_dim"       -> qSmoothDimSql,
     "mdio_isel_slice"       -> qIselSliceSql,
     "mdio_isel_stride"      -> qIselStrideSql,
     "mdio_isel_concat"      -> qIselConcatSql,
