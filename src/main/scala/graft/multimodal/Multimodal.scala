@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   *
   * Media are opaque `binary` columns travelling next to a typed metadata
   * struct. The Spark-side contract — schema, partition sizing, batched
-  * per-partition decode loop, feature schema — is real and tested; the
-  * actual codec call is STUBBED (this container has no image/audio
-  * libraries) behind [[StubDecoder.decode]], a clearly-marked deterministic
-  * fake. Swapping in a real decoder (JNI ffmpeg/opencv or an Arrow-batched
-  * python worker) changes ONE function, none of the plumbing.
+  * per-partition decode loop, feature schema — is real and tested, and
+  * the decode stage runs a REAL parser for `image/bmp` payloads
+  * ([[BmpCodec]]: pure-JVM 24-bpp BMP, no image library needed).
+  * Compressed formats (JPEG/WAV/MP4 — codecs absent in this container)
+  * fall back to [[StubDecoder.decode]], a clearly-marked deterministic
+  * fake; swapping in a real decoder (JNI ffmpeg/opencv or an
+  * Arrow-batched python worker) changes ONE match arm, none of the
+  * plumbing.
   */
 object Multimodal {
 
@@ -34,6 +37,31 @@ object Multimodal {
       lit("fake/rgb8").as("format"),
       (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
       (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height"))
+
+  /** Attach a REAL encoded image payload: a deterministic grayscale
+    * image synthesized from the document's UTF-8 bytes (pixel i = byte
+    * i mod len), encoded as a standards-conforming 24-bpp BMP by
+    * [[BmpCodec]]. Unlike [[attachPayload]]'s opaque fake, these
+    * payloads decode through a real parser — the decode stage of the
+    * pipeline runs genuine image bytes end to end. */
+  def attachBmpPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"),
+      (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height"))
+      .as[(Long, String, Int, Int)]
+      .map { case (id, text, w, h) =>
+        val t = Option(text).getOrElse("").getBytes("UTF-8")
+        val gray = new Array[Byte](w * h)
+        if (t.nonEmpty) {
+          var i = 0
+          while (i < gray.length) { gray(i) = t(i % t.length); i += 1 }
+        }
+        MediaRow(id, BmpCodec.encode(w, h, gray), "image/bmp", w, h)
+      }
+      .toDF()
+  }
 
   /** STUB decoder — deterministic fake standing in for a real codec.
     * A real implementation would decode `payload` (JPEG/WAV/MP4) here;
@@ -67,8 +95,16 @@ object Multimodal {
     media.select("doc_id", "payload", "format", "width", "height")
       .as[MediaRow]
       .mapPartitions { rows =>
-        // per-partition decoder init would happen here
-        rows.map(StubDecoder.decode)
+        // per-partition decoder init would happen here; routing by format,
+        // with image/bmp decoded FOR REAL (BmpCodec — pure JVM, no libs)
+        rows.map {
+          case r if r.format == "image/bmp" =>
+            val d = BmpCodec.decode(r.payload)
+            MediaFeatures(r.doc_id, r.payload.length.toLong,
+              frame_hash = 0L, mean_luma = d.meanLuma,
+              thumb_w = math.max(d.width / 2, 1), thumb_h = math.max(d.height / 2, 1))
+          case r => StubDecoder.decode(r)
+        }
       }
   }
 

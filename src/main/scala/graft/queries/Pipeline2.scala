@@ -357,6 +357,53 @@ object Pipeline2 {
     SELECT CAST(label AS BIGINT) AS label, vec_id FROM r WHERE rnk <= 3"""
   }
 
+  // ---- real-codec multimodal decode ----------------------------------------
+
+  /** REAL image decode on the oracle: documents render to deterministic
+    * grayscale 24-bpp BMPs (pixel i = UTF-8 byte i mod len), the pipeline
+    * decodes them with the pure-JVM [[graft.multimodal.BmpCodec]] parser
+    * (headers, bottom-up rows, padding — no image library), and DuckDB
+    * certifies the decoded features: file size from BMP geometry, mean
+    * luma from cycle arithmetic (full-cycles × byte-sum + prefix). */
+  val qMultimodalBmp: Q = (s, d) =>
+    graft.multimodal.Multimodal.extractFeatures(s,
+      graft.multimodal.Multimodal.attachBmpPayload(documents(s, d)))
+      .toDF()
+      .agg(count(lit(1)).as("n"),
+           sum(col("n_bytes")).as("total_bytes"),
+           dsum(col("mean_luma")).as("sum_luma"),
+           sum(col("thumb_w").cast("long")).as("sum_thumb_w"),
+           sum(col("thumb_h").cast("long")).as("sum_thumb_h"))
+
+  val qMultimodalBmpSql: String = s"""
+    WITH f AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS len,
+             list_transform(range(0, octet_length(encode(text))),
+               i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT)) AS bytes,
+             (doc_id % 64 + 16) AS w, (doc_id % 48 + 16) AS h
+      FROM documents),
+    g AS (
+      SELECT doc_id, w, h, len, w * h AS n,
+             CASE WHEN len = 0 THEN 0
+                  ELSE (w * h // len) * list_sum(bytes) +
+                       COALESCE(list_sum(list_slice(bytes, 1, (w * h) % len)), 0)
+             END AS pix_sum
+      FROM f),
+    e AS (
+      SELECT w, h,
+             54 + (3 * w + (4 - (3 * w) % 4) % 4) * h AS n_bytes,
+             CASE WHEN len = 0 THEN 0.0
+                  ELSE CAST(pix_sum AS DOUBLE) / CAST(n AS DOUBLE) / 255.0
+             END AS luma
+      FROM g)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           ${sqlDsum("luma")} AS sum_luma,
+           CAST(SUM(w // 2) AS BIGINT) AS sum_thumb_w,
+           CAST(SUM(h // 2) AS BIGINT) AS sum_thumb_h
+    FROM e"""
+
   // ---- composed curation recipe --------------------------------------------
 
   /** The full curation recipe as ONE flow — weighted domain sampling →
@@ -428,6 +475,7 @@ object Pipeline2 {
     "embedding_outliers"       -> qEmbeddingOutliers,
     "text_fluency"             -> qTextFluency,
     "text_boilerplate"         -> qTextBoilerplate,
+    "multimodal_bmp"           -> qMultimodalBmp,
     "pipeline_sample_stratified" -> qPipelineSampleStratified,
     "pipeline_recipe"          -> qPipelineRecipe,
     "pipeline_quota"           -> qPipelineQuota,
@@ -443,6 +491,7 @@ object Pipeline2 {
     "embedding_outliers"       -> qEmbeddingOutliersSql,
     "text_fluency"             -> qTextFluencySql,
     "text_boilerplate"         -> qTextBoilerplateSql,
+    "multimodal_bmp"           -> qMultimodalBmpSql,
     "pipeline_sample_stratified" -> qPipelineSampleStratifiedSql,
     "pipeline_recipe"          -> qPipelineRecipeSql,
     "pipeline_quota"           -> qPipelineQuotaSql,
