@@ -63,6 +63,30 @@ object Multimodal {
       .toDF()
   }
 
+  /** Attach a REAL encoded audio payload: a deterministic mono 16-bit
+    * PCM signal synthesized from the document's UTF-8 bytes (sample i =
+    * (byte[i mod len] − 128) · 256, a full-scale square-ish wave), as a
+    * canonical WAV file. The audio analog of [[attachBmpPayload]]. */
+  def attachWavPayload(docs: DataFrame, sampleRate: Int = 8000,
+                       nSamples: Int = 2048): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val t = Option(text).getOrElse("").getBytes("UTF-8")
+        val samples = new Array[Short](nSamples)
+        if (t.nonEmpty) {
+          var i = 0
+          while (i < nSamples) {
+            samples(i) = (((t(i % t.length) & 0xff) - 128) * 256).toShort
+            i += 1
+          }
+        }
+        MediaRow(id, WavCodec.encode(samples, sampleRate), "audio/wav", 0, 0)
+      }
+      .toDF()
+  }
+
   /** STUB decoder — deterministic fake standing in for a real codec.
     * A real implementation would decode `payload` (JPEG/WAV/MP4) here;
     * the fake derives stable pseudo-features from the bytes so tests can
@@ -103,6 +127,15 @@ object Multimodal {
             MediaFeatures(r.doc_id, r.payload.length.toLong,
               frame_hash = 0L, mean_luma = d.meanLuma,
               thumb_w = math.max(d.width / 2, 1), thumb_h = math.max(d.height / 2, 1))
+          case r if r.format == "audio/wav" =>
+            // REAL audio decode: mean_luma carries the normalized mean
+            // absolute amplitude (the shared "intensity" feature slot);
+            // thumb_w/h carry sample count (lo/hi 16 bits unused: count
+            // fits an int) and sample rate
+            val d = WavCodec.decode(r.payload)
+            MediaFeatures(r.doc_id, r.payload.length.toLong,
+              frame_hash = 0L, mean_luma = d.meanAbsAmplitude,
+              thumb_w = d.nSamples, thumb_h = d.sampleRate)
           case r => StubDecoder.decode(r)
         }
       }

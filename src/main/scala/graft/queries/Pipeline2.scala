@@ -404,6 +404,41 @@ object Pipeline2 {
            CAST(SUM(h // 2) AS BIGINT) AS sum_thumb_h
     FROM e"""
 
+  /** REAL audio decode on the oracle: deterministic 16-bit PCM WAVs
+    * rendered from document bytes, decoded by the pure-JVM
+    * [[graft.multimodal.WavCodec]] RIFF parser; DuckDB certifies sample
+    * counts, file sizes, and the normalized mean absolute amplitude via
+    * the same cycle arithmetic as the BMP twin. */
+  val qMultimodalWav: Q = (s, d) =>
+    graft.multimodal.Multimodal.extractFeatures(s,
+      graft.multimodal.Multimodal.attachWavPayload(documents(s, d)))
+      .toDF()
+      .agg(count(lit(1)).as("n"),
+           sum(col("n_bytes")).as("total_bytes"),
+           dsum(col("mean_luma")).as("sum_amp"),
+           sum(col("thumb_w").cast("long")).as("total_samples"),
+           max(col("thumb_h")).cast("long").as("sample_rate"))
+
+  val qMultimodalWavSql: String = s"""
+    WITH f AS (
+      SELECT doc_id, octet_length(encode(text)) AS len,
+             list_transform(range(0, octet_length(encode(text))),
+               i -> abs(CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT) - 128)) AS absb
+      FROM documents),
+    g AS (
+      SELECT len,
+             CASE WHEN len = 0 THEN 0
+                  ELSE (2048 // len) * list_sum(absb) +
+                       COALESCE(list_sum(list_slice(absb, 1, 2048 % len)), 0)
+             END AS abs_sum
+      FROM f)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * 4140 AS BIGINT) AS total_bytes,
+           ${sqlDsum("CASE WHEN len = 0 THEN 0.0 ELSE CAST(256 * abs_sum AS DOUBLE) / 2048.0 / 32768.0 END")} AS sum_amp,
+           CAST(COUNT(*) * 2048 AS BIGINT) AS total_samples,
+           CAST(8000 AS BIGINT) AS sample_rate
+    FROM g"""
+
   // ---- composed curation recipe --------------------------------------------
 
   /** The full curation recipe as ONE flow — weighted domain sampling →
@@ -476,6 +511,7 @@ object Pipeline2 {
     "text_fluency"             -> qTextFluency,
     "text_boilerplate"         -> qTextBoilerplate,
     "multimodal_bmp"           -> qMultimodalBmp,
+    "multimodal_wav"           -> qMultimodalWav,
     "pipeline_sample_stratified" -> qPipelineSampleStratified,
     "pipeline_recipe"          -> qPipelineRecipe,
     "pipeline_quota"           -> qPipelineQuota,
@@ -492,6 +528,7 @@ object Pipeline2 {
     "text_fluency"             -> qTextFluencySql,
     "text_boilerplate"         -> qTextBoilerplateSql,
     "multimodal_bmp"           -> qMultimodalBmpSql,
+    "multimodal_wav"           -> qMultimodalWavSql,
     "pipeline_sample_stratified" -> qPipelineSampleStratifiedSql,
     "pipeline_recipe"          -> qPipelineRecipeSql,
     "pipeline_quota"           -> qPipelineQuotaSql,

@@ -63,6 +63,38 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).mean_luma == 0.0, "empty text renders an all-black image")
   }
 
+  test("WavCodec: golden mono PCM round-trip with exact header bytes") {
+    val wav = WavCodec.encode(Array[Short](0, 16384, -16384, 32767), 8000)
+    assert(wav.length == 44 + 8)
+    assert(new String(wav, 0, 4) == "RIFF" && new String(wav, 8, 4) == "WAVE")
+    assert((wav(22) & 0xff) == 1, "mono") // channels LE16 low byte
+    assert((wav(34) & 0xff) == 16, "16-bit")
+    val d = WavCodec.decode(wav)
+    assert(d.nSamples == 4 && d.sampleRate == 8000)
+    assert(d.durationSec == 4.0 / 8000)
+    assert(d.meanAbsAmplitude == (0L + 16384 + 16384 + 32767).toDouble / 4 / 32768.0)
+  }
+
+  test("WavCodec rejects non-WAV and unsupported flavors loudly") {
+    intercept[IllegalArgumentException] { WavCodec.decode("definitely not audio bytes".getBytes) }
+    val wav = WavCodec.encode(Array[Short](1, 2), 8000)
+    wav(34) = 8 // claim 8-bit samples
+    intercept[IllegalArgumentException] { WavCodec.decode(wav) }
+  }
+
+  test("extractFeatures decodes real WAV payloads end to end") {
+    val docs = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
+    val out = Multimodal.extractFeatures(spark,
+      Multimodal.attachWavPayload(docs, sampleRate = 8000, nSamples = 64))
+      .collect().map(f => f.doc_id -> f).toMap
+    // doc 1: samples cycle (|'a'-128|, |'b'-128|)*256 = (31, 30)*256
+    val want = (0 until 64).map(i => math.abs((if (i % 2 == 0) 'a' else 'b') - 128) * 256L).sum
+    assert(out(1L).mean_luma == want.toDouble / 64 / 32768.0)
+    assert(out(1L).thumb_w == 64 && out(1L).thumb_h == 8000)
+    assert(out(1L).n_bytes == 44L + 128)
+    assert(out(2L).mean_luma == 0.0, "empty text renders silence")
+  }
+
   test("sampleFrames emits every k-th block with the right byte slice") {
     val df = Multimodal.sampleFrames(media.filter(col("doc_id") === 3), everyK = 1, blockBytes = 4)
     val rows = df.select("frame_idx", "frame_bytes").as[(Int, Array[Byte])]
