@@ -232,8 +232,10 @@ object MdioSpec {
         case JInt(i) => i.toInt
         case _ => 1
       }
-      require(Set("lz4", "lz4hc", "zlib", "zstd").contains(cname),
-        s"variable '$name': blosc cname '$cname' unsupported (lz4/lz4hc/zlib/zstd)")
+      // full BloscCname enum (mdio/dataset_schema.h:145-152)
+      require(Set("lz4", "lz4hc", "blosclz", "snappy", "zlib", "zstd").contains(cname),
+        s"variable '$name': blosc cname '$cname' unsupported " +
+          "(lz4/lz4hc/blosclz/snappy/zlib/zstd)")
       require(shuffle == 0 || shuffle == 1,
         s"variable '$name': blosc bitshuffle not supported; use shuffle noshuffle|shuffle")
       graft.zarr.ChunkCodec.Blosc(cname, clevel, shuffle)

@@ -15,10 +15,12 @@ import java.util.zip.{Deflater, GZIPInputStream, Inflater}
   *  - `zstd` — zstd-jni, ships with Spark (numcodecs "zstd" = raw frame);
   *  - `lz4`  — lz4-java (numcodecs "lz4" = 4-byte LE original size + block);
   *  - `blosc` — full encode/decode (blosc1 frame: 16-byte header +
-  *    optional block-start table; backends lz4/lz4hc/zstd/zlib +
-  *    byte-shuffle). The reference's spec layer accepts ONLY blosc and
-  *    honors cname/clevel/shuffle (mdio/dataset_factory.h:288-367);
-  *    [[Blosc]] carries those settings through the write path.
+  *    optional block-start table; backends lz4/lz4hc/zstd/zlib plus
+  *    pure-JVM blosclz and snappy — the reference's whole BloscCname enum
+  *    (mdio/dataset_schema.h:145-152) — with byte-shuffle). The reference's
+  *    spec layer accepts ONLY blosc and honors cname/clevel/shuffle
+  *    (mdio/dataset_factory.h:288-367); [[Blosc]] carries those settings
+  *    through the write path.
   *
   * Values travel as JVM doubles/longs at the connector boundary; the typed
   * read/write keeps unsigned widening consistent (SURVEY §1.2).
@@ -298,8 +300,10 @@ object ChunkCodec {
         d.end()
         (out.toByteArray, 4)
       case "zstd" => (Zstd.compress(block, math.max(1, math.min(9, b.clevel))), 5)
+      case "blosclz" => (blosclzCompress(block), 0)
+      case "snappy" => (snappyCompress(block), 3)
       case other => throw new IllegalArgumentException(
-        s"blosc cname '$other' unsupported for write (lz4/lz4hc/zlib/zstd)")
+        s"blosc cname '$other' unsupported for write (lz4/lz4hc/blosclz/snappy/zlib/zstd)")
     }
 
   /** Blosc1 single-block encode honoring cname + clevel + byte-shuffle
@@ -392,8 +396,9 @@ object ChunkCodec {
     * header[0]=version, [1]=codec version, [2]=flags (bit0 byte-shuffle,
     * bit1 pure-memcpy, bits5-7 codec id), [3]=typesize, [4-8) nbytes,
     * [8-12) blocksize, [12-16) cbytes, then per-block int32 compressed
-    * starts unless memcpy. Codec ids: 0 blosclz(unsupported), 1 lz4/lz4hc,
-    * 4 zlib, 5 zstd. */
+    * starts unless memcpy. Codec ids: 0 blosclz, 1 lz4/lz4hc, 3 snappy,
+    * 4 zlib, 5 zstd — the reference's full BloscCname matrix
+    * (mdio/dataset_schema.h:145-152). */
   private def bloscDecode(data: Array[Byte], expected: Int): Array[Byte] = {
     val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
     val flags = data(2) & 0xff
@@ -422,9 +427,13 @@ object ChunkCodec {
         if (csize == thisBlock) {     // stored uncompressed
           System.arraycopy(data, bstart + 4, out, outOff, thisBlock)
         } else codecId match {
+          case 0 =>
+            blosclzDecompress(data, bstart + 4, csize, out, outOff, thisBlock)
           case 1 =>
             LZ4Factory.fastestJavaInstance().fastDecompressor()
               .decompress(data, bstart + 4, out, outOff, thisBlock)
+          case 3 =>
+            snappyDecompress(data, bstart + 4, csize, out, outOff, thisBlock)
           case 5 =>
             val dec = Zstd.decompress(java.util.Arrays.copyOfRange(data, bstart + 4, bstart + 4 + csize), thisBlock)
             System.arraycopy(dec, 0, out, outOff, thisBlock)
@@ -443,6 +452,253 @@ object ChunkCodec {
       }
     }
     out
+  }
+
+  // ---- blosclz (FastLZ-derived LZ77, libblosc's default cname) -------------
+  // Public format, written against c-blosc blosc/blosclz.c: a stream of
+  // instruction bytes. The first byte's low 5 bits start a literal run
+  // (high 3 bits reserved). ctrl < 32: literal run of ctrl+1 bytes.
+  // ctrl >= 32: match of (ctrl>>5)+2 bytes — when ctrl>>5 == 7 the length
+  // extends by 255-chained bytes — at back-distance ((ctrl&31)<<8 | next)+1;
+  // the escape (high bits 31, low byte 255) switches to a 16-bit
+  // big-endian far distance d16 with back-distance d16 + 8191.
+
+  /** Decode one blosclz block into out[outOff, outOff+outLen). Loud on any
+    * malformed stream: every read is bounds-checked, matches may not reach
+    * before the block start, and the decoded size must be exact. */
+  private[zarr] def blosclzDecompress(data: Array[Byte], off: Int, len: Int,
+                                      out: Array[Byte], outOff: Int, outLen: Int): Unit = {
+    val MaxDist = 8191
+    var ip = off
+    val ipEnd = off + len
+    var op = outOff
+    val opEnd = outOff + outLen
+    require(len > 0 && ipEnd <= data.length, "blosclz: empty or truncated block")
+    var ctrl = data(ip) & 31; ip += 1
+    var loop = true
+    while (loop) {
+      if (ctrl >= 32) {
+        var mlen = (ctrl >> 5) - 1
+        val ofsHigh = (ctrl & 31) << 8
+        if (mlen == 6) { // length field 7: 255-chained extension bytes
+          var code = 255
+          while (code == 255) {
+            require(ip < ipEnd, "blosclz: truncated match length")
+            code = data(ip) & 0xff; ip += 1
+            mlen += code
+          }
+        }
+        require(ip < ipEnd, "blosclz: truncated match distance")
+        val code = data(ip) & 0xff; ip += 1
+        mlen += 3
+        var ref = op - ofsHigh - code - 1
+        if (code == 255 && ofsHigh == (31 << 8)) { // far-distance escape
+          require(ip + 2 <= ipEnd, "blosclz: truncated far distance")
+          val d16 = ((data(ip) & 0xff) << 8) | (data(ip + 1) & 0xff)
+          ip += 2
+          ref = op - d16 - MaxDist
+        }
+        require(op + mlen <= opEnd, "blosclz: match overruns output")
+        require(ref >= outOff && ref < op, "blosclz: match distance out of range")
+        var k = 0 // byte-wise: overlapping matches (RLE) must re-read output
+        while (k < mlen) { out(op) = out(ref); op += 1; ref += 1; k += 1 }
+      } else {
+        val n = ctrl + 1
+        require(ip + n <= ipEnd, "blosclz: truncated literal run")
+        require(op + n <= opEnd, "blosclz: literal overruns output")
+        System.arraycopy(data, ip, out, op, n)
+        ip += n; op += n
+      }
+      if (ip < ipEnd) { ctrl = data(ip) & 0xff; ip += 1 } else loop = false
+    }
+    require(op == opEnd, s"blosclz: decoded ${op - outOff} of $outLen bytes")
+  }
+
+  /** Greedy blosclz encoder: 4-byte hash-table matcher emitting literal runs
+    * (max 32) and near matches (back-distance <= 8191 — the escape-free
+    * range, so encode never depends on the far branch). Output decodes with
+    * [[blosclzDecompress]] and c-blosc alike. */
+  private[zarr] def blosclzCompress(src: Array[Byte]): Array[Byte] = {
+    val n = src.length
+    val out = new ByteArrayOutputStream(n / 2 + 64)
+    val HashBits = 14
+    val table = new Array[Int](1 << HashBits) // value = position + 1 (0 = empty)
+    def hash4(i: Int): Int = {
+      val v = (src(i) & 0xff) | ((src(i + 1) & 0xff) << 8) |
+        ((src(i + 2) & 0xff) << 16) | ((src(i + 3) & 0xff) << 24)
+      (v * -1640531535) >>> (32 - HashBits) // Knuth multiplicative
+    }
+    def emitLiterals(from: Int, until: Int): Unit = {
+      var i = from
+      while (i < until) {
+        val run = math.min(until - i, 32)
+        out.write(run - 1)
+        out.write(src, i, run)
+        i += run
+      }
+    }
+    def emitMatch(mlen: Int, dist: Int): Unit = { // mlen >= 3, 1 <= dist <= 8191
+      val dcode = dist - 1
+      val lenField = mlen - 2
+      if (lenField < 7) out.write((lenField << 5) | (dcode >> 8))
+      else {
+        out.write((7 << 5) | (dcode >> 8))
+        var rem = lenField - 7
+        while (rem >= 255) { out.write(255); rem -= 255 }
+        out.write(rem)
+      }
+      out.write(dcode & 0xff)
+    }
+    var anchor = 0
+    var i = 0
+    while (i + 4 <= n) {
+      val h = hash4(i)
+      val cand = table(h) - 1
+      table(h) = i + 1
+      val dist = i - cand
+      if (cand >= 0 && dist >= 1 && dist <= 8191 &&
+        src(cand) == src(i) && src(cand + 1) == src(i + 1) &&
+        src(cand + 2) == src(i + 2) && src(cand + 3) == src(i + 3)) {
+        var mlen = 4
+        while (i + mlen < n && src(cand + mlen) == src(i + mlen)) mlen += 1
+        emitLiterals(anchor, i)
+        emitMatch(mlen, dist)
+        i += mlen
+        anchor = i
+      } else i += 1
+    }
+    emitLiterals(anchor, n)
+    out.toByteArray
+  }
+
+  // ---- snappy (raw block format) --------------------------------------------
+  // Public format (google/snappy format_description.txt): a varint32
+  // uncompressed length, then tagged elements — tag & 3 selects literal /
+  // copy with 1-, 2-, or 4-byte little-endian offset. c-blosc's snappy
+  // backend (codec id 3) stores exactly this stream per block.
+
+  /** Decode one raw-snappy block into out[outOff, outOff+outLen); loud on
+    * malformed streams (truncated varint/element, copy before block start,
+    * size mismatch). */
+  private[zarr] def snappyDecompress(data: Array[Byte], off: Int, len: Int,
+                                     out: Array[Byte], outOff: Int, outLen: Int): Unit = {
+    var ip = off
+    val ipEnd = off + len
+    require(len > 0 && ipEnd <= data.length, "snappy: empty or truncated block")
+    var size = 0L
+    var shift = 0
+    var more = true
+    while (more) {
+      require(ip < ipEnd && shift <= 28, "snappy: bad length varint")
+      val b = data(ip) & 0xff; ip += 1
+      size |= (b & 0x7fL) << shift; shift += 7
+      more = (b & 0x80) != 0
+    }
+    require(size == outLen, s"snappy: declared size $size != expected $outLen")
+    var op = outOff
+    val opEnd = outOff + outLen
+    while (ip < ipEnd) {
+      val tag = data(ip) & 0xff; ip += 1
+      if ((tag & 3) == 0) { // literal
+        var nlit = (tag >> 2) + 1
+        if (nlit > 60) {
+          val extra = nlit - 60 // 1..4 little-endian bytes holding length-1
+          require(ip + extra <= ipEnd, "snappy: truncated literal length")
+          var v = 0L
+          var k = 0
+          while (k < extra) { v |= (data(ip + k) & 0xffL) << (8 * k); k += 1 }
+          ip += extra
+          require(v >= 0 && v < Int.MaxValue, "snappy: literal length overflow")
+          nlit = v.toInt + 1
+        }
+        require(ip + nlit <= ipEnd, "snappy: truncated literal")
+        require(op + nlit <= opEnd, "snappy: literal overruns output")
+        System.arraycopy(data, ip, out, op, nlit)
+        ip += nlit; op += nlit
+      } else { // copy
+        var clen = 0
+        var dist = 0
+        (tag & 3) match {
+          case 1 =>
+            require(ip < ipEnd, "snappy: truncated copy1")
+            clen = ((tag >> 2) & 0x7) + 4
+            dist = ((tag >> 5) << 8) | (data(ip) & 0xff); ip += 1
+          case 2 =>
+            require(ip + 2 <= ipEnd, "snappy: truncated copy2")
+            clen = (tag >> 2) + 1
+            dist = (data(ip) & 0xff) | ((data(ip + 1) & 0xff) << 8); ip += 2
+          case _ =>
+            require(ip + 4 <= ipEnd, "snappy: truncated copy4")
+            clen = (tag >> 2) + 1
+            dist = (data(ip) & 0xff) | ((data(ip + 1) & 0xff) << 8) |
+              ((data(ip + 2) & 0xff) << 16) | ((data(ip + 3) & 0xff) << 24)
+            ip += 4
+        }
+        require(dist > 0 && dist <= op - outOff, "snappy: copy before block start")
+        require(op + clen <= opEnd, "snappy: copy overruns output")
+        var k = 0 // byte-wise: snappy copies may overlap (dist < len)
+        while (k < clen) { out(op) = out(op - dist); op += 1; k += 1 }
+      }
+    }
+    require(op == opEnd, s"snappy: decoded ${op - outOff} of $outLen bytes")
+  }
+
+  /** Greedy raw-snappy encoder: 4-byte hash matcher emitting 2-byte-offset
+    * copies (<= 64 bytes each, chained for longer matches) and literal runs.
+    * Output decodes with [[snappyDecompress]] and any snappy library. */
+  private[zarr] def snappyCompress(src: Array[Byte]): Array[Byte] = {
+    val n = src.length
+    val out = new ByteArrayOutputStream(n / 2 + 64)
+    var v = n
+    while ((v & ~0x7f) != 0) { out.write((v & 0x7f) | 0x80); v >>>= 7 }
+    out.write(v)
+    val HashBits = 14
+    val table = new Array[Int](1 << HashBits)
+    def hash4(i: Int): Int = {
+      val w = (src(i) & 0xff) | ((src(i + 1) & 0xff) << 8) |
+        ((src(i + 2) & 0xff) << 16) | ((src(i + 3) & 0xff) << 24)
+      (w * -1640531535) >>> (32 - HashBits)
+    }
+    def emitLiterals(from: Int, until: Int): Unit = {
+      var i = from
+      while (i < until) {
+        val run = math.min(until - i, 60) // one-byte tag form
+        out.write((run - 1) << 2)
+        out.write(src, i, run)
+        i += run
+      }
+    }
+    def emitCopies(mlen0: Int, dist: Int): Unit = { // dist <= 65535
+      var mlen = mlen0
+      while (mlen > 0) {
+        // keep every element's length >= 4 so copy1-range decoders are happy
+        val piece = if (mlen > 64) math.min(mlen - 4, 64) else mlen
+        out.write(((piece - 1) << 2) | 2)
+        out.write(dist & 0xff)
+        out.write((dist >> 8) & 0xff)
+        mlen -= piece
+      }
+    }
+    var anchor = 0
+    var i = 0
+    while (i + 4 <= n) {
+      val h = hash4(i)
+      val cand = table(h) - 1
+      table(h) = i + 1
+      val dist = i - cand
+      if (cand >= 0 && dist >= 1 && dist <= 65535 &&
+        src(cand) == src(i) && src(cand + 1) == src(i + 1) &&
+        src(cand + 2) == src(i + 2) && src(cand + 3) == src(i + 3)) {
+        var mlen = 4
+        while (i + mlen < n && src(cand + mlen) == src(i + mlen)) mlen += 1
+        emitLiterals(anchor, i)
+        emitCopies(mlen, dist)
+        i += mlen
+        anchor = i
+      } else i += 1
+    }
+    emitLiterals(anchor, n)
+    out.toByteArray
   }
 
   /** Blosc byte-shuffle inverse over one block: block layout is

@@ -85,7 +85,8 @@ class ChunkCodecSpec extends AnyFunSuite {
     // slowly-varying values: shuffle groups the near-constant high bytes,
     // so the shuffled frame must also WIN on size for multi-byte types
     val rnd = new scala.util.Random(7)
-    for (ts <- Seq(1, 2, 4, 8, 16); cname <- Seq("lz4", "lz4hc", "zlib", "zstd")) {
+    for (ts <- Seq(1, 2, 4, 8, 16);
+         cname <- Seq("lz4", "lz4hc", "zlib", "zstd", "blosclz", "snappy")) {
       val n = 600 * ts
       val raw = Array.tabulate(n)(i => ((i / ts) % 31 + rnd.nextInt(2)).toByte)
       val b = ChunkCodec.Blosc(cname = cname, clevel = 5, shuffle = 1)
@@ -106,6 +107,99 @@ class ChunkCodecSpec extends AnyFunSuite {
     assert(ChunkCodec.decompress(stored, Some("blosc"), raw.length).toSeq == raw.toSeq)
     intercept[IllegalArgumentException] {
       ChunkCodec.compress(raw, Some("blosc"), 4, Some(ChunkCodec.Blosc(shuffle = 2)))
+    }
+  }
+
+  test("blosclz and snappy blocks round-trip across data shapes") {
+    val rnd = new scala.util.Random(11)
+    val page8191 = Array.fill(8191)(rnd.nextInt().toByte)
+    val shapes: Seq[Array[Byte]] = Seq(
+      Array[Byte](7),
+      Array.tabulate(400)(i => (i % 7).toByte),           // short-distance matches
+      Array.fill(70000)('x'.toByte),                      // long RLE, chained lengths
+      Array.fill(10000)(rnd.nextInt().toByte),            // incompressible
+      Array.tabulate(50000)(i => ((i / 64) % 251).toByte),
+      page8191 ++ page8191,                               // distance exactly 8191 (near edge)
+      Array.tabulate(9000)(i => (i % 255).toByte))        // distance 255 repeats
+    for ((src, i) <- shapes.zipWithIndex) {
+      val lz = ChunkCodec.blosclzCompress(src)
+      val outLz = new Array[Byte](src.length)
+      ChunkCodec.blosclzDecompress(lz, 0, lz.length, outLz, 0, src.length)
+      assert(outLz.toSeq == src.toSeq, s"blosclz shape $i")
+      val sn = ChunkCodec.snappyCompress(src)
+      val outSn = new Array[Byte](src.length)
+      ChunkCodec.snappyDecompress(sn, 0, sn.length, outSn, 0, src.length)
+      assert(outSn.toSeq == src.toSeq, s"snappy shape $i")
+    }
+    // full frame path via compress/decompress with the Blosc settings
+    for (cname <- Seq("blosclz", "snappy")) {
+      val raw = ChunkCodec.encodeDoubles(Array.tabulate(3000)(i => (i % 97).toDouble / 8), "<f8")
+      val b = ChunkCodec.Blosc(cname = cname, clevel = 5, shuffle = 1)
+      val comp = ChunkCodec.compress(raw, Some("blosc"), 8, Some(b))
+      assert(comp.length < raw.length, s"$cname did not compress")
+      assert(((comp(2) & 0xff) >> 5) == (if (cname == "blosclz") 0 else 3))
+      assert(ChunkCodec.decompress(comp, Some("blosc"), raw.length).toSeq == raw.toSeq)
+    }
+  }
+
+  test("blosclz far-distance escape and snappy copy1/copy4 decode (hand-crafted)") {
+    // blosclz: 9000 literal bytes then a 10-byte match at back-distance 9000
+    // (d16 = 9000 - 8191 = 809): ctrl (7<<5)|31, ext 1, code 255, d16 BE.
+    val lits = Array.tabulate(9000)(i => (i % 251).toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    var off = 0
+    while (off < 9000) { // literal runs of 32
+      val run = math.min(9000 - off, 32)
+      bos.write(run - 1); bos.write(lits, off, run); off += run
+    }
+    bos.write((7 << 5) | 31); bos.write(10 - 2 - 7); bos.write(255)
+    bos.write(809 >> 8); bos.write(809 & 0xff)
+    val stream = bos.toByteArray
+    val out = new Array[Byte](9010)
+    ChunkCodec.blosclzDecompress(stream, 0, stream.length, out, 0, 9010)
+    assert(out.take(9000).toSeq == lits.toSeq)
+    assert(out.slice(9000, 9010).toSeq == lits.take(10).toSeq, "far match must copy from distance 9000")
+
+    // snappy: literal "abcd", copy1 (len 4, dist 4), copy4 (len 4, dist 8)
+    val sn = Array[Byte](
+      12,                       // varint size 12
+      ((4 - 1) << 2).toByte, 'a', 'b', 'c', 'd',
+      (((4 - 4) << 2) | 1).toByte, 4,      // copy1: len 4, offset 4
+      (((4 - 1) << 2) | 3).toByte, 8, 0, 0, 0) // copy4: len 4, offset 8
+    val outSn = new Array[Byte](12)
+    ChunkCodec.snappyDecompress(sn, 0, sn.length, outSn, 0, 12)
+    assert(new String(outSn, "ASCII") == "abcdabcdabcd")
+  }
+
+  test("blosclz and snappy reject malformed streams loudly") {
+    val out = new Array[Byte](100)
+    // blosclz: match reaching before block start
+    intercept[IllegalArgumentException] {
+      ChunkCodec.blosclzDecompress(Array[Byte](0, 1, (1 << 5).toByte, 50), 0, 4, out, 0, 100)
+    }
+    // blosclz: truncated literal run
+    intercept[IllegalArgumentException] {
+      ChunkCodec.blosclzDecompress(Array[Byte](31, 1, 2), 0, 3, out, 0, 100)
+    }
+    // blosclz: decoded size mismatch
+    intercept[IllegalArgumentException] {
+      ChunkCodec.blosclzDecompress(Array[Byte](1, 5, 6), 0, 3, out, 0, 100)
+    }
+    // snappy: declared size != expected
+    intercept[IllegalArgumentException] {
+      ChunkCodec.snappyDecompress(Array[Byte](5, 0, 'a'), 0, 3, out, 0, 100)
+    }
+    // snappy: truncated length varint (continuation bit, no next byte)
+    intercept[IllegalArgumentException] {
+      ChunkCodec.snappyDecompress(Array[Byte](-128), 0, 1, out, 0, 100)
+    }
+    // snappy: copy before block start
+    intercept[IllegalArgumentException] {
+      ChunkCodec.snappyDecompress(Array[Byte](8, 0, 'a', (((4 - 4) << 2) | 1).toByte, 9), 0, 5, out, 0, 8)
+    }
+    // snappy: literal overruns input
+    intercept[IllegalArgumentException] {
+      ChunkCodec.snappyDecompress(Array[Byte](8, ((8 - 1) << 2).toByte, 'a'), 0, 3, out, 0, 8)
     }
   }
 

@@ -47,7 +47,8 @@ def write_array(name, arr, chunks, dims, compressor, fill):
         else:
             payload = blosc_py.encode(raw, typesize=arr.dtype.itemsize,
                                       clevel=compressor["clevel"],
-                                      do_shuffle=compressor["shuffle"] == 1)
+                                      do_shuffle=compressor["shuffle"] == 1,
+                                      cname=compressor.get("cname", "zlib"))
         (d / ".".join(map(str, idx))).write_bytes(payload)
 
 
@@ -73,6 +74,21 @@ def main():
     write_array("crossline", crossline, [5], ["crossline"], None, None)
     write_array("image", image, [4, 3], ["inline", "crossline"], blosc, "NaN")
     write_array("counts", counts, [4, 3], ["inline", "crossline"], blosc, 0)
+
+    # blosclz + snappy cnames (the rest of the reference's BloscCname enum) —
+    # on a 32x64 grid with 16x64 chunks (4 KiB blocks) so the LZ codecs
+    # actually engage instead of falling back to memcpy frames
+    blosclz = dict(blosc, cname="blosclz")
+    snappy = dict(blosc, cname="snappy")
+    trace = np.arange(32, dtype="<i8")
+    sample = np.arange(64, dtype="<i8")
+    flat = trace[:, None] * 64 + sample[None, :]
+    ampl = ((flat % 1000).astype("<f4")) / 4.0
+    qc = (trace[:, None] * 31 + sample[None, :] * 7).astype("<i8")
+    write_array("trace", trace, [32], ["trace"], None, None)
+    write_array("sample", sample, [64], ["sample"], None, None)
+    write_array("ampl", ampl, [16, 64], ["trace", "sample"], blosclz, "NaN")
+    write_array("qc", qc, [16, 64], ["trace", "sample"], snappy, 0)
 
     # consolidated metadata, the keys zarr-python consolidates
     entries = {}
