@@ -120,6 +120,9 @@ object Bench {
     "mdio_stats_aggregator" -> 0.458, "mdio_stats_v1" -> 0.506,
     "multimodal_bytes" -> 0.122, "multimodal_features" -> 0.271,
     "multimodal_bmp" -> 0.725, "multimodal_wav" -> 0.908,
+    // comparator: multimodal_bmp (same shape) + ~50% for deflate/inflate —
+    // NOT this query's own first measurement (round-4 verdict discipline)
+    "multimodal_png" -> 1.1,
     "pipeline_compose" -> 0.746, "q10_returned_items" -> 1.002,
     "q1_pricing_summary" -> 1.381, "q3_shipping_priority" -> 0.820,
     "q5_region_revenue" -> 1.389, "q6_forecast_revenue" -> 0.337,

@@ -404,6 +404,49 @@ object Pipeline2 {
            CAST(SUM(h // 2) AS BIGINT) AS sum_thumb_h
     FROM e"""
 
+  /** REAL compressed-image decode on the oracle: the same deterministic
+    * grayscale pixels as the BMP twin, but PNG-encoded (zlib + per-row
+    * filters cycling through all five types) and decoded by the pure-JVM
+    * [[graft.multimodal.PngCodec]] (chunk CRCs, inflate, unfilter). The
+    * file size is compression-dependent, so the oracle certifies the
+    * decoded pixels (mean luma via cycle arithmetic) and geometry — which
+    * only match if inflate + all five unfilters are byte-exact. */
+  val qMultimodalPng: Q = (s, d) =>
+    graft.multimodal.Multimodal.extractFeatures(s,
+      graft.multimodal.Multimodal.attachPngPayload(documents(s, d)))
+      .toDF()
+      .agg(count(lit(1)).as("n"),
+           dsum(col("mean_luma")).as("sum_luma"),
+           sum(col("thumb_w").cast("long")).as("sum_thumb_w"),
+           sum(col("thumb_h").cast("long")).as("sum_thumb_h"))
+
+  val qMultimodalPngSql: String = s"""
+    WITH f AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS len,
+             list_transform(range(0, octet_length(encode(text))),
+               i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT)) AS bytes,
+             (doc_id % 64 + 16) AS w, (doc_id % 48 + 16) AS h
+      FROM documents),
+    g AS (
+      SELECT doc_id, w, h, len, w * h AS n,
+             CASE WHEN len = 0 THEN 0
+                  ELSE (w * h // len) * list_sum(bytes) +
+                       COALESCE(list_sum(list_slice(bytes, 1, (w * h) % len)), 0)
+             END AS pix_sum
+      FROM f),
+    e AS (
+      SELECT w, h,
+             CASE WHEN len = 0 THEN 0.0
+                  ELSE CAST(pix_sum AS DOUBLE) / CAST(n AS DOUBLE) / 255.0
+             END AS luma
+      FROM g)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ${sqlDsum("luma")} AS sum_luma,
+           CAST(SUM(w // 2) AS BIGINT) AS sum_thumb_w,
+           CAST(SUM(h // 2) AS BIGINT) AS sum_thumb_h
+    FROM e"""
+
   /** REAL audio decode on the oracle: deterministic 16-bit PCM WAVs
     * rendered from document bytes, decoded by the pure-JVM
     * [[graft.multimodal.WavCodec]] RIFF parser; DuckDB certifies sample
@@ -511,6 +554,7 @@ object Pipeline2 {
     "text_fluency"             -> qTextFluency,
     "text_boilerplate"         -> qTextBoilerplate,
     "multimodal_bmp"           -> qMultimodalBmp,
+    "multimodal_png"           -> qMultimodalPng,
     "multimodal_wav"           -> qMultimodalWav,
     "pipeline_sample_stratified" -> qPipelineSampleStratified,
     "pipeline_recipe"          -> qPipelineRecipe,
@@ -528,6 +572,7 @@ object Pipeline2 {
     "text_fluency"             -> qTextFluencySql,
     "text_boilerplate"         -> qTextBoilerplateSql,
     "multimodal_bmp"           -> qMultimodalBmpSql,
+    "multimodal_png"           -> qMultimodalPngSql,
     "multimodal_wav"           -> qMultimodalWavSql,
     "pipeline_sample_stratified" -> qPipelineSampleStratifiedSql,
     "pipeline_recipe"          -> qPipelineRecipeSql,

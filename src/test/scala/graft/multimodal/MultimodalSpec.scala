@@ -95,6 +95,101 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).mean_luma == 0.0, "empty text renders silence")
   }
 
+  // build a PNG by hand (signature + CRC'd chunks around a given zlib
+  // payload) so decode paths my encoder never emits are reachable
+  private def handPng(width: Int, height: Int, colorType: Int,
+                      filtered: Array[Byte]): Array[Byte] = {
+    import java.util.zip.{CRC32, Deflater}
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte))
+    def be4(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be4(data.length)); out.write(typ.getBytes("ASCII")); out.write(data)
+      val c = new CRC32(); c.update(typ.getBytes("ASCII")); c.update(data)
+      out.write(be4(c.getValue.toInt))
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    ihdr.write(be4(width)); ihdr.write(be4(height))
+    ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    val d = new Deflater(); d.setInput(filtered); d.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+    d.end()
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("PngCodec: encode/decode round-trips exactly through all five filters") {
+    // height 7 >= 5 rows: the encoder cycles filter types 0..4, so exact
+    // luma recovery proves every unfilter path (none/sub/up/avg/paeth)
+    val rnd = new scala.util.Random(5)
+    for ((w, h) <- Seq((3, 7), (16, 16), (31, 9), (1, 6))) {
+      val gray = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val png = PngCodec.encode(w, h, gray)
+      assert((png(0) & 0xff) == 137 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+      val d = PngCodec.decode(png)
+      assert(d.width == w && d.height == h)
+      val want = gray.map(_ & 0xff).map(_.toLong).sum.toDouble / (w * h) / 255.0
+      assert(d.meanLuma == want, s"${w}x$h luma mismatch")
+      assert(png.length < 8 + 12 * 3 + (w + 1) * h + 64, "IDAT should be deflated")
+    }
+  }
+
+  test("PngCodec decodes 8-bit truecolor (color type 2) and skips ancillary chunks") {
+    // 2x2 RGB, filter 0 rows: pixels (r,g,b) = (10,20,30),(40,50,60) / (70,80,90),(100,110,120)
+    val filtered = Array[Byte](0, 10, 20, 30, 40, 50, 60, 0, 70, 80, 90, 100, 110, 120)
+    val png = handPng(2, 2, colorType = 2, filtered)
+    val d = PngCodec.decode(png)
+    assert(d.width == 2 && d.height == 2)
+    assert(d.meanLuma == (10 + 20 + 30 + 40 + 50 + 60 + 70 + 80 + 90 + 100 + 110 + 120).toDouble / 3 / 4 / 255.0)
+  }
+
+  test("PngCodec rejects malformed and adversarial payloads loudly") {
+    intercept[IllegalArgumentException] { PngCodec.decode("just some text, no png here".getBytes) }
+    val good = PngCodec.encode(4, 6, Array.fill(24)(7.toByte))
+    // corrupt one IDAT byte -> CRC must catch it
+    val corrupt = good.clone()
+    corrupt(40) = (corrupt(40) ^ 0x55).toByte
+    intercept[IllegalArgumentException] { PngCodec.decode(corrupt) }
+    // truncated payload
+    intercept[IllegalArgumentException] { PngCodec.decode(good.take(30)) }
+    // hostile chunk length (negative) must throw, not loop or allocate
+    val hostile = good.clone()
+    hostile(8) = 0xff.toByte // IHDR length 0xff...... -> negative int
+    intercept[IllegalArgumentException] { PngCodec.decode(hostile) }
+    // 16-bit depth / palette color / interlace all rejected via handPng headers
+    intercept[IllegalArgumentException] {
+      PngCodec.decode(handPng(2, 2, colorType = 3, Array[Byte](0, 1, 2, 0, 3, 4)))
+    }
+    // unknown filter type inside a structurally valid stream
+    intercept[IllegalArgumentException] {
+      PngCodec.decode(handPng(2, 2, colorType = 0, Array[Byte](9, 1, 2, 0, 3, 4)))
+    }
+    // declared geometry larger than the inflated stream
+    intercept[IllegalArgumentException] {
+      PngCodec.decode(handPng(4, 4, colorType = 0, Array[Byte](0, 1, 2, 0, 3, 4)))
+    }
+  }
+
+  test("extractFeatures decodes real PNG payloads end to end") {
+    val docs = Seq((1L, "abcd"), (2L, "")).toDF("doc_id", "text")
+    val out = Multimodal.extractFeatures(spark, Multimodal.attachPngPayload(docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    // doc 1: w=17,h=17; gray pixels cycle 'a'..'d' — same values as the BMP
+    // twin, but recovered through inflate + unfilter
+    val (w, h) = (17, 17)
+    val t = "abcd".getBytes("UTF-8").map(_ & 0xff)
+    val n = w * h
+    val pixSum = (0 until n).map(i => t(i % t.length)).sum
+    assert(out(1L).mean_luma == pixSum.toDouble / n / 255.0)
+    assert(out(1L).thumb_w == w / 2 && out(1L).thumb_h == h / 2)
+    assert(out(2L).mean_luma == 0.0, "empty text renders an all-black image")
+  }
+
   test("sampleFrames emits every k-th block with the right byte slice") {
     val df = Multimodal.sampleFrames(media.filter(col("doc_id") === 3), everyK = 1, blockBytes = 4)
     val rows = df.select("frame_idx", "frame_bytes").as[(Int, Array[Byte])]
