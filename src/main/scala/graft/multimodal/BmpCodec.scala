@@ -66,12 +66,18 @@ object BmpCodec {
     val height = rdLe4(bytes, 22)
     val bpp = rdLe2(bytes, 28)
     val compression = rdLe4(bytes, 30)
-    require(width > 0 && height > 0, s"unsupported BMP geometry ${width}x$height")
+    // bound geometry BEFORE multiplying and check sizes in Long, so a
+    // hostile header (width ~ 2^30, negative dataOffset) fails the
+    // documented way instead of overflowing into an array fault
+    require(dataOffset >= 54 && dataOffset <= bytes.length,
+      s"BMP pixel-data offset $dataOffset out of range")
+    require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
+      s"unsupported BMP geometry ${width}x$height")
     require(bpp == 24 && compression == 0,
       s"only 24-bpp uncompressed BMP supported (got bpp=$bpp compression=$compression)")
     val rowBytes = width * 3
     val pad = (4 - rowBytes % 4) % 4
-    require(bytes.length >= dataOffset + (rowBytes + pad) * height,
+    require(bytes.length >= dataOffset.toLong + (rowBytes.toLong + pad) * height,
       "truncated BMP pixel data")
     var sum = 0L
     var y = 0

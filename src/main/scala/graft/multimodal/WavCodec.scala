@@ -58,8 +58,13 @@ object WavCodec {
     while (off + 8 <= bytes.length && (dataOff < 0 || sampleRate < 0)) {
       val id = new String(bytes, off, 4)
       val len = rdLe4(bytes, off + 4)
+      // a corrupt/adversarial length (negative, or cancelling the +8
+      // advance) must fail loudly here — never stall the walker
+      require(len >= 0 && off + 8 + len <= bytes.length,
+        s"WAV: chunk '$id' length $len overruns payload")
       id match {
         case "fmt " =>
+          require(len >= 16, s"WAV: fmt chunk too short ($len bytes)")
           fmt = rdLe2(bytes, off + 8)
           channels = rdLe2(bytes, off + 10)
           sampleRate = rdLe4(bytes, off + 12)

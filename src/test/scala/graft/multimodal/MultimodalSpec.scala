@@ -82,6 +82,40 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { WavCodec.decode(wav) }
   }
 
+  test("WavCodec and BmpCodec fail fast on malformed/adversarial headers") {
+    import org.scalatest.concurrent.TimeLimits.failAfter
+    import org.scalatest.time.{Seconds, Span}
+    failAfter(Span(10, Seconds)) {
+      // negative RIFF chunk length of -8 cancels the walker's +8 advance —
+      // must throw, not loop forever (round-4 verdict finding)
+      val loopy = WavCodec.encode(Array[Short](1, 2, 3), 8000)
+      loopy(16) = 0xf8.toByte; loopy(17) = 0xff.toByte
+      loopy(18) = 0xff.toByte; loopy(19) = 0xff.toByte // fmt len = -8
+      intercept[IllegalArgumentException] { WavCodec.decode(loopy) }
+      // chunk length overrunning the payload
+      val overrun = WavCodec.encode(Array[Short](1, 2, 3), 8000)
+      overrun(42) = 0x7f.toByte // data len high byte -> huge
+      intercept[IllegalArgumentException] { WavCodec.decode(overrun) }
+      // undersized fmt chunk
+      val shortFmt = WavCodec.encode(Array[Short](1), 8000)
+      shortFmt(16) = 4 // fmt len 4 < 16
+      intercept[IllegalArgumentException] { WavCodec.decode(shortFmt) }
+
+      // BMP: hostile width ~2^30 used to overflow the Int size product
+      // past the truncation require (advice finding) — now bounded first
+      val wide = BmpCodec.encode(2, 2, Array[Byte](1, 2, 3, 4))
+      wide(21) = 0x40.toByte // width = 0x40000002
+      intercept[IllegalArgumentException] { BmpCodec.decode(wide) }
+      // negative / tiny pixel-data offset
+      val negOff = BmpCodec.encode(2, 2, Array[Byte](1, 2, 3, 4))
+      negOff(13) = 0x80.toByte // dataOffset sign bit
+      intercept[IllegalArgumentException] { BmpCodec.decode(negOff) }
+      val zeroOff = BmpCodec.encode(2, 2, Array[Byte](1, 2, 3, 4))
+      zeroOff(10) = 0 // dataOffset = 0 < 54
+      intercept[IllegalArgumentException] { BmpCodec.decode(zeroOff) }
+    }
+  }
+
   test("extractFeatures decodes real WAV payloads end to end") {
     val docs = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
     val out = Multimodal.extractFeatures(spark,
