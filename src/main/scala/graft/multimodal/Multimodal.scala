@@ -24,9 +24,13 @@ object Multimodal {
   case class MediaRow(doc_id: Long, payload: Array[Byte],
                       format: String, width: Int, height: Int)
 
-  /** Extracted features (what a decode/resize/feature stage emits). */
-  case class MediaFeatures(doc_id: Long, n_bytes: Long, frame_hash: Long,
-                           mean_luma: Double, thumb_w: Int, thumb_h: Int)
+  /** Extracted features (what a decode/resize/feature stage emits), with
+    * modality-NEUTRAL names: `intensity` is the mean normalized signal in
+    * [0,1] (image: luma; audio: absolute amplitude); `dim1`/`dim2` are the
+    * modality's integer dimensions (image: thumbnail w/h; audio: sample
+    * count / sample rate); `content_hash` fingerprints the raw payload. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, content_hash: Long,
+                           intensity: Double, dim1: Int, dim2: Int)
 
   /** Attach a deterministic fake payload + metadata to the documents table
     * (the corpus ships no binary media; payload = UTF-8 bytes of the text,
@@ -128,9 +132,9 @@ object Multimodal {
         sum += (r.payload(i) & 0xff)
         i += 1
       }
-      val luma = if (r.payload.length == 0) 0.0
-                 else sum.toDouble / r.payload.length / 255.0
-      MediaFeatures(r.doc_id, r.payload.length.toLong, h, luma,
+      val intensity = if (r.payload.length == 0) 0.0
+                      else sum.toDouble / r.payload.length / 255.0
+      MediaFeatures(r.doc_id, r.payload.length.toLong, h, intensity,
         math.max(r.width / 2, 1), math.max(r.height / 2, 1))
     }
   }
@@ -151,22 +155,21 @@ object Multimodal {
           case r if r.format == "image/bmp" =>
             val d = BmpCodec.decode(r.payload)
             MediaFeatures(r.doc_id, r.payload.length.toLong,
-              frame_hash = 0L, mean_luma = d.meanLuma,
-              thumb_w = math.max(d.width / 2, 1), thumb_h = math.max(d.height / 2, 1))
+              content_hash = 0L, intensity = d.meanLuma,
+              dim1 = math.max(d.width / 2, 1), dim2 = math.max(d.height / 2, 1))
           case r if r.format == "image/png" =>
             val d = PngCodec.decode(r.payload)
             MediaFeatures(r.doc_id, r.payload.length.toLong,
-              frame_hash = 0L, mean_luma = d.meanLuma,
-              thumb_w = math.max(d.width / 2, 1), thumb_h = math.max(d.height / 2, 1))
+              content_hash = 0L, intensity = d.meanLuma,
+              dim1 = math.max(d.width / 2, 1), dim2 = math.max(d.height / 2, 1))
           case r if r.format == "audio/wav" =>
-            // REAL audio decode: mean_luma carries the normalized mean
-            // absolute amplitude (the shared "intensity" feature slot);
-            // thumb_w/h carry sample count (lo/hi 16 bits unused: count
-            // fits an int) and sample rate
+            // REAL audio decode: intensity carries the normalized mean
+            // absolute amplitude; dim1/dim2 carry sample count (fits an
+            // int) and sample rate
             val d = WavCodec.decode(r.payload)
             MediaFeatures(r.doc_id, r.payload.length.toLong,
-              frame_hash = 0L, mean_luma = d.meanAbsAmplitude,
-              thumb_w = d.nSamples, thumb_h = d.sampleRate)
+              content_hash = 0L, intensity = d.meanAbsAmplitude,
+              dim1 = d.nSamples, dim2 = d.sampleRate)
           case r => StubDecoder.decode(r)
         }
       }

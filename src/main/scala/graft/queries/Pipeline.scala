@@ -582,15 +582,15 @@ object Pipeline {
     * certified where the stub is arithmetic (mean-luma = payload byte sum
     * / length / 255, thumbnail halving, byte counts): DuckDB reproduces
     * the UTF-8 payload bytes via hex-pair extraction over encode(text).
-    * Only frame_hash (wrapping int64 polynomial) stays ScalaTest-pinned —
+    * Only content_hash (wrapping int64 polynomial) stays ScalaTest-pinned —
     * DuckDB BIGINT overflow throws rather than wraps. */
   val qMultimodalFeatures: Q = (s, d) =>
     Multimodal.extractFeatures(s, Multimodal.attachPayload(documents(s, d)))
       .toDF()
-      .agg(count(lit(1)).as("n"), dsum(col("mean_luma")).as("sum_luma"),
+      .agg(count(lit(1)).as("n"), dsum(col("intensity")).as("sum_luma"),
            sum(col("n_bytes")).as("total_bytes"),
-           sum(col("thumb_w").cast("long")).as("sum_thumb_w"),
-           sum(col("thumb_h").cast("long")).as("sum_thumb_h"))
+           sum(col("dim1").cast("long")).as("sum_thumb_w"),
+           sum(col("dim2").cast("long")).as("sum_thumb_h"))
 
   val qMultimodalFeaturesSql: String = s"""
     WITH f AS (

@@ -371,9 +371,9 @@ object Pipeline2 {
       .toDF()
       .agg(count(lit(1)).as("n"),
            sum(col("n_bytes")).as("total_bytes"),
-           dsum(col("mean_luma")).as("sum_luma"),
-           sum(col("thumb_w").cast("long")).as("sum_thumb_w"),
-           sum(col("thumb_h").cast("long")).as("sum_thumb_h"))
+           dsum(col("intensity")).as("sum_luma"),
+           sum(col("dim1").cast("long")).as("sum_thumb_w"),
+           sum(col("dim2").cast("long")).as("sum_thumb_h"))
 
   val qMultimodalBmpSql: String = s"""
     WITH f AS (
@@ -416,9 +416,9 @@ object Pipeline2 {
       graft.multimodal.Multimodal.attachPngPayload(documents(s, d)))
       .toDF()
       .agg(count(lit(1)).as("n"),
-           dsum(col("mean_luma")).as("sum_luma"),
-           sum(col("thumb_w").cast("long")).as("sum_thumb_w"),
-           sum(col("thumb_h").cast("long")).as("sum_thumb_h"))
+           dsum(col("intensity")).as("sum_luma"),
+           sum(col("dim1").cast("long")).as("sum_thumb_w"),
+           sum(col("dim2").cast("long")).as("sum_thumb_h"))
 
   val qMultimodalPngSql: String = s"""
     WITH f AS (
@@ -458,9 +458,9 @@ object Pipeline2 {
       .toDF()
       .agg(count(lit(1)).as("n"),
            sum(col("n_bytes")).as("total_bytes"),
-           dsum(col("mean_luma")).as("sum_amp"),
-           sum(col("thumb_w").cast("long")).as("total_samples"),
-           max(col("thumb_h")).cast("long").as("sample_rate"))
+           dsum(col("intensity")).as("sum_amp"),
+           sum(col("dim1").cast("long")).as("total_samples"),
+           max(col("dim2")).cast("long").as("sample_rate"))
 
   val qMultimodalWavSql: String = s"""
     WITH f AS (

@@ -19,10 +19,10 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(spark, media).collect().sortBy(_.doc_id)
     assert(feats.map(_.doc_id).toSeq == Seq(1L, 2L, 3L))
     assert(feats(0).n_bytes == 4L && feats(1).n_bytes == 0L)
-    assert(feats(1).mean_luma == 0.0)
+    assert(feats(1).intensity == 0.0)
     // deterministic fake: same payload -> same features
     val again = Multimodal.extractFeatures(spark, media).collect().sortBy(_.doc_id)
-    assert(feats.map(_.frame_hash).toSeq == again.map(_.frame_hash).toSeq)
+    assert(feats.map(_.content_hash).toSeq == again.map(_.content_hash).toSeq)
   }
 
   test("BmpCodec: golden 2x2 image encodes to exact BMP bytes and decodes back") {
@@ -56,11 +56,11 @@ class MultimodalSpec extends SparkSpec {
     val t = "abcd".getBytes("UTF-8").map(_ & 0xff)
     val n = w * h
     val pixSum = (0 until n).map(i => t(i % t.length)).sum
-    assert(out(1L).mean_luma == pixSum.toDouble / n / 255.0)
-    assert(out(1L).thumb_w == w / 2 && out(1L).thumb_h == h / 2)
+    assert(out(1L).intensity == pixSum.toDouble / n / 255.0)
+    assert(out(1L).dim1 == w / 2 && out(1L).dim2 == h / 2)
     val rowBytes = 3 * w; val pad = (4 - rowBytes % 4) % 4
     assert(out(1L).n_bytes == 54L + (rowBytes + pad) * h)
-    assert(out(2L).mean_luma == 0.0, "empty text renders an all-black image")
+    assert(out(2L).intensity == 0.0, "empty text renders an all-black image")
   }
 
   test("WavCodec: golden mono PCM round-trip with exact header bytes") {
@@ -123,10 +123,10 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(f => f.doc_id -> f).toMap
     // doc 1: samples cycle (|'a'-128|, |'b'-128|)*256 = (31, 30)*256
     val want = (0 until 64).map(i => math.abs((if (i % 2 == 0) 'a' else 'b') - 128) * 256L).sum
-    assert(out(1L).mean_luma == want.toDouble / 64 / 32768.0)
-    assert(out(1L).thumb_w == 64 && out(1L).thumb_h == 8000)
+    assert(out(1L).intensity == want.toDouble / 64 / 32768.0)
+    assert(out(1L).dim1 == 64 && out(1L).dim2 == 8000)
     assert(out(1L).n_bytes == 44L + 128)
-    assert(out(2L).mean_luma == 0.0, "empty text renders silence")
+    assert(out(2L).intensity == 0.0, "empty text renders silence")
   }
 
   // build a PNG by hand (signature + CRC'd chunks around a given zlib
@@ -219,9 +219,9 @@ class MultimodalSpec extends SparkSpec {
     val t = "abcd".getBytes("UTF-8").map(_ & 0xff)
     val n = w * h
     val pixSum = (0 until n).map(i => t(i % t.length)).sum
-    assert(out(1L).mean_luma == pixSum.toDouble / n / 255.0)
-    assert(out(1L).thumb_w == w / 2 && out(1L).thumb_h == h / 2)
-    assert(out(2L).mean_luma == 0.0, "empty text renders an all-black image")
+    assert(out(1L).intensity == pixSum.toDouble / n / 255.0)
+    assert(out(1L).dim1 == w / 2 && out(1L).dim2 == h / 2)
+    assert(out(2L).intensity == 0.0, "empty text renders an all-black image")
   }
 
   test("sampleFrames emits every k-th block with the right byte slice") {
