@@ -164,15 +164,23 @@ object Dedup {
 
   /** Connected components over near-dup pairs: the step that turns
     * pairwise dedup output into KEEP/DROP decisions (all transitively
-    * linked docs form one cluster; keep the min id). Iterative min-label
-    * propagation: each round, every node takes the min of its own and
-    * its neighbors' labels — converges in O(component diameter) rounds
-    * (dup clusters are dense, so diameter is small). Each round is one
-    * join + one aggregate; `localCheckpoint` cuts the growing lineage
-    * (the standard Spark iterative-algorithm discipline). Deterministic:
-    * labels are min ids, independent of partitioning and iteration
-    * internals. Throws if `maxIter` rounds don't reach the fixpoint —
-    * loud, never silently wrong.
+    * linked docs form one cluster; keep the min id). Each round combines
+    * min-label propagation (every node takes the min of its own and its
+    * neighbors' labels) with a POINTER-DOUBLING shortcut
+    * (`label(u) := label(label(u))` — label values are node ids, so the
+    * label table self-joins): propagation alone needs O(component
+    * diameter) synchronous rounds, which a high-diameter graph (10M-node
+    * path) turns into thousands; the shortcut halves remaining label-tree
+    * depth each round, giving O(log diameter) convergence — the
+    * hash-to-min bound — so maxIter=25 covers any graph below 2^25
+    * diameter. Shortcutting preserves both invariants propagation relies
+    * on: label(u) stays within u's component, and labels only decrease
+    * (label(u)=w implies label(w) <= w). Each round is two joins + one
+    * aggregate; `localCheckpoint` cuts the growing lineage (the standard
+    * Spark iterative-algorithm discipline). Deterministic: labels are min
+    * ids, independent of partitioning and iteration internals. Throws if
+    * `maxIter` rounds don't reach the fixpoint — loud, never silently
+    * wrong.
     *
     * Returns (id, label) for every id appearing in `pairs`, where label
     * = the component's minimum id. */
@@ -192,10 +200,17 @@ object Dedup {
       val neighborMin = sym
         .join(labels.select(col("id").as("v"), col("label").as("vl")), Seq("v"))
         .groupBy(col("u")).agg(min(col("vl")).as("nl"))
-      val next = labels
+      val propagated = labels
         .join(neighborMin.select(col("u").as("id"), col("nl")), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // pointer doubling: label := label(label). Every label value is a
+      // node id present in the table, so the left join always matches;
+      // coalesce is belt-and-braces.
+      val next = propagated
+        .join(propagated.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
         .localCheckpoint(true)
       // labels only ever decrease, so an unchanged sum IS the fixpoint
       val sumNext = checksum(next)
@@ -205,8 +220,8 @@ object Dedup {
       iter += 1
     }
     require(converged,
-      s"connectedComponents did not converge in $maxIter rounds — component " +
-        "diameter exceeds maxIter; raise it")
+      s"connectedComponents did not converge in $maxIter rounds — label-tree " +
+        "depth exceeds maxIter (log2 of component diameter); raise it")
     labels
   }
 

@@ -156,6 +156,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components converge on a path graph far beyond maxIter rounds") {
+    // a 1000-node path has diameter 999 — plain min-label propagation
+    // needs 999 synchronous rounds and would blow the maxIter=25 guard;
+    // the pointer-doubling shortcut must converge in ~log2(999)+1 rounds
+    val n = 1000L
+    val path = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(path, "a", "b") // default maxIter=25
+      .as[(Long, Long)].collect()
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 0L), "every path node must label to the min id 0")
+  }
+
   test("prefix-filtered ngram jaccard equals the naive quadratic definition") {
     // dense random corpus over a tiny vocabulary — heavy gram sharing, the
     // regime where a prefix-filter bug (too-short prefix, wrong order,
