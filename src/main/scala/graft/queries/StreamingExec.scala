@@ -17,16 +17,30 @@ object StreamingExec {
   /** Run a streaming DataFrame to completion into a memory sink and hand
     * back the materialized result. Query names are unique per invocation —
     * Verify and the two Bench passes run each entry repeatedly in one
-    * session. */
+    * session. The per-run temp checkpoint is deleted once the query stops
+    * (a bench run alone would otherwise leave 12+ orphan dirs). */
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {
     val qname = "stream_exec_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
     val q = df.writeStream.format("memory").queryName(qname)
-      .outputMode(mode).option("checkpointLocation", ckpt).start()
+      .outputMode(mode).option("checkpointLocation", ckpt.toString).start()
     try {
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      deleteRecursively(ckpt)
+    }
     df.sparkSession.table(qname)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverseIterator // children before parents
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
   }
 
   /** [[Streams.tumblingCounts]] executed AS A STREAM over the events
@@ -102,35 +116,44 @@ object StreamingExec {
     * aggregate the delivered long-form rows — certifying exactly-once
     * chunk delivery and decode against DuckDB's direct aggregation of
     * the same source rows. Store construction is deterministic per
-    * (sfDir, content), so repeated runs rebuild identical stores. */
+    * (sfDir, content) and CACHED per sfDir — repeated Verify/Bench
+    * invocations in one session tail the same store instead of
+    * accumulating orphan temp dirs (round-4 advice); the cached dir is
+    * removed on JVM exit. */
+  private val builtStores = scala.collection.concurrent.TrieMap.empty[String, String]
+
   val qStreamMdioExec: Q = (s, d) => {
     import graft.sources.MdioWriter
     import graft.spec.MdioSpec
     val n = 512L
-    // dense idx = rank of the 512 lowest orderkeys: every written chunk is
-    // contiguous, and store content is a deterministic function of the data
-    val first = Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_totalprice").cast("double").as("price"))
-      .orderBy(col("o_orderkey")).limit(n.toInt)
-    val idx = first.withColumn("idx",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("o_orderkey"))).cast("long") - 1L)
-    val dir = java.nio.file.Files.createTempDirectory("mdio_stream_q")
-      .resolve("orders.mdio").toString
-    MdioWriter.create(MdioSpec.fromJson(
-      s"""{
-         |  "metadata": {"name": "orders", "apiVersion": "v1.0",
-         |               "createdOn": "2026-01-01T00:00:00Z"},
-         |  "variables": [
-         |    {"name": "idx", "dataType": "int64",
-         |     "dimensions": [{"name": "idx", "size": $n}]},
-         |    {"name": "price", "dataType": "float64",
-         |     "dimensions": [{"name": "idx", "size": $n}],
-         |     "metadata": {"chunkGrid": {"name": "regular",
-         |       "configuration": {"chunkShape": [64]}}}}
-         |  ]
-         |}""".stripMargin), dir)
-    MdioWriter.writeVariable(s, idx.select("idx", "price"), dir, "price")
+    val dir = builtStores.getOrElseUpdate(d, {
+      // dense idx = rank of the 512 lowest orderkeys: every written chunk is
+      // contiguous, and store content is a deterministic function of the data
+      val first = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice").cast("double").as("price"))
+        .orderBy(col("o_orderkey")).limit(n.toInt)
+      val idx = first.withColumn("idx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("o_orderkey"))).cast("long") - 1L)
+      val tmpRoot = java.nio.file.Files.createTempDirectory("mdio_stream_q")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(tmpRoot)))
+      val store = tmpRoot.resolve("orders.mdio").toString
+      MdioWriter.create(MdioSpec.fromJson(
+        s"""{
+           |  "metadata": {"name": "orders", "apiVersion": "v1.0",
+           |               "createdOn": "2026-01-01T00:00:00Z"},
+           |  "variables": [
+           |    {"name": "idx", "dataType": "int64",
+           |     "dimensions": [{"name": "idx", "size": $n}]},
+           |    {"name": "price", "dataType": "float64",
+           |     "dimensions": [{"name": "idx", "size": $n}],
+           |     "metadata": {"chunkGrid": {"name": "regular",
+           |       "configuration": {"chunkShape": [64]}}}}
+           |  ]
+           |}""".stripMargin), store)
+      MdioWriter.writeVariable(s, idx.select("idx", "price"), store, "price")
+      store
+    })
     // tail the store as a stream; cells beyond the data in the last chunk
     // read as fill (0.0) — corpus prices are strictly positive, so the
     // present-cell predicate is exact
