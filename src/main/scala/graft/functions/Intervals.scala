@@ -21,7 +21,10 @@ object Intervals {
   /** Overlapping (aId, bId) pairs from interval tables `a` and `b`
     * (bounds in the same integer unit, inclusive ends). `bucket` is the
     * bucket width in those units. Exact: bucketization only routes
-    * candidates; the overlap predicate decides. */
+    * candidates; the overlap predicate decides. Both sides are renamed
+    * internally before the join, so callers may use identical column
+    * names on the two tables (or self-join a table with itself — when
+    * the two id columns share one name, outputs are suffixed `_a`/`_b`). */
   def overlapJoin(a: DataFrame, aId: String, aStart: String, aEnd: String,
                   b: DataFrame, bId: String, bStart: String, bEnd: String,
                   bucket: Long): DataFrame = {
@@ -34,10 +37,15 @@ object Intervals {
         explode(sequence(floor(col(s).cast("double") / bucket).cast("long"),
                          floor(col(e).cast("double") / bucket).cast("long"),
                          lit(1L))))
-    val ab = explodeBuckets(a.select(col(aId), col(aStart), col(aEnd)), aStart, aEnd)
-    val bb = explodeBuckets(b.select(col(bId), col(bStart), col(bEnd)), bStart, bEnd)
+    val ab = explodeBuckets(
+      a.select(col(aId).as("__a_id"), col(aStart).as("__a_start"), col(aEnd).as("__a_end")),
+      "__a_start", "__a_end")
+    val bb = explodeBuckets(
+      b.select(col(bId).as("__b_id"), col(bStart).as("__b_start"), col(bEnd).as("__b_end")),
+      "__b_start", "__b_end")
+    val (outA, outB) = if (aId == bId) (s"${aId}_a", s"${bId}_b") else (aId, bId)
     ab.join(bb, Seq("__bk"))
-      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
-      .select(col(aId), col(bId)).distinct()
+      .filter(col("__a_start") <= col("__b_end") && col("__b_start") <= col("__a_end"))
+      .select(col("__a_id").as(outA), col("__b_id").as(outB)).distinct()
   }
 }

@@ -59,13 +59,18 @@ object Vectors {
   /** Per-group centroids as FULL double vectors — one partial/final
     * aggregation of `dim` decimal-exact elementwise means per group (no
     * explode: one pass, 64 agg expressions wide). The result is tiny
-    * (groups × dim), built to broadcast back against the corpus. */
+    * (groups × dim), built to broadcast back against the corpus.
+    * Each element's denominator counts the rows that HAVE that element
+    * (try_element_at is null past a short vector's end — and does not
+    * throw under ANSI like element_at — and sum/count skip nulls;
+    * counting all rows would silently deflate means on ragged or null
+    * vectors), matching [[centroids]]' count(v) semantics. */
   def centroidVectors(df: DataFrame, groupCol: String, vecCol: String,
                       dim: Int): DataFrame =
     df.groupBy(col(groupCol).as("group"))
       .agg(array((0 until dim).map { i =>
-        sum(element_at(col(vecCol), i + 1).cast("double").cast("decimal(27,6)"))
-          .cast("double") / count(lit(1)).cast("double")
+        sum(try_element_at(col(vecCol), lit(i + 1)).cast("double").cast("decimal(27,6)"))
+          .cast("double") / count(try_element_at(col(vecCol), lit(i + 1))).cast("double")
       }: _*).as("centroid"))
 
   /** Embedding outlier detection: the `k` vectors of each group FARTHEST

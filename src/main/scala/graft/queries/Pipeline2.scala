@@ -79,8 +79,11 @@ object Pipeline2 {
 
   /** Greedy sequence packing into ~512-token training windows within
     * (lang, source) groups, reported per language: bins used, documents
-    * and tokens packed. Bins are contiguous 0..max per group, so
-    * n_bins = Σ(max+1) — no multi-column distinct needed. */
+    * and tokens packed. Bin ids are nondecreasing per group, so
+    * n_bins = Σ(max+1) is an upper bound on bins actually used; it equals
+    * the exact count when no document exceeds 2× targetTokens (a longer
+    * doc makes bin = floor(cum_before/target) skip indices). The oracle
+    * computes the identical formula, so the gate is exact either way. */
   val qPipelinePack: Q = (s, d) => {
     val packed = Curation.packSequences(documents(s, d),
       textCol = "text", orderCol = "doc_id",

@@ -43,6 +43,30 @@ class IntervalsSpec extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("shared column names across sides and self-joins both work") {
+    // both tables use identical column names (the common caller shape) —
+    // the internal __a_/__b_ renames must prevent ambiguous references
+    val as = randomIntervals(11, 40, 1500)
+    val bs = randomIntervals(12, 40, 1500)
+    val a = as.toDF("id", "start", "end")
+    val b = bs.toDF("id", "start", "end")
+    val got = Intervals.overlapJoin(a, "id", "start", "end",
+      b, "id", "start", "end", bucket = 128L)
+    assert(got.columns.toSeq == Seq("id_a", "id_b"), "self-name outputs suffixed")
+    val pairs = got.as[(Long, Long)].collect().toSet
+    val want = (for {
+      (ai, asr, ae) <- as
+      (bi, bsr, be) <- bs
+      if asr <= be && bsr <= ae
+    } yield (ai, bi)).toSet
+    assert(pairs == want)
+    // literal self-join: overlaps of a table with itself
+    val self = Intervals.overlapJoin(a, "id", "start", "end",
+      a, "id", "start", "end", bucket = 128L).as[(Long, Long)].collect().toSet
+    assert(as.forall { case (i, _, _) => self.contains((i, i)) },
+      "every interval overlaps itself")
+  }
+
   test("the plan equi-joins on buckets: no cartesian, no nested loop") {
     val a = randomIntervals(9, 50, 2000).toDF("a_id", "a_start", "a_end")
     val b = randomIntervals(10, 50, 2000).toDF("b_id", "b_start", "b_end")

@@ -130,6 +130,21 @@ class VectorsSpec extends SparkSpec {
     assert(out(("b", 0)) == 10.0 && out(("b", 1)) == 20.0)
   }
 
+  test("centroidVectors: ragged/null vectors use per-element denominators") {
+    // group "a": one full vector, one short, one null — element 1 averages
+    // over 2 rows, element 2 over 1 row (count(all rows)=3 would silently
+    // deflate both means; advice finding)
+    val df = Seq(
+      (1L, Some(Seq(2.0f, 6.0f)), "a"),
+      (2L, Some(Seq(4.0f)), "a"),
+      (3L, Option.empty[Seq[Float]], "a"),
+      (4L, Some(Seq(1.0f, 1.0f)), "b")).toDF("vec_id", "embedding", "label")
+    val out = Vectors.centroidVectors(df, "label", "embedding", dim = 2)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(out("a") == Seq(3.0, 6.0), s"ragged group means wrong: ${out("a")}")
+    assert(out("b") == Seq(1.0, 1.0))
+  }
+
   test("embeddingOutliers flags the vector farthest from its group centroid") {
     // group "a": three near-identical vectors plus one pointing away
     val df = Seq(
