@@ -100,8 +100,13 @@ final class MdioMicroBatchStream(path: String, dims: Seq[String],
         // v2 floor is in chunk units directly (no shards in v2): a name
         // whose first component is below the floor's head names a key
         // strictly below the floor — below-floor keys can never plan
-        // again, so drop them before parse/sort
+        // again, so drop them before sort. Within the head slab
+        // (first component == floor head) the SECOND component prunes
+        // the same way: (f0, x, ...) sorts below (f0, f1, ...) whenever
+        // x < f1 — so an append storm inside the current leading slab
+        // keeps the retained set O(new data) too, not O(slab history).
         val floor0 = if (floorKey.isEmpty) Long.MinValue else floorKey.head
+        val floor1 = if (floorKey.size >= 2) floorKey(1) else Long.MinValue
         val names = arrayDir.list().filter(p => p.isFile && !p.name.startsWith("."))
         MdioMicroBatchStream.lastListed = names.size
         val coords = names
@@ -109,7 +114,8 @@ final class MdioMicroBatchStream(path: String, dims: Seq[String],
           .collect { case parts if parts.length == rank && parts.forall(_.forall(_.isDigit)) =>
             parts.map(_.toLong)
           }
-          .filter(_.head >= floor0)
+          .filter(c => c.head > floor0 ||
+            (c.head == floor0 && (rank < 2 || c(1) >= floor1)))
         MdioMicroBatchStream.lastRetained = coords.size
         coords
       }

@@ -106,12 +106,14 @@ class MdioStreamSourceSpec extends SparkSpec {
     assert(first.key == Vector(1L, 1L))
     assert(MdioMicroBatchStream.lastListed == 4 && MdioMicroBatchStream.lastRetained == 4)
     stream.commit(first)
-    // history (chunk row 0 and the committed row 1) must drop at parse on
-    // the next listing: only names at/above the floor's leading component
-    // survive into the sort/plan set
+    // history must drop at parse on the next listing: chunk row 0 falls to
+    // the leading-component floor, and (1,0) — sub-leading history WITHIN
+    // the head slab — falls to the second-component floor, leaving only
+    // the floor chunk itself in the sort/plan set (an append storm inside
+    // the current leading slab stays O(new data) too)
     stream.latestOffset()
     assert(MdioMicroBatchStream.lastListed == 4, "flat namespace still lists in full")
-    assert(MdioMicroBatchStream.lastRetained == 2,
+    assert(MdioMicroBatchStream.lastRetained == 1,
       s"below-floor names must drop at parse, retained ${MdioMicroBatchStream.lastRetained}")
     // and a below-floor backfill row never re-plans even while retained=row1
     val after = stream.latestOffset().asInstanceOf[MdioStreamOffset]
