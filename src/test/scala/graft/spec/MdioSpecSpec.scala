@@ -140,11 +140,15 @@ class MdioSpecSpec extends AnyFunSuite {
     // reference aliases + defaults resolve
     val v = MdioSpec.fromJson(withComp("""{"name": "blosc"}""")).variable("image")
     assert(v.blosc.contains(graft.zarr.ChunkCodec.Blosc("lz4", 5, 1)))
-    // clevel out of range / unsupported cname / bitshuffle all reject
+    // the full BloscCname enum resolves (blosclz and snappy included)
+    for (cname <- Seq("lz4", "lz4hc", "blosclz", "snappy", "zlib", "zstd"))
+      assert(MdioSpec.fromJson(withComp(s"""{"name": "blosc", "cname": "$cname"}"""))
+        .variable("image").blosc.exists(_.cname == cname))
+    // clevel out of range / unknown cname / bitshuffle all reject
     intercept[IllegalArgumentException](
       MdioSpec.fromJson(withComp("""{"name": "blosc", "clevel": 12}""")))
     intercept[IllegalArgumentException](
-      MdioSpec.fromJson(withComp("""{"name": "blosc", "cname": "snappy"}""")))
+      MdioSpec.fromJson(withComp("""{"name": "blosc", "cname": "lzma"}""")))
     intercept[IllegalArgumentException](
       MdioSpec.fromJson(withComp("""{"name": "blosc", "shuffle": "bitshuffle"}""")))
   }
