@@ -32,7 +32,19 @@ object MdioDemo {
         |    {"name": "image_blosc", "dataType": "float32",
         |     "dimensions": [{"name": "inline", "size": 6}, {"name": "crossline", "size": 4}],
         |     "compressor": {"name": "blosc", "cname": "zlib", "clevel": 5, "shuffle": 1},
-        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [3, 2]}}}}
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [3, 2]}}}},
+        |    {"name": "trace", "dataType": "int64",
+        |     "dimensions": [{"name": "trace", "size": 32}]},
+        |    {"name": "sample", "dataType": "int64",
+        |     "dimensions": [{"name": "sample", "size": 64}]},
+        |    {"name": "ampl_lz", "dataType": "float32",
+        |     "dimensions": [{"name": "trace", "size": 32}, {"name": "sample", "size": 64}],
+        |     "compressor": {"name": "blosc", "cname": "blosclz", "clevel": 5, "shuffle": 1},
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [16, 64]}}}},
+        |    {"name": "ampl_snappy", "dataType": "float32",
+        |     "dimensions": [{"name": "trace", "size": 32}, {"name": "sample", "size": 64}],
+        |     "compressor": {"name": "blosc", "cname": "snappy", "clevel": 5, "shuffle": 1},
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [16, 64]}}}}
         |  ]
         |}""".stripMargin)
     MdioWriter.delete0(path)
@@ -41,6 +53,12 @@ object MdioDemo {
     MdioWriter.writeVariable(spark, cells.toDF("inline", "crossline", "image"), path, "image")
     MdioWriter.writeVariable(spark,
       cells.toDF("inline", "crossline", "image_blosc"), path, "image_blosc")
+    // blosclz + snappy cnames on 4 KiB chunks (big enough that the LZ
+    // backends actually engage): graft writes, python independently decodes
+    val big = for { t <- 0L until 32L; sm <- 0L until 64L }
+      yield (t, sm, ((t * 64 + sm) % 1000).toFloat / 4.0f)
+    MdioWriter.writeVariable(spark, big.toDF("trace", "sample", "ampl_lz"), path, "ampl_lz")
+    MdioWriter.writeVariable(spark, big.toDF("trace", "sample", "ampl_snappy"), path, "ampl_snappy")
     println(s"[demo] wrote $path")
 
     // v3 SHARDED twin for the cross-implementation check

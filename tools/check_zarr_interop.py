@@ -62,8 +62,27 @@ def main(path: str) -> int:
     if not np.array_equal(blosc_img, want):
         print("FAIL image_blosc mismatch\n", blosc_img, "\nwant\n", want)
         return 1
+    # blosclz + snappy cnames on 4 KiB chunks: the graft-written frames must
+    # carry the right codec ids AND genuinely compress (no memcpy fallback),
+    # and the independent python blosclz/snappy decoders must reproduce the
+    # values exactly
+    want_big = (((np.arange(32)[:, None] * 64 + np.arange(64)[None, :]) % 1000)
+                .astype("<f4")) / 4.0
+    for name, cname, codec_id in (("ampl_lz", "blosclz", 0),
+                                  ("ampl_snappy", "snappy", 3)):
+        m = json.loads((root / name / ".zarray").read_text())
+        assert m["compressor"]["cname"] == cname, m["compressor"]
+        frame = (root / name / "0.0").read_bytes()
+        flags = frame[2]
+        assert not flags & 0x2, f"{name}: memcpy fallback — codec never engaged"
+        assert (flags >> 5) & 0x7 == codec_id, f"{name}: codec id {(flags >> 5) & 0x7}"
+        arr = read_array(root, name)
+        if not np.array_equal(arr, want_big):
+            print(f"FAIL {name} mismatch")
+            return 1
     print(f"ok   zarr-v2 interop: image {img.shape} {img.dtype} matches, "
-          f"blosc+shuffle chunks decode independently, "
+          f"blosc+shuffle chunks decode independently "
+          f"(zlib, blosclz and snappy cnames), "
           f"consolidated metadata + _ARRAY_DIMENSIONS present")
     return 0
 
