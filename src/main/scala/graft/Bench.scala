@@ -91,6 +91,9 @@ object Bench {
     "sort_zorder" -> 0.245, "agg_quantile_portable" -> 0.625,
     "dedup_components" -> 10.853, "ann_batch" -> 0.492,
     "text_decontaminate" -> 0.900, "text_repetition" -> 0.315,
+    // comparator: text_decontaminate (same gram machinery; the bloom probe
+    // is map-only so it should come in at or under the exact sweep)
+    "text_decontaminate_bloom" -> 0.900,
     "pipeline_pack" -> 0.424, "pipeline_sample_weighted" -> 0.298,
     "pipeline_quota" -> 0.551, "pipeline_recipe" -> 1.094,
     "text_chunk" -> 1.100, "agg_embedding_centroid" -> 0.400,

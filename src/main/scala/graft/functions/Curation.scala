@@ -43,6 +43,65 @@ object Curation {
       .filter(col("n_shared") >= minOverlap)
   }
 
+  /** Polynomial string hash h = fold((acc·base + codepoint) mod 2^31−1)
+    * — the portable family ([[TextFunctions.rollingHash]] rationale):
+    * pure integer arithmetic both engines reproduce bit-for-bit. */
+  private def polyHash(s: Column, base: Long): Column =
+    aggregate(split(s, ""), lit(0L),
+      (acc, c) => (acc * lit(base) + ascii(c)) % lit(2147483647L))
+
+  /** BLOOM-GATED decontamination — the bounded-memory form of
+    * [[decontaminate]] for when the held-out suite is NOT small: the exact
+    * sweep broadcasts the benchmark's full distinct-gram set (unbounded —
+    * a large eval suite is GBs of grams), while this pass compresses it
+    * into an `mBits`-bit Bloom filter (two portable polynomial hashes per
+    * gram) that stays a few KB NO MATTER how large the benchmark grows.
+    * The probe is then a pure MAP over the corpus: per document, count
+    * distinct grams whose two bits are both set — no join at all, the
+    * whole probe inside whole-stage codegen.
+    *
+    * Returns (idCol, n_hits) for documents with at least `minOverlap`
+    * gram hits. Flags a deterministic SUPERSET of the exact sweep: Bloom
+    * false positives (rate ≈ (1−e^{−2n/m})² for n grams in m bits) can
+    * only ADD hits, never lose one — the safe direction for
+    * decontamination; chase with [[decontaminate]] on the flagged slice
+    * when exactness matters. Both hash functions are the portable
+    * polynomial family, so the filter — including its false positives —
+    * is reproduced bit-for-bit by the DuckDB oracle. */
+  def decontaminateBloom(train: DataFrame, eval: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 3, minOverlap: Long = 3L,
+                         mBits: Int = 1 << 16): DataFrame = {
+    graft.GraftFunctions.register(train.sparkSession)
+    require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
+    val gramsCol: Column =
+      array_distinct(call_function("word_ngrams",
+        TextFunctions.tokens(col(textCol)), lit(k)))
+    def bitPos(g: Column, base: Long): Column = polyHash(g, base) % lit(mBits.toLong)
+    // build: benchmark grams -> 2 bit positions each -> OR into m/64 words.
+    // The aggregated word table is at most mBits/64 rows (8 KiB at the
+    // default) — THAT is the collect bound, independent of benchmark size.
+    val positions = eval.select(explode(gramsCol).as("gram"))
+      .distinct()
+      .select(explode(array(bitPos(col("gram"), 131L), bitPos(col("gram"), 137L))).as("p"))
+      .select(shiftright(col("p"), 6).as("w"),
+        call_function("shiftleft", lit(1L), col("p").bitwiseAND(lit(63L)).cast("int")).as("b"))
+      .groupBy(col("w")).agg(call_function("bit_or", col("b")).as("bits"))
+    val words = new Array[Long](mBits / 64)
+    positions.collect().foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val bloom = typedlit(words.toSeq)
+    // probe: map-only — count a document's distinct grams with both bits set
+    def hit(g: Column, base: Long): Column = {
+      val p = bitPos(g, base)
+      (element_at(bloom, shiftright(p, 6).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), p.bitwiseAND(lit(63L)).cast("int")))) =!= lit(0L)
+    }
+    train
+      .select(col(idCol), aggregate(gramsCol, lit(0L),
+        (acc, g) => acc + when(hit(g, 131L) && hit(g, 137L), 1L).otherwise(0L)).as("n_hits"))
+      .filter(col("n_hits") >= minOverlap)
+  }
+
   /** Intra-document repetition ratio in [0,1]: 1 − |distinct tokens| /
     * |tokens| (0 = every token unique, →1 = heavy repetition). The
     * Gopher-style repetition quality gate, as a map-only column

@@ -55,6 +55,70 @@ object Pipeline2 {
            COALESCE(MIN(doc_id), -1) AS first_doc
     FROM ov"""
 
+  /** Bloom-gated contamination sweep — the bounded-broadcast form: the
+    * benchmark gram set compresses into a 2^16-bit Bloom filter (two
+    * portable polynomial hashes), and the corpus probe is a pure MAP (no
+    * join). Flags a deterministic superset of the exact sweep; DuckDB
+    * rebuilds the identical filter — false positives included — so the
+    * oracle certifies it bit-for-bit. */
+  val qTextDecontaminateBloom: Q = (s, d) => {
+    val docs = documents(s, d)
+    Curation.decontaminateBloom(
+      train = docs.filter(col("doc_id") % 97 =!= 0),
+      eval = docs.filter(col("doc_id") % 97 === 0),
+      idCol = "doc_id", textCol = "text", k = 3, minOverlap = 3L)
+      .agg(count(lit(1)).as("n_flagged"),
+           coalesce(sum(col("n_hits")), lit(0L)).as("total_hits"),
+           coalesce(min(col("doc_id")), lit(-1L)).as("first_doc"))
+  }
+
+  /** The portable polynomial gram hash, DuckDB spelling (sampleWeighted's
+    * digit-fold pattern, over the gram's codepoints). */
+  private def sqlGramHash(base: Int): String = s"""
+    |list_reduce(list_prepend(CAST(0 AS BIGINT),
+    |  list_transform(list_filter(string_split(gram, ''), c -> c <> ''),
+    |    c -> CAST(unicode(c) AS BIGINT))),
+    |  (acc, x) -> (acc * $base + x) % 2147483647)""".stripMargin
+
+  val qTextDecontaminateBloomSql: String = {
+    val m = 1 << 16
+    // DuckDB's << range-checks BIGINT shifts, so bit 63 (the sign bit)
+    // needs the (1<<62)*-2 spelling of Long.MinValue
+    def mask(p: String) =
+      s"""CASE WHEN $p % 64 = 63 THEN (CAST(1 AS BIGINT) << 62) * -2
+         |     ELSE CAST(1 AS BIGINT) << CAST($p % 64 AS INT) END""".stripMargin
+    s"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct($sqlTrigrams)) AS gram FROM t),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    evp AS (
+      SELECT unnest([${sqlGramHash(131)} % $m, ${sqlGramHash(137)} % $m]) AS p
+      FROM ev),
+    bloom AS (
+      SELECT p // 64 AS w, bit_or(${mask("p")}) AS bits
+      FROM evp GROUP BY 1),
+    tr AS (
+      SELECT doc_id, gram,
+             ${sqlGramHash(131)} % $m AS p1,
+             ${sqlGramHash(137)} % $m AS p2
+      FROM g WHERE doc_id % 97 <> 0),
+    hits AS (
+      SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM tr
+      JOIN bloom b1 ON b1.w = tr.p1 // 64
+        AND (b1.bits & (${mask("tr.p1")})) <> 0
+      JOIN bloom b2 ON b2.w = tr.p2 // 64
+        AND (b2.bits & (${mask("tr.p2")})) <> 0
+      GROUP BY 1 HAVING COUNT(*) >= 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_flagged,
+           COALESCE(CAST(SUM(n_hits) AS BIGINT), 0) AS total_hits,
+           COALESCE(MIN(doc_id), -1) AS first_doc
+    FROM hits"""
+  }
+
   // ---- repetition gate -----------------------------------------------------
 
   /** Distribution of the intra-document repetition ratio (1 − distinct/
@@ -563,6 +627,7 @@ object Pipeline2 {
     "pipeline_recipe"          -> qPipelineRecipe,
     "pipeline_quota"           -> qPipelineQuota,
     "text_decontaminate"       -> qTextDecontaminate,
+    "text_decontaminate_bloom" -> qTextDecontaminateBloom,
     "text_repetition"          -> qTextRepetition,
     "pipeline_pack"            -> qPipelinePack,
     "pipeline_sample_weighted" -> qPipelineSampleWeighted,
@@ -581,6 +646,7 @@ object Pipeline2 {
     "pipeline_recipe"          -> qPipelineRecipeSql,
     "pipeline_quota"           -> qPipelineQuotaSql,
     "text_decontaminate"       -> qTextDecontaminateSql,
+    "text_decontaminate_bloom" -> qTextDecontaminateBloomSql,
     "text_repetition"          -> qTextRepetitionSql,
     "pipeline_pack"            -> qPipelinePackSql,
     "pipeline_sample_weighted" -> qPipelineSampleWeightedSql,

@@ -30,6 +30,30 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("decontaminateBloom flags a superset of the exact sweep, map-only probe") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // 3 shared trigrams
+      (2L, "alpha beta gamma xyz qqq www"),        // 1 shared
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) = df.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val exact1 = ids(Curation.decontaminate(train, bench, "doc_id", "text", 3, 1L))
+    val bloomDf = Curation.decontaminateBloom(train, bench, "doc_id", "text", 3, 1L)
+    val bloom1 = ids(bloomDf)
+    assert(exact1.subsetOf(bloom1), "bloom must never lose an exact hit")
+    // at 2^16 bits over a handful of grams, no false positive fits: equal
+    assert(bloom1 == exact1)
+    assert(ids(Curation.decontaminateBloom(train, bench, "doc_id", "text", 3, 3L)) == Set(1L))
+    // a deliberately tiny filter (64 bits) collides hard — still a superset
+    val tiny = ids(Curation.decontaminateBloom(train, bench, "doc_id", "text", 3, 1L, mBits = 64))
+    assert(exact1.subsetOf(tiny))
+    // the probe is a pure map: no join anywhere in the probe plan
+    val plan = bloomDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Join"), plan.take(400))
+  }
+
   test("repetitionRatio: 0 for all-distinct, high for repeated tokens") {
     val df = Seq(
       (1L, "a b c d"),          // 0.0
