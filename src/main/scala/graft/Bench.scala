@@ -90,6 +90,9 @@ object Bench {
     "ann_int8" -> 0.759, "pipeline_split" -> 0.232,
     "sort_zorder" -> 0.245, "agg_quantile_portable" -> 0.625,
     "dedup_components" -> 10.853, "ann_batch" -> 0.492,
+    // comparator: dedup_components (same pair join + closure dominate;
+    // the extra score join + per-cluster window are noise at that scale)
+    "dedup_keep_best" -> 10.853,
     "text_decontaminate" -> 0.900, "text_repetition" -> 0.315,
     // comparator: text_decontaminate (same gram machinery; the bloom probe
     // is map-only so it should come in at or under the exact sweep)

@@ -225,6 +225,34 @@ object Dedup {
     labels
   }
 
+  /** Pairs + a quality score → per-document KEEP/DROP decisions: cluster
+    * with [[connectedComponents]], then keep the HIGHEST-quality member
+    * of each cluster (ties by min id) — the pick-the-best-copy dedup
+    * policy. Min-id keep (the [[exactDups]] convention) discards
+    * better-written duplicates whenever the best copy happens to carry a
+    * larger id; production pipelines resolve clusters by quality.
+    *
+    * Returns (id, label, keep) for every id appearing in `pairs`
+    * (documents in no pair are trivially kept and not emitted).
+    *
+    * Scale shape: the label table only holds documents that occur in
+    * dup pairs (a small fraction of the corpus); one equi-join attaches
+    * scores, one window per cluster picks the keeper — no corpus-wide
+    * shuffle beyond the join on id. */
+  def keepBest(pairs: DataFrame, aCol: String, bCol: String,
+               docs: DataFrame, idCol: String, score: Column,
+               maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = connectedComponents(pairs, aCol, bCol, maxIter)
+    val scored = labels.join(
+      docs.select(col(idCol).cast("long").as("id"), score.as("__score")), Seq("id"))
+    scored
+      .withColumn("keep", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("__score").desc, col("id").asc)) === 1)
+      .select(col("id"), col("label"), col("keep"))
+  }
+
   /** 64-bit SimHash of the token stream: bit j is the sign of
     * sum_i(+1/-1 by bit j of xxhash64(token_i)). Single pass, map-only:
     * one aggregate per bit over the hashed-token array. */

@@ -162,6 +162,66 @@ object Pipeline {
     comp AS (SELECT id, MIN(x) AS label FROM r GROUP BY id)
     SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members FROM comp GROUP BY label"""
 
+  /** Clusters → keep decisions by QUALITY: the same n-gram Jaccard
+    * components, resolved by keeping each cluster's highest
+    * [[TextFunctions.qualityScore]] member (ties by min id) instead of
+    * blindly keeping the min id — the production dedup policy. The score
+    * is IEEE-exact portable arithmetic, so DuckDB recomputes the closure
+    * (recursive CTE), the scores, and the per-cluster argmax identically. */
+  val qDedupKeepBest: Q = (s, d) => {
+    val docs = documents(s, d)
+    val pairs = Dedup.ngramJaccardDups(docs, "doc_id", "text",
+      blockCol = col("lang"), shingleK = 2, threshold = 0.25)
+    Dedup.keepBest(pairs, "id_a", "id_b", docs, "doc_id",
+      TF.qualityScore(col("text")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+           max(when(col("keep"), col("id"))).as("keep_id"))
+  }
+
+  val qDedupKeepBestSql: String = """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, len(string_split(trim(text), ' ')) - 0),
+               i -> string_split(trim(text), ' ')[i] || ' ' ||
+                    string_split(trim(text), ' ')[i+1])) AS grams
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+            GREATEST(CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 1.0) >= 0.25),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    r(id, x) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.id, e.v FROM r JOIN edges e ON r.x = e.u),
+    comp AS (SELECT id, MIN(x) AS label FROM r GROUP BY id),
+    tq AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents),
+    q AS (
+      SELECT doc_id,
+             (CASE WHEN len(toks) >= 20 AND len(toks) <= 1000 THEN 1.0
+                   WHEN len(toks) >= 5 THEN 0.5 ELSE 0.0 END) * 0.4
+             + (CAST(len(list_distinct(toks)) AS DOUBLE) /
+                GREATEST(CAST(len(toks) AS DOUBLE), 1.0)) * 0.4
+             + (CASE WHEN CAST(len(list_filter(toks, t -> list_contains(
+                      ['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) /
+                      GREATEST(CAST(len(toks) AS DOUBLE), 1.0) BETWEEN 0.05 AND 0.6
+                     THEN 1.0 ELSE 0.25 END) * 0.2 AS score
+      FROM tq),
+    best AS (
+      SELECT comp.id, comp.label,
+             ROW_NUMBER() OVER (PARTITION BY comp.label
+                                ORDER BY q.score DESC, comp.id ASC) AS rnk
+      FROM comp JOIN q ON q.doc_id = comp.id)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(CASE WHEN rnk = 1 THEN id END) AS keep_id
+    FROM best GROUP BY label"""
+
   /** Embedding-cosine near-dup pairs via banded hyperplane LSH: 8 bands ×
     * 8 bits — per-band buckets of ~N/256 (sub-quadratic verification) at
     * ~0.94 recall for cos ≥ 0.9 pairs. ORACLE-CHECKED: the hyperplanes
@@ -723,6 +783,7 @@ object Pipeline {
     "dedup_simhash"        -> qDedupSimhash,
     "dedup_ngram_jaccard"  -> qDedupNgramJaccard,
     "dedup_components"     -> qDedupComponents,
+    "dedup_keep_best"      -> qDedupKeepBest,
     "dedup_embedding"      -> qDedupEmbedding,
     "ann_brute_force"      -> qAnnBruteForce,
     "ann_lsh"              -> qAnnLsh,
@@ -754,6 +815,7 @@ object Pipeline {
     "dedup_exact"         -> qDedupExactSql,
     "dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     "dedup_components"    -> qDedupComponentsSql,
+    "dedup_keep_best"     -> qDedupKeepBestSql,
     "ann_brute_force"     -> qAnnBruteForceSql,
     "ann_int8"            -> qAnnInt8Sql,
     "ann_batch"           -> qAnnBatchSql,

@@ -156,6 +156,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("keepBest keeps the highest-quality member per cluster, min id on ties") {
+    // cluster {1,2,3} (chain) + cluster {10,11}; scores pick 2 and tie 10/11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val docs = Seq(
+      (1L, 0.3), (2L, 0.9), (3L, 0.5),
+      (10L, 0.7), (11L, 0.7), // tie -> min id 10 wins
+      (99L, 1.0)              // in no pair: not emitted
+    ).toDF("doc_id", "score")
+    val out = Dedup.keepBest(pairs, "a", "b", docs, "doc_id", col("score"))
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == 5, "only clustered docs are emitted")
+    val kept = out.filter(_._3).map(t => t._2 -> t._1).toMap // label -> kept id
+    assert(kept == Map(1L -> 2L, 10L -> 10L),
+      s"quality argmax with min-id ties, got $kept")
+    assert(out.filterNot(_._3).map(_._1).toSet == Set(1L, 3L, 11L))
+  }
+
   test("connected components converge on a path graph far beyond maxIter rounds") {
     // a 1000-node path has diameter 999 — plain min-label propagation
     // needs 999 synchronous rounds and would blow the maxIter=25 guard;
