@@ -104,6 +104,9 @@ object Bench {
     "text_boilerplate" -> 0.429, "events_retention" -> 0.578,
     "pipeline_sample_stratified" -> 0.326,
     "ann_brute_force" -> 0.183, "ann_ivf" -> 0.571, "ann_lsh" -> 0.169,
+    // comparator: ann_ivf (train + assignment expression + top-k; PQ's
+    // argmin is 8x16 dots vs IVF's 64 cosines) x1.5 headroom
+    "ann_pq" -> 0.86,
     "dedup_embedding" -> 0.794, "dedup_exact" -> 0.313,
     "dedup_minhash_lsh" -> 4.789, "dedup_ngram_jaccard" -> 10.653,
     "dedup_simhash" -> 0.868, "events_funnel" -> 2.521,

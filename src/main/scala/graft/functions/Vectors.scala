@@ -301,6 +301,113 @@ object Vectors {
     }.sortBy { case (s, i) => (-s, -i) }.take(nprobe).map(_._2)
   }
 
+  /** Train PRODUCT-QUANTIZATION codebooks: split the `d`-dim space into
+    * `m` subspaces of d/m dims and run deterministic L2 Lloyd k-means
+    * (`ks` centroids each) per subspace over a fixed hash-ordered driver
+    * sample — the same bounded-training discipline as
+    * [[trainIvfCentroids]] (cost independent of corpus size). Returns
+    * m × ks × (d/m) codebooks. Deterministic: sample order is
+    * xxhash64(id, seed), init = the first `ks` sample subvectors,
+    * assignment ties break to the lowest code, empty cells keep their
+    * centroid. */
+  def trainPqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                       m: Int = 8, ks: Int = 16, iters: Int = 8,
+                       sampleN: Int = 4096, seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
+    val sample: Array[Array[Double]] = df
+      .select(col(vecCol).cast("array<double>").as("v"), col(idCol).as("id"))
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(sampleN)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty table")
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d must divide into $m subspaces")
+    val sub = d / m
+    (0 until m).map { j =>
+      val xs = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      val k = math.min(ks, xs.length)
+      var cents: Array[Array[Double]] = xs.take(k).map(_.clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val counts = new Array[Int](k)
+        xs.foreach { x =>
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < k) {
+            var dd = 0.0; var i = 0
+            while (i < sub) { val t = x(i) - cents(c)(i); dd += t * t; i += 1 }
+            if (dd < bestD) { bestD = dd; best = c } // strict <: ties to lowest
+            c += 1
+          }
+          var i = 0
+          while (i < sub) { sums(best)(i) += x(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(k) { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c))
+        }
+      }
+      cents.map(_.toSeq).toSeq
+    }
+  }
+
+  /** Per-subspace PQ code columns (`__pq0..__pq{m-1}`): argmin-L2 against
+    * the codebook, computed as argmin of |c|² − 2·(x·c) (the |x|² term is
+    * constant per subvector, so it cancels from the argmin) — one
+    * codegen'd dot per (subspace, code), ties to the LOWEST code via
+    * array_min on (score, code) structs. */
+  def pqEncode(df: DataFrame, vecCol: String,
+               books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
+    val sub = books.head.head.size
+    val withCodes = books.indices.foldLeft(df) { (acc, j) =>
+      val sv = slice(col(vecCol).cast("array<double>"), j * sub + 1, sub)
+      val scored = books(j).zipWithIndex.map { case (c, i) =>
+        val cc = c.map(x => x * x).sum
+        struct((lit(cc) - lit(2.0) * call_function("dot_vec", sv, typedLit(c))).as("d"),
+          lit(i).as("code"))
+      }
+      acc.withColumn(s"__pq$j", array_min(array(scored: _*)).getField("code"))
+    }
+    withCodes
+  }
+
+  /** The per-subspace ADC lookup table for `query`: lut(j)(c) = squared L2
+    * between the query's j-th subvector and codebook entry c. */
+  def pqLut(books: Seq[Seq[Seq[Double]]], query: Seq[Double]): Seq[Seq[Double]] = {
+    val sub = books.head.head.size
+    books.zipWithIndex.map { case (book, j) =>
+      val q = query.slice(j * sub, (j + 1) * sub)
+      book.map(c => c.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum)
+    }
+  }
+
+  /** PQ search (ADC): approximate distance = Σ_j lut_j[code_j] — each
+    * vector costs m table lookups instead of d multiplies, and the stored
+    * representation is m small codes instead of d floats (16× smaller at
+    * m=8/ks=16 over 64 f32 dims) — THE standard compressed-corpus ANN
+    * path at 100 TB scale. Shortlists `shortlist` candidates by ADC
+    * distance, then exact-cosine re-ranks the shortlist to `k` (the
+    * IVFADC/DiskANN re-rank discipline: cheap scan, exact finish).
+    * Deterministic ties: (adist ASC, id) then (cos DESC, id). */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+             query: Seq[Double], k: Int, books: Seq[Seq[Seq[Double]]],
+             shortlist: Int = 200): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
+    val lut = pqLut(books, query)
+    val adist = books.indices
+      .map(j => element_at(typedLit(lut(j)), col(s"__pq$j") + 1))
+      .reduce(_ + _)
+    pqEncode(df, vecCol, books)
+      .select(col(idCol), col(vecCol), adist.as("adist"))
+      .orderBy(col("adist").asc, col(idCol))
+      .limit(shortlist)
+      .select(col(idCol),
+        call_function("cosine_vec", col(vecCol).cast("array<double>"), typedLit(query)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF search: score only the `nprobe` cells nearest to the query —
     * with √N cells and nprobe probes the scan covers ~nprobe/cells of the
     * corpus. At deployment the cell id is a partition column so pruning

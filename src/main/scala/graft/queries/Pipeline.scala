@@ -425,6 +425,66 @@ object Pipeline {
       ORDER BY cos DESC, vec_id LIMIT 20) t"""
   }
 
+  /** PRODUCT-QUANTIZATION ANN on the oracle: deterministic per-subspace
+    * L2 k-means codebooks trained on the bounded driver sample
+    * ([[Vectors.trainPqCodebooks]]), corpus encoded to m=8 codes of 4
+    * bits' worth each (16x smaller than 64 f32 dims), searched by ADC
+    * table lookups with an exact-cosine re-rank of the shortlist — the
+    * compressed-corpus ANN path at 100 TB. Same trained-literal oracle
+    * pattern as [[qAnnIvf]]: DuckDB re-derives the argmin code
+    * assignment, the ADC distance from the same LUT literals, the
+    * shortlist, and the re-rank. */
+  val qAnnPq: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val books = Vectors.trainPqCodebooks(emb, "vec_id", "embedding", m = 8, ks = 16)
+    pqTrained = Some(books)
+    Vectors.pqTopK(emb, "vec_id", "embedding", annQuery, k = 20, books, shortlist = 200)
+      .select("vec_id")
+  }
+
+  /** Codebooks trained by the last [[qAnnPq]] run in this JVM. */
+  @volatile private var pqTrained: Option[Seq[Seq[Seq[Double]]]] = None
+
+  private def qAnnPqSql(books: Seq[Seq[Seq[Double]]]): String = {
+    val m = books.size
+    val sub = books.head.head.size
+    val lut = Vectors.pqLut(books, annQuery)
+    val q = annQuery.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+    val bookRows = (for { j <- 0 until m; (c, i) <- books(j).zipWithIndex }
+      yield s"($j, $i, ${sqlVec(c)}, ${c.map(x => x * x).sum})").mkString(",\n      ")
+    val codeCols = (0 until m)
+      .map(j => s"MAX(CASE WHEN j = $j THEN code END) AS c$j")
+      .mkString(",\n             ")
+    val adistExpr = (0 until m)
+      .map(j => s"list_extract(${sqlVec(lut(j))}, c$j + 1)").mkString(" + ")
+    s"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    books(j, code, c, cc) AS (VALUES
+      $bookRows),
+    scored AS (
+      SELECT e.vec_id, books.j, books.code,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id, books.j
+               ORDER BY books.cc - 2.0 * list_dot_product(
+                          list_slice(e.v, books.j * $sub + 1, books.j * $sub + $sub),
+                          books.c) ASC,
+                        books.code ASC) AS rn
+      FROM e CROSS JOIN books),
+    codes AS (
+      SELECT vec_id,
+             $codeCols
+      FROM scored WHERE rn = 1 GROUP BY vec_id),
+    short AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, $adistExpr AS adist
+        FROM codes ORDER BY adist ASC, vec_id LIMIT 200) t)
+    SELECT vec_id FROM (
+      SELECT e.vec_id, ${sqlCos("e.v", q)} AS cos
+      FROM e JOIN short USING (vec_id)
+      ORDER BY cos DESC, vec_id LIMIT 20) t2"""
+  }
+
   /** Deterministic train/val/test assignment by id hash
     * ([[graft.functions.Sampling.assignSplit]]): a pure map — no rand(),
     * no shuffle, stable under re-runs/resumes/engines — and the oracle
@@ -788,6 +848,7 @@ object Pipeline {
     "ann_brute_force"      -> qAnnBruteForce,
     "ann_lsh"              -> qAnnLsh,
     "ann_ivf"              -> qAnnIvf,
+    "ann_pq"               -> qAnnPq,
     "ann_int8"             -> qAnnInt8,
     "ann_batch"            -> qAnnBatch,
     "text_tokens"          -> qTextTokens,
@@ -801,10 +862,12 @@ object Pipeline {
     "multimodal_features"  -> qMultimodalFeatures,
   )
 
-  /** A def, not a val: the `ann_ivf` entry exists only once [[qAnnIvf]]
-    * has trained centroids in this JVM (Verify runs queries, THEN dumps). */
+  /** A def, not a val: the `ann_ivf`/`ann_pq` entries exist only once
+    * their queries have trained in this JVM (Verify runs queries, THEN
+    * dumps). */
   def oracleSql: Map[String, String] =
-    staticOracleSql ++ ivfTrained.map(c => "ann_ivf" -> qAnnIvfSql(c))
+    staticOracleSql ++ ivfTrained.map(c => "ann_ivf" -> qAnnIvfSql(c)) ++
+      pqTrained.map(b => "ann_pq" -> qAnnPqSql(b))
 
   private val staticOracleSql: Map[String, String] = Map(
     "geo_utm"             -> qGeoUtmSql,

