@@ -125,6 +125,9 @@ object Bench {
     "mdio_isel_slice" -> 0.311, "mdio_isel_stride" -> 0.398,
     "mdio_open_sel" -> 0.238, "mdio_sel_list" -> 0.802,
     "mdio_sel_range" -> 0.540, "mdio_smooth_dim" -> 1.511, "mdio_sel_value" -> 0.502,
+    // comparator: mdio_smooth_dim x1.5 (the second separable pass adds
+    // one more shuffle + window over the same cell count)
+    "mdio_smooth_grid" -> 2.3,
     "mdio_select_field" -> 0.463, "mdio_select_variable" -> 0.221,
     "mdio_stats_aggregator" -> 0.458, "mdio_stats_v1" -> 0.506,
     "multimodal_bytes" -> 0.122, "multimodal_features" -> 0.271,

@@ -479,8 +479,88 @@ object Mdio {
            ${sqlDsum("CASE WHEN l_linenumber = 1 THEN sm ELSE 0.0 END")} AS sum_first_taps
     FROM sm"""
 
+  // 2-D grid smoothing: a SEPARABLE 3x3 boxcar = the 3-tap pass along
+  // dim 2, then the 3-tap pass along dim 1 over the first pass's output
+  // (the seismic lateral-smoothing / coherence-prep shape). Each pass is
+  // one hash shuffle + one window over PRESENT cells in that dim's order;
+  // the naive alternative — a 9-way neighborhood self-join — never
+  // appears, and nothing global-sorts at any scale.
+  //
+  // Reported SCALED BY 36 in EXACT decimal arithmetic: edge taps divide
+  // by 1/2/3, all of which divide 6, so multiplying each pass by
+  // (6 / tap count) keeps every intermediate an exact decimal — dividing
+  // and re-rounding computed doubles to decimals is NOT cross-engine
+  // safe when a value lands on the 6th-decimal half-grid (Spark's exact
+  // binary-expansion HALF_UP vs a scaled-double round can differ by
+  // 1e-6; this query's first cut hit exactly that).
+  val qSmoothGrid: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber")).rowsBetween(-1, 1)
+    val w2 = Window.partitionBy(col("l_linenumber"))
+      .orderBy(col("l_orderkey")).rowsBetween(-1, 1)
+    def fac(c: org.apache.spark.sql.Column) =
+      when(c === 1, lit(6L)).when(c === 2, lit(3L)).otherwise(lit(2L))
+    grid(s, d).data
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(dsum(col("l_quantity")).as("q"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        sum(col("q").cast("decimal(27,6)")).over(w1).as("num1"),
+        count(lit(1)).over(w1).as("c1"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("num1") * fac(col("c1"))).cast("decimal(27,6)").as("sm1x6"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        sum(col("sm1x6")).over(w2).as("num2"),
+        count(lit(1)).over(w2).as("c2"))
+      .select(col("l_orderkey"),
+        (col("num2") * fac(col("c2"))).cast("decimal(27,6)").as("sm2x36"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("sm2x36")).cast("double").as("sum_smoothed2_x36"),
+           sum(when(col("l_orderkey") % 7 === 0, col("sm2x36"))
+             .otherwise(lit(0).cast("decimal(27,6)"))).cast("double").as("sum_band_x36"))
+  }
+
+  val qSmoothGridSql: String = s"""
+    WITH cells AS (
+      SELECT l_orderkey, l_linenumber, ${sqlDsum("l_quantity")} AS q
+      FROM lineitem GROUP BY 1, 2),
+    p1 AS (
+      SELECT l_orderkey, l_linenumber,
+             SUM(CAST(q AS DECIMAL(27,6))) OVER (
+               PARTITION BY l_orderkey ORDER BY l_linenumber
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS num1,
+             COUNT(*) OVER (
+               PARTITION BY l_orderkey ORDER BY l_linenumber
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS c1
+      FROM cells),
+    s1 AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(num1 * (CASE c1 WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END)
+                  AS DECIMAL(27,6)) AS sm1x6
+      FROM p1),
+    p2 AS (
+      SELECT l_orderkey, l_linenumber,
+             SUM(sm1x6) OVER (
+               PARTITION BY l_linenumber ORDER BY l_orderkey
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS num2,
+             COUNT(*) OVER (
+               PARTITION BY l_linenumber ORDER BY l_orderkey
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS c2
+      FROM s1),
+    s2 AS (
+      SELECT l_orderkey,
+             CAST(num2 * (CASE c2 WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END)
+                  AS DECIMAL(27,6)) AS sm2x36
+      FROM p2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(sm2x36) AS DOUBLE) AS sum_smoothed2_x36,
+           CAST(SUM(CASE WHEN l_orderkey % 7 = 0 THEN sm2x36
+                         ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE) AS sum_band_x36
+    FROM s2"""
+
   val queries: Map[String, Q] = Map(
     "mdio_smooth_dim"       -> qSmoothDim,
+    "mdio_smooth_grid"      -> qSmoothGrid,
     "mdio_isel_slice"       -> qIselSlice,
     "mdio_isel_stride"      -> qIselStride,
     "mdio_isel_concat"      -> qIselConcat,
@@ -507,6 +587,7 @@ object Mdio {
 
   val oracleSql: Map[String, String] = Map(
     "mdio_smooth_dim"       -> qSmoothDimSql,
+    "mdio_smooth_grid"      -> qSmoothGridSql,
     "mdio_isel_slice"       -> qIselSliceSql,
     "mdio_isel_stride"      -> qIselStrideSql,
     "mdio_isel_concat"      -> qIselConcatSql,
