@@ -225,6 +225,41 @@ object Dedup {
     labels
   }
 
+  /** Asymmetric CONTAINMENT near-dups: ordered pairs (a, b) where
+    * C(A,B) = |A∩B| / |A| >= threshold — document A's shingles mostly
+    * appear in B (quotation, excerpting, doc-in-doc), which symmetric
+    * Jaccard misses whenever |B| >> |A| (the union term drowns the
+    * overlap). The detection RefinedWeb-style pipelines run alongside
+    * symmetric dedup.
+    *
+    * Same inverted-index shape as [[ngramJaccardDups]]' dense branch:
+    * postings join on (block, shingle), |A∩B| from the group-by, with the
+    * size prune |B| >= t·|A| folded into the join (C >= t is impossible
+    * below it, since |A∩B| <= |B|). Exact vs the quadratic definition;
+    * emits (id_a, id_b, containment) ordered pairs, both directions when
+    * both hold. */
+  def containmentDups(df: DataFrame, idCol: String, textCol: String,
+                      blockCol: Column, shingleK: Int = 3,
+                      threshold: Double = 0.5): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
+    val base = df.select(col(idCol).as("id"), blockCol.as("block"),
+      array_distinct(call_function("word_ngrams",
+        TextFunctions.tokens(col(textCol)), lit(shingleK))).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val posting = base.select(col("block"), col("id"), col("sz"), explode(col("sh")).as("g"))
+    posting.alias("a")
+      .join(posting.alias("b"),
+        col("a.block") === col("b.block") && col("a.g") === col("b.g") &&
+          col("a.id") =!= col("b.id") &&
+          col("b.sz").cast("double") >= lit(threshold) * col("a.sz").cast("double"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sz").as("sz_a"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          greatest(col("sz_a").cast("double"), lit(1.0))).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Pairs + a quality score → per-document KEEP/DROP decisions: cluster
     * with [[connectedComponents]], then keep the HIGHEST-quality member
     * of each cluster (ties by min id) — the pick-the-best-copy dedup

@@ -162,6 +162,40 @@ object Pipeline {
     comp AS (SELECT id, MIN(x) AS label FROM r GROUP BY id)
     SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members FROM comp GROUP BY label"""
 
+  /** Asymmetric containment sweep: ordered (contained, container) pairs
+    * with |A∩B|/|A| >= 0.5 over word trigrams, blocked by language — the
+    * doc-in-doc / quotation detection symmetric Jaccard misses when
+    * |B| >> |A|. Exact vs the quadratic definition (the oracle computes
+    * it directly). */
+  val qDedupContainment: Q = (s, d) =>
+    Dedup.containmentDups(documents(s, d), "doc_id", "text",
+      blockCol = col("lang"), shingleK = 3, threshold = 0.5)
+      .agg(count(lit(1)).as("n_pairs"),
+           countDistinct(col("id_a")).as("n_contained"),
+           coalesce(sum(col("id_a") * lit(100003L) + col("id_b")), lit(0L))
+             .as("pair_checksum"))
+
+  val qDedupContainmentSql: String = """
+    WITH t AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id, lang,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             GREATEST(CAST(len(a.grams) AS DOUBLE), 1.0) AS c
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id <> b.doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT id_a) AS BIGINT) AS n_contained,
+           COALESCE(CAST(SUM(id_a * 100003 + id_b) AS BIGINT), 0) AS pair_checksum
+    FROM p WHERE c >= 0.5"""
+
   /** Clusters → keep decisions by QUALITY: the same n-gram Jaccard
     * components, resolved by keeping each cluster's highest
     * [[TextFunctions.qualityScore]] member (ties by min id) instead of
@@ -844,6 +878,7 @@ object Pipeline {
     "dedup_ngram_jaccard"  -> qDedupNgramJaccard,
     "dedup_components"     -> qDedupComponents,
     "dedup_keep_best"      -> qDedupKeepBest,
+    "dedup_containment"    -> qDedupContainment,
     "dedup_embedding"      -> qDedupEmbedding,
     "ann_brute_force"      -> qAnnBruteForce,
     "ann_lsh"              -> qAnnLsh,
@@ -879,6 +914,7 @@ object Pipeline {
     "dedup_ngram_jaccard" -> qDedupNgramJaccardSql,
     "dedup_components"    -> qDedupComponentsSql,
     "dedup_keep_best"     -> qDedupKeepBestSql,
+    "dedup_containment"   -> qDedupContainmentSql,
     "ann_brute_force"     -> qAnnBruteForceSql,
     "ann_int8"            -> qAnnInt8Sql,
     "ann_batch"           -> qAnnBatchSql,

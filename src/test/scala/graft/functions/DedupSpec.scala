@@ -214,6 +214,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentDups equals the naive quadratic definition, ordered pairs") {
+    // same dense-sharing regime as the jaccard equivalence test: any
+    // size-prune bug (wrong direction, off-by-threshold) would lose pairs
+    graft.GraftFunctions.register(spark)
+    val r = new scala.util.Random(53)
+    val vocab = Vector.tabulate(40)(i => s"c$i")
+    val docs = (0 until 50).map { i =>
+      val n = 4 + r.nextInt(24)
+      (i.toLong, Vector.fill(n)(vocab(r.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id").as("id"),
+        array_distinct(call_function("word_ngrams",
+          TextFunctions.tokens(col("text")), lit(2))).as("sh"))
+    def inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val fast = Dedup.containmentDups(docs, "doc_id", "text",
+          blockCol = lit("x"), shingleK = 2, threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val naive = sh.alias("a").crossJoin(sh.alias("b"))
+        .filter(col("a.id") =!= col("b.id") &&
+          inter / greatest(size(col("a.sh")).cast("double"), lit(1.0)) >= t)
+        .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+      assert(fast == naive,
+        s"t=$t: missing=${naive -- fast} extra=${fast -- naive}")
+    }
+  }
+
+  test("containment is asymmetric: excerpt -> container found, reverse is not") {
+    // doc 2 = the first third of doc 1: C(2,1) = 1.0 but C(1,2) ~ 0.33,
+    // exactly the doc-in-doc case symmetric jaccard (~0.33) misses at 0.8
+    val long = (0 until 30).map(i => s"u$i").mkString(" ")
+    val short = (0 until 10).map(i => s"u$i").mkString(" ")
+    val df = Seq((1L, long), (2L, short)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentDups(df, "doc_id", "text",
+        blockCol = lit("x"), shingleK = 3, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 1L)), s"expected only (2,1), got $pairs")
+  }
+
   test("incremental minhash-LSH equals the full run restricted to new-touching pairs") {
     import org.apache.spark.sql.DataFrame
     // 12 clusters of 3 near-dup docs; first 8 clusters are the existing
