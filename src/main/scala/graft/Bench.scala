@@ -100,6 +100,9 @@ object Bench {
     "pipeline_pack" -> 0.424, "pipeline_sample_weighted" -> 0.298,
     "pipeline_quota" -> 0.551, "pipeline_recipe" -> 1.094,
     "text_chunk" -> 1.100, "agg_embedding_centroid" -> 0.400,
+    // comparator: text_chunk (same explode/reassemble shape) + the df
+    // aggregation and anti join on the segment key
+    "text_line_dedup" -> 1.500,
     "embedding_outliers" -> 1.100, "text_fluency" -> 0.911,
     "text_boilerplate" -> 0.429, "events_retention" -> 0.578,
     "pipeline_sample_stratified" -> 0.326,

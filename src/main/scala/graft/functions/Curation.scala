@@ -169,6 +169,63 @@ object Curation {
       .drop("__n", "__start")
   }
 
+  /** Line-level deduplication (the C4 / RefinedWeb pass): drop every
+    * SEGMENT that occurs in at least `minDf` distinct documents, keeping
+    * each document's remaining segments in their original order. On web
+    * corpora the segment is the newline-delimited line (navigation bars,
+    * cookie banners, license footers repeat across millions of pages);
+    * `segsCol` is caller-supplied so the same operator runs on sentences
+    * or fixed token windows (duplicated-passage removal) when the corpus
+    * has no line structure.
+    *
+    * A document's internal repeats do not inflate df — frequency is
+    * counted over DISTINCT (document, segment) pairs, as the pipelines
+    * define it.
+    *
+    * Returns (id, text_clean, n_total, n_kept); documents that lose every
+    * segment survive with `text_clean = ""` and `n_kept = 0`.
+    *
+    * Scale shape: unlike [[decontaminate]]'s benchmark set, the frequent-
+    * segment set is corpus-sized (bounded only by |corpus|/minDf), so it
+    * is NOT broadcast: df counting is one partial/final count aggregate
+    * on the segment key, removal is a shuffled LEFT ANTI join on the same
+    * key (AQE reuses the exchange), and reassembly is one groupBy on the
+    * document id — every stage's shuffle is bounded by the posting list,
+    * nothing ever materializes on the driver. A hot segment (df in the
+    * millions) collapses to ONE row in the frequent side before the anti
+    * join, so posting skew never amplifies. */
+  def lineDedup(df: DataFrame, idCol: String, segsCol: Column,
+                minDf: Long = 2L, sep: String = " "): DataFrame = {
+    val base = df.select(col(idCol).as("id"), segsCol.as("segs"))
+    val posted = base.select(col("id"), posexplode(col("segs")).as(Seq("pos", "seg")))
+    val frequent = posted.select(col("seg"), col("id")).distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("seg_df"))
+      .filter(col("seg_df") >= minDf)
+      .select(col("seg"))
+    val kept = posted.join(frequent, Seq("seg"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+             array_sort(collect_list(struct(col("pos"), col("seg")))),
+             s => s("seg")), sep).as("text_clean"),
+           count(lit(1)).as("n_kept"))
+    base.select(col("id"), size(col("segs")).cast("long").as("n_total"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_total"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Non-overlapping `w`-token window segmentation of `textCol` — the
+    * segmenter [[lineDedup]] runs with on corpora that have no newline
+    * structure (duplicated-passage removal). The tail window keeps its
+    * partial length. */
+  def tokenWindows(textCol: Column, w: Int): Column = {
+    val toks = TextFunctions.tokens(textCol)
+    transform(
+      sequence(lit(0),
+        floor((size(toks) - 1).cast("double") / lit(w.toDouble)).cast("int"), lit(1)),
+      i => array_join(slice(toks, i * lit(w) + 1, lit(w)), " "))
+  }
+
   /** Per-category token-budget quota: keep each category's documents in
     * deterministic hash-priority order until the category's cumulative
     * token count reaches `budgetTokens` — the "cap each domain's

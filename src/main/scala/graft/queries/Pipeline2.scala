@@ -285,6 +285,58 @@ object Pipeline2 {
              ELSE 0 END) AS BIGINT) AS first_chunk_hash_sum
     FROM ch"""
 
+  /** Line-level dedup (C4-style duplicated-passage removal): drop every
+    * non-overlapping 3-token window that appears in >= 3 distinct
+    * documents, reassemble the survivors in order, and pin the full
+    * reassembled corpus through the portable rolling hash. The oracle
+    * re-derives segmentation, df counting, the anti join, and ordered
+    * reassembly independently. */
+  val qTextLineDedup: Q = (s, d) =>
+    Curation.lineDedup(documents(s, d), "doc_id",
+        segsCol = Curation.tokenWindows(col("text"), 3), minDf = 3L)
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("n_kept") < col("n_total"), lit(1L)).otherwise(lit(0L)))
+             .as("n_modified"),
+           sum(col("n_total") - col("n_kept")).as("segs_removed"),
+           coalesce(sum(TF.rollingHash(col("text_clean"))), lit(0L))
+             .as("clean_hash_sum"))
+
+  val qTextLineDedupSql: String = """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents),
+    s0 AS (
+      SELECT doc_id, unnest(range(0, ((len(toks) - 1) // 3) + 1)) AS pos, toks
+      FROM t),
+    seg AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(toks, pos*3 + 1, pos*3 + 3), ' ') AS seg
+      FROM s0),
+    fr AS (
+      SELECT seg FROM (SELECT DISTINCT doc_id, seg FROM seg)
+      GROUP BY seg HAVING COUNT(*) >= 3),
+    kept AS (SELECT s.doc_id, s.pos, s.seg FROM seg s ANTI JOIN fr USING (seg)),
+    re AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_clean,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id),
+    tot AS (
+      SELECT t.doc_id, ((len(t.toks) - 1) // 3) + 1 AS n_total,
+             COALESCE(re.n_kept, 0) AS n_kept,
+             COALESCE(re.text_clean, '') AS text_clean
+      FROM t LEFT JOIN re USING (doc_id))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_kept < n_total THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_modified,
+           CAST(SUM(n_total - n_kept) AS BIGINT) AS segs_removed,
+           CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_filter(string_split(regexp_replace(trim(text_clean), '\s+', ' ', 'g'), ''), cc -> cc <> ''),
+                 cc -> CAST(unicode(cc) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 2147483647)) AS BIGINT)
+             AS clean_hash_sum
+    FROM tot"""
+
   // ---- embedding centroids -------------------------------------------------
 
   /** Per-label embedding centroids (first 8 dimensions): the class-
@@ -616,6 +668,7 @@ object Pipeline2 {
 
   val queries: Map[String, Q] = Map(
     "text_chunk"               -> qTextChunk,
+    "text_line_dedup"          -> qTextLineDedup,
     "agg_embedding_centroid"   -> qAggEmbeddingCentroid,
     "embedding_outliers"       -> qEmbeddingOutliers,
     "text_fluency"             -> qTextFluency,
@@ -635,6 +688,7 @@ object Pipeline2 {
 
   val oracleSql: Map[String, String] = Map(
     "text_chunk"               -> qTextChunkSql,
+    "text_line_dedup"          -> qTextLineDedupSql,
     "agg_embedding_centroid"   -> qAggEmbeddingCentroidSql,
     "embedding_outliers"       -> qEmbeddingOutliersSql,
     "text_fluency"             -> qTextFluencySql,

@@ -145,6 +145,45 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq == Seq((0, "a b", 2)))
   }
 
+  test("lineDedup drops segments with df >= minDf, keeps order, counts distinct docs") {
+    // "nav bar" repeats in docs 1,2,3 (df=3) -> dropped at minDf=3;
+    // "body one/two/three" are unique -> kept; doc 4 repeats "nav bar"
+    // INTERNALLY only (df=1 by distinct-doc counting) -> kept both times
+    val docs = Seq(
+      (1L, Seq("nav bar", "body one", "footer x")),
+      (2L, Seq("nav bar", "body two")),
+      (3L, Seq("body three", "nav bar")),
+      (4L, Seq("same seg", "same seg"))
+    ).toDF("doc_id", "segs")
+    val out = Curation.lineDedup(docs, "doc_id", col("segs"), minDf = 3L, sep = " | ")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "body one | footer x", 3L, 2L)))
+    assert(out(1) == ((2L, "body two", 2L, 1L)))
+    assert(out(2) == ((3L, "body three", 2L, 1L)))
+    assert(out(3) == ((4L, "same seg | same seg", 2L, 2L)),
+      "internal repeats must not inflate df")
+  }
+
+  test("lineDedup: a doc that loses every segment survives with empty text") {
+    val docs = Seq(
+      (1L, Seq("dup")), (2L, Seq("dup")), (3L, Seq("dup", "keep"))
+    ).toDF("doc_id", "segs")
+    val out = Curation.lineDedup(docs, "doc_id", col("segs"), minDf = 3L)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "", 1L, 0L)))
+    assert(out(1) == ((2L, "", 1L, 0L)))
+    assert(out(2) == ((3L, "keep", 2L, 1L)))
+  }
+
+  test("tokenWindows: non-overlapping windows with a partial tail") {
+    val df = Seq(("a b c d e f g"), ("x"), ("")).toDF("text")
+      .select(Curation.tokenWindows(col("text"), 3).as("w"))
+      .as[Seq[String]].collect()
+    assert(df(0) == Seq("a b c", "d e f", "g"))
+    assert(df(1) == Seq("x"))
+    assert(df(2) == Seq(""), "empty text tokenizes to one empty window")
+  }
+
   test("unigramScore: common-token docs score higher than rare-token docs") {
     // corpus: "x" appears 6 times of 8 tokens; "q r" are singletons
     val df = Seq(
