@@ -159,5 +159,8 @@ object Bench {
     "window_ranks" -> 0.723, "window_running_sum" -> 0.515,
     "window_topk_per_group" -> 0.418, "zarr_extents" -> 0.054,
     "zarr_pushdown" -> 0.157, "zarr_roundtrip" -> 0.072,
+    // comparator: zarr_pushdown (same filtered-scan shape; the one-time
+    // store migration happens in the untimed build, like zarrGrid itself)
+    "mdio_rechunk" -> 0.160,
     "zarr_sharded_roundtrip" -> 0.086, "zarr_v3_roundtrip" -> 0.087)
 }

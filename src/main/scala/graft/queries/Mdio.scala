@@ -421,6 +421,38 @@ object Mdio {
     FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j)
     WHERE i >= 8 AND i < 24 AND j < 4"""
 
+  /** Rechunked twin of [[zarrGrid]] (built once per JVM per sfDir): the
+    * 8×4-chunked store migrated to crossline-optimized 4×8 chunks via
+    * [[graft.sources.MdioWriter.rechunk]] — full crossline extent per
+    * chunk, the section-access layout. */
+  def rechunkedGrid(s: SparkSession, d: String): String =
+    builtGrids.getOrElseUpdate(d + "#rechunk", {
+      val dst = zarrGrid(s, d) + "_rc"
+      graft.sources.MdioWriter.rechunk(s, zarrGrid(s, d), dst,
+        Map("image" -> Seq(4L, 8L)))
+      dst
+    })
+
+  /** Chunk-grid migration on the gate: rechunk → filtered aggregate
+    * THROUGH the migrated store, certified against lineitem directly —
+    * any cell the shuffle misplaced, dropped, or double-wrote breaks the
+    * sum or the count. The slice (inline 4..27, crossline 2..7) cuts
+    * across both old and new chunk boundaries. */
+  val qMdioRechunk: Q = (s, d) =>
+    s.read.format("mdio").load(rechunkedGrid(s, d))
+      .filter(col("inline") >= 4 && col("inline") < 28 && col("crossline") >= 2)
+      .agg(dsum(col("image")).as("total"), count(lit(1)).as("n"))
+
+  val qMdioRechunkSql: String = """
+    WITH agg AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS image
+      FROM lineitem GROUP BY 1, 2)
+    SELECT CAST(SUM(CAST(COALESCE(image, 0.0) AS DECIMAL(27,6))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j)
+    WHERE i >= 4 AND i < 28 AND j >= 2"""
+
   // P10 + O1/O2 + SET2 — CoordinateSelector: filter, multi-key sort, gather.
   val qCoordSelector: Q = (s, d) =>
     CoordinateSelector(eventsGrid(s, d))
@@ -579,6 +611,7 @@ object Mdio {
     "mdio_coordselector"    -> qCoordSelector,
     "zarr_roundtrip"        -> qZarrRoundtrip,
     "zarr_pushdown"         -> qZarrPushdown,
+    "mdio_rechunk"          -> qMdioRechunk,
     "zarr_v3_roundtrip"     -> qZarrV3Roundtrip,
     "zarr_sharded_roundtrip" -> qZarrShardedRoundtrip,
     "zarr_extents"          -> qZarrExtents,
@@ -606,6 +639,7 @@ object Mdio {
     "mdio_coordselector"    -> qCoordSelectorSql,
     "zarr_roundtrip"        -> qZarrRoundtripSql,
     "zarr_pushdown"         -> qZarrPushdownSql,
+    "mdio_rechunk"          -> qMdioRechunkSql,
     "zarr_v3_roundtrip"     -> qZarrPushdownSql, // same cells, same slice, v3 format
     "zarr_sharded_roundtrip" -> qZarrPushdownSql, // same slice through sharded storage
     "zarr_extents"          -> qZarrExtentsSql,

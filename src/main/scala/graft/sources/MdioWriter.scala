@@ -65,6 +65,82 @@ object MdioWriter {
     if (version == 2) ZarrMeta.consolidate(root)
   }
 
+  /** Store-to-store chunk-grid migration (rechunk): copy `srcPath` to a
+    * new dataset at `dstPath` with the chunk shapes in `newChunks`
+    * replacing the originals (variables not named keep theirs). The
+    * access-pattern optimization every MDIO deployment eventually runs —
+    * a store chunked for inline reads re-chunked for crossline sections —
+    * expressed as read → re-shuffle → write: the DSv2 scan streams the
+    * source in source-chunk-aligned splits, [[writeVariable]] re-clusters
+    * rows by DESTINATION chunk id, and one task owns each new chunk file.
+    * The data crosses the cluster exactly once (the shuffle IS the
+    * transposition); nothing materializes on the driver, so the shape
+    * holds at any store size.
+    *
+    * Dataset/variable metadata (dims, dtype, compressor, blosc params,
+    * coordinates, unitsV1, group attributes) carries over from the stored
+    * metadata; fill values re-derive from the dtype defaults, which is
+    * value-neutral because every in-domain cell is written explicitly.
+    * Rechunking a sharded v3 variable keeps its shard shape and requires
+    * the new inner chunks to divide it. Record dtypes are rejected loud. */
+  def rechunk(spark: SparkSession, srcPath: String, dstPath: String,
+              newChunks: Map[String, Seq[Long]], version: Int = 2): Unit = {
+    val (groupAttrs, arrays) = ZarrMeta.readGroup(ZarrMeta.path(srcPath))
+    require(arrays.nonEmpty, s"rechunk: no arrays at $srcPath")
+    newChunks.keys.foreach { n =>
+      require(arrays.contains(n), s"rechunk: no variable '$n' at $srcPath") }
+    val toMdio: Map[String, String] = Seq(
+      "bool", "int8", "int16", "int32", "int64", "uint8", "uint16",
+      "uint32", "uint64", "float16", "float32", "float64", "complex64",
+      "complex128").map(t => MdioSpec.zarrDtype(t) -> t).toMap
+    val variables = arrays.toSeq.sortBy(_._1).map { case (name, (meta, attrs)) =>
+      require(meta.fields.isEmpty,
+        s"rechunk: record dtype variable '$name' is not supported")
+      val dims = meta.dimNames
+        .orElse(attrs.flatMap(MdioTableUtil.arrayDimensions))
+        .getOrElse(throw new IllegalArgumentException(
+          s"rechunk: no dimension labels for '$name' at $srcPath"))
+      val chunks = newChunks.getOrElse(name, meta.chunks)
+      require(chunks.size == meta.shape.size && chunks.forall(_ > 0),
+        s"rechunk: chunk shape $chunks does not fit rank-${meta.shape.size} '$name'")
+      meta.shard.foreach { sh =>
+        require(sh.zip(chunks).forall { case (s, c) => s % c == 0 },
+          s"rechunk: new chunks $chunks must divide shard shape $sh of '$name'") }
+      val aj = attrs.map(JsonMethods.parse(_))
+      MdioSpec.Variable(
+        name = name,
+        dataType = toMdio.getOrElse(meta.dtype, throw new IllegalArgumentException(
+          s"rechunk: no MDIO dtype for '${meta.dtype}' ('$name')")),
+        dimensions = dims.zip(meta.shape).map { case (n, s) => MdioSpec.Dimension(n, s) },
+        longName = aj.map(_ \ "long_name").collect { case JString(s) => s },
+        chunkShape = Some(chunks),
+        compressor = meta.compressor,
+        coordinates = attrs.toSeq.flatMap(MdioTableUtil.coordinatesAttr),
+        metadata = aj.map(_ \ "metadata").filter(j => j != JNothing && j != JNull),
+        blosc = meta.blosc,
+        shardShape = meta.shard)
+    }
+    val g = groupAttrs.map(JsonMethods.parse(_))
+    def gstr(field: String, dflt: String): String =
+      g.map(_ \ field).collect { case JString(s) => s }.getOrElse(dflt)
+    val spec = MdioSpec.Dataset(
+      name = gstr("name", "rechunked"),
+      apiVersion = g.map(_ \ "apiVersion").collect {
+        case JInt(i) => i.toLong
+        case JLong(l) => l
+        case JDouble(d) => d.toLong }.getOrElse(1L),
+      createdOn = gstr("createdOn", "1970-01-01T00:00:00Z"),
+      variables = variables,
+      attributes = g.map(_ \ "attributes")
+        .filter(j => j != JNothing && j != JNull && j != JObject(Nil)))
+    delete0(dstPath)
+    create(spec, dstPath, version)
+    variables.foreach { v =>
+      val df = spark.read.format("mdio").option("variables", v.name).load(srcPath)
+      writeVariable(spark, df, dstPath, v.name)
+    }
+  }
+
   /** S6 — distributed chunk-aligned write of one variable.
     *
     * `df` columns: the variable's dimension columns (long) + a value column

@@ -1,0 +1,91 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.spec.MdioSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** [[MdioWriter.rechunk]]: store-to-store chunk-grid migration. */
+class MdioRechunkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def create(): String = {
+    val dir = Files.createTempDirectory("mdio_rc").resolve("src.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "rc", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "inline", "dataType": "int64",
+        |     "dimensions": [{"name": "inline", "size": 8}]},
+        |    {"name": "crossline", "dataType": "int64",
+        |     "dimensions": [{"name": "crossline", "size": 6}]},
+        |    {"name": "cdp-x", "dataType": "float32",
+        |     "dimensions": [{"name": "inline", "size": 8}, {"name": "crossline", "size": 6}],
+        |     "metadata": {"unitsV1": {"length": "m"},
+        |                  "chunkGrid": {"name": "regular", "configuration": {"chunkShape": [4, 3]}}}},
+        |    {"name": "image", "dataType": "float64",
+        |     "dimensions": [{"name": "inline", "size": 8}, {"name": "crossline", "size": 6}],
+        |     "compressor": {"name": "zstd"},
+        |     "coordinates": ["cdp-x"],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [4, 3]}}}},
+        |    {"name": "mask", "dataType": "int32",
+        |     "dimensions": [{"name": "inline", "size": 8}, {"name": "crossline", "size": 6}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [4, 3]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    val cells = for { i <- 0L until 8L; x <- 0L until 6L }
+      yield (i, x, (i * 10 + x).toDouble, ((i + x) % 5).toInt, (i + x * 0.5).toFloat)
+    val df = cells.toDF("inline", "crossline", "image", "mask", "cdp-x")
+    MdioWriter.writeVariable(spark, df.select("inline", "crossline", "image"), dir, "image")
+    MdioWriter.writeVariable(spark, df.select("inline", "crossline", "mask"), dir, "mask")
+    MdioWriter.writeVariable(spark, df.select("inline", "crossline", "cdp-x"), dir, "cdp-x")
+    MdioWriter.writeVariable(spark,
+      spark.range(8).select(col("id").as("inline"), (col("id") * 100).as("inline__value")),
+      dir, "inline")
+    dir
+  }
+
+  test("rechunk: cell-identical data, new chunk grid on disk, metadata carried") {
+    val src = create()
+    val dst = src + "_rc"
+    MdioWriter.rechunk(spark, src, dst,
+      Map("image" -> Seq(2L, 6L), "mask" -> Seq(8L, 2L)))
+    // every cell of every variable survives the migration exactly (the
+    // variables now live on different chunk grids, so scan them one by one)
+    def cells[T: org.apache.spark.sql.Encoder](p: String, v: String) =
+      spark.read.format("mdio").option("variables", v).load(p)
+        .select(col("inline"), col("crossline"), col(s"`$v`"))
+        .as[T].collect().toSet
+    assert(cells[(Long, Long, Double)](dst, "image") == cells[(Long, Long, Double)](src, "image"))
+    assert(cells[(Long, Long, Int)](dst, "mask") == cells[(Long, Long, Int)](src, "mask"))
+    assert(cells[(Long, Long, Float)](dst, "cdp-x") == cells[(Long, Long, Float)](src, "cdp-x"))
+    // the destination grid is the REQUESTED one: image 2x6 -> chunks 4x1,
+    // mask 8x2 -> 1x3, cdp-x untouched -> keeps 4x3 -> 2x2
+    val root = graft.zarr.ZarrMeta.path(dst)
+    val (_, arrays) = graft.zarr.ZarrMeta.readGroup(root)
+    assert(arrays("image")._1.chunks == Seq(2L, 6L))
+    assert(arrays("mask")._1.chunks == Seq(8L, 2L))
+    assert(arrays("cdp-x")._1.chunks == Seq(4L, 3L))
+    assert(root.resolve("image").list().map(_.name).toSet
+      .intersect(Set("0.0", "1.0", "2.0", "3.0")).size == 4)
+    // compressor, coordinates attr, units metadata, dim coordinate values
+    assert(arrays("image")._1.compressor.contains("zstd"))
+    assert(arrays("image")._2.exists(MdioTableUtil.coordinatesAttr(_) == Seq("cdp-x")))
+    assert(arrays("cdp-x")._2.map(MdioTableUtil.unitsAttr).exists(_ == Seq(("length", "m"))))
+    val coordVals = spark.read.format("mdio").option("variables", "inline").load(dst)
+      .select("inline", "inline__value").as[(Long, Long)].collect().toMap
+    assert(coordVals == (0L until 8L).map(i => i -> i * 100).toMap)
+    MdioWriter.delete(dst); MdioWriter.delete(src)
+  }
+
+  test("rechunk contracts fail fast") {
+    val src = create()
+    intercept[IllegalArgumentException] {
+      MdioWriter.rechunk(spark, src, src + "_x", Map("nope" -> Seq(2L, 2L)))
+    }
+    intercept[IllegalArgumentException] {
+      MdioWriter.rechunk(spark, src, src + "_y", Map("image" -> Seq(2L)))
+    }
+    MdioWriter.delete(src)
+  }
+}
