@@ -88,6 +88,9 @@ object Bench {
     "agg_hll_portable" -> 0.451, "agg_percentile" -> 0.334, "agg_pivot" -> 0.441,
     "agg_rollup" -> 0.949, "agg_moments" -> 1.379,
     "ann_int8" -> 0.759, "pipeline_split" -> 0.232,
+    // comparator: pipeline_recipe (several passes over documents + small
+    // one-row joins; this one is 2 top-k scans + a map-only key scan)
+    "pipeline_shuffle" -> 1.094,
     "sort_zorder" -> 0.245, "agg_quantile_portable" -> 0.625,
     "dedup_components" -> 10.853, "ann_batch" -> 0.492,
     // comparator: dedup_components (same pair join + closure dominate;

@@ -62,6 +62,36 @@ object Sampling {
       .drop("__pri", "__rn")
   }
 
+  /** Epoch-seeded deterministic shuffle key: the global training order as
+    * a pure function of (id, epoch). Training runs need the corpus in a
+    * pseudo-random order that is reproducible (resume mid-epoch, re-run,
+    * re-implement — same order) and decorrelated across epochs; keying
+    * each row with the portable mix of `id·31 + epoch` gives both, with
+    * no `rand()`, no global state, and bit-identical keys in DuckDB. */
+  def shuffleKey(id: Column, epoch: Long = 0L): Column = {
+    require(epoch >= 0L, s"epoch must be >= 0: $epoch")
+    Sketches.portableMix(id.cast("long") * lit(31L) + lit(epoch))
+  }
+
+  /** The corpus in deterministic epoch-`epoch` training order: adds the
+    * [[shuffleKey]] column and sorts by (key, id) — ties (the key space
+    * is 2^31) break on the id, so the order is total and engine-stable.
+    *
+    * Scale shape: the sort is ONE range shuffle (Spark samples the key
+    * distribution, which is uniform by construction, so partitions
+    * balance); writing the result yields globally ordered training
+    * shards. Per epoch that is one pass over the corpus — the minimum any
+    * order-materializing shuffle pays. When only per-shard order matters,
+    * `df.repartition(n, key).sortWithinPartitions(key, id)` drops the
+    * range-partitioner sampling pass. */
+  def shuffled(df: DataFrame, id: Column, epoch: Long = 0L,
+               out: String = "shuffle_key"): DataFrame =
+    df.withColumn(out, shuffleKey(id, epoch)).orderBy(col(out), id)
+
+  /** [[shuffleKey]] as DuckDB SQL for the oracle. */
+  def shuffleKeySql(idExpr: String, epoch: Long): String =
+    mixSql(s"($idExpr) * 31 + $epoch")
+
   /** The raw portable mix as DuckDB SQL (the [[Sketches.portableMix]]
     * twin; [[bucketSql]] = this mod the split denominator). */
   def mixSql(idExpr: String): String =

@@ -537,6 +537,49 @@ object Pipeline {
     FROM documents GROUP BY 1, 2"""
   }
 
+  /** Deterministic epoch shuffle: the corpus in training order for epochs
+    * 0 and 1. The positional fold over the first 20 rows pins the EXACT
+    * order (not just the key set) cross-engine; the overlap count shows
+    * the two epochs' prefixes are decorrelated. */
+  val qPipelineShuffle: Q = (s, d) => {
+    val docs = documents(s, d)
+    def top(e: Long) = graft.functions.Sampling
+      .shuffled(docs, col("doc_id"), epoch = e)
+      .select(col("doc_id"), col("shuffle_key")).limit(20)
+    def orderFold = aggregate(
+      transform(array_sort(collect_list(struct(col("shuffle_key"), col("doc_id")))),
+        x => x("doc_id")),
+      lit(0L), (acc, x) => (acc * lit(31L) + x) % lit(2147483647L))
+    val tot = docs
+      .select(graft.functions.Sampling.shuffleKey(col("doc_id"), 0L).as("k"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("k")).as("key_sum"))
+    val f0 = top(0).agg(orderFold.as("order_fold_e0"))
+    val f1 = top(1).agg(orderFold.as("order_fold_e1"))
+    val ov = top(0).select("doc_id").join(top(1).select("doc_id"), "doc_id")
+      .agg(count(lit(1)).as("overlap_01"))
+    tot.crossJoin(f0).crossJoin(f1).crossJoin(ov)
+  }
+
+  val qPipelineShuffleSql: String = {
+    def key(e: Long) = graft.functions.Sampling.shuffleKeySql("doc_id", e)
+    s"""
+    WITH k0 AS (SELECT doc_id, ${key(0)} AS k FROM documents),
+    k1 AS (SELECT doc_id, ${key(1)} AS k FROM documents),
+    t0 AS (SELECT doc_id, k FROM k0 ORDER BY k, doc_id LIMIT 20),
+    t1 AS (SELECT doc_id, k FROM k1 ORDER BY k, doc_id LIMIT 20),
+    f0 AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list(doc_id ORDER BY k, doc_id)),
+             (acc, x) -> (acc * 31 + x) % 2147483647) AS order_fold_e0 FROM t0),
+    f1 AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list(doc_id ORDER BY k, doc_id)),
+             (acc, x) -> (acc * 31 + x) % 2147483647) AS order_fold_e1 FROM t1),
+    ov AS (SELECT CAST(COUNT(*) AS BIGINT) AS overlap_01 FROM t0 JOIN t1 USING (doc_id)),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(k) AS BIGINT) AS key_sum FROM k0)
+    SELECT n_docs, key_sum, order_fold_e0, order_fold_e1, overlap_01
+    FROM tot, f0, f1, ov"""
+  }
+
   // ---- text analysis -------------------------------------------------------
 
   val qTextTokens: Q = (s, d) =>
@@ -872,6 +915,7 @@ object Pipeline {
     "geo_utm"              -> qGeoUtm,
     "pipeline_compose"     -> qPipelineCompose,
     "pipeline_split"       -> qPipelineSplit,
+    "pipeline_shuffle"     -> qPipelineShuffle,
     "dedup_exact"          -> qDedupExact,
     "dedup_minhash_lsh"    -> qDedupMinhashLsh,
     "dedup_simhash"        -> qDedupSimhash,
@@ -908,6 +952,7 @@ object Pipeline {
     "geo_utm"             -> qGeoUtmSql,
     "pipeline_compose"    -> qPipelineComposeSql,
     "pipeline_split"      -> qPipelineSplitSql,
+    "pipeline_shuffle"    -> qPipelineShuffleSql,
     "text_quality"        -> qTextQualitySql,
     "text_langid"         -> qTextLangIdSql,
     "dedup_exact"         -> qDedupExactSql,

@@ -61,6 +61,30 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sampleStratified(df, col("id"), "cat", n = 10).count() == 2)
   }
 
+  test("shuffled is a total deterministic order: permutation, stable, epoch-decorrelated") {
+    val df = ids.limit(1000)
+    def order(e: Long) = Sampling.shuffled(df, col("id"), epoch = e)
+      .select("id").as[Long].collect().toSeq
+    val o0 = order(0)
+    assert(o0.sorted == (0L until 1000L), "must be a permutation of the input")
+    assert(o0 != (0L until 1000L).toSeq, "must not be the identity order")
+    assert(o0 == order(0), "same epoch, same order, every run")
+    val o1 = order(1)
+    assert(o1 != o0, "different epochs must produce different orders")
+    // prefix decorrelation: epoch 0's first 100 and epoch 1's first 100
+    // share about 100^2/1000 = 10 ids; 50 would mean correlated epochs
+    assert(o0.take(100).toSet.intersect(o1.take(100).toSet).size < 50)
+  }
+
+  test("shuffleKey is a pure function of (id, epoch): stable under repartitioning") {
+    val a = Sampling.shuffled(ids.repartition(13), col("id"))
+      .select("id").as[Long].collect().toSeq
+    val b = Sampling.shuffled(ids.repartition(3), col("id"))
+      .select("id").as[Long].collect().toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] { Sampling.shuffleKey(col("id"), -1L) }
+  }
+
   test("zvalue interleaves bits: known codes, and order groups both dims") {
     // (x=3, y=1) with 2 bits: x bits at even positions, y at odd ->
     // z = (1<<0) + (1<<2) [x=0b11] + (1<<1) [y=0b01] = 0b0111 = 7
