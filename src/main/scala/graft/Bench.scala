@@ -154,6 +154,9 @@ object Bench {
     "stream_sliding" -> 0.640,
     "stream_tumbling" -> 0.389, "stream_tumbling_exec" -> 1.871,
     "text_fingerprint" -> 0.437, "text_langid" -> 0.688,
+    // comparator: text_rolling_hash (same per-row map + char fold; three
+    // regex passes on a shorter string in place of the tokenizer)
+    "text_pii" -> 0.476,
     "text_quality" -> 0.514, "text_rolling_hash" -> 0.476,
     "text_tfidf" -> 0.990, "text_tokens" -> 0.358,
     "text_top_ngrams" -> 0.478, "window_first_last" -> 0.711,

@@ -94,4 +94,35 @@ object TextFunctions {
     aggregate(split(norm, ""), lit(0L),
       (acc, c) => (acc * lit(131L) + ascii(c)) % lit(2147483647L))
   }
+
+  // ---- PII detection / redaction -------------------------------------------
+  // The regexes stay inside the dialect subset Java's engine and RE2
+  // (DuckDB) match identically — character classes, bounded repetition,
+  // ASCII \b, greedy quantifiers, no backrefs/lookaround — so counts and
+  // replacements reproduce bit-for-bit on the oracle.
+
+  /** Email addresses (practical form, not full RFC 5322). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IPv4 (syntactic; no 0-255 range check). */
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** Hyphenated phone numbers in the 2-3-3-4 layout TPC-H uses. */
+  val phoneRe = "\\b\\d{2}-\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Per-document PII match counts: (n_emails, n_ipv4, n_phones). A pure
+    * map over codegen'd `regexp_count` — the 100 TB sweep is
+    * embarrassingly parallel, no shuffle. */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(emailRe)).cast("long").as("n_emails"),
+    regexp_count(text, lit(ipv4Re)).cast("long").as("n_ipv4"),
+    regexp_count(text, lit(phoneRe)).cast("long").as("n_phones"))
+
+  /** Redacted text: emails, then IPv4s, then phones replaced by typed
+    * placeholders (the order is part of the contract — email local parts
+    * contain digits the later passes must never see pre-redaction). */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "[EMAIL]"),
+        ipv4Re, "[IP]"),
+      phoneRe, "[PHONE]")
 }

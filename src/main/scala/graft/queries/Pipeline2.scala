@@ -337,6 +337,77 @@ object Pipeline2 {
              AS clean_hash_sum
     FROM tot"""
 
+  /** PII sweep: detection counts + redaction over a contact blob derived
+    * deterministically from the customer table (name-derived email,
+    * 2-3-3-4 phone, custkey-derived IPv4 — the corpus itself carries no
+    * PII, so the fixture manufactures it identically in both engines).
+    * The redacted text is pinned through the rolling hash, so a single
+    * mis-replaced character anywhere in the corpus breaks the gate. */
+  val qTextPii: Q = (s, d) => {
+    val email = when(col("c_custkey") % 3 =!= 0,
+      concat(lower(regexp_replace(col("c_name"), "#", ".")), lit("@example.com")))
+      .otherwise(lit("unlisted"))
+    val phone = when(col("c_custkey") % 2 === 0,
+      concat((col("c_custkey") % 90 + 10).cast("string"), lit("-"),
+             (col("c_custkey") % 900 + 100).cast("string"), lit("-"),
+             ((col("c_custkey") * 7) % 900 + 100).cast("string"), lit("-"),
+             (col("c_custkey") % 9000 + 1000).cast("string")))
+      .otherwise(lit("n/a"))
+    val ip = concat(lit("10."), (col("c_custkey") % 256).cast("string"), lit("."),
+                    (col("c_custkey") % 97).cast("string"), lit("."),
+                    (col("c_custkey") % 13).cast("string"))
+    val blob = concat_ws(" ", lit("contact"), email, lit("tel"), phone, lit("host"), ip)
+    customer(s, d)
+      .withColumn("pii", TF.piiCounts(blob))
+      .withColumn("red", TF.piiRedact(blob))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(col("pii.n_emails")).as("n_emails"),
+           sum(col("pii.n_ipv4")).as("n_ipv4"),
+           sum(col("pii.n_phones")).as("n_phones"),
+           sum(TF.rollingHash(col("red"))).as("redacted_hash_sum"))
+  }
+
+  val qTextPiiSql: String = """
+    WITH b AS (
+      SELECT c_mktsegment,
+        'contact ' ||
+        CASE WHEN c_custkey % 3 <> 0
+             THEN lower(replace(c_name, '#', '.')) || '@example.com'
+             ELSE 'unlisted' END ||
+        ' tel ' ||
+        CASE WHEN c_custkey % 2 = 0 THEN
+          CAST(c_custkey % 90 + 10 AS VARCHAR) || '-' ||
+          CAST(c_custkey % 900 + 100 AS VARCHAR) || '-' ||
+          CAST((c_custkey * 7) % 900 + 100 AS VARCHAR) || '-' ||
+          CAST(c_custkey % 9000 + 1000 AS VARCHAR)
+        ELSE 'n/a' END ||
+        ' host 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+        CAST(c_custkey % 97 AS VARCHAR) || '.' || CAST(c_custkey % 13 AS VARCHAR)
+        AS blob
+      FROM customer),
+    p AS (
+      SELECT c_mktsegment,
+        len(regexp_extract_all(blob, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+        len(regexp_extract_all(blob, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+        len(regexp_extract_all(blob, '\b\d{2}-\d{3}-\d{3}-\d{4}\b')) AS np,
+        regexp_replace(regexp_replace(regexp_replace(blob,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+          '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS red
+      FROM b)
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(ne) AS BIGINT) AS n_emails,
+           CAST(SUM(ni) AS BIGINT) AS n_ipv4,
+           CAST(SUM(np) AS BIGINT) AS n_phones,
+           CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_filter(string_split(regexp_replace(trim(red), '\s+', ' ', 'g'), ''), cc -> cc <> ''),
+                 cc -> CAST(unicode(cc) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 2147483647)) AS BIGINT)
+             AS redacted_hash_sum
+    FROM p GROUP BY 1"""
+
   // ---- embedding centroids -------------------------------------------------
 
   /** Per-label embedding centroids (first 8 dimensions): the class-
@@ -669,6 +740,7 @@ object Pipeline2 {
   val queries: Map[String, Q] = Map(
     "text_chunk"               -> qTextChunk,
     "text_line_dedup"          -> qTextLineDedup,
+    "text_pii"                 -> qTextPii,
     "agg_embedding_centroid"   -> qAggEmbeddingCentroid,
     "embedding_outliers"       -> qEmbeddingOutliers,
     "text_fluency"             -> qTextFluency,
@@ -689,6 +761,7 @@ object Pipeline2 {
   val oracleSql: Map[String, String] = Map(
     "text_chunk"               -> qTextChunkSql,
     "text_line_dedup"          -> qTextLineDedupSql,
+    "text_pii"                 -> qTextPiiSql,
     "agg_embedding_centroid"   -> qAggEmbeddingCentroidSql,
     "embedding_outliers"       -> qEmbeddingOutliersSql,
     "text_fluency"             -> qTextFluencySql,

@@ -49,6 +49,33 @@ class TextFunctionsSpec extends SparkSpec {
     assert(hs(0) != hs(1) && hs(0) == hs(2))
   }
 
+  test("piiCounts finds emails, IPv4s, and 2-3-3-4 phones; boundaries respected") {
+    def counts(t: String): (Long, Long, Long) =
+      one(t).select(TextFunctions.piiCounts(col("text")).as("p"))
+        .select("p.n_emails", "p.n_ipv4", "p.n_phones")
+        .as[(Long, Long, Long)].head()
+    assert(counts("mail a.b@x.io and c_d%e@sub.dom.org here") == ((2L, 0L, 0L)))
+    assert(counts("hosts 10.0.0.1 and 192.168.255.3, dots 1.2.3 no") == ((0L, 2L, 0L)))
+    assert(counts("call 25-989-741-2988 or 10-100-100-1000") == ((0L, 0L, 2L)))
+    // a five-part quad consumes one IPv4 match, not two; digits glued to
+    // the pattern break \b
+    assert(counts("1.2.3.4.5")._2 == 1L)
+    assert(counts("x25-989-741-29881")._3 == 0L)
+    assert(counts("plain text, no pii at all") == ((0L, 0L, 0L)))
+  }
+
+  test("piiRedact replaces all matches with typed placeholders, email first") {
+    def red(t: String): String =
+      one(t).select(TextFunctions.piiRedact(col("text"))).as[String].head()
+    assert(red("a.b@x.io then 10.0.0.1 then 25-989-741-2988")
+      == "[EMAIL] then [IP] then [PHONE]")
+    assert(red("two a@x.io b@y.net mails") == "two [EMAIL] [EMAIL] mails")
+    // the email's digits-and-dots local part must never leak into the IP
+    // pass: redacted as ONE email, zero IPs
+    assert(red("u.1.2.3.4@x.io") == "[EMAIL]")
+    assert(red("nothing here") == "nothing here")
+  }
+
   test("bpeTokenEstimate grows with word length and punctuation") {
     val est = Seq("hi yo", "internationalization, extraordinarily!").toDF("text")
       .select(TextFunctions.bpeTokenEstimate(col("text"))).as[Long].collect()
