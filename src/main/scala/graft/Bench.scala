@@ -113,6 +113,9 @@ object Bench {
     // comparator: ann_ivf (train + assignment expression + top-k; PQ's
     // argmin is 8x16 dots vs IVF's 64 cosines) x1.5 headroom
     "ann_pq" -> 0.86,
+    // comparator: ann_pq (same encode+ADC shape; the probe filter scans
+    // less but adds the 64-centroid assignment map)
+    "ann_ivf_pq" -> 0.86,
     "dedup_embedding" -> 0.794, "dedup_exact" -> 0.313,
     "dedup_minhash_lsh" -> 4.789, "dedup_ngram_jaccard" -> 10.653,
     // comparator: dedup_ngram_jaccard (same posting-join shape; k=3

@@ -408,6 +408,36 @@ object Vectors {
       .limit(k)
   }
 
+  /** IVF-PQ search (IVFADC): the coarse quantizer prunes the scan to
+    * `nprobe` cells, PQ codes ADC-score ONLY the probed subset, and exact
+    * cosine re-ranks the shortlist — the standard billion-scale recipe:
+    * cells bound WHAT is read (at deployment the cell id is a partition
+    * column, so pruning happens at the source), codes shrink each read
+    * row 16×, and full-precision math touches only `shortlist` rows.
+    * Composition of [[ivfTopK]]'s probe stage and [[pqTopK]]'s ADC+re-rank
+    * stage; same deterministic tie discipline throughout. */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Double], k: Int,
+                centroids: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
+                nprobe: Int = 8, shortlist: Int = 200): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
+    val probes = nearestCells(centroids, query, nprobe)
+    val probed = ivfAssignNative(df, vecCol, centroids)
+      .filter(col("cell").isin(probes: _*))
+    val lut = pqLut(books, query)
+    val adist = books.indices
+      .map(j => element_at(typedLit(lut(j)), col(s"__pq$j") + 1))
+      .reduce(_ + _)
+    pqEncode(probed, vecCol, books)
+      .select(col(idCol), col(vecCol), adist.as("adist"))
+      .orderBy(col("adist").asc, col(idCol))
+      .limit(shortlist)
+      .select(col(idCol),
+        call_function("cosine_vec", col(vecCol).cast("array<double>"), typedLit(query)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF search: score only the `nprobe` cells nearest to the query —
     * with √N cells and nprobe probes the scan covers ~nprobe/cells of the
     * corpus. At deployment the cell id is a partition column so pruning

@@ -479,6 +479,77 @@ object Pipeline {
   /** Codebooks trained by the last [[qAnnPq]] run in this JVM. */
   @volatile private var pqTrained: Option[Seq[Seq[Seq[Double]]]] = None
 
+  /** IVF-PQ (IVFADC) on the oracle: both trained artifacts — the coarse
+    * quantizer's centroids and the per-subspace codebooks — dump as SQL
+    * literals, and DuckDB independently re-derives cell assignment, the
+    * nprobe filter, the argmin code assignment ON THE PROBED SUBSET, the
+    * ADC shortlist, and the exact-cosine re-rank. */
+  val qAnnIvfPq: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val centroids = Vectors.trainIvfCentroids(emb, "vec_id", "embedding", cells = 64)
+    val books = Vectors.trainPqCodebooks(emb, "vec_id", "embedding", m = 8, ks = 16)
+    ivfPqTrained = Some((centroids, books))
+    Vectors.ivfPqTopK(emb, "vec_id", "embedding", annQuery, k = 20,
+      centroids, books, nprobe = 16, shortlist = 100)
+      .select("vec_id")
+  }
+
+  @volatile private var ivfPqTrained: Option[(Seq[Seq[Double]], Seq[Seq[Seq[Double]]])] = None
+
+  private def qAnnIvfPqSql(cents: Seq[Seq[Double]],
+                           books: Seq[Seq[Seq[Double]]]): String = {
+    val probes = Vectors.nearestCells(cents, annQuery, 16).mkString(", ")
+    val q = annQuery.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+    val centRows = cents.zipWithIndex
+      .map { case (c, i) => s"($i, ${sqlVec(c)})" }.mkString(",\n      ")
+    val m = books.size
+    val sub = books.head.head.size
+    val lut = Vectors.pqLut(books, annQuery)
+    val bookRows = (for { j <- 0 until m; (c, i) <- books(j).zipWithIndex }
+      yield s"($j, $i, ${sqlVec(c)}, ${c.map(x => x * x).sum})").mkString(",\n      ")
+    val codeCols = (0 until m)
+      .map(j => s"MAX(CASE WHEN j = $j THEN code END) AS c$j")
+      .mkString(",\n             ")
+    val adistExpr = (0 until m)
+      .map(j => s"list_extract(${sqlVec(lut(j))}, c$j + 1)").mkString(" + ")
+    s"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    cents(cell, c) AS (VALUES
+      $centRows),
+    assigned AS (
+      SELECT vec_id, v, cell
+      FROM (SELECT e.vec_id, e.v, cents.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${sqlCos("e.v", "cents.c")} DESC, cents.cell DESC) AS rn
+            FROM e CROSS JOIN cents)
+      WHERE rn = 1),
+    probed AS (SELECT vec_id, v FROM assigned WHERE cell IN ($probes)),
+    books(j, code, c, cc) AS (VALUES
+      $bookRows),
+    scored AS (
+      SELECT probed.vec_id, books.j, books.code,
+             ROW_NUMBER() OVER (PARTITION BY probed.vec_id, books.j
+               ORDER BY books.cc - 2.0 * list_dot_product(
+                          list_slice(probed.v, books.j * $sub + 1, books.j * $sub + $sub),
+                          books.c) ASC,
+                        books.code ASC) AS rn
+      FROM probed CROSS JOIN books),
+    codes AS (
+      SELECT vec_id,
+             $codeCols
+      FROM scored WHERE rn = 1 GROUP BY vec_id),
+    short AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, $adistExpr AS adist
+        FROM codes ORDER BY adist ASC, vec_id LIMIT 100) t)
+    SELECT vec_id FROM (
+      SELECT probed.vec_id, ${sqlCos("probed.v", q)} AS cos
+      FROM probed JOIN short USING (vec_id)
+      ORDER BY cos DESC, vec_id LIMIT 20) t2"""
+  }
+
   private def qAnnPqSql(books: Seq[Seq[Seq[Double]]]): String = {
     val m = books.size
     val sub = books.head.head.size
@@ -928,6 +999,7 @@ object Pipeline {
     "ann_lsh"              -> qAnnLsh,
     "ann_ivf"              -> qAnnIvf,
     "ann_pq"               -> qAnnPq,
+    "ann_ivf_pq"           -> qAnnIvfPq,
     "ann_int8"             -> qAnnInt8,
     "ann_batch"            -> qAnnBatch,
     "text_tokens"          -> qTextTokens,
@@ -946,7 +1018,8 @@ object Pipeline {
     * dumps). */
   def oracleSql: Map[String, String] =
     staticOracleSql ++ ivfTrained.map(c => "ann_ivf" -> qAnnIvfSql(c)) ++
-      pqTrained.map(b => "ann_pq" -> qAnnPqSql(b))
+      pqTrained.map(b => "ann_pq" -> qAnnPqSql(b)) ++
+      ivfPqTrained.map { case (c, b) => "ann_ivf_pq" -> qAnnIvfPqSql(c, b) }
 
   private val staticOracleSql: Map[String, String] = Map(
     "geo_utm"             -> qGeoUtmSql,

@@ -120,6 +120,34 @@ class VectorsSpec extends SparkSpec {
     assert(assigned > 32, s"corpus occupies only $assigned cells")
   }
 
+  test("IVF-PQ: full probe + full shortlist equals brute force; pruned recall holds") {
+    // same clustered regime as the IVF gate: when nothing is pruned
+    // (nprobe = cells, shortlist = N) the composition must EQUAL the
+    // exact scan — any code/LUT/probe bug shows as a diff, not a recall
+    // dip. Then the pruned configuration must still recall the cluster.
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+    val vecs = (for { c <- 0 until 16; j <- 0 until 40 } yield {
+      val v = centers(c).map(x => (x + rnd.nextGaussian() * 0.15).toFloat)
+      ((c * 40 + j).toLong, v)
+    }).toDF("vec_id", "embedding")
+    val q = centers(5).map(x => x + rnd.nextGaussian() * 0.15)
+    val centroids = Vectors.trainIvfCentroids(vecs, "vec_id", "embedding",
+      cells = 16, sampleN = 640)
+    val books = Vectors.trainPqCodebooks(vecs, "vec_id", "embedding", m = 8, ks = 16)
+    val exact = Vectors.bruteForceTopK(vecs, "vec_id", "embedding", q, 20)
+      .select("vec_id").as[Long].collect().toSeq
+    val full = Vectors.ivfPqTopK(vecs, "vec_id", "embedding", q, k = 20,
+      centroids, books, nprobe = 16, shortlist = 640)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == exact, "unpruned IVF-PQ must equal brute force exactly")
+    val pruned = Vectors.ivfPqTopK(vecs, "vec_id", "embedding", q, k = 20,
+      centroids, books, nprobe = 4, shortlist = 100)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact.toSet intersect pruned).size / 20.0
+    assert(recall >= 0.8, s"pruned IVF-PQ recall $recall < 0.8")
+  }
+
   test("centroids: per-group elementwise means, exact on known vectors") {
     val df = Seq(
       (1L, Seq(1.0f, 2.0f), "a"), (2L, Seq(3.0f, 6.0f), "a"),
