@@ -160,6 +160,9 @@ object Bench {
     // comparator: text_rolling_hash (same per-row map + char fold; three
     // regex passes on a shorter string in place of the tokenizer)
     "text_pii" -> 0.476,
+    // comparator: agg_quantile_portable x2 sketches + the text_quality
+    // tokenizer map feeding the second one
+    "pipeline_stats" -> 0.950,
     "text_quality" -> 0.514, "text_rolling_hash" -> 0.476,
     "text_tfidf" -> 0.990, "text_tokens" -> 0.358,
     "text_top_ngrams" -> 0.478, "window_first_last" -> 0.711,

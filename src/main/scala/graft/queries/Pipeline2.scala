@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Curation, Vectors, TextFunctions => TF}
+import graft.functions.{Curation, Sketches, Vectors, TextFunctions => TF}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation queries (the [[graft.functions.Curation]] family):
@@ -408,6 +408,73 @@ object Pipeline2 {
              AS redacted_hash_sum
     FROM p GROUP BY 1"""
 
+  /** Corpus report card: the per-language profile a pipeline publishes
+    * after every ingest — exact counts plus token-length and
+    * quality-score quantiles from the portable histogram-CDF sketch
+    * ([[Sketches.histQuantiles]]: fixed bucket counts, SUM-mergeable
+    * across days/partitions, so the same report rolls up incrementally at
+    * 100 TB). Everything, including the approximate quantiles themselves,
+    * reproduces bit-for-bit in DuckDB. */
+  val qPipelineStats: Q = (s, d) => {
+    val docs = documents(s, d).withColumn("__nt", TF.tokenCount(col("text")))
+    val tq = Sketches.histQuantiles(docs, Seq("lang"), col("__nt"),
+        lo = 0.0, width = 2.0, bins = 128, qs = Seq(0.5, 0.9, 0.99))
+      .groupBy(col("lang"))
+      .agg(max(when(col("__q") === 0.5, col("q_est"))).as("tok_p50"),
+           max(when(col("__q") === 0.9, col("q_est"))).as("tok_p90"),
+           max(when(col("__q") === 0.99, col("q_est"))).as("tok_p99"))
+    val qq = Sketches.histQuantiles(docs, Seq("lang"),
+        TF.qualityScore(col("text")),
+        lo = 0.0, width = 0.01, bins = 100, qs = Seq(0.5, 0.9))
+      .groupBy(col("lang"))
+      .agg(max(when(col("__q") === 0.5, col("q_est"))).as("qual_p50"),
+           max(when(col("__q") === 0.9, col("q_est"))).as("qual_p90"))
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("total_tokens"))
+      .join(tq, Seq("lang")).join(qq, Seq("lang"))
+  }
+
+  val qPipelineStatsSql: String = {
+    val qualityExpr = """
+      (CASE WHEN n >= 20 AND n <= 1000 THEN 1.0 WHEN n >= 5 THEN 0.5 ELSE 0.0 END * 0.4)
+      + ((CAST(nd AS DOUBLE) / GREATEST(CAST(n AS DOUBLE), 1.0)) * 0.4)
+      + (CASE WHEN sr >= 0.05 AND sr <= 0.6 THEN 1.0 ELSE 0.25 END * 0.2)"""
+    val docsSub = """(
+      SELECT lang, len(regexp_split_to_array(trim(text), '\s+')) AS nt
+      FROM documents) dsub"""
+    val qualSub = s"""(
+      SELECT lang, $qualityExpr AS ql FROM (
+        SELECT lang, len(toks) AS n, len(list_distinct(toks)) AS nd,
+               CAST(len(list_filter(toks, t -> list_contains(
+                 ['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) /
+               GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS sr
+        FROM (SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents) t0) t1) qsub"""
+    val tokQ = Sketches.histQuantilesSql(docsSub, Seq("lang"), "nt",
+      0.0, 2.0, 128, Seq(0.5, 0.9, 0.99))
+    val qualQ = Sketches.histQuantilesSql(qualSub, Seq("lang"), "ql",
+      0.0, 0.01, 100, Seq(0.5, 0.9))
+    s"""
+    WITH tq AS (
+      SELECT lang,
+             MAX(CASE WHEN __q = 0.5 THEN q_est END) AS tok_p50,
+             MAX(CASE WHEN __q = 0.9 THEN q_est END) AS tok_p90,
+             MAX(CASE WHEN __q = 0.99 THEN q_est END) AS tok_p99
+      FROM ($tokQ) x GROUP BY lang),
+    qq AS (
+      SELECT lang,
+             MAX(CASE WHEN __q = 0.5 THEN q_est END) AS qual_p50,
+             MAX(CASE WHEN __q = 0.9 THEN q_est END) AS qual_p90
+      FROM ($qualQ) y GROUP BY lang),
+    base AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS total_tokens
+      FROM $docsSub GROUP BY lang)
+    SELECT base.lang, n_docs, total_tokens, tok_p50, tok_p90, tok_p99,
+           qual_p50, qual_p90
+    FROM base JOIN tq ON base.lang = tq.lang JOIN qq ON base.lang = qq.lang"""
+  }
+
   // ---- embedding centroids -------------------------------------------------
 
   /** Per-label embedding centroids (first 8 dimensions): the class-
@@ -741,6 +808,7 @@ object Pipeline2 {
     "text_chunk"               -> qTextChunk,
     "text_line_dedup"          -> qTextLineDedup,
     "text_pii"                 -> qTextPii,
+    "pipeline_stats"           -> qPipelineStats,
     "agg_embedding_centroid"   -> qAggEmbeddingCentroid,
     "embedding_outliers"       -> qEmbeddingOutliers,
     "text_fluency"             -> qTextFluency,
@@ -762,6 +830,7 @@ object Pipeline2 {
     "text_chunk"               -> qTextChunkSql,
     "text_line_dedup"          -> qTextLineDedupSql,
     "text_pii"                 -> qTextPiiSql,
+    "pipeline_stats"           -> qPipelineStatsSql,
     "agg_embedding_centroid"   -> qAggEmbeddingCentroidSql,
     "embedding_outliers"       -> qEmbeddingOutliersSql,
     "text_fluency"             -> qTextFluencySql,

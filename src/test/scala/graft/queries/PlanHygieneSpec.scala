@@ -11,8 +11,10 @@ class PlanHygieneSpec extends SparkSpec {
   // deliberate exceptions: join_cross IS a cross join; text_tfidf and
   // text_fluency attach the corpus token/doc count via
   // crossJoin(broadcast(<one-row aggregate>)) — a single-row build side
-  // is O(rows), the canonical scalar attach
-  private val allowCartesian = Set("join_cross", "text_tfidf", "text_fluency")
+  // is O(rows), the canonical scalar attach; pipeline_shuffle assembles
+  // its report row by crossJoining four ONE-ROW aggregates
+  private val allowCartesian =
+    Set("join_cross", "text_tfidf", "text_fluency", "pipeline_shuffle")
 
   test("no accidental cartesian/nested-loop joins across the inventory") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
