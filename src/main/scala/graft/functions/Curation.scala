@@ -197,11 +197,24 @@ object Curation {
   def lineDedup(df: DataFrame, idCol: String, segsCol: Column,
                 minDf: Long = 2L, sep: String = " "): DataFrame = {
     val base = df.select(col(idCol).as("id"), segsCol.as("segs"))
-    val posted = base.select(col("id"), posexplode(col("segs")).as(Seq("pos", "seg")))
-    val frequent = posted.select(col("seg"), col("id")).distinct()
+    val frequent = segmentDf(df, idCol, segsCol)
+      .filter(col("seg_df") >= minDf).select(col("seg"))
+    cleanAgainst(base, frequent, sep)
+  }
+
+  /** The SUM-mergeable per-segment state behind [[lineDedup]]: how many
+    * DISTINCT documents contain each segment. This is the table a
+    * long-running pipeline persists between crawls — counts from disjoint
+    * document batches simply add. */
+  def segmentDf(df: DataFrame, idCol: String, segsCol: Column): DataFrame =
+    df.select(col(idCol).as("id"), explode(array_distinct(segsCol)).as("seg"))
       .groupBy(col("seg")).agg(count(lit(1)).as("seg_df"))
-      .filter(col("seg_df") >= minDf)
-      .select(col("seg"))
+
+  /** Anti-join `base` (id, segs) against the frequent-segment set and
+    * reassemble survivors in order — the removal half of [[lineDedup]]. */
+  private def cleanAgainst(base: DataFrame, frequent: DataFrame,
+                           sep: String): DataFrame = {
+    val posted = base.select(col("id"), posexplode(col("segs")).as(Seq("pos", "seg")))
     val kept = posted.join(frequent, Seq("seg"), "left_anti")
       .groupBy(col("id"))
       .agg(array_join(transform(
@@ -212,6 +225,32 @@ object Curation {
       .join(kept, Seq("id"), "left")
       .select(col("id"), coalesce(col("text_clean"), lit("")).as("text_clean"),
         col("n_total"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** The incremental outputs of [[lineDedupIncremental]]: the new batch
+    * cleaned against the POST-merge segment frequencies, the updated df
+    * state to persist, and the segments the batch pushed over the
+    * threshold — the invalidation set a downstream job consumes to
+    * re-clean the old documents that contain them. */
+  final case class LineDedupDelta(cleaned: DataFrame, mergedDf: DataFrame,
+                                  newlyFrequent: DataFrame)
+
+  /** Nightly-crawl line dedup: fold a new document batch into an existing
+    * [[segmentDf]] state and clean ONLY the new batch. Cost is
+    * O(new + state merge) — the corpus is never re-read; a re-run of the
+    * full pipeline and this increment agree exactly (spec-pinned),
+    * because df counts over disjoint batches are additive. */
+  def lineDedupIncremental(newDocs: DataFrame, idCol: String, segsCol: Column,
+                           existingDf: DataFrame, minDf: Long = 2L,
+                           sep: String = " "): LineDedupDelta = {
+    val state = existingDf.select(col("seg"), col("seg_df"))
+    val merged = state.unionByName(segmentDf(newDocs, idCol, segsCol))
+      .groupBy(col("seg")).agg(sum(col("seg_df")).as("seg_df"))
+    val frequent = merged.filter(col("seg_df") >= minDf).select(col("seg"))
+    val base = newDocs.select(col(idCol).as("id"), segsCol.as("segs"))
+    val newlyFrequent = frequent.join(
+      state.filter(col("seg_df") >= minDf).select(col("seg")), Seq("seg"), "left_anti")
+    LineDedupDelta(cleanAgainst(base, frequent, sep), merged, newlyFrequent)
   }
 
   /** Non-overlapping `w`-token window segmentation of `textCol` — the

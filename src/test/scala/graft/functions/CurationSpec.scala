@@ -175,6 +175,36 @@ class CurationSpec extends SparkSpec {
     assert(out(2) == ((3L, "keep", 2L, 1L)))
   }
 
+  test("lineDedupIncremental equals the full recompute restricted to the new batch") {
+    // old corpus: "nav" has df=2 (below minDf=3); the new batch adds a
+    // third "nav" doc — the increment must see the MERGED count, clean
+    // the new doc accordingly, and surface "nav" as newly frequent so
+    // old docs 1/2 can be invalidated downstream
+    val old = Seq(
+      (1L, Seq("nav", "body one")),
+      (2L, Seq("nav", "body two")),
+      (3L, Seq("body three"))
+    ).toDF("doc_id", "segs")
+    val fresh = Seq(
+      (10L, Seq("nav", "body ten")),
+      (11L, Seq("body eleven", "body eleven"))
+    ).toDF("doc_id", "segs")
+    val state = Curation.segmentDf(old, "doc_id", col("segs"))
+    val delta = Curation.lineDedupIncremental(fresh, "doc_id", col("segs"),
+      state, minDf = 3L)
+    val full = Curation.lineDedup(old.unionByName(fresh), "doc_id", col("segs"), minDf = 3L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Long, Long)].collect().toSet
+    assert(rows(delta.cleaned) == rows(full.filter(col("id") >= 10L)))
+    assert(rows(delta.cleaned).contains((10L, "body ten", 2L, 1L)),
+      "the merged count must push nav over the threshold for the new doc")
+    assert(delta.newlyFrequent.as[String].collect().toSeq == Seq("nav"))
+    // the merged state equals a from-scratch df count over the whole corpus
+    val fromScratch = Curation.segmentDf(old.unionByName(fresh), "doc_id", col("segs"))
+      .as[(String, Long)].collect().toSet
+    assert(delta.mergedDf.as[(String, Long)].collect().toSet == fromScratch)
+  }
+
   test("tokenWindows: non-overlapping windows with a partial tail") {
     val df = Seq(("a b c d e f g"), ("x"), ("")).toDF("text")
       .select(Curation.tokenWindows(col("text"), 3).as("w"))
