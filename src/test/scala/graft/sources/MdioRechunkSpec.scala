@@ -78,6 +78,42 @@ class MdioRechunkSpec extends SparkSpec {
     MdioWriter.delete(dst); MdioWriter.delete(src)
   }
 
+  test("rechunk of a sharded v3 variable: shard kept, inner chunks change, data exact") {
+    val dir = Files.createTempDirectory("mdio_rcs").resolve("s.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "rcs", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "inline", "dataType": "int64",
+        |     "dimensions": [{"name": "inline", "size": 8}]},
+        |    {"name": "crossline", "dataType": "int64",
+        |     "dimensions": [{"name": "crossline", "size": 8}]},
+        |    {"name": "image", "dataType": "float64",
+        |     "dimensions": [{"name": "inline", "size": 8}, {"name": "crossline", "size": 8}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration":
+        |       {"chunkShape": [4, 4], "shardShape": [8, 8]}}}}
+        |  ]
+        |}""".stripMargin), dir, version = 3)
+    val cells = for { i <- 0L until 8L; x <- 0L until 8L }
+      yield (i, x, (i * 8 + x).toDouble)
+    MdioWriter.writeVariable(spark,
+      cells.toDF("inline", "crossline", "image"), dir, "image")
+    val dst = dir + "_rc"
+    MdioWriter.rechunk(spark, dir, dst, Map("image" -> Seq(2L, 4L)), version = 3)
+    val (_, arrays) = graft.zarr.ZarrMeta.readGroup(graft.zarr.ZarrMeta.path(dst))
+    assert(arrays("image")._1.chunks == Seq(2L, 4L))
+    assert(arrays("image")._1.shard.contains(Seq(8L, 8L)))
+    val got = spark.read.format("mdio").load(dst)
+      .select("inline", "crossline", "image")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == cells.toSet)
+    // inner chunks that do not divide the shard reject loud
+    intercept[IllegalArgumentException] {
+      MdioWriter.rechunk(spark, dir, dir + "_bad", Map("image" -> Seq(3L, 4L)), version = 3)
+    }
+    MdioWriter.delete(dst); MdioWriter.delete(dir)
+  }
+
   test("rechunk contracts fail fast") {
     val src = create()
     intercept[IllegalArgumentException] {
