@@ -153,6 +153,9 @@ object Bench {
     "set_except" -> 0.736, "set_intersect" -> 0.658, "set_union" -> 0.381,
     "sort_multikey" -> 0.178, "sort_topk" -> 0.187,
     "stream_dedup_exec" -> 5.869, "stream_curation_exec" -> 2.216,
+    // comparator: stream_curation_exec (same file-source -> map ->
+    // one-stateful-agg shape; regex sweep in place of the quality gate)
+    "stream_pii_exec" -> 2.216,
     "stream_mdio_exec" -> 2.148,
     "stream_sliding" -> 0.640,
     "stream_tumbling" -> 0.389, "stream_tumbling_exec" -> 1.871,

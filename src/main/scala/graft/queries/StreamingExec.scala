@@ -110,6 +110,63 @@ object StreamingExec {
     WHERE n_toks >= 5 AND n_toks <= 1000 AND sr <= 0.6
     GROUP BY lang, md5(text)"""
 
+  /** Streaming PII-SCRUBBING INGEST executed as a stream: documents
+    * arrive, the portable-regex sweep counts and redacts in a pure map
+    * (the corpus carries no PII, so a contact header derives from doc_id
+    * identically in both engines — the [[Pipeline2.qTextPii]] fixture
+    * discipline), and one stateful aggregation publishes per-language
+    * counts plus the rolling hash of the whole redacted stream — so a
+    * single mis-redacted character in any micro-batch breaks the gate. */
+  val qStreamPiiExec: Q = (s, d) => {
+    import graft.functions.{TextFunctions => TF}
+    val email = when(col("doc_id") % 3 =!= 0,
+      concat(lit("user."), col("doc_id").cast("string"), lit("@example.com")))
+      .otherwise(lit("unlisted"))
+    val ip = concat(lit("10."), (col("doc_id") % 256).cast("string"), lit("."),
+                    (col("doc_id") % 97).cast("string"), lit("."),
+                    (col("doc_id") % 13).cast("string"))
+    val blob = concat_ws(" ", email, lit("from"), ip, col("text"))
+    val out = Tables.documentsStream(s, d)
+      .withColumn("pii", TF.piiCounts(blob))
+      .withColumn("red_hash", TF.rollingHash(TF.piiRedact(blob)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("pii.n_emails")).as("n_emails"),
+           sum(col("pii.n_ipv4")).as("n_ipv4"),
+           sum(col("red_hash")).as("red_hash_sum"))
+    runToMemory(out, "complete")
+  }
+
+  val qStreamPiiExecSql: String = """
+    WITH b AS (
+      SELECT lang,
+        (CASE WHEN doc_id % 3 <> 0
+              THEN 'user.' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE 'unlisted' END) || ' from 10.' ||
+        CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 97 AS VARCHAR) ||
+        '.' || CAST(doc_id % 13 AS VARCHAR) || ' ' || text AS blob
+      FROM documents),
+    p AS (
+      SELECT lang,
+        len(regexp_extract_all(blob, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+        len(regexp_extract_all(blob, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(
+            list_filter(string_split(regexp_replace(trim(
+              regexp_replace(regexp_replace(regexp_replace(blob,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+                '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g')), '\s+', ' ', 'g'), ''),
+            cc -> cc <> ''),
+          cc -> CAST(unicode(cc) AS BIGINT))),
+          (acc, x) -> (acc * 131 + x) % 2147483647) AS rh
+      FROM b)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ne) AS BIGINT) AS n_emails,
+           CAST(SUM(ni) AS BIGINT) AS n_ipv4,
+           CAST(SUM(rh) AS BIGINT) AS red_hash_sum
+    FROM p GROUP BY 1"""
+
   /** The MDIO STREAMING SOURCE itself on the oracle: build a store from
     * the orders table (one chunk per o_orderkey band), tail it with
     * `readStream.format("mdio")` through a real streaming run, and
@@ -178,11 +235,13 @@ object StreamingExec {
     "stream_tumbling_exec" -> qStreamTumblingExec,
     "stream_dedup_exec"    -> qStreamDedupExec,
     "stream_curation_exec" -> qStreamCurationExec,
+    "stream_pii_exec"      -> qStreamPiiExec,
     "stream_mdio_exec"     -> qStreamMdioExec)
 
   val oracleSql: Map[String, String] = Map(
     "stream_tumbling_exec" -> qStreamTumblingExecSql,
     "stream_dedup_exec"    -> qStreamDedupExecSql,
     "stream_curation_exec" -> qStreamCurationExecSql,
+    "stream_pii_exec"      -> qStreamPiiExecSql,
     "stream_mdio_exec"     -> qStreamMdioExecSql)
 }
