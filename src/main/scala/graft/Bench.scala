@@ -177,5 +177,8 @@ object Bench {
     // comparator: zarr_pushdown (same filtered-scan shape; the one-time
     // store migration happens in the untimed build, like zarrGrid itself)
     "mdio_rechunk" -> 0.160,
+    // comparator: mdio_rechunk (same one-time-build + scan shape, plus a
+    // one-row crossJoin assembling the two aggregates)
+    "mdio_extract" -> 0.300,
     "zarr_sharded_roundtrip" -> 0.086, "zarr_v3_roundtrip" -> 0.087)
 }

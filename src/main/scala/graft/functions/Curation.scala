@@ -256,13 +256,19 @@ object Curation {
   /** Non-overlapping `w`-token window segmentation of `textCol` — the
     * segmenter [[lineDedup]] runs with on corpora that have no newline
     * structure (duplicated-passage removal). The tail window keeps its
-    * partial length. */
+    * partial length.
+    *
+    * One greedy regex pass per row (leftmost match eats `w` tokens, the
+    * tail match takes what remains) instead of a higher-order
+    * transform-of-slices — the lambda form re-ran the tokenizer per
+    * window and fell out of codegen, and the segmentation sits under
+    * every branch of the dedup DAG, so its per-row cost multiplies. */
   def tokenWindows(textCol: Column, w: Int): Column = {
-    val toks = TextFunctions.tokens(textCol)
-    transform(
-      sequence(lit(0),
-        floor((size(toks) - 1).cast("double") / lit(w.toDouble)).cast("int"), lit(1)),
-      i => array_join(slice(toks, i * lit(w) + 1, lit(w)), " "))
+    require(w >= 1, s"window must be >= 1 token: $w")
+    val norm = regexp_replace(trim(textCol), "\\s+", " ")
+    val pat = "\\S+" + s"( \\S+){0,${w - 1}}"
+    when(length(norm) === 0, array(lit("")))
+      .otherwise(regexp_extract_all(norm, lit(pat), lit(0)))
   }
 
   /** Per-category token-budget quota: keep each category's documents in

@@ -453,6 +453,48 @@ object Mdio {
     FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j)
     WHERE i >= 4 AND i < 28 AND j >= 2"""
 
+  /** Subvolume twin of [[zarrGrid]] (built once per JVM per sfDir): the
+    * inline 8..23 × crossline 2..7 subcube cut into a standalone store
+    * via [[graft.sources.MdioWriter.extract]] — dims shrink to 16×6,
+    * indices shift to zero-origin, coordinate values carry over. */
+  def extractedGrid(s: SparkSession, d: String): String =
+    builtGrids.getOrElseUpdate(d + "#extract", {
+      val dst = zarrGrid(s, d) + "_ex"
+      graft.sources.MdioWriter.extract(s, zarrGrid(s, d), dst,
+        Map("inline" -> (8L, 24L), "crossline" -> (2L, 8L)))
+      dst
+    })
+
+  /** Subvolume extraction on the gate: aggregate the WHOLE extracted
+    * store (plus an interior slice in shifted coordinates) against the
+    * lineitem oracle restricted to the original region — any off-by-one
+    * in the cut or the shift breaks count or sum. */
+  val qMdioExtract: Q = (s, d) => {
+    val ex = s.read.format("mdio").load(extractedGrid(s, d))
+    val whole = ex.agg(dsum(col("image")).as("total"), count(lit(1)).as("n"))
+    val interior = ex.filter(col("inline") >= 4 && col("crossline") >= 3)
+      .agg(dsum(col("image")).as("inner_total"), count(lit(1)).as("inner_n"))
+    whole.crossJoin(interior)
+  }
+
+  val qMdioExtractSql: String = """
+    WITH agg AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS image
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT i, j, COALESCE(image, 0.0) AS image
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j)
+      WHERE i >= 8 AND i < 24 AND j >= 2),
+    whole AS (
+      SELECT CAST(SUM(CAST(image AS DECIMAL(27,6))) AS DOUBLE) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n FROM cells),
+    inner_ AS (
+      SELECT CAST(SUM(CAST(image AS DECIMAL(27,6))) AS DOUBLE) AS inner_total,
+             CAST(COUNT(*) AS BIGINT) AS inner_n
+      FROM cells WHERE i - 8 >= 4 AND j - 2 >= 3)
+    SELECT total, n, inner_total, inner_n FROM whole, inner_"""
+
   // P10 + O1/O2 + SET2 — CoordinateSelector: filter, multi-key sort, gather.
   val qCoordSelector: Q = (s, d) =>
     CoordinateSelector(eventsGrid(s, d))
@@ -612,6 +654,7 @@ object Mdio {
     "zarr_roundtrip"        -> qZarrRoundtrip,
     "zarr_pushdown"         -> qZarrPushdown,
     "mdio_rechunk"          -> qMdioRechunk,
+    "mdio_extract"          -> qMdioExtract,
     "zarr_v3_roundtrip"     -> qZarrV3Roundtrip,
     "zarr_sharded_roundtrip" -> qZarrShardedRoundtrip,
     "zarr_extents"          -> qZarrExtents,
@@ -640,6 +683,7 @@ object Mdio {
     "zarr_roundtrip"        -> qZarrRoundtripSql,
     "zarr_pushdown"         -> qZarrPushdownSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
+    "mdio_extract"          -> qMdioExtractSql,
     "zarr_v3_roundtrip"     -> qZarrPushdownSql, // same cells, same slice, v3 format
     "zarr_sharded_roundtrip" -> qZarrPushdownSql, // same slice through sharded storage
     "zarr_extents"          -> qZarrExtentsSql,

@@ -85,46 +85,118 @@ object MdioWriter {
     * the new inner chunks to divide it. Record dtypes are rejected loud. */
   def rechunk(spark: SparkSession, srcPath: String, dstPath: String,
               newChunks: Map[String, Seq[Long]], version: Int = 2): Unit = {
+    val spec = reconstructSpec(srcPath, "rechunk", newChunks, Map.empty)
+    delete0(dstPath)
+    create(spec, dstPath, version)
+    spec.variables.foreach { v =>
+      val df = spark.read.format("mdio").option("variables", v.name).load(srcPath)
+      writeVariable(spark, df, dstPath, v.name)
+    }
+  }
+
+  /** Subvolume extraction: cut the half-open index `region` of `srcPath`
+    * into a standalone dataset at `dstPath` — "give me this subcube as
+    * its own survey", the companion workflow to [[rechunk]]. Dimensions
+    * named in `region` shrink to `stop − start` and indices shift to
+    * zero-origin; coordinate VALUES carry over unchanged, so value-based
+    * `sel` keeps meaning on the extract. Chunk (and v3 shard) shapes
+    * clamp to the new extents, preserving alignment where they fit.
+    *
+    * Scale shape: the source scan pushes the region bounds into the
+    * connector (only overlapping chunks are read at all), the index shift
+    * is a narrow map, and [[writeVariable]]'s chunk-id shuffle clusters
+    * rows to one task per destination chunk — extracting a 1 TB subcube
+    * from a 100 TB survey reads and shuffles 1 TB, driver stays O(1). */
+  def extract(spark: SparkSession, srcPath: String, dstPath: String,
+              region: Map[String, (Long, Long)], version: Int = 2): Unit = {
+    require(region.nonEmpty, "extract: empty region")
+    val resize = region.map { case (dim, (start, stop)) =>
+      require(start >= 0 && stop > start,
+        s"extract: need 0 <= start < stop on '$dim', got [$start, $stop)")
+      dim -> (stop - start)
+    }
+    val spec = reconstructSpec(srcPath, "extract", Map.empty, resize)
+    region.keys.foreach { dim =>
+      require(spec.variables.exists(_.dimensions.exists(_.name == dim)),
+        s"extract: no dimension '$dim' at $srcPath") }
+    delete0(dstPath)
+    create(spec, dstPath, version)
+    spec.variables.foreach { v =>
+      var df = spark.read.format("mdio").option("variables", v.name).load(srcPath)
+      v.dimensions.foreach { d =>
+        region.get(d.name).foreach { case (start, stop) =>
+          df = df.filter(col(d.name) >= start && col(d.name) < stop)
+            .withColumn(d.name, col(d.name) - start)
+        }
+      }
+      writeVariable(spark, df, dstPath, v.name)
+    }
+  }
+
+  /** Rebuild an [[MdioSpec.Dataset]] from a store's on-disk metadata,
+    * with per-variable chunk overrides and/or dimension resizes — the
+    * shared front half of [[rechunk]] and [[extract]]. Dims, dtype,
+    * compressor, blosc params, coordinates, unitsV1, long_name, and group
+    * attributes carry over; record dtypes reject loud. */
+  private def reconstructSpec(srcPath: String, op: String,
+                              newChunks: Map[String, Seq[Long]],
+                              resize: Map[String, Long]): MdioSpec.Dataset = {
     val (groupAttrs, arrays) = ZarrMeta.readGroup(ZarrMeta.path(srcPath))
-    require(arrays.nonEmpty, s"rechunk: no arrays at $srcPath")
+    require(arrays.nonEmpty, s"$op: no arrays at $srcPath")
     newChunks.keys.foreach { n =>
-      require(arrays.contains(n), s"rechunk: no variable '$n' at $srcPath") }
+      require(arrays.contains(n), s"$op: no variable '$n' at $srcPath") }
     val toMdio: Map[String, String] = Seq(
       "bool", "int8", "int16", "int32", "int64", "uint8", "uint16",
       "uint32", "uint64", "float16", "float32", "float64", "complex64",
       "complex128").map(t => MdioSpec.zarrDtype(t) -> t).toMap
     val variables = arrays.toSeq.sortBy(_._1).map { case (name, (meta, attrs)) =>
       require(meta.fields.isEmpty,
-        s"rechunk: record dtype variable '$name' is not supported")
+        s"$op: record dtype variable '$name' is not supported")
       val dims = meta.dimNames
         .orElse(attrs.flatMap(MdioTableUtil.arrayDimensions))
         .getOrElse(throw new IllegalArgumentException(
-          s"rechunk: no dimension labels for '$name' at $srcPath"))
-      val chunks = newChunks.getOrElse(name, meta.chunks)
+          s"$op: no dimension labels for '$name' at $srcPath"))
+      val sizes = dims.zip(meta.shape).map { case (n, s) =>
+        resize.get(n).map { ns =>
+          require(ns <= s, s"$op: region exceeds '$n' extent $s on '$name'")
+          ns
+        }.getOrElse(s)
+      }
+      val chunks = newChunks.getOrElse(name,
+        meta.chunks.zip(sizes).map { case (c, s) => math.min(c, s) })
       require(chunks.size == meta.shape.size && chunks.forall(_ > 0),
-        s"rechunk: chunk shape $chunks does not fit rank-${meta.shape.size} '$name'")
-      meta.shard.foreach { sh =>
-        require(sh.zip(chunks).forall { case (s, c) => s % c == 0 },
-          s"rechunk: new chunks $chunks must divide shard shape $sh of '$name'") }
+        s"$op: chunk shape $chunks does not fit rank-${meta.shape.size} '$name'")
+      // explicit rechunk: the caller's chunks must divide the shard, loud.
+      // resize (extract): clamp the shard to the new extent, snapped down
+      // to a chunk multiple so sharding_indexed alignment survives the cut
+      val shard =
+        if (newChunks.contains(name)) {
+          meta.shard.foreach { sh =>
+            require(sh.zip(chunks).forall { case (s, c) => s % c == 0 },
+              s"$op: new chunks $chunks must divide shard shape $sh of '$name'") }
+          meta.shard
+        } else meta.shard.map(_.zip(chunks).zip(sizes).map {
+          case ((sh, c), s) => math.max(c, (math.min(sh, s) / c) * c)
+        })
       val aj = attrs.map(JsonMethods.parse(_))
       MdioSpec.Variable(
         name = name,
         dataType = toMdio.getOrElse(meta.dtype, throw new IllegalArgumentException(
-          s"rechunk: no MDIO dtype for '${meta.dtype}' ('$name')")),
-        dimensions = dims.zip(meta.shape).map { case (n, s) => MdioSpec.Dimension(n, s) },
+          s"$op: no MDIO dtype for '${meta.dtype}' ('$name')")),
+        dimensions = dims.zip(sizes).map { case (n, s) => MdioSpec.Dimension(n, s) },
         longName = aj.map(_ \ "long_name").collect { case JString(s) => s },
         chunkShape = Some(chunks),
         compressor = meta.compressor,
         coordinates = attrs.toSeq.flatMap(MdioTableUtil.coordinatesAttr),
         metadata = aj.map(_ \ "metadata").filter(j => j != JNothing && j != JNull),
         blosc = meta.blosc,
-        shardShape = meta.shard)
+        shardShape = shard)
     }
     val g = groupAttrs.map(JsonMethods.parse(_))
     def gstr(field: String, dflt: String): String =
       g.map(_ \ field).collect { case JString(s) => s }.getOrElse(dflt)
-    val spec = MdioSpec.Dataset(
-      name = gstr("name", "rechunked"),
+    MdioSpec.Dataset(
+      name = gstr("name", op),
       apiVersion = g.map(_ \ "apiVersion").collect {
         case JInt(i) => i.toLong
         case JLong(l) => l
@@ -133,12 +205,6 @@ object MdioWriter {
       variables = variables,
       attributes = g.map(_ \ "attributes")
         .filter(j => j != JNothing && j != JNull && j != JObject(Nil)))
-    delete0(dstPath)
-    create(spec, dstPath, version)
-    variables.foreach { v =>
-      val df = spark.read.format("mdio").option("variables", v.name).load(srcPath)
-      writeVariable(spark, df, dstPath, v.name)
-    }
   }
 
   /** S6 — distributed chunk-aligned write of one variable.

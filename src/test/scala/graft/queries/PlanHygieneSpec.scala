@@ -14,7 +14,8 @@ class PlanHygieneSpec extends SparkSpec {
   // is O(rows), the canonical scalar attach; pipeline_shuffle assembles
   // its report row by crossJoining four ONE-ROW aggregates
   private val allowCartesian =
-    Set("join_cross", "text_tfidf", "text_fluency", "pipeline_shuffle")
+    Set("join_cross", "text_tfidf", "text_fluency", "pipeline_shuffle",
+      "mdio_extract") // one-row aggregate pair assembled by crossJoin
 
   test("no accidental cartesian/nested-loop joins across the inventory") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -114,6 +114,42 @@ class MdioRechunkSpec extends SparkSpec {
     MdioWriter.delete(dst); MdioWriter.delete(dir)
   }
 
+  test("extract: dims shrink, indices shift to zero-origin, coord values carry") {
+    val src = create()
+    val dst = src + "_ex"
+    MdioWriter.extract(spark, src, dst,
+      Map("inline" -> (2L, 6L), "crossline" -> (1L, 4L)))
+    val (_, arrays) = graft.zarr.ZarrMeta.readGroup(graft.zarr.ZarrMeta.path(dst))
+    assert(arrays("image")._1.shape == Seq(4L, 3L))
+    assert(arrays("image")._1.chunks == Seq(4L, 3L), "chunks clamp to the cut")
+    // every extracted cell equals its source cell at (i+2, x+1)
+    val got = spark.read.format("mdio").option("variables", "image").load(dst)
+      .select("inline", "crossline", "image")
+      .as[(Long, Long, Double)].collect().toSet
+    val expect = (for { i <- 0L until 4L; x <- 0L until 3L }
+      yield (i, x, ((i + 2) * 10 + (x + 1)).toDouble)).toSet
+    assert(got == expect)
+    // the dimension coordinate keeps its VALUES for the kept indices
+    val coord = spark.read.format("mdio").option("variables", "inline").load(dst)
+      .select("inline", "inline__value").as[(Long, Long)].collect().toMap
+    assert(coord == (0L until 4L).map(i => i -> (i + 2) * 100).toMap)
+    MdioWriter.delete(dst); MdioWriter.delete(src)
+  }
+
+  test("extract contracts fail fast") {
+    val src = create()
+    intercept[IllegalArgumentException] {
+      MdioWriter.extract(spark, src, src + "_a", Map("depth" -> (0L, 2L)))
+    }
+    intercept[IllegalArgumentException] {
+      MdioWriter.extract(spark, src, src + "_b", Map("inline" -> (4L, 4L)))
+    }
+    intercept[IllegalArgumentException] {
+      MdioWriter.extract(spark, src, src + "_c", Map("inline" -> (0L, 9L)))
+    }
+    MdioWriter.delete(src)
+  }
+
   test("rechunk contracts fail fast") {
     val src = create()
     intercept[IllegalArgumentException] {
