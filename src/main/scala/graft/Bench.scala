@@ -180,5 +180,8 @@ object Bench {
     // comparator: mdio_rechunk (same one-time-build + scan shape, plus a
     // one-row crossJoin assembling the two aggregates)
     "mdio_extract" -> 0.300,
+    // comparator: zarr_pushdown (identical filtered-scan query through a
+    // permuted-layout store; one-time build untimed)
+    "mdio_transpose" -> 0.160,
     "zarr_sharded_roundtrip" -> 0.086, "zarr_v3_roundtrip" -> 0.087)
 }

@@ -495,6 +495,26 @@ object Mdio {
       FROM cells WHERE i - 8 >= 4 AND j - 2 >= 3)
     SELECT total, n, inner_total, inner_n FROM whole, inner_"""
 
+  /** Transposed twin of [[zarrGrid]]: image storage order flipped to
+    * (crossline, inline) — inline becomes the contiguous on-disk axis —
+    * via [[graft.sources.MdioWriter.transpose]]. */
+  def transposedGrid(s: SparkSession, d: String): String =
+    builtGrids.getOrElseUpdate(d + "#transpose", {
+      val dst = zarrGrid(s, d) + "_tp"
+      graft.sources.MdioWriter.transpose(s, zarrGrid(s, d), dst,
+        Map("image" -> Seq("crossline", "inline")))
+      dst
+    })
+
+  /** Dimension transposition on the gate: the same filtered aggregate as
+    * zarr_pushdown, read THROUGH the permuted-layout store — indices are
+    * dimension-name-addressed, so results must be identical while the
+    * on-disk chunk grid is flipped (spec-pinned). */
+  val qMdioTranspose: Q = (s, d) =>
+    s.read.format("mdio").load(transposedGrid(s, d))
+      .filter(col("inline") >= 8 && col("inline") < 24 && col("crossline") < 4)
+      .agg(dsum(col("image")).as("total"), count(lit(1)).as("n"))
+
   // P10 + O1/O2 + SET2 — CoordinateSelector: filter, multi-key sort, gather.
   val qCoordSelector: Q = (s, d) =>
     CoordinateSelector(eventsGrid(s, d))
@@ -655,6 +675,7 @@ object Mdio {
     "zarr_pushdown"         -> qZarrPushdown,
     "mdio_rechunk"          -> qMdioRechunk,
     "mdio_extract"          -> qMdioExtract,
+    "mdio_transpose"        -> qMdioTranspose,
     "zarr_v3_roundtrip"     -> qZarrV3Roundtrip,
     "zarr_sharded_roundtrip" -> qZarrShardedRoundtrip,
     "zarr_extents"          -> qZarrExtents,
@@ -684,6 +705,7 @@ object Mdio {
     "zarr_pushdown"         -> qZarrPushdownSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
     "mdio_extract"          -> qMdioExtractSql,
+    "mdio_transpose"        -> qZarrPushdownSql, // same cells, same slice, permuted layout
     "zarr_v3_roundtrip"     -> qZarrPushdownSql, // same cells, same slice, v3 format
     "zarr_sharded_roundtrip" -> qZarrPushdownSql, // same slice through sharded storage
     "zarr_extents"          -> qZarrExtentsSql,

@@ -133,6 +133,29 @@ object MdioWriter {
     }
   }
 
+  /** Dimension transposition: rewrite `srcPath` with the named variables'
+    * dimensions permuted to `newOrder` — the "optimize for depth slices"
+    * companion to [[rechunk]] (C-order puts the LAST dimension contiguous
+    * on disk, so a (inline, crossline, depth) cube that serves depth-slice
+    * reads wants (depth, inline, crossline) storage). Chunk and shard
+    * shapes permute with their dimensions; the long-form row data is
+    * order-agnostic (rows carry absolute indices per dimension NAME), so
+    * the copy is the same read → chunk-id-shuffle → write single pass as
+    * rechunk, with the shuffle now clustering by the PERMUTED chunk
+    * grid. */
+  def transpose(spark: SparkSession, srcPath: String, dstPath: String,
+                newOrder: Map[String, Seq[String]], version: Int = 2): Unit = {
+    require(newOrder.nonEmpty, "transpose: no variables named")
+    val spec = reconstructSpec(srcPath, "transpose", Map.empty, Map.empty,
+      permute = newOrder)
+    delete0(dstPath)
+    create(spec, dstPath, version)
+    spec.variables.foreach { v =>
+      val df = spark.read.format("mdio").option("variables", v.name).load(srcPath)
+      writeVariable(spark, df, dstPath, v.name)
+    }
+  }
+
   /** Rebuild an [[MdioSpec.Dataset]] from a store's on-disk metadata,
     * with per-variable chunk overrides and/or dimension resizes — the
     * shared front half of [[rechunk]] and [[extract]]. Dims, dtype,
@@ -140,10 +163,12 @@ object MdioWriter {
     * attributes carry over; record dtypes reject loud. */
   private def reconstructSpec(srcPath: String, op: String,
                               newChunks: Map[String, Seq[Long]],
-                              resize: Map[String, Long]): MdioSpec.Dataset = {
+                              resize: Map[String, Long],
+                              permute: Map[String, Seq[String]] = Map.empty)
+      : MdioSpec.Dataset = {
     val (groupAttrs, arrays) = ZarrMeta.readGroup(ZarrMeta.path(srcPath))
     require(arrays.nonEmpty, s"$op: no arrays at $srcPath")
-    newChunks.keys.foreach { n =>
+    (newChunks.keys ++ permute.keys).foreach { n =>
       require(arrays.contains(n), s"$op: no variable '$n' at $srcPath") }
     val toMdio: Map[String, String] = Seq(
       "bool", "int8", "int16", "int32", "int64", "uint8", "uint16",
@@ -152,18 +177,30 @@ object MdioWriter {
     val variables = arrays.toSeq.sortBy(_._1).map { case (name, (meta, attrs)) =>
       require(meta.fields.isEmpty,
         s"$op: record dtype variable '$name' is not supported")
-      val dims = meta.dimNames
+      val srcDims = meta.dimNames
         .orElse(attrs.flatMap(MdioTableUtil.arrayDimensions))
         .getOrElse(throw new IllegalArgumentException(
           s"$op: no dimension labels for '$name' at $srcPath"))
-      val sizes = dims.zip(meta.shape).map { case (n, s) =>
+      // dimension permutation (transpose): reorder dims/shape/chunks/shard
+      // jointly; the permutation must be exactly the variable's dim set
+      val ixs = permute.get(name).map { order =>
+        require(order.sorted == srcDims.sorted,
+          s"$op: order $order is not a permutation of $srcDims on '$name'")
+        order.map(srcDims.indexOf(_))
+      }.getOrElse(srcDims.indices)
+      def perm[A](xs: Seq[A]): Seq[A] = ixs.map(xs)
+      val dims = perm(srcDims)
+      val shape = perm(meta.shape)
+      val srcChunks = perm(meta.chunks)
+      val srcShard = meta.shard.map(perm)
+      val sizes = dims.zip(shape).map { case (n, s) =>
         resize.get(n).map { ns =>
           require(ns <= s, s"$op: region exceeds '$n' extent $s on '$name'")
           ns
         }.getOrElse(s)
       }
       val chunks = newChunks.getOrElse(name,
-        meta.chunks.zip(sizes).map { case (c, s) => math.min(c, s) })
+        srcChunks.zip(sizes).map { case (c, s) => math.min(c, s) })
       require(chunks.size == meta.shape.size && chunks.forall(_ > 0),
         s"$op: chunk shape $chunks does not fit rank-${meta.shape.size} '$name'")
       // explicit rechunk: the caller's chunks must divide the shard, loud.
@@ -171,11 +208,11 @@ object MdioWriter {
       // to a chunk multiple so sharding_indexed alignment survives the cut
       val shard =
         if (newChunks.contains(name)) {
-          meta.shard.foreach { sh =>
+          srcShard.foreach { sh =>
             require(sh.zip(chunks).forall { case (s, c) => s % c == 0 },
               s"$op: new chunks $chunks must divide shard shape $sh of '$name'") }
-          meta.shard
-        } else meta.shard.map(_.zip(chunks).zip(sizes).map {
+          srcShard
+        } else srcShard.map(_.zip(chunks).zip(sizes).map {
           case ((sh, c), s) => math.max(c, (math.min(sh, s) / c) * c)
         })
       val aj = attrs.map(JsonMethods.parse(_))

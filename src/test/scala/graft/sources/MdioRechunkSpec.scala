@@ -150,6 +150,31 @@ class MdioRechunkSpec extends SparkSpec {
     MdioWriter.delete(src)
   }
 
+  test("transpose: dims/chunks permute on disk, name-addressed cells identical") {
+    val src = create()
+    val dst = src + "_tp"
+    MdioWriter.transpose(spark, src, dst,
+      Map("image" -> Seq("crossline", "inline")))
+    val (_, arrays) = graft.zarr.ZarrMeta.readGroup(graft.zarr.ZarrMeta.path(dst))
+    def dimsOf(v: String): Option[Seq[String]] =
+      arrays(v)._1.dimNames.orElse(
+        arrays(v)._2.flatMap(MdioTableUtil.arrayDimensions))
+    assert(dimsOf("image").contains(Seq("crossline", "inline")))
+    assert(arrays("image")._1.shape == Seq(6L, 8L))
+    assert(arrays("image")._1.chunks == Seq(3L, 4L), "chunks permute with dims")
+    assert(dimsOf("mask").contains(Seq("inline", "crossline")),
+      "unnamed variables keep their order")
+    def cells(p: String) = spark.read.format("mdio").option("variables", "image").load(p)
+      .select("inline", "crossline", "image")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cells(dst) == cells(src))
+    intercept[IllegalArgumentException] {
+      MdioWriter.transpose(spark, src, src + "_x",
+        Map("image" -> Seq("inline", "depth")))
+    }
+    MdioWriter.delete(dst); MdioWriter.delete(src)
+  }
+
   test("rechunk contracts fail fast") {
     val src = create()
     intercept[IllegalArgumentException] {
