@@ -214,6 +214,34 @@ class CurationSpec extends SparkSpec {
     assert(df(2) == Seq(""), "empty text tokenizes to one empty window")
   }
 
+  test("tokenWindows (regex pass) equals the split-and-slice reference on random text") {
+    // the segmenter was rewritten from transform-of-slices to one greedy
+    // regex pass for speed; this differential pins the semantics across
+    // window sizes, whitespace runs, and short/empty docs
+    val r = new scala.util.Random(71)
+    val texts = (0 until 200).map { _ =>
+      val n = r.nextInt(12)
+      (0 until n).map(_ => "w" + r.nextInt(9))
+        .mkString(if (r.nextBoolean()) " " else "  ") +
+        (if (r.nextBoolean()) " " else "")
+    } :+ "" :+ "   " :+ "one"
+    def reference(t: String, w: Int): Seq[String] = {
+      val toks = t.trim.split("\\s+").toSeq // split("") = Seq("")
+      toks.grouped(w).map(_.mkString(" ")).toSeq match {
+        case Seq() => Seq("")
+        case ws => ws
+      }
+    }
+    for (w <- Seq(1, 3, 5)) {
+      val got = texts.toDF("text")
+        .select(col("text"), Curation.tokenWindows(col("text"), w).as("ws"))
+        .as[(String, Seq[String])].collect()
+      got.foreach { case (t, ws) =>
+        assert(ws == reference(t, w), s"w=$w text='$t'")
+      }
+    }
+  }
+
   test("unigramScore: common-token docs score higher than rare-token docs") {
     // corpus: "x" appears 6 times of 8 tokens; "q r" are singletons
     val df = Seq(
