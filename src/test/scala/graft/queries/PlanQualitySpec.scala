@@ -127,6 +127,41 @@ class PlanQualitySpec extends SparkSpec {
       "hash-gated sampling must not introduce extra exchanges:\n" + p.take(600))
   }
 
+  test("text_line_dedup: keyed anti join + partial aggs, no cartesian, no global sort") {
+    val p = plan("text_line_dedup")
+    assert(p.contains("LeftAnti"), "segment removal must be a keyed anti join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "frequent-set removal must never go quadratic")
+    assert(p.contains("partial_"), "df counting needs a map-side phase")
+    assert(!p.contains("Sort [") || !p.contains("global=true"),
+      "reassembly must not global-sort:\n" + p.take(400))
+  }
+
+  test("dedup_containment: posting join on keys with the size prune, no cartesian") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "containment must route through the inverted index")
+    assert(p.contains("partial_"), "pair counting needs a map-side phase")
+  }
+
+  test("pipeline_shuffle: top-k prefixes are TakeOrderedAndProject, not global sorts") {
+    val p = plan("pipeline_shuffle")
+    assert(p.contains("TakeOrderedAndProject"),
+      "epoch-prefix inspection must be top-k, not a full sort:\n" + p.take(400))
+  }
+
+  test("ann_ivf_pq: probe + ADC + re-rank stays top-k, no cartesian") {
+    val p = plan("ann_ivf_pq")
+    assert(p.contains("TakeOrderedAndProject"), "shortlist/re-rank must be top-k")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
+  test("text_pii: the sweep is a pure map into one aggregation, no joins") {
+    val p = plan("text_pii")
+    assert(!p.contains("Join"), "PII sweep must be shuffle-free before the agg")
+    assert(p.contains("partial_"), "count rollup needs a map-side phase")
+  }
+
   test("geo_utm: conversion stays inside whole-stage codegen") {
     // FormattedMode on an un-executed AQE plan omits codegen stage markers —
     // CodegenMode reports the compiled subtrees directly
