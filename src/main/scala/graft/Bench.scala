@@ -121,6 +121,9 @@ object Bench {
     // comparator: dedup_ngram_jaccard (same posting-join shape; k=3
     // trigram postings are sparser than its k=2, so this is headroom)
     "dedup_containment" -> 10.653,
+    // comparator: dedup_minhash_lsh (same banding/candidate machinery;
+    // the embedding-join verify replaces the gram-set verify)
+    "dedup_cascade" -> 4.789,
     "dedup_simhash" -> 0.868, "events_funnel" -> 2.521,
     "events_sessionize" -> 0.719, "fn_array" -> 0.387, "fn_case" -> 0.259,
     "fn_date" -> 0.483, "fn_datetime" -> 0.482, "fn_json" -> 1.075,

@@ -260,6 +260,37 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** CASCADE near-dup detection: cheap lexical candidate generation,
+    * SEMANTIC verification — candidate pairs come from the minhash bands
+    * (recall; never quadratic), and only pairs whose EMBEDDINGS agree
+    * (exact cosine >= minCos) survive (precision). The production
+    * pattern when lexical overlap alone over-triggers: boilerplate/
+    * template pages share tokens while meaning differs, and the
+    * embedding gate is what tells them apart.
+    *
+    * Scale shape: banding is the [[minhashLsh]] machinery (candidates ~
+    * linear on clustered corpora, spec-gated); the embedding attach is
+    * two keyed joins; cosine is the codegen'd `cosine_vec` kernel on
+    * only the candidate pairs. Emits (id_a, id_b, cos), id_a < id_b. */
+  def cascadeDups(docs: DataFrame, embeddings: DataFrame,
+                  idCol: String, textCol: String,
+                  vecIdCol: String, vecCol: String,
+                  numHashes: Int = 16, bands: Int = 8, shingleK: Int = 2,
+                  minCos: Double = 0.9): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val cand = candidatePairs(minhashBanded(
+      minhashSignatures(docs, idCol, textCol, numHashes, shingleK),
+      numHashes, bands))
+    val vecs = embeddings.select(col(vecIdCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    cand
+      .join(vecs.select(col("vid").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("vid").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        call_function("cosine_vec", col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Pairs + a quality score → per-document KEEP/DROP decisions: cluster
     * with [[connectedComponents]], then keep the HIGHEST-quality member
     * of each cluster (ties by min id) — the pick-the-best-copy dedup

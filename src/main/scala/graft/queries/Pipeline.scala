@@ -81,6 +81,48 @@ object Pipeline {
            COALESCE(MIN(id_a), -1) AS min_id
     FROM v WHERE j >= 0.4"""
 
+  /** Cascade dedup: minhash-band candidates verified by EMBEDDING cosine
+    * (doc_id ≡ vec_id on this corpus). The synthetic embeddings are
+    * uncorrelated with text similarity, so the gate sits at 0.3 where
+    * the corpus has mass — the operator's production default is 0.9; the
+    * semantics (lexical recall, semantic precision) are pinned on
+    * constructed data in DedupSpec. Ids-only output. */
+  val qDedupCascade: Q = (s, d) =>
+    Dedup.cascadeDups(documents(s, d), embeddings(s, d),
+      "doc_id", "text", "vec_id", "embedding", minCos = 0.3)
+      .agg(count(lit(1)).as("n_pairs"),
+           coalesce(sum(col("id_a") * lit(100003L) + col("id_b")), lit(0L))
+             .as("pair_checksum"))
+
+  val qDedupCascadeSql: String = s"""
+    WITH t AS (
+      SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents),
+    sh AS (
+      SELECT id, list_distinct($sqlBigrams) AS grams FROM t),
+    sg AS (
+      SELECT id, list_transform(range(0, 16), j ->
+               list_min(list_transform(
+                 list_transform(grams, g -> ${sqlPolyHash("g")}),
+                 h -> ((2*j+1)*h + j*1013904223) % 2147483647))) AS sig
+      FROM sh WHERE len(grams) >= 1),
+    b AS (
+      SELECT id, bd.b AS band, list_slice(sig, 2*bd.b + 1, 2*bd.b + 2) AS bucket
+      FROM sg, (SELECT unnest(range(0, 8)) AS b) bd),
+    cand AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    v AS (
+      SELECT id_a, id_b, ${sqlCos("ea.v", "eb.v")} AS cos
+      FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+                JOIN e eb ON eb.vec_id = cand.id_b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           COALESCE(CAST(SUM(id_a * 100003 + id_b) AS BIGINT), 0) AS pair_checksum
+    FROM v WHERE cos >= 0.3"""
+
   /** SimHash duplicate groups — ORACLE-CHECKED (62-bit portable simhash,
     * reproduced in SQL with nested lambdas and bit shifts). */
   val qDedupSimhash: Q = (s, d) =>
@@ -994,6 +1036,7 @@ object Pipeline {
     "dedup_components"     -> qDedupComponents,
     "dedup_keep_best"      -> qDedupKeepBest,
     "dedup_containment"    -> qDedupContainment,
+    "dedup_cascade"        -> qDedupCascade,
     "dedup_embedding"      -> qDedupEmbedding,
     "ann_brute_force"      -> qAnnBruteForce,
     "ann_lsh"              -> qAnnLsh,
@@ -1033,6 +1076,7 @@ object Pipeline {
     "dedup_components"    -> qDedupComponentsSql,
     "dedup_keep_best"     -> qDedupKeepBestSql,
     "dedup_containment"   -> qDedupContainmentSql,
+    "dedup_cascade"       -> qDedupCascadeSql,
     "ann_brute_force"     -> qAnnBruteForceSql,
     "ann_int8"            -> qAnnInt8Sql,
     "ann_batch"           -> qAnnBatchSql,

@@ -253,6 +253,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((2L, 1L)), s"expected only (2,1), got $pairs")
   }
 
+  test("cascadeDups: lexical recall gated by semantic precision") {
+    // docs 1/2: same text AND aligned embeddings -> survives the cascade
+    // docs 3/4: same text but ANTI-aligned embeddings (template page,
+    //           different meaning) -> candidate, killed by the cosine gate
+    // docs 5/6: aligned embeddings but disjoint text -> never a candidate
+    val base = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val other = (100 until 130).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, base + " x"), (4L, base + " y"),
+      (5L, other), (6L, (200 until 230).map(i => s"tok$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val up = Seq.tabulate(8)(i => math.sin(i + 1).toFloat)
+    val vecs = Seq(
+      (1L, up.toSeq), (2L, up.map(x => x * 0.9f).toSeq),
+      (3L, up.toSeq), (4L, up.map(x => -x).toSeq),
+      (5L, up.toSeq), (6L, up.map(x => x * 1.1f).toSeq)
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.cascadeDups(docs, vecs, "doc_id", "text",
+        "vec_id", "embedding", minCos = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"aligned near-dup must survive: $pairs")
+    assert(!pairs.contains((3L, 4L)), "anti-aligned template pair must be gated out")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L || p._2 == 6L),
+      s"disjoint text must never become a candidate: $pairs")
+  }
+
   test("incremental minhash-LSH equals the full run restricted to new-touching pairs") {
     import org.apache.spark.sql.DataFrame
     // 12 clusters of 3 near-dup docs; first 8 clusters are the existing
