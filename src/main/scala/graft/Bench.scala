@@ -186,5 +186,8 @@ object Bench {
     // comparator: zarr_pushdown (identical filtered-scan query through a
     // permuted-layout store; one-time build untimed)
     "mdio_transpose" -> 0.160,
+    // comparator: zarr_pushdown (seam-straddling filtered scan of the
+    // doubled store; one-time build untimed)
+    "mdio_concat" -> 0.160,
     "zarr_sharded_roundtrip" -> 0.086, "zarr_v3_roundtrip" -> 0.087)
 }

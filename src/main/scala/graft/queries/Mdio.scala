@@ -515,6 +515,42 @@ object Mdio {
       .filter(col("inline") >= 8 && col("inline") < 24 && col("crossline") < 4)
       .agg(dsum(col("image")).as("total"), count(lit(1)).as("n"))
 
+  /** Concatenated twin of [[zarrGrid]]: the store appended to itself
+    * along inline (two "campaigns", one 64×8 survey) via
+    * [[graft.sources.MdioWriter.concat]]. */
+  def concatGrid(s: SparkSession, d: String): String =
+    builtGrids.getOrElseUpdate(d + "#concat", {
+      val dst = zarrGrid(s, d) + "_cc"
+      graft.sources.MdioWriter.concat(s, zarrGrid(s, d), zarrGrid(s, d),
+        dst, "inline")
+      dst
+    })
+
+  /** Store concatenation on the gate: a slice straddling the seam
+    * (inline 24..39 = tail of campaign A + head of campaign B) aggregated
+    * THROUGH the merged store — a misplaced shift or a torn seam chunk
+    * breaks count or sum against the lineitem oracle. */
+  val qMdioConcat: Q = (s, d) =>
+    s.read.format("mdio").load(concatGrid(s, d))
+      .filter(col("inline") >= 24 && col("inline") < 40)
+      .agg(dsum(col("image")).as("total"), count(lit(1)).as("n"))
+
+  val qMdioConcatSql: String = """
+    WITH agg AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS image
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT i, j, COALESCE(image, 0.0) AS image
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j)),
+    sel AS (
+      SELECT image FROM cells WHERE i >= 24
+      UNION ALL
+      SELECT image FROM cells WHERE i < 8)
+    SELECT CAST(SUM(CAST(image AS DECIMAL(27,6))) AS DOUBLE) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM sel"""
+
   // P10 + O1/O2 + SET2 — CoordinateSelector: filter, multi-key sort, gather.
   val qCoordSelector: Q = (s, d) =>
     CoordinateSelector(eventsGrid(s, d))
@@ -676,6 +712,7 @@ object Mdio {
     "mdio_rechunk"          -> qMdioRechunk,
     "mdio_extract"          -> qMdioExtract,
     "mdio_transpose"        -> qMdioTranspose,
+    "mdio_concat"           -> qMdioConcat,
     "zarr_v3_roundtrip"     -> qZarrV3Roundtrip,
     "zarr_sharded_roundtrip" -> qZarrShardedRoundtrip,
     "zarr_extents"          -> qZarrExtents,
@@ -706,6 +743,7 @@ object Mdio {
     "mdio_rechunk"          -> qMdioRechunkSql,
     "mdio_extract"          -> qMdioExtractSql,
     "mdio_transpose"        -> qZarrPushdownSql, // same cells, same slice, permuted layout
+    "mdio_concat"           -> qMdioConcatSql,
     "zarr_v3_roundtrip"     -> qZarrPushdownSql, // same cells, same slice, v3 format
     "zarr_sharded_roundtrip" -> qZarrPushdownSql, // same slice through sharded storage
     "zarr_extents"          -> qZarrExtentsSql,

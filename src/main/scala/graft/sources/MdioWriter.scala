@@ -156,6 +156,62 @@ object MdioWriter {
     }
   }
 
+  /** Store concatenation: append `srcB` to `srcA` along `dim` into a new
+    * dataset at `dstPath` — the survey-merge workflow ([[extract]]'s
+    * inverse: two acquisition campaigns, one store). Variables carrying
+    * `dim` get `sizeA + sizeB` extent with B's indices shifted by A's
+    * extent; variables WITHOUT `dim` (other-axis coordinates, headers)
+    * must agree between the stores and copy from A. Chunk grids and all
+    * metadata come from A (B is re-chunked onto A's grid by the write
+    * shuffle — concatenation is exactly the rechunk copy pass run twice
+    * into one destination, so the cost is one read+shuffle+write of each
+    * source). */
+  def concat(spark: SparkSession, srcA: String, srcB: String, dstPath: String,
+             dim: String, version: Int = 2): Unit = {
+    val (_, arraysA) = ZarrMeta.readGroup(ZarrMeta.path(srcA))
+    val (_, arraysB) = ZarrMeta.readGroup(ZarrMeta.path(srcB))
+    require(arraysA.keySet == arraysB.keySet,
+      s"concat: variable sets differ: ${arraysA.keySet} vs ${arraysB.keySet}")
+    def dimsOf(arrays: Map[String, (ZarrMeta.ArrayMeta, Option[String])],
+               name: String): Seq[String] = {
+      val (meta, attrs) = arrays(name)
+      meta.dimNames.orElse(attrs.flatMap(MdioTableUtil.arrayDimensions))
+        .getOrElse(throw new IllegalArgumentException(
+          s"concat: no dimension labels for '$name'"))
+    }
+    val withDim = arraysA.keys.filter(n => dimsOf(arraysA, n).contains(dim)).toSeq
+    require(withDim.nonEmpty, s"concat: no variable carries dimension '$dim'")
+    val extA = arraysA(withDim.head)._1.shape(dimsOf(arraysA, withDim.head).indexOf(dim))
+    val extB = arraysB(withDim.head)._1.shape(dimsOf(arraysB, withDim.head).indexOf(dim))
+    arraysA.keys.foreach { n =>
+      val (ma, _) = arraysA(n); val (mb, _) = arraysB(n)
+      require(ma.dtype == mb.dtype, s"concat: dtype mismatch on '$n'")
+      val (da, db) = (dimsOf(arraysA, n), dimsOf(arraysB, n))
+      require(da == db, s"concat: dimension mismatch on '$n': $da vs $db")
+      da.indices.foreach { i =>
+        if (da(i) == dim)
+          require(ma.shape(i) == extA && mb.shape(i) == extB,
+            s"concat: inconsistent '$dim' extents on '$n'")
+        else require(ma.shape(i) == mb.shape(i),
+          s"concat: off-axis extent mismatch on '$n' dim '${da(i)}'")
+      }
+    }
+    val spec = reconstructSpec(srcA, "concat", Map.empty,
+      Map(dim -> (extA + extB)), allowGrow = true)
+    delete0(dstPath)
+    create(spec, dstPath, version)
+    spec.variables.foreach { v =>
+      val carries = v.dimensions.exists(_.name == dim)
+      val dfA = spark.read.format("mdio").option("variables", v.name).load(srcA)
+      writeVariable(spark, dfA, dstPath, v.name)
+      if (carries) {
+        val dfB = spark.read.format("mdio").option("variables", v.name).load(srcB)
+          .withColumn(dim, col(dim) + extA)
+        writeVariable(spark, dfB, dstPath, v.name)
+      }
+    }
+  }
+
   /** Rebuild an [[MdioSpec.Dataset]] from a store's on-disk metadata,
     * with per-variable chunk overrides and/or dimension resizes — the
     * shared front half of [[rechunk]] and [[extract]]. Dims, dtype,
@@ -164,7 +220,8 @@ object MdioWriter {
   private def reconstructSpec(srcPath: String, op: String,
                               newChunks: Map[String, Seq[Long]],
                               resize: Map[String, Long],
-                              permute: Map[String, Seq[String]] = Map.empty)
+                              permute: Map[String, Seq[String]] = Map.empty,
+                              allowGrow: Boolean = false)
       : MdioSpec.Dataset = {
     val (groupAttrs, arrays) = ZarrMeta.readGroup(ZarrMeta.path(srcPath))
     require(arrays.nonEmpty, s"$op: no arrays at $srcPath")
@@ -195,7 +252,8 @@ object MdioWriter {
       val srcShard = meta.shard.map(perm)
       val sizes = dims.zip(shape).map { case (n, s) =>
         resize.get(n).map { ns =>
-          require(ns <= s, s"$op: region exceeds '$n' extent $s on '$name'")
+          require(allowGrow || ns <= s,
+            s"$op: region exceeds '$n' extent $s on '$name'")
           ns
         }.getOrElse(s)
       }

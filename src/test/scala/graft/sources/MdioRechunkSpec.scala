@@ -175,6 +175,32 @@ class MdioRechunkSpec extends SparkSpec {
     MdioWriter.delete(dst); MdioWriter.delete(src)
   }
 
+  test("concat: B shifts past A along the dim, seam chunks intact, coords concatenate") {
+    val src = create()
+    val dst = src + "_cc"
+    MdioWriter.concat(spark, src, src, dst, "inline")
+    val (_, arrays) = graft.zarr.ZarrMeta.readGroup(graft.zarr.ZarrMeta.path(dst))
+    assert(arrays("image")._1.shape == Seq(16L, 6L))
+    assert(arrays("crossline")._1.shape == Seq(6L), "off-axis variables keep extent")
+    val got = spark.read.format("mdio").option("variables", "image").load(dst)
+      .select("inline", "crossline", "image")
+      .as[(Long, Long, Double)].collect().toSet
+    val expect = (for { i <- 0L until 16L; x <- 0L until 6L }
+      yield (i, x, ((i % 8) * 10 + x).toDouble)).toSet
+    assert(got == expect, "campaign B must be campaign A shifted by 8 inlines")
+    val coord = spark.read.format("mdio").option("variables", "inline").load(dst)
+      .select("inline", "inline__value").as[(Long, Long)].collect().toMap
+    assert(coord == (0L until 16L).map(i => i -> (i % 8) * 100).toMap,
+      "coordinate values concatenate")
+    // off-axis extent mismatch rejects loud: an extract has fewer crosslines
+    val narrow = src + "_n"
+    MdioWriter.extract(spark, src, narrow, Map("crossline" -> (0L, 3L)))
+    intercept[IllegalArgumentException] {
+      MdioWriter.concat(spark, src, narrow, src + "_bad", "inline")
+    }
+    MdioWriter.delete(narrow); MdioWriter.delete(dst); MdioWriter.delete(src)
+  }
+
   test("rechunk contracts fail fast") {
     val src = create()
     intercept[IllegalArgumentException] {
