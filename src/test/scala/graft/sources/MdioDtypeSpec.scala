@@ -63,6 +63,33 @@ class MdioDtypeSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("rechunk carries the exotic dtype matrix byte-exactly (u64 above 2^63, complex)") {
+    // the store-lifecycle ops reconstruct the spec from on-disk metadata;
+    // this pins the dtype inverse map + write path over the widened types
+    val d64 = make("uint64")
+    val vals = Seq(BigDecimal("18446744073709551614"), BigDecimal("9223372036854775808"),
+      BigDecimal(0), BigDecimal(17))
+    MdioWriter.writeVariable(spark,
+      vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("i", "v"), d64, "v")
+    MdioWriter.rechunk(spark, d64, d64 + "_rc", Map("v" -> Seq(2L)))
+    val got = spark.read.format("mdio").load(d64 + "_rc")
+      .orderBy("i").select(col("v").cast("string")).as[String].collect().toSeq
+    assert(got == vals.map(_.toBigInt.toString))
+    MdioWriter.delete(d64 + "_rc"); MdioWriter.delete(d64)
+
+    val dcx = make("complex64")
+    MdioWriter.writeVariable(spark,
+      Seq((0L, (1.5f, -2.5f)), (1L, (0f, 3f)), (2L, (-7f, 0.25f)), (3L, (4f, 4f)))
+        .map { case (i, (re, im)) => (i, re, im) }.toDF("i", "re", "im")
+        .select(col("i"), struct(col("re").as("re"), col("im").as("im")).as("v")),
+      dcx, "v")
+    MdioWriter.rechunk(spark, dcx, dcx + "_rc", Map("v" -> Seq(3L)))
+    val gotC = spark.read.format("mdio").load(dcx + "_rc")
+      .orderBy("i").select("v.re", "v.im").as[(Float, Float)].collect().toSeq
+    assert(gotC == Seq((1.5f, -2.5f), (0f, 3f), (-7f, 0.25f), (4f, 4f)))
+    MdioWriter.delete(dcx + "_rc"); MdioWriter.delete(dcx)
+  }
+
   test("uint64 missing chunk fills with type max (reference fill parity)") {
     val dir = make("uint64")
     val got = spark.read.format("mdio").load(dir)
