@@ -72,6 +72,42 @@ class SeismicWorkflowSpec extends SparkSpec {
     assert(untouched == SeismicDemo.amplitude(20, 20, 40), "other chunks untouched")
   }
 
+  test("store lifecycle on the 3-D cube: transpose -> extract -> concat stay exact") {
+    // the depth-slice optimization story end to end: flip amplitude to
+    // (depth, inline, crossline) storage, cut the target subcube, then
+    // merge two "campaigns" — every cell checked against the wavefield
+    val base = java.nio.file.Files.createTempDirectory("seismic_lc")
+      .resolve("s.mdio").toString
+    SeismicDemo.build(spark, base)
+    val MW = graft.sources.MdioWriter
+    val tp = base + "_tp"
+    MW.transpose(spark, base, tp,
+      Map("amplitude" -> Seq("depth", "inline", "crossline")))
+    val ex = base + "_ex"
+    MW.extract(spark, tp, ex, Map("inline" -> (8L, 16L), "depth" -> (16L, 48L)))
+    val cells = spark.read.format("mdio").option("variables", "amplitude").load(ex)
+      .select("inline", "crossline", "depth", "amplitude")
+      .as[(Long, Long, Long, Float)].collect()
+    assert(cells.length == 8 * SeismicDemo.nXl.toInt * 32)
+    cells.foreach { case (il, xl, z, a) =>
+      assert(a == SeismicDemo.amplitude(il + 8, xl, z + 16),
+        s"extracted cell ($il,$xl,$z)") }
+    // the 2-D geometry followed the inline cut
+    val geo = graft.zarr.ZarrMeta.readGroup(graft.zarr.ZarrMeta.path(ex))._2
+    assert(geo("cdp_x")._1.shape == Seq(8L, SeismicDemo.nXl))
+    val cc = base + "_cc"
+    MW.concat(spark, ex, ex, cc, "crossline")
+    val seam = spark.read.format("mdio").option("variables", "amplitude").load(cc)
+      .filter(col("inline") === 2 && col("depth") === 5 &&
+        (col("crossline") === 7 || col("crossline") === SeismicDemo.nXl + 7))
+      .select("crossline", "amplitude").as[(Long, Float)].collect().toMap
+    assert(seam.size == 2 &&
+      seam(7L) == seam(SeismicDemo.nXl + 7) &&
+      seam(7L) == SeismicDemo.amplitude(10, 7, 21),
+      s"campaign B must mirror campaign A across the seam: $seam")
+    Seq(cc, ex, tp, base).foreach(MW.delete)
+  }
+
   test("statsV1 attaches into variable attributes and survives re-read") {
     val stats = MdioStats.compute(spark, cube, "amplitude",
       histLo = -2.0, histWidth = 0.5, histBins = 16)
