@@ -201,6 +201,20 @@ class MdioRechunkSpec extends SparkSpec {
     MdioWriter.delete(narrow); MdioWriter.delete(dst); MdioWriter.delete(src)
   }
 
+  test("algebra: extract inverts concat — cutting campaign A back out equals A") {
+    val src = create()
+    val cc = src + "_cc"
+    MdioWriter.concat(spark, src, src, cc, "inline")
+    val back = src + "_back"
+    MdioWriter.extract(spark, cc, back, Map("inline" -> (0L, 8L)))
+    def all(p: String) = spark.read.format("mdio")
+      .option("variables", "image,mask,cdp-x").load(p)
+      .select("inline", "crossline", "image", "mask", "cdp-x")
+      .as[(Long, Long, Double, Int, Float)].collect().toSet
+    assert(all(back) == all(src))
+    Seq(back, cc, src).foreach(MdioWriter.delete)
+  }
+
   test("rechunk contracts fail fast") {
     val src = create()
     intercept[IllegalArgumentException] {
