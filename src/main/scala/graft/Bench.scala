@@ -116,6 +116,9 @@ object Bench {
     // comparator: ann_pq (same encode+ADC shape; the probe filter scans
     // less but adds the 64-centroid assignment map)
     "ann_ivf_pq" -> 0.86,
+    // comparator: ann_batch (same one-scan + window-rank shape, grouped
+    // by label instead of probe id)
+    "ann_grouped" -> 0.50,
     "dedup_embedding" -> 0.794, "dedup_exact" -> 0.313,
     "dedup_minhash_lsh" -> 4.789, "dedup_ngram_jaccard" -> 10.653,
     // comparator: dedup_ngram_jaccard (same posting-join shape; k=3

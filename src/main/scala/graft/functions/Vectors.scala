@@ -121,6 +121,24 @@ object Vectors {
       .select(col("qid"), col(idCol), col("cos"))
   }
 
+  /** GROUPED top-k: for every category, that category's k nearest
+    * neighbors to the query — "show the closest examples per domain /
+    * per language / per cluster", the faceted flavor of ANN a curation
+    * UI asks for. ONE corpus scan (the cosine is a map), then one
+    * row_number window per category after a hash shuffle — the grouped
+    * top-k shape, no global sort, no per-category rescans. */
+  def groupedTopK(df: DataFrame, idCol: String, vecCol: String,
+                  groupCol: String, query: Seq[Double], k: Int): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("cos").desc, col(idCol))
+    df.select(col(groupCol), col(idCol),
+        call_function("cosine_vec", col(vecCol), typedLit(query)).as("cos"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(groupCol), col(idCol), col("__rk").cast("long").as("rank"))
+  }
+
   /** Symmetric per-vector int8 quantization — the standard memory-
     * reduction path for 100 TB-scale similarity search (4x smaller than
     * f32, integer dot products downstream). Returns integer-VALUED

@@ -419,6 +419,25 @@ object Pipeline {
     subs.mkString("\n      UNION ALL ")
   }
 
+  /** Faceted ANN: each label's 5 nearest neighbors to the probe — one
+    * corpus scan + one grouped window, no per-category rescans. Ids and
+    * ranks only; ties break on vec_id in both engines. */
+  val qAnnGrouped: Q = (s, d) =>
+    Vectors.groupedTopK(embeddings(s, d), "vec_id", "embedding", "label",
+      annQuery, k = 5)
+
+  val qAnnGroupedSql: String = {
+    val q = annQuery.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+    s"""
+    SELECT label, vec_id, rank FROM (
+      SELECT label, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY label
+               ORDER BY ${sqlCos("list_transform(embedding, x -> CAST(x AS DOUBLE))", q)} DESC, vec_id)
+               AS rank
+      FROM embeddings) t
+    WHERE rank <= 5"""
+  }
+
   /** int8-quantized brute-force top-k — the 4x-smaller storage path for
     * 100 TB similarity search, ORACLE-CHECKED: quantization and quantized
     * cosine are pure IEEE arithmetic (round-half-away, integer dots, sqrt,
@@ -1043,6 +1062,7 @@ object Pipeline {
     "ann_ivf"              -> qAnnIvf,
     "ann_pq"               -> qAnnPq,
     "ann_ivf_pq"           -> qAnnIvfPq,
+    "ann_grouped"          -> qAnnGrouped,
     "ann_int8"             -> qAnnInt8,
     "ann_batch"            -> qAnnBatch,
     "text_tokens"          -> qTextTokens,
@@ -1077,6 +1097,7 @@ object Pipeline {
     "dedup_keep_best"     -> qDedupKeepBestSql,
     "dedup_containment"   -> qDedupContainmentSql,
     "dedup_cascade"       -> qDedupCascadeSql,
+    "ann_grouped"         -> qAnnGroupedSql,
     "ann_brute_force"     -> qAnnBruteForceSql,
     "ann_int8"            -> qAnnInt8Sql,
     "ann_batch"           -> qAnnBatchSql,

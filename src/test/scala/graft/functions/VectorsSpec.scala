@@ -148,6 +148,23 @@ class VectorsSpec extends SparkSpec {
     assert(recall >= 0.8, s"pruned IVF-PQ recall $recall < 0.8")
   }
 
+  test("groupedTopK equals per-group brute force, one scan") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat), s"g${i % 3}")
+    }.toDF("vec_id", "embedding", "label")
+    val q = Seq.fill(16)(rnd.nextGaussian())
+    val got = Vectors.groupedTopK(vecs, "vec_id", "embedding", "label", q, k = 4)
+      .select("label", "vec_id", "rank").as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (g, rs) => g -> rs.sortBy(_._3).map(_._2).toSeq }
+    for (g <- Seq("g0", "g1", "g2")) {
+      val expect = Vectors.bruteForceTopK(
+        vecs.filter(col("label") === g), "vec_id", "embedding", q, 4)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(got(g) == expect, s"group $g: ${got(g)} vs $expect")
+    }
+  }
+
   test("centroids: per-group elementwise means, exact on known vectors") {
     val df = Seq(
       (1L, Seq(1.0f, 2.0f), "a"), (2L, Seq(3.0f, 6.0f), "a"),
