@@ -127,6 +127,9 @@ object Bench {
     // comparator: dedup_minhash_lsh (same banding/candidate machinery;
     // the embedding-join verify replaces the gram-set verify)
     "dedup_cascade" -> 4.789,
+    // comparator: dedup_minhash_lsh + dedup_components + text_line_dedup
+    // chained (the recipe runs all three over the cleaned corpus)
+    "pipeline_dedup_recipe" -> 8.0,
     "dedup_simhash" -> 0.868, "events_funnel" -> 2.521,
     "events_sessionize" -> 0.719, "fn_array" -> 0.387, "fn_case" -> 0.259,
     "fn_date" -> 0.483, "fn_datetime" -> 0.482, "fn_json" -> 1.075,

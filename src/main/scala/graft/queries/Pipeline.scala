@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{Dedup, TextFunctions => TF, Vectors}
+import graft.functions.{Curation, Dedup, TextFunctions => TF, Vectors}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -122,6 +122,88 @@ object Pipeline {
     SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
            COALESCE(CAST(SUM(id_a * 100003 + id_b) AS BIGINT), 0) AS pair_checksum
     FROM v WHERE cos >= 0.3"""
+
+  /** The COMPOSED dedup recipe — the family end to end as one pipeline:
+    * exact dedup (min id per content hash) → line/passage dedup (w=3
+    * windows, df>=3 stripped) → minhash-LSH near-dup on the CLEANED text
+    * → connected components → keep each cluster's min id. The oracle
+    * re-derives all four stages in one recursive-CTE SQL, so a drift
+    * anywhere in the chain — not just in one operator — breaks the gate.
+    * Each stage keeps its scale shape; nothing materializes between. */
+  val qPipelineDedupRecipe: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+    val exact = documents(s, d)
+      .withColumn("__keep", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("__keep"))
+      .select(col("doc_id"), col("text"))
+    val cleaned = Curation.lineDedup(exact, "doc_id",
+        Curation.tokenWindows(col("text"), 3), minDf = 3L)
+      .select(col("id").as("doc_id"), col("text_clean"))
+    val pairs = Dedup.minhashLsh(cleaned, "doc_id", "text_clean",
+      numHashes = 16, bands = 8, shingleK = 2, threshold = 0.4)
+    val dropped = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+    cleaned.join(dropped, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_kept"),
+           sum(TF.tokenCount(col("text_clean"))).as("kept_tokens"),
+           coalesce(sum(col("doc_id")), lit(0L)).as("id_checksum"))
+  }
+
+  val qPipelineDedupRecipeSql: String = s"""
+    WITH RECURSIVE ex AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        FROM documents) WHERE doc_id = keep),
+    t0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM ex),
+    s0 AS (SELECT doc_id, unnest(range(0, ((len(toks)-1)//3)+1)) AS pos, toks FROM t0),
+    seg AS (SELECT doc_id, pos,
+              array_to_string(list_slice(toks, pos*3+1, pos*3+3), ' ') AS seg FROM s0),
+    fr AS (SELECT seg FROM (SELECT DISTINCT doc_id, seg FROM seg)
+           GROUP BY seg HAVING COUNT(*) >= 3),
+    ks AS (SELECT s.doc_id, s.pos, s.seg FROM seg s ANTI JOIN fr USING (seg)),
+    re AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_clean
+           FROM ks GROUP BY doc_id),
+    cl AS (SELECT t0.doc_id, COALESCE(re.text_clean, '') AS text_clean
+           FROM t0 LEFT JOIN re USING (doc_id)),
+    t AS (SELECT doc_id AS id, regexp_split_to_array(trim(text_clean), '\\s+') AS toks
+          FROM cl),
+    sh AS (SELECT id, list_distinct($sqlBigrams) AS grams FROM t),
+    sg AS (
+      SELECT id, list_transform(range(0, 16), j ->
+               list_min(list_transform(
+                 list_transform(grams, g -> ${sqlPolyHash("g")}),
+                 h -> ((2*j+1)*h + j*1013904223) % 2147483647))) AS sig
+      FROM sh WHERE len(grams) >= 1),
+    b AS (
+      SELECT id, bd.b AS band, list_slice(sig, 2*bd.b + 1, 2*bd.b + 2) AS bucket
+      FROM sg, (SELECT unnest(range(0, 8)) AS b) bd),
+    cand AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+    prs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) /
+               GREATEST(CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE), 1.0) AS j
+        FROM cand JOIN sh ga ON ga.id = cand.id_a JOIN sh gb ON gb.id = cand.id_b)
+      WHERE j >= 0.4),
+    edges AS (SELECT id_a AS u, id_b AS v FROM prs
+              UNION SELECT id_b AS u, id_a AS v FROM prs),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    r(id, x) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.id, e.v FROM r JOIN edges e ON r.x = e.u),
+    comp AS (SELECT id, MIN(x) AS label FROM r GROUP BY id),
+    dropped AS (SELECT id FROM comp WHERE id <> label),
+    kept AS (SELECT cl.doc_id, cl.text_clean
+             FROM cl ANTI JOIN dropped ON cl.doc_id = dropped.id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(len(regexp_split_to_array(trim(text_clean), '\\s+'))) AS BIGINT)
+             AS kept_tokens,
+           COALESCE(CAST(SUM(doc_id) AS BIGINT), 0) AS id_checksum
+    FROM kept"""
 
   /** SimHash duplicate groups — ORACLE-CHECKED (62-bit portable simhash,
     * reproduced in SQL with nested lambdas and bit shifts). */
@@ -1063,6 +1145,7 @@ object Pipeline {
     "ann_pq"               -> qAnnPq,
     "ann_ivf_pq"           -> qAnnIvfPq,
     "ann_grouped"          -> qAnnGrouped,
+    "pipeline_dedup_recipe" -> qPipelineDedupRecipe,
     "ann_int8"             -> qAnnInt8,
     "ann_batch"            -> qAnnBatch,
     "text_tokens"          -> qTextTokens,
@@ -1098,6 +1181,7 @@ object Pipeline {
     "dedup_containment"   -> qDedupContainmentSql,
     "dedup_cascade"       -> qDedupCascadeSql,
     "ann_grouped"         -> qAnnGroupedSql,
+    "pipeline_dedup_recipe" -> qPipelineDedupRecipeSql,
     "ann_brute_force"     -> qAnnBruteForceSql,
     "ann_int8"            -> qAnnInt8Sql,
     "ann_batch"           -> qAnnBatchSql,
