@@ -115,7 +115,8 @@ object MdioWriter {
         s"extract: need 0 <= start < stop on '$dim', got [$start, $stop)")
       dim -> (stop - start)
     }
-    val spec = reconstructSpec(srcPath, "extract", Map.empty, resize)
+    val spec = reconstructSpec(srcPath, "extract", Map.empty, resize,
+      resizeStop = region.map { case (d, (_, stop)) => d -> stop })
     region.keys.foreach { dim =>
       require(spec.variables.exists(_.dimensions.exists(_.name == dim)),
         s"extract: no dimension '$dim' at $srcPath") }
@@ -161,7 +162,9 @@ object MdioWriter {
     * inverse: two acquisition campaigns, one store). Variables carrying
     * `dim` get `sizeA + sizeB` extent with B's indices shifted by A's
     * extent; variables WITHOUT `dim` (other-axis coordinates, headers)
-    * must agree between the stores and copy from A. Chunk grids and all
+    * must agree between the stores and copy from A — agreement is checked
+    * on dtype/dims/shape AND on values (order-independent distributed
+    * checksum; a mismatch rejects loud). Chunk grids and all
     * metadata come from A (B is re-chunked onto A's grid by the write
     * shuffle — concatenation is exactly the rechunk copy pass run twice
     * into one destination, so the cost is one read+shuffle+write of each
@@ -208,6 +211,20 @@ object MdioWriter {
         val dfB = spark.read.format("mdio").option("variables", v.name).load(srcB)
           .withColumn(dim, col(dim) + extA)
         writeVariable(spark, dfB, dstPath, v.name)
+      } else {
+        // the doc contract says off-axis variables "must agree between the
+        // stores" — enforce it on VALUES, not just shape/dtype, with an
+        // order-independent distributed checksum (sum of per-row xxhash64
+        // over all columns; rows carry their absolute indices, so equal
+        // multisets here mean equal arrays). Off-axis variables are the
+        // small side of a store (coordinates/headers), so two extra scans
+        // of them cost ~nothing next to the concat copy itself.
+        def sig(df: DataFrame): java.math.BigDecimal = // decimal sum: ANSI-safe, no Long overflow
+          df.select(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)").as("__h"))
+            .agg(coalesce(sum(col("__h")), lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
+        val dfB = spark.read.format("mdio").option("variables", v.name).load(srcB)
+        require(sig(dfA) == sig(dfB),
+          s"concat: off-axis variable '${v.name}' values differ between stores")
       }
     }
   }
@@ -221,7 +238,8 @@ object MdioWriter {
                               newChunks: Map[String, Seq[Long]],
                               resize: Map[String, Long],
                               permute: Map[String, Seq[String]] = Map.empty,
-                              allowGrow: Boolean = false)
+                              allowGrow: Boolean = false,
+                              resizeStop: Map[String, Long] = Map.empty)
       : MdioSpec.Dataset = {
     val (groupAttrs, arrays) = ZarrMeta.readGroup(ZarrMeta.path(srcPath))
     require(arrays.nonEmpty, s"$op: no arrays at $srcPath")
@@ -252,6 +270,13 @@ object MdioWriter {
       val srcShard = meta.shard.map(perm)
       val sizes = dims.zip(shape).map { case (n, s) =>
         resize.get(n).map { ns =>
+          // length alone can't catch [start, stop) with stop past the end
+          // (e.g. [4,12) on extent 8 has a legal length); check the absolute
+          // stop too, else unwritten destination cells would read back as
+          // fill — fabricated data instead of a loud failure
+          resizeStop.get(n).foreach { stop =>
+            require(stop <= s,
+              s"$op: region exceeds '$n' extent $s on '$name' (stop $stop)") }
           require(allowGrow || ns <= s,
             s"$op: region exceeds '$n' extent $s on '$name'")
           ns

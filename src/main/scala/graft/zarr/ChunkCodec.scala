@@ -611,8 +611,10 @@ object ChunkCodec {
           require(v >= 0 && v < Int.MaxValue, "snappy: literal length overflow")
           nlit = v.toInt + 1
         }
-        require(ip + nlit <= ipEnd, "snappy: truncated literal")
-        require(op + nlit <= opEnd, "snappy: literal overruns output")
+        // Long arithmetic: a hostile 4-byte length near Int.MaxValue would
+        // wrap ip + nlit (and op + nlit) negative and slip past both bounds
+        require(ip.toLong + nlit <= ipEnd, "snappy: truncated literal")
+        require(op.toLong + nlit <= opEnd, "snappy: literal overruns output")
         System.arraycopy(data, ip, out, op, nlit)
         ip += nlit; op += nlit
       } else { // copy

@@ -147,6 +147,12 @@ class MdioRechunkSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       MdioWriter.extract(spark, src, src + "_c", Map("inline" -> (0L, 9L)))
     }
+    // stop past the extent with start > 0: the LENGTH (12-4 = 8) fits the
+    // extent 8, so only the absolute-stop check catches it — without it the
+    // unwritten destination cells would silently read back as fill
+    intercept[IllegalArgumentException] {
+      MdioWriter.extract(spark, src, src + "_d", Map("inline" -> (4L, 12L)))
+    }
     MdioWriter.delete(src)
   }
 
@@ -199,6 +205,22 @@ class MdioRechunkSpec extends SparkSpec {
       MdioWriter.concat(spark, src, narrow, src + "_bad", "inline")
     }
     MdioWriter.delete(narrow); MdioWriter.delete(dst); MdioWriter.delete(src)
+  }
+
+  test("concat: off-axis VALUE disagreement rejects loud (not silently kept from A)") {
+    val a = create()
+    val b = create()
+    // same shapes/dtypes everywhere, but B's crossline coordinate carries
+    // different values than A's (A's is unwritten -> fill) — the documented
+    // "must agree between the stores" contract is on values too
+    MdioWriter.writeVariable(spark,
+      spark.range(6).select(col("id").as("crossline"),
+        (col("id") * 7 + 1).as("crossline__value")), b, "crossline")
+    val err = intercept[IllegalArgumentException] {
+      MdioWriter.concat(spark, a, b, a + "_bad", "inline")
+    }
+    assert(err.getMessage.contains("crossline"))
+    MdioWriter.delete(a); MdioWriter.delete(b)
   }
 
   test("algebra: extract inverts concat — cutting campaign A back out equals A") {

@@ -201,6 +201,13 @@ class ChunkCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ChunkCodec.snappyDecompress(Array[Byte](8, ((8 - 1) << 2).toByte, 'a'), 0, 3, out, 0, 8)
     }
+    // snappy: hostile 4-byte literal length near Int.MaxValue — ip+nlit
+    // wraps negative in Int; must fail the require, not escape to
+    // ArrayIndexOutOfBoundsException inside System.arraycopy
+    intercept[IllegalArgumentException] {
+      ChunkCodec.snappyDecompress(Array[Byte](8, 0xFC.toByte,
+        0xF0.toByte, 0xFF.toByte, 0xFF.toByte, 0x7F.toByte), 0, 6, out, 0, 8)
+    }
   }
 
   test("gzip codec decodes RFC-1952 frames (zarr-python v3 gzip)") {
