@@ -60,13 +60,15 @@ object Bench {
     val results = pass2.map { case (name, t2) =>
       name -> math.min(pass1.getOrElse(name, t2), t2)
     }
-    // Per-query wall-clock budget: a query running >5x its round-2 sf0.1
-    // time (2 s floor for noise on sub-second queries) is a REGRESSION,
-    // surfaced loudly on stderr so it reads as a red bench, not a vibe.
+    // Per-query wall-clock budget: a query running >2x its recorded sf0.1
+    // warm time (2 s floor for noise on sub-second queries) is a
+    // REGRESSION, surfaced loudly on stderr so it reads as a red bench,
+    // not a vibe. (Round 5 shipped a 4x-dear bloom probe under the old 5x
+    // gate — 2x is this project's stated bar, so the gate now enforces it.)
     val regressions = results.collect {
-      case (name, t) if budget.get(name).exists(b => t > math.max(5.0 * b, 2.0)) =>
+      case (name, t) if budget.get(name).exists(b => t > math.max(2.0 * b, 2.0)) =>
         System.err.println(
-          f"[bench] REGRESSION $name: $t%.2fs > 5x r2 baseline ${budget(name)}%.2fs")
+          f"[bench] REGRESSION $name: $t%.2fs > 2x baseline ${budget(name)}%.2fs")
         name
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -152,6 +154,11 @@ object Bench {
     "mdio_select_field" -> 0.463, "mdio_select_variable" -> 0.221,
     "mdio_stats_aggregator" -> 0.458, "mdio_stats_v1" -> 0.506,
     "multimodal_bytes" -> 0.122, "multimodal_features" -> 0.271,
+    // r4 measured 0.30, r5/r6 ~0.51-0.68 warm: profiled round 6 — the
+    // source diff is a field rename + per-image O(1) header checks, and
+    // the number is stable in isolation (BenchOne), so ~0.5 s is the
+    // honest cost of 5k real BMP encode+decodes through Dataset encoders,
+    // not a plan defect; budget stays at its r4-era recorded value
     "multimodal_bmp" -> 0.725, "multimodal_wav" -> 0.908,
     // comparator: multimodal_bmp (same shape) + ~50% for deflate/inflate —
     // NOT this query's own first measurement (round-4 verdict discipline)

@@ -111,6 +111,44 @@ object TextKernels {
     sig
   }
 
+  /** Bloom-filter probe: count of grams whose TWO filter bits are both set
+    * in the `words` bit table (m = 64·|words| bits; bit positions are the
+    * portable polynomial hashes with bases 131 and 137, mod m — the exact
+    * formulation [[graft.functions.Curation.decontaminateBloom]] builds
+    * the filter with, so build and probe agree bit-for-bit). One JVM loop
+    * computing both hashes in a single pass over each gram's codepoints:
+    * the `aggregate()` HOF formulation this replaces re-evaluated two
+    * interpreted polyHash lambdas per gram per document outside codegen
+    * and measured ~4× slower than the exact sweep it exists to undercut. */
+  def bloomHits(grams: ArrayData, words: ArrayData): Long = {
+    val m = words.numElements().toLong * 64L
+    var hits = 0L
+    val n = grams.numElements()
+    var i = 0
+    while (i < n) {
+      if (!grams.isNullAt(i)) {
+        val str = grams.getUTF8String(i).toString
+        var h1 = 0L
+        var h2 = 0L
+        var j = 0
+        // per UTF-16 code unit, matching the build side's split("")+ascii
+        // column formulation exactly (== codepoints on BMP text)
+        while (j < str.length) {
+          val cp = str.charAt(j).toLong
+          h1 = (h1 * 131 + cp) % PolyP
+          h2 = (h2 * 137 + cp) % PolyP
+          j += 1
+        }
+        val p1 = h1 % m
+        val p2 = h2 % m
+        if ((words.getLong((p1 >> 6).toInt) & (1L << (p1 & 63L).toInt)) != 0 &&
+            (words.getLong((p2 >> 6).toInt) & (1L << (p2 & 63L).toInt)) != 0) hits += 1
+      }
+      i += 1
+    }
+    hits
+  }
+
   /** MinHash signature: for each of k hash families, the min over shingles
     * of Spark-xxhash64(j, shingle) — bit-identical to
     * `array_min(transform(sh, s => xxhash64(lit(j), s)))`, computed in one
@@ -205,6 +243,28 @@ case class SimHashPoly(child: Expression)
     defineCodeGen(ctx, ev, t => s"graft.expressions.TextKernels.simhashPoly($t)")
 
   override protected def withNewChildInternal(c: Expression): SimHashPoly = copy(child = c)
+}
+
+/** bloom_hits(array<string>, array<long>) -> long — count of grams with
+  * both portable-hash bits set in the 64·|words|-bit Bloom table. */
+case class BloomHits(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bloom_hits"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"bloom_hits needs (array<string>, array<long>), got (${l.simpleString}, ${r.simpleString})")
+  }
+
+  override protected def nullSafeEval(grams: Any, words: Any): Any =
+    TextKernels.bloomHits(grams.asInstanceOf[ArrayData], words.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, w) => s"graft.expressions.TextKernels.bloomHits($g, $w)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomHits =
+    copy(left = l, right = r)
 }
 
 /** minhash_sig(array<string>, k) -> array<long> */

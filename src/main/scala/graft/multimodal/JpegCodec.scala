@@ -1,0 +1,481 @@
+package graft.multimodal
+
+/** A REAL DCT image codec with zero dependencies: baseline sequential
+  * JPEG (JFIF), written against the public ITU T.81 standard — marker
+  * segments, canonical Huffman entropy coding, dequantization, separable
+  * 8×8 IDCT. This retires the "DCT formats stubbed" caveat: `image/jpeg`
+  * payloads decode through a genuine parser in
+  * [[Multimodal.extractFeatures]], no image library needed.
+  *
+  * Decoder scope (loud on everything else): 8-bit baseline sequential
+  * (SOF0), 1-component or single-interleaved-scan 3-component images with
+  * the first (luma) component at full resolution — which covers grayscale
+  * and 4:4:4/4:2:2/4:2:0 color as every mainstream encoder emits them.
+  * Progressive (SOF2), arithmetic coding, 12-bit precision, hierarchical
+  * and multi-scan streams are rejected loud, never decoded wrong.
+  * `meanLuma` is the mean of the Y channel (the luma plane IS the
+  * intensity signal; chroma blocks are entropy-decoded to keep the
+  * bitstream in sync but not reconstructed).
+  *
+  * Encoder scope: grayscale, all-ones quantization tables — so an 8×8
+  * block of constant value round-trips EXACTLY (its DCT is a lone DC
+  * coefficient; no quantization loss, no IDCT rounding), which is what
+  * lets a SQL oracle certify decoded pixel sums of block-constant images
+  * over a lossy wire format. Arbitrary images encode fine too (near
+  * lossless at quant 1), exercising the full AC run/size path.
+  */
+object JpegCodec {
+
+  // zigzag order k -> natural (row-major) coefficient index, ITU T.81 fig A.6
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // separable DCT basis M(a)(b) = C(b)/2 · cos((2a+1)bπ/16)
+  private val Basis: Array[Array[Double]] = Array.tabulate(8, 8) { (a, b) =>
+    val c = if (b == 0) 1.0 / math.sqrt(2.0) else 1.0
+    c / 2.0 * math.cos((2 * a + 1) * b * math.Pi / 16.0)
+  }
+
+  /** Decoded image summary: dimensions + mean luma in [0,1]. */
+  final case class Decoded(width: Int, height: Int, meanLuma: Double)
+
+  // ---- encoder -------------------------------------------------------------
+
+  /** Fixed encoder Huffman tables (any valid canonical DHT is legal; these
+    * are chosen for simplicity, NOT Annex K): DC = the 12 magnitude
+    * categories as 4-bit codes; AC = all 162 run/size symbols as 8-bit
+    * codes. Decoders rebuild them canonically from BITS/HUFFVAL like any
+    * other table. */
+  private val DcVals: Array[Int] = (0 to 11).toArray
+  private val AcVals: Array[Int] =
+    Array(0x00, 0xF0) ++ (for (run <- 0 to 15; size <- 1 to 10) yield (run << 4) | size)
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0L
+    private var nbits = 0
+    def write(bits: Int, n: Int): Unit = {
+      acc = (acc << n) | (bits & ((1L << n) - 1))
+      nbits += n
+      while (nbits >= 8) {
+        val b = ((acc >> (nbits - 8)) & 0xff).toInt
+        out.write(b)
+        if (b == 0xff) out.write(0x00) // byte stuffing
+        nbits -= 8
+      }
+    }
+    def flush(): Unit = if (nbits > 0) { // pad with 1s to a byte boundary
+      val b = (((acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)) & 0xff).toInt
+      out.write(b)
+      if (b == 0xff) out.write(0x00)
+      nbits = 0
+    }
+  }
+
+  private def category(v: Int): Int = {
+    var s = 0
+    var a = math.abs(v)
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** Encode a row-major 8-bit grayscale image (top-down) as baseline
+    * sequential JFIF with all-ones quantization (edge blocks replicate
+    * their last row/column, so block-constant content stays constant). */
+  def encode(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && gray.length == width * height,
+      s"need $width*$height=${width.toLong * height} pixels, got ${gray.length}")
+    val out = new java.io.ByteArrayOutputStream(gray.length / 2 + 1024)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      payload.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, 0 +: Array.fill(64)(1)) // DQT: Pq=0 Tq=0, all ones
+    seg(0xc0, Array(8, (height >> 8) & 0xff, height & 0xff,
+      (width >> 8) & 0xff, width & 0xff, 1, 1, 0x11, 0)) // SOF0, 1 comp 1x1
+    seg(0xc4, (0 +: Array.tabulate(16)(l => if (l == 3) DcVals.length else 0))
+      ++ DcVals) // DHT DC0: all codes length 4
+    seg(0xc4, (0x10 +: Array.tabulate(16)(l => if (l == 7) AcVals.length else 0))
+      ++ AcVals) // DHT AC0: all codes length 8
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0)) // SOS
+    // canonical code assignment: symbol k of an equal-length table gets code k
+    val dcCode = DcVals.zipWithIndex.toMap
+    val acCode = AcVals.zipWithIndex.toMap
+    val bw = new BitWriter(out)
+    val bx = (width + 7) / 8
+    val by = (height + 7) / 8
+    val block = new Array[Double](64)
+    val coef = new Array[Int](64)
+    var pred = 0
+    var byi = 0
+    while (byi < by) {
+      var bxi = 0
+      while (bxi < bx) {
+        var y = 0
+        while (y < 8) {
+          val sy = math.min(byi * 8 + y, height - 1)
+          var x = 0
+          while (x < 8) {
+            val sx = math.min(bxi * 8 + x, width - 1)
+            block(y * 8 + x) = (gray(sy * width + sx) & 0xff) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        // separable forward DCT: F = Mᵀ · s · M, then round (quant = 1)
+        val t = new Array[Double](64)
+        var u = 0
+        while (u < 8) {
+          var x = 0
+          while (x < 8) {
+            var s = 0.0
+            var yy = 0
+            while (yy < 8) { s += Basis(yy)(u) * block(yy * 8 + x); yy += 1 }
+            t(u * 8 + x) = s
+            x += 1
+          }
+          u += 1
+        }
+        u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var s = 0.0
+            var xx = 0
+            while (xx < 8) { s += t(u * 8 + xx) * Basis(xx)(v); xx += 1 }
+            coef(u * 8 + v) = math.round(s).toInt
+            v += 1
+          }
+          u += 1
+        }
+        // DC difference
+        val dc = coef(0)
+        val diff = dc - pred
+        pred = dc
+        val s0 = category(diff)
+        bw.write(dcCode(s0), 4)
+        if (s0 > 0) bw.write(if (diff < 0) diff + (1 << s0) - 1 else diff, s0)
+        // AC run/size
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          val v = coef(Zigzag(k))
+          if (v == 0) run += 1
+          else {
+            while (run > 15) { bw.write(acCode(0xF0), 8); run -= 16 }
+            val s = category(v)
+            require(s <= 10, s"AC coefficient $v out of the encoder's size range")
+            bw.write(acCode((run << 4) | s), 8)
+            bw.write(if (v < 0) v + (1 << s) - 1 else v, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) bw.write(acCode(0x00), 8) // EOB
+        bxi += 1
+      }
+      byi += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ---- decoder -------------------------------------------------------------
+
+  private final class Huff(bits: Array[Int], vals: Array[Int]) {
+    // canonical decode tables per ITU T.81 F.2.2.3 (mincode/maxcode/valptr)
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    require(bits.map(_.toLong).sum == vals.length, "DHT: BITS/HUFFVAL mismatch")
+    private var code = 0
+    private var k = 0
+    for (l <- 1 to 16) {
+      if (bits(l - 1) > 0) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l - 1)
+        k += bits(l - 1)
+        maxCode(l) = code - 1
+      }
+      require(code <= (1 << l), s"DHT: over-subscribed code length $l")
+      code <<= 1
+    }
+    def value(l: Int, c: Int): Int = vals(valPtr(l) + c - minCode(l))
+  }
+
+  private final class BitReader(data: Array[Byte], var ip: Int) {
+    private var acc = 0
+    private var nbits = 0
+    def bit(): Int = {
+      if (nbits == 0) {
+        require(ip < data.length, "JPEG: truncated entropy stream")
+        var b = data(ip) & 0xff
+        ip += 1
+        if (b == 0xff) {
+          require(ip < data.length, "JPEG: truncated entropy stream")
+          val m = data(ip) & 0xff
+          require(m == 0x00, f"JPEG: marker 0xff$m%02x inside entropy data")
+          ip += 1
+          b = 0xff
+        }
+        acc = b
+        nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def decode(h: Huff): Int = {
+      var c = bit()
+      var l = 1
+      while (c > h.maxCode(l)) {
+        c = (c << 1) | bit()
+        l += 1
+        require(l <= 16, "JPEG: invalid Huffman code")
+      }
+      h.value(l, c)
+    }
+    /** Byte-align and consume the expected RSTn marker. */
+    def restart(n: Int): Unit = {
+      nbits = 0
+      require(ip + 1 < data.length && (data(ip) & 0xff) == 0xff &&
+        (data(ip + 1) & 0xff) == (0xd0 + n),
+        s"JPEG: expected restart marker RST$n")
+      ip += 2
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Decode a baseline sequential JPEG; loud on unsupported flavors and
+    * malformed streams (truncation, bad Huffman codes, over-subscribed
+    * tables, geometry bombs), never a hang or a silent wrong answer. */
+  def decode(bytes: Array[Byte]): Decoded = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "not a JPEG payload")
+    var ip = 2
+    def u8(): Int = {
+      require(ip < bytes.length, "JPEG: truncated stream"); ip += 1
+      bytes(ip - 1) & 0xff
+    }
+    def u16(): Int = (u8() << 8) | u8()
+
+    val quant = new Array[Array[Int]](4)
+    val dcTables = new Array[Huff](4)
+    val acTables = new Array[Huff](4)
+    var width = -1
+    var height = -1
+    var nComp = 0
+    var compId: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var compQ: Array[Int] = null
+    var restartInterval = 0
+
+    var sumLuma = 0L
+
+    while (ip < bytes.length) {
+      require(u8() == 0xff, "JPEG: expected marker")
+      var m = u8()
+      while (m == 0xff) m = u8() // fill bytes before a marker are legal
+      m match {
+        case 0xd9 => // EOI
+          require(width > 0, "JPEG: EOI before any scan")
+          ip = bytes.length
+        case 0xdb => // DQT
+          var len = u16() - 2
+          while (len > 0) {
+            val pqtq = u8()
+            require((pqtq >> 4) == 0, "JPEG: 16-bit quantization tables not supported")
+            val tq = pqtq & 0x0f
+            val t = new Array[Int](64)
+            for (k <- 0 until 64) t(Zigzag(k)) = u8()
+            quant(tq) = t
+            len -= 65
+          }
+          require(len == 0, "JPEG: malformed DQT length")
+        case 0xc4 => // DHT
+          var len = u16() - 2
+          while (len > 0) {
+            val tcth = u8()
+            val bits = Array.fill(16)(u8())
+            val n = bits.sum
+            require(n > 0 && n <= 256 && len >= 17 + n, "JPEG: malformed DHT")
+            val vals = Array.fill(n)(u8())
+            val h = new Huff(bits, vals)
+            if ((tcth >> 4) == 0) dcTables(tcth & 0x0f) = h else acTables(tcth & 0x0f) = h
+            len -= 17 + n
+          }
+          require(len == 0, "JPEG: malformed DHT length")
+        case 0xc0 | 0xc1 => // SOF0/1: baseline(+extended) sequential Huffman
+          u16()
+          require(u8() == 8, "JPEG: only 8-bit precision supported")
+          height = u16(); width = u16()
+          require(width > 0 && height > 0 && width <= (1 << 16) && height <= (1 << 16) &&
+            width.toLong * height <= Int.MaxValue / 8,
+            s"JPEG: unsupported geometry ${width}x$height")
+          nComp = u8()
+          require(nComp == 1 || nComp == 3, s"JPEG: $nComp components not supported")
+          compId = new Array[Int](nComp); compH = new Array[Int](nComp)
+          compV = new Array[Int](nComp); compQ = new Array[Int](nComp)
+          for (c <- 0 until nComp) {
+            compId(c) = u8()
+            val hv = u8()
+            compH(c) = hv >> 4; compV(c) = hv & 0x0f
+            require(compH(c) >= 1 && compH(c) <= 2 && compV(c) >= 1 && compV(c) <= 2,
+              s"JPEG: sampling ${compH(c)}x${compV(c)} not supported")
+            compQ(c) = u8()
+          }
+          require(compH(0) == compH.max && compV(0) == compV.max,
+            "JPEG: luma must be the full-resolution component")
+        case 0xc2 => throw new IllegalArgumentException(
+          "JPEG: progressive (SOF2) not supported — baseline sequential only")
+        case x if x >= 0xc3 && x <= 0xcf && x != 0xc8 && x != 0xc4 && x != 0xcc =>
+          throw new IllegalArgumentException(
+            f"JPEG: SOF$x%02x (lossless/arithmetic/hierarchical) not supported")
+        case 0xdd => // DRI
+          require(u16() == 4, "JPEG: malformed DRI")
+          restartInterval = u16()
+        case 0xda => // SOS — entropy-coded scan follows
+          require(width > 0, "JPEG: SOS before SOF")
+          u16()
+          val ns = u8()
+          require(ns == nComp, "JPEG: multi-scan streams not supported")
+          val scanDc = new Array[Huff](nComp)
+          val scanAc = new Array[Huff](nComp)
+          for (_ <- 0 until ns) {
+            val cs = u8()
+            val c = compId.indexOf(cs)
+            require(c >= 0, s"JPEG: scan references unknown component $cs")
+            val tdta = u8()
+            scanDc(c) = dcTables(tdta >> 4)
+            scanAc(c) = acTables(tdta & 0x0f)
+            require(scanDc(c) != null && scanAc(c) != null, "JPEG: scan references missing DHT")
+          }
+          require(u8() == 0 && u8() == 63, "JPEG: non-baseline spectral selection")
+          u8() // Ah/Al, zero for baseline
+          for (c <- 0 until nComp)
+            require(quant(compQ(c)) != null, "JPEG: missing quantization table")
+
+          val hmax = compH.max
+          val vmax = compV.max
+          // single-component scans are never interleaved: MCU = 1 block
+          val (mcusX, mcusY, effH, effV) =
+            if (nComp == 1) ((width + 7) / 8, (height + 7) / 8, Array(1), Array(1))
+            else ((width + 8 * hmax - 1) / (8 * hmax),
+                  (height + 8 * vmax - 1) / (8 * vmax), compH, compV)
+          val yW = mcusX * 8 * effH(0)
+          val yPlane = new Array[Byte](yW * mcusY * 8 * effV(0))
+          val br = new BitReader(bytes, ip)
+          val pred = new Array[Int](nComp)
+          val coef = new Array[Int](64)
+          val tmp = new Array[Double](64)
+          var mcu = 0
+          var my = 0
+          while (my < mcusY) {
+            var mx = 0
+            while (mx < mcusX) {
+              if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+                br.restart(((mcu / restartInterval) - 1) % 8)
+                java.util.Arrays.fill(pred, 0)
+              }
+              var c = 0
+              while (c < nComp) {
+                val q = quant(compQ(c))
+                var vb = 0
+                while (vb < effV(c)) {
+                  var hb = 0
+                  while (hb < effH(c)) {
+                    java.util.Arrays.fill(coef, 0)
+                    val s0 = br.decode(scanDc(c))
+                    require(s0 <= 11, "JPEG: invalid DC category")
+                    pred(c) += extend(br.receive(s0), s0)
+                    coef(0) = pred(c) * q(0)
+                    var k = 1
+                    while (k < 64) {
+                      val rs = br.decode(scanAc(c))
+                      if (rs == 0x00) k = 64 // EOB
+                      else if (rs == 0xF0) k += 16 // ZRL
+                      else {
+                        k += rs >> 4
+                        require(k < 64, "JPEG: AC run past end of block")
+                        coef(Zigzag(k)) = extend(br.receive(rs & 0x0f), rs & 0x0f) * q(Zigzag(k))
+                        k += 1
+                      }
+                    }
+                    if (c == 0) { // IDCT the luma block into the Y plane
+                      var u = 0
+                      while (u < 8) { // tmp = coef · basisᵀ (rows)
+                        var x = 0
+                        while (x < 8) {
+                          var s = 0.0
+                          var v = 0
+                          while (v < 8) { s += coef(u * 8 + v) * Basis(x)(v); v += 1 }
+                          tmp(u * 8 + x) = s
+                          x += 1
+                        }
+                        u += 1
+                      }
+                      val bx0 = (mx * effH(0) + hb) * 8
+                      val by0 = (my * effV(0) + vb) * 8
+                      var y = 0
+                      while (y < 8) {
+                        var x = 0
+                        while (x < 8) {
+                          var s = 0.0
+                          var u2 = 0
+                          while (u2 < 8) { s += Basis(y)(u2) * tmp(u2 * 8 + x); u2 += 1 }
+                          val px = math.max(0, math.min(255, math.round(s).toInt + 128))
+                          yPlane((by0 + y) * yW + bx0 + x) = px.toByte
+                          x += 1
+                        }
+                        y += 1
+                      }
+                    }
+                    hb += 1
+                  }
+                  vb += 1
+                }
+                c += 1
+              }
+              mcu += 1
+              mx += 1
+            }
+            my += 1
+          }
+          // mean luma over the TRUE w×h window (MCU padding excluded)
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) { sumLuma += yPlane(y * yW + x) & 0xff; x += 1 }
+            y += 1
+          }
+          ip = br.ip
+        case 0x01 | (_: Int) if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
+          () // TEM / stray RST: no payload
+        case _ => // APPn, COM, DNL, anything else with a length: skip
+          val len = u16()
+          require(len >= 2 && ip + len - 2 <= bytes.length, "JPEG: segment overruns payload")
+          ip += len - 2
+      }
+    }
+    require(width > 0, "JPEG: no frame decoded")
+    Decoded(width, height,
+      sumLuma.toDouble / (width.toLong * height) / 255.0)
+  }
+}

@@ -65,6 +65,29 @@ object MdioWriter {
     if (version == 2) ZarrMeta.consolidate(root)
   }
 
+  /** Run one unit of copy work per variable CONCURRENTLY from the driver
+    * (bounded pool; Spark's scheduler interleaves the jobs across the
+    * cluster), so an N-variable store-lifecycle op costs max(variable),
+    * not Σ variables, in wall-time. Each unit is one variable's whole
+    * read → shuffle → write pass — units never share chunk files, so the
+    * only cross-thread state is Spark's own thread-safe job submission.
+    * All units run to completion even when one fails; the first failure
+    * then rethrows (the all-or-nothing metadata posture is unchanged —
+    * destination metadata was already written by `create`). */
+  private[sources] def forEachParallel[A](items: Seq[A])(work: A => Unit): Unit =
+    if (items.size <= 1) items.foreach(work)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(items.size, 8))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        val done = Await.result(
+          Future.sequence(items.map(a => Future(scala.util.Try(work(a))))), Duration.Inf)
+        done.collectFirst { case scala.util.Failure(e) => throw e }
+      } finally pool.shutdown()
+    }
+
   /** Store-to-store chunk-grid migration (rechunk): copy `srcPath` to a
     * new dataset at `dstPath` with the chunk shapes in `newChunks`
     * replacing the originals (variables not named keep theirs). The
@@ -88,7 +111,7 @@ object MdioWriter {
     val spec = reconstructSpec(srcPath, "rechunk", newChunks, Map.empty)
     delete0(dstPath)
     create(spec, dstPath, version)
-    spec.variables.foreach { v =>
+    forEachParallel(spec.variables) { v =>
       val df = spark.read.format("mdio").option("variables", v.name).load(srcPath)
       writeVariable(spark, df, dstPath, v.name)
     }
@@ -106,26 +129,55 @@ object MdioWriter {
     * connector (only overlapping chunks are read at all), the index shift
     * is a narrow map, and [[writeVariable]]'s chunk-id shuffle clusters
     * rows to one task per destination chunk — extracting a 1 TB subcube
-    * from a 100 TB survey reads and shuffles 1 TB, driver stays O(1). */
+    * from a 100 TB survey reads and shuffles 1 TB, driver stays O(1).
+    *
+    * Out-of-domain regions: the DEFAULT is to reject loud — a deliberate
+    * deviation from the reference's in-engine `isel`, which clamps slices
+    * into the domain (mdio/variable.h:1211-1232; the engine-side
+    * `MdioDataset.isel` here clamps too). For a STORE-COPY the clamp
+    * default would silently produce a smaller store than asked for;
+    * callers who want the reference's slicing semantics pass
+    * `clamp = true` and get start/stop clamped into [0, extent] with an
+    * all-outside region still rejected loud (an empty store copy is
+    * never what anyone meant). */
   def extract(spark: SparkSession, srcPath: String, dstPath: String,
-              region: Map[String, (Long, Long)], version: Int = 2): Unit = {
+              region: Map[String, (Long, Long)], version: Int = 2,
+              clamp: Boolean = false): Unit = {
     require(region.nonEmpty, "extract: empty region")
-    val resize = region.map { case (dim, (start, stop)) =>
+    val region1 = if (!clamp) region else {
+      val (_, arrays) = ZarrMeta.readGroup(ZarrMeta.path(srcPath))
+      def extentOf(dim: String): Option[Long] = arrays.values.flatMap { case (meta, attrs) =>
+        val ds = meta.dimNames.orElse(attrs.flatMap(MdioTableUtil.arrayDimensions))
+          .getOrElse(Seq.empty)
+        val i = ds.indexOf(dim)
+        if (i >= 0) Some(meta.shape(i)) else None
+      }.headOption
+      region.map { case (d, (start, stop)) =>
+        val ext = extentOf(d).getOrElse(throw new IllegalArgumentException(
+          s"extract: no dimension '$d' at $srcPath"))
+        val s2 = math.min(math.max(start, 0L), ext)
+        val p2 = math.max(math.min(stop, ext), 0L)
+        require(p2 > s2,
+          s"extract: region [$start, $stop) on '$d' clamps to empty (extent $ext)")
+        d -> ((s2, p2))
+      }
+    }
+    val resize = region1.map { case (dim, (start, stop)) =>
       require(start >= 0 && stop > start,
         s"extract: need 0 <= start < stop on '$dim', got [$start, $stop)")
       dim -> (stop - start)
     }
     val spec = reconstructSpec(srcPath, "extract", Map.empty, resize,
-      resizeStop = region.map { case (d, (_, stop)) => d -> stop })
-    region.keys.foreach { dim =>
+      resizeStop = region1.map { case (d, (_, stop)) => d -> stop })
+    region1.keys.foreach { dim =>
       require(spec.variables.exists(_.dimensions.exists(_.name == dim)),
         s"extract: no dimension '$dim' at $srcPath") }
     delete0(dstPath)
     create(spec, dstPath, version)
-    spec.variables.foreach { v =>
+    forEachParallel(spec.variables) { v =>
       var df = spark.read.format("mdio").option("variables", v.name).load(srcPath)
       v.dimensions.foreach { d =>
-        region.get(d.name).foreach { case (start, stop) =>
+        region1.get(d.name).foreach { case (start, stop) =>
           df = df.filter(col(d.name) >= start && col(d.name) < stop)
             .withColumn(d.name, col(d.name) - start)
         }
@@ -151,7 +203,7 @@ object MdioWriter {
       permute = newOrder)
     delete0(dstPath)
     create(spec, dstPath, version)
-    spec.variables.foreach { v =>
+    forEachParallel(spec.variables) { v =>
       val df = spark.read.format("mdio").option("variables", v.name).load(srcPath)
       writeVariable(spark, df, dstPath, v.name)
     }
@@ -203,7 +255,10 @@ object MdioWriter {
       Map(dim -> (extA + extB)), allowGrow = true)
     delete0(dstPath)
     create(spec, dstPath, version)
-    spec.variables.foreach { v =>
+    forEachParallel(spec.variables) { v =>
+      // A-then-B stays SEQUENTIAL within a variable: when extA is not
+      // chunk-aligned the seam chunk is written by both passes and B's
+      // read-modify-write must see A's cells; only variables parallelize
       val carries = v.dimensions.exists(_.name == dim)
       val dfA = spark.read.format("mdio").option("variables", v.name).load(srcA)
       writeVariable(spark, dfA, dstPath, v.name)

@@ -518,7 +518,7 @@ object ChunkCodec {
     * (max 32) and near matches (back-distance <= 8191 — the escape-free
     * range, so encode never depends on the far branch). Output decodes with
     * [[blosclzDecompress]] and c-blosc alike. */
-  private[zarr] def blosclzCompress(src: Array[Byte]): Array[Byte] = {
+  private[graft] def blosclzCompress(src: Array[Byte]): Array[Byte] = {
     val n = src.length
     val out = new ByteArrayOutputStream(n / 2 + 64)
     val HashBits = 14
@@ -648,7 +648,7 @@ object ChunkCodec {
   /** Greedy raw-snappy encoder: 4-byte hash matcher emitting 2-byte-offset
     * copies (<= 64 bytes each, chained for longer matches) and literal runs.
     * Output decodes with [[snappyDecompress]] and any snappy library. */
-  private[zarr] def snappyCompress(src: Array[Byte]): Array[Byte] = {
+  private[graft] def snappyCompress(src: Array[Byte]): Array[Byte] = {
     val n = src.length
     val out = new ByteArrayOutputStream(n / 2 + 64)
     var v = n

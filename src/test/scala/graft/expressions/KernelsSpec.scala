@@ -91,6 +91,40 @@ class KernelsSpec extends SparkSpec {
     assert(sig.length == 4)
   }
 
+  test("bloom_hits expression == interpreted HOF probe on the corpus") {
+    graft.GraftFunctions.register(spark)
+    val m = 256L // small dense filter: exercises word indexing and bit 63
+    val rnd = new scala.util.Random(42)
+    val words = Seq.fill(4)(rnd.nextLong())
+    val bloom = typedlit(words)
+    val docs = graft.Tables.documents(spark, sf).limit(200)
+    val grams = array_distinct(call_function("word_ngrams",
+      TextFunctions.tokens(col("text")), lit(3)))
+    // the aggregate() HOF probe this kernel replaced, verbatim
+    def polyHashC(s: org.apache.spark.sql.Column, base: Long) =
+      aggregate(split(s, ""), lit(0L),
+        (acc, c) => (acc * lit(base) + ascii(c)) % lit(2147483647L))
+    def hit(g: org.apache.spark.sql.Column, base: Long) = {
+      val p = polyHashC(g, base) % lit(m)
+      (element_at(bloom, shiftright(p, 6).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), p.bitwiseAND(lit(63L)).cast("int")))) =!= lit(0L)
+    }
+    val mismatch = docs.select(
+        aggregate(grams, lit(0L),
+          (acc, g) => acc + when(hit(g, 131L) && hit(g, 137L), 1L).otherwise(0L)).as("lambda"),
+        call_function("bloom_hits", grams, bloom).as("native"))
+      .filter(col("lambda") =!= col("native")).count()
+    assert(mismatch == 0)
+    // degenerate tables: all-ones counts every gram, all-zeros counts none
+    val ones = typedlit(Seq.fill(4)(-1L))
+    val zeros = typedlit(Seq.fill(4)(0L))
+    val bad = docs.select(size(grams).cast("long").as("n"),
+        call_function("bloom_hits", grams, ones).as("all"),
+        call_function("bloom_hits", grams, zeros).as("none"))
+      .filter(col("all") =!= col("n") || col("none") =!= lit(0L)).count()
+    assert(bad == 0)
+  }
+
   test("simhash_poly: deterministic, 62-bit, separates distinct content") {
     graft.GraftFunctions.register(spark)
     val df = Seq(

@@ -156,6 +156,26 @@ class MdioRechunkSpec extends SparkSpec {
     MdioWriter.delete(src)
   }
 
+  test("extract clamp=true: reference isel semantics — bounds clamp into the domain") {
+    val src = create()
+    val dst = src + "_cl"
+    // [4, 12) on extent 8 clamps to [4, 8): same result as asking exactly
+    MdioWriter.extract(spark, src, dst, Map("inline" -> (4L, 12L)), clamp = true)
+    val (_, arrays) = graft.zarr.ZarrMeta.readGroup(graft.zarr.ZarrMeta.path(dst))
+    assert(arrays("image")._1.shape == Seq(4L, 6L))
+    val got = spark.read.format("mdio").option("variables", "image").load(dst)
+      .select("inline", "crossline", "image")
+      .as[(Long, Long, Double)].collect().toSet
+    val expect = (for { i <- 0L until 4L; x <- 0L until 6L }
+      yield (i, x, ((i + 4) * 10 + x).toDouble)).toSet
+    assert(got == expect)
+    // a region entirely outside the domain still rejects loud under clamp
+    intercept[IllegalArgumentException] {
+      MdioWriter.extract(spark, src, src + "_e", Map("inline" -> (9L, 12L)), clamp = true)
+    }
+    MdioWriter.delete(dst); MdioWriter.delete(src)
+  }
+
   test("transpose: dims/chunks permute on disk, name-addressed cells identical") {
     val src = create()
     val dst = src + "_tp"
@@ -235,6 +255,25 @@ class MdioRechunkSpec extends SparkSpec {
       .as[(Long, Long, Double, Int, Float)].collect().toSet
     assert(all(back) == all(src))
     Seq(back, cc, src).foreach(MdioWriter.delete)
+  }
+
+  test("forEachParallel: per-variable units genuinely overlap; first failure rethrows") {
+    // both units block until the OTHER has entered work — a sequential
+    // loop deadlocks here and the await times out, so passing proves the
+    // store-lifecycle copy loop really runs variables concurrently
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    MdioWriter.forEachParallel(Seq(1, 2)) { _ =>
+      latch.countDown()
+      assert(latch.await(10, java.util.concurrent.TimeUnit.SECONDS), "units did not overlap")
+    }
+    val ran = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val e = intercept[RuntimeException] {
+      MdioWriter.forEachParallel(Seq(1, 2, 3)) { i =>
+        ran.add(i); if (i == 2) throw new RuntimeException("boom")
+      }
+    }
+    assert(e.getMessage == "boom")
+    assert(ran.size == 3, "all units run to completion even when one fails")
   }
 
   test("rechunk contracts fail fast") {
