@@ -163,6 +163,9 @@ object Bench {
     // comparator: multimodal_bmp (same shape) + ~50% for deflate/inflate —
     // NOT this query's own first measurement (round-4 verdict discipline)
     "multimodal_png" -> 1.1,
+    // comparator: multimodal_png (same attach+decode shape; Huffman+IDCT
+    // per block on smaller images in place of inflate+unfilter per row)
+    "multimodal_jpeg" -> 1.1,
     "pipeline_compose" -> 0.746, "q10_returned_items" -> 1.002,
     "q1_pricing_summary" -> 1.381, "q3_shipping_priority" -> 0.820,
     "q5_region_revenue" -> 1.389, "q6_forecast_revenue" -> 0.337,

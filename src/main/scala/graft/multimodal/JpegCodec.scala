@@ -288,6 +288,7 @@ object JpegCodec {
     var restartInterval = 0
 
     var sumLuma = 0L
+    var decoded = false // a scan must actually have run (truncation guard)
 
     while (ip < bytes.length) {
       require(u8() == 0xff, "JPEG: expected marker")
@@ -295,7 +296,7 @@ object JpegCodec {
       while (m == 0xff) m = u8() // fill bytes before a marker are legal
       m match {
         case 0xd9 => // EOI
-          require(width > 0, "JPEG: EOI before any scan")
+          require(decoded, "JPEG: EOI before any scan")
           ip = bytes.length
         case 0xdb => // DQT
           var len = u16() - 2
@@ -466,6 +467,7 @@ object JpegCodec {
             y += 1
           }
           ip = br.ip
+          decoded = true
         case 0x01 | (_: Int) if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
           () // TEM / stray RST: no payload
         case _ => // APPn, COM, DNL, anything else with a length: skip
@@ -474,7 +476,7 @@ object JpegCodec {
           ip += len - 2
       }
     }
-    require(width > 0, "JPEG: no frame decoded")
+    require(decoded, "JPEG: truncated stream — no scan decoded")
     Decoded(width, height,
       sumLuma.toDouble / (width.toLong * height) / 255.0)
   }

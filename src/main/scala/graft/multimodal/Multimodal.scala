@@ -11,12 +11,13 @@ import org.apache.spark.sql.functions._
   * the decode stage runs REAL parsers for `image/bmp` ([[BmpCodec]]:
   * pure-JVM 24-bpp BMP), `image/png` ([[PngCodec]]: zlib + the five PNG
   * row filters — a genuinely compressed format) and `audio/wav`
-  * ([[WavCodec]]: RIFF/PCM) payloads, no media library needed.
-  * Remaining compressed formats (JPEG/MP4 — DCT/video codecs absent in
-  * this container) fall back to [[StubDecoder.decode]], a clearly-marked
-  * deterministic fake; swapping in a real decoder (JNI ffmpeg/opencv or
-  * an Arrow-batched python worker) changes ONE match arm, none of the
-  * plumbing.
+  * ([[WavCodec]]: RIFF/PCM) and `image/jpeg` ([[JpegCodec]]: baseline
+  * sequential Huffman + dequant + IDCT — a genuine DCT format) payloads,
+  * no media library needed. The one remaining compressed format (MP4 —
+  * video codecs absent in this container) falls back to
+  * [[StubDecoder.decode]], a clearly-marked deterministic fake; swapping
+  * in a real decoder (JNI ffmpeg or an Arrow-batched python worker)
+  * changes ONE match arm, none of the plumbing.
   */
 object Multimodal {
 
@@ -93,6 +94,37 @@ object Multimodal {
       .toDF()
   }
 
+  /** Attach a REAL DCT-compressed image payload: a deterministic
+    * BLOCK-CONSTANT grayscale image (every 8×8 block carries one UTF-8
+    * byte of the text: block k = byte k mod len; dims are multiples of 8)
+    * encoded as baseline JPEG by [[JpegCodec]]. Block-constant content
+    * survives the lossy wire format EXACTLY (DC-only blocks, all-ones
+    * quantization), so decoded pixel sums stay SQL-certifiable while the
+    * decode stage runs a genuine Huffman+IDCT parser end to end. */
+  def attachJpegPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"),
+      (pmod(col("doc_id"), lit(8)) * 8 + 16).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(6)) * 8 + 16).cast("int").as("height"))
+      .as[(Long, String, Int, Int)]
+      .map { case (id, text, w, h) =>
+        val t = Option(text).getOrElse("").getBytes("UTF-8")
+        val gray = new Array[Byte](w * h)
+        if (t.nonEmpty) {
+          val bw = w / 8
+          var i = 0
+          while (i < gray.length) {
+            val block = (i / w / 8) * bw + (i % w) / 8
+            gray(i) = t(block % t.length)
+            i += 1
+          }
+        }
+        MediaRow(id, JpegCodec.encode(w, h, gray), "image/jpeg", w, h)
+      }
+      .toDF()
+  }
+
   /** Attach a REAL encoded audio payload: a deterministic mono 16-bit
     * PCM signal synthesized from the document's UTF-8 bytes (sample i =
     * (byte[i mod len] − 128) · 256, a full-scale square-ish wave), as a
@@ -118,7 +150,7 @@ object Multimodal {
   }
 
   /** STUB decoder — deterministic fake standing in for a real codec.
-    * A real implementation would decode `payload` (JPEG/WAV/MP4) here;
+    * A real implementation would decode `payload` (MP4/other video) here;
     * the fake derives stable pseudo-features from the bytes so tests can
     * assert exact values and the distributed plumbing stays honest. */
   object StubDecoder {
@@ -159,6 +191,11 @@ object Multimodal {
               dim1 = math.max(d.width / 2, 1), dim2 = math.max(d.height / 2, 1))
           case r if r.format == "image/png" =>
             val d = PngCodec.decode(r.payload)
+            MediaFeatures(r.doc_id, r.payload.length.toLong,
+              content_hash = 0L, intensity = d.meanLuma,
+              dim1 = math.max(d.width / 2, 1), dim2 = math.max(d.height / 2, 1))
+          case r if r.format == "image/jpeg" =>
+            val d = JpegCodec.decode(r.payload)
             MediaFeatures(r.doc_id, r.payload.length.toLong,
               content_hash = 0L, intensity = d.meanLuma,
               dim1 = math.max(d.width / 2, 1), dim2 = math.max(d.height / 2, 1))

@@ -704,6 +704,50 @@ object Pipeline2 {
            CAST(SUM(h // 2) AS BIGINT) AS sum_thumb_h
     FROM e"""
 
+  /** REAL DCT-image decode on the oracle: block-constant grayscale images
+    * (8×8 block k = UTF-8 byte k mod len; dims are multiples of 8) encoded
+    * as baseline JPEG and decoded by the pure-JVM
+    * [[graft.multimodal.JpegCodec]] (canonical Huffman, dequant, IDCT).
+    * Block-constant content is DC-only and survives the LOSSY format
+    * exactly under all-ones quantization, so DuckDB certifies the decoded
+    * mean luma with cycle arithmetic over blocks — which only matches if
+    * the entropy decode and IDCT reconstruct every block's value exactly.
+    * File size is entropy-coded, so n_bytes stays out of the aggregate
+    * (the PNG twin's discipline). */
+  val qMultimodalJpeg: Q = (s, d) =>
+    graft.multimodal.Multimodal.extractFeatures(s,
+      graft.multimodal.Multimodal.attachJpegPayload(documents(s, d)))
+      .toDF()
+      .agg(count(lit(1)).as("n"),
+           dsum(col("intensity")).as("sum_luma"),
+           sum(col("dim1").cast("long")).as("sum_thumb_w"),
+           sum(col("dim2").cast("long")).as("sum_thumb_h"))
+
+  val qMultimodalJpegSql: String = s"""
+    WITH f AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS len,
+             list_transform(range(0, octet_length(encode(text))),
+               i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT)) AS bytes,
+             (doc_id % 8) * 8 + 16 AS w, (doc_id % 6) * 8 + 16 AS h
+      FROM documents),
+    g AS (
+      SELECT doc_id, w, h, len, (w // 8) * (h // 8) AS nblocks
+      FROM f),
+    e AS (
+      SELECT g.w, g.h,
+             CASE WHEN f.len = 0 THEN 0.0
+                  ELSE CAST((g.nblocks // f.len) * list_sum(f.bytes) +
+                       COALESCE(list_sum(list_slice(f.bytes, 1, g.nblocks % f.len)), 0)
+                       AS DOUBLE) / CAST(g.nblocks AS DOUBLE) / 255.0
+             END AS luma
+      FROM g JOIN f ON g.doc_id = f.doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ${sqlDsum("luma")} AS sum_luma,
+           CAST(SUM(w // 2) AS BIGINT) AS sum_thumb_w,
+           CAST(SUM(h // 2) AS BIGINT) AS sum_thumb_h
+    FROM e"""
+
   /** REAL audio decode on the oracle: deterministic 16-bit PCM WAVs
     * rendered from document bytes, decoded by the pure-JVM
     * [[graft.multimodal.WavCodec]] RIFF parser; DuckDB certifies sample
@@ -815,6 +859,7 @@ object Pipeline2 {
     "text_boilerplate"         -> qTextBoilerplate,
     "multimodal_bmp"           -> qMultimodalBmp,
     "multimodal_png"           -> qMultimodalPng,
+    "multimodal_jpeg"          -> qMultimodalJpeg,
     "multimodal_wav"           -> qMultimodalWav,
     "pipeline_sample_stratified" -> qPipelineSampleStratified,
     "pipeline_recipe"          -> qPipelineRecipe,
@@ -837,6 +882,7 @@ object Pipeline2 {
     "text_boilerplate"         -> qTextBoilerplateSql,
     "multimodal_bmp"           -> qMultimodalBmpSql,
     "multimodal_png"           -> qMultimodalPngSql,
+    "multimodal_jpeg"          -> qMultimodalJpegSql,
     "multimodal_wav"           -> qMultimodalWavSql,
     "pipeline_sample_stratified" -> qPipelineSampleStratifiedSql,
     "pipeline_recipe"          -> qPipelineRecipeSql,

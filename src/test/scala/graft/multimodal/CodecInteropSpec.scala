@@ -58,6 +58,88 @@ class CodecInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG: ImageIO decodes graft-encoded block-constant images pixel-exact") {
+    // block-constant content is DC-only: with all-ones quantization it
+    // survives the lossy format EXACTLY, in ANY compliant decoder
+    val (w, h) = (32, 24)
+    val px = new Array[Byte](w * h)
+    val rnd = new scala.util.Random(13)
+    val blockVal = Array.fill((w / 8) * (h / 8))(rnd.nextInt(256).toByte)
+    for (y <- 0 until h; x <- 0 until w)
+      px(y * w + x) = blockVal((y / 8) * (w / 8) + x / 8)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(JpegCodec.encode(w, h, px)))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val got = img.getRaster.getSample(x, y, 0)
+      assert(got == (px(y * w + x) & 0xff), s"pixel ($x,$y)")
+    }
+  }
+
+  test("JPEG: ImageIO agrees with graft within rounding on arbitrary content") {
+    // quant=1 keeps coefficients near-exact; decoders may differ by the
+    // spec's IDCT tolerance (±1 per sample)
+    val (w, h) = (24, 16)
+    val px = gray(w, h, 21)
+    val enc = JpegCodec.encode(w, h, px)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    var sumJdk = 0L
+    for (y <- 0 until h; x <- 0 until w) sumJdk += img.getRaster.getSample(x, y, 0)
+    val d = JpegCodec.decode(enc)
+    assert(d.width == w && d.height == h)
+    val jdkLuma = sumJdk.toDouble / (w * h) / 255.0
+    assert(math.abs(d.meanLuma - jdkLuma) < 1.5 / 255.0,
+      s"graft ${d.meanLuma} vs ImageIO $jdkLuma")
+    // and both sit close to the source (all-ones quant ~ lossless)
+    val srcLuma = px.map(_ & 0xff).map(_.toLong).sum.toDouble / (w * h) / 255.0
+    assert(math.abs(d.meanLuma - srcLuma) < 1.5 / 255.0)
+  }
+
+  test("JPEG: graft decodes ImageIO-encoded grayscale and color JPEGs") {
+    // grayscale, default JDK quality: luma must land near the source mean
+    val (w, h) = (40, 24)
+    val px = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w) // smooth gradient: quantizes gently
+      px(y * w + x) = ((x * 4 + y * 3) % 200 + 20).toByte
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, px(y * w + x) & 0xff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "JDK JPEG writer unavailable")
+    val d = JpegCodec.decode(bos.toByteArray)
+    assert(d.width == w && d.height == h)
+    val srcLuma = px.map(_ & 0xff).map(_.toLong).sum.toDouble / (w * h) / 255.0
+    assert(math.abs(d.meanLuma - srcLuma) < 0.02,
+      s"ImageIO-written grayscale JPEG: graft luma ${d.meanLuma} vs source $srcLuma")
+    // color (3-component, subsampled): decoder must track the interleaved
+    // MCU structure; Y of a constant-color image is its exact luma
+    val cimg = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) cimg.setRGB(x, y, 0x507090)
+    val cbos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(cimg, "jpg", cbos))
+    val dc = JpegCodec.decode(cbos.toByteArray)
+    assert(dc.width == w && dc.height == h)
+    val wantY = (0.299 * 0x50 + 0.587 * 0x70 + 0.114 * 0x90) / 255.0
+    assert(math.abs(dc.meanLuma - wantY) < 0.02,
+      s"ImageIO-written color JPEG: graft Y ${dc.meanLuma} vs $wantY")
+  }
+
+  test("JPEG: malformed and unsupported flavors reject loud") {
+    intercept[IllegalArgumentException](JpegCodec.decode("nope".getBytes))
+    // progressive: SOI + SOF2 header
+    intercept[IllegalArgumentException] {
+      JpegCodec.decode(Array(0xff, 0xd8, 0xff, 0xc2, 0, 5, 8, 0, 8).map(_.toByte))
+    }
+    // truncation mid-entropy-stream
+    val ok = JpegCodec.encode(16, 16, Array.fill(256)(77.toByte))
+    intercept[IllegalArgumentException](JpegCodec.decode(ok.take(ok.length - 20)))
+    // geometry bomb: hand-built SOF0 with absurd dimensions
+    intercept[IllegalArgumentException] {
+      JpegCodec.decode(Array(0xff, 0xd8, 0xff, 0xc0, 0, 11, 8,
+        0xff, 0xff, 0xff, 0xff, 1, 1, 0x11, 0).map(_.toByte))
+    }
+  }
+
   test("WAV: javax.sound parses graft-encoded audio; graft decodes JDK-written WAV") {
     import javax.sound.sampled._
     val samples = Array.tabulate(256)(i => ((i * 257) % 65536 - 32768).toShort)
