@@ -112,6 +112,9 @@ object Bench {
     "text_boilerplate" -> 0.429, "events_retention" -> 0.578,
     "pipeline_sample_stratified" -> 0.326,
     "ann_brute_force" -> 0.183, "ann_ivf" -> 0.571, "ann_lsh" -> 0.169,
+    // comparator: ann_ivf (same probe + re-rank; the assignment map moved
+    // to the one-time index write, but the probe now pays a parquet read)
+    "ann_ivf_pruned" -> 0.571,
     // comparator: ann_ivf (train + assignment expression + top-k; PQ's
     // argmin is 8x16 dots vs IVF's 64 cosines) x1.5 headroom
     "ann_pq" -> 0.86,

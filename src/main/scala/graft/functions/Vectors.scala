@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Embedding/vector operators: cosine similarity, brute-force ANN baseline,
@@ -467,6 +467,38 @@ object Vectors {
     graft.GraftFunctions.register(df.sparkSession)
     val probes = nearestCells(centroids, query, nprobe)
     ivfAssignNative(df, vecCol, centroids)
+      .filter(col("cell").isin(probes: _*))
+      .select(col(idCol), call_function("cosine_vec", col(vecCol), typedLit(query)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Materialize the corpus as an on-disk IVF index: one Parquet
+    * PARTITION per trained cell id — the deployment shape [[ivfTopK]]'s
+    * docstring promises. Build cost is one assignment map + one
+    * cell-clustered shuffle + a partitioned write (the same single pass
+    * any partitioned ingest pays); after it, a probe's cell filter is a
+    * partition-DIRECTORY prune at planning time, so nprobe/cells of the
+    * corpus is the fraction of FILES read — an I/O fact, not a row-filter
+    * fact. At 100 TB this turns every query from a full scan into
+    * ~nprobe/√N of the bytes. */
+  def writeIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Seq[Double]], path: String): Unit =
+    ivfAssignNative(df.select(col(idCol), col(vecCol)), vecCol, centroids)
+      .repartition(col("cell")) // one writer per cell → one file per cell
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** [[ivfTopK]] against a [[writeIvfIndex]] store: identical results
+    * (assignment happened at write time with the same centroids and
+    * tie-breaking), but the nprobe filter now prunes partitions at the
+    * source — PlanQualitySpec pins that the scan touches exactly the
+    * probed directories. */
+  def ivfTopKPruned(spark: SparkSession, path: String, idCol: String,
+                    vecCol: String, query: Seq[Double], k: Int,
+                    centroids: Seq[Seq[Double]], nprobe: Int = 8): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val probes = nearestCells(centroids, query, nprobe)
+    spark.read.parquet(path)
       .filter(col("cell").isin(probes: _*))
       .select(col(idCol), call_function("cosine_vec", col(vecCol), typedLit(query)).as("cos"))
       .orderBy(col("cos").desc, col(idCol))

@@ -573,6 +573,33 @@ object Pipeline {
     * invocation runs all queries against one corpus, then dumps SQL). */
   @volatile private var ivfTrained: Option[Seq[Seq[Double]]] = None
 
+  /** IVF at the STORAGE layer: the corpus written once per JVM per sfDir
+    * as a Parquet store PARTITIONED by trained cell id
+    * ([[Vectors.writeIvfIndex]]), then probed with
+    * [[Vectors.ivfTopKPruned]] — the nprobe filter prunes partition
+    * directories at planning time, so the 16/64-cell probe is an I/O
+    * fraction, not a row filter (PlanQualitySpec pins the partition
+    * count). Training is the same deterministic sampled k-means as
+    * [[qAnnIvf]], so results and oracle are identical — the oracle
+    * re-derives assignment + probe + re-rank from centroid literals. */
+  val qAnnIvfPruned: Q = (s, d) => {
+    val (path, centroids) = builtIvfIndexes.getOrElseUpdate(d, {
+      val emb = embeddings(s, d)
+      val cents = Vectors.trainIvfCentroids(emb, "vec_id", "embedding", cells = 64)
+      val p = s"/tmp/graft_ivf_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      Vectors.writeIvfIndex(emb, "vec_id", "embedding", cents, p)
+      (p, cents)
+    })
+    ivfPrunedTrained = Some(centroids)
+    Vectors.ivfTopKPruned(s, path, "vec_id", "embedding", annQuery, k = 20,
+      centroids, nprobe = 16)
+      .select("vec_id")
+  }
+
+  private val builtIvfIndexes =
+    scala.collection.concurrent.TrieMap[String, (String, Seq[Seq[Double]])]()
+  @volatile private var ivfPrunedTrained: Option[Seq[Seq[Double]]] = None
+
   /** IVF search re-spelled in DuckDB over literal centroids: score every
     * (vector, cell) pair with the shared IEEE cosine form, keep each
     * vector's argmax cell (score DESC, cell DESC = array_max on
@@ -1142,6 +1169,7 @@ object Pipeline {
     "ann_brute_force"      -> qAnnBruteForce,
     "ann_lsh"              -> qAnnLsh,
     "ann_ivf"              -> qAnnIvf,
+    "ann_ivf_pruned"       -> qAnnIvfPruned,
     "ann_pq"               -> qAnnPq,
     "ann_ivf_pq"           -> qAnnIvfPq,
     "ann_grouped"          -> qAnnGrouped,
@@ -1164,6 +1192,7 @@ object Pipeline {
     * dumps). */
   def oracleSql: Map[String, String] =
     staticOracleSql ++ ivfTrained.map(c => "ann_ivf" -> qAnnIvfSql(c)) ++
+      ivfPrunedTrained.map(c => "ann_ivf_pruned" -> qAnnIvfSql(c)) ++
       pqTrained.map(b => "ann_pq" -> qAnnPqSql(b)) ++
       ivfPqTrained.map { case (c, b) => "ann_ivf_pq" -> qAnnIvfPqSql(c, b) }
 

@@ -245,4 +245,18 @@ class VectorsSpec extends SparkSpec {
     val recall = (exact intersect approx).size / 20.0
     assert(recall >= 0.6, s"corpus IVF recall $recall below the 25%-scan pin")
   }
+
+  test("ivfTopKPruned over a written index == ivfTopK over the in-memory corpus") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val cents = Vectors.trainIvfCentroids(emb, "vec_id", "embedding", cells = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Vectors.writeIvfIndex(emb, "vec_id", "embedding", cents, dir)
+    val q = graft.queries.Pipeline.annQuery
+    val inMem = Vectors.ivfTopK(emb, "vec_id", "embedding", q, 10, cents, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    val onDisk = Vectors.ivfTopKPruned(spark, dir, "vec_id", "embedding", q, 10, cents, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(inMem == onDisk,
+      "write-time cell assignment must reproduce the query-time assignment exactly")
+  }
 }

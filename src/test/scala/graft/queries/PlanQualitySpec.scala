@@ -162,6 +162,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_"), "count rollup needs a map-side phase")
   }
 
+  test("ann_ivf_pruned: the nprobe filter prunes parquet partition DIRECTORIES at the source") {
+    val df = graft.SparkEntry.queries("ann_ivf_pruned")(spark, sf)
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PartitionFilters"), "cell probe must be a partition filter:\n" + p.take(600))
+    // the physical I/O fact, not just the filter's presence: the scan's
+    // selected listing covers at most nprobe=16 of the store's cell
+    // directories — reading fewer FILES, not filtering rows after reading
+    val plan0 = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val scan = plan0.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty, "expected a parquet file scan in:\n" + plan0.toString.take(600))
+    val pruned = scan.head.selectedPartitions.partitionCount
+    val root = scan.head.relation.location.rootPaths.head.toUri.getPath
+    val totalCells = new java.io.File(root).list().count(_.startsWith("cell="))
+    assert(totalCells > 32, s"index store should carry ~64 cell partitions, found $totalCells")
+    assert(pruned <= 16, s"scan selected $pruned partitions; nprobe is 16")
+    assert(pruned < totalCells / 2,
+      s"pruning must cut the directory listing ($pruned of $totalCells)")
+  }
+
   test("geo_utm: conversion stays inside whole-stage codegen") {
     // FormattedMode on an un-executed AQE plan omits codegen stage markers —
     // CodegenMode reports the compiled subtrees directly
