@@ -188,6 +188,9 @@ object Bench {
     // comparator: agg_quantile_portable x2 sketches + the text_quality
     // tokenizer map feeding the second one
     "pipeline_stats" -> 0.950,
+    // comparator: text_quality (same tokenize + map-only scoring shape;
+    // the kernel does one hash+lookup per gram in place of the ratio math)
+    "text_classify" -> 0.800,
     "text_quality" -> 0.514, "text_rolling_hash" -> 0.476,
     "text_tfidf" -> 0.990, "text_tokens" -> 0.358,
     "text_top_ngrams" -> 0.478, "window_first_last" -> 0.711,

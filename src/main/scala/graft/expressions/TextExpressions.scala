@@ -149,6 +149,29 @@ object TextKernels {
     hits
   }
 
+  /** Hashed-feature linear model application: Σ over grams of
+    * weights[polyHash(gram) mod |weights|] — the map side of a
+    * fasttext-style bag-of-hashed-ngrams classifier (the standard learned
+    * quality filter in training-data pipelines). Left-to-right IEEE
+    * accumulation in gram order, so DuckDB's list_reduce over the same
+    * spelling reproduces the double bit-for-bit. One codegen'd JVM loop
+    * per row (the [[bloomHits]] discipline — an aggregate() HOF here
+    * would re-evaluate the interpreted hash per element). */
+  def weightSum(grams: ArrayData, weights: ArrayData): Double = {
+    val m = weights.numElements()
+    var acc = 0.0
+    val n = grams.numElements()
+    var i = 0
+    while (i < n) {
+      if (!grams.isNullAt(i)) {
+        val h = polyHash(grams.getUTF8String(i))
+        acc += weights.getDouble((h % m).toInt)
+      }
+      i += 1
+    }
+    acc
+  }
+
   /** MinHash signature: for each of k hash families, the min over shingles
     * of Spark-xxhash64(j, shingle) — bit-identical to
     * `array_min(transform(sh, s => xxhash64(lit(j), s)))`, computed in one
@@ -264,6 +287,28 @@ case class BloomHits(left: Expression, right: Expression) extends BinaryExpressi
     defineCodeGen(ctx, ev, (g, w) => s"graft.expressions.TextKernels.bloomHits($g, $w)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomHits =
+    copy(left = l, right = r)
+}
+
+/** weight_sum(array<string>, array<double>) -> double — hashed-feature
+  * linear model application over the portable polynomial hash. */
+case class WeightSum(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "weight_sum"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"weight_sum needs (array<string>, array<double>), got (${l.simpleString}, ${r.simpleString})")
+  }
+
+  override protected def nullSafeEval(grams: Any, weights: Any): Any =
+    TextKernels.weightSum(grams.asInstanceOf[ArrayData], weights.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, w) => s"graft.expressions.TextKernels.weightSum($g, $w)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WeightSum =
     copy(left = l, right = r)
 }
 

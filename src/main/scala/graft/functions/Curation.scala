@@ -101,6 +101,33 @@ object Curation {
       .filter(col("n_hits") >= minOverlap)
   }
 
+  /** Fasttext-style learned quality scoring — MODEL APPLY, the standard
+    * learned quality filter in training-data pipelines (a linear model
+    * over hashed bag-of-ngram features; training happens offline, the
+    * engine's job is applying it at corpus scale). Features are unigrams
+    * + bigrams hashed into `weights.size` buckets with the portable
+    * polynomial hash; score = bias + Σ weights[bucket] / |features| —
+    * length-normalized so long documents don't dominate.
+    *
+    * Scale shape: the model is a broadcast literal (KBs), the pass is
+    * map-only inside whole-stage codegen via the native `weight_sum`
+    * kernel — 100 TB costs one scan, no shuffle. Engine-portable: the
+    * left-to-right IEEE fold is reproduced bit-for-bit by the DuckDB
+    * oracle. */
+  def classifyLinear(df: DataFrame, textCol: String,
+                     weights: Seq[Double], bias: Double = 0.0): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
+    require(weights.nonEmpty, "classifyLinear: empty weight table")
+    val toks = TextFunctions.tokens(col(textCol))
+    val bigrams = call_function("word_ngrams", toks, lit(2))
+    val w = typedlit(weights)
+    df.withColumn("quality_score",
+      lit(bias) +
+        (call_function("weight_sum", toks, w) +
+         call_function("weight_sum", bigrams, w)) /
+        (size(toks) + size(bigrams)).cast("double"))
+  }
+
   /** Intra-document repetition ratio in [0,1]: 1 − |distinct tokens| /
     * |tokens| (0 = every token unique, →1 = heavy repetition). The
     * Gopher-style repetition quality gate, as a map-only column

@@ -139,6 +139,64 @@ object Pipeline2 {
            COUNT(*) AS n
     FROM r GROUP BY 1"""
 
+  // ---- learned quality scoring ---------------------------------------------
+
+  /** Deterministic 512-bucket weight table standing in for an offline-
+    * trained model (the engine applies models; it doesn't train them). */
+  private val classifierWeights: Seq[Double] =
+    (0 until 512).map(i => math.sin(3.0 * i + 1.0) / 2.0)
+
+  /** Fasttext-style learned quality filter: hashed unigram+bigram linear
+    * scoring via the native `weight_sum` kernel (map-only, broadcast
+    * model), reported as a decile histogram + exact score mass. DuckDB
+    * re-derives every bucket lookup and the same left-to-right IEEE fold
+    * from the weight literals, so the oracle certifies the MODEL APPLY
+    * bit-for-bit — deciles and sums both. */
+  val qTextClassify: Q = (s, d) => {
+    val scored = Curation.classifyLinear(documents(s, d), "text", classifierWeights)
+    scored
+      .select(least(greatest(floor((col("quality_score") + lit(0.5)) * lit(10.0)), lit(0L)),
+        lit(9L)).cast("long").as("decile"),
+        col("quality_score"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), dsum(col("quality_score")).as("score_mass"))
+  }
+
+  val qTextClassifySql: String = {
+    val w = classifierWeights.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+    def hashOf(v: String) = s"""
+      |list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |  list_transform(list_filter(string_split($v, ''), c -> c <> ''),
+      |    c -> CAST(unicode(c) AS BIGINT))),
+      |  (acc, x) -> (acc * 131 + x) % 2147483647)""".stripMargin
+    s"""
+    WITH wt AS (SELECT $w AS ws),
+    t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2
+               THEN list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i+1])
+               ELSE [array_to_string(toks, ' ')] END AS bigrams
+      FROM t),
+    sc AS (
+      SELECT doc_id,
+             (list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(toks, tk -> ws[(${hashOf("tk")}) % 512 + 1])),
+                (a, x) -> a + x)
+              + list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(bigrams, bg -> ws[(${hashOf("bg")}) % 512 + 1])),
+                (a, x) -> a + x))
+             / CAST(len(toks) + len(bigrams) AS DOUBLE) AS score
+      FROM g CROSS JOIN wt)
+    SELECT LEAST(GREATEST(CAST(FLOOR((score + 0.5) * 10.0) AS BIGINT), 0), 9) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ${sqlDsum("score")} AS score_mass
+    FROM sc GROUP BY 1"""
+  }
+
   // ---- sequence packing ----------------------------------------------------
 
   /** Greedy sequence packing into ~512-token training windows within
@@ -857,6 +915,7 @@ object Pipeline2 {
     "embedding_outliers"       -> qEmbeddingOutliers,
     "text_fluency"             -> qTextFluency,
     "text_boilerplate"         -> qTextBoilerplate,
+    "text_classify"            -> qTextClassify,
     "multimodal_bmp"           -> qMultimodalBmp,
     "multimodal_png"           -> qMultimodalPng,
     "multimodal_jpeg"          -> qMultimodalJpeg,
@@ -880,6 +939,7 @@ object Pipeline2 {
     "embedding_outliers"       -> qEmbeddingOutliersSql,
     "text_fluency"             -> qTextFluencySql,
     "text_boilerplate"         -> qTextBoilerplateSql,
+    "text_classify"            -> qTextClassifySql,
     "multimodal_bmp"           -> qMultimodalBmpSql,
     "multimodal_png"           -> qMultimodalPngSql,
     "multimodal_jpeg"          -> qMultimodalJpegSql,

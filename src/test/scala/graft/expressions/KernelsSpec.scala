@@ -125,6 +125,27 @@ class KernelsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("weight_sum expression == interpreted HOF fold; hand-computed buckets") {
+    graft.GraftFunctions.register(spark)
+    val w = (0 until 64).map(i => math.sin(i.toDouble) / 4.0)
+    val wl = typedlit(w)
+    val docs = graft.Tables.documents(spark, sf).limit(200)
+    val grams = call_function("word_ngrams", TextFunctions.tokens(col("text")), lit(2))
+    def polyHashC(s: org.apache.spark.sql.Column) =
+      aggregate(split(s, ""), lit(0L),
+        (acc, c) => (acc * lit(131L) + ascii(c)) % lit(2147483647L))
+    val mismatch = docs.select(
+        aggregate(grams, lit(0.0),
+          (acc, g) => acc + element_at(wl, (polyHashC(g) % 64).cast("int") + 1)).as("lambda"),
+        call_function("weight_sum", grams, wl).as("native"))
+      .filter(col("lambda") =!= col("native")).count()
+    assert(mismatch == 0)
+    // 'ab' hashes to 12805 -> bucket 5; 'cd' to 13069 -> bucket 13
+    val got = Seq(Seq("ab", "cd")).toDF("g")
+      .select(call_function("weight_sum", col("g"), wl)).as[Double].head()
+    assert(got == w(5) + w(13))
+  }
+
   test("simhash_poly: deterministic, 62-bit, separates distinct content") {
     graft.GraftFunctions.register(spark)
     val df = Seq(
