@@ -179,6 +179,9 @@ object Bench {
     // one-stateful-agg shape; regex sweep in place of the quality gate)
     "stream_pii_exec" -> 2.216,
     "stream_mdio_exec" -> 2.148,
+    // comparator: ann_ivf_pruned (the timed passes hit the cached
+    // streamed index, so the cost is the same pruned parquet top-k)
+    "stream_ivf_exec" -> 0.571,
     "stream_sliding" -> 0.640,
     "stream_tumbling" -> 0.389, "stream_tumbling_exec" -> 1.871,
     "text_fingerprint" -> 0.437, "text_langid" -> 0.688,

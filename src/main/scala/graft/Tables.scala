@@ -63,4 +63,12 @@ object Tables {
     s.readStream.schema(schema).option("pathGlobFilter", "documents.parquet")
       .parquet(d)
   }
+
+  /** `embeddings` as a STREAMING DataFrame — the embedding-service
+    * landing-directory shape (vectors arrive as they're computed). */
+  def embeddingsStream(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+    s.readStream.schema(schema).option("pathGlobFilter", "embeddings.parquet")
+      .parquet(d)
+  }
 }

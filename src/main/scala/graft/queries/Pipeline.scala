@@ -392,7 +392,7 @@ object Pipeline {
       .agg(count(lit(1)).as("n_pairs"))
 
   /** `[d0, d1, ...]` double-literal list (Double.toString round-trips). */
-  private def sqlVec(v: Seq[Double]): String = v.mkString("[", ", ", "]")
+  private[queries] def sqlVec(v: Seq[Double]): String = v.mkString("[", ", ", "]")
 
   /** Sign-LSH bucket as SQL: bit j set when v · plane_j >= 0 (sequential
     * list_dot_product = the kernels' left-to-right fold). */
@@ -401,7 +401,7 @@ object Pipeline {
       s"(CASE WHEN list_dot_product($vExpr, ${sqlVec(p)}) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
-  private def sqlCos(a: String, b: String): String =
+  private[queries] def sqlCos(a: String, b: String): String =
     s"list_dot_product($a, $b) / GREATEST(sqrt(list_dot_product($a, $a)) * " +
       s"sqrt(list_dot_product($b, $b)), 1e-300)"
 

@@ -231,11 +231,76 @@ object StreamingExec {
            ${sqlDsum("price")} AS sum_price
     FROM i GROUP BY 1"""
 
+  /** STREAMING ANN INDEX MAINTENANCE executed as a stream: embeddings
+    * arrive (the embedding-service landing shape), each micro-batch is
+    * assigned to its IVF cell against a FIXED coarse quantizer — fixed,
+    * not trained, so the oracle is fully static SQL — and appended to a
+    * cell-PARTITIONED parquet store by the streaming file sink
+    * (exactly-once; partition directories grow incrementally, which is
+    * how a live corpus keeps its ANN index current without rebuilds).
+    * The gate then probes the STREAMED index with the partition-pruned
+    * nprobe search: the returned ids certify cell assignment, the
+    * file-sink write, and the pruned read end to end against DuckDB
+    * re-deriving assignment + probe + re-rank from the same centroid
+    * literals. Index build is cached per sfDir (Verify + both bench
+    * passes reuse it); the temp store dies with the JVM. */
+  private val builtIvf = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** 16 fixed 64-dim coarse cells — deterministic literals, no training. */
+  private val ivfCells: Seq[Seq[Double]] =
+    (0 until 16).map(j => (0 until 64).map(i => math.sin(0.37 * i + 1.7 * j)))
+
+  val qStreamIvfExec: Q = (s, d) => {
+    import graft.functions.Vectors
+    val dir = builtIvf.getOrElseUpdate(d, {
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivf_stream")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(tmpRoot)))
+      val idx = tmpRoot.resolve("index").toString
+      val assigned = Vectors.ivfAssignNative(
+        Tables.embeddingsStream(s, d).select(col("vec_id"), col("embedding")),
+        "embedding", ivfCells)
+      val q = assigned.writeStream.format("parquet")
+        .option("path", idx)
+        .option("checkpointLocation", tmpRoot.resolve("ckpt").toString)
+        .partitionBy("cell").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      idx
+    })
+    Vectors.ivfTopKPruned(s, dir, "vec_id", "embedding",
+      Pipeline.annQuery, k = 20, ivfCells, nprobe = 4)
+      .select("vec_id")
+  }
+
+  val qStreamIvfExecSql: String = {
+    val probes = graft.functions.Vectors.nearestCells(ivfCells, Pipeline.annQuery, 4).mkString(", ")
+    val q = Pipeline.annQuery.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+    val centRows = ivfCells.zipWithIndex
+      .map { case (c, i) => s"($i, ${Pipeline.sqlVec(c)})" }.mkString(",\n      ")
+    s"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    cents(cell, c) AS (VALUES
+      $centRows),
+    assigned AS (
+      SELECT vec_id, v, cell
+      FROM (SELECT e.vec_id, e.v, cents.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${Pipeline.sqlCos("e.v", "cents.c")} DESC, cents.cell DESC) AS rn
+            FROM e CROSS JOIN cents)
+      WHERE rn = 1)
+    SELECT vec_id FROM (
+      SELECT vec_id, ${Pipeline.sqlCos("v", q)} AS cos
+      FROM assigned WHERE cell IN ($probes)
+      ORDER BY cos DESC, vec_id LIMIT 20) t"""
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling_exec" -> qStreamTumblingExec,
     "stream_dedup_exec"    -> qStreamDedupExec,
     "stream_curation_exec" -> qStreamCurationExec,
     "stream_pii_exec"      -> qStreamPiiExec,
+    "stream_ivf_exec"      -> qStreamIvfExec,
     "stream_mdio_exec"     -> qStreamMdioExec)
 
   val oracleSql: Map[String, String] = Map(
@@ -243,5 +308,6 @@ object StreamingExec {
     "stream_dedup_exec"    -> qStreamDedupExecSql,
     "stream_curation_exec" -> qStreamCurationExecSql,
     "stream_pii_exec"      -> qStreamPiiExecSql,
+    "stream_ivf_exec"      -> qStreamIvfExecSql,
     "stream_mdio_exec"     -> qStreamMdioExecSql)
 }
