@@ -149,6 +149,9 @@ object Bench {
     "mdio_histogram_centered" -> 0.368, "mdio_histogram_edges" -> 0.498,
     "mdio_intervals" -> 0.296, "mdio_isel_concat" -> 0.482,
     "mdio_isel_slice" -> 0.311, "mdio_isel_stride" -> 0.398,
+    // comparator: mdio_smooth_dim (identical cells-agg + one-window-per-
+    // trace shape; RMS divide in place of the moving average)
+    "mdio_agc" -> 1.511,
     "mdio_open_sel" -> 0.238, "mdio_sel_list" -> 0.802,
     "mdio_sel_range" -> 0.540, "mdio_smooth_dim" -> 1.511, "mdio_sel_value" -> 0.502,
     // comparator: mdio_smooth_dim x1.5 (the second separable pass adds

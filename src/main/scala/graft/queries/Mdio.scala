@@ -609,6 +609,51 @@ object Mdio {
            ${sqlDsum("CASE WHEN l_linenumber = 1 THEN sm ELSE 0.0 END")} AS sum_first_taps
     FROM sm"""
 
+  // Automatic gain control (AGC): the classic seismic trace-balancing
+  // operator — each sample divided by the RMS of a sliding window around
+  // it along the trace, so weak zones amplify and strong zones attenuate
+  // to comparable energy. Same scale shape as the smoothing pass: cells
+  // aggregate first, then ONE window per trace after a hash shuffle on
+  // the partition dim. Cross-engine exactness: the window's
+  // sum-of-squares accumulates in decimal (the dsumsq pattern), and the
+  // remaining ops — double divide, IEEE-754 sqrt (correctly rounded by
+  // both engines), GREATEST — are bit-deterministic on identical inputs,
+  // so the oracle certifies actual AGC values, not a tolerance.
+  val qAgc: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      .rowsBetween(-2, 2)
+    grid(s, d).data
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(dsum(col("l_quantity")).as("q"))
+      .select(col("l_linenumber"),
+        (col("q") / greatest(
+          sqrt(sum((col("q") * col("q")).cast("decimal(30,6)")).over(w).cast("double") /
+            count(lit(1)).over(w).cast("double")),
+          lit(1e-300))).as("agc"))
+      .agg(count(lit(1)).as("n"), dsum(col("agc")).as("sum_agc"),
+           dsum(when(col("l_linenumber") === 1, col("agc")).otherwise(lit(0.0)))
+             .as("sum_first_agc"))
+  }
+
+  val qAgcSql: String = s"""
+    WITH cells AS (
+      SELECT l_orderkey, l_linenumber, ${sqlDsum("l_quantity")} AS q
+      FROM lineitem GROUP BY 1, 2),
+    a AS (
+      SELECT l_linenumber,
+             q / GREATEST(sqrt(
+               CAST(SUM(CAST((q*q) AS DECIMAL(30,6))) OVER (
+                 PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS DOUBLE)
+               / CAST(COUNT(*) OVER (
+                 PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS DOUBLE)), 1e-300) AS agc
+      FROM cells)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, ${sqlDsum("agc")} AS sum_agc,
+           ${sqlDsum("CASE WHEN l_linenumber = 1 THEN agc ELSE 0.0 END")} AS sum_first_agc
+    FROM a"""
+
   // 2-D grid smoothing: a SEPARABLE 3x3 boxcar = the 3-tap pass along
   // dim 2, then the 3-tap pass along dim 1 over the first pass's output
   // (the seismic lateral-smoothing / coherence-prep shape). Each pass is
@@ -691,6 +736,7 @@ object Mdio {
   val queries: Map[String, Q] = Map(
     "mdio_smooth_dim"       -> qSmoothDim,
     "mdio_smooth_grid"      -> qSmoothGrid,
+    "mdio_agc"              -> qAgc,
     "mdio_isel_slice"       -> qIselSlice,
     "mdio_isel_stride"      -> qIselStride,
     "mdio_isel_concat"      -> qIselConcat,
@@ -722,6 +768,7 @@ object Mdio {
   val oracleSql: Map[String, String] = Map(
     "mdio_smooth_dim"       -> qSmoothDimSql,
     "mdio_smooth_grid"      -> qSmoothGridSql,
+    "mdio_agc"              -> qAgcSql,
     "mdio_isel_slice"       -> qIselSliceSql,
     "mdio_isel_stride"      -> qIselStrideSql,
     "mdio_isel_concat"      -> qIselConcatSql,

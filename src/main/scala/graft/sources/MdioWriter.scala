@@ -105,10 +105,19 @@ object MdioWriter {
     * metadata; fill values re-derive from the dtype defaults, which is
     * value-neutral because every in-domain cell is written explicitly.
     * Rechunking a sharded v3 variable keeps its shard shape and requires
-    * the new inner chunks to divide it. Record dtypes are rejected loud. */
+    * the new inner chunks to divide it. Record dtypes are rejected loud.
+    *
+    * `newShards` re-shards named variables on the way through (v3):
+    * a non-empty shape replaces the variable's shard grid (must be a
+    * multiple of its destination chunks), an EMPTY Seq removes sharding
+    * entirely — so one migration can take a store from flat chunks to
+    * `sharding_indexed` or back, the object-count-vs-parallelism knob at
+    * cloud scale. */
   def rechunk(spark: SparkSession, srcPath: String, dstPath: String,
-              newChunks: Map[String, Seq[Long]], version: Int = 2): Unit = {
-    val spec = reconstructSpec(srcPath, "rechunk", newChunks, Map.empty)
+              newChunks: Map[String, Seq[Long]], version: Int = 2,
+              newShards: Map[String, Seq[Long]] = Map.empty): Unit = {
+    val spec = reconstructSpec(srcPath, "rechunk", newChunks, Map.empty,
+      newShards = newShards)
     delete0(dstPath)
     create(spec, dstPath, version)
     forEachParallel(spec.variables) { v =>
@@ -294,11 +303,12 @@ object MdioWriter {
                               resize: Map[String, Long],
                               permute: Map[String, Seq[String]] = Map.empty,
                               allowGrow: Boolean = false,
-                              resizeStop: Map[String, Long] = Map.empty)
+                              resizeStop: Map[String, Long] = Map.empty,
+                              newShards: Map[String, Seq[Long]] = Map.empty)
       : MdioSpec.Dataset = {
     val (groupAttrs, arrays) = ZarrMeta.readGroup(ZarrMeta.path(srcPath))
     require(arrays.nonEmpty, s"$op: no arrays at $srcPath")
-    (newChunks.keys ++ permute.keys).foreach { n =>
+    (newChunks.keys ++ permute.keys ++ newShards.keys).foreach { n =>
       require(arrays.contains(n), s"$op: no variable '$n' at $srcPath") }
     val toMdio: Map[String, String] = Seq(
       "bool", "int8", "int16", "int32", "int64", "uint8", "uint16",
@@ -341,11 +351,22 @@ object MdioWriter {
         srcChunks.zip(sizes).map { case (c, s) => math.min(c, s) })
       require(chunks.size == meta.shape.size && chunks.forall(_ > 0),
         s"$op: chunk shape $chunks does not fit rank-${meta.shape.size} '$name'")
-      // explicit rechunk: the caller's chunks must divide the shard, loud.
-      // resize (extract): clamp the shard to the new extent, snapped down
-      // to a chunk multiple so sharding_indexed alignment survives the cut
+      // explicit re-shard: caller-named shapes replace the shard grid
+      // (empty Seq = un-shard); explicit rechunk: the caller's chunks must
+      // divide the kept shard, loud. resize (extract): clamp the shard to
+      // the new extent, snapped down to a chunk multiple so
+      // sharding_indexed alignment survives the cut
       val shard =
-        if (newChunks.contains(name)) {
+        if (newShards.contains(name)) {
+          val ns = newShards(name)
+          if (ns.isEmpty) None
+          else {
+            require(ns.size == chunks.size &&
+              ns.zip(chunks).forall { case (sh, c) => sh > 0 && sh % c == 0 },
+              s"$op: shard $ns must be a positive multiple of chunks $chunks on '$name'")
+            Some(ns)
+          }
+        } else if (newChunks.contains(name)) {
           srcShard.foreach { sh =>
             require(sh.zip(chunks).forall { case (s, c) => s % c == 0 },
               s"$op: new chunks $chunks must divide shard shape $sh of '$name'") }

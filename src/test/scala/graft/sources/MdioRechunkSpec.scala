@@ -114,6 +114,48 @@ class MdioRechunkSpec extends SparkSpec {
     MdioWriter.delete(dst); MdioWriter.delete(dir)
   }
 
+  test("rechunk newShards: flat -> sharded -> un-sharded round-trip, data exact (v3)") {
+    val dir = Files.createTempDirectory("mdio_rsh").resolve("f.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "rsh", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "inline", "dataType": "int64",
+        |     "dimensions": [{"name": "inline", "size": 8}]},
+        |    {"name": "crossline", "dataType": "int64",
+        |     "dimensions": [{"name": "crossline", "size": 8}]},
+        |    {"name": "image", "dataType": "float64",
+        |     "dimensions": [{"name": "inline", "size": 8}, {"name": "crossline", "size": 8}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [2, 4]}}}}
+        |  ]
+        |}""".stripMargin), dir, version = 3)
+    val cells = for { i <- 0L until 8L; x <- 0L until 8L } yield (i, x, (i * 8 + x).toDouble)
+    MdioWriter.writeVariable(spark, cells.toDF("inline", "crossline", "image"), dir, "image")
+    def readBack(p: String) = spark.read.format("mdio").option("variables", "image").load(p)
+      .select("inline", "crossline", "image").as[(Long, Long, Double)].collect().toSet
+    // flat -> sharded: 4x8 shards over the kept 2x4 inner chunks
+    val sh = dir + "_sh"
+    MdioWriter.rechunk(spark, dir, sh, Map.empty, version = 3,
+      newShards = Map("image" -> Seq(4L, 8L)))
+    val (_, a1) = graft.zarr.ZarrMeta.readGroup(graft.zarr.ZarrMeta.path(sh))
+    assert(a1("image")._1.shard.contains(Seq(4L, 8L)))
+    assert(a1("image")._1.chunks == Seq(2L, 4L))
+    assert(readBack(sh) == cells.toSet)
+    // sharded -> un-sharded (empty Seq removes the shard grid)
+    val flat = dir + "_flat"
+    MdioWriter.rechunk(spark, sh, flat, Map.empty, version = 3,
+      newShards = Map("image" -> Seq.empty))
+    val (_, a2) = graft.zarr.ZarrMeta.readGroup(graft.zarr.ZarrMeta.path(flat))
+    assert(a2("image")._1.shard.isEmpty)
+    assert(readBack(flat) == cells.toSet)
+    // shard not a multiple of the (new) chunks rejects loud
+    intercept[IllegalArgumentException] {
+      MdioWriter.rechunk(spark, dir, dir + "_bad", Map("image" -> Seq(3L, 4L)),
+        version = 3, newShards = Map("image" -> Seq(4L, 8L)))
+    }
+    Seq(flat, sh, dir).foreach(MdioWriter.delete)
+  }
+
   test("extract: dims shrink, indices shift to zero-origin, coord values carry") {
     val src = create()
     val dst = src + "_ex"
