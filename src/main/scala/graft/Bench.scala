@@ -111,6 +111,9 @@ object Bench {
     "embedding_outliers" -> 1.100, "text_fluency" -> 0.911,
     "text_boilerplate" -> 0.429, "events_retention" -> 0.578,
     "pipeline_sample_stratified" -> 0.326,
+    // measured warm sf0.1 (per-domain window selection like
+    // pipeline_sample_stratified, plus the counts pass training the targets)
+    "pipeline_mix" -> 0.60,
     "ann_brute_force" -> 0.183, "ann_ivf" -> 0.571, "ann_lsh" -> 0.169,
     // comparator: ann_ivf (same probe + re-rank; the assignment map moved
     // to the one-time index write, but the probe now pays a parquet read)
@@ -129,6 +132,10 @@ object Bench {
     // comparator: dedup_ngram_jaccard (same posting-join shape; k=3
     // trigram postings are sparser than its k=2, so this is headroom)
     "dedup_containment" -> 10.653,
+    // measured warm sf0.1 (same posting self-join + df-cap shape as
+    // dedup_containment, but fingerprints are winnowed SAMPLES of the
+    // gram stream, so the posting list is ~5x smaller)
+    "dedup_winnow" -> 1.978,
     // comparator: dedup_minhash_lsh (same banding/candidate machinery;
     // the embedding-join verify replaces the gram-set verify)
     "dedup_cascade" -> 4.789,
@@ -172,6 +179,9 @@ object Bench {
     // comparator: multimodal_png (same attach+decode shape; Huffman+IDCT
     // per block on smaller images in place of inflate+unfilter per row)
     "multimodal_jpeg" -> 1.1,
+    // measured warm sf0.1 (same encode+decode shape as multimodal_jpeg;
+    // images are larger — up to 64x48 macroblocked — and carry 3 planes)
+    "multimodal_jpeg_color" -> 1.05,
     "pipeline_compose" -> 0.746, "q10_returned_items" -> 1.002,
     "q1_pricing_summary" -> 1.381, "q3_shipping_priority" -> 0.820,
     "q5_region_revenue" -> 1.389, "q6_forecast_revenue" -> 0.337,
@@ -211,6 +221,9 @@ object Bench {
     // comparator: mdio_rechunk (same one-time-build + scan shape, plus a
     // one-row crossJoin assembling the two aggregates)
     "mdio_extract" -> 0.300,
+    // comparator: mdio_extract (same two-migration one-time build + two
+    // filtered scans + one-row crossJoin)
+    "mdio_reshard" -> 0.300,
     // comparator: zarr_pushdown (identical filtered-scan query through a
     // permuted-layout store; one-time build untimed)
     "mdio_transpose" -> 0.160,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomHits, CosineVec, DotVec, MinHashPolySig, MinHashSig, SimHash64, SimHashPoly, WeightSum, WordNGrams}
+import graft.expressions.{BloomHits, CosineVec, DotVec, MinHashPolySig, MinHashSig, SimHash64, SimHashPoly, WeightSum, WinnowFps, WordNGrams}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -33,7 +33,9 @@ object GraftFunctions {
     ("bloom_hits", "count of grams with both portable-hash bits set in a Bloom word table",
       (es: Seq[Expression]) => BloomHits(es(0), es(1))),
     ("weight_sum", "sum of hashed-bucket weights over a gram array (linear model apply)",
-      (es: Seq[Expression]) => WeightSum(es(0), es(1))))
+      (es: Seq[Expression]) => WeightSum(es(0), es(1))),
+    ("winnow_fps", "distinct winnowing fingerprints (k-gram window minima) of a string",
+      (es: Seq[Expression]) => WinnowFps(es(0), es(1), es(2))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = fns.foreach { case (name, usage, builder) =>

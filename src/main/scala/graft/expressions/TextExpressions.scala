@@ -111,6 +111,74 @@ object TextKernels {
     sig
   }
 
+  /** Winnowing fingerprints (the MOSS local-sampling scheme, Schleimer–
+    * Wilkerson–Aiken SIGMOD'03): k-gram rolling hashes over the codepoint
+    * stream, then the DISTINCT set of minima over every window of w
+    * consecutive hashes. The guarantee: any substring of length ≥ w+k−1
+    * shared by two texts contributes at least one shared fingerprint
+    * VALUE — which is what makes exact-substring dedup sub-quadratic (a
+    * bounded sample per doc instead of every k-gram). Hashes are the
+    * portable polynomial (H over codepoints mod 2^31−1), so DuckDB
+    * reproduces the exact fingerprint sets. Texts shorter than k yield
+    * the whole-text hash; empty text yields the empty set. One O(n) JVM
+    * pass: rolling-hash recurrence + monotonic-deque sliding minimum. */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = text.toString
+    val n = str.codePointCount(0, str.length)
+    if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
+    val cps = new Array[Int](n)
+    var i = 0
+    var ci = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      cps(ci) = cp
+      ci += 1
+      i += Character.charCount(cp)
+    }
+    val m = if (n < k) 1 else n - k + 1
+    val hs = new Array[Long](m)
+    if (n < k) {
+      var h = 0L
+      var j = 0
+      while (j < n) { h = (h * 131 + cps(j)) % PolyP; j += 1 }
+      hs(0) = h
+    } else {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * 131 + cps(j)) % PolyP; j += 1 }
+      hs(0) = h
+      var pow = 1L // 131^(k-1) mod P
+      j = 0
+      while (j < k - 1) { pow = (pow * 131) % PolyP; j += 1 }
+      var p = 1
+      while (p < m) {
+        // drop cps(p-1), shift, append cps(p+k-1); all mod P, kept >= 0
+        h = ((h - (cps(p - 1) * pow) % PolyP + PolyP) * 131 + cps(p + k - 1)) % PolyP
+        hs(p) = h
+        p += 1
+      }
+    }
+    val ww = math.min(w, m)
+    val set = new java.util.LinkedHashSet[java.lang.Long]()
+    val deque = new Array[Int](m) // monotonic min-deque of indices, [head, tail)
+    var head = 0
+    var tail = 0
+    var q = 0
+    while (q < m) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(q)) tail -= 1
+      deque(tail) = q
+      tail += 1
+      if (deque(head) <= q - ww) head += 1
+      if (q >= ww - 1) set.add(hs(deque(head)))
+      q += 1
+    }
+    val out = new Array[AnyRef](set.size)
+    val it = set.iterator()
+    var oi = 0
+    while (it.hasNext) { out(oi) = it.next(); oi += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Bloom-filter probe: count of grams whose TWO filter bits are both set
     * in the `words` bit table (m = 64·|words| bits; bit positions are the
     * portable polynomial hashes with bases 131 and 137, mod m — the exact
@@ -266,6 +334,31 @@ case class SimHashPoly(child: Expression)
     defineCodeGen(ctx, ev, t => s"graft.expressions.TextKernels.simhashPoly($t)")
 
   override protected def withNewChildInternal(c: Expression): SimHashPoly = copy(child = c)
+}
+
+/** winnow_fps(string, k, w) -> array<long> — distinct winnowing
+  * fingerprints of the codepoint stream (portable polynomial hashes). */
+case class WinnowFps(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"winnow_fps needs (string, int, int), got (${a.simpleString}, ${b.simpleString}, ${c.simpleString})")
+    }
+
+  override protected def nullSafeEval(text: Any, k: Any, w: Any): Any =
+    TextKernels.winnow(text.asInstanceOf[UTF8String], k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, w) => s"graft.expressions.TextKernels.winnow($t, $k, $w)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WinnowFps =
+    copy(first = f, second = s, third = t)
 }
 
 /** bloom_hits(array<string>, array<long>) -> long — count of grams with

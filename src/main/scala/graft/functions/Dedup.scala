@@ -260,6 +260,44 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Shared-SUBSTRING near-dups via WINNOWING fingerprints (the MOSS
+    * local-sampling scheme): each doc contributes the distinct minima of
+    * every `window` consecutive k-gram rolling hashes of its character
+    * stream — a bounded sample with the guarantee that any shared
+    * substring of length ≥ window+k−1 yields at least one shared
+    * fingerprint. This is the character-level exact-substring detector
+    * (copied passages, boilerplate runs, license blocks) that token-level
+    * Jaccard/minhash miss when the copy is a small fraction of the doc.
+    *
+    * Scale shape: fingerprinting is map-only (one O(n) codegen kernel per
+    * doc, [[graft.expressions.TextKernels.winnow]]); candidate generation
+    * is a posting self-join on the fingerprint key, bounded by `maxDf` —
+    * fingerprints seen in more than `maxDf` docs are corpus-common
+    * boilerplate (" the ", headers) and are cut loud-ly by the df filter,
+    * the same skew cap as [[ngramJaccardDups]]. Pairs must share at least
+    * `minShared` fingerprints, cutting chance collisions. Never N²: the
+    * join fan-out is ≤ maxDf² per fingerprint. Emits (id_a, id_b,
+    * shared_fps) with id_a < id_b. */
+  def winnowDups(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 8, window: Int = 4, minShared: Int = 2,
+                 maxDf: Int = 64): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
+    val norm = regexp_replace(trim(col(textCol)), "\\s+", " ")
+    // kernel output is already distinct per doc — no per-doc dedup shuffle
+    val post = df.select(col(idCol).as("id"),
+      explode(call_function("winnow_fps", norm, lit(k), lit(window))).as("fp"))
+    val keep = post.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") >= 2 && col("df_cnt") <= maxDf)
+      .select(col("fp"))
+    val p = post.join(keep, Seq("fp"))
+    p.alias("a")
+      .join(p.alias("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** CASCADE near-dup detection: cheap lexical candidate generation,
     * SEMANTIC verification — candidate pairs come from the minhash bands
     * (recall; never quadratic), and only pairs whose EMBEDDINGS agree

@@ -62,6 +62,56 @@ object Sampling {
       .drop("__pri", "__rn")
   }
 
+  /** Temperature-reweighted DOMAIN MIXTURE targets — the standard LLM
+    * data-recipe knob: per-domain sampling weight ∝ count^alpha, so
+    * alpha = 1 keeps natural proportions, alpha → 0 flattens toward
+    * uniform (rare domains over-represented relative to size), the
+    * T = 1/alpha "mixture temperature" of multilingual/multi-domain
+    * pretraining recipes. Deterministic driver-side integer arithmetic:
+    * exact floor targets plus largest-remainder distribution of the
+    * leftover (ties broken by domain name), each capped at the domain's
+    * count (selection-only — upsampling is epoch repetition, not row
+    * duplication). Input counts MUST be name-sorted; output sums to
+    * min(totalTarget, Σ counts) when no cap binds. */
+  def temperatureTargets(counts: Seq[(String, Long)], totalTarget: Long,
+                         alpha: Double): Seq[(String, Long)] = {
+    require(counts.nonEmpty && totalTarget >= 0 && alpha > 0.0,
+      s"need non-empty counts, target >= 0, alpha > 0; got $totalTarget, $alpha")
+    require(counts == counts.sortBy(_._1), "counts must be sorted by name")
+    val w = counts.map { case (_, c) => math.pow(c.toDouble, alpha) }
+    val tw = w.sum
+    val raw = w.map(x => totalTarget * x / tw)
+    val base = raw.map(math.floor(_).toLong)
+    var left = totalTarget - base.sum
+    // largest fractional remainder first, ties by name (already sorted)
+    val order = raw.zip(base).map { case (r, b) => r - b }.zipWithIndex
+      .sortBy { case (fr, i) => (-fr, counts(i)._1) }.map(_._2)
+    val extra = new Array[Long](counts.size)
+    for (i <- order if left > 0) { extra(i) = 1; left -= 1 }
+    counts.zipWithIndex.map { case ((name, c), i) =>
+      (name, math.min(c, base(i) + extra(i))) }
+  }
+
+  /** Apply mixture targets: keep each domain's `target` rows with the
+    * smallest (portable-mix(id), id) priority — [[sampleStratified]]'s
+    * exact-count selection with a per-domain n. The targets table is
+    * driver-small (one row per domain) and broadcast; the data pays one
+    * hash shuffle on the domain column and one window, same scale shape
+    * as a grouped top-k. Domains absent from `targets` are dropped. */
+  def mixture(df: DataFrame, id: Column, categoryCol: String,
+              targets: Seq[(String, Long)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = broadcast(targets.toDF(categoryCol, "__tgt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(categoryCol)).orderBy(col("__pri"), id)
+    df.join(t, categoryCol)
+      .withColumn("__pri", Sketches.portableMix(id.cast("long")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__tgt"))
+      .drop("__pri", "__rn", "__tgt")
+  }
+
   /** Epoch-seeded deterministic shuffle key: the global training order as
     * a pure function of (id, epoch). Training runs need the corpus in a
     * pseudo-random order that is reproducible (resume mid-epoch, re-run,

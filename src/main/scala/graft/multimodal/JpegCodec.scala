@@ -17,9 +17,10 @@ package graft.multimodal
   * intensity signal; chroma blocks are entropy-decoded to keep the
   * bitstream in sync but not reconstructed).
   *
-  * Encoder scope: grayscale, all-ones quantization tables — so an 8×8
-  * block of constant value round-trips EXACTLY (its DCT is a lone DC
-  * coefficient; no quantization loss, no IDCT rounding), which is what
+  * Encoder scope: grayscale ([[encode]]) and interleaved 4:2:0 YCbCr
+  * color ([[encodeColor]]), both with all-ones quantization tables — so
+  * an 8×8 block of constant value round-trips EXACTLY (its DCT is a lone
+  * DC coefficient; no quantization loss, no IDCT rounding), which is what
   * lets a SQL oracle certify decoded pixel sums of block-constant images
   * over a lossy wire format. Arbitrary images encode fine too (near
   * lossless at quant 1), exercising the full AC run/size path.
@@ -81,13 +82,82 @@ object JpegCodec {
     s
   }
 
-  /** Encode a row-major 8-bit grayscale image (top-down) as baseline
-    * sequential JFIF with all-ones quantization (edge blocks replicate
-    * their last row/column, so block-constant content stays constant). */
-  def encode(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
-    require(width > 0 && height > 0 && gray.length == width * height,
-      s"need $width*$height=${width.toLong * height} pixels, got ${gray.length}")
-    val out = new java.io.ByteArrayOutputStream(gray.length / 2 + 1024)
+  // canonical code assignment: symbol k of an equal-length table gets code k
+  private val DcCode: Map[Int, Int] = DcVals.zipWithIndex.toMap
+  private val AcCode: Map[Int, Int] = AcVals.zipWithIndex.toMap
+
+  /** Forward-DCT one 8×8 block sampled from `plane` (edge-replicated) at
+    * (x0, y0), quantize by 1, entropy-code against `pred`; returns the new
+    * DC predictor. The shared hot path of both encoders. */
+  private def encodeBlock(bw: BitWriter, plane: Array[Byte], pw: Int, ph: Int,
+                          x0: Int, y0: Int, pred: Int): Int = {
+    val block = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      val sy = math.min(y0 + y, ph - 1)
+      var x = 0
+      while (x < 8) {
+        val sx = math.min(x0 + x, pw - 1)
+        block(y * 8 + x) = (plane(sy * pw + sx) & 0xff) - 128.0
+        x += 1
+      }
+      y += 1
+    }
+    // separable forward DCT: F = Mᵀ · s · M, then round (quant = 1)
+    val t = new Array[Double](64)
+    val coef = new Array[Int](64)
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 8) { s += Basis(yy)(u) * block(yy * 8 + x); yy += 1 }
+        t(u * 8 + x) = s
+        x += 1
+      }
+      u += 1
+    }
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var xx = 0
+        while (xx < 8) { s += t(u * 8 + xx) * Basis(xx)(v); xx += 1 }
+        coef(u * 8 + v) = math.round(s).toInt
+        v += 1
+      }
+      u += 1
+    }
+    // DC difference
+    val dc = coef(0)
+    val diff = dc - pred
+    val s0 = category(diff)
+    bw.write(DcCode(s0), 4)
+    if (s0 > 0) bw.write(if (diff < 0) diff + (1 << s0) - 1 else diff, s0)
+    // AC run/size
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      val v = coef(Zigzag(k))
+      if (v == 0) run += 1
+      else {
+        while (run > 15) { bw.write(AcCode(0xF0), 8); run -= 16 }
+        val s = category(v)
+        require(s <= 10, s"AC coefficient $v out of the encoder's size range")
+        bw.write(AcCode((run << 4) | s), 8)
+        bw.write(if (v < 0) v + (1 << s) - 1 else v, s)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) bw.write(AcCode(0x00), 8) // EOB
+    dc
+  }
+
+  private def writeHeader(out: java.io.ByteArrayOutputStream, width: Int,
+                          height: Int, color: Boolean): Unit = {
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def seg(m: Int, payload: Array[Int]): Unit = {
       marker(m)
@@ -98,93 +168,132 @@ object JpegCodec {
     marker(0xd8) // SOI
     seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
     seg(0xdb, 0 +: Array.fill(64)(1)) // DQT: Pq=0 Tq=0, all ones
-    seg(0xc0, Array(8, (height >> 8) & 0xff, height & 0xff,
-      (width >> 8) & 0xff, width & 0xff, 1, 1, 0x11, 0)) // SOF0, 1 comp 1x1
+    if (color)
+      seg(0xc0, Array(8, (height >> 8) & 0xff, height & 0xff,
+        (width >> 8) & 0xff, width & 0xff, 3,
+        1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0)) // SOF0: Y 2x2, Cb/Cr 1x1 (4:2:0)
+    else
+      seg(0xc0, Array(8, (height >> 8) & 0xff, height & 0xff,
+        (width >> 8) & 0xff, width & 0xff, 1, 1, 0x11, 0)) // SOF0, 1 comp 1x1
     seg(0xc4, (0 +: Array.tabulate(16)(l => if (l == 3) DcVals.length else 0))
       ++ DcVals) // DHT DC0: all codes length 4
     seg(0xc4, (0x10 +: Array.tabulate(16)(l => if (l == 7) AcVals.length else 0))
       ++ AcVals) // DHT AC0: all codes length 8
-    seg(0xda, Array(1, 1, 0x00, 0, 63, 0)) // SOS
-    // canonical code assignment: symbol k of an equal-length table gets code k
-    val dcCode = DcVals.zipWithIndex.toMap
-    val acCode = AcVals.zipWithIndex.toMap
+    if (color) seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    else seg(0xda, Array(1, 1, 0x00, 0, 63, 0)) // SOS
+  }
+
+  /** Encode a row-major 8-bit grayscale image (top-down) as baseline
+    * sequential JFIF with all-ones quantization (edge blocks replicate
+    * their last row/column, so block-constant content stays constant). */
+  def encode(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && gray.length == width * height,
+      s"need $width*$height=${width.toLong * height} pixels, got ${gray.length}")
+    val out = new java.io.ByteArrayOutputStream(gray.length / 2 + 1024)
+    writeHeader(out, width, height, color = false)
     val bw = new BitWriter(out)
     val bx = (width + 7) / 8
     val by = (height + 7) / 8
-    val block = new Array[Double](64)
-    val coef = new Array[Int](64)
     var pred = 0
     var byi = 0
     while (byi < by) {
       var bxi = 0
       while (bxi < bx) {
-        var y = 0
-        while (y < 8) {
-          val sy = math.min(byi * 8 + y, height - 1)
-          var x = 0
-          while (x < 8) {
-            val sx = math.min(bxi * 8 + x, width - 1)
-            block(y * 8 + x) = (gray(sy * width + sx) & 0xff) - 128.0
-            x += 1
-          }
-          y += 1
-        }
-        // separable forward DCT: F = Mᵀ · s · M, then round (quant = 1)
-        val t = new Array[Double](64)
-        var u = 0
-        while (u < 8) {
-          var x = 0
-          while (x < 8) {
-            var s = 0.0
-            var yy = 0
-            while (yy < 8) { s += Basis(yy)(u) * block(yy * 8 + x); yy += 1 }
-            t(u * 8 + x) = s
-            x += 1
-          }
-          u += 1
-        }
-        u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            var s = 0.0
-            var xx = 0
-            while (xx < 8) { s += t(u * 8 + xx) * Basis(xx)(v); xx += 1 }
-            coef(u * 8 + v) = math.round(s).toInt
-            v += 1
-          }
-          u += 1
-        }
-        // DC difference
-        val dc = coef(0)
-        val diff = dc - pred
-        pred = dc
-        val s0 = category(diff)
-        bw.write(dcCode(s0), 4)
-        if (s0 > 0) bw.write(if (diff < 0) diff + (1 << s0) - 1 else diff, s0)
-        // AC run/size
-        var run = 0
-        var k = 1
-        while (k < 64) {
-          val v = coef(Zigzag(k))
-          if (v == 0) run += 1
-          else {
-            while (run > 15) { bw.write(acCode(0xF0), 8); run -= 16 }
-            val s = category(v)
-            require(s <= 10, s"AC coefficient $v out of the encoder's size range")
-            bw.write(acCode((run << 4) | s), 8)
-            bw.write(if (v < 0) v + (1 << s) - 1 else v, s)
-            run = 0
-          }
-          k += 1
-        }
-        if (run > 0) bw.write(acCode(0x00), 8) // EOB
+        pred = encodeBlock(bw, gray, width, height, bxi * 8, byi * 8, pred)
         bxi += 1
       }
       byi += 1
     }
     bw.flush()
-    marker(0xd9) // EOI
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** JFIF integer luma: Y = (77R + 150G + 29B + 128) >> 8 — exposed so the
+    * oracle SQL can reproduce the exact same rounding. */
+  def lumaOf(r: Int, g: Int, b: Int): Int = (77 * r + 150 * g + 29 * b + 128) >> 8
+
+  /** Encode a row-major interleaved 8-bit RGB image (top-down, 3 bytes per
+    * pixel) as baseline sequential 4:2:0 YCbCr JFIF — the layout every
+    * mainstream encoder emits: one interleaved scan, luma at 2×2, chroma
+    * subsampled by 2 in both axes (2×2 box average), all-ones quantization.
+    * Pixels convert through fixed-point YCbCr ([[lumaOf]] for Y), so a
+    * 16×16-macroblock-constant RGB image produces constant Y/Cb/Cr blocks
+    * that survive the lossy wire format EXACTLY, same as the gray path. */
+  def encodeColor(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && rgb.length == 3 * width * height,
+      s"need 3*$width*$height=${3L * width * height} bytes, got ${rgb.length}")
+    val mcusX = (width + 15) / 16
+    val mcusY = (height + 15) / 16
+    val yW = mcusX * 16
+    val yH = mcusY * 16
+    val cW = mcusX * 8
+    val cH = mcusY * 8
+    val yP = new Array[Byte](yW * yH)
+    val cbP = new Array[Byte](cW * cH)
+    val crP = new Array[Byte](cW * cH)
+    // full-resolution planes, edge-replicated to the MCU grid
+    val cb0 = new Array[Int](yW * yH)
+    val cr0 = new Array[Int](yW * yH)
+    var y = 0
+    while (y < yH) {
+      val sy = math.min(y, height - 1)
+      var x = 0
+      while (x < yW) {
+        val sx = math.min(x, width - 1)
+        val p = (sy * width + sx) * 3
+        val r = rgb(p) & 0xff
+        val g = rgb(p + 1) & 0xff
+        val b = rgb(p + 2) & 0xff
+        yP(y * yW + x) = lumaOf(r, g, b).toByte
+        cb0(y * yW + x) = ((-43 * r - 85 * g + 128 * b + 128) >> 8) + 128
+        cr0(y * yW + x) = ((128 * r - 107 * g - 21 * b + 128) >> 8) + 128
+        x += 1
+      }
+      y += 1
+    }
+    // 2x2 box average (round-half-up) — exact for constant macroblocks
+    var cy = 0
+    while (cy < cH) {
+      var cx = 0
+      while (cx < cW) {
+        val p0 = (2 * cy) * yW + 2 * cx
+        cbP(cy * cW + cx) =
+          ((cb0(p0) + cb0(p0 + 1) + cb0(p0 + yW) + cb0(p0 + yW + 1) + 2) >> 2).toByte
+        crP(cy * cW + cx) =
+          ((cr0(p0) + cr0(p0 + 1) + cr0(p0 + yW) + cr0(p0 + yW + 1) + 2) >> 2).toByte
+        cx += 1
+      }
+      cy += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(rgb.length / 4 + 1024)
+    writeHeader(out, width, height, color = true)
+    val bw = new BitWriter(out)
+    var predY = 0
+    var predCb = 0
+    var predCr = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var vb = 0
+        while (vb < 2) { // 4 luma blocks, raster order within the MCU
+          var hb = 0
+          while (hb < 2) {
+            predY = encodeBlock(bw, yP, yW, yH,
+              mx * 16 + hb * 8, my * 16 + vb * 8, predY)
+            hb += 1
+          }
+          vb += 1
+        }
+        predCb = encodeBlock(bw, cbP, cW, cH, mx * 8, my * 8, predCb)
+        predCr = encodeBlock(bw, crP, cW, cH, mx * 8, my * 8, predCr)
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
 

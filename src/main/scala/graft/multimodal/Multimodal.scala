@@ -125,6 +125,41 @@ object Multimodal {
       .toDF()
   }
 
+  /** Color twin of [[attachJpegPayload]]: a deterministic
+    * MACROBLOCK-CONSTANT RGB image (every 16×16 macroblock k carries three
+    * consecutive UTF-8 bytes of the text: R = byte 3k, G = byte 3k+1,
+    * B = byte 3k+2, each mod len; dims are multiples of 16) encoded as
+    * baseline 4:2:0 YCbCr JPEG by [[JpegCodec.encodeColor]]. Constant
+    * macroblocks give constant Y/Cb/Cr blocks that survive the lossy
+    * format exactly, and the fixed-point luma ([[JpegCodec.lumaOf]]) is
+    * reproducible in SQL — so the oracle certifies the decoded mean luma
+    * of a COLOR image through the full interleaved-scan entropy decode. */
+  def attachJpegColorPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"),
+      (pmod(col("doc_id"), lit(4)) * 16 + 16).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(3)) * 16 + 16).cast("int").as("height"))
+      .as[(Long, String, Int, Int)]
+      .map { case (id, text, w, h) =>
+        val t = Option(text).getOrElse("").getBytes("UTF-8")
+        val rgb = new Array[Byte](3 * w * h)
+        if (t.nonEmpty) {
+          val mbw = w / 16
+          var i = 0
+          while (i < w * h) {
+            val mb = (i / w / 16) * mbw + (i % w) / 16
+            rgb(3 * i) = t((3 * mb) % t.length)
+            rgb(3 * i + 1) = t((3 * mb + 1) % t.length)
+            rgb(3 * i + 2) = t((3 * mb + 2) % t.length)
+            i += 1
+          }
+        }
+        MediaRow(id, JpegCodec.encodeColor(w, h, rgb), "image/jpeg", w, h)
+      }
+      .toDF()
+  }
+
   /** Attach a REAL encoded audio payload: a deterministic mono 16-bit
     * PCM signal synthesized from the document's UTF-8 bytes (sample i =
     * (byte[i mod len] − 128) · 256, a full-scale square-ish wave), as a

@@ -453,6 +453,62 @@ object Mdio {
     FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j)
     WHERE i >= 4 AND i < 28 AND j >= 2"""
 
+  /** Re-sharded twin of [[zarrGrid]]: the flat 8×4-chunked store migrated
+    * to v3 `sharding_indexed` with 16×8 shards over the kept 8×4 inner
+    * chunks via [[graft.sources.MdioWriter.rechunk]]'s `newShards` — the
+    * flat→sharded direction of the object-count migration. */
+  def reshardedGrid(s: SparkSession, d: String): String =
+    builtGrids.getOrElseUpdate(d + "#reshard", {
+      val dst = zarrGrid(s, d) + "_rs"
+      graft.sources.MdioWriter.rechunk(s, zarrGrid(s, d), dst,
+        Map.empty, version = 3, newShards = Map("image" -> Seq(16L, 8L)))
+      dst
+    })
+
+  /** Un-sharded twin of [[zarrGridSharded]]: the 16×8-sharded v3 store
+    * migrated back to flat chunks (`newShards` = empty Seq) — the
+    * sharded→flat direction. */
+  def unshardedGrid(s: SparkSession, d: String): String =
+    builtGrids.getOrElseUpdate(d + "#unshard", {
+      val dst = zarrGridSharded(s, d) + "_flat"
+      graft.sources.MdioWriter.rechunk(s, zarrGridSharded(s, d), dst,
+        Map.empty, version = 3, newShards = Map("image" -> Seq.empty))
+      dst
+    })
+
+  /** Shard-grid migration on the gate, BOTH directions: flat→sharded and
+    * sharded→flat stores each scanned through a filter that cuts across
+    * the 16-inline shard seam, certified against lineitem directly — a
+    * shard index pointing at the wrong inner chunk, or a cell dropped at
+    * the seam, breaks a sum or a count. */
+  val qMdioReshard: Q = (s, d) => {
+    val sh = s.read.format("mdio").load(reshardedGrid(s, d))
+      .filter(col("inline") >= 12 && col("inline") < 20)
+      .agg(dsum(col("image")).as("sh_total"), count(lit(1)).as("sh_n"))
+    val fl = s.read.format("mdio").load(unshardedGrid(s, d))
+      .filter(col("crossline") >= 3)
+      .agg(dsum(col("image")).as("flat_total"), count(lit(1)).as("flat_n"))
+    sh.crossJoin(fl)
+  }
+
+  val qMdioReshardSql: String = """
+    WITH agg AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS image
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT i, j, COALESCE(image, 0.0) AS image
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j)),
+    sh AS (
+      SELECT CAST(SUM(CAST(image AS DECIMAL(27,6))) AS DOUBLE) AS sh_total,
+             CAST(COUNT(*) AS BIGINT) AS sh_n
+      FROM cells WHERE i >= 12 AND i < 20),
+    fl AS (
+      SELECT CAST(SUM(CAST(image AS DECIMAL(27,6))) AS DOUBLE) AS flat_total,
+             CAST(COUNT(*) AS BIGINT) AS flat_n
+      FROM cells WHERE j >= 3)
+    SELECT sh_total, sh_n, flat_total, flat_n FROM sh, fl"""
+
   /** Subvolume twin of [[zarrGrid]] (built once per JVM per sfDir): the
     * inline 8..23 × crossline 2..7 subcube cut into a standalone store
     * via [[graft.sources.MdioWriter.extract]] — dims shrink to 16×6,
@@ -756,6 +812,7 @@ object Mdio {
     "zarr_roundtrip"        -> qZarrRoundtrip,
     "zarr_pushdown"         -> qZarrPushdown,
     "mdio_rechunk"          -> qMdioRechunk,
+    "mdio_reshard"          -> qMdioReshard,
     "mdio_extract"          -> qMdioExtract,
     "mdio_transpose"        -> qMdioTranspose,
     "mdio_concat"           -> qMdioConcat,
@@ -788,6 +845,7 @@ object Mdio {
     "zarr_roundtrip"        -> qZarrRoundtripSql,
     "zarr_pushdown"         -> qZarrPushdownSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
+    "mdio_reshard"          -> qMdioReshardSql,
     "mdio_extract"          -> qMdioExtractSql,
     "mdio_transpose"        -> qZarrPushdownSql, // same cells, same slice, permuted layout
     "mdio_concat"           -> qMdioConcatSql,

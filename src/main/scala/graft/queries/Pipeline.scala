@@ -320,6 +320,64 @@ object Pipeline {
            COALESCE(CAST(SUM(id_a * 100003 + id_b) AS BIGINT), 0) AS pair_checksum
     FROM p WHERE c >= 0.5"""
 
+  /** Character-level shared-substring near-dups via WINNOWING (MOSS)
+    * fingerprints: distinct sliding-window minima of 8-gram rolling
+    * hashes over the codepoint stream — any shared substring of length
+    * ≥ 11 chars contributes a shared fingerprint. The df cap (64) cuts
+    * corpus-common boilerplate fingerprints; pairs need ≥ 2 shared. The
+    * oracle recomputes every k-gram hash, every window minimum, and the
+    * full posting join independently in DuckDB — fingerprint SETS must
+    * match bit-for-bit for any of the three aggregates to agree. */
+  val qDedupWinnow: Q = (s, d) =>
+    Dedup.winnowDups(documents(s, d), "doc_id", "text",
+      k = 8, window = 4, minShared = 2, maxDf = 64)
+      .agg(count(lit(1)).as("n_pairs"),
+           coalesce(sum(col("shared_fps")), lit(0L)).as("sum_shared"),
+           coalesce(sum(col("id_a") * lit(100003L) + col("id_b")), lit(0L))
+             .as("pair_checksum"))
+
+  val qDedupWinnowSql: String = """
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+      FROM documents),
+    cps AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split(t, ''), c -> c <> ''),
+               c -> CAST(unicode(c) AS BIGINT)) AS cp
+      FROM norm),
+    hs AS (
+      SELECT doc_id,
+             CASE WHEN len(cp) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(cp) < 8 THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), cp),
+                         (a, x) -> (a * 131 + x) % 2147483647)]
+                  ELSE list_transform(range(0, len(cp) - 7),
+                         i -> list_reduce(list_prepend(CAST(0 AS BIGINT), cp[i+1:i+8]),
+                                (a, x) -> (a * 131 + x) % 2147483647))
+             END AS h
+      FROM cps),
+    fps AS (
+      SELECT doc_id,
+             CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(h) <= 4 THEN [list_min(h)]
+                  ELSE list_distinct(list_transform(range(0, len(h) - 3),
+                         j -> list_min(h[j+1:j+4])))
+             END AS fp
+      FROM hs),
+    post AS (
+      SELECT DISTINCT doc_id, f
+      FROM (SELECT doc_id, UNNEST(fp) AS f FROM fps) t),
+    keep AS (SELECT f FROM post GROUP BY f HAVING COUNT(*) BETWEEN 2 AND 64),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM post a JOIN post b ON a.f = b.f AND a.doc_id < b.doc_id
+      JOIN keep kk ON kk.f = a.f
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           COALESCE(CAST(SUM(shared) AS BIGINT), 0) AS sum_shared,
+           COALESCE(CAST(SUM(id_a * 100003 + id_b) AS BIGINT), 0) AS pair_checksum
+    FROM pairs"""
+
   /** Clusters → keep decisions by QUALITY: the same n-gram Jaccard
     * components, resolved by keeping each cluster's highest
     * [[TextFunctions.qualityScore]] member (ties by min id) instead of
@@ -1164,6 +1222,7 @@ object Pipeline {
     "dedup_components"     -> qDedupComponents,
     "dedup_keep_best"      -> qDedupKeepBest,
     "dedup_containment"    -> qDedupContainment,
+    "dedup_winnow"         -> qDedupWinnow,
     "dedup_cascade"        -> qDedupCascade,
     "dedup_embedding"      -> qDedupEmbedding,
     "ann_brute_force"      -> qAnnBruteForce,
@@ -1208,6 +1267,7 @@ object Pipeline {
     "dedup_components"    -> qDedupComponentsSql,
     "dedup_keep_best"     -> qDedupKeepBestSql,
     "dedup_containment"   -> qDedupContainmentSql,
+    "dedup_winnow"        -> qDedupWinnowSql,
     "dedup_cascade"       -> qDedupCascadeSql,
     "ann_grouped"         -> qAnnGroupedSql,
     "pipeline_dedup_recipe" -> qPipelineDedupRecipeSql,

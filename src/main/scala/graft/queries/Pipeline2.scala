@@ -635,6 +635,51 @@ object Pipeline2 {
     FROM r WHERE rn <= 15 GROUP BY source"""
   }
 
+  /** Temperature-reweighted DOMAIN MIXTURE — the data-recipe knob of
+    * multi-domain pretraining: per-source target ∝ count^0.5 (T = 2
+    * flattening, rare domains over-represented relative to size), half
+    * the corpus kept, selection by portable-hash priority
+    * ([[graft.functions.Sampling.temperatureTargets]] /
+    * [[graft.functions.Sampling.mixture]]). Targets are deterministic
+    * driver-side integer arithmetic on the exact per-source counts, so
+    * the oracle (a def — same trained-literal pattern as ann_ivf) embeds
+    * them as a VALUES table and re-derives the per-domain selection with
+    * its own window; kept counts, id sums, and char sums must all agree. */
+  val qPipelineMix: Q = (s, d) => {
+    val docs = documents(s, d)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val total = counts.map(_._2).sum
+    val targets = graft.functions.Sampling.temperatureTargets(
+      counts, total / 2, alpha = 0.5)
+    mixTargets = Some(targets)
+    graft.functions.Sampling.mixture(docs, col("doc_id"), "source", targets)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"),
+           sum(col("n_chars")).as("sum_chars"))
+  }
+
+  /** Targets trained by the last [[qPipelineMix]] run in this JVM. */
+  @volatile private var mixTargets: Option[Seq[(String, Long)]] = None
+
+  private def qPipelineMixSql(targets: Seq[(String, Long)]): String = {
+    val mix = graft.functions.Sampling.mixSql("doc_id")
+    val rows = targets.map { case (n, t) => s"('$n', $t)" }.mkString(",\n      ")
+    s"""
+    WITH t(source, tgt) AS (VALUES
+      $rows),
+    r AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY $mix, doc_id) AS rn
+      FROM documents)
+    SELECT r.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM r JOIN t ON r.source = t.source
+    WHERE r.rn <= t.tgt GROUP BY r.source"""
+  }
+
   // ---- embedding outliers --------------------------------------------------
 
   /** Per-label embedding outliers: the 3 vectors of each label farthest
@@ -806,6 +851,48 @@ object Pipeline2 {
            CAST(SUM(h // 2) AS BIGINT) AS sum_thumb_h
     FROM e"""
 
+  /** COLOR DCT round-trip on the oracle: macroblock-constant RGB images
+    * (16×16 macroblock k carries text bytes 3k/3k+1/3k+2 as R/G/B) encoded
+    * as baseline 4:2:0 YCbCr JPEG by
+    * [[graft.multimodal.JpegCodec.encodeColor]] and decoded through the
+    * full interleaved-scan path (4 luma + 2 chroma blocks per MCU, three
+    * DC predictors). The fixed-point luma conversion
+    * ([[graft.multimodal.JpegCodec.lumaOf]]) is reproduced digit-for-digit
+    * in SQL, so DuckDB certifies the decoded mean luma of a color image
+    * over the lossy wire format — which only matches if chroma blocks are
+    * entropy-decoded in exact sync and every Y block reconstructs. */
+  val qMultimodalJpegColor: Q = (s, d) =>
+    graft.multimodal.Multimodal.extractFeatures(s,
+      graft.multimodal.Multimodal.attachJpegColorPayload(documents(s, d)))
+      .toDF()
+      .agg(count(lit(1)).as("n"),
+           dsum(col("intensity")).as("sum_luma"),
+           sum(col("dim1").cast("long")).as("sum_thumb_w"),
+           sum(col("dim2").cast("long")).as("sum_thumb_h"))
+
+  val qMultimodalJpegColorSql: String = s"""
+    WITH f AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS len,
+             list_transform(range(0, octet_length(encode(text))),
+               i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT)) AS bytes,
+             (doc_id % 4) * 16 + 16 AS w, (doc_id % 3) * 16 + 16 AS h
+      FROM documents),
+    e AS (
+      SELECT w, h,
+             CASE WHEN len = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(range(0, (w // 16) * (h // 16)),
+                    k -> (77 * bytes[(3*k) % len + 1] + 150 * bytes[(3*k+1) % len + 1]
+                          + 29 * bytes[(3*k+2) % len + 1] + 128) // 256))
+                    AS DOUBLE) / CAST((w // 16) * (h // 16) AS DOUBLE) / 255.0
+             END AS luma
+      FROM f)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ${sqlDsum("luma")} AS sum_luma,
+           CAST(SUM(w // 2) AS BIGINT) AS sum_thumb_w,
+           CAST(SUM(h // 2) AS BIGINT) AS sum_thumb_h
+    FROM e"""
+
   /** REAL audio decode on the oracle: deterministic 16-bit PCM WAVs
     * rendered from document bytes, decoded by the pure-JVM
     * [[graft.multimodal.WavCodec]] RIFF parser; DuckDB certifies sample
@@ -919,8 +1006,10 @@ object Pipeline2 {
     "multimodal_bmp"           -> qMultimodalBmp,
     "multimodal_png"           -> qMultimodalPng,
     "multimodal_jpeg"          -> qMultimodalJpeg,
+    "multimodal_jpeg_color"    -> qMultimodalJpegColor,
     "multimodal_wav"           -> qMultimodalWav,
     "pipeline_sample_stratified" -> qPipelineSampleStratified,
+    "pipeline_mix"             -> qPipelineMix,
     "pipeline_recipe"          -> qPipelineRecipe,
     "pipeline_quota"           -> qPipelineQuota,
     "text_decontaminate"       -> qTextDecontaminate,
@@ -930,7 +1019,12 @@ object Pipeline2 {
     "pipeline_sample_weighted" -> qPipelineSampleWeighted,
   )
 
-  val oracleSql: Map[String, String] = Map(
+  /** A def: the `pipeline_mix` entry exists only once its query has
+    * trained its targets in this JVM (the ann_ivf discipline). */
+  def oracleSql: Map[String, String] =
+    staticOracleSql ++ mixTargets.map(t => "pipeline_mix" -> qPipelineMixSql(t))
+
+  private val staticOracleSql: Map[String, String] = Map(
     "text_chunk"               -> qTextChunkSql,
     "text_line_dedup"          -> qTextLineDedupSql,
     "text_pii"                 -> qTextPiiSql,
@@ -943,6 +1037,7 @@ object Pipeline2 {
     "multimodal_bmp"           -> qMultimodalBmpSql,
     "multimodal_png"           -> qMultimodalPngSql,
     "multimodal_jpeg"          -> qMultimodalJpegSql,
+    "multimodal_jpeg_color"    -> qMultimodalJpegColorSql,
     "multimodal_wav"           -> qMultimodalWavSql,
     "pipeline_sample_stratified" -> qPipelineSampleStratifiedSql,
     "pipeline_recipe"          -> qPipelineRecipeSql,

@@ -21,7 +21,8 @@ class BenchCoverageSpec extends AnyFunSuite {
   test("every query has oracle SQL or is a documented rows-only entry") {
     val rowsOnly = Set("agg_approx") // engine-internal HLL++ state; portable
                                      // twin agg_hll_portable IS oracle-checked
-    val trainedLater = Set("ann_ivf", "ann_ivf_pruned", "ann_pq", "ann_ivf_pq") // oracle SQL embeds trained
+    val trainedLater = Set("ann_ivf", "ann_ivf_pruned", "ann_pq", "ann_ivf_pq",
+      "pipeline_mix") // oracle SQL embeds trained
                                       // centroid/codebook literals, produced
                                       // once the query has run (Verify runs
                                       // queries, THEN dumps)

@@ -364,4 +364,52 @@ class DedupSpec extends SparkSpec {
     assert(e1 >= 40L, s"clusters must collide in buckets: $e1 candidates")
     assert(e2 <= 3.0 * e1, s"embedding candidates $e1 -> $e2 on a 2x corpus: super-linear")
   }
+
+  test("winnow kernel: matches the brute-force definition; guarantee holds") {
+    import graft.expressions.TextKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    val P = 2147483647L
+    def brute(s: String, k: Int, w: Int): Set[Long] = {
+      val cps = s.codePoints().toArray.map(_.toLong)
+      if (cps.isEmpty) return Set.empty
+      def hashOf(xs: Array[Long]): Long = xs.foldLeft(0L)((a, x) => (a * 131 + x) % P)
+      val hs = if (cps.length < k) Array(hashOf(cps))
+               else cps.sliding(k).map(hashOf).toArray
+      val ww = math.min(w, hs.length)
+      hs.sliding(ww).map(_.min).toSet
+    }
+    def kernel(s: String, k: Int, w: Int): Set[Long] = {
+      val a = TextKernels.winnow(UTF8String.fromString(s), k, w)
+      (0 until a.numElements()).map(a.getLong).toSet
+    }
+    val rnd = new scala.util.Random(41)
+    val texts = Seq("", "ab", "abcdefgh",
+      "the quick brown fox jumps over the lazy dog") ++
+      (0 until 20).map(_ => rnd.alphanumeric.take(rnd.nextInt(120)).mkString)
+    for (t <- texts; (k, w) <- Seq((8, 4), (5, 3), (3, 7)))
+      assert(kernel(t, k, w) == brute(t, k, w), s"k=$k w=$w text='$t'")
+    // the winnowing guarantee: a shared run of length >= w+k-1 shares a
+    // fingerprint VALUE even at different offsets in unrelated texts
+    val run = "SHARED-PASSAGE-XYZ" // 18 >= 8+4-1
+    val a = kernel("aaaa " + run + " bbbb", 8, 4)
+    val b = kernel("ccccccccc " + run, 8, 4)
+    assert(a.intersect(b).nonEmpty, "guaranteed shared fingerprint missing")
+  }
+
+  test("winnowDups finds substring-sharing docs, df cap cuts corpus-wide boilerplate") {
+    val shared = "an exceptionally distinctive copied passage nobody else has"
+    val docs = Seq(
+      (1L, s"first document carries $shared inside it"),
+      (2L, s"$shared opens the second document"),
+      (3L, "a wholly unrelated text with nothing in common qq"),
+      (4L, "another distinct body of text zz")) ++
+      // every doc shares this header -> its fingerprints blow past maxDf=3
+      (10L until 30L).map(i => (i, s"COMMON HEADER LINE ALWAYS THE SAME $i"))
+    val out = Dedup.winnowDups(docs.toDF("doc_id", "text"), "doc_id", "text",
+      k = 8, window = 4, minShared = 2, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)), s"substring pair missed: $out")
+    assert(out.forall { case (x, y) => x < 10 && y < 10 },
+      s"df cap failed to cut the boilerplate cluster: $out")
+  }
 }

@@ -105,6 +105,41 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperatureTargets: alpha=1 keeps proportions, alpha->0 flattens, caps bind") {
+    val counts = Seq(("a", 400L), ("b", 1600L), ("c", 6400L))
+    // alpha=1: natural proportions of a 4200 target = exactly half each
+    val nat = Sampling.temperatureTargets(counts, 4200L, alpha = 1.0).toMap
+    assert(nat == Map("a" -> 200L, "b" -> 800L, "c" -> 3200L), s"$nat")
+    // alpha=0.5: sqrt weights 20/40/80 -> 200/400/800 of 1400 — the rare
+    // domain's share triples relative to natural (1/21 -> 1/7)
+    val t = Sampling.temperatureTargets(counts, 1400L, alpha = 0.5).toMap
+    assert(t == Map("a" -> 200L, "b" -> 400L, "c" -> 800L), s"$t")
+    // targets sum to the requested total when no cap binds
+    assert(Sampling.temperatureTargets(counts, 1300L, 0.5).map(_._2).sum == 1300L)
+    // a domain can never exceed its count
+    val capped = Sampling.temperatureTargets(counts, 8000L, alpha = 0.1).toMap
+    assert(capped("a") == 400L, s"cap must bind: $capped")
+    // unsorted input rejects loud
+    intercept[IllegalArgumentException](
+      Sampling.temperatureTargets(Seq(("z", 1L), ("a", 1L)), 1L, 0.5))
+  }
+
+  test("mixture keeps exactly the target count per domain, deterministically") {
+    val docs = (0L until 300L).map(i => (i, if (i % 3 == 0) "x" else "y")).toDF("id", "src")
+    val targets = Seq(("x", 40L), ("y", 10L))
+    val kept = Sampling.mixture(docs, col("id"), "src", targets)
+      .select("id", "src").as[(Long, String)].collect()
+    assert(kept.count(_._2 == "x") == 40 && kept.count(_._2 == "y") == 10)
+    // stable: same inputs -> same kept set
+    val again = Sampling.mixture(docs, col("id"), "src", targets)
+      .select("id", "src").as[(Long, String)].collect()
+    assert(kept.toSet == again.toSet)
+    // domains without a target are dropped
+    val dropped = Sampling.mixture(docs, col("id"), "src", Seq(("x", 5L)))
+      .select("id", "src").as[(Long, String)].collect()
+    assert(dropped.length == 5 && dropped.forall(_._2 == "x"))
+  }
+
   test("cluster range-partitions by z and sorts within partitions") {
     val grid = (for { x <- 0L until 32L; y <- 0L until 32L } yield (x, y)).toDF("x", "y")
     val clustered = ZOrder.cluster(grid, Seq(col("x"), col("y")), 5, 4)

@@ -76,6 +76,64 @@ class CodecInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG color: graft round-trips macroblock-constant 4:2:0 exactly; ImageIO agrees") {
+    // constant 16x16 macroblocks -> constant Y/Cb/Cr blocks, DC-only on
+    // the wire: our decoder must recover the fixed-point luma EXACTLY,
+    // and any compliant decoder lands within YCbCr->RGB rounding
+    val (w, h) = (48, 32)
+    val rnd = new scala.util.Random(29)
+    val mbw = w / 16
+    val mbs = Array.fill((w / 16) * (h / 16))(
+      (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+    val rgb = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = mbs((y / 16) * mbw + x / 16)
+      val p = (y * w + x) * 3
+      rgb(p) = r.toByte; rgb(p + 1) = g.toByte; rgb(p + 2) = b.toByte
+    }
+    val enc = JpegCodec.encodeColor(w, h, rgb)
+    val d = JpegCodec.decode(enc)
+    assert(d.width == w && d.height == h)
+    val wantLuma = mbs.map { case (r, g, b) => JpegCodec.lumaOf(r, g, b) }
+      .map(_.toLong).sum.toDouble / mbs.length / 255.0
+    assert(d.meanLuma == wantLuma, s"graft ${d.meanLuma} vs exact $wantLuma")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    assert(img.getWidth == w && img.getHeight == h)
+    // macroblock INTERIORS only: ImageIO's fancy chroma upsampling
+    // interpolates across macroblock seams; away from the seam the wire
+    // is exact and the slack is the two fixed-point YCbCr conversions
+    for (y <- 0 until h; x <- 0 until w
+         if x % 16 >= 4 && x % 16 < 12 && y % 16 >= 4 && y % 16 < 12) {
+      val (r, g, b) = mbs((y / 16) * mbw + x / 16)
+      val got = img.getRGB(x, y)
+      assert(math.abs(((got >> 16) & 0xff) - r) <= 4 &&
+             math.abs(((got >> 8) & 0xff) - g) <= 4 &&
+             math.abs((got & 0xff) - b) <= 4,
+        f"pixel ($x,$y): got 0x$got%06x want ($r,$g,$b)")
+    }
+  }
+
+  test("JPEG color: arbitrary content survives graft encode -> graft decode near-exact") {
+    val (w, h) = (40, 24)
+    val rgb = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w) { // smooth planes: quantize gently
+      val p = (y * w + x) * 3
+      rgb(p) = ((x * 5 + y) % 256).toByte
+      rgb(p + 1) = ((x + y * 7) % 256).toByte
+      rgb(p + 2) = ((x * 2 + y * 3) % 256).toByte
+    }
+    val d = JpegCodec.decode(JpegCodec.encodeColor(w, h, rgb))
+    assert(d.width == w && d.height == h)
+    var src = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      src += JpegCodec.lumaOf(rgb(p) & 0xff, rgb(p + 1) & 0xff, rgb(p + 2) & 0xff)
+    }
+    val srcLuma = src.toDouble / (w * h) / 255.0
+    assert(math.abs(d.meanLuma - srcLuma) < 1.5 / 255.0,
+      s"graft ${d.meanLuma} vs source $srcLuma")
+  }
+
   test("JPEG: ImageIO agrees with graft within rounding on arbitrary content") {
     // quant=1 keeps coefficients near-exact; decoders may differ by the
     // spec's IDCT tolerance (±1 per sample)

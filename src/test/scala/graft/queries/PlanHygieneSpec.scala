@@ -15,7 +15,8 @@ class PlanHygieneSpec extends SparkSpec {
   // its report row by crossJoining four ONE-ROW aggregates
   private val allowCartesian =
     Set("join_cross", "text_tfidf", "text_fluency", "pipeline_shuffle",
-      "mdio_extract") // one-row aggregate pair assembled by crossJoin
+      // one-row aggregate pairs assembled by crossJoin
+      "mdio_extract", "mdio_reshard")
 
   test("no accidental cartesian/nested-loop joins across the inventory") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
