@@ -185,6 +185,31 @@ object Bench {
     "pipeline_compose" -> 0.746, "q10_returned_items" -> 1.002,
     "q1_pricing_summary" -> 1.381, "q3_shipping_priority" -> 0.820,
     "q5_region_revenue" -> 1.389, "q6_forecast_revenue" -> 0.337,
+    // comparators for the round-6 TPC-H widening (no self-measured
+    // first budgets — round-4 verdict discipline):
+    // q3 (same orders-quarter filter + lineitem semi shape)
+    "q4_order_priority" -> 0.820,
+    // q5 (same lineitem⋈orders shuffle + broadcast dims; two nation hops)
+    "q7_volume_shipping" -> 1.389,
+    // q5 x1.5 (adds part + region hops and the conditional-sum ratio)
+    "q8_market_share" -> 2.1,
+    // q5 (same star shape through part instead of customer geography)
+    "q9_product_profit" -> 1.389,
+    // join_left_outer + agg_distinct (outer join then two group-bys)
+    "q13_customer_distribution" -> 1.3,
+    // q6 + a broadcast part hop (one-month filtered scan + ratio)
+    "q14_promo_revenue" -> 0.7,
+    // q6 x2 (quarter scan aggregated per supplier, then the max probe
+    // re-uses the same grouped result)
+    "q15_top_supplier" -> 0.7,
+    // q1 (two full-ish lineitem aggregations: per-part avg + final sum)
+    "q17_small_qty_revenue" -> 1.381,
+    // q1 + q10 (full lineitem group-by then top-k join)
+    "q18_large_volume" -> 1.5,
+    // q6 (filtered scan + broadcast part join, OR-block predicate)
+    "q19_discounted_revenue" -> 0.7,
+    // join_anti + agg_distinct (anti join on urgent orders + group-by)
+    "q22_global_sales" -> 1.0,
     "set_except" -> 0.736, "set_intersect" -> 0.658, "set_union" -> 0.381,
     "sort_multikey" -> 0.178, "sort_topk" -> 0.187,
     "stream_dedup_exec" -> 5.869, "stream_curation_exec" -> 2.216,

@@ -20,6 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Relational2.queries ++
+      graft.queries.Relational3.queries ++
       graft.queries.Mdio.queries ++
       graft.queries.Pipeline.queries ++
       graft.queries.Pipeline2.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
       graft.queries.Relational2.oracleSql ++
+      graft.queries.Relational3.oracleSql ++
       graft.queries.Mdio.oracleSql ++
       graft.queries.Pipeline.oracleSql ++
       graft.queries.Pipeline2.oracleSql ++
