@@ -182,6 +182,12 @@ object Bench {
     // measured warm sf0.1 (same encode+decode shape as multimodal_jpeg;
     // images are larger — up to 64x48 macroblocked — and carry 3 planes)
     "multimodal_jpeg_color" -> 1.05,
+    // comparator: multimodal_wav (same attach+parse map-only shape;
+    // box-table walk in place of RIFF chunk scan, similar payload sizes)
+    "multimodal_mp4" -> 0.908,
+    // comparator: multimodal_mp4 + the n/4-row keyframe explode (still
+    // map-only into one partial-agg'd sum)
+    "multimodal_mp4_frames" -> 1.0,
     "pipeline_compose" -> 0.746, "q10_returned_items" -> 1.002,
     "q1_pricing_summary" -> 1.381, "q3_shipping_priority" -> 0.820,
     "q5_region_revenue" -> 1.389, "q6_forecast_revenue" -> 0.337,

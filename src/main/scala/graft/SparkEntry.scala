@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.Mdio.queries ++
       graft.queries.Pipeline.queries ++
       graft.queries.Pipeline2.queries ++
+      graft.queries.Media.queries ++
       graft.queries.StreamingExec.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.Mdio.oracleSql ++
       graft.queries.Pipeline.oracleSql ++
       graft.queries.Pipeline2.oracleSql ++
+      graft.queries.Media.oracleSql ++
       graft.queries.StreamingExec.oracleSql
 }

@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * row filters — a genuinely compressed format) and `audio/wav`
   * ([[WavCodec]]: RIFF/PCM) and `image/jpeg` ([[JpegCodec]]: baseline
   * sequential Huffman + dequant + IDCT — a genuine DCT format) payloads,
-  * no media library needed. The one remaining compressed format (MP4 —
-  * video codecs absent in this container) falls back to
-  * [[StubDecoder.decode]], a clearly-marked deterministic fake; swapping
-  * in a real decoder (JNI ffmpeg or an Arrow-batched python worker)
-  * changes ONE match arm, none of the plumbing.
+  * no media library needed. `video/mp4` containers are parsed FOR REAL
+  * by [[Mp4Codec]] (ISO-BMFF box walk + full sample-table
+  * reconstruction — the distributed half of video ingest); only the
+  * per-sample PIXEL decode (H.264 et al. — video codecs absent in this
+  * container) falls back to [[StubDecoder.decode]], a clearly-marked
+  * deterministic fake; swapping in a real decoder (JNI ffmpeg or an
+  * Arrow-batched python worker) changes ONE match arm, none of the
+  * plumbing.
   */
 object Multimodal {
 
@@ -180,6 +183,34 @@ object Multimodal {
           }
         }
         MediaRow(id, WavCodec.encode(samples, sampleRate), "audio/wav", 0, 0)
+      }
+      .toDF()
+  }
+
+  /** Attach a REAL MP4 container payload: a deterministic one-track video
+    * muxed by [[Mp4Codec]] — sample count `((doc_id%5)+2)·4`, sample i's
+    * size `(byte[i mod len] & 63) + 8`, sample bytes `byte[(i·7+j) mod
+    * len]`, two stts runs, a keyframe every 4th sample, 4 samples per
+    * chunk. The container INDEX (stts/stsz/stss/stsc/stco) is what frame
+    * sampling reads at scale; pixel decode of the samples themselves is
+    * the part that stays stubbed (no video codec in this container). */
+  def attachMp4Payload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"),
+      ((pmod(col("doc_id"), lit(8))) * 16 + 64).cast("int").as("width"),
+      ((pmod(col("doc_id"), lit(6))) * 16 + 48).cast("int").as("height"))
+      .as[(Long, String, Int, Int)]
+      .map { case (id, text, w, h) =>
+        val t = Option(text).getOrElse("").getBytes("UTF-8")
+        val n = ((id % 5).toInt + 2) * 4
+        val sizes = Array.tabulate(n) { i =>
+          if (t.isEmpty) 8 else (t(i % t.length) & 63) + 8
+        }
+        val payload = (i: Int) => Array.tabulate(sizes(i)) { j =>
+          if (t.isEmpty) 0.toByte else t((i * 7 + j) % t.length)
+        }
+        MediaRow(id, Mp4Codec.mux(w, h, sizes, payload), "video/mp4", w, h)
       }
       .toDF()
   }
