@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.Pipeline.queries ++
       graft.queries.Pipeline2.queries ++
       graft.queries.Media.queries ++
+      graft.queries.LanguageModel.queries ++
       graft.queries.StreamingExec.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.Pipeline.oracleSql ++
       graft.queries.Pipeline2.oracleSql ++
       graft.queries.Media.oracleSql ++
+      graft.queries.LanguageModel.oracleSql ++
       graft.queries.StreamingExec.oracleSql
 }
