@@ -87,7 +87,10 @@ object Bench {
     "agg_approx" -> 0.541, "agg_argmax" -> 0.385, "agg_cms_portable" -> 0.647,
     "agg_conditional" -> 0.302, "agg_corr" -> 1.579, "agg_cube" -> 0.584,
     "agg_distinct" -> 0.626, "agg_grouping_sets" -> 0.261, "agg_histogram" -> 0.277,
-    "agg_hll_portable" -> 0.451, "agg_percentile" -> 0.334, "agg_pivot" -> 0.441,
+    "agg_hll_portable" -> 0.451, "agg_percentile" -> 0.334,
+    // comparator: agg_hll_portable x2 (two filtered register builds +
+    // the O(m) register merge and three tiny finalize folds)
+    "agg_hll_intersect" -> 0.9, "agg_pivot" -> 0.441,
     "agg_rollup" -> 0.949, "agg_moments" -> 1.379,
     "ann_int8" -> 0.759, "pipeline_split" -> 0.232,
     // comparator: pipeline_recipe (several passes over documents + small
@@ -109,6 +112,12 @@ object Bench {
     // aggregation and anti join on the segment key
     "text_line_dedup" -> 1.500,
     "embedding_outliers" -> 1.100, "text_fluency" -> 0.911,
+    // comparator: agg_embedding_centroid x2 (two passes over the exploded
+    // elements: the stats agg, then the broadcast join-back + z agg)
+    "embedding_normalize" -> 0.8,
+    // comparator: pipeline_sample_stratified (same per-group window +
+    // head shape; band map in place of the strata key)
+    "pipeline_curriculum" -> 0.326,
     "text_boilerplate" -> 0.429, "events_retention" -> 0.578,
     "pipeline_sample_stratified" -> 0.326,
     // measured warm sf0.1 (per-domain window selection like
@@ -159,6 +168,9 @@ object Bench {
     // comparator: mdio_smooth_dim (identical cells-agg + one-window-per-
     // trace shape; RMS divide in place of the moving average)
     "mdio_agc" -> 1.511,
+    // comparator: mdio_histogram_edges (same cells-agg + broadcast-join +
+    // small-group agg shape; the trial grid replaces the edge table)
+    "mdio_semblance" -> 0.7,
     "mdio_open_sel" -> 0.238, "mdio_sel_list" -> 0.802,
     "mdio_sel_range" -> 0.540, "mdio_smooth_dim" -> 1.511, "mdio_sel_value" -> 0.502,
     // comparator: mdio_smooth_dim x1.5 (the second separable pass adds
@@ -226,6 +238,12 @@ object Bench {
     // one-stateful-agg shape; regex sweep in place of the quality gate)
     "stream_pii_exec" -> 2.216,
     "stream_mdio_exec" -> 2.148,
+    // comparator: stream_tumbling_exec (same file-source -> one stateful
+    // agg -> memory sink shape; 5x256 register rows + a tiny batch fold)
+    "stream_hll_exec" -> 1.871,
+    // comparator: stream_hll_exec (identical shape; 4x1024 SUM counters
+    // in place of the MAX registers, plus the broadcast probe join)
+    "stream_cms_exec" -> 1.871,
     // comparator: ann_ivf_pruned (the timed passes hit the cached
     // streamed index, so the cost is the same pruned parquet top-k)
     "stream_ivf_exec" -> 0.571,

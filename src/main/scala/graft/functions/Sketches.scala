@@ -60,7 +60,16 @@ object Sketches {
     * is the one non-exact step, absorbed by rounding to 4 decimals.
     */
   def hllDistinct(df: DataFrame, keys: Seq[String], value: Column,
-                  p: Int = 8, out: String = "hll_distinct"): DataFrame = {
+                  p: Int = 8, out: String = "hll_distinct"): DataFrame =
+    hllFinalize(hllRegisters(df, keys, value, p), keys, p, out)
+
+  /** The MERGEABLE half of [[hllDistinct]]: the (keys, bucket) → max-low-bit
+    * register table. This is the state a live system maintains — registers
+    * merge by MAX across partitions, days, or micro-batches (the streaming
+    * sketch-maintenance query keeps exactly this aggregation as its
+    * stateful operator: fixed 2^p rows per group, no watermark needed). */
+  def hllRegisters(df: DataFrame, keys: Seq[String], value: Column,
+                   p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1 << p
     val h = portableMix(value.cast("long"))
@@ -68,12 +77,16 @@ object Sketches {
     val lowbit = when(t === 0L, lit(1L << (31 - p)))
       .otherwise(t.bitwiseAND(-t))
     val keyCols = keys.map(col)
-
-    val regs = df
-      .select(keyCols :+ (h % m).as("__bucket") :+ lowbit.as("__l"): _*)
+    df.select(keyCols :+ (h % m).as("__bucket") :+ lowbit.as("__l"): _*)
       .groupBy(keyCols :+ col("__bucket"): _*)
       .agg(max(col("__l")).as("__maxl"))
+  }
 
+  /** The read-side fold of [[hllDistinct]]: registers → estimate. */
+  def hllFinalize(regs: DataFrame, keys: Seq[String], p: Int = 8,
+                  out: String = "hll_distinct"): DataFrame = {
+    val m = 1 << p
+    val keyCols = keys.map(col)
     val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
     regs
       .groupBy(keyCols: _*)

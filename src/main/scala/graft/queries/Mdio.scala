@@ -710,6 +710,65 @@ object Mdio {
            ${sqlDsum("CASE WHEN l_linenumber = 1 THEN agc ELSE 0.0 END")} AS sum_first_agc
     FROM a"""
 
+  // Velocity-scan SEMBLANCE (Taner & Koehler): the velocity-analysis
+  // operator — for each trial (velocity v, zero-offset time t0), stack
+  // the gather along the hyperbolic moveout t(x) = √(t0² + x²/v²) and
+  // score coherence S = (Σₓ a)² / (N·Σₓ a²) ∈ (0,1]. The gather derives
+  // from lineitem cells (offset x = l_suppkey % 6 scaled ×8, time
+  // t = l_orderkey % 64); moveout uses nearest-sample (floor) pickup so
+  // every step is bit-deterministic: x²/v² and t0² are exact-rounded
+  // double ops, sqrt is correctly rounded in both engines, floor is
+  // exact — the oracle certifies semblance VALUES, no tolerance.
+  //
+  // Scale shape: the trial grid (|v|·|t0|·|x| rows — always KB-scale) is
+  // a broadcast literal; moveout becomes a computed EQUI key (x, tm), so
+  // the pickup is a broadcast hash join against the cell table — never a
+  // theta join — and the stack is one partial-agg'd groupBy(v, t0). At
+  // 100 TB the gather is additionally partitioned by CMP and the same
+  // join runs per partition.
+  val qSemblance: Q = (s, d) => {
+    val cells = grid(s, d).data
+      .groupBy((col("l_suppkey") % 6).as("x"), (col("l_orderkey") % 64).as("t"))
+      .agg(dsum(col("l_quantity")).as("a"))
+    // one flat range decodes to the (v, t0, x) trial grid — no cross join,
+    // not even the benign literal-grid kind
+    val scan = s.range(3L * 16 * 6)
+      .select(element_at(array(lit(2.0), lit(3.0), lit(4.0)),
+                (col("id") % 3 + 1).cast("int")).as("v"),
+              expr("(id div 3) % 16").as("t0"),   // div: `/` on longs is double division
+              expr("id div 48").as("sx"))
+      .select(col("v"), col("t0"), col("sx"),
+        floor(sqrt((col("t0") * 4).cast("double") * (col("t0") * 4).cast("double") +
+          (col("sx") * 8).cast("double") * (col("sx") * 8).cast("double") /
+            (col("v") * col("v")))).as("tm"))
+    cells
+      .join(broadcast(scan), col("x") === col("sx") && col("t") === col("tm"))
+      .groupBy(col("v"), col("t0"))
+      .agg(count(lit(1)).as("n_traces"),
+           (dsum(col("a")) * dsum(col("a")) /
+            (count(lit(1)).cast("double") * dsumsq(col("a")))).as("semb"))
+      .orderBy(col("semb").desc, col("v"), col("t0"))
+      .limit(10)
+  }
+
+  val qSemblanceSql: String = s"""
+    WITH cells AS (
+      SELECT l_suppkey % 6 AS x, l_orderkey % 64 AS t,
+             ${sqlDsum("l_quantity")} AS a
+      FROM lineitem GROUP BY 1, 2),
+    scan AS (
+      SELECT CAST(v AS DOUBLE) AS v, t0, sx,
+             CAST(floor(sqrt(CAST(t0 * 4 AS DOUBLE) * CAST(t0 * 4 AS DOUBLE) +
+               CAST(sx * 8 AS DOUBLE) * CAST(sx * 8 AS DOUBLE) /
+                 (CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS BIGINT) AS tm
+      FROM (VALUES (2.0), (3.0), (4.0)) vv(v), range(0, 16) r1(t0), range(0, 6) r2(sx))
+    SELECT v, t0, CAST(COUNT(*) AS BIGINT) AS n_traces,
+           ${sqlDsum("a")} * ${sqlDsum("a")} /
+             (CAST(COUNT(*) AS DOUBLE) * ${sqlDsumsq("a")}) AS semb
+    FROM cells JOIN scan ON x = sx AND t = tm
+    GROUP BY v, t0
+    ORDER BY semb DESC, v, t0 LIMIT 10"""
+
   // 2-D grid smoothing: a SEPARABLE 3x3 boxcar = the 3-tap pass along
   // dim 2, then the 3-tap pass along dim 1 over the first pass's output
   // (the seismic lateral-smoothing / coherence-prep shape). Each pass is
@@ -793,6 +852,7 @@ object Mdio {
     "mdio_smooth_dim"       -> qSmoothDim,
     "mdio_smooth_grid"      -> qSmoothGrid,
     "mdio_agc"              -> qAgc,
+    "mdio_semblance"        -> qSemblance,
     "mdio_isel_slice"       -> qIselSlice,
     "mdio_isel_stride"      -> qIselStride,
     "mdio_isel_concat"      -> qIselConcat,
@@ -826,6 +886,7 @@ object Mdio {
     "mdio_smooth_dim"       -> qSmoothDimSql,
     "mdio_smooth_grid"      -> qSmoothGridSql,
     "mdio_agc"              -> qAgcSql,
+    "mdio_semblance"        -> qSemblanceSql,
     "mdio_isel_slice"       -> qIselSliceSql,
     "mdio_isel_stride"      -> qIselStrideSql,
     "mdio_isel_concat"      -> qIselConcatSql,

@@ -551,6 +551,93 @@ object Pipeline2 {
     FROM embeddings, (SELECT unnest(range(1, 9)) AS i) idx
     GROUP BY label, i"""
 
+  // ---- embedding standardization -------------------------------------------
+
+  /** Per-dimension z-score standardization of the embedding corpus — the
+    * feature-prep pass before distance-based ops (un-normalized dims
+    * dominate cosine/L2). Two passes, both distributed: per-dim mean and
+    * E[x²] as decimal-exact aggregates (64 groups, map-side combined),
+    * broadcast back, then z = (x−μ)/σ per element and a per-dim summary.
+    * Every step is engine-deterministic: float→double is exact, μ and
+    * E[x²] derive from exact decimal sums, σ = sqrt (correctly rounded),
+    * the z threshold verdicts are integer-exact, and Σz goes through the
+    * dsum discipline — the oracle certifies the standardization itself,
+    * no tolerance. */
+  val qEmbeddingNormalize: Q = (s, d) => {
+    val el = embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("pos").cast("long").as("pos"), col("xf").cast("double").as("x"))
+    val stats = el.groupBy(col("pos"))
+      .agg(davg(col("x")).as("mu"),
+           (dsumsq(col("x")) / count(lit(1)).cast("double")).as("ex2"))
+      .select(col("pos"), col("mu"),
+        sqrt(col("ex2") - col("mu") * col("mu")).as("sigma"))
+    el.join(broadcast(stats), Seq("pos"))
+      .select(col("pos"), ((col("x") - col("mu")) / col("sigma")).as("z"))
+      .groupBy(col("pos"))
+      .agg(count(when(col("z") > 2.0, 1)).as("n_hi"),
+           count(when(col("z") < -2.0, 1)).as("n_lo"),
+           dsum(col("z")).as("sum_z"))
+      .orderBy(col("pos"))
+  }
+
+  val qEmbeddingNormalizeSql: String = s"""
+    WITH el AS (
+      SELECT CAST(i - 1 AS BIGINT) AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx),
+    st AS (
+      SELECT pos,
+             ${sqlDavg("x")} AS mu,
+             ${sqlDsumsq("x")} / CAST(COUNT(*) AS DOUBLE) AS ex2
+      FROM el GROUP BY pos),
+    zt AS (
+      SELECT el.pos AS pos, (x - mu) / sqrt(ex2 - mu * mu) AS z
+      FROM el JOIN st ON el.pos = st.pos)
+    SELECT pos, CAST(count_if(z > 2.0) AS BIGINT) AS n_hi,
+           CAST(count_if(z < -2.0) AS BIGINT) AS n_lo,
+           ${sqlDsum("z")} AS sum_z
+    FROM zt GROUP BY pos ORDER BY pos"""
+
+  // ---- curriculum interleave -----------------------------------------------
+
+  /** Curriculum ordering: documents assigned to STATIC difficulty bands
+    * (n_chars ranges — fixed thresholds, no global statistics and no
+    * global sort), shuffled deterministically within each band (the
+    * epoch-shuffle key), then interleaved round-robin across bands — the
+    * training-order recipe that feeds a model a stable easy↔hard mix
+    * instead of all-easy-then-all-hard. Plan shape: band assignment is a
+    * pure map, the per-band window is hash-partitioned on the band, and
+    * the final head is a top-k (TakeOrderedAndProject), so nothing
+    * global-sorts at any corpus size. */
+  val qPipelineCurriculum: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val band = least(floor(col("n_chars").cast("double") / 150.0), lit(3.0)).cast("long")
+    val key = graft.functions.Sampling.shuffleKey(col("doc_id"))
+    val w = Window.partitionBy(col("band")).orderBy(col("k"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), band.as("band"), key.as("k"))
+      .withColumn("pos", (row_number().over(w).cast("long") - 1L) * 4L + col("band"))
+      .select(col("pos"), col("band"), col("doc_id"))
+      .orderBy(col("pos"))
+      .limit(20)
+  }
+
+  val qPipelineCurriculumSql: String = {
+    val key = graft.functions.Sampling.shuffleKeySql("doc_id", 0L)
+    s"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(LEAST(floor(CAST(n_chars AS DOUBLE) / 150.0), 3.0) AS BIGINT) AS band,
+             $key AS k
+      FROM documents),
+    r AS (
+      SELECT doc_id, band,
+             (ROW_NUMBER() OVER (PARTITION BY band ORDER BY k, doc_id) - 1) * 4
+               + band AS pos
+      FROM b)
+    SELECT pos, band, doc_id FROM r ORDER BY pos LIMIT 20"""
+  }
+
   // ---- boilerplate detection -----------------------------------------------
 
   /** Boilerplate prefixes: identical first-2-token prefixes shared by ≥2
@@ -1000,6 +1087,8 @@ object Pipeline2 {
     "pipeline_stats"           -> qPipelineStats,
     "agg_embedding_centroid"   -> qAggEmbeddingCentroid,
     "embedding_outliers"       -> qEmbeddingOutliers,
+    "embedding_normalize"      -> qEmbeddingNormalize,
+    "pipeline_curriculum"      -> qPipelineCurriculum,
     "text_fluency"             -> qTextFluency,
     "text_boilerplate"         -> qTextBoilerplate,
     "text_classify"            -> qTextClassify,
@@ -1031,6 +1120,8 @@ object Pipeline2 {
     "pipeline_stats"           -> qPipelineStatsSql,
     "agg_embedding_centroid"   -> qAggEmbeddingCentroidSql,
     "embedding_outliers"       -> qEmbeddingOutliersSql,
+    "embedding_normalize"      -> qEmbeddingNormalizeSql,
+    "pipeline_curriculum"      -> qPipelineCurriculumSql,
     "text_fluency"             -> qTextFluencySql,
     "text_boilerplate"         -> qTextBoilerplateSql,
     "text_classify"            -> qTextClassifySql,

@@ -309,6 +309,65 @@ object Relational2 {
   val qAggHllPortableSql: String =
     graft.functions.Sketches.hllDistinctSql("lineitem", Seq("l_returnflag"), "l_partkey")
 
+  /** HLL SKETCH ALGEBRA: |A ∩ B| for two audience sets (high-value
+    * clickers vs high-value purchasers) by inclusion–exclusion over
+    * MERGED REGISTERS — the union estimate comes from register-wise MAX
+    * of the two standing sketches, NOT from rescanning the inputs, which
+    * is the whole point of mergeable sketch state at 100 TB (audiences
+    * intersect in O(m) register work at serving time). Every register and
+    * every estimate is re-derived from scratch by the oracle. */
+  val qAggHllIntersect: Q = (s, d) => {
+    import graft.functions.Sketches
+    val ev = events(s, d)
+    val a = ev.filter(col("event_type") === "click" && col("value") >= 90.0)
+      .select(col("user_id"))
+    val b = ev.filter(col("event_type") === "purchase" && col("value") >= 90.0)
+      .select(col("user_id"))
+    val ra = Sketches.hllRegisters(a, Seq.empty, col("user_id"))
+    val rb = Sketches.hllRegisters(b, Seq.empty, col("user_id"))
+    val ru = ra.unionAll(rb).groupBy(col("__bucket")).agg(max(col("__maxl")).as("__maxl"))
+    val ea = Sketches.hllFinalize(ra, Seq.empty, out = "est_a")
+    val eb = Sketches.hllFinalize(rb, Seq.empty, out = "est_b")
+    val eu = Sketches.hllFinalize(ru, Seq.empty, out = "est_union")
+    ea.crossJoin(eb).crossJoin(eu)
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        round(col("est_a") + col("est_b") - col("est_union"), 4).as("est_intersect"))
+  }
+
+  val qAggHllIntersectSql: String = {
+    // keyless twin of Sketches.hllDistinctSql (p=8, m=256), built per set;
+    // the union estimate folds MAX-merged registers, mirroring the Spark
+    // side's register algebra
+    def regs(pred: String) = s"""
+      SELECT h % 256 AS bucket,
+             MAX(CASE WHEN (h >> 8) = 0 THEN ${1L << 23}
+                      ELSE (h >> 8) & (-(h >> 8)) END) AS maxl
+      FROM (SELECT xor(c, c >> 13) AS h FROM (
+            SELECT (CAST(1013904223 AS BIGINT) * xor(a, a >> 15) + 390451572) % 2147483647 AS c
+            FROM (SELECT ((CAST(1103515245 AS BIGINT) * ((user_id) % 2147483647) + 12345) % 2147483647) AS a
+                  FROM events WHERE $pred)))
+      GROUP BY bucket"""
+    def est(regsName: String, out: String) = s"""
+      SELECT ROUND(CASE WHEN raw <= 640.0e0 AND zeros > 0
+                        THEN 256e0 * LN(256e0 / zeros) ELSE raw END, 4) AS $out
+      FROM (SELECT (0.7213e0 / (1.0e0 + 1.079e0 / 256e0)) * 65536e0 / (sump + (256 - present)) AS raw,
+                   256 - present AS zeros
+            FROM (SELECT COUNT(*) AS present,
+                         SUM(CAST(1.0 AS DOUBLE) / (CAST(2.0 AS DOUBLE) * maxl)) AS sump
+                  FROM $regsName))"""
+    s"""
+    WITH ra AS (${regs("event_type = 'click' AND value >= 90.0")}),
+    rb AS (${regs("event_type = 'purchase' AND value >= 90.0")}),
+    ru AS (SELECT bucket, MAX(maxl) AS maxl
+           FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY bucket),
+    ea AS (${est("ra", "est_a")}),
+    eb AS (${est("rb", "est_b")}),
+    eu AS (${est("ru", "est_union")})
+    SELECT est_a, est_b, est_union,
+           ROUND(est_a + est_b - est_union, 4) AS est_intersect
+    FROM ea, eb, eu"""
+  }
+
   /** Portable histogram-CDF quantiles: the `percentile_approx` problem
     * with engine-portable state ([[graft.functions.Sketches.histQuantiles]]
     * — integer bucket counting + one shared IEEE edge expression), so the
@@ -563,6 +622,7 @@ object Relational2 {
     "agg_conditional"    -> qAggConditional,
     "agg_approx"         -> qAggApprox,
     "agg_hll_portable"   -> qAggHllPortable,
+    "agg_hll_intersect"  -> qAggHllIntersect,
     "agg_cms_portable"   -> qAggCmsPortable,
     "agg_quantile_portable" -> qAggQuantilePortable,
     "fn_array"           -> qFnArray,
@@ -588,6 +648,7 @@ object Relational2 {
     "agg_corr"           -> qAggCorrSql,
     "agg_conditional"    -> qAggConditionalSql,
     "agg_hll_portable"   -> qAggHllPortableSql,
+    "agg_hll_intersect"  -> qAggHllIntersectSql,
     "agg_cms_portable"   -> qAggCmsPortableSql,
     "agg_quantile_portable" -> qAggQuantilePortableSql,
     "fn_array"           -> qFnArraySql,

@@ -295,7 +295,54 @@ object StreamingExec {
       ORDER BY cos DESC, vec_id LIMIT 20) t"""
   }
 
+  /** STREAMING SKETCH MAINTENANCE executed as a stream: per-type distinct
+    * users tracked as a portable HLL whose REGISTER TABLE is the stateful
+    * streaming aggregation — (event_type, bucket) → MAX(low-bit), the
+    * mergeable half of [[graft.functions.Sketches.hllDistinct]]. State is
+    * fixed at 2^p rows per group (no watermark needed; registers only
+    * ever MAX upward), which is how a live pipeline keeps cardinality
+    * current at 100 TB — counters, not distinct shuffles. The estimate
+    * fold is the read side, evaluated as a batch over the streamed
+    * registers; DuckDB re-derives registers AND estimate from scratch, so
+    * the gate certifies the streaming engine maintained every register
+    * bit-exactly. */
+  val qStreamHllExec: Q = (s, d) => {
+    import graft.functions.Sketches
+    val regs = Sketches.hllRegisters(
+      Tables.eventsStream(s, d), Seq("event_type"), col("user_id"))
+    Sketches.hllFinalize(runToMemory(regs, "complete"), Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
+  val qStreamHllExecSql: String =
+    graft.functions.Sketches.hllDistinctSql(
+      "events", Seq("event_type"), "user_id") + "\n    ORDER BY event_type"
+
+  /** STREAMING FREQUENCY-SKETCH MAINTENANCE executed as a stream: the
+    * count-min counter table (sketch row, bucket) → SUM is the stateful
+    * streaming aggregation — SUM-mergeable, so micro-batches fold into
+    * the standing sketch exactly as partitions fold in batch; state is
+    * capped at depth×width rows no matter the stream size. The read side
+    * then point-probes the STREAMED sketch for ten user ids (min over
+    * rows — the one-sided CM guarantee) and DuckDB re-derives sketch and
+    * probes from scratch: every streamed counter must match exactly. */
+  val qStreamCmsExec: Q = (s, d) => {
+    import graft.functions.Sketches
+    val sketch = Sketches.countMin(
+      Tables.eventsStream(s, d), Seq.empty, col("user_id"))
+    Sketches.cmEstimate(runToMemory(sketch, "complete"), probes = 0L until 10L)
+      .select(col("__probe").as("probe_user"), col("cm_est"))
+      .orderBy(col("probe_user"))
+  }
+
+  val qStreamCmsExecSql: String = s"""
+    SELECT __probe AS probe_user, cm_est
+    FROM (${graft.functions.Sketches.cmEstimateSql("events", "user_id", 0L until 10L)})
+    ORDER BY probe_user"""
+
   val queries: Map[String, Q] = Map(
+    "stream_hll_exec"      -> qStreamHllExec,
+    "stream_cms_exec"      -> qStreamCmsExec,
     "stream_tumbling_exec" -> qStreamTumblingExec,
     "stream_dedup_exec"    -> qStreamDedupExec,
     "stream_curation_exec" -> qStreamCurationExec,
@@ -304,6 +351,8 @@ object StreamingExec {
     "stream_mdio_exec"     -> qStreamMdioExec)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_hll_exec"      -> qStreamHllExecSql,
+    "stream_cms_exec"      -> qStreamCmsExecSql,
     "stream_tumbling_exec" -> qStreamTumblingExecSql,
     "stream_dedup_exec"    -> qStreamDedupExecSql,
     "stream_curation_exec" -> qStreamCurationExecSql,

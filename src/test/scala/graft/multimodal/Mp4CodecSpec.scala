@@ -112,6 +112,54 @@ class Mp4CodecSpec extends AnyFunSuite {
       Mp4Codec.mux(64, 48, Array.empty[Int], _ => Array.empty[Byte]))
   }
 
+  test("property: 60 random muxes round-trip the full index bit-exactly") {
+    val rnd = new scala.util.Random(20260813L)
+    for (_ <- 0 until 60) {
+      val n = (rnd.nextInt(12) + 1) * 4
+      val w = (rnd.nextInt(64) + 1) * 2
+      val h = (rnd.nextInt(64) + 1) * 2
+      val sizes = Array.fill(n)(rnd.nextInt(200) + 1)
+      val payloads = sizes.map(sz => Array.fill(sz)(rnd.nextInt().toByte))
+      val bytes = Mp4Codec.mux(w, h, sizes, payloads)
+      val tr = Mp4Codec.parse(bytes)
+      assert(tr.width === w && tr.height === h && tr.nSamples === n)
+      assert(tr.sizes.toSeq === sizes.toSeq)
+      assert(tr.offsets.toSeq === sizes.scanLeft(607L + 6 * n)(_ + _).init.toSeq)
+      assert(tr.keyframes.toSeq === (0 until n by 4).toSeq)
+      val half = n / 2
+      assert(tr.duration === half * 1000L + (n - half) * 1100L)
+      // every offset addresses its true payload byte-for-byte
+      tr.keyframes.foreach { k =>
+        val got = bytes.slice(tr.offsets(k).toInt, tr.offsets(k).toInt + sizes(k))
+        assert(got.toSeq === payloads(k).toSeq, s"sample $k media bytes")
+      }
+    }
+  }
+
+  test("property: random byte flips in the moov never escape as index corruption") {
+    // a flipped metadata byte must either still parse to a SELF-CONSISTENT
+    // index (flip hit padding/boilerplate) or fail loudly on a require —
+    // never throw ArrayIndexOutOfBounds / NegativeArraySize
+    val rnd = new scala.util.Random(42L)
+    val (sizes, payload) = buildSample(12)
+    val good = Mp4Codec.mux(64, 48, sizes, payload)
+    var loud = 0
+    for (_ <- 0 until 300) {
+      val b = good.clone()
+      val pos = rnd.nextInt(607 + 6 * 12) // metadata region only
+      b(pos) = (b(pos) ^ (1 << rnd.nextInt(8))).toByte
+      try {
+        val tr = Mp4Codec.parse(b)
+        assert(tr.nSamples >= 0 && tr.sizes.length === tr.nSamples &&
+          tr.offsets.length === tr.nSamples && tr.pts.length === tr.nSamples)
+      } catch {
+        case _: IllegalArgumentException => loud += 1
+        case e: Throwable => fail(s"non-require escape at flip $pos: $e")
+      }
+    }
+    assert(loud > 0, "some flips must trip the validation requires")
+  }
+
   test("fixed-size stsz (sample_size != 0) is honored") {
     // hand-patch: rebuild via mux then rewrite stsz to fixed-size form is
     // intrusive; instead verify through the public contract that per-sample

@@ -16,7 +16,11 @@ class PlanHygieneSpec extends SparkSpec {
   private val allowCartesian =
     Set("join_cross", "text_tfidf", "text_fluency", "pipeline_shuffle",
       // one-row aggregate pairs assembled by crossJoin
-      "mdio_extract", "mdio_reshard")
+      "mdio_extract", "mdio_reshard",
+      // q22 attaches the scalar avg-balance subquery; text_perplexity the
+      // one-row vocabulary size; agg_hll_intersect assembles three one-row
+      // estimates — all single-row broadcast builds, the scalar attach
+      "q22_global_sales", "text_perplexity", "agg_hll_intersect")
 
   test("no accidental cartesian/nested-loop joins across the inventory") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

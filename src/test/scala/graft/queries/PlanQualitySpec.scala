@@ -186,6 +186,56 @@ class PlanQualitySpec extends SparkSpec {
       s"pruning must cut the directory listing ($pruned of $totalCells)")
   }
 
+  test("mdio_semblance: moveout pickup is a broadcast EQUI join, never a theta join") {
+    val p = plan("mdio_semblance")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (x, tm) computed key must make the pickup an equi join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "moveout must not degrade to a nested-loop/theta join")
+  }
+
+  test("q19: the relaxed quantity envelope reaches the parquet scan") {
+    val p = plan("q19_discounted_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+           p.contains("LessThanOrEqual(l_quantity,30.0)"),
+      "the OR-blocks' quantity envelope must push to the fact scan")
+    assert(p.contains("BroadcastHashJoin"), "part side must broadcast")
+  }
+
+  test("q7/q8: nation/region/part hops broadcast, facts join on equi keys") {
+    for (q <- Seq("q7_volume_shipping", "q8_market_share")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: dimension joins must broadcast")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: unexpected non-equi join")
+    }
+  }
+
+  test("q17: the correlated avg is de-correlated — two aggs, no per-row re-execution") {
+    val p = plan("q17_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin"), "per-part threshold must broadcast-join back")
+    assert(!p.contains("CartesianProduct"), "no cartesian from the subquery")
+  }
+
+  test("embedding_normalize: per-dim stats broadcast back over one exploded stream") {
+    val p = plan("embedding_normalize")
+    assert(p.contains("BroadcastHashJoin"), "stats join must broadcast (64 rows)")
+    assert(p.contains("partial_"), "per-dim aggs must have a map-side phase")
+  }
+
+  test("text_perplexity: LM counts join back on natural keys, no cartesian") {
+    val p = plan("text_perplexity")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the score join")
+    assert(p.contains("partial_"), "count aggs must map-side combine")
+  }
+
+  test("multimodal_mp4_frames: container parse is map-only into one partial agg") {
+    val p = plan("multimodal_mp4_frames")
+    assert(!p.contains("Exchange hashpartitioning") || p.contains("partial_"),
+      "the only shuffle allowed is the final aggregate's")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), "no joins in the parse path")
+  }
+
   test("geo_utm: conversion stays inside whole-stage codegen") {
     // FormattedMode on an un-executed AQE plan omits codegen stage markers —
     // CodegenMode reports the compiled subtrees directly
