@@ -160,6 +160,9 @@ object Bench {
     "join_anti" -> 0.620, "join_asof" -> 0.612, "join_cross" -> 0.421,
     "join_full_outer" -> 0.731, "join_left_outer" -> 0.648,
     "join_range" -> 0.752, "join_semi" -> 0.426, "join_interval" -> 1.441,
+    // comparator: join_interval (same bucketed-candidate equi-join +
+    // exact-predicate-postfilter shape, on a 2-D grid key)
+    "join_spatial" -> 1.441,
     "mdio_cast_typed" -> 0.345,
     "mdio_coordselector" -> 0.217, "mdio_fill_value" -> 0.784,
     "mdio_histogram_centered" -> 0.368, "mdio_histogram_edges" -> 0.498,

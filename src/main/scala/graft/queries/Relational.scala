@@ -271,6 +271,70 @@ object Relational {
       AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
     GROUP BY o_orderpriority"""
 
+  /** SPATIAL join by grid bucketing — the canonical no-cartesian shape
+    * for "all pairs within distance R": snap both point sets to an R-sized
+    * grid, explode the probe side into its 3×3 neighbor cells, equi-join
+    * on the cell, then apply the exact distance predicate post-join. Work
+    * is Σ per-cell |A|·|B| over occupied neighbor pairs — never global
+    * N·M — and the explode is a fixed ×9, so the plan is a plain
+    * shuffle-hash join at any scale. Point coordinates derive integer-
+    * exactly from the events table (click points vs purchase points);
+    * sqrt is correctly rounded in both engines, so pair counts AND summed
+    * distances sit on the oracle exactly. */
+  val qJoinSpatial: Q = (s, d) => {
+    val r = 5.0
+    def pts(t: String, xm: Int, ym: Int) = events(s, d)
+      .filter(col("event_type") === t)
+      .select(col("event_id"),
+        (col("event_id") % xm).cast("double").as("x"),
+        (col("event_id") % ym).cast("double").as("y"))
+    val a = pts("click", 97, 89)
+      .select(col("event_id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+        floor(col("x") / r).cast("long").as("cx"),
+        floor(col("y") / r).cast("long").as("cy"))
+    val b = pts("purchase", 101, 83)
+      .select(col("event_id").as("b_id"), col("x").as("bx"), col("y").as("by"),
+        floor(col("x") / r).cast("long").as("bcx"),
+        floor(col("y") / r).cast("long").as("bcy"))
+      .select(col("b_id"), col("bx"), col("by"),
+        explode(sequence(col("bcx") - 1, col("bcx") + 1)).as("cx"),
+        col("bcy"))
+      .select(col("b_id"), col("bx"), col("by"), col("cx"),
+        explode(sequence(col("bcy") - 1, col("bcy") + 1)).as("cy"))
+    val dist = sqrt((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+                    (col("ay") - col("by")) * (col("ay") - col("by")))
+    a.join(b, Seq("cx", "cy"))
+      .filter(dist <= r)
+      .agg(count(lit(1)).as("n_pairs"),
+           countDistinct(col("a_id")).as("n_a_matched"),
+           dsum(dist).as("sum_dist"))
+  }
+
+  val qJoinSpatialSql: String = s"""
+    WITH a AS (
+      SELECT event_id AS a_id,
+             CAST(event_id % 97 AS DOUBLE) AS ax, CAST(event_id % 89 AS DOUBLE) AS ay,
+             CAST(floor(CAST(event_id % 97 AS DOUBLE) / 5.0) AS BIGINT) AS cx,
+             CAST(floor(CAST(event_id % 89 AS DOUBLE) / 5.0) AS BIGINT) AS cy
+      FROM events WHERE event_type = 'click'),
+    b0 AS (
+      SELECT event_id AS b_id,
+             CAST(event_id % 101 AS DOUBLE) AS bx, CAST(event_id % 83 AS DOUBLE) AS by,
+             CAST(floor(CAST(event_id % 101 AS DOUBLE) / 5.0) AS BIGINT) AS bcx,
+             CAST(floor(CAST(event_id % 83 AS DOUBLE) / 5.0) AS BIGINT) AS bcy
+      FROM events WHERE event_type = 'purchase'),
+    b AS (
+      SELECT b_id, bx, by, bcx + dx.i AS cx, bcy + dy.i AS cy
+      FROM b0, range(-1, 2) dx(i), range(-1, 2) dy(i)),
+    p AS (
+      SELECT a_id, sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) AS dist
+      FROM a JOIN b USING (cx, cy)
+      WHERE sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by)) <= 5.0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT a_id) AS BIGINT) AS n_a_matched,
+           ${sqlDsum("dist")} AS sum_dist
+    FROM p"""
+
   /** As-of semantics: for every purchase event, the most recent prior
     * 'click' timestamp of the same user. Expressed as a running
     * conditional max over an ordered window — one shuffle on user_id,
@@ -648,6 +712,7 @@ object Relational {
     "join_semi"            -> qJoinSemi,
     "join_anti"            -> qJoinAnti,
     "join_range"           -> qJoinRange,
+    "join_spatial"         -> qJoinSpatial,
     "join_asof"            -> qJoinAsof,
     "window_topk_per_group"-> qWindowTopkPerGroup,
     "window_running_sum"   -> qWindowRunningSum,
@@ -686,6 +751,7 @@ object Relational {
     "join_semi"            -> qJoinSemiSql,
     "join_anti"            -> qJoinAntiSql,
     "join_range"           -> qJoinRangeSql,
+    "join_spatial"         -> qJoinSpatialSql,
     "join_asof"            -> qJoinAsofSql,
     "window_topk_per_group"-> qWindowTopkPerGroupSql,
     "window_running_sum"   -> qWindowRunningSumSql,

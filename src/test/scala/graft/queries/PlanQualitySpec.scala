@@ -236,6 +236,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Join"), "no joins in the parse path")
   }
 
+  test("join_spatial: neighbor-cell bucketing keeps the distance join an equi join") {
+    val p = plan("join_spatial")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "spatial join must bucket to an equi join, never all-pairs")
+    assert(p.contains("Join") || p.contains("join"), "expected a join on the grid cell")
+  }
+
   test("geo_utm: conversion stays inside whole-stage codegen") {
     // FormattedMode on an un-executed AQE plan omits codegen stage markers —
     // CodegenMode reports the compiled subtrees directly
