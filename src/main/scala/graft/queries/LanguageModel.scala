@@ -38,8 +38,6 @@ object LanguageModel {
     val bigrams = docs
       .select(col("doc_id"), explode(arrays_zip(col("w1s"), col("w2s"))).as("p"))
       .select(col("doc_id"), col("p.w1s").as("w1"), col("p.w2s").as("w2"))
-    val uni = bigrams.groupBy(col("w1").as("u_tok"))
-      .agg(count(lit(1)).as("cu"))
     // V counts the full vocabulary (every token, including each doc's
     // final one, which never leads a bigram)
     val vocab = documents(s, d)
@@ -47,6 +45,11 @@ object LanguageModel {
       .agg(countDistinct(col("tok")).as("v"))
     val big = bigrams.groupBy(col("w1").as("b_w1"), col("w2").as("b_w2"))
       .agg(count(lit(1)).as("cb"))
+    // unigram context counts fold from the (much smaller) bigram count
+    // table — c(w1) = Σ_w2 c(w1,w2) — instead of re-aggregating the full
+    // bigram stream: one less shuffle of the exploded corpus
+    val uni = big.groupBy(col("b_w1").as("u_tok"))
+      .agg(sum(col("cb")).as("cu"))
     val nll = -log((col("cb") + lit(1)).cast("double") /
                    (col("cu") + col("v")).cast("double"))
     bigrams
@@ -70,8 +73,8 @@ object LanguageModel {
     b AS (
       SELECT doc_id, w[CAST(i AS INTEGER)] AS w1, w[CAST(i AS INTEGER) + 1] AS w2
       FROM t, UNNEST(range(1, len(w))) AS u(i)),
-    uni AS (SELECT w1 AS u_tok, COUNT(*) AS cu FROM b GROUP BY w1),
     big AS (SELECT w1 AS b_w1, w2 AS b_w2, COUNT(*) AS cb FROM b GROUP BY w1, w2),
+    uni AS (SELECT b_w1 AS u_tok, CAST(SUM(cb) AS BIGINT) AS cu FROM big GROUP BY b_w1),
     vocab AS (
       SELECT COUNT(DISTINCT tok) AS v
       FROM (SELECT UNNEST(string_split(trim(text), ' ')) AS tok FROM documents)),

@@ -283,16 +283,24 @@ object Relational {
     * distances sit on the oracle exactly. */
   val qJoinSpatial: Q = (s, d) => {
     val r = 5.0
-    def pts(t: String, xm: Int, ym: Int) = events(s, d)
+    val ev = events(s, d)
+    // coordinate span scales with the dataset (⌈√n⌉·4 per axis): density —
+    // and therefore pairs-per-point — stays CONSTANT as data grows, the
+    // way real spatial data grows in area. A fixed span would densify and
+    // make the pair count quadratic in data size (the first cut of this
+    // query tripped the 2x bench gate exactly that way at sf0.1).
+    val m = ev.agg((ceil(sqrt(count(lit(1)).cast("double"))) * 4).cast("long").as("m"))
+    def pts(t: String, dy: Int) = ev
       .filter(col("event_type") === t)
+      .crossJoin(broadcast(m))
       .select(col("event_id"),
-        (col("event_id") % xm).cast("double").as("x"),
-        (col("event_id") % ym).cast("double").as("y"))
-    val a = pts("click", 97, 89)
+        (col("event_id") % col("m")).cast("double").as("x"),
+        (col("event_id") % (col("m") - dy)).cast("double").as("y"))
+    val a = pts("click", 8)
       .select(col("event_id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
         floor(col("x") / r).cast("long").as("cx"),
         floor(col("y") / r).cast("long").as("cy"))
-    val b = pts("purchase", 101, 83)
+    val b = pts("purchase", 12)
       .select(col("event_id").as("b_id"), col("x").as("bx"), col("y").as("by"),
         floor(col("x") / r).cast("long").as("bcx"),
         floor(col("y") / r).cast("long").as("bcy"))
@@ -311,18 +319,23 @@ object Relational {
   }
 
   val qJoinSpatialSql: String = s"""
-    WITH a AS (
+    WITH mm AS (
+      SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) * 4 AS BIGINT) AS m
+      FROM events),
+    a AS (
       SELECT event_id AS a_id,
-             CAST(event_id % 97 AS DOUBLE) AS ax, CAST(event_id % 89 AS DOUBLE) AS ay,
-             CAST(floor(CAST(event_id % 97 AS DOUBLE) / 5.0) AS BIGINT) AS cx,
-             CAST(floor(CAST(event_id % 89 AS DOUBLE) / 5.0) AS BIGINT) AS cy
-      FROM events WHERE event_type = 'click'),
+             CAST(event_id % m AS DOUBLE) AS ax,
+             CAST(event_id % (m - 8) AS DOUBLE) AS ay,
+             CAST(floor(CAST(event_id % m AS DOUBLE) / 5.0) AS BIGINT) AS cx,
+             CAST(floor(CAST(event_id % (m - 8) AS DOUBLE) / 5.0) AS BIGINT) AS cy
+      FROM events, mm WHERE event_type = 'click'),
     b0 AS (
       SELECT event_id AS b_id,
-             CAST(event_id % 101 AS DOUBLE) AS bx, CAST(event_id % 83 AS DOUBLE) AS by,
-             CAST(floor(CAST(event_id % 101 AS DOUBLE) / 5.0) AS BIGINT) AS bcx,
-             CAST(floor(CAST(event_id % 83 AS DOUBLE) / 5.0) AS BIGINT) AS bcy
-      FROM events WHERE event_type = 'purchase'),
+             CAST(event_id % m AS DOUBLE) AS bx,
+             CAST(event_id % (m - 12) AS DOUBLE) AS by,
+             CAST(floor(CAST(event_id % m AS DOUBLE) / 5.0) AS BIGINT) AS bcx,
+             CAST(floor(CAST(event_id % (m - 12) AS DOUBLE) / 5.0) AS BIGINT) AS bcy
+      FROM events, mm WHERE event_type = 'purchase'),
     b AS (
       SELECT b_id, bx, by, bcx + dx.i AS cx, bcy + dy.i AS cy
       FROM b0, range(-1, 2) dx(i), range(-1, 2) dy(i)),

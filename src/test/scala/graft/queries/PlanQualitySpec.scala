@@ -238,9 +238,13 @@ class PlanQualitySpec extends SparkSpec {
 
   test("join_spatial: neighbor-cell bucketing keeps the distance join an equi join") {
     val p = plan("join_spatial")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+    assert(!p.contains("CartesianProduct"),
       "spatial join must bucket to an equi join, never all-pairs")
-    assert(p.contains("Join") || p.contains("join"), "expected a join on the grid cell")
+    // the only nested-loop allowed is the one-row span-scalar attach; the
+    // point-pair join itself must be a hash/merge EQUI join on the cell
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"),
+      "expected an equi join on the grid cell")
   }
 
   test("geo_utm: conversion stays inside whole-stage codegen") {
