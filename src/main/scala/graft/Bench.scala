@@ -90,7 +90,10 @@ object Bench {
     "agg_hll_portable" -> 0.451, "agg_percentile" -> 0.334,
     // comparator: agg_hll_portable x2 (two filtered register builds +
     // the O(m) register merge and three tiny finalize folds)
-    "agg_hll_intersect" -> 0.9, "agg_pivot" -> 0.441,
+    "agg_hll_intersect" -> 0.9,
+    // comparator: events_funnel x2 (5 bounded join+agg shuffle rounds
+    // over the distinct trade edges — a multi-stage shuffle pipeline)
+    "graph_pagerank" -> 5.0, "agg_pivot" -> 0.441,
     "agg_rollup" -> 0.949, "agg_moments" -> 1.379,
     "ann_int8" -> 0.759, "pipeline_split" -> 0.232,
     // comparator: pipeline_recipe (several passes over documents + small

@@ -368,6 +368,75 @@ object Relational2 {
     FROM ea, eb, eu"""
   }
 
+  /** ITERATIVE GRAPH ANALYTICS: 5 damped PageRank iterations over the
+    * bipartite customer↔supplier trade graph (distinct order edges, made
+    * undirected; node id = 2·custkey / 2·suppkey+1). Each iteration is
+    * the honest distributed shape — contributions flow along edges via an
+    * equi join, fold with ONE groupBy(dst) shuffle, and the damping is a
+    * scalar broadcast — so five iterations are five bounded shuffle
+    * rounds, the same lineage discipline as the pointer-doubling
+    * connected components. Cross-engine exactness: scores live in INTEGER
+    * parts-per-billion with floor division at every step — no float op
+    * anywhere, so the result is bit-exact in any 64-bit-integer engine
+    * (a first cut through decimal-quantized doubles hit the documented
+    * half-grid cast divergence — one contribution in ~220k rounded
+    * differently; integers close that class of bug entirely). */
+  val qGraphPagerank: Q = (s, d) => {
+    val e0 = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    // materialize the edge and degree tables once (localCheckpoint — the
+    // dedup_components lineage-cut discipline): five iterations re-read
+    // them instead of re-deriving the lineitem⋈orders distinct each round
+    val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val nn = deg.agg(count(lit(1)).as("n"))
+    var pr = deg.crossJoin(broadcast(nn))
+      .select(col("node"), expr("1000000000 div n").as("score_ppb"))
+    for (_ <- 1 to 5) {
+      val contrib = pr
+        .join(deg, Seq("node"))
+        .join(edges, col("node") === col("src"))
+        .select(col("dst"), expr("score_ppb div outdeg").as("c"))
+      pr = contrib.groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("sc"))
+        .crossJoin(broadcast(nn))
+        .select(col("node"),
+          (expr("150000000 div n") + expr("(85 * sc) div 100")).as("score_ppb"))
+        // cut per-iteration too: without this, iteration k's lazy plan
+        // re-executes iterations 1..k-1 (O(k²) join rounds in total)
+        .localCheckpoint(true)
+    }
+    pr.orderBy(col("score_ppb").desc, col("node")).limit(10)
+      .select(col("node"), col("score_ppb"))
+  }
+
+  val qGraphPagerankSql: String = """
+    WITH RECURSIVE
+    e0 AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    pr AS (
+      SELECT 0 AS iter, node, 1000000000 // (SELECT n FROM nn) AS score_ppb FROM deg
+      UNION ALL
+      SELECT pr.iter + 1, d2.node,
+             150000000 // (SELECT n FROM nn) +
+               (85 * CAST(SUM(pr.score_ppb // d1.outdeg) AS BIGINT)) // 100
+      FROM pr
+      JOIN deg d1 ON pr.node = d1.node
+      JOIN edges ON pr.node = edges.src
+      JOIN deg d2 ON edges.dst = d2.node
+      WHERE pr.iter < 5
+      GROUP BY pr.iter, d2.node
+    )
+    SELECT node, CAST(score_ppb AS BIGINT) AS score_ppb
+    FROM pr WHERE iter = 5 ORDER BY score_ppb DESC, node LIMIT 10"""
+
   /** Portable histogram-CDF quantiles: the `percentile_approx` problem
     * with engine-portable state ([[graft.functions.Sketches.histQuantiles]]
     * — integer bucket counting + one shared IEEE edge expression), so the
@@ -623,6 +692,7 @@ object Relational2 {
     "agg_approx"         -> qAggApprox,
     "agg_hll_portable"   -> qAggHllPortable,
     "agg_hll_intersect"  -> qAggHllIntersect,
+    "graph_pagerank"     -> qGraphPagerank,
     "agg_cms_portable"   -> qAggCmsPortable,
     "agg_quantile_portable" -> qAggQuantilePortable,
     "fn_array"           -> qFnArray,
@@ -649,6 +719,7 @@ object Relational2 {
     "agg_conditional"    -> qAggConditionalSql,
     "agg_hll_portable"   -> qAggHllPortableSql,
     "agg_hll_intersect"  -> qAggHllIntersectSql,
+    "graph_pagerank"     -> qGraphPagerankSql,
     "agg_cms_portable"   -> qAggCmsPortableSql,
     "agg_quantile_portable" -> qAggQuantilePortableSql,
     "fn_array"           -> qFnArraySql,

@@ -21,8 +21,9 @@ class PlanHygieneSpec extends SparkSpec {
       // one-row vocabulary size; agg_hll_intersect assembles three one-row
       // estimates — all single-row broadcast builds, the scalar attach
       "q22_global_sales", "text_perplexity", "agg_hll_intersect",
-      // join_spatial attaches the one-row data-derived coordinate span
-      "join_spatial")
+      // join_spatial attaches the one-row data-derived coordinate span;
+      // graph_pagerank the one-row node count (once per iteration)
+      "join_spatial", "graph_pagerank")
 
   test("no accidental cartesian/nested-loop joins across the inventory") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
