@@ -155,6 +155,9 @@ object Bench {
     // chained (the recipe runs all three over the cleaned corpus)
     "pipeline_dedup_recipe" -> 8.0,
     "dedup_simhash" -> 0.868, "events_funnel" -> 2.521,
+    // comparator: mdio_agc (same one-shuffle + ordered-window rolling
+    // moments shape, on events instead of the trace grid)
+    "events_anomaly" -> 1.511,
     "events_sessionize" -> 0.719, "fn_array" -> 0.387, "fn_case" -> 0.259,
     "fn_date" -> 0.483, "fn_datetime" -> 0.482, "fn_json" -> 1.075,
     "fn_bitwise" -> 0.361,

@@ -605,6 +605,55 @@ object Relational2 {
     * distinct active users per (cohort, day-offset). Two aggregations +
     * one broadcast of the (small) per-user cohort table — the events
     * table never self-joins. */
+  /** Rolling z-score anomaly detection — the monitoring staple: each
+    * event's value against the mean/σ of its type's 20 preceding events
+    * (warm-up gated at 10). One hash shuffle on the type, one ordered
+    * window; rolling moments use decimal window sums (order-exact), σ is
+    * one correctly-rounded sqrt over a clamped variance, and the
+    * flag verdicts are integer-exact — so the oracle certifies the
+    * anomaly COUNTS and the flagged-value sums, not a tolerance. */
+  val qEventsAnomaly: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-20, -1)
+    val n = count(lit(1)).over(w).cast("double")
+    val mu = sum(col("value").cast("decimal(27,6)")).over(w).cast("double") / n
+    val ex2 = sum((col("value") * col("value")).cast("decimal(30,6)")).over(w).cast("double") / n
+    events(s, d)
+      .select(col("event_type"), col("value"),
+        n.as("nw"), mu.as("mu"),
+        sqrt(greatest(ex2 - mu * mu, lit(0.0))).as("sd"))
+      .select(col("event_type"), col("value"),
+        (col("nw") >= 10.0 && col("sd") > 1e-9 &&
+         abs(col("value") - col("mu")) > lit(3.0) * col("sd")).as("flagged"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           count(when(col("flagged"), 1)).as("n_anomalies"),
+           dsum(when(col("flagged"), col("value")).otherwise(lit(0.0))).as("sum_anomal_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val qEventsAnomalySql: String = s"""
+    WITH z AS (
+      SELECT event_type, value,
+             CAST(COUNT(*) OVER w AS DOUBLE) AS nw,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) /
+               CAST(COUNT(*) OVER w AS DOUBLE) AS mu,
+             CAST(SUM(CAST((value * value) AS DECIMAL(30,6))) OVER w AS DOUBLE) /
+               CAST(COUNT(*) OVER w AS DOUBLE) AS ex2
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+    f AS (
+      SELECT event_type, value,
+             (nw >= 10.0 AND sqrt(GREATEST(ex2 - mu * mu, 0.0)) > 1e-9 AND
+              abs(value - mu) > 3.0 * sqrt(GREATEST(ex2 - mu * mu, 0.0))) AS flagged
+      FROM z)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(count_if(flagged) AS BIGINT) AS n_anomalies,
+           ${sqlDsum("CASE WHEN flagged THEN value ELSE 0.0 END")} AS sum_anomal_value
+    FROM f GROUP BY event_type ORDER BY event_type"""
+
   val qEventsRetention: Q = (s, d) => {
     val ev = events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
     val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
@@ -677,6 +726,7 @@ object Relational2 {
   val queries: Map[String, Q] = Map(
     "join_interval"      -> qJoinInterval,
     "events_retention"   -> qEventsRetention,
+    "events_anomaly"     -> qEventsAnomaly,
     "agg_moments"        -> qAggMoments,
     "fn_bitwise"         -> qFnBitwise,
     "events_funnel"      -> qEventsFunnel,
@@ -705,6 +755,7 @@ object Relational2 {
   val oracleSql: Map[String, String] = Map(
     "join_interval"      -> qJoinIntervalSql,
     "events_retention"   -> qEventsRetentionSql,
+    "events_anomaly"     -> qEventsAnomalySql,
     "agg_moments"        -> qAggMomentsSql,
     "fn_bitwise"         -> qFnBitwiseSql,
     "events_funnel"      -> qEventsFunnelSql,
