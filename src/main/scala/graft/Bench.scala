@@ -158,6 +158,12 @@ object Bench {
     // comparator: mdio_agc (same one-shuffle + ordered-window rolling
     // moments shape, on events instead of the trace grid)
     "events_anomaly" -> 1.511,
+    // comparator: agg_distinct (same two-level hash-agg shape + a
+    // 25-row window for the tie-broken head)
+    "agg_mode" -> 0.626,
+    // comparator: mdio_smooth_grid (identical two-window separable pass
+    // over the same cell aggregation)
+    "mdio_gradient" -> 2.3,
     "events_sessionize" -> 0.719, "fn_array" -> 0.387, "fn_case" -> 0.259,
     "fn_date" -> 0.483, "fn_datetime" -> 0.482, "fn_json" -> 1.075,
     "fn_bitwise" -> 0.361,

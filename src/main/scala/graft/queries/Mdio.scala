@@ -769,6 +769,48 @@ object Mdio {
     GROUP BY v, t0
     ORDER BY semb DESC, v, t0 LIMIT 10"""
 
+  // Structural GRADIENT attribute (dip magnitude): first differences
+  // along each grid dimension — the edge/fault-detection primitive that
+  // complements smoothing (low-pass), AGC (gain) and semblance
+  // (coherence). Two lag windows over PRESENT cells, one per dim (the
+  // separable smooth_grid shuffle shape); magnitude = √(d₁²+d₂²) only
+  // where both neighbors exist. Cells are decimal-exact, differences are
+  // exact double subtractions, sqrt is correctly rounded — the oracle
+  // certifies gradient values with no tolerance.
+  val qGradient: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wIl = Window.partitionBy(col("l_linenumber")).orderBy(col("l_orderkey"))
+    val wXl = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+    grid(s, d).data
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(dsum(col("l_quantity")).as("q"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("q") - lag(col("q"), 1).over(wIl)).as("d1"),
+        (col("q") - lag(col("q"), 1).over(wXl)).as("d2"))
+      .filter(col("d1").isNotNull && col("d2").isNotNull)
+      .select(sqrt(col("d1") * col("d1") + col("d2") * col("d2")).as("mag"),
+              col("l_linenumber"))
+      .agg(count(lit(1)).as("n"), dsum(col("mag")).as("sum_mag"),
+           dsum(when(col("l_linenumber") === 3, col("mag")).otherwise(lit(0.0)))
+             .as("sum_line3_mag"))
+  }
+
+  val qGradientSql: String = s"""
+    WITH cells AS (
+      SELECT l_orderkey, l_linenumber, ${sqlDsum("l_quantity")} AS q
+      FROM lineitem GROUP BY 1, 2),
+    g AS (
+      SELECT l_linenumber,
+             q - LAG(q, 1) OVER (PARTITION BY l_linenumber ORDER BY l_orderkey) AS d1,
+             q - LAG(q, 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS d2
+      FROM cells),
+    m AS (
+      SELECT l_linenumber, sqrt(d1 * d1 + d2 * d2) AS mag
+      FROM g WHERE d1 IS NOT NULL AND d2 IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, ${sqlDsum("mag")} AS sum_mag,
+           ${sqlDsum("CASE WHEN l_linenumber = 3 THEN mag ELSE 0.0 END")} AS sum_line3_mag
+    FROM m"""
+
   // 2-D grid smoothing: a SEPARABLE 3x3 boxcar = the 3-tap pass along
   // dim 2, then the 3-tap pass along dim 1 over the first pass's output
   // (the seismic lateral-smoothing / coherence-prep shape). Each pass is
@@ -853,6 +895,7 @@ object Mdio {
     "mdio_smooth_grid"      -> qSmoothGrid,
     "mdio_agc"              -> qAgc,
     "mdio_semblance"        -> qSemblance,
+    "mdio_gradient"         -> qGradient,
     "mdio_isel_slice"       -> qIselSlice,
     "mdio_isel_stride"      -> qIselStride,
     "mdio_isel_concat"      -> qIselConcat,
@@ -887,6 +930,7 @@ object Mdio {
     "mdio_smooth_grid"      -> qSmoothGridSql,
     "mdio_agc"              -> qAgcSql,
     "mdio_semblance"        -> qSemblanceSql,
+    "mdio_gradient"         -> qGradientSql,
     "mdio_isel_slice"       -> qIselSliceSql,
     "mdio_isel_stride"      -> qIselStrideSql,
     "mdio_isel_concat"      -> qIselConcatSql,

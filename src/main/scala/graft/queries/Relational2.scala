@@ -331,7 +331,9 @@ object Relational2 {
     val eu = Sketches.hllFinalize(ru, Seq.empty, out = "est_union")
     ea.crossJoin(eb).crossJoin(eu)
       .select(col("est_a"), col("est_b"), col("est_union"),
-        round(col("est_a") + col("est_b") - col("est_union"), 4).as("est_intersect"))
+        round(col("est_a") + col("est_b") - col("est_union"), 4).as("est_intersect"),
+        round((col("est_a") + col("est_b") - col("est_union")) / col("est_union"), 6)
+          .as("jaccard_est"))
   }
 
   val qAggHllIntersectSql: String = {
@@ -364,7 +366,8 @@ object Relational2 {
     eb AS (${est("rb", "est_b")}),
     eu AS (${est("ru", "est_union")})
     SELECT est_a, est_b, est_union,
-           ROUND(est_a + est_b - est_union, 4) AS est_intersect
+           ROUND(est_a + est_b - est_union, 4) AS est_intersect,
+           ROUND((est_a + est_b - est_union) / est_union, 6) AS jaccard_est
     FROM ea, eb, eu"""
   }
 
@@ -605,6 +608,31 @@ object Relational2 {
     * distinct active users per (cohort, day-offset). Two aggregations +
     * one broadcast of the (small) per-user cohort table — the events
     * table never self-joins. */
+  /** Modal value per group (the `mode()` aggregate Spark lacks as a
+    * built-in): two-level aggregation — value histogram, then the top
+    * count with a deterministic tie-break (lowest value wins). Both
+    * levels partial-agg; the tie-break makes the answer engine-stable. */
+  val qAggMode: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("l_quantity"))
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qAggModeSql: String = """
+    SELECT l_returnflag, l_quantity AS mode_qty, cnt
+    FROM (SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                   ORDER BY COUNT(*) DESC, l_quantity) AS rn
+          FROM lineitem GROUP BY l_returnflag, l_quantity)
+    WHERE rn = 1 ORDER BY l_returnflag"""
+
   /** Rolling z-score anomaly detection — the monitoring staple: each
     * event's value against the mean/σ of its type's 20 preceding events
     * (warm-up gated at 10). One hash shuffle on the type, one ordered
@@ -727,6 +755,7 @@ object Relational2 {
     "join_interval"      -> qJoinInterval,
     "events_retention"   -> qEventsRetention,
     "events_anomaly"     -> qEventsAnomaly,
+    "agg_mode"           -> qAggMode,
     "agg_moments"        -> qAggMoments,
     "fn_bitwise"         -> qFnBitwise,
     "events_funnel"      -> qEventsFunnel,
@@ -756,6 +785,7 @@ object Relational2 {
     "join_interval"      -> qJoinIntervalSql,
     "events_retention"   -> qEventsRetentionSql,
     "events_anomaly"     -> qEventsAnomalySql,
+    "agg_mode"           -> qAggModeSql,
     "agg_moments"        -> qAggMomentsSql,
     "fn_bitwise"         -> qFnBitwiseSql,
     "events_funnel"      -> qEventsFunnelSql,
