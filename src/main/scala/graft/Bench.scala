@@ -161,6 +161,12 @@ object Bench {
     // comparator: agg_distinct (same two-level hash-agg shape + a
     // 25-row window for the tie-broken head)
     "agg_mode" -> 0.626,
+    // comparator: join_semi x2 (same lineitem⋈supplier equi join; the
+    // x8 salt replication of the 100-row small side is noise)
+    "join_salted" -> 0.9,
+    // comparator: stream_tumbling_exec (same one-stateful-agg streaming
+    // shape; session-merge state in place of fixed windows)
+    "stream_session_exec" -> 1.871,
     // comparator: mdio_smooth_grid (identical two-window separable pass
     // over the same cell aggregation)
     "mdio_gradient" -> 2.3,

@@ -608,6 +608,31 @@ object Relational2 {
     * distinct active users per (cohort, day-offset). Two aggregations +
     * one broadcast of the (small) per-user cohort table — the events
     * table never self-joins. */
+  /** The SALTED join on the oracle gate: the heavy-hitter mitigation
+    * ([[graft.functions.Skew.saltedJoin]] — big side scatters to one of
+    * 8 salt sub-keys, small side replicates to all 8) must be EXACTLY
+    * result-equivalent to the plain equi join, and this query pins that
+    * equivalence end to end: revenue per supplier nation through the
+    * salted path, certified against DuckDB's plain join. (The salt
+    * scatter uses a nondeterministic row id, but the aggregate is
+    * invariant to how rows scatter — that invariance is the point.) */
+  val qJoinSalted: Q = (s, d) => {
+    val big = lineitem(s, d).select(col("l_suppkey"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val small = supplier(s, d)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    graft.functions.Skew.saltedJoin(big, small, "l_suppkey", salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("rev")).as("revenue"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val qJoinSaltedSql: String = s"""
+    SELECT s_nationkey, COUNT(*) AS n_items,
+           ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey ORDER BY s_nationkey"""
+
   /** Modal value per group (the `mode()` aggregate Spark lacks as a
     * built-in): two-level aggregation — value histogram, then the top
     * count with a deterministic tie-break (lowest value wins). Both
@@ -756,6 +781,7 @@ object Relational2 {
     "events_retention"   -> qEventsRetention,
     "events_anomaly"     -> qEventsAnomaly,
     "agg_mode"           -> qAggMode,
+    "join_salted"        -> qJoinSalted,
     "agg_moments"        -> qAggMoments,
     "fn_bitwise"         -> qFnBitwise,
     "events_funnel"      -> qEventsFunnel,
@@ -786,6 +812,7 @@ object Relational2 {
     "events_retention"   -> qEventsRetentionSql,
     "events_anomaly"     -> qEventsAnomalySql,
     "agg_mode"           -> qAggModeSql,
+    "join_salted"        -> qJoinSaltedSql,
     "agg_moments"        -> qAggMomentsSql,
     "fn_bitwise"         -> qFnBitwiseSql,
     "events_funnel"      -> qEventsFunnelSql,

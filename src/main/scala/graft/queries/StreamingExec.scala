@@ -340,7 +340,38 @@ object StreamingExec {
     FROM (${graft.functions.Sketches.cmEstimateSql("events", "user_id", 0L until 10L)})
     ORDER BY probe_user"""
 
+  /** SESSION WINDOWS executed as a stream: Spark's native
+    * `session_window` (dynamic-gap windows that MERGE as events arrive —
+    * a different state machine from fixed tumbling/sliding windows) over
+    * the event stream, 30-minute gap, then a batch fold to per-user
+    * session counts. The DuckDB oracle re-derives sessions with the
+    * exact session_window boundary semantics (a new session starts when
+    * ts ≥ previous ts + gap, on exact microsecond timestamps). */
+  val qStreamSessionExec: Q = (s, d) => {
+    val sessions = Tables.eventsStream(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(sessions, "complete")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val qStreamSessionExecSql: String = """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR CAST(ts AS TIMESTAMP) >=
+                       CAST(LAG(ts) OVER w AS TIMESTAMP) + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id ORDER BY user_id"""
+
   val queries: Map[String, Q] = Map(
+    "stream_session_exec"  -> qStreamSessionExec,
     "stream_hll_exec"      -> qStreamHllExec,
     "stream_cms_exec"      -> qStreamCmsExec,
     "stream_tumbling_exec" -> qStreamTumblingExec,
@@ -351,6 +382,7 @@ object StreamingExec {
     "stream_mdio_exec"     -> qStreamMdioExec)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_session_exec"  -> qStreamSessionExecSql,
     "stream_hll_exec"      -> qStreamHllExecSql,
     "stream_cms_exec"      -> qStreamCmsExecSql,
     "stream_tumbling_exec" -> qStreamTumblingExecSql,
