@@ -167,6 +167,10 @@ object Bench {
     // comparator: stream_tumbling_exec (same one-stateful-agg streaming
     // shape; session-merge state in place of fixed windows)
     "stream_session_exec" -> 1.871,
+    // comparator: stream_session_exec (same streaming shape with the
+    // custom flatMapGroupsWithState operator + typed encoder in place of
+    // the native session window)
+    "stream_fmgws_exec" -> 2.5,
     // comparator: mdio_smooth_grid (identical two-window separable pass
     // over the same cell aggregation)
     "mdio_gradient" -> 2.3,

@@ -370,8 +370,57 @@ object StreamingExec {
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM g GROUP BY user_id ORDER BY user_id"""
 
+  /** CUSTOM STATE (flatMapGroupsWithState) executed as a stream:
+    * [[Streams.sessionize]]'s per-user open-session state machine run
+    * over the real event stream. The oracle models the emit semantics
+    * exactly: a session reaches the sink iff a SUCCESSOR session closed
+    * it — the watermark delay is set beyond the corpus span, so
+    * event-time timeouts never fire and each user's final session stays
+    * OPEN state (timeouts ride no-data micro-batches that
+    * `processAllAvailable` does not promise to wait for; the timeout
+    * path itself is pinned deterministically in StreamsSpec). Gap
+    * arithmetic is millisecond-truncated (Timestamp.getTime), mirrored
+    * with epoch_ms. Counts only — integer-exact. */
+  val qStreamFmgwsExec: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.eventsStream(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Streams.Event]
+    val closed = Streams.sessionize(s, ev, gapSeconds = 1800L, watermark = "3650 days")
+    runToMemory(closed.toDF(), "append")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_closed_sessions"),
+           sum(col("n_events")).as("n_events_closed"))
+      .orderBy(col("user_id"))
+  }
+
+  val qStreamFmgwsExecSql: String = """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM o),
+    g AS (
+      SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n,
+             MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+      FROM s GROUP BY user_id, sid),
+    closed AS (
+      SELECT g.user_id, g.n FROM g WHERE g.sid < g.max_sid)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_closed_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events_closed
+    FROM closed GROUP BY user_id ORDER BY user_id"""
+
   val queries: Map[String, Q] = Map(
     "stream_session_exec"  -> qStreamSessionExec,
+    "stream_fmgws_exec"    -> qStreamFmgwsExec,
     "stream_hll_exec"      -> qStreamHllExec,
     "stream_cms_exec"      -> qStreamCmsExec,
     "stream_tumbling_exec" -> qStreamTumblingExec,
@@ -383,6 +432,7 @@ object StreamingExec {
 
   val oracleSql: Map[String, String] = Map(
     "stream_session_exec"  -> qStreamSessionExecSql,
+    "stream_fmgws_exec"    -> qStreamFmgwsExecSql,
     "stream_hll_exec"      -> qStreamHllExecSql,
     "stream_cms_exec"      -> qStreamCmsExecSql,
     "stream_tumbling_exec" -> qStreamTumblingExecSql,
