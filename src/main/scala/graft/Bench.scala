@@ -228,6 +228,9 @@ object Bench {
     // comparator: text_tfidf x2 (same explode + two count aggs + join-back
     // shape, run over bigrams instead of unigrams)
     "text_perplexity" -> 2.0,
+    // comparator: text_perplexity (same explode + histogram + join-back
+    // shape over characters instead of bigrams)
+    "text_entropy" -> 2.0,
     "pipeline_compose" -> 0.746, "q10_returned_items" -> 1.002,
     "q1_pricing_summary" -> 1.381, "q3_shipping_priority" -> 0.820,
     "q5_region_revenue" -> 1.389, "q6_forecast_revenue" -> 0.337,

@@ -94,13 +94,52 @@ object LanguageModel {
     FROM scored
     ORDER BY ppl DESC, doc_id LIMIT 10"""
 
+  /** Character-entropy quality signal: Shannon entropy of each document's
+    * character distribution — the cheap gibberish/boilerplate filter
+    * (near-zero entropy = repeated filler, ≈log2(alphabet) = random
+    * noise). One explode + two aggregations, map-side combined; per-term
+    * −p·log2(p) goes through the decimal dsum and the final value is
+    * ROUND(...,5) on both engines (the ln/exp discipline). */
+  val qTextEntropy: Q = (s, d) => {
+    val chars = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+    val hist = chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+    val lens = chars.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val p = col("cnt").cast("double") / col("len").cast("double")
+    hist.join(lens, Seq("doc_id"))
+      .select(col("doc_id"), col("len"),
+        (-p * log(2.0, p)).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(round(dsum(col("term")), 5).as("entropy_bits"),
+           first(col("len")).as("n_chars"))
+      .orderBy(col("entropy_bits").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val qTextEntropySql: String = s"""
+    WITH c AS (
+      SELECT doc_id, UNNEST(string_split(text, '')) AS ch FROM documents),
+    h AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY doc_id, ch),
+    l AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM c GROUP BY doc_id),
+    t AS (
+      SELECT h.doc_id, l.len,
+             -(CAST(cnt AS DOUBLE) / CAST(len AS DOUBLE)) *
+               log2(CAST(cnt AS DOUBLE) / CAST(len AS DOUBLE)) AS term
+      FROM h JOIN l ON h.doc_id = l.doc_id)
+    SELECT doc_id, ROUND(${sqlDsum("term")}, 5) AS entropy_bits,
+           CAST(MIN(len) AS BIGINT) AS n_chars
+    FROM t GROUP BY doc_id
+    ORDER BY entropy_bits DESC, doc_id LIMIT 10"""
+
   // ---- registration -------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "text_perplexity" -> qTextPerplexity,
+    "text_entropy"    -> qTextEntropy,
   )
 
   val oracleSql: Map[String, String] = Map(
     "text_perplexity" -> qTextPerplexitySql,
+    "text_entropy"    -> qTextEntropySql,
   )
 }
