@@ -259,6 +259,11 @@ object Bench {
     "q19_discounted_revenue" -> 0.7,
     // join_anti + agg_distinct (anti join on urgent orders + group-by)
     "q22_global_sales" -> 1.0,
+    // round-7 TPC-H completion — first-recorded sf0.1 warm values
+    // (BenchOne, min of two warm passes in one JVM):
+    "q2_min_cost_supplier" -> 2.1, "q11_important_stock" -> 1.3,
+    "q12_shipmode_priority" -> 1.9, "q16_part_supplier_cnt" -> 3.0,
+    "q20_excess_stock" -> 3.2, "q21_waiting_supplier" -> 1.6,
     "set_except" -> 0.736, "set_intersect" -> 0.658, "set_union" -> 0.381,
     "sort_multikey" -> 0.178, "sort_topk" -> 0.187,
     "stream_dedup_exec" -> 5.869, "stream_curation_exec" -> 2.216,
