@@ -26,16 +26,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is Parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy nanosAsLong)
-    * and convert ns → µs with integer division (the corpus has no sub-µs
-    * components, so this is lossless; a double-division would lose
-    * precision at ~1.7e18 ns). */
+  /** events.ts has shipped in two physical encodings across corpus
+    * generations: Parquet TIMESTAMP(NANOS) — which Spark's reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]) unless read as raw longs — and plain
+    * TIMESTAMP(MICROS) NTZ. Normalize BOTH to session-zone TimestampType
+    * so every downstream query sees one shape: nanos read as longs and
+    * convert ns → µs with integer division (lossless — the corpus has no
+    * sub-µs components; double-division would lose precision at ~1.7e18
+    * ns); NTZ micros cast straight across (session zone is UTC
+    * everywhere here, so the instant is unchanged). */
+  private def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
@@ -49,10 +60,9 @@ object Tables {
     val schema = s.read.parquet(s"$d/events.parquet").schema
     // the file source wants a directory: stream the sf dir, globbed to the
     // events file
-    s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(
+      s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+        .parquet(d))
   }
 
   /** `documents` as a STREAMING DataFrame — the crawl-landing-directory

@@ -18,6 +18,18 @@ class BenchCoverageSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"budget entries with no query: $orphans")
   }
 
+  test("headline names are real queries and the printed line fits the driver tail") {
+    val ghosts = Bench.headline.toSet -- SparkEntry.queries.keySet
+    assert(ghosts.isEmpty, s"headline entries with no query: $ghosts")
+    assert(Bench.headline.distinct.size == Bench.headline.size, "duplicate headline entries")
+    // Worst case: every headline value prints as "9999.99" and ten
+    // regression names ride along — the line must still land inside the
+    // driver's 2000-char tail capture with room for sbt's success line.
+    val line = Bench.headline.map("\"" + _ + "\":9999.99").mkString(",").length +
+      Bench.headline.take(10).map("\"" + _ + "\",").mkString.length + 250
+    assert(line < 1900, s"worst-case bench line $line chars risks tail truncation")
+  }
+
   test("every query has oracle SQL or is a documented rows-only entry") {
     val rowsOnly = Set("agg_approx") // engine-internal HLL++ state; portable
                                      // twin agg_hll_portable IS oracle-checked

@@ -21,6 +21,9 @@ class PlanHygieneSpec extends SparkSpec {
       // one-row vocabulary size; agg_hll_intersect assembles three one-row
       // estimates — all single-row broadcast builds, the scalar attach
       "q22_global_sales", "text_perplexity", "agg_hll_intersect",
+      // q11 attaches the one-row total-stock-value aggregate for the
+      // HAVING value > fraction * total gate — the same scalar attach
+      "q11_important_stock",
       // join_spatial attaches the one-row data-derived coordinate span;
       // graph_pagerank the one-row node count (once per iteration)
       "join_spatial", "graph_pagerank")
