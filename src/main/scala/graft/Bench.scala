@@ -213,6 +213,9 @@ object Bench {
     // custom flatMapGroupsWithState operator + typed encoder in place of
     // the native session window)
     "stream_fmgws_exec" -> 2.5,
+    // comparator: stream_fmgws_exec (two watermarked buffering sides in
+    // place of one custom-state side, plus the batch per-user fold)
+    "stream_join_exec" -> 2.5,
     // comparator: mdio_smooth_grid (identical two-window separable pass
     // over the same cell aggregation)
     "mdio_gradient" -> 2.3,
@@ -238,6 +241,9 @@ object Bench {
     // comparator: mdio_histogram_edges (same cells-agg + broadcast-join +
     // small-group agg shape; the trial grid replaces the edge table)
     "mdio_semblance" -> 0.7,
+    // comparator: mdio_semblance (same cells-agg + broadcast moveout-table
+    // join + small-group agg; the 2x explode of the trial grid is noise)
+    "mdio_nmo" -> 0.7,
     "mdio_open_sel" -> 0.238, "mdio_sel_list" -> 0.802,
     "mdio_sel_range" -> 0.540, "mdio_smooth_dim" -> 1.511, "mdio_sel_value" -> 0.502,
     // comparator: mdio_smooth_dim x1.5 (the second separable pass adds
@@ -336,6 +342,9 @@ object Bench {
     "text_classify" -> 0.800,
     "text_quality" -> 0.514, "text_rolling_hash" -> 0.476,
     "text_tfidf" -> 0.990, "text_tokens" -> 0.358,
+    // comparator: text_tfidf (same token explode + tf/df aggs; the
+    // 4-term posting filter shrinks the join, the dl join adds one back)
+    "text_bm25" -> 0.990,
     "text_top_ngrams" -> 0.478, "window_first_last" -> 0.711,
     "window_lag_delta" -> 0.541, "window_moving_avg" -> 0.618,
     "window_percent_rank" -> 0.349, "window_range_frame" -> 1.808,

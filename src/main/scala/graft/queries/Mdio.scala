@@ -769,6 +769,70 @@ object Mdio {
     GROUP BY v, t0
     ORDER BY semb DESC, v, t0 LIMIT 10"""
 
+  // NMO CORRECTION (normal moveout): the APPLY step that pairs with
+  // [[qSemblance]]'s velocity ANALYSIS — flatten each reflection
+  // hyperbola t(x) = √(t0² + (x·dx/(v·dt))²) back to its zero-offset
+  // time t0, then stack across offsets (the signal-to-noise workhorse of
+  // seismic processing; reference scope is storage, this is the
+  // first consumer workload above it). Spark-first shape: the moveout
+  // table decodes from ONE flat range (no cross join), each output
+  // sample explodes to its two source samples with LINEAR-INTERPOLATION
+  // weights, and the correction is an equi join + one aggregation.
+  // Portability: tm is IEEE double arithmetic + a correctly-rounded
+  // sqrt, identical in both engines; interpolation weights quantize to
+  // integer MICRO-WEIGHTS via floor(frac·1e6) — floor is exact, so the
+  // weighted stack is pure BIGINT arithmetic and the oracle certifies
+  // it hash-exact with no float-order risk. Samples whose interpolation
+  // partner falls past the trace end are muted (the NMO stretch mute).
+  val qNmo: Q = (s, d) => {
+    val cells = grid(s, d).data
+      .groupBy((col("l_suppkey") % 6).as("x"), (col("l_orderkey") % 64).as("t"))
+      .agg(dsum(col("l_quantity")).cast("bigint").as("ai"))
+    val moveout = s.range(64L * 6)
+      .select(expr("id div 6").as("t0"), (col("id") % 6).as("sx"))
+      .select(col("t0"), col("sx"),
+        sqrt((col("t0") * col("t0")).cast("double") +
+          (col("sx").cast("double") * 8.0 / 12.0) *
+          (col("sx").cast("double") * 8.0 / 12.0)).as("tm"))
+      .select(col("t0"), col("sx"), floor(col("tm")).cast("long").as("lo"),
+        floor((col("tm") - floor(col("tm"))) * 1000000.0).cast("long").as("wq"))
+      .filter(col("lo") + 1 <= 63) // stretch mute: both samples must exist
+      .select(col("t0"), col("sx"), explode(array(
+        struct(col("lo").as("tsrc"), (lit(1000000L) - col("wq")).as("w")),
+        struct((col("lo") + 1).as("tsrc"), col("wq").as("w")))).as("c"))
+      .select(col("t0"), col("sx"), col("c.tsrc"), col("c.w"))
+    cells
+      .join(broadcast(moveout), col("x") === col("sx") && col("t") === col("tsrc"))
+      .groupBy(col("t0"))
+      .agg(count(lit(1)).as("n_contrib"),
+           sum(col("ai") * col("w")).as("stack_micro"))
+      .orderBy(col("t0"))
+  }
+
+  val qNmoSql: String = s"""
+    WITH cells AS (
+      SELECT l_suppkey % 6 AS x, l_orderkey % 64 AS t,
+             CAST(${sqlDsum("l_quantity")} AS BIGINT) AS ai
+      FROM lineitem GROUP BY 1, 2),
+    mv AS (
+      SELECT t0, sx, CAST(floor(tm) AS BIGINT) AS lo,
+             CAST(floor((tm - floor(tm)) * 1000000.0) AS BIGINT) AS wq
+      FROM (
+        SELECT t0, sx,
+               sqrt(CAST(t0 * t0 AS DOUBLE) +
+                 (CAST(sx AS DOUBLE) * 8.0 / 12.0) *
+                 (CAST(sx AS DOUBLE) * 8.0 / 12.0)) AS tm
+        FROM range(0, 64) r1(t0), range(0, 6) r2(sx))
+      WHERE floor(tm) + 1 <= 63),
+    contrib AS (
+      SELECT t0, sx, lo AS tsrc, 1000000 - wq AS w FROM mv
+      UNION ALL
+      SELECT t0, sx, lo + 1 AS tsrc, wq AS w FROM mv)
+    SELECT t0, CAST(COUNT(*) AS BIGINT) AS n_contrib,
+           CAST(SUM(ai * w) AS BIGINT) AS stack_micro
+    FROM cells JOIN contrib ON x = sx AND t = tsrc
+    GROUP BY t0 ORDER BY t0"""
+
   // Structural GRADIENT attribute (dip magnitude): first differences
   // along each grid dimension — the edge/fault-detection primitive that
   // complements smoothing (low-pass), AGC (gain) and semblance
@@ -895,6 +959,7 @@ object Mdio {
     "mdio_smooth_grid"      -> qSmoothGrid,
     "mdio_agc"              -> qAgc,
     "mdio_semblance"        -> qSemblance,
+    "mdio_nmo"              -> qNmo,
     "mdio_gradient"         -> qGradient,
     "mdio_isel_slice"       -> qIselSlice,
     "mdio_isel_stride"      -> qIselStride,
@@ -930,6 +995,7 @@ object Mdio {
     "mdio_smooth_grid"      -> qSmoothGridSql,
     "mdio_agc"              -> qAgcSql,
     "mdio_semblance"        -> qSemblanceSql,
+    "mdio_nmo"              -> qNmoSql,
     "mdio_gradient"         -> qGradientSql,
     "mdio_isel_slice"       -> qIselSliceSql,
     "mdio_isel_stride"      -> qIselStrideSql,

@@ -1062,6 +1062,68 @@ object Pipeline {
       FROM scored) t
     WHERE rn = 1"""
 
+  /** BM25 ranked retrieval (Okapi k1=1.2, b=0.75) for a fixed query over
+    * the corpus — the retrieval-scoring complement to [[qTextTfidf]]'s
+    * corpus statistics. Log-free RATIONAL idf ((N−df+½)/(df+½), a
+    * monotone surrogate for the usual log of it) keeps the arithmetic
+    * free of libm, and each per-term score quantizes to integer
+    * MICRO-UNITS via floor(score·1e6) before the per-doc sum — floor is
+    * exact and BIGINT addition is order-independent, so the ranking is
+    * hash-exact across engines with no float-order risk. Scale shape:
+    * doc lengths and term postings are two aggregations of one token
+    * explode; the 4-term posting table and the one-row (N, avgdl)
+    * aggregate broadcast; nothing is quadratic in the corpus. */
+  val qTextBm25: Q = (s, d) => {
+    val terms = Seq("vector", "window", "merge", "sort")
+    val docs = documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tok"),
+        floor(((col("n_docs") - col("df")).cast("double") + 0.5) / (col("df").cast("double") + 0.5) *
+          ((col("tf").cast("double") * 2.2) /
+           (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+          * 1000000.0).cast("long").as("smicro"))
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("smicro")).as("bm25_micro"), count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val qTextBm25Sql: String = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ('vector', 'window', 'merge', 'sort')
+      GROUP BY 1, 2),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(floor((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) *
+               ((CAST(tf AS DOUBLE) * 2.2) /
+                (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+               * 1000000.0) AS BIGINT) AS smicro
+      FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)
+    SELECT doc_id, CAST(SUM(smicro) AS BIGINT) AS bm25_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id LIMIT 10"""
+
   // ---- multimodal ----------------------------------------------------------
 
   /** Binary-column plumbing: payload size oracle-checked; decode features
@@ -1242,6 +1304,7 @@ object Pipeline {
     "text_rolling_hash"    -> qTextRollingHash,
     "text_top_ngrams"      -> qTextTopNgrams,
     "text_tfidf"           -> qTextTfidf,
+    "text_bm25"            -> qTextBm25,
     "multimodal_bytes"     -> qMultimodalBytes,
     "multimodal_features"  -> qMultimodalFeatures,
   )
@@ -1283,6 +1346,7 @@ object Pipeline {
     "text_rolling_hash"   -> qTextRollingHashSql,
     "text_top_ngrams"     -> qTextTopNgramsSql,
     "text_tfidf"          -> qTextTfidfSql,
+    "text_bm25"           -> qTextBm25Sql,
     "multimodal_bytes"    -> qMultimodalBytesSql,
     "multimodal_features" -> qMultimodalFeaturesSql,
   )

@@ -418,7 +418,46 @@ object StreamingExec {
            CAST(SUM(n) AS BIGINT) AS n_events_closed
     FROM closed GROUP BY user_id ORDER BY user_id"""
 
+  /** STREAM-STREAM JOIN executed as a stream: [[Streams.clickToPurchase]]
+    * — each purchase matched to the same user's clicks from the preceding
+    * hour — run over TWO streaming readers of the event stream (a
+    * watermarked self-join, the attribution-pipeline shape). Inner-join
+    * matches emit as soon as both sides arrive; the time bound + the two
+    * watermarks exist so the join STATE is evictable — without them a
+    * stream-stream join buffers both streams forever, the canonical
+    * unbounded-state hazard at 100 TB/day ingest. The streamed pair set
+    * is folded per-user in batch (the join itself is the streaming
+    * operator under test) and the DuckDB oracle re-derives the interval
+    * self-join on exact microsecond timestamps. */
+  val qStreamJoinExec: Q = (s, d) => {
+    val clicks = Tables.eventsStream(s, d).filter(col("event_type") === "click")
+    val purchases = Tables.eventsStream(s, d).filter(col("event_type") === "purchase")
+    val pairs = Streams.clickToPurchase(clicks, purchases,
+      windowSeconds = 3600L, watermark = "2 hours")
+    runToMemory(pairs, "append")
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+           countDistinct(col("purchase_id")).as("n_attributed"),
+           sum(col("value").cast("decimal(20,6)")).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val qStreamJoinExecSql: String = """
+    WITH c AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'purchase')
+    SELECT p.user_id AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT p.event_id) AS BIGINT) AS n_attributed,
+           SUM(CAST(p.value AS DECIMAL(20,6))) AS sum_value
+    FROM p JOIN c ON p.user_id = c.user_id
+      AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 3600 SECONDS
+    GROUP BY p.user_id ORDER BY user_id"""
+
   val queries: Map[String, Q] = Map(
+    "stream_join_exec"     -> qStreamJoinExec,
     "stream_session_exec"  -> qStreamSessionExec,
     "stream_fmgws_exec"    -> qStreamFmgwsExec,
     "stream_hll_exec"      -> qStreamHllExec,
@@ -431,6 +470,7 @@ object StreamingExec {
     "stream_mdio_exec"     -> qStreamMdioExec)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_join_exec"     -> qStreamJoinExecSql,
     "stream_session_exec"  -> qStreamSessionExecSql,
     "stream_fmgws_exec"    -> qStreamFmgwsExecSql,
     "stream_hll_exec"      -> qStreamHllExecSql,

@@ -24,6 +24,8 @@ class PlanHygieneSpec extends SparkSpec {
       // q11 attaches the one-row total-stock-value aggregate for the
       // HAVING value > fraction * total gate — the same scalar attach
       "q11_important_stock",
+      // text_bm25 attaches the one-row (N, avgdl) corpus aggregate
+      "text_bm25",
       // join_spatial attaches the one-row data-derived coordinate span;
       // graph_pagerank the one-row node count (once per iteration)
       "join_spatial", "graph_pagerank")
