@@ -230,6 +230,10 @@ object Bench {
     // comparator: join_interval (same bucketed-candidate equi-join +
     // exact-predicate-postfilter shape, on a 2-D grid key)
     "join_spatial" -> 1.441,
+    // comparator: join_interval (same candidate-equi-join + exact-verify
+    // shape; the distinct-name fold makes the pairwise stage tiny, the
+    // cost is the token-explode + df ranking over part names)
+    "join_fuzzy" -> 1.441,
     "mdio_cast_typed" -> 0.345,
     "mdio_coordselector" -> 0.217, "mdio_fill_value" -> 0.784,
     "mdio_histogram_centered" -> 0.368, "mdio_histogram_edges" -> 0.498,

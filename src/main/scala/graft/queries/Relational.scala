@@ -348,6 +348,40 @@ object Relational {
            ${sqlDsum("dist")} AS sum_dist
     FROM p"""
 
+  /** Fuzzy (edit-distance ≤ 2) self-join on part names via
+    * [[graft.functions.Fuzzy.editDistancePairs]] — distinct-value fold,
+    * prefix-filtered q-gram candidates, exact Levenshtein verify — then
+    * row-level pair counts recovered from the per-name multiplicities
+    * (same-name pairs are the dist-0 diagonal: C(cnt, 2)). The DuckDB
+    * oracle runs the NAIVE all-pairs join, so the hash match certifies
+    * the filtered plan is lossless, not just plausible. */
+  val qJoinFuzzy: Q = (s, d) => {
+    val parts = part(s, d)
+    val near = graft.functions.Fuzzy.editDistancePairs(parts, "p_name", k = 2)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_name_pairs"),
+           sum(col("cnt_a") * col("cnt_b")).as("n_row_pairs"))
+    val same = parts.groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .agg(lit(0L).as("dist"), count(lit(1)).as("n_name_pairs"),
+           expr("CAST(sum(cnt * (cnt - 1)) DIV 2 AS BIGINT)").as("n_row_pairs"))
+      .filter(col("n_name_pairs") > 0) // empty diagonal → no dist-0 row
+    same.union(near).orderBy(col("dist"))
+  }
+
+  val qJoinFuzzySql: String = """
+    WITH j AS (
+      SELECT a.p_name AS na, b.p_name AS nb,
+             levenshtein(a.p_name, b.p_name) AS dist
+      FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+        AND levenshtein(a.p_name, b.p_name) <= 2)
+    SELECT CAST(dist AS BIGINT) AS dist,
+           CAST(COUNT(DISTINCT least(na, nb) || '|' || greatest(na, nb)) AS BIGINT)
+             AS n_name_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_row_pairs
+    FROM j GROUP BY dist ORDER BY dist"""
+
   /** As-of semantics: for every purchase event, the most recent prior
     * 'click' timestamp of the same user. Expressed as a running
     * conditional max over an ordered window — one shuffle on user_id,
@@ -726,6 +760,7 @@ object Relational {
     "join_anti"            -> qJoinAnti,
     "join_range"           -> qJoinRange,
     "join_spatial"         -> qJoinSpatial,
+    "join_fuzzy"           -> qJoinFuzzy,
     "join_asof"            -> qJoinAsof,
     "window_topk_per_group"-> qWindowTopkPerGroup,
     "window_running_sum"   -> qWindowRunningSum,
@@ -765,6 +800,7 @@ object Relational {
     "join_anti"            -> qJoinAntiSql,
     "join_range"           -> qJoinRangeSql,
     "join_spatial"         -> qJoinSpatialSql,
+    "join_fuzzy"           -> qJoinFuzzySql,
     "join_asof"            -> qJoinAsofSql,
     "window_topk_per_group"-> qWindowTopkPerGroupSql,
     "window_running_sum"   -> qWindowRunningSumSql,
