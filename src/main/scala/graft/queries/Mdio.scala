@@ -13,6 +13,9 @@ import org.apache.spark.sql.functions._
   * l_orderkey dimension (o_orderdate, o_totalprice, o_orderpriority) —
   * exactly the reference's dimension-coordinate shape (SURVEY §1.1).
   */
+/** Cell row for [[Mdio.qSegyRoundtrip]]'s per-file assembly. */
+case class SegyCell(tr: Long, t: Long, ai: Long)
+
 object Mdio {
 
   /** lineitem as a labeled 2-D MDIO dataset. Domain upper bounds are "the
@@ -833,6 +836,64 @@ object Mdio {
     FROM cells JOIN contrib ON x = sx AND t = tsrc
     GROUP BY t0 ORDER BY t0"""
 
+  // SEG-Y ROUND-TRIP: the field-tape ingest edge. The reference ecosystem's
+  // canonical input is SEG-Y (its regression suite reads the Teapot Dome
+  // filt_mig.sgy); here a 16-trace x 64-sample survey derived from
+  // lineitem is written as four 4-trace SEG-Y rev-1 files — EBCDIC
+  // textual header, big-endian binary header, 240-byte trace headers with
+  // rev-1 inline/crossline/CDP words, IBM hexadecimal float samples — and
+  // parsed back by the from-scratch [[graft.multimodal.SegyCodec]]. The
+  // oracle recomputes per-trace sums straight from lineitem, so the hash
+  // match certifies the ENTIRE byte path (EBCDIC, header offsets, IBM
+  // float encode AND decode) with no tolerance: cell sums are integers
+  // below 2^21, where IBM round-trip is exact. Scale shape: one task per
+  // file (bounded 4x64 cells each), encode+parse never leave the
+  // executor, driver stays O(1).
+  val qSegyRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val cells = grid(s, d).data
+      .groupBy((col("l_suppkey") % 16).as("tr"), (col("l_orderkey") % 64).as("t"))
+      .agg(dsum(col("l_quantity")).cast("bigint").as("ai"))
+    val full = s.range(16L * 64)
+      .select((col("id") % 16).as("tr"), expr("id div 16").as("t"))
+      .join(cells, Seq("tr", "t"), "left")
+      .select(col("tr"), col("t"), coalesce(col("ai"), lit(0L)).as("ai"))
+    val files = full
+      .groupBy(expr("tr div 4").as("fid"))
+      .agg(collect_list(struct(col("tr"), col("t"), col("ai"))).as("cs"))
+      .as[(Long, Seq[SegyCell])]
+    files.flatMap { case (fid, cs) =>
+      val traces = cs.groupBy(_.tr).toSeq.sortBy(_._1).map { case (tr, rows) =>
+        val samples = new Array[Double](64)
+        rows.foreach(c => samples(c.t.toInt) = c.ai.toDouble)
+        graft.multimodal.SegyCodec.Trace(inline = 1, crossline = tr.toInt,
+          cdpX = 1000 + tr.toInt, cdpY = 2000, samples = samples)
+      }
+      val bytes = graft.multimodal.SegyCodec.write(
+        s"C01 GRAFT SYNTHETIC SURVEY\nC02 FILE $fid OF 4", dtMicros = 4000,
+        formatCode = 1, traces = traces)
+      val sg = graft.multimodal.SegyCodec.read(bytes)
+      require(sg.textual.startsWith("C01 GRAFT SYNTHETIC SURVEY"),
+        "segy: textual header did not round-trip")
+      sg.traces.map { p =>
+        (p.crossline.toLong, p.samples.length.toLong,
+          p.samples.sum.toLong, sg.dtMicros.toLong, bytes.length.toLong)
+      }
+    }.toDF("tr", "n_samples", "sum_amp", "dt_micros", "file_bytes")
+      .orderBy(col("tr"))
+  }
+
+  val qSegyRoundtripSql: String = s"""
+    WITH cells AS (
+      SELECT l_suppkey % 16 AS tr,
+             CAST(${sqlDsum("l_quantity")} AS BIGINT) AS ai
+      FROM lineitem GROUP BY l_suppkey % 16, l_orderkey % 64)
+    SELECT tr, CAST(64 AS BIGINT) AS n_samples,
+           CAST(SUM(ai) AS BIGINT) AS sum_amp,
+           CAST(4000 AS BIGINT) AS dt_micros,
+           CAST(${3600 + 4 * (240 + 4 * 64)} AS BIGINT) AS file_bytes
+    FROM cells GROUP BY tr ORDER BY tr"""
+
   // Structural GRADIENT attribute (dip magnitude): first differences
   // along each grid dimension — the edge/fault-detection primitive that
   // complements smoothing (low-pass), AGC (gain) and semblance
@@ -960,6 +1021,7 @@ object Mdio {
     "mdio_agc"              -> qAgc,
     "mdio_semblance"        -> qSemblance,
     "mdio_nmo"              -> qNmo,
+    "segy_roundtrip"        -> qSegyRoundtrip,
     "mdio_gradient"         -> qGradient,
     "mdio_isel_slice"       -> qIselSlice,
     "mdio_isel_stride"      -> qIselStride,
@@ -996,6 +1058,7 @@ object Mdio {
     "mdio_agc"              -> qAgcSql,
     "mdio_semblance"        -> qSemblanceSql,
     "mdio_nmo"              -> qNmoSql,
+    "segy_roundtrip"        -> qSegyRoundtripSql,
     "mdio_gradient"         -> qGradientSql,
     "mdio_isel_slice"       -> qIselSliceSql,
     "mdio_isel_stride"      -> qIselStrideSql,
