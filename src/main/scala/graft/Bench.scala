@@ -251,6 +251,9 @@ object Bench {
     // comparator: mdio_nmo (same cells-agg base) + multimodal_bmp-scale
     // encode/decode work (4 files x 5.6 KB vs 5k small BMPs — headroom)
     "segy_roundtrip" -> 0.9,
+    // comparator: mdio_rechunk (same one-time-build + connector-scan
+    // query shape; the tape write + binaryFile ingest is in the build)
+    "segy_to_mdio" -> 0.3,
     "mdio_open_sel" -> 0.238, "mdio_sel_list" -> 0.802,
     "mdio_sel_range" -> 0.540, "mdio_smooth_dim" -> 1.511, "mdio_sel_value" -> 0.502,
     // comparator: mdio_smooth_dim x1.5 (the second separable pass adds

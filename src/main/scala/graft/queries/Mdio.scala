@@ -894,6 +894,100 @@ object Mdio {
            CAST(${3600 + 4 * (240 + 4 * 64)} AS BIGINT) AS file_bytes
     FROM cells GROUP BY tr ORDER BY tr"""
 
+  // SEG-Y → MDIO INGEST: the complete tape-to-cloud-store workflow the
+  // reference ecosystem exists for. Built once per JVM per sfDir: the four
+  // SEG-Y files from [[qSegyRoundtrip]]'s assembly land on disk, then the
+  // DISTRIBUTED ingest reads them through Spark's binaryFile source, each
+  // task parses its whole file with [[graft.multimodal.SegyCodec]] and
+  // emits long-form (trace, twt, amplitude) rows keyed by the rev-1
+  // crossline header word, and the chunk-aligned MDIO writer lands them
+  // in a 16x64 store. At survey scale this is one task per tape file and
+  // one writer task per store chunk — no driver materialization anywhere.
+  // The query reads BACK through the mdio connector; the oracle recomputes
+  // from lineitem, certifying tape bytes → store chunks → scan end to end.
+  private val builtSegyStores = scala.collection.concurrent.TrieMap[String, String]()
+
+  def segyStore(s: SparkSession, d: String): String =
+    builtSegyStores.getOrElseUpdate(d, {
+      import s.implicits._
+      val base = s"/tmp/graft_segy_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val tapeDir = new java.io.File(base + "_tape")
+      graft.sources.MdioWriter.delete0(tapeDir.toString)
+      tapeDir.mkdirs()
+      val cells = grid(s, d).data
+        .groupBy((col("l_suppkey") % 16).as("tr"), (col("l_orderkey") % 64).as("t"))
+        .agg(dsum(col("l_quantity")).cast("bigint").as("ai"))
+      val full = s.range(16L * 64)
+        .select((col("id") % 16).as("tr"), expr("id div 16").as("t"))
+        .join(cells, Seq("tr", "t"), "left")
+        .select(col("tr"), col("t"), coalesce(col("ai"), lit(0L)).as("ai"))
+      full.groupBy(expr("tr div 4").as("fid"))
+        .agg(collect_list(struct(col("tr"), col("t"), col("ai"))).as("cs"))
+        .as[(Long, Seq[SegyCell])]
+        .foreach { (row: (Long, Seq[SegyCell])) =>
+          val (fid, cs) = row
+          val traces = cs.groupBy(_.tr).toSeq.sortBy(_._1).map { case (tr, rows) =>
+            val samples = new Array[Double](64)
+            rows.foreach(c => samples(c.t.toInt) = c.ai.toDouble)
+            graft.multimodal.SegyCodec.Trace(inline = 1, crossline = tr.toInt,
+              cdpX = 1000 + tr.toInt, cdpY = 2000, samples = samples)
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$base" + s"_tape/line1_$fid.sgy"),
+            graft.multimodal.SegyCodec.write(s"C01 GRAFT TAPE $fid", 4000, 1, traces))
+          ()
+        }
+      val storePath = base + "_store"
+      val spec = graft.spec.MdioSpec.fromJson(
+        """{
+          |  "metadata": {"name": "segy_ingest", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+          |  "variables": [
+          |    {"name": "trace", "dataType": "int64",
+          |     "dimensions": [{"name": "trace", "size": 16}]},
+          |    {"name": "twt", "dataType": "int64",
+          |     "dimensions": [{"name": "twt", "size": 64}]},
+          |    {"name": "amplitude", "dataType": "float64",
+          |     "dimensions": [{"name": "trace", "size": 16}, {"name": "twt", "size": 64}],
+          |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [4, 32]}}}}
+          |  ]
+          |}""".stripMargin)
+      graft.sources.MdioWriter.delete0(storePath)
+      graft.sources.MdioWriter.create(spec, storePath)
+      // dimension-coordinate values: trace number and two-way time in ms
+      graft.sources.MdioWriter.writeVariable(s,
+        s.range(16).select(col("id").as("trace"), col("id").cast("double").as("trace__value")),
+        storePath, "trace")
+      graft.sources.MdioWriter.writeVariable(s,
+        s.range(64).select(col("id").as("twt"), (col("id") * 4).cast("double").as("twt__value")),
+        storePath, "twt")
+      val parsed = s.read.format("binaryFile").load(tapeDir.toString + "/*.sgy")
+        .select(col("content"))
+        .flatMap { (r: org.apache.spark.sql.Row) =>
+          val sg = graft.multimodal.SegyCodec.read(r.getAs[Array[Byte]](0))
+          sg.traces.flatMap(t => t.samples.zipWithIndex.map { case (v, i) =>
+            (t.crossline.toLong, i.toLong, v)
+          })
+        }.toDF("trace", "twt", "amplitude")
+      graft.sources.MdioWriter.writeVariable(s, parsed, storePath, "amplitude")
+      storePath
+    })
+
+  val qSegyToMdio: Q = (s, d) =>
+    s.read.format("mdio").load(segyStore(s, d))
+      .groupBy(col("trace").as("tr"))
+      .agg(count(lit(1)).as("n_samples"),
+           sum(col("amplitude")).cast("bigint").as("sum_amp"))
+      .orderBy(col("tr"))
+
+  val qSegyToMdioSql: String = s"""
+    WITH cells AS (
+      SELECT l_suppkey % 16 AS tr,
+             CAST(${sqlDsum("l_quantity")} AS BIGINT) AS ai
+      FROM lineitem GROUP BY l_suppkey % 16, l_orderkey % 64)
+    SELECT tr, CAST(64 AS BIGINT) AS n_samples,
+           CAST(SUM(ai) AS BIGINT) AS sum_amp
+    FROM cells GROUP BY tr ORDER BY tr"""
+
   // Structural GRADIENT attribute (dip magnitude): first differences
   // along each grid dimension — the edge/fault-detection primitive that
   // complements smoothing (low-pass), AGC (gain) and semblance
@@ -1022,6 +1116,7 @@ object Mdio {
     "mdio_semblance"        -> qSemblance,
     "mdio_nmo"              -> qNmo,
     "segy_roundtrip"        -> qSegyRoundtrip,
+    "segy_to_mdio"          -> qSegyToMdio,
     "mdio_gradient"         -> qGradient,
     "mdio_isel_slice"       -> qIselSlice,
     "mdio_isel_stride"      -> qIselStride,
@@ -1059,6 +1154,7 @@ object Mdio {
     "mdio_semblance"        -> qSemblanceSql,
     "mdio_nmo"              -> qNmoSql,
     "segy_roundtrip"        -> qSegyRoundtripSql,
+    "segy_to_mdio"          -> qSegyToMdioSql,
     "mdio_gradient"         -> qGradientSql,
     "mdio_isel_slice"       -> qIselSliceSql,
     "mdio_isel_stride"      -> qIselStrideSql,
