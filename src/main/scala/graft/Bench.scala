@@ -220,6 +220,12 @@ object Bench {
     // over the same cell aggregation)
     "mdio_gradient" -> 2.3,
     "events_sessionize" -> 0.719, "fn_array" -> 0.387, "fn_case" -> 0.259,
+    // comparator: events_sessionize (same one-shuffle-per-user window
+    // shape; the gap explode adds bounded rows, the agg is smaller)
+    "events_resample" -> 0.719,
+    // comparator: window_ranks (same single window-over-orders + small
+    // group-by shape; lead in place of rank)
+    "pipeline_scd2" -> 0.723,
     "fn_date" -> 0.483, "fn_datetime" -> 0.482, "fn_json" -> 1.075,
     "fn_bitwise" -> 0.361,
     "fn_levenshtein" -> 0.176, "fn_map" -> 0.617, "fn_math" -> 0.564,

@@ -728,6 +728,85 @@ object Relational2 {
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
     FROM j WHERE "offset" <= 7 GROUP BY 1, 2"""
 
+  /** Hourly RESAMPLE with forward fill (LOCF — last observation carried
+    * forward): the time-series alignment step every metrics/feature
+    * pipeline runs before modeling. Per-user hourly sums, then each
+    * observation explodes across the gap up to (not including) the next
+    * observation's hour — one window pass + one bounded explode (gap
+    * length is bounded by the corpus time span, not by data volume; at
+    * scale the span is a config constant). Values stay decimal-exact
+    * through the fill, so the oracle certifies the interpolation
+    * hash-exact. */
+  val qEventsResample: Q = (s, d) => {
+    val hourly = events(s, d)
+      .groupBy(col("user_id"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(dsum(col("value")).as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+    hourly
+      .withColumn("nh", lead(col("h"), 1).over(w))
+      .select(col("user_id"), col("h"), col("v"),
+        explode(sequence(col("h"), coalesce(col("nh") - 1, col("h")))).as("hour"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_hours"),
+           sum(when(col("hour") > col("h"), 1L).otherwise(0L)).as("n_filled"),
+           dsum(col("v")).as("sum_filled"))
+      .orderBy(col("user_id"))
+  }
+
+  val qEventsResampleSql: String = s"""
+    WITH hourly AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+             ${sqlDsum("value")} AS v
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT user_id, h, v,
+             LEAD(h) OVER (PARTITION BY user_id ORDER BY h) AS nh
+      FROM hourly),
+    f AS (
+      SELECT user_id, h, v, unnest(range(h, COALESCE(nh, h + 1))) AS hour
+      FROM w)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(count_if(hour > h) AS BIGINT) AS n_filled,
+           ${sqlDsum("v")} AS sum_filled
+    FROM f GROUP BY user_id ORDER BY user_id"""
+
+  /** SCD TYPE-2 dimension build (slowly-changing dimension): orders as a
+    * change stream of each customer's priority attribute — every change
+    * becomes a version row [valid_from, valid_to), the open version has
+    * NULL valid_to. ONE window pass (lead over the per-customer change
+    * sequence), no self-join — the warehouse-dimension shape that scales
+    * as a single shuffle on the business key. Durations are exact
+    * microsecond integers. */
+  val qPipelineScd2: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_versions"),
+           sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_current"),
+           sum(when(col("valid_to").isNotNull,
+               expr("unix_micros(cast(valid_to as timestamp)) - unix_micros(cast(o_orderdate as timestamp))"))
+             .otherwise(0L)).as("sum_duration_us"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qPipelineScd2Sql: String = """
+    WITH h AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate,
+             LEAD(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+      FROM orders)
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(count_if(valid_to IS NULL) AS BIGINT) AS n_current,
+           CAST(COALESCE(SUM(CASE WHEN valid_to IS NOT NULL
+             THEN epoch_us(CAST(valid_to AS TIMESTAMP)) -
+                  epoch_us(CAST(o_orderdate AS TIMESTAMP)) ELSE 0 END), 0) AS BIGINT)
+             AS sum_duration_us
+    FROM h GROUP BY 1 ORDER BY 1"""
+
   // ---- interval-overlap join (no equi key) --------------------------------
 
   /** Overlap join between per-(user, day) activity spans and per-(type,
@@ -779,6 +858,8 @@ object Relational2 {
   val queries: Map[String, Q] = Map(
     "join_interval"      -> qJoinInterval,
     "events_retention"   -> qEventsRetention,
+    "events_resample"    -> qEventsResample,
+    "pipeline_scd2"      -> qPipelineScd2,
     "events_anomaly"     -> qEventsAnomaly,
     "agg_mode"           -> qAggMode,
     "join_salted"        -> qJoinSalted,
@@ -810,6 +891,8 @@ object Relational2 {
   val oracleSql: Map[String, String] = Map(
     "join_interval"      -> qJoinIntervalSql,
     "events_retention"   -> qEventsRetentionSql,
+    "events_resample"    -> qEventsResampleSql,
+    "pipeline_scd2"      -> qPipelineScd2Sql,
     "events_anomaly"     -> qEventsAnomalySql,
     "agg_mode"           -> qAggModeSql,
     "join_salted"        -> qJoinSaltedSql,
