@@ -836,6 +836,104 @@ object Mdio {
     FROM cells JOIN contrib ON x = sx AND t = tsrc
     GROUP BY t0 ORDER BY t0"""
 
+  // VELOCITY-ANALYSIS → PICK → NMO → STACK: the classic seismic processing
+  // chain COMPOSED — [[qSemblance]]'s coherence scan picks the best trial
+  // velocity per zero-offset time (max semblance, ties to the slowest
+  // velocity), [[qNmo]]'s micro-weighted interpolation flattens each
+  // gather with its PICKED velocity, and the flattened traces stack.
+  // Everything chains lazily: cells aggregate once, the trial scan and
+  // the picked moveout table are broadcast-scale derivations, and the
+  // apply is the same equi join + one aggregation as qNmo. Determinism:
+  // semblance ratios are IEEE doubles of decimal-exact sums (identical in
+  // DuckDB), picks compare those doubles, weights quantize via floor — so
+  // the full chain sits on the hash-exact oracle.
+  val qVelocityStack: Q = (s, d) => {
+    val cells = grid(s, d).data
+      .groupBy((col("l_suppkey") % 6).as("x"), (col("l_orderkey") % 64).as("t"))
+      .agg(dsum(col("l_quantity")).as("a"), dsumsq(col("l_quantity")).as("a2"))
+      .withColumn("ai", col("a").cast("bigint"))
+    val scan = s.range(3L * 16 * 6)
+      .select(element_at(array(lit(2.0), lit(3.0), lit(4.0)),
+                (col("id") % 3 + 1).cast("int")).as("v"),
+              expr("(id div 3) % 16").as("t0"),
+              expr("id div 48").as("sx"))
+      .select(col("v"), col("t0"), col("sx"),
+        floor(sqrt((col("t0") * 4).cast("double") * (col("t0") * 4).cast("double") +
+          (col("sx") * 8).cast("double") * (col("sx") * 8).cast("double") /
+            (col("v") * col("v")))).as("tm"))
+    val semb = cells
+      .join(broadcast(scan), col("x") === col("sx") && col("t") === col("tm"))
+      .groupBy(col("v"), col("t0"))
+      .agg((dsum(col("a")) * dsum(col("a")) /
+            (count(lit(1)).cast("double") * dsum(col("a2")))).as("semb"))
+    val picked = semb.groupBy(col("t0"))
+      .agg(max_by(col("v"), struct(col("semb"), lit(0.0) - col("v"))).as("v"))
+    val contrib = picked
+      .select(col("t0"), col("v"), explode(sequence(lit(0L), lit(5L))).as("sx"))
+      .select(col("t0"), col("v"), col("sx"),
+        sqrt((col("t0") * 4).cast("double") * (col("t0") * 4).cast("double") +
+          (col("sx") * 8).cast("double") * (col("sx") * 8).cast("double") /
+            (col("v") * col("v"))).as("tmf"))
+      .select(col("t0"), col("v"), col("sx"),
+        floor(col("tmf") / 4.0).cast("long").as("lo"),
+        floor((col("tmf") / 4.0 - floor(col("tmf") / 4.0)) * 1000000.0)
+          .cast("long").as("wq"))
+      .filter(col("lo") + 1 <= 63)
+      .select(col("t0"), col("v"), col("sx"), explode(array(
+        struct(col("lo").as("tsrc"), (lit(1000000L) - col("wq")).as("w")),
+        struct((col("lo") + 1).as("tsrc"), col("wq").as("w")))).as("c"))
+      .select(col("t0"), col("v"), col("sx"), col("c.tsrc"), col("c.w"))
+    cells
+      .join(broadcast(contrib), col("x") === col("sx") && col("t") === col("tsrc"))
+      .groupBy(col("t0"))
+      .agg(max(col("v")).as("v_picked"), count(lit(1)).as("n_contrib"),
+           sum(col("ai") * col("w")).as("stack_micro"))
+      .orderBy(col("t0"))
+  }
+
+  val qVelocityStackSql: String = s"""
+    WITH cells AS (
+      SELECT l_suppkey % 6 AS x, l_orderkey % 64 AS t,
+             ${sqlDsum("l_quantity")} AS a, ${sqlDsumsq("l_quantity")} AS a2,
+             CAST(${sqlDsum("l_quantity")} AS BIGINT) AS ai
+      FROM lineitem GROUP BY 1, 2),
+    scan AS (
+      SELECT CAST(v AS DOUBLE) AS v, t0, sx,
+             CAST(floor(sqrt(CAST(t0 * 4 AS DOUBLE) * CAST(t0 * 4 AS DOUBLE) +
+               CAST(sx * 8 AS DOUBLE) * CAST(sx * 8 AS DOUBLE) /
+                 (CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS BIGINT) AS tm
+      FROM (VALUES (2.0), (3.0), (4.0)) vv(v), range(0, 16) r1(t0), range(0, 6) r2(sx)),
+    semb AS (
+      SELECT v, t0,
+             CAST(SUM(CAST(a AS DECIMAL(27,6))) AS DOUBLE) *
+             CAST(SUM(CAST(a AS DECIMAL(27,6))) AS DOUBLE) /
+               (CAST(COUNT(*) AS DOUBLE) *
+                CAST(SUM(CAST(a2 AS DECIMAL(27,6))) AS DOUBLE)) AS semb
+      FROM cells JOIN scan ON x = sx AND t = tm
+      GROUP BY v, t0),
+    picked AS (
+      SELECT t0, v FROM (
+        SELECT t0, v,
+               ROW_NUMBER() OVER (PARTITION BY t0 ORDER BY semb DESC, v) AS rn
+        FROM semb) p WHERE rn = 1),
+    mv AS (
+      SELECT t0, v, sx,
+             sqrt(CAST(t0 * 4 AS DOUBLE) * CAST(t0 * 4 AS DOUBLE) +
+               CAST(sx * 8 AS DOUBLE) * CAST(sx * 8 AS DOUBLE) / (v * v)) AS tmf
+      FROM picked, range(0, 6) r(sx)),
+    mw AS (
+      SELECT t0, v, sx, CAST(floor(tmf / 4.0) AS BIGINT) AS lo,
+             CAST(floor((tmf / 4.0 - floor(tmf / 4.0)) * 1000000.0) AS BIGINT) AS wq
+      FROM mv WHERE floor(tmf / 4.0) + 1 <= 63),
+    contrib AS (
+      SELECT t0, v, sx, lo AS tsrc, 1000000 - wq AS w FROM mw
+      UNION ALL
+      SELECT t0, v, sx, lo + 1 AS tsrc, wq AS w FROM mw)
+    SELECT t0, MAX(v) AS v_picked, CAST(COUNT(*) AS BIGINT) AS n_contrib,
+           CAST(SUM(ai * w) AS BIGINT) AS stack_micro
+    FROM cells JOIN contrib ON x = sx AND t = tsrc
+    GROUP BY t0 ORDER BY t0"""
+
   // SEG-Y ROUND-TRIP: the field-tape ingest edge. The reference ecosystem's
   // canonical input is SEG-Y (its regression suite reads the Teapot Dome
   // filt_mig.sgy); here a 16-trace x 64-sample survey derived from
@@ -1115,6 +1213,7 @@ object Mdio {
     "mdio_agc"              -> qAgc,
     "mdio_semblance"        -> qSemblance,
     "mdio_nmo"              -> qNmo,
+    "mdio_velocity_stack"   -> qVelocityStack,
     "segy_roundtrip"        -> qSegyRoundtrip,
     "segy_to_mdio"          -> qSegyToMdio,
     "mdio_gradient"         -> qGradient,
@@ -1153,6 +1252,7 @@ object Mdio {
     "mdio_agc"              -> qAgcSql,
     "mdio_semblance"        -> qSemblanceSql,
     "mdio_nmo"              -> qNmoSql,
+    "mdio_velocity_stack"   -> qVelocityStackSql,
     "segy_roundtrip"        -> qSegyRoundtripSql,
     "segy_to_mdio"          -> qSegyToMdioSql,
     "mdio_gradient"         -> qGradientSql,
