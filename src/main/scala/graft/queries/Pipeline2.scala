@@ -466,6 +466,51 @@ object Pipeline2 {
              AS redacted_hash_sum
     FROM p GROUP BY 1"""
 
+  /** COMPACTION PLANNER: the small-file maintenance chore of any large
+    * table — group a partition's files into target-size output bins so a
+    * rewrite job has one task per bin. Documents stand in as the file
+    * inventory (doc_id = file, octet length = size, source = table
+    * partition); the plan is ONE window pass per partition: exclusive
+    * running size, bin = floor(running / target) — deterministic greedy
+    * boundary packing, no driver-side planning loop, integer-exact. */
+  val qPipelineCompact: Q = (s, d) => {
+    val target = 4096L
+    documents(s, d)
+      .select(col("source"), col("doc_id"),
+        octet_length(col("text")).cast("long").as("bytes"))
+      .withColumn("bin",
+        expr(s"CAST((sum(bytes) OVER (PARTITION BY source ORDER BY doc_id " +
+          s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes) DIV $target AS BIGINT)"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_files")).as("n_files"),
+           count(lit(1)).as("n_bins"),
+           sum(col("bin_bytes")).as("total_bytes"),
+           max(col("bin_bytes")).as("max_bin_bytes"))
+      .orderBy(col("source"))
+  }
+
+  val qPipelineCompactSql: String = """
+    WITH f AS (
+      SELECT source, doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+      FROM documents),
+    b AS (
+      SELECT source, bytes,
+             (CAST(SUM(bytes) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              - bytes) // 4096 AS bin
+      FROM f),
+    g AS (
+      SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(bytes) AS BIGINT) AS bin_bytes
+      FROM b GROUP BY 1, 2)
+    SELECT source, CAST(SUM(n_files) AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(bin_bytes) AS BIGINT) AS total_bytes,
+           MAX(bin_bytes) AS max_bin_bytes
+    FROM g GROUP BY source ORDER BY source"""
+
   /** Corpus report card: the per-language profile a pipeline publishes
     * after every ingest — exact counts plus token-length and
     * quality-score quantiles from the portable histogram-CDF sketch
@@ -1085,6 +1130,7 @@ object Pipeline2 {
     "text_line_dedup"          -> qTextLineDedup,
     "text_pii"                 -> qTextPii,
     "pipeline_stats"           -> qPipelineStats,
+    "pipeline_compact"         -> qPipelineCompact,
     "agg_embedding_centroid"   -> qAggEmbeddingCentroid,
     "embedding_outliers"       -> qEmbeddingOutliers,
     "embedding_normalize"      -> qEmbeddingNormalize,
@@ -1118,6 +1164,7 @@ object Pipeline2 {
     "text_line_dedup"          -> qTextLineDedupSql,
     "text_pii"                 -> qTextPiiSql,
     "pipeline_stats"           -> qPipelineStatsSql,
+    "pipeline_compact"         -> qPipelineCompactSql,
     "agg_embedding_centroid"   -> qAggEmbeddingCentroidSql,
     "embedding_outliers"       -> qEmbeddingOutliersSql,
     "embedding_normalize"      -> qEmbeddingNormalizeSql,
