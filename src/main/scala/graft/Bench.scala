@@ -267,6 +267,10 @@ object Bench {
     // comparator: mdio_rechunk (same one-time-build + connector-scan
     // query shape; the tape write + binaryFile ingest is in the build)
     "segy_to_mdio" -> 0.3,
+    // comparator: stream_tumbling_exec (same file-source -> map -> one
+    // stateful agg -> memory sink shape; 4 tape files in place of the
+    // events parquet, the SEG-Y parse is a per-file map)
+    "stream_segy_exec" -> 1.871,
     "mdio_open_sel" -> 0.238, "mdio_sel_list" -> 0.802,
     "mdio_sel_range" -> 0.540, "mdio_smooth_dim" -> 1.511, "mdio_sel_value" -> 0.502,
     // comparator: mdio_smooth_dim x1.5 (the second separable pass adds

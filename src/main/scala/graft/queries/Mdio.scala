@@ -1070,6 +1070,14 @@ object Mdio {
       storePath
     })
 
+  /** The SEG-Y tape directory behind [[segyStore]] (building the store —
+    * and therefore the tapes — on first use): the landing directory a
+    * LIVE acquisition would append to, tailed by `stream_segy_exec`. */
+  def segyTape(s: SparkSession, d: String): String = {
+    segyStore(s, d)
+    s"/tmp/graft_segy_${d.replaceAll("[^A-Za-z0-9]", "_")}_tape"
+  }
+
   val qSegyToMdio: Q = (s, d) =>
     s.read.format("mdio").load(segyStore(s, d))
       .groupBy(col("trace").as("tr"))

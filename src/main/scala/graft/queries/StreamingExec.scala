@@ -456,7 +456,42 @@ object StreamingExec {
       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 3600 SECONDS
     GROUP BY p.user_id ORDER BY user_id"""
 
+  /** STREAMING SEG-Y TAPE TAIL: the live-acquisition shape — field tapes
+    * land in a directory, the file stream hands each NEW file whole to
+    * one task (binaryFile streaming source), the task parses it with the
+    * from-scratch [[graft.multimodal.SegyCodec]] (EBCDIC, IBM floats and
+    * all) and emits long-form samples keyed by the rev-1 crossline word,
+    * and ONE stateful aggregation maintains the live per-trace stack.
+    * Amplitudes are integers, so the streamed sums sit hash-exact on the
+    * oracle, which recomputes them straight from lineitem — certifying
+    * tape bytes → micro-batch parse → streaming state in one gate. */
+  val qStreamSegyExec: Q = (s, d) => {
+    import s.implicits._
+    val tape = graft.queries.Mdio.segyTape(s, d)
+    val schema = s.read.format("binaryFile").load(tape).schema
+    val rows = s.readStream.format("binaryFile").schema(schema).load(tape)
+      .select(col("content"))
+      .flatMap { (r: org.apache.spark.sql.Row) =>
+        val sg = graft.multimodal.SegyCodec.read(r.getAs[Array[Byte]](0))
+        sg.traces.flatMap(t => t.samples.map(v => (t.crossline.toLong, v)))
+      }.toDF("tr", "amplitude")
+    val live = rows.groupBy(col("tr"))
+      .agg(count(lit(1)).as("n_samples"),
+           sum(col("amplitude")).cast("bigint").as("sum_amp"))
+    runToMemory(live, "complete").orderBy(col("tr"))
+  }
+
+  val qStreamSegyExecSql: String = """
+    WITH cells AS (
+      SELECT l_suppkey % 16 AS tr,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS BIGINT) AS ai
+      FROM lineitem GROUP BY l_suppkey % 16, l_orderkey % 64)
+    SELECT tr, CAST(64 AS BIGINT) AS n_samples,
+           CAST(SUM(ai) AS BIGINT) AS sum_amp
+    FROM cells GROUP BY tr ORDER BY tr"""
+
   val queries: Map[String, Q] = Map(
+    "stream_segy_exec"     -> qStreamSegyExec,
     "stream_join_exec"     -> qStreamJoinExec,
     "stream_session_exec"  -> qStreamSessionExec,
     "stream_fmgws_exec"    -> qStreamFmgwsExec,
@@ -470,6 +505,7 @@ object StreamingExec {
     "stream_mdio_exec"     -> qStreamMdioExec)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_segy_exec"     -> qStreamSegyExecSql,
     "stream_join_exec"     -> qStreamJoinExecSql,
     "stream_session_exec"  -> qStreamSessionExecSql,
     "stream_fmgws_exec"    -> qStreamFmgwsExecSql,
