@@ -91,6 +91,35 @@ class SegyCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("python-written fixture parses exactly (two codebases, one wire format)") {
+    // src/test/resources/segy_fixture/pytape.sgy is written by the
+    // INDEPENDENT python codec (tools/segy_py.py via make_segy_fixture.py):
+    // stdlib cp037 EBCDIC + frexp-based IBM floats. Exact agreement here
+    // rules out compensating encode/decode bugs in the Scala codec.
+    val in = getClass.getResourceAsStream("/segy_fixture/pytape.sgy")
+    assert(in != null, "segy fixture missing — run tools/make_segy_fixture.py")
+    val bytes = in.readAllBytes(); in.close()
+    val sg = read(bytes)
+    assert(sg.textual.startsWith("C01 PYTHON WROTE THIS TAPE\nC02 GRAFT INTEROP FIXTURE"))
+    assert(sg.dtMicros === 2000 && sg.formatCode === 1 && sg.traces.size === 3)
+    val t0 = sg.traces(0)
+    assert(t0.inline === 12 && t0.crossline === 34 &&
+      t0.cdpX === -777 && t0.cdpY === 888)
+    assert(t0.samples.toSeq === Seq(0.0, 1.0, -1.0, 0.5, -0.0625, 100.0,
+      ibmDecode(ibmEncode(-3.1415926535)), 2097151.0))
+    val t1 = sg.traces(1)
+    assert(t1.samples.toSeq === Seq(15.0 / 16.0, -255.0 / 256.0, 16.0, 256.0,
+      4096.0, -65536.0, 1048576.0, 0.001953125))
+    val t2 = sg.traces(2)
+    assert(t2.cdpX === Int.MaxValue && t2.cdpY === Int.MinValue)
+    assert(t2.samples(2) === 123456.0 && t2.samples(3) === -654321.0 &&
+      t2.samples(7) === 31.9375)
+    // cross-implementation IBM agreement on the non-exact values too:
+    // python rounded the same 24-bit fraction the Scala encoder produces
+    assert(t2.samples(5) === ibmDecode(ibmEncode(42.42)))
+    assert(t2.samples(6) === ibmDecode(ibmEncode(-0.001)))
+  }
+
   test("malformed inputs reject loud, never a partial parse") {
     val good = write("C01 X", 4000, 1, Seq(mkTrace(1, n = 4)))
     intercept[IllegalArgumentException](read(good.take(3599).toArray)) // short file
