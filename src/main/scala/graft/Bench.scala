@@ -375,6 +375,9 @@ object Bench {
     // comparator: text_tfidf (same token explode + tf/df aggs; the
     // 4-term posting filter shrinks the join, the dl join adds one back)
     "text_bm25" -> 0.990,
+    // comparator: text_pii (same map-only regex sweep + one agg shape;
+    // ~8 regex ops per row vs the three PII patterns)
+    "text_url_canonical" -> 0.476,
     "text_top_ngrams" -> 0.478, "window_first_last" -> 0.711,
     "window_lag_delta" -> 0.541, "window_moving_avg" -> 0.618,
     "window_percent_rank" -> 0.349, "window_range_frame" -> 1.808,

@@ -367,4 +367,32 @@ object Curation {
     val h = TextFunctions.rollingHash(col(idCol).cast("string")) % 1000L
     df.filter(h < rate.cast("long"))
   }
+
+  /** URL canonicalization — the first dedup key of every crawl pipeline
+    * (the same page arrives as `HTTP://Host:80/a/?utm_source=x&b=1#frag`
+    * and `http://host/a?b=1`). Normalizations, each a pure column
+    * expression (map-only, codegen'd, reproducible in any engine):
+    * scheme and host lowercase; default port stripped (`:80` for http,
+    * `:443` for https); fragment dropped; query parameters sorted with
+    * `utm_*` tracking parameters removed; trailing path slashes
+    * stripped (bare host becomes `/`). Not touched (correctness over
+    * zeal): percent-encoding, param VALUES, non-default ports. */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z]+://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val pathq = regexp_replace(rest, "^[^/?]+", "")
+    val stripped = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/+$", "")
+    val path = when(stripped === "", lit("/")).otherwise(stripped)
+    val q = regexp_extract(pathq, "\\?(.*)$", 1)
+    val params = filter(split(q, "&"),
+      p => p =!= "" && !(substring(p, 1, 4) === "utm_"))
+    val sortedQ = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+  }
 }

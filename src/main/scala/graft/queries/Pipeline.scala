@@ -1124,6 +1124,80 @@ object Pipeline {
     FROM scored GROUP BY doc_id
     ORDER BY bm25_micro DESC, doc_id LIMIT 10"""
 
+  /** URL canonicalization + dedup accounting — the crawl frontier's first
+    * dedup key ([[Curation.canonicalizeUrl]]: lowercase scheme/host,
+    * default-port strip, fragment drop, sorted non-utm query params,
+    * trailing-slash strip). The corpus has no URL column, so messy URLs
+    * derive deterministically from doc_id (mixed-case schemes/hosts,
+    * default and non-default ports, tracking params, fragments — the
+    * [[qTextPii]] fixture discipline), and the oracle re-derives AND
+    * re-canonicalizes them step-for-step in SQL. Map-only + one
+    * aggregation; at crawl scale this is the pure-map stage ahead of the
+    * frontier's hash-dedup. */
+  val qTextUrlCanonical: Q = (s, d) => {
+    val idx3 = (col("doc_id") % 3 + 1).cast("int")
+    val url = concat(
+      element_at(array(lit("HTTP"), lit("https"), lit("Http")), idx3),
+      lit("://"), lit("WWW.Site"), col("doc_id") % 7, lit(".COM"),
+      element_at(array(lit(":80"), lit(""), lit(":443")), idx3),
+      lit("/Docs/"), col("doc_id") % 50,
+      when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0, lit("?utm_source=feed&b=2&a=1"))
+        .otherwise(lit("?z=9&utm_campaign=x&a=1")),
+      when(col("doc_id") % 5 === 0, lit("#section2")).otherwise(lit("")))
+    documents(s, d)
+      .select(col("source"), Curation.canonicalizeUrl(url).as("canon"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_urls"),
+           countDistinct(col("canon")).as("n_canonical"),
+           min(col("canon")).as("min_canon"),
+           max(col("canon")).as("max_canon"))
+      .orderBy(col("source"))
+  }
+
+  val qTextUrlCanonicalSql: String = """
+    WITH u AS (
+      SELECT source,
+        ['HTTP','https','Http'][CAST(doc_id % 3 + 1 AS INT)] ||
+        '://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM' ||
+        [':80','',':443'][CAST(doc_id % 3 + 1 AS INT)] ||
+        '/Docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+        CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+        CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+             ELSE '?z=9&utm_campaign=x&a=1' END ||
+        CASE WHEN doc_id % 5 = 0 THEN '#section2' ELSE '' END AS url
+      FROM documents),
+    s1 AS (
+      SELECT source,
+             lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([A-Za-z]+)://', 1)) AS scheme,
+             regexp_replace(regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://', '') AS rest
+      FROM u),
+    s2 AS (
+      SELECT source, scheme,
+             lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hostport,
+             regexp_replace(rest, '^[^/?]+', '') AS pathq
+      FROM s1),
+    s3 AS (
+      SELECT source, scheme, pathq,
+             CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END AS host,
+             regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS stripped,
+             array_to_string(list_sort(list_filter(
+               string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+               p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&') AS qs
+      FROM s2),
+    c AS (
+      SELECT source,
+             scheme || '://' || host ||
+             CASE WHEN stripped = '' THEN '/' ELSE stripped END ||
+             CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon
+      FROM s3)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canonical,
+           MIN(canon) AS min_canon, MAX(canon) AS max_canon
+    FROM c GROUP BY source ORDER BY source"""
+
   // ---- multimodal ----------------------------------------------------------
 
   /** Binary-column plumbing: payload size oracle-checked; decode features
@@ -1305,6 +1379,7 @@ object Pipeline {
     "text_top_ngrams"      -> qTextTopNgrams,
     "text_tfidf"           -> qTextTfidf,
     "text_bm25"            -> qTextBm25,
+    "text_url_canonical"   -> qTextUrlCanonical,
     "multimodal_bytes"     -> qMultimodalBytes,
     "multimodal_features"  -> qMultimodalFeatures,
   )
@@ -1347,6 +1422,7 @@ object Pipeline {
     "text_top_ngrams"     -> qTextTopNgramsSql,
     "text_tfidf"          -> qTextTfidfSql,
     "text_bm25"           -> qTextBm25Sql,
+    "text_url_canonical"  -> qTextUrlCanonicalSql,
     "multimodal_bytes"    -> qMultimodalBytesSql,
     "multimodal_features" -> qMultimodalFeaturesSql,
   )
