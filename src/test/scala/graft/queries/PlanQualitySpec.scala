@@ -247,6 +247,52 @@ class PlanQualitySpec extends SparkSpec {
       "expected an equi join on the grid cell")
   }
 
+  test("join_fuzzy: candidate join is an equi join on the prefix gram") {
+    val p = plan("join_fuzzy")
+    assert(!p.contains("CartesianProduct"),
+      "fuzzy join must never plan the all-pairs product")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"),
+      "expected an equi join on the posting gram")
+  }
+
+  test("text_bm25: the term filter reaches the token stream, stats broadcast") {
+    val p = plan("text_bm25")
+    assert(p.contains("BroadcastHashJoin"), "df/posting joins must broadcast")
+    assert(p.contains("partial_"), "tf/df aggs must map-side combine")
+  }
+
+  test("runtime bloom filter: our shuffle-join shapes are eligible for " +
+       "Spark's runtime row-level filtering at scale") {
+    // At 100 TB a selective dimension-side predicate should seed a bloom
+    // filter that prunes the fact scan BEFORE the shuffle. The optimizer
+    // gates injection on size thresholds that sf0.001 can never meet, so
+    // pin the MECHANISM by loosening them and forcing the join to shuffle
+    // — if a Spark upgrade or a query rewrite makes our shapes ineligible
+    // (e.g. a non-equi key sneaks in), this breaks.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val li = graft.Tables.lineitem(spark, sf)
+      val sel = graft.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") < 1000)
+      val q = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).count()
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        "runtime bloom filter was not injected:\n" + p.take(800))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("geo_utm: conversion stays inside whole-stage codegen") {
     // FormattedMode on an un-executed AQE plan omits codegen stage markers —
     // CodegenMode reports the compiled subtrees directly
