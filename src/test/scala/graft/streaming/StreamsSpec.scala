@@ -34,6 +34,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a row arriving behind the watermark is DROPPED from windowed counts") {
+    // The late-data contract itself: watermark = max event time − 1 h, and
+    // a row older than the watermark at arrival never reaches the window
+    // state. Append mode so the assertion sees exactly the closed windows.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.Event]
+    val q = Streams.tumblingCounts(in.toDF(), window_ = "10 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("late_drop").outputMode("append").start()
+    try {
+      // batch 1: minute 5, and minute 200 — watermark advances to 200-60=140
+      in.addData(ev(1, 5, 1, "click", 1.0), ev(2, 200, 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: minute 50 — its window [50,60) ended long before wm 140 →
+      // the row must be dropped, not resurrect a closed window. minute 400
+      // rides along to close the minute-200 window downstream.
+      in.addData(ev(3, 50, 1, "click", 99.0), ev(4, 400, 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("late_drop")
+        .select(col("window.start").cast("long").as("w"), col("n"))
+        .as[(Long, Long)].collect().toMap
+      val base = 100000L * 60L
+      assert(rows.get(base) === Some(1L), s"minute-5 window wrong: $rows")
+      assert(!rows.contains(base + 50 * 60L),
+        s"late minute-50 row resurrected a closed window: $rows")
+      assert(rows.get(base + 200 * 60L) === Some(1L),
+        s"minute-200 window should have closed clean: $rows")
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streams.Event]
