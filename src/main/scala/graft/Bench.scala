@@ -387,6 +387,9 @@ object Bench {
     // comparator: zarr_pushdown (same filtered-scan shape; the one-time
     // store migration happens in the untimed build, like zarrGrid itself)
     "mdio_rechunk" -> 0.160,
+    // comparator: zarr_roundtrip (same full-scan aggregate of the 32x8
+    // store; copy + RMW patch happen in the one-time untimed build)
+    "mdio_update" -> 0.160,
     // comparator: mdio_rechunk (same one-time-build + scan shape, plus a
     // one-row crossJoin assembling the two aggregates)
     "mdio_extract" -> 0.300,

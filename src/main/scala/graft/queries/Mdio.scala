@@ -836,6 +836,58 @@ object Mdio {
     FROM cells JOIN contrib ON x = sx AND t = tsrc
     GROUP BY t0 ORDER BY t0"""
 
+  // PARTIAL OVERWRITE (update-in-place) on the ORACLE gate: the store-side
+  // UPSERT — a sub-region of an existing variable is rewritten through the
+  // chunk-aligned writer's read-modify-write path (seam chunks merge new
+  // cells with surviving old ones), previously pinned only by
+  // MdioWritePathSpec. Built once per JVM: [[zarrGrid]] copies via the
+  // same-grid rechunk pass, then an 8x4 patch (values inline·100 +
+  // crossline, straddling chunk boundaries of the 8x4 chunk grid on
+  // purpose) lands through writeVariable. The oracle rebuilds original +
+  // patch cell-for-cell from lineitem.
+  def zarrGridUpdated(s: SparkSession, d: String): String =
+    builtGrids.getOrElseUpdate(d + "#upd", {
+      val dst = zarrGrid(s, d) + "_upd"
+      graft.sources.MdioWriter.rechunk(s, zarrGrid(s, d), dst, Map.empty)
+      val patch = s.range(8L * 4)
+        .select((col("id") % 8 + 8).as("inline"),
+                (expr("id div 8") + 2).as("crossline"))
+        .select(col("inline"), col("crossline"),
+          (col("inline") * 100 + col("crossline")).cast("double").as("image"))
+      graft.sources.MdioWriter.writeVariable(s, patch, dst, "image")
+      dst
+    })
+
+  val qMdioUpdate: Q = (s, d) => {
+    val inRegion = col("inline").between(8, 15) && col("crossline").between(2, 5)
+    s.read.format("mdio").load(zarrGridUpdated(s, d))
+      .agg(dsum(col("image")).as("total"),
+           dsum(when(inRegion, col("image")).otherwise(lit(0.0))).as("region_sum"),
+           dsum(when(!inRegion, col("image")).otherwise(lit(0.0))).as("outside_sum"),
+           count(lit(1)).as("n"))
+  }
+
+  val qMdioUpdateSql: String = """
+    WITH agg AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS image
+      FROM lineitem GROUP BY 1, 2),
+    dense AS (
+      SELECT r1.i, r2.j, COALESCE(agg.image, 0.0) AS image
+      FROM range(0, 32) r1(i) CROSS JOIN range(0, 8) r2(j)
+      LEFT JOIN agg ON agg.i = r1.i AND agg.j = r2.j),
+    upd AS (
+      SELECT i, j,
+             CASE WHEN i BETWEEN 8 AND 15 AND j BETWEEN 2 AND 5
+                  THEN CAST(i * 100 + j AS DOUBLE) ELSE image END AS image,
+             (i BETWEEN 8 AND 15 AND j BETWEEN 2 AND 5) AS in_region
+      FROM dense)
+    SELECT CAST(SUM(CAST(image AS DECIMAL(27,6))) AS DOUBLE) AS total,
+           CAST(SUM(CAST(CASE WHEN in_region THEN image ELSE 0.0 END AS DECIMAL(27,6))) AS DOUBLE) AS region_sum,
+           CAST(SUM(CAST(CASE WHEN NOT in_region THEN image ELSE 0.0 END AS DECIMAL(27,6))) AS DOUBLE) AS outside_sum,
+           COUNT(*) AS n
+    FROM upd"""
+
   // VELOCITY-ANALYSIS → PICK → NMO → STACK: the classic seismic processing
   // chain COMPOSED — [[qSemblance]]'s coherence scan picks the best trial
   // velocity per zero-offset time (max semblance, ties to the slowest
@@ -1222,6 +1274,7 @@ object Mdio {
     "mdio_semblance"        -> qSemblance,
     "mdio_nmo"              -> qNmo,
     "mdio_velocity_stack"   -> qVelocityStack,
+    "mdio_update"           -> qMdioUpdate,
     "segy_roundtrip"        -> qSegyRoundtrip,
     "segy_to_mdio"          -> qSegyToMdio,
     "mdio_gradient"         -> qGradient,
@@ -1261,6 +1314,7 @@ object Mdio {
     "mdio_semblance"        -> qSemblanceSql,
     "mdio_nmo"              -> qNmoSql,
     "mdio_velocity_stack"   -> qVelocityStackSql,
+    "mdio_update"           -> qMdioUpdateSql,
     "segy_roundtrip"        -> qSegyRoundtripSql,
     "segy_to_mdio"          -> qSegyToMdioSql,
     "mdio_gradient"         -> qGradientSql,
