@@ -231,6 +231,9 @@ object Bench {
     // group-by shape; lead in place of rank)
     "pipeline_scd2" -> 0.723,
     "fn_date" -> 0.483, "fn_datetime" -> 0.482, "fn_json" -> 1.075,
+    // comparator: fn_json (same from_json parse over events.props + one
+    // agg; the corrupt-branch concat is noise)
+    "pipeline_quarantine" -> 1.075,
     "fn_bitwise" -> 0.361,
     "fn_levenshtein" -> 0.176, "fn_map" -> 0.617, "fn_math" -> 0.564,
     "fn_regex" -> 0.495, "fn_string" -> 0.319, "geo_utm" -> 0.887,

@@ -807,6 +807,40 @@ object Relational2 {
              AS sum_duration_us
     FROM h GROUP BY 1 ORDER BY 1"""
 
+  /** BAD-RECORD QUARANTINE routing — the ingest-hygiene stage: parse a
+    * JSON payload against a declared schema, route unparseable records to
+    * quarantine counts, salvage the parsed field from the rest. Malformed
+    * payloads derive deterministically (every 7th record gets a LEADING
+    * brace — head corruption, because permissive Jackson parsing salvages
+    * a valid prefix and would ignore trailing garbage), so both engines
+    * see the same dirt;
+    * Spark's from_json yields NULL for a record it cannot parse, DuckDB's
+    * json_valid gates the same rows. Map-only + one aggregation. */
+  val qPipelineQuarantine: Q = (s, d) => {
+    val dirty = events(s, d).withColumn("praw",
+      when(col("event_id") % 7 === 0, concat(lit("{"), col("props")))
+        .otherwise(col("props")))
+    dirty
+      .withColumn("p", from_json(col("praw"), "k BIGINT", Map.empty[String, String]))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(when(col("p.k").isNull, 1L).otherwise(0L)).as("n_quarantined"),
+           sum(coalesce(col("p.k"), lit(0L))).as("sum_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val qPipelineQuarantineSql: String = """
+    WITH d AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0 THEN '{' || props ELSE props END AS praw
+      FROM events)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(count_if(NOT json_valid(praw)) AS BIGINT) AS n_quarantined,
+           CAST(SUM(CASE WHEN json_valid(praw)
+             THEN CAST(json_extract(praw, '$.k') AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS sum_k
+    FROM d GROUP BY 1 ORDER BY 1"""
+
   // ---- interval-overlap join (no equi key) --------------------------------
 
   /** Overlap join between per-(user, day) activity spans and per-(type,
@@ -860,6 +894,7 @@ object Relational2 {
     "events_retention"   -> qEventsRetention,
     "events_resample"    -> qEventsResample,
     "pipeline_scd2"      -> qPipelineScd2,
+    "pipeline_quarantine" -> qPipelineQuarantine,
     "events_anomaly"     -> qEventsAnomaly,
     "agg_mode"           -> qAggMode,
     "join_salted"        -> qJoinSalted,
@@ -893,6 +928,7 @@ object Relational2 {
     "events_retention"   -> qEventsRetentionSql,
     "events_resample"    -> qEventsResampleSql,
     "pipeline_scd2"      -> qPipelineScd2Sql,
+    "pipeline_quarantine" -> qPipelineQuarantineSql,
     "events_anomaly"     -> qEventsAnomalySql,
     "agg_mode"           -> qAggModeSql,
     "join_salted"        -> qJoinSaltedSql,
