@@ -813,9 +813,11 @@ object Relational2 {
     * payloads derive deterministically (every 7th record gets a LEADING
     * brace — head corruption, because permissive Jackson parsing salvages
     * a valid prefix and would ignore trailing garbage), so both engines
-    * see the same dirt;
-    * Spark's from_json yields NULL for a record it cannot parse, DuckDB's
-    * json_valid gates the same rows. Map-only + one aggregation. */
+    * see the same dirt. Spark's permissive from_json yields a struct of
+    * NULL FIELDS (not a null struct) for a record it cannot parse; k is
+    * never null in clean records, so field-null IS the quarantine
+    * marker, matching DuckDB's json_valid gate row for row. Map-only +
+    * one aggregation. */
   val qPipelineQuarantine: Q = (s, d) => {
     val dirty = events(s, d).withColumn("praw",
       when(col("event_id") % 7 === 0, concat(lit("{"), col("props")))
