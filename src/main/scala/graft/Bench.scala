@@ -136,6 +136,9 @@ object Bench {
     // comparator: events_funnel x2 (5 bounded join+agg shuffle rounds
     // over the distinct trade edges — a multi-stage shuffle pipeline)
     "graph_pagerank" -> 5.0, "agg_pivot" -> 0.441,
+    // comparator: events_funnel (same few-round join+agg shuffle pipeline;
+    // one nation's co-purchase subgraph keeps edges and wedges bounded)
+    "graph_triangles" -> 2.521,
     "agg_rollup" -> 0.949, "agg_moments" -> 1.379,
     "ann_int8" -> 0.759, "pipeline_split" -> 0.232,
     // comparator: pipeline_recipe (several passes over documents + small

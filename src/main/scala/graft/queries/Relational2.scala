@@ -417,6 +417,71 @@ object Relational2 {
       .select(col("node"), col("score_ppb"))
   }
 
+  /** TRIANGLE COUNTING on the co-purchase supplier graph (suppliers
+    * linked when they serve the same order; one nation's subgraph — the
+    * corpus's co-purchase relation is near-complete, so the nation cut
+    * keeps the demo graph honest). The scale shape is DEGREE-ORIENTED
+    * wedge counting: every edge orients from its lower- to its
+    * higher-(degree, id) endpoint, which on real (sparse) graphs bounds
+    * out-degrees by the graph's arboricity, so wedge volume is
+    * O(m·arboricity), never the hub blow-up of naive wedge counting.
+    * Each triangle then has EXACTLY ONE wedge — at its
+    * orientation-minimal vertex — closed by one oriented edge, counted
+    * by an equi semi join. The oracle counts the same triangles with the
+    * order-free u<v<w three-way join. */
+  val qGraphTriangles: Q = (s, d) => {
+    val supp = supplier(s, d)
+      .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("sk"))
+    val li = lineitem(s, d).join(broadcast(supp), col("l_suppkey") === col("sk"))
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("n"))
+    val und = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("a"), col("y.n").as("b")).distinct()
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    val out = und
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("da") * 1000000L + col("a")).as("ka"),
+        (col("db") * 1000000L + col("b")).as("kb"))
+      .select(when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("u"),
+              when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("v"),
+              greatest(col("ka"), col("kb")).as("kv"))
+    val wedges = out.as("e1").join(out.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.kv") < col("e2.kv"))
+      .select(col("e1.v").as("x1"), col("e2.v").as("x2"))
+    val tri = wedges.join(
+      out.select(col("u").as("x1"), col("v").as("x2")), Seq("x1", "x2"), "left_semi")
+    tri.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  val qGraphTrianglesSql: String = """
+    WITH supp AS (
+      SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'),
+    li AS (
+      SELECT l_orderkey AS o, l_suppkey AS n FROM lineitem
+      WHERE l_suppkey IN (SELECT s_suppkey FROM supp)),
+    e AS (
+      SELECT DISTINCT x.n AS a, y.n AS b
+      FROM li x JOIN li y ON x.o = y.o AND x.n < y.n),
+    nodes AS (SELECT a AS n FROM e UNION SELECT b AS n FROM e),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM tri"""
+
   val qGraphPagerankSql: String = """
     WITH RECURSIVE
     e0 AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
@@ -916,6 +981,7 @@ object Relational2 {
     "agg_hll_portable"   -> qAggHllPortable,
     "agg_hll_intersect"  -> qAggHllIntersect,
     "graph_pagerank"     -> qGraphPagerank,
+    "graph_triangles"    -> qGraphTriangles,
     "agg_cms_portable"   -> qAggCmsPortable,
     "agg_quantile_portable" -> qAggQuantilePortable,
     "fn_array"           -> qFnArray,
@@ -949,6 +1015,7 @@ object Relational2 {
     "agg_hll_portable"   -> qAggHllPortableSql,
     "agg_hll_intersect"  -> qAggHllIntersectSql,
     "graph_pagerank"     -> qGraphPagerankSql,
+    "graph_triangles"    -> qGraphTrianglesSql,
     "agg_cms_portable"   -> qAggCmsPortableSql,
     "agg_quantile_portable" -> qAggQuantilePortableSql,
     "fn_array"           -> qFnArraySql,

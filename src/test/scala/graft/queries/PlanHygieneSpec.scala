@@ -27,8 +27,9 @@ class PlanHygieneSpec extends SparkSpec {
       // text_bm25 attaches the one-row (N, avgdl) corpus aggregate
       "text_bm25",
       // join_spatial attaches the one-row data-derived coordinate span;
-      // graph_pagerank the one-row node count (once per iteration)
-      "join_spatial", "graph_pagerank")
+      // graph_pagerank the one-row node count (once per iteration);
+      // graph_triangles assembles its three one-row counts
+      "join_spatial", "graph_pagerank", "graph_triangles")
 
   test("no accidental cartesian/nested-loop joins across the inventory") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
