@@ -206,6 +206,9 @@ object Bench {
     // comparator: agg_distinct (same two-level hash-agg shape + a
     // 25-row window for the tie-broken head)
     "agg_mode" -> 0.626,
+    // comparator: agg_distinct (same two-level hash agg; OR'd words in
+    // place of the distinct operator's dedup state)
+    "agg_bitmap_distinct" -> 0.626,
     // comparator: join_semi x2 (same lineitem⋈supplier equi join; the
     // x8 salt replication of the 100-row small side is noise)
     "join_salted" -> 0.9,

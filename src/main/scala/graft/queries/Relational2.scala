@@ -115,6 +115,32 @@ object Relational2 {
     SELECT COUNT(*) AS n, MIN(r_name || '|' || n_name) AS first_pair
     FROM region CROSS JOIN nation"""
 
+  /** EXACT distinct counting via mergeable BITMAPS — the warehouse
+    * technique for dense integer key domains (user ids): each
+    * (group, 64-key word) holds one BIT_OR'd long, so the per-group
+    * distinct count is SUM(bit_count(word)). Unlike count_distinct, the
+    * word table is SUM/OR-mergeable — pre-aggregate it per day/partition
+    * and roll it up forever without rescanning inputs — and unlike HLL
+    * it is exact; state is keyspace/64 longs, not per-observed-value.
+    * Pure integer ops, hash-exact in any engine. */
+  val qAggBitmapDistinct: Q = (s, d) =>
+    events(s, d)
+      .groupBy(col("event_type"), expr("user_id div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(user_id % 64 as int)))").as("bits"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bit_count(bits)")).cast("long").as("n_users"),
+           count(lit(1)).as("n_words"))
+      .orderBy(col("event_type"))
+
+  val qAggBitmapDistinctSql: String = """
+    WITH w AS (
+      SELECT event_type, user_id // 64 AS w,
+             bit_or(1::UBIGINT << CAST(user_id % 64 AS INT)) AS bits
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM w GROUP BY 1 ORDER BY 1"""
+
   // ---- aggregates: percentiles, corr/covar from exact sums ----------------
 
   /** Exact percentiles (linear interpolation — Spark `percentile` and
@@ -982,6 +1008,7 @@ object Relational2 {
     "agg_hll_intersect"  -> qAggHllIntersect,
     "graph_pagerank"     -> qGraphPagerank,
     "graph_triangles"    -> qGraphTriangles,
+    "agg_bitmap_distinct" -> qAggBitmapDistinct,
     "agg_cms_portable"   -> qAggCmsPortable,
     "agg_quantile_portable" -> qAggQuantilePortable,
     "fn_array"           -> qFnArray,
@@ -1016,6 +1043,7 @@ object Relational2 {
     "agg_hll_intersect"  -> qAggHllIntersectSql,
     "graph_pagerank"     -> qGraphPagerankSql,
     "graph_triangles"    -> qGraphTrianglesSql,
+    "agg_bitmap_distinct" -> qAggBitmapDistinctSql,
     "agg_cms_portable"   -> qAggCmsPortableSql,
     "agg_quantile_portable" -> qAggQuantilePortableSql,
     "fn_array"           -> qFnArraySql,
