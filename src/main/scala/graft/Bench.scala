@@ -209,6 +209,9 @@ object Bench {
     // comparator: agg_distinct (same two-level hash agg; OR'd words in
     // place of the distinct operator's dedup state)
     "agg_bitmap_distinct" -> 0.626,
+    // comparator: window_lag_delta (same one-window-per-user + small agg
+    // shape; a 25-cell matrix join rides on top)
+    "events_markov" -> 0.541,
     // comparator: join_semi x2 (same lineitem⋈supplier equi join; the
     // x8 salt replication of the 100-row small side is noise)
     "join_salted" -> 0.9,

@@ -141,6 +141,45 @@ object Relational2 {
            CAST(COUNT(*) AS BIGINT) AS n_words
     FROM w GROUP BY 1 ORDER BY 1"""
 
+  /** First-order MARKOV TRANSITION MATRIX over each user's event
+    * sequence — the behavior-modeling fold (what follows what). One lead
+    * window per user (single shuffle on user_id), then pair counts;
+    * transition probabilities ship as exact PARTS-PER-MILLION integers
+    * (n·1e6 DIV row_total — the [[qGraphPagerank]] integer-probability
+    * discipline), so the matrix is hash-exact in any engine. */
+  val qEventsMarkov: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("row_total"))
+    pairs.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000 div row_total").as("p_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val qEventsMarkovSql: String = """
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    totals AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+      FROM pairs GROUP BY 1)
+    SELECT from_type, to_type, n,
+           CAST(n * 1000000 // row_total AS BIGINT) AS p_ppm
+    FROM pairs JOIN totals USING (from_type)
+    ORDER BY from_type, to_type"""
+
   // ---- aggregates: percentiles, corr/covar from exact sums ----------------
 
   /** Exact percentiles (linear interpolation — Spark `percentile` and
@@ -1009,6 +1048,7 @@ object Relational2 {
     "graph_pagerank"     -> qGraphPagerank,
     "graph_triangles"    -> qGraphTriangles,
     "agg_bitmap_distinct" -> qAggBitmapDistinct,
+    "events_markov"      -> qEventsMarkov,
     "agg_cms_portable"   -> qAggCmsPortable,
     "agg_quantile_portable" -> qAggQuantilePortable,
     "fn_array"           -> qFnArray,
@@ -1044,6 +1084,7 @@ object Relational2 {
     "graph_pagerank"     -> qGraphPagerankSql,
     "graph_triangles"    -> qGraphTrianglesSql,
     "agg_bitmap_distinct" -> qAggBitmapDistinctSql,
+    "events_markov"      -> qEventsMarkovSql,
     "agg_cms_portable"   -> qAggCmsPortableSql,
     "agg_quantile_portable" -> qAggQuantilePortableSql,
     "fn_array"           -> qFnArraySql,
