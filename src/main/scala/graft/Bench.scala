@@ -186,6 +186,9 @@ object Bench {
     "ann_grouped" -> 0.50,
     "dedup_embedding" -> 0.794, "dedup_exact" -> 0.313,
     "dedup_minhash_lsh" -> 4.789, "dedup_ngram_jaccard" -> 10.653,
+    // comparator: dedup_minhash_lsh + dedup_ngram_jaccard (the eval runs
+    // BOTH pipelines — banding for candidates, the exact sweep for truth)
+    "dedup_eval" -> 15.4,
     // comparator: dedup_ngram_jaccard (same posting-join shape; k=3
     // trigram postings are sparser than its k=2, so this is headroom)
     "dedup_containment" -> 10.653,
