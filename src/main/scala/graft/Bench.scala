@@ -215,6 +215,9 @@ object Bench {
     // comparator: window_lag_delta (same one-window-per-user + small agg
     // shape; a 25-cell matrix join rides on top)
     "events_markov" -> 0.541,
+    // comparator: window_ranks (two window functions over one shuffle +
+    // two small group-bys)
+    "window_islands" -> 0.723,
     // comparator: join_semi x2 (same lineitem⋈supplier equi join; the
     // x8 salt replication of the 100-row small side is noise)
     "join_salted" -> 0.9,

@@ -82,6 +82,40 @@ object Relational2 {
     WHERE rnk <= 5
     GROUP BY o_orderpriority"""
 
+  /** GAPS-AND-ISLANDS: maximal runs of consecutive same-type events per
+    * user — the classic run-detection idiom (two row_numbers whose
+    * difference is constant within a run), executed as two window passes
+    * over ONE shuffle on user_id. Output folds islands per type:
+    * run counts and length extremes, all integer-exact. */
+  val qWindowIslands: Q = (s, d) => {
+    val wAll = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wTyp = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("grp", row_number().over(wAll) - row_number().over(wTyp))
+      .groupBy(col("user_id"), col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_islands"),
+           max(col("len")).as("max_len"),
+           sum(col("len")).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val qWindowIslandsSql: String = """
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) -
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS grp
+      FROM events),
+    runs AS (
+      SELECT user_id, event_type, grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM r GROUP BY 1, 2, 3)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_islands,
+           MAX(len) AS max_len, CAST(SUM(len) AS BIGINT) AS n_events
+    FROM runs GROUP BY 1 ORDER BY 1"""
+
   // ---- joins: outer + cross ------------------------------------------------
 
   /** FULL OUTER join between two aggregate sides. */
@@ -1049,6 +1083,7 @@ object Relational2 {
     "graph_triangles"    -> qGraphTriangles,
     "agg_bitmap_distinct" -> qAggBitmapDistinct,
     "events_markov"      -> qEventsMarkov,
+    "window_islands"     -> qWindowIslands,
     "agg_cms_portable"   -> qAggCmsPortable,
     "agg_quantile_portable" -> qAggQuantilePortable,
     "fn_array"           -> qFnArray,
@@ -1085,6 +1120,7 @@ object Relational2 {
     "graph_triangles"    -> qGraphTrianglesSql,
     "agg_bitmap_distinct" -> qAggBitmapDistinctSql,
     "events_markov"      -> qEventsMarkovSql,
+    "window_islands"     -> qWindowIslandsSql,
     "agg_cms_portable"   -> qAggCmsPortableSql,
     "agg_quantile_portable" -> qAggQuantilePortableSql,
     "fn_array"           -> qFnArraySql,
