@@ -279,6 +279,9 @@ object Bench {
     // comparator: mdio_semblance + mdio_nmo chained (the pick between
     // them is a 48-row aggregation)
     "mdio_velocity_stack" -> 1.4,
+    // comparator: mdio_nmo (same cells-agg + broadcast join-back + small
+    // agg; the argmax pick replaces the moveout table)
+    "mdio_horizon_flatten" -> 0.7,
     // comparator: mdio_nmo (same cells-agg base) + multimodal_bmp-scale
     // encode/decode work (4 files x 5.6 KB vs 5k small BMPs — headroom)
     "segy_roundtrip" -> 0.9,

@@ -986,6 +986,46 @@ object Mdio {
     FROM cells JOIN contrib ON x = sx AND t = tsrc
     GROUP BY t0 ORDER BY t0"""
 
+  // HORIZON PICK + FLATTEN: the interpretation workflow after the
+  // processing chain — pick the strongest reflector per trace (argmax
+  // amplitude, ties to the shallowest sample) and shift each trace so the
+  // picked horizon aligns at a datum, the move that turns a structural
+  // cube into a stratal view. One cells aggregation, one per-trace argmax
+  // (max_by — no self-join), one broadcast join-back for the shift; the
+  // shifted time is pure integer arithmetic, so the flattened stack is
+  // hash-exact. Samples shifted outside the trace window mute (drop).
+  val qHorizonFlatten: Q = (s, d) => {
+    val cells = grid(s, d).data
+      .groupBy((col("l_suppkey") % 6).as("x"), (col("l_orderkey") % 64).as("t"))
+      .agg(dsum(col("l_quantity")).as("a"))
+    val horizon = cells.groupBy(col("x"))
+      .agg(max_by(col("t"), struct(col("a"), lit(0L) - col("t"))).as("h"))
+    cells.join(broadcast(horizon), Seq("x"))
+      .select(col("x"), (col("t") - col("h") + 32).as("tf"), col("a"))
+      .filter(col("tf") >= 0 && col("tf") <= 63)
+      .groupBy(col("tf"))
+      .agg(count(lit(1)).as("n_traces"), dsum(col("a")).as("stack"))
+      .orderBy(col("tf"))
+  }
+
+  val qHorizonFlattenSql: String = s"""
+    WITH cells AS (
+      SELECT l_suppkey % 6 AS x, l_orderkey % 64 AS t,
+             ${sqlDsum("l_quantity")} AS a
+      FROM lineitem GROUP BY 1, 2),
+    hz AS (
+      SELECT x, t AS h FROM (
+        SELECT x, t, ROW_NUMBER() OVER (
+          PARTITION BY x ORDER BY a DESC, t) AS rn
+        FROM cells) p WHERE rn = 1),
+    f AS (
+      SELECT cells.x, cells.t - hz.h + 32 AS tf, a
+      FROM cells JOIN hz ON cells.x = hz.x)
+    SELECT tf, CAST(COUNT(*) AS BIGINT) AS n_traces,
+           CAST(SUM(CAST(a AS DECIMAL(27,6))) AS DOUBLE) AS stack
+    FROM f WHERE tf >= 0 AND tf <= 63
+    GROUP BY tf ORDER BY tf"""
+
   // SEG-Y ROUND-TRIP: the field-tape ingest edge. The reference ecosystem's
   // canonical input is SEG-Y (its regression suite reads the Teapot Dome
   // filt_mig.sgy); here a 16-trace x 64-sample survey derived from
@@ -1274,6 +1314,7 @@ object Mdio {
     "mdio_semblance"        -> qSemblance,
     "mdio_nmo"              -> qNmo,
     "mdio_velocity_stack"   -> qVelocityStack,
+    "mdio_horizon_flatten"  -> qHorizonFlatten,
     "mdio_update"           -> qMdioUpdate,
     "segy_roundtrip"        -> qSegyRoundtrip,
     "segy_to_mdio"          -> qSegyToMdio,
@@ -1314,6 +1355,7 @@ object Mdio {
     "mdio_semblance"        -> qSemblanceSql,
     "mdio_nmo"              -> qNmoSql,
     "mdio_velocity_stack"   -> qVelocityStackSql,
+    "mdio_horizon_flatten"  -> qHorizonFlattenSql,
     "mdio_update"           -> qMdioUpdateSql,
     "segy_roundtrip"        -> qSegyRoundtripSql,
     "segy_to_mdio"          -> qSegyToMdioSql,
