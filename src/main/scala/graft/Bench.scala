@@ -399,6 +399,9 @@ object Bench {
     // comparator: text_pii (same map-only regex sweep + one agg shape;
     // ~8 regex ops per row vs the three PII patterns)
     "text_url_canonical" -> 0.476,
+    // comparator: text_top_ngrams (same explode + count-agg + top-k
+    // shape, with the word-stats join-back on top)
+    "text_keyphrases" -> 0.95,
     "text_top_ngrams" -> 0.478, "window_first_last" -> 0.711,
     "window_lag_delta" -> 0.541, "window_moving_avg" -> 0.618,
     "window_percent_rank" -> 0.349, "window_range_frame" -> 1.808,

@@ -1192,6 +1192,59 @@ object Pipeline {
     FROM scored GROUP BY doc_id
     ORDER BY bm25_micro DESC, doc_id LIMIT 10"""
 
+  /** RAKE KEYPHRASE EXTRACTION — candidate phrases are maximal stopword-
+    * delimited token runs (built by a stopword → '|' boundary rewrite,
+    * applied twice because adjacent stopwords share their delimiting
+    * space — same trick, identical result, in both engines), scored by
+    * the classic degree/frequency word statistics summed per phrase.
+    * Word scores quantize to integer micro-units (floor(deg·1e6/freq)),
+    * so the ranking is hash-exact. Map + two aggregations + one
+    * broadcast-scale join-back; nothing quadratic. */
+  val qTextKeyphrases: Q = (s, d) => {
+    val stop = "(the|a|of|and|to|in|is|it|that|for)"
+    val bounded = regexp_replace(
+      regexp_replace(concat(lit(" "), trim(col("text")), lit(" ")),
+        s" $stop ", " | "), s" $stop ", " | ")
+    val ph = documents(s, d).select(explode(split(bounded, "\\|")).as("p0"))
+      .select(trim(col("p0")).as("phrase"))
+      .filter(col("phrase") =!= "" && size(split(col("phrase"), " ")) <= 3)
+      .withColumn("len", size(split(col("phrase"), " ")).cast("long"))
+    val wstats = ph.select(explode(split(col("phrase"), " ")).as("w"), col("len"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+    val phr = ph.groupBy(col("phrase")).agg(count(lit(1)).as("n_occur"))
+    phr.select(col("phrase"), col("n_occur"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wstats, Seq("w"))
+      .groupBy(col("phrase"), col("n_occur"))
+      .agg(sum(expr("deg * 1000000 div freq")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(10)
+  }
+
+  val qTextKeyphrasesSql: String = """
+    WITH ph0 AS (
+      SELECT unnest(string_split(
+        regexp_replace(regexp_replace(' ' || trim(text) || ' ',
+          ' (the|a|of|and|to|in|is|it|that|for) ', ' | ', 'g'),
+          ' (the|a|of|and|to|in|is|it|that|for) ', ' | ', 'g'), '|')) AS p0
+      FROM documents),
+    ph AS (
+      SELECT trim(p0) AS phrase, CAST(len(string_split(trim(p0), ' ')) AS BIGINT) AS l
+      FROM ph0
+      WHERE trim(p0) <> '' AND len(string_split(trim(p0), ' ')) <= 3),
+    ws AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, CAST(SUM(l) AS BIGINT) AS deg
+      FROM (SELECT unnest(string_split(phrase, ' ')) AS w, l FROM ph) t
+      GROUP BY 1),
+    phr AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occur FROM ph GROUP BY 1),
+    pw AS (
+      SELECT phrase, n_occur, unnest(string_split(phrase, ' ')) AS w FROM phr)
+    SELECT phrase, n_occur,
+           CAST(SUM(deg * 1000000 // freq) AS BIGINT) AS score_micro
+    FROM pw JOIN ws USING (w)
+    GROUP BY 1, 2 ORDER BY score_micro DESC, phrase LIMIT 10"""
+
   /** URL canonicalization + dedup accounting — the crawl frontier's first
     * dedup key ([[Curation.canonicalizeUrl]]: lowercase scheme/host,
     * default-port strip, fragment drop, sorted non-utm query params,
@@ -1449,6 +1502,7 @@ object Pipeline {
     "text_tfidf"           -> qTextTfidf,
     "text_bm25"            -> qTextBm25,
     "text_url_canonical"   -> qTextUrlCanonical,
+    "text_keyphrases"      -> qTextKeyphrases,
     "multimodal_bytes"     -> qMultimodalBytes,
     "multimodal_features"  -> qMultimodalFeatures,
   )
@@ -1493,6 +1547,7 @@ object Pipeline {
     "text_tfidf"          -> qTextTfidfSql,
     "text_bm25"           -> qTextBm25Sql,
     "text_url_canonical"  -> qTextUrlCanonicalSql,
+    "text_keyphrases"     -> qTextKeyphrasesSql,
     "multimodal_bytes"    -> qMultimodalBytesSql,
     "multimodal_features" -> qMultimodalFeaturesSql,
   )
