@@ -218,6 +218,30 @@ object Bench {
     // comparator: window_ranks (two window functions over one shuffle +
     // two small group-bys)
     "window_islands" -> 0.723,
+    // comparator: graph_pagerank (same bounded-round join pipeline over
+    // the same checkpointed edge table; BFS frontiers shrink after round
+    // 2 where pagerank re-scores every node every round)
+    "graph_bfs" -> 5.0,
+    // comparator: agg_corr (same sufficient-statistics partial-agg shape:
+    // five exact sums per group, one finalize row)
+    "agg_linreg" -> 1.6,
+    // comparator: events_funnel (several partial-agg scans + two honest
+    // referential joins, unioned into a report)
+    "pipeline_expectations" -> 2.5,
+    // comparator: window_islands (one partitioned window + one group-by)
+    "pipeline_binning" -> 0.723,
+    // comparator: text_tfidf (same unigram+bigram count shape with two
+    // distinct-gram joins on top)
+    "text_collocations" -> 1.0,
+    // comparator: mdio_agc (identical cells shuffle + one ordered-window
+    // pass; five lag/lead taps in place of the rolling RMS)
+    "mdio_bandpass" -> 1.511,
+    // comparator: mdio_agc (same shape; the 5-row frame collect + sort
+    // costs what the rolling moments cost)
+    "mdio_despike" -> 1.511,
+    // comparator: multimodal_bmp (same map-only decode over the same
+    // payloads + one hash-groupBy on top)
+    "image_phash" -> 1.0,
     // comparator: join_semi x2 (same lineitem⋈supplier equi join; the
     // x8 salt replication of the 100-row small side is noise)
     "join_salted" -> 0.9,

@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.Relational2.queries ++
       graft.queries.Relational3.queries ++
       graft.queries.Relational4.queries ++
+      graft.queries.Relational5.queries ++
       graft.queries.Mdio.queries ++
       graft.queries.Pipeline.queries ++
       graft.queries.Pipeline2.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
       graft.queries.Relational2.oracleSql ++
       graft.queries.Relational3.oracleSql ++
       graft.queries.Relational4.oracleSql ++
+      graft.queries.Relational5.oracleSql ++
       graft.queries.Mdio.oracleSql ++
       graft.queries.Pipeline.oracleSql ++
       graft.queries.Pipeline2.oracleSql ++

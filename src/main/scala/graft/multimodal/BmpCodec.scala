@@ -94,4 +94,43 @@ object BmpCodec {
     val n = width.toLong * height
     Decoded(width, height, sum.toDouble / 3.0 / n / 255.0)
   }
+
+  /** Decode to the full grayscale pixel array (top-down row-major, one
+    * byte per pixel), for downstream pixel analysis (perceptual hashing).
+    * Gray = the blue channel — [[encode]] writes b=g=r, so for payloads
+    * from this corpus it IS the original gray byte; a true color image
+    * would need a luma transform here. Same header validation as
+    * [[decode]]. */
+  def decodeGray(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP payload")
+    val dataOffset = rdLe4(bytes, 10)
+    val width = rdLe4(bytes, 18)
+    val height = rdLe4(bytes, 22)
+    val bpp = rdLe2(bytes, 28)
+    val compression = rdLe4(bytes, 30)
+    require(dataOffset >= 54 && dataOffset <= bytes.length,
+      s"BMP pixel-data offset $dataOffset out of range")
+    require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
+      s"unsupported BMP geometry ${width}x$height")
+    require(bpp == 24 && compression == 0,
+      s"only 24-bpp uncompressed BMP supported (got bpp=$bpp compression=$compression)")
+    val rowBytes = width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    require(bytes.length >= dataOffset.toLong + (rowBytes.toLong + pad) * height,
+      "truncated BMP pixel data")
+    val gray = new Array[Byte](width * height)
+    var y = 0
+    while (y < height) {
+      // file rows are bottom-up; emit top-down
+      val rowOff = dataOffset + (height - 1 - y) * (rowBytes + pad)
+      var x = 0
+      while (x < width) {
+        gray(y * width + x) = bytes(rowOff + x * 3)
+        x += 1
+      }
+      y += 1
+    }
+    (width, height, gray)
+  }
 }

@@ -1307,7 +1307,98 @@ object Mdio {
                          ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE) AS sum_band_x36
     FROM s2"""
 
+  // FIR BANDPASS along the trace (time) dimension: the classic 5-tap
+  // convolution filter of seismic processing, with integer taps
+  // [-1, 2, 6, 2, -1] (a band-emphasis kernel: DC gain 8, Nyquist gain 6,
+  // sharpened mid-band) so every multiply is exact. Shape: one hash
+  // shuffle to cells, then lag/lead over the per-trace window — map-side
+  // partial agg + a single ordered window pass, the same plan family as
+  // mdio_smooth_dim. Edges use zero-padding (lag/lead default 0), the
+  // convention of a zero-phase filter applied to a padded trace. All
+  // adds are left-associated identically in both engines, so the doubles
+  // are bit-identical.
+  val qBandpass: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+    grid(s, d).data
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(dsum(col("l_quantity")).as("q"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (lag(col("q"), 2, 0.0).over(w) * -1.0 +
+         lag(col("q"), 1, 0.0).over(w) * 2.0 +
+         col("q") * 6.0 +
+         lead(col("q"), 1, 0.0).over(w) * 2.0 +
+         lead(col("q"), 2, 0.0).over(w) * -1.0).as("band"))
+      .agg(count(lit(1)).as("n"),
+           dsum(col("band")).as("sum_band"),
+           dsum(abs(col("band"))).as("sum_abs_band"),
+           sum(when(abs(col("band")) > 400.0, 1L).otherwise(0L)).as("n_peaks"))
+  }
+
+  val qBandpassSql: String = s"""
+    WITH cells AS (
+      SELECT l_orderkey, l_linenumber, ${sqlDsum("l_quantity")} AS q
+      FROM lineitem GROUP BY 1, 2),
+    f AS (
+      SELECT lag(q, 2, 0.0) OVER w * -1.0 +
+             lag(q, 1, 0.0) OVER w * 2.0 +
+             q * 6.0 +
+             lead(q, 1, 0.0) OVER w * 2.0 +
+             lead(q, 2, 0.0) OVER w * -1.0 AS band
+      FROM cells
+      WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ${sqlDsum("band")} AS sum_band,
+           ${sqlDsum("abs(band)")} AS sum_abs_band,
+           CAST(SUM(CASE WHEN abs(band) > 400.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks
+    FROM f"""
+
+  // DESPIKE via rolling MEDIAN filter (the standard seismic spike
+  // killer — a median is immune to a single wild sample where any linear
+  // filter smears it). Interior samples only (full 5-sample frame), so
+  // both engines see an odd-count window whose median is the exact
+  // middle order statistic — no interpolation, engine-exact. Spark has
+  // no exact windowed median, so the window collects its 5-row frame and
+  // takes the 3rd order statistic (bounded: the frame is 5 rows by
+  // construction); DuckDB's median over the same frame is the same
+  // value. One shuffle, one ordered window pass.
+  val qDespike: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      .rowsBetween(-2, 2)
+    grid(s, d).data
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(dsum(col("l_quantity")).as("q"))
+      .select(col("q"),
+        element_at(array_sort(collect_list(col("q")).over(w)), 3).as("med"),
+        count(lit(1)).over(w).as("cnt"))
+      .filter(col("cnt") === 5)
+      .agg(count(lit(1)).as("n"),
+           dsum(col("med")).as("sum_med"),
+           dsum(abs(col("q") - col("med"))).as("sum_dev"),
+           sum(when(abs(col("q") - col("med")) > 50.0, 1L).otherwise(0L)).as("n_spikes"))
+  }
+
+  val qDespikeSql: String = s"""
+    WITH cells AS (
+      SELECT l_orderkey, l_linenumber, ${sqlDsum("l_quantity")} AS q
+      FROM lineitem GROUP BY 1, 2),
+    m AS (
+      SELECT q,
+             median(q) OVER w AS med,
+             COUNT(*) OVER w AS cnt
+      FROM cells
+      WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ${sqlDsum("med")} AS sum_med,
+           ${sqlDsum("abs(q - med)")} AS sum_dev,
+           CAST(SUM(CASE WHEN abs(q - med) > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes
+    FROM m WHERE cnt = 5"""
+
   val queries: Map[String, Q] = Map(
+    "mdio_bandpass"         -> qBandpass,
+    "mdio_despike"          -> qDespike,
     "mdio_smooth_dim"       -> qSmoothDim,
     "mdio_smooth_grid"      -> qSmoothGrid,
     "mdio_agc"              -> qAgc,
@@ -1349,6 +1440,8 @@ object Mdio {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "mdio_bandpass"         -> qBandpassSql,
+    "mdio_despike"          -> qDespikeSql,
     "mdio_smooth_dim"       -> qSmoothDimSql,
     "mdio_smooth_grid"      -> qSmoothGridSql,
     "mdio_agc"              -> qAgcSql,

@@ -133,15 +133,106 @@ object Media {
            CAST(SUM(first_byte) AS BIGINT) AS sum_first_byte
     FROM e"""
 
+  // ---- image near-dup via perceptual hash ---------------------------------
+
+  /** Per-image 64-bit average hash, split into two 32-bit words (a
+    * 64-bit unsigned hash would overflow BIGINT's sign on bit 63). */
+  case class PHashRow(doc_id: Long, hi: Long, lo: Long)
+
+  /** IMAGE NEAR-DUP via perceptual average-hash (aHash): decode each BMP
+    * to real pixels, sample an 8×8 grid, threshold each sample against
+    * the image's global mean → a 64-bit fingerprint; images agreeing on
+    * every bit land in one hash bucket (the pixel-domain sibling of
+    * dedup_simhash). Scale shape: decode + hash is map-only per
+    * partition (one codec call per row, the multimodal discipline), then
+    * ONE hash-groupBy — identical cost to exact dedup. The mean test is
+    * pure integer arithmetic (p·n > Σpix), so the oracle can re-derive
+    * every bit from the deterministic pixel generator with no float in
+    * sight. */
+  val qImagePhash: Q = (s, d) => {
+    import s.implicits._
+    Multimodal.attachBmpPayload(
+        documents(s, d).filter(length(col("text")) > 0))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w, h, gray) = graft.multimodal.BmpCodec.decodeGray(bytes)
+        val n = w.toLong * h
+        var pixSum = 0L
+        var i = 0
+        while (i < gray.length) { pixSum += gray(i) & 0xff; i += 1 }
+        var hi = 0L; var lo = 0L
+        var j = 0
+        while (j < 64) {
+          val y = (j / 8) * h / 8
+          val x = (j % 8) * w / 8
+          val p = gray(y * w + x) & 0xff
+          if (p * n > pixSum) {
+            if (j < 32) hi |= 1L << j else lo |= 1L << (j - 32)
+          }
+          j += 1
+        }
+        PHashRow(id, hi, lo)
+      })
+      .toDF()
+      .groupBy(col("hi"), col("lo")).agg(count(lit(1)).as("csize"))
+      .agg(sum(col("csize")).as("n_imgs"),
+           count(lit(1)).as("n_clusters"),
+           sum(col("csize") - 1).as("n_dups"),
+           max(col("csize")).as("max_cluster"),
+           sum(col("hi")).as("sum_hi"),
+           sum(col("lo")).as("sum_lo"))
+  }
+
+  /** The oracle replays the BMP pixel generator (pixel i = text byte
+    * i mod len — the multimodal_bmp closed form) and re-derives all 64
+    * threshold bits per image in integer arithmetic. */
+  val qImagePhashSql: String = """
+    WITH f AS (
+      SELECT doc_id, octet_length(encode(text)) AS len,
+             list_transform(range(0, octet_length(encode(text))),
+               i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT)) AS bytes,
+             (doc_id % 64 + 16) AS w, (doc_id % 48 + 16) AS h
+      FROM documents WHERE octet_length(encode(text)) > 0),
+    p AS (
+      SELECT doc_id, w, h, len, bytes, w * h AS n,
+             (w * h // len) * list_sum(bytes) +
+               COALESCE(list_sum(list_slice(bytes, 1, (w * h) % len)), 0) AS pix_sum
+      FROM f),
+    b AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), j ->
+               CASE WHEN bytes[1 + ((((j // 8) * h // 8) * w +
+                                     ((j % 8) * w // 8)) % len)] * n > pix_sum
+                    THEN 1 ELSE 0 END) AS bits
+      FROM p),
+    hh AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(0, 32),
+               j -> bits[j + 1]  * (CAST(1 AS BIGINT) << j))) AS hi,
+             list_sum(list_transform(range(0, 32),
+               j -> bits[j + 33] * (CAST(1 AS BIGINT) << j))) AS lo
+      FROM b),
+    c AS (SELECT hi, lo, COUNT(*) AS csize FROM hh GROUP BY 1, 2)
+    SELECT CAST(SUM(csize) AS BIGINT) AS n_imgs,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(csize - 1) AS BIGINT) AS n_dups,
+           CAST(MAX(csize) AS BIGINT) AS max_cluster,
+           CAST(SUM(hi) AS BIGINT) AS sum_hi,
+           CAST(SUM(lo) AS BIGINT) AS sum_lo
+    FROM c"""
+
   // ---- registration -------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "multimodal_mp4"        -> qMultimodalMp4,
     "multimodal_mp4_frames" -> qMultimodalMp4Frames,
+    "image_phash"           -> qImagePhash,
   )
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_mp4"        -> qMultimodalMp4Sql,
     "multimodal_mp4_frames" -> qMultimodalMp4FramesSql,
+    "image_phash"           -> qImagePhashSql,
   )
 }
