@@ -242,6 +242,15 @@ object Bench {
     // comparator: multimodal_bmp (same map-only decode over the same
     // payloads + one hash-groupBy on top)
     "image_phash" -> 1.0,
+    // comparator: image_phash + dedup_simhash's band-join shape over the
+    // KB-scale distinct-fingerprint table
+    "image_phash_near" -> 1.5,
+    // comparator: image_phash + dedup_exact (one md5 groupBy + two
+    // keeper joins on top of the shared decode)
+    "pipeline_multimodal_dedup" -> 1.8,
+    // comparator: stream_tumbling_exec (same single stateful streaming
+    // agg; conditional counters in place of the window state)
+    "stream_expectations_exec" -> 1.9,
     // comparator: join_semi x2 (same lineitem⋈supplier equi join; the
     // x8 salt replication of the 100-row small side is noise)
     "join_salted" -> 0.9,

@@ -149,7 +149,9 @@ object Media {
     * pure integer arithmetic (p·n > Σpix), so the oracle can re-derive
     * every bit from the deterministic pixel generator with no float in
     * sight. */
-  val qImagePhash: Q = (s, d) => {
+  /** Decode + hash every document's BMP payload: map-only, one codec
+    * call per row. Shared by the three image-dedup queries. */
+  def phashRows(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Multimodal.attachBmpPayload(
         documents(s, d).filter(length(col("text")) > 0))
@@ -175,6 +177,10 @@ object Media {
         PHashRow(id, hi, lo)
       })
       .toDF()
+  }
+
+  val qImagePhash: Q = (s, d) =>
+    phashRows(s, d)
       .groupBy(col("hi"), col("lo")).agg(count(lit(1)).as("csize"))
       .agg(sum(col("csize")).as("n_imgs"),
            count(lit(1)).as("n_clusters"),
@@ -182,7 +188,6 @@ object Media {
            max(col("csize")).as("max_cluster"),
            sum(col("hi")).as("sum_hi"),
            sum(col("lo")).as("sum_lo"))
-  }
 
   /** The oracle replays the BMP pixel generator (pixel i = text byte
     * i mod len — the multimodal_bmp closed form) and re-derives all 64
@@ -222,17 +227,185 @@ object Media {
            CAST(SUM(lo) AS BIGINT) AS sum_lo
     FROM c"""
 
+  /** The shared oracle prefix re-deriving every phash from the pixel
+    * generator (CTEs f/p/b/hh — see [[qImagePhashSql]]). */
+  private val phashCtes: String = """
+      f AS (
+      SELECT doc_id, octet_length(encode(text)) AS len,
+             list_transform(range(0, octet_length(encode(text))),
+               i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT)) AS bytes,
+             (doc_id % 64 + 16) AS w, (doc_id % 48 + 16) AS h
+      FROM documents WHERE octet_length(encode(text)) > 0),
+    p AS (
+      SELECT doc_id, w, h, len, bytes, w * h AS n,
+             (w * h // len) * list_sum(bytes) +
+               COALESCE(list_sum(list_slice(bytes, 1, (w * h) % len)), 0) AS pix_sum
+      FROM f),
+    b AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), j ->
+               CASE WHEN bytes[1 + ((((j // 8) * h // 8) * w +
+                                     ((j % 8) * w // 8)) % len)] * n > pix_sum
+                    THEN 1 ELSE 0 END) AS bits
+      FROM p),
+    hh AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 32),
+               j -> bits[j + 1]  * (CAST(1 AS BIGINT) << j))) AS BIGINT) AS hi,
+             CAST(list_sum(list_transform(range(0, 32),
+               j -> bits[j + 33] * (CAST(1 AS BIGINT) << j))) AS BIGINT) AS lo
+      FROM b)"""
+
+  // ---- image NEAR-dup: banded phash + Hamming verify -----------------------
+
+  /** Image near-dup pairs by perceptual-hash distance, found the scalable
+    * way: each 64-bit hash splits into four 16-bit bands; any two DISTINCT
+    * hashes sharing a band become a candidate pair (LSH banding — two
+    * hashes within Hamming 8 of each other agree on ≥1 whole band far more
+    * often than chance), then candidates are verified by exact Hamming
+    * distance ≤ 8 (popcount of xor, a codegen'd integer op). Exact-dup
+    * clusters collapse to ONE hash before banding, so identical images —
+    * the worst banding skew — never join against themselves; candidate
+    * volume is bounded by band-bucket sizes over distinct fingerprints
+    * (the dedup_minhash_lsh discipline in the pixel domain). */
+  val qImagePhashNear: Q = (s, d) => {
+    val hashes = phashRows(s, d).select(col("hi"), col("lo")).distinct()
+    val bands = hashes.selectExpr("hi", "lo", """explode(array(
+        struct(0 AS b, hi & 65535 AS k),
+        struct(1 AS b, shiftright(hi, 16) & 65535 AS k),
+        struct(2 AS b, lo & 65535 AS k),
+        struct(3 AS b, shiftright(lo, 16) & 65535 AS k))) AS bk""")
+      .select(col("hi"), col("lo"), col("bk.b").as("b"), col("bk.k").as("k"))
+    val l = bands.select(col("b"), col("k"), col("hi").as("hia"), col("lo").as("loa"))
+    val r = bands.select(col("b"), col("k"), col("hi").as("hib"), col("lo").as("lob"))
+    val cand = l.join(r, Seq("b", "k"))
+      .filter(col("hia") < col("hib") ||
+              (col("hia") === col("hib") && col("loa") < col("lob")))
+      .select(col("hia"), col("loa"), col("hib"), col("lob")).distinct()
+    cand
+      .withColumn("ham",
+        expr("bit_count(hia ^ hib) + bit_count(loa ^ lob)").cast("long"))
+      .agg(count(lit(1)).as("n_cand_pairs"),
+           sum(when(col("ham") <= 8, 1L).otherwise(0L)).as("n_near_pairs"),
+           sum(when(col("ham") <= 8, col("ham")).otherwise(0L)).as("sum_ham_near"))
+  }
+
+  val qImagePhashNearSql: String = s"""
+    WITH $phashCtes,
+    c AS (SELECT DISTINCT hi, lo FROM hh),
+    bands AS (
+      SELECT hi, lo, 0 AS b, hi & 65535 AS k FROM c
+      UNION ALL SELECT hi, lo, 1, (hi >> 16) & 65535 FROM c
+      UNION ALL SELECT hi, lo, 2, lo & 65535 FROM c
+      UNION ALL SELECT hi, lo, 3, (lo >> 16) & 65535 FROM c),
+    cand AS (
+      SELECT DISTINCT a.hi AS hia, a.lo AS loa, bb.hi AS hib, bb.lo AS lob
+      FROM bands a JOIN bands bb ON a.b = bb.b AND a.k = bb.k
+      WHERE a.hi < bb.hi OR (a.hi = bb.hi AND a.lo < bb.lo)),
+    scored AS (
+      SELECT bit_count(xor(hia, hib)) + bit_count(xor(loa, lob)) AS ham
+      FROM cand)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_pairs,
+           CAST(SUM(CASE WHEN ham <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_pairs,
+           CAST(SUM(CASE WHEN ham <= 8 THEN ham ELSE 0 END) AS BIGINT) AS sum_ham_near
+    FROM scored"""
+
+  // ---- cross-modal dedup composition --------------------------------------
+
+  /** MULTIMODAL DEDUP: a document is dropped if an EARLIER document
+    * (lower doc_id) is a duplicate of it in either modality —
+    * text: same 32-token PREFIX fingerprint (md5 of the leading tokens,
+    * the crawl-dedup move that catches append/truncate edits exact
+    * hashing misses); image: a perceptual-hash NEAR match (shares an LSH
+    * band AND Hamming ≤ 8 — the qImagePhashNear relation lifted to doc
+    * pairs). "Has an earlier partner" is deliberately non-transitive —
+    * each dropped doc names a concrete earlier near-duplicate, no
+    * connected components needed (dedup_components covers the
+    * transitive-closure variant for text). Composition stays lazy: one
+    * fingerprint groupBy + the banded pair join on top of the shared
+    * map-only decode. Docs with no image payload (empty text ⇒ no BMP)
+    * can only be text-dups. */
+  val qPipelineMultimodalDedup: Q = (s, d) => {
+    val toks = split(trim(col("text")), "\\s+")
+    val docs = documents(s, d).select(col("doc_id"),
+      md5(concat_ws(" ", slice(toks, 1, 32))).as("tk"))
+    val tmin = docs.groupBy(col("tk")).agg(min(col("doc_id")).as("tkeep"))
+    val ph = phashRows(s, d)
+    val bands = ph.selectExpr("doc_id", "hi", "lo", """explode(array(
+        struct(0 AS b, hi & 65535 AS k),
+        struct(1 AS b, shiftright(hi, 16) & 65535 AS k),
+        struct(2 AS b, lo & 65535 AS k),
+        struct(3 AS b, shiftright(lo, 16) & 65535 AS k))) AS bk""")
+      .select(col("doc_id"), col("hi"), col("lo"),
+              col("bk.b").as("b"), col("bk.k").as("k"))
+    val l = bands.select(col("b"), col("k"), col("doc_id").as("ida"),
+      col("hi").as("hia"), col("lo").as("loa"))
+    val r = bands.select(col("b"), col("k"), col("doc_id").as("idb"),
+      col("hi").as("hib"), col("lo").as("lob"))
+    val nearDocs = l.join(r, Seq("b", "k"))
+      .filter(col("ida") < col("idb"))
+      .filter(expr("bit_count(hia ^ hib) + bit_count(loa ^ lob)") <= 8)
+      .select(col("idb").as("doc_id")).distinct()
+      .withColumn("inear", lit(1L))
+    val flags = docs
+      // null-safe on the content key: a null text is ITS OWN dup group
+      // (matches the oracle's IS NOT DISTINCT FROM)
+      .join(tmin, docs("tk") <=> tmin("tk")).drop(tmin("tk"))
+      .join(nearDocs, Seq("doc_id"), "left")
+      .select(
+        (col("doc_id") > col("tkeep")).as("tdup"),
+        col("inear").isNotNull.as("idup"))
+    flags.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(!col("tdup") && !col("idup"), 1L).otherwise(0L)).as("n_keep"),
+      sum(when(col("tdup") && !col("idup"), 1L).otherwise(0L)).as("n_text_only"),
+      sum(when(!col("tdup") && col("idup"), 1L).otherwise(0L)).as("n_image_only"),
+      sum(when(col("tdup") && col("idup"), 1L).otherwise(0L)).as("n_both"))
+  }
+
+  val qPipelineMultimodalDedupSql: String = s"""
+    WITH $phashCtes,
+    t AS (SELECT doc_id,
+                 md5(array_to_string(list_slice(string_split(trim(text), ' '), 1, 32), ' ')) AS tk
+          FROM documents),
+    tm AS (SELECT tk, MIN(doc_id) AS tkeep FROM t GROUP BY 1),
+    bands AS (
+      SELECT doc_id, hi, lo, 0 AS b, hi & 65535 AS k FROM hh
+      UNION ALL SELECT doc_id, hi, lo, 1, (hi >> 16) & 65535 FROM hh
+      UNION ALL SELECT doc_id, hi, lo, 2, lo & 65535 FROM hh
+      UNION ALL SELECT doc_id, hi, lo, 3, (lo >> 16) & 65535 FROM hh),
+    nd AS (
+      SELECT DISTINCT bb.doc_id
+      FROM bands a JOIN bands bb ON a.b = bb.b AND a.k = bb.k AND a.doc_id < bb.doc_id
+      WHERE bit_count(xor(a.hi, bb.hi)) + bit_count(xor(a.lo, bb.lo)) <= 8),
+    fl AS (
+      SELECT t.doc_id > tm.tkeep AS tdup,
+             nd.doc_id IS NOT NULL AS idup
+      FROM t
+      JOIN tm ON t.tk IS NOT DISTINCT FROM tm.tk
+      LEFT JOIN nd ON nd.doc_id = t.doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN NOT tdup AND NOT idup THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(SUM(CASE WHEN tdup AND NOT idup THEN 1 ELSE 0 END) AS BIGINT) AS n_text_only,
+           CAST(SUM(CASE WHEN NOT tdup AND idup THEN 1 ELSE 0 END) AS BIGINT) AS n_image_only,
+           CAST(SUM(CASE WHEN tdup AND idup THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+    FROM fl"""
+
   // ---- registration -------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "multimodal_mp4"        -> qMultimodalMp4,
     "multimodal_mp4_frames" -> qMultimodalMp4Frames,
     "image_phash"           -> qImagePhash,
+    "image_phash_near"      -> qImagePhashNear,
+    "pipeline_multimodal_dedup" -> qPipelineMultimodalDedup,
   )
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_mp4"        -> qMultimodalMp4Sql,
     "multimodal_mp4_frames" -> qMultimodalMp4FramesSql,
     "image_phash"           -> qImagePhashSql,
+    "image_phash_near"      -> qImagePhashNearSql,
+    "pipeline_multimodal_dedup" -> qPipelineMultimodalDedupSql,
   )
 }

@@ -490,7 +490,44 @@ object StreamingExec {
            CAST(SUM(ai) AS BIGINT) AS sum_amp
     FROM cells GROUP BY tr ORDER BY tr"""
 
+  /** CONTINUOUS DATA-QUALITY MONITORING executed as a stream: the
+    * pipeline_expectations rules evaluated as a stateful streaming
+    * aggregation over the event feed — per event type, running totals of
+    * out-of-spec values (> 400 — the corpus tops out at 490, so the rule
+    * genuinely fires), sub-cent values, and null payloads. The state is a
+    * handful of counters per group (fixed-size, the mergeable-sketch
+    * discipline), so a 100 TB/day feed costs one partial-agg per
+    * micro-batch; DuckDB re-derives the same verdict from the batch
+    * corpus. */
+  val qStreamExpectationsExec: Q = (s, d) => {
+    val checked = Tables.eventsStream(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("value") > 400.0, 1L).otherwise(0L)).as("v_range"),
+           sum(when(col("value") < 0.01, 1L).otherwise(0L)).as("v_subcent"),
+           sum(when(col("props").isNull, 1L).otherwise(0L)).as("v_noprops"))
+    runToMemory(checked, "complete")
+      .select(col("event_type"), col("n"), col("v_range"), col("v_subcent"),
+              col("v_noprops"),
+              ((col("v_range") + col("v_subcent") + col("v_noprops")) === 0L)
+                .cast("long").as("pass"))
+      .orderBy(col("event_type"))
+  }
+
+  val qStreamExpectationsExecSql: String = """
+    WITH c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value > 400.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+             CAST(SUM(CASE WHEN value < 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS v_subcent,
+             CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_noprops
+      FROM events GROUP BY 1)
+    SELECT event_type, n, v_range, v_subcent, v_noprops,
+           CAST(CASE WHEN v_range + v_subcent + v_noprops = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS pass
+    FROM c ORDER BY event_type"""
+
   val queries: Map[String, Q] = Map(
+    "stream_expectations_exec" -> qStreamExpectationsExec,
     "stream_segy_exec"     -> qStreamSegyExec,
     "stream_join_exec"     -> qStreamJoinExec,
     "stream_session_exec"  -> qStreamSessionExec,
@@ -505,6 +542,7 @@ object StreamingExec {
     "stream_mdio_exec"     -> qStreamMdioExec)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_expectations_exec" -> qStreamExpectationsExecSql,
     "stream_segy_exec"     -> qStreamSegyExecSql,
     "stream_join_exec"     -> qStreamJoinExecSql,
     "stream_session_exec"  -> qStreamSessionExecSql,
