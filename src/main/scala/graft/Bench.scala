@@ -251,6 +251,18 @@ object Bench {
     // comparator: stream_tumbling_exec (same single stateful streaming
     // agg; conditional counters in place of the window state)
     "stream_expectations_exec" -> 1.9,
+    // comparator: agg_conditional x2 (two filtered agg passes over
+    // events + a 5-row merge join)
+    "pipeline_incremental" -> 0.7,
+    // comparator: graph_triangles (same nation-cut co-purchase edge
+    // build; five cheap degree-peel rounds in place of wedge counting)
+    "graph_kcore" -> 2.6,
+    // comparator: text_tokens + agg_distinct (one posexplode + one
+    // countDistinct-bearing groupBy)
+    "text_inverted_index" -> 1.0,
+    // comparator: mdio_semblance's computed-equi-key join on the same
+    // 1024-cell grid, 5 lags x 15 pairs
+    "mdio_xcorr" -> 1.0,
     // comparator: join_semi x2 (same lineitem⋈supplier equi join; the
     // x8 salt replication of the 100-row small side is noise)
     "join_salted" -> 0.9,

@@ -1396,7 +1396,67 @@ object Mdio {
            CAST(SUM(CASE WHEN abs(q - med) > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes
     FROM m WHERE cnt = 5"""
 
+  // TRACE ALIGNMENT BY CROSS-CORRELATION — the statics-estimation move:
+  // for each adjacent trace pair in the dense 16×64 gather (the SEG-Y
+  // cell grid), score five integer lags by the cross-correlation
+  // Σ_t a(tr,t)·a(tr+1,t+lag) and pick the argmax (ties → smallest
+  // lag). Products are decimal-exact (cell amplitudes are scale-6
+  // decimals by construction), so scores and the argmax are
+  // engine-exact. Shape: the lag dimension EXPLODES the left side (5×,
+  // a literal — no join), then ONE equi join on the computed key
+  // (tr+1, t+lag) — correlation-as-equi-join, the same trick as
+  // mdio_semblance's moveout key; no window over the raw corpus, one
+  // row_number over the 80-row score table.
+  val qXcorr: Q = (s, d) => {
+    val cells = lineitem(s, d)
+      .groupBy((col("l_suppkey") % 16).as("tr"), (col("l_orderkey") % 64).as("t"))
+      .agg(dsum(col("l_quantity")).as("a"))
+    // micro-unit integers (amplitudes are scale-6 exact): products and
+    // sums stay pure integers, the agg_linreg overflow discipline
+    val micro = (c: org.apache.spark.sql.Column) =>
+      (c.cast("decimal(27,6)") * 1000000).cast("decimal(38,0)")
+    val left = cells
+      .withColumn("lag", explode(array(lit(-2), lit(-1), lit(0), lit(1), lit(2))))
+      .select(col("tr"), col("t"), col("lag"), micro(col("a")).as("a1"))
+    val right = cells.select((col("tr") - 1).as("tr"), col("t").as("t2"),
+      micro(col("a")).as("a2"))
+    val scores = left.join(right,
+        left("tr") === right("tr") && col("t2") === col("t") + col("lag"))
+      .groupBy(left("tr").as("tr"), col("lag"))
+      .agg(sum(col("a1") * col("a2")).as("score_u"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tr")).orderBy(col("score_u").desc, col("lag"))
+    scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("tr"), col("lag").as("best_lag"),
+        (col("score_u").cast("double") / 1e12).as("score"))
+      .orderBy(col("tr"))
+  }
+
+  val qXcorrSql: String = s"""
+    WITH cells AS (
+      SELECT l_suppkey % 16 AS tr, l_orderkey % 64 AS t,
+             ${sqlDsum("l_quantity")} AS a
+      FROM lineitem GROUP BY 1, 2),
+    lagged AS (
+      SELECT tr, t, unnest([-2, -1, 0, 1, 2]) AS lag,
+             CAST(CAST(a AS DECIMAL(27,6)) * 1000000 AS HUGEINT) AS a1
+      FROM cells),
+    sc AS (
+      SELECT c1.tr, c1.lag,
+             SUM(c1.a1 * CAST(CAST(c2.a AS DECIMAL(27,6)) * 1000000 AS HUGEINT)) AS score_u
+      FROM lagged c1
+      JOIN cells c2 ON c2.tr = c1.tr + 1 AND c2.t = c1.t + c1.lag
+      GROUP BY 1, 2),
+    best AS (
+      SELECT tr, lag, score_u,
+             row_number() OVER (PARTITION BY tr ORDER BY score_u DESC, lag) AS rn
+      FROM sc)
+    SELECT tr, lag AS best_lag, CAST(score_u AS DOUBLE) / 1e12 AS score
+    FROM best WHERE rn = 1 ORDER BY tr"""
+
   val queries: Map[String, Q] = Map(
+    "mdio_xcorr"            -> qXcorr,
     "mdio_bandpass"         -> qBandpass,
     "mdio_despike"          -> qDespike,
     "mdio_smooth_dim"       -> qSmoothDim,
@@ -1440,6 +1500,7 @@ object Mdio {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "mdio_xcorr"            -> qXcorrSql,
     "mdio_bandpass"         -> qBandpassSql,
     "mdio_despike"          -> qDespikeSql,
     "mdio_smooth_dim"       -> qSmoothDimSql,

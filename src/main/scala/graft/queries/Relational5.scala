@@ -298,7 +298,163 @@ object Relational5 {
     JOIN uc u2 ON u2.word = string_split(gram, ' ')[2]
     ORDER BY dice_ppm DESC, gram LIMIT 20"""
 
+  // ---------------------------------------------------------------------
+  // INCREMENTAL AGGREGATE MAINTENANCE — the nightly-pipeline move: the
+  // running per-type stats table is NOT recomputed from history; the
+  // base partition (everything before the latest day) and the delta
+  // partition (the latest day) are aggregated separately and MERGED by
+  // the aggregates' own algebra (counts add, decimal sums add, min/max
+  // fold). The oracle recomputes from the full corpus — equality IS the
+  // proof that the merge algebra is lossless, so at 100 TB the daily
+  // cost is O(delta), not O(history). The day cut is data-derived (one
+  // broadcast scalar), so the query stays deterministic on any corpus.
+  // ---------------------------------------------------------------------
+
+  val qPipelineIncremental: Q = (s, d) => {
+    val ev = events(s, d)
+    val cut = ev.agg(date_trunc("DAY", max(col("ts"))).as("cut"))
+    val tagged = ev.crossJoin(broadcast(cut))
+    def stats(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(27,6)")).as("sv"),
+           min(col("value")).as("lo"),
+           max(col("value")).as("hi"))
+    val base  = stats(tagged.filter(col("ts") <  col("cut")))
+    val delta = stats(tagged.filter(col("ts") >= col("cut")))
+    base.select(col("event_type"), col("n").as("nb"), col("sv").as("svb"),
+        col("lo").as("lob"), col("hi").as("hib"))
+      .join(delta.select(col("event_type"), col("n").as("nd"), col("sv").as("svd"),
+        col("lo").as("lod"), col("hi").as("hid")), Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("nb"), lit(0L)) + coalesce(col("nd"), lit(0L))).as("n"),
+        (coalesce(col("svb"), lit(0).cast("decimal(27,6)")) +
+         coalesce(col("svd"), lit(0).cast("decimal(27,6)"))).cast("double").as("sum_value"),
+        least(col("lob"), col("lod")).as("lo"),
+        greatest(col("hib"), col("hid")).as("hi"))
+      .orderBy(col("event_type"))
+  }
+
+  // The oracle aggregates the WHOLE corpus in one pass — matching it
+  // certifies the base ⊎ delta merge loses nothing.
+  val qPipelineIncrementalSql: String = s"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ${sqlDsum("value")} AS sum_value,
+           min(value) AS lo, max(value) AS hi
+    FROM events GROUP BY 1 ORDER BY 1"""
+
+  // ---------------------------------------------------------------------
+  // K-CORE DECOMPOSITION (k=3) of one nation's co-purchase supplier
+  // graph — iterative peeling: drop every node of degree < 3, recompute
+  // degrees on the surviving subgraph, repeat. Five rounds suffice at
+  // this scale (peeling is monotone; the fixpoint is reached when a
+  // round removes nothing) and each round is one degree agg + one
+  // semi-join, lineage-cut like every iterative op here. The oracle
+  // unrolls the same five peels as chained CTEs. The 3-core is the
+  // "stable trading community" — nodes with at least 3 surviving
+  // partners inside the core.
+  // ---------------------------------------------------------------------
+
+  val qGraphKcore: Q = (s, d) => {
+    val supp = supplier(s, d)
+      .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("sk"))
+    val li = lineitem(s, d).join(broadcast(supp), col("l_suppkey") === col("sk"))
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("n"))
+    var edges = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("a"), col("y.n").as("b")).distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to 5) {
+      val deg = edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+      val core = deg.filter(col("dg") >= 3).select(col("v"))
+      edges = edges
+        .join(core.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(core.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+    }
+    val nodes = edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v"))).distinct()
+    nodes.agg(count(lit(1)).as("n_core_nodes"), sum(col("v")).as("sum_node_ids"))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_core_edges"))))
+      .select(col("n_core_nodes"), col("n_core_edges"), col("sum_node_ids"))
+  }
+
+  val qGraphKcoreSql: String = {
+    // five unrolled peel rounds, each one CTE pair (degrees, surviving edges)
+    // every peel CTE is MATERIALIZED: each level references its
+    // predecessor three times, and inlining would expand the base scan
+    // 3^5-fold (fd exhaustion, not just wasted work)
+    val peel = (1 to 5).map { i =>
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"""d$i AS MATERIALIZED (
+        SELECT v, COUNT(*) AS dg FROM (
+          SELECT a AS v FROM $prev UNION ALL SELECT b AS v FROM $prev) GROUP BY 1),
+      c$i AS MATERIALIZED (SELECT v FROM d$i WHERE dg >= 3),
+      e$i AS MATERIALIZED (
+        SELECT a, b FROM $prev
+        WHERE a IN (SELECT v FROM c$i) AND b IN (SELECT v FROM c$i))"""
+    }.mkString(",\n      ")
+    s"""
+    WITH supp AS MATERIALIZED (
+      SELECT s_suppkey AS sk FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'),
+    li AS MATERIALIZED (
+      SELECT l_orderkey AS o, l_suppkey AS n FROM lineitem
+      WHERE l_suppkey IN (SELECT sk FROM supp)),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT x.n AS a, y.n AS b
+      FROM li x JOIN li y ON x.o = y.o AND x.n < y.n),
+    $peel,
+    nodes AS (SELECT DISTINCT v FROM (
+      SELECT a AS v FROM e5 UNION ALL SELECT b AS v FROM e5))
+    SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_core_nodes,
+           CAST((SELECT COUNT(*) FROM e5) AS BIGINT) AS n_core_edges,
+           CAST((SELECT SUM(v) FROM nodes) AS BIGINT) AS sum_node_ids"""
+  }
+
+  // ---------------------------------------------------------------------
+  // POSITIONAL INVERTED INDEX: the retrieval-side build (text_bm25 ranks
+  // with it; this materializes it) — per term: document frequency,
+  // collection frequency, the position mass (sum of 0-based token
+  // offsets — proof the index is positional, what phrase queries need),
+  // and the posting-list span. One posexplode + one partial-agg'd
+  // groupBy; at 100 TB this is the canonical map-side-combine shape
+  // (terms collapse within each partition before the shuffle).
+  // ---------------------------------------------------------------------
+
+  val qTextInvertedIndex: Q = (s, d) => {
+    val toks = TF.tokens(col("text"))
+    documents(s, d)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "term")))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+           count(lit(1)).as("cf"),
+           sum(col("pos").cast("long")).as("sum_pos"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .orderBy(col("df").desc, col("term")).limit(15)
+  }
+
+  val qTextInvertedIndexSql: String = """
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+    p AS (SELECT doc_id,
+                 unnest(list_transform(range(0, len(w)),
+                   i -> {'pos': i, 'term': w[i + 1]})) AS s
+          FROM t),
+    f AS (SELECT doc_id, s.pos AS pos, s.term AS term FROM p)
+    SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(COUNT(*) AS BIGINT) AS cf,
+           CAST(SUM(pos) AS BIGINT) AS sum_pos,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM f GROUP BY 1 ORDER BY df DESC, term LIMIT 15"""
+
   val queries: Map[String, Q] = Map(
+    "pipeline_incremental"  -> qPipelineIncremental,
+    "graph_kcore"           -> qGraphKcore,
+    "text_inverted_index"   -> qTextInvertedIndex,
     "graph_bfs"             -> qGraphBfs,
     "agg_linreg"            -> qAggLinreg,
     "pipeline_expectations" -> qPipelineExpectations,
@@ -307,6 +463,9 @@ object Relational5 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "pipeline_incremental"  -> qPipelineIncrementalSql,
+    "graph_kcore"           -> qGraphKcoreSql,
+    "text_inverted_index"   -> qTextInvertedIndexSql,
     "graph_bfs"             -> qGraphBfsSql,
     "agg_linreg"            -> qAggLinregSql,
     "pipeline_expectations" -> qPipelineExpectationsSql,

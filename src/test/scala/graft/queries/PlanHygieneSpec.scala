@@ -31,7 +31,10 @@ class PlanHygieneSpec extends SparkSpec {
       // join_spatial attaches the one-row data-derived coordinate span;
       // graph_pagerank the one-row node count (once per iteration);
       // graph_triangles assembles its three one-row counts
-      "join_spatial", "graph_pagerank", "graph_triangles")
+      "join_spatial", "graph_pagerank", "graph_triangles",
+      // pipeline_incremental attaches the one-row day-cut scalar;
+      // graph_kcore assembles its one-row edge count
+      "pipeline_incremental", "graph_kcore")
 
   test("no accidental cartesian/nested-loop joins across the inventory") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
