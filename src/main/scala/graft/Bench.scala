@@ -471,5 +471,50 @@ object Bench {
     // comparator: zarr_pushdown (seam-straddling filtered scan of the
     // doubled store; one-time build untimed)
     "mdio_concat" -> 0.160,
-    "zarr_sharded_roundtrip" -> 0.086, "zarr_v3_roundtrip" -> 0.087)
+    "zarr_sharded_roundtrip" -> 0.086, "zarr_v3_roundtrip" -> 0.087,
+    // comparator: mdio_semblance (same cells-agg base + broadcast
+    // literal-grid equi-expansion + partial-agg'd groupBys; two
+    // transform passes in place of the one trial-grid join)
+    "mdio_envelope" -> 1.5,
+    // comparator: embedding_outliers x2 (same posexplode + per-dim agg
+    // shape run twice per Lloyd round, plus two per-vector windows)
+    "embedding_kmeans" -> 1.6,
+    // comparator: graph_kcore (same checkpointed co-purchase edge table,
+    // bounded label-join rounds in place of degree peels; 3 rounds with
+    // a window argmax each vs 5 peel rounds)
+    "graph_labelprop" -> 2.6,
+    // comparator: join_left_outer (one outer join over orders + a small
+    // union and one group-by on top)
+    "pipeline_merge_upsert" -> 0.8,
+    // comparator: text_tokens + text_top_ngrams (one map-only kernel
+    // pass + explode + count-agg top-k)
+    "text_wordpiece" -> 0.9,
+    // comparator: mdio_envelope x2 (two 2-D transform expansions at 16x
+    // the per-join row volume but the same grid-bounded agg shape)
+    "mdio_fk_filter" -> 3.0,
+    // comparator: embedding_kmeans (same posexplode base + broadcast-join
+    // matvec rounds in place of the assignment rounds)
+    "embedding_pca" -> 1.6,
+    // comparator: text_top_ngrams + window_islands x3 (one corpus
+    // word-count contraction, then three window-composition rounds over
+    // the tiny distinct-word dict)
+    "text_bpe_train" -> 1.9,
+    // comparator: mdio_envelope (one transform half instead of two, plus
+    // the per-trace pack + argmax window)
+    "mdio_spectrum" -> 1.5,
+    // comparator: mdio_envelope (identical two-transform explode shape,
+    // 2x the inverse grid)
+    "mdio_resample" -> 1.5,
+    // comparator: events_resample (same one-shuffle-by-key + window-pass
+    // shape over events; two window functions in the one pass)
+    "events_cusum" -> 1.6,
+    // comparator: mdio_smooth_grid (same cells base + chained grouped
+    // passes; three pair-fold levels in place of the two window sweeps)
+    "mdio_wavelet" -> 2.3,
+    // comparator: mdio_semblance (identical flat-decode broadcast scan +
+    // computed-equi-key join + one grouped stack)
+    "mdio_migrate" -> 0.7,
+    // comparator: events_resample (one window pass over events) + the
+    // broadcast-ish join back for the touch type
+    "events_attribution" -> 1.6)
 }

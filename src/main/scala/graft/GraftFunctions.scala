@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BloomHits, CosineVec, DotVec, MinHashPolySig, MinHashSig, SimHash64, SimHashPoly, WeightSum, WinnowFps, WordNGrams}
+import graft.expressions.{BloomHits, CosineVec, DftMagQ, DotVec, MinHashPolySig, MinHashSig, SimHash64, SimHashPoly, WeightSum, WinnowFps, WordNGrams, WordPiece}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -35,7 +35,11 @@ object GraftFunctions {
     ("weight_sum", "sum of hashed-bucket weights over a gram array (linear model apply)",
       (es: Seq[Expression]) => WeightSum(es(0), es(1))),
     ("winnow_fps", "distinct winnowing fingerprints (k-gram window minima) of a string",
-      (es: Seq[Expression]) => WinnowFps(es(0), es(1), es(2))))
+      (es: Seq[Expression]) => WinnowFps(es(0), es(1), es(2))),
+    ("wordpiece", "greedy longest-match subword tokenization of each word against a vocab",
+      (es: Seq[Expression]) => WordPiece(es(0), es(1))),
+    ("dft_mag_q", "floor-quantized DFT magnitude spectrum of a dense trace",
+      (es: Seq[Expression]) => DftMagQ(es.head)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = fns.foreach { case (name, usage, builder) =>

@@ -271,6 +271,86 @@ object TextKernels {
     }
     new GenericArrayData(mins.map(Long.box: Long => java.lang.Long).asInstanceOf[Array[AnyRef]])
   }
+
+  /** Greedy longest-match-first subword tokenization (the WordPiece /
+    * unigram-vocab inference algorithm: at each position take the LONGEST
+    * vocabulary entry that prefixes the remainder; no match → emit the
+    * single character and advance one) applied to every word of `tokens`,
+    * returning the flat subword stream. Deterministic: ties are
+    * impossible (two equal-length matches at one position are the same
+    * string), so the token stream is a pure function of (word, vocab) —
+    * which is what puts a real tokenizer pass on the DuckDB oracle (a
+    * recursive CTE re-derives the same greedy walk). Matching is per
+    * UTF-16 code unit, == per character on the BMP/ASCII corpora this
+    * serves. One JVM loop per row inside whole-stage codegen; the
+    * first-char-indexed, length-descending candidate table is cached per
+    * vocab literal (the table is rebuilt only when the vocab reference
+    * changes — once per partition for a literal argument). */
+  def wordpiece(tokens: ArrayData, vocab: ArrayData): ArrayData = {
+    val table = wordpieceTable(vocab)
+    val out = new java.util.ArrayList[AnyRef]()
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val w = tokens.getUTF8String(i).toString
+        var pos = 0
+        while (pos < w.length) {
+          val cands = table.get(w.charAt(pos))
+          var found: String = null
+          if (cands != null) {
+            var c = 0
+            while (c < cands.length && found == null) {
+              val v = cands(c) // length-descending: first hit IS the longest
+              if (v.length <= w.length - pos && w.startsWith(v, pos)) found = v
+              c += 1
+            }
+          }
+          val tok = if (found != null) found else w.substring(pos, pos + 1)
+          out.add(UTF8String.fromString(tok))
+          pos += tok.length
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  // last-used vocab table, keyed by ArrayData reference: literal vocab
+  // arguments evaluate to the same object for a partition's lifetime, so
+  // this one-slot cache makes table construction once-per-partition (and
+  // a miss merely rebuilds a ~vocab-sized map — correctness never depends
+  // on a hit). Thread-local: executor task threads must not share slots.
+  private val wpCache =
+    new ThreadLocal[(ArrayData, java.util.HashMap[Character, Array[String]])]()
+
+  private def wordpieceTable(vocab: ArrayData)
+      : java.util.HashMap[Character, Array[String]] = {
+    val cached = wpCache.get()
+    if (cached != null && (cached._1 eq vocab)) return cached._2
+    val byFirst = new java.util.HashMap[Character, java.util.ArrayList[String]]()
+    val n = vocab.numElements()
+    var i = 0
+    while (i < n) {
+      if (!vocab.isNullAt(i)) {
+        val v = vocab.getUTF8String(i).toString
+        if (v.nonEmpty) {
+          var lst = byFirst.get(v.charAt(0))
+          if (lst == null) { lst = new java.util.ArrayList[String](); byFirst.put(v.charAt(0), lst) }
+          if (!lst.contains(v)) lst.add(v)
+        }
+      }
+      i += 1
+    }
+    val table = new java.util.HashMap[Character, Array[String]]()
+    byFirst.forEach { (ch, lst) =>
+      val arr = lst.toArray(new Array[String](lst.size))
+      java.util.Arrays.sort(arr, (a: String, b: String) => b.length - a.length)
+      table.put(ch, arr)
+    }
+    wpCache.set((vocab, table))
+    table
+  }
 }
 
 /** word_ngrams(array<string>, n) -> array<string> */
@@ -423,5 +503,27 @@ case class MinHashSig(left: Expression, right: Expression) extends BinaryExpress
     defineCodeGen(ctx, ev, (s, k) => s"graft.expressions.TextKernels.minhash($s, $k)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashSig =
+    copy(left = l, right = r)
+}
+
+/** wordpiece(array<string>, array<string>) -> array<string> — greedy
+  * longest-match subword tokenization of each word against the vocab. */
+case class WordPiece(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "wordpiece"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"wordpiece needs (array<string>, array<string>), got (${l.simpleString}, ${r.simpleString})")
+  }
+
+  override protected def nullSafeEval(tokens: Any, vocab: Any): Any =
+    TextKernels.wordpiece(tokens.asInstanceOf[ArrayData], vocab.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, v) => s"graft.expressions.TextKernels.wordpiece($t, $v)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WordPiece =
     copy(left = l, right = r)
 }

@@ -34,7 +34,11 @@ class PlanHygieneSpec extends SparkSpec {
       "join_spatial", "graph_pagerank", "graph_triangles",
       // pipeline_incremental attaches the one-row day-cut scalar;
       // graph_kcore assembles its one-row edge count
-      "pipeline_incremental", "graph_kcore")
+      "pipeline_incremental", "graph_kcore",
+      // embedding_pca attaches the one-row norm/eigenvalue scalar (twice,
+      // once per power iteration); text_bpe_train the one-row winning
+      // pair per merge round — both the canonical scalar attach
+      "embedding_pca", "text_bpe_train")
 
   test("no accidental cartesian/nested-loop joins across the inventory") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
