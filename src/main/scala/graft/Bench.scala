@@ -516,5 +516,11 @@ object Bench {
     "mdio_migrate" -> 0.7,
     // comparator: events_resample (one window pass over events) + the
     // broadcast-ish join back for the touch type
-    "events_attribution" -> 1.6)
+    "events_attribution" -> 1.6,
+    // comparator: agg_conditional (one conditional-count groupBy over
+    // lineitem; the cumulative sweep runs on the ≤50-value domain)
+    "agg_ks_test" -> 0.5,
+    // comparator: stream_fmgws_exec (same file-source -> fMGWS ->
+    // memory-sink shape; two-long state fold in place of session merge)
+    "stream_cusum_exec" -> 2.5)
 }

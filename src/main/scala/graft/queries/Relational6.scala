@@ -1004,6 +1004,63 @@ object Relational6 {
     FROM credited c LEFT JOIN ev t ON c.touch_id = t.event_id
     GROUP BY 1 ORDER BY 1"""
 
+  // ---------------------------------------------------------------------
+  // TWO-SAMPLE KOLMOGOROV–SMIRNOV TEST — the distribution-drift check a
+  // data pipeline runs between slices (train vs eval, this week vs last):
+  // D = max over the merged support of |F̂₁(v) − F̂₂(v)|. INTEGER-EXACT
+  // throughout: the statistic compares cross-multiplied cumulative
+  // counts |c₁(v)·N₂ − c₂(v)·N₁| (no division until the one final
+  // exact-rounded quotient), so the argmax and the statistic are pure
+  // integer arithmetic both engines reproduce identically.
+  //
+  // Scale shape: the stream contracts FIRST to per-value conditional
+  // counts (one partial-agg'd groupBy over the corpus — the only
+  // corpus-scale pass); the cumulative sweep then runs over the DISTINCT
+  // VALUE DOMAIN (here ≤ 50 quantity levels; bounded by value
+  // cardinality, not rows), where a single-partition window is the
+  // correct plan, not a bottleneck. Same posture as the BPE word-dict
+  // contraction.
+  // ---------------------------------------------------------------------
+
+  val qAggKsTest: Q = (s, d) => {
+    val counts = lineitem(s, d)
+      .filter(col("l_returnflag").isin("R", "A"))
+      .select((col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("v"),
+        (col("l_returnflag") === "R").as("s1"))
+      .groupBy(col("v"))
+      .agg(count(when(col("s1"), 1)).as("c1"), count(when(!col("s1"), 1)).as("c2"))
+    val cumW = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+    val allW = Window.partitionBy()
+    counts
+      .select(col("v"),
+        sum(col("c1")).over(cumW).as("cum1"), sum(col("c2")).over(cumW).as("cum2"),
+        sum(col("c1")).over(allW).as("n1"), sum(col("c2")).over(allW).as("n2"))
+      .select(col("v"), col("n1"), col("n2"),
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("d_num"))
+      .orderBy(col("d_num").desc, col("v"))
+      .limit(1)
+      .select(col("v"), col("n1"), col("n2"), col("d_num"),
+        (col("d_num").cast("double") / (col("n1") * col("n2")).cast("double")).as("d"))
+  }
+
+  val qAggKsTestSql: String = """
+    WITH counts AS (
+      SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS c1,
+             CAST(COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS BIGINT) AS c2
+      FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1),
+    cum AS (
+      SELECT v,
+             CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+             CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS cum2,
+             CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+             CAST(SUM(c2) OVER () AS BIGINT) AS n2
+      FROM counts)
+    SELECT v, n1, n2, abs(cum1 * n2 - cum2 * n1) AS d_num,
+           CAST(abs(cum1 * n2 - cum2 * n1) AS DOUBLE)
+             / CAST(n1 * n2 AS DOUBLE) AS d
+    FROM cum ORDER BY d_num DESC, v LIMIT 1"""
+
   val queries: Map[String, Q] = Map(
     "mdio_envelope"         -> qMdioEnvelope,
     "embedding_kmeans"      -> qEmbeddingKmeans,
@@ -1019,6 +1076,7 @@ object Relational6 {
     "mdio_wavelet"          -> qMdioWavelet,
     "mdio_migrate"          -> qMdioMigrate,
     "events_attribution"    -> qEventsAttribution,
+    "agg_ks_test"           -> qAggKsTest,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1036,5 +1094,6 @@ object Relational6 {
     "mdio_wavelet"          -> qMdioWaveletSql,
     "mdio_migrate"          -> qMdioMigrateSql,
     "events_attribution"    -> qEventsAttributionSql,
+    "agg_ks_test"           -> qAggKsTestSql,
   )
 }

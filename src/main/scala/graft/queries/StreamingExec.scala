@@ -526,7 +526,48 @@ object StreamingExec {
                 AS BIGINT) AS pass
     FROM c ORDER BY event_type"""
 
+  /** Streaming CUSUM change-point detection executed as a stream:
+    * [[Streams.cusumAlarms]]'s per-type O(1)-state recurrence (prefix sum
+    * + running minimum carried across batches) over the real event
+    * stream, emitting one alarm row per threshold-exceeding event. The
+    * oracle re-derives the identical alarm set from the CLOSED FORM —
+    * S_t = P_t − min(0, min prefix P) as one window pass — certifying the
+    * recurrence ↔ closed-form duality end to end (the batch twin with a
+    * data-derived baseline is `events_cusum`). Types that never alarm
+    * contribute no rows on either side. */
+  val qStreamCusumExec: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.eventsStream(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Streams.Event]
+    val alarms = Streams.cusumAlarms(s, ev, driftCents = 5100L, thresholdCents = 100000L)
+    runToMemory(alarms.toDF(), "append")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_alarms"), max(col("s")).as("max_s"),
+           min(col("event_id")).as("first_alarm"))
+      .orderBy(col("event_type"))
+  }
+
+  val qStreamCusumExecSql: String = """
+    WITH ev AS (
+      SELECT event_type, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+      FROM events),
+    pfx AS (
+      SELECT event_type, event_id,
+             CAST(SUM(xc - 5100) OVER (PARTITION BY event_type ORDER BY event_id) AS BIGINT) AS p
+      FROM ev),
+    sc AS (
+      SELECT event_type, event_id,
+             p - LEAST(MIN(p) OVER (PARTITION BY event_type ORDER BY event_id), 0) AS s
+      FROM pfx)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_alarms,
+           CAST(MAX(s) AS BIGINT) AS max_s, MIN(event_id) AS first_alarm
+    FROM sc WHERE s > 100000 GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, Q] = Map(
+    "stream_cusum_exec"    -> qStreamCusumExec,
     "stream_expectations_exec" -> qStreamExpectationsExec,
     "stream_segy_exec"     -> qStreamSegyExec,
     "stream_join_exec"     -> qStreamJoinExec,
@@ -542,6 +583,7 @@ object StreamingExec {
     "stream_mdio_exec"     -> qStreamMdioExec)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_cusum_exec"    -> qStreamCusumExecSql,
     "stream_expectations_exec" -> qStreamExpectationsExecSql,
     "stream_segy_exec"     -> qStreamSegyExecSql,
     "stream_join_exec"     -> qStreamJoinExecSql,

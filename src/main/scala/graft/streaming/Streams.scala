@@ -35,6 +35,51 @@ object Streams {
   /** Per-user open-session state for [[sessionize]]. */
   case class SessState(start: Long, last: Long, n: Long, total: Double)
 
+  /** Per-type CUSUM carry for [[cusumAlarms]]: prefix sum of deviations
+    * and its running minimum — the O(1) state that makes Page's CUSUM a
+    * streaming operator (the batch twin `events_cusum` computes the same
+    * statistic as a closed-form window pass). */
+  case class CusumState(p: Long, minP: Long)
+
+  case class CusumAlarm(event_type: String, event_id: Long, s: Long)
+
+  /** Streaming CUSUM change-point detector: per event type, maintain the
+    * prefix sum P of cent deviations from the fixed baseline `driftCents`
+    * and its running minimum; emit an alarm row for every event whose
+    * excursion S = P − min(0, min prefix P) exceeds `thresholdCents`.
+    * State is two longs per key — bounded forever, no watermark needed
+    * (the statistic never expires; this is drift detection, not
+    * windowing). Events inside a micro-batch sort by event_id (the
+    * [[sessionize]] discipline: batch iterators are unordered); batches
+    * are assumed id-ordered across triggers, which file-source ingest of
+    * an append-only log satisfies. Cent quantization matches the batch
+    * column form (`CAST(value AS DECIMAL(18,2)) · 100`) digit for digit,
+    * so the DuckDB oracle certifies the streaming run's alarms exactly. */
+  def cusumAlarms(spark: SparkSession, events: Dataset[Event],
+                  driftCents: Long, thresholdCents: Long): Dataset[CusumAlarm] = {
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, batch: Iterator[Event], state: GroupState[CusumState]) =>
+          val evs = batch.toSeq.sortBy(_.event_id)
+          var st = state.getOption.getOrElse(CusumState(0L, Long.MaxValue))
+          val alarms = scala.collection.mutable.ArrayBuffer[CusumAlarm]()
+          evs.foreach { e =>
+            val cents = new java.math.BigDecimal(e.value)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            val p = st.p + (cents - driftCents)
+            val minP = math.min(st.minP, p)
+            st = CusumState(p, minP)
+            val s = p - math.min(minP, 0L)
+            if (s > thresholdCents) alarms += CusumAlarm(etype, e.event_id, s)
+          }
+          state.update(st)
+          alarms.iterator
+      }
+  }
+
   /** Tumbling event-time windows with late-data tolerance. */
   def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
                      watermark: String = "2 hours"): DataFrame =

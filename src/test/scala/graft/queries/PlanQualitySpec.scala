@@ -301,4 +301,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("WholeStageCodegen"), "geo math must be codegen'd:\n" + p.take(400))
     assert(!p.contains("BatchEvalPython"), "no python UDFs in the geo path")
   }
+
+  test("mdio_envelope: grid expansion is an explode, no join node at all") {
+    val p = plan("mdio_envelope")
+    assert(p.contains("Generate"), "literal-array explode expansion missing:\n" + p.take(400))
+    assert(!p.contains("Join"), "the DFT must not plan any join:\n" + p.take(600))
+  }
+
+  test("embedding_kmeans: centroid relations broadcast, assignments partial-agg") {
+    val p = plan("embedding_kmeans")
+    assert(p.contains("BroadcastHashJoin"), "centroid joins must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "kmeans must never go quadratic")
+    assert(p.contains("partial_"), "distance sums need a map-side partial phase")
+  }
+
+  test("mdio_migrate: traveltime scan is a broadcast equi join (semblance shape)") {
+    val p = plan("mdio_migrate")
+    assert(p.contains("BroadcastHashJoin"), "trial grid must broadcast-join on (x, tm)")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "migration must join on the computed equi key, not a theta scan")
+  }
+
+  test("text_wordpiece: tokenizer pass reads only the text column, no shuffle before the count") {
+    val p = plan("text_wordpiece")
+    // column pruning: the documents scan must not read lang/source/n_chars
+    assert(!p.contains("n_chars"), "scan reads unprojected columns:\n" + p.take(600))
+    assert(p.contains("partial_"), "token counting needs map-side combine")
+  }
+
+  test("events_cusum: one window pass, drift broadcast back, no self-join over time") {
+    val p = plan("events_cusum")
+    assert(!p.contains("CartesianProduct"), "closed-form CUSUM must not cross join")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "prefix statistics must be window functions:\n" + p.take(400))
+  }
 }
