@@ -522,5 +522,8 @@ object Bench {
     "agg_ks_test" -> 0.5,
     // comparator: stream_fmgws_exec (same file-source -> fMGWS ->
     // memory-sink shape; two-long state fold in place of session merge)
-    "stream_cusum_exec" -> 2.5)
+    "stream_cusum_exec" -> 2.5,
+    // comparator: multimodal_jpeg x4 (8 frame encodes + 2 keyframe
+    // decodes per doc vs the twin's 1+1, same per-image cost)
+    "multimodal_mjpeg" -> 4.4)
 }

@@ -391,9 +391,57 @@ object Media {
            CAST(SUM(CASE WHEN tdup AND idup THEN 1 ELSE 0 END) AS BIGINT) AS n_both
     FROM fl"""
 
+  /** REAL VIDEO PIXEL DECODE on the oracle: Motion-JPEG in MP4 — every
+    * sample a complete baseline-JPEG frame ([[Multimodal
+    * .attachMjpegPayload]]), keyframes demuxed from the stss table and
+    * decoded through the full pure-JVM JPEG path (entropy decode +
+    * dequant + IDCT). Frame content varies per sample (block k of frame
+    * fi = byte (fi·7+k) mod len), so the oracle's cycle arithmetic over
+    * the ROTATED byte list only matches if the demuxer sliced the right
+    * sample bytes AND the codec reconstructed the right frame's pixels —
+    * container index and video pixels certified together. */
+  val qMultimodalMjpeg: Q = (s, d) =>
+    Multimodal.decodeMjpegKeyframes(s,
+        Multimodal.attachMjpegPayload(documents(s, d)))
+      .toDF()
+      .agg(count(lit(1)).as("n_frames"),
+           dsum(col("luma")).as("sum_luma"),
+           sum(col("frame").cast("long")).as("sum_frame_idx"),
+           sum(col("width").cast("long")).as("sum_w"),
+           sum(col("height").cast("long")).as("sum_h"))
+
+  val qMultimodalMjpegSql: String = s"""
+    WITH f AS (
+      SELECT doc_id, octet_length(encode(text)) AS len,
+             list_transform(range(0, octet_length(encode(text))),
+               i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT)) AS bytes,
+             (doc_id % 8) * 8 + 16 AS w, (doc_id % 6) * 8 + 16 AS h
+      FROM documents),
+    g AS (SELECT doc_id, len, bytes, w, h, (w // 8) * (h // 8) AS nb FROM f),
+    k AS (SELECT doc_id, len, bytes, w, h, nb, unnest([0, 4]) AS fi FROM g),
+    e AS (
+      SELECT w, h, fi,
+             CASE WHEN len = 0 THEN 0.0
+                  ELSE CAST((nb // len) * list_sum(bytes)
+                       + COALESCE(list_sum(list_slice(bytes,
+                           (fi * 7) % len + 1,
+                           LEAST((fi * 7) % len + nb % len, len))), 0)
+                       + COALESCE(list_sum(list_slice(bytes, 1,
+                           GREATEST(nb % len - (len - (fi * 7) % len), 0))), 0)
+                       AS DOUBLE) / CAST(nb AS DOUBLE) / 255.0
+             END AS luma
+      FROM k)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_frames,
+           ${sqlDsum("luma")} AS sum_luma,
+           CAST(SUM(fi) AS BIGINT) AS sum_frame_idx,
+           CAST(SUM(w) AS BIGINT) AS sum_w,
+           CAST(SUM(h) AS BIGINT) AS sum_h
+    FROM e"""
+
   // ---- registration -------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "multimodal_mjpeg"      -> qMultimodalMjpeg,
     "multimodal_mp4"        -> qMultimodalMp4,
     "multimodal_mp4_frames" -> qMultimodalMp4Frames,
     "image_phash"           -> qImagePhash,
@@ -402,6 +450,7 @@ object Media {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "multimodal_mjpeg"      -> qMultimodalMjpegSql,
     "multimodal_mp4"        -> qMultimodalMp4Sql,
     "multimodal_mp4_frames" -> qMultimodalMp4FramesSql,
     "image_phash"           -> qImagePhashSql,
