@@ -525,5 +525,11 @@ object Bench {
     "stream_cusum_exec" -> 2.5,
     // comparator: multimodal_jpeg x4 (8 frame encodes + 2 keyframe
     // decodes per doc vs the twin's 1+1, same per-image cost)
-    "multimodal_mjpeg" -> 4.4)
+    "multimodal_mjpeg" -> 4.4,
+    // comparator: agg_ks_test (same contract-then-window shape; the
+    // contingency table is even smaller than the value domain)
+    "agg_chi2" -> 0.5,
+    // comparator: mdio_xcorr x1.7 (same per-trace lag-product equi-join
+    // shape on the same cell grid; five lag/apply joins vs its one pickup)
+    "mdio_deconvolve" -> 1.7)
 }

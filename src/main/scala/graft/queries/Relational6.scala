@@ -1061,6 +1061,152 @@ object Relational6 {
              / CAST(n1 * n2 AS DOUBLE) AS d
     FROM cum ORDER BY d_num DESC, v LIMIT 1"""
 
+  // ---------------------------------------------------------------------
+  // CHI-SQUARE TEST OF INDEPENDENCE — the categorical sibling of
+  // [[qAggKsTest]] (drift between two categorical columns: does line
+  // status depend on return status?). χ² = Σ (O·N − R·C)² / (R·C·N) over
+  // the contingency cells. The corpus contracts to the contingency table
+  // in ONE partial-agg'd groupBy; marginals come from windows over the
+  // ~21-cell table (bounded by category cardinalities, not rows). Each
+  // cell's numerator (O·N − R·C) is an exact long; the one conversion to
+  // double, the squaring, the fixed-order R·C·N product, and the divide
+  // are each single exact-rounded IEEE ops, and the cell sum goes
+  // through [[qsum]] — deterministic end to end.
+  // ---------------------------------------------------------------------
+
+  val qAggChi2: Q = (s, d) => {
+    val cells = lineitem(s, d)
+      .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("sm"))
+      .agg(count(lit(1)).as("o"))
+    val rW = Window.partitionBy(col("rf"))
+    val cW = Window.partitionBy(col("sm"))
+    val nW = Window.partitionBy()
+    val terms = cells
+      .select(col("rf"), col("sm"), col("o"),
+        sum(col("o")).over(rW).as("r"),
+        sum(col("o")).over(cW).as("c"),
+        sum(col("o")).over(nW).as("n"))
+      .select(
+        ((col("o") * col("n") - col("r") * col("c")).cast("double") *
+         (col("o") * col("n") - col("r") * col("c")).cast("double") /
+         (col("r").cast("double") * col("c").cast("double") * col("n").cast("double")))
+          .as("term"),
+        col("rf"), col("sm"))
+    terms.agg(count(lit(1)).as("n_cells"),
+        qsum(col("term"), 1e6).as("chi2"),
+        countDistinct(col("rf")).as("n_rows"),
+        countDistinct(col("sm")).as("n_cols"))
+      .select(col("n_cells"), col("chi2"), col("n_rows"), col("n_cols"),
+        ((col("n_rows") - 1) * (col("n_cols") - 1)).as("dof"))
+  }
+
+  val qAggChi2Sql: String = s"""
+    WITH cells AS (
+      SELECT l_returnflag AS rf, l_linestatus AS sm,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM lineitem GROUP BY 1, 2),
+    m AS (
+      SELECT rf, sm, o,
+             CAST(SUM(o) OVER (PARTITION BY rf) AS BIGINT) AS r,
+             CAST(SUM(o) OVER (PARTITION BY sm) AS BIGINT) AS c,
+             CAST(SUM(o) OVER () AS BIGINT) AS n
+      FROM cells),
+    t AS (
+      SELECT rf, sm,
+             CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)
+               / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(n AS DOUBLE)) AS term
+      FROM m)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ${sqlQsum("term", "1e6")} AS chi2,
+           CAST(COUNT(DISTINCT rf) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT sm) AS BIGINT) AS n_cols,
+           CAST((COUNT(DISTINCT rf) - 1) * (COUNT(DISTINCT sm) - 1) AS BIGINT) AS dof
+    FROM t"""
+
+  // ---------------------------------------------------------------------
+  // PREDICTIVE DECONVOLUTION (spiking decon, order-2 Wiener prediction
+  // filter) — the signal-compression step run before stacking: per
+  // trace, estimate autocorrelation lags r₀..r₂, solve the 2×2 Toeplitz
+  // normal equations in closed form (Cramer), and output the
+  // prediction-ERROR series e_k = a_k − w₁·a_{k−1} − w₂·a_{k−2} (the
+  // "spiked" trace with the predictable reverberation removed).
+  //
+  // Spark-first shape: autocorrelation lags and the filter application
+  // are per-trace EQUI self-joins on (tr, k±l) — absent grid cells
+  // contribute exact zeros (the sparse-correct formulation a window
+  // lead() over present-only rows would get wrong), each join
+  // partial-aggregates, all of it trace-parallel. Determinism: lag sums
+  // through [[qsum]], the closed-form solve is a fixed sequence of
+  // exact-rounded ops on identical inputs (denominator guarded against
+  // the dead-trace zero), and the output sums re-quantize.
+  // ---------------------------------------------------------------------
+
+  val qMdioDeconvolve: Q = (s, d) => {
+    val cells = lineitem(s, d)
+      .groupBy((col("l_partkey") % 512).as("tr"), (col("l_orderkey") % envN).as("k"))
+      .agg(dsum(col("l_quantity")).as("a"))
+    def lagged(l: Int): DataFrame = cells
+      .join(cells.select(col("tr").as("tr2"), (col("k") - l).as("k2"), col("a").as("a2")),
+        col("tr") === col("tr2") && col("k") === col("k2"))
+      .groupBy(col("tr")).agg(qsum(col("a") * col("a2"), 1e6).as(s"r$l"))
+    val rr = lagged(0).join(lagged(1), Seq("tr"), "left").join(lagged(2), Seq("tr"), "left")
+      .select(col("tr"), col("r0"),
+        coalesce(col("r1"), lit(0.0)).as("r1"), coalesce(col("r2"), lit(0.0)).as("r2"))
+    val w = rr.select(col("tr"),
+      ((col("r1") * col("r0") - col("r2") * col("r1")) /
+       greatest(col("r0") * col("r0") - col("r1") * col("r1"), lit(1e-300))).as("w1"),
+      ((col("r2") * col("r0") - col("r1") * col("r1")) /
+       greatest(col("r0") * col("r0") - col("r1") * col("r1"), lit(1e-300))).as("w2"))
+    val e = cells
+      .join(cells.select(col("tr").as("t1"), (col("k") + 1).as("k1"), col("a").as("am1")),
+        col("tr") === col("t1") && col("k") === col("k1"), "left")
+      .join(cells.select(col("tr").as("t2"), (col("k") + 2).as("k22"), col("a").as("am2")),
+        col("tr") === col("t2") && col("k") === col("k22"), "left")
+      .join(w, Seq("tr"))
+      .select(col("tr"),
+        (col("a") - col("w1") * coalesce(col("am1"), lit(0.0))
+                  - col("w2") * coalesce(col("am2"), lit(0.0))).as("e"),
+        col("a"))
+    e.agg(count(lit(1)).as("n"),
+      qsum(abs(col("e")), 1e6).as("sum_abs_err"),
+      qsum(abs(col("a")), 1e6).as("sum_abs_in"))
+  }
+
+  val qMdioDeconvolveSql: String = s"""
+    WITH cells AS (
+      SELECT l_partkey % 512 AS tr, l_orderkey % $envN AS k,
+             ${sqlDsum("l_quantity")} AS a
+      FROM lineitem GROUP BY 1, 2),
+    r0t AS (SELECT c1.tr, ${sqlQsum("c1.a * c2.a", "1e6")} AS r0
+            FROM cells c1 JOIN cells c2 ON c1.tr = c2.tr AND c1.k = c2.k
+            GROUP BY 1),
+    r1t AS (SELECT c1.tr, ${sqlQsum("c1.a * c2.a", "1e6")} AS r1
+            FROM cells c1 JOIN cells c2 ON c1.tr = c2.tr AND c1.k = c2.k - 1
+            GROUP BY 1),
+    r2t AS (SELECT c1.tr, ${sqlQsum("c1.a * c2.a", "1e6")} AS r2
+            FROM cells c1 JOIN cells c2 ON c1.tr = c2.tr AND c1.k = c2.k - 2
+            GROUP BY 1),
+    rr AS (
+      SELECT r0t.tr, r0, COALESCE(r1, 0.0) AS r1, COALESCE(r2, 0.0) AS r2
+      FROM r0t LEFT JOIN r1t ON r0t.tr = r1t.tr LEFT JOIN r2t ON r0t.tr = r2t.tr),
+    w AS (
+      SELECT tr,
+             (r1 * r0 - r2 * r1) / GREATEST(r0 * r0 - r1 * r1, 1e-300) AS w1,
+             (r2 * r0 - r1 * r1) / GREATEST(r0 * r0 - r1 * r1, 1e-300) AS w2
+      FROM rr),
+    e AS (
+      SELECT c.tr,
+             c.a - w.w1 * COALESCE(p1.a, 0.0) - w.w2 * COALESCE(p2.a, 0.0) AS e,
+             c.a
+      FROM cells c
+      LEFT JOIN cells p1 ON c.tr = p1.tr AND c.k = p1.k + 1
+      LEFT JOIN cells p2 ON c.tr = p2.tr AND c.k = p2.k + 2
+      JOIN w ON c.tr = w.tr)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ${sqlQsum("abs(e)", "1e6")} AS sum_abs_err,
+           ${sqlQsum("abs(a)", "1e6")} AS sum_abs_in
+    FROM e"""
+
   val queries: Map[String, Q] = Map(
     "mdio_envelope"         -> qMdioEnvelope,
     "embedding_kmeans"      -> qEmbeddingKmeans,
@@ -1077,6 +1223,8 @@ object Relational6 {
     "mdio_migrate"          -> qMdioMigrate,
     "events_attribution"    -> qEventsAttribution,
     "agg_ks_test"           -> qAggKsTest,
+    "agg_chi2"              -> qAggChi2,
+    "mdio_deconvolve"       -> qMdioDeconvolve,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1095,5 +1243,7 @@ object Relational6 {
     "mdio_migrate"          -> qMdioMigrateSql,
     "events_attribution"    -> qEventsAttributionSql,
     "agg_ks_test"           -> qAggKsTestSql,
+    "agg_chi2"              -> qAggChi2Sql,
+    "mdio_deconvolve"       -> qMdioDeconvolveSql,
   )
 }
