@@ -1207,6 +1207,134 @@ object Relational6 {
            ${sqlQsum("abs(a)", "1e6")} AS sum_abs_in
     FROM e"""
 
+  // ---------------------------------------------------------------------
+  // HILBERT vs Z-ORDER LOCALITY — orders the same 2-D point set along
+  // both space-filling curves and measures each ordering's locality
+  // (total Manhattan distance between curve-consecutive points within
+  // 4096-index curve segments — the file/row-group granularity a
+  // clustered write would produce). The Hilbert walk is 10 chained
+  // narrow projections ([[graft.functions.ZOrder.hilbertD]] — a single
+  // Column expression would blow up 4^order), the Morton key one bit
+  // interleave; both integer-exact, segment windows hash-partition so
+  // nothing funnels through one task. The Hilbert sum coming out LOWER
+  // is the demonstrable claim behind choosing it for layout.
+  // ---------------------------------------------------------------------
+
+  val qSortHilbert: Q = (s, d) => {
+    import graft.functions.ZOrder
+    val pts = lineitem(s, d).select(
+      pmod(col("l_partkey"), lit(1024)).cast("long").as("x"),
+      pmod(col("l_suppkey"), lit(1024)).cast("long").as("y"))
+    val keyed = ZOrder.hilbertD(pts, col("x"), col("y"), 10)
+      .withColumn("zd", ZOrder.zvalue(Seq(col("x"), col("y")), 10))
+    val wH = Window.partitionBy(expr("hd div 4096")).orderBy(col("hd"))
+    val wZ = Window.partitionBy(expr("zd div 4096")).orderBy(col("zd"))
+    keyed.select(
+        coalesce(abs(col("x") - lag(col("x"), 1).over(wH)) +
+                 abs(col("y") - lag(col("y"), 1).over(wH)), lit(0L)).as("dh"),
+        coalesce(abs(col("x") - lag(col("x"), 1).over(wZ)) +
+                 abs(col("y") - lag(col("y"), 1).over(wZ)), lit(0L)).as("dz"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("dh")).as("hilbert_locality"),
+           sum(col("dz")).as("zorder_locality"))
+  }
+
+  val qSortHilbertSql: String = {
+    import graft.functions.ZOrder
+    val (ctes, last) = ZOrder.hilbertSql("pts", Seq("x", "y"), 10)
+    s"""
+    WITH pts AS (
+      SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y,
+             l_partkey % 1024 AS hx, l_suppkey % 1024 AS hy,
+             CAST(0 AS BIGINT) AS hd
+      FROM lineitem),
+    $ctes,
+    k AS (
+      SELECT x, y, hd,
+             ${ZOrder.zvalueSql(Seq("x", "y"), 10)} AS zd
+      FROM $last),
+    dd AS (
+      SELECT COALESCE(abs(x - LAG(x) OVER wh) + abs(y - LAG(y) OVER wh), 0) AS dh,
+             COALESCE(abs(x - LAG(x) OVER wz) + abs(y - LAG(y) OVER wz), 0) AS dz
+      FROM k
+      WINDOW wh AS (PARTITION BY hd // 4096 ORDER BY hd),
+             wz AS (PARTITION BY zd // 4096 ORDER BY zd))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dh) AS BIGINT) AS hilbert_locality,
+           CAST(SUM(dz) AS BIGINT) AS zorder_locality
+    FROM dd"""
+  }
+
+  // ---------------------------------------------------------------------
+  // INCREMENTAL JOIN-VIEW MAINTENANCE — the delta algebra that keeps a
+  // JOIN view fresh without recomputing it: for V = A ⋈ B,
+  // ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB. The query derives deterministic "new
+  // arrival" slices from both sides (orders ≡ 0 mod 7, lineitem order
+  // keys ≡ 0 mod 11), maintains the revenue-by-priority view BOTH ways —
+  // full recompute vs base + three delta joins — and emits them side by
+  // side with an exact-decimal equality verdict, so the oracle certifies
+  // the ALGEBRA, not just one number. At 100 TB the deltas are the small
+  // side: the three maintenance joins broadcast Δ against the base and
+  // cost O(Δ), which is the entire point of maintaining instead of
+  // recomputing. (The aggregate-view sibling is pipeline_incremental.)
+  // ---------------------------------------------------------------------
+
+  val qPipelineIncrementalJoin: Q = (s, d) => {
+    val o = orders(s, d).select(col("o_orderkey").as("ok"),
+      col("o_orderpriority").as("prio"), (col("o_orderkey") % 7 === 0).as("onew"))
+    val l = lineitem(s, d).select(col("l_orderkey").as("lk"),
+      col("l_extendedprice").cast("decimal(18,2)").as("price"),
+      (col("l_orderkey") % 11 === 0).as("lnew"))
+    def view(os: DataFrame, ls: DataFrame): DataFrame =
+      os.join(ls, col("ok") === col("lk"))
+        .groupBy(col("prio")).agg(sum(col("price")).as("v"), count(lit(1)).as("c"))
+    val full = view(o, l)
+    val incr = view(o.filter(!col("onew")), l.filter(!col("lnew")))
+      .unionAll(view(o.filter(col("onew")), l.filter(!col("lnew"))))
+      .unionAll(view(o.filter(!col("onew")), l.filter(col("lnew"))))
+      .unionAll(view(o.filter(col("onew")), l.filter(col("lnew"))))
+      .groupBy(col("prio")).agg(sum(col("v")).as("iv"), sum(col("c")).as("ic"))
+    full.join(incr, Seq("prio"))
+      .select(col("prio"), col("c").as("n_rows"),
+        col("v").cast("double").as("full_sum"),
+        col("iv").cast("double").as("incr_sum"),
+        (col("v") === col("iv") && col("c") === col("ic")).as("algebra_holds"))
+      .orderBy(col("prio"))
+  }
+
+  val qPipelineIncrementalJoinSql: String = """
+    WITH o AS (
+      SELECT o_orderkey AS ok, o_orderpriority AS prio,
+             o_orderkey % 7 = 0 AS onew
+      FROM orders),
+    l AS (
+      SELECT l_orderkey AS lk, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             l_orderkey % 11 = 0 AS lnew
+      FROM lineitem),
+    full_v AS (
+      SELECT prio, SUM(price) AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM o JOIN l ON ok = lk GROUP BY 1),
+    parts AS (
+      SELECT prio, SUM(price) AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM o JOIN l ON ok = lk WHERE NOT onew AND NOT lnew GROUP BY 1
+      UNION ALL
+      SELECT prio, SUM(price), CAST(COUNT(*) AS BIGINT)
+        FROM o JOIN l ON ok = lk WHERE onew AND NOT lnew GROUP BY 1
+      UNION ALL
+      SELECT prio, SUM(price), CAST(COUNT(*) AS BIGINT)
+        FROM o JOIN l ON ok = lk WHERE NOT onew AND lnew GROUP BY 1
+      UNION ALL
+      SELECT prio, SUM(price), CAST(COUNT(*) AS BIGINT)
+        FROM o JOIN l ON ok = lk WHERE onew AND lnew GROUP BY 1),
+    incr AS (
+      SELECT prio, SUM(v) AS iv, CAST(SUM(c) AS BIGINT) AS ic
+      FROM parts GROUP BY 1)
+    SELECT prio, c AS n_rows,
+           CAST(v AS DOUBLE) AS full_sum,
+           CAST(iv AS DOUBLE) AS incr_sum,
+           v = iv AND c = ic AS algebra_holds
+    FROM full_v JOIN incr USING (prio) ORDER BY prio"""
+
   val queries: Map[String, Q] = Map(
     "mdio_envelope"         -> qMdioEnvelope,
     "embedding_kmeans"      -> qEmbeddingKmeans,
@@ -1225,6 +1353,8 @@ object Relational6 {
     "agg_ks_test"           -> qAggKsTest,
     "agg_chi2"              -> qAggChi2,
     "mdio_deconvolve"       -> qMdioDeconvolve,
+    "sort_hilbert"          -> qSortHilbert,
+    "pipeline_incremental_join" -> qPipelineIncrementalJoin,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1245,5 +1375,7 @@ object Relational6 {
     "agg_ks_test"           -> qAggKsTestSql,
     "agg_chi2"              -> qAggChi2Sql,
     "mdio_deconvolve"       -> qMdioDeconvolveSql,
+    "sort_hilbert"          -> qSortHilbertSql,
+    "pipeline_incremental_join" -> qPipelineIncrementalJoinSql,
   )
 }
