@@ -543,5 +543,13 @@ object Bench {
     // comparator: join_left_outer x2 (the same orders⋈lineitem equi join
     // run as one full pass + four delta-slice passes over pre-filtered
     // fractions summing to one corpus)
-    "pipeline_incremental_join" -> 1.8)
+    "pipeline_incremental_join" -> 1.8,
+    // comparator: mdio_semblance (identical flat-decode broadcast scan +
+    // computed-equi-key join + grouped stack; integer moveout is cheaper
+    // than its sqrt pickup)
+    "mdio_radon" -> 0.7,
+    // comparator: mdio_agc + mdio_nmo + mdio_envelope chained (the three
+    // certified stage shapes composed lazily; the envelope runs at N=16
+    // on the 64x16 stacked section, cheaper than its standalone twin)
+    "mdio_processing_chain" -> 3.0)
 }

@@ -1335,6 +1335,160 @@ object Relational6 {
            v = iv AND c = ic AS algebra_holds
     FROM full_v JOIN incr USING (prio) ORDER BY prio"""
 
+  // ---------------------------------------------------------------------
+  // LINEAR RADON (tau–p / slant-stack) TRANSFORM — the demultiple /
+  // plane-wave decomposition transform: stack the gather along every
+  // line t = tau + p·x of a (slowness p, intercept tau) scan. With
+  // integer slownesses the moveout key is PURE INTEGER arithmetic — the
+  // cleanest member of the computed-equi-key family (semblance:
+  // hyperbolic; migration: diffraction) — so the whole transform is one
+  // broadcast join + one partial-agg'd groupBy, certifiable with no
+  // float pickup at all. Output: the 10 strongest (p, tau) events by
+  // stacked energy.
+  // ---------------------------------------------------------------------
+
+  val qMdioRadon: Q = (s, d) => {
+    val cells = lineitem(s, d)
+      .groupBy((col("l_suppkey") % 6).as("x"), (col("l_orderkey") % 64).as("t"))
+      .agg(dsum(col("l_quantity")).as("a"))
+    val scan = s.range(5L * 48 * 6)
+      .select((expr("id div 288") - 2).as("p"), expr("(id div 6) % 48").as("tau"),
+        (col("id") % 6).as("sx"))
+      .select(col("p"), col("tau"), col("sx"),
+        (col("tau") + col("p") * col("sx")).as("tm"))
+      .filter(col("tm") >= 0 && col("tm") <= 63)
+    cells.join(broadcast(scan), col("x") === col("sx") && col("t") === col("tm"))
+      .groupBy(col("p"), col("tau"))
+      .agg(count(lit(1)).as("n_traces"), dsum(col("a")).as("stack"))
+      .select(col("p"), col("tau"), col("n_traces"),
+        (col("stack") * col("stack")).as("energy"))
+      .orderBy(col("energy").desc, col("p"), col("tau"))
+      .limit(10)
+  }
+
+  val qMdioRadonSql: String = s"""
+    WITH cells AS (
+      SELECT l_suppkey % 6 AS x, l_orderkey % 64 AS t,
+             ${sqlDsum("l_quantity")} AS a
+      FROM lineitem GROUP BY 1, 2),
+    scan AS (
+      SELECT p, tau, sx, tau + p * sx AS tm
+      FROM range(-2, 3) pp(p), range(0, 48) tt(tau), range(0, 6) xx(sx)
+      WHERE tau + p * sx BETWEEN 0 AND 63)
+    SELECT p, tau, CAST(COUNT(*) AS BIGINT) AS n_traces,
+           ${sqlDsum("a")} * ${sqlDsum("a")} AS energy
+    FROM cells JOIN scan ON x = sx AND t = tm
+    GROUP BY 1, 2
+    ORDER BY energy DESC, p, tau LIMIT 10"""
+
+  // ---------------------------------------------------------------------
+  // COMPOSED PROCESSING CHAIN — the classic post-acquisition sequence
+  // gain → moveout → stack → attribute run as ONE lazy dataflow on ONE
+  // oracle (the seismic sibling of pipeline_dedup_recipe): AGC balances
+  // each trace (rolling decimal RMS), constant-velocity NMO flattens the
+  // hyperbolas (floor pickup on a flat-decoded broadcast scan), stacking
+  // sums offsets per gather (floor-quantized — post-AGC amplitudes are
+  // computed doubles), and the Hilbert envelope of the STACKED section
+  // is the delivered attribute (N=16 transform indexing the shared
+  // 32-entry twiddle tables at doubled stride). Nothing materializes
+  // between stages; every stage is the already-certified engine-exact
+  // pattern, so the oracle certifies the COMPOSITION.
+  // ---------------------------------------------------------------------
+
+  val qMdioProcessingChain: Q = (s, d) => {
+    val cells = lineitem(s, d)
+      .groupBy((col("l_partkey") % 64).as("g"), (col("l_suppkey") % 6).as("x"),
+        (col("l_orderkey") % envN).as("t"))
+      .agg(dsum(col("l_quantity")).as("a"))
+    // stage 1: AGC (the qAgc discipline — decimal window RMS, exact)
+    val wT = Window.partitionBy(col("g"), col("x")).orderBy(col("t")).rowsBetween(-2, 2)
+    val agc = cells.select(col("g"), col("x"), col("t"),
+      (col("a") / greatest(
+        sqrt(sum((col("a") * col("a")).cast("decimal(30,6)")).over(wT).cast("double") /
+          count(lit(1)).over(wT).cast("double")),
+        lit(1e-300))).as("ag"))
+    // stage 2+3: NMO flatten (v = 4 ⇒ tm = 2·√(t0² + x²), nearest sample)
+    // + per-gather stack over offsets
+    val moveout = s.range(16L * 6)
+      .select(expr("id div 6").as("t0"), (col("id") % 6).as("sx"))
+      .select(col("t0"), col("sx"),
+        floor(sqrt((col("t0") * col("t0") * 4 + col("sx") * col("sx") * 4)
+          .cast("double"))).as("tm"))
+      .filter(col("tm") <= envN - 1)
+    val stacked = agc.join(broadcast(moveout), col("x") === col("sx") && col("t") === col("tm"))
+      .groupBy(col("g"), col("t0"))
+      .agg(qsum(col("ag"), 1e6).as("sv"))
+    // stage 4: Hilbert envelope of the stacked section, N = 16 (twiddle
+    // j16 = 2·j32 into the shared 32-entry tables)
+    val cosL = typedlit(cosT)
+    val sinL = typedlit(sinT)
+    val idx16 = typedlit((0L until 16L).toSeq)
+    def tw16(tab: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      element_at(tab, ((i * 2) % envN + 1).cast("int"))
+    val spec = stacked.withColumn("f", explode(idx16))
+      .select(col("g"), col("f"),
+        (col("sv") * tw16(cosL, col("f") * col("t0"))).as("re"),
+        (-(col("sv") * tw16(sinL, col("f") * col("t0")))).as("im"))
+      .groupBy(col("g"), col("f"))
+      .agg(qsum(col("re"), 1e6).as("xre"), qsum(col("im"), 1e6).as("xim"))
+    val gain = when(col("f") === 0 || col("f") === 8, lit(1.0)).otherwise(lit(2.0))
+    val z = spec.filter(col("f") <= 8).withColumn("n", explode(idx16))
+      .select(col("g"), col("n"),
+        (gain * (col("xre") * tw16(cosL, col("f") * col("n")) -
+                 col("xim") * tw16(sinL, col("f") * col("n")))).as("zr"),
+        (gain * (col("xre") * tw16(sinL, col("f") * col("n")) +
+                 col("xim") * tw16(cosL, col("f") * col("n")))).as("zi"))
+      .groupBy(col("g"), col("n"))
+      .agg((qsum(col("zr"), 1e6) / 16).as("zre"), (qsum(col("zi"), 1e6) / 16).as("zim"))
+    z.select(col("n"), sqrt(col("zre") * col("zre") + col("zim") * col("zim")).as("env"))
+      .agg(count(lit(1)).as("n_samples"), qsum(col("env"), 1e6).as("sum_env"),
+           qsum(when(col("n") === 0, col("env")).otherwise(lit(0.0)), 1e6).as("sum_env0"))
+  }
+
+  val qMdioProcessingChainSql: String = s"""
+    WITH tw AS (SELECT ${sqlVecD(cosT)}::DOUBLE[] AS c, ${sqlVecD(sinT)}::DOUBLE[] AS sn),
+    cells AS (
+      SELECT l_partkey % 64 AS g, l_suppkey % 6 AS x, l_orderkey % $envN AS t,
+             ${sqlDsum("l_quantity")} AS a
+      FROM lineitem GROUP BY 1, 2, 3),
+    agc AS (
+      SELECT g, x, t,
+             a / GREATEST(sqrt(
+               CAST(SUM(CAST((a*a) AS DECIMAL(30,6))) OVER (
+                 PARTITION BY g, x ORDER BY t
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS DOUBLE)
+               / CAST(COUNT(*) OVER (
+                 PARTITION BY g, x ORDER BY t
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS DOUBLE)), 1e-300) AS ag
+      FROM cells),
+    mv AS (
+      SELECT t0, sx,
+             CAST(floor(sqrt(CAST(t0 * t0 * 4 + sx * sx * 4 AS DOUBLE))) AS BIGINT) AS tm
+      FROM range(0, 16) tt(t0), range(0, 6) xx(sx)
+      WHERE CAST(floor(sqrt(CAST(t0 * t0 * 4 + sx * sx * 4 AS DOUBLE))) AS BIGINT)
+              <= ${envN - 1}),
+    stacked AS (
+      SELECT g, t0, ${sqlQsum("ag", "1e6")} AS sv
+      FROM agc JOIN mv ON x = sx AND t = tm
+      GROUP BY 1, 2),
+    spec AS (
+      SELECT g, f,
+             ${sqlQsum(s"sv * c[(f*t0*2) % $envN + 1]", "1e6")} AS xre,
+             ${sqlQsum(s"-(sv * sn[(f*t0*2) % $envN + 1])", "1e6")} AS xim
+      FROM stacked, range(0, 16) ff(f), tw GROUP BY 1, 2),
+    z AS (
+      SELECT g, n,
+             ${sqlQsum(s"gg * (xre * c[(f*n*2) % $envN + 1] - xim * sn[(f*n*2) % $envN + 1])", "1e6")} / 16 AS zre,
+             ${sqlQsum(s"gg * (xre * sn[(f*n*2) % $envN + 1] + xim * c[(f*n*2) % $envN + 1])", "1e6")} / 16 AS zim
+      FROM (SELECT *, CASE WHEN f = 0 OR f = 8 THEN 1.0 ELSE 2.0 END AS gg
+            FROM spec WHERE f <= 8),
+           range(0, 16) nn(n), tw
+      GROUP BY 1, 2),
+    e AS (SELECT n, sqrt(zre * zre + zim * zim) AS env FROM z)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_samples, ${sqlQsum("env", "1e6")} AS sum_env,
+           ${sqlQsum("CASE WHEN n = 0 THEN env ELSE 0.0 END", "1e6")} AS sum_env0
+    FROM e"""
+
   val queries: Map[String, Q] = Map(
     "mdio_envelope"         -> qMdioEnvelope,
     "embedding_kmeans"      -> qEmbeddingKmeans,
@@ -1355,6 +1509,8 @@ object Relational6 {
     "mdio_deconvolve"       -> qMdioDeconvolve,
     "sort_hilbert"          -> qSortHilbert,
     "pipeline_incremental_join" -> qPipelineIncrementalJoin,
+    "mdio_radon"            -> qMdioRadon,
+    "mdio_processing_chain" -> qMdioProcessingChain,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1377,5 +1533,7 @@ object Relational6 {
     "mdio_deconvolve"       -> qMdioDeconvolveSql,
     "sort_hilbert"          -> qSortHilbertSql,
     "pipeline_incremental_join" -> qPipelineIncrementalJoinSql,
+    "mdio_radon"            -> qMdioRadonSql,
+    "mdio_processing_chain" -> qMdioProcessingChainSql,
   )
 }
