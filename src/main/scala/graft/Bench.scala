@@ -551,5 +551,26 @@ object Bench {
     // comparator: mdio_agc + mdio_nmo + mdio_envelope chained (the three
     // certified stage shapes composed lazily; the envelope runs at N=16
     // on the 64x16 stacked section, cheaper than its standalone twin)
-    "mdio_processing_chain" -> 3.0)
+    "mdio_processing_chain" -> 3.0,
+    // comparator: agg_conditional (one conditional-aggregation scan over
+    // lineitem producing a single row; the scalar t/dof tail is free)
+    "agg_ttest" -> 0.4,
+    // comparator: agg_ttest + one window over the ~50-row distinct-value
+    // table (driver-tiny); still one fact-table scan
+    "agg_mannwhitney" -> 0.5,
+    // comparator: window_moving_avg (same daily groupBy + one per-key
+    // window pass; 8 lag taps instead of a frame sum) + the final
+    // 100-bucket rollup
+    "window_ewma" -> 0.8,
+    // comparator: events_resample's hourly groupBy without the explode:
+    // one events scan, 168-bucket agg + broadcast one-row global
+    "events_seasonality" -> 0.5,
+    // comparator: agg_mannwhitney (same grouped-value scan + tiny-table
+    // window) run twice — the MAD pass regroups the 50-row value table
+    "agg_median_mad" -> 0.8,
+    // comparator: agg_argmax (one orders scan into a ~300-bin agg) + a
+    // bin-table window; the scalar ratio tail is free
+    "agg_gini" -> 0.5,
+    // comparator: agg_conditional (one customer scan, two-level rollup)
+    "pipeline_k_anonymity" -> 0.4)
 }

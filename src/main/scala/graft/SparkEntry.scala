@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.Relational4.queries ++
       graft.queries.Relational5.queries ++
       graft.queries.Relational6.queries ++
+      graft.queries.Relational7.queries ++
       graft.queries.Mdio.queries ++
       graft.queries.Pipeline.queries ++
       graft.queries.Pipeline2.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       graft.queries.Relational4.oracleSql ++
       graft.queries.Relational5.oracleSql ++
       graft.queries.Relational6.oracleSql ++
+      graft.queries.Relational7.oracleSql ++
       graft.queries.Mdio.oracleSql ++
       graft.queries.Pipeline.oracleSql ++
       graft.queries.Pipeline2.oracleSql ++

@@ -1,0 +1,451 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 continuation: the experiment-analysis / time-series layer a
+  * production data platform runs on top of the engine — parametric and
+  * rank-based two-sample tests (the A/B-test readout pair to the existing
+  * chi-square and KS entries), exponentially-weighted smoothing, and
+  * calendar-free seasonality profiling.
+  *
+  * Numeric discipline is the package standard (see [[queries]] scaladoc):
+  * counts and decimal-exact sums come out of the aggregation; every
+  * downstream scalar (mean, variance, t, z, index) is a fixed chain of
+  * IEEE exact-rounded ops on those identical inputs, so both engines
+  * produce bit-identical doubles and every query sits on the DuckDB hash
+  * oracle with NO tolerance.
+  */
+object Relational7 {
+
+  /** Same floor-quantized order-independent double sum as Relational6
+    * (see the [[Relational6]] scaladoc for why decimal casts are not
+    * enough for COMPUTED doubles). */
+  private def qsum(c: Column, scale: Double): Column =
+    sum(floor(c * scale + 0.5)).cast("double") / scale
+  private def sqlQsum(e: String, scale: String): String =
+    s"CAST(SUM(CAST(floor(($e) * $scale + 0.5) AS BIGINT)) AS DOUBLE) / $scale"
+
+  // ---------------------------------------------------------------------
+  // WELCH'S TWO-SAMPLE T-TEST — the standard unequal-variance A/B-test
+  // readout. One conditional-aggregation pass over the fact table (no
+  // join, no second scan): n / Σx / Σx² per arm, then mean, sample
+  // variance, t, and the Welch–Satterthwaite degrees of freedom as pure
+  // scalar arithmetic on the exact aggregates. At 100 TB this is one
+  // map-side-combined scan producing a single row — the cheapest possible
+  // distribution shape for the statistic.
+  // ---------------------------------------------------------------------
+
+  val qAggTtest: Q = (s, d) => {
+    val li = lineitem(s, d).filter(col("l_returnflag").isin("R", "A"))
+    val a = col("l_returnflag") === "R"
+    val agg = li.agg(
+      sum(when(a, 1L).otherwise(0L)).as("n_a"),
+      sum(when(!a, 1L).otherwise(0L)).as("n_b"),
+      sum(when(a, col("l_extendedprice").cast("decimal(27,6)"))).cast("double").as("s_a"),
+      sum(when(!a, col("l_extendedprice").cast("decimal(27,6)"))).cast("double").as("s_b"),
+      sum(when(a, (col("l_extendedprice") * col("l_extendedprice")).cast("decimal(30,6)")))
+        .cast("double").as("ss_a"),
+      sum(when(!a, (col("l_extendedprice") * col("l_extendedprice")).cast("decimal(30,6)")))
+        .cast("double").as("ss_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ma = col("s_a") / na; val mb = col("s_b") / nb
+    // sample variance from exact sums: (Σx² − (Σx)²/n) / (n−1); every op
+    // is one exact-rounded IEEE operation on engine-identical inputs
+    val va = (col("ss_a") - col("s_a") * col("s_a") / na) / (na - 1)
+    val vb = (col("ss_b") - col("s_b") * col("s_b") / nb) / (nb - 1)
+    val sea = va / na; val seb = vb / nb
+    val se2 = sea + seb
+    agg.select(
+      col("n_a"), col("n_b"),
+      ma.as("mean_a"), mb.as("mean_b"),
+      ((ma - mb) / sqrt(se2)).as("t_stat"),
+      // the dof chain is the one place the two engines' expression
+      // compilers associate differently at the last ulp (measured: 1-ulp
+      // drift at sf0.01 while t_stat stays bit-identical), so the scalar
+      // is floor-quantized at 1e-6 like every computed-double aggregate
+      (floor(se2 * se2 / (sea * sea / (na - 1) + seb * seb / (nb - 1)) * 1e6 + 0.5) / 1e6)
+        .as("dof"))
+  }
+
+  val qAggTtestSql: String = """
+    WITH agg AS (
+      SELECT
+        CAST(count_if(l_returnflag = 'R') AS BIGINT) AS n_a,
+        CAST(count_if(l_returnflag = 'A') AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN l_returnflag = 'R'
+                 THEN CAST(l_extendedprice AS DECIMAL(27,6)) END) AS DOUBLE) AS s_a,
+        CAST(SUM(CASE WHEN l_returnflag = 'A'
+                 THEN CAST(l_extendedprice AS DECIMAL(27,6)) END) AS DOUBLE) AS s_b,
+        CAST(SUM(CASE WHEN l_returnflag = 'R'
+                 THEN CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6)) END)
+             AS DOUBLE) AS ss_a,
+        CAST(SUM(CASE WHEN l_returnflag = 'A'
+                 THEN CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6)) END)
+             AS DOUBLE) AS ss_b
+      FROM lineitem WHERE l_returnflag IN ('R', 'A'))
+    SELECT n_a, n_b,
+           s_a / na AS mean_a, s_b / nb AS mean_b,
+           (s_a / na - s_b / nb) / sqrt(va / na + vb / nb) AS t_stat,
+           floor((va / na + vb / nb) * (va / na + vb / nb) /
+             ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
+             * 1e6 + 0.5) / 1e6 AS dof
+    FROM (SELECT *,
+            CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+            (ss_a - s_a * s_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1) AS va,
+            (ss_b - s_b * s_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1) AS vb
+          FROM agg) t"""
+
+  // ---------------------------------------------------------------------
+  // MANN–WHITNEY U — the rank-based (distribution-free) two-sample test,
+  // with the normal approximation's tie-corrected z. Spark-first shape:
+  // ranks are NEVER assigned per row — the value domain is grouped first
+  // (l_quantity has ~50 distinct values), so the rank computation is a
+  // window over the DISTINCT-VALUE table, not over the fact table. At
+  // 100 TB the per-value aggregate is one map-side-combined scan and the
+  // windowed rank table stays driver-tiny regardless of row count —
+  // the textbook per-row rank() implementation would shuffle the entire
+  // fact table into one ordered partition.
+  // Average midrank for a tied block: (# below) + (block + 1)/2 — exact
+  // half-integer arithmetic, summed through decimal (half-integers are
+  // on the decimal grid, so dsum is exact).
+  // ---------------------------------------------------------------------
+
+  val qAggMannWhitney: Q = (s, d) => {
+    val li = lineitem(s, d).filter(col("l_linestatus").isin("O", "F"))
+    val byVal = li.groupBy(col("l_quantity").as("v"))
+      .agg(sum(when(col("l_linestatus") === "O", 1L).otherwise(0L)).as("c_a"),
+           count(lit(1)).as("c_all"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byVal.withColumn("below", coalesce(sum(col("c_all")).over(w), lit(0L)))
+      .withColumn("midrank",
+        col("below").cast("double") + (col("c_all") + 1).cast("double") / 2.0)
+    val agg = ranked.agg(
+      sum(col("c_a")).as("n_a"),
+      sum(col("c_all") - col("c_a")).as("n_b"),
+      sum((col("c_a").cast("double") * col("midrank")).cast("decimal(27,6)"))
+        .cast("double").as("r_a"),
+      sum(col("c_all") * col("c_all") * col("c_all") - col("c_all")).as("ties"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val nn = na + nb
+    val u = col("r_a") - na * (na + 1) / 2.0
+    val mu = na * nb / 2.0
+    val sigma = sqrt(na * nb / 12.0 *
+      ((nn + 1) - col("ties").cast("double") / (nn * (nn - 1))))
+    agg.select(col("n_a"), col("n_b"), u.as("u_stat"), ((u - mu) / sigma).as("z_stat"))
+  }
+
+  val qAggMannWhitneySql: String = """
+    WITH byval AS (
+      SELECT l_quantity AS v,
+             CAST(count_if(l_linestatus = 'O') AS BIGINT) AS c_a,
+             CAST(COUNT(*) AS BIGINT) AS c_all
+      FROM lineitem WHERE l_linestatus IN ('O', 'F') GROUP BY 1),
+    ranked AS (
+      SELECT c_a, c_all,
+             CAST(COALESCE(SUM(c_all) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+               + CAST(c_all + 1 AS DOUBLE) / 2.0 AS midrank
+      FROM byval),
+    agg AS (
+      SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+             CAST(SUM(c_all - c_a) AS BIGINT) AS n_b,
+             CAST(SUM(CAST(CAST(c_a AS DOUBLE) * midrank AS DECIMAL(27,6))) AS DOUBLE) AS r_a,
+             CAST(SUM(c_all * c_all * c_all - c_all) AS BIGINT) AS ties
+      FROM ranked)
+    SELECT n_a, n_b,
+           r_a - na * (na + 1) / 2.0 AS u_stat,
+           (r_a - na * (na + 1) / 2.0 - na * nb / 2.0) /
+             sqrt(na * nb / 12.0 *
+                  ((na + nb + 1) - CAST(ties AS DOUBLE) / ((na + nb) * (na + nb - 1))))
+             AS z_stat
+    FROM (SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb FROM agg) t"""
+
+  // ---------------------------------------------------------------------
+  // TRUNCATED EWMA — exponentially-weighted smoothing of a per-key daily
+  // series, the feature-engineering step behind every "recent activity"
+  // signal. α = 1/2 truncated at 8 lags: the weights are exact powers of
+  // two, so every product is ONE exact-rounded IEEE op (in fact exact —
+  // power-of-two scaling only shifts the exponent) and the 8-term
+  // numerator is a fixed left-to-right chain, identical in both engines.
+  // Head-of-series positions renormalize by the PRESENT weights (the
+  // standard adjusted EWMA), via the same case-guarded chain.
+  // Spark-first: one groupBy (daily totals), one window partitioned by
+  // key with 8 lag() taps — no self-join, no explode; at 100 TB the
+  // state per key is 8 doubles.
+  // ---------------------------------------------------------------------
+
+  val qWindowEwma: Q = (s, d) => {
+    val daily = lineitem(s, d)
+      .groupBy(col("l_suppkey").as("k"),
+               expr("datediff(l_shipdate, date'1992-01-01')").as("day"))
+      .agg(dsum(col("l_quantity")).as("v"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+    val taps = (0 until 8).map { j =>
+      val c = if (j == 0) col("v") else lag(col("v"), j).over(w)
+      (c, math.pow(0.5, j))
+    }
+    val num = taps.map { case (c, wt) => when(c.isNotNull, c * wt).otherwise(lit(0.0)) }
+      .reduceLeft(_ + _)
+    val den = taps.map { case (c, wt) => when(c.isNotNull, lit(wt)).otherwise(lit(0.0)) }
+      .reduceLeft(_ + _)
+    daily.withColumn("ewma", num / den)
+      .groupBy((col("k") % 100).as("bucket"))
+      .agg(count(lit(1)).as("n_days"), qsum(col("ewma"), 1e6).as("sum_ewma"))
+      .orderBy(col("bucket"))
+  }
+
+  val qWindowEwmaSql: String = {
+    val lagN = (j: Int) =>
+      if (j == 0) "v" else s"LAG(v, $j) OVER (PARTITION BY k ORDER BY day)"
+    val num = (0 until 8).map { j =>
+      s"CASE WHEN ${lagN(j)} IS NOT NULL THEN ${lagN(j)} * ${math.pow(0.5, j)} ELSE 0.0 END"
+    }.mkString(" + ")
+    val den = (0 until 8).map { j =>
+      s"CASE WHEN ${lagN(j)} IS NOT NULL THEN ${math.pow(0.5, j)} ELSE 0.0 END"
+    }.mkString(" + ")
+    s"""
+    WITH daily AS (
+      SELECT l_suppkey AS k, datediff('day', DATE '1992-01-01', l_shipdate) AS day,
+             ${sqlDsum("l_quantity")} AS v
+      FROM lineitem GROUP BY 1, 2),
+    sm AS (SELECT k, ($num) / ($den) AS ewma FROM daily)
+    SELECT k % 100 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_days,
+           ${sqlQsum("ewma", "1e6")} AS sum_ewma
+    FROM sm GROUP BY 1 ORDER BY 1"""
+  }
+
+  // ---------------------------------------------------------------------
+  // SEASONALITY PROFILE — multiplicative (day-of-week × hour-of-day)
+  // seasonal indices over the event stream: bucket mean ÷ global mean.
+  // Calendar-free bucketing (epoch-day mod 7, epoch-hour mod 24) keeps
+  // the arithmetic integer and engine-portable — no timezone/locale
+  // dayofweek() semantics to reconcile. One conditional-aggregation scan
+  // + a broadcast one-row global — at any scale this is two map-side-
+  // combined passes over the same shuffle-free scan shape.
+  // ---------------------------------------------------------------------
+
+  val qEventsSeasonality: Q = (s, d) => {
+    val ev = events(s, d).select(
+      (expr("unix_micros(ts) div 86400000000") % 7).as("dow"),
+      (expr("unix_micros(ts) div 3600000000") % 24).as("hod"),
+      col("value"))
+    val buckets = ev.groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("s"))
+    val overall = ev.agg(count(lit(1)).as("gn"), dsum(col("value")).as("gs"))
+    buckets.crossJoin(broadcast(overall))
+      .select(col("dow"), col("hod"), col("n_events"),
+        ((col("s") / col("n_events").cast("double")) /
+         (col("gs") / col("gn").cast("double"))).as("seasonal_idx"))
+      .orderBy(col("dow"), col("hod"))
+  }
+
+  val qEventsSeasonalitySql: String = s"""
+    WITH ev AS (
+      SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 7 AS dow,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hod,
+             value
+      FROM events),
+    buckets AS (
+      SELECT dow, hod, CAST(COUNT(*) AS BIGINT) AS n_events,
+             ${sqlDsum("value")} AS s
+      FROM ev GROUP BY 1, 2),
+    overall AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS gn, ${sqlDsum("value")} AS gs FROM ev)
+    SELECT dow, hod, n_events,
+           (s / CAST(n_events AS DOUBLE)) / (gs / CAST(gn AS DOUBLE)) AS seasonal_idx
+    FROM buckets, overall ORDER BY dow, hod"""
+
+  // ---------------------------------------------------------------------
+  // MEDIAN + MAD — the robust location/scale pair (the outlier-resistant
+  // alternative to mean/stddev that data-quality gates actually want).
+  // Spark-first shape: exact order statistics WITHOUT collecting values —
+  // the value domain is grouped (l_quantity: ~50 distinct), the
+  // cumulative-count window runs over that driver-tiny table, and the
+  // k-th smallest is "min v with cum ≥ k". The quantile_cont convention
+  // (average the two middles when n is even) falls out of two rank
+  // probes. MAD repeats the same shape on |v − median| (a second tiny
+  // regroup, not a second fact scan — the per-value table is reused).
+  // Exactness: values and medians live on the ¼-integer grid, so every
+  // number is an exact double and the oracle hashes with no tolerance.
+  // The built-in percentile() would collect per-group value buffers —
+  // exactly the thing that does not survive 100 TB.
+  // ---------------------------------------------------------------------
+
+  val qAggMedianMad: Q = (s, d) => {
+    val byVal = lineitem(s, d)
+      .groupBy(col("l_quantity").cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+    val tot = byVal.agg(sum(col("c")).as("n"))
+    // floor((n+1)/2) / floor((n+2)/2): the two middle ranks (equal when n
+    // is odd); computed BEFORE the aggregate so no nested aggregates
+    val kd = byVal.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("k_lo", floor((col("n") + 1) / 2))
+      .withColumn("k_hi", floor((col("n") + 2) / 2))
+    val med = kd.groupBy(col("n"))
+      .agg(min(when(col("cum") >= col("k_lo"), col("v"))).as("x_lo"),
+           min(when(col("cum") >= col("k_hi"), col("v"))).as("x_hi"))
+      .select(col("n"), ((col("x_lo") + col("x_hi")).cast("double") / 2.0).as("median"))
+    val dev = byVal.crossJoin(broadcast(med))
+      .groupBy(abs(col("v").cast("double") - col("median")).as("dv"))
+      .agg(sum(col("c")).as("c"))
+    val wd = Window.orderBy(col("dv")).rowsBetween(Window.unboundedPreceding, 0)
+    dev.withColumn("cum", sum(col("c")).over(wd))
+      .crossJoin(broadcast(med))
+      .withColumn("k_lo", floor((col("n") + 1) / 2))
+      .withColumn("k_hi", floor((col("n") + 2) / 2))
+      .groupBy(col("n"), col("median"))
+      .agg(min(when(col("cum") >= col("k_lo"), col("dv"))).as("d_lo"),
+           min(when(col("cum") >= col("k_hi"), col("dv"))).as("d_hi"))
+      .select(col("n"), col("median"), ((col("d_lo") + col("d_hi")) / 2.0).as("mad"))
+  }
+
+  val qAggMedianMadSql: String = """
+    WITH byval AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM byval),
+    kd AS (
+      SELECT v, n,
+             CAST(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             floor((n + 1) / 2) AS k_lo, floor((n + 2) / 2) AS k_hi
+      FROM byval, tot),
+    med AS (
+      SELECT n,
+             CAST(MIN(CASE WHEN cum >= k_lo THEN v END)
+                + MIN(CASE WHEN cum >= k_hi THEN v END) AS DOUBLE) / 2.0 AS median
+      FROM kd GROUP BY n),
+    dev AS (
+      SELECT abs(CAST(v AS DOUBLE) - median) AS dv, CAST(SUM(c) AS BIGINT) AS c
+      FROM byval, med GROUP BY 1),
+    dcum AS (
+      SELECT dv, n, median,
+             CAST(SUM(c) OVER (ORDER BY dv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             floor((n + 1) / 2) AS k_lo, floor((n + 2) / 2) AS k_hi
+      FROM dev, med)
+    SELECT n, median,
+           (MIN(CASE WHEN cum >= k_lo THEN dv END)
+            + MIN(CASE WHEN cum >= k_hi THEN dv END)) / 2.0 AS mad
+    FROM dcum GROUP BY n, median"""
+
+  // ---------------------------------------------------------------------
+  // BINNED GINI — inequality profile of the order-value distribution
+  // (the grouped-data Gini estimator over fixed-width bins, the standard
+  // formulation when per-row global ranks are unaffordable). Spark-first:
+  // one map-side-combined groupBy into ~constant bins, one window over
+  // the BIN table for cumulative counts, one scalar readout — at 100 TB
+  // the only full-data pass is the binning scan; everything ranked is
+  // O(bins). Σ(midrank·x) accumulates in DECIMAL(38,4) (exact — products
+  // of integer 2·midrank with cent-grid bin sums) and both engines
+  // round the SAME decimal to double only at the final ratio.
+  // ---------------------------------------------------------------------
+
+  val qAggGini: Q = (s, d) => {
+    val bins = orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 500).cast("long").as("b"))
+      .agg(count(lit(1)).as("c"),
+           // per-bin cent-grid sum, re-capped to (25,2) so the midrank
+           // product below stays inside decimal-38 with NO rounding:
+           // (10,0) × (25,2) = (36,2), summed at (38,2) — all exact
+           sum(col("o_totalprice").cast("decimal(25,2)")).cast("decimal(25,2)").as("s"))
+    val w = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = bins
+      .withColumn("below", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("mr2", lit(2) * col("below") + col("c") + 1) // 2×midrank (long)
+    val agg = ranked.agg(
+      sum(col("c")).as("n"),
+      sum(col("s")).cast("double").as("total"),
+      sum(col("mr2").cast("decimal(10,0)") * col("s"))
+        .cast("double").as("t2")) // Σ 2·midrank·x, rounded once from exact decimal
+    val n = col("n").cast("double")
+    agg.select(col("n").as("n_orders"),
+      (col("t2") / (n * col("total")) - (n + 1) / n).as("gini"))
+  }
+
+  val qAggGiniSql: String = """
+    WITH bins AS (
+      SELECT CAST(floor(o_totalprice / 500) AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DECIMAL(25,2)) AS s
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT c, s,
+             2 * CAST(COALESCE(SUM(c) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               + c + 1 AS mr2
+      FROM bins),
+    agg AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(s) AS DOUBLE) AS total,
+             CAST(SUM(CAST(mr2 AS DECIMAL(10,0)) * s) AS DOUBLE) AS t2
+      FROM ranked)
+    SELECT n AS n_orders,
+           t2 / (CAST(n AS DOUBLE) * total)
+             - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE) AS gini
+    FROM agg"""
+
+  // ---------------------------------------------------------------------
+  // K-ANONYMITY AUDIT — the privacy gate a training-data release runs
+  // before shipping: group by quasi-identifiers, measure the smallest
+  // equivalence class, and count the rows that would need suppression at
+  // k = 5. One map-side-combined groupBy + one constant-size rollup — the
+  // same two-scan-free shape at any corpus size. The acctbal band uses
+  // floor(x/1000) on an exact cent-grid double — identical in both
+  // engines.
+  // ---------------------------------------------------------------------
+
+  val qPipelineKAnonymity: Q = (s, d) => {
+    val classes = customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+               floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("k"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      sum(col("k")).as("n_rows"),
+      min(col("k")).as("k_min"),
+      sum(when(col("k") < 5, col("k")).otherwise(0L)).as("n_suppressed"),
+      sum(when(col("k") < 5, 1L).otherwise(0L)).as("n_small_classes"))
+      .withColumn("suppressed_frac",
+        col("n_suppressed").cast("double") / col("n_rows").cast("double"))
+  }
+
+  val qPipelineKAnonymitySql: String = """
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM customer GROUP BY 1, 2, 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           CAST(MIN(k) AS BIGINT) AS k_min,
+           CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS n_suppressed,
+           CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+           CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(k) AS DOUBLE) AS suppressed_frac
+    FROM classes"""
+
+  val queries: Map[String, Q] = Map(
+    "agg_ttest"          -> qAggTtest,
+    "agg_mannwhitney"    -> qAggMannWhitney,
+    "window_ewma"        -> qWindowEwma,
+    "events_seasonality" -> qEventsSeasonality,
+    "agg_median_mad"     -> qAggMedianMad,
+    "agg_gini"           -> qAggGini,
+    "pipeline_k_anonymity" -> qPipelineKAnonymity,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "agg_ttest"          -> qAggTtestSql,
+    "agg_mannwhitney"    -> qAggMannWhitneySql,
+    "window_ewma"        -> qWindowEwmaSql,
+    "events_seasonality" -> qEventsSeasonalitySql,
+    "agg_median_mad"     -> qAggMedianMadSql,
+    "agg_gini"           -> qAggGiniSql,
+    "pipeline_k_anonymity" -> qPipelineKAnonymitySql,
+  )
+}

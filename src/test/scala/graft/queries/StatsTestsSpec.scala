@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the experiment-analysis additions (Relational7) against
+  * straight-line Scala recomputations on the collected sf0.001 data —
+  * the same numbers, derived without Spark aggregates, so an expression
+  * rewrite that drifts the statistics fails here before the oracle. */
+class StatsTestsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def arm(flag: String): Array[Double] =
+    graft.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === flag)
+      .select(col("l_extendedprice").cast("double"))
+      .as[Double].collect()
+
+  test("agg_ttest: Welch t and dof match a direct two-pass recomputation") {
+    val r = Relational7.qAggTtest(spark, sf).head()
+    val (a, b) = (arm("R"), arm("A"))
+    assert(r.getLong(0) == a.length && r.getLong(1) == b.length)
+    def meanVar(x: Array[Double]): (Double, Double) = {
+      val m = x.sum / x.length
+      (m, x.map(v => (v - m) * (v - m)).sum / (x.length - 1))
+    }
+    val (ma, va) = meanVar(a); val (mb, vb) = meanVar(b)
+    val se2 = va / a.length + vb / b.length
+    val t = (ma - mb) / math.sqrt(se2)
+    val dof = se2 * se2 / (math.pow(va / a.length, 2) / (a.length - 1) +
+                           math.pow(vb / b.length, 2) / (b.length - 1))
+    assert(math.abs(r.getDouble(2) - ma) < 1e-6, "mean_a")
+    assert(math.abs(r.getDouble(3) - mb) < 1e-6, "mean_b")
+    assert(math.abs(r.getDouble(4) - t) < 1e-6, s"t_stat ${r.getDouble(4)} vs $t")
+    assert(math.abs(r.getDouble(5) - dof) < 1e-3, s"dof ${r.getDouble(5)} vs $dof")
+  }
+
+  test("agg_mannwhitney: U matches a brute-force midrank computation") {
+    val r = Relational7.qAggMannWhitney(spark, sf).head()
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_linestatus"), col("l_quantity").cast("double"))
+      .as[(String, Double)].collect()
+    val pooled = li.map(_._2).sorted
+    // midrank of value v: average 1-based rank over its tied block
+    val midrank: Map[Double, Double] = pooled.zipWithIndex.groupBy(_._1)
+      .map { case (v, g) => v -> (g.map(_._2 + 1).sum.toDouble / g.length) }
+    val aVals = li.filter(_._1 == "O").map(_._2)
+    val n1 = aVals.length.toLong
+    val n2 = li.length - n1
+    val rA = aVals.map(midrank).sum
+    val u = rA - n1 * (n1 + 1) / 2.0
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2)
+    assert(math.abs(r.getDouble(2) - u) < 1e-6, s"u_stat ${r.getDouble(2)} vs $u")
+    assert(r.getDouble(2) >= 0 && r.getDouble(2) <= n1.toDouble * n2, "U in [0, n1*n2]")
+    assert(!r.getDouble(3).isNaN)
+  }
+
+  test("window_ewma: one key's smoothed head matches the literal 8-tap chain") {
+    val daily = graft.Tables.lineitem(spark, sf)
+      .groupBy(col("l_suppkey").as("k"),
+               expr("datediff(l_shipdate, date'1992-01-01')").as("day"))
+      .agg(graft.queries.dsum(col("l_quantity")).as("v"))
+      .filter(col("k") === 1).orderBy(col("day"))
+      .as[(Long, Int, Double)].collect()
+    assume(daily.length >= 3, "supplier 1 needs a few observed days")
+    val vs = daily.map(_._3)
+    // adjusted EWMA at the last position, truncated to 8 taps
+    val taps = (0 until math.min(8, vs.length)).map(j => (vs(vs.length - 1 - j), math.pow(0.5, j)))
+    val expected = taps.map { case (v, w) => v * w }.sum / taps.map(_._2).sum
+    val got = Relational7.qWindowEwma(spark, sf)
+    // bucket sums are certified by the oracle; here certify the per-row
+    // smoothing math via a manual rebuild of the same expression
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("day"))
+    val sm = graft.Tables.lineitem(spark, sf)
+      .groupBy(col("l_suppkey").as("k"),
+               expr("datediff(l_shipdate, date'1992-01-01')").as("day"))
+      .agg(graft.queries.dsum(col("l_quantity")).as("v"))
+    val taps2 = (0 until 8).map { j =>
+      val c = if (j == 0) col("v") else lag(col("v"), j).over(w)
+      (c, math.pow(0.5, j))
+    }
+    val num = taps2.map { case (c, wt) => when(c.isNotNull, c * wt).otherwise(lit(0.0)) }.reduceLeft(_ + _)
+    val den = taps2.map { case (c, wt) => when(c.isNotNull, lit(wt)).otherwise(lit(0.0)) }.reduceLeft(_ + _)
+    val last = sm.withColumn("ewma", num / den).filter(col("k") === 1)
+      .orderBy(col("day").desc).select("ewma").as[Double].head()
+    assert(math.abs(last - expected) < 1e-9, s"ewma $last vs $expected")
+    assert(got.columns.toSeq == Seq("bucket", "n_days", "sum_ewma"))
+  }
+
+  test("agg_median_mad: matches a sort-based median/MAD on collected values") {
+    val r = Relational7.qAggMedianMad(spark, sf).head()
+    val vs = graft.Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long")).as[Long].collect().sorted
+    def med(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      (s((s.length - 1) / 2) + s(s.length / 2)) / 2.0
+    }
+    val m = med(vs.map(_.toDouble))
+    val mad = med(vs.map(v => math.abs(v - m)))
+    assert(r.getLong(0) == vs.length)
+    assert(r.getDouble(1) == m, s"median ${r.getDouble(1)} vs $m")
+    assert(r.getDouble(2) == mad, s"mad ${r.getDouble(2)} vs $mad")
+  }
+
+  test("agg_gini: matches the grouped-data estimator recomputed in Scala, and sits in [0,1)") {
+    val r = Relational7.qAggGini(spark, sf).head()
+    val xs = graft.Tables.orders(spark, sf)
+      .select(col("o_totalprice").cast("double")).as[Double].collect()
+    val bins = xs.groupBy(v => math.floor(v / 500).toLong).toSeq.sortBy(_._1)
+    val n = xs.length.toDouble
+    var below = 0L; var t2 = 0.0
+    bins.foreach { case (_, g) =>
+      val mr2 = 2L * below + g.length + 1
+      t2 += mr2 * g.sum
+      below += g.length
+    }
+    val gini = t2 / (n * xs.sum) - (n + 1) / n
+    assert(r.getLong(0) == xs.length)
+    assert(math.abs(r.getDouble(1) - gini) < 1e-9, s"gini ${r.getDouble(1)} vs $gini")
+    assert(r.getDouble(1) >= 0.0 && r.getDouble(1) < 1.0)
+  }
+
+  test("pipeline_k_anonymity: invariants — suppression counts consistent, k_min positive") {
+    val r = Relational7.qPipelineKAnonymity(spark, sf).head()
+    val (nClasses, nRows, kMin, nSupp, nSmall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val total = graft.Tables.customer(spark, sf).count()
+    assert(nRows == total, "classes must partition the table")
+    assert(kMin >= 1 && nClasses <= nRows)
+    assert(nSupp >= nSmall, "each small class has >= 1 row")
+    assert(nSupp <= 5L * nSmall, "suppressed rows bounded by k x small classes")
+    assert(r.getDouble(5) == nSupp.toDouble / nRows.toDouble)
+  }
+
+  test("events_seasonality: indices are n-weighted-normalized (Σ n·idx = N)") {
+    val rows = Relational7.qEventsSeasonality(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 168)
+    rows.foreach { case (dow, hod, n, idx) =>
+      assert(dow >= 0 && dow < 7 && hod >= 0 && hod < 24)
+      assert(n > 0)
+    }
+    val total = rows.map(_._3).sum.toDouble
+    val weighted = rows.map { case (_, _, n, idx) => n * idx }.sum
+    assert(math.abs(weighted - total) < 1e-6 * total,
+      s"sum n*idx $weighted vs N $total — multiplicative indices must preserve mass")
+  }
+}
