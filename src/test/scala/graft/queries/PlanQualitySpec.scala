@@ -336,4 +336,58 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"),
       "prefix statistics must be window functions:\n" + p.take(400))
   }
+
+  test("agg_ttest: one scan, partial agg, no join and no window") {
+    val p = plan("agg_ttest")
+    assert(p.contains("partial_"), "arm sums need map-side combine")
+    assert(!p.contains("Join"), "conditional aggregation must not join:\n" + p.take(400))
+    assert(!p.contains("Window"), "no window needed for moment sums")
+    // pruning: the scan reads flag + price only, never the date/key columns
+    assert(!p.contains("l_shipdate"), "scan reads unprojected columns")
+  }
+
+  test("agg_mannwhitney: ranks come from the distinct-value table, not per-row") {
+    val p = plan("agg_mannwhitney")
+    // the ONLY aggregation keyed by a fact column happens before the
+    // window: the window input must be an aggregate, so the single-
+    // partition window carries ~|distinct values| rows, not |rows|
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0 && aggIdx < winIdx,
+      "midrank window must run over the grouped value table:\n" + p.take(600))
+    assert(p.contains("partial_"), "value counting needs map-side combine")
+  }
+
+  test("agg_median_mad: both rank probes stay on grouped counts (no percentile buffers)") {
+    val p = plan("agg_median_mad")
+    assert(!p.contains("percentile"), "must not collect per-group value buffers")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "value histogram needs map-side combine")
+    assert(!p.contains("CartesianProduct"),
+      "single-row joins must broadcast:\n" + p.take(400))
+  }
+
+  test("window_ewma: smoothing window is hash-partitioned by the supplier key") {
+    val p = plan("window_ewma")
+    // the per-key window must repartition by k (NOT run single-partition);
+    // the only permissible range sort is the final 100-row bucket output
+    assert(p.contains("hashpartitioning(k"),
+      "EWMA window must hash-partition by supplier key:\n" + p.take(600))
+  }
+
+  test("agg_gini: one orders scan into the bin table; ranked part is O(bins)") {
+    val p = plan("agg_gini")
+    assert(p.contains("partial_"), "binning needs map-side combine")
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0 && aggIdx < winIdx,
+      "cumulative ranks must run over the aggregated bin table:\n" + p.take(600))
+  }
+
+  test("pipeline_k_anonymity: two-level rollup, no join, pruned scan") {
+    val p = plan("pipeline_k_anonymity")
+    assert(p.contains("partial_"), "class sizing needs map-side combine")
+    assert(!p.contains("Join"), "k-anonymity audit is join-free")
+    assert(!p.contains("c_name"), "scan must not read the name column")
+  }
 }
