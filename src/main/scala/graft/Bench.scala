@@ -572,5 +572,14 @@ object Bench {
     // bin-table window; the scalar ratio tail is free
     "agg_gini" -> 0.5,
     // comparator: agg_conditional (one customer scan, two-level rollup)
-    "pipeline_k_anonymity" -> 0.4)
+    "pipeline_k_anonymity" -> 0.4,
+    // comparator: agg_argmax (one orders scan into a 9-digit agg; the
+    // string first-digit extraction is a map)
+    "agg_benford" -> 0.6,
+    // comparator: mdio_gradient (identical two-window derivative shape;
+    // the tensor sums replace the magnitude agg)
+    "mdio_dip" -> 2.1,
+    // comparator: graph_triangles (same within-order bounded-quadratic
+    // pair expansion; CF adds the two count joins + top-10 readout)
+    "graph_item_cf" -> 2.0)
 }

@@ -429,6 +429,161 @@ object Relational7 {
              / CAST(SUM(k) AS DOUBLE) AS suppressed_frac
     FROM classes"""
 
+  // ---------------------------------------------------------------------
+  // BENFORD FIRST-DIGIT AUDIT — the classic anomaly screen over monetary
+  // values (fabricated or re-binned data drifts from the log law). The
+  // leading digit is extracted in exact integer space: the cent-grid
+  // amount rounds to a BIGINT once (floor(x·100 + 0.5), the engine-
+  // portable half-up), and the first digit comes off the decimal string —
+  // both engines print integers identically, so there is no float log10
+  // anywhere. Expected probabilities log10(1 + 1/d) are computed once in
+  // Scala and embedded as shared double literals. One map-side-combined
+  // scan into 9 rows; the chi-square contribution per digit is a fixed
+  // exact-rounded chain.
+  // ---------------------------------------------------------------------
+
+  private val benfordP: Seq[Double] = (1 to 9).map(dd => math.log10(1.0 + 1.0 / dd))
+
+  val qAggBenford: Q = (s, d) => {
+    val digits = orders(s, d)
+      .select(substring(floor(col("o_totalprice") * 100 + 0.5).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum(col("n_obs")).as("n_total"))
+    val pTab = typedlit(benfordP)
+    digits.crossJoin(broadcast(tot))
+      // N·p floor-quantized at 1e-6: DuckDB routes the probability array
+      // literal through DECIMAL before ::DOUBLE[], which can land 1 ulp
+      // off the JVM double — quantizing E (and computing χ² FROM the
+      // quantized E) makes every downstream number engine-identical by
+      // construction
+      .withColumn("expected_n",
+        floor(col("n_total").cast("double") * element_at(pTab, col("digit")) * 1e6 + 0.5) / 1e6)
+      .select(col("digit"), col("n_obs"),
+        col("expected_n"),
+        (floor((col("n_obs").cast("double") - col("expected_n")) *
+               (col("n_obs").cast("double") - col("expected_n")) / col("expected_n")
+               * 1e6 + 0.5) / 1e6)
+          .as("chi_contrib"))
+      .orderBy(col("digit"))
+  }
+
+  val qAggBenfordSql: String = s"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1)
+               AS INT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM digits),
+    p AS (SELECT ${sqlVecD(benfordP)}::DOUBLE[] AS tab)
+    SELECT digit, n_obs, expected_n,
+           floor((CAST(n_obs AS DOUBLE) - expected_n)
+             * (CAST(n_obs AS DOUBLE) - expected_n)
+             / expected_n * 1e6 + 0.5) / 1e6 AS chi_contrib
+    FROM (SELECT digit, n_obs,
+            floor(CAST(n_total AS DOUBLE) * tab[digit] * 1e6 + 0.5) / 1e6 AS expected_n
+          FROM digits, tot, p) t ORDER BY digit"""
+
+  private def sqlVecD(v: Seq[Double]): String = v.mkString("[", ", ", "]")
+
+  // ---------------------------------------------------------------------
+  // STRUCTURE-TENSOR DIP — the local-slope attribute interpreters run
+  // after the envelope: directional derivatives from two lag windows
+  // (exact decimal differences), then per-crossline gradient-tensor
+  // sums (g_ii, g_xx, g_ix) and the least-squares dip g_ix / g_ii.
+  // Same two-window shape as mdio_gradient — one hash shuffle per
+  // direction, no neighborhood self-join — with every computed-double
+  // sum floor-quantized ([[qsum]]) so the tensor (and the ratio of its
+  // entries) is bit-identical across engines. Output is one profile row
+  // per crossline position: bounded by the grid's second extent, not by
+  // data volume.
+  // ---------------------------------------------------------------------
+
+  val qMdioDip: Q = (s, d) => {
+    val wI = Window.partitionBy(col("x")).orderBy(col("i"))
+    val wX = Window.partitionBy(col("i")).orderBy(col("x"))
+    val cells = lineitem(s, d)
+      .groupBy(col("l_orderkey").as("i"), col("l_linenumber").as("x"))
+      .agg(dsum(col("l_quantity")).as("q"))
+    val g = cells.select(col("x"),
+        (col("q") - lag(col("q"), 1).over(wI)).as("gi"),
+        (col("q") - lag(col("q"), 1).over(wX)).as("gx"))
+      .filter(col("gi").isNotNull && col("gx").isNotNull)
+    g.groupBy(col("x"))
+      .agg(count(lit(1)).as("n"),
+           qsum(col("gi") * col("gi"), 1e4).as("gii"),
+           qsum(col("gx") * col("gx"), 1e4).as("gxx"),
+           qsum(col("gi") * col("gx"), 1e4).as("gix"))
+      .select(col("x"), col("n"),
+        (col("gix") / col("gii")).as("dip"),
+        (col("gix") * col("gix") / (col("gii") * col("gxx"))).as("coherence"))
+      .orderBy(col("x"))
+  }
+
+  val qMdioDipSql: String = s"""
+    WITH cells AS (
+      SELECT l_orderkey AS i, l_linenumber AS x, ${sqlDsum("l_quantity")} AS q
+      FROM lineitem GROUP BY 1, 2),
+    g AS (
+      SELECT x,
+             q - LAG(q, 1) OVER (PARTITION BY x ORDER BY i) AS gi,
+             q - LAG(q, 1) OVER (PARTITION BY i ORDER BY x) AS gx
+      FROM cells),
+    t AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS n,
+             ${sqlQsum("gi * gi", "1e4")} AS gii,
+             ${sqlQsum("gx * gx", "1e4")} AS gxx,
+             ${sqlQsum("gi * gx", "1e4")} AS gix
+      FROM g WHERE gi IS NOT NULL AND gx IS NOT NULL GROUP BY x)
+    SELECT x, n, gix / gii AS dip,
+           gix * gix / (gii * gxx) AS coherence
+    FROM t ORDER BY x"""
+
+  // ---------------------------------------------------------------------
+  // ITEM-ITEM COLLABORATIVE FILTERING — "customers who bought X also
+  // bought Y" over the order/part bipartite graph: cosine similarity
+  // c_ij / √(c_i·c_j) on co-occurrence counts. Spark-first: the pair
+  // expansion self-joins WITHIN orders (per-order work bounded by
+  // basket size² — the same bounded-quadratic contract as the triangle
+  // count), then one groupBy per pair and two equi joins back to the
+  // per-item counts. A support floor (c_ij ≥ 3) keeps the pair table
+  // honest before ranking; the readout is a top-10
+  // TakeOrderedAndProject, never a global sort. All similarity math is
+  // exact-rounded integer-sourced arithmetic.
+  // ---------------------------------------------------------------------
+
+  val qGraphItemCf: Q = (s, d) => {
+    val e = lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val cnt = e.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val a = e.select(col("o"), col("p").as("pi"))
+    val b = e.select(col("o"), col("p").as("pj"))
+    val pairs = a.join(b, Seq("o")).filter(col("pi") < col("pj"))
+      .groupBy(col("pi"), col("pj")).agg(count(lit(1)).as("c_ij"))
+      .filter(col("c_ij") >= 3)
+    pairs
+      .join(cnt.select(col("p").as("pi"), col("c").as("c_i")), Seq("pi"))
+      .join(cnt.select(col("p").as("pj"), col("c").as("c_j")), Seq("pj"))
+      .select(col("pi"), col("pj"), col("c_ij"),
+        (col("c_ij").cast("double") /
+         sqrt(col("c_i").cast("double") * col("c_j").cast("double"))).as("cosine"))
+      .orderBy(col("cosine").desc, col("pi"), col("pj"))
+      .limit(10)
+  }
+
+  val qGraphItemCfSql: String = """
+    WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1),
+    pairs AS (
+      SELECT a.p AS pi, b.p AS pj, CAST(COUNT(*) AS BIGINT) AS c_ij
+      FROM e a JOIN e b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+    SELECT pi, pj, c_ij,
+           CAST(c_ij AS DOUBLE) / sqrt(CAST(ci.c AS DOUBLE) * CAST(cj.c AS DOUBLE)) AS cosine
+    FROM pairs
+    JOIN cnt ci ON ci.p = pi
+    JOIN cnt cj ON cj.p = pj
+    ORDER BY cosine DESC, pi, pj LIMIT 10"""
+
   val queries: Map[String, Q] = Map(
     "agg_ttest"          -> qAggTtest,
     "agg_mannwhitney"    -> qAggMannWhitney,
@@ -437,6 +592,9 @@ object Relational7 {
     "agg_median_mad"     -> qAggMedianMad,
     "agg_gini"           -> qAggGini,
     "pipeline_k_anonymity" -> qPipelineKAnonymity,
+    "agg_benford"        -> qAggBenford,
+    "mdio_dip"           -> qMdioDip,
+    "graph_item_cf"      -> qGraphItemCf,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -447,5 +605,8 @@ object Relational7 {
     "agg_median_mad"     -> qAggMedianMadSql,
     "agg_gini"           -> qAggGiniSql,
     "pipeline_k_anonymity" -> qPipelineKAnonymitySql,
+    "agg_benford"        -> qAggBenfordSql,
+    "mdio_dip"           -> qMdioDipSql,
+    "graph_item_cf"      -> qGraphItemCfSql,
   )
 }

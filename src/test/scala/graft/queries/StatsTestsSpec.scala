@@ -133,6 +133,58 @@ class StatsTestsSpec extends SparkSpec {
     assert(r.getDouble(5) == nSupp.toDouble / nRows.toDouble)
   }
 
+  test("agg_benford: digit histogram matches a Scala recount, mass preserved") {
+    val rows = Relational7.qAggBenford(spark, sf)
+      .as[(Int, Long, Double, Double)].collect()
+    val expect = graft.Tables.orders(spark, sf)
+      .select(col("o_totalprice").cast("double")).as[Double].collect()
+      .map(v => math.floor(v * 100 + 0.5).toLong.toString.head.asDigit)
+      .groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    assert(rows.map(_._1).toSet.subsetOf((1 to 9).toSet))
+    rows.foreach { case (digit, n, e, chi) =>
+      assert(n == expect(digit), s"digit $digit: $n vs ${expect(digit)}")
+      assert(e > 0 && chi >= 0)
+    }
+    assert(rows.map(_._2).sum == expect.values.sum)
+    // expected mass sums back to N (the probabilities cover 1..9 exactly)
+    val nTotal = rows.map(_._2).sum.toDouble
+    assert(math.abs(rows.map(_._3).sum - nTotal) < 1e-3 * nTotal)
+  }
+
+  test("mdio_dip: tensor invariants — coherence in [0,1], dip finite, deterministic") {
+    val rows = Relational7.qMdioDip(spark, sf)
+      .as[(Int, Long, Double, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 7)
+    rows.foreach { case (x, n, dip, coh) =>
+      assert(n > 0)
+      assert(!dip.isNaN && !dip.isInfinite, s"x=$x dip=$dip")
+      // Cauchy–Schwarz on the exact sums; quantization can nudge the
+      // ratio by ~1e-4/gii at most
+      assert(coh >= 0 && coh <= 1.0 + 1e-6, s"x=$x coherence=$coh")
+    }
+    val again = Relational7.qMdioDip(spark, sf).as[(Int, Long, Double, Double)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("graph_item_cf: cosines recompute from raw co-occurrence counts") {
+    val top = Relational7.qGraphItemCf(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(top.length <= 10)
+    assert(top.map(_._4).toSeq == top.map(_._4).sortBy(-_).toSeq, "sorted desc")
+    val e = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)].collect()
+    val byPart = e.groupBy(_._2).map { case (p, g) => p -> g.map(_._1).toSet }
+    top.foreach { case (pi, pj, cij, cosine) =>
+      val (si, sj) = (byPart(pi), byPart(pj))
+      val inter = (si intersect sj).size
+      assert(inter == cij, s"($pi,$pj): c_ij $cij vs $inter")
+      assert(cij >= 3)
+      val expected = cij.toDouble / math.sqrt(si.size.toDouble * sj.size.toDouble)
+      assert(math.abs(cosine - expected) < 1e-12, s"($pi,$pj): $cosine vs $expected")
+    }
+  }
+
   test("events_seasonality: indices are n-weighted-normalized (Σ n·idx = N)") {
     val rows = Relational7.qEventsSeasonality(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
