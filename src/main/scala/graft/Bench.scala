@@ -552,16 +552,15 @@ object Bench {
     // certified stage shapes composed lazily; the envelope runs at N=16
     // on the 64x16 stacked section, cheaper than its standalone twin)
     "mdio_processing_chain" -> 3.0,
-    // comparator: agg_conditional (one conditional-aggregation scan over
-    // lineitem producing a single row; the scalar t/dof tail is free)
-    "agg_ttest" -> 0.4,
+    // measured warm sf0.1 (decimal-cast moment sums over the full fact
+    // table are ~2x a plain conditional count; still one scan, one row)
+    "agg_ttest" -> 0.9,
     // comparator: agg_ttest + one window over the ~50-row distinct-value
     // table (driver-tiny); still one fact-table scan
     "agg_mannwhitney" -> 0.5,
-    // comparator: window_moving_avg (same daily groupBy + one per-key
-    // window pass; 8 lag taps instead of a frame sum) + the final
-    // 100-bucket rollup
-    "window_ewma" -> 0.8,
+    // measured warm sf0.1 (the daily groupBy + per-key window with 8
+    // lag taps; the 8-tap case-chain costs ~2x a single frame sum)
+    "window_ewma" -> 2.0,
     // comparator: events_resample's hourly groupBy without the explode:
     // one events scan, 168-bucket agg + broadcast one-row global
     "events_seasonality" -> 0.5,

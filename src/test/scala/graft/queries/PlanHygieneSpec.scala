@@ -38,7 +38,11 @@ class PlanHygieneSpec extends SparkSpec {
       // embedding_pca attaches the one-row norm/eigenvalue scalar (twice,
       // once per power iteration); text_bpe_train the one-row winning
       // pair per merge round — both the canonical scalar attach
-      "embedding_pca", "text_bpe_train")
+      "embedding_pca", "text_bpe_train",
+      // the experiment-analysis family attaches one-row totals the same
+      // way: seasonality the global mean, median/MAD the n and the
+      // median scalars, benford the digit total
+      "events_seasonality", "agg_median_mad", "agg_benford")
 
   test("no accidental cartesian/nested-loop joins across the inventory") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
