@@ -37,18 +37,16 @@ object Relational7 {
   // distribution shape for the statistic.
   // ---------------------------------------------------------------------
 
-  val qAggTtest: Q = (s, d) => {
-    val li = lineitem(s, d).filter(col("l_returnflag").isin("R", "A"))
-    val a = col("l_returnflag") === "R"
-    val agg = li.agg(
+  /** Core of the Welch test over any (value, arm) frame — reused by the
+    * randomized differential spec. `x` must live on the decimal grid. */
+  def welchTtest(df: DataFrame, x: Column, a: Column): DataFrame = {
+    val agg = df.agg(
       sum(when(a, 1L).otherwise(0L)).as("n_a"),
       sum(when(!a, 1L).otherwise(0L)).as("n_b"),
-      sum(when(a, col("l_extendedprice").cast("decimal(27,6)"))).cast("double").as("s_a"),
-      sum(when(!a, col("l_extendedprice").cast("decimal(27,6)"))).cast("double").as("s_b"),
-      sum(when(a, (col("l_extendedprice") * col("l_extendedprice")).cast("decimal(30,6)")))
-        .cast("double").as("ss_a"),
-      sum(when(!a, (col("l_extendedprice") * col("l_extendedprice")).cast("decimal(30,6)")))
-        .cast("double").as("ss_b"))
+      sum(when(a, x.cast("decimal(27,6)"))).cast("double").as("s_a"),
+      sum(when(!a, x.cast("decimal(27,6)"))).cast("double").as("s_b"),
+      sum(when(a, (x * x).cast("decimal(30,6)"))).cast("double").as("ss_a"),
+      sum(when(!a, (x * x).cast("decimal(30,6)"))).cast("double").as("ss_b"))
     val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
     val ma = col("s_a") / na; val mb = col("s_b") / nb
     // sample variance from exact sums: (Σx² − (Σx)²/n) / (n−1); every op
@@ -68,6 +66,10 @@ object Relational7 {
       (floor(se2 * se2 / (sea * sea / (na - 1) + seb * seb / (nb - 1)) * 1e6 + 0.5) / 1e6)
         .as("dof"))
   }
+
+  val qAggTtest: Q = (s, d) =>
+    welchTtest(lineitem(s, d).filter(col("l_returnflag").isin("R", "A")),
+      col("l_extendedprice"), col("l_returnflag") === "R")
 
   val qAggTtestSql: String = """
     WITH agg AS (
@@ -112,10 +114,12 @@ object Relational7 {
   // on the decimal grid, so dsum is exact).
   // ---------------------------------------------------------------------
 
-  val qAggMannWhitney: Q = (s, d) => {
-    val li = lineitem(s, d).filter(col("l_linestatus").isin("O", "F"))
-    val byVal = li.groupBy(col("l_quantity").as("v"))
-      .agg(sum(when(col("l_linestatus") === "O", 1L).otherwise(0L)).as("c_a"),
+  /** Core of the U test over any (value, arm) frame — reused by the
+    * randomized differential spec. `v` must be exactly representable
+    * (integer/decimal-grid); `isA` marks the first sample. */
+  def mannWhitneyU(df: DataFrame, v: Column, isA: Column): DataFrame = {
+    val byVal = df.groupBy(v.as("v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("c_a"),
            count(lit(1)).as("c_all"))
     val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
     val ranked = byVal.withColumn("below", coalesce(sum(col("c_all")).over(w), lit(0L)))
@@ -133,8 +137,16 @@ object Relational7 {
     val mu = na * nb / 2.0
     val sigma = sqrt(na * nb / 12.0 *
       ((nn + 1) - col("ties").cast("double") / (nn * (nn - 1))))
-    agg.select(col("n_a"), col("n_b"), u.as("u_stat"), ((u - mu) / sigma).as("z_stat"))
+    // sigma = 0 iff every pooled value ties (the correction cancels
+    // (nn+1) exactly) — z is undefined there, surfaced as NULL instead
+    // of an ANSI divide-by-zero
+    agg.select(col("n_a"), col("n_b"), u.as("u_stat"),
+      when(sigma > 0, (u - mu) / sigma).as("z_stat"))
   }
+
+  val qAggMannWhitney: Q = (s, d) =>
+    mannWhitneyU(lineitem(s, d).filter(col("l_linestatus").isin("O", "F")),
+      col("l_quantity"), col("l_linestatus") === "O")
 
   val qAggMannWhitneySql: String = """
     WITH byval AS (
@@ -273,9 +285,11 @@ object Relational7 {
   // exactly the thing that does not survive 100 TB.
   // ---------------------------------------------------------------------
 
-  val qAggMedianMad: Q = (s, d) => {
-    val byVal = lineitem(s, d)
-      .groupBy(col("l_quantity").cast("long").as("v"))
+  /** Core of the grouped-count median/MAD over any long-valued column —
+    * reused by the randomized differential spec. */
+  def medianMad(df: DataFrame, v: Column): DataFrame = {
+    val byVal = df
+      .groupBy(v.cast("long").as("v"))
       .agg(count(lit(1)).as("c"))
     val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
     val tot = byVal.agg(sum(col("c")).as("n"))
@@ -302,6 +316,8 @@ object Relational7 {
            min(when(col("cum") >= col("k_hi"), col("dv"))).as("d_hi"))
       .select(col("n"), col("median"), ((col("d_lo") + col("d_hi")) / 2.0).as("mad"))
   }
+
+  val qAggMedianMad: Q = (s, d) => medianMad(lineitem(s, d), col("l_quantity"))
 
   val qAggMedianMadSql: String = """
     WITH byval AS (
@@ -345,14 +361,16 @@ object Relational7 {
   // round the SAME decimal to double only at the final ratio.
   // ---------------------------------------------------------------------
 
-  val qAggGini: Q = (s, d) => {
-    val bins = orders(s, d)
-      .groupBy(floor(col("o_totalprice") / 500).cast("long").as("b"))
+  /** Core of the binned Gini over any cent-grid value column — reused by
+    * the randomized differential spec. */
+  def giniBinned(df: DataFrame, x: Column, binWidth: Int): DataFrame = {
+    val bins = df
+      .groupBy(floor(x / binWidth).cast("long").as("b"))
       .agg(count(lit(1)).as("c"),
            // per-bin cent-grid sum, re-capped to (25,2) so the midrank
            // product below stays inside decimal-38 with NO rounding:
            // (10,0) × (25,2) = (36,2), summed at (38,2) — all exact
-           sum(col("o_totalprice").cast("decimal(25,2)")).cast("decimal(25,2)").as("s"))
+           sum(x.cast("decimal(25,2)")).cast("decimal(25,2)").as("s"))
     val w = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
     val ranked = bins
       .withColumn("below", coalesce(sum(col("c")).over(w), lit(0L)))
@@ -366,6 +384,8 @@ object Relational7 {
     agg.select(col("n").as("n_orders"),
       (col("t2") / (n * col("total")) - (n + 1) / n).as("gini"))
   }
+
+  val qAggGini: Q = (s, d) => giniBinned(orders(s, d), col("o_totalprice"), 500)
 
   val qAggGiniSql: String = """
     WITH bins AS (
