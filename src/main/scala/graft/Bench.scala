@@ -580,5 +580,9 @@ object Bench {
     "mdio_dip" -> 2.1,
     // comparator: graph_triangles (same within-order bounded-quadratic
     // pair expansion; CF adds the two count joins + top-10 readout)
-    "graph_item_cf" -> 2.0)
+    "graph_item_cf" -> 2.0,
+    // comparator: agg_ttest + agg_mannwhitney over the per-customer
+    // metric (one orders groupBy + one broadcast-ish hash join feeding
+    // both readouts lazily)
+    "pipeline_experiment" -> 1.2)
 }

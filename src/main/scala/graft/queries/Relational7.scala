@@ -58,11 +58,11 @@ object Relational7 {
     agg.select(
       col("n_a"), col("n_b"),
       ma.as("mean_a"), mb.as("mean_b"),
-      ((ma - mb) / sqrt(se2)).as("t_stat"),
-      // the dof chain is the one place the two engines' expression
-      // compilers associate differently at the last ulp (measured: 1-ulp
-      // drift at sf0.01 while t_stat stays bit-identical), so the scalar
-      // is floor-quantized at 1e-6 like every computed-double aggregate
+      // the t/dof chains associate differently at the last ulp across
+      // engine compilers on some data shapes (dof at sf0.01 lineitem;
+      // t on the per-customer metric) — both derived statistics are
+      // floor-quantized at 1e-6 like every computed-double aggregate
+      (floor((ma - mb) / sqrt(se2) * 1e6 + 0.5) / 1e6).as("t_stat"),
       (floor(se2 * se2 / (sea * sea / (na - 1) + seb * seb / (nb - 1)) * 1e6 + 0.5) / 1e6)
         .as("dof"))
   }
@@ -89,7 +89,8 @@ object Relational7 {
       FROM lineitem WHERE l_returnflag IN ('R', 'A'))
     SELECT n_a, n_b,
            s_a / na AS mean_a, s_b / nb AS mean_b,
-           (s_a / na - s_b / nb) / sqrt(va / na + vb / nb) AS t_stat,
+           floor((s_a / na - s_b / nb) / sqrt(va / na + vb / nb) * 1e6 + 0.5) / 1e6
+             AS t_stat,
            floor((va / na + vb / nb) * (va / na + vb / nb) /
              ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
              * 1e6 + 0.5) / 1e6 AS dof
@@ -141,7 +142,7 @@ object Relational7 {
     // (nn+1) exactly) — z is undefined there, surfaced as NULL instead
     // of an ANSI divide-by-zero
     agg.select(col("n_a"), col("n_b"), u.as("u_stat"),
-      when(sigma > 0, (u - mu) / sigma).as("z_stat"))
+      when(sigma > 0, floor((u - mu) / sigma * 1e6 + 0.5) / 1e6).as("z_stat"))
   }
 
   val qAggMannWhitney: Q = (s, d) =>
@@ -168,10 +169,10 @@ object Relational7 {
       FROM ranked)
     SELECT n_a, n_b,
            r_a - na * (na + 1) / 2.0 AS u_stat,
-           (r_a - na * (na + 1) / 2.0 - na * nb / 2.0) /
+           floor((r_a - na * (na + 1) / 2.0 - na * nb / 2.0) /
              sqrt(na * nb / 12.0 *
                   ((na + nb + 1) - CAST(ties AS DOUBLE) / ((na + nb) * (na + nb - 1))))
-             AS z_stat
+             * 1e6 + 0.5) / 1e6 AS z_stat
     FROM (SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb FROM agg) t"""
 
   // ---------------------------------------------------------------------
@@ -604,6 +605,102 @@ object Relational7 {
     JOIN cnt cj ON cj.p = pj
     ORDER BY cosine DESC, pi, pj LIMIT 10"""
 
+  // ---------------------------------------------------------------------
+  // COMPOSED EXPERIMENT READOUT — the whole A/B pipeline as ONE lazy
+  // dataflow on ONE oracle: deterministic hash assignment (the same
+  // portable-mix split the curation splits use — stable under re-runs,
+  // repartitioning, and engines), a per-customer revenue metric, then
+  // BOTH readouts (Welch t on the cent-grid metric, Mann–Whitney U on
+  // the dollar-binned metric) side by side in a single row. Nothing
+  // materializes between stages. The U test's rank table is bounded by
+  // the metric's DOLLAR-value domain (binned-rank statistics, the same
+  // contract as the binned Gini), not by the customer count.
+  // ---------------------------------------------------------------------
+
+  val qPipelineExperiment: Q = (s, d) => {
+    val assigned = graft.functions.Sampling.assignSplit(
+      customer(s, d).select(col("c_custkey")), col("c_custkey"),
+      Seq("treat" -> 0.5, "control" -> 0.5), out = "arm")
+    val rev = orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(25,2)")).cast("decimal(25,2)").as("rev"))
+    val units = assigned
+      .join(rev, col("c_custkey") === col("o_custkey"))
+      .select(col("rev").cast("double").as("x"),
+              floor(col("rev").cast("double") / 100).cast("long").as("vd"),
+              (col("arm") === "treat").as("a"))
+    val t = welchTtest(units, col("x"), col("a"))
+    val u = mannWhitneyU(units, col("vd"), col("a"))
+      .select(col("u_stat"), col("z_stat"))
+    t.crossJoin(broadcast(u))
+  }
+
+  val qPipelineExperimentSql: String = {
+    val armCase = graft.functions.Sampling.splitSql("c_custkey",
+      Seq("treat" -> 0.5, "control" -> 0.5))
+    s"""
+    WITH assigned AS (
+      SELECT c_custkey, $armCase AS arm FROM customer),
+    rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DECIMAL(25,2)) AS rev
+      FROM orders GROUP BY 1),
+    units AS (
+      SELECT CAST(rev AS DOUBLE) AS x,
+             CAST(floor(CAST(rev AS DOUBLE) / 100) AS BIGINT) AS vd,
+             arm = 'treat' AS a
+      FROM assigned JOIN rev ON c_custkey = o_custkey),
+    tagg AS (
+      SELECT
+        CAST(count_if(a) AS BIGINT) AS n_a,
+        CAST(count_if(NOT a) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN a THEN CAST(x AS DECIMAL(27,6)) END) AS DOUBLE) AS s_a,
+        CAST(SUM(CASE WHEN NOT a THEN CAST(x AS DECIMAL(27,6)) END) AS DOUBLE) AS s_b,
+        CAST(SUM(CASE WHEN a THEN CAST(x * x AS DECIMAL(30,6)) END) AS DOUBLE) AS ss_a,
+        CAST(SUM(CASE WHEN NOT a THEN CAST(x * x AS DECIMAL(30,6)) END) AS DOUBLE) AS ss_b
+      FROM units),
+    tstat AS (
+      SELECT n_a, n_b,
+             s_a / na AS mean_a, s_b / nb AS mean_b,
+             floor((s_a / na - s_b / nb) / sqrt(va / na + vb / nb) * 1e6 + 0.5) / 1e6
+               AS t_stat,
+             floor((va / na + vb / nb) * (va / na + vb / nb) /
+               ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
+               * 1e6 + 0.5) / 1e6 AS dof
+      FROM (SELECT *,
+              CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+              (ss_a - s_a * s_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1) AS va,
+              (ss_b - s_b * s_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1) AS vb
+            FROM tagg) t),
+    byval AS (
+      SELECT vd AS v,
+             CAST(count_if(a) AS BIGINT) AS c_a,
+             CAST(COUNT(*) AS BIGINT) AS c_all
+      FROM units GROUP BY 1),
+    ranked AS (
+      SELECT c_a, c_all,
+             CAST(COALESCE(SUM(c_all) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+               + CAST(c_all + 1 AS DOUBLE) / 2.0 AS midrank
+      FROM byval),
+    uagg AS (
+      SELECT CAST(SUM(c_a) AS BIGINT) AS un_a,
+             CAST(SUM(c_all - c_a) AS BIGINT) AS un_b,
+             CAST(SUM(CAST(CAST(c_a AS DOUBLE) * midrank AS DECIMAL(27,6))) AS DOUBLE) AS r_a,
+             CAST(SUM(c_all * c_all * c_all - c_all) AS BIGINT) AS ties
+      FROM ranked),
+    ustat AS (
+      SELECT r_a - na * (na + 1) / 2.0 AS u_stat,
+             CASE WHEN sqrt(na * nb / 12.0 *
+                    ((na + nb + 1) - CAST(ties AS DOUBLE) / ((na + nb) * (na + nb - 1)))) > 0
+                  THEN floor((r_a - na * (na + 1) / 2.0 - na * nb / 2.0) /
+                       sqrt(na * nb / 12.0 *
+                            ((na + nb + 1) - CAST(ties AS DOUBLE) / ((na + nb) * (na + nb - 1))))
+                       * 1e6 + 0.5) / 1e6
+             END AS z_stat
+      FROM (SELECT *, CAST(un_a AS DOUBLE) AS na, CAST(un_b AS DOUBLE) AS nb FROM uagg) t)
+    SELECT * FROM tstat, ustat"""
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_ttest"          -> qAggTtest,
     "agg_mannwhitney"    -> qAggMannWhitney,
@@ -615,6 +712,7 @@ object Relational7 {
     "agg_benford"        -> qAggBenford,
     "mdio_dip"           -> qMdioDip,
     "graph_item_cf"      -> qGraphItemCf,
+    "pipeline_experiment" -> qPipelineExperiment,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -628,5 +726,6 @@ object Relational7 {
     "agg_benford"        -> qAggBenfordSql,
     "mdio_dip"           -> qMdioDipSql,
     "graph_item_cf"      -> qGraphItemCfSql,
+    "pipeline_experiment" -> qPipelineExperimentSql,
   )
 }

@@ -42,7 +42,9 @@ class PlanHygieneSpec extends SparkSpec {
       // the experiment-analysis family attaches one-row totals the same
       // way: seasonality the global mean, median/MAD the n and the
       // median scalars, benford the digit total
-      "events_seasonality", "agg_median_mad", "agg_benford")
+      "events_seasonality", "agg_median_mad", "agg_benford",
+      // pipeline_experiment zips its two one-row readouts
+      "pipeline_experiment")
 
   test("no accidental cartesian/nested-loop joins across the inventory") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -81,7 +81,7 @@ class StatsDifferentialSpec extends SparkSpec {
       assert(r.getLong(0) == na && r.getLong(1) == nb, s"round $round arms")
       assert(math.abs(r.getDouble(2) - ma) < 1e-9 && math.abs(r.getDouble(3) - mb) < 1e-9,
         s"round $round means")
-      assert(math.abs(r.getDouble(4) - t) < 1e-9, s"round $round t ${r.getDouble(4)} vs $t")
+      assert(math.abs(r.getDouble(4) - t) < 1e-6, s"round $round t ${r.getDouble(4)} vs $t") // t is 1e-6-quantized
     }
   }
 

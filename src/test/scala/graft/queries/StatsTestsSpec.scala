@@ -185,6 +185,23 @@ class StatsTestsSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_experiment: arms partition the metric'd customers; both readouts coherent") {
+    val r = Relational7.qPipelineExperiment(spark, sf).head()
+    val (nA, nB) = (r.getLong(0), r.getLong(1))
+    val withOrders = graft.Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(nA + nB == withOrders, "every customer with orders lands in exactly one arm")
+    // hash assignment should split roughly evenly (binomial 5-sigma)
+    val dev = math.abs(nA - nB) / math.sqrt(nA + nB.toDouble)
+    assert(dev < 5.0, s"arm imbalance $nA vs $nB ($dev sigma)")
+    val (ma, mb, t) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(math.signum(t) == math.signum(ma - mb) || t == 0.0, "t sign follows mean gap")
+    assert(r.getDouble(5) > 0, "dof positive")
+    val u = r.getDouble(6)
+    assert(u >= 0 && u <= nA.toDouble * nB, "U in range")
+    assert(!r.isNullAt(7) && !r.getDouble(7).isNaN, "z defined on non-degenerate metric")
+  }
+
   test("events_seasonality: indices are n-weighted-normalized (Σ n·idx = N)") {
     val rows = Relational7.qEventsSeasonality(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
