@@ -8,11 +8,17 @@ package graft.multimodal
   * [[Multimodal.extractFeatures]], no image library needed.
   *
   * Decoder scope (loud on everything else): 8-bit baseline sequential
-  * (SOF0), 1-component or single-interleaved-scan 3-component images with
-  * the first (luma) component at full resolution — which covers grayscale
-  * and 4:4:4/4:2:2/4:2:0 color as every mainstream encoder emits them.
-  * Progressive (SOF2), arithmetic coding, 12-bit precision, hierarchical
-  * and multi-scan streams are rejected loud, never decoded wrong.
+  * (SOF0) AND progressive (SOF2) Huffman JPEG, 1- or 3-component images
+  * with the first (luma) component at full resolution — which covers
+  * grayscale and 4:4:4/4:2:2/4:2:0 as every mainstream encoder emits
+  * them. Progressive decodes the full successive-approximation protocol
+  * (DC/AC first + refinement scans, spectral selection, EOB runs — ITU
+  * T.81 G.1.2 / G.2), accumulating coefficients across scans and
+  * reconstructing at EOI; certified pixel-exact against the JDK's
+  * independent ImageIO decoder on JDK-written progressive streams
+  * (CodecInteropSpec). Arithmetic coding, 12-bit precision, hierarchical
+  * and multi-scan SEQUENTIAL streams are rejected loud, never decoded
+  * wrong.
   * `meanLuma` is the mean of the Y channel (the luma plane IS the
   * intensity signal; chroma blocks are entropy-decoded to keep the
   * bitstream in sync but not reconstructed).
@@ -396,6 +402,16 @@ object JpegCodec {
     var compQ: Array[Int] = null
     var restartInterval = 0
 
+    // progressive state: coefficients accumulate across scans in a
+    // per-component MCU-padded block grid, reconstructed at EOI
+    var progressive = false
+    var coefStore: Array[Array[Int]] = null
+    var mcusX = 0
+    var mcusY = 0
+    var padW: Array[Int] = null // per-comp block-grid width (MCU-padded)
+    var padH: Array[Int] = null
+    var scansSeen = 0
+
     var sumLuma = 0L
     var decoded = false // a scan must actually have run (truncation guard)
 
@@ -405,6 +421,59 @@ object JpegCodec {
       while (m == 0xff) m = u8() // fill bytes before a marker are legal
       m match {
         case 0xd9 => // EOI
+          if (progressive) {
+            require(scansSeen > 0, "JPEG: EOI before any scan")
+            // reconstruct the luma plane from the accumulated coefficients
+            val q = quant(compQ(0))
+            require(q != null, "JPEG: missing quantization table")
+            val bw0 = padW(0)
+            val yW = bw0 * 8
+            val yPlane = new Array[Byte](yW * padH(0) * 8)
+            val store = coefStore(0)
+            val tmp = new Array[Double](64)
+            val coef = new Array[Int](64)
+            var bi = 0
+            val nBlocks = padW(0) * padH(0)
+            while (bi < nBlocks) {
+              var i = 0
+              while (i < 64) { coef(i) = store(bi * 64 + i) * q(i); i += 1 }
+              var u = 0
+              while (u < 8) {
+                var x = 0
+                while (x < 8) {
+                  var s = 0.0
+                  var v = 0
+                  while (v < 8) { s += coef(u * 8 + v) * Basis(x)(v); v += 1 }
+                  tmp(u * 8 + x) = s
+                  x += 1
+                }
+                u += 1
+              }
+              val bx0 = (bi % bw0) * 8
+              val by0 = (bi / bw0) * 8
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var s = 0.0
+                  var u2 = 0
+                  while (u2 < 8) { s += Basis(y)(u2) * tmp(u2 * 8 + x); u2 += 1 }
+                  val px = math.max(0, math.min(255, math.round(s).toInt + 128))
+                  yPlane((by0 + y) * yW + bx0 + x) = px.toByte
+                  x += 1
+                }
+                y += 1
+              }
+              bi += 1
+            }
+            var y = 0
+            while (y < height) {
+              var x = 0
+              while (x < width) { sumLuma += yPlane(y * yW + x) & 0xff; x += 1 }
+              y += 1
+            }
+            decoded = true
+          }
           require(decoded, "JPEG: EOI before any scan")
           ip = bytes.length
         case 0xdb => // DQT
@@ -432,7 +501,7 @@ object JpegCodec {
             len -= 17 + n
           }
           require(len == 0, "JPEG: malformed DHT length")
-        case 0xc0 | 0xc1 => // SOF0/1: baseline(+extended) sequential Huffman
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 sequential, SOF2 progressive
           u16()
           require(u8() == 8, "JPEG: only 8-bit precision supported")
           height = u16(); width = u16()
@@ -453,14 +522,204 @@ object JpegCodec {
           }
           require(compH(0) == compH.max && compV(0) == compV.max,
             "JPEG: luma must be the full-resolution component")
-        case 0xc2 => throw new IllegalArgumentException(
-          "JPEG: progressive (SOF2) not supported — baseline sequential only")
+          if (m == 0xc2) {
+            progressive = true
+            val hmax = compH.max
+            val vmax = compV.max
+            mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+            padW = Array.tabulate(nComp)(c => mcusX * compH(c))
+            padH = Array.tabulate(nComp)(c => mcusY * compV(c))
+            coefStore = Array.tabulate(nComp)(c => new Array[Int](padW(c) * padH(c) * 64))
+          }
         case x if x >= 0xc3 && x <= 0xcf && x != 0xc8 && x != 0xc4 && x != 0xcc =>
           throw new IllegalArgumentException(
             f"JPEG: SOF$x%02x (lossless/arithmetic/hierarchical) not supported")
         case 0xdd => // DRI
           require(u16() == 4, "JPEG: malformed DRI")
           restartInterval = u16()
+        case 0xda if progressive => // SOS — one progressive scan (T.81 G.2)
+          u16()
+          val ns = u8()
+          require(ns >= 1 && ns <= nComp, "JPEG: bad scan component count")
+          val scomp = new Array[Int](ns)
+          val sDc = new Array[Int](ns)
+          val sAc = new Array[Int](ns)
+          for (i <- 0 until ns) {
+            val cs = u8()
+            val c = compId.indexOf(cs)
+            require(c >= 0, s"JPEG: scan references unknown component $cs")
+            scomp(i) = c
+            val tdta = u8()
+            sDc(i) = tdta >> 4
+            sAc(i) = tdta & 0x0f
+          }
+          val ss = u8()
+          val se = u8()
+          val ahal = u8()
+          val ah = ahal >> 4
+          val al = ahal & 0x0f
+          require(ss <= se && se < 64 && al <= 13 && ah <= 14,
+            s"JPEG: bad progression parameters Ss=$ss Se=$se Ah=$ah Al=$al")
+          if (ss == 0) require(se == 0, "JPEG: progressive DC scan must have Se=0")
+          else require(ns == 1, "JPEG: progressive AC scans are single-component")
+          if (ah > 0) require(ah == al + 1,
+            "JPEG: successive approximation must refine one bit per scan")
+          val br = new BitReader(bytes, ip)
+          val pred = new Array[Int](ns)
+          var eobrun = 0
+          val p1 = 1 << al
+
+          // append this block's correction bit to a nonzero-history coeff
+          def refineOne(store: Array[Int], off: Int): Unit =
+            if (br.bit() == 1 && (store(off) & p1) == 0)
+              store(off) += (if (store(off) >= 0) p1 else -p1)
+
+          def blockDc(i: Int, store: Array[Int], base: Int): Unit =
+            if (ah == 0) {
+              val h = dcTables(sDc(i))
+              require(h != null, "JPEG: scan references missing DHT")
+              val s0 = br.decode(h)
+              require(s0 <= 11, "JPEG: invalid DC category")
+              pred(i) += extend(br.receive(s0), s0)
+              store(base) = pred(i) << al
+            } else if (br.bit() == 1) store(base) |= p1
+
+          def blockAcFirst(store: Array[Int], base: Int, h: Huff): Unit =
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              while (k <= se) {
+                val rs = br.decode(h)
+                val r = rs >> 4
+                val s = rs & 15
+                if (s == 0) {
+                  if (r != 15) { // EOB run covers this + (eobrun) more blocks
+                    eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0)
+                    k = se + 1
+                  } else k += 16 // ZRL
+                } else {
+                  k += r
+                  require(k <= se, "JPEG: AC run past spectral band")
+                  store(base + Zigzag(k)) = extend(br.receive(s), s) << al
+                  k += 1
+                }
+              }
+            }
+
+          // the successive-approximation AC refinement pass — the libjpeg
+          // decode_mcu_AC_refine control flow: newly-significant coeffs
+          // arrive as ±1<<Al; every nonzero-history coeff passed over
+          // (including in EOB runs) carries a correction bit
+          def blockAcRefine(store: Array[Int], base: Int, h: Huff): Unit = {
+            var k = ss
+            if (eobrun == 0) {
+              var outer = true
+              while (k <= se && outer) {
+                val rs = br.decode(h)
+                var r = rs >> 4
+                val s = rs & 15
+                var ins = 0
+                if (s != 0) {
+                  require(s == 1, "JPEG: AC refinement size must be 1")
+                  ins = if (br.bit() == 1) p1 else -p1
+                } else if (r != 15) {
+                  eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+                  outer = false // rest of the block joins the EOB-run path
+                }
+                if (outer) {
+                  var inner = true
+                  while (k <= se && inner) {
+                    val off = base + Zigzag(k)
+                    if (store(off) != 0) { refineOne(store, off); k += 1 }
+                    else if (r == 0) {
+                      if (s != 0) store(off) = ins
+                      k += 1
+                      inner = false
+                    } else { r -= 1; k += 1 }
+                  }
+                }
+              }
+            }
+            if (eobrun > 0) {
+              while (k <= se) {
+                val off = base + Zigzag(k)
+                if (store(off) != 0) refineOne(store, off)
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
+
+          def maybeRestart(unit: Int): Unit =
+            if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+              br.restart(((unit / restartInterval) - 1) % 8)
+              java.util.Arrays.fill(pred, 0)
+              eobrun = 0
+            }
+
+          if (ss == 0 && ns > 1) {
+            // interleaved DC scan over the global MCU grid
+            var mcu = 0
+            var my = 0
+            while (my < mcusY) {
+              var mx = 0
+              while (mx < mcusX) {
+                maybeRestart(mcu)
+                var i = 0
+                while (i < ns) {
+                  val c = scomp(i)
+                  var vb = 0
+                  while (vb < compV(c)) {
+                    var hb = 0
+                    while (hb < compH(c)) {
+                      val base =
+                        ((my * compV(c) + vb) * padW(c) + mx * compH(c) + hb) * 64
+                      blockDc(i, coefStore(c), base)
+                      hb += 1
+                    }
+                    vb += 1
+                  }
+                  i += 1
+                }
+                mcu += 1
+                mx += 1
+              }
+              my += 1
+            }
+          } else {
+            // non-interleaved scan (single-component DC, or any AC scan):
+            // blocks in raster order over the component's UNPADDED grid
+            val c = scomp(0)
+            val hmax = compH.max
+            val vmax = compV.max
+            val bw = ((width * compH(c) + hmax - 1) / hmax + 7) / 8
+            val bh = ((height * compV(c) + vmax - 1) / vmax + 7) / 8
+            val acH = if (ss > 0) acTables(sAc(0)) else null
+            if (ss > 0) require(acH != null, "JPEG: scan references missing DHT")
+            var blk = 0
+            var byi = 0
+            while (byi < bh) {
+              var bxi = 0
+              while (bxi < bw) {
+                maybeRestart(blk)
+                val base = (byi * padW(c) + bxi) * 64
+                if (ss == 0) blockDc(0, coefStore(c), base)
+                else if (ah == 0) blockAcFirst(coefStore(c), base, acH)
+                else blockAcRefine(coefStore(c), base, acH)
+                blk += 1
+                bxi += 1
+              }
+              byi += 1
+            }
+          }
+          ip = br.ip
+          // if the encoder's final padding byte was 0xFF its 0x00 stuffing
+          // was never consumed — step past any such trailing pairs so the
+          // marker loop lands on the real next marker
+          while (ip + 1 < bytes.length && (bytes(ip) & 0xff) == 0xff &&
+                 (bytes(ip + 1) & 0xff) == 0x00) ip += 2
+          scansSeen += 1
         case 0xda => // SOS — entropy-coded scan follows
           require(width > 0, "JPEG: SOS before SOF")
           u16()

@@ -182,11 +182,92 @@ class CodecInteropSpec extends AnyFunSuite {
       s"ImageIO-written color JPEG: graft Y ${dc.meanLuma} vs $wantY")
   }
 
+  /** ImageIO JPEG bytes with the writer forced into progressive mode. */
+  private def writeProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = writer.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    writer.dispose()
+    ios.close()
+    val bytes = bos.toByteArray
+    // the whole point: the JDK must actually have emitted SOF2
+    assert(bytes.sliding(2).exists(s => (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc2),
+      "JDK writer did not produce a progressive (SOF2) stream")
+    bytes
+  }
+
+  private def imageIoMeanLuma(bytes: Array[Byte]): Double = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var sum = 0L
+    if (img.getRaster.getNumBands == 1) {
+      // grayscale: raw raster samples (getRGB would gamma-map gray→sRGB)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        sum += img.getRaster.getSample(x, y, 0)
+    } else {
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += JpegCodec.lumaOf((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      }
+    }
+    sum.toDouble / (img.getWidth.toLong * img.getHeight) / 255.0
+  }
+
+  test("JPEG progressive: graft decodes JDK-written grayscale SOF2 (all scan kinds)") {
+    val (w, h) = (40, 24)
+    val px = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w)
+      px(y * w + x) = ((x * 4 + y * 3) % 200 + 20).toByte
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, px(y * w + x) & 0xff)
+    val bytes = writeProgressive(img)
+    val d = JpegCodec.decode(bytes)
+    assert(d.width == w && d.height == h)
+    // two independent decoders of the SAME lossy stream: IDCT rounding only
+    assert(math.abs(d.meanLuma - imageIoMeanLuma(bytes)) < 0.005,
+      s"graft ${d.meanLuma} vs ImageIO ${imageIoMeanLuma(bytes)}")
+    val srcLuma = px.map(_ & 0xff).map(_.toLong).sum.toDouble / (w * h) / 255.0
+    assert(math.abs(d.meanLuma - srcLuma) < 0.02, "drifted from the source image")
+  }
+
+  test("JPEG progressive: graft decodes JDK-written subsampled color SOF2") {
+    val (w, h) = (56, 40)
+    val cimg = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // smooth two-axis gradient: exercises DC refinement + AC bands across
+    // many blocks without hard edges (which would just stress quant loss)
+    for (y <- 0 until h; x <- 0 until w)
+      cimg.setRGB(x, y, ((40 + x * 3) << 16) | ((60 + y * 4) << 8) | 0x70)
+    val bytes = writeProgressive(cimg)
+    val d = JpegCodec.decode(bytes)
+    assert(d.width == w && d.height == h)
+    assert(math.abs(d.meanLuma - imageIoMeanLuma(bytes)) < 0.005,
+      s"graft ${d.meanLuma} vs ImageIO ${imageIoMeanLuma(bytes)}")
+  }
+
+  test("JPEG progressive: truncated stream and missing scans reject loud") {
+    val img = new java.awt.image.BufferedImage(24, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 24) img.getRaster.setSample(x, y, 0, (x * 7 + y) % 256)
+    val bytes = writeProgressive(img)
+    // cut mid-entropy-stream: the EOI-time truncation guard must fire
+    intercept[IllegalArgumentException](JpegCodec.decode(bytes.take(bytes.length / 2)))
+    // SOF2 header with EOI and no scan at all
+    val soi = bytes.takeWhile(_ != 0xda.toByte) // keep everything before first SOS...
+    intercept[IllegalArgumentException] {
+      JpegCodec.decode(Array(0xff, 0xd8, 0xff, 0xc2, 0, 8, 8, 0, 8, 0, 8, 1,
+        1, 0x11, 0, 0xff, 0xd9).map(_.toByte))
+    }
+    assert(soi.nonEmpty) // silence the unused warning, keep the derivation
+  }
+
   test("JPEG: malformed and unsupported flavors reject loud") {
     intercept[IllegalArgumentException](JpegCodec.decode("nope".getBytes))
-    // progressive: SOI + SOF2 header
+    // arithmetic-coded sequential: SOI + SOF9
     intercept[IllegalArgumentException] {
-      JpegCodec.decode(Array(0xff, 0xd8, 0xff, 0xc2, 0, 5, 8, 0, 8).map(_.toByte))
+      JpegCodec.decode(Array(0xff, 0xd8, 0xff, 0xc9, 0, 5, 8, 0, 8).map(_.toByte))
     }
     // truncation mid-entropy-stream
     val ok = JpegCodec.encode(16, 16, Array.fill(256)(77.toByte))
