@@ -584,5 +584,8 @@ object Bench {
     // comparator: agg_ttest + agg_mannwhitney over the per-customer
     // metric (one orders groupBy + one broadcast-ish hash join feeding
     // both readouts lazily)
-    "pipeline_experiment" -> 1.2)
+    "pipeline_experiment" -> 1.2,
+    // comparator: multimodal_jpeg (same images, same decode volume; the
+    // four-scan parse re-reads the entropy stream but skips chroma)
+    "multimodal_jpeg_progressive" -> 0.8)
 }

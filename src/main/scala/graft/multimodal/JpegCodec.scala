@@ -93,10 +93,9 @@ object JpegCodec {
   private val AcCode: Map[Int, Int] = AcVals.zipWithIndex.toMap
 
   /** Forward-DCT one 8×8 block sampled from `plane` (edge-replicated) at
-    * (x0, y0), quantize by 1, entropy-code against `pred`; returns the new
-    * DC predictor. The shared hot path of both encoders. */
-  private def encodeBlock(bw: BitWriter, plane: Array[Byte], pw: Int, ph: Int,
-                          x0: Int, y0: Int, pred: Int): Int = {
+    * (x0, y0), quantized by 1 — the shared front half of all encoders. */
+  private def dctBlock(plane: Array[Byte], pw: Int, ph: Int,
+                       x0: Int, y0: Int): Array[Int] = {
     val block = new Array[Double](64)
     var y = 0
     while (y < 8) {
@@ -136,6 +135,14 @@ object JpegCodec {
       }
       u += 1
     }
+    coef
+  }
+
+  /** DCT + sequential entropy-code one block against `pred`; returns the
+    * new DC predictor. The shared hot path of both sequential encoders. */
+  private def encodeBlock(bw: BitWriter, plane: Array[Byte], pw: Int, ph: Int,
+                          x0: Int, y0: Int, pred: Int): Int = {
+    val coef = dctBlock(plane, pw, ph, x0, y0)
     // DC difference
     val dc = coef(0)
     val diff = dc - pred
@@ -212,6 +219,108 @@ object JpegCodec {
     }
     bw.flush()
     out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a grayscale image as a four-scan PROGRESSIVE (SOF2) JFIF with
+    * all-ones quantization: DC first at Al=1, two spectral AC bands
+    * (1–5, 6–63), then the DC refinement bit — a real successive-
+    * approximation script whose wire format exercises shifted-DC coding,
+    * cross-block EOB runs, and per-block refinement bits. Scope: the AC
+    * coefficients must be zero in every block (i.e. block-constant
+    * content — the oracle corpus), so the AC band scans are pure EOB
+    * runs and the image survives the lossy format EXACTLY; non-constant
+    * blocks reject loud rather than encode wrong. */
+  def encodeProgressive(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && gray.length == width * height,
+      s"need $width*$height=${width.toLong * height} pixels, got ${gray.length}")
+    val out = new java.io.ByteArrayOutputStream(gray.length / 2 + 1024)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      payload.foreach(out.write)
+    }
+    marker(0xd8)
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, 0 +: Array.fill(64)(1))
+    seg(0xc2, Array(8, (height >> 8) & 0xff, height & 0xff,
+      (width >> 8) & 0xff, width & 0xff, 1, 1, 0x11, 0)) // SOF2, 1 comp
+    seg(0xc4, (0 +: Array.tabulate(16)(l => if (l == 3) DcVals.length else 0))
+      ++ DcVals) // DC table 0: all codes length 4 (shared with baseline)
+    // progressive AC table 0: the 15 EOBn symbols + ZRL, all codes 5 bits
+    val acProgVals: Array[Int] = (0 to 14).map(_ << 4).toArray :+ 0xF0
+    val acProgCode: Map[Int, Int] = acProgVals.zipWithIndex.toMap
+    seg(0xc4, (0x10 +: Array.tabulate(16)(l => if (l == 4) acProgVals.length else 0))
+      ++ acProgVals)
+
+    val bx = (width + 7) / 8
+    val by = (height + 7) / 8
+    val nBlocks = bx * by
+    val dcs = new Array[Int](nBlocks)
+    var bi = 0
+    var byi = 0
+    while (byi < by) {
+      var bxi = 0
+      while (bxi < bx) {
+        val coef = dctBlock(gray, width, height, bxi * 8, byi * 8)
+        var k = 1
+        while (k < 64) {
+          require(coef(k) == 0,
+            "JPEG progressive encoder: non-constant block (AC coefficients present)")
+          k += 1
+        }
+        dcs(bi) = coef(0)
+        bi += 1
+        bxi += 1
+      }
+      byi += 1
+    }
+
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit =
+      seg(0xda, Array(1, 1, 0x00, ss, se, (ah << 4) | al))
+
+    // scan 1: DC first, Al = 1 — codes dc >> 1 differentially
+    sos(0, 0, 0, 1)
+    var bw = new BitWriter(out)
+    var pred = 0
+    bi = 0
+    while (bi < nBlocks) {
+      val v = dcs(bi) >> 1
+      val diff = v - pred
+      pred = v
+      val s0 = category(diff)
+      bw.write(DcCode(s0), 4)
+      if (s0 > 0) bw.write(if (diff < 0) diff + (1 << s0) - 1 else diff, s0)
+      bi += 1
+    }
+    bw.flush()
+
+    // scans 2+3: the AC bands are all-zero → pure cross-block EOB runs
+    for ((ss, se) <- Seq((1, 5), (6, 63))) {
+      sos(ss, se, 0, 0)
+      bw = new BitWriter(out)
+      var remaining = nBlocks
+      while (remaining > 0) {
+        val run = math.min(remaining, 32767)
+        var r = 0
+        while ((1 << (r + 1)) <= run) r += 1 // r = floor(log2 run), ≤ 14
+        bw.write(acProgCode(r << 4), 5)
+        if (r > 0) bw.write(run - (1 << r), r)
+        remaining -= run
+      }
+      bw.flush()
+    }
+
+    // scan 4: DC refinement, Ah=1 Al=0 — the dropped LSB, one raw bit/block
+    sos(0, 0, 1, 0)
+    bw = new BitWriter(out)
+    bi = 0
+    while (bi < nBlocks) { bw.write(dcs(bi) & 1, 1); bi += 1 }
+    bw.flush()
+
+    marker(0xd9)
     out.toByteArray
   }
 

@@ -128,6 +128,36 @@ object Multimodal {
       .toDF()
   }
 
+  /** Progressive twin of [[attachJpegPayload]]: the SAME deterministic
+    * block-constant images wire-encoded as four-scan progressive SOF2
+    * ([[JpegCodec.encodeProgressive]]: shifted DC first, two spectral AC
+    * bands as cross-block EOB runs, DC refinement bits). The decoded
+    * pixels are identical to the baseline twin's, so the SAME oracle
+    * arithmetic certifies the successive-approximation decode path. */
+  def attachJpegProgressivePayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"),
+      (pmod(col("doc_id"), lit(8)) * 8 + 16).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(6)) * 8 + 16).cast("int").as("height"))
+      .as[(Long, String, Int, Int)]
+      .map { case (id, text, w, h) =>
+        val t = Option(text).getOrElse("").getBytes("UTF-8")
+        val gray = new Array[Byte](w * h)
+        if (t.nonEmpty) {
+          val bw = w / 8
+          var i = 0
+          while (i < gray.length) {
+            val block = (i / w / 8) * bw + (i % w) / 8
+            gray(i) = t(block % t.length)
+            i += 1
+          }
+        }
+        MediaRow(id, JpegCodec.encodeProgressive(w, h, gray), "image/jpeg", w, h)
+      }
+      .toDF()
+  }
+
   /** Color twin of [[attachJpegPayload]]: a deterministic
     * MACROBLOCK-CONSTANT RGB image (every 16×16 macroblock k carries three
     * consecutive UTF-8 bytes of the text: R = byte 3k, G = byte 3k+1,

@@ -983,6 +983,25 @@ object Pipeline2 {
            CAST(SUM(h // 2) AS BIGINT) AS sum_thumb_h
     FROM e"""
 
+  /** PROGRESSIVE DCT decode on the oracle: the same block-constant images
+    * as `multimodal_jpeg`, wire-encoded as four-scan progressive SOF2
+    * (shifted DC first scan, two spectral AC bands carried as cross-block
+    * EOB runs, DC refinement bits) and decoded through the full
+    * successive-approximation path — coefficients accumulate across
+    * scans, reconstruction happens at EOI. Decoded pixels are identical
+    * to the baseline twin's, so the SAME cycle arithmetic certifies the
+    * progressive protocol end to end. */
+  val qMultimodalJpegProgressive: Q = (s, d) =>
+    graft.multimodal.Multimodal.extractFeatures(s,
+      graft.multimodal.Multimodal.attachJpegProgressivePayload(documents(s, d)))
+      .toDF()
+      .agg(count(lit(1)).as("n"),
+           dsum(col("intensity")).as("sum_luma"),
+           sum(col("dim1").cast("long")).as("sum_thumb_w"),
+           sum(col("dim2").cast("long")).as("sum_thumb_h"))
+
+  val qMultimodalJpegProgressiveSql: String = qMultimodalJpegSql
+
   /** COLOR DCT round-trip on the oracle: macroblock-constant RGB images
     * (16×16 macroblock k carries text bytes 3k/3k+1/3k+2 as R/G/B) encoded
     * as baseline 4:2:0 YCbCr JPEG by
@@ -1141,6 +1160,7 @@ object Pipeline2 {
     "multimodal_bmp"           -> qMultimodalBmp,
     "multimodal_png"           -> qMultimodalPng,
     "multimodal_jpeg"          -> qMultimodalJpeg,
+    "multimodal_jpeg_progressive" -> qMultimodalJpegProgressive,
     "multimodal_jpeg_color"    -> qMultimodalJpegColor,
     "multimodal_wav"           -> qMultimodalWav,
     "pipeline_sample_stratified" -> qPipelineSampleStratified,
@@ -1175,6 +1195,7 @@ object Pipeline2 {
     "multimodal_bmp"           -> qMultimodalBmpSql,
     "multimodal_png"           -> qMultimodalPngSql,
     "multimodal_jpeg"          -> qMultimodalJpegSql,
+    "multimodal_jpeg_progressive" -> qMultimodalJpegProgressiveSql,
     "multimodal_jpeg_color"    -> qMultimodalJpegColorSql,
     "multimodal_wav"           -> qMultimodalWavSql,
     "pipeline_sample_stratified" -> qPipelineSampleStratifiedSql,

@@ -263,6 +263,31 @@ class CodecInteropSpec extends AnyFunSuite {
     assert(soi.nonEmpty) // silence the unused warning, keep the derivation
   }
 
+  test("JPEG progressive: graft-encoded SOF2 round-trips exactly; ImageIO agrees pixel-exact") {
+    // block-constant content → DC-only blocks → the four-scan progressive
+    // wire format is lossless; BOTH decoders must recover every pixel
+    val (w, h) = (40, 24)
+    val px = new Array[Byte](w * h)
+    val rnd = new scala.util.Random(41)
+    val blockVal = Array.fill((w / 8) * (h / 8))(rnd.nextInt(256).toByte)
+    for (y <- 0 until h; x <- 0 until w)
+      px(y * w + x) = blockVal((y / 8) * (w / 8) + x / 8)
+    val enc = JpegCodec.encodeProgressive(w, h, px)
+    assert(enc.sliding(2).exists(s => (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc2),
+      "encoder must emit SOF2")
+    val d = JpegCodec.decode(enc)
+    assert(d.width == w && d.height == h)
+    val want = px.map(_ & 0xff).map(_.toLong).sum.toDouble / (w * h) / 255.0
+    assert(d.meanLuma == want, s"graft ${d.meanLuma} vs exact $want")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) == (px(y * w + x) & 0xff),
+        s"ImageIO pixel ($x,$y)")
+    // non-constant blocks must reject loud, never encode wrong
+    val grad = Array.tabulate(w * h)(i => (i % 251).toByte)
+    intercept[IllegalArgumentException](JpegCodec.encodeProgressive(w, h, grad))
+  }
+
   test("JPEG: malformed and unsupported flavors reject loud") {
     intercept[IllegalArgumentException](JpegCodec.decode("nope".getBytes))
     // arithmetic-coded sequential: SOI + SOF9
