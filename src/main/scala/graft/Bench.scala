@@ -587,5 +587,8 @@ object Bench {
     "pipeline_experiment" -> 1.2,
     // comparator: multimodal_jpeg (same images, same decode volume; the
     // four-scan parse re-reads the entropy stream but skips chroma)
-    "multimodal_jpeg_progressive" -> 0.8)
+    "multimodal_jpeg_progressive" -> 0.8,
+    // comparator: stream_hll_exec (same one-streaming-agg micro-batch
+    // machinery; two rows of moment state + a free scalar tail)
+    "stream_experiment_exec" -> 1.5)
 }

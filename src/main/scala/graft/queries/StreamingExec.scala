@@ -566,7 +566,79 @@ object StreamingExec {
            CAST(MAX(s) AS BIGINT) AS max_s, MIN(event_id) AS first_alarm
     FROM sc WHERE s > 100000 GROUP BY 1 ORDER BY 1"""
 
+  /** STREAMING A/B EXPERIMENT READOUT executed as a stream: the per-arm
+    * moment state (n, Σx, Σx² — decimal-exact, SUM-mergeable, two rows of
+    * state total) maintains itself through the streaming engine as events
+    * arrive, with arms assigned by the same deterministic portable-hash
+    * split the batch pipeline uses. The batch tail folds the standing
+    * state into the Welch t readout — exactly the always-on experiment
+    * dashboard shape: micro-batches update two rows, the statistic is a
+    * free scalar chain on read. DuckDB re-derives arms, moments, and the
+    * quantized t/dof from scratch; every streamed moment must match
+    * bit-exactly for the hash to pass. */
+  val qStreamExperimentExec: Q = (s, d) => {
+    val armed = graft.functions.Sampling.assignSplit(
+      Tables.eventsStream(s, d), col("user_id"),
+      Seq("treat" -> 0.5, "control" -> 0.5), out = "arm")
+    val moments = armed.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(27,6)")).as("s"),
+           sum((col("value") * col("value")).cast("decimal(30,6)")).as("ss"))
+    val m = runToMemory(moments, "complete")
+    val t = col("arm") === "treat"
+    val agg = m.agg(
+      sum(when(t, col("n"))).as("n_a"),
+      sum(when(!t, col("n"))).as("n_b"),
+      sum(when(t, col("s"))).cast("double").as("s_a"),
+      sum(when(!t, col("s"))).cast("double").as("s_b"),
+      sum(when(t, col("ss"))).cast("double").as("ss_a"),
+      sum(when(!t, col("ss"))).cast("double").as("ss_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ma = col("s_a") / na; val mb = col("s_b") / nb
+    val va = (col("ss_a") - col("s_a") * col("s_a") / na) / (na - 1)
+    val vb = (col("ss_b") - col("s_b") * col("s_b") / nb) / (nb - 1)
+    val sea = va / na; val seb = vb / nb
+    val se2 = sea + seb
+    agg.select(col("n_a"), col("n_b"), ma.as("mean_a"), mb.as("mean_b"),
+      (floor((ma - mb) / sqrt(se2) * 1e6 + 0.5) / 1e6).as("t_stat"),
+      (floor(se2 * se2 / (sea * sea / (na - 1) + seb * seb / (nb - 1)) * 1e6 + 0.5) / 1e6)
+        .as("dof"))
+  }
+
+  val qStreamExperimentExecSql: String = {
+    val armCase = graft.functions.Sampling.splitSql("user_id",
+      Seq("treat" -> 0.5, "control" -> 0.5))
+    s"""
+    WITH armed AS (SELECT $armCase AS arm, value FROM events),
+    agg AS (
+      SELECT
+        CAST(count_if(arm = 'treat') AS BIGINT) AS n_a,
+        CAST(count_if(arm = 'control') AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN arm = 'treat'
+                 THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE) AS s_a,
+        CAST(SUM(CASE WHEN arm = 'control'
+                 THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE) AS s_b,
+        CAST(SUM(CASE WHEN arm = 'treat'
+                 THEN CAST(value * value AS DECIMAL(30,6)) END) AS DOUBLE) AS ss_a,
+        CAST(SUM(CASE WHEN arm = 'control'
+                 THEN CAST(value * value AS DECIMAL(30,6)) END) AS DOUBLE) AS ss_b
+      FROM armed)
+    SELECT n_a, n_b,
+           s_a / na AS mean_a, s_b / nb AS mean_b,
+           floor((s_a / na - s_b / nb) / sqrt(va / na + vb / nb) * 1e6 + 0.5) / 1e6
+             AS t_stat,
+           floor((va / na + vb / nb) * (va / na + vb / nb) /
+             ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
+             * 1e6 + 0.5) / 1e6 AS dof
+    FROM (SELECT *,
+            CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+            (ss_a - s_a * s_a / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1) AS va,
+            (ss_b - s_b * s_b / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1) AS vb
+          FROM agg) t"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_experiment_exec" -> qStreamExperimentExec,
     "stream_cusum_exec"    -> qStreamCusumExec,
     "stream_expectations_exec" -> qStreamExpectationsExec,
     "stream_segy_exec"     -> qStreamSegyExec,
@@ -583,6 +655,7 @@ object StreamingExec {
     "stream_mdio_exec"     -> qStreamMdioExec)
 
   val oracleSql: Map[String, String] = Map(
+    "stream_experiment_exec" -> qStreamExperimentExecSql,
     "stream_cusum_exec"    -> qStreamCusumExecSql,
     "stream_expectations_exec" -> qStreamExpectationsExecSql,
     "stream_segy_exec"     -> qStreamSegyExecSql,
