@@ -590,5 +590,8 @@ object Bench {
     "multimodal_jpeg_progressive" -> 0.8,
     // comparator: stream_hll_exec (same one-streaming-agg micro-batch
     // machinery; two rows of moment state + a free scalar tail)
-    "stream_experiment_exec" -> 1.5)
+    "stream_experiment_exec" -> 1.5,
+    // comparator: window_moving_avg (daily rollup + a window over the
+    // ~2500-row day table; seven taps in one pass)
+    "agg_autocorr" -> 0.8)
 }

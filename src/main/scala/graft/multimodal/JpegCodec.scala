@@ -231,9 +231,11 @@ object JpegCodec {
     * content — the oracle corpus), so the AC band scans are pure EOB
     * runs and the image survives the lossy format EXACTLY; non-constant
     * blocks reject loud rather than encode wrong. */
-  def encodeProgressive(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+  def encodeProgressive(width: Int, height: Int, gray: Array[Byte],
+                        restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0 && gray.length == width * height,
       s"need $width*$height=${width.toLong * height} pixels, got ${gray.length}")
+    require(restartInterval >= 0, "restartInterval must be >= 0")
     val out = new java.io.ByteArrayOutputStream(gray.length / 2 + 1024)
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def seg(m: Int, payload: Array[Int]): Unit = {
@@ -278,8 +280,20 @@ object JpegCodec {
       byi += 1
     }
 
+    if (restartInterval > 0)
+      seg(0xdd, Array((restartInterval >> 8) & 0xff, restartInterval & 0xff))
+
     def sos(ss: Int, se: Int, ah: Int, al: Int): Unit =
       seg(0xda, Array(1, 1, 0x00, ss, se, (ah << 4) | al))
+
+    // restart boundary before block `bi` of a scan (non-interleaved:
+    // one MCU = one block): byte-align + RSTn, n cycling 0..7
+    def rstBefore(bw: BitWriter, bi: Int): Boolean =
+      if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+        bw.flush()
+        marker(0xd0 + ((bi / restartInterval) - 1) % 8)
+        true
+      } else false
 
     // scan 1: DC first, Al = 1 — codes dc >> 1 differentially
     sos(0, 0, 0, 1)
@@ -287,6 +301,7 @@ object JpegCodec {
     var pred = 0
     bi = 0
     while (bi < nBlocks) {
+      if (rstBefore(bw, bi)) pred = 0
       val v = dcs(bi) >> 1
       val diff = v - pred
       pred = v
@@ -298,17 +313,24 @@ object JpegCodec {
     bw.flush()
 
     // scans 2+3: the AC bands are all-zero → pure cross-block EOB runs
+    // (which must END at each restart boundary — runs cannot span one)
     for ((ss, se) <- Seq((1, 5), (6, 63))) {
       sos(ss, se, 0, 0)
       bw = new BitWriter(out)
-      var remaining = nBlocks
-      while (remaining > 0) {
-        val run = math.min(remaining, 32767)
-        var r = 0
-        while ((1 << (r + 1)) <= run) r += 1 // r = floor(log2 run), ≤ 14
-        bw.write(acProgCode(r << 4), 5)
-        if (r > 0) bw.write(run - (1 << r), r)
-        remaining -= run
+      val segLen = if (restartInterval > 0) restartInterval else nBlocks
+      var done = 0
+      while (done < nBlocks) {
+        if (rstBefore(bw, done)) () // eobrun state is per-segment anyway
+        var remaining = math.min(segLen, nBlocks - done)
+        done += remaining
+        while (remaining > 0) {
+          val run = math.min(remaining, 32767)
+          var r = 0
+          while ((1 << (r + 1)) <= run) r += 1 // r = floor(log2 run), ≤ 14
+          bw.write(acProgCode(r << 4), 5)
+          if (r > 0) bw.write(run - (1 << r), r)
+          remaining -= run
+        }
       }
       bw.flush()
     }
@@ -317,7 +339,11 @@ object JpegCodec {
     sos(0, 0, 1, 0)
     bw = new BitWriter(out)
     bi = 0
-    while (bi < nBlocks) { bw.write(dcs(bi) & 1, 1); bi += 1 }
+    while (bi < nBlocks) {
+      rstBefore(bw, bi)
+      bw.write(dcs(bi) & 1, 1)
+      bi += 1
+    }
     bw.flush()
 
     marker(0xd9)

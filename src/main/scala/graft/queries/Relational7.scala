@@ -701,6 +701,64 @@ object Relational7 {
     SELECT * FROM tstat, ustat"""
   }
 
+  // ---------------------------------------------------------------------
+  // AUTOCORRELATION FUNCTION — lag-1..7 ACF of the daily revenue series,
+  // the time-series diagnostic behind seasonality/forecast choices (the
+  // serial sibling of the existing Pearson corr). One map-side-combined
+  // daily rollup (the only full-data pass), then the lag taps run over
+  // the ~2500-row OBSERVED day sequence — driver-tiny at any corpus
+  // size, same contract as the rank statistics. Deviations are exact
+  // (decimal-sourced mean), products floor-quantized, and each ACF is a
+  // division of engine-identical doubles.
+  // ---------------------------------------------------------------------
+
+  val qAggAutocorr: Q = (s, d) => {
+    val daily = lineitem(s, d)
+      .groupBy(expr("datediff(l_shipdate, date'1992-01-01')").as("day"))
+      .agg(dsum(col("l_extendedprice")).as("v"))
+    val m = daily.agg(davg(col("v")).as("mean"), count(lit(1)).as("n_days"))
+    val w = Window.orderBy(col("day"))
+    val dev = daily.crossJoin(broadcast(m)).withColumn("dv", col("v") - col("mean"))
+    val lags = 1 to 7
+    val tapped = dev.select(
+      (col("dv") +: col("n_days") +:
+        lags.map(k => lag(col("dv"), k).over(w).as(s"dv_$k"))): _*)
+    val aggCols = first(col("n_days")).as("n_days") +:
+      qsum(col("dv") * col("dv"), 1e2).as("den") +:
+      lags.map(k => qsum(col("dv") * col(s"dv_$k"), 1e2).as(s"num_$k"))
+    val agg = tapped.agg(aggCols.head, aggCols.tail: _*)
+    agg.select(
+      (col("n_days") +:
+        lags.map(k => (col(s"num_$k") / col("den")).as(s"acf_$k"))): _*)
+  }
+
+  val qAggAutocorrSql: String = {
+    val lags = 1 to 7
+    val taps = lags.map(k =>
+      s"LAG(dv, $k) OVER (ORDER BY day) AS dv_$k").mkString(",\n             ")
+    val nums = lags.map(k =>
+      s"${sqlQsum(s"dv * dv_$k", "1e2")} AS num_$k").mkString(",\n             ")
+    val acfs = lags.map(k => s"num_$k / den AS acf_$k").mkString(", ")
+    s"""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1992-01-01', l_shipdate) AS day,
+             ${sqlDsum("l_extendedprice")} AS v
+      FROM lineitem GROUP BY 1),
+    m AS (SELECT ${sqlDavg("v")} AS mean, CAST(COUNT(*) AS BIGINT) AS n_days
+          FROM daily),
+    dev AS (SELECT day, v - mean AS dv, n_days FROM daily, m),
+    tapped AS (
+      SELECT dv, n_days,
+             $taps
+      FROM dev),
+    agg AS (
+      SELECT ANY_VALUE(n_days) AS n_days,
+             ${sqlQsum("dv * dv", "1e2")} AS den,
+             $nums
+      FROM tapped)
+    SELECT n_days, $acfs FROM agg"""
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_ttest"          -> qAggTtest,
     "agg_mannwhitney"    -> qAggMannWhitney,
@@ -713,6 +771,7 @@ object Relational7 {
     "mdio_dip"           -> qMdioDip,
     "graph_item_cf"      -> qGraphItemCf,
     "pipeline_experiment" -> qPipelineExperiment,
+    "agg_autocorr"       -> qAggAutocorr,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -727,5 +786,6 @@ object Relational7 {
     "mdio_dip"           -> qMdioDipSql,
     "graph_item_cf"      -> qGraphItemCfSql,
     "pipeline_experiment" -> qPipelineExperimentSql,
+    "agg_autocorr"       -> qAggAutocorrSql,
   )
 }

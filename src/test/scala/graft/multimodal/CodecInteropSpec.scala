@@ -288,6 +288,26 @@ class CodecInteropSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](JpegCodec.encodeProgressive(w, h, grad))
   }
 
+  test("JPEG progressive: restart markers inside every scan kind decode exactly") {
+    val (w, h) = (40, 24) // 15 blocks → restart interval 4 hits mid-row
+    val px = new Array[Byte](w * h)
+    val rnd = new scala.util.Random(43)
+    val blockVal = Array.fill((w / 8) * (h / 8))(rnd.nextInt(256).toByte)
+    for (y <- 0 until h; x <- 0 until w)
+      px(y * w + x) = blockVal((y / 8) * (w / 8) + x / 8)
+    val enc = JpegCodec.encodeProgressive(w, h, px, restartInterval = 4)
+    assert(enc.sliding(2).count(s =>
+      (s(0) & 0xff) == 0xff && (s(1) & 0xff) >= 0xd0 && (s(1) & 0xff) <= 0xd7) >= 8,
+      "expected RSTn markers across the four scans")
+    val d = JpegCodec.decode(enc)
+    val want = px.map(_ & 0xff).map(_.toLong).sum.toDouble / (w * h) / 255.0
+    assert(d.meanLuma == want, s"graft ${d.meanLuma} vs exact $want")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) == (px(y * w + x) & 0xff),
+        s"ImageIO pixel ($x,$y) with restarts")
+  }
+
   test("JPEG: malformed and unsupported flavors reject loud") {
     intercept[IllegalArgumentException](JpegCodec.decode("nope".getBytes))
     // arithmetic-coded sequential: SOI + SOF9

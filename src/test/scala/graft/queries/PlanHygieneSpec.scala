@@ -43,8 +43,9 @@ class PlanHygieneSpec extends SparkSpec {
       // way: seasonality the global mean, median/MAD the n and the
       // median scalars, benford the digit total
       "events_seasonality", "agg_median_mad", "agg_benford",
-      // pipeline_experiment zips its two one-row readouts
-      "pipeline_experiment")
+      // pipeline_experiment zips its two one-row readouts;
+      // agg_autocorr attaches the one-row series mean
+      "pipeline_experiment", "agg_autocorr")
 
   test("no accidental cartesian/nested-loop joins across the inventory") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -202,6 +202,24 @@ class StatsTestsSpec extends SparkSpec {
     assert(!r.isNullAt(7) && !r.getDouble(7).isNaN, "z defined on non-degenerate metric")
   }
 
+  test("agg_autocorr: lag-1 ACF matches a straight-line recompute; all lags bounded") {
+    val r = Relational7.qAggAutocorr(spark, sf).head()
+    val daily = graft.Tables.lineitem(spark, sf)
+      .groupBy(expr("datediff(l_shipdate, date'1992-01-01')").as("day"))
+      .agg(graft.queries.dsum(col("l_extendedprice")).as("v"))
+      .orderBy(col("day")).as[(Int, Double)].collect().map(_._2)
+    assert(r.getLong(0) == daily.length)
+    val mean = daily.sum / daily.length
+    val dv = daily.map(_ - mean)
+    def q(x: Double) = math.floor(x * 100 + 0.5) / 100 // the query's 1e2 grid
+    val den = dv.map(x => q(x * x)).sum
+    val num1 = dv.drop(1).zip(dv.dropRight(1)).map { case (a, b) => q(a * b) }.sum
+    assert(math.abs(r.getDouble(1) - num1 / den) < 1e-9,
+      s"acf_1 ${r.getDouble(1)} vs ${num1 / den}")
+    for (k <- 1 to 7)
+      assert(math.abs(r.getDouble(k)) <= 1.0 + 1e-9, s"acf_$k out of [-1,1]")
+  }
+
   test("events_seasonality: indices are n-weighted-normalized (Σ n·idx = N)") {
     val rows = Relational7.qEventsSeasonality(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
