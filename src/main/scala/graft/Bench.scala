@@ -593,5 +593,8 @@ object Bench {
     "stream_experiment_exec" -> 1.5,
     // comparator: window_moving_avg (daily rollup + a window over the
     // ~2500-row day table; seven taps in one pass)
-    "agg_autocorr" -> 0.8)
+    "agg_autocorr" -> 0.8,
+    // comparator: pipeline_k_anonymity (same customer scan; one extra
+    // pre-aggregation level for the distinct sensitive values)
+    "pipeline_l_diversity" -> 0.5)
 }

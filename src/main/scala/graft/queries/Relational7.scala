@@ -727,9 +727,17 @@ object Relational7 {
       qsum(col("dv") * col("dv"), 1e2).as("den") +:
       lags.map(k => qsum(col("dv") * col(s"dv_$k"), 1e2).as(s"num_$k"))
     val agg = tapped.agg(aggCols.head, aggCols.tail: _*)
+    // Ljung–Box Q over the 7 lags: n(n+2)·Σ acf_k²/(n−k) — the standard
+    // whiteness test, a pure exact-rounded chain on the quantized ACFs
+    val nD = col("n_days").cast("double")
+    val lb = lags.map { k =>
+      val a = col(s"num_$k") / col("den")
+      a * a / (nD - k)
+    }.reduceLeft(_ + _) * nD * (nD + 2)
     agg.select(
       (col("n_days") +:
-        lags.map(k => (col(s"num_$k") / col("den")).as(s"acf_$k"))): _*)
+        lags.map(k => (col(s"num_$k") / col("den")).as(s"acf_$k"))) :+
+        (floor(lb * 1e6 + 0.5) / 1e6).as("ljung_box_q"): _*)
   }
 
   val qAggAutocorrSql: String = {
@@ -739,6 +747,9 @@ object Relational7 {
     val nums = lags.map(k =>
       s"${sqlQsum(s"dv * dv_$k", "1e2")} AS num_$k").mkString(",\n             ")
     val acfs = lags.map(k => s"num_$k / den AS acf_$k").mkString(", ")
+    val lb = lags.map(k =>
+      s"(num_$k / den) * (num_$k / den) / (CAST(n_days AS DOUBLE) - $k)")
+      .mkString(" + ")
     s"""
     WITH daily AS (
       SELECT datediff('day', DATE '1992-01-01', l_shipdate) AS day,
@@ -756,10 +767,62 @@ object Relational7 {
              ${sqlQsum("dv * dv", "1e2")} AS den,
              $nums
       FROM tapped)
-    SELECT n_days, $acfs FROM agg"""
+    SELECT n_days, $acfs,
+           floor(($lb) * CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2)
+                 * 1e6 + 0.5) / 1e6 AS ljung_box_q
+    FROM agg"""
   }
 
+  // ---------------------------------------------------------------------
+  // L-DIVERSITY AUDIT — k-anonymity's companion: within each
+  // quasi-identifier class, how many DISTINCT values of the sensitive
+  // attribute appear? A class can be large (k-anonymous) yet expose its
+  // members if everyone shares one sensitive value. QI here is
+  // (nation, acctbal band); sensitive is the market segment. Same
+  // two-level map-side-combined rollup shape as the k audit — the
+  // distinct count rides the same shuffle via a two-key pre-aggregation
+  // (never count(distinct) over raw rows at scale).
+  // ---------------------------------------------------------------------
+
+  val qPipelineLDiversity: Q = (s, d) => {
+    val pairs = customer(s, d)
+      .groupBy(col("c_nationkey"),
+               floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+               col("c_mktsegment"))
+      .agg(count(lit(1)).as("nv"))
+    val classes = pairs
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(count(lit(1)).as("l"), sum(col("nv")).as("k"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      sum(col("k")).as("n_rows"),
+      min(col("l")).as("l_min"),
+      sum(when(col("l") < 3, col("k")).otherwise(0L)).as("n_exposed"),
+      sum(when(col("l") < 3, 1L).otherwise(0L)).as("n_low_l_classes"))
+      .withColumn("exposed_frac",
+        col("n_exposed").cast("double") / col("n_rows").cast("double"))
+  }
+
+  val qPipelineLDiversitySql: String = """
+    WITH pairs AS (
+      SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             c_mktsegment, CAST(COUNT(*) AS BIGINT) AS nv
+      FROM customer GROUP BY 1, 2, 3),
+    classes AS (
+      SELECT c_nationkey, bal_band,
+             CAST(COUNT(*) AS BIGINT) AS l, CAST(SUM(nv) AS BIGINT) AS k
+      FROM pairs GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           CAST(MIN(l) AS BIGINT) AS l_min,
+           CAST(SUM(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT) AS n_exposed,
+           CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_l_classes,
+           CAST(SUM(CASE WHEN l < 3 THEN k ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(k) AS DOUBLE) AS exposed_frac
+    FROM classes"""
+
   val queries: Map[String, Q] = Map(
+    "pipeline_l_diversity" -> qPipelineLDiversity,
     "agg_ttest"          -> qAggTtest,
     "agg_mannwhitney"    -> qAggMannWhitney,
     "window_ewma"        -> qWindowEwma,
@@ -787,5 +850,6 @@ object Relational7 {
     "graph_item_cf"      -> qGraphItemCfSql,
     "pipeline_experiment" -> qPipelineExperimentSql,
     "agg_autocorr"       -> qAggAutocorrSql,
+    "pipeline_l_diversity" -> qPipelineLDiversitySql,
   )
 }

@@ -218,6 +218,25 @@ class StatsTestsSpec extends SparkSpec {
       s"acf_1 ${r.getDouble(1)} vs ${num1 / den}")
     for (k <- 1 to 7)
       assert(math.abs(r.getDouble(k)) <= 1.0 + 1e-9, s"acf_$k out of [-1,1]")
+    // Ljung–Box Q: non-negative, and recomputable from the emitted ACFs
+    val n = r.getLong(0).toDouble
+    val lbWant = (1 to 7).map(k => r.getDouble(k) * r.getDouble(k) / (n - k)).sum * n * (n + 2)
+    assert(math.abs(r.getDouble(8) - lbWant) < 1e-5, s"ljung_box ${r.getDouble(8)} vs $lbWant")
+    assert(r.getDouble(8) >= 0)
+  }
+
+  test("pipeline_l_diversity: class algebra consistent with the k-anonymity audit") {
+    val r = Relational7.qPipelineLDiversity(spark, sf).head()
+    val (nClasses, nRows, lMin, nExposed, nLow) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nRows == graft.Tables.customer(spark, sf).count(), "classes partition the table")
+    assert(lMin >= 1 && nClasses <= nRows)
+    assert(nExposed >= nLow, "each low-l class has >= 1 row")
+    assert(r.getDouble(5) == nExposed.toDouble / nRows.toDouble)
+    // l is bounded by the sensitive-attribute cardinality
+    val nSegments = graft.Tables.customer(spark, sf)
+      .select(col("c_mktsegment")).distinct().count()
+    assert(lMin <= nSegments)
   }
 
   test("events_seasonality: indices are n-weighted-normalized (Σ n·idx = N)") {
