@@ -596,5 +596,8 @@ object Bench {
     "agg_autocorr" -> 0.8,
     // comparator: pipeline_k_anonymity (same customer scan; one extra
     // pre-aggregation level for the distinct sensitive values)
-    "pipeline_l_diversity" -> 0.5)
+    "pipeline_l_diversity" -> 0.5,
+    // comparator: graph_item_cf (same pair expansion + two degree joins;
+    // no top-k readout, one moment aggregation)
+    "graph_assortativity" -> 2.5)
 }

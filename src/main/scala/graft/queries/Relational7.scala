@@ -821,8 +821,74 @@ object Relational7 {
              / CAST(SUM(k) AS DOUBLE) AS exposed_frac
     FROM classes"""
 
+  // ---------------------------------------------------------------------
+  // DEGREE ASSORTATIVITY — do high-degree items co-occur with high-degree
+  // items? Newman's r: the Pearson correlation of endpoint degrees over
+  // all DIRECTED edges (each undirected edge counted both ways, which
+  // symmetrizes the sums). Same bounded-quadratic within-order pair
+  // expansion as the triangle count / item-CF; degrees and all five
+  // moment sums stay in exact integer arithmetic end to end — the only
+  // floating-point op is the final quantized coefficient.
+  // ---------------------------------------------------------------------
+
+  val qGraphAssortativity: Q = (s, d) => {
+    val e = lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val a = e.select(col("o"), col("p").as("pi"))
+    val b = e.select(col("o"), col("p").as("pj"))
+    val edges = a.join(b, Seq("o")).filter(col("pi") < col("pj"))
+      .select(col("pi"), col("pj")).distinct()
+    val deg = edges.select(col("pi").as("p")).unionAll(edges.select(col("pj").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    val directed = edges.select(col("pi").as("u"), col("pj").as("v"))
+      .unionAll(edges.select(col("pj").as("u"), col("pi").as("v")))
+      .join(deg.select(col("p").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("p").as("v"), col("deg").as("dv")), Seq("v"))
+    val agg = directed.agg(
+      count(lit(1)).as("m2"),
+      sum(col("du")).as("sx"),
+      sum(col("du") * col("du")).as("sxx"),
+      sum(col("du") * col("dv")).as("sxy"))
+    val m = col("m2").cast("double")
+    val sx = col("sx").cast("double")
+    val sxx = col("sxx").cast("double")
+    val sxy = col("sxy").cast("double")
+    // symmetrized: Σy = Σx and Σy² = Σx², so r collapses to one ratio
+    val r = (sxy - sx * sx / m) / (sxx - sx * sx / m)
+    agg.select(expr("m2 div 2").as("n_edges"),
+      (floor(r * 1e6 + 0.5) / 1e6).as("assortativity"))
+  }
+
+  val qGraphAssortativitySql: String = """
+    WITH e AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.p AS pi, b.p AS pj
+      FROM e a JOIN e b ON a.o = b.o AND a.p < b.p),
+    deg AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM (SELECT pi AS p FROM edges UNION ALL SELECT pj FROM edges) t
+      GROUP BY 1),
+    directed AS (
+      SELECT du.deg AS x, dv.deg AS y
+      FROM (SELECT pi AS u, pj AS v FROM edges
+            UNION ALL SELECT pj, pi FROM edges) de
+      JOIN deg du ON du.p = de.u
+      JOIN deg dv ON dv.p = de.v),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM directed)
+    SELECT m2 // 2 AS n_edges,
+           floor((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                    / CAST(m2 AS DOUBLE))
+                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                    / CAST(m2 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS assortativity
+    FROM agg"""
+
   val queries: Map[String, Q] = Map(
     "pipeline_l_diversity" -> qPipelineLDiversity,
+    "graph_assortativity"  -> qGraphAssortativity,
     "agg_ttest"          -> qAggTtest,
     "agg_mannwhitney"    -> qAggMannWhitney,
     "window_ewma"        -> qWindowEwma,
@@ -851,5 +917,6 @@ object Relational7 {
     "pipeline_experiment" -> qPipelineExperimentSql,
     "agg_autocorr"       -> qAggAutocorrSql,
     "pipeline_l_diversity" -> qPipelineLDiversitySql,
+    "graph_assortativity"  -> qGraphAssortativitySql,
   )
 }

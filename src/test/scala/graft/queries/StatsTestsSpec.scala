@@ -239,6 +239,20 @@ class StatsTestsSpec extends SparkSpec {
     assert(lMin <= nSegments)
   }
 
+  test("graph_assortativity: coefficient bounded, edge count matches a recount") {
+    val r = Relational7.qGraphAssortativity(spark, sf).head()
+    val e = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)].collect()
+    val edges = e.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    assert(r.getLong(0) == edges.size, s"edges ${r.getLong(0)} vs ${edges.size}")
+    assert(r.getDouble(1) >= -1.0 - 1e-9 && r.getDouble(1) <= 1.0 + 1e-9,
+      s"assortativity ${r.getDouble(1)} out of [-1,1]")
+  }
+
   test("events_seasonality: indices are n-weighted-normalized (Σ n·idx = N)") {
     val rows = Relational7.qEventsSeasonality(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
