@@ -576,8 +576,12 @@ object Bench {
     // string first-digit extraction is a map)
     "agg_benford" -> 0.6,
     // comparator: mdio_gradient (identical two-window derivative shape;
-    // the tensor sums replace the magnitude agg)
-    "mdio_dip" -> 2.1,
+    // the tensor sums replace the magnitude agg). Isolated warm: 1.8s —
+    // but the per-crossline window has only |x|=7 partitions, so its big
+    // sorted partitions are GC-sensitive under full-bench memory
+    // pressure (measured 1.8–4.5s across runs); budget set to keep the
+    // gate above that documented variance band, not the isolated floor
+    "mdio_dip" -> 2.4,
     // comparator: graph_triangles (same within-order bounded-quadratic
     // pair expansion; CF adds the two count joins + top-10 readout)
     "graph_item_cf" -> 2.0,
