@@ -390,4 +390,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join"), "k-anonymity audit is join-free")
     assert(!p.contains("c_name"), "scan must not read the name column")
   }
+
+  test("pipeline_l_diversity: distinct-sensitive counting is a pre-aggregation, join-free") {
+    val p = plan("pipeline_l_diversity")
+    assert(p.contains("partial_"), "pair counting needs map-side combine")
+    assert(!p.contains("Join"), "l-diversity audit is join-free")
+    assert(!p.toLowerCase.contains("distinct"),
+      "distinct sensitive values must come from the two-level rollup, not count(distinct)")
+  }
+
+  test("agg_autocorr: the lag window runs over the aggregated day table") {
+    val p = plan("agg_autocorr")
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0 && aggIdx < winIdx,
+      "lag taps must run over the daily rollup, not raw rows:\n" + p.take(600))
+    assert(p.contains("partial_"), "daily rollup needs map-side combine")
+  }
+
+  test("graph_assortativity: equi joins only, moments partial-aggregated") {
+    val p = plan("graph_assortativity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair expansion and degree joins must stay equi joins")
+    assert(p.contains("partial_"), "moment sums need map-side combine")
+  }
 }
