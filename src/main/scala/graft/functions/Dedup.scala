@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.LineageCut.CutOps
 
 /** Deduplication operators for training-data pipelines, all expressed as
   * shuffle-minimal DataFrame transforms:
@@ -96,7 +97,7 @@ object Dedup {
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-      .localCheckpoint(true)
+      .lineageCut
     banded.unpersist()
     cand
   }
@@ -148,7 +149,7 @@ object Dedup {
         col("is_new").as("other_new")), Seq("band", "bucket"))
       .filter(!col("other_new") || col("id_new") < col("id_other"))
       .select("id_new", "id_other").distinct()
-      .localCheckpoint(true)
+      .lineageCut
     probe.unpersist()
     val newSets = shNew.select(col("id"), col("sh"))
     val allSets = newSets.unionByName(existing.select(col("id"), col("sh")))
@@ -188,9 +189,9 @@ object Dedup {
                           maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
     val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(true)
+      .distinct().lineageCut
     var labels = sym.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+      .withColumn("label", col("id")).lineageCut
     var converged = false
     var iter = 0
     def checksum(l: DataFrame): java.math.BigDecimal =
@@ -211,7 +212,7 @@ object Dedup {
         .join(propagated.select(col("id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
-        .localCheckpoint(true)
+        .lineageCut
       // labels only ever decrease, so an unchanged sum IS the fixpoint
       val sumNext = checksum(next)
       converged = sumNext.compareTo(sumNow) == 0
@@ -446,7 +447,7 @@ object Dedup {
             col("a.sz") >= lit(threshold) * col("b.sz") &&
             col("b.sz") >= lit(threshold) * col("a.sz"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-        .localCheckpoint(true)
+        .lineageCut
       prefix.unpersist()
       // exact verification on the full shingle arrays (deduped candidates:
       // one array intersection per pair, not one per shared gram)

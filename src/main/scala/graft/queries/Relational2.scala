@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.expressions.Window
+import graft.functions.LineageCut.CutOps
 import org.apache.spark.sql.functions._
 
 /** Second tranche of the general surface: remaining window-function forms,
@@ -492,9 +493,9 @@ object Relational2 {
     // dedup_components lineage-cut discipline): five iterations re-read
     // them instead of re-deriving the lineitem⋈orders distinct each round
     val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .lineageCut
     val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
+      .lineageCut
     val nn = deg.agg(count(lit(1)).as("n"))
     var pr = deg.crossJoin(broadcast(nn))
       .select(col("node"), expr("1000000000 div n").as("score_ppb"))
@@ -510,7 +511,7 @@ object Relational2 {
           (expr("150000000 div n") + expr("(85 * sc) div 100")).as("score_ppb"))
         // cut per-iteration too: without this, iteration k's lazy plan
         // re-executes iterations 1..k-1 (O(k²) join rounds in total)
-        .localCheckpoint(true)
+        .lineageCut
     }
     pr.orderBy(col("score_ppb").desc, col("node")).limit(10)
       .select(col("node"), col("score_ppb"))

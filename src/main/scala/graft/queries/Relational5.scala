@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.expressions.Window
+import graft.functions.LineageCut.CutOps
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF}
 
@@ -35,11 +36,11 @@ object Relational5 {
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
     val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .lineageCut
     // deterministic seed: the smallest node id present in the graph
     val seed = edges.agg(min(col("src")).as("node"))
       .select(col("node"), lit(0).as("dist"))
-    var dist = seed.localCheckpoint(true)
+    var dist = seed.lineageCut
     var frontier = dist
     for (k <- 1 to 6) {
       val next = frontier
@@ -47,8 +48,8 @@ object Relational5 {
         .select(col("dst").as("node")).distinct()
         .join(dist.select(col("node").as("seen")), col("node") === col("seen"), "left_anti")
         .select(col("node"), lit(k).as("dist"))
-        .localCheckpoint(true)
-      dist = dist.unionAll(next).localCheckpoint(true)
+        .lineageCut
+      dist = dist.unionAll(next).lineageCut
       frontier = next
     }
     dist.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes")).orderBy(col("dist"))
@@ -365,7 +366,7 @@ object Relational5 {
     var edges = li.as("x").join(li.as("y"),
         col("x.o") === col("y.o") && col("x.n") < col("y.n"))
       .select(col("x.n").as("a"), col("y.n").as("b")).distinct()
-      .localCheckpoint(true)
+      .lineageCut
     for (_ <- 1 to 5) {
       val deg = edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("dg"))
@@ -374,7 +375,7 @@ object Relational5 {
         .join(core.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(core.select(col("v").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .localCheckpoint(true)
+        .lineageCut
     }
     val nodes = edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v"))).distinct()
     nodes.agg(count(lit(1)).as("n_core_nodes"), sum(col("v")).as("sum_node_ids"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF}
+import graft.functions.LineageCut.CutOps
 
 /** Round-6 continuation: spectral trace attributes (Hilbert envelope),
   * iterative clustering (Lloyd k-means, synchronous label propagation),
@@ -229,13 +230,16 @@ object Relational6 {
   // label), three rounds unrolled.
   //
   // Spark-first shape: one round = join labels to edges on src + one
-  // partial-aggregated groupBy (dst, label) + one per-node window argmax
-  // — two shuffles keyed by node id, lineage-cut per round
-  // (localCheckpoint, the dedup_components discipline). Hub skew is
-  // absorbed by the map-side partial counts (the (dst,label) key fans a
-  // hub's updates across reducers). Deterministic: counts are exact,
-  // ties break (count DESC, label ASC), so the oracle re-derives the
-  // identical label state round by round.
+  // partial-aggregated groupBy (dst, label) + one sort-free groupBy
+  // argmax (max_by over (cnt, −label): plurality, ties to the smallest
+  // label) — two shuffles keyed by node id and ZERO sorts per round
+  // (the row_number window this replaced sorted every (dst,*) group each
+  // iteration — the r06 bench flag), lineage-cut per round (the
+  // dedup_components discipline). Hub skew is absorbed by the map-side
+  // partial counts (the (dst,label) key fans a hub's updates across
+  // reducers). Deterministic: counts are exact and the max_by ordering
+  // struct is a total order, so the oracle re-derives the identical
+  // label state round by round.
   // ---------------------------------------------------------------------
 
   val qGraphLabelprop: Q = (s, d) => {
@@ -243,20 +247,18 @@ object Relational6 {
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+    val edges = e0.unionAll(
+      e0.select(col("dst").as("src"), col("src").as("dst"))).lineageCut
     var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lab"))
-      .localCheckpoint(true)
+      .select(col("node"), col("node").as("lab")).lineageCut
     for (_ <- 1 to 3) {
       labels = edges.join(labels, col("src") === col("node"))
         .groupBy(col("dst"), col("lab"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("dst")).orderBy(col("cnt").desc, col("lab"))))
-        .filter(col("rn") === 1)
+        .groupBy(col("dst"))
+        .agg(max_by(col("lab"), struct(col("cnt"), (-col("lab")).as("neg"))).as("lab"))
         .select(col("dst").as("node"), col("lab"))
-        .localCheckpoint(true)
+        .lineageCut
     }
     labels.groupBy(col("lab").as("community"))
       .agg(count(lit(1)).as("size"))

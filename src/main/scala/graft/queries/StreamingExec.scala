@@ -33,6 +33,31 @@ object StreamingExec {
     df.sparkSession.table(qname)
   }
 
+  /** Run an APPEND-mode streaming query to a memory sink and return the
+    * sink table deduplicated on the rows' natural key. The memory sink
+    * is at-least-once: a task retried under load (GC pause, speculative
+    * re-launch) can re-append its slice of a micro-batch, so a fold that
+    * `count(*)`/`sum`s the raw sink table is one retry away from a flaky
+    * hash while row counts stay plausible (observed: `stream_join_exec`,
+    * r06 driver run — green 5/5 isolated, red under full load). Every
+    * append-mode operator here emits rows with a unique natural key
+    * (sessions: user+start; alarms: type+event; join pairs: the id
+    * pair), so a re-emit is exactly a key collision and dropDuplicates
+    * makes the downstream fold idempotent WITHOUT touching the streaming
+    * operator under test. Complete-mode sinks don't need this — each
+    * trigger REPLACES the memory sink's table, so a retry's re-append
+    * cannot survive the final batch. Reference discipline matched: the
+    * all-or-nothing commit of mdio/dataset.h:1269-1416 (no partial
+    * double-applied writes observable downstream). */
+  private def runToMemoryIdempotent(df: DataFrame, naturalKey: Seq[String]): DataFrame =
+    dedupSink(runToMemory(df, "append"), naturalKey)
+
+  /** The idempotence step alone, exposed for IdempotentFoldSpec: dedup an
+    * append-sink table on its natural key so at-least-once re-appends
+    * cannot change any downstream fold. */
+  private[graft] def dedupSink(sink: DataFrame, naturalKey: Seq[String]): DataFrame =
+    sink.dropDuplicates(naturalKey)
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
@@ -388,7 +413,8 @@ object StreamingExec {
         col("event_type"), col("value"))
       .as[Streams.Event]
     val closed = Streams.sessionize(s, ev, gapSeconds = 1800L, watermark = "3650 days")
-    runToMemory(closed.toDF(), "append")
+    // natural key: a user's sessions are time-disjoint, so (user, start) is unique
+    runToMemoryIdempotent(closed.toDF(), Seq("user_id", "session_start"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_closed_sessions"),
            sum(col("n_events")).as("n_events_closed"))
@@ -434,7 +460,8 @@ object StreamingExec {
     val purchases = Tables.eventsStream(s, d).filter(col("event_type") === "purchase")
     val pairs = Streams.clickToPurchase(clicks, purchases,
       windowSeconds = 3600L, watermark = "2 hours")
-    runToMemory(pairs, "append")
+    // natural key: one pair row per (purchase, click) id combination
+    runToMemoryIdempotent(pairs, Seq("purchase_id", "click_id"))
       .groupBy(col("p_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
            countDistinct(col("purchase_id")).as("n_attributed"),
@@ -542,7 +569,8 @@ object StreamingExec {
         col("event_type"), col("value"))
       .as[Streams.Event]
     val alarms = Streams.cusumAlarms(s, ev, driftCents = 5100L, thresholdCents = 100000L)
-    runToMemory(alarms.toDF(), "append")
+    // natural key: at most one alarm row per (type, event)
+    runToMemoryIdempotent(alarms.toDF(), Seq("event_type", "event_id"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_alarms"), max(col("s")).as("max_s"),
            min(col("event_id")).as("first_alarm"))
