@@ -217,6 +217,9 @@ object Bench {
     // comparator: dedup_minhash_lsh + dedup_ngram_jaccard (the eval runs
     // BOTH pipelines — banding for candidates, the exact sweep for truth)
     "dedup_eval" -> 15.4,
+    // comparator: dedup_eval (same two pipelines, 25% doc scope -> ~6%
+    // of the quadratic truth cost; dominated by the fixed plan overhead)
+    "dedup_eval_sampled" -> 2.5,
     // comparator: dedup_ngram_jaccard (same posting-join shape; k=3
     // trigram postings are sparser than its k=2, so this is headroom)
     "dedup_containment" -> 10.653,

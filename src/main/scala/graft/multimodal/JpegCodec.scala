@@ -546,6 +546,11 @@ object JpegCodec {
     var padW: Array[Int] = null // per-comp block-grid width (MCU-padded)
     var padH: Array[Int] = null
     var scansSeen = 0
+    // per-component, per-coefficient lowest successive-approximation bit
+    // (Al) delivered so far — a progression is COMPLETE only when every
+    // coefficient of every component has been refined down to Al = 0
+    // (T.81 G.1.1.1.1-2: the final scans carry the low-order bits)
+    var cover: Array[Array[Int]] = null
 
     var sumLuma = 0L
     var decoded = false // a scan must actually have run (truncation guard)
@@ -558,6 +563,15 @@ object JpegCodec {
         case 0xd9 => // EOI
           if (progressive) {
             require(scansSeen > 0, "JPEG: EOI before any scan")
+            // reject INCOMPLETE progressions loud: an SOF2 stream whose
+            // AC or refinement scans are missing would otherwise
+            // reconstruct silently at reduced precision (r06 advice)
+            for (c <- 0 until nComp; k <- 0 until 64)
+              require(cover(c)(k) == 0, {
+                val what = if (cover(c)(k) == 99) "never scanned"
+                           else s"refined only to Al=${cover(c)(k)}"
+                s"JPEG: incomplete progression — component $c coefficient $k $what"
+              })
             // reconstruct the luma plane from the accumulated coefficients
             val q = quant(compQ(0))
             require(q != null, "JPEG: missing quantization table")
@@ -666,6 +680,7 @@ object JpegCodec {
             padW = Array.tabulate(nComp)(c => mcusX * compH(c))
             padH = Array.tabulate(nComp)(c => mcusY * compV(c))
             coefStore = Array.tabulate(nComp)(c => new Array[Int](padW(c) * padH(c) * 64))
+            cover = Array.fill(nComp)(Array.fill(64)(99)) // 99 = never scanned
           }
         case x if x >= 0xc3 && x <= 0xcf && x != 0xc8 && x != 0xc4 && x != 0xcc =>
           throw new IllegalArgumentException(
@@ -854,6 +869,9 @@ object JpegCodec {
           // marker loop lands on the real next marker
           while (ip + 1 < bytes.length && (bytes(ip) & 0xff) == 0xff &&
                  (bytes(ip + 1) & 0xff) == 0x00) ip += 2
+          // record the band's achieved approximation level; EOI audits it
+          for (i <- 0 until ns; k <- ss to se)
+            cover(scomp(i))(k) = math.min(cover(scomp(i))(k), al)
           scansSeen += 1
         case 0xda => // SOS — entropy-coded scan follows
           require(width > 0, "JPEG: SOS before SOF")

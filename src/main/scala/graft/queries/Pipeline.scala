@@ -149,6 +149,83 @@ object Pipeline {
            CAST((SELECT COUNT(*) FROM hit) * 1000000 //
                 GREATEST((SELECT COUNT(*) FROM truth), 1) AS BIGINT) AS recall_ppm"""
 
+  /** SAMPLED-BLOCK dedup evaluation — the 100 TB form of [[qDedupEval]].
+    * The full eval re-derives the exact posting-join ground truth over
+    * the whole corpus (its cost floor; the one stage that cannot run at
+    * 100 TB). Here the EVAL SCOPE is cut deterministically first: a doc
+    * survives iff `(doc_id * 2654435761) % 1000 < 250` (Knuth
+    * multiplicative hash, portable integer arithmetic both engines
+    * compute identically — no sampling seed to drift), and BOTH the LSH
+    * candidate pipeline and the exact ground truth run inside that same
+    * 25% scope, so precision/recall remain exact ratios of the
+    * sub-corpus. Pairs survive iff both ends do (~1/16 of the quadratic
+    * truth cost — the knob that scales: at 100 TB run ppm-scale blocks).
+    * The estimator is unbiased for any pair-population property under
+    * block sampling because block membership is independent of content;
+    * its variance shrinks as O(1/sampled_pairs), and `sample_ppm` ships
+    * in the output row so downstream governance can see the scope. */
+  val qDedupEvalSampled: Q = (s, d) => {
+    val docs = documents(s, d)
+      .filter((col("doc_id") * lit(2654435761L)) % lit(1000L) < lit(250L))
+    val sh = Dedup.minhashSignatures(docs, "doc_id", "text",
+      numHashes = 16, shingleK = 2)
+    val langs = docs.select(col("doc_id").as("id"), col("lang"))
+    val cand0 = Dedup.candidatePairs(Dedup.minhashBanded(sh, 16, 8))
+    val cand = cand0
+      .join(langs.select(col("id").as("id_a"), col("lang").as("la")), Seq("id_a"))
+      .join(langs.select(col("id").as("id_b"), col("lang").as("lb")), Seq("id_b"))
+      .filter(col("la") === col("lb")).select(col("id_a"), col("id_b"))
+    val truth = Dedup.ngramJaccardDups(docs, "doc_id", "text",
+        blockCol = col("lang"), shingleK = 2, threshold = 0.4)
+      .select(col("id_a"), col("id_b"))
+    val hit = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+    hit.agg(count(lit(1)).as("n_hit"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+      .select(col("n_cand"), col("n_true"), col("n_hit"),
+        expr("n_hit * 1000000 div greatest(n_cand, 1)").as("precision_ppm"),
+        expr("n_hit * 1000000 div greatest(n_true, 1)").as("recall_ppm"),
+        lit(250000L).as("sample_ppm"))
+  }
+
+  val qDedupEvalSampledSql: String = s"""
+    WITH t AS (
+      SELECT doc_id AS id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents WHERE (doc_id * 2654435761) % 1000 < 250),
+    sh AS (
+      SELECT id, lang, list_distinct($sqlBigrams) AS grams FROM t),
+    sg AS (
+      SELECT id, lang, grams,
+             list_transform(range(0, 16), j ->
+               list_min(list_transform(
+                 list_transform(grams, g -> ${sqlPolyHash("g")}),
+                 h -> ((2*j+1)*h + j*1013904223) % 2147483647))) AS sig
+      FROM sh WHERE len(grams) >= 1),
+    b AS (
+      SELECT id, bd.b AS band, list_slice(sig, 2*bd.b + 1, 2*bd.b + 2) AS bucket
+      FROM sg, (SELECT unnest(range(0, 8)) AS b) bd),
+    cand AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+    candl AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sh sa ON sa.id = cand.id_a JOIN sh sb ON sb.id = cand.id_b
+      WHERE sa.lang = sb.lang),
+    truth AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.id < b.id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+            GREATEST(CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 1.0) >= 0.4),
+    hit AS (SELECT id_a, id_b FROM candl INTERSECT SELECT id_a, id_b FROM truth)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM candl) AS n_cand,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+           CAST((SELECT COUNT(*) FROM hit) * 1000000 //
+                GREATEST((SELECT COUNT(*) FROM candl), 1) AS BIGINT) AS precision_ppm,
+           CAST((SELECT COUNT(*) FROM hit) * 1000000 //
+                GREATEST((SELECT COUNT(*) FROM truth), 1) AS BIGINT) AS recall_ppm,
+           CAST(250000 AS BIGINT) AS sample_ppm"""
+
   /** Cascade dedup: minhash-band candidates verified by EMBEDDING cosine
     * (doc_id ≡ vec_id on this corpus). The synthetic embeddings are
     * uncorrelated with text similarity, so the gate sits at 0.3 where
@@ -1475,6 +1552,7 @@ object Pipeline {
     "dedup_exact"          -> qDedupExact,
     "dedup_minhash_lsh"    -> qDedupMinhashLsh,
     "dedup_eval"           -> qDedupEval,
+    "dedup_eval_sampled"   -> qDedupEvalSampled,
     "dedup_simhash"        -> qDedupSimhash,
     "dedup_ngram_jaccard"  -> qDedupNgramJaccard,
     "dedup_components"     -> qDedupComponents,
@@ -1539,6 +1617,7 @@ object Pipeline {
     "dedup_embedding"     -> qDedupEmbeddingSql,
     "dedup_minhash_lsh"   -> qDedupMinhashLshSql,
     "dedup_eval"          -> qDedupEvalSql,
+    "dedup_eval_sampled"  -> qDedupEvalSampledSql,
     "dedup_simhash"       -> qDedupSimhashSql,
     "text_tokens"         -> qTextTokensSql,
     "text_fingerprint"    -> qTextFingerprintSql,

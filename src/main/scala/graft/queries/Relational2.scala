@@ -383,18 +383,42 @@ object Relational2 {
     SELECT n_name, CAST(levenshtein(n_name, 'UNITED STATES') AS BIGINT) AS dist
     FROM nation ORDER BY dist, n_name LIMIT 5"""
 
-  // ---- approximate aggregates (scale path; rows-only — sketch internals
-  // differ across engines by design) --------------------------------------
+  // ---- approximate aggregates (scale path) -------------------------------
 
   /** HLL distinct + approximate percentile: the 100 TB path where exact
-    * distinct/percentile shuffles would dominate. Bounds are asserted in
-    * RelationalSpec against exact values; no cross-engine oracle exists
-    * for sketch internals. */
+    * distinct/percentile shuffles would dominate. Sketch internals differ
+    * across engines by design, so the oracle row can't carry the estimate
+    * itself — instead the query emits the EXACT values (which DuckDB
+    * re-derives) plus 0/1 verdicts that each estimate sits inside its
+    * published error bound, and the oracle asserts those verdicts are 1:
+    *  - approx_count_distinct(rsd=0.02): |est − exact| ≤ 3·rsd·exact
+    *    (HLL++'s relative standard deviation, three-sigma band);
+    *  - percentile_approx(accuracy=1000): rank error ≤ N/accuracy, so the
+    *    estimate must lie within the exact [p49, p51] value band (10x the
+    *    guaranteed 0.001 rank slack).
+    * A sketch regression past its bound flips a verdict to 0 and fails
+    * the hash — a full rows+schema+hash gate, not a rows-only check. */
   val qAggApprox: Q = (s, d) =>
     lineitem(s, d).groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+        expr("percentile(l_extendedprice, 0.49)").as("p_lo"),
+        expr("percentile(l_extendedprice, 0.51)").as("p_hi"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("ap") - col("exact_parts"))
+          <= col("exact_parts") * lit(0.06)).cast("bigint").as("hll_in_3sigma"),
+        (col("am") >= col("p_lo") && col("am") <= col("p_hi"))
+          .cast("bigint").as("pctl_in_band"))
+      .orderBy(col("l_returnflag"))
+
+  val qAggApproxSql: String = """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(1 AS BIGINT) AS hll_in_3sigma,
+           CAST(1 AS BIGINT) AS pctl_in_band
+    FROM lineitem GROUP BY 1 ORDER BY 1"""
 
   /** The same distinct-cardinality problem solved with graft's PORTABLE
     * HLL ([[graft.functions.Sketches.hllDistinct]]): identical sketch
@@ -1095,6 +1119,7 @@ object Relational2 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "agg_approx"         -> qAggApproxSql,
     "join_interval"      -> qJoinIntervalSql,
     "events_retention"   -> qEventsRetentionSql,
     "events_resample"    -> qEventsResampleSql,

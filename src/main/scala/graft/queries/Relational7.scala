@@ -131,7 +131,15 @@ object Relational7 {
       sum(col("c_all") - col("c_a")).as("n_b"),
       sum((col("c_a").cast("double") * col("midrank")).cast("decimal(27,6)"))
         .cast("double").as("r_a"),
-      sum(col("c_all") * col("c_all") * col("c_all") - col("c_all")).as("ties"))
+      // tie term Σ(c³−c) through decimal: a BIGINT cube wraps silently
+      // (non-ANSI) once a tie block passes ~2.1e6 rows — at 100 TB a
+      // 50-distinct-value column has ~1e10-row blocks. (13,0)³ caps at
+      // (38,0): exact to c ≤ 4.6e12 per block / Σ ≤ 1e38, and overflow
+      // past that is a LOUD null, never a wrapped statistic
+      sum({
+        val c = col("c_all").cast("decimal(13,0)")
+        c * c * c - c
+      }).as("ties"))
     val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
     val nn = na + nb
     val u = col("r_a") - na * (na + 1) / 2.0
@@ -165,14 +173,17 @@ object Relational7 {
       SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
              CAST(SUM(c_all - c_a) AS BIGINT) AS n_b,
              CAST(SUM(CAST(CAST(c_a AS DOUBLE) * midrank AS DECIMAL(27,6))) AS DOUBLE) AS r_a,
-             CAST(SUM(c_all * c_all * c_all - c_all) AS BIGINT) AS ties
+             CAST(SUM(CAST(c_all AS HUGEINT) * c_all * c_all - c_all) AS DOUBLE) AS ties
       FROM ranked)
     SELECT n_a, n_b,
            r_a - na * (na + 1) / 2.0 AS u_stat,
-           floor((r_a - na * (na + 1) / 2.0 - na * nb / 2.0) /
-             sqrt(na * nb / 12.0 *
-                  ((na + nb + 1) - CAST(ties AS DOUBLE) / ((na + nb) * (na + nb - 1))))
-             * 1e6 + 0.5) / 1e6 AS z_stat
+           CASE WHEN sqrt(na * nb / 12.0 *
+                  ((na + nb + 1) - ties / ((na + nb) * (na + nb - 1)))) > 0
+                THEN floor((r_a - na * (na + 1) / 2.0 - na * nb / 2.0) /
+                  sqrt(na * nb / 12.0 *
+                       ((na + nb + 1) - ties / ((na + nb) * (na + nb - 1))))
+                  * 1e6 + 0.5) / 1e6
+           END AS z_stat
     FROM (SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb FROM agg) t"""
 
   // ---------------------------------------------------------------------
@@ -368,10 +379,14 @@ object Relational7 {
     val bins = df
       .groupBy(floor(x / binWidth).cast("long").as("b"))
       .agg(count(lit(1)).as("c"),
-           // per-bin cent-grid sum, re-capped to (25,2) so the midrank
+           // per-bin cent-grid sum, re-capped to (24,2) so the midrank
            // product below stays inside decimal-38 with NO rounding:
-           // (10,0) × (25,2) = (36,2), summed at (38,2) — all exact
-           sum(x.cast("decimal(25,2)")).cast("decimal(25,2)").as("s"))
+           // (13,0) × (24,2) = (38,2), summed at (38,2) — all exact.
+           // mr2 ≈ 2·n_rows needs 13 digits to stay exact to n ≤ 5e12
+           // rows (a (10,0) cap overflowed at ~5e9 — far short of the
+           // 100 TB row counts this estimator exists for); past either
+           // bound Spark yields a LOUD null, never a rounded statistic
+           sum(x.cast("decimal(24,2)")).cast("decimal(24,2)").as("s"))
     val w = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
     val ranked = bins
       .withColumn("below", coalesce(sum(col("c")).over(w), lit(0L)))
@@ -379,7 +394,7 @@ object Relational7 {
     val agg = ranked.agg(
       sum(col("c")).as("n"),
       sum(col("s")).cast("double").as("total"),
-      sum(col("mr2").cast("decimal(10,0)") * col("s"))
+      sum(col("mr2").cast("decimal(13,0)") * col("s"))
         .cast("double").as("t2")) // Σ 2·midrank·x, rounded once from exact decimal
     val n = col("n").cast("double")
     agg.select(col("n").as("n_orders"),
@@ -392,7 +407,7 @@ object Relational7 {
     WITH bins AS (
       SELECT CAST(floor(o_totalprice / 500) AS BIGINT) AS b,
              CAST(COUNT(*) AS BIGINT) AS c,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DECIMAL(25,2)) AS s
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(24,2))) AS DECIMAL(24,2)) AS s
       FROM orders GROUP BY 1),
     ranked AS (
       SELECT c, s,
@@ -403,7 +418,7 @@ object Relational7 {
     agg AS (
       SELECT CAST(SUM(c) AS BIGINT) AS n,
              CAST(SUM(s) AS DOUBLE) AS total,
-             CAST(SUM(CAST(mr2 AS DECIMAL(10,0)) * s) AS DOUBLE) AS t2
+             CAST(SUM(CAST(mr2 AS DECIMAL(13,0)) * s) AS DOUBLE) AS t2
       FROM ranked)
     SELECT n AS n_orders,
            t2 / (CAST(n AS DOUBLE) * total)
@@ -686,7 +701,7 @@ object Relational7 {
       SELECT CAST(SUM(c_a) AS BIGINT) AS un_a,
              CAST(SUM(c_all - c_a) AS BIGINT) AS un_b,
              CAST(SUM(CAST(CAST(c_a AS DOUBLE) * midrank AS DECIMAL(27,6))) AS DOUBLE) AS r_a,
-             CAST(SUM(c_all * c_all * c_all - c_all) AS BIGINT) AS ties
+             CAST(SUM(CAST(c_all AS HUGEINT) * c_all * c_all - c_all) AS BIGINT) AS ties
       FROM ranked),
     ustat AS (
       SELECT r_a - na * (na + 1) / 2.0 AS u_stat,

@@ -31,8 +31,10 @@ class BenchCoverageSpec extends AnyFunSuite {
   }
 
   test("every query has oracle SQL or is a documented rows-only entry") {
-    val rowsOnly = Set("agg_approx") // engine-internal HLL++ state; portable
-                                     // twin agg_hll_portable IS oracle-checked
+    val rowsOnly = Set.empty[String] // r07: agg_approx gained a bounded
+                                     // oracle (exact values + in-bound
+                                     // verdict columns), so every query
+                                     // is oracle-checked
     val trainedLater = Set("ann_ivf", "ann_ivf_pruned", "ann_pq", "ann_ivf_pq",
       "pipeline_mix") // oracle SQL embeds trained
                                       // centroid/codebook literals, produced

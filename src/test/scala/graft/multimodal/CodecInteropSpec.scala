@@ -263,6 +263,26 @@ class CodecInteropSpec extends AnyFunSuite {
     assert(soi.nonEmpty) // silence the unused warning, keep the derivation
   }
 
+  test("JPEG progressive: partial progressions (missing AC/refinement scans) reject loud") {
+    val img = new java.awt.image.BufferedImage(24, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 24) img.getRaster.setSample(x, y, 0, (x * 7 + y) % 256)
+    val bytes = writeProgressive(img)
+    // entropy stuffing (0xFF -> 0xFF00) guarantees 0xFFDA only occurs at
+    // real SOS markers, so marker offsets can be found textually
+    val sosOffsets = (0 until bytes.length - 1).filter(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xda)
+    assert(sosOffsets.size >= 2, "JDK progressive fixture must emit several scans")
+    val eoi = Array(0xff.toByte, 0xd9.toByte)
+    // DC-first scan only: every AC coefficient is "never scanned"
+    val dcOnly = bytes.take(sosOffsets(1)) ++ eoi
+    val e1 = intercept[IllegalArgumentException](JpegCodec.decode(dcOnly))
+    assert(e1.getMessage.contains("incomplete progression"), e1.getMessage)
+    // all but the final scan: some band is left above Al=0 (or unscanned)
+    val noLast = bytes.take(sosOffsets.last) ++ eoi
+    val e2 = intercept[IllegalArgumentException](JpegCodec.decode(noLast))
+    assert(e2.getMessage.contains("incomplete progression"), e2.getMessage)
+  }
+
   test("JPEG progressive: graft-encoded SOF2 round-trips exactly; ImageIO agrees pixel-exact") {
     // block-constant content → DC-only blocks → the four-scan progressive
     // wire format is lossless; BOTH decoders must recover every pixel

