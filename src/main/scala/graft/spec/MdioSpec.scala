@@ -236,8 +236,10 @@ object MdioSpec {
       require(Set("lz4", "lz4hc", "blosclz", "snappy", "zlib", "zstd").contains(cname),
         s"variable '$name': blosc cname '$cname' unsupported " +
           "(lz4/lz4hc/blosclz/snappy/zlib/zstd)")
-      require(shuffle == 0 || shuffle == 1,
-        s"variable '$name': blosc bitshuffle not supported; use shuffle noshuffle|shuffle")
+      // full shuffle enum accepted: 0 none / 1 byte / 2 bit (the
+      // reference's BloscShuffle matrix, mdio/dataset_schema.h:145-165)
+      require(shuffle >= 0 && shuffle <= 2,
+        s"variable '$name': blosc shuffle must be noshuffle|shuffle|bitshuffle, got $shuffle")
       graft.zarr.ChunkCodec.Blosc(cname, clevel, shuffle)
     }
     val coords = (j \ "coordinates") match {

@@ -20,13 +20,17 @@ object CodecFuzzDump {
     val payloads = Files.list(src).toArray.map(_.toString)
       .filter(_.matches(".*payload_\\d+\\.bin")).sorted
     require(payloads.nonEmpty, s"no payload_*.bin under $src")
+    val typesizes = Array(1, 2, 4, 8, 3, 16) // mirror make_codec_fuzz_fixture.py
     payloads.foreach { p =>
       val i = p.replaceAll(".*payload_(\\d+)\\.bin", "$1")
       val bytes = Files.readAllBytes(Paths.get(p))
       Files.write(out.resolve(s"payload_$i.bin"), bytes)
       Files.write(out.resolve(s"lz_$i.bin"), ChunkCodec.blosclzCompress(bytes))
       Files.write(out.resolve(s"sn_$i.bin"), ChunkCodec.snappyCompress(bytes))
-      println(s"case $i: ${bytes.length} bytes")
+      val ts = typesizes(i.toInt % typesizes.length)
+      Files.write(out.resolve(s"bit_$i.bin"), ChunkCodec.compress(bytes, Some("blosc"), ts,
+        Some(ChunkCodec.Blosc(cname = "zlib", clevel = 5, shuffle = 2))))
+      println(s"case $i: ${bytes.length} bytes (bitshuffle ts=$ts)")
     }
     println(s"dumped to $out")
   }

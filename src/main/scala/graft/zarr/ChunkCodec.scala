@@ -30,7 +30,7 @@ object ChunkCodec {
   /** Blosc compressor settings, the reference's resolved defaults
     * (mdio/dataset_factory.h:237-276: cname lz4, clevel 5, shuffle on,
     * automatic blocksize). shuffle: 0 none, 1 byte-shuffle, 2 bit-shuffle
-    * (rejected on write — no JVM bitshuffle). */
+    * (pure-JVM bitshuffle, [[bitshuffleInPlace]]). */
   final case class Blosc(cname: String = "lz4", clevel: Int = 5, shuffle: Int = 1)
 
   def elemSize(dtype: String): Int = {
@@ -315,9 +315,9 @@ object ChunkCodec {
     * [[bloscDecode]]. */
   private def bloscEncode(raw: Array[Byte], typesize: Int, b: Blosc): Array[Byte] = {
     require(raw.length > 0 && raw.length <= Int.MaxValue - 64, "blosc single-block size limit")
-    require(b.shuffle != 2, "blosc bitshuffle not supported for write; use shuffle=1")
     val ts = math.max(1, typesize)
     val doShuffle = b.shuffle == 1 && ts > 1 && raw.length % ts == 0
+    val doBitShuffle = b.shuffle == 2
     def memcpyFrame(): Array[Byte] = {
       val out = ByteBuffer.allocate(16 + raw.length).order(ByteOrder.LITTLE_ENDIAN)
       out.put(0, 2.toByte)                    // blosc format version
@@ -333,6 +333,7 @@ object ChunkCodec {
     if (b.clevel <= 0) return memcpyFrame()
     val block =
       if (doShuffle) { val s = raw.clone(); shuffleInPlace(s, 0, s.length, ts); s }
+      else if (doBitShuffle) { val s = raw.clone(); bitshuffleInPlace(s, 0, s.length, ts); s }
       else raw
     val (comp, codecId) = bloscBackend(block, b)
     if (comp.length + 8 >= raw.length) memcpyFrame()
@@ -341,7 +342,8 @@ object ChunkCodec {
       val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
       out.put(0, 2.toByte)
       out.put(1, 1.toByte)
-      val flags = (codecId << 5) | (if (doShuffle) 0x1 else 0x0)
+      val flags = (codecId << 5) |
+        (if (doShuffle) 0x1 else 0x0) | (if (doBitShuffle) 0x4 else 0x0)
       out.put(2, flags.toByte)
       out.put(3, ts.toByte)
       out.putInt(4, raw.length)
@@ -407,8 +409,8 @@ object ChunkCodec {
     val blocksize = bb.getInt(8)
     require(nbytes == expected, s"blosc nbytes $nbytes != expected $expected")
     val shuffled = (flags & 0x1) != 0
+    val bitShuffled = (flags & 0x4) != 0
     val memcpyed = (flags & 0x2) != 0
-    require((flags & 0x4) == 0, "blosc bit-shuffle not supported")
     val codecId = (flags >> 5) & 0x7
 
     val out = new Array[Byte](nbytes)
@@ -448,6 +450,8 @@ object ChunkCodec {
         // shuffle is applied PER BLOCK in blosc — undo it per block.
         if (shuffled && typesize > 1 && thisBlock % typesize == 0)
           unshuffleInPlace(out, outOff, thisBlock, typesize)
+        else if (bitShuffled)
+          bitunshuffleInPlace(out, outOff, thisBlock, typesize)
         b += 1
       }
     }
@@ -735,5 +739,94 @@ object ChunkCodec {
       j += 1
     }
     System.arraycopy(tmp, 0, buf, off, len)
+  }
+
+  // ---- blosc bit-shuffle (flag 0x4) ---------------------------------------
+  // The bitshuffle-library transform c-blosc applies per block
+  // (bitshuffle-generic.c, three stages: byte-transpose within elements,
+  // 8x8 bit transpose of each 8-byte group, then the bit-row regroup).
+  // Net layout for n elements of `typesize` bytes, n a multiple of 8:
+  //   out[(j*8 + b) * (n/8) + i/8]  bit (i % 8)  =  in[i*typesize + j]  bit b
+  // — one bit-plane per (byte-of-element j, bit b), elements packed
+  // LSB-first. c-blosc rounds n DOWN to a multiple of 8 and memcpys the
+  // remaining tail bytes raw (shuffle.c `size -= size % 8`), which these
+  // implementations mirror, so frames from any c-blosc writer decode
+  // bit-exactly. The reference accepts the full shuffle enum including
+  // BITSHUFFLE (mdio/dataset_schema.h:145-165, resolved via C blosc in
+  // mdio/dataset_factory.h:288-367).
+
+  /** 8x8 bit-matrix transpose of a 64-bit word (the bitshuffle library's
+    * TRANS_BIT_8X8, Hacker's Delight 7-2): out byte c bit r = in byte r
+    * bit c. Involutive — its own inverse. */
+  @inline private def transBit8x8(x0: Long): Long = {
+    var x = x0
+    var t = (x ^ (x >>> 7)) & 0x00AA00AA00AA00AAL
+    x = x ^ t ^ (t << 7)
+    t = (x ^ (x >>> 14)) & 0x0000CCCC0000CCCCL
+    x = x ^ t ^ (t << 14)
+    t = (x ^ (x >>> 28)) & 0x00000000F0F0F0F0L
+    x = x ^ t ^ (t << 28)
+    x
+  }
+
+  /** Bit-shuffle forward over one block (c-blosc flag 0x4 semantics). */
+  private[zarr] def bitshuffleInPlace(buf: Array[Byte], off: Int, len: Int, typesize: Int): Unit = {
+    val ts = math.max(1, typesize)
+    val n = (len / ts) & ~7
+    if (n == 0) return // fewer than 8 elements: whole block stays raw
+    val planeLen = n / 8
+    val tmp = new Array[Byte](n * ts)
+    var j = 0
+    while (j < ts) {
+      var w = 0
+      while (w < planeLen) {
+        var x = 0L
+        var m = 0
+        while (m < 8) { // little-endian gather: element 8w+m's byte j -> byte m
+          x |= (buf(off + (8 * w + m) * ts + j) & 0xffL) << (8 * m)
+          m += 1
+        }
+        x = transBit8x8(x)
+        var b = 0
+        while (b < 8) {
+          tmp((j * 8 + b) * planeLen + w) = (x >>> (8 * b)).toByte
+          b += 1
+        }
+        w += 1
+      }
+      j += 1
+    }
+    System.arraycopy(tmp, 0, buf, off, n * ts) // tail bytes stay raw in place
+  }
+
+  /** Bit-shuffle inverse over one block — exact mirror of
+    * [[bitshuffleInPlace]] (the transpose is involutive). */
+  private[zarr] def bitunshuffleInPlace(buf: Array[Byte], off: Int, len: Int, typesize: Int): Unit = {
+    val ts = math.max(1, typesize)
+    val n = (len / ts) & ~7
+    if (n == 0) return
+    val planeLen = n / 8
+    val tmp = new Array[Byte](n * ts)
+    var j = 0
+    while (j < ts) {
+      var w = 0
+      while (w < planeLen) {
+        var x = 0L
+        var b = 0
+        while (b < 8) {
+          x |= (buf(off + (j * 8 + b) * planeLen + w) & 0xffL) << (8 * b)
+          b += 1
+        }
+        x = transBit8x8(x)
+        var m = 0
+        while (m < 8) {
+          tmp((8 * w + m) * ts + j) = (x >>> (8 * m)).toByte
+          m += 1
+        }
+        w += 1
+      }
+      j += 1
+    }
+    System.arraycopy(tmp, 0, buf, off, n * ts)
   }
 }

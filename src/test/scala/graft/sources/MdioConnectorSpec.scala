@@ -198,6 +198,37 @@ class MdioConnectorSpec extends SparkSpec {
     }
   }
 
+  test("blosc BITSHUFFLE (shuffle=2) writes and round-trips v2 and v3") {
+    // the last member of the reference's BloscShuffle enum
+    // (mdio/dataset_schema.h:145-165), pure-JVM bit transposition
+    val spec = MdioSpec.fromJson(specJson
+      .replace("""{"name": "zstd"}""",
+        """{"name": "blosc", "cname": "zstd", "clevel": 5, "shuffle": "bitshuffle"}""")
+      .replace("""{"name": "zlib"}""",
+        """{"name": "blosc", "cname": "lz4", "clevel": 5, "shuffle": "bitshuffle"}"""))
+    assert(spec.variable("image").blosc.contains(graft.zarr.ChunkCodec.Blosc("zstd", 5, 2)))
+    for (version <- Seq(2, 3)) {
+      val dir = Files.createTempDirectory(s"mdio_bitshuf_v$version").resolve("b.mdio").toString
+      MdioWriter.create(spec, dir, version = version)
+      val root = graft.zarr.ZarrMeta.path(dir)
+      if (version == 2)
+        assert(root.resolve("image").resolve(".zarray").readString()
+          .contains("\"shuffle\": 2"))
+      else
+        assert(root.resolve("image").resolve("zarr.json").readString()
+          .contains("\"shuffle\": \"bitshuffle\""))
+      val (_, arrays) = graft.zarr.ZarrMeta.readGroup(root)
+      assert(arrays("image")._1.blosc.contains(graft.zarr.ChunkCodec.Blosc("zstd", 5, 2)))
+      val cells = for { i <- 0L until 8L; x <- 0L until 6L } yield (i, x, (i * 10 + x).toFloat / 4f)
+      MdioWriter.writeVariable(spark, cells.toDF("inline", "crossline", "image"), dir, "image")
+      val got = spark.read.format("mdio").option("variables", "image").load(dir)
+        .select("inline", "crossline", "image")
+        .as[(Long, Long, Float)].collect().toSet
+      assert(got == cells.toSet, s"v$version bitshuffle round-trip")
+      MdioWriter.delete(dir)
+    }
+  }
+
   test("SQL DDL surface: CREATE TABLE ... USING mdio + pure-SQL query") {
     val dir = freshDataset()
     spark.sql(s"CREATE TABLE mdio_toy USING mdio OPTIONS (path '$dir')")

@@ -144,12 +144,17 @@ class MdioSpecSpec extends AnyFunSuite {
     for (cname <- Seq("lz4", "lz4hc", "blosclz", "snappy", "zlib", "zstd"))
       assert(MdioSpec.fromJson(withComp(s"""{"name": "blosc", "cname": "$cname"}"""))
         .variable("image").blosc.exists(_.cname == cname))
-    // clevel out of range / unknown cname / bitshuffle all reject
+    // the whole BloscShuffle enum resolves, bitshuffle included (r07)
+    assert(MdioSpec.fromJson(withComp("""{"name": "blosc", "shuffle": "bitshuffle"}"""))
+      .variable("image").blosc.exists(_.shuffle == 2))
+    assert(MdioSpec.fromJson(withComp("""{"name": "blosc", "shuffle": "noshuffle"}"""))
+      .variable("image").blosc.exists(_.shuffle == 0))
+    // clevel out of range / unknown cname / out-of-enum shuffle reject
     intercept[IllegalArgumentException](
       MdioSpec.fromJson(withComp("""{"name": "blosc", "clevel": 12}""")))
     intercept[IllegalArgumentException](
       MdioSpec.fromJson(withComp("""{"name": "blosc", "cname": "lzma"}""")))
     intercept[IllegalArgumentException](
-      MdioSpec.fromJson(withComp("""{"name": "blosc", "shuffle": "bitshuffle"}""")))
+      MdioSpec.fromJson(withComp("""{"name": "blosc", "shuffle": 3}""")))
   }
 }

@@ -29,6 +29,18 @@ class BloscFixtureSpec extends SparkSpec {
     assert(df == want)
   }
 
+  test("python-written BITSHUFFLE (shuffle=2) array reads back exactly") {
+    val (_, arrays) = ZarrMeta.readGroup(ZarrMeta.path(fixture))
+    assert(arrays("phase")._1.blosc.contains(ChunkCodec.Blosc("zlib", 5, 2)))
+    val df = spark.read.format("mdio").option("variables", "phase")
+      .load(fixture)
+      .select("trace", "sample", "phase")
+      .as[(Long, Long, Float)].collect().toSet
+    val want = (for { t <- 0L until 32L; s <- 0L until 64L }
+      yield (t, s, ((t * 64 + s) % 360).toFloat / 16.0f)).toSet
+    assert(df == want)
+  }
+
   test("python-written blosclz and snappy cnames read back exactly") {
     val (_, arrays) = ZarrMeta.readGroup(ZarrMeta.path(fixture))
     assert(arrays("ampl")._1.blosc.contains(ChunkCodec.Blosc("blosclz", 5, 1)))

@@ -99,15 +99,54 @@ class ChunkCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("blosc clevel 0 stores uncompressed; bitshuffle write rejected") {
+  test("blosc clevel 0 stores uncompressed") {
     val raw = Array.tabulate(256)(_.toByte)
     val stored = ChunkCodec.compress(raw, Some("blosc"), 4,
       Some(ChunkCodec.Blosc(clevel = 0)))
     assert((stored(2) & 0x2) != 0) // memcpy frame
     assert(ChunkCodec.decompress(stored, Some("blosc"), raw.length).toSeq == raw.toSeq)
-    intercept[IllegalArgumentException] {
-      ChunkCodec.compress(raw, Some("blosc"), 4, Some(ChunkCodec.Blosc(shuffle = 2)))
+  }
+
+  test("blosc bit-shuffle transform matches the published layout exactly") {
+    // plane (j*8 + b), byte i/8, bit i%8  =  bit b of byte j of element i
+    // — pinned on single-bit inputs so a transposition mistake cannot
+    // cancel out in a round-trip
+    val a = new Array[Byte](8); a(3) = (1 << 5).toByte // ts=1: elem 3, bit 5
+    ChunkCodec.bitshuffleInPlace(a, 0, 8, 1)
+    val wantA = new Array[Byte](8); wantA(5) = (1 << 3).toByte
+    assert(a.toSeq == wantA.toSeq)
+    val c = new Array[Byte](16); c(2 * 2 + 1) = 1 // ts=2: elem 2, byte 1, bit 0
+    ChunkCodec.bitshuffleInPlace(c, 0, 16, 2)
+    val wantC = new Array[Byte](16); wantC(8) = (1 << 2).toByte // plane 8, bit 2
+    assert(c.toSeq == wantC.toSeq)
+    // non-multiple-of-8 element counts: c-blosc rounds down and memcpys
+    // the tail raw
+    val t = Array.tabulate(2 * 11)(i => (i * 37 + 5).toByte) // 11 elems of ts=2
+    val orig = t.clone()
+    ChunkCodec.bitshuffleInPlace(t, 0, t.length, 2)
+    assert(t.slice(16, 22).toSeq == orig.slice(16, 22).toSeq, "tail must stay raw")
+    ChunkCodec.bitunshuffleInPlace(t, 0, t.length, 2)
+    assert(t.toSeq == orig.toSeq)
+  }
+
+  test("blosc bit-shuffle round-trips at every element size × cname") {
+    val rnd = new scala.util.Random(13)
+    for (ts <- Seq(1, 2, 4, 8, 16);
+         cname <- Seq("lz4", "zlib", "zstd", "blosclz", "snappy")) {
+      val n = 600 * ts + (ts * (if (ts == 1) 5 else 3)) // ragged element count
+      val raw = Array.tabulate(n)(i => ((i / ts) % 31 + rnd.nextInt(2)).toByte)
+      val b = ChunkCodec.Blosc(cname = cname, clevel = 5, shuffle = 2)
+      val comp = ChunkCodec.compress(raw, Some("blosc"), ts, Some(b))
+      assert((comp(2) & 0x4) != 0 || (comp(2) & 0x2) != 0, s"ts=$ts $cname: no bitshuffle flag")
+      val back = ChunkCodec.decompress(comp, Some("blosc"), raw.length)
+      assert(back.toSeq == raw.toSeq, s"ts=$ts $cname bitshuffle round-trip failed")
     }
+    // bitshuffle applies at typesize 1 too (unlike byte-shuffle)
+    val ones = Array.fill(4096)(1.toByte)
+    val comp1 = ChunkCodec.compress(ones, Some("blosc"), 1,
+      Some(ChunkCodec.Blosc(cname = "zstd", clevel = 5, shuffle = 2)))
+    assert((comp1(2) & 0x4) != 0)
+    assert(ChunkCodec.decompress(comp1, Some("blosc"), ones.length).toSeq == ones.toSeq)
   }
 
   test("blosclz and snappy blocks round-trip across data shapes") {

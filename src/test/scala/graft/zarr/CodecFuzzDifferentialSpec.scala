@@ -42,4 +42,13 @@ class CodecFuzzDifferentialSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(got, want), s"snappy case $i (${want.length} bytes)")
     }
   }
+
+  test("python-encoded BITSHUFFLE blosc frames decode byte-exact (flag 0x4, mixed typesizes)") {
+    for (i <- cases) {
+      val want = Files.readAllBytes(root.resolve(s"payload_$i.bin"))
+      val enc = Files.readAllBytes(root.resolve(s"pybit_$i.bin"))
+      val got = ChunkCodec.decompress(enc, Some("blosc"), want.length)
+      assert(java.util.Arrays.equals(got, want), s"bitshuffle case $i (${want.length} bytes)")
+    }
+  }
 }

@@ -36,6 +36,35 @@ def unshuffle(raw: bytes, typesize: int) -> bytes:
     return a.T.tobytes()
 
 
+def bitshuffle(raw: bytes, typesize: int) -> bytes:
+    """c-blosc flag-0x4 bit-shuffle (bitshuffle-generic.c layout): with n
+    elements (rounded DOWN to a multiple of 8; the tail memcpys raw), bit
+    b of byte j of element i lands in plane (j*8+b), byte i//8, bit i%8
+    (LSB-first). Independent numpy derivation — cross-validates the Scala
+    loops in zarr/ChunkCodec.scala on the wire format."""
+    ts = max(1, typesize)
+    n = (len(raw) // ts) & ~7
+    if n == 0:
+        return raw
+    a = np.frombuffer(raw[:n * ts], dtype=np.uint8).reshape(n, ts)
+    bits = np.unpackbits(a[:, :, None], axis=2, bitorder="little")  # (n, ts, 8)
+    planes = bits.transpose(1, 2, 0).reshape(ts * 8, n)            # (j*8+b, i)
+    return (np.packbits(planes, axis=1, bitorder="little").tobytes()
+            + raw[n * ts:])
+
+
+def bitunshuffle(raw: bytes, typesize: int) -> bytes:
+    ts = max(1, typesize)
+    n = (len(raw) // ts) & ~7
+    if n == 0:
+        return raw
+    packed = np.frombuffer(raw[:n * ts], dtype=np.uint8).reshape(ts * 8, n // 8)
+    planes = np.unpackbits(packed, axis=1, bitorder="little")      # (ts*8, n)
+    bits = planes.reshape(ts, 8, n).transpose(2, 0, 1)             # (n, ts, 8)
+    a = np.packbits(bits, axis=2, bitorder="little")[:, :, 0]
+    return a.tobytes() + raw[n * ts:]
+
+
 def encode_blosclz(block: bytes) -> bytes:
     """Greedy blosclz block compressor (public FastLZ-derived format,
     c-blosc blosc/blosclz.c): literal runs of <=32 bytes (ctrl = n-1) and
@@ -218,12 +247,14 @@ _BACKENDS = {  # cname -> (codec id, compress, decompress)
 
 
 def encode(raw: bytes, typesize: int = 1, clevel: int = 5,
-           do_shuffle: bool = True, cname: str = "zlib") -> bytes:
+           do_shuffle: bool = True, cname: str = "zlib",
+           bit_shuffle: bool = False) -> bytes:
     """Single-block blosc1 frame; backends zlib (codec id 4),
     blosclz (0), snappy (3)."""
     ts = max(1, typesize)
-    shuffled = do_shuffle and ts > 1 and len(raw) % ts == 0
-    block = shuffle(raw, ts) if shuffled else raw
+    shuffled = (not bit_shuffle) and do_shuffle and ts > 1 and len(raw) % ts == 0
+    block = (bitshuffle(raw, ts) if bit_shuffle
+             else shuffle(raw, ts) if shuffled else raw)
     codec_id, comp_fn, _ = _BACKENDS[cname]
     comp = (zlib.compress(block, clevel) if cname == "zlib"
             else comp_fn(block))
@@ -231,7 +262,8 @@ def encode(raw: bytes, typesize: int = 1, clevel: int = 5,
         header = struct.pack("<BBBBiii", 2, 1, 0x2, ts,
                              len(raw), len(raw), 16 + len(raw))
         return header + raw
-    flags = (codec_id << 5) | (0x1 if shuffled else 0x0)
+    flags = ((codec_id << 5) | (0x1 if shuffled else 0x0)
+             | (0x4 if bit_shuffle else 0x0))
     total = 16 + 4 + 4 + len(comp)
     header = struct.pack("<BBBBiii", 2, 1, flags, ts, len(raw), len(raw), total)
     return header + struct.pack("<i", 20) + struct.pack("<i", len(comp)) + comp
@@ -243,7 +275,6 @@ def decode(data: bytes, expected: int) -> bytes:
     assert nbytes == expected, (nbytes, expected)
     if flags & 0x2:  # memcpy: original buffer, no unshuffle
         return data[16:16 + nbytes]
-    assert not (flags & 0x4), "bitshuffle unsupported"
     codec_id = (flags >> 5) & 0x7
     shuffled = bool(flags & 0x1)
     nblocks = -(-nbytes // blocksize)
@@ -263,5 +294,7 @@ def decode(data: bytes, expected: int) -> bytes:
             block = decomp(payload, this)
         if shuffled and typesize > 1 and this % typesize == 0:
             block = unshuffle(block, typesize)
+        elif flags & 0x4:  # bit-shuffle, undone per block like c-blosc
+            block = bitunshuffle(bytes(block), typesize)
         out[off:off + this] = block
     return bytes(out)

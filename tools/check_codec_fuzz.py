@@ -18,6 +18,7 @@ cases = sorted(d.glob("payload_*.bin"))
 if not cases:
     sys.exit(f"no payload_*.bin under {d} — run graft.tools.CodecFuzzDump first")
 bad = 0
+checks = 0
 for p in cases:
     i = p.stem.split("_")[1]
     want = p.read_bytes()
@@ -26,6 +27,13 @@ for p in cases:
         got = fn(enc, len(want))
         ok = got == want
         bad += 0 if ok else 1
+        checks += 1
         print(f"{'ok  ' if ok else 'FAIL'} case {i} {codec} ({len(want)} bytes)")
-print(f"{len(cases) * 2} checks, {bad} failures")
+    bit = d / f"bit_{i}.bin"
+    if bit.exists():  # Scala-encoded bitshuffle frame -> python full decode
+        ok = blosc_py.decode(bit.read_bytes(), len(want)) == want
+        bad += 0 if ok else 1
+        checks += 1
+        print(f"{'ok  ' if ok else 'FAIL'} case {i} bitshuffle ({len(want)} bytes)")
+print(f"{checks} checks, {bad} failures")
 sys.exit(1 if bad else 0)

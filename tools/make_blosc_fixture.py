@@ -48,7 +48,8 @@ def write_array(name, arr, chunks, dims, compressor, fill):
             payload = blosc_py.encode(raw, typesize=arr.dtype.itemsize,
                                       clevel=compressor["clevel"],
                                       do_shuffle=compressor["shuffle"] == 1,
-                                      cname=compressor.get("cname", "zlib"))
+                                      cname=compressor.get("cname", "zlib"),
+                                      bit_shuffle=compressor["shuffle"] == 2)
         (d / ".".join(map(str, idx))).write_bytes(payload)
 
 
@@ -89,6 +90,12 @@ def main():
     write_array("sample", sample, [64], ["sample"], None, None)
     write_array("ampl", ampl, [16, 64], ["trace", "sample"], blosclz, "NaN")
     write_array("qc", qc, [16, 64], ["trace", "sample"], snappy, 0)
+
+    # BITSHUFFLE (shuffle=2, flag 0x4) — the remaining member of the
+    # reference's BloscShuffle enum; python-encoded, Scala must decode
+    bitshuf = dict(blosc, shuffle=2)
+    phase = ((flat % 360).astype("<f4")) / 16.0
+    write_array("phase", phase, [16, 64], ["trace", "sample"], bitshuf, "NaN")
 
     # consolidated metadata, the keys zarr-python consolidates
     entries = {}

@@ -47,15 +47,25 @@ def main():
     ROOT.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(20260813)
     sizes = [1, 97, 2048, 8191, 20000, 40000]
+    typesizes = [1, 2, 4, 8, 3, 16]  # incl. an odd size with ragged tails
     for i, n in enumerate(sizes):
         p = payload(rng, n)
         (ROOT / f"payload_{i}.bin").write_bytes(p)
         (ROOT / f"pylz_{i}.bin").write_bytes(blosc_py.encode_blosclz(p))
         (ROOT / f"pysn_{i}.bin").write_bytes(blosc_py.encode_snappy(p))
+        # full blosc frame with BITSHUFFLE (flag 0x4), python-encoded —
+        # the Scala frame decoder must invert layout + flag handling
+        ts = typesizes[i % len(typesizes)]
+        (ROOT / f"pybit_{i}.bin").write_bytes(
+            blosc_py.encode(p, typesize=ts, clevel=5, cname="zlib",
+                            bit_shuffle=True))
         # self-check: python's own decoders must invert its encoders
         assert blosc_py.decode_blosclz(blosc_py.encode_blosclz(p), n) == p
         assert blosc_py.decode_snappy(blosc_py.encode_snappy(p), n) == p
-        print(f"case {i}: {n} bytes")
+        assert blosc_py.decode(
+            blosc_py.encode(p, typesize=ts, clevel=5, cname="zlib",
+                            bit_shuffle=True), n) == p
+        print(f"case {i}: {n} bytes (bitshuffle ts={ts})")
     print(f"fixture at {ROOT}")
 
 
