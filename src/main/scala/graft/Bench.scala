@@ -154,7 +154,11 @@ object Bench {
     * plus first-recorded round-4 warm values for queries added since, so
     * EVERY query is covered by the >5x gate. */
   private[graft] val budget: Map[String, Double] = Map(
-    "agg_approx" -> 0.541, "agg_argmax" -> 0.385, "agg_cms_portable" -> 0.647,
+    // agg_approx re-budgeted r07: the bounded-oracle form adds the exact
+    // countDistinct + the broadcast rank-window pass (2.1s warm isolated
+    // vs 0.54s for the old sketch-only body; the exact-percentile
+    // comparison it replaced ran 5.8s)
+    "agg_approx" -> 2.6, "agg_argmax" -> 0.385, "agg_cms_portable" -> 0.647,
     "agg_conditional" -> 0.302, "agg_corr" -> 1.579, "agg_cube" -> 0.584,
     "agg_distinct" -> 0.626, "agg_grouping_sets" -> 0.261, "agg_histogram" -> 0.277,
     "agg_hll_portable" -> 0.451, "agg_percentile" -> 0.334,
@@ -636,6 +640,13 @@ object Bench {
     // comparator: pipeline_k_anonymity (same customer scan; one extra
     // pre-aggregation level for the distinct sensitive values)
     "pipeline_l_diversity" -> 0.5,
+    // comparator: text_top_ngrams x2 (two explode -> map-side-combined
+    // groupBy passes over tokens and bigrams, plus the per-doc fold)
+    "text_repetition" -> 2.0,
+    // comparator: pipeline_experiment (two full-data aggregation passes
+    // of 9 quantized sums each + free scalar 3x3 solves; the sigmoid
+    // scoring pass is a pure map)
+    "pipeline_quality_irls" -> 1.5,
     // comparator: graph_item_cf (same pair expansion + two degree joins;
     // no top-k readout, one moment aggregation). Warm isolated 2.5s with
     // a clean plan (r06 verdict audit: bounded within-order pair

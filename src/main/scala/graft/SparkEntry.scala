@@ -28,6 +28,7 @@ object SparkEntry {
       graft.queries.Mdio.queries ++
       graft.queries.Pipeline.queries ++
       graft.queries.Pipeline2.queries ++
+      graft.queries.Pipeline3.queries ++
       graft.queries.Media.queries ++
       graft.queries.LanguageModel.queries ++
       graft.queries.StreamingExec.queries
@@ -45,6 +46,7 @@ object SparkEntry {
       graft.queries.Mdio.oracleSql ++
       graft.queries.Pipeline.oracleSql ++
       graft.queries.Pipeline2.oracleSql ++
+      graft.queries.Pipeline3.oracleSql ++
       graft.queries.Media.oracleSql ++
       graft.queries.LanguageModel.oracleSql ++
       graft.queries.StreamingExec.oracleSql

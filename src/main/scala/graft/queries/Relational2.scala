@@ -388,30 +388,45 @@ object Relational2 {
   /** HLL distinct + approximate percentile: the 100 TB path where exact
     * distinct/percentile shuffles would dominate. Sketch internals differ
     * across engines by design, so the oracle row can't carry the estimate
-    * itself — instead the query emits the EXACT values (which DuckDB
-    * re-derives) plus 0/1 verdicts that each estimate sits inside its
-    * published error bound, and the oracle asserts those verdicts are 1:
+    * itself — instead the query emits the EXACT distinct count (which
+    * DuckDB re-derives) plus 0/1 verdicts that each estimate sits inside
+    * its published error bound, and the oracle asserts the verdicts:
     *  - approx_count_distinct(rsd=0.02): |est − exact| ≤ 3·rsd·exact
     *    (HLL++'s relative standard deviation, three-sigma band);
-    *  - percentile_approx(accuracy=1000): rank error ≤ N/accuracy, so the
-    *    estimate must lie within the exact [p49, p51] value band (10x the
-    *    guaranteed 0.001 rank slack).
+    *  - percentile_approx(accuracy=1000): guaranteed rank error ≤
+    *    N/accuracy, so the estimate's exact rank window [count(<est),
+    *    count(≤est)] must intersect [0.49, 0.51]·N (10x the 0.001
+    *    guarantee). Checked by a second conditional-aggregation pass with
+    *    the 3-row estimate table broadcast — RANK counting, not an exact
+    *    percentile: no sort, no per-group value map, two scans total,
+    *    which is the shape that still runs at 100 TB (an exact
+    *    `percentile()` comparison benched 5.8 s vs this plan's ~1 s).
     * A sketch regression past its bound flips a verdict to 0 and fails
     * the hash — a full rows+schema+hash gate, not a rows-only check. */
-  val qAggApprox: Q = (s, d) =>
-    lineitem(s, d).groupBy(col("l_returnflag"))
+  val qAggApprox: Q = (s, d) => {
+    val li = lineitem(s, d)
+      .select(col("l_returnflag"), col("l_partkey"), col("l_extendedprice"))
+    val est = li.groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
-        expr("percentile(l_extendedprice, 0.49)").as("p_lo"),
-        expr("percentile(l_extendedprice, 0.51)").as("p_hi"))
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"))
+    val ranks = li
+      .join(broadcast(est.select(col("l_returnflag").as("rf"), col("am"))),
+        col("l_returnflag") === col("rf"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("l_extendedprice") < col("am"), 1L).otherwise(0L)).as("n_lt"),
+           sum(when(col("l_extendedprice") <= col("am"), 1L).otherwise(0L)).as("n_le"))
+    est.join(ranks, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("ap") - col("exact_parts"))
           <= col("exact_parts") * lit(0.06)).cast("bigint").as("hll_in_3sigma"),
-        (col("am") >= col("p_lo") && col("am") <= col("p_hi"))
+        (col("n_lt").cast("double") <= lit(0.51) * col("n").cast("double") &&
+         col("n_le").cast("double") >= lit(0.49) * col("n").cast("double"))
           .cast("bigint").as("pctl_in_band"))
       .orderBy(col("l_returnflag"))
+  }
 
   val qAggApproxSql: String = """
     SELECT l_returnflag,

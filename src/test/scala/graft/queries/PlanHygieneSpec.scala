@@ -45,7 +45,10 @@ class PlanHygieneSpec extends SparkSpec {
       "events_seasonality", "agg_median_mad", "agg_benford",
       // pipeline_experiment zips its two one-row readouts;
       // agg_autocorr attaches the one-row series mean
-      "pipeline_experiment", "agg_autocorr")
+      "pipeline_experiment", "agg_autocorr",
+      // pipeline_quality_irls attaches the one-row trained coefficient
+      // vector (per IRLS iteration) — the canonical scalar attach
+      "pipeline_quality_irls")
 
   test("no accidental cartesian/nested-loop joins across the inventory") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
