@@ -519,9 +519,9 @@ object Bench {
     "embedding_kmeans" -> 1.6,
     // comparator: graph_kcore (same checkpointed co-purchase edge table,
     // bounded label-join rounds in place of degree peels; 3 rounds with
-    // a sort-free max_by argmax each vs 5 peel rounds). Warm isolated
-    // 2.9s after the r07 plan fix (row_number window -> max_by groupBy,
-    // zero sorts per round); iterative-graph queries swing with GC under
+    // a map-side-combined max_by argmax each vs 5 peel rounds). Warm
+    // isolated 2.9s after the r07 plan fix (row_number window -> max_by,
+    // partial-aggregated argmax); iterative-graph queries swing with GC
     // full-bench pressure (r06: +43% on the loaded final run), so the
     // budget sits above that variance band, not the isolated floor
     "graph_labelprop" -> 3.4,

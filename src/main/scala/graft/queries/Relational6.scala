@@ -230,16 +230,18 @@ object Relational6 {
   // label), three rounds unrolled.
   //
   // Spark-first shape: one round = join labels to edges on src + one
-  // partial-aggregated groupBy (dst, label) + one sort-free groupBy
-  // argmax (max_by over (cnt, −label): plurality, ties to the smallest
-  // label) — two shuffles keyed by node id and ZERO sorts per round
-  // (the row_number window this replaced sorted every (dst,*) group each
-  // iteration — the r06 bench flag), lineage-cut per round (the
-  // dedup_components discipline). Hub skew is absorbed by the map-side
-  // partial counts (the (dst,label) key fans a hub's updates across
-  // reducers). Deterministic: counts are exact and the max_by ordering
-  // struct is a total order, so the oracle re-derives the identical
-  // label state round by round.
+  // partial-aggregated groupBy (dst, label) + one groupBy argmax
+  // (max_by over (cnt, −label): plurality, ties to the smallest label)
+  // — two shuffles keyed by node id. The r06 row_number window this
+  // replaced shuffled and sorted EVERY (dst, label) count row; max_by
+  // PARTIAL-aggregates map-side (struct buffer → SortAggregate, but the
+  // partial phase shrinks the shuffle to one row per mapper per dst —
+  // 3.7 s → 2.9 s warm at sf0.1, and the gap widens with node fan-in).
+  // Lineage-cut per round (the dedup_components discipline). Hub skew
+  // is absorbed by the map-side partial counts (the (dst,label) key
+  // fans a hub's updates across reducers). Deterministic: counts are
+  // exact and the max_by ordering struct is a total order, so the
+  // oracle re-derives the identical label state round by round.
   // ---------------------------------------------------------------------
 
   val qGraphLabelprop: Q = (s, d) => {

@@ -414,4 +414,58 @@ class PlanQualitySpec extends SparkSpec {
       "pair expansion and degree joins must stay equi joins")
     assert(p.contains("partial_"), "moment sums need map-side combine")
   }
+
+  test("graph_labelprop: per-round argmax is a sort-free max_by groupBy (r07 plan fix)") {
+    // the final explain only shows the readout over the checkpointed
+    // labels (each round materializes through the lineage cut), so pin
+    // the ROUND plan directly: one iteration built from a toy edge table
+    import org.apache.spark.sql.functions._
+    val edges = spark.range(20).select((col("id") % 7).as("src"), (col("id") % 5).as("dst"))
+    val labels = edges.select(col("src").as("node"), col("src").as("lab")).distinct()
+    val round = edges.join(labels, col("src") === col("node"))
+      .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("dst"))
+      .agg(max_by(col("lab"), struct(col("cnt"), (-col("lab")).as("neg"))).as("lab"))
+    val p = round.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the win over the r06 row_number window: the argmax PARTIAL-aggregates
+    // map-side (max_by's struct buffer plans as SortAggregate, but the
+    // partial phase shrinks the shuffle to one row per (mapper, dst) —
+    // the window shuffled and sorted EVERY (dst, label) count row)
+    assert(!p.contains("Window"),
+      "plurality argmax must be the max_by groupBy, not a rank window:\n" + p.take(600))
+    assert(p.contains("max_by"), "expected the max_by aggregate in the round plan")
+    // tree lines only ("+- Exchange (n)"); details repeat each node.
+    // 2 round shuffles + 1 building the toy label table = 3.
+    val exchanges = "- Exchange \\(".r.findAllIn(p).length
+    assert(exchanges <= 3, s"round must shuffle at most twice, saw $exchanges:\n" + p.take(900))
+    // and the production query's readout plan stays window-free
+    assert(!plan("graph_labelprop").contains("Window"))
+  }
+
+  test("text_repetition: both profile passes partial-aggregate; doc joins stay equi") {
+    val p = plan("text_repetition")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "per-doc stat joins must stay equi joins")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "the (doc, gram) counts need map-side combine")
+  }
+
+  test("pipeline_quality_irls: coefficient attaches broadcast; sums partial-aggregate") {
+    val p = plan("pipeline_quality_irls")
+    assert(!p.contains("CartesianProduct"),
+      "the one-row coefficient attach must broadcast, never a cartesian:\n" + p.take(600))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "expected broadcast scalar attach")
+    assert(p.contains("partial_"), "the 9 quantized sums need map-side combine")
+  }
+
+  test("agg_approx: the rank-window pass broadcasts the 3-row estimate table") {
+    val p = plan("agg_approx")
+    assert(p.contains("BroadcastHashJoin"),
+      "estimates must broadcast back over lineitem:\n" + p.take(600))
+    assert(!p.contains("percentile("),
+      "exact percentile must not reappear — rank counting replaced it")
+    assert(p.contains("partial_"), "conditional rank counts need map-side combine")
+  }
 }
