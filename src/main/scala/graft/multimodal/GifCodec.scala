@@ -68,13 +68,10 @@ object GifCodec {
       s"GIF: bad logical screen ${width}x$height")
     val packed = u8()
     u8(); u8() // background index, aspect ratio
-    val globalPalette =
-      if ((packed & 0x80) != 0) readPalette(2 << (packed & 0x7))
-      else null
 
     def readPalette(n: Int): Array[Int] = {
       require(ip + 3 * n <= bytes.length, "GIF: truncated color table")
-      val p = new Array[Int](256) // over-allocate: indices may exceed table size? no — spec caps at table size, but be strict below
+      val p = new Array[Int](n)
       var i = 0
       while (i < n) {
         p(i) = ((bytes(ip) & 0xff) << 16) | ((bytes(ip + 1) & 0xff) << 8) |
@@ -82,8 +79,12 @@ object GifCodec {
         ip += 3
         i += 1
       }
-      java.util.Arrays.copyOf(p, n)
+      p
     }
+
+    val globalPalette =
+      if ((packed & 0x80) != 0) readPalette(2 << (packed & 0x7))
+      else null
 
     var transparent = -1
     val frames = Vector.newBuilder[Frame]
