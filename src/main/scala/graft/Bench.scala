@@ -392,6 +392,9 @@ object Bench {
     // comparator: multimodal_bmp (same shape) + ~50% for deflate/inflate —
     // NOT this query's own first measurement (round-4 verdict discipline)
     "multimodal_png" -> 1.1,
+    // comparator: multimodal_png (same attach+decode shape; LZW table
+    // build/walk per code in place of inflate+unfilter per row)
+    "multimodal_gif" -> 1.1,
     // comparator: multimodal_png (same attach+decode shape; Huffman+IDCT
     // per block on smaller images in place of inflate+unfilter per row)
     "multimodal_jpeg" -> 1.1,

@@ -172,19 +172,26 @@ object GifCodec {
         } else if (c == eoi) {
           sawEoi = true
         } else {
-          require(c < next && (c < clear || c > eoi), s"GIF: LZW code $c beyond table $next")
-          // expand c (or the KwKwK case prev+firstChar when c == next — caught above as c < next fails)
+          require(c < clear || c > eoi, s"GIF: control code $c in data position")
+          // KwKwK: c == next means string(prev) + firstChar(prev). Reserve
+          // the stack bottom (= the LAST pixel emitted, since the stack is
+          // drained in reverse) and walk prev's chain instead; the slot is
+          // patched with the chain's first literal once known.
+          val kwkwk = c == next
+          require(c < next || (kwkwk && prev >= 0),
+            s"GIF: LZW code $c beyond table $next")
           var sp = 0
           var cur = c
-          if (prev >= 0 && c == next - 1 && next > eoi + 1 && false) () // (never: explicit for readers)
+          if (kwkwk) { sp = 1; cur = prev }
           while (cur >= clear + 2) { // walk the chain; literals are < clear
             stack(sp) = suffix(cur); sp += 1
             cur = prefix(cur)
             require(sp < 4096, "GIF: LZW chain loop")
           }
-          val first = (if (cur >= clear) suffix(cur) else cur.toByte)
-          if (cur >= clear + 2) { stack(sp) = suffix(cur); sp += 1 } // unreachable; chain ends below clear
+          require(cur < clear, s"GIF: corrupt LZW chain ends at control code $cur")
+          val first = cur.toByte
           stack(sp) = first; sp += 1
+          if (kwkwk) stack(0) = first
           // emit reversed
           require(op + sp <= nPixels, "GIF: LZW output overruns raster")
           while (sp > 0) { sp -= 1; out(op) = stack(sp); op += 1 }
@@ -221,12 +228,6 @@ object GifCodec {
     require(fs.nonEmpty, "GIF: no image data before trailer")
     Decoded(width, height, fs)
   }
-
-  /** KwKwK handling note: the canonical special case (code == next) is
-    * produced by real encoders; the strict `c < next` check above would
-    * reject it. Decode path for it lives in [[lzwExpandSpecial]]-free
-    * form: see decode() — actually handled by the chain walk because the
-    * entry is added BEFORE use only on the encoder side. */
 
   private def deinterlace(src: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val out = new Array[Byte](src.length)

@@ -97,6 +97,31 @@ object Multimodal {
       .toDF()
   }
 
+  /** LZW twin of [[attachPngPayload]]: the SAME deterministic grayscale
+    * pixels (pixel i = UTF-8 byte i mod len) wire-encoded as single-frame
+    * GIF89a by [[GifCodec]] — variable-width LZW with the width-growth
+    * and table-full-clear rules, a 256-entry gray global palette. The
+    * decode stage exercises a third genuinely-compressed image format
+    * (after zlib/PNG and DCT/JPEG) end to end. */
+  def attachGifPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"),
+      (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height"))
+      .as[(Long, String, Int, Int)]
+      .map { case (id, text, w, h) =>
+        val t = Option(text).getOrElse("").getBytes("UTF-8")
+        val gray = new Array[Byte](w * h)
+        if (t.nonEmpty) {
+          var i = 0
+          while (i < gray.length) { gray(i) = t(i % t.length); i += 1 }
+        }
+        MediaRow(id, GifCodec.encode(w, h, gray), "image/gif", w, h)
+      }
+      .toDF()
+  }
+
   /** Attach a REAL DCT-compressed image payload: a deterministic
     * BLOCK-CONSTANT grayscale image (every 8×8 block carries one UTF-8
     * byte of the text: block k = byte k mod len; dims are multiples of 8)
@@ -361,6 +386,11 @@ object Multimodal {
               dim1 = math.max(d.width / 2, 1), dim2 = math.max(d.height / 2, 1))
           case r if r.format == "image/jpeg" =>
             val d = JpegCodec.decode(r.payload)
+            MediaFeatures(r.doc_id, r.payload.length.toLong,
+              content_hash = 0L, intensity = d.meanLuma,
+              dim1 = math.max(d.width / 2, 1), dim2 = math.max(d.height / 2, 1))
+          case r if r.format == "image/gif" =>
+            val d = GifCodec.decode(r.payload)
             MediaFeatures(r.doc_id, r.payload.length.toLong,
               content_hash = 0L, intensity = d.meanLuma,
               dim1 = math.max(d.width / 2, 1), dim2 = math.max(d.height / 2, 1))

@@ -939,6 +939,24 @@ object Pipeline2 {
            CAST(SUM(h // 2) AS BIGINT) AS sum_thumb_h
     FROM e"""
 
+  /** REAL LZW-image decode on the oracle: the same deterministic grayscale
+    * pixels as the PNG twin, but GIF89a-encoded (variable-width LZW with
+    * width growth, table-full clears, and the KwKwK special case — run-heavy
+    * document text hits it constantly) and decoded by the pure-JVM
+    * [[graft.multimodal.GifCodec]]. File size is compression-dependent, so
+    * the oracle certifies decoded pixels (mean luma via cycle arithmetic)
+    * and geometry — exact only if every LZW code expands byte-exactly. */
+  val qMultimodalGif: Q = (s, d) =>
+    graft.multimodal.Multimodal.extractFeatures(s,
+      graft.multimodal.Multimodal.attachGifPayload(documents(s, d)))
+      .toDF()
+      .agg(count(lit(1)).as("n"),
+           dsum(col("intensity")).as("sum_luma"),
+           sum(col("dim1").cast("long")).as("sum_thumb_w"),
+           sum(col("dim2").cast("long")).as("sum_thumb_h"))
+
+  val qMultimodalGifSql: String = qMultimodalPngSql
+
   /** REAL DCT-image decode on the oracle: block-constant grayscale images
     * (8×8 block k = UTF-8 byte k mod len; dims are multiples of 8) encoded
     * as baseline JPEG and decoded by the pure-JVM
@@ -1159,6 +1177,7 @@ object Pipeline2 {
     "text_classify"            -> qTextClassify,
     "multimodal_bmp"           -> qMultimodalBmp,
     "multimodal_png"           -> qMultimodalPng,
+    "multimodal_gif"           -> qMultimodalGif,
     "multimodal_jpeg"          -> qMultimodalJpeg,
     "multimodal_jpeg_progressive" -> qMultimodalJpegProgressive,
     "multimodal_jpeg_color"    -> qMultimodalJpegColor,
@@ -1194,6 +1213,7 @@ object Pipeline2 {
     "text_classify"            -> qTextClassifySql,
     "multimodal_bmp"           -> qMultimodalBmpSql,
     "multimodal_png"           -> qMultimodalPngSql,
+    "multimodal_gif"           -> qMultimodalGifSql,
     "multimodal_jpeg"          -> qMultimodalJpegSql,
     "multimodal_jpeg_progressive" -> qMultimodalJpegProgressiveSql,
     "multimodal_jpeg_color"    -> qMultimodalJpegColorSql,

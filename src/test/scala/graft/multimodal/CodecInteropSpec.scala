@@ -46,6 +46,46 @@ class CodecInteropSpec extends AnyFunSuite {
     assert(d.meanLuma == want, s"ImageIO-written PNG decoded luma ${d.meanLuma} != $want")
   }
 
+  test("GIF: ImageIO decodes graft-encoded images pixel-exact") {
+    // the gray global palette is the identity ramp (index i = rgb(i,i,i)),
+    // so the JDK's palette-indexed raster must equal the input bytes —
+    // including run-heavy content, whose LZW stream leans on KwKwK codes
+    val cases = Seq(
+      (17, 17, gray(17, 17, 21)),
+      (64, 48, gray(64, 48, 22)),
+      (40, 30, Array.fill(1200)(7.toByte)),                       // solid: KwKwK-dense
+      (128, 96, gray(128, 96, 23)))                               // forces table-full clear
+    for ((w, h, px) <- cases) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(GifCodec.encode(w, h, px)))
+      assert(img != null, "JDK GIF reader unavailable")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = px(y * w + x) & 0xff
+        val got = img.getRGB(x, y) & 0xff
+        assert(got == v, s"pixel ($x,$y) of ${w}x$h differs: ImageIO $got vs $v")
+      }
+    }
+  }
+
+  test("GIF: graft decodes ImageIO-encoded images to the exact mean luma") {
+    val (w, h) = (23, 11)
+    val px = gray(w, h, 27)
+    val cm = new java.awt.image.IndexColorModel(8, 256,
+      Array.tabulate(256)(_.toByte), Array.tabulate(256)(_.toByte),
+      Array.tabulate(256)(_.toByte))
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, px(y * w + x) & 0xff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos), "JDK GIF writer unavailable")
+    val d = GifCodec.decode(bos.toByteArray)
+    assert(d.width == w && d.height == h)
+    val want = px.map(_ & 0xff).map(_.toLong).sum.toDouble / (w * h) / 255.0
+    assert(d.meanLuma == want, s"ImageIO-written GIF decoded luma ${d.meanLuma} != $want")
+  }
+
   test("BMP: ImageIO decodes graft-encoded images pixel-exact") {
     val (w, h) = (17, 17)
     val px = gray(w, h, 9)
