@@ -76,14 +76,19 @@ object Bench {
       else {
         System.gc()
         twoPass ++ flagged.map { name =>
+          // A failed retry attempt must never look fast: record infinity
+          // for it so min() can only pick a SUCCESSFUL isolated time (a
+          // fast failure would otherwise silently clear a genuine flag).
           val retried = (1 to 2).map { _ =>
             val t0 = System.nanoTime()
-            try SparkEntry.queries(name)(spark, sfDir)
-              .write.format("noop").mode("overwrite").save()
-            catch { case e: Throwable =>
+            try {
+              SparkEntry.queries(name)(spark, sfDir)
+                .write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            } catch { case e: Throwable =>
               System.err.println(s"[bench] $name retry failed: ${e.getMessage}")
+              Double.PositiveInfinity
             }
-            (System.nanoTime() - t0) / 1e9
           }.min
           System.err.println(
             f"[bench] retry $name: ${twoPass(name)}%.2fs loaded -> $retried%.2fs isolated")

@@ -27,14 +27,26 @@ object LineageCut {
 
   val ConfKey = "spark.graft.checkpointDir"
 
+  // The parent dir last passed to setCheckpointDir on this JVM's context.
+  // setCheckpointDir appends a fresh UUID subdir on every call, so the
+  // active dir never equals the configured parent; substring-matching the
+  // active path against the parent (the old check) misfires when one
+  // configured parent is a prefix of another (/tmp/ckpt vs /tmp/ckpt2).
+  @volatile private var pointedAt: String = ""
+
   def cut(df: DataFrame): DataFrame = {
     val dir = df.sparkSession.conf.get(ConfKey, "")
     if (dir.isEmpty) df.localCheckpoint(eager = true)
     else {
       val sc = df.sparkSession.sparkContext
-      // setCheckpointDir appends a fresh UUID subdir on every call; only
-      // (re)point the context when the configured parent actually changed
-      if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+      // only (re)point the context when the configured parent changed —
+      // or when someone else re-pointed the context underneath us
+      synchronized {
+        if (pointedAt != dir || sc.getCheckpointDir.isEmpty) {
+          sc.setCheckpointDir(dir)
+          pointedAt = dir
+        }
+      }
       df.checkpoint(eager = true)
     }
   }

@@ -53,6 +53,24 @@ class LineageCutSpec extends SparkSpec {
     }
   }
 
+  test("re-points when the configured dir changes to a PREFIX of the old one") {
+    // regression: the old check substring-matched the active checkpoint
+    // path against the configured parent, so switching /tmp/x/ckpt2 ->
+    // /tmp/x/ckpt (a prefix) silently kept writing into the stale dir
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt_prefix")
+    val oldDir = base.resolve("ckpt2"); val newDir = base.resolve("ckpt")
+    try {
+      spark.conf.set(LineageCut.ConfKey, oldDir.toString)
+      assert(spark.range(5).toDF("id").lineageCut.count() == 5)
+      spark.conf.set(LineageCut.ConfKey, newDir.toString)
+      assert(spark.range(5).toDF("id").lineageCut.count() == 5)
+      val files = java.nio.file.Files.walk(newDir)
+      val n = try files.filter(java.nio.file.Files.isRegularFile(_)).count()
+      finally files.close()
+      assert(n > 0, s"checkpoint after dir change must land under $newDir")
+    } finally spark.conf.unset(LineageCut.ConfKey)
+  }
+
   test("default mode (no knob) localCheckpoints — no external writes") {
     assert(spark.conf.getOption(LineageCut.ConfKey).isEmpty)
     val df = spark.range(10).toDF("id").lineageCut
