@@ -162,8 +162,13 @@ object Pipeline {
     * truth cost — the knob that scales: at 100 TB run ppm-scale blocks).
     * The estimator is unbiased for any pair-population property under
     * block sampling because block membership is independent of content;
-    * its variance shrinks as O(1/sampled_pairs), and `sample_ppm` ships
-    * in the output row so downstream governance can see the scope. */
+    * its variance shrinks as O(1/sampled_pairs). The output row ships the
+    * scope (`sample_ppm`) AND the bound itself: `precision_se_ppm` /
+    * `recall_se_ppm` = floor(1e6 * sqrt(p(1-p)/n)) — the binomial
+    * standard error of each ppm ratio at its own denominator, so
+    * downstream governance reads ±1.96·se as the 95% band without
+    * re-deriving n. (Pinned against the closed form and the 1/sqrt(n)
+    * shrink in DedupEvalSampledSpec.) */
   val qDedupEvalSampled: Q = (s, d) => {
     val docs = documents(s, d)
       .filter((col("doc_id") * lit(2654435761L)) % lit(1000L) < lit(250L))
@@ -185,6 +190,14 @@ object Pipeline {
       .select(col("n_cand"), col("n_true"), col("n_hit"),
         expr("n_hit * 1000000 div greatest(n_cand, 1)").as("precision_ppm"),
         expr("n_hit * 1000000 div greatest(n_true, 1)").as("recall_ppm"),
+        // binomial SE of each ratio, in ppm — identical double-op order
+        // to the oracle SQL so floor() agrees bit-exactly
+        expr("cast(floor(1000000 * sqrt((n_hit / greatest(n_cand, 1)) * " +
+          "(1 - n_hit / greatest(n_cand, 1)) / greatest(n_cand, 1))) as bigint)")
+          .as("precision_se_ppm"),
+        expr("cast(floor(1000000 * sqrt((n_hit / greatest(n_true, 1)) * " +
+          "(1 - n_hit / greatest(n_true, 1)) / greatest(n_true, 1))) as bigint)")
+          .as("recall_se_ppm"),
         lit(250000L).as("sample_ppm"))
   }
 
@@ -224,6 +237,12 @@ object Pipeline {
                 GREATEST((SELECT COUNT(*) FROM candl), 1) AS BIGINT) AS precision_ppm,
            CAST((SELECT COUNT(*) FROM hit) * 1000000 //
                 GREATEST((SELECT COUNT(*) FROM truth), 1) AS BIGINT) AS recall_ppm,
+           CAST(FLOOR(1000000 * sqrt(((SELECT COUNT(*) FROM hit) / GREATEST((SELECT COUNT(*) FROM candl), 1)) *
+                (1 - (SELECT COUNT(*) FROM hit) / GREATEST((SELECT COUNT(*) FROM candl), 1)) /
+                GREATEST((SELECT COUNT(*) FROM candl), 1))) AS BIGINT) AS precision_se_ppm,
+           CAST(FLOOR(1000000 * sqrt(((SELECT COUNT(*) FROM hit) / GREATEST((SELECT COUNT(*) FROM truth), 1)) *
+                (1 - (SELECT COUNT(*) FROM hit) / GREATEST((SELECT COUNT(*) FROM truth), 1)) /
+                GREATEST((SELECT COUNT(*) FROM truth), 1))) AS BIGINT) AS recall_se_ppm,
            CAST(250000 AS BIGINT) AS sample_ppm"""
 
   /** Cascade dedup: minhash-band candidates verified by EMBEDDING cosine

@@ -129,6 +129,45 @@ class ChunkCodecSpec extends AnyFunSuite {
     assert(t.toSeq == orig.toSeq)
   }
 
+  test("blosc bit-shuffle matches a naive per-bit transform over EVERY bit position") {
+    // The optimized transform (word-packed 8x8 transpose) vs a reference
+    // built ONLY from the published layout formula, bit by bit:
+    //   out[(j*8 + b) * (n/8) + i/8]  bit (i % 8)  =  in[i*ts + j]  bit b
+    // Exhaustive over all len*8 single-bit inputs plus dense payloads, so
+    // no transposition or plane-order mistake can hide in sampling.
+    def naive(in: Array[Byte], ts: Int): Array[Byte] = {
+      val n = (in.length / ts) & ~7
+      val out = in.clone() // tail beyond n*ts stays raw
+      for (i <- 0 until n; j <- 0 until ts; b <- 0 until 8) {
+        val bit = (in(i * ts + j) >> b) & 1
+        val oIdx = (j * 8 + b) * (n / 8) + i / 8
+        if (bit == 1) out(oIdx) = (out(oIdx) | (1 << (i % 8))).toByte
+        else out(oIdx) = (out(oIdx) & ~(1 << (i % 8))).toByte
+      }
+      out
+    }
+    for (ts <- Seq(1, 2, 3, 4, 8); nElems <- Seq(8, 16, 19)) {
+      val len = ts * nElems
+      // every single-bit input
+      for (pos <- 0 until len * 8) {
+        val in = new Array[Byte](len)
+        in(pos / 8) = (1 << (pos % 8)).toByte
+        val got = in.clone()
+        ChunkCodec.bitshuffleInPlace(got, 0, len, ts)
+        assert(got.toSeq == naive(in, ts).toSeq,
+          s"ts=$ts n=$nElems single bit $pos")
+      }
+      // dense deterministic payload
+      val dense = Array.tabulate(len)(i => (i * 131 + 17).toByte)
+      val got = dense.clone()
+      ChunkCodec.bitshuffleInPlace(got, 0, len, ts)
+      assert(got.toSeq == naive(dense, ts).toSeq, s"ts=$ts n=$nElems dense")
+      val back = got.clone()
+      ChunkCodec.bitunshuffleInPlace(back, 0, len, ts)
+      assert(back.toSeq == dense.toSeq, s"ts=$ts n=$nElems inverse")
+    }
+  }
+
   test("blosc bit-shuffle round-trips at every element size × cname") {
     val rnd = new scala.util.Random(13)
     for (ts <- Seq(1, 2, 4, 8, 16);
