@@ -576,6 +576,10 @@ object Bench {
     // comparator: multimodal_jpeg x4 (8 frame encodes + 2 keyframe
     // decodes per doc vs the twin's 1+1, same per-image cost)
     "multimodal_mjpeg" -> 4.4,
+    // comparator: multimodal_mjpeg x0.5 (3 encodes + 3 decodes per doc,
+    // but MB-constant AVC work is one CAVLC level per MB vs per-block
+    // Huffman+IDCT; I_PCM dominates at 384 raw bytes per frame)
+    "multimodal_h264_keyframes" -> 2.2,
     // comparator: agg_ks_test (same contract-then-window shape; the
     // contingency table is even smaller than the value domain)
     "agg_chi2" -> 0.5,

@@ -308,6 +308,49 @@ object Multimodal {
       .toDF()
   }
 
+  /** Attach a REAL H.264 elementary stream: three IDR pictures of
+    * macroblock-constant gray (MB k of frame f carries text byte
+    * (f*17 + k) mod len, as value (byte % 26)*10 — the multiple-of-10
+    * rule [[H264Codec.encode]]'s QP-36 DC ladder reconstructs exactly).
+    * The decode stage runs genuine AVC bitstream parsing + CAVLC +
+    * inverse transforms end to end, SQL-certifiable like the JPEG twin. */
+  def attachH264Payload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"),
+      ((pmod(col("doc_id"), lit(6)) + 2) * 16).cast("int").as("width"),
+      ((pmod(col("doc_id"), lit(4)) + 2) * 16).cast("int").as("height"))
+      .as[(Long, String, Int, Int)]
+      .map { case (id, text, w, h) =>
+        val t = Option(text).getOrElse("").getBytes("UTF-8")
+        val nb = (w / 16) * (h / 16)
+        val frames = Seq.tabulate(3) { fi =>
+          Array.tabulate(nb)(k =>
+            if (t.isEmpty) 0 else ((t((fi * 17 + k) % t.length) & 0xff) % 26) * 10)
+        }
+        MediaRow(id, H264Codec.encode(w, h, frames), "video/h264", w, h)
+      }
+      .toDF()
+  }
+
+  /** REAL AVC KEYFRAME DECODE: every picture in the elementary stream is
+    * an IDR keyframe; each runs through the pure-JVM [[H264Codec]] (NAL +
+    * SPS/PPS + slice parse, CAVLC luma DC, dequant, inverse transforms,
+    * intra prediction). Per-partition streaming, one pass. */
+  def decodeH264Keyframes(spark: SparkSession, media: DataFrame): Dataset[KeyframeLuma] = {
+    import spark.implicits._
+    media.select("doc_id", "payload", "format", "width", "height")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val dec = H264Codec.decode(r.payload)
+          dec.frames.iterator.zipWithIndex.map { case (f, i) =>
+            KeyframeLuma(r.doc_id, i, f.meanLuma, f.width, f.height)
+          }
+        }
+      }
+  }
+
   case class KeyframeLuma(doc_id: Long, frame: Int, luma: Double,
                           width: Int, height: Int)
 
@@ -393,6 +436,11 @@ object Multimodal {
             val d = GifCodec.decode(r.payload)
             MediaFeatures(r.doc_id, r.payload.length.toLong,
               content_hash = 0L, intensity = d.meanLuma,
+              dim1 = math.max(d.width / 2, 1), dim2 = math.max(d.height / 2, 1))
+          case r if r.format == "video/h264" =>
+            val d = H264Codec.decode(r.payload)
+            MediaFeatures(r.doc_id, r.payload.length.toLong,
+              content_hash = 0L, intensity = d.frames.head.meanLuma,
               dim1 = math.max(d.width / 2, 1), dim2 = math.max(d.height / 2, 1))
           case r if r.format == "audio/wav" =>
             // REAL audio decode: intensity carries the normalized mean

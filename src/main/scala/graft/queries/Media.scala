@@ -438,9 +438,53 @@ object Media {
            CAST(SUM(h) AS BIGINT) AS sum_h
     FROM e"""
 
+  /** REAL H.264 PIXEL DECODE on the oracle: every doc carries a 3-picture
+    * IDR elementary stream of macroblock-constant gray (MB k of frame fi =
+    * text byte (fi*17+k) mod len, scaled to (b%26)*10 — the QP-36 DC
+    * ladder [[graft.multimodal.H264Codec]] reconstructs EXACTLY), decoded
+    * through genuine AVC bitstream parsing: Annex-B NALs with emulation
+    * prevention, SPS/PPS, CAVLC luma-DC residuals, inverse Hadamard +
+    * 4x4 transform, intra DC prediction. The oracle recomputes each
+    * frame's mean luma by direct cycle arithmetic over the byte list —
+    * it matches only if every stage of the bitstream decode is exact. */
+  val qMultimodalH264Keyframes: Q = (s, d) =>
+    Multimodal.decodeH264Keyframes(s,
+        Multimodal.attachH264Payload(documents(s, d)))
+      .toDF()
+      .agg(count(lit(1)).as("n_frames"),
+           dsum(col("luma")).as("sum_luma"),
+           sum(col("frame").cast("long")).as("sum_frame_idx"),
+           sum(col("width").cast("long")).as("sum_w"),
+           sum(col("height").cast("long")).as("sum_h"))
+
+  val qMultimodalH264KeyframesSql: String = s"""
+    WITH f AS (
+      SELECT doc_id, octet_length(encode(text)) AS len,
+             list_transform(range(0, octet_length(encode(text))),
+               i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT)) AS bytes,
+             ((doc_id % 6) + 2) * 16 AS w, ((doc_id % 4) + 2) * 16 AS h
+      FROM documents),
+    g AS (SELECT doc_id, len, bytes, w, h, (w // 16) * (h // 16) AS nb FROM f),
+    k AS (SELECT doc_id, len, bytes, w, h, nb, unnest([0, 1, 2]) AS fi FROM g),
+    e AS (
+      SELECT w, h, fi,
+             CASE WHEN len = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(range(0, nb),
+                         mb -> (bytes[(fi * 17 + mb) % len + 1] % 26) * 10))
+                       AS DOUBLE) / CAST(nb AS DOUBLE) / 255.0
+             END AS luma
+      FROM k)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_frames,
+           ${sqlDsum("luma")} AS sum_luma,
+           CAST(SUM(fi) AS BIGINT) AS sum_frame_idx,
+           CAST(SUM(w) AS BIGINT) AS sum_w,
+           CAST(SUM(h) AS BIGINT) AS sum_h
+    FROM e"""
+
   // ---- registration -------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "multimodal_h264_keyframes" -> qMultimodalH264Keyframes,
     "multimodal_mjpeg"      -> qMultimodalMjpeg,
     "multimodal_mp4"        -> qMultimodalMp4,
     "multimodal_mp4_frames" -> qMultimodalMp4Frames,
@@ -450,6 +494,7 @@ object Media {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "multimodal_h264_keyframes" -> qMultimodalH264KeyframesSql,
     "multimodal_mjpeg"      -> qMultimodalMjpegSql,
     "multimodal_mp4"        -> qMultimodalMp4Sql,
     "multimodal_mp4_frames" -> qMultimodalMp4FramesSql,
