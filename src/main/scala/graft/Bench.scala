@@ -567,6 +567,18 @@ object Bench {
     // comparator: events_resample (one window pass over events) + the
     // broadcast-ish join back for the touch type
     "events_attribution" -> 1.6,
+    // comparator: events_attribution (per-user first-touch agg + join),
+    // twice — the funnel chains three step aggregations with two joins
+    "events_funnel" -> 3.2,
+    // comparator: events_markov x2 (two groupBys + distinct + one join
+    // on the same events volume vs markov's one-pass pair build)
+    "events_retention" -> 1.1,
+    // comparator: graph_labelprop (same bounded-round degree/join loop
+    // over the trade graph; 8 peels vs labelprop's rounds) + the median
+    "graph_kcore" -> 4.0,
+    // comparator: events_cusum (one groupBy(day) + a sequential fold
+    // over the driver-tiny daily series vs cusum's window pass)
+    "events_holt" -> 1.6,
     // comparator: agg_conditional (one conditional-count groupBy over
     // lineitem; the cumulative sweep runs on the ≤50-value domain)
     "agg_ks_test" -> 0.5,

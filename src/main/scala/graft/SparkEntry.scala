@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.Relational5.queries ++
       graft.queries.Relational6.queries ++
       graft.queries.Relational7.queries ++
+      graft.queries.Relational8.queries ++
       graft.queries.Mdio.queries ++
       graft.queries.Pipeline.queries ++
       graft.queries.Pipeline2.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
       graft.queries.Relational5.oracleSql ++
       graft.queries.Relational6.oracleSql ++
       graft.queries.Relational7.oracleSql ++
+      graft.queries.Relational8.oracleSql ++
       graft.queries.Mdio.oracleSql ++
       graft.queries.Pipeline.oracleSql ++
       graft.queries.Pipeline2.oracleSql ++

@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.LineageCut.CutOps
+
+/** Round-8 product-analytics layer: conversion funnels, cohort retention,
+  * bounded k-core peeling, and Holt linear-trend forecasting — the
+  * event-stream readouts a data platform runs daily over the same tables
+  * the training pipeline curates.
+  *
+  * Numeric discipline is the package standard: everything below is
+  * INTEGER arithmetic end to end (epoch microseconds, day/week indices,
+  * parts-per-million ratios with integer division, micro-unit smoothing
+  * states with floor division by powers of two), so every query sits on
+  * the DuckDB hash oracle with no tolerance. Division semantics are kept
+  * portable by construction: Spark `div` truncates and DuckDB `//`
+  * floors, so `div` operands are non-negative everywhere; the one signed
+  * recurrence (Holt's trend) floors EXPLICITLY on both engines
+  * (floorDiv / floor(x / 2^k), exact in doubles below 2^53).
+  */
+object Relational8 {
+
+  // ---------------------------------------------------------------------
+  // CONVERSION FUNNEL — ordered steps view -> qualified click -> qualified
+  // purchase, each within a 48 h window of the previous step's FIRST
+  // completion (the standard product-analytics semantic: min-timestamp
+  // per step, strictly sequential). Distribution shape at 100 TB: one
+  // filtered aggregation per step, each joined user-to-user with the
+  // previous step's (small, per-user) table — three shuffles on user_id,
+  // and AQE broadcasts the shrinking step tables as the funnel narrows.
+  // ---------------------------------------------------------------------
+
+  private val FunnelWindowUs = 48L * 3600L * 1000000L
+
+  val qEventsFunnel: Q = (s, d) => {
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      col("value"), unix_micros(col("ts")).as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("t")).as("t1"))
+    val c = ev.filter(col("event_type") === "click" && col("value") >= 30.0)
+      .join(v, Seq("user_id"))
+      .filter(col("t") >= col("t1") && col("t") <= col("t1") + lit(FunnelWindowUs))
+      .groupBy("user_id").agg(min(col("t")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase" && col("value") >= 60.0)
+      .join(c, Seq("user_id"))
+      .filter(col("t") >= col("t2") && col("t") <= col("t2") + lit(FunnelWindowUs))
+      .groupBy("user_id").agg(min(col("t")).as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        expr("n_click * 1000000 div greatest(n_view, 1)").as("conv1_ppm"),
+        expr("n_purchase * 1000000 div greatest(n_click, 1)").as("conv2_ppm"))
+  }
+
+  val qEventsFunnelSql: String = s"""
+    WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS t FROM events),
+    v AS (SELECT user_id, min(t) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT ev.user_id, min(t) AS t2 FROM ev JOIN v USING (user_id)
+          WHERE event_type = 'click' AND value >= 30.0
+            AND t >= t1 AND t <= t1 + $FunnelWindowUs GROUP BY 1),
+    p AS (SELECT ev.user_id, min(t) AS t3 FROM ev JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND value >= 60.0
+            AND t >= t2 AND t <= t2 + $FunnelWindowUs GROUP BY 1)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase,
+           CAST((SELECT COUNT(*) FROM c) * 1000000 //
+                GREATEST((SELECT COUNT(*) FROM v), 1) AS BIGINT) AS conv1_ppm,
+           CAST((SELECT COUNT(*) FROM p) * 1000000 //
+                GREATEST((SELECT COUNT(*) FROM c), 1) AS BIGINT) AS conv2_ppm"""
+
+  // ---------------------------------------------------------------------
+  // COHORT RETENTION — users grouped by first-activity week; one row per
+  // (cohort, week offset) with active-user counts and retention ppm.
+  // Shape at 100 TB: first-touch per user (one groupBy), distinct
+  // (user, week) activity (map-side combinable), one join back on
+  // user_id, one final small aggregation — no window over raw events.
+  // ---------------------------------------------------------------------
+
+  val qEventsRetention: Q = (s, d) => {
+    val wk = events(s, d).select(col("user_id"),
+      expr("datediff(to_date(ts), date'2024-01-01') div 7").cast("long").as("wk"))
+    val first = wk.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+    val act = wk.distinct()
+      .join(first, Seq("user_id"))
+      .select(col("cohort"), (col("wk") - col("cohort")).as("offset"))
+      .groupBy("cohort", "offset").agg(count(lit(1)).as("n_active"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    act.join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("offset"), col("cohort_size"), col("n_active"),
+        expr("n_active * 1000000 div cohort_size").as("retention_ppm"))
+      .orderBy("cohort", "offset")
+  }
+
+  val qEventsRetentionSql: String = """
+    WITH wk AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS wk
+      FROM events),
+    f AS (SELECT user_id, min(wk) AS cohort FROM wk GROUP BY 1),
+    act AS (
+      SELECT cohort, wk - cohort AS "offset", CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM (SELECT DISTINCT user_id, wk FROM wk) a JOIN f USING (user_id)
+      GROUP BY 1, 2),
+    sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM f GROUP BY 1)
+    SELECT cohort, "offset", cohort_size, n_active,
+           CAST(n_active * 1000000 // cohort_size AS BIGINT) AS retention_ppm
+    FROM act JOIN sz USING (cohort)
+    ORDER BY cohort, "offset""""
+
+  // ---------------------------------------------------------------------
+  // BOUNDED K-CORE PEELING — 8 rounds toward the k-core of the bipartite
+  // customer<->supplier trade graph (the graph_pagerank node space), with
+  // k anchored scale-free at 1.5x the exact LOWER-MEDIAN degree (the mean
+  // is useless here: the bipartite sides differ ~15x in degree, so the
+  // mean sits between the bulks and peels nothing or everything). Every
+  // round drops nodes of degree < k and re-induces; the output is the
+  // whole cascade — one row per round with survivor counts — so the
+  // oracle certifies the full trajectory, stabilized or collapsed.
+  // Shape at 100 TB: per round one groupBy(degree) + two semi-join-like
+  // equi joins on the shrinking node set, lineage-cut per round (the
+  // pagerank discipline); the median runs over the aggregated
+  // degree-frequency table (driver-tiny by construction).
+  // ---------------------------------------------------------------------
+
+  val qGraphKcore: Q = (s, d) => {
+    val e0 = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val sym = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b"))).lineageCut
+    val dg = sym.groupBy(col("a")).agg(count(lit(1)).as("dg"))
+    val half = dg.agg(expr("(count(1) + 1) div 2").as("half"))
+    val kdf = dg.groupBy(col("dg")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(half))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("dg"))))
+      .filter(col("cum") >= col("half"))
+      .agg(min(col("dg")).as("m"))
+      .select(expr("(15 * m) div 10").as("k"))
+    var cur = sym
+    val rounds = (1 to 8).map { r =>
+      val nodes = cur.groupBy(col("a")).agg(count(lit(1)).as("dgr"))
+        .crossJoin(broadcast(kdf)).filter(col("dgr") >= col("k"))
+        .select(col("a").as("n")).lineageCut
+      cur = cur
+        .join(nodes.select(col("n").as("a")), Seq("a"))
+        .join(nodes.select(col("n").as("b")), Seq("b"))
+        .select(col("a"), col("b")).lineageCut
+      cur.agg(expr("count(1) div 2").as("n_edges"))
+        .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n_nodes"))))
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    rounds.reduce(_ unionAll _).orderBy("round")
+  }
+
+  val qGraphKcoreSql: String = {
+    val head = """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    sym AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+    dg AS MATERIALIZED (SELECT a AS n, COUNT(*) AS dg FROM sym GROUP BY 1),
+    med AS MATERIALIZED (
+      SELECT min(dg) AS m FROM (
+        SELECT dg, SUM(c) OVER (ORDER BY dg) AS cum,
+               (SELECT (COUNT(*) + 1) // 2 FROM dg) AS half
+        FROM (SELECT dg, COUNT(*) AS c FROM dg GROUP BY 1)) WHERE cum >= half),
+    kk AS MATERIALIZED (SELECT (15 * m) // 10 AS k FROM med)"""
+    val peels = (1 to 8).map { i =>
+      val prev = if (i == 1) "sym" else s"e${i - 1}"
+      s""",
+    n$i AS MATERIALIZED (
+      SELECT a AS n FROM $prev GROUP BY a HAVING COUNT(*) >= (SELECT k FROM kk)),
+    e$i AS MATERIALIZED (
+      SELECT s.a, s.b FROM $prev s JOIN n$i x ON s.a = x.n JOIN n$i y ON s.b = y.n)"""
+    }.mkString
+    val rows = (1 to 8).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM n$i) AS n_nodes,
+         (SELECT CAST(COUNT(*) // 2 AS BIGINT) FROM e$i) AS n_edges"""
+    }.mkString("\n    UNION ALL ")
+    s"$head$peels\n    $rows\n    ORDER BY round"
+  }
+
+  // ---------------------------------------------------------------------
+  // HOLT LINEAR-TREND SMOOTHING — double exponential smoothing over the
+  // daily event-count series, alpha = 1/4 and beta = 1/8 (powers of two,
+  // so both engines floor-divide exactly), states in integer micro-units:
+  //   l_t = floor((x_t*1e6 + 3*(l + b)) / 4),  b_t = floor((l_t - l + 7*b) / 8)
+  // The recurrence is inherently sequential, but its INPUT is the
+  // aggregated daily series — one map-side-combined groupBy(day) makes it
+  // driver-tiny by construction (one row per day), and the fold runs in a
+  // single sorted partition (the rank-window discipline: sequential work
+  // only ever on aggregated-tiny tables). Forecast h steps = l + h*b.
+  // ---------------------------------------------------------------------
+
+  val qEventsHolt: Q = (s, d) => {
+    import s.implicits._
+    val daily = events(s, d)
+      .groupBy(expr("datediff(to_date(ts), date'2024-01-01')").cast("long").as("day"))
+      .agg(count(lit(1)).as("x"))
+    daily.select(col("day"), col("x")).as[(Long, Long)]
+      .repartition(1).sortWithinPartitions("day")
+      .mapPartitions { it =>
+        var l = 0L; var b = 0L; var n = 0L
+        for ((_, x) <- it) {
+          val xm = x * 1000000L
+          if (n == 0L) { l = xm; b = 0L }
+          else {
+            val prevL = l
+            l = Math.floorDiv(xm + 3L * (l + b), 4L)
+            b = Math.floorDiv((l - prevL) + 7L * b, 8L)
+          }
+          n += 1L
+        }
+        Iterator((n, l, b, l + b, l + 7L * b))
+      }
+      .toDF("n_days", "level_micro", "trend_micro", "forecast1_micro", "forecast7_micro")
+  }
+
+  val qEventsHoltSql: String = """
+    WITH RECURSIVE d AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             COUNT(*) AS x
+      FROM events GROUP BY 1),
+    r AS (SELECT x, row_number() OVER (ORDER BY day) AS i FROM d),
+    h AS (
+      SELECT 1 AS i, (SELECT x * 1000000 FROM r WHERE i = 1) AS l,
+             CAST(0 AS BIGINT) AS b
+      UNION ALL
+      SELECT h.i + 1,
+             CAST(floor((r.x * 1000000 + 3 * (h.l + h.b)) / 4.0) AS BIGINT),
+             CAST(floor((CAST(floor((r.x * 1000000 + 3 * (h.l + h.b)) / 4.0) AS BIGINT)
+                         - h.l + 7 * h.b) / 8.0) AS BIGINT)
+      FROM h JOIN r ON r.i = h.i + 1)
+    SELECT CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS n_days,
+           l AS level_micro, b AS trend_micro,
+           l + b AS forecast1_micro, l + 7 * b AS forecast7_micro
+    FROM h WHERE i = (SELECT COUNT(*) FROM r)"""
+
+  val queries: Map[String, Q] = Map(
+    "events_funnel"    -> qEventsFunnel,
+    "events_retention" -> qEventsRetention,
+    "graph_kcore"      -> qGraphKcore,
+    "events_holt"      -> qEventsHolt)
+
+  val oracleSql: Map[String, String] = Map(
+    "events_funnel"    -> qEventsFunnelSql,
+    "events_retention" -> qEventsRetentionSql,
+    "graph_kcore"      -> qGraphKcoreSql,
+    "events_holt"      -> qEventsHoltSql)
+}
