@@ -582,6 +582,9 @@ object Bench {
     // comparator: agg_conditional (one conditional-count groupBy over
     // lineitem; the cumulative sweep runs on the ≤50-value domain)
     "agg_ks_test" -> 0.5,
+    // comparator: stream_fmgws_exec (same file-source -> fMGWS -> memory
+    // sink shape; the 3-step machine is lighter state than sessions)
+    "stream_funnel_exec" -> 2.5,
     // comparator: stream_fmgws_exec (same file-source -> fMGWS ->
     // memory-sink shape; two-long state fold in place of session merge)
     "stream_cusum_exec" -> 2.5,

@@ -77,7 +77,12 @@ object H264Codec {
     def byteAlign(): Unit = while ((pos & 7) != 0) {
       require(u1() == 0, "H264: pcm alignment bit not zero")
     }
-    def byte(): Int = { require((pos & 7) == 0, "H264: unaligned byte read"); u(8) }
+    def byte(): Int = {
+      require((pos & 7) == 0, "H264: unaligned byte read")
+      require(pos < buf.length * 8, "H264: bitstream exhausted")
+      val v = buf(pos >> 3) & 0xff
+      pos += 8; v
+    }
   }
 
   // ---- bit writer --------------------------------------------------------
@@ -479,16 +484,27 @@ object H264Codec {
           var yy = 0
           while (yy < 16) { left(yy) = y((mby * 16 + yy) * w + mbx * 16 - 1) & 0xff; yy += 1 }
         }
-        def pred(x: Int, yy: Int): Int = predMode match {
-          case 0 => require(hasTop, "H264: vertical pred without top MB"); top(x)
-          case 1 => require(hasLeft, "H264: horizontal pred without left MB"); left(yy)
+        // precompute the whole 16x16 prediction once per MB (a per-pixel
+        // DC closure would redo the 32-sample edge sum 256 times)
+        val predBuf = new Array[Int](256)
+        predMode match {
+          case 0 =>
+            require(hasTop, "H264: vertical pred without top MB")
+            var i = 0
+            while (i < 256) { predBuf(i) = top(i & 15); i += 1 }
+          case 1 =>
+            require(hasLeft, "H264: horizontal pred without left MB")
+            var i = 0
+            while (i < 256) { predBuf(i) = left(i >> 4); i += 1 }
           case 2 =>
-            if (hasTop && hasLeft) (top.sum + left.sum + 16) >> 5
-            else if (hasLeft) (left.sum + 8) >> 4
-            else if (hasTop) (top.sum + 8) >> 4
-            else 128
-          case 3 =>
-            require(hasTop && hasLeft && mbx > 0 && mby > 0, "H264: plane pred needs both edges")
+            val dcp =
+              if (hasTop && hasLeft) (top.sum + left.sum + 16) >> 5
+              else if (hasLeft) (left.sum + 8) >> 4
+              else if (hasTop) (top.sum + 8) >> 4
+              else 128
+            java.util.Arrays.fill(predBuf, dcp)
+          case _ =>
+            require(hasTop && hasLeft, "H264: plane pred needs both edges")
             val tl = y((mby * 16 - 1) * w + mbx * 16 - 1) & 0xff
             var hh = 0; var vv = 0; var ii = 1
             while (ii <= 8) {
@@ -498,7 +514,11 @@ object H264Codec {
             }
             val bP = (5 * hh + 32) >> 6; val cP = (5 * vv + 32) >> 6
             val aP = 16 * (left(15) + top(15))
-            clip255((aP + bP * (x - 7) + cP * (yy - 7) + 16) >> 5)
+            var i = 0
+            while (i < 256) {
+              predBuf(i) = clip255((aP + bP * ((i & 15) - 7) + cP * ((i >> 4) - 7) + 16) >> 5)
+              i += 1
+            }
         }
         // --- reconstruct: residual of block (bi,bj) is DC-only ---
         var bj = 0
@@ -510,8 +530,9 @@ object H264Codec {
             while (py < 4) {
               var px = 0
               while (px < 4) {
-                val gx = mbx * 16 + bi * 4 + px; val gy = mby * 16 + bj * 4 + py
-                y(gy * w + gx) = clip255(pred(bi * 4 + px, bj * 4 + py) + res).toByte
+                val lx = bi * 4 + px; val ly = bj * 4 + py
+                y((mby * 16 + ly) * w + mbx * 16 + lx) =
+                  clip255(predBuf(ly * 16 + lx) + res).toByte
                 px += 1
               }
               py += 1

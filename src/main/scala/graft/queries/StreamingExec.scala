@@ -562,6 +562,39 @@ object StreamingExec {
     * recurrence ↔ closed-form duality end to end (the batch twin with a
     * data-derived baseline is `events_cusum`). Types that never alarm
     * contribute no rows on either side. */
+  /** STREAMING CONVERSION FUNNEL executed as a stream: the per-user
+    * 3-step machine ([[Streams.funnelConversions]], three longs of state)
+    * advances as events arrive and emits one row per completed
+    * conversion. The DuckDB oracle re-derives the conversion set with the
+    * batch min-timestamp CTE chain (the `events_funnel` semantics) —
+    * single-batch file ingest makes the incremental fold and the batch
+    * query provably identical, so every emitted (t1, t2, t3) triple is
+    * hash-certified. Natural key: one row per converted user. */
+  val qStreamFunnelExec: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.eventsStream(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Streams.Event]
+    val conv = Streams.funnelConversions(s, ev, windowUs = 48L * 3600L * 1000000L)
+    runToMemoryIdempotent(conv.toDF(), Seq("user_id"))
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val qStreamFunnelExecSql: String = """
+    WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS t FROM events),
+    v AS (SELECT user_id, min(t) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT ev.user_id, min(t) AS t2 FROM ev JOIN v USING (user_id)
+          WHERE event_type = 'click' AND value >= 30.0
+            AND t >= t1 AND t <= t1 + 172800000000 GROUP BY 1),
+    p AS (SELECT ev.user_id, min(t) AS t3 FROM ev JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND value >= 60.0
+            AND t >= t2 AND t <= t2 + 172800000000 GROUP BY 1)
+    SELECT p.user_id, v.t1 AS t1_us, c.t2 AS t2_us, p.t3 AS t3_us
+    FROM p JOIN c USING (user_id) JOIN v USING (user_id)
+    ORDER BY p.user_id"""
+
   val qStreamCusumExec: Q = (s, d) => {
     import s.implicits._
     val ev = Tables.eventsStream(s, d)
@@ -667,6 +700,7 @@ object StreamingExec {
 
   val queries: Map[String, Q] = Map(
     "stream_experiment_exec" -> qStreamExperimentExec,
+    "stream_funnel_exec"   -> qStreamFunnelExec,
     "stream_cusum_exec"    -> qStreamCusumExec,
     "stream_expectations_exec" -> qStreamExpectationsExec,
     "stream_segy_exec"     -> qStreamSegyExec,
@@ -684,6 +718,7 @@ object StreamingExec {
 
   val oracleSql: Map[String, String] = Map(
     "stream_experiment_exec" -> qStreamExperimentExecSql,
+    "stream_funnel_exec"   -> qStreamFunnelExecSql,
     "stream_cusum_exec"    -> qStreamCusumExecSql,
     "stream_expectations_exec" -> qStreamExpectationsExecSql,
     "stream_segy_exec"     -> qStreamSegyExecSql,

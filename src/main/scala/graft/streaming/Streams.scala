@@ -43,6 +43,57 @@ object Streams {
 
   case class CusumAlarm(event_type: String, event_id: Long, s: Long)
 
+  /** Per-user funnel progress for [[funnelConversions]]: first qualified
+    * timestamp (epoch micros) of each completed step, -1 while pending. */
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  case class FunnelConv(user_id: Long, t1_us: Long, t2_us: Long, t3_us: Long)
+
+  /** Epoch microseconds of a Timestamp (getTime carries millis; the
+    * sub-millisecond residue lives in the nanos field). */
+  @inline private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  /** STREAMING CONVERSION FUNNEL — the incremental twin of the batch
+    * `events_funnel`: per user, advance a 3-step machine (first view →
+    * first click ≥ 30 within `windowUs` → first purchase ≥ 60 within
+    * `windowUs`) and emit ONE conversion row the moment step 3 completes.
+    * State is three longs per user — bounded by the user population, no
+    * timeout needed (funnel progress never expires; this is conversion
+    * tracking, not windowing). Events inside a micro-batch sort by
+    * (event time, event_id) — the [[sessionize]] discipline — so
+    * single-batch ingest reproduces the batch min-timestamp semantics
+    * exactly; across triggers a straggler that would retroactively move
+    * an EARLIER step is not replayed (the standard streaming-funnel
+    * trade-off: steps only advance). */
+  def funnelConversions(spark: SparkSession, events: Dataset[Event],
+                        windowUs: Long): Dataset[FunnelConv] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelConv](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          val evs = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          var conv: Option[FunnelConv] = None
+          evs.foreach { e =>
+            val t = micros(e.ts)
+            if (st.t1 < 0 && e.event_type == "view")
+              st = st.copy(t1 = t)
+            else if (st.t1 >= 0 && st.t2 < 0 && e.event_type == "click" &&
+                     e.value >= 30.0 && t >= st.t1 && t <= st.t1 + windowUs)
+              st = st.copy(t2 = t)
+            else if (st.t2 >= 0 && st.t3 < 0 && e.event_type == "purchase" &&
+                     e.value >= 60.0 && t >= st.t2 && t <= st.t2 + windowUs) {
+              st = st.copy(t3 = t)
+              conv = Some(FunnelConv(userId, st.t1, st.t2, st.t3))
+            }
+          }
+          state.update(st)
+          conv.iterator
+      }
+  }
+
   /** Streaming CUSUM change-point detector: per event type, maintain the
     * prefix sum P of cent deviations from the fixed baseline `driftCents`
     * and its running minimum; emit an alarm row for every event whose

@@ -104,6 +104,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelConversions advances steps across micro-batches, emits once") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.Event]
+    val conv = Streams.funnelConversions(spark, in.toDS(), windowUs = 48L * 3600L * 1000000L)
+    val q = conv.writeStream.format("memory").queryName("funnel_conv")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1 views and clicks (qualified); u2 clicks BEFORE viewing
+      in.addData(ev(1, 0, 1, "view", 1.0), ev(2, 5, 1, "click", 50.0),
+                 ev(3, 0, 2, "click", 50.0), ev(4, 5, 2, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("funnel_conv").count() == 0, "no purchases yet")
+      // batch 2: purchases — u1 converts (steps held across batches);
+      // u2 does not (its click preceded its view, steps only advance);
+      // a second u1 purchase must NOT re-emit
+      in.addData(ev(5, 10, 1, "purchase", 70.0), ev(6, 11, 1, "purchase", 70.0),
+                 ev(7, 10, 2, "purchase", 70.0))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_conv")
+        .as[Streams.FunnelConv].collect().toSeq
+      assert(rows.map(_.user_id) == Seq(1L), s"got $rows")
+      val base = 100000L * 60L * 1000000L
+      assert(rows.head.t1_us == base && rows.head.t2_us == base + 5L * 60000000L &&
+             rows.head.t3_us == base + 10L * 60000000L)
+      // batch 3: u2 finally clicks after its view, then purchases -> converts now
+      in.addData(ev(8, 20, 2, "click", 50.0), ev(9, 25, 2, "purchase", 70.0))
+      q.processAllAvailable()
+      assert(spark.table("funnel_conv").as[Streams.FunnelConv]
+        .collect().map(_.user_id).toSet == Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate ids within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streams.Event]
