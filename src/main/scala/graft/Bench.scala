@@ -579,6 +579,14 @@ object Bench {
     // comparator: events_cusum (one groupBy(day) + a sequential fold
     // over the driver-tiny daily series vs cusum's window pass)
     "events_holt" -> 1.6,
+    // comparator: ann_brute_force x3 (scale max pass + int8 scan + the
+    // float baseline scan, each a TakeOrdered over embeddings); measured
+    // warm 1.0 at sf0.1
+    "embedding_int8_recall" -> 1.0,
+    // comparator: dedup_ngram_jaccard x0.6 (same posting-list pair-build
+    // shuffle — ~9M pair rows at sf0.1 — plus the small wedge stage);
+    // measured warm 5.1 at sf0.1
+    "graph_linkpred" -> 5.5,
     // comparator: agg_conditional (one conditional-count groupBy over
     // lineitem; the cumulative sweep runs on the ≤50-value domain)
     "agg_ks_test" -> 0.5,

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.LineageCut.CutOps
@@ -258,15 +259,174 @@ object Relational8 {
            l + b AS forecast1_micro, l + 7 * b AS forecast7_micro
     FROM h WHERE i = (SELECT COUNT(*) FROM r)"""
 
+  // ---------------------------------------------------------------------
+  // INT8 EMBEDDING QUANTIZATION + RECALL AUDIT — the vector-store
+  // compression trade-off as a query: symmetric scalar quantization
+  // (one global scale = corpus max |x|, q = clamp(round(x·127/scale)))
+  // then integer-dot-product top-k against the quantized probe, scored
+  // for recall@20 against the exact float baseline. Everything after the
+  // scale aggregation is INTEGER arithmetic, so rankings and recall are
+  // bit-portable; the scale itself is a max (exact in floats). Shape at
+  // 100 TB: one max pass, one scan for int8 scoring (TakeOrdered top-k,
+  // no full-table shuffle), the float baseline the same — recall audits
+  // run at full corpus without a collect.
+  // ---------------------------------------------------------------------
+
+  val qEmbeddingInt8Recall: Q = (s, d) => {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val scale = e.agg(max(array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))).as("max_abs"))
+    def q8(x: Column, maxAbs: Column): Column =
+      greatest(lit(-127L), least(lit(127L),
+        floor(x * 127.0 / maxAbs + 0.5).cast("long")))
+    val scored = e.crossJoin(broadcast(scale)).select(col("vec_id"),
+      aggregate(
+        zip_with(
+          transform(col("embedding"), x => q8(x.cast("double"), col("max_abs"))),
+          transform(typedLit(Pipeline.annQuery), x => q8(x, col("max_abs"))),
+          (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as("score"))
+    val int8Top = scored.orderBy(col("score").desc, col("vec_id")).limit(20)
+    val floatTop = graft.functions.Vectors
+      .bruteForceTopK(embeddings(s, d), "vec_id", "embedding", Pipeline.annQuery, 20)
+      .select(col("vec_id"))
+    int8Top.join(floatTop, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_overlap"))
+      .crossJoin(broadcast(int8Top.orderBy(col("score").desc, col("vec_id")).limit(1)
+        .select(col("vec_id").as("top_int8_id"), col("score").as("top_int8_score"))))
+      .select(col("n_overlap"),
+        expr("n_overlap * 1000000 div 20").as("recall_ppm"),
+        col("top_int8_id"), col("top_int8_score"))
+  }
+
+  val qEmbeddingInt8RecallSql: String = {
+    val q = Pipeline.annQuery.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+    s"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    s AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS max_abs FROM e),
+    q AS (
+      SELECT vec_id,
+             list_transform(v, x -> GREATEST(-127, LEAST(127,
+               CAST(floor(x * 127.0 / max_abs + 0.5) AS BIGINT)))) AS qv
+      FROM e, s),
+    qq AS (
+      SELECT list_transform($q, x -> GREATEST(-127, LEAST(127,
+               CAST(floor(x * 127.0 / max_abs + 0.5) AS BIGINT)))) AS qv
+      FROM s),
+    sc AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+               i -> q.qv[i] * qq.qv[i])) AS BIGINT) AS score
+      FROM q, qq),
+    i8 AS (SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id LIMIT 20),
+    fl AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               list_dot_product(v, $q) /
+               GREATEST(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product($q, $q)),
+                        1e-300) AS cos
+        FROM e ORDER BY cos DESC, vec_id LIMIT 20) t),
+    ov AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap
+           FROM i8 WHERE vec_id IN (SELECT vec_id FROM fl)),
+    tp AS (SELECT vec_id AS top_int8_id, score AS top_int8_score
+           FROM i8 ORDER BY score DESC, vec_id LIMIT 1)
+    SELECT n_overlap, CAST(n_overlap * 1000000 // 20 AS BIGINT) AS recall_ppm,
+           top_int8_id, top_int8_score
+    FROM ov, tp"""
+  }
+
+  // ---------------------------------------------------------------------
+  // LINK PREDICTION on the customer co-purchase graph — customers are
+  // adjacent when their common-distinct-part count reaches the exact
+  // 99.9th-percentile pair weight (the supplier graph is complete on
+  // this corpus, and any FIXED floor is wrong at some scale — the
+  // percentile keeps the projection sparse at every SF, the graph_kcore
+  // anchoring discipline; the percentile runs over the aggregated
+  // weight histogram, driver-tiny by construction).
+  // For every NON-adjacent pair closed by at least one wedge, score by
+  // common-neighbor count and the resource-allocation index (sum over
+  // common neighbors of 1/deg, in integer ppm — Adamic–Adar's log is
+  // transcendental, RA is exact). Shape at 100 TB: a posting-list join
+  // on partkey builds the weighted projection (pair volume bounded by
+  // per-part customer counts, the dedup_minhash posting discipline),
+  // wedge enumeration through the center join, one groupBy per candidate
+  // pair, an anti join against the edge set, top-10.
+  // ---------------------------------------------------------------------
+
+  val qGraphLinkpred: Q = (s, d) => {
+    val cp = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+    val pw = cp.as("x").join(cp.as("y"),
+        col("x.p") === col("y.p") && col("x.c") < col("y.c"))
+      .groupBy(col("x.c").as("a"), col("y.c").as("b"))
+      .agg(count(lit(1)).as("w")).lineageCut
+    val total = pw.agg(expr("cast(ceil(0.999 * cast(count(1) as double)) as bigint)").as("thr"))
+    val wf = pw.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("w"))))
+      .filter(col("cum") >= col("thr"))
+      .agg(min(col("w")).as("wf"))
+    val und = pw.crossJoin(broadcast(wf)).filter(col("w") >= col("wf"))
+      .select(col("a"), col("b"))
+    val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b"))).lineageCut
+    val deg = sym.groupBy(col("a").as("c")).agg(count(lit(1)).as("dg"))
+    val wedges = sym.as("e1").join(sym.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .select(col("e1.a").as("c"), col("e1.b").as("u"), col("e2.b").as("v"))
+    val cand = wedges.join(deg, Seq("c"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"), sum(expr("1000000 div dg")).as("ra_ppm"))
+    cand.join(und.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"), "left_anti")
+      .orderBy(col("cn").desc, col("ra_ppm").desc, col("u"), col("v"))
+      .limit(10)
+      .select(col("u"), col("v"), col("cn"), col("ra_ppm"))
+  }
+
+  val qGraphLinkpredSql: String = """
+    WITH cp AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    pw AS MATERIALIZED (
+      SELECT x.c AS a, y.c AS b, COUNT(*) AS w
+      FROM cp x JOIN cp y ON x.p = y.p AND x.c < y.c GROUP BY 1, 2),
+    fl AS MATERIALIZED (
+      SELECT min(w) AS wf FROM (
+        SELECT w, SUM(cnt) OVER (ORDER BY w) AS cum,
+               (SELECT CAST(ceil(0.999 * CAST(COUNT(*) AS DOUBLE)) AS BIGINT) FROM pw) AS thr
+        FROM (SELECT w, COUNT(*) AS cnt FROM pw GROUP BY 1)) WHERE cum >= thr),
+    und AS MATERIALIZED (SELECT a, b FROM pw, fl WHERE w >= wf),
+    sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+    dg AS (SELECT a AS c, CAST(COUNT(*) AS BIGINT) AS dg FROM sym GROUP BY 1),
+    w AS (
+      SELECT e1.a AS c, e1.b AS u, e2.b AS v
+      FROM sym e1 JOIN sym e2 ON e1.a = e2.a AND e1.b < e2.b),
+    cand AS (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+             CAST(SUM(1000000 // dg) AS BIGINT) AS ra_ppm
+      FROM w JOIN dg USING (c) GROUP BY 1, 2),
+    non AS (
+      SELECT cand.* FROM cand
+      LEFT JOIN und ON und.a = cand.u AND und.b = cand.v
+      WHERE und.a IS NULL)
+    SELECT u, v, cn, ra_ppm FROM non
+    ORDER BY cn DESC, ra_ppm DESC, u, v LIMIT 10"""
+
   val queries: Map[String, Q] = Map(
-    "events_funnel"    -> qEventsFunnel,
-    "events_retention" -> qEventsRetention,
-    "graph_kcore"      -> qGraphKcore,
-    "events_holt"      -> qEventsHolt)
+    "events_funnel"         -> qEventsFunnel,
+    "events_retention"      -> qEventsRetention,
+    "graph_kcore"           -> qGraphKcore,
+    "events_holt"           -> qEventsHolt,
+    "embedding_int8_recall" -> qEmbeddingInt8Recall,
+    "graph_linkpred"        -> qGraphLinkpred)
 
   val oracleSql: Map[String, String] = Map(
-    "events_funnel"    -> qEventsFunnelSql,
-    "events_retention" -> qEventsRetentionSql,
-    "graph_kcore"      -> qGraphKcoreSql,
-    "events_holt"      -> qEventsHoltSql)
+    "events_funnel"         -> qEventsFunnelSql,
+    "events_retention"      -> qEventsRetentionSql,
+    "graph_kcore"           -> qGraphKcoreSql,
+    "events_holt"           -> qEventsHoltSql,
+    "embedding_int8_recall" -> qEmbeddingInt8RecallSql,
+    "graph_linkpred"        -> qGraphLinkpredSql)
 }
