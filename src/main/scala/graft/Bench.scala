@@ -587,6 +587,14 @@ object Bench {
     // shuffle — ~9M pair rows at sf0.1 — plus the small wedge stage);
     // measured warm 5.1 at sf0.1
     "graph_linkpred" -> 5.5,
+    // comparator: events_markov (one per-user window pass + one count agg
+    // over the same events volume)
+    "window_funnel_paths" -> 0.6,
+    // comparator: events_attribution (per-user agg + three rank windows
+    // over the aggregated per-user table)
+    "events_rfm" -> 1.6,
+    // comparator: text_fluency (same per-doc regex feature pass + small agg)
+    "text_readability" -> 1.2,
     // comparator: agg_conditional (one conditional-count groupBy over
     // lineitem; the cumulative sweep runs on the ≤50-value domain)
     "agg_ks_test" -> 0.5,

@@ -414,7 +414,137 @@ object Relational8 {
     SELECT u, v, cn, ra_ppm FROM non
     ORDER BY cn DESC, ra_ppm DESC, u, v LIMIT 10"""
 
+  // ---------------------------------------------------------------------
+  // PATH MINING — top event-type trigrams along each user's event-time
+  // path (the "what do users do next" readout). One window pass
+  // partitioned by user (lead x2 over (ts, event_id) order — parallel per
+  // user, no global sort), one count per path, top-10. Ties break on the
+  // path string in both engines.
+  // ---------------------------------------------------------------------
+
+  val qWindowFunnelPaths: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(10)
+  }
+
+  val qWindowFunnelPathsSql: String = """
+    WITH s AS (
+      SELECT event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 10"""
+
+  // ---------------------------------------------------------------------
+  // RFM SEGMENTATION — recency (days since last event, against the
+  // corpus max date), frequency (event count), monetary (purchase cents,
+  // exact decimal), each cut into quartiles by ntile over a fully
+  // deterministic order (metric, user_id — both engines implement the
+  // standard balanced-bucket ntile), then segment-level counts. The
+  // classic CRM readout as three integer dimensions.
+  // ---------------------------------------------------------------------
+
+  val qEventsRfm: Q = (s, d) => {
+    val ev = events(s, d)
+    val mx = ev.agg(max(to_date(col("ts"))).as("mxd"))
+    val rfm = ev.groupBy("user_id").agg(
+        max(to_date(col("ts"))).as("last_d"),
+        count(lit(1)).as("freq"),
+        sum(when(col("event_type") === "purchase",
+          (col("value").cast("decimal(18,2)") * 100).cast("long")).otherwise(0L))
+          .as("mon_cents"))
+      .crossJoin(broadcast(mx))
+      .select(col("user_id"), datediff(col("mxd"), col("last_d")).cast("long").as("rec"),
+        col("freq"), col("mon_cents"))
+    val seg = rfm.select(col("user_id"), col("rec"), col("freq"), col("mon_cents"),
+      ntile(4).over(Window.orderBy(col("rec"), col("user_id"))).cast("long").as("r_q"),
+      ntile(4).over(Window.orderBy(col("freq").desc, col("user_id"))).cast("long").as("f_q"),
+      ntile(4).over(Window.orderBy(col("mon_cents").desc, col("user_id"))).cast("long").as("m_q"))
+    seg.groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_users"), sum(col("mon_cents")).as("seg_cents"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  val qEventsRfmSql: String = """
+    WITH rfm AS (
+      SELECT user_id,
+             CAST(date_diff('day', CAST(max(ts) AS DATE),
+                  (SELECT CAST(max(ts) AS DATE) FROM events)) AS BIGINT) AS rec,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS mon_cents
+      FROM events GROUP BY 1),
+    seg AS (
+      SELECT CAST(ntile(4) OVER (ORDER BY rec, user_id) AS BIGINT) AS r_q,
+             CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f_q,
+             CAST(ntile(4) OVER (ORDER BY mon_cents DESC, user_id) AS BIGINT) AS m_q,
+             mon_cents
+      FROM rfm)
+    SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(mon_cents) AS BIGINT) AS seg_cents
+    FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  // ---------------------------------------------------------------------
+  // READABILITY SCORING — Flesch reading ease per document in integer
+  // ppm (vowel-group syllable heuristic; words/sentences via the same
+  // regex class semantics in Java and RE2), aggregated per language. The
+  // quality-scoring signal curation recipes gate on, with no float in
+  // sight: score_ppm = 206835000 − 1015·wps_ppm div 1000 −
+  // 84600·spw_ppm div 1000, every div on non-negative operands.
+  // ---------------------------------------------------------------------
+
+  val qTextReadability: Q = (s, d) =>
+    documents(s, d)
+      .select(col("lang"),
+        expr("size(split(trim(text), '\\\\s+'))").cast("long").as("words"),
+        greatest(expr("size(regexp_extract_all(text, '[.!?]+', 0))").cast("long"), lit(1L))
+          .as("sents"),
+        expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))").cast("long")
+          .as("sylls"))
+      .select(col("lang"),
+        expr("""206835000L - (1015L * (words * 1000000L div greatest(sents, 1))) div 1000L -
+          (84600L * (sylls * 1000000L div greatest(words, 1))) div 1000L""").as("flesch_ppm"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        // sum can be negative: floor in double (same IEEE division both
+        // engines) rather than div (truncates) vs // (floors) divergence
+        expr("cast(floor(cast(sum(flesch_ppm) as double) / count(1)) as bigint)")
+          .as("avg_flesch_ppm"),
+        sum(when(col("flesch_ppm") > 60000000L, 1L).otherwise(0L)).as("n_easy"))
+      .orderBy("lang")
+
+  val qTextReadabilitySql: String = """
+    WITH f AS (
+      SELECT lang,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS words,
+             GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS sents,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS sylls
+      FROM documents),
+    sc AS (
+      SELECT lang,
+             206835000 - (1015 * (words * 1000000 // GREATEST(sents, 1))) // 1000 -
+             (84600 * (sylls * 1000000 // GREATEST(words, 1))) // 1000 AS flesch_ppm
+      FROM f)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(floor(CAST(SUM(flesch_ppm) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg_flesch_ppm,
+           CAST(SUM(CASE WHEN flesch_ppm > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy
+    FROM sc GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, Q] = Map(
+    "window_funnel_paths"   -> qWindowFunnelPaths,
+    "events_rfm"            -> qEventsRfm,
+    "text_readability"      -> qTextReadability,
     "events_funnel"         -> qEventsFunnel,
     "events_retention"      -> qEventsRetention,
     "graph_kcore"           -> qGraphKcore,
@@ -423,6 +553,9 @@ object Relational8 {
     "graph_linkpred"        -> qGraphLinkpred)
 
   val oracleSql: Map[String, String] = Map(
+    "window_funnel_paths"   -> qWindowFunnelPathsSql,
+    "events_rfm"            -> qEventsRfmSql,
+    "text_readability"      -> qTextReadabilitySql,
     "events_funnel"         -> qEventsFunnelSql,
     "events_retention"      -> qEventsRetentionSql,
     "graph_kcore"           -> qGraphKcoreSql,
