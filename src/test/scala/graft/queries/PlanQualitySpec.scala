@@ -468,4 +468,62 @@ class PlanQualitySpec extends SparkSpec {
       "exact percentile must not reappear — rank counting replaced it")
     assert(p.contains("partial_"), "conditional rank counts need map-side combine")
   }
+
+  test("events_funnel: step filters push to the scan; step joins stay equi") {
+    val p = plan("events_funnel")
+    assert(p.contains("PushedFilters:") && p.contains("event_type"),
+      "per-step event_type filters must reach the parquet scan")
+    assert(!p.contains("CartesianProduct"), "step joins must never go cartesian")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      "per-user step minima need map-side combine")
+  }
+
+  test("events_retention: cohort sizes join equi; counts partial-aggregate") {
+    val p = plan("events_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "cohort joins must stay equi joins")
+    assert(p.contains("partial_"), "cohort counts need map-side combine")
+  }
+
+  test("graph_linkpred: posting/wedge joins equi; anti join for non-edges; no cartesian") {
+    val p = plan("graph_linkpred")
+    assert(!p.contains("CartesianProduct"), "wedge enumeration must stay an equi join")
+    assert(p.contains("LeftAnti"), "non-edge filtering must plan as an anti join")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not be a global sort")
+    assert(p.contains("partial_"), "pair weights and wedge counts need map-side combine")
+  }
+
+  test("embedding_int8_recall: both rankings are TakeOrdered, no full-table sort") {
+    val p = plan("embedding_int8_recall")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2,
+      "int8 and float top-20 must both plan as per-partition top-k:\n" + p.take(600))
+    assert(!p.contains("CartesianProduct"), "the 1-row scale attach must broadcast")
+  }
+
+  test("window_funnel_paths: the lead window is hash-partitioned by user") {
+    val p = plan("window_funnel_paths")
+    assert(p.contains("hashpartitioning(user_id"),
+      "path window must partition by user, never a single global window:\n" + p.take(600))
+    assert(p.contains("TakeOrderedAndProject"), "top-10 paths must not globally sort")
+  }
+
+  test("events_rfm: ntile windows run over the aggregated per-user table") {
+    val p = plan("events_rfm")
+    // the raw events table must be reduced by a partial-combined groupBy
+    // BEFORE any window touches it — windows over per-user aggregates are
+    // driver-tiny by construction, windows over raw events are not
+    assert(p.contains("partial_"), "per-user RFM aggregation needs map-side combine")
+    val windowIdx = p.indexOf("Window")
+    assert(windowIdx >= 0, "expected ntile windows in the plan")
+    assert(p.take(windowIdx).contains("HashAggregate"),
+      "windows must consume the aggregated table, not raw events")
+  }
+
+  test("text_readability: one pruned scan of documents, partial aggregation") {
+    val p = plan("text_readability")
+    assert(p.contains("partial_"), "per-lang stats need map-side combine")
+    assert(!p.contains("doc_id"), "scan reads unprojected columns (doc_id not needed)")
+    assert(!p.contains("Exchange rangepartitioning") || p.contains("TakeOrdered"),
+      "the 5-row readout may sort, the corpus pass must not")
+  }
 }
