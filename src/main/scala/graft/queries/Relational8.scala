@@ -448,10 +448,14 @@ object Relational8 {
   // ---------------------------------------------------------------------
   // RFM SEGMENTATION — recency (days since last event, against the
   // corpus max date), frequency (event count), monetary (purchase cents,
-  // exact decimal), each cut into quartiles by ntile over a fully
-  // deterministic order (metric, user_id — both engines implement the
-  // standard balanced-bucket ntile), then segment-level counts. The
-  // classic CRM readout as three integer dimensions.
+  // exact decimal), each cut into VALUE-BASED quartiles: the three
+  // boundary values come from the exact lower-quantile of each metric's
+  // grouped-count histogram (the graph_kcore cum-sum machinery — the
+  // HISTOGRAM is driver-tiny; a rank window over the per-USER table
+  // would be a single-partition sort at a billion users), and every user
+  // buckets by comparison against the broadcast thresholds. Ties share a
+  // bucket by construction — deterministic in both engines with no
+  // order-dependent tiling.
   // ---------------------------------------------------------------------
 
   val qEventsRfm: Q = (s, d) => {
@@ -466,17 +470,47 @@ object Relational8 {
       .crossJoin(broadcast(mx))
       .select(col("user_id"), datediff(col("mxd"), col("last_d")).cast("long").as("rec"),
         col("freq"), col("mon_cents"))
-    val seg = rfm.select(col("user_id"), col("rec"), col("freq"), col("mon_cents"),
-      ntile(4).over(Window.orderBy(col("rec"), col("user_id"))).cast("long").as("r_q"),
-      ntile(4).over(Window.orderBy(col("freq").desc, col("user_id"))).cast("long").as("f_q"),
-      ntile(4).over(Window.orderBy(col("mon_cents").desc, col("user_id"))).cast("long").as("m_q"))
+      .lineageCut // three histogram passes + the bucket pass re-read it
+    // exact lower-quantile thresholds t1<=t2<=t3 from the metric's value
+    // histogram: tk = smallest v with cumulative count >= ceil(k*n/4)
+    def quartiles(metric: String): org.apache.spark.sql.DataFrame = {
+      val n = rfm.agg(count(lit(1)).as("n"))
+      rfm.groupBy(col(metric).as("v")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(n))
+        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("v"))))
+        .select(
+          min(when(col("cum") * 4 >= col("n"), col("v"))).as(s"${metric}_t1"),
+          min(when(col("cum") * 4 >= col("n") * 2, col("v"))).as(s"${metric}_t2"),
+          min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as(s"${metric}_t3"))
+    }
+    // ascending quartile 1..4; recency: low = best = 1; freq/monetary:
+    // high = best = 1, so flip the ascending index
+    def ascQ(c: Column, pre: String): Column =
+      lit(1L) + (c > col(s"${pre}_t1")).cast("long") +
+        (c > col(s"${pre}_t2")).cast("long") + (c > col(s"${pre}_t3")).cast("long")
+    val seg = rfm
+      .crossJoin(broadcast(quartiles("rec")))
+      .crossJoin(broadcast(quartiles("freq")))
+      .crossJoin(broadcast(quartiles("mon_cents")))
+      .select(col("mon_cents"),
+        ascQ(col("rec"), "rec").as("r_q"),
+        (lit(5L) - ascQ(col("freq"), "freq")).as("f_q"),
+        (lit(5L) - ascQ(col("mon_cents"), "mon_cents")).as("m_q"))
     seg.groupBy("r_q", "f_q", "m_q")
       .agg(count(lit(1)).as("n_users"), sum(col("mon_cents")).as("seg_cents"))
       .orderBy("r_q", "f_q", "m_q")
   }
 
-  val qEventsRfmSql: String = """
-    WITH rfm AS (
+  val qEventsRfmSql: String = {
+    def qtile(metric: String) = s"""
+      SELECT min(CASE WHEN cum * 4 >= n THEN v END) AS ${metric}_t1,
+             min(CASE WHEN cum * 4 >= n * 2 THEN v END) AS ${metric}_t2,
+             min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS ${metric}_t3
+      FROM (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum,
+                   (SELECT COUNT(*) FROM rfm) AS n
+            FROM (SELECT $metric AS v, COUNT(*) AS cnt FROM rfm GROUP BY 1))"""
+    s"""
+    WITH rfm AS MATERIALIZED (
       SELECT user_id,
              CAST(date_diff('day', CAST(max(ts) AS DATE),
                   (SELECT CAST(max(ts) AS DATE) FROM events)) AS BIGINT) AS rec,
@@ -485,15 +519,23 @@ object Relational8 {
                   THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
                   ELSE 0 END) AS BIGINT) AS mon_cents
       FROM events GROUP BY 1),
+    qr AS (${qtile("rec")}),
+    qf AS (${qtile("freq")}),
+    qm AS (${qtile("mon_cents")}),
     seg AS (
-      SELECT CAST(ntile(4) OVER (ORDER BY rec, user_id) AS BIGINT) AS r_q,
-             CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f_q,
-             CAST(ntile(4) OVER (ORDER BY mon_cents DESC, user_id) AS BIGINT) AS m_q,
-             mon_cents
-      FROM rfm)
+      SELECT mon_cents,
+             1 + CAST(rec > rec_t1 AS BIGINT) + CAST(rec > rec_t2 AS BIGINT)
+               + CAST(rec > rec_t3 AS BIGINT) AS r_q,
+             5 - (1 + CAST(freq > freq_t1 AS BIGINT) + CAST(freq > freq_t2 AS BIGINT)
+               + CAST(freq > freq_t3 AS BIGINT)) AS f_q,
+             5 - (1 + CAST(mon_cents > mon_cents_t1 AS BIGINT)
+               + CAST(mon_cents > mon_cents_t2 AS BIGINT)
+               + CAST(mon_cents > mon_cents_t3 AS BIGINT)) AS m_q
+      FROM rfm, qr, qf, qm)
     SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_users,
            CAST(SUM(mon_cents) AS BIGINT) AS seg_cents
     FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+  }
 
   // ---------------------------------------------------------------------
   // READABILITY SCORING — Flesch reading ease per document in integer
