@@ -656,18 +656,37 @@ object H264Codec {
         while (i < 128) { b.byte(128); i += 1 }
         recon(0) = mbs(0); nnz(0) = 16
       } else {
-        b.ue(3) // I_16x16_2_0_0: DC pred, CBP 0
+        // pick the prediction mode that is residual-free when a neighbor
+        // already carries the target constant — Plane and V/H are EXACT
+        // for any value there (no multiple-of-10 ladder needed), and the
+        // oracle then certifies all four decoder prediction paths, not
+        // just DC. Plane needs the top-left diagonal to match too (its
+        // gradient terms read that corner pixel).
+        val hasLeft = mbx > 0; val hasTop = mby > 0
+        val c = mbs(mb)
+        val l = if (hasLeft) recon(mb - 1) else -1
+        val t = if (hasTop) recon(mb - wMbs) else -1
+        val dgl = if (hasLeft && hasTop) recon(mb - wMbs - 1) else -1
+        val predMode =
+          if (hasLeft && hasTop && l == c && t == c && dgl == c) 3 // Plane
+          else if (hasLeft && l == c) 1 // Horizontal
+          else if (hasTop && t == c) 0 // Vertical
+          else 2 // DC, with one quantized level
+        b.ue(1 + predMode) // I_16x16_<mode>_0_0: CBP 0
         b.ue(0) // intra_chroma_pred_mode DC
         b.se(0) // mb_qp_delta
-        val hasLeft = mbx > 0; val hasTop = mby > 0
-        val predDc =
-          if (hasLeft && hasTop) (recon(mb - 1) + recon(mb - wMbs) + 1) >> 1
-          else if (hasLeft) recon(mb - 1)
-          else recon(mb - wMbs)
-        val resid = mbs(mb) - predDc
-        require(resid % 5 == 0, s"H264 encode: residual $resid not a multiple of 5 at MB $mb")
-        val level = 2 * resid / 5 // dcY = 160*level; r = (160*level+32)>>6 = 5k
-        recon(mb) = predDc + resid
+        val level =
+          if (predMode != 2) 0
+          else {
+            val predDc =
+              if (hasLeft && hasTop) (l + t + 1) >> 1
+              else if (hasLeft) l
+              else t
+            val resid = c - predDc
+            require(resid % 5 == 0, s"H264 encode: residual $resid not a multiple of 5 at MB $mb")
+            2 * resid / 5 // dcY = 160*level; r = (160*level+32)>>6 = 5k
+          }
+        recon(mb) = c
         // CAVLC DC block: single coefficient at zigzag 0 (or empty)
         val nA = if (hasLeft) nnz(mb - 1) else -1
         val nB = if (hasTop) nnz(mb - wMbs) else -1

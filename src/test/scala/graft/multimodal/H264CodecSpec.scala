@@ -55,6 +55,24 @@ class H264CodecSpec extends AnyFunSuite {
     assert(d.frames.head.luma.sameElements(expand(wm, hm, vals)))
   }
 
+  test("all four 16x16 prediction modes round-trip (V/H/Plane residual-free)") {
+    // layout forces every selection rule: MB1 copies MB0 (Horizontal),
+    // MB4 copies MB0 (Vertical), MB5 has l=t=diag equal (Plane), the
+    // rest differ (DC with a quantized level)
+    val wm = 4; val hm = 3
+    val v = Array(
+      50, 50, 70, 120,
+      50, 50, 90, 120,
+      10, 50, 90, 200)
+    val d = H264Codec.decode(H264Codec.encode(wm * 16, hm * 16, Seq(v)))
+    assert(d.frames.head.luma.sameElements(expand(wm, hm, v)))
+    // and a frame where EVERY body MB equals its left neighbor: a pure
+    // H-prediction chain with zero DC levels end to end
+    val flat = Array.fill(wm * hm)(130)
+    val df = H264Codec.decode(H264Codec.encode(wm * 16, hm * 16, Seq(flat)))
+    assert(df.frames.head.luma.sameElements(expand(wm, hm, flat)))
+  }
+
   test("emulation prevention: PCM zero runs force 00 00 03 escapes that decode away") {
     val mbs = mbGrid(2, 2, 9); mbs(0) = 0 // 256 zero PCM bytes
     val enc = H264Codec.encode(32, 32, Seq(mbs))
