@@ -205,7 +205,11 @@ object GifCodec {
         }
       }
       require(op == nPixels, s"GIF: LZW decoded $op of $nPixels pixels")
-      // drain: optional EOI + the block terminator
+      // drain: optional EOI + the block terminator. If the terminator
+      // itself arrives while hunting for EOI (a stream with no explicit
+      // EOI), it is CONSUMED here — re-reading for it below would eat the
+      // next top-level byte (e.g. the trailer) as a sub-block length.
+      var terminated = false
       if (!sawEoi) {
         // the next code should be EOI; tolerate its absence only at exact fill
         var guard = 0
@@ -213,14 +217,17 @@ object GifCodec {
         while (c != eoi && guard < 2) {
           if (blockLeft == 0 && nbits < codeSize) {
             val n = u8()
-            if (n == 0) { c = eoi } else blockLeft = n // no explicit EOI; terminator reached
+            if (n == 0) { c = eoi; terminated = true } // terminator reached, no explicit EOI
+            else blockLeft = n
           }
           if (c != eoi) { c = code(); guard += 1 }
         }
       }
       // skip any residual sub-blocks to the terminator
-      var n = if (blockLeft > 0) { ip += blockLeft; u8() } else u8()
-      while (n != 0) { ip += n; require(ip <= bytes.length, "GIF: truncated LZW tail"); n = u8() }
+      if (!terminated) {
+        var n = if (blockLeft > 0) { ip += blockLeft; u8() } else u8()
+        while (n != 0) { ip += n; require(ip <= bytes.length, "GIF: truncated LZW tail"); n = u8() }
+      }
       out
     }
 

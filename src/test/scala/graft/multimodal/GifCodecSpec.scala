@@ -114,6 +114,27 @@ class GifCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { GifCodec.decode(noTab) }
   }
 
+  test("a stream with no explicit EOI ends cleanly at the block terminator") {
+    // valid per the spec's tolerance: raster fills exactly, terminator
+    // follows with no EOI code. Regression: the drain used to consume the
+    // terminator while hunting for EOI and then re-read the TRAILER byte
+    // as a sub-block length, failing a conforming single-frame stream.
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(Array[Byte](2, 0, 1, 0)) // 2x1 screen
+    out.write(0x80); out.write(0); out.write(0) // 2-entry global table
+    out.write(Array[Byte](10, 10, 10, 200.toByte, 200.toByte, 200.toByte))
+    out.write(0x2c)
+    out.write(Array[Byte](0, 0, 0, 0, 2, 0, 1, 0, 0))
+    out.write(7) // min code 7: clear=128, eoi=129, 8-bit codes, byte-aligned
+    out.write(3); out.write(0x80); out.write(0); out.write(1) // clear, px0, px1
+    out.write(0) // terminator, no EOI
+    out.write(0x3b)
+    val d = GifCodec.decode(out.toByteArray)
+    assert(d.frames.size == 1)
+    assert(d.frames.head.indices.toSeq == Seq[Byte](0, 1))
+  }
+
   test("pixel indices outside a small color table are corruption, not silence") {
     // hand-build a 2-color GIF whose LZW stream emits index 3
     val out = new java.io.ByteArrayOutputStream()
