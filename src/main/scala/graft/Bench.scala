@@ -186,7 +186,7 @@ object Bench {
     // comparator: dedup_components (same pair join + closure dominate;
     // the extra score join + per-cluster window are noise at that scale)
     "dedup_keep_best" -> 10.853,
-    "text_decontaminate" -> 0.900, "text_repetition" -> 0.315,
+    "text_decontaminate" -> 0.900,
     // comparator: text_decontaminate (same gram machinery; the bloom probe
     // is map-only so it should come in at or under the exact sweep)
     "text_decontaminate_bloom" -> 0.900,
@@ -297,9 +297,6 @@ object Bench {
     // comparator: agg_conditional x2 (two filtered agg passes over
     // events + a 5-row merge join)
     "pipeline_incremental" -> 0.7,
-    // comparator: graph_triangles (same nation-cut co-purchase edge
-    // build; five cheap degree-peel rounds in place of wedge counting)
-    "graph_kcore" -> 2.6,
     // comparator: text_tokens + agg_distinct (one posexplode + one
     // countDistinct-bearing groupBy)
     "text_inverted_index" -> 1.0,

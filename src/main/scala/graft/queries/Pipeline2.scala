@@ -124,6 +124,8 @@ object Pipeline2 {
   /** Distribution of the intra-document repetition ratio (1 − distinct/
     * total tokens), bucketed into deciles — the Gopher-style repetition
     * quality gate as a map + one aggregation. */
+  // NOT registered: superseded in the registry by Pipeline3's line/ngram
+  // repetition profile. Kept as the simple decile form for comparison.
   val qTextRepetition: Q = (s, d) =>
     documents(s, d)
       .select(least(floor(Curation.repetitionRatio(col("text")) * lit(10.0))
@@ -1188,7 +1190,6 @@ object Pipeline2 {
     "pipeline_quota"           -> qPipelineQuota,
     "text_decontaminate"       -> qTextDecontaminate,
     "text_decontaminate_bloom" -> qTextDecontaminateBloom,
-    "text_repetition"          -> qTextRepetition,
     "pipeline_pack"            -> qPipelinePack,
     "pipeline_sample_weighted" -> qPipelineSampleWeighted,
   )
@@ -1223,7 +1224,6 @@ object Pipeline2 {
     "pipeline_quota"           -> qPipelineQuotaSql,
     "text_decontaminate"       -> qTextDecontaminateSql,
     "text_decontaminate_bloom" -> qTextDecontaminateBloomSql,
-    "text_repetition"          -> qTextRepetitionSql,
     "pipeline_pack"            -> qPipelinePackSql,
     "pipeline_sample_weighted" -> qPipelineSampleWeightedSql,
   )

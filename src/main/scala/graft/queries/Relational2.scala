@@ -676,45 +676,6 @@ object Relational2 {
     graft.functions.Sketches.cmEstimateSql("lineitem", "l_suppkey",
       Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L), depth = 4, width = 256)
 
-  /** Ordered funnel: users who signed up, then clicked after signing up,
-    * then purchased after that click. Three conditional-min stages — each
-    * stage is one aggregation over the (already user-partitioned) events,
-    * no self-joins of the raw fact table. */
-  val qEventsFunnel: Q = (s, d) => {
-    val ev = events(s, d)
-    val t1 = ev.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val t2 = ev.filter(col("event_type") === "click")
-      .join(t1, Seq("user_id"))
-      .filter(col("ts") > col("t1"))
-      .groupBy(col("user_id"), col("t1")).agg(min(col("ts")).as("t2"))
-    val t3 = ev.filter(col("event_type") === "purchase")
-      .join(t2, Seq("user_id"))
-      .filter(col("ts") > col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    t1.select(lit("1_signup").as("stage"), col("user_id"))
-      .unionByName(t2.select(lit("2_click_after").as("stage"), col("user_id")))
-      .unionByName(t3.select(lit("3_purchase_after").as("stage"), col("user_id")))
-      .groupBy(col("stage")).agg(countDistinct(col("user_id")).as("n_users"))
-  }
-
-  val qEventsFunnelSql: String = """
-    WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
-                WHERE event_type = 'signup' GROUP BY user_id),
-    t2 AS (SELECT e.user_id, t1.t1, MIN(e.ts) AS t2
-           FROM events e JOIN t1 ON e.user_id = t1.user_id
-           WHERE e.event_type = 'click' AND e.ts > t1.t1
-           GROUP BY e.user_id, t1.t1),
-    t3 AS (SELECT e.user_id, MIN(e.ts) AS t3
-           FROM events e JOIN t2 ON e.user_id = t2.user_id
-           WHERE e.event_type = 'purchase' AND e.ts > t2.t2
-           GROUP BY e.user_id)
-    SELECT stage, COUNT(DISTINCT user_id) AS n_users FROM (
-      SELECT '1_signup' AS stage, user_id FROM t1
-      UNION ALL SELECT '2_click_after', user_id FROM t2
-      UNION ALL SELECT '3_purchase_after', user_id FROM t3) u
-    GROUP BY stage"""
-
   // ---- bitwise scalar family ----------------------------------------------
 
   /** Bitwise ops (&, |, xor, shifts, bit_count) — exact integer semantics
@@ -911,27 +872,6 @@ object Relational2 {
            ${sqlDsum("CASE WHEN flagged THEN value ELSE 0.0 END")} AS sum_anomal_value
     FROM f GROUP BY event_type ORDER BY event_type"""
 
-  val qEventsRetention: Q = (s, d) => {
-    val ev = events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
-    val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
-    ev.join(broadcast(cohorts), Seq("user_id"))
-      .select(col("user_id"), col("cohort"), datediff(col("day"), col("cohort")).as("offset"))
-      .groupBy(col("cohort").cast("string").as("cohort"), col("offset"))
-      .agg(countDistinct(col("user_id")).as("n_active"))
-      .filter(col("offset") <= 7)
-  }
-
-  val qEventsRetentionSql: String = """
-    WITH ev AS (
-      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
-    c AS (SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY 1),
-    j AS (
-      SELECT ev.user_id, c.cohort, date_diff('day', c.cohort, ev.day) AS "offset"
-      FROM ev JOIN c ON ev.user_id = c.user_id)
-    SELECT CAST(cohort AS VARCHAR) AS cohort, CAST("offset" AS INT) AS "offset",
-           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
-    FROM j WHERE "offset" <= 7 GROUP BY 1, 2"""
-
   /** Hourly RESAMPLE with forward fill (LOCF — last observation carried
     * forward): the time-series alignment step every metrics/feature
     * pipeline runs before modeling. Per-user hourly sums, then each
@@ -1097,7 +1037,6 @@ object Relational2 {
 
   val queries: Map[String, Q] = Map(
     "join_interval"      -> qJoinInterval,
-    "events_retention"   -> qEventsRetention,
     "events_resample"    -> qEventsResample,
     "pipeline_scd2"      -> qPipelineScd2,
     "pipeline_quarantine" -> qPipelineQuarantine,
@@ -1106,7 +1045,6 @@ object Relational2 {
     "join_salted"        -> qJoinSalted,
     "agg_moments"        -> qAggMoments,
     "fn_bitwise"         -> qFnBitwise,
-    "events_funnel"      -> qEventsFunnel,
     "window_first_last"  -> qWindowFirstLast,
     "window_range_frame" -> qWindowRangeFrame,
     "window_ranks"       -> qWindowRanks,
@@ -1136,7 +1074,6 @@ object Relational2 {
   val oracleSql: Map[String, String] = Map(
     "agg_approx"         -> qAggApproxSql,
     "join_interval"      -> qJoinIntervalSql,
-    "events_retention"   -> qEventsRetentionSql,
     "events_resample"    -> qEventsResampleSql,
     "pipeline_scd2"      -> qPipelineScd2Sql,
     "pipeline_quarantine" -> qPipelineQuarantineSql,
@@ -1145,7 +1082,6 @@ object Relational2 {
     "join_salted"        -> qJoinSaltedSql,
     "agg_moments"        -> qAggMomentsSql,
     "fn_bitwise"         -> qFnBitwiseSql,
-    "events_funnel"      -> qEventsFunnelSql,
     "window_first_last"  -> qWindowFirstLastSql,
     "window_range_frame" -> qWindowRangeFrameSql,
     "window_ranks"       -> qWindowRanksSql,

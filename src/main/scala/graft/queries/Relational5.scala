@@ -356,6 +356,9 @@ object Relational5 {
   // partners inside the core.
   // ---------------------------------------------------------------------
 
+  // NOT registered: superseded in the registry by the scale-free anchored
+  // k-core in Relational8 (r8). Kept as the fixed 3-core reference
+  // implementation exercised by AnalyticsSpec's fixpoint property test.
   val qGraphKcore: Q = (s, d) => {
     val supp = supplier(s, d)
       .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_3")),
@@ -454,7 +457,6 @@ object Relational5 {
 
   val queries: Map[String, Q] = Map(
     "pipeline_incremental"  -> qPipelineIncremental,
-    "graph_kcore"           -> qGraphKcore,
     "text_inverted_index"   -> qTextInvertedIndex,
     "graph_bfs"             -> qGraphBfs,
     "agg_linreg"            -> qAggLinreg,
@@ -465,7 +467,6 @@ object Relational5 {
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_incremental"  -> qPipelineIncrementalSql,
-    "graph_kcore"           -> qGraphKcoreSql,
     "text_inverted_index"   -> qTextInvertedIndexSql,
     "graph_bfs"             -> qGraphBfsSql,
     "agg_linreg"            -> qAggLinregSql,

@@ -311,8 +311,12 @@ object Relational7 {
       .crossJoin(broadcast(tot))
       .withColumn("k_lo", floor((col("n") + 1) / 2))
       .withColumn("k_hi", floor((col("n") + 2) / 2))
-    val med = kd.groupBy(col("n"))
-      .agg(min(when(col("cum") >= col("k_lo"), col("v"))).as("x_lo"),
+    // ungrouped agg (n is constant across kd, max(n) = n) so Catalyst can
+    // prove maxRows = 1 and the crossJoins below are recognized as the
+    // canonical single-row scalar attach (PlanHygieneSpec auto-exemption)
+    val med = kd
+      .agg(max(col("n")).as("n"),
+           min(when(col("cum") >= col("k_lo"), col("v"))).as("x_lo"),
            min(when(col("cum") >= col("k_hi"), col("v"))).as("x_hi"))
       .select(col("n"), ((col("x_lo") + col("x_hi")).cast("double") / 2.0).as("median"))
     val dev = byVal.crossJoin(broadcast(med))
