@@ -40,9 +40,16 @@ object LineageCut {
     else {
       val sc = df.sparkSession.sparkContext
       // only (re)point the context when the configured parent changed —
-      // or when someone else re-pointed the context underneath us
+      // or when someone else re-pointed the shared context underneath us.
+      // setCheckpointDir(dir) activates `dir/<uuid>`, so "still ours" ==
+      // the ACTIVE dir's parent is the configured parent; an active dir
+      // under a foreign parent (third-party setCheckpointDir) must be
+      // re-pointed or our blocks land in their directory.
       synchronized {
-        if (pointedAt != dir || sc.getCheckpointDir.isEmpty) {
+        val activeParent = sc.getCheckpointDir
+          .map(p => new org.apache.hadoop.fs.Path(p).getParent.toUri.getPath)
+        val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+        if (pointedAt != dir || !activeParent.contains(want)) {
           sc.setCheckpointDir(dir)
           pointedAt = dir
         }

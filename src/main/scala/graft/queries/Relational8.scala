@@ -81,8 +81,13 @@ object Relational8 {
   // ---------------------------------------------------------------------
 
   val qEventsRetention: Q = (s, d) => {
+    // greatest(.., 0) before the div: Spark `div` truncates toward zero
+    // while DuckDB `//` floors, so a (hypothetical) pre-epoch event would
+    // diverge (0 vs -1); clamping on BOTH sides makes the week index
+    // engine-independent for any data range, not just this corpus
     val wk = events(s, d).select(col("user_id"),
-      expr("datediff(to_date(ts), date'2024-01-01') div 7").cast("long").as("wk"))
+      expr("greatest(datediff(to_date(ts), date'2024-01-01'), 0) div 7")
+        .cast("long").as("wk"))
     val first = wk.groupBy("user_id").agg(min(col("wk")).as("cohort"))
     val act = wk.distinct()
       .join(first, Seq("user_id"))
@@ -98,7 +103,7 @@ object Relational8 {
   val qEventsRetentionSql: String = """
     WITH wk AS (
       SELECT user_id,
-             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS wk
+             CAST(GREATEST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)), 0) // 7 AS BIGINT) AS wk
       FROM events),
     f AS (SELECT user_id, min(wk) AS cohort FROM wk GROUP BY 1),
     act AS (
@@ -472,7 +477,10 @@ object Relational8 {
         col("freq"), col("mon_cents"))
       .lineageCut // three histogram passes + the bucket pass re-read it
     // exact lower-quantile thresholds t1<=t2<=t3 from the metric's value
-    // histogram: tk = smallest v with cumulative count >= ceil(k*n/4)
+    // histogram: tk = smallest v with cumulative count >= ceil(k*n/4).
+    // Safe ONLY for domain-bounded metrics (recency in days, per-user
+    // event counts): the unpartitioned window's input is the distinct-
+    // value histogram, which stays small at any user count.
     def quartiles(metric: String): org.apache.spark.sql.DataFrame = {
       val n = rfm.agg(count(lit(1)).as("n"))
       rfm.groupBy(col(metric).as("v")).agg(count(lit(1)).as("cnt"))
@@ -483,6 +491,49 @@ object Relational8 {
           min(when(col("cum") * 4 >= col("n") * 2, col("v"))).as(s"${metric}_t2"),
           min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as(s"${metric}_t3"))
     }
+    // Two-pass EXACT quartiles for metrics whose distinct-value count
+    // grows with the user population (mon_cents is a per-user SUM — its
+    // value histogram is ~n_users rows, and a global-window cum-sum over
+    // it is a single-task sort at a billion users). Pass 1: fixed-width
+    // bucket histogram (O(range/width) rows) locates each threshold's
+    // winning bucket and the exact count below it. Pass 2: per winning
+    // bucket, a cum-sum over that bucket's distinct values only (≤ width
+    // rows) refines to the exact threshold — identical to the one-pass
+    // definition because no qualifying value can precede the winning
+    // bucket and one must exist inside it.
+    def quartilesBucketed(metric: String, width: Long): org.apache.spark.sql.DataFrame = {
+      val n = rfm.agg(count(lit(1)).as("n"))
+      val bcum = rfm.groupBy(expr(s"$metric div $width").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("bcum", sum(col("cnt")).over(Window.orderBy(col("b"))))
+        .crossJoin(broadcast(n))
+      val pass1 = bcum.agg(
+        max(col("n")).as("n"),
+        (1 to 3).flatMap { k =>
+          Seq(
+            min(when(col("bcum") * 4 >= col("n") * k, col("b"))).as(s"b$k"),
+            coalesce(max(when(col("bcum") * 4 < col("n") * k, col("bcum"))), lit(0L))
+              .as(s"below$k"))
+        }: _*)
+      // one refinement pass for all three thresholds: keep only rows in a
+      // winning bucket, cum-sum per bucket (window PARTITIONED by bucket —
+      // ≤ 3 partitions of ≤ width distinct values each), then each
+      // threshold reads its own bucket's refined cum
+      val refined = rfm.crossJoin(broadcast(pass1))
+        .withColumn("b", expr(s"$metric div $width"))
+        .filter(col("b") === col("b1") || col("b") === col("b2") || col("b") === col("b3"))
+        .groupBy(col("b"), col(metric).as("v"), col("n"),
+          col("b1"), col("below1"), col("b2"), col("below2"), col("b3"), col("below3"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum_in",
+          sum(col("cnt")).over(Window.partitionBy(col("b")).orderBy(col("v"))))
+      val ts = (1 to 3).map { k =>
+        min(when(col("b") === col(s"b$k") &&
+          (col(s"below$k") + col("cum_in")) * 4 >= col("n") * k,
+          col("v"))).as(s"${metric}_t$k")
+      }
+      refined.agg(ts.head, ts.tail: _*)
+    }
     // ascending quartile 1..4; recency: low = best = 1; freq/monetary:
     // high = best = 1, so flip the ascending index
     def ascQ(c: Column, pre: String): Column =
@@ -491,7 +542,7 @@ object Relational8 {
     val seg = rfm
       .crossJoin(broadcast(quartiles("rec")))
       .crossJoin(broadcast(quartiles("freq")))
-      .crossJoin(broadcast(quartiles("mon_cents")))
+      .crossJoin(broadcast(quartilesBucketed("mon_cents", 65536L)))
       .select(col("mon_cents"),
         ascQ(col("rec"), "rec").as("r_q"),
         (lit(5L) - ascQ(col("freq"), "freq")).as("f_q"),
@@ -509,6 +560,41 @@ object Relational8 {
       FROM (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum,
                    (SELECT COUNT(*) FROM rfm) AS n
             FROM (SELECT $metric AS v, COUNT(*) AS cnt FROM rfm GROUP BY 1))"""
+    // mirror of quartilesBucketed: bucket histogram pass + per-winning-
+    // bucket refinement (same integer arithmetic, provably equal to the
+    // one-pass definition)
+    def qtileBucketed(metric: String, width: Long) = s"""
+    bhm AS MATERIALIZED (
+      SELECT b, cnt, SUM(cnt) OVER (ORDER BY b) AS bcum,
+             (SELECT COUNT(*) FROM rfm) AS n
+      FROM (SELECT $metric // $width AS b, COUNT(*) AS cnt
+            FROM rfm GROUP BY 1)),
+    p1m AS MATERIALIZED (
+      SELECT MAX(n) AS n,
+             MIN(CASE WHEN bcum * 4 >= n THEN b END) AS b1,
+             COALESCE(MAX(CASE WHEN bcum * 4 < n THEN bcum END), 0) AS below1,
+             MIN(CASE WHEN bcum * 4 >= n * 2 THEN b END) AS b2,
+             COALESCE(MAX(CASE WHEN bcum * 4 < n * 2 THEN bcum END), 0) AS below2,
+             MIN(CASE WHEN bcum * 4 >= n * 3 THEN b END) AS b3,
+             COALESCE(MAX(CASE WHEN bcum * 4 < n * 3 THEN bcum END), 0) AS below3
+      FROM bhm),
+    refm AS (
+      SELECT b, v, cnt, n, b1, below1, b2, below2, b3, below3,
+             SUM(cnt) OVER (PARTITION BY b ORDER BY v) AS cum_in
+      FROM (SELECT $metric // $width AS b, $metric AS v, COUNT(*) AS cnt,
+                   p1m.n, p1m.b1, p1m.below1, p1m.b2, p1m.below2,
+                   p1m.b3, p1m.below3
+            FROM rfm, p1m
+            WHERE $metric // $width IN (p1m.b1, p1m.b2, p1m.b3)
+            GROUP BY ALL)),
+    qm AS (
+      SELECT MIN(CASE WHEN b = b1 AND (below1 + cum_in) * 4 >= n
+                      THEN v END) AS ${metric}_t1,
+             MIN(CASE WHEN b = b2 AND (below2 + cum_in) * 4 >= n * 2
+                      THEN v END) AS ${metric}_t2,
+             MIN(CASE WHEN b = b3 AND (below3 + cum_in) * 4 >= n * 3
+                      THEN v END) AS ${metric}_t3
+      FROM refm)"""
     s"""
     WITH rfm AS MATERIALIZED (
       SELECT user_id,
@@ -521,7 +607,7 @@ object Relational8 {
       FROM events GROUP BY 1),
     qr AS (${qtile("rec")}),
     qf AS (${qtile("freq")}),
-    qm AS (${qtile("mon_cents")}),
+    ${qtileBucketed("mon_cents", 65536L)},
     seg AS (
       SELECT mon_cents,
              1 + CAST(rec > rec_t1 AS BIGINT) + CAST(rec > rec_t2 AS BIGINT)

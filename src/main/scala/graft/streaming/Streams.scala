@@ -61,11 +61,15 @@ object Streams {
     * State is three longs per user — bounded by the user population, no
     * timeout needed (funnel progress never expires; this is conversion
     * tracking, not windowing). Events inside a micro-batch sort by
-    * (event time, event_id) — the [[sessionize]] discipline — so
-    * single-batch ingest reproduces the batch min-timestamp semantics
-    * exactly; across triggers a straggler that would retroactively move
-    * an EARLIER step is not replayed (the standard streaming-funnel
-    * trade-off: steps only advance). */
+    * (event time, funnel step order, event_id) — step order breaks
+    * equal-timestamp ties the way the batch oracle's `t >= t1` closure
+    * does: a click stamped identically to the user's first view must be
+    * processed AFTER it so it can qualify (id-ordered ties would skip it
+    * whenever the click's id sorts first). Single-batch ingest thereby
+    * reproduces the batch min-timestamp semantics exactly; across
+    * triggers a straggler that would retroactively move an EARLIER step
+    * is not replayed (the standard streaming-funnel trade-off: steps
+    * only advance). */
   def funnelConversions(spark: SparkSession, events: Dataset[Event],
                         windowUs: Long): Dataset[FunnelConv] = {
     import spark.implicits._
@@ -73,7 +77,9 @@ object Streams {
       .flatMapGroupsWithState[FunnelState, FunnelConv](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
-          val evs = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val step = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+          val evs = batch.toSeq
+            .sortBy(e => (micros(e.ts), step.getOrElse(e.event_type, 3), e.event_id))
           var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
           var conv: Option[FunnelConv] = None
           evs.foreach { e =>

@@ -517,6 +517,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(windowIdx >= 0, "expected ntile windows in the plan")
     assert(p.take(windowIdx).contains("HashAggregate"),
       "windows must consume the aggregated table, not raw events")
+    // the monetary quartiles must go through the two-pass bucket
+    // histogram: mon_cents is a per-user SUM, so its distinct-value
+    // count grows ~linearly with users and a one-pass global window over
+    // the value histogram is a single-task sort at 100× scale. The
+    // bucket div must appear both in the pass-1 histogram grouping and
+    // the pass-2 winning-bucket filters.
+    assert(p.contains("div 65536"),
+      "mon_cents quartiles must bucket (div 65536) before any global window")
   }
 
   test("text_readability: one pruned scan of documents, partial aggregation") {
