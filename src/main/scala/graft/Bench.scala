@@ -608,6 +608,10 @@ object Bench {
     // but MB-constant AVC work is one CAVLC level per MB vs per-block
     // Huffman+IDCT; I_PCM dominates at 384 raw bytes per frame)
     "multimodal_h264_keyframes" -> 2.2,
+    // comparator: multimodal_h264_keyframes (same per-doc encode+decode
+    // shape: 2 frames instead of 3, but CBP-15 MBs parse 16 extra AC
+    // blocks each and I_NxN MBs run 16 4x4 predictions)
+    "multimodal_h264_ac" -> 2.2,
     // comparator: agg_ks_test (same contract-then-window shape; the
     // contingency table is even smaller than the value domain)
     "agg_chi2" -> 0.5,

@@ -354,6 +354,69 @@ object Multimodal {
   case class KeyframeLuma(doc_id: Long, frame: Int, luma: Double,
                           width: Int, height: Int)
 
+  /** Attach an H.264 elementary stream exercising the ROUND-9 decode
+    * surface: two I pictures (IDR + non-IDR reference I slice — the
+    * open-GOP shape) of mixed macroblock types. MB 0 is I_PCM with value
+    * (b % 26)*10; MB k > 0 takes c = 30 + (b % 19)*10 (b = text byte
+    * (fi*17 + k) mod len) as: k%3==1 -> Intra_16x16 DC with
+    * CodedBlockPatternLuma 15 and interior AC (level 1 + (b % 2));
+    * k%3==2 -> I_NxN through all nine 4x4 prediction modes; else the
+    * CBP-0 constant. Every pixel has a closed form the DuckDB oracle
+    * recomputes (see [[graft.queries.Media.qMultimodalH264AcSql]]). */
+  def attachH264AcPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import H264Codec.MbSpec
+    docs.select(col("doc_id"), col("text"),
+      ((pmod(col("doc_id"), lit(4)) + 2) * 16).cast("int").as("width"),
+      ((pmod(col("doc_id"), lit(3)) + 2) * 16).cast("int").as("height"))
+      .as[(Long, String, Int, Int)]
+      .map { case (id, text, w, h) =>
+        val t = Option(text).getOrElse("").getBytes("UTF-8")
+        val nb = (w / 16) * (h / 16)
+        def byteAt(fi: Int, k: Int): Int =
+          if (t.isEmpty) 0 else t((fi * 17 + k) % t.length) & 0xff
+        val frames = Seq.tabulate(2) { fi =>
+          Array.tabulate[MbSpec](nb) { k =>
+            val b = byteAt(fi, k)
+            if (k == 0) MbSpec.Pcm((b % 26) * 10)
+            else {
+              val c = 30 + (b % 19) * 10
+              k % 3 match {
+                case 1 => MbSpec.DcAc(c, 1 + (b % 2))
+                case 2 => MbSpec.I4x4(c)
+                case _ => MbSpec.Const(c)
+              }
+            }
+          }
+        }
+        MediaRow(id, H264Codec.encodeFrames(w, h, frames, allIdr = false),
+          "video/h264", w, h)
+      }
+      .toDF()
+  }
+
+  /** Decode every picture and emit the integer pixel statistics the AC
+    * oracle certifies: total luma sum and total squared-luma sum (the
+    * mean alone cannot see AC — the interior patterns are near-zero-sum,
+    * the squared sum moves by thousands per AC block). */
+  def decodeH264Stats(spark: SparkSession, media: DataFrame): Dataset[KeyframeStats] = {
+    import spark.implicits._
+    media.select("doc_id", "payload", "format", "width", "height")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val dec = H264Codec.decode(r.payload)
+          dec.frames.iterator.zipWithIndex.map { case (f, i) =>
+            KeyframeStats(r.doc_id, i, f.lumaSum, f.lumaSqSum, f.width, f.height)
+          }
+        }
+      }
+  }
+
+  case class KeyframeStats(doc_id: Long, frame: Int, luma_sum: Long,
+                           sq_sum: Long, width: Int, height: Int)
+
   /** REAL VIDEO PIXEL DECODE: demux each MJPEG container's sample table,
     * slice out the KEYFRAME samples (stss — the frames a sampling
     * pipeline actually decodes), and run each through the pure-JVM

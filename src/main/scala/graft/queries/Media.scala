@@ -481,10 +481,81 @@ object Media {
            CAST(SUM(h) AS BIGINT) AS sum_h
     FROM e"""
 
+  /** ROUND-9 H.264 AC/I_NxN DECODE ON THE ORACLE: every doc carries a
+    * 2-picture open-GOP stream (IDR + non-IDR reference I slice) mixing
+    * I_PCM, CBP-0 constants, Intra_16x16 macroblocks with
+    * CodedBlockPatternLuma 15 (interior AC coefficients through the full
+    * CAVLC nC-context/total_zeros/run_before machinery and the 4x4
+    * inverse transform), and I_NxN macroblocks through all nine 4x4
+    * spatial prediction modes. The oracle recomputes each frame's total
+    * luma and squared-luma sums by closed-form integer arithmetic —
+    * squared sums move by thousands per AC block, so a decoder that
+    * drops or mis-places one AC coefficient cannot match. */
+  val qMultimodalH264Ac: Q = (s, d) =>
+    Multimodal.decodeH264Stats(s,
+        Multimodal.attachH264AcPayload(documents(s, d)))
+      .toDF()
+      .agg(count(lit(1)).as("n_frames"),
+           sum(col("luma_sum")).as("sum_px"),
+           sum(col("sq_sum")).as("sum_sq"),
+           sum(col("frame").cast("long")).as("sum_frame_idx"),
+           sum(col("width").cast("long")).as("sum_w"),
+           sum(col("height").cast("long")).as("sum_h"))
+
+  val qMultimodalH264AcSql: String = """
+    WITH f AS (
+      SELECT doc_id, octet_length(encode(text)) AS len,
+             list_transform(range(0, octet_length(encode(text))),
+               i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT)) AS bytes,
+             ((doc_id % 4) + 2) * 16 AS w, ((doc_id % 3) + 2) * 16 AS h
+      FROM documents),
+    g AS (SELECT doc_id, len, bytes, w, h, (w // 16) * (h // 16) AS nb FROM f),
+    k AS (SELECT doc_id, len, bytes, w, h, nb, unnest([0, 1]) AS fi FROM g),
+    -- one struct per MB: its index and its driving text byte
+    m AS (
+      SELECT w, h, fi,
+             list_transform(range(0, nb), mb -> struct_pack(
+               mb := mb,
+               b := CASE WHEN len = 0 THEN 0
+                         ELSE bytes[(fi * 17 + mb) % len + 1] END)) AS mbs
+      FROM k),
+    -- closed forms per MB shape: I_PCM v=(b%26)*10 contributes 256v /
+    -- 256v^2; AC MBs (mb%3=1, c=30+(b%19)*10, level 1+(b%2)) contribute
+    -- 256c+8*s1+4 / 256c^2+16c*s1+8q1+8c+3382 with (s1,q1)=(1,423) for
+    -- level 1 and (0,1690) for level 2; I_NxN and CBP-0 MBs are flat c
+    e AS (
+      SELECT w, h, fi,
+             list_sum(list_transform(mbs, u -> CASE
+               WHEN u.mb = 0 THEN 256 * (u.b % 26) * 10
+               WHEN u.mb % 3 = 1 THEN
+                 256 * (30 + (u.b % 19) * 10)
+                 + 8 * (CASE WHEN u.b % 2 = 0 THEN 1 ELSE 0 END) + 4
+               ELSE 256 * (30 + (u.b % 19) * 10) END)) AS px,
+             list_sum(list_transform(mbs, u -> CASE
+               WHEN u.mb = 0 THEN
+                 256 * ((u.b % 26) * 10) * ((u.b % 26) * 10)
+               WHEN u.mb % 3 = 1 THEN
+                 256 * (30 + (u.b % 19) * 10) * (30 + (u.b % 19) * 10)
+                 + 16 * (30 + (u.b % 19) * 10)
+                      * (CASE WHEN u.b % 2 = 0 THEN 1 ELSE 0 END)
+                 + 8 * (CASE WHEN u.b % 2 = 0 THEN 423 ELSE 1690 END)
+                 + 8 * (30 + (u.b % 19) * 10) + 3382
+               ELSE 256 * (30 + (u.b % 19) * 10) * (30 + (u.b % 19) * 10)
+               END)) AS sq
+      FROM m)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(px) AS BIGINT) AS sum_px,
+           CAST(SUM(sq) AS BIGINT) AS sum_sq,
+           CAST(SUM(fi) AS BIGINT) AS sum_frame_idx,
+           CAST(SUM(w) AS BIGINT) AS sum_w,
+           CAST(SUM(h) AS BIGINT) AS sum_h
+    FROM e"""
+
   // ---- registration -------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "multimodal_h264_keyframes" -> qMultimodalH264Keyframes,
+    "multimodal_h264_ac"    -> qMultimodalH264Ac,
     "multimodal_mjpeg"      -> qMultimodalMjpeg,
     "multimodal_mp4"        -> qMultimodalMp4,
     "multimodal_mp4_frames" -> qMultimodalMp4Frames,
@@ -495,6 +566,7 @@ object Media {
 
   val oracleSql: Map[String, String] = Map(
     "multimodal_h264_keyframes" -> qMultimodalH264KeyframesSql,
+    "multimodal_h264_ac"    -> qMultimodalH264AcSql,
     "multimodal_mjpeg"      -> qMultimodalMjpegSql,
     "multimodal_mp4"        -> qMultimodalMp4Sql,
     "multimodal_mp4_frames" -> qMultimodalMp4FramesSql,
