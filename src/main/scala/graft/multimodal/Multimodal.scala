@@ -48,6 +48,21 @@ object Multimodal {
       (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
       (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height"))
 
+  /** MIXED-FORMAT corpus: each doc lands in one of the five real-codec
+    * single-format corpora by doc_id % 5 (BMP / PNG / GIF / JPEG / WAV) —
+    * the corpus that certifies [[extractFeatures]]'s per-row FORMAT
+    * ROUTING itself, which the single-format twins never exercise. Every
+    * branch reuses its twin's generator verbatim, so every branch keeps
+    * its twin's closed-form oracle. */
+  def attachMixedPayload(docs: DataFrame): DataFrame = {
+    def branch(i: Int) = docs.filter(pmod(col("doc_id"), lit(5)) === i)
+    attachBmpPayload(branch(0))
+      .unionByName(attachPngPayload(branch(1)))
+      .unionByName(attachGifPayload(branch(2)))
+      .unionByName(attachJpegPayload(branch(3)))
+      .unionByName(attachWavPayload(branch(4)))
+  }
+
   /** Attach a REAL encoded image payload: a deterministic grayscale
     * image synthesized from the document's UTF-8 bytes (pixel i = byte
     * i mod len), encoded as a standards-conforming 24-bpp BMP by

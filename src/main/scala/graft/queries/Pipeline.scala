@@ -1427,40 +1427,60 @@ object Pipeline {
     SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
     FROM documents"""
 
-  /** Full feature-extraction pass through the stub decoder — oracle-
-    * certified where the stub is arithmetic (mean-luma = payload byte sum
-    * / length / 255, thumbnail halving, byte counts): DuckDB reproduces
-    * the UTF-8 payload bytes via hex-pair extraction over encode(text).
-    * Only content_hash (wrapping int64 polynomial) stays ScalaTest-pinned —
-    * DuckDB BIGINT overflow throws rather than wraps. */
+  /** Feature extraction over the MIXED-FORMAT corpus: doc_id % 5 routes
+    * each document through a different REAL pure-JVM codec (BMP / PNG /
+    * GIF / JPEG / WAV) inside one extractFeatures pass — certifying the
+    * per-row format dispatch itself, which the single-format twins never
+    * exercise. The StubDecoder is UNREACHABLE from every oracle query
+    * (pinned by StubUnreachabilitySpec); DuckDB recomputes each branch's
+    * decoded features with that branch's closed form. */
   val qMultimodalFeatures: Q = (s, d) =>
-    Multimodal.extractFeatures(s, Multimodal.attachPayload(documents(s, d)))
+    Multimodal.extractFeatures(s, Multimodal.attachMixedPayload(documents(s, d)))
       .toDF()
       .agg(count(lit(1)).as("n"), dsum(col("intensity")).as("sum_luma"),
-           sum(col("n_bytes")).as("total_bytes"),
            sum(col("dim1").cast("long")).as("sum_thumb_w"),
            sum(col("dim2").cast("long")).as("sum_thumb_h"))
 
   val qMultimodalFeaturesSql: String = s"""
     WITH f AS (
-      SELECT octet_length(encode(text)) AS n_bytes,
-             list_sum(list_transform(range(0, octet_length(encode(text))),
-               i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT))) AS byte_sum,
-             GREATEST((doc_id % 64 + 16) // 2, 1) AS thumb_w,
-             GREATEST((doc_id % 48 + 16) // 2, 1) AS thumb_h
+      SELECT doc_id, octet_length(encode(text)) AS len,
+             list_transform(range(0, octet_length(encode(text))),
+               i -> CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT)) AS bytes,
+             list_transform(range(0, octet_length(encode(text))),
+               i -> abs(CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT) - 128)) AS absb
       FROM documents),
     g AS (
-      SELECT n_bytes, thumb_w, thumb_h,
-             CASE WHEN n_bytes = 0 THEN 0.0
-                  ELSE CAST(byte_sum AS DOUBLE) / CAST(n_bytes AS DOUBLE) / 255.0
-             END AS mean_luma
-      FROM f)
+      SELECT doc_id, len, bytes, absb, doc_id % 5 AS br,
+             (doc_id % 64 + 16) AS iw, (doc_id % 48 + 16) AS ih,
+             (doc_id % 8) * 8 + 16 AS jw, (doc_id % 6) * 8 + 16 AS jh
+      FROM f),
+    e AS (
+      SELECT br,
+        CASE
+          WHEN br <= 2 THEN -- BMP/PNG/GIF: pixel i = byte (i mod len)
+            CASE WHEN len = 0 THEN 0.0
+                 ELSE CAST((iw * ih // len) * list_sum(bytes) +
+                      COALESCE(list_sum(list_slice(bytes, 1, (iw * ih) % len)), 0)
+                      AS DOUBLE) / CAST(iw * ih AS DOUBLE) / 255.0 END
+          WHEN br = 3 THEN -- JPEG: 8x8 block k = byte (k mod len), DC-only
+            CASE WHEN len = 0 THEN 0.0
+                 ELSE CAST(((jw // 8) * (jh // 8) // len) * list_sum(bytes) +
+                      COALESCE(list_sum(list_slice(bytes, 1, ((jw // 8) * (jh // 8)) % len)), 0)
+                      AS DOUBLE) / CAST((jw // 8) * (jh // 8) AS DOUBLE) / 255.0 END
+          ELSE -- WAV: sample i = (byte(i mod len) - 128) * 256, mean |.|
+            CASE WHEN len = 0 THEN 0.0
+                 ELSE CAST(256 * ((2048 // len) * list_sum(absb) +
+                      COALESCE(list_sum(list_slice(absb, 1, 2048 % len)), 0))
+                      AS DOUBLE) / 2048.0 / 32768.0 END
+        END AS intensity,
+        CASE WHEN br <= 2 THEN iw // 2 WHEN br = 3 THEN jw // 2 ELSE 2048 END AS d1,
+        CASE WHEN br <= 2 THEN ih // 2 WHEN br = 3 THEN jh // 2 ELSE 8000 END AS d2
+      FROM g)
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           ${sqlDsum("mean_luma")} AS sum_luma,
-           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-           CAST(SUM(thumb_w) AS BIGINT) AS sum_thumb_w,
-           CAST(SUM(thumb_h) AS BIGINT) AS sum_thumb_h
-    FROM g"""
+           ${sqlDsum("intensity")} AS sum_luma,
+           CAST(SUM(d1) AS BIGINT) AS sum_thumb_w,
+           CAST(SUM(d2) AS BIGINT) AS sum_thumb_h
+    FROM e"""
 
   // ---- geodetic (F7) -------------------------------------------------------
 
