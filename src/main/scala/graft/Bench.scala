@@ -532,6 +532,14 @@ object Bench {
     // comparator: embedding_outliers x2 (same posexplode + per-dim agg
     // shape run twice per Lloyd round, plus two per-vector windows)
     "embedding_kmeans" -> 1.6,
+    // comparator: embedding_kmeans + dedup_embedding chained (the
+    // SemDeDup composite runs the Lloyd assignment, the banded-LSH
+    // cosine pass cluster-scoped, and a components round over the
+    // surviving within-cluster pairs)
+    // measured warm 4.6s at sf0.1: ~1.6 kmeans + ~2 banded-LSH/cosine +
+    // ~1 components/fold overhead (few within-cluster pairs, fixed
+    // per-round action cost dominates)
+    "pipeline_semdedup" -> 4.8,
     // comparator: graph_kcore (same checkpointed co-purchase edge table,
     // bounded label-join rounds in place of degree peels; 3 rounds with
     // a map-side-combined max_by argmax each vs 5 peel rounds). Warm

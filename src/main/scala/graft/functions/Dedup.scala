@@ -194,8 +194,10 @@ object Dedup {
       .withColumn("label", col("id")).lineageCut
     var converged = false
     var iter = 0
+    // coalesce to 0: an EMPTY pair set (legal — e.g. a cluster-scoped
+    // dedup pass that found nothing) must converge immediately, not NPE
     def checksum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("label")).cast("decimal(38,0)")).head.getDecimal(0)
+      l.agg(coalesce(sum(col("label")), lit(0L)).cast("decimal(38,0)")).head.getDecimal(0)
     var sumNow = checksum(labels)
     while (!converged && iter < maxIter) {
       val neighborMin = sym

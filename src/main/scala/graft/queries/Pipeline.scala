@@ -649,6 +649,87 @@ object Pipeline {
     WHERE ${sqlCos("ea.v", "eb.v")} >= 0.9"""
   }
 
+  /** SEMANTIC DEDUPLICATION (SemDeDup, Abbas et al. 2023, arXiv
+    * 2303.09540): k-means clusters scope the embedding near-dup pass —
+    * only near-duplicates INSIDE a semantic cluster are redundant; a
+    * cross-cluster cosine match is context-distinct and kept. Composed
+    * entirely from certified parts: the two-round Lloyd assignment
+    * ([[Relational6.kmeansAssignments]], literal seed centroids), banded
+    * hyperplane LSH + exact cosine verification
+    * ([[graft.functions.Dedup.embeddingCosineDups]]), and
+    * pointer-doubling connected components keeping each duplicate
+    * group's min id. 100 TB shape: centroids are KB-scale broadcast
+    * state, LSH bounds candidates sub-quadratically, the cluster
+    * equality prunes cross-topic pairs before the cosine verify, and at
+    * scale K grows with the corpus so per-cluster work stays bounded
+    * (the paper's argument); here K = 4 literal centroids keep the
+    * oracle exact. */
+  val qPipelineSemdedup: Q = (s, d) => {
+    import graft.functions.LineageCut.CutOps
+    // materialize the assignment once: it feeds both pair-side joins and
+    // the final per-cluster rollup, and re-deriving the two-round Lloyd
+    // chain per consumer would triple the dominant cost
+    val a2 = Relational6.kmeansAssignments(s, d).lineageCut // (vec_id, ck)
+    val pairs = Dedup.embeddingCosineDups(embeddings(s, d), "vec_id", "embedding",
+      bands = 8, bitsPerBand = 7, threshold = 0.45)
+    val within = pairs
+      .join(a2.select(col("vec_id").as("id_a"), col("ck").as("ck_a")), Seq("id_a"))
+      .join(a2.select(col("vec_id").as("id_b"), col("ck").as("ck_b")), Seq("id_b"))
+      .filter(col("ck_a") === col("ck_b"))
+      .select("id_a", "id_b")
+    val dropped = Dedup.connectedComponents(within, "id_a", "id_b")
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("vec_id"), lit(1L).as("drp"))
+    a2.join(dropped, Seq("vec_id"), "left")
+      .groupBy(col("ck"))
+      .agg(count(lit(1)).as("n_members"),
+           sum(when(col("drp").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+           sum(when(col("drp").isNull, col("vec_id")).otherwise(0L)).as("kept_checksum"))
+      .orderBy(col("ck"))
+  }
+
+  val qPipelineSemdedupSql: String = {
+    val bandSelects = (0 until 8).map { bnd =>
+      val planes = Vectors.hyperplanes(64, 7, seed = 42L + 7919L * bnd)
+      s"SELECT vec_id, $bnd AS band, ${sqlBucket("v", planes)} AS bucket FROM ev"
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH RECURSIVE ${Relational6.kmeansAssignSqlCtes},
+    ev AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    b AS (
+      $bandSelects),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
+        AND l.vec_id < r.vec_id),
+    prs AS MATERIALIZED (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN ev ea ON ea.vec_id = c.id_a
+      JOIN ev eb ON eb.vec_id = c.id_b
+      JOIN a2 ka ON ka.vec_id = c.id_a
+      JOIN a2 kb ON kb.vec_id = c.id_b
+      WHERE ka.ck = kb.ck AND ${sqlCos("ea.v", "eb.v")} >= 0.45),
+    edges AS (SELECT id_a AS u, id_b AS v FROM prs
+              UNION SELECT id_b AS u, id_a AS v FROM prs),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    rr(id, x) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT rr.id, e2.v FROM rr JOIN edges e2 ON rr.x = e2.u),
+    comp AS (SELECT id, MIN(x) AS label FROM rr GROUP BY id),
+    dropped AS (SELECT id FROM comp WHERE id <> label)
+    SELECT a2.ck,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(count_if(dropped.id IS NOT NULL) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN dropped.id IS NULL THEN a2.vec_id ELSE 0 END)
+                AS BIGINT) AS kept_checksum
+    FROM a2 LEFT JOIN dropped ON dropped.id = a2.vec_id
+    GROUP BY 1 ORDER BY 1"""
+  }
+
   // ---- similarity search ---------------------------------------------------
 
   /** Deterministic 64-d query vector for ANN queries (unit basis blend). */
@@ -1600,6 +1681,7 @@ object Pipeline {
     "dedup_winnow"         -> qDedupWinnow,
     "dedup_cascade"        -> qDedupCascade,
     "dedup_embedding"      -> qDedupEmbedding,
+    "pipeline_semdedup"    -> qPipelineSemdedup,
     "ann_brute_force"      -> qAnnBruteForce,
     "ann_lsh"              -> qAnnLsh,
     "ann_ivf"              -> qAnnIvf,
@@ -1654,6 +1736,7 @@ object Pipeline {
     "ann_batch"           -> qAnnBatchSql,
     "ann_lsh"             -> qAnnLshSql,
     "dedup_embedding"     -> qDedupEmbeddingSql,
+    "pipeline_semdedup"   -> qPipelineSemdedupSql,
     "dedup_minhash_lsh"   -> qDedupMinhashLshSql,
     "dedup_eval"          -> qDedupEvalSql,
     "dedup_eval_sampled"  -> qDedupEvalSampledSql,

@@ -158,11 +158,11 @@ object Relational6 {
   private val kmK = 4
   private val kmD = 64
 
-  val qEmbeddingKmeans: Q = (s, d) => {
-    val e = embeddings(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
-      .select(col("vec_id"), col("dim").cast("long").as("dim"),
-        col("xf").cast("double").as("x"))
+  /** Two-round Lloyd assignment (vec_id, ck) over the embedding corpus —
+    * the deterministic clustering both [[qEmbeddingKmeans]] and
+    * [[graft.queries.Pipeline.qPipelineSemdedup]] build on. */
+  private[queries] def kmeansAssignments(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val e = kmeansExploded(s, d)
     val c0 = s.range(kmK.toLong * kmD)
       .select(expr(s"id div $kmD").as("ck"), (col("id") % kmD).as("cd"))
       .select(col("ck"), col("cd"),
@@ -183,14 +183,29 @@ object Relational6 {
         .agg((sum(floor(col("x") * 1e9 + 0.5)).cast("double") / 1e9 /
               count(lit(1)).cast("double")).as("c"))
         .select(col("ck"), col("dim").as("cd"), col("c"))
-    val a2 = assign(update(assign(c0)))
+    assign(update(assign(c0)))
+  }
+
+  private def kmeansExploded(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("xf").cast("double").as("x"))
+
+  val qEmbeddingKmeans: Q = (s, d) => {
+    val e = kmeansExploded(s, d)
+    val a2 = kmeansAssignments(s, d)
     e.join(a2, "vec_id")
       .groupBy(col("ck"))
       .agg(countDistinct(col("vec_id")).as("n_members"), qsum(col("x"), 1e9).as("mass"))
       .orderBy(col("ck"))
   }
 
-  val qEmbeddingKmeansSql: String = {
+  /** The CTE chain producing `e` (exploded vectors) and `a2` (final
+    * assignments) — shared with the SemDeDup oracle. Heavy CTEs are
+    * MATERIALIZED: downstream queries reference them repeatedly and
+    * DuckDB re-evaluates plain CTEs per reference. */
+  private[queries] val kmeansAssignSqlCtes: String = {
     def assignSql(cTab: String) = s"""(
       SELECT vec_id, ck FROM (
         SELECT vec_id, ck,
@@ -200,8 +215,7 @@ object Relational6 {
                  SUM(CAST(floor((x - c) * (x - c) * 1e9 + 0.5) AS BIGINT)) AS d2
           FROM e JOIN $cTab ON dim = cd GROUP BY 1, 2) dd) rr
       WHERE rn = 1)"""
-    s"""
-    WITH e AS (
+    s"""e AS MATERIALIZED (
       SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
              CAST(unnest(embedding) AS DOUBLE) AS x
       FROM embeddings),
@@ -215,7 +229,12 @@ object Relational6 {
              CAST(SUM(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9
                / CAST(COUNT(*) AS DOUBLE) AS c
       FROM e JOIN a1 USING (vec_id) GROUP BY 1, 2),
-    a2 AS ${assignSql("c1")}
+    a2 AS MATERIALIZED ${assignSql("c1")}"""
+  }
+
+  val qEmbeddingKmeansSql: String = {
+    s"""
+    WITH $kmeansAssignSqlCtes
     SELECT ck, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_members,
            ${sqlQsum("x", "1e9")} AS mass
     FROM e JOIN a2 USING (vec_id) GROUP BY 1 ORDER BY 1"""
