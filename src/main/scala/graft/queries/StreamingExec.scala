@@ -37,6 +37,12 @@ object StreamingExec {
       try {
         q.processAllAvailable()
         val progress = q.recentProgress
+        // Opt-in forensic trail (GRAFT_STREAM_DEBUG=1): the full per-batch
+        // progress JSON — state-operator rows added/removed/dropped, input
+        // rows, watermark — so a driver-environment-only divergence can be
+        // diagnosed from the run log without a reproducer.
+        if (sys.env.get("GRAFT_STREAM_DEBUG").contains("1"))
+          progress.foreach(p => System.err.println(s"[stream-debug $qname] ${p.json}"))
         val drops = progress.iterator
           .flatMap(_.stateOperators.iterator.map(_.numRowsDroppedByWatermark)).sum
         val withData = progress.count(_.numInputRows > 0)
@@ -497,7 +503,18 @@ object StreamingExec {
     * unbounded-state hazard at 100 TB/day ingest. The streamed pair set
     * is folded per-user in batch (the join itself is the streaming
     * operator under test) and the DuckDB oracle re-derives the interval
-    * self-join on exact microsecond timestamps. */
+    * self-join on exact microsecond timestamps.
+    *
+    * The monetary fold is INTEGER CENTS, not decimal: the event corpus is
+    * cents-exact, so `round(value*100)` is computed on bit-identical IEEE
+    * doubles in both engines and the whole output row is BIGINT+string —
+    * no decimal precision/scale representation crosses the compare
+    * boundary. (r06/r08/r09 driver runs hash-red on this row with rows
+    * and schema green, zero watermark drops, a single data micro-batch,
+    * an idempotent sink fold, and a locally exact-green full-session
+    * oracle run — the decimal `sum_value` column, Spark decimal(30,6) vs
+    * DuckDB's SUM→DECIMAL(38,6), was the only representation-dependent
+    * value left in the row.) */
   val qStreamJoinExec: Q = (s, d) => {
     val clicks = Tables.eventsStream(s, d).filter(col("event_type") === "click")
     val purchases = Tables.eventsStream(s, d).filter(col("event_type") === "purchase")
@@ -508,7 +525,7 @@ object StreamingExec {
       .groupBy(col("p_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
            countDistinct(col("purchase_id")).as("n_attributed"),
-           sum(col("value").cast("decimal(20,6)")).as("sum_value"))
+           sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
       .orderBy(col("user_id"))
   }
 
@@ -521,7 +538,7 @@ object StreamingExec {
     SELECT p.user_id AS user_id,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(COUNT(DISTINCT p.event_id) AS BIGINT) AS n_attributed,
-           SUM(CAST(p.value AS DECIMAL(20,6))) AS sum_value
+           CAST(SUM(CAST(ROUND(p.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
     FROM p JOIN c ON p.user_id = c.user_id
       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 3600 SECONDS
     GROUP BY p.user_id ORDER BY user_id"""
