@@ -90,11 +90,28 @@ object Dedup {
     * materializes eagerly (localCheckpoint), and the cache releases
     * immediately — the deliberate trade against leaking a
     * session-lifetime cache entry per invocation. */
-  private[graft] def candidatePairs(banded0: DataFrame): DataFrame = {
+  private[graft] def candidatePairs(banded0: DataFrame): DataFrame =
+    candidatePairsKeyed(banded0, Seq("band", "bucket"))
+
+  /** [[candidatePairs]] generalized to an arbitrary bucket key (e.g.
+    * scope+band+bucket for cluster-scoped passes) with an optional
+    * per-bucket population cap: a bucket larger than `maxBucketSize`
+    * contributes O(bucket²) candidate pairs, so at scale a hot bucket
+    * (all-zero embeddings, a template cluster) is dropped whole rather
+    * than detonating the self-join — the same posting-skew bound as
+    * `maxShingleDf` on the Jaccard path. Default = no cap (exact). */
+  private[graft] def candidatePairsKeyed(banded0: DataFrame, keys: Seq[String],
+                                         maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val banded = banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
+    val kcols = keys.map(col)
+    val bounded =
+      if (maxBucketSize == Int.MaxValue) banded
+      else banded.join(
+        banded.groupBy(kcols: _*).agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= maxBucketSize).drop("__bsz"),
+        keys)
+    val cand = bounded.select(kcols :+ col("id").as("id_a"): _*)
+      .join(bounded.select(kcols :+ col("id").as("id_b"): _*), keys)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
       .lineageCut
@@ -519,6 +536,36 @@ object Dedup {
     graft.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     candidatePairs(embeddingBanded(base, bands, bitsPerBand, dim))
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        call_function("cosine_vec", col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** [[embeddingCosineDups]] SCOPED by a partition assignment (the
+    * SemDeDup shape: only near-dups inside a semantic cluster are
+    * redundant). `scope` is an (idCol → scopeCol) assignment table; the
+    * scope id joins INTO the LSH bucket key, so cross-scope pairs are
+    * pruned at candidate GENERATION — identical output to generating
+    * globally and post-filtering on scope equality (a same-scope LSH
+    * collision is in the same scoped bucket by construction), but the
+    * self-join never materializes cross-scope candidates. At 100 TB that
+    * is the difference between buckets of N/2^b and buckets of
+    * N/(K·2^b): scaling K with the corpus keeps per-bucket work constant.
+    * `maxBucketSize` additionally caps any single scoped bucket's
+    * population (hot-cluster/degenerate-embedding skew bound); the
+    * default is exact. */
+  def embeddingCosineDupsScoped(df: DataFrame, idCol: String, vecCol: String,
+                                scope: DataFrame, scopeIdCol: String, scopeCol: String,
+                                bands: Int = 8, bitsPerBand: Int = 12,
+                                threshold: Double = 0.95, dim: Int = 64,
+                                maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val scoped = embeddingBanded(base, bands, bitsPerBand, dim)
+      .join(scope.select(col(scopeIdCol).as("id"), col(scopeCol).as("scope")), Seq("id"))
+    candidatePairsKeyed(scoped, Seq("scope", "band", "bucket"), maxBucketSize)
       .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),

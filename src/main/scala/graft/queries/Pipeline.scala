@@ -659,23 +659,24 @@ object Pipeline {
     * ([[graft.functions.Dedup.embeddingCosineDups]]), and
     * pointer-doubling connected components keeping each duplicate
     * group's min id. 100 TB shape: centroids are KB-scale broadcast
-    * state, LSH bounds candidates sub-quadratically, the cluster
-    * equality prunes cross-topic pairs before the cosine verify, and at
-    * scale K grows with the corpus so per-cluster work stays bounded
-    * (the paper's argument); here K = 4 literal centroids keep the
-    * oracle exact. */
+    * state, the cluster id joins INTO the LSH bucket key
+    * ([[graft.functions.Dedup.embeddingCosineDupsScoped]]) so
+    * cross-topic candidates are never materialized, and at scale K
+    * grows with the corpus ([[Relational6.kmeansAssignments]] takes K;
+    * per-cluster pair work is additionally cappable via the scoped
+    * pass's `maxBucketSize`) so per-cluster work stays bounded (the
+    * paper's argument); here K = 4 literal centroids keep the oracle
+    * exact, and the scoped pass provably equals the
+    * generate-globally-then-filter formulation the oracle SQL uses. */
   val qPipelineSemdedup: Q = (s, d) => {
     import graft.functions.LineageCut.CutOps
-    // materialize the assignment once: it feeds both pair-side joins and
+    // materialize the assignment once: it feeds the scoped bucket key and
     // the final per-cluster rollup, and re-deriving the two-round Lloyd
     // chain per consumer would triple the dominant cost
     val a2 = Relational6.kmeansAssignments(s, d).lineageCut // (vec_id, ck)
-    val pairs = Dedup.embeddingCosineDups(embeddings(s, d), "vec_id", "embedding",
+    val within = Dedup.embeddingCosineDupsScoped(embeddings(s, d), "vec_id", "embedding",
+      scope = a2, scopeIdCol = "vec_id", scopeCol = "ck",
       bands = 8, bitsPerBand = 7, threshold = 0.45)
-    val within = pairs
-      .join(a2.select(col("vec_id").as("id_a"), col("ck").as("ck_a")), Seq("id_a"))
-      .join(a2.select(col("vec_id").as("id_b"), col("ck").as("ck_b")), Seq("id_b"))
-      .filter(col("ck_a") === col("ck_b"))
       .select("id_a", "id_b")
     val dropped = Dedup.connectedComponents(within, "id_a", "id_b")
       .filter(col("id") =!= col("label"))

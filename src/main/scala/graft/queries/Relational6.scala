@@ -161,9 +161,16 @@ object Relational6 {
   /** Two-round Lloyd assignment (vec_id, ck) over the embedding corpus —
     * the deterministic clustering both [[qEmbeddingKmeans]] and
     * [[graft.queries.Pipeline.qPipelineSemdedup]] build on. */
-  private[queries] def kmeansAssignments(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  /** Two-round Lloyd assignment (vec_id, ck) over the embeddings table.
+    * `k` defaults to the oracle's 4 literal seed centroids; at 100 TB
+    * callers scale K with the corpus (SemDeDup's argument: per-cluster
+    * work stays bounded when K ∝ N/cluster-budget) — the seed formula,
+    * assignment and update steps are all K-generic, and centroid state
+    * stays a broadcast-size K×64 table. */
+  private[queries] def kmeansAssignments(s: org.apache.spark.sql.SparkSession, d: String,
+                                         k: Int = kmK): DataFrame = {
     val e = kmeansExploded(s, d)
-    val c0 = s.range(kmK.toLong * kmD)
+    val c0 = s.range(k.toLong * kmD)
       .select(expr(s"id div $kmD").as("ck"), (col("id") % kmD).as("cd"))
       .select(col("ck"), col("cd"),
         (((col("ck") * 37 + col("cd") * 17) % 21).cast("double") / 10.0 - 1.0).as("c"))

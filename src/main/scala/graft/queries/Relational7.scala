@@ -319,6 +319,11 @@ object Relational7 {
            min(when(col("cum") >= col("k_lo"), col("v"))).as("x_lo"),
            min(when(col("cum") >= col("k_hi"), col("v"))).as("x_hi"))
       .select(col("n"), ((col("x_lo") + col("x_hi")).cast("double") / 2.0).as("median"))
+      // empty input: the ungrouped agg emits one all-null row where a
+      // grouped plan would emit zero — drop it so the crossJoins below
+      // propagate emptiness instead of a null median (Filter preserves
+      // maxRows, so the single-row scalar-attach exemption still applies)
+      .filter(col("n").isNotNull)
     val dev = byVal.crossJoin(broadcast(med))
       .groupBy(abs(col("v").cast("double") - col("median")).as("dv"))
       .agg(sum(col("c")).as("c"))

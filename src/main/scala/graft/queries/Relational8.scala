@@ -502,8 +502,14 @@ object Relational8 {
     // definition because no qualifying value can precede the winning
     // bucket and one must exist inside it.
     def quartilesBucketed(metric: String, width: Long): org.apache.spark.sql.DataFrame = {
+      // bucket on greatest(metric,0): Spark `div` truncates toward zero
+      // while DuckDB `//` floors, so a negative value would land in
+      // different buckets engine-to-engine. The clamp pins both to the
+      // same bucket (and is monotone non-decreasing in the metric, so
+      // bucket ranges stay ordered and the two-pass refinement argument
+      // is unchanged — bucket 0 simply covers (-inf, width)).
       val n = rfm.agg(count(lit(1)).as("n"))
-      val bcum = rfm.groupBy(expr(s"$metric div $width").as("b"))
+      val bcum = rfm.groupBy(expr(s"greatest($metric, 0L) div $width").as("b"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("bcum", sum(col("cnt")).over(Window.orderBy(col("b"))))
         .crossJoin(broadcast(n))
@@ -520,7 +526,7 @@ object Relational8 {
       // ≤ 3 partitions of ≤ width distinct values each), then each
       // threshold reads its own bucket's refined cum
       val refined = rfm.crossJoin(broadcast(pass1))
-        .withColumn("b", expr(s"$metric div $width"))
+        .withColumn("b", expr(s"greatest($metric, 0L) div $width"))
         .filter(col("b") === col("b1") || col("b") === col("b2") || col("b") === col("b3"))
         .groupBy(col("b"), col(metric).as("v"), col("n"),
           col("b1"), col("below1"), col("b2"), col("below2"), col("b3"), col("below3"))
@@ -567,7 +573,7 @@ object Relational8 {
     bhm AS MATERIALIZED (
       SELECT b, cnt, SUM(cnt) OVER (ORDER BY b) AS bcum,
              (SELECT COUNT(*) FROM rfm) AS n
-      FROM (SELECT $metric // $width AS b, COUNT(*) AS cnt
+      FROM (SELECT greatest($metric, 0) // $width AS b, COUNT(*) AS cnt
             FROM rfm GROUP BY 1)),
     p1m AS MATERIALIZED (
       SELECT MAX(n) AS n,
@@ -581,11 +587,11 @@ object Relational8 {
     refm AS (
       SELECT b, v, cnt, n, b1, below1, b2, below2, b3, below3,
              SUM(cnt) OVER (PARTITION BY b ORDER BY v) AS cum_in
-      FROM (SELECT $metric // $width AS b, $metric AS v, COUNT(*) AS cnt,
+      FROM (SELECT greatest($metric, 0) // $width AS b, $metric AS v, COUNT(*) AS cnt,
                    p1m.n, p1m.b1, p1m.below1, p1m.b2, p1m.below2,
                    p1m.b3, p1m.below3
             FROM rfm, p1m
-            WHERE $metric // $width IN (p1m.b1, p1m.b2, p1m.b3)
+            WHERE greatest($metric, 0) // $width IN (p1m.b1, p1m.b2, p1m.b3)
             GROUP BY ALL)),
     qm AS (
       SELECT MIN(CASE WHEN b = b1 AND (below1 + cum_in) * 4 >= n

@@ -365,6 +365,72 @@ class DedupSpec extends SparkSpec {
     assert(e2 <= 3.0 * e1, s"embedding candidates $e1 -> $e2 on a 2x corpus: super-linear")
   }
 
+  test("scoped embedding pass: equals global+filter; sub-quadratic when K scales with corpus") {
+    // SemDeDup scale claim, pinned two ways.
+    graft.GraftFunctions.register(spark)
+    def vecCorpus(nClusters: Int): Seq[(Long, Seq[Float])] = {
+      val r = new scala.util.Random(29)
+      (0 until nClusters).flatMap { c =>
+        val center = Array.fill(64)(r.nextGaussian())
+        (0 until 4).map { m =>
+          ((c * 4 + m).toLong,
+            center.map(x => (x + 0.01 * r.nextGaussian()).toFloat).toSeq)
+        }
+      }
+    }
+    // (1) EQUIVALENCE: scoping the bucket key by an assignment yields
+    // exactly the global pass's pairs restricted to same-scope — the
+    // invariant that lets pipeline_semdedup keep its oracle SQL in the
+    // generate-globally-then-filter form while executing scoped.
+    val docs = vecCorpus(24)
+    val df = docs.toDF("id", "v")
+    val k1 = 6
+    val scope = docs.map { case (id, _) => (id, (id / 4) % k1) }.toDF("id", "ck")
+    def norm(p: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      p.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val scoped = norm(Dedup.embeddingCosineDupsScoped(df, "id", "v",
+      scope, "id", "ck", bands = 8, bitsPerBand = 8, threshold = 0.9))
+    val byId = docs.map { case (id, _) => id -> (id / 4) % k1 }.toMap
+    val globalFiltered = norm(Dedup.embeddingCosineDups(df, "id", "v",
+      bands = 8, bitsPerBand = 8, threshold = 0.9))
+      .filter { case (a, b) => byId(a) == byId(b) }
+    assert(scoped.nonEmpty, "fixture must produce same-scope near-dup pairs")
+    assert(scoped == globalFiltered,
+      s"scoped pass diverged from global+filter: ${scoped.size} vs ${globalFiltered.size}")
+
+    // (2) GROWTH with K SCALING: double the corpus AND double K (the
+    // paper's regime — K proportional to corpus / cluster-budget); scoped
+    // candidate volume must stay ~linear. Same 3.0 bound as the global
+    // LSH gates above. Narrow bands (bitsPerBand=4) make buckets coarse
+    // enough that an unscoped generator would visibly super-scale, so the
+    // gate exercises the scope key, not just the LSH.
+    def scopedCand(nClusters: Int, k: Int): Long = {
+      val cs = vecCorpus(nClusters)
+      val sc = cs.map { case (id, _) => (id, (id / 4) % k) }.toDF("id", "ck")
+      Dedup.candidatePairsKeyed(
+        Dedup.embeddingBanded(cs.toDF("id", "v"), bands = 4, bitsPerBand = 4, dim = 64)
+          .join(sc.select(col("id"), col("ck").as("scope")), Seq("id")),
+        Seq("scope", "band", "bucket")).count()
+    }
+    val s1 = scopedCand(40, 10)
+    val s2 = scopedCand(80, 20)
+    assert(s1 >= 40L, s"clusters must collide in scoped buckets: $s1 candidates")
+    assert(s2 <= 3.0 * s1, s"scoped candidates $s1 -> $s2 on a 2x corpus with 2x K: super-linear")
+
+    // (3) the bucket cap bounds a hot bucket without touching others:
+    // capping at 3 removes every pair from the 4-member scoped buckets
+    val capped = Dedup.candidatePairsKeyed(
+      Dedup.embeddingBanded(df, bands = 8, bitsPerBand = 8, dim = 64)
+        .join(scope.select(col("id"), col("ck").as("scope")), Seq("id")),
+      Seq("scope", "band", "bucket"), maxBucketSize = 3).count()
+    val uncapped = Dedup.candidatePairsKeyed(
+      Dedup.embeddingBanded(df, bands = 8, bitsPerBand = 8, dim = 64)
+        .join(scope.select(col("id"), col("ck").as("scope")), Seq("id")),
+      Seq("scope", "band", "bucket")).count()
+    assert(capped < uncapped,
+      s"maxBucketSize must drop over-cap buckets: capped=$capped uncapped=$uncapped")
+  }
+
   test("winnow kernel: matches the brute-force definition; guarantee holds") {
     import graft.expressions.TextKernels
     import org.apache.spark.unsafe.types.UTF8String

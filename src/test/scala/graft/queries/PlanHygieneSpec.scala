@@ -23,14 +23,28 @@ class PlanHygieneSpec extends SparkSpec {
 
   private def riskyCrossJoins(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
-    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    // top-level AND conjuncts only: an EqualTo buried under an OR (e.g.
+    // `a = b OR x < y`) does NOT bound the join — it still enumerates
+    // pairs — so it must not count as an equi-condition
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
     plan.collect {
       case j: LJoin =>
         val singleRowSide = Seq(j.left, j.right).exists(_.maxRows.exists(_ <= 1L))
-        val hasEquiCond = j.condition.exists(_.exists {
-          case _: EqualTo => true
-          case _          => false
+        // at least one top-level conjunct must equate an expression over
+        // the left side with one over the right side (either orientation)
+        val leftOut = j.left.outputSet
+        val rightOut = j.right.outputSet
+        def across(a: Expression, b: Expression): Boolean =
+          a.references.nonEmpty && b.references.nonEmpty &&
+            a.references.subsetOf(leftOut) && b.references.subsetOf(rightOut)
+        val hasEquiCond = j.condition.exists(c => conjuncts(c).exists {
+          case EqualTo(a, b) => across(a, b) || across(b, a)
+          case _             => false
         })
         if (!singleRowSide && !hasEquiCond)
           Some(s"${j.joinType} join with no equi-condition and no single-row side")
