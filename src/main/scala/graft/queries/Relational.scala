@@ -489,12 +489,44 @@ object Relational {
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) t
     GROUP BY user_id"""
 
-  /** percent_rank + ntile over suppliers by account balance. */
+  /** percent_rank + ntile over suppliers by account balance.
+    *
+    * NOT the naive `Window.orderBy(acctbal, suppkey)` — that funnels
+    * every supplier through one task. The global rank decomposes exactly:
+    * rank = (rows with smaller acctbal, from the acctbal value-HISTOGRAM's
+    * cumulative count — a bounded-domain global window, decimal(15,2)
+    * range) + (tie-break row_number within the acctbal group — a
+    * PARTITIONED window). The order key (acctbal, suppkey) is unique, so
+    * rank == row_number and percent_rank's gap semantics cannot differ.
+    * ntile's uneven-bucket rule (first n mod 4 buckets get the extra row)
+    * is closed-form in the rank. WindowHygieneSpec pins the shape. */
   val qWindowPercentRank: Q = (s, d) => {
-    val w = Window.orderBy(col("s_acctbal"), col("s_suppkey"))
-    supplier(s, d)
-      .withColumn("pr", percent_rank().over(w))
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
+    val sup = supplier(s, d)
+    val wq = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    val below = sup.groupBy(col("s_acctbal").as("v")).agg(count(lit(1)).as("c"))
+      .withColumn("below", coalesce(sum(col("c")).over(wq), lit(0L)))
+      .select(col("v").as("s_acctbal"), col("below"))
+    val tot = sup.agg(count(lit(1)).as("n_tot"))
+    val wg = Window.partitionBy(col("s_acctbal")).orderBy(col("s_suppkey"))
+    val ranked = sup
+      // histogram side is one row per distinct acctbal — broadcast-size
+      // at any corpus (the domain bound IS the scale argument here)
+      .join(broadcast(below), Seq("s_acctbal"))
+      .withColumn("rk", col("below") + row_number().over(wg))
+      .crossJoin(broadcast(tot))
+    // ntile(4): q = n div 4 rows per bucket, the first r = n mod 4
+    // buckets hold one extra
+    val ranked2 = ranked
+      .withColumn("q", expr("n_tot div 4")).withColumn("r", col("n_tot") % 4)
+      .withColumn("cut", col("r") * (col("q") + 1))
+      .withColumn("pr",
+        when(col("n_tot") > 1,
+          (col("rk") - 1).cast("double") / (col("n_tot") - 1).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("quartile",
+        when(col("rk") <= col("cut"), expr("(rk - 1) div (q + 1)") + 1)
+          .otherwise(col("r") + expr("(rk - 1 - cut) div q") + 1).cast("long"))
+    ranked2
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n"), dsum(col("pr")).as("sum_pr"),
            min(col("s_acctbal")).as("lo"), max(col("s_acctbal")).as("hi"))
