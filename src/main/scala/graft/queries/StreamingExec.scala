@@ -529,6 +529,95 @@ object StreamingExec {
       .orderBy(col("user_id"))
   }
 
+  /** STREAM-STREAM LEFT-OUTER JOIN executed as a stream:
+    * [[Streams.clickToPurchaseOuter]] — purchases with NO click in the
+    * preceding hour emit null-padded, the unattributed-revenue shape.
+    * Unlike the inner join (which emits every match eagerly inside the
+    * data micro-batch), the OUTER rows can only emit when the event-time
+    * watermark proves no matching click can still arrive — i.e. on state
+    * eviction, in a micro-batch AFTER the one that carried the data. A
+    * static corpus never advances the watermark past its own tail, so
+    * the source directory is the events corpus plus one HORIZON pair
+    * (sentinel click + purchase, `user_id = -1`, 90 days past the max
+    * real timestamp): batch 0 carries all real data and the sentinels
+    * (single-data-batch pin still holds), the post-batch watermark jumps
+    * past every real purchase's match window, and Spark's no-data
+    * finalization micro-batch evicts and emits the outer rows. The
+    * sentinels sit at the stream's max timestamp (nothing is late → the
+    * zero-drop pin holds), match only each other, and are filtered from
+    * the fold. Output is BIGINT+string only (integer cents, the
+    * stream_join_exec representation-free discipline). */
+  val qStreamOuterJoinExec: Q = (s, d) => {
+    val dir = eventsWithHorizon(s, d)
+    try {
+      val schema = s.read.parquet(dir).schema
+      def src() = s.readStream.schema(schema).parquet(dir)
+      val clicks = src().filter(col("event_type") === "click")
+      val purchases = src().filter(col("event_type") === "purchase")
+      val pairs = Streams.clickToPurchaseOuter(clicks, purchases,
+        windowSeconds = 3600L, watermark = "2 hours")
+      // natural key: (purchase, click) id pair; an outer row is (pid, null)
+      runToMemoryIdempotent(pairs, Seq("purchase_id", "click_id"))
+        .filter(col("p_user") >= 0) // drop the horizon sentinels
+        .groupBy(col("p_user").as("user_id"))
+        .agg(
+          sum(when(col("click_id").isNotNull, 1L).otherwise(0L))
+            .as("n_matched_pairs"),
+          sum(when(col("click_id").isNull, 1L).otherwise(0L))
+            .as("n_unmatched"),
+          coalesce(sum(when(col("click_id").isNull,
+            round(col("value") * 100).cast("long"))), lit(0L))
+            .as("unattributed_cents"))
+        .orderBy(col("user_id"))
+    } finally {
+      // the memory sink holds the streamed rows; the staged parquet can go
+      deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
+  /** Stage the events corpus plus the watermark-horizon sentinel pair into
+    * a fresh temp directory for [[qStreamOuterJoinExec]]'s file source.
+    * Timestamps are pre-normalized ([[Tables.events]]) so the staged file
+    * has ONE physical encoding regardless of which corpus generation is on
+    * disk. Returns the directory path (caller deletes). */
+  private def eventsWithHorizon(s: SparkSession, d: String): String = {
+    val ev = Tables.events(s, d)
+    val horizon = ev.agg(max(col("ts")).as("m"))
+      .select((col("m") + expr("INTERVAL 90 DAYS")).as("ts"))
+    val sentinels = horizon
+      .crossJoin(s.createDataFrame(Seq((-1L, "click"), (-2L, "purchase")))
+        .toDF("s_event_id", "s_event_type"))
+      .select(col("s_event_id").as("event_id"), col("ts"),
+        lit(-1L).as("user_id"), col("s_event_type").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_outer_join_src").toString
+    ev.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .unionByName(sentinels)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  val qStreamOuterJoinExecSql: String = """
+    WITH c AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'purchase'),
+    j AS (
+      SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+             p.value AS value, c.event_id AS click_id
+      FROM p LEFT JOIN c ON p.user_id = c.user_id
+        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 3600 SECONDS)
+    SELECT user_id,
+           CAST(COUNT(click_id) AS BIGINT) AS n_matched_pairs,
+           CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched,
+           CAST(COALESCE(SUM(CASE WHEN click_id IS NULL
+             THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT)
+             AS unattributed_cents
+    FROM j GROUP BY user_id ORDER BY user_id"""
+
   val qStreamJoinExecSql: String = """
     WITH c AS (
       SELECT user_id, ts FROM events WHERE event_type = 'click'),
@@ -765,6 +854,7 @@ object StreamingExec {
     "stream_expectations_exec" -> qStreamExpectationsExec,
     "stream_segy_exec"     -> qStreamSegyExec,
     "stream_join_exec"     -> qStreamJoinExec,
+    "stream_outer_join_exec" -> qStreamOuterJoinExec,
     "stream_session_exec"  -> qStreamSessionExec,
     "stream_fmgws_exec"    -> qStreamFmgwsExec,
     "stream_hll_exec"      -> qStreamHllExec,
@@ -783,6 +873,7 @@ object StreamingExec {
     "stream_expectations_exec" -> qStreamExpectationsExecSql,
     "stream_segy_exec"     -> qStreamSegyExecSql,
     "stream_join_exec"     -> qStreamJoinExecSql,
+    "stream_outer_join_exec" -> qStreamOuterJoinExecSql,
     "stream_session_exec"  -> qStreamSessionExecSql,
     "stream_fmgws_exec"    -> qStreamFmgwsExecSql,
     "stream_hll_exec"      -> qStreamHllExecSql,

@@ -226,6 +226,33 @@ object Streams {
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowSeconds SECONDS"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: as [[clickToPurchase]], but a
+    * purchase with NO click in its preceding `windowSeconds` still emits —
+    * null-padded — once the event-time watermark passes the purchase's
+    * match horizon and its join state is evicted (the unattributed-revenue
+    * shape). The outer row CANNOT emit eagerly: only watermark passage
+    * proves no matching click can still arrive, so emission rides state
+    * eviction — this is the one join shape whose output inherently spans
+    * micro-batches, and why callers must advance the watermark beyond the
+    * data (a horizon row) before draining the sink. Same two-sided
+    * watermark + time-bound condition keeps state bounded at 100 TB/day:
+    * a purchase's state lives exactly `watermark` past its timestamp. */
+  def clickToPurchaseOuter(clicks: DataFrame, purchases: DataFrame,
+                           windowSeconds: Long = 3600L,
+                           watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowSeconds SECONDS"),
+      "leftOuter")
+  }
+
   /** Watermarked exact dedup on an id column: a duplicate id arriving
     * within the watermark horizon is dropped even when its timestamp
     * differs (true id-only dedup — dropDuplicatesWithinWatermark keys

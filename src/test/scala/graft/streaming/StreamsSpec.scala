@@ -200,4 +200,37 @@ class StreamsSpec extends SparkSpec {
       assert(rows == Set((10L, 1L), (10L, 2L)))
     } finally q.stop()
   }
+
+  test("left-outer stream-stream join emits unmatched purchases on watermark passage") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Streams.Event]
+    val purchases = MemoryStream[Streams.Event]
+    val q = Streams.clickToPurchaseOuter(clicks.toDF(), purchases.toDF(),
+        windowSeconds = 600, watermark = "1 hour")
+      .writeStream.format("memory").queryName("c2p_outer").outputMode("append").start()
+    try {
+      clicks.addData(ev(1, 0, 7, "click", 0.0))
+      purchases.addData(ev(10, 8, 7, "purchase", 49.0),  // joins click 1
+                        ev(11, 30, 9, "purchase", 5.0))  // user 9 never clicked
+      q.processAllAvailable()
+      // matched row emits eagerly; the outer row CANNOT yet — only
+      // watermark passage proves no matching click can still arrive
+      val eager = spark.table("c2p_outer")
+        .select("purchase_id").as[Long].collect().toSet
+      assert(eager == Set(10L), s"before horizon: $eager")
+
+      // horizon rows on BOTH sides (the join's watermark is the min of
+      // the two inputs') push the watermark past purchase 11's window;
+      // the no-data finalization batch then evicts and emits it null-padded
+      clicks.addData(ev(98, 30 + 61 + 600 / 60, 7, "click", 0.0))
+      purchases.addData(ev(99, 30 + 61 + 600 / 60, 7, "purchase", 0.0))
+      q.processAllAvailable()
+      val all = spark.table("c2p_outer")
+        .select("purchase_id", "click_id")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(all.contains((11L, None)),
+        s"unmatched purchase 11 must emit null-padded after the horizon: $all")
+      assert(!all.exists { case (p, c) => p == 11L && c.isDefined })
+    } finally q.stop()
+  }
 }
