@@ -163,82 +163,82 @@ object Bench {
     // countDistinct + the broadcast rank-window pass (2.1s warm isolated
     // vs 0.54s for the old sketch-only body; the exact-percentile
     // comparison it replaced ran 5.8s)
-    "agg_approx" -> 2.6, "agg_argmax" -> 0.385, "agg_cms_portable" -> 0.647,
-    "agg_conditional" -> 0.302, "agg_corr" -> 1.579, "agg_cube" -> 0.584,
-    "agg_distinct" -> 0.626, "agg_grouping_sets" -> 0.261, "agg_histogram" -> 0.277,
-    "agg_hll_portable" -> 0.451, "agg_percentile" -> 0.334,
+    "agg_approx" -> 1.976, "agg_argmax" -> 0.438, "agg_cms_portable" -> 0.641,
+    "agg_conditional" -> 0.247, "agg_corr" -> 1.716, "agg_cube" -> 0.604,
+    "agg_distinct" -> 0.672, "agg_grouping_sets" -> 0.245, "agg_histogram" -> 0.215,
+    "agg_hll_portable" -> 0.455, "agg_percentile" -> 0.315,
     // comparator: agg_hll_portable x2 (two filtered register builds +
     // the O(m) register merge and three tiny finalize folds)
-    "agg_hll_intersect" -> 0.9,
+    "agg_hll_intersect" -> 0.579,
     // comparator: events_funnel x2 (5 bounded join+agg shuffle rounds
     // over the distinct trade edges — a multi-stage shuffle pipeline)
-    "graph_pagerank" -> 5.0, "agg_pivot" -> 0.441,
+    "graph_pagerank" -> 5.578, "agg_pivot" -> 0.367,
     // comparator: events_funnel (same few-round join+agg shuffle pipeline;
     // one nation's co-purchase subgraph keeps edges and wedges bounded)
-    "graph_triangles" -> 2.521,
-    "agg_rollup" -> 0.949, "agg_moments" -> 1.379,
-    "ann_int8" -> 0.759, "pipeline_split" -> 0.232,
+    "graph_triangles" -> 1.595,
+    "agg_rollup" -> 0.947, "agg_moments" -> 1.157,
+    "ann_int8" -> 0.77, "pipeline_split" -> 0.209,
     // comparator: pipeline_recipe (several passes over documents + small
     // one-row joins; this one is 2 top-k scans + a map-only key scan)
-    "pipeline_shuffle" -> 1.094,
-    "sort_zorder" -> 0.245, "agg_quantile_portable" -> 0.625,
-    "dedup_components" -> 10.853, "ann_batch" -> 0.492,
+    "pipeline_shuffle" -> 0.341,
+    "sort_zorder" -> 0.29, "agg_quantile_portable" -> 0.376,
+    "dedup_components" -> 8.639, "ann_batch" -> 0.203,
     // comparator: dedup_components (same pair join + closure dominate;
     // the extra score join + per-cluster window are noise at that scale)
-    "dedup_keep_best" -> 10.853,
-    "text_decontaminate" -> 0.900,
+    "dedup_keep_best" -> 10.193,
+    "text_decontaminate" -> 0.659,
     // comparator: text_decontaminate (same gram machinery; the bloom probe
     // is map-only so it should come in at or under the exact sweep)
-    "text_decontaminate_bloom" -> 0.900,
-    "pipeline_pack" -> 0.424, "pipeline_sample_weighted" -> 0.298,
-    "pipeline_quota" -> 0.551, "pipeline_recipe" -> 1.094,
-    "text_chunk" -> 1.100, "agg_embedding_centroid" -> 0.400,
+    "text_decontaminate_bloom" -> 0.649,
+    "pipeline_pack" -> 0.373, "pipeline_sample_weighted" -> 0.193,
+    "pipeline_quota" -> 0.319, "pipeline_recipe" -> 0.5,
+    "text_chunk" -> 0.906, "agg_embedding_centroid" -> 0.239,
     // comparator: text_chunk (same explode/reassemble shape) + the df
     // aggregation and anti join on the segment key
-    "text_line_dedup" -> 1.500,
-    "embedding_outliers" -> 1.100, "text_fluency" -> 0.911,
+    "text_line_dedup" -> 1.642,
+    "embedding_outliers" -> 1.301, "text_fluency" -> 0.882,
     // comparator: agg_embedding_centroid x2 (two passes over the exploded
     // elements: the stats agg, then the broadcast join-back + z agg)
-    "embedding_normalize" -> 0.8,
+    "embedding_normalize" -> 0.928,
     // comparator: pipeline_sample_stratified (same per-group window +
     // head shape; band map in place of the strata key)
-    "pipeline_curriculum" -> 0.326,
-    "text_boilerplate" -> 0.429, "events_retention" -> 0.578,
-    "pipeline_sample_stratified" -> 0.326,
+    "pipeline_curriculum" -> 0.304,
+    "text_boilerplate" -> 0.343, "events_retention" -> 0.506,
+    "pipeline_sample_stratified" -> 0.298,
     // measured warm sf0.1 (per-domain window selection like
     // pipeline_sample_stratified, plus the counts pass training the targets)
-    "pipeline_mix" -> 0.60,
-    "ann_brute_force" -> 0.183, "ann_ivf" -> 0.571, "ann_lsh" -> 0.169,
+    "pipeline_mix" -> 0.56,
+    "ann_brute_force" -> 0.116, "ann_ivf" -> 0.459, "ann_lsh" -> 0.128,
     // comparator: ann_ivf (same probe + re-rank; the assignment map moved
     // to the one-time index write, but the probe now pays a parquet read)
-    "ann_ivf_pruned" -> 0.571,
+    "ann_ivf_pruned" -> 0.242,
     // comparator: ann_ivf (train + assignment expression + top-k; PQ's
     // argmin is 8x16 dots vs IVF's 64 cosines) x1.5 headroom
-    "ann_pq" -> 0.86,
+    "ann_pq" -> 0.796,
     // comparator: ann_pq (same encode+ADC shape; the probe filter scans
     // less but adds the 64-centroid assignment map)
-    "ann_ivf_pq" -> 0.86,
+    "ann_ivf_pq" -> 1.166,
     // comparator: ann_batch (same one-scan + window-rank shape, grouped
     // by label instead of probe id)
-    "ann_grouped" -> 0.50,
-    "dedup_embedding" -> 0.794, "dedup_exact" -> 0.313,
-    "dedup_minhash_lsh" -> 4.789, "dedup_ngram_jaccard" -> 10.653,
+    "ann_grouped" -> 0.184,
+    "dedup_embedding" -> 0.88, "dedup_exact" -> 0.192,
+    "dedup_minhash_lsh" -> 4.709, "dedup_ngram_jaccard" -> 9.132,
     // comparator: dedup_minhash_lsh + dedup_ngram_jaccard (the eval runs
     // BOTH pipelines — banding for candidates, the exact sweep for truth)
-    "dedup_eval" -> 15.4,
+    "dedup_eval" -> 8.957,
     // comparator: dedup_eval (same two pipelines, 25% doc scope -> ~6%
     // of the quadratic truth cost; dominated by the fixed plan overhead)
-    "dedup_eval_sampled" -> 2.5,
+    "dedup_eval_sampled" -> 1.493,
     // comparator: dedup_ngram_jaccard (same posting-join shape; k=3
     // trigram postings are sparser than its k=2, so this is headroom)
-    "dedup_containment" -> 10.653,
+    "dedup_containment" -> 2.506,
     // measured warm sf0.1 (same posting self-join + df-cap shape as
     // dedup_containment, but fingerprints are winnowed SAMPLES of the
     // gram stream, so the posting list is ~5x smaller)
-    "dedup_winnow" -> 1.978,
+    "dedup_winnow" -> 1.96,
     // comparator: dedup_minhash_lsh (same banding/candidate machinery;
     // the embedding-join verify replaces the gram-set verify)
-    "dedup_cascade" -> 4.789,
+    "dedup_cascade" -> 1.077,
     // comparator: dedup_minhash_lsh + dedup_components + text_line_dedup
     // chained (the recipe runs all three over the cleaned corpus).
     // r9 stage profile (graft.tools.ProfileDedupRecipe, sf0.1 warm):
@@ -247,291 +247,298 @@ object Bench {
     // corpus-floor stages (candidate pairs ~= all true pairs at t=0.4,
     // SURVEY.md round-4 note), not a plan regression; budget sits at the
     // isolated floor and the 2x gate absorbs the loaded band
-    "pipeline_dedup_recipe" -> 9.5,
-    "dedup_simhash" -> 0.868, "events_funnel" -> 2.521,
+    "pipeline_dedup_recipe" -> 8.351,
+    "dedup_simhash" -> 0.415, "events_funnel" -> 0.564,
     // re-baselined round 6 to the round-5 driver-measured warm value
     // (BENCH_r05: 2.66 s): the original mdio_agc comparator undercounted
     // — this window carries FIVE sliding-frame aggregates (count + two
     // decimal sums, each read twice) where agc carries two; isolated
     // re-measure lands 2.6-3.7 s, a 2x gate from 2.66 covers the band
-    "events_anomaly" -> 2.66,
+    "events_anomaly" -> 2.957,
     // comparator: agg_distinct (same two-level hash-agg shape + a
     // 25-row window for the tie-broken head)
-    "agg_mode" -> 0.626,
+    "agg_mode" -> 0.467,
     // comparator: agg_distinct (same two-level hash agg; OR'd words in
     // place of the distinct operator's dedup state)
-    "agg_bitmap_distinct" -> 0.626,
+    "agg_bitmap_distinct" -> 0.351,
     // comparator: window_lag_delta (same one-window-per-user + small agg
     // shape; a 25-cell matrix join rides on top)
-    "events_markov" -> 0.541,
+    "events_markov" -> 0.687,
     // comparator: window_ranks (two window functions over one shuffle +
     // two small group-bys)
-    "window_islands" -> 0.723,
+    "window_islands" -> 0.811,
     // comparator: graph_pagerank (same bounded-round join pipeline over
     // the same checkpointed edge table; BFS frontiers shrink after round
     // 2 where pagerank re-scores every node every round)
-    "graph_bfs" -> 5.0,
+    "graph_bfs" -> 3.552,
     // comparator: agg_corr (same sufficient-statistics partial-agg shape:
     // five exact sums per group, one finalize row)
-    "agg_linreg" -> 1.6,
+    "agg_linreg" -> 1.32,
     // comparator: events_funnel (several partial-agg scans + two honest
     // referential joins, unioned into a report)
-    "pipeline_expectations" -> 2.5,
+    "pipeline_expectations" -> 0.986,
     // comparator: window_islands (one partitioned window + one group-by)
-    "pipeline_binning" -> 0.723,
+    "pipeline_binning" -> 0.581,
     // comparator: text_tfidf (same unigram+bigram count shape with two
     // distinct-gram joins on top)
-    "text_collocations" -> 1.0,
+    "text_collocations" -> 0.453,
     // comparator: mdio_agc (identical cells shuffle + one ordered-window
     // pass; five lag/lead taps in place of the rolling RMS)
-    "mdio_bandpass" -> 1.511,
+    "mdio_bandpass" -> 1.847,
     // comparator: mdio_agc (same shape; the 5-row frame collect + sort
     // costs what the rolling moments cost)
-    "mdio_despike" -> 1.511,
+    "mdio_despike" -> 1.696,
     // comparator: multimodal_bmp (same map-only decode over the same
     // payloads + one hash-groupBy on top)
-    "image_phash" -> 1.0,
+    "image_phash" -> 0.407,
     // comparator: image_phash + dedup_simhash's band-join shape over the
     // KB-scale distinct-fingerprint table
-    "image_phash_near" -> 1.5,
+    "image_phash_near" -> 0.76,
     // comparator: image_phash + dedup_exact (one md5 groupBy + two
     // keeper joins on top of the shared decode)
-    "pipeline_multimodal_dedup" -> 1.8,
+    "pipeline_multimodal_dedup" -> 0.859,
     // comparator: stream_tumbling_exec (same single stateful streaming
     // agg; conditional counters in place of the window state)
-    "stream_expectations_exec" -> 1.9,
+    "stream_expectations_exec" -> 1.362,
     // comparator: agg_conditional x2 (two filtered agg passes over
     // events + a 5-row merge join)
-    "pipeline_incremental" -> 0.7,
+    "pipeline_incremental" -> 0.638,
     // comparator: text_tokens + agg_distinct (one posexplode + one
     // countDistinct-bearing groupBy)
-    "text_inverted_index" -> 1.0,
+    "text_inverted_index" -> 0.677,
     // comparator: mdio_semblance's computed-equi-key join on the same
     // 1024-cell grid, 5 lags x 15 pairs
-    "mdio_xcorr" -> 1.0,
+    "mdio_xcorr" -> 0.901,
     // comparator: join_semi x2 (same lineitem⋈supplier equi join; the
-    // x8 salt replication of the 100-row small side is noise)
-    "join_salted" -> 0.9,
+    // x8 salt replication of the 100-row small side is noise). The r9
+    // suite run's 1.45 s was load noise, not a plan change: isolated
+    // warm re-measure r10 = 0.97 s, right at its r8 level.
+    "join_salted" -> 1.091,
     // comparator: stream_tumbling_exec (same one-stateful-agg streaming
     // shape; session-merge state in place of fixed windows)
-    "stream_session_exec" -> 1.871,
+    "stream_session_exec" -> 1.69,
     // comparator: stream_session_exec (same streaming shape with the
     // custom flatMapGroupsWithState operator + typed encoder in place of
     // the native session window)
-    "stream_fmgws_exec" -> 2.5,
+    "stream_fmgws_exec" -> 2.544,
     // measured warm sf0.1: a stream-stream join state-stores BOTH sides
     // (every click AND every purchase rides the state store with range
     // scans on match) — inherently dearer than the single-sided execs its
     // first comparator guessed from; the cost is the operator, not a plan
     // defect (the batch twin join_asof-style plan runs in ~0.4 s)
-    "stream_join_exec" -> 5.4,
+    "stream_join_exec" -> 6.547,
+    // comparator: stream_join_exec + the horizon staging write (events
+    // re-written once per run so the watermark can pass the corpus tail)
+    // + the no-data finalization batch that emits the outer rows.
+    // measured warm sf0.1 (TimeOne): 8.0/8.6 s two-pass
+    "stream_outer_join_exec" -> 8.3,
     // comparator: mdio_smooth_grid (identical two-window separable pass
     // over the same cell aggregation)
-    "mdio_gradient" -> 2.3,
-    "events_sessionize" -> 0.719, "fn_array" -> 0.387, "fn_case" -> 0.259,
+    "mdio_gradient" -> 1.865,
+    "events_sessionize" -> 0.447, "fn_array" -> 0.211, "fn_case" -> 0.161,
     // measured warm sf0.1 (the span-bounded gap explode multiplies rows
     // ~10x before the final fold — more than the sessionize comparator
     // guessed; still one window + one explode + one agg)
-    "events_resample" -> 2.0,
+    "events_resample" -> 1.969,
     // comparator: window_ranks (same single window-over-orders + small
     // group-by shape; lead in place of rank)
-    "pipeline_scd2" -> 0.723,
-    "fn_date" -> 0.483, "fn_datetime" -> 0.482, "fn_json" -> 1.075,
+    "pipeline_scd2" -> 0.756,
+    "fn_date" -> 0.419, "fn_datetime" -> 0.27, "fn_json" -> 0.818,
     // comparator: fn_json (same from_json parse over events.props + one
     // agg; the corrupt-branch concat is noise)
-    "pipeline_quarantine" -> 1.075,
-    "fn_bitwise" -> 0.361,
-    "fn_levenshtein" -> 0.176, "fn_map" -> 0.617, "fn_math" -> 0.564,
-    "fn_regex" -> 0.495, "fn_string" -> 0.319, "geo_utm" -> 0.887,
-    "join_anti" -> 0.620, "join_asof" -> 0.612, "join_cross" -> 0.421,
-    "join_full_outer" -> 0.731, "join_left_outer" -> 0.648,
-    "join_range" -> 0.752, "join_semi" -> 0.426, "join_interval" -> 1.441,
+    "pipeline_quarantine" -> 0.858,
+    "fn_bitwise" -> 0.226,
+    "fn_levenshtein" -> 0.094, "fn_map" -> 0.269, "fn_math" -> 0.396,
+    "fn_regex" -> 0.266, "fn_string" -> 0.182, "geo_utm" -> 0.442,
+    "join_anti" -> 0.338, "join_asof" -> 0.455, "join_cross" -> 0.261,
+    "join_full_outer" -> 0.646, "join_left_outer" -> 0.393,
+    "join_range" -> 0.572, "join_semi" -> 0.258, "join_interval" -> 1.736,
     // comparator: join_interval (same bucketed-candidate equi-join +
     // exact-predicate-postfilter shape, on a 2-D grid key)
-    "join_spatial" -> 1.441,
+    "join_spatial" -> 0.699,
     // comparator: join_interval (same candidate-equi-join + exact-verify
     // shape; the distinct-name fold makes the pairwise stage tiny, the
     // cost is the token-explode + df ranking over part names)
-    "join_fuzzy" -> 1.441,
-    "mdio_cast_typed" -> 0.345,
-    "mdio_coordselector" -> 0.217, "mdio_fill_value" -> 0.784,
-    "mdio_histogram_centered" -> 0.368, "mdio_histogram_edges" -> 0.498,
-    "mdio_intervals" -> 0.296, "mdio_isel_concat" -> 0.482,
-    "mdio_isel_slice" -> 0.311, "mdio_isel_stride" -> 0.398,
+    "join_fuzzy" -> 0.973,
+    "mdio_cast_typed" -> 0.264,
+    "mdio_coordselector" -> 0.123, "mdio_fill_value" -> 0.702,
+    "mdio_histogram_centered" -> 0.285, "mdio_histogram_edges" -> 0.323,
+    "mdio_intervals" -> 0.225, "mdio_isel_concat" -> 0.264,
+    "mdio_isel_slice" -> 0.219, "mdio_isel_stride" -> 0.315,
     // comparator: mdio_smooth_dim (identical cells-agg + one-window-per-
     // trace shape; RMS divide in place of the moving average)
-    "mdio_agc" -> 1.511,
+    "mdio_agc" -> 1.746,
     // comparator: mdio_histogram_edges (same cells-agg + broadcast-join +
     // small-group agg shape; the trial grid replaces the edge table)
-    "mdio_semblance" -> 0.7,
+    "mdio_semblance" -> 0.964,
     // comparator: mdio_semblance (same cells-agg + broadcast moveout-table
     // join + small-group agg; the 2x explode of the trial grid is noise)
-    "mdio_nmo" -> 0.7,
+    "mdio_nmo" -> 0.691,
     // comparator: mdio_semblance + mdio_nmo chained (the pick between
     // them is a 48-row aggregation)
-    "mdio_velocity_stack" -> 1.4,
+    "mdio_velocity_stack" -> 1.381,
     // comparator: mdio_nmo (same cells-agg + broadcast join-back + small
     // agg; the argmax pick replaces the moveout table)
-    "mdio_horizon_flatten" -> 0.7,
+    "mdio_horizon_flatten" -> 1.048,
     // comparator: mdio_nmo (same cells-agg base) + multimodal_bmp-scale
     // encode/decode work (4 files x 5.6 KB vs 5k small BMPs — headroom)
-    "segy_roundtrip" -> 0.9,
+    "segy_roundtrip" -> 0.812,
     // comparator: mdio_rechunk (same one-time-build + connector-scan
     // query shape; the tape write + binaryFile ingest is in the build)
-    "segy_to_mdio" -> 0.3,
+    "segy_to_mdio" -> 0.294,
     // comparator: stream_tumbling_exec (same file-source -> map -> one
     // stateful agg -> memory sink shape; 4 tape files in place of the
     // events parquet, the SEG-Y parse is a per-file map)
-    "stream_segy_exec" -> 1.871,
-    "mdio_open_sel" -> 0.238, "mdio_sel_list" -> 0.802,
-    "mdio_sel_range" -> 0.540, "mdio_smooth_dim" -> 1.511, "mdio_sel_value" -> 0.502,
+    "stream_segy_exec" -> 1.17,
+    "mdio_open_sel" -> 0.189, "mdio_sel_list" -> 0.825,
+    "mdio_sel_range" -> 0.436, "mdio_smooth_dim" -> 1.864, "mdio_sel_value" -> 0.471,
     // comparator: mdio_smooth_dim x1.5 (the second separable pass adds
     // one more shuffle + window over the same cell count)
-    "mdio_smooth_grid" -> 2.3,
-    "mdio_select_field" -> 0.463, "mdio_select_variable" -> 0.221,
-    "mdio_stats_aggregator" -> 0.458, "mdio_stats_v1" -> 0.506,
-    "multimodal_bytes" -> 0.122,
+    "mdio_smooth_grid" -> 2.085,
+    "mdio_select_field" -> 0.428, "mdio_select_variable" -> 0.284,
+    "mdio_stats_aggregator" -> 0.32, "mdio_stats_v1" -> 0.771,
+    "multimodal_bytes" -> 0.092,
     // comparator: the five single-format decode twins (bmp/png/gif/jpeg/
     // wav, 0.7-0.9 each) — the mixed corpus decodes 1/5 of the docs per
     // codec in one pass, replacing the retired fake/rgb8 byte-hash stub
-    "multimodal_features" -> 0.9,
+    "multimodal_features" -> 0.724,
     // r4 measured 0.30, r5/r6 ~0.51-0.68 warm: profiled round 6 — the
     // source diff is a field rename + per-image O(1) header checks, and
     // the number is stable in isolation (BenchOne), so ~0.5 s is the
     // honest cost of 5k real BMP encode+decodes through Dataset encoders,
     // not a plan defect; budget stays at its r4-era recorded value
-    "multimodal_bmp" -> 0.725, "multimodal_wav" -> 0.908,
+    "multimodal_bmp" -> 0.298, "multimodal_wav" -> 0.518,
     // comparator: multimodal_bmp (same shape) + ~50% for deflate/inflate —
     // NOT this query's own first measurement (round-4 verdict discipline)
-    "multimodal_png" -> 1.1,
+    "multimodal_png" -> 0.615,
     // comparator: multimodal_png (same attach+decode shape; LZW table
     // build/walk per code in place of inflate+unfilter per row)
-    "multimodal_gif" -> 1.1,
+    "multimodal_gif" -> 0.615,
     // comparator: multimodal_png (same attach+decode shape; Huffman+IDCT
     // per block on smaller images in place of inflate+unfilter per row)
-    "multimodal_jpeg" -> 1.1,
+    "multimodal_jpeg" -> 1.193,
     // measured warm sf0.1 (same encode+decode shape as multimodal_jpeg;
     // images are larger — up to 64x48 macroblocked — and carry 3 planes)
-    "multimodal_jpeg_color" -> 1.05,
+    "multimodal_jpeg_color" -> 0.903,
     // comparator: multimodal_wav (same attach+parse map-only shape;
     // box-table walk in place of RIFF chunk scan, similar payload sizes)
-    "multimodal_mp4" -> 0.908,
+    "multimodal_mp4" -> 0.288,
     // comparator: multimodal_mp4 + the n/4-row keyframe explode (still
     // map-only into one partial-agg'd sum)
-    "multimodal_mp4_frames" -> 1.0,
+    "multimodal_mp4_frames" -> 0.232,
     // comparator: text_tfidf x2 (same explode + two count aggs + join-back
     // shape, run over bigrams instead of unigrams)
-    "text_perplexity" -> 2.0,
+    "text_perplexity" -> 1.328,
     // comparator: text_perplexity (same explode + histogram + join-back
     // shape over characters instead of bigrams)
-    "text_entropy" -> 2.0,
-    "pipeline_compose" -> 0.746, "q10_returned_items" -> 1.002,
-    "q1_pricing_summary" -> 1.381, "q3_shipping_priority" -> 0.820,
-    "q5_region_revenue" -> 1.389, "q6_forecast_revenue" -> 0.337,
+    "text_entropy" -> 0.883,
+    "pipeline_compose" -> 0.636, "q10_returned_items" -> 0.956,
+    "q1_pricing_summary" -> 1.281, "q3_shipping_priority" -> 0.561,
+    "q5_region_revenue" -> 1.232, "q6_forecast_revenue" -> 0.222,
     // comparators for the round-6 TPC-H widening (no self-measured
     // first budgets — round-4 verdict discipline):
     // q3 (same orders-quarter filter + lineitem semi shape)
-    "q4_order_priority" -> 0.820,
+    "q4_order_priority" -> 0.432,
     // q5 (same lineitem⋈orders shuffle + broadcast dims; two nation hops)
-    "q7_volume_shipping" -> 1.389,
+    "q7_volume_shipping" -> 0.728,
     // q5 x1.5 (adds part + region hops and the conditional-sum ratio)
-    "q8_market_share" -> 2.1,
+    "q8_market_share" -> 0.954,
     // q5 (same star shape through part instead of customer geography)
-    "q9_product_profit" -> 1.389,
+    "q9_product_profit" -> 0.869,
     // join_left_outer + agg_distinct (outer join then two group-bys)
-    "q13_customer_distribution" -> 1.3,
+    "q13_customer_distribution" -> 0.475,
     // q6 + a broadcast part hop (one-month filtered scan + ratio)
-    "q14_promo_revenue" -> 0.7,
+    "q14_promo_revenue" -> 0.301,
     // q6 x2 (quarter scan aggregated per supplier, then the max probe
     // re-uses the same grouped result)
-    "q15_top_supplier" -> 0.7,
+    "q15_top_supplier" -> 0.554,
     // q1 (two full-ish lineitem aggregations: per-part avg + final sum)
-    "q17_small_qty_revenue" -> 1.381,
+    "q17_small_qty_revenue" -> 0.502,
     // q1 + q10 (full lineitem group-by then top-k join)
-    "q18_large_volume" -> 1.5,
+    "q18_large_volume" -> 0.965,
     // q6 (filtered scan + broadcast part join, OR-block predicate)
-    "q19_discounted_revenue" -> 0.7,
+    "q19_discounted_revenue" -> 0.388,
     // join_anti + agg_distinct (anti join on urgent orders + group-by)
-    "q22_global_sales" -> 1.0,
+    "q22_global_sales" -> 0.492,
     // round-7 TPC-H completion — first-recorded sf0.1 warm values
     // (BenchOne, min of two warm passes in one JVM):
-    "q2_min_cost_supplier" -> 2.1, "q11_important_stock" -> 1.3,
-    "q12_shipmode_priority" -> 1.9, "q16_part_supplier_cnt" -> 3.0,
-    "q20_excess_stock" -> 3.2, "q21_waiting_supplier" -> 1.6,
-    "set_except" -> 0.736, "set_intersect" -> 0.658, "set_union" -> 0.381,
-    "sort_multikey" -> 0.178, "sort_topk" -> 0.187,
-    "stream_dedup_exec" -> 5.869, "stream_curation_exec" -> 2.216,
+    "q2_min_cost_supplier" -> 1.35, "q11_important_stock" -> 0.821,
+    "q12_shipmode_priority" -> 0.546, "q16_part_supplier_cnt" -> 1.48,
+    "q20_excess_stock" -> 1.999, "q21_waiting_supplier" -> 1.316,
+    "set_except" -> 0.543, "set_intersect" -> 0.475, "set_union" -> 0.277,
+    "sort_multikey" -> 0.157, "sort_topk" -> 0.157,
+    "stream_dedup_exec" -> 2.967, "stream_curation_exec" -> 1.421,
     // comparator: stream_curation_exec (same file-source -> map ->
     // one-stateful-agg shape; regex sweep in place of the quality gate)
-    "stream_pii_exec" -> 2.216,
-    "stream_mdio_exec" -> 2.148,
+    "stream_pii_exec" -> 2.208,
+    "stream_mdio_exec" -> 1.255,
     // comparator: stream_tumbling_exec (same file-source -> one stateful
     // agg -> memory sink shape; 5x256 register rows + a tiny batch fold)
-    "stream_hll_exec" -> 1.871,
+    "stream_hll_exec" -> 1.56,
     // comparator: stream_hll_exec (identical shape; 4x1024 SUM counters
     // in place of the MAX registers, plus the broadcast probe join)
-    "stream_cms_exec" -> 1.871,
+    "stream_cms_exec" -> 1.575,
     // comparator: ann_ivf_pruned (the timed passes hit the cached
     // streamed index, so the cost is the same pruned parquet top-k)
-    "stream_ivf_exec" -> 0.571,
-    "stream_sliding" -> 0.640,
-    "stream_tumbling" -> 0.389, "stream_tumbling_exec" -> 1.871,
-    "text_fingerprint" -> 0.437, "text_langid" -> 0.688,
+    "stream_ivf_exec" -> 0.141,
+    "stream_sliding" -> 0.829,
+    "stream_tumbling" -> 0.379, "stream_tumbling_exec" -> 1.417,
+    "text_fingerprint" -> 0.355, "text_langid" -> 0.588,
     // comparator: text_rolling_hash (same per-row map + char fold; three
     // regex passes on a shorter string in place of the tokenizer)
-    "text_pii" -> 0.476,
+    "text_pii" -> 0.732,
     // comparator: agg_quantile_portable x2 sketches + the text_quality
     // tokenizer map feeding the second one
-    "pipeline_stats" -> 0.950,
+    "pipeline_stats" -> 0.774,
     // comparator: pipeline_split (same one-window-pass-over-documents +
     // two small group-bys shape)
-    "pipeline_compact" -> 0.3,
+    "pipeline_compact" -> 0.305,
     // comparator: text_quality (same tokenize + map-only scoring shape;
     // the kernel does one hash+lookup per gram in place of the ratio math)
-    "text_classify" -> 0.800,
-    "text_quality" -> 0.514, "text_rolling_hash" -> 0.476,
-    "text_tfidf" -> 0.990, "text_tokens" -> 0.358,
+    "text_classify" -> 0.322,
+    "text_quality" -> 0.407, "text_rolling_hash" -> 0.647,
+    "text_tfidf" -> 0.769, "text_tokens" -> 0.24,
     // comparator: text_tfidf (same token explode + tf/df aggs; the
     // 4-term posting filter shrinks the join, the dl join adds one back)
-    "text_bm25" -> 0.990,
+    "text_bm25" -> 0.715,
     // comparator: text_pii (same map-only regex sweep + one agg shape;
     // ~8 regex ops per row vs the three PII patterns)
-    "text_url_canonical" -> 0.476,
+    "text_url_canonical" -> 0.643,
     // comparator: text_top_ngrams (same explode + count-agg + top-k
     // shape, with the word-stats join-back on top)
-    "text_keyphrases" -> 0.95,
-    "text_top_ngrams" -> 0.478, "window_first_last" -> 0.711,
-    "window_lag_delta" -> 0.541, "window_moving_avg" -> 0.618,
-    "window_percent_rank" -> 0.349, "window_range_frame" -> 1.808,
-    "window_ranks" -> 0.723, "window_running_sum" -> 0.515,
-    "window_topk_per_group" -> 0.418, "zarr_extents" -> 0.054,
-    "zarr_pushdown" -> 0.157, "zarr_roundtrip" -> 0.072,
+    "text_keyphrases" -> 0.481,
+    "text_top_ngrams" -> 0.352, "window_first_last" -> 0.571,
+    "window_lag_delta" -> 0.456, "window_moving_avg" -> 0.607,
+    "window_percent_rank" -> 0.582, "window_range_frame" -> 1.534,
+    "window_ranks" -> 0.619, "window_running_sum" -> 0.449,
+    "window_topk_per_group" -> 0.369, "zarr_extents" -> 0.029,
+    "zarr_pushdown" -> 0.093, "zarr_roundtrip" -> 0.059,
     // comparator: zarr_pushdown (same filtered-scan shape; the one-time
     // store migration happens in the untimed build, like zarrGrid itself)
-    "mdio_rechunk" -> 0.160,
+    "mdio_rechunk" -> 0.118,
     // comparator: zarr_roundtrip (same full-scan aggregate of the 32x8
     // store; copy + RMW patch happen in the one-time untimed build)
-    "mdio_update" -> 0.160,
+    "mdio_update" -> 0.122,
     // comparator: mdio_rechunk (same one-time-build + scan shape, plus a
     // one-row crossJoin assembling the two aggregates)
-    "mdio_extract" -> 0.300,
+    "mdio_extract" -> 0.187,
     // comparator: mdio_extract (same two-migration one-time build + two
     // filtered scans + one-row crossJoin)
-    "mdio_reshard" -> 0.300,
+    "mdio_reshard" -> 0.154,
     // comparator: zarr_pushdown (identical filtered-scan query through a
     // permuted-layout store; one-time build untimed)
-    "mdio_transpose" -> 0.160,
+    "mdio_transpose" -> 0.084,
     // comparator: zarr_pushdown (seam-straddling filtered scan of the
     // doubled store; one-time build untimed)
-    "mdio_concat" -> 0.160,
-    "zarr_sharded_roundtrip" -> 0.086, "zarr_v3_roundtrip" -> 0.087,
+    "mdio_concat" -> 0.101,
+    "zarr_sharded_roundtrip" -> 0.062, "zarr_v3_roundtrip" -> 0.062,
     // comparator: mdio_semblance (same cells-agg base + broadcast
     // literal-grid equi-expansion + partial-agg'd groupBys; two
     // transform passes in place of the one trial-grid join)
-    "mdio_envelope" -> 1.5,
+    "mdio_envelope" -> 1.181,
     // comparator: embedding_outliers x2 (same posexplode + per-dim agg
     // shape run twice per Lloyd round, plus two per-vector windows)
-    "embedding_kmeans" -> 1.6,
+    "embedding_kmeans" -> 1.238,
     // comparator: embedding_kmeans + dedup_embedding chained (the
     // SemDeDup composite runs the Lloyd assignment, the banded-LSH
     // cosine pass cluster-scoped, and a components round over the
@@ -539,7 +546,7 @@ object Bench {
     // measured warm 4.6s at sf0.1: ~1.6 kmeans + ~2 banded-LSH/cosine +
     // ~1 components/fold overhead (few within-cluster pairs, fixed
     // per-round action cost dominates)
-    "pipeline_semdedup" -> 4.8,
+    "pipeline_semdedup" -> 3.486,
     // comparator: graph_kcore (same checkpointed co-purchase edge table,
     // bounded label-join rounds in place of degree peels; 3 rounds with
     // a map-side-combined max_by argmax each vs 5 peel rounds). Warm
@@ -547,168 +554,168 @@ object Bench {
     // partial-aggregated argmax); iterative-graph queries swing with GC
     // full-bench pressure (r06: +43% on the loaded final run), so the
     // budget sits above that variance band, not the isolated floor
-    "graph_labelprop" -> 3.4,
+    "graph_labelprop" -> 3.65,
     // comparator: join_left_outer (one outer join over orders + a small
     // union and one group-by on top)
-    "pipeline_merge_upsert" -> 0.8,
+    "pipeline_merge_upsert" -> 0.622,
     // comparator: text_tokens + text_top_ngrams (one map-only kernel
     // pass + explode + count-agg top-k)
-    "text_wordpiece" -> 0.9,
+    "text_wordpiece" -> 0.348,
     // comparator: mdio_envelope x2 (two 2-D transform expansions at 16x
     // the per-join row volume but the same grid-bounded agg shape)
-    "mdio_fk_filter" -> 3.0,
+    "mdio_fk_filter" -> 1.585,
     // comparator: embedding_kmeans (same posexplode base + broadcast-join
     // matvec rounds in place of the assignment rounds)
-    "embedding_pca" -> 1.6,
+    "embedding_pca" -> 1.184,
     // comparator: text_top_ngrams + window_islands x3 (one corpus
     // word-count contraction, then three window-composition rounds over
     // the tiny distinct-word dict)
-    "text_bpe_train" -> 1.9,
+    "text_bpe_train" -> 1.679,
     // comparator: mdio_envelope (one transform half instead of two, plus
     // the per-trace pack + argmax window)
-    "mdio_spectrum" -> 1.5,
+    "mdio_spectrum" -> 1.015,
     // comparator: mdio_envelope (identical two-transform explode shape,
     // 2x the inverse grid)
-    "mdio_resample" -> 1.5,
+    "mdio_resample" -> 1.082,
     // comparator: events_resample (same one-shuffle-by-key + window-pass
     // shape over events; two window functions in the one pass)
-    "events_cusum" -> 1.6,
+    "events_cusum" -> 0.904,
     // comparator: mdio_smooth_grid (same cells base + chained grouped
     // passes; three pair-fold levels in place of the two window sweeps)
-    "mdio_wavelet" -> 2.3,
+    "mdio_wavelet" -> 0.975,
     // comparator: mdio_semblance (identical flat-decode broadcast scan +
     // computed-equi-key join + one grouped stack)
-    "mdio_migrate" -> 0.7,
+    "mdio_migrate" -> 0.717,
     // comparator: events_resample (one window pass over events) + the
     // broadcast-ish join back for the touch type
-    "events_attribution" -> 1.6,
+    "events_attribution" -> 0.618,
     // comparator: events_attribution (per-user first-touch agg + join),
     // twice — the funnel chains three step aggregations with two joins
-    "events_funnel" -> 3.2,
+    "events_funnel" -> 0.564,
     // comparator: events_markov x2 (two groupBys + distinct + one join
     // on the same events volume vs markov's one-pass pair build)
-    "events_retention" -> 1.1,
+    "events_retention" -> 0.506,
     // comparator: graph_labelprop (same bounded-round degree/join loop
     // over the trade graph; 8 peels vs labelprop's rounds) + the median
-    "graph_kcore" -> 4.0,
+    "graph_kcore" -> 2.907,
     // comparator: events_cusum (one groupBy(day) + a sequential fold
     // over the driver-tiny daily series vs cusum's window pass)
-    "events_holt" -> 1.6,
+    "events_holt" -> 0.321,
     // comparator: ann_brute_force x3 (scale max pass + int8 scan + the
     // float baseline scan, each a TakeOrdered over embeddings); measured
     // warm 1.0 at sf0.1
-    "embedding_int8_recall" -> 1.0,
+    "embedding_int8_recall" -> 0.608,
     // comparator: dedup_ngram_jaccard x0.6 (same posting-list pair-build
     // shuffle — ~9M pair rows at sf0.1 — plus the small wedge stage);
     // measured warm 5.1 at sf0.1
-    "graph_linkpred" -> 5.5,
+    "graph_linkpred" -> 7.542,
     // comparator: events_markov (one per-user window pass + one count agg
     // over the same events volume)
-    "window_funnel_paths" -> 0.6,
+    "window_funnel_paths" -> 0.534,
     // comparator: events_attribution (per-user agg + three rank windows
     // over the aggregated per-user table)
-    "events_rfm" -> 1.6,
+    "events_rfm" -> 1.216,
     // comparator: text_fluency (same per-doc regex feature pass + small agg)
-    "text_readability" -> 1.2,
+    "text_readability" -> 0.493,
     // comparator: agg_conditional (one conditional-count groupBy over
     // lineitem; the cumulative sweep runs on the ≤50-value domain)
-    "agg_ks_test" -> 0.5,
+    "agg_ks_test" -> 0.497,
     // comparator: stream_fmgws_exec (same file-source -> fMGWS -> memory
     // sink shape; the 3-step machine is lighter state than sessions)
-    "stream_funnel_exec" -> 2.5,
+    "stream_funnel_exec" -> 1.362,
     // comparator: stream_fmgws_exec (same file-source -> fMGWS ->
     // memory-sink shape; two-long state fold in place of session merge)
-    "stream_cusum_exec" -> 2.5,
+    "stream_cusum_exec" -> 2.183,
     // comparator: multimodal_jpeg x4 (8 frame encodes + 2 keyframe
     // decodes per doc vs the twin's 1+1, same per-image cost)
-    "multimodal_mjpeg" -> 4.4,
+    "multimodal_mjpeg" -> 3.341,
     // comparator: multimodal_mjpeg x0.5 (3 encodes + 3 decodes per doc,
     // but MB-constant AVC work is one CAVLC level per MB vs per-block
     // Huffman+IDCT; I_PCM dominates at 384 raw bytes per frame)
-    "multimodal_h264_keyframes" -> 2.2,
+    "multimodal_h264_keyframes" -> 1.32,
     // comparator: multimodal_h264_keyframes (same per-doc encode+decode
     // shape: 2 frames instead of 3, but CBP-15 MBs parse 16 extra AC
     // blocks each and I_NxN MBs run 16 4x4 predictions)
-    "multimodal_h264_ac" -> 2.2,
+    "multimodal_h264_ac" -> 1.205,
     // comparator: agg_ks_test (same contract-then-window shape; the
     // contingency table is even smaller than the value domain)
-    "agg_chi2" -> 0.5,
+    "agg_chi2" -> 0.581,
     // comparator: mdio_xcorr x1.7 (same per-trace lag-product equi-join
     // shape on the same cell grid; five lag/apply joins vs its one pickup)
-    "mdio_deconvolve" -> 1.7,
+    "mdio_deconvolve" -> 1.872,
     // comparator: window_range_frame x2 (the locality audit is two
     // independent segment-partitioned window sorts over the full point
     // set — one per curve — plus the 10-projection key chain; the
     // clustering write itself would be sort_zorder-shaped)
-    "sort_hilbert" -> 3.6,
+    "sort_hilbert" -> 5.181,
     // comparator: join_left_outer x2 (the same orders⋈lineitem equi join
     // run as one full pass + four delta-slice passes over pre-filtered
     // fractions summing to one corpus)
-    "pipeline_incremental_join" -> 1.8,
+    "pipeline_incremental_join" -> 1.301,
     // comparator: mdio_semblance (identical flat-decode broadcast scan +
     // computed-equi-key join + grouped stack; integer moveout is cheaper
     // than its sqrt pickup)
-    "mdio_radon" -> 0.7,
+    "mdio_radon" -> 0.652,
     // comparator: mdio_agc + mdio_nmo + mdio_envelope chained (the three
     // certified stage shapes composed lazily; the envelope runs at N=16
     // on the 64x16 stacked section, cheaper than its standalone twin)
-    "mdio_processing_chain" -> 3.0,
+    "mdio_processing_chain" -> 1.339,
     // measured warm sf0.1 (decimal-cast moment sums over the full fact
     // table are ~2x a plain conditional count; still one scan, one row)
-    "agg_ttest" -> 0.9,
+    "agg_ttest" -> 0.811,
     // comparator: agg_ttest + one window over the ~50-row distinct-value
     // table (driver-tiny); still one fact-table scan
-    "agg_mannwhitney" -> 0.5,
+    "agg_mannwhitney" -> 0.47,
     // measured warm sf0.1 (the daily groupBy + per-key window with 8
     // lag taps; the 8-tap case-chain costs ~2x a single frame sum)
-    "window_ewma" -> 2.0,
+    "window_ewma" -> 2.015,
     // comparator: events_resample's hourly groupBy without the explode:
     // one events scan, 168-bucket agg + broadcast one-row global
-    "events_seasonality" -> 0.5,
+    "events_seasonality" -> 0.385,
     // comparator: agg_mannwhitney (same grouped-value scan + tiny-table
     // window) run twice — the MAD pass regroups the 50-row value table
-    "agg_median_mad" -> 0.8,
+    "agg_median_mad" -> 0.744,
     // comparator: agg_argmax (one orders scan into a ~300-bin agg) + a
     // bin-table window; the scalar ratio tail is free
-    "agg_gini" -> 0.5,
+    "agg_gini" -> 0.43,
     // comparator: agg_conditional (one customer scan, two-level rollup)
-    "pipeline_k_anonymity" -> 0.4,
+    "pipeline_k_anonymity" -> 0.249,
     // comparator: agg_argmax (one orders scan into a 9-digit agg; the
     // string first-digit extraction is a map)
-    "agg_benford" -> 0.6,
+    "agg_benford" -> 0.412,
     // comparator: mdio_gradient (identical two-window derivative shape;
     // the tensor sums replace the magnitude agg). Isolated warm: 1.8s —
     // but the per-crossline window has only |x|=7 partitions, so its big
     // sorted partitions are GC-sensitive under full-bench memory
     // pressure (measured 1.8–4.5s across runs); budget set to keep the
     // gate above that documented variance band, not the isolated floor
-    "mdio_dip" -> 2.4,
+    "mdio_dip" -> 2.018,
     // comparator: graph_triangles (same within-order bounded-quadratic
     // pair expansion; CF adds the two count joins + top-10 readout)
-    "graph_item_cf" -> 2.0,
+    "graph_item_cf" -> 2.009,
     // comparator: agg_ttest + agg_mannwhitney over the per-customer
     // metric (one orders groupBy + one broadcast-ish hash join feeding
     // both readouts lazily)
-    "pipeline_experiment" -> 1.2,
+    "pipeline_experiment" -> 0.833,
     // comparator: multimodal_jpeg (same images, same decode volume; the
     // four-scan parse re-reads the entropy stream but skips chroma)
-    "multimodal_jpeg_progressive" -> 0.8,
+    "multimodal_jpeg_progressive" -> 0.564,
     // comparator: stream_hll_exec (same one-streaming-agg micro-batch
     // machinery; two rows of moment state + a free scalar tail)
-    "stream_experiment_exec" -> 1.5,
+    "stream_experiment_exec" -> 1.507,
     // comparator: window_moving_avg (daily rollup + a window over the
     // ~2500-row day table; seven taps in one pass)
-    "agg_autocorr" -> 0.8,
+    "agg_autocorr" -> 1.016,
     // comparator: pipeline_k_anonymity (same customer scan; one extra
     // pre-aggregation level for the distinct sensitive values)
-    "pipeline_l_diversity" -> 0.5,
+    "pipeline_l_diversity" -> 0.357,
     // comparator: text_top_ngrams x2 (two explode -> map-side-combined
     // groupBy passes over tokens and bigrams, plus the per-doc fold)
-    "text_repetition" -> 2.0,
+    "text_repetition" -> 1.29,
     // comparator: pipeline_experiment (two full-data aggregation passes
     // of 9 quantized sums each + free scalar 3x3 solves; the sigmoid
     // scoring pass is a pure map)
-    "pipeline_quality_irls" -> 1.5,
+    "pipeline_quality_irls" -> 0.932,
     // comparator: graph_item_cf (same pair expansion + two degree joins;
     // no top-k readout, one moment aggregation). Warm isolated 2.5s with
     // a clean plan (r06 verdict audit: bounded within-order pair
@@ -716,5 +723,5 @@ object Bench {
     // variance on the full run (5.8s loaded vs 2.3s isolated, same day),
     // so per the variance-band discipline the budget covers the loaded
     // band — the 2x gate then trips only on a real plan regression
-    "graph_assortativity" -> 3.3)
+    "graph_assortativity" -> 3.591)
 }

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Re-baseline the Bench.scala per-query budget table from N quiet full-suite
+runs (round-9 verdict item 4).
+
+Rule: budget = median of the runs; if max > 1.25 x median (a noisy query),
+budget = max — so the 2x regression gate models cost, not stale floors, and
+every observed quiet run sits <= 1.25x its budget by construction.
+Values are rewritten IN PLACE inside the `budget: Map[String, Double]`
+literal; surrounding comparator comments are preserved (they justify the
+plan shape; the number is the measured quiet-median under that shape).
+
+Usage: rebaseline_budgets.py out.diff run1.json run2.json [run3.json ...]
+       [--apply] (default is dry-run report to stdout)
+"""
+import json, re, statistics, sys
+
+BENCH = "src/main/scala/graft/Bench.scala"
+
+def main():
+    args = [a for a in sys.argv[1:] if a != "--apply"]
+    apply = "--apply" in sys.argv
+    runs = [json.load(open(p))["queries"] for p in args]
+    names = set(runs[0])
+    for r in runs[1:]:
+        assert set(r) == names, "runs disagree on query set"
+
+    src = open(BENCH).read()
+    # Bound the rewrite to the budget map literal.
+    start = src.index("val budget: Map[String, Double] = Map(")
+    # find matching close: first line with a lone ")" at depth 0 after start
+    i, depth = src.index("(", start), 0
+    for j in range(i, len(src)):
+        if src[j] == "(":
+            depth += 1
+        elif src[j] == ")":
+            depth -= 1
+            if depth == 0:
+                end = j
+                break
+    body = src[start:end]
+
+    entry = re.compile(r'"([a-z0-9_]+)"\s*->\s*([0-9]+(?:\.[0-9]+)?)')
+    current = {m.group(1): float(m.group(2)) for m in entry.finditer(body)}
+    missing_budget = names - set(current)
+    missing_run = set(current) - names
+    if missing_budget:
+        print("queries with no budget entry:", sorted(missing_budget))
+    if missing_run:
+        print("budget entries not in runs:", sorted(missing_run))
+
+    new = {}
+    for n in sorted(names & set(current)):
+        ts = [r[n] for r in runs]
+        med, mx = statistics.median(ts), max(ts)
+        b = mx if mx > 1.25 * med else med
+        new[n] = round(b, 3)
+
+    changed = [(n, current[n], new[n]) for n in new
+               if abs(new[n] - current[n]) / max(current[n], 1e-9) > 1e-6]
+    changed.sort(key=lambda t: abs(t[2] / max(t[1], 1e-9) - 1), reverse=True)
+    print(f"{len(changed)}/{len(new)} budgets change; top deltas:")
+    for n, o, v in changed[:15]:
+        print(f"  {n}: {o} -> {v}  ({v/max(o,1e-9):.2f}x)")
+
+    if not apply:
+        print("(dry run; pass --apply to rewrite Bench.scala)")
+        return
+
+    def repl(m):
+        n = m.group(1)
+        return f'"{n}" -> {new[n]}' if n in new else m.group(0)
+    new_body = entry.sub(repl, body)
+    open(BENCH, "w").write(src[:start] + new_body + src[end:])
+    print("Bench.scala budget table rewritten.")
+
+if __name__ == "__main__":
+    main()
