@@ -330,8 +330,16 @@ object Bench {
     // comparator: stream_join_exec + the horizon staging write (events
     // re-written once per run so the watermark can pass the corpus tail)
     // + the no-data finalization batch that emits the outer rows.
-    // measured warm sf0.1 (TimeOne): 8.0/8.6 s two-pass
+    // measured warm sf0.1 (TimeOne): 8.0/8.6 s two-pass; 6.8 s under
+    // full-suite load (r10 confirmation run)
     "stream_outer_join_exec" -> 8.3,
+    // comparator: stream_join_exec (same two-source state machinery; the
+    // matched-flag state replaces pair multiplication).
+    // measured warm sf0.1 (TimeOne): 8.5/8.8 s two-pass
+    "stream_semi_join_exec" -> 8.8,
+    // comparator: stream_outer_join_exec + click-side eviction output.
+    // measured warm sf0.1 (TimeOne): 10.8/8.7 s two-pass (variance band)
+    "stream_full_join_exec" -> 10.8,
     // comparator: mdio_smooth_grid (identical two-window separable pass
     // over the same cell aggregation)
     "mdio_gradient" -> 1.865,

@@ -29,6 +29,7 @@ object StreamingExec {
     * `stream_join_exec` hash-flake class, and a loud failure here beats a
     * silently wrong hash downstream. */
   private def runToMemoryPinned(df: DataFrame, mode: String): (DataFrame, Long, Int) = {
+    pinBoundedState(df, mode)
     val qname = "stream_exec_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
     val q = df.writeStream.format("memory").queryName(qname)
@@ -99,6 +100,34 @@ object StreamingExec {
         sink1
       }
     dedupSink(sink, naturalKey)
+  }
+
+  /** BOUNDED-STATE structural pin, enforced on every streaming run this
+    * harness starts: the two unbounded-state hazards a plan walk can
+    * prove are absent are (a) a stream-stream join whose sides are not
+    * BOTH watermarked — join state then buffers each side forever — and
+    * (b) an append-mode streaming aggregate with no watermark below it —
+    * its windows then never finalize AND its state never evicts. Either
+    * one works at sf0.001 and detonates at 100 TB/day, the same
+    * prose-rots-so-make-it-structural discipline as WindowHygieneSpec.
+    * (Complete-mode aggregates are O(#groups) by definition — each
+    * query's Scaladoc argues its grouping domain; flatMapGroupsWithState
+    * state bounds are likewise per-operator documentation, since
+    * NoTimeout with constant per-key state over a bounded key domain is
+    * legitimate.) */
+  private[queries] def pinBoundedState(df: DataFrame, mode: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, EventTimeWatermark, Join, LogicalPlan}
+    def watermarked(p: LogicalPlan): Boolean =
+      p.exists(_.isInstanceOf[EventTimeWatermark])
+    df.queryExecution.analyzed.foreach {
+      case j: Join if j.left.isStreaming && j.right.isStreaming =>
+        require(watermarked(j.left) && watermarked(j.right),
+          "stream-stream join without watermarks on BOTH sides — join state is unbounded")
+      case a: Aggregate if a.child.isStreaming && mode == "append" =>
+        require(watermarked(a.child),
+          "append-mode streaming aggregate without a watermark — state never evicts, windows never finalize")
+      case _ => ()
+    }
   }
 
   /** The idempotence step alone, exposed for IdempotentFoldSpec: dedup an
@@ -529,6 +558,42 @@ object StreamingExec {
       .orderBy(col("user_id"))
   }
 
+  /** STREAM-STREAM LEFT-SEMI JOIN executed as a stream:
+    * [[Streams.clickToPurchaseSemi]] — purchases with AT LEAST ONE click
+    * in the preceding hour, each emitted ONCE (the attributed-purchase
+    * EXISTS filter, completing the supported stream-stream shapes:
+    * inner / left-outer / left-semi). Semi emission is eager — a
+    * purchase emits as soon as its first matching click is present — so
+    * no watermark horizon is needed; the fold is the per-user count and
+    * integer-cents revenue of attributed purchases. */
+  val qStreamSemiJoinExec: Q = (s, d) => {
+    val clicks = Tables.eventsStream(s, d).filter(col("event_type") === "click")
+    val purchases = Tables.eventsStream(s, d).filter(col("event_type") === "purchase")
+    val attributed = Streams.clickToPurchaseSemi(clicks, purchases,
+      windowSeconds = 3600L, watermark = "2 hours")
+    // natural key: semi emits each purchase at most once
+    runToMemoryIdempotent(attributed, Seq("purchase_id"))
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_attributed_purchases"),
+           sum(round(col("value") * 100).cast("long")).as("attributed_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val qStreamSemiJoinExecSql: String = """
+    WITH c AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'purchase')
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_attributed_purchases,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS attributed_cents
+    FROM p WHERE EXISTS (
+      SELECT 1 FROM c WHERE c.user_id = p.user_id
+        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 3600 SECONDS)
+    GROUP BY user_id ORDER BY user_id"""
+
   /** STREAM-STREAM LEFT-OUTER JOIN executed as a stream:
     * [[Streams.clickToPurchaseOuter]] — purchases with NO click in the
     * preceding hour emit null-padded, the unattributed-revenue shape.
@@ -574,6 +639,68 @@ object StreamingExec {
       deleteRecursively(java.nio.file.Paths.get(dir))
     }
   }
+
+  /** STREAM-STREAM FULL-OUTER JOIN executed as a stream:
+    * [[Streams.clickToPurchaseFull]] — the shape where BOTH sides'
+    * watermark evictions produce output: matched pairs emit eagerly,
+    * unmatched purchases null-pad when the watermark passes their match
+    * window, and unmatched CLICKS null-pad when it passes the last
+    * instant a qualifying purchase could arrive. Same horizon staging as
+    * [[qStreamOuterJoinExec]]; the fold adds the unmatched-click count,
+    * so the row certifies all three emission paths at once. */
+  val qStreamFullJoinExec: Q = (s, d) => {
+    val dir = eventsWithHorizon(s, d)
+    try {
+      val schema = s.read.parquet(dir).schema
+      def src() = s.readStream.schema(schema).parquet(dir)
+      val clicks = src().filter(col("event_type") === "click")
+      val purchases = src().filter(col("event_type") === "purchase")
+      val pairs = Streams.clickToPurchaseFull(clicks, purchases,
+        windowSeconds = 3600L, watermark = "2 hours")
+      // natural key: (pid, cid); outer rows are (pid, null) / (null, cid)
+      runToMemoryIdempotent(pairs, Seq("purchase_id", "click_id"))
+        .withColumn("user_id", coalesce(col("p_user"), col("c_user")))
+        .filter(col("user_id") >= 0) // drop the horizon sentinels
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("purchase_id").isNotNull && col("click_id").isNotNull,
+            1L).otherwise(0L)).as("n_matched_pairs"),
+          sum(when(col("click_id").isNull, 1L).otherwise(0L))
+            .as("n_unmatched_purchases"),
+          sum(when(col("purchase_id").isNull, 1L).otherwise(0L))
+            .as("n_unmatched_clicks"),
+          coalesce(sum(when(col("click_id").isNull,
+            round(col("value") * 100).cast("long"))), lit(0L))
+            .as("unattributed_cents"))
+        .orderBy(col("user_id"))
+    } finally {
+      deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
+  val qStreamFullJoinExecSql: String = """
+    WITH c AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'purchase'),
+    j AS (
+      SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+             p.event_id AS purchase_id, p.value AS value,
+             c.event_id AS click_id
+      FROM p FULL JOIN c ON p.user_id = c.user_id
+        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 3600 SECONDS)
+    SELECT user_id,
+           CAST(SUM(CASE WHEN purchase_id IS NOT NULL AND click_id IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_matched_pairs,
+           CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched_purchases,
+           CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched_clicks,
+           CAST(COALESCE(SUM(CASE WHEN click_id IS NULL
+             THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT)
+             AS unattributed_cents
+    FROM j GROUP BY user_id ORDER BY user_id"""
 
   /** Stage the events corpus plus the watermark-horizon sentinel pair into
     * a fresh temp directory for [[qStreamOuterJoinExec]]'s file source.
@@ -855,6 +982,8 @@ object StreamingExec {
     "stream_segy_exec"     -> qStreamSegyExec,
     "stream_join_exec"     -> qStreamJoinExec,
     "stream_outer_join_exec" -> qStreamOuterJoinExec,
+    "stream_semi_join_exec" -> qStreamSemiJoinExec,
+    "stream_full_join_exec" -> qStreamFullJoinExec,
     "stream_session_exec"  -> qStreamSessionExec,
     "stream_fmgws_exec"    -> qStreamFmgwsExec,
     "stream_hll_exec"      -> qStreamHllExec,
@@ -874,6 +1003,8 @@ object StreamingExec {
     "stream_segy_exec"     -> qStreamSegyExecSql,
     "stream_join_exec"     -> qStreamJoinExecSql,
     "stream_outer_join_exec" -> qStreamOuterJoinExecSql,
+    "stream_semi_join_exec" -> qStreamSemiJoinExecSql,
+    "stream_full_join_exec" -> qStreamFullJoinExecSql,
     "stream_session_exec"  -> qStreamSessionExecSql,
     "stream_fmgws_exec"    -> qStreamFmgwsExecSql,
     "stream_hll_exec"      -> qStreamHllExecSql,

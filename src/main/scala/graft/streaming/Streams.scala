@@ -253,6 +253,53 @@ object Streams {
       "leftOuter")
   }
 
+  /** FULL-OUTER stream-stream interval join: matched (purchase, click)
+    * pairs emit eagerly; an unmatched purchase emits null-padded once the
+    * watermark passes its match window ([[clickToPurchaseOuter]]); an
+    * unmatched CLICK likewise emits null-padded once the watermark passes
+    * the last instant a qualifying purchase could arrive (`click_ts +
+    * windowSeconds`). Both sides' state is watermark-evicted — full-outer
+    * is the shape where BOTH eviction paths also produce output. */
+  def clickToPurchaseFull(clicks: DataFrame, purchases: DataFrame,
+                          windowSeconds: Long = 3600L,
+                          watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowSeconds SECONDS"),
+      "fullOuter")
+  }
+
+  /** LEFT-SEMI stream-stream interval join: purchases with AT LEAST ONE
+    * click in the preceding `windowSeconds`, emitted ONCE each (the
+    * attributed-purchase filter — EXISTS, not the pair multiplication of
+    * the inner join). Emission is eager: a purchase emits the moment its
+    * first matching click is present, whichever side arrived first, and
+    * the engine's per-row matched flag suppresses re-emission on later
+    * matches. Same watermark + time-bound state eviction as the other
+    * shapes. Returns the purchase side's columns only. */
+  def clickToPurchaseSemi(clicks: DataFrame, purchases: DataFrame,
+                          windowSeconds: Long = 3600L,
+                          watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowSeconds SECONDS"),
+      "leftSemi")
+  }
+
   /** Watermarked exact dedup on an id column: a duplicate id arriving
     * within the watermark horizon is dropped even when its timestamp
     * differs (true id-only dedup — dropDuplicatesWithinWatermark keys

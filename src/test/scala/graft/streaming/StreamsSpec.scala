@@ -233,4 +233,57 @@ class StreamsSpec extends SparkSpec {
       assert(!all.exists { case (p, c) => p == 11L && c.isDefined })
     } finally q.stop()
   }
+
+  test("full-outer stream-stream join emits unmatched rows from BOTH sides on watermark passage") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Streams.Event]
+    val purchases = MemoryStream[Streams.Event]
+    val q = Streams.clickToPurchaseFull(clicks.toDF(), purchases.toDF(),
+        windowSeconds = 600, watermark = "1 hour")
+      .writeStream.format("memory").queryName("c2p_full").outputMode("append").start()
+    try {
+      clicks.addData(ev(1, 0, 7, "click", 0.0),     // matches purchase 10
+                     ev(2, 0, 5, "click", 0.0))     // user 5 never purchases
+      purchases.addData(ev(10, 8, 7, "purchase", 49.0),
+                        ev(11, 30, 9, "purchase", 5.0)) // user 9 never clicked
+      q.processAllAvailable()
+      // horizon on both sides pushes the watermark past every window
+      clicks.addData(ev(98, 120, 7, "click", 0.0))
+      purchases.addData(ev(99, 120, 7, "purchase", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("c2p_full")
+        .select("purchase_id", "click_id")
+        .as[(Option[Long], Option[Long])].collect().toSet
+      assert(got.contains((Some(10L), Some(1L))), s"matched pair: $got")
+      assert(got.contains((Some(11L), None)), s"purchase-side eviction: $got")
+      assert(got.contains((None, Some(2L))), s"click-side eviction: $got")
+    } finally q.stop()
+  }
+
+  test("left-semi stream-stream join emits each attributed purchase once, eagerly") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Streams.Event]
+    val purchases = MemoryStream[Streams.Event]
+    val q = Streams.clickToPurchaseSemi(clicks.toDF(), purchases.toDF(),
+        windowSeconds = 600, watermark = "1 hour")
+      .writeStream.format("memory").queryName("c2p_semi").outputMode("append").start()
+    try {
+      // TWO clicks in window: semi must still emit purchase 10 exactly once
+      clicks.addData(ev(1, 0, 7, "click", 0.0), ev(2, 5, 7, "click", 0.0))
+      purchases.addData(ev(10, 8, 7, "purchase", 49.0),
+                        ev(11, 30, 9, "purchase", 5.0)) // user 9: no click yet
+      q.processAllAvailable()
+      val eager = spark.table("c2p_semi")
+        .select("purchase_id").as[Long].collect().toList
+      assert(eager == List(10L), s"eager semi emission must be exactly once: $eager")
+
+      // user 9's click arrives in a LATER batch, still inside purchase 11's
+      // window: the buffered purchase must emit on the match's arrival
+      clicks.addData(ev(3, 29, 9, "click", 0.0))
+      q.processAllAvailable()
+      val all = spark.table("c2p_semi")
+        .select("purchase_id").as[Long].collect().toList.sorted
+      assert(all == List(10L, 11L), s"cross-batch match must release purchase 11: $all")
+    } finally q.stop()
+  }
 }
