@@ -521,6 +521,10 @@ object Bench {
     "window_ranks" -> 0.619, "window_running_sum" -> 0.449,
     "window_topk_per_group" -> 0.369, "zarr_extents" -> 0.029,
     "zarr_pushdown" -> 0.093, "zarr_roundtrip" -> 0.059,
+    // comparator: zarr_roundtrip (the same store's full-grid aggregate;
+    // the value predicate reads FEWER chunks via the stats sidecar, so the
+    // budget is the roundtrip's plus the sidecar read)
+    "zarr_value_pruning" -> 0.093,
     // comparator: zarr_pushdown (same filtered-scan shape; the one-time
     // store migration happens in the untimed build, like zarrGrid itself)
     "mdio_rechunk" -> 0.118,

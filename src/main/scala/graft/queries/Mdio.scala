@@ -385,6 +385,29 @@ object Mdio {
     FROM range(32) r1(i) CROSS JOIN range(8) r2(j)
     WHERE i >= 8 AND i < 24"""
 
+  /** Value-statistics chunk pruning on the oracle gate (SURVEY §2.2 P10;
+    * reference statsV1 mdio/stats.h:229-335): the roundtrip store read back
+    * through a range predicate on the DATA VALUE column — the per-chunk
+    * [min, max] sidecar [[graft.sources.MdioChunkStats]] written by
+    * writeVariable prunes chunks whose bounds cannot satisfy `image >= 1`,
+    * and Spark re-filters rows inside the survivors (partial pushdown), so
+    * the answer is bound to DuckDB regardless of how many chunks pruned. */
+  val qZarrValuePruning: Q = (s, d) =>
+    s.read.format("mdio").load(zarrGrid(s, d))
+      .filter(col("image") >= 1.0)
+      .agg(dsum(col("image")).as("total"), count(lit(1)).as("n"))
+
+  val qZarrValuePruningSql: String = """
+    WITH agg AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS image
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT COALESCE(image, 0.0) AS image
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j))
+    SELECT CAST(SUM(CAST(image AS DECIMAL(27,6))) AS DOUBLE) AS total, COUNT(*) AS n
+    FROM cells WHERE image >= 1.0"""
+
   val qZarrRoundtripSql: String = """
     WITH agg AS (
       SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
@@ -1488,6 +1511,7 @@ object Mdio {
     "mdio_coordselector"    -> qCoordSelector,
     "zarr_roundtrip"        -> qZarrRoundtrip,
     "zarr_pushdown"         -> qZarrPushdown,
+    "zarr_value_pruning"    -> qZarrValuePruning,
     "mdio_rechunk"          -> qMdioRechunk,
     "mdio_reshard"          -> qMdioReshard,
     "mdio_extract"          -> qMdioExtract,
@@ -1532,6 +1556,7 @@ object Mdio {
     "mdio_coordselector"    -> qCoordSelectorSql,
     "zarr_roundtrip"        -> qZarrRoundtripSql,
     "zarr_pushdown"         -> qZarrPushdownSql,
+    "zarr_value_pruning"    -> qZarrValuePruningSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
     "mdio_reshard"          -> qMdioReshardSql,
     "mdio_extract"          -> qMdioExtractSql,

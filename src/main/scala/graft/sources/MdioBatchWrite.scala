@@ -95,6 +95,10 @@ final case class MdioBatchWrite(path: String, dims: Seq[String],
     // all tasks succeeded; (v2) refresh consolidated metadata on the driver
     // — the WaitAllFuture-then-publish shape
     val root = ZarrMeta.path(path)
+    // the DSv2 sink does not compute per-chunk bounds: bump each written
+    // variable's data generation so a stale .mdio_stats.json can never
+    // prune against post-write data (MdioChunkStats staleness contract)
+    metas.keys.foreach(v => MdioChunkStats.bump(root.resolve(v)))
     if (ZarrMeta.detectVersion(root) == 2) ZarrMeta.consolidate(root)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

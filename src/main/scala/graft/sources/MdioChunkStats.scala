@@ -1,0 +1,140 @@
+package graft.sources
+
+import graft.zarr.VPath
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Per-chunk value statistics (min/max) for one MDIO variable — the
+  * connector-side analog of the reference's statsV1 summaries
+  * (mdio/stats.h:229-335) and of the CoordinateSelector's value-run pruning
+  * (mdio/coordinate_selector.h:302-407), generalized to every chunk of
+  * every scalar variable: with current stats on disk, a range predicate on
+  * a DATA/COORDINATE VALUE column prunes chunks exactly the way a
+  * dimension-index predicate already does, so a `sel`-style value query on
+  * a 100 TB store opens only the chunks whose [min, max] can satisfy it
+  * (SURVEY §2.2 P10's "chunk-level min/max stats give the same pruning
+  * effect").
+  *
+  * On-disk layout, per variable directory (hidden keys — invisible to
+  * zarr readers, excluded from consolidation and from the v2 chunk-file
+  * namespace, which never starts with '.'):
+  *
+  *  - `.mdio_wgen` — the variable's DATA write generation: a plain integer
+  *    every data-write path bumps after its tasks commit
+  *    ([[MdioWriter.writeVariable]], the DSv2 sink's driver commit, trim).
+  *  - `.mdio_stats.json` — `{"generation": G, "chunks": {"0.1": [min,max],
+  *    "2.0": null, …}}`: per-chunk closed bounds keyed by the v2-style
+  *    C-order chunk key; `null` marks an all-NaN chunk (no finite value —
+  *    prunable under ANY range predicate, since NaN satisfies none).
+  *
+  * The generation check is the staleness contract (same optimistic shape
+  * as the S10 metadata commit, mdio/variable.h:1522): stats are used for
+  * pruning ONLY when `stats.generation == .mdio_wgen`. Write paths that
+  * compute fresh stats (the scalar chunk-shuffle write, whose tasks hold
+  * each final post-RMW chunk buffer and so know exact bounds for free)
+  * publish both files at the new generation; every other mutation path
+  * (record/sharded/complex writes, the DSv2 sink, trim, external writers
+  * that at least bump the generation) leaves the stats behind the
+  * generation, and the scan silently falls back to unpruned planning —
+  * stale stats can lose pruning, never correctness.
+  *
+  * Bounds are JSON numbers compared as BigDecimal on the read side, so
+  * integral stats stay exact past 2^53 and float stats keep full double
+  * precision; non-finite bounds are never written (a chunk whose finite
+  * values are absent writes `null`, a chunk holding ±Inf simply omits its
+  * entry and stays unprunable — safe).
+  */
+object MdioChunkStats {
+
+  val StatsFile = ".mdio_stats.json"
+  val GenFile = ".mdio_wgen"
+
+  /** One chunk's value bounds: None = no finite value in the chunk. */
+  type Entry = Option[(BigDecimal, BigDecimal)]
+
+  /** Current data-write generation of a variable directory (0 = never
+    * stamped; pre-stats stores read as generation 0 with no stats file,
+    * i.e. never pruned). */
+  def generation(varDir: VPath): Long = {
+    val f = varDir.resolve(GenFile)
+    val bytes = f.readBytesOrNull()
+    if (bytes == null) 0L
+    else new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+  }
+
+  /** Bump the variable's data generation WITHOUT refreshing stats — the
+    * invalidation hook for write paths that do not compute bounds. Any
+    * existing stats file is left at its old generation and thereby
+    * disabled. Returns the new generation. */
+  def bump(varDir: VPath): Long = {
+    val next = generation(varDir) + 1
+    varDir.resolve(GenFile).writeString(next.toString)
+    next
+  }
+
+  /** Read the stats file regardless of generation: (generation, entries).
+    * None when absent or unparseable (treated as no stats). */
+  def read(varDir: VPath): Option[(Long, Map[String, Entry])] = {
+    val f = varDir.resolve(StatsFile)
+    val bytes = f.readBytesOrNull()
+    if (bytes == null) return None
+    try {
+      val j = JsonMethods.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      val gen = (j \ "generation") match {
+        case JInt(i) => i.toLong
+        case JLong(l) => l
+        case _ => return None
+      }
+      val chunks = (j \ "chunks") match {
+        case JObject(fields) => fields.map { case (k, v) =>
+          k -> (v match {
+            case JNull => None
+            case JArray(List(a, b)) => Some((num(a), num(b)))
+            case other => throw new IllegalArgumentException(s"bad stats entry $other")
+          })
+        }.toMap
+        case _ => Map.empty[String, Entry]
+      }
+      Some((gen, chunks))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def num(j: JValue): BigDecimal = j match {
+    case JInt(i) => BigDecimal(i)
+    case JLong(l) => BigDecimal(l)
+    case JDouble(d) => BigDecimal(d)
+    case JDecimal(d) => d
+    case other => throw new IllegalArgumentException(s"bad stats number $other")
+  }
+
+  /** Entries usable for pruning RIGHT NOW: present and generation-current.
+    * None ⇒ plan without value pruning. */
+  def current(varDir: VPath): Option[Map[String, Entry]] =
+    read(varDir).filter(_._1 == generation(varDir)).map(_._2)
+
+  /** Publish stats at generation `gen` (the caller bumped `.mdio_wgen` to
+    * `gen` FIRST — a crash between the two leaves stats stale, never
+    * wrongly current). `entries` override `prior` per chunk key. */
+  def write(varDir: VPath, gen: Long, entries: Map[String, Entry],
+            prior: Map[String, Entry] = Map.empty): Unit = {
+    val merged = prior ++ entries
+    val body = merged.toSeq.sortBy(_._1).map {
+      case (k, None) => s""""$k": null"""
+      case (k, Some((mn, mx))) =>
+        s""""$k": [${mn.underlying.toPlainString}, ${mx.underlying.toPlainString}]"""
+    }.mkString(", ")
+    varDir.resolve(StatsFile).writeString(
+      s"""{"generation": $gen, "chunks": {$body}}""")
+  }
+
+  /** The refresh used by stats-aware writers: bump the generation, carry
+    * over prior entries IF they were current (untouched chunks keep exact
+    * bounds across an RMW pass), overlay the fresh entries, publish. */
+  def refresh(varDir: VPath, entries: Map[String, Entry]): Unit = {
+    val g = generation(varDir)
+    val prior = current(varDir).getOrElse(Map.empty)
+    val next = g + 1
+    varDir.resolve(GenFile).writeString(next.toString)
+    write(varDir, next, entries, prior)
+  }
+}

@@ -214,6 +214,11 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
   private val dimSet = dims.toSet
   // label -> [lo, hi) accumulated from pushed filters
   private var ranges: Map[String, (Long, Long)] = Map.empty
+  // variable -> conjunctive VALUE range from pushed filters (PARTIAL
+  // pushdown: chunks whose stored [min, max] cannot satisfy the range are
+  // pruned via the .mdio_stats.json sidecar when it is generation-current;
+  // Spark always re-applies the row filter)
+  private var valueRanges: Map[String, MdioValueRange] = Map.empty
   // label -> static IN-list values (PARTIAL pushdown: chunks containing
   // none of the values are pruned, Spark still applies the row filter —
   // chunk ranges cannot express value holes)
@@ -320,6 +325,57 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
     case _ => false
   }
 
+  /** The variable a filter attribute addresses, when value-stat pruning can
+    * apply: a non-dim column backed by a scalar variable ('__value'-suffixed
+    * for dimension coordinates). u64 columns are excluded — their stats are
+    * never written (wrapped-long ordering), so pruning could never fire. */
+  private def statVar(a: String): Option[String] = {
+    if (dimSet(a)) return None
+    val v = a.stripSuffix("__value")
+    metas.get(v).filter { m =>
+      m.fields.isEmpty && !MdioPartitionReader.isComplex(m.dtype) &&
+        !(m.dtype.charAt(m.dtype.length - 2) == 'u' && m.dtype.endsWith("8"))
+    }.map(_ => v)
+  }
+
+  /** A pushed literal as an exact BigDecimal; None for NaN (no row ever
+    * satisfies a range predicate against NaN — but leave that to Spark)
+    * and for non-numeric types. */
+  private def asBig(v: Any): Option[BigDecimal] = v match {
+    case i: Int => Some(BigDecimal(i))
+    case l: Long => Some(BigDecimal(l))
+    case s: Short => Some(BigDecimal(s.toInt))
+    case b: Byte => Some(BigDecimal(b.toInt))
+    case f: Float => if (f.isNaN || f.isInfinite) None else Some(BigDecimal(f.toDouble))
+    case d: Double => if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d))
+    case d: java.math.BigDecimal => Some(BigDecimal(d))
+    case d: BigDecimal => Some(d)
+    case _ => None
+  }
+
+  private def narrowValue(v: String, lo: Option[(BigDecimal, Boolean)],
+                          hi: Option[(BigDecimal, Boolean)]): Unit =
+    valueRanges = valueRanges.updated(v,
+      valueRanges.getOrElse(v, MdioValueRange(None, None)).narrow(lo, hi))
+
+  /** Record a value-column range filter for chunk-stat pruning; returns
+    * whether the filter was recorded (it stays with Spark either way). */
+  private def absorbValue(f: Filter): Boolean = f match {
+    case EqualTo(a, v) => statVar(a).exists(n => asBig(v).exists { x =>
+      narrowValue(n, Some((x, true)), Some((x, true))); true })
+    case GreaterThan(a, v) => statVar(a).exists(n => asBig(v).exists { x =>
+      narrowValue(n, Some((x, false)), None); true })
+    case GreaterThanOrEqual(a, v) => statVar(a).exists(n => asBig(v).exists { x =>
+      narrowValue(n, Some((x, true)), None); true })
+    case LessThan(a, v) => statVar(a).exists(n => asBig(v).exists { x =>
+      narrowValue(n, None, Some((x, false))); true })
+    case LessThanOrEqual(a, v) => statVar(a).exists(n => asBig(v).exists { x =>
+      narrowValue(n, None, Some((x, true))); true })
+    case And(l, r) => // conjunctive: record both sides independently
+      val okL = absorbValue(l); val okR = absorbValue(r); okL || okR
+    case _ => false
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (abs, rest) = filters.partition(absorb)
     // static IN over a dim: prune chunks by value (partial pushdown —
@@ -338,9 +394,11 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
         }
       case _ => ()
     }
+    // value-column ranges: partial pushdown against per-chunk min/max stats
+    val valuePushed = rest.filter(absorbValue)
     pushed = abs ++ rest.collect {
       case f @ In(a, _) if inValues.contains(a) => f // partial: shown in EXPLAIN
-    }
+    } ++ valuePushed
     rest // leftover for Spark to evaluate
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -354,7 +412,43 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
   override def build(): Scan = pushedAggs match {
     case Some(aggs) => MdioAggScan(dims, metas, ranges, aggs)
     case None =>
-      MdioScan(path, dims, metas, requiredSchema, ranges, limitCells, topN, inValues)
+      MdioScan(path, dims, metas, requiredSchema, ranges, limitCells, topN, inValues,
+        valueRanges)
+  }
+}
+
+/** A conjunctive value-range predicate accumulated from pushed filters:
+  * closed/open bounds, compared as exact BigDecimal against the per-chunk
+  * [min, max] from [[MdioChunkStats]]. */
+final case class MdioValueRange(lo: Option[(BigDecimal, Boolean)],
+                                hi: Option[(BigDecimal, Boolean)]) {
+  /** Conjunction with another pair of bounds (keep the tighter one; on a
+    * tie an open bound beats a closed one). */
+  def narrow(lo2: Option[(BigDecimal, Boolean)],
+             hi2: Option[(BigDecimal, Boolean)]): MdioValueRange = {
+    def tightLo(a: (BigDecimal, Boolean), b: (BigDecimal, Boolean)) =
+      if (a._1 > b._1) a else if (b._1 > a._1) b
+      else (a._1, a._2 && b._2)
+    def tightHi(a: (BigDecimal, Boolean), b: (BigDecimal, Boolean)) =
+      if (a._1 < b._1) a else if (b._1 < a._1) b
+      else (a._1, a._2 && b._2)
+    MdioValueRange(
+      (lo, lo2) match {
+        case (Some(a), Some(b)) => Some(tightLo(a, b))
+        case (a, b) => a.orElse(b)
+      },
+      (hi, hi2) match {
+        case (Some(a), Some(b)) => Some(tightHi(a, b))
+        case (a, b) => a.orElse(b)
+      })
+  }
+
+  /** Can any value in the closed chunk interval [mn, mx] satisfy this
+    * range? (False ⇒ the chunk is safely prunable.) */
+  def intersects(mn: BigDecimal, mx: BigDecimal): Boolean = {
+    val okLo = lo.forall { case (v, inc) => mx > v || (inc && mx == v) }
+    val okHi = hi.forall { case (v, inc) => mn < v || (inc && mn == v) }
+    okLo && okHi
   }
 }
 
@@ -413,7 +507,8 @@ final case class MdioScan(path: String, dims: Seq[String],
                           ranges: Map[String, (Long, Long)],
                           limitCells: Option[Int] = None,
                           topN: Option[(String, Boolean, Int)] = None,
-                          staticIn: Map[String, Array[Long]] = Map.empty)
+                          staticIn: Map[String, Array[Long]] = Map.empty,
+                          valueRanges: Map[String, MdioValueRange] = Map.empty)
     extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics {
   override def readSchema(): StructType = requiredSchema
@@ -439,7 +534,9 @@ final case class MdioScan(path: String, dims: Seq[String],
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
   }
   override def description(): String =
-    s"MdioScan($path, ranges=${ranges.map { case (d, (a, b)) => s"$d:[$a,$b)" }.mkString(",")})"
+    s"MdioScan($path, ranges=${ranges.map { case (d, (a, b)) => s"$d:[$a,$b)" }.mkString(",")}" +
+      (if (valueRanges.isEmpty) ")"
+       else s", valueStats=${valueRanges.keys.toSeq.sorted.mkString(",")})")
 
   // ---- runtime filtering (S/P dynamic pruning): when a dim column feeds a
   // selective join (e.g. sel's coordinate semi-join), Spark hands the built
@@ -504,6 +601,34 @@ final case class MdioScan(path: String, dims: Seq[String],
     val neededVars = requiredSchema.fieldNames
       .map(_.stripSuffix("__value")).distinct.filter(metas.contains)
 
+    // ---- value-statistics chunk pruning: for each variable with a pushed
+    // value range, load its per-chunk [min, max] sidecar IF it is
+    // generation-current (MdioChunkStats.current — stale or absent stats
+    // silently disable pruning for that variable; correctness never
+    // depends on the sidecar). Driver-side metadata read, one small JSON
+    // per filtered variable.
+    val varStats: Map[String, Map[String, MdioChunkStats.Entry]] =
+      if (valueRanges.isEmpty) Map.empty
+      else valueRanges.keys.flatMap { v =>
+        MdioChunkStats.current(ZarrMeta.path(path).resolve(v)).map(v -> _)
+      }.toMap
+    val statsActive = varStats.nonEmpty
+
+    /** Can chunk `cc` hold any row satisfying every pushed value range?
+      * Missing entry → keep (safe); `null` entry (all-NaN chunk) → prune
+      * (NaN satisfies no range predicate). */
+    def chunkSurvivesValues(cc: Seq[Long]): Boolean = {
+      if (!statsActive) return true
+      val key = ZarrMeta.chunkKey(cc)
+      varStats.forall { case (v, entries) =>
+        entries.get(key) match {
+          case None => true
+          case Some(None) => false
+          case Some(Some((mn, mx))) => valueRanges(v).intersects(mn, mx)
+        }
+      }
+    }
+
     def enumerate(dim: Int, acc: Vector[Long]): Iterator[Vector[Long]] =
       if (dim == dims.size) Iterator.single(acc)
       else (chunkLo(dim) to chunkHi(dim)).iterator.flatMap(c => enumerate(dim + 1, acc :+ c))
@@ -519,7 +644,7 @@ final case class MdioScan(path: String, dims: Seq[String],
       // dynamically provided dim values
       val pruned = dims.zipWithIndex.exists { case (d, i) =>
         runtimeValues.get(d).exists(vals => !anyValueIn(vals, cell(i)._1, cell(i)._2))
-      }
+      } || !chunkSurvivesValues(cc)
       if (pruned) None
       else Some((MdioInputPartition(path, cc.toArray, cell.map(_._1).toArray, cell.map(_._2).toArray,
         neededVars, neededVars.map(v => metas(v)).toArray): InputPartition,
@@ -594,12 +719,46 @@ final case class MdioScan(path: String, dims: Seq[String],
             val par = session.map(_.sparkContext.defaultParallelism.toLong).getOrElse(1L)
             val tasks = math.max(1L, math.min(totalChunks, math.max(idealTasks, par)))
             val chunksPerTask = (totalChunks + tasks - 1) / tasks
-            (0L until totalChunks by chunksPerTask).map { s =>
+            def rangePartition(s: Long, e: Long): InputPartition =
               MdioChunkRangePartition(path, chunkLo.toArray, extents, chunks.toArray,
-                s, math.min(s + chunksPerTask, totalChunks),
+                s, e,
                 bounds.map(_._1).toArray, bounds.map(_._2).toArray,
-                neededVars, neededVars.map(v => metas(v)).toArray): InputPartition
-            }.toArray
+                neededVars, neededVars.map(v => metas(v)).toArray)
+            if (!statsActive)
+              (0L until totalChunks by chunksPerTask).map { s =>
+                rangePartition(s, math.min(s + chunksPerTask, totalChunks))
+              }.toArray
+            else {
+              // value-stat pruning over the full-scan path: test each chunk
+              // in C-order against the sidecar bounds and coalesce runs of
+              // SURVIVORS into range partitions (still capped at
+              // chunksPerTask). Driver cost is O(chunks-in-box) — the same
+              // order as the stats sidecar itself, i.e. the parquet-footer
+              // trade: chunk-level stats are only ever as cheap as one
+              // entry per chunk.
+              def ccOf(flat: Long): Seq[Long] = {
+                val cc = new Array[Long](dims.size)
+                var rem = flat
+                var i = dims.size - 1
+                while (i >= 0) { cc(i) = chunkLo(i) + rem % extents(i); rem /= extents(i); i -= 1 }
+                cc.toSeq
+              }
+              val out = Vector.newBuilder[InputPartition]
+              var runStart = -1L
+              var flat = 0L
+              while (flat < totalChunks) {
+                val ok = chunkSurvivesValues(ccOf(flat))
+                if (ok && runStart < 0) runStart = flat
+                if (ok && flat - runStart + 1 == chunksPerTask) {
+                  out += rangePartition(runStart, flat + 1); runStart = -1L
+                } else if (!ok && runStart >= 0) {
+                  out += rangePartition(runStart, flat); runStart = -1L
+                }
+                flat += 1
+              }
+              if (runStart >= 0) out += rangePartition(runStart, totalChunks)
+              out.result().toArray
+            }
           case _ =>
             // runtime (join-driven) IN-filters: enumerate ONLY the chunks
             // containing provided values on their filtered dims — O(values)

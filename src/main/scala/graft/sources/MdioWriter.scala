@@ -22,6 +22,14 @@ import graft.zarr.VPath
   */
 object MdioWriter {
 
+  /** Exact per-chunk value bounds shipped from write tasks to the driver
+    * for the [[MdioChunkStats]] sidecar (float and integral payloads share
+    * one row shape; `empty` = no finite value in the chunk). */
+  private[sources] final case class ChunkStatRow(cid: Long, isFloat: Boolean,
+                                                 minD: Double, maxD: Double,
+                                                 minL: Long, maxL: Long,
+                                                 empty: Boolean)
+
   /** S2 — create a dataset from a validated JSON spec: all array metadata +
     * group attrs + (v2) consolidated metadata; no chunk data yet.
     * `version` selects the on-disk format, as the reference's
@@ -483,9 +491,15 @@ object MdioWriter {
     val parts = math.min(nChunks, math.max(spark.sparkContext.defaultParallelism.toLong, 1L)).toInt
     val hc = graft.zarr.HConf.capture() // executor JVMs have no SparkSession
 
-    projected
+    // per-chunk value stats ride back to the driver for free: each task
+    // holds the FINAL post-read-modify-write chunk buffer, so its bounds
+    // are exact by construction (no extra pass, no estimate). u64 (wrapped
+    // two's-complement ordering) and complex skip stats; their write still
+    // bumps the generation below, invalidating any stale sidecar.
+    val collectStats = !isComplex && !isU64
+    val statRows: Array[MdioWriter.ChunkStatRow] = projected
       .repartition(parts, col("__chunk"))
-      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      .rdd.mapPartitions { rows: Iterator[org.apache.spark.sql.Row] =>
         VPath.install(hc.value)
         // group this partition's rows by chunk; one buffer per chunk at a time
         val byChunkD = scala.collection.mutable.Map[Long, Array[Double]]()
@@ -550,7 +564,63 @@ object MdioWriter {
                     else ChunkCodec.encodeDoubles(buf, dtype))
         }
         byChunkL.foreach { case (cid, buf) => emit(cid, ChunkCodec.encodeLongs(buf, dtype)) }
-      }
+        if (!collectStats) Iterator.empty
+        else {
+          val floatStats = byChunkD.iterator.map { case (cid, buf) =>
+            // bounds over the FINITE values only; NaN cells (fill) satisfy
+            // no range predicate, so they never widen the bounds. A chunk
+            // with no finite value at all marks `empty` (prunable under any
+            // range); a chunk holding ±Inf reports non-finite bounds and is
+            // dropped on the driver (stays unprunable — safe).
+            var mn = Double.PositiveInfinity
+            var mx = Double.NegativeInfinity
+            var any = false
+            var i = 0
+            while (i < buf.length) {
+              val v = buf(i)
+              if (!v.isNaN) { any = true; if (v < mn) mn = v; if (v > mx) mx = v }
+              i += 1
+            }
+            MdioWriter.ChunkStatRow(cid, isFloat = true, mn, mx, 0L, 0L, empty = !any)
+          }
+          val longStats = byChunkL.iterator.map { case (cid, buf) =>
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            var i = 0
+            while (i < buf.length) {
+              val v = buf(i)
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              i += 1
+            }
+            MdioWriter.ChunkStatRow(cid, isFloat = false, 0.0, 0.0, mn, mx, empty = false)
+          }
+          (floatStats ++ longStats).toArray.iterator
+        }
+      }.collect()
+
+    // publish the sidecar at the NEW generation (gen file first: a crash
+    // between the two leaves stats stale, never wrongly current); untouched
+    // chunks keep their prior entries when those were generation-current
+    val varDir = root.resolve(variable)
+    if (!collectStats) MdioChunkStats.bump(varDir)
+    else {
+      val entries: Map[String, MdioChunkStats.Entry] = statRows.iterator.flatMap { sr =>
+        val cc = new Array[Long](rank)
+        var rem = sr.cid
+        var i = rank - 1
+        while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
+        val key = ZarrMeta.chunkKey(cc.toSeq)
+        if (sr.empty) Some(key -> (None: MdioChunkStats.Entry))
+        else if (sr.isFloat) {
+          if (sr.minD.isInfinite || sr.maxD.isInfinite) None // unprunable chunk
+          else Some(key -> (Some((BigDecimal(sr.minD), BigDecimal(sr.maxD)))
+            : MdioChunkStats.Entry))
+        } else Some(key -> (Some((BigDecimal(sr.minL), BigDecimal(sr.maxL)))
+          : MdioChunkStats.Entry))
+      }.toMap
+      MdioChunkStats.refresh(varDir, entries)
+    }
   }
 
   /** S10 / F5 — update a variable's (or the group's, variable="") user
@@ -628,6 +698,8 @@ object MdioWriter {
               if (coords.length == dims.size && coords(di) >= keep) p.delete()
             }
         }
+        // shape + chunk-file set changed: invalidate the stats sidecar
+        MdioChunkStats.bump(arrayDir)
       }
     }
     if (ZarrMeta.detectVersion(root) == 2) ZarrMeta.consolidate(root)
@@ -732,6 +804,8 @@ object MdioWriter {
           file.write(out)
         }
       }
+    // record dtypes carry no scalar bounds: invalidate any stats sidecar
+    MdioChunkStats.bump(ZarrMeta.path(path).resolve(variable))
   }
 
   /** Sharded (zarr v3 `sharding_indexed`) distributed write: rows shuffle
@@ -879,6 +953,8 @@ object MdioWriter {
           shardPath(sid).write(ZarrMeta.buildShard(parts2))
         }
       }
+    // the shard write path does not compute bounds (yet): invalidate
+    MdioChunkStats.bump(ZarrMeta.path(path).resolve(variable))
   }
 
   /** The variables of `path` that `df`'s columns actually cover (data

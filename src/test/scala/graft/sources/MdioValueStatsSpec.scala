@@ -1,0 +1,171 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.spec.MdioSpec
+import graft.zarr.ZarrMeta
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThanOrEqual}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.nio.file.Files
+
+/** Value-statistics chunk pruning (SURVEY §2.2 P10's "chunk-level min/max
+  * stats give the same pruning effect"; reference statsV1
+  * mdio/stats.h:229-335 + coordinate value-run pruning
+  * mdio/coordinate_selector.h:302-407): a range predicate on a DATA VALUE
+  * column must plan strictly fewer partitions when the `.mdio_stats.json`
+  * sidecar is generation-current, fall back silently when any writer has
+  * moved the data generation past the stats (the RMW-invalidation
+  * contract), and never change answers either way. */
+class MdioValueStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 1-D store: dim x (size 64, chunks of 8 → 8 chunks), float64 v = f(x). */
+  private def createFloat(values: Long => Double): String = {
+    val dir = Files.createTempDirectory("mdio_vstats").resolve("s.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "s", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "x", "dataType": "int64",
+        |     "dimensions": [{"name": "x", "size": 64}]},
+        |    {"name": "v", "dataType": "float64",
+        |     "dimensions": [{"name": "x", "size": 64}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    val fn = udf(values.apply _)
+    MdioWriter.writeVariable(spark,
+      spark.range(64).select($"id".as("x"), fn($"id").as("v")), dir, "v")
+    dir
+  }
+
+  private def partitions(dir: String, filters: Array[Filter]) = {
+    val sb = MdioTable(dir, None).newScanBuilder(CaseInsensitiveStringMap.empty())
+    sb.asInstanceOf[MdioScanBuilder].pushFilters(filters)
+    sb.build().toBatch.planInputPartitions()
+  }
+
+  private def planned(dir: String, filters: Array[Filter]): Int =
+    partitions(dir, filters).length
+
+  /** Number of chunks the planned partitions actually cover (coalescing can
+    * keep the PARTITION count while dropping chunks from a run). */
+  private def coveredChunks(dir: String, filters: Array[Filter]): Long =
+    partitions(dir, filters).map {
+      case r: MdioChunkRangePartition => r.endIdx - r.startIdx
+      case _: MdioInputPartition => 1L
+      case other => fail(s"unexpected partition $other")
+    }.sum
+
+  test("writeVariable publishes generation-current per-chunk bounds") {
+    val dir = createFloat(_.toDouble)
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    assert(MdioChunkStats.generation(varDir) == 1L)
+    val cur = MdioChunkStats.current(varDir)
+    assert(cur.isDefined && cur.get.size == 8)
+    assert(cur.get("0") == Some((BigDecimal(0), BigDecimal(7))))
+    assert(cur.get("7") == Some((BigDecimal(56), BigDecimal(63))))
+    MdioWriter.delete(dir)
+  }
+
+  test("value-range predicate plans strictly fewer partitions, same answers") {
+    val dir = createFloat(_.toDouble)
+    val full = planned(dir, Array.empty)
+    val pruned = planned(dir, Array(GreaterThanOrEqual("v", 48.0)))
+    assert(pruned < full, s"expected pruning: $pruned vs full $full")
+    assert(pruned == 1) // chunks 6,7 coalesce into one surviving run (cpt=2)
+    // point predicate: exactly the one chunk holding the value
+    assert(planned(dir, Array(EqualTo("v", 10.0))) == 1)
+    // disjoint predicate: zero partitions
+    assert(planned(dir, Array(GreaterThanOrEqual("v", 1000.0))) == 0)
+    // answers through the real read path are unchanged, and the scan
+    // advertises the pruning source in its description
+    val df = spark.read.format("mdio").load(dir).filter($"v" >= 48.0)
+    assert(df.count() == 16L)
+    assert(df.agg(sum($"v".cast("long"))).head.getLong(0) == (48L to 63L).sum)
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("valueStats=v"), p.take(800))
+    MdioWriter.delete(dir)
+  }
+
+  test("all-NaN chunks prune under any range predicate (NaN satisfies none)") {
+    val dir = createFloat(x => if (x >= 24 && x < 32) Double.NaN else x.toDouble)
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    val cur = MdioChunkStats.current(varDir).get
+    assert(cur.contains("3") && cur("3").isEmpty, "all-NaN chunk must write a null entry")
+    // v <= 1e9 covers every finite chunk; the all-NaN chunk still prunes
+    assert(coveredChunks(dir, Array(LessThanOrEqual("v", 1e9))) == 7L)
+    assert(coveredChunks(dir, Array.empty) == 8L)
+    assert(spark.read.format("mdio").load(dir).filter($"v" <= 1e9).count() == 56L)
+    MdioWriter.delete(dir)
+  }
+
+  test("RMW through writeVariable refreshes stats: new bounds prune correctly") {
+    val dir = createFloat(_.toDouble)
+    // rewrite ONLY chunk 0's cells to 100..107 (partial write, RMW pass)
+    MdioWriter.writeVariable(spark,
+      spark.range(8).select($"id".as("x"), ($"id" + 100.0).as("v")), dir, "v")
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    assert(MdioChunkStats.generation(varDir) == 2L)
+    val cur = MdioChunkStats.current(varDir).get
+    assert(cur("0") == Some((BigDecimal(100), BigDecimal(107)))) // refreshed
+    assert(cur("5") == Some((BigDecimal(40), BigDecimal(47))))   // carried over
+    assert(planned(dir, Array(GreaterThanOrEqual("v", 100.0))) == 1)
+    assert(spark.read.format("mdio").load(dir).filter($"v" >= 100.0).count() == 8L)
+    MdioWriter.delete(dir)
+  }
+
+  test("a stats-blind write path invalidates: stale sidecar never prunes") {
+    val dir = createFloat(_.toDouble)
+    // the DSv2 sink computes no bounds — its commit bumps the generation
+    spark.range(1).select(lit(63L).as("x"), lit(-5.0).as("v"))
+      .write.format("mdio").mode("append").save(dir)
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    assert(MdioChunkStats.current(varDir).isEmpty, "stats must read as stale")
+    // planning falls back to the unpruned shape; the answer reflects the
+    // new data (x=63 now holds -5, which the stale bounds would have kept
+    // inside a pruned-away chunk if staleness were ignored)
+    assert(planned(dir, Array(GreaterThanOrEqual("v", 48.0))) ==
+      planned(dir, Array.empty))
+    assert(spark.read.format("mdio").load(dir).filter($"v" >= 48.0).count() == 15L)
+    // an external writer that only bumps the generation gets the same safety
+    MdioChunkStats.bump(varDir)
+    assert(MdioChunkStats.current(varDir).isEmpty)
+    MdioWriter.delete(dir)
+  }
+
+  test("integral stats stay exact past 2^53") {
+    val dir = Files.createTempDirectory("mdio_vstats").resolve("i.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "i", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "x", "dataType": "int64",
+        |     "dimensions": [{"name": "x", "size": 64}]},
+        |    {"name": "w", "dataType": "int64",
+        |     "dimensions": [{"name": "x", "size": 64}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    val base = 1L << 60
+    MdioWriter.writeVariable(spark,
+      spark.range(64).select($"id".as("x"), ($"id" + base).as("w")), dir, "w")
+    val cur = MdioChunkStats.current(ZarrMeta.path(dir).resolve("w")).get
+    assert(cur("0") == Some((BigDecimal(base), BigDecimal(base + 7))))
+    assert(coveredChunks(dir, Array(GreaterThanOrEqual("w", base + 32L))) == 4L)
+    assert(planned(dir, Array(GreaterThanOrEqual("w", base + 48L))) == 1)
+    assert(spark.read.format("mdio").load(dir).filter($"w" >= base + 48L).count() == 16L)
+    MdioWriter.delete(dir)
+  }
+
+  test("MdioValueRange conjunction and boundary semantics") {
+    val r = MdioValueRange(None, None)
+      .narrow(Some((BigDecimal(10), true)), None)
+      .narrow(Some((BigDecimal(10), false)), Some((BigDecimal(20), true)))
+    // tie on the lo bound: open beats closed
+    assert(!r.intersects(BigDecimal(5), BigDecimal(10)))  // max == open lo 10
+    assert(r.intersects(BigDecimal(5), BigDecimal(11)))
+    assert(r.intersects(BigDecimal(20), BigDecimal(30)))  // min == closed hi 20
+    assert(!r.intersects(BigDecimal(21), BigDecimal(30)))
+  }
+}
