@@ -70,7 +70,20 @@ object Bench {
     // plan regression re-runs slow regardless of pressure and stays red.
     def overGate(name: String, t: Double): Boolean =
       budget.get(name).exists(b => t > math.max(2.0 * b, 2.0))
-    val flagged = twoPass.collect { case (n, t) if overGate(n, t) => n }.toSeq.sorted
+    // Streaming *_exec queries trip the isolated re-measure EARLIER
+    // (1.25x): stateful micro-batch machinery is the highest-variance
+    // query class under full-suite load — the r10 driver run had
+    // stream_cusum_exec at 4.24 s against a 2.18 s quiet-median budget
+    // (1.94x, a near-miss on the 2x gate) while its isolated re-run was
+    // 2.05 s. Re-measuring before gating keeps the 2x REGRESSION bar
+    // identical for everyone; only the measurement it applies to becomes
+    // the isolated one for the streaming family. Batch queries keep the
+    // 2x-only retry.
+    def needsIsolation(name: String, t: Double): Boolean =
+      overGate(name, t) ||
+        (name.startsWith("stream_") && name.endsWith("_exec") &&
+          budget.get(name).exists(b => t > math.max(1.25 * b, 2.0)))
+    val flagged = twoPass.collect { case (n, t) if needsIsolation(n, t) => n }.toSeq.sorted
     val results: Map[String, Double] =
       if (flagged.isEmpty) twoPass
       else {

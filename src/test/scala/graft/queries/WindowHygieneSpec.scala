@@ -19,6 +19,20 @@ import graft.SparkSpec
   * carry an annotation here stating why that grouping's DOMAIN is
   * bounded (the part no static check can prove). A new global window
   * without both fails loudly.
+  *
+  * Reachability is STRICT (r10 verdict item 3): the grouped Aggregate
+  * must be reachable from the window through non-row-expanding unary
+  * nodes only (Project/Filter/Window/Sort/Limit) — an `exists` anywhere
+  * below would accept an aggregate buried under a row-multiplying
+  * join/explode while the window's actual input stays corpus-sized.
+  *
+  * Coverage note (ADVICE r10): for the ~21 `stream_*` queries,
+  * `fn(spark, sf)` executes the streaming query and returns the
+  * post-sink BATCH fold, so this gate inspects only that fold's plan —
+  * windows inside the streaming micro-batch plan are exempt by
+  * construction here and covered instead by the harness's
+  * `pinBoundedState` + Spark's UnsupportedOperationChecker (append-mode
+  * streaming forbids unpartitioned non-time windows outright).
   */
 class WindowHygieneSpec extends SparkSpec {
 
@@ -40,21 +54,41 @@ class WindowHygieneSpec extends SparkSpec {
     "graph_linkpred" -> "score-threshold histogram over quantized scores"
   )
 
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit,
+    Join, LocalLimit, LogicalPlan, Project, Sort, Window => LWindow}
+
+  /** Is a grouped Aggregate reachable from `p` through nodes that cannot
+    * increase the row count? Allowed hops: Project/Filter/Window/Sort/
+    * Limit, plus a Join whose OTHER side provably has ≤ 1 row (the scalar
+    * cross-attach: multiplying by ≤ 1 never expands). This is the
+    * structural half of "the window input is a value histogram": its
+    * cardinality is then ≤ the Aggregate's #groups, never #rows. */
+  private def histogramReachable(p: LogicalPlan): Boolean = p match {
+    case a: Aggregate => a.groupingExpressions.nonEmpty
+    case pr: Project => histogramReachable(pr.child)
+    case f: Filter => histogramReachable(f.child)
+    case w: LWindow => histogramReachable(w.child)
+    case s: Sort => histogramReachable(s.child)
+    case l: GlobalLimit => histogramReachable(l.child)
+    case l: LocalLimit => histogramReachable(l.child)
+    case j: Join =>
+      (j.right.maxRows.exists(_ <= 1L) && histogramReachable(j.left)) ||
+        (j.left.maxRows.exists(_ <= 1L) && histogramReachable(j.right))
+    case _ => false
+  }
+
+  /** single-row inputs (ungrouped-agg scalar attaches) are safe without a
+    * histogram; otherwise require the histogram shape on a row-preserving
+    * path */
+  private def globalWindowOk(w: LWindow): Boolean =
+    w.child.maxRows.exists(_ <= 1L) || histogramReachable(w.child)
+
   test("every unpartitioned window sits over a bounded-domain histogram, annotated") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val results = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val plan = fn(spark, sf).queryExecution.optimizedPlan
         val globals = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
-        val structuralOk = globals.forall { w =>
-          // single-row inputs (ungrouped-agg scalar attaches) are safe
-          // without a histogram; otherwise require the histogram shape
-          w.child.maxRows.exists(_ <= 1L) ||
-            w.child.exists {
-              case a: Aggregate => a.groupingExpressions.nonEmpty
-              case _            => false
-            }
-        }
+        val structuralOk = globals.forall(globalWindowOk)
         (name, globals.nonEmpty, structuralOk, Option.empty[String])
       } catch {
         case e: Throwable =>
@@ -76,5 +110,24 @@ class WindowHygieneSpec extends SparkSpec {
     val stale = (boundedDomain.keySet -- withGlobal).toSeq.sorted
     assert(stale.isEmpty,
       s"stale annotations (no unpartitioned window in the optimized plan): ${stale.mkString(", ")}")
+  }
+
+  test("negative: a window over a join-of-aggregate fails the structural gate") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val agg = Seq((1, 10.0), (1, 20.0), (2, 5.0)).toDF("k", "v")
+      .groupBy($"k").agg(sum($"v").as("s"))
+    val fanout = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "tag")
+    // the aggregate IS below the window, but behind a row-multiplying
+    // join — the r10 verdict's counterexample to the old `exists` check
+    val df = agg.join(fanout, "k")
+      .withColumn("r", row_number().over(W.orderBy($"s")))
+    val globals = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.nonEmpty, "test plan no longer has a global window")
+    assert(!globals.forall(globalWindowOk),
+      "the join-of-aggregate window must NOT pass the structural gate")
   }
 }

@@ -25,19 +25,30 @@ def main():
         assert set(r) == names, "runs disagree on query set"
 
     src = open(BENCH).read()
-    # Bound the rewrite to the budget map literal.
+    # Bound the rewrite to the budget map literal. The matching ")" is found
+    # by raw paren-depth counting, which a comment containing an unbalanced
+    # paren would silently mis-bound — so strip line comments for the DEPTH
+    # WALK only (the rewrite still runs over the original text).
     start = src.index("val budget: Map[String, Double] = Map(")
-    # find matching close: first line with a lone ")" at depth 0 after start
-    i, depth = src.index("(", start), 0
-    for j in range(i, len(src)):
-        if src[j] == "(":
+    walk = re.sub(r"//[^\n]*", lambda m: " " * len(m.group(0)), src)
+    i, depth, end = walk.index("(", start), 0, -1
+    for j in range(i, len(walk)):
+        if walk[j] == "(":
             depth += 1
-        elif src[j] == ")":
+        elif walk[j] == ")":
             depth -= 1
             if depth == 0:
                 end = j
                 break
+    assert end > start, "budget map close paren not found"
     body = src[start:end]
+    # Sanity-pin the computed bound: the slice must end at a budget entry
+    # (possibly followed by comment lines) and the map's ")" must be the
+    # next structural character — otherwise a stray paren moved the bound
+    # and --apply could rewrite pairs outside the map or miss its tail.
+    tail = re.sub(r"//[^\n]*", "", body).rstrip().rstrip(",").rstrip()
+    assert re.search(r'->\s*[0-9]+(?:\.[0-9]+)?$', tail), \
+        f"budget map bound looks wrong; slice ends with: ...{tail[-60:]!r}"
 
     entry = re.compile(r'"([a-z0-9_]+)"\s*->\s*([0-9]+(?:\.[0-9]+)?)')
     current = {m.group(1): float(m.group(2)) for m in entry.finditer(body)}
