@@ -35,7 +35,7 @@ object Tables {
     * sub-µs components; double-division would lose precision at ~1.7e18
     * ns); NTZ micros cast straight across (session zone is UTC
     * everywhere here, so the instant is unchanged). */
-  private def normalizeTs(df: DataFrame): DataFrame = {
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     df.schema("ts").dataType match {

@@ -114,7 +114,17 @@ object StreamingExec {
     * query's Scaladoc argues its grouping domain; flatMapGroupsWithState
     * state bounds are likewise per-operator documentation, since
     * NoTimeout with constant per-key state over a bounded key domain is
-    * legitimate.) */
+    * legitimate.)
+    *
+    * Known leniency (ADVICE r10): the watermark check is EXISTENCE in the
+    * subtree, not column-flow — an append-mode aggregate whose only
+    * watermark sits on an unrelated join input would pass this pin while
+    * its own window state never evicts. Spark's own
+    * UnsupportedOperationChecker rejects exactly that shape at stream
+    * start (append aggregates must be watermarked on their event-time
+    * grouping column), so the pin stays coarse by choice: it exists to
+    * catch plans Spark ACCEPTS but that grow state unboundedly, and for
+    * those the existence check is the part Spark does not already do. */
   private[queries] def pinBoundedState(df: DataFrame, mode: String): Unit = {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, EventTimeWatermark, Join, LogicalPlan}
     def watermarked(p: LogicalPlan): Boolean =
@@ -614,30 +624,25 @@ object StreamingExec {
     * stream_join_exec representation-free discipline). */
   val qStreamOuterJoinExec: Q = (s, d) => {
     val dir = eventsWithHorizon(s, d)
-    try {
-      val schema = s.read.parquet(dir).schema
-      def src() = s.readStream.schema(schema).parquet(dir)
-      val clicks = src().filter(col("event_type") === "click")
-      val purchases = src().filter(col("event_type") === "purchase")
-      val pairs = Streams.clickToPurchaseOuter(clicks, purchases,
-        windowSeconds = 3600L, watermark = "2 hours")
-      // natural key: (purchase, click) id pair; an outer row is (pid, null)
-      runToMemoryIdempotent(pairs, Seq("purchase_id", "click_id"))
-        .filter(col("p_user") >= 0) // drop the horizon sentinels
-        .groupBy(col("p_user").as("user_id"))
-        .agg(
-          sum(when(col("click_id").isNotNull, 1L).otherwise(0L))
-            .as("n_matched_pairs"),
-          sum(when(col("click_id").isNull, 1L).otherwise(0L))
-            .as("n_unmatched"),
-          coalesce(sum(when(col("click_id").isNull,
-            round(col("value") * 100).cast("long"))), lit(0L))
-            .as("unattributed_cents"))
-        .orderBy(col("user_id"))
-    } finally {
-      // the memory sink holds the streamed rows; the staged parquet can go
-      deleteRecursively(java.nio.file.Paths.get(dir))
-    }
+    val schema = s.read.parquet(dir).schema
+    def src() = Tables.normalizeTs(s.readStream.schema(schema).parquet(dir))
+    val clicks = src().filter(col("event_type") === "click")
+    val purchases = src().filter(col("event_type") === "purchase")
+    val pairs = Streams.clickToPurchaseOuter(clicks, purchases,
+      windowSeconds = 3600L, watermark = "2 hours")
+    // natural key: (purchase, click) id pair; an outer row is (pid, null)
+    runToMemoryIdempotent(pairs, Seq("purchase_id", "click_id"))
+      .filter(col("p_user") >= 0) // drop the horizon sentinels
+      .groupBy(col("p_user").as("user_id"))
+      .agg(
+        sum(when(col("click_id").isNotNull, 1L).otherwise(0L))
+          .as("n_matched_pairs"),
+        sum(when(col("click_id").isNull, 1L).otherwise(0L))
+          .as("n_unmatched"),
+        coalesce(sum(when(col("click_id").isNull,
+          round(col("value") * 100).cast("long"))), lit(0L))
+          .as("unattributed_cents"))
+      .orderBy(col("user_id"))
   }
 
   /** STREAM-STREAM FULL-OUTER JOIN executed as a stream:
@@ -650,32 +655,28 @@ object StreamingExec {
     * so the row certifies all three emission paths at once. */
   val qStreamFullJoinExec: Q = (s, d) => {
     val dir = eventsWithHorizon(s, d)
-    try {
-      val schema = s.read.parquet(dir).schema
-      def src() = s.readStream.schema(schema).parquet(dir)
-      val clicks = src().filter(col("event_type") === "click")
-      val purchases = src().filter(col("event_type") === "purchase")
-      val pairs = Streams.clickToPurchaseFull(clicks, purchases,
-        windowSeconds = 3600L, watermark = "2 hours")
-      // natural key: (pid, cid); outer rows are (pid, null) / (null, cid)
-      runToMemoryIdempotent(pairs, Seq("purchase_id", "click_id"))
-        .withColumn("user_id", coalesce(col("p_user"), col("c_user")))
-        .filter(col("user_id") >= 0) // drop the horizon sentinels
-        .groupBy(col("user_id"))
-        .agg(
-          sum(when(col("purchase_id").isNotNull && col("click_id").isNotNull,
-            1L).otherwise(0L)).as("n_matched_pairs"),
-          sum(when(col("click_id").isNull, 1L).otherwise(0L))
-            .as("n_unmatched_purchases"),
-          sum(when(col("purchase_id").isNull, 1L).otherwise(0L))
-            .as("n_unmatched_clicks"),
-          coalesce(sum(when(col("click_id").isNull,
-            round(col("value") * 100).cast("long"))), lit(0L))
-            .as("unattributed_cents"))
-        .orderBy(col("user_id"))
-    } finally {
-      deleteRecursively(java.nio.file.Paths.get(dir))
-    }
+    val schema = s.read.parquet(dir).schema
+    def src() = Tables.normalizeTs(s.readStream.schema(schema).parquet(dir))
+    val clicks = src().filter(col("event_type") === "click")
+    val purchases = src().filter(col("event_type") === "purchase")
+    val pairs = Streams.clickToPurchaseFull(clicks, purchases,
+      windowSeconds = 3600L, watermark = "2 hours")
+    // natural key: (pid, cid); outer rows are (pid, null) / (null, cid)
+    runToMemoryIdempotent(pairs, Seq("purchase_id", "click_id"))
+      .withColumn("user_id", coalesce(col("p_user"), col("c_user")))
+      .filter(col("user_id") >= 0) // drop the horizon sentinels
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("purchase_id").isNotNull && col("click_id").isNotNull,
+          1L).otherwise(0L)).as("n_matched_pairs"),
+        sum(when(col("click_id").isNull, 1L).otherwise(0L))
+          .as("n_unmatched_purchases"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L))
+          .as("n_unmatched_clicks"),
+        coalesce(sum(when(col("click_id").isNull,
+          round(col("value") * 100).cast("long"))), lit(0L))
+          .as("unattributed_cents"))
+      .orderBy(col("user_id"))
   }
 
   val qStreamFullJoinExecSql: String = """
@@ -702,28 +703,65 @@ object StreamingExec {
              AS unattributed_cents
     FROM j GROUP BY user_id ORDER BY user_id"""
 
+  /** Staged horizon sources, one per corpus dir per JVM: built once,
+    * shared by [[qStreamOuterJoinExec]] and [[qStreamFullJoinExec]] and
+    * across bench passes, deleted on JVM exit. */
+  private val horizonDirs = scala.collection.concurrent.TrieMap[String, String]()
+
   /** Stage the events corpus plus the watermark-horizon sentinel pair into
-    * a fresh temp directory for [[qStreamOuterJoinExec]]'s file source.
-    * Timestamps are pre-normalized ([[Tables.events]]) so the staged file
-    * has ONE physical encoding regardless of which corpus generation is on
-    * disk. Returns the directory path (caller deletes). */
-  private def eventsWithHorizon(s: SparkSession, d: String): String = {
-    val ev = Tables.events(s, d)
-    val horizon = ev.agg(max(col("ts")).as("m"))
-      .select((col("m") + expr("INTERVAL 90 DAYS")).as("ts"))
-    val sentinels = horizon
-      .crossJoin(s.createDataFrame(Seq((-1L, "click"), (-2L, "purchase")))
-        .toDF("s_event_id", "s_event_type"))
-      .select(col("s_event_id").as("event_id"), col("ts"),
-        lit(-1L).as("user_id"), col("s_event_type").as("event_type"),
-        lit(0.0).as("value"), lit(null).cast("string").as("props"))
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_outer_join_src").toString
-    ev.select("event_id", "ts", "user_id", "event_type", "value", "props")
-      .unionByName(sentinels)
-      .write.mode("overwrite").parquet(dir)
-    dir
-  }
+    * a temp directory for the outer/full join file sources — with
+    * O(sentinels) I/O (r10 verdict item 4): the corpus parquet FILE is
+    * hard-linked (copied when /tmp is a different filesystem) as-is, and
+    * only the two-row sentinel file is written through Spark, in the RAW
+    * file's representation (ts stays nanos-long / NTZ / timestamp —
+    * whatever the corpus generation uses) so the directory keeps one
+    * imposed schema; readers re-apply [[Tables.normalizeTs]] exactly as
+    * [[Tables.eventsStream]] does. An empty corpus fails loudly here
+    * instead of hanging the watermark (ADVICE r10). */
+  private def eventsWithHorizon(s: SparkSession, d: String): String =
+    horizonDirs.getOrElseUpdate(d, {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val srcFile = java.nio.file.Paths.get(d, "events.parquet")
+      val raw = s.read.parquet(srcFile.toString)
+      val tsType = raw.schema("ts").dataType
+      val maxTs = raw.agg(max(col("ts")).as("m"))
+      require(!maxTs.head.isNullAt(0),
+        s"events corpus at $d is empty — cannot stage a watermark horizon")
+      val horizonTs =
+        if (tsType == org.apache.spark.sql.types.LongType) // nanos-as-long corpus
+          (col("m") + lit(90L * 24 * 3600 * 1000000000L)).as("ts")
+        else (col("m") + expr("INTERVAL 90 DAYS")).cast(tsType).as("ts")
+      val sentinelCols = raw.schema.fields.map { f =>
+        f.name match {
+          case "ts" => horizonTs
+          case "event_id" => col("s_event_id").cast(f.dataType).as("event_id")
+          case "user_id" => lit(-1L).cast(f.dataType).as("user_id")
+          case "event_type" => col("s_event_type").cast(f.dataType).as("event_type")
+          case "value" => lit(0.0).cast(f.dataType).as("value")
+          case other => lit(null).cast(f.dataType).as(other)
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft_horizon_src")
+      try java.nio.file.Files.createLink(dir.resolve("events.parquet"), srcFile)
+      catch { case _: Exception =>
+        java.nio.file.Files.copy(srcFile, dir.resolve("events.parquet")) }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_horizon_sentinel")
+      maxTs
+        .crossJoin(s.createDataFrame(Seq((-1L, "click"), (-2L, "purchase")))
+          .toDF("s_event_id", "s_event_type"))
+        .select(sentinelCols.toSeq: _*)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val listing = java.nio.file.Files.list(tmp)
+      try listing.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (p, i) =>
+          java.nio.file.Files.move(p, dir.resolve(s"sentinel$i.parquet"))
+        }
+      finally listing.close()
+      deleteRecursively(tmp)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir)))
+      dir.toString
+    })
 
   val qStreamOuterJoinExecSql: String = """
     WITH c AS (
