@@ -538,6 +538,9 @@ object Bench {
     // the value predicate reads FEWER chunks via the stats sidecar, so the
     // budget is the roundtrip's plus the sidecar read)
     "zarr_value_pruning" -> 0.093,
+    // comparator: zarr_extents (the same metadata-only one-row MdioAggScan
+    // shape, now fed by the stats sidecar instead of the chunk grid)
+    "zarr_stats_minmax" -> 0.029,
     // comparator: zarr_pushdown (same filtered-scan shape; the one-time
     // store migration happens in the untimed build, like zarrGrid itself)
     "mdio_rechunk" -> 0.118,

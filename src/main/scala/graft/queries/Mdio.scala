@@ -408,6 +408,28 @@ object Mdio {
     SELECT CAST(SUM(CAST(image AS DECIMAL(27,6))) AS DOUBLE) AS total, COUNT(*) AS n
     FROM cells WHERE image >= 1.0"""
 
+  /** Metadata-only MIN/MAX over a VALUE column (the statsV1
+    * attached-attributes use case, mdio/stats.h): with a generation-current
+    * full-coverage stats sidecar the connector answers
+    * `SELECT MIN(image), MAX(image), COUNT(*)` as a complete aggregate
+    * pushdown — one metadata row, zero chunk files opened, the O(1)
+    * "amplitude range of a 100 TB store" path (MdioAggScan "vmin"/"vmax";
+    * plan-pinned in MdioValueStatsSpec). */
+  val qZarrStatsMinmax: Q = (s, d) =>
+    s.read.format("mdio").load(zarrGrid(s, d))
+      .agg(min(col("image")).as("mn"), max(col("image")).as("mx"),
+        count(lit(1)).as("n"))
+
+  val qZarrStatsMinmaxSql: String = """
+    WITH agg AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS image
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT COALESCE(image, 0.0) AS image
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j))
+    SELECT MIN(image) AS mn, MAX(image) AS mx, COUNT(*) AS n FROM cells"""
+
   val qZarrRoundtripSql: String = """
     WITH agg AS (
       SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
@@ -1512,6 +1534,7 @@ object Mdio {
     "zarr_roundtrip"        -> qZarrRoundtrip,
     "zarr_pushdown"         -> qZarrPushdown,
     "zarr_value_pruning"    -> qZarrValuePruning,
+    "zarr_stats_minmax"     -> qZarrStatsMinmax,
     "mdio_rechunk"          -> qMdioRechunk,
     "mdio_reshard"          -> qMdioReshard,
     "mdio_extract"          -> qMdioExtract,
@@ -1557,6 +1580,7 @@ object Mdio {
     "zarr_roundtrip"        -> qZarrRoundtripSql,
     "zarr_pushdown"         -> qZarrPushdownSql,
     "zarr_value_pruning"    -> qZarrValuePruningSql,
+    "zarr_stats_minmax"     -> qZarrStatsMinmaxSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
     "mdio_reshard"          -> qMdioReshardSql,
     "mdio_extract"          -> qMdioExtractSql,

@@ -93,12 +93,35 @@ final case class MdioBatchWrite(path: String, dims: Seq[String],
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // all tasks succeeded; (v2) refresh consolidated metadata on the driver
-    // — the WaitAllFuture-then-publish shape
+    // — the WaitAllFuture-then-publish shape. Each task's commit message
+    // carries the exact post-RMW bounds of the chunks it owned (one task
+    // per chunk under the clustering contract), so the stats sidecar
+    // refreshes for free here; variables the sink cannot bound
+    // (complex/record/u64) bump-invalidate instead, and variables no task
+    // touched (null-expanded columns) are left alone — their data did not
+    // change, so their stats stay current.
     val root = ZarrMeta.path(path)
-    // the DSv2 sink does not compute per-chunk bounds: bump each written
-    // variable's data generation so a stale .mdio_stats.json can never
-    // prune against post-write data (MdioChunkStats staleness contract)
-    metas.keys.foreach(v => MdioChunkStats.bump(root.resolve(v)))
+    val stats = messages.collect { case m: MdioStatsCommit => m }
+    val touched: Set[String] = stats.iterator.flatMap(_.touched).toSet
+    touched.foreach { v =>
+      val m = metas(v)
+      val capable = m.fields.isEmpty && !MdioPartitionReader.isComplex(m.dtype) &&
+        !(m.dtype.charAt(m.dtype.length - 2) == 'u' && m.dtype.endsWith("8"))
+      if (!capable) MdioChunkStats.bump(root.resolve(v))
+      else {
+        val grid = m.chunkGrid.toArray
+        val entries = stats.iterator
+          .flatMap(_.stats.getOrElse(v, Array.empty[MdioWriter.ChunkStatRow]))
+          .flatMap { sr =>
+            val cc = new Array[Long](grid.length)
+            var rem = sr.cid
+            var i = grid.length - 1
+            while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
+            MdioWriter.statEntry(sr).map(ZarrMeta.chunkKey(cc.toSeq) -> _)
+          }.toMap
+        MdioChunkStats.refresh(root.resolve(v), entries)
+      }
+    }
     if (ZarrMeta.detectVersion(root) == 2) ZarrMeta.consolidate(root)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -115,7 +138,13 @@ final case class MdioDataWriterFactory(path: String, dims: Array[String],
   }
 }
 
-private object MdioDone extends WriterCommitMessage
+/** Per-task commit payload: the variables this task wrote at least one
+  * cell of, and — for boundable dtypes — the exact bounds of each FINAL
+  * chunk buffer it owned (clustering guarantees single ownership, so the
+  * driver-side union is conflict-free). */
+private final case class MdioStatsCommit(
+    touched: Set[String],
+    stats: Map[String, Array[MdioWriter.ChunkStatRow]]) extends WriterCommitMessage
 
 /** Buffers every owned chunk per variable; flushes chunk files on commit.
   * Thanks to the declared clustering, a chunk is owned by exactly one
@@ -307,22 +336,33 @@ final class MdioDataWriter(path: String, dims: Array[String], schema: StructType
   }
 
   override def commit(): WriterCommitMessage = {
+    val touched = Set.newBuilder[String]
+    val stats = Map.newBuilder[String, Array[MdioWriter.ChunkStatRow]]
     var v = 0
     while (v < vars.length) {
       val (name, m) = vars(v)
       def emit(cid: Long, raw: Array[Byte]): Unit =
         chunkPath(name, m, cid).write(
           ChunkCodec.compress(raw, m.compressor, m.elemSize, m.blosc))
-      val isC = kindOf(m) == 'c'
+      val kind = kindOf(m)
+      val isC = kind == 'c'
+      val isU64 = kind == 'u' && m.dtype.endsWith("8")
       bufD(v).foreach { case (cid, buf) =>
         emit(cid, if (isC) ChunkCodec.encodeComplex(buf, m.dtype)
                   else ChunkCodec.encodeDoubles(buf, m.dtype))
       }
       bufL(v).foreach { case (cid, buf) => emit(cid, ChunkCodec.encodeLongs(buf, m.dtype)) }
       bufB(v).foreach { case (cid, buf) => emit(cid, buf) } // record: already packed
+      if (bufD(v).nonEmpty || bufL(v).nonEmpty || bufB(v).nonEmpty) touched += name
+      if (kind == 'f')
+        stats += name -> bufD(v).iterator.map { case (cid, buf) =>
+          MdioWriter.floatStat(cid, buf) }.toArray
+      else if (kind != 'c' && kind != 'V' && !isU64)
+        stats += name -> bufL(v).iterator.map { case (cid, buf) =>
+          MdioWriter.longStat(cid, buf) }.toArray
       v += 1
     }
-    MdioDone
+    MdioStatsCommit(touched.result(), stats.result())
   }
 
   override def abort(): Unit = ()

@@ -49,8 +49,15 @@ object MdioChunkStats {
   val StatsFile = ".mdio_stats.json"
   val GenFile = ".mdio_wgen"
 
+  /** Bounds over a chunk's FINITE values; `hasNaN` records whether any
+    * cell is NaN — irrelevant to range-predicate pruning (NaN satisfies no
+    * range) but load-bearing for the metadata MIN/MAX answer, where both
+    * engines treat NaN as the greatest double (MAX returns NaN when any
+    * cell is NaN; MIN still returns the finite minimum). */
+  final case class Bounds(min: BigDecimal, max: BigDecimal, hasNaN: Boolean = false)
+
   /** One chunk's value bounds: None = no finite value in the chunk. */
-  type Entry = Option[(BigDecimal, BigDecimal)]
+  type Entry = Option[Bounds]
 
   /** Current data-write generation of a variable directory (0 = never
     * stamped; pre-stats stores read as generation 0 with no stats file,
@@ -89,7 +96,8 @@ object MdioChunkStats {
         case JObject(fields) => fields.map { case (k, v) =>
           k -> (v match {
             case JNull => None
-            case JArray(List(a, b)) => Some((num(a), num(b)))
+            case JArray(List(a, b)) => Some(Bounds(num(a), num(b)))
+            case JArray(List(a, b, JBool(n))) => Some(Bounds(num(a), num(b), n))
             case other => throw new IllegalArgumentException(s"bad stats entry $other")
           })
         }.toMap
@@ -120,8 +128,9 @@ object MdioChunkStats {
     val merged = prior ++ entries
     val body = merged.toSeq.sortBy(_._1).map {
       case (k, None) => s""""$k": null"""
-      case (k, Some((mn, mx))) =>
-        s""""$k": [${mn.underlying.toPlainString}, ${mx.underlying.toPlainString}]"""
+      case (k, Some(Bounds(mn, mx, nan))) =>
+        val tail = if (nan) ", true" else ""
+        s""""$k": [${mn.underlying.toPlainString}, ${mx.underlying.toPlainString}$tail]"""
     }.mkString(", ")
     varDir.resolve(StatsFile).writeString(
       s"""{"generation": $gen, "chunks": {$body}}""")

@@ -260,21 +260,35 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
     true
   }
 
+  /** Can the stats sidecar answer MIN/MAX over `v` EXACTLY right now?
+    * Requires generation-current stats with an entry for EVERY chunk of
+    * the grid — full coverage is what removes all fill/absent-chunk
+    * reasoning (a chunk with no entry is indistinguishable from a
+    * pre-stats or ±Inf chunk, so partial coverage falls back to a real
+    * scan). Dim-range slices also fall back: an entry bounds its WHOLE
+    * chunk, not the sliced cells. */
+  private def statsAnswerable(v: String): Boolean =
+    ranges.isEmpty && MdioChunkStats.current(ZarrMeta.path(path).resolve(v))
+      .exists(_.size.toLong == metas(v).chunkGrid.product)
+
   private def translateAggs(agg: connector_expressions.aggregate.Aggregation)
       : Option[Seq[(String, String)]] = {
     if (agg.groupByExpressions.nonEmpty) return None
+    def named(e: connector_expressions.Expression): Option[String] = e match {
+      case r: connector_expressions.NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames.head)
+      case _ => None
+    }
     val out = agg.aggregateExpressions.map {
       case _: connector_expressions.aggregate.CountStar => ("count", "")
-      case m: connector_expressions.aggregate.Min => m.column match {
-        case r: connector_expressions.NamedReference
-          if r.fieldNames.length == 1 && dimSet(r.fieldNames.head) =>
-          ("min", r.fieldNames.head)
+      case m: connector_expressions.aggregate.Min => named(m.column) match {
+        case Some(a) if dimSet(a) => ("min", a)
+        case Some(a) if statVar(a).exists(statsAnswerable) => ("vmin", statVar(a).get)
         case _ => return None
       }
-      case m: connector_expressions.aggregate.Max => m.column match {
-        case r: connector_expressions.NamedReference
-          if r.fieldNames.length == 1 && dimSet(r.fieldNames.head) =>
-          ("max", r.fieldNames.head)
+      case m: connector_expressions.aggregate.Max => named(m.column) match {
+        case Some(a) if dimSet(a) => ("max", a)
+        case Some(a) if statVar(a).exists(statsAnswerable) => ("vmax", statVar(a).get)
         case _ => return None
       }
       case _ => return None
@@ -410,7 +424,7 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
   }
 
   override def build(): Scan = pushedAggs match {
-    case Some(aggs) => MdioAggScan(dims, metas, ranges, aggs)
+    case Some(aggs) => MdioAggScan(path, dims, metas, ranges, aggs)
     case None =>
       MdioScan(path, dims, metas, requiredSchema, ranges, limitCells, topN, inValues,
         valueRanges)
@@ -452,22 +466,66 @@ final case class MdioValueRange(lo: Option[(BigDecimal, Boolean)],
   }
 }
 
-/** Metadata-only scan for completely-pushed COUNT(*)/MIN(dim)/MAX(dim):
+/** Metadata-only scan for completely-pushed COUNT(*)/MIN(dim)/MAX(dim) —
   * one partition, one row, computed from the chunk grid and the clamped
-  * pushed ranges. Dense-grid semantics make this exact: every in-domain
-  * cell exists (fill-materialized when its chunk file is absent). */
-final case class MdioAggScan(dims: Seq[String],
+  * pushed ranges (dense-grid semantics make this exact: every in-domain
+  * cell exists, fill-materialized when its chunk file is absent) — and,
+  * with a generation-current FULL-coverage stats sidecar, MIN/MAX over a
+  * VALUE column ("vmin"/"vmax": the statsV1-attached-attributes use case,
+  * mdio/stats.h — "what is the amplitude range of this 100 TB store"
+  * without opening a chunk file). Float semantics match both engines'
+  * NaN-is-greatest convention: MAX is NaN when any cell is NaN; MIN is
+  * the finite minimum unless no finite cell exists. */
+final case class MdioAggScan(path: String, dims: Seq[String],
                              metas: Map[String, ZarrMeta.ArrayMeta],
                              ranges: Map[String, (Long, Long)],
                              aggs: Seq[(String, String)]) extends Scan with Batch {
   override def readSchema(): StructType =
     StructType(aggs.zipWithIndex.map { case ((f, d), i) =>
-      StructField(if (f == "count") s"count_$i" else s"${f}_${d}_$i", LongType,
+      val dt = if (f == "vmin" || f == "vmax") MdioTableUtil.sparkTypeOf(metas(d).dtype)
+               else LongType
+      StructField(if (f == "count") s"count_$i" else s"${f}_${d}_$i", dt,
         nullable = f != "count")
     })
   override def toBatch: Batch = this
   override def description(): String =
     s"MdioAggScan(metadata-only: ${aggs.map { case (f, d) => s"$f($d)" }.mkString(",")})"
+
+  /** Exact MIN/MAX over a value column from the full-coverage sidecar.
+    * The builder validated answerability; a writer racing between plan
+    * and execution could invalidate it, and that must fail LOUD (the plan
+    * is already fixed as metadata-only). */
+  private def statValue(op: String, v: String): Any = {
+    val m = metas(v)
+    val entries = MdioChunkStats.current(ZarrMeta.path(path).resolve(v))
+      .getOrElse(throw new IllegalStateException(
+        s"stats sidecar for '$v' went stale between planning and execution"))
+    require(entries.size.toLong == m.chunkGrid.product,
+      s"stats sidecar for '$v' lost full coverage between planning and execution")
+    val dt = MdioTableUtil.sparkTypeOf(m.dtype)
+    val isFloat = m.dtype.charAt(m.dtype.length - 2) == 'f'
+    val bounds = entries.values.flatten.toSeq
+    def cast(bd: BigDecimal): Any = dt match {
+      case DoubleType => bd.toDouble
+      case FloatType => bd.toFloat
+      case LongType => bd.toLong
+      case IntegerType => bd.toInt
+      case ShortType => bd.toShort
+      case ByteType => bd.toByte
+      case BooleanType => bd.signum != 0
+      case other => throw new IllegalStateException(s"unexpected stats dtype $other")
+    }
+    def nan: Any = if (dt == FloatType) Float.NaN else Double.NaN
+    val anyNaN = isFloat && entries.values.exists(e => e.isEmpty || e.exists(_.hasNaN))
+    op match {
+      case "vmin" =>
+        if (bounds.nonEmpty) cast(bounds.map(_.min).min)
+        else nan // every cell NaN (full coverage, all entries null)
+      case "vmax" =>
+        if (anyNaN) nan
+        else cast(bounds.map(_.max).max)
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val shape = metas.values.head.shape
@@ -481,6 +539,7 @@ final case class MdioAggScan(dims: Seq[String],
         if (empty) 0L else bounds.map { case (lo, hi) => hi - lo }.product
       case ("min", d) => if (empty) null else bounds(dims.indexOf(d))._1
       case ("max", d) => if (empty) null else bounds(dims.indexOf(d))._2 - 1
+      case (op @ ("vmin" | "vmax"), v) => if (empty) null else statValue(op, v)
     }.toArray
     Array(MdioAggPartition(values))
   }
@@ -624,7 +683,7 @@ final case class MdioScan(path: String, dims: Seq[String],
         entries.get(key) match {
           case None => true
           case Some(None) => false
-          case Some(Some((mn, mx))) => valueRanges(v).intersects(mn, mx)
+          case Some(Some(b)) => valueRanges(v).intersects(b.min, b.max)
         }
       }
     }

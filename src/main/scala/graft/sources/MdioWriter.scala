@@ -28,7 +28,48 @@ object MdioWriter {
   private[sources] final case class ChunkStatRow(cid: Long, isFloat: Boolean,
                                                  minD: Double, maxD: Double,
                                                  minL: Long, maxL: Long,
-                                                 empty: Boolean)
+                                                 empty: Boolean,
+                                                 nan: Boolean = false)
+
+  /** Exact bounds of one FINAL chunk buffer (float path): finite min/max,
+    * NaN presence, all-NaN flag — shared by every stats-aware writer. */
+  private[sources] def floatStat(cid: Long, buf: Array[Double]): ChunkStatRow = {
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var any = false
+    var nan = false
+    var i = 0
+    while (i < buf.length) {
+      val v = buf(i)
+      if (v.isNaN) nan = true
+      else { any = true; if (v < mn) mn = v; if (v > mx) mx = v }
+      i += 1
+    }
+    ChunkStatRow(cid, isFloat = true, mn, mx, 0L, 0L, empty = !any, nan = nan)
+  }
+
+  /** Exact bounds of one FINAL chunk buffer (integral path). */
+  private[sources] def longStat(cid: Long, buf: Array[Long]): ChunkStatRow = {
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var i = 0
+    while (i < buf.length) {
+      val v = buf(i)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    ChunkStatRow(cid, isFloat = false, 0.0, 0.0, mn, mx, empty = false)
+  }
+
+  /** ChunkStatRow → sidecar entry; None when the chunk is unprunable
+    * (non-finite bounds from ±Inf cells). */
+  private[sources] def statEntry(sr: ChunkStatRow): Option[MdioChunkStats.Entry] =
+    if (sr.empty) Some(None)
+    else if (sr.isFloat) {
+      if (sr.minD.isInfinite || sr.maxD.isInfinite) None // unprunable chunk
+      else Some(Some(MdioChunkStats.Bounds(BigDecimal(sr.minD), BigDecimal(sr.maxD), sr.nan)))
+    } else Some(Some(MdioChunkStats.Bounds(BigDecimal(sr.minL), BigDecimal(sr.maxL))))
 
   /** S2 — create a dataset from a validated JSON spec: all array metadata +
     * group attrs + (v2) consolidated metadata; no chunk data yet.
@@ -566,35 +607,15 @@ object MdioWriter {
         byChunkL.foreach { case (cid, buf) => emit(cid, ChunkCodec.encodeLongs(buf, dtype)) }
         if (!collectStats) Iterator.empty
         else {
+          // bounds over the FINITE values only; NaN cells (fill) satisfy
+          // no range predicate, so they never widen the bounds. A chunk
+          // with no finite value at all marks `empty` (prunable under any
+          // range); a chunk holding ±Inf reports non-finite bounds and is
+          // dropped on the driver (stays unprunable — safe).
           val floatStats = byChunkD.iterator.map { case (cid, buf) =>
-            // bounds over the FINITE values only; NaN cells (fill) satisfy
-            // no range predicate, so they never widen the bounds. A chunk
-            // with no finite value at all marks `empty` (prunable under any
-            // range); a chunk holding ±Inf reports non-finite bounds and is
-            // dropped on the driver (stays unprunable — safe).
-            var mn = Double.PositiveInfinity
-            var mx = Double.NegativeInfinity
-            var any = false
-            var i = 0
-            while (i < buf.length) {
-              val v = buf(i)
-              if (!v.isNaN) { any = true; if (v < mn) mn = v; if (v > mx) mx = v }
-              i += 1
-            }
-            MdioWriter.ChunkStatRow(cid, isFloat = true, mn, mx, 0L, 0L, empty = !any)
-          }
+            MdioWriter.floatStat(cid, buf) }
           val longStats = byChunkL.iterator.map { case (cid, buf) =>
-            var mn = Long.MaxValue
-            var mx = Long.MinValue
-            var i = 0
-            while (i < buf.length) {
-              val v = buf(i)
-              if (v < mn) mn = v
-              if (v > mx) mx = v
-              i += 1
-            }
-            MdioWriter.ChunkStatRow(cid, isFloat = false, 0.0, 0.0, mn, mx, empty = false)
-          }
+            MdioWriter.longStat(cid, buf) }
           (floatStats ++ longStats).toArray.iterator
         }
       }.collect()
@@ -610,14 +631,7 @@ object MdioWriter {
         var rem = sr.cid
         var i = rank - 1
         while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
-        val key = ZarrMeta.chunkKey(cc.toSeq)
-        if (sr.empty) Some(key -> (None: MdioChunkStats.Entry))
-        else if (sr.isFloat) {
-          if (sr.minD.isInfinite || sr.maxD.isInfinite) None // unprunable chunk
-          else Some(key -> (Some((BigDecimal(sr.minD), BigDecimal(sr.maxD)))
-            : MdioChunkStats.Entry))
-        } else Some(key -> (Some((BigDecimal(sr.minL), BigDecimal(sr.maxL)))
-          : MdioChunkStats.Entry))
+        MdioWriter.statEntry(sr).map(ZarrMeta.chunkKey(cc.toSeq) -> _)
       }.toMap
       MdioChunkStats.refresh(varDir, entries)
     }
@@ -862,9 +876,15 @@ object MdioWriter {
     val parts = math.min(nShards, math.max(spark.sparkContext.defaultParallelism.toLong, 1L)).toInt
     val hc = graft.zarr.HConf.capture()
 
-    projected
+    val grid = metaB.chunkGrid.toArray
+    // sharded tasks hold every TOUCHED inner chunk's final buffer (the
+    // same exact-by-construction property as the chunk-shuffle path), so
+    // per-inner-chunk bounds ride back with the job; untouched inner
+    // chunks carry over byte-identical AND keep their prior sidecar
+    // entries through the generation-checked merge. u64 stays bump-only.
+    val statRows: Array[ChunkStatRow] = projected
       .repartition(parts, col("__shard"))
-      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      .rdd.mapPartitions { rows: Iterator[org.apache.spark.sql.Row] =>
         VPath.install(hc.value)
         val chunkLen = chunks.product.toInt
         val innerCount = ips.product.toInt
@@ -952,9 +972,42 @@ object MdioWriter {
           }
           shardPath(sid).write(ZarrMeta.buildShard(parts2))
         }
-      }
-    // the shard write path does not compute bounds (yet): invalidate
-    MdioChunkStats.bump(ZarrMeta.path(path).resolve(variable))
+        if (isU64) Iterator.empty
+        else {
+          // global inner-chunk C-order id from (shard id, in-shard index)
+          def innerCid(sid: Long, idx: Int): Long = {
+            val sc = new Array[Long](rank)
+            var rem = sid
+            var i = rank - 1
+            while (i >= 0) { sc(i) = rem % sGrid(i); rem /= sGrid(i); i -= 1 }
+            val o = new Array[Long](rank)
+            var rem2 = idx.toLong
+            i = rank - 1
+            while (i >= 0) { o(i) = rem2 % ips(i); rem2 /= ips(i); i -= 1 }
+            var cid = 0L
+            i = 0
+            while (i < rank) { cid = cid * grid(i) + (sc(i) * ips(i) + o(i)); i += 1 }
+            cid
+          }
+          val fs = touchedD.iterator.map { case ((sid, idx), buf) =>
+            MdioWriter.floatStat(innerCid(sid, idx), buf) }
+          val ls = touchedL.iterator.map { case ((sid, idx), buf) =>
+            MdioWriter.longStat(innerCid(sid, idx), buf) }
+          (fs ++ ls).toArray.iterator
+        }
+      }.collect()
+    val varDir = ZarrMeta.path(path).resolve(variable)
+    if (isU64) MdioChunkStats.bump(varDir)
+    else {
+      val entries: Map[String, MdioChunkStats.Entry] = statRows.iterator.flatMap { sr =>
+        val cc = new Array[Long](rank)
+        var rem = sr.cid
+        var i = rank - 1
+        while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
+        MdioWriter.statEntry(sr).map(ZarrMeta.chunkKey(cc.toSeq) -> _)
+      }.toMap
+      MdioChunkStats.refresh(varDir, entries)
+    }
   }
 
   /** The variables of `path` that `df`'s columns actually cover (data

@@ -63,8 +63,8 @@ class MdioValueStatsSpec extends SparkSpec {
     assert(MdioChunkStats.generation(varDir) == 1L)
     val cur = MdioChunkStats.current(varDir)
     assert(cur.isDefined && cur.get.size == 8)
-    assert(cur.get("0") == Some((BigDecimal(0), BigDecimal(7))))
-    assert(cur.get("7") == Some((BigDecimal(56), BigDecimal(63))))
+    assert(cur.get("0") == Some(MdioChunkStats.Bounds(BigDecimal(0), BigDecimal(7))))
+    assert(cur.get("7") == Some(MdioChunkStats.Bounds(BigDecimal(56), BigDecimal(63))))
     MdioWriter.delete(dir)
   }
 
@@ -108,30 +108,110 @@ class MdioValueStatsSpec extends SparkSpec {
     val varDir = ZarrMeta.path(dir).resolve("v")
     assert(MdioChunkStats.generation(varDir) == 2L)
     val cur = MdioChunkStats.current(varDir).get
-    assert(cur("0") == Some((BigDecimal(100), BigDecimal(107)))) // refreshed
-    assert(cur("5") == Some((BigDecimal(40), BigDecimal(47))))   // carried over
+    assert(cur("0") == Some(MdioChunkStats.Bounds(BigDecimal(100), BigDecimal(107)))) // refreshed
+    assert(cur("5") == Some(MdioChunkStats.Bounds(BigDecimal(40), BigDecimal(47))))   // carried over
     assert(planned(dir, Array(GreaterThanOrEqual("v", 100.0))) == 1)
     assert(spark.read.format("mdio").load(dir).filter($"v" >= 100.0).count() == 8L)
     MdioWriter.delete(dir)
   }
 
-  test("a stats-blind write path invalidates: stale sidecar never prunes") {
+  test("the DSv2 sink refreshes stats through its commit messages") {
     val dir = createFloat(_.toDouble)
-    // the DSv2 sink computes no bounds — its commit bumps the generation
+    // one-cell RMW through the sink: x=63 becomes -5; the task's commit
+    // message carries chunk 7's exact post-RMW bounds to the driver commit
     spark.range(1).select(lit(63L).as("x"), lit(-5.0).as("v"))
       .write.format("mdio").mode("append").save(dir)
     val varDir = ZarrMeta.path(dir).resolve("v")
+    assert(MdioChunkStats.generation(varDir) == 2L)
+    val cur = MdioChunkStats.current(varDir).get
+    assert(cur("7") == Some(MdioChunkStats.Bounds(BigDecimal(-5), BigDecimal(62))))
+    assert(cur("0") == Some(MdioChunkStats.Bounds(BigDecimal(0), BigDecimal(7)))) // carried
+    // pruning reflects the NEW bounds: only chunk 7 can hold negatives
+    assert(planned(dir, Array(LessThanOrEqual("v", -1.0))) == 1)
+    assert(spark.read.format("mdio").load(dir).filter($"v" >= 48.0).count() == 15L)
+    MdioWriter.delete(dir)
+  }
+
+  test("stats-blind mutations invalidate: stale sidecar never prunes") {
+    val dir = createFloat(_.toDouble)
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    // trim is a stats-blind mutation path: it bumps the generation
+    MdioWriter.trim(dir, "x", 64)
     assert(MdioChunkStats.current(varDir).isEmpty, "stats must read as stale")
-    // planning falls back to the unpruned shape; the answer reflects the
-    // new data (x=63 now holds -5, which the stale bounds would have kept
-    // inside a pruned-away chunk if staleness were ignored)
     assert(planned(dir, Array(GreaterThanOrEqual("v", 48.0))) ==
       planned(dir, Array.empty))
-    assert(spark.read.format("mdio").load(dir).filter($"v" >= 48.0).count() == 15L)
+    assert(spark.read.format("mdio").load(dir).filter($"v" >= 48.0).count() == 16L)
     // an external writer that only bumps the generation gets the same safety
     MdioChunkStats.bump(varDir)
     assert(MdioChunkStats.current(varDir).isEmpty)
     MdioWriter.delete(dir)
+  }
+
+  test("sharded (v3) writes publish per-inner-chunk stats and prune") {
+    val dir = Files.createTempDirectory("mdio_vstats").resolve("sh.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "sh", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "x", "dataType": "int64",
+        |     "dimensions": [{"name": "x", "size": 64}]},
+        |    {"name": "v", "dataType": "float64",
+        |     "dimensions": [{"name": "x", "size": 64}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration":
+        |       {"chunkShape": [8], "shardShape": [16]}}}}
+        |  ]
+        |}""".stripMargin), dir, version = 3)
+    MdioWriter.writeVariable(spark,
+      spark.range(64).select($"id".as("x"), $"id".cast("double").as("v")), dir, "v")
+    val cur = MdioChunkStats.current(ZarrMeta.path(dir).resolve("v")).get
+    assert(cur.size == 8, s"expected 8 inner-chunk entries, got ${cur.keySet}")
+    assert(cur("6") == Some(MdioChunkStats.Bounds(BigDecimal(48), BigDecimal(55))))
+    assert(coveredChunks(dir, Array(GreaterThanOrEqual("v", 48.0))) == 2L)
+    assert(spark.read.format("mdio").load(dir).filter($"v" >= 48.0).count() == 16L)
+    // partial RMW through the shard path: inner chunk 0 refreshed, rest carried
+    MdioWriter.writeVariable(spark,
+      spark.range(8).select($"id".as("x"), ($"id" + 100.0).as("v")), dir, "v")
+    val cur2 = MdioChunkStats.current(ZarrMeta.path(dir).resolve("v")).get
+    assert(cur2("0") == Some(MdioChunkStats.Bounds(BigDecimal(100), BigDecimal(107))))
+    assert(cur2("5") == Some(MdioChunkStats.Bounds(BigDecimal(40), BigDecimal(47))))
+    assert(spark.read.format("mdio").load(dir).filter($"v" >= 100.0).count() == 8L)
+    MdioWriter.delete(dir)
+  }
+
+  test("MIN/MAX over a value column answers from metadata with full coverage") {
+    val dir = createFloat(_.toDouble)
+    val df = spark.read.format("mdio").load(dir)
+      .agg(min($"v").as("mn"), max($"v").as("mx"), count(lit(1)).as("n"))
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("MdioAggScan"), p.take(700))
+    val r = df.head
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 63.0 && r.getLong(2) == 64L)
+    // NaN semantics: any NaN cell makes MAX NaN, MIN stays the finite min
+    val dirN = createFloat(x => if (x == 10) Double.NaN else x.toDouble)
+    val rN = spark.read.format("mdio").load(dirN)
+      .agg(min($"v"), max($"v")).head
+    assert(rN.getDouble(0) == 0.0 && rN.getDouble(1).isNaN)
+    // stale stats → no metadata answer, real scan still correct
+    MdioChunkStats.bump(ZarrMeta.path(dir).resolve("v"))
+    val df2 = spark.read.format("mdio").load(dir).agg(min($"v"), max($"v"))
+    val p2 = df2.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p2.contains("MdioAggScan"), p2.take(700))
+    val r2 = df2.head
+    assert(r2.getDouble(0) == 0.0 && r2.getDouble(1) == 63.0)
+    // dim-sliced MIN/MAX(value) also falls back (entries bound whole chunks)
+    val df3 = spark.read.format("mdio").load(dirN).filter($"x" >= 8).agg(max($"v"))
+    val p3 = df3.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p3.contains("MdioAggScan"), p3.take(700))
+    // partial coverage (an entry dropped at the current generation) falls back
+    val varDir = ZarrMeta.path(dirN).resolve("v")
+    val g = MdioChunkStats.generation(varDir)
+    val entries = MdioChunkStats.current(varDir).get
+    MdioChunkStats.write(varDir, g, entries - "3")
+    val df4 = spark.read.format("mdio").load(dirN).agg(max($"v"))
+    val p4 = df4.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p4.contains("MdioAggScan"), p4.take(700))
+    assert(df4.head.getDouble(0).isNaN)
+    MdioWriter.delete(dir); MdioWriter.delete(dirN)
   }
 
   test("integral stats stay exact past 2^53") {
@@ -151,7 +231,7 @@ class MdioValueStatsSpec extends SparkSpec {
     MdioWriter.writeVariable(spark,
       spark.range(64).select($"id".as("x"), ($"id" + base).as("w")), dir, "w")
     val cur = MdioChunkStats.current(ZarrMeta.path(dir).resolve("w")).get
-    assert(cur("0") == Some((BigDecimal(base), BigDecimal(base + 7))))
+    assert(cur("0") == Some(MdioChunkStats.Bounds(BigDecimal(base), BigDecimal(base + 7))))
     assert(coveredChunks(dir, Array(GreaterThanOrEqual("w", base + 32L))) == 4L)
     assert(planned(dir, Array(GreaterThanOrEqual("w", base + 48L))) == 1)
     assert(spark.read.format("mdio").load(dir).filter($"w" >= base + 48L).count() == 16L)
