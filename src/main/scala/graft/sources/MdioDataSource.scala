@@ -261,15 +261,24 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
   }
 
   /** Can the stats sidecar answer MIN/MAX over `v` EXACTLY right now?
-    * Requires generation-current stats with an entry for EVERY chunk of
-    * the grid — full coverage is what removes all fill/absent-chunk
+    * Requires generation-current stats with an entry for every chunk the
+    * scan touches — full coverage is what removes all fill/absent-chunk
     * reasoning (a chunk with no entry is indistinguishable from a
     * pre-stats or ±Inf chunk, so partial coverage falls back to a real
-    * scan). Dim-range slices also fall back: an entry bounds its WHOLE
-    * chunk, not the sliced cells. */
+    * scan). Dim-range slices are answerable IFF they are CHUNK-ALIGNED
+    * (every touched chunk lies fully inside the slice — the common
+    * seismic case, since subvolumes are cut on chunk boundaries): an
+    * entry bounds its whole chunk, so a partially-covered chunk would
+    * make the answer a superset bound, not the exact extremum. */
   private def statsAnswerable(v: String): Boolean =
-    ranges.isEmpty && MdioChunkStats.current(ZarrMeta.path(path).resolve(v))
-      .exists(_.size.toLong == metas(v).chunkGrid.product)
+    MdioAggScan.alignedChunkBox(metas(v), dims, ranges).exists { box =>
+      MdioChunkStats.current(ZarrMeta.path(path).resolve(v)).exists { entries =>
+        val need = box.map { case (lo, hi) => hi - lo }.product
+        // count only entries inside the box (the sidecar may carry more)
+        need > 0 && entries.size >= need &&
+          MdioAggScan.boxKeys(box).forall(entries.contains)
+      }
+    }
 
   private def translateAggs(agg: connector_expressions.aggregate.Aggregation)
       : Option[Seq[(String, String)]] = {
@@ -491,20 +500,25 @@ final case class MdioAggScan(path: String, dims: Seq[String],
   override def description(): String =
     s"MdioAggScan(metadata-only: ${aggs.map { case (f, d) => s"$f($d)" }.mkString(",")})"
 
-  /** Exact MIN/MAX over a value column from the full-coverage sidecar.
-    * The builder validated answerability; a writer racing between plan
-    * and execution could invalidate it, and that must fail LOUD (the plan
-    * is already fixed as metadata-only). */
+  /** Exact MIN/MAX over a value column from the sidecar, scoped to the
+    * (chunk-aligned) slice's chunk box. The builder validated
+    * answerability; a writer racing between plan and execution could
+    * invalidate it, and that must fail LOUD (the plan is already fixed as
+    * metadata-only). */
   private def statValue(op: String, v: String): Any = {
     val m = metas(v)
-    val entries = MdioChunkStats.current(ZarrMeta.path(path).resolve(v))
+    val all = MdioChunkStats.current(ZarrMeta.path(path).resolve(v))
       .getOrElse(throw new IllegalStateException(
         s"stats sidecar for '$v' went stale between planning and execution"))
-    require(entries.size.toLong == m.chunkGrid.product,
-      s"stats sidecar for '$v' lost full coverage between planning and execution")
+    val box = MdioAggScan.alignedChunkBox(m, dims, ranges).getOrElse(
+      throw new IllegalStateException(s"slice no longer chunk-aligned for '$v'"))
+    val entries: Seq[MdioChunkStats.Entry] = MdioAggScan.boxKeys(box).map { k =>
+      all.getOrElse(k, throw new IllegalStateException(
+        s"stats sidecar for '$v' lost coverage of chunk $k between planning and execution"))
+    }.toSeq
     val dt = MdioTableUtil.sparkTypeOf(m.dtype)
     val isFloat = m.dtype.charAt(m.dtype.length - 2) == 'f'
-    val bounds = entries.values.flatten.toSeq
+    val bounds = entries.flatten
     def cast(bd: BigDecimal): Any = dt match {
       case DoubleType => bd.toDouble
       case FloatType => bd.toFloat
@@ -516,7 +530,7 @@ final case class MdioAggScan(path: String, dims: Seq[String],
       case other => throw new IllegalStateException(s"unexpected stats dtype $other")
     }
     def nan: Any = if (dt == FloatType) Float.NaN else Double.NaN
-    val anyNaN = isFloat && entries.values.exists(e => e.isEmpty || e.exists(_.hasNaN))
+    val anyNaN = isFloat && entries.exists(e => e.isEmpty || e.exists(_.hasNaN))
     op match {
       case "vmin" =>
         if (bounds.nonEmpty) cast(bounds.map(_.min).min)
@@ -545,6 +559,36 @@ final case class MdioAggScan(path: String, dims: Seq[String],
   }
 
   override def createReaderFactory(): PartitionReaderFactory = MdioAggReaderFactory()
+}
+
+object MdioAggScan {
+  /** The chunk-index box a clamped dim-range slice covers, when the slice
+    * is CHUNK-ALIGNED — every touched chunk fully inside the slice (lo on
+    * a chunk boundary; hi on a boundary or the domain edge, where the
+    * ragged last chunk is itself clamped to the domain). None when
+    * misaligned or empty. */
+  def alignedChunkBox(m: ZarrMeta.ArrayMeta, dims: Seq[String],
+                      ranges: Map[String, (Long, Long)]): Option[Seq[(Long, Long)]] = {
+    val out = dims.zipWithIndex.map { case (d, i) =>
+      val shape = m.shape(i)
+      val c = m.chunks(i)
+      val (lo0, hi0) = ranges.getOrElse(d, (0L, shape))
+      val lo = math.max(lo0, 0L)
+      val hi = math.min(hi0, shape)
+      if (lo >= hi) return None
+      if (lo % c != 0 || (hi % c != 0 && hi != shape)) return None
+      (lo / c, (hi + c - 1) / c)
+    }
+    Some(out)
+  }
+
+  /** C-order chunk keys of a chunk-index box. */
+  def boxKeys(box: Seq[(Long, Long)]): Iterator[String] = {
+    def rec(i: Int, acc: Vector[Long]): Iterator[Vector[Long]] =
+      if (i == box.size) Iterator.single(acc)
+      else (box(i)._1 until box(i)._2).iterator.flatMap(c => rec(i + 1, acc :+ c))
+    rec(0, Vector.empty).map(ZarrMeta.chunkKey)
+  }
 }
 
 final case class MdioAggPartition(values: Array[Any]) extends InputPartition

@@ -198,10 +198,19 @@ class MdioValueStatsSpec extends SparkSpec {
     assert(!p2.contains("MdioAggScan"), p2.take(700))
     val r2 = df2.head
     assert(r2.getDouble(0) == 0.0 && r2.getDouble(1) == 63.0)
-    // dim-sliced MIN/MAX(value) also falls back (entries bound whole chunks)
-    val df3 = spark.read.format("mdio").load(dirN).filter($"x" >= 8).agg(max($"v"))
+    // CHUNK-ALIGNED dim slices answer from metadata too (the subvolume
+    // amplitude-range path): x >= 16 covers chunks 2..7 exactly — and
+    // excludes the NaN chunk, so MAX is the finite 63
+    val df3 = spark.read.format("mdio").load(dirN).filter($"x" >= 16)
+      .agg(min($"v"), max($"v"))
     val p3 = df3.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
-    assert(!p3.contains("MdioAggScan"), p3.take(700))
+    assert(p3.contains("MdioAggScan"), p3.take(700))
+    val r3 = df3.head
+    assert(r3.getDouble(0) == 16.0 && r3.getDouble(1) == 63.0)
+    // a MISALIGNED slice falls back (an entry bounds its whole chunk)
+    val df3b = spark.read.format("mdio").load(dirN).filter($"x" >= 5).agg(max($"v"))
+    val p3b = df3b.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p3b.contains("MdioAggScan"), p3b.take(700))
     // partial coverage (an entry dropped at the current generation) falls back
     val varDir = ZarrMeta.path(dirN).resolve("v")
     val g = MdioChunkStats.generation(varDir)
