@@ -541,6 +541,9 @@ object Bench {
     // comparator: zarr_extents (the same metadata-only one-row MdioAggScan
     // shape, now fed by the stats sidecar instead of the chunk grid)
     "zarr_stats_minmax" -> 0.029,
+    // comparator: zarr_pushdown (filtered-scan shape; the top-N path reads
+    // a stats-pruned subset of the same store)
+    "zarr_topk_value" -> 0.093,
     // comparator: zarr_pushdown (same filtered-scan shape; the one-time
     // store migration happens in the untimed build, like zarrGrid itself)
     "mdio_rechunk" -> 0.118,

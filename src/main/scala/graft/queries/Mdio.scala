@@ -430,6 +430,26 @@ object Mdio {
       FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j))
     SELECT MIN(image) AS mn, MAX(image) AS mx, COUNT(*) AS n FROM cells"""
 
+  /** Value-ordered TOP-N on the gate: `ORDER BY image DESC LIMIT 10` with
+    * dim tie-breaks. The stats sidecar proves which chunks can reach the
+    * k-th largest value, so the scan plans only those (partial pushdown;
+    * Spark re-sorts the surviving superset) — 'top-k amplitudes of a
+    * 100 TB store' without a full scan (plan-pinned in
+    * MdioValueStatsSpec). */
+  val qZarrTopkValue: Q = (s, d) =>
+    s.read.format("mdio").load(zarrGrid(s, d))
+      .orderBy(col("image").desc, col("inline"), col("crossline"))
+      .limit(10)
+
+  val qZarrTopkValueSql: String = """
+    WITH agg AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS image
+      FROM lineitem GROUP BY 1, 2)
+    SELECT i AS inline, j AS crossline, COALESCE(image, 0.0) AS image
+    FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j)
+    ORDER BY image DESC, inline, crossline LIMIT 10"""
+
   val qZarrRoundtripSql: String = """
     WITH agg AS (
       SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
@@ -1535,6 +1555,7 @@ object Mdio {
     "zarr_pushdown"         -> qZarrPushdown,
     "zarr_value_pruning"    -> qZarrValuePruning,
     "zarr_stats_minmax"     -> qZarrStatsMinmax,
+    "zarr_topk_value"       -> qZarrTopkValue,
     "mdio_rechunk"          -> qMdioRechunk,
     "mdio_reshard"          -> qMdioReshard,
     "mdio_extract"          -> qMdioExtract,
@@ -1581,6 +1602,7 @@ object Mdio {
     "zarr_pushdown"         -> qZarrPushdownSql,
     "zarr_value_pruning"    -> qZarrValuePruningSql,
     "zarr_stats_minmax"     -> qZarrStatsMinmaxSql,
+    "zarr_topk_value"       -> qZarrTopkValueSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
     "mdio_reshard"          -> qMdioReshardSql,
     "mdio_extract"          -> qMdioExtractSql,

@@ -244,20 +244,37 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
   // slab(s) covering >= k cells (partial pushdown: Spark re-sorts the
   // reduced set). (dim asc-or-desc, leading key arbitrary dim.)
   private var topN: Option[(String, Boolean, Int)] = None // (dim, descending, k)
+  // TOP-N on a VALUE column: ORDER BY v [DESC] LIMIT k with a
+  // generation-current stats sidecar — the scan plans only chunks whose
+  // bounds can reach the k-th extremum (partial pushdown; Spark re-sorts)
+  private var topNValue: Option[(String, Boolean, Int)] = None // (var, descending, k)
 
   override def pushTopN(orders: Array[connector_expressions.SortOrder], limit: Int): Boolean = {
+    if (orders.isEmpty) return false
+    val lead = orders.head
+    val leadName = lead.expression() match {
+      case r: connector_expressions.NamedReference if r.fieldNames.length == 1 =>
+        r.fieldNames.head
+      case _ => return false
+    }
+    val desc = lead.direction() == connector_expressions.SortDirection.DESCENDING
     val dimsOnly = orders.forall(_.expression() match {
       case r: connector_expressions.NamedReference =>
         r.fieldNames.length == 1 && dimSet(r.fieldNames.head)
       case _ => false
     })
-    if (!dimsOnly || orders.isEmpty) return false
-    val lead = orders.head
-    val leadDim = lead.expression().asInstanceOf[connector_expressions.NamedReference]
-      .fieldNames.head
-    topN = Some((leadDim,
-      lead.direction() == connector_expressions.SortDirection.DESCENDING, limit))
-    true
+    if (dimsOnly) {
+      topN = Some((leadName, desc, limit))
+      true
+    } else statVar(leadName) match {
+      // the LEADING key alone decides soundness (it dominates the
+      // lexicographic order, so a superset on it covers every tie-break);
+      // trailing keys are Spark's to re-sort
+      case Some(v) if MdioChunkStats.current(ZarrMeta.path(path).resolve(v)).isDefined =>
+        topNValue = Some((v, desc, limit))
+        true
+      case _ => false
+    }
   }
 
   /** Can the stats sidecar answer MIN/MAX over `v` EXACTLY right now?
@@ -436,7 +453,7 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
     case Some(aggs) => MdioAggScan(path, dims, metas, ranges, aggs)
     case None =>
       MdioScan(path, dims, metas, requiredSchema, ranges, limitCells, topN, inValues,
-        valueRanges)
+        valueRanges, topNValue)
   }
 }
 
@@ -611,7 +628,8 @@ final case class MdioScan(path: String, dims: Seq[String],
                           limitCells: Option[Int] = None,
                           topN: Option[(String, Boolean, Int)] = None,
                           staticIn: Map[String, Array[Long]] = Map.empty,
-                          valueRanges: Map[String, MdioValueRange] = Map.empty)
+                          valueRanges: Map[String, MdioValueRange] = Map.empty,
+                          topNValue: Option[(String, Boolean, Int)] = None)
     extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics {
   override def readSchema(): StructType = requiredSchema
@@ -736,6 +754,60 @@ final case class MdioScan(path: String, dims: Seq[String],
       if (dim == dims.size) Iterator.single(acc)
       else (chunkLo(dim) to chunkHi(dim)).iterator.flatMap(c => enumerate(dim + 1, acc :+ c))
 
+    // ---- value-ordered TOP-N chunk pruning: ORDER BY v [DESC] LIMIT k
+    // with current stats. Soundness: every Some-entry chunk guarantees
+    // `cells` values ranking at-or-beyond its min (DESC; NaN cells rank
+    // highest, so they honor the guarantee too) / its max (ASC; hasNaN
+    // chunks are left OUT of the guarantee there, since NaN ranks last).
+    // Let M be the k-th best of that guaranteed multiset — then the true
+    // k-th extremum τ* ranks at-or-beyond M, so a chunk strictly worse
+    // than M on its best value (max < M for DESC / min > M for ASC)
+    // cannot hold a top-k row, ties included. Entry-less chunks always
+    // stay; if the guarantee can't reach k values, nothing prunes. Spark
+    // re-sorts the surviving superset (partial pushdown).
+    val topNPred: Option[Seq[Long] => Boolean] =
+      topNValue.flatMap { case (v, desc, k) =>
+        if (runtimeValues.nonEmpty) None
+        else MdioChunkStats.current(ZarrMeta.path(path).resolve(v)).flatMap { entries =>
+          def cellsOf(cc: Vector[Long]): Long =
+            cc.zipWithIndex.map { case (c, i) =>
+              math.min(bounds(i)._2, (c + 1) * chunks(i)) -
+                math.max(bounds(i)._1, c * chunks(i))
+            }.product
+          val guar = scala.collection.mutable.ArrayBuffer.empty[(BigDecimal, Long)]
+          enumerate(0, Vector.empty).foreach { cc =>
+            entries.get(ZarrMeta.chunkKey(cc)).flatten.foreach { b =>
+              if (desc || !b.hasNaN)
+                guar += (((if (desc) b.min else b.max), cellsOf(cc)))
+            }
+          }
+          val ord = if (desc) Ordering[BigDecimal].reverse else Ordering[BigDecimal]
+          val sorted = guar.sortBy(_._1)(ord)
+          var cum = 0L
+          var m: Option[BigDecimal] = None
+          val it = sorted.iterator
+          while (m.isEmpty && it.hasNext) {
+            val (g, w) = it.next()
+            cum += w
+            if (cum >= k) m = Some(g)
+          }
+          m.map { thresh => (cc: Seq[Long]) =>
+            entries.get(ZarrMeta.chunkKey(cc)) match {
+              case None => true
+              case Some(None) => desc // all-NaN ranks first under DESC, last under ASC
+              case Some(Some(b)) =>
+                if (desc) b.hasNaN || b.max >= thresh else b.min <= thresh
+            }
+          }
+        }
+      }
+    val pruningActive = statsActive || topNPred.isDefined
+
+    /** All driver-side chunk pruning in one predicate: pushed value ranges
+      * AND the value-ordered top-N threshold. */
+    def survives(cc: Seq[Long]): Boolean =
+      chunkSurvivesValues(cc) && topNPred.forall(_(cc))
+
     def partitionFor(cc: Vector[Long]): Option[(InputPartition, Long)] = {
       // cell range inside this chunk (global coords)
       val cell = cc.zipWithIndex.map { case (c, i) =>
@@ -747,7 +819,7 @@ final case class MdioScan(path: String, dims: Seq[String],
       // dynamically provided dim values
       val pruned = dims.zipWithIndex.exists { case (d, i) =>
         runtimeValues.get(d).exists(vals => !anyValueIn(vals, cell(i)._1, cell(i)._2))
-      } || !chunkSurvivesValues(cc)
+      } || !survives(cc)
       if (pruned) None
       else Some((MdioInputPartition(path, cc.toArray, cell.map(_._1).toArray, cell.map(_._2).toArray,
         neededVars, neededVars.map(v => metas(v)).toArray): InputPartition,
@@ -827,7 +899,7 @@ final case class MdioScan(path: String, dims: Seq[String],
                 s, e,
                 bounds.map(_._1).toArray, bounds.map(_._2).toArray,
                 neededVars, neededVars.map(v => metas(v)).toArray)
-            if (!statsActive)
+            if (!pruningActive)
               (0L until totalChunks by chunksPerTask).map { s =>
                 rangePartition(s, math.min(s + chunksPerTask, totalChunks))
               }.toArray
@@ -850,7 +922,7 @@ final case class MdioScan(path: String, dims: Seq[String],
               var runStart = -1L
               var flat = 0L
               while (flat < totalChunks) {
-                val ok = chunkSurvivesValues(ccOf(flat))
+                val ok = survives(ccOf(flat))
                 if (ok && runStart < 0) runStart = flat
                 if (ok && flat - runStart + 1 == chunksPerTask) {
                   out += rangePartition(runStart, flat + 1); runStart = -1L

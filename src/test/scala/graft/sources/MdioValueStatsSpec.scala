@@ -247,6 +247,39 @@ class MdioValueStatsSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("ORDER BY value LIMIT k plans only chunks that can reach the k-th extremum") {
+    val dir = createFloat(_.toDouble)
+    def scanPartitions(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.size
+      }.sum
+    val df = spark.read.format("mdio").load(dir)
+    // DESC top-4: chunk 7 guarantees 8 cells >= 56, so M=56 and only
+    // chunk 7 (max 63 >= 56) survives
+    val desc = df.orderBy($"v".desc).limit(4)
+    assert(scanPartitions(desc) == 1, s"desc planned ${scanPartitions(desc)}")
+    assert(desc.select($"x").as[Long].collect().sorted.toSeq == Seq(60L, 61L, 62L, 63L))
+    // ASC top-12: chunks 0,1 guarantee 16 cells <= 15; M = the 12th
+    // smallest guaranteed upper = 15, chunks with min <= 15 survive (0,1)
+    val asc = df.orderBy($"v", $"x".desc).limit(12) // trailing key: Spark's re-sort
+    assert(scanPartitions(asc) == 1, s"asc planned ${scanPartitions(asc)}") // run [0,2) coalesces
+    assert(asc.select($"x").as[Long].collect().sorted.toSeq == (0L to 11L))
+    // stale stats: no pruning, same answers
+    MdioChunkStats.bump(ZarrMeta.path(dir).resolve("v"))
+    val desc2 = df.orderBy($"v".desc).limit(4)
+    assert(scanPartitions(desc2) == 4, s"stale planned ${scanPartitions(desc2)}")
+    assert(desc2.select($"x").as[Long].collect().sorted.toSeq == Seq(60L, 61L, 62L, 63L))
+    MdioWriter.delete(dir)
+    // NaN ranks FIRST under DESC: the all-NaN chunk must stay planned
+    val dirN = createFloat(x => if (x >= 24 && x < 32) Double.NaN else x.toDouble)
+    val dfN = spark.read.format("mdio").load(dirN)
+    val descN = dfN.orderBy($"v".desc).limit(4)
+    val topVals = descN.select($"v").as[Double].collect()
+    assert(topVals.count(_.isNaN) == 4, s"NaN must rank first desc, got ${topVals.toSeq}")
+    MdioWriter.delete(dirN)
+  }
+
   test("MdioValueRange conjunction and boundary semantics") {
     val r = MdioValueRange(None, None)
       .narrow(Some((BigDecimal(10), true)), None)
