@@ -43,7 +43,20 @@ import org.json4s.jackson.JsonMethods
   * precision; non-finite bounds are never written (a chunk whose finite
   * values are absent writes `null`, a chunk holding ±Inf simply omits its
   * entry and stays unprunable — safe).
-  */
+  *
+  * Scale envelope: the sidecar is one JSON object with one entry per
+  * chunk — the same information density as parquet footers, concentrated
+  * in one key. At 100 TB with 64 MB chunks that is ~1.6M entries (~50 MB)
+  * per variable: fine to read once per planned scan on a driver, and the
+  * same order as the consolidated-metadata rewrite the store already pays
+  * on commit. Each stats-aware write rewrites the merged file (again the
+  * `.zmetadata` consolidation cost class); a deployment pushing past that
+  * would shard the sidecar by chunk-range under the same generation guard
+  * without touching the read-side contract. Writers follow the store's
+  * existing single-writer-per-variable discipline (concurrent writers to
+  * one variable are already torn-chunk UB before stats enter the
+  * picture); the generation file makes any violation fail SAFE here —
+  * last writer wins and anything inconsistent reads as stale. */
 object MdioChunkStats {
 
   val StatsFile = ".mdio_stats.json"
