@@ -541,6 +541,12 @@ object Bench {
     // comparator: zarr_extents (the same metadata-only one-row MdioAggScan
     // shape, now fed by the stats sidecar instead of the chunk grid)
     "zarr_stats_minmax" -> 0.029,
+    // comparator: zarr_stats_minmax (the same metadata-only one-row
+    // MdioAggScan, reading moment entries instead of bounds)
+    "zarr_stats_moments" -> 0.029,
+    // comparator: zarr_stats_minmax (driver-side sidecar read, then a
+    // one-row local DataFrame instead of a connector scan)
+    "zarr_stats_v1_meta" -> 0.029,
     // comparator: zarr_pushdown (filtered-scan shape; the top-N path reads
     // a stats-pruned subset of the same store)
     "zarr_topk_value" -> 0.093,

@@ -73,6 +73,61 @@ object MdioStats {
       .select(agg.toColumn).head()
   }
 
+  /** statsV1's summary moments (count/min/max/sum/sumSquares,
+    * mdio/stats.h:229-335) computed purely from the [[graft.sources.MdioChunkStats]]
+    * sidecar — zero chunk files opened, no Spark job: the "statsV1 of a
+    * 100 TB store" answered in O(metadata) on the driver. Requires
+    * generation-current stats with moments for EVERY chunk of the grid
+    * (the same full-coverage contract as the connector's metadata
+    * aggregate pushdown); fails loudly otherwise rather than silently
+    * scanning — callers that want the fallback run [[compute]].
+    *
+    * Semantics mirror a real scan: count counts every cell (NaN is not
+    * null), max is NaN when any cell is NaN (both engines' NaN-is-greatest
+    * convention), min is the finite minimum, and sum/sumSquares are the
+    * EXACT real-number moments of the finite cells rounded once to double
+    * — NaN-poisoned (like any engine's double sum) when a NaN exists. */
+  def summaryFromSidecar(spark: SparkSession, path: String, variable: String): org.apache.spark.sql.DataFrame = {
+    import graft.sources.MdioChunkStats
+    import graft.zarr.ZarrMeta
+    val root = ZarrMeta.path(path)
+    val m = ZarrMeta.readGroup(root)._2.getOrElse(variable,
+      throw new IllegalArgumentException(s"no variable '$variable' in $path"))._1
+    val cells = m.shape.map(BigInt(_)).product
+    val nChunks = m.chunkGrid.product
+    val entries = MdioChunkStats.current(root.resolve(variable)).getOrElse(
+      throw new IllegalStateException(
+        s"no generation-current stats sidecar for '$variable' — run a stats-aware write first"))
+    val gridKeys = graft.sources.MdioAggScan.boxKeys(m.chunkGrid.map(g => (0L, g))).toSeq
+    require(gridKeys.forall(entries.contains),
+      s"stats sidecar covers ${entries.size} of $nChunks chunks")
+    val all = gridKeys.map(entries(_))
+    val bounds = all.flatten
+    require(bounds.forall(_.moments.isDefined),
+      s"stats sidecar for '$variable' predates moments — rewrite the variable to refresh")
+    val anyNaN = all.exists(e => e.isEmpty || e.exists(_.hasNaN))
+    val isFloat = m.dtype.charAt(m.dtype.length - 2) == 'f'
+    val moments = bounds.flatMap(_.moments)
+    require(moments.forall(_.sumSq.isDefined),
+      s"stats sidecar for '$variable' lacks sum-of-squares moments (overflow at write)")
+    val sum = MdioChunkStats.exactTotal(moments.map(_.sum))
+    val sumSq = MdioChunkStats.exactTotal(moments.map(_.sumSq.get))
+    val mn: Double =
+      if (bounds.nonEmpty) bounds.map(_.min).min.toDouble
+      else if (isFloat) Double.NaN else 0.0
+    val mx: Double =
+      if (isFloat && anyNaN) Double.NaN
+      else if (bounds.nonEmpty) bounds.map(_.max).max.toDouble
+      else 0.0
+    val poison = isFloat && anyNaN
+    import spark.implicits._
+    Seq((cells.toLong,
+      mn, mx,
+      if (poison) Double.NaN else sum.toDouble,
+      if (poison) Double.NaN else sumSq.toDouble))
+      .toDF("count", "min", "max", "sum", "sumSquares")
+  }
+
   /** A3/S10 — persist computed stats into the variable's attributes with
     * the reference's statsV1 JSON shape, via the merge-patch commit. */
   def attach(path: String, variable: String, s: StatsV1): Unit = {

@@ -450,6 +450,56 @@ object Mdio {
     FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j)
     ORDER BY image DESC, inline, crossline LIMIT 10"""
 
+  /** Metadata-only SUM/COUNT over the store (reference statsV1 moments,
+    * mdio/stats.h:229-335): the per-chunk EXACT sum moments in the stats
+    * sidecar make `SELECT SUM(image), COUNT(image), SUM(inline)` a
+    * complete aggregate pushdown — one metadata row, zero chunk files
+    * opened. SUM(image) is the exact real-number sum of the cells
+    * (Shewchuk partials at write time) rounded once to double — the
+    * "total amplitude of a 100 TB store" with a reproducibility guarantee
+    * a parallel scan cannot give; SUM(inline) is the closed-form Σ over
+    * the dim index; COUNT(col) is the dense-grid cell count (plan-pinned
+    * in MdioValueStatsSpec). */
+  val qZarrStatsMoments: Q = (s, d) =>
+    s.read.format("mdio").load(zarrGrid(s, d))
+      .agg(sum(col("image")).as("total"), count(col("image")).as("n"),
+        sum(col("inline")).as("sum_inline"))
+
+  val qZarrStatsMomentsSql: String = """
+    WITH agg AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS image
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT i, COALESCE(image, 0.0) AS image
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j))
+    SELECT CAST(SUM(CAST(image AS DECIMAL(27,6))) AS DOUBLE) AS total,
+           COUNT(image) AS n,
+           CAST(SUM(i) AS BIGINT) AS sum_inline
+    FROM cells"""
+
+  /** The full statsV1 summary (count/min/max/sum/sumSquares,
+    * mdio/stats.h:229-335) computed WITHOUT a scan — driver-side from the
+    * stats sidecar alone ([[graft.operators.MdioStats.summaryFromSidecar]]):
+    * the reference attaches these numbers to a variable's metadata so
+    * readers never recompute them; here the sidecar's exact per-chunk
+    * moments reconstruct them in O(metadata) for any chunk-aligned store
+    * state, certified against DuckDB recomputing from the raw table. */
+  val qZarrStatsV1Meta: Q = (s, d) =>
+    graft.operators.MdioStats.summaryFromSidecar(s, zarrGrid(s, d), "image")
+
+  val qZarrStatsV1MetaSql: String = s"""
+    WITH agg AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS image
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT COALESCE(image, 0.0) AS image
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j))
+    SELECT COUNT(image) AS "count", MIN(image) AS "min", MAX(image) AS "max",
+           ${sqlDsum("image")} AS "sum", ${sqlDsumsq("image")} AS "sumSquares"
+    FROM cells"""
+
   val qZarrRoundtripSql: String = """
     WITH agg AS (
       SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
@@ -1555,6 +1605,8 @@ object Mdio {
     "zarr_pushdown"         -> qZarrPushdown,
     "zarr_value_pruning"    -> qZarrValuePruning,
     "zarr_stats_minmax"     -> qZarrStatsMinmax,
+    "zarr_stats_moments"    -> qZarrStatsMoments,
+    "zarr_stats_v1_meta"    -> qZarrStatsV1Meta,
     "zarr_topk_value"       -> qZarrTopkValue,
     "mdio_rechunk"          -> qMdioRechunk,
     "mdio_reshard"          -> qMdioReshard,
@@ -1602,6 +1654,8 @@ object Mdio {
     "zarr_pushdown"         -> qZarrPushdownSql,
     "zarr_value_pruning"    -> qZarrValuePruningSql,
     "zarr_stats_minmax"     -> qZarrStatsMinmaxSql,
+    "zarr_stats_moments"    -> qZarrStatsMomentsSql,
+    "zarr_stats_v1_meta"    -> qZarrStatsV1MetaSql,
     "zarr_topk_value"       -> qZarrTopkValueSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
     "mdio_reshard"          -> qMdioReshardSql,

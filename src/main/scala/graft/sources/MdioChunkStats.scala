@@ -62,12 +62,33 @@ object MdioChunkStats {
   val StatsFile = ".mdio_stats.json"
   val GenFile = ".mdio_wgen"
 
+  /** The remaining statsV1 moments (reference SummaryStats,
+    * mdio/stats.h:229-335: count/sum/sumSquares beside min/max) over a
+    * chunk's FINITE values, kept EXACT: `sum` is the exact real-number sum
+    * of the cells' binary values (Shewchuk partials at write time, see
+    * [[ExactSum]]), `sumSq` the exact sum of their exact squares, so
+    * merging chunk moments is plain BigDecimal addition — order-free and
+    * reproducible, which is what lets SUM/statsV1 over a 100 TB store be
+    * answered from metadata without a numerical-reproducibility caveat.
+    * Integral chunks whose exact sums overflow the fast path simply omit
+    * moments (bounds survive; the SUM pushdown falls back to a scan). */
+  final case class Moments(cnt: Long, sum: BigDecimal, sumSq: Option[BigDecimal])
+
+  /** Exact Σ of BigDecimals. scala.math.BigDecimal's `+` rounds every
+    * intermediate to its MathContext (34 significant digits by default) —
+    * catastrophic under cancellation of large chunk sums — so all moment
+    * arithmetic goes through java.math.BigDecimal.add, which is exact. */
+  def exactTotal(xs: IterableOnce[BigDecimal]): BigDecimal =
+    BigDecimal(xs.iterator.foldLeft(java.math.BigDecimal.ZERO)((a, b) => a.add(b.underlying)))
+
   /** Bounds over a chunk's FINITE values; `hasNaN` records whether any
     * cell is NaN — irrelevant to range-predicate pruning (NaN satisfies no
     * range) but load-bearing for the metadata MIN/MAX answer, where both
     * engines treat NaN as the greatest double (MAX returns NaN when any
-    * cell is NaN; MIN still returns the finite minimum). */
-  final case class Bounds(min: BigDecimal, max: BigDecimal, hasNaN: Boolean = false)
+    * cell is NaN; MIN still returns the finite minimum). `moments`, when
+    * present, carries the chunk's exact statsV1 moments. */
+  final case class Bounds(min: BigDecimal, max: BigDecimal, hasNaN: Boolean = false,
+                          moments: Option[Moments] = None)
 
   /** One chunk's value bounds: None = no finite value in the chunk. */
   type Entry = Option[Bounds]
@@ -99,7 +120,10 @@ object MdioChunkStats {
     val bytes = f.readBytesOrNull()
     if (bytes == null) return None
     try {
-      val j = JsonMethods.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      // exact-decimal parse: moment sums can carry full binary expansions
+      // (hundreds of digits) that a double-routed parse would destroy
+      val j = JsonMethods.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8),
+        useBigDecimalForDouble = true)
       val gen = (j \ "generation") match {
         case JInt(i) => i.toLong
         case JLong(l) => l
@@ -111,6 +135,10 @@ object MdioChunkStats {
             case JNull => None
             case JArray(List(a, b)) => Some(Bounds(num(a), num(b)))
             case JArray(List(a, b, JBool(n))) => Some(Bounds(num(a), num(b), n))
+            case JArray(List(a, b, JBool(n), c, s, s2)) =>
+              Some(Bounds(num(a), num(b), n,
+                Some(Moments(num(c).toLongExact, num(s),
+                  if (s2 == JNull) None else Some(num(s2))))))
             case other => throw new IllegalArgumentException(s"bad stats entry $other")
           })
         }.toMap
@@ -141,8 +169,13 @@ object MdioChunkStats {
     val merged = prior ++ entries
     val body = merged.toSeq.sortBy(_._1).map {
       case (k, None) => s""""$k": null"""
-      case (k, Some(Bounds(mn, mx, nan))) =>
-        val tail = if (nan) ", true" else ""
+      case (k, Some(Bounds(mn, mx, nan, mom))) =>
+        val tail = mom match {
+          case Some(Moments(c, s, s2)) =>
+            val sq = s2.map(_.underlying.toPlainString).getOrElse("null")
+            s", $nan, $c, ${s.underlying.toPlainString}, $sq"
+          case None => if (nan) ", true" else ""
+        }
         s""""$k": [${mn.underlying.toPlainString}, ${mx.underlying.toPlainString}$tail]"""
     }.mkString(", ")
     varDir.resolve(StatsFile).writeString(
@@ -158,5 +191,79 @@ object MdioChunkStats {
     val next = g + 1
     varDir.resolve(GenFile).writeString(next.toString)
     write(varDir, next, entries, prior)
+  }
+
+  /** The exact binary expansion of a double as a BigDecimal (NOT the
+    * shortest round-trip form `BigDecimal(d)` gives — moment arithmetic
+    * needs the true value). */
+  def exactBD(d: Double): BigDecimal = BigDecimal(new java.math.BigDecimal(d))
+
+  /** Exactly-rounded streaming sum of doubles via Shewchuk's non-overlapping
+    * partials (the msum/fsum algorithm, "Adaptive Precision Floating-Point
+    * Arithmetic and Fast Robust Geometric Predicates", Shewchuk 1997 —
+    * the same algorithm behind Python's `math.fsum`): after any sequence of
+    * `add`s the partials sum EXACTLY (as real numbers) to the running total,
+    * so `toBigDecimal` is the exact real-number sum of every input in any
+    * order — ~2-3 flops per element, a handful of live partials. Finite
+    * inputs only (callers skip NaN and abandon stats on ±Inf). */
+  final class ExactSum {
+    private var partials = new Array[Double](8)
+    private var n = 0
+
+    def add(v: Double): Unit = {
+      var x = v
+      var i = 0
+      var j = 0
+      while (j < n) {
+        var y = partials(j)
+        if (math.abs(x) < math.abs(y)) { val t = x; x = y; y = t }
+        val hi = x + y
+        val lo = y - (hi - x) // exact: |x| >= |y| ⇒ Dekker fast-two-sum
+        if (lo != 0.0) {
+          if (i >= partials.length)
+            partials = java.util.Arrays.copyOf(partials, partials.length * 2)
+          partials(i) = lo
+          i += 1
+        }
+        x = hi
+        j += 1
+      }
+      if (i >= partials.length)
+        partials = java.util.Arrays.copyOf(partials, partials.length * 2)
+      partials(i) = x
+      n = i + 1
+    }
+
+    /** Add the EXACT square of `v`: Dekker/FMA two-product splits v*v into
+      * a rounded head and its exact residual, both fed to the partials. */
+    def addSquare(v: Double): Unit = {
+      val hi = v * v
+      val lo = Math.fma(v, v, -hi) // exact residual of the product
+      add(hi)
+      if (lo != 0.0) add(lo)
+    }
+
+    /** False when accumulation overflowed double range (a partial hit ±Inf
+      * or NaN) — the exact sum is unrepresentable and must be discarded. */
+    def valid: Boolean = {
+      var j = 0
+      while (j < n) {
+        val p = partials(j)
+        if (p.isInfinite || p.isNaN) return false
+        j += 1
+      }
+      true
+    }
+
+    /** The exact real-number sum of everything added so far. */
+    def toBigDecimal: BigDecimal = {
+      var s = java.math.BigDecimal.ZERO
+      var j = 0
+      while (j < n) {
+        if (partials(j) != 0.0) s = s.add(new java.math.BigDecimal(partials(j)))
+        j += 1
+      }
+      BigDecimal(s)
+    }
   }
 }

@@ -297,6 +297,33 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
       }
     }
 
+  /** Can the stats sidecar answer SUM over `v` EXACTLY right now? On top
+    * of [[statsAnswerable]]'s full-coverage contract, every non-all-NaN
+    * entry in the box must carry statsV1 MOMENTS (older bounds-only
+    * sidecars fall back to a scan), and for integral dtypes the exact
+    * total must fit the Long result Spark's Sum produces — an overflowing
+    * total falls back to the scan, whose wrap-on-overflow is Spark's own
+    * non-ANSI semantics, not ours to imitate from metadata. */
+  private def sumAnswerable(v: String): Boolean =
+    MdioAggScan.alignedChunkBox(metas(v), dims, ranges).exists { box =>
+      MdioChunkStats.current(ZarrMeta.path(path).resolve(v)).exists { entries =>
+        val keys = MdioAggScan.boxKeys(box).toSeq
+        val need = box.map { case (lo, hi) => hi - lo }.product
+        need > 0 && keys.forall(k =>
+          entries.get(k).exists(e => e.forall(_.moments.isDefined))) && {
+          val isFloat = metas(v).dtype.charAt(metas(v).dtype.length - 2) == 'f'
+          isFloat || MdioChunkStats.exactTotal(
+            keys.flatMap(entries(_)).flatMap(_.moments).map(_.sum)).isValidLong
+        }
+      }
+    }
+
+  /** Closed-form SUM over a dim-index column: Σ index over the clamped
+    * range × the other dims' cell counts — answerable whenever the exact
+    * value fits the Long Spark's Sum over a long column produces. */
+  private def dimSumFits(d: String): Boolean =
+    MdioAggScan.dimSumExact(metas.values.head, dims, ranges, d).isDefined
+
   private def translateAggs(agg: connector_expressions.aggregate.Aggregation)
       : Option[Seq[(String, String)]] = {
     if (agg.groupByExpressions.nonEmpty) return None
@@ -307,6 +334,15 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
     }
     val out = agg.aggregateExpressions.map {
       case _: connector_expressions.aggregate.CountStar => ("count", "")
+      // COUNT(col): dense-grid semantics — every in-domain cell exists and
+      // no column is ever null (fill values materialize, NaN is not null),
+      // so the count of ANY known column equals the cell count
+      case c: connector_expressions.aggregate.Count if !c.isDistinct =>
+        named(c.column) match {
+          case Some(a) if dimSet(a) || metas.contains(a.stripSuffix("__value")) =>
+            ("count", "")
+          case _ => return None
+        }
       case m: connector_expressions.aggregate.Min => named(m.column) match {
         case Some(a) if dimSet(a) => ("min", a)
         case Some(a) if statVar(a).exists(statsAnswerable) => ("vmin", statVar(a).get)
@@ -317,6 +353,14 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
         case Some(a) if statVar(a).exists(statsAnswerable) => ("vmax", statVar(a).get)
         case _ => return None
       }
+      // SUM: closed form over a dim-index column; exact sidecar moments
+      // over a value column (statsV1 sum, mdio/stats.h:229-335)
+      case s: connector_expressions.aggregate.Sum if !s.isDistinct =>
+        named(s.column) match {
+          case Some(a) if dimSet(a) && dimSumFits(a) => ("dsum", a)
+          case Some(a) if statVar(a).exists(sumAnswerable) => ("vsum", statVar(a).get)
+          case _ => return None
+        }
       case _ => return None
     }
     Some(out.toSeq)
@@ -508,8 +552,16 @@ final case class MdioAggScan(path: String, dims: Seq[String],
                              aggs: Seq[(String, String)]) extends Scan with Batch {
   override def readSchema(): StructType =
     StructType(aggs.zipWithIndex.map { case ((f, d), i) =>
-      val dt = if (f == "vmin" || f == "vmax") MdioTableUtil.sparkTypeOf(metas(d).dtype)
-               else LongType
+      val dt = f match {
+        case "vmin" | "vmax" => MdioTableUtil.sparkTypeOf(metas(d).dtype)
+        // Spark's Sum result types: double for float inputs, long for
+        // integral (dim indices are long)
+        case "vsum" => MdioTableUtil.sparkTypeOf(metas(d).dtype) match {
+          case DoubleType | FloatType => DoubleType
+          case _ => LongType
+        }
+        case _ => LongType
+      }
       StructField(if (f == "count") s"count_$i" else s"${f}_${d}_$i", dt,
         nullable = f != "count")
     })
@@ -555,6 +607,22 @@ final case class MdioAggScan(path: String, dims: Seq[String],
       case "vmax" =>
         if (anyNaN) nan
         else cast(bounds.map(_.max).max)
+      case "vsum" =>
+        // exact Σ of the per-chunk exact moment sums; NaN cells poison the
+        // sum exactly as they do in a real scan (Spark and DuckDB alike).
+        // Result is DoubleType even for f4 inputs (Spark sums floats as
+        // doubles), so the poison value is a Double NaN
+        if (anyNaN) Double.NaN
+        else {
+          val total = MdioChunkStats.exactTotal(
+            bounds.map(_.moments.getOrElse(throw new IllegalStateException(
+              s"stats sidecar for '$v' lost its moments between planning and execution"))
+              .sum))
+          if (isFloat) total.toDouble
+          else if (total.isValidLong) total.toLong
+          else throw new IllegalStateException(
+            s"exact SUM($v) left the Long range between planning and execution")
+        }
     }
   }
 
@@ -570,7 +638,12 @@ final case class MdioAggScan(path: String, dims: Seq[String],
         if (empty) 0L else bounds.map { case (lo, hi) => hi - lo }.product
       case ("min", d) => if (empty) null else bounds(dims.indexOf(d))._1
       case ("max", d) => if (empty) null else bounds(dims.indexOf(d))._2 - 1
-      case (op @ ("vmin" | "vmax"), v) => if (empty) null else statValue(op, v)
+      case ("dsum", d) =>
+        if (empty) null
+        else MdioAggScan.dimSumExact(metas.values.head, dims, ranges, d)
+          .getOrElse(throw new IllegalStateException(
+            s"closed-form SUM($d) no longer fits Long at execution"))
+      case (op @ ("vmin" | "vmax" | "vsum"), v) => if (empty) null else statValue(op, v)
     }.toArray
     Array(MdioAggPartition(values))
   }
@@ -597,6 +670,25 @@ object MdioAggScan {
       (lo / c, (hi + c - 1) / c)
     }
     Some(out)
+  }
+
+  /** Closed-form exact SUM over a dim-index column: Σ_{i∈[lo,hi)} i times
+    * the other dims' clamped cell counts, computed in BigInt; None when
+    * the range is empty-safe-undecided or the exact value cannot be
+    * carried in the Long Spark's Sum over a long column produces. */
+  def dimSumExact(m: ZarrMeta.ArrayMeta, dims: Seq[String],
+                  ranges: Map[String, (Long, Long)], d: String): Option[Long] = {
+    val bounds = dims.zipWithIndex.map { case (dd, i) =>
+      val (lo, hi) = ranges.getOrElse(dd, (0L, m.shape(i)))
+      (math.max(lo, 0L), math.min(hi, m.shape(i)))
+    }
+    if (bounds.exists { case (lo, hi) => lo >= hi }) return Some(0L) // empty → caller nulls
+    val (lo, hi) = bounds(dims.indexOf(d))
+    val others = dims.indices.filter(_ != dims.indexOf(d))
+      .map(i => BigInt(bounds(i)._2 - bounds(i)._1)).product
+    val idxSum = (BigInt(lo) + BigInt(hi - 1)) * BigInt(hi - lo) / 2
+    val total = idxSum * others
+    if (total.isValidLong) Some(total.toLong) else None
   }
 
   /** C-order chunk keys of a chunk-index box. */

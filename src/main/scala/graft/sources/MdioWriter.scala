@@ -22,54 +22,114 @@ import graft.zarr.VPath
   */
 object MdioWriter {
 
-  /** Exact per-chunk value bounds shipped from write tasks to the driver
-    * for the [[MdioChunkStats]] sidecar (float and integral payloads share
-    * one row shape; `empty` = no finite value in the chunk). */
+  /** Exact per-chunk value bounds + statsV1 moments shipped from write
+    * tasks to the driver for the [[MdioChunkStats]] sidecar (float and
+    * integral payloads share one row shape; `empty` = no finite value in
+    * the chunk). Moment sums travel as plain decimal STRINGS — a BigDecimal
+    * through a Spark encoder would be coerced to decimal(38,18) and lose
+    * the exactness the sidecar promises; `cnt < 0` marks moments absent
+    * (±Inf cells, or an integral chunk past the exact fast path). */
   private[sources] final case class ChunkStatRow(cid: Long, isFloat: Boolean,
                                                  minD: Double, maxD: Double,
                                                  minL: Long, maxL: Long,
                                                  empty: Boolean,
-                                                 nan: Boolean = false)
+                                                 nan: Boolean = false,
+                                                 cnt: Long = -1L,
+                                                 sumS: String = "",
+                                                 sumSqS: String = "")
 
-  /** Exact bounds of one FINAL chunk buffer (float path): finite min/max,
-    * NaN presence, all-NaN flag — shared by every stats-aware writer. */
+  /** Exact bounds + moments of one FINAL chunk buffer (float path): finite
+    * min/max, NaN presence, all-NaN flag, and the exact sum / sum of
+    * squares over the finite cells ([[MdioChunkStats.ExactSum]]) — shared
+    * by every stats-aware writer. */
   private[sources] def floatStat(cid: Long, buf: Array[Double]): ChunkStatRow = {
     var mn = Double.PositiveInfinity
     var mx = Double.NegativeInfinity
     var any = false
     var nan = false
+    var cnt = 0L
+    var sqUnder = false
+    val sum = new MdioChunkStats.ExactSum
+    val sumSq = new MdioChunkStats.ExactSum
     var i = 0
     while (i < buf.length) {
       val v = buf(i)
       if (v.isNaN) nan = true
-      else { any = true; if (v < mn) mn = v; if (v > mx) mx = v }
+      else {
+        any = true
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        if (!v.isInfinite) {
+          cnt += 1
+          sum.add(v)
+          // |v| < 1e-150 ⇒ the two-product residual of v² can underflow to
+          // a rounded denormal (or zero), silently breaking exactness —
+          // drop sumSq for the chunk rather than write an inexact moment
+          if (v != 0.0 && math.abs(v) < 1e-150) sqUnder = true
+          else sumSq.addSquare(v)
+        }
+      }
       i += 1
     }
-    ChunkStatRow(cid, isFloat = true, mn, mx, 0L, 0L, empty = !any, nan = nan)
+    // ±Inf anywhere ⇒ the whole entry is dropped downstream (statEntry);
+    // moments only make sense over an all-finite-or-NaN chunk. The sums
+    // themselves can overflow double range mid-accumulation (partials hit
+    // ±Inf) — each is dropped independently when it does.
+    val finite = !mn.isInfinite && !mx.isInfinite
+    val sumOk = any && finite && sum.valid
+    val sqOk = sumOk && sumSq.valid && !sqUnder
+    ChunkStatRow(cid, isFloat = true, mn, mx, 0L, 0L, empty = !any, nan = nan,
+      cnt = if (sumOk) cnt else -1L,
+      sumS = if (sumOk) sum.toBigDecimal.underlying.toPlainString else "",
+      sumSqS = if (sqOk) sumSq.toBigDecimal.underlying.toPlainString else "")
   }
 
-  /** Exact bounds of one FINAL chunk buffer (integral path). */
+  /** Exact bounds + moments of one FINAL chunk buffer (integral path).
+    * Moments stay on the exact fast path as long as the running sum and
+    * the per-cell squares fit in a Long (`Math.addExact`/`multiplyExact`);
+    * the first overflow abandons moments for the chunk — bounds survive,
+    * and the SUM pushdown falls back to a real scan. */
   private[sources] def longStat(cid: Long, buf: Array[Long]): ChunkStatRow = {
     var mn = Long.MaxValue
     var mx = Long.MinValue
+    var s = 0L
+    var s2 = 0L
+    var okS = true
+    var okSq = true
     var i = 0
     while (i < buf.length) {
       val v = buf(i)
       if (v < mn) mn = v
       if (v > mx) mx = v
+      if (okS) try s = Math.addExact(s, v)
+               catch { case _: ArithmeticException => okS = false }
+      if (okSq) try s2 = Math.addExact(s2, Math.multiplyExact(v, v))
+                catch { case _: ArithmeticException => okSq = false }
       i += 1
     }
-    ChunkStatRow(cid, isFloat = false, 0.0, 0.0, mn, mx, empty = false)
+    ChunkStatRow(cid, isFloat = false, 0.0, 0.0, mn, mx, empty = false,
+      cnt = if (okS) buf.length.toLong else -1L,
+      sumS = if (okS) s.toString else "",
+      sumSqS = if (okS && okSq) s2.toString else "")
   }
 
   /** ChunkStatRow → sidecar entry; None when the chunk is unprunable
     * (non-finite bounds from ±Inf cells). */
-  private[sources] def statEntry(sr: ChunkStatRow): Option[MdioChunkStats.Entry] =
+  private[sources] def statEntry(sr: ChunkStatRow): Option[MdioChunkStats.Entry] = {
+    def moments: Option[MdioChunkStats.Moments] =
+      if (sr.cnt < 0) None
+      else Some(MdioChunkStats.Moments(sr.cnt,
+        BigDecimal(new java.math.BigDecimal(sr.sumS)),
+        if (sr.sumSqS.isEmpty) None
+        else Some(BigDecimal(new java.math.BigDecimal(sr.sumSqS)))))
     if (sr.empty) Some(None)
     else if (sr.isFloat) {
       if (sr.minD.isInfinite || sr.maxD.isInfinite) None // unprunable chunk
-      else Some(Some(MdioChunkStats.Bounds(BigDecimal(sr.minD), BigDecimal(sr.maxD), sr.nan)))
-    } else Some(Some(MdioChunkStats.Bounds(BigDecimal(sr.minL), BigDecimal(sr.maxL))))
+      else Some(Some(MdioChunkStats.Bounds(BigDecimal(sr.minD), BigDecimal(sr.maxD),
+        sr.nan, moments)))
+    } else Some(Some(MdioChunkStats.Bounds(BigDecimal(sr.minL), BigDecimal(sr.maxL),
+      hasNaN = false, moments)))
+  }
 
   /** S2 — create a dataset from a validated JSON spec: all array metadata +
     * group attrs + (v2) consolidated metadata; no chunk data yet.

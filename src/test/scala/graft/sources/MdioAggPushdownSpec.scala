@@ -129,12 +129,21 @@ class MdioAggPushdownSpec extends SparkSpec {
     MdioWriter.writeVariable(spark,
       cells.toDF("inline", "crossline", "image"), dir, "image")
     val df = spark.read.format("mdio").load(dir)
-    // SUM over a data variable is not metadata-answerable -> normal scan
-    val s = df.agg(sum($"image")).as[Double].head()
-    assert(s == cells.map(_._3).sum)
-    val p = df.agg(sum($"image")).queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
-    assert(!p.contains("MdioAggScan"))
+    def fmt(d: org.apache.spark.sql.DataFrame): String =
+      d.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // SUM over an EXPRESSION (not a bare column) is not metadata-answerable
+    val se = df.agg(sum($"image" * 2))
+    assert(!fmt(se).contains("MdioAggScan"))
+    assert(se.as[Double].head() == cells.map(_._3 * 2).sum)
+    // SUM DISTINCT needs the distinct value set -> normal scan
+    val sd = df.agg(sum_distinct($"image"))
+    assert(!fmt(sd).contains("MdioAggScan"))
+    assert(sd.as[Double].head() == cells.map(_._3).distinct.sum)
+    // plain SUM over the value column IS answerable (statsV1 moments) —
+    // the exact metadata answer must equal the scan's
+    val s = df.agg(sum($"image"))
+    assert(fmt(s).contains("vsum(image)"), fmt(s).take(400))
+    assert(s.as[Double].head() == cells.map(_._3).sum)
     MdioWriter.delete(dir)
   }
 }

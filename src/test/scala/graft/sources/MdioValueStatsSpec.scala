@@ -48,6 +48,11 @@ class MdioValueStatsSpec extends SparkSpec {
   private def planned(dir: String, filters: Array[Filter]): Int =
     partitions(dir, filters).length
 
+  /** Bounds with the statsV1 moments stripped — the bounds-focused tests
+    * pin min/max/hasNaN; the moments get their own exact-value tests. */
+  private def stripped(e: MdioChunkStats.Entry): MdioChunkStats.Entry =
+    e.map(_.copy(moments = None))
+
   /** Number of chunks the planned partitions actually cover (coalescing can
     * keep the PARTITION count while dropping chunks from a run). */
   private def coveredChunks(dir: String, filters: Array[Filter]): Long =
@@ -63,8 +68,8 @@ class MdioValueStatsSpec extends SparkSpec {
     assert(MdioChunkStats.generation(varDir) == 1L)
     val cur = MdioChunkStats.current(varDir)
     assert(cur.isDefined && cur.get.size == 8)
-    assert(cur.get("0") == Some(MdioChunkStats.Bounds(BigDecimal(0), BigDecimal(7))))
-    assert(cur.get("7") == Some(MdioChunkStats.Bounds(BigDecimal(56), BigDecimal(63))))
+    assert(stripped(cur.get("0")) == Some(MdioChunkStats.Bounds(BigDecimal(0), BigDecimal(7))))
+    assert(stripped(cur.get("7")) == Some(MdioChunkStats.Bounds(BigDecimal(56), BigDecimal(63))))
     MdioWriter.delete(dir)
   }
 
@@ -108,8 +113,8 @@ class MdioValueStatsSpec extends SparkSpec {
     val varDir = ZarrMeta.path(dir).resolve("v")
     assert(MdioChunkStats.generation(varDir) == 2L)
     val cur = MdioChunkStats.current(varDir).get
-    assert(cur("0") == Some(MdioChunkStats.Bounds(BigDecimal(100), BigDecimal(107)))) // refreshed
-    assert(cur("5") == Some(MdioChunkStats.Bounds(BigDecimal(40), BigDecimal(47))))   // carried over
+    assert(stripped(cur("0")) == Some(MdioChunkStats.Bounds(BigDecimal(100), BigDecimal(107)))) // refreshed
+    assert(stripped(cur("5")) == Some(MdioChunkStats.Bounds(BigDecimal(40), BigDecimal(47))))   // carried over
     assert(planned(dir, Array(GreaterThanOrEqual("v", 100.0))) == 1)
     assert(spark.read.format("mdio").load(dir).filter($"v" >= 100.0).count() == 8L)
     MdioWriter.delete(dir)
@@ -124,8 +129,8 @@ class MdioValueStatsSpec extends SparkSpec {
     val varDir = ZarrMeta.path(dir).resolve("v")
     assert(MdioChunkStats.generation(varDir) == 2L)
     val cur = MdioChunkStats.current(varDir).get
-    assert(cur("7") == Some(MdioChunkStats.Bounds(BigDecimal(-5), BigDecimal(62))))
-    assert(cur("0") == Some(MdioChunkStats.Bounds(BigDecimal(0), BigDecimal(7)))) // carried
+    assert(stripped(cur("7")) == Some(MdioChunkStats.Bounds(BigDecimal(-5), BigDecimal(62))))
+    assert(stripped(cur("0")) == Some(MdioChunkStats.Bounds(BigDecimal(0), BigDecimal(7)))) // carried
     // pruning reflects the NEW bounds: only chunk 7 can hold negatives
     assert(planned(dir, Array(LessThanOrEqual("v", -1.0))) == 1)
     assert(spark.read.format("mdio").load(dir).filter($"v" >= 48.0).count() == 15L)
@@ -165,15 +170,15 @@ class MdioValueStatsSpec extends SparkSpec {
       spark.range(64).select($"id".as("x"), $"id".cast("double").as("v")), dir, "v")
     val cur = MdioChunkStats.current(ZarrMeta.path(dir).resolve("v")).get
     assert(cur.size == 8, s"expected 8 inner-chunk entries, got ${cur.keySet}")
-    assert(cur("6") == Some(MdioChunkStats.Bounds(BigDecimal(48), BigDecimal(55))))
+    assert(stripped(cur("6")) == Some(MdioChunkStats.Bounds(BigDecimal(48), BigDecimal(55))))
     assert(coveredChunks(dir, Array(GreaterThanOrEqual("v", 48.0))) == 2L)
     assert(spark.read.format("mdio").load(dir).filter($"v" >= 48.0).count() == 16L)
     // partial RMW through the shard path: inner chunk 0 refreshed, rest carried
     MdioWriter.writeVariable(spark,
       spark.range(8).select($"id".as("x"), ($"id" + 100.0).as("v")), dir, "v")
     val cur2 = MdioChunkStats.current(ZarrMeta.path(dir).resolve("v")).get
-    assert(cur2("0") == Some(MdioChunkStats.Bounds(BigDecimal(100), BigDecimal(107))))
-    assert(cur2("5") == Some(MdioChunkStats.Bounds(BigDecimal(40), BigDecimal(47))))
+    assert(stripped(cur2("0")) == Some(MdioChunkStats.Bounds(BigDecimal(100), BigDecimal(107))))
+    assert(stripped(cur2("5")) == Some(MdioChunkStats.Bounds(BigDecimal(40), BigDecimal(47))))
     assert(spark.read.format("mdio").load(dir).filter($"v" >= 100.0).count() == 8L)
     MdioWriter.delete(dir)
   }
@@ -240,7 +245,7 @@ class MdioValueStatsSpec extends SparkSpec {
     MdioWriter.writeVariable(spark,
       spark.range(64).select($"id".as("x"), ($"id" + base).as("w")), dir, "w")
     val cur = MdioChunkStats.current(ZarrMeta.path(dir).resolve("w")).get
-    assert(cur("0") == Some(MdioChunkStats.Bounds(BigDecimal(base), BigDecimal(base + 7))))
+    assert(stripped(cur("0")) == Some(MdioChunkStats.Bounds(BigDecimal(base), BigDecimal(base + 7))))
     assert(coveredChunks(dir, Array(GreaterThanOrEqual("w", base + 32L))) == 4L)
     assert(planned(dir, Array(GreaterThanOrEqual("w", base + 48L))) == 1)
     assert(spark.read.format("mdio").load(dir).filter($"w" >= base + 48L).count() == 16L)
@@ -278,6 +283,160 @@ class MdioValueStatsSpec extends SparkSpec {
     val topVals = descN.select($"v").as[Double].collect()
     assert(topVals.count(_.isNaN) == 4, s"NaN must rank first desc, got ${topVals.toSeq}")
     MdioWriter.delete(dirN)
+  }
+
+  test("ExactSum is the exact real-number sum regardless of order") {
+    // pathological cancellation: a plain double loop gets these wrong
+    val vals = Array(1e300, 1.0, -1e300, 1e-300, 0.1, -0.1, 1e16, 1.0, -1e16)
+    def truth(vs: Seq[Double]): BigDecimal =
+      MdioChunkStats.exactTotal(vs.map(MdioChunkStats.exactBD))
+    val rnd = new scala.util.Random(7)
+    (0 until 5).foreach { _ =>
+      val shuffled = rnd.shuffle(vals.toSeq)
+      val es = new MdioChunkStats.ExactSum
+      shuffled.foreach(es.add)
+      assert(es.toBigDecimal == truth(vals.toSeq))
+    }
+    // exact squares via FMA two-product: v*v alone would round
+    val sq = new MdioChunkStats.ExactSum
+    val xs = Seq(0.1, 1e8 + 0.5, 3.0, 1e-100)
+    xs.foreach(sq.addSquare)
+    // NB: scala BigDecimal's own *, + and pow round to MathContext — the
+    // ground truth must stay in java.math.BigDecimal (exact) arithmetic
+    val sqTruth = MdioChunkStats.exactTotal(xs.map { v =>
+      val e = MdioChunkStats.exactBD(v).underlying
+      BigDecimal(e.multiply(e))
+    })
+    assert(sq.toBigDecimal == sqTruth)
+  }
+
+  test("writeVariable publishes exact statsV1 moments per chunk") {
+    val dir = createFloat(_.toDouble)
+    val cur = MdioChunkStats.current(ZarrMeta.path(dir).resolve("v")).get
+    val m0 = cur("0").get.moments.get
+    assert(m0 == MdioChunkStats.Moments(8L, BigDecimal(28), Some(BigDecimal(140))))
+    val m7 = cur("7").get.moments.get
+    assert(m7.cnt == 8L && m7.sum == BigDecimal((56 to 63).sum) &&
+      m7.sumSq == Some(BigDecimal((56 to 63).map(k => k * k).sum)))
+    MdioWriter.delete(dir)
+    // moments cover FINITE cells only; NaN presence stays flagged
+    val dirN = createFloat(x => if (x == 1) Double.NaN else x.toDouble)
+    val curN = MdioChunkStats.current(ZarrMeta.path(dirN).resolve("v")).get
+    val mN = curN("0").get
+    assert(mN.hasNaN && mN.moments.get == MdioChunkStats.Moments(7L,
+      BigDecimal(Seq(0, 2, 3, 4, 5, 6, 7).sum), Some(BigDecimal(Seq(0, 2, 3, 4, 5, 6, 7).map(k => k * k).sum))))
+    MdioWriter.delete(dirN)
+    // a ±Inf cell drops the whole entry (bounds AND moments)
+    val dirI = createFloat(x => if (x == 2) Double.PositiveInfinity else x.toDouble)
+    val curI = MdioChunkStats.current(ZarrMeta.path(dirI).resolve("v")).get
+    assert(!curI.contains("0") && curI.contains("1"))
+    MdioWriter.delete(dirI)
+  }
+
+  test("SUM over a value column answers from metadata with full coverage") {
+    val dir = createFloat(_.toDouble)
+    def fmt(d: org.apache.spark.sql.DataFrame): String =
+      d.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val df = spark.read.format("mdio").load(dir)
+      .agg(sum($"v").as("total"), count($"v").as("n"), sum($"x").as("sx"))
+    assert(fmt(df).contains("vsum(v)") && fmt(df).contains("dsum(x)"), fmt(df).take(800))
+    val r = df.head
+    assert(r.getDouble(0) == (0 to 63).sum.toDouble)
+    assert(r.getLong(1) == 64L && r.getLong(2) == (0L to 63L).sum)
+    // chunk-aligned slice: the metadata answer covers exactly the slice
+    val dfs = spark.read.format("mdio").load(dir).filter($"x" >= 16).agg(sum($"v"))
+    assert(fmt(dfs).contains("MdioAggScan"), fmt(dfs).take(800))
+    assert(dfs.head.getDouble(0) == (16 to 63).sum.toDouble)
+    // misaligned slice falls back to a real scan, same answer
+    val dfm = spark.read.format("mdio").load(dir).filter($"x" >= 5).agg(sum($"v"))
+    assert(!fmt(dfm).contains("MdioAggScan"), fmt(dfm).take(800))
+    assert(dfm.head.getDouble(0) == (5 to 63).sum.toDouble)
+    // NaN cells poison the metadata sum exactly like a scan's
+    val dirN = createFloat(x => if (x == 10) Double.NaN else x.toDouble)
+    val dfn = spark.read.format("mdio").load(dirN).agg(sum($"v"))
+    assert(fmt(dfn).contains("vsum(v)"), fmt(dfn).take(800))
+    assert(dfn.head.getDouble(0).isNaN)
+    MdioWriter.delete(dirN)
+    // a bounds-only sidecar (pre-moments format) falls back, same answer
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    val g = MdioChunkStats.generation(varDir)
+    MdioChunkStats.write(varDir, g, MdioChunkStats.current(varDir).get.map {
+      case (k, e) => k -> stripped(e) })
+    val dfb = spark.read.format("mdio").load(dir).agg(sum($"v"), min($"v"))
+    assert(!fmt(dfb).contains("vsum"), fmt(dfb).take(800))
+    assert(dfb.head.getDouble(0) == (0 to 63).sum.toDouble)
+    MdioWriter.delete(dir)
+  }
+
+  test("integral SUM: per-chunk or total overflow falls back to the scan") {
+    def intStore(values: Long => Long): String = {
+      val dir = Files.createTempDirectory("mdio_vstats").resolve("ov.mdio").toString
+      MdioWriter.create(MdioSpec.fromJson(
+        """{
+          |  "metadata": {"name": "ov", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+          |  "variables": [
+          |    {"name": "x", "dataType": "int64",
+          |     "dimensions": [{"name": "x", "size": 64}]},
+          |    {"name": "w", "dataType": "int64",
+          |     "dimensions": [{"name": "x", "size": 64}],
+          |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8]}}}}
+          |  ]
+          |}""".stripMargin), dir)
+      val fn = udf(values.apply _)
+      MdioWriter.writeVariable(spark,
+        spark.range(64).select($"id".as("x"), fn($"id").as("w")), dir, "w")
+      dir
+    }
+    def fmt(d: org.apache.spark.sql.DataFrame): String =
+      d.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // small values: metadata-answered, exact Long
+    val ok = intStore(x => x * 1000L)
+    val dfo = spark.read.format("mdio").load(ok).agg(sum($"w"))
+    assert(fmt(dfo).contains("vsum(w)"), fmt(dfo).take(800))
+    assert(dfo.head.getLong(0) == (0L to 63L).map(_ * 1000L).sum)
+    MdioWriter.delete(ok)
+    // per-chunk overflow (8 × 2^60 > Long.Max): moments absent, scan wraps
+    val big = intStore(_ => 1L << 60)
+    val curB = MdioChunkStats.current(ZarrMeta.path(big).resolve("w")).get
+    assert(curB("0").get.moments.isEmpty, "per-chunk overflow must omit moments")
+    val dfb = spark.read.format("mdio").load(big).agg(sum($"w"))
+    assert(!fmt(dfb).contains("vsum"), fmt(dfb).take(800))
+    // the fallback scan reproduces Spark's own ANSI overflow error — the
+    // metadata path never invents a wrapped or saturated number
+    intercept[ArithmeticException] { dfb.head }
+    MdioWriter.delete(big)
+    // per-chunk sums fit (8 × 2^59 = 2^62) but the total (2^65) cannot be a
+    // Long: planning rejects, the scan's own wrap semantics stand. The
+    // per-cell SQUARES overflow (2^118), so sumSq — and only sumSq — is
+    // dropped while the sum moment survives
+    val mid = intStore(_ => 1L << 59)
+    val curM = MdioChunkStats.current(ZarrMeta.path(mid).resolve("w")).get
+    assert(curM("0").get.moments.isDefined)
+    assert(curM("0").get.moments.get.sumSq.isEmpty, "squares overflow must drop only sumSq")
+    val dfm = spark.read.format("mdio").load(mid).agg(sum($"w"))
+    assert(!fmt(dfm).contains("vsum"), fmt(dfm).take(800))
+    intercept[ArithmeticException] { dfm.head }
+    MdioWriter.delete(mid)
+  }
+
+  test("summaryFromSidecar reconstructs statsV1 without a scan") {
+    val dir = createFloat(_.toDouble)
+    val r = graft.operators.MdioStats.summaryFromSidecar(spark, dir, "v").head
+    assert(r.getLong(0) == 64L && r.getDouble(1) == 0.0 && r.getDouble(2) == 63.0)
+    assert(r.getDouble(3) == (0 to 63).sum.toDouble)
+    assert(r.getDouble(4) == (0 to 63).map(k => k * k).sum.toDouble)
+    // NaN store: count still counts cells; max and the sums are poisoned
+    val dirN = createFloat(x => if (x == 10) Double.NaN else x.toDouble)
+    val rN = graft.operators.MdioStats.summaryFromSidecar(spark, dirN, "v").head
+    assert(rN.getLong(0) == 64L && rN.getDouble(1) == 0.0)
+    assert(rN.getDouble(2).isNaN && rN.getDouble(3).isNaN && rN.getDouble(4).isNaN)
+    MdioWriter.delete(dirN)
+    // stale sidecar: loud failure, not a silent scan
+    MdioChunkStats.bump(ZarrMeta.path(dir).resolve("v"))
+    intercept[IllegalStateException] {
+      graft.operators.MdioStats.summaryFromSidecar(spark, dir, "v")
+    }
+    MdioWriter.delete(dir)
   }
 
   test("MdioValueRange conjunction and boundary semantics") {
