@@ -22,21 +22,42 @@ import org.json4s.jackson.JsonMethods
   *  - `.mdio_wgen` — the variable's DATA write generation: a plain integer
   *    every data-write path bumps after its tasks commit
   *    ([[MdioWriter.writeVariable]], the DSv2 sink's driver commit, trim).
-  *  - `.mdio_stats.json` — `{"generation": G, "chunks": {"0.1": [min,max],
-  *    "2.0": null, …}}`: per-chunk closed bounds keyed by the v2-style
-  *    C-order chunk key; `null` marks an all-NaN chunk (no finite value —
-  *    prunable under ANY range predicate, since NaN satisfies none).
+  *  - `.mdio_stats.json` — the MANIFEST: `{"generation": G, "span": S,
+  *    "shards": {"0": g0, "3": g3, …}}`. Entries are SHARDED by the chunk
+  *    key's LEADING dimension index: chunk `"i.j.k"` lives in shard
+  *    `i / S`, so a dim-range scan (which prunes on leading dims first)
+  *    reads only the shards its leading chunk-index range intersects, and
+  *    a write touching one chunk range rewrites O(range) bytes — at the
+  *    100 TB envelope (~1.6 M chunks / variable) the manifest stays a few
+  *    KB and each shard holds ~[[ShardTargetEntries]] entries. Each shard
+  *    entry records the generation at which that shard file was LAST
+  *    REWRITTEN (`g_s ≤ G`), which is the torn-write detector below.
+  *  - `.mdio_stats.s<N>.json` — one shard: `{"generation": g_N, "chunks":
+  *    {"0.1": [min,max], "2.0": null, …}}` — per-chunk closed bounds keyed
+  *    by the v2-style C-order chunk key; `null` marks an all-NaN chunk (no
+  *    finite value — prunable under ANY range predicate, since NaN
+  *    satisfies none).
+  *  - Legacy monolithic sidecars (`{"generation": G, "chunks": {…}}` in
+  *    `.mdio_stats.json` itself) still read; the next [[refresh]] migrates
+  *    them to the sharded layout.
   *
   * The generation check is the staleness contract (same optimistic shape
   * as the S10 metadata commit, mdio/variable.h:1522): stats are used for
-  * pruning ONLY when `stats.generation == .mdio_wgen`. Write paths that
-  * compute fresh stats (the scalar chunk-shuffle write, whose tasks hold
-  * each final post-RMW chunk buffer and so know exact bounds for free)
-  * publish both files at the new generation; every other mutation path
+  * pruning ONLY when `manifest.generation == .mdio_wgen`, and a shard's
+  * entries ONLY when the shard file's own generation matches the gen the
+  * manifest recorded for it (an interrupted shard rewrite reads as a
+  * mismatch, dropping exactly that shard's chunks from pruning — never
+  * the others). Write paths that compute fresh stats (the scalar
+  * chunk-shuffle write, whose tasks hold each final post-RMW chunk buffer
+  * and so know exact bounds for free) publish touched shards THEN the
+  * manifest at the new generation — the manifest write is the commit
+  * point, so a crash anywhere earlier leaves `manifest.gen < .mdio_wgen`
+  * and everything reads as stale; every other mutation path
   * (record/sharded/complex writes, the DSv2 sink, trim, external writers
   * that at least bump the generation) leaves the stats behind the
   * generation, and the scan silently falls back to unpruned planning —
-  * stale stats can lose pruning, never correctness.
+  * stale stats can lose pruning, never correctness. Shard files a new
+  * manifest no longer lists are dead bytes readers never open.
   *
   * Bounds are JSON numbers compared as BigDecimal on the read side, so
   * integral stats stay exact past 2^53 and float stats keep full double
@@ -44,23 +65,45 @@ import org.json4s.jackson.JsonMethods
   * values are absent writes `null`, a chunk holding ±Inf simply omits its
   * entry and stays unprunable — safe).
   *
-  * Scale envelope: the sidecar is one JSON object with one entry per
-  * chunk — the same information density as parquet footers, concentrated
-  * in one key. At 100 TB with 64 MB chunks that is ~1.6M entries (~50 MB)
-  * per variable: fine to read once per planned scan on a driver, and the
-  * same order as the consolidated-metadata rewrite the store already pays
-  * on commit. Each stats-aware write rewrites the merged file (again the
-  * `.zmetadata` consolidation cost class); a deployment pushing past that
-  * would shard the sidecar by chunk-range under the same generation guard
-  * without touching the read-side contract. Writers follow the store's
-  * existing single-writer-per-variable discipline (concurrent writers to
-  * one variable are already torn-chunk UB before stats enter the
-  * picture); the generation file makes any violation fail SAFE here —
-  * last writer wins and anything inconsistent reads as stale. */
+  * Scale envelope: the sidecar carries one entry per chunk — the same
+  * information density as parquet footers. At 100 TB with 64 MB chunks
+  * that is ~1.6 M entries (~50 MB) per variable, split across ~400 shards
+  * of ~[[ShardTargetEntries]] entries (~128 KB) each: a scan reads the KB
+  * manifest plus only the shards its leading dim-range intersects
+  * ([[currentFor]]), and a write refreshing one chunk range rewrites only
+  * the touched shards plus the manifest ([[refresh]]) — O(range), not
+  * O(store). Writers follow the store's existing
+  * single-writer-per-variable discipline (concurrent writers to one
+  * variable are already torn-chunk UB before stats enter the picture);
+  * the generation files make any violation fail SAFE here — last writer
+  * wins and anything inconsistent reads as stale. */
 object MdioChunkStats {
 
   val StatsFile = ".mdio_stats.json"
   val GenFile = ".mdio_wgen"
+
+  /** Target entries per shard file when [[write]] derives the span itself:
+    * ~4096 entries ≈ 128 KB of JSON — big enough that a 1.6 M-chunk
+    * variable is ~400 files, small enough that one shard rewrite is
+    * trivially cheap. */
+  val ShardTargetEntries = 4096L
+
+  /** Shard file name for shard id `s`. */
+  def shardFile(s: Long): String = s".mdio_stats.s$s.json"
+
+  /** Leading-dimension chunk index of a v2-style C-order chunk key. */
+  private def leadIdx(key: String): Long = {
+    val dot = key.indexOf('.')
+    (if (dot < 0) key else key.substring(0, dot)).toLong
+  }
+
+  private def shardOf(key: String, span: Long): Long = leadIdx(key) / span
+
+  /** Parsed manifest: generation, shard span, per-shard generations.
+    * `legacy` carries the chunk map of a pre-shard monolithic sidecar. */
+  private final case class Manifest(gen: Long, span: Long,
+                                    shardGens: Map[Long, Long],
+                                    legacy: Option[Map[String, Entry]])
 
   /** The remaining statsV1 moments (reference SummaryStats,
     * mdio/stats.h:229-335: count/sum/sumSquares beside min/max) over a
@@ -113,40 +156,80 @@ object MdioChunkStats {
     next
   }
 
-  /** Read the stats file regardless of generation: (generation, entries).
-    * None when absent or unparseable (treated as no stats). */
-  def read(varDir: VPath): Option[(Long, Map[String, Entry])] = {
-    val f = varDir.resolve(StatsFile)
-    val bytes = f.readBytesOrNull()
-    if (bytes == null) return None
-    try {
-      // exact-decimal parse: moment sums can carry full binary expansions
-      // (hundreds of digits) that a double-routed parse would destroy
-      val j = JsonMethods.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8),
-        useBigDecimalForDouble = true)
-      val gen = (j \ "generation") match {
-        case JInt(i) => i.toLong
-        case JLong(l) => l
-        case _ => return None
-      }
-      val chunks = (j \ "chunks") match {
-        case JObject(fields) => fields.map { case (k, v) =>
-          k -> (v match {
-            case JNull => None
-            case JArray(List(a, b)) => Some(Bounds(num(a), num(b)))
-            case JArray(List(a, b, JBool(n))) => Some(Bounds(num(a), num(b), n))
-            case JArray(List(a, b, JBool(n), c, s, s2)) =>
-              Some(Bounds(num(a), num(b), n,
-                Some(Moments(num(c).toLongExact, num(s),
-                  if (s2 == JNull) None else Some(num(s2))))))
-            case other => throw new IllegalArgumentException(s"bad stats entry $other")
-          })
-        }.toMap
-        case _ => Map.empty[String, Entry]
-      }
-      Some((gen, chunks))
-    } catch { case scala.util.control.NonFatal(_) => None }
+  /** Parse a `"chunks"` object's entry map (shared by shard files and
+    * legacy monolithic sidecars). */
+  private def parseChunks(j: JValue): Map[String, Entry] = (j \ "chunks") match {
+    case JObject(fields) => fields.map { case (k, v) =>
+      k -> (v match {
+        case JNull => None
+        case JArray(List(a, b)) => Some(Bounds(num(a), num(b)))
+        case JArray(List(a, b, JBool(n))) => Some(Bounds(num(a), num(b), n))
+        case JArray(List(a, b, JBool(n), c, s, s2)) =>
+          Some(Bounds(num(a), num(b), n,
+            Some(Moments(num(c).toLongExact, num(s),
+              if (s2 == JNull) None else Some(num(s2))))))
+        case other => throw new IllegalArgumentException(s"bad stats entry $other")
+      })
+    }.toMap
+    case _ => Map.empty[String, Entry]
   }
+
+  private def parseGen(j: JValue): Option[Long] = (j \ "generation") match {
+    case JInt(i) => Some(i.toLong)
+    case JLong(l) => Some(l)
+    case _ => None
+  }
+
+  /** Parse a sidecar JSON file with exact decimals (moment sums can carry
+    * full binary expansions a double-routed parse would destroy). */
+  private def parseFile(f: VPath): Option[JValue] = {
+    val bytes = f.readBytesOrNull()
+    if (bytes == null) None
+    else try Some(JsonMethods.parse(
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8),
+      useBigDecimalForDouble = true))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Read + validate the manifest (regardless of `.mdio_wgen`). */
+  private def readManifest(varDir: VPath): Option[Manifest] =
+    parseFile(varDir.resolve(StatsFile)).flatMap { j =>
+      try parseGen(j).map { gen =>
+        (j \ "shards") match {
+          case JObject(fields) =>
+            val span = (j \ "span") match {
+              case JInt(i) => i.toLong
+              case JLong(l) => l
+              case other => throw new IllegalArgumentException(s"bad span $other")
+            }
+            val gens = fields.map { case (k, v) => k.toLong -> (v match {
+              case JInt(i) => i.toLong
+              case JLong(l) => l
+              case other => throw new IllegalArgumentException(s"bad shard gen $other")
+            })}.toMap
+            Manifest(gen, math.max(span, 1L), gens, None)
+          case _ => // legacy monolith: entries live in the manifest itself
+            Manifest(gen, 1L, Map.empty, Some(parseChunks(j)))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Read one shard's entries, validated against the generation the
+    * manifest recorded for it — a mismatch (torn/interrupted rewrite)
+    * reads as absent, dropping only that shard's chunks. */
+  private def readShard(varDir: VPath, s: Long, expectGen: Long): Map[String, Entry] =
+    parseFile(varDir.resolve(shardFile(s))).flatMap { j =>
+      try parseGen(j).filter(_ == expectGen).map(_ => parseChunks(j))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }.getOrElse(Map.empty)
+
+  /** Read ALL stats regardless of generation: (generation, entries).
+    * None when absent or unparseable; torn shards contribute nothing. */
+  def read(varDir: VPath): Option[(Long, Map[String, Entry])] =
+    readManifest(varDir).map { m =>
+      m.gen -> m.legacy.getOrElse(
+        m.shardGens.iterator.flatMap { case (s, g) => readShard(varDir, s, g) }.toMap)
+    }
 
   private def num(j: JValue): BigDecimal = j match {
     case JInt(i) => BigDecimal(i)
@@ -157,17 +240,34 @@ object MdioChunkStats {
   }
 
   /** Entries usable for pruning RIGHT NOW: present and generation-current.
-    * None ⇒ plan without value pruning. */
+    * None ⇒ plan without value pruning. Loads EVERY shard — metadata-only
+    * answers (statsV1, MIN/MAX/SUM) need full coverage anyway; range-scoped
+    * planning should use [[currentFor]]. */
   def current(varDir: VPath): Option[Map[String, Entry]] =
     read(varDir).filter(_._1 == generation(varDir)).map(_._2)
 
-  /** Publish stats at generation `gen` (the caller bumped `.mdio_wgen` to
-    * `gen` FIRST — a crash between the two leaves stats stale, never
-    * wrongly current). `entries` override `prior` per chunk key. */
-  def write(varDir: VPath, gen: Long, entries: Map[String, Entry],
-            prior: Map[String, Entry] = Map.empty): Unit = {
-    val merged = prior ++ entries
-    val body = merged.toSeq.sortBy(_._1).map {
+  /** Are generation-current stats available at all? Manifest-only check —
+    * no shard is opened (the planning-time capability probe). */
+  def hasCurrent(varDir: VPath): Boolean =
+    readManifest(varDir).exists(_.gen == generation(varDir))
+
+  /** Entries usable for pruning RIGHT NOW whose chunks' LEADING dimension
+    * chunk index falls in `[leadLo, leadHi]` (inclusive): reads the
+    * manifest plus only the intersecting shards — the O(scanned range)
+    * read path a dim-sliced scan of a 100 TB variable takes. The returned
+    * map may omit chunks outside the range; callers already treat a
+    * missing entry as unprunable/uncovered. None ⇒ stats stale or absent. */
+  def currentFor(varDir: VPath, leadLo: Long, leadHi: Long): Option[Map[String, Entry]] =
+    readManifest(varDir).filter(_.gen == generation(varDir)).map { m =>
+      m.legacy.getOrElse {
+        val (sLo, sHi) = (leadLo / m.span, leadHi / m.span)
+        m.shardGens.iterator.filter { case (s, _) => s >= sLo && s <= sHi }
+          .flatMap { case (s, g) => readShard(varDir, s, g) }.toMap
+      }
+    }
+
+  private def chunksJson(entries: Map[String, Entry]): String = {
+    val body = entries.toSeq.sortBy(_._1).map {
       case (k, None) => s""""$k": null"""
       case (k, Some(Bounds(mn, mx, nan, mom))) =>
         val tail = mom match {
@@ -178,19 +278,77 @@ object MdioChunkStats {
         }
         s""""$k": [${mn.underlying.toPlainString}, ${mx.underlying.toPlainString}$tail]"""
     }.mkString(", ")
+    s"""{$body}"""
+  }
+
+  private def writeShardFile(varDir: VPath, s: Long, gen: Long,
+                             entries: Map[String, Entry]): Unit =
+    varDir.resolve(shardFile(s)).writeString(
+      s"""{"generation": $gen, "chunks": ${chunksJson(entries)}}""")
+
+  private def writeManifest(varDir: VPath, gen: Long, span: Long,
+                            shardGens: Map[Long, Long]): Unit = {
+    val body = shardGens.toSeq.sortBy(_._1)
+      .map { case (s, g) => s""""$s": $g""" }.mkString(", ")
     varDir.resolve(StatsFile).writeString(
-      s"""{"generation": $gen, "chunks": {$body}}""")
+      s"""{"generation": $gen, "span": $span, "shards": {$body}}""")
+  }
+
+  /** Shard span targeting ~[[ShardTargetEntries]] entries per shard:
+    * entries distribute ~evenly over leading indices `0..maxLead`, so
+    * `span ≈ target / (entries per lead)`, clamped to one shard minimum. */
+  private def deriveSpan(merged: Map[String, Entry]): Long = {
+    if (merged.isEmpty) return 1L
+    val leads = merged.size.toDouble /
+      (merged.keysIterator.map(leadIdx).max + 1).toDouble // entries per lead
+    math.max(1L, math.ceil(ShardTargetEntries / math.max(leads, 1.0)).toLong)
+  }
+
+  /** Publish stats at generation `gen` (the caller bumped `.mdio_wgen` to
+    * `gen` FIRST — a crash between the two leaves stats stale, never
+    * wrongly current). `entries` override `prior` per chunk key; every
+    * shard of the merged set is rewritten (the full-publish path — partial
+    * rewrites go through [[refresh]]). `span` of 0 derives a target-sized
+    * span. */
+  def write(varDir: VPath, gen: Long, entries: Map[String, Entry],
+            prior: Map[String, Entry] = Map.empty, span: Long = 0L): Unit = {
+    val merged = prior ++ entries
+    val sp = if (span > 0) span else deriveSpan(merged)
+    val byShard = merged.groupBy { case (k, _) => shardOf(k, sp) }
+    byShard.foreach { case (s, ch) => writeShardFile(varDir, s, gen, ch) }
+    writeManifest(varDir, gen, sp, byShard.keys.map(_ -> gen).toMap)
   }
 
   /** The refresh used by stats-aware writers: bump the generation, carry
     * over prior entries IF they were current (untouched chunks keep exact
-    * bounds across an RMW pass), overlay the fresh entries, publish. */
-  def refresh(varDir: VPath, entries: Map[String, Entry]): Unit = {
+    * bounds across an RMW pass), overlay the fresh entries, publish.
+    * Against a current sharded sidecar this rewrites ONLY the shards the
+    * fresh entries touch plus the manifest — O(touched range) bytes;
+    * untouched shard files are carried by reference (their recorded
+    * generations survive in the new manifest). Stale/absent/legacy prior
+    * states fall back to a full sharded publish. */
+  def refresh(varDir: VPath, entries: Map[String, Entry], span: Long = 0L): Unit = {
     val g = generation(varDir)
-    val prior = current(varDir).getOrElse(Map.empty)
+    val mOpt = readManifest(varDir)
     val next = g + 1
     varDir.resolve(GenFile).writeString(next.toString)
-    write(varDir, next, entries, prior)
+    mOpt match {
+      case Some(m) if m.gen == g && m.legacy.isEmpty && (span <= 0 || span == m.span) =>
+        val touched = entries.groupBy { case (k, _) => shardOf(k, m.span) }
+        touched.foreach { case (s, es) =>
+          val priorShard = m.shardGens.get(s)
+            .map(readShard(varDir, s, _)).getOrElse(Map.empty)
+          writeShardFile(varDir, s, next, priorShard ++ es)
+        }
+        writeManifest(varDir, next, m.span,
+          m.shardGens ++ touched.keys.map(_ -> next))
+      case Some(m) if m.gen == g => // legacy monolith (or span change): full republish
+        write(varDir, next, entries, m.legacy.getOrElse(
+          m.shardGens.iterator.flatMap { case (s, sg) => readShard(varDir, s, sg) }.toMap),
+          span)
+      case _ => // stale or absent prior: nothing carries over
+        write(varDir, next, entries, Map.empty, span)
+    }
   }
 
   /** The exact binary expansion of a double as a BigDecimal (NOT the

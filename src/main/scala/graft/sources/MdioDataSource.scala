@@ -270,7 +270,7 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
       // the LEADING key alone decides soundness (it dominates the
       // lexicographic order, so a superset on it covers every tie-break);
       // trailing keys are Spark's to re-sort
-      case Some(v) if MdioChunkStats.current(ZarrMeta.path(path).resolve(v)).isDefined =>
+      case Some(v) if MdioChunkStats.hasCurrent(ZarrMeta.path(path).resolve(v)) =>
         topNValue = Some((v, desc, limit))
         true
       case _ => false
@@ -289,7 +289,9 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
     * make the answer a superset bound, not the exact extremum. */
   private def statsAnswerable(v: String): Boolean =
     MdioAggScan.alignedChunkBox(metas(v), dims, ranges).exists { box =>
-      MdioChunkStats.current(ZarrMeta.path(path).resolve(v)).exists { entries =>
+      MdioChunkStats.currentFor(ZarrMeta.path(path).resolve(v),
+          box.headOption.map(_._1).getOrElse(0L),
+          box.headOption.map(_._2 - 1).getOrElse(0L)).exists { entries =>
         val need = box.map { case (lo, hi) => hi - lo }.product
         // count only entries inside the box (the sidecar may carry more)
         need > 0 && entries.size >= need &&
@@ -306,7 +308,9 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
     * non-ANSI semantics, not ours to imitate from metadata. */
   private def sumAnswerable(v: String): Boolean =
     MdioAggScan.alignedChunkBox(metas(v), dims, ranges).exists { box =>
-      MdioChunkStats.current(ZarrMeta.path(path).resolve(v)).exists { entries =>
+      MdioChunkStats.currentFor(ZarrMeta.path(path).resolve(v),
+          box.headOption.map(_._1).getOrElse(0L),
+          box.headOption.map(_._2 - 1).getOrElse(0L)).exists { entries =>
         val keys = MdioAggScan.boxKeys(box).toSeq
         val need = box.map { case (lo, hi) => hi - lo }.product
         need > 0 && keys.forall(k =>
@@ -576,11 +580,13 @@ final case class MdioAggScan(path: String, dims: Seq[String],
     * metadata-only). */
   private def statValue(op: String, v: String): Any = {
     val m = metas(v)
-    val all = MdioChunkStats.current(ZarrMeta.path(path).resolve(v))
-      .getOrElse(throw new IllegalStateException(
-        s"stats sidecar for '$v' went stale between planning and execution"))
     val box = MdioAggScan.alignedChunkBox(m, dims, ranges).getOrElse(
       throw new IllegalStateException(s"slice no longer chunk-aligned for '$v'"))
+    val all = MdioChunkStats.currentFor(ZarrMeta.path(path).resolve(v),
+        box.headOption.map(_._1).getOrElse(0L),
+        box.headOption.map(_._2 - 1).getOrElse(0L))
+      .getOrElse(throw new IllegalStateException(
+        s"stats sidecar for '$v' went stale between planning and execution"))
     val entries: Seq[MdioChunkStats.Entry] = MdioAggScan.boxKeys(box).map { k =>
       all.getOrElse(k, throw new IllegalStateException(
         s"stats sidecar for '$v' lost coverage of chunk $k between planning and execution"))
@@ -816,14 +822,16 @@ final case class MdioScan(path: String, dims: Seq[String],
 
     // ---- value-statistics chunk pruning: for each variable with a pushed
     // value range, load its per-chunk [min, max] sidecar IF it is
-    // generation-current (MdioChunkStats.current — stale or absent stats
-    // silently disable pruning for that variable; correctness never
-    // depends on the sidecar). Driver-side metadata read, one small JSON
-    // per filtered variable.
+    // generation-current (MdioChunkStats.currentFor — stale or absent
+    // stats silently disable pruning for that variable; correctness never
+    // depends on the sidecar). Driver-side metadata read of the manifest
+    // plus ONLY the shards the scan's leading chunk range intersects —
+    // O(scanned range), not O(store).
     val varStats: Map[String, Map[String, MdioChunkStats.Entry]] =
       if (valueRanges.isEmpty) Map.empty
       else valueRanges.keys.flatMap { v =>
-        MdioChunkStats.current(ZarrMeta.path(path).resolve(v)).map(v -> _)
+        MdioChunkStats.currentFor(ZarrMeta.path(path).resolve(v),
+          chunkLo.headOption.getOrElse(0L), chunkHi.headOption.getOrElse(0L)).map(v -> _)
       }.toMap
     val statsActive = varStats.nonEmpty
 
@@ -860,7 +868,9 @@ final case class MdioScan(path: String, dims: Seq[String],
     val topNPred: Option[Seq[Long] => Boolean] =
       topNValue.flatMap { case (v, desc, k) =>
         if (runtimeValues.nonEmpty) None
-        else MdioChunkStats.current(ZarrMeta.path(path).resolve(v)).flatMap { entries =>
+        else MdioChunkStats.currentFor(ZarrMeta.path(path).resolve(v),
+            chunkLo.headOption.getOrElse(0L),
+            chunkHi.headOption.getOrElse(0L)).flatMap { entries =>
           def cellsOf(cc: Vector[Long]): Long =
             cc.zipWithIndex.map { case (c, i) =>
               math.min(bounds(i)._2, (c + 1) * chunks(i)) -

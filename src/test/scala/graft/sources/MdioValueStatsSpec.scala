@@ -439,6 +439,106 @@ class MdioValueStatsSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("sharded sidecar: range-keyed shard files, currentFor reads only intersecting shards") {
+    val dir = createFloat(_.toDouble)
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    val g = MdioChunkStats.generation(varDir)
+    val entries = MdioChunkStats.current(varDir).get
+    // republish at span 2 → leads {0,1}→s0, {2,3}→s1, {4,5}→s2, {6,7}→s3
+    MdioChunkStats.write(varDir, g, entries, span = 2)
+    (0L to 3L).foreach { s =>
+      assert(varDir.resolve(MdioChunkStats.shardFile(s)).exists, s"shard $s missing") }
+    // full read unions every shard
+    assert(MdioChunkStats.current(varDir).get.keySet == entries.keySet)
+    // partial read: leading chunk range [2,5] touches shards 1,2 only
+    val part = MdioChunkStats.currentFor(varDir, 2, 5).get
+    assert(part.keySet == Set("2", "3", "4", "5"), part.keySet)
+    // the sharded layout keeps exact bounds AND moments intact
+    assert(part("2").get.moments.get.sum == BigDecimal((16 to 23).sum))
+    // pruning through the sharded sidecar: dim slice x∈[16,48) + value
+    // range v>=40 plans only the chunks whose shard-carried bounds allow
+    val df = spark.read.format("mdio").load(dir)
+      .filter($"x" >= 16 && $"x" < 48 && $"v" >= 40.0)
+    assert(df.select($"x").as[Long].collect().sorted.toSeq == (40L to 47L))
+    MdioWriter.delete(dir)
+  }
+
+  test("refresh rewrites only the touched shard — O(range) write amplification") {
+    val dir = createFloat(_.toDouble)
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    val entries = MdioChunkStats.current(varDir).get
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir), entries, span = 2)
+    def shardBytes(s: Long): String = varDir.resolve(MdioChunkStats.shardFile(s)).readString()
+    val before = (0L to 3L).map(s => s -> shardBytes(s)).toMap
+    // refresh chunk "4" only (lead 4 → shard 2)
+    MdioChunkStats.refresh(varDir,
+      Map("4" -> Some(MdioChunkStats.Bounds(BigDecimal(-9), BigDecimal(9)))))
+    assert(MdioChunkStats.generation(varDir) == 2L)
+    // untouched shard FILES are byte-identical (carried by reference)
+    Seq(0L, 1L, 3L).foreach { s =>
+      assert(shardBytes(s) == before(s), s"untouched shard $s was rewritten") }
+    assert(shardBytes(2L) != before(2L))
+    // and the whole sidecar is generation-current: fresh entry overlaid,
+    // same-shard neighbor "5" and cross-shard entries carried over
+    val cur = MdioChunkStats.current(varDir).get
+    assert(stripped(cur("4")) == Some(MdioChunkStats.Bounds(BigDecimal(-9), BigDecimal(9))))
+    assert(stripped(cur("5")) == Some(MdioChunkStats.Bounds(BigDecimal(40), BigDecimal(47))))
+    assert(stripped(cur("0")) == Some(MdioChunkStats.Bounds(BigDecimal(0), BigDecimal(7))))
+    assert(cur.size == 8)
+    MdioWriter.delete(dir)
+  }
+
+  test("a torn shard drops only its own chunks; a bump invalidates every shard") {
+    val dir = createFloat(_.toDouble)
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    val entries = MdioChunkStats.current(varDir).get
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir), entries, span = 2)
+    // tear shard 1 (an interrupted rewrite: file generation ≠ manifest's)
+    val s1 = varDir.resolve(MdioChunkStats.shardFile(1))
+    s1.writeString(s1.readString().replaceFirst(""""generation": \d+""", "\"generation\": 99"))
+    val cur = MdioChunkStats.current(varDir).get
+    assert(cur.keySet == Set("0", "1", "4", "5", "6", "7"), cur.keySet)
+    // the torn range loses pruning, never answers: full-coverage MIN/MAX
+    // must fall back to a real scan — and still be right
+    val df = spark.read.format("mdio").load(dir).agg(min($"v"), max($"v"))
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("MdioAggScan"), p.take(700))
+    val r = df.head
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 63.0)
+    // a generation bump stales the manifest — every shard goes dark at once
+    MdioChunkStats.bump(varDir)
+    assert(MdioChunkStats.current(varDir).isEmpty)
+    assert(MdioChunkStats.currentFor(varDir, 0, 7).isEmpty)
+    assert(!MdioChunkStats.hasCurrent(varDir))
+    MdioWriter.delete(dir)
+  }
+
+  test("legacy monolithic sidecar reads; refresh migrates it to shards") {
+    val dir = createFloat(_.toDouble)
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    // rewrite the sidecar in the pre-shard monolithic wire format
+    val g = MdioChunkStats.generation(varDir)
+    varDir.resolve(MdioChunkStats.StatsFile).writeString(
+      s"""{"generation": $g, "chunks": {"0": [0, 7], "1": [8, 15], "2": [16, 23],
+         | "3": [24, 31], "4": [32, 39], "5": [40, 47], "6": [48, 55],
+         | "7": [56, 63]}}""".stripMargin.replace("\n", ""))
+    val cur = MdioChunkStats.current(varDir).get
+    assert(cur.size == 8 && stripped(cur("3")) ==
+      Some(MdioChunkStats.Bounds(BigDecimal(24), BigDecimal(31))))
+    // currentFor on a monolith returns the full map (no shards to scope)
+    assert(MdioChunkStats.currentFor(varDir, 2, 3).get.size == 8)
+    // value pruning works off the legacy format
+    assert(planned(dir, Array(GreaterThanOrEqual("v", 56.0))) == 1)
+    // a refresh migrates: entries carried over, layout now sharded
+    MdioChunkStats.refresh(varDir,
+      Map("0" -> Some(MdioChunkStats.Bounds(BigDecimal(-1), BigDecimal(7)))))
+    val cur2 = MdioChunkStats.current(varDir).get
+    assert(stripped(cur2("0")) == Some(MdioChunkStats.Bounds(BigDecimal(-1), BigDecimal(7))))
+    assert(stripped(cur2("7")) == Some(MdioChunkStats.Bounds(BigDecimal(56), BigDecimal(63))))
+    assert(varDir.resolve(MdioChunkStats.StatsFile).readString().contains("\"shards\""))
+    MdioWriter.delete(dir)
+  }
+
   test("MdioValueRange conjunction and boundary semantics") {
     val r = MdioValueRange(None, None)
       .narrow(Some((BigDecimal(10), true)), None)
