@@ -177,7 +177,7 @@ object Bench {
     // vs 0.54s for the old sketch-only body; the exact-percentile
     // comparison it replaced ran 5.8s)
     "agg_approx" -> 1.976, "agg_argmax" -> 0.438, "agg_cms_portable" -> 0.641,
-    "agg_conditional" -> 0.247, "agg_corr" -> 1.716, "agg_cube" -> 0.604,
+    "agg_conditional" -> 0.25, "agg_corr" -> 1.716, "agg_cube" -> 0.648,
     "agg_distinct" -> 0.672, "agg_grouping_sets" -> 0.245, "agg_histogram" -> 0.215,
     "agg_hll_portable" -> 0.455, "agg_percentile" -> 0.315,
     // comparator: agg_hll_portable x2 (two filtered register builds +
@@ -185,17 +185,17 @@ object Bench {
     "agg_hll_intersect" -> 0.579,
     // comparator: events_funnel x2 (5 bounded join+agg shuffle rounds
     // over the distinct trade edges — a multi-stage shuffle pipeline)
-    "graph_pagerank" -> 5.578, "agg_pivot" -> 0.367,
+    "graph_pagerank" -> 6.931, "agg_pivot" -> 0.376,
     // comparator: events_funnel (same few-round join+agg shuffle pipeline;
     // one nation's co-purchase subgraph keeps edges and wedges bounded)
     "graph_triangles" -> 1.595,
-    "agg_rollup" -> 0.947, "agg_moments" -> 1.157,
+    "agg_rollup" -> 0.947, "agg_moments" -> 1.179,
     "ann_int8" -> 0.77, "pipeline_split" -> 0.209,
     // comparator: pipeline_recipe (several passes over documents + small
     // one-row joins; this one is 2 top-k scans + a map-only key scan)
     "pipeline_shuffle" -> 0.341,
-    "sort_zorder" -> 0.29, "agg_quantile_portable" -> 0.376,
-    "dedup_components" -> 8.639, "ann_batch" -> 0.203,
+    "sort_zorder" -> 0.29, "agg_quantile_portable" -> 0.429,
+    "dedup_components" -> 8.943, "ann_batch" -> 0.203,
     // comparator: dedup_components (same pair join + closure dominate;
     // the extra score join + per-cluster window are noise at that scale)
     "dedup_keep_best" -> 10.193,
@@ -203,7 +203,7 @@ object Bench {
     // comparator: text_decontaminate (same gram machinery; the bloom probe
     // is map-only so it should come in at or under the exact sweep)
     "text_decontaminate_bloom" -> 0.649,
-    "pipeline_pack" -> 0.373, "pipeline_sample_weighted" -> 0.193,
+    "pipeline_pack" -> 0.545, "pipeline_sample_weighted" -> 0.193,
     "pipeline_quota" -> 0.319, "pipeline_recipe" -> 0.5,
     "text_chunk" -> 0.906, "agg_embedding_centroid" -> 0.239,
     // comparator: text_chunk (same explode/reassemble shape) + the df
@@ -212,39 +212,39 @@ object Bench {
     "embedding_outliers" -> 1.301, "text_fluency" -> 0.882,
     // comparator: agg_embedding_centroid x2 (two passes over the exploded
     // elements: the stats agg, then the broadcast join-back + z agg)
-    "embedding_normalize" -> 0.928,
+    "embedding_normalize" -> 0.955,
     // comparator: pipeline_sample_stratified (same per-group window +
     // head shape; band map in place of the strata key)
     "pipeline_curriculum" -> 0.304,
-    "text_boilerplate" -> 0.343, "events_retention" -> 0.506,
+    "text_boilerplate" -> 0.347, "events_retention" -> 0.506,
     "pipeline_sample_stratified" -> 0.298,
     // measured warm sf0.1 (per-domain window selection like
     // pipeline_sample_stratified, plus the counts pass training the targets)
     "pipeline_mix" -> 0.56,
-    "ann_brute_force" -> 0.116, "ann_ivf" -> 0.459, "ann_lsh" -> 0.128,
+    "ann_brute_force" -> 0.116, "ann_ivf" -> 0.466, "ann_lsh" -> 0.128,
     // comparator: ann_ivf (same probe + re-rank; the assignment map moved
     // to the one-time index write, but the probe now pays a parquet read)
-    "ann_ivf_pruned" -> 0.242,
+    "ann_ivf_pruned" -> 0.261,
     // comparator: ann_ivf (train + assignment expression + top-k; PQ's
     // argmin is 8x16 dots vs IVF's 64 cosines) x1.5 headroom
-    "ann_pq" -> 0.796,
+    "ann_pq" -> 0.841,
     // comparator: ann_pq (same encode+ADC shape; the probe filter scans
     // less but adds the 64-centroid assignment map)
-    "ann_ivf_pq" -> 1.166,
+    "ann_ivf_pq" -> 1.189,
     // comparator: ann_batch (same one-scan + window-rank shape, grouped
     // by label instead of probe id)
     "ann_grouped" -> 0.184,
-    "dedup_embedding" -> 0.88, "dedup_exact" -> 0.192,
+    "dedup_embedding" -> 0.88, "dedup_exact" -> 0.196,
     "dedup_minhash_lsh" -> 4.709, "dedup_ngram_jaccard" -> 9.132,
     // comparator: dedup_minhash_lsh + dedup_ngram_jaccard (the eval runs
     // BOTH pipelines — banding for candidates, the exact sweep for truth)
-    "dedup_eval" -> 8.957,
+    "dedup_eval" -> 9.194,
     // comparator: dedup_eval (same two pipelines, 25% doc scope -> ~6%
     // of the quadratic truth cost; dominated by the fixed plan overhead)
     "dedup_eval_sampled" -> 1.493,
     // comparator: dedup_ngram_jaccard (same posting-join shape; k=3
     // trigram postings are sparser than its k=2, so this is headroom)
-    "dedup_containment" -> 2.506,
+    "dedup_containment" -> 2.518,
     // measured warm sf0.1 (same posting self-join + df-cap shape as
     // dedup_containment, but fingerprints are winnowed SAMPLES of the
     // gram stream, so the posting list is ~5x smaller)
@@ -260,7 +260,7 @@ object Bench {
     // corpus-floor stages (candidate pairs ~= all true pairs at t=0.4,
     // SURVEY.md round-4 note), not a plan regression; budget sits at the
     // isolated floor and the 2x gate absorbs the loaded band
-    "pipeline_dedup_recipe" -> 8.351,
+    "pipeline_dedup_recipe" -> 9.093,
     "dedup_simhash" -> 0.415, "events_funnel" -> 0.564,
     // re-baselined round 6 to the round-5 driver-measured warm value
     // (BENCH_r05: 2.66 s): the original mdio_agc comparator undercounted
@@ -270,7 +270,7 @@ object Bench {
     "events_anomaly" -> 2.957,
     // comparator: agg_distinct (same two-level hash-agg shape + a
     // 25-row window for the tie-broken head)
-    "agg_mode" -> 0.467,
+    "agg_mode" -> 0.495,
     // comparator: agg_distinct (same two-level hash agg; OR'd words in
     // place of the distinct operator's dedup state)
     "agg_bitmap_distinct" -> 0.351,
@@ -283,18 +283,18 @@ object Bench {
     // comparator: graph_pagerank (same bounded-round join pipeline over
     // the same checkpointed edge table; BFS frontiers shrink after round
     // 2 where pagerank re-scores every node every round)
-    "graph_bfs" -> 3.552,
+    "graph_bfs" -> 3.741,
     // comparator: agg_corr (same sufficient-statistics partial-agg shape:
     // five exact sums per group, one finalize row)
     "agg_linreg" -> 1.32,
     // comparator: events_funnel (several partial-agg scans + two honest
     // referential joins, unioned into a report)
-    "pipeline_expectations" -> 0.986,
+    "pipeline_expectations" -> 1.179,
     // comparator: window_islands (one partitioned window + one group-by)
     "pipeline_binning" -> 0.581,
     // comparator: text_tfidf (same unigram+bigram count shape with two
     // distinct-gram joins on top)
-    "text_collocations" -> 0.453,
+    "text_collocations" -> 0.557,
     // comparator: mdio_agc (identical cells shuffle + one ordered-window
     // pass; five lag/lead taps in place of the rolling RMS)
     "mdio_bandpass" -> 1.847,
@@ -309,13 +309,13 @@ object Bench {
     "image_phash_near" -> 0.76,
     // comparator: image_phash + dedup_exact (one md5 groupBy + two
     // keeper joins on top of the shared decode)
-    "pipeline_multimodal_dedup" -> 0.859,
+    "pipeline_multimodal_dedup" -> 1.037,
     // comparator: stream_tumbling_exec (same single stateful streaming
     // agg; conditional counters in place of the window state)
     "stream_expectations_exec" -> 1.362,
     // comparator: agg_conditional x2 (two filtered agg passes over
     // events + a 5-row merge join)
-    "pipeline_incremental" -> 0.638,
+    "pipeline_incremental" -> 0.723,
     // comparator: text_tokens + agg_distinct (one posexplode + one
     // countDistinct-bearing groupBy)
     "text_inverted_index" -> 0.677,
@@ -329,7 +329,7 @@ object Bench {
     "join_salted" -> 1.091,
     // comparator: stream_tumbling_exec (same one-stateful-agg streaming
     // shape; session-merge state in place of fixed windows)
-    "stream_session_exec" -> 1.69,
+    "stream_session_exec" -> 1.753,
     // comparator: stream_session_exec (same streaming shape with the
     // custom flatMapGroupsWithState operator + typed encoder in place of
     // the native session window)
@@ -356,7 +356,7 @@ object Bench {
     // comparator: mdio_smooth_grid (identical two-window separable pass
     // over the same cell aggregation)
     "mdio_gradient" -> 1.865,
-    "events_sessionize" -> 0.447, "fn_array" -> 0.211, "fn_case" -> 0.161,
+    "events_sessionize" -> 0.448, "fn_array" -> 0.211, "fn_case" -> 0.161,
     // measured warm sf0.1 (the span-bounded gap explode multiplies rows
     // ~10x before the final fold — more than the sessionize comparator
     // guessed; still one window + one explode + one agg)
@@ -383,8 +383,8 @@ object Bench {
     "join_fuzzy" -> 0.973,
     "mdio_cast_typed" -> 0.264,
     "mdio_coordselector" -> 0.123, "mdio_fill_value" -> 0.702,
-    "mdio_histogram_centered" -> 0.285, "mdio_histogram_edges" -> 0.323,
-    "mdio_intervals" -> 0.225, "mdio_isel_concat" -> 0.264,
+    "mdio_histogram_centered" -> 0.291, "mdio_histogram_edges" -> 0.34,
+    "mdio_intervals" -> 0.235, "mdio_isel_concat" -> 0.264,
     "mdio_isel_slice" -> 0.219, "mdio_isel_stride" -> 0.315,
     // comparator: mdio_smooth_dim (identical cells-agg + one-window-per-
     // trace shape; RMS divide in place of the moving average)
@@ -397,7 +397,7 @@ object Bench {
     "mdio_nmo" -> 0.691,
     // comparator: mdio_semblance + mdio_nmo chained (the pick between
     // them is a 48-row aggregation)
-    "mdio_velocity_stack" -> 1.381,
+    "mdio_velocity_stack" -> 1.4,
     // comparator: mdio_nmo (same cells-agg + broadcast join-back + small
     // agg; the argmax pick replaces the moveout table)
     "mdio_horizon_flatten" -> 1.048,
@@ -406,13 +406,13 @@ object Bench {
     "segy_roundtrip" -> 0.812,
     // comparator: mdio_rechunk (same one-time-build + connector-scan
     // query shape; the tape write + binaryFile ingest is in the build)
-    "segy_to_mdio" -> 0.294,
+    "segy_to_mdio" -> 0.304,
     // comparator: stream_tumbling_exec (same file-source -> map -> one
     // stateful agg -> memory sink shape; 4 tape files in place of the
     // events parquet, the SEG-Y parse is a per-file map)
     "stream_segy_exec" -> 1.17,
     "mdio_open_sel" -> 0.189, "mdio_sel_list" -> 0.825,
-    "mdio_sel_range" -> 0.436, "mdio_smooth_dim" -> 1.864, "mdio_sel_value" -> 0.471,
+    "mdio_sel_range" -> 0.436, "mdio_smooth_dim" -> 2.416, "mdio_sel_value" -> 0.471,
     // comparator: mdio_smooth_dim x1.5 (the second separable pass adds
     // one more shuffle + window over the same cell count)
     "mdio_smooth_grid" -> 2.085,
@@ -428,10 +428,10 @@ object Bench {
     // the number is stable in isolation (BenchOne), so ~0.5 s is the
     // honest cost of 5k real BMP encode+decodes through Dataset encoders,
     // not a plan defect; budget stays at its r4-era recorded value
-    "multimodal_bmp" -> 0.298, "multimodal_wav" -> 0.518,
+    "multimodal_bmp" -> 0.298, "multimodal_wav" -> 0.65,
     // comparator: multimodal_bmp (same shape) + ~50% for deflate/inflate —
     // NOT this query's own first measurement (round-4 verdict discipline)
-    "multimodal_png" -> 0.615,
+    "multimodal_png" -> 0.677,
     // comparator: multimodal_png (same attach+decode shape; LZW table
     // build/walk per code in place of inflate+unfilter per row)
     "multimodal_gif" -> 0.615,
@@ -443,52 +443,52 @@ object Bench {
     "multimodal_jpeg_color" -> 0.903,
     // comparator: multimodal_wav (same attach+parse map-only shape;
     // box-table walk in place of RIFF chunk scan, similar payload sizes)
-    "multimodal_mp4" -> 0.288,
+    "multimodal_mp4" -> 0.308,
     // comparator: multimodal_mp4 + the n/4-row keyframe explode (still
     // map-only into one partial-agg'd sum)
-    "multimodal_mp4_frames" -> 0.232,
+    "multimodal_mp4_frames" -> 0.267,
     // comparator: text_tfidf x2 (same explode + two count aggs + join-back
     // shape, run over bigrams instead of unigrams)
     "text_perplexity" -> 1.328,
     // comparator: text_perplexity (same explode + histogram + join-back
     // shape over characters instead of bigrams)
-    "text_entropy" -> 0.883,
-    "pipeline_compose" -> 0.636, "q10_returned_items" -> 0.956,
-    "q1_pricing_summary" -> 1.281, "q3_shipping_priority" -> 0.561,
-    "q5_region_revenue" -> 1.232, "q6_forecast_revenue" -> 0.222,
+    "text_entropy" -> 0.907,
+    "pipeline_compose" -> 0.749, "q10_returned_items" -> 0.956,
+    "q1_pricing_summary" -> 1.281, "q3_shipping_priority" -> 0.659,
+    "q5_region_revenue" -> 1.377, "q6_forecast_revenue" -> 0.243,
     // comparators for the round-6 TPC-H widening (no self-measured
     // first budgets — round-4 verdict discipline):
     // q3 (same orders-quarter filter + lineitem semi shape)
-    "q4_order_priority" -> 0.432,
+    "q4_order_priority" -> 0.473,
     // q5 (same lineitem⋈orders shuffle + broadcast dims; two nation hops)
-    "q7_volume_shipping" -> 0.728,
+    "q7_volume_shipping" -> 0.844,
     // q5 x1.5 (adds part + region hops and the conditional-sum ratio)
-    "q8_market_share" -> 0.954,
+    "q8_market_share" -> 1.181,
     // q5 (same star shape through part instead of customer geography)
-    "q9_product_profit" -> 0.869,
+    "q9_product_profit" -> 0.992,
     // join_left_outer + agg_distinct (outer join then two group-bys)
-    "q13_customer_distribution" -> 0.475,
+    "q13_customer_distribution" -> 0.477,
     // q6 + a broadcast part hop (one-month filtered scan + ratio)
-    "q14_promo_revenue" -> 0.301,
+    "q14_promo_revenue" -> 0.305,
     // q6 x2 (quarter scan aggregated per supplier, then the max probe
     // re-uses the same grouped result)
     "q15_top_supplier" -> 0.554,
     // q1 (two full-ish lineitem aggregations: per-part avg + final sum)
-    "q17_small_qty_revenue" -> 0.502,
+    "q17_small_qty_revenue" -> 0.528,
     // q1 + q10 (full lineitem group-by then top-k join)
     "q18_large_volume" -> 0.965,
     // q6 (filtered scan + broadcast part join, OR-block predicate)
-    "q19_discounted_revenue" -> 0.388,
+    "q19_discounted_revenue" -> 0.43,
     // join_anti + agg_distinct (anti join on urgent orders + group-by)
-    "q22_global_sales" -> 0.492,
+    "q22_global_sales" -> 0.544,
     // round-7 TPC-H completion — first-recorded sf0.1 warm values
     // (BenchOne, min of two warm passes in one JVM):
-    "q2_min_cost_supplier" -> 1.35, "q11_important_stock" -> 0.821,
+    "q2_min_cost_supplier" -> 1.505, "q11_important_stock" -> 0.821,
     "q12_shipmode_priority" -> 0.546, "q16_part_supplier_cnt" -> 1.48,
     "q20_excess_stock" -> 1.999, "q21_waiting_supplier" -> 1.316,
-    "set_except" -> 0.543, "set_intersect" -> 0.475, "set_union" -> 0.277,
-    "sort_multikey" -> 0.157, "sort_topk" -> 0.157,
-    "stream_dedup_exec" -> 2.967, "stream_curation_exec" -> 1.421,
+    "set_except" -> 0.547, "set_intersect" -> 0.484, "set_union" -> 0.282,
+    "sort_multikey" -> 0.157, "sort_topk" -> 0.158,
+    "stream_dedup_exec" -> 2.988, "stream_curation_exec" -> 1.421,
     // comparator: stream_curation_exec (same file-source -> map ->
     // one-stateful-agg shape; regex sweep in place of the quality gate)
     "stream_pii_exec" -> 2.208,
@@ -503,21 +503,21 @@ object Bench {
     // streamed index, so the cost is the same pruned parquet top-k)
     "stream_ivf_exec" -> 0.141,
     "stream_sliding" -> 0.829,
-    "stream_tumbling" -> 0.379, "stream_tumbling_exec" -> 1.417,
+    "stream_tumbling" -> 0.379, "stream_tumbling_exec" -> 1.536,
     "text_fingerprint" -> 0.355, "text_langid" -> 0.588,
     // comparator: text_rolling_hash (same per-row map + char fold; three
     // regex passes on a shorter string in place of the tokenizer)
-    "text_pii" -> 0.732,
+    "text_pii" -> 0.745,
     // comparator: agg_quantile_portable x2 sketches + the text_quality
     // tokenizer map feeding the second one
-    "pipeline_stats" -> 0.774,
+    "pipeline_stats" -> 0.802,
     // comparator: pipeline_split (same one-window-pass-over-documents +
     // two small group-bys shape)
-    "pipeline_compact" -> 0.305,
+    "pipeline_compact" -> 0.379,
     // comparator: text_quality (same tokenize + map-only scoring shape;
     // the kernel does one hash+lookup per gram in place of the ratio math)
-    "text_classify" -> 0.322,
-    "text_quality" -> 0.407, "text_rolling_hash" -> 0.647,
+    "text_classify" -> 0.331,
+    "text_quality" -> 0.407, "text_rolling_hash" -> 0.718,
     "text_tfidf" -> 0.769, "text_tokens" -> 0.24,
     // comparator: text_tfidf (same token explode + tf/df aggs; the
     // 4-term posting filter shrinks the join, the dl join adds one back)
@@ -527,10 +527,10 @@ object Bench {
     "text_url_canonical" -> 0.643,
     // comparator: text_top_ngrams (same explode + count-agg + top-k
     // shape, with the word-stats join-back on top)
-    "text_keyphrases" -> 0.481,
+    "text_keyphrases" -> 0.494,
     "text_top_ngrams" -> 0.352, "window_first_last" -> 0.571,
-    "window_lag_delta" -> 0.456, "window_moving_avg" -> 0.607,
-    "window_percent_rank" -> 0.582, "window_range_frame" -> 1.534,
+    "window_lag_delta" -> 0.472, "window_moving_avg" -> 0.607,
+    "window_percent_rank" -> 0.613, "window_range_frame" -> 1.534,
     "window_ranks" -> 0.619, "window_running_sum" -> 0.449,
     "window_topk_per_group" -> 0.369, "zarr_extents" -> 0.029,
     "zarr_pushdown" -> 0.093, "zarr_roundtrip" -> 0.059,
@@ -540,7 +540,7 @@ object Bench {
     "zarr_value_pruning" -> 0.093,
     // comparator: zarr_extents (the same metadata-only one-row MdioAggScan
     // shape, now fed by the stats sidecar instead of the chunk grid)
-    "zarr_stats_minmax" -> 0.029,
+    "zarr_stats_minmax" -> 0.032,
     // comparator: zarr_stats_minmax (the same metadata-only one-row
     // MdioAggScan, reading moment entries instead of bounds)
     "zarr_stats_moments" -> 0.029,
@@ -552,10 +552,10 @@ object Bench {
     "zarr_topk_value" -> 0.093,
     // comparator: zarr_pushdown (same filtered-scan shape; the one-time
     // store migration happens in the untimed build, like zarrGrid itself)
-    "mdio_rechunk" -> 0.118,
+    "mdio_rechunk" -> 0.135,
     // comparator: zarr_roundtrip (same full-scan aggregate of the 32x8
     // store; copy + RMW patch happen in the one-time untimed build)
-    "mdio_update" -> 0.122,
+    "mdio_update" -> 0.13,
     // comparator: mdio_rechunk (same one-time-build + scan shape, plus a
     // one-row crossJoin assembling the two aggregates)
     "mdio_extract" -> 0.187,
@@ -594,7 +594,7 @@ object Bench {
     "graph_labelprop" -> 3.65,
     // comparator: join_left_outer (one outer join over orders + a small
     // union and one group-by on top)
-    "pipeline_merge_upsert" -> 0.622,
+    "pipeline_merge_upsert" -> 0.664,
     // comparator: text_tokens + text_top_ngrams (one map-only kernel
     // pass + explode + count-agg top-k)
     "text_wordpiece" -> 0.348,
@@ -607,13 +607,13 @@ object Bench {
     // comparator: text_top_ngrams + window_islands x3 (one corpus
     // word-count contraction, then three window-composition rounds over
     // the tiny distinct-word dict)
-    "text_bpe_train" -> 1.679,
+    "text_bpe_train" -> 2.063,
     // comparator: mdio_envelope (one transform half instead of two, plus
     // the per-trace pack + argmax window)
     "mdio_spectrum" -> 1.015,
     // comparator: mdio_envelope (identical two-transform explode shape,
     // 2x the inverse grid)
-    "mdio_resample" -> 1.082,
+    "mdio_resample" -> 1.17,
     // comparator: events_resample (same one-shuffle-by-key + window-pass
     // shape over events; two window functions in the one pass)
     "events_cusum" -> 0.904,
@@ -688,7 +688,7 @@ object Bench {
     // comparator: join_left_outer x2 (the same orders⋈lineitem equi join
     // run as one full pass + four delta-slice passes over pre-filtered
     // fractions summing to one corpus)
-    "pipeline_incremental_join" -> 1.301,
+    "pipeline_incremental_join" -> 1.352,
     // comparator: mdio_semblance (identical flat-decode broadcast scan +
     // computed-equi-key join + grouped stack; integer moveout is cheaper
     // than its sqrt pickup)
@@ -699,7 +699,7 @@ object Bench {
     "mdio_processing_chain" -> 1.339,
     // measured warm sf0.1 (decimal-cast moment sums over the full fact
     // table are ~2x a plain conditional count; still one scan, one row)
-    "agg_ttest" -> 0.811,
+    "agg_ttest" -> 0.826,
     // comparator: agg_ttest + one window over the ~50-row distinct-value
     // table (driver-tiny); still one fact-table scan
     "agg_mannwhitney" -> 0.47,
@@ -716,7 +716,7 @@ object Bench {
     // bin-table window; the scalar ratio tail is free
     "agg_gini" -> 0.43,
     // comparator: agg_conditional (one customer scan, two-level rollup)
-    "pipeline_k_anonymity" -> 0.249,
+    "pipeline_k_anonymity" -> 0.286,
     // comparator: agg_argmax (one orders scan into a 9-digit agg; the
     // string first-digit extraction is a map)
     "agg_benford" -> 0.412,
@@ -733,7 +733,7 @@ object Bench {
     // comparator: agg_ttest + agg_mannwhitney over the per-customer
     // metric (one orders groupBy + one broadcast-ish hash join feeding
     // both readouts lazily)
-    "pipeline_experiment" -> 0.833,
+    "pipeline_experiment" -> 0.95,
     // comparator: multimodal_jpeg (same images, same decode volume; the
     // four-scan parse re-reads the entropy stream but skips chroma)
     "multimodal_jpeg_progressive" -> 0.564,
@@ -745,7 +745,7 @@ object Bench {
     "agg_autocorr" -> 1.016,
     // comparator: pipeline_k_anonymity (same customer scan; one extra
     // pre-aggregation level for the distinct sensitive values)
-    "pipeline_l_diversity" -> 0.357,
+    "pipeline_l_diversity" -> 0.394,
     // comparator: text_top_ngrams x2 (two explode -> map-side-combined
     // groupBy passes over tokens and bigrams, plus the per-doc fold)
     "text_repetition" -> 1.29,

@@ -116,26 +116,58 @@ object StreamingExec {
     * NoTimeout with constant per-key state over a bounded key domain is
     * legitimate.)
     *
-    * Known leniency (ADVICE r10): the watermark check is EXISTENCE in the
-    * subtree, not column-flow — an append-mode aggregate whose only
-    * watermark sits on an unrelated join input would pass this pin while
-    * its own window state never evicts. Spark's own
-    * UnsupportedOperationChecker rejects exactly that shape at stream
-    * start (append aggregates must be watermarked on their event-time
-    * grouping column), so the pin stays coarse by choice: it exists to
-    * catch plans Spark ACCEPTS but that grow state unboundedly, and for
-    * those the existence check is the part Spark does not already do. */
+    * The check is COLUMN-FLOW, not mere existence (the r10/r11 ADVICE
+    * tightening): an attribute is event-time iff it is an
+    * [[EventTimeWatermark]] node's own column or carries the watermark
+    * delay metadata Spark propagates through projections and aliases.
+    * An append-mode aggregate must GROUP on one (a watermark on an
+    * unrelated join input leaves the aggregate's window state
+    * unevictable), and a stream-stream join's CONDITION must constrain an
+    * event-time column from EACH side (Spark accepts an inner equi-join
+    * with watermarks but no time bound — and then buffers both sides
+    * forever; the time constraint is what makes eviction possible).
+    * Spark's UnsupportedOperationChecker remains the backstop for the
+    * shapes it rejects at stream start; this pin exists for the shapes
+    * Spark ACCEPTS that still grow state without bound. */
   private[queries] def pinBoundedState(df: DataFrame, mode: String): Unit = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, EventTimeWatermark, Join, LogicalPlan}
-    def watermarked(p: LogicalPlan): Boolean =
-      p.exists(_.isInstanceOf[EventTimeWatermark])
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, EventTimeWatermark, Join, LogicalPlan, Window => LWindow}
+    import org.apache.spark.sql.catalyst.expressions.AttributeSet
+    def eventTimeAttrs(p: LogicalPlan): AttributeSet = AttributeSet(
+      p.collect { case w: EventTimeWatermark => Seq(w.eventTime) }.flatten ++
+        p.collect { case q =>
+          q.output.filter(_.metadata.contains(EventTimeWatermark.delayKey)) }.flatten)
     df.queryExecution.analyzed.foreach {
       case j: Join if j.left.isStreaming && j.right.isStreaming =>
-        require(watermarked(j.left) && watermarked(j.right),
+        val (lt, rt) = (eventTimeAttrs(j.left), eventTimeAttrs(j.right))
+        require(lt.nonEmpty && rt.nonEmpty,
           "stream-stream join without watermarks on BOTH sides — join state is unbounded")
+        val condRefs = j.condition.map(_.references).getOrElse(AttributeSet.empty)
+        require(condRefs.exists(lt.contains) && condRefs.exists(rt.contains),
+          "stream-stream join condition puts no time bound on both sides' " +
+            "event-time columns — state is unevictable even with watermarks")
       case a: Aggregate if a.child.isStreaming && mode == "append" =>
-        require(watermarked(a.child),
+        val et = eventTimeAttrs(a.child)
+        require(et.nonEmpty,
           "append-mode streaming aggregate without a watermark — state never evicts, windows never finalize")
+        require(a.groupingExpressions.exists(_.references.exists(et.contains)),
+          "append-mode streaming aggregate whose grouping/window is not fed by " +
+            "the watermarked event-time column — its state never evicts")
+      // WINDOW-FUNCTION hygiene for the streaming half (the
+      // WindowHygieneSpec coverage closed per r11 verdict item 3):
+      // a window function over the STREAMING side cannot run (Spark's
+      // UnsupportedOperationChecker rejects it at start — there is no
+      // bounded-state implementation), and an UNPARTITIONED window on a
+      // batch subplan embedded in a streaming query funnels that subplan
+      // through one task every micro-batch. Neither shape exists in the
+      // inventory; both now fail structurally, pre-execution, on every
+      // streaming run — so the hygiene spec no longer has to execute
+      // streams to cover them. Rank-style folds belong AFTER the sink
+      // (where WindowHygieneSpec's histogram gate covers them).
+      case w: LWindow =>
+        require(!w.child.isStreaming,
+          "window function over a streaming input — no bounded-state implementation exists; fold after the sink")
+        require(w.partitionSpec.nonEmpty,
+          "unpartitioned window on a batch subplan inside a streaming query — single-task funnel every micro-batch")
       case _ => ()
     }
   }

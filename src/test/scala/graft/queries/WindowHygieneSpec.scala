@@ -26,13 +26,22 @@ import graft.SparkSpec
   * below would accept an aggregate buried under a row-multiplying
   * join/explode while the window's actual input stays corpus-sized.
   *
-  * Coverage note (ADVICE r10): for the ~21 `stream_*` queries,
-  * `fn(spark, sf)` executes the streaming query and returns the
-  * post-sink BATCH fold, so this gate inspects only that fold's plan —
-  * windows inside the streaming micro-batch plan are exempt by
-  * construction here and covered instead by the harness's
-  * `pinBoundedState` + Spark's UnsupportedOperationChecker (append-mode
-  * streaming forbids unpartitioned non-time windows outright).
+  * Coverage split for the ~21 `stream_*` queries (r11 verdict item 3):
+  * this spec does NOT execute them — for a stream query, `fn(spark, sf)`
+  * runs the whole streaming job just to hand back the post-sink fold,
+  * which made this gate the most expensive spec in the suite while
+  * still never seeing the streaming half. Window hygiene for streaming
+  * plans is instead enforced STRUCTURALLY and PRE-EXECUTION on every
+  * streaming run by [[StreamingExec.pinBoundedState]] (window functions
+  * over the streaming side are rejected outright — Spark has no
+  * bounded-state implementation — and unpartitioned windows on embedded
+  * batch subplans are rejected as per-micro-batch single-task funnels;
+  * StreamingPinsSpec pins both rejections). The residual exemption is
+  * the post-sink BATCH fold itself: its input is the memory sink, whose
+  * size the streaming aggregation/join already bounded, and no fold in
+  * the inventory plans a window at all — a future fold that does would
+  * surface here the moment it is written as a batch query, and its sink
+  * input is a fold-once driver-side table either way.
   */
 class WindowHygieneSpec extends SparkSpec {
 
@@ -84,7 +93,9 @@ class WindowHygieneSpec extends SparkSpec {
     w.child.maxRows.exists(_ <= 1L) || histogramReachable(w.child)
 
   test("every unpartitioned window sits over a bounded-domain histogram, annotated") {
-    val results = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.startsWith("stream_")) // covered pre-execution by pinBoundedState
+      .map { case (name, fn) =>
       try {
         val plan = fn(spark, sf).queryExecution.optimizedPlan
         val globals = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }

@@ -2,25 +2,45 @@
 """Re-baseline the Bench.scala per-query budget table from N quiet full-suite
 runs (round-9 verdict item 4).
 
-Rule: budget = median of the runs; if max > 1.25 x median (a noisy query),
-budget = max — so the 2x regression gate models cost, not stale floors, and
-every observed quiet run sits <= 1.25x its budget by construction.
+Rule: budget = median of the quiet runs; if max > 1.25 x median (a noisy
+query), budget = max — so the 2x regression gate models cost, not stale
+floors, and every observed quiet run sits <= 1.25x its budget by
+construction.
+
+LOADED runs (`--loaded file.json`, repeatable — e.g. the driver's
+full-suite BENCH_DETAIL.json) enter as a FLOOR: budget = max(quiet rule,
+loaded observations), never lower. Full-suite load inflates the noisy
+families (streaming micro-batch machinery, iterative lineage-cut jobs) well
+past their quiet medians; a quiet-only rebaseline then encodes floors the
+next driver run trips over (round-11 verdict item 6 — events_funnel's
+loaded band collapsed to its 0.564 s quiet median in the r10 rebaseline).
+With only --loaded inputs, current budgets are kept and merely raised.
+
 Values are rewritten IN PLACE inside the `budget: Map[String, Double]`
 literal; surrounding comparator comments are preserved (they justify the
-plan shape; the number is the measured quiet-median under that shape).
+plan shape; the number is the measured band under that shape).
 
-Usage: rebaseline_budgets.py out.diff run1.json run2.json [run3.json ...]
-       [--apply] (default is dry-run report to stdout)
+Usage: rebaseline_budgets.py [run1.json run2.json ...]
+       [--loaded detail.json ...] [--apply]
+       (quiet runs positional; default is dry-run report to stdout)
 """
 import json, re, statistics, sys
 
 BENCH = "src/main/scala/graft/Bench.scala"
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--apply"]
-    apply = "--apply" in sys.argv
+    argv = sys.argv[1:]
+    apply = "--apply" in argv
+    loaded_paths, args, it = [], [], iter([a for a in argv if a != "--apply"])
+    for a in it:
+        if a == "--loaded":
+            loaded_paths.append(next(it))
+        else:
+            args.append(a)
+    assert args or loaded_paths, "need at least one quiet or --loaded run"
     runs = [json.load(open(p))["queries"] for p in args]
-    names = set(runs[0])
+    loaded = [json.load(open(p))["queries"] for p in loaded_paths]
+    names = set(runs[0]) if runs else set(loaded[0])
     for r in runs[1:]:
         assert set(r) == names, "runs disagree on query set"
 
@@ -61,10 +81,14 @@ def main():
 
     new = {}
     for n in sorted(names & set(current)):
-        ts = [r[n] for r in runs]
-        med, mx = statistics.median(ts), max(ts)
-        b = mx if mx > 1.25 * med else med
-        new[n] = round(b, 3)
+        if runs:
+            ts = [r[n] for r in runs]
+            med, mx = statistics.median(ts), max(ts)
+            quiet = mx if mx > 1.25 * med else med
+        else:
+            quiet = current[n]  # --loaded only: keep, never lower
+        floor = max((l[n] for l in loaded if n in l), default=0.0)
+        new[n] = round(max(quiet, floor), 3)
 
     changed = [(n, current[n], new[n]) for n in new
                if abs(new[n] - current[n]) / max(current[n], 1e-9) > 1e-6]
