@@ -541,6 +541,9 @@ object Bench {
     // comparator: zarr_extents (the same metadata-only one-row MdioAggScan
     // shape, now fed by the stats sidecar instead of the chunk grid)
     "zarr_stats_minmax" -> 0.032,
+    // comparator: zarr_stats_minmax (same metadata-only MdioAggScan, one
+    // row per slab instead of one total row — first budget r12)
+    "zarr_stats_by_slab" -> 0.06,
     // comparator: zarr_stats_minmax (the same metadata-only one-row
     // MdioAggScan, reading moment entries instead of bounds)
     "zarr_stats_moments" -> 0.029,

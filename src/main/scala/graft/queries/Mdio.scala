@@ -430,6 +430,37 @@ object Mdio {
       FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j))
     SELECT MIN(image) AS mn, MAX(image) AS mx, COUNT(*) AS n FROM cells"""
 
+  /** Per-SLAB statsV1 on the gate (reference per-variable statsV1,
+    * mdio/stats.h:229-335, generalized along an axis — the per-inline QC
+    * pass a seismic survey actually runs): `GROUP BY FLOOR(inline/8)` with
+    * MIN/MAX/SUM/COUNT of the value column pushes COMPLETELY into the
+    * connector when the slab width is a chunk multiple and the stats
+    * sidecar covers the scan — one metadata row per slab, zero chunk
+    * files opened however large the store (MdioAggScan slabRows;
+    * plan-pinned with its decline paths in MdioValueStatsSpec). SUM is
+    * the exact per-slab real-number sum (Shewchuk moments) rounded once
+    * to double, so it equals DuckDB's decimal-exact sum bit-for-bit. */
+  val qZarrStatsBySlab: Q = (s, d) =>
+    s.read.format("mdio").load(zarrGrid(s, d))
+      .groupBy(floor(col("inline") / 8).as("slab"))
+      .agg(min(col("image")).as("mn"), max(col("image")).as("mx"),
+        sum(col("image")).as("total"), count(lit(1)).as("n"))
+      .orderBy(col("slab"))
+
+  val qZarrStatsBySlabSql: String = """
+    WITH agg AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS image
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT i, COALESCE(image, 0.0) AS image
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j))
+    SELECT CAST(FLOOR(i / 8) AS BIGINT) AS slab,
+           MIN(image) AS mn, MAX(image) AS mx,
+           CAST(SUM(CAST(image AS DECIMAL(27,6))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM cells GROUP BY 1 ORDER BY slab"""
+
   /** Value-ordered TOP-N on the gate: `ORDER BY image DESC LIMIT 10` with
     * dim tie-breaks. The stats sidecar proves which chunks can reach the
     * k-th largest value, so the scan plans only those (partial pushdown;
@@ -1607,6 +1638,7 @@ object Mdio {
     "zarr_stats_minmax"     -> qZarrStatsMinmax,
     "zarr_stats_moments"    -> qZarrStatsMoments,
     "zarr_stats_v1_meta"    -> qZarrStatsV1Meta,
+    "zarr_stats_by_slab"    -> qZarrStatsBySlab,
     "zarr_topk_value"       -> qZarrTopkValue,
     "mdio_rechunk"          -> qMdioRechunk,
     "mdio_reshard"          -> qMdioReshard,
@@ -1656,6 +1688,7 @@ object Mdio {
     "zarr_stats_minmax"     -> qZarrStatsMinmaxSql,
     "zarr_stats_moments"    -> qZarrStatsMomentsSql,
     "zarr_stats_v1_meta"    -> qZarrStatsV1MetaSql,
+    "zarr_stats_by_slab"    -> qZarrStatsBySlabSql,
     "zarr_topk_value"       -> qZarrTopkValueSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
     "mdio_reshard"          -> qMdioReshardSql,

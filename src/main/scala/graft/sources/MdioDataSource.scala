@@ -227,6 +227,7 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
   private var requiredSchema: StructType = fullSchema
   // accepted metadata-answerable aggregation: ("count", "") | ("min"/"max", dim)
   private var pushedAggs: Option[Seq[(String, String)]] = None
+  private var pushedGroup: Option[(String, Long)] = None // GROUP BY FLOOR(dim/L)
   // LIMIT hint: enumerate only enough chunks to cover this many cells —
   // df.limit(k) on a 100 TB store plans a handful of partitions instead
   // of millions. Partial pushdown: Spark still applies the final limit.
@@ -328,9 +329,62 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
   private def dimSumFits(d: String): Boolean =
     MdioAggScan.dimSumExact(metas.values.head, dims, ranges, d).isDefined
 
+  /** A pushed GROUP BY expression answerable per chunk-aligned SLAB:
+    * `FLOOR(dim / L)` — Spark's V2 translation of floor-division over a
+    * dim-index column (the analyzer's double casts are stripped) — with
+    * `L` a positive integer; a bare dim reference is the L=1 case. The
+    * chunk-multiple check lives in [[MdioAggScan.slabRows]], which also
+    * validates the stats coverage. */
+  private def slabGroup(e: connector_expressions.Expression): Option[(String, Long)] = {
+    def dimOf(x: connector_expressions.Expression): Option[String] = x match {
+      case r: connector_expressions.NamedReference
+          if r.fieldNames.length == 1 && dimSet(r.fieldNames.head) =>
+        Some(r.fieldNames.head)
+      case c: connector_expressions.Cast => dimOf(c.expression())
+      case _ => None
+    }
+    def litLong(x: connector_expressions.Expression): Option[Long] = x match {
+      case l: connector_expressions.Literal[_] => l.value.asInstanceOf[Any] match {
+        case d: java.lang.Double =>
+          val bd = BigDecimal(d.doubleValue)
+          if (bd.isWhole && bd.isValidLong) Some(bd.toLong) else None
+        case f: java.lang.Float =>
+          val bd = BigDecimal(f.floatValue.toDouble)
+          if (bd.isWhole && bd.isValidLong) Some(bd.toLong) else None
+        case i: java.lang.Integer => Some(i.toLong)
+        case l2: java.lang.Long => Some(l2)
+        case s: java.lang.Short => Some(s.toLong)
+        case b: java.lang.Byte => Some(b.toLong)
+        case _ => None
+      }
+      case c: connector_expressions.Cast => litLong(c.expression())
+      case _ => None
+    }
+    e match {
+      case g: connector_expressions.GeneralScalarExpression
+          if g.name == "FLOOR" && g.children.length == 1 =>
+        g.children()(0) match {
+          case d: connector_expressions.GeneralScalarExpression
+              if d.name == "/" && d.children.length == 2 =>
+            for {
+              dim <- dimOf(d.children()(0))
+              l <- litLong(d.children()(1)) if l > 0
+            } yield (dim, l)
+          case _ => None
+        }
+      case other => dimOf(other).map(d => (d, 1L))
+    }
+  }
+
   private def translateAggs(agg: connector_expressions.aggregate.Aggregation)
-      : Option[Seq[(String, String)]] = {
-    if (agg.groupByExpressions.nonEmpty) return None
+      : Option[(Seq[(String, String)], Option[(String, Long)])] = {
+    val grouped: Option[(String, Long)] =
+      if (agg.groupByExpressions.isEmpty) None
+      else if (agg.groupByExpressions.length != 1) return None
+      else slabGroup(agg.groupByExpressions.head) match {
+        case some @ Some(_) => some
+        case None => return None
+      }
     def named(e: connector_expressions.Expression): Option[String] = e match {
       case r: connector_expressions.NamedReference if r.fieldNames.length == 1 =>
         Some(r.fieldNames.head)
@@ -348,12 +402,16 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
           case _ => return None
         }
       case m: connector_expressions.aggregate.Min => named(m.column) match {
-        case Some(a) if dimSet(a) => ("min", a)
+        case Some(a) if dimSet(a) && grouped.isEmpty => ("min", a)
+        case Some(a) if grouped.isDefined && statVar(a).isDefined =>
+          ("vmin", statVar(a).get) // per-slab answerability checked below
         case Some(a) if statVar(a).exists(statsAnswerable) => ("vmin", statVar(a).get)
         case _ => return None
       }
       case m: connector_expressions.aggregate.Max => named(m.column) match {
-        case Some(a) if dimSet(a) => ("max", a)
+        case Some(a) if dimSet(a) && grouped.isEmpty => ("max", a)
+        case Some(a) if grouped.isDefined && statVar(a).isDefined =>
+          ("vmax", statVar(a).get)
         case Some(a) if statVar(a).exists(statsAnswerable) => ("vmax", statVar(a).get)
         case _ => return None
       }
@@ -361,13 +419,23 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
       // over a value column (statsV1 sum, mdio/stats.h:229-335)
       case s: connector_expressions.aggregate.Sum if !s.isDistinct =>
         named(s.column) match {
-          case Some(a) if dimSet(a) && dimSumFits(a) => ("dsum", a)
+          case Some(a) if dimSet(a) && grouped.isEmpty && dimSumFits(a) => ("dsum", a)
+          case Some(a) if grouped.isDefined && statVar(a).isDefined =>
+            ("vsum", statVar(a).get)
           case Some(a) if statVar(a).exists(sumAnswerable) => ("vsum", statVar(a).get)
           case _ => return None
         }
       case _ => return None
     }
-    Some(out.toSeq)
+    grouped match {
+      case Some((d, l)) =>
+        // per-slab answerability in one shot: coverage, chunk-multiple,
+        // moments for vsum, per-slab integral-sum Long fit
+        if (MdioAggScan.slabRows(path, dims, metas, ranges, out.toSeq, d, l).isDefined)
+          Some((out.toSeq, grouped))
+        else None
+      case None => Some((out.toSeq, None))
+    }
   }
 
   override def supportCompletePushDown(
@@ -377,7 +445,7 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
   override def pushAggregation(
       agg: connector_expressions.aggregate.Aggregation): Boolean =
     translateAggs(agg) match {
-      case Some(t) => pushedAggs = Some(t); true
+      case Some((t, g)) => pushedAggs = Some(t); pushedGroup = g; true
       case None => false
     }
 
@@ -498,7 +566,7 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
   }
 
   override def build(): Scan = pushedAggs match {
-    case Some(aggs) => MdioAggScan(path, dims, metas, ranges, aggs)
+    case Some(aggs) => MdioAggScan(path, dims, metas, ranges, aggs, pushedGroup)
     case None =>
       MdioScan(path, dims, metas, requiredSchema, ranges, limitCells, topN, inValues,
         valueRanges, topNValue)
@@ -553,9 +621,11 @@ final case class MdioValueRange(lo: Option[(BigDecimal, Boolean)],
 final case class MdioAggScan(path: String, dims: Seq[String],
                              metas: Map[String, ZarrMeta.ArrayMeta],
                              ranges: Map[String, (Long, Long)],
-                             aggs: Seq[(String, String)]) extends Scan with Batch {
-  override def readSchema(): StructType =
-    StructType(aggs.zipWithIndex.map { case ((f, d), i) =>
+                             aggs: Seq[(String, String)],
+                             group: Option[(String, Long)] = None)
+    extends Scan with Batch {
+  override def readSchema(): StructType = {
+    val aggFields = aggs.zipWithIndex.map { case ((f, d), i) =>
       val dt = f match {
         case "vmin" | "vmax" => MdioTableUtil.sparkTypeOf(metas(d).dtype)
         // Spark's Sum result types: double for float inputs, long for
@@ -568,10 +638,16 @@ final case class MdioAggScan(path: String, dims: Seq[String],
       }
       StructField(if (f == "count") s"count_$i" else s"${f}_${d}_$i", dt,
         nullable = f != "count")
-    })
+    }
+    // grouped pushdown: Spark maps the scan output POSITIONALLY as
+    // group-by columns first, then aggregate columns
+    StructType(group.map { case (d, l) =>
+      StructField(s"slab_${d}_$l", LongType, nullable = false) }.toSeq ++ aggFields)
+  }
   override def toBatch: Batch = this
   override def description(): String =
-    s"MdioAggScan(metadata-only: ${aggs.map { case (f, d) => s"$f($d)" }.mkString(",")})"
+    s"MdioAggScan(metadata-only: ${aggs.map { case (f, d) => s"$f($d)" }.mkString(",")}" +
+      group.map { case (d, l) => s" group by $d/$l" }.getOrElse("") + ")"
 
   /** Exact MIN/MAX over a value column from the sidecar, scoped to the
     * (chunk-aligned) slice's chunk box. The builder validated
@@ -593,46 +669,20 @@ final case class MdioAggScan(path: String, dims: Seq[String],
     }.toSeq
     val dt = MdioTableUtil.sparkTypeOf(m.dtype)
     val isFloat = m.dtype.charAt(m.dtype.length - 2) == 'f'
-    val bounds = entries.flatten
-    def cast(bd: BigDecimal): Any = dt match {
-      case DoubleType => bd.toDouble
-      case FloatType => bd.toFloat
-      case LongType => bd.toLong
-      case IntegerType => bd.toInt
-      case ShortType => bd.toShort
-      case ByteType => bd.toByte
-      case BooleanType => bd.signum != 0
-      case other => throw new IllegalStateException(s"unexpected stats dtype $other")
-    }
-    def nan: Any = if (dt == FloatType) Float.NaN else Double.NaN
-    val anyNaN = isFloat && entries.exists(e => e.isEmpty || e.exists(_.hasNaN))
-    op match {
-      case "vmin" =>
-        if (bounds.nonEmpty) cast(bounds.map(_.min).min)
-        else nan // every cell NaN (full coverage, all entries null)
-      case "vmax" =>
-        if (anyNaN) nan
-        else cast(bounds.map(_.max).max)
-      case "vsum" =>
-        // exact Σ of the per-chunk exact moment sums; NaN cells poison the
-        // sum exactly as they do in a real scan (Spark and DuckDB alike).
-        // Result is DoubleType even for f4 inputs (Spark sums floats as
-        // doubles), so the poison value is a Double NaN
-        if (anyNaN) Double.NaN
-        else {
-          val total = MdioChunkStats.exactTotal(
-            bounds.map(_.moments.getOrElse(throw new IllegalStateException(
-              s"stats sidecar for '$v' lost its moments between planning and execution"))
-              .sum))
-          if (isFloat) total.toDouble
-          else if (total.isValidLong) total.toLong
-          else throw new IllegalStateException(
-            s"exact SUM($v) left the Long range between planning and execution")
-        }
-    }
+    MdioAggScan.answer(op, entries, dt, isFloat).getOrElse(
+      throw new IllegalStateException(
+        s"stats sidecar for '$v' lost $op-answerability between planning and execution"))
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    group.foreach { case (d, l) =>
+      // one metadata row per slab; a writer racing between planning and
+      // execution must fail LOUD (the plan is fixed as metadata-only)
+      val rows = MdioAggScan.slabRows(path, dims, metas, ranges, aggs, d, l)
+        .getOrElse(throw new IllegalStateException(
+          s"per-slab stats for group by $d/$l went stale between planning and execution"))
+      return Array(MdioAggRowsPartition(rows))
+    }
     val shape = metas.values.head.shape
     val bounds: Seq[(Long, Long)] = dims.zipWithIndex.map { case (d, i) =>
       val (lo, hi) = ranges.getOrElse(d, (0L, shape(i)))
@@ -704,16 +754,139 @@ object MdioAggScan {
       else (box(i)._1 until box(i)._2).iterator.flatMap(c => rec(i + 1, acc :+ c))
     rec(0, Vector.empty).map(ZarrMeta.chunkKey)
   }
+
+  /** One metadata aggregate answer over a set of chunk entries, or None
+    * when the entries cannot answer it (missing moments; an integral SUM
+    * that left the Long range — the scan fallback's own overflow
+    * semantics then stand). NaN conventions match both engines: MAX is
+    * NaN when any cell is NaN, MIN is the finite minimum unless no finite
+    * cell exists, SUM is NaN-poisoned. */
+  def answer(op: String, entries: Seq[MdioChunkStats.Entry],
+             dt: DataType, isFloat: Boolean): Option[Any] = {
+    val bounds = entries.flatten
+    def cast(bd: BigDecimal): Any = dt match {
+      case DoubleType => bd.toDouble
+      case FloatType => bd.toFloat
+      case LongType => bd.toLong
+      case IntegerType => bd.toInt
+      case ShortType => bd.toShort
+      case ByteType => bd.toByte
+      case BooleanType => bd.signum != 0
+      case other => throw new IllegalStateException(s"unexpected stats dtype $other")
+    }
+    def nan: Any = if (dt == FloatType) Float.NaN else Double.NaN
+    val anyNaN = isFloat && entries.exists(e => e.isEmpty || e.exists(_.hasNaN))
+    op match {
+      case "vmin" =>
+        if (bounds.nonEmpty) Some(cast(bounds.map(_.min).min))
+        else if (anyNaN) Some(nan) // every cell NaN (all entries null)
+        else None
+      case "vmax" =>
+        if (anyNaN) Some(nan)
+        else if (bounds.nonEmpty) Some(cast(bounds.map(_.max).max))
+        else None
+      case "vsum" =>
+        // exact Σ of the per-chunk exact moment sums; NaN poisons the sum
+        // exactly as in a real scan. Result is DoubleType even for f4
+        // (Spark sums floats as doubles), so the poison is a Double NaN
+        if (anyNaN) Some(Double.NaN)
+        else if (bounds.forall(_.moments.isDefined)) {
+          val total = MdioChunkStats.exactTotal(bounds.map(_.moments.get.sum))
+          if (isFloat) Some(total.toDouble)
+          else if (total.isValidLong) Some(total.toLong)
+          else None
+        } else None
+      case other => throw new IllegalStateException(s"unexpected stats op $other")
+    }
+  }
+
+  /** Per-SLAB metadata aggregate rows for a pushed `GROUP BY FLOOR(dim/L)`
+    * — the per-inline/per-depth-slab QC pass (reference statsV1,
+    * mdio/stats.h:229-335, generalized along an axis) answered entirely
+    * from the stats sidecar: each group is `L` consecutive indices of
+    * `dim`, a whole number of chunks when `L % chunkSize(dim) == 0`, so a
+    * slab's MIN/MAX/SUM/COUNT is the exact union of its chunks' entries —
+    * zero chunk files opened however large the store. Returns one row per
+    * slab intersecting the (chunk-aligned) pushed ranges, group value
+    * first; None when any precondition fails (misaligned slice, stale or
+    * partial stats, L not chunk-aligned, a variable that is not a
+    * full-dimensional scalar, per-slab integral SUM overflow) — the
+    * caller then declines the pushdown and a real scan runs. */
+  def slabRows(path: String, dims: Seq[String],
+               metas: Map[String, ZarrMeta.ArrayMeta],
+               ranges: Map[String, (Long, Long)],
+               aggs: Seq[(String, String)],
+               dim: String, l: Long): Option[Seq[Array[Any]]] = {
+    val di = dims.indexOf(dim)
+    if (di < 0 || l <= 0) return None
+    val anchor = metas.values.head
+    val shape = anchor.shape
+    val bounds = dims.zipWithIndex.map { case (d, i) =>
+      val (lo, hi) = ranges.getOrElse(d, (0L, shape(i)))
+      (math.max(lo, 0L), math.min(hi, shape(i)))
+    }
+    if (bounds.exists { case (lo, hi) => lo >= hi }) return Some(Seq.empty)
+    val (dLo, dHi) = bounds(di)
+    // per-variable: the slab-width must cover whole chunks and the stats
+    // must cover the (chunk-aligned) scan box, moments included for vsum
+    val vars = aggs.collect { case (op, v) if op.startsWith("v") => v }.distinct
+    val perVar: Map[String, (Long, Map[String, MdioChunkStats.Entry])] =
+      vars.map { v =>
+        val m = metas.getOrElse(v, return None)
+        if (m.shape != shape || m.fields.nonEmpty) return None
+        val c = m.chunks(di)
+        if (l % c != 0) return None
+        val box = alignedChunkBox(m, dims, ranges).getOrElse(return None)
+        val entries = MdioChunkStats.currentFor(ZarrMeta.path(path).resolve(v),
+          box.head._1, box.head._2 - 1).getOrElse(return None)
+        if (!boxKeys(box).forall(entries.contains)) return None
+        v -> (c, entries)
+      }.toMap
+    val rows = ((dLo / l) to ((dHi - 1) / l)).map { g =>
+      val sLo = math.max(dLo, g * l)
+      val sHi = math.min(dHi, (g + 1) * l)
+      def slabEntries(v: String): Option[Seq[MdioChunkStats.Entry]] = {
+        val entries = perVar(v)._2
+        alignedChunkBox(metas(v), dims, ranges.updated(dim, (sLo, sHi))).flatMap { box =>
+          val es = boxKeys(box).map(entries.get).toSeq
+          if (es.exists(_.isEmpty)) None else Some(es.map(_.get))
+        }
+      }
+      val values: Array[Any] = aggs.map {
+        case ("count", _) =>
+          bounds.zipWithIndex.map { case ((lo, hi), i) =>
+            if (i == di) sHi - sLo else hi - lo }.product
+        case (op @ ("vmin" | "vmax" | "vsum"), v) =>
+          val m = metas(v)
+          val dt = MdioTableUtil.sparkTypeOf(m.dtype)
+          val isFloat = m.dtype.charAt(m.dtype.length - 2) == 'f'
+          slabEntries(v).flatMap(answer(op, _, dt, isFloat)).getOrElse(return None)
+        case other =>
+          throw new IllegalStateException(s"unsupported grouped agg $other")
+      }.toArray
+      (g: Any) +: values
+    }
+    Some(rows)
+  }
 }
 
 final case class MdioAggPartition(values: Array[Any]) extends InputPartition
 
+/** Multi-row metadata partition: one row per chunk-aligned slab of a
+  * pushed GROUP BY (group value first, then the aggregates). */
+final case class MdioAggRowsPartition(rows: Seq[Array[Any]]) extends InputPartition
+
 final case class MdioAggReaderFactory() extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private var emitted = false
-      private val row = new GenericInternalRow(p.asInstanceOf[MdioAggPartition].values)
-      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      private val it: Iterator[Array[Any]] = p match {
+        case MdioAggPartition(values) => Iterator.single(values)
+        case MdioAggRowsPartition(rows) => rows.iterator
+        case other => throw new IllegalStateException(s"unexpected partition $other")
+      }
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { row = new GenericInternalRow(it.next()); true } else false
       override def get(): InternalRow = row
       override def close(): Unit = ()
     }

@@ -439,6 +439,58 @@ class MdioValueStatsSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("GROUP BY floor(dim/L): per-slab stats answer from metadata, decline when unsound") {
+    val dir = createFloat(_.toDouble) // 64 cells, chunks of 8, v = x
+    def fmt(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    def slabs(l: Int, extra: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity) =
+      extra(spark.read.format("mdio").load(dir))
+        .groupBy(floor($"x" / l).as("slab"))
+        .agg(min($"v").as("mn"), max($"v").as("mx"),
+          sum($"v").as("total"), count(lit(1)).as("n"))
+        .orderBy($"slab")
+    // L=16 (two chunks per slab): complete pushdown, one metadata row per slab
+    val df = slabs(16)
+    val p = fmt(df)
+    assert(p.contains("group by x/16"), p.take(900))
+    assert(!p.contains("HashAggregate"), "grouped pushdown must be COMPLETE — no re-aggregation")
+    val rows = df.collect()
+    assert(rows.length == 4)
+    rows.zipWithIndex.foreach { case (r, g) =>
+      val (lo, hi) = (g * 16, g * 16 + 15)
+      assert(r.getLong(0) == g && r.getDouble(1) == lo.toDouble &&
+        r.getDouble(2) == hi.toDouble && r.getDouble(3) == (lo to hi).sum.toDouble &&
+        r.getLong(4) == 16L, r.toString)
+    }
+    // ZERO chunk files opened: the scan plans metadata row partitions only
+    // (pinned on the unordered form — the orderBy exchange wraps the
+    // ordered plan in AQE, hiding the leaves)
+    val unordered = spark.read.format("mdio").load(dir)
+      .groupBy(floor($"x" / 16).as("slab")).agg(count(lit(1)).as("n"))
+    val parts = unordered.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.inputPartitions
+    }.flatten
+    assert(parts.nonEmpty && parts.forall(_.isInstanceOf[MdioAggRowsPartition]), parts.toString)
+    // a chunk-aligned dim slice composes: x∈[16,48) → slabs 1,2 only
+    val sliced = slabs(16, _.filter($"x" >= 16 && $"x" < 48))
+    assert(fmt(sliced).contains("group by x/16"), fmt(sliced).take(900))
+    assert(sliced.select($"slab").as[Long].collect().toSeq == Seq(1L, 2L))
+    // decline: L=4 is not a chunk multiple (a slab would split a chunk)
+    assert(!fmt(slabs(4)).contains("MdioAggScan"), fmt(slabs(4)).take(900))
+    assert(slabs(4).select($"n").as[Long].collect().forall(_ == 4L))
+    // decline: a misaligned dim slice (entry bounds cover whole chunks)
+    val mis = slabs(16, _.filter($"x" >= 5))
+    assert(!fmt(mis).contains("MdioAggScan"), fmt(mis).take(900))
+    assert(mis.select($"n").as[Long].collect().toSeq == Seq(11L, 16L, 16L, 16L))
+    // decline: stale stats — same answers through a real scan
+    MdioChunkStats.bump(ZarrMeta.path(dir).resolve("v"))
+    val stale = slabs(16)
+    assert(!fmt(stale).contains("MdioAggScan"), fmt(stale).take(900))
+    assert(stale.select($"mx").as[Double].collect().toSeq ==
+      Seq(15.0, 31.0, 47.0, 63.0))
+    MdioWriter.delete(dir)
+  }
+
   test("sharded sidecar: range-keyed shard files, currentFor reads only intersecting shards") {
     val dir = createFloat(_.toDouble)
     val varDir = ZarrMeta.path(dir).resolve("v")
