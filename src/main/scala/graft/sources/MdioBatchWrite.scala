@@ -58,12 +58,16 @@ final case class MdioWriteBuilder(path: String, dims: Seq[String],
     override def requiredDistribution(): Distribution =
       if (chunkTransform) {
         // loaded via MdioCatalog: its FunctionCatalog resolves the `chunk`
-        // transform, so declare true chunk ownership — Spark's shuffle IS
-        // the alignment (each chunk's rows meet in exactly one task). All
-        // selected variables share one chunkShape (enforced at load).
-        val chunkSizes = metas.values.head.chunks
+        // transform, so declare true ownership — Spark's shuffle IS the
+        // alignment (each cluster's rows meet in exactly one task). All
+        // selected variables share one chunkShape (enforced at load);
+        // `sharding_indexed` variables need SHARD-granular ownership (a
+        // shard object is written whole), so the cluster size per dim is
+        // the LCM of every variable's shard-or-chunk size — whole shards
+        // of each sharded variable AND whole chunks of each unsharded one.
+        val ownSizes = MdioWriteBuilder.ownershipSizes(metas.values.toSeq)
         import org.apache.spark.sql.connector.expressions.Expressions
-        Distributions.clustered(dims.zip(chunkSizes).map { case (d, cs) =>
+        Distributions.clustered(dims.zip(ownSizes).map { case (d, cs) =>
           Expressions.apply("chunk", Expressions.column(d), Expressions.literal(cs))
             : org.apache.spark.sql.connector.expressions.Expression
         }.toArray)
@@ -81,6 +85,21 @@ final case class MdioWriteBuilder(path: String, dims: Seq[String],
 
 object MdioWriteBuilder {
   private[sources] val log = org.slf4j.LoggerFactory.getLogger(classOf[MdioWriteBuilder])
+
+  /** Per-dim task-ownership sizes for a parallel write: the LCM over the
+    * written variables of their shard size (sharded) or chunk size
+    * (unsharded) along each dim — a cluster then covers whole shard
+    * objects and whole chunk files of every variable. Shard shapes are
+    * chunk multiples by construction, so this stays the shared chunk
+    * shape on unsharded stores. */
+  private[sources] def ownershipSizes(ms: Seq[ZarrMeta.ArrayMeta]): Seq[Long] = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    def lcm(a: Long, b: Long): Long = a / gcd(a, b) * b
+    val rank = ms.head.rank
+    (0 until rank).map { i =>
+      ms.foldLeft(1L)((acc, m) => lcm(acc, m.shard.map(_(i)).getOrElse(m.chunks(i))))
+    }
+  }
 }
 
 final case class MdioBatchWrite(path: String, dims: Seq[String],
@@ -185,13 +204,77 @@ final class MdioDataWriter(path: String, dims: Array[String], schema: StructType
     m.chunkFile(ZarrMeta.path(path).resolve(name), cc.toSeq)
   }
 
+  // ---- sharding_indexed geometry per variable: a sharded variable's
+  // chunk FILES are shard objects holding `innerCount` inner chunks behind
+  // a footer index; the task owns whole shards (ownershipSizes), buffers
+  // inner chunks exactly like plain chunks, and assembles shard objects
+  // at commit with untouched inner chunks carried over byte-for-byte.
+  private def decompose(cid: Long): Array[Long] = {
+    val cc = new Array[Long](rank)
+    var rem = cid
+    var i = rank - 1
+    while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
+    cc
+  }
+  private def shardIdOf(m: ZarrMeta.ArrayMeta, cc: Array[Long]): Long = {
+    val ips = m.innerPerShard
+    val sGrid = m.shardGrid
+    var sid = 0L
+    var i = 0
+    while (i < rank) { sid = sid * sGrid(i) + cc(i) / ips(i); i += 1 }
+    sid
+  }
+  private def shardVPath(name: String, m: ZarrMeta.ArrayMeta, sid: Long) = {
+    val sGrid = m.shardGrid
+    val sc = new Array[Long](rank)
+    var rem = sid
+    var i = rank - 1
+    while (i >= 0) { sc(i) = rem % sGrid(i); rem /= sGrid(i); i -= 1 }
+    m.chunkFile(ZarrMeta.path(path).resolve(name),
+      sc.toSeq.zip(m.innerPerShard).map { case (c, ips) => c * ips })
+  }
+  // raw shard object bytes, cached per (variable, shard); empty = absent
+  private val shardBytes = scala.collection.mutable.Map[(Int, Long), Array[Byte]]()
+  private def shardRaw(v: Int, sid: Long): Array[Byte] =
+    shardBytes.getOrElseUpdate((v, sid), {
+      val b = shardVPath(vars(v)._1, vars(v)._2, sid).readBytesOrNull()
+      if (b == null) Array.emptyByteArray else b
+    })
+  /** One inner chunk's compressed bytes out of an existing shard object
+    * (footer index: innerCount × (offset, nbytes) LE longs + crc32), or
+    * null when the shard or the inner chunk is absent. */
+  private def existingInner(v: Int, sid: Long, idx: Int): Array[Byte] = {
+    val bytes = shardRaw(v, sid)
+    if (bytes.isEmpty) return null
+    val innerCount = vars(v)._2.innerPerShard.product.toInt
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val idxBase = bytes.length - (16 * innerCount + 4)
+    val off = bb.getLong(idxBase + idx * 16)
+    val nb = bb.getLong(idxBase + idx * 16 + 8)
+    if (off == -1L && nb == -1L) null
+    else java.util.Arrays.copyOfRange(bytes, off.toInt, (off + nb).toInt)
+  }
+  private def innerIdxOf(m: ZarrMeta.ArrayMeta, cc: Array[Long]): Int = {
+    val ips = m.innerPerShard
+    var idx = 0L
+    var i = 0
+    while (i < rank) { idx = idx * ips(i) + cc(i) % ips(i); i += 1 }
+    idx.toInt
+  }
+
   // read-modify-write seeds: a partial write through the sink preserves
   // the untouched cells of an existing chunk (fill only where no chunk
   // file exists), matching MdioWriter.writeVariable and the reference's
-  // merging accessor writes.
+  // merging accessor writes. For a sharded variable the seed is the inner
+  // chunk carved out of its shard object's footer index.
   private def existingRaw(v: Int, cid: Long, rawSize: Int): Array[Byte] = {
     val (name, m) = vars(v)
-    val bytes = chunkPath(name, m, cid).readBytesOrNull()
+    val bytes =
+      if (m.shard.isEmpty) chunkPath(name, m, cid).readBytesOrNull()
+      else {
+        val cc = decompose(cid)
+        existingInner(v, shardIdOf(m, cc), innerIdxOf(m, cc))
+      }
     if (bytes == null) null else ChunkCodec.decompress(bytes, m.compressor, rawSize)
   }
 
@@ -250,14 +333,14 @@ final class MdioDataWriter(path: String, dims: Array[String], schema: StructType
       if (row.isNullAt(varIdx(v))) { v += 1 }
       else {
       val m = vars(v)._2
-      // sharded (sharding_indexed) variables need shard-granular ownership
-      // (MdioWriter.writeVariable shuffles on the shard id); the chunk-
-      // object sink would tear shard files. Checked here, on the first
-      // actual value, so a sharded variable merely PRESENT in the table
-      // (null-expanded) never blocks its unsharded peers.
-      require(m.shard.isEmpty,
-        s"df.write.format(\"mdio\") does not support writing sharded variable " +
-          s"'${vars(v)._1}'; use MdioWriter.writeVariable (shard-aligned shuffle write)")
+      // sharded (sharding_indexed) variables: float/integral dtypes only,
+      // mirroring MdioWriter.writeShardedVariable (complex/record shard
+      // assembly is not wired). Checked here, on the first actual value,
+      // so a sharded variable merely PRESENT in the table (null-expanded)
+      // never blocks its unsharded peers.
+      require(m.shard.isEmpty || (m.fields.isEmpty && !MdioPartitionReader.isComplex(m.dtype)),
+        s"sharded write supports float/integral dtypes, not '${m.dtype}' " +
+          s"(variable '${vars(v)._1}')")
       val fill = m.fillValue.getOrElse(Double.NaN)
       kindOf(m) match {
         case 'f' =>
@@ -341,19 +424,36 @@ final class MdioDataWriter(path: String, dims: Array[String], schema: StructType
     var v = 0
     while (v < vars.length) {
       val (name, m) = vars(v)
-      def emit(cid: Long, raw: Array[Byte]): Unit =
-        chunkPath(name, m, cid).write(
-          ChunkCodec.compress(raw, m.compressor, m.elemSize, m.blosc))
       val kind = kindOf(m)
       val isC = kind == 'c'
       val isU64 = kind == 'u' && m.dtype.endsWith("8")
-      bufD(v).foreach { case (cid, buf) =>
-        emit(cid, if (isC) ChunkCodec.encodeComplex(buf, m.dtype)
-                  else ChunkCodec.encodeDoubles(buf, m.dtype))
+      def encoded(cid: Long): Array[Byte] = {
+        val raw = bufD(v).get(cid)
+          .map(b => if (isC) ChunkCodec.encodeComplex(b, m.dtype)
+                    else ChunkCodec.encodeDoubles(b, m.dtype))
+          .orElse(bufL(v).get(cid).map(ChunkCodec.encodeLongs(_, m.dtype)))
+          .orElse(bufB(v).get(cid))
+          .get
+        ChunkCodec.compress(raw, m.compressor, m.elemSize, m.blosc)
       }
-      bufL(v).foreach { case (cid, buf) => emit(cid, ChunkCodec.encodeLongs(buf, m.dtype)) }
-      bufB(v).foreach { case (cid, buf) => emit(cid, buf) } // record: already packed
-      if (bufD(v).nonEmpty || bufL(v).nonEmpty || bufB(v).nonEmpty) touched += name
+      val cids = (bufD(v).keysIterator ++ bufL(v).keysIterator ++ bufB(v).keysIterator).toSet
+      if (m.shard.isEmpty) {
+        cids.foreach(cid => chunkPath(name, m, cid).write(encoded(cid)))
+      } else {
+        // sharded: assemble each owned shard object whole — touched inner
+        // chunks from the buffers, untouched ones carried over
+        // byte-for-byte from the existing shard (exactly
+        // MdioWriter.writeShardedVariable's merge)
+        val innerCount = m.innerPerShard.product.toInt
+        cids.groupBy(cid => shardIdOf(m, decompose(cid))).foreach { case (sid, owned) =>
+          val byIdx = owned.iterator.map(cid => innerIdxOf(m, decompose(cid)) -> cid).toMap
+          val parts = Array.tabulate(innerCount) { idx =>
+            byIdx.get(idx).map(encoded).getOrElse(existingInner(v, sid, idx))
+          }
+          shardVPath(name, m, sid).write(ZarrMeta.buildShard(parts))
+        }
+      }
+      if (cids.nonEmpty) touched += name
       if (kind == 'f')
         stats += name -> bufD(v).iterator.map { case (cid, buf) =>
           MdioWriter.floatStat(cid, buf) }.toArray

@@ -1101,8 +1101,12 @@ object MdioWriter {
   /** Repartition a long-form DataFrame so each task owns whole chunks of
     * the dataset at `path` — the explicit alignment step for the parallel
     * DSv2 write (`.option("aligned", "true")`). Clustering key = the
-    * per-dim chunk starts `dim - (dim % chunkSize)`, anchored on a
-    * variable `df` actually carries (highest-rank when several do). */
+    * per-dim chunk starts `dim - (dim % ownSize)`, anchored on the
+    * variables `df` actually carries (those sharing the highest-rank
+    * anchor's dim tuple); `ownSize` per dim is the LCM of each carried
+    * variable's shard-or-chunk size, so `sharding_indexed` variables get
+    * whole-SHARD ownership (a shard object is written whole — chunk-start
+    * keys alone would tear it across tasks). */
   def repartitionByChunk(df: DataFrame, path: String, partitions: Int = 0): DataFrame = {
     val (_, arrays) = ZarrMeta.readGroup(ZarrMeta.path(path))
     val labeled = arrays.flatMap { case (name, (meta, attrs)) =>
@@ -1111,11 +1115,13 @@ object MdioWriter {
     val dataVars = labeled.filterNot { case (name, (_, d)) => d.size == 1 && d.head == name }
     val cols = df.columns.toSet
     val carried = dataVars.filter { case (name, _) => cols(name) }
-    val anchor = (if (carried.nonEmpty) carried else dataVars).values
-      .toSeq.sortBy(-_._2.size).headOption
+    val pool = if (carried.nonEmpty) carried else dataVars
+    val anchor = pool.values.toSeq.sortBy(-_._2.size).headOption
       .getOrElse(throw new IllegalArgumentException(s"no data variables at $path"))
+    val own = MdioWriteBuilder.ownershipSizes(
+      pool.values.toSeq.filter(_._2 == anchor._2).map(_._1))
     val keys = anchor._2.zipWithIndex.map { case (d, i) =>
-      col(d).cast("long") - (col(d).cast("long") % lit(anchor._1.chunks(i)))
+      col(d).cast("long") - (col(d).cast("long") % lit(own(i)))
     }
     val n = if (partitions > 0) partitions
             else df.sparkSession.sparkContext.defaultParallelism

@@ -72,6 +72,60 @@ class MdioCatalogSpec extends SparkSpec {
     MdioWriter.delete(catDir)
   }
 
+  test("bare catalog write of SHARDED variables: shard-granular ownership, bit-identical") {
+    def createSharded(): String = {
+      val dir = Files.createTempDirectory("mdio_cat_sh").resolve("s.mdio").toString
+      MdioWriter.create(MdioSpec.fromJson(
+        """{
+          |  "metadata": {"name": "s", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+          |  "variables": [
+          |    {"name": "inline", "dataType": "int64",
+          |     "dimensions": [{"name": "inline", "size": 8}]},
+          |    {"name": "crossline", "dataType": "int64",
+          |     "dimensions": [{"name": "crossline", "size": 6}]},
+          |    {"name": "image", "dataType": "float32",
+          |     "dimensions": [{"name": "inline", "size": 8}, {"name": "crossline", "size": 6}],
+          |     "compressor": {"name": "blosc", "cname": "zstd", "clevel": 5, "shuffle": 1},
+          |     "metadata": {"chunkGrid": {"name": "regular", "configuration":
+          |       {"chunkShape": [2, 3], "shardShape": [4, 6]}}}},
+          |    {"name": "mask", "dataType": "int32",
+          |     "dimensions": [{"name": "inline", "size": 8}, {"name": "crossline", "size": 6}],
+          |     "compressor": {"name": "zstd"},
+          |     "metadata": {"chunkGrid": {"name": "regular", "configuration":
+          |       {"chunkShape": [2, 3], "shardShape": [4, 6]}}}}
+          |  ]
+          |}""".stripMargin), dir, version = 3)
+      dir
+    }
+    val catDir = createSharded()
+    val twinDir = createSharded()
+    val cells = for { i <- 0L until 8L; x <- 0L until 6L }
+      yield (i, x, (i * 3 + x).toFloat, ((i * x) % 3).toInt)
+    val df = cells.toDF("inline", "crossline", "image", "mask").repartition(7)
+    // bare catalog write: the chunk() transform resolves on the SHARD
+    // size (ownership LCM), so each task owns whole shard objects —
+    // shard-parallel by default, no aligned option, no pre-repartition
+    df.writeTo(s"mdio_cat.`$catDir`").append()
+    MdioWriter.writeVariable(spark, df.select($"inline", $"crossline", $"image"), twinDir, "image")
+    MdioWriter.writeVariable(spark, df.select($"inline", $"crossline", $"mask"), twinDir, "mask")
+    for (v <- Seq("image", "mask")) {
+      val c = graft.zarr.ZarrMeta.path(catDir).resolve(v).resolve("c")
+      val t = graft.zarr.ZarrMeta.path(twinDir).resolve(v).resolve("c")
+      val shards = t.listFilesRecursive().map(t.relativize).sorted
+      assert(shards.nonEmpty)
+      for (sh <- shards)
+        assert(java.util.Arrays.equals(
+          sh.split("/").foldLeft(c)(_.resolve(_)).readAllBytes(),
+          sh.split("/").foldLeft(t)(_.resolve(_)).readAllBytes()),
+          s"shard $v/c/$sh differs between catalog-transform and writeVariable writes")
+    }
+    // the sink's commit refreshed per-INNER-chunk stats through the shard
+    // write, so value pruning works on the catalog-written store too
+    val cur = MdioChunkStats.current(graft.zarr.ZarrMeta.path(catDir).resolve("image"))
+    assert(cur.isDefined && cur.get.size == 8, cur.map(_.size).toString) // 4x2 inner grid
+    MdioWriter.delete(catDir); MdioWriter.delete(twinDir)
+  }
+
   test("absent store is table-not-found; present-but-broken is not masked") {
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.table("mdio_cat.`/tmp/graft_definitely/missing.mdio`").collect()

@@ -148,18 +148,20 @@ class MdioWritePathSpec extends SparkSpec {
     val got = spark.read.format("mdio").load(dir).select("inline", "crossline", "mask")
       .as[(Long, Long, Int)].collect().toSet
     assert(got == cells.toSet)
-    // …without touching the sharded peer (no shard objects materialize)
+    // …without touching the sharded peer (no shard objects materialize
+    // for its null-expanded column)
     assert(graft.zarr.ZarrMeta.path(dir).resolve("wave").resolve("c")
       .listFilesRecursive().isEmpty)
-    // …while a write carrying actual SHARDED data still refuses with a pointer
-    val e = intercept[Exception] {
-      (for { i <- 0L until 8L; x <- 0L until 6L } yield (i, x, 1.0))
-        .toDF("inline", "crossline", "wave")
-        .write.format("mdio").mode("append").save(dir)
-    }
-    val messages = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
-    assert(messages.contains("sharded"), messages.take(500))
+    // …and a write carrying actual SHARDED data assembles shard objects
+    // through the same sink (r11 verdict item 5 — the loud reject is gone)
+    val waves = for { i <- 0L until 8L; x <- 0L until 6L } yield (i, x, (i * 6 + x).toDouble)
+    waves.toDF("inline", "crossline", "wave")
+      .write.format("mdio").mode("append").save(dir)
+    assert(graft.zarr.ZarrMeta.path(dir).resolve("wave").resolve("c")
+      .listFilesRecursive().nonEmpty, "shard objects must materialize")
+    val gotW = spark.read.format("mdio").load(dir).select("inline", "crossline", "wave")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotW == waves.toSet)
     MdioWriter.delete(dir)
   }
 

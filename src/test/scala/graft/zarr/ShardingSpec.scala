@@ -174,18 +174,43 @@ class ShardingSpec extends SparkSpec {
     assert(e.getMessage.contains("shardShape"))
   }
 
-  test("DSv2 sink rejects sharded variables with a clear message") {
-    val dir = Files.createTempDirectory("mdio_shard_sink").resolve("sh.mdio").toString
-    MdioWriter.create(MdioSpec.fromJson(specJson), dir, version = 3)
-    // rejected at runtime on the first actual value (a sharded variable
-    // merely PRESENT in the table no longer blocks its unsharded peers)
-    val e = intercept[Exception] {
-      Seq((0L, 0L, 1.0f)).toDF("inline", "crossline", "image")
-        .write.format("mdio").mode("append").save(dir)
+  test("DSv2 sink writes sharded variables bit-identically to writeVariable") {
+    val sinkDir = Files.createTempDirectory("mdio_shard_sink").resolve("sh.mdio").toString
+    val twinDir = Files.createTempDirectory("mdio_shard_twin").resolve("sh.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(specJson), sinkDir, version = 3)
+    MdioWriter.create(MdioSpec.fromJson(specJson), twinDir, version = 3)
+    val cells = for { i <- 0L until 8L; x <- 0L until 6L }
+      yield (i, x, (i * 3 + x).toFloat, ((i * x) % 3).toInt)
+    val df = cells.toDF("inline", "crossline", "image", "mask").repartition(7)
+    // the bare sink (single writer task owns every shard — safe) assembles
+    // shard objects with the same packer the shard-shuffle write uses
+    df.write.format("mdio").mode("append").save(sinkDir)
+    MdioWriter.writeVariable(spark, df.select($"inline", $"crossline", $"image"), twinDir, "image")
+    MdioWriter.writeVariable(spark, df.select($"inline", $"crossline", $"mask"), twinDir, "mask")
+    for (v <- Seq("image", "mask")) {
+      val s = ZarrMeta.path(sinkDir).resolve(v).resolve("c")
+      val t = ZarrMeta.path(twinDir).resolve(v).resolve("c")
+      val shards = t.listFilesRecursive().map(p => t.relativize(p)).sorted
+      assert(shards.nonEmpty)
+      for (sh <- shards) {
+        val (a, b) = (s, t)
+        assert(java.util.Arrays.equals(
+          sh.split("/").foldLeft(a)(_.resolve(_)).readAllBytes(),
+          sh.split("/").foldLeft(b)(_.resolve(_)).readAllBytes()),
+          s"shard $v/c/$sh differs between sink and writeVariable")
+      }
     }
-    val messages = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
-    assert(messages.contains("writeVariable"), messages.take(500))
-    MdioWriter.delete(dir)
+    // and the sink's read-back is exact, incl. a partial RMW through the
+    // sink: patch one inner chunk, every other cell must survive
+    Seq((0L, 0L, 99.5f)).toDF("inline", "crossline", "image")
+      .write.format("mdio").mode("append").save(sinkDir)
+    val got = spark.read.format("mdio").load(sinkDir)
+      .select("inline", "crossline", "image").as[(Long, Long, Float)].collect()
+      .map { case (i, x, v) => (i, x) -> v }.toMap
+    cells.foreach { case (i, x, img, _) =>
+      val expect = if (i == 0 && x == 0) 99.5f else img
+      assert(got((i, x)) == expect, s"cell ($i,$x)")
+    }
+    MdioWriter.delete(sinkDir); MdioWriter.delete(twinDir)
   }
 }
