@@ -433,7 +433,7 @@ object Mdio {
   /** Per-SLAB statsV1 on the gate (reference per-variable statsV1,
     * mdio/stats.h:229-335, generalized along an axis — the per-inline QC
     * pass a seismic survey actually runs): `GROUP BY FLOOR(inline/8)` with
-    * MIN/MAX/SUM/COUNT of the value column pushes COMPLETELY into the
+    * MIN/MAX/SUM/AVG/COUNT of the value column pushes COMPLETELY into the
     * connector when the slab width is a chunk multiple and the stats
     * sidecar covers the scan — one metadata row per slab, zero chunk
     * files opened however large the store (MdioAggScan slabRows;
@@ -444,7 +444,8 @@ object Mdio {
     s.read.format("mdio").load(zarrGrid(s, d))
       .groupBy(floor(col("inline") / 8).as("slab"))
       .agg(min(col("image")).as("mn"), max(col("image")).as("mx"),
-        sum(col("image")).as("total"), count(lit(1)).as("n"))
+        sum(col("image")).as("total"), avg(col("image")).as("avg_img"),
+        count(lit(1)).as("n"))
       .orderBy(col("slab"))
 
   val qZarrStatsBySlabSql: String = """
@@ -458,6 +459,7 @@ object Mdio {
     SELECT CAST(FLOOR(i / 8) AS BIGINT) AS slab,
            MIN(image) AS mn, MAX(image) AS mx,
            CAST(SUM(CAST(image AS DECIMAL(27,6))) AS DOUBLE) AS total,
+           CAST(SUM(CAST(image AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_img,
            COUNT(*) AS n
     FROM cells GROUP BY 1 ORDER BY slab"""
 

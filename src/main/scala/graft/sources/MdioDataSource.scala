@@ -307,7 +307,13 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
     * total must fit the Long result Spark's Sum produces — an overflowing
     * total falls back to the scan, whose wrap-on-overflow is Spark's own
     * non-ANSI semantics, not ours to imitate from metadata. */
-  private def sumAnswerable(v: String): Boolean =
+  private def sumAnswerable(v: String): Boolean = momentsAnswerable(v, requireLongFit = true)
+
+  /** AVG needs the same moment coverage as SUM but never the Long-fit
+    * check — its result is a double quotient for every input dtype. */
+  private def avgAnswerable(v: String): Boolean = momentsAnswerable(v, requireLongFit = false)
+
+  private def momentsAnswerable(v: String, requireLongFit: Boolean): Boolean =
     MdioAggScan.alignedChunkBox(metas(v), dims, ranges).exists { box =>
       MdioChunkStats.currentFor(ZarrMeta.path(path).resolve(v),
           box.headOption.map(_._1).getOrElse(0L),
@@ -317,7 +323,7 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
         need > 0 && keys.forall(k =>
           entries.get(k).exists(e => e.forall(_.moments.isDefined))) && {
           val isFloat = metas(v).dtype.charAt(metas(v).dtype.length - 2) == 'f'
-          isFloat || MdioChunkStats.exactTotal(
+          !requireLongFit || isFloat || MdioChunkStats.exactTotal(
             keys.flatMap(entries(_)).flatMap(_.moments).map(_.sum)).isValidLong
         }
       }
@@ -423,6 +429,16 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
           case Some(a) if grouped.isDefined && statVar(a).isDefined =>
             ("vsum", statVar(a).get)
           case Some(a) if statVar(a).exists(sumAnswerable) => ("vsum", statVar(a).get)
+          case _ => return None
+        }
+      // AVG over a value column: exact moment sum / dense-grid cell count,
+      // one double division — same rounding story as vsum (exact real sum
+      // rounded once), result DoubleType for every input dtype
+      case a: connector_expressions.aggregate.Avg if !a.isDistinct =>
+        named(a.column) match {
+          case Some(c) if grouped.isDefined && statVar(c).isDefined =>
+            ("vavg", statVar(c).get)
+          case Some(c) if statVar(c).exists(avgAnswerable) => ("vavg", statVar(c).get)
           case _ => return None
         }
       case _ => return None
@@ -634,6 +650,7 @@ final case class MdioAggScan(path: String, dims: Seq[String],
           case DoubleType | FloatType => DoubleType
           case _ => LongType
         }
+        case "vavg" => DoubleType // Spark's Avg is double for every input
         case _ => LongType
       }
       StructField(if (f == "count") s"count_$i" else s"${f}_${d}_$i", dt,
@@ -656,6 +673,10 @@ final case class MdioAggScan(path: String, dims: Seq[String],
     * metadata-only). */
   private def statValue(op: String, v: String): Any = {
     val m = metas(v)
+    val cells = dims.zipWithIndex.map { case (d, i) =>
+      val (lo, hi) = ranges.getOrElse(d, (0L, m.shape(i)))
+      math.min(hi, m.shape(i)) - math.max(lo, 0L)
+    }.product
     val box = MdioAggScan.alignedChunkBox(m, dims, ranges).getOrElse(
       throw new IllegalStateException(s"slice no longer chunk-aligned for '$v'"))
     val all = MdioChunkStats.currentFor(ZarrMeta.path(path).resolve(v),
@@ -669,7 +690,7 @@ final case class MdioAggScan(path: String, dims: Seq[String],
     }.toSeq
     val dt = MdioTableUtil.sparkTypeOf(m.dtype)
     val isFloat = m.dtype.charAt(m.dtype.length - 2) == 'f'
-    MdioAggScan.answer(op, entries, dt, isFloat).getOrElse(
+    MdioAggScan.answer(op, entries, dt, isFloat, cells).getOrElse(
       throw new IllegalStateException(
         s"stats sidecar for '$v' lost $op-answerability between planning and execution"))
   }
@@ -699,7 +720,8 @@ final case class MdioAggScan(path: String, dims: Seq[String],
         else MdioAggScan.dimSumExact(metas.values.head, dims, ranges, d)
           .getOrElse(throw new IllegalStateException(
             s"closed-form SUM($d) no longer fits Long at execution"))
-      case (op @ ("vmin" | "vmax" | "vsum"), v) => if (empty) null else statValue(op, v)
+      case (op @ ("vmin" | "vmax" | "vsum" | "vavg"), v) =>
+        if (empty) null else statValue(op, v)
     }.toArray
     Array(MdioAggPartition(values))
   }
@@ -762,7 +784,7 @@ object MdioAggScan {
     * NaN when any cell is NaN, MIN is the finite minimum unless no finite
     * cell exists, SUM is NaN-poisoned. */
   def answer(op: String, entries: Seq[MdioChunkStats.Entry],
-             dt: DataType, isFloat: Boolean): Option[Any] = {
+             dt: DataType, isFloat: Boolean, cells: Long = 0L): Option[Any] = {
     val bounds = entries.flatten
     def cast(bd: BigDecimal): Any = dt match {
       case DoubleType => bd.toDouble
@@ -796,6 +818,15 @@ object MdioAggScan {
           else if (total.isValidLong) Some(total.toLong)
           else None
         } else None
+      case "vavg" =>
+        // exact real sum rounded once, over the dense-grid cell count (no
+        // NaN ⇒ every cell is finite and counted) — one double division,
+        // matching SUM(exact)/COUNT(*) in any engine bit-for-bit
+        if (anyNaN) Some(Double.NaN)
+        else if (cells > 0 && bounds.forall(_.moments.isDefined))
+          Some(MdioChunkStats.exactTotal(bounds.map(_.moments.get.sum)).toDouble
+            / cells.toDouble)
+        else None
       case other => throw new IllegalStateException(s"unexpected stats op $other")
     }
   }
@@ -845,6 +876,8 @@ object MdioAggScan {
     val rows = ((dLo / l) to ((dHi - 1) / l)).map { g =>
       val sLo = math.max(dLo, g * l)
       val sHi = math.min(dHi, (g + 1) * l)
+      val slabCells = bounds.zipWithIndex.map { case ((lo, hi), i) =>
+        if (i == di) sHi - sLo else hi - lo }.product
       def slabEntries(v: String): Option[Seq[MdioChunkStats.Entry]] = {
         val entries = perVar(v)._2
         alignedChunkBox(metas(v), dims, ranges.updated(dim, (sLo, sHi))).flatMap { box =>
@@ -853,14 +886,13 @@ object MdioAggScan {
         }
       }
       val values: Array[Any] = aggs.map {
-        case ("count", _) =>
-          bounds.zipWithIndex.map { case ((lo, hi), i) =>
-            if (i == di) sHi - sLo else hi - lo }.product
-        case (op @ ("vmin" | "vmax" | "vsum"), v) =>
+        case ("count", _) => slabCells
+        case (op @ ("vmin" | "vmax" | "vsum" | "vavg"), v) =>
           val m = metas(v)
           val dt = MdioTableUtil.sparkTypeOf(m.dtype)
           val isFloat = m.dtype.charAt(m.dtype.length - 2) == 'f'
-          slabEntries(v).flatMap(answer(op, _, dt, isFloat)).getOrElse(return None)
+          slabEntries(v).flatMap(answer(op, _, dt, isFloat, slabCells))
+            .getOrElse(return None)
         case other =>
           throw new IllegalStateException(s"unsupported grouped agg $other")
       }.toArray

@@ -351,11 +351,19 @@ class MdioValueStatsSpec extends SparkSpec {
     val dfm = spark.read.format("mdio").load(dir).filter($"x" >= 5).agg(sum($"v"))
     assert(!fmt(dfm).contains("MdioAggScan"), fmt(dfm).take(800))
     assert(dfm.head.getDouble(0) == (5 to 63).sum.toDouble)
+    // AVG rides the same moments: exact sum / dense cell count, one
+    // double division — including on chunk-aligned slices
+    val dfa = spark.read.format("mdio").load(dir)
+      .agg(avg($"v").as("am"), avg($"x").as("ax"))
+    assert(!fmt(dfa).contains("vavg"), "AVG over a dim column must not claim the stats path")
+    val dfa2 = spark.read.format("mdio").load(dir).filter($"x" >= 16).agg(avg($"v"))
+    assert(fmt(dfa2).contains("vavg(v)"), fmt(dfa2).take(800))
+    assert(dfa2.head.getDouble(0) == (16 to 63).sum.toDouble / 48.0)
     // NaN cells poison the metadata sum exactly like a scan's
     val dirN = createFloat(x => if (x == 10) Double.NaN else x.toDouble)
-    val dfn = spark.read.format("mdio").load(dirN).agg(sum($"v"))
-    assert(fmt(dfn).contains("vsum(v)"), fmt(dfn).take(800))
-    assert(dfn.head.getDouble(0).isNaN)
+    val dfn = spark.read.format("mdio").load(dirN).agg(sum($"v"), avg($"v"))
+    assert(fmt(dfn).contains("vsum(v)") && fmt(dfn).contains("vavg(v)"), fmt(dfn).take(800))
+    assert(dfn.head.getDouble(0).isNaN && dfn.head.getDouble(1).isNaN)
     MdioWriter.delete(dirN)
     // a bounds-only sidecar (pre-moments format) falls back, same answer
     val varDir = ZarrMeta.path(dir).resolve("v")
@@ -447,7 +455,7 @@ class MdioValueStatsSpec extends SparkSpec {
       extra(spark.read.format("mdio").load(dir))
         .groupBy(floor($"x" / l).as("slab"))
         .agg(min($"v").as("mn"), max($"v").as("mx"),
-          sum($"v").as("total"), count(lit(1)).as("n"))
+          sum($"v").as("total"), avg($"v").as("am"), count(lit(1)).as("n"))
         .orderBy($"slab")
     // L=16 (two chunks per slab): complete pushdown, one metadata row per slab
     val df = slabs(16)
@@ -460,7 +468,8 @@ class MdioValueStatsSpec extends SparkSpec {
       val (lo, hi) = (g * 16, g * 16 + 15)
       assert(r.getLong(0) == g && r.getDouble(1) == lo.toDouble &&
         r.getDouble(2) == hi.toDouble && r.getDouble(3) == (lo to hi).sum.toDouble &&
-        r.getLong(4) == 16L, r.toString)
+        r.getDouble(4) == (lo to hi).sum.toDouble / 16.0 &&
+        r.getLong(5) == 16L, r.toString)
     }
     // ZERO chunk files opened: the scan plans metadata row partitions only
     // (pinned on the unordered form — the orderBy exchange wraps the
