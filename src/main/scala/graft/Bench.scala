@@ -544,6 +544,9 @@ object Bench {
     // comparator: zarr_stats_minmax (same metadata-only MdioAggScan, one
     // row per slab instead of one total row — first budget r12)
     "zarr_stats_by_slab" -> 0.06,
+    // comparator: zarr_roundtrip-scale work ×2 stores + a zero-shuffle
+    // join and the one-time weight-store build (first budget r12)
+    "zarr_spj_fusion" -> 0.9,
     // comparator: zarr_stats_minmax (the same metadata-only one-row
     // MdioAggScan, reading moment entries instead of bounds)
     "zarr_stats_moments" -> 0.029,

@@ -463,6 +463,96 @@ object Mdio {
            COUNT(*) AS n
     FROM cells GROUP BY 1 ORDER BY slab"""
 
+  /** Second co-gridded store for the storage-partitioned-join row: per-cell
+    * lineitem COUNT on the same 32×8 / chunks-[8,4] grid as [[zarrGrid]]. */
+  def zarrGridWeight(s: SparkSession, d: String): String =
+    builtGrids.getOrElseUpdate(d + "#weight", {
+      val path = s"/tmp/graft_zarrw_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val spec = graft.spec.MdioSpec.fromJson(
+        """{
+          |  "metadata": {"name": "lineitem_weight", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+          |  "variables": [
+          |    {"name": "inline", "dataType": "int64",
+          |     "dimensions": [{"name": "inline", "size": 32}]},
+          |    {"name": "crossline", "dataType": "int64",
+          |     "dimensions": [{"name": "crossline", "size": 8}]},
+          |    {"name": "weight", "dataType": "float64",
+          |     "dimensions": [{"name": "inline", "size": 32}, {"name": "crossline", "size": 8}],
+          |     "compressor": {"name": "zstd"},
+          |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8, 4]}}}}
+          |  ]
+          |}""".stripMargin)
+      graft.sources.MdioWriter.delete0(path)
+      graft.sources.MdioWriter.create(spec, path)
+      val agg = lineitem(s, d)
+        .groupBy((col("l_orderkey") % 32).as("inline"),
+                 (col("l_linenumber").cast("long") % 8).as("crossline"))
+        .agg(count(lit(1)).cast("double").as("weight"))
+      val full = s.range(32).select(col("id").as("inline"))
+        .crossJoin(s.range(8).select(col("id").as("crossline")))
+      val cells = full.join(agg, Seq("inline", "crossline"), "left")
+        .select(col("inline"), col("crossline"),
+          coalesce(col("weight"), lit(0.0)).as("weight"))
+      graft.sources.MdioWriter.writeVariable(s, cells, path, "weight")
+      path
+    })
+
+  /** STORAGE-PARTITIONED JOIN on the gate (beyond-reference scale feature;
+    * the seismic attribute-fusion pattern — two cubes on one survey grid,
+    * neither broadcastable at 100 TB, a shuffle would move both corpora
+    * whole): the two co-gridded stores load through [[MdioCatalog]] with
+    * `spark.graft.scan.keyedPartitions` on, each scan reports
+    * KeyGroupedPartitioning over the sized `chunk_<size>(dim)` transform,
+    * and Spark's storage-partitioned join zips the chunk groups
+    * task-by-task — the query REQUIRES zero exchanges in the join plan
+    * (a regression to a shuffling plan fails the row, not just a spec)
+    * and folds Σ image·weight, certified against DuckDB recomputing the
+    * join from the raw table. Confs are set and restored inside the
+    * closure, so the result is materialized within the window. */
+  val qZarrSpjFusion: Q = (s, d) => {
+    val a = zarrGrid(s, d)
+    val b = zarrGridWeight(s, d)
+    s.conf.set("spark.sql.catalog.graft_spj", "graft.sources.MdioCatalog")
+    val saved = Seq("spark.graft.scan.keyedPartitions",
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> s.conf.getOption(k))
+    s.conf.set("spark.graft.scan.keyedPartitions", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = s.table(s"graft_spj.`$a`")
+        .join(s.table(s"graft_spj.`$b`"), Seq("inline", "crossline"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"storage-partitioned join regressed to a shuffle:\n${plan.take(1200)}")
+      val r = joined
+        .agg(dsum(col("image") * col("weight")).as("wsum"), count(lit(1)).as("n"))
+        .head
+      import s.implicits._
+      Seq((r.getDouble(0), r.getLong(1))).toDF("wsum", "n")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val qZarrSpjFusionSql: String = """
+    WITH img AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS image
+      FROM lineitem GROUP BY 1, 2),
+    wgt AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(COUNT(*) AS DOUBLE) AS weight
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT COALESCE(img.image, 0.0) AS image, COALESCE(wgt.weight, 0.0) AS weight
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j)
+        LEFT JOIN img USING (i, j) LEFT JOIN wgt USING (i, j))
+    SELECT CAST(SUM(CAST(image * weight AS DECIMAL(27,6))) AS DOUBLE) AS wsum,
+           COUNT(*) AS n
+    FROM cells"""
+
   /** Value-ordered TOP-N on the gate: `ORDER BY image DESC LIMIT 10` with
     * dim tie-breaks. The stats sidecar proves which chunks can reach the
     * k-th largest value, so the scan plans only those (partial pushdown;
@@ -1641,6 +1731,7 @@ object Mdio {
     "zarr_stats_moments"    -> qZarrStatsMoments,
     "zarr_stats_v1_meta"    -> qZarrStatsV1Meta,
     "zarr_stats_by_slab"    -> qZarrStatsBySlab,
+    "zarr_spj_fusion"       -> qZarrSpjFusion,
     "zarr_topk_value"       -> qZarrTopkValue,
     "mdio_rechunk"          -> qMdioRechunk,
     "mdio_reshard"          -> qMdioReshard,
@@ -1691,6 +1782,7 @@ object Mdio {
     "zarr_stats_moments"    -> qZarrStatsMomentsSql,
     "zarr_stats_v1_meta"    -> qZarrStatsV1MetaSql,
     "zarr_stats_by_slab"    -> qZarrStatsBySlabSql,
+    "zarr_spj_fusion"       -> qZarrSpjFusionSql,
     "zarr_topk_value"       -> qZarrTopkValueSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
     "mdio_reshard"          -> qMdioReshardSql,

@@ -79,6 +79,14 @@ class MdioCatalog extends TableCatalog with FunctionCatalog {
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.namespace().isEmpty && ident.name() == ChunkFunction.name())
       ChunkFunction
+    else if (ident.namespace().isEmpty && ident.name().startsWith("chunk_"))
+      // sized single-argument family `chunk_<size>(coord)` — the form
+      // KeyGroupedPartitioning accepts (catalyst supports only
+      // one-argument transforms as partition keys), used by MdioScan's
+      // storage-partitioned-join partitioning report
+      ident.name().stripPrefix("chunk_").toLongOption.filter(_ > 0)
+        .map(SizedChunkFunction(_))
+        .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
@@ -100,6 +108,34 @@ object ChunkFunction extends UnboundFunction {
       s"chunk(coord: long, chunkSize: long), got $inputType")
     ChunkBound
   }
+}
+
+/** `chunk_<size>(coord) = coord / size`: the single-argument form of
+  * [[ChunkFunction]] with the chunk size baked into the FUNCTION NAME —
+  * catalyst's KeyGroupedPartitioning accepts only one-argument transforms
+  * as partition keys, so the storage-partitioned-join report uses this
+  * family; two scans are join-compatible exactly when their canonical
+  * names (and so their grids) match. */
+final case class SizedChunkFunction(size: Long) extends UnboundFunction {
+  override def name(): String = s"chunk_$size"
+  override def description(): String =
+    s"chunk_$size(coord): ordinal of the size-$size chunk owning a coordinate"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 && inputType.fields.head.dataType == LongType,
+      s"chunk_$size(coord: long), got $inputType")
+    SizedChunkBound(size)
+  }
+}
+
+final case class SizedChunkBound(size: Long) extends ScalarFunction[java.lang.Long] {
+  override def inputTypes(): Array[DataType] = Array(LongType)
+  override def resultType(): DataType = LongType
+  override def name(): String = s"chunk_$size"
+  override def canonicalName(): String = s"graft.mdio.chunk_$size"
+  override def isDeterministic: Boolean = true
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): java.lang.Long =
+    input.getLong(0) / size
 }
 
 object ChunkBound extends ScalarFunction[java.lang.Long] {

@@ -934,9 +934,51 @@ final case class MdioScan(path: String, dims: Seq[String],
                           valueRanges: Map[String, MdioValueRange] = Map.empty,
                           topNValue: Option[(String, Boolean, Int)] = None)
     extends Scan with Batch
-    with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+    with SupportsRuntimeV2Filtering with SupportsReportStatistics
+    with SupportsReportPartitioning {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+
+  /** STORAGE-PARTITIONED JOINS (opt-in session switch
+    * `spark.graft.scan.keyedPartitions=true`): the scan plans ONE
+    * partition per chunk, each carrying its chunk ordinals as a
+    * partition key, and reports `KeyGroupedPartitioning` over the
+    * catalog `chunk(dim, chunkSize)` transform — so two CO-GRIDDED MDIO
+    * stores loaded through [[MdioCatalog]] (whose FunctionCatalog
+    * resolves the transform) join on their dims with ZERO shuffle under
+    * `spark.sql.sources.v2.bucketing.enabled=true`: Spark zips the two
+    * sides' chunk-key groups task-by-task, the attribute-merge pattern
+    * of seismic cube fusion at 100 TB (neither cube is broadcastable and
+    * a shuffle would move both corpora whole). The trade is
+    * O(chunks-in-box) driver-side partition objects instead of the
+    * coalesced O(bytes/target) ranges — exactly why it is a per-session
+    * opt-in rather than the default full-scan plan. Path-based loads
+    * (no FunctionCatalog) fall back to unknown partitioning harmlessly. */
+  private def keyedPartitions: Boolean = {
+    val s = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    s.exists(_.conf.get("spark.graft.scan.keyedPartitions", "false").toBoolean)
+  }
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val planned = if (keyedPartitions) planInputPartitions() else Array.empty[InputPartition]
+    if (planned.isEmpty || !planned.forall(_.isInstanceOf[HasPartitionKey]))
+      new UnknownPartitioning(planned.length)
+    else {
+      val anchor = metas.values.head
+      // the SIZED single-argument transform family: catalyst accepts only
+      // one-argument transforms as partition keys, so the chunk size is
+      // baked into the function name (join compatibility = equal names =
+      // equal grids)
+      new KeyGroupedPartitioning(
+        dims.zipWithIndex.map { case (d, i) =>
+          Expressions.apply(s"chunk_${anchor.chunks(i)}", Expressions.column(d))
+            : org.apache.spark.sql.connector.expressions.Expression
+        }.toArray, planned.length)
+    }
+  }
 
   /** Exact statistics from the chunk-grid metadata (dense-grid semantics):
     * rows = clamped-bounds product, bytes = rows × projected row width.
@@ -1174,6 +1216,11 @@ final case class MdioScan(path: String, dims: Seq[String],
               cells += n
             }
             out.result().toArray
+          // keyed mode (storage-partitioned joins): per-chunk partitions
+          // with partition keys — no range coalescing, every partition a
+          // HasPartitionKey (required to survive runtime filtering too)
+          case None if runtimeValues.isEmpty && keyedPartitions =>
+            enumerate(0, Vector.empty).flatMap(partitionFor).map(_._1).toArray
           case None if runtimeValues.isEmpty =>
             // ---- coalesced chunk-range planning (the plain full-scan
             // path). One InputPartition per contiguous C-order RANGE of
@@ -1274,7 +1321,14 @@ final case class MdioScan(path: String, dims: Seq[String],
 final case class MdioInputPartition(path: String, chunk: Array[Long],
                                     cellLo: Array[Long], cellHi: Array[Long],
                                     vars: Array[String],
-                                    metas: Array[ZarrMeta.ArrayMeta]) extends InputPartition
+                                    metas: Array[ZarrMeta.ArrayMeta])
+    extends InputPartition with HasPartitionKey {
+  /** Chunk ordinals per dim — exactly `chunk(dim_i, chunkSize_i)` of any
+    * row in the partition, the key [[MdioScan.outputPartitioning]]
+    * declares for storage-partitioned joins. */
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(chunk.map(c => c: Any))
+}
 
 /** A contiguous C-order RANGE of chunks: `[startIdx, endIdx)` flat indices
   * within the chunk-coordinate box `[chunkLo, chunkLo + extents)`. O(1)

@@ -1,0 +1,110 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.spec.MdioSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** STORAGE-PARTITIONED JOINS between co-gridded MDIO stores (the seismic
+  * attribute-fusion pattern at 100 TB: two cubes on one survey grid,
+  * neither broadcastable, a shuffle would move both corpora whole): with
+  * `spark.graft.scan.keyedPartitions=true` the scan plans one partition
+  * per chunk carrying its chunk ordinals as the partition key and reports
+  * `KeyGroupedPartitioning` over the catalog `chunk(dim, size)` transform,
+  * so Spark's storage-partitioned join zips the two sides' chunk groups
+  * task-by-task — ZERO exchanges in the joined plan. */
+class MdioCopartitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  spark.conf.set("spark.sql.catalog.mdio_spj", "graft.sources.MdioCatalog")
+
+  private def create(valueVar: String): String = {
+    val dir = Files.createTempDirectory("mdio_spj").resolve(s"$valueVar.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      s"""{
+         |  "metadata": {"name": "$valueVar", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+         |  "variables": [
+         |    {"name": "inline", "dataType": "int64",
+         |     "dimensions": [{"name": "inline", "size": 32}]},
+         |    {"name": "crossline", "dataType": "int64",
+         |     "dimensions": [{"name": "crossline", "size": 8}]},
+         |    {"name": "$valueVar", "dataType": "float64",
+         |     "dimensions": [{"name": "inline", "size": 32}, {"name": "crossline", "size": 8}],
+         |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8, 4]}}}}
+         |  ]
+         |}""".stripMargin), dir)
+    dir
+  }
+
+  private def withSpjConfs[A](body: => A): A = {
+    val saved = Seq(
+      "spark.graft.scan.keyedPartitions" -> spark.conf.getOption("spark.graft.scan.keyedPartitions"),
+      "spark.sql.sources.v2.bucketing.enabled" -> spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled"),
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.graft.scan.keyedPartitions", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a real join
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("co-gridded catalog tables join with zero exchanges, exact results") {
+    val dirA = create("image")
+    val dirB = create("weight")
+    val cells = for { i <- 0L until 32L; x <- 0L until 8L } yield (i, x)
+    MdioWriter.writeVariable(spark,
+      cells.toDF("inline", "crossline").withColumn("image", $"inline" * 8 + $"crossline"),
+      dirA, "image")
+    MdioWriter.writeVariable(spark,
+      cells.toDF("inline", "crossline").withColumn("weight", ($"inline" + $"crossline") % 5),
+      dirB, "weight")
+    withSpjConfs {
+      val a = spark.table(s"mdio_spj.`$dirA`")
+      val b = spark.table(s"mdio_spj.`$dirB`")
+      val joined = a.join(b, Seq("inline", "crossline"))
+        .select($"inline", $"crossline", ($"image" * $"weight").as("iw"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"storage-partitioned join must plan ZERO exchanges:\n${plan.take(1500)}")
+      assert(plan.contains("Join"), plan.take(800))
+      val got = joined.as[(Long, Long, Double)].collect()
+      assert(got.length == 256)
+      got.foreach { case (i, x, iw) =>
+        assert(iw == (i * 8 + x).toDouble * ((i + x) % 5).toDouble, s"cell ($i,$x)")
+      }
+    }
+    // same join WITHOUT the opt-in: answers identical, shuffles present —
+    // the switch changes the plan, never the result
+    val aOff = spark.table(s"mdio_spj.`$dirA`")
+    val bOff = spark.table(s"mdio_spj.`$dirB`")
+    val offJoin = aOff.join(bOff, Seq("inline", "crossline"))
+      .select(sum($"image" * $"weight").cast("long").as("t"))
+    val expected = cells.map { case (i, x) => (i * 8 + x) * ((i + x) % 5) }.sum
+    assert(offJoin.head.getLong(0) == expected)
+    MdioWriter.delete(dirA); MdioWriter.delete(dirB)
+  }
+
+  test("keyed mode composes with pushed dim slices (matching boxes on both sides)") {
+    val dirA = create("image")
+    val dirB = create("weight")
+    val cells = for { i <- 0L until 32L; x <- 0L until 8L } yield (i, x)
+    MdioWriter.writeVariable(spark,
+      cells.toDF("inline", "crossline").withColumn("image", $"inline" + $"crossline"),
+      dirA, "image")
+    MdioWriter.writeVariable(spark,
+      cells.toDF("inline", "crossline").withColumn("weight", $"inline" - $"crossline"),
+      dirB, "weight")
+    withSpjConfs {
+      val a = spark.table(s"mdio_spj.`$dirA`").filter($"inline" >= 8 && $"inline" < 24)
+      val b = spark.table(s"mdio_spj.`$dirB`").filter($"inline" >= 8 && $"inline" < 24)
+      val joined = a.join(b, Seq("inline", "crossline"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(1500))
+      assert(joined.count() == 16L * 8L)
+    }
+    MdioWriter.delete(dirA); MdioWriter.delete(dirB)
+  }
+}
