@@ -87,6 +87,30 @@ class MdioCopartitionSpec extends SparkSpec {
     MdioWriter.delete(dirA); MdioWriter.delete(dirB)
   }
 
+  test("keyed mode makes full-dim-tuple aggregation shuffle-free (per-trace fold)") {
+    val dir = create("image")
+    val cells = for { i <- 0L until 32L; x <- 0L until 8L } yield (i, x)
+    MdioWriter.writeVariable(spark,
+      cells.toDF("inline", "crossline").withColumn("image", $"inline" * 2 + $"crossline"),
+      dir, "image")
+    withSpjConfs {
+      // grouping on the FULL dim tuple: every group lives inside one chunk
+      // partition (the keys functionally determine the chunk ordinals), so
+      // the aggregation needs no exchange — the per-trace stacking fold
+      val g = spark.table(s"mdio_spj.`$dir`")
+        .groupBy($"inline", $"crossline").agg(sum($"image").as("t"))
+      val plan = g.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(1200))
+      assert(g.count() == 256)
+      // grouping on the LEADING dim alone does NOT satisfy the chunk keys
+      // (crossline ordinal missing) — Spark must, and does, shuffle
+      val g2 = spark.table(s"mdio_spj.`$dir`").groupBy($"inline").agg(sum($"image"))
+      assert(g2.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(g2.count() == 32)
+    }
+    MdioWriter.delete(dir)
+  }
+
   test("keyed mode composes with pushed dim slices (matching boxes on both sides)") {
     val dirA = create("image")
     val dirB = create("weight")
