@@ -67,6 +67,12 @@ final case class MdioWriteBuilder(path: String, dims: Seq[String],
         // of each sharded variable AND whole chunks of each unsharded one.
         val ownSizes = MdioWriteBuilder.ownershipSizes(metas.values.toSeq)
         import org.apache.spark.sql.connector.expressions.Expressions
+        // NB: Spark materializes a required write distribution as an
+        // unconditional REPARTITION_BY_COL exchange — it is never elided
+        // even when the input already satisfies it, so a co-gridded
+        // read→write pipeline that wants to skip the shuffle goes through
+        // `.option("aligned", "true")` fed by a keyed scan instead
+        // (pinned in MdioCopartitionSpec).
         Distributions.clustered(dims.zip(ownSizes).map { case (d, cs) =>
           Expressions.apply("chunk", Expressions.column(d), Expressions.literal(cs))
             : org.apache.spark.sql.connector.expressions.Expression
