@@ -385,6 +385,25 @@ object Mdio {
     FROM range(32) r1(i) CROSS JOIN range(8) r2(j)
     WHERE i >= 8 AND i < 24"""
 
+  /** COUNT(DISTINCT dim) on the gate: the dense-grid closed form — every
+    * index inside the clamped slice exists, so the distinct count IS the
+    * range extent, answered from the chunk grid with zero chunk files
+    * opened (MdioAggScan "dcnt", complete pushdown beside CountStar —
+    * "how many inlines does this subvolume touch" as an O(1) metadata
+    * probe on a 100 TB store). */
+  val qZarrExtentsDistinct: Q = (s, d) =>
+    s.read.format("mdio").load(zarrGrid(s, d))
+      .filter(col("inline") >= 8 && col("inline") < 24)
+      .agg(countDistinct(col("inline")).as("n_inline"),
+        countDistinct(col("crossline")).as("n_crossline"),
+        count(lit(1)).as("n"))
+
+  val qZarrExtentsDistinctSql: String = """
+    SELECT COUNT(DISTINCT i) AS n_inline, COUNT(DISTINCT j) AS n_crossline,
+           COUNT(*) AS n
+    FROM range(32) r1(i) CROSS JOIN range(8) r2(j)
+    WHERE i >= 8 AND i < 24"""
+
   /** Value-statistics chunk pruning on the oracle gate (SURVEY §2.2 P10;
     * reference statsV1 mdio/stats.h:229-335): the roundtrip store read back
     * through a range predicate on the DATA VALUE column — the per-chunk
@@ -1741,6 +1760,7 @@ object Mdio {
     "zarr_v3_roundtrip"     -> qZarrV3Roundtrip,
     "zarr_sharded_roundtrip" -> qZarrShardedRoundtrip,
     "zarr_extents"          -> qZarrExtents,
+    "zarr_extents_distinct" -> qZarrExtentsDistinct,
     "mdio_open_sel"         -> qMdioOpenSel,
   )
 
@@ -1792,6 +1812,7 @@ object Mdio {
     "zarr_v3_roundtrip"     -> qZarrPushdownSql, // same cells, same slice, v3 format
     "zarr_sharded_roundtrip" -> qZarrPushdownSql, // same slice through sharded storage
     "zarr_extents"          -> qZarrExtentsSql,
+    "zarr_extents_distinct" -> qZarrExtentsDistinctSql,
     "mdio_open_sel"         -> qZarrPushdownSql, // same cells via coordinate VALUES
   )
 }

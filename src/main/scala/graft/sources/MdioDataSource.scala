@@ -407,6 +407,14 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
             ("count", "")
           case _ => return None
         }
+      // COUNT(DISTINCT dim): dense-grid closed form — every index in the
+      // clamped range exists, so the distinct count IS the range extent
+      // (O(1) "how many inlines does this slice touch" on a 100 TB store)
+      case c: connector_expressions.aggregate.Count if c.isDistinct =>
+        named(c.column) match {
+          case Some(a) if dimSet(a) && grouped.isEmpty => ("dcnt", a)
+          case _ => return None
+        }
       case m: connector_expressions.aggregate.Min => named(m.column) match {
         case Some(a) if dimSet(a) && grouped.isEmpty => ("min", a)
         case Some(a) if grouped.isDefined && statVar(a).isDefined =>
@@ -720,6 +728,8 @@ final case class MdioAggScan(path: String, dims: Seq[String],
         else MdioAggScan.dimSumExact(metas.values.head, dims, ranges, d)
           .getOrElse(throw new IllegalStateException(
             s"closed-form SUM($d) no longer fits Long at execution"))
+      case ("dcnt", d) =>
+        if (empty) 0L else { val (lo, hi) = bounds(dims.indexOf(d)); hi - lo }
       case (op @ ("vmin" | "vmax" | "vsum" | "vavg"), v) =>
         if (empty) null else statValue(op, v)
     }.toArray

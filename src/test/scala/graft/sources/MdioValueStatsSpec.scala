@@ -600,6 +600,52 @@ class MdioValueStatsSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("COUNT(DISTINCT dim) answers from the chunk grid (dense-grid closed form)") {
+    val dir = createFloat(_.toDouble)
+    def fmt(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val df = spark.read.format("mdio").load(dir).filter($"x" >= 5 && $"x" < 41)
+      .agg(countDistinct($"x").as("nx"), count(lit(1)).as("n"))
+    assert(fmt(df).contains("dcnt(x)"), fmt(df).take(800))
+    val r = df.head
+    assert(r.getLong(0) == 36L && r.getLong(1) == 36L)
+    // COUNT(DISTINCT value-column) is NOT closed-form — falls back
+    val dfv = spark.read.format("mdio").load(dir).agg(countDistinct($"v"))
+    assert(!fmt(dfv).contains("MdioAggScan"), fmt(dfv).take(800))
+    assert(dfv.head.getLong(0) == 64L)
+    MdioWriter.delete(dir)
+  }
+
+  test("sidecar sharding at scale: 50k chunks derive a target-sized span, O(range) rewrites") {
+    import graft.zarr.VPath
+    val varDir = VPath(Files.createTempDirectory("mdio_scale").resolve("v").toString)
+    varDir.mkdirs()
+    val n = 50000
+    val entries: Map[String, MdioChunkStats.Entry] = (0 until n).map { i =>
+      i.toString -> (Some(MdioChunkStats.Bounds(BigDecimal(i), BigDecimal(i + 1)))
+        : MdioChunkStats.Entry)
+    }.toMap
+    MdioChunkStats.bump(varDir)
+    MdioChunkStats.write(varDir, 1L, entries) // span derived: ~4096 entries/shard
+    val shardFiles = varDir.list().map(_.name).filter(_.startsWith(".mdio_stats.s"))
+    assert(shardFiles.size >= 10 && shardFiles.size <= 16,
+      s"50k 1-D chunks should derive ~13 target-sized shards, got ${shardFiles.size}")
+    // the manifest stays KB-scale however many entries the variable has
+    assert(varDir.resolve(MdioChunkStats.StatsFile).readAllBytes().length < 2048)
+    // a range-scoped read loads only the intersecting shards' entries
+    val part = MdioChunkStats.currentFor(varDir, 10000, 10100).get
+    assert((10000 to 10100).forall(i => part.contains(i.toString)))
+    assert(part.size <= 2 * 4096 + 256, s"read ${part.size} entries for a 101-chunk range")
+    // a single-chunk refresh rewrites ONE shard file plus the manifest
+    val before = shardFiles.map(f => f -> varDir.resolve(f).readString()).toMap
+    MdioChunkStats.refresh(varDir,
+      Map("25000" -> Some(MdioChunkStats.Bounds(BigDecimal(-1), BigDecimal(1)))))
+    val changed = shardFiles.filter(f => varDir.resolve(f).readString() != before(f))
+    assert(changed.size == 1, s"one-chunk refresh rewrote shards: $changed")
+    assert(MdioChunkStats.current(varDir).get.size == n) // nothing lost
+    varDir.deleteRecursive()
+  }
+
   test("MdioValueRange conjunction and boundary semantics") {
     val r = MdioValueRange(None, None)
       .narrow(Some((BigDecimal(10), true)), None)
