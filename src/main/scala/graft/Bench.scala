@@ -547,6 +547,8 @@ object Bench {
     // comparator: zarr_roundtrip-scale work ×2 stores + a zero-shuffle
     // join and the one-time weight-store build (first budget r12)
     "zarr_spj_fusion" -> 0.9,
+    // comparator: zarr_spj_fusion (same join, coarser-grid side reduced)
+    "zarr_spj_compat" -> 0.9,
     // comparator: zarr_extents (same O(1) metadata-only scan shape)
     "zarr_extents_distinct" -> 0.04,
     // comparator: zarr_stats_minmax (the same metadata-only one-row

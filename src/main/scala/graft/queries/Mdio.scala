@@ -555,6 +555,76 @@ object Mdio {
     }
   }
 
+  /** Third grid fixture: the per-cell count on a COARSER chunking ([16,8]
+    * vs [[zarrGrid]]'s [8,4]) for the compatible-transform SPJ row. */
+  def zarrGridWeightCoarse(s: SparkSession, d: String): String =
+    builtGrids.getOrElseUpdate(d + "#weightc", {
+      val path = s"/tmp/graft_zarrwc_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val spec = graft.spec.MdioSpec.fromJson(
+        """{
+          |  "metadata": {"name": "lineitem_weight_c", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+          |  "variables": [
+          |    {"name": "inline", "dataType": "int64",
+          |     "dimensions": [{"name": "inline", "size": 32}]},
+          |    {"name": "crossline", "dataType": "int64",
+          |     "dimensions": [{"name": "crossline", "size": 8}]},
+          |    {"name": "weight", "dataType": "float64",
+          |     "dimensions": [{"name": "inline", "size": 32}, {"name": "crossline", "size": 8}],
+          |     "compressor": {"name": "zstd"},
+          |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [16, 8]}}}}
+          |  ]
+          |}""".stripMargin)
+      graft.sources.MdioWriter.delete0(path)
+      graft.sources.MdioWriter.create(spec, path)
+      val agg = lineitem(s, d)
+        .groupBy((col("l_orderkey") % 32).as("inline"),
+                 (col("l_linenumber").cast("long") % 8).as("crossline"))
+        .agg(count(lit(1)).cast("double").as("weight"))
+      val full = s.range(32).select(col("id").as("inline"))
+        .crossJoin(s.range(8).select(col("id").as("crossline")))
+      val cells = full.join(agg, Seq("inline", "crossline"), "left")
+        .select(col("inline"), col("crossline"),
+          coalesce(col("weight"), lit(0.0)).as("weight"))
+      graft.sources.MdioWriter.writeVariable(s, cells, path, "weight")
+      path
+    })
+
+  /** COMPATIBLE-GRID storage-partitioned join on the gate: same fusion
+    * fold as [[qZarrSpjFusion]] but the weight store is chunked [16,8]
+    * against the image store's [8,4] — one grid a multiple of the other,
+    * so [[graft.sources.SizedChunkBound]]'s ReducibleFunction maps the
+    * finer ordinals onto the coarser grid and the join STILL plans zero
+    * exchanges (the rechunked-attribute fusion: stores on one survey grid
+    * rarely share a chunking in practice). Same DuckDB oracle shape. */
+  val qZarrSpjCompat: Q = (s, d) => {
+    val a = zarrGrid(s, d)
+    val b = zarrGridWeightCoarse(s, d)
+    s.conf.set("spark.sql.catalog.graft_spj", "graft.sources.MdioCatalog")
+    val saved = Seq("spark.graft.scan.keyedPartitions",
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> s.conf.getOption(k))
+    s.conf.set("spark.graft.scan.keyedPartitions", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = s.table(s"graft_spj.`$a`")
+        .join(s.table(s"graft_spj.`$b`"), Seq("inline", "crossline"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"compatible-grid storage-partitioned join regressed to a shuffle:\n${plan.take(1200)}")
+      val r = joined
+        .agg(dsum(col("image") * col("weight")).as("wsum"), count(lit(1)).as("n"))
+        .head
+      import s.implicits._
+      Seq((r.getDouble(0), r.getLong(1))).toDF("wsum", "n")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   val qZarrSpjFusionSql: String = """
     WITH img AS (
       SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
@@ -1751,6 +1821,7 @@ object Mdio {
     "zarr_stats_v1_meta"    -> qZarrStatsV1Meta,
     "zarr_stats_by_slab"    -> qZarrStatsBySlab,
     "zarr_spj_fusion"       -> qZarrSpjFusion,
+    "zarr_spj_compat"       -> qZarrSpjCompat,
     "zarr_topk_value"       -> qZarrTopkValue,
     "mdio_rechunk"          -> qMdioRechunk,
     "mdio_reshard"          -> qMdioReshard,
@@ -1803,6 +1874,7 @@ object Mdio {
     "zarr_stats_v1_meta"    -> qZarrStatsV1MetaSql,
     "zarr_stats_by_slab"    -> qZarrStatsBySlabSql,
     "zarr_spj_fusion"       -> qZarrSpjFusionSql,
+    "zarr_spj_compat"       -> qZarrSpjFusionSql, // same cells, coarser weight grid
     "zarr_topk_value"       -> qZarrTopkValueSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
     "mdio_reshard"          -> qMdioReshardSql,

@@ -127,7 +127,8 @@ final case class SizedChunkFunction(size: Long) extends UnboundFunction {
   }
 }
 
-final case class SizedChunkBound(size: Long) extends ScalarFunction[java.lang.Long] {
+final case class SizedChunkBound(size: Long) extends ScalarFunction[java.lang.Long]
+    with org.apache.spark.sql.connector.catalog.functions.ReducibleFunction[java.lang.Long, java.lang.Long] {
   override def inputTypes(): Array[DataType] = Array(LongType)
   override def resultType(): DataType = LongType
   override def name(): String = s"chunk_$size"
@@ -136,6 +137,30 @@ final case class SizedChunkBound(size: Long) extends ScalarFunction[java.lang.Lo
   override def isResultNullable: Boolean = false
   override def produceResult(input: InternalRow): java.lang.Long =
     input.getLong(0) / size
+
+  /** Two chunk grids are JOIN-COMPATIBLE when one chunk size divides the
+    * other: the finer side's ordinal reduces to the coarser grid by
+    * integer division (`floor(cell/fine)/ratio == floor(cell/coarse)` for
+    * non-negative cells since coarse = fine·ratio). Spark's
+    * storage-partitioned join then coalesces the finer side's partition
+    * groups onto the coarser key space instead of shuffling — two stores
+    * on one survey grid with DIFFERENT chunkings still join with zero
+    * exchanges under
+    * `spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled`.
+    * `null` = not reducible w.r.t. `other` (Spark's none marker). */
+  override def reducer(other: org.apache.spark.sql.connector.catalog.functions.ReducibleFunction[_, _])
+      : org.apache.spark.sql.connector.catalog.functions.Reducer[java.lang.Long, java.lang.Long] =
+    other match {
+      case SizedChunkBound(coarser) if coarser > size && coarser % size == 0 =>
+        SizedChunkReducer(coarser / size)
+      case _ => null
+    }
+}
+
+/** Maps a fine chunk ordinal onto a grid `ratio`× coarser. */
+final case class SizedChunkReducer(ratio: Long)
+    extends org.apache.spark.sql.connector.catalog.functions.Reducer[java.lang.Long, java.lang.Long] {
+  override def reduce(k: java.lang.Long): java.lang.Long = k / ratio
 }
 
 object ChunkBound extends ScalarFunction[java.lang.Long] {

@@ -157,6 +157,55 @@ class MdioCopartitionSpec extends SparkSpec {
     MdioWriter.delete(src); MdioWriter.delete(dst)
   }
 
+  test("compatible-but-different chunk grids join shuffle-free via chunk reducers") {
+    // same 32×8 domain, DIFFERENT chunkings: [8,4] vs [16,8] — the finer
+    // side's ordinals reduce onto the coarser grid (SizedChunkBound's
+    // ReducibleFunction), so the join still plans zero exchanges
+    def createChunked(valueVar: String, ci: Int, cx: Int): String = {
+      val dir = Files.createTempDirectory("mdio_spjr").resolve(s"$valueVar.mdio").toString
+      MdioWriter.create(MdioSpec.fromJson(
+        s"""{
+           |  "metadata": {"name": "$valueVar", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+           |  "variables": [
+           |    {"name": "inline", "dataType": "int64",
+           |     "dimensions": [{"name": "inline", "size": 32}]},
+           |    {"name": "crossline", "dataType": "int64",
+           |     "dimensions": [{"name": "crossline", "size": 8}]},
+           |    {"name": "$valueVar", "dataType": "float64",
+           |     "dimensions": [{"name": "inline", "size": 32}, {"name": "crossline", "size": 8}],
+           |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [$ci, $cx]}}}}
+           |  ]
+           |}""".stripMargin), dir)
+      dir
+    }
+    val fine = createChunked("image", 8, 4)
+    val coarse = createChunked("weight", 16, 8)
+    val cells = for { i <- 0L until 32L; x <- 0L until 8L } yield (i, x)
+    MdioWriter.writeVariable(spark,
+      cells.toDF("inline", "crossline").withColumn("image", $"inline" * 8 + $"crossline"),
+      fine, "image")
+    MdioWriter.writeVariable(spark,
+      cells.toDF("inline", "crossline").withColumn("weight", ($"inline" * $"crossline") % 7),
+      coarse, "weight")
+    withSpjConfs {
+      spark.conf.set("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+      try {
+        val joined = spark.table(s"mdio_spj.`$fine`")
+          .join(spark.table(s"mdio_spj.`$coarse`"), Seq("inline", "crossline"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"compatible-grid join must plan zero exchanges:\n${plan.take(1500)}")
+        val got = joined.select($"inline", $"crossline", ($"image" * $"weight").as("iw"))
+          .as[(Long, Long, Double)].collect()
+        assert(got.length == 256)
+        got.foreach { case (i, x, iw) =>
+          assert(iw == (i * 8 + x).toDouble * ((i * x) % 7).toDouble, s"($i,$x)") }
+      } finally
+        spark.conf.unset("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled")
+    }
+    MdioWriter.delete(fine); MdioWriter.delete(coarse)
+  }
+
   test("keyed mode composes with pushed dim slices (matching boxes on both sides)") {
     val dirA = create("image")
     val dirB = create("weight")
