@@ -176,82 +176,82 @@ object Bench {
     // countDistinct + the broadcast rank-window pass (2.1s warm isolated
     // vs 0.54s for the old sketch-only body; the exact-percentile
     // comparison it replaced ran 5.8s)
-    "agg_approx" -> 1.976, "agg_argmax" -> 0.438, "agg_cms_portable" -> 0.641,
-    "agg_conditional" -> 0.25, "agg_corr" -> 1.716, "agg_cube" -> 0.648,
-    "agg_distinct" -> 0.672, "agg_grouping_sets" -> 0.245, "agg_histogram" -> 0.215,
-    "agg_hll_portable" -> 0.455, "agg_percentile" -> 0.315,
+    "agg_approx" -> 2.383, "agg_argmax" -> 0.452, "agg_cms_portable" -> 0.689,
+    "agg_conditional" -> 0.294, "agg_corr" -> 2.204, "agg_cube" -> 0.851,
+    "agg_distinct" -> 0.672, "agg_grouping_sets" -> 0.274, "agg_histogram" -> 0.215,
+    "agg_hll_portable" -> 0.522, "agg_percentile" -> 0.315,
     // comparator: agg_hll_portable x2 (two filtered register builds +
     // the O(m) register merge and three tiny finalize folds)
-    "agg_hll_intersect" -> 0.579,
+    "agg_hll_intersect" -> 0.607,
     // comparator: events_funnel x2 (5 bounded join+agg shuffle rounds
     // over the distinct trade edges — a multi-stage shuffle pipeline)
-    "graph_pagerank" -> 6.931, "agg_pivot" -> 0.376,
+    "graph_pagerank" -> 6.931, "agg_pivot" -> 0.391,
     // comparator: events_funnel (same few-round join+agg shuffle pipeline;
     // one nation's co-purchase subgraph keeps edges and wedges bounded)
     "graph_triangles" -> 1.595,
     "agg_rollup" -> 0.947, "agg_moments" -> 1.179,
-    "ann_int8" -> 0.77, "pipeline_split" -> 0.209,
+    "ann_int8" -> 1.185, "pipeline_split" -> 0.209,
     // comparator: pipeline_recipe (several passes over documents + small
     // one-row joins; this one is 2 top-k scans + a map-only key scan)
     "pipeline_shuffle" -> 0.341,
     "sort_zorder" -> 0.29, "agg_quantile_portable" -> 0.429,
-    "dedup_components" -> 8.943, "ann_batch" -> 0.203,
+    "dedup_components" -> 10.441, "ann_batch" -> 0.237,
     // comparator: dedup_components (same pair join + closure dominate;
     // the extra score join + per-cluster window are noise at that scale)
-    "dedup_keep_best" -> 10.193,
-    "text_decontaminate" -> 0.659,
+    "dedup_keep_best" -> 11.288,
+    "text_decontaminate" -> 0.865,
     // comparator: text_decontaminate (same gram machinery; the bloom probe
     // is map-only so it should come in at or under the exact sweep)
-    "text_decontaminate_bloom" -> 0.649,
-    "pipeline_pack" -> 0.545, "pipeline_sample_weighted" -> 0.193,
-    "pipeline_quota" -> 0.319, "pipeline_recipe" -> 0.5,
-    "text_chunk" -> 0.906, "agg_embedding_centroid" -> 0.239,
+    "text_decontaminate_bloom" -> 0.781,
+    "pipeline_pack" -> 0.545, "pipeline_sample_weighted" -> 0.221,
+    "pipeline_quota" -> 0.363, "pipeline_recipe" -> 0.5,
+    "text_chunk" -> 1.088, "agg_embedding_centroid" -> 0.291,
     // comparator: text_chunk (same explode/reassemble shape) + the df
     // aggregation and anti join on the segment key
-    "text_line_dedup" -> 1.642,
-    "embedding_outliers" -> 1.301, "text_fluency" -> 0.882,
+    "text_line_dedup" -> 2.111,
+    "embedding_outliers" -> 1.301, "text_fluency" -> 0.983,
     // comparator: agg_embedding_centroid x2 (two passes over the exploded
     // elements: the stats agg, then the broadcast join-back + z agg)
-    "embedding_normalize" -> 0.955,
+    "embedding_normalize" -> 1.111,
     // comparator: pipeline_sample_stratified (same per-group window +
     // head shape; band map in place of the strata key)
     "pipeline_curriculum" -> 0.304,
-    "text_boilerplate" -> 0.347, "events_retention" -> 0.506,
+    "text_boilerplate" -> 0.394, "events_retention" -> 0.615,
     "pipeline_sample_stratified" -> 0.298,
     // measured warm sf0.1 (per-domain window selection like
     // pipeline_sample_stratified, plus the counts pass training the targets)
     "pipeline_mix" -> 0.56,
-    "ann_brute_force" -> 0.116, "ann_ivf" -> 0.466, "ann_lsh" -> 0.128,
+    "ann_brute_force" -> 0.144, "ann_ivf" -> 0.488, "ann_lsh" -> 0.144,
     // comparator: ann_ivf (same probe + re-rank; the assignment map moved
     // to the one-time index write, but the probe now pays a parquet read)
-    "ann_ivf_pruned" -> 0.261,
+    "ann_ivf_pruned" -> 0.276,
     // comparator: ann_ivf (train + assignment expression + top-k; PQ's
     // argmin is 8x16 dots vs IVF's 64 cosines) x1.5 headroom
-    "ann_pq" -> 0.841,
+    "ann_pq" -> 0.923,
     // comparator: ann_pq (same encode+ADC shape; the probe filter scans
     // less but adds the 64-centroid assignment map)
-    "ann_ivf_pq" -> 1.189,
+    "ann_ivf_pq" -> 1.401,
     // comparator: ann_batch (same one-scan + window-rank shape, grouped
     // by label instead of probe id)
-    "ann_grouped" -> 0.184,
-    "dedup_embedding" -> 0.88, "dedup_exact" -> 0.196,
-    "dedup_minhash_lsh" -> 4.709, "dedup_ngram_jaccard" -> 9.132,
+    "ann_grouped" -> 0.236,
+    "dedup_embedding" -> 1.224, "dedup_exact" -> 0.297,
+    "dedup_minhash_lsh" -> 5.319, "dedup_ngram_jaccard" -> 9.436,
     // comparator: dedup_minhash_lsh + dedup_ngram_jaccard (the eval runs
     // BOTH pipelines — banding for candidates, the exact sweep for truth)
-    "dedup_eval" -> 9.194,
+    "dedup_eval" -> 12.12,
     // comparator: dedup_eval (same two pipelines, 25% doc scope -> ~6%
     // of the quadratic truth cost; dominated by the fixed plan overhead)
-    "dedup_eval_sampled" -> 1.493,
+    "dedup_eval_sampled" -> 2.073,
     // comparator: dedup_ngram_jaccard (same posting-join shape; k=3
     // trigram postings are sparser than its k=2, so this is headroom)
-    "dedup_containment" -> 2.518,
+    "dedup_containment" -> 3.245,
     // measured warm sf0.1 (same posting self-join + df-cap shape as
     // dedup_containment, but fingerprints are winnowed SAMPLES of the
     // gram stream, so the posting list is ~5x smaller)
-    "dedup_winnow" -> 1.96,
+    "dedup_winnow" -> 2.075,
     // comparator: dedup_minhash_lsh (same banding/candidate machinery;
     // the embedding-join verify replaces the gram-set verify)
-    "dedup_cascade" -> 1.077,
+    "dedup_cascade" -> 1.144,
     // comparator: dedup_minhash_lsh + dedup_components + text_line_dedup
     // chained (the recipe runs all three over the cleaned corpus).
     // r9 stage profile (graft.tools.ProfileDedupRecipe, sf0.1 warm):
@@ -260,30 +260,30 @@ object Bench {
     // corpus-floor stages (candidate pairs ~= all true pairs at t=0.4,
     // SURVEY.md round-4 note), not a plan regression; budget sits at the
     // isolated floor and the 2x gate absorbs the loaded band
-    "pipeline_dedup_recipe" -> 9.093,
-    "dedup_simhash" -> 0.415, "events_funnel" -> 0.564,
+    "pipeline_dedup_recipe" -> 9.219,
+    "dedup_simhash" -> 0.45, "events_funnel" -> 0.59,
     // re-baselined round 6 to the round-5 driver-measured warm value
     // (BENCH_r05: 2.66 s): the original mdio_agc comparator undercounted
     // — this window carries FIVE sliding-frame aggregates (count + two
     // decimal sums, each read twice) where agc carries two; isolated
     // re-measure lands 2.6-3.7 s, a 2x gate from 2.66 covers the band
-    "events_anomaly" -> 2.957,
+    "events_anomaly" -> 3.239,
     // comparator: agg_distinct (same two-level hash-agg shape + a
     // 25-row window for the tie-broken head)
     "agg_mode" -> 0.495,
     // comparator: agg_distinct (same two-level hash agg; OR'd words in
     // place of the distinct operator's dedup state)
-    "agg_bitmap_distinct" -> 0.351,
+    "agg_bitmap_distinct" -> 0.385,
     // comparator: window_lag_delta (same one-window-per-user + small agg
     // shape; a 25-cell matrix join rides on top)
-    "events_markov" -> 0.687,
+    "events_markov" -> 0.746,
     // comparator: window_ranks (two window functions over one shuffle +
     // two small group-bys)
-    "window_islands" -> 0.811,
+    "window_islands" -> 0.962,
     // comparator: graph_pagerank (same bounded-round join pipeline over
     // the same checkpointed edge table; BFS frontiers shrink after round
     // 2 where pagerank re-scores every node every round)
-    "graph_bfs" -> 3.741,
+    "graph_bfs" -> 4.037,
     // comparator: agg_corr (same sufficient-statistics partial-agg shape:
     // five exact sums per group, one finalize row)
     "agg_linreg" -> 1.32,
@@ -303,13 +303,13 @@ object Bench {
     "mdio_despike" -> 1.696,
     // comparator: multimodal_bmp (same map-only decode over the same
     // payloads + one hash-groupBy on top)
-    "image_phash" -> 0.407,
+    "image_phash" -> 0.47,
     // comparator: image_phash + dedup_simhash's band-join shape over the
     // KB-scale distinct-fingerprint table
-    "image_phash_near" -> 0.76,
+    "image_phash_near" -> 0.843,
     // comparator: image_phash + dedup_exact (one md5 groupBy + two
     // keeper joins on top of the shared decode)
-    "pipeline_multimodal_dedup" -> 1.037,
+    "pipeline_multimodal_dedup" -> 1.043,
     // comparator: stream_tumbling_exec (same single stateful streaming
     // agg; conditional counters in place of the window state)
     "stream_expectations_exec" -> 1.362,
@@ -318,28 +318,28 @@ object Bench {
     "pipeline_incremental" -> 0.723,
     // comparator: text_tokens + agg_distinct (one posexplode + one
     // countDistinct-bearing groupBy)
-    "text_inverted_index" -> 0.677,
+    "text_inverted_index" -> 0.732,
     // comparator: mdio_semblance's computed-equi-key join on the same
     // 1024-cell grid, 5 lags x 15 pairs
-    "mdio_xcorr" -> 0.901,
+    "mdio_xcorr" -> 1.032,
     // comparator: join_semi x2 (same lineitem⋈supplier equi join; the
     // x8 salt replication of the 100-row small side is noise). The r9
     // suite run's 1.45 s was load noise, not a plan change: isolated
     // warm re-measure r10 = 0.97 s, right at its r8 level.
-    "join_salted" -> 1.091,
+    "join_salted" -> 1.232,
     // comparator: stream_tumbling_exec (same one-stateful-agg streaming
     // shape; session-merge state in place of fixed windows)
-    "stream_session_exec" -> 1.753,
+    "stream_session_exec" -> 2.072,
     // comparator: stream_session_exec (same streaming shape with the
     // custom flatMapGroupsWithState operator + typed encoder in place of
     // the native session window)
-    "stream_fmgws_exec" -> 2.544,
+    "stream_fmgws_exec" -> 2.697,
     // measured warm sf0.1: a stream-stream join state-stores BOTH sides
     // (every click AND every purchase rides the state store with range
     // scans on match) — inherently dearer than the single-sided execs its
     // first comparator guessed from; the cost is the operator, not a plan
     // defect (the batch twin join_asof-style plan runs in ~0.4 s)
-    "stream_join_exec" -> 6.547,
+    "stream_join_exec" -> 6.906,
     // comparator: stream_join_exec + the horizon staging write (events
     // re-written once per run so the watermark can pass the corpus tail)
     // + the no-data finalization batch that emits the outer rows.
@@ -356,54 +356,54 @@ object Bench {
     // comparator: mdio_smooth_grid (identical two-window separable pass
     // over the same cell aggregation)
     "mdio_gradient" -> 1.865,
-    "events_sessionize" -> 0.448, "fn_array" -> 0.211, "fn_case" -> 0.161,
+    "events_sessionize" -> 0.726, "fn_array" -> 0.254, "fn_case" -> 0.182,
     // measured warm sf0.1 (the span-bounded gap explode multiplies rows
     // ~10x before the final fold — more than the sessionize comparator
     // guessed; still one window + one explode + one agg)
-    "events_resample" -> 1.969,
+    "events_resample" -> 2.418,
     // comparator: window_ranks (same single window-over-orders + small
     // group-by shape; lead in place of rank)
     "pipeline_scd2" -> 0.756,
-    "fn_date" -> 0.419, "fn_datetime" -> 0.27, "fn_json" -> 0.818,
+    "fn_date" -> 0.419, "fn_datetime" -> 0.27, "fn_json" -> 0.866,
     // comparator: fn_json (same from_json parse over events.props + one
     // agg; the corrupt-branch concat is noise)
     "pipeline_quarantine" -> 0.858,
-    "fn_bitwise" -> 0.226,
-    "fn_levenshtein" -> 0.094, "fn_map" -> 0.269, "fn_math" -> 0.396,
-    "fn_regex" -> 0.266, "fn_string" -> 0.182, "geo_utm" -> 0.442,
-    "join_anti" -> 0.338, "join_asof" -> 0.455, "join_cross" -> 0.261,
-    "join_full_outer" -> 0.646, "join_left_outer" -> 0.393,
-    "join_range" -> 0.572, "join_semi" -> 0.258, "join_interval" -> 1.736,
+    "fn_bitwise" -> 0.271,
+    "fn_levenshtein" -> 0.133, "fn_map" -> 0.306, "fn_math" -> 0.436,
+    "fn_regex" -> 0.301, "fn_string" -> 0.24, "geo_utm" -> 0.469,
+    "join_anti" -> 0.338, "join_asof" -> 0.509, "join_cross" -> 0.261,
+    "join_full_outer" -> 0.646, "join_left_outer" -> 0.52,
+    "join_range" -> 0.734, "join_semi" -> 0.312, "join_interval" -> 2.009,
     // comparator: join_interval (same bucketed-candidate equi-join +
     // exact-predicate-postfilter shape, on a 2-D grid key)
-    "join_spatial" -> 0.699,
+    "join_spatial" -> 0.845,
     // comparator: join_interval (same candidate-equi-join + exact-verify
     // shape; the distinct-name fold makes the pairwise stage tiny, the
     // cost is the token-explode + df ranking over part names)
-    "join_fuzzy" -> 0.973,
+    "join_fuzzy" -> 1.041,
     "mdio_cast_typed" -> 0.264,
     "mdio_coordselector" -> 0.123, "mdio_fill_value" -> 0.702,
-    "mdio_histogram_centered" -> 0.291, "mdio_histogram_edges" -> 0.34,
-    "mdio_intervals" -> 0.235, "mdio_isel_concat" -> 0.264,
-    "mdio_isel_slice" -> 0.219, "mdio_isel_stride" -> 0.315,
+    "mdio_histogram_centered" -> 0.301, "mdio_histogram_edges" -> 0.34,
+    "mdio_intervals" -> 0.235, "mdio_isel_concat" -> 0.267,
+    "mdio_isel_slice" -> 0.239, "mdio_isel_stride" -> 0.324,
     // comparator: mdio_smooth_dim (identical cells-agg + one-window-per-
     // trace shape; RMS divide in place of the moving average)
-    "mdio_agc" -> 1.746,
+    "mdio_agc" -> 1.869,
     // comparator: mdio_histogram_edges (same cells-agg + broadcast-join +
     // small-group agg shape; the trial grid replaces the edge table)
     "mdio_semblance" -> 0.964,
     // comparator: mdio_semblance (same cells-agg + broadcast moveout-table
     // join + small-group agg; the 2x explode of the trial grid is noise)
-    "mdio_nmo" -> 0.691,
+    "mdio_nmo" -> 0.708,
     // comparator: mdio_semblance + mdio_nmo chained (the pick between
     // them is a 48-row aggregation)
     "mdio_velocity_stack" -> 1.4,
     // comparator: mdio_nmo (same cells-agg + broadcast join-back + small
     // agg; the argmax pick replaces the moveout table)
-    "mdio_horizon_flatten" -> 1.048,
+    "mdio_horizon_flatten" -> 1.114,
     // comparator: mdio_nmo (same cells-agg base) + multimodal_bmp-scale
     // encode/decode work (4 files x 5.6 KB vs 5k small BMPs — headroom)
-    "segy_roundtrip" -> 0.812,
+    "segy_roundtrip" -> 0.903,
     // comparator: mdio_rechunk (same one-time-build + connector-scan
     // query shape; the tape write + binaryFile ingest is in the build)
     "segy_to_mdio" -> 0.304,
@@ -411,8 +411,8 @@ object Bench {
     // stateful agg -> memory sink shape; 4 tape files in place of the
     // events parquet, the SEG-Y parse is a per-file map)
     "stream_segy_exec" -> 1.17,
-    "mdio_open_sel" -> 0.189, "mdio_sel_list" -> 0.825,
-    "mdio_sel_range" -> 0.436, "mdio_smooth_dim" -> 2.416, "mdio_sel_value" -> 0.471,
+    "mdio_open_sel" -> 0.199, "mdio_sel_list" -> 0.825,
+    "mdio_sel_range" -> 0.505, "mdio_smooth_dim" -> 2.416, "mdio_sel_value" -> 0.471,
     // comparator: mdio_smooth_dim x1.5 (the second separable pass adds
     // one more shuffle + window over the same cell count)
     "mdio_smooth_grid" -> 2.085,
@@ -428,122 +428,122 @@ object Bench {
     // the number is stable in isolation (BenchOne), so ~0.5 s is the
     // honest cost of 5k real BMP encode+decodes through Dataset encoders,
     // not a plan defect; budget stays at its r4-era recorded value
-    "multimodal_bmp" -> 0.298, "multimodal_wav" -> 0.65,
+    "multimodal_bmp" -> 0.315, "multimodal_wav" -> 0.65,
     // comparator: multimodal_bmp (same shape) + ~50% for deflate/inflate —
     // NOT this query's own first measurement (round-4 verdict discipline)
-    "multimodal_png" -> 0.677,
+    "multimodal_png" -> 0.682,
     // comparator: multimodal_png (same attach+decode shape; LZW table
     // build/walk per code in place of inflate+unfilter per row)
-    "multimodal_gif" -> 0.615,
+    "multimodal_gif" -> 0.671,
     // comparator: multimodal_png (same attach+decode shape; Huffman+IDCT
     // per block on smaller images in place of inflate+unfilter per row)
     "multimodal_jpeg" -> 1.193,
     // measured warm sf0.1 (same encode+decode shape as multimodal_jpeg;
     // images are larger — up to 64x48 macroblocked — and carry 3 planes)
-    "multimodal_jpeg_color" -> 0.903,
+    "multimodal_jpeg_color" -> 1.084,
     // comparator: multimodal_wav (same attach+parse map-only shape;
     // box-table walk in place of RIFF chunk scan, similar payload sizes)
-    "multimodal_mp4" -> 0.308,
+    "multimodal_mp4" -> 0.362,
     // comparator: multimodal_mp4 + the n/4-row keyframe explode (still
     // map-only into one partial-agg'd sum)
-    "multimodal_mp4_frames" -> 0.267,
+    "multimodal_mp4_frames" -> 0.291,
     // comparator: text_tfidf x2 (same explode + two count aggs + join-back
     // shape, run over bigrams instead of unigrams)
-    "text_perplexity" -> 1.328,
+    "text_perplexity" -> 1.433,
     // comparator: text_perplexity (same explode + histogram + join-back
     // shape over characters instead of bigrams)
-    "text_entropy" -> 0.907,
-    "pipeline_compose" -> 0.749, "q10_returned_items" -> 0.956,
-    "q1_pricing_summary" -> 1.281, "q3_shipping_priority" -> 0.659,
-    "q5_region_revenue" -> 1.377, "q6_forecast_revenue" -> 0.243,
+    "text_entropy" -> 1.111,
+    "pipeline_compose" -> 0.768, "q10_returned_items" -> 1.001,
+    "q1_pricing_summary" -> 1.614, "q3_shipping_priority" -> 0.713,
+    "q5_region_revenue" -> 1.526, "q6_forecast_revenue" -> 0.253,
     // comparators for the round-6 TPC-H widening (no self-measured
     // first budgets — round-4 verdict discipline):
     // q3 (same orders-quarter filter + lineitem semi shape)
-    "q4_order_priority" -> 0.473,
+    "q4_order_priority" -> 0.554,
     // q5 (same lineitem⋈orders shuffle + broadcast dims; two nation hops)
-    "q7_volume_shipping" -> 0.844,
+    "q7_volume_shipping" -> 0.877,
     // q5 x1.5 (adds part + region hops and the conditional-sum ratio)
     "q8_market_share" -> 1.181,
     // q5 (same star shape through part instead of customer geography)
     "q9_product_profit" -> 0.992,
     // join_left_outer + agg_distinct (outer join then two group-bys)
-    "q13_customer_distribution" -> 0.477,
+    "q13_customer_distribution" -> 0.556,
     // q6 + a broadcast part hop (one-month filtered scan + ratio)
-    "q14_promo_revenue" -> 0.305,
+    "q14_promo_revenue" -> 0.355,
     // q6 x2 (quarter scan aggregated per supplier, then the max probe
     // re-uses the same grouped result)
-    "q15_top_supplier" -> 0.554,
+    "q15_top_supplier" -> 0.678,
     // q1 (two full-ish lineitem aggregations: per-part avg + final sum)
-    "q17_small_qty_revenue" -> 0.528,
+    "q17_small_qty_revenue" -> 0.634,
     // q1 + q10 (full lineitem group-by then top-k join)
-    "q18_large_volume" -> 0.965,
+    "q18_large_volume" -> 1.118,
     // q6 (filtered scan + broadcast part join, OR-block predicate)
-    "q19_discounted_revenue" -> 0.43,
+    "q19_discounted_revenue" -> 0.44,
     // join_anti + agg_distinct (anti join on urgent orders + group-by)
-    "q22_global_sales" -> 0.544,
+    "q22_global_sales" -> 0.58,
     // round-7 TPC-H completion — first-recorded sf0.1 warm values
     // (BenchOne, min of two warm passes in one JVM):
-    "q2_min_cost_supplier" -> 1.505, "q11_important_stock" -> 0.821,
-    "q12_shipmode_priority" -> 0.546, "q16_part_supplier_cnt" -> 1.48,
-    "q20_excess_stock" -> 1.999, "q21_waiting_supplier" -> 1.316,
-    "set_except" -> 0.547, "set_intersect" -> 0.484, "set_union" -> 0.282,
-    "sort_multikey" -> 0.157, "sort_topk" -> 0.158,
+    "q2_min_cost_supplier" -> 1.88, "q11_important_stock" -> 0.821,
+    "q12_shipmode_priority" -> 0.629, "q16_part_supplier_cnt" -> 1.656,
+    "q20_excess_stock" -> 1.999, "q21_waiting_supplier" -> 1.587,
+    "set_except" -> 0.581, "set_intersect" -> 0.547, "set_union" -> 0.282,
+    "sort_multikey" -> 0.165, "sort_topk" -> 0.175,
     "stream_dedup_exec" -> 2.988, "stream_curation_exec" -> 1.421,
     // comparator: stream_curation_exec (same file-source -> map ->
     // one-stateful-agg shape; regex sweep in place of the quality gate)
-    "stream_pii_exec" -> 2.208,
+    "stream_pii_exec" -> 2.588,
     "stream_mdio_exec" -> 1.255,
     // comparator: stream_tumbling_exec (same file-source -> one stateful
     // agg -> memory sink shape; 5x256 register rows + a tiny batch fold)
-    "stream_hll_exec" -> 1.56,
+    "stream_hll_exec" -> 1.805,
     // comparator: stream_hll_exec (identical shape; 4x1024 SUM counters
     // in place of the MAX registers, plus the broadcast probe join)
     "stream_cms_exec" -> 1.575,
     // comparator: ann_ivf_pruned (the timed passes hit the cached
     // streamed index, so the cost is the same pruned parquet top-k)
     "stream_ivf_exec" -> 0.141,
-    "stream_sliding" -> 0.829,
-    "stream_tumbling" -> 0.379, "stream_tumbling_exec" -> 1.536,
-    "text_fingerprint" -> 0.355, "text_langid" -> 0.588,
+    "stream_sliding" -> 0.881,
+    "stream_tumbling" -> 0.438, "stream_tumbling_exec" -> 1.798,
+    "text_fingerprint" -> 0.403, "text_langid" -> 0.656,
     // comparator: text_rolling_hash (same per-row map + char fold; three
     // regex passes on a shorter string in place of the tokenizer)
-    "text_pii" -> 0.745,
+    "text_pii" -> 0.85,
     // comparator: agg_quantile_portable x2 sketches + the text_quality
     // tokenizer map feeding the second one
-    "pipeline_stats" -> 0.802,
+    "pipeline_stats" -> 0.878,
     // comparator: pipeline_split (same one-window-pass-over-documents +
     // two small group-bys shape)
     "pipeline_compact" -> 0.379,
     // comparator: text_quality (same tokenize + map-only scoring shape;
     // the kernel does one hash+lookup per gram in place of the ratio math)
-    "text_classify" -> 0.331,
-    "text_quality" -> 0.407, "text_rolling_hash" -> 0.718,
-    "text_tfidf" -> 0.769, "text_tokens" -> 0.24,
+    "text_classify" -> 0.438,
+    "text_quality" -> 0.407, "text_rolling_hash" -> 0.798,
+    "text_tfidf" -> 0.847, "text_tokens" -> 0.26,
     // comparator: text_tfidf (same token explode + tf/df aggs; the
     // 4-term posting filter shrinks the join, the dl join adds one back)
-    "text_bm25" -> 0.715,
+    "text_bm25" -> 1.109,
     // comparator: text_pii (same map-only regex sweep + one agg shape;
     // ~8 regex ops per row vs the three PII patterns)
-    "text_url_canonical" -> 0.643,
+    "text_url_canonical" -> 0.897,
     // comparator: text_top_ngrams (same explode + count-agg + top-k
     // shape, with the word-stats join-back on top)
-    "text_keyphrases" -> 0.494,
-    "text_top_ngrams" -> 0.352, "window_first_last" -> 0.571,
-    "window_lag_delta" -> 0.472, "window_moving_avg" -> 0.607,
-    "window_percent_rank" -> 0.613, "window_range_frame" -> 1.534,
-    "window_ranks" -> 0.619, "window_running_sum" -> 0.449,
-    "window_topk_per_group" -> 0.369, "zarr_extents" -> 0.029,
-    "zarr_pushdown" -> 0.093, "zarr_roundtrip" -> 0.059,
+    "text_keyphrases" -> 0.572,
+    "text_top_ngrams" -> 0.385, "window_first_last" -> 0.689,
+    "window_lag_delta" -> 0.612, "window_moving_avg" -> 0.75,
+    "window_percent_rank" -> 0.79, "window_range_frame" -> 1.818,
+    "window_ranks" -> 0.861, "window_running_sum" -> 0.54,
+    "window_topk_per_group" -> 0.575, "zarr_extents" -> 0.03,
+    "zarr_pushdown" -> 0.112, "zarr_roundtrip" -> 0.074,
     // comparator: zarr_roundtrip (the same store's full-grid aggregate;
     // the value predicate reads FEWER chunks via the stats sidecar, so the
     // budget is the roundtrip's plus the sidecar read)
-    "zarr_value_pruning" -> 0.093,
+    "zarr_value_pruning" -> 0.118,
     // comparator: zarr_extents (the same metadata-only one-row MdioAggScan
     // shape, now fed by the stats sidecar instead of the chunk grid)
-    "zarr_stats_minmax" -> 0.032,
+    "zarr_stats_minmax" -> 0.069,
     // comparator: zarr_stats_minmax (same metadata-only MdioAggScan, one
     // row per slab instead of one total row — first budget r12)
-    "zarr_stats_by_slab" -> 0.06,
+    "zarr_stats_by_slab" -> 0.113,
     // comparator: zarr_roundtrip-scale work ×2 stores + a zero-shuffle
     // join and the one-time weight-store build (first budget r12)
     "zarr_spj_fusion" -> 0.9,
@@ -553,13 +553,13 @@ object Bench {
     "zarr_extents_distinct" -> 0.04,
     // comparator: zarr_stats_minmax (the same metadata-only one-row
     // MdioAggScan, reading moment entries instead of bounds)
-    "zarr_stats_moments" -> 0.029,
+    "zarr_stats_moments" -> 0.054,
     // comparator: zarr_stats_minmax (driver-side sidecar read, then a
     // one-row local DataFrame instead of a connector scan)
     "zarr_stats_v1_meta" -> 0.029,
     // comparator: zarr_pushdown (filtered-scan shape; the top-N path reads
     // a stats-pruned subset of the same store)
-    "zarr_topk_value" -> 0.093,
+    "zarr_topk_value" -> 0.122,
     // comparator: zarr_pushdown (same filtered-scan shape; the one-time
     // store migration happens in the untimed build, like zarrGrid itself)
     "mdio_rechunk" -> 0.135,
@@ -574,18 +574,18 @@ object Bench {
     "mdio_reshard" -> 0.154,
     // comparator: zarr_pushdown (identical filtered-scan query through a
     // permuted-layout store; one-time build untimed)
-    "mdio_transpose" -> 0.084,
+    "mdio_transpose" -> 0.095,
     // comparator: zarr_pushdown (seam-straddling filtered scan of the
     // doubled store; one-time build untimed)
-    "mdio_concat" -> 0.101,
-    "zarr_sharded_roundtrip" -> 0.062, "zarr_v3_roundtrip" -> 0.062,
+    "mdio_concat" -> 0.102,
+    "zarr_sharded_roundtrip" -> 0.079, "zarr_v3_roundtrip" -> 0.077,
     // comparator: mdio_semblance (same cells-agg base + broadcast
     // literal-grid equi-expansion + partial-agg'd groupBys; two
     // transform passes in place of the one trial-grid join)
     "mdio_envelope" -> 1.181,
     // comparator: embedding_outliers x2 (same posexplode + per-dim agg
     // shape run twice per Lloyd round, plus two per-vector windows)
-    "embedding_kmeans" -> 1.238,
+    "embedding_kmeans" -> 1.48,
     // comparator: embedding_kmeans + dedup_embedding chained (the
     // SemDeDup composite runs the Lloyd assignment, the banded-LSH
     // cosine pass cluster-scoped, and a components round over the
@@ -593,7 +593,7 @@ object Bench {
     // measured warm 4.6s at sf0.1: ~1.6 kmeans + ~2 banded-LSH/cosine +
     // ~1 components/fold overhead (few within-cluster pairs, fixed
     // per-round action cost dominates)
-    "pipeline_semdedup" -> 3.486,
+    "pipeline_semdedup" -> 3.641,
     // comparator: graph_kcore (same checkpointed co-purchase edge table,
     // bounded label-join rounds in place of degree peels; 3 rounds with
     // a map-side-combined max_by argmax each vs 5 peel rounds). Warm
@@ -601,19 +601,19 @@ object Bench {
     // partial-aggregated argmax); iterative-graph queries swing with GC
     // full-bench pressure (r06: +43% on the loaded final run), so the
     // budget sits above that variance band, not the isolated floor
-    "graph_labelprop" -> 3.65,
+    "graph_labelprop" -> 3.785,
     // comparator: join_left_outer (one outer join over orders + a small
     // union and one group-by on top)
-    "pipeline_merge_upsert" -> 0.664,
+    "pipeline_merge_upsert" -> 0.75,
     // comparator: text_tokens + text_top_ngrams (one map-only kernel
     // pass + explode + count-agg top-k)
-    "text_wordpiece" -> 0.348,
+    "text_wordpiece" -> 0.407,
     // comparator: mdio_envelope x2 (two 2-D transform expansions at 16x
     // the per-join row volume but the same grid-bounded agg shape)
     "mdio_fk_filter" -> 1.585,
     // comparator: embedding_kmeans (same posexplode base + broadcast-join
     // matvec rounds in place of the assignment rounds)
-    "embedding_pca" -> 1.184,
+    "embedding_pca" -> 1.42,
     // comparator: text_top_ngrams + window_islands x3 (one corpus
     // word-count contraction, then three window-composition rounds over
     // the tiny distinct-word dict)
@@ -626,42 +626,42 @@ object Bench {
     "mdio_resample" -> 1.17,
     // comparator: events_resample (same one-shuffle-by-key + window-pass
     // shape over events; two window functions in the one pass)
-    "events_cusum" -> 0.904,
+    "events_cusum" -> 1.23,
     // comparator: mdio_smooth_grid (same cells base + chained grouped
     // passes; three pair-fold levels in place of the two window sweeps)
-    "mdio_wavelet" -> 0.975,
+    "mdio_wavelet" -> 1.047,
     // comparator: mdio_semblance (identical flat-decode broadcast scan +
     // computed-equi-key join + one grouped stack)
-    "mdio_migrate" -> 0.717,
+    "mdio_migrate" -> 0.785,
     // comparator: events_resample (one window pass over events) + the
     // broadcast-ish join back for the touch type
-    "events_attribution" -> 0.618,
+    "events_attribution" -> 0.632,
     // comparator: events_attribution (per-user first-touch agg + join),
     // twice — the funnel chains three step aggregations with two joins
-    "events_funnel" -> 0.564,
+    "events_funnel" -> 0.59,
     // comparator: events_markov x2 (two groupBys + distinct + one join
     // on the same events volume vs markov's one-pass pair build)
-    "events_retention" -> 0.506,
+    "events_retention" -> 0.615,
     // comparator: graph_labelprop (same bounded-round degree/join loop
     // over the trade graph; 8 peels vs labelprop's rounds) + the median
-    "graph_kcore" -> 2.907,
+    "graph_kcore" -> 3.155,
     // comparator: events_cusum (one groupBy(day) + a sequential fold
     // over the driver-tiny daily series vs cusum's window pass)
-    "events_holt" -> 0.321,
+    "events_holt" -> 0.357,
     // comparator: ann_brute_force x3 (scale max pass + int8 scan + the
     // float baseline scan, each a TakeOrdered over embeddings); measured
     // warm 1.0 at sf0.1
-    "embedding_int8_recall" -> 0.608,
+    "embedding_int8_recall" -> 0.609,
     // comparator: dedup_ngram_jaccard x0.6 (same posting-list pair-build
     // shuffle — ~9M pair rows at sf0.1 — plus the small wedge stage);
     // measured warm 5.1 at sf0.1
     "graph_linkpred" -> 7.542,
     // comparator: events_markov (one per-user window pass + one count agg
     // over the same events volume)
-    "window_funnel_paths" -> 0.534,
+    "window_funnel_paths" -> 0.741,
     // comparator: events_attribution (per-user agg + three rank windows
     // over the aggregated per-user table)
-    "events_rfm" -> 1.216,
+    "events_rfm" -> 1.327,
     // comparator: text_fluency (same per-doc regex feature pass + small agg)
     "text_readability" -> 0.493,
     // comparator: agg_conditional (one conditional-count groupBy over
@@ -669,21 +669,21 @@ object Bench {
     "agg_ks_test" -> 0.497,
     // comparator: stream_fmgws_exec (same file-source -> fMGWS -> memory
     // sink shape; the 3-step machine is lighter state than sessions)
-    "stream_funnel_exec" -> 1.362,
+    "stream_funnel_exec" -> 1.928,
     // comparator: stream_fmgws_exec (same file-source -> fMGWS ->
     // memory-sink shape; two-long state fold in place of session merge)
     "stream_cusum_exec" -> 2.183,
     // comparator: multimodal_jpeg x4 (8 frame encodes + 2 keyframe
     // decodes per doc vs the twin's 1+1, same per-image cost)
-    "multimodal_mjpeg" -> 3.341,
+    "multimodal_mjpeg" -> 3.545,
     // comparator: multimodal_mjpeg x0.5 (3 encodes + 3 decodes per doc,
     // but MB-constant AVC work is one CAVLC level per MB vs per-block
     // Huffman+IDCT; I_PCM dominates at 384 raw bytes per frame)
-    "multimodal_h264_keyframes" -> 1.32,
+    "multimodal_h264_keyframes" -> 1.431,
     // comparator: multimodal_h264_keyframes (same per-doc encode+decode
     // shape: 2 frames instead of 3, but CBP-15 MBs parse 16 extra AC
     // blocks each and I_NxN MBs run 16 4x4 predictions)
-    "multimodal_h264_ac" -> 1.205,
+    "multimodal_h264_ac" -> 1.435,
     // comparator: agg_ks_test (same contract-then-window shape; the
     // contingency table is even smaller than the value domain)
     "agg_chi2" -> 0.581,
@@ -706,7 +706,7 @@ object Bench {
     // comparator: mdio_agc + mdio_nmo + mdio_envelope chained (the three
     // certified stage shapes composed lazily; the envelope runs at N=16
     // on the 64x16 stacked section, cheaper than its standalone twin)
-    "mdio_processing_chain" -> 1.339,
+    "mdio_processing_chain" -> 1.436,
     // measured warm sf0.1 (decimal-cast moment sums over the full fact
     // table are ~2x a plain conditional count; still one scan, one row)
     "agg_ttest" -> 0.826,
@@ -715,21 +715,21 @@ object Bench {
     "agg_mannwhitney" -> 0.47,
     // measured warm sf0.1 (the daily groupBy + per-key window with 8
     // lag taps; the 8-tap case-chain costs ~2x a single frame sum)
-    "window_ewma" -> 2.015,
+    "window_ewma" -> 2.563,
     // comparator: events_resample's hourly groupBy without the explode:
     // one events scan, 168-bucket agg + broadcast one-row global
-    "events_seasonality" -> 0.385,
+    "events_seasonality" -> 0.522,
     // comparator: agg_mannwhitney (same grouped-value scan + tiny-table
     // window) run twice — the MAD pass regroups the 50-row value table
-    "agg_median_mad" -> 0.744,
+    "agg_median_mad" -> 0.77,
     // comparator: agg_argmax (one orders scan into a ~300-bin agg) + a
     // bin-table window; the scalar ratio tail is free
-    "agg_gini" -> 0.43,
+    "agg_gini" -> 0.52,
     // comparator: agg_conditional (one customer scan, two-level rollup)
     "pipeline_k_anonymity" -> 0.286,
     // comparator: agg_argmax (one orders scan into a 9-digit agg; the
     // string first-digit extraction is a map)
-    "agg_benford" -> 0.412,
+    "agg_benford" -> 0.442,
     // comparator: mdio_gradient (identical two-window derivative shape;
     // the tensor sums replace the magnitude agg). Isolated warm: 1.8s —
     // but the per-crossline window has only |x|=7 partitions, so its big
@@ -746,23 +746,23 @@ object Bench {
     "pipeline_experiment" -> 0.95,
     // comparator: multimodal_jpeg (same images, same decode volume; the
     // four-scan parse re-reads the entropy stream but skips chroma)
-    "multimodal_jpeg_progressive" -> 0.564,
+    "multimodal_jpeg_progressive" -> 0.651,
     // comparator: stream_hll_exec (same one-streaming-agg micro-batch
     // machinery; two rows of moment state + a free scalar tail)
-    "stream_experiment_exec" -> 1.507,
+    "stream_experiment_exec" -> 1.806,
     // comparator: window_moving_avg (daily rollup + a window over the
     // ~2500-row day table; seven taps in one pass)
-    "agg_autocorr" -> 1.016,
+    "agg_autocorr" -> 1.022,
     // comparator: pipeline_k_anonymity (same customer scan; one extra
     // pre-aggregation level for the distinct sensitive values)
-    "pipeline_l_diversity" -> 0.394,
+    "pipeline_l_diversity" -> 0.422,
     // comparator: text_top_ngrams x2 (two explode -> map-side-combined
     // groupBy passes over tokens and bigrams, plus the per-doc fold)
-    "text_repetition" -> 1.29,
+    "text_repetition" -> 1.339,
     // comparator: pipeline_experiment (two full-data aggregation passes
     // of 9 quantized sums each + free scalar 3x3 solves; the sigmoid
     // scoring pass is a pure map)
-    "pipeline_quality_irls" -> 0.932,
+    "pipeline_quality_irls" -> 1.095,
     // comparator: graph_item_cf (same pair expansion + two degree joins;
     // no top-k readout, one moment aggregation). Warm isolated 2.5s with
     // a clean plan (r06 verdict audit: bounded within-order pair
@@ -770,5 +770,5 @@ object Bench {
     // variance on the full run (5.8s loaded vs 2.3s isolated, same day),
     // so per the variance-band discipline the budget covers the loaded
     // band — the 2x gate then trips only on a real plan regression
-    "graph_assortativity" -> 3.591)
+    "graph_assortativity" -> 4.257)
 }
