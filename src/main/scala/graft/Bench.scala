@@ -544,6 +544,8 @@ object Bench {
     // comparator: zarr_stats_minmax (same metadata-only MdioAggScan, one
     // row per slab instead of one total row — first budget r12)
     "zarr_stats_by_slab" -> 0.113,
+    // comparator: zarr_stats_by_slab (same metadata rows, 2-D tile grid)
+    "zarr_stats_by_tile" -> 0.12,
     // comparator: zarr_roundtrip-scale work ×2 stores + a zero-shuffle
     // join and the one-time weight-store build (first budget r12)
     "zarr_spj_fusion" -> 0.9,

@@ -555,6 +555,32 @@ object Mdio {
     }
   }
 
+  /** Per-TILE statsV1 on the gate: the 2-D form of [[qZarrStatsBySlab]] —
+    * `GROUP BY FLOOR(inline/8), FLOOR(crossline/4)` buckets the grid into
+    * its 4×2 chunk tiles and answers MIN/MAX/SUM/COUNT per tile entirely
+    * from the sharded stats sidecar (one metadata row per tile, zero
+    * chunk files — the QC heat-map a survey review actually renders). */
+  val qZarrStatsByTile: Q = (s, d) =>
+    s.read.format("mdio").load(zarrGrid(s, d))
+      .groupBy(floor(col("inline") / 8).as("ti"), floor(col("crossline") / 4).as("tj"))
+      .agg(min(col("image")).as("mn"), max(col("image")).as("mx"),
+        sum(col("image")).as("total"), count(lit(1)).as("n"))
+      .orderBy(col("ti"), col("tj"))
+
+  val qZarrStatsByTileSql: String = """
+    WITH agg AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS image
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT i, j, COALESCE(image, 0.0) AS image
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j))
+    SELECT CAST(FLOOR(i / 8) AS BIGINT) AS ti, CAST(FLOOR(j / 4) AS BIGINT) AS tj,
+           MIN(image) AS mn, MAX(image) AS mx,
+           CAST(SUM(CAST(image AS DECIMAL(27,6))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM cells GROUP BY 1, 2 ORDER BY ti, tj"""
+
   /** Third grid fixture: the per-cell count on a COARSER chunking ([16,8]
     * vs [[zarrGrid]]'s [8,4]) for the compatible-transform SPJ row. */
   def zarrGridWeightCoarse(s: SparkSession, d: String): String =
@@ -1820,6 +1846,7 @@ object Mdio {
     "zarr_stats_moments"    -> qZarrStatsMoments,
     "zarr_stats_v1_meta"    -> qZarrStatsV1Meta,
     "zarr_stats_by_slab"    -> qZarrStatsBySlab,
+    "zarr_stats_by_tile"    -> qZarrStatsByTile,
     "zarr_spj_fusion"       -> qZarrSpjFusion,
     "zarr_spj_compat"       -> qZarrSpjCompat,
     "zarr_topk_value"       -> qZarrTopkValue,
@@ -1873,6 +1900,7 @@ object Mdio {
     "zarr_stats_moments"    -> qZarrStatsMomentsSql,
     "zarr_stats_v1_meta"    -> qZarrStatsV1MetaSql,
     "zarr_stats_by_slab"    -> qZarrStatsBySlabSql,
+    "zarr_stats_by_tile"    -> qZarrStatsByTileSql,
     "zarr_spj_fusion"       -> qZarrSpjFusionSql,
     "zarr_spj_compat"       -> qZarrSpjFusionSql, // same cells, coarser weight grid
     "zarr_topk_value"       -> qZarrTopkValueSql,

@@ -227,7 +227,7 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
   private var requiredSchema: StructType = fullSchema
   // accepted metadata-answerable aggregation: ("count", "") | ("min"/"max", dim)
   private var pushedAggs: Option[Seq[(String, String)]] = None
-  private var pushedGroup: Option[(String, Long)] = None // GROUP BY FLOOR(dim/L)
+  private var pushedGroup: Option[Seq[(String, Long)]] = None // GROUP BY FLOOR(dim/L)…
   // LIMIT hint: enumerate only enough chunks to cover this many cells —
   // df.limit(k) on a 100 TB store plans a handful of partitions instead
   // of millions. Partial pushdown: Spark still applies the final limit.
@@ -383,13 +383,14 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
   }
 
   private def translateAggs(agg: connector_expressions.aggregate.Aggregation)
-      : Option[(Seq[(String, String)], Option[(String, Long)])] = {
-    val grouped: Option[(String, Long)] =
+      : Option[(Seq[(String, String)], Option[Seq[(String, Long)]])] = {
+    val grouped: Option[Seq[(String, Long)]] =
       if (agg.groupByExpressions.isEmpty) None
-      else if (agg.groupByExpressions.length != 1) return None
-      else slabGroup(agg.groupByExpressions.head) match {
-        case some @ Some(_) => some
-        case None => return None
+      else {
+        val gs = agg.groupByExpressions.toSeq.map(e =>
+          slabGroup(e).getOrElse(return None))
+        if (gs.map(_._1).distinct.size != gs.size) return None // dup dim
+        Some(gs)
       }
     def named(e: connector_expressions.Expression): Option[String] = e match {
       case r: connector_expressions.NamedReference if r.fieldNames.length == 1 =>
@@ -452,10 +453,10 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
       case _ => return None
     }
     grouped match {
-      case Some((d, l)) =>
-        // per-slab answerability in one shot: coverage, chunk-multiple,
+      case Some(gs) =>
+        // per-slab answerability in one shot: coverage, chunk-multiples,
         // moments for vsum, per-slab integral-sum Long fit
-        if (MdioAggScan.slabRows(path, dims, metas, ranges, out.toSeq, d, l).isDefined)
+        if (MdioAggScan.slabRows(path, dims, metas, ranges, out.toSeq, gs).isDefined)
           Some((out.toSeq, grouped))
         else None
       case None => Some((out.toSeq, None))
@@ -646,7 +647,7 @@ final case class MdioAggScan(path: String, dims: Seq[String],
                              metas: Map[String, ZarrMeta.ArrayMeta],
                              ranges: Map[String, (Long, Long)],
                              aggs: Seq[(String, String)],
-                             group: Option[(String, Long)] = None)
+                             group: Option[Seq[(String, Long)]] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = {
     val aggFields = aggs.zipWithIndex.map { case ((f, d), i) =>
@@ -665,14 +666,15 @@ final case class MdioAggScan(path: String, dims: Seq[String],
         nullable = f != "count")
     }
     // grouped pushdown: Spark maps the scan output POSITIONALLY as
-    // group-by columns first, then aggregate columns
-    StructType(group.map { case (d, l) =>
-      StructField(s"slab_${d}_$l", LongType, nullable = false) }.toSeq ++ aggFields)
+    // group-by columns first (in pushed order), then aggregate columns
+    StructType(group.toSeq.flatten.map { case (d, l) =>
+      StructField(s"slab_${d}_$l", LongType, nullable = false) } ++ aggFields)
   }
   override def toBatch: Batch = this
   override def description(): String =
     s"MdioAggScan(metadata-only: ${aggs.map { case (f, d) => s"$f($d)" }.mkString(",")}" +
-      group.map { case (d, l) => s" group by $d/$l" }.getOrElse("") + ")"
+      group.map(gs => " group by " +
+        gs.map { case (d, l) => s"$d/$l" }.mkString(",")).getOrElse("") + ")"
 
   /** Exact MIN/MAX over a value column from the sidecar, scoped to the
     * (chunk-aligned) slice's chunk box. The builder validated
@@ -704,12 +706,12 @@ final case class MdioAggScan(path: String, dims: Seq[String],
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    group.foreach { case (d, l) =>
-      // one metadata row per slab; a writer racing between planning and
-      // execution must fail LOUD (the plan is fixed as metadata-only)
-      val rows = MdioAggScan.slabRows(path, dims, metas, ranges, aggs, d, l)
+    group.foreach { gs =>
+      // one metadata row per slab tuple; a writer racing between planning
+      // and execution must fail LOUD (the plan is fixed as metadata-only)
+      val rows = MdioAggScan.slabRows(path, dims, metas, ranges, aggs, gs)
         .getOrElse(throw new IllegalStateException(
-          s"per-slab stats for group by $d/$l went stale between planning and execution"))
+          s"per-slab stats for group by ${gs.mkString(",")} went stale between planning and execution"))
       return Array(MdioAggRowsPartition(rows))
     }
     val shape = metas.values.head.shape
@@ -841,25 +843,28 @@ object MdioAggScan {
     }
   }
 
-  /** Per-SLAB metadata aggregate rows for a pushed `GROUP BY FLOOR(dim/L)`
-    * — the per-inline/per-depth-slab QC pass (reference statsV1,
-    * mdio/stats.h:229-335, generalized along an axis) answered entirely
-    * from the stats sidecar: each group is `L` consecutive indices of
-    * `dim`, a whole number of chunks when `L % chunkSize(dim) == 0`, so a
-    * slab's MIN/MAX/SUM/COUNT is the exact union of its chunks' entries —
-    * zero chunk files opened however large the store. Returns one row per
-    * slab intersecting the (chunk-aligned) pushed ranges, group value
-    * first; None when any precondition fails (misaligned slice, stale or
-    * partial stats, L not chunk-aligned, a variable that is not a
-    * full-dimensional scalar, per-slab integral SUM overflow) — the
+  /** Per-SLAB metadata aggregate rows for a pushed
+    * `GROUP BY FLOOR(dim1/L1)[, FLOOR(dim2/L2), …]` — the per-inline /
+    * per-depth-slab / per-TILE QC pass (reference statsV1,
+    * mdio/stats.h:229-335, generalized along one or more axes) answered
+    * entirely from the stats sidecar: each group is an `L1×L2×…` box of
+    * indices, a whole number of chunks when every `Li % chunkSize(dimi)
+    * == 0`, so a slab's MIN/MAX/SUM/AVG/COUNT is the exact union of its
+    * chunks' entries — zero chunk files opened however large the store.
+    * Returns one row per slab tuple intersecting the (chunk-aligned)
+    * pushed ranges, group values first in pushed order; None when any
+    * precondition fails (misaligned slice, stale or partial stats, an Li
+    * not chunk-aligned, a duplicate grouped dim, a variable that is not
+    * a full-dimensional scalar, per-slab integral SUM overflow) — the
     * caller then declines the pushdown and a real scan runs. */
   def slabRows(path: String, dims: Seq[String],
                metas: Map[String, ZarrMeta.ArrayMeta],
                ranges: Map[String, (Long, Long)],
                aggs: Seq[(String, String)],
-               dim: String, l: Long): Option[Seq[Array[Any]]] = {
-    val di = dims.indexOf(dim)
-    if (di < 0 || l <= 0) return None
+               groups: Seq[(String, Long)]): Option[Seq[Array[Any]]] = {
+    val dis = groups.map { case (d, _) => dims.indexOf(d) }
+    if (groups.isEmpty || dis.exists(_ < 0) || dis.distinct.size != dis.size ||
+        groups.exists(_._2 <= 0)) return None
     val anchor = metas.values.head
     val shape = anchor.shape
     val bounds = dims.zipWithIndex.map { case (d, i) =>
@@ -867,30 +872,48 @@ object MdioAggScan {
       (math.max(lo, 0L), math.min(hi, shape(i)))
     }
     if (bounds.exists { case (lo, hi) => lo >= hi }) return Some(Seq.empty)
-    val (dLo, dHi) = bounds(di)
-    // per-variable: the slab-width must cover whole chunks and the stats
+    // per-variable: every slab width must cover whole chunks and the stats
     // must cover the (chunk-aligned) scan box, moments included for vsum
     val vars = aggs.collect { case (op, v) if op.startsWith("v") => v }.distinct
-    val perVar: Map[String, (Long, Map[String, MdioChunkStats.Entry])] =
+    val perVar: Map[String, Map[String, MdioChunkStats.Entry]] =
       vars.map { v =>
         val m = metas.getOrElse(v, return None)
         if (m.shape != shape || m.fields.nonEmpty) return None
-        val c = m.chunks(di)
-        if (l % c != 0) return None
+        if (groups.zip(dis).exists { case ((_, l), di) => l % m.chunks(di) != 0 })
+          return None
         val box = alignedChunkBox(m, dims, ranges).getOrElse(return None)
         val entries = MdioChunkStats.currentFor(ZarrMeta.path(path).resolve(v),
           box.head._1, box.head._2 - 1).getOrElse(return None)
         if (!boxKeys(box).forall(entries.contains)) return None
-        v -> (c, entries)
+        v -> entries
       }.toMap
-    val rows = ((dLo / l) to ((dHi - 1) / l)).map { g =>
-      val sLo = math.max(dLo, g * l)
-      val sHi = math.min(dHi, (g + 1) * l)
+    // enumerate slab tuples in pushed-group order (C-order nesting)
+    def tuples(i: Int, acc: Vector[Long]): Iterator[Vector[Long]] =
+      if (i == groups.size) Iterator.single(acc)
+      else {
+        val (dLo, dHi) = bounds(dis(i))
+        val l = groups(i)._2
+        ((dLo / l) to ((dHi - 1) / l)).iterator.flatMap(g => tuples(i + 1, acc :+ g))
+      }
+    val rows = tuples(0, Vector.empty).map { gs =>
+      // slab-clamped cell range per grouped dim
+      val slabbed = groups.zip(dis).zip(gs).foldLeft(ranges) {
+        case (r, (((d, l), di), g)) =>
+          val (dLo, dHi) = bounds(di)
+          r.updated(d, (math.max(dLo, g * l), math.min(dHi, (g + 1) * l)))
+      }
       val slabCells = bounds.zipWithIndex.map { case ((lo, hi), i) =>
-        if (i == di) sHi - sLo else hi - lo }.product
+        dis.indexOf(i) match {
+          case -1 => hi - lo
+          case k =>
+            val l = groups(k)._2
+            val g = gs(k)
+            math.min(hi, (g + 1) * l) - math.max(lo, g * l)
+        }
+      }.product
       def slabEntries(v: String): Option[Seq[MdioChunkStats.Entry]] = {
-        val entries = perVar(v)._2
-        alignedChunkBox(metas(v), dims, ranges.updated(dim, (sLo, sHi))).flatMap { box =>
+        val entries = perVar(v)
+        alignedChunkBox(metas(v), dims, slabbed).flatMap { box =>
           val es = boxKeys(box).map(entries.get).toSeq
           if (es.exists(_.isEmpty)) None else Some(es.map(_.get))
         }
@@ -906,8 +929,8 @@ object MdioAggScan {
         case other =>
           throw new IllegalStateException(s"unsupported grouped agg $other")
       }.toArray
-      (g: Any) +: values
-    }
+      gs.map(g => g: Any).toArray ++ values
+    }.toSeq
     Some(rows)
   }
 }

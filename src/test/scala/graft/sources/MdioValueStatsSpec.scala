@@ -491,6 +491,14 @@ class MdioValueStatsSpec extends SparkSpec {
     val mis = slabs(16, _.filter($"x" >= 5))
     assert(!fmt(mis).contains("MdioAggScan"), fmt(mis).take(900))
     assert(mis.select($"n").as[Long].collect().toSeq == Seq(11L, 16L, 16L, 16L))
+    // MULTI-DIM slab grids: a second grouped dim composes (1-D store has
+    // one dim, so pin the duplicate-dim decline here; the 2-D tile form
+    // is oracle-certified by zarr_stats_by_tile)
+    val dup = spark.read.format("mdio").load(dir)
+      .groupBy(floor($"x" / 16).as("a"), floor($"x" / 8).as("b"))
+      .agg(count(lit(1)).as("n"))
+    assert(!fmt(dup).contains("MdioAggScan"), fmt(dup).take(900))
+    assert(dup.count() == 8) // 8 (a,b) pairs, answered by a real scan
     // decline: stale stats — same answers through a real scan
     MdioChunkStats.bump(ZarrMeta.path(dir).resolve("v"))
     val stale = slabs(16)
