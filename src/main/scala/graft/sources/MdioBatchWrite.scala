@@ -55,6 +55,18 @@ final case class MdioWriteBuilder(path: String, dims: Seq[String],
         "MdioWriter.repartitionByChunk(df, path) with .option(\"aligned\", \"true\"), " +
         "or write through the mdio catalog (spark.sql.catalog.<name>) for " +
         "parallel-aligned-by-default.")
+    // aligned=true trusts the CALLER's partitioning, and for a
+    // `sharding_indexed` target the required granularity is the SHARD, not
+    // the chunk: a chunk-granular feed (e.g. a keyed scan's per-chunk
+    // partitions) can have two tasks assemble the same shard object from
+    // stale carryover — last-writer-wins, silently dropping inner chunks.
+    // MdioWriter.repartitionByChunk clusters at shard granularity for
+    // sharded targets; anything else must do the same.
+    if (aligned && metas.values.exists(_.shard.isDefined)) MdioWriteBuilder.log.warn(
+      s"mdio sink at $path: aligned=true targets a store with sharding_indexed " +
+        "variables — the caller's partitioning MUST be SHARD-granular (one task " +
+        "owns every whole shard object, as MdioWriter.repartitionByChunk " +
+        "produces); a chunk-granular feed loses inner chunks (last-writer-wins).")
     override def requiredDistribution(): Distribution =
       if (chunkTransform) {
         // loaded via MdioCatalog: its FunctionCatalog resolves the `chunk`
@@ -108,21 +120,39 @@ object MdioWriteBuilder {
   }
 }
 
+object MdioBatchWrite {
+  /** Per-variable stat rows a sink task keeps INLINE in its commit message;
+    * past this it spills a `.mdio_statfrag.<uuid>` file to the variable
+    * directory and the message carries only the name — the commit message
+    * stream stays O(tasks), never O(chunks), however large the write.
+    * Overridable per session via `spark.graft.sink.inlineStatRows`
+    * (captured at write planning on the driver). */
+  val InlineStatRows = 4096
+}
+
 final case class MdioBatchWrite(path: String, dims: Seq[String],
                                 metas: Map[String, ZarrMeta.ArrayMeta],
                                 schema: StructType) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     MdioDataWriterFactory(path, dims.toArray, schema,
       schema.fieldNames.filter(metas.contains).map(v => v -> metas(v)),
-      graft.zarr.HConf.capture())
+      graft.zarr.HConf.capture(),
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.conf.get("spark.graft.sink.inlineStatRows",
+          MdioBatchWrite.InlineStatRows.toString).toInt)
+        .getOrElse(MdioBatchWrite.InlineStatRows))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // all tasks succeeded; (v2) refresh consolidated metadata on the driver
     // — the WaitAllFuture-then-publish shape. Each task's commit message
     // carries the exact post-RMW bounds of the chunks it owned (one task
-    // per chunk under the clustering contract), so the stats sidecar
-    // refreshes for free here; variables the sink cannot bound
-    // (complex/record/u64) bump-invalidate instead, and variables no task
+    // per chunk under the clustering contract) — inline when few, as a
+    // spilled fragment file past InlineStatRows — so the stats sidecar
+    // refreshes here without an O(chunks) driver stage: fragment-bearing
+    // commits route through MdioStatsPublish (executor-side shard writes,
+    // driver writes only the manifest). Variables the sink cannot bound
+    // (complex/record) bump-invalidate instead, and variables no task
     // touched (null-expanded columns) are left alone — their data did not
     // change, so their stats stay current.
     val root = ZarrMeta.path(path)
@@ -130,52 +160,92 @@ final case class MdioBatchWrite(path: String, dims: Seq[String],
     val touched: Set[String] = stats.iterator.flatMap(_.touched).toSet
     touched.foreach { v =>
       val m = metas(v)
-      val capable = m.fields.isEmpty && !MdioPartitionReader.isComplex(m.dtype) &&
-        !(m.dtype.charAt(m.dtype.length - 2) == 'u' && m.dtype.endsWith("8"))
-      if (!capable) MdioChunkStats.bump(root.resolve(v))
+      val varDir = root.resolve(v)
+      val capable = m.fields.isEmpty && !MdioPartitionReader.isComplex(m.dtype)
+      if (!capable) MdioChunkStats.bump(varDir)
       else {
         val grid = m.chunkGrid.toArray
-        val entries = stats.iterator
-          .flatMap(_.stats.getOrElse(v, Array.empty[MdioWriter.ChunkStatRow]))
-          .flatMap { sr =>
+        val inline: Seq[MdioWriter.ChunkStatRow] = stats.toSeq
+          .flatMap(_.stats.getOrElse(v, Array.empty[MdioWriter.ChunkStatRow]).toSeq)
+        val frags: Seq[String] = stats.toSeq.flatMap(_.frags.getOrElse(v, Nil))
+        val session = org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        if (frags.nonEmpty && session.isDefined) {
+          // at-scale path: fragment rows never touch the driver
+          val sc = session.get.sparkContext
+          val hc = graft.zarr.HConf.capture()
+          val varDirStr = varDir.toString
+          val fragRdd = sc
+            .parallelize(frags, math.max(1, math.min(frags.size, sc.defaultParallelism)))
+            .flatMap { f =>
+              graft.zarr.VPath.install(hc.value)
+              MdioStatsPublish.readFragment(graft.zarr.VPath(varDirStr).resolve(f))
+            }
+          val rows = if (inline.isEmpty) fragRdd
+                     else fragRdd.union(sc.parallelize(inline, 1))
+          MdioStatsPublish.publishRows(session.get, varDirStr, hc, grid, rows)
+        } else {
+          // small write (or no session to run a job): driver-side refresh
+          val rows = inline ++ frags.flatMap(f =>
+            MdioStatsPublish.readFragment(varDir.resolve(f)))
+          val entries = rows.iterator.flatMap { sr =>
             val cc = new Array[Long](grid.length)
             var rem = sr.cid
             var i = grid.length - 1
             while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
             MdioWriter.statEntry(sr).map(ZarrMeta.chunkKey(cc.toSeq) -> _)
           }.toMap
-        MdioChunkStats.refresh(root.resolve(v), entries)
+          MdioChunkStats.refresh(varDir, entries)
+        }
+        frags.foreach(f => varDir.resolve(f).delete()) // after the manifest commit
       }
     }
     if (ZarrMeta.detectVersion(root) == 2) ZarrMeta.consolidate(root)
   }
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // tasks may have spilled stat fragments before the job died — GC them
+    val root = ZarrMeta.path(path)
+    messages.collect { case m: MdioStatsCommit => m }.foreach { m =>
+      m.frags.foreach { case (v, fs) =>
+        fs.foreach { f =>
+          try root.resolve(v).resolve(f).delete()
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
+    }
+  }
 }
 
 final case class MdioDataWriterFactory(path: String, dims: Array[String],
                                        schema: StructType,
                                        vars: Array[(String, ZarrMeta.ArrayMeta)],
-                                       hconf: graft.zarr.HConf)
+                                       hconf: graft.zarr.HConf,
+                                       inlineStatRows: Int = MdioBatchWrite.InlineStatRows)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     graft.zarr.VPath.install(hconf.value) // executor JVMs have no SparkSession
-    new MdioDataWriter(path, dims, schema, vars)
+    new MdioDataWriter(path, dims, schema, vars, inlineStatRows)
   }
 }
 
 /** Per-task commit payload: the variables this task wrote at least one
   * cell of, and — for boundable dtypes — the exact bounds of each FINAL
   * chunk buffer it owned (clustering guarantees single ownership, so the
-  * driver-side union is conflict-free). */
+  * union is conflict-free): inline rows when few, spilled
+  * `.mdio_statfrag.*` file names per variable when the task owned more
+  * than [[MdioBatchWrite.InlineStatRows]] chunks. */
 private final case class MdioStatsCommit(
     touched: Set[String],
-    stats: Map[String, Array[MdioWriter.ChunkStatRow]]) extends WriterCommitMessage
+    stats: Map[String, Array[MdioWriter.ChunkStatRow]],
+    frags: Map[String, Seq[String]] = Map.empty) extends WriterCommitMessage
 
 /** Buffers every owned chunk per variable; flushes chunk files on commit.
   * Thanks to the declared clustering, a chunk is owned by exactly one
   * task — no cross-task merge is ever needed. */
 final class MdioDataWriter(path: String, dims: Array[String], schema: StructType,
-                           vars: Array[(String, ZarrMeta.ArrayMeta)])
+                           vars: Array[(String, ZarrMeta.ArrayMeta)],
+                           inlineStatRows: Int = MdioBatchWrite.InlineStatRows)
     extends DataWriter[InternalRow] {
 
   private val rank = dims.length
@@ -427,6 +497,17 @@ final class MdioDataWriter(path: String, dims: Array[String], schema: StructType
   override def commit(): WriterCommitMessage = {
     val touched = Set.newBuilder[String]
     val stats = Map.newBuilder[String, Array[MdioWriter.ChunkStatRow]]
+    val frags = Map.newBuilder[String, Seq[String]]
+    // inline small row sets; spill big ones to a fragment file in the
+    // variable directory (the commit-message stream must stay O(tasks))
+    def emit(name: String, rows: Array[MdioWriter.ChunkStatRow]): Unit =
+      if (rows.length <= inlineStatRows) stats += name -> rows
+      else {
+        val frag = s".mdio_statfrag.${java.util.UUID.randomUUID()}"
+        MdioStatsPublish.writeFragment(
+          ZarrMeta.path(path).resolve(name).resolve(frag), rows)
+        frags += name -> Seq(frag)
+      }
     var v = 0
     while (v < vars.length) {
       val (name, m) = vars(v)
@@ -461,14 +542,15 @@ final class MdioDataWriter(path: String, dims: Array[String], schema: StructType
       }
       if (cids.nonEmpty) touched += name
       if (kind == 'f')
-        stats += name -> bufD(v).iterator.map { case (cid, buf) =>
-          MdioWriter.floatStat(cid, buf) }.toArray
-      else if (kind != 'c' && kind != 'V' && !isU64)
-        stats += name -> bufL(v).iterator.map { case (cid, buf) =>
-          MdioWriter.longStat(cid, buf) }.toArray
+        emit(name, bufD(v).iterator.map { case (cid, buf) =>
+          MdioWriter.floatStat(cid, buf) }.toArray)
+      else if (kind != 'c' && kind != 'V')
+        emit(name, bufL(v).iterator.map { case (cid, buf) =>
+          if (isU64) MdioWriter.u64Stat(cid, buf)
+          else MdioWriter.longStat(cid, buf) }.toArray)
       v += 1
     }
-    MdioStatsCommit(touched.result(), stats.result())
+    MdioStatsCommit(touched.result(), stats.result(), frags.result())
   }
 
   override def abort(): Unit = ()

@@ -463,13 +463,28 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
     }
   }
 
+  // supportCompletePushDown and pushAggregation receive the same
+  // Aggregation instance back-to-back, and translateAggs walks the stats
+  // sidecar (manifest + intersecting shards) for grouped queries — memoize
+  // per instance so the planner pays that I/O once. The LAST evaluation —
+  // MdioAggScan.planInputPartitions at execution — stays deliberate: it is
+  // the loud staleness check against a writer racing the fixed plan.
+  private var aggMemo: (connector_expressions.aggregate.Aggregation,
+    Option[(Seq[(String, String)], Option[Seq[(String, Long)]])]) = null
+
+  private def translateAggsMemo(agg: connector_expressions.aggregate.Aggregation)
+      : Option[(Seq[(String, String)], Option[Seq[(String, Long)]])] = {
+    if (aggMemo == null || !(aggMemo._1 eq agg)) aggMemo = (agg, translateAggs(agg))
+    aggMemo._2
+  }
+
   override def supportCompletePushDown(
       agg: connector_expressions.aggregate.Aggregation): Boolean =
-    translateAggs(agg).isDefined
+    translateAggsMemo(agg).isDefined
 
   override def pushAggregation(
       agg: connector_expressions.aggregate.Aggregation): Boolean =
-    translateAggs(agg) match {
+    translateAggsMemo(agg) match {
       case Some((t, g)) => pushedAggs = Some(t); pushedGroup = g; true
       case None => false
     }
@@ -508,14 +523,14 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
 
   /** The variable a filter attribute addresses, when value-stat pruning can
     * apply: a non-dim column backed by a scalar variable ('__value'-suffixed
-    * for dimension coordinates). u64 columns are excluded — their stats are
-    * never written (wrapped-long ordering), so pruning could never fire. */
+    * for dimension coordinates). u64 included — its sidecar bounds are
+    * unsigned-exact BigDecimals (r13), so pruning and metadata MIN/MAX
+    * cover the u64 coordinate case too. */
   private def statVar(a: String): Option[String] = {
     if (dimSet(a)) return None
     val v = a.stripSuffix("__value")
     metas.get(v).filter { m =>
-      m.fields.isEmpty && !MdioPartitionReader.isComplex(m.dtype) &&
-        !(m.dtype.charAt(m.dtype.length - 2) == 'u' && m.dtype.endsWith("8"))
+      m.fields.isEmpty && !MdioPartitionReader.isComplex(m.dtype)
     }.map(_ => v)
   }
 
@@ -806,6 +821,8 @@ object MdioAggScan {
       case ShortType => bd.toShort
       case ByteType => bd.toByte
       case BooleanType => bd.signum != 0
+      case d: DecimalType => // u64 surfaces as decimal(20,0); bounds exact
+        org.apache.spark.sql.types.Decimal(bd, d.precision, d.scale)
       case other => throw new IllegalStateException(s"unexpected stats dtype $other")
     }
     def nan: Any = if (dt == FloatType) Float.NaN else Double.NaN
@@ -993,6 +1010,21 @@ final case class MdioScan(path: String, dims: Seq[String],
     s.exists(_.conf.get("spark.graft.scan.keyedPartitions", "false").toBoolean)
   }
 
+  /** Ceiling on keyed-mode partition count: keyed planning is one driver
+    * object per chunk, so an unbounded keyed scan of a 100 TB store would
+    * plan ~1.6 M InputPartitions per variable. Past the ceiling the scan
+    * falls back LOUDLY to the coalesced chunk-range plan — the join then
+    * shuffles instead of zipping partitions, which is the correct trade
+    * when the alternative is millions of driver-side control objects.
+    * Raise `spark.graft.scan.keyedPartitions.max` deliberately if the
+    * driver is sized for more. */
+  private def keyedMaxPartitions: Long = {
+    val s = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    s.map(_.conf.get("spark.graft.scan.keyedPartitions.max", "65536").toLong)
+      .getOrElse(65536L)
+  }
+
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
     import org.apache.spark.sql.connector.expressions.Expressions
@@ -1049,7 +1081,8 @@ final case class MdioScan(path: String, dims: Seq[String],
     dims.filter(requiredSchema.fieldNames.contains) // only dims this scan outputs
       .map(d => connector_expressions.Expressions.column(d)).toArray
 
-  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    plannedMemo = null // runtime IN-sets refine the plan: drop the memo
     predicates.foreach { p =>
       if (p.name() == "IN" && p.children().nonEmpty) {
         (p.children()(0), p.children().drop(1)) match {
@@ -1075,6 +1108,7 @@ final case class MdioScan(path: String, dims: Seq[String],
         }
       }
     }
+  }
 
   /** Does any runtime value fall inside [lo, hi)? (sorted array probe) */
   private def anyValueIn(vals: Array[Long], lo: Long, hi: Long): Boolean = {
@@ -1083,7 +1117,19 @@ final case class MdioScan(path: String, dims: Seq[String],
     i < vals.length && vals(i) < hi
   }
 
+  // planning memo: outputPartitioning() (keyed mode) and Spark's own
+  // planInputPartitions() call would otherwise each re-run the full
+  // enumeration — including the sidecar manifest/shard reads (O(shards)
+  // driver I/O per run). Runtime filtering invalidates the memo, so a plan
+  // refined by a join's IN-set is never served stale.
+  @transient private var plannedMemo: Array[InputPartition] = _
+
   override def planInputPartitions(): Array[InputPartition] = {
+    if (plannedMemo == null) plannedMemo = planPartitions0()
+    plannedMemo
+  }
+
+  private def planPartitions0(): Array[InputPartition] = {
     val anchor = metas.values.head
     val shape = anchor.shape
     val chunks = anchor.chunks
@@ -1102,27 +1148,33 @@ final case class MdioScan(path: String, dims: Seq[String],
 
     // ---- value-statistics chunk pruning: for each variable with a pushed
     // value range, load its per-chunk [min, max] sidecar IF it is
-    // generation-current (MdioChunkStats.currentFor — stale or absent
-    // stats silently disable pruning for that variable; correctness never
-    // depends on the sidecar). Driver-side metadata read of the manifest
-    // plus ONLY the shards the scan's leading chunk range intersects —
-    // O(scanned range), not O(store).
-    val varStats: Map[String, Map[String, MdioChunkStats.Entry]] =
+    // generation-current (stale or absent stats silently disable pruning
+    // for that variable; correctness never depends on the sidecar).
+    // Driver-side metadata read of the manifest plus ONLY the shards the
+    // scan's leading chunk range intersects AND whose manifest summary
+    // cannot already prove them fully prunable — a selective value-only
+    // predicate on a 100 TB store skips whole shards from the manifest's
+    // per-shard bounds unions without opening them
+    // (MdioChunkStats.currentForPruning).
+    val varStats: Map[String, (Long, Set[Long], Map[String, MdioChunkStats.Entry])] =
       if (valueRanges.isEmpty) Map.empty
-      else valueRanges.keys.flatMap { v =>
-        MdioChunkStats.currentFor(ZarrMeta.path(path).resolve(v),
-          chunkLo.headOption.getOrElse(0L), chunkHi.headOption.getOrElse(0L)).map(v -> _)
+      else valueRanges.flatMap { case (v, range) =>
+        MdioChunkStats.currentForPruning(ZarrMeta.path(path).resolve(v),
+          chunkLo.headOption.getOrElse(0L), chunkHi.headOption.getOrElse(0L),
+          metas(v).chunkGrid, range.intersects).map(v -> _)
       }.toMap
     val statsActive = varStats.nonEmpty
 
     /** Can chunk `cc` hold any row satisfying every pushed value range?
-      * Missing entry → keep (safe); `null` entry (all-NaN chunk) → prune
-      * (NaN satisfies no range predicate). */
+      * A chunk whose stats shard was manifest-pruned is prunable outright;
+      * otherwise: missing entry → keep (safe); `null` entry (all-NaN
+      * chunk) → prune (NaN satisfies no range predicate). */
     def chunkSurvivesValues(cc: Seq[Long]): Boolean = {
       if (!statsActive) return true
       val key = ZarrMeta.chunkKey(cc)
-      varStats.forall { case (v, entries) =>
-        entries.get(key) match {
+      varStats.forall { case (v, (span, prunedShards, entries)) =>
+        if (prunedShards.contains(cc.head / span)) false
+        else entries.get(key) match {
           case None => true
           case Some(None) => false
           case Some(Some(b)) => valueRanges(v).intersects(b.min, b.max)
@@ -1208,6 +1260,10 @@ final case class MdioScan(path: String, dims: Seq[String],
         cell.map { case (lo, hi) => hi - lo }.product))
     }
 
+    def coalescedPlan(): Array[InputPartition] =
+      coalescedRangePlan(chunkLo, chunkHi, bounds, chunks, neededVars,
+        pruningActive, survives)
+
     topN match {
       // ORDER BY <dims> LIMIT k: plan complete slabs of the LEADING sort
       // dim (in its direction) until >= k cells are covered — the leading
@@ -1251,76 +1307,26 @@ final case class MdioScan(path: String, dims: Seq[String],
             out.result().toArray
           // keyed mode (storage-partitioned joins): per-chunk partitions
           // with partition keys — no range coalescing, every partition a
-          // HasPartitionKey (required to survive runtime filtering too)
+          // HasPartitionKey (required to survive runtime filtering too).
+          // BOUNDED: past the ceiling the scan falls back LOUDLY to the
+          // coalesced plan (millions of driver-side partition objects are
+          // worse than one shuffled join).
           case None if runtimeValues.isEmpty && keyedPartitions =>
-            enumerate(0, Vector.empty).flatMap(partitionFor).map(_._1).toArray
-          case None if runtimeValues.isEmpty =>
-            // ---- coalesced chunk-range planning (the plain full-scan
-            // path). One InputPartition per contiguous C-order RANGE of
-            // chunks, sized to ~targetPartitionBytes of projected output
-            // per task — a billion-chunk store plans O(bytes/target)
-            // partitions, never one driver-side control object per chunk
-            // (SURVEY §7.4.6; the reference iterates chunks inside the
-            // read, mdio/variable.h:1078-1103, rather than materializing
-            // per-chunk control structures on a coordinator). Small grids
-            // still fan out to the cluster's parallelism, so correctness
-            // tests and small stores keep their per-chunk behavior.
-            val extents: Array[Long] =
-              dims.indices.map(i => chunkHi(i) - chunkLo(i) + 1).toArray
-            val totalChunks = extents.product
-            val totalCells = bounds.map { case (lo, hi) => hi - lo }.product
-            val rowBytes =
-              math.max(1L, requiredSchema.fields.map(_.dataType.defaultSize.toLong).sum)
-            val session = org.apache.spark.sql.SparkSession.getActiveSession
-              .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-            val targetBytes = session
-              .map(_.conf.get("spark.graft.scan.targetPartitionBytes", "134217728").toLong)
-              .getOrElse(134217728L)
-            val targetCells = math.max(1L, targetBytes / rowBytes)
-            val idealTasks = (totalCells + targetCells - 1) / targetCells
-            val par = session.map(_.sparkContext.defaultParallelism.toLong).getOrElse(1L)
-            val tasks = math.max(1L, math.min(totalChunks, math.max(idealTasks, par)))
-            val chunksPerTask = (totalChunks + tasks - 1) / tasks
-            def rangePartition(s: Long, e: Long): InputPartition =
-              MdioChunkRangePartition(path, chunkLo.toArray, extents, chunks.toArray,
-                s, e,
-                bounds.map(_._1).toArray, bounds.map(_._2).toArray,
-                neededVars, neededVars.map(v => metas(v)).toArray)
-            if (!pruningActive)
-              (0L until totalChunks by chunksPerTask).map { s =>
-                rangePartition(s, math.min(s + chunksPerTask, totalChunks))
-              }.toArray
+            val boxChunks: Long =
+              dims.indices.map(i => chunkHi(i) - chunkLo(i) + 1).product
+            val ceiling = keyedMaxPartitions
+            if (boxChunks <= ceiling)
+              enumerate(0, Vector.empty).flatMap(partitionFor).map(_._1).toArray
             else {
-              // value-stat pruning over the full-scan path: test each chunk
-              // in C-order against the sidecar bounds and coalesce runs of
-              // SURVIVORS into range partitions (still capped at
-              // chunksPerTask). Driver cost is O(chunks-in-box) — the same
-              // order as the stats sidecar itself, i.e. the parquet-footer
-              // trade: chunk-level stats are only ever as cheap as one
-              // entry per chunk.
-              def ccOf(flat: Long): Seq[Long] = {
-                val cc = new Array[Long](dims.size)
-                var rem = flat
-                var i = dims.size - 1
-                while (i >= 0) { cc(i) = chunkLo(i) + rem % extents(i); rem /= extents(i); i -= 1 }
-                cc.toSeq
-              }
-              val out = Vector.newBuilder[InputPartition]
-              var runStart = -1L
-              var flat = 0L
-              while (flat < totalChunks) {
-                val ok = survives(ccOf(flat))
-                if (ok && runStart < 0) runStart = flat
-                if (ok && flat - runStart + 1 == chunksPerTask) {
-                  out += rangePartition(runStart, flat + 1); runStart = -1L
-                } else if (!ok && runStart >= 0) {
-                  out += rangePartition(runStart, flat); runStart = -1L
-                }
-                flat += 1
-              }
-              if (runStart >= 0) out += rangePartition(runStart, totalChunks)
-              out.result().toArray
+              MdioScan.log.warn(
+                s"mdio keyed scan of $path: box holds $boxChunks chunks, over " +
+                  s"spark.graft.scan.keyedPartitions.max=$ceiling — falling back " +
+                  "to coalesced chunk-range planning; the join will shuffle " +
+                  "instead of zipping storage partitions. Raise the ceiling " +
+                  "only if the driver is sized for that many partition objects.")
+              coalescedPlan()
             }
+          case None if runtimeValues.isEmpty => coalescedPlan()
           case _ =>
             // runtime (join-driven) IN-filters: enumerate ONLY the chunks
             // containing provided values on their filtered dims — O(values)
@@ -1342,6 +1348,78 @@ final case class MdioScan(path: String, dims: Seq[String],
     }
   }
 
+  /** The plain full-scan plan: one InputPartition per contiguous C-order
+    * RANGE of chunks, sized to ~targetPartitionBytes of projected output
+    * per task — a billion-chunk store plans O(bytes/target) partitions,
+    * never one driver-side control object per chunk (SURVEY §7.4.6; the
+    * reference iterates chunks inside the read, mdio/variable.h:1078-1103,
+    * rather than materializing per-chunk control structures on a
+    * coordinator). Small grids still fan out to the cluster's parallelism,
+    * so correctness tests and small stores keep their per-chunk behavior. */
+  private def coalescedRangePlan(chunkLo: Seq[Long], chunkHi: Seq[Long],
+                                 bounds: Seq[(Long, Long)],
+                                 chunks: Seq[Long],
+                                 neededVars: Array[String],
+                                 pruningActive: Boolean,
+                                 survives: Seq[Long] => Boolean): Array[InputPartition] = {
+    val extents: Array[Long] =
+      dims.indices.map(i => chunkHi(i) - chunkLo(i) + 1).toArray
+    val totalChunks = extents.product
+    val totalCells = bounds.map { case (lo, hi) => hi - lo }.product
+    val rowBytes =
+      math.max(1L, requiredSchema.fields.map(_.dataType.defaultSize.toLong).sum)
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    val targetBytes = session
+      .map(_.conf.get("spark.graft.scan.targetPartitionBytes", "134217728").toLong)
+      .getOrElse(134217728L)
+    val targetCells = math.max(1L, targetBytes / rowBytes)
+    val idealTasks = (totalCells + targetCells - 1) / targetCells
+    val par = session.map(_.sparkContext.defaultParallelism.toLong).getOrElse(1L)
+    val tasks = math.max(1L, math.min(totalChunks, math.max(idealTasks, par)))
+    val chunksPerTask = (totalChunks + tasks - 1) / tasks
+    def rangePartition(s: Long, e: Long): InputPartition =
+      MdioChunkRangePartition(path, chunkLo.toArray, extents, chunks.toArray,
+        s, e,
+        bounds.map(_._1).toArray, bounds.map(_._2).toArray,
+        neededVars, neededVars.map(v => metas(v)).toArray)
+    if (!pruningActive)
+      (0L until totalChunks by chunksPerTask).map { s =>
+        rangePartition(s, math.min(s + chunksPerTask, totalChunks))
+      }.toArray
+    else {
+      // value-stat pruning over the full-scan path: test each chunk
+      // in C-order against the sidecar bounds and coalesce runs of
+      // SURVIVORS into range partitions (still capped at
+      // chunksPerTask). Driver cost is O(chunks-in-box) — the same
+      // order as the stats sidecar itself, i.e. the parquet-footer
+      // trade: chunk-level stats are only ever as cheap as one
+      // entry per chunk.
+      def ccOf(flat: Long): Seq[Long] = {
+        val cc = new Array[Long](dims.size)
+        var rem = flat
+        var i = dims.size - 1
+        while (i >= 0) { cc(i) = chunkLo(i) + rem % extents(i); rem /= extents(i); i -= 1 }
+        cc.toSeq
+      }
+      val out = Vector.newBuilder[InputPartition]
+      var runStart = -1L
+      var flat = 0L
+      while (flat < totalChunks) {
+        val ok = survives(ccOf(flat))
+        if (ok && runStart < 0) runStart = flat
+        if (ok && flat - runStart + 1 == chunksPerTask) {
+          out += rangePartition(runStart, flat + 1); runStart = -1L
+        } else if (!ok && runStart >= 0) {
+          out += rangePartition(runStart, flat); runStart = -1L
+        }
+        flat += 1
+      }
+      if (runStart >= 0) out += rangePartition(runStart, totalChunks)
+      out.result().toArray
+    }
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     MdioReaderFactory(dims.toArray, requiredSchema, HConf.capture())
 
@@ -1349,6 +1427,10 @@ final case class MdioScan(path: String, dims: Seq[String],
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new MdioMicroBatchStream(path, dims, metas, requiredSchema, ranges)
+}
+
+object MdioScan {
+  private[sources] val log = org.slf4j.LoggerFactory.getLogger(classOf[MdioScan])
 }
 
 final case class MdioInputPartition(path: String, chunk: Array[Long],

@@ -23,12 +23,16 @@ import graft.zarr.VPath
 object MdioWriter {
 
   /** Exact per-chunk value bounds + statsV1 moments shipped from write
-    * tasks to the driver for the [[MdioChunkStats]] sidecar (float and
+    * tasks to the [[MdioStatsPublish]] shard-write stage (float and
     * integral payloads share one row shape; `empty` = no finite value in
     * the chunk). Moment sums travel as plain decimal STRINGS — a BigDecimal
     * through a Spark encoder would be coerced to decimal(38,18) and lose
     * the exactness the sidecar promises; `cnt < 0` marks moments absent
-    * (±Inf cells, or an integral chunk past the exact fast path). */
+    * (±Inf cells, or an integral chunk past the exact fast path). `u64`
+    * marks minL/maxL as UNSIGNED bit patterns (the wrapped two's-complement
+    * longs the write path carries), unwrapped exactly to [0, 2^64) by
+    * [[statEntry]] — bounds serialize as BigDecimal, so u64 stats stay
+    * exact past 2^63. */
   private[sources] final case class ChunkStatRow(cid: Long, isFloat: Boolean,
                                                  minD: Double, maxD: Double,
                                                  minL: Long, maxL: Long,
@@ -36,7 +40,8 @@ object MdioWriter {
                                                  nan: Boolean = false,
                                                  cnt: Long = -1L,
                                                  sumS: String = "",
-                                                 sumSqS: String = "")
+                                                 sumSqS: String = "",
+                                                 u64: Boolean = false)
 
   /** Exact bounds + moments of one FINAL chunk buffer (float path): finite
     * min/max, NaN presence, all-NaN flag, and the exact sum / sum of
@@ -122,13 +127,38 @@ object MdioWriter {
         BigDecimal(new java.math.BigDecimal(sr.sumS)),
         if (sr.sumSqS.isEmpty) None
         else Some(BigDecimal(new java.math.BigDecimal(sr.sumSqS)))))
+    def unwrapU64(v: Long): BigDecimal =
+      if (v >= 0) BigDecimal(v)
+      else BigDecimal(v) + BigDecimal("18446744073709551616")
     if (sr.empty) Some(None)
     else if (sr.isFloat) {
       if (sr.minD.isInfinite || sr.maxD.isInfinite) None // unprunable chunk
       else Some(Some(MdioChunkStats.Bounds(BigDecimal(sr.minD), BigDecimal(sr.maxD),
         sr.nan, moments)))
-    } else Some(Some(MdioChunkStats.Bounds(BigDecimal(sr.minL), BigDecimal(sr.maxL),
+    } else if (sr.u64) Some(Some(MdioChunkStats.Bounds(
+      unwrapU64(sr.minL), unwrapU64(sr.maxL), hasNaN = false, moments)))
+    else Some(Some(MdioChunkStats.Bounds(BigDecimal(sr.minL), BigDecimal(sr.maxL),
       hasNaN = false, moments)))
+  }
+
+  /** Exact bounds of one FINAL u64 chunk buffer (values stored as wrapped
+    * two's-complement longs): min/max under UNSIGNED ordering, serialized
+    * exactly to [0, 2^64) by [[statEntry]]. Moments stay absent — an exact
+    * u64 sum needs 128-bit accumulation for no pushdown Spark's
+    * decimal-typed Sum would accept from this metadata path anyway — so
+    * u64 sidecars answer pruning and MIN/MAX, and SUM/AVG fall back to a
+    * real scan. */
+  private[sources] def u64Stat(cid: Long, buf: Array[Long]): ChunkStatRow = {
+    var mn = buf(0)
+    var mx = buf(0)
+    var i = 1
+    while (i < buf.length) {
+      val v = buf(i)
+      if (java.lang.Long.compareUnsigned(v, mn) < 0) mn = v
+      if (java.lang.Long.compareUnsigned(v, mx) > 0) mx = v
+      i += 1
+    }
+    ChunkStatRow(cid, isFloat = false, 0.0, 0.0, mn, mx, empty = false, u64 = true)
   }
 
   /** S2 — create a dataset from a validated JSON spec: all array metadata +
@@ -592,13 +622,16 @@ object MdioWriter {
     val parts = math.min(nChunks, math.max(spark.sparkContext.defaultParallelism.toLong, 1L)).toInt
     val hc = graft.zarr.HConf.capture() // executor JVMs have no SparkSession
 
-    // per-chunk value stats ride back to the driver for free: each task
+    // per-chunk value stats ride out of the write tasks for free: each task
     // holds the FINAL post-read-modify-write chunk buffer, so its bounds
-    // are exact by construction (no extra pass, no estimate). u64 (wrapped
-    // two's-complement ordering) and complex skip stats; their write still
-    // bumps the generation below, invalidating any stale sidecar.
-    val collectStats = !isComplex && !isU64
-    val statRows: Array[MdioWriter.ChunkStatRow] = projected
+    // are exact by construction (no extra pass, no estimate) — u64 included
+    // (unsigned min/max, serialized exactly past 2^63). Complex dtypes skip
+    // stats; their write still bumps the generation below, invalidating any
+    // stale sidecar. The rows NEVER collect to the driver: they shuffle by
+    // stats-shard id and the shard files are written from executors
+    // (MdioStatsPublish) — the driver sees only per-shard summaries.
+    val collectStats = !isComplex
+    val statRows: org.apache.spark.rdd.RDD[MdioWriter.ChunkStatRow] = projected
       .repartition(parts, col("__chunk"))
       .rdd.mapPartitions { rows: Iterator[org.apache.spark.sql.Row] =>
         VPath.install(hc.value)
@@ -675,27 +708,30 @@ object MdioWriter {
           val floatStats = byChunkD.iterator.map { case (cid, buf) =>
             MdioWriter.floatStat(cid, buf) }
           val longStats = byChunkL.iterator.map { case (cid, buf) =>
-            MdioWriter.longStat(cid, buf) }
+            if (isU64) MdioWriter.u64Stat(cid, buf)
+            else MdioWriter.longStat(cid, buf) }
           (floatStats ++ longStats).toArray.iterator
         }
-      }.collect()
+      }
 
     // publish the sidecar at the NEW generation (gen file first: a crash
-    // between the two leaves stats stale, never wrongly current); untouched
-    // chunks keep their prior entries when those were generation-current
+    // window reads stale, never wrongly current); untouched chunks keep
+    // their prior entries when those were generation-current. The chunk
+    // writes and the sidecar shard writes are ONE Spark job: the stat rows
+    // shuffle from the write tasks straight into the shard-writing reduce
+    // stage, so a full-store write never stages O(chunks) rows on the
+    // driver (the r12 verdict's last O(chunks) driver stage, removed).
     val varDir = root.resolve(variable)
-    if (!collectStats) MdioChunkStats.bump(varDir)
-    else {
-      val entries: Map[String, MdioChunkStats.Entry] = statRows.iterator.flatMap { sr =>
-        val cc = new Array[Long](rank)
-        var rem = sr.cid
-        var i = rank - 1
-        while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
-        MdioWriter.statEntry(sr).map(ZarrMeta.chunkKey(cc.toSeq) -> _)
-      }.toMap
-      MdioChunkStats.refresh(varDir, entries)
-    }
+    if (!collectStats) {
+      projectedAction(statRows)
+      MdioChunkStats.bump(varDir)
+    } else MdioStatsPublish.publishRows(spark, varDir.toString, hc, grid, statRows)
   }
+
+  /** Run a stats-less write job (the mapPartitions side effects are the
+    * chunk writes; the iterator is empty by construction). */
+  private def projectedAction(rows: org.apache.spark.rdd.RDD[ChunkStatRow]): Unit =
+    rows.foreachPartition((_: Iterator[ChunkStatRow]) => ())
 
   /** S10 / F5 — update a variable's (or the group's, variable="") user
     * attributes with RFC 7386 merge-patch semantics, then re-consolidate
@@ -939,10 +975,13 @@ object MdioWriter {
     val grid = metaB.chunkGrid.toArray
     // sharded tasks hold every TOUCHED inner chunk's final buffer (the
     // same exact-by-construction property as the chunk-shuffle path), so
-    // per-inner-chunk bounds ride back with the job; untouched inner
-    // chunks carry over byte-identical AND keep their prior sidecar
-    // entries through the generation-checked merge. u64 stays bump-only.
-    val statRows: Array[ChunkStatRow] = projected
+    // per-inner-chunk bounds ride out with the job (u64 included: unsigned
+    // bounds, exact past 2^63); untouched inner chunks carry over
+    // byte-identical AND keep their prior sidecar entries through the
+    // generation-checked merge. Stat rows shuffle straight into the
+    // executor-side shard-writing stage (MdioStatsPublish) — never
+    // collected to the driver.
+    val statRows: org.apache.spark.rdd.RDD[ChunkStatRow] = projected
       .repartition(parts, col("__shard"))
       .rdd.mapPartitions { rows: Iterator[org.apache.spark.sql.Row] =>
         VPath.install(hc.value)
@@ -1032,8 +1071,7 @@ object MdioWriter {
           }
           shardPath(sid).write(ZarrMeta.buildShard(parts2))
         }
-        if (isU64) Iterator.empty
-        else {
+        locally {
           // global inner-chunk C-order id from (shard id, in-shard index)
           def innerCid(sid: Long, idx: Int): Long = {
             val sc = new Array[Long](rank)
@@ -1052,22 +1090,13 @@ object MdioWriter {
           val fs = touchedD.iterator.map { case ((sid, idx), buf) =>
             MdioWriter.floatStat(innerCid(sid, idx), buf) }
           val ls = touchedL.iterator.map { case ((sid, idx), buf) =>
-            MdioWriter.longStat(innerCid(sid, idx), buf) }
+            if (isU64) MdioWriter.u64Stat(innerCid(sid, idx), buf)
+            else MdioWriter.longStat(innerCid(sid, idx), buf) }
           (fs ++ ls).toArray.iterator
         }
-      }.collect()
+      }
     val varDir = ZarrMeta.path(path).resolve(variable)
-    if (isU64) MdioChunkStats.bump(varDir)
-    else {
-      val entries: Map[String, MdioChunkStats.Entry] = statRows.iterator.flatMap { sr =>
-        val cc = new Array[Long](rank)
-        var rem = sr.cid
-        var i = rank - 1
-        while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
-        MdioWriter.statEntry(sr).map(ZarrMeta.chunkKey(cc.toSeq) -> _)
-      }.toMap
-      MdioChunkStats.refresh(varDir, entries)
-    }
+    MdioStatsPublish.publishRows(spark, varDir.toString, hc, grid, statRows)
   }
 
   /** The variables of `path` that `df`'s columns actually cover (data

@@ -654,6 +654,272 @@ class MdioValueStatsSpec extends SparkSpec {
     varDir.deleteRecursive()
   }
 
+  // ---- r13: executor-side stats publication, manifest summaries, GC,
+  // span drift, exact u64 bounds
+
+  /** Poll until `cond` holds (listener events post asynchronously). */
+  private def eventually(cond: => Boolean): Unit = {
+    var i = 0
+    while (!cond && i < 200) { Thread.sleep(25); i += 1 }
+    assert(cond, "condition not met within 5s")
+  }
+
+  test("write job ships no per-chunk stat rows to the driver") {
+    // 4096-chunk store: the pre-r13 path collected 4096 serialized
+    // ChunkStatRows (~100+ KB per task at local[4]); the r13 path shuffles
+    // them into an executor-side shard-write stage, and the driver receives
+    // only per-shard summaries. Pin (a) the job SHAPE — the write runs a
+    // shuffle (a completed stage with a parent) — and (b) the driver-result
+    // volume: every task's resultSize stays far below one task's worth of
+    // serialized stat rows.
+    val dir = Files.createTempDirectory("mdio_vstats").resolve("big.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "big", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "x", "dataType": "int64",
+        |     "dimensions": [{"name": "x", "size": 16384}]},
+        |    {"name": "v", "dataType": "float64",
+        |     "dimensions": [{"name": "x", "size": 16384}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [4]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    val maxResult = new java.util.concurrent.atomic.AtomicLong
+    val shuffledStages = new java.util.concurrent.atomic.AtomicInteger
+    val tasksSeen = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (t.taskMetrics != null)
+          maxResult.getAndAccumulate(t.taskMetrics.resultSize, math.max)
+        tasksSeen.incrementAndGet()
+      }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (s.stageInfo.parentIds.nonEmpty) shuffledStages.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      MdioWriter.writeVariable(spark,
+        spark.range(16384).select($"id".as("x"), $"id".cast("double").as("v")), dir, "v")
+      eventually(shuffledStages.get() >= 1 && tasksSeen.get() >= 2)
+      assert(maxResult.get() < 32 * 1024,
+        s"a write task shipped ${maxResult.get()} B to the driver — " +
+          "stat rows are collecting again instead of shuffling to shard writers")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the sidecar is complete + multi-shard (span from the chunk grid)
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    val cur = MdioChunkStats.current(varDir)
+    assert(cur.isDefined && cur.get.size == 4096)
+    val m = MdioChunkStats.readManifest(varDir).get
+    assert(m.span == 4096 && m.shards.keySet == Set(0L), m.shards.keySet)
+    assert(stripped(cur.get("4095")) ==
+      Some(MdioChunkStats.Bounds(BigDecimal(16380), BigDecimal(16383))))
+    // pruning works through the distributed-published sidecar
+    assert(planned(dir, Array(GreaterThanOrEqual("v", 16380.0))) == 1)
+    MdioWriter.delete(dir)
+  }
+
+  test("a span-changing republish GCs shard files the dead manifest listed") {
+    val dir = createFloat(_.toDouble)
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    val entries = MdioChunkStats.current(varDir).get
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir), entries, span = 1)
+    (0L to 7L).foreach(s =>
+      assert(varDir.resolve(MdioChunkStats.shardFile(s)).exists, s"shard $s missing"))
+    // span-changing refresh → full republish at span 4 → shards {0, 1}
+    MdioChunkStats.refresh(varDir,
+      Map("0" -> Some(MdioChunkStats.Bounds(BigDecimal(-1), BigDecimal(7)))), span = 4)
+    val onDisk = varDir.list().map(_.name).filter(_.startsWith(".mdio_stats.s")).toSet
+    assert(onDisk == Set(MdioChunkStats.shardFile(0), MdioChunkStats.shardFile(1)),
+      s"dead shard files survived GC: $onDisk")
+    val cur = MdioChunkStats.current(varDir).get
+    assert(cur.size == 8) // nothing lost
+    assert(stripped(cur("0")) == Some(MdioChunkStats.Bounds(BigDecimal(-1), BigDecimal(7))))
+    MdioWriter.delete(dir)
+  }
+
+  test("span drift re-derives: a store grown past its first-publish span republishes") {
+    import graft.zarr.VPath
+    val varDir = VPath(Files.createTempDirectory("mdio_drift").resolve("v").toString)
+    varDir.mkdirs()
+    // the small-store trap: first publish pinned a huge span (1 shard)
+    varDir.resolve(MdioChunkStats.GenFile).writeString("1")
+    def b(i: Long) = Some(MdioChunkStats.Bounds(BigDecimal(i), BigDecimal(i)))
+    MdioChunkStats.write(varDir, 1L,
+      (0L until 8L).map(i => i.toString -> b(i)).toMap, span = 1000000)
+    assert(MdioChunkStats.readManifest(varDir).get.shards.keySet == Set(0L))
+    // the store grows: 20 000 fresh leads merge into that one shard —
+    // past SpanDriftFactor × ShardTargetEntries, the span must re-derive
+    MdioChunkStats.refresh(varDir,
+      (8L until 20000L).map(i => i.toString -> b(i)).toMap)
+    val m = MdioChunkStats.readManifest(varDir).get
+    assert(m.span == MdioChunkStats.ShardTargetEntries,
+      s"span should re-derive to the target, got ${m.span}")
+    assert(m.shards.size == 5, s"expected 5 rebalanced shards, got ${m.shards.keySet}")
+    assert(MdioChunkStats.current(varDir).get.size == 20000)
+    varDir.parent.deleteRecursive()
+  }
+
+  test("distributed publish: fresh, incremental merge, drift respan, stale GC") {
+    import graft.zarr.{HConf, VPath}
+    val varDir = VPath(Files.createTempDirectory("mdio_dpub").resolve("v").toString)
+    varDir.mkdirs()
+    val hc = HConf.capture()
+    def b(i: Long) = Some(MdioChunkStats.Bounds(BigDecimal(i), BigDecimal(i)))
+    def publish(entries: Seq[(String, MdioChunkStats.Entry)], freshSpan: Long): Unit =
+      MdioStatsPublish.publishEntries(spark, varDir.toString, hc,
+        spark.sparkContext.parallelize(entries, 4), freshSpan)
+    // fresh full publish (no prior): executor tasks write the shards
+    publish((0L until 100L).map(i => i.toString -> b(i)), freshSpan = 10)
+    assert(MdioChunkStats.generation(varDir) == 1L)
+    val m1 = MdioChunkStats.readManifest(varDir).get
+    assert(m1.span == 10 && m1.shards.size == 10)
+    assert(MdioChunkStats.current(varDir).get.size == 100)
+    // incremental: one fresh entry rewrites ONLY its shard
+    def shardBytes(s: Long) = varDir.resolve(MdioChunkStats.shardFile(s)).readString()
+    val before = (0L until 10L).map(s => s -> shardBytes(s)).toMap
+    publish(Seq("55" -> Some(MdioChunkStats.Bounds(BigDecimal(-5), BigDecimal(5)))), 10)
+    (0L until 10L).filter(_ != 5L).foreach(s =>
+      assert(shardBytes(s) == before(s), s"untouched shard $s rewritten"))
+    assert(shardBytes(5L) != before(5L))
+    val cur = MdioChunkStats.current(varDir).get
+    assert(cur.size == 100 &&
+      stripped(cur("55")) == Some(MdioChunkStats.Bounds(BigDecimal(-5), BigDecimal(5))))
+    // stale prior: an external bump invalidates; the next fresh publish GCs
+    // every shard file the dead manifest listed but the new one does not
+    MdioChunkStats.bump(varDir)
+    publish(Seq("0" -> b(0)), freshSpan = 1)
+    val onDisk = varDir.list().map(_.name).filter(_.startsWith(".mdio_stats.s")).toSet
+    assert(onDisk == Set(MdioChunkStats.shardFile(0)), s"stale shards survived: $onDisk")
+    assert(MdioChunkStats.current(varDir).get.keySet == Set("0"))
+    varDir.parent.deleteRecursive()
+  }
+
+  test("distributed drift respan rebalances a pinned-span store from executors") {
+    import graft.zarr.{HConf, VPath}
+    val varDir = VPath(Files.createTempDirectory("mdio_dresp").resolve("v").toString)
+    varDir.mkdirs()
+    val hc = HConf.capture()
+    def b(i: Long) = Some(MdioChunkStats.Bounds(BigDecimal(i), BigDecimal(i)))
+    // prior: one giant-span shard holding 17 000 entries, published current
+    varDir.resolve(MdioChunkStats.GenFile).writeString("1")
+    MdioChunkStats.write(varDir, 1L,
+      (0L until 17000L).map(i => i.toString -> b(i)).toMap, span = 1000000)
+    // a 1-entry incremental merge crosses the drift threshold → respan job
+    MdioStatsPublish.publishEntries(spark, varDir.toString, hc,
+      spark.sparkContext.parallelize(
+        Seq("3" -> Some(MdioChunkStats.Bounds(BigDecimal(-3), BigDecimal(3)))), 1),
+      freshSpan = 1000000)
+    val m = MdioChunkStats.readManifest(varDir).get
+    assert(m.span == MdioChunkStats.ShardTargetEntries,
+      s"distributed respan should re-derive the span, got ${m.span}")
+    assert(m.shards.size == 5, m.shards.keySet)
+    val cur = MdioChunkStats.current(varDir).get
+    assert(cur.size == 17000 &&
+      stripped(cur("3")) == Some(MdioChunkStats.Bounds(BigDecimal(-3), BigDecimal(3))))
+    varDir.parent.deleteRecursive()
+  }
+
+  test("manifest summaries prune whole shards without opening them") {
+    val dir = createFloat(_.toDouble)
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    val entries = MdioChunkStats.current(varDir).get
+    // 4 shards of 2 chunks each, manifest carrying per-shard bounds unions
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir), entries, span = 2)
+    val before = MdioChunkStats.shardReadCount.get()
+    assert(coveredChunks(dir, Array(GreaterThanOrEqual("v", 48.0))) == 2L)
+    val opened = MdioChunkStats.shardReadCount.get() - before
+    assert(opened == 1,
+      s"v >= 48 intersects only shard 3's union [48, 63]; opened $opened shard files")
+    assert(spark.read.format("mdio").load(dir).filter($"v" >= 48.0).count() == 16L)
+    // soundness: a shard MISSING an entry (e.g. a ±Inf chunk) is not
+    // coverage-complete — it must open, and its entry-less chunk stays
+    // planned however disjoint the union looks
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir), entries - "0", span = 2)
+    val before2 = MdioChunkStats.shardReadCount.get()
+    assert(coveredChunks(dir, Array(GreaterThanOrEqual("v", 48.0))) == 3L) // chunk 0 kept
+    val opened2 = MdioChunkStats.shardReadCount.get() - before2
+    assert(opened2 == 2, s"incomplete shard 0 must open: opened $opened2")
+    MdioWriter.delete(dir)
+  }
+
+  test("u64 sidecar bounds are exact past 2^63: pruning and metadata MIN/MAX") {
+    val dir = Files.createTempDirectory("mdio_vstats").resolve("u.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "u", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "x", "dataType": "int64",
+        |     "dimensions": [{"name": "x", "size": 64}]},
+        |    {"name": "u", "dataType": "uint64",
+        |     "dimensions": [{"name": "x", "size": 64}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    val twoTo63 = BigDecimal("9223372036854775808")
+    MdioWriter.writeVariable(spark,
+      spark.range(64).select($"id".as("x"),
+        ($"id".cast("decimal(21,0)") + lit(twoTo63)).cast("decimal(20,0)").as("u")),
+      dir, "u")
+    val varDir = ZarrMeta.path(dir).resolve("u")
+    val cur = MdioChunkStats.current(varDir)
+    assert(cur.isDefined, "u64 writes must publish stats, not bump-invalidate")
+    assert(stripped(cur.get("7")) == Some(MdioChunkStats.Bounds(twoTo63 + 56, twoTo63 + 63)),
+      "u64 bounds must unwrap exactly past 2^63")
+    // pruning: only chunk 7 can satisfy u >= 2^63 + 56
+    assert(planned(dir,
+      Array(GreaterThanOrEqual("u", (twoTo63 + 56).underlying))) == 1)
+    val df = spark.read.format("mdio").load(dir).filter($"u" >= lit(twoTo63 + 56))
+    assert(df.count() == 8L)
+    // metadata MIN/MAX over the u64 column (statsV1 attached-attributes)
+    val agg = spark.read.format("mdio").load(dir)
+      .agg(min($"u").as("mn"), max($"u").as("mx"))
+    val p = agg.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("MdioAggScan"), p.take(700))
+    val r = agg.head
+    assert(BigDecimal(r.getDecimal(0)) == twoTo63 && BigDecimal(r.getDecimal(1)) == twoTo63 + 63)
+    MdioWriter.delete(dir)
+  }
+
+  test("sink spills stat rows past the inline cap; commit publishes distributed") {
+    val dir = createFloat(_.toDouble)
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    spark.conf.set("spark.graft.sink.inlineStatRows", "2")
+    try {
+      // serial sink write: one task owns all 8 chunks > cap 2 → fragment
+      spark.range(64).select($"id".as("x"), ($"id" + 1000.0).as("v"))
+        .write.format("mdio").mode("append").save(dir)
+    } finally spark.conf.unset("spark.graft.sink.inlineStatRows")
+    assert(MdioChunkStats.generation(varDir) == 2L)
+    val cur = MdioChunkStats.current(varDir)
+    assert(cur.isDefined && cur.get.size == 8)
+    assert(stripped(cur.get("0")) ==
+      Some(MdioChunkStats.Bounds(BigDecimal(1000), BigDecimal(1007))))
+    // fragments are GC'd after the manifest commit
+    val leftovers = varDir.list().map(_.name).filter(_.startsWith(".mdio_statfrag"))
+    assert(leftovers.isEmpty, s"fragment files survived commit: $leftovers")
+    assert(planned(dir, Array(GreaterThanOrEqual("v", 1056.0))) == 1)
+    MdioWriter.delete(dir)
+  }
+
+  test("stat-row fragments round-trip exactly (bits, strings, flags)") {
+    val rows = Seq(
+      MdioWriter.ChunkStatRow(7L, isFloat = true, -0.0, 1.5e308, 0L, 0L,
+        empty = false, nan = true, cnt = 3L, sumS = "1.25", sumSqS = "0.015625"),
+      MdioWriter.ChunkStatRow(8L, isFloat = false, 0.0, 0.0, -1L, Long.MinValue,
+        empty = false, u64 = true),
+      MdioWriter.ChunkStatRow(9L, isFloat = true, Double.NaN, Double.NaN, 0L, 0L,
+        empty = true))
+    val decoded = rows.map(r => MdioStatsPublish.decodeRow(MdioStatsPublish.encodeRow(r)))
+    rows.zip(decoded).foreach { case (a, d) =>
+      assert(java.lang.Double.doubleToRawLongBits(a.minD) ==
+        java.lang.Double.doubleToRawLongBits(d.minD))
+      assert(java.lang.Double.doubleToRawLongBits(a.maxD) ==
+        java.lang.Double.doubleToRawLongBits(d.maxD))
+      assert(a.copy(minD = 0, maxD = 0) == d.copy(minD = 0, maxD = 0))
+    }
+  }
+
   test("MdioValueRange conjunction and boundary semantics") {
     val r = MdioValueRange(None, None)
       .narrow(Some((BigDecimal(10), true)), None)
