@@ -553,6 +553,11 @@ object Bench {
     "zarr_spj_compat" -> 0.9,
     // comparator: zarr_extents (same O(1) metadata-only scan shape)
     "zarr_extents_distinct" -> 0.04,
+    // comparator: zarr_value_pruning (the same stats-pruned filtered scan
+    // + one-row aggregate, over the u64 store — decimal(20,0) cells decode
+    // through the Decimal column vector instead of doubles; first budget
+    // r13)
+    "zarr_u64_pruning" -> 0.15,
     // comparator: zarr_stats_minmax (the same metadata-only one-row
     // MdioAggScan, reading moment entries instead of bounds)
     "zarr_stats_moments" -> 0.054,

@@ -482,6 +482,68 @@ object Mdio {
            COUNT(*) AS n
     FROM cells GROUP BY 1 ORDER BY slab"""
 
+  /** uint64 store for the exact-u64 gate row: per-cell lineitem COUNT
+    * offset past 2^63, on the zarrGrid geometry — every stored value is
+    * outside both the Long range and the double-exact integer range, so
+    * any sign-wrapped or double-routed handling of u64 anywhere in the
+    * write path, the sidecar bounds, the pruning comparison, or the read
+    * path shifts the answer and fails the hash. */
+  def zarrGridU64(s: SparkSession, d: String): String =
+    builtGrids.getOrElseUpdate(d + "#u64", {
+      val path = s"/tmp/graft_zarru64_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val spec = graft.spec.MdioSpec.fromJson(
+        """{
+          |  "metadata": {"name": "lineitem_u64", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+          |  "variables": [
+          |    {"name": "inline", "dataType": "int64",
+          |     "dimensions": [{"name": "inline", "size": 32}]},
+          |    {"name": "crossline", "dataType": "int64",
+          |     "dimensions": [{"name": "crossline", "size": 8}]},
+          |    {"name": "amp", "dataType": "uint64",
+          |     "dimensions": [{"name": "inline", "size": 32}, {"name": "crossline", "size": 8}],
+          |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8, 4]}}}}
+          |  ]
+          |}""".stripMargin)
+      graft.sources.MdioWriter.delete0(path)
+      graft.sources.MdioWriter.create(spec, path)
+      val agg = lineitem(s, d)
+        .groupBy((col("l_orderkey") % 32).as("inline"),
+                 (col("l_linenumber").cast("long") % 8).as("crossline"))
+        .agg(count(lit(1)).cast("decimal(21,0)").as("cnt"))
+      val full = s.range(32).select(col("id").as("inline"))
+        .crossJoin(s.range(8).select(col("id").as("crossline")))
+      val cells = full.join(agg, Seq("inline", "crossline"), "left")
+        .select(col("inline"), col("crossline"),
+          (lit(BigDecimal("9223372036854775808")) +
+            coalesce(col("cnt"), lit(BigDecimal(0)))).cast("decimal(20,0)").as("amp"))
+      graft.sources.MdioWriter.writeVariable(s, cells, path, "amp")
+      path
+    })
+
+  /** Exact uint64 on the gate (reference dtype matrix, mdio/impl.h — u64
+    * is a first-class coordinate dtype): a value predicate strictly above
+    * 2^63 filters the u64 column, pruning through the UNSIGNED-exact
+    * sidecar bounds (r13), and MIN/MAX come back as full-precision decimal
+    * — compared as strings so neither engine's numeric coercion can mask a
+    * wrapped or double-rounded value. */
+  val qZarrU64Pruning: Q = (s, d) =>
+    s.read.format("mdio").load(zarrGridU64(s, d))
+      .filter(col("amp") > lit(BigDecimal("9223372036854775808")))
+      .agg(min(col("amp")).cast("string").as("mn"),
+        max(col("amp")).cast("string").as("mx"),
+        count(lit(1)).as("n"))
+
+  val qZarrU64PruningSql: String = """
+    WITH agg AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT CAST(9223372036854775808 AS HUGEINT) + COALESCE(cnt, 0) AS amp
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j))
+    SELECT CAST(MIN(amp) AS VARCHAR) AS mn, CAST(MAX(amp) AS VARCHAR) AS mx,
+           COUNT(*) AS n
+    FROM cells WHERE amp > CAST(9223372036854775808 AS HUGEINT)"""
+
   /** Second co-gridded store for the storage-partitioned-join row: per-cell
     * lineitem COUNT on the same 32×8 / chunks-[8,4] grid as [[zarrGrid]]. */
   def zarrGridWeight(s: SparkSession, d: String): String =
@@ -1859,6 +1921,7 @@ object Mdio {
     "zarr_sharded_roundtrip" -> qZarrShardedRoundtrip,
     "zarr_extents"          -> qZarrExtents,
     "zarr_extents_distinct" -> qZarrExtentsDistinct,
+    "zarr_u64_pruning"      -> qZarrU64Pruning,
     "mdio_open_sel"         -> qMdioOpenSel,
   )
 
@@ -1913,6 +1976,7 @@ object Mdio {
     "zarr_sharded_roundtrip" -> qZarrPushdownSql, // same slice through sharded storage
     "zarr_extents"          -> qZarrExtentsSql,
     "zarr_extents_distinct" -> qZarrExtentsDistinctSql,
+    "zarr_u64_pruning"      -> qZarrU64PruningSql,
     "mdio_open_sel"         -> qZarrPushdownSql, // same cells via coordinate VALUES
   )
 }

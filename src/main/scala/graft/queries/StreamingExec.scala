@@ -166,7 +166,13 @@ object StreamingExec {
       case w: LWindow =>
         require(!w.child.isStreaming,
           "window function over a streaming input — no bounded-state implementation exists; fold after the sink")
-        require(w.partitionSpec.nonEmpty,
+        // bounded-input exemption, mirroring WindowHygieneSpec's batch
+        // rule: a provably ≤1-row input (an ungrouped-agg scalar attach)
+        // is safe unpartitioned — the "single-task funnel" is one row.
+        // Multi-row bounded histograms stay rejected here on purpose: a
+        // batch plan runs them once, a streaming query re-runs the funnel
+        // EVERY micro-batch, so the stricter contract is the honest one.
+        require(w.partitionSpec.nonEmpty || w.child.maxRows.exists(_ <= 1L),
           "unpartitioned window on a batch subplan inside a streaming query — single-task funnel every micro-batch")
       case _ => ()
     }

@@ -96,6 +96,15 @@ class StreamingPinsSpec extends SparkSpec {
       .withColumn("rank", row_number().over(W.partitionBy(col("k2") % 2).orderBy(col("k2"))))
     StreamingExec.pinBoundedState(
       sideA.withWatermark("ts", "1 hour").join(batchOk, col("k") === col("k2")), "append")
+    // bounded-input exemption (WindowHygieneSpec's batch rule, mirrored):
+    // an UNPARTITIONED window over a provably ≤1-row input — the scalar
+    // attach from an ungrouped aggregate — is a one-row "funnel" and passes
+    val scalarRanked = spark.range(10).toDF("k2")
+      .agg(max(col("k2")).as("k2"))
+      .withColumn("rank", row_number().over(W.orderBy(col("k2"))))
+    StreamingExec.pinBoundedState(
+      sideA.withWatermark("ts", "1 hour")
+        .join(scalarRanked, col("k") === col("k2")), "append")
   }
 
   test("accepts the watermarked join and aggregate shapes") {

@@ -206,6 +206,50 @@ class MdioCopartitionSpec extends SparkSpec {
     MdioWriter.delete(fine); MdioWriter.delete(coarse)
   }
 
+  test("keyed partition ceiling: over the cap the scan falls back to coalesced ranges") {
+    val dirA = create("image")
+    val dirB = create("weight")
+    val cells = for { i <- 0L until 32L; x <- 0L until 8L } yield (i, x)
+    MdioWriter.writeVariable(spark,
+      cells.toDF("inline", "crossline").withColumn("image", $"inline" * 3 + $"crossline"),
+      dirA, "image")
+    MdioWriter.writeVariable(spark,
+      cells.toDF("inline", "crossline").withColumn("weight", ($"inline" - $"crossline") % 4),
+      dirB, "weight")
+    def joinPlan(): (String, Long) = {
+      val joined = spark.table(s"mdio_spj.`$dirA`")
+        .join(spark.table(s"mdio_spj.`$dirB`"), Seq("inline", "crossline"))
+      (joined.queryExecution.executedPlan.toString, joined.count())
+    }
+    withSpjConfs {
+      // the 32×8 / [8,4] grid holds 8 chunks; cap at 4 → keyed mode must
+      // decline LOUDLY into the coalesced plan: the join shuffles, the
+      // driver never materializes one partition object per chunk
+      spark.conf.set("spark.graft.scan.keyedPartitions.max", "4")
+      try {
+        import org.apache.spark.sql.util.CaseInsensitiveStringMap
+        val parts = MdioTable(dirA, None)
+          .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+          .toBatch.planInputPartitions()
+        assert(parts.forall(_.isInstanceOf[MdioChunkRangePartition]),
+          s"over-ceiling keyed scan must plan coalesced ranges, got " +
+            parts.map(_.getClass.getSimpleName).distinct.mkString(","))
+        val (plan, n) = joinPlan()
+        assert(plan.contains("Exchange"),
+          "over-ceiling fallback should shuffle (coalesced ranges carry no keys)")
+        assert(n == 256L) // the ceiling changes the plan, never the result
+      } finally spark.conf.unset("spark.graft.scan.keyedPartitions.max")
+      // at-or-under the ceiling the zero-exchange plan is untouched
+      spark.conf.set("spark.graft.scan.keyedPartitions.max", "8")
+      try {
+        val (plan, n) = joinPlan()
+        assert(!plan.contains("Exchange"), plan.take(1200))
+        assert(n == 256L)
+      } finally spark.conf.unset("spark.graft.scan.keyedPartitions.max")
+    }
+    MdioWriter.delete(dirA); MdioWriter.delete(dirB)
+  }
+
   test("keyed mode composes with pushed dim slices (matching boxes on both sides)") {
     val dirA = create("image")
     val dirB = create("weight")
