@@ -541,13 +541,15 @@ final class MdioDataWriter(path: String, dims: Array[String], schema: StructType
         }
       }
       if (cids.nonEmpty) touched += name
+      def validOf(cid: Long): Array[Int] =
+        MdioWriter.validExtents(decompose(cid), chunks, shape)
       if (kind == 'f')
         emit(name, bufD(v).iterator.map { case (cid, buf) =>
-          MdioWriter.floatStat(cid, buf) }.toArray)
+          MdioWriter.floatStat(cid, buf, chunks, validOf(cid)) }.toArray)
       else if (kind != 'c' && kind != 'V')
         emit(name, bufL(v).iterator.map { case (cid, buf) =>
-          if (isU64) MdioWriter.u64Stat(cid, buf)
-          else MdioWriter.longStat(cid, buf) }.toArray)
+          if (isU64) MdioWriter.u64Stat(cid, buf, chunks, validOf(cid))
+          else MdioWriter.longStat(cid, buf, chunks, validOf(cid)) }.toArray)
       v += 1
     }
     MdioStatsCommit(touched.result(), stats.result(), frags.result())

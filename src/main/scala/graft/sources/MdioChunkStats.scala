@@ -449,6 +449,20 @@ object MdioChunkStats {
     gcShards(varDir, gcPrior, metas.keySet)
   }
 
+  /** Publish EXACTLY `entries` at a new generation, carrying nothing over —
+    * the retention path for mutations that SHRINK the chunk set (trim):
+    * surviving chunks keep their exact bounds, dropped/clipped chunks'
+    * entries disappear rather than overlay, and shard files the new
+    * manifest no longer lists are GC'd. */
+  def replace(varDir: VPath, entries: Map[String, Entry], span: Long = 0L): Unit = {
+    val g = generation(varDir)
+    val prior = readManifest(varDir)
+    val next = g + 1
+    varDir.resolve(GenFile).writeString(next.toString)
+    write(varDir, next, entries, Map.empty, span,
+      prior.map(_.shards.keySet).getOrElse(Set.empty))
+  }
+
   /** The refresh used by stats-aware writers: bump the generation, carry
     * over prior entries IF they were current (untouched chunks keep exact
     * bounds across an RMW pass), overlay the fresh entries, publish.

@@ -43,11 +43,67 @@ object MdioWriter {
                                                  sumSqS: String = "",
                                                  u64: Boolean = false)
 
-  /** Exact bounds + moments of one FINAL chunk buffer (float path): finite
-    * min/max, NaN presence, all-NaN flag, and the exact sum / sum of
-    * squares over the finite cells ([[MdioChunkStats.ExactSum]]) — shared
-    * by every stats-aware writer. */
-  private[sources] def floatStat(cid: Long, buf: Array[Double]): ChunkStatRow = {
+  /** In-domain extents of chunk `cc` per dim: `min(chunk, shape − c·chunk)`.
+    * Ragged EDGE chunks' buffers hold fill in their out-of-domain padding
+    * cells; stats computed over the whole buffer would absorb that padding
+    * (a finite integral fill poisons MIN, a NaN float fill poisons hasNaN
+    * and thereby the metadata MAX, any finite fill poisons the moments) —
+    * so every stat path iterates ONLY the in-domain region. */
+  private[sources] def validExtents(cc: Array[Long], chunks: Array[Long],
+                                    shape: Array[Long]): Array[Int] =
+    Array.tabulate(cc.length)(i =>
+      math.min(chunks(i), shape(i) - cc(i) * chunks(i)).toInt)
+
+  /** Invoke `f` over the in-domain C-order flat offsets of a chunk buffer
+    * with full per-dim sizes `chunks` and valid prefix extents `valid`
+    * (inner dim contiguous; whole-buffer fast path when nothing is
+    * clipped). */
+  private[sources] def eachValid(chunks: Array[Long], valid: Array[Int])
+                                (f: Int => Unit): Unit = {
+    val rank = chunks.length
+    val strides = new Array[Long](rank)
+    var acc = 1L
+    var i = rank - 1
+    while (i >= 0) { strides(i) = acc; acc *= chunks(i); i -= 1 }
+    var full = true
+    i = 0
+    while (i < rank) {
+      if (valid(i) <= 0) return
+      if (valid(i) != chunks(i)) full = false
+      i += 1
+    }
+    if (full) {
+      var o = 0
+      val n = acc.toInt
+      while (o < n) { f(o); o += 1 }
+      return
+    }
+    val idx = new Array[Int](rank)
+    var done = false
+    while (!done) {
+      var base = 0L
+      i = 0
+      while (i < rank - 1) { base += idx(i) * strides(i); i += 1 }
+      val b = base.toInt
+      var j = 0
+      val innerN = valid(rank - 1)
+      while (j < innerN) { f(b + j); j += 1 }
+      i = rank - 2
+      var carried = true
+      while (i >= 0 && carried) {
+        idx(i) += 1
+        if (idx(i) < valid(i)) carried = false else { idx(i) = 0; i -= 1 }
+      }
+      if (i < 0 && carried) done = true
+    }
+  }
+
+  /** Exact bounds + moments of one FINAL chunk buffer (float path) over its
+    * IN-DOMAIN cells: finite min/max, NaN presence, all-NaN flag, and the
+    * exact sum / sum of squares over the finite cells
+    * ([[MdioChunkStats.ExactSum]]) — shared by every stats-aware writer. */
+  private[sources] def floatStat(cid: Long, buf: Array[Double],
+                                 chunks: Array[Long], valid: Array[Int]): ChunkStatRow = {
     var mn = Double.PositiveInfinity
     var mx = Double.NegativeInfinity
     var any = false
@@ -56,8 +112,7 @@ object MdioWriter {
     var sqUnder = false
     val sum = new MdioChunkStats.ExactSum
     val sumSq = new MdioChunkStats.ExactSum
-    var i = 0
-    while (i < buf.length) {
+    eachValid(chunks, valid) { i =>
       val v = buf(i)
       if (v.isNaN) nan = true
       else {
@@ -74,7 +129,6 @@ object MdioWriter {
           else sumSq.addSquare(v)
         }
       }
-      i += 1
     }
     // ±Inf anywhere ⇒ the whole entry is dropped downstream (statEntry);
     // moments only make sense over an all-finite-or-NaN chunk. The sums
@@ -89,31 +143,33 @@ object MdioWriter {
       sumSqS = if (sqOk) sumSq.toBigDecimal.underlying.toPlainString else "")
   }
 
-  /** Exact bounds + moments of one FINAL chunk buffer (integral path).
-    * Moments stay on the exact fast path as long as the running sum and
-    * the per-cell squares fit in a Long (`Math.addExact`/`multiplyExact`);
-    * the first overflow abandons moments for the chunk — bounds survive,
-    * and the SUM pushdown falls back to a real scan. */
-  private[sources] def longStat(cid: Long, buf: Array[Long]): ChunkStatRow = {
+  /** Exact bounds + moments of one FINAL chunk buffer (integral path) over
+    * its IN-DOMAIN cells. Moments stay on the exact fast path as long as
+    * the running sum and the per-cell squares fit in a Long
+    * (`Math.addExact`/`multiplyExact`); the first overflow abandons
+    * moments for the chunk — bounds survive, and the SUM pushdown falls
+    * back to a real scan. */
+  private[sources] def longStat(cid: Long, buf: Array[Long],
+                                chunks: Array[Long], valid: Array[Int]): ChunkStatRow = {
     var mn = Long.MaxValue
     var mx = Long.MinValue
     var s = 0L
     var s2 = 0L
     var okS = true
     var okSq = true
-    var i = 0
-    while (i < buf.length) {
+    var cnt = 0L
+    eachValid(chunks, valid) { i =>
       val v = buf(i)
+      cnt += 1
       if (v < mn) mn = v
       if (v > mx) mx = v
       if (okS) try s = Math.addExact(s, v)
                catch { case _: ArithmeticException => okS = false }
       if (okSq) try s2 = Math.addExact(s2, Math.multiplyExact(v, v))
                 catch { case _: ArithmeticException => okSq = false }
-      i += 1
     }
     ChunkStatRow(cid, isFloat = false, 0.0, 0.0, mn, mx, empty = false,
-      cnt = if (okS) buf.length.toLong else -1L,
+      cnt = if (okS) cnt else -1L,
       sumS = if (okS) s.toString else "",
       sumSqS = if (okS && okSq) s2.toString else "")
   }
@@ -148,15 +204,18 @@ object MdioWriter {
     * decimal-typed Sum would accept from this metadata path anyway — so
     * u64 sidecars answer pruning and MIN/MAX, and SUM/AVG fall back to a
     * real scan. */
-  private[sources] def u64Stat(cid: Long, buf: Array[Long]): ChunkStatRow = {
-    var mn = buf(0)
-    var mx = buf(0)
-    var i = 1
-    while (i < buf.length) {
+  private[sources] def u64Stat(cid: Long, buf: Array[Long],
+                               chunks: Array[Long], valid: Array[Int]): ChunkStatRow = {
+    var mn = 0L
+    var mx = 0L
+    var first = true
+    eachValid(chunks, valid) { i =>
       val v = buf(i)
-      if (java.lang.Long.compareUnsigned(v, mn) < 0) mn = v
-      if (java.lang.Long.compareUnsigned(v, mx) > 0) mx = v
-      i += 1
+      if (first) { mn = v; mx = v; first = false }
+      else {
+        if (java.lang.Long.compareUnsigned(v, mn) < 0) mn = v
+        if (java.lang.Long.compareUnsigned(v, mx) > 0) mx = v
+      }
     }
     ChunkStatRow(cid, isFloat = false, 0.0, 0.0, mn, mx, empty = false, u64 = true)
   }
@@ -705,11 +764,18 @@ object MdioWriter {
           // with no finite value at all marks `empty` (prunable under any
           // range); a chunk holding ±Inf reports non-finite bounds and is
           // dropped on the driver (stays unprunable — safe).
+          def validOf(cid: Long): Array[Int] = {
+            val cc = new Array[Long](rank)
+            var rem = cid
+            var i = rank - 1
+            while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
+            MdioWriter.validExtents(cc, chunks, shape)
+          }
           val floatStats = byChunkD.iterator.map { case (cid, buf) =>
-            MdioWriter.floatStat(cid, buf) }
+            MdioWriter.floatStat(cid, buf, chunks, validOf(cid)) }
           val longStats = byChunkL.iterator.map { case (cid, buf) =>
-            if (isU64) MdioWriter.u64Stat(cid, buf)
-            else MdioWriter.longStat(cid, buf) }
+            if (isU64) MdioWriter.u64Stat(cid, buf, chunks, validOf(cid))
+            else MdioWriter.longStat(cid, buf, chunks, validOf(cid)) }
           (floatStats ++ longStats).toArray.iterator
         }
       }
@@ -808,8 +874,22 @@ object MdioWriter {
               if (coords.length == dims.size && coords(di) >= keep) p.delete()
             }
         }
-        // shape + chunk-file set changed: invalidate the stats sidecar
-        MdioChunkStats.bump(arrayDir)
+        // shape + chunk-file set changed. Stats RETENTION instead of blanket
+        // invalidation: every chunk FULLY below the new boundary along the
+        // trimmed dim keeps its exact entry (its cells are untouched);
+        // the ragged boundary chunk and everything past it drop (their
+        // stored bounds would cover now-out-of-domain cells). A trim of a
+        // 100 TB store thus keeps pruning + metadata MIN/MAX alive for the
+        // surviving volume. Driver cost is O(entries) — the same order as
+        // this method's own chunk-file listing above. Stale/absent stats
+        // just bump (today's behavior).
+        MdioChunkStats.current(arrayDir) match {
+          case Some(entries) =>
+            val chunkKeep = newSize / meta.chunks(di) // FULL chunks along di
+            MdioChunkStats.replace(arrayDir, entries.filter { case (k, _) =>
+              k.split("\\.")(di).toLong < chunkKeep })
+          case None => MdioChunkStats.bump(arrayDir)
+        }
       }
     }
     if (ZarrMeta.detectVersion(root) == 2) ZarrMeta.consolidate(root)
@@ -1087,11 +1167,20 @@ object MdioWriter {
             while (i < rank) { cid = cid * grid(i) + (sc(i) * ips(i) + o(i)); i += 1 }
             cid
           }
+          def validOf(cid: Long): Array[Int] = {
+            val cc = new Array[Long](rank)
+            var rem = cid
+            var i = rank - 1
+            while (i >= 0) { cc(i) = rem % grid(i); rem /= grid(i); i -= 1 }
+            MdioWriter.validExtents(cc, chunks, shape)
+          }
           val fs = touchedD.iterator.map { case ((sid, idx), buf) =>
-            MdioWriter.floatStat(innerCid(sid, idx), buf) }
+            val cid = innerCid(sid, idx)
+            MdioWriter.floatStat(cid, buf, chunks, validOf(cid)) }
           val ls = touchedL.iterator.map { case ((sid, idx), buf) =>
-            if (isU64) MdioWriter.u64Stat(innerCid(sid, idx), buf)
-            else MdioWriter.longStat(innerCid(sid, idx), buf) }
+            val cid = innerCid(sid, idx)
+            if (isU64) MdioWriter.u64Stat(cid, buf, chunks, validOf(cid))
+            else MdioWriter.longStat(cid, buf, chunks, validOf(cid)) }
           (fs ++ ls).toArray.iterator
         }
       }

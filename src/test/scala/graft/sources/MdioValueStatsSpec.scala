@@ -137,18 +137,28 @@ class MdioValueStatsSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
-  test("stats-blind mutations invalidate: stale sidecar never prunes") {
+  test("trim retains surviving chunks' stats; external mutations invalidate") {
     val dir = createFloat(_.toDouble)
     val varDir = ZarrMeta.path(dir).resolve("v")
-    // trim is a stats-blind mutation path: it bumps the generation
-    MdioWriter.trim(dir, "x", 64)
-    assert(MdioChunkStats.current(varDir).isEmpty, "stats must read as stale")
-    assert(planned(dir, Array(GreaterThanOrEqual("v", 48.0))) ==
+    // trim to 44 (mid-chunk): chunks 0..4 survive whole and KEEP their
+    // exact entries; the ragged boundary chunk 5 and beyond drop (their
+    // stored bounds cover now-out-of-domain cells)
+    MdioWriter.trim(dir, "x", 44)
+    val cur = MdioChunkStats.current(varDir)
+    assert(cur.isDefined, "trim must retain stats for untouched whole chunks")
+    assert(cur.get.keySet == (0 to 4).map(_.toString).toSet, cur.get.keySet)
+    assert(stripped(cur.get("4")) == Some(MdioChunkStats.Bounds(BigDecimal(32), BigDecimal(39))))
+    // pruning still fires on the surviving volume, answers exact
+    assert(planned(dir, Array(GreaterThanOrEqual("v", 32.0))) <
       planned(dir, Array.empty))
-    assert(spark.read.format("mdio").load(dir).filter($"v" >= 48.0).count() == 16L)
-    // an external writer that only bumps the generation gets the same safety
+    assert(spark.read.format("mdio").load(dir).filter($"v" >= 32.0).count() == 12L)
+    // the boundary chunk (entry dropped) stays planned — never wrongly pruned
+    assert(spark.read.format("mdio").load(dir).filter($"v" >= 40.0).count() == 4L)
+    // an external writer that only bumps the generation invalidates everything
     MdioChunkStats.bump(varDir)
     assert(MdioChunkStats.current(varDir).isEmpty)
+    assert(planned(dir, Array(GreaterThanOrEqual("v", 32.0))) ==
+      planned(dir, Array.empty))
     MdioWriter.delete(dir)
   }
 
@@ -899,6 +909,64 @@ class MdioValueStatsSpec extends SparkSpec {
     val leftovers = varDir.list().map(_.name).filter(_.startsWith(".mdio_statfrag"))
     assert(leftovers.isEmpty, s"fragment files survived commit: $leftovers")
     assert(planned(dir, Array(GreaterThanOrEqual("v", 1056.0))) == 1)
+    MdioWriter.delete(dir)
+  }
+
+  test("ragged edge chunks: stats cover only in-domain cells") {
+    // size 60 / chunk 8 → chunk 7 holds cells 56..59 plus 4 OUT-OF-DOMAIN
+    // padding cells at the NaN fill. Whole-buffer stats would absorb the
+    // padding: hasNaN=true on the edge entry, and the metadata MAX of a
+    // store with no NaN cell would answer NaN.
+    val dir = Files.createTempDirectory("mdio_vstats").resolve("rag.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "rag", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "x", "dataType": "int64",
+        |     "dimensions": [{"name": "x", "size": 60}]},
+        |    {"name": "v", "dataType": "float64",
+        |     "dimensions": [{"name": "x", "size": 60}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8]}}}},
+        |    {"name": "w", "dataType": "int64",
+        |     "dimensions": [{"name": "x", "size": 60}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    MdioWriter.writeVariable(spark,
+      spark.range(60).select($"id".as("x"), $"id".cast("double").as("v")), dir, "v")
+    // the edge entry is exact over cells 56..59 only — no NaN leak, exact
+    // moments (cnt 4, sum 230)
+    val curV = MdioChunkStats.current(ZarrMeta.path(dir).resolve("v")).get
+    assert(curV("7") == Some(MdioChunkStats.Bounds(BigDecimal(56), BigDecimal(59), false,
+      Some(MdioChunkStats.Moments(4L, BigDecimal(230), Some(BigDecimal((56 to 59).map(i => i * i).sum)))))))
+    // metadata MIN/MAX/SUM/AVG answer over the ragged store — and answer right
+    val agg = spark.read.format("mdio").load(dir).select($"x", $"v")
+      .agg(min($"v").as("mn"), max($"v").as("mx"), sum($"v").as("s"), avg($"v").as("a"))
+    val p = agg.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("MdioAggScan"), p.take(700))
+    val r = agg.head
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 59.0)
+    assert(r.getDouble(2) == (0 until 60).sum.toDouble)
+    assert(r.getDouble(3) == (0 until 60).sum.toDouble / 60.0)
+    // integral variable with finite fill (0): padding must not poison MIN
+    MdioWriter.writeVariable(spark,
+      spark.range(60).select($"id".as("x"), ($"id" + 5).as("w")), dir, "w")
+    val curW = MdioChunkStats.current(ZarrMeta.path(dir).resolve("w")).get
+    assert(stripped(curW("7")) == Some(MdioChunkStats.Bounds(BigDecimal(61), BigDecimal(64))))
+    val aggW = spark.read.format("mdio").load(dir).select($"x", $"w")
+      .agg(min($"w").as("mn"), sum($"w").as("s"))
+    val rW = aggW.head
+    assert(rW.getLong(0) == 5L, "padding fill leaked into the integral MIN")
+    assert(rW.getLong(1) == (5L to 64L).sum)
+    // pruning on the ragged store stays exact: only the edge chunk holds
+    // w >= 61, and the real read path agrees
+    assert(planned(dir, Array(GreaterThanOrEqual("w", 61L))) == 1)
+    assert(spark.read.format("mdio").load(dir).filter($"w" >= 61L).count() == 4L)
+    // the sink's RMW on the edge chunk keeps region-exact stats too
+    spark.range(1).select(lit(59L).as("x"), lit(-2.0).as("v"))
+      .write.format("mdio").mode("append").save(dir)
+    val curV2 = MdioChunkStats.current(ZarrMeta.path(dir).resolve("v")).get
+    assert(stripped(curV2("7")) == Some(MdioChunkStats.Bounds(BigDecimal(-2), BigDecimal(58))))
     MdioWriter.delete(dir)
   }
 
