@@ -123,10 +123,14 @@ object MdioWriteBuilder {
 object MdioBatchWrite {
   /** Per-variable stat rows a sink task keeps INLINE in its commit message;
     * past this it spills a `.mdio_statfrag.<uuid>` file to the variable
-    * directory and the message carries only the name — the commit message
-    * stream stays O(tasks), never O(chunks), however large the write.
-    * Overridable per session via `spark.graft.sink.inlineStatRows`
-    * (captured at write planning on the driver). */
+    * directory and the message carries only the name — each commit message
+    * stays small however many chunks the task owned. The COMMIT side
+    * additionally routes through the distributed publisher whenever the
+    * inline union across tasks exceeds this cap (many small tasks sum to
+    * O(chunks) even when none spills individually). Overridable per
+    * session via `spark.graft.sink.inlineStatRows` (captured at write
+    * planning on the driver); `0` forces always-spill — the strictest
+    * driver envelope for full-store ETL writes. */
   val InlineStatRows = 4096
 }
 
@@ -170,19 +174,27 @@ final case class MdioBatchWrite(path: String, dims: Seq[String],
         val frags: Seq[String] = stats.toSeq.flatMap(_.frags.getOrElse(v, Nil))
         val session = org.apache.spark.sql.SparkSession.getActiveSession
           .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-        if (frags.nonEmpty && session.isDefined) {
-          // at-scale path: fragment rows never touch the driver
+        // distributed publish when ANY task spilled OR the inline union
+        // itself is past the cap (many small tasks each under the per-task
+        // cap still sum to O(chunks) — the rows already arrived in the
+        // commit messages, but their merge, JSON encode, and shard writes
+        // must not run single-threaded on the driver). The per-task spill
+        // bounds message SIZE; `spark.graft.sink.inlineStatRows=0` forces
+        // always-spill for the strictest driver envelope.
+        if (session.isDefined &&
+            (frags.nonEmpty || inline.size > MdioBatchWrite.InlineStatRows)) {
           val sc = session.get.sparkContext
           val hc = graft.zarr.HConf.capture()
           val varDirStr = varDir.toString
           val fragRdd = sc
-            .parallelize(frags, math.max(1, math.min(frags.size, sc.defaultParallelism)))
+            .parallelize(frags, math.max(1, math.min(math.max(frags.size, 1), sc.defaultParallelism)))
             .flatMap { f =>
               graft.zarr.VPath.install(hc.value)
               MdioStatsPublish.readFragment(graft.zarr.VPath(varDirStr).resolve(f))
             }
           val rows = if (inline.isEmpty) fragRdd
-                     else fragRdd.union(sc.parallelize(inline, 1))
+                     else fragRdd.union(sc.parallelize(inline,
+                       math.max(1, math.min(inline.size / 4096 + 1, sc.defaultParallelism))))
           MdioStatsPublish.publishRows(session.get, varDirStr, hc, grid, rows)
         } else {
           // small write (or no session to run a job): driver-side refresh
