@@ -1025,6 +1025,23 @@ final case class MdioScan(path: String, dims: Seq[String],
       .getOrElse(65536L)
   }
 
+  /** GROUPED keys (`spark.graft.scan.keyedPartitions.groupFactor=G`): the
+    * keyed scan coarsens the LEADING dim's partition key to
+    * `chunk_<G·size>(dim0)` and plans one partition per aligned group of G
+    * leading chunk ordinals — driver partition objects divide by G while
+    * the join stays exchange-free (both sides must run under the same
+    * session conf, so they coarsen identically; `SizedChunkBound`'s
+    * reducers keep divisible grids compatible). The way to keep
+    * storage-partitioned joins live on stores whose chunk count exceeds
+    * [[keyedMaxPartitions]]. */
+  private def keyedGroupFactor: Long = {
+    val s = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    math.max(1L,
+      s.map(_.conf.get("spark.graft.scan.keyedPartitions.groupFactor", "1").toLong)
+        .getOrElse(1L))
+  }
+
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
     import org.apache.spark.sql.connector.expressions.Expressions
@@ -1033,13 +1050,21 @@ final case class MdioScan(path: String, dims: Seq[String],
       new UnknownPartitioning(planned.length)
     else {
       val anchor = metas.values.head
+      // grouped keys coarsen the LEADING dim's key size by the factor the
+      // planned partitions actually carry (consistent with the memoized
+      // plan, whatever the live conf now says)
+      val factor = planned.head match {
+        case gp: MdioChunkGroupPartition => gp.factor
+        case _ => 1L
+      }
       // the SIZED single-argument transform family: catalyst accepts only
       // one-argument transforms as partition keys, so the chunk size is
       // baked into the function name (join compatibility = equal names =
       // equal grids)
       new KeyGroupedPartitioning(
         dims.zipWithIndex.map { case (d, i) =>
-          Expressions.apply(s"chunk_${anchor.chunks(i)}", Expressions.column(d))
+          val size = if (i == 0) anchor.chunks(i) * factor else anchor.chunks(i)
+          Expressions.apply(s"chunk_$size", Expressions.column(d))
             : org.apache.spark.sql.connector.expressions.Expression
         }.toArray, planned.length)
     }
@@ -1312,19 +1337,59 @@ final case class MdioScan(path: String, dims: Seq[String],
           // coalesced plan (millions of driver-side partition objects are
           // worse than one shuffled join).
           case None if runtimeValues.isEmpty && keyedPartitions =>
-            val boxChunks: Long =
-              dims.indices.map(i => chunkHi(i) - chunkLo(i) + 1).product
             val ceiling = keyedMaxPartitions
-            if (boxChunks <= ceiling)
-              enumerate(0, Vector.empty).flatMap(partitionFor).map(_._1).toArray
-            else {
-              MdioScan.log.warn(
-                s"mdio keyed scan of $path: box holds $boxChunks chunks, over " +
-                  s"spark.graft.scan.keyedPartitions.max=$ceiling — falling back " +
-                  "to coalesced chunk-range planning; the join will shuffle " +
-                  "instead of zipping storage partitions. Raise the ceiling " +
-                  "only if the driver is sized for that many partition objects.")
-              coalescedPlan()
+            val factor = keyedGroupFactor
+            if (factor > 1) {
+              // grouped keys: one partition per aligned group of `factor`
+              // leading ordinals × other-dim chunk coords
+              val gLo = chunkLo.head / factor
+              val gHi = chunkHi.head / factor
+              val groupCount = (gHi - gLo + 1) *
+                dims.indices.drop(1).map(i => chunkHi(i) - chunkLo(i) + 1).product
+              if (groupCount <= ceiling) {
+                def enumOthers(dim: Int, acc: Vector[Long]): Iterator[Vector[Long]] =
+                  if (dim == dims.size) Iterator.single(acc)
+                  else (chunkLo(dim) to chunkHi(dim)).iterator
+                    .flatMap(c => enumOthers(dim + 1, acc :+ c))
+                val out = Vector.newBuilder[InputPartition]
+                (gLo to gHi).foreach { g =>
+                  enumOthers(1, Vector.empty).foreach { others =>
+                    val leads = (math.max(g * factor, chunkLo.head) to
+                        math.min((g + 1) * factor - 1, chunkHi.head))
+                      .filter(l => survives(l +: others))
+                    if (leads.nonEmpty)
+                      out += MdioChunkGroupPartition(path, leads.toArray, others.toArray,
+                        factor, chunks.toArray,
+                        bounds.map(_._1).toArray, bounds.map(_._2).toArray,
+                        neededVars, neededVars.map(v => metas(v)).toArray)
+                  }
+                }
+                out.result().toArray
+              } else {
+                MdioScan.log.warn(
+                  s"mdio keyed scan of $path: $groupCount grouped partitions " +
+                    s"(factor $factor) still exceed " +
+                    s"spark.graft.scan.keyedPartitions.max=$ceiling — falling back " +
+                    "to coalesced chunk-range planning (raise the factor).")
+                coalescedPlan()
+              }
+            } else {
+              val boxChunks: Long =
+                dims.indices.map(i => chunkHi(i) - chunkLo(i) + 1).product
+              if (boxChunks <= ceiling)
+                enumerate(0, Vector.empty).flatMap(partitionFor).map(_._1).toArray
+              else {
+                MdioScan.log.warn(
+                  s"mdio keyed scan of $path: box holds $boxChunks chunks, over " +
+                    s"spark.graft.scan.keyedPartitions.max=$ceiling — falling back " +
+                    "to coalesced chunk-range planning; the join will shuffle " +
+                    "instead of zipping storage partitions. Set " +
+                    "spark.graft.scan.keyedPartitions.groupFactor to keep the " +
+                    "storage-partitioned join with G-coarsened keys, or raise the " +
+                    "ceiling only if the driver is sized for that many partition " +
+                    "objects.")
+                coalescedPlan()
+              }
             }
           case None if runtimeValues.isEmpty => coalescedPlan()
           case _ =>
@@ -1445,6 +1510,75 @@ final case class MdioInputPartition(path: String, chunk: Array[Long],
     new GenericInternalRow(chunk.map(c => c: Any))
 }
 
+/** A GROUP of chunks sharing one storage-partition key under a COARSENED
+  * leading-dim transform (`chunk_<factor·size>(dim0)`): the member chunks
+  * vary only their leading ordinal (`leads`, all in one aligned group of
+  * `factor`), with the other dims' ordinals fixed — so every row in the
+  * partition satisfies the declared key `(leads.head/factor, others…)`.
+  * This is what keeps storage-partitioned joins live at the 100 TB
+  * envelope: driver partition objects divide by the factor instead of
+  * tripping the per-chunk ceiling. `leads` lists only SURVIVING members
+  * (value-stat pruning applies per chunk), bounded by the factor. */
+final case class MdioChunkGroupPartition(path: String,
+                                         leads: Array[Long], others: Array[Long],
+                                         factor: Long,
+                                         chunkShape: Array[Long],
+                                         boundLo: Array[Long], boundHi: Array[Long],
+                                         vars: Array[String],
+                                         metas: Array[ZarrMeta.ArrayMeta])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow((Array(leads.head / factor) ++ others).map(c => c: Any))
+}
+
+/** Sequentially drives one per-chunk reader over a group partition's
+  * member chunks (cell bounds clamped per member, as the range reader
+  * does). */
+final class MdioChunkGroupReader[T](gp: MdioChunkGroupPartition,
+                                    mk: MdioInputPartition => PartitionReader[T],
+                                    cache: graft.zarr.ShardCache = null)
+    extends PartitionReader[T] {
+  private val rank = gp.boundLo.length
+  private var i = 0
+  private var cur: PartitionReader[T] = null
+
+  private def chunkPartition(lead: Long): MdioInputPartition = {
+    val cc = new Array[Long](rank)
+    cc(0) = lead
+    var d = 1
+    while (d < rank) { cc(d) = gp.others(d - 1); d += 1 }
+    val lo = new Array[Long](rank)
+    val hi = new Array[Long](rank)
+    d = 0
+    while (d < rank) {
+      lo(d) = math.max(gp.boundLo(d), cc(d) * gp.chunkShape(d))
+      hi(d) = math.min(gp.boundHi(d), (cc(d) + 1) * gp.chunkShape(d))
+      d += 1
+    }
+    MdioInputPartition(gp.path, cc, lo, hi, gp.vars, gp.metas)
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (i >= gp.leads.length) return false
+        cur = mk(chunkPartition(gp.leads(i)))
+        i += 1
+      }
+      if (cur.next()) return true
+      cur.close()
+      cur = null
+    }
+    false // unreachable
+  }
+
+  override def get(): T = cur.get()
+  override def close(): Unit = {
+    if (cur != null) { cur.close(); cur = null }
+    if (cache != null) cache.close()
+  }
+}
+
 /** A contiguous C-order RANGE of chunks: `[startIdx, endIdx)` flat indices
   * within the chunk-coordinate box `[chunkLo, chunkLo + extents)`. O(1)
   * driver-side footprint regardless of how many chunks the task owns — the
@@ -1514,6 +1648,10 @@ final case class MdioReaderFactory(dims: Array[String], schema: StructType,
     VPath.install(hconf.value) // executor JVMs have no SparkSession
     p match {
       case cp: MdioInputPartition => new MdioPartitionReader(cp, dims, schema)
+      case gp: MdioChunkGroupPartition =>
+        val cache = new graft.zarr.ShardCache
+        new MdioChunkGroupReader[InternalRow](gp,
+          cp => new MdioPartitionReader(cp, dims, schema, cache), cache)
       case rp: MdioChunkRangePartition =>
         val cache = new graft.zarr.ShardCache
         new MdioChunkRangeReader[InternalRow](rp,
@@ -1534,6 +1672,10 @@ final case class MdioReaderFactory(dims: Array[String], schema: StructType,
     VPath.install(hconf.value)
     p match {
       case cp: MdioInputPartition => new MdioColumnarReader(cp, dims, schema)
+      case gp: MdioChunkGroupPartition =>
+        val cache = new graft.zarr.ShardCache
+        new MdioChunkGroupReader[org.apache.spark.sql.vectorized.ColumnarBatch](
+          gp, cp => new MdioColumnarReader(cp, dims, schema, cache), cache)
       case rp: MdioChunkRangePartition =>
         val cache = new graft.zarr.ShardCache
         new MdioChunkRangeReader[org.apache.spark.sql.vectorized.ColumnarBatch](

@@ -250,6 +250,54 @@ class MdioCopartitionSpec extends SparkSpec {
     MdioWriter.delete(dirA); MdioWriter.delete(dirB)
   }
 
+  test("grouped keys keep the storage-partitioned join under the partition ceiling") {
+    val dirA = create("image")
+    val dirB = create("weight")
+    val cells = for { i <- 0L until 32L; x <- 0L until 8L } yield (i, x)
+    MdioWriter.writeVariable(spark,
+      cells.toDF("inline", "crossline").withColumn("image", $"inline" * 5 + $"crossline"),
+      dirA, "image")
+    MdioWriter.writeVariable(spark,
+      cells.toDF("inline", "crossline").withColumn("weight", ($"inline" + $"crossline" * 2) % 3),
+      dirB, "weight")
+    withSpjConfs {
+      // 8 chunks > ceiling 4, but groupFactor 2 coarsens the leading key to
+      // chunk_16(inline): 2 lead-groups × 2 crossline chunks = 4 partitions
+      spark.conf.set("spark.graft.scan.keyedPartitions.max", "4")
+      spark.conf.set("spark.graft.scan.keyedPartitions.groupFactor", "2")
+      try {
+        import org.apache.spark.sql.util.CaseInsensitiveStringMap
+        val parts = MdioTable(dirA, None)
+          .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+          .toBatch.planInputPartitions()
+        assert(parts.length == 4, s"expected 4 grouped partitions, got ${parts.length}")
+        assert(parts.forall(_.isInstanceOf[MdioChunkGroupPartition]),
+          parts.map(_.getClass.getSimpleName).distinct.mkString(","))
+        // the grouped scan reads every cell exactly once
+        val all = spark.read.format("mdio").load(dirA)
+          .select($"inline", $"crossline", $"image").as[(Long, Long, Double)].collect()
+        assert(all.length == 256)
+        all.foreach { case (i, x, v) => assert(v == (i * 5 + x).toDouble, s"($i,$x)") }
+        // and the join still plans ZERO exchanges on the coarsened keys
+        val joined = spark.table(s"mdio_spj.`$dirA`")
+          .join(spark.table(s"mdio_spj.`$dirB`"), Seq("inline", "crossline"))
+          .select($"inline", $"crossline", ($"image" * $"weight").as("iw"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"grouped-key join must stay exchange-free:\n${plan.take(1500)}")
+        val got = joined.as[(Long, Long, Double)].collect()
+        assert(got.length == 256)
+        got.foreach { case (i, x, iw) =>
+          assert(iw == (i * 5 + x).toDouble * ((i + 2 * x) % 3).toDouble, s"($i,$x)")
+        }
+      } finally {
+        spark.conf.unset("spark.graft.scan.keyedPartitions.max")
+        spark.conf.unset("spark.graft.scan.keyedPartitions.groupFactor")
+      }
+    }
+    MdioWriter.delete(dirA); MdioWriter.delete(dirB)
+  }
+
   test("keyed mode composes with pushed dim slices (matching boxes on both sides)") {
     val dirA = create("image")
     val dirB = create("weight")
