@@ -1408,7 +1408,23 @@ final case class MdioScan(path: String, dims: Seq[String],
             def enumCand(dim: Int, acc: Vector[Long]): Iterator[Vector[Long]] =
               if (dim == dims.size) Iterator.single(acc)
               else perDim(dim).iterator.flatMap(c => enumCand(dim + 1, acc :+ c))
-            enumCand(0, Vector.empty).flatMap(partitionFor).map(_._1).toArray
+            val perChunk = enumCand(0, Vector.empty).flatMap(partitionFor).map(_._1).toArray
+            val factor = if (keyedPartitions) keyedGroupFactor else 1L
+            if (factor <= 1) perChunk
+            else {
+              // grouped keys must survive runtime filtering in the SAME
+              // declared key space (chunk_<G·size> on the leading dim):
+              // regroup the surviving chunks into their aligned lead groups
+              // so partition keys keep matching the reported transforms
+              perChunk.collect { case p: MdioInputPartition => p }
+                .groupBy(p => (p.chunk.head / factor, p.chunk.drop(1).toSeq))
+                .map { case ((_, others), members) =>
+                  MdioChunkGroupPartition(path,
+                    members.map(_.chunk.head).sorted, others.toArray, factor,
+                    chunks.toArray, bounds.map(_._1).toArray, bounds.map(_._2).toArray,
+                    neededVars, neededVars.map(v => metas(v)).toArray): InputPartition
+                }.toArray
+            }
         }
     }
   }

@@ -288,8 +288,26 @@ class MdioCopartitionSpec extends SparkSpec {
         val got = joined.as[(Long, Long, Double)].collect()
         assert(got.length == 256)
         got.foreach { case (i, x, iw) =>
-          assert(iw == (i * 5 + x).toDouble * ((i + 2 * x) % 3).toDouble, s"($i,$x)")
+          assert(iw == (i * 5 + x).toDouble * ((i + x * 2) % 3).toDouble, s"($i,$x)")
         }
+        // runtime (join-driven) IN-filter replanning must stay in the SAME
+        // coarsened key space: surviving chunks regroup into lead groups
+        import org.apache.spark.sql.connector.expressions.Expressions
+        import org.apache.spark.sql.connector.expressions.filter.Predicate
+        val scan2 = MdioTable(dirA, None)
+          .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+          .toBatch.asInstanceOf[MdioScan]
+        scan2.filter(Array(new Predicate("IN", Array(
+          Expressions.column("inline"),
+          Expressions.literal(3L), Expressions.literal(30L)))))
+        val parts2 = scan2.planInputPartitions()
+        assert(parts2.forall(_.isInstanceOf[MdioChunkGroupPartition]),
+          parts2.map(_.getClass.getSimpleName).distinct.mkString(","))
+        // inline 3 → chunk 0 (group 0); inline 30 → chunk 3 (group 1); × 2
+        // crossline chunks each = 4 group partitions of one member chunk
+        assert(parts2.length == 4, s"got ${parts2.length}")
+        assert(parts2.map(_.asInstanceOf[MdioChunkGroupPartition].leads.toSeq)
+          .forall(_.length == 1))
       } finally {
         spark.conf.unset("spark.graft.scan.keyedPartitions.max")
         spark.conf.unset("spark.graft.scan.keyedPartitions.groupFactor")
