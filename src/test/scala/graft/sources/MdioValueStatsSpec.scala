@@ -697,15 +697,25 @@ class MdioValueStatsSpec extends SparkSpec {
     val maxResult = new java.util.concurrent.atomic.AtomicLong
     val shuffledStages = new java.util.concurrent.atomic.AtomicInteger
     val tasksSeen = new java.util.concurrent.atomic.AtomicInteger
+    // stage ids SUBMITTED after registration: the listener bus delivers
+    // asynchronously and in order, so events still draining from earlier
+    // queries (whose stages were submitted before we registered) are
+    // excluded — only this write's own tasks are measured
+    val ownStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        if (t.taskMetrics != null)
-          maxResult.getAndAccumulate(t.taskMetrics.resultSize, math.max)
-        tasksSeen.incrementAndGet()
-      }
+      override def onStageSubmitted(
+          s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        ownStages.add(s.stageInfo.stageId)
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (ownStages.contains(t.stageId)) {
+          if (t.taskMetrics != null)
+            maxResult.getAndAccumulate(t.taskMetrics.resultSize, math.max)
+          tasksSeen.incrementAndGet()
+        }
       override def onStageCompleted(
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        if (s.stageInfo.parentIds.nonEmpty) shuffledStages.incrementAndGet()
+        if (ownStages.contains(s.stageInfo.stageId) &&
+            s.stageInfo.parentIds.nonEmpty) shuffledStages.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
     try {
