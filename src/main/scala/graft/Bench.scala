@@ -551,6 +551,10 @@ object Bench {
     "zarr_spj_fusion" -> 0.9,
     // comparator: zarr_spj_fusion (same join, coarser-grid side reduced)
     "zarr_spj_compat" -> 0.9,
+    // comparator: zarr_spj_fusion (same join + fold over the same two
+    // stores, G=2-coarsened keys halve the zipped partitions; first
+    // budget r13)
+    "zarr_spj_grouped" -> 0.9,
     // comparator: zarr_extents (same O(1) metadata-only scan shape)
     "zarr_extents_distinct" -> 0.04,
     // comparator: zarr_value_pruning (the same stats-pruned filtered scan

@@ -617,6 +617,54 @@ object Mdio {
     }
   }
 
+  /** GROUPED-KEY storage-partitioned join on the gate (r13): the fusion
+    * fold of [[qZarrSpjFusion]] under
+    * `spark.graft.scan.keyedPartitions.groupFactor=2` — each scan plans
+    * one partition per ALIGNED PAIR of leading chunk ordinals, keyed by
+    * the coarsened `chunk_16(inline)` transform, so driver partition
+    * objects HALVE while the join still plans zero exchanges. This is the
+    * plan shape that keeps storage-partitioned joins live on stores whose
+    * chunk count exceeds the per-chunk ceiling (millions of chunks ÷ G
+    * instead of a forced shuffle). The query REQUIRES both properties:
+    * grouped partitions in the scan AND an exchange-free join plan. */
+  val qZarrSpjGrouped: Q = (s, d) => {
+    val a = zarrGrid(s, d)
+    val b = zarrGridWeight(s, d)
+    s.conf.set("spark.sql.catalog.graft_spj", "graft.sources.MdioCatalog")
+    val saved = Seq("spark.graft.scan.keyedPartitions",
+      "spark.graft.scan.keyedPartitions.groupFactor",
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> s.conf.getOption(k))
+    s.conf.set("spark.graft.scan.keyedPartitions", "true")
+    s.conf.set("spark.graft.scan.keyedPartitions.groupFactor", "2")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the scans genuinely plan GROUPED partitions: 2 lead-groups × 2
+      // crossline chunks = 4, not the per-chunk 8
+      val parts = graft.sources.MdioTable(a, None)
+        .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+        .build().toBatch.planInputPartitions()
+      require(parts.length == 4 &&
+        parts.forall(_.isInstanceOf[graft.sources.MdioChunkGroupPartition]),
+        s"grouped keyed scan regressed: ${parts.length} partitions of " +
+          parts.map(_.getClass.getSimpleName).distinct.mkString(","))
+      val joined = s.table(s"graft_spj.`$a`")
+        .join(s.table(s"graft_spj.`$b`"), Seq("inline", "crossline"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"grouped-key storage-partitioned join regressed to a shuffle:\n${plan.take(1200)}")
+      val r = joined
+        .agg(dsum(col("image") * col("weight")).as("wsum"), count(lit(1)).as("n"))
+        .head
+      import s.implicits._
+      Seq((r.getDouble(0), r.getLong(1))).toDF("wsum", "n")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** Per-TILE statsV1 on the gate: the 2-D form of [[qZarrStatsBySlab]] —
     * `GROUP BY FLOOR(inline/8), FLOOR(crossline/4)` buckets the grid into
     * its 4×2 chunk tiles and answers MIN/MAX/SUM/COUNT per tile entirely
@@ -1911,6 +1959,7 @@ object Mdio {
     "zarr_stats_by_tile"    -> qZarrStatsByTile,
     "zarr_spj_fusion"       -> qZarrSpjFusion,
     "zarr_spj_compat"       -> qZarrSpjCompat,
+    "zarr_spj_grouped"      -> qZarrSpjGrouped,
     "zarr_topk_value"       -> qZarrTopkValue,
     "mdio_rechunk"          -> qMdioRechunk,
     "mdio_reshard"          -> qMdioReshard,
@@ -1966,6 +2015,7 @@ object Mdio {
     "zarr_stats_by_tile"    -> qZarrStatsByTileSql,
     "zarr_spj_fusion"       -> qZarrSpjFusionSql,
     "zarr_spj_compat"       -> qZarrSpjFusionSql, // same cells, coarser weight grid
+    "zarr_spj_grouped"      -> qZarrSpjFusionSql, // same cells, coarsened keys
     "zarr_topk_value"       -> qZarrTopkValueSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
     "mdio_reshard"          -> qMdioReshardSql,
