@@ -980,6 +980,67 @@ class MdioValueStatsSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("2-D ragged corner chunk: the region odometer clips BOTH dims") {
+    // 10×6 grid, 4×4 chunks: the corner chunk (2,1) is clipped to 2×2 —
+    // its buffer holds 12 padding cells the odometer must skip
+    val dir = Files.createTempDirectory("mdio_vstats").resolve("rag2.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "rag2", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "i", "dataType": "int64",
+        |     "dimensions": [{"name": "i", "size": 10}]},
+        |    {"name": "j", "dataType": "int64",
+        |     "dimensions": [{"name": "j", "size": 6}]},
+        |    {"name": "w", "dataType": "int64",
+        |     "dimensions": [{"name": "i", "size": 10}, {"name": "j", "size": 6}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [4, 4]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    val cells = for { i <- 0L until 10L; j <- 0L until 6L } yield (i, j, 100 + i * 6 + j)
+    MdioWriter.writeVariable(spark, cells.toDF("i", "j", "w"), dir, "w")
+    val cur = MdioChunkStats.current(ZarrMeta.path(dir).resolve("w")).get
+    // corner chunk "2.1": in-domain cells (8..9)×(4..5) → values
+    // 100+i*6+j for i∈{8,9}, j∈{4,5} → [152, 159]; moments over 4 cells
+    assert(cur("2.1") == Some(MdioChunkStats.Bounds(BigDecimal(152), BigDecimal(159), false,
+      Some(MdioChunkStats.Moments(4L, BigDecimal(152 + 153 + 158 + 159),
+        Some(BigDecimal(152L*152 + 153L*153 + 158L*158 + 159L*159)))))), cur("2.1"))
+    // edge chunk "2.0" clips only dim i: cells (8..9)×(0..3) → [148, 157]
+    assert(stripped(cur("2.0")) == Some(MdioChunkStats.Bounds(BigDecimal(148), BigDecimal(157))))
+    // interior chunk "0.0" full: [100, 121]
+    assert(stripped(cur("0.0")) == Some(MdioChunkStats.Bounds(BigDecimal(100), BigDecimal(121))))
+    // metadata aggregates over the 2-D ragged store answer exactly
+    val agg = spark.read.format("mdio").load(dir)
+      .agg(min($"w").as("mn"), max($"w").as("mx"), sum($"w").as("s"))
+    assert(agg.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      .contains("MdioAggScan"))
+    val r = agg.head
+    assert(r.getLong(0) == 100L && r.getLong(1) == 159L)
+    assert(r.getLong(2) == cells.map(_._3).sum)
+    MdioWriter.delete(dir)
+  }
+
+  test("pre-summary manifests (bare shard gens) parse and never manifest-prune") {
+    val dir = createFloat(_.toDouble)
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    val entries = MdioChunkStats.current(varDir).get
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir), entries, span = 2)
+    // rewrite the manifest in the r12 wire format: bare generation numbers
+    val m = MdioChunkStats.readManifest(varDir).get
+    val body = m.shards.toSeq.sortBy(_._1)
+      .map { case (s, sm) => s""""$s": ${sm.gen}""" }.mkString(", ")
+    varDir.resolve(MdioChunkStats.StatsFile).writeString(
+      s"""{"generation": ${m.gen}, "span": ${m.span}, "shards": {$body}}""")
+    // no summary → no manifest-level pruning: every intersecting shard
+    // opens, per-chunk pruning still works, answers unchanged
+    val before = MdioChunkStats.shardReadCount.get()
+    assert(coveredChunks(dir, Array(GreaterThanOrEqual("v", 48.0))) == 2L)
+    assert(MdioChunkStats.shardReadCount.get() - before == 4L,
+      "pre-summary shards must all open (coverage is unprovable)")
+    assert(spark.read.format("mdio").load(dir).filter($"v" >= 48.0).count() == 16L)
+    MdioWriter.delete(dir)
+  }
+
   test("stat-row fragments round-trip exactly (bits, strings, flags)") {
     val rows = Seq(
       MdioWriter.ChunkStatRow(7L, isFloat = true, -0.0, 1.5e308, 0L, 0L,
