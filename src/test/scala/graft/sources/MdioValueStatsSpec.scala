@@ -972,6 +972,17 @@ class MdioValueStatsSpec extends SparkSpec {
     // w >= 61, and the real read path agrees
     assert(planned(dir, Array(GreaterThanOrEqual("w", 61L))) == 1)
     assert(spark.read.format("mdio").load(dir).filter($"w" >= 61L).count() == 4L)
+    // grouped slab stats over the ragged store: the LAST slab is short
+    // (cells 56..59) and still answers from metadata, exactly
+    val slabs = spark.read.format("mdio").load(dir).select($"x", $"w")
+      .groupBy(floor($"x" / 8).as("slab"))
+      .agg(min($"w").as("mn"), max($"w").as("mx"), count(lit(1)).as("n"))
+      .orderBy($"slab")
+    val ps = slabs.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(ps.contains("MdioAggScan"), ps.take(700))
+    val last = slabs.collect().last
+    assert(last.getLong(0) == 7L && last.getLong(1) == 61L &&
+      last.getLong(2) == 64L && last.getLong(3) == 4L)
     // the sink's RMW on the edge chunk keeps region-exact stats too
     spark.range(1).select(lit(59L).as("x"), lit(-2.0).as("v"))
       .write.format("mdio").mode("append").save(dir)
