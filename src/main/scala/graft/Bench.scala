@@ -562,6 +562,10 @@ object Bench {
     // through the Decimal column vector instead of doubles; first budget
     // r13)
     "zarr_u64_pruning" -> 0.15,
+    // comparator: zarr_value_pruning (same filtered-agg shape over a
+    // SMALLER, trimmed store; the trim itself runs in the one-time untimed
+    // build; first budget r13)
+    "zarr_trim_pruning" -> 0.13,
     // comparator: zarr_stats_minmax (the same metadata-only one-row
     // MdioAggScan, reading moment entries instead of bounds)
     "zarr_stats_moments" -> 0.054,

@@ -544,6 +544,68 @@ object Mdio {
            COUNT(*) AS n
     FROM cells WHERE amp > CAST(9223372036854775808 AS HUGEINT)"""
 
+  /** A TRIMMED copy of the [[zarrGrid]] cells: same 32×8 store built fresh,
+    * then `trim(inline → 20)` — mid-chunk, so chunk files past the keep
+    * boundary are deleted, the ragged boundary chunk (inlines 16..19)
+    * survives read-clamped, and (r13) the stats sidecar RETAINS exact
+    * entries for the two whole surviving lead chunks. */
+  def zarrGridTrimmed(s: SparkSession, d: String): String =
+    builtGrids.getOrElseUpdate(d + "#trim", {
+      val path = s"/tmp/graft_zarrtr_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val spec = graft.spec.MdioSpec.fromJson(
+        """{
+          |  "metadata": {"name": "lineitem_grid_tr", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+          |  "variables": [
+          |    {"name": "inline", "dataType": "int64",
+          |     "dimensions": [{"name": "inline", "size": 32}]},
+          |    {"name": "crossline", "dataType": "int64",
+          |     "dimensions": [{"name": "crossline", "size": 8}]},
+          |    {"name": "image", "dataType": "float64",
+          |     "dimensions": [{"name": "inline", "size": 32}, {"name": "crossline", "size": 8}],
+          |     "compressor": {"name": "zstd"},
+          |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8, 4]}}}}
+          |  ]
+          |}""".stripMargin)
+      graft.sources.MdioWriter.delete0(path)
+      graft.sources.MdioWriter.create(spec, path)
+      val agg = lineitem(s, d)
+        .groupBy((col("l_orderkey") % 32).as("inline"),
+                 (col("l_linenumber").cast("long") % 8).as("crossline"))
+        .agg(sum(col("l_quantity").cast("decimal(27,6)")).cast("double").as("image"))
+      val full = s.range(32).select(col("id").as("inline"))
+        .crossJoin(s.range(8).select(col("id").as("crossline")))
+      val cells = full.join(agg, Seq("inline", "crossline"), "left")
+        .select(col("inline"), col("crossline"),
+          coalesce(col("image"), lit(0.0)).as("image"))
+      graft.sources.MdioWriter.writeVariable(s, cells, path, "image")
+      graft.sources.MdioWriter.trim(path, "inline", 20)
+      path
+    })
+
+  /** Trim on the gate (S11, reference mdio/utils/trim.h:45-117): the store
+    * shrinks mid-chunk — deleted chunk files beyond the keep boundary, a
+    * read-clamped ragged boundary chunk, and (r13) RETAINED stats pruning
+    * the surviving whole chunks under a value predicate — all certified
+    * against DuckDB recomputing the same cells with `i < 20`. */
+  val qZarrTrimPruning: Q = (s, d) =>
+    s.read.format("mdio").load(zarrGridTrimmed(s, d))
+      .filter(col("image") >= 1.0)
+      .agg(dsum(col("image")).as("total"), count(lit(1)).as("n"),
+        max(col("inline")).as("max_inline"))
+
+  val qZarrTrimPruningSql: String = """
+    WITH agg AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS image
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT i, COALESCE(image, 0.0) AS image
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j)
+      WHERE i < 20)
+    SELECT CAST(SUM(CAST(image AS DECIMAL(27,6))) AS DOUBLE) AS total, COUNT(*) AS n,
+           MAX(i) AS max_inline
+    FROM cells WHERE image >= 1.0"""
+
   /** Second co-gridded store for the storage-partitioned-join row: per-cell
     * lineitem COUNT on the same 32×8 / chunks-[8,4] grid as [[zarrGrid]]. */
   def zarrGridWeight(s: SparkSession, d: String): String =
@@ -1971,6 +2033,7 @@ object Mdio {
     "zarr_extents"          -> qZarrExtents,
     "zarr_extents_distinct" -> qZarrExtentsDistinct,
     "zarr_u64_pruning"      -> qZarrU64Pruning,
+    "zarr_trim_pruning"     -> qZarrTrimPruning,
     "mdio_open_sel"         -> qMdioOpenSel,
   )
 
@@ -2027,6 +2090,7 @@ object Mdio {
     "zarr_extents"          -> qZarrExtentsSql,
     "zarr_extents_distinct" -> qZarrExtentsDistinctSql,
     "zarr_u64_pruning"      -> qZarrU64PruningSql,
+    "zarr_trim_pruning"     -> qZarrTrimPruningSql,
     "mdio_open_sel"         -> qZarrPushdownSql, // same cells via coordinate VALUES
   )
 }
