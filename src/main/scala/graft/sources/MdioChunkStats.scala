@@ -463,6 +463,45 @@ object MdioChunkStats {
       prior.map(_.shards.keySet).getOrElse(Set.empty))
   }
 
+  /** S11 stat retention for a LEADING-dim trim by MANIFEST SURGERY —
+    * O(1) shard I/O instead of [[replace]]'s O(entries) read + O(shards)
+    * rewrite. Shards are keyed by the chunk key's leading index over
+    * `span` leads each, and a leading-dim trim keeps exactly the chunks
+    * with `lead < chunkKeep`, so the boundary cuts the SHARD ID SPACE:
+    * shards wholly below it carry into the new manifest BY REFERENCE
+    * (old file, old recorded generation, old summary — all still exact,
+    * since their entries are untouched), shards wholly past it drop from
+    * the manifest and GC, and only the single shard straddling the
+    * boundary is read, filtered, and rewritten. A trim of a 100 TB
+    * variable (~400 shards) thus opens ONE shard file. Legacy monolithic
+    * sidecars filter in place (they are one file by construction); stale
+    * or absent stats just bump — today's invalidation.
+    * Reference analog: trim republishes metadata, mdio/utils/trim.h:45-117. */
+  def trimLeadSurgery(varDir: VPath, chunkKeep: Long): Unit = {
+    val g = generation(varDir)
+    readManifest(varDir) match {
+      case Some(m) if m.gen == g && m.legacy.isEmpty =>
+        val next = bump(varDir)
+        val kept = Map.newBuilder[Long, ShardMeta]
+        m.shards.foreach { case (s, sm) =>
+          val lo = s * m.span
+          val hiEx = (s + 1) * m.span
+          if (hiEx <= chunkKeep) kept += s -> sm // wholly surviving: by reference
+          else if (lo < chunkKeep) { // THE boundary shard: filter + rewrite
+            val entries = readShard(varDir, s, sm.gen)
+              .filter { case (k, _) => leadIdx(k) < chunkKeep }
+            if (entries.nonEmpty) kept += s -> writeShardFile(varDir, s, next, entries)
+          } // else wholly past the boundary: dropped (then GC'd)
+        }
+        val metas = kept.result()
+        writeManifest(varDir, next, m.span, metas)
+        gcShards(varDir, m.shards.keySet, metas.keySet)
+      case Some(m) if m.gen == g => // legacy monolith: one file either way
+        replace(varDir, m.legacy.get.filter { case (k, _) => leadIdx(k) < chunkKeep })
+      case _ => bump(varDir) // stale/absent: invalidate only
+    }
+  }
+
   /** The refresh used by stats-aware writers: bump the generation, carry
     * over prior entries IF they were current (untouched chunks keep exact
     * bounds across an RMW pass), overlay the fresh entries, publish.

@@ -125,6 +125,44 @@ object MdioStatsPublish {
       .collect().toMap
   }
 
+  /** S11 stat retention for a TRAILING-dim trim: the boundary cuts inside
+    * every shard (shards are keyed by the LEADING chunk index), so each
+    * must be filtered where it lives — one executor task per shard reads
+    * it, drops entries whose dim-`di` chunk index reaches `chunkKeep`,
+    * rewrites at the new generation ONLY when something dropped (an
+    * untouched shard carries into the new manifest by reference), and the
+    * driver receives one [[MdioChunkStats.ShardMeta]] per surviving shard
+    * — O(shards) driver records, never O(entries). Returns false when the
+    * prior state is not a current sharded sidecar (legacy monolith, stale,
+    * absent) — the caller falls back to the driver-side filter. */
+  def trimFilterShards(spark: SparkSession, varDirStr: String,
+                       di: Int, chunkKeep: Long): Boolean = {
+    val varDir = VPath(varDirStr)
+    val g = MdioChunkStats.generation(varDir)
+    MdioChunkStats.readManifest(varDir) match {
+      case Some(m) if m.gen == g && m.legacy.isEmpty =>
+        val hconf = HConf.capture()
+        val next = MdioChunkStats.bump(varDir)
+        val metas = spark.sparkContext
+          .parallelize(m.shards.toSeq,
+            math.max(1, math.min(m.shards.size, spark.sparkContext.defaultParallelism)))
+          .flatMap { case (sid, sm) =>
+            VPath.install(hconf.value)
+            val vd = VPath(varDirStr)
+            val prior = MdioChunkStats.readShard(vd, sid, sm.gen)
+            val kept = prior.filter { case (k, _) =>
+              k.split("\\.")(di).toLong < chunkKeep }
+            if (kept.isEmpty) None
+            else if (kept.size == prior.size) Some(sid -> sm) // untouched: by reference
+            else Some(sid -> MdioChunkStats.writeShardFile(vd, sid, next, kept))
+          }.collect().toMap
+        MdioChunkStats.writeManifest(varDir, next, m.span, metas)
+        MdioChunkStats.gcShards(varDir, m.shards.keySet, metas.keySet)
+        true
+      case _ => false
+    }
+  }
+
   // ---- stat-row FRAGMENT files: the DSv2 sink's task-commit spill. A sink
   // task owning many chunks would otherwise ship O(chunks) stat rows inside
   // its WriterCommitMessage (a driver union at scale); past

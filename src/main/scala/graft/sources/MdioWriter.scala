@@ -863,16 +863,32 @@ object MdioWriter {
           val keep = (newSize + unit - 1) / unit
           if (meta.version == 3) {
             val cDir = arrayDir.resolve("c")
-            cDir.listFilesRecursive().foreach { p =>
-              val coords = cDir.relativize(p).split("/").map(_.toLong)
-              if (coords.length == dims.size && coords(di) >= keep) p.delete()
+            if (di == 0) {
+              // v3's hierarchical layout puts dim0 at the TOP directory
+              // level, so everything past a leading-dim boundary is whole
+              // subtrees: the driver lists O(dim0 file-units) names and
+              // executors delete each subtree — the inner-level listing
+              // (the O(chunks) part) never touches the driver.
+              val doomed = if (cDir.exists) cDir.list().filter(p =>
+                scala.util.Try(p.name.toLong).toOption.exists(_ >= keep)) else Nil
+              distributedDelete(doomed, recursive = true)
+            } else {
+              val doomed = (if (cDir.exists) cDir.listFilesRecursive() else Nil)
+                .filter { p =>
+                  val coords = cDir.relativize(p).split("/").map(_.toLong)
+                  coords.length == dims.size && coords(di) >= keep
+                }
+              distributedDelete(doomed, recursive = false)
             }
-          } else arrayDir.list()
-            .filter(p => p.isFile && !p.name.startsWith("."))
-            .foreach { p =>
-              val coords = p.name.split("\\.").map(_.toLong)
-              if (coords.length == dims.size && coords(di) >= keep) p.delete()
-            }
+          } else {
+            val doomed = arrayDir.list()
+              .filter(p => p.isFile && !p.name.startsWith("."))
+              .filter { p =>
+                val coords = p.name.split("\\.").map(_.toLong)
+                coords.length == dims.size && coords(di) >= keep
+              }
+            distributedDelete(doomed, recursive = false)
+          }
         }
         // shape + chunk-file set changed. Stats RETENTION instead of blanket
         // invalidation: every chunk FULLY below the new boundary along the
@@ -880,19 +896,55 @@ object MdioWriter {
         // the ragged boundary chunk and everything past it drop (their
         // stored bounds would cover now-out-of-domain cells). A trim of a
         // 100 TB store thus keeps pruning + metadata MIN/MAX alive for the
-        // surviving volume. Driver cost is O(entries) — the same order as
-        // this method's own chunk-file listing above. Stale/absent stats
-        // just bump (today's behavior).
-        MdioChunkStats.current(arrayDir) match {
-          case Some(entries) =>
-            val chunkKeep = newSize / meta.chunks(di) // FULL chunks along di
-            MdioChunkStats.replace(arrayDir, entries.filter { case (k, _) =>
-              k.split("\\.")(di).toLong < chunkKeep })
-          case None => MdioChunkStats.bump(arrayDir)
+        // surviving volume. Leading-dim trims retain by MANIFEST SURGERY —
+        // one shard file opened regardless of store size
+        // ([[MdioChunkStats.trimLeadSurgery]]); trailing-dim trims filter
+        // each shard from executors ([[MdioStatsPublish.trimFilterShards]]),
+        // falling back to the driver-side O(entries) filter only without an
+        // active session or against a legacy monolithic sidecar.
+        val chunkKeep = newSize / meta.chunks(di) // FULL chunks along di
+        if (di == 0) MdioChunkStats.trimLeadSurgery(arrayDir, chunkKeep)
+        else {
+          val distributed = SparkSession.getActiveSession.exists(s =>
+            MdioStatsPublish.trimFilterShards(s, arrayDir.uri, di, chunkKeep))
+          if (!distributed) MdioChunkStats.current(arrayDir) match {
+            case Some(entries) =>
+              MdioChunkStats.replace(arrayDir, entries.filter { case (k, _) =>
+                k.split("\\.")(di).toLong < chunkKeep })
+            case None => MdioChunkStats.bump(arrayDir)
+          }
         }
       }
     }
     if (ZarrMeta.detectVersion(root) == 2) ZarrMeta.consolidate(root)
+  }
+
+  /** Per-executor-task batch size for [[distributedDelete]], and the floor
+    * below which a Spark job costs more than the deletes themselves. */
+  private val DeleteBatch = 256
+
+  /** Delete `paths` from EXECUTORS: trim at the 100 TB envelope
+    * (~1.6 M chunk files / variable) must not issue delete RPCs serially
+    * from the driver. Tiny sets (or no active session — pure-library use)
+    * delete inline, where a job scheduler round-trip would dominate. */
+  private def distributedDelete(paths: Seq[VPath], recursive: Boolean): Unit = {
+    def del(p: VPath): Unit = if (recursive) p.deleteRecursive() else p.delete()
+    if (paths.isEmpty) return
+    SparkSession.getActiveSession match {
+      case Some(s) if paths.size > DeleteBatch / 8 =>
+        val hconf = graft.zarr.HConf.capture()
+        val uris = paths.map(_.uri)
+        val parts = math.max(1, math.min(s.sparkContext.defaultParallelism,
+          (uris.size + DeleteBatch - 1) / DeleteBatch))
+        s.sparkContext.parallelize(uris, parts).foreachPartition { it =>
+          VPath.install(hconf.value) // executor JVMs have no SparkSession
+          it.foreach { u =>
+            val p = VPath(u)
+            if (recursive) p.deleteRecursive() else p.delete()
+          }
+        }
+      case _ => paths.foreach(del)
+    }
   }
 
   /** Chunk-aligned write of a structured (record) variable: the value
