@@ -66,7 +66,8 @@ final case class MdioWriteBuilder(path: String, dims: Seq[String],
       s"mdio sink at $path: aligned=true targets a store with sharding_indexed " +
         "variables — the caller's partitioning MUST be SHARD-granular (one task " +
         "owns every whole shard object, as MdioWriter.repartitionByChunk " +
-        "produces); a chunk-granular feed loses inner chunks (last-writer-wins).")
+        "produces); a chunk-granular feed loses inner chunks (last-writer-wins). " +
+        "A multi-task shard assembly is detected at commit and FAILS the job.")
     override def requiredDistribution(): Distribution =
       if (chunkTransform) {
         // loaded via MdioCatalog: its FunctionCatalog resolves the `chunk`
@@ -122,30 +123,51 @@ object MdioWriteBuilder {
 
 object MdioBatchWrite {
   /** Per-variable stat rows a sink task keeps INLINE in its commit message;
-    * past this it spills a `.mdio_statfrag.<uuid>` file to the variable
-    * directory and the message carries only the name — each commit message
-    * stays small however many chunks the task owned. The COMMIT side
-    * additionally routes through the distributed publisher whenever the
-    * inline union across tasks exceeds this cap (many small tasks sum to
-    * O(chunks) even when none spills individually). Overridable per
-    * session via `spark.graft.sink.inlineStatRows` (captured at write
-    * planning on the driver); `0` forces always-spill — the strictest
-    * driver envelope for full-store ETL writes. */
+    * past this it spills a `.mdio_statfrag.<job>.<uuid>` file to the
+    * variable directory and the message carries only the name — each commit
+    * message stays small however many chunks the task owned. The COMMIT
+    * side additionally routes through the distributed publisher whenever
+    * the inline union across tasks exceeds this cap (many small tasks sum
+    * to O(chunks) even when none spills individually). Overridable per
+    * session via `spark.graft.sink.inlineStatRows` (captured ONCE at write
+    * planning on the driver — the same captured value governs both the
+    * writer-side spill threshold and the commit-side routing); `0` forces
+    * always-spill — the strictest driver envelope for full-store ETL
+    * writes. */
   val InlineStatRows = 4096
+
+  /** Default age (ms) past which an unreferenced `.mdio_statfrag.*` file
+    * is swept as a crash orphan (24 h). Overridable via
+    * `spark.graft.sink.fragGraceMs`. */
+  val FragGraceMs = 24L * 3600 * 1000
 }
 
 final case class MdioBatchWrite(path: String, dims: Seq[String],
                                 metas: Map[String, ZarrMeta.ArrayMeta],
                                 schema: StructType) extends BatchWrite {
+  // session knobs, captured ONCE at write planning on the driver (this
+  // object is constructed there) so the writer factory and the driver-side
+  // commit can never disagree about the configured values
+  private val sessionConf = org.apache.spark.sql.SparkSession.getActiveSession
+    .orElse(org.apache.spark.sql.SparkSession.getDefaultSession).map(_.conf)
+  private val inlineStatRows: Int = sessionConf
+    .map(_.get("spark.graft.sink.inlineStatRows",
+      MdioBatchWrite.InlineStatRows.toString).toInt)
+    .getOrElse(MdioBatchWrite.InlineStatRows)
+  private val fragGraceMs: Long = sessionConf
+    .map(_.get("spark.graft.sink.fragGraceMs",
+      MdioBatchWrite.FragGraceMs.toString).toLong)
+    .getOrElse(MdioBatchWrite.FragGraceMs)
+  /** This write job's fragment namespace: every fragment a task of THIS
+    * job spills is named `.mdio_statfrag.<jobToken>.<uuid>`, so the
+    * orphan sweep can tell its own in-flight fragments from a crashed
+    * predecessor's leftovers without any coordination. */
+  private val jobToken: String = java.util.UUID.randomUUID().toString
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     MdioDataWriterFactory(path, dims.toArray, schema,
       schema.fieldNames.filter(metas.contains).map(v => v -> metas(v)),
-      graft.zarr.HConf.capture(),
-      org.apache.spark.sql.SparkSession.getActiveSession
-        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-        .map(_.conf.get("spark.graft.sink.inlineStatRows",
-          MdioBatchWrite.InlineStatRows.toString).toInt)
-        .getOrElse(MdioBatchWrite.InlineStatRows))
+      graft.zarr.HConf.capture(), inlineStatRows, jobToken)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // all tasks succeeded; (v2) refresh consolidated metadata on the driver
@@ -161,6 +183,29 @@ final case class MdioBatchWrite(path: String, dims: Seq[String],
     // change, so their stats stay current.
     val root = ZarrMeta.path(path)
     val stats = messages.collect { case m: MdioStatsCommit => m }
+    // sharding_indexed ownership check (upgrades the plan-time warning to a
+    // hard failure): a shard OBJECT is assembled whole by exactly one task —
+    // two tasks reporting inner chunks of the same shard means the feed was
+    // chunk-granular under aligned=true, and whichever task wrote last
+    // silently dropped the other's inner chunks. The per-task shard-id sets
+    // are shard-granular (the FILE unit), so this stays O(shard files) on
+    // the driver — and failing here, after the data writes, is the honest
+    // outcome: the store HAS lost chunks and those shards need a rewrite
+    // from a shard-granular feed (MdioWriter.repartitionByChunk).
+    val shardOwners = scala.collection.mutable.Map[(String, Long), Int]()
+    stats.foreach(_.shards.foreach { case (v, sids) =>
+      sids.foreach { sid =>
+        shardOwners.updateWith((v, sid))(c => Some(c.getOrElse(0) + 1))
+      }
+    })
+    val collided = shardOwners.collect { case ((v, sid), n) if n > 1 => s"$v/shard$sid" }
+    if (collided.nonEmpty) throw new IllegalStateException(
+      s"mdio sink at $path: shard objects assembled by MULTIPLE tasks " +
+        s"(last-writer-wins dropped inner chunks): ${collided.take(8).mkString(", ")}" +
+        (if (collided.size > 8) s" … (${collided.size} total)" else "") +
+        ". The aligned=true feed must be SHARD-granular for sharding_indexed " +
+        "variables — use MdioWriter.repartitionByChunk(df, path) and rewrite " +
+        "the listed shards.")
     val touched: Set[String] = stats.iterator.flatMap(_.touched).toSet
     touched.foreach { v =>
       val m = metas(v)
@@ -182,7 +227,7 @@ final case class MdioBatchWrite(path: String, dims: Seq[String],
         // bounds message SIZE; `spark.graft.sink.inlineStatRows=0` forces
         // always-spill for the strictest driver envelope.
         if (session.isDefined &&
-            (frags.nonEmpty || inline.size > MdioBatchWrite.InlineStatRows)) {
+            (frags.nonEmpty || inline.size > inlineStatRows)) {
           val sc = session.get.sparkContext
           val hc = graft.zarr.HConf.capture()
           val varDirStr = varDir.toString
@@ -194,7 +239,9 @@ final case class MdioBatchWrite(path: String, dims: Seq[String],
             }
           val rows = if (inline.isEmpty) fragRdd
                      else fragRdd.union(sc.parallelize(inline,
-                       math.max(1, math.min(inline.size / 4096 + 1, sc.defaultParallelism))))
+                       math.max(1, math.min(
+                         inline.size / MdioBatchWrite.InlineStatRows + 1,
+                         sc.defaultParallelism))))
           MdioStatsPublish.publishRows(session.get, varDirStr, hc, grid, rows)
         } else {
           // small write (or no session to run a job): driver-side refresh
@@ -210,9 +257,28 @@ final case class MdioBatchWrite(path: String, dims: Seq[String],
           MdioChunkStats.refresh(varDir, entries)
         }
         frags.foreach(f => varDir.resolve(f).delete()) // after the manifest commit
+        // ORPHAN SWEEP (r13 verdict #2): a driver crash between a task's
+        // commit and the job's commit/abort leaves `.mdio_statfrag.*` files
+        // no code path would ever delete — hidden dead bytes object stores
+        // bill for. Any fragment here that is NOT this job's (the jobToken
+        // in its name) and is older than the grace window is such a
+        // leftover; the grace window keeps a genuinely concurrent job's
+        // in-flight fragments safe. Scoped to fragment-bearing commits so
+        // the always-inline regime never pays the directory LIST.
+        if (frags.nonEmpty) sweepOrphanFragments(varDir)
       }
     }
     if (ZarrMeta.detectVersion(root) == 2) ZarrMeta.consolidate(root)
+  }
+
+  private def sweepOrphanFragments(varDir: graft.zarr.VPath): Unit = {
+    val cutoff = System.currentTimeMillis() - fragGraceMs
+    val own = s".mdio_statfrag.$jobToken."
+    varDir.list().foreach { p =>
+      if (p.isFile && p.name.startsWith(".mdio_statfrag.") && !p.name.startsWith(own))
+        try { if (p.mtime <= cutoff) p.delete() }
+        catch { case scala.util.control.NonFatal(_) => () } // best-effort
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -233,11 +299,12 @@ final case class MdioDataWriterFactory(path: String, dims: Array[String],
                                        schema: StructType,
                                        vars: Array[(String, ZarrMeta.ArrayMeta)],
                                        hconf: graft.zarr.HConf,
-                                       inlineStatRows: Int = MdioBatchWrite.InlineStatRows)
+                                       inlineStatRows: Int = MdioBatchWrite.InlineStatRows,
+                                       jobToken: String = "")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     graft.zarr.VPath.install(hconf.value) // executor JVMs have no SparkSession
-    new MdioDataWriter(path, dims, schema, vars, inlineStatRows)
+    new MdioDataWriter(path, dims, schema, vars, inlineStatRows, jobToken)
   }
 }
 
@@ -246,19 +313,30 @@ final case class MdioDataWriterFactory(path: String, dims: Array[String],
   * chunk buffer it owned (clustering guarantees single ownership, so the
   * union is conflict-free): inline rows when few, spilled
   * `.mdio_statfrag.*` file names per variable when the task owned more
-  * than [[MdioBatchWrite.InlineStatRows]] chunks. */
+  * than [[MdioBatchWrite.InlineStatRows]] chunks. `shards` lists, per
+  * sharding_indexed variable, the shard OBJECTS this task assembled —
+  * shard-granular (the file unit), so it stays small however many inner
+  * chunks the task owned; the driver commit cross-checks single ownership
+  * and fails loudly on a collision. */
 private final case class MdioStatsCommit(
     touched: Set[String],
     stats: Map[String, Array[MdioWriter.ChunkStatRow]],
-    frags: Map[String, Seq[String]] = Map.empty) extends WriterCommitMessage
+    frags: Map[String, Seq[String]] = Map.empty,
+    shards: Map[String, Array[Long]] = Map.empty) extends WriterCommitMessage
 
 /** Buffers every owned chunk per variable; flushes chunk files on commit.
   * Thanks to the declared clustering, a chunk is owned by exactly one
   * task — no cross-task merge is ever needed. */
 final class MdioDataWriter(path: String, dims: Array[String], schema: StructType,
                            vars: Array[(String, ZarrMeta.ArrayMeta)],
-                           inlineStatRows: Int = MdioBatchWrite.InlineStatRows)
+                           inlineStatRows: Int = MdioBatchWrite.InlineStatRows,
+                           jobToken: String = "")
     extends DataWriter[InternalRow] {
+
+  // fragment files THIS attempt spilled — deleted on task abort so a failed
+  // or speculation-raced attempt never leaks hidden bytes (job-level abort
+  // only sees fragments named in DELIVERED commit messages)
+  private val spilledFrags = scala.collection.mutable.ArrayBuffer[graft.zarr.VPath]()
 
   private val rank = dims.length
   private val dimIdx: Array[Int] = dims.map(schema.fieldIndex)
@@ -510,14 +588,19 @@ final class MdioDataWriter(path: String, dims: Array[String], schema: StructType
     val touched = Set.newBuilder[String]
     val stats = Map.newBuilder[String, Array[MdioWriter.ChunkStatRow]]
     val frags = Map.newBuilder[String, Seq[String]]
+    val shardIds = Map.newBuilder[String, Array[Long]]
     // inline small row sets; spill big ones to a fragment file in the
     // variable directory (the commit-message stream must stay O(tasks))
     def emit(name: String, rows: Array[MdioWriter.ChunkStatRow]): Unit =
       if (rows.length <= inlineStatRows) stats += name -> rows
       else {
-        val frag = s".mdio_statfrag.${java.util.UUID.randomUUID()}"
-        MdioStatsPublish.writeFragment(
-          ZarrMeta.path(path).resolve(name).resolve(frag), rows)
+        // the job token namespaces the fragment so the driver commit's
+        // orphan sweep can tell in-flight fragments from crash leftovers
+        val tok = if (jobToken.isEmpty) "" else s"$jobToken."
+        val frag = s".mdio_statfrag.$tok${java.util.UUID.randomUUID()}"
+        val fp = ZarrMeta.path(path).resolve(name).resolve(frag)
+        MdioStatsPublish.writeFragment(fp, rows)
+        spilledFrags += fp
         frags += name -> Seq(frag)
       }
     var v = 0
@@ -544,13 +627,15 @@ final class MdioDataWriter(path: String, dims: Array[String], schema: StructType
         // byte-for-byte from the existing shard (exactly
         // MdioWriter.writeShardedVariable's merge)
         val innerCount = m.innerPerShard.product.toInt
-        cids.groupBy(cid => shardIdOf(m, decompose(cid))).foreach { case (sid, owned) =>
+        val bySid = cids.groupBy(cid => shardIdOf(m, decompose(cid)))
+        bySid.foreach { case (sid, owned) =>
           val byIdx = owned.iterator.map(cid => innerIdxOf(m, decompose(cid)) -> cid).toMap
           val parts = Array.tabulate(innerCount) { idx =>
             byIdx.get(idx).map(encoded).getOrElse(existingInner(v, sid, idx))
           }
           shardVPath(name, m, sid).write(ZarrMeta.buildShard(parts))
         }
+        if (bySid.nonEmpty) shardIds += name -> bySid.keysIterator.toArray
       }
       if (cids.nonEmpty) touched += name
       def validOf(cid: Long): Array[Int] =
@@ -564,9 +649,14 @@ final class MdioDataWriter(path: String, dims: Array[String], schema: StructType
           else MdioWriter.longStat(cid, buf, chunks, validOf(cid)) }.toArray)
       v += 1
     }
-    MdioStatsCommit(touched.result(), stats.result(), frags.result())
+    MdioStatsCommit(touched.result(), stats.result(), frags.result(), shardIds.result())
   }
 
-  override def abort(): Unit = ()
+  override def abort(): Unit =
+    // a failed (or speculation-raced) attempt deletes its own spilled
+    // fragments — the job-level abort only sees DELIVERED commit messages
+    spilledFrags.foreach { p =>
+      try p.delete() catch { case scala.util.control.NonFatal(_) => () }
+    }
   override def close(): Unit = ()
 }

@@ -922,6 +922,113 @@ class MdioValueStatsSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("orphan stat fragments sweep on the next fragment-bearing commit") {
+    // a driver crash between task commit and job commit/abort leaves
+    // `.mdio_statfrag.*` files nothing references — the next fragment-
+    // bearing sink commit must sweep them (grace-aged, foreign job token),
+    // while a genuinely concurrent job's FRESH fragments survive.
+    val dir = createFloat(_.toDouble)
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    val orphan = varDir.resolve(".mdio_statfrag.deadjob.leftover")
+    orphan.writeString("")
+    spark.conf.set("spark.graft.sink.inlineStatRows", "2") // force fragments
+    spark.conf.set("spark.graft.sink.fragGraceMs", "0")    // everything is "old"
+    try spark.range(64).select($"id".as("x"), ($"id" + 1.0).as("v"))
+      .write.format("mdio").mode("append").save(dir)
+    finally {
+      spark.conf.unset("spark.graft.sink.inlineStatRows")
+      spark.conf.unset("spark.graft.sink.fragGraceMs")
+    }
+    assert(!orphan.exists, "an aged unreferenced fragment must be swept")
+    // under the DEFAULT grace window a fresh foreign fragment is presumed
+    // in-flight (another job's task already committed it) and survives
+    val live = varDir.resolve(".mdio_statfrag.livejob.inflight")
+    live.writeString("")
+    spark.conf.set("spark.graft.sink.inlineStatRows", "2")
+    try spark.range(64).select($"id".as("x"), ($"id" + 2.0).as("v"))
+      .write.format("mdio").mode("append").save(dir)
+    finally spark.conf.unset("spark.graft.sink.inlineStatRows")
+    assert(live.exists, "a fresh (in-grace) foreign fragment must survive the sweep")
+    // and this job's OWN fragments are still GC'd after its manifest commit
+    val leftovers = varDir.list().map(_.name)
+      .filter(n => n.startsWith(".mdio_statfrag") && n != live.name)
+    assert(leftovers.isEmpty, s"own fragments survived commit: $leftovers")
+    MdioWriter.delete(dir)
+  }
+
+  test("a task attempt that spilled a fragment deletes it on abort") {
+    // ADVICE r13: DataWriter.abort() was a no-op, so an attempt that
+    // spilled during commit() but then failed (or lost a speculation race)
+    // leaked the fragment forever — job-level abort only sees fragments
+    // named in DELIVERED commit messages.
+    val dir = createFloat(_.toDouble)
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    val (_, arrays) = ZarrMeta.readGroup(ZarrMeta.path(dir))
+    val meta = arrays("v")._1
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val w = new MdioDataWriter(dir, Array("x"), schema, Array("v" -> meta),
+      inlineStatRows = 0, jobToken = "attempt1")
+    w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](3L, 42.0)))
+    w.commit() // spills (cap 0): the fragment exists, message undelivered
+    val frags = varDir.list().map(_.name)
+      .filter(_.startsWith(".mdio_statfrag.attempt1."))
+    assert(frags.size == 1, s"expected one spilled fragment, got $frags")
+    w.abort()
+    assert(!varDir.resolve(frags.head).exists,
+      "task abort must delete the attempt's own spilled fragments")
+    MdioWriter.delete(dir)
+  }
+
+  test("two tasks assembling one shard object fail the commit loudly") {
+    // sharding_indexed + aligned=true with a CHUNK-granular feed: both
+    // tasks assemble shard 0 from stale carryover — last-writer-wins loses
+    // inner chunks. The driver commit cross-checks per-task shard ids and
+    // fails instead of silently corrupting (ADVICE r13, upgraded from a
+    // plan-time warning).
+    val dir = Files.createTempDirectory("mdio_vstats").resolve("col.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "col", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "x", "dataType": "int64",
+        |     "dimensions": [{"name": "x", "size": 16}]},
+        |    {"name": "v", "dataType": "float64",
+        |     "dimensions": [{"name": "x", "size": 16}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration":
+        |       {"chunkShape": [4], "shardShape": [16]}}}}
+        |  ]
+        |}""".stripMargin), dir, version = 3)
+    // two writer tasks, each owning DIFFERENT inner chunks of shard 0 —
+    // exactly what a chunk-granular aligned feed produces (driven directly:
+    // AQE coalesces a 16-row shuffle into one task, masking the race at
+    // test scale; at real scale the tasks are genuinely distinct)
+    val (_, arrays) = ZarrMeta.readGroup(ZarrMeta.path(dir))
+    val meta = arrays("v")._1
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    def taskOwning(range: Range)
+        : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      val w = new MdioDataWriter(dir, Array("x"), schema, Array("v" -> meta))
+      range.foreach(i => w.write(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i.toLong, i.toDouble))))
+      w.commit()
+    }
+    val messages = Array(taskOwning(0 until 8), taskOwning(8 until 16))
+    val bw = MdioBatchWrite(dir, Seq("x"), Map("v" -> meta), schema)
+    val ex = intercept[IllegalStateException] { bw.commit(messages) }
+    assert(ex.getMessage.contains("MULTIPLE tasks"), ex.getMessage)
+    // and a SHARD-granular feed (one task owning the whole shard) commits fine
+    val ok = Array(taskOwning(0 until 16))
+    MdioBatchWrite(dir, Seq("x"), Map("v" -> meta), schema).commit(ok)
+    assert(spark.read.format("mdio").load(dir).agg(sum($"v")).first().getDouble(0) == 120.0)
+    MdioWriter.delete(dir)
+  }
+
   test("ragged edge chunks: stats cover only in-domain cells") {
     // size 60 / chunk 8 → chunk 7 holds cells 56..59 plus 4 OUT-OF-DOMAIN
     // padding cells at the NaN fill. Whole-buffer stats would absorb the
