@@ -1025,21 +1025,31 @@ final case class MdioScan(path: String, dims: Seq[String],
       .getOrElse(65536L)
   }
 
-  /** GROUPED keys (`spark.graft.scan.keyedPartitions.groupFactor=G`): the
-    * keyed scan coarsens the LEADING dim's partition key to
-    * `chunk_<G·size>(dim0)` and plans one partition per aligned group of G
-    * leading chunk ordinals — driver partition objects divide by G while
-    * the join stays exchange-free (both sides must run under the same
-    * session conf, so they coarsen identically; `SizedChunkBound`'s
-    * reducers keep divisible grids compatible). The way to keep
-    * storage-partitioned joins live on stores whose chunk count exceeds
-    * [[keyedMaxPartitions]]. */
-  private def keyedGroupFactor: Long = {
+  /** GROUPED keys (`spark.graft.scan.keyedPartitions.groupFactor`): the
+    * keyed scan coarsens partition keys to `chunk_<G_i·size_i>(dim_i)` and
+    * plans one partition per aligned GROUP BOX of chunk ordinals — driver
+    * partition objects divide by the factor product while the join stays
+    * exchange-free (both sides must run under the same session conf, so
+    * they coarsen identically; `SizedChunkBound`'s reducers keep divisible
+    * grids compatible). Accepted forms:
+    *  - a single integer `G` — coarsens the LEADING dim only (the common
+    *    long-dim-leading geometry, and the r13-compatible form);
+    *  - a comma list `g0,g1,…` — per-dim factors, the escape hatch for
+    *    stores whose chunk count lives in TRAILING dims (e.g. 4×2048×2048
+    *    chunks: `1,64,64` keeps the join under the ceiling);
+    *  - `auto` — derive the smallest power-of-two per-dim factors that
+    *    bring the group count under [[keyedMaxPartitions]], doubling the
+    *    dim with the most groups first. Auto is PER-SCAN: two stores with
+    *    equal chunk-grid geometry derive equal factors (an exchange-free
+    *    join), but differently-shaped sides may not — set explicit factors
+    *    when the join must zip.
+    * The way to keep storage-partitioned joins live on stores whose chunk
+    * count exceeds [[keyedMaxPartitions]]. */
+  private def keyedGroupFactorConf: String = {
     val s = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-    math.max(1L,
-      s.map(_.conf.get("spark.graft.scan.keyedPartitions.groupFactor", "1").toLong)
-        .getOrElse(1L))
+    s.map(_.conf.get("spark.graft.scan.keyedPartitions.groupFactor", "1"))
+      .getOrElse("1")
   }
 
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
@@ -1050,12 +1060,12 @@ final case class MdioScan(path: String, dims: Seq[String],
       new UnknownPartitioning(planned.length)
     else {
       val anchor = metas.values.head
-      // grouped keys coarsen the LEADING dim's key size by the factor the
+      // grouped keys coarsen each dim's key size by the factors the
       // planned partitions actually carry (consistent with the memoized
       // plan, whatever the live conf now says)
-      val factor = planned.head match {
-        case gp: MdioChunkGroupPartition => gp.factor
-        case _ => 1L
+      val factors: Array[Long] = planned.head match {
+        case gp: MdioChunkGroupPartition => gp.factors
+        case _ => Array.fill(dims.size)(1L)
       }
       // the SIZED single-argument transform family: catalyst accepts only
       // one-argument transforms as partition keys, so the chunk size is
@@ -1063,7 +1073,7 @@ final case class MdioScan(path: String, dims: Seq[String],
       // equal grids)
       new KeyGroupedPartitioning(
         dims.zipWithIndex.map { case (d, i) =>
-          val size = if (i == 0) anchor.chunks(i) * factor else anchor.chunks(i)
+          val size = anchor.chunks(i) * factors(i)
           Expressions.apply(s"chunk_$size", Expressions.column(d))
             : org.apache.spark.sql.connector.expressions.Expression
         }.toArray, planned.length)
@@ -1338,39 +1348,54 @@ final case class MdioScan(path: String, dims: Seq[String],
           // worse than one shuffled join).
           case None if runtimeValues.isEmpty && keyedPartitions =>
             val ceiling = keyedMaxPartitions
-            val factor = keyedGroupFactor
-            if (factor > 1) {
-              // grouped keys: one partition per aligned group of `factor`
-              // leading ordinals × other-dim chunk coords
-              val gLo = chunkLo.head / factor
-              val gHi = chunkHi.head / factor
-              val groupCount = (gHi - gLo + 1) *
-                dims.indices.drop(1).map(i => chunkHi(i) - chunkLo(i) + 1).product
+            val extents = dims.indices.map(i => chunkHi(i) - chunkLo(i) + 1)
+            val factors = MdioScan.resolveGroupFactors(
+              keyedGroupFactorConf, dims.size, extents, ceiling)
+            if (factors.exists(_ > 1)) {
+              // grouped keys: one partition per aligned GROUP BOX of chunk
+              // ordinals (per-dim factors — trailing-dim-heavy geometries
+              // coarsen where their chunk count actually lives)
+              val gLo = dims.indices.map(i => chunkLo(i) / factors(i))
+              val gHi = dims.indices.map(i => chunkHi(i) / factors(i))
+              val groupCount = dims.indices.map(i => gHi(i) - gLo(i) + 1).product
               if (groupCount <= ceiling) {
-                def enumOthers(dim: Int, acc: Vector[Long]): Iterator[Vector[Long]] =
+                def enumGroups(dim: Int, acc: Vector[Long]): Iterator[Vector[Long]] =
                   if (dim == dims.size) Iterator.single(acc)
-                  else (chunkLo(dim) to chunkHi(dim)).iterator
-                    .flatMap(c => enumOthers(dim + 1, acc :+ c))
+                  else (gLo(dim) to gHi(dim)).iterator
+                    .flatMap(g => enumGroups(dim + 1, acc :+ g))
                 val out = Vector.newBuilder[InputPartition]
-                (gLo to gHi).foreach { g =>
-                  enumOthers(1, Vector.empty).foreach { others =>
-                    val leads = (math.max(g * factor, chunkLo.head) to
-                        math.min((g + 1) * factor - 1, chunkHi.head))
-                      .filter(l => survives(l +: others))
-                    if (leads.nonEmpty)
-                      out += MdioChunkGroupPartition(path, leads.toArray, others.toArray,
-                        factor, chunks.toArray,
-                        bounds.map(_._1).toArray, bounds.map(_._2).toArray,
-                        neededVars, neededVars.map(v => metas(v)).toArray)
-                  }
+                enumGroups(0, Vector.empty).foreach { g =>
+                  val mLo = dims.indices.map(i => math.max(g(i) * factors(i), chunkLo(i)))
+                  val mHi = dims.indices.map(i =>
+                    math.min((g(i) + 1) * factors(i) - 1, chunkHi(i)))
+                  // member survivors only when pruning can thin the box —
+                  // the common unpruned plan stores O(rank) longs per group
+                  val surv: Array[Long] =
+                    if (!pruningActive) null
+                    else {
+                      val ext = dims.indices.map(i => mHi(i) - mLo(i) + 1)
+                      def enumM(dim: Int, acc: Vector[Long]): Iterator[Vector[Long]] =
+                        if (dim == dims.size) Iterator.single(acc)
+                        else (mLo(dim) to mHi(dim)).iterator
+                          .flatMap(c => enumM(dim + 1, acc :+ c))
+                      enumM(0, Vector.empty).filter(survives).map { cc =>
+                        dims.indices.foldLeft(0L)((f, i) => f * ext(i) + (cc(i) - mLo(i)))
+                      }.toArray
+                    }
+                  if (surv == null || surv.nonEmpty)
+                    out += MdioChunkGroupPartition(path, g.toArray, factors,
+                      mLo.toArray, mHi.toArray, surv, chunks.toArray,
+                      bounds.map(_._1).toArray, bounds.map(_._2).toArray,
+                      neededVars, neededVars.map(v => metas(v)).toArray)
                 }
                 out.result().toArray
               } else {
                 MdioScan.log.warn(
                   s"mdio keyed scan of $path: $groupCount grouped partitions " +
-                    s"(factor $factor) still exceed " +
+                    s"(factors ${factors.mkString("x")}) still exceed " +
                     s"spark.graft.scan.keyedPartitions.max=$ceiling — falling back " +
-                    "to coalesced chunk-range planning (raise the factor).")
+                    "to coalesced chunk-range planning (raise the factors or use " +
+                    "groupFactor=auto).")
                 coalescedPlan()
               }
             } else {
@@ -1409,19 +1434,31 @@ final case class MdioScan(path: String, dims: Seq[String],
               if (dim == dims.size) Iterator.single(acc)
               else perDim(dim).iterator.flatMap(c => enumCand(dim + 1, acc :+ c))
             val perChunk = enumCand(0, Vector.empty).flatMap(partitionFor).map(_._1).toArray
-            val factor = if (keyedPartitions) keyedGroupFactor else 1L
-            if (factor <= 1) perChunk
+            val factors =
+              if (!keyedPartitions) Array.fill(dims.size)(1L)
+              else MdioScan.resolveGroupFactors(keyedGroupFactorConf, dims.size,
+                dims.indices.map(i => chunkHi(i) - chunkLo(i) + 1), keyedMaxPartitions)
+            if (factors.forall(_ <= 1)) perChunk
             else {
               // grouped keys must survive runtime filtering in the SAME
-              // declared key space (chunk_<G·size> on the leading dim):
-              // regroup the surviving chunks into their aligned lead groups
-              // so partition keys keep matching the reported transforms
+              // declared key space (chunk_<G_i·size_i> per dim): regroup
+              // the surviving chunks into their aligned group boxes so
+              // partition keys keep matching the reported transforms.
+              // (`auto` factors derive from the STATIC chunk box, which
+              // runtime IN-sets never change — replans stay compatible.)
               perChunk.collect { case p: MdioInputPartition => p }
-                .groupBy(p => (p.chunk.head / factor, p.chunk.drop(1).toSeq))
-                .map { case ((_, others), members) =>
-                  MdioChunkGroupPartition(path,
-                    members.map(_.chunk.head).sorted, others.toArray, factor,
-                    chunks.toArray, bounds.map(_._1).toArray, bounds.map(_._2).toArray,
+                .groupBy(p => p.chunk.indices.map(i => p.chunk(i) / factors(i)).toVector)
+                .map { case (g, members) =>
+                  val mLo = dims.indices.map(i => math.max(g(i) * factors(i), chunkLo(i)))
+                  val mHi = dims.indices.map(i =>
+                    math.min((g(i) + 1) * factors(i) - 1, chunkHi(i)))
+                  val ext = dims.indices.map(i => mHi(i) - mLo(i) + 1)
+                  val surv = members.map { p =>
+                    dims.indices.foldLeft(0L)((f, i) => f * ext(i) + (p.chunk(i) - mLo(i)))
+                  }.sorted
+                  MdioChunkGroupPartition(path, g.toArray, factors,
+                    mLo.toArray, mHi.toArray, surv, chunks.toArray,
+                    bounds.map(_._1).toArray, bounds.map(_._2).toArray,
                     neededVars, neededVars.map(v => metas(v)).toArray): InputPartition
                 }.toArray
             }
@@ -1512,6 +1549,36 @@ final case class MdioScan(path: String, dims: Seq[String],
 
 object MdioScan {
   private[sources] val log = org.slf4j.LoggerFactory.getLogger(classOf[MdioScan])
+
+  /** Resolve `spark.graft.scan.keyedPartitions.groupFactor` into per-dim
+    * factors: a bare integer coarsens the leading dim (the r13 form), a
+    * comma list sets each dim (missing tail entries default to 1), and
+    * `auto` doubles the dim with the most groups until the group count
+    * fits the ceiling — the smallest power-of-two coarsening for the
+    * scan's own chunk box. */
+  private[sources] def resolveGroupFactors(raw: String, rank: Int,
+                                           extents: Seq[Long],
+                                           ceiling: Long): Array[Long] = {
+    val t = raw.trim
+    if (t.equalsIgnoreCase("auto")) {
+      val f = Array.fill(rank)(1L)
+      def groupsOf(i: Int): Long = (extents(i) + f(i) - 1) / f(i)
+      def total: Long = (0 until rank).map(groupsOf).product
+      while (total > math.max(ceiling, 1L)) {
+        val i = (0 until rank).maxBy(groupsOf)
+        f(i) *= 2
+      }
+      f
+    } else if (t.contains(",")) {
+      val parts = t.split(",").map(p => p.trim.toLong)
+      require(parts.forall(_ >= 1),
+        s"spark.graft.scan.keyedPartitions.groupFactor entries must be >= 1: '$t'")
+      Array.tabulate(rank)(i => if (i < parts.length) parts(i) else 1L)
+    } else {
+      val g = math.max(1L, t.toLong)
+      Array.tabulate(rank)(i => if (i == 0) g else 1L)
+    }
+  }
 }
 
 final case class MdioInputPartition(path: String, chunk: Array[Long],
@@ -1526,43 +1593,60 @@ final case class MdioInputPartition(path: String, chunk: Array[Long],
     new GenericInternalRow(chunk.map(c => c: Any))
 }
 
-/** A GROUP of chunks sharing one storage-partition key under a COARSENED
-  * leading-dim transform (`chunk_<factor·size>(dim0)`): the member chunks
-  * vary only their leading ordinal (`leads`, all in one aligned group of
-  * `factor`), with the other dims' ordinals fixed — so every row in the
-  * partition satisfies the declared key `(leads.head/factor, others…)`.
-  * This is what keeps storage-partitioned joins live at the 100 TB
-  * envelope: driver partition objects divide by the factor instead of
-  * tripping the per-chunk ceiling. `leads` lists only SURVIVING members
-  * (value-stat pruning applies per chunk), bounded by the factor. */
+/** A GROUP of chunks sharing one storage-partition key under PER-DIM
+  * COARSENED transforms (`chunk_<factor_i·size_i>(dim_i)`): the member
+  * chunks are the ordinal box `[memberLo, memberHi]` (the group's aligned
+  * box clamped to the scan bounds), every one of which satisfies the
+  * declared key `group` (`ordinal_i / factor_i` per dim). This is what
+  * keeps storage-partitioned joins live at the 100 TB envelope: driver
+  * partition objects divide by the factor product instead of tripping the
+  * per-chunk ceiling — and a store whose chunk count lives in TRAILING
+  * dims coarsens those dims directly (r13 verdict #3). `survivors`, when
+  * non-null, lists the flat C-order member indices within the box that
+  * survive chunk pruning (value stats / runtime IN-sets); null means the
+  * whole box reads — the common unpruned join plans O(rank) longs per
+  * partition, no member enumeration at all. */
 final case class MdioChunkGroupPartition(path: String,
-                                         leads: Array[Long], others: Array[Long],
-                                         factor: Long,
+                                         group: Array[Long], factors: Array[Long],
+                                         memberLo: Array[Long], memberHi: Array[Long],
+                                         survivors: Array[Long],
                                          chunkShape: Array[Long],
                                          boundLo: Array[Long], boundHi: Array[Long],
                                          vars: Array[String],
                                          metas: Array[ZarrMeta.ArrayMeta])
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
-    new GenericInternalRow((Array(leads.head / factor) ++ others).map(c => c: Any))
+    new GenericInternalRow(group.map(c => c: Any))
+  /** Member chunks this partition reads. */
+  def memberCount: Long =
+    if (survivors != null) survivors.length.toLong
+    else memberLo.indices.map(i => memberHi(i) - memberLo(i) + 1).product
 }
 
 /** Sequentially drives one per-chunk reader over a group partition's
   * member chunks (cell bounds clamped per member, as the range reader
-  * does). */
+  * does): a C-order odometer over the member box, restricted to the
+  * survivor list when pruning thinned it. */
 final class MdioChunkGroupReader[T](gp: MdioChunkGroupPartition,
                                     mk: MdioInputPartition => PartitionReader[T],
                                     cache: graft.zarr.ShardCache = null)
     extends PartitionReader[T] {
   private val rank = gp.boundLo.length
-  private var i = 0
+  private val extents: Array[Long] =
+    Array.tabulate(rank)(i => gp.memberHi(i) - gp.memberLo(i) + 1)
+  private val total: Long = extents.product
+  private var i = 0L // survivor cursor or raw flat index
   private var cur: PartitionReader[T] = null
 
-  private def chunkPartition(lead: Long): MdioInputPartition = {
+  private def nextFlat(): Long =
+    if (gp.survivors == null) { if (i >= total) -1L else { val f = i; i += 1; f } }
+    else { if (i >= gp.survivors.length) -1L else { val f = gp.survivors(i.toInt); i += 1; f } }
+
+  private def chunkPartition(flat: Long): MdioInputPartition = {
     val cc = new Array[Long](rank)
-    cc(0) = lead
-    var d = 1
-    while (d < rank) { cc(d) = gp.others(d - 1); d += 1 }
+    var rem = flat
+    var d = rank - 1
+    while (d >= 0) { cc(d) = gp.memberLo(d) + rem % extents(d); rem /= extents(d); d -= 1 }
     val lo = new Array[Long](rank)
     val hi = new Array[Long](rank)
     d = 0
@@ -1577,9 +1661,9 @@ final class MdioChunkGroupReader[T](gp: MdioChunkGroupPartition,
   override def next(): Boolean = {
     while (true) {
       if (cur == null) {
-        if (i >= gp.leads.length) return false
-        cur = mk(chunkPartition(gp.leads(i)))
-        i += 1
+        val f = nextFlat()
+        if (f < 0) return false
+        cur = mk(chunkPartition(f))
       }
       if (cur.next()) return true
       cur.close()

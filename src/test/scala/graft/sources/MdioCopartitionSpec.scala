@@ -306,8 +306,94 @@ class MdioCopartitionSpec extends SparkSpec {
         // inline 3 → chunk 0 (group 0); inline 30 → chunk 3 (group 1); × 2
         // crossline chunks each = 4 group partitions of one member chunk
         assert(parts2.length == 4, s"got ${parts2.length}")
-        assert(parts2.map(_.asInstanceOf[MdioChunkGroupPartition].leads.toSeq)
-          .forall(_.length == 1))
+        assert(parts2.map(_.asInstanceOf[MdioChunkGroupPartition].memberCount)
+          .forall(_ == 1L))
+      } finally {
+        spark.conf.unset("spark.graft.scan.keyedPartitions.max")
+        spark.conf.unset("spark.graft.scan.keyedPartitions.groupFactor")
+      }
+    }
+    MdioWriter.delete(dirA); MdioWriter.delete(dirB)
+  }
+
+  test("trailing-dim group factors keep the join exchange-free under the ceiling") {
+    // a store whose chunk count lives in the TRAILING dim (r13 verdict #3):
+    // leading-only coarsening can't get under the ceiling, per-dim factors
+    // can — groupFactor "1,2" groups crossline pairs: 4 × 1 = 4 partitions
+    val dirA = create("image")
+    val dirB = create("weight")
+    val cells = for { i <- 0L until 32L; x <- 0L until 8L } yield (i, x)
+    MdioWriter.writeVariable(spark,
+      cells.toDF("inline", "crossline").withColumn("image", $"inline" * 3 + $"crossline"),
+      dirA, "image")
+    MdioWriter.writeVariable(spark,
+      cells.toDF("inline", "crossline").withColumn("weight", ($"inline" * $"crossline") % 7),
+      dirB, "weight")
+    withSpjConfs {
+      spark.conf.set("spark.graft.scan.keyedPartitions.max", "4")
+      spark.conf.set("spark.graft.scan.keyedPartitions.groupFactor", "1,2")
+      try {
+        import org.apache.spark.sql.util.CaseInsensitiveStringMap
+        val parts = MdioTable(dirA, None)
+          .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+          .toBatch.planInputPartitions()
+        assert(parts.length == 4, s"expected 4 trailing-grouped partitions, got ${parts.length}")
+        assert(parts.forall(_.isInstanceOf[MdioChunkGroupPartition]),
+          parts.map(_.getClass.getSimpleName).distinct.mkString(","))
+        assert(parts.head.asInstanceOf[MdioChunkGroupPartition].factors.toSeq == Seq(1L, 2L))
+        // the grouped scan reads every cell exactly once
+        val all = spark.read.format("mdio").load(dirA)
+          .select($"inline", $"crossline", $"image").as[(Long, Long, Double)].collect()
+        assert(all.length == 256)
+        all.foreach { case (i, x, v) => assert(v == (i * 3 + x).toDouble, s"($i,$x)") }
+        // and the join plans ZERO exchanges on chunk_8(inline), chunk_8(crossline)
+        val joined = spark.table(s"mdio_spj.`$dirA`")
+          .join(spark.table(s"mdio_spj.`$dirB`"), Seq("inline", "crossline"))
+          .select($"inline", $"crossline", ($"image" * $"weight").as("iw"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"trailing-grouped join must stay exchange-free:\n${plan.take(1500)}")
+        val got = joined.as[(Long, Long, Double)].collect()
+        assert(got.length == 256)
+        got.foreach { case (i, x, iw) =>
+          assert(iw == (i * 3 + x).toDouble * ((i * x) % 7).toDouble, s"($i,$x)")
+        }
+      } finally {
+        spark.conf.unset("spark.graft.scan.keyedPartitions.max")
+        spark.conf.unset("spark.graft.scan.keyedPartitions.groupFactor")
+      }
+    }
+    MdioWriter.delete(dirA); MdioWriter.delete(dirB)
+  }
+
+  test("groupFactor=auto derives the smallest coarsening that fits the ceiling") {
+    val dirA = create("image")
+    val dirB = create("weight")
+    val cells = for { i <- 0L until 32L; x <- 0L until 8L } yield (i, x)
+    MdioWriter.writeVariable(spark,
+      cells.toDF("inline", "crossline").withColumn("image", $"inline" + $"crossline" * 2),
+      dirA, "image")
+    MdioWriter.writeVariable(spark,
+      cells.toDF("inline", "crossline").withColumn("weight", ($"inline" - $"crossline") % 4),
+      dirB, "weight")
+    withSpjConfs {
+      // 4×2 chunk grid over ceiling 4: auto doubles the dim with the most
+      // groups (inline: 4) once → factors (2,1), 2×2 = 4 groups
+      spark.conf.set("spark.graft.scan.keyedPartitions.max", "4")
+      spark.conf.set("spark.graft.scan.keyedPartitions.groupFactor", "auto")
+      try {
+        import org.apache.spark.sql.util.CaseInsensitiveStringMap
+        val parts = MdioTable(dirA, None)
+          .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+          .toBatch.planInputPartitions()
+        assert(parts.length == 4, s"got ${parts.length}")
+        assert(parts.head.asInstanceOf[MdioChunkGroupPartition].factors.toSeq == Seq(2L, 1L))
+        // equal-geometry sides derive equal factors: the join still zips
+        val joined = spark.table(s"mdio_spj.`$dirA`")
+          .join(spark.table(s"mdio_spj.`$dirB`"), Seq("inline", "crossline"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), plan.take(1500))
+        assert(joined.count() == 256L)
       } finally {
         spark.conf.unset("spark.graft.scan.keyedPartitions.max")
         spark.conf.unset("spark.graft.scan.keyedPartitions.groupFactor")
