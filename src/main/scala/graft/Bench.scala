@@ -325,7 +325,11 @@ object Bench {
     // comparator: join_semi x2 (same lineitem⋈supplier equi join; the
     // x8 salt replication of the 100-row small side is noise). The r9
     // suite run's 1.45 s was load noise, not a plan change: isolated
-    // warm re-measure r10 = 0.97 s, right at its r8 level.
+    // warm re-measure r10 = 0.97 s, right at its r8 level. Same story
+    // for the r13 suite's 1.77 s — isolated warm re-measure r14 =
+    // 1.04 s (0.84x of budget); this query's two back-to-back shuffles
+    // of the salted big side make it the suite's most load-sensitive
+    // row, and its floor has not moved since r8.
     "join_salted" -> 1.232,
     // comparator: stream_tumbling_exec (same one-stateful-agg streaming
     // shape; session-merge state in place of fixed windows)

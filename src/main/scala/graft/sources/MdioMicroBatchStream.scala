@@ -29,7 +29,17 @@ final case class MdioStreamOffset(key: Vector[Long]) extends Offset {
   * [[MdioInputPartition]]s — pushed dim-range filters still prune, and
   * rewritten chunks are NOT re-emitted (each chunk is delivered once).
   * Sharded arrays enumerate the inner chunks of newly appeared shard
-  * objects. */
+  * objects.
+  *
+  * LONG-LIVED TAILS: prefer ZARR V3 stores. The per-trigger listing is
+  * floor-pruned on both formats (the parse/plan set stays O(new data)),
+  * but v2's flat chunk namespace makes the LIST RPC itself return the
+  * whole directory every trigger — inherent to the layout — while v3's
+  * hierarchical `c/<i>/…` layout lets the tail skip below-floor subtrees
+  * before any inner listing: per-trigger listing cost O(new subtrees),
+  * pinned by [[MdioMicroBatchStream.lastSubtreesListed]]. A stream that
+  * will run for months over a growing 100 TB store should be a v3 store
+  * for this reason alone. */
 /** Listing-cost observability (the ShardCache.opens pattern): how many
   * names the last store listing returned vs how many survived the
   * committed-floor prune — specs pin that long-lived tails keep the
@@ -38,6 +48,14 @@ final case class MdioStreamOffset(key: Vector[Long]) extends Offset {
 object MdioMicroBatchStream {
   @volatile private[sources] var lastListed: Int = 0
   @volatile private[sources] var lastRetained: Int = 0
+  /** v3 only: leading-dim subtrees RECURSIVELY listed by the last trigger
+    * (below-floor subtrees are skipped before any inner LIST). -1 = the
+    * last listing was a v2 flat namespace, where one LIST RPC necessarily
+    * returns the whole directory however good the parse-time floor prune —
+    * which is why ZARR V3 IS THE LONG-TAIL STREAMING FORMAT OF RECORD:
+    * a v3 tail's per-trigger listing cost is O(new subtrees), a v2 tail's
+    * is O(store) names on the wire (parse/plan still O(new data)). */
+  @volatile private[sources] var lastSubtreesListed: Int = -1
 }
 
 final class MdioMicroBatchStream(path: String, dims: Seq[String],
@@ -85,6 +103,7 @@ final class MdioMicroBatchStream(path: String, dims: Seq[String],
         val all = cDir.list().filter(p => numeric(p.name))
         MdioMicroBatchStream.lastListed = all.size
         val tops = all.filter(_.name.toLong >= floor0)
+        MdioMicroBatchStream.lastSubtreesListed = if (rank == 1) 0 else tops.size
         val coords =
           if (rank == 1) tops.map(p => Vector(p.name.toLong))
           else tops.flatMap { top =>
@@ -109,6 +128,7 @@ final class MdioMicroBatchStream(path: String, dims: Seq[String],
         val floor1 = if (floorKey.size >= 2) floorKey(1) else Long.MinValue
         val names = arrayDir.list().filter(p => p.isFile && !p.name.startsWith("."))
         MdioMicroBatchStream.lastListed = names.size
+        MdioMicroBatchStream.lastSubtreesListed = -1 // flat namespace: n/a
         val coords = names
           .map(_.name.split("\\.").toVector)
           .collect { case parts if parts.length == rank && parts.forall(_.forall(_.isDigit)) =>

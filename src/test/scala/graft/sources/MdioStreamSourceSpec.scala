@@ -122,6 +122,50 @@ class MdioStreamSourceSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("v3 tail skips below-floor subtrees: listing is O(new subtrees)") {
+    // the long-tail format-of-record pin: v3's hierarchical c/<i>/… layout
+    // lets an advanced floor skip WHOLE leading-dim subtrees before any
+    // inner LIST — a months-long tail of a growing store re-lists only the
+    // head slab, where v2's flat namespace re-lists every name per trigger
+    val dir = Files.createTempDirectory("mdio_src").resolve("s3.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "s3", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "inline", "dataType": "int64",
+        |     "dimensions": [{"name": "inline", "size": 8}]},
+        |    {"name": "crossline", "dataType": "int64",
+        |     "dimensions": [{"name": "crossline", "size": 6}]},
+        |    {"name": "image", "dataType": "float64",
+        |     "dimensions": [{"name": "inline", "size": 8}, {"name": "crossline", "size": 6}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [4, 3]}}}}
+        |  ]
+        |}""".stripMargin), dir, version = 3)
+    writeInlines(dir, 0L, 8L) // both inline subtrees c/0, c/1 fully present
+    val meta = graft.zarr.ZarrMeta.readGroup(graft.zarr.ZarrMeta.path(dir))._2("image")._1
+    assert(meta.version == 3)
+    val stream = new MdioMicroBatchStream(dir, Seq("inline", "crossline"),
+      Map("image" -> meta),
+      new org.apache.spark.sql.types.StructType()
+        .add("inline", org.apache.spark.sql.types.LongType)
+        .add("crossline", org.apache.spark.sql.types.LongType)
+        .add("image", org.apache.spark.sql.types.DoubleType),
+      Map.empty)
+    val first = stream.latestOffset().asInstanceOf[MdioStreamOffset]
+    assert(first.key == Vector(1L, 1L))
+    assert(MdioMicroBatchStream.lastSubtreesListed == 2,
+      "cold start recurses into every subtree")
+    stream.commit(first)
+    // with the floor at chunk row 1, subtree c/0 is skipped BEFORE any
+    // inner LIST: only the head slab's subtree is recursively listed
+    stream.latestOffset()
+    assert(MdioMicroBatchStream.lastSubtreesListed == 1,
+      s"an advanced floor must skip below-floor subtrees, listed " +
+        s"${MdioMicroBatchStream.lastSubtreesListed}")
+    assert(MdioMicroBatchStream.lastRetained == 2) // head slab's own chunks
+    MdioWriter.delete(dir)
+  }
+
   test("streaming source honors pushed dim-range filters") {
     val dir = create()
     writeInlines(dir, 0L, 8L)
