@@ -559,6 +559,9 @@ object Bench {
     // stores, G=2-coarsened keys halve the zipped partitions; first
     // budget r13)
     "zarr_spj_grouped" -> 0.9,
+    // comparator: zarr_spj_grouped (identical join + fold, the coarsening
+    // moved to the trailing dim; first budget r14)
+    "zarr_spj_trailing" -> 0.9,
     // comparator: zarr_extents (same O(1) metadata-only scan shape)
     "zarr_extents_distinct" -> 0.04,
     // comparator: zarr_value_pruning (the same stats-pruned filtered scan

@@ -727,6 +727,53 @@ object Mdio {
     }
   }
 
+  /** TRAILING-DIM grouped-key storage-partitioned join on the gate (r14):
+    * the fusion fold under `groupFactor=1,2` — the PER-DIM form for stores
+    * whose chunk count lives in trailing dims (e.g. 4×2048×2048 chunks,
+    * where leading-only coarsening cannot get under the partition
+    * ceiling). Each scan groups pairs of crossline chunk ordinals, keyed
+    * by `chunk_8(inline), chunk_8(crossline)`: 4 lead chunks × 1 crossline
+    * group = 4 partitions of a 1×2 member box each, and the join still
+    * plans zero exchanges. The query REQUIRES the per-dim factors, the
+    * grouped partition count, AND the exchange-free plan. */
+  val qZarrSpjTrailing: Q = (s, d) => {
+    val a = zarrGrid(s, d)
+    val b = zarrGridWeight(s, d)
+    s.conf.set("spark.sql.catalog.graft_spj", "graft.sources.MdioCatalog")
+    val saved = Seq("spark.graft.scan.keyedPartitions",
+      "spark.graft.scan.keyedPartitions.groupFactor",
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> s.conf.getOption(k))
+    s.conf.set("spark.graft.scan.keyedPartitions", "true")
+    s.conf.set("spark.graft.scan.keyedPartitions.groupFactor", "1,2")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val parts = graft.sources.MdioTable(a, None)
+        .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+        .build().toBatch.planInputPartitions()
+      require(parts.length == 4 &&
+        parts.forall(_.isInstanceOf[graft.sources.MdioChunkGroupPartition]) &&
+        parts.head.asInstanceOf[graft.sources.MdioChunkGroupPartition]
+          .factors.toSeq == Seq(1L, 2L),
+        s"trailing-grouped keyed scan regressed: ${parts.length} partitions of " +
+          parts.map(_.getClass.getSimpleName).distinct.mkString(","))
+      val joined = s.table(s"graft_spj.`$a`")
+        .join(s.table(s"graft_spj.`$b`"), Seq("inline", "crossline"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"trailing-grouped storage-partitioned join regressed to a shuffle:\n${plan.take(1200)}")
+      val r = joined
+        .agg(dsum(col("image") * col("weight")).as("wsum"), count(lit(1)).as("n"))
+        .head
+      import s.implicits._
+      Seq((r.getDouble(0), r.getLong(1))).toDF("wsum", "n")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** Per-TILE statsV1 on the gate: the 2-D form of [[qZarrStatsBySlab]] —
     * `GROUP BY FLOOR(inline/8), FLOOR(crossline/4)` buckets the grid into
     * its 4×2 chunk tiles and answers MIN/MAX/SUM/COUNT per tile entirely
@@ -2022,6 +2069,7 @@ object Mdio {
     "zarr_spj_fusion"       -> qZarrSpjFusion,
     "zarr_spj_compat"       -> qZarrSpjCompat,
     "zarr_spj_grouped"      -> qZarrSpjGrouped,
+    "zarr_spj_trailing"     -> qZarrSpjTrailing,
     "zarr_topk_value"       -> qZarrTopkValue,
     "mdio_rechunk"          -> qMdioRechunk,
     "mdio_reshard"          -> qMdioReshard,
@@ -2079,6 +2127,7 @@ object Mdio {
     "zarr_spj_fusion"       -> qZarrSpjFusionSql,
     "zarr_spj_compat"       -> qZarrSpjFusionSql, // same cells, coarser weight grid
     "zarr_spj_grouped"      -> qZarrSpjFusionSql, // same cells, coarsened keys
+    "zarr_spj_trailing"     -> qZarrSpjFusionSql, // same cells, trailing-dim keys
     "zarr_topk_value"       -> qZarrTopkValueSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
     "mdio_reshard"          -> qMdioReshardSql,
