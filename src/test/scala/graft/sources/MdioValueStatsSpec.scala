@@ -1297,6 +1297,49 @@ class MdioValueStatsSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("end-to-end trim over a multi-shard sidecar: surgery, GC, pruning exact") {
+    // a real store whose sidecar spans 4 shards: MdioWriter.trim must go
+    // through the surgery path — one shard opened, the past shard's file
+    // GC'd, carried shards left at their old generation — and the store
+    // must answer exactly afterwards (ragged boundary chunk read-clamped)
+    val dir = Files.createTempDirectory("mdio_vstats").resolve("e2e.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "e2e", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "x", "dataType": "int64",
+        |     "dimensions": [{"name": "x", "size": 128}]},
+        |    {"name": "v", "dataType": "float64",
+        |     "dimensions": [{"name": "x", "size": 128}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    MdioWriter.writeVariable(spark,
+      spark.range(128).select($"id".as("x"), $"id".cast("double").as("v")), dir, "v")
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    // re-shard the sidecar at span 4: 16 chunk entries → shards 0..3
+    MdioChunkStats.replace(varDir, MdioChunkStats.current(varDir).get, span = 4L)
+    val g1 = MdioChunkStats.generation(varDir)
+    val before = MdioChunkStats.shardReadCount.get()
+    MdioWriter.trim(dir, "x", 84L) // chunkKeep 10: boundary inside shard 2
+    assert(MdioChunkStats.shardReadCount.get() - before == 1L,
+      "an end-to-end trim must open only the boundary shard")
+    val m = MdioChunkStats.readManifest(varDir).get
+    assert(m.gen == MdioChunkStats.generation(varDir))
+    assert(m.shards.keySet == Set(0L, 1L, 2L))
+    assert(m.shards(0L).gen == g1 && m.shards(2L).gen == g1 + 1)
+    assert(!varDir.resolve(MdioChunkStats.shardFile(3L)).exists)
+    assert(MdioChunkStats.current(varDir).get.keySet ==
+      (0 until 10).map(_.toString).toSet)
+    // answers exact over the surviving volume, ragged chunk clamped
+    val df = spark.read.format("mdio").load(dir)
+    assert(df.count() == 84L)
+    assert(df.filter($"v" >= 72.0).count() == 12L) // cells 72..83 incl. ragged
+    assert(planned(dir, Array(GreaterThanOrEqual("v", 72.0))) <
+      planned(dir, Array.empty))
+    MdioWriter.delete(dir)
+  }
+
   test("MdioValueRange conjunction and boundary semantics") {
     val r = MdioValueRange(None, None)
       .narrow(Some((BigDecimal(10), true)), None)
