@@ -925,13 +925,17 @@ object MdioWriter {
 
   /** Delete `paths` from EXECUTORS: trim at the 100 TB envelope
     * (~1.6 M chunk files / variable) must not issue delete RPCs serially
-    * from the driver. Tiny sets (or no active session — pure-library use)
-    * delete inline, where a job scheduler round-trip would dominate. */
+    * from the driver. Tiny FILE sets (or no active session — pure-library
+    * use) delete inline, where a job scheduler round-trip would dominate;
+    * RECURSIVE deletes distribute from 2 paths up — each path is a whole
+    * subtree (a trailing-heavy geometry has FEW leading dirs holding
+    * millions of files each, exactly where serial driver recursion is the
+    * bottleneck). */
   private def distributedDelete(paths: Seq[VPath], recursive: Boolean): Unit = {
     def del(p: VPath): Unit = if (recursive) p.deleteRecursive() else p.delete()
     if (paths.isEmpty) return
     SparkSession.getActiveSession match {
-      case Some(s) if paths.size > DeleteBatch / 8 =>
+      case Some(s) if paths.size > (if (recursive) 1 else DeleteBatch / 8) =>
         val hconf = graft.zarr.HConf.capture()
         val uris = paths.map(_.uri)
         val parts = math.max(1, math.min(s.sparkContext.defaultParallelism,
