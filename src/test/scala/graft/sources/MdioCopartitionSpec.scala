@@ -402,6 +402,50 @@ class MdioCopartitionSpec extends SparkSpec {
     MdioWriter.delete(dirA); MdioWriter.delete(dirB)
   }
 
+  test("auto factors survive runtime IN-filter replanning in the same key space") {
+    // auto derives from the STATIC chunk box, which a runtime IN-set never
+    // changes — so a join-driven replan must regroup survivors under the
+    // SAME factors (different factors would silently break the declared
+    // chunk_<G_i*size_i> transforms mid-query)
+    val dirA = create("image")
+    val cells = for { i <- 0L until 32L; x <- 0L until 8L } yield (i, x)
+    MdioWriter.writeVariable(spark,
+      cells.toDF("inline", "crossline").withColumn("image", $"inline" + $"crossline"),
+      dirA, "image")
+    withSpjConfs {
+      spark.conf.set("spark.graft.scan.keyedPartitions.max", "4")
+      spark.conf.set("spark.graft.scan.keyedPartitions.groupFactor", "auto")
+      try {
+        import org.apache.spark.sql.util.CaseInsensitiveStringMap
+        import org.apache.spark.sql.connector.expressions.Expressions
+        import org.apache.spark.sql.connector.expressions.filter.Predicate
+        val scan = MdioTable(dirA, None)
+          .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+          .toBatch.asInstanceOf[MdioScan]
+        val factors0 = scan.planInputPartitions()
+          .head.asInstanceOf[MdioChunkGroupPartition].factors.toSeq
+        assert(factors0 == Seq(2L, 1L))
+        scan.filter(Array(new Predicate("IN", Array(
+          Expressions.column("inline"),
+          Expressions.literal(3L), Expressions.literal(30L)))))
+        val parts2 = scan.planInputPartitions()
+        assert(parts2.nonEmpty &&
+          parts2.forall(_.isInstanceOf[MdioChunkGroupPartition]))
+        assert(parts2.map(_.asInstanceOf[MdioChunkGroupPartition].factors.toSeq)
+          .forall(_ == factors0),
+          "replanned factors drifted out of the declared key space")
+        // inline 3 → chunk 0 (group 0); 30 → chunk 3 (group 1); ×2 crossline
+        assert(parts2.length == 4)
+        assert(parts2.map(_.asInstanceOf[MdioChunkGroupPartition].memberCount)
+          .forall(_ == 1L))
+      } finally {
+        spark.conf.unset("spark.graft.scan.keyedPartitions.max")
+        spark.conf.unset("spark.graft.scan.keyedPartitions.groupFactor")
+      }
+    }
+    MdioWriter.delete(dirA)
+  }
+
   test("keyed mode composes with pushed dim slices (matching boxes on both sides)") {
     val dirA = create("image")
     val dirB = create("weight")

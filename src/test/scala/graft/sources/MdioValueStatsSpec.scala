@@ -1212,6 +1212,20 @@ class MdioValueStatsSpec extends SparkSpec {
       "a shard-aligned boundary opens no shard file")
     assert(MdioChunkStats.current(varDir).get.keySet ==
       (0 until 8).map(_.toString).toSet)
+    // legacy monolithic sidecar: filtered in place (one file either way)
+    val legacyDir = graft.zarr.VPath(
+      Files.createTempDirectory("mdio_vstats").resolve("legacy").toString)
+    legacyDir.mkdirs()
+    legacyDir.resolve(MdioChunkStats.GenFile).writeString("1")
+    legacyDir.resolve(MdioChunkStats.StatsFile).writeString(
+      """{"generation": 1, "chunks": {"0": [0, 7], "1": [8, 15], "2": [16, 23]}}""")
+    MdioChunkStats.trimLeadSurgery(legacyDir, chunkKeep = 2L)
+    val lcur = MdioChunkStats.current(legacyDir)
+    assert(lcur.isDefined && lcur.get.keySet == Set("0", "1"), lcur)
+    // stale sidecar: surgery only bumps (today's invalidation)
+    MdioChunkStats.bump(legacyDir)
+    MdioChunkStats.trimLeadSurgery(legacyDir, chunkKeep = 1L)
+    assert(MdioChunkStats.current(legacyDir).isEmpty)
   }
 
   test("trailing-dim trim filters stats per shard and keeps pruning live") {
