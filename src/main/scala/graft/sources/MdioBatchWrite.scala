@@ -282,9 +282,23 @@ final case class MdioBatchWrite(path: String, dims: Seq[String],
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    // tasks may have spilled stat fragments before the job died — GC them
     val root = ZarrMeta.path(path)
-    messages.collect { case m: MdioStatsCommit => m }.foreach { m =>
+    val delivered = messages.collect { case m: MdioStatsCommit => m }
+    // A failed job has ALREADY mutated chunk files: task commits write the
+    // store in place (the RMW contract), so any variable a delivered
+    // message touched now holds post-write bytes while the stats sidecar
+    // still reads generation-CURRENT with pre-write bounds — a later
+    // value-pruned scan would answer from stale bounds. Bump the data
+    // generation for every touched variable so those stats read stale
+    // (pruning silently disables; the next stats-aware write republishes).
+    // Spark calls abort() whenever commit() is not reached or throws —
+    // including the sharding collision rejection above.
+    delivered.iterator.flatMap(_.touched).toSet.foreach { (v: String) =>
+      try MdioChunkStats.bump(root.resolve(v))
+      catch { case scala.util.control.NonFatal(_) => () } // best-effort
+    }
+    // tasks may have spilled stat fragments before the job died — GC them
+    delivered.foreach { m =>
       m.frags.foreach { case (v, fs) =>
         fs.foreach { f =>
           try root.resolve(v).resolve(f).delete()

@@ -1018,14 +1018,24 @@ class MdioValueStatsSpec extends SparkSpec {
           Array[Any](i.toLong, i.toDouble))))
       w.commit()
     }
+    // a SHARD-granular feed (one task owning the whole shard) commits fine
+    // and publishes current stats
+    val ok = Array(taskOwning(0 until 16))
+    MdioBatchWrite(dir, Seq("x"), Map("v" -> meta), schema).commit(ok)
+    assert(spark.read.format("mdio").load(dir).agg(sum($"v")).first().getDouble(0) == 120.0)
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    assert(MdioChunkStats.current(varDir).isDefined)
+    // the chunk-granular two-task feed collides and the commit REJECTS it
     val messages = Array(taskOwning(0 until 8), taskOwning(8 until 16))
     val bw = MdioBatchWrite(dir, Seq("x"), Map("v" -> meta), schema)
     val ex = intercept[IllegalStateException] { bw.commit(messages) }
     assert(ex.getMessage.contains("MULTIPLE tasks"), ex.getMessage)
-    // and a SHARD-granular feed (one task owning the whole shard) commits fine
-    val ok = Array(taskOwning(0 until 16))
-    MdioBatchWrite(dir, Seq("x"), Map("v" -> meta), schema).commit(ok)
-    assert(spark.read.format("mdio").load(dir).agg(sum($"v")).first().getDouble(0) == 120.0)
+    // the failed job already mutated shard objects in place — the abort
+    // Spark issues after a commit failure must invalidate the stats, or a
+    // value-pruned scan would keep answering from pre-failure bounds
+    bw.abort(messages.map(_.asInstanceOf[org.apache.spark.sql.connector.write.WriterCommitMessage]))
+    assert(MdioChunkStats.current(varDir).isEmpty,
+      "aborted write left stats generation-current over mutated data")
     MdioWriter.delete(dir)
   }
 
