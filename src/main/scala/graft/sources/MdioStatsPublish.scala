@@ -77,7 +77,14 @@ object MdioStatsPublish {
         // legacy monolith migration: the monolith was driver-written in the
         // pre-shard era, so a one-time driver-side merge is no worse than
         // the file that already exists; refresh() migrates it to shards.
-        MdioChunkStats.refresh(varDir, entries.collect().toMap)
+        // The collect RUNS the chunk-writing lineage — if it dies midway
+        // the store is already part-mutated, so the stats must not keep
+        // reading current over pre-write bounds (the other branches bump
+        // BEFORE their action for exactly this reason).
+        val collected =
+          try entries.collect().toMap
+          catch { case t: Throwable => MdioChunkStats.bump(varDir); throw t }
+        MdioChunkStats.refresh(varDir, collected)
       case Some(m) if m.gen == gen =>
         // incremental against a current sharded prior: only touched shards
         // rewrite, each reduce task merging its prior shard's entries

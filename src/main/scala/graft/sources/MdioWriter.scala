@@ -789,8 +789,11 @@ object MdioWriter {
     // driver (the r12 verdict's last O(chunks) driver stage, removed).
     val varDir = root.resolve(variable)
     if (!collectStats) {
-      projectedAction(statRows)
+      // bump BEFORE the action: the write mutates chunks in place, so a
+      // mid-job failure must already read as stale (the success end-state
+      // is the same stale generation either way)
       MdioChunkStats.bump(varDir)
+      projectedAction(statRows)
     } else MdioStatsPublish.publishRows(spark, varDir.toString, hc, grid, statRows)
   }
 
@@ -851,6 +854,32 @@ object MdioWriter {
         require(newSize <= meta.shape(di), s"trim grows dimension '$dim'")
         val newMeta = meta.copy(shape = meta.shape.updated(di, newSize))
         val arrayDir = root.resolve(name)
+        // STATS RETENTION FIRST — crash-ordering: dropping the boundary/past
+        // entries before the shape shrinks is conservative at every
+        // intermediate state (a missing entry only disables pruning and
+        // metadata-only answers for that chunk; the cells it covered are
+        // still in the old domain and still readable), whereas shrinking
+        // the shape first would leave a window where generation-current
+        // entries cover now-out-of-domain cells — a metadata MIN/MAX in
+        // that window could answer from dropped cells. Leading-dim trims
+        // retain by MANIFEST SURGERY — one shard file opened regardless of
+        // store size ([[MdioChunkStats.trimLeadSurgery]]); trailing-dim
+        // trims filter each shard from executors
+        // ([[MdioStatsPublish.trimFilterShards]]), falling back to the
+        // driver-side O(entries) filter only without an active session or
+        // against a legacy monolithic sidecar.
+        val chunkKeep = newSize / meta.chunks(di) // FULL chunks along di
+        if (di == 0) MdioChunkStats.trimLeadSurgery(arrayDir, chunkKeep)
+        else {
+          val distributed = SparkSession.getActiveSession.exists(s =>
+            MdioStatsPublish.trimFilterShards(s, arrayDir.uri, di, chunkKeep))
+          if (!distributed) MdioChunkStats.current(arrayDir) match {
+            case Some(entries) =>
+              MdioChunkStats.replace(arrayDir, entries.filter { case (k, _) =>
+                k.split("\\.")(di).toLong < chunkKeep })
+            case None => MdioChunkStats.bump(arrayDir)
+          }
+        }
         if (meta.version == 3)
           arrayDir.resolve("zarr.json").writeString(
             ZarrMeta.renderArrayMetaV3(newMeta, attrs))
@@ -888,30 +917,6 @@ object MdioWriter {
                 coords.length == dims.size && coords(di) >= keep
               }
             distributedDelete(doomed, recursive = false)
-          }
-        }
-        // shape + chunk-file set changed. Stats RETENTION instead of blanket
-        // invalidation: every chunk FULLY below the new boundary along the
-        // trimmed dim keeps its exact entry (its cells are untouched);
-        // the ragged boundary chunk and everything past it drop (their
-        // stored bounds would cover now-out-of-domain cells). A trim of a
-        // 100 TB store thus keeps pruning + metadata MIN/MAX alive for the
-        // surviving volume. Leading-dim trims retain by MANIFEST SURGERY —
-        // one shard file opened regardless of store size
-        // ([[MdioChunkStats.trimLeadSurgery]]); trailing-dim trims filter
-        // each shard from executors ([[MdioStatsPublish.trimFilterShards]]),
-        // falling back to the driver-side O(entries) filter only without an
-        // active session or against a legacy monolithic sidecar.
-        val chunkKeep = newSize / meta.chunks(di) // FULL chunks along di
-        if (di == 0) MdioChunkStats.trimLeadSurgery(arrayDir, chunkKeep)
-        else {
-          val distributed = SparkSession.getActiveSession.exists(s =>
-            MdioStatsPublish.trimFilterShards(s, arrayDir.uri, di, chunkKeep))
-          if (!distributed) MdioChunkStats.current(arrayDir) match {
-            case Some(entries) =>
-              MdioChunkStats.replace(arrayDir, entries.filter { case (k, _) =>
-                k.split("\\.")(di).toLong < chunkKeep })
-            case None => MdioChunkStats.bump(arrayDir)
           }
         }
       }
@@ -982,6 +987,9 @@ object MdioWriter {
     val parts = math.min(nChunks, math.max(spark.sparkContext.defaultParallelism.toLong, 1L)).toInt
     val hc = graft.zarr.HConf.capture()
 
+    // record dtypes carry no scalar bounds: invalidate any stats sidecar —
+    // BEFORE the action, so a mid-job failure already reads as stale
+    MdioChunkStats.bump(ZarrMeta.path(path).resolve(variable))
     projected
       .repartition(parts, col("__chunk"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
@@ -1050,8 +1058,6 @@ object MdioWriter {
           file.write(out)
         }
       }
-    // record dtypes carry no scalar bounds: invalidate any stats sidecar
-    MdioChunkStats.bump(ZarrMeta.path(path).resolve(variable))
   }
 
   /** Sharded (zarr v3 `sharding_indexed`) distributed write: rows shuffle
