@@ -576,6 +576,9 @@ object Bench {
     // comparator: zarr_stats_minmax (the same metadata-only one-row
     // MdioAggScan, reading moment entries instead of bounds)
     "zarr_stats_moments" -> 0.054,
+    // comparator: zarr_stats_moments (same metadata-only one-row scan over
+    // the weight store; first budget r14)
+    "zarr_stats_variance" -> 0.06,
     // comparator: zarr_stats_minmax (driver-side sidecar read, then a
     // one-row local DataFrame instead of a connector scan)
     "zarr_stats_v1_meta" -> 0.029,

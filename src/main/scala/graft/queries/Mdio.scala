@@ -727,6 +727,41 @@ object Mdio {
     }
   }
 
+  /** Variance family from metadata (r14): VAR_POP/VAR_SAMP/STDDEV_POP/
+    * STDDEV_SAMP over a value column answered ENTIRELY from the statsV1
+    * moments (exact Σx + Σx² per chunk, reference mdio/stats.h:229-335 —
+    * sumSquares exists precisely for this) — the RMS/QC readout of a
+    * 100 TB store with zero chunk files opened. REQUIRES the
+    * metadata-only plan in-query. The oracle recomputes the identity
+    * (n·Σx² − (Σx)²) / n² over exact integers (the weight grid is
+    * COUNT-valued), rounding at the same two points as the metadata
+    * answer, so the compare is bit-exact. */
+  val qZarrStatsVariance: Q = (s, d) => {
+    val df = s.read.format("mdio").load(zarrGridWeight(s, d))
+      .agg(var_pop(col("weight")).as("vp"), var_samp(col("weight")).as("vs"),
+        stddev_pop(col("weight")).as("sp"), stddev_samp(col("weight")).as("ss"))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    require(plan.contains("MdioAggScan"),
+      s"variance did not answer from metadata:\n${plan.take(900)}")
+    df
+  }
+
+  val qZarrStatsVarianceSql: String = """
+    WITH wgt AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(COUNT(*) AS DOUBLE) AS weight
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT CAST(COALESCE(weight, 0.0) AS HUGEINT) AS x
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN wgt USING (i, j)),
+    m AS (SELECT COUNT(*) AS n, SUM(x) AS s1, SUM(x*x) AS s2 FROM cells)
+    SELECT CAST(n*s2 - s1*s1 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS vp,
+           CAST(n*s2 - s1*s1 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS vs,
+           SQRT(CAST(n*s2 - s1*s1 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sp,
+           SQRT(CAST(n*s2 - s1*s1 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS ss
+    FROM m"""
+
   /** TRAILING-DIM grouped-key storage-partitioned join on the gate (r14):
     * the fusion fold under `groupFactor=1,2` — the PER-DIM form for stores
     * whose chunk count lives in trailing dims (e.g. 4×2048×2048 chunks,
@@ -2070,6 +2105,7 @@ object Mdio {
     "zarr_spj_compat"       -> qZarrSpjCompat,
     "zarr_spj_grouped"      -> qZarrSpjGrouped,
     "zarr_spj_trailing"     -> qZarrSpjTrailing,
+    "zarr_stats_variance"   -> qZarrStatsVariance,
     "zarr_topk_value"       -> qZarrTopkValue,
     "mdio_rechunk"          -> qMdioRechunk,
     "mdio_reshard"          -> qMdioReshard,
@@ -2128,6 +2164,7 @@ object Mdio {
     "zarr_spj_compat"       -> qZarrSpjFusionSql, // same cells, coarser weight grid
     "zarr_spj_grouped"      -> qZarrSpjFusionSql, // same cells, coarsened keys
     "zarr_spj_trailing"     -> qZarrSpjFusionSql, // same cells, trailing-dim keys
+    "zarr_stats_variance"   -> qZarrStatsVarianceSql,
     "zarr_topk_value"       -> qZarrTopkValueSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
     "mdio_reshard"          -> qMdioReshardSql,

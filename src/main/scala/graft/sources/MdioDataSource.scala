@@ -199,6 +199,13 @@ object MdioTableUtil {
   }
 }
 
+object MdioScanBuilder {
+  /** Spark's V2 names for the variance family → our metadata ops. */
+  private[sources] val VarOps = Map(
+    "VAR_POP" -> "vvarp", "VAR_SAMP" -> "vvars",
+    "STDDEV_POP" -> "vstdp", "STDDEV_SAMP" -> "vstds")
+}
+
 /** Pushdown: absorbs per-dimension range filters; prunes variables; and
   * COMPLETELY answers COUNT(*)/MIN(dim)/MAX(dim) aggregations from the
   * chunk-grid metadata — the long-form grid is dense by construction
@@ -313,7 +320,13 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
     * check — its result is a double quotient for every input dtype. */
   private def avgAnswerable(v: String): Boolean = momentsAnswerable(v, requireLongFit = false)
 
-  private def momentsAnswerable(v: String, requireLongFit: Boolean): Boolean =
+  /** VAR/STDDEV additionally need every entry's exact Σx² (integral
+    * chunks whose exact squares overflowed the fast path omit it). */
+  private def varAnswerable(v: String): Boolean =
+    momentsAnswerable(v, requireLongFit = false, requireSumSq = true)
+
+  private def momentsAnswerable(v: String, requireLongFit: Boolean,
+                                requireSumSq: Boolean = false): Boolean =
     MdioAggScan.alignedChunkBox(metas(v), dims, ranges).exists { box =>
       MdioChunkStats.currentFor(ZarrMeta.path(path).resolve(v),
           box.headOption.map(_._1).getOrElse(0L),
@@ -321,7 +334,8 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
         val keys = MdioAggScan.boxKeys(box).toSeq
         val need = box.map { case (lo, hi) => hi - lo }.product
         need > 0 && keys.forall(k =>
-          entries.get(k).exists(e => e.forall(_.moments.isDefined))) && {
+          entries.get(k).exists(e => e.forall(b => b.moments.exists(m =>
+            !requireSumSq || m.sumSq.isDefined)))) && {
           val isFloat = metas(v).dtype.charAt(metas(v).dtype.length - 2) == 'f'
           !requireLongFit || isFloat || MdioChunkStats.exactTotal(
             keys.flatMap(entries(_)).flatMap(_.moments).map(_.sum)).isValidLong
@@ -448,6 +462,21 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
           case Some(c) if grouped.isDefined && statVar(c).isDefined =>
             ("vavg", statVar(c).get)
           case Some(c) if statVar(c).exists(avgAnswerable) => ("vavg", statVar(c).get)
+          case _ => return None
+        }
+      // VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP over a value column: the
+      // statsV1 moments carry exact Σx AND Σx² (the reference's stats.h
+      // keeps sumSquares for precisely this), so the centered second
+      // moment is exact and rounds once — the RMS/QC readout of a 100 TB
+      // store answered from metadata alone
+      case g: connector_expressions.aggregate.GeneralAggregateFunc
+          if MdioScanBuilder.VarOps.contains(g.name()) && !g.isDistinct &&
+            g.children().length == 1 =>
+        named(g.children()(0)) match {
+          case Some(c) if grouped.isDefined && statVar(c).isDefined =>
+            (MdioScanBuilder.VarOps(g.name()), statVar(c).get)
+          case Some(c) if statVar(c).exists(varAnswerable) =>
+            (MdioScanBuilder.VarOps(g.name()), statVar(c).get)
           case _ => return None
         }
       case _ => return None
@@ -675,6 +704,7 @@ final case class MdioAggScan(path: String, dims: Seq[String],
           case _ => LongType
         }
         case "vavg" => DoubleType // Spark's Avg is double for every input
+        case "vvarp" | "vvars" | "vstdp" | "vstds" => DoubleType
         case _ => LongType
       }
       StructField(if (f == "count") s"count_$i" else s"${f}_${d}_$i", dt,
@@ -747,7 +777,8 @@ final case class MdioAggScan(path: String, dims: Seq[String],
             s"closed-form SUM($d) no longer fits Long at execution"))
       case ("dcnt", d) =>
         if (empty) 0L else { val (lo, hi) = bounds(dims.indexOf(d)); hi - lo }
-      case (op @ ("vmin" | "vmax" | "vsum" | "vavg"), v) =>
+      case (op @ ("vmin" | "vmax" | "vsum" | "vavg" |
+                  "vvarp" | "vvars" | "vstdp" | "vstds"), v) =>
         if (empty) null else statValue(op, v)
     }.toArray
     Array(MdioAggPartition(values))
@@ -856,6 +887,32 @@ object MdioAggScan {
           Some(MdioChunkStats.exactTotal(bounds.map(_.moments.get.sum)).toDouble
             / cells.toDouble)
         else None
+      case "vvarp" | "vvars" | "vstdp" | "vstds" =>
+        // exact centered second moment from the statsV1 moments: the
+        // numerator n·Σx² − (Σx)² is computed EXACTLY (java.math — scala's
+        // operators round at 34 significant digits, catastrophic under the
+        // cancellation here), rounded ONCE to double, then divided by the
+        // exactly-representable double n·n (population) or n·(n−1)
+        // (sample); STDDEV takes the correctly-rounded sqrt. An oracle
+        // computing the same identity over exact values rounds at the same
+        // two points, so integer-valued stores compare bit-exact. NaN
+        // cells poison the result as in a real scan; a sample variance
+        // needs n ≥ 2 (Spark's VarianceSamp answers NULL below that).
+        if (anyNaN) Some(Double.NaN)
+        else if (cells > 0 && bounds.forall(_.moments.exists(_.sumSq.isDefined))) {
+          val samp = op == "vvars" || op == "vstds"
+          if (samp && cells < 2) Some(null)
+          else {
+            val s1 = MdioChunkStats.exactTotal(bounds.map(_.moments.get.sum)).underlying
+            val s2 = MdioChunkStats.exactTotal(bounds.flatMap(_.moments.get.sumSq)).underlying
+            val num = new java.math.BigDecimal(cells).multiply(s2)
+              .subtract(s1.multiply(s1))
+            val denom = if (samp) cells.toDouble * (cells - 1).toDouble
+                        else cells.toDouble * cells.toDouble
+            val variance = num.doubleValue() / denom
+            Some(if (op.startsWith("vstd")) math.sqrt(variance) else variance)
+          }
+        } else None
       case other => throw new IllegalStateException(s"unexpected stats op $other")
     }
   }
@@ -937,7 +994,8 @@ object MdioAggScan {
       }
       val values: Array[Any] = aggs.map {
         case ("count", _) => slabCells
-        case (op @ ("vmin" | "vmax" | "vsum" | "vavg"), v) =>
+        case (op @ ("vmin" | "vmax" | "vsum" | "vavg" |
+                    "vvarp" | "vvars" | "vstdp" | "vstds"), v) =>
           val m = metas(v)
           val dt = MdioTableUtil.sparkTypeOf(m.dtype)
           val isFloat = m.dtype.charAt(m.dtype.length - 2) == 'f'

@@ -193,6 +193,48 @@ class MdioValueStatsSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("VAR/STDDEV over a value column answer from the exact moments") {
+    // the statsV1 moments carry exact Σx AND Σx², so the variance family
+    // pushes down as a metadata-only plan. v = x over 0..63: population
+    // variance of 0..n-1 is (n²−1)/12 = 341.25, sample = n(n+1)/12 = 346.ĥ
+    val dir = createFloat(_.toDouble)
+    val df = spark.read.format("mdio").load(dir)
+      .agg(var_pop($"v").as("vp"), var_samp($"v").as("vs"),
+        stddev_pop($"v").as("sp"), stddev_samp($"v").as("ss"))
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("MdioAggScan"), p.take(700))
+    val r = df.head
+    assert(r.getDouble(0) == (64.0 * 64.0 - 1) / 12.0, r.getDouble(0))
+    assert(r.getDouble(1) == 64.0 * 65.0 / 12.0, r.getDouble(1))
+    assert(r.getDouble(2) == math.sqrt((64.0 * 64.0 - 1) / 12.0))
+    assert(r.getDouble(3) == math.sqrt(64.0 * 65.0 / 12.0))
+    // per-slab grouped form: variance per 16-cell slab from metadata
+    val g = spark.read.format("mdio").load(dir)
+      .groupBy(floor($"x" / 16).as("slab"))
+      .agg(var_pop($"v").as("vp"), stddev_pop($"v").as("sp"))
+      .orderBy($"slab")
+    val pg = g.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(pg.contains("MdioAggScan"), pg.take(700))
+    val slabs = g.collect()
+    assert(slabs.length == 4)
+    // each 16-value slab is a shifted 0..15: same variance (16²−1)/12
+    slabs.foreach(row => assert(row.getDouble(1) == (16.0 * 16.0 - 1) / 12.0, row))
+    // the metadata answer equals the real scan's answer bit-for-bit here
+    // (exact integers): force the scan by staling the sidecar
+    MdioChunkStats.bump(ZarrMeta.path(dir).resolve("v"))
+    val df2 = spark.read.format("mdio").load(dir)
+      .agg(var_pop($"v"), var_samp($"v"), stddev_pop($"v"), stddev_samp($"v"))
+    val p2 = df2.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p2.contains("MdioAggScan"), p2.take(700))
+    val r2 = df2.head
+    assert(r2.getDouble(0) == r.getDouble(0) && r2.getDouble(2) == r.getDouble(2))
+    // NaN cells poison the variance exactly as in a real scan
+    val dirN = createFloat(x => if (x == 10) Double.NaN else x.toDouble)
+    val rN = spark.read.format("mdio").load(dirN).agg(var_pop($"v")).head
+    assert(rN.getDouble(0).isNaN)
+    MdioWriter.delete(dir); MdioWriter.delete(dirN)
+  }
+
   test("MIN/MAX over a value column answers from metadata with full coverage") {
     val dir = createFloat(_.toDouble)
     val df = spark.read.format("mdio").load(dir)
