@@ -579,6 +579,9 @@ object Bench {
     // comparator: zarr_stats_moments (same metadata-only one-row scan over
     // the weight store; first budget r14)
     "zarr_stats_variance" -> 0.06,
+    // comparator: zarr_stats_by_tile (same grouped metadata rows, moments
+    // arithmetic on top; first budget r14)
+    "zarr_stddev_by_tile" -> 0.12,
     // comparator: zarr_stats_minmax (driver-side sidecar read, then a
     // one-row local DataFrame instead of a connector scan)
     "zarr_stats_v1_meta" -> 0.029,

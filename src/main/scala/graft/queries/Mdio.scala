@@ -762,6 +762,45 @@ object Mdio {
            SQRT(CAST(n*s2 - s1*s1 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS ss
     FROM m"""
 
+  /** Per-TILE variance/stddev on the gate (r14): the grouped form of
+    * [[qZarrStatsVariance]] — `GROUP BY FLOOR(inline/8), FLOOR(crossline/4)`
+    * buckets the grid into its 4×2 chunk tiles and answers VAR_POP/
+    * STDDEV_POP/COUNT per tile entirely from the sharded moments sidecar:
+    * the amplitude-variability QC heat-map of a survey, one metadata row
+    * per tile, zero chunk files opened. REQUIRES the metadata-only plan
+    * in-query; compares bit-exact per tile (integer-valued weight grid,
+    * same two-point rounding as the oracle identity). */
+  val qZarrStddevByTile: Q = (s, d) => {
+    val df = s.read.format("mdio").load(zarrGridWeight(s, d))
+      .groupBy(floor(col("inline") / 8).as("ti"), floor(col("crossline") / 4).as("tj"))
+      .agg(var_pop(col("weight")).as("vp"), stddev_pop(col("weight")).as("sp"),
+        count(lit(1)).as("n"))
+      .orderBy(col("ti"), col("tj"))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    require(plan.contains("MdioAggScan"),
+      s"per-tile variance did not answer from metadata:\n${plan.take(900)}")
+    df
+  }
+
+  val qZarrStddevByTileSql: String = """
+    WITH wgt AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(COUNT(*) AS DOUBLE) AS weight
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT i, j, CAST(COALESCE(weight, 0.0) AS HUGEINT) AS x
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN wgt USING (i, j)),
+    t AS (
+      SELECT CAST(FLOOR(i / 8) AS BIGINT) AS ti, CAST(FLOOR(j / 4) AS BIGINT) AS tj,
+             COUNT(*) AS cnt, SUM(x) AS s1, SUM(x*x) AS s2
+      FROM cells GROUP BY 1, 2)
+    SELECT ti, tj,
+           CAST(cnt*s2 - s1*s1 AS DOUBLE) / (CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)) AS vp,
+           SQRT(CAST(cnt*s2 - s1*s1 AS DOUBLE) / (CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE))) AS sp,
+           CAST(cnt AS BIGINT) AS n
+    FROM t ORDER BY ti, tj"""
+
   /** TRAILING-DIM grouped-key storage-partitioned join on the gate (r14):
     * the fusion fold under `groupFactor=1,2` — the PER-DIM form for stores
     * whose chunk count lives in trailing dims (e.g. 4×2048×2048 chunks,
@@ -2106,6 +2145,7 @@ object Mdio {
     "zarr_spj_grouped"      -> qZarrSpjGrouped,
     "zarr_spj_trailing"     -> qZarrSpjTrailing,
     "zarr_stats_variance"   -> qZarrStatsVariance,
+    "zarr_stddev_by_tile"   -> qZarrStddevByTile,
     "zarr_topk_value"       -> qZarrTopkValue,
     "mdio_rechunk"          -> qMdioRechunk,
     "mdio_reshard"          -> qMdioReshard,
@@ -2165,6 +2205,7 @@ object Mdio {
     "zarr_spj_grouped"      -> qZarrSpjFusionSql, // same cells, coarsened keys
     "zarr_spj_trailing"     -> qZarrSpjFusionSql, // same cells, trailing-dim keys
     "zarr_stats_variance"   -> qZarrStatsVarianceSql,
+    "zarr_stddev_by_tile"   -> qZarrStddevByTileSql,
     "zarr_topk_value"       -> qZarrTopkValueSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
     "mdio_reshard"          -> qMdioReshardSql,
