@@ -582,6 +582,10 @@ object Bench {
     // comparator: zarr_stats_by_tile (same grouped metadata rows, moments
     // arithmetic on top; first budget r14)
     "zarr_stddev_by_tile" -> 0.12,
+    // comparator: zarr_value_pruning (one boxed single-chunk scan + the
+    // metadata min/max probe; the whole-domain probe is metadata-only;
+    // first budget r14)
+    "zarr_count_in_range" -> 0.25,
     // comparator: zarr_stats_minmax (driver-side sidecar read, then a
     // one-row local DataFrame instead of a connector scan)
     "zarr_stats_v1_meta" -> 0.029,

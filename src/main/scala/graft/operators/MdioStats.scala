@@ -128,6 +128,95 @@ object MdioStats {
       .toDF("count", "min", "max", "sum", "sumSquares")
   }
 
+  /** [[countInRange]] result: `count` is exact; `metadataChunks` answered
+    * from the sidecar (fully inside the range — their finite-cell `cnt`
+    * counts whole), `outsideChunks` were proven empty, `scannedChunks`
+    * straddle the boundary and were read; `fallback` marks the ordinary
+    * pruned-scan path (stale/absent stats or too many straddlers). */
+  final case class CountInRange(count: Long, metadataChunks: Long,
+                                outsideChunks: Long, scannedChunks: Long,
+                                fallback: Boolean)
+
+  /** Exact COUNT of cells with `lo ≤ v ≤ hi` (closed range; NaN never
+    * counts — and never disturbs the metadata answer, since a chunk's
+    * moment `cnt` counts only its FINITE in-domain cells) that reads ONLY
+    * the chunks whose stats interval STRADDLES a range boundary: fully
+    * inside ⇒ count = `cnt` from metadata, fully outside (or all-NaN) ⇒
+    * zero, straddlers ⇒ a chunk-boxed scan each (one Spark job unions
+    * them). The selectivity/QC count of a 100 TB store thus pays chunk
+    * I/O proportional to the range BOUNDARY SURFACE, not the range
+    * volume — a plain filtered scan must still read every chunk that
+    * satisfies the predicate. Degrades gracefully per chunk (a missing
+    * entry or missing moments makes that chunk a straddler); stale or
+    * absent stats, or more than `maxScanChunks` straddlers, fall back to
+    * one ordinary value-pruned scan (`fallback = true`), so the answer is
+    * exact in every case. Reference analog: statsV1 QC summaries,
+    * mdio/stats.h:229-335. */
+  def countInRange(spark: SparkSession, path: String, variable: String,
+                   lo: Double, hi: Double,
+                   maxScanChunks: Int = 512): CountInRange = {
+    import graft.sources.MdioChunkStats
+    import graft.zarr.ZarrMeta
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val root = ZarrMeta.path(path)
+    val (meta, attrs) = ZarrMeta.readGroup(root)._2.getOrElse(variable,
+      throw new IllegalArgumentException(s"no variable '$variable' in $path"))
+    val dims = meta.dimNames
+      .orElse(attrs.flatMap(graft.sources.MdioTableUtil.arrayDimensions))
+      .getOrElse(throw new IllegalArgumentException(
+        s"variable '$variable' carries no dimension names"))
+    require(!dims.contains(variable),
+      s"'$variable' is a dimension coordinate — count its index range instead")
+    val chunks = meta.chunks
+    def filtered(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col(variable) >= lo && col(variable) <= hi)
+    def fullScanCount(): Long =
+      filtered(spark.read.format("mdio").load(path)).count()
+
+    val (loB, hiB) = (BigDecimal(lo), BigDecimal(hi))
+    MdioChunkStats.current(root.resolve(variable)) match {
+      case None => CountInRange(fullScanCount(), 0L, 0L, 0L, fallback = true)
+      case Some(entries) =>
+        var metaCount = 0L
+        var metaChunks = 0L
+        var outside = 0L
+        val straddlers = Seq.newBuilder[Seq[Long]]
+        var nStraddle = 0
+        graft.sources.MdioAggScan.boxKeys(meta.chunkGrid.map(g => (0L, g)))
+          .foreach { key =>
+            val cc = key.split("\\.").map(_.toLong).toSeq
+            entries.get(key) match {
+              case Some(None) => outside += 1 // all-NaN: no cell can match
+              case Some(Some(b)) if b.max < loB || b.min > hiB => outside += 1
+              case Some(Some(b)) if b.min >= loB && b.max <= hiB &&
+                  b.moments.isDefined =>
+                metaCount += b.moments.get.cnt
+                metaChunks += 1
+              case _ => // straddler, no entry, or no moments: scan it
+                straddlers += cc
+                nStraddle += 1
+            }
+          }
+        if (nStraddle > maxScanChunks)
+          return CountInRange(fullScanCount(), 0L, 0L, 0L, fallback = true)
+        val scanned: Long =
+          if (nStraddle == 0) 0L
+          else {
+            val base = spark.read.format("mdio").load(path)
+            straddlers.result().map { cc =>
+              // chunk-boxed scan: the dim-range filters push down, so the
+              // subscan plans exactly this one chunk
+              filtered(dims.zipWithIndex.foldLeft(base) { case (df, (d, i)) =>
+                df.filter(col(d) >= cc(i) * chunks(i) &&
+                  col(d) < (cc(i) + 1) * chunks(i))
+              }).select(lit(1L).as("one"))
+            }.reduce(_.unionAll(_)).count()
+          }
+        CountInRange(metaCount + scanned, metaChunks, outside,
+          nStraddle.toLong, fallback = false)
+    }
+  }
+
   /** A3/S10 — persist computed stats into the variable's attributes with
     * the reference's statsV1 JSON shape, via the merge-patch commit. */
   def attach(path: String, variable: String, s: StatsV1): Unit = {

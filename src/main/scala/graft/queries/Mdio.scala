@@ -762,6 +762,43 @@ object Mdio {
            SQRT(CAST(n*s2 - s1*s1 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS ss
     FROM m"""
 
+  /** Boundary-only filtered COUNT on the gate (r14):
+    * [[graft.operators.MdioStats.countInRange]] answers `COUNT(v in
+    * [lo,hi])` from the stats sidecar for every chunk fully inside or
+    * fully outside the range and scans ONLY the straddlers — chunk I/O
+    * proportional to the range boundary, not the range volume. Two
+    * scale-free probes (anchored on the store's own metadata MIN/MAX so
+    * the row is exact at every SF): cells AT the global minimum (most
+    * chunks prove OUTSIDE from metadata) and the whole domain (every
+    * chunk proves INSIDE — zero chunks scanned, pure metadata). The query
+    * REQUIRES both I/O properties before folding the answer. */
+  val qZarrCountInRange: Q = (s, d) => {
+    val path = zarrGridWeight(s, d)
+    val mm = s.read.format("mdio").load(path)
+      .agg(min(col("weight")), max(col("weight"))).head
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val rMin = graft.operators.MdioStats.countInRange(s, path, "weight", mn, mn)
+    require(!rMin.fallback && rMin.scannedChunks < 8,
+      s"count-at-min scanned ${rMin.scannedChunks} of 8 chunks (fallback=${rMin.fallback})")
+    val rAll = graft.operators.MdioStats.countInRange(s, path, "weight", mn, mx)
+    require(!rAll.fallback && rAll.scannedChunks == 0,
+      s"whole-domain count must be pure metadata, scanned ${rAll.scannedChunks}")
+    import s.implicits._
+    Seq((rMin.count, rAll.count)).toDF("n_min", "n_all")
+  }
+
+  val qZarrCountInRangeSql: String = """
+    WITH wgt AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(COUNT(*) AS DOUBLE) AS weight
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT COALESCE(weight, 0.0) AS x
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN wgt USING (i, j))
+    SELECT CAST(COUNT(*) FILTER (WHERE x = (SELECT MIN(x) FROM cells)) AS BIGINT) AS n_min,
+           COUNT(*) AS n_all
+    FROM cells"""
+
   /** Per-TILE variance/stddev on the gate (r14): the grouped form of
     * [[qZarrStatsVariance]] — `GROUP BY FLOOR(inline/8), FLOOR(crossline/4)`
     * buckets the grid into its 4×2 chunk tiles and answers VAR_POP/
@@ -2146,6 +2183,7 @@ object Mdio {
     "zarr_spj_trailing"     -> qZarrSpjTrailing,
     "zarr_stats_variance"   -> qZarrStatsVariance,
     "zarr_stddev_by_tile"   -> qZarrStddevByTile,
+    "zarr_count_in_range"   -> qZarrCountInRange,
     "zarr_topk_value"       -> qZarrTopkValue,
     "mdio_rechunk"          -> qMdioRechunk,
     "mdio_reshard"          -> qMdioReshard,
@@ -2206,6 +2244,7 @@ object Mdio {
     "zarr_spj_trailing"     -> qZarrSpjFusionSql, // same cells, trailing-dim keys
     "zarr_stats_variance"   -> qZarrStatsVarianceSql,
     "zarr_stddev_by_tile"   -> qZarrStddevByTileSql,
+    "zarr_count_in_range"   -> qZarrCountInRangeSql,
     "zarr_topk_value"       -> qZarrTopkValueSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
     "mdio_reshard"          -> qMdioReshardSql,

@@ -235,6 +235,32 @@ class MdioValueStatsSpec extends SparkSpec {
     MdioWriter.delete(dir); MdioWriter.delete(dirN)
   }
 
+  test("countInRange reads only boundary chunks; metadata counts the interior") {
+    import graft.operators.MdioStats
+    // v = x over 64 cells / 8 chunks: [0,20] ⇒ chunks 0,1 fully inside
+    // (32 cells from metadata), chunk 2 straddles (16..20 → 5 scanned),
+    // chunks 3..7 proven outside
+    val dir = createFloat(_.toDouble)
+    val r = MdioStats.countInRange(spark, dir, "v", 0.0, 20.0)
+    assert(r == MdioStats.CountInRange(21L, 2L, 5L, 1L, fallback = false), r)
+    // whole-domain range: zero chunks scanned, pure metadata
+    val rAll = MdioStats.countInRange(spark, dir, "v", 0.0, 63.0)
+    assert(rAll == MdioStats.CountInRange(64L, 8L, 0L, 0L, fallback = false), rAll)
+    // a NaN cell is never counted AND never disturbs the metadata answer
+    // (cnt counts finite cells): chunk 1 holds 7 finite cells
+    val dirN = createFloat(x => if (x == 10) Double.NaN else x.toDouble)
+    val rN = MdioStats.countInRange(spark, dirN, "v", 0.0, 20.0)
+    assert(rN == MdioStats.CountInRange(20L, 2L, 5L, 1L, fallback = false), rN)
+    // stale stats: exact answer via the fallback scan
+    MdioChunkStats.bump(ZarrMeta.path(dir).resolve("v"))
+    val rStale = MdioStats.countInRange(spark, dir, "v", 0.0, 20.0)
+    assert(rStale.count == 21L && rStale.fallback, rStale)
+    // straddler cap: cap 0 forces the fallback, same exact answer
+    val rCap = MdioStats.countInRange(spark, dirN, "v", 0.0, 20.0, maxScanChunks = 0)
+    assert(rCap.count == 20L && rCap.fallback, rCap)
+    MdioWriter.delete(dir); MdioWriter.delete(dirN)
+  }
+
   test("MIN/MAX over a value column answers from metadata with full coverage") {
     val dir = createFloat(_.toDouble)
     val df = spark.read.format("mdio").load(dir)
