@@ -586,6 +586,9 @@ object Bench {
     // metadata min/max probe; the whole-domain probe is metadata-only;
     // first budget r14)
     "zarr_count_in_range" -> 0.25,
+    // comparator: zarr_count_in_range x2 (≤5 boundary probes, each a small
+    // unioned boxed scan, + the window read; first budget r14)
+    "zarr_kth_smallest" -> 0.5,
     // comparator: zarr_stats_minmax (driver-side sidecar read, then a
     // one-row local DataFrame instead of a connector scan)
     "zarr_stats_v1_meta" -> 0.029,

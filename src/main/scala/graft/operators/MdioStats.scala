@@ -217,6 +217,139 @@ object MdioStats {
     }
   }
 
+  /** [[kthSmallest]] result: `value` is the exact k-th smallest finite
+    * cell; `probes` counts the countLE binary-search steps,
+    * `scannedChunks` the TOTAL chunk-boxed scans across all probes plus
+    * the final window read; `fallback` marks the global-sort path. */
+  final case class KthSmallest(value: Double, probes: Int,
+                               scannedChunks: Long, fallback: Boolean)
+
+  /** EXACT k-th smallest finite cell value (1-indexed; the p-quantile is
+    * `k = ceil(p·n)` — NaN cells never rank) by QUANTILE-BY-PRUNING:
+    * binary-search the value domain over the sidecar's chunk boundary
+    * values, answering each `count(v ≤ x)` probe from metadata for every
+    * chunk whose [min, max] lies fully below or above `x` and scanning
+    * only the straddlers, then reading just the chunks intersecting the
+    * final boundary window to select the residual rank. The median of a
+    * 100 TB store costs O(log chunks) probes, each reading only the
+    * boundary surface — a global sort must shuffle the full corpus.
+    * Requires generation-current stats with full coverage and moments;
+    * anything less falls back to the exact global-sort form
+    * (`fallback = true`). Ties are handled exactly: the result equals
+    * `ORDER BY v LIMIT 1 OFFSET k-1` in any engine. */
+  def kthSmallest(spark: SparkSession, path: String, variable: String,
+                  k: Long): KthSmallest = {
+    import graft.sources.MdioChunkStats
+    import graft.zarr.ZarrMeta
+    require(k >= 1, s"rank $k out of range")
+    val root = ZarrMeta.path(path)
+    val (meta, attrs) = ZarrMeta.readGroup(root)._2.getOrElse(variable,
+      throw new IllegalArgumentException(s"no variable '$variable' in $path"))
+    val dims = meta.dimNames
+      .orElse(attrs.flatMap(graft.sources.MdioTableUtil.arrayDimensions))
+      .getOrElse(throw new IllegalArgumentException(
+        s"variable '$variable' carries no dimension names"))
+    require(!dims.contains(variable),
+      s"'$variable' is a dimension coordinate — rank its index range instead")
+    val chunks = meta.chunks
+    val isFloat = meta.dtype.charAt(meta.dtype.length - 2) == 'f'
+    def asDouble(row: org.apache.spark.sql.Row): Double = row.get(0) match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+      case s: Short => s.toDouble
+      case b: Byte => b.toDouble
+      case bd: java.math.BigDecimal => bd.doubleValue() // u64 surface
+      case other => throw new IllegalStateException(s"unrankable value $other")
+    }
+    def dropNaN(df: org.apache.spark.sql.DataFrame) =
+      if (isFloat) df.filter(!isnan(col(variable))) else df
+    def base = spark.read.format("mdio").load(path)
+    def sortFallback(): KthSmallest = {
+      val v = asDouble(dropNaN(base.select(col(variable)))
+        .orderBy(col(variable)).offset((k - 1).toInt).limit(1).head)
+      KthSmallest(v, 0, 0L, fallback = true)
+    }
+
+    val entriesOpt = MdioChunkStats.current(root.resolve(variable))
+    val gridKeys = graft.sources.MdioAggScan
+      .boxKeys(meta.chunkGrid.map(g => (0L, g))).toSeq
+    val usable = entriesOpt.exists(es => gridKeys.forall(key =>
+      es.get(key).exists(_.forall(_.moments.isDefined))))
+    if (!usable) return sortFallback()
+    val entries = entriesOpt.get
+    // (coords, bounds-or-None) per chunk; None = all-NaN (never ranks)
+    val perChunk: Seq[(Seq[Long], Option[MdioChunkStats.Bounds])] =
+      gridKeys.map(key => (key.split("\\.").map(_.toLong).toSeq, entries(key)))
+    val n = perChunk.flatMap(_._2).map(_.moments.get.cnt).sum
+    require(k <= n, s"rank $k exceeds $n finite cells")
+
+    var scanned = 0L
+    def boxed(cc: Seq[Long]) = dims.zipWithIndex.foldLeft(base) {
+      case (df, (d, i)) =>
+        df.filter(col(d) >= cc(i) * chunks(i) && col(d) < (cc(i) + 1) * chunks(i))
+    }
+    /** count(v ≤ x): metadata for fully-decided chunks, boxed scans for
+      * the straddlers (one unioned job; zero jobs when none straddle). */
+    def countLE(x: BigDecimal): Long = {
+      var metaCnt = 0L
+      val straddle = Seq.newBuilder[Seq[Long]]
+      var nStraddle = 0
+      perChunk.foreach {
+        case (_, None) => () // all-NaN
+        case (cc, Some(b)) =>
+          if (b.max <= x) metaCnt += b.moments.get.cnt
+          else if (b.min > x) ()
+          else { straddle += cc; nStraddle += 1 }
+      }
+      if (nStraddle == 0) metaCnt
+      else {
+        scanned += nStraddle
+        val xd = x.toDouble
+        metaCnt + straddle.result().map(cc =>
+          boxed(cc).filter(col(variable) <= xd).select(lit(1L).as("one")))
+          .reduce(_.unionAll(_)).count()
+      }
+    }
+
+    // binary-search the sorted chunk boundary values for the smallest
+    // boundary b with countLE(b) >= k; the answer then lies in the window
+    // (prev boundary, b]
+    val boundaries = perChunk.flatMap(_._2).flatMap(b => Seq(b.min, b.max))
+      .distinct.sorted.toIndexedSeq
+    var (lo, hi) = (0, boundaries.size - 1)
+    var probes = 0
+    // countLE(last boundary) = n >= k always, so hi is a valid upper bound
+    while (lo < hi) {
+      val mid = (lo + hi) / 2
+      probes += 1
+      if (countLE(boundaries(mid)) >= k) hi = mid else lo = mid + 1
+    }
+    val x1 = boundaries(lo)
+    val below = if (lo == 0) 0L else countLE(boundaries(lo - 1))
+    val x0: Option[BigDecimal] = if (lo == 0) None else Some(boundaries(lo - 1))
+    // residual selection inside (x0, x1]: read only the chunks whose
+    // interval intersects the window
+    val window = perChunk.collect {
+      case (cc, Some(b)) if x0.forall(b.max > _) && b.min <= x1 => cc
+    }
+    scanned += window.size
+    val x1d = x1.toDouble
+    val inWin = window.map { cc =>
+      val f = boxed(cc).filter(col(variable) <= x1d)
+      x0 match {
+        case Some(b0) => f.filter(col(variable) > b0.toDouble)
+        case None => dropNaN(f)
+      }
+    }.reduce(_.unionAll(_)).select(col(variable))
+    val residual = k - below
+    require(residual >= 1, s"rank window inconsistency: residual $residual")
+    val value = asDouble(
+      inWin.orderBy(col(variable)).offset(residual.toInt - 1).limit(1).head)
+    KthSmallest(value, probes, scanned, fallback = false)
+  }
+
   /** A3/S10 — persist computed stats into the variable's attributes with
     * the reference's statsV1 JSON shape, via the merge-patch commit. */
   def attach(path: String, variable: String, s: StatsV1): Unit = {

@@ -799,6 +799,32 @@ object Mdio {
            COUNT(*) AS n_all
     FROM cells"""
 
+  /** Exact MEDIAN by quantile-by-pruning on the gate (r14):
+    * [[graft.operators.MdioStats.kthSmallest]] binary-searches the chunk
+    * boundary values with metadata `count(v ≤ x)` probes (straddlers only
+    * are scanned per probe) and reads just the final boundary window —
+    * the median of a 100 TB store without a global sort. k = 128 over the
+    * fixed 256-cell grid; the oracle is the definitionally-identical
+    * ORDER BY … OFFSET form. REQUIRES the pruning path in-query. */
+  val qZarrKthSmallest: Q = (s, d) => {
+    val path = zarrGridWeight(s, d)
+    val r = graft.operators.MdioStats.kthSmallest(s, path, "weight", 128L)
+    require(!r.fallback, "kth-smallest fell back to a global sort")
+    import s.implicits._
+    Seq((r.value, 128L)).toDF("v_k", "k")
+  }
+
+  val qZarrKthSmallestSql: String = """
+    WITH wgt AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(COUNT(*) AS DOUBLE) AS weight
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT COALESCE(weight, 0.0) AS x
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN wgt USING (i, j))
+    SELECT x AS v_k, CAST(128 AS BIGINT) AS k
+    FROM cells ORDER BY x LIMIT 1 OFFSET 127"""
+
   /** Per-TILE variance/stddev on the gate (r14): the grouped form of
     * [[qZarrStatsVariance]] — `GROUP BY FLOOR(inline/8), FLOOR(crossline/4)`
     * buckets the grid into its 4×2 chunk tiles and answers VAR_POP/
@@ -2184,6 +2210,7 @@ object Mdio {
     "zarr_stats_variance"   -> qZarrStatsVariance,
     "zarr_stddev_by_tile"   -> qZarrStddevByTile,
     "zarr_count_in_range"   -> qZarrCountInRange,
+    "zarr_kth_smallest"     -> qZarrKthSmallest,
     "zarr_topk_value"       -> qZarrTopkValue,
     "mdio_rechunk"          -> qMdioRechunk,
     "mdio_reshard"          -> qMdioReshard,
@@ -2245,6 +2272,7 @@ object Mdio {
     "zarr_stats_variance"   -> qZarrStatsVarianceSql,
     "zarr_stddev_by_tile"   -> qZarrStddevByTileSql,
     "zarr_count_in_range"   -> qZarrCountInRangeSql,
+    "zarr_kth_smallest"     -> qZarrKthSmallestSql,
     "zarr_topk_value"       -> qZarrTopkValueSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
     "mdio_reshard"          -> qMdioReshardSql,

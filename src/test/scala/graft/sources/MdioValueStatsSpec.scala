@@ -261,6 +261,29 @@ class MdioValueStatsSpec extends SparkSpec {
     MdioWriter.delete(dir); MdioWriter.delete(dirN)
   }
 
+  test("kthSmallest selects by boundary probing, never a global sort") {
+    import graft.operators.MdioStats
+    val dir = createFloat(_.toDouble) // v = x: k-th smallest is k-1
+    val r = MdioStats.kthSmallest(spark, dir, "v", 21L)
+    assert(r.value == 20.0 && !r.fallback, r)
+    // 16 chunk boundaries → ≤5 binary-search probes, each scanning at most
+    // the ONE chunk whose min equals the probed boundary, plus the x0
+    // recount and the single-window read: far under the 8-chunk store
+    assert(r.probes <= 5 && r.scannedChunks <= 6, r)
+    assert(MdioStats.kthSmallest(spark, dir, "v", 1L).value == 0.0)
+    assert(MdioStats.kthSmallest(spark, dir, "v", 32L).value == 31.0)
+    assert(MdioStats.kthSmallest(spark, dir, "v", 64L).value == 63.0)
+    // NaN cells never rank: dropping cell 10 shifts rank 21 to value 21
+    val dirN = createFloat(x => if (x == 10) Double.NaN else x.toDouble)
+    val rN = MdioStats.kthSmallest(spark, dirN, "v", 21L)
+    assert(rN.value == 21.0 && !rN.fallback, rN)
+    // stale stats: exact answer via the global-sort fallback
+    MdioChunkStats.bump(ZarrMeta.path(dir).resolve("v"))
+    val rStale = MdioStats.kthSmallest(spark, dir, "v", 21L)
+    assert(rStale.value == 20.0 && rStale.fallback, rStale)
+    MdioWriter.delete(dir); MdioWriter.delete(dirN)
+  }
+
   test("MIN/MAX over a value column answers from metadata with full coverage") {
     val dir = createFloat(_.toDouble)
     val df = spark.read.format("mdio").load(dir)
