@@ -218,24 +218,28 @@ object MdioStats {
   }
 
   /** [[kthSmallest]] result: `value` is the exact k-th smallest finite
-    * cell; `probes` counts the countLE binary-search steps,
-    * `scannedChunks` the TOTAL chunk-boxed scans across all probes plus
-    * the final window read; `fallback` marks the global-sort path. */
-  final case class KthSmallest(value: Double, probes: Int,
+    * cell; `jobs` counts the Spark scan jobs issued (0–2: the below-rank
+    * recount when the bracket's lower edge straddles chunks, and the
+    * window selection), `scannedChunks` the total chunk-boxed scans across
+    * them; `fallback` marks the global-sort path. */
+  final case class KthSmallest(value: Double, jobs: Int,
                                scannedChunks: Long, fallback: Boolean)
 
   /** EXACT k-th smallest finite cell value (1-indexed; the p-quantile is
     * `k = ceil(p·n)` — NaN cells never rank) by QUANTILE-BY-PRUNING:
-    * binary-search the value domain over the sidecar's chunk boundary
-    * values, answering each `count(v ≤ x)` probe from metadata for every
-    * chunk whose [min, max] lies fully below or above `x` and scanning
-    * only the straddlers, then reading just the chunks intersecting the
-    * final boundary window to select the residual rank. The median of a
-    * 100 TB store costs O(log chunks) probes, each reading only the
-    * boundary surface — a global sort must shuffle the full corpus.
-    * Requires generation-current stats with full coverage and moments;
-    * anything less falls back to the exact global-sort form
-    * (`fallback = true`). Ties are handled exactly: the result equals
+    * the sidecar's per-chunk [min, max, cnt] gives CERTAIN rank bounds
+    * without touching data — `L(x) = Σ cnt(max ≤ x)` cells certainly
+    * ≤ x and `U(x) = Σ cnt(min ≤ x)` cells possibly ≤ x — so a
+    * metadata-only search over the chunk boundary values brackets the
+    * answer in a window (x0, x1] with `U(x0) < k ≤ L(x1)`, and at most
+    * TWO scan jobs finish it: an exact `count(v ≤ x0)` over the chunks
+    * straddling x0 (often none), and the residual-rank selection over
+    * the chunks intersecting the window. The median of a 100 TB store
+    * thus reads only the chunks overlapping one boundary window — a
+    * global sort must shuffle the full corpus. Requires
+    * generation-current stats with full coverage and moments; anything
+    * less falls back to the exact global-sort form (`fallback = true`).
+    * Ties are handled exactly: the result equals
     * `ORDER BY v LIMIT 1 OFFSET k-1` in any engine. */
   def kthSmallest(spark: SparkSession, path: String, variable: String,
                   k: Long): KthSmallest = {
@@ -286,55 +290,64 @@ object MdioStats {
     require(k <= n, s"rank $k exceeds $n finite cells")
 
     var scanned = 0L
+    var jobs = 0
     def boxed(cc: Seq[Long]) = dims.zipWithIndex.foldLeft(base) {
       case (df, (d, i)) =>
         df.filter(col(d) >= cc(i) * chunks(i) && col(d) < (cc(i) + 1) * chunks(i))
     }
-    /** count(v ≤ x): metadata for fully-decided chunks, boxed scans for
-      * the straddlers (one unioned job; zero jobs when none straddle). */
-    def countLE(x: BigDecimal): Long = {
-      var metaCnt = 0L
-      val straddle = Seq.newBuilder[Seq[Long]]
-      var nStraddle = 0
-      perChunk.foreach {
-        case (_, None) => () // all-NaN
-        case (cc, Some(b)) =>
-          if (b.max <= x) metaCnt += b.moments.get.cnt
-          else if (b.min > x) ()
-          else { straddle += cc; nStraddle += 1 }
-      }
-      if (nStraddle == 0) metaCnt
-      else {
-        scanned += nStraddle
-        val xd = x.toDouble
-        metaCnt + straddle.result().map(cc =>
-          boxed(cc).filter(col(variable) <= xd).select(lit(1L).as("one")))
-          .reduce(_.unionAll(_)).count()
-      }
-    }
+    // certain rank bounds from metadata alone: cells certainly ≤ x (whole
+    // chunks with max ≤ x) and cells possibly ≤ x (chunks with min ≤ x)
+    def rankL(x: BigDecimal): Long = perChunk.iterator.collect {
+      case (_, Some(b)) if b.max <= x => b.moments.get.cnt }.sum
+    def rankU(x: BigDecimal): Long = perChunk.iterator.collect {
+      case (_, Some(b)) if b.min <= x => b.moments.get.cnt }.sum
 
-    // binary-search the sorted chunk boundary values for the smallest
-    // boundary b with countLE(b) >= k; the answer then lies in the window
-    // (prev boundary, b]
+    // metadata-only bracket over the sorted boundary values:
+    //   x1 = min boundary with L(x1) ≥ k  ⇒ v* ≤ x1 certainly
+    //   x0 = max boundary with U(x0) < k  ⇒ v* > x0 certainly
     val boundaries = perChunk.flatMap(_._2).flatMap(b => Seq(b.min, b.max))
       .distinct.sorted.toIndexedSeq
-    var (lo, hi) = (0, boundaries.size - 1)
-    var probes = 0
-    // countLE(last boundary) = n >= k always, so hi is a valid upper bound
-    while (lo < hi) {
-      val mid = (lo + hi) / 2
-      probes += 1
-      if (countLE(boundaries(mid)) >= k) hi = mid else lo = mid + 1
+    var (lo1, hi1) = (0, boundaries.size - 1) // L(last) = n ≥ k always
+    while (lo1 < hi1) {
+      val mid = (lo1 + hi1) / 2
+      if (rankL(boundaries(mid)) >= k) hi1 = mid else lo1 = mid + 1
     }
-    val x1 = boundaries(lo)
-    val below = if (lo == 0) 0L else countLE(boundaries(lo - 1))
-    val x0: Option[BigDecimal] = if (lo == 0) None else Some(boundaries(lo - 1))
+    val x1 = boundaries(lo1)
+    val x0: Option[BigDecimal] = {
+      var (a, b) = (-1, boundaries.size - 1)
+      while (a < b) { // find the LAST boundary with U < k (-1 = none)
+        val mid = (a + b + 1) / 2
+        if (rankU(boundaries(mid)) < k) a = mid else b = mid - 1
+      }
+      if (a < 0) None else Some(boundaries(a))
+    }
+
+    // exact rank below the window's lower edge: certain-below chunks from
+    // metadata, chunks straddling x0 through one boxed-scan job (often 0)
+    val below: Long = x0 match {
+      case None => 0L
+      case Some(b0) =>
+        val straddle = perChunk.collect {
+          case (cc, Some(b)) if b.min <= b0 && b.max > b0 => cc
+        }
+        val exact =
+          if (straddle.isEmpty) 0L
+          else {
+            scanned += straddle.size
+            jobs += 1
+            val b0d = b0.toDouble
+            straddle.map(cc => boxed(cc).filter(col(variable) <= b0d)
+              .select(lit(1L).as("one"))).reduce(_.unionAll(_)).count()
+          }
+        rankL(b0) + exact
+    }
     // residual selection inside (x0, x1]: read only the chunks whose
     // interval intersects the window
     val window = perChunk.collect {
       case (cc, Some(b)) if x0.forall(b.max > _) && b.min <= x1 => cc
     }
     scanned += window.size
+    jobs += 1
     val x1d = x1.toDouble
     val inWin = window.map { cc =>
       val f = boxed(cc).filter(col(variable) <= x1d)
@@ -347,7 +360,7 @@ object MdioStats {
     require(residual >= 1, s"rank window inconsistency: residual $residual")
     val value = asDouble(
       inWin.orderBy(col(variable)).offset(residual.toInt - 1).limit(1).head)
-    KthSmallest(value, probes, scanned, fallback = false)
+    KthSmallest(value, jobs, scanned, fallback = false)
   }
 
   /** A3/S10 — persist computed stats into the variable's attributes with

@@ -800,12 +800,13 @@ object Mdio {
     FROM cells"""
 
   /** Exact MEDIAN by quantile-by-pruning on the gate (r14):
-    * [[graft.operators.MdioStats.kthSmallest]] binary-searches the chunk
-    * boundary values with metadata `count(v ≤ x)` probes (straddlers only
-    * are scanned per probe) and reads just the final boundary window —
-    * the median of a 100 TB store without a global sort. k = 128 over the
-    * fixed 256-cell grid; the oracle is the definitionally-identical
-    * ORDER BY … OFFSET form. REQUIRES the pruning path in-query. */
+    * [[graft.operators.MdioStats.kthSmallest]] brackets the answer with a
+    * METADATA-ONLY search over the chunk boundary values (certain rank
+    * bounds L/U from per-chunk [min,max,cnt]) and finishes with at most
+    * two scan jobs over the bracket's boundary chunks — the median of a
+    * 100 TB store without a global sort. k = 128 over the fixed 256-cell
+    * grid; the oracle is the definitionally-identical ORDER BY … OFFSET
+    * form. REQUIRES the pruning path in-query. */
   val qZarrKthSmallest: Q = (s, d) => {
     val path = zarrGridWeight(s, d)
     val r = graft.operators.MdioStats.kthSmallest(s, path, "weight", 128L)

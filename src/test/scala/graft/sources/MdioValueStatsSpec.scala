@@ -266,10 +266,9 @@ class MdioValueStatsSpec extends SparkSpec {
     val dir = createFloat(_.toDouble) // v = x: k-th smallest is k-1
     val r = MdioStats.kthSmallest(spark, dir, "v", 21L)
     assert(r.value == 20.0 && !r.fallback, r)
-    // 16 chunk boundaries → ≤5 binary-search probes, each scanning at most
-    // the ONE chunk whose min equals the probed boundary, plus the x0
-    // recount and the single-window read: far under the 8-chunk store
-    assert(r.probes <= 5 && r.scannedChunks <= 6, r)
+    // the bracket is METADATA-ONLY on clean chunk boundaries: no x0
+    // recount job, one window job reading exactly one chunk of the 8
+    assert(r.jobs == 1 && r.scannedChunks == 1, r)
     assert(MdioStats.kthSmallest(spark, dir, "v", 1L).value == 0.0)
     assert(MdioStats.kthSmallest(spark, dir, "v", 32L).value == 31.0)
     assert(MdioStats.kthSmallest(spark, dir, "v", 64L).value == 63.0)
