@@ -138,7 +138,21 @@ object MdioBatchWrite {
 
   /** Default age (ms) past which an unreferenced `.mdio_statfrag.*` file
     * is swept as a crash orphan (24 h). Overridable via
-    * `spark.graft.sink.fragGraceMs`. */
+    * `spark.graft.sink.fragGraceMs`.
+    *
+    * CONTRACT for concurrent writers: the sweep distinguishes a crash
+    * orphan from a live job's in-flight fragment ONLY by mtime age, so a
+    * concurrent write job must reach its own commit within `fragGraceMs`
+    * of spilling its FIRST fragment — a straggler/retry-ridden job that
+    * spills at hour 0 and commits at hour 25 can lose that fragment to
+    * another job's commit-time sweep (its publish then fails loudly or
+    * under-counts stats). Deployments running multi-day concurrent ETL
+    * writes against one store must raise `spark.graft.sink.fragGraceMs`
+    * above their worst-case spill-to-commit span; the alternative
+    * (heartbeat/lease stamping of fragments) is deliberately not paid —
+    * fragments are already job-token-namespaced and the same-store
+    * concurrent-write regime is RMW on disjoint chunk sets, rare enough
+    * that a documented tunable beats a per-fragment lease protocol. */
   val FragGraceMs = 24L * 3600 * 1000
 }
 

@@ -897,7 +897,11 @@ object MdioAggScan {
         // computing the same identity over exact values rounds at the same
         // two points, so integer-valued stores compare bit-exact. NaN
         // cells poison the result as in a real scan; a sample variance
-        // needs n ≥ 2 (Spark's VarianceSamp answers NULL below that).
+        // needs n ≥ 2 — Spark's VarianceSamp/StddevSamp answer NULL at
+        // n == 1 under the DEFAULT spark.sql.legacy.statisticalAggregate
+        // = false (nullOnDivideByZero = !legacy; verified empirically on
+        // this Spark build and pinned by MdioValueStatsSpec's n==1 case),
+        // so Some(null) here matches the unpushed plan bit-for-bit.
         if (anyNaN) Some(Double.NaN)
         else if (cells > 0 && bounds.forall(_.moments.exists(_.sumSq.isDefined))) {
           val samp = op == "vvars" || op == "vstds"

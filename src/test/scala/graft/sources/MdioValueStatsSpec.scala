@@ -235,6 +235,40 @@ class MdioValueStatsSpec extends SparkSpec {
     MdioWriter.delete(dir); MdioWriter.delete(dirN)
   }
 
+  test("sample variance at n==1 pushes down to the same NULL Spark computes") {
+    // Spark's VarianceSamp/StddevSamp under the DEFAULT
+    // spark.sql.legacy.statisticalAggregate=false answer NULL for a
+    // single row (nullOnDivideByZero = !legacy); the metadata pushdown
+    // must match the unpushed plan bit-for-bit, so this pins BOTH paths
+    // on a 1-cell store. If a Spark upgrade flips the default to NaN,
+    // this test fails on the plain-DataFrame leg first.
+    assert(spark.conf.get("spark.sql.legacy.statisticalAggregate") == "false")
+    val plain = Seq(3.0).toDF("v").agg(var_samp($"v"), stddev_samp($"v")).head
+    assert(plain.isNullAt(0) && plain.isNullAt(1), plain.toString)
+    val dir = Files.createTempDirectory("mdio_vstats").resolve("one.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "one", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "x", "dataType": "int64",
+        |     "dimensions": [{"name": "x", "size": 1}]},
+        |    {"name": "v", "dataType": "float64",
+        |     "dimensions": [{"name": "x", "size": 1}]}
+        |  ]
+        |}""".stripMargin), dir)
+    MdioWriter.writeVariable(spark,
+      Seq((0L, 3.0)).toDF("x", "v"), dir, "v")
+    val df = spark.read.format("mdio").load(dir)
+      .agg(var_samp($"v").as("vs"), stddev_samp($"v").as("ss"),
+        var_pop($"v").as("vp"))
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("MdioAggScan"), p.take(700)) // the pushdown DID fire
+    val r = df.head
+    assert(r.isNullAt(0) && r.isNullAt(1), r.toString) // matches Spark's NULL
+    assert(r.getDouble(2) == 0.0) // population variance of one cell is 0
+    MdioWriter.delete(dir)
+  }
+
   test("countInRange reads only boundary chunks; metadata counts the interior") {
     import graft.operators.MdioStats
     // v = x over 64 cells / 8 chunks: [0,20] ⇒ chunks 0,1 fully inside
