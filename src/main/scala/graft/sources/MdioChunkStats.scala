@@ -120,10 +120,23 @@ object MdioChunkStats {
     * `count` proves full coverage of the shard's lead range and the union
     * cannot satisfy the predicate, none of its chunks can — zero shard
     * files opened. `count = -1` marks a pre-summary manifest (never proves
-    * coverage, so manifest-level pruning simply never fires). */
+    * coverage, so manifest-level pruning simply never fires).
+    *
+    * `cells` (r15) is the Σ of the bounded entries' finite-cell counts
+    * (`moments.cnt`), present only when EVERY bounded entry carries
+    * moments, and `bounded` the number of bounded (non-all-NaN) entries
+    * (-1 on pre-r15 manifests). Together with [lo, hi] they let RANK and
+    * RANGE-COUNT questions answer per shard from the manifest alone: a
+    * shard whose union lies inside a count range contributes `cells`
+    * matching cells, and the rank bounds L(x)/U(x) that bracket an exact
+    * k-th-smallest accumulate `cells` for shards wholly ≤ x / with lo ≤ x
+    * — O(manifest) driver bytes for a 100 TB store's median instead of
+    * O(chunk entries). Absent fields degrade to opening the shard. */
   private[sources] final case class ShardMeta(gen: Long, count: Long,
                                               lo: Option[BigDecimal],
-                                              hi: Option[BigDecimal])
+                                              hi: Option[BigDecimal],
+                                              cells: Option[Long] = None,
+                                              bounded: Long = -1L)
 
   /** Parsed manifest: generation, shard span, per-shard records.
     * `legacy` carries the chunk map of a pre-shard monolithic sidecar. */
@@ -243,7 +256,14 @@ object MdioChunkStats {
                 }
                 val lo = (o \ "lo") match { case JNothing => None; case x => Some(num(x)) }
                 val hi = (o \ "hi") match { case JNothing => None; case x => Some(num(x)) }
-                ShardMeta(parseShardGen(o \ "g"), n, lo, hi)
+                val cells = (o \ "c") match {
+                  case JInt(i) => Some(i.toLong); case JLong(l) => Some(l)
+                  case _ => None
+                }
+                val nb = (o \ "b") match {
+                  case JInt(i) => i.toLong; case JLong(l) => l; case _ => -1L
+                }
+                ShardMeta(parseShardGen(o \ "g"), n, lo, hi, cells, nb)
               case other => throw new IllegalArgumentException(s"bad shard entry $other")
             })}.toMap
             Manifest(gen, math.max(span, 1L), metas, None)
@@ -382,11 +402,20 @@ object MdioChunkStats {
   private[sources] def shardMetaOf(gen: Long, entries: Map[String, Entry]): ShardMeta = {
     var lo: BigDecimal = null
     var hi: BigDecimal = null
+    var nb = 0L
+    var cells = 0L
+    var allMoments = true
     entries.valuesIterator.flatten.foreach { b =>
       if (lo == null || b.min < lo) lo = b.min
       if (hi == null || b.max > hi) hi = b.max
+      nb += 1
+      b.moments match {
+        case Some(m) => cells += m.cnt
+        case None => allMoments = false
+      }
     }
-    ShardMeta(gen, entries.size, Option(lo), Option(hi))
+    ShardMeta(gen, entries.size, Option(lo), Option(hi),
+      if (allMoments) Some(cells) else None, nb)
   }
 
   private[sources] def writeManifest(varDir: VPath, gen: Long, span: Long,
@@ -396,6 +425,8 @@ object MdioChunkStats {
       if (sm.count >= 0) b ++= s""", "n": ${sm.count}"""
       sm.lo.foreach(v => b ++= s""", "lo": ${v.underlying.toPlainString}""")
       sm.hi.foreach(v => b ++= s""", "hi": ${v.underlying.toPlainString}""")
+      sm.cells.foreach(c => b ++= s""", "c": $c""")
+      if (sm.bounded >= 0) b ++= s""", "b": ${sm.bounded}"""
       b ++= "}"
       b.result()
     }.mkString(", ")

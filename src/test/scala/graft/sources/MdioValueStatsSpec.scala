@@ -987,6 +987,35 @@ class MdioValueStatsSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("manifest summaries carry cell counts: rank/range answers need no shard open") {
+    // r15: ShardMeta.cells = Σ moments.cnt over bounded entries (present
+    // only when every bounded entry has moments) and ShardMeta.bounded =
+    // bounded-entry count — the fields that let countInRange/kthSmallest
+    // answer whole shards from the manifest alone.
+    val dir = createFloat(x => if (x == 60) Double.NaN else x.toDouble)
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    val entries = MdioChunkStats.current(varDir).get
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir), entries, span = 2)
+    val m = MdioChunkStats.readManifest(varDir).get
+    assert(m.shards.keySet == Set(0L, 1L, 2L, 3L))
+    // shards 0-2: 16 finite cells each; shard 3 lost cell 60 to NaN
+    assert(m.shards(0L) == m.shards(0L).copy(cells = Some(16L), bounded = 2L))
+    assert(m.shards(3L).cells == Some(15L) && m.shards(3L).bounded == 2L)
+    // a bounded entry WITHOUT moments forfeits the shard's cell summary
+    // (bounds survive — only the count-bearing fast path degrades)
+    val noMom = entries.updatedWith("0")(_.map(_.map(_.copy(moments = None))))
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir), noMom, span = 2)
+    val m2 = MdioChunkStats.readManifest(varDir).get
+    assert(m2.shards(0L).cells.isEmpty && m2.shards(0L).bounded == 2L)
+    assert(m2.shards(1L).cells == Some(16L))
+    // pre-r15 manifest (no "c"/"b" keys) parses with absent summaries
+    varDir.resolve(MdioChunkStats.StatsFile).writeString(
+      """{"generation": 99, "span": 2, "shards": {"0": {"g": 99, "n": 2, "lo": 0, "hi": 15}}}""")
+    val legacy = MdioChunkStats.readManifest(varDir).get
+    assert(legacy.shards(0L).cells.isEmpty && legacy.shards(0L).bounded == -1L)
+    MdioWriter.delete(dir)
+  }
+
   test("u64 sidecar bounds are exact past 2^63: pruning and metadata MIN/MAX") {
     val dir = Files.createTempDirectory("mdio_vstats").resolve("u.mdio").toString
     MdioWriter.create(MdioSpec.fromJson(
