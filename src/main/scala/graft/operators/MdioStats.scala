@@ -17,6 +17,8 @@ import org.apache.spark.sql.functions._
   */
 object MdioStats {
 
+  private[graft] val log = org.slf4j.LoggerFactory.getLogger(MdioStats.getClass)
+
   /** Reference CenteredBinHistogram (mdio/stats.h:109-161): uniform bins
     * described by centers; values outside [lo, lo+n*width) are clipped
     * into the edge bins (matching numpy.histogram's outlier handling is
@@ -142,8 +144,9 @@ object MdioStats {
     * moment `cnt` counts only its FINITE in-domain cells) that reads ONLY
     * the chunks whose stats interval STRADDLES a range boundary: fully
     * inside ⇒ count = `cnt` from metadata, fully outside (or all-NaN) ⇒
-    * zero, straddlers ⇒ a chunk-boxed scan each (one Spark job unions
-    * them). The selectivity/QC count of a 100 TB store thus pays chunk
+    * zero, straddlers ⇒ ONE scan over exactly that chunk subset (the
+    * `chunkKeys` allowlist — a single plan node, not a per-chunk union).
+    * The selectivity/QC count of a 100 TB store thus pays chunk
     * I/O proportional to the range BOUNDARY SURFACE, not the range
     * volume — a plain filtered scan must still read every chunk that
     * satisfies the predicate. Degrades gracefully per chunk (a missing
@@ -167,7 +170,6 @@ object MdioStats {
         s"variable '$variable' carries no dimension names"))
     require(!dims.contains(variable),
       s"'$variable' is a dimension coordinate — count its index range instead")
-    val chunks = meta.chunks
     def filtered(df: org.apache.spark.sql.DataFrame) =
       df.filter(col(variable) >= lo && col(variable) <= hi)
     def fullScanCount(): Long =
@@ -201,17 +203,15 @@ object MdioStats {
           return CountInRange(fullScanCount(), 0L, 0L, 0L, fallback = true)
         val scanned: Long =
           if (nStraddle == 0) 0L
-          else {
-            val base = spark.read.format("mdio").load(path)
-            straddlers.result().map { cc =>
-              // chunk-boxed scan: the dim-range filters push down, so the
-              // subscan plans exactly this one chunk
-              filtered(dims.zipWithIndex.foldLeft(base) { case (df, (d, i)) =>
-                df.filter(col(d) >= cc(i) * chunks(i) &&
-                  col(d) < (cc(i) + 1) * chunks(i))
-              }).select(lit(1L).as("one"))
-            }.reduce(_.unionAll(_)).count()
-          }
+          else
+            // ONE scan planning exactly the straddler chunks via the
+            // chunkKeys allowlist — a single plan node no matter how many
+            // chunks the range boundary crosses (a per-chunk union carried
+            // one dim-boxed leg each)
+            filtered(spark.read.format("mdio")
+              .option("chunkKeys",
+                straddlers.result().map(_.mkString(".")).mkString(","))
+              .load(path)).count()
         CountInRange(metaCount + scanned, metaChunks, outside,
           nStraddle.toLong, fallback = false)
     }
@@ -220,10 +220,76 @@ object MdioStats {
   /** [[kthSmallest]] result: `value` is the exact k-th smallest finite
     * cell; `jobs` counts the Spark scan jobs issued (0–2: the below-rank
     * recount when the bracket's lower edge straddles chunks, and the
-    * window selection), `scannedChunks` the total chunk-boxed scans across
-    * them; `fallback` marks the global-sort path. */
+    * window selection), `scannedChunks` the chunks those jobs read (the
+    * window job's count is the sidecar-pruned chunk set of its ONE scan
+    * node); `fallback` marks the exact full-scan grouped-rank path. */
   final case class KthSmallest(value: Double, jobs: Int,
                                scannedChunks: Long, fallback: Boolean)
+
+  private def asDouble(row: org.apache.spark.sql.Row): Double = row.get(0) match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case l: Long => l.toDouble
+    case i: Int => i.toDouble
+    case s: Short => s.toDouble
+    case b: Byte => b.toDouble
+    case bd: java.math.BigDecimal => bd.doubleValue() // u64 surface
+    case other => throw new IllegalStateException(s"unrankable value $other")
+  }
+
+  /** Buckets per [[selectByRank]] pass: bounds the driver collect at one
+    * Long per non-empty bucket and the final single-partition sort at one
+    * bucket's distinct values. */
+  private val RankBuckets = 1024
+
+  /** Locate the bucket holding the `rank`-th cell given per-bucket cell
+    * counts (any order): (bucketId, cellsBeforeThatBucket). Pure Long
+    * arithmetic — ranks past 2³¹ (a median at the 100 TB envelope is
+    * k ≈ 10¹²) never truncate. Throws when the rank exceeds the total. */
+  private[graft] def bucketForRank(perBucket: Seq[(Long, Long)],
+                                   rank: Long): (Long, Long) = {
+    require(rank >= 1, s"rank $rank out of range")
+    var before = 0L
+    val it = perBucket.sortBy(_._1).iterator
+    while (it.hasNext) {
+      val (b, c) = it.next()
+      if (before + c >= rank) return (b, before)
+      before += c
+    }
+    throw new IllegalArgumentException(s"rank $rank exceeds $before cells")
+  }
+
+  /** Exact rank selection over DISTINCT-VALUE counts (`v`: any numeric,
+    * `c`: Long) with Long ranks end-to-end — the replacement for
+    * `ORDER BY v OFFSET rank-1 LIMIT 1`, whose Int-typed offset silently
+    * wraps past 2³¹ and whose global sort funnels every row through one
+    * partition. Two bounded jobs over `byV` (persist it when it derives
+    * from a scan): a ≤[[RankBuckets]]-row per-bucket histogram collected
+    * to the driver locates the bucket holding the rank, then an ordered
+    * cumulative count INSIDE that one bucket selects the value — the
+    * final sort sees one bucket's distinct values, not the window's.
+    * Buckets are a deterministic pure function of the value (no
+    * sampling), so re-evaluation cannot move rows across buckets; `lo`/
+    * `hi` need only be approximate covers (values outside clamp into the
+    * edge buckets). */
+  private[graft] def selectByRank(byV: org.apache.spark.sql.DataFrame,
+                                  rank: Long, lo: Double, hi: Double): Double = {
+    val width = (hi - lo) / RankBuckets
+    val bucket =
+      if (!(width > 0)) lit(0L) // single value / zero span: one bucket
+      else least(greatest(floor((col("v").cast("double") - lit(lo)) / lit(width)),
+        lit(0.0)), lit((RankBuckets - 1).toDouble)).cast("long")
+    val per = byV.groupBy(bucket.as("b")).agg(sum(col("c")).as("bc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (b, before) = bucketForRank(per, rank)
+    val cum = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    asDouble(byV.filter(bucket === b)
+      .withColumn("cum", sum(col("c")).over(cum))
+      .filter(col("cum") >= rank - before)
+      .orderBy(col("v")).limit(1).select(col("v")).head)
+  }
 
   /** EXACT k-th smallest finite cell value (1-indexed; the p-quantile is
     * `k = ceil(p·n)` — NaN cells never rank) by QUANTILE-BY-PRUNING:
@@ -238,11 +304,16 @@ object MdioStats {
     * thus reads only the chunks overlapping one boundary window — a
     * global sort must shuffle the full corpus. Requires
     * generation-current stats with full coverage and moments; anything
-    * less falls back to the exact global-sort form (`fallback = true`).
+    * less falls back to the exact full-scan grouped-rank form
+    * (`fallback = true`).
     * Ties are handled exactly: the result equals
-    * `ORDER BY v LIMIT 1 OFFSET k-1` in any engine. */
+    * `ORDER BY v LIMIT 1 OFFSET k-1` in any engine — but the selection
+    * itself is [[selectByRank]]'s Long-rank grouped count, never an
+    * Int-typed OFFSET. More than `maxProbeChunks` chunks straddling the
+    * bracket's lower edge falls back loudly too (the probe is the one
+    * remaining per-chunk union; the window selection is always ONE scan). */
   def kthSmallest(spark: SparkSession, path: String, variable: String,
-                  k: Long): KthSmallest = {
+                  k: Long, maxProbeChunks: Int = 512): KthSmallest = {
     import graft.sources.MdioChunkStats
     import graft.zarr.ZarrMeta
     require(k >= 1, s"rank $k out of range")
@@ -255,25 +326,24 @@ object MdioStats {
         s"variable '$variable' carries no dimension names"))
     require(!dims.contains(variable),
       s"'$variable' is a dimension coordinate — rank its index range instead")
-    val chunks = meta.chunks
     val isFloat = meta.dtype.charAt(meta.dtype.length - 2) == 'f'
-    def asDouble(row: org.apache.spark.sql.Row): Double = row.get(0) match {
-      case d: Double => d
-      case f: Float => f.toDouble
-      case l: Long => l.toDouble
-      case i: Int => i.toDouble
-      case s: Short => s.toDouble
-      case b: Byte => b.toDouble
-      case bd: java.math.BigDecimal => bd.doubleValue() // u64 surface
-      case other => throw new IllegalStateException(s"unrankable value $other")
-    }
     def dropNaN(df: org.apache.spark.sql.DataFrame) =
       if (isFloat) df.filter(!isnan(col(variable))) else df
     def base = spark.read.format("mdio").load(path)
-    def sortFallback(): KthSmallest = {
-      val v = asDouble(dropNaN(base.select(col(variable)))
-        .orderBy(col(variable)).offset((k - 1).toInt).limit(1).head)
-      KthSmallest(v, 0, 0L, fallback = true)
+    // exact full-scan fallback (stale/absent stats, or an uncapped probe):
+    // grouped distinct-value counts + Long-rank selection — no global
+    // sort, no Int offset, one scan
+    def scanFallback(): KthSmallest = {
+      val byV = dropNaN(base.select(col(variable).as("v")))
+        .groupBy(col("v")).agg(count(lit(1L)).as("c")).persist()
+      try {
+        val mm = byV.agg(min(col("v").cast("double")), max(col("v").cast("double")),
+          sum(col("c"))).head
+        val total = if (mm.isNullAt(2)) 0L else mm.getLong(2)
+        require(k <= total, s"rank $k exceeds $total finite cells")
+        KthSmallest(selectByRank(byV, k, mm.getDouble(0), mm.getDouble(1)),
+          0, 0L, fallback = true)
+      } finally byV.unpersist()
     }
 
     val entriesOpt = MdioChunkStats.current(root.resolve(variable))
@@ -281,7 +351,7 @@ object MdioStats {
       .boxKeys(meta.chunkGrid.map(g => (0L, g))).toSeq
     val usable = entriesOpt.exists(es => gridKeys.forall(key =>
       es.get(key).exists(_.forall(_.moments.isDefined))))
-    if (!usable) return sortFallback()
+    if (!usable) return scanFallback()
     val entries = entriesOpt.get
     // (coords, bounds-or-None) per chunk; None = all-NaN (never ranks)
     val perChunk: Seq[(Seq[Long], Option[MdioChunkStats.Bounds])] =
@@ -291,10 +361,6 @@ object MdioStats {
 
     var scanned = 0L
     var jobs = 0
-    def boxed(cc: Seq[Long]) = dims.zipWithIndex.foldLeft(base) {
-      case (df, (d, i)) =>
-        df.filter(col(d) >= cc(i) * chunks(i) && col(d) < (cc(i) + 1) * chunks(i))
-    }
     // certain rank bounds from metadata alone: cells certainly ≤ x (whole
     // chunks with max ≤ x) and cells possibly ≤ x (chunks with min ≤ x)
     def rankL(x: BigDecimal): Long = perChunk.iterator.collect {
@@ -323,43 +389,61 @@ object MdioStats {
     }
 
     // exact rank below the window's lower edge: certain-below chunks from
-    // metadata, chunks straddling x0 through one boxed-scan job (often 0)
+    // metadata, chunks straddling x0 through one allowlist-scan job
+    // (often 0; capped — when the store's intervals all overlap, every
+    // chunk straddles the edge and even one scan's partition count would
+    // go O(chunks))
     val below: Long = x0 match {
       case None => 0L
       case Some(b0) =>
         val straddle = perChunk.collect {
           case (cc, Some(b)) if b.min <= b0 && b.max > b0 => cc
         }
+        if (straddle.size > maxProbeChunks) {
+          log.warn(s"kthSmallest($path, $variable, k=$k): ${straddle.size} " +
+            s"chunks straddle the bracket edge $b0 (cap $maxProbeChunks) — " +
+            "falling back to the exact full-scan grouped-rank selection")
+          return scanFallback()
+        }
         val exact =
           if (straddle.isEmpty) 0L
           else {
             scanned += straddle.size
             jobs += 1
-            val b0d = b0.toDouble
-            straddle.map(cc => boxed(cc).filter(col(variable) <= b0d)
-              .select(lit(1L).as("one"))).reduce(_.unionAll(_)).count()
+            // ONE scan over exactly the straddler chunks (chunkKeys
+            // allowlist), counting their cells at-or-under the edge
+            spark.read.format("mdio")
+              .option("chunkKeys", straddle.map(_.mkString(".")).mkString(","))
+              .load(path)
+              .filter(col(variable) <= b0.toDouble).count()
           }
         rankL(b0) + exact
     }
-    // residual selection inside (x0, x1]: read only the chunks whose
-    // interval intersects the window
+    // residual selection inside (x0, x1]: ONE scan whose pushed value
+    // predicate rides the sidecar chunk pruning (the zarr_value_pruning
+    // path plans exactly the chunks with max > x0 and min ≤ x1) — the
+    // plan stays a single scan node even when every chunk interval
+    // overlaps the window (zero-centered amplitude data), where a
+    // per-chunk union would carry one leg per chunk in the store
     val window = perChunk.collect {
       case (cc, Some(b)) if x0.forall(b.max > _) && b.min <= x1 => cc
     }
     scanned += window.size
     jobs += 1
     val x1d = x1.toDouble
-    val inWin = window.map { cc =>
-      val f = boxed(cc).filter(col(variable) <= x1d)
-      x0 match {
-        case Some(b0) => f.filter(col(variable) > b0.toDouble)
-        case None => dropNaN(f)
-      }
-    }.reduce(_.unionAll(_)).select(col(variable))
+    val winScan = x0 match {
+      case Some(b0) =>
+        base.filter(col(variable) > b0.toDouble && col(variable) <= x1d)
+      case None => dropNaN(base.filter(col(variable) <= x1d))
+    }
     val residual = k - below
     require(residual >= 1, s"rank window inconsistency: residual $residual")
-    val value = asDouble(
-      inWin.orderBy(col(variable)).offset(residual.toInt - 1).limit(1).head)
+    val byV = winScan.groupBy(col(variable).as("v"))
+      .agg(count(lit(1L)).as("c")).persist()
+    val value =
+      try selectByRank(byV, residual,
+        x0.getOrElse(boundaries.head).toDouble, x1d)
+      finally byV.unpersist()
     KthSmallest(value, jobs, scanned, fallback = false)
   }
 

@@ -129,7 +129,10 @@ final case class MdioTable(path: String, wanted: Option[Seq[String]],
         TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MdioScanBuilder(path, dims, variables.map(v => v -> labeled(v)._1).toMap, schema())
+    new MdioScanBuilder(path, dims, variables.map(v => v -> labeled(v)._1).toMap, schema(),
+      chunkKeys = Option(options.get("chunkKeys"))
+        .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     MdioWriteBuilder(path, dims, variables.map(v => v -> labeled(v)._1).toMap, info.schema(),
@@ -213,7 +216,8 @@ object MdioScanBuilder {
   * 100 TB store are O(1) metadata lookups, no chunk file ever opened. */
 final class MdioScanBuilder(path: String, dims: Seq[String],
                             metas: Map[String, ZarrMeta.ArrayMeta],
-                            fullSchema: StructType)
+                            fullSchema: StructType,
+                            chunkKeys: Option[Seq[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -507,13 +511,17 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
     aggMemo._2
   }
 
+  // a chunk-key allowlist restricts the scan to an explicit chunk subset,
+  // so grid-metadata aggregate answers (which cover the WHOLE clamped
+  // box) would be wrong — refuse the pushdown outright
   override def supportCompletePushDown(
       agg: connector_expressions.aggregate.Aggregation): Boolean =
-    translateAggsMemo(agg).isDefined
+    chunkKeys.isEmpty && translateAggsMemo(agg).isDefined
 
   override def pushAggregation(
       agg: connector_expressions.aggregate.Aggregation): Boolean =
-    translateAggsMemo(agg) match {
+    if (chunkKeys.isDefined) false
+    else translateAggsMemo(agg) match {
       case Some((t, g)) => pushedAggs = Some(t); pushedGroup = g; true
       case None => false
     }
@@ -634,11 +642,14 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
     requiredSchema = required
   }
 
-  override def build(): Scan = pushedAggs match {
-    case Some(aggs) => MdioAggScan(path, dims, metas, ranges, aggs, pushedGroup)
-    case None =>
-      MdioScan(path, dims, metas, requiredSchema, ranges, limitCells, topN, inValues,
-        valueRanges, topNValue)
+  override def build(): Scan = {
+    MdioScan.scanBuilds.incrementAndGet()
+    pushedAggs match {
+      case Some(aggs) => MdioAggScan(path, dims, metas, ranges, aggs, pushedGroup)
+      case None =>
+        MdioScan(path, dims, metas, requiredSchema, ranges, limitCells, topN, inValues,
+          valueRanges, topNValue, chunkKeys)
+    }
   }
 }
 
@@ -1044,7 +1055,8 @@ final case class MdioScan(path: String, dims: Seq[String],
                           topN: Option[(String, Boolean, Int)] = None,
                           staticIn: Map[String, Array[Long]] = Map.empty,
                           valueRanges: Map[String, MdioValueRange] = Map.empty,
-                          topNValue: Option[(String, Boolean, Int)] = None)
+                          topNValue: Option[(String, Boolean, Int)] = None,
+                          chunkKeys: Option[Seq[String]] = None)
     extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -1163,8 +1175,8 @@ final case class MdioScan(path: String, dims: Seq[String],
   }
   override def description(): String =
     s"MdioScan($path, ranges=${ranges.map { case (d, (a, b)) => s"$d:[$a,$b)" }.mkString(",")}" +
-      (if (valueRanges.isEmpty) ")"
-       else s", valueStats=${valueRanges.keys.toSeq.sorted.mkString(",")})")
+      (if (valueRanges.nonEmpty) s", valueStats=${valueRanges.keys.toSeq.sorted.mkString(",")}" else "") +
+      (if (chunkKeys.nonEmpty) s", chunkKeys=${chunkKeys.get.size}" else "") + ")"
 
   // ---- runtime filtering (S/P dynamic pruning): when a dim column feeds a
   // selective join (e.g. sel's coordinate semi-join), Spark hands the built
@@ -1360,6 +1372,24 @@ final case class MdioScan(path: String, dims: Seq[String],
     def coalescedPlan(): Array[InputPartition] =
       coalescedRangePlan(chunkLo, chunkHi, bounds, chunks, neededVars,
         pruningActive, survives)
+
+    // ---- explicit chunk-key allowlist (the internal planning hint behind
+    // countInRange/kthSmallest boundary probes): plan EXACTLY the listed
+    // chunks in ONE scan node, where a per-chunk union of dim-boxed scans
+    // would carry one plan leg each. Enumerates from the keys, not the
+    // grid (O(keys) driver work, not O(box)); value-stat pruning and
+    // runtime IN-filters still apply conjunctively via partitionFor; keys
+    // outside the clamped bounds are skipped.
+    chunkKeys match {
+      case Some(keys) =>
+        return keys.iterator
+          .map(k => Vector(k.split("\\.").map(_.toLong): _*))
+          .filter(cc => cc.size == dims.size && cc.indices.forall(i =>
+            cc(i) >= chunkLo(i) && cc(i) <= chunkHi(i)))
+          .toVector.distinct.sortBy(_.mkString("."))
+          .flatMap(cc => partitionFor(cc)).map(_._1).toArray
+      case None => ()
+    }
 
     topN match {
       // ORDER BY <dims> LIMIT k: plan complete slabs of the LEADING sort
@@ -1611,6 +1641,11 @@ final case class MdioScan(path: String, dims: Seq[String],
 
 object MdioScan {
   private[sources] val log = org.slf4j.LoggerFactory.getLogger(classOf[MdioScan])
+
+  /** TEST HOOK: Scan instances built since JVM start — a bounded-plan pin
+    * counts the scan nodes an operator plans (e.g. kthSmallest must plan
+    * ONE value-predicate scan, not one union leg per window chunk). */
+  private[graft] val scanBuilds = new java.util.concurrent.atomic.AtomicLong
 
   /** Resolve `spark.graft.scan.keyedPartitions.groupFactor` into per-dim
     * factors: a bare integer coarsens the leading dim (the r13 form), a

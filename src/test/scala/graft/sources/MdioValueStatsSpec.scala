@@ -275,8 +275,13 @@ class MdioValueStatsSpec extends SparkSpec {
     // (32 cells from metadata), chunk 2 straddles (16..20 → 5 scanned),
     // chunks 3..7 proven outside
     val dir = createFloat(_.toDouble)
+    val before = MdioScan.scanBuilds.get()
     val r = MdioStats.countInRange(spark, dir, "v", 0.0, 20.0)
     assert(r == MdioStats.CountInRange(21L, 2L, 5L, 1L, fallback = false), r)
+    // the straddler count is ONE scan node (chunkKeys allowlist), not a
+    // per-chunk union of dim-boxed subplans
+    val built = MdioScan.scanBuilds.get() - before
+    assert(built == 1L, s"straddler count planned $built scan nodes, want 1")
     // whole-domain range: zero chunks scanned, pure metadata
     val rAll = MdioStats.countInRange(spark, dir, "v", 0.0, 63.0)
     assert(rAll == MdioStats.CountInRange(64L, 8L, 0L, 0L, fallback = false), rAll)
@@ -310,11 +315,71 @@ class MdioValueStatsSpec extends SparkSpec {
     val dirN = createFloat(x => if (x == 10) Double.NaN else x.toDouble)
     val rN = MdioStats.kthSmallest(spark, dirN, "v", 21L)
     assert(rN.value == 21.0 && !rN.fallback, rN)
-    // stale stats: exact answer via the global-sort fallback
+    // stale stats: exact answer via the full-scan grouped-rank fallback
     MdioChunkStats.bump(ZarrMeta.path(dir).resolve("v"))
     val rStale = MdioStats.kthSmallest(spark, dir, "v", 21L)
     assert(rStale.value == 20.0 && rStale.fallback, rStale)
     MdioWriter.delete(dir); MdioWriter.delete(dirN)
+  }
+
+  test("kthSmallest plans ONE scan when every chunk interval overlaps") {
+    import graft.operators.MdioStats
+    // transposed layout: chunk i holds {8j+i, j=0..7} → interval
+    // [i, 56+i]; all 8 intervals overlap — the zero-centered-amplitude
+    // shape where a per-chunk union would carry one leg per chunk
+    val dir = createFloat(x => ((x % 8) * 8 + x / 8).toDouble)
+    val before = MdioScan.scanBuilds.get()
+    val r = MdioStats.kthSmallest(spark, dir, "v", 5L)
+    assert(r.value == 4.0 && !r.fallback && r.jobs == 1 && r.scannedChunks == 8, r)
+    val built = MdioScan.scanBuilds.get() - before
+    assert(built == 1L, s"window selection planned $built scan nodes, want 1")
+    // a bracket whose lower edge straddles chunks adds only the capped
+    // probe; the window selection stays one scan
+    val r21 = MdioStats.kthSmallest(spark, dir, "v", 21L)
+    assert(r21.value == 20.0 && !r21.fallback && r21.jobs == 2, r21)
+    // over-cap probe: loud fallback, same exact answer
+    val rCap = MdioStats.kthSmallest(spark, dir, "v", 21L, maxProbeChunks = 1)
+    assert(rCap.value == 20.0 && rCap.fallback, rCap)
+    MdioWriter.delete(dir)
+  }
+
+  test("chunkKeys allowlist: exact chunk subset, one scan, no grid-agg answers") {
+    val dir = createFloat(_.toDouble)
+    val df = spark.read.format("mdio").option("chunkKeys", "2,5").load(dir)
+    // exactly chunks 2 and 5 (cells 16..23 and 40..47)
+    assert(df.count() == 16L)
+    assert(df.agg(sum($"v".cast("long"))).head.getLong(0) ==
+      ((16L to 23L) ++ (40L to 47L)).sum)
+    // grid-metadata aggregates cover the whole clamped box, so the
+    // allowlist must refuse the pushdown — the count above came from rows
+    val p = df.groupBy().count().queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("MdioAggScan"), p.take(700))
+    assert(p.contains("chunkKeys=2"), p.take(700))
+    // dim predicates still clamp conjunctively; out-of-grid keys skip
+    assert(df.filter($"x" >= 20).count() == 12L)
+    assert(spark.read.format("mdio").option("chunkKeys", "5,99").load(dir)
+      .count() == 8L)
+    MdioWriter.delete(dir)
+  }
+
+  test("rank selection is Long end-to-end: ranks past 2^31 never truncate") {
+    import graft.operators.MdioStats
+    // pure bucket arithmetic at k ≈ 4e9 (a median at the 100 TB envelope
+    // is k ≈ 10^12 — far past Int)
+    assert(MdioStats.bucketForRank(
+      Seq((0L, 3000000000L), (1L, 2000000000L)), 4000000000L) ==
+      (1L, 3000000000L))
+    assert(MdioStats.bucketForRank(Seq((7L, 5L)), 5L) == (7L, 0L))
+    intercept[IllegalArgumentException] {
+      MdioStats.bucketForRank(Seq((0L, 10L)), 11L)
+    }
+    // the full selection plan at a >2^31 rank over grouped counts: value
+    // 2.0 holds ranks (3e9, 5e9] — offset((rank-1).toInt) would wrap
+    val byV = Seq((1.0, 3000000000L), (2.0, 2000000000L)).toDF("v", "c")
+    assert(MdioStats.selectByRank(byV, 4000000000L, 1.0, 2.0) == 2.0)
+    assert(MdioStats.selectByRank(byV, 3000000000L, 1.0, 2.0) == 1.0)
+    assert(MdioStats.selectByRank(byV, 1L, 1.0, 2.0) == 1.0)
   }
 
   test("MIN/MAX over a value column answers from metadata with full coverage") {
