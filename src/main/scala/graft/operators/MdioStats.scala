@@ -130,11 +130,60 @@ object MdioStats {
       .toDF("count", "min", "max", "sum", "sumSquares")
   }
 
+  /** Feed every grid key in `[leadLo, leadHi)` of the leading dimension
+    * to `perChunk` with its entry from `entries` (None = no entry). */
+  private def feedKeys(grid: Seq[Long], leadLo: Long, leadHi: Long,
+                       entries: Map[String, graft.sources.MdioChunkStats.Entry])
+                      (perChunk: (Seq[Long], Option[graft.sources.MdioChunkStats.Entry]) => Unit): Unit =
+    graft.sources.MdioAggScan.boxKeys((leadLo, leadHi) +: grid.drop(1).map(g => (0L, g)))
+      .foreach { key =>
+        perChunk(key.split("\\.").map(_.toLong).toSeq, entries.get(key))
+      }
+
+  /** Walk a generation-current sidecar SHARD BY SHARD over the chunk
+    * grid: each shard whose manifest record proves FULL COVERAGE of its
+    * lead range (`count` = leads × chunks-per-lead) is offered to
+    * `summary(shardId, meta)` first — returning true answers the whole
+    * shard from the manifest WITHOUT opening its file; otherwise (and for
+    * incomplete or unlisted shards) the shard file loads and every grid
+    * key in its lead range goes through `perChunk` with its entry (outer
+    * None = no entry anywhere — the caller's unprunable/uncovered case).
+    * Legacy monolithic sidecars feed every key with no summaries. This is
+    * what keeps countInRange/kthSmallest at O(manifest) driver bytes on a
+    * 100 TB store: interior shards — the overwhelming majority under a
+    * selective range or a rank bracket — never open. */
+  private def walkShards(varDir: graft.zarr.VPath,
+                         man: graft.sources.MdioChunkStats.Manifest,
+                         grid: Seq[Long])
+                        (summary: (Long, graft.sources.MdioChunkStats.ShardMeta) => Boolean)
+                        (perChunk: (Seq[Long], Option[graft.sources.MdioChunkStats.Entry]) => Unit): Unit =
+    man.legacy match {
+      case Some(es) => feedKeys(grid, 0L, grid.head, es)(perChunk)
+      case None =>
+        val chunksPerLead = grid.drop(1).product
+        val nShards = (grid.head + man.span - 1) / man.span
+        var sid = 0L
+        while (sid < nShards) {
+          val leadLo = sid * man.span
+          val leadHi = math.min((sid + 1) * man.span, grid.head)
+          val smOpt = man.shards.get(sid)
+          val complete = smOpt.exists(sm =>
+            sm.count >= 0 && sm.count == (leadHi - leadLo) * chunksPerLead)
+          if (!(complete && summary(sid, smOpt.get)))
+            feedKeys(grid, leadLo, leadHi,
+              smOpt.map(sm => graft.sources.MdioChunkStats.readShard(varDir, sid, sm.gen))
+                .getOrElse(Map.empty))(perChunk)
+          sid += 1
+        }
+    }
+
   /** [[countInRange]] result: `count` is exact; `metadataChunks` answered
     * from the sidecar (fully inside the range — their finite-cell `cnt`
-    * counts whole), `outsideChunks` were proven empty, `scannedChunks`
-    * straddle the boundary and were read; `fallback` marks the ordinary
-    * pruned-scan path (stale/absent stats or too many straddlers). */
+    * counts whole, whether the proof came from the chunk's own entry or
+    * from a whole-shard manifest summary), `outsideChunks` were proven
+    * empty, `scannedChunks` straddle the boundary and were read;
+    * `fallback` marks the ordinary pruned-scan path (stale/absent stats
+    * or too many straddlers). */
   final case class CountInRange(count: Long, metadataChunks: Long,
                                 outsideChunks: Long, scannedChunks: Long,
                                 fallback: Boolean)
@@ -146,10 +195,16 @@ object MdioStats {
     * inside ⇒ count = `cnt` from metadata, fully outside (or all-NaN) ⇒
     * zero, straddlers ⇒ ONE scan over exactly that chunk subset (the
     * `chunkKeys` allowlist — a single plan node, not a per-chunk union).
-    * The selectivity/QC count of a 100 TB store thus pays chunk
-    * I/O proportional to the range BOUNDARY SURFACE, not the range
-    * volume — a plain filtered scan must still read every chunk that
-    * satisfies the predicate. Degrades gracefully per chunk (a missing
+    * The triage itself is HIERARCHICAL: whole shards whose manifest
+    * summary (bounds union + `cells`/`bounded`, [[graft.sources.MdioChunkStats.ShardMeta]])
+    * already decides them — union inside the range, disjoint from it, or
+    * all-NaN — are answered from the manifest without opening the shard
+    * file, so the sidecar read is O(manifest) + O(boundary shards), not
+    * O(chunk entries). The selectivity/QC count of a 100 TB store thus
+    * pays chunk I/O proportional to the range BOUNDARY SURFACE, not the
+    * range volume — a plain filtered scan must still read every chunk
+    * that satisfies the predicate. Degrades gracefully per shard and per
+    * chunk (a summary that cannot decide opens the shard; a missing
     * entry or missing moments makes that chunk a straddler); stale or
     * absent stats, or more than `maxScanChunks` straddlers, fall back to
     * one ordinary value-pruned scan (`fallback = true`), so the answer is
@@ -176,29 +231,47 @@ object MdioStats {
       filtered(spark.read.format("mdio").load(path)).count()
 
     val (loB, hiB) = (BigDecimal(lo), BigDecimal(hi))
-    MdioChunkStats.current(root.resolve(variable)) match {
+    MdioChunkStats.currentManifest(root.resolve(variable)) match {
       case None => CountInRange(fullScanCount(), 0L, 0L, 0L, fallback = true)
-      case Some(entries) =>
+      case Some(man) =>
         var metaCount = 0L
         var metaChunks = 0L
         var outside = 0L
         val straddlers = Seq.newBuilder[Seq[Long]]
         var nStraddle = 0
-        graft.sources.MdioAggScan.boxKeys(meta.chunkGrid.map(g => (0L, g)))
-          .foreach { key =>
-            val cc = key.split("\\.").map(_.toLong).toSeq
-            entries.get(key) match {
-              case Some(None) => outside += 1 // all-NaN: no cell can match
-              case Some(Some(b)) if b.max < loB || b.min > hiB => outside += 1
-              case Some(Some(b)) if b.min >= loB && b.max <= hiB &&
-                  b.moments.isDefined =>
-                metaCount += b.moments.get.cnt
-                metaChunks += 1
-              case _ => // straddler, no entry, or no moments: scan it
-                straddlers += cc
-                nStraddle += 1
-            }
+        // whole-shard answers from the manifest summary alone (the r15
+        // cells/bounded fields): a complete shard whose bounds union lies
+        // inside the range counts its `cells` finite cells whole (all-NaN
+        // chunks there are outside — NaN matches no range), one disjoint
+        // from the range proves every chunk empty, and an all-NaN shard
+        // (no union, cells = 0 by construction) is proven zero. Anything
+        // the summary cannot decide opens the shard for per-chunk triage.
+        walkShards(root.resolve(variable), man, meta.chunkGrid) { (_, sm) =>
+          (sm.lo, sm.hi) match {
+            case (Some(l), Some(h)) if h < loB || l > hiB =>
+              outside += sm.count; true
+            case (Some(l), Some(h)) if l >= loB && h <= hiB &&
+                sm.cells.isDefined && sm.bounded >= 0 =>
+              metaCount += sm.cells.get
+              metaChunks += sm.bounded
+              outside += sm.count - sm.bounded
+              true
+            case (None, None) => outside += sm.count; true
+            case _ => false
           }
+        } { (cc, eOpt) =>
+          eOpt match {
+            case Some(None) => outside += 1 // all-NaN: no cell can match
+            case Some(Some(b)) if b.max < loB || b.min > hiB => outside += 1
+            case Some(Some(b)) if b.min >= loB && b.max <= hiB &&
+                b.moments.isDefined =>
+              metaCount += b.moments.get.cnt
+              metaChunks += 1
+            case _ => // straddler, no entry, or no moments: scan it
+              straddlers += cc
+              nStraddle += 1
+          }
+        }
         if (nStraddle > maxScanChunks)
           return CountInRange(fullScanCount(), 0L, 0L, 0L, fallback = true)
         val scanned: Long =
@@ -300,9 +373,13 @@ object MdioStats {
     * answer in a window (x0, x1] with `U(x0) < k ≤ L(x1)`, and at most
     * TWO scan jobs finish it: an exact `count(v ≤ x0)` over the chunks
     * straddling x0 (often none), and the residual-rank selection over
-    * the chunks intersecting the window. The median of a 100 TB store
-    * thus reads only the chunks overlapping one boundary window — a
-    * global sort must shuffle the full corpus. Requires
+    * the chunks intersecting the window. The rank bounds are
+    * HIERARCHICAL: whole shards ride the arithmetic as one manifest
+    * summary interval ([lo, hi]×cells, [[graft.sources.MdioChunkStats.ShardMeta]]),
+    * and only the shards intersecting the bracket window are opened for
+    * chunk-level refinement. The median of a 100 TB store thus reads
+    * O(manifest) sidecar bytes plus only the chunks overlapping one
+    * boundary window — a global sort must shuffle the full corpus. Requires
     * generation-current stats with full coverage and moments; anything
     * less falls back to the exact full-scan grouped-rank form
     * (`fallback = true`).
@@ -346,58 +423,118 @@ object MdioStats {
       } finally byV.unpersist()
     }
 
-    val entriesOpt = MdioChunkStats.current(root.resolve(variable))
-    val gridKeys = graft.sources.MdioAggScan
-      .boxKeys(meta.chunkGrid.map(g => (0L, g))).toSeq
-    val usable = entriesOpt.exists(es => gridKeys.forall(key =>
-      es.get(key).exists(_.forall(_.moments.isDefined))))
+    val varDir = root.resolve(variable)
+    val manOpt = MdioChunkStats.currentManifest(varDir)
+    if (manOpt.isEmpty) return scanFallback()
+    val man = manOpt.get
+    val grid = meta.chunkGrid
+
+    // Shard-resolved rank items (the HIERARCHICAL bracket): a complete
+    // shard whose manifest summary carries moments coverage (`cells`
+    // defined) joins the rank arithmetic as ONE coarse [lo, hi]×cells
+    // interval WITHOUT its file being opened; shards the summary cannot
+    // vouch for open now and contribute per-chunk (coords, bounds) fine
+    // items. Any cell unaccounted for with moments (missing entry,
+    // missing moments, torn shard) falls back to the exact full scan.
+    val fine = scala.collection.mutable.ArrayBuffer.empty[(Seq[Long], MdioChunkStats.Bounds)]
+    var coarse = Map.empty[Long, (BigDecimal, BigDecimal, Long)] // sid -> (lo, hi, cells)
+    var usable = true
+    def intake(cc: Seq[Long], eOpt: Option[MdioChunkStats.Entry]): Unit = eOpt match {
+      case Some(Some(b)) if b.moments.isDefined => fine += ((cc, b))
+      case Some(None) => () // all-NaN chunk: never ranks
+      case _ => usable = false
+    }
+    walkShards(varDir, man, grid) { (sid, sm) =>
+      sm.cells.isDefined && {
+        (sm.lo, sm.hi) match {
+          case (Some(l), Some(h)) => coarse = coarse.updated(sid, (l, h, sm.cells.get))
+          case _ => () // all-NaN shard: proven cells = 0, contributes nothing
+        }
+        true
+      }
+    }(intake)
     if (!usable) return scanFallback()
-    val entries = entriesOpt.get
-    // (coords, bounds-or-None) per chunk; None = all-NaN (never ranks)
-    val perChunk: Seq[(Seq[Long], Option[MdioChunkStats.Bounds])] =
-      gridKeys.map(key => (key.split("\\.").map(_.toLong).toSeq, entries(key)))
-    val n = perChunk.flatMap(_._2).map(_.moments.get.cnt).sum
+    val n = coarse.valuesIterator.map(_._3).sum +
+      fine.iterator.map(_._2.moments.get.cnt).sum
     require(k <= n, s"rank $k exceeds $n finite cells")
 
     var scanned = 0L
     var jobs = 0
-    // certain rank bounds from metadata alone: cells certainly ≤ x (whole
-    // chunks with max ≤ x) and cells possibly ≤ x (chunks with min ≤ x)
-    def rankL(x: BigDecimal): Long = perChunk.iterator.collect {
-      case (_, Some(b)) if b.max <= x => b.moments.get.cnt }.sum
-    def rankU(x: BigDecimal): Long = perChunk.iterator.collect {
-      case (_, Some(b)) if b.min <= x => b.moments.get.cnt }.sum
+    // certain rank bounds from metadata alone, over MIXED granularity —
+    // whole-shard summaries and opened chunks are both just intervals
+    // carrying a finite-cell count: cells certainly ≤ x (intervals with
+    // hi ≤ x) and cells possibly ≤ x (intervals with lo ≤ x)
+    def items: IndexedSeq[(BigDecimal, BigDecimal, Long)] =
+      (coarse.valuesIterator ++
+        fine.iterator.map { case (_, b) => (b.min, b.max, b.moments.get.cnt) })
+        .toIndexedSeq
 
-    // metadata-only bracket over the sorted boundary values:
+    // metadata-only bracket over the sorted interval boundary values:
     //   x1 = min boundary with L(x1) ≥ k  ⇒ v* ≤ x1 certainly
     //   x0 = max boundary with U(x0) < k  ⇒ v* > x0 certainly
-    val boundaries = perChunk.flatMap(_._2).flatMap(b => Seq(b.min, b.max))
-      .distinct.sorted.toIndexedSeq
-    var (lo1, hi1) = (0, boundaries.size - 1) // L(last) = n ≥ k always
-    while (lo1 < hi1) {
-      val mid = (lo1 + hi1) / 2
-      if (rankL(boundaries(mid)) >= k) hi1 = mid else lo1 = mid + 1
-    }
-    val x1 = boundaries(lo1)
-    val x0: Option[BigDecimal] = {
-      var (a, b) = (-1, boundaries.size - 1)
-      while (a < b) { // find the LAST boundary with U < k (-1 = none)
-        val mid = (a + b + 1) / 2
-        if (rankU(boundaries(mid)) < k) a = mid else b = mid - 1
+    def bracketOf(its: IndexedSeq[(BigDecimal, BigDecimal, Long)])
+        : (Option[BigDecimal], BigDecimal) = {
+      def rankL(x: BigDecimal): Long = its.iterator.collect {
+        case (_, h, c) if h <= x => c }.sum
+      def rankU(x: BigDecimal): Long = its.iterator.collect {
+        case (l, _, c) if l <= x => c }.sum
+      val boundaries = its.flatMap { case (l, h, _) => Seq(l, h) }
+        .distinct.sorted
+      var (lo1, hi1) = (0, boundaries.size - 1) // L(last) = n ≥ k always
+      while (lo1 < hi1) {
+        val mid = (lo1 + hi1) / 2
+        if (rankL(boundaries(mid)) >= k) hi1 = mid else lo1 = mid + 1
       }
-      if (a < 0) None else Some(boundaries(a))
+      val x1 = boundaries(lo1)
+      val x0: Option[BigDecimal] = {
+        var (a, b) = (-1, boundaries.size - 1)
+        while (a < b) { // find the LAST boundary with U < k (-1 = none)
+          val mid = (a + b + 1) / 2
+          if (rankU(boundaries(mid)) < k) a = mid else b = mid - 1
+        }
+        if (a < 0) None else Some(boundaries(a))
+      }
+      (x0, x1)
+    }
+    var (x0, x1) = bracketOf(items)
+    // Open exactly the coarse shards intersecting (x0, x1] — only their
+    // chunk-level detail can tighten the bracket or be scanned — then
+    // re-bracket over the refined items. ONE refinement round suffices:
+    // finer information only SHRINKS the window (L grows, U shrinks
+    // pointwise), and a coarse shard intersecting the shrunk window
+    // intersected the coarse one, so it is already open. Interior shards
+    // — wholly below x0 or above x1 — NEVER open: their manifest `cells`
+    // ride L/U as-is. That is ShardMeta's O(manifest) promise: the median
+    // of a 100 TB store reads manifest bytes plus only the boundary
+    // window's shard files.
+    val toOpen = coarse.collect {
+      case (sid, (l, h, _)) if x0.forall(h > _) && l <= x1 => sid
+    }
+    if (toOpen.nonEmpty) {
+      toOpen.foreach { sid =>
+        coarse -= sid
+        feedKeys(grid, sid * man.span,
+          math.min((sid + 1) * man.span, grid.head),
+          MdioChunkStats.readShard(varDir, sid, man.shards(sid).gen))(intake)
+      }
+      if (!usable) return scanFallback() // torn shard mid-refinement
+      val t = bracketOf(items)
+      x0 = t._1
+      x1 = t._2
     }
 
-    // exact rank below the window's lower edge: certain-below chunks from
-    // metadata, chunks straddling x0 through one allowlist-scan job
-    // (often 0; capped — when the store's intervals all overlap, every
-    // chunk straddles the edge and even one scan's partition count would
-    // go O(chunks))
+    // exact rank below the window's lower edge: certain-below intervals
+    // (unopened coarse shards included) from metadata, chunks straddling
+    // x0 through one allowlist-scan job (often 0; capped — when the
+    // store's intervals all overlap, every chunk straddles the edge and
+    // even one scan's partition count would go O(chunks)). A remaining
+    // coarse shard can never straddle x0: a union crossing it would
+    // intersect the window, so the shard was opened above.
     val below: Long = x0 match {
       case None => 0L
       case Some(b0) =>
-        val straddle = perChunk.collect {
-          case (cc, Some(b)) if b.min <= b0 && b.max > b0 => cc
+        val straddle = fine.collect {
+          case (cc, b) if b.min <= b0 && b.max > b0 => cc
         }
         if (straddle.size > maxProbeChunks) {
           log.warn(s"kthSmallest($path, $variable, k=$k): ${straddle.size} " +
@@ -417,7 +554,7 @@ object MdioStats {
               .load(path)
               .filter(col(variable) <= b0.toDouble).count()
           }
-        rankL(b0) + exact
+        items.iterator.collect { case (_, h, c) if h <= b0 => c }.sum + exact
     }
     // residual selection inside (x0, x1]: ONE scan whose pushed value
     // predicate rides the sidecar chunk pruning (the zarr_value_pruning
@@ -425,8 +562,8 @@ object MdioStats {
     // plan stays a single scan node even when every chunk interval
     // overlaps the window (zero-centered amplitude data), where a
     // per-chunk union would carry one leg per chunk in the store
-    val window = perChunk.collect {
-      case (cc, Some(b)) if x0.forall(b.max > _) && b.min <= x1 => cc
+    val window = fine.collect {
+      case (cc, b) if x0.forall(b.max > _) && b.min <= x1 => cc
     }
     scanned += window.size
     jobs += 1
@@ -442,7 +579,7 @@ object MdioStats {
       .agg(count(lit(1L)).as("c")).persist()
     val value =
       try selectByRank(byV, residual,
-        x0.getOrElse(boundaries.head).toDouble, x1d)
+        x0.getOrElse(items.iterator.map(_._1).min).toDouble, x1d)
       finally byV.unpersist()
     KthSmallest(value, jobs, scanned, fallback = false)
   }

@@ -126,23 +126,29 @@ object MdioChunkStats {
     * (`moments.cnt`), present only when EVERY bounded entry carries
     * moments, and `bounded` the number of bounded (non-all-NaN) entries
     * (-1 on pre-r15 manifests). Together with [lo, hi] they let RANK and
-    * RANGE-COUNT questions answer per shard from the manifest alone: a
-    * shard whose union lies inside a count range contributes `cells`
-    * matching cells, and the rank bounds L(x)/U(x) that bracket an exact
-    * k-th-smallest accumulate `cells` for shards wholly ≤ x / with lo ≤ x
-    * — O(manifest) driver bytes for a 100 TB store's median instead of
-    * O(chunk entries). Absent fields degrade to opening the shard. */
-  private[sources] final case class ShardMeta(gen: Long, count: Long,
-                                              lo: Option[BigDecimal],
-                                              hi: Option[BigDecimal],
-                                              cells: Option[Long] = None,
-                                              bounded: Long = -1L)
+    * RANGE-COUNT questions answer per shard from the manifest alone — the
+    * live consumers are [[graft.operators.MdioStats.countInRange]] (a
+    * shard whose union lies inside the count range contributes `cells`
+    * matching cells without being opened) and
+    * [[graft.operators.MdioStats.kthSmallest]] (the rank bounds L(x)/U(x)
+    * accumulate whole shards as one [lo,hi]×cells interval, opening only
+    * the shards intersecting the final bracket window) — O(manifest)
+    * driver bytes for a 100 TB store's median instead of O(chunk
+    * entries). Absent fields degrade to opening the shard. A shard whose
+    * every entry is all-NaN carries `cells = Some(0)`, `bounded = 0` with
+    * no [lo, hi]: PROVEN-ZERO finite cells (consumers must treat it as
+    * such), not a coverage anomaly. */
+  private[graft] final case class ShardMeta(gen: Long, count: Long,
+                                            lo: Option[BigDecimal],
+                                            hi: Option[BigDecimal],
+                                            cells: Option[Long] = None,
+                                            bounded: Long = -1L)
 
   /** Parsed manifest: generation, shard span, per-shard records.
     * `legacy` carries the chunk map of a pre-shard monolithic sidecar. */
-  private[sources] final case class Manifest(gen: Long, span: Long,
-                                             shards: Map[Long, ShardMeta],
-                                             legacy: Option[Map[String, Entry]])
+  private[graft] final case class Manifest(gen: Long, span: Long,
+                                           shards: Map[Long, ShardMeta],
+                                           legacy: Option[Map[String, Entry]])
 
   /** The remaining statsV1 moments (reference SummaryStats,
     * mdio/stats.h:229-335: count/sum/sumSquares beside min/max) over a
@@ -237,7 +243,7 @@ object MdioChunkStats {
   }
 
   /** Read + validate the manifest (regardless of `.mdio_wgen`). */
-  private[sources] def readManifest(varDir: VPath): Option[Manifest] =
+  private[graft] def readManifest(varDir: VPath): Option[Manifest] =
     parseFile(varDir.resolve(StatsFile)).flatMap { j =>
       try parseGen(j).map { gen =>
         (j \ "shards") match {
@@ -280,7 +286,7 @@ object MdioChunkStats {
   /** Read one shard's entries, validated against the generation the
     * manifest recorded for it — a mismatch (torn/interrupted rewrite)
     * reads as absent, dropping only that shard's chunks. */
-  private[sources] def readShard(varDir: VPath, s: Long, expectGen: Long): Map[String, Entry] = {
+  private[graft] def readShard(varDir: VPath, s: Long, expectGen: Long): Map[String, Entry] = {
     shardReadCount.incrementAndGet()
     parseFile(varDir.resolve(shardFile(s))).flatMap { j =>
       try parseGen(j).filter(_ == expectGen).map(_ => parseChunks(j))
@@ -315,6 +321,14 @@ object MdioChunkStats {
     * no shard is opened (the planning-time capability probe). */
   def hasCurrent(varDir: VPath): Boolean =
     readManifest(varDir).exists(_.gen == generation(varDir))
+
+  /** The generation-current manifest, or None when stats are stale or
+    * absent — the entry point for consumers that resolve shards
+    * themselves from the per-shard summaries ([[ShardMeta]]), opening
+    * shard files only when the summary cannot decide
+    * (countInRange/kthSmallest in [[graft.operators.MdioStats]]). */
+  private[graft] def currentManifest(varDir: VPath): Option[Manifest] =
+    readManifest(varDir).filter(_.gen == generation(varDir))
 
   /** Entries usable for pruning RIGHT NOW whose chunks' LEADING dimension
     * chunk index falls in `[leadLo, leadHi]` (inclusive): reads the

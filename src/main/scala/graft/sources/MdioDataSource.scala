@@ -1265,11 +1265,24 @@ final case class MdioScan(path: String, dims: Seq[String],
     // predicate on a 100 TB store skips whole shards from the manifest's
     // per-shard bounds unions without opening them
     // (MdioChunkStats.currentForPruning).
+    // an explicit chunkKeys allowlist bounds the sidecar read further: the
+    // scan plans only the listed chunks, so only the shards their LEADING
+    // indices touch can matter — a countInRange/kthSmallest boundary probe
+    // on a 100 TB store reads O(probed range) shard files, not every shard
+    // the value predicate intersects
+    val leadClamp: Option[(Long, Long)] = chunkKeys.collect {
+      case keys if keys.nonEmpty =>
+        val leads = keys.map(MdioChunkStats.leadIdx)
+        (leads.min, leads.max)
+    }
     val varStats: Map[String, (Long, Set[Long], Map[String, MdioChunkStats.Entry])] =
       if (valueRanges.isEmpty) Map.empty
       else valueRanges.flatMap { case (v, range) =>
+        val lo0 = chunkLo.headOption.getOrElse(0L)
+        val hi0 = chunkHi.headOption.getOrElse(0L)
         MdioChunkStats.currentForPruning(ZarrMeta.path(path).resolve(v),
-          chunkLo.headOption.getOrElse(0L), chunkHi.headOption.getOrElse(0L),
+          leadClamp.fold(lo0) { case (l, _) => math.max(lo0, l) },
+          leadClamp.fold(hi0) { case (_, h) => math.min(hi0, h) },
           metas(v).chunkGrid, range.intersects).map(v -> _)
       }.toMap
     val statsActive = varStats.nonEmpty

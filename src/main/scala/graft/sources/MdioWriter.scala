@@ -895,28 +895,35 @@ object MdioWriter {
             if (di == 0) {
               // v3's hierarchical layout puts dim0 at the TOP directory
               // level, so everything past a leading-dim boundary is whole
-              // subtrees: the driver lists O(dim0 file-units) names and
+              // subtrees: the driver streams O(dim0 file-units) names and
               // executors delete each subtree — the inner-level listing
               // (the O(chunks) part) never touches the driver.
-              val doomed = if (cDir.exists) cDir.list().filter(p =>
-                scala.util.Try(p.name.toLong).toOption.exists(_ >= keep)) else Nil
-              distributedDelete(doomed, recursive = true)
+              val doomed = cDir.listIterator().filter(p =>
+                scala.util.Try(p.name.toLong).toOption.exists(_ >= keep))
+              distributedDeleteStream(doomed, recursive = true)
             } else {
-              val doomed = (if (cDir.exists) cDir.listFilesRecursive() else Nil)
+              val doomed = cDir.listFilesRecursiveIterator()
                 .filter { p =>
-                  val coords = cDir.relativize(p).split("/").map(_.toLong)
+                  val coords = cDir.relativize(p).split("/")
+                    .flatMap(s => scala.util.Try(s.toLong).toOption)
                   coords.length == dims.size && coords(di) >= keep
                 }
-              distributedDelete(doomed, recursive = false)
+              distributedDeleteStream(doomed, recursive = false)
             }
           } else {
-            val doomed = arrayDir.list()
-              .filter(p => p.isFile && !p.name.startsWith("."))
+            // the flat v2 namespace streams too: chunk files are exactly
+            // the all-numeric dot-keys (hidden sidecars start with '.'),
+            // so the NAME decides — no per-file status RPC, and the
+            // doomed list never materializes on the driver
+            val doomed = arrayDir.listIterator()
               .filter { p =>
-                val coords = p.name.split("\\.").map(_.toLong)
-                coords.length == dims.size && coords(di) >= keep
+                !p.name.startsWith(".") && {
+                  val coords = p.name.split("\\.")
+                    .flatMap(s => scala.util.Try(s.toLong).toOption)
+                  coords.length == dims.size && coords(di) >= keep
+                }
               }
-            distributedDelete(doomed, recursive = false)
+            distributedDeleteStream(doomed, recursive = false)
           }
         }
       }
@@ -927,6 +934,28 @@ object MdioWriter {
   /** Per-executor-task batch size for [[distributedDelete]], and the floor
     * below which a Spark job costs more than the deletes themselves. */
   private val DeleteBatch = 256
+
+  /** Driver-held name cap for a STREAMED delete: a lazy listing drains in
+    * batches of this many names, so a trim's doomed-file pass holds
+    * O(batch) strings however many chunks fall past the boundary (the
+    * 100 TB envelope is ~1.6 M chunk files per variable — the full list
+    * must never materialize on the driver). Var for the spec's
+    * bounded-memory pin. */
+  private[sources] var DeleteStreamBatch: Int = 1 << 16
+
+  /** TEST HOOK: largest batch [[distributedDeleteStream]] materialized. */
+  private[sources] val deleteStreamHeldMax = new java.util.concurrent.atomic.AtomicLong
+
+  /** [[distributedDelete]] over a LAZY listing: drains `paths` in
+    * [[DeleteStreamBatch]]-name driver batches (each distributed to
+    * executors as usual), interleaving Hadoop LIST pages with delete jobs
+    * — peak driver memory is one batch plus one listing page, not the
+    * doomed-file count. */
+  private def distributedDeleteStream(paths: Iterator[VPath], recursive: Boolean): Unit =
+    paths.grouped(DeleteStreamBatch).foreach { batch =>
+      deleteStreamHeldMax.getAndAccumulate(batch.size.toLong, math.max(_, _))
+      distributedDelete(batch, recursive)
+    }
 
   /** Delete `paths` from EXECUTORS: trim at the 100 TB envelope
     * (~1.6 M chunk files / variable) must not issue delete RPCs serially

@@ -85,12 +85,31 @@ final class VPath private (val uri: String) extends Serializable {
 
   /** All regular files under this path, recursively (empty when absent). */
   def listFilesRecursive(): Seq[VPath] =
+    listFilesRecursiveIterator().toSeq
+
+  /** Immediate children as a LAZY iterator (empty when absent): the
+    * object-store paged-listing form (`listStatusIterator` pulls one
+    * LIST page at a time on S3A/GCS), so a caller draining in batches
+    * holds O(page + batch) names, never the directory. */
+  def listIterator(): Iterator[VPath] =
+    try {
+      val it = fs.listStatusIterator(hp)
+      new Iterator[VPath] {
+        def hasNext: Boolean = it.hasNext
+        def next(): VPath = new VPath(it.next().getPath.toString)
+      }
+    } catch { case _: FileNotFoundException => Iterator.empty }
+
+  /** [[listFilesRecursive]] as a LAZY iterator (empty when absent) — the
+    * form trim's many-chunk deletes drain in bounded driver batches. */
+  def listFilesRecursiveIterator(): Iterator[VPath] =
     try {
       val it = fs.listFiles(hp, true)
-      val out = Seq.newBuilder[VPath]
-      while (it.hasNext) out += new VPath(it.next().getPath.toString)
-      out.result()
-    } catch { case _: FileNotFoundException => Nil }
+      new Iterator[VPath] {
+        def hasNext: Boolean = it.hasNext
+        def next(): VPath = new VPath(it.next().getPath.toString)
+      }
+    } catch { case _: FileNotFoundException => Iterator.empty }
 
   /** Path of `descendant` relative to this path, '/'-separated. */
   def relativize(descendant: VPath): String = {

@@ -343,6 +343,51 @@ class MdioValueStatsSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("countInRange answers whole shards from the manifest alone") {
+    import graft.operators.MdioStats
+    val dir = createFloat(_.toDouble) // v = x: 8 chunks of 8 cells
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    val entries = MdioChunkStats.current(varDir).get
+    // reshard to one chunk per shard: every shard's manifest summary is
+    // exactly one chunk's triage — interior/outside shards must now be
+    // decided WITHOUT opening their files
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir), entries, span = 1)
+    val before = MdioChunkStats.shardReadCount.get()
+    val r = MdioStats.countInRange(spark, dir, "v", 0.0, 20.0)
+    assert(r == MdioStats.CountInRange(21L, 2L, 5L, 1L, fallback = false), r)
+    val opened = MdioChunkStats.shardReadCount.get() - before
+    // shards 0-1 (unions inside [0,20]) count their manifest cells whole,
+    // 3-7 (disjoint) prove zero — only boundary shard 2 opens: once for
+    // the driver triage and once in the straddler scan's own pruning (the
+    // chunkKeys lead clamp bounds the scan's sidecar read to the probe)
+    assert(opened == 2, s"opened $opened shard files, want 2 (boundary shard only)")
+    // whole-domain count: every shard answers from the manifest, zero opens
+    val before2 = MdioChunkStats.shardReadCount.get()
+    val rAll = MdioStats.countInRange(spark, dir, "v", 0.0, 63.0)
+    assert(rAll == MdioStats.CountInRange(64L, 8L, 0L, 0L, fallback = false), rAll)
+    assert(MdioChunkStats.shardReadCount.get() - before2 == 0,
+      "whole-domain count must be manifest-only")
+    MdioWriter.delete(dir)
+  }
+
+  test("kthSmallest ranks interior shards from the manifest, opens only the window") {
+    import graft.operators.MdioStats
+    val dir = createFloat(_.toDouble) // v = x: 8 chunks of 8 cells
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    val entries = MdioChunkStats.current(varDir).get
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir), entries, span = 1)
+    val before = MdioChunkStats.shardReadCount.get()
+    val r = MdioStats.kthSmallest(spark, dir, "v", 21L)
+    assert(r.value == 20.0 && !r.fallback && r.jobs == 1 && r.scannedChunks == 1, r)
+    val opened = MdioChunkStats.shardReadCount.get() - before
+    // the coarse bracket over shard summaries alone lands on window
+    // (15, 23]: shards 0-1 (below) and 3-7 (above) rank through their
+    // manifest `cells` and never open; shard 2 opens once for chunk-level
+    // refinement and once in the window scan's pruning
+    assert(opened == 2, s"opened $opened shard files, want 2 (window shard only)")
+    MdioWriter.delete(dir)
+  }
+
   test("chunkKeys allowlist: exact chunk subset, one scan, no grid-agg answers") {
     val dir = createFloat(_.toDouble)
     val df = spark.read.format("mdio").option("chunkKeys", "2,5").load(dir)
@@ -1079,6 +1124,24 @@ class MdioValueStatsSpec extends SparkSpec {
     val legacy = MdioChunkStats.readManifest(varDir).get
     assert(legacy.shards(0L).cells.isEmpty && legacy.shards(0L).bounded == -1L)
     MdioWriter.delete(dir)
+
+    // an ALL-NaN shard is PROVEN-ZERO finite cells, not a coverage
+    // anomaly: cells = Some(0), bounded = 0, no bounds union — and the
+    // range-count consumer treats it exactly that way from the manifest
+    val dirA = createFloat(x => if (x < 16) Double.NaN else x.toDouble)
+    val varDirA = ZarrMeta.path(dirA).resolve("v")
+    val entriesA = MdioChunkStats.current(varDirA).get
+    MdioChunkStats.write(varDirA, MdioChunkStats.generation(varDirA), entriesA, span = 2)
+    val mA = MdioChunkStats.readManifest(varDirA).get
+    assert(mA.shards(0L).cells == Some(0L) && mA.shards(0L).bounded == 0L &&
+      mA.shards(0L).lo.isEmpty && mA.shards(0L).hi.isEmpty, mA.shards(0L))
+    val beforeA = MdioChunkStats.shardReadCount.get()
+    val rA = graft.operators.MdioStats.countInRange(spark, dirA, "v", 0.0, 63.0)
+    assert(rA == graft.operators.MdioStats.CountInRange(48L, 6L, 2L, 0L,
+      fallback = false), rA)
+    assert(MdioChunkStats.shardReadCount.get() - beforeA == 0,
+      "the all-NaN shard must prove zero from the manifest alone")
+    MdioWriter.delete(dirA)
   }
 
   test("u64 sidecar bounds are exact past 2^63: pruning and metadata MIN/MAX") {
@@ -1525,12 +1588,24 @@ class MdioValueStatsSpec extends SparkSpec {
         if (ownStages.contains(s.stageInfo.stageId)) stagesSeen.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(listener)
+    // r16: the doomed-file listing STREAMS — cap the driver batch at 48
+    // names (112 chunks fall past the boundary) and pin that no more than
+    // one batch ever materializes on the driver at once
+    val priorBatch = MdioWriter.DeleteStreamBatch
+    MdioWriter.DeleteStreamBatch = 48
+    MdioWriter.deleteStreamHeldMax.set(0L)
     try {
       MdioWriter.trim(dir, "x", 64L)
       eventually(stagesSeen.get() >= 1)
       assert(maxResult.get() < 16 * 1024,
         s"a delete task shipped ${maxResult.get()} B to the driver")
-    } finally spark.sparkContext.removeSparkListener(listener)
+      val held = MdioWriter.deleteStreamHeldMax.get()
+      assert(held > 0 && held <= 48,
+        s"driver held $held doomed names at once; the listing must stream in batches")
+    } finally {
+      MdioWriter.DeleteStreamBatch = priorBatch
+      spark.sparkContext.removeSparkListener(listener)
+    }
     val arrayDir = ZarrMeta.path(dir).resolve("v")
     val chunkFiles = arrayDir.list().filter(p => p.isFile && !p.name.startsWith("."))
     assert(chunkFiles.size == 16, s"expected 16 surviving chunk files, got ${chunkFiles.size}")
