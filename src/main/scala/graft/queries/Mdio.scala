@@ -1788,11 +1788,12 @@ object Mdio {
       SELECT l_suppkey % 16 AS tr,
              CAST(${sqlDsum("l_quantity")} AS BIGINT) AS ai
       FROM lineitem GROUP BY l_suppkey % 16, l_orderkey % 64)
-    SELECT tr, CAST(64 AS BIGINT) AS n_samples,
-           CAST(SUM(ai) AS BIGINT) AS sum_amp,
+    SELECT r.tr, CAST(64 AS BIGINT) AS n_samples,
+           CAST(COALESCE(SUM(ai), 0) AS BIGINT) AS sum_amp,
            CAST(4000 AS BIGINT) AS dt_micros,
            CAST(${3600 + 4 * (240 + 4 * 64)} AS BIGINT) AS file_bytes
-    FROM cells GROUP BY tr ORDER BY tr"""
+    FROM range(16) r(tr) LEFT JOIN cells ON cells.tr = r.tr
+    GROUP BY r.tr ORDER BY r.tr"""
 
   // SEG-Y → MDIO INGEST: the complete tape-to-cloud-store workflow the
   // reference ecosystem exists for. Built once per JVM per sfDir: the four
@@ -1892,9 +1893,10 @@ object Mdio {
       SELECT l_suppkey % 16 AS tr,
              CAST(${sqlDsum("l_quantity")} AS BIGINT) AS ai
       FROM lineitem GROUP BY l_suppkey % 16, l_orderkey % 64)
-    SELECT tr, CAST(64 AS BIGINT) AS n_samples,
-           CAST(SUM(ai) AS BIGINT) AS sum_amp
-    FROM cells GROUP BY tr ORDER BY tr"""
+    SELECT r.tr, CAST(64 AS BIGINT) AS n_samples,
+           CAST(COALESCE(SUM(ai), 0) AS BIGINT) AS sum_amp
+    FROM range(16) r(tr) LEFT JOIN cells ON cells.tr = r.tr
+    GROUP BY r.tr ORDER BY r.tr"""
 
   // Structural GRADIENT attribute (dip magnitude): first differences
   // along each grid dimension — the edge/fault-detection primitive that

@@ -865,9 +865,10 @@ object StreamingExec {
       SELECT l_suppkey % 16 AS tr,
              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS BIGINT) AS ai
       FROM lineitem GROUP BY l_suppkey % 16, l_orderkey % 64)
-    SELECT tr, CAST(64 AS BIGINT) AS n_samples,
-           CAST(SUM(ai) AS BIGINT) AS sum_amp
-    FROM cells GROUP BY tr ORDER BY tr"""
+    SELECT r.tr, CAST(64 AS BIGINT) AS n_samples,
+           CAST(COALESCE(SUM(ai), 0) AS BIGINT) AS sum_amp
+    FROM range(16) r(tr) LEFT JOIN cells ON cells.tr = r.tr
+    GROUP BY r.tr ORDER BY r.tr"""
 
   /** CONTINUOUS DATA-QUALITY MONITORING executed as a stream: the
     * pipeline_expectations rules evaluated as a stateful streaming
