@@ -593,6 +593,10 @@ object Bench {
     // ~7 sequential job latencies and was redesigned to the 2-job bracket
     // before ever shipping.
     "zarr_kth_smallest" -> 0.9,
+    // comparator: zarr_kth_smallest (same bracket arithmetic driver-side,
+    // same ≤2 scan jobs — all 4 slabs share them — plus the grouped
+    // cumulative-count window; first budget r16)
+    "zarr_median_by_slab" -> 1.0,
     // comparator: zarr_stats_minmax (driver-side sidecar read, then a
     // one-row local DataFrame instead of a connector scan)
     "zarr_stats_v1_meta" -> 0.029,

@@ -364,6 +364,41 @@ object MdioStats {
       .orderBy(col("v")).limit(1).select(col("v")).head)
   }
 
+  /** Metadata-only rank bracket over interval items (lo, hi, cnt) — each
+    * a chunk's or a whole shard's [min, max]×finite-cells record. The
+    * per-item counts give CERTAIN rank bounds without touching data:
+    * `L(x) = Σ cnt(hi ≤ x)` cells certainly ≤ x, `U(x) = Σ cnt(lo ≤ x)`
+    * cells possibly ≤ x. Binary searches over the sorted boundary values
+    * return the tightest certain window (x0, x1] containing the k-th
+    * smallest: `x1` = min boundary with L(x1) ≥ k (v* ≤ x1 certainly),
+    * `x0` = max boundary with U(x0) < k (v* > x0 certainly; None when no
+    * boundary's U is below k). Pure Long/BigDecimal arithmetic — ranks
+    * past 2³¹ never truncate. */
+  private[graft] def bracketItems(its: IndexedSeq[(BigDecimal, BigDecimal, Long)],
+                                  k: Long): (Option[BigDecimal], BigDecimal) = {
+    def rankL(x: BigDecimal): Long = its.iterator.collect {
+      case (_, h, c) if h <= x => c }.sum
+    def rankU(x: BigDecimal): Long = its.iterator.collect {
+      case (l, _, c) if l <= x => c }.sum
+    val boundaries = its.flatMap { case (l, h, _) => Seq(l, h) }
+      .distinct.sorted
+    var (lo1, hi1) = (0, boundaries.size - 1) // L(last) = n ≥ k always
+    while (lo1 < hi1) {
+      val mid = (lo1 + hi1) / 2
+      if (rankL(boundaries(mid)) >= k) hi1 = mid else lo1 = mid + 1
+    }
+    val x1 = boundaries(lo1)
+    val x0: Option[BigDecimal] = {
+      var (a, b) = (-1, boundaries.size - 1)
+      while (a < b) { // find the LAST boundary with U < k (-1 = none)
+        val mid = (a + b + 1) / 2
+        if (rankU(boundaries(mid)) < k) a = mid else b = mid - 1
+      }
+      if (a < 0) None else Some(boundaries(a))
+    }
+    (x0, x1)
+  }
+
   /** EXACT k-th smallest finite cell value (1-indexed; the p-quantile is
     * `k = ceil(p·n)` — NaN cells never rank) by QUANTILE-BY-PRUNING:
     * the sidecar's per-chunk [min, max, cnt] gives CERTAIN rank bounds
@@ -469,34 +504,7 @@ object MdioStats {
         fine.iterator.map { case (_, b) => (b.min, b.max, b.moments.get.cnt) })
         .toIndexedSeq
 
-    // metadata-only bracket over the sorted interval boundary values:
-    //   x1 = min boundary with L(x1) ≥ k  ⇒ v* ≤ x1 certainly
-    //   x0 = max boundary with U(x0) < k  ⇒ v* > x0 certainly
-    def bracketOf(its: IndexedSeq[(BigDecimal, BigDecimal, Long)])
-        : (Option[BigDecimal], BigDecimal) = {
-      def rankL(x: BigDecimal): Long = its.iterator.collect {
-        case (_, h, c) if h <= x => c }.sum
-      def rankU(x: BigDecimal): Long = its.iterator.collect {
-        case (l, _, c) if l <= x => c }.sum
-      val boundaries = its.flatMap { case (l, h, _) => Seq(l, h) }
-        .distinct.sorted
-      var (lo1, hi1) = (0, boundaries.size - 1) // L(last) = n ≥ k always
-      while (lo1 < hi1) {
-        val mid = (lo1 + hi1) / 2
-        if (rankL(boundaries(mid)) >= k) hi1 = mid else lo1 = mid + 1
-      }
-      val x1 = boundaries(lo1)
-      val x0: Option[BigDecimal] = {
-        var (a, b) = (-1, boundaries.size - 1)
-        while (a < b) { // find the LAST boundary with U < k (-1 = none)
-          val mid = (a + b + 1) / 2
-          if (rankU(boundaries(mid)) < k) a = mid else b = mid - 1
-        }
-        if (a < 0) None else Some(boundaries(a))
-      }
-      (x0, x1)
-    }
-    var (x0, x1) = bracketOf(items)
+    var (x0, x1) = bracketItems(items, k)
     // Open exactly the coarse shards intersecting (x0, x1] — only their
     // chunk-level detail can tighten the bracket or be scanned — then
     // re-bracket over the refined items. ONE refinement round suffices:
@@ -518,7 +526,7 @@ object MdioStats {
           MdioChunkStats.readShard(varDir, sid, man.shards(sid).gen))(intake)
       }
       if (!usable) return scanFallback() // torn shard mid-refinement
-      val t = bracketOf(items)
+      val t = bracketItems(items, k)
       x0 = t._1
       x1 = t._2
     }
@@ -582,6 +590,251 @@ object MdioStats {
         x0.getOrElse(items.iterator.map(_._1).min).toDouble, x1d)
       finally byV.unpersist()
     KthSmallest(value, jobs, scanned, fallback = false)
+  }
+
+  /** [[medianByLead]] result: `result` has one row per lead group —
+    * (`slab` = ⌊lead/leadPerGroup⌋, `med` = the group's exact lower
+    * median, `n` = the group's finite-cell count); groups with zero
+    * finite cells (all-NaN slabs) emit no row. `jobs`/`scannedChunks`
+    * count the scan jobs issued (0–2 on the pruning path) and the chunks
+    * they read; `fallback` marks the exact one-scan grouped-rank path. */
+  final case class GroupedMedian(result: org.apache.spark.sql.DataFrame,
+                                 jobs: Int, scannedChunks: Long,
+                                 fallback: Boolean)
+
+  /** EXACT per-slab lower median (`k = ⌈n/2⌉` per group, equal to
+    * `ORDER BY v LIMIT 1 OFFSET (n+1)/2 - 1` within each group) over
+    * lead-dimension slabs of `leadPerGroup` ABSOLUTE indices — the
+    * grouped twin of [[kthSmallest]] and the rank analog of the per-tile
+    * variance QC heat-map (reference statsV1 QC, mdio/stats.h:229-335):
+    * one median per depth-slab of a survey without a global sort and
+    * without per-group jobs. Each group runs the same quantile-by-pruning
+    * arithmetic DRIVER-SIDE from the stats sidecar — hierarchical rank
+    * bounds from whole-shard manifest summaries (a shard whose lead range
+    * sits inside one group rides as a single [lo,hi]×cells interval,
+    * opened only when it intersects its group's bracket window) and
+    * per-chunk [min,max,cnt] items, bracketing each group's median in a
+    * certain window ([[bracketItems]], Long ranks throughout — then at
+    * most TWO scan jobs finish ALL groups at once: one `chunkKeys`
+    * allowlist scan over every group's lower-edge straddlers (exact
+    * below-edge recount, per-group edges applied through a broadcast
+    * join), and one allowlist scan over every group's window chunks whose
+    * per-(group, value) counts select each residual rank with a
+    * cumulative-count window partitioned by group. Chunk I/O is thus
+    * Σ(per-group boundary windows) — each slab pays its own boundary
+    * surface, never its volume, and the plan never carries a per-chunk or
+    * per-group node. Requires `leadPerGroup` to be a positive multiple of
+    * the lead chunk size (groups must not split chunks) and
+    * generation-current full-coverage stats with moments; anything less —
+    * or more than `maxProbeChunks` straddlers — falls back loudly to ONE
+    * exact full-scan grouped-rank selection (`fallback = true`, still no
+    * global sort and still Long ranks). */
+  def medianByLead(spark: SparkSession, path: String, variable: String,
+                   leadPerGroup: Long,
+                   maxProbeChunks: Int = 512): GroupedMedian = {
+    import graft.sources.MdioChunkStats
+    import graft.zarr.ZarrMeta
+    require(leadPerGroup >= 1, s"leadPerGroup $leadPerGroup must be positive")
+    val root = ZarrMeta.path(path)
+    val (meta, attrs) = ZarrMeta.readGroup(root)._2.getOrElse(variable,
+      throw new IllegalArgumentException(s"no variable '$variable' in $path"))
+    val dims = meta.dimNames
+      .orElse(attrs.flatMap(graft.sources.MdioTableUtil.arrayDimensions))
+      .getOrElse(throw new IllegalArgumentException(
+        s"variable '$variable' carries no dimension names"))
+    require(!dims.contains(variable),
+      s"'$variable' is a dimension coordinate — slice its index range instead")
+    val leadDim = dims.head
+    val isFloat = meta.dtype.charAt(meta.dtype.length - 2) == 'f'
+    val gcol = floor(col(leadDim) / leadPerGroup).cast("long")
+    def base = spark.read.format("mdio").load(path)
+    val rowFrame = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // exact one-scan fallback: per-(group, value) counts, per-group total
+    // and cumulative-count windows, lower-median pick — Long ranks, no
+    // global sort (each window partition holds ONE group's distinct values)
+    def scanFallback(): GroupedMedian = {
+      val src = if (isFloat) base.filter(!isnan(col(variable))) else base
+      val byGV = src.select(gcol.as("g"), col(variable).as("v"))
+        .groupBy(col("g"), col("v")).agg(count(lit(1L)).as("c"))
+      val perG = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      val sel = byGV
+        .withColumn("n", sum(col("c")).over(perG))
+        .withColumn("cum", sum(col("c")).over(rowFrame))
+        .withColumn("kk", expr("(n + 1) DIV 2"))
+        .filter(col("cum") >= col("kk") && col("cum") - col("c") < col("kk"))
+        .select(col("g").as("slab"), col("v").cast("double").as("med"), col("n"))
+      GroupedMedian(sel, 0, 0L, fallback = true)
+    }
+
+    val varDir = root.resolve(variable)
+    val manOpt = MdioChunkStats.currentManifest(varDir)
+    val chunkLead = meta.chunks.head
+    if (manOpt.isEmpty) return scanFallback()
+    if (leadPerGroup % chunkLead != 0) {
+      log.warn(s"medianByLead($path, $variable): leadPerGroup $leadPerGroup " +
+        s"does not align to the lead chunk size $chunkLead — chunks would " +
+        "straddle groups; falling back to the exact full-scan selection")
+      return scanFallback()
+    }
+    val man = manOpt.get
+    val grid = meta.chunkGrid
+    val cpg = leadPerGroup / chunkLead // lead chunk ordinals per group
+
+    // per-group rank items, mixed granularity exactly as kthSmallest:
+    // fine = opened chunk entries, coarse = unopened whole-shard manifest
+    // summaries (only shards whose lead range sits INSIDE one group may
+    // ride coarse — a group-straddling shard opens immediately)
+    val fine = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.ArrayBuffer[(Seq[Long], MdioChunkStats.Bounds)]]
+    val coarse = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.Map[Long, (BigDecimal, BigDecimal, Long)]]
+    var usable = true
+    def intake(cc: Seq[Long], eOpt: Option[MdioChunkStats.Entry]): Unit = eOpt match {
+      case Some(Some(b)) if b.moments.isDefined =>
+        fine.getOrElseUpdate(cc.head / cpg,
+          scala.collection.mutable.ArrayBuffer.empty) += ((cc, b))
+      case Some(None) => () // all-NaN chunk: never ranks
+      case _ => usable = false
+    }
+    walkShards(varDir, man, grid) { (sid, sm) =>
+      sm.cells.isDefined && {
+        val leadLo = sid * man.span
+        val leadHi = math.min((sid + 1) * man.span, grid.head)
+        (leadLo / cpg) == ((leadHi - 1) / cpg) && {
+          (sm.lo, sm.hi) match {
+            case (Some(l), Some(h)) =>
+              coarse.getOrElseUpdate(leadLo / cpg,
+                scala.collection.mutable.Map.empty)
+                .update(sid, (l, h, sm.cells.get))
+            case _ => () // all-NaN shard: proven cells = 0
+          }
+          true
+        }
+      }
+    }(intake)
+    if (!usable) return scanFallback()
+
+    def itemsOf(g: Long): IndexedSeq[(BigDecimal, BigDecimal, Long)] =
+      (coarse.get(g).iterator.flatMap(_.valuesIterator) ++
+        fine.get(g).iterator.flatMap(_.iterator.map { case (_, b) =>
+          (b.min, b.max, b.moments.get.cnt) })).toIndexedSeq
+
+    final case class GState(g: Long, n: Long, k: Long,
+                            var x0: Option[BigDecimal], var x1: BigDecimal)
+    val states = (fine.keySet ++ coarse.keySet).toSeq.sorted.flatMap { g =>
+      val its = itemsOf(g)
+      val n = its.iterator.map(_._3).sum
+      if (n == 0) None // all-NaN slab: no median row
+      else {
+        val k = (n + 1) / 2
+        val (x0, x1) = bracketItems(its, k)
+        Some(GState(g, n, k, x0, x1))
+      }
+    }
+    if (states.isEmpty) { // every slab all-NaN: proven-empty result
+      import spark.implicits._
+      return GroupedMedian(Seq.empty[(Long, Double, Long)].toDF("slab", "med", "n"),
+        0, 0L, fallback = false)
+    }
+    // refinement: open each group's coarse shards intersecting ITS bracket
+    // window, then re-bracket that group — one round suffices (finer detail
+    // only shrinks windows; see kthSmallest). Interior shards never open.
+    states.foreach { st =>
+      val gc = coarse.getOrElse(st.g, scala.collection.mutable.Map.empty)
+      val toOpen = gc.collect {
+        case (sid, (l, h, _)) if st.x0.forall(h > _) && l <= st.x1 => sid
+      }
+      if (toOpen.nonEmpty) {
+        toOpen.foreach { sid =>
+          gc -= sid
+          feedKeys(grid, sid * man.span,
+            math.min((sid + 1) * man.span, grid.head),
+            MdioChunkStats.readShard(varDir, sid, man.shards(sid).gen))(intake)
+        }
+        if (usable) {
+          val t = bracketItems(itemsOf(st.g), st.k)
+          st.x0 = t._1
+          st.x1 = t._2
+        }
+      }
+    }
+    if (!usable) return scanFallback() // torn shard mid-refinement
+
+    var scanned = 0L
+    var jobs = 0
+    // exact below-edge counts for ALL groups in ONE allowlist scan: each
+    // group's x0-straddling chunks (a remaining coarse shard can never
+    // straddle its group's x0 — it would intersect the window and be open)
+    val straddlersByG = states.iterator.map { st =>
+      st.g -> (st.x0 match {
+        case None => Seq.empty[Seq[Long]]
+        case Some(b0) => fine.getOrElse(st.g, scala.collection.mutable.ArrayBuffer.empty)
+          .collect { case (cc, b) if b.min <= b0 && b.max > b0 => cc }.toSeq
+      })
+    }.toMap
+    val allStraddlers = straddlersByG.valuesIterator.map(_.size.toLong).sum
+    if (allStraddlers > maxProbeChunks) {
+      log.warn(s"medianByLead($path, $variable): $allStraddlers chunks " +
+        s"straddle group bracket edges (cap $maxProbeChunks) — falling " +
+        "back to the exact full-scan grouped-rank selection")
+      return scanFallback()
+    }
+    import spark.implicits._
+    val exactBelow: Map[Long, Long] =
+      if (allStraddlers == 0) Map.empty
+      else {
+        scanned += allStraddlers
+        jobs += 1
+        val edges = states.collect {
+          case st if st.x0.isDefined && straddlersByG(st.g).nonEmpty =>
+            (st.g, st.x0.get.toDouble)
+        }.toDF("g", "x0")
+        spark.read.format("mdio")
+          .option("chunkKeys", straddlersByG.valuesIterator.flatten
+            .map(_.mkString(".")).mkString(","))
+          .load(path)
+          .select(gcol.as("g"), col(variable).as("v"))
+          .join(broadcast(edges), "g")
+          .filter(col("v") <= col("x0"))
+          .groupBy(col("g")).agg(count(lit(1L)).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+
+    // residual ranks + window bounds, broadcast once; ONE allowlist scan
+    // over every group's window chunks answers all groups together: the
+    // per-(group, value) counts shuffle by group, the cumulative-count
+    // window sees one group's distinct values per partition, and each
+    // group picks the row covering its residual rank
+    val bounds = states.map { st =>
+      val metaBelow = itemsOf(st.g).iterator.collect {
+        case (_, h, c) if st.x0.exists(h <= _) => c }.sum
+      val below = metaBelow + exactBelow.getOrElse(st.g, 0L)
+      val residual = st.k - below
+      require(residual >= 1,
+        s"rank window inconsistency in group ${st.g}: residual $residual")
+      (st.g, st.x0.map(_.toDouble), st.x1.toDouble, residual, st.n)
+    }.toDF("g", "x0", "x1", "residual", "n")
+    val windowChunks = states.flatMap { st =>
+      fine.getOrElse(st.g, scala.collection.mutable.ArrayBuffer.empty)
+        .collect { case (cc, b) if st.x0.forall(b.max > _) && b.min <= st.x1 => cc }
+    }
+    scanned += windowChunks.size
+    jobs += 1
+    val sel = spark.read.format("mdio")
+      .option("chunkKeys", windowChunks.map(_.mkString(".")).mkString(","))
+      .load(path)
+      .select(gcol.as("g"), col(variable).as("v"))
+      .join(broadcast(bounds), "g")
+      .filter((col("x0").isNull || col("v") > col("x0")) && col("v") <= col("x1"))
+      .groupBy(col("g"), col("v"), col("residual"), col("n"))
+      .agg(count(lit(1L)).as("c"))
+      .withColumn("cum", sum(col("c")).over(rowFrame))
+      .filter(col("cum") >= col("residual") && col("cum") - col("c") < col("residual"))
+      .select(col("g").as("slab"), col("v").cast("double").as("med"), col("n"))
+    GroupedMedian(sel, jobs, scanned, fallback = false)
   }
 
   /** A3/S10 — persist computed stats into the variable's attributes with

@@ -865,6 +865,45 @@ object Mdio {
            CAST(cnt AS BIGINT) AS n
     FROM t ORDER BY ti, tj"""
 
+  /** Per-SLAB exact MEDIAN on the gate (r16): the grouped twin of
+    * [[qZarrKthSmallest]] and the rank analog of [[qZarrStddevByTile]] —
+    * [[graft.operators.MdioStats.medianByLead]] brackets EVERY slab's
+    * lower median with the metadata-only rank bounds (per-chunk
+    * [min,max,cnt] + whole-shard manifest summaries) and finishes ALL
+    * slabs with at most two allowlist scans: the amplitude-median QC
+    * heat-map of a survey, one row per depth slab, no global sort and no
+    * per-slab jobs. Slabs are the store's 4 lead-chunk bands
+    * (`FLOOR(inline/8)`, 64 cells each); the oracle is the
+    * definitionally-identical per-group ROW_NUMBER pick at rank
+    * (n+1)//2. REQUIRES the pruning path in-query: no fallback, ≤2 scan
+    * jobs, and chunk I/O bounded by the store's 8 chunks even when every
+    * bracket window straddles (probe + window each read a chunk at most
+    * once). */
+  val qZarrMedianBySlab: Q = (s, d) => {
+    val path = zarrGridWeight(s, d)
+    val r = graft.operators.MdioStats.medianByLead(s, path, "weight", 8L)
+    require(!r.fallback, "median-by-slab fell back to a full scan")
+    require(r.jobs <= 2, s"median-by-slab issued ${r.jobs} scan jobs")
+    require(r.scannedChunks <= 16,
+      s"median-by-slab read ${r.scannedChunks} chunk-visits of a 8-chunk store")
+    r.result.orderBy(col("slab"))
+  }
+
+  val qZarrMedianBySlabSql: String = """
+    WITH wgt AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(COUNT(*) AS DOUBLE) AS weight
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT i, COALESCE(weight, 0.0) AS x
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN wgt USING (i, j)),
+    r AS (
+      SELECT CAST(FLOOR(i / 8) AS BIGINT) AS slab, x,
+             COUNT(*) OVER (PARTITION BY FLOOR(i / 8)) AS n,
+             ROW_NUMBER() OVER (PARTITION BY FLOOR(i / 8) ORDER BY x) AS rn
+      FROM cells)
+    SELECT slab, x AS med, n FROM r WHERE rn = (n + 1) // 2 ORDER BY slab"""
+
   /** TRAILING-DIM grouped-key storage-partitioned join on the gate (r14):
     * the fusion fold under `groupFactor=1,2` — the PER-DIM form for stores
     * whose chunk count lives in trailing dims (e.g. 4×2048×2048 chunks,
@@ -2214,6 +2253,7 @@ object Mdio {
     "zarr_stddev_by_tile"   -> qZarrStddevByTile,
     "zarr_count_in_range"   -> qZarrCountInRange,
     "zarr_kth_smallest"     -> qZarrKthSmallest,
+    "zarr_median_by_slab"   -> qZarrMedianBySlab,
     "zarr_topk_value"       -> qZarrTopkValue,
     "mdio_rechunk"          -> qMdioRechunk,
     "mdio_reshard"          -> qMdioReshard,
@@ -2276,6 +2316,7 @@ object Mdio {
     "zarr_stddev_by_tile"   -> qZarrStddevByTileSql,
     "zarr_count_in_range"   -> qZarrCountInRangeSql,
     "zarr_kth_smallest"     -> qZarrKthSmallestSql,
+    "zarr_median_by_slab"   -> qZarrMedianBySlabSql,
     "zarr_topk_value"       -> qZarrTopkValueSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
     "mdio_reshard"          -> qMdioReshardSql,

@@ -388,6 +388,100 @@ class MdioValueStatsSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("medianByLead: every slab's median from boundary-only scans") {
+    import graft.operators.MdioStats
+    val dir = createFloat(_.toDouble) // v = x: 8 chunks of 8 cells
+    // slabs of 16 indices (2 chunks each, disjoint intervals): slab g's
+    // lower median (k = 8 of 16) is 16g+7 — the FIRST chunk's last cell,
+    // so only 4 of 8 chunks are window chunks and no probe fires
+    val before = MdioScan.scanBuilds.get()
+    val r = MdioStats.medianByLead(spark, dir, "v", 16L)
+    assert(!r.fallback && r.jobs == 1 && r.scannedChunks == 4, r)
+    val rows = r.result.orderBy("slab").collect()
+    assert(rows.map(x => (x.getLong(0), x.getDouble(1), x.getLong(2))).toSeq ==
+      (0L to 3L).map(g => (g, 16.0 * g + 7, 16L)))
+    // ALL slabs answered by ONE window scan node — never a per-slab or
+    // per-chunk plan leg
+    assert(MdioScan.scanBuilds.get() - before == 1L,
+      "grouped median must plan one scan for all slabs")
+    // NaN cells never rank: dropping cell 0 shifts slab 0's median to 8
+    val dirN = createFloat(x => if (x == 0) Double.NaN else x.toDouble)
+    val rN = MdioStats.medianByLead(spark, dirN, "v", 16L)
+    val rowN = rN.result.orderBy("slab").collect().head
+    assert((rowN.getLong(0), rowN.getDouble(1), rowN.getLong(2)) == (0L, 8.0, 15L))
+    MdioWriter.delete(dir); MdioWriter.delete(dirN)
+  }
+
+  test("medianByLead: probe recounts straddlers, interior shards stay closed") {
+    import graft.operators.MdioStats
+    // slabs of 32 (4 chunks); within a slab: chunk 0 = i/2 ([0, 3.5] —
+    // straddles the bracket edge x0 = 0), chunk 1 = 2+i ([2, 9]),
+    // chunks 2-3 = 8+i ([8, 15]): k = 16 of 32 brackets (0, 9], so the
+    // x0 recount must scan chunk 0 and the window takes all 4
+    val dir = createFloat { x =>
+      val i = x % 8
+      (x / 8) % 4 match {
+        case 0 => i * 0.5
+        case 1 => 2.0 + i
+        case _ => 8.0 + i
+      }
+    }
+    val r = MdioStats.medianByLead(spark, dir, "v", 32L)
+    assert(!r.fallback && r.jobs == 2 && r.scannedChunks == 10, r)
+    assert(r.result.orderBy("slab").collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getLong(2))).toSeq ==
+      Seq((0L, 8.0, 32L), (1L, 8.0, 32L)))
+    // a probe past the cap falls back loudly — and stays exact
+    val rCap = MdioStats.medianByLead(spark, dir, "v", 32L, maxProbeChunks = 1)
+    assert(rCap.fallback, rCap)
+    assert(rCap.result.orderBy("slab").collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getLong(2))).toSeq ==
+      Seq((0L, 8.0, 32L), (1L, 8.0, 32L)))
+    MdioWriter.delete(dir)
+  }
+
+  test("medianByLead: interior shards rank from the manifest, never open") {
+    import graft.operators.MdioStats
+    val dir = createFloat(_.toDouble) // v = x, disjoint chunk intervals
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    val entries = MdioChunkStats.current(varDir).get
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir), entries, span = 1)
+    val before = MdioChunkStats.shardReadCount.get()
+    val r = MdioStats.medianByLead(spark, dir, "v", 16L)
+    // driver triage: each slab's bracket lands on its FIRST chunk's shard
+    // (window (−∞, 16g+7]) — only those 4 shards open for refinement; the
+    // second shard of every slab ranks through its manifest cells
+    val opened = MdioChunkStats.shardReadCount.get() - before
+    assert(opened == 4, s"opened $opened shard files at triage, want 4")
+    assert(!r.fallback && r.jobs == 1 && r.scannedChunks == 4, r)
+    assert(r.result.orderBy("slab").collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getLong(2))).toSeq ==
+      (0L to 3L).map(g => (g, 16.0 * g + 7, 16L)))
+    MdioWriter.delete(dir)
+  }
+
+  test("medianByLead: misaligned groups and stale stats fall back, stay exact") {
+    import graft.operators.MdioStats
+    val dir = createFloat(_.toDouble)
+    def expect(lead: Long) = (0L until (64L + lead - 1) / lead).map { g =>
+      val cells = (g * lead until math.min((g + 1) * lead, 64L)).map(_.toDouble)
+      (g, cells.sorted.apply(((cells.size + 1) / 2 - 1).toInt), cells.size.toLong)
+    }
+    // 12 does not divide into 8-cell chunks: loud fallback, exact answers
+    // (including the ragged 4-cell tail slab)
+    val rMis = MdioStats.medianByLead(spark, dir, "v", 12L)
+    assert(rMis.fallback, rMis)
+    assert(rMis.result.orderBy("slab").collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getLong(2))).toSeq == expect(12L))
+    // stale sidecar: same fallback contract as kthSmallest
+    MdioChunkStats.bump(ZarrMeta.path(dir).resolve("v"))
+    val rStale = MdioStats.medianByLead(spark, dir, "v", 16L)
+    assert(rStale.fallback, rStale)
+    assert(rStale.result.orderBy("slab").collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getLong(2))).toSeq == expect(16L))
+    MdioWriter.delete(dir)
+  }
+
   test("chunkKeys allowlist: exact chunk subset, one scan, no grid-agg answers") {
     val dir = createFloat(_.toDouble)
     val df = spark.read.format("mdio").option("chunkKeys", "2,5").load(dir)
