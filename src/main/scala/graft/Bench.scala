@@ -605,6 +605,13 @@ object Bench {
     // same ≤2 scan jobs — all 4 slabs share them — plus the grouped
     // cumulative-count window; first budget r16)
     "zarr_median_by_slab" -> 1.0,
+    // comparator: zarr_median_by_slab (same driver bracket, same single
+    // window-scan job — over all 8 chunks at one-chunk-tile granularity)
+    "zarr_median_by_tile" -> 1.0,
+    // comparator: zarr_kth_smallest (same bracket + probe + window shape,
+    // shared across three ranks; the per-rank selections hit the cached
+    // grouped counts)
+    "zarr_quantiles" -> 1.0,
     // comparator: zarr_stats_minmax (driver-side sidecar read, then a
     // one-row local DataFrame instead of a connector scan)
     "zarr_stats_v1_meta" -> 0.029,

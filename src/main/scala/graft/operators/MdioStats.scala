@@ -592,49 +592,260 @@ object MdioStats {
     KthSmallest(value, jobs, scanned, fallback = false)
   }
 
-  /** [[medianByLead]] result: `result` has one row per lead group —
-    * (`slab` = ⌊lead/leadPerGroup⌋, `med` = the group's exact lower
-    * median, `n` = the group's finite-cell count); groups with zero
-    * finite cells (all-NaN slabs) emit no row. `jobs`/`scannedChunks`
-    * count the scan jobs issued (0–2 on the pruning path) and the chunks
-    * they read; `fallback` marks the exact one-scan grouped-rank path. */
+  /** [[quantilesOf]] result: `values(i)` is the exact `ks(i)`-th smallest
+    * finite cell (the `ps(i)`-quantile, `ks(i) = ⌈ps(i)·n⌉` over the `n`
+    * finite cells); `jobs`/`scannedChunks` count the CHUNK-scan jobs
+    * issued (0–2 on the pruning path — the per-rank selections run over
+    * one cached grouped-count frame, not the store) and the chunks they
+    * read; `fallback` marks the exact one-scan grouped-rank path. */
+  final case class Quantiles(values: Seq[Double], ks: Seq[Long], n: Long,
+                             jobs: Int, scannedChunks: Long,
+                             fallback: Boolean)
+
+  /** EXACT quantile VECTOR in one boundary-window pass — the amplitude
+    * clip-level readout (p01/p50/p99 of a survey for display gain/clip
+    * QC; reference statsV1 QC anchor, mdio/stats.h:229-335) computed the
+    * way [[kthSmallest]] computes one rank, but sharing every stage
+    * across ALL requested quantiles: ONE metadata bracket per rank over
+    * the same hierarchical items (whole-shard manifest summaries +
+    * per-chunk [min,max,cnt]; shards open only when they intersect SOME
+    * rank's window), ONE `chunkKeys` probe scan recounting every
+    * bracket's lower edge together (one conditional-count column per
+    * distinct edge), and ONE window scan over the UNION of the rank
+    * windows whose cached grouped counts answer every rank via
+    * [[selectByRank]] (Long ranks; the per-rank selections re-read the
+    * cached frame, not the store). Chunk I/O for the whole vector is the
+    * union of the boundary windows — reading the store once per quantile,
+    * or sorting it, would cost p×more or shuffle the corpus. `ks(i) =
+    * ⌈ps(i)·n⌉` evaluates in BigDecimal (a median at the 100 TB envelope
+    * is k ≈ 10¹² — past double-exact integer territory is still years
+    * off, but the ceil must not wobble on the boundary). Stale/absent
+    * stats or more than `maxProbeChunks` total straddlers fall back
+    * loudly to the exact full-scan grouped-rank form over one scan. */
+  def quantilesOf(spark: SparkSession, path: String, variable: String,
+                  ps: Seq[Double], maxProbeChunks: Int = 512): Quantiles = {
+    import graft.sources.MdioChunkStats
+    import graft.zarr.ZarrMeta
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"quantiles $ps must lie in (0, 1]")
+    val root = ZarrMeta.path(path)
+    val (meta, attrs) = ZarrMeta.readGroup(root)._2.getOrElse(variable,
+      throw new IllegalArgumentException(s"no variable '$variable' in $path"))
+    val dims = meta.dimNames
+      .orElse(attrs.flatMap(graft.sources.MdioTableUtil.arrayDimensions))
+      .getOrElse(throw new IllegalArgumentException(
+        s"variable '$variable' carries no dimension names"))
+    require(!dims.contains(variable),
+      s"'$variable' is a dimension coordinate — rank its index range instead")
+    val isFloat = meta.dtype.charAt(meta.dtype.length - 2) == 'f'
+    def dropNaN(df: org.apache.spark.sql.DataFrame) =
+      if (isFloat) df.filter(!isnan(col(variable))) else df
+    def base = spark.read.format("mdio").load(path)
+    def ksOf(n: Long): Seq[Long] = ps.map(p =>
+      (BigDecimal(p) * n).setScale(0, BigDecimal.RoundingMode.CEILING).toLong)
+    def scanFallback(): Quantiles = {
+      val byV = dropNaN(base.select(col(variable).as("v")))
+        .groupBy(col("v")).agg(count(lit(1L)).as("c")).persist()
+      try {
+        val mm = byV.agg(min(col("v").cast("double")), max(col("v").cast("double")),
+          sum(col("c"))).head
+        val total = if (mm.isNullAt(2)) 0L else mm.getLong(2)
+        val ks = ksOf(total)
+        require(ks.forall(_ <= total), s"ranks $ks exceed $total finite cells")
+        Quantiles(ks.map(selectByRank(byV, _, mm.getDouble(0), mm.getDouble(1))),
+          ks, total, 0, 0L, fallback = true)
+      } finally byV.unpersist()
+    }
+
+    val varDir = root.resolve(variable)
+    val manOpt = MdioChunkStats.currentManifest(varDir)
+    if (manOpt.isEmpty) return scanFallback()
+    val man = manOpt.get
+    val grid = meta.chunkGrid
+
+    // shared hierarchical rank items, exactly as kthSmallest
+    val fine = scala.collection.mutable.ArrayBuffer.empty[(Seq[Long], MdioChunkStats.Bounds)]
+    var coarse = Map.empty[Long, (BigDecimal, BigDecimal, Long)]
+    var usable = true
+    def intake(cc: Seq[Long], eOpt: Option[MdioChunkStats.Entry]): Unit = eOpt match {
+      case Some(Some(b)) if b.moments.isDefined => fine += ((cc, b))
+      case Some(None) => () // all-NaN chunk: never ranks
+      case _ => usable = false
+    }
+    walkShards(varDir, man, grid) { (sid, sm) =>
+      sm.cells.isDefined && {
+        (sm.lo, sm.hi) match {
+          case (Some(l), Some(h)) => coarse = coarse.updated(sid, (l, h, sm.cells.get))
+          case _ => () // all-NaN shard: proven cells = 0
+        }
+        true
+      }
+    }(intake)
+    if (!usable) return scanFallback()
+    val n = coarse.valuesIterator.map(_._3).sum +
+      fine.iterator.map(_._2.moments.get.cnt).sum
+    val ks = ksOf(n)
+    require(ks.forall(_ <= n), s"ranks $ks exceed $n finite cells")
+
+    def items: IndexedSeq[(BigDecimal, BigDecimal, Long)] =
+      (coarse.valuesIterator ++
+        fine.iterator.map { case (_, b) => (b.min, b.max, b.moments.get.cnt) })
+        .toIndexedSeq
+    var brackets = ks.map(bracketItems(items, _))
+    // refinement: open every coarse shard intersecting ANY rank's window,
+    // then re-bracket each rank over the refined items — one round, same
+    // monotonicity argument as kthSmallest; interior shards never open
+    val toOpen = coarse.collect {
+      case (sid, (l, h, _)) if brackets.exists { case (x0, x1) =>
+        x0.forall(h > _) && l <= x1 } => sid
+    }
+    if (toOpen.nonEmpty) {
+      toOpen.foreach { sid =>
+        coarse -= sid
+        feedKeys(grid, sid * man.span,
+          math.min((sid + 1) * man.span, grid.head),
+          MdioChunkStats.readShard(varDir, sid, man.shards(sid).gen))(intake)
+      }
+      if (!usable) return scanFallback() // torn shard mid-refinement
+      brackets = ks.map(bracketItems(items, _))
+    }
+
+    var scanned = 0L
+    var jobs = 0
+    // ONE probe scan recounts EVERY bracket's lower edge: the chunkKeys
+    // allowlist is the union of all edges' straddlers, and one aggregate
+    // row carries a conditional count per distinct edge
+    val edges = brackets.flatMap(_._1).distinct.sorted
+    val straddlersOf: Map[BigDecimal, Seq[Seq[Long]]] = edges.map { e =>
+      e -> fine.collect { case (cc, b) if b.min <= e && b.max > e => cc }.toSeq
+    }.toMap
+    val probeChunks = straddlersOf.valuesIterator.flatten.toSeq.distinct
+    if (probeChunks.size > maxProbeChunks) {
+      log.warn(s"quantilesOf($path, $variable, ps=$ps): ${probeChunks.size} " +
+        s"chunks straddle bracket edges (cap $maxProbeChunks) — falling " +
+        "back to the exact full-scan grouped-rank selection")
+      return scanFallback()
+    }
+    val exactAtEdge: Map[BigDecimal, Long] =
+      if (edges.isEmpty || probeChunks.isEmpty) Map.empty
+      else {
+        scanned += probeChunks.size
+        jobs += 1
+        val aggs = edges.map(e => count(when(col(variable) <= e.toDouble, 1L))
+          .as(s"e${edges.indexOf(e)}"))
+        val row = spark.read.format("mdio")
+          .option("chunkKeys", probeChunks.map(_.mkString(".")).mkString(","))
+          .load(path)
+          .agg(aggs.head, aggs.tail: _*).head
+        // row(i) = cells ≤ edge(i) over ALL probed chunks (a probed chunk
+        // fully below/above a FOREIGN edge counts whole/zero there, which
+        // is exact); belowAt pairs this with metadata counts over the
+        // UNPROBED items only, so nothing double-counts
+        edges.zipWithIndex.map { case (e, i) => e -> row.getLong(i) }.toMap
+      }
+
+    // exact rank below each edge: metadata certain-below over UNPROBED
+    // items + the probe's conditional count over probed chunks. A probed
+    // chunk (straddler of some edge) may be fully below/above ANOTHER
+    // edge — its cells are in the probe count for that edge too, so the
+    // metadata side must exclude every probed chunk to avoid double count.
+    val probedSet = probeChunks.toSet
+    def belowAt(e: BigDecimal): Long = {
+      val metaBelow = coarse.valuesIterator.collect {
+        case (_, h, c) if h <= e => c }.sum +
+        fine.iterator.collect {
+          case (cc, b) if !probedSet.contains(cc) && b.max <= e =>
+            b.moments.get.cnt }.sum
+      metaBelow + exactAtEdge.getOrElse(e, 0L)
+    }
+
+    // ONE window scan over the UNION of the rank windows; the cached
+    // grouped counts answer every rank (selectByRank re-reads the cache)
+    val windowChunks = fine.collect {
+      case (cc, b) if brackets.exists { case (x0, x1) =>
+        x0.forall(b.max > _) && b.min <= x1 } => cc
+    }.toSeq.distinct
+    scanned += windowChunks.size
+    jobs += 1
+    val unionPred = brackets.map { case (x0, x1) =>
+      x0 match {
+        case Some(b0) => col(variable) > b0.toDouble && col(variable) <= x1.toDouble
+        case None => col(variable) <= x1.toDouble
+      }
+    }.reduce(_ || _)
+    val byV = spark.read.format("mdio")
+      .option("chunkKeys", windowChunks.map(_.mkString(".")).mkString(","))
+      .load(path)
+      .filter(unionPred)
+      .groupBy(col(variable).as("v")).agg(count(lit(1L)).as("c")).persist()
+    val values =
+      try ks.zip(brackets).map { case (k, (x0, x1)) =>
+        val below = x0.map(belowAt).getOrElse(0L)
+        val residual = k - below
+        require(residual >= 1, s"rank window inconsistency: residual $residual")
+        val x1d = x1.toDouble
+        val winV = x0 match {
+          case Some(b0) =>
+            byV.filter(col("v") > b0.toDouble && col("v") <= x1d)
+          case None => byV.filter(col("v") <= x1d)
+        }
+        selectByRank(winV, residual,
+          x0.getOrElse(items.iterator.map(_._1).min).toDouble, x1d)
+      } finally byV.unpersist()
+    Quantiles(values, ks, n, jobs, scanned, fallback = false)
+  }
+
+  /** [[medianByBox]]/[[medianByLead]] result: `result` has one row per
+    * group — the per-dim group ordinals (`g_<dim>` columns from
+    * [[medianByBox]]; a single `slab` column from [[medianByLead]]),
+    * `med` = the group's exact lower median, `n` = the group's
+    * finite-cell count; groups with zero finite cells (all-NaN boxes)
+    * emit no row. `jobs`/`scannedChunks` count the scan jobs issued (0–2
+    * on the pruning path) and the chunks they read; `fallback` marks the
+    * exact one-scan grouped-rank path. */
   final case class GroupedMedian(result: org.apache.spark.sql.DataFrame,
                                  jobs: Int, scannedChunks: Long,
                                  fallback: Boolean)
 
-  /** EXACT per-slab lower median (`k = ⌈n/2⌉` per group, equal to
+  /** EXACT per-box lower median (`k = ⌈n/2⌉` per group, equal to
     * `ORDER BY v LIMIT 1 OFFSET (n+1)/2 - 1` within each group) over
-    * lead-dimension slabs of `leadPerGroup` ABSOLUTE indices — the
-    * grouped twin of [[kthSmallest]] and the rank analog of the per-tile
-    * variance QC heat-map (reference statsV1 QC, mdio/stats.h:229-335):
-    * one median per depth-slab of a survey without a global sort and
-    * without per-group jobs. Each group runs the same quantile-by-pruning
-    * arithmetic DRIVER-SIDE from the stats sidecar — hierarchical rank
-    * bounds from whole-shard manifest summaries (a shard whose lead range
-    * sits inside one group rides as a single [lo,hi]×cells interval,
-    * opened only when it intersects its group's bracket window) and
-    * per-chunk [min,max,cnt] items, bracketing each group's median in a
-    * certain window ([[bracketItems]], Long ranks throughout — then at
-    * most TWO scan jobs finish ALL groups at once: one `chunkKeys`
-    * allowlist scan over every group's lower-edge straddlers (exact
-    * below-edge recount, per-group edges applied through a broadcast
-    * join), and one allowlist scan over every group's window chunks whose
-    * per-(group, value) counts select each residual rank with a
-    * cumulative-count window partitioned by group. Chunk I/O is thus
-    * Σ(per-group boundary windows) — each slab pays its own boundary
+    * chunk-aligned dim boxes — group `d`'s ordinal is
+    * `⌊index_d / groupSizes(d)⌋` over ABSOLUTE dim indices, so
+    * `groupSizes` of (leadSpan, wholeDim…) gives depth slabs and
+    * (chunkLead, chunkTrail) the per-tile heat-map — the grouped twin of
+    * [[kthSmallest]] and the rank analog of the per-tile variance QC
+    * (reference statsV1 QC, mdio/stats.h:229-335): one exact median per
+    * survey slab/tile without a global sort and without per-group jobs.
+    * Each group runs the quantile-by-pruning arithmetic DRIVER-SIDE from
+    * the stats sidecar — hierarchical rank bounds from whole-shard
+    * manifest summaries (a shard rides as one [lo,hi]×cells interval when
+    * its lead range sits inside one group and the trailing dims are
+    * single-group, opening only when it intersects its group's bracket
+    * window) and per-chunk [min,max,cnt] items, bracketing each group's
+    * median in a certain window ([[bracketItems]], Long ranks throughout)
+    * — then at most TWO scan jobs finish ALL groups at once: one
+    * `chunkKeys` allowlist scan over every group's lower-edge straddlers
+    * (exact below-edge recount, per-group edges applied through a
+    * broadcast join), and one allowlist scan over every group's window
+    * chunks whose per-(group, value) counts select each residual rank
+    * with a cumulative-count window partitioned by group. Chunk I/O is
+    * thus Σ(per-group boundary windows) — each box pays its own boundary
     * surface, never its volume, and the plan never carries a per-chunk or
-    * per-group node. Requires `leadPerGroup` to be a positive multiple of
-    * the lead chunk size (groups must not split chunks) and
-    * generation-current full-coverage stats with moments; anything less —
-    * or more than `maxProbeChunks` straddlers — falls back loudly to ONE
-    * exact full-scan grouped-rank selection (`fallback = true`, still no
+    * per-group node. Every `groupSizes(d)` must be positive and either a
+    * multiple of dim `d`'s chunk size or ≥ the dim extent (groups must
+    * not split chunks); that plus generation-current full-coverage stats
+    * with moments is required — anything less, or more than
+    * `maxProbeChunks` straddlers, falls back loudly to ONE exact
+    * full-scan grouped-rank selection (`fallback = true`, still no
     * global sort and still Long ranks). */
-  def medianByLead(spark: SparkSession, path: String, variable: String,
-                   leadPerGroup: Long,
-                   maxProbeChunks: Int = 512): GroupedMedian = {
+  def medianByBox(spark: SparkSession, path: String, variable: String,
+                  groupSizes: Seq[Long],
+                  maxProbeChunks: Int = 512): GroupedMedian = {
     import graft.sources.MdioChunkStats
     import graft.zarr.ZarrMeta
-    require(leadPerGroup >= 1, s"leadPerGroup $leadPerGroup must be positive")
+    import org.apache.spark.sql.{Column, Row}
+    import org.apache.spark.sql.types._
+    require(groupSizes.forall(_ >= 1), s"group sizes $groupSizes must be positive")
     val root = ZarrMeta.path(path)
     val (meta, attrs) = ZarrMeta.readGroup(root)._2.getOrElse(variable,
       throw new IllegalArgumentException(s"no variable '$variable' in $path"))
@@ -644,12 +855,17 @@ object MdioStats {
         s"variable '$variable' carries no dimension names"))
     require(!dims.contains(variable),
       s"'$variable' is a dimension coordinate — slice its index range instead")
-    val leadDim = dims.head
+    require(groupSizes.size == dims.size,
+      s"${groupSizes.size} group sizes for ${dims.size} dims")
     val isFloat = meta.dtype.charAt(meta.dtype.length - 2) == 'f'
-    val gcol = floor(col(leadDim) / leadPerGroup).cast("long")
+    val gNames = dims.indices.map(i => s"_g$i")
+    val gCols: Seq[Column] = dims.zip(groupSizes).zip(gNames).map {
+      case ((dn, gs), gn) => floor(col(dn) / gs).cast("long").as(gn)
+    }
+    val outG = gNames.zip(dims).map { case (gn, d) => col(gn).as(s"g_$d") }
     def base = spark.read.format("mdio").load(path)
     val rowFrame = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("g")).orderBy(col("v"))
+      .partitionBy(gNames.map(col): _*).orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     // exact one-scan fallback: per-(group, value) counts, per-group total
@@ -657,56 +873,71 @@ object MdioStats {
     // global sort (each window partition holds ONE group's distinct values)
     def scanFallback(): GroupedMedian = {
       val src = if (isFloat) base.filter(!isnan(col(variable))) else base
-      val byGV = src.select(gcol.as("g"), col(variable).as("v"))
-        .groupBy(col("g"), col("v")).agg(count(lit(1L)).as("c"))
-      val perG = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      val byGV = src.select(gCols :+ col(variable).as("v"): _*)
+        .groupBy(gNames.map(col) :+ col("v"): _*).agg(count(lit(1L)).as("c"))
+      val perG = org.apache.spark.sql.expressions.Window
+        .partitionBy(gNames.map(col): _*)
       val sel = byGV
         .withColumn("n", sum(col("c")).over(perG))
         .withColumn("cum", sum(col("c")).over(rowFrame))
         .withColumn("kk", expr("(n + 1) DIV 2"))
         .filter(col("cum") >= col("kk") && col("cum") - col("c") < col("kk"))
-        .select(col("g").as("slab"), col("v").cast("double").as("med"), col("n"))
+        .select(outG ++ Seq(col("v").cast("double").as("med"), col("n")): _*)
       GroupedMedian(sel, 0, 0L, fallback = true)
     }
 
     val varDir = root.resolve(variable)
     val manOpt = MdioChunkStats.currentManifest(varDir)
-    val chunkLead = meta.chunks.head
     if (manOpt.isEmpty) return scanFallback()
-    if (leadPerGroup % chunkLead != 0) {
-      log.warn(s"medianByLead($path, $variable): leadPerGroup $leadPerGroup " +
-        s"does not align to the lead chunk size $chunkLead — chunks would " +
+    // a group must contain WHOLE chunks: per dim, a multiple of the chunk
+    // size or the whole extent (a ragged last chunk still fits — its cells
+    // end inside the dim, so a whole-extent group covers it)
+    val misaligned = dims.indices.exists { d =>
+      groupSizes(d) % meta.chunks(d) != 0 && groupSizes(d) < meta.shape(d)
+    }
+    if (misaligned) {
+      log.warn(s"medianByBox($path, $variable): group sizes $groupSizes do " +
+        s"not align to the chunk shape ${meta.chunks} — chunks would " +
         "straddle groups; falling back to the exact full-scan selection")
       return scanFallback()
     }
     val man = manOpt.get
     val grid = meta.chunkGrid
-    val cpg = leadPerGroup / chunkLead // lead chunk ordinals per group
+    // chunk ordinals per group along each dim (whole-extent ⇒ one group)
+    val cpg = dims.indices.map { d =>
+      if (groupSizes(d) >= meta.shape(d)) grid(d)
+      else groupSizes(d) / meta.chunks(d)
+    }
+    val trailingSingle = (1 until dims.size).forall(d => cpg(d) >= grid(d))
+    def groupOf(cc: Seq[Long]): Seq[Long] =
+      cc.zip(cpg).map { case (c, n) => c / n }
 
     // per-group rank items, mixed granularity exactly as kthSmallest:
     // fine = opened chunk entries, coarse = unopened whole-shard manifest
-    // summaries (only shards whose lead range sits INSIDE one group may
-    // ride coarse — a group-straddling shard opens immediately)
+    // summaries (a shard rides coarse only when its WHOLE chunk box maps
+    // to one group: lead range inside one group, trailing dims
+    // single-group — anything else opens immediately)
     val fine = scala.collection.mutable.Map
-      .empty[Long, scala.collection.mutable.ArrayBuffer[(Seq[Long], MdioChunkStats.Bounds)]]
+      .empty[Seq[Long], scala.collection.mutable.ArrayBuffer[(Seq[Long], MdioChunkStats.Bounds)]]
     val coarse = scala.collection.mutable.Map
-      .empty[Long, scala.collection.mutable.Map[Long, (BigDecimal, BigDecimal, Long)]]
+      .empty[Seq[Long], scala.collection.mutable.Map[Long, (BigDecimal, BigDecimal, Long)]]
     var usable = true
     def intake(cc: Seq[Long], eOpt: Option[MdioChunkStats.Entry]): Unit = eOpt match {
       case Some(Some(b)) if b.moments.isDefined =>
-        fine.getOrElseUpdate(cc.head / cpg,
+        fine.getOrElseUpdate(groupOf(cc),
           scala.collection.mutable.ArrayBuffer.empty) += ((cc, b))
       case Some(None) => () // all-NaN chunk: never ranks
       case _ => usable = false
     }
     walkShards(varDir, man, grid) { (sid, sm) =>
-      sm.cells.isDefined && {
+      sm.cells.isDefined && trailingSingle && {
         val leadLo = sid * man.span
         val leadHi = math.min((sid + 1) * man.span, grid.head)
-        (leadLo / cpg) == ((leadHi - 1) / cpg) && {
+        (leadLo / cpg.head) == ((leadHi - 1) / cpg.head) && {
           (sm.lo, sm.hi) match {
             case (Some(l), Some(h)) =>
-              coarse.getOrElseUpdate(leadLo / cpg,
+              coarse.getOrElseUpdate(
+                (leadLo / cpg.head) +: Seq.fill(dims.size - 1)(0L),
                 scala.collection.mutable.Map.empty)
                 .update(sid, (l, h, sm.cells.get))
             case _ => () // all-NaN shard: proven cells = 0
@@ -717,28 +948,32 @@ object MdioStats {
     }(intake)
     if (!usable) return scanFallback()
 
-    def itemsOf(g: Long): IndexedSeq[(BigDecimal, BigDecimal, Long)] =
+    def itemsOf(g: Seq[Long]): IndexedSeq[(BigDecimal, BigDecimal, Long)] =
       (coarse.get(g).iterator.flatMap(_.valuesIterator) ++
         fine.get(g).iterator.flatMap(_.iterator.map { case (_, b) =>
           (b.min, b.max, b.moments.get.cnt) })).toIndexedSeq
 
-    final case class GState(g: Long, n: Long, k: Long,
+    final case class GState(g: Seq[Long], n: Long, k: Long,
                             var x0: Option[BigDecimal], var x1: BigDecimal)
-    val states = (fine.keySet ++ coarse.keySet).toSeq.sorted.flatMap { g =>
+    val gOrd = Ordering.Implicits.seqOrdering[Seq, Long]
+    val states = (fine.keySet ++ coarse.keySet).toSeq.sorted(gOrd).flatMap { g =>
       val its = itemsOf(g)
       val n = its.iterator.map(_._3).sum
-      if (n == 0) None // all-NaN slab: no median row
+      if (n == 0) None // all-NaN box: no median row
       else {
         val k = (n + 1) / 2
         val (x0, x1) = bracketItems(its, k)
         Some(GState(g, n, k, x0, x1))
       }
     }
-    if (states.isEmpty) { // every slab all-NaN: proven-empty result
-      import spark.implicits._
-      return GroupedMedian(Seq.empty[(Long, Double, Long)].toDF("slab", "med", "n"),
+    val outSchema = StructType(
+      dims.map(d => StructField(s"g_$d", LongType, nullable = false)) ++
+        Seq(StructField("med", DoubleType, nullable = false),
+          StructField("n", LongType, nullable = false)))
+    if (states.isEmpty) // every box all-NaN: proven-empty result
+      return GroupedMedian(
+        spark.createDataFrame(java.util.Collections.emptyList[Row](), outSchema),
         0, 0L, fallback = false)
-    }
     // refinement: open each group's coarse shards intersecting ITS bracket
     // window, then re-bracket that group — one round suffices (finer detail
     // only shrinks windows; see kthSmallest). Interior shards never open.
@@ -777,30 +1012,37 @@ object MdioStats {
     }.toMap
     val allStraddlers = straddlersByG.valuesIterator.map(_.size.toLong).sum
     if (allStraddlers > maxProbeChunks) {
-      log.warn(s"medianByLead($path, $variable): $allStraddlers chunks " +
+      log.warn(s"medianByBox($path, $variable): $allStraddlers chunks " +
         s"straddle group bracket edges (cap $maxProbeChunks) — falling " +
         "back to the exact full-scan grouped-rank selection")
       return scanFallback()
     }
-    import spark.implicits._
-    val exactBelow: Map[Long, Long] =
+    def groupedDF(rows: Seq[Row], tail: Seq[StructField]) =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(gNames.map(StructField(_, LongType, nullable = false)) ++ tail))
+    val exactBelow: Map[Seq[Long], Long] =
       if (allStraddlers == 0) Map.empty
       else {
         scanned += allStraddlers
         jobs += 1
-        val edges = states.collect {
-          case st if st.x0.isDefined && straddlersByG(st.g).nonEmpty =>
-            (st.g, st.x0.get.toDouble)
-        }.toDF("g", "x0")
+        val edges = groupedDF(
+          states.collect {
+            case st if st.x0.isDefined && straddlersByG(st.g).nonEmpty =>
+              Row.fromSeq(st.g :+ st.x0.get.toDouble)
+          },
+          Seq(StructField("x0", DoubleType, nullable = false)))
         spark.read.format("mdio")
           .option("chunkKeys", straddlersByG.valuesIterator.flatten
             .map(_.mkString(".")).mkString(","))
           .load(path)
-          .select(gcol.as("g"), col(variable).as("v"))
-          .join(broadcast(edges), "g")
+          .select(gCols :+ col(variable).as("v"): _*)
+          .join(broadcast(edges), gNames)
           .filter(col("v") <= col("x0"))
-          .groupBy(col("g")).agg(count(lit(1L)).as("c"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          .groupBy(gNames.map(col): _*).agg(count(lit(1L)).as("c"))
+          .collect()
+          .map(r => gNames.indices.map(r.getLong(_)).toSeq ->
+            r.getLong(gNames.size)).toMap
       }
 
     // residual ranks + window bounds, broadcast once; ONE allowlist scan
@@ -808,15 +1050,21 @@ object MdioStats {
     // per-(group, value) counts shuffle by group, the cumulative-count
     // window sees one group's distinct values per partition, and each
     // group picks the row covering its residual rank
-    val bounds = states.map { st =>
-      val metaBelow = itemsOf(st.g).iterator.collect {
-        case (_, h, c) if st.x0.exists(h <= _) => c }.sum
-      val below = metaBelow + exactBelow.getOrElse(st.g, 0L)
-      val residual = st.k - below
-      require(residual >= 1,
-        s"rank window inconsistency in group ${st.g}: residual $residual")
-      (st.g, st.x0.map(_.toDouble), st.x1.toDouble, residual, st.n)
-    }.toDF("g", "x0", "x1", "residual", "n")
+    val bounds = groupedDF(
+      states.map { st =>
+        val metaBelow = itemsOf(st.g).iterator.collect {
+          case (_, h, c) if st.x0.exists(h <= _) => c }.sum
+        val below = metaBelow + exactBelow.getOrElse(st.g, 0L)
+        val residual = st.k - below
+        require(residual >= 1,
+          s"rank window inconsistency in group ${st.g}: residual $residual")
+        Row.fromSeq(st.g ++ Seq(st.x0.map(_.toDouble).orNull,
+          st.x1.toDouble, residual, st.n))
+      },
+      Seq(StructField("x0", DoubleType, nullable = true),
+        StructField("x1", DoubleType, nullable = false),
+        StructField("residual", LongType, nullable = false),
+        StructField("n", LongType, nullable = false)))
     val windowChunks = states.flatMap { st =>
       fine.getOrElse(st.g, scala.collection.mutable.ArrayBuffer.empty)
         .collect { case (cc, b) if st.x0.forall(b.max > _) && b.min <= st.x1 => cc }
@@ -826,15 +1074,36 @@ object MdioStats {
     val sel = spark.read.format("mdio")
       .option("chunkKeys", windowChunks.map(_.mkString(".")).mkString(","))
       .load(path)
-      .select(gcol.as("g"), col(variable).as("v"))
-      .join(broadcast(bounds), "g")
+      .select(gCols :+ col(variable).as("v"): _*)
+      .join(broadcast(bounds), gNames)
       .filter((col("x0").isNull || col("v") > col("x0")) && col("v") <= col("x1"))
-      .groupBy(col("g"), col("v"), col("residual"), col("n"))
+      .groupBy(gNames.map(col) ++ Seq(col("v"), col("residual"), col("n")): _*)
       .agg(count(lit(1L)).as("c"))
       .withColumn("cum", sum(col("c")).over(rowFrame))
       .filter(col("cum") >= col("residual") && col("cum") - col("c") < col("residual"))
-      .select(col("g").as("slab"), col("v").cast("double").as("med"), col("n"))
+      .select(outG ++ Seq(col("v").cast("double").as("med"), col("n")): _*)
     GroupedMedian(sel, jobs, scanned, fallback = false)
+  }
+
+  /** EXACT per-slab lower median over lead-dimension slabs of
+    * `leadPerGroup` ABSOLUTE indices — [[medianByBox]] with whole-extent
+    * trailing groups (the depth-slab QC readout; result columns
+    * `slab`/`med`/`n`). `leadPerGroup` must be a positive multiple of the
+    * lead chunk size or the misaligned-group fallback fires. */
+  def medianByLead(spark: SparkSession, path: String, variable: String,
+                   leadPerGroup: Long,
+                   maxProbeChunks: Int = 512): GroupedMedian = {
+    import graft.zarr.ZarrMeta
+    val (meta, attrs) = ZarrMeta.readGroup(ZarrMeta.path(path))._2.getOrElse(variable,
+      throw new IllegalArgumentException(s"no variable '$variable' in $path"))
+    val dims = meta.dimNames
+      .orElse(attrs.flatMap(graft.sources.MdioTableUtil.arrayDimensions))
+      .getOrElse(throw new IllegalArgumentException(
+        s"variable '$variable' carries no dimension names"))
+    val r = medianByBox(spark, path, variable,
+      leadPerGroup +: meta.shape.tail, maxProbeChunks)
+    r.copy(result = r.result.select(
+      col(s"g_${dims.head}").as("slab"), col("med"), col("n")))
   }
 
   /** A3/S10 — persist computed stats into the variable's attributes with

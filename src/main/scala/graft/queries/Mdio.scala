@@ -904,6 +904,83 @@ object Mdio {
       FROM cells)
     SELECT slab, x AS med, n FROM r WHERE rn = (n + 1) // 2 ORDER BY slab"""
 
+  /** Per-TILE exact MEDIAN on the gate (r16): [[qZarrMedianBySlab]]'s
+    * 2-D form on the [[qZarrStddevByTile]] geometry —
+    * [[graft.operators.MdioStats.medianByBox]] over the store's 4×2
+    * one-chunk tiles (`FLOOR(inline/8), FLOOR(crossline/4)`, 32 cells
+    * each). At this granularity each tile's window IS its chunk, so the
+    * whole heat-map costs exactly ONE scan job over the 8 chunks (the
+    * per-group boundary = the volume only when tiles are single chunks;
+    * coarser boxes prune, as the slab row proves) — still no global sort,
+    * no per-tile jobs, Long ranks. REQUIRES the pruning path in-query. */
+  val qZarrMedianByTile: Q = (s, d) => {
+    val path = zarrGridWeight(s, d)
+    val r = graft.operators.MdioStats.medianByBox(s, path, "weight", Seq(8L, 4L))
+    require(!r.fallback, "median-by-tile fell back to a full scan")
+    require(r.jobs == 1 && r.scannedChunks == 8,
+      s"median-by-tile wants one 8-chunk scan, got ${r.jobs} jobs over ${r.scannedChunks}")
+    r.result.select(col("g_inline").as("ti"), col("g_crossline").as("tj"),
+      col("med"), col("n")).orderBy(col("ti"), col("tj"))
+  }
+
+  val qZarrMedianByTileSql: String = """
+    WITH wgt AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(COUNT(*) AS DOUBLE) AS weight
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT i, j, COALESCE(weight, 0.0) AS x
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN wgt USING (i, j)),
+    r AS (
+      SELECT CAST(FLOOR(i / 8) AS BIGINT) AS ti, CAST(FLOOR(j / 4) AS BIGINT) AS tj, x,
+             COUNT(*) OVER (PARTITION BY FLOOR(i / 8), FLOOR(j / 4)) AS n,
+             ROW_NUMBER() OVER (PARTITION BY FLOOR(i / 8), FLOOR(j / 4) ORDER BY x) AS rn
+      FROM cells)
+    SELECT ti, tj, x AS med, n FROM r WHERE rn = (n + 1) // 2 ORDER BY ti, tj"""
+
+  /** Quantile VECTOR on the gate (r16): the amplitude clip-level readout
+    * — p01/p50/p99 in ONE boundary-window pass.
+    * [[graft.operators.MdioStats.quantilesOf]] brackets every rank from
+    * the same metadata items, recounts ALL bracket edges in one probe
+    * scan (a conditional-count column per edge), and answers every rank
+    * from ONE union-window scan's cached grouped counts — three exact
+    * quantiles for at most two chunk-scan jobs, where three kthSmallest
+    * calls would pay the bracket I/O thrice and a sort would shuffle the
+    * corpus. The oracle is the definitionally-identical ROW_NUMBER pick
+    * at each ⌈p·n⌉. REQUIRES the pruning path in-query. */
+  val qZarrQuantiles: Q = (s, d) => {
+    val path = zarrGridWeight(s, d)
+    val ps = Seq(0.01, 0.5, 0.99)
+    val r = graft.operators.MdioStats.quantilesOf(s, path, "weight", ps)
+    require(!r.fallback, "quantile vector fell back to a full scan")
+    require(r.jobs <= 2, s"quantile vector issued ${r.jobs} chunk-scan jobs")
+    require(r.scannedChunks <= 16,
+      s"quantile vector read ${r.scannedChunks} chunk-visits of a 8-chunk store")
+    import s.implicits._
+    ps.zip(r.ks).zip(r.values).map { case ((p, k), v) => (p, k, v) }
+      .toDF("p", "k", "v_q").orderBy(col("p"))
+  }
+
+  val qZarrQuantilesSql: String = """
+    WITH wgt AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(COUNT(*) AS DOUBLE) AS weight
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT COALESCE(weight, 0.0) AS x
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN wgt USING (i, j)),
+    o AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn, COUNT(*) OVER () AS n
+          FROM cells)
+    SELECT CAST(0.01 AS DOUBLE) AS p, CAST(CEIL(0.01 * n) AS BIGINT) AS k, x AS v_q
+    FROM o WHERE rn = CEIL(0.01 * n)
+    UNION ALL
+    SELECT CAST(0.5 AS DOUBLE), CAST(CEIL(0.5 * n) AS BIGINT), x
+    FROM o WHERE rn = CEIL(0.5 * n)
+    UNION ALL
+    SELECT CAST(0.99 AS DOUBLE), CAST(CEIL(0.99 * n) AS BIGINT), x
+    FROM o WHERE rn = CEIL(0.99 * n)
+    ORDER BY p"""
+
   /** TRAILING-DIM grouped-key storage-partitioned join on the gate (r14):
     * the fusion fold under `groupFactor=1,2` — the PER-DIM form for stores
     * whose chunk count lives in trailing dims (e.g. 4×2048×2048 chunks,
@@ -2254,6 +2331,8 @@ object Mdio {
     "zarr_count_in_range"   -> qZarrCountInRange,
     "zarr_kth_smallest"     -> qZarrKthSmallest,
     "zarr_median_by_slab"   -> qZarrMedianBySlab,
+    "zarr_median_by_tile"   -> qZarrMedianByTile,
+    "zarr_quantiles"        -> qZarrQuantiles,
     "zarr_topk_value"       -> qZarrTopkValue,
     "mdio_rechunk"          -> qMdioRechunk,
     "mdio_reshard"          -> qMdioReshard,
@@ -2317,6 +2396,8 @@ object Mdio {
     "zarr_count_in_range"   -> qZarrCountInRangeSql,
     "zarr_kth_smallest"     -> qZarrKthSmallestSql,
     "zarr_median_by_slab"   -> qZarrMedianBySlabSql,
+    "zarr_median_by_tile"   -> qZarrMedianByTileSql,
+    "zarr_quantiles"        -> qZarrQuantilesSql,
     "zarr_topk_value"       -> qZarrTopkValueSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
     "mdio_reshard"          -> qMdioReshardSql,

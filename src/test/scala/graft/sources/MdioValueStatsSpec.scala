@@ -460,6 +460,76 @@ class MdioValueStatsSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("quantilesOf: one probe + one union-window scan answers the vector") {
+    import graft.operators.MdioStats
+    val dir = createFloat(_.toDouble) // v = x: k-th smallest is k-1
+    // disjoint chunk intervals: every bracket edge lands ON a chunk
+    // boundary (no straddlers — zero probe jobs) and each rank's window
+    // is one chunk: three exact quantiles from ONE 3-chunk scan
+    val r = MdioStats.quantilesOf(spark, dir, "v", Seq(0.25, 0.5, 1.0))
+    assert(r == MdioStats.Quantiles(Seq(15.0, 31.0, 63.0), Seq(16L, 32L, 64L),
+      64L, 1, 3L, fallback = false), r)
+    // transposed layout (chunk i holds {8j+i}): every interval overlaps,
+    // edges {2, 6} straddle 7 distinct chunks — ONE probe scan recounts
+    // both edges, ONE window scan answers all three ranks (2 scan builds
+    // total, though six selectByRank actions run on the cached counts)
+    val dirT = createFloat(x => ((x % 8) * 8 + x / 8).toDouble)
+    val before = MdioScan.scanBuilds.get()
+    val rT = MdioStats.quantilesOf(spark, dirT, "v", Seq(0.1, 0.5, 0.9))
+    assert(rT == MdioStats.Quantiles(Seq(6.0, 31.0, 57.0), Seq(7L, 32L, 58L),
+      64L, 2, 15L, fallback = false), rT)
+    assert(MdioScan.scanBuilds.get() - before == 2L,
+      "quantile vector must plan one probe + one window scan")
+    // over-cap probe and stale stats: loud fallback, same exact answers
+    val rCap = MdioStats.quantilesOf(spark, dirT, "v", Seq(0.1, 0.5, 0.9),
+      maxProbeChunks = 3)
+    assert(rCap.fallback && rCap.values == Seq(6.0, 31.0, 57.0), rCap)
+    MdioChunkStats.bump(ZarrMeta.path(dir).resolve("v"))
+    val rStale = MdioStats.quantilesOf(spark, dir, "v", Seq(0.25, 0.5, 1.0))
+    assert(rStale.fallback && rStale.values == Seq(15.0, 31.0, 63.0), rStale)
+    MdioWriter.delete(dir); MdioWriter.delete(dirT)
+  }
+
+  test("medianByBox: per-tile medians over 2-D chunk-aligned boxes") {
+    import graft.operators.MdioStats
+    // 16x8 store, 4x4 chunks (4x2 grid); v = inline. Tiles of 8x4 = 2x1
+    // chunks: tile (ti, tj) holds inlines 8ti..8ti+7 x 4 crosslines — its
+    // lower median (k = 16 of 32) is 8ti+3, the FIRST chunk's last inline,
+    // so only the 4 first-chunks are window chunks and no probe fires
+    val dir = Files.createTempDirectory("mdio_vstats").resolve("t.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "t", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "inline", "dataType": "int64",
+        |     "dimensions": [{"name": "inline", "size": 16}]},
+        |    {"name": "crossline", "dataType": "int64",
+        |     "dimensions": [{"name": "crossline", "size": 8}]},
+        |    {"name": "v", "dataType": "float64",
+        |     "dimensions": [{"name": "inline", "size": 16}, {"name": "crossline", "size": 8}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [4, 4]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    MdioWriter.writeVariable(spark,
+      spark.range(16).select($"id".as("inline"))
+        .crossJoin(spark.range(8).select($"id".as("crossline")))
+        .select($"inline", $"crossline", $"inline".cast("double").as("v")),
+      dir, "v")
+    val r = MdioStats.medianByBox(spark, dir, "v", Seq(8L, 4L))
+    assert(!r.fallback && r.jobs == 1 && r.scannedChunks == 4, r)
+    assert(r.result.orderBy("g_inline", "g_crossline").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3))).toSeq ==
+      (for (ti <- 0L to 1L; tj <- 0L to 1L) yield (ti, tj, 8.0 * ti + 3, 32L)))
+    // single-chunk tiles (the stddev_by_tile geometry): the window IS the
+    // tile — every chunk scans, still one scan job, exact per-tile medians
+    val rT = MdioStats.medianByBox(spark, dir, "v", Seq(4L, 4L))
+    assert(!rT.fallback && rT.jobs == 1 && rT.scannedChunks == 8, rT)
+    assert(rT.result.orderBy("g_inline", "g_crossline").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3))).toSeq ==
+      (for (ti <- 0L to 3L; tj <- 0L to 1L) yield (ti, tj, 4.0 * ti + 1, 16L)))
+    MdioWriter.delete(dir)
+  }
+
   test("medianByLead: misaligned groups and stale stats fall back, stay exact") {
     import graft.operators.MdioStats
     val dir = createFloat(_.toDouble)
