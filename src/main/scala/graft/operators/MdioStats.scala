@@ -795,6 +795,153 @@ object MdioStats {
     Quantiles(values, ks, n, jobs, scanned, fallback = false)
   }
 
+  /** [[extremaLocation]] result: `result` is one row — `v_min`, the
+    * per-dim `min_<dim>` coordinates of its FIRST occurrence (smallest
+    * dim tuple, so ties are deterministic), `v_max` and `max_<dim>`
+    * likewise — or zero rows when the variable has no finite cell.
+    * `scannedChunks` counts the candidate chunks the one location scan
+    * read; `fallback` marks the full-scan path (stale/absent stats). */
+  final case class ExtremaLocation(result: org.apache.spark.sql.DataFrame,
+                                   scannedChunks: Long, fallback: Boolean)
+
+  /** WHERE the global extrema live — the peak/trough amplitude locator
+    * (the volume-statistics argmax/argmin readout, reference
+    * examples/seismic_reader/stats.hh:31-67 + main.cc:71-142, which
+    * full-scans; here the scan prunes to the chunks that can WIN): the
+    * sidecar bounds give the global finite MIN and MAX without touching
+    * data, so the only chunks worth reading are those whose recorded
+    * bounds EQUAL an extremum — everything else provably cannot contain
+    * it. One `chunkKeys` scan over that candidate set locates both
+    * extrema (first occurrence in dim order, so ties are deterministic
+    * and the answer equals `ORDER BY dims LIMIT 1` over the matching
+    * cells); coarse shards join the search as manifest intervals and
+    * open only when their bounds union touches an extremum. The peak of
+    * a 100 TB store is thus O(manifest) driver bytes + usually ONE chunk
+    * read. NaN cells never win (bounds cover finite cells only) and an
+    * all-NaN/empty variable returns zero rows, proven from metadata.
+    * Extremum equality compares in the column's NATIVE type (u64 stays
+    * decimal-exact past 2^53); `v_min`/`v_max` surface as double.
+    * Stale/absent stats fall back to one full scan (`fallback = true`,
+    * same first-occurrence semantics). */
+  def extremaLocation(spark: SparkSession, path: String,
+                      variable: String): ExtremaLocation = {
+    import graft.sources.MdioChunkStats
+    import graft.zarr.ZarrMeta
+    import org.apache.spark.sql.{Column, Row}
+    import org.apache.spark.sql.types._
+    val root = ZarrMeta.path(path)
+    val (meta, attrs) = ZarrMeta.readGroup(root)._2.getOrElse(variable,
+      throw new IllegalArgumentException(s"no variable '$variable' in $path"))
+    val dims = meta.dimNames
+      .orElse(attrs.flatMap(graft.sources.MdioTableUtil.arrayDimensions))
+      .getOrElse(throw new IllegalArgumentException(
+        s"variable '$variable' carries no dimension names"))
+    require(!dims.contains(variable),
+      s"'$variable' is a dimension coordinate — its extrema are its ends")
+    val isFloat = meta.dtype.charAt(meta.dtype.length - 2) == 'f'
+    def base = spark.read.format("mdio").load(path)
+    val outSchema = StructType(
+      Seq(StructField("v_min", DoubleType, nullable = false)) ++
+        dims.map(d => StructField(s"min_$d", LongType, nullable = false)) ++
+        Seq(StructField("v_max", DoubleType, nullable = false)) ++
+        dims.map(d => StructField(s"max_$d", LongType, nullable = false)))
+    def empty = ExtremaLocation(
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), outSchema),
+      0L, fallback = false)
+    // native-typed literal so the equality never rounds (u64 decimal
+    // bounds past 2^53 must not route through double)
+    def exactLit(x: BigDecimal): Column = {
+      val dt = base.schema(variable).dataType
+      dt match {
+        case _: DecimalType => lit(x.underlying)
+        case LongType => lit(x.toLongExact)
+        case IntegerType => lit(x.toIntExact)
+        case ShortType => lit(x.toShortExact)
+        case ByteType => lit(x.toByteExact)
+        case FloatType => lit(x.toFloat)
+        case _ => lit(x.toDouble)
+      }
+    }
+    // ONE job locates both extrema over any source: first occurrence =
+    // smallest dim-struct among the matching cells (struct ordering is
+    // lexicographic over the dims in order)
+    def locate(src: org.apache.spark.sql.DataFrame,
+               vmin: BigDecimal, vmax: BigDecimal): org.apache.spark.sql.DataFrame = {
+      val dimStruct = struct(dims.map(col): _*)
+      val r = src.agg(
+        min(when(col(variable) === exactLit(vmin), dimStruct)).as("lmin"),
+        min(when(col(variable) === exactLit(vmax), dimStruct)).as("lmax")).head
+      val (lmin, lmax) = (r.getStruct(0), r.getStruct(1))
+      require(lmin != null && lmax != null,
+        s"extrema location scan found no matching cell — stale stats for '$variable'?")
+      spark.createDataFrame(
+        java.util.Collections.singletonList(Row.fromSeq(
+          Seq(vmin.toDouble) ++ dims.indices.map(lmin.getLong) ++
+            Seq(vmax.toDouble) ++ dims.indices.map(lmax.getLong))),
+        outSchema)
+    }
+    def scanFallback(): ExtremaLocation = {
+      val src = if (isFloat) base.filter(!isnan(col(variable))) else base
+      val mm = src.agg(min(col(variable)).as("mn"), max(col(variable)).as("mx")).head
+      if (mm.isNullAt(0)) return empty.copy(fallback = true)
+      def bd(i: Int): BigDecimal = mm.get(i) match {
+        case d: Double => BigDecimal(d)
+        case f: Float => BigDecimal(f.toDouble)
+        case l: Long => BigDecimal(l)
+        case i2: Int => BigDecimal(i2)
+        case s: Short => BigDecimal(s.toInt)
+        case b: Byte => BigDecimal(b.toInt)
+        case x: java.math.BigDecimal => BigDecimal(x)
+        case other => throw new IllegalStateException(s"unorderable value $other")
+      }
+      ExtremaLocation(locate(src, bd(0), bd(1)), 0L, fallback = true)
+    }
+
+    val varDir = root.resolve(variable)
+    val manOpt = MdioChunkStats.currentManifest(varDir)
+    if (manOpt.isEmpty) return scanFallback()
+    val man = manOpt.get
+    val grid = meta.chunkGrid
+
+    val fine = scala.collection.mutable.ArrayBuffer.empty[(Seq[Long], MdioChunkStats.Bounds)]
+    var coarse = Map.empty[Long, (BigDecimal, BigDecimal)]
+    var usable = true
+    def intake(cc: Seq[Long], eOpt: Option[MdioChunkStats.Entry]): Unit = eOpt match {
+      case Some(Some(b)) => fine += ((cc, b)) // moments not needed here
+      case Some(None) => () // all-NaN chunk: no finite cell can win
+      case _ => usable = false
+    }
+    walkShards(varDir, man, grid) { (sid, sm) =>
+      (sm.lo, sm.hi) match {
+        case (Some(l), Some(h)) => coarse = coarse.updated(sid, (l, h)); true
+        case _ => sm.count >= 0 && sm.cells.contains(0L) // proven all-NaN
+      }
+    }(intake)
+    if (!usable) return scanFallback()
+    if (coarse.isEmpty && fine.isEmpty) return empty // every chunk all-NaN
+    val gmin = (coarse.valuesIterator.map(_._1) ++ fine.iterator.map(_._2.min)).min
+    val gmax = (coarse.valuesIterator.map(_._2) ++ fine.iterator.map(_._2.max)).max
+    // open only the shards whose bounds union TOUCHES an extremum — the
+    // candidates must be chunk-grained for the allowlist scan
+    coarse.collect {
+      case (sid, (l, h)) if l == gmin || h == gmax => sid
+    }.foreach { sid =>
+      coarse -= sid
+      feedKeys(grid, sid * man.span,
+        math.min((sid + 1) * man.span, grid.head),
+        MdioChunkStats.readShard(varDir, sid, man.shards(sid).gen))(intake)
+    }
+    if (!usable) return scanFallback()
+    val candidates = fine.collect {
+      case (cc, b) if b.min == gmin || b.max == gmax => cc
+    }.toSeq.distinct
+    val src = spark.read.format("mdio")
+      .option("chunkKeys", candidates.map(_.mkString(".")).mkString(","))
+      .load(path)
+    ExtremaLocation(locate(src, gmin, gmax), candidates.size.toLong,
+      fallback = false)
+  }
+
   /** [[medianByBox]]/[[medianByLead]] result: `result` has one row per
     * group — the per-dim group ordinals (`g_<dim>` columns from
     * [[medianByBox]]; a single `slab` column from [[medianByLead]]),

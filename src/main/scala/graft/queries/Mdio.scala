@@ -981,6 +981,39 @@ object Mdio {
     FROM o WHERE rn = CEIL(0.99 * n)
     ORDER BY p"""
 
+  /** Extrema LOCATION on the gate (r16): WHERE the peak and trough
+    * amplitudes live — the volume-statistics argmax/argmin readout
+    * (reference examples/seismic_reader/stats.hh:31-67 full-scans it;
+    * [[graft.operators.MdioStats.extremaLocation]] reads ONLY the chunks
+    * whose sidecar bounds EQUAL a global extremum, everything else
+    * provably cannot win). First occurrence in dim order, so ties are
+    * deterministic and the oracle is the ORDER BY dims LIMIT 1 pick over
+    * the matching cells. REQUIRES the pruning path in-query. */
+  val qZarrArgmaxLocation: Q = (s, d) => {
+    val path = zarrGridWeight(s, d)
+    val r = graft.operators.MdioStats.extremaLocation(s, path, "weight")
+    require(!r.fallback, "extrema location fell back to a full scan")
+    require(r.scannedChunks >= 1 && r.scannedChunks <= 8,
+      s"extrema location scanned ${r.scannedChunks} of the 8-chunk store")
+    r.result
+  }
+
+  val qZarrArgmaxLocationSql: String = """
+    WITH wgt AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(COUNT(*) AS DOUBLE) AS weight
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT i, j, COALESCE(weight, 0.0) AS x
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN wgt USING (i, j)),
+    mn AS (SELECT x, i, j FROM cells WHERE x = (SELECT MIN(x) FROM cells)
+           ORDER BY i, j LIMIT 1),
+    mx AS (SELECT x, i, j FROM cells WHERE x = (SELECT MAX(x) FROM cells)
+           ORDER BY i, j LIMIT 1)
+    SELECT mn.x AS v_min, mn.i AS min_inline, mn.j AS min_crossline,
+           mx.x AS v_max, mx.i AS max_inline, mx.j AS max_crossline
+    FROM mn CROSS JOIN mx"""
+
   /** TRAILING-DIM grouped-key storage-partitioned join on the gate (r14):
     * the fusion fold under `groupFactor=1,2` — the PER-DIM form for stores
     * whose chunk count lives in trailing dims (e.g. 4×2048×2048 chunks,
@@ -2333,6 +2366,7 @@ object Mdio {
     "zarr_median_by_slab"   -> qZarrMedianBySlab,
     "zarr_median_by_tile"   -> qZarrMedianByTile,
     "zarr_quantiles"        -> qZarrQuantiles,
+    "zarr_argmax_location"  -> qZarrArgmaxLocation,
     "zarr_topk_value"       -> qZarrTopkValue,
     "mdio_rechunk"          -> qMdioRechunk,
     "mdio_reshard"          -> qMdioReshard,
@@ -2398,6 +2432,7 @@ object Mdio {
     "zarr_median_by_slab"   -> qZarrMedianBySlabSql,
     "zarr_median_by_tile"   -> qZarrMedianByTileSql,
     "zarr_quantiles"        -> qZarrQuantilesSql,
+    "zarr_argmax_location"  -> qZarrArgmaxLocationSql,
     "zarr_topk_value"       -> qZarrTopkValueSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
     "mdio_reshard"          -> qMdioReshardSql,

@@ -490,6 +490,37 @@ class MdioValueStatsSpec extends SparkSpec {
     MdioWriter.delete(dir); MdioWriter.delete(dirT)
   }
 
+  test("extremaLocation: only chunks that can WIN are scanned") {
+    import graft.operators.MdioStats
+    val dir = createFloat(_.toDouble) // min 0 in chunk 0, max 63 in chunk 7
+    val r = MdioStats.extremaLocation(spark, dir, "v")
+    assert(!r.fallback && r.scannedChunks == 2, r)
+    assert(r.result.collect().head.toSeq == Seq(0.0, 0L, 63.0, 63L))
+    // ties: every chunk is a candidate, the FIRST dim tuple wins both
+    val dirC = createFloat(_ => 42.0)
+    val rC = MdioStats.extremaLocation(spark, dirC, "v")
+    assert(!rC.fallback && rC.scannedChunks == 8, rC)
+    assert(rC.result.collect().head.toSeq == Seq(42.0, 0L, 42.0, 0L))
+    // NaN never wins: dropping cell 63 moves the peak to 62, same chunk
+    val dirN = createFloat(x => if (x == 63) Double.NaN else x.toDouble)
+    val rN = MdioStats.extremaLocation(spark, dirN, "v")
+    assert(!rN.fallback && rN.scannedChunks == 2, rN)
+    assert(rN.result.collect().head.toSeq == Seq(0.0, 0L, 62.0, 62L))
+    // an all-NaN variable has no finite extremum: zero rows, zero chunks,
+    // proven from metadata
+    val dirA = createFloat(_ => Double.NaN)
+    val rA = MdioStats.extremaLocation(spark, dirA, "v")
+    assert(!rA.fallback && rA.scannedChunks == 0 && rA.result.count() == 0, rA)
+    assert(rA.result.columns.toSeq ==
+      Seq("v_min", "min_x", "v_max", "max_x"))
+    // stale stats: full-scan fallback, same deterministic answer
+    MdioChunkStats.bump(ZarrMeta.path(dir).resolve("v"))
+    val rS = MdioStats.extremaLocation(spark, dir, "v")
+    assert(rS.fallback, rS)
+    assert(rS.result.collect().head.toSeq == Seq(0.0, 0L, 63.0, 63L))
+    Seq(dir, dirC, dirN, dirA).foreach(MdioWriter.delete)
+  }
+
   test("medianByBox: per-tile medians over 2-D chunk-aligned boxes") {
     import graft.operators.MdioStats
     // 16x8 store, 4x4 chunks (4x2 grid); v = inline. Tiles of 8x4 = 2x1
