@@ -615,6 +615,9 @@ object Bench {
     // comparator: zarr_count_in_range (driver sidecar triage + one
     // chunk-subset scan; the location agg replaces the filtered count)
     "zarr_argmax_location" -> 0.3,
+    // comparator: zarr_count_in_range (same metadata min/max probe +
+    // driver triage + one chunk-subset scan, grouped by bin)
+    "zarr_histogram_meta" -> 0.3,
     // comparator: zarr_stats_minmax (driver-side sidecar read, then a
     // one-row local DataFrame instead of a connector scan)
     "zarr_stats_v1_meta" -> 0.029,

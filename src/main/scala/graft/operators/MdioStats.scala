@@ -942,6 +942,120 @@ object MdioStats {
       fallback = false)
   }
 
+  /** [[histogramMeta]] result: `result` is one row per NON-EMPTY bin —
+    * (`bin` 0-based, `center` = lo + (bin+0.5)·width, `cnt`), ordered by
+    * bin; NaN cells never count. `metadataChunks` binned whole from the
+    * sidecar (their stats interval fits one bin — proven by chunk entry
+    * or whole-shard summary), `scannedChunks` straddle a bin edge and
+    * were read; `fallback` marks the ordinary one-scan path. */
+  final case class HistogramMeta(result: org.apache.spark.sql.DataFrame,
+                                 metadataChunks: Long, scannedChunks: Long,
+                                 fallback: Boolean)
+
+  /** EXACT uniform-bin histogram (the reference CenteredBinHistogram
+    * shape, mdio/stats.h:109-161, same outlier clipping as
+    * [[StatsV1Aggregator]]: values outside [lo, lo+nBins·width) land in
+    * the edge bins) that reads ONLY the chunks whose stats interval
+    * CROSSES a bin edge: a chunk whose [min, max] falls inside one bin
+    * contributes its finite-cell `cnt` to that bin from metadata — and
+    * whole SHARDS do the same from their manifest summary without being
+    * opened — so the amplitude histogram of a 100 TB store pays chunk
+    * I/O proportional to the BIN-EDGE SURFACE, not the volume (zero for
+    * a store whose chunks align with the bins, e.g. depth-banded data;
+    * everything for white noise — exactly the chunks a scan could never
+    * skip). Straddlers resolve in ONE `chunkKeys` scan grouped by the
+    * bin expression; binning computes in double on BOTH sides (the
+    * driver triage and the scan) so the claim and the scan can never
+    * disagree on a boundary value. Stale/absent stats or more than
+    * `maxScanChunks` straddlers fall back to one full scan
+    * (`fallback = true`) — exact in every case. */
+  def histogramMeta(spark: SparkSession, path: String, variable: String,
+                    lo: Double, width: Double, nBins: Int,
+                    maxScanChunks: Int = 512): HistogramMeta = {
+    import graft.sources.MdioChunkStats
+    import graft.zarr.ZarrMeta
+    require(width > 0 && nBins >= 1, s"bad bins: lo=$lo width=$width n=$nBins")
+    val root = ZarrMeta.path(path)
+    val (meta, attrs) = ZarrMeta.readGroup(root)._2.getOrElse(variable,
+      throw new IllegalArgumentException(s"no variable '$variable' in $path"))
+    val dims = meta.dimNames
+      .orElse(attrs.flatMap(graft.sources.MdioTableUtil.arrayDimensions))
+      .getOrElse(throw new IllegalArgumentException(
+        s"variable '$variable' carries no dimension names"))
+    require(!dims.contains(variable),
+      s"'$variable' is a dimension coordinate — bin its index range instead")
+    val isFloat = meta.dtype.charAt(meta.dtype.length - 2) == 'f'
+    def binD(v: Double): Int = { // the StatsV1Aggregator clip rule
+      val b = math.floor((v - lo) / width).toInt
+      if (b < 0) 0 else if (b >= nBins) nBins - 1 else b
+    }
+    val binCol = least(greatest(
+      floor((col(variable).cast("double") - lit(lo)) / lit(width)), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long").as("bin")
+    def base = spark.read.format("mdio").load(path)
+    def toResult(counts: Map[Long, Long]): org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      counts.toSeq.filter(_._2 > 0).sortBy(_._1)
+        .map { case (b, c) => (b, lo + (b + 0.5) * width, c) }
+        .toDF("bin", "center", "cnt")
+    }
+    def grouped(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val src = if (isFloat) df.filter(!isnan(col(variable))) else df
+      src.groupBy(binCol).agg(count(lit(1L)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    def scanFallback(): HistogramMeta =
+      HistogramMeta(toResult(grouped(base)), 0L, 0L, fallback = true)
+
+    val varDir = root.resolve(variable)
+    val manOpt = MdioChunkStats.currentManifest(varDir)
+    if (manOpt.isEmpty) return scanFallback()
+    val man = manOpt.get
+
+    val metaCounts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    var metaChunks = 0L
+    val straddlers = Seq.newBuilder[Seq[Long]]
+    var nStraddle = 0
+    var usable = true
+    walkShards(varDir, man, meta.chunkGrid) { (_, sm) =>
+      (sm.lo, sm.hi) match {
+        case (Some(l), Some(h)) if sm.cells.isDefined &&
+            binD(l.toDouble) == binD(h.toDouble) =>
+          metaCounts(binD(l.toDouble).toLong) += sm.cells.get
+          metaChunks += sm.bounded.max(0L)
+          true
+        case (None, None) => true // all-NaN shard: nothing to bin
+        case _ => false // crosses a bin edge (or no summary): open it
+      }
+    } { (cc, eOpt) =>
+      eOpt match {
+        case Some(None) => () // all-NaN chunk
+        case Some(Some(b)) if b.moments.isDefined &&
+            binD(b.min.toDouble) == binD(b.max.toDouble) =>
+          metaCounts(binD(b.min.toDouble).toLong) += b.moments.get.cnt
+          metaChunks += 1
+        case Some(Some(_)) => straddlers += cc; nStraddle += 1
+        case None => usable = false // uncovered chunk: stats incomplete
+      }
+    }
+    if (!usable || nStraddle > maxScanChunks) {
+      if (usable) log.warn(s"histogramMeta($path, $variable): $nStraddle " +
+        s"chunks cross bin edges (cap $maxScanChunks) — full scan")
+      return scanFallback()
+    }
+    val scanCounts: Map[Long, Long] =
+      if (nStraddle == 0) Map.empty
+      else grouped(spark.read.format("mdio")
+        .option("chunkKeys",
+          straddlers.result().map(_.mkString(".")).mkString(","))
+        .load(path))
+    val merged = (metaCounts.keySet ++ scanCounts.keySet).map { b =>
+      b -> (metaCounts(b) + scanCounts.getOrElse(b, 0L))
+    }.toMap
+    HistogramMeta(toResult(merged), metaChunks, nStraddle.toLong,
+      fallback = false)
+  }
+
   /** [[medianByBox]]/[[medianByLead]] result: `result` has one row per
     * group — the per-dim group ordinals (`g_<dim>` columns from
     * [[medianByBox]]; a single `slab` column from [[medianByLead]]),

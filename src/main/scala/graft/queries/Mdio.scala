@@ -1014,6 +1014,50 @@ object Mdio {
            mx.x AS v_max, mx.i AS max_inline, mx.j AS max_crossline
     FROM mn CROSS JOIN mx"""
 
+  /** Boundary-only exact HISTOGRAM on the gate (r16): the reference's
+    * CenteredBin shape (mdio/stats.h:109-161, outliers clipped into the
+    * edge bins) computed by
+    * [[graft.operators.MdioStats.histogramMeta]] — chunks (and whole
+    * manifest shards) whose stats interval fits one bin contribute their
+    * finite-cell count from metadata; only chunks CROSSING a bin edge
+    * scan, in one `chunkKeys` job. Bins here are the store's value range
+    * split into 8 anchored at the metadata MIN (so the row is exact at
+    * every SF); the oracle recomputes the identical clip rule. REQUIRES
+    * the pruning path in-query (no fallback, ≤8 straddlers). */
+  val qZarrHistogramMeta: Q = (s, d) => {
+    val path = zarrGridWeight(s, d)
+    val mm = s.read.format("mdio").load(path)
+      .agg(min(col("weight")), max(col("weight"))).head
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val width = math.max((mx - mn) / 8.0, 1.0)
+    val r = graft.operators.MdioStats.histogramMeta(s, path, "weight", mn, width, 8)
+    require(!r.fallback, "histogram fell back to a full scan")
+    require(r.scannedChunks <= 8,
+      s"histogram scanned ${r.scannedChunks} of the 8-chunk store")
+    // bins are a pure function of (mn, width): embed them so the oracle
+    // can recompute the same clip rule on the same constants
+    r.result.withColumn("lo", lit(mn)).withColumn("width", lit(width))
+      .orderBy(col("bin"))
+  }
+
+  val qZarrHistogramMetaSql: String = """
+    WITH wgt AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(COUNT(*) AS DOUBLE) AS weight
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT COALESCE(weight, 0.0) AS x
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN wgt USING (i, j)),
+    cfg AS (
+      SELECT MIN(x) AS lo, GREATEST((MAX(x) - MIN(x)) / 8.0, 1.0) AS width
+      FROM cells),
+    binned AS (
+      SELECT CAST(LEAST(GREATEST(FLOOR((x - lo) / width), 0), 7) AS BIGINT) AS bin,
+             lo, width
+      FROM cells CROSS JOIN cfg)
+    SELECT bin, lo + (bin + 0.5) * width AS center, COUNT(*) AS cnt, lo, width
+    FROM binned GROUP BY bin, lo, width ORDER BY bin"""
+
   /** TRAILING-DIM grouped-key storage-partitioned join on the gate (r14):
     * the fusion fold under `groupFactor=1,2` — the PER-DIM form for stores
     * whose chunk count lives in trailing dims (e.g. 4×2048×2048 chunks,
@@ -2367,6 +2411,7 @@ object Mdio {
     "zarr_median_by_tile"   -> qZarrMedianByTile,
     "zarr_quantiles"        -> qZarrQuantiles,
     "zarr_argmax_location"  -> qZarrArgmaxLocation,
+    "zarr_histogram_meta"   -> qZarrHistogramMeta,
     "zarr_topk_value"       -> qZarrTopkValue,
     "mdio_rechunk"          -> qMdioRechunk,
     "mdio_reshard"          -> qMdioReshard,
@@ -2433,6 +2478,7 @@ object Mdio {
     "zarr_median_by_tile"   -> qZarrMedianByTileSql,
     "zarr_quantiles"        -> qZarrQuantilesSql,
     "zarr_argmax_location"  -> qZarrArgmaxLocationSql,
+    "zarr_histogram_meta"   -> qZarrHistogramMetaSql,
     "zarr_topk_value"       -> qZarrTopkValueSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
     "mdio_reshard"          -> qMdioReshardSql,

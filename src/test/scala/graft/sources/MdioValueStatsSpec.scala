@@ -521,6 +521,48 @@ class MdioValueStatsSpec extends SparkSpec {
     Seq(dir, dirC, dirN, dirA).foreach(MdioWriter.delete)
   }
 
+  test("histogramMeta: bin-aligned chunks never scan; straddlers scan once") {
+    import graft.operators.MdioStats
+    val dir = createFloat(_.toDouble) // v = x: chunk c holds [8c, 8c+7]
+    // bins == chunks: EVERY bin answers from metadata, zero chunks read
+    val r = MdioStats.histogramMeta(spark, dir, "v", 0.0, 8.0, 8)
+    assert(!r.fallback && r.metadataChunks == 8 && r.scannedChunks == 0, r)
+    assert(r.result.collect().map(x => (x.getLong(0), x.getDouble(1), x.getLong(2))).toSeq ==
+      (0L to 7L).map(b => (b, 8.0 * b + 4.0, 8L)))
+    // shifted bins: chunk 0 clips whole into bin 0, chunks 1-7 straddle
+    val rS = MdioStats.histogramMeta(spark, dir, "v", 4.0, 8.0, 8)
+    assert(!rS.fallback && rS.metadataChunks == 1 && rS.scannedChunks == 7, rS)
+    assert(rS.result.collect().map(x => (x.getLong(0), x.getLong(2))).toSeq ==
+      ((0L, 12L) +: (1L to 6L).map((_, 8L))) :+ (7L, 4L))
+    // straddler cap and stale stats: loud full-scan fallback, same counts
+    val rCap = MdioStats.histogramMeta(spark, dir, "v", 4.0, 8.0, 8, maxScanChunks = 3)
+    assert(rCap.fallback, rCap)
+    assert(rCap.result.collect().map(x => (x.getLong(0), x.getLong(2))).toSeq ==
+      ((0L, 12L) +: (1L to 6L).map((_, 8L))) :+ (7L, 4L))
+    // NaN cells never count (and never spoil the metadata answer for the
+    // chunk's finite cells)
+    val dirN = createFloat(x => if (x == 3) Double.NaN else x.toDouble)
+    val rN = MdioStats.histogramMeta(spark, dirN, "v", 0.0, 8.0, 8)
+    assert(!rN.fallback && rN.scannedChunks == 0, rN)
+    assert(rN.result.collect().map(x => (x.getLong(0), x.getLong(2))).toSeq ==
+      ((0L, 7L) +: (1L to 7L).map((_, 8L))))
+    // whole shards bin from the manifest alone
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir),
+      MdioChunkStats.current(varDir).get, span = 1)
+    val before = MdioChunkStats.shardReadCount.get()
+    val rM = MdioStats.histogramMeta(spark, dir, "v", 0.0, 8.0, 8)
+    assert(!rM.fallback && rM.scannedChunks == 0, rM)
+    assert(MdioChunkStats.shardReadCount.get() - before == 0,
+      "bin-aligned shards must bin from the manifest without opening")
+    MdioChunkStats.bump(varDir)
+    val rStale = MdioStats.histogramMeta(spark, dir, "v", 0.0, 8.0, 8)
+    assert(rStale.fallback, rStale)
+    assert(rStale.result.collect().map(x => (x.getLong(0), x.getLong(2))).toSeq ==
+      (0L to 7L).map((_, 8L)))
+    MdioWriter.delete(dir); MdioWriter.delete(dirN)
+  }
+
   test("medianByBox: per-tile medians over 2-D chunk-aligned boxes") {
     import graft.operators.MdioStats
     // 16x8 store, 4x4 chunks (4x2 grid); v = inline. Tiles of 8x4 = 2x1
