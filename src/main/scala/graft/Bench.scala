@@ -618,6 +618,9 @@ object Bench {
     // comparator: zarr_count_in_range (same metadata min/max probe +
     // driver triage + one chunk-subset scan, grouped by bin)
     "zarr_histogram_meta" -> 0.3,
+    // comparator: zarr_histogram_meta (same triage + one grouped
+    // chunk-subset scan, range membership in place of bins)
+    "zarr_range_by_slab" -> 0.3,
     // comparator: zarr_stats_minmax (driver-side sidecar read, then a
     // one-row local DataFrame instead of a connector scan)
     "zarr_stats_v1_meta" -> 0.029,

@@ -1056,6 +1056,160 @@ object MdioStats {
       fallback = false)
   }
 
+  /** [[countInRangeByBox]] result: `result` has one row per group with at
+    * least one finite cell — per-dim group ordinals (`g_<dim>`), `cnt` =
+    * cells with `lo ≤ v ≤ hi` in the group (0 rows never drop: a box
+    * whose count is zero still reports, since the heat-map's zeros ARE
+    * the signal), `n` = the group's finite cells. `metadataChunks`/
+    * `outsideChunks`/`scannedChunks` as in [[CountInRange]]; `fallback`
+    * marks the one-scan path. */
+  final case class GroupedCount(result: org.apache.spark.sql.DataFrame,
+                                metadataChunks: Long, outsideChunks: Long,
+                                scannedChunks: Long, fallback: Boolean)
+
+  /** Per-box exact COUNT of cells in `[lo, hi]` — the threshold-occupancy
+    * heat map (net-pay / anomaly-fraction per slab or tile; the grouped
+    * twin of [[countInRange]], on the [[medianByBox]] group geometry):
+    * chunks fully inside the range add their finite-cell `cnt` to their
+    * group from metadata, fully-outside (or all-NaN) chunks add zero, and
+    * whole SHARDS do either from the manifest summary without opening —
+    * all boxes resolve their straddlers together in ONE `chunkKeys` scan
+    * grouped by the box ordinals, so chunk I/O is the range's boundary
+    * surface regardless of how many boxes tile the store. `n` per box
+    * (for the fraction readout) comes entirely from metadata. Group
+    * sizes follow [[medianByBox]]'s rule (positive; per dim a chunk-size
+    * multiple or ≥ the extent). Misalignment, stale/absent stats, or
+    * more than `maxScanChunks` straddlers fall back loudly to ONE full
+    * scan (`fallback = true`), exact in every case. */
+  def countInRangeByBox(spark: SparkSession, path: String, variable: String,
+                        lo: Double, hi: Double, groupSizes: Seq[Long],
+                        maxScanChunks: Int = 512): GroupedCount = {
+    import graft.sources.MdioChunkStats
+    import graft.zarr.ZarrMeta
+    import org.apache.spark.sql.{Column, Row}
+    import org.apache.spark.sql.types._
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    require(groupSizes.forall(_ >= 1), s"group sizes $groupSizes must be positive")
+    val root = ZarrMeta.path(path)
+    val (meta, attrs) = ZarrMeta.readGroup(root)._2.getOrElse(variable,
+      throw new IllegalArgumentException(s"no variable '$variable' in $path"))
+    val dims = meta.dimNames
+      .orElse(attrs.flatMap(graft.sources.MdioTableUtil.arrayDimensions))
+      .getOrElse(throw new IllegalArgumentException(
+        s"variable '$variable' carries no dimension names"))
+    require(!dims.contains(variable),
+      s"'$variable' is a dimension coordinate — count its index range instead")
+    require(groupSizes.size == dims.size,
+      s"${groupSizes.size} group sizes for ${dims.size} dims")
+    val isFloat = meta.dtype.charAt(meta.dtype.length - 2) == 'f'
+    val gNames = dims.indices.map(i => s"_g$i")
+    val gCols: Seq[Column] = dims.zip(groupSizes).zip(gNames).map {
+      case ((dn, gs), gn) => floor(col(dn) / gs).cast("long").as(gn)
+    }
+    val inRange = col(variable) >= lo && col(variable) <= hi
+    def base = spark.read.format("mdio").load(path)
+    val outSchema = StructType(
+      dims.map(d => StructField(s"g_$d", LongType, nullable = false)) ++
+        Seq(StructField("cnt", LongType, nullable = false),
+          StructField("n", LongType, nullable = false)))
+    def scanFallback(): GroupedCount = {
+      val src = if (isFloat) base.filter(!isnan(col(variable))) else base
+      val sel = src.select(gCols :+ col(variable).as(variable): _*)
+        .groupBy(gNames.map(col): _*)
+        .agg(count(when(inRange, 1L)).as("cnt"), count(lit(1L)).as("n"))
+        .select(gNames.zip(dims).map { case (gn, d) => col(gn).as(s"g_$d") } ++
+          Seq(col("cnt"), col("n")): _*)
+      GroupedCount(sel, 0L, 0L, 0L, fallback = true)
+    }
+
+    val varDir = root.resolve(variable)
+    val manOpt = MdioChunkStats.currentManifest(varDir)
+    if (manOpt.isEmpty) return scanFallback()
+    val misaligned = dims.indices.exists { d =>
+      groupSizes(d) % meta.chunks(d) != 0 && groupSizes(d) < meta.shape(d)
+    }
+    if (misaligned) {
+      log.warn(s"countInRangeByBox($path, $variable): group sizes " +
+        s"$groupSizes do not align to the chunk shape ${meta.chunks} — " +
+        "falling back to the exact full-scan form")
+      return scanFallback()
+    }
+    val man = manOpt.get
+    val grid = meta.chunkGrid
+    val cpg = dims.indices.map { d =>
+      if (groupSizes(d) >= meta.shape(d)) grid(d)
+      else groupSizes(d) / meta.chunks(d)
+    }
+    val trailingSingle = (1 until dims.size).forall(d => cpg(d) >= grid(d))
+    def groupOf(cc: Seq[Long]): Seq[Long] =
+      cc.zip(cpg).map { case (c, n) => c / n }
+
+    val (loB, hiB) = (BigDecimal(lo), BigDecimal(hi))
+    val inCnt = scala.collection.mutable.Map.empty[Seq[Long], Long].withDefaultValue(0L)
+    val total = scala.collection.mutable.Map.empty[Seq[Long], Long].withDefaultValue(0L)
+    var metaChunks = 0L
+    var outside = 0L
+    val straddlers = Seq.newBuilder[Seq[Long]]
+    var nStraddle = 0
+    var usable = true
+    walkShards(varDir, man, grid) { (sid, sm) =>
+      // a whole shard decides from the manifest only when it maps into
+      // ONE group (the medianByBox fit rule) and its bounds union settles
+      // the range question for every chunk inside it
+      sm.cells.isDefined && trailingSingle && {
+        val leadLo = sid * man.span
+        val leadHi = math.min((sid + 1) * man.span, grid.head)
+        (leadLo / cpg.head) == ((leadHi - 1) / cpg.head) && {
+          val g = (leadLo / cpg.head) +: Seq.fill(dims.size - 1)(0L)
+          (sm.lo, sm.hi) match {
+            case (Some(l), Some(h)) if h < loB || l > hiB =>
+              total(g) += sm.cells.get; outside += sm.count; true
+            case (Some(l), Some(h)) if l >= loB && h <= hiB && sm.bounded >= 0 =>
+              inCnt(g) += sm.cells.get; total(g) += sm.cells.get
+              metaChunks += sm.bounded; outside += sm.count - sm.bounded; true
+            case (None, None) => outside += sm.count; true // all-NaN: n = 0 too
+            case _ => false // straddles the range: open for chunk triage
+          }
+        }
+      }
+    } { (cc, eOpt) =>
+      val g = groupOf(cc)
+      eOpt match {
+        case Some(None) => outside += 1 // all-NaN chunk
+        case Some(Some(b)) if b.moments.isDefined =>
+          total(g) += b.moments.get.cnt
+          if (b.max < loB || b.min > hiB) outside += 1
+          else if (b.min >= loB && b.max <= hiB) {
+            inCnt(g) += b.moments.get.cnt; metaChunks += 1
+          } else { straddlers += cc; nStraddle += 1 }
+        case _ => usable = false // no entry or no moments: n unknowable
+      }
+    }
+    if (!usable || nStraddle > maxScanChunks) {
+      if (usable) log.warn(s"countInRangeByBox($path, $variable): " +
+        s"$nStraddle straddlers (cap $maxScanChunks) — full scan")
+      return scanFallback()
+    }
+    if (nStraddle > 0) {
+      spark.read.format("mdio")
+        .option("chunkKeys",
+          straddlers.result().map(_.mkString(".")).mkString(","))
+        .load(path)
+        .select(gCols :+ col(variable).as(variable): _*)
+        .filter(inRange)
+        .groupBy(gNames.map(col): _*).agg(count(lit(1L)).as("c"))
+        .collect().foreach { r =>
+          inCnt(gNames.indices.map(r.getLong(_)).toSeq) += r.getLong(gNames.size)
+        }
+    }
+    val rows = total.keySet.toSeq
+      .sorted(Ordering.Implicits.seqOrdering[Seq, Long])
+      .map(g => Row.fromSeq(g ++ Seq(inCnt(g), total(g))))
+    GroupedCount(
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema),
+      metaChunks, outside, nStraddle.toLong, fallback = false)
+  }
+
   /** [[medianByBox]]/[[medianByLead]] result: `result` has one row per
     * group — the per-dim group ordinals (`g_<dim>` columns from
     * [[medianByBox]]; a single `slab` column from [[medianByLead]]),

@@ -1058,6 +1058,46 @@ object Mdio {
     SELECT bin, lo + (bin + 0.5) * width AS center, COUNT(*) AS cnt, lo, width
     FROM binned GROUP BY bin, lo, width ORDER BY bin"""
 
+  /** Threshold-occupancy heat map on the gate (r16): per-slab exact
+    * COUNT of cells in a value range —
+    * [[graft.operators.MdioStats.countInRangeByBox]], the grouped twin of
+    * [[qZarrCountInRange]] on the [[qZarrMedianBySlab]] slab geometry
+    * (the net-pay / anomaly-fraction QC readout). Chunks fully
+    * inside/outside the range decide from metadata per slab (whole
+    * shards from the manifest), all slabs resolve their straddlers in
+    * ONE `chunkKeys` scan, and `n` per slab is pure metadata. The range
+    * is the lower half of the store's own [min, max] (SF-stable); zero
+    * slabs still report — the heat-map's zeros are signal. REQUIRES the
+    * pruning path in-query. */
+  val qZarrRangeBySlab: Q = (s, d) => {
+    val path = zarrGridWeight(s, d)
+    val mm = s.read.format("mdio").load(path)
+      .agg(min(col("weight")), max(col("weight"))).head
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val mid = (mn + mx) / 2
+    val r = graft.operators.MdioStats.countInRangeByBox(
+      s, path, "weight", mn, mid, Seq(8L, 8L))
+    require(!r.fallback, "range-by-slab fell back to a full scan")
+    require(r.scannedChunks <= 8,
+      s"range-by-slab scanned ${r.scannedChunks} of the 8-chunk store")
+    r.result.select(col("g_inline").as("slab"), col("cnt"), col("n"))
+      .orderBy(col("slab"))
+  }
+
+  val qZarrRangeBySlabSql: String = """
+    WITH wgt AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(COUNT(*) AS DOUBLE) AS weight
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT i, COALESCE(weight, 0.0) AS x
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN wgt USING (i, j)),
+    cfg AS (SELECT MIN(x) AS lo, (MIN(x) + MAX(x)) / 2 AS hi FROM cells)
+    SELECT CAST(FLOOR(i / 8) AS BIGINT) AS slab,
+           CAST(COUNT(*) FILTER (WHERE x >= lo AND x <= hi) AS BIGINT) AS cnt,
+           COUNT(*) AS n
+    FROM cells CROSS JOIN cfg GROUP BY 1 ORDER BY slab"""
+
   /** TRAILING-DIM grouped-key storage-partitioned join on the gate (r14):
     * the fusion fold under `groupFactor=1,2` — the PER-DIM form for stores
     * whose chunk count lives in trailing dims (e.g. 4×2048×2048 chunks,
@@ -2412,6 +2452,7 @@ object Mdio {
     "zarr_quantiles"        -> qZarrQuantiles,
     "zarr_argmax_location"  -> qZarrArgmaxLocation,
     "zarr_histogram_meta"   -> qZarrHistogramMeta,
+    "zarr_range_by_slab"    -> qZarrRangeBySlab,
     "zarr_topk_value"       -> qZarrTopkValue,
     "mdio_rechunk"          -> qMdioRechunk,
     "mdio_reshard"          -> qMdioReshard,
@@ -2479,6 +2520,7 @@ object Mdio {
     "zarr_quantiles"        -> qZarrQuantilesSql,
     "zarr_argmax_location"  -> qZarrArgmaxLocationSql,
     "zarr_histogram_meta"   -> qZarrHistogramMetaSql,
+    "zarr_range_by_slab"    -> qZarrRangeBySlabSql,
     "zarr_topk_value"       -> qZarrTopkValueSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
     "mdio_reshard"          -> qMdioReshardSql,

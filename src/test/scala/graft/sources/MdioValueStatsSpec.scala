@@ -563,6 +563,42 @@ class MdioValueStatsSpec extends SparkSpec {
     MdioWriter.delete(dir); MdioWriter.delete(dirN)
   }
 
+  test("countInRangeByBox: per-slab occupancy from boundary-only scans") {
+    import graft.operators.MdioStats
+    val dir = createFloat(_.toDouble) // v = x, chunk c = [8c, 8c+7]
+    def rows(r: MdioStats.GroupedCount) = r.result.orderBy("g_x").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    // slabs of 16 (2 chunks), range [4, 19]: chunks 0 and 2 straddle the
+    // edges (one scan), chunk 1 counts whole from metadata, chunks 3-7
+    // prove zero — and the zero slabs still report with their n
+    val r = MdioStats.countInRangeByBox(spark, dir, "v", 4.0, 19.0, Seq(16L))
+    assert(!r.fallback && r.metadataChunks == 1 && r.outsideChunks == 5 &&
+      r.scannedChunks == 2, r)
+    assert(rows(r) == Seq((0L, 12L, 16L), (1L, 4L, 16L), (2L, 0L, 16L), (3L, 0L, 16L)))
+    // whole shards decide from the manifest: only the two straddling
+    // shards open at triage
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir),
+      MdioChunkStats.current(varDir).get, span = 1)
+    val before = MdioChunkStats.shardReadCount.get()
+    val r2 = MdioStats.countInRangeByBox(spark, dir, "v", 4.0, 19.0, Seq(16L))
+    assert(rows(r2) == rows(r) && r2.scannedChunks == 2, r2)
+    // 2 triage opens (straddling shards 0 and 2) + the straddler scan's
+    // own clamped sidecar read over its lead range [0, 2] (3 shards)
+    assert(MdioChunkStats.shardReadCount.get() - before <= 5,
+      "interior shards must decide from the manifest")
+    // misaligned groups and stale stats: loud fallback, same rows
+    val rMis = MdioStats.countInRangeByBox(spark, dir, "v", 4.0, 19.0, Seq(12L))
+    assert(rMis.fallback, rMis)
+    assert(rMis.result.orderBy("g_x").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((0L, 8L, 12L), (1L, 8L, 12L), (2L, 0L, 12L), (3L, 0L, 12L), (4L, 0L, 12L), (5L, 0L, 4L)))
+    MdioChunkStats.bump(varDir)
+    val rStale = MdioStats.countInRangeByBox(spark, dir, "v", 4.0, 19.0, Seq(16L))
+    assert(rStale.fallback && rows(rStale) == rows(r), rStale)
+    MdioWriter.delete(dir)
+  }
+
   test("medianByBox: per-tile medians over 2-D chunk-aligned boxes") {
     import graft.operators.MdioStats
     // 16x8 store, 4x4 chunks (4x2 grid); v = inline. Tiles of 8x4 = 2x1
