@@ -563,6 +563,35 @@ class MdioValueStatsSpec extends SparkSpec {
     MdioWriter.delete(dir); MdioWriter.delete(dirN)
   }
 
+  test("extremaLocation: u64 equality stays decimal-exact past 2^63") {
+    import graft.operators.MdioStats
+    val dir = Files.createTempDirectory("mdio_vstats").resolve("ux.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "ux", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "x", "dataType": "int64",
+        |     "dimensions": [{"name": "x", "size": 64}]},
+        |    {"name": "u", "dataType": "uint64",
+        |     "dimensions": [{"name": "x", "size": 64}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    val twoTo63 = BigDecimal("9223372036854775808")
+    MdioWriter.writeVariable(spark,
+      spark.range(64).select($"id".as("x"),
+        ($"id".cast("decimal(21,0)") + lit(twoTo63)).cast("decimal(20,0)").as("u")),
+      dir, "u")
+    val r = MdioStats.extremaLocation(spark, dir, "u")
+    // every cell rounds to the SAME double, so a double-routed equality
+    // would match the whole store and report max at x=0; the native
+    // decimal literal must land both locations exactly
+    val row = r.result.collect().head
+    assert(!r.fallback && r.scannedChunks == 2, r)
+    assert((row.getLong(1), row.getLong(3)) == (0L, 63L), row)
+    MdioWriter.delete(dir)
+  }
+
   test("countInRangeByBox: per-slab occupancy from boundary-only scans") {
     import graft.operators.MdioStats
     val dir = createFloat(_.toDouble) // v = x, chunk c = [8c, 8c+7]
