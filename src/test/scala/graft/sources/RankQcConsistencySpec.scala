@@ -1,0 +1,152 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.MdioStats
+import graft.spec.MdioSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Cross-checks EVERY rank-QC operator (countInRange / countInRangeByBox /
+  * kthSmallest / quantilesOf / medianByLead / histogramMeta /
+  * extremaLocation) against brute-force expectations computed from the raw
+  * values, over a set of ADVERSARIAL value tables: ties sitting exactly on
+  * chunk boundaries (bracket edges coincide with data), an all-equal store
+  * (every chunk is a candidate for everything), NaN scattered through
+  * chunks, zero-centered amplitudes (every chunk interval overlaps — the
+  * degenerate case the r14–r16 rank work exists for), and values far
+  * outside the histogram domain (clip rule). The pruned answers must equal
+  * the brute-force ones EXACTLY — these operators advertise exactness, not
+  * approximation — and none may fall back (the sidecar is always current
+  * here). Reference anchor: statsV1 QC, mdio/stats.h:229-335. */
+class RankQcConsistencySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def create(values: IndexedSeq[Double]): String = {
+    require(values.size == 64)
+    val dir = Files.createTempDirectory("mdio_rankqc").resolve("s.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "s", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "x", "dataType": "int64",
+        |     "dimensions": [{"name": "x", "size": 64}]},
+        |    {"name": "v", "dataType": "float64",
+        |     "dimensions": [{"name": "x", "size": 64}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    val fn = udf((i: Long) => values(i.toInt))
+    MdioWriter.writeVariable(spark,
+      spark.range(64).select($"id".as("x"), fn($"id").as("v")), dir, "v")
+    dir
+  }
+
+  private val cases: Seq[(String, IndexedSeq[Double])] = Seq(
+    "boundary ties" -> // each chunk's min/max repeat across neighbors
+      (0 until 64).map(i => ((i / 4) * 4).toDouble),
+    "all equal" -> IndexedSeq.fill(64)(7.5),
+    "NaN scattered" ->
+      (0 until 64).map(i => if (i % 7 == 3) Double.NaN else (i % 13).toDouble),
+    "zero-centered overlap" -> // chunk i holds {-28+j*8+i}: all intervals overlap
+      (0 until 64).map(i => (-28 + (i % 8) * 8 + i / 8).toDouble),
+    "clip outliers" -> // values far outside any [lo, lo+n*w) domain
+      (0 until 64).map(i => if (i < 8) -1e6 else if (i >= 56) 1e6 else i.toDouble),
+    "two distinct" ->
+      (0 until 64).map(i => if (i % 3 == 0) 1.0 else 2.0)
+  )
+
+  private def finite(vs: IndexedSeq[Double]): IndexedSeq[Double] =
+    vs.filter(!_.isNaN)
+
+  test("pruned rank-QC answers equal brute force on adversarial stores") {
+    cases.foreach { case (label, vs) =>
+      val dir = create(vs)
+      val fin = finite(vs)
+      val sorted = fin.sorted
+
+      // countInRange at adversarial edges: data values AND chunk bounds
+      val probes = Seq(
+        (0.0, 0.0), (1.0, 2.0), (-28.0, 3.0), (4.0, 4.0),
+        (sorted.headOption.getOrElse(0.0), sorted.lastOption.getOrElse(0.0)))
+      probes.foreach { case (lo, hi) if lo <= hi =>
+        val r = MdioStats.countInRange(spark, dir, "v", lo, hi)
+        val want = fin.count(v => v >= lo && v <= hi).toLong
+        assert(!r.fallback && r.count == want,
+          s"[$label] countInRange($lo, $hi): got ${r.count}, want $want ($r)")
+      case _ => ()
+      }
+
+      // kthSmallest + quantilesOf across the whole rank range
+      if (fin.nonEmpty) {
+        val ks = Seq(1L, fin.size.toLong, (fin.size.toLong + 1) / 2)
+        ks.foreach { k =>
+          val r = MdioStats.kthSmallest(spark, dir, "v", k)
+          assert(!r.fallback && r.value == sorted((k - 1).toInt),
+            s"[$label] kthSmallest($k): got ${r.value}, want ${sorted((k - 1).toInt)}")
+        }
+        val ps = Seq(0.1, 0.5, 0.9, 1.0)
+        val q = MdioStats.quantilesOf(spark, dir, "v", ps)
+        assert(!q.fallback, s"[$label] quantilesOf fell back")
+        ps.zip(q.ks).zip(q.values).foreach { case ((p, k), v) =>
+          val wantK = (BigDecimal(p) * fin.size)
+            .setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+          assert(k == wantK && v == sorted((k - 1).toInt),
+            s"[$label] quantile $p: got (k=$k, v=$v), want (k=$wantK, v=${sorted((wantK - 1).toInt)})")
+        }
+      }
+
+      // medianByLead over 16-index slabs: lower median per slab
+      val med = MdioStats.medianByLead(spark, dir, "v", 16L)
+      assert(!med.fallback, s"[$label] medianByLead fell back")
+      val wantMed = (0 until 4).flatMap { g =>
+        val cells = finite(vs.slice(16 * g, 16 * (g + 1))).sorted
+        if (cells.isEmpty) None
+        else Some((g.toLong, cells(((cells.size + 1) / 2 - 1)), cells.size.toLong))
+      }
+      assert(med.result.orderBy("slab").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq == wantMed,
+        s"[$label] medianByLead mismatch")
+
+      // countInRangeByBox on the same slabs
+      val box = MdioStats.countInRangeByBox(spark, dir, "v", 1.0, 4.0, Seq(16L))
+      assert(!box.fallback, s"[$label] countInRangeByBox fell back")
+      val wantBox = (0 until 4).flatMap { g =>
+        val cells = finite(vs.slice(16 * g, 16 * (g + 1)))
+        if (cells.isEmpty) None
+        else Some((g.toLong, cells.count(v => v >= 1.0 && v <= 4.0).toLong, cells.size.toLong))
+      }
+      assert(box.result.orderBy("g_x").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == wantBox,
+        s"[$label] countInRangeByBox mismatch")
+
+      // histogramMeta under two bin configs incl. the clip rule
+      Seq((0.0, 4.0, 4), (-8.0, 16.0, 3)).foreach { case (lo, w, n) =>
+        val h = MdioStats.histogramMeta(spark, dir, "v", lo, w, n)
+        assert(!h.fallback, s"[$label] histogramMeta fell back")
+        def bin(v: Double): Long = {
+          val b = math.floor((v - lo) / w).toInt
+          (if (b < 0) 0 else if (b >= n) n - 1 else b).toLong
+        }
+        val want = fin.groupBy(bin).map { case (b, g) => (b, g.size.toLong) }
+          .toSeq.sortBy(_._1)
+        assert(h.result.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq == want,
+          s"[$label] histogramMeta($lo, $w, $n) mismatch")
+      }
+
+      // extremaLocation: first occurrence in index order
+      val ex = MdioStats.extremaLocation(spark, dir, "v")
+      assert(!ex.fallback, s"[$label] extremaLocation fell back")
+      if (fin.isEmpty) assert(ex.result.count() == 0)
+      else {
+        val row = ex.result.collect().head
+        val wantMin = vs.indexWhere(_ == sorted.head).toLong
+        val wantMax = vs.indexWhere(_ == sorted.last).toLong
+        assert((row.getDouble(0), row.getLong(1), row.getDouble(2), row.getLong(3)) ==
+          (sorted.head, wantMin, sorted.last, wantMax),
+          s"[$label] extremaLocation mismatch: $row")
+      }
+
+      MdioWriter.delete(dir)
+    }
+  }
+}
