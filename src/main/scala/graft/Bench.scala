@@ -611,7 +611,7 @@ object Bench {
     // comparator: zarr_kth_smallest (same bracket + probe + window shape,
     // shared across three ranks; the per-rank selections hit the cached
     // grouped counts)
-    "zarr_quantiles" -> 1.8, // 12 driver-sequential cached-count jobs
+    "zarr_quantiles" -> 1.0, // multi-rank selection: 2 cached-count jobs
     // comparator: zarr_count_in_range (driver sidecar triage + one
     // chunk-subset scan; the location agg replaces the filtered count)
     "zarr_argmax_location" -> 0.3,

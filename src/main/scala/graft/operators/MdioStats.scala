@@ -299,7 +299,9 @@ object MdioStats {
   final case class KthSmallest(value: Double, jobs: Int,
                                scannedChunks: Long, fallback: Boolean)
 
-  private def asDouble(row: org.apache.spark.sql.Row): Double = row.get(0) match {
+  private def asDouble(row: org.apache.spark.sql.Row): Double = anyToDouble(row.get(0))
+
+  private def anyToDouble(x: Any): Double = x match {
     case d: Double => d
     case f: Float => f.toDouble
     case l: Long => l.toDouble
@@ -362,6 +364,70 @@ object MdioStats {
       .withColumn("cum", sum(col("c")).over(cum))
       .filter(col("cum") >= rank - before)
       .orderBy(col("v")).limit(1).select(col("v")).head)
+  }
+
+  /** One rank request for [[selectByRankMulti]]: select the `residual`-th
+    * smallest value among `byV` rows with `x0 < v ≤ x1` (x0 None ⇒ no
+    * lower edge); `lo`/`hi` are approximate covers for the bucket span,
+    * exactly as in [[selectByRank]]. */
+  private[graft] final case class RankReq(x0: Option[Double], x1: Double,
+                                          lo: Double, hi: Double,
+                                          residual: Long)
+
+  /** [[selectByRank]] for MANY ranks (each with its own window) in TWO
+    * jobs total instead of two per rank: the requests ride the plan as an
+    * exploded literal array — no join, no per-rank action — so job one
+    * collects every rank's ≤[[RankBuckets]]-row bucket histogram at once
+    * and job two picks every rank's value from its located bucket with a
+    * cumulative-count window PARTITIONED BY RANK (each partition sorts
+    * one bucket's distinct values, the same bound as the single-rank
+    * form). Driver round-trips stop scaling with the rank count — the
+    * p01/p50/p99 readout pays the same two cached-frame jobs as one
+    * median. */
+  private[graft] def selectByRankMulti(byV: org.apache.spark.sql.DataFrame,
+                                       reqs: Seq[RankReq]): Seq[Double] = {
+    import org.apache.spark.sql.expressions.Window
+    if (reqs.isEmpty) return Seq.empty
+    def reqArr(extra: Seq[(Int, Long, Long)] = Nil) = explode(array(
+      reqs.zipWithIndex.map { case (r, i) =>
+        val width = (r.hi - r.lo) / RankBuckets
+        val more = extra.find(_._1 == i).map { case (_, b, need) =>
+          Seq(lit(b).as("cb"), lit(need).as("need")) }.getOrElse(Nil)
+        struct(Seq(lit(i).as("id"),
+          lit(r.x0.map(Double.box).orNull).cast("double").as("x0"),
+          lit(r.x1).as("x1"), lit(r.lo).as("blo"),
+          lit(width).as("bw")) ++ more: _*)
+      }: _*))
+    def windowed(extra: Seq[(Int, Long, Long)]) = {
+      val df = byV.withColumn("r", reqArr(extra)).select(col("v"), col("c"), col("r.*"))
+        .filter((col("x0").isNull || col("v") > col("x0")) && col("v") <= col("x1"))
+      val bucket = when(col("bw") <= 0, lit(0L)).otherwise(
+        least(greatest(floor((col("v").cast("double") - col("blo")) / col("bw")),
+          lit(0.0)), lit((RankBuckets - 1).toDouble)).cast("long"))
+      (df, bucket)
+    }
+    // job 1: every rank's bucket histogram at once
+    val (hist, bucket1) = windowed(Nil)
+    val per = hist.groupBy(col("id"), bucket1.as("b")).agg(sum(col("c")).as("bc"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (id, rows) => id -> rows.map(r => (r.getLong(1), r.getLong(2))).toSeq }
+    val located = reqs.indices.map { i =>
+      val (b, before) = bucketForRank(per.getOrElse(i, Seq.empty), reqs(i).residual)
+      (i, b, reqs(i).residual - before)
+    }
+    // job 2: every rank picks from its located bucket; the cum window
+    // partitions by rank, so each partition holds ONE bucket's values
+    val (pick, bucket2) = windowed(located)
+    val cum = Window.partitionBy(col("id")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = pick.filter(bucket2 === col("cb"))
+      .withColumn("cum", sum(col("c")).over(cum))
+      .filter(col("cum") >= col("need") && col("cum") - col("c") < col("need"))
+      .select(col("id"), col("v"))
+      .collect().map(r => r.getInt(0) -> anyToDouble(r.get(1))).toMap
+    reqs.indices.map(i => out.getOrElse(i,
+      throw new IllegalStateException(s"rank request $i selected no value")))
   }
 
   /** Metadata-only rank bracket over interval items (lo, hi, cnt) — each
@@ -652,8 +718,9 @@ object MdioStats {
         val total = if (mm.isNullAt(2)) 0L else mm.getLong(2)
         val ks = ksOf(total)
         require(ks.forall(_ <= total), s"ranks $ks exceed $total finite cells")
-        Quantiles(ks.map(selectByRank(byV, _, mm.getDouble(0), mm.getDouble(1))),
-          ks, total, 0, 0L, fallback = true)
+        val reqs = ks.map(k =>
+          RankReq(None, mm.getDouble(1), mm.getDouble(0), mm.getDouble(1), k))
+        Quantiles(selectByRankMulti(byV, reqs), ks, total, 0, 0L, fallback = true)
       } finally byV.unpersist()
     }
 
@@ -778,20 +845,17 @@ object MdioStats {
       .load(path)
       .filter(unionPred)
       .groupBy(col(variable).as("v")).agg(count(lit(1L)).as("c")).persist()
+    val reqs = ks.zip(brackets).map { case (k, (x0, x1)) =>
+      val below = x0.map(belowAt).getOrElse(0L)
+      val residual = k - below
+      require(residual >= 1, s"rank window inconsistency: residual $residual")
+      RankReq(x0.map(_.toDouble), x1.toDouble,
+        x0.getOrElse(items.iterator.map(_._1).min).toDouble, x1.toDouble,
+        residual)
+    }
     val values =
-      try ks.zip(brackets).map { case (k, (x0, x1)) =>
-        val below = x0.map(belowAt).getOrElse(0L)
-        val residual = k - below
-        require(residual >= 1, s"rank window inconsistency: residual $residual")
-        val x1d = x1.toDouble
-        val winV = x0 match {
-          case Some(b0) =>
-            byV.filter(col("v") > b0.toDouble && col("v") <= x1d)
-          case None => byV.filter(col("v") <= x1d)
-        }
-        selectByRank(winV, residual,
-          x0.getOrElse(items.iterator.map(_._1).min).toDouble, x1d)
-      } finally byV.unpersist()
+      try selectByRankMulti(byV, reqs)
+      finally byV.unpersist()
     Quantiles(values, ks, n, jobs, scanned, fallback = false)
   }
 

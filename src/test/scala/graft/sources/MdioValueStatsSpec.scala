@@ -472,7 +472,8 @@ class MdioValueStatsSpec extends SparkSpec {
     // transposed layout (chunk i holds {8j+i}): every interval overlaps,
     // edges {2, 6} straddle 7 distinct chunks — ONE probe scan recounts
     // both edges, ONE window scan answers all three ranks (2 scan builds
-    // total, though six selectByRank actions run on the cached counts)
+    // total; the multi-rank selection adds two cached-frame jobs, never
+    // per-rank actions)
     val dirT = createFloat(x => ((x % 8) * 8 + x / 8).toDouble)
     val before = MdioScan.scanBuilds.get()
     val rT = MdioStats.quantilesOf(spark, dirT, "v", Seq(0.1, 0.5, 0.9))
