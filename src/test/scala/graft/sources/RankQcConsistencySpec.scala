@@ -59,8 +59,24 @@ class RankQcConsistencySpec extends SparkSpec {
     vs.filter(!_.isNaN)
 
   test("pruned rank-QC answers equal brute force on adversarial stores") {
+    runBattery(reshard = false)
+  }
+
+  test("the hierarchical (whole-shard manifest) paths agree under the same data") {
+    // one chunk per shard: every shard summary is live in the triage, so
+    // the coarse/refinement arms of every operator run on the SAME
+    // adversarial tables as the chunk-level battery
+    runBattery(reshard = true)
+  }
+
+  private def runBattery(reshard: Boolean): Unit = {
     cases.foreach { case (label, vs) =>
       val dir = create(vs)
+      if (reshard) {
+        val varDir = graft.zarr.ZarrMeta.path(dir).resolve("v")
+        MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir),
+          MdioChunkStats.current(varDir).get, span = 1)
+      }
       val fin = finite(vs)
       val sorted = fin.sorted
 
