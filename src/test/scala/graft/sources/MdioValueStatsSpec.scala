@@ -404,6 +404,12 @@ class MdioValueStatsSpec extends SparkSpec {
     // per-chunk plan leg
     assert(MdioScan.scanBuilds.get() - before == 1L,
       "grouped median must plan one scan for all slabs")
+    // the bounds join must stay BROADCAST: a sort-merge regression would
+    // shuffle the window rows once for the join and again for the
+    // cumulative window — at 100 TB that doubles the selection's exchange
+    val plan = r.result.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"bounds join regressed from broadcast:\n${plan.take(900)}")
     // NaN cells never rank: dropping cell 0 shifts slab 0's median to 8
     val dirN = createFloat(x => if (x == 0) Double.NaN else x.toDouble)
     val rN = MdioStats.medianByLead(spark, dirN, "v", 16L)
