@@ -621,6 +621,9 @@ object Bench {
     // comparator: zarr_histogram_meta (same triage + one grouped
     // chunk-subset scan, range membership in place of bins)
     "zarr_range_by_slab" -> 0.35,
+    // comparator: zarr_roundtrip-class full scan (the recompute arm reads
+    // every chunk once) + the driver sidecar audit
+    "mdio_fsck" -> 0.6,
     // comparator: zarr_stats_minmax (driver-side sidecar read, then a
     // one-row local DataFrame instead of a connector scan)
     "zarr_stats_v1_meta" -> 0.029,

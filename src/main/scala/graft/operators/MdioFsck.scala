@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Store audit — the `fsck` of an MDIO store (reference analog: the
+  * spec-level checks of `mdio/dataset_validator.h`, extended to the parts
+  * a RUNNING store can corrupt: the stats sidecar, the shard manifest,
+  * and the chunk inventory). Every storage engine needs one; at 100 TB it
+  * must audit without funneling data through the driver, so the expensive
+  * arm — recomputing per-chunk statistics and comparing them against the
+  * sidecar — runs as ONE distributed aggregation joined against the
+  * expected entries, and only FINDINGS come back. Driver memory stays at
+  * the documented metadata envelope (the sidecar itself plus one row per
+  * finding).
+  *
+  * Checks, per variable:
+  *  1. metadata sanity: dimension names resolve, chunk grid positive.
+  *  2. sidecar audit (driver, metadata-only): manifest parses; every
+  *     shard file loads at its recorded generation (a torn shard is an
+  *     ERROR); every entry's key parses, lies within the chunk grid, and
+  *     within its shard's lead range; bounds are ordered (min ≤ max);
+  *     moment counts fit the chunk's cell capacity; each shard's summary
+  *     equals what its entries derive (count, bounds union, `bounded`,
+  *     `cells`) — the r15/r16 manifest fields are load-bearing for the
+  *     rank-QC family, so their integrity is audited explicitly.
+  *  3. stats recompute (distributed, `recompute = true`): one scan
+  *     re-derives every chunk's finite-cell count, min, max, and hasNaN
+  *     and joins them against the sidecar entries; any disagreement is an
+  *     ERROR naming the chunk. Comparison is in double on both sides
+  *     (identical rounding of identical values ⇒ only real corruption
+  *     differs).
+  *  4. inventory: chunk files whose key parses but lies outside the grid
+  *     (ERROR — data no scan will ever read), shard files the manifest
+  *     does not list at their generation (WARNING — GC candidates), and
+  *     orphan stat fragments (WARNING).
+  *
+  * A stale sidecar (data generation moved past it) downgrades checks 2–3
+  * to a single WARNING — stale stats are a legal state (scans fall back),
+  * not corruption. */
+object MdioFsck {
+
+  private val findingSchema = StructType(Seq(
+    StructField("severity", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("variable", StringType, nullable = false),
+    StructField("subject", StringType, nullable = false),
+    StructField("detail", StringType, nullable = false)))
+
+  final case class Audit(findings: DataFrame, chunksAudited: Long, cells: Long)
+
+  /** Audit one variable (the data variables of a store audit one by one;
+    * dimension coordinates carry no chunk payload worth recomputing). */
+  def check(spark: SparkSession, path: String, variable: String,
+            recompute: Boolean = true): Audit = {
+    import graft.sources.MdioChunkStats
+    import graft.zarr.ZarrMeta
+    val root = ZarrMeta.path(path)
+    val (meta, attrs) = ZarrMeta.readGroup(root)._2.getOrElse(variable,
+      throw new IllegalArgumentException(s"no variable '$variable' in $path"))
+    val varDir = root.resolve(variable)
+    val driver = Seq.newBuilder[Row]
+    def add(sev: String, kind: String, subject: String, detail: String): Unit =
+      driver += Row(sev, kind, variable, subject, detail)
+
+    // 1. metadata sanity
+    val dimsOpt = meta.dimNames.orElse(attrs.flatMap(graft.sources.MdioTableUtil.arrayDimensions))
+    if (dimsOpt.isEmpty) add("error", "metadata", variable, "no dimension names")
+    val grid = meta.chunkGrid
+    if (grid.exists(_ <= 0)) add("error", "metadata", variable, s"bad chunk grid ${grid.mkString("x")}")
+    val chunkCells = meta.chunks.product
+
+    // in-domain cell capacity of a chunk (ragged edges clip)
+    def capacity(cc: Seq[Long]): Long =
+      cc.indices.map { d =>
+        math.min(meta.chunks(d), meta.shape(d) - cc(d) * meta.chunks(d))
+      }.product
+
+    // 2. sidecar audit
+    var entries = Map.empty[String, MdioChunkStats.Entry]
+    var audited = 0L
+    var cells = 0L
+    val manOpt = MdioChunkStats.currentManifest(varDir)
+    val stale = manOpt.isEmpty &&
+      (varDir.resolve(MdioChunkStats.StatsFile).exists ||
+        varDir.list().exists(_.name.startsWith(".mdio_stats")))
+    if (stale)
+      add("warning", "stats", variable,
+        "stats sidecar is stale or unreadable — scans fall back; rewrite to refresh")
+    manOpt.foreach { man =>
+      val shardIds: Seq[Long] = man.legacy match {
+        case Some(es) => entries = es; Seq.empty
+        case None => man.shards.keys.toSeq.sorted
+      }
+      shardIds.foreach { sid =>
+        val sm = man.shards(sid)
+        val got =
+          try Some(MdioChunkStats.readShard(varDir, sid, sm.gen))
+          catch { case e: Throwable =>
+            add("error", "shard", s"s$sid", s"torn or unreadable shard: ${e.getMessage}")
+            None
+          }
+        got.foreach { es =>
+          entries ++= es
+          if (sm.count >= 0 && sm.count != es.size)
+            add("error", "shard", s"s$sid",
+              s"summary count ${sm.count} != ${es.size} entries")
+          val bounded = es.valuesIterator.flatten.toSeq
+          if (sm.bounded >= 0 && sm.bounded != bounded.size)
+            add("error", "shard", s"s$sid",
+              s"summary bounded ${sm.bounded} != ${bounded.size}")
+          val (lo, hi) =
+            if (bounded.isEmpty) (None, None)
+            else (Some(bounded.map(_.min).min), Some(bounded.map(_.max).max))
+          if (sm.lo != lo || sm.hi != hi)
+            add("error", "shard", s"s$sid",
+              s"summary bounds (${sm.lo}, ${sm.hi}) != derived ($lo, $hi)")
+          sm.cells.foreach { c =>
+            if (bounded.forall(_.moments.isDefined)) {
+              val derived = bounded.flatMap(_.moments).map(_.cnt).sum
+              if (c != derived)
+                add("error", "shard", s"s$sid", s"summary cells $c != derived $derived")
+            }
+          }
+          es.keysIterator.foreach { key =>
+            val lead = key.takeWhile(_ != '.')
+            if (lead.toLong < sid * man.span || lead.toLong >= (sid + 1) * man.span)
+              add("error", "shard", s"s$sid", s"entry $key outside shard lead range")
+          }
+        }
+      }
+      entries.foreach { case (key, e) =>
+        val cc = try Some(key.split("\\.").map(_.toLong).toSeq)
+        catch { case _: Throwable => add("error", "entry", key, "unparseable key"); None }
+        cc.foreach { c =>
+          if (c.size != grid.size || c.zip(grid).exists { case (x, g) => x < 0 || x >= g })
+            add("error", "entry", key, s"outside the ${grid.mkString("x")} chunk grid")
+          else {
+            audited += 1
+            e.foreach { b =>
+              if (b.min > b.max) add("error", "entry", key, s"bounds inverted: ${b.min} > ${b.max}")
+              b.moments.foreach { m =>
+                cells += m.cnt
+                if (m.cnt < 0 || m.cnt > capacity(c))
+                  add("error", "entry", key,
+                    s"moment count ${m.cnt} exceeds chunk capacity ${capacity(c)}")
+              }
+            }
+          }
+        }
+      }
+    }
+
+    // 4. inventory: beyond-grid chunk files, unlisted shard files, orphan
+    // fragments (driver lists names only — O(objects) names stream once)
+    val keyRe = "^\\d+(\\.\\d+)*$".r
+    varDir.list().foreach { p =>
+      val n = p.name
+      if (keyRe.findFirstIn(n).isDefined && meta.version == 2) {
+        val cc = n.split("\\.").map(_.toLong).toSeq
+        if (cc.size != grid.size || cc.zip(grid).exists { case (x, g) => x >= g })
+          add("error", "inventory", n, "chunk file outside the grid — unreachable data")
+      } else if (n.startsWith(".mdio_statfrag")) {
+        add("warning", "inventory", n, "orphan stat fragment (next commit sweeps it)")
+      } else if (n.startsWith(".mdio_stats.s")) {
+        val sid = try Some(n.stripPrefix(".mdio_stats.s").stripSuffix(".json").toLong)
+        catch { case _: Throwable => None }
+        if (manOpt.isDefined && manOpt.get.legacy.isEmpty &&
+            !sid.exists(manOpt.get.shards.contains))
+          add("warning", "inventory", n, "shard file not in the manifest — GC candidate")
+      }
+    }
+
+    val driverDF = spark.createDataFrame(
+      java.util.Arrays.asList(driver.result(): _*), findingSchema)
+
+    // 3. distributed recompute vs sidecar entries
+    val recomputeDF: Option[DataFrame] =
+      if (!recompute || entries.isEmpty || dimsOpt.isEmpty) None
+      else {
+        val dims = dimsOpt.get
+        val isFloat = meta.dtype.charAt(meta.dtype.length - 2) == 'f'
+        val expected = spark.createDataFrame(
+          java.util.Arrays.asList(entries.toSeq.map { case (key, e) =>
+            Row(key,
+              e.map(b => Double.box(b.min.toDouble)).orNull,
+              e.map(b => Double.box(b.max.toDouble)).orNull,
+              if (e.isEmpty) Long.box(0L)
+              else e.flatMap(_.moments).map(m => Long.box(m.cnt)).orNull,
+              Boolean.box(e.exists(_.hasNaN) || e.isEmpty))
+          }: _*),
+          StructType(Seq(
+            StructField("key", StringType, nullable = false),
+            StructField("emin", DoubleType, nullable = true),
+            StructField("emax", DoubleType, nullable = true),
+            StructField("ecnt", LongType, nullable = true),
+            StructField("enan", BooleanType, nullable = false))))
+        val keyCol = concat_ws(".",
+          dims.zipWithIndex.map { case (d, i) =>
+            floor(col(d) / meta.chunks(i)).cast("long").cast("string") }: _*)
+        val v = col(variable)
+        val finite = if (isFloat) !isnan(v) else lit(true)
+        val actual = spark.read.format("mdio").load(path)
+          .groupBy(keyCol.as("key"))
+          .agg(count(when(finite, 1L)).as("acnt"),
+            min(when(finite, v)).cast("double").as("amin"),
+            max(when(finite, v)).cast("double").as("amax"),
+            (if (isFloat) max(when(isnan(v), true).otherwise(false))
+             else lit(false)).as("anan"))
+        val joined = actual.join(expected, Seq("key"), "full_outer")
+        Some(joined.filter( // null-safe: a one-sided null IS a finding
+          !(col("enan") <=> col("anan")) ||
+            !(col("emin") <=> col("amin")) ||
+            !(col("emax") <=> col("amax")) ||
+            (col("ecnt").isNotNull &&
+              !(col("ecnt") <=> coalesce(col("acnt"), lit(0L)))))
+          .select(lit("error").as("severity"), lit("recompute").as("kind"),
+            lit(variable).as("variable"), col("key").as("subject"),
+            concat(lit("sidecar (cnt,min,max,nan)=("),
+              concat_ws(",", col("ecnt"), col("emin"), col("emax"), col("enan")),
+              lit(") != data ("),
+              concat_ws(",", col("acnt"), col("amin"), col("amax"), col("anan")),
+              lit(")")).as("detail")))
+      }
+    Audit(recomputeDF.map(driverDF.union).getOrElse(driverDF), audited, cells)
+  }
+}

@@ -1098,6 +1098,31 @@ object Mdio {
            COUNT(*) AS n
     FROM cells CROSS JOIN cfg GROUP BY 1 ORDER BY slab"""
 
+  /** Store AUDIT on the gate (r16): [[graft.operators.MdioFsck]] — the
+    * fsck of an MDIO store (metadata sanity, shard-manifest integrity
+    * incl. the summary fields the rank-QC family rides on, a DISTRIBUTED
+    * per-chunk stats recompute joined against the sidecar, and a chunk
+    * inventory sweep). A clean store must audit clean with exact totals:
+    * zero findings, all 8 chunks audited, all 256 cells accounted. The
+    * corruption-detection arms are pinned in MdioFsckSpec (a tampered
+    * sidecar, a beyond-grid chunk file, an orphan fragment, a stale
+    * generation each produce their finding). */
+  val qMdioFsck: Q = (s, d) => {
+    val path = zarrGridWeight(s, d)
+    val a = graft.operators.MdioFsck.check(s, path, "weight")
+    val sevs = a.findings.agg(
+      count(when(col("severity") === "error", 1)).as("errors"),
+      count(when(col("severity") === "warning", 1)).as("warnings")).head
+    import s.implicits._
+    Seq((sevs.getLong(0), sevs.getLong(1), a.chunksAudited, a.cells))
+      .toDF("errors", "warnings", "chunks_audited", "cells")
+  }
+
+  val qMdioFsckSql: String = """
+    SELECT CAST(0 AS BIGINT) AS errors, CAST(0 AS BIGINT) AS warnings,
+           CAST(8 AS BIGINT) AS chunks_audited, COUNT(*) AS cells
+    FROM range(32) r1(i) CROSS JOIN range(8) r2(j)"""
+
   /** TRAILING-DIM grouped-key storage-partitioned join on the gate (r14):
     * the fusion fold under `groupFactor=1,2` — the PER-DIM form for stores
     * whose chunk count lives in trailing dims (e.g. 4×2048×2048 chunks,
@@ -2453,6 +2478,7 @@ object Mdio {
     "zarr_argmax_location"  -> qZarrArgmaxLocation,
     "zarr_histogram_meta"   -> qZarrHistogramMeta,
     "zarr_range_by_slab"    -> qZarrRangeBySlab,
+    "mdio_fsck"             -> qMdioFsck,
     "zarr_topk_value"       -> qZarrTopkValue,
     "mdio_rechunk"          -> qMdioRechunk,
     "mdio_reshard"          -> qMdioReshard,
@@ -2521,6 +2547,7 @@ object Mdio {
     "zarr_argmax_location"  -> qZarrArgmaxLocationSql,
     "zarr_histogram_meta"   -> qZarrHistogramMetaSql,
     "zarr_range_by_slab"    -> qZarrRangeBySlabSql,
+    "mdio_fsck"             -> qMdioFsckSql,
     "zarr_topk_value"       -> qZarrTopkValueSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
     "mdio_reshard"          -> qMdioReshardSql,

@@ -1,0 +1,88 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.MdioFsck
+import graft.spec.MdioSpec
+import graft.zarr.ZarrMeta
+import java.nio.file.Files
+
+/** [[MdioFsck]] — every corruption class the audit claims to detect,
+  * injected for real: a clean store audits clean with exact totals, a
+  * tampered sidecar bound is caught by the DISTRIBUTED recompute, a
+  * beyond-grid chunk file and an orphan stat fragment surface from the
+  * inventory sweep, a garbage shard file reads as torn, and a stale
+  * generation downgrades to the single legal-state warning. */
+class MdioFsckSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def create(): String = {
+    val dir = Files.createTempDirectory("mdio_fsck").resolve("s.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "s", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "x", "dataType": "int64",
+        |     "dimensions": [{"name": "x", "size": 64}]},
+        |    {"name": "v", "dataType": "float64",
+        |     "dimensions": [{"name": "x", "size": 64}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    MdioWriter.writeVariable(spark,
+      spark.range(64).select($"id".as("x"), $"id".cast("double").as("v")), dir, "v")
+    dir
+  }
+
+  private def findings(dir: String) =
+    MdioFsck.check(spark, dir, "v").findings
+      .select("severity", "kind", "subject").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+
+  test("a clean store audits clean with exact totals") {
+    val dir = create()
+    val a = MdioFsck.check(spark, dir, "v")
+    assert(a.findings.count() == 0L, a.findings.collect().mkString("\n"))
+    assert(a.chunksAudited == 8L && a.cells == 64L, a)
+    MdioWriter.delete(dir)
+  }
+
+  test("a tampered sidecar bound is caught by the distributed recompute") {
+    val dir = create()
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    val entries = MdioChunkStats.current(varDir).get
+    val bad = entries.updated("3",
+      entries("3").map(b => b.copy(min = b.min + 1))) // claims min 25, data has 24
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir), bad)
+    val f = findings(dir)
+    assert(f == Seq(("error", "recompute", "3")), f)
+    MdioWriter.delete(dir)
+  }
+
+  test("inventory: beyond-grid chunk files and orphan fragments surface") {
+    val dir = create()
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    varDir.resolve("9").write(Array[Byte](1, 2, 3)) // grid has chunks 0-7
+    varDir.resolve(".mdio_statfrag.deadjob.x").writeString("[]")
+    val f = findings(dir)
+    assert(f.contains(("error", "inventory", "9")) &&
+      f.contains(("warning", "inventory", ".mdio_statfrag.deadjob.x")), f)
+    MdioWriter.delete(dir)
+  }
+
+  test("a garbage shard file reads as torn; stale stats downgrade to one warning") {
+    val dir = create()
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir),
+      MdioChunkStats.current(varDir).get, span = 4)
+    varDir.resolve(MdioChunkStats.shardFile(1L)).writeString("{ not json")
+    val torn = findings(dir)
+    assert(torn.exists(x => x._1 == "error" && x._2 == "shard" && x._3 == "s1"), torn)
+    // stale: bump the data generation past the sidecar — one warning, no
+    // recompute false-positives (stale is a legal state, not corruption)
+    val dir2 = create()
+    MdioChunkStats.bump(ZarrMeta.path(dir2).resolve("v"))
+    val f2 = findings(dir2)
+    assert(f2 == Seq(("warning", "stats", "v")), f2)
+    MdioWriter.delete(dir); MdioWriter.delete(dir2)
+  }
+}
