@@ -50,6 +50,21 @@ object MdioFsck {
 
   final case class Audit(findings: DataFrame, chunksAudited: Long, cells: Long)
 
+  /** Audit EVERY variable of a store (coordinates included — they are
+    * chunked arrays too): the per-variable audits union into one findings
+    * frame, totals sum. The expensive recompute arm still runs as one
+    * scan per variable; nothing beyond findings reaches the driver. */
+  def checkAll(spark: SparkSession, path: String,
+               recompute: Boolean = true): Audit = {
+    import graft.zarr.ZarrMeta
+    val vars = ZarrMeta.readGroup(ZarrMeta.path(path))._2.keys.toSeq.sorted
+    require(vars.nonEmpty, s"no variables in $path")
+    vars.map(check(spark, path, _, recompute)).reduce { (a, b) =>
+      Audit(a.findings.union(b.findings),
+        a.chunksAudited + b.chunksAudited, a.cells + b.cells)
+    }
+  }
+
   /** Audit one variable (the data variables of a store audit one by one;
     * dimension coordinates carry no chunk payload worth recomputing). */
   def check(spark: SparkSession, path: String, variable: String,
@@ -69,7 +84,6 @@ object MdioFsck {
     if (dimsOpt.isEmpty) add("error", "metadata", variable, "no dimension names")
     val grid = meta.chunkGrid
     if (grid.exists(_ <= 0)) add("error", "metadata", variable, s"bad chunk grid ${grid.mkString("x")}")
-    val chunkCells = meta.chunks.product
 
     // in-domain cell capacity of a chunk (ragged edges clip)
     def capacity(cc: Seq[Long]): Long =
@@ -84,7 +98,7 @@ object MdioFsck {
     val manOpt = MdioChunkStats.currentManifest(varDir)
     val stale = manOpt.isEmpty &&
       (varDir.resolve(MdioChunkStats.StatsFile).exists ||
-        varDir.list().exists(_.name.startsWith(".mdio_stats")))
+        varDir.listIterator().exists(_.name.startsWith(".mdio_stats")))
     if (stale)
       add("warning", "stats", variable,
         "stats sidecar is stale or unreadable — scans fall back; rewrite to refresh")
@@ -98,10 +112,17 @@ object MdioFsck {
         val got =
           try Some(MdioChunkStats.readShard(varDir, sid, sm.gen))
           catch { case e: Throwable =>
-            add("error", "shard", s"s$sid", s"torn or unreadable shard: ${e.getMessage}")
+            add("error", "shard", s"s$sid", s"unreadable shard: ${e.getMessage}")
             None
           }
-        got.foreach { es =>
+        // readShard returns EMPTY (never throws) on garbage content or a
+        // generation mismatch; a written shard is never empty, so empty
+        // against a non-zero (or pre-summary, -1) recorded count IS torn
+        got.filter { es =>
+          if (es.isEmpty && sm.count != 0) add("error", "shard", s"s$sid",
+            "torn shard: file unreadable or generation-mismatched")
+          es.nonEmpty
+        }.foreach { es =>
           entries ++= es
           if (sm.count >= 0 && sm.count != es.size)
             add("error", "shard", s"s$sid",
@@ -124,9 +145,12 @@ object MdioFsck {
             }
           }
           es.keysIterator.foreach { key =>
-            val lead = key.takeWhile(_ != '.')
-            if (lead.toLong < sid * man.span || lead.toLong >= (sid + 1) * man.span)
-              add("error", "shard", s"s$sid", s"entry $key outside shard lead range")
+            scala.util.Try(key.takeWhile(_ != '.').toLong).toOption match {
+              case Some(lead) =>
+                if (lead < sid * man.span || lead >= (sid + 1) * man.span)
+                  add("error", "shard", s"s$sid", s"entry $key outside shard lead range")
+              case None => // reported once, by the entries loop's key parse
+            }
           }
         }
       }
@@ -153,9 +177,11 @@ object MdioFsck {
     }
 
     // 4. inventory: beyond-grid chunk files, unlisted shard files, orphan
-    // fragments (driver lists names only — O(objects) names stream once)
+    // fragments — the listing drains LAZILY (Hadoop pages under the
+    // iterator), so the driver holds one name at a time, not the ~1.6 M
+    // chunk names of the 100 TB envelope
     val keyRe = "^\\d+(\\.\\d+)*$".r
-    varDir.list().foreach { p =>
+    varDir.listIterator().foreach { p =>
       val n = p.name
       if (keyRe.findFirstIn(n).isDefined && meta.version == 2) {
         val cc = n.split("\\.").map(_.toLong).toSeq

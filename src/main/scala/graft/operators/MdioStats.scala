@@ -225,12 +225,14 @@ object MdioStats {
         s"variable '$variable' carries no dimension names"))
     require(!dims.contains(variable),
       s"'$variable' is a dimension coordinate — count its index range instead")
+    // exact range membership in the column's own type — consistent with
+    // the BigDecimal chunk triage (see rangePred)
     def filtered(df: org.apache.spark.sql.DataFrame) =
-      df.filter(col(variable) >= lo && col(variable) <= hi)
+      df.filter(rangePred(col(variable), df.schema(variable).dataType, lo, hi))
     def fullScanCount(): Long =
       filtered(spark.read.format("mdio").load(path)).count()
 
-    val (loB, hiB) = (BigDecimal(lo), BigDecimal(hi))
+    val (loB, hiB) = (exactBig(lo), exactBig(hi))
     MdioChunkStats.currentManifest(root.resolve(variable)) match {
       case None => CountInRange(fullScanCount(), 0L, 0L, 0L, fallback = true)
       case Some(man) =>
@@ -317,6 +319,96 @@ object MdioStats {
     * bucket's distinct values. */
   private val RankBuckets = 1024
 
+  /** The EXACT binary value of a double as BigDecimal — scala's
+    * `BigDecimal(d)` routes through `valueOf` (shortest decimal string),
+    * which at magnitudes past 2^53 names a DIFFERENT real number than the
+    * double the scan compares against (2^63.toDouble stringifies as
+    * ...776E18, exact value ...775808). Every triage edge must be the
+    * same number the scan predicate uses. */
+  private[graft] def exactBig(d: Double): BigDecimal =
+    BigDecimal(new java.math.BigDecimal(d))
+
+  /** Scan-side literal for a SIDECAR-DERIVED edge (a chunk bound — always
+    * a value of the column's domain): DECIMAL columns compare against the
+    * exact decimal — the u64 surface past 2^53 must not round through
+    * double, since the metadata side of the same comparison is exact and
+    * a half-ulp disagreement misranks; integral columns against the exact
+    * long (bounds of integral data are whole, and long-vs-long comparison
+    * never promotes to double); float/double columns against the
+    * double/float, which IS the value. */
+  private[graft] def edgeLit(x: BigDecimal,
+                             dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: DecimalType => lit(x.underlying)
+      case LongType | IntegerType | ShortType | ByteType => lit(x.toLongExact)
+      case FloatType => lit(x.toFloat)
+      case _ => lit(x.toDouble)
+    }
+  }
+
+  /** The Spark type sidecar edges take beside column type `dt` (what
+    * [[edgeLit]] produces): decimals stay themselves, integrals widen to
+    * long, floats/doubles stay. */
+  private[graft] def edgeType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case d: DecimalType => d
+      case LongType | IntegerType | ShortType | ByteType => LongType
+      case FloatType => FloatType
+      case _ => DoubleType
+    }
+  }
+
+  /** A sidecar edge as a PLAIN VALUE of [[edgeType]] (for broadcast-frame
+    * rows, where [[edgeLit]]'s literal form can't be used). */
+  private[graft] def edgeValue(x: BigDecimal,
+                               dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: DecimalType => x.underlying
+      case LongType | IntegerType | ShortType | ByteType => Long.box(x.toLongExact)
+      case FloatType => Float.box(x.toFloat)
+      case _ => Double.box(x.toDouble)
+    }
+  }
+
+  /** Closed-range predicate `lo ≤ v ≤ hi` with USER-SUPPLIED double edges,
+    * evaluated consistently with the exact metadata triage: integral
+    * columns (incl. the u64 decimal surface) snap the edges INWARD to the
+    * nearest integers — for integral v, `v ≥ lo ⇔ v ≥ ⌈lo⌉` — so the
+    * comparison runs in the column's own type and a value within half an
+    * ulp of an edge can never be double-misclassified against the
+    * BigDecimal arithmetic the chunk triage used. Float/double columns
+    * compare in double, which is exact (the edges ARE doubles). Integral
+    * edges beyond the Long range collapse to constant true/false. */
+  private[graft] def rangePred(vcol: org.apache.spark.sql.Column,
+                               dt: org.apache.spark.sql.types.DataType,
+                               lo: Double, hi: Double): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    def snap(x: Double, up: Boolean): BigDecimal =
+      exactBig(x).setScale(0,
+        if (up) BigDecimal.RoundingMode.CEILING else BigDecimal.RoundingMode.FLOOR)
+    dt match {
+      case d: DecimalType if d.scale == 0 => // the u64 surface: integral
+        vcol >= lit(snap(lo, up = true).underlying) &&
+          vcol <= lit(snap(hi, up = false).underlying)
+      case LongType | IntegerType | ShortType | ByteType =>
+        val l = snap(lo, up = true)
+        val h = snap(hi, up = false)
+        val loP = if (l > BigDecimal(Long.MaxValue)) lit(false)
+          else if (l < BigDecimal(Long.MinValue)) lit(true)
+          else vcol >= lit(l.toLongExact)
+        val hiP = if (h < BigDecimal(Long.MinValue)) lit(false)
+          else if (h > BigDecimal(Long.MaxValue)) lit(true)
+          else vcol <= lit(h.toLongExact)
+        loP && hiP
+      case _ => vcol >= lit(lo) && vcol <= lit(hi)
+    }
+  }
+
   /** Locate the bucket holding the `rank`-th cell given per-bucket cell
     * counts (any order): (bucketId, cellsBeforeThatBucket). Pure Long
     * arithmetic — ranks past 2³¹ (a median at the 100 TB envelope is
@@ -368,9 +460,13 @@ object MdioStats {
 
   /** One rank request for [[selectByRankMulti]]: select the `residual`-th
     * smallest value among `byV` rows with `x0 < v ≤ x1` (x0 None ⇒ no
-    * lower edge); `lo`/`hi` are approximate covers for the bucket span,
-    * exactly as in [[selectByRank]]. */
-  private[graft] final case class RankReq(x0: Option[Double], x1: Double,
+    * lower edge). The edges are COLUMNS (built with [[edgeLit]]) so the
+    * window membership compares in the value's native type — a u64 edge
+    * past 2^53 must not round through double. `lo`/`hi` are approximate
+    * double covers for the bucket span, exactly as in [[selectByRank]]
+    * (buckets only need determinism, not exactness). */
+  private[graft] final case class RankReq(x0: Option[org.apache.spark.sql.Column],
+                                          x1: org.apache.spark.sql.Column,
                                           lo: Double, hi: Double,
                                           residual: Long)
 
@@ -385,7 +481,9 @@ object MdioStats {
     * p01/p50/p99 readout pays the same two cached-frame jobs as one
     * median. */
   private[graft] def selectByRankMulti(byV: org.apache.spark.sql.DataFrame,
-                                       reqs: Seq[RankReq]): Seq[Double] = {
+                                       reqs: Seq[RankReq],
+                                       et: org.apache.spark.sql.types.DataType)
+      : Seq[Double] = {
     import org.apache.spark.sql.expressions.Window
     if (reqs.isEmpty) return Seq.empty
     def reqArr(extra: Seq[(Int, Long, Long)] = Nil) = explode(array(
@@ -394,8 +492,8 @@ object MdioStats {
         val more = extra.find(_._1 == i).map { case (_, b, need) =>
           Seq(lit(b).as("cb"), lit(need).as("need")) }.getOrElse(Nil)
         struct(Seq(lit(i).as("id"),
-          lit(r.x0.map(Double.box).orNull).cast("double").as("x0"),
-          lit(r.x1).as("x1"), lit(r.lo).as("blo"),
+          r.x0.getOrElse(lit(null)).cast(et).as("x0"),
+          r.x1.cast(et).as("x1"), lit(r.lo).as("blo"),
           lit(width).as("bw")) ++ more: _*)
       }: _*))
     def windowed(extra: Seq[(Int, Long, Long)]) = {
@@ -508,6 +606,7 @@ object MdioStats {
     def dropNaN(df: org.apache.spark.sql.DataFrame) =
       if (isFloat) df.filter(!isnan(col(variable))) else df
     def base = spark.read.format("mdio").load(path)
+    val vt = base.schema(variable).dataType
     // exact full-scan fallback (stale/absent stats, or an uncapped probe):
     // grouped distinct-value counts + Long-rank selection — no global
     // sort, no Int offset, one scan
@@ -626,7 +725,7 @@ object MdioStats {
             spark.read.format("mdio")
               .option("chunkKeys", straddle.map(_.mkString(".")).mkString(","))
               .load(path)
-              .filter(col(variable) <= b0.toDouble).count()
+              .filter(col(variable) <= edgeLit(b0, vt)).count()
           }
         items.iterator.collect { case (_, h, c) if h <= b0 => c }.sum + exact
     }
@@ -644,8 +743,9 @@ object MdioStats {
     val x1d = x1.toDouble
     val winScan = x0 match {
       case Some(b0) =>
-        base.filter(col(variable) > b0.toDouble && col(variable) <= x1d)
-      case None => dropNaN(base.filter(col(variable) <= x1d))
+        base.filter(col(variable) > edgeLit(b0, vt) &&
+          col(variable) <= edgeLit(x1, vt))
+      case None => dropNaN(base.filter(col(variable) <= edgeLit(x1, vt)))
     }
     val residual = k - below
     require(residual >= 1, s"rank window inconsistency: residual $residual")
@@ -707,6 +807,7 @@ object MdioStats {
     def dropNaN(df: org.apache.spark.sql.DataFrame) =
       if (isFloat) df.filter(!isnan(col(variable))) else df
     def base = spark.read.format("mdio").load(path)
+    val vt = base.schema(variable).dataType
     def ksOf(n: Long): Seq[Long] = ps.map(p =>
       (BigDecimal(p) * n).setScale(0, BigDecimal.RoundingMode.CEILING).toLong)
     def scanFallback(): Quantiles = {
@@ -714,13 +815,15 @@ object MdioStats {
         .groupBy(col("v")).agg(count(lit(1L)).as("c")).persist()
       try {
         val mm = byV.agg(min(col("v").cast("double")), max(col("v").cast("double")),
-          sum(col("c"))).head
+          sum(col("c")), max(col("v"))).head
         val total = if (mm.isNullAt(2)) 0L else mm.getLong(2)
+        require(total >= 1, s"no finite cells to rank in '$variable'")
         val ks = ksOf(total)
         require(ks.forall(_ <= total), s"ranks $ks exceed $total finite cells")
         val reqs = ks.map(k =>
-          RankReq(None, mm.getDouble(1), mm.getDouble(0), mm.getDouble(1), k))
-        Quantiles(selectByRankMulti(byV, reqs), ks, total, 0, 0L, fallback = true)
+          RankReq(None, lit(mm.get(3)), mm.getDouble(0), mm.getDouble(1), k))
+        Quantiles(selectByRankMulti(byV, reqs, edgeType(vt)),
+          ks, total, 0, 0L, fallback = true)
       } finally byV.unpersist()
     }
 
@@ -751,6 +854,7 @@ object MdioStats {
     if (!usable) return scanFallback()
     val n = coarse.valuesIterator.map(_._3).sum +
       fine.iterator.map(_._2.moments.get.cnt).sum
+    require(n >= 1, s"no finite cells to rank in '$variable'")
     val ks = ksOf(n)
     require(ks.forall(_ <= n), s"ranks $ks exceed $n finite cells")
 
@@ -798,7 +902,7 @@ object MdioStats {
       else {
         scanned += probeChunks.size
         jobs += 1
-        val aggs = edges.map(e => count(when(col(variable) <= e.toDouble, 1L))
+        val aggs = edges.map(e => count(when(col(variable) <= edgeLit(e, vt), 1L))
           .as(s"e${edges.indexOf(e)}"))
         val row = spark.read.format("mdio")
           .option("chunkKeys", probeChunks.map(_.mkString(".")).mkString(","))
@@ -836,8 +940,9 @@ object MdioStats {
     jobs += 1
     val unionPred = brackets.map { case (x0, x1) =>
       x0 match {
-        case Some(b0) => col(variable) > b0.toDouble && col(variable) <= x1.toDouble
-        case None => col(variable) <= x1.toDouble
+        case Some(b0) => col(variable) > edgeLit(b0, vt) &&
+          col(variable) <= edgeLit(x1, vt)
+        case None => col(variable) <= edgeLit(x1, vt)
       }
     }.reduce(_ || _)
     val byV = spark.read.format("mdio")
@@ -849,12 +954,12 @@ object MdioStats {
       val below = x0.map(belowAt).getOrElse(0L)
       val residual = k - below
       require(residual >= 1, s"rank window inconsistency: residual $residual")
-      RankReq(x0.map(_.toDouble), x1.toDouble,
+      RankReq(x0.map(edgeLit(_, vt)), edgeLit(x1, vt),
         x0.getOrElse(items.iterator.map(_._1).min).toDouble, x1.toDouble,
         residual)
     }
     val values =
-      try selectByRankMulti(byV, reqs)
+      try selectByRankMulti(byV, reqs, edgeType(vt))
       finally byV.unpersist()
     Quantiles(values, ks, n, jobs, scanned, fallback = false)
   }
@@ -1170,8 +1275,10 @@ object MdioStats {
     val gCols: Seq[Column] = dims.zip(groupSizes).zip(gNames).map {
       case ((dn, gs), gn) => floor(col(dn) / gs).cast("long").as(gn)
     }
-    val inRange = col(variable) >= lo && col(variable) <= hi
     def base = spark.read.format("mdio").load(path)
+    // exact range membership in the column's own type — consistent with
+    // the BigDecimal chunk triage (see rangePred)
+    val inRange = rangePred(col(variable), base.schema(variable).dataType, lo, hi)
     val outSchema = StructType(
       dims.map(d => StructField(s"g_$d", LongType, nullable = false)) ++
         Seq(StructField("cnt", LongType, nullable = false),
@@ -1208,7 +1315,7 @@ object MdioStats {
     def groupOf(cc: Seq[Long]): Seq[Long] =
       cc.zip(cpg).map { case (c, n) => c / n }
 
-    val (loB, hiB) = (BigDecimal(lo), BigDecimal(hi))
+    val (loB, hiB) = (exactBig(lo), exactBig(hi))
     val inCnt = scala.collection.mutable.Map.empty[Seq[Long], Long].withDefaultValue(0L)
     val total = scala.collection.mutable.Map.empty[Seq[Long], Long].withDefaultValue(0L)
     var metaChunks = 0L
@@ -1343,6 +1450,7 @@ object MdioStats {
     }
     val outG = gNames.zip(dims).map { case (gn, d) => col(gn).as(s"g_$d") }
     def base = spark.read.format("mdio").load(path)
+    val vt = base.schema(variable).dataType
     val rowFrame = org.apache.spark.sql.expressions.Window
       .partitionBy(gNames.map(col): _*).orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -1508,9 +1616,9 @@ object MdioStats {
         val edges = groupedDF(
           states.collect {
             case st if st.x0.isDefined && straddlersByG(st.g).nonEmpty =>
-              Row.fromSeq(st.g :+ st.x0.get.toDouble)
+              Row.fromSeq(st.g :+ edgeValue(st.x0.get, vt))
           },
-          Seq(StructField("x0", DoubleType, nullable = false)))
+          Seq(StructField("x0", edgeType(vt), nullable = false)))
         spark.read.format("mdio")
           .option("chunkKeys", straddlersByG.valuesIterator.flatten
             .map(_.mkString(".")).mkString(","))
@@ -1537,11 +1645,11 @@ object MdioStats {
         val residual = st.k - below
         require(residual >= 1,
           s"rank window inconsistency in group ${st.g}: residual $residual")
-        Row.fromSeq(st.g ++ Seq(st.x0.map(_.toDouble).orNull,
-          st.x1.toDouble, residual, st.n))
+        Row.fromSeq(st.g ++ Seq(st.x0.map(edgeValue(_, vt)).orNull,
+          edgeValue(st.x1, vt), residual, st.n))
       },
-      Seq(StructField("x0", DoubleType, nullable = true),
-        StructField("x1", DoubleType, nullable = false),
+      Seq(StructField("x0", edgeType(vt), nullable = true),
+        StructField("x1", edgeType(vt), nullable = false),
         StructField("residual", LongType, nullable = false),
         StructField("n", LongType, nullable = false)))
     val windowChunks = states.flatMap { st =>

@@ -966,7 +966,14 @@ object MdioWriter {
     * millions of files each, exactly where serial driver recursion is the
     * bottleneck). */
   private def distributedDelete(paths: Seq[VPath], recursive: Boolean): Unit = {
-    def del(p: VPath): Unit = if (recursive) p.deleteRecursive() else p.delete()
+    // non-recursive deletes tolerate a DIRECTORY that slipped through a
+    // name-only doom filter (a junk dir named like a chunk key): the old
+    // listing filtered on isFile status; the streamed name-only listing
+    // cannot, so the skip moves here — fs.delete(dir, false) throws on
+    // HDFS-likes and the trim must not abort over foreign junk
+    def del(p: VPath): Unit =
+      if (recursive) p.deleteRecursive()
+      else try p.delete() catch { case _: java.io.IOException => () }
     if (paths.isEmpty) return
     SparkSession.getActiveSession match {
       case Some(s) if paths.size > (if (recursive) 1 else DeleteBatch / 8) =>
@@ -978,7 +985,8 @@ object MdioWriter {
           VPath.install(hconf.value) // executor JVMs have no SparkSession
           it.foreach { u =>
             val p = VPath(u)
-            if (recursive) p.deleteRecursive() else p.delete()
+            if (recursive) p.deleteRecursive()
+            else try p.delete() catch { case _: java.io.IOException => () }
           }
         }
       case _ => paths.foreach(del)

@@ -46,6 +46,17 @@ class MdioFsckSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("checkAll audits every variable, coordinates included") {
+    val dir = create()
+    val a = MdioFsck.checkAll(spark, dir)
+    // v: 8 chunks / 64 cells; the x coordinate array audits too (its own
+    // sidecar state contributes whatever it has — no errors either way)
+    assert(a.findings.filter($"severity" === "error").count() == 0L,
+      a.findings.collect().mkString("\n"))
+    assert(a.chunksAudited >= 8L && a.cells >= 64L, a)
+    MdioWriter.delete(dir)
+  }
+
   test("a tampered sidecar bound is caught by the distributed recompute") {
     val dir = create()
     val varDir = ZarrMeta.path(dir).resolve("v")
@@ -66,6 +77,21 @@ class MdioFsckSpec extends SparkSpec {
     val f = findings(dir)
     assert(f.contains(("error", "inventory", "9")) &&
       f.contains(("warning", "inventory", ".mdio_statfrag.deadjob.x")), f)
+    MdioWriter.delete(dir)
+  }
+
+  test("a corrupt chunk key inside a shard is a finding, not a crash") {
+    val dir = create()
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir),
+      MdioChunkStats.current(varDir).get, span = 4)
+    // corrupt shard 0's key "0" into a non-numeric key in place — the
+    // audit must keep going and name the entry (checks 2-4 still run)
+    val sf = varDir.resolve(MdioChunkStats.shardFile(0L))
+    sf.writeString(new String(sf.readBytesOrNull(), "UTF-8")
+      .replaceFirst("\"0\":", "\"bogus\":"))
+    val f = findings(dir)
+    assert(f.contains(("error", "entry", "bogus")), f)
     MdioWriter.delete(dir)
   }
 

@@ -635,6 +635,54 @@ class MdioValueStatsSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("rank-QC edges compare exactly past 2^53 (int64 never rounds through double)") {
+    import graft.operators.MdioStats
+    // odd int64 values past 2^53: every value is UNrepresentable as a
+    // double (rounds to the even neighbor), so any double-promoted edge
+    // comparison misclassifies values within half an ulp of an edge
+    val dir = Files.createTempDirectory("mdio_vstats").resolve("i.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "i", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "x", "dataType": "int64",
+        |     "dimensions": [{"name": "x", "size": 64}]},
+        |    {"name": "v", "dataType": "int64",
+        |     "dimensions": [{"name": "x", "size": 64}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    val two53 = 9007199254740992L // 2^53
+    MdioWriter.writeVariable(spark,
+      spark.range(64).select($"id".as("x"),
+        (lit(two53) + $"id" * 2 + 1).as("v")), dir, "v")
+    // [2^53, 2^53+40]: chunk 2 ([+33, +47]) straddles hi and must count
+    // EXACTLY {+33,+35,+37,+39} = 4 — the double route counts +41 too
+    // (it rounds to +40) and answers 21
+    val r = MdioStats.countInRange(spark, dir, "v",
+      two53.toDouble, (two53 + 40).toDouble)
+    assert(r == MdioStats.CountInRange(20L, 2L, 5L, 1L, fallback = false), r)
+    // the rank bracket's window edges take the same exact path
+    val k = MdioStats.kthSmallest(spark, dir, "v", 20L)
+    assert(!k.fallback && k.value == (two53 + 39).toDouble, k)
+    MdioWriter.delete(dir)
+  }
+
+  test("quantilesOf on a variable with no finite cells fails loudly, both paths") {
+    import graft.operators.MdioStats
+    val dir = createFloat(_ => Double.NaN)
+    val e1 = intercept[IllegalArgumentException] {
+      MdioStats.quantilesOf(spark, dir, "v", Seq(0.5))
+    }
+    assert(e1.getMessage.contains("no finite cells"), e1.getMessage)
+    MdioChunkStats.bump(ZarrMeta.path(dir).resolve("v"))
+    val e2 = intercept[IllegalArgumentException] {
+      MdioStats.quantilesOf(spark, dir, "v", Seq(0.5))
+    }
+    assert(e2.getMessage.contains("no finite cells"), e2.getMessage)
+    MdioWriter.delete(dir)
+  }
+
   test("medianByBox: per-tile medians over 2-D chunk-aligned boxes") {
     import graft.operators.MdioStats
     // 16x8 store, 4x4 chunks (4x2 grid); v = inline. Tiles of 8x4 = 2x1
@@ -1488,6 +1536,12 @@ class MdioValueStatsSpec extends SparkSpec {
     assert(p.contains("MdioAggScan"), p.take(700))
     val r = agg.head
     assert(BigDecimal(r.getDecimal(0)) == twoTo63 && BigDecimal(r.getDecimal(1)) == twoTo63 + 63)
+    // exact range membership on the decimal surface: [2^63, 2^63] holds
+    // exactly ONE cell — a double-promoted comparison would admit every
+    // cell of the straddler chunk (they all round to 2^63)
+    val rr = graft.operators.MdioStats.countInRange(spark, dir, "u",
+      twoTo63.toDouble, twoTo63.toDouble)
+    assert(rr.count == 1L && !rr.fallback && rr.scannedChunks == 1L, rr)
     MdioWriter.delete(dir)
   }
 
