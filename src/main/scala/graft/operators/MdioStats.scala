@@ -528,6 +528,63 @@ object MdioStats {
       throw new IllegalStateException(s"rank request $i selected no value")))
   }
 
+  /** The hierarchical rank-item state [[kthSmallest]] and [[quantilesOf]]
+    * share: FINE items (opened per-chunk bounds, moments required) and
+    * COARSE items (unopened whole-shard manifest summaries, one
+    * [lo, hi]×cells interval each), built by one walk of the manifest.
+    * `usable` drops on any cell unaccounted for with moments (missing
+    * entry, missing moments, torn shard) — callers fall back to their
+    * exact full scan. [[openCoarse]] refines: shards whose bounds satisfy
+    * the caller's window predicate open into fine items (ONE round
+    * suffices — finer detail only SHRINKS brackets, so a shard touching
+    * the shrunk window touched the coarse one and is already open;
+    * interior shards NEVER open — that is ShardMeta's O(manifest)
+    * promise). */
+  private final class RankItems(varDir: graft.zarr.VPath,
+                                man: graft.sources.MdioChunkStats.Manifest,
+                                grid: Seq[Long]) {
+    import graft.sources.MdioChunkStats
+    val fine = scala.collection.mutable.ArrayBuffer.empty[(Seq[Long], MdioChunkStats.Bounds)]
+    var coarse = Map.empty[Long, (BigDecimal, BigDecimal, Long)] // sid -> (lo, hi, cells)
+    var usable = true
+    private def intake(cc: Seq[Long], eOpt: Option[MdioChunkStats.Entry]): Unit = eOpt match {
+      case Some(Some(b)) if b.moments.isDefined => fine += ((cc, b))
+      case Some(None) => () // all-NaN chunk: never ranks
+      case _ => usable = false
+    }
+    walkShards(varDir, man, grid) { (sid, sm) =>
+      sm.cells.isDefined && {
+        (sm.lo, sm.hi) match {
+          case (Some(l), Some(h)) => coarse = coarse.updated(sid, (l, h, sm.cells.get))
+          case _ => () // all-NaN shard: proven cells = 0, contributes nothing
+        }
+        true
+      }
+    }(intake)
+    /** Total finite cells across both granularities. */
+    def n: Long = coarse.valuesIterator.map(_._3).sum +
+      fine.iterator.map(_._2.moments.get.cnt).sum
+    /** Rank intervals over MIXED granularity — whole-shard summaries and
+      * opened chunks are both just [lo, hi] intervals carrying a
+      * finite-cell count, exactly what [[bracketItems]] consumes. */
+    def items: IndexedSeq[(BigDecimal, BigDecimal, Long)] =
+      (coarse.valuesIterator ++
+        fine.iterator.map { case (_, b) => (b.min, b.max, b.moments.get.cnt) })
+        .toIndexedSeq
+    /** Open every coarse shard whose [lo, hi] satisfies `touches` into
+      * fine items; true when any opened (the caller re-brackets). */
+    def openCoarse(touches: (BigDecimal, BigDecimal) => Boolean): Boolean = {
+      val toOpen = coarse.collect { case (sid, (l, h, _)) if touches(l, h) => sid }
+      toOpen.foreach { sid =>
+        coarse -= sid
+        feedKeys(grid, sid * man.span,
+          math.min((sid + 1) * man.span, grid.head),
+          MdioChunkStats.readShard(varDir, sid, man.shards(sid).gen))(intake)
+      }
+      toOpen.nonEmpty
+    }
+  }
+
   /** Metadata-only rank bracket over interval items (lo, hi, cnt) — each
     * a chunk's or a whole shard's [min, max]×finite-cells record. The
     * per-item counts give CERTAIN rank bounds without touching data:
@@ -629,68 +686,21 @@ object MdioStats {
     val man = manOpt.get
     val grid = meta.chunkGrid
 
-    // Shard-resolved rank items (the HIERARCHICAL bracket): a complete
-    // shard whose manifest summary carries moments coverage (`cells`
-    // defined) joins the rank arithmetic as ONE coarse [lo, hi]×cells
-    // interval WITHOUT its file being opened; shards the summary cannot
-    // vouch for open now and contribute per-chunk (coords, bounds) fine
-    // items. Any cell unaccounted for with moments (missing entry,
-    // missing moments, torn shard) falls back to the exact full scan.
-    val fine = scala.collection.mutable.ArrayBuffer.empty[(Seq[Long], MdioChunkStats.Bounds)]
-    var coarse = Map.empty[Long, (BigDecimal, BigDecimal, Long)] // sid -> (lo, hi, cells)
-    var usable = true
-    def intake(cc: Seq[Long], eOpt: Option[MdioChunkStats.Entry]): Unit = eOpt match {
-      case Some(Some(b)) if b.moments.isDefined => fine += ((cc, b))
-      case Some(None) => () // all-NaN chunk: never ranks
-      case _ => usable = false
-    }
-    walkShards(varDir, man, grid) { (sid, sm) =>
-      sm.cells.isDefined && {
-        (sm.lo, sm.hi) match {
-          case (Some(l), Some(h)) => coarse = coarse.updated(sid, (l, h, sm.cells.get))
-          case _ => () // all-NaN shard: proven cells = 0, contributes nothing
-        }
-        true
-      }
-    }(intake)
-    if (!usable) return scanFallback()
-    val n = coarse.valuesIterator.map(_._3).sum +
-      fine.iterator.map(_._2.moments.get.cnt).sum
+    // shard-resolved rank items, mixed granularity (see RankItems)
+    val ri = new RankItems(varDir, man, grid)
+    if (!ri.usable) return scanFallback()
+    val n = ri.n
     require(k <= n, s"rank $k exceeds $n finite cells")
 
     var scanned = 0L
     var jobs = 0
-    // certain rank bounds from metadata alone, over MIXED granularity —
-    // whole-shard summaries and opened chunks are both just intervals
-    // carrying a finite-cell count: cells certainly ≤ x (intervals with
-    // hi ≤ x) and cells possibly ≤ x (intervals with lo ≤ x)
-    def items: IndexedSeq[(BigDecimal, BigDecimal, Long)] =
-      (coarse.valuesIterator ++
-        fine.iterator.map { case (_, b) => (b.min, b.max, b.moments.get.cnt) })
-        .toIndexedSeq
-
+    def items = ri.items
     var (x0, x1) = bracketItems(items, k)
-    // Open exactly the coarse shards intersecting (x0, x1] — only their
+    // open exactly the coarse shards intersecting (x0, x1] — only their
     // chunk-level detail can tighten the bracket or be scanned — then
-    // re-bracket over the refined items. ONE refinement round suffices:
-    // finer information only SHRINKS the window (L grows, U shrinks
-    // pointwise), and a coarse shard intersecting the shrunk window
-    // intersected the coarse one, so it is already open. Interior shards
-    // — wholly below x0 or above x1 — NEVER open: their manifest `cells`
-    // ride L/U as-is. That is ShardMeta's O(manifest) promise: the median
-    // of a 100 TB store reads manifest bytes plus only the boundary
-    // window's shard files.
-    val toOpen = coarse.collect {
-      case (sid, (l, h, _)) if x0.forall(h > _) && l <= x1 => sid
-    }
-    if (toOpen.nonEmpty) {
-      toOpen.foreach { sid =>
-        coarse -= sid
-        feedKeys(grid, sid * man.span,
-          math.min((sid + 1) * man.span, grid.head),
-          MdioChunkStats.readShard(varDir, sid, man.shards(sid).gen))(intake)
-      }
-      if (!usable) return scanFallback() // torn shard mid-refinement
+    // re-bracket over the refined items (one round, see RankItems)
+    if (ri.openCoarse((l, h) => x0.forall(h > _) && l <= x1)) {
+      if (!ri.usable) return scanFallback() // torn shard mid-refinement
       val t = bracketItems(items, k)
       x0 = t._1
       x1 = t._2
@@ -706,7 +716,7 @@ object MdioStats {
     val below: Long = x0 match {
       case None => 0L
       case Some(b0) =>
-        val straddle = fine.collect {
+        val straddle = ri.fine.collect {
           case (cc, b) if b.min <= b0 && b.max > b0 => cc
         }
         if (straddle.size > maxProbeChunks) {
@@ -735,7 +745,7 @@ object MdioStats {
     // plan stays a single scan node even when every chunk interval
     // overlaps the window (zero-centered amplitude data), where a
     // per-chunk union would carry one leg per chunk in the store
-    val window = fine.collect {
+    val window = ri.fine.collect {
       case (cc, b) if x0.forall(b.max > _) && b.min <= x1 => cc
     }
     scanned += window.size
@@ -834,50 +844,21 @@ object MdioStats {
     val grid = meta.chunkGrid
 
     // shared hierarchical rank items, exactly as kthSmallest
-    val fine = scala.collection.mutable.ArrayBuffer.empty[(Seq[Long], MdioChunkStats.Bounds)]
-    var coarse = Map.empty[Long, (BigDecimal, BigDecimal, Long)]
-    var usable = true
-    def intake(cc: Seq[Long], eOpt: Option[MdioChunkStats.Entry]): Unit = eOpt match {
-      case Some(Some(b)) if b.moments.isDefined => fine += ((cc, b))
-      case Some(None) => () // all-NaN chunk: never ranks
-      case _ => usable = false
-    }
-    walkShards(varDir, man, grid) { (sid, sm) =>
-      sm.cells.isDefined && {
-        (sm.lo, sm.hi) match {
-          case (Some(l), Some(h)) => coarse = coarse.updated(sid, (l, h, sm.cells.get))
-          case _ => () // all-NaN shard: proven cells = 0
-        }
-        true
-      }
-    }(intake)
-    if (!usable) return scanFallback()
-    val n = coarse.valuesIterator.map(_._3).sum +
-      fine.iterator.map(_._2.moments.get.cnt).sum
+    val ri = new RankItems(varDir, man, grid)
+    if (!ri.usable) return scanFallback()
+    val n = ri.n
     require(n >= 1, s"no finite cells to rank in '$variable'")
     val ks = ksOf(n)
     require(ks.forall(_ <= n), s"ranks $ks exceed $n finite cells")
 
-    def items: IndexedSeq[(BigDecimal, BigDecimal, Long)] =
-      (coarse.valuesIterator ++
-        fine.iterator.map { case (_, b) => (b.min, b.max, b.moments.get.cnt) })
-        .toIndexedSeq
+    def items = ri.items
     var brackets = ks.map(bracketItems(items, _))
     // refinement: open every coarse shard intersecting ANY rank's window,
-    // then re-bracket each rank over the refined items — one round, same
-    // monotonicity argument as kthSmallest; interior shards never open
-    val toOpen = coarse.collect {
-      case (sid, (l, h, _)) if brackets.exists { case (x0, x1) =>
-        x0.forall(h > _) && l <= x1 } => sid
-    }
-    if (toOpen.nonEmpty) {
-      toOpen.foreach { sid =>
-        coarse -= sid
-        feedKeys(grid, sid * man.span,
-          math.min((sid + 1) * man.span, grid.head),
-          MdioChunkStats.readShard(varDir, sid, man.shards(sid).gen))(intake)
-      }
-      if (!usable) return scanFallback() // torn shard mid-refinement
+    // then re-bracket each rank over the refined items (one round, see
+    // RankItems); interior shards never open
+    if (ri.openCoarse((l, h) => brackets.exists { case (x0, x1) =>
+        x0.forall(h > _) && l <= x1 })) {
+      if (!ri.usable) return scanFallback() // torn shard mid-refinement
       brackets = ks.map(bracketItems(items, _))
     }
 
@@ -888,7 +869,7 @@ object MdioStats {
     // row carries a conditional count per distinct edge
     val edges = brackets.flatMap(_._1).distinct.sorted
     val straddlersOf: Map[BigDecimal, Seq[Seq[Long]]] = edges.map { e =>
-      e -> fine.collect { case (cc, b) if b.min <= e && b.max > e => cc }.toSeq
+      e -> ri.fine.collect { case (cc, b) if b.min <= e && b.max > e => cc }.toSeq
     }.toMap
     val probeChunks = straddlersOf.valuesIterator.flatten.toSeq.distinct
     if (probeChunks.size > maxProbeChunks) {
@@ -922,9 +903,9 @@ object MdioStats {
     // metadata side must exclude every probed chunk to avoid double count.
     val probedSet = probeChunks.toSet
     def belowAt(e: BigDecimal): Long = {
-      val metaBelow = coarse.valuesIterator.collect {
+      val metaBelow = ri.coarse.valuesIterator.collect {
         case (_, h, c) if h <= e => c }.sum +
-        fine.iterator.collect {
+        ri.fine.iterator.collect {
           case (cc, b) if !probedSet.contains(cc) && b.max <= e =>
             b.moments.get.cnt }.sum
       metaBelow + exactAtEdge.getOrElse(e, 0L)
@@ -932,7 +913,7 @@ object MdioStats {
 
     // ONE window scan over the UNION of the rank windows; the cached
     // grouped counts answer every rank (selectByRank re-reads the cache)
-    val windowChunks = fine.collect {
+    val windowChunks = ri.fine.collect {
       case (cc, b) if brackets.exists { case (x0, x1) =>
         x0.forall(b.max > _) && b.min <= x1 } => cc
     }.toSeq.distinct
