@@ -612,6 +612,10 @@ object Bench {
     // shared across three ranks; the per-rank selections hit the cached
     // grouped counts)
     "zarr_quantiles" -> 1.0, // multi-rank selection: 2 cached-count jobs
+    // comparator: zarr_median_by_slab (same slab brackets and single
+    // union-window scan, two ranks per slab through the bucketed
+    // two-stage pick; first budget r17)
+    "zarr_quantiles_by_slab" -> 1.1,
     // comparator: zarr_count_in_range (driver sidecar triage + one
     // chunk-subset scan; the location agg replaces the filtered count)
     "zarr_argmax_location" -> 0.3,

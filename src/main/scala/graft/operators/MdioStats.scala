@@ -528,6 +528,60 @@ object MdioStats {
       throw new IllegalStateException(s"rank request $i selected no value")))
   }
 
+  /** DISTRIBUTED bucketed rank pick over grouped distinct-value counts —
+    * the per-group twin of [[selectByRankMulti]], with NOTHING collected:
+    * `byKV` carries one row per (key-group, value) with columns `keys`*,
+    * `v` (any numeric), `c` (Long count), `residual` (the 1-based rank to
+    * select within the group, constant per group), and `blo`/`bw`
+    * (doubles: the group's bucket origin and per-bucket width — only
+    * determinism matters, values outside clamp into the edge buckets).
+    * Stage 1 aggregates per-(group, bucket) counts (≤[[RankBuckets]] rows
+    * per group) and locates each group's rank-holding bucket with a
+    * cumulative window ORDERED BY BUCKET — ≤1024 rows per window
+    * partition, never the group's value set. Stage 2 joins the chosen
+    * (bucket, in-bucket rank) back — BROADCAST, one row per group, the
+    * documented O(groups) envelope — filters to that ONE bucket, and
+    * picks with a cumulative window ordered by value whose partitions now
+    * hold ~1/1024 of a group's distinct values. The degenerate all-overlap
+    * store (every chunk interval spans the window — zero-centered
+    * amplitudes) thus never sorts a whole group in one partition: the
+    * r16 plan did, which at 100× meant a single-partition sort of ~10⁹
+    * distinct values per depth slab. `byKV` is referenced by BOTH stages;
+    * its aggregation exchange is identical on each side, so Spark's
+    * exchange reuse executes the underlying scan once (pinned in
+    * MdioValueStatsSpec via the chunk-read counter). Returns `byKV`'s
+    * rows (all columns) filtered to each group's selected value. */
+  private[graft] def pickByRankBucketed(byKV: org.apache.spark.sql.DataFrame,
+                                        keys: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // coalesce makes _bkt provably NON-NULL: otherwise the join on _bkt
+    // below lets the optimizer infer an isnotnull(_bkt) constraint into
+    // ONE of the two byKV occurrences, the subtrees stop canonicalizing
+    // equal, and exchange reuse (the mechanism that executes the shared
+    // scan once) silently dies
+    val bkt = coalesce(when(col("bw") <= 0, lit(0L)).otherwise(
+      least(greatest(floor((col("v").cast("double") - col("blo")) / col("bw")),
+        lit(0.0)), lit((RankBuckets - 1).toDouble)).cast("long")), lit(0L))
+    val withB = byKV.withColumn("_bkt", bkt)
+    val perB = withB
+      .groupBy((keys :+ "residual").map(col) :+ col("_bkt"): _*)
+      .agg(sum(col("c")).as("_bc"))
+    val wB = Window.partitionBy(keys.map(col): _*).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chosen = perB.withColumn("_cumb", sum(col("_bc")).over(wB))
+      .filter(col("_cumb") >= col("residual") &&
+        col("_cumb") - col("_bc") < col("residual"))
+      .select(keys.map(col) :+ col("_bkt").as("_cb") :+
+        (col("residual") - col("_cumb") + col("_bc")).as("_need"): _*)
+    val wV = Window.partitionBy(keys.map(col): _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(broadcast(chosen), keys)
+      .filter(col("_bkt") === col("_cb"))
+      .withColumn("_cum", sum(col("c")).over(wV))
+      .filter(col("_cum") >= col("_need") && col("_cum") - col("c") < col("_need"))
+  }
+
   /** The hierarchical rank-item state [[kthSmallest]] and [[quantilesOf]]
     * share: FINE items (opened per-chunk bounds, moments required) and
     * COARSE items (unopened whole-shard manifest summaries, one
@@ -1233,7 +1287,8 @@ object MdioStats {
     * scan (`fallback = true`), exact in every case. */
   def countInRangeByBox(spark: SparkSession, path: String, variable: String,
                         lo: Double, hi: Double, groupSizes: Seq[Long],
-                        maxScanChunks: Int = 512): GroupedCount = {
+                        maxScanChunks: Int = 512,
+                        maxGroups: Int = 1 << 16): GroupedCount = {
     import graft.sources.MdioChunkStats
     import graft.zarr.ZarrMeta
     import org.apache.spark.sql.{Column, Row}
@@ -1291,6 +1346,16 @@ object MdioStats {
     val cpg = dims.indices.map { d =>
       if (groupSizes(d) >= meta.shape(d)) grid(d)
       else groupSizes(d) / meta.chunks(d)
+    }
+    // the explicit O(groups) driver contract: the in/total maps and the
+    // result rows live on the driver — past the cap, the distributed
+    // one-scan form is the right plan, not a degraded one
+    val nGroups = dims.indices.map(d => BigInt((grid(d) + cpg(d) - 1) / cpg(d))).product
+    if (nGroups > maxGroups) {
+      log.warn(s"countInRangeByBox($path, $variable): $nGroups groups " +
+        s"exceed the driver-state cap $maxGroups — using the distributed " +
+        "full-scan form")
+      return scanFallback()
     }
     val trailingSingle = (1 until dims.size).forall(d => cpg(d) >= grid(d))
     def groupOf(cc: Seq[Long]): Seq[Long] =
@@ -1374,44 +1439,61 @@ object MdioStats {
                                  jobs: Int, scannedChunks: Long,
                                  fallback: Boolean)
 
-  /** EXACT per-box lower median (`k = ⌈n/2⌉` per group, equal to
-    * `ORDER BY v LIMIT 1 OFFSET (n+1)/2 - 1` within each group) over
-    * chunk-aligned dim boxes — group `d`'s ordinal is
-    * `⌊index_d / groupSizes(d)⌋` over ABSOLUTE dim indices, so
-    * `groupSizes` of (leadSpan, wholeDim…) gives depth slabs and
-    * (chunkLead, chunkTrail) the per-tile heat-map — the grouped twin of
-    * [[kthSmallest]] and the rank analog of the per-tile variance QC
-    * (reference statsV1 QC, mdio/stats.h:229-335): one exact median per
-    * survey slab/tile without a global sort and without per-group jobs.
-    * Each group runs the quantile-by-pruning arithmetic DRIVER-SIDE from
-    * the stats sidecar — hierarchical rank bounds from whole-shard
-    * manifest summaries (a shard rides as one [lo,hi]×cells interval when
-    * its lead range sits inside one group and the trailing dims are
-    * single-group, opening only when it intersects its group's bracket
-    * window) and per-chunk [min,max,cnt] items, bracketing each group's
-    * median in a certain window ([[bracketItems]], Long ranks throughout)
-    * — then at most TWO scan jobs finish ALL groups at once: one
-    * `chunkKeys` allowlist scan over every group's lower-edge straddlers
-    * (exact below-edge recount, per-group edges applied through a
-    * broadcast join), and one allowlist scan over every group's window
-    * chunks whose per-(group, value) counts select each residual rank
-    * with a cumulative-count window partitioned by group. Chunk I/O is
-    * thus Σ(per-group boundary windows) — each box pays its own boundary
-    * surface, never its volume, and the plan never carries a per-chunk or
-    * per-group node. Every `groupSizes(d)` must be positive and either a
-    * multiple of dim `d`'s chunk size or ≥ the dim extent (groups must
-    * not split chunks); that plus generation-current full-coverage stats
-    * with moments is required — anything less, or more than
-    * `maxProbeChunks` straddlers, falls back loudly to ONE exact
-    * full-scan grouped-rank selection (`fallback = true`, still no
-    * global sort and still Long ranks). */
-  def medianByBox(spark: SparkSession, path: String, variable: String,
-                  groupSizes: Seq[Long],
-                  maxProbeChunks: Int = 512): GroupedMedian = {
+  /** [[quantilesByBox]] result: `result` has one row per (group, p) —
+    * per-dim group ordinals (`g_<dim>`), `p` the requested quantile, `q`
+    * the group's exact `⌈p·n⌉`-th smallest finite cell, `n` the group's
+    * finite-cell count; all-NaN groups emit no rows. `jobs`/
+    * `scannedChunks` count the scan jobs issued (0–2 on the pruning path)
+    * and the chunks they read; `fallback` marks the exact one-scan
+    * grouped-rank path. */
+  final case class GroupedQuantiles(result: org.apache.spark.sql.DataFrame,
+                                    jobs: Int, scannedChunks: Long,
+                                    fallback: Boolean)
+
+  /** EXACT quantile VECTOR per chunk-aligned dim box — the per-slab/tile
+    * clip-level heat map (p01/p50/p99 per survey slab for display-gain
+    * QC; the grouped form of [[quantilesOf]] on [[medianByBox]]'s group
+    * geometry; reference statsV1 QC anchor, mdio/stats.h:229-335). Group
+    * `d`'s ordinal is `⌊index_d / groupSizes(d)⌋` over ABSOLUTE dim
+    * indices; each group's rank `⌈p·n_g⌉` is selected exactly for every
+    * requested `p`, sharing every stage across ALL groups AND all
+    * quantiles: the brackets run DRIVER-SIDE from the stats sidecar
+    * (hierarchical items — whole-shard manifest summaries ride as one
+    * [lo,hi]×cells interval while their lead range sits inside one group,
+    * opening only when they intersect one of their group's rank windows;
+    * [[bracketItems]], Long ranks throughout), then at most TWO scan jobs
+    * finish everything: ONE `chunkKeys` allowlist scan recounting every
+    * (group, rank) bracket's lower edge (per-(group, p) edges applied
+    * through a broadcast join), and ONE allowlist scan over the union of
+    * all rank windows whose per-(group, p, value) counts select every
+    * residual rank through [[pickByRankBucketed]] — the two-stage bucketed
+    * pick, so no window partition ever sorts more than ~1/[[RankBuckets]]
+    * of a group's distinct values even when every chunk interval overlaps
+    * (zero-centered amplitudes, the degenerate case). Chunk I/O is
+    * Σ(per-group boundary windows) — each box pays its boundary surface,
+    * never its volume, and the plan carries no per-chunk or per-group
+    * node. Requirements: every `groupSizes(d)` positive and a multiple of
+    * dim `d`'s chunk size or ≥ the extent; distinct `ps` in (0, 1];
+    * generation-current full-coverage stats with moments. Anything less —
+    * or straddlers past `maxProbeChunks`, or more than `maxGroups` boxes
+    * (the driver holds per-group bracket state and broadcasts one bounds
+    * row per (group, p): slab/tile heat maps are small, but a
+    * per-chunk-tile geometry at the 100 TB envelope is ~1.6 M groups) —
+    * falls back LOUDLY to one exact full-scan grouped-rank selection
+    * (`fallback = true`): fully distributed, nothing driver-held, the
+    * same bucketed two-stage pick, residuals `⌈p·n⌉` computed in decimal
+    * so ranks past 2^53 never wobble. */
+  def quantilesByBox(spark: SparkSession, path: String, variable: String,
+                     ps: Seq[Double], groupSizes: Seq[Long],
+                     maxProbeChunks: Int = 512,
+                     maxGroups: Int = 1 << 16): GroupedQuantiles = {
     import graft.sources.MdioChunkStats
     import graft.zarr.ZarrMeta
     import org.apache.spark.sql.{Column, Row}
     import org.apache.spark.sql.types._
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"quantiles $ps must lie in (0, 1]")
+    require(ps.distinct == ps, s"duplicate quantiles in $ps")
     require(groupSizes.forall(_ >= 1), s"group sizes $groupSizes must be positive")
     val root = ZarrMeta.path(path)
     val (meta, attrs) = ZarrMeta.readGroup(root)._2.getOrElse(variable,
@@ -1430,28 +1512,44 @@ object MdioStats {
       case ((dn, gs), gn) => floor(col(dn) / gs).cast("long").as(gn)
     }
     val outG = gNames.zip(dims).map { case (gn, d) => col(gn).as(s"g_$d") }
+    val pKeys = gNames :+ "p"
     def base = spark.read.format("mdio").load(path)
     val vt = base.schema(variable).dataType
-    val rowFrame = org.apache.spark.sql.expressions.Window
-      .partitionBy(gNames.map(col): _*).orderBy(col("v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    // exact one-scan fallback: per-(group, value) counts, per-group total
-    // and cumulative-count windows, lower-median pick — Long ranks, no
-    // global sort (each window partition holds ONE group's distinct values)
-    def scanFallback(): GroupedMedian = {
-      val src = if (isFloat) base.filter(!isnan(col(variable))) else base
+    // the shared tail: bucketed two-stage pick over per-(group, p, value)
+    // counts, then the output shape
+    def finish(byKV: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      pickByRankBucketed(byKV, pKeys)
+        .select(outG ++ Seq(col("p"), col("v").cast("double").as("q"), col("n")): _*)
+    // exact one-scan fallback, fully DISTRIBUTED (nothing driver-held —
+    // this is also the >maxGroups escape hatch): per-(group, value)
+    // counts, per-group totals/extents by aggregation (never a whole-group
+    // window), the quantile requests riding the plan as an exploded
+    // literal array, residual = ⌈p·n⌉ in decimal (shortest-decimal p,
+    // the same number the pruned path's ksOf uses — exact past 2^53),
+    // then the same bucketed pick
+    def scanFallback(): GroupedQuantiles = {
+      // runtimeFiltering=false: the group-ordinal joins below cannot prune
+      // this scan (every group survives the build side) but their
+      // dynamic-pruning subqueries WOULD desync the shared aggregation
+      // subtree and kill the exchange reuse that executes it once
+      val full = spark.read.format("mdio")
+        .option("runtimeFiltering", "false").load(path)
+      val src = if (isFloat) full.filter(!isnan(col(variable))) else full
       val byGV = src.select(gCols :+ col(variable).as("v"): _*)
         .groupBy(gNames.map(col) :+ col("v"): _*).agg(count(lit(1L)).as("c"))
-      val perG = org.apache.spark.sql.expressions.Window
-        .partitionBy(gNames.map(col): _*)
-      val sel = byGV
-        .withColumn("n", sum(col("c")).over(perG))
-        .withColumn("cum", sum(col("c")).over(rowFrame))
-        .withColumn("kk", expr("(n + 1) DIV 2"))
-        .filter(col("cum") >= col("kk") && col("cum") - col("c") < col("kk"))
-        .select(outG ++ Seq(col("v").cast("double").as("med"), col("n")): _*)
-      GroupedMedian(sel, 0, 0L, fallback = true)
+      val stats = byGV.groupBy(gNames.map(col): _*)
+        .agg(sum(col("c")).as("n"),
+          min(col("v").cast("double")).as("blo"),
+          max(col("v").cast("double")).as("_vhi"))
+      val req = explode(array(ps.map(p => struct(lit(p).as("p"),
+        lit(BigDecimal(p).underlying).as("pd"))): _*))
+      val withR = byGV.join(stats, gNames)
+        .withColumn("_r", req)
+        .withColumn("p", col("_r.p"))
+        .withColumn("residual", ceil(col("_r.pd") * col("n")).cast("long"))
+        .withColumn("bw", (col("_vhi") - col("blo")) / lit(RankBuckets.toDouble))
+        .drop("_r", "_vhi")
+      GroupedQuantiles(finish(withR), 0, 0L, fallback = true)
     }
 
     val varDir = root.resolve(variable)
@@ -1464,8 +1562,8 @@ object MdioStats {
       groupSizes(d) % meta.chunks(d) != 0 && groupSizes(d) < meta.shape(d)
     }
     if (misaligned) {
-      log.warn(s"medianByBox($path, $variable): group sizes $groupSizes do " +
-        s"not align to the chunk shape ${meta.chunks} — chunks would " +
+      log.warn(s"quantilesByBox($path, $variable): group sizes $groupSizes " +
+        s"do not align to the chunk shape ${meta.chunks} — chunks would " +
         "straddle groups; falling back to the exact full-scan selection")
       return scanFallback()
     }
@@ -1475,6 +1573,16 @@ object MdioStats {
     val cpg = dims.indices.map { d =>
       if (groupSizes(d) >= meta.shape(d)) grid(d)
       else groupSizes(d) / meta.chunks(d)
+    }
+    // the explicit O(groups) driver contract: bracket state and the
+    // broadcast bounds are one row per (group, p) — past the cap, the
+    // distributed fallback is the RIGHT plan, not a degraded one
+    val nGroups = dims.indices.map(d => BigInt((grid(d) + cpg(d) - 1) / cpg(d))).product
+    if (nGroups > maxGroups) {
+      log.warn(s"quantilesByBox($path, $variable): $nGroups groups exceed " +
+        s"the driver-state cap $maxGroups — using the distributed " +
+        "full-scan grouped-rank selection")
+      return scanFallback()
     }
     val trailingSingle = (1 until dims.size).forall(d => cpg(d) >= grid(d))
     def groupOf(cc: Seq[Long]): Seq[Long] =
@@ -1521,34 +1629,40 @@ object MdioStats {
         fine.get(g).iterator.flatMap(_.iterator.map { case (_, b) =>
           (b.min, b.max, b.moments.get.cnt) })).toIndexedSeq
 
-    final case class GState(g: Seq[Long], n: Long, k: Long,
-                            var x0: Option[BigDecimal], var x1: BigDecimal)
+    // ks(i) = ⌈ps(i)·n⌉ in BigDecimal (the quantilesOf rule — exact
+    // boundary ceil at any n); the lower median is ks for p = 0.5
+    def ksOf(n: Long): Seq[Long] = ps.map(p =>
+      (BigDecimal(p) * n).setScale(0, BigDecimal.RoundingMode.CEILING).toLong)
+    final case class GState(g: Seq[Long], n: Long, ks: Seq[Long],
+                            var brs: Seq[(Option[BigDecimal], BigDecimal)])
     val gOrd = Ordering.Implicits.seqOrdering[Seq, Long]
     val states = (fine.keySet ++ coarse.keySet).toSeq.sorted(gOrd).flatMap { g =>
       val its = itemsOf(g)
       val n = its.iterator.map(_._3).sum
-      if (n == 0) None // all-NaN box: no median row
+      if (n == 0) None // all-NaN box: no rows
       else {
-        val k = (n + 1) / 2
-        val (x0, x1) = bracketItems(its, k)
-        Some(GState(g, n, k, x0, x1))
+        val ks = ksOf(n)
+        Some(GState(g, n, ks, ks.map(bracketItems(its, _))))
       }
     }
     val outSchema = StructType(
       dims.map(d => StructField(s"g_$d", LongType, nullable = false)) ++
-        Seq(StructField("med", DoubleType, nullable = false),
+        Seq(StructField("p", DoubleType, nullable = false),
+          StructField("q", DoubleType, nullable = false),
           StructField("n", LongType, nullable = false)))
     if (states.isEmpty) // every box all-NaN: proven-empty result
-      return GroupedMedian(
+      return GroupedQuantiles(
         spark.createDataFrame(java.util.Collections.emptyList[Row](), outSchema),
         0, 0L, fallback = false)
-    // refinement: open each group's coarse shards intersecting ITS bracket
-    // window, then re-bracket that group — one round suffices (finer detail
-    // only shrinks windows; see kthSmallest). Interior shards never open.
+    // refinement: open each group's coarse shards intersecting ANY of its
+    // rank windows, then re-bracket that group's ranks — one round
+    // suffices (finer detail only shrinks windows; see kthSmallest).
+    // Interior shards never open.
     states.foreach { st =>
       val gc = coarse.getOrElse(st.g, scala.collection.mutable.Map.empty)
       val toOpen = gc.collect {
-        case (sid, (l, h, _)) if st.x0.forall(h > _) && l <= st.x1 => sid
+        case (sid, (l, h, _)) if st.brs.exists { case (x0, x1) =>
+          x0.forall(h > _) && l <= x1 } => sid
       }
       if (toOpen.nonEmpty) {
         toOpen.foreach { sid =>
@@ -1557,100 +1671,134 @@ object MdioStats {
             math.min((sid + 1) * man.span, grid.head),
             MdioChunkStats.readShard(varDir, sid, man.shards(sid).gen))(intake)
         }
-        if (usable) {
-          val t = bracketItems(itemsOf(st.g), st.k)
-          st.x0 = t._1
-          st.x1 = t._2
-        }
+        if (usable) st.brs = st.ks.map(bracketItems(itemsOf(st.g), _))
       }
     }
     if (!usable) return scanFallback() // torn shard mid-refinement
 
     var scanned = 0L
     var jobs = 0
-    // exact below-edge counts for ALL groups in ONE allowlist scan: each
-    // group's x0-straddling chunks (a remaining coarse shard can never
-    // straddle its group's x0 — it would intersect the window and be open)
-    val straddlersByG = states.iterator.map { st =>
-      st.g -> (st.x0 match {
-        case None => Seq.empty[Seq[Long]]
-        case Some(b0) => fine.getOrElse(st.g, scala.collection.mutable.ArrayBuffer.empty)
-          .collect { case (cc, b) if b.min <= b0 && b.max > b0 => cc }.toSeq
-      })
+    // exact below-edge counts for ALL (group, p) edges in ONE allowlist
+    // scan: each group's straddler set is the union over its ranks' lower
+    // edges (a remaining coarse shard can never straddle one — it would
+    // intersect that rank's window and be open). Every probed row of a
+    // group joins to EVERY edge row of that group, so the count per
+    // (group, p) covers the whole probed set — and the metadata side
+    // below excludes probed chunks entirely, so nothing double-counts
+    // (a chunk probed for one edge may sit fully below another).
+    val emptyFine = scala.collection.mutable.ArrayBuffer.empty[(Seq[Long], MdioChunkStats.Bounds)]
+    val straddlersOf: Map[Seq[Long], Seq[Seq[Long]]] = states.iterator.map { st =>
+      st.g -> st.brs.flatMap(_._1).distinct.flatMap { b0 =>
+        fine.getOrElse(st.g, emptyFine)
+          .collect { case (cc, b) if b.min <= b0 && b.max > b0 => cc }
+      }.distinct
     }.toMap
-    val allStraddlers = straddlersByG.valuesIterator.map(_.size.toLong).sum
-    if (allStraddlers > maxProbeChunks) {
-      log.warn(s"medianByBox($path, $variable): $allStraddlers chunks " +
-        s"straddle group bracket edges (cap $maxProbeChunks) — falling " +
-        "back to the exact full-scan grouped-rank selection")
+    val probeChunks = straddlersOf.valuesIterator.flatten.toSeq.distinct
+    if (probeChunks.size > maxProbeChunks) {
+      log.warn(s"quantilesByBox($path, $variable): ${probeChunks.size} " +
+        s"chunks straddle group bracket edges (cap $maxProbeChunks) — " +
+        "falling back to the exact full-scan grouped-rank selection")
       return scanFallback()
     }
     def groupedDF(rows: Seq[Row], tail: Seq[StructField]) =
       spark.createDataFrame(
         java.util.Arrays.asList(rows: _*),
         StructType(gNames.map(StructField(_, LongType, nullable = false)) ++ tail))
-    val exactBelow: Map[Seq[Long], Long] =
-      if (allStraddlers == 0) Map.empty
+    val exactBelow: Map[(Seq[Long], Double), Long] =
+      if (probeChunks.isEmpty) Map.empty
       else {
-        scanned += allStraddlers
+        scanned += probeChunks.size
         jobs += 1
         val edges = groupedDF(
-          states.collect {
-            case st if st.x0.isDefined && straddlersByG(st.g).nonEmpty =>
-              Row.fromSeq(st.g :+ edgeValue(st.x0.get, vt))
+          states.filter(st => straddlersOf(st.g).nonEmpty).flatMap { st =>
+            ps.zip(st.brs).collect { case (p, (Some(b0), _)) =>
+              Row.fromSeq(st.g ++ Seq(p, edgeValue(b0, vt)))
+            }
           },
-          Seq(StructField("x0", edgeType(vt), nullable = false)))
+          Seq(StructField("p", DoubleType, nullable = false),
+            StructField("x0", edgeType(vt), nullable = false)))
         spark.read.format("mdio")
-          .option("chunkKeys", straddlersByG.valuesIterator.flatten
-            .map(_.mkString(".")).mkString(","))
+          .option("chunkKeys", probeChunks.map(_.mkString(".")).mkString(","))
           .load(path)
           .select(gCols :+ col(variable).as("v"): _*)
           .join(broadcast(edges), gNames)
           .filter(col("v") <= col("x0"))
-          .groupBy(gNames.map(col): _*).agg(count(lit(1L)).as("c"))
+          .groupBy(pKeys.map(col): _*).agg(count(lit(1L)).as("c"))
           .collect()
-          .map(r => gNames.indices.map(r.getLong(_)).toSeq ->
-            r.getLong(gNames.size)).toMap
+          .map(r => (gNames.indices.map(r.getLong(_)).toSeq,
+            r.getDouble(gNames.size)) -> r.getLong(gNames.size + 1)).toMap
       }
 
-    // residual ranks + window bounds, broadcast once; ONE allowlist scan
-    // over every group's window chunks answers all groups together: the
-    // per-(group, value) counts shuffle by group, the cumulative-count
-    // window sees one group's distinct values per partition, and each
-    // group picks the row covering its residual rank
-    val bounds = groupedDF(
-      states.map { st =>
-        val metaBelow = itemsOf(st.g).iterator.collect {
-          case (_, h, c) if st.x0.exists(h <= _) => c }.sum
-        val below = metaBelow + exactBelow.getOrElse(st.g, 0L)
-        val residual = st.k - below
+    // residual ranks + window bounds + bucket params, broadcast once (one
+    // row per (group, p)); ONE allowlist scan over the union of every
+    // rank's window chunks answers everything together through the
+    // two-stage bucketed pick
+    val boundsRows = states.flatMap { st =>
+      val probed = straddlersOf.getOrElse(st.g, Seq.empty).toSet
+      val its = itemsOf(st.g)
+      ps.lazyZip(st.ks).lazyZip(st.brs).map { case (p, k, (x0, x1)) =>
+        val below = x0.map { b0 =>
+          val metaBelow = coarse.get(st.g).iterator
+            .flatMap(_.valuesIterator).collect {
+              case (_, h, c) if h <= b0 => c }.sum +
+            fine.getOrElse(st.g, emptyFine).iterator.collect {
+              case (cc, b) if !probed.contains(cc) && b.max <= b0 =>
+                b.moments.get.cnt }.sum
+          metaBelow + exactBelow.getOrElse((st.g, p), 0L)
+        }.getOrElse(0L)
+        val residual = k - below
         require(residual >= 1,
           s"rank window inconsistency in group ${st.g}: residual $residual")
-        Row.fromSeq(st.g ++ Seq(st.x0.map(edgeValue(_, vt)).orNull,
-          edgeValue(st.x1, vt), residual, st.n))
-      },
-      Seq(StructField("x0", edgeType(vt), nullable = true),
+        val blo = x0.getOrElse(its.iterator.map(_._1).min).toDouble
+        val bw = (x1.toDouble - blo) / RankBuckets
+        Row.fromSeq(st.g ++ Seq(p, x0.map(edgeValue(_, vt)).orNull,
+          edgeValue(x1, vt), residual, st.n, blo, bw))
+      }
+    }
+    val bounds = groupedDF(boundsRows,
+      Seq(StructField("p", DoubleType, nullable = false),
+        StructField("x0", edgeType(vt), nullable = true),
         StructField("x1", edgeType(vt), nullable = false),
         StructField("residual", LongType, nullable = false),
-        StructField("n", LongType, nullable = false)))
+        StructField("n", LongType, nullable = false),
+        StructField("blo", DoubleType, nullable = false),
+        StructField("bw", DoubleType, nullable = false)))
     val windowChunks = states.flatMap { st =>
-      fine.getOrElse(st.g, scala.collection.mutable.ArrayBuffer.empty)
-        .collect { case (cc, b) if st.x0.forall(b.max > _) && b.min <= st.x1 => cc }
-    }
+      val f = fine.getOrElse(st.g, emptyFine)
+      st.brs.flatMap { case (x0, x1) =>
+        f.collect { case (cc, b) if x0.forall(b.max > _) && b.min <= x1 => cc }
+      }
+    }.distinct
     scanned += windowChunks.size
     jobs += 1
-    val sel = spark.read.format("mdio")
+    val byKV = spark.read.format("mdio")
       .option("chunkKeys", windowChunks.map(_.mkString(".")).mkString(","))
       .load(path)
       .select(gCols :+ col(variable).as("v"): _*)
       .join(broadcast(bounds), gNames)
       .filter((col("x0").isNull || col("v") > col("x0")) && col("v") <= col("x1"))
-      .groupBy(gNames.map(col) ++ Seq(col("v"), col("residual"), col("n")): _*)
+      .groupBy(pKeys.map(col) ++
+        Seq(col("v"), col("residual"), col("n"), col("blo"), col("bw")): _*)
       .agg(count(lit(1L)).as("c"))
-      .withColumn("cum", sum(col("c")).over(rowFrame))
-      .filter(col("cum") >= col("residual") && col("cum") - col("c") < col("residual"))
-      .select(outG ++ Seq(col("v").cast("double").as("med"), col("n")): _*)
-    GroupedMedian(sel, jobs, scanned, fallback = false)
+    GroupedQuantiles(finish(byKV), jobs, scanned, fallback = false)
+  }
+
+  /** EXACT per-box lower median (`k = ⌈n/2⌉` per group, equal to
+    * `ORDER BY v LIMIT 1 OFFSET (n+1)/2 - 1` within each group) over
+    * chunk-aligned dim boxes — `groupSizes` of (leadSpan, wholeDim…)
+    * gives depth slabs and (chunkLead, chunkTrail) the per-tile heat-map.
+    * This IS [[quantilesByBox]] at `ps = [0.5]` (⌈n/2⌉ = (n+1)/2 for
+    * every n) — one metadata bracket per group, at most two scan jobs for
+    * all groups, the bucketed two-stage pick, and the same loud fallbacks
+    * — reshaped to the median readout (`med` instead of (p, q) rows). */
+  def medianByBox(spark: SparkSession, path: String, variable: String,
+                  groupSizes: Seq[Long],
+                  maxProbeChunks: Int = 512,
+                  maxGroups: Int = 1 << 16): GroupedMedian = {
+    val r = quantilesByBox(spark, path, variable, Seq(0.5), groupSizes,
+      maxProbeChunks, maxGroups)
+    GroupedMedian(r.result.drop("p").withColumnRenamed("q", "med"),
+      r.jobs, r.scannedChunks, r.fallback)
   }
 
   /** EXACT per-slab lower median over lead-dimension slabs of

@@ -981,6 +981,46 @@ object Mdio {
     FROM o WHERE rn = CEIL(0.99 * n)
     ORDER BY p"""
 
+  /** GROUPED quantile vector on the gate (r17): the per-slab p25/p75 clip
+    * heat-map — [[qZarrQuantiles]]' vector on [[qZarrMedianBySlab]]'s slab
+    * geometry, [[graft.operators.MdioStats.quantilesByBox]]. Every
+    * (slab, p) rank brackets from the SAME hierarchical metadata items,
+    * all lower edges recount in at most one probe scan, and one
+    * union-window scan answers every rank through the bucketed two-stage
+    * pick (no window partition ever sorts more than ~1/1024 of a slab's
+    * distinct values — the r17 fix for the r16 single-partition grouped
+    * sort). Oracle: the definitionally-identical per-slab ROW_NUMBER pick
+    * at each ⌈p·n⌉. REQUIRES the pruning path and ≤2 scan jobs in-query. */
+  val qZarrQuantilesBySlab: Q = (s, d) => {
+    val path = zarrGridWeight(s, d)
+    val r = graft.operators.MdioStats.quantilesByBox(
+      s, path, "weight", Seq(0.25, 0.75), Seq(8L, 8L))
+    require(!r.fallback, "quantiles-by-slab fell back to a full scan")
+    require(r.jobs <= 2, s"quantiles-by-slab issued ${r.jobs} scan jobs")
+    require(r.scannedChunks <= 16,
+      s"quantiles-by-slab read ${r.scannedChunks} chunk-visits of a 8-chunk store")
+    r.result.select(col("g_inline").as("slab"), col("p"), col("q"), col("n"))
+      .orderBy(col("slab"), col("p"))
+  }
+
+  val qZarrQuantilesBySlabSql: String = """
+    WITH wgt AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(COUNT(*) AS DOUBLE) AS weight
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT i, COALESCE(weight, 0.0) AS x
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN wgt USING (i, j)),
+    r AS (
+      SELECT CAST(FLOOR(i / 8) AS BIGINT) AS slab, x,
+             COUNT(*) OVER (PARTITION BY FLOOR(i / 8)) AS n,
+             ROW_NUMBER() OVER (PARTITION BY FLOOR(i / 8) ORDER BY x) AS rn
+      FROM cells)
+    SELECT slab, CAST(0.25 AS DOUBLE) AS p, x AS q, n FROM r WHERE rn = CEIL(0.25 * n)
+    UNION ALL
+    SELECT slab, CAST(0.75 AS DOUBLE), x, n FROM r WHERE rn = CEIL(0.75 * n)
+    ORDER BY slab, p"""
+
   /** Extrema LOCATION on the gate (r16): WHERE the peak and trough
     * amplitudes live — the volume-statistics argmax/argmin readout
     * (reference examples/seismic_reader/stats.hh:31-67 full-scans it;
@@ -2475,6 +2515,7 @@ object Mdio {
     "zarr_median_by_slab"   -> qZarrMedianBySlab,
     "zarr_median_by_tile"   -> qZarrMedianByTile,
     "zarr_quantiles"        -> qZarrQuantiles,
+    "zarr_quantiles_by_slab" -> qZarrQuantilesBySlab,
     "zarr_argmax_location"  -> qZarrArgmaxLocation,
     "zarr_histogram_meta"   -> qZarrHistogramMeta,
     "zarr_range_by_slab"    -> qZarrRangeBySlab,
@@ -2544,6 +2585,7 @@ object Mdio {
     "zarr_median_by_slab"   -> qZarrMedianBySlabSql,
     "zarr_median_by_tile"   -> qZarrMedianByTileSql,
     "zarr_quantiles"        -> qZarrQuantilesSql,
+    "zarr_quantiles_by_slab" -> qZarrQuantilesBySlabSql,
     "zarr_argmax_location"  -> qZarrArgmaxLocationSql,
     "zarr_histogram_meta"   -> qZarrHistogramMetaSql,
     "zarr_range_by_slab"    -> qZarrRangeBySlabSql,

@@ -36,6 +36,7 @@ final class MdioColumnarReader(p: MdioInputPartition, dims: Array[String], schem
 
   private val buffers: Array[AnyRef] = p.vars.indices.map { vi =>
     val m = p.metas(vi)
+    MdioColumnarReader.chunkReads.incrementAndGet()
     val file = m.chunkFile(ZarrMeta.path(p.path).resolve(p.vars(vi)), p.chunk.toSeq)
     // sharded v3 arrays: the file is the shard object; range-read the
     // inner chunk through the footer index
@@ -216,6 +217,10 @@ final class MdioColumnarReader(p: MdioInputPartition, dims: Array[String], schem
 
 object MdioColumnarReader {
   val BatchRows: Int = 4096
+  /** TEST HOOK: per-variable chunk-file opens since JVM start (local mode
+    * shares the JVM) — exchange-reuse pins prove a plan that references a
+    * scan subtree twice still READS each chunk once. */
+  private[graft] val chunkReads = new java.util.concurrent.atomic.AtomicLong
   /** u64 fill value (type max) as a Decimal(20,0). */
   val U64Max: org.apache.spark.sql.types.Decimal =
     org.apache.spark.sql.types.Decimal(BigDecimal("18446744073709551615"), 20, 0)

@@ -132,7 +132,9 @@ final case class MdioTable(path: String, wanted: Option[Seq[String]],
     new MdioScanBuilder(path, dims, variables.map(v => v -> labeled(v)._1).toMap, schema(),
       chunkKeys = Option(options.get("chunkKeys"))
         .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq)
-        .filter(_.nonEmpty))
+        .filter(_.nonEmpty),
+      runtimeFiltering = Option(options.get("runtimeFiltering"))
+        .forall(_.toBoolean))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     MdioWriteBuilder(path, dims, variables.map(v => v -> labeled(v)._1).toMap, info.schema(),
@@ -217,7 +219,8 @@ object MdioScanBuilder {
 final class MdioScanBuilder(path: String, dims: Seq[String],
                             metas: Map[String, ZarrMeta.ArrayMeta],
                             fullSchema: StructType,
-                            chunkKeys: Option[Seq[String]] = None)
+                            chunkKeys: Option[Seq[String]] = None,
+                            runtimeFiltering: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -648,7 +651,7 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
       case Some(aggs) => MdioAggScan(path, dims, metas, ranges, aggs, pushedGroup)
       case None =>
         MdioScan(path, dims, metas, requiredSchema, ranges, limitCells, topN, inValues,
-          valueRanges, topNValue, chunkKeys)
+          valueRanges, topNValue, chunkKeys, runtimeFiltering)
     }
   }
 }
@@ -1056,7 +1059,8 @@ final case class MdioScan(path: String, dims: Seq[String],
                           staticIn: Map[String, Array[Long]] = Map.empty,
                           valueRanges: Map[String, MdioValueRange] = Map.empty,
                           topNValue: Option[(String, Boolean, Int)] = None,
-                          chunkKeys: Option[Seq[String]] = None)
+                          chunkKeys: Option[Seq[String]] = None,
+                          runtimeFiltering: Boolean = true)
     extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics
     with SupportsReportPartitioning {
@@ -1187,7 +1191,16 @@ final case class MdioScan(path: String, dims: Seq[String],
   private var runtimeValues: Map[String, Array[Long]] = staticIn
 
   override def filterAttributes(): Array[connector_expressions.NamedReference] =
-    dims.filter(requiredSchema.fieldNames.contains) // only dims this scan outputs
+    // an allowlist scan is already exactly chunk-pruned — declaring its
+    // dims runtime-filterable invites dynamic-pruning subqueries that
+    // cannot prune further but DO break exchange reuse (the rank family's
+    // two-stage pick references one allowlist-scan aggregation twice and
+    // relies on Spark executing it once). `runtimeFiltering=false` is the
+    // caller's form of the same statement for a full scan whose join keys
+    // provably survive the build side whole (every group ordinal appears
+    // in the rank fallback's pick side).
+    if (chunkKeys.isDefined || !runtimeFiltering) Array.empty
+    else dims.filter(requiredSchema.fieldNames.contains) // only dims this scan outputs
       .map(d => connector_expressions.Expressions.column(d)).toArray
 
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {

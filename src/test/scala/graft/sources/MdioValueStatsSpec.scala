@@ -394,16 +394,19 @@ class MdioValueStatsSpec extends SparkSpec {
     // slabs of 16 indices (2 chunks each, disjoint intervals): slab g's
     // lower median (k = 8 of 16) is 16g+7 — the FIRST chunk's last cell,
     // so only 4 of 8 chunks are window chunks and no probe fires
-    val before = MdioScan.scanBuilds.get()
     val r = MdioStats.medianByLead(spark, dir, "v", 16L)
     assert(!r.fallback && r.jobs == 1 && r.scannedChunks == 4, r)
+    // ALL slabs answered by ONE window scan's worth of I/O — never a
+    // per-slab or per-chunk plan leg, and although the bucketed two-stage
+    // pick references the scan subtree twice (bucket histogram + in-bucket
+    // pick), exchange reuse must execute it ONCE: each of the 4 window
+    // chunks opens exactly once
+    val beforeReads = MdioColumnarReader.chunkReads.get()
     val rows = r.result.orderBy("slab").collect()
     assert(rows.map(x => (x.getLong(0), x.getDouble(1), x.getLong(2))).toSeq ==
       (0L to 3L).map(g => (g, 16.0 * g + 7, 16L)))
-    // ALL slabs answered by ONE window scan node — never a per-slab or
-    // per-chunk plan leg
-    assert(MdioScan.scanBuilds.get() - before == 1L,
-      "grouped median must plan one scan for all slabs")
+    assert(MdioColumnarReader.chunkReads.get() - beforeReads == 4L,
+      "grouped median must read each window chunk once (reused exchange)")
     // the bounds join must stay BROADCAST: a sort-merge regression would
     // shuffle the window rows once for the join and again for the
     // cumulative window — at 100 TB that doubles the selection's exchange
@@ -720,6 +723,54 @@ class MdioValueStatsSpec extends SparkSpec {
     assert(rT.result.orderBy("g_inline", "g_crossline").collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3))).toSeq ==
       (for (ti <- 0L to 3L; tj <- 0L to 1L) yield (ti, tj, 4.0 * ti + 1, 16L)))
+    MdioWriter.delete(dir)
+  }
+
+  test("grouped pick is bucket-bounded on an all-overlap store (no whole-group sort)") {
+    import graft.operators.MdioStats
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // chunk c holds {-28 + 8j + c}: every chunk interval overlaps every
+    // other — the degenerate zero-centered-amplitude case where the
+    // bracket window cannot prune. The r16 plan sorted each slab's ENTIRE
+    // distinct-value set (16 values here; ~10⁹ per depth slab at the
+    // 100 TB envelope) in ONE window partition; the bucketed two-stage
+    // pick must feed the final order-by-value window only the chosen
+    // buckets' rows.
+    val dir = createFloat(x => (-28 + (x % 8) * 8 + x / 8).toDouble)
+    val r = MdioStats.medianByLead(spark, dir, "v", 16L)
+    assert(!r.fallback && r.jobs == 1, r)
+    val df = r.result
+    val beforeReads = MdioColumnarReader.chunkReads.get()
+    val rows = df.collect()
+    // every slab's window is ALL its chunks here; each still reads ONCE —
+    // the two plan paths over the shared scan aggregation must reuse its
+    // exchange, not re-scan
+    assert(MdioColumnarReader.chunkReads.get() - beforeReads == 8L,
+      "all-overlap store: each window chunk must be read exactly once")
+    val vals = (0 until 64).map(x => (-28 + (x % 8) * 8 + x / 8).toDouble)
+    val want = (0 until 4).map { g =>
+      val cells = vals.slice(16 * g, 16 * (g + 1)).sorted
+      (g.toLong, cells((cells.size + 1) / 2 - 1), cells.size.toLong)
+    }
+    assert(rows.map(x => (x.getLong(0), x.getDouble(1), x.getLong(2)))
+      .toSeq.sortBy(_._1) == want)
+    // partition-input pin: the join feeding the final pick window passes
+    // only the chosen-bucket rows — ~one value per slab at this bucket
+    // width, never the slab's 16-value distinct set (64 rows unbucketed)
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case q: QueryStageExec => p +: expand(q.plan)
+      case _ => p +: p.children.flatMap(expand)
+    }
+    val nodes = expand(df.queryExecution.executedPlan)
+    val pickJoin = nodes.collectFirst {
+      case j: BroadcastHashJoinExec if j.leftKeys.exists(_.toString.contains("_bkt")) => j
+    }.getOrElse(fail("no bucket-pick join in the executed plan"))
+    val fed = pickJoin.metrics("numOutputRows").value
+    assert(fed >= 4 && fed <= 8,
+      s"pick window fed $fed rows — bucket bounding regressed")
     MdioWriter.delete(dir)
   }
 

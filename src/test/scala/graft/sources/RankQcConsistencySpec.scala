@@ -123,6 +123,29 @@ class RankQcConsistencySpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq == wantMed,
         s"[$label] medianByLead mismatch")
 
+      // quantilesByBox over the same slabs: exact ⌈p·n⌉ per (slab, p)
+      val qps = Seq(0.25, 0.75, 1.0)
+      val qb = MdioStats.quantilesByBox(spark, dir, "v", qps, Seq(16L))
+      assert(!qb.fallback, s"[$label] quantilesByBox fell back")
+      val wantQ = (0 until 4).flatMap { g =>
+        val cells = finite(vs.slice(16 * g, 16 * (g + 1))).sorted
+        if (cells.isEmpty) Nil
+        else qps.map { p =>
+          val k = (BigDecimal(p) * cells.size)
+            .setScale(0, BigDecimal.RoundingMode.CEILING).toInt
+          (g.toLong, p, cells(k - 1), cells.size.toLong)
+        }
+      }
+      def qRows(r: MdioStats.GroupedQuantiles) =
+        r.result.orderBy("g_x", "p").collect()
+          .map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2), x.getLong(3))).toSeq
+      assert(qRows(qb) == wantQ, s"[$label] quantilesByBox mismatch")
+      // past the maxGroups driver-state cap, the DISTRIBUTED fallback is
+      // the plan — and must agree exactly (incl. its decimal ⌈p·n⌉ ranks)
+      val qf = MdioStats.quantilesByBox(spark, dir, "v", qps, Seq(16L), maxGroups = 1)
+      assert(qf.fallback, s"[$label] maxGroups cap did not fire")
+      assert(qRows(qf) == wantQ, s"[$label] capped quantilesByBox mismatch")
+
       // countInRangeByBox on the same slabs
       val box = MdioStats.countInRangeByBox(spark, dir, "v", 1.0, 4.0, Seq(16L))
       assert(!box.fallback, s"[$label] countInRangeByBox fell back")
@@ -134,6 +157,13 @@ class RankQcConsistencySpec extends SparkSpec {
       assert(box.result.orderBy("g_x").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == wantBox,
         s"[$label] countInRangeByBox mismatch")
+      // its maxGroups cap falls back to the distributed one-scan form
+      val boxF = MdioStats.countInRangeByBox(spark, dir, "v", 1.0, 4.0, Seq(16L),
+        maxGroups = 1)
+      assert(boxF.fallback, s"[$label] countInRangeByBox cap did not fire")
+      assert(boxF.result.orderBy("g_x").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == wantBox,
+        s"[$label] capped countInRangeByBox mismatch")
 
       // histogramMeta under two bin configs incl. the clip rule
       Seq((0.0, 4.0, 4), (-8.0, 16.0, 3)).foreach { case (lo, w, n) =>
