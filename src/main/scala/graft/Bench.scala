@@ -616,6 +616,10 @@ object Bench {
     // union-window scan, two ranks per slab through the bucketed
     // two-stage pick; first budget r17)
     "zarr_quantiles_by_slab" -> 1.1,
+    // comparator: zarr_kth_smallest ×3 (the pushed median runs two
+    // bracket selections and the discrete p90 one more, each ≤2 bounded
+    // scan jobs; first budget r17)
+    "zarr_median_pushdown" -> 1.6,
     // comparator: zarr_count_in_range (driver sidecar triage + one
     // chunk-subset scan; the location agg replaces the filtered count)
     "zarr_argmax_location" -> 0.3,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,33 +8,38 @@ import org.apache.spark.sql.types._
   * spec-level checks of `mdio/dataset_validator.h`, extended to the parts
   * a RUNNING store can corrupt: the stats sidecar, the shard manifest,
   * and the chunk inventory). Every storage engine needs one; at 100 TB it
-  * must audit without funneling data through the driver, so the expensive
-  * arm — recomputing per-chunk statistics and comparing them against the
-  * sidecar — runs as ONE distributed aggregation joined against the
-  * expected entries, and only FINDINGS come back. Driver memory stays at
-  * the documented metadata envelope (the sidecar itself plus one row per
-  * finding).
+  * must audit without funneling data OR metadata through the driver: the
+  * sidecar's shard files parse EXECUTOR-SIDE (one task per batch of shard
+  * ids — the per-shard summary checks, per-entry checks, and the expected
+  * side of the stats recompute all derive from that distributed parse),
+  * the expensive recompute arm joins two distributed frames, and only
+  * FINDINGS come back. Driver memory stays at O(manifest + findings) —
+  * never the ~1.6 M chunk entries of the envelope (the legacy monolithic
+  * sidecar is the one exception: its entries ARE the manifest).
   *
   * Checks, per variable:
   *  1. metadata sanity: dimension names resolve, chunk grid positive.
-  *  2. sidecar audit (driver, metadata-only): manifest parses; every
-  *     shard file loads at its recorded generation (a torn shard is an
-  *     ERROR); every entry's key parses, lies within the chunk grid, and
-  *     within its shard's lead range; bounds are ordered (min ≤ max);
-  *     moment counts fit the chunk's cell capacity; each shard's summary
-  *     equals what its entries derive (count, bounds union, `bounded`,
-  *     `cells`) — the r15/r16 manifest fields are load-bearing for the
-  *     rank-QC family, so their integrity is audited explicitly.
+  *  2. sidecar audit (distributed over shard files): manifest parses
+  *     (driver, O(shards)); every shard file loads at its recorded
+  *     generation (a torn shard is an ERROR); every entry's key parses,
+  *     lies within the chunk grid, and within its shard's lead range;
+  *     bounds are ordered (min ≤ max); moment counts fit the chunk's cell
+  *     capacity; each shard's summary equals what its entries derive
+  *     (count, bounds union — exact BigDecimal, `bounded`, `cells`) — the
+  *     r15/r16 manifest fields are load-bearing for the rank-QC family,
+  *     so their integrity is audited explicitly.
   *  3. stats recompute (distributed, `recompute = true`): one scan
   *     re-derives every chunk's finite-cell count, min, max, and hasNaN
-  *     and joins them against the sidecar entries; any disagreement is an
-  *     ERROR naming the chunk. Comparison is in double on both sides
-  *     (identical rounding of identical values ⇒ only real corruption
-  *     differs).
+  *     and joins them against the distributed expected entries; any
+  *     disagreement is an ERROR naming the chunk. Comparison is in double
+  *     on both sides (identical rounding of identical values ⇒ only real
+  *     corruption differs).
   *  4. inventory: chunk files whose key parses but lies outside the grid
-  *     (ERROR — data no scan will ever read), shard files the manifest
-  *     does not list at their generation (WARNING — GC candidates), and
-  *     orphan stat fragments (WARNING).
+  *     (ERROR — data no scan will ever read; v2 dot-keys at the variable
+  *     root and v3 nested `c/…` paths, against the shard grid when the
+  *     array is `sharding_indexed`), shard files the manifest does not
+  *     list at their generation (WARNING — GC candidates), and orphan
+  *     stat fragments (WARNING).
   *
   * A stale sidecar (data generation moved past it) downgrades checks 2–3
   * to a single WARNING — stale stats are a legal state (scans fall back),
@@ -47,6 +52,15 @@ object MdioFsck {
     StructField("variable", StringType, nullable = false),
     StructField("subject", StringType, nullable = false),
     StructField("detail", StringType, nullable = false)))
+
+  /** One row out of the distributed shard parse: a FINDING (`sev` set,
+    * from the executor-side shard/entry checks) or an ENTRY row (`key`
+    * set) carrying the sidecar's expected per-chunk stats for the
+    * recompute join plus the audited/cells tallies. */
+  private[operators] final case class ShardRow(
+      sev: String, kind: String, subject: String, detail: String,
+      key: String, emin: Option[Double], emax: Option[Double],
+      ecnt: Option[Long], enan: Boolean, inGrid: Boolean, cells: Long)
 
   final case class Audit(findings: DataFrame, chunksAudited: Long, cells: Long)
 
@@ -63,6 +77,88 @@ object MdioFsck {
       Audit(a.findings.union(b.findings),
         a.chunksAudited + b.chunksAudited, a.cells + b.cells)
     }
+  }
+
+  /** Parse + audit ONE shard file (runs on executors): shard-level
+    * summary checks, per-entry checks, and one [[ShardRow]] entry row per
+    * sidecar entry. Static — captures nothing beyond its arguments. */
+  private def auditShard(varDir: graft.zarr.VPath, sid: Long,
+                         sm: graft.sources.MdioChunkStats.ShardMeta,
+                         span: Long, grid: Seq[Long],
+                         chunks: Seq[Long], shape: Seq[Long]): Iterator[ShardRow] = {
+    import graft.sources.MdioChunkStats
+    val out = scala.collection.mutable.ArrayBuffer.empty[ShardRow]
+    def finding(kind: String, subject: String, detail: String): Unit =
+      out += ShardRow("error", kind, subject, detail, null, None, None, None,
+        enan = false, inGrid = false, cells = 0L)
+    def capacity(cc: Seq[Long]): Long =
+      cc.indices.map { d =>
+        math.min(chunks(d), shape(d) - cc(d) * chunks(d))
+      }.product
+    val esOpt =
+      try Some(MdioChunkStats.readShard(varDir, sid, sm.gen))
+      catch { case e: Throwable =>
+        finding("shard", s"s$sid", s"unreadable shard: ${e.getMessage}")
+        None
+      }
+    // readShard returns EMPTY (never throws) on garbage content or a
+    // generation mismatch; a written shard is never empty, so empty
+    // against a non-zero (or pre-summary, -1) recorded count IS torn
+    esOpt.filter { es =>
+      if (es.isEmpty && sm.count != 0)
+        finding("shard", s"s$sid", "torn shard: file unreadable or generation-mismatched")
+      es.nonEmpty
+    }.foreach { es =>
+      if (sm.count >= 0 && sm.count != es.size)
+        finding("shard", s"s$sid", s"summary count ${sm.count} != ${es.size} entries")
+      val bounded = es.valuesIterator.flatten.toSeq
+      if (sm.bounded >= 0 && sm.bounded != bounded.size)
+        finding("shard", s"s$sid", s"summary bounded ${sm.bounded} != ${bounded.size}")
+      val (lo, hi) =
+        if (bounded.isEmpty) (None, None)
+        else (Some(bounded.map(_.min).min), Some(bounded.map(_.max).max))
+      if (sm.lo != lo || sm.hi != hi)
+        finding("shard", s"s$sid", s"summary bounds (${sm.lo}, ${sm.hi}) != derived ($lo, $hi)")
+      sm.cells.foreach { c =>
+        if (bounded.forall(_.moments.isDefined)) {
+          val derived = bounded.flatMap(_.moments).map(_.cnt).sum
+          if (c != derived)
+            finding("shard", s"s$sid", s"summary cells $c != derived $derived")
+        }
+      }
+      es.foreach { case (key, e) =>
+        scala.util.Try(key.takeWhile(_ != '.').toLong).toOption.foreach { lead =>
+          if (lead < sid * span || lead >= (sid + 1) * span)
+            finding("shard", s"s$sid", s"entry $key outside shard lead range")
+        }
+        val cc = try Some(key.split("\\.").map(_.toLong).toSeq)
+        catch { case _: Throwable => finding("entry", key, "unparseable key"); None }
+        var inGrid = false
+        cc.foreach { c =>
+          if (c.size != grid.size || c.zip(grid).exists { case (x, g) => x < 0 || x >= g })
+            finding("entry", key, s"outside the ${grid.mkString("x")} chunk grid")
+          else {
+            inGrid = true
+            e.foreach { b =>
+              if (b.min > b.max)
+                finding("entry", key, s"bounds inverted: ${b.min} > ${b.max}")
+              b.moments.foreach { m =>
+                if (m.cnt < 0 || m.cnt > capacity(c))
+                  finding("entry", key,
+                    s"moment count ${m.cnt} exceeds chunk capacity ${capacity(c)}")
+              }
+            }
+          }
+        }
+        out += ShardRow(null, null, null, null, key,
+          e.map(_.min.toDouble), e.map(_.max.toDouble),
+          if (e.isEmpty) Some(0L) else e.flatMap(_.moments).map(_.cnt),
+          e.exists(_.hasNaN) || e.isEmpty,
+          inGrid,
+          if (inGrid) e.flatMap(_.moments).map(_.cnt).getOrElse(0L) else 0L)
+      }
+    }
+    out.iterator
   }
 
   /** Audit one variable (the data variables of a store audit one by one;
@@ -91,10 +187,13 @@ object MdioFsck {
         math.min(meta.chunks(d), meta.shape(d) - cc(d) * meta.chunks(d))
       }.product
 
-    // 2. sidecar audit
-    var entries = Map.empty[String, MdioChunkStats.Entry]
+    // 2. sidecar audit — distributed over shard files; the legacy
+    // monolithic sidecar (entries live in the manifest itself) audits on
+    // the driver, where they already are
     var audited = 0L
     var cells = 0L
+    var expectedDF: Option[DataFrame] = None
+    var distFindings: Option[DataFrame] = None
     val manOpt = MdioChunkStats.currentManifest(varDir)
     val stale = manOpt.isEmpty &&
       (varDir.resolve(MdioChunkStats.StatsFile).exists ||
@@ -103,76 +202,72 @@ object MdioFsck {
       add("warning", "stats", variable,
         "stats sidecar is stale or unreadable — scans fall back; rewrite to refresh")
     manOpt.foreach { man =>
-      val shardIds: Seq[Long] = man.legacy match {
-        case Some(es) => entries = es; Seq.empty
-        case None => man.shards.keys.toSeq.sorted
-      }
-      shardIds.foreach { sid =>
-        val sm = man.shards(sid)
-        val got =
-          try Some(MdioChunkStats.readShard(varDir, sid, sm.gen))
-          catch { case e: Throwable =>
-            add("error", "shard", s"s$sid", s"unreadable shard: ${e.getMessage}")
-            None
-          }
-        // readShard returns EMPTY (never throws) on garbage content or a
-        // generation mismatch; a written shard is never empty, so empty
-        // against a non-zero (or pre-summary, -1) recorded count IS torn
-        got.filter { es =>
-          if (es.isEmpty && sm.count != 0) add("error", "shard", s"s$sid",
-            "torn shard: file unreadable or generation-mismatched")
-          es.nonEmpty
-        }.foreach { es =>
-          entries ++= es
-          if (sm.count >= 0 && sm.count != es.size)
-            add("error", "shard", s"s$sid",
-              s"summary count ${sm.count} != ${es.size} entries")
-          val bounded = es.valuesIterator.flatten.toSeq
-          if (sm.bounded >= 0 && sm.bounded != bounded.size)
-            add("error", "shard", s"s$sid",
-              s"summary bounded ${sm.bounded} != ${bounded.size}")
-          val (lo, hi) =
-            if (bounded.isEmpty) (None, None)
-            else (Some(bounded.map(_.min).min), Some(bounded.map(_.max).max))
-          if (sm.lo != lo || sm.hi != hi)
-            add("error", "shard", s"s$sid",
-              s"summary bounds (${sm.lo}, ${sm.hi}) != derived ($lo, $hi)")
-          sm.cells.foreach { c =>
-            if (bounded.forall(_.moments.isDefined)) {
-              val derived = bounded.flatMap(_.moments).map(_.cnt).sum
-              if (c != derived)
-                add("error", "shard", s"s$sid", s"summary cells $c != derived $derived")
-            }
-          }
-          es.keysIterator.foreach { key =>
-            scala.util.Try(key.takeWhile(_ != '.').toLong).toOption match {
-              case Some(lead) =>
-                if (lead < sid * man.span || lead >= (sid + 1) * man.span)
-                  add("error", "shard", s"s$sid", s"entry $key outside shard lead range")
-              case None => // reported once, by the entries loop's key parse
-            }
-          }
-        }
-      }
-      entries.foreach { case (key, e) =>
-        val cc = try Some(key.split("\\.").map(_.toLong).toSeq)
-        catch { case _: Throwable => add("error", "entry", key, "unparseable key"); None }
-        cc.foreach { c =>
-          if (c.size != grid.size || c.zip(grid).exists { case (x, g) => x < 0 || x >= g })
-            add("error", "entry", key, s"outside the ${grid.mkString("x")} chunk grid")
-          else {
-            audited += 1
-            e.foreach { b =>
-              if (b.min > b.max) add("error", "entry", key, s"bounds inverted: ${b.min} > ${b.max}")
-              b.moments.foreach { m =>
-                cells += m.cnt
-                if (m.cnt < 0 || m.cnt > capacity(c))
-                  add("error", "entry", key,
-                    s"moment count ${m.cnt} exceeds chunk capacity ${capacity(c)}")
+      man.legacy match {
+        case Some(es) =>
+          es.foreach { case (key, e) =>
+            val cc = try Some(key.split("\\.").map(_.toLong).toSeq)
+            catch { case _: Throwable => add("error", "entry", key, "unparseable key"); None }
+            cc.foreach { c =>
+              if (c.size != grid.size || c.zip(grid).exists { case (x, g) => x < 0 || x >= g })
+                add("error", "entry", key, s"outside the ${grid.mkString("x")} chunk grid")
+              else {
+                audited += 1
+                e.foreach { b =>
+                  if (b.min > b.max) add("error", "entry", key, s"bounds inverted: ${b.min} > ${b.max}")
+                  b.moments.foreach { m =>
+                    cells += m.cnt
+                    if (m.cnt < 0 || m.cnt > capacity(c))
+                      add("error", "entry", key,
+                        s"moment count ${m.cnt} exceeds chunk capacity ${capacity(c)}")
+                  }
+                }
               }
             }
           }
-        }
+          if (es.nonEmpty)
+            expectedDF = Some(spark.createDataFrame(
+              java.util.Arrays.asList(es.toSeq.map { case (key, e) =>
+                Row(key,
+                  e.map(b => Double.box(b.min.toDouble)).orNull,
+                  e.map(b => Double.box(b.max.toDouble)).orNull,
+                  if (e.isEmpty) Long.box(0L)
+                  else e.flatMap(_.moments).map(m => Long.box(m.cnt)).orNull,
+                  Boolean.box(e.exists(_.hasNaN) || e.isEmpty))
+              }: _*), expectedSchema))
+        case None if man.shards.nonEmpty =>
+          // distributed shard parse: shard ids fan out, each task reads
+          // its shard files and emits findings + expected-entry rows; the
+          // driver sees the manifest (O(shards)) and the tallies only.
+          // The frame is cheap to RE-derive (small JSON metadata files),
+          // so the findings stay lazy with no persist — the one eager job
+          // here is the audited/cells tally.
+          val shardMetas = man.shards
+          val uri = varDir.uri
+          val span = man.span
+          val chunksL = meta.chunks
+          val shapeL = meta.shape
+          val hconf = graft.zarr.HConf.capture()
+          val rows = spark.createDataset(shardMetas.keys.toSeq.sorted)(Encoders.scalaLong)
+            .mapPartitions { sids =>
+              graft.zarr.VPath.install(hconf.value) // executor JVMs have no session
+              val vd = graft.zarr.VPath(uri)
+              sids.flatMap(sid =>
+                auditShard(vd, sid, shardMetas(sid), span, grid, chunksL, shapeL))
+            }(Encoders.product[ShardRow])
+            .toDF()
+          val t = rows.agg(
+            count(when(col("sev").isNull && col("inGrid"), 1L)),
+            coalesce(sum(when(col("sev").isNull, col("cells"))), lit(0L)),
+            count(when(col("sev").isNull, 1L))).head
+          audited = t.getLong(0)
+          cells = t.getLong(1)
+          distFindings = Some(rows.filter(col("sev").isNotNull)
+            .select(col("sev").as("severity"), col("kind"),
+              lit(variable).as("variable"), col("subject"), col("detail")))
+          if (t.getLong(2) > 0)
+            expectedDF = Some(rows.filter(col("sev").isNull)
+              .select(col("key"), col("emin"), col("emax"), col("ecnt"), col("enan")))
+        case None => ()
       }
     }
 
@@ -197,31 +292,36 @@ object MdioFsck {
           add("warning", "inventory", n, "shard file not in the manifest — GC candidate")
       }
     }
+    // v3 nested chunk layout: files live under c/<i>/<j>/… — against the
+    // SHARD grid when the array is sharding_indexed (one storage object
+    // per shard; the inner-chunk grid never appears on disk)
+    if (meta.version == 3) {
+      val fileGrid = meta.shard match {
+        case Some(sh) => meta.shape.zip(sh).map { case (s, c) => (s + c - 1) / c }
+        case None => grid
+      }
+      val cdir = varDir.resolve("c")
+      cdir.listFilesRecursiveIterator().foreach { f =>
+        val rel = cdir.relativize(f)
+        val parts = rel.split("/")
+        if (parts.nonEmpty && parts.forall(_.matches("\\d+"))) {
+          val cc = parts.map(_.toLong).toSeq
+          if (cc.size != fileGrid.size || cc.zip(fileGrid).exists { case (x, g) => x >= g })
+            add("error", "inventory", s"c/$rel", "chunk file outside the grid — unreachable data")
+        }
+      }
+    }
 
     val driverDF = spark.createDataFrame(
       java.util.Arrays.asList(driver.result(): _*), findingSchema)
 
-    // 3. distributed recompute vs sidecar entries
+    // 3. distributed recompute vs the (distributed) expected entries
     val recomputeDF: Option[DataFrame] =
-      if (!recompute || entries.isEmpty || dimsOpt.isEmpty) None
+      if (!recompute || expectedDF.isEmpty || dimsOpt.isEmpty) None
       else {
         val dims = dimsOpt.get
         val isFloat = meta.dtype.charAt(meta.dtype.length - 2) == 'f'
-        val expected = spark.createDataFrame(
-          java.util.Arrays.asList(entries.toSeq.map { case (key, e) =>
-            Row(key,
-              e.map(b => Double.box(b.min.toDouble)).orNull,
-              e.map(b => Double.box(b.max.toDouble)).orNull,
-              if (e.isEmpty) Long.box(0L)
-              else e.flatMap(_.moments).map(m => Long.box(m.cnt)).orNull,
-              Boolean.box(e.exists(_.hasNaN) || e.isEmpty))
-          }: _*),
-          StructType(Seq(
-            StructField("key", StringType, nullable = false),
-            StructField("emin", DoubleType, nullable = true),
-            StructField("emax", DoubleType, nullable = true),
-            StructField("ecnt", LongType, nullable = true),
-            StructField("enan", BooleanType, nullable = false))))
+        val expected = expectedDF.get
         val keyCol = concat_ws(".",
           dims.zipWithIndex.map { case (d, i) =>
             floor(col(d) / meta.chunks(i)).cast("long").cast("string") }: _*)
@@ -249,6 +349,14 @@ object MdioFsck {
               concat_ws(",", col("acnt"), col("amin"), col("amax"), col("anan")),
               lit(")")).as("detail")))
       }
-    Audit(recomputeDF.map(driverDF.union).getOrElse(driverDF), audited, cells)
+    val found = Seq(Some(driverDF), distFindings, recomputeDF).flatten.reduce(_.union(_))
+    Audit(found, audited, cells)
   }
+
+  private val expectedSchema = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("emin", DoubleType, nullable = true),
+    StructField("emax", DoubleType, nullable = true),
+    StructField("ecnt", LongType, nullable = true),
+    StructField("enan", BooleanType, nullable = false)))
 }

@@ -392,9 +392,22 @@ object MdioStats {
       exactBig(x).setScale(0,
         if (up) BigDecimal.RoundingMode.CEILING else BigDecimal.RoundingMode.FLOOR)
     dt match {
-      case d: DecimalType if d.scale == 0 => // the u64 surface: integral
-        vcol >= lit(snap(lo, up = true).underlying) &&
-          vcol <= lit(snap(hi, up = false).underlying)
+      case d: DecimalType =>
+        // exact edges snapped INWARD at the column's own scale (for values
+        // representable at scale s, v ≥ lo ⇔ v ≥ ⌈lo⌉_s) — the scale-0
+        // u64 surface and any future scaled-decimal dtype both compare
+        // against the same numbers the BigDecimal chunk triage used;
+        // edges beyond the type's precision collapse to constants
+        val l = exactBig(lo).setScale(d.scale, BigDecimal.RoundingMode.CEILING)
+        val h = exactBig(hi).setScale(d.scale, BigDecimal.RoundingMode.FLOOR)
+        val bound = BigDecimal(10).pow(d.precision - d.scale)
+        val loP = if (l >= bound) lit(false)
+          else if (l <= -bound) lit(true)
+          else vcol >= lit(l.underlying)
+        val hiP = if (h <= -bound) lit(false)
+          else if (h >= bound) lit(true)
+          else vcol <= lit(h.underlying)
+        loP && hiP
       case LongType | IntegerType | ShortType | ByteType =>
         val l = snap(lo, up = true)
         val h = snap(hi, up = false)
@@ -854,10 +867,32 @@ object MdioStats {
     * loudly to the exact full-scan grouped-rank form over one scan. */
   def quantilesOf(spark: SparkSession, path: String, variable: String,
                   ps: Seq[Double], maxProbeChunks: Int = 512): Quantiles = {
-    import graft.sources.MdioChunkStats
-    import graft.zarr.ZarrMeta
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"quantiles $ps must lie in (0, 1]")
+    rankVector(spark, path, variable, n => ps.map(p =>
+      (BigDecimal(p) * n).setScale(0, BigDecimal.RoundingMode.CEILING).toLong),
+      maxProbeChunks)
+  }
+
+  /** EXACT values at EXPLICIT 1-based ranks, sharing [[quantilesOf]]'s
+    * one-bracket / one-probe / one-window pass — the batched entry the
+    * percentile aggregate pushdown routes through: a pushed `median` +
+    * `percentile_disc` pair needs 2–3 ranks of one variable, and per-rank
+    * [[kthSmallest]] calls would pay the bracket walk and the bounded
+    * scan jobs once per rank instead of once per vector. */
+  def valuesAtRanks(spark: SparkSession, path: String, variable: String,
+                    ks: Seq[Long], maxProbeChunks: Int = 512): Quantiles = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ranks $ks must be ≥ 1")
+    rankVector(spark, path, variable, { n =>
+      require(ks.forall(_ <= n), s"ranks $ks exceed $n finite cells")
+      ks
+    }, maxProbeChunks)
+  }
+
+  private def rankVector(spark: SparkSession, path: String, variable: String,
+                         mkKs: Long => Seq[Long], maxProbeChunks: Int): Quantiles = {
+    import graft.sources.MdioChunkStats
+    import graft.zarr.ZarrMeta
     val root = ZarrMeta.path(path)
     val (meta, attrs) = ZarrMeta.readGroup(root)._2.getOrElse(variable,
       throw new IllegalArgumentException(s"no variable '$variable' in $path"))
@@ -872,8 +907,7 @@ object MdioStats {
       if (isFloat) df.filter(!isnan(col(variable))) else df
     def base = spark.read.format("mdio").load(path)
     val vt = base.schema(variable).dataType
-    def ksOf(n: Long): Seq[Long] = ps.map(p =>
-      (BigDecimal(p) * n).setScale(0, BigDecimal.RoundingMode.CEILING).toLong)
+    def ksOf(n: Long): Seq[Long] = mkKs(n)
     def scanFallback(): Quantiles = {
       val byV = dropNaN(base.select(col(variable).as("v")))
         .groupBy(col("v")).agg(count(lit(1L)).as("c")).persist()
@@ -927,7 +961,7 @@ object MdioStats {
     }.toMap
     val probeChunks = straddlersOf.valuesIterator.flatten.toSeq.distinct
     if (probeChunks.size > maxProbeChunks) {
-      log.warn(s"quantilesOf($path, $variable, ps=$ps): ${probeChunks.size} " +
+      log.warn(s"rank vector($path, $variable): ${probeChunks.size} " +
         s"chunks straddle bracket edges (cap $maxProbeChunks) — falling " +
         "back to the exact full-scan grouped-rank selection")
       return scanFallback()

@@ -1021,6 +1021,44 @@ object Mdio {
     SELECT slab, CAST(0.75 AS DOUBLE), x, n FROM r WHERE rn = CEIL(0.75 * n)
     ORDER BY slab, p"""
 
+  /** MEDIAN as a PLAIN DataFrame aggregate on the gate (r17): a user who
+    * writes `median(weight)` (or a WITHIN-GROUP percentile) gets the rank
+    * family's quantile-by-pruning automatically — the aggregate pushes
+    * COMPLETELY into the scan (`vpctc`/`vpctd` ops on `MdioAggScan`,
+    * answered at execution by [[graft.operators.MdioStats.kthSmallest]]'s
+    * bracket machinery: O(manifest) metadata + boundary-window scans),
+    * so the optimized plan carries NO Spark-side Aggregate and the corpus
+    * never shuffles into a Percentile buffer. The CONT interpolation is
+    * bit-identical to Spark's PercentileBase (pinned in
+    * MdioPctPushdownSpec, with NaN/filter/group/DESC decline arms).
+    * Oracle: the per-rank ROW_NUMBER picks (n = 256: median averages
+    * ranks 128/129, discrete p90 is rank ⌈0.9·256⌉ = 231). REQUIRES the
+    * complete pushdown in-query. */
+  val qZarrMedianPushdown: Q = (s, d) => {
+    val path = zarrGridWeight(s, d)
+    val df = s.read.format("mdio").load(path).agg(
+      median(col("weight")).as("med"),
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY weight)").as("p90"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    require(plan.contains("vpct") && !plan.contains("Aggregate"),
+      s"median/percentile did not push down:\n${plan.take(500)}")
+    df
+  }
+
+  val qZarrMedianPushdownSql: String = """
+    WITH wgt AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(COUNT(*) AS DOUBLE) AS weight
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT COALESCE(weight, 0.0) AS x
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN wgt USING (i, j)),
+    o AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM cells)
+    SELECT
+      (SELECT SUM(CASE WHEN rn = 128 THEN 0.5 * x WHEN rn = 129 THEN 0.5 * x END)
+       FROM o) AS med,
+      (SELECT x FROM o WHERE rn = 231) AS p90"""
+
   /** Extrema LOCATION on the gate (r16): WHERE the peak and trough
     * amplitudes live — the volume-statistics argmax/argmin readout
     * (reference examples/seismic_reader/stats.hh:31-67 full-scans it;
@@ -2516,6 +2554,7 @@ object Mdio {
     "zarr_median_by_tile"   -> qZarrMedianByTile,
     "zarr_quantiles"        -> qZarrQuantiles,
     "zarr_quantiles_by_slab" -> qZarrQuantilesBySlab,
+    "zarr_median_pushdown"  -> qZarrMedianPushdown,
     "zarr_argmax_location"  -> qZarrArgmaxLocation,
     "zarr_histogram_meta"   -> qZarrHistogramMeta,
     "zarr_range_by_slab"    -> qZarrRangeBySlab,
@@ -2586,6 +2625,7 @@ object Mdio {
     "zarr_median_by_tile"   -> qZarrMedianByTileSql,
     "zarr_quantiles"        -> qZarrQuantilesSql,
     "zarr_quantiles_by_slab" -> qZarrQuantilesBySlabSql,
+    "zarr_median_pushdown"  -> qZarrMedianPushdownSql,
     "zarr_argmax_location"  -> qZarrArgmaxLocationSql,
     "zarr_histogram_meta"   -> qZarrHistogramMetaSql,
     "zarr_range_by_slab"    -> qZarrRangeBySlabSql,

@@ -486,6 +486,47 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
             (MdioScanBuilder.VarOps(g.name()), statVar(c).get)
           case _ => return None
         }
+      // PERCENTILE_CONT / PERCENTILE_DISC over a value column (Spark's
+      // `median(v)` analyzes to percentile_cont 0.5): complete pushdown
+      // routes the rank into the quantile-by-pruning machinery
+      // ([[graft.operators.MdioStats.kthSmallest]]) at execution —
+      // O(manifest) metadata + at most two boundary-window scans instead
+      // of Spark shuffling the corpus into its own Percentile buffer.
+      // Accepted only over the FULL variable (ranks are global — any
+      // absorbed dim range declines), ungrouped, ascending, a scalar
+      // literal percentage, with a generation-current sidecar, and (for
+      // float dtypes) a sidecar PROOF that no NaN exists: Spark ranks NaN
+      // greatest while the rank machinery ranks finite cells, and a
+      // pushdown must never change answers.
+      case g: connector_expressions.aggregate.GeneralAggregateFunc
+          if (g.name() == "PERCENTILE_CONT" || g.name() == "PERCENTILE_DISC") &&
+            !g.isDistinct && g.children().length == 1 &&
+            g.orderingWithinGroups().length == 1 =>
+        val sv = g.orderingWithinGroups()(0)
+        val vOpt = sv.expression match {
+          case ref: connector_expressions.NamedReference =>
+            statVar(ref.fieldNames.mkString("."))
+          case _ => None
+        }
+        val pOpt = g.children()(0) match {
+          case l: connector_expressions.Literal[_] => l.value match {
+            case d: java.lang.Double => Some(d.doubleValue())
+            case f: java.lang.Float => Some(f.doubleValue())
+            case dec: org.apache.spark.sql.types.Decimal => Some(dec.toDouble)
+            case _ => None
+          }
+          case _ => None
+        }
+        val disc = g.name() == "PERCENTILE_DISC"
+        (vOpt, pOpt) match {
+          case (Some(v), Some(p))
+              if grouped.isEmpty && ranges.isEmpty &&
+                sv.direction == connector_expressions.SortDirection.ASCENDING &&
+                p <= 1.0 && (if (disc) p > 0.0 else p >= 0.0) &&
+                MdioAggScan.rankAnswerable(path, v, metas(v)) =>
+            (if (disc) s"vpctd:$p" else s"vpctc:$p", v)
+          case _ => return None
+        }
       case _ => return None
     }
     grouped match {
@@ -719,6 +760,7 @@ final case class MdioAggScan(path: String, dims: Seq[String],
         }
         case "vavg" => DoubleType // Spark's Avg is double for every input
         case "vvarp" | "vvars" | "vstdp" | "vstds" => DoubleType
+        case f2 if f2.startsWith("vpct") => DoubleType // PercentileBase is double
         case _ => LongType
       }
       StructField(if (f == "count") s"count_$i" else s"${f}_${d}_$i", dt,
@@ -794,8 +836,62 @@ final case class MdioAggScan(path: String, dims: Seq[String],
       case (op @ ("vmin" | "vmax" | "vsum" | "vavg" |
                   "vvarp" | "vvars" | "vstdp" | "vstds"), v) =>
         if (empty) null else statValue(op, v)
+      case (op, v) if op.startsWith("vpct") =>
+        if (empty) null else pctValues((op, v))
     }.toArray
     Array(MdioAggPartition(values))
+  }
+
+  /** Pushed PERCENTILE_CONT/PERCENTILE_DISC values, computed LAZILY on
+    * first use and BATCHED per variable: all ranks a query's percentile
+    * aggregates need (a cont percentile needs its two interpolation
+    * neighbours) go through ONE
+    * [[graft.operators.MdioStats.valuesAtRanks]] call — one metadata
+    * bracket walk, one probe, one window scan for the whole vector,
+    * launched from the driver like a dynamic-pruning subquery — instead
+    * of per-rank kthSmallest jobs. The builder PROVED every cell finite
+    * at plan time (re-checked here — a racing writer must fail LOUD), so
+    * n is the dense-grid cell count and Spark's NaN-is-greatest ranking
+    * cannot diverge; the CONT interpolation replicates
+    * PercentileBase.getPercentile's exact double arithmetic
+    * (`lo·(⌈pos⌉−pos) + hi·(pos−⌊pos⌋)`) so the pushed answer is
+    * bit-identical to the unpushed one. */
+  private lazy val pctValues: Map[(String, String), Any] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val pct = aggs.filter(_._1.startsWith("vpct")).distinct
+    pct.groupBy(_._2).flatMap { case (v, ops) =>
+      if (!MdioAggScan.rankAnswerable(path, v, metas(v)))
+        throw new IllegalStateException(
+          s"rank answerability for '$v' went stale between planning and execution")
+      val n = metas(v).shape.product // every cell exists and is finite (proven)
+      def pOf(op: String): Double = op.substring(op.indexOf(':') + 1).toDouble
+      def ranksOf(op: String): Seq[Long] =
+        if (op.startsWith("vpctd"))
+          // smallest value whose cume_dist ≥ p ⇔ the ⌈p·n⌉-th smallest
+          Seq((BigDecimal(pOf(op)) * n).setScale(0, BigDecimal.RoundingMode.CEILING).toLong)
+        else {
+          val position = pOf(op) * (n - 1) // PercentileBase: p × (count−1)
+          val lower = math.floor(position).toLong
+          val higher = math.ceil(position).toLong
+          if (higher == lower) Seq(lower + 1) else Seq(lower + 1, higher + 1)
+        }
+      val ks = ops.flatMap(o => ranksOf(o._1)).distinct.sorted
+      val byK: Map[Long, Double] =
+        ks.zip(graft.operators.MdioStats.valuesAtRanks(spark, path, v, ks).values).toMap
+      ops.map { case (op, _) =>
+        val value: Any =
+          if (op.startsWith("vpctd")) byK(ranksOf(op).head)
+          else {
+            val position = pOf(op) * (n - 1)
+            val lower = math.floor(position).toLong
+            val higher = math.ceil(position).toLong
+            val vLo = byK(lower + 1)
+            if (higher == lower) vLo
+            else vLo * (higher - position) + byK(higher + 1) * (position - lower)
+          }
+        (op, v) -> value
+      }
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = MdioAggReaderFactory()
@@ -820,6 +916,51 @@ object MdioAggScan {
       (lo / c, (hi + c - 1) / c)
     }
     Some(out)
+  }
+
+  /** Can a pushed global rank (percentile) be answered without changing
+    * Spark's semantics? Requires a generation-current sidecar (the rank
+    * machinery's pruning contract), and for float dtypes a PROOF from the
+    * manifest alone that every in-domain cell is finite (finite-cell
+    * counts equal the dense-grid capacity shard by shard) — Spark ranks
+    * NaN greatest while kthSmallest ranks finite cells only, so
+    * possible-NaN declines the pushdown. O(manifest) driver work for
+    * sharded sidecars; O(entries) for the legacy monolith, whose entries
+    * ARE the manifest. */
+  private[sources] def rankAnswerable(path: String, v: String,
+                                      m: ZarrMeta.ArrayMeta): Boolean = {
+    val varDir = ZarrMeta.path(path).resolve(v)
+    val isFloat = m.dtype.charAt(m.dtype.length - 2) == 'f'
+    MdioChunkStats.currentManifest(varDir).exists { man =>
+      !isFloat || {
+        val grid = m.chunkGrid
+        def capacity(cc: Seq[Long]): BigInt =
+          cc.indices.map { d =>
+            BigInt(math.min(m.chunks(d), m.shape(d) - cc(d) * m.chunks(d)))
+          }.product
+        man.legacy match {
+          case Some(es) =>
+            boxKeys(grid.map(g => (0L, g))).forall { k =>
+              es.get(k).exists(_.exists(b => !b.hasNaN && b.moments.exists(mo =>
+                BigInt(mo.cnt) == capacity(k.split("\\.").map(_.toLong).toSeq))))
+            }
+          case None =>
+            val trailCells = m.shape.drop(1).map(BigInt(_)).product
+            val chunksPerLead = grid.drop(1).product
+            val nShards = (grid.head + man.span - 1) / man.span
+            (0L until nShards).forall { sid =>
+              man.shards.get(sid).exists { sm =>
+                val leadLo = sid * man.span
+                val leadHi = math.min((sid + 1) * man.span, grid.head)
+                val cellsIn = BigInt(math.min(leadHi * m.chunks.head, m.shape.head) -
+                  leadLo * m.chunks.head) * trailCells
+                sm.count == (leadHi - leadLo) * chunksPerLead &&
+                  sm.cells.exists(BigInt(_) == cellsIn)
+              }
+            }
+        }
+      }
+    }
   }
 
   /** Closed-form exact SUM over a dim-index column: Σ_{i∈[lo,hi)} i times

@@ -970,10 +970,15 @@ object MdioWriter {
     // name-only doom filter (a junk dir named like a chunk key): the old
     // listing filtered on isFile status; the streamed name-only listing
     // cannot, so the skip moves here — fs.delete(dir, false) throws on
-    // HDFS-likes and the trim must not abort over foreign junk
+    // HDFS-likes and the trim must not abort over foreign junk. ONLY that
+    // case is swallowed: a real doomed FILE failing to delete rethrows
+    // (silence would leave a stale beyond-boundary chunk a later
+    // dimension regrow resurrects as live data)
     def del(p: VPath): Unit =
       if (recursive) p.deleteRecursive()
-      else try p.delete() catch { case _: java.io.IOException => () }
+      else try p.delete() catch {
+        case e: java.io.IOException => if (!p.isDirectory) throw e
+      }
     if (paths.isEmpty) return
     SparkSession.getActiveSession match {
       case Some(s) if paths.size > (if (recursive) 1 else DeleteBatch / 8) =>
@@ -986,7 +991,9 @@ object MdioWriter {
           it.foreach { u =>
             val p = VPath(u)
             if (recursive) p.deleteRecursive()
-            else try p.delete() catch { case _: java.io.IOException => () }
+            else try p.delete() catch { // junk-dir case only; see del above
+              case e: java.io.IOException => if (!p.isDirectory) throw e
+            }
           }
         }
       case _ => paths.foreach(del)

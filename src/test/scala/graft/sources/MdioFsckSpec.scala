@@ -95,6 +95,59 @@ class MdioFsckSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("sharded-manifest audit parses shard files on executors, not the driver") {
+    val dir = create()
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir),
+      MdioChunkStats.current(varDir).get, span = 2) // 4 shard files
+    val a = MdioFsck.check(spark, dir, "v")
+    assert(a.chunksAudited == 8L && a.cells == 64L, a)
+    assert(a.findings.count() == 0L, a.findings.collect().mkString("\n"))
+    // the expected side of the recompute join is the DISTRIBUTED shard
+    // parse (the serialized map over the shard-id dataset), never a
+    // driver-built local relation of chunk entries — the driver holds the
+    // manifest and the findings, not the ~1.6 M-entry sidecar
+    val plan = a.findings.queryExecution.optimizedPlan.toString
+    assert(plan.contains("SerializeFromObject"), plan.take(800))
+    assert(!plan.contains("LocalTableScan [key"), plan.take(800))
+    MdioWriter.delete(dir)
+  }
+
+  test("inventory: v3 nested chunk files check against the on-disk grid") {
+    def createV3(shard: Boolean): String = {
+      val dir = Files.createTempDirectory("mdio_fsck").resolve("v3.mdio").toString
+      val grid = if (shard) "{\"chunkShape\": [8], \"shardShape\": [16]}"
+        else "{\"chunkShape\": [8]}"
+      MdioWriter.create(MdioSpec.fromJson(
+        s"""{
+           |  "metadata": {"name": "s", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+           |  "variables": [
+           |    {"name": "x", "dataType": "int64",
+           |     "dimensions": [{"name": "x", "size": 64}]},
+           |    {"name": "v", "dataType": "float64",
+           |     "dimensions": [{"name": "x", "size": 64}],
+           |     "metadata": {"chunkGrid": {"name": "regular", "configuration": $grid}}}
+           |  ]
+           |}""".stripMargin), dir, version = 3)
+      MdioWriter.writeVariable(spark,
+        spark.range(64).select($"id".as("x"), $"id".cast("double").as("v")), dir, "v")
+      dir
+    }
+    // unsharded: chunk files c/<i> live on the 8-chunk grid — c/9 is junk
+    val dir = createV3(shard = false)
+    ZarrMeta.path(dir).resolve("v").resolve("c/9").write(Array[Byte](1))
+    val f = findings(dir)
+    assert(f.contains(("error", "inventory", "c/9")), f)
+    // sharded: the FILES are shard objects on the 4-shard grid — c/5 is
+    // beyond-grid even though the INNER chunk grid has 8 positions
+    val dir2 = createV3(shard = true)
+    ZarrMeta.path(dir2).resolve("v").resolve("c/5").write(Array[Byte](1))
+    val f2 = findings(dir2)
+    assert(f2.contains(("error", "inventory", "c/5")), f2)
+    assert(!f2.exists(x => x._2 == "inventory" && x._3 == "c/3"), f2)
+    MdioWriter.delete(dir); MdioWriter.delete(dir2)
+  }
+
   test("a garbage shard file reads as torn; stale stats downgrade to one warning") {
     val dir = create()
     val varDir = ZarrMeta.path(dir).resolve("v")

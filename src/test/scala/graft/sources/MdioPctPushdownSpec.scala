@@ -1,0 +1,116 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.spec.MdioSpec
+import graft.zarr.ZarrMeta
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** PERCENTILE_CONT / PERCENTILE_DISC aggregate pushdown (A-family
+  * extension, r17): `median(v)` and the WITHIN-GROUP percentile forms
+  * route into the exact quantile-by-pruning rank machinery
+  * ([[graft.operators.MdioStats.kthSmallest]]) as a COMPLETE pushdown —
+  * the optimized plan is a bare relation, no Spark-side aggregate, and
+  * the answer must be BIT-identical to Spark's own Percentile (the CONT
+  * interpolation replicates PercentileBase's double arithmetic). Every
+  * semantics-risking shape must DECLINE: possible NaN (Spark ranks NaN
+  * greatest; the rank machinery ranks finite cells), dim-range filters
+  * (ranks are global), grouping, descending order, stale stats. */
+class MdioPctPushdownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def create(values: Long => Double, dtype: String = "float64"): String = {
+    val dir = Files.createTempDirectory("mdio_pct").resolve("s.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      s"""{
+         |  "metadata": {"name": "s", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+         |  "variables": [
+         |    {"name": "x", "dataType": "int64",
+         |     "dimensions": [{"name": "x", "size": 64}]},
+         |    {"name": "v", "dataType": "$dtype",
+         |     "dimensions": [{"name": "x", "size": 64}],
+         |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8]}}}}
+         |  ]
+         |}""".stripMargin), dir)
+    val fn = udf(values.apply _)
+    val vcol = if (dtype.startsWith("float")) fn($"id") else fn($"id").cast("long")
+    MdioWriter.writeVariable(spark,
+      spark.range(64).select($"id".as("x"), vcol.as("v")), dir, "v")
+    dir
+  }
+
+  private def aggDF(dir: String): DataFrame =
+    spark.read.format("mdio").load(dir).agg(
+      median(col("v")).as("med"),
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)").as("p90"),
+      expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY v)").as("p25"),
+      expr("percentile_disc(1.0) WITHIN GROUP (ORDER BY v)").as("p100"))
+
+  private def pushed(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.optimizedPlan.toString
+    plan.contains("vpct") && !plan.contains("Aggregate")
+  }
+
+  /** Seq equality where NaN == NaN (boxed-double == is numeric). */
+  private def sameSeq(a: Seq[Any], b: Seq[Any]): Boolean =
+    a.size == b.size && a.zip(b).forall {
+      case (x: Double, y: Double) => (x.isNaN && y.isNaN) || x == y
+      case (x, y) => x == y
+    }
+
+  private def sparkSide(vs: Seq[Double]): Seq[Any] =
+    vs.toDF("v").agg(
+      median(col("v")),
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)"),
+      expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY v)"),
+      expr("percentile_disc(1.0) WITHIN GROUP (ORDER BY v)")).head.toSeq
+
+  test("median/percentile push down completely and match Spark bit-for-bit") {
+    // odd-ish distribution with ties across chunk boundaries
+    val vals = (0 until 64).map(i => ((i * 7) % 13).toDouble)
+    val dir = create(i => vals(i.toInt))
+    val df = aggDF(dir)
+    assert(pushed(df), df.queryExecution.optimizedPlan.toString)
+    assert(df.head.toSeq == sparkSide(vals), "pushed percentile diverged")
+    MdioWriter.delete(dir)
+  }
+
+  test("integral columns push down; result is double like Spark's") {
+    val vals = (0 until 64).map(i => ((i * 11) % 17).toDouble)
+    val dir = create(i => vals(i.toInt), dtype = "int32")
+    val df = aggDF(dir)
+    assert(pushed(df), df.queryExecution.optimizedPlan.toString)
+    assert(df.head.toSeq ==
+      vals.map(_.toLong).toDF("v").agg(
+        median(col("v")),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)"),
+        expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY v)"),
+        expr("percentile_disc(1.0) WITHIN GROUP (ORDER BY v)")).head.toSeq)
+    MdioWriter.delete(dir)
+  }
+
+  test("possible NaN declines the pushdown; Spark's NaN-is-greatest answer stands") {
+    val vals = (0 until 64).map(i => if (i % 9 == 4) Double.NaN else i.toDouble)
+    val dir = create(i => vals(i.toInt))
+    val df = aggDF(dir)
+    assert(!pushed(df), df.queryExecution.optimizedPlan.toString)
+    assert(sameSeq(df.head.toSeq, sparkSide(vals)))
+    MdioWriter.delete(dir)
+  }
+
+  test("filters, grouping, descending order, and stale stats all decline") {
+    val dir = create(_.toDouble)
+    val base = spark.read.format("mdio").load(dir)
+    assert(!pushed(base.filter($"x" >= 8).agg(median($"v").as("m"))))
+    assert(!pushed(base.groupBy(($"x" % 2).as("g")).agg(median($"v").as("m"))))
+    assert(!pushed(base.agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v DESC)").as("m"))))
+    // all of the above still answer correctly through Spark's aggregate
+    assert(base.filter($"x" >= 8).agg(median($"v")).head.getDouble(0) == 35.5)
+    MdioChunkStats.bump(ZarrMeta.path(dir).resolve("v")) // stale sidecar
+    assert(!pushed(base.agg(median($"v").as("m"))))
+    assert(base.agg(median($"v")).head.getDouble(0) == 31.5)
+    MdioWriter.delete(dir)
+  }
+}
