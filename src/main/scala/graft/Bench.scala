@@ -620,6 +620,10 @@ object Bench {
     // bracket selections and the discrete p90 one more, each ≤2 bounded
     // scan jobs; first budget r17)
     "zarr_median_pushdown" -> 1.6,
+    // comparator: zarr_quantiles_by_slab (same one-pass slab × rank
+    // matrix through boxRanks, plus the metadata slab rows it merges
+    // with; first budget r17)
+    "zarr_pct_by_slab" -> 1.4,
     // comparator: zarr_count_in_range (driver sidecar triage + one
     // chunk-subset scan; the location agg replaces the filtered count)
     "zarr_argmax_location" -> 0.3,

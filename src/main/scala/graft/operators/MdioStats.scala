@@ -1521,13 +1521,39 @@ object MdioStats {
                      ps: Seq[Double], groupSizes: Seq[Long],
                      maxProbeChunks: Int = 512,
                      maxGroups: Int = 1 << 16): GroupedQuantiles = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"quantiles $ps must lie in (0, 1]")
+    require(ps.distinct == ps, s"duplicate quantiles in $ps")
+    boxRankVector(spark, path, variable, ps, n => ps.map(p =>
+      (BigDecimal(p) * n).setScale(0, BigDecimal.RoundingMode.CEILING).toLong),
+      groupSizes, maxProbeChunks, maxGroups, fallbackOk = true)
+  }
+
+  /** Per-box values at EXPLICIT per-group ranks — `mkKs(n_g)` names each
+    * group's rank list (constant arity; `labels` are the output `p`
+    * column, one per rank slot) — the grouped twin of [[valuesAtRanks]],
+    * the seam the GROUPED percentile aggregate pushdown batches through.
+    * Pruned path ONLY: the caller proved answerability (alignment,
+    * current sidecar, NaN-free) at plan time, so any fallback condition
+    * here is a plan/execution race and throws loudly instead of running
+    * the label-agnostic quantile fallback with the wrong ranks. */
+  private[graft] def boxRanks(spark: SparkSession, path: String, variable: String,
+                              labels: Seq[Double], mkKs: Long => Seq[Long],
+                              groupSizes: Seq[Long],
+                              maxProbeChunks: Int = 512): GroupedQuantiles = {
+    require(labels.nonEmpty && labels.distinct == labels, s"bad rank labels $labels")
+    boxRankVector(spark, path, variable, labels, mkKs, groupSizes,
+      maxProbeChunks, maxGroups = Int.MaxValue, fallbackOk = false)
+  }
+
+  private def boxRankVector(spark: SparkSession, path: String, variable: String,
+                            ps: Seq[Double], mkKs: Long => Seq[Long],
+                            groupSizes: Seq[Long], maxProbeChunks: Int,
+                            maxGroups: Int, fallbackOk: Boolean): GroupedQuantiles = {
     import graft.sources.MdioChunkStats
     import graft.zarr.ZarrMeta
     import org.apache.spark.sql.{Column, Row}
     import org.apache.spark.sql.types._
-    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
-      s"quantiles $ps must lie in (0, 1]")
-    require(ps.distinct == ps, s"duplicate quantiles in $ps")
     require(groupSizes.forall(_ >= 1), s"group sizes $groupSizes must be positive")
     val root = ZarrMeta.path(path)
     val (meta, attrs) = ZarrMeta.readGroup(root)._2.getOrElse(variable,
@@ -1562,6 +1588,9 @@ object MdioStats {
     // the same number the pruned path's ksOf uses — exact past 2^53),
     // then the same bucketed pick
     def scanFallback(): GroupedQuantiles = {
+      if (!fallbackOk) // boxRanks: answerability was PROVEN at plan time
+        throw new IllegalStateException(s"rank-by-box for '$variable' lost " +
+          "its pruned-path preconditions between planning and execution")
       // runtimeFiltering=false: the group-ordinal joins below cannot prune
       // this scan (every group survives the build side) but their
       // dynamic-pruning subqueries WOULD desync the shared aggregation
@@ -1663,10 +1692,10 @@ object MdioStats {
         fine.get(g).iterator.flatMap(_.iterator.map { case (_, b) =>
           (b.min, b.max, b.moments.get.cnt) })).toIndexedSeq
 
-    // ks(i) = ⌈ps(i)·n⌉ in BigDecimal (the quantilesOf rule — exact
-    // boundary ceil at any n); the lower median is ks for p = 0.5
-    def ksOf(n: Long): Seq[Long] = ps.map(p =>
-      (BigDecimal(p) * n).setScale(0, BigDecimal.RoundingMode.CEILING).toLong)
+    // per-group rank list (quantilesByBox: ⌈ps(i)·n⌉ in BigDecimal —
+    // exact boundary ceil at any n, the lower median is p = 0.5;
+    // boxRanks: the caller's explicit ranks)
+    def ksOf(n: Long): Seq[Long] = mkKs(n)
     final case class GState(g: Seq[Long], n: Long, ks: Seq[Long],
                             var brs: Seq[(Option[BigDecimal], BigDecimal)])
     val gOrd = Ordering.Implicits.seqOrdering[Seq, Long]

@@ -1059,6 +1059,51 @@ object Mdio {
        FROM o) AS med,
       (SELECT x FROM o WHERE rn = 231) AS p90"""
 
+  /** GROUPED median/percentile as PLAIN SQL on the gate (r17): the
+    * per-slab heat-map a user writes as `GROUP BY FLOOR(inline/8)` with
+    * `median(weight)` + a discrete p90 — the whole Aggregate pushes into
+    * the scan (grouped vpct ops: metadata slab rows merged with ONE
+    * batched [[graft.operators.MdioStats.boxRanks]] pass answering every
+    * slab's interpolation ranks together — one bracket walk, one probe,
+    * one union-window scan for the slab × rank matrix, through the
+    * bucketed pick), mixed freely with metadata-answered aggregates
+    * (`max`, `count`). Oracle: per-slab ROW_NUMBER picks (n = 64 per
+    * slab: median averages ranks 32/33, discrete p90 is rank
+    * ⌈0.9·64⌉ = 58). REQUIRES the complete pushdown in-query. */
+  val qZarrPctBySlab: Q = (s, d) => {
+    val path = zarrGridWeight(s, d)
+    val df = s.read.format("mdio").load(path)
+      .groupBy(floor(col("inline") / 8).as("slab"))
+      .agg(median(col("weight")).as("med"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY weight)").as("p90"),
+        max(col("weight")).as("mx"),
+        count(lit(1)).as("n"))
+      .orderBy(col("slab"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    require(plan.contains("vpct") && !plan.contains("Aggregate"),
+      s"grouped median/percentile did not push down:\n${plan.take(500)}")
+    df
+  }
+
+  val qZarrPctBySlabSql: String = """
+    WITH wgt AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(COUNT(*) AS DOUBLE) AS weight
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT i, COALESCE(weight, 0.0) AS x
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN wgt USING (i, j)),
+    r AS (
+      SELECT CAST(FLOOR(i / 8) AS BIGINT) AS slab, x,
+             ROW_NUMBER() OVER (PARTITION BY FLOOR(i / 8) ORDER BY x) AS rn
+      FROM cells)
+    SELECT slab,
+           SUM(CASE WHEN rn = 32 THEN 0.5 * x WHEN rn = 33 THEN 0.5 * x END) AS med,
+           MAX(CASE WHEN rn = 58 THEN x END) AS p90,
+           MAX(x) AS mx,
+           COUNT(*) AS n
+    FROM r GROUP BY slab ORDER BY slab"""
+
   /** Extrema LOCATION on the gate (r16): WHERE the peak and trough
     * amplitudes live — the volume-statistics argmax/argmin readout
     * (reference examples/seismic_reader/stats.hh:31-67 full-scans it;
@@ -2555,6 +2600,7 @@ object Mdio {
     "zarr_quantiles"        -> qZarrQuantiles,
     "zarr_quantiles_by_slab" -> qZarrQuantilesBySlab,
     "zarr_median_pushdown"  -> qZarrMedianPushdown,
+    "zarr_pct_by_slab"      -> qZarrPctBySlab,
     "zarr_argmax_location"  -> qZarrArgmaxLocation,
     "zarr_histogram_meta"   -> qZarrHistogramMeta,
     "zarr_range_by_slab"    -> qZarrRangeBySlab,
@@ -2626,6 +2672,7 @@ object Mdio {
     "zarr_quantiles"        -> qZarrQuantilesSql,
     "zarr_quantiles_by_slab" -> qZarrQuantilesBySlabSql,
     "zarr_median_pushdown"  -> qZarrMedianPushdownSql,
+    "zarr_pct_by_slab"      -> qZarrPctBySlabSql,
     "zarr_argmax_location"  -> qZarrArgmaxLocationSql,
     "zarr_histogram_meta"   -> qZarrHistogramMetaSql,
     "zarr_range_by_slab"    -> qZarrRangeBySlabSql,

@@ -520,9 +520,19 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
         val disc = g.name() == "PERCENTILE_DISC"
         (vOpt, pOpt) match {
           case (Some(v), Some(p))
-              if grouped.isEmpty && ranges.isEmpty &&
+              if ranges.isEmpty &&
                 sv.direction == connector_expressions.SortDirection.ASCENDING &&
                 p <= 1.0 && (if (disc) p > 0.0 else p >= 0.0) &&
+                // grouped form: the slabs must be chunk-aligned boxes of
+                // the variable's own grid (the boxRanks geometry) and the
+                // variable must span the full dim space (a narrower
+                // variable's cells repeat per row — its ranks differ)
+                grouped.forall(gs => metas(v).shape == metas.values.head.shape &&
+                  metas(v).fields.isEmpty &&
+                  gs.forall { case (d, l) =>
+                    val di = dims.indexOf(d)
+                    di >= 0 && (l % metas(v).chunks(di) == 0 || l >= metas(v).shape(di))
+                  }) &&
                 MdioAggScan.rankAnswerable(path, v, metas(v)) =>
             (if (disc) s"vpctd:$p" else s"vpctc:$p", v)
           case _ => return None
@@ -532,8 +542,11 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
     grouped match {
       case Some(gs) =>
         // per-slab answerability in one shot: coverage, chunk-multiples,
-        // moments for vsum, per-slab integral-sum Long fit
-        if (MdioAggScan.slabRows(path, dims, metas, ranges, out.toSeq, gs).isDefined)
+        // moments for vsum, per-slab integral-sum Long fit. Percentile
+        // ops validated their own (rank) answerability above and are
+        // answered by boxRanks at execution, not by slabRows.
+        val nonPct = out.toSeq.filterNot(_._1.startsWith("vpct"))
+        if (MdioAggScan.slabRows(path, dims, metas, ranges, nonPct, gs).isDefined)
           Some((out.toSeq, grouped))
         else None
       case None => Some((out.toSeq, None))
@@ -809,10 +822,29 @@ final case class MdioAggScan(path: String, dims: Seq[String],
   override def planInputPartitions(): Array[InputPartition] = {
     group.foreach { gs =>
       // one metadata row per slab tuple; a writer racing between planning
-      // and execution must fail LOUD (the plan is fixed as metadata-only)
-      val rows = MdioAggScan.slabRows(path, dims, metas, ranges, aggs, gs)
+      // and execution must fail LOUD (the plan is fixed as metadata-only).
+      // Percentile columns fill in from the batched grouped rank pass.
+      val nonPct = aggs.filterNot(_._1.startsWith("vpct"))
+      val rows0 = MdioAggScan.slabRows(path, dims, metas, ranges, nonPct, gs)
         .getOrElse(throw new IllegalStateException(
           s"per-slab stats for group by ${gs.mkString(",")} went stale between planning and execution"))
+      val rows =
+        if (nonPct.size == aggs.size) rows0
+        else {
+          val pct = groupedPctValues(gs)
+          rows0.map { r =>
+            val tuple: Seq[Long] = (0 until gs.size).map(i => r(i).asInstanceOf[Long])
+            var j = gs.size // cursor into rows0's non-pct agg values
+            val vals: Array[Any] = aggs.map {
+              case (op, v) if op.startsWith("vpct") =>
+                pct((op, v)).getOrElse(tuple,
+                  throw new IllegalStateException(
+                    s"grouped rank pass produced no value for slab $tuple"))
+              case _ => val x = r(j); j += 1; x
+            }.toArray
+            r.take(gs.size) ++ vals
+          }
+        }
       return Array(MdioAggRowsPartition(rows))
     }
     val shape = metas.values.head.shape
@@ -840,6 +872,68 @@ final case class MdioAggScan(path: String, dims: Seq[String],
         if (empty) null else pctValues((op, v))
     }.toArray
     Array(MdioAggPartition(values))
+  }
+
+  /** GROUPED pushed percentiles: all ranks of all of a query's percentile
+    * aggregates over one variable batch through ONE
+    * [[graft.operators.MdioStats.boxRanks]] pass — one bracket walk, one
+    * probe, one union-window scan for the whole slab × rank matrix. Each
+    * op contributes a CONSTANT two rank slots per group (a discrete
+    * percentile duplicates its single rank; a continuous one needs its
+    * two interpolation neighbours), so the label → slot mapping is static
+    * while the ranks themselves are per-group functions of n_g. Returns
+    * op → slab-tuple (pushed order) → value; O(slabs × slots) driver rows
+    * — the same order as the grouped result Spark materializes anyway. */
+  private def groupedPctValues(gs: Seq[(String, Long)])
+      : Map[(String, String), Map[Seq[Long], Any]] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val pct = aggs.filter(_._1.startsWith("vpct")).distinct
+    pct.groupBy(_._2).flatMap { case (v, ops) =>
+      if (!MdioAggScan.rankAnswerable(path, v, metas(v)))
+        throw new IllegalStateException(
+          s"rank answerability for '$v' went stale between planning and execution")
+      val m = metas(v)
+      val groupSizes = dims.zipWithIndex.map { case (d, i) =>
+        gs.find(_._1 == d).map(_._2).getOrElse(m.shape(i)) }
+      def pOf(op: String): Double = op.substring(op.indexOf(':') + 1).toDouble
+      def ranksOf(op: String, n: Long): Seq[Long] =
+        if (op.startsWith("vpctd")) {
+          val k = (BigDecimal(pOf(op)) * n)
+            .setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+          Seq(k, k)
+        } else {
+          val position = pOf(op) * (n - 1) // PercentileBase: p × (count−1)
+          Seq(math.floor(position).toLong + 1, math.ceil(position).toLong + 1)
+        }
+      val labels = (0 until 2 * ops.size).map(_.toDouble)
+      val q = graft.operators.MdioStats.boxRanks(spark, path, v, labels,
+        n => ops.flatMap(o => ranksOf(o._1, n)), groupSizes)
+      val schema = q.result.schema.fieldNames
+      val gIdx = gs.map { case (d, _) => schema.indexOf(s"g_$d") }
+      val lIdx = schema.indexOf("p")
+      val qIdx = schema.indexOf("q")
+      val nIdx = schema.indexOf("n")
+      val byKey = q.result.collect().groupBy(r => gIdx.map(r.getLong).toSeq)
+      ops.zipWithIndex.map { case ((op, _), oi) =>
+        val perSlab: Map[Seq[Long], Any] = byKey.map { case (key, rs) =>
+          val n = rs.head.getLong(nIdx)
+          val byLabel = rs.map(r => r.getDouble(lIdx) -> r.getDouble(qIdx)).toMap
+          val vLo = byLabel((2 * oi).toDouble)
+          val value: Any =
+            if (op.startsWith("vpctd")) vLo
+            else {
+              val position = pOf(op) * (n - 1)
+              val lower = math.floor(position).toLong
+              val higher = math.ceil(position).toLong
+              if (higher == lower) vLo
+              else vLo * (higher - position) +
+                byLabel((2 * oi + 1).toDouble) * (position - lower)
+            }
+          key -> value
+        }
+        (op, v) -> perSlab
+      }
+    }
   }
 
   /** Pushed PERCENTILE_CONT/PERCENTILE_DISC values, computed LAZILY on

@@ -99,7 +99,35 @@ class MdioPctPushdownSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
-  test("filters, grouping, descending order, and stale stats all decline") {
+  test("grouped (slab) percentiles push down and match Spark's groupBy") {
+    val vals = (0 until 64).map(i => ((i * 7) % 13).toDouble)
+    val dir = create(i => vals(i.toInt))
+    val base = spark.read.format("mdio").load(dir)
+    val df = base.groupBy(floor($"x" / 16).as("slab")).agg(
+      median($"v").as("med"),
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)").as("p90"),
+      max($"v").as("mx")) // mixed with a metadata-answered agg
+    assert(pushed(df), df.queryExecution.optimizedPlan.toString)
+    val got = df.orderBy("slab").collect().map(_.toSeq).toSeq
+    val want = vals.zipWithIndex.map { case (v, x) => (v, x.toLong) }
+      .toDF("v", "x")
+      .groupBy(floor($"x" / 16).as("slab")).agg(
+        median($"v"), expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)"),
+        max($"v"))
+      .orderBy("slab").collect().map(_.toSeq).toSeq
+    assert(got == want, s"got $got want $want")
+    // a slab width that splits chunks declines (boxRanks needs whole
+    // chunks per box) but stays correct through Spark's aggregate
+    val dfm = base.groupBy(floor($"x" / 12).as("slab")).agg(median($"v").as("m"))
+    assert(!pushed(dfm))
+    assert(dfm.orderBy("slab").collect().map(_.toSeq).toSeq ==
+      vals.zipWithIndex.map { case (v, x) => (v, x.toLong) }.toDF("v", "x")
+        .groupBy(floor($"x" / 12).as("slab")).agg(median($"v"))
+        .orderBy("slab").collect().map(_.toSeq).toSeq)
+    MdioWriter.delete(dir)
+  }
+
+  test("filters, non-slab grouping, descending order, and stale stats all decline") {
     val dir = create(_.toDouble)
     val base = spark.read.format("mdio").load(dir)
     assert(!pushed(base.filter($"x" >= 8).agg(median($"v").as("m"))))
