@@ -604,7 +604,10 @@ object Bench {
     // comparator: zarr_kth_smallest (same bracket arithmetic driver-side,
     // same ≤2 scan jobs — all 4 slabs share them — plus the grouped
     // cumulative-count window; first budget r16)
-    "zarr_median_by_slab" -> 1.0,
+    // re-floored r17: the bucketed two-stage pick (the 100× fix for the
+    // single-partition grouped sort) adds a bucket-histogram aggregation
+    // and a broadcast pick join — 3-rep idle floor 0.92–1.05 s
+    "zarr_median_by_slab" -> 1.3,
     // comparator: zarr_median_by_slab (same driver bracket, same single
     // window-scan job — over all 8 chunks at one-chunk-tile granularity)
     "zarr_median_by_tile" -> 1.0,
@@ -616,14 +619,15 @@ object Bench {
     // union-window scan, two ranks per slab through the bucketed
     // two-stage pick; first budget r17)
     "zarr_quantiles_by_slab" -> 1.1,
-    // comparator: zarr_kth_smallest ×3 (the pushed median runs two
-    // bracket selections and the discrete p90 one more, each ≤2 bounded
-    // scan jobs; first budget r17)
-    "zarr_median_pushdown" -> 1.6,
+    // comparator: zarr_quantiles (the pushed median + discrete p90 batch
+    // their three ranks through ONE valuesAtRanks bracket/probe/window
+    // pass; 3-rep idle floor 0.76 s; first budget r17)
+    "zarr_median_pushdown" -> 1.2,
     // comparator: zarr_quantiles_by_slab (same one-pass slab × rank
-    // matrix through boxRanks, plus the metadata slab rows it merges
-    // with; first budget r17)
-    "zarr_pct_by_slab" -> 1.4,
+    // matrix through boxRanks — four rank slots vs two — plus the
+    // metadata slab rows and the pushed-plan plumbing it merges with;
+    // 3-rep idle floor 1.73–1.84 s; first budget r17)
+    "zarr_pct_by_slab" -> 2.0,
     // comparator: zarr_count_in_range (driver sidecar triage + one
     // chunk-subset scan; the location agg replaces the filtered count)
     "zarr_argmax_location" -> 0.3,

@@ -896,16 +896,22 @@ final case class MdioAggScan(path: String, dims: Seq[String],
       val groupSizes = dims.zipWithIndex.map { case (d, i) =>
         gs.find(_._1 == d).map(_._2).getOrElse(m.shape(i)) }
       def pOf(op: String): Double = op.substring(op.indexOf(':') + 1).toDouble
+      // rank slots per op are CONSTANT across groups (a discrete
+      // percentile takes one; a continuous one its two interpolation
+      // neighbours — duplicated when the position lands on a rank, since
+      // the slot count may not vary with n_g), while the ranks themselves
+      // are per-group functions of n_g
+      def arity(op: String): Int = if (op.startsWith("vpctd")) 1 else 2
       def ranksOf(op: String, n: Long): Seq[Long] =
-        if (op.startsWith("vpctd")) {
-          val k = (BigDecimal(pOf(op)) * n)
-            .setScale(0, BigDecimal.RoundingMode.CEILING).toLong
-          Seq(k, k)
-        } else {
+        if (op.startsWith("vpctd"))
+          Seq((BigDecimal(pOf(op)) * n)
+            .setScale(0, BigDecimal.RoundingMode.CEILING).toLong)
+        else {
           val position = pOf(op) * (n - 1) // PercentileBase: p × (count−1)
           Seq(math.floor(position).toLong + 1, math.ceil(position).toLong + 1)
         }
-      val labels = (0 until 2 * ops.size).map(_.toDouble)
+      val offsets = ops.map(o => arity(o._1)).scanLeft(0)(_ + _)
+      val labels = (0 until offsets.last).map(_.toDouble)
       val q = graft.operators.MdioStats.boxRanks(spark, path, v, labels,
         n => ops.flatMap(o => ranksOf(o._1, n)), groupSizes)
       val schema = q.result.schema.fieldNames
@@ -914,11 +920,11 @@ final case class MdioAggScan(path: String, dims: Seq[String],
       val qIdx = schema.indexOf("q")
       val nIdx = schema.indexOf("n")
       val byKey = q.result.collect().groupBy(r => gIdx.map(r.getLong).toSeq)
-      ops.zipWithIndex.map { case ((op, _), oi) =>
+      ops.zip(offsets).map { case ((op, _), off) =>
         val perSlab: Map[Seq[Long], Any] = byKey.map { case (key, rs) =>
           val n = rs.head.getLong(nIdx)
           val byLabel = rs.map(r => r.getDouble(lIdx) -> r.getDouble(qIdx)).toMap
-          val vLo = byLabel((2 * oi).toDouble)
+          val vLo = byLabel(off.toDouble)
           val value: Any =
             if (op.startsWith("vpctd")) vLo
             else {
@@ -927,7 +933,7 @@ final case class MdioAggScan(path: String, dims: Seq[String],
               val higher = math.ceil(position).toLong
               if (higher == lower) vLo
               else vLo * (higher - position) +
-                byLabel((2 * oi + 1).toDouble) * (position - lower)
+                byLabel((off + 1).toDouble) * (position - lower)
             }
           key -> value
         }

@@ -30,6 +30,21 @@ class MockFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def listStatus(f: Path): Array[FileStatus] = super.listStatus(f).map(baked)
 }
 
+/** [[MockFileSystem]] whose NON-recursive FILE deletes fail — simulates a
+  * transient store error during trim's doomed-chunk sweep, which must
+  * abort LOUDLY (a silently-skipped doomed chunk is stale data a later
+  * dimension regrow resurrects). Directories still delete normally. */
+class FailingDeleteFileSystem extends MockFileSystem {
+  import org.apache.hadoop.fs.Path
+  override def getUri: java.net.URI = java.net.URI.create("faildel:///")
+  override def getScheme: String = "faildel"
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    if (!recursive && getFileStatus(f).isFile)
+      throw new java.io.IOException(s"simulated transient delete failure: $f")
+    super.delete(f, recursive)
+  }
+}
+
 class VPathSpec extends SparkSpec {
   import spark.implicits._
 
@@ -121,5 +136,54 @@ class VPathSpec extends SparkSpec {
       .as[Float].head() == -5.0f)
     MdioWriter.delete(dir)
     assert(!ZarrMeta.path(dir).exists)
+  }
+
+  private def oneDimStore(scheme: String): String = {
+    val dir = scheme +
+      java.nio.file.Files.createTempDirectory("mdio_del").resolve("t.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "t", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "x", "dataType": "int64",
+        |     "dimensions": [{"name": "x", "size": 64}]},
+        |    {"name": "v", "dataType": "float64",
+        |     "dimensions": [{"name": "x", "size": 64}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    MdioWriter.writeVariable(spark,
+      spark.range(64).select($"id".as("x"), $"id".cast("double").as("v")), dir, "v")
+    dir
+  }
+
+  test("trim swallows ONLY the junk-directory delete failure; a doomed FILE rethrows") {
+    // junk DIRECTORY named like a doomed chunk key: fs.delete(dir, false)
+    // throws on a non-empty dir — trim must shrug (foreign junk is not
+    // the engine's data) and still delete the real doomed chunk files
+    val dir = oneDimStore("file://")
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    varDir.resolve("6").readBytesOrNull() // real chunk 6 exists...
+    new java.io.File(new java.net.URI(varDir.resolve("6").uri)).delete()
+    varDir.resolve("6").resolve("junk.txt").writeString("not a chunk")
+    MdioWriter.trim(dir, "x", 32L)
+    assert(!varDir.resolve("4").exists && !varDir.resolve("5").exists &&
+      !varDir.resolve("7").exists, "real doomed chunks must delete")
+    assert(varDir.resolve("6").resolve("junk.txt").exists,
+      "foreign junk dir must survive the trim untouched")
+    assert(spark.read.format("mdio").load(dir).count() == 32)
+    MdioWriter.delete(dir)
+    // a real doomed FILE that fails to delete must abort the trim loudly
+    // — silence would leave stale beyond-boundary data a regrow resurrects
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faildel.impl", classOf[FailingDeleteFileSystem].getName)
+    val dir2 = oneDimStore("faildel://")
+    val e = intercept[Exception] { MdioWriter.trim(dir2, "x", 32L) }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => t.getMessage != null &&
+        t.getMessage.contains("simulated transient delete failure")),
+      s"trim swallowed a real delete failure: $e")
   }
 }
