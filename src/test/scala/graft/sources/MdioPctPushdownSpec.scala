@@ -127,6 +127,69 @@ class MdioPctPushdownSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("u64 (decimal) columns push down; ranking stays decimal-exact past 2^63") {
+    val dir = Files.createTempDirectory("mdio_pct").resolve("u.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "u", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "x", "dataType": "int64",
+        |     "dimensions": [{"name": "x", "size": 64}]},
+        |    {"name": "u", "dataType": "uint64",
+        |     "dimensions": [{"name": "x", "size": 64}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    val twoTo63 = BigDecimal("9223372036854775808")
+    MdioWriter.writeVariable(spark,
+      spark.range(64).select($"id".as("x"),
+        ($"id".cast("decimal(21,0)") + lit(twoTo63)).cast("decimal(20,0)").as("u")),
+      dir, "u")
+    val df = spark.read.format("mdio").load(dir).agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY u)").as("q1"),
+      median(col("u")).as("med"))
+    assert(pushed(df), df.queryExecution.optimizedPlan.toString)
+    val plain = (0 until 64).map(i => (twoTo63 + i).underlying).toDF("u").agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY u)"),
+      median(col("u"))).head
+    assert(df.head.toSeq == plain.toSeq)
+    MdioWriter.delete(dir)
+  }
+
+  test("2-D tile grouping pushes down: GROUP BY two slab dims") {
+    val dir = Files.createTempDirectory("mdio_pct").resolve("t.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "t", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "inline", "dataType": "int64",
+        |     "dimensions": [{"name": "inline", "size": 16}]},
+        |    {"name": "crossline", "dataType": "int64",
+        |     "dimensions": [{"name": "crossline", "size": 8}]},
+        |    {"name": "v", "dataType": "float64",
+        |     "dimensions": [{"name": "inline", "size": 16}, {"name": "crossline", "size": 8}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [4, 4]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    val cells = spark.range(16).select($"id".as("inline"))
+      .crossJoin(spark.range(8).select($"id".as("crossline")))
+      .select($"inline", $"crossline",
+        (($"inline" * 3 + $"crossline" * 7) % 11).cast("double").as("v"))
+    MdioWriter.writeVariable(spark, cells, dir, "v")
+    val df = spark.read.format("mdio").load(dir)
+      .groupBy(floor($"inline" / 8).as("ti"), floor($"crossline" / 4).as("tj"))
+      .agg(median($"v").as("med"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)").as("p75"))
+    assert(pushed(df), df.queryExecution.optimizedPlan.toString)
+    val got = df.orderBy("ti", "tj").collect().map(_.toSeq).toSeq
+    val want = cells
+      .groupBy(floor($"inline" / 8).as("ti"), floor($"crossline" / 4).as("tj"))
+      .agg(median($"v"), expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)"))
+      .orderBy("ti", "tj").collect().map(_.toSeq).toSeq
+    assert(got == want, s"got $got want $want")
+    MdioWriter.delete(dir)
+  }
+
   test("filters, non-slab grouping, descending order, and stale stats all decline") {
     val dir = create(_.toDouble)
     val base = spark.read.format("mdio").load(dir)
