@@ -628,6 +628,9 @@ object Bench {
     // metadata slab rows and the pushed-plan plumbing it merges with;
     // 3-rep idle floor 1.73–1.84 s; first budget r17)
     "zarr_pct_by_slab" -> 2.0,
+    // comparator: mdio_fsck ×2 (repair = audit + one 1-chunk recompute
+    // scan + shard republish + re-audit; first budget r17)
+    "mdio_fsck_repair" -> 1.3,
     // comparator: zarr_count_in_range (driver sidecar triage + one
     // chunk-subset scan; the location agg replaces the filtered count)
     "zarr_argmax_location" -> 0.3,

@@ -359,4 +359,145 @@ object MdioFsck {
     StructField("emax", DoubleType, nullable = true),
     StructField("ecnt", LongType, nullable = true),
     StructField("enan", BooleanType, nullable = false)))
+
+  private val log = org.slf4j.LoggerFactory.getLogger(MdioFsck.getClass)
+
+  /** [[repair]] result: `findings` is the RE-AUDIT after the repair
+    * (clean when every finding was sidecar corruption — corrupted DATA
+    * bytes are not repairable from metadata and stay flagged),
+    * `repairedChunks` counts the entries recomputed and republished,
+    * `chunksAudited`/`cells` are the re-audit's totals. */
+  final case class Repair(findings: DataFrame, repairedChunks: Long,
+                          chunksAudited: Long, cells: Long)
+
+  /** Check-and-FIX: audit the variable, recompute a CORRECT sidecar entry
+    * for every chunk the audit implicates — recompute/entry findings name
+    * chunks directly; shard-level findings (torn, unreadable, summary
+    * mismatch) implicate their whole lead range — and republish them
+    * through a whole-shard replacement (junk and beyond-grid entries drop;
+    * untouched shards carry by reference; generation bumps, so the
+    * repaired sidecar is CURRENT and pruning resumes). The recompute runs
+    * as ONE `chunkKeys` scan whose per-chunk groups accumulate through the
+    * SAME exact rules the writers use ([[graft.sources.MdioWriter.floatStatEach]] /
+    * `longStatEach`: ExactSum moments, the underflow/overflow drop rules;
+    * unsigned-exact u64 bounds) — a repaired entry is bit-identical to
+    * what a full rewrite would have published, at the cost of the
+    * implicated chunks only. Driver memory: O(findings + repaired entries
+    * + touched-shard entries + manifest). Not repaired (by design): a
+    * STALE sidecar (legal state — rewriting the variable refreshes),
+    * legacy monolithic sidecars (small — rewrite instead), and
+    * unparseable junk keys inside otherwise-clean shards (no finding
+    * locates their shard; the re-audit keeps flagging them). Reference
+    * analog: the check-only validator, mdio/dataset_validator.h — at
+    * 100 TB the fix must not be a full stats rewrite. */
+  def repair(spark: SparkSession, path: String, variable: String): Repair = {
+    import graft.sources.{MdioChunkStats, MdioWriter}
+    import graft.zarr.ZarrMeta
+    val before = check(spark, path, variable, recompute = true)
+    val fRows = before.findings.collect() // O(findings): the audit contract
+    def done(a: Audit, n: Long) = Repair(a.findings, n, a.chunksAudited, a.cells)
+    if (fRows.isEmpty) return done(before, 0L)
+    val root = ZarrMeta.path(path)
+    val (meta, attrs) = ZarrMeta.readGroup(root)._2(variable)
+    val dims = meta.dimNames
+      .orElse(attrs.flatMap(graft.sources.MdioTableUtil.arrayDimensions))
+      .getOrElse(return done(before, 0L)) // metadata findings: unrepairable
+    val varDir = root.resolve(variable)
+    val manOpt = MdioChunkStats.currentManifest(varDir)
+    if (manOpt.isEmpty || manOpt.get.legacy.isDefined) {
+      log.warn(s"repair($path, $variable): no generation-current sharded " +
+        "manifest — stale/legacy sidecars refresh by rewriting the variable")
+      return done(before, 0L)
+    }
+    val man = manOpt.get
+    val grid = meta.chunkGrid
+    def parseKey(key: String): Option[Seq[Long]] =
+      scala.util.Try(key.split("\\.").map(_.toLong).toSeq).toOption
+    def inGrid(key: String): Boolean = parseKey(key).exists(cc =>
+      cc.size == grid.size && cc.zip(grid).forall { case (x, g) => x >= 0 && x < g })
+    def sidOf(key: String): Option[Long] =
+      scala.util.Try(key.takeWhile(_ != '.').toLong).toOption.map(_ / man.span)
+    val recompute = scala.collection.mutable.LinkedHashSet.empty[String]
+    val touchedSids = scala.collection.mutable.LinkedHashSet.empty[Long]
+    fRows.foreach { r =>
+      (r.getString(1), r.getString(3)) match {
+        case (("recompute" | "entry"), subject) =>
+          // in-grid keys recompute; a parseable beyond-grid key still
+          // locates its shard so the junk entry drops on rewrite
+          if (inGrid(subject)) recompute += subject
+          sidOf(subject).foreach(touchedSids += _)
+        case ("shard", subject) if subject.startsWith("s") =>
+          subject.drop(1).toLongOption.foreach { sid =>
+            touchedSids += sid
+            graft.sources.MdioAggScan.boxKeys(
+              (sid * man.span, math.min((sid + 1) * man.span, grid.head)) +:
+                grid.drop(1).map(g => (0L, g))).foreach(recompute += _)
+          }
+        case _ => ()
+      }
+    }
+    if (touchedSids.isEmpty) return done(before, 0L)
+    val dt = meta.dtype
+    val kind = dt.charAt(dt.length - 2)
+    require(meta.fields.isEmpty && (kind == 'f' || kind == 'i' || kind == 'u'),
+      s"repair supports scalar numeric dtypes; '$variable' is $dt")
+    val isU64 = kind == 'u' && dt.endsWith("8")
+    import spark.implicits._
+    val srs: Seq[(String, MdioWriter.ChunkStatRow)] =
+      if (recompute.isEmpty) Seq.empty
+      else {
+        val keyCol = concat_ws(".", dims.zipWithIndex.map { case (d, i) =>
+          floor(col(d) / meta.chunks(i)).cast("long").cast("string") }: _*)
+        val src = spark.read.format("mdio")
+          .option("chunkKeys", recompute.mkString(","))
+          .load(path)
+          .select(keyCol.as("k"), col(variable).as("v"))
+        if (kind == 'f')
+          src.select($"k", $"v".cast("double")).as[(String, Double)]
+            .groupByKey(_._1)
+            .mapGroups((k, it) =>
+              (k, MdioWriter.floatStatEach(0L)(f => it.foreach(t => f(t._2)))))
+            .collect().toSeq
+        else if (isU64)
+          src.as[(String, java.math.BigDecimal)]
+            .groupByKey(_._1)
+            .mapGroups { (k, it) =>
+              var mn: java.math.BigDecimal = null
+              var mx: java.math.BigDecimal = null
+              it.foreach { case (_, v) =>
+                if (mn == null || v.compareTo(mn) < 0) mn = v
+                if (mx == null || v.compareTo(mx) > 0) mx = v
+              }
+              val two64 = new java.math.BigDecimal(
+                java.math.BigInteger.ONE.shiftLeft(64))
+              val lmax = new java.math.BigDecimal(Long.MaxValue)
+              def wrap(x: java.math.BigDecimal): Long =
+                if (x.compareTo(lmax) > 0) x.subtract(two64).longValueExact()
+                else x.longValueExact()
+              (k, MdioWriter.ChunkStatRow(0L, isFloat = false, 0.0, 0.0,
+                wrap(mn), wrap(mx), empty = false, u64 = true))
+            }.collect().toSeq
+        else
+          src.select($"k", $"v".cast("long")).as[(String, Long)]
+            .groupByKey(_._1)
+            .mapGroups((k, it) =>
+              (k, MdioWriter.longStatEach(0L)(f => it.foreach(t => f(t._2)))))
+            .collect().toSeq
+      }
+    // statEntry None (±Inf cells) = unprunable chunk: the key is OMITTED,
+    // exactly as the writers publish it
+    val fixed: Map[String, MdioChunkStats.Entry] =
+      srs.flatMap { case (k, sr) => MdioWriter.statEntry(sr).map(k -> _) }.toMap
+    val touched: Map[Long, Map[String, MdioChunkStats.Entry]] =
+      touchedSids.iterator.map { sid =>
+        val prior = man.shards.get(sid)
+          .map(sm => MdioChunkStats.readShard(varDir, sid, sm.gen))
+          .getOrElse(Map.empty[String, MdioChunkStats.Entry])
+        val kept = prior.filter { case (k, _) => inGrid(k) && sidOf(k).contains(sid) }
+        val mine = fixed.filter { case (k, _) => sidOf(k).contains(sid) }
+        sid -> (kept ++ mine)
+      }.toMap
+    MdioChunkStats.replaceShards(varDir, touched)
+    done(check(spark, path, variable, recompute = true), fixed.size.toLong)
+  }
 }

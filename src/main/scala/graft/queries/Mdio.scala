@@ -1246,6 +1246,41 @@ object Mdio {
            CAST(8 AS BIGINT) AS chunks_audited, COUNT(*) AS cells
     FROM range(32) r1(i) CROSS JOIN range(8) r2(j)"""
 
+  /** Store REPAIR on the gate (r17): check-and-fix —
+    * [[graft.operators.MdioFsck.repair]] over an injected sidecar
+    * corruption (one tampered chunk bound, written at the current
+    * generation). The repair recomputes ONLY the implicated chunk through
+    * the writers' exact stat rules, republishes it by whole-shard
+    * replacement, and the re-audit must come back CLEAN with the exact
+    * totals — the query REQUIRES the repaired entries to equal the
+    * writer's originals bit-for-bit, so the row is idempotent across
+    * invocations and the shared gate store stays pristine for every
+    * other row. The corruption-class arms (torn shard, corrupted key,
+    * beyond-grid junk, stale no-op) are pinned in MdioFsckSpec. */
+  val qMdioFsckRepair: Q = (s, d) => {
+    import graft.sources.MdioChunkStats
+    val path = zarrGridWeight(s, d)
+    val varDir = graft.zarr.ZarrMeta.path(path).resolve("weight")
+    val good = MdioChunkStats.current(varDir).get
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir),
+      good.updated("0.0", good("0.0").map(b => b.copy(max = b.max + 1000))),
+      span = 2)
+    val r = graft.operators.MdioFsck.repair(s, path, "weight")
+    require(r.repairedChunks == 1, s"repaired ${r.repairedChunks} chunks, want 1")
+    require(MdioChunkStats.current(varDir).get == good,
+      "repair drifted from the writer's published entries")
+    val errs = r.findings.agg(
+      count(when(col("severity") === "error", 1))).head.getLong(0)
+    import s.implicits._
+    Seq((r.repairedChunks, errs, r.chunksAudited, r.cells))
+      .toDF("repaired", "errors_after", "chunks_audited", "cells")
+  }
+
+  val qMdioFsckRepairSql: String = """
+    SELECT CAST(1 AS BIGINT) AS repaired, CAST(0 AS BIGINT) AS errors_after,
+           CAST(8 AS BIGINT) AS chunks_audited, COUNT(*) AS cells
+    FROM range(32) r1(i) CROSS JOIN range(8) r2(j)"""
+
   /** TRAILING-DIM grouped-key storage-partitioned join on the gate (r14):
     * the fusion fold under `groupFactor=1,2` — the PER-DIM form for stores
     * whose chunk count lives in trailing dims (e.g. 4×2048×2048 chunks,
@@ -2605,6 +2640,7 @@ object Mdio {
     "zarr_histogram_meta"   -> qZarrHistogramMeta,
     "zarr_range_by_slab"    -> qZarrRangeBySlab,
     "mdio_fsck"             -> qMdioFsck,
+    "mdio_fsck_repair"      -> qMdioFsckRepair,
     "zarr_topk_value"       -> qZarrTopkValue,
     "mdio_rechunk"          -> qMdioRechunk,
     "mdio_reshard"          -> qMdioReshard,
@@ -2677,6 +2713,7 @@ object Mdio {
     "zarr_histogram_meta"   -> qZarrHistogramMetaSql,
     "zarr_range_by_slab"    -> qZarrRangeBySlabSql,
     "mdio_fsck"             -> qMdioFsckSql,
+    "mdio_fsck_repair"      -> qMdioFsckRepairSql,
     "zarr_topk_value"       -> qZarrTopkValueSql,
     "mdio_rechunk"          -> qMdioRechunkSql,
     "mdio_reshard"          -> qMdioReshardSql,

@@ -558,6 +558,26 @@ object MdioChunkStats {
     * target size, in which case the span re-derives with a full republish.
     * Stale/absent/legacy prior states fall back to a full sharded publish
     * (whose GC then deletes any shard files the dead manifest listed). */
+  /** REPLACE whole shards with corrected content — the fsck repair's
+    * publish: each touched shard's content is given IN FULL (so junk or
+    * beyond-grid entries the merge-based [[refresh]] would carry forward
+    * are gone), untouched shards carry by reference with their recorded
+    * generations and summaries, and the generation bumps so the repaired
+    * sidecar is current. Requires a generation-current sharded manifest
+    * (legacy monoliths are small — rewrite the variable instead). */
+  private[graft] def replaceShards(varDir: VPath,
+                                   touched: Map[Long, Map[String, Entry]]): Unit = {
+    val g = generation(varDir)
+    val m = readManifest(varDir).getOrElse(
+      throw new IllegalStateException(s"no stats manifest to repair at $varDir"))
+    require(m.gen == g && m.legacy.isEmpty,
+      "repair publish requires a generation-current sharded manifest")
+    val next = g + 1
+    varDir.resolve(GenFile).writeString(next.toString)
+    val newMetas = touched.map { case (s, es) => s -> writeShardFile(varDir, s, next, es) }
+    writeManifest(varDir, next, m.span, m.shards ++ newMetas)
+  }
+
   def refresh(varDir: VPath, entries: Map[String, Entry], span: Long = 0L): Unit = {
     val g = generation(varDir)
     val mOpt = readManifest(varDir)

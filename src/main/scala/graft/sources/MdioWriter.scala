@@ -33,7 +33,7 @@ object MdioWriter {
     * longs the write path carries), unwrapped exactly to [0, 2^64) by
     * [[statEntry]] — bounds serialize as BigDecimal, so u64 stats stay
     * exact past 2^63. */
-  private[sources] final case class ChunkStatRow(cid: Long, isFloat: Boolean,
+  private[graft] final case class ChunkStatRow(cid: Long, isFloat: Boolean,
                                                  minD: Double, maxD: Double,
                                                  minL: Long, maxL: Long,
                                                  empty: Boolean,
@@ -103,7 +103,14 @@ object MdioWriter {
     * exact sum / sum of squares over the finite cells
     * ([[MdioChunkStats.ExactSum]]) — shared by every stats-aware writer. */
   private[sources] def floatStat(cid: Long, buf: Array[Double],
-                                 chunks: Array[Long], valid: Array[Int]): ChunkStatRow = {
+                                 chunks: Array[Long], valid: Array[Int]): ChunkStatRow =
+    floatStatEach(cid)(f => eachValid(chunks, valid)(i => f(buf(i))))
+
+  /** [[floatStat]]'s accumulation over ANY cell walk (`each` drives the
+    * value callback once per in-domain cell) — the same exact rules serve
+    * write-time chunk buffers and the fsck repair's row scan, so a
+    * repaired entry can never drift from what a rewrite would publish. */
+  private[graft] def floatStatEach(cid: Long)(each: (Double => Unit) => Unit): ChunkStatRow = {
     var mn = Double.PositiveInfinity
     var mx = Double.NegativeInfinity
     var any = false
@@ -112,8 +119,7 @@ object MdioWriter {
     var sqUnder = false
     val sum = new MdioChunkStats.ExactSum
     val sumSq = new MdioChunkStats.ExactSum
-    eachValid(chunks, valid) { i =>
-      val v = buf(i)
+    each { v =>
       if (v.isNaN) nan = true
       else {
         any = true
@@ -150,7 +156,11 @@ object MdioWriter {
     * moments for the chunk — bounds survive, and the SUM pushdown falls
     * back to a real scan. */
   private[sources] def longStat(cid: Long, buf: Array[Long],
-                                chunks: Array[Long], valid: Array[Int]): ChunkStatRow = {
+                                chunks: Array[Long], valid: Array[Int]): ChunkStatRow =
+    longStatEach(cid)(f => eachValid(chunks, valid)(i => f(buf(i))))
+
+  /** [[longStat]] over any cell walk — see [[floatStatEach]]. */
+  private[graft] def longStatEach(cid: Long)(each: (Long => Unit) => Unit): ChunkStatRow = {
     var mn = Long.MaxValue
     var mx = Long.MinValue
     var s = 0L
@@ -158,8 +168,7 @@ object MdioWriter {
     var okS = true
     var okSq = true
     var cnt = 0L
-    eachValid(chunks, valid) { i =>
-      val v = buf(i)
+    each { v =>
       cnt += 1
       if (v < mn) mn = v
       if (v > mx) mx = v
@@ -176,7 +185,7 @@ object MdioWriter {
 
   /** ChunkStatRow → sidecar entry; None when the chunk is unprunable
     * (non-finite bounds from ±Inf cells). */
-  private[sources] def statEntry(sr: ChunkStatRow): Option[MdioChunkStats.Entry] = {
+  private[graft] def statEntry(sr: ChunkStatRow): Option[MdioChunkStats.Entry] = {
     def moments: Option[MdioChunkStats.Moments] =
       if (sr.cnt < 0) None
       else Some(MdioChunkStats.Moments(sr.cnt,

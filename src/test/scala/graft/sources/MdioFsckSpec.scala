@@ -148,6 +148,72 @@ class MdioFsckSpec extends SparkSpec {
     MdioWriter.delete(dir); MdioWriter.delete(dir2)
   }
 
+  test("repair: a tampered sidecar bound recomputes exactly and pruning resumes") {
+    val dir = create()
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    val good = MdioChunkStats.current(varDir).get
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir),
+      good.updated("3", good("3").map(b => b.copy(min = b.min + 1))))
+    val r = MdioFsck.repair(spark, dir, "v")
+    assert(r.repairedChunks == 1L, r)
+    assert(r.findings.count() == 0L, r.findings.collect().mkString("\n"))
+    assert(r.chunksAudited == 8L && r.cells == 64L, r)
+    // the repaired entry is exactly what the writer had published
+    assert(MdioChunkStats.current(varDir).get("3") == good("3"))
+    // and the rank/pruning consumers run on the repaired sidecar
+    val c = graft.operators.MdioStats.countInRange(spark, dir, "v", 24.0, 31.0)
+    assert(!c.fallback && c.count == 8L, c)
+    MdioWriter.delete(dir)
+  }
+
+  test("repair: a torn shard recomputes its whole lead range") {
+    val dir = create()
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    val good = MdioChunkStats.current(varDir).get
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir), good, span = 4)
+    varDir.resolve(MdioChunkStats.shardFile(1L)).writeString("{ not json")
+    val r = MdioFsck.repair(spark, dir, "v")
+    assert(r.repairedChunks == 4L, r) // shard 1 = chunks 4-7
+    assert(r.findings.count() == 0L, r.findings.collect().mkString("\n"))
+    assert(MdioChunkStats.current(varDir).get == good)
+    MdioWriter.delete(dir)
+  }
+
+  test("repair: a corrupted key is restored and the junk entry dropped") {
+    val dir = create()
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    val good = MdioChunkStats.current(varDir).get
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir), good, span = 4)
+    // rename key "0" to "bogus" in place: the missing real key implicates
+    // the shard via the recompute join, so the rewrite drops the junk
+    val sf = varDir.resolve(MdioChunkStats.shardFile(0L))
+    sf.writeString(new String(sf.readBytesOrNull(), "UTF-8")
+      .replaceFirst("\"0\":", "\"bogus\":"))
+    val r = MdioFsck.repair(spark, dir, "v")
+    assert(r.findings.count() == 0L, r.findings.collect().mkString("\n"))
+    assert(MdioChunkStats.current(varDir).get == good)
+    // a parseable BEYOND-GRID entry drops the same way
+    val good2 = MdioChunkStats.current(varDir).get
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir),
+      good2.updated("9", good2("0")), span = 4)
+    val r2 = MdioFsck.repair(spark, dir, "v")
+    assert(r2.findings.count() == 0L, r2.findings.collect().mkString("\n"))
+    assert(MdioChunkStats.current(varDir).get == good2)
+    MdioWriter.delete(dir)
+  }
+
+  test("repair: clean stores and stale sidecars repair nothing") {
+    val dir = create()
+    val r = MdioFsck.repair(spark, dir, "v")
+    assert(r.repairedChunks == 0L && r.findings.count() == 0L, r)
+    MdioChunkStats.bump(ZarrMeta.path(dir).resolve("v"))
+    val r2 = MdioFsck.repair(spark, dir, "v") // stale is legal, not corrupt
+    assert(r2.repairedChunks == 0L, r2)
+    assert(r2.findings.collect().map(x =>
+      (x.getString(0), x.getString(1))).toSeq == Seq(("warning", "stats")), r2)
+    MdioWriter.delete(dir)
+  }
+
   test("a garbage shard file reads as torn; stale stats downgrade to one warning") {
     val dir = create()
     val varDir = ZarrMeta.path(dir).resolve("v")
