@@ -617,8 +617,8 @@ object Bench {
     "zarr_quantiles" -> 1.0, // multi-rank selection: 2 cached-count jobs
     // comparator: zarr_median_by_slab (same slab brackets and single
     // union-window scan, two ranks per slab through the bucketed
-    // two-stage pick; first budget r17)
-    "zarr_quantiles_by_slab" -> 1.1,
+    // two-stage pick; suite band 0.83–1.12 s across r17 runs)
+    "zarr_quantiles_by_slab" -> 1.3,
     // comparator: zarr_quantiles (the pushed median + discrete p90 batch
     // their three ranks through ONE valuesAtRanks bracket/probe/window
     // pass; 3-rep idle floor 0.76 s; first budget r17)
