@@ -623,6 +623,10 @@ object Bench {
     // their three ranks through ONE valuesAtRanks bracket/probe/window
     // pass; 3-rep idle floor 0.76 s; first budget r17)
     "zarr_median_pushdown" -> 1.2,
+    // comparator: zarr_median_pushdown (same one-pass bracket/probe/
+    // window batch over a 2-lead-chunk box plus the boxed answerability's
+    // partial-shard parse; first budget r18)
+    "zarr_median_sliced" -> 1.2,
     // comparator: zarr_quantiles_by_slab (same one-pass slab × rank
     // matrix through boxRanks — four rank slots vs two — plus the
     // metadata slab rows and the pushed-plan plumbing it merges with;

@@ -151,24 +151,30 @@ object MdioStats {
     * Legacy monolithic sidecars feed every key with no summaries. This is
     * what keeps countInRange/kthSmallest at O(manifest) driver bytes on a
     * 100 TB store: interior shards — the overwhelming majority under a
-    * selective range or a rank bracket — never open. */
+    * selective range or a rank bracket — never open. `leadBox` restricts
+    * the walk to shards intersecting a lead-chunk range (r18, boxed
+    * ranks): disjoint shards are never read, and fed keys clamp to the
+    * intersection, so a slice pays only its own shards. */
   private def walkShards(varDir: graft.zarr.VPath,
                          man: graft.sources.MdioChunkStats.Manifest,
-                         grid: Seq[Long])
+                         grid: Seq[Long],
+                         leadBox: Option[(Long, Long)] = None)
                         (summary: (Long, graft.sources.MdioChunkStats.ShardMeta) => Boolean)
-                        (perChunk: (Seq[Long], Option[graft.sources.MdioChunkStats.Entry]) => Unit): Unit =
+                        (perChunk: (Seq[Long], Option[graft.sources.MdioChunkStats.Entry]) => Unit): Unit = {
+    val (bLo, bHi) = leadBox.getOrElse((0L, grid.head))
     man.legacy match {
-      case Some(es) => feedKeys(grid, 0L, grid.head, es)(perChunk)
+      case Some(es) => feedKeys(grid, bLo, bHi, es)(perChunk)
       case None =>
         val chunksPerLead = grid.drop(1).product
         val nShards = (grid.head + man.span - 1) / man.span
-        var sid = 0L
-        while (sid < nShards) {
-          val leadLo = sid * man.span
-          val leadHi = math.min((sid + 1) * man.span, grid.head)
+        var sid = bLo / man.span
+        val sidEnd = math.min(nShards, (bHi + man.span - 1) / man.span)
+        while (sid < sidEnd) {
+          val leadLo = math.max(sid * man.span, bLo)
+          val leadHi = math.min(math.min((sid + 1) * man.span, grid.head), bHi)
           val smOpt = man.shards.get(sid)
-          val complete = smOpt.exists(sm =>
-            sm.count >= 0 && sm.count == (leadHi - leadLo) * chunksPerLead)
+          val complete = smOpt.exists(sm => sm.count >= 0 &&
+            sm.count == (math.min((sid + 1) * man.span, grid.head) - sid * man.span) * chunksPerLead)
           if (!(complete && summary(sid, smOpt.get)))
             feedKeys(grid, leadLo, leadHi,
               smOpt.map(sm => graft.sources.MdioChunkStats.readShard(varDir, sid, sm.gen))
@@ -176,6 +182,7 @@ object MdioStats {
           sid += 1
         }
     }
+  }
 
   /** [[countInRange]] result: `count` is exact; `metadataChunks` answered
     * from the sidecar (fully inside the range — their finite-cell `cnt`
@@ -609,18 +616,32 @@ object MdioStats {
     * promise). */
   private final class RankItems(varDir: graft.zarr.VPath,
                                 man: graft.sources.MdioChunkStats.Manifest,
-                                grid: Seq[Long]) {
+                                grid: Seq[Long],
+                                box: Option[Seq[(Long, Long)]] = None) {
     import graft.sources.MdioChunkStats
+    // chunk-index box [lo, hi) per dim (r18, sliced ranks): items outside
+    // it never rank — a chunk without an entry OUT of the box cannot trip
+    // `usable`, and a shard only summarizes coarse when its WHOLE chunk
+    // range maps inside the box (lead range within the box's lead range,
+    // trailing dims uncut); anything partial opens into fine items.
+    private val b = box.getOrElse(grid.map(g => (0L, g)))
+    private val trailingFull =
+      (1 until grid.size).forall(i => b(i)._1 <= 0 && b(i)._2 >= grid(i))
+    private def inBox(cc: Seq[Long]): Boolean =
+      cc.indices.forall(i => cc(i) >= b(i)._1 && cc(i) < b(i)._2)
     val fine = scala.collection.mutable.ArrayBuffer.empty[(Seq[Long], MdioChunkStats.Bounds)]
     var coarse = Map.empty[Long, (BigDecimal, BigDecimal, Long)] // sid -> (lo, hi, cells)
     var usable = true
-    private def intake(cc: Seq[Long], eOpt: Option[MdioChunkStats.Entry]): Unit = eOpt match {
-      case Some(Some(b)) if b.moments.isDefined => fine += ((cc, b))
-      case Some(None) => () // all-NaN chunk: never ranks
-      case _ => usable = false
-    }
-    walkShards(varDir, man, grid) { (sid, sm) =>
-      sm.cells.isDefined && {
+    private def intake(cc: Seq[Long], eOpt: Option[MdioChunkStats.Entry]): Unit =
+      if (inBox(cc)) eOpt match {
+        case Some(Some(bb)) if bb.moments.isDefined => fine += ((cc, bb))
+        case Some(None) => () // all-NaN chunk: never ranks
+        case _ => usable = false
+      }
+    walkShards(varDir, man, grid, leadBox = Some(b.head)) { (sid, sm) =>
+      sm.cells.isDefined && trailingFull &&
+        sid * man.span >= b.head._1 &&
+        math.min((sid + 1) * man.span, grid.head) <= b.head._2 && {
         (sm.lo, sm.hi) match {
           case (Some(l), Some(h)) => coarse = coarse.updated(sid, (l, h, sm.cells.get))
           case _ => () // all-NaN shard: proven cells = 0, contributes nothing
@@ -871,7 +892,7 @@ object MdioStats {
       s"quantiles $ps must lie in (0, 1]")
     rankVector(spark, path, variable, n => ps.map(p =>
       (BigDecimal(p) * n).setScale(0, BigDecimal.RoundingMode.CEILING).toLong),
-      maxProbeChunks)
+      maxProbeChunks, Map.empty)
   }
 
   /** EXACT values at EXPLICIT 1-based ranks, sharing [[quantilesOf]]'s
@@ -879,18 +900,25 @@ object MdioStats {
     * percentile aggregate pushdown routes through: a pushed `median` +
     * `percentile_disc` pair needs 2–3 ranks of one variable, and per-rank
     * [[kthSmallest]] calls would pay the bracket walk and the bounded
-    * scan jobs once per rank instead of once per vector. */
+    * scan jobs once per rank instead of once per vector. `ranges`
+    * restricts the ranking to a dim-index BOX (`dim -> [lo, hi)`; r18 —
+    * the depth-window median): a chunk-aligned box rides the same bracket
+    * machinery over its own chunks only (disjoint shards never read), a
+    * misaligned one answers exactly through the sliced full-scan
+    * fallback. */
   def valuesAtRanks(spark: SparkSession, path: String, variable: String,
-                    ks: Seq[Long], maxProbeChunks: Int = 512): Quantiles = {
+                    ks: Seq[Long], maxProbeChunks: Int = 512,
+                    ranges: Map[String, (Long, Long)] = Map.empty): Quantiles = {
     require(ks.nonEmpty && ks.forall(_ >= 1), s"ranks $ks must be ≥ 1")
     rankVector(spark, path, variable, { n =>
       require(ks.forall(_ <= n), s"ranks $ks exceed $n finite cells")
       ks
-    }, maxProbeChunks)
+    }, maxProbeChunks, ranges)
   }
 
   private def rankVector(spark: SparkSession, path: String, variable: String,
-                         mkKs: Long => Seq[Long], maxProbeChunks: Int): Quantiles = {
+                         mkKs: Long => Seq[Long], maxProbeChunks: Int,
+                         ranges: Map[String, (Long, Long)]): Quantiles = {
     import graft.sources.MdioChunkStats
     import graft.zarr.ZarrMeta
     val root = ZarrMeta.path(path)
@@ -907,9 +935,23 @@ object MdioStats {
       if (isFloat) df.filter(!isnan(col(variable))) else df
     def base = spark.read.format("mdio").load(path)
     val vt = base.schema(variable).dataType
+    // optional dim-index slice: ranks are computed over the BOX only.
+    // The dim filters below push into the scan, so the fallback too reads
+    // only the slice's chunks (plus straddlers when misaligned).
+    val bounds = dims.zipWithIndex.map { case (d, i) =>
+      val (lo, hi) = ranges.getOrElse(d, (0L, meta.shape(i)))
+      (math.max(lo, 0L), math.min(hi, meta.shape(i)))
+    }
+    require(bounds.forall { case (lo, hi) => lo < hi },
+      s"empty dim slice $ranges over '$variable'")
+    def sliced(df: org.apache.spark.sql.DataFrame) =
+      dims.zip(bounds).zipWithIndex.foldLeft(df) { case (acc, ((d, (lo, hi)), i)) =>
+        if (lo <= 0 && hi >= meta.shape(i)) acc
+        else acc.filter(col(d) >= lo && col(d) < hi)
+      }
     def ksOf(n: Long): Seq[Long] = mkKs(n)
     def scanFallback(): Quantiles = {
-      val byV = dropNaN(base.select(col(variable).as("v")))
+      val byV = dropNaN(sliced(base).select(col(variable).as("v")))
         .groupBy(col("v")).agg(count(lit(1L)).as("c")).persist()
       try {
         val mm = byV.agg(min(col("v").cast("double")), max(col("v").cast("double")),
@@ -930,9 +972,22 @@ object MdioStats {
     if (manOpt.isEmpty) return scanFallback()
     val man = manOpt.get
     val grid = meta.chunkGrid
+    // a sliced rank needs a CHUNK-ALIGNED box (whole chunks in or out —
+    // a straddling chunk's stats interval mixes in- and out-of-box cells
+    // and the rank arithmetic would lie); misaligned slices answer
+    // exactly through the sliced fallback scan
+    val boxOpt =
+      if (ranges.isEmpty) Some(grid.map(g => (0L, g)))
+      else graft.sources.MdioAggScan.alignedChunkBox(meta, dims, ranges)
+    if (boxOpt.isEmpty) {
+      log.warn(s"rank vector($path, $variable): slice $ranges is not " +
+        "chunk-aligned — falling back to the exact sliced-scan selection")
+      return scanFallback()
+    }
 
-    // shared hierarchical rank items, exactly as kthSmallest
-    val ri = new RankItems(varDir, man, grid)
+    // shared hierarchical rank items, exactly as kthSmallest — restricted
+    // to the box's own chunks (disjoint shards are never even read)
+    val ri = new RankItems(varDir, man, grid, boxOpt)
     if (!ri.usable) return scanFallback()
     val n = ri.n
     require(n >= 1, s"no finite cells to rank in '$variable'")
@@ -1540,10 +1595,11 @@ object MdioStats {
   private[graft] def boxRanks(spark: SparkSession, path: String, variable: String,
                               labels: Seq[Double], mkKs: Long => Seq[Long],
                               groupSizes: Seq[Long],
-                              maxProbeChunks: Int = 512): GroupedQuantiles = {
+                              maxProbeChunks: Int = 512,
+                              maxGroups: Int = Int.MaxValue): GroupedQuantiles = {
     require(labels.nonEmpty && labels.distinct == labels, s"bad rank labels $labels")
     boxRankVector(spark, path, variable, labels, mkKs, groupSizes,
-      maxProbeChunks, maxGroups = Int.MaxValue, fallbackOk = false)
+      maxProbeChunks, maxGroups, fallbackOk = false)
   }
 
   private def boxRankVector(spark: SparkSession, path: String, variable: String,

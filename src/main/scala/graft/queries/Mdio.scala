@@ -1059,6 +1059,48 @@ object Mdio {
        FROM o) AS med,
       (SELECT x FROM o WHERE rn = 231) AS p90"""
 
+  /** SLICED median/percentile on the gate (r18): the depth-window QC
+    * readout — `median(weight)` + a discrete p90 under a CHUNK-ALIGNED
+    * dim window (`inline ∈ [8, 24)`, chunks of 8) — pushes COMPLETELY:
+    * the absorbed dim range routes the ranks into the same bracket
+    * machinery restricted to the BOX
+    * ([[graft.operators.MdioStats.valuesAtRanks]] over in-box chunks
+    * only; disjoint shards never read; NaN-freeness proven over the box
+    * alone), mixed with the closed-form COUNT. The optimized plan carries
+    * NO Spark-side Aggregate — a misaligned window would decline to
+    * Spark's distributed Percentile instead (pinned in
+    * MdioPctPushdownSpec). Oracle: the per-rank ROW_NUMBER picks over the
+    * sliced cells (n = 128: median averages ranks 64/65, discrete p90 is
+    * rank ⌈0.9·128⌉ = 116). REQUIRES the complete pushdown in-query. */
+  val qZarrMedianSliced: Q = (s, d) => {
+    val path = zarrGridWeight(s, d)
+    val df = s.read.format("mdio").load(path)
+      .filter(col("inline") >= 8 && col("inline") < 24)
+      .agg(median(col("weight")).as("med"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY weight)").as("p90"),
+        count(lit(1)).as("n"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    require(plan.contains("vpct") && !plan.contains("Aggregate"),
+      s"sliced median/percentile did not push down:\n${plan.take(500)}")
+    df
+  }
+
+  val qZarrMedianSlicedSql: String = """
+    WITH wgt AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(COUNT(*) AS DOUBLE) AS weight
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT COALESCE(weight, 0.0) AS x
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN wgt USING (i, j)
+      WHERE i >= 8 AND i < 24),
+    o AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM cells)
+    SELECT
+      (SELECT SUM(CASE WHEN rn = 64 THEN 0.5 * x WHEN rn = 65 THEN 0.5 * x END)
+       FROM o) AS med,
+      (SELECT x FROM o WHERE rn = 116) AS p90,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM o) AS n"""
+
   /** GROUPED median/percentile as PLAIN SQL on the gate (r17): the
     * per-slab heat-map a user writes as `GROUP BY FLOOR(inline/8)` with
     * `median(weight)` + a discrete p90 — the whole Aggregate pushes into
@@ -2635,6 +2677,7 @@ object Mdio {
     "zarr_quantiles"        -> qZarrQuantiles,
     "zarr_quantiles_by_slab" -> qZarrQuantilesBySlab,
     "zarr_median_pushdown"  -> qZarrMedianPushdown,
+    "zarr_median_sliced"    -> qZarrMedianSliced,
     "zarr_pct_by_slab"      -> qZarrPctBySlab,
     "zarr_argmax_location"  -> qZarrArgmaxLocation,
     "zarr_histogram_meta"   -> qZarrHistogramMeta,
@@ -2708,6 +2751,7 @@ object Mdio {
     "zarr_quantiles"        -> qZarrQuantilesSql,
     "zarr_quantiles_by_slab" -> qZarrQuantilesBySlabSql,
     "zarr_median_pushdown"  -> qZarrMedianPushdownSql,
+    "zarr_median_sliced"    -> qZarrMedianSlicedSql,
     "zarr_pct_by_slab"      -> qZarrPctBySlabSql,
     "zarr_argmax_location"  -> qZarrArgmaxLocationSql,
     "zarr_histogram_meta"   -> qZarrHistogramMetaSql,

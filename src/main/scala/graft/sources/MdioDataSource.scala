@@ -492,10 +492,13 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
       // ([[graft.operators.MdioStats.kthSmallest]]) at execution —
       // O(manifest) metadata + at most two boundary-window scans instead
       // of Spark shuffling the corpus into its own Percentile buffer.
-      // Accepted only over the FULL variable (ranks are global — any
-      // absorbed dim range declines), ungrouped, ascending, a scalar
-      // literal percentage, with a generation-current sidecar, and (for
-      // float dtypes) a sidecar PROOF that no NaN exists: Spark ranks NaN
+      // Accepted over the full variable or (ungrouped) a CHUNK-ALIGNED
+      // dim slice — the depth-window median rides the same bracket
+      // machinery restricted to the box; misaligned slices decline (a
+      // straddling chunk's stats interval mixes in- and out-of-box
+      // cells). Ascending, a scalar literal percentage, a
+      // generation-current sidecar, and (for float dtypes) a sidecar
+      // PROOF that no NaN exists over the ranked box: Spark ranks NaN
       // greatest while the rank machinery ranks finite cells, and a
       // pushdown must never change answers.
       case g: connector_expressions.aggregate.GeneralAggregateFunc
@@ -520,20 +523,33 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
         val disc = g.name() == "PERCENTILE_DISC"
         (vOpt, pOpt) match {
           case (Some(v), Some(p))
-              if ranges.isEmpty &&
-                sv.direction == connector_expressions.SortDirection.ASCENDING &&
+              if sv.direction == connector_expressions.SortDirection.ASCENDING &&
                 p <= 1.0 && (if (disc) p > 0.0 else p >= 0.0) &&
-                // grouped form: the slabs must be chunk-aligned boxes of
-                // the variable's own grid (the boxRanks geometry) and the
-                // variable must span the full dim space (a narrower
-                // variable's cells repeat per row — its ranks differ)
-                grouped.forall(gs => metas(v).shape == metas.values.head.shape &&
-                  metas(v).fields.isEmpty &&
+                // ranks are ROW ranks: the variable must span the full
+                // dim space (a narrower variable's cells would repeat per
+                // row — its ranks differ), grouped and ungrouped alike
+                metas(v).shape == metas.values.head.shape &&
+                metas(v).fields.isEmpty &&
+                // grouped form: FULL variable only (per-box ranks assume
+                // whole boxes), the slabs chunk-aligned boxes of the
+                // variable's own grid (the boxRanks geometry), and the
+                // group COUNT under the driver-state cap — boxRanks holds
+                // one bracket row per (group, p) on the driver, so a
+                // per-chunk slab geometry at the 100 TB envelope (~1.6 M
+                // groups) must DECLINE here and run through Spark's own
+                // fully distributed aggregate
+                grouped.forall(gs => ranges.isEmpty &&
                   gs.forall { case (d, l) =>
                     val di = dims.indexOf(d)
                     di >= 0 && (l % metas(v).chunks(di) == 0 || l >= metas(v).shape(di))
-                  }) &&
-                MdioAggScan.rankAnswerable(path, v, metas(v)) =>
+                  } &&
+                  MdioAggScan.underGroupCap(metas(v), dims, ranges, gs,
+                    s"grouped percentile on '$v'")) &&
+                // ungrouped: the full variable, or a chunk-aligned slice
+                // whose box proves NaN-free on its own (r18)
+                (if (ranges.isEmpty) MdioAggScan.rankAnswerable(path, v, metas(v))
+                 else grouped.isEmpty &&
+                   MdioAggScan.boxRankAnswerable(path, v, metas(v), dims, ranges)) =>
             (if (disc) s"vpctd:$p" else s"vpctc:$p", v)
           case _ => return None
         }
@@ -912,8 +928,12 @@ final case class MdioAggScan(path: String, dims: Seq[String],
         }
       val offsets = ops.map(o => arity(o._1)).scanLeft(0)(_ + _)
       val labels = (0 until offsets.last).map(_.toDouble)
+      // maxGroups re-asserts the plan-time cap: translateAggs counted the
+      // groups before accepting, so tripping it here means the store's
+      // geometry changed under the plan — loud, not a driver OOM
       val q = graft.operators.MdioStats.boxRanks(spark, path, v, labels,
-        n => ops.flatMap(o => ranksOf(o._1, n)), groupSizes)
+        n => ops.flatMap(o => ranksOf(o._1, n)), groupSizes,
+        maxGroups = MdioAggScan.maxPushedGroups)
       val schema = q.result.schema.fieldNames
       val gIdx = gs.map { case (d, _) => schema.indexOf(s"g_$d") }
       val lIdx = schema.indexOf("p")
@@ -960,10 +980,18 @@ final case class MdioAggScan(path: String, dims: Seq[String],
     val spark = org.apache.spark.sql.SparkSession.active
     val pct = aggs.filter(_._1.startsWith("vpct")).distinct
     pct.groupBy(_._2).flatMap { case (v, ops) =>
-      if (!MdioAggScan.rankAnswerable(path, v, metas(v)))
+      val answerable = // boxed when a dim slice was absorbed (r18)
+        if (ranges.isEmpty) MdioAggScan.rankAnswerable(path, v, metas(v))
+        else MdioAggScan.boxRankAnswerable(path, v, metas(v), dims, ranges)
+      if (!answerable)
         throw new IllegalStateException(
           s"rank answerability for '$v' went stale between planning and execution")
-      val n = metas(v).shape.product // every cell exists and is finite (proven)
+      // every in-box cell exists and is finite (proven above), so n is the
+      // clamped slice's dense cell count
+      val n = dims.zipWithIndex.map { case (d, i) =>
+        val (lo, hi) = ranges.getOrElse(d, (0L, metas(v).shape(i)))
+        math.min(hi, metas(v).shape(i)) - math.max(lo, 0L)
+      }.product
       def pOf(op: String): Double = op.substring(op.indexOf(':') + 1).toDouble
       def ranksOf(op: String): Seq[Long] =
         if (op.startsWith("vpctd"))
@@ -977,7 +1005,8 @@ final case class MdioAggScan(path: String, dims: Seq[String],
         }
       val ks = ops.flatMap(o => ranksOf(o._1)).distinct.sorted
       val byK: Map[Long, Double] =
-        ks.zip(graft.operators.MdioStats.valuesAtRanks(spark, path, v, ks).values).toMap
+        ks.zip(graft.operators.MdioStats.valuesAtRanks(spark, path, v, ks,
+          ranges = ranges).values).toMap
       ops.map { case (op, _) =>
         val value: Any =
           if (op.startsWith("vpctd")) byK(ranksOf(op).head)
@@ -998,6 +1027,54 @@ final case class MdioAggScan(path: String, dims: Seq[String],
 }
 
 object MdioAggScan {
+  private val log = org.slf4j.LoggerFactory.getLogger(MdioAggScan.getClass)
+
+  /** ONE driver-state cap for every grouped pushdown (r18, verdict item):
+    * both grouped forms materialize O(groups) on the driver —
+    * [[slabRows]] one row per slab through `planInputPartitions`, the
+    * grouped percentile one bracket row per (group, p) inside
+    * [[graft.operators.MdioStats.boxRanks]] — so both must DECLINE past
+    * the same bound and let Spark's fully distributed aggregate run.
+    * Slab/tile heat-maps are small (hundreds of rows); a per-chunk slab
+    * geometry at the 100 TB envelope is ~1.6 M groups — exactly what the
+    * cap exists to refuse. Matches `quantilesByBox`'s own `maxGroups`
+    * default; override (tests, unusual stores) via
+    * `spark.graft.mdio.maxPushedGroups` on the session. */
+  private[graft] def maxPushedGroups: Int =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.conf.get("spark.graft.mdio.maxPushedGroups", (1 << 16).toString).toInt)
+      .getOrElse(1 << 16)
+
+  /** Number of slab tuples `GROUP BY FLOOR(dim/L)…` produces over the
+    * clamped ranges — exact plan-time arithmetic from shape/chunk
+    * metadata (BigInt: a malicious L=1 on a petascale dim must count,
+    * not overflow). None when a grouped dim is unknown or L ≤ 0. */
+  private[sources] def slabTupleCount(m: ZarrMeta.ArrayMeta, dims: Seq[String],
+                                      ranges: Map[String, (Long, Long)],
+                                      groups: Seq[(String, Long)]): Option[BigInt] =
+    Some(groups.map { case (d, l) =>
+      val i = dims.indexOf(d)
+      if (i < 0 || l <= 0) return None
+      val lo = math.max(ranges.get(d).map(_._1).getOrElse(0L), 0L)
+      val hi = math.min(ranges.get(d).map(_._2).getOrElse(m.shape(i)), m.shape(i))
+      if (lo >= hi) BigInt(0) else BigInt((hi - 1) / l - lo / l + 1)
+    }.product)
+
+  /** The shared plan-time gate: true when the grouped pushdown's slab
+    * count clears [[maxPushedGroups]]; a refusal logs WHY once per plan
+    * so the decline is visible, not silent. */
+  private[sources] def underGroupCap(m: ZarrMeta.ArrayMeta, dims: Seq[String],
+                                     ranges: Map[String, (Long, Long)],
+                                     groups: Seq[(String, Long)],
+                                     what: String): Boolean =
+    slabTupleCount(m, dims, ranges, groups).exists { n =>
+      val cap = maxPushedGroups
+      val ok = n <= cap
+      if (!ok) log.warn(s"$what declines the pushdown: $n groups exceed " +
+        s"the driver-state cap $cap — Spark's distributed aggregate runs instead")
+      ok
+    }
+
   /** The chunk-index box a clamped dim-range slice covers, when the slice
     * is CHUNK-ALIGNED — every touched chunk fully inside the slice (lo on
     * a chunk boundary; hi on a boundary or the domain edge, where the
@@ -1056,6 +1133,77 @@ object MdioAggScan {
                   leadLo * m.chunks.head) * trailCells
                 sm.count == (leadHi - leadLo) * chunksPerLead &&
                   sm.cells.exists(BigInt(_) == cellsIn)
+              }
+            }
+        }
+      }
+    }
+  }
+
+  /** [[rankAnswerable]] restricted to a chunk-aligned dim-index BOX (r18
+    * — `median(v) WHERE depth BETWEEN a AND b`): the slice must cover
+    * whole chunks ([[alignedChunkBox]]), the sidecar must be
+    * generation-current, and for float dtypes the NaN-free proof need
+    * hold over the BOX only (a NaN outside the slice cannot change the
+    * slice's ranks). Shards fully inside a box that spans every trailing
+    * dim prove from their manifest summary alone (O(manifest), ≤2 partial
+    * end-shards open); a box that narrows a trailing dim must open every
+    * intersecting shard, so that path is accepted only under a bounded
+    * entry budget ([[maxPushedGroups]] entries) — past it the pushdown
+    * declines and Spark's distributed Percentile runs. */
+  private[sources] def boxRankAnswerable(path: String, v: String,
+                                         m: ZarrMeta.ArrayMeta,
+                                         dims: Seq[String],
+                                         ranges: Map[String, (Long, Long)]): Boolean = {
+    val boxOpt = alignedChunkBox(m, dims, ranges)
+    if (boxOpt.isEmpty) return false
+    val box = boxOpt.get
+    val varDir = ZarrMeta.path(path).resolve(v)
+    val isFloat = m.dtype.charAt(m.dtype.length - 2) == 'f'
+    MdioChunkStats.currentManifest(varDir).exists { man =>
+      !isFloat || {
+        val grid = m.chunkGrid
+        def capacity(cc: Seq[Long]): BigInt =
+          cc.indices.map { d =>
+            BigInt(math.min(m.chunks(d), m.shape(d) - cc(d) * m.chunks(d)))
+          }.product
+        def chunkOk(es: Map[String, MdioChunkStats.Entry])(key: String): Boolean =
+          es.get(key).exists(_.exists(b => !b.hasNaN && b.moments.exists(mo =>
+            BigInt(mo.cnt) == capacity(key.split("\\.").map(_.toLong).toSeq))))
+        man.legacy match {
+          case Some(es) => boxKeys(box).forall(chunkOk(es))
+          case None =>
+            val trailingFull =
+              (1 until grid.size).forall(i => box(i)._1 == 0 && box(i)._2 == grid(i))
+            val trailCells = m.shape.drop(1).map(BigInt(_)).product
+            val chunksPerLead = grid.drop(1).product
+            val sids = (box.head._1 / man.span) until
+              ((box.head._2 + man.span - 1) / man.span)
+            // the opened-entry budget: a trailing-narrowed box opens every
+            // intersecting shard — bounded plan-time driver work or decline
+            if (!trailingFull &&
+                BigInt(sids.size) * man.span * chunksPerLead > maxPushedGroups) {
+              log.warn(s"sliced percentile on '$v' declines the pushdown: " +
+                s"proving the box NaN-free would parse ~${BigInt(sids.size) * man.span * chunksPerLead} " +
+                s"sidecar entries (budget $maxPushedGroups)")
+              return false
+            }
+            sids.forall { sid =>
+              val leadLo = sid * man.span
+              val leadHi = math.min((sid + 1) * man.span, grid.head)
+              val whole = trailingFull && leadLo >= box.head._1 && leadHi <= box.head._2
+              man.shards.get(sid).exists { sm =>
+                if (whole)
+                  sm.count == (leadHi - leadLo) * chunksPerLead &&
+                    sm.cells.exists(BigInt(_) ==
+                      BigInt(math.min(leadHi * m.chunks.head, m.shape.head) -
+                        leadLo * m.chunks.head) * trailCells)
+                else scala.util.Try {
+                  val es = MdioChunkStats.readShard(varDir, sid, sm.gen)
+                  val clamped = (math.max(leadLo, box.head._1),
+                    math.min(leadHi, box.head._2)) +: box.tail
+                  boxKeys(clamped).forall(chunkOk(es))
+                }.getOrElse(false)
               }
             }
         }
@@ -1199,6 +1347,11 @@ object MdioAggScan {
     if (groups.isEmpty || dis.exists(_ < 0) || dis.distinct.size != dis.size ||
         groups.exists(_._2 <= 0)) return None
     val anchor = metas.values.head
+    // one driver row per slab rides planInputPartitions — the shared
+    // group cap bounds it exactly like the grouped percentile's bracket
+    // state (a per-chunk slab geometry at the envelope is ~1.6 M rows)
+    if (!underGroupCap(anchor, dims, ranges, groups, "grouped stats slab pushdown"))
+      return None
     val shape = anchor.shape
     val bounds = dims.zipWithIndex.map { case (d, i) =>
       val (lo, hi) = ranges.getOrElse(d, (0L, shape(i)))

@@ -190,18 +190,148 @@ class MdioPctPushdownSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
-  test("filters, non-slab grouping, descending order, and stale stats all decline") {
+  test("group counts past the driver-state cap decline; Spark's distributed aggregate answers") {
+    val vals = (0 until 64).map(i => ((i * 5) % 19).toDouble)
+    val dir = create(i => vals(i.toInt))
+    val base = spark.read.format("mdio").load(dir)
+    def slabbed(df: DataFrame) = df.groupBy(floor($"x" / 8).as("slab"))
+      .agg(median($"v").as("med"), max($"v").as("mx"))
+    val want = vals.zipWithIndex.map { case (v, x) => (v, x.toLong) }
+      .toDF("v", "x")
+      .groupBy(floor($"x" / 8).as("slab")).agg(median($"v"), max($"v"))
+      .orderBy("slab").collect().map(_.toSeq).toSeq
+    // 8 slabs clear the default cap: the whole Aggregate pushes
+    val in = slabbed(base)
+    assert(pushed(in), in.queryExecution.optimizedPlan.toString)
+    assert(in.orderBy("slab").collect().map(_.toSeq).toSeq == want)
+    // a cap below the slab count declines BOTH grouped pushdown forms
+    // (percentile bracket state AND the metadata slab rows share the
+    // driver-state bound) — and the answer is identical through Spark's
+    // fully distributed aggregate
+    spark.conf.set("spark.graft.mdio.maxPushedGroups", "7")
+    try {
+      val out = slabbed(base)
+      assert(!pushed(out), out.queryExecution.optimizedPlan.toString)
+      assert(out.orderBy("slab").collect().map(_.toSeq).toSeq == want)
+      val stats = base.groupBy(floor($"x" / 8).as("slab")).agg(max($"v").as("mx"))
+      assert(stats.queryExecution.optimizedPlan.toString.contains("Aggregate"),
+        "slabRows ignored the shared group cap")
+      assert(stats.orderBy("slab").collect().map(_.getDouble(1)).toSeq ==
+        vals.grouped(8).map(_.max).toSeq)
+    } finally spark.conf.unset("spark.graft.mdio.maxPushedGroups")
+    // cap restored: the pushdown comes back
+    assert(pushed(slabbed(base)))
+    MdioWriter.delete(dir)
+  }
+
+  test("chunk-aligned dim slices push down; the ranks are the slice's own") {
+    val vals = (0 until 64).map(i => ((i * 7) % 13).toDouble)
+    val dir = create(i => vals(i.toInt))
+    val base = spark.read.format("mdio").load(dir)
+    def sliceAgg(df: DataFrame) = df.agg(
+      median(col("v")).as("med"),
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)").as("p90"),
+      expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY v)").as("p25"))
+    def sparkSlice(lo: Int, hi: Int) = sliceAgg(
+      vals.slice(lo, hi).toDF("v")).head.toSeq
+    // one-sided and two-sided aligned slices (chunk size 8) push and
+    // match Spark bit-for-bit over the sliced values
+    val oneSided = sliceAgg(base.filter($"x" >= 8))
+    assert(pushed(oneSided), oneSided.queryExecution.optimizedPlan.toString)
+    assert(oneSided.head.toSeq == sparkSlice(8, 64), "sliced percentile diverged")
+    val twoSided = sliceAgg(base.filter($"x" >= 16 && $"x" < 40))
+    assert(pushed(twoSided), twoSided.queryExecution.optimizedPlan.toString)
+    assert(twoSided.head.toSeq == sparkSlice(16, 40))
+    // a misaligned slice declines (a straddling chunk's stats interval
+    // mixes in- and out-of-box cells) but answers exactly through Spark
+    val mis = sliceAgg(base.filter($"x" >= 5))
+    assert(!pushed(mis), mis.queryExecution.optimizedPlan.toString)
+    assert(mis.head.toSeq == sparkSlice(5, 64))
+    MdioWriter.delete(dir)
+  }
+
+  test("NaN-freeness for a sliced percentile need only hold over the box") {
+    // NaN in chunk 0 only: the FULL-variable percentile must decline, a
+    // chunk-aligned slice excluding chunk 0 still pushes — and both match
+    // Spark's own answers
+    val vals = (0 until 64).map(i => if (i == 2) Double.NaN else ((i * 3) % 11).toDouble)
+    val dir = create(i => vals(i.toInt))
+    val base = spark.read.format("mdio").load(dir)
+    assert(!pushed(base.agg(median($"v").as("m"))))
+    val boxed = base.filter($"x" >= 8).agg(median($"v").as("med"),
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)").as("p90"))
+    assert(pushed(boxed), boxed.queryExecution.optimizedPlan.toString)
+    assert(boxed.head.toSeq ==
+      vals.drop(8).toDF("v").agg(median($"v"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)")).head.toSeq)
+    // a slice CONTAINING the NaN chunk declines; Spark's NaN-is-greatest
+    // semantics stand
+    val tainted = base.filter($"x" < 8).agg(median($"v").as("m"))
+    assert(!pushed(tainted))
+    assert(sameSeq(tainted.head.toSeq,
+      Seq(vals.take(8).toDF("v").agg(median($"v")).head.get(0))))
+    MdioWriter.delete(dir)
+  }
+
+  test("2-D slices: lead-dim windows and trailing-dim cuts both push down") {
+    val dir = Files.createTempDirectory("mdio_pct").resolve("s2.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "s2", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "inline", "dataType": "int64",
+        |     "dimensions": [{"name": "inline", "size": 16}]},
+        |    {"name": "crossline", "dataType": "int64",
+        |     "dimensions": [{"name": "crossline", "size": 8}]},
+        |    {"name": "v", "dataType": "float64",
+        |     "dimensions": [{"name": "inline", "size": 16}, {"name": "crossline", "size": 8}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [4, 4]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    val cells = spark.range(16).select($"id".as("inline"))
+      .crossJoin(spark.range(8).select($"id".as("crossline")))
+      .select($"inline", $"crossline",
+        (($"inline" * 5 + $"crossline" * 3) % 17).cast("double").as("v"))
+    MdioWriter.writeVariable(spark, cells, dir, "v")
+    val base = spark.read.format("mdio").load(dir)
+    def agg2(df: DataFrame) = df.agg(median(col("v")).as("med"),
+      expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY v)").as("p75"))
+    // lead-dim window (trailing dims full): the O(manifest) proof path
+    val lead = agg2(base.filter($"inline" >= 4 && $"inline" < 12))
+    assert(pushed(lead), lead.queryExecution.optimizedPlan.toString)
+    assert(lead.head.toSeq ==
+      agg2(cells.filter($"inline" >= 4 && $"inline" < 12).select($"v")).head.toSeq)
+    // trailing-dim cut: every intersecting shard opens (budgeted) — the
+    // per-chunk box proof
+    val trail = agg2(base.filter($"crossline" < 4))
+    assert(pushed(trail), trail.queryExecution.optimizedPlan.toString)
+    assert(trail.head.toSeq ==
+      agg2(cells.filter($"crossline" < 4).select($"v")).head.toSeq)
+    // both dims cut
+    val both = agg2(base.filter($"inline" >= 8 && $"crossline" >= 4))
+    assert(pushed(both), both.queryExecution.optimizedPlan.toString)
+    assert(both.head.toSeq ==
+      agg2(cells.filter($"inline" >= 8 && $"crossline" >= 4).select($"v")).head.toSeq)
+    MdioWriter.delete(dir)
+  }
+
+  test("grouping + slice, non-slab grouping, descending order, and stale stats all decline") {
     val dir = create(_.toDouble)
     val base = spark.read.format("mdio").load(dir)
-    assert(!pushed(base.filter($"x" >= 8).agg(median($"v").as("m"))))
+    // grouped percentiles stay full-variable: a slice + GROUP BY declines
+    val gs = base.filter($"x" >= 8).groupBy(floor($"x" / 16).as("g"))
+      .agg(median($"v").as("m"))
+    assert(!pushed(gs), gs.queryExecution.optimizedPlan.toString)
+    assert(gs.orderBy("g").collect().map(_.getDouble(1)).toSeq ==
+      Seq(11.5, 23.5, 39.5, 55.5))
     assert(!pushed(base.groupBy(($"x" % 2).as("g")).agg(median($"v").as("m"))))
     assert(!pushed(base.agg(
       expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v DESC)").as("m"))))
-    // all of the above still answer correctly through Spark's aggregate
-    assert(base.filter($"x" >= 8).agg(median($"v")).head.getDouble(0) == 35.5)
     MdioChunkStats.bump(ZarrMeta.path(dir).resolve("v")) // stale sidecar
     assert(!pushed(base.agg(median($"v").as("m"))))
     assert(base.agg(median($"v")).head.getDouble(0) == 31.5)
+    assert(!pushed(base.filter($"x" >= 8).agg(median($"v").as("m"))))
+    assert(base.filter($"x" >= 8).agg(median($"v")).head.getDouble(0) == 35.5)
     MdioWriter.delete(dir)
   }
 }
