@@ -362,13 +362,18 @@ object MdioFsck {
 
   private val log = org.slf4j.LoggerFactory.getLogger(MdioFsck.getClass)
 
-  /** [[repair]] result: `findings` is the RE-AUDIT after the repair
-    * (clean when every finding was sidecar corruption — corrupted DATA
-    * bytes are not repairable from metadata and stay flagged),
-    * `repairedChunks` counts the entries recomputed and republished,
-    * `chunksAudited`/`cells` are the re-audit's totals. */
+  /** [[repair]] result: `findings` is the RE-AUDIT after the repair,
+    * `repaired` the chunk keys whose sidecar entries were recomputed and
+    * republished — REVIEW THEM: repair treats the chunk DATA as ground
+    * truth, so a decodable-but-corrupted chunk is indistinguishable from
+    * sidecar tampering and its recomputed entry blesses the data as it
+    * now stands (the re-audit comes back clean either way; only an
+    * UNDECODABLE chunk keeps failing loudly there). `repairedChunks`
+    * counts `repaired`; `chunksAudited`/`cells` are the re-audit's
+    * totals. */
   final case class Repair(findings: DataFrame, repairedChunks: Long,
-                          chunksAudited: Long, cells: Long)
+                          chunksAudited: Long, cells: Long,
+                          repaired: Seq[String] = Seq.empty)
 
   /** Check-and-FIX: audit the variable, recompute a CORRECT sidecar entry
     * for every chunk the audit implicates — recompute/entry findings name
@@ -387,9 +392,13 @@ object MdioFsck {
     * STALE sidecar (legal state — rewriting the variable refreshes),
     * legacy monolithic sidecars (small — rewrite instead), and
     * unparseable junk keys inside otherwise-clean shards (no finding
-    * locates their shard; the re-audit keeps flagging them). Reference
-    * analog: the check-only validator, mdio/dataset_validator.h — at
-    * 100 TB the fix must not be a full stats rewrite. */
+    * locates their shard; the re-audit keeps flagging them). Chunk DATA
+    * is treated as GROUND TRUTH: a decodable chunk whose bytes were
+    * corrupted recomputes to an entry matching the corrupt data (review
+    * `Repair.repaired` before trusting a repaired store); only
+    * undecodable chunks keep failing loudly. Reference analog: the
+    * check-only validator, mdio/dataset_validator.h — at 100 TB the fix
+    * must not be a full stats rewrite. */
   def repair(spark: SparkSession, path: String, variable: String): Repair = {
     import graft.sources.{MdioChunkStats, MdioWriter}
     import graft.zarr.ZarrMeta
@@ -498,6 +507,8 @@ object MdioFsck {
         sid -> (kept ++ mine)
       }.toMap
     MdioChunkStats.replaceShards(varDir, touched)
-    done(check(spark, path, variable, recompute = true), fixed.size.toLong)
+    val after = check(spark, path, variable, recompute = true)
+    Repair(after.findings, fixed.size.toLong, after.chunksAudited, after.cells,
+      fixed.keys.toSeq.sorted)
   }
 }

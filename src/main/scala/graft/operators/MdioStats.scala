@@ -19,6 +19,14 @@ object MdioStats {
 
   private[graft] val log = org.slf4j.LoggerFactory.getLogger(MdioStats.getClass)
 
+  /** TEST SEAM (r18): invoked after a rank path pins its generation-
+    * current manifest and before it reads shard files — lets a spec
+    * inject a concurrent stats REPUBLISH between the two (shard files
+    * rewritten at the next generation read as torn against the pinned
+    * manifest): the benign race the percentile pushdown's retry-once
+    * absorbs. */
+  private[graft] var manifestRaceHook: () => Unit = () => ()
+
   /** Reference CenteredBinHistogram (mdio/stats.h:109-161): uniform bins
     * described by centers; values outside [lo, lo+n*width) are clipped
     * into the edge bins (matching numpy.histogram's outlier handling is
@@ -971,6 +979,7 @@ object MdioStats {
     val manOpt = MdioChunkStats.currentManifest(varDir)
     if (manOpt.isEmpty) return scanFallback()
     val man = manOpt.get
+    manifestRaceHook()
     val grid = meta.chunkGrid
     // a sliced rank needs a CHUNK-ALIGNED box (whole chunks in or out —
     // a straddling chunk's stats interval mixes in- and out-of-box cells
@@ -1687,6 +1696,7 @@ object MdioStats {
       return scanFallback()
     }
     val man = manOpt.get
+    manifestRaceHook()
     val grid = meta.chunkGrid
     // chunk ordinals per group along each dim (whole-extent ⇒ one group)
     val cpg = dims.indices.map { d =>

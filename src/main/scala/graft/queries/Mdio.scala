@@ -1309,6 +1309,8 @@ object Mdio {
       span = 2)
     val r = graft.operators.MdioFsck.repair(s, path, "weight")
     require(r.repairedChunks == 1, s"repaired ${r.repairedChunks} chunks, want 1")
+    require(r.repaired == Seq("0.0"), // the rewritten keys are reviewable
+      s"repair rewrote ${r.repaired}, want the tampered chunk 0.0 only")
     require(MdioChunkStats.current(varDir).get == good,
       "repair drifted from the writer's published entries")
     val errs = r.findings.agg(

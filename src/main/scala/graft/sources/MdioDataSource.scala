@@ -905,6 +905,7 @@ final case class MdioAggScan(path: String, dims: Seq[String],
     val spark = org.apache.spark.sql.SparkSession.active
     val pct = aggs.filter(_._1.startsWith("vpct")).distinct
     pct.groupBy(_._2).flatMap { case (v, ops) =>
+      MdioAggScan.retryStatsRace(s"grouped pushed percentile on '$v'") {
       if (!MdioAggScan.rankAnswerable(path, v, metas(v)))
         throw new IllegalStateException(
           s"rank answerability for '$v' went stale between planning and execution")
@@ -959,6 +960,7 @@ final case class MdioAggScan(path: String, dims: Seq[String],
         }
         (op, v) -> perSlab
       }
+      }
     }
   }
 
@@ -980,6 +982,7 @@ final case class MdioAggScan(path: String, dims: Seq[String],
     val spark = org.apache.spark.sql.SparkSession.active
     val pct = aggs.filter(_._1.startsWith("vpct")).distinct
     pct.groupBy(_._2).flatMap { case (v, ops) =>
+      MdioAggScan.retryStatsRace(s"pushed percentile on '$v'") {
       val answerable = // boxed when a dim slice was absorbed (r18)
         if (ranges.isEmpty) MdioAggScan.rankAnswerable(path, v, metas(v))
         else MdioAggScan.boxRankAnswerable(path, v, metas(v), dims, ranges)
@@ -1020,6 +1023,7 @@ final case class MdioAggScan(path: String, dims: Seq[String],
           }
         (op, v) -> value
       }
+      }
     }
   }
 
@@ -1028,6 +1032,27 @@ final case class MdioAggScan(path: String, dims: Seq[String],
 
 object MdioAggScan {
   private val log = org.slf4j.LoggerFactory.getLogger(MdioAggScan.getClass)
+
+  /** Retries taken by [[retryStatsRace]] since JVM start (test pin). */
+  private[graft] val statsRaceRetries = new java.util.concurrent.atomic.AtomicLong
+
+  /** One retry for the benign plan/execution stats race (r18): a
+    * concurrent stats REPUBLISH (generation bump, same data) between a
+    * rank path's manifest pin and its shard reads makes `readShard` see
+    * the next generation — shards read as torn against the pinned
+    * manifest and the pruned path throws its loud IllegalStateException.
+    * The FRESH manifest is self-consistent, so a single re-run answers;
+    * a second failure (truly stale stats — a real data mutation) stays
+    * loud, which is the project's discipline: any answer under concurrent
+    * DATA mutation is a race, but a stats republish mutates no cell. */
+  private[sources] def retryStatsRace[T](what: String)(body: => T): T =
+    try body catch {
+      case e: IllegalStateException =>
+        statsRaceRetries.incrementAndGet()
+        log.warn(s"$what hit a plan/execution stats race (${e.getMessage}) — " +
+          "retrying once against the fresh manifest")
+        body
+    }
 
   /** ONE driver-state cap for every grouped pushdown (r18, verdict item):
     * both grouped forms materialize O(groups) on the driver —

@@ -156,6 +156,7 @@ class MdioFsckSpec extends SparkSpec {
       good.updated("3", good("3").map(b => b.copy(min = b.min + 1))))
     val r = MdioFsck.repair(spark, dir, "v")
     assert(r.repairedChunks == 1L, r)
+    assert(r.repaired == Seq("3"), r) // the rewritten keys are reviewable
     assert(r.findings.count() == 0L, r.findings.collect().mkString("\n"))
     assert(r.chunksAudited == 8L && r.cells == 64L, r)
     // the repaired entry is exactly what the writer had published
@@ -174,6 +175,7 @@ class MdioFsckSpec extends SparkSpec {
     varDir.resolve(MdioChunkStats.shardFile(1L)).writeString("{ not json")
     val r = MdioFsck.repair(spark, dir, "v")
     assert(r.repairedChunks == 4L, r) // shard 1 = chunks 4-7
+    assert(r.repaired == Seq("4", "5", "6", "7"), r)
     assert(r.findings.count() == 0L, r.findings.collect().mkString("\n"))
     assert(MdioChunkStats.current(varDir).get == good)
     MdioWriter.delete(dir)

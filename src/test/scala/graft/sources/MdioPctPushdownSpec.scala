@@ -315,6 +315,48 @@ class MdioPctPushdownSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("a concurrent stats republish mid-query retries once and answers") {
+    val vals = (0 until 64).map(i => ((i * 7) % 13).toDouble)
+    val dir = create(i => vals(i.toInt))
+    val base = spark.read.format("mdio").load(dir)
+    val varDir = ZarrMeta.path(dir).resolve("v")
+    // a pure generation bump: republish one EXISTING entry unchanged when
+    // the rank path has already pinned its manifest — the shard file
+    // rewrites at the next generation and reads as torn against the
+    // pinned one, the IllegalStateException the retry absorbs (no cell
+    // changed, so the fresh manifest answers identically)
+    val entries = MdioChunkStats.current(varDir).get
+    val k = entries.keys.min
+    def armRace(): Unit =
+      graft.operators.MdioStats.manifestRaceHook = () => {
+        graft.operators.MdioStats.manifestRaceHook = () => ()
+        MdioChunkStats.refresh(varDir, Map(k -> entries(k)))
+      }
+    val before = MdioAggScan.statsRaceRetries.get
+    armRace()
+    try {
+      val df = base.groupBy(floor($"x" / 16).as("slab")).agg(median($"v").as("m"))
+      assert(pushed(df), df.queryExecution.optimizedPlan.toString)
+      val got = df.orderBy("slab").collect().map(_.toSeq).toSeq
+      val want = vals.zipWithIndex.map { case (v, x) => (v, x.toLong) }
+        .toDF("v", "x").groupBy(floor($"x" / 16).as("slab")).agg(median($"v"))
+        .orderBy("slab").collect().map(_.toSeq).toSeq
+      assert(got == want, s"got $got want $want")
+      assert(MdioAggScan.statsRaceRetries.get == before + 1,
+        "the grouped rank path did not retry against the fresh manifest")
+    } finally graft.operators.MdioStats.manifestRaceHook = () => ()
+    // the ungrouped path absorbs the same race through its exact sliced
+    // fallback (no retry needed — the answer must simply stay right)
+    armRace()
+    try {
+      val df = base.agg(median($"v").as("med"))
+      assert(pushed(df), df.queryExecution.optimizedPlan.toString)
+      assert(df.head.getDouble(0) ==
+        vals.toDF("v").agg(median($"v")).head.getDouble(0))
+    } finally graft.operators.MdioStats.manifestRaceHook = () => ()
+    MdioWriter.delete(dir)
+  }
+
   test("grouping + slice, non-slab grouping, descending order, and stale stats all decline") {
     val dir = create(_.toDouble)
     val base = spark.read.format("mdio").load(dir)
