@@ -642,6 +642,10 @@ object Bench {
     // 3-rep idle floor 1.73–1.84 s r17, 1.83–2.00 s r18 after the
     // plan-time group count + retry wrapper — re-floored to the band)
     "zarr_pct_by_slab" -> 2.2,
+    // comparator: zarr_pct_by_slab (the same slab x rank boxRanks batch
+    // restricted to a 3-of-4-lead-chunk box, two slabs one clipped;
+    // first budget r18)
+    "zarr_pct_sliced_slab" -> 2.2,
     // comparator: mdio_fsck ×2 (repair = audit + one 1-chunk recompute
     // scan + shard republish + re-audit; first budget r17)
     "mdio_fsck_repair" -> 1.3,

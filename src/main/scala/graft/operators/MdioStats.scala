@@ -1580,17 +1580,23 @@ object MdioStats {
     * falls back LOUDLY to one exact full-scan grouped-rank selection
     * (`fallback = true`): fully distributed, nothing driver-held, the
     * same bucketed two-stage pick, residuals `⌈p·n⌉` computed in decimal
-    * so ranks past 2^53 never wobble. */
+    * so ranks past 2^53 never wobble. `ranges` (r18) restricts the
+    * ranking to a dim-index box (`dim -> [lo, hi)`): group ids stay
+    * ABSOLUTE and each surviving slab ranks its in-box cells only — the
+    * per-slab clip heat-map of a cropped survey; the box must be
+    * chunk-aligned or the sliced fallback answers, and the group cap
+    * counts only the slabs the slice touches. */
   def quantilesByBox(spark: SparkSession, path: String, variable: String,
                      ps: Seq[Double], groupSizes: Seq[Long],
                      maxProbeChunks: Int = 512,
-                     maxGroups: Int = 1 << 16): GroupedQuantiles = {
+                     maxGroups: Int = 1 << 16,
+                     ranges: Map[String, (Long, Long)] = Map.empty): GroupedQuantiles = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"quantiles $ps must lie in (0, 1]")
     require(ps.distinct == ps, s"duplicate quantiles in $ps")
     boxRankVector(spark, path, variable, ps, n => ps.map(p =>
       (BigDecimal(p) * n).setScale(0, BigDecimal.RoundingMode.CEILING).toLong),
-      groupSizes, maxProbeChunks, maxGroups, fallbackOk = true)
+      groupSizes, maxProbeChunks, maxGroups, fallbackOk = true, ranges)
   }
 
   /** Per-box values at EXPLICIT per-group ranks — `mkKs(n_g)` names each
@@ -1605,16 +1611,18 @@ object MdioStats {
                               labels: Seq[Double], mkKs: Long => Seq[Long],
                               groupSizes: Seq[Long],
                               maxProbeChunks: Int = 512,
-                              maxGroups: Int = Int.MaxValue): GroupedQuantiles = {
+                              maxGroups: Int = Int.MaxValue,
+                              ranges: Map[String, (Long, Long)] = Map.empty): GroupedQuantiles = {
     require(labels.nonEmpty && labels.distinct == labels, s"bad rank labels $labels")
     boxRankVector(spark, path, variable, labels, mkKs, groupSizes,
-      maxProbeChunks, maxGroups, fallbackOk = false)
+      maxProbeChunks, maxGroups, fallbackOk = false, ranges)
   }
 
   private def boxRankVector(spark: SparkSession, path: String, variable: String,
                             ps: Seq[Double], mkKs: Long => Seq[Long],
                             groupSizes: Seq[Long], maxProbeChunks: Int,
-                            maxGroups: Int, fallbackOk: Boolean): GroupedQuantiles = {
+                            maxGroups: Int, fallbackOk: Boolean,
+                            ranges: Map[String, (Long, Long)]): GroupedQuantiles = {
     import graft.sources.MdioChunkStats
     import graft.zarr.ZarrMeta
     import org.apache.spark.sql.{Column, Row}
@@ -1640,6 +1648,20 @@ object MdioStats {
     val pKeys = gNames :+ "p"
     def base = spark.read.format("mdio").load(path)
     val vt = base.schema(variable).dataType
+    // optional dim-index slice (r18): per-group ranks are computed over
+    // the BOX's cells only — group ids stay ABSOLUTE (FLOOR(dim/L)), so a
+    // slab clipped by the slice ranks exactly its surviving cells
+    val sliceBounds = dims.zipWithIndex.map { case (d, i) =>
+      val (lo, hi) = ranges.getOrElse(d, (0L, meta.shape(i)))
+      (math.max(lo, 0L), math.min(hi, meta.shape(i)))
+    }
+    require(sliceBounds.forall { case (lo, hi) => lo < hi },
+      s"empty dim slice $ranges over '$variable'")
+    def sliced(df: org.apache.spark.sql.DataFrame) =
+      dims.zip(sliceBounds).zipWithIndex.foldLeft(df) { case (acc, ((d, (lo, hi)), i)) =>
+        if (lo <= 0 && hi >= meta.shape(i)) acc
+        else acc.filter(col(d) >= lo && col(d) < hi)
+      }
     // the shared tail: bucketed two-stage pick over per-(group, p, value)
     // counts, then the output shape
     def finish(byKV: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -1660,8 +1682,8 @@ object MdioStats {
       // this scan (every group survives the build side) but their
       // dynamic-pruning subqueries WOULD desync the shared aggregation
       // subtree and kill the exchange reuse that executes it once
-      val full = spark.read.format("mdio")
-        .option("runtimeFiltering", "false").load(path)
+      val full = sliced(spark.read.format("mdio")
+        .option("runtimeFiltering", "false").load(path))
       val src = if (isFloat) full.filter(!isnan(col(variable))) else full
       val byGV = src.select(gCols :+ col(variable).as("v"): _*)
         .groupBy(gNames.map(col) :+ col("v"): _*).agg(count(lit(1L)).as("c"))
@@ -1698,6 +1720,20 @@ object MdioStats {
     val man = manOpt.get
     manifestRaceHook()
     val grid = meta.chunkGrid
+    // a sliced grouped rank needs a CHUNK-ALIGNED box, like the ungrouped
+    // form — a straddling chunk's stats interval mixes in- and out-of-box
+    // cells; misaligned slices answer exactly through the sliced fallback
+    val boxOpt =
+      if (ranges.isEmpty) Some(grid.map(g => (0L, g)))
+      else graft.sources.MdioAggScan.alignedChunkBox(meta, dims, ranges)
+    if (boxOpt.isEmpty) {
+      log.warn(s"quantilesByBox($path, $variable): slice $ranges is not " +
+        "chunk-aligned — falling back to the exact sliced-scan selection")
+      return scanFallback()
+    }
+    val box = boxOpt.get
+    def inBox(cc: Seq[Long]): Boolean =
+      cc.indices.forall(i => cc(i) >= box(i)._1 && cc(i) < box(i)._2)
     // chunk ordinals per group along each dim (whole-extent ⇒ one group)
     val cpg = dims.indices.map { d =>
       if (groupSizes(d) >= meta.shape(d)) grid(d)
@@ -1705,15 +1741,20 @@ object MdioStats {
     }
     // the explicit O(groups) driver contract: bracket state and the
     // broadcast bounds are one row per (group, p) — past the cap, the
-    // distributed fallback is the RIGHT plan, not a degraded one
-    val nGroups = dims.indices.map(d => BigInt((grid(d) + cpg(d) - 1) / cpg(d))).product
+    // distributed fallback is the RIGHT plan, not a degraded one.
+    // Group count is over the BOX: only slabs the slice touches exist.
+    val nGroups = dims.indices.map(d =>
+      BigInt((box(d)._2 - 1) / cpg(d) - box(d)._1 / cpg(d) + 1)).product
     if (nGroups > maxGroups) {
       log.warn(s"quantilesByBox($path, $variable): $nGroups groups exceed " +
         s"the driver-state cap $maxGroups — using the distributed " +
         "full-scan grouped-rank selection")
       return scanFallback()
     }
-    val trailingSingle = (1 until dims.size).forall(d => cpg(d) >= grid(d))
+    // coarse whole-shard summaries need every trailing dim single-group
+    // AND un-sliced (a trailing cut invalidates the shard's [lo,hi]×cells)
+    val trailingSingle = (1 until dims.size).forall(d =>
+      cpg(d) >= grid(d) && box(d)._1 == 0 && box(d)._2 == grid(d))
     def groupOf(cc: Seq[Long]): Seq[Long] =
       cc.zip(cpg).map { case (c, n) => c / n }
 
@@ -1727,17 +1768,19 @@ object MdioStats {
     val coarse = scala.collection.mutable.Map
       .empty[Seq[Long], scala.collection.mutable.Map[Long, (BigDecimal, BigDecimal, Long)]]
     var usable = true
-    def intake(cc: Seq[Long], eOpt: Option[MdioChunkStats.Entry]): Unit = eOpt match {
-      case Some(Some(b)) if b.moments.isDefined =>
-        fine.getOrElseUpdate(groupOf(cc),
-          scala.collection.mutable.ArrayBuffer.empty) += ((cc, b))
-      case Some(None) => () // all-NaN chunk: never ranks
-      case _ => usable = false
-    }
-    walkShards(varDir, man, grid) { (sid, sm) =>
+    def intake(cc: Seq[Long], eOpt: Option[MdioChunkStats.Entry]): Unit =
+      if (inBox(cc)) eOpt match {
+        case Some(Some(b)) if b.moments.isDefined =>
+          fine.getOrElseUpdate(groupOf(cc),
+            scala.collection.mutable.ArrayBuffer.empty) += ((cc, b))
+        case Some(None) => () // all-NaN chunk: never ranks
+        case _ => usable = false
+      }
+    walkShards(varDir, man, grid, leadBox = Some(box.head)) { (sid, sm) =>
       sm.cells.isDefined && trailingSingle && {
         val leadLo = sid * man.span
         val leadHi = math.min((sid + 1) * man.span, grid.head)
+        leadLo >= box.head._1 && leadHi <= box.head._2 &&
         (leadLo / cpg.head) == ((leadHi - 1) / cpg.head) && {
           (sm.lo, sm.hi) match {
             case (Some(l), Some(h)) =>
@@ -1923,9 +1966,10 @@ object MdioStats {
   def medianByBox(spark: SparkSession, path: String, variable: String,
                   groupSizes: Seq[Long],
                   maxProbeChunks: Int = 512,
-                  maxGroups: Int = 1 << 16): GroupedMedian = {
+                  maxGroups: Int = 1 << 16,
+                  ranges: Map[String, (Long, Long)] = Map.empty): GroupedMedian = {
     val r = quantilesByBox(spark, path, variable, Seq(0.5), groupSizes,
-      maxProbeChunks, maxGroups)
+      maxProbeChunks, maxGroups, ranges)
     GroupedMedian(r.result.drop("p").withColumnRenamed("q", "med"),
       r.jobs, r.scannedChunks, r.fallback)
   }

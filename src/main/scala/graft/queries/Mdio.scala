@@ -1101,6 +1101,53 @@ object Mdio {
       (SELECT x FROM o WHERE rn = 116) AS p90,
       (SELECT CAST(COUNT(*) AS BIGINT) FROM o) AS n"""
 
+  /** GROUPED percentiles over a CROPPED survey on the gate (r18): the
+    * per-slab clip heat-map of a dim window — `GROUP BY FLOOR(inline/16)`
+    * with `median(weight)` + a discrete p90 under `inline >= 8` — pushes
+    * COMPLETELY: group ids stay ABSOLUTE, the slice-CLIPPED first slab
+    * (inlines 8–15 of slab 0) ranks exactly its surviving cells, and the
+    * whole slab × rank matrix still answers in one batched
+    * [[graft.operators.MdioStats.boxRanks]] pass restricted to the box
+    * (disjoint shards never read). Oracle: per-slab ROW_NUMBER picks over
+    * the sliced cells (slab 0: n = 64, median ranks 32/33, p90 rank 58;
+    * slab 1: n = 128, ranks 64/65 and 116). REQUIRES the complete
+    * pushdown in-query. */
+  val qZarrPctSlicedSlab: Q = (s, d) => {
+    val path = zarrGridWeight(s, d)
+    val df = s.read.format("mdio").load(path)
+      .filter(col("inline") >= 8)
+      .groupBy(floor(col("inline") / 16).as("slab"))
+      .agg(median(col("weight")).as("med"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY weight)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("slab"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    require(plan.contains("vpct") && !plan.contains("Aggregate"),
+      s"sliced grouped median/percentile did not push down:\n${plan.take(500)}")
+    df
+  }
+
+  val qZarrPctSlicedSlabSql: String = """
+    WITH wgt AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(COUNT(*) AS DOUBLE) AS weight
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT i, COALESCE(weight, 0.0) AS x
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN wgt USING (i, j)
+      WHERE i >= 8),
+    r AS (
+      SELECT CAST(FLOOR(i / 16) AS BIGINT) AS slab, x,
+             COUNT(*) OVER (PARTITION BY FLOOR(i / 16)) AS n,
+             ROW_NUMBER() OVER (PARTITION BY FLOOR(i / 16) ORDER BY x) AS rn
+      FROM cells)
+    SELECT slab,
+           SUM(CASE WHEN rn * 2 = n THEN 0.5 * x
+                    WHEN rn * 2 = n + 2 THEN 0.5 * x END) AS med,
+           MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN x END) AS p90,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM r GROUP BY slab ORDER BY slab"""
+
   /** GROUPED median/percentile as PLAIN SQL on the gate (r17): the
     * per-slab heat-map a user writes as `GROUP BY FLOOR(inline/8)` with
     * `median(weight)` + a discrete p90 — the whole Aggregate pushes into
@@ -2681,6 +2728,7 @@ object Mdio {
     "zarr_median_pushdown"  -> qZarrMedianPushdown,
     "zarr_median_sliced"    -> qZarrMedianSliced,
     "zarr_pct_by_slab"      -> qZarrPctBySlab,
+    "zarr_pct_sliced_slab"  -> qZarrPctSlicedSlab,
     "zarr_argmax_location"  -> qZarrArgmaxLocation,
     "zarr_histogram_meta"   -> qZarrHistogramMeta,
     "zarr_range_by_slab"    -> qZarrRangeBySlab,
@@ -2755,6 +2803,7 @@ object Mdio {
     "zarr_median_pushdown"  -> qZarrMedianPushdownSql,
     "zarr_median_sliced"    -> qZarrMedianSlicedSql,
     "zarr_pct_by_slab"      -> qZarrPctBySlabSql,
+    "zarr_pct_sliced_slab"  -> qZarrPctSlicedSlabSql,
     "zarr_argmax_location"  -> qZarrArgmaxLocationSql,
     "zarr_histogram_meta"   -> qZarrHistogramMetaSql,
     "zarr_range_by_slab"    -> qZarrRangeBySlabSql,

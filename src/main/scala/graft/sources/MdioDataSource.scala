@@ -530,26 +530,26 @@ final class MdioScanBuilder(path: String, dims: Seq[String],
                 // row — its ranks differ), grouped and ungrouped alike
                 metas(v).shape == metas.values.head.shape &&
                 metas(v).fields.isEmpty &&
-                // grouped form: FULL variable only (per-box ranks assume
-                // whole boxes), the slabs chunk-aligned boxes of the
-                // variable's own grid (the boxRanks geometry), and the
+                // grouped form: the slabs must be chunk-aligned boxes of
+                // the variable's own grid (the boxRanks geometry) and the
                 // group COUNT under the driver-state cap — boxRanks holds
                 // one bracket row per (group, p) on the driver, so a
                 // per-chunk slab geometry at the 100 TB envelope (~1.6 M
                 // groups) must DECLINE here and run through Spark's own
-                // fully distributed aggregate
-                grouped.forall(gs => ranges.isEmpty &&
+                // fully distributed aggregate. A dim slice composes: the
+                // cap counts only the slabs the slice touches.
+                grouped.forall(gs =>
                   gs.forall { case (d, l) =>
                     val di = dims.indexOf(d)
                     di >= 0 && (l % metas(v).chunks(di) == 0 || l >= metas(v).shape(di))
                   } &&
                   MdioAggScan.underGroupCap(metas(v), dims, ranges, gs,
                     s"grouped percentile on '$v'")) &&
-                // ungrouped: the full variable, or a chunk-aligned slice
-                // whose box proves NaN-free on its own (r18)
+                // full variable, or a chunk-aligned slice whose box proves
+                // NaN-free on its own (r18) — grouped or not: per-slab
+                // ranks rank each slab's SURVIVING cells
                 (if (ranges.isEmpty) MdioAggScan.rankAnswerable(path, v, metas(v))
-                 else grouped.isEmpty &&
-                   MdioAggScan.boxRankAnswerable(path, v, metas(v), dims, ranges)) =>
+                 else MdioAggScan.boxRankAnswerable(path, v, metas(v), dims, ranges)) =>
             (if (disc) s"vpctd:$p" else s"vpctc:$p", v)
           case _ => return None
         }
@@ -906,7 +906,10 @@ final case class MdioAggScan(path: String, dims: Seq[String],
     val pct = aggs.filter(_._1.startsWith("vpct")).distinct
     pct.groupBy(_._2).flatMap { case (v, ops) =>
       MdioAggScan.retryStatsRace(s"grouped pushed percentile on '$v'") {
-      if (!MdioAggScan.rankAnswerable(path, v, metas(v)))
+      val answerable = // boxed when a dim slice was absorbed (r18)
+        if (ranges.isEmpty) MdioAggScan.rankAnswerable(path, v, metas(v))
+        else MdioAggScan.boxRankAnswerable(path, v, metas(v), dims, ranges)
+      if (!answerable)
         throw new IllegalStateException(
           s"rank answerability for '$v' went stale between planning and execution")
       val m = metas(v)
@@ -934,7 +937,7 @@ final case class MdioAggScan(path: String, dims: Seq[String],
       // geometry changed under the plan — loud, not a driver OOM
       val q = graft.operators.MdioStats.boxRanks(spark, path, v, labels,
         n => ops.flatMap(o => ranksOf(o._1, n)), groupSizes,
-        maxGroups = MdioAggScan.maxPushedGroups)
+        maxGroups = MdioAggScan.maxPushedGroups, ranges = ranges)
       val schema = q.result.schema.fieldNames
       val gIdx = gs.map { case (d, _) => schema.indexOf(s"g_$d") }
       val lIdx = schema.indexOf("p")

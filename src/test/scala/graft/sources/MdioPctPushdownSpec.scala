@@ -312,6 +312,15 @@ class MdioPctPushdownSpec extends SparkSpec {
     assert(pushed(both), both.queryExecution.optimizedPlan.toString)
     assert(both.head.toSeq ==
       agg2(cells.filter($"inline" >= 8 && $"crossline" >= 4).select($"v")).head.toSeq)
+    // grouped tiles over a cropped survey: both slabs are CLIPPED by the
+    // slice and rank their surviving cells under absolute slab ids
+    val tiles = base.filter($"inline" >= 4 && $"inline" < 12)
+      .groupBy(floor($"inline" / 8).as("ti")).agg(median($"v").as("med"))
+    assert(pushed(tiles), tiles.queryExecution.optimizedPlan.toString)
+    assert(tiles.orderBy("ti").collect().map(_.toSeq).toSeq ==
+      cells.filter($"inline" >= 4 && $"inline" < 12)
+        .groupBy(floor($"inline" / 8).as("ti")).agg(median($"v"))
+        .orderBy("ti").collect().map(_.toSeq).toSeq)
     MdioWriter.delete(dir)
   }
 
@@ -357,15 +366,47 @@ class MdioPctPushdownSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
-  test("grouping + slice, non-slab grouping, descending order, and stale stats all decline") {
+  test("grouped percentiles over a chunk-aligned slice push down; group ids stay absolute") {
+    val vals = (0 until 64).map(i => ((i * 7) % 13).toDouble)
+    val dir = create(i => vals(i.toInt))
+    val base = spark.read.format("mdio").load(dir)
+    def want(lo: Int) = vals.zipWithIndex.drop(lo)
+      .map { case (v, x) => (v, x.toLong) }.toDF("v", "x")
+      .groupBy(floor($"x" / 16).as("g"))
+      .agg(median($"v"), expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY v)"))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    // aligned slice + slab grouping: the whole Aggregate pushes; the
+    // FIRST slab is clipped by the slice (x in [8,16) of slab 0) and must
+    // rank exactly its surviving cells under its ABSOLUTE group id
+    val gs = base.filter($"x" >= 8).groupBy(floor($"x" / 16).as("g"))
+      .agg(median($"v").as("m"),
+        expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY v)").as("p80"))
+    assert(pushed(gs), gs.queryExecution.optimizedPlan.toString)
+    assert(gs.orderBy("g").collect().map(_.toSeq).toSeq == want(8))
+    // a misaligned slice under the same grouping declines but stays right
+    val mis = base.filter($"x" >= 5).groupBy(floor($"x" / 16).as("g"))
+      .agg(median($"v").as("m"),
+        expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY v)").as("p80"))
+    assert(!pushed(mis), mis.queryExecution.optimizedPlan.toString)
+    assert(mis.orderBy("g").collect().map(_.toSeq).toSeq == want(5))
+    // the direct API composes the same way: per-slab quantiles of a slice
+    val q = graft.operators.MdioStats.quantilesByBox(spark, dir, "v",
+      Seq(0.5), Seq(16L), ranges = Map("x" -> (16L, 48L)))
+    assert(!q.fallback, "sliced quantilesByBox fell back")
+    val brute = vals.zipWithIndex.slice(16, 48).groupBy(_._2 / 16).map {
+      case (g, cells) =>
+        val sorted = cells.map(_._1).sorted
+        (g.toLong, sorted((sorted.size + 1) / 2 - 1), sorted.size.toLong)
+    }.toSeq.sortBy(_._1)
+    assert(q.result.orderBy("g_x").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3))).toSeq == brute,
+      q.result.collect().mkString("\n"))
+    MdioWriter.delete(dir)
+  }
+
+  test("non-slab grouping, descending order, and stale stats all decline") {
     val dir = create(_.toDouble)
     val base = spark.read.format("mdio").load(dir)
-    // grouped percentiles stay full-variable: a slice + GROUP BY declines
-    val gs = base.filter($"x" >= 8).groupBy(floor($"x" / 16).as("g"))
-      .agg(median($"v").as("m"))
-    assert(!pushed(gs), gs.queryExecution.optimizedPlan.toString)
-    assert(gs.orderBy("g").collect().map(_.getDouble(1)).toSeq ==
-      Seq(11.5, 23.5, 39.5, 55.5))
     assert(!pushed(base.groupBy(($"x" % 2).as("g")).agg(median($"v").as("m"))))
     assert(!pushed(base.agg(
       expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v DESC)").as("m"))))
