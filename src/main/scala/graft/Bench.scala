@@ -646,6 +646,9 @@ object Bench {
     // restricted to a 3-of-4-lead-chunk box, two slabs one clipped;
     // first budget r18)
     "zarr_pct_sliced_slab" -> 2.2,
+    // comparator: zarr_argmax_location (same bounds-winner triage, the
+    // window narrows candidacy to 4 chunks; first budget r18)
+    "zarr_argmax_window" -> 0.8,
     // comparator: mdio_fsck ×2 (repair = audit + one 1-chunk recompute
     // scan + shard republish + re-audit; first budget r17)
     "mdio_fsck_repair" -> 1.3,

@@ -210,6 +210,9 @@ object MdioStats {
     * inside ⇒ count = `cnt` from metadata, fully outside (or all-NaN) ⇒
     * zero, straddlers ⇒ ONE scan over exactly that chunk subset (the
     * `chunkKeys` allowlist — a single plan node, not a per-chunk union).
+    * `ranges` (r18) restricts the count to a dim-index box — the
+    * clip-count of a crop — with out-of-box chunks in no counter;
+    * misaligned windows answer exactly through the sliced range scan.
     * The triage itself is HIERARCHICAL: whole shards whose manifest
     * summary (bounds union + `cells`/`bounded`, [[graft.sources.MdioChunkStats.ShardMeta]])
     * already decides them — union inside the range, disjoint from it, or
@@ -227,7 +230,8 @@ object MdioStats {
     * mdio/stats.h:229-335. */
   def countInRange(spark: SparkSession, path: String, variable: String,
                    lo: Double, hi: Double,
-                   maxScanChunks: Int = 512): CountInRange = {
+                   maxScanChunks: Int = 512,
+                   ranges: Map[String, (Long, Long)] = Map.empty): CountInRange = {
     import graft.sources.MdioChunkStats
     import graft.zarr.ZarrMeta
     require(lo <= hi, s"empty range [$lo, $hi]")
@@ -240,17 +244,45 @@ object MdioStats {
         s"variable '$variable' carries no dimension names"))
     require(!dims.contains(variable),
       s"'$variable' is a dimension coordinate — count its index range instead")
+    // optional dim-index window (r18): count in-range cells of the BOX
+    // only — out-of-box chunks are outside the domain, not "outside the
+    // range", and appear in no counter
+    val sliceBounds = dims.zipWithIndex.map { case (d, i) =>
+      val (blo, bhi) = ranges.getOrElse(d, (0L, meta.shape(i)))
+      (math.max(blo, 0L), math.min(bhi, meta.shape(i)))
+    }
+    require(sliceBounds.forall { case (blo, bhi) => blo < bhi },
+      s"empty dim slice $ranges over '$variable'")
+    def sliced(df: org.apache.spark.sql.DataFrame) =
+      dims.zip(sliceBounds).zipWithIndex.foldLeft(df) { case (acc, ((d, (blo, bhi)), i)) =>
+        if (blo <= 0 && bhi >= meta.shape(i)) acc
+        else acc.filter(col(d) >= blo && col(d) < bhi)
+      }
     // exact range membership in the column's own type — consistent with
     // the BigDecimal chunk triage (see rangePred)
     def filtered(df: org.apache.spark.sql.DataFrame) =
       df.filter(rangePred(col(variable), df.schema(variable).dataType, lo, hi))
     def fullScanCount(): Long =
-      filtered(spark.read.format("mdio").load(path)).count()
+      filtered(sliced(spark.read.format("mdio").load(path))).count()
 
     val (loB, hiB) = (exactBig(lo), exactBig(hi))
     MdioChunkStats.currentManifest(root.resolve(variable)) match {
       case None => CountInRange(fullScanCount(), 0L, 0L, 0L, fallback = true)
       case Some(man) =>
+        val grid = meta.chunkGrid
+        val boxOpt =
+          if (ranges.isEmpty) Some(grid.map(g => (0L, g)))
+          else graft.sources.MdioAggScan.alignedChunkBox(meta, dims, ranges)
+        if (boxOpt.isEmpty) { // misaligned window: exact sliced scan
+          log.warn(s"countInRange($path, $variable): slice $ranges is not " +
+            "chunk-aligned — falling back to the sliced range scan")
+          return CountInRange(fullScanCount(), 0L, 0L, 0L, fallback = true)
+        }
+        val box = boxOpt.get
+        def inBox(cc: Seq[Long]): Boolean =
+          cc.indices.forall(i => cc(i) >= box(i)._1 && cc(i) < box(i)._2)
+        val trailingFull =
+          (1 until grid.size).forall(i => box(i)._1 <= 0 && box(i)._2 >= grid(i))
         var metaCount = 0L
         var metaChunks = 0L
         var outside = 0L
@@ -262,22 +294,26 @@ object MdioStats {
         // chunks there are outside — NaN matches no range), one disjoint
         // from the range proves every chunk empty, and an all-NaN shard
         // (no union, cells = 0 by construction) is proven zero. Anything
-        // the summary cannot decide opens the shard for per-chunk triage.
-        walkShards(root.resolve(variable), man, meta.chunkGrid) { (_, sm) =>
-          (sm.lo, sm.hi) match {
-            case (Some(l), Some(h)) if h < loB || l > hiB =>
-              outside += sm.count; true
-            case (Some(l), Some(h)) if l >= loB && h <= hiB &&
-                sm.cells.isDefined && sm.bounded >= 0 =>
-              metaCount += sm.cells.get
-              metaChunks += sm.bounded
-              outside += sm.count - sm.bounded
-              true
-            case (None, None) => outside += sm.count; true
-            case _ => false
-          }
+        // the summary cannot decide — including a shard the dim window
+        // cuts — opens the shard for per-chunk triage.
+        walkShards(root.resolve(variable), man, grid,
+          leadBox = Some(box.head)) { (sid, sm) =>
+          trailingFull && sid * man.span >= box.head._1 &&
+            math.min((sid + 1) * man.span, grid.head) <= box.head._2 &&
+            ((sm.lo, sm.hi) match {
+              case (Some(l), Some(h)) if h < loB || l > hiB =>
+                outside += sm.count; true
+              case (Some(l), Some(h)) if l >= loB && h <= hiB &&
+                  sm.cells.isDefined && sm.bounded >= 0 =>
+                metaCount += sm.cells.get
+                metaChunks += sm.bounded
+                outside += sm.count - sm.bounded
+                true
+              case (None, None) => outside += sm.count; true
+              case _ => false
+            })
         } { (cc, eOpt) =>
-          eOpt match {
+          if (inBox(cc)) eOpt match {
             case Some(None) => outside += 1 // all-NaN: no cell can match
             case Some(Some(b)) if b.max < loB || b.min > hiB => outside += 1
             case Some(Some(b)) if b.min >= loB && b.max <= hiB &&
@@ -729,7 +765,10 @@ object MdioStats {
     * HIERARCHICAL: whole shards ride the arithmetic as one manifest
     * summary interval ([lo, hi]×cells, [[graft.sources.MdioChunkStats.ShardMeta]]),
     * and only the shards intersecting the bracket window are opened for
-    * chunk-level refinement. The median of a 100 TB store thus reads
+    * chunk-level refinement. `ranges` (r18) restricts the rank to a
+    * dim-index box (`dim -> [lo, hi)`): chunk-aligned windows ride the
+    * same machinery over their own chunks only, misaligned ones answer
+    * exactly through the sliced fallback scan. The median of a 100 TB store thus reads
     * O(manifest) sidecar bytes plus only the chunks overlapping one
     * boundary window — a global sort must shuffle the full corpus. Requires
     * generation-current stats with full coverage and moments; anything
@@ -742,7 +781,8 @@ object MdioStats {
     * bracket's lower edge falls back loudly too (the probe is the one
     * remaining per-chunk union; the window selection is always ONE scan). */
   def kthSmallest(spark: SparkSession, path: String, variable: String,
-                  k: Long, maxProbeChunks: Int = 512): KthSmallest = {
+                  k: Long, maxProbeChunks: Int = 512,
+                  ranges: Map[String, (Long, Long)] = Map.empty): KthSmallest = {
     import graft.sources.MdioChunkStats
     import graft.zarr.ZarrMeta
     require(k >= 1, s"rank $k out of range")
@@ -760,11 +800,24 @@ object MdioStats {
       if (isFloat) df.filter(!isnan(col(variable))) else df
     def base = spark.read.format("mdio").load(path)
     val vt = base.schema(variable).dataType
+    // optional dim-index window (r18): the rank is over the BOX's finite
+    // cells only — the depth-window k-th amplitude
+    val sliceBounds = dims.zipWithIndex.map { case (d, i) =>
+      val (lo, hi) = ranges.getOrElse(d, (0L, meta.shape(i)))
+      (math.max(lo, 0L), math.min(hi, meta.shape(i)))
+    }
+    require(sliceBounds.forall { case (lo, hi) => lo < hi },
+      s"empty dim slice $ranges over '$variable'")
+    def sliced(df: org.apache.spark.sql.DataFrame) =
+      dims.zip(sliceBounds).zipWithIndex.foldLeft(df) { case (acc, ((d, (lo, hi)), i)) =>
+        if (lo <= 0 && hi >= meta.shape(i)) acc
+        else acc.filter(col(d) >= lo && col(d) < hi)
+      }
     // exact full-scan fallback (stale/absent stats, or an uncapped probe):
     // grouped distinct-value counts + Long-rank selection — no global
     // sort, no Int offset, one scan
     def scanFallback(): KthSmallest = {
-      val byV = dropNaN(base.select(col(variable).as("v")))
+      val byV = dropNaN(sliced(base).select(col(variable).as("v")))
         .groupBy(col("v")).agg(count(lit(1L)).as("c")).persist()
       try {
         val mm = byV.agg(min(col("v").cast("double")), max(col("v").cast("double")),
@@ -781,9 +834,18 @@ object MdioStats {
     if (manOpt.isEmpty) return scanFallback()
     val man = manOpt.get
     val grid = meta.chunkGrid
+    val boxOpt =
+      if (ranges.isEmpty) Some(grid.map(g => (0L, g)))
+      else graft.sources.MdioAggScan.alignedChunkBox(meta, dims, ranges)
+    if (boxOpt.isEmpty) { // misaligned window: exact through the sliced scan
+      log.warn(s"kthSmallest($path, $variable): slice $ranges is not " +
+        "chunk-aligned — falling back to the exact sliced-scan selection")
+      return scanFallback()
+    }
 
-    // shard-resolved rank items, mixed granularity (see RankItems)
-    val ri = new RankItems(varDir, man, grid)
+    // shard-resolved rank items, mixed granularity (see RankItems),
+    // restricted to the box's own chunks
+    val ri = new RankItems(varDir, man, grid, boxOpt)
     if (!ri.usable) return scanFallback()
     val n = ri.n
     require(k <= n, s"rank $k exceeds $n finite cells")
@@ -849,9 +911,9 @@ object MdioStats {
     val x1d = x1.toDouble
     val winScan = x0 match {
       case Some(b0) =>
-        base.filter(col(variable) > edgeLit(b0, vt) &&
+        sliced(base).filter(col(variable) > edgeLit(b0, vt) &&
           col(variable) <= edgeLit(x1, vt))
-      case None => dropNaN(base.filter(col(variable) <= edgeLit(x1, vt)))
+      case None => dropNaN(sliced(base).filter(col(variable) <= edgeLit(x1, vt)))
     }
     val residual = k - below
     require(residual >= 1, s"rank window inconsistency: residual $residual")
@@ -893,14 +955,17 @@ object MdioStats {
     * is k ≈ 10¹² — past double-exact integer territory is still years
     * off, but the ceil must not wobble on the boundary). Stale/absent
     * stats or more than `maxProbeChunks` total straddlers fall back
-    * loudly to the exact full-scan grouped-rank form over one scan. */
+    * loudly to the exact full-scan grouped-rank form over one scan.
+    * `ranges` (r18) restricts the vector to a dim-index box, exactly as
+    * [[valuesAtRanks]]. */
   def quantilesOf(spark: SparkSession, path: String, variable: String,
-                  ps: Seq[Double], maxProbeChunks: Int = 512): Quantiles = {
+                  ps: Seq[Double], maxProbeChunks: Int = 512,
+                  ranges: Map[String, (Long, Long)] = Map.empty): Quantiles = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"quantiles $ps must lie in (0, 1]")
     rankVector(spark, path, variable, n => ps.map(p =>
       (BigDecimal(p) * n).setScale(0, BigDecimal.RoundingMode.CEILING).toLong),
-      maxProbeChunks, Map.empty)
+      maxProbeChunks, ranges)
   }
 
   /** EXACT values at EXPLICIT 1-based ranks, sharing [[quantilesOf]]'s
@@ -1121,12 +1186,16 @@ object MdioStats {
     * a 100 TB store is thus O(manifest) driver bytes + usually ONE chunk
     * read. NaN cells never win (bounds cover finite cells only) and an
     * all-NaN/empty variable returns zero rows, proven from metadata.
+    * `ranges` (r18) restricts the hunt to a dim-index window — WHERE is
+    * the peak of this crop — with candidacy decided by the box's own
+    * chunk bounds (misaligned windows locate through the sliced scan).
     * Extremum equality compares in the column's NATIVE type (u64 stays
     * decimal-exact past 2^53); `v_min`/`v_max` surface as double.
     * Stale/absent stats fall back to one full scan (`fallback = true`,
     * same first-occurrence semantics). */
   def extremaLocation(spark: SparkSession, path: String,
-                      variable: String): ExtremaLocation = {
+                      variable: String,
+                      ranges: Map[String, (Long, Long)] = Map.empty): ExtremaLocation = {
     import graft.sources.MdioChunkStats
     import graft.zarr.ZarrMeta
     import org.apache.spark.sql.{Column, Row}
@@ -1142,6 +1211,19 @@ object MdioStats {
       s"'$variable' is a dimension coordinate — its extrema are its ends")
     val isFloat = meta.dtype.charAt(meta.dtype.length - 2) == 'f'
     def base = spark.read.format("mdio").load(path)
+    // optional dim-index window (r18): WHERE does the peak of this crop
+    // live — extrema and locations are computed over the box only
+    val sliceBounds = dims.zipWithIndex.map { case (d, i) =>
+      val (lo, hi) = ranges.getOrElse(d, (0L, meta.shape(i)))
+      (math.max(lo, 0L), math.min(hi, meta.shape(i)))
+    }
+    require(sliceBounds.forall { case (lo, hi) => lo < hi },
+      s"empty dim slice $ranges over '$variable'")
+    def sliced(df: org.apache.spark.sql.DataFrame) =
+      dims.zip(sliceBounds).zipWithIndex.foldLeft(df) { case (acc, ((d, (lo, hi)), i)) =>
+        if (lo <= 0 && hi >= meta.shape(i)) acc
+        else acc.filter(col(d) >= lo && col(d) < hi)
+      }
     val outSchema = StructType(
       Seq(StructField("v_min", DoubleType, nullable = false)) ++
         dims.map(d => StructField(s"min_$d", LongType, nullable = false)) ++
@@ -1183,7 +1265,8 @@ object MdioStats {
         outSchema)
     }
     def scanFallback(): ExtremaLocation = {
-      val src = if (isFloat) base.filter(!isnan(col(variable))) else base
+      val box = sliced(base)
+      val src = if (isFloat) box.filter(!isnan(col(variable))) else box
       val mm = src.agg(min(col(variable)).as("mn"), max(col(variable)).as("mx")).head
       if (mm.isNullAt(0)) return empty.copy(fallback = true)
       def bd(i: Int): BigDecimal = mm.get(i) match {
@@ -1204,20 +1287,39 @@ object MdioStats {
     if (manOpt.isEmpty) return scanFallback()
     val man = manOpt.get
     val grid = meta.chunkGrid
+    // the window must be chunk-aligned for metadata candidacy (a
+    // straddling chunk's bounds mix in- and out-of-box cells); misaligned
+    // windows answer exactly through the sliced fallback scan
+    val boxOpt =
+      if (ranges.isEmpty) Some(grid.map(g => (0L, g)))
+      else graft.sources.MdioAggScan.alignedChunkBox(meta, dims, ranges)
+    if (boxOpt.isEmpty) {
+      log.warn(s"extremaLocation($path, $variable): slice $ranges is not " +
+        "chunk-aligned — falling back to the sliced locate scan")
+      return scanFallback()
+    }
+    val box = boxOpt.get
+    def inBox(cc: Seq[Long]): Boolean =
+      cc.indices.forall(i => cc(i) >= box(i)._1 && cc(i) < box(i)._2)
+    val trailingFull =
+      (1 until grid.size).forall(i => box(i)._1 <= 0 && box(i)._2 >= grid(i))
 
     val fine = scala.collection.mutable.ArrayBuffer.empty[(Seq[Long], MdioChunkStats.Bounds)]
     var coarse = Map.empty[Long, (BigDecimal, BigDecimal)]
     var usable = true
-    def intake(cc: Seq[Long], eOpt: Option[MdioChunkStats.Entry]): Unit = eOpt match {
-      case Some(Some(b)) => fine += ((cc, b)) // moments not needed here
-      case Some(None) => () // all-NaN chunk: no finite cell can win
-      case _ => usable = false
-    }
-    walkShards(varDir, man, grid) { (sid, sm) =>
-      (sm.lo, sm.hi) match {
-        case (Some(l), Some(h)) => coarse = coarse.updated(sid, (l, h)); true
-        case _ => sm.count >= 0 && sm.cells.contains(0L) // proven all-NaN
+    def intake(cc: Seq[Long], eOpt: Option[MdioChunkStats.Entry]): Unit =
+      if (inBox(cc)) eOpt match {
+        case Some(Some(b)) => fine += ((cc, b)) // moments not needed here
+        case Some(None) => () // all-NaN chunk: no finite cell can win
+        case _ => usable = false
       }
+    walkShards(varDir, man, grid, leadBox = Some(box.head)) { (sid, sm) =>
+      trailingFull && sid * man.span >= box.head._1 &&
+        math.min((sid + 1) * man.span, grid.head) <= box.head._2 &&
+        ((sm.lo, sm.hi) match {
+          case (Some(l), Some(h)) => coarse = coarse.updated(sid, (l, h)); true
+          case _ => sm.count >= 0 && sm.cells.contains(0L) // proven all-NaN
+        })
     }(intake)
     if (!usable) return scanFallback()
     if (coarse.isEmpty && fine.isEmpty) return empty // every chunk all-NaN

@@ -1226,6 +1226,40 @@ object Mdio {
            mx.x AS v_max, mx.i AS max_inline, mx.j AS max_crossline
     FROM mn CROSS JOIN mx"""
 
+  /** WINDOWED extrema location on the gate (r18): WHERE do the peak and
+    * trough of a CROP live — [[qZarrArgmaxLocation]] restricted to a
+    * chunk-aligned dim window (`inline ∈ [8, 24)`): candidacy is decided
+    * by the box's own chunk bounds (the global extrema sit outside the
+    * window and must not win), only bounds-winning IN-WINDOW chunks are
+    * read, and the answer is the window's first-occurrence extrema.
+    * REQUIRES the pruning path and an in-window candidate scan. */
+  val qZarrArgmaxWindow: Q = (s, d) => {
+    val path = zarrGridWeight(s, d)
+    val r = graft.operators.MdioStats.extremaLocation(s, path, "weight",
+      ranges = Map("inline" -> (8L, 24L)))
+    require(!r.fallback, "windowed extrema location fell back to a full scan")
+    require(r.scannedChunks >= 1 && r.scannedChunks <= 4,
+      s"windowed extrema scanned ${r.scannedChunks} of the 4 in-window chunks")
+    r.result
+  }
+
+  val qZarrArgmaxWindowSql: String = """
+    WITH wgt AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(COUNT(*) AS DOUBLE) AS weight
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT i, j, COALESCE(weight, 0.0) AS x
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN wgt USING (i, j)
+      WHERE i >= 8 AND i < 24),
+    mn AS (SELECT x, i, j FROM cells WHERE x = (SELECT MIN(x) FROM cells)
+           ORDER BY i, j LIMIT 1),
+    mx AS (SELECT x, i, j FROM cells WHERE x = (SELECT MAX(x) FROM cells)
+           ORDER BY i, j LIMIT 1)
+    SELECT mn.x AS v_min, mn.i AS min_inline, mn.j AS min_crossline,
+           mx.x AS v_max, mx.i AS max_inline, mx.j AS max_crossline
+    FROM mn CROSS JOIN mx"""
+
   /** Boundary-only exact HISTOGRAM on the gate (r16): the reference's
     * CenteredBin shape (mdio/stats.h:109-161, outliers clipped into the
     * edge bins) computed by
@@ -2730,6 +2764,7 @@ object Mdio {
     "zarr_pct_by_slab"      -> qZarrPctBySlab,
     "zarr_pct_sliced_slab"  -> qZarrPctSlicedSlab,
     "zarr_argmax_location"  -> qZarrArgmaxLocation,
+    "zarr_argmax_window"    -> qZarrArgmaxWindow,
     "zarr_histogram_meta"   -> qZarrHistogramMeta,
     "zarr_range_by_slab"    -> qZarrRangeBySlab,
     "mdio_fsck"             -> qMdioFsck,
@@ -2805,6 +2840,7 @@ object Mdio {
     "zarr_pct_by_slab"      -> qZarrPctBySlabSql,
     "zarr_pct_sliced_slab"  -> qZarrPctSlicedSlabSql,
     "zarr_argmax_location"  -> qZarrArgmaxLocationSql,
+    "zarr_argmax_window"    -> qZarrArgmaxWindowSql,
     "zarr_histogram_meta"   -> qZarrHistogramMetaSql,
     "zarr_range_by_slab"    -> qZarrRangeBySlabSql,
     "mdio_fsck"             -> qMdioFsckSql,

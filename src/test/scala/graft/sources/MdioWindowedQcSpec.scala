@@ -1,0 +1,138 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.MdioStats
+import graft.spec.MdioSpec
+import graft.zarr.ZarrMeta
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** WINDOWED rank-QC family (r18): kthSmallest / quantilesOf /
+  * extremaLocation / countInRange restricted to a dim-index box — the
+  * depth-window readouts (`WHERE inline BETWEEN a AND b`) a seismic user
+  * runs against a crop. Chunk-aligned windows must ride the pruned
+  * metadata machinery over the box's own chunks only; misaligned windows
+  * must fall back to an exact SLICED scan (never the full variable); and
+  * a NaN outside the box must not disturb the box's answers. Every case
+  * compares against brute force over the sliced cells. */
+class MdioWindowedQcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def create(values: Long => Double): String = {
+    val dir = Files.createTempDirectory("mdio_wqc").resolve("s.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      s"""{
+         |  "metadata": {"name": "s", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+         |  "variables": [
+         |    {"name": "x", "dataType": "int64",
+         |     "dimensions": [{"name": "x", "size": 64}]},
+         |    {"name": "v", "dataType": "float64",
+         |     "dimensions": [{"name": "x", "size": 64}],
+         |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8]}}}}
+         |  ]
+         |}""".stripMargin), dir)
+    val fn = udf(values.apply _)
+    MdioWriter.writeVariable(spark,
+      spark.range(64).select($"id".as("x"), fn($"id").as("v")), dir, "v")
+    dir
+  }
+
+  test("kthSmallest over a chunk-aligned window prunes; misaligned slices stay exact") {
+    val vals = (0 until 64).map(i => ((i * 11) % 23).toDouble)
+    val dir = create(i => vals(i.toInt))
+    val win = vals.slice(16, 48).sorted
+    val r = MdioStats.kthSmallest(spark, dir, "v", 5,
+      ranges = Map("x" -> (16L, 48L)))
+    assert(!r.fallback, "aligned window fell back")
+    assert(r.value == win(4), r)
+    // probe + window scans touch only in-box chunks (4 chunks, each at
+    // most once per job)
+    assert(r.scannedChunks <= 8, r)
+    val mis = MdioStats.kthSmallest(spark, dir, "v", 5,
+      ranges = Map("x" -> (13L, 48L)))
+    assert(mis.fallback, "misaligned window must fall back")
+    assert(mis.value == vals.slice(13, 48).sorted.apply(4), mis)
+    MdioWriter.delete(dir)
+  }
+
+  test("quantilesOf over a window: the vector ranks the box's cells only") {
+    val vals = (0 until 64).map(i => ((i * 7) % 13).toDouble)
+    val dir = create(i => vals(i.toInt))
+    val win = vals.slice(8, 40).sorted // n = 32
+    val r = MdioStats.quantilesOf(spark, dir, "v", Seq(0.25, 0.5, 1.0),
+      ranges = Map("x" -> (8L, 40L)))
+    assert(!r.fallback, "aligned window fell back")
+    assert(r.n == 32, r)
+    assert(r.ks == Seq(8L, 16L, 32L), r)
+    assert(r.values == Seq(win(7), win(15), win(31)), r)
+    MdioWriter.delete(dir)
+  }
+
+  test("extremaLocation over a window: the crop's own peak, not the global one") {
+    // global max at x=0 and global min at x=63 sit OUTSIDE the window;
+    // the window must locate its own extrema (first occurrence)
+    val vals = (0 until 64).map {
+      case 0 => 1000.0
+      case 63 => -1000.0
+      case i => ((i * 5) % 17).toDouble
+    }
+    val dir = create(i => vals(i.toInt))
+    val r = MdioStats.extremaLocation(spark, dir, "v",
+      ranges = Map("x" -> (8L, 56L)))
+    assert(!r.fallback, "aligned window fell back")
+    val row = r.result.head
+    val win = vals.zipWithIndex.slice(8, 56)
+    val (wmin, wminAt) = win.minBy(_._1)
+    val (wmax, wmaxAt) = win.maxBy(_._1)
+    assert(row.getDouble(0) == wmin && row.getLong(1) == wminAt, row)
+    assert(row.getDouble(2) == wmax && row.getLong(3) == wmaxAt, row)
+    // candidacy pruned to the chunks whose bounds equal a window extremum
+    assert(r.scannedChunks >= 1 && r.scannedChunks <= 6, r)
+    // misaligned: same answer through the sliced locate scan
+    val mis = MdioStats.extremaLocation(spark, dir, "v",
+      ranges = Map("x" -> (9L, 56L)))
+    assert(mis.fallback)
+    val win2 = vals.zipWithIndex.slice(9, 56)
+    val m2 = mis.result.head
+    assert(m2.getDouble(0) == win2.minBy(_._1)._1 &&
+      m2.getDouble(2) == win2.maxBy(_._1)._1, m2)
+    MdioWriter.delete(dir)
+  }
+
+  test("countInRange over a window: out-of-box chunks appear in no counter") {
+    val vals = (0 until 64).map(i => ((i * 3) % 29).toDouble)
+    val dir = create(i => vals(i.toInt))
+    val r = MdioStats.countInRange(spark, dir, "v", 5.0, 20.0,
+      ranges = Map("x" -> (16L, 48L)))
+    assert(!r.fallback, "aligned window fell back")
+    val want = vals.slice(16, 48).count(v => v >= 5.0 && v <= 20.0)
+    assert(r.count == want, r)
+    // every counter speaks about the box's 4 chunks only
+    assert(r.metadataChunks + r.outsideChunks + r.scannedChunks <= 4, r)
+    val mis = MdioStats.countInRange(spark, dir, "v", 5.0, 20.0,
+      ranges = Map("x" -> (16L, 47L)))
+    assert(mis.fallback)
+    assert(mis.count == vals.slice(16, 47).count(v => v >= 5.0 && v <= 20.0), mis)
+    MdioWriter.delete(dir)
+  }
+
+  test("a NaN outside the window never disturbs the window's rank answers") {
+    val vals = (0 until 64).map(i =>
+      if (i == 3) Double.NaN else ((i * 7) % 19).toDouble)
+    val dir = create(i => vals(i.toInt))
+    // the NaN sits in chunk 0, the window starts at chunk 1
+    val win = vals.slice(8, 64).sorted // no NaN inside
+    val q = MdioStats.quantilesOf(spark, dir, "v", Seq(0.5),
+      ranges = Map("x" -> (8L, 64L)))
+    assert(!q.fallback && q.n == 56 && q.values == Seq(win(27)), q)
+    val kth = MdioStats.kthSmallest(spark, dir, "v", 56,
+      ranges = Map("x" -> (8L, 64L)))
+    assert(!kth.fallback && kth.value == win(55), kth)
+    // a window CONTAINING the NaN ranks finite cells only (n drops by 1)
+    val qn = MdioStats.quantilesOf(spark, dir, "v", Seq(1.0),
+      ranges = Map("x" -> (0L, 16L)))
+    assert(qn.n == 15 && qn.values ==
+      Seq(vals.slice(0, 16).filterNot(_.isNaN).max), qn)
+    MdioWriter.delete(dir)
+  }
+}
