@@ -1372,10 +1372,13 @@ object MdioStats {
     * driver triage and the scan) so the claim and the scan can never
     * disagree on a boundary value. Stale/absent stats or more than
     * `maxScanChunks` straddlers fall back to one full scan
-    * (`fallback = true`) — exact in every case. */
+    * (`fallback = true`) — exact in every case. `ranges` (r18) restricts
+    * the histogram to a dim-index window (the crop's own amplitude
+    * distribution); misaligned windows answer through the sliced scan. */
   def histogramMeta(spark: SparkSession, path: String, variable: String,
                     lo: Double, width: Double, nBins: Int,
-                    maxScanChunks: Int = 512): HistogramMeta = {
+                    maxScanChunks: Int = 512,
+                    ranges: Map[String, (Long, Long)] = Map.empty): HistogramMeta = {
     import graft.sources.MdioChunkStats
     import graft.zarr.ZarrMeta
     require(width > 0 && nBins >= 1, s"bad bins: lo=$lo width=$width n=$nBins")
@@ -1389,6 +1392,18 @@ object MdioStats {
     require(!dims.contains(variable),
       s"'$variable' is a dimension coordinate — bin its index range instead")
     val isFloat = meta.dtype.charAt(meta.dtype.length - 2) == 'f'
+    // optional dim-index window (r18): the crop's own histogram
+    val sliceBounds = dims.zipWithIndex.map { case (d, i) =>
+      val (blo, bhi) = ranges.getOrElse(d, (0L, meta.shape(i)))
+      (math.max(blo, 0L), math.min(bhi, meta.shape(i)))
+    }
+    require(sliceBounds.forall { case (blo, bhi) => blo < bhi },
+      s"empty dim slice $ranges over '$variable'")
+    def sliced(df: org.apache.spark.sql.DataFrame) =
+      dims.zip(sliceBounds).zipWithIndex.foldLeft(df) { case (acc, ((d, (blo, bhi)), i)) =>
+        if (blo <= 0 && bhi >= meta.shape(i)) acc
+        else acc.filter(col(d) >= blo && col(d) < bhi)
+      }
     def binD(v: Double): Int = { // the StatsV1Aggregator clip rule
       val b = math.floor((v - lo) / width).toInt
       if (b < 0) 0 else if (b >= nBins) nBins - 1 else b
@@ -1409,30 +1424,46 @@ object MdioStats {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
     def scanFallback(): HistogramMeta =
-      HistogramMeta(toResult(grouped(base)), 0L, 0L, fallback = true)
+      HistogramMeta(toResult(grouped(sliced(base))), 0L, 0L, fallback = true)
 
     val varDir = root.resolve(variable)
     val manOpt = MdioChunkStats.currentManifest(varDir)
     if (manOpt.isEmpty) return scanFallback()
     val man = manOpt.get
+    val grid = meta.chunkGrid
+    val boxOpt =
+      if (ranges.isEmpty) Some(grid.map(g => (0L, g)))
+      else graft.sources.MdioAggScan.alignedChunkBox(meta, dims, ranges)
+    if (boxOpt.isEmpty) { // misaligned window: exact sliced scan
+      log.warn(s"histogramMeta($path, $variable): slice $ranges is not " +
+        "chunk-aligned — falling back to the sliced histogram scan")
+      return scanFallback()
+    }
+    val box = boxOpt.get
+    def inBox(cc: Seq[Long]): Boolean =
+      cc.indices.forall(i => cc(i) >= box(i)._1 && cc(i) < box(i)._2)
+    val trailingFull =
+      (1 until grid.size).forall(i => box(i)._1 <= 0 && box(i)._2 >= grid(i))
 
     val metaCounts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
     var metaChunks = 0L
     val straddlers = Seq.newBuilder[Seq[Long]]
     var nStraddle = 0
     var usable = true
-    walkShards(varDir, man, meta.chunkGrid) { (_, sm) =>
-      (sm.lo, sm.hi) match {
-        case (Some(l), Some(h)) if sm.cells.isDefined &&
-            binD(l.toDouble) == binD(h.toDouble) =>
-          metaCounts(binD(l.toDouble).toLong) += sm.cells.get
-          metaChunks += sm.bounded.max(0L)
-          true
-        case (None, None) => true // all-NaN shard: nothing to bin
-        case _ => false // crosses a bin edge (or no summary): open it
-      }
+    walkShards(varDir, man, grid, leadBox = Some(box.head)) { (sid, sm) =>
+      trailingFull && sid * man.span >= box.head._1 &&
+        math.min((sid + 1) * man.span, grid.head) <= box.head._2 &&
+        ((sm.lo, sm.hi) match {
+          case (Some(l), Some(h)) if sm.cells.isDefined &&
+              binD(l.toDouble) == binD(h.toDouble) =>
+            metaCounts(binD(l.toDouble).toLong) += sm.cells.get
+            metaChunks += sm.bounded.max(0L)
+            true
+          case (None, None) => true // all-NaN shard: nothing to bin
+          case _ => false // crosses a bin edge (or no summary): open it
+        })
     } { (cc, eOpt) =>
-      eOpt match {
+      if (inBox(cc)) eOpt match {
         case Some(None) => () // all-NaN chunk
         case Some(Some(b)) if b.moments.isDefined &&
             binD(b.min.toDouble) == binD(b.max.toDouble) =>
@@ -1484,11 +1515,15 @@ object MdioStats {
     * sizes follow [[medianByBox]]'s rule (positive; per dim a chunk-size
     * multiple or ≥ the extent). Misalignment, stale/absent stats, or
     * more than `maxScanChunks` straddlers fall back loudly to ONE full
-    * scan (`fallback = true`), exact in every case. */
+    * scan (`fallback = true`), exact in every case. `ranges` (r18)
+    * restricts the heat map to a dim-index window: group ids stay
+    * absolute, a slice-clipped box counts its surviving cells, and a
+    * misaligned window answers through the sliced grouped scan. */
   def countInRangeByBox(spark: SparkSession, path: String, variable: String,
                         lo: Double, hi: Double, groupSizes: Seq[Long],
                         maxScanChunks: Int = 512,
-                        maxGroups: Int = 1 << 16): GroupedCount = {
+                        maxGroups: Int = 1 << 16,
+                        ranges: Map[String, (Long, Long)] = Map.empty): GroupedCount = {
     import graft.sources.MdioChunkStats
     import graft.zarr.ZarrMeta
     import org.apache.spark.sql.{Column, Row}
@@ -1512,6 +1547,18 @@ object MdioStats {
       case ((dn, gs), gn) => floor(col(dn) / gs).cast("long").as(gn)
     }
     def base = spark.read.format("mdio").load(path)
+    // optional dim-index window (r18): the crop's own occupancy heat map
+    val sliceBounds = dims.zipWithIndex.map { case (d, i) =>
+      val (blo, bhi) = ranges.getOrElse(d, (0L, meta.shape(i)))
+      (math.max(blo, 0L), math.min(bhi, meta.shape(i)))
+    }
+    require(sliceBounds.forall { case (blo, bhi) => blo < bhi },
+      s"empty dim slice $ranges over '$variable'")
+    def sliced(df: org.apache.spark.sql.DataFrame) =
+      dims.zip(sliceBounds).zipWithIndex.foldLeft(df) { case (acc, ((d, (blo, bhi)), i)) =>
+        if (blo <= 0 && bhi >= meta.shape(i)) acc
+        else acc.filter(col(d) >= blo && col(d) < bhi)
+      }
     // exact range membership in the column's own type — consistent with
     // the BigDecimal chunk triage (see rangePred)
     val inRange = rangePred(col(variable), base.schema(variable).dataType, lo, hi)
@@ -1520,7 +1567,8 @@ object MdioStats {
         Seq(StructField("cnt", LongType, nullable = false),
           StructField("n", LongType, nullable = false)))
     def scanFallback(): GroupedCount = {
-      val src = if (isFloat) base.filter(!isnan(col(variable))) else base
+      val box0 = sliced(base)
+      val src = if (isFloat) box0.filter(!isnan(col(variable))) else box0
       val sel = src.select(gCols :+ col(variable).as(variable): _*)
         .groupBy(gNames.map(col): _*)
         .agg(count(when(inRange, 1L)).as("cnt"), count(lit(1L)).as("n"))
@@ -1543,21 +1591,37 @@ object MdioStats {
     }
     val man = manOpt.get
     val grid = meta.chunkGrid
+    val boxOpt =
+      if (ranges.isEmpty) Some(grid.map(g => (0L, g)))
+      else graft.sources.MdioAggScan.alignedChunkBox(meta, dims, ranges)
+    if (boxOpt.isEmpty) { // misaligned window: exact sliced scan
+      log.warn(s"countInRangeByBox($path, $variable): slice $ranges is " +
+        "not chunk-aligned — falling back to the sliced grouped scan")
+      return scanFallback()
+    }
+    val box = boxOpt.get
+    def inBox(cc: Seq[Long]): Boolean =
+      cc.indices.forall(i => cc(i) >= box(i)._1 && cc(i) < box(i)._2)
     val cpg = dims.indices.map { d =>
       if (groupSizes(d) >= meta.shape(d)) grid(d)
       else groupSizes(d) / meta.chunks(d)
     }
     // the explicit O(groups) driver contract: the in/total maps and the
     // result rows live on the driver — past the cap, the distributed
-    // one-scan form is the right plan, not a degraded one
-    val nGroups = dims.indices.map(d => BigInt((grid(d) + cpg(d) - 1) / cpg(d))).product
+    // one-scan form is the right plan, not a degraded one. Group count
+    // is over the BOX: only groups the slice touches exist.
+    val nGroups = dims.indices.map(d =>
+      BigInt((box(d)._2 - 1) / cpg(d) - box(d)._1 / cpg(d) + 1)).product
     if (nGroups > maxGroups) {
       log.warn(s"countInRangeByBox($path, $variable): $nGroups groups " +
         s"exceed the driver-state cap $maxGroups — using the distributed " +
         "full-scan form")
       return scanFallback()
     }
-    val trailingSingle = (1 until dims.size).forall(d => cpg(d) >= grid(d))
+    // coarse whole-shard summaries need every trailing dim single-group
+    // AND un-sliced
+    val trailingSingle = (1 until dims.size).forall(d =>
+      cpg(d) >= grid(d) && box(d)._1 == 0 && box(d)._2 == grid(d))
     def groupOf(cc: Seq[Long]): Seq[Long] =
       cc.zip(cpg).map { case (c, n) => c / n }
 
@@ -1569,13 +1633,15 @@ object MdioStats {
     val straddlers = Seq.newBuilder[Seq[Long]]
     var nStraddle = 0
     var usable = true
-    walkShards(varDir, man, grid) { (sid, sm) =>
+    walkShards(varDir, man, grid, leadBox = Some(box.head)) { (sid, sm) =>
       // a whole shard decides from the manifest only when it maps into
-      // ONE group (the medianByBox fit rule) and its bounds union settles
-      // the range question for every chunk inside it
+      // ONE group (the medianByBox fit rule), sits wholly inside the
+      // window, and its bounds union settles the range question for
+      // every chunk inside it
       sm.cells.isDefined && trailingSingle && {
         val leadLo = sid * man.span
         val leadHi = math.min((sid + 1) * man.span, grid.head)
+        leadLo >= box.head._1 && leadHi <= box.head._2 &&
         (leadLo / cpg.head) == ((leadHi - 1) / cpg.head) && {
           val g = (leadLo / cpg.head) +: Seq.fill(dims.size - 1)(0L)
           (sm.lo, sm.hi) match {
@@ -1590,16 +1656,18 @@ object MdioStats {
         }
       }
     } { (cc, eOpt) =>
-      val g = groupOf(cc)
-      eOpt match {
-        case Some(None) => outside += 1 // all-NaN chunk
-        case Some(Some(b)) if b.moments.isDefined =>
-          total(g) += b.moments.get.cnt
-          if (b.max < loB || b.min > hiB) outside += 1
-          else if (b.min >= loB && b.max <= hiB) {
-            inCnt(g) += b.moments.get.cnt; metaChunks += 1
-          } else { straddlers += cc; nStraddle += 1 }
-        case _ => usable = false // no entry or no moments: n unknowable
+      if (inBox(cc)) {
+        val g = groupOf(cc)
+        eOpt match {
+          case Some(None) => outside += 1 // all-NaN chunk
+          case Some(Some(b)) if b.moments.isDefined =>
+            total(g) += b.moments.get.cnt
+            if (b.max < loB || b.min > hiB) outside += 1
+            else if (b.min >= loB && b.max <= hiB) {
+              inCnt(g) += b.moments.get.cnt; metaChunks += 1
+            } else { straddlers += cc; nStraddle += 1 }
+          case _ => usable = false // no entry or no moments: n unknowable
+        }
       }
     }
     if (!usable || nStraddle > maxScanChunks) {

@@ -116,6 +116,56 @@ class MdioWindowedQcSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("histogramMeta over a window bins the crop's cells only") {
+    val vals = (0 until 64).map(i => ((i * 13) % 31).toDouble)
+    val dir = create(i => vals(i.toInt))
+    def brute(lo: Int, hi: Int): Seq[(Long, Double, Long)] =
+      vals.slice(lo, hi)
+        .map(v => math.min(math.max(math.floor(v / 8.0).toLong, 0L), 3L))
+        .groupBy(identity).toSeq.filter(_._2.nonEmpty).sortBy(_._1)
+        .map { case (b, cs) => (b, (b + 0.5) * 8.0, cs.size.toLong) }
+    val r = MdioStats.histogramMeta(spark, dir, "v", 0.0, 8.0, 4,
+      ranges = Map("x" -> (16L, 48L)))
+    assert(!r.fallback, "aligned window fell back")
+    assert(r.result.collect().map(x =>
+      (x.getLong(0), x.getDouble(1), x.getLong(2))).toSeq == brute(16, 48), r)
+    // every chunk the triage speaks about is one of the window's 4
+    assert(r.metadataChunks + r.scannedChunks <= 4, r)
+    val mis = MdioStats.histogramMeta(spark, dir, "v", 0.0, 8.0, 4,
+      ranges = Map("x" -> (17L, 48L)))
+    assert(mis.fallback)
+    assert(mis.result.collect().map(x =>
+      (x.getLong(0), x.getDouble(1), x.getLong(2))).toSeq == brute(17, 48), mis)
+    MdioWriter.delete(dir)
+  }
+
+  test("countInRangeByBox over a window: absolute slab ids, clipped slabs count surviving cells") {
+    val vals = (0 until 64).map(i => ((i * 9) % 26).toDouble)
+    val dir = create(i => vals(i.toInt))
+    val r = MdioStats.countInRangeByBox(spark, dir, "v", 4.0, 18.0, Seq(16L),
+      ranges = Map("x" -> (8L, 56L)))
+    assert(!r.fallback, "aligned window fell back")
+    val want = vals.zipWithIndex.slice(8, 56).groupBy(_._2 / 16).toSeq
+      .sortBy(_._1).map { case (g, cs) =>
+        (g.toLong, cs.count(c => c._1 >= 4.0 && c._1 <= 18.0).toLong,
+          cs.size.toLong)
+      }
+    assert(r.result.orderBy("g_x").collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq == want,
+      r.result.collect().mkString("\n"))
+    val mis = MdioStats.countInRangeByBox(spark, dir, "v", 4.0, 18.0, Seq(16L),
+      ranges = Map("x" -> (8L, 55L)))
+    assert(mis.fallback)
+    val want2 = vals.zipWithIndex.slice(8, 55).groupBy(_._2 / 16).toSeq
+      .sortBy(_._1).map { case (g, cs) =>
+        (g.toLong, cs.count(c => c._1 >= 4.0 && c._1 <= 18.0).toLong,
+          cs.size.toLong)
+      }
+    assert(mis.result.orderBy("g_x").collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq == want2, mis)
+    MdioWriter.delete(dir)
+  }
+
   test("a NaN outside the window never disturbs the window's rank answers") {
     val vals = (0 until 64).map(i =>
       if (i == 3) Double.NaN else ((i * 7) % 19).toDouble)
