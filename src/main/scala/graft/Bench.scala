@@ -644,10 +644,11 @@ object Bench {
     "zarr_pct_by_slab" -> 2.2,
     // comparator: zarr_pct_by_slab (the same slab x rank boxRanks batch
     // restricted to a 3-of-4-lead-chunk box, two slabs one clipped;
-    // first budget r18)
-    "zarr_pct_sliced_slab" -> 2.2,
+    // 3-rep idle floor 1.99-2.27 s; first budget r18)
+    "zarr_pct_sliced_slab" -> 2.5,
     // comparator: zarr_argmax_location (same bounds-winner triage, the
-    // window narrows candidacy to 4 chunks; first budget r18)
+    // window narrows candidacy to 4 chunks; 3-rep idle floor 0.18-0.23 s;
+    // first budget r18)
     "zarr_argmax_window" -> 0.8,
     // comparator: mdio_fsck ×2 (repair = audit + one 1-chunk recompute
     // scan + shard republish + re-audit; first budget r17)
