@@ -192,6 +192,84 @@ class RankQcConsistencySpec extends SparkSpec {
           s"[$label] extremaLocation mismatch: $row")
       }
 
+      // WINDOWED forms (r18): every operator restricted to dim boxes —
+      // aligned windows must stay on the pruned path, the misaligned one
+      // must fall back — and all must equal brute force over the slice
+      val windows = Seq((8, 56, true), (16, 32, true), (5, 50, false))
+      windows.foreach { case (wLo, wHi, aligned) =>
+        val rng = Map("x" -> (wLo.toLong, wHi.toLong))
+        val wvs = vs.slice(wLo, wHi)
+        val wfin = finite(wvs)
+        val wsorted = wfin.sorted
+        val cir = MdioStats.countInRange(spark, dir, "v", 1.0, 4.0, ranges = rng)
+        assert(cir.fallback != aligned,
+          s"[$label] windowed countInRange($wLo,$wHi) wrong path: $cir")
+        assert(cir.count == wfin.count(v => v >= 1.0 && v <= 4.0).toLong,
+          s"[$label] windowed countInRange($wLo,$wHi): $cir")
+        if (wfin.nonEmpty) {
+          val k = (wfin.size.toLong + 1) / 2
+          val kth = MdioStats.kthSmallest(spark, dir, "v", k, ranges = rng)
+          assert(kth.fallback != aligned && kth.value == wsorted((k - 1).toInt),
+            s"[$label] windowed kthSmallest($wLo,$wHi,$k): $kth")
+          val q = MdioStats.quantilesOf(spark, dir, "v", Seq(0.5, 1.0), ranges = rng)
+          assert(q.fallback != aligned, s"[$label] windowed quantilesOf path")
+          q.ks.zip(q.values).foreach { case (qk, qv) =>
+            assert(qv == wsorted((qk - 1).toInt),
+              s"[$label] windowed quantilesOf($wLo,$wHi) k=$qk: $qv")
+          }
+          val wex = MdioStats.extremaLocation(spark, dir, "v", ranges = rng)
+          assert(wex.fallback != aligned, s"[$label] windowed extrema path")
+          val wrow = wex.result.collect().head
+          assert((wrow.getDouble(0), wrow.getLong(1),
+            wrow.getDouble(2), wrow.getLong(3)) ==
+            (wsorted.head, (wLo + wvs.indexWhere(_ == wsorted.head)).toLong,
+              wsorted.last, (wLo + wvs.indexWhere(_ == wsorted.last)).toLong),
+            s"[$label] windowed extremaLocation($wLo,$wHi): $wrow")
+        }
+        val wh = MdioStats.histogramMeta(spark, dir, "v", 0.0, 4.0, 4, ranges = rng)
+        assert(wh.fallback != aligned, s"[$label] windowed histogram path")
+        def bin4(v: Double): Long = {
+          val b = math.floor(v / 4.0).toInt
+          (if (b < 0) 0 else if (b >= 4) 3 else b).toLong
+        }
+        assert(wh.result.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+          wfin.groupBy(bin4).map { case (b, g) => (b, g.size.toLong) }
+            .toSeq.sortBy(_._1),
+          s"[$label] windowed histogramMeta($wLo,$wHi) mismatch")
+        // grouped twins under the same window: ABSOLUTE slab ids over
+        // 16-index slabs, clipped slabs count/rank their surviving cells
+        def slabWant[T](f: IndexedSeq[Double] => Option[T]): Seq[(Long, T)] =
+          (0 until 4).flatMap { g =>
+            val cells = finite(vs.slice(math.max(16 * g, wLo),
+              math.min(16 * (g + 1), wHi)))
+            if (16 * g >= wHi || 16 * (g + 1) <= wLo) None
+            else f(cells).map(g.toLong -> _)
+          }
+        val wqb = MdioStats.quantilesByBox(spark, dir, "v", Seq(0.5), Seq(16L),
+          ranges = rng)
+        assert(wqb.fallback != aligned, s"[$label] windowed quantilesByBox path")
+        val wantWQ = slabWant { cells =>
+          if (cells.isEmpty) None
+          else {
+            val s2 = cells.sorted
+            Some((s2((cells.size + 1) / 2 - 1), cells.size.toLong))
+          }
+        }
+        assert(wqb.result.orderBy("g_x").collect()
+          .map(x => (x.getLong(0), (x.getDouble(2), x.getLong(3)))).toSeq == wantWQ,
+          s"[$label] windowed quantilesByBox($wLo,$wHi) mismatch")
+        val wbox = MdioStats.countInRangeByBox(spark, dir, "v", 1.0, 4.0,
+          Seq(16L), ranges = rng)
+        assert(wbox.fallback != aligned, s"[$label] windowed countByBox path")
+        val wantWB = slabWant { cells =>
+          if (cells.isEmpty) None
+          else Some((cells.count(v => v >= 1.0 && v <= 4.0).toLong, cells.size.toLong))
+        }
+        assert(wbox.result.orderBy("g_x").collect()
+          .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toSeq == wantWB,
+          s"[$label] windowed countInRangeByBox($wLo,$wHi) mismatch")
+      }
+
       MdioWriter.delete(dir)
     }
   }
