@@ -650,6 +650,10 @@ object Bench {
     // window narrows candidacy to 4 chunks; 3-rep idle floor 0.18-0.23 s;
     // first budget r18)
     "zarr_argmax_window" -> 0.8,
+    // comparator: zarr_argmax_location (per-slab bounds triage + ONE
+    // broadcast-join location scan over the slab-extremum candidates;
+    // first budget r18)
+    "zarr_argmax_by_slab" -> 1.0,
     // comparator: mdio_fsck ×2 (repair = audit + one 1-chunk recompute
     // scan + shard republish + re-audit; first budget r17)
     "mdio_fsck_repair" -> 1.3,

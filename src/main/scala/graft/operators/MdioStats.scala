@@ -1346,6 +1346,260 @@ object MdioStats {
       fallback = false)
   }
 
+  /** [[extremaByBox]] result: one row per group with ≥1 finite cell —
+    * per-dim group ordinals (`g_<dim>`), `v_min` with its
+    * FIRST-occurrence `min_<dim>` coordinates, `v_max` with `max_<dim>`,
+    * and `n` finite cells. `scannedChunks` counts the candidate chunks
+    * the one location scan read; `fallback` marks the distributed
+    * two-pass scan form. */
+  final case class GroupedExtrema(result: org.apache.spark.sql.DataFrame,
+                                  scannedChunks: Long, fallback: Boolean)
+
+  /** WHERE each box's extrema live — the per-slab / per-tile peak-and-
+    * trough locator heat map (the grouped twin of [[extremaLocation]],
+    * on the [[medianByBox]] group geometry; reference volume-statistics
+    * argmax, examples/seismic_reader/stats.hh:31-67, which full-scans one
+    * global answer): each group's MIN/MAX come EXACTLY from its chunks'
+    * sidecar bounds — whole shards by manifest summary when they map
+    * into one un-sliced group — and the only chunks READ are those whose
+    * bounds equal their own group's extremum; one `chunkKeys` scan with
+    * the per-group extrema riding a broadcast join answers every group's
+    * first-occurrence locations together (ties resolve to the smallest
+    * dim tuple, per group). `ranges` (r18) windows the heat map: group
+    * ids stay ABSOLUTE and a slice-clipped box locates within its
+    * surviving cells. Misaligned groups or windows, stale/absent stats,
+    * more than `maxGroups` boxes (per-group extrema and the location
+    * rows live on the driver) or more than `maxScanChunks` candidates
+    * fall back LOUDLY to a fully distributed two-pass form — per-group
+    * extrema by aggregation, locations by a grouped join — exact in
+    * every case, nothing driver-held. */
+  def extremaByBox(spark: SparkSession, path: String, variable: String,
+                   groupSizes: Seq[Long],
+                   maxScanChunks: Int = 512,
+                   maxGroups: Int = 1 << 16,
+                   ranges: Map[String, (Long, Long)] = Map.empty): GroupedExtrema = {
+    import graft.sources.MdioChunkStats
+    import graft.zarr.ZarrMeta
+    import org.apache.spark.sql.{Column, Row}
+    import org.apache.spark.sql.types._
+    require(groupSizes.forall(_ >= 1), s"group sizes $groupSizes must be positive")
+    val root = ZarrMeta.path(path)
+    val (meta, attrs) = ZarrMeta.readGroup(root)._2.getOrElse(variable,
+      throw new IllegalArgumentException(s"no variable '$variable' in $path"))
+    val dims = meta.dimNames
+      .orElse(attrs.flatMap(graft.sources.MdioTableUtil.arrayDimensions))
+      .getOrElse(throw new IllegalArgumentException(
+        s"variable '$variable' carries no dimension names"))
+    require(!dims.contains(variable),
+      s"'$variable' is a dimension coordinate — its extrema are its ends")
+    require(groupSizes.size == dims.size,
+      s"${groupSizes.size} group sizes for ${dims.size} dims")
+    val isFloat = meta.dtype.charAt(meta.dtype.length - 2) == 'f'
+    val gNames = dims.indices.map(i => s"_g$i")
+    val gCols: Seq[Column] = dims.zip(groupSizes).zip(gNames).map {
+      case ((dn, gs), gn) => floor(col(dn) / gs).cast("long").as(gn)
+    }
+    def base = spark.read.format("mdio").load(path)
+    val vt = base.schema(variable).dataType
+    val sliceBounds = dims.zipWithIndex.map { case (d, i) =>
+      val (blo, bhi) = ranges.getOrElse(d, (0L, meta.shape(i)))
+      (math.max(blo, 0L), math.min(bhi, meta.shape(i)))
+    }
+    require(sliceBounds.forall { case (blo, bhi) => blo < bhi },
+      s"empty dim slice $ranges over '$variable'")
+    def sliced(df: org.apache.spark.sql.DataFrame) =
+      dims.zip(sliceBounds).zipWithIndex.foldLeft(df) { case (acc, ((d, (blo, bhi)), i)) =>
+        if (blo <= 0 && bhi >= meta.shape(i)) acc
+        else acc.filter(col(d) >= blo && col(d) < bhi)
+      }
+    val dimStruct = struct(dims.map(col): _*)
+    val outCols =
+      gNames.zip(dims).map { case (gn, d) => col(gn).as(s"g_$d") } ++
+        Seq(col("vmn").cast("double").as("v_min")) ++
+        dims.map(d => col(s"lmin.$d").as(s"min_$d")) ++
+        Seq(col("vmx").cast("double").as("v_max")) ++
+        dims.map(d => col(s"lmax.$d").as(s"max_$d")) :+ col("n")
+    def scanFallback(): GroupedExtrema = {
+      val box0 = sliced(base)
+      val src = (if (isFloat) box0.filter(!isnan(col(variable))) else box0)
+        .select(gCols ++ Seq(dimStruct.as("_loc"), col(variable).as("v")): _*)
+      val stats = src.groupBy(gNames.map(col): _*)
+        .agg(min(col("v")).as("vmn"), max(col("v")).as("vmx"),
+          count(lit(1L)).as("n"))
+      val loc = src.join(stats, gNames)
+        .groupBy(gNames.map(col): _*)
+        .agg(min(when(col("v") === col("vmn"), col("_loc"))).as("lmin"),
+          min(when(col("v") === col("vmx"), col("_loc"))).as("lmax"),
+          min(col("vmn")).as("vmn"), min(col("vmx")).as("vmx"),
+          min(col("n")).as("n"))
+      GroupedExtrema(loc.select(outCols: _*), 0L, fallback = true)
+    }
+
+    val varDir = root.resolve(variable)
+    val manOpt = MdioChunkStats.currentManifest(varDir)
+    if (manOpt.isEmpty) return scanFallback()
+    val misaligned = dims.indices.exists { d =>
+      groupSizes(d) % meta.chunks(d) != 0 && groupSizes(d) < meta.shape(d)
+    }
+    if (misaligned) {
+      log.warn(s"extremaByBox($path, $variable): group sizes $groupSizes " +
+        s"do not align to the chunk shape ${meta.chunks} — falling back " +
+        "to the distributed two-pass scan form")
+      return scanFallback()
+    }
+    val man = manOpt.get
+    val grid = meta.chunkGrid
+    val boxOpt =
+      if (ranges.isEmpty) Some(grid.map(g => (0L, g)))
+      else graft.sources.MdioAggScan.alignedChunkBox(meta, dims, ranges)
+    if (boxOpt.isEmpty) {
+      log.warn(s"extremaByBox($path, $variable): slice $ranges is not " +
+        "chunk-aligned — falling back to the distributed two-pass scan form")
+      return scanFallback()
+    }
+    val box = boxOpt.get
+    def inBox(cc: Seq[Long]): Boolean =
+      cc.indices.forall(i => cc(i) >= box(i)._1 && cc(i) < box(i)._2)
+    val cpg = dims.indices.map { d =>
+      if (groupSizes(d) >= meta.shape(d)) grid(d)
+      else groupSizes(d) / meta.chunks(d)
+    }
+    // O(groups) driver contract: extrema maps + one result row per group
+    val nGroups = dims.indices.map(d =>
+      BigInt((box(d)._2 - 1) / cpg(d) - box(d)._1 / cpg(d) + 1)).product
+    if (nGroups > maxGroups) {
+      log.warn(s"extremaByBox($path, $variable): $nGroups groups exceed " +
+        s"the driver-state cap $maxGroups — using the distributed " +
+        "two-pass scan form")
+      return scanFallback()
+    }
+    val trailingSingle = (1 until dims.size).forall(d =>
+      cpg(d) >= grid(d) && box(d)._1 == 0 && box(d)._2 == grid(d))
+    def groupOf(cc: Seq[Long]): Seq[Long] =
+      cc.zip(cpg).map { case (c, n) => c / n }
+
+    val fine = scala.collection.mutable.Map
+      .empty[Seq[Long], scala.collection.mutable.ArrayBuffer[(Seq[Long], MdioChunkStats.Bounds)]]
+    val coarse = scala.collection.mutable.Map
+      .empty[Seq[Long], scala.collection.mutable.Map[Long, (BigDecimal, BigDecimal, Long)]]
+    var usable = true
+    def intake(cc: Seq[Long], eOpt: Option[MdioChunkStats.Entry]): Unit =
+      if (inBox(cc)) eOpt match {
+        case Some(Some(b)) if b.moments.isDefined =>
+          fine.getOrElseUpdate(groupOf(cc),
+            scala.collection.mutable.ArrayBuffer.empty) += ((cc, b))
+        case Some(None) => () // all-NaN chunk: no finite cell can win
+        case _ => usable = false
+      }
+    walkShards(varDir, man, grid, leadBox = Some(box.head)) { (sid, sm) =>
+      sm.cells.isDefined && trailingSingle && {
+        val leadLo = sid * man.span
+        val leadHi = math.min((sid + 1) * man.span, grid.head)
+        leadLo >= box.head._1 && leadHi <= box.head._2 &&
+        (leadLo / cpg.head) == ((leadHi - 1) / cpg.head) && {
+          (sm.lo, sm.hi) match {
+            case (Some(l), Some(h)) =>
+              coarse.getOrElseUpdate(
+                (leadLo / cpg.head) +: Seq.fill(dims.size - 1)(0L),
+                scala.collection.mutable.Map.empty)
+                .update(sid, (l, h, sm.cells.get))
+            case _ => () // all-NaN shard: proven cells = 0
+          }
+          true
+        }
+      }
+    }(intake)
+    if (!usable) return scanFallback()
+
+    // per-group extrema + finite counts, exactly from metadata
+    val groups = (fine.keySet ++ coarse.keySet).toSeq
+      .sorted(Ordering.Implicits.seqOrdering[Seq, Long])
+    final case class GExt(n: Long, mn: BigDecimal, mx: BigDecimal)
+    def extOf(g: Seq[Long]): Option[GExt] = {
+      val items = coarse.get(g).iterator.flatMap(_.valuesIterator).toSeq ++
+        fine.get(g).iterator.flatMap(_.iterator.map { case (_, b) =>
+          (b.min, b.max, b.moments.get.cnt) }).toSeq
+      val n = items.iterator.map(_._3).sum
+      if (n == 0) None
+      else Some(GExt(n, items.iterator.map(_._1).min, items.iterator.map(_._2).max))
+    }
+    val exts: Map[Seq[Long], GExt] =
+      groups.flatMap(g => extOf(g).map(g -> _)).toMap
+    // open the coarse shards whose bounds union TOUCHES their own group's
+    // extremum — only their chunk detail can be a candidate
+    exts.foreach { case (g, e) =>
+      val gc = coarse.getOrElse(g, scala.collection.mutable.Map.empty)
+      val toOpen = gc.collect {
+        case (sid, (l, h, _)) if l == e.mn || h == e.mx => sid }
+      toOpen.foreach { sid =>
+        gc -= sid
+        feedKeys(grid, sid * man.span,
+          math.min((sid + 1) * man.span, grid.head),
+          MdioChunkStats.readShard(varDir, sid, man.shards(sid).gen))(intake)
+      }
+    }
+    if (!usable) return scanFallback() // torn shard mid-refinement
+
+    val outSchema = StructType(
+      dims.map(d => StructField(s"g_$d", LongType, nullable = false)) ++
+        Seq(StructField("v_min", DoubleType, nullable = false)) ++
+        dims.map(d => StructField(s"min_$d", LongType, nullable = false)) ++
+        Seq(StructField("v_max", DoubleType, nullable = false)) ++
+        dims.map(d => StructField(s"max_$d", LongType, nullable = false)) :+
+        StructField("n", LongType, nullable = false))
+    if (exts.isEmpty) // every box all-NaN: proven-empty result
+      return GroupedExtrema(spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), outSchema), 0L, fallback = false)
+
+    val emptyFine = scala.collection.mutable.ArrayBuffer.empty[(Seq[Long], MdioChunkStats.Bounds)]
+    val candidates = exts.toSeq.flatMap { case (g, e) =>
+      fine.getOrElse(g, emptyFine).collect {
+        case (cc, b) if b.min == e.mn || b.max == e.mx => cc }
+    }.distinct
+    if (candidates.size > maxScanChunks) {
+      log.warn(s"extremaByBox($path, $variable): ${candidates.size} " +
+        s"candidate chunks (cap $maxScanChunks) — using the distributed " +
+        "two-pass scan form")
+      return scanFallback()
+    }
+    // ONE location scan over every group's candidates: the per-group
+    // extrema ride a broadcast join (native-typed, so u64/decimal
+    // equality never rounds) and first occurrence = min dim-struct
+    val boundsRows = exts.toSeq.map { case (g, e) =>
+      Row.fromSeq(g ++ Seq(edgeValue(e.mn, vt), edgeValue(e.mx, vt)))
+    }
+    val bounds = spark.createDataFrame(
+      java.util.Arrays.asList(boundsRows: _*),
+      StructType(gNames.map(StructField(_, LongType, nullable = false)) ++
+        Seq(StructField("vmn", edgeType(vt), nullable = false),
+          StructField("vmx", edgeType(vt), nullable = false))))
+    val located = spark.read.format("mdio")
+      .option("chunkKeys", candidates.map(_.mkString(".")).mkString(","))
+      .load(path)
+      .select(gCols ++ Seq(dimStruct.as("_loc"), col(variable).as("v")): _*)
+      .join(broadcast(bounds), gNames)
+      .groupBy(gNames.map(col): _*)
+      .agg(min(when(col("v") === col("vmn"), col("_loc"))).as("lmin"),
+        min(when(col("v") === col("vmx"), col("_loc"))).as("lmax"))
+      .collect()
+      .map(r => (gNames.indices.map(r.getLong(_)): Seq[Long]) ->
+        ((r.getStruct(gNames.size), r.getStruct(gNames.size + 1)))).toMap
+    val rows = exts.toSeq.sortBy(_._1)(Ordering.Implicits.seqOrdering[Seq, Long])
+      .map { case (g, e) =>
+        val (lmin, lmax) = located.getOrElse(g.toIndexedSeq: Seq[Long],
+          throw new IllegalStateException(
+            s"extremaByBox location scan found no cell for group $g — " +
+              s"stale stats for '$variable'?"))
+        require(lmin != null && lmax != null,
+          s"extremaByBox located no matching cell in group $g — stale stats?")
+        Row.fromSeq(g ++ Seq(e.mn.toDouble) ++ dims.indices.map(lmin.getLong) ++
+          Seq(e.mx.toDouble) ++ dims.indices.map(lmax.getLong) :+ e.n)
+      }
+    GroupedExtrema(
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema),
+      candidates.size.toLong, fallback = false)
+  }
+
   /** [[histogramMeta]] result: `result` is one row per NON-EMPTY bin —
     * (`bin` 0-based, `center` = lo + (bin+0.5)·width, `cnt`), ordered by
     * bin; NaN cells never count. `metadataChunks` binned whole from the

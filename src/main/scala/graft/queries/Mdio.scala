@@ -1260,6 +1260,49 @@ object Mdio {
            mx.x AS v_max, mx.i AS max_inline, mx.j AS max_crossline
     FROM mn CROSS JOIN mx"""
 
+  /** Per-slab extrema LOCATIONS on the gate (r18): WHERE each slab's peak
+    * and trough live — [[graft.operators.MdioStats.extremaByBox]], the
+    * grouped twin of [[qZarrArgmaxLocation]] on 8-inline slabs: every
+    * slab's MIN/MAX come exactly from its chunks' sidecar bounds and the
+    * one location scan reads ONLY the chunks whose bounds equal their own
+    * slab's extremum (per-slab extrema ride a broadcast join; ties
+    * resolve to the smallest dim tuple within the slab). Oracle: per-slab
+    * window extrema + the first-occurrence (i, j) picks. REQUIRES the
+    * pruning path and a bounded candidate scan in-query. */
+  val qZarrArgmaxBySlab: Q = (s, d) => {
+    val path = zarrGridWeight(s, d)
+    val r = graft.operators.MdioStats.extremaByBox(s, path, "weight", Seq(8L, 8L))
+    require(!r.fallback, "per-slab extrema fell back to a full scan")
+    require(r.scannedChunks >= 1 && r.scannedChunks <= 8,
+      s"per-slab extrema scanned ${r.scannedChunks} of the 8-chunk store")
+    // crossline groups span the whole extent: a single all-zero ordinal
+    r.result.drop("g_crossline").orderBy(col("g_inline"))
+  }
+
+  val qZarrArgmaxBySlabSql: String = """
+    WITH wgt AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(COUNT(*) AS DOUBLE) AS weight
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT i, j, COALESCE(weight, 0.0) AS x
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN wgt USING (i, j)),
+    r AS (
+      SELECT CAST(FLOOR(i / 8) AS BIGINT) AS g_inline, i, j, x,
+             MIN(x) OVER (PARTITION BY FLOOR(i / 8)) AS vmn,
+             MAX(x) OVER (PARTITION BY FLOOR(i / 8)) AS vmx,
+             COUNT(*) OVER (PARTITION BY FLOOR(i / 8)) AS n
+      FROM cells)
+    SELECT g_inline,
+           MIN(vmn) AS v_min,
+           CAST(FLOOR(MIN(CASE WHEN x = vmn THEN i * 8 + j END) / 8) AS BIGINT) AS min_inline,
+           CAST(MIN(CASE WHEN x = vmn THEN i * 8 + j END) % 8 AS BIGINT) AS min_crossline,
+           MAX(vmx) AS v_max,
+           CAST(FLOOR(MIN(CASE WHEN x = vmx THEN i * 8 + j END) / 8) AS BIGINT) AS max_inline,
+           CAST(MIN(CASE WHEN x = vmx THEN i * 8 + j END) % 8 AS BIGINT) AS max_crossline,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM r GROUP BY g_inline ORDER BY g_inline"""
+
   /** Boundary-only exact HISTOGRAM on the gate (r16): the reference's
     * CenteredBin shape (mdio/stats.h:109-161, outliers clipped into the
     * edge bins) computed by
@@ -2765,6 +2808,7 @@ object Mdio {
     "zarr_pct_sliced_slab"  -> qZarrPctSlicedSlab,
     "zarr_argmax_location"  -> qZarrArgmaxLocation,
     "zarr_argmax_window"    -> qZarrArgmaxWindow,
+    "zarr_argmax_by_slab"   -> qZarrArgmaxBySlab,
     "zarr_histogram_meta"   -> qZarrHistogramMeta,
     "zarr_range_by_slab"    -> qZarrRangeBySlab,
     "mdio_fsck"             -> qMdioFsck,
@@ -2841,6 +2885,7 @@ object Mdio {
     "zarr_pct_sliced_slab"  -> qZarrPctSlicedSlabSql,
     "zarr_argmax_location"  -> qZarrArgmaxLocationSql,
     "zarr_argmax_window"    -> qZarrArgmaxWindowSql,
+    "zarr_argmax_by_slab"   -> qZarrArgmaxBySlabSql,
     "zarr_histogram_meta"   -> qZarrHistogramMetaSql,
     "zarr_range_by_slab"    -> qZarrRangeBySlabSql,
     "mdio_fsck"             -> qMdioFsckSql,

@@ -192,6 +192,37 @@ class RankQcConsistencySpec extends SparkSpec {
           s"[$label] extremaLocation mismatch: $row")
       }
 
+      // extremaByBox: per-slab extrema + FIRST-occurrence locations
+      def wantExtrema(wLo: Int, wHi: Int): Seq[(Long, Double, Long, Double, Long, Long)] =
+        (0 until 4).flatMap { g =>
+          val lo = math.max(16 * g, wLo)
+          val hi = math.min(16 * (g + 1), wHi)
+          if (lo >= hi) None
+          else {
+            val cells = vs.slice(lo, hi).zipWithIndex
+              .map { case (v, i) => (v, (lo + i).toLong) }.filter(!_._1.isNaN)
+            if (cells.isEmpty) None
+            else {
+              val mn = cells.map(_._1).min
+              val mx = cells.map(_._1).max
+              Some((g.toLong, mn, cells.find(_._1 == mn).get._2,
+                mx, cells.find(_._1 == mx).get._2, cells.size.toLong))
+            }
+          }
+        }
+      def exRows(r: MdioStats.GroupedExtrema) =
+        r.result.orderBy("g_x").collect().map(x => (x.getLong(0),
+          x.getDouble(1), x.getLong(2), x.getDouble(3), x.getLong(4),
+          x.getLong(5))).toSeq
+      val gex = MdioStats.extremaByBox(spark, dir, "v", Seq(16L))
+      assert(!gex.fallback, s"[$label] extremaByBox fell back")
+      assert(exRows(gex) == wantExtrema(0, 64), s"[$label] extremaByBox mismatch")
+      // past the group cap, the distributed two-pass form must agree
+      val gexF = MdioStats.extremaByBox(spark, dir, "v", Seq(16L), maxGroups = 1)
+      assert(gexF.fallback, s"[$label] extremaByBox cap did not fire")
+      assert(exRows(gexF) == wantExtrema(0, 64),
+        s"[$label] capped extremaByBox mismatch")
+
       // WINDOWED forms (r18): every operator restricted to dim boxes —
       // aligned windows must stay on the pruned path, the misaligned one
       // must fall back — and all must equal brute force over the slice
@@ -268,6 +299,10 @@ class RankQcConsistencySpec extends SparkSpec {
         assert(wbox.result.orderBy("g_x").collect()
           .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toSeq == wantWB,
           s"[$label] windowed countInRangeByBox($wLo,$wHi) mismatch")
+        val wgex = MdioStats.extremaByBox(spark, dir, "v", Seq(16L), ranges = rng)
+        assert(wgex.fallback != aligned, s"[$label] windowed extremaByBox path")
+        assert(exRows(wgex) == wantExtrema(wLo, wHi),
+          s"[$label] windowed extremaByBox($wLo,$wHi) mismatch")
       }
 
       MdioWriter.delete(dir)
