@@ -652,7 +652,7 @@ object Bench {
     "zarr_argmax_window" -> 0.8,
     // comparator: zarr_argmax_location (per-slab bounds triage + ONE
     // broadcast-join location scan over the slab-extremum candidates;
-    // first budget r18)
+    // 3-rep idle floor 0.44 s; first budget r18)
     "zarr_argmax_by_slab" -> 1.0,
     // comparator: mdio_fsck ×2 (repair = audit + one 1-chunk recompute
     // scan + shard republish + re-audit; first budget r17)
