@@ -250,6 +250,24 @@ class MdioPctPushdownSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("a sliced pushed median reads only the box's chunks") {
+    val vals = (0 until 64).map(i => ((i * 11) % 29).toDouble)
+    val dir = create(i => vals(i.toInt))
+    val df = spark.read.format("mdio").load(dir)
+      .filter($"x" >= 16 && $"x" < 48)
+      .agg(median($"v").as("med"))
+    assert(pushed(df), df.queryExecution.optimizedPlan.toString)
+    val before = MdioColumnarReader.chunkReads.get()
+    assert(df.head.getDouble(0) ==
+      vals.slice(16, 48).toDF("v").agg(median($"v")).head.getDouble(0))
+    val reads = MdioColumnarReader.chunkReads.get() - before
+    // the box is 4 of the 8 chunks; probe + window scans may each visit a
+    // box chunk once — NEVER an out-of-box chunk (a full-variable pass
+    // would cost up to 16 visits)
+    assert(reads <= 8L, s"sliced pushed median read $reads chunk-visits")
+    MdioWriter.delete(dir)
+  }
+
   test("NaN-freeness for a sliced percentile need only hold over the box") {
     // NaN in chunk 0 only: the FULL-variable percentile must decline, a
     // chunk-aligned slice excluding chunk 0 still pushes — and both match

@@ -166,6 +166,59 @@ class MdioWindowedQcSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("extremaByBox on a 2-D TILE geometry: per-tile peaks, windowed crop") {
+    val dir = Files.createTempDirectory("mdio_wqc").resolve("t.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "t", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "inline", "dataType": "int64",
+        |     "dimensions": [{"name": "inline", "size": 16}]},
+        |    {"name": "crossline", "dataType": "int64",
+        |     "dimensions": [{"name": "crossline", "size": 8}]},
+        |    {"name": "v", "dataType": "float64",
+        |     "dimensions": [{"name": "inline", "size": 16}, {"name": "crossline", "size": 8}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [4, 4]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    val cells = spark.range(16).select($"id".as("inline"))
+      .crossJoin(spark.range(8).select($"id".as("crossline")))
+      .select($"inline", $"crossline",
+        (($"inline" * 7 + $"crossline" * 11) % 23).cast("double").as("v"))
+    MdioWriter.writeVariable(spark, cells, dir, "v")
+    val data = cells.collect().map(r =>
+      ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def brute(iLo: Int, iHi: Int): Seq[Seq[Any]] =
+      (for { ti <- 0 until 2; tj <- 0 until 2 } yield (ti, tj)).flatMap {
+        case (ti, tj) =>
+          val tc = (for {
+            i <- math.max(8 * ti, iLo) until math.min(8 * (ti + 1), iHi)
+            j <- 4 * tj until 4 * (tj + 1)
+          } yield ((i.toLong, j.toLong), data((i.toLong, j.toLong)))).toSeq
+          if (tc.isEmpty) None
+          else {
+            val mn = tc.map(_._2).min
+            val mx = tc.map(_._2).max
+            val pmn = tc.find(_._2 == mn).get._1
+            val pmx = tc.find(_._2 == mx).get._1
+            Some(Seq[Any](ti.toLong, tj.toLong, mn, pmn._1, pmn._2,
+              mx, pmx._1, pmx._2, tc.size.toLong))
+          }
+      }
+    def rows(r: graft.operators.MdioStats.GroupedExtrema) =
+      r.result.orderBy("g_inline", "g_crossline").collect().map(_.toSeq).toSeq
+    // full tiles (8x4 = 2x2 tiles of 4 chunks... 8x4 tile = 2x1 chunks)
+    val full = MdioStats.extremaByBox(spark, dir, "v", Seq(8L, 4L))
+    assert(!full.fallback)
+    assert(rows(full) == brute(0, 16), s"full-tile mismatch:\n${rows(full)}")
+    // inline-window crop: clipped tiles locate within surviving cells
+    val crop = MdioStats.extremaByBox(spark, dir, "v", Seq(8L, 4L),
+      ranges = Map("inline" -> (4L, 12L)))
+    assert(!crop.fallback)
+    assert(rows(crop) == brute(4, 12), s"cropped-tile mismatch:\n${rows(crop)}")
+    MdioWriter.delete(dir)
+  }
+
   test("a NaN outside the window never disturbs the window's rank answers") {
     val vals = (0 until 64).map(i =>
       if (i == 3) Double.NaN else ((i * 7) % 19).toDouble)
