@@ -2405,7 +2405,8 @@ object MdioStats {
     * lead chunk size or the misaligned-group fallback fires. */
   def medianByLead(spark: SparkSession, path: String, variable: String,
                    leadPerGroup: Long,
-                   maxProbeChunks: Int = 512): GroupedMedian = {
+                   maxProbeChunks: Int = 512,
+                   ranges: Map[String, (Long, Long)] = Map.empty): GroupedMedian = {
     import graft.zarr.ZarrMeta
     val (meta, attrs) = ZarrMeta.readGroup(ZarrMeta.path(path))._2.getOrElse(variable,
       throw new IllegalArgumentException(s"no variable '$variable' in $path"))
@@ -2414,7 +2415,7 @@ object MdioStats {
       .getOrElse(throw new IllegalArgumentException(
         s"variable '$variable' carries no dimension names"))
     val r = medianByBox(spark, path, variable,
-      leadPerGroup +: meta.shape.tail, maxProbeChunks)
+      leadPerGroup +: meta.shape.tail, maxProbeChunks, ranges = ranges)
     r.copy(result = r.result.select(
       col(s"g_${dims.head}").as("slab"), col("med"), col("n")))
   }

@@ -391,20 +391,25 @@ class MdioPctPushdownSpec extends SparkSpec {
     def want(lo: Int) = vals.zipWithIndex.drop(lo)
       .map { case (v, x) => (v, x.toLong) }.toDF("v", "x")
       .groupBy(floor($"x" / 16).as("g"))
-      .agg(median($"v"), expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY v)"))
+      .agg(median($"v"), expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY v)"),
+        max($"v"), count(lit(1)))
       .orderBy("g").collect().map(_.toSeq).toSeq
-    // aligned slice + slab grouping: the whole Aggregate pushes; the
-    // FIRST slab is clipped by the slice (x in [8,16) of slab 0) and must
-    // rank exactly its surviving cells under its ABSOLUTE group id
+    // aligned slice + slab grouping: the whole Aggregate pushes —
+    // percentiles through the boxed rank pass MIXED with metadata slab
+    // aggregates (max/count over the clipped slabs); the FIRST slab is
+    // clipped by the slice (x in [8,16) of slab 0) and must rank and
+    // aggregate exactly its surviving cells under its ABSOLUTE group id
     val gs = base.filter($"x" >= 8).groupBy(floor($"x" / 16).as("g"))
       .agg(median($"v").as("m"),
-        expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY v)").as("p80"))
+        expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY v)").as("p80"),
+        max($"v").as("mx"), count(lit(1)).as("n"))
     assert(pushed(gs), gs.queryExecution.optimizedPlan.toString)
     assert(gs.orderBy("g").collect().map(_.toSeq).toSeq == want(8))
     // a misaligned slice under the same grouping declines but stays right
     val mis = base.filter($"x" >= 5).groupBy(floor($"x" / 16).as("g"))
       .agg(median($"v").as("m"),
-        expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY v)").as("p80"))
+        expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY v)").as("p80"),
+        max($"v").as("mx"), count(lit(1)).as("n"))
     assert(!pushed(mis), mis.queryExecution.optimizedPlan.toString)
     assert(mis.orderBy("g").collect().map(_.toSeq).toSeq == want(5))
     // the direct API composes the same way: per-slab quantiles of a slice

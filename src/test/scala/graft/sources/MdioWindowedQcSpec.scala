@@ -65,6 +65,18 @@ class MdioWindowedQcSpec extends SparkSpec {
     assert(r.n == 32, r)
     assert(r.ks == Seq(8L, 16L, 32L), r)
     assert(r.values == Seq(win(7), win(15), win(31)), r)
+    // the slab-median wrapper takes the same window: absolute slab ids,
+    // the clipped first and last slabs rank their surviving cells
+    val ml = MdioStats.medianByLead(spark, dir, "v", 16L,
+      ranges = Map("x" -> (8L, 40L)))
+    assert(!ml.fallback, "windowed medianByLead fell back")
+    val wantMl = Seq((8, 16), (16, 32), (32, 40)).zipWithIndex.map {
+      case ((lo, hi), g) =>
+        val cells = vals.slice(lo, hi).sorted
+        ((lo / 16).toLong, cells((cells.size + 1) / 2 - 1), cells.size.toLong)
+    }
+    assert(ml.result.orderBy("slab").collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getLong(2))).toSeq == wantMl, ml)
     MdioWriter.delete(dir)
   }
 
