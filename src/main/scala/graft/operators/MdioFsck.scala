@@ -509,6 +509,9 @@ object MdioFsck {
     MdioChunkStats.replaceShards(varDir, touched)
     val after = check(spark, path, variable, recompute = true)
     Repair(after.findings, fixed.size.toLong, after.chunksAudited, after.cells,
-      fixed.keys.toSeq.sorted)
+      // grid order, not lexicographic — "10.0" must follow "2.0" in the
+      // review list (ADVICE r19)
+      fixed.keys.toSeq.sortBy(_.split('.').map(_.toLong).toSeq)(
+        Ordering.Implicits.seqOrdering[Seq, Long]))
   }
 }

@@ -138,6 +138,35 @@ object MdioStats {
       .toDF("count", "min", "max", "sum", "sumSquares")
   }
 
+  /** The clamped dim-index window every windowed QC operator shares
+    * (r19, one definition so the clamp and filter semantics can never
+    * drift between the eight call sites): `bounds` is `ranges` clamped
+    * into the variable's shape — loud on an empty slice — and applying
+    * the slice to a DataFrame adds one pushable dim predicate per
+    * NARROWED dim only, so an unwindowed call filters nothing and the
+    * filters reach the scan's chunk pruning. */
+  private[operators] final case class DimSlice(dims: Seq[String],
+                                               shape: Seq[Long],
+                                               bounds: Seq[(Long, Long)]) {
+    def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      dims.zip(bounds).zipWithIndex.foldLeft(df) { case (acc, ((d, (lo, hi)), i)) =>
+        if (lo <= 0 && hi >= shape(i)) acc
+        else acc.filter(col(d) >= lo && col(d) < hi)
+      }
+  }
+
+  private def sliceOf(meta: graft.zarr.ZarrMeta.ArrayMeta, dims: Seq[String],
+                      ranges: Map[String, (Long, Long)],
+                      variable: String): DimSlice = {
+    val bounds = dims.zipWithIndex.map { case (d, i) =>
+      val (lo, hi) = ranges.getOrElse(d, (0L, meta.shape(i)))
+      (math.max(lo, 0L), math.min(hi, meta.shape(i)))
+    }
+    require(bounds.forall { case (lo, hi) => lo < hi },
+      s"empty dim slice $ranges over '$variable'")
+    DimSlice(dims, meta.shape, bounds)
+  }
+
   /** Feed every grid key in `[leadLo, leadHi)` of the leading dimension
     * to `perChunk` with its entry from `entries` (None = no entry). */
   private def feedKeys(grid: Seq[Long], leadLo: Long, leadHi: Long,
@@ -247,17 +276,7 @@ object MdioStats {
     // optional dim-index window (r18): count in-range cells of the BOX
     // only — out-of-box chunks are outside the domain, not "outside the
     // range", and appear in no counter
-    val sliceBounds = dims.zipWithIndex.map { case (d, i) =>
-      val (blo, bhi) = ranges.getOrElse(d, (0L, meta.shape(i)))
-      (math.max(blo, 0L), math.min(bhi, meta.shape(i)))
-    }
-    require(sliceBounds.forall { case (blo, bhi) => blo < bhi },
-      s"empty dim slice $ranges over '$variable'")
-    def sliced(df: org.apache.spark.sql.DataFrame) =
-      dims.zip(sliceBounds).zipWithIndex.foldLeft(df) { case (acc, ((d, (blo, bhi)), i)) =>
-        if (blo <= 0 && bhi >= meta.shape(i)) acc
-        else acc.filter(col(d) >= blo && col(d) < bhi)
-      }
+    val sliced = sliceOf(meta, dims, ranges, variable)
     // exact range membership in the column's own type — consistent with
     // the BigDecimal chunk triage (see rangePred)
     def filtered(df: org.apache.spark.sql.DataFrame) =
@@ -802,17 +821,7 @@ object MdioStats {
     val vt = base.schema(variable).dataType
     // optional dim-index window (r18): the rank is over the BOX's finite
     // cells only — the depth-window k-th amplitude
-    val sliceBounds = dims.zipWithIndex.map { case (d, i) =>
-      val (lo, hi) = ranges.getOrElse(d, (0L, meta.shape(i)))
-      (math.max(lo, 0L), math.min(hi, meta.shape(i)))
-    }
-    require(sliceBounds.forall { case (lo, hi) => lo < hi },
-      s"empty dim slice $ranges over '$variable'")
-    def sliced(df: org.apache.spark.sql.DataFrame) =
-      dims.zip(sliceBounds).zipWithIndex.foldLeft(df) { case (acc, ((d, (lo, hi)), i)) =>
-        if (lo <= 0 && hi >= meta.shape(i)) acc
-        else acc.filter(col(d) >= lo && col(d) < hi)
-      }
+    val sliced = sliceOf(meta, dims, ranges, variable)
     // exact full-scan fallback (stale/absent stats, or an uncapped probe):
     // grouped distinct-value counts + Long-rank selection — no global
     // sort, no Int offset, one scan
@@ -1011,17 +1020,7 @@ object MdioStats {
     // optional dim-index slice: ranks are computed over the BOX only.
     // The dim filters below push into the scan, so the fallback too reads
     // only the slice's chunks (plus straddlers when misaligned).
-    val bounds = dims.zipWithIndex.map { case (d, i) =>
-      val (lo, hi) = ranges.getOrElse(d, (0L, meta.shape(i)))
-      (math.max(lo, 0L), math.min(hi, meta.shape(i)))
-    }
-    require(bounds.forall { case (lo, hi) => lo < hi },
-      s"empty dim slice $ranges over '$variable'")
-    def sliced(df: org.apache.spark.sql.DataFrame) =
-      dims.zip(bounds).zipWithIndex.foldLeft(df) { case (acc, ((d, (lo, hi)), i)) =>
-        if (lo <= 0 && hi >= meta.shape(i)) acc
-        else acc.filter(col(d) >= lo && col(d) < hi)
-      }
+    val sliced = sliceOf(meta, dims, ranges, variable)
     def ksOf(n: Long): Seq[Long] = mkKs(n)
     def scanFallback(): Quantiles = {
       val byV = dropNaN(sliced(base).select(col(variable).as("v")))
@@ -1213,17 +1212,7 @@ object MdioStats {
     def base = spark.read.format("mdio").load(path)
     // optional dim-index window (r18): WHERE does the peak of this crop
     // live — extrema and locations are computed over the box only
-    val sliceBounds = dims.zipWithIndex.map { case (d, i) =>
-      val (lo, hi) = ranges.getOrElse(d, (0L, meta.shape(i)))
-      (math.max(lo, 0L), math.min(hi, meta.shape(i)))
-    }
-    require(sliceBounds.forall { case (lo, hi) => lo < hi },
-      s"empty dim slice $ranges over '$variable'")
-    def sliced(df: org.apache.spark.sql.DataFrame) =
-      dims.zip(sliceBounds).zipWithIndex.foldLeft(df) { case (acc, ((d, (lo, hi)), i)) =>
-        if (lo <= 0 && hi >= meta.shape(i)) acc
-        else acc.filter(col(d) >= lo && col(d) < hi)
-      }
+    val sliced = sliceOf(meta, dims, ranges, variable)
     val outSchema = StructType(
       Seq(StructField("v_min", DoubleType, nullable = false)) ++
         dims.map(d => StructField(s"min_$d", LongType, nullable = false)) ++
@@ -1401,17 +1390,7 @@ object MdioStats {
     }
     def base = spark.read.format("mdio").load(path)
     val vt = base.schema(variable).dataType
-    val sliceBounds = dims.zipWithIndex.map { case (d, i) =>
-      val (blo, bhi) = ranges.getOrElse(d, (0L, meta.shape(i)))
-      (math.max(blo, 0L), math.min(bhi, meta.shape(i)))
-    }
-    require(sliceBounds.forall { case (blo, bhi) => blo < bhi },
-      s"empty dim slice $ranges over '$variable'")
-    def sliced(df: org.apache.spark.sql.DataFrame) =
-      dims.zip(sliceBounds).zipWithIndex.foldLeft(df) { case (acc, ((d, (blo, bhi)), i)) =>
-        if (blo <= 0 && bhi >= meta.shape(i)) acc
-        else acc.filter(col(d) >= blo && col(d) < bhi)
-      }
+    val sliced = sliceOf(meta, dims, ranges, variable)
     val dimStruct = struct(dims.map(col): _*)
     val outCols =
       gNames.zip(dims).map { case (gn, d) => col(gn).as(s"g_$d") } ++
@@ -1647,17 +1626,7 @@ object MdioStats {
       s"'$variable' is a dimension coordinate — bin its index range instead")
     val isFloat = meta.dtype.charAt(meta.dtype.length - 2) == 'f'
     // optional dim-index window (r18): the crop's own histogram
-    val sliceBounds = dims.zipWithIndex.map { case (d, i) =>
-      val (blo, bhi) = ranges.getOrElse(d, (0L, meta.shape(i)))
-      (math.max(blo, 0L), math.min(bhi, meta.shape(i)))
-    }
-    require(sliceBounds.forall { case (blo, bhi) => blo < bhi },
-      s"empty dim slice $ranges over '$variable'")
-    def sliced(df: org.apache.spark.sql.DataFrame) =
-      dims.zip(sliceBounds).zipWithIndex.foldLeft(df) { case (acc, ((d, (blo, bhi)), i)) =>
-        if (blo <= 0 && bhi >= meta.shape(i)) acc
-        else acc.filter(col(d) >= blo && col(d) < bhi)
-      }
+    val sliced = sliceOf(meta, dims, ranges, variable)
     def binD(v: Double): Int = { // the StatsV1Aggregator clip rule
       val b = math.floor((v - lo) / width).toInt
       if (b < 0) 0 else if (b >= nBins) nBins - 1 else b
@@ -1802,17 +1771,7 @@ object MdioStats {
     }
     def base = spark.read.format("mdio").load(path)
     // optional dim-index window (r18): the crop's own occupancy heat map
-    val sliceBounds = dims.zipWithIndex.map { case (d, i) =>
-      val (blo, bhi) = ranges.getOrElse(d, (0L, meta.shape(i)))
-      (math.max(blo, 0L), math.min(bhi, meta.shape(i)))
-    }
-    require(sliceBounds.forall { case (blo, bhi) => blo < bhi },
-      s"empty dim slice $ranges over '$variable'")
-    def sliced(df: org.apache.spark.sql.DataFrame) =
-      dims.zip(sliceBounds).zipWithIndex.foldLeft(df) { case (acc, ((d, (blo, bhi)), i)) =>
-        if (blo <= 0 && bhi >= meta.shape(i)) acc
-        else acc.filter(col(d) >= blo && col(d) < bhi)
-      }
+    val sliced = sliceOf(meta, dims, ranges, variable)
     // exact range membership in the column's own type — consistent with
     // the BigDecimal chunk triage (see rangePred)
     val inRange = rangePred(col(variable), base.schema(variable).dataType, lo, hi)
@@ -2075,17 +2034,7 @@ object MdioStats {
     // optional dim-index slice (r18): per-group ranks are computed over
     // the BOX's cells only — group ids stay ABSOLUTE (FLOOR(dim/L)), so a
     // slab clipped by the slice ranks exactly its surviving cells
-    val sliceBounds = dims.zipWithIndex.map { case (d, i) =>
-      val (lo, hi) = ranges.getOrElse(d, (0L, meta.shape(i)))
-      (math.max(lo, 0L), math.min(hi, meta.shape(i)))
-    }
-    require(sliceBounds.forall { case (lo, hi) => lo < hi },
-      s"empty dim slice $ranges over '$variable'")
-    def sliced(df: org.apache.spark.sql.DataFrame) =
-      dims.zip(sliceBounds).zipWithIndex.foldLeft(df) { case (acc, ((d, (lo, hi)), i)) =>
-        if (lo <= 0 && hi >= meta.shape(i)) acc
-        else acc.filter(col(d) >= lo && col(d) < hi)
-      }
+    val sliced = sliceOf(meta, dims, ranges, variable)
     // the shared tail: bucketed two-stage pick over per-(group, p, value)
     // counts, then the output shape
     def finish(byKV: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -2098,10 +2047,18 @@ object MdioStats {
     // literal array, residual = ⌈p·n⌉ in decimal (shortest-decimal p,
     // the same number the pruned path's ksOf uses — exact past 2^53),
     // then the same bucketed pick
-    def scanFallback(): GroupedQuantiles = {
-      if (!fallbackOk) // boxRanks: answerability was PROVEN at plan time
-        throw new IllegalStateException(s"rank-by-box for '$variable' lost " +
-          "its pruned-path preconditions between planning and execution")
+    // `race = true` marks the manifest-side triggers (pinned manifest
+    // vanished, shards read as torn) — the ONLY failures a fresh manifest
+    // can heal, so under fallbackOk=false only they wear the retryable
+    // StatsRaceException; geometry re-asserts (alignment, group cap)
+    // throw plain and stay loud on first throw (r19, ADVICE)
+    def scanFallback(race: Boolean = false): GroupedQuantiles = {
+      if (!fallbackOk) { // boxRanks: answerability was PROVEN at plan time
+        val msg = s"rank-by-box for '$variable' lost " +
+          "its pruned-path preconditions between planning and execution"
+        if (race) throw new graft.sources.MdioAggScan.StatsRaceException(msg)
+        else throw new IllegalStateException(msg)
+      }
       // runtimeFiltering=false: the group-ordinal joins below cannot prune
       // this scan (every group survives the build side) but their
       // dynamic-pruning subqueries WOULD desync the shared aggregation
@@ -2128,7 +2085,7 @@ object MdioStats {
 
     val varDir = root.resolve(variable)
     val manOpt = MdioChunkStats.currentManifest(varDir)
-    if (manOpt.isEmpty) return scanFallback()
+    if (manOpt.isEmpty) return scanFallback(race = true)
     // a group must contain WHOLE chunks: per dim, a multiple of the chunk
     // size or the whole extent (a ragged last chunk still fits — its cells
     // end inside the dim, so a whole-extent group covers it)
@@ -2218,7 +2175,7 @@ object MdioStats {
         }
       }
     }(intake)
-    if (!usable) return scanFallback()
+    if (!usable) return scanFallback(race = true)
 
     def itemsOf(g: Seq[Long]): IndexedSeq[(BigDecimal, BigDecimal, Long)] =
       (coarse.get(g).iterator.flatMap(_.valuesIterator) ++
@@ -2270,7 +2227,7 @@ object MdioStats {
         if (usable) st.brs = st.ks.map(bracketItems(itemsOf(st.g), _))
       }
     }
-    if (!usable) return scanFallback() // torn shard mid-refinement
+    if (!usable) return scanFallback(race = true) // torn shard mid-refinement
 
     var scanned = 0L
     var jobs = 0

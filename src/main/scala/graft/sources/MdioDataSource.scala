@@ -910,7 +910,7 @@ final case class MdioAggScan(path: String, dims: Seq[String],
         if (ranges.isEmpty) MdioAggScan.rankAnswerable(path, v, metas(v))
         else MdioAggScan.boxRankAnswerable(path, v, metas(v), dims, ranges)
       if (!answerable)
-        throw new IllegalStateException(
+        throw new MdioAggScan.StatsRaceException(
           s"rank answerability for '$v' went stale between planning and execution")
       val m = metas(v)
       val groupSizes = dims.zipWithIndex.map { case (d, i) =>
@@ -990,7 +990,7 @@ final case class MdioAggScan(path: String, dims: Seq[String],
         if (ranges.isEmpty) MdioAggScan.rankAnswerable(path, v, metas(v))
         else MdioAggScan.boxRankAnswerable(path, v, metas(v), dims, ranges)
       if (!answerable)
-        throw new IllegalStateException(
+        throw new MdioAggScan.StatsRaceException(
           s"rank answerability for '$v' went stale between planning and execution")
       // every in-box cell exists and is finite (proven above), so n is the
       // clamped slice's dense cell count
@@ -1039,18 +1039,31 @@ object MdioAggScan {
   /** Retries taken by [[retryStatsRace]] since JVM start (test pin). */
   private[graft] val statsRaceRetries = new java.util.concurrent.atomic.AtomicLong
 
+  /** The benign plan/execution stats-race SIGNATURE (r19, ADVICE): thrown
+    * only where a fresh manifest could heal the failure — the pinned
+    * manifest went missing or its shards read as torn (a concurrent
+    * republish is a generation bump, not a data mutation). Geometry
+    * failures under a fixed plan (group-cap or alignment re-asserts) stay
+    * plain IllegalStateException and must NOT wear this type: re-running
+    * them doubles the cost of a query that can only fail again. */
+  private[graft] final class StatsRaceException(msg: String)
+      extends IllegalStateException(msg)
+
   /** One retry for the benign plan/execution stats race (r18): a
     * concurrent stats REPUBLISH (generation bump, same data) between a
     * rank path's manifest pin and its shard reads makes `readShard` see
     * the next generation — shards read as torn against the pinned
-    * manifest and the pruned path throws its loud IllegalStateException.
+    * manifest and the pruned path throws its loud [[StatsRaceException]].
     * The FRESH manifest is self-consistent, so a single re-run answers;
     * a second failure (truly stale stats — a real data mutation) stays
     * loud, which is the project's discipline: any answer under concurrent
-    * DATA mutation is a race, but a stats republish mutates no cell. */
+    * DATA mutation is a race, but a stats republish mutates no cell.
+    * Only the tagged race signature retries (r19, ADVICE): every other
+    * IllegalStateException — geometry changed under a fixed plan, stats
+    * content genuinely mutated — propagates on first throw. */
   private[sources] def retryStatsRace[T](what: String)(body: => T): T =
     try body catch {
-      case e: IllegalStateException =>
+      case e: StatsRaceException =>
         statsRaceRetries.incrementAndGet()
         log.warn(s"$what hit a plan/execution stats race (${e.getMessage}) — " +
           "retrying once against the fresh manifest")

@@ -384,6 +384,34 @@ class MdioPctPushdownSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("only the tagged race signature retries; other failures stay loud on first throw") {
+    // a plain IllegalStateException (geometry re-assert, genuinely stale
+    // stats) must propagate WITHOUT a second execution of the body —
+    // retrying a query that can only fail again doubles its cost (r19)
+    val before = MdioAggScan.statsRaceRetries.get
+    var runs = 0
+    val e = intercept[IllegalStateException] {
+      MdioAggScan.retryStatsRace("plain failure") {
+        runs += 1
+        throw new IllegalStateException("geometry changed under the plan")
+      }
+    }
+    assert(!e.isInstanceOf[MdioAggScan.StatsRaceException])
+    assert(runs == 1, s"non-race failure re-executed ($runs runs)")
+    assert(MdioAggScan.statsRaceRetries.get == before,
+      "non-race failure counted as a stats-race retry")
+    // the tagged signature retries exactly once, then stays loud
+    var raceRuns = 0
+    intercept[MdioAggScan.StatsRaceException] {
+      MdioAggScan.retryStatsRace("persistent race") {
+        raceRuns += 1
+        throw new MdioAggScan.StatsRaceException("still torn")
+      }
+    }
+    assert(raceRuns == 2, s"race signature should retry once ($raceRuns runs)")
+    assert(MdioAggScan.statsRaceRetries.get == before + 1)
+  }
+
   test("grouped percentiles over a chunk-aligned slice push down; group ids stay absolute") {
     val vals = (0 until 64).map(i => ((i * 7) % 13).toDouble)
     val dir = create(i => vals(i.toInt))
