@@ -636,6 +636,10 @@ object Bench {
     // window batch over a 2-lead-chunk box plus the boxed answerability's
     // partial-shard parse; 3-rep idle floor 0.84–0.88 s; first budget r18)
     "zarr_median_sliced" -> 1.2,
+    // comparator: zarr_median_sliced (the identical boxed rank pushdown
+    // over [8, 24) of the image store, plus ONE distributed resolve pass
+    // over the 32-entry inline coordinate; first budget r19)
+    "zarr_median_sel_window" -> 1.5,
     // comparator: zarr_quantiles_by_slab (same one-pass slab × rank
     // matrix through boxRanks — four rank slots vs two — plus the
     // metadata slab rows and the pushed-plan plumbing it merges with;

@@ -138,6 +138,63 @@ object MdioStats {
       .toDF("count", "min", "max", "sum", "sumSquares")
   }
 
+  /** VALUE-based (sel) windows for the QC family (r19): resolve
+    * coordinate-value windows — `median(v) WHERE depth_ms BETWEEN 800
+    * AND 1200`, the way a seismic user actually states a window — to the
+    * dim-INDEX ranges every QC operator's `ranges` parameter takes, by
+    * composing P8's sel-range semantics (stop-INCLUSIVE on both ends,
+    * reference `mdio/dataset.h:787-885`) with the windowed rank machinery
+    * (`mdio/stats.h:229-335`). Each key names a 1-D coordinate variable
+    * (a dimension coordinate or a listed coordinate over one dim); its
+    * window `[lo, hi]` filters the coordinate EXACTLY ([[rangePred]] —
+    * integral/decimal coordinates compare in their own type) and the
+    * matching indices aggregate to `(min, max, count)` in ONE distributed
+    * job over the (tiny) coordinate variable — nothing is collected, so a
+    * petascale dim extent costs one columnar scan of one 1-D array. The
+    * match must be CONTIGUOUS (`count == max − min + 1`, which a
+    * monotonic coordinate guarantees): a shuffled / non-monotonic
+    * coordinate whose matches are scattered DECLINES loudly — the window
+    * is then a gather, not a slice, and the caller should compose
+    * [[MdioDataset.selRange]]'s semi-join instead of silently ranking
+    * wrong cells. An empty match is equally loud. The returned ranges
+    * ride the existing pruned machinery untouched: chunk-aligned results
+    * push down / prune, misaligned ones take each operator's exact
+    * sliced-scan fallback. */
+  def selWindow(spark: SparkSession, path: String,
+                windows: Map[String, (Double, Double)]): Map[String, (Long, Long)] = {
+    import graft.zarr.ZarrMeta
+    val arrays = ZarrMeta.readGroup(ZarrMeta.path(path))._2
+    val resolved = windows.toSeq.map { case (coordName, (lo, hi)) =>
+      require(lo <= hi, s"empty sel window [$lo, $hi] on '$coordName'")
+      val (meta, attrs) = arrays.getOrElse(coordName,
+        throw new IllegalArgumentException(s"no coordinate '$coordName' in $path"))
+      val cdims = meta.dimNames
+        .orElse(attrs.flatMap(graft.sources.MdioTableUtil.arrayDimensions))
+        .getOrElse(throw new IllegalArgumentException(
+          s"coordinate '$coordName' carries no dimension names"))
+      require(cdims.size == 1,
+        s"sel window needs a 1-D coordinate; '$coordName' is ${cdims.size}-D " +
+          "(reference mdio/dataset.h:676-723)")
+      val dim = cdims.head
+      val cdf = spark.read.format("mdio").option("variables", coordName).load(path)
+      val vCol = if (coordName == dim) s"${coordName}__value" else coordName
+      val hit = cdf
+        .filter(rangePred(col(vCol), cdf.schema(vCol).dataType, lo, hi))
+        .agg(min(col(dim)), max(col(dim)), count(lit(1L))).head
+      require(!hit.isNullAt(0),
+        s"sel window [$lo, $hi] matches no '$coordName' value")
+      val (i0, i1, n) = (hit.getLong(0), hit.getLong(1), hit.getLong(2))
+      require(n == i1 - i0 + 1,
+        s"'$coordName' is not monotonic over [$lo, $hi]: $n matching indices " +
+          s"scatter across [$i0, $i1] — a gather, not a slice; compose " +
+          "MdioDataset.selRange instead")
+      dim -> (i0, i1 + 1)
+    }
+    require(resolved.map(_._1).distinct.size == resolved.size,
+      s"sel windows name one dim twice: ${windows.keys.mkString(", ")}")
+    resolved.toMap
+  }
+
   /** The clamped dim-index window every windowed QC operator shares
     * (r19, one definition so the clamp and filter semantics can never
     * drift between the eight call sites): `bounds` is `ranges` clamped

@@ -1101,6 +1101,56 @@ object Mdio {
       (SELECT x FROM o WHERE rn = 116) AS p90,
       (SELECT CAST(COUNT(*) AS BIGINT) FROM o) AS n"""
 
+  /** VALUE-based sel window median on the gate (r19): the window stated
+    * in coordinate VALUES, the way a seismic user asks — `median(image)
+    * WHERE inline-coordinate BETWEEN 1080 AND 1230` over [[zarrGrid]],
+    * whose inline coordinate is 1000 + 10·i.
+    * [[graft.operators.MdioStats.selWindow]] resolves the value window
+    * to the index range [8, 24) in ONE distributed pass over the 1-D
+    * coordinate (stop-inclusive P8 sel semantics, contiguity required,
+    * nothing collected), and the resolved range rides the r18 sliced
+    * pushdown untouched: the median + discrete p90 + count aggregate
+    * pushes COMPLETELY (vpct ops, no Spark-side Aggregate), reading only
+    * the box's chunks. A shuffled coordinate declines loudly instead
+    * (pinned in MdioWindowedQcSpec). Oracle: the same value window
+    * recomputed from the coordinate mapping (1000 + 10·i ∈ [1080, 1230]
+    * ⇔ i ∈ [8, 23]); n = 128, median averages ranks 64/65, discrete p90
+    * is rank ⌈0.9·128⌉ = 116. REQUIRES the exact resolution AND the
+    * complete pushdown in-query. */
+  val qZarrMedianSelWindow: Q = (s, d) => {
+    val path = zarrGrid(s, d)
+    val win = graft.operators.MdioStats.selWindow(s, path,
+      Map("inline" -> (1080.0, 1230.0)))
+    require(win == Map("inline" -> (8L, 24L)),
+      s"sel window [1080, 1230] resolved to $win, not inline -> [8, 24)")
+    val (lo, hi) = win("inline")
+    val df = s.read.format("mdio").load(path)
+      .filter(col("inline") >= lo && col("inline") < hi)
+      .agg(median(col("image")).as("med"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY image)").as("p90"),
+        count(lit(1)).as("n"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    require(plan.contains("vpct") && !plan.contains("Aggregate"),
+      s"sel-window median/percentile did not push down:\n${plan.take(500)}")
+    df
+  }
+
+  val qZarrMedianSelWindowSql: String = """
+    WITH agg AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS image
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT COALESCE(image, 0.0) AS x
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j)
+      WHERE 1000 + 10 * i BETWEEN 1080 AND 1230),
+    o AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM cells)
+    SELECT
+      (SELECT SUM(CASE WHEN rn = 64 THEN 0.5 * x WHEN rn = 65 THEN 0.5 * x END)
+       FROM o) AS med,
+      (SELECT x FROM o WHERE rn = 116) AS p90,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM o) AS n"""
+
   /** GROUPED percentiles over a CROPPED survey on the gate (r18): the
     * per-slab clip heat-map of a dim window — `GROUP BY FLOOR(inline/16)`
     * with `median(weight)` + a discrete p90 under `inline >= 8` — pushes
@@ -2804,6 +2854,7 @@ object Mdio {
     "zarr_quantiles_by_slab" -> qZarrQuantilesBySlab,
     "zarr_median_pushdown"  -> qZarrMedianPushdown,
     "zarr_median_sliced"    -> qZarrMedianSliced,
+    "zarr_median_sel_window" -> qZarrMedianSelWindow,
     "zarr_pct_by_slab"      -> qZarrPctBySlab,
     "zarr_pct_sliced_slab"  -> qZarrPctSlicedSlab,
     "zarr_argmax_location"  -> qZarrArgmaxLocation,
@@ -2881,6 +2932,7 @@ object Mdio {
     "zarr_quantiles_by_slab" -> qZarrQuantilesBySlabSql,
     "zarr_median_pushdown"  -> qZarrMedianPushdownSql,
     "zarr_median_sliced"    -> qZarrMedianSlicedSql,
+    "zarr_median_sel_window" -> qZarrMedianSelWindowSql,
     "zarr_pct_by_slab"      -> qZarrPctBySlabSql,
     "zarr_pct_sliced_slab"  -> qZarrPctSlicedSlabSql,
     "zarr_argmax_location"  -> qZarrArgmaxLocationSql,

@@ -231,6 +231,80 @@ class MdioWindowedQcSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("selWindow resolves value windows to index ranges and rides the pruned machinery") {
+    val vals = (0 until 64).map(i => ((i * 11) % 23).toDouble)
+    val dir = create(i => vals(i.toInt))
+    // dimension coordinate: x ↦ 100 + 25·i (monotonic survey numbering)
+    MdioWriter.writeVariable(spark,
+      spark.range(64).select($"id".as("x"),
+        (lit(100L) + $"id" * 25).as("x__value")), dir, "x")
+    // BOTH endpoints sit exactly on coordinate values: stop-INCLUSIVE P8
+    // sel semantics must keep i = 8 (300) and i = 31 (875)
+    val win = MdioStats.selWindow(spark, dir, Map("x" -> (300.0, 875.0)))
+    assert(win == Map("x" -> (8L, 32L)), win)
+    // the resolved range is an ordinary QC window: chunk-aligned, so the
+    // rank machinery prunes, and the answer equals the index-window form
+    val r = MdioStats.kthSmallest(spark, dir, "v", 5, ranges = win)
+    assert(!r.fallback, "sel-resolved aligned window fell back")
+    assert(r.value == vals.slice(8, 32).sorted.apply(4), r)
+    // a value window resolving to a MISALIGNED index range stays exact
+    // through the operators' sliced fallback
+    val mis = MdioStats.selWindow(spark, dir, Map("x" -> (325.0, 875.0)))
+    assert(mis == Map("x" -> (9L, 32L)), mis)
+    val rm = MdioStats.kthSmallest(spark, dir, "v", 5, ranges = mis)
+    assert(rm.fallback && rm.value == vals.slice(9, 32).sorted.apply(4), rm)
+    MdioWriter.delete(dir)
+  }
+
+  test("selWindow on a listed coordinate; shuffled and empty windows decline loudly") {
+    val dir = Files.createTempDirectory("mdio_wqc").resolve("c.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "c", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "x", "dataType": "int64",
+        |     "dimensions": [{"name": "x", "size": 64}]},
+        |    {"name": "twt", "dataType": "float64",
+        |     "dimensions": [{"name": "x", "size": 64}]},
+        |    {"name": "shuf", "dataType": "int64",
+        |     "dimensions": [{"name": "x", "size": 64}]},
+        |    {"name": "v", "dataType": "float64",
+        |     "dimensions": [{"name": "x", "size": 64}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    MdioWriter.writeVariable(spark,
+      spark.range(64).select($"id".as("x"), ($"id" * 4.0).as("twt")), dir, "twt")
+    // a SHUFFLED coordinate: matches of a value window scatter across
+    // non-contiguous indices — a gather, not a slice
+    MdioWriter.writeVariable(spark,
+      spark.range(64).select($"id".as("x"), (($"id" * 37) % 64).as("shuf")),
+      dir, "shuf")
+    MdioWriter.writeVariable(spark,
+      spark.range(64).select($"id".as("x"), ($"id" % 7).cast("double").as("v")),
+      dir, "v")
+    // listed coordinate (value column carries its own name, no __value)
+    assert(MdioStats.selWindow(spark, dir, Map("twt" -> (32.0, 126.0))) ==
+      Map("x" -> (8L, 32L)))
+    val shuffled = intercept[IllegalArgumentException] {
+      MdioStats.selWindow(spark, dir, Map("shuf" -> (10.0, 20.0)))
+    }
+    assert(shuffled.getMessage.contains("not monotonic"), shuffled.getMessage)
+    val empty = intercept[IllegalArgumentException] {
+      MdioStats.selWindow(spark, dir, Map("twt" -> (1000.0, 2000.0)))
+    }
+    assert(empty.getMessage.contains("matches no"), empty.getMessage)
+    // the data variable is not a 1-D coordinate lookup target in a
+    // multi-window map naming one dim twice
+    val dup = intercept[IllegalArgumentException] {
+      MdioStats.selWindow(spark, dir,
+        Map("twt" -> (32.0, 126.0), "shuf" -> (0.0, 63.0)))
+    }
+    assert(dup.getMessage.contains("one dim twice") ||
+      dup.getMessage.contains("not monotonic"), dup.getMessage)
+    MdioWriter.delete(dir)
+  }
+
   test("a NaN outside the window never disturbs the window's rank answers") {
     val vals = (0 until 64).map(i =>
       if (i == 3) Double.NaN else ((i * 7) % 19).toDouble)
