@@ -640,6 +640,10 @@ object Bench {
     // over [8, 24) of the image store, plus ONE distributed resolve pass
     // over the 32-entry inline coordinate; first budget r19)
     "zarr_median_sel_window" -> 1.5,
+    // comparator: zarr_median_sliced (the same direct rank machinery —
+    // one manifest walk + probe/window scans — over a 2-slab union of
+    // 4 chunks instead of one box; first budget r19)
+    "zarr_pct_multi_window" -> 1.2,
     // comparator: zarr_quantiles_by_slab (same one-pass slab × rank
     // matrix through boxRanks — four rank slots vs two — plus the
     // metadata slab rows and the pushed-plan plumbing it merges with;

@@ -224,6 +224,67 @@ object MdioStats {
     DimSlice(dims, meta.shape, bounds)
   }
 
+  /** A UNION of dim windows for the QC family (r19) — SET1's slice-concat
+    * algebra (reference `mdio/variable.h:1357-1396`) applied to the
+    * windowed rank machinery: each window clamps like a single `ranges`
+    * (loud on empty), the clamped windows must be pairwise DISJOINT
+    * (cell-level — an overlap would double-count cells, so it declines
+    * loudly, the `kMaxNumSlices` analog of rejecting a malformed slice
+    * list rather than guessing dedup semantics), and applying the union
+    * to a DataFrame adds a PUSHABLE per-dim hull conjunction (the scan
+    * prunes to the bounding box) plus the exact OR-of-windows refinement
+    * Spark evaluates on the surviving rows. */
+  private final case class DimUnion(slices: Seq[DimSlice]) {
+    require(slices.nonEmpty, "empty window union")
+    def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      if (slices.size == 1) return slices.head(df)
+      val dims = slices.head.dims
+      val shape = slices.head.shape
+      // pushable hull: per dim, [min lo, max hi) across windows
+      val hulled = dims.indices.foldLeft(df) { case (acc, i) =>
+        val lo = slices.map(_.bounds(i)._1).min
+        val hi = slices.map(_.bounds(i)._2).max
+        if (lo <= 0 && hi >= shape(i)) acc
+        else acc.filter(col(dims(i)) >= lo && col(dims(i)) < hi)
+      }
+      // exact refinement: OR of each window's narrowed-dim conjunction
+      val or = slices.map { s =>
+        s.dims.zip(s.bounds).zipWithIndex.collect {
+          case ((d, (lo, hi)), i) if lo > 0 || hi < shape(i) =>
+            col(d) >= lo && col(d) < hi
+        }.reduceOption(_ && _).getOrElse(lit(true))
+      }.reduce(_ || _)
+      hulled.filter(or)
+    }
+  }
+
+  private def unionOf(meta: graft.zarr.ZarrMeta.ArrayMeta, dims: Seq[String],
+                      windows: Seq[Map[String, (Long, Long)]],
+                      variable: String): DimUnion = {
+    val slices = windows.map(w => sliceOf(meta, dims, w, variable))
+    for (i <- slices.indices; j <- (i + 1) until slices.size) {
+      val overlap = dims.indices.forall { d =>
+        math.max(slices(i).bounds(d)._1, slices(j).bounds(d)._1) <
+          math.min(slices(i).bounds(d)._2, slices(j).bounds(d)._2)
+      }
+      require(!overlap,
+        s"windows ${windows(i)} and ${windows(j)} over '$variable' overlap " +
+          "— an OR-of-ranges union must be disjoint (cells would double-" +
+          "count); merge them into one window instead")
+    }
+    DimUnion(slices)
+  }
+
+  /** Chunk-aligned boxes for every window of a union; None when ANY
+    * window is misaligned (the caller's exact sliced-union scan answers). */
+  private def alignedUnion(meta: graft.zarr.ZarrMeta.ArrayMeta, dims: Seq[String],
+                           windows: Seq[Map[String, (Long, Long)]]): Option[Seq[Seq[(Long, Long)]]] = {
+    val boxes = windows.map(w =>
+      if (w.isEmpty) Some(meta.chunkGrid.map(g => (0L, g)))
+      else graft.sources.MdioAggScan.alignedChunkBox(meta, dims, w))
+    if (boxes.forall(_.isDefined)) Some(boxes.map(_.get)) else None
+  }
+
   /** Feed every grid key in `[leadLo, leadHi)` of the leading dimension
     * to `perChunk` with its entry from `entries` (None = no entry). */
   private def feedKeys(grid: Seq[Long], leadLo: Long, leadHi: Long,
@@ -245,38 +306,98 @@ object MdioStats {
     * Legacy monolithic sidecars feed every key with no summaries. This is
     * what keeps countInRange/kthSmallest at O(manifest) driver bytes on a
     * 100 TB store: interior shards — the overwhelming majority under a
-    * selective range or a rank bracket — never open. `leadBox` restricts
+    * selective range or a rank bracket — never open. `leadBoxes` restricts
     * the walk to shards intersecting a lead-chunk range (r18, boxed
     * ranks): disjoint shards are never read, and fed keys clamp to the
-    * intersection, so a slice pays only its own shards. */
+    * intersection, so a slice pays only its own shards. `leadBoxes` may
+    * carry SEVERAL ranges (r19, OR-of-ranges windows — SET1's
+    * slice-concat algebra applied to QC): segments are merged ascending,
+    * the walk stays ONE pass over the manifest, each shard is triaged
+    * (and its file read) AT MOST ONCE no matter how many segments cut
+    * it, and an opened shard feeds each intersecting segment's clamped
+    * key range — disjoint segments, so no key feeds twice. `entryBudget`
+    * (r19) bounds the DRIVER-side parse the opened shards imply — the
+    * pushdown path's `boxRankAnswerable` discipline applied to the direct
+    * operators: before a shard opens, the keys it will feed count against
+    * the budget, and exceeding it ABORTS the walk (returns false) so the
+    * caller falls back to its exact distributed scan instead of parsing
+    * every cut shard on the driver. A trailing-narrowed window defeats
+    * every whole-shard summary (the shard's [lo,hi]×cells describes cells
+    * the window cuts away), so without the budget a window over the full
+    * lead extent parses O(all shard entries) driver-side. Legacy
+    * monolithic sidecars never count: their whole entry map was already
+    * parsed to read the manifest, so aborting would spend the cost twice.
+    * Returns true iff the walk completed. */
   private def walkShards(varDir: graft.zarr.VPath,
                          man: graft.sources.MdioChunkStats.Manifest,
                          grid: Seq[Long],
-                         leadBox: Option[(Long, Long)] = None)
+                         leadBoxes: Seq[(Long, Long)] = Seq.empty,
+                         entryBudget: Long = Long.MaxValue)
                         (summary: (Long, graft.sources.MdioChunkStats.ShardMeta) => Boolean)
-                        (perChunk: (Seq[Long], Option[graft.sources.MdioChunkStats.Entry]) => Unit): Unit = {
-    val (bLo, bHi) = leadBox.getOrElse((0L, grid.head))
+                        (perChunk: (Seq[Long], Option[graft.sources.MdioChunkStats.Entry]) => Unit): Boolean = {
+    // merge the lead segments ascending so each shard is visited once and
+    // fed key ranges never overlap
+    val segs = (if (leadBoxes.isEmpty) Seq((0L, grid.head)) else leadBoxes)
+      .map { case (lo, hi) => (math.max(lo, 0L), math.min(hi, grid.head)) }
+      .filter { case (lo, hi) => lo < hi }
+      .sortBy(_._1)
+      .foldLeft(List.empty[(Long, Long)]) {
+        case ((alo, ahi) :: rest, (lo, hi)) if lo <= ahi =>
+          (alo, math.max(ahi, hi)) :: rest
+        case (acc, s) => s :: acc
+      }.reverse
     man.legacy match {
-      case Some(es) => feedKeys(grid, bLo, bHi, es)(perChunk)
+      case Some(es) =>
+        segs.foreach { case (lo, hi) => feedKeys(grid, lo, hi, es)(perChunk) }
+        true
       case None =>
         val chunksPerLead = grid.drop(1).product
         val nShards = (grid.head + man.span - 1) / man.span
-        var sid = bLo / man.span
-        val sidEnd = math.min(nShards, (bHi + man.span - 1) / man.span)
-        while (sid < sidEnd) {
-          val leadLo = math.max(sid * man.span, bLo)
-          val leadHi = math.min(math.min((sid + 1) * man.span, grid.head), bHi)
+        // shard id -> this shard's clamped lead ranges, ascending (a shard
+        // straddling two merged segments is still triaged and read ONCE)
+        val bySid = scala.collection.mutable.SortedMap.empty[Long, List[(Long, Long)]]
+        segs.foreach { case (bLo, bHi) =>
+          var sid = bLo / man.span
+          val sidEnd = math.min(nShards, (bHi + man.span - 1) / man.span)
+          while (sid < sidEnd) {
+            val leadLo = math.max(sid * man.span, bLo)
+            val leadHi = math.min(math.min((sid + 1) * man.span, grid.head), bHi)
+            bySid.update(sid, bySid.getOrElse(sid, Nil) :+ ((leadLo, leadHi)))
+            sid += 1
+          }
+        }
+        var fed = 0L
+        val it = bySid.iterator
+        while (it.hasNext) {
+          val (sid, segRanges) = it.next()
           val smOpt = man.shards.get(sid)
           val complete = smOpt.exists(sm => sm.count >= 0 &&
             sm.count == (math.min((sid + 1) * man.span, grid.head) - sid * man.span) * chunksPerLead)
-          if (!(complete && summary(sid, smOpt.get)))
-            feedKeys(grid, leadLo, leadHi,
-              smOpt.map(sm => graft.sources.MdioChunkStats.readShard(varDir, sid, sm.gen))
-                .getOrElse(Map.empty))(perChunk)
-          sid += 1
+          if (!(complete && summary(sid, smOpt.get))) {
+            fed += segRanges.map { case (lo, hi) => (hi - lo) * chunksPerLead }.sum
+            if (fed > entryBudget) {
+              log.warn(s"metadata walk of '$varDir' would triage $fed+ chunk " +
+                s"entries driver-side (budget $entryBudget, " +
+                "spark.graft.mdio.maxPushedGroups) — aborting to the exact scan")
+              return false
+            }
+            val entries = smOpt
+              .map(sm => graft.sources.MdioChunkStats.readShard(varDir, sid, sm.gen))
+              .getOrElse(Map.empty[String, graft.sources.MdioChunkStats.Entry])
+            segRanges.foreach { case (lo, hi) =>
+              feedKeys(grid, lo, hi, entries)(perChunk)
+            }
+          }
         }
+        true
     }
   }
+
+  /** The shared opened-entry budget every DIRECT QC operator passes to
+    * [[walkShards]] — the same figure that caps grouped pushdown driver
+    * state (`spark.graft.mdio.maxPushedGroups`, default 2^16), so ONE
+    * conf governs all driver-side metadata state. */
+  private def qcEntryBudget: Long = graft.sources.MdioAggScan.maxPushedGroups.toLong
 
   /** [[countInRange]] result: `count` is exact; `metadataChunks` answered
     * from the sidecar (fully inside the range — their finite-cell `cnt`
@@ -299,6 +420,10 @@ object MdioStats {
     * `ranges` (r18) restricts the count to a dim-index box — the
     * clip-count of a crop — with out-of-box chunks in no counter;
     * misaligned windows answer exactly through the sliced range scan.
+    * `windows` (r19) counts over a UNION of disjoint boxes (two depth
+    * slabs in one call — SET1's slice-concat algebra): one manifest
+    * walk, one straddler scan over the union's chunks; overlapping
+    * windows decline loudly (cells would double-count).
     * The triage itself is HIERARCHICAL: whole shards whose manifest
     * summary (bounds union + `cells`/`bounded`, [[graft.sources.MdioChunkStats.ShardMeta]])
     * already decides them — union inside the range, disjoint from it, or
@@ -317,10 +442,13 @@ object MdioStats {
   def countInRange(spark: SparkSession, path: String, variable: String,
                    lo: Double, hi: Double,
                    maxScanChunks: Int = 512,
-                   ranges: Map[String, (Long, Long)] = Map.empty): CountInRange = {
+                   ranges: Map[String, (Long, Long)] = Map.empty,
+                   windows: Seq[Map[String, (Long, Long)]] = Nil): CountInRange = {
     import graft.sources.MdioChunkStats
     import graft.zarr.ZarrMeta
     require(lo <= hi, s"empty range [$lo, $hi]")
+    require(ranges.isEmpty || windows.isEmpty,
+      "pass ONE window via ranges or several via windows, not both")
     val root = ZarrMeta.path(path)
     val (meta, attrs) = ZarrMeta.readGroup(root)._2.getOrElse(variable,
       throw new IllegalArgumentException(s"no variable '$variable' in $path"))
@@ -330,10 +458,13 @@ object MdioStats {
         s"variable '$variable' carries no dimension names"))
     require(!dims.contains(variable),
       s"'$variable' is a dimension coordinate — count its index range instead")
-    // optional dim-index window (r18): count in-range cells of the BOX
-    // only — out-of-box chunks are outside the domain, not "outside the
-    // range", and appear in no counter
-    val sliced = sliceOf(meta, dims, ranges, variable)
+    // optional dim-index window (r18) or union of disjoint windows (r19):
+    // count in-range cells of the window cells only — out-of-window
+    // chunks are outside the domain, not "outside the range", and appear
+    // in no counter
+    val sliced: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      if (windows.nonEmpty) unionOf(meta, dims, windows, variable).apply
+      else sliceOf(meta, dims, ranges, variable).apply
     // exact range membership in the column's own type — consistent with
     // the BigDecimal chunk triage (see rangePred)
     def filtered(df: org.apache.spark.sql.DataFrame) =
@@ -346,19 +477,21 @@ object MdioStats {
       case None => CountInRange(fullScanCount(), 0L, 0L, 0L, fallback = true)
       case Some(man) =>
         val grid = meta.chunkGrid
-        val boxOpt =
-          if (ranges.isEmpty) Some(grid.map(g => (0L, g)))
-          else graft.sources.MdioAggScan.alignedChunkBox(meta, dims, ranges)
-        if (boxOpt.isEmpty) { // misaligned window: exact sliced scan
-          log.warn(s"countInRange($path, $variable): slice $ranges is not " +
+        val boxesOpt =
+          if (windows.nonEmpty) alignedUnion(meta, dims, windows)
+          else if (ranges.isEmpty) Some(Seq(grid.map(g => (0L, g))))
+          else graft.sources.MdioAggScan.alignedChunkBox(meta, dims, ranges).map(Seq(_))
+        if (boxesOpt.isEmpty) { // misaligned window: exact sliced scan
+          log.warn(s"countInRange($path, $variable): slice " +
+            s"${if (windows.nonEmpty) windows else ranges} is not " +
             "chunk-aligned — falling back to the sliced range scan")
           return CountInRange(fullScanCount(), 0L, 0L, 0L, fallback = true)
         }
-        val box = boxOpt.get
+        val boxes = boxesOpt.get
         def inBox(cc: Seq[Long]): Boolean =
-          cc.indices.forall(i => cc(i) >= box(i)._1 && cc(i) < box(i)._2)
-        val trailingFull =
-          (1 until grid.size).forall(i => box(i)._1 <= 0 && box(i)._2 >= grid(i))
+          boxes.exists(b => cc.indices.forall(i => cc(i) >= b(i)._1 && cc(i) < b(i)._2))
+        val tf = boxes.map(b =>
+          (1 until grid.size).forall(i => b(i)._1 <= 0 && b(i)._2 >= grid(i)))
         var metaCount = 0L
         var metaChunks = 0L
         var outside = 0L
@@ -372,10 +505,12 @@ object MdioStats {
         // (no union, cells = 0 by construction) is proven zero. Anything
         // the summary cannot decide — including a shard the dim window
         // cuts — opens the shard for per-chunk triage.
-        walkShards(root.resolve(variable), man, grid,
-          leadBox = Some(box.head)) { (sid, sm) =>
-          trailingFull && sid * man.span >= box.head._1 &&
-            math.min((sid + 1) * man.span, grid.head) <= box.head._2 &&
+        val within = walkShards(root.resolve(variable), man, grid,
+          leadBoxes = boxes.map(_.head), entryBudget = qcEntryBudget) { (sid, sm) =>
+          boxes.indices.exists { w =>
+            tf(w) && sid * man.span >= boxes(w).head._1 &&
+              math.min((sid + 1) * man.span, grid.head) <= boxes(w).head._2
+          } &&
             ((sm.lo, sm.hi) match {
               case (Some(l), Some(h)) if h < loB || l > hiB =>
                 outside += sm.count; true
@@ -401,7 +536,7 @@ object MdioStats {
               nStraddle += 1
           }
         }
-        if (nStraddle > maxScanChunks)
+        if (!within || nStraddle > maxScanChunks)
           return CountInRange(fullScanCount(), 0L, 0L, 0L, fallback = true)
         val scanned: Long =
           if (nStraddle == 0) 0L
@@ -737,18 +872,21 @@ object MdioStats {
   private final class RankItems(varDir: graft.zarr.VPath,
                                 man: graft.sources.MdioChunkStats.Manifest,
                                 grid: Seq[Long],
-                                box: Option[Seq[(Long, Long)]] = None) {
+                                boxes: Seq[Seq[(Long, Long)]] = Nil,
+                                entryBudget: Long = Long.MaxValue) {
     import graft.sources.MdioChunkStats
-    // chunk-index box [lo, hi) per dim (r18, sliced ranks): items outside
-    // it never rank — a chunk without an entry OUT of the box cannot trip
-    // `usable`, and a shard only summarizes coarse when its WHOLE chunk
-    // range maps inside the box (lead range within the box's lead range,
-    // trailing dims uncut); anything partial opens into fine items.
-    private val b = box.getOrElse(grid.map(g => (0L, g)))
-    private val trailingFull =
-      (1 until grid.size).forall(i => b(i)._1 <= 0 && b(i)._2 >= grid(i))
+    // chunk-index boxes [lo, hi) per dim (r18, sliced ranks; r19, a UNION
+    // of disjoint boxes — SET1's slice-concat algebra): items outside
+    // every box never rank — a chunk without an entry OUT of the union
+    // cannot trip `usable`, and a shard only summarizes coarse when its
+    // WHOLE chunk range maps inside ONE box (lead range within that box's
+    // lead range, that box's trailing dims uncut); anything partial opens
+    // into fine items. Nil = the whole grid.
+    private val bs = if (boxes.isEmpty) Seq(grid.map(g => (0L, g))) else boxes
+    private val tf = bs.map(b =>
+      (1 until grid.size).forall(i => b(i)._1 <= 0 && b(i)._2 >= grid(i)))
     private def inBox(cc: Seq[Long]): Boolean =
-      cc.indices.forall(i => cc(i) >= b(i)._1 && cc(i) < b(i)._2)
+      bs.exists(b => cc.indices.forall(i => cc(i) >= b(i)._1 && cc(i) < b(i)._2))
     val fine = scala.collection.mutable.ArrayBuffer.empty[(Seq[Long], MdioChunkStats.Bounds)]
     var coarse = Map.empty[Long, (BigDecimal, BigDecimal, Long)] // sid -> (lo, hi, cells)
     var usable = true
@@ -758,17 +896,22 @@ object MdioStats {
         case Some(None) => () // all-NaN chunk: never ranks
         case _ => usable = false
       }
-    walkShards(varDir, man, grid, leadBox = Some(b.head)) { (sid, sm) =>
-      sm.cells.isDefined && trailingFull &&
-        sid * man.span >= b.head._1 &&
-        math.min((sid + 1) * man.span, grid.head) <= b.head._2 && {
+    // a budget-aborted walk (trailing-narrowed window cutting every
+    // shard's summary) reads as unusable: callers take their exact
+    // sliced-scan fallback, never a driver-side parse of every cut shard
+    if (!walkShards(varDir, man, grid, leadBoxes = bs.map(_.head),
+      entryBudget = entryBudget) { (sid, sm) =>
+      sm.cells.isDefined && bs.indices.exists { w =>
+        tf(w) && sid * man.span >= bs(w).head._1 &&
+          math.min((sid + 1) * man.span, grid.head) <= bs(w).head._2
+      } && {
         (sm.lo, sm.hi) match {
           case (Some(l), Some(h)) => coarse = coarse.updated(sid, (l, h, sm.cells.get))
           case _ => () // all-NaN shard: proven cells = 0, contributes nothing
         }
         true
       }
-    }(intake)
+    }(intake)) usable = false
     /** Total finite cells across both granularities. */
     def n: Long = coarse.valuesIterator.map(_._3).sum +
       fine.iterator.map(_._2.moments.get.cnt).sum
@@ -780,16 +923,36 @@ object MdioStats {
         fine.iterator.map { case (_, b) => (b.min, b.max, b.moments.get.cnt) })
         .toIndexedSeq
     /** Open every coarse shard whose [lo, hi] satisfies `touches` into
-      * fine items; true when any opened (the caller re-brackets). */
+      * fine items; true when any opened OR the entry budget tripped (the
+      * caller re-brackets — and its unconditional `usable` check catches
+      * the trip). The refinement shares the walk's budget discipline: a
+      * partially-opened shard set would leave bracket-intersecting coarse
+      * intervals OUT of the probe/window scans, so exceeding the budget
+      * drops `usable` (→ the exact scan fallback) instead of answering
+      * from incomplete items. */
     def openCoarse(touches: (BigDecimal, BigDecimal) => Boolean): Boolean = {
       val toOpen = coarse.collect { case (sid, (l, h, _)) if touches(l, h) => sid }
+      val chunksPerLead = grid.drop(1).product
+      var openedKeys = 0L
+      var any = false
       toOpen.foreach { sid =>
-        coarse -= sid
-        feedKeys(grid, sid * man.span,
-          math.min((sid + 1) * man.span, grid.head),
-          MdioChunkStats.readShard(varDir, sid, man.shards(sid).gen))(intake)
+        if (usable) {
+          val leadHi = math.min((sid + 1) * man.span, grid.head)
+          openedKeys += (leadHi - sid * man.span) * chunksPerLead
+          if (openedKeys > entryBudget) {
+            MdioStats.log.warn(s"rank refinement of '$varDir' would parse " +
+              s"$openedKeys+ chunk entries driver-side (budget $entryBudget) " +
+              "— falling back to the exact scan")
+            usable = false
+          } else {
+            coarse -= sid
+            feedKeys(grid, sid * man.span, leadHi,
+              MdioChunkStats.readShard(varDir, sid, man.shards(sid).gen))(intake)
+            any = true
+          }
+        }
       }
-      toOpen.nonEmpty
+      any || !usable
     }
   }
 
@@ -858,10 +1021,19 @@ object MdioStats {
     * remaining per-chunk union; the window selection is always ONE scan). */
   def kthSmallest(spark: SparkSession, path: String, variable: String,
                   k: Long, maxProbeChunks: Int = 512,
-                  ranges: Map[String, (Long, Long)] = Map.empty): KthSmallest = {
+                  ranges: Map[String, (Long, Long)] = Map.empty,
+                  windows: Seq[Map[String, (Long, Long)]] = Nil): KthSmallest = {
     import graft.sources.MdioChunkStats
     import graft.zarr.ZarrMeta
     require(k >= 1, s"rank $k out of range")
+    if (windows.nonEmpty) { // OR-of-ranges union (r19): the batched rank
+      require(ranges.isEmpty,
+        "pass ONE window via ranges or several via windows, not both")
+      val q = rankVector(spark, path, variable, { n =>
+        require(k <= n, s"rank $k exceeds $n finite cells"); Seq(k)
+      }, maxProbeChunks, Map.empty, windows)
+      return KthSmallest(q.values.head, q.jobs, q.scannedChunks, q.fallback)
+    }
     val root = ZarrMeta.path(path)
     val (meta, attrs) = ZarrMeta.readGroup(root)._2.getOrElse(variable,
       throw new IllegalArgumentException(s"no variable '$variable' in $path"))
@@ -911,7 +1083,7 @@ object MdioStats {
 
     // shard-resolved rank items, mixed granularity (see RankItems),
     // restricted to the box's own chunks
-    val ri = new RankItems(varDir, man, grid, boxOpt)
+    val ri = new RankItems(varDir, man, grid, boxOpt.toSeq, entryBudget = qcEntryBudget)
     if (!ri.usable) return scanFallback()
     val n = ri.n
     require(k <= n, s"rank $k exceeds $n finite cells")
@@ -1026,12 +1198,13 @@ object MdioStats {
     * [[valuesAtRanks]]. */
   def quantilesOf(spark: SparkSession, path: String, variable: String,
                   ps: Seq[Double], maxProbeChunks: Int = 512,
-                  ranges: Map[String, (Long, Long)] = Map.empty): Quantiles = {
+                  ranges: Map[String, (Long, Long)] = Map.empty,
+                  windows: Seq[Map[String, (Long, Long)]] = Nil): Quantiles = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"quantiles $ps must lie in (0, 1]")
     rankVector(spark, path, variable, n => ps.map(p =>
       (BigDecimal(p) * n).setScale(0, BigDecimal.RoundingMode.CEILING).toLong),
-      maxProbeChunks, ranges)
+      maxProbeChunks, ranges, windows)
   }
 
   /** EXACT values at EXPLICIT 1-based ranks, sharing [[quantilesOf]]'s
@@ -1047,19 +1220,23 @@ object MdioStats {
     * fallback. */
   def valuesAtRanks(spark: SparkSession, path: String, variable: String,
                     ks: Seq[Long], maxProbeChunks: Int = 512,
-                    ranges: Map[String, (Long, Long)] = Map.empty): Quantiles = {
+                    ranges: Map[String, (Long, Long)] = Map.empty,
+                    windows: Seq[Map[String, (Long, Long)]] = Nil): Quantiles = {
     require(ks.nonEmpty && ks.forall(_ >= 1), s"ranks $ks must be ≥ 1")
     rankVector(spark, path, variable, { n =>
       require(ks.forall(_ <= n), s"ranks $ks exceed $n finite cells")
       ks
-    }, maxProbeChunks, ranges)
+    }, maxProbeChunks, ranges, windows)
   }
 
   private def rankVector(spark: SparkSession, path: String, variable: String,
                          mkKs: Long => Seq[Long], maxProbeChunks: Int,
-                         ranges: Map[String, (Long, Long)]): Quantiles = {
+                         ranges: Map[String, (Long, Long)],
+                         windows: Seq[Map[String, (Long, Long)]] = Nil): Quantiles = {
     import graft.sources.MdioChunkStats
     import graft.zarr.ZarrMeta
+    require(ranges.isEmpty || windows.isEmpty,
+      "pass ONE window via ranges or several via windows, not both")
     val root = ZarrMeta.path(path)
     val (meta, attrs) = ZarrMeta.readGroup(root)._2.getOrElse(variable,
       throw new IllegalArgumentException(s"no variable '$variable' in $path"))
@@ -1074,10 +1251,13 @@ object MdioStats {
       if (isFloat) df.filter(!isnan(col(variable))) else df
     def base = spark.read.format("mdio").load(path)
     val vt = base.schema(variable).dataType
-    // optional dim-index slice: ranks are computed over the BOX only.
-    // The dim filters below push into the scan, so the fallback too reads
-    // only the slice's chunks (plus straddlers when misaligned).
-    val sliced = sliceOf(meta, dims, ranges, variable)
+    // optional dim-index slice (r18) or UNION of disjoint slices (r19):
+    // ranks are computed over the window cells only. The single-window
+    // dim filters push into the scan; a union pushes its hull and refines
+    // with the exact OR Spark-side, so the fallback too prunes.
+    val sliced: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      if (windows.nonEmpty) unionOf(meta, dims, windows, variable).apply
+      else sliceOf(meta, dims, ranges, variable).apply
     def ksOf(n: Long): Seq[Long] = mkKs(n)
     def scanFallback(): Quantiles = {
       val byV = dropNaN(sliced(base).select(col(variable).as("v")))
@@ -1102,22 +1282,25 @@ object MdioStats {
     val man = manOpt.get
     manifestRaceHook()
     val grid = meta.chunkGrid
-    // a sliced rank needs a CHUNK-ALIGNED box (whole chunks in or out —
+    // a sliced rank needs CHUNK-ALIGNED boxes (whole chunks in or out —
     // a straddling chunk's stats interval mixes in- and out-of-box cells
     // and the rank arithmetic would lie); misaligned slices answer
-    // exactly through the sliced fallback scan
-    val boxOpt =
-      if (ranges.isEmpty) Some(grid.map(g => (0L, g)))
-      else graft.sources.MdioAggScan.alignedChunkBox(meta, dims, ranges)
-    if (boxOpt.isEmpty) {
-      log.warn(s"rank vector($path, $variable): slice $ranges is not " +
+    // exactly through the sliced fallback scan. A union ranks over the
+    // union's chunks in the SAME one-bracket/one-probe/one-window pass.
+    val boxesOpt =
+      if (windows.nonEmpty) alignedUnion(meta, dims, windows)
+      else if (ranges.isEmpty) Some(Seq(grid.map(g => (0L, g))))
+      else graft.sources.MdioAggScan.alignedChunkBox(meta, dims, ranges).map(Seq(_))
+    if (boxesOpt.isEmpty) {
+      log.warn(s"rank vector($path, $variable): slice " +
+        s"${if (windows.nonEmpty) windows else ranges} is not " +
         "chunk-aligned — falling back to the exact sliced-scan selection")
       return scanFallback()
     }
 
     // shared hierarchical rank items, exactly as kthSmallest — restricted
-    // to the box's own chunks (disjoint shards are never even read)
-    val ri = new RankItems(varDir, man, grid, boxOpt)
+    // to the union's own chunks (disjoint shards are never even read)
+    val ri = new RankItems(varDir, man, grid, boxesOpt.get, entryBudget = qcEntryBudget)
     if (!ri.usable) return scanFallback()
     val n = ri.n
     require(n >= 1, s"no finite cells to rank in '$variable'")
@@ -1359,7 +1542,8 @@ object MdioStats {
         case Some(None) => () // all-NaN chunk: no finite cell can win
         case _ => usable = false
       }
-    walkShards(varDir, man, grid, leadBox = Some(box.head)) { (sid, sm) =>
+    val within = walkShards(varDir, man, grid, leadBoxes = Seq(box.head),
+      entryBudget = qcEntryBudget) { (sid, sm) =>
       trailingFull && sid * man.span >= box.head._1 &&
         math.min((sid + 1) * man.span, grid.head) <= box.head._2 &&
         ((sm.lo, sm.hi) match {
@@ -1367,19 +1551,31 @@ object MdioStats {
           case _ => sm.count >= 0 && sm.cells.contains(0L) // proven all-NaN
         })
     }(intake)
-    if (!usable) return scanFallback()
+    if (!within || !usable) return scanFallback()
     if (coarse.isEmpty && fine.isEmpty) return empty // every chunk all-NaN
     val gmin = (coarse.valuesIterator.map(_._1) ++ fine.iterator.map(_._2.min)).min
     val gmax = (coarse.valuesIterator.map(_._2) ++ fine.iterator.map(_._2.max)).max
     // open only the shards whose bounds union TOUCHES an extremum — the
     // candidates must be chunk-grained for the allowlist scan
+    val chunksPerLead = grid.drop(1).product
+    var openedKeys = 0L
     coarse.collect {
       case (sid, (l, h)) if l == gmin || h == gmax => sid
     }.foreach { sid =>
-      coarse -= sid
-      feedKeys(grid, sid * man.span,
-        math.min((sid + 1) * man.span, grid.head),
-        MdioChunkStats.readShard(varDir, sid, man.shards(sid).gen))(intake)
+      if (usable) { // refinement shares the walk's entry-budget discipline
+        val leadHi = math.min((sid + 1) * man.span, grid.head)
+        openedKeys += (leadHi - sid * man.span) * chunksPerLead
+        if (openedKeys > qcEntryBudget) {
+          log.warn(s"extremaLocation($path, $variable): candidate " +
+            s"refinement would parse $openedKeys+ entries driver-side " +
+            s"(budget $qcEntryBudget) — falling back to the sliced locate scan")
+          usable = false
+        } else {
+          coarse -= sid
+          feedKeys(grid, sid * man.span, leadHi,
+            MdioChunkStats.readShard(varDir, sid, man.shards(sid).gen))(intake)
+        }
+      }
     }
     if (!usable) return scanFallback()
     val candidates = fine.collect {
@@ -1527,7 +1723,8 @@ object MdioStats {
         case Some(None) => () // all-NaN chunk: no finite cell can win
         case _ => usable = false
       }
-    walkShards(varDir, man, grid, leadBox = Some(box.head)) { (sid, sm) =>
+    val within = walkShards(varDir, man, grid, leadBoxes = Seq(box.head),
+      entryBudget = qcEntryBudget) { (sid, sm) =>
       sm.cells.isDefined && trailingSingle && {
         val leadLo = sid * man.span
         val leadHi = math.min((sid + 1) * man.span, grid.head)
@@ -1545,7 +1742,7 @@ object MdioStats {
         }
       }
     }(intake)
-    if (!usable) return scanFallback()
+    if (!within || !usable) return scanFallback()
 
     // per-group extrema + finite counts, exactly from metadata
     val groups = (fine.keySet ++ coarse.keySet).toSeq
@@ -1562,19 +1759,32 @@ object MdioStats {
     val exts: Map[Seq[Long], GExt] =
       groups.flatMap(g => extOf(g).map(g -> _)).toMap
     // open the coarse shards whose bounds union TOUCHES their own group's
-    // extremum — only their chunk detail can be a candidate
+    // extremum — only their chunk detail can be a candidate; the
+    // refinement shares the walk's entry-budget discipline
+    val chunksPerLead = grid.drop(1).product
+    var openedKeys = 0L
     exts.foreach { case (g, e) =>
       val gc = coarse.getOrElse(g, scala.collection.mutable.Map.empty)
       val toOpen = gc.collect {
         case (sid, (l, h, _)) if l == e.mn || h == e.mx => sid }
       toOpen.foreach { sid =>
-        gc -= sid
-        feedKeys(grid, sid * man.span,
-          math.min((sid + 1) * man.span, grid.head),
-          MdioChunkStats.readShard(varDir, sid, man.shards(sid).gen))(intake)
+        if (usable) {
+          val leadHi = math.min((sid + 1) * man.span, grid.head)
+          openedKeys += (leadHi - sid * man.span) * chunksPerLead
+          if (openedKeys > qcEntryBudget) {
+            log.warn(s"extremaByBox($path, $variable): candidate " +
+              s"refinement would parse $openedKeys+ entries driver-side " +
+              s"(budget $qcEntryBudget) — using the distributed two-pass form")
+            usable = false
+          } else {
+            gc -= sid
+            feedKeys(grid, sid * man.span, leadHi,
+              MdioChunkStats.readShard(varDir, sid, man.shards(sid).gen))(intake)
+          }
+        }
       }
     }
-    if (!usable) return scanFallback() // torn shard mid-refinement
+    if (!usable) return scanFallback() // torn shard or budget mid-refinement
 
     val outSchema = StructType(
       dims.map(d => StructField(s"g_$d", LongType, nullable = false)) ++
@@ -1730,7 +1940,8 @@ object MdioStats {
     val straddlers = Seq.newBuilder[Seq[Long]]
     var nStraddle = 0
     var usable = true
-    walkShards(varDir, man, grid, leadBox = Some(box.head)) { (sid, sm) =>
+    val within = walkShards(varDir, man, grid, leadBoxes = Seq(box.head),
+      entryBudget = qcEntryBudget) { (sid, sm) =>
       trailingFull && sid * man.span >= box.head._1 &&
         math.min((sid + 1) * man.span, grid.head) <= box.head._2 &&
         ((sm.lo, sm.hi) match {
@@ -1753,9 +1964,9 @@ object MdioStats {
         case None => usable = false // uncovered chunk: stats incomplete
       }
     }
-    if (!usable || nStraddle > maxScanChunks) {
-      if (usable) log.warn(s"histogramMeta($path, $variable): $nStraddle " +
-        s"chunks cross bin edges (cap $maxScanChunks) — full scan")
+    if (!within || !usable || nStraddle > maxScanChunks) {
+      if (within && usable) log.warn(s"histogramMeta($path, $variable): " +
+        s"$nStraddle chunks cross bin edges (cap $maxScanChunks) — full scan")
       return scanFallback()
     }
     val scanCounts: Map[Long, Long] =
@@ -1903,7 +2114,8 @@ object MdioStats {
     val straddlers = Seq.newBuilder[Seq[Long]]
     var nStraddle = 0
     var usable = true
-    walkShards(varDir, man, grid, leadBox = Some(box.head)) { (sid, sm) =>
+    val within = walkShards(varDir, man, grid, leadBoxes = Seq(box.head),
+      entryBudget = qcEntryBudget) { (sid, sm) =>
       // a whole shard decides from the manifest only when it maps into
       // ONE group (the medianByBox fit rule), sits wholly inside the
       // window, and its bounds union settles the range question for
@@ -1940,8 +2152,8 @@ object MdioStats {
         }
       }
     }
-    if (!usable || nStraddle > maxScanChunks) {
-      if (usable) log.warn(s"countInRangeByBox($path, $variable): " +
+    if (!within || !usable || nStraddle > maxScanChunks) {
+      if (within && usable) log.warn(s"countInRangeByBox($path, $variable): " +
         s"$nStraddle straddlers (cap $maxScanChunks) — full scan")
       return scanFallback()
     }
@@ -2214,7 +2426,12 @@ object MdioStats {
         case Some(None) => () // all-NaN chunk: never ranks
         case _ => usable = false
       }
-    walkShards(varDir, man, grid, leadBox = Some(box.head)) { (sid, sm) =>
+    // the direct API budgets its driver-side triage like every QC
+    // operator; the pushdown execution (fallbackOk = false) does NOT — its
+    // budget ran at PLAN time (boxRankAnswerable's entry budget), and an
+    // accepted plan must answer, not start declining mid-execution
+    val within = walkShards(varDir, man, grid, leadBoxes = Seq(box.head),
+      entryBudget = if (fallbackOk) qcEntryBudget else Long.MaxValue) { (sid, sm) =>
       sm.cells.isDefined && trailingSingle && {
         val leadLo = sid * man.span
         val leadHi = math.min((sid + 1) * man.span, grid.head)
@@ -2232,6 +2449,7 @@ object MdioStats {
         }
       }
     }(intake)
+    if (!within) return scanFallback()
     if (!usable) return scanFallback(race = true)
 
     def itemsOf(g: Seq[Long]): IndexedSeq[(BigDecimal, BigDecimal, Long)] =
@@ -2267,23 +2485,41 @@ object MdioStats {
     // refinement: open each group's coarse shards intersecting ANY of its
     // rank windows, then re-bracket that group's ranks — one round
     // suffices (finer detail only shrinks windows; see kthSmallest).
-    // Interior shards never open.
+    // Interior shards never open. The DIRECT API shares the walk's
+    // entry-budget discipline here too; the pushdown execution
+    // (fallbackOk = false) stays unbudgeted — its budget ran at plan time.
+    val refineBudget = if (fallbackOk) qcEntryBudget else Long.MaxValue
+    val chunksPerLead = grid.drop(1).product
+    var openedKeys = 0L
+    var budgetTripped = false
     states.foreach { st =>
       val gc = coarse.getOrElse(st.g, scala.collection.mutable.Map.empty)
       val toOpen = gc.collect {
         case (sid, (l, h, _)) if st.brs.exists { case (x0, x1) =>
           x0.forall(h > _) && l <= x1 } => sid
       }
-      if (toOpen.nonEmpty) {
+      if (toOpen.nonEmpty && usable && !budgetTripped) {
         toOpen.foreach { sid =>
-          gc -= sid
-          feedKeys(grid, sid * man.span,
-            math.min((sid + 1) * man.span, grid.head),
-            MdioChunkStats.readShard(varDir, sid, man.shards(sid).gen))(intake)
+          if (usable && !budgetTripped) {
+            val leadHi = math.min((sid + 1) * man.span, grid.head)
+            openedKeys += (leadHi - sid * man.span) * chunksPerLead
+            if (openedKeys > refineBudget) {
+              log.warn(s"quantilesByBox($path, $variable): rank refinement " +
+                s"would parse $openedKeys+ entries driver-side (budget " +
+                s"$refineBudget) — using the distributed grouped-rank scan")
+              budgetTripped = true
+            } else {
+              gc -= sid
+              feedKeys(grid, sid * man.span, leadHi,
+                MdioChunkStats.readShard(varDir, sid, man.shards(sid).gen))(intake)
+            }
+          }
         }
-        if (usable) st.brs = st.ks.map(bracketItems(itemsOf(st.g), _))
+        if (usable && !budgetTripped)
+          st.brs = st.ks.map(bracketItems(itemsOf(st.g), _))
       }
     }
+    if (budgetTripped) return scanFallback() // only reachable when fallbackOk
     if (!usable) return scanFallback(race = true) // torn shard mid-refinement
 
     var scanned = 0L

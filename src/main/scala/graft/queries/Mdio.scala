@@ -1151,6 +1151,44 @@ object Mdio {
       (SELECT x FROM o WHERE rn = 116) AS p90,
       (SELECT CAST(COUNT(*) AS BIGINT) FROM o) AS n"""
 
+  /** OR-of-ranges (multi-window) quantiles on the gate (r19): the union
+    * of two disjoint inline slabs — SET1's slice-concat algebra
+    * (reference mdio/variable.h:1357-1396) applied to the QC rank
+    * machinery: p50/p90 of `image WHERE inline ∈ [0,8) ∪ [16,24)` over
+    * [[zarrGrid]] answers in ONE manifest walk + ONE probe/window pass
+    * over the union's own chunks (disjoint and between-slab shards are
+    * never read). REQUIRES the pruned path (no fallback), ≤ 2 scan jobs
+    * and ≤ 8 scanned chunks in-query; overlapping unions decline loudly
+    * and misaligned ones stay exact through the sliced-union scan
+    * (pinned in MdioWindowedQcSpec). Oracle: the same discrete ranks
+    * (⌈p·128⌉ = 64, 116) over the same 128 union cells. */
+  val qZarrPctMultiWindow: Q = (s, d) => {
+    val path = zarrGrid(s, d)
+    val q = graft.operators.MdioStats.quantilesOf(s, path, "image", Seq(0.5, 0.9),
+      windows = Seq(Map("inline" -> (0L, 8L)), Map("inline" -> (16L, 24L))))
+    require(!q.fallback, "multi-window quantiles fell back")
+    require(q.jobs <= 2 && q.scannedChunks <= 8,
+      s"multi-window rank pass read too much: jobs=${q.jobs} chunks=${q.scannedChunks}")
+    require(q.n == 128 && q.ks == Seq(64L, 116L), s"bad union rank state: $q")
+    import s.implicits._
+    Seq((q.values(0), q.values(1), q.n)).toDF("p50", "p90", "n")
+  }
+
+  val qZarrPctMultiWindowSql: String = """
+    WITH agg AS (
+      SELECT l_orderkey % 32 AS i, l_linenumber % 8 AS j,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS image
+      FROM lineitem GROUP BY 1, 2),
+    cells AS (
+      SELECT COALESCE(image, 0.0) AS x
+      FROM range(32) r1(i) CROSS JOIN range(8) r2(j) LEFT JOIN agg USING (i, j)
+      WHERE (i BETWEEN 0 AND 7) OR (i BETWEEN 16 AND 23)),
+    o AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM cells)
+    SELECT
+      (SELECT x FROM o WHERE rn = 64) AS p50,
+      (SELECT x FROM o WHERE rn = 116) AS p90,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM o) AS n"""
+
   /** GROUPED percentiles over a CROPPED survey on the gate (r18): the
     * per-slab clip heat-map of a dim window — `GROUP BY FLOOR(inline/16)`
     * with `median(weight)` + a discrete p90 under `inline >= 8` — pushes
@@ -2855,6 +2893,7 @@ object Mdio {
     "zarr_median_pushdown"  -> qZarrMedianPushdown,
     "zarr_median_sliced"    -> qZarrMedianSliced,
     "zarr_median_sel_window" -> qZarrMedianSelWindow,
+    "zarr_pct_multi_window" -> qZarrPctMultiWindow,
     "zarr_pct_by_slab"      -> qZarrPctBySlab,
     "zarr_pct_sliced_slab"  -> qZarrPctSlicedSlab,
     "zarr_argmax_location"  -> qZarrArgmaxLocation,
@@ -2933,6 +2972,7 @@ object Mdio {
     "zarr_median_pushdown"  -> qZarrMedianPushdownSql,
     "zarr_median_sliced"    -> qZarrMedianSlicedSql,
     "zarr_median_sel_window" -> qZarrMedianSelWindowSql,
+    "zarr_pct_multi_window" -> qZarrPctMultiWindowSql,
     "zarr_pct_by_slab"      -> qZarrPctBySlabSql,
     "zarr_pct_sliced_slab"  -> qZarrPctSlicedSlabSql,
     "zarr_argmax_location"  -> qZarrArgmaxLocationSql,

@@ -305,6 +305,166 @@ class MdioWindowedQcSpec extends SparkSpec {
     MdioWriter.delete(dir)
   }
 
+  test("OR-of-ranges windows: a union of disjoint slabs ranks and counts in one pass") {
+    val vals = (0 until 64).map(i => ((i * 13) % 29).toDouble)
+    val dir = create(i => vals(i.toInt))
+    val windows = Seq(Map("x" -> (0L, 16L)), Map("x" -> (32L, 48L)))
+    val union = (vals.slice(0, 16) ++ vals.slice(32, 48)).sorted // n = 32
+    // quantile vector over the union: one bracket/probe/window pass
+    val q = MdioStats.quantilesOf(spark, dir, "v", Seq(0.25, 0.5, 1.0),
+      windows = windows)
+    assert(!q.fallback, "aligned union fell back")
+    assert(q.n == 32 && q.ks == Seq(8L, 16L, 32L), q)
+    assert(q.values == Seq(union(7), union(15), union(31)), q)
+    // kthSmallest routes through the same batched machinery
+    val k = MdioStats.kthSmallest(spark, dir, "v", 5, windows = windows)
+    assert(!k.fallback && k.value == union(4), k)
+    // countInRange over the union: out-of-union chunks in no counter
+    val want = (vals.slice(0, 16) ++ vals.slice(32, 48)).count(v => v >= 5.0 && v <= 15.0)
+    val cr = MdioStats.countInRange(spark, dir, "v", 5.0, 15.0, windows = windows)
+    assert(!cr.fallback && cr.count == want, cr)
+    // ADJACENT windows are disjoint: the union equals the merged slab
+    val adj = MdioStats.kthSmallest(spark, dir, "v", 5,
+      windows = Seq(Map("x" -> (0L, 16L)), Map("x" -> (16L, 32L))))
+    val merged = MdioStats.kthSmallest(spark, dir, "v", 5,
+      ranges = Map("x" -> (0L, 32L)))
+    assert(!adj.fallback && adj.value == merged.value, (adj, merged))
+    // a MISALIGNED member makes the whole union answer exactly through
+    // the sliced-union scan, never the full variable's rank arithmetic
+    val mis = MdioStats.quantilesOf(spark, dir, "v", Seq(0.5),
+      windows = Seq(Map("x" -> (0L, 13L)), Map("x" -> (32L, 48L))))
+    val misCells = (vals.slice(0, 13) ++ vals.slice(32, 48)).sorted
+    assert(mis.fallback, "misaligned union must fall back")
+    assert(mis.values == Seq(misCells((misCells.size + 1) / 2 - 1)), mis)
+    // OVERLAPPING windows decline loudly — cells would double-count
+    val dup = intercept[IllegalArgumentException] {
+      MdioStats.countInRange(spark, dir, "v", 5.0, 15.0,
+        windows = Seq(Map("x" -> (0L, 16L)), Map("x" -> (8L, 24L))))
+    }
+    assert(dup.getMessage.contains("overlap"), dup.getMessage)
+    // ranges and windows are mutually exclusive
+    val both = intercept[IllegalArgumentException] {
+      MdioStats.quantilesOf(spark, dir, "v", Seq(0.5),
+        ranges = Map("x" -> (0L, 16L)), windows = windows)
+    }
+    assert(both.getMessage.contains("not both"), both.getMessage)
+    MdioWriter.delete(dir)
+  }
+
+  test("the opened-entry budget bounds every direct operator's driver triage") {
+    // 2-D store, TRAILING-dim window: the window cuts every shard's
+    // summary (a shard's [lo,hi]×cells describes cells the window drops),
+    // so every shard in the lead box must OPEN for per-chunk triage —
+    // exactly the O(all-shard-entries) driver parse the r19 entry budget
+    // exists to bound. Past the budget every operator must DECLINE to its
+    // exact distributed scan (fallback = true, same answer); within it,
+    // the pruned path answers (fallback = false).
+    val dir = Files.createTempDirectory("mdio_wqc").resolve("b.mdio").toString
+    MdioWriter.create(MdioSpec.fromJson(
+      """{
+        |  "metadata": {"name": "b", "apiVersion": "v1.0", "createdOn": "2026-01-01T00:00:00Z"},
+        |  "variables": [
+        |    {"name": "x", "dataType": "int64", "dimensions": [{"name": "x", "size": 64}]},
+        |    {"name": "y", "dataType": "int64", "dimensions": [{"name": "y", "size": 16}]},
+        |    {"name": "v", "dataType": "float64",
+        |     "dimensions": [{"name": "x", "size": 64}, {"name": "y", "size": 16}],
+        |     "metadata": {"chunkGrid": {"name": "regular", "configuration": {"chunkShape": [8, 8]}}}}
+        |  ]
+        |}""".stripMargin), dir)
+    def value(x: Long, y: Long): Double = ((x * 16 + y) * 7 % 23).toDouble
+    val fn = udf(value _)
+    MdioWriter.writeVariable(spark,
+      spark.range(64 * 16).select(($"id" / 16).cast("long").as("x"),
+        ($"id" % 16).as("y"),
+        fn(($"id" / 16).cast("long"), $"id" % 16).as("v")), dir, "v")
+    val win = Map("y" -> (0L, 8L))
+    val cells = for (x <- 0L until 64L; y <- 0L until 8L) yield value(x, y)
+    def slab(gx: Long): Seq[Double] =
+      for (x <- gx * 16 until (gx + 1) * 16; y <- 0L until 8L) yield value(x, y)
+    def runAll(expectFallback: Boolean): Unit = {
+      val why = if (expectFallback) "under the lowered budget" else "within budget"
+      val cr = MdioStats.countInRange(spark, dir, "v", 5.0, 15.0, ranges = win)
+      assert(cr.fallback == expectFallback, s"countInRange $why: $cr")
+      assert(cr.count == cells.count(c => c >= 5.0 && c <= 15.0), cr)
+      val kth = MdioStats.kthSmallest(spark, dir, "v", 10, ranges = win)
+      assert(kth.fallback == expectFallback, s"kthSmallest $why: $kth")
+      assert(kth.value == cells.sorted.apply(9), kth)
+      val ex = MdioStats.extremaLocation(spark, dir, "v", ranges = win)
+      assert(ex.fallback == expectFallback, s"extremaLocation $why")
+      val exr = ex.result.head
+      assert(exr.getDouble(0) == cells.min && exr.getDouble(3) == cells.max, exr)
+      val hist = MdioStats.histogramMeta(spark, dir, "v", 0.0, 6.0, 4, ranges = win)
+      assert(hist.fallback == expectFallback, s"histogramMeta $why")
+      val bins = hist.result.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      (0 until 4).foreach { b =>
+        val want = cells.count(c => (c / 6.0).toInt.min(3) == b).toLong
+        assert(bins.getOrElse(b.toLong, 0L) == want, s"bin $b: $bins")
+      }
+      val gc = MdioStats.countInRangeByBox(spark, dir, "v", 5.0, 15.0,
+        Seq(16L, 16L), ranges = win)
+      assert(gc.fallback == expectFallback, s"countInRangeByBox $why")
+      val gcRows = gc.result.collect()
+        .map(r => r.getAs[Long]("g_x") -> r.getAs[Long]("cnt")).toMap
+      (0L until 4L).foreach { gx =>
+        assert(gcRows(gx) == slab(gx).count(c => c >= 5.0 && c <= 15.0), gcRows)
+      }
+      val ge = MdioStats.extremaByBox(spark, dir, "v", Seq(16L, 16L), ranges = win)
+      assert(ge.fallback == expectFallback, s"extremaByBox $why")
+      val geRows = ge.result.collect()
+        .map(r => r.getAs[Long]("g_x") ->
+          (r.getAs[Double]("v_min"), r.getAs[Double]("v_max"))).toMap
+      (0L until 4L).foreach { gx =>
+        assert(geRows(gx) == (slab(gx).min, slab(gx).max), geRows)
+      }
+      val gq = MdioStats.quantilesByBox(spark, dir, "v", Seq(0.5), Seq(16L, 16L),
+        ranges = win)
+      assert(gq.fallback == expectFallback, s"quantilesByBox $why")
+      val gqRows = gq.result.collect()
+        .map(r => r.getAs[Long]("g_x") -> r.getAs[Double]("q")).toMap
+      (0L until 4L).foreach { gx =>
+        assert(gqRows(gx) == slab(gx).sorted.apply(63), gqRows) // ⌈0.5·128⌉ = 64
+      }
+    }
+    runAll(expectFallback = false)
+    // the trailing-cut window feeds 8 leads × 2 trailing chunks = 16
+    // entries; a budget of 8 must abort the walk in EVERY operator
+    spark.conf.set("spark.graft.mdio.maxPushedGroups", "8")
+    try runAll(expectFallback = true)
+    finally spark.conf.unset("spark.graft.mdio.maxPushedGroups")
+    // cap restored: the pruned path comes back
+    runAll(expectFallback = false)
+    MdioWriter.delete(dir)
+  }
+
+  test("the refinement loops share the entry budget") {
+    // all-equal values + one chunk per shard: EVERY shard's summary rides
+    // coarse through the walk (no keys fed), then every shard is a
+    // bracket/extremum candidate — the refinement, not the walk, is where
+    // the driver parse would blow up, and it must decline past the budget
+    val dir = create(_ => 7.5)
+    val varDir = graft.zarr.ZarrMeta.path(dir).resolve("v")
+    MdioChunkStats.write(varDir, MdioChunkStats.generation(varDir),
+      MdioChunkStats.current(varDir).get, span = 1)
+    spark.conf.set("spark.graft.mdio.maxPushedGroups", "4")
+    try {
+      val k = MdioStats.kthSmallest(spark, dir, "v", 5)
+      assert(k.fallback && k.value == 7.5, s"openCoarse budget: $k")
+      val ex = MdioStats.extremaLocation(spark, dir, "v")
+      assert(ex.fallback, "extremaLocation refinement budget")
+      assert(ex.result.head.getDouble(0) == 7.5, ex)
+      val ge = MdioStats.extremaByBox(spark, dir, "v", Seq(64L))
+      assert(ge.fallback, "extremaByBox refinement budget")
+      assert(ge.result.head.getAs[Double]("v_min") == 7.5, ge)
+      val gq = MdioStats.quantilesByBox(spark, dir, "v", Seq(0.5), Seq(64L))
+      assert(gq.fallback, "quantilesByBox refinement budget")
+      assert(gq.result.head.getAs[Double]("q") == 7.5, gq)
+    } finally spark.conf.unset("spark.graft.mdio.maxPushedGroups")
+    // budget restored: the pruned paths return
+    val k2 = MdioStats.kthSmallest(spark, dir, "v", 5)
+    assert(!k2.fallback && k2.value == 7.5, k2)
+    MdioWriter.delete(dir)
+  }
+
   test("a NaN outside the window never disturbs the window's rank answers") {
     val vals = (0 until 64).map(i =>
       if (i == 3) Double.NaN else ((i * 7) % 19).toDouble)
