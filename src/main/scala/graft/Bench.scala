@@ -638,11 +638,14 @@ object Bench {
     "zarr_median_sliced" -> 1.2,
     // comparator: zarr_median_sliced (the identical boxed rank pushdown
     // over [8, 24) of the image store, plus ONE distributed resolve pass
-    // over the 32-entry inline coordinate; first budget r19)
-    "zarr_median_sel_window" -> 1.5,
+    // over the 32-entry inline coordinate — the extra Spark job is the
+    // cost over the sliced form; 3-rep idle floor 1.35–1.52 s; first
+    // budget r19)
+    "zarr_median_sel_window" -> 2.0,
     // comparator: zarr_median_sliced (the same direct rank machinery —
     // one manifest walk + probe/window scans — over a 2-slab union of
-    // 4 chunks instead of one box; first budget r19)
+    // 4 chunks instead of one box; 3-rep idle floor 0.88–0.90 s; first
+    // budget r19)
     "zarr_pct_multi_window" -> 1.2,
     // comparator: zarr_quantiles_by_slab (same one-pass slab × rank
     // matrix through boxRanks — four rank slots vs two — plus the
