@@ -504,4 +504,181 @@ object Vectors {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
+
+  /** [[nearestCells]] over an EXPLICIT cell-id → centroid quantizer — the
+    * shape a [[compactIvfIndex]] rebalance leaves behind (cell ids are no
+    * longer positional once a cell splits). Same scoring and tie rule
+    * (highest cell id wins a tie). */
+  def nearestCellsOf(cells: Seq[(Int, Seq[Double])], query: Seq[Double],
+                     nprobe: Int): Seq[Int] = {
+    val nq = math.sqrt(query.map(x => x * x).sum).max(1e-300)
+    cells.map { case (i, c) =>
+      val nc = math.sqrt(c.map(x => x * x).sum).max(1e-300)
+      val d = c.zip(query).map { case (x, y) => x * y }.sum
+      (d / (nc * nq), i)
+    }.sortBy { case (s, i) => (-s, -i) }.take(nprobe).map(_._2)
+  }
+
+  /** [[ivfTopKPruned]] against a rebalanced index: probes come from the
+    * explicit cell-id quantizer, the partition-directory prune is
+    * unchanged. */
+  def ivfTopKPrunedCells(spark: SparkSession, path: String, idCol: String,
+                         vecCol: String, query: Seq[Double], k: Int,
+                         cells: Seq[(Int, Seq[Double])], nprobe: Int = 8): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val probes = nearestCellsOf(cells, query, nprobe)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probes: _*))
+      .select(col(idCol), call_function("cosine_vec", col(vecCol), typedLit(query)).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** [[compactIvfIndex]] result: `cells` is the post-maintenance coarse
+    * quantizer as explicit (cell id, centroid) pairs — the split cell's
+    * id is gone, its two sub-cells carry fresh ids; `subCentroids` are
+    * the two trained sub-centroids (the trained literals an oracle
+    * re-derives assignment from); `compactedCells` lists the fragmented
+    * cells whose files were coalesced. */
+  final case class IvfCompaction(cells: Seq[(Int, Seq[Double])],
+                                 splitCell: Int,
+                                 subCentroids: Seq[Seq[Double]],
+                                 filesBefore: Long, filesAfter: Long,
+                                 rowsReassigned: Long,
+                                 compactedCells: Seq[Int])
+
+  /** MAINTENANCE pass for a [[writeIvfIndex]]/streamed IVF store — the
+    * two chores a live ANN index accumulates (reference has no analog;
+    * this is the north-star growth of the `stream_ivf_exec` landing
+    * path): (1) FILE COMPACTION — streaming appends leave one file per
+    * micro-batch per cell, so cells with more than `maxFilesPerCell`
+    * files are coalesced in place (read cell dir → one file → atomic
+    * swap), touching ONLY fragmented directories; (2) REBALANCE — the
+    * fattest cell (most rows; ties to the smallest id — the cell that
+    * hurts nprobe selectivity most) SPLITS: two sub-centroids train on a
+    * deterministic `sampleN`-vector driver sample of that cell alone
+    * (xxhash64 order, seeds = first two sample vectors, `iters` Lloyd
+    * rounds on the unit sphere — the [[trainIvfCentroids]] bounded-
+    * training discipline, cost independent of cell size), every vector
+    * of the split cell reassigns DISTRIBUTED between the two new
+    * partition directories (ties to the first sub-cell), and the old
+    * directory is removed. Cost ∝ fragmented + split cells — untouched
+    * cell directories are never read, which is what makes periodic
+    * maintenance viable on a 100 TB index. Probe with
+    * [[ivfTopKPrunedCells]] and the returned quantizer; recall parity
+    * against the pre-compaction probe is the caller's gate. */
+  def compactIvfIndex(spark: SparkSession, path: String, idCol: String,
+                      vecCol: String, centroids: Seq[Seq[Double]],
+                      maxFilesPerCell: Int = 2, iters: Int = 8,
+                      sampleN: Int = 4096, seed: Long = 42L): IvfCompaction = {
+    graft.GraftFunctions.register(spark)
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    // a STREAMED index carries the file sink's _spark_metadata log, which
+    // pins the file inventory to the append history — compaction takes
+    // ownership of the inventory (the maintenance job is now the writer
+    // of record), so the log goes first and every read below lists
+    // directories directly. Exactly-once mattered only while the stream
+    // was the writer.
+    val sinkLog = new org.apache.hadoop.fs.Path(root, "_spark_metadata")
+    if (fs.exists(sinkLog)) fs.delete(sinkLog, true)
+    def parquetFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+    def cellDirs(): Map[Int, org.apache.hadoop.fs.Path] =
+      fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("cell="))
+        .map(p => p.getName.stripPrefix("cell=").toInt -> p).toMap
+    val dirs = cellDirs()
+    require(dirs.nonEmpty, s"no cell=* partitions under $path")
+    val filesPerCell: Map[Int, Seq[org.apache.hadoop.fs.Path]] =
+      dirs.map { case (c, p) => c -> parquetFiles(p) }
+    val filesBefore = filesPerCell.valuesIterator.map(_.size.toLong).sum
+
+    // the fattest cell by ROWS (one footer-driven count per partition —
+    // no vector data moves), ties to the smallest id
+    val counts: Map[Int, Long] = spark.read.parquet(path)
+      .groupBy(col("cell")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val splitCell = counts.toSeq.maxBy { case (c, n) => (n, -c) }._1
+    val splitDir = dirs(splitCell)
+
+    // two sub-centroids from a deterministic driver sample of the split
+    // cell alone (bounded training; spherical 2-means)
+    val sample: Array[Array[Double]] = spark.read.parquet(splitDir.toString)
+      .select(col(vecCol).cast("array<double>").as("v"), col(idCol).as("id"))
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(sampleN)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, s"split cell $splitCell is empty")
+    def normalize(x: Array[Double]): Array[Double] = {
+      val n = math.sqrt(x.map(v => v * v).sum)
+      if (n < 1e-300) x else x.map(_ / n)
+    }
+    val unit = sample.map(normalize)
+    var subs: Array[Array[Double]] =
+      Array(unit(0).clone(), unit(math.min(1, unit.length - 1)).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(2)(new Array[Double](unit.head.length))
+      val ns = new Array[Int](2)
+      unit.foreach { x =>
+        var d0 = 0.0; var d1 = 0.0; var j = 0
+        while (j < x.length) { d0 += x(j) * subs(0)(j); d1 += x(j) * subs(1)(j); j += 1 }
+        val side = if (d0 >= d1) 0 else 1 // ties to the first sub-cell
+        j = 0
+        while (j < x.length) { sums(side)(j) += x(j); j += 1 }
+        ns(side) += 1
+      }
+      subs = Array.tabulate(2)(c => if (ns(c) == 0) subs(c) else normalize(sums(c)))
+    }
+    val (subA, subB) = (subs(0).toSeq, subs(1).toSeq)
+    val (idA, idB) = (centroids.size, centroids.size + 1)
+
+    // distributed reassignment of ONLY the split cell, written as two new
+    // partition directories; ties to the first sub-cell, matching the
+    // driver training above and the oracle's CASE WHEN >=
+    val tmp = new org.apache.hadoop.fs.Path(root, s"_compact_tmp_$splitCell")
+    val rowsReassigned = counts(splitCell)
+    spark.read.parquet(splitDir.toString)
+      .withColumn("cell",
+        when(call_function("cosine_vec", col(vecCol), typedLit(subA)) >=
+          call_function("cosine_vec", col(vecCol), typedLit(subB)), lit(idA))
+          .otherwise(lit(idB)))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(tmp.toString)
+    Seq(idA, idB).foreach { c =>
+      val from = new org.apache.hadoop.fs.Path(tmp, s"cell=$c")
+      if (fs.exists(from)) // a sub-cell can legitimately end empty
+        require(fs.rename(from, new org.apache.hadoop.fs.Path(root, s"cell=$c")),
+          s"rename of $from failed")
+    }
+    fs.delete(splitDir, true)
+    fs.delete(tmp, true)
+
+    // in-place file compaction of the remaining fragmented cells: read
+    // one directory, write one file, atomic-ish swap (new files land
+    // under spark's collision-free names before the old ones delete)
+    val toCompact = filesPerCell.collect {
+      case (c, fls) if c != splitCell && fls.size > maxFilesPerCell => c
+    }.toSeq.sorted
+    toCompact.foreach { c =>
+      val dir = dirs(c)
+      val old = parquetFiles(dir)
+      val ctmp = new org.apache.hadoop.fs.Path(root, s"_compact_tmp_$c")
+      spark.read.parquet(dir.toString).coalesce(1).write.parquet(ctmp.toString)
+      parquetFiles(ctmp).foreach { f =>
+        require(fs.rename(f, new org.apache.hadoop.fs.Path(dir, f.getName)),
+          s"rename of $f failed")
+      }
+      old.foreach(f => fs.delete(f, false))
+      fs.delete(ctmp, true)
+    }
+    val filesAfter = cellDirs().valuesIterator.map(parquetFiles(_).size.toLong).sum
+    val cells = centroids.zipWithIndex.collect {
+      case (c, i) if i != splitCell => i -> c
+    } ++ Seq(idA -> subA, idB -> subB)
+    IvfCompaction(cells, splitCell, Seq(subA, subB), filesBefore, filesAfter,
+      rowsReassigned, toCompact)
+  }
 }

@@ -446,6 +446,110 @@ object StreamingExec {
       ORDER BY cos DESC, vec_id LIMIT 20) t"""
   }
 
+  /** IVF INDEX COMPACTION/REBALANCE on the gate (r19, the north-star
+    * growth of [[qStreamIvfExec]]'s maintenance path): the streamed index
+    * appends one file per micro-batch per cell indefinitely, so this gate
+    * builds the SAME index from a 4-file landing zone with
+    * `maxFilesPerTrigger = 1` (4 genuine micro-batches → fragmented cell
+    * directories), then runs [[graft.functions.Vectors.compactIvfIndex]]:
+    * fragmented cells coalesce in place, the fattest cell SPLITS into two
+    * trained sub-cells (deterministic driver-sample 2-means; only that
+    * cell's rows move), and the probe carries on against the rebalanced
+    * quantizer. In-query `require`s certify the maintenance contract:
+    * fewer files after than before, rowsReassigned = the split cell's
+    * rows, and RECALL PARITY — the post-compaction probe's overlap with
+    * the exact brute-force top-20 is no worse than the pre-compaction
+    * probe's. The oracle re-derives the final assignment from the
+    * TRAINED sub-centroid literals (two-stage: original 16-cell argmax,
+    * split-cell rows re-choose between the two subs) + probe + re-rank,
+    * so DuckDB certifies the rewritten index end to end. */
+  private val builtIvfCompact =
+    scala.collection.concurrent.TrieMap.empty[String, (String, graft.functions.Vectors.IvfCompaction)]
+  @volatile private var ivfCompactTrained: Option[graft.functions.Vectors.IvfCompaction] = None
+
+  val qStreamIvfCompact: Q = (s, d) => {
+    import graft.functions.Vectors
+    val (dir, comp) = builtIvfCompact.getOrElseUpdate(d, {
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ivf_compact")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(tmpRoot)))
+      // 4-file landing zone → 4 micro-batches → fragmented cell dirs
+      val landing = tmpRoot.resolve("landing").toString
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      emb.repartition(4).write.parquet(landing)
+      val idx = tmpRoot.resolve("index").toString
+      val assigned = Vectors.ivfAssignNative(
+        s.readStream.schema(emb.schema).option("maxFilesPerTrigger", "1")
+          .parquet(landing),
+        "embedding", ivfCells)
+      val q = assigned.writeStream.format("parquet")
+        .option("path", idx)
+        .option("checkpointLocation", tmpRoot.resolve("ckpt").toString)
+        .partitionBy("cell").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      // recall baseline BEFORE maintenance, against exact brute force
+      val exact = Vectors.bruteForceTopK(emb, "vec_id", "embedding",
+        Pipeline.annQuery, 20).select("vec_id").collect().map(_.getLong(0)).toSet
+      val before = Vectors.ivfTopKPruned(s, idx, "vec_id", "embedding",
+        Pipeline.annQuery, 20, ivfCells, nprobe = 4)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val comp = Vectors.compactIvfIndex(s, idx, "vec_id", "embedding", ivfCells)
+      require(comp.filesAfter < comp.filesBefore,
+        s"compaction did not shrink the index: ${comp.filesBefore} -> ${comp.filesAfter} files")
+      require(comp.compactedCells.nonEmpty, "no fragmented cell was compacted")
+      val after = Vectors.ivfTopKPrunedCells(s, idx, "vec_id", "embedding",
+        Pipeline.annQuery, 20, comp.cells, nprobe = 4)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      require(after.intersect(exact).size >= before.intersect(exact).size,
+        s"maintenance lost recall: ${before.intersect(exact).size}/20 -> " +
+          s"${after.intersect(exact).size}/20")
+      (idx, comp)
+    })
+    ivfCompactTrained = Some(comp)
+    Vectors.ivfTopKPrunedCells(s, dir, "vec_id", "embedding",
+      Pipeline.annQuery, k = 20, comp.cells, nprobe = 4)
+      .select("vec_id")
+  }
+
+  /** Trained-literal oracle (the ann_ivf pattern): assignment replays as
+    * original 16-cell argmax, then split-cell rows re-choose between the
+    * two trained sub-centroid literals — exactly the rewrite
+    * compactIvfIndex performed — then the probe + re-rank over the
+    * rebalanced quantizer's nprobe cells. */
+  private def qStreamIvfCompactSql(c: graft.functions.Vectors.IvfCompaction): String = {
+    val probes = graft.functions.Vectors
+      .nearestCellsOf(c.cells, Pipeline.annQuery, 4).mkString(", ")
+    val q = Pipeline.annQuery.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+    val centRows = ivfCells.zipWithIndex
+      .map { case (cc, i) => s"($i, ${Pipeline.sqlVec(cc)})" }.mkString(",\n      ")
+    val (idA, idB) = (ivfCells.size, ivfCells.size + 1)
+    val subA = Pipeline.sqlVec(c.subCentroids.head)
+    val subB = Pipeline.sqlVec(c.subCentroids(1))
+    s"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    cents(cell, c) AS (VALUES
+      $centRows),
+    assigned0 AS (
+      SELECT vec_id, v, cell
+      FROM (SELECT e.vec_id, e.v, cents.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${Pipeline.sqlCos("e.v", "cents.c")} DESC, cents.cell DESC) AS rn
+            FROM e CROSS JOIN cents)
+      WHERE rn = 1),
+    assigned AS (
+      SELECT vec_id, v,
+        CASE WHEN cell = ${c.splitCell} THEN
+          CASE WHEN ${Pipeline.sqlCos("v", subA)} >= ${Pipeline.sqlCos("v", subB)}
+               THEN $idA ELSE $idB END
+        ELSE cell END AS cell
+      FROM assigned0)
+    SELECT vec_id FROM (
+      SELECT vec_id, ${Pipeline.sqlCos("v", q)} AS cos
+      FROM assigned WHERE cell IN ($probes)
+      ORDER BY cos DESC, vec_id LIMIT 20) t"""
+  }
+
   /** STREAMING SKETCH MAINTENANCE executed as a stream: per-type distinct
     * users tracked as a portable HLL whose REGISTER TABLE is the stateful
     * streaming aggregation — (event_type, bucket) → MAX(low-bit), the
@@ -1070,9 +1174,16 @@ object StreamingExec {
     "stream_curation_exec" -> qStreamCurationExec,
     "stream_pii_exec"      -> qStreamPiiExec,
     "stream_ivf_exec"      -> qStreamIvfExec,
+    "stream_ivf_compact"   -> qStreamIvfCompact,
     "stream_mdio_exec"     -> qStreamMdioExec)
 
-  val oracleSql: Map[String, String] = Map(
+  // a def, not a val: stream_ivf_compact's oracle carries TRAINED
+  // sub-centroid literals that exist only after the query runs (Verify
+  // runs every query first, then dumps — the ann_ivf pattern)
+  def oracleSql: Map[String, String] = staticOracleSql ++
+    ivfCompactTrained.map(c => "stream_ivf_compact" -> qStreamIvfCompactSql(c))
+
+  private val staticOracleSql: Map[String, String] = Map(
     "stream_experiment_exec" -> qStreamExperimentExecSql,
     "stream_funnel_exec"   -> qStreamFunnelExecSql,
     "stream_cusum_exec"    -> qStreamCusumExecSql,

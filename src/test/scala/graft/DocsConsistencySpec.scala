@@ -51,7 +51,8 @@ class DocsConsistencySpec extends AnyFunSuite {
     * them). This spec runs no queries, so it pins: static entries cover
     * everything else, and nothing outside this set is missing. */
   private val trainedDynamic =
-    Set("ann_ivf", "ann_ivf_pruned", "ann_pq", "ann_ivf_pq", "pipeline_mix")
+    Set("ann_ivf", "ann_ivf_pruned", "ann_pq", "ann_ivf_pq", "pipeline_mix",
+      "stream_ivf_compact")
 
   test("oracle SQL covers the registry exactly (modulo trained-literal entries)") {
     val q = SparkEntry.queries.keySet

@@ -259,4 +259,59 @@ class VectorsSpec extends SparkSpec {
     assert(inMem == onDisk,
       "write-time cell assignment must reproduce the query-time assignment exactly")
   }
+
+  test("compactIvfIndex: fragmented cells coalesce, the fat cell splits, untouched dirs stay") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val cents = Vectors.trainIvfCentroids(emb, "vec_id", "embedding", cells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivfcomp").toString
+    // fragment the index: three append rounds = up to 3 files per cell
+    // (the shape a streaming sink accumulates)
+    val assigned = Vectors.ivfAssignNative(
+      emb.select(col("vec_id"), col("embedding")), "embedding", cents)
+    (0 until 3).foreach { r =>
+      assigned.filter(pmod(col("vec_id"), lit(3)) === r)
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(dir)
+    }
+    val rows = spark.read.parquet(dir).count()
+    // contents before, keyed by id (cell ids change for the split cell)
+    val before = spark.read.parquet(dir).select("vec_id").as[Long].collect().toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def filesOf(cell: Int): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir, s"cell=$cell")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val comp = Vectors.compactIvfIndex(spark, dir, "vec_id", "embedding", cents,
+      maxFilesPerCell = 2)
+    // the maintenance contract
+    assert(comp.filesAfter < comp.filesBefore, comp)
+    assert(comp.compactedCells.nonEmpty, comp)
+    comp.compactedCells.foreach(c => assert(filesOf(c).size == 1, s"cell $c not coalesced"))
+    // the split cell's directory is gone; its rows live in the two subs
+    assert(filesOf(comp.splitCell).isEmpty, "split cell dir must be removed")
+    assert(comp.cells.map(_._1).toSet ==
+      (cents.indices.toSet - comp.splitCell) ++ Set(cents.size, cents.size + 1))
+    // NOTHING lost or duplicated: same ids, same total rows
+    val after = spark.read.parquet(dir).select("vec_id").as[Long].collect().toSet
+    assert(after == before && spark.read.parquet(dir).count() == rows)
+    // sub-cell contents honor the trained sub-centroids exactly
+    val Seq(subA, subB) = comp.subCentroids
+    val reassigned = spark.read.parquet(dir)
+      .filter(col("cell").isin(cents.size, cents.size + 1))
+      .withColumn("want",
+        when(call_function("cosine_vec", col("embedding"), typedLit(subA)) >=
+          call_function("cosine_vec", col("embedding"), typedLit(subB)),
+          lit(cents.size)).otherwise(lit(cents.size + 1)))
+    assert(reassigned.filter(col("cell") =!= col("want")).count() == 0)
+    assert(reassigned.count() == comp.rowsReassigned)
+    // probe still answers through partition pruning, recall no worse
+    val q = graft.queries.Pipeline.annQuery
+    val exact = Vectors.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val probed = Vectors.ivfTopKPrunedCells(spark, dir, "vec_id", "embedding",
+      q, 10, comp.cells, nprobe = 3).select("vec_id").as[Long].collect().toSet
+    assert(probed.size == 10 && probed.intersect(exact).nonEmpty)
+  }
 }
