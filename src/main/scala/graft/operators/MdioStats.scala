@@ -1427,18 +1427,23 @@ object MdioStats {
     * all-NaN/empty variable returns zero rows, proven from metadata.
     * `ranges` (r18) restricts the hunt to a dim-index window — WHERE is
     * the peak of this crop — with candidacy decided by the box's own
-    * chunk bounds (misaligned windows locate through the sliced scan).
+    * chunk bounds (misaligned windows locate through the sliced scan);
+    * `windows` (r19) hunts over a UNION of disjoint windows (the peak of
+    * two depth slabs in one call), same walk, same candidate discipline.
     * Extremum equality compares in the column's NATIVE type (u64 stays
     * decimal-exact past 2^53); `v_min`/`v_max` surface as double.
     * Stale/absent stats fall back to one full scan (`fallback = true`,
     * same first-occurrence semantics). */
   def extremaLocation(spark: SparkSession, path: String,
                       variable: String,
-                      ranges: Map[String, (Long, Long)] = Map.empty): ExtremaLocation = {
+                      ranges: Map[String, (Long, Long)] = Map.empty,
+                      windows: Seq[Map[String, (Long, Long)]] = Nil): ExtremaLocation = {
     import graft.sources.MdioChunkStats
     import graft.zarr.ZarrMeta
     import org.apache.spark.sql.{Column, Row}
     import org.apache.spark.sql.types._
+    require(ranges.isEmpty || windows.isEmpty,
+      "pass ONE window via ranges or several via windows, not both")
     val root = ZarrMeta.path(path)
     val (meta, attrs) = ZarrMeta.readGroup(root)._2.getOrElse(variable,
       throw new IllegalArgumentException(s"no variable '$variable' in $path"))
@@ -1450,9 +1455,11 @@ object MdioStats {
       s"'$variable' is a dimension coordinate — its extrema are its ends")
     val isFloat = meta.dtype.charAt(meta.dtype.length - 2) == 'f'
     def base = spark.read.format("mdio").load(path)
-    // optional dim-index window (r18): WHERE does the peak of this crop
-    // live — extrema and locations are computed over the box only
-    val sliced = sliceOf(meta, dims, ranges, variable)
+    // optional dim-index window (r18) or union of disjoint windows (r19):
+    // WHERE does the peak of this crop (or crop union) live
+    val sliced: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      if (windows.nonEmpty) unionOf(meta, dims, windows, variable).apply
+      else sliceOf(meta, dims, ranges, variable).apply
     val outSchema = StructType(
       Seq(StructField("v_min", DoubleType, nullable = false)) ++
         dims.map(d => StructField(s"min_$d", LongType, nullable = false)) ++
@@ -1519,19 +1526,21 @@ object MdioStats {
     // the window must be chunk-aligned for metadata candidacy (a
     // straddling chunk's bounds mix in- and out-of-box cells); misaligned
     // windows answer exactly through the sliced fallback scan
-    val boxOpt =
-      if (ranges.isEmpty) Some(grid.map(g => (0L, g)))
-      else graft.sources.MdioAggScan.alignedChunkBox(meta, dims, ranges)
-    if (boxOpt.isEmpty) {
-      log.warn(s"extremaLocation($path, $variable): slice $ranges is not " +
+    val boxesOpt =
+      if (windows.nonEmpty) alignedUnion(meta, dims, windows)
+      else if (ranges.isEmpty) Some(Seq(grid.map(g => (0L, g))))
+      else graft.sources.MdioAggScan.alignedChunkBox(meta, dims, ranges).map(Seq(_))
+    if (boxesOpt.isEmpty) {
+      log.warn(s"extremaLocation($path, $variable): slice " +
+        s"${if (windows.nonEmpty) windows else ranges} is not " +
         "chunk-aligned — falling back to the sliced locate scan")
       return scanFallback()
     }
-    val box = boxOpt.get
+    val boxes = boxesOpt.get
     def inBox(cc: Seq[Long]): Boolean =
-      cc.indices.forall(i => cc(i) >= box(i)._1 && cc(i) < box(i)._2)
-    val trailingFull =
-      (1 until grid.size).forall(i => box(i)._1 <= 0 && box(i)._2 >= grid(i))
+      boxes.exists(b => cc.indices.forall(i => cc(i) >= b(i)._1 && cc(i) < b(i)._2))
+    val tf = boxes.map(b =>
+      (1 until grid.size).forall(i => b(i)._1 <= 0 && b(i)._2 >= grid(i)))
 
     val fine = scala.collection.mutable.ArrayBuffer.empty[(Seq[Long], MdioChunkStats.Bounds)]
     var coarse = Map.empty[Long, (BigDecimal, BigDecimal)]
@@ -1542,10 +1551,12 @@ object MdioStats {
         case Some(None) => () // all-NaN chunk: no finite cell can win
         case _ => usable = false
       }
-    val within = walkShards(varDir, man, grid, leadBoxes = Seq(box.head),
+    val within = walkShards(varDir, man, grid, leadBoxes = boxes.map(_.head),
       entryBudget = qcEntryBudget) { (sid, sm) =>
-      trailingFull && sid * man.span >= box.head._1 &&
-        math.min((sid + 1) * man.span, grid.head) <= box.head._2 &&
+      boxes.indices.exists { w =>
+        tf(w) && sid * man.span >= boxes(w).head._1 &&
+          math.min((sid + 1) * man.span, grid.head) <= boxes(w).head._2
+      } &&
         ((sm.lo, sm.hi) match {
           case (Some(l), Some(h)) => coarse = coarse.updated(sid, (l, h)); true
           case _ => sm.count >= 0 && sm.cells.contains(0L) // proven all-NaN
@@ -1874,14 +1885,18 @@ object MdioStats {
     * `maxScanChunks` straddlers fall back to one full scan
     * (`fallback = true`) — exact in every case. `ranges` (r18) restricts
     * the histogram to a dim-index window (the crop's own amplitude
-    * distribution); misaligned windows answer through the sliced scan. */
+    * distribution); misaligned windows answer through the sliced scan;
+    * `windows` (r19) bins a UNION of disjoint windows in one walk. */
   def histogramMeta(spark: SparkSession, path: String, variable: String,
                     lo: Double, width: Double, nBins: Int,
                     maxScanChunks: Int = 512,
-                    ranges: Map[String, (Long, Long)] = Map.empty): HistogramMeta = {
+                    ranges: Map[String, (Long, Long)] = Map.empty,
+                    windows: Seq[Map[String, (Long, Long)]] = Nil): HistogramMeta = {
     import graft.sources.MdioChunkStats
     import graft.zarr.ZarrMeta
     require(width > 0 && nBins >= 1, s"bad bins: lo=$lo width=$width n=$nBins")
+    require(ranges.isEmpty || windows.isEmpty,
+      "pass ONE window via ranges or several via windows, not both")
     val root = ZarrMeta.path(path)
     val (meta, attrs) = ZarrMeta.readGroup(root)._2.getOrElse(variable,
       throw new IllegalArgumentException(s"no variable '$variable' in $path"))
@@ -1892,8 +1907,10 @@ object MdioStats {
     require(!dims.contains(variable),
       s"'$variable' is a dimension coordinate — bin its index range instead")
     val isFloat = meta.dtype.charAt(meta.dtype.length - 2) == 'f'
-    // optional dim-index window (r18): the crop's own histogram
-    val sliced = sliceOf(meta, dims, ranges, variable)
+    // optional dim-index window (r18) or union of disjoint windows (r19)
+    val sliced: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      if (windows.nonEmpty) unionOf(meta, dims, windows, variable).apply
+      else sliceOf(meta, dims, ranges, variable).apply
     def binD(v: Double): Int = { // the StatsV1Aggregator clip rule
       val b = math.floor((v - lo) / width).toInt
       if (b < 0) 0 else if (b >= nBins) nBins - 1 else b
@@ -1921,29 +1938,33 @@ object MdioStats {
     if (manOpt.isEmpty) return scanFallback()
     val man = manOpt.get
     val grid = meta.chunkGrid
-    val boxOpt =
-      if (ranges.isEmpty) Some(grid.map(g => (0L, g)))
-      else graft.sources.MdioAggScan.alignedChunkBox(meta, dims, ranges)
-    if (boxOpt.isEmpty) { // misaligned window: exact sliced scan
-      log.warn(s"histogramMeta($path, $variable): slice $ranges is not " +
+    val boxesOpt =
+      if (windows.nonEmpty) alignedUnion(meta, dims, windows)
+      else if (ranges.isEmpty) Some(Seq(grid.map(g => (0L, g))))
+      else graft.sources.MdioAggScan.alignedChunkBox(meta, dims, ranges).map(Seq(_))
+    if (boxesOpt.isEmpty) { // misaligned window: exact sliced scan
+      log.warn(s"histogramMeta($path, $variable): slice " +
+        s"${if (windows.nonEmpty) windows else ranges} is not " +
         "chunk-aligned — falling back to the sliced histogram scan")
       return scanFallback()
     }
-    val box = boxOpt.get
+    val boxes = boxesOpt.get
     def inBox(cc: Seq[Long]): Boolean =
-      cc.indices.forall(i => cc(i) >= box(i)._1 && cc(i) < box(i)._2)
-    val trailingFull =
-      (1 until grid.size).forall(i => box(i)._1 <= 0 && box(i)._2 >= grid(i))
+      boxes.exists(b => cc.indices.forall(i => cc(i) >= b(i)._1 && cc(i) < b(i)._2))
+    val tf = boxes.map(b =>
+      (1 until grid.size).forall(i => b(i)._1 <= 0 && b(i)._2 >= grid(i)))
 
     val metaCounts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
     var metaChunks = 0L
     val straddlers = Seq.newBuilder[Seq[Long]]
     var nStraddle = 0
     var usable = true
-    val within = walkShards(varDir, man, grid, leadBoxes = Seq(box.head),
+    val within = walkShards(varDir, man, grid, leadBoxes = boxes.map(_.head),
       entryBudget = qcEntryBudget) { (sid, sm) =>
-      trailingFull && sid * man.span >= box.head._1 &&
-        math.min((sid + 1) * man.span, grid.head) <= box.head._2 &&
+      boxes.indices.exists { w =>
+        tf(w) && sid * man.span >= boxes(w).head._1 &&
+          math.min((sid + 1) * man.span, grid.head) <= boxes(w).head._2
+      } &&
         ((sm.lo, sm.hi) match {
           case (Some(l), Some(h)) if sm.cells.isDefined &&
               binD(l.toDouble) == binD(h.toDouble) =>

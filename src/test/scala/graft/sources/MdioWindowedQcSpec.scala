@@ -348,6 +348,37 @@ class MdioWindowedQcSpec extends SparkSpec {
         ranges = Map("x" -> (0L, 16L)), windows = windows)
     }
     assert(both.getMessage.contains("not both"), both.getMessage)
+    // extremaLocation over the union: the peak of two slabs in one call
+    // (the global max at x=20 sits BETWEEN the slabs and must not win)
+    val uvals = vals.indices.map(i => if (i == 20) 1000.0 else vals(i))
+    val dir2 = create(i => uvals(i.toInt))
+    val ex = MdioStats.extremaLocation(spark, dir2, "v", windows = windows)
+    assert(!ex.fallback, "aligned union extremaLocation fell back")
+    val exr = ex.result.head
+    val ucells = uvals.slice(0, 16) ++ uvals.slice(32, 48)
+    assert(exr.getDouble(0) == ucells.min && exr.getDouble(2) == ucells.max, exr)
+    // histogramMeta over the union bins exactly the union's cells
+    val h = MdioStats.histogramMeta(spark, dir2, "v", 0.0, 8.0, 4,
+      windows = windows)
+    assert(!h.fallback, "aligned union histogramMeta fell back")
+    val bins = h.result.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0 until 4).foreach { b =>
+      val want = ucells.count(c => math.min(math.max(
+        math.floor(c / 8.0).toInt, 0), 3) == b).toLong
+      assert(bins.getOrElse(b.toLong, 0L) == want, s"bin $b: $bins vs $want")
+    }
+    MdioWriter.delete(dir2)
+    // COMPOSITION: two selWindow-resolved VALUE windows ride `windows` —
+    // the end-to-end "median of two depth slabs stated in depth values"
+    MdioWriter.writeVariable(spark,
+      spark.range(64).select($"id".as("x"),
+        (lit(100L) + $"id" * 25).as("x__value")), dir, "x")
+    val w1 = MdioStats.selWindow(spark, dir, Map("x" -> (100.0, 475.0)))
+    val w2 = MdioStats.selWindow(spark, dir, Map("x" -> (900.0, 1275.0)))
+    assert(w1 == Map("x" -> (0L, 16L)) && w2 == Map("x" -> (32L, 48L)), (w1, w2))
+    val selQ = MdioStats.quantilesOf(spark, dir, "v", Seq(0.5),
+      windows = Seq(w1, w2))
+    assert(!selQ.fallback && selQ.values == Seq(union(15)), selQ)
     MdioWriter.delete(dir)
   }
 
