@@ -305,6 +305,55 @@ class RankQcConsistencySpec extends SparkSpec {
           s"[$label] windowed extremaByBox($wLo,$wHi) mismatch")
       }
 
+      // UNION (OR-of-ranges) forms (r19): every union-capable operator
+      // over three disjoint chunk-aligned slabs, against brute force over
+      // the union's cells; under reshard = true the coarse summaries and
+      // openCoarse refinement run the same battery
+      val uWins = Seq(Map("x" -> (0L, 16L)), Map("x" -> (24L, 40L)),
+        Map("x" -> (56L, 64L)))
+      val uvs = vs.slice(0, 16) ++ vs.slice(24, 40) ++ vs.slice(56, 64)
+      val uIdx = ((0 until 16) ++ (24 until 40) ++ (56 until 64)).map(_.toLong)
+      val ufin = finite(uvs)
+      val usorted = ufin.sorted
+      val ucir = MdioStats.countInRange(spark, dir, "v", 1.0, 4.0, windows = uWins)
+      assert(!ucir.fallback && ucir.count ==
+        ufin.count(v => v >= 1.0 && v <= 4.0).toLong,
+        s"[$label] union countInRange: $ucir")
+      if (ufin.nonEmpty) {
+        Seq(1L, (ufin.size.toLong + 1) / 2, ufin.size.toLong).foreach { k =>
+          val r = MdioStats.kthSmallest(spark, dir, "v", k, windows = uWins)
+          assert(!r.fallback && r.value == usorted((k - 1).toInt),
+            s"[$label] union kthSmallest($k): $r")
+        }
+        val uq = MdioStats.quantilesOf(spark, dir, "v", Seq(0.25, 0.75, 1.0),
+          windows = uWins)
+        assert(!uq.fallback, s"[$label] union quantilesOf fell back")
+        uq.ks.zip(uq.values).foreach { case (qk, qv) =>
+          assert(qv == usorted((qk - 1).toInt),
+            s"[$label] union quantilesOf k=$qk: $qv")
+        }
+        val uex = MdioStats.extremaLocation(spark, dir, "v", windows = uWins)
+        assert(!uex.fallback, s"[$label] union extremaLocation fell back")
+        val urow = uex.result.collect().head
+        val pairs = uvs.zip(uIdx).filter(!_._1.isNaN)
+        assert((urow.getDouble(0), urow.getLong(1),
+          urow.getDouble(2), urow.getLong(3)) ==
+          (usorted.head, pairs.find(_._1 == usorted.head).get._2,
+            usorted.last, pairs.find(_._1 == usorted.last).get._2),
+          s"[$label] union extremaLocation: $urow")
+      }
+      val uh = MdioStats.histogramMeta(spark, dir, "v", 0.0, 4.0, 4,
+        windows = uWins)
+      assert(!uh.fallback, s"[$label] union histogramMeta fell back")
+      def ubin(v: Double): Long = {
+        val b = math.floor(v / 4.0).toInt
+        (if (b < 0) 0 else if (b >= 4) 3 else b).toLong
+      }
+      assert(uh.result.collect().map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+        ufin.groupBy(ubin).map { case (b, g) => (b, g.size.toLong) }
+          .toSeq.sortBy(_._1),
+        s"[$label] union histogramMeta mismatch")
+
       MdioWriter.delete(dir)
     }
   }
