@@ -222,8 +222,13 @@ object Curation {
     * join, so posting skew never amplifies. */
   def lineDedup(df: DataFrame, idCol: String, segsCol: Column,
                 minDf: Long = 2L, sep: String = " "): DataFrame = {
-    val base = df.select(col(idCol).as("id"), segsCol.as("segs"))
-    val frequent = segmentDf(df, idCol, segsCol)
+    // spread before the window-segmentation kernel: BOTH consumers (the
+    // df-count pass and the posting/reassembly pass) evaluate segsCol per
+    // row, and on a single-split corpus scan each ran on one core; the
+    // one exchange (id + input columns) is reused by both sides
+    val wdf = Spread.byKey(df, col(idCol))
+    val base = wdf.select(col(idCol).as("id"), segsCol.as("segs"))
+    val frequent = segmentDf(wdf, idCol, segsCol)
       .filter(col("seg_df") >= minDf).select(col("seg"))
     cleanAgainst(base, frequent, sep)
   }

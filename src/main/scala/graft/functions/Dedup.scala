@@ -77,9 +77,13 @@ object Dedup {
   private[graft] def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                                        numHashes: Int, shingleK: Int): DataFrame = {
     graft.GraftFunctions.register(df.sparkSession)
-    df.select(col(idCol).as("id"),
+    // spread BEFORE the shingle/signature kernels: the corpus scan is a
+    // single split, and without the exchange the whole per-row pipeline
+    // (tokenize, n-grams, 16 minhash families) runs on one core
+    Spread.byKey(df.select(col(idCol).as("id"), col(textCol).as("__text")), col("id"))
+      .select(col("id"),
         array_distinct(call_function("word_ngrams",
-          TextFunctions.tokens(col(textCol)), lit(shingleK))).as("sh"))
+          TextFunctions.tokens(col("__text")), lit(shingleK))).as("sh"))
       .filter(size(col("sh")) >= 1)
       .withColumn("sig", call_function("minhash_poly", col("sh"), lit(numHashes)))
   }
@@ -204,9 +208,15 @@ object Dedup {
     * = the component's minimum id. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
+    val shufPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    // pre-partition the (static) symmetric edge table by the PROBE key v:
+    // the checkpoint preserves the partitioning, so every round's
+    // neighbor join reuses it instead of re-shuffling the edges — the
+    // "two operations keyed the same way share one exchange" rule
+    // (optimization guide §2.4), applied across all O(log d) rounds
     val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-      .distinct().lineageCut
+      .distinct().repartition(shufPart, col("v")).sortWithinPartitions("v").lineageCut
     var labels = sym.select(col("u").as("id")).distinct()
       .withColumn("label", col("id")).lineageCut
     var converged = false
@@ -217,13 +227,15 @@ object Dedup {
       l.agg(coalesce(sum(col("label")), lit(0L)).cast("decimal(38,0)")).head.getDecimal(0)
     var sumNow = checksum(labels)
     while (!converged && iter < maxIter) {
-      val neighborMin = sym
+      // min-label propagation as ONE aggregation: every node's own label
+      // rides the union, so groupBy-min == the old left-join + least()
+      // (identical labels, one fewer join per round — guide §2.4)
+      val propagated = sym
         .join(labels.select(col("id").as("v"), col("label").as("vl")), Seq("v"))
-        .groupBy(col("u")).agg(min(col("vl")).as("nl"))
-      val propagated = labels
-        .join(neighborMin.select(col("u").as("id"), col("nl")), Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .select(col("u"), col("vl"))
+        .unionByName(labels.select(col("id").as("u"), col("label").as("vl")))
+        .groupBy(col("u")).agg(min(col("vl")).as("label"))
+        .select(col("u").as("id"), col("label"))
       // pointer doubling: label := label(label). Every label value is a
       // node id present in the table, so the left join always matches;
       // coalesce is belt-and-braces.
@@ -231,8 +243,10 @@ object Dedup {
         .join(propagated.select(col("id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
-        .lineageCut
-      // labels only ever decrease, so an unchanged sum IS the fixpoint
+        .lineageCutLazy
+      // labels only ever decrease, so an unchanged sum IS the fixpoint.
+      // The checksum action ALSO materializes the lazy checkpoint — one
+      // job per round, not a checkpoint job plus a checksum job.
       val sumNext = checksum(next)
       converged = sumNext.compareTo(sumNow) == 0
       sumNow = sumNext
@@ -262,9 +276,14 @@ object Dedup {
                       blockCol: Column, shingleK: Int = 3,
                       threshold: Double = 0.5): DataFrame = {
     graft.GraftFunctions.register(df.sparkSession)
-    val base = df.select(col(idCol).as("id"), blockCol.as("block"),
-      array_distinct(call_function("word_ngrams",
-        TextFunctions.tokens(col(textCol)), lit(shingleK))).as("sh"))
+    // spread BEFORE shingling: the posting self-join otherwise rides the
+    // single-split corpus scan — probe + pair aggregation on one core
+    val base = Spread.byKey(
+        df.select(col(idCol).as("id"), blockCol.as("block"), col(textCol).as("__text")),
+        col("id"))
+      .select(col("id"), col("block"),
+        array_distinct(call_function("word_ngrams",
+          TextFunctions.tokens(col("__text")), lit(shingleK))).as("sh"))
       .withColumn("sz", size(col("sh")))
     val posting = base.select(col("block"), col("id"), col("sz"), explode(col("sh")).as("g"))
     posting.alias("a")
@@ -302,10 +321,14 @@ object Dedup {
                  k: Int = 8, window: Int = 4, minShared: Int = 2,
                  maxDf: Int = 64): DataFrame = {
     graft.GraftFunctions.register(df.sparkSession)
-    val norm = regexp_replace(trim(col(textCol)), "\\s+", " ")
-    // kernel output is already distinct per doc — no per-doc dedup shuffle
-    val post = df.select(col(idCol).as("id"),
-      explode(call_function("winnow_fps", norm, lit(k), lit(window))).as("fp"))
+    val norm = regexp_replace(trim(col("__text")), "\\s+", " ")
+    // kernel output is already distinct per doc — no per-doc dedup shuffle.
+    // spread first: the rolling-hash fingerprint kernel is the hot loop
+    // and otherwise runs on the corpus scan's single split
+    val post = Spread.byKey(
+        df.select(col(idCol).as("id"), col(textCol).as("__text")), col("id"))
+      .select(col("id"),
+        explode(call_function("winnow_fps", norm, lit(k), lit(window))).as("fp"))
     val keep = post.groupBy(col("fp"))
       .agg(count(lit(1)).as("df_cnt"))
       .filter(col("df_cnt") >= 2 && col("df_cnt") <= maxDf)
@@ -398,9 +421,12 @@ object Dedup {
   def simhashDups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.GraftFunctions.register(df.sparkSession)
     // simhash_poly = the portable polynomial family (62-bit), so the
-    // signature — and therefore the groups — reproduce in DuckDB SQL
-    df.select(col(idCol).as("id"),
-        call_function("simhash_poly", TextFunctions.tokens(col(textCol))).as("sig"))
+    // signature — and therefore the groups — reproduce in DuckDB SQL.
+    // spread first: the 64-bit-per-token signature kernel otherwise runs
+    // on the corpus scan's single split
+    Spread.byKey(df.select(col(idCol).as("id"), col(textCol).as("__text")), col("id"))
+      .select(col("id"),
+        call_function("simhash_poly", TextFunctions.tokens(col("__text"))).as("sig"))
       .groupBy(col("sig"))
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keep_id"))
       .filter(col("n_docs") > 1)
@@ -422,10 +448,16 @@ object Dedup {
                        threshold: Double = 0.5,
                        maxShingleDf: Int = 0): DataFrame = {
     graft.GraftFunctions.register(df.sparkSession)
-    val base = df.select(col(idCol).as("id"),
-      blockCol.as("block"),
-      array_distinct(call_function("word_ngrams",
-        TextFunctions.tokens(col(textCol)), lit(shingleK))).as("sh"))
+    // spread BEFORE shingling: the posting self-join otherwise rides the
+    // single-split corpus scan — probe + pair aggregation on one core
+    // (r19 profile: 8.8 s of dedup_ngram_jaccard's 10.7 s in that 1-task
+    // stage)
+    val base = Spread.byKey(
+        df.select(col(idCol).as("id"), blockCol.as("block"), col(textCol).as("__text")),
+        col("id"))
+      .select(col("id"), col("block"),
+        array_distinct(call_function("word_ngrams",
+          TextFunctions.tokens(col("__text")), lit(shingleK))).as("sh"))
       .withColumn("sz", size(col("sh")))
     val allPostings = base.select(col("block"), col("id"), col("sz"), explode(col("sh")).as("g"))
     val dfTab = allPostings.groupBy(col("block"), col("g")).agg(count(lit(1)).as("df"))

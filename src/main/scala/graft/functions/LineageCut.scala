@@ -58,9 +58,27 @@ object LineageCut {
     }
   }
 
+  /** LAZY cut: truncate lineage at the NEXT action instead of running a
+    * dedicated materialization job now. For iterative loops that already
+    * run one action per round (the connected-components convergence
+    * checksum), this folds checkpoint materialization into that action —
+    * one job per round instead of two (r19 optimization; guide §1.2
+    * "remove unnecessary passes").
+    *
+    * Local mode only: a non-eager RELIABLE checkpoint recomputes the
+    * whole lineage in a second pass after the first action (the classic
+    * `rdd.checkpoint()` gotcha), so when `spark.graft.checkpointDir` is
+    * set this falls back to the eager cut — at cluster scale the extra
+    * materialization job is the price of executor-loss durability. */
+  def cutAtNextAction(df: DataFrame): DataFrame = {
+    val dir = df.sparkSession.conf.get(ConfKey, "")
+    if (dir.isEmpty) df.localCheckpoint(eager = false) else cut(df)
+  }
+
   /** Postfix form: `df.lineageCut` — drop-in for `.localCheckpoint(true)`
     * at every iterative-round boundary. */
   implicit class CutOps(private val df: DataFrame) extends AnyVal {
     def lineageCut: DataFrame = cut(df)
+    def lineageCutLazy: DataFrame = cutAtNextAction(df)
   }
 }

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic parallelism widener for CPU-heavy per-row stages
+  * (optimization guide §2.5 "input skew: one huge unsplittable file …
+  * repartition immediately after the read", §8 "fix the per-task work").
+  *
+  * The bench corpus writes every table as ONE parquet row group, so every
+  * scan is a single split and every per-row kernel downstream of it —
+  * shingling, minhash signatures, winnow fingerprints, image
+  * encode/decode — runs on one core while 31 idle (measured r19:
+  * dedup_ngram_jaccard spent 8.8 s of 10.7 s in a 1-task stage;
+  * multimodal_mjpeg 5.3 s of 5.75 s). Hash-repartitioning on the row key
+  * right before the kernel spreads that stage across the session's
+  * shuffle parallelism.
+  *
+  * Scale posture: the exchange ships only the kernel's INPUT columns
+  * (id + text — far smaller than the kernel's exploded output, which
+  * was already being shuffled downstream), the partition count comes
+  * from `spark.sql.shuffle.partitions` (the cluster-sized knob, not a
+  * local constant), and the key is a real column — deterministic under
+  * task retry, unlike round-robin repartition (guide §2.5 / SPARK-38388;
+  * also no sort-before-repartition cost). The explicit partition count
+  * keeps AQE from coalescing the kernel stage back to one task by its
+  * (tiny) byte size.
+  */
+object Spread {
+
+  /** Hash-repartition `df` on `key` to the session's shuffle parallelism.
+    * Use immediately upstream of an expensive per-row kernel whose input
+    * is (or may be) a single-split scan.
+    *
+    * The always-true non-deterministic filter is a PUSHDOWN BARRIER, not
+    * a sample: Catalyst may not reorder predicates across a
+    * non-deterministic filter, so optimizer-inferred predicates that
+    * reference the downstream kernel (InferFiltersFromGenerate's
+    * `size(sh) > 0 AND isnotnull(sh)` under every explode) stay ABOVE the
+    * exchange instead of sinking into the single-task scan with the
+    * kernel expression substituted in — without the barrier the scan
+    * stage evaluated the shingle kernel twice per row on one core while
+    * the spread stage re-evaluated it in parallel (observed in the r19
+    * dedup_ngram_jaccard plan). `rand(42) >= 0` holds for every row
+    * (rand ∈ [0,1)), costs one PRNG step per row, and filters nothing. */
+  def byKey(df: DataFrame, key: Column): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(n, key)
+      .filter(org.apache.spark.sql.functions.rand(42) >= 0)
+  }
+
+  /** [[byKey]] gated on the input's ACTUAL scan parallelism: a no-op when
+    * the source already has at least `defaultParallelism` partitions.
+    * For plain scan→aggregate queries the spread is purely a
+    * narrow-input fix (a single-row-group file caps the whole partial
+    * aggregation at one core); at real scale the scan is thousands of
+    * splits and adding a full-table exchange would be a pessimization —
+    * this variant inserts nothing there.
+    *
+    * ONLY call this on an exchange-free input (a scan plus narrow
+    * projections/filters): the gate reads `df.rdd.getNumPartitions`,
+    * and materializing the RDD of a plan that already contains exchanges
+    * would execute those stages eagerly under AQE. Operator-internal
+    * call sites whose inputs may carry upstream shuffles use the
+    * unconditional [[byKey]] instead. */
+  def byKeyIfNarrow(df: DataFrame, key: Column): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df else byKey(df, key)
+  }
+}

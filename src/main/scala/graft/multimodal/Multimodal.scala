@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Spread the corpus across the session's shuffle parallelism before
+    * the per-row encode kernels: the bench corpus is a single parquet
+    * split, so without this every attach/decode pipeline runs on one
+    * core (r19 profile: multimodal_mjpeg spent 5.3 s of 5.75 s in a
+    * 1-task stage). Deterministic hash partitioning on doc_id; no-op
+    * cost at real scale where the shuffled bytes (id + text) are tiny
+    * next to the encode/decode work they parallelize. */
+  private def wide(docs: DataFrame): DataFrame =
+    graft.functions.Spread.byKey(docs, col("doc_id"))
+
   /** Typed media row: id + opaque payload + declared metadata. */
   case class MediaRow(doc_id: Long, payload: Array[Byte],
                       format: String, width: Int, height: Int)
@@ -41,7 +51,7 @@ object Multimodal {
     * metadata derived from doc_id). Schema matches what a real ingest
     * (e.g. image tarballs → binary column) would produce. */
   def attachPayload(docs: DataFrame): DataFrame =
-    docs.select(
+    wide(docs).select(
       col("doc_id"),
       col("text").cast("binary").as("payload"),
       lit("fake/rgb8").as("format"),
@@ -72,7 +82,7 @@ object Multimodal {
   def attachBmpPayload(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"),
+    wide(docs).select(col("doc_id"), col("text"),
       (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
       (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height"))
       .as[(Long, String, Int, Int)]
@@ -96,7 +106,7 @@ object Multimodal {
   def attachPngPayload(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"),
+    wide(docs).select(col("doc_id"), col("text"),
       (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
       (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height"))
       .as[(Long, String, Int, Int)]
@@ -121,7 +131,7 @@ object Multimodal {
   def attachGifPayload(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"),
+    wide(docs).select(col("doc_id"), col("text"),
       (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
       (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height"))
       .as[(Long, String, Int, Int)]
@@ -147,7 +157,7 @@ object Multimodal {
   def attachJpegPayload(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"),
+    wide(docs).select(col("doc_id"), col("text"),
       (pmod(col("doc_id"), lit(8)) * 8 + 16).cast("int").as("width"),
       (pmod(col("doc_id"), lit(6)) * 8 + 16).cast("int").as("height"))
       .as[(Long, String, Int, Int)]
@@ -177,7 +187,7 @@ object Multimodal {
   def attachJpegProgressivePayload(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"),
+    wide(docs).select(col("doc_id"), col("text"),
       (pmod(col("doc_id"), lit(8)) * 8 + 16).cast("int").as("width"),
       (pmod(col("doc_id"), lit(6)) * 8 + 16).cast("int").as("height"))
       .as[(Long, String, Int, Int)]
@@ -210,7 +220,7 @@ object Multimodal {
   def attachJpegColorPayload(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"),
+    wide(docs).select(col("doc_id"), col("text"),
       (pmod(col("doc_id"), lit(4)) * 16 + 16).cast("int").as("width"),
       (pmod(col("doc_id"), lit(3)) * 16 + 16).cast("int").as("height"))
       .as[(Long, String, Int, Int)]
@@ -241,7 +251,7 @@ object Multimodal {
                        nSamples: Int = 2048): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    wide(docs).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val t = Option(text).getOrElse("").getBytes("UTF-8")
         val samples = new Array[Short](nSamples)
@@ -267,7 +277,7 @@ object Multimodal {
   def attachMp4Payload(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"),
+    wide(docs).select(col("doc_id"), col("text"),
       ((pmod(col("doc_id"), lit(8))) * 16 + 64).cast("int").as("width"),
       ((pmod(col("doc_id"), lit(6))) * 16 + 48).cast("int").as("height"))
       .as[(Long, String, Int, Int)]
@@ -298,7 +308,7 @@ object Multimodal {
   def attachMjpegPayload(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"),
+    wide(docs).select(col("doc_id"), col("text"),
       (pmod(col("doc_id"), lit(8)) * 8 + 16).cast("int").as("width"),
       (pmod(col("doc_id"), lit(6)) * 8 + 16).cast("int").as("height"))
       .as[(Long, String, Int, Int)]
@@ -332,7 +342,7 @@ object Multimodal {
   def attachH264Payload(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text"),
+    wide(docs).select(col("doc_id"), col("text"),
       ((pmod(col("doc_id"), lit(6)) + 2) * 16).cast("int").as("width"),
       ((pmod(col("doc_id"), lit(4)) + 2) * 16).cast("int").as("height"))
       .as[(Long, String, Int, Int)]
@@ -382,7 +392,7 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     import H264Codec.MbSpec
-    docs.select(col("doc_id"), col("text"),
+    wide(docs).select(col("doc_id"), col("text"),
       ((pmod(col("doc_id"), lit(4)) + 2) * 16).cast("int").as("width"),
       ((pmod(col("doc_id"), lit(3)) + 2) * 16).cast("int").as("height"))
       .as[(Long, String, Int, Int)]

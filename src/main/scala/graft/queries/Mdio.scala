@@ -33,6 +33,19 @@ object Mdio {
         "o_orderpriority" -> (Seq("l_orderkey"), ords.select(col("l_orderkey"), col("o_orderpriority")))))
   }
 
+  /** [[grid]]'s cell table spread by the lead dim for the CPU-heavy
+    * cells-aggregation family (agc/smooth/gradient/semblance/...): the
+    * single-split scan otherwise runs every per-cell decimal aggregate
+    * on one core (r19 profile: ~0.8 s one-effective-task stages).
+    * hash(l_orderkey) also satisfies the (l_orderkey, l_linenumber)
+    * grouping and the per-trace windows, so for those consumers the
+    * spread REPLACES the aggregation exchange rather than adding one.
+    * No-op once the scan is parallel (real scale). NOT used by the
+    * isel/sel operator queries, whose dim filters must keep reaching
+    * the parquet scan (the spread barrier would block that pushdown). */
+  private def gridCellsWide(s: SparkSession, d: String) =
+    graft.functions.Spread.byKeyIfNarrow(grid(s, d).data, col("l_orderkey"))
+
   /** events as a 1-D MDIO dataset over event_id. */
   def eventsGrid(s: SparkSession, d: String): MdioDataset =
     MdioDataset(events(s, d), Seq("event_id"), Map("event_id" -> (0L, 1L << 40)))
@@ -2022,7 +2035,7 @@ object Mdio {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
       .rowsBetween(-1, 1)
-    grid(s, d).data
+    gridCellsWide(s, d)
       .groupBy(col("l_orderkey"), col("l_linenumber"))
       .agg(dsum(col("l_quantity")).as("q"))
       .select(col("l_orderkey"), col("l_linenumber"),
@@ -2064,7 +2077,7 @@ object Mdio {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
       .rowsBetween(-2, 2)
-    grid(s, d).data
+    gridCellsWide(s, d)
       .groupBy(col("l_orderkey"), col("l_linenumber"))
       .agg(dsum(col("l_quantity")).as("q"))
       .select(col("l_linenumber"),
@@ -2112,7 +2125,7 @@ object Mdio {
   // 100 TB the gather is additionally partitioned by CMP and the same
   // join runs per partition.
   val qSemblance: Q = (s, d) => {
-    val cells = grid(s, d).data
+    val cells = gridCellsWide(s, d)
       .groupBy((col("l_suppkey") % 6).as("x"), (col("l_orderkey") % 64).as("t"))
       .agg(dsum(col("l_quantity")).as("a"))
     // one flat range decodes to the (v, t0, x) trial grid — no cross join,
@@ -2170,7 +2183,7 @@ object Mdio {
   // it hash-exact with no float-order risk. Samples whose interpolation
   // partner falls past the trace end are muted (the NMO stretch mute).
   val qNmo: Q = (s, d) => {
-    val cells = grid(s, d).data
+    val cells = gridCellsWide(s, d)
       .groupBy((col("l_suppkey") % 6).as("x"), (col("l_orderkey") % 64).as("t"))
       .agg(dsum(col("l_quantity")).cast("bigint").as("ai"))
     val moveout = s.range(64L * 6)
@@ -2282,7 +2295,7 @@ object Mdio {
   // DuckDB), picks compare those doubles, weights quantize via floor — so
   // the full chain sits on the hash-exact oracle.
   val qVelocityStack: Q = (s, d) => {
-    val cells = grid(s, d).data
+    val cells = gridCellsWide(s, d)
       .groupBy((col("l_suppkey") % 6).as("x"), (col("l_orderkey") % 64).as("t"))
       .agg(dsum(col("l_quantity")).as("a"), dsumsq(col("l_quantity")).as("a2"))
       .withColumn("ai", col("a").cast("bigint"))
@@ -2377,7 +2390,7 @@ object Mdio {
   // shifted time is pure integer arithmetic, so the flattened stack is
   // hash-exact. Samples shifted outside the trace window mute (drop).
   val qHorizonFlatten: Q = (s, d) => {
-    val cells = grid(s, d).data
+    val cells = gridCellsWide(s, d)
       .groupBy((col("l_suppkey") % 6).as("x"), (col("l_orderkey") % 64).as("t"))
       .agg(dsum(col("l_quantity")).as("a"))
     val horizon = cells.groupBy(col("x"))
@@ -2423,7 +2436,7 @@ object Mdio {
   // executor, driver stays O(1).
   val qSegyRoundtrip: Q = (s, d) => {
     import s.implicits._
-    val cells = grid(s, d).data
+    val cells = gridCellsWide(s, d)
       .groupBy((col("l_suppkey") % 16).as("tr"), (col("l_orderkey") % 64).as("t"))
       .agg(dsum(col("l_quantity")).cast("bigint").as("ai"))
     val full = s.range(16L * 64)
@@ -2487,7 +2500,7 @@ object Mdio {
       val tapeDir = new java.io.File(base + "_tape")
       graft.sources.MdioWriter.delete0(tapeDir.toString)
       tapeDir.mkdirs()
-      val cells = grid(s, d).data
+      val cells = gridCellsWide(s, d)
         .groupBy((col("l_suppkey") % 16).as("tr"), (col("l_orderkey") % 64).as("t"))
         .agg(dsum(col("l_quantity")).cast("bigint").as("ai"))
       val full = s.range(16L * 64)
@@ -2582,7 +2595,7 @@ object Mdio {
     import org.apache.spark.sql.expressions.Window
     val wIl = Window.partitionBy(col("l_linenumber")).orderBy(col("l_orderkey"))
     val wXl = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
-    grid(s, d).data
+    gridCellsWide(s, d)
       .groupBy(col("l_orderkey"), col("l_linenumber"))
       .agg(dsum(col("l_quantity")).as("q"))
       .select(col("l_orderkey"), col("l_linenumber"),
@@ -2634,7 +2647,7 @@ object Mdio {
       .orderBy(col("l_orderkey")).rowsBetween(-1, 1)
     def fac(c: org.apache.spark.sql.Column) =
       when(c === 1, lit(6L)).when(c === 2, lit(3L)).otherwise(lit(2L))
-    grid(s, d).data
+    gridCellsWide(s, d)
       .groupBy(col("l_orderkey"), col("l_linenumber"))
       .agg(dsum(col("l_quantity")).as("q"))
       .select(col("l_orderkey"), col("l_linenumber"),
@@ -2704,7 +2717,7 @@ object Mdio {
   val qBandpass: Q = (s, d) => {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
-    grid(s, d).data
+    gridCellsWide(s, d)
       .groupBy(col("l_orderkey"), col("l_linenumber"))
       .agg(dsum(col("l_quantity")).as("q"))
       .select(col("l_orderkey"), col("l_linenumber"),
@@ -2750,7 +2763,7 @@ object Mdio {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
       .rowsBetween(-2, 2)
-    grid(s, d).data
+    gridCellsWide(s, d)
       .groupBy(col("l_orderkey"), col("l_linenumber"))
       .agg(dsum(col("l_quantity")).as("q"))
       .select(col("q"),

@@ -24,8 +24,15 @@ object Relational {
 
   /** TPC-H Q1: pricing summary report (flagship aggregate). */
   val q1PricingSummary: Q = (s, d) =>
-    lineitem(s, d)
-      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    // filter BELOW the spread (keeps the parquet pushdown), then widen the
+    // single-split scan so the eight decimal aggregates run on all cores
+    // (no-op once the scan is parallel — guide §2.5)
+    graft.functions.Spread.byKeyIfNarrow(
+        lineitem(s, d)
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        col("l_orderkey"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),

@@ -240,7 +240,13 @@ object Relational2 {
     * Columns chosen so every per-row product's double ULP stays below the
     * decimal(…,6) quantum — the engine-portability boundary. */
   val qAggCorr: Q = (s, d) =>
-    lineitem(s, d)
+    // spread the single-split scan: the six decimal sufficient-statistic
+    // sums are CPU-heavy per row and ran on one core (r19 profile: ~2 s
+    // in a one-effective-task stage); no-op once the scan is parallel
+    graft.functions.Spread.byKeyIfNarrow(
+        lineitem(s, d).select(col("l_returnflag"), col("l_quantity"),
+          col("l_discount"), col("l_orderkey")),
+        col("l_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).cast("double").as("n"),
@@ -404,8 +410,13 @@ object Relational2 {
     * A sketch regression past its bound flips a verdict to 0 and fails
     * the hash — a full rows+schema+hash gate, not a rows-only check. */
   val qAggApprox: Q = (s, d) => {
-    val li = lineitem(s, d)
-      .select(col("l_returnflag"), col("l_partkey"), col("l_extendedprice"))
+    // spread once; BOTH consumers (sketch aggregates and the rank pass)
+    // reuse the one exchange (ReusedExchange), each running on all cores
+    // instead of the scan's lone split
+    val li = graft.functions.Spread.byKeyIfNarrow(
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_partkey"), col("l_extendedprice")),
+      col("l_partkey"))
     val est = li.groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
@@ -530,26 +541,35 @@ object Relational2 {
       .distinct()
     // materialize the edge and degree tables once (localCheckpoint — the
     // dedup_components lineage-cut discipline): five iterations re-read
-    // them instead of re-deriving the lineitem⋈orders distinct each round
+    // them instead of re-deriving the lineitem⋈orders distinct each round.
+    // Edges are pre-partitioned by the join key src so the checkpoint's
+    // preserved partitioning serves all five per-round joins with ONE
+    // exchange total (guide §2.4); outdeg is FOLDED INTO the edge table
+    // up front, removing the per-round pr⋈deg join outright.
+    val shufPart = s.sessionState.conf.numShufflePartitions
     val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .lineageCut
+      .repartition(shufPart, col("src")).sortWithinPartitions("src").lineageCut
     val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
       .lineageCut
-    val nn = deg.agg(count(lit(1)).as("n"))
-    var pr = deg.crossJoin(broadcast(nn))
-      .select(col("node"), expr("1000000000 div n").as("score_ppb"))
+    val edgesW = edges.join(deg, col("src") === col("node"))
+      .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(shufPart, col("src")).sortWithinPartitions("src").lineageCut
+    // node count as a driver scalar (one O(nodes) count over the
+    // checkpointed degree table) instead of a re-broadcast one-row
+    // aggregate in every iteration's plan: same integer arithmetic,
+    // six fewer broadcast jobs
+    val n = deg.count()
+    var pr = deg.select(col("node"), lit(1000000000L / n).as("score_ppb"))
     for (_ <- 1 to 5) {
       val contrib = pr
-        .join(deg, Seq("node"))
-        .join(edges, col("node") === col("src"))
+        .join(edgesW, col("node") === col("src"))
         .select(col("dst"), expr("score_ppb div outdeg").as("c"))
       pr = contrib.groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("sc"))
-        .crossJoin(broadcast(nn))
         .select(col("node"),
-          (expr("150000000 div n") + expr("(85 * sc) div 100")).as("score_ppb"))
-        // cut per-iteration too: without this, iteration k's lazy plan
-        // re-executes iterations 1..k-1 (O(k²) join rounds in total)
+          (lit(150000000L / n) + expr("(85 * sc) div 100")).as("score_ppb"))
+        // cut per-iteration too: the label table is referenced by the
+        // next round's join AND keeps the optimizer's tree O(1) per round
         .lineageCut
     }
     pr.orderBy(col("score_ppb").desc, col("node")).limit(10)
@@ -834,13 +854,22 @@ object Relational2 {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("ts"), col("event_id")).rowsBetween(-20, -1)
-    val n = count(lit(1)).over(w).cast("double")
-    val mu = sum(col("value").cast("decimal(27,6)")).over(w).cast("double") / n
-    val ex2 = sum((col("value") * col("value")).cast("decimal(30,6)")).over(w).cast("double") / n
+    // each DISTINCT window aggregate evaluated ONCE, derived arithmetic in
+    // a separate projection: inlining mu/ex2/sd into one select extracted
+    // NINE window buffers (count ×5, sum ×3, sumsq ×1) where three
+    // suffice — ~3x the rolling-frame work per row for identical IEEE
+    // results (r19; the window runs on ~5 event_type partitions, so
+    // per-row cost, not parallelism, is this query's lever)
     events(s, d)
       .select(col("event_type"), col("value"),
-        n.as("nw"), mu.as("mu"),
-        sqrt(greatest(ex2 - mu * mu, lit(0.0))).as("sd"))
+        count(lit(1)).over(w).cast("double").as("nw"),
+        sum(col("value").cast("decimal(27,6)")).over(w).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast("decimal(30,6)")).over(w)
+          .cast("double").as("s2"))
+      .select(col("event_type"), col("value"), col("nw"),
+        (col("s1") / col("nw")).as("mu"),
+        sqrt(greatest(col("s2") / col("nw") -
+          (col("s1") / col("nw")) * (col("s1") / col("nw")), lit(0.0))).as("sd"))
       .select(col("event_type"), col("value"),
         (col("nw") >= 10.0 && col("sd") > 1e-9 &&
          abs(col("value") - col("mu")) > lit(3.0) * col("sd")).as("flagged"))

@@ -35,8 +35,12 @@ object Relational5 {
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
+    // pre-partition the static edge table by the probe key src: the
+    // checkpoint preserves the partitioning, so all six frontier joins
+    // reuse ONE edge exchange (guide §2.4)
     val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .lineageCut
+      .repartition(s.sessionState.conf.numShufflePartitions, col("src"))
+      .sortWithinPartitions("src").lineageCut
     // deterministic seed: the smallest node id present in the graph
     val seed = edges.agg(min(col("src")).as("node"))
       .select(col("node"), lit(0).as("dist"))
@@ -49,7 +53,10 @@ object Relational5 {
         .join(dist.select(col("node").as("seen")), col("node") === col("seen"), "left_anti")
         .select(col("node"), lit(k).as("dist"))
         .lineageCut
-      dist = dist.unionAll(next).lineageCut
+      // no cut on the union: it only stacks already-checkpointed rounds
+      // (a linear tree of checkpoint scans — re-planning is O(rounds),
+      // and the old per-round cut was one materialization job each)
+      dist = dist.unionAll(next)
       frontier = next
     }
     dist.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes")).orderBy(col("dist"))

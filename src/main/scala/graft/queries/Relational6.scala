@@ -275,8 +275,12 @@ object Relational6 {
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
+    // pre-partition by the probe key src: one edge exchange serves all
+    // three rounds' joins (checkpoint preserves partitioning, guide §2.4)
     val edges = e0.unionAll(
-      e0.select(col("dst").as("src"), col("src").as("dst"))).lineageCut
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("src"))
+      .sortWithinPartitions("src").lineageCut
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab")).lineageCut
     for (_ <- 1 to 3) {

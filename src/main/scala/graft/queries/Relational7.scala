@@ -201,20 +201,32 @@ object Relational7 {
   // ---------------------------------------------------------------------
 
   val qWindowEwma: Q = (s, d) => {
-    val daily = lineitem(s, d)
-      .groupBy(col("l_suppkey").as("k"),
-               expr("datediff(l_shipdate, date'1992-01-01')").as("day"))
+    // spread the single-split scan by the grouping/window key k: ONE
+    // exchange then serves the daily aggregation AND the per-key window
+    // (hash(k) satisfies both distributions), and the aggregation runs
+    // on all cores instead of the scan's lone split (r19; the old plan
+    // spent ~1.1 s in a one-effective-task partial aggregate)
+    val daily = graft.functions.Spread.byKeyIfNarrow(
+        lineitem(s, d).select(col("l_suppkey").as("k"),
+          expr("datediff(l_shipdate, date'1992-01-01')").as("day"),
+          col("l_quantity")),
+        col("k"))
+      .groupBy(col("k"), col("day"))
       .agg(dsum(col("l_quantity")).as("v"))
     val w = Window.partitionBy(col("k")).orderBy(col("day"))
+    // each lag tap evaluated ONCE (num and den both reference it; inlining
+    // both chains extracted 14 window buffers where 7 suffice)
+    val lagged = daily.select(col("k") +: col("day") +: col("v") +:
+      (1 until 8).map(j => lag(col("v"), j).over(w).as(s"__l$j")): _*)
     val taps = (0 until 8).map { j =>
-      val c = if (j == 0) col("v") else lag(col("v"), j).over(w)
+      val c = if (j == 0) col("v") else col(s"__l$j")
       (c, math.pow(0.5, j))
     }
     val num = taps.map { case (c, wt) => when(c.isNotNull, c * wt).otherwise(lit(0.0)) }
       .reduceLeft(_ + _)
     val den = taps.map { case (c, wt) => when(c.isNotNull, lit(wt)).otherwise(lit(0.0)) }
       .reduceLeft(_ + _)
-    daily.withColumn("ewma", num / den)
+    lagged.withColumn("ewma", num / den)
       .groupBy((col("k") % 100).as("bucket"))
       .agg(count(lit(1)).as("n_days"), qsum(col("ewma"), 1e6).as("sum_ewma"))
       .orderBy(col("bucket"))
@@ -547,8 +559,13 @@ object Relational7 {
   val qMdioDip: Q = (s, d) => {
     val wI = Window.partitionBy(col("x")).orderBy(col("i"))
     val wX = Window.partitionBy(col("i")).orderBy(col("x"))
-    val cells = lineitem(s, d)
-      .groupBy(col("l_orderkey").as("i"), col("l_linenumber").as("x"))
+    // spread the single-split scan: the per-cell decimal aggregation is
+    // the heavy stage and hash(i) serves the grouping too (guide §2.5)
+    val cells = graft.functions.Spread.byKeyIfNarrow(
+        lineitem(s, d).select(col("l_orderkey").as("i"),
+          col("l_linenumber").as("x"), col("l_quantity")),
+        col("i"))
+      .groupBy(col("i"), col("x"))
       .agg(dsum(col("l_quantity")).as("q"))
     val g = cells.select(col("x"),
         (col("q") - lag(col("q"), 1).over(wI)).as("gi"),
