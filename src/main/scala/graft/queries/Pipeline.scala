@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** documents() spread to session parallelism for the per-row TEXT
+    * kernels (tokenize/ngram/regex/hash per document): the single-split
+    * corpus scan otherwise runs them on one core; no-op once the scan is
+    * parallel. Dedup queries do NOT use this — their operators spread
+    * internally (a second exchange here would be pure overhead). */
+  private def docsWide(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.functions.Spread.byKeyIfNarrow(documents(s, d), col("doc_id"))
+
   // ---- dedup ---------------------------------------------------------------
 
   val qDedupExact: Q = (s, d) =>
@@ -1128,7 +1136,7 @@ object Pipeline {
   // ---- text analysis -------------------------------------------------------
 
   val qTextTokens: Q = (s, d) =>
-    documents(s, d)
+    docsWide(s, d)
       .select(col("lang"), TF.tokenCount(col("text")).as("n_tokens"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
@@ -1150,7 +1158,7 @@ object Pipeline {
     val toks = TF.tokens(col("text"))
     val n = size(toks)
     val stopRatio = TF.stopwordRatio(col("text"), "en")
-    documents(s, d)
+    docsWide(s, d)
       .select(col("lang"), n.as("n"), size(array_distinct(toks)).as("nd"),
         when(stopRatio >= 0.05 && stopRatio <= 0.6, 1L).otherwise(0L).as("stop_ok"),
         when(n >= 20 && n <= 1000, 1L).otherwise(0L).as("len_ok"))
@@ -1183,7 +1191,7 @@ object Pipeline {
     * argmax tie-break (max score, then lexicographically LARGEST language
     * code — struct-max semantics) is reproduced by the CASE ladder. */
   val qTextLangId: Q = (s, d) =>
-    documents(s, d)
+    docsWide(s, d)
       .select(col("lang").as("labeled"), TF.langId(col("text")).as("predicted"))
       .groupBy(col("labeled"), col("predicted"))
       .agg(count(lit(1)).as("n"))
@@ -1211,7 +1219,7 @@ object Pipeline {
 
   /** Order-insensitive fingerprint dedup (token-bag md5). */
   val qTextFingerprint: Q = (s, d) =>
-    documents(s, d)
+    docsWide(s, d)
       .select(TF.fingerprint(col("text")).as("fp"))
       .groupBy(col("fp")).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_distinct_fp"), max(col("n")).as("max_group"))
@@ -1227,7 +1235,7 @@ object Pipeline {
     * Rabin–Karp polynomial is plain integer arithmetic over codepoints,
     * reproduced exactly by DuckDB's list_reduce. */
   val qTextRollingHash: Q = (s, d) =>
-    documents(s, d)
+    docsWide(s, d)
       .select(TF.rollingHash(col("text")).as("rh"))
       .agg(countDistinct(col("rh")).as("n_distinct"), count(lit(1)).as("n_docs"),
            min(col("rh")).as("min_rh"), max(col("rh")).as("max_rh"),
@@ -1255,7 +1263,7 @@ object Pipeline {
   val qTextTopNgrams: Q = (s, d) => {
     graft.GraftFunctions.register(s)
     val toks = TF.tokens(col("text"))
-    documents(s, d)
+    docsWide(s, d)
       .filter(size(toks) >= 2)
       .select(explode(call_function("word_ngrams", toks, lit(2))).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
@@ -1274,7 +1282,7 @@ object Pipeline {
     * integer-derived and engine-exact): top term per language by summed
     * score, ignoring high-document-frequency stop terms. */
   val qTextTfidf: Q = (s, d) => {
-    val docs = documents(s, d)
+    val docs = docsWide(s, d)
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(TF.tokens(col("text"))).as("tok"))
     val tf = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -1321,7 +1329,7 @@ object Pipeline {
     * aggregate broadcast; nothing is quadratic in the corpus. */
   val qTextBm25: Q = (s, d) => {
     val terms = Seq("vector", "window", "merge", "sort")
-    val docs = documents(s, d)
+    val docs = docsWide(s, d)
     val toks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
@@ -1383,7 +1391,7 @@ object Pipeline {
     val bounded = regexp_replace(
       regexp_replace(concat(lit(" "), trim(col("text")), lit(" ")),
         s" $stop ", " | "), s" $stop ", " | ")
-    val ph = documents(s, d).select(explode(split(bounded, "\\|")).as("p0"))
+    val ph = docsWide(s, d).select(explode(split(bounded, "\\|")).as("p0"))
       .select(trim(col("p0")).as("phrase"))
       .filter(col("phrase") =!= "" && size(split(col("phrase"), " ")) <= 3)
       .withColumn("len", size(split(col("phrase"), " ")).cast("long"))
@@ -1444,7 +1452,7 @@ object Pipeline {
       when(col("doc_id") % 2 === 0, lit("?utm_source=feed&b=2&a=1"))
         .otherwise(lit("?z=9&utm_campaign=x&a=1")),
       when(col("doc_id") % 5 === 0, lit("#section2")).otherwise(lit("")))
-    documents(s, d)
+    docsWide(s, d)
       .select(col("source"), Curation.canonicalizeUrl(url).as("canon"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_urls"),

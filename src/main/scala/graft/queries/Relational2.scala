@@ -743,7 +743,11 @@ object Relational2 {
     * across engines AND runs. One codegen hash aggregate. */
   val qAggMoments: Q = (s, d) => {
     val x = col("l_quantity").cast("double")
-    lineitem(s, d)
+    // spread the single-split scan: four decimal power sums per row are
+    // the heavy stage (no-op once the scan is parallel)
+    graft.functions.Spread.byKeyIfNarrow(
+        lineitem(s, d).select(col("l_returnflag"), col("l_quantity"), col("l_orderkey")),
+        col("l_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).cast("double").as("n"),
         sum(x.cast("decimal(27,6)")).cast("double").as("s1"),

@@ -619,7 +619,7 @@ object Relational6 {
     // round ran 1.7x SLOWER (seven serial job launches to save a scan
     // the engine wasn't repeating). The checkpoint discipline is for
     // LOOPS OF ACTIONS (dedup_components, graph_bfs), not for one plan.
-    val words = documents(s, d)
+    val words = graft.functions.Spread.byKeyIfNarrow(documents(s, d), col("doc_id"))
       .select(explode(TF.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     val s0 = words

@@ -68,7 +68,12 @@ object Relational7 {
   }
 
   val qAggTtest: Q = (s, d) =>
-    welchTtest(lineitem(s, d).filter(col("l_returnflag").isin("R", "A")),
+    // filter below the spread (keeps parquet pushdown), then widen the
+    // single-split scan for the decimal moment sums
+    welchTtest(graft.functions.Spread.byKeyIfNarrow(
+        lineitem(s, d).filter(col("l_returnflag").isin("R", "A"))
+          .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey")),
+        col("l_orderkey")),
       col("l_extendedprice"), col("l_returnflag") === "R")
 
   val qAggTtestSql: String = """

@@ -136,7 +136,11 @@ object Relational8 {
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
-    val sym = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b"))).lineageCut
+    // pre-partition + sort by a: round 1's degree groupBy and semi join
+    // reuse the one exchange (checkpoint preserves both — guide §2.4)
+    val sym = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("a"))
+      .sortWithinPartitions("a").lineageCut
     val dg = sym.groupBy(col("a")).agg(count(lit(1)).as("dg"))
     val half = dg.agg(expr("(count(1) + 1) div 2").as("half"))
     val kdf = dg.groupBy(col("dg")).agg(count(lit(1)).as("c"))
@@ -159,15 +163,18 @@ object Relational8 {
     var prevNodes = -1L
     var stable: Option[(Long, Long)] = None
     while (r <= 8 && stable.isEmpty) {
+      // LAZY cuts: the per-round counts below materialize both
+      // checkpoints — two jobs per round instead of four (the counts
+      // were already needed; the dedicated materialization jobs were not)
       val nodes = cur.groupBy(col("a")).agg(count(lit(1)).as("dgr"))
         .crossJoin(broadcast(kdf)).filter(col("dgr") >= col("k"))
-        .select(col("a").as("n")).lineageCut
+        .select(col("a").as("n")).lineageCutLazy
       cur = cur
         .join(nodes.select(col("n").as("a")), Seq("a"))
         .join(nodes.select(col("n").as("b")), Seq("b"))
-        .select(col("a"), col("b")).lineageCut
+        .select(col("a"), col("b")).lineageCutLazy
+      val nEdges = cur.count() / 2 // materializes cur AND nodes
       val nNodes = nodes.count()
-      val nEdges = cur.count() / 2
       rows += ((r.toLong, nNodes, nEdges))
       if (nNodes == prevNodes) stable = Some((nNodes, nEdges))
       prevNodes = nNodes
@@ -376,7 +383,12 @@ object Relational8 {
       .agg(min(col("w")).as("wf"))
     val und = pw.crossJoin(broadcast(wf)).filter(col("w") >= col("wf"))
       .select(col("a"), col("b"))
-    val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b"))).lineageCut
+    // pre-partition + sort by the wedge-center key a: the checkpoint
+    // preserves both, so the self-join's two sides and the degree
+    // aggregation all reuse ONE exchange/sort (guide §2.4)
+    val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("a"))
+      .sortWithinPartitions("a").lineageCut
     val deg = sym.groupBy(col("a").as("c")).agg(count(lit(1)).as("dg"))
     val wedges = sym.as("e1").join(sym.as("e2"),
         col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))

@@ -28,10 +28,34 @@ object StreamingExec {
     * silently evicted by watermark disorder is exactly the r06/r08
     * `stream_join_exec` hash-flake class, and a loud failure here beats a
     * silently wrong hash downstream. */
-  private def runToMemoryPinned(df: DataFrame, mode: String): (DataFrame, Long, Int) = {
+  private def runToMemoryPinned(df: DataFrame, mode: String,
+                                finalizeNoData: Boolean = true): (DataFrame, Long, Int) = {
     pinBoundedState(df, mode)
     val qname = "stream_exec_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    // The per-run checkpoint is DELETED when the query stops (finally
+    // block below) — its durability is irrelevant by construction, but
+    // its write path is not: the HDFS-backed state store fsyncs one
+    // delta file per partition per store per micro-batch (a stream-stream
+    // join is 4 stores x 32 partitions), and on a disk-backed /tmp those
+    // fsyncs dominated the micro-batch (r19 progress log: commitTimeMs
+    // ~77 s summed across instances per batch). A throwaway checkpoint
+    // on tmpfs keeps the commit protocol identical and removes only the
+    // physical-disk latency; production checkpoints (durable, on real
+    // storage) are configured by the caller, never by this harness.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graft_ckpt")
+      else java.nio.file.Files.createTempDirectory("graft_ckpt")
+    // finalizeNoData=false skips Spark's no-data finalization micro-batch
+    // for operators whose OUTPUT cannot depend on it (eager-emission
+    // inner/semi stream-stream joins: the extra batch only evicts state,
+    // emitting nothing — r19 measured it at ~45% of the run). Outer/full
+    // joins and timeout-bearing operators REQUIRE it and keep the default.
+    // Session-level conf, saved/restored around the (sequential) run.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = df.sparkSession.conf.getOption(ndKey)
+    if (!finalizeNoData) df.sparkSession.conf.set(ndKey, "false")
     val q = df.writeStream.format("memory").queryName(qname)
       .outputMode(mode).option("checkpointLocation", ckpt.toString).start()
     val (dropped, dataBatches) =
@@ -50,6 +74,12 @@ object StreamingExec {
         (drops, withData)
       } finally {
         q.stop()
+        if (!finalizeNoData) {
+          ndPrev match {
+            case Some(v) => df.sparkSession.conf.set(ndKey, v)
+            case None => df.sparkSession.conf.unset(ndKey)
+          }
+        }
         deleteRecursively(ckpt)
       }
     require(dropped == 0L,
@@ -73,7 +103,8 @@ object StreamingExec {
     * cannot survive the final batch. Reference discipline matched: the
     * all-or-nothing commit of mdio/dataset.h:1269-1416 (no partial
     * double-applied writes observable downstream). */
-  private def runToMemoryIdempotent(df: DataFrame, naturalKey: Seq[String]): DataFrame = {
+  private def runToMemoryIdempotent(df: DataFrame, naturalKey: Seq[String],
+                                    finalizeNoData: Boolean = true): DataFrame = {
     // Append-mode operators are the surface where cross-micro-batch
     // event-time disorder can silently change output: once the global
     // watermark advances past a partner row's timestamp, join/session
@@ -86,7 +117,7 @@ object StreamingExec {
     // (observed only under full-suite load), re-run once on a fresh
     // checkpoint and fail loudly rather than hash-drift silently.
     def once(): (DataFrame, Int) = {
-      val (sink, _, dataBatches) = runToMemoryPinned(df, "append")
+      val (sink, _, dataBatches) = runToMemoryPinned(df, "append", finalizeNoData)
       (sink, dataBatches)
     }
     val (sink0, batches0) = once()
@@ -719,8 +750,11 @@ object StreamingExec {
     val purchases = Tables.eventsStream(s, d).filter(col("event_type") === "purchase")
     val pairs = Streams.clickToPurchase(clicks, purchases,
       windowSeconds = 3600L, watermark = "2 hours")
-    // natural key: one pair row per (purchase, click) id combination
-    runToMemoryIdempotent(pairs, Seq("purchase_id", "click_id"))
+    // natural key: one pair row per (purchase, click) id combination.
+    // inner-join matches all emit inside the data micro-batch; the
+    // finalization batch only evicts state, so it is skipped
+    runToMemoryIdempotent(pairs, Seq("purchase_id", "click_id"),
+        finalizeNoData = false)
       .groupBy(col("p_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
            countDistinct(col("purchase_id")).as("n_attributed"),
@@ -741,8 +775,10 @@ object StreamingExec {
     val purchases = Tables.eventsStream(s, d).filter(col("event_type") === "purchase")
     val attributed = Streams.clickToPurchaseSemi(clicks, purchases,
       windowSeconds = 3600L, watermark = "2 hours")
-    // natural key: semi emits each purchase at most once
-    runToMemoryIdempotent(attributed, Seq("purchase_id"))
+    // natural key: semi emits each purchase at most once (eagerly, on
+    // its first match — the finalization batch emits nothing; skipped)
+    runToMemoryIdempotent(attributed, Seq("purchase_id"),
+        finalizeNoData = false)
       .groupBy(col("p_user").as("user_id"))
       .agg(count(lit(1)).as("n_attributed_purchases"),
            sum(round(col("value") * 100).cast("long")).as("attributed_cents"))
