@@ -20,16 +20,6 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // AQE coalescing keys on BYTES; several operators here are CPU-bound
-      // on byte-light shuffles (posting joins over compressed text grams,
-      // Hilbert-curve window sorts), and the 1 MiB default floor collapsed
-      // them to 1-3 tasks while 32 cores idled (r19 profile: sort_hilbert
-      // ran its 4.3 s window stage on 3 tasks). 64 KiB keeps the floor —
-      // truly tiny exchanges still coalesce — while core-count parallelism
-      // (parallelismFirst, derived from the cluster, not a local constant)
-      // decides the rest. At 100 TB stage bytes dwarf both floors and this
-      // setting is inert.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
       .config("spark.driver.maxResultSize", "2g")
       .config("spark.ui.enabled", "false")

@@ -421,12 +421,9 @@ object Dedup {
   def simhashDups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.GraftFunctions.register(df.sparkSession)
     // simhash_poly = the portable polynomial family (62-bit), so the
-    // signature — and therefore the groups — reproduce in DuckDB SQL.
-    // spread first: the 64-bit-per-token signature kernel otherwise runs
-    // on the corpus scan's single split
-    Spread.byKey(df.select(col(idCol).as("id"), col(textCol).as("__text")), col("id"))
-      .select(col("id"),
-        call_function("simhash_poly", TextFunctions.tokens(col("__text"))).as("sig"))
+    // signature — and therefore the groups — reproduce in DuckDB SQL
+    df.select(col(idCol).as("id"),
+        call_function("simhash_poly", TextFunctions.tokens(col(textCol))).as("sig"))
       .groupBy(col("sig"))
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keep_id"))
       .filter(col("n_docs") > 1)

@@ -30,7 +30,7 @@ object LanguageModel {
   /** Top-10 most-surprising documents under the corpus's own bigram LM. */
   val qTextPerplexity: Q = (s, d) => {
     val toks = split(trim(col("text")), "\\s+")
-    val docs = graft.functions.Spread.byKeyIfNarrow(documents(s, d), col("doc_id"))
+    val docs = documents(s, d)
       .filter(size(toks) >= 2)
       .select(col("doc_id"),
         slice(toks, lit(1), size(toks) - 1).as("w1s"),
@@ -40,7 +40,7 @@ object LanguageModel {
       .select(col("doc_id"), col("p.w1s").as("w1"), col("p.w2s").as("w2"))
     // V counts the full vocabulary (every token, including each doc's
     // final one, which never leads a bigram)
-    val vocab = graft.functions.Spread.byKeyIfNarrow(documents(s, d), col("doc_id"))
+    val vocab = documents(s, d)
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
     val big = bigrams.groupBy(col("w1").as("b_w1"), col("w2").as("b_w2"))
@@ -101,7 +101,7 @@ object LanguageModel {
     * −p·log2(p) goes through the decimal dsum and the final value is
     * ROUND(...,5) on both engines (the ln/exp discipline). */
   val qTextEntropy: Q = (s, d) => {
-    val chars = graft.functions.Spread.byKeyIfNarrow(documents(s, d), col("doc_id"))
+    val chars = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
     val hist = chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
     val lens = chars.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))

@@ -2125,7 +2125,7 @@ object Mdio {
   // 100 TB the gather is additionally partitioned by CMP and the same
   // join runs per partition.
   val qSemblance: Q = (s, d) => {
-    val cells = gridCellsWide(s, d)
+    val cells = grid(s, d).data
       .groupBy((col("l_suppkey") % 6).as("x"), (col("l_orderkey") % 64).as("t"))
       .agg(dsum(col("l_quantity")).as("a"))
     // one flat range decodes to the (v, t0, x) trial grid — no cross join,
@@ -2183,7 +2183,7 @@ object Mdio {
   // it hash-exact with no float-order risk. Samples whose interpolation
   // partner falls past the trace end are muted (the NMO stretch mute).
   val qNmo: Q = (s, d) => {
-    val cells = gridCellsWide(s, d)
+    val cells = grid(s, d).data
       .groupBy((col("l_suppkey") % 6).as("x"), (col("l_orderkey") % 64).as("t"))
       .agg(dsum(col("l_quantity")).cast("bigint").as("ai"))
     val moveout = s.range(64L * 6)
@@ -2295,7 +2295,7 @@ object Mdio {
   // DuckDB), picks compare those doubles, weights quantize via floor — so
   // the full chain sits on the hash-exact oracle.
   val qVelocityStack: Q = (s, d) => {
-    val cells = gridCellsWide(s, d)
+    val cells = grid(s, d).data
       .groupBy((col("l_suppkey") % 6).as("x"), (col("l_orderkey") % 64).as("t"))
       .agg(dsum(col("l_quantity")).as("a"), dsumsq(col("l_quantity")).as("a2"))
       .withColumn("ai", col("a").cast("bigint"))
@@ -2390,7 +2390,7 @@ object Mdio {
   // shifted time is pure integer arithmetic, so the flattened stack is
   // hash-exact. Samples shifted outside the trace window mute (drop).
   val qHorizonFlatten: Q = (s, d) => {
-    val cells = gridCellsWide(s, d)
+    val cells = grid(s, d).data
       .groupBy((col("l_suppkey") % 6).as("x"), (col("l_orderkey") % 64).as("t"))
       .agg(dsum(col("l_quantity")).as("a"))
     val horizon = cells.groupBy(col("x"))
@@ -2436,7 +2436,7 @@ object Mdio {
   // executor, driver stays O(1).
   val qSegyRoundtrip: Q = (s, d) => {
     import s.implicits._
-    val cells = gridCellsWide(s, d)
+    val cells = grid(s, d).data
       .groupBy((col("l_suppkey") % 16).as("tr"), (col("l_orderkey") % 64).as("t"))
       .agg(dsum(col("l_quantity")).cast("bigint").as("ai"))
     val full = s.range(16L * 64)
@@ -2500,7 +2500,7 @@ object Mdio {
       val tapeDir = new java.io.File(base + "_tape")
       graft.sources.MdioWriter.delete0(tapeDir.toString)
       tapeDir.mkdirs()
-      val cells = gridCellsWide(s, d)
+      val cells = grid(s, d).data
         .groupBy((col("l_suppkey") % 16).as("tr"), (col("l_orderkey") % 64).as("t"))
         .agg(dsum(col("l_quantity")).cast("bigint").as("ai"))
       val full = s.range(16L * 64)

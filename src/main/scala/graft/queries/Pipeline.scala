@@ -1136,7 +1136,7 @@ object Pipeline {
   // ---- text analysis -------------------------------------------------------
 
   val qTextTokens: Q = (s, d) =>
-    docsWide(s, d)
+    documents(s, d)
       .select(col("lang"), TF.tokenCount(col("text")).as("n_tokens"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
@@ -1219,7 +1219,7 @@ object Pipeline {
 
   /** Order-insensitive fingerprint dedup (token-bag md5). */
   val qTextFingerprint: Q = (s, d) =>
-    docsWide(s, d)
+    documents(s, d)
       .select(TF.fingerprint(col("text")).as("fp"))
       .groupBy(col("fp")).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_distinct_fp"), max(col("n")).as("max_group"))
@@ -1235,7 +1235,7 @@ object Pipeline {
     * Rabin–Karp polynomial is plain integer arithmetic over codepoints,
     * reproduced exactly by DuckDB's list_reduce. */
   val qTextRollingHash: Q = (s, d) =>
-    docsWide(s, d)
+    documents(s, d)
       .select(TF.rollingHash(col("text")).as("rh"))
       .agg(countDistinct(col("rh")).as("n_distinct"), count(lit(1)).as("n_docs"),
            min(col("rh")).as("min_rh"), max(col("rh")).as("max_rh"),
@@ -1263,7 +1263,7 @@ object Pipeline {
   val qTextTopNgrams: Q = (s, d) => {
     graft.GraftFunctions.register(s)
     val toks = TF.tokens(col("text"))
-    docsWide(s, d)
+    documents(s, d)
       .filter(size(toks) >= 2)
       .select(explode(call_function("word_ngrams", toks, lit(2))).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
@@ -1282,7 +1282,7 @@ object Pipeline {
     * integer-derived and engine-exact): top term per language by summed
     * score, ignoring high-document-frequency stop terms. */
   val qTextTfidf: Q = (s, d) => {
-    val docs = docsWide(s, d)
+    val docs = documents(s, d)
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(TF.tokens(col("text"))).as("tok"))
     val tf = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -1329,7 +1329,7 @@ object Pipeline {
     * aggregate broadcast; nothing is quadratic in the corpus. */
   val qTextBm25: Q = (s, d) => {
     val terms = Seq("vector", "window", "merge", "sort")
-    val docs = docsWide(s, d)
+    val docs = documents(s, d)
     val toks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
@@ -1391,7 +1391,7 @@ object Pipeline {
     val bounded = regexp_replace(
       regexp_replace(concat(lit(" "), trim(col("text")), lit(" ")),
         s" $stop ", " | "), s" $stop ", " | ")
-    val ph = docsWide(s, d).select(explode(split(bounded, "\\|")).as("p0"))
+    val ph = documents(s, d).select(explode(split(bounded, "\\|")).as("p0"))
       .select(trim(col("p0")).as("phrase"))
       .filter(col("phrase") =!= "" && size(split(col("phrase"), " ")) <= 3)
       .withColumn("len", size(split(col("phrase"), " ")).cast("long"))
@@ -1452,7 +1452,7 @@ object Pipeline {
       when(col("doc_id") % 2 === 0, lit("?utm_source=feed&b=2&a=1"))
         .otherwise(lit("?z=9&utm_campaign=x&a=1")),
       when(col("doc_id") % 5 === 0, lit("#section2")).otherwise(lit("")))
-    docsWide(s, d)
+    documents(s, d)
       .select(col("source"), Curation.canonicalizeUrl(url).as("canon"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_urls"),

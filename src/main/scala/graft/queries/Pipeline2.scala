@@ -25,7 +25,7 @@ object Pipeline2 {
     * in for an eval suite). Broadcast the benchmark gram set; one
     * map-side join over the corpus. */
   val qTextDecontaminate: Q = (s, d) => {
-    val docs = docsWide(s, d)
+    val docs = documents(s, d)
     Curation.decontaminate(
       train = docs.filter(col("doc_id") % 97 =!= 0),
       eval = docs.filter(col("doc_id") % 97 === 0),
@@ -67,7 +67,7 @@ object Pipeline2 {
     * rebuilds the identical filter — false positives included — so the
     * oracle certifies it bit-for-bit. */
   val qTextDecontaminateBloom: Q = (s, d) => {
-    val docs = docsWide(s, d)
+    val docs = documents(s, d)
     Curation.decontaminateBloom(
       train = docs.filter(col("doc_id") % 97 =!= 0),
       eval = docs.filter(col("doc_id") % 97 === 0),
@@ -132,7 +132,7 @@ object Pipeline2 {
   // NOT registered: superseded in the registry by Pipeline3's line/ngram
   // repetition profile. Kept as the simple decile form for comparison.
   val qTextRepetition: Q = (s, d) =>
-    docsWide(s, d)
+    documents(s, d)
       .select(least(floor(Curation.repetitionRatio(col("text")) * lit(10.0))
         .cast("long"), lit(9L)).as("decile"))
       .groupBy(col("decile")).agg(count(lit(1)).as("n"))
@@ -160,7 +160,7 @@ object Pipeline2 {
     * from the weight literals, so the oracle certifies the MODEL APPLY
     * bit-for-bit — deciles and sums both. */
   val qTextClassify: Q = (s, d) => {
-    val scored = Curation.classifyLinear(docsWide(s, d), "text", classifierWeights)
+    val scored = Curation.classifyLinear(documents(s, d), "text", classifierWeights)
     scored
       .select(least(greatest(floor((col("quality_score") + lit(0.5)) * lit(10.0)), lit(0L)),
         lit(9L)).cast("long").as("decile"),
@@ -214,7 +214,7 @@ object Pipeline2 {
     * doc makes bin = floor(cum_before/target) skip indices). The oracle
     * computes the identical formula, so the gate is exact either way. */
   val qPipelinePack: Q = (s, d) => {
-    val packed = Curation.packSequences(docsWide(s, d),
+    val packed = Curation.packSequences(documents(s, d),
       textCol = "text", orderCol = "doc_id",
       partCols = Seq("lang", "source"), targetTokens = 512L)
     packed
@@ -284,7 +284,7 @@ object Pipeline2 {
     * runs per source after a hash shuffle (no global sort); the filter is
     * keep-while-under-budget, so each source contributes ≤ the cap. */
   val qPipelineQuota: Q = (s, d) =>
-    Curation.quotaCap(docsWide(s, d), idCol = "doc_id",
+    Curation.quotaCap(documents(s, d), idCol = "doc_id",
       categoryCol = "source", textCol = "text", budgetTokens = 20000L)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tokens_kept"),
@@ -526,7 +526,7 @@ object Pipeline2 {
     * 100 TB). Everything, including the approximate quantiles themselves,
     * reproduces bit-for-bit in DuckDB. */
   val qPipelineStats: Q = (s, d) => {
-    val docs = docsWide(s, d).withColumn("__nt", TF.tokenCount(col("text")))
+    val docs = documents(s, d).withColumn("__nt", TF.tokenCount(col("text")))
     val tq = Sketches.histQuantiles(docs, Seq("lang"), col("__nt"),
         lo = 0.0, width = 2.0, bins = 128, qs = Seq(0.5, 0.9, 0.99))
       .groupBy(col("lang"))
@@ -700,7 +700,7 @@ object Pipeline2 {
     * the synthetic corpus has no real templates, so the query pins the
     * short-prefix operating point that has signal.) */
   val qTextBoilerplate: Q = (s, d) =>
-    docsWide(s, d)
+    documents(s, d)
       .select(col("source"),
         array_join(slice(TF.tokens(col("text")), 1, 2), " ").as("prefix"))
       .groupBy(col("source"), col("prefix"))
@@ -729,7 +729,7 @@ object Pipeline2 {
   /** Distribution of the unigram-fluency score (mean corpus relative
     * frequency per document), bucketed at 1/1000 resolution. */
   val qTextFluency: Q = (s, d) =>
-    Curation.unigramScore(docsWide(s, d), idCol = "doc_id", textCol = "text")
+    Curation.unigramScore(documents(s, d), idCol = "doc_id", textCol = "text")
       .select(floor(col("score") * lit(1000.0)).cast("long").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
 

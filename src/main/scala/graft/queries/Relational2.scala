@@ -43,7 +43,12 @@ object Relational2 {
   val qWindowRangeFrame: Q = (s, d) => {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice")).rangeBetween(-5000L, 5000L)
+    // explicit repartition on the window key: the range-frame count is
+    // CPU-heavy per row and AQE's byte-based coalescing was collapsing
+    // the window exchange to 1-2 tasks (A/B r19: 0.49 s vs 1.36 s); an
+    // explicit count is exempt from coalescing and the window reuses it
     orders(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions, col("o_orderpriority"))
       .withColumn("nearby", count(lit(1)).over(w))
       .groupBy(col("o_orderpriority"))
       .agg(max(col("nearby")).as("max_nearby"), count(lit(1)).as("n"))
@@ -915,7 +920,14 @@ object Relational2 {
     * through the fill, so the oracle certifies the interpolation
     * hash-exact. */
   val qEventsResample: Q = (s, d) => {
-    val hourly = events(s, d)
+    // one explicit exchange on user_id serves the hourly aggregation AND
+    // the per-user window (hash(user_id) satisfies both), runs the
+    // decimal aggregation at full parallelism off the single-split scan,
+    // and is exempt from AQE byte-based coalescing (A/B r19: 0.74 s vs
+    // 1.49 s with the coalesced plan)
+    val hourly = graft.functions.Spread.byKeyIfNarrow(
+        events(s, d).select(col("user_id"), col("ts"), col("value")),
+        col("user_id"))
       .groupBy(col("user_id"), expr("unix_micros(ts) div 3600000000").as("h"))
       .agg(dsum(col("value")).as("v"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("h"))

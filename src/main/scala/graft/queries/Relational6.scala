@@ -619,7 +619,7 @@ object Relational6 {
     // round ran 1.7x SLOWER (seven serial job launches to save a scan
     // the engine wasn't repeating). The checkpoint discipline is for
     // LOOPS OF ACTIONS (dedup_components, graph_bfs), not for one plan.
-    val words = graft.functions.Spread.byKeyIfNarrow(documents(s, d), col("doc_id"))
+    val words = documents(s, d)
       .select(explode(TF.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     val s0 = words
@@ -1256,18 +1256,30 @@ object Relational6 {
 
   val qSortHilbert: Q = (s, d) => {
     import graft.functions.ZOrder
-    val pts = lineitem(s, d).select(
-      pmod(col("l_partkey"), lit(1024)).cast("long").as("x"),
-      pmod(col("l_suppkey"), lit(1024)).cast("long").as("y"))
+    val shufPart = s.sessionState.conf.numShufflePartitions
+    // spread the single-split scan so the 10-projection Hilbert walk runs
+    // on all cores, and give each window an EXPLICIT exchange on its own
+    // segment key: AQE's byte-based coalescing was collapsing these
+    // CPU-heavy, byte-light window sorts to 3 tasks (r19 profile: 4.3 s
+    // in one 3-task stage; explicit counts are exempt from coalescing)
+    val pts = graft.functions.Spread.byKeyIfNarrow(
+      lineitem(s, d).select(
+        pmod(col("l_partkey"), lit(1024)).cast("long").as("x"),
+        pmod(col("l_suppkey"), lit(1024)).cast("long").as("y")),
+      col("x"))
     val keyed = ZOrder.hilbertD(pts, col("x"), col("y"), 10)
       .withColumn("zd", ZOrder.zvalue(Seq(col("x"), col("y")), 10))
     val wH = Window.partitionBy(expr("hd div 4096")).orderBy(col("hd"))
     val wZ = Window.partitionBy(expr("zd div 4096")).orderBy(col("zd"))
-    keyed.select(
+    keyed
+      .repartition(shufPart, expr("hd div 4096"))
+      .withColumn("dh",
         coalesce(abs(col("x") - lag(col("x"), 1).over(wH)) +
-                 abs(col("y") - lag(col("y"), 1).over(wH)), lit(0L)).as("dh"),
+                 abs(col("y") - lag(col("y"), 1).over(wH)), lit(0L)))
+      .repartition(shufPart, expr("zd div 4096"))
+      .withColumn("dz",
         coalesce(abs(col("x") - lag(col("x"), 1).over(wZ)) +
-                 abs(col("y") - lag(col("y"), 1).over(wZ)), lit(0L)).as("dz"))
+                 abs(col("y") - lag(col("y"), 1).over(wZ)), lit(0L)))
       .agg(count(lit(1)).as("n"),
            sum(col("dh")).as("hilbert_locality"),
            sum(col("dz")).as("zorder_locality"))

@@ -368,9 +368,13 @@ object Relational8 {
   // ---------------------------------------------------------------------
 
   val qGraphLinkpred: Q = (s, d) => {
+    // explicit exchange on the posting key p: the self-join's two sides
+    // reuse it, and the CPU-heavy pair-expansion stage is exempt from
+    // AQE's byte-based coalescing (it ran on 5 tasks — r19 profile)
     val cp = lineitem(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+      .repartition(s.sessionState.conf.numShufflePartitions, col("p"))
     val pw = cp.as("x").join(cp.as("y"),
         col("x.p") === col("y.p") && col("x.c") < col("y.c"))
       .groupBy(col("x.c").as("a"), col("y.c").as("b"))

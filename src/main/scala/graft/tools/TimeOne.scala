@@ -15,7 +15,6 @@ object TimeOne {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -173,6 +173,13 @@ class DedupSpec extends SparkSpec {
     assert(out.filterNot(_._3).map(_._1).toSet == Set(1L, 3L, 11L))
   }
 
+  test("connected components: an empty pair set converges immediately") {
+    // legal input (a cluster-scoped pass that found nothing) — the
+    // union-propagation round must never run and the checksum must not NPE
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(empty, "a", "b").count() == 0)
+  }
+
   test("connected components converge on a path graph far beyond maxIter rounds") {
     // a 1000-node path has diameter 999 — plain min-label propagation
     // needs 999 synchronous rounds and would blow the maxIter=25 guard;

@@ -36,6 +36,22 @@ class LineageCutSpec extends SparkSpec {
     assert(cut.orderBy("lab").collect().toSeq == raw.orderBy("lab").collect().toSeq)
   }
 
+  test("lazy cut truncates lineage at the next action, identical results") {
+    // the r19 iterative-round shape: the convergence-checksum action both
+    // materializes the checkpoint and reads it — no dedicated job
+    var df = spark.range(100).select(col("id").as("node"), col("id").as("lab"))
+    for (_ <- 1 to 4) {
+      val next = df.select(col("node"), (col("lab") * 3 % 97).as("lab"))
+        .groupBy(col("lab")).agg(min(col("node")).as("node"))
+        .select(col("node"), col("lab")).lineageCutLazy
+      next.agg(sum(col("lab"))).head() // the per-round action
+      df = next
+    }
+    assert(planSize(df) <= 3, "lazy cut must truncate after the action")
+    assert(df.orderBy("lab").collect().toSeq ==
+      iterate(cutting = true).orderBy("lab").collect().toSeq)
+  }
+
   test("checkpointDir knob switches to reliable checkpointing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_reliable_ckpt")
     try {
