@@ -31,21 +31,37 @@ object Spread {
     * Use immediately upstream of an expensive per-row kernel whose input
     * is (or may be) a single-split scan.
     *
-    * The always-true non-deterministic filter is a PUSHDOWN BARRIER, not
-    * a sample: Catalyst may not reorder predicates across a
-    * non-deterministic filter, so optimizer-inferred predicates that
-    * reference the downstream kernel (InferFiltersFromGenerate's
-    * `size(sh) > 0 AND isnotnull(sh)` under every explode) stay ABOVE the
-    * exchange instead of sinking into the single-task scan with the
-    * kernel expression substituted in — without the barrier the scan
-    * stage evaluated the shingle kernel twice per row on one core while
-    * the spread stage re-evaluated it in parallel (observed in the r19
-    * dedup_ngram_jaccard plan). `rand(42) >= 0` holds for every row
-    * (rand ∈ [0,1)), costs one PRNG step per row, and filters nothing. */
+    * Known residual: optimizer-inferred predicates that reference the
+    * downstream kernel (InferFiltersFromGenerate's `size(sh) > 0` under
+    * an explode) sink through the repartition into the scan stage and
+    * evaluate the kernel there, single-task. Spark 4.1's predicate
+    * pushdown crosses even non-deterministic filters, so no
+    * filter-shaped barrier holds (measured: an always-true rand()
+    * filter here changed nothing — SpreadSpec pins the actual
+    * behavior). The sunk predicate costs ~0.3-0.6 s warm on the bench
+    * corpus; the heavy work above it (signatures, explode fan-out, join
+    * probes, per-pair aggregation) is what this exchange parallelizes,
+    * and that is where the measured wins come from. */
   def byKey(df: DataFrame, key: Column): DataFrame = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    df.repartition(n, key)
-      .filter(org.apache.spark.sql.functions.rand(42) >= 0)
+    if (!isNarrowScan(df)) df // already parallel past its first shuffle
+    else df.repartition(n, key)
+  }
+
+  /** True iff `df` is a scan plus narrow operators (project/filter/
+    * generate...) — no aggregate, join, window, repartition or union
+    * upstream. Operators whose inputs already crossed a shuffle are
+    * parallel at the session's shuffle partitioning, and spreading them
+    * again measured as a pure extra exchange (r19: the dedup recipe's
+    * minhash pass over its line-deduped — aggregated — text). Plan walk
+    * only; never triggers execution (safe on post-shuffle inputs where
+    * an `rdd.getNumPartitions` gate would materialize AQE stages). */
+  private def isNarrowScan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.analyzed.collectFirst {
+      case _: Aggregate | _: Join | _: Window | _: Distinct | _: Union |
+           _: RepartitionOperation | _: GlobalLimit | _: Sort => ()
+    }.isEmpty
   }
 
   /** [[byKey]] gated on the input's ACTUAL scan parallelism: a no-op when

@@ -34,15 +34,19 @@ object Mdio {
   }
 
   /** [[grid]]'s cell table spread by the lead dim for the CPU-heavy
-    * cells-aggregation family (agc/smooth/gradient/semblance/...): the
-    * single-split scan otherwise runs every per-cell decimal aggregate
-    * on one core (r19 profile: ~0.8 s one-effective-task stages).
-    * hash(l_orderkey) also satisfies the (l_orderkey, l_linenumber)
-    * grouping and the per-trace windows, so for those consumers the
-    * spread REPLACES the aggregation exchange rather than adding one.
-    * No-op once the scan is parallel (real scale). NOT used by the
-    * isel/sel operator queries, whose dim filters must keep reaching
-    * the parquet scan (the spread barrier would block that pushdown). */
+    * cells-aggregation family (agc / smooth_dim / smooth_grid / gradient
+    * / bandpass / despike): the single-split scan otherwise runs every
+    * per-cell decimal aggregate on one core (r19 profile: ~0.8 s
+    * one-effective-task stages). hash(l_orderkey) satisfies their
+    * (l_orderkey, l_linenumber) grouping and the per-trace windows, so
+    * the spread REPLACES the aggregation exchange rather than adding
+    * one. No-op once the scan is parallel (real scale). Deliberately NOT
+    * used by (a) the isel/sel operator queries, whose dim filters must
+    * keep reaching the parquet scan (the spread barrier would block that
+    * pushdown), and (b) the modulo-grouped cells queries (semblance /
+    * nmo / velocity_stack / horizon_flatten / radon and friends), whose
+    * (l_suppkey%k, l_orderkey%m) keys hash(l_orderkey) does not serve —
+    * there the spread measured as a pure extra exchange (r19 bench). */
   private def gridCellsWide(s: SparkSession, d: String) =
     graft.functions.Spread.byKeyIfNarrow(grid(s, d).data, col("l_orderkey"))
 

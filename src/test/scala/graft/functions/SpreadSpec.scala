@@ -25,23 +25,31 @@ class SpreadSpec extends SparkSpec {
            df.agg(sum(col("id")), count(lit(1))).head())
   }
 
-  test("barrier keeps above-spread filters off the source, below-spread filters push") {
+  test("filters keep pushing through the spread (pinned: no barrier holds)") {
+    // Spark 4.1 pushes deterministic predicates below the repartition —
+    // even a non-deterministic always-true filter did not block it
+    // (measured r19), so Spread deliberately carries no barrier; this
+    // pin documents the engine behavior the operator design assumes
     val df = spark.range(0, 100, 1, 1).toDF("id")
-    // filter ABOVE the spread: must evaluate above the exchange (the
-    // barrier is non-deterministic, so Catalyst may not reorder past it)
     val above = Spread.byKey(df, col("id")).filter(col("id") % 2 === 0)
     val planAbove = above.queryExecution.optimizedPlan.toString
-    // the deterministic predicate must still sit ABOVE the repartition
     val repartIdx = planAbove.indexOf("Repartition")
     val filterIdx = planAbove.indexOf("((id")
     assert(repartIdx >= 0, planAbove)
-    // optimizedPlan prints top-down: above-exchange operators appear first
-    assert(filterIdx >= 0 && filterIdx < repartIdx,
-      s"deterministic filter sank below the spread barrier:\n$planAbove")
+    assert(filterIdx > repartIdx,
+      s"expected the deterministic filter to push below the spread:\n$planAbove")
     assert(above.count() == 50)
-    // filter BELOW the spread: pushes to the source as usual
+    // filter BELOW the spread behaves identically
     val below = Spread.byKey(df.filter(col("id") < 10), col("id"))
     assert(below.count() == 10)
+  }
+
+  test("byKey no-ops on inputs that already crossed a shuffle") {
+    val agg = spark.range(0, 100, 1, 1).toDF("id")
+      .groupBy((col("id") % 10).as("k")).count()
+    val out = Spread.byKey(agg, col("k"))
+    assert(out.queryExecution.analyzed eq agg.queryExecution.analyzed,
+      "post-shuffle input must pass through unchanged")
   }
 
   test("byKeyIfNarrow no-ops on an already-parallel input") {
