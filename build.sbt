@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST ~2000 chars of this process's output for the
+// bench's one-line JSON. sbt's default LoggedOutput decorates every forked
+// line with "[info] "/"[error] " — both r18 and r19 drivers rejected the
+// decorated line ("parsed": null in BENCH_r{18,19}.json), starving the
+// PERF comparison. StdoutOutput hands the forked JVM the real stdout/stderr
+// so the line lands unprefixed. Nothing about the timed region changes.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

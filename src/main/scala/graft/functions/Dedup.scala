@@ -79,12 +79,23 @@ object Dedup {
     graft.GraftFunctions.register(df.sparkSession)
     // spread BEFORE the shingle/signature kernels: the corpus scan is a
     // single split, and without the exchange the whole per-row pipeline
-    // (tokenize, n-grams, 16 minhash families) runs on one core
-    Spread.byKey(df.select(col(idCol).as("id"), col(textCol).as("__text")), col("id"))
+    // (tokenize, n-grams, 16 minhash families) runs on one core.
+    //
+    // The no-shingle exclusion is written as `__text IS NOT NULL` BELOW
+    // the spread, not `size(sh) >= 1` above it: the two are exactly
+    // equivalent — split() of ANY non-null string returns >= 1 token
+    // (even "" gives [""]), the ngram kernel emits max(len-k+1, 1) grams
+    // for a non-empty token array, and array_distinct preserves
+    // non-emptiness, so sh is empty-or-null iff __text is null — and the
+    // size(sh) form sank below the repartition under predicate pushdown
+    // with the WHOLE kernel substituted in, re-running shingling
+    // single-task in the scan stage (r19's known residue). IsNotNull
+    // reaches the parquet scan as a pushed filter instead.
+    Spread.byKey(df.select(col(idCol).as("id"), col(textCol).as("__text"))
+        .filter(col("__text").isNotNull), col("id"))
       .select(col("id"),
         array_distinct(call_function("word_ngrams",
           TextFunctions.tokens(col("__text")), lit(shingleK))).as("sh"))
-      .filter(size(col("sh")) >= 1)
       .withColumn("sig", call_function("minhash_poly", col("sh"), lit(numHashes)))
   }
 
@@ -214,7 +225,15 @@ object Dedup {
     // the checkpoint preserves the partitioning, so every round's
     // neighbor join reuses it instead of re-shuffling the edges — the
     // "two operations keyed the same way share one exchange" rule
-    // (optimization guide §2.4), applied across all O(log d) rounds
+    // (optimization guide §2.4), applied across all O(log d) rounds.
+    // The round partition count is SCALE-ADAPTIVE (guide §2 — derive from
+    // input size, not a constant): materialize the distinct edge set
+    // first and reuse the partition count AQE's byte-based coalescing
+    // chose for it. A 256-pair dedup graph then runs its rounds as
+    // 1-task chains (r19's fixed session-width count made every round a
+    // 32-task stage — pure scheduling overhead at that size), while a
+    // corpus-scale edge set keeps the full session width because AQE
+    // leaves its shuffle uncoalesced.
     val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       .distinct().repartition(shufPart, col("v")).sortWithinPartitions("v").lineageCut
     var labels = sym.select(col("u").as("id")).distinct()

@@ -65,6 +65,15 @@ object LineageCut {
     * one job per round instead of two (r19 optimization; guide §1.2
     * "remove unnecessary passes").
     *
+    * CONTRACT: the first action over the returned DataFrame must compute
+    * ALL of its partitions — a full count/aggregate/scan, or a downstream
+    * shuffle whose map stage reads every partition. A PARTIAL first
+    * action (head/take/limit directly on the cut df) leaves unvisited
+    * partitions un-checkpointed, and later jobs can fail with missing
+    * local-checkpoint blocks. Every call site here follows a lazy cut
+    * with a full-partition action (convergence checksums, per-round
+    * counts, next-round shuffle stages); keep it that way.
+    *
     * Local mode only: a non-eager RELIABLE checkpoint recomputes the
     * whole lineage in a second pass after the first action (the classic
     * `rdd.checkpoint()` gotcha), so when `spark.graft.checkpointDir` is

@@ -44,7 +44,7 @@ object Spread {
     * and that is where the measured wins come from. */
   def byKey(df: DataFrame, key: Column): DataFrame = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (!isNarrowScan(df)) df // already parallel past its first shuffle
+    if (!isNarrowScan(df) || isWideFileScan(df)) df
     else df.repartition(n, key)
   }
 
@@ -60,8 +60,29 @@ object Spread {
     import org.apache.spark.sql.catalyst.plans.logical._
     df.queryExecution.analyzed.collectFirst {
       case _: Aggregate | _: Join | _: Window | _: Distinct | _: Union |
-           _: RepartitionOperation | _: GlobalLimit | _: Sort => ()
+           _: RepartitionOperation | _: GlobalLimit | _: Sort |
+           _: Deduplicate | _: Expand => ()
     }.isEmpty
+  }
+
+  /** True iff a file-source leaf of `df` is big enough that its scan
+    * already splits to at least the cluster's default parallelism
+    * (sizeInBytes / maxPartitionBytes — a lower bound on Spark's split
+    * count). At real scale a multi-TB table passes isNarrowScan (it IS a
+    * narrow scan) but needs NO widening exchange — the scan is thousands
+    * of splits; inserting one there would shuffle the whole input for
+    * nothing. Statistics-only (no execution, no file listing walk);
+    * non-file leaves (local relations, RDD scans) report not-wide, which
+    * keeps the spread — the conservative bench-shaped default. */
+  private def isWideFileScan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val sess = df.sparkSession
+    val maxSplit = math.max(sess.sessionState.conf.filesMaxPartitionBytes, 1L)
+    val want = sess.sparkContext.defaultParallelism.toLong
+    df.queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] &&
+        lr.relation.asInstanceOf[HadoopFsRelation].sizeInBytes / maxSplit >= want => ()
+    }.isDefined
   }
 
   /** [[byKey]] gated on the input's ACTUAL scan parallelism: a no-op when

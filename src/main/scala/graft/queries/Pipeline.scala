@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.{Curation, Dedup, TextFunctions => TF, Vectors}
+import graft.functions.LineageCut.CutOps
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -308,9 +309,19 @@ object Pipeline {
       .withColumn("__keep", min(col("doc_id")).over(w))
       .filter(col("doc_id") === col("__keep"))
       .select(col("doc_id"), col("text"))
+    // materialize the cleaned corpus ONCE (lineage cut, the iterative-op
+    // discipline): the recipe consumes it from THREE separate executions
+    // — minhash banding (eager candidate generation), the CC edge cut's
+    // verification join, and the final keep-aggregate — and exchange
+    // reuse cannot cross executions, so the whole exact-dedup window +
+    // lineDedup pipeline re-ran per consumer (r20 profile: the md5
+    // window subtree appears 3x in the final plan alone; the recipe was
+    // the suite's slowest query at 9.7 s). One pass computes it, every
+    // consumer reads the checkpointed blocks.
     val cleaned = Curation.lineDedup(exact, "doc_id",
         Curation.tokenWindows(col("text"), 3), minDf = 3L)
       .select(col("id").as("doc_id"), col("text_clean"))
+      .lineageCut
     val pairs = Dedup.minhashLsh(cleaned, "doc_id", "text_clean",
       numHashes = 16, bands = 8, shingleK = 2, threshold = 0.4)
     val dropped = Dedup.connectedComponents(pairs, "id_a", "id_b")

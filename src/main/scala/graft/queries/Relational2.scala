@@ -552,19 +552,27 @@ object Relational2 {
     // exchange total (guide §2.4); outdeg is FOLDED INTO the edge table
     // up front, removing the per-round pr⋈deg join outright.
     val shufPart = s.sessionState.conf.numShufflePartitions
-    val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(shufPart, col("src")).sortWithinPartitions("src").lineageCut
-    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    // outdeg folded in with a WINDOW over the same src partitioning the
+    // round joins need: the explicit repartition + sortWithinPartitions
+    // satisfy the window's distribution AND ordering, so outdeg costs no
+    // extra exchange or sort — one checkpointed table replaces the r19
+    // edges→deg→join→edgesW chain (three cuts and a join collapse to one
+    // cut; identical integer counts per (src) group)
+    val wOut = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val edgesW = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(shufPart, col("src")).sortWithinPartitions("src")
+      .withColumn("outdeg", count(lit(1)).over(wOut))
       .lineageCut
-    val edgesW = edges.join(deg, col("src") === col("node"))
-      .select(col("src"), col("dst"), col("outdeg"))
-      .repartition(shufPart, col("src")).sortWithinPartitions("src").lineageCut
+    val nodes = edgesW.select(col("src").as("node")).distinct().lineageCut
     // node count as a driver scalar (one O(nodes) count over the
-    // checkpointed degree table) instead of a re-broadcast one-row
+    // checkpointed node table) instead of a re-broadcast one-row
     // aggregate in every iteration's plan: same integer arithmetic,
-    // six fewer broadcast jobs
-    val n = deg.count()
-    var pr = deg.select(col("node"), lit(1000000000L / n).as("score_ppb"))
+    // six fewer broadcast jobs.
+    // max(n,1): an empty edge set must yield the empty result (the old
+    // per-row SQL div over an empty table), not a plan-time div-by-zero —
+    // with nodes empty the literal's value is never observed by any row
+    val n = math.max(nodes.count(), 1L)
+    var pr = nodes.select(col("node"), lit(1000000000L / n).as("score_ppb"))
     for (_ <- 1 to 5) {
       val contrib = pr
         .join(edgesW, col("node") === col("src"))
@@ -573,9 +581,13 @@ object Relational2 {
         .agg(sum(col("c")).as("sc"))
         .select(col("node"),
           (lit(150000000L / n) + expr("(85 * sc) div 100")).as("score_ppb"))
-        // cut per-iteration too: the label table is referenced by the
-        // next round's join AND keeps the optimizer's tree O(1) per round
-        .lineageCut
+        // LAZY cut per iteration (keeps the tree O(1) per round): there is
+        // no convergence action here, so the next round's exchange
+        // materialization — a full scan of this round's RDD — is the
+        // folding action (LineageCut.cutAtNextAction contract); the last
+        // round folds into the final TakeOrdered. Five dedicated
+        // materialization jobs removed (guide §1.2)
+        .lineageCutLazy
     }
     pr.orderBy(col("score_ppb").desc, col("node")).limit(10)
       .select(col("node"), col("score_ppb"))

@@ -185,23 +185,30 @@ object Relational4 {
     * (decimal-exact both). Shape preserved: name-prefix part scope,
     * nested IN chain, nation filter on the outer supplier list. */
   val q20ExcessStock: Q = (s, d) => {
+    val smallParts = part(s, d)
+      .filter(col("p_name").startsWith("small")).select(col("p_partkey"))
+    val natSupp = supplier(s, d)
+      .join(broadcast(nation(s, d).filter(col("n_name").startsWith("NATION_1"))),
+            col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    // pre-filter the fact table with broadcast SEMI joins BEFORE the
+    // per-(part,supplier) aggregation (guide §3.2 — reduce the big side
+    // before shuffling it): both join keys are GROUP KEYS and the
+    // part/supplier keys are unique, so filtering rows first computes
+    // the identical aggregate over exactly the groups the old post-agg
+    // joins kept — the aggregation now shuffles only the small-part,
+    // one-nation-prefix slice of lineitem instead of all of it
     val q = lineitem(s, d)
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(natSupp.select(col("s_suppkey"))),
+            col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(dsum(when(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
                      col("l_shipdate") <  lit("1998-01-01").cast("timestamp"),
                      col("l_quantity")).otherwise(lit(0.0))).as("q97"),
            dsum(col("l_quantity")).as("qall"))
-    val smallParts = part(s, d)
-      .filter(col("p_name").startsWith("small")).select(col("p_partkey"))
-    q.join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
-      .filter(col("q97") > lit(0.5) * col("qall"))
-      .join(broadcast(
-              supplier(s, d)
-                .join(broadcast(nation(s, d)
-                        .filter(col("n_name").startsWith("NATION_1"))),
-                      col("s_nationkey") === col("n_nationkey"))
-                .select(col("s_suppkey"), col("s_name"))),
-            col("l_suppkey") === col("s_suppkey"))
+    q.filter(col("q97") > lit(0.5) * col("qall"))
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name")).distinct()
       .orderBy(col("s_name"))
   }

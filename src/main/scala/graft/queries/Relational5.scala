@@ -52,7 +52,10 @@ object Relational5 {
         .select(col("dst").as("node")).distinct()
         .join(dist.select(col("node").as("seen")), col("node") === col("seen"), "left_anti")
         .select(col("node"), lit(k).as("dist"))
-        .lineageCut
+        // LAZY cut: round k+1's join/anti-join exchanges (full scans of
+        // this RDD) materialize it — the final groupBy folds the last
+        // round in. Six dedicated materialization jobs removed.
+        .lineageCutLazy
       // no cut on the union: it only stacks already-checkpointed rounds
       // (a linear tree of checkpoint scans — re-planning is O(rounds),
       // and the old per-round cut was one materialization job each)

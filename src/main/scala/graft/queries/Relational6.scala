@@ -290,7 +290,10 @@ object Relational6 {
         .groupBy(col("dst"))
         .agg(max_by(col("lab"), struct(col("cnt"), (-col("lab")).as("neg"))).as("lab"))
         .select(col("dst").as("node"), col("lab"))
-        .lineageCut
+        // LAZY cut: the next round's join exchange (a full scan of this
+        // RDD) materializes it; the final community groupBy folds the
+        // last round in. Three dedicated materialization jobs removed.
+        .lineageCutLazy
     }
     labels.groupBy(col("lab").as("community"))
       .agg(count(lit(1)).as("size"))

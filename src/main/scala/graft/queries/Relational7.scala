@@ -878,22 +878,35 @@ object Relational7 {
   // ---------------------------------------------------------------------
 
   val qGraphAssortativity: Q = (s, d) => {
+    import graft.functions.LineageCut.CutOps
     val e = lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     val a = e.select(col("o"), col("p").as("pi"))
     val b = e.select(col("o"), col("p").as("pj"))
+    // materialize the pair expansion ONCE: the old plan referenced this
+    // subtree four times (degree build + both unionAll arms + the count),
+    // re-running the within-order self-join each time (guide §2.4 /
+    // §5 "recomputing is more expensive"); the checkpointed edge table is
+    // O(pairs) longs, the iterative-graph discipline used everywhere else
     val edges = a.join(b, Seq("o")).filter(col("pi") < col("pj"))
-      .select(col("pi"), col("pj")).distinct()
+      .select(col("pi"), col("pj")).distinct().lineageCut
     val deg = edges.select(col("pi").as("p")).unionAll(edges.select(col("pj").as("p")))
-      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
-    val directed = edges.select(col("pi").as("u"), col("pj").as("v"))
-      .unionAll(edges.select(col("pj").as("u"), col("pi").as("v")))
-      .join(deg.select(col("p").as("u"), col("deg").as("du")), Seq("u"))
-      .join(deg.select(col("p").as("v"), col("deg").as("dv")), Seq("v"))
-    val agg = directed.agg(
-      count(lit(1)).as("m2"),
-      sum(col("du")).as("sx"),
-      sum(col("du") * col("du")).as("sxx"),
-      sum(col("du") * col("dv")).as("sxy"))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg")).lineageCut
+    // moment regrouping (exact integer identities over the SAME sums):
+    // the old plan attached degrees to the DIRECTED edge set (each
+    // undirected edge both ways — 2·|edges| join rows) and summed du,
+    // du², du·dv over it. Every directed sum folds onto the undirected
+    // edge set — (i,j) contributes (di+dj), (di²+dj²), 2·di·dj — and
+    // m2 = 2·|edges|, so ONE aggregation over HALF the join rows yields
+    // the identical four integers.
+    val agg = edges
+      .join(deg.select(col("p").as("pi"), col("deg").as("di")), Seq("pi"))
+      .join(deg.select(col("p").as("pj"), col("deg").as("dj")), Seq("pj"))
+      .agg(count(lit(1)).as("ne"),
+           sum(col("di") + col("dj")).as("sx"),
+           sum(col("di") * col("di") + col("dj") * col("dj")).as("sxx"),
+           sum(col("di") * col("dj")).as("sp"))
+      .select((col("ne") * 2).as("m2"), col("sx"), col("sxx"),
+              (col("sp") * 2).as("sxy"))
     val m = col("m2").cast("double")
     val sx = col("sx").cast("double")
     val sxx = col("sxx").cast("double")

@@ -43,8 +43,19 @@ object StreamingExec {
     // physical-disk latency; production checkpoints (durable, on real
     // storage) are configured by the caller, never by this harness.
     val shm = java.nio.file.Paths.get("/dev/shm")
+    // tmpfs only with headroom: containers commonly cap /dev/shm at 64 MB,
+    // and a stream-stream join writes 4 stores x N partitions of delta
+    // files per micro-batch — exhausting tmpfs fails the run and starves
+    // co-resident processes. 256 MB usable is a conservative floor for the
+    // bench's state volumes; below it, fall back to the default temp dir.
+    val shmUsable =
+      try {
+        if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+          java.nio.file.Files.getFileStore(shm).getUsableSpace
+        else 0L
+      } catch { case _: Exception => 0L }
     val ckpt =
-      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      if (shmUsable >= 256L * 1024 * 1024)
         java.nio.file.Files.createTempDirectory(shm, "graft_ckpt")
       else java.nio.file.Files.createTempDirectory("graft_ckpt")
     // finalizeNoData=false skips Spark's no-data finalization micro-batch
@@ -52,28 +63,33 @@ object StreamingExec {
     // inner/semi stream-stream joins: the extra batch only evicts state,
     // emitting nothing — r19 measured it at ~45% of the run). Outer/full
     // joins and timeout-bearing operators REQUIRE it and keep the default.
-    // Session-level conf, saved/restored around the (sequential) run.
+    // Session-level conf; the set/restore pair wraps the WHOLE start/run in
+    // its own try/finally so a start() failure (or an exception out of
+    // q.stop()) cannot leak the disabled conf into the shared session,
+    // where a later outer/full join would silently lose its finalization
+    // batch.
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val ndPrev = df.sparkSession.conf.getOption(ndKey)
-    if (!finalizeNoData) df.sparkSession.conf.set(ndKey, "false")
-    val q = df.writeStream.format("memory").queryName(qname)
-      .outputMode(mode).option("checkpointLocation", ckpt.toString).start()
     val (dropped, dataBatches) =
       try {
-        q.processAllAvailable()
-        val progress = q.recentProgress
-        // Opt-in forensic trail (GRAFT_STREAM_DEBUG=1): the full per-batch
-        // progress JSON — state-operator rows added/removed/dropped, input
-        // rows, watermark — so a driver-environment-only divergence can be
-        // diagnosed from the run log without a reproducer.
-        if (sys.env.get("GRAFT_STREAM_DEBUG").contains("1"))
-          progress.foreach(p => System.err.println(s"[stream-debug $qname] ${p.json}"))
-        val drops = progress.iterator
-          .flatMap(_.stateOperators.iterator.map(_.numRowsDroppedByWatermark)).sum
-        val withData = progress.count(_.numInputRows > 0)
-        (drops, withData)
+        if (!finalizeNoData) df.sparkSession.conf.set(ndKey, "false")
+        val q = df.writeStream.format("memory").queryName(qname)
+          .outputMode(mode).option("checkpointLocation", ckpt.toString).start()
+        try {
+          q.processAllAvailable()
+          val progress = q.recentProgress
+          // Opt-in forensic trail (GRAFT_STREAM_DEBUG=1): the full per-batch
+          // progress JSON — state-operator rows added/removed/dropped, input
+          // rows, watermark — so a driver-environment-only divergence can be
+          // diagnosed from the run log without a reproducer.
+          if (sys.env.get("GRAFT_STREAM_DEBUG").contains("1"))
+            progress.foreach(p => System.err.println(s"[stream-debug $qname] ${p.json}"))
+          val drops = progress.iterator
+            .flatMap(_.stateOperators.iterator.map(_.numRowsDroppedByWatermark)).sum
+          val withData = progress.count(_.numInputRows > 0)
+          (drops, withData)
+        } finally q.stop()
       } finally {
-        q.stop()
         if (!finalizeNoData) {
           ndPrev match {
             case Some(v) => df.sparkSession.conf.set(ndKey, v)

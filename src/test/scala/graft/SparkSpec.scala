@@ -16,6 +16,11 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      // engine-standard exclusion (see Bench.scala): InferFiltersFromGenerate
+      // only re-evaluates computed kernel generators under inferred filters
+      // in this engine; tests run the same plans the bench/verify sessions do
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
