@@ -606,15 +606,18 @@ object Relational2 {
     * by an equi semi join. The oracle counts the same triangles with the
     * order-free u<v<w three-way join. */
   val qGraphTriangles: Q = (s, d) => {
+    import graft.functions.LineageCut.CutOps
     val supp = supplier(s, d)
       .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_3")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey").as("sk"))
     val li = lineitem(s, d).join(broadcast(supp), col("l_suppkey") === col("sk"))
       .select(col("l_orderkey").as("o"), col("l_suppkey").as("n"))
+    // the distinct edge set feeds the degree build, the orientation, and
+    // the final edge count; materialize the pair expansion once
     val und = li.as("x").join(li.as("y"),
         col("x.o") === col("y.o") && col("x.n") < col("y.n"))
-      .select(col("x.n").as("a"), col("y.n").as("b")).distinct()
+      .select(col("x.n").as("a"), col("y.n").as("b")).distinct().lineageCut
     val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("dg"))
     val out = und
@@ -626,6 +629,8 @@ object Relational2 {
       .select(when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("u"),
               when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("v"),
               greatest(col("ka"), col("kb")).as("kv"))
+      // three consumers (both wedge sides + the closing semi join)
+      .lineageCut
     val wedges = out.as("e1").join(out.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.kv") < col("e2.kv"))
       .select(col("e1.v").as("x1"), col("e2.v").as("x2"))
@@ -879,9 +884,11 @@ object Relational2 {
     // a separate projection: inlining mu/ex2/sd into one select extracted
     // NINE window buffers (count ×5, sum ×3, sumsq ×1) where three
     // suffice — ~3x the rolling-frame work per row for identical IEEE
-    // results (r19; the window runs on ~5 event_type partitions, so
-    // per-row cost, not parallelism, is this query's lever)
-    events(s, d)
+    // results (r19). The explicit spread on the window key is REUSED by
+    // the window's exchange and, being an explicit count, is exempt from
+    // AQE's byte-based coalescing, which had collapsed the ~5 key groups
+    // onto 2 tasks (r20 profile: two ~0.5 s window stages on 2 tasks)
+    graft.functions.Spread.byKey(events(s, d), col("event_type"))
       .select(col("event_type"), col("value"),
         count(lit(1)).over(w).cast("double").as("nw"),
         sum(col("value").cast("decimal(27,6)")).over(w).cast("double").as("s1"),

@@ -1179,9 +1179,14 @@ object Relational6 {
   // ---------------------------------------------------------------------
 
   val qMdioDeconvolve: Q = (s, d) => {
+    import graft.functions.LineageCut.CutOps
+    // the cell table feeds SEVEN consumers (three lag self-joins, two
+    // sides each is deduped by exchange reuse only up to the exchange —
+    // the reduce-side aggregation re-ran per consumer, r20 profile:
+    // seven ~400 ms stages); materialize it once (guide §2.4/§5)
     val cells = lineitem(s, d)
       .groupBy((col("l_partkey") % 512).as("tr"), (col("l_orderkey") % envN).as("k"))
-      .agg(dsum(col("l_quantity")).as("a"))
+      .agg(dsum(col("l_quantity")).as("a")).lineageCut
     def lagged(l: Int): DataFrame = cells
       .join(cells.select(col("tr").as("tr2"), (col("k") - l).as("k2"), col("a").as("a2")),
         col("tr") === col("tr2") && col("k") === col("k2"))

@@ -620,7 +620,12 @@ object Relational7 {
   // ---------------------------------------------------------------------
 
   val qGraphItemCf: Q = (s, d) => {
-    val e = lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    import graft.functions.LineageCut.CutOps
+    // the distinct (order, part) edge set feeds the per-item counts AND
+    // both pair-expansion sides; materialize it once instead of
+    // re-running the distinct per consumer (guide §2.4/§5)
+    val e = lineitem(s, d).select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct().lineageCut
     val cnt = e.groupBy(col("p")).agg(count(lit(1)).as("c"))
     val a = e.select(col("o"), col("p").as("pi"))
     val b = e.select(col("o"), col("p").as("pj"))
